@@ -1,0 +1,141 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.{Hashing, TextFunctions}
+
+/** Deduplication operators for training-data pipelines, each designed
+  * around its scale behavior:
+  *
+  *   - exact:      one hash-groupBy shuffle keyed on a 128-bit digest —
+  *                 never on the text itself, so shuffle volume is
+  *                 O(rows × 16B), not O(corpus bytes).
+  *   - minhashLsh: shingle → k minhashes → band buckets → self-join per
+  *                 bucket → exact-Jaccard verify. The join is keyed on
+  *                 (band, bucket-hash): only colliding docs meet, which is
+  *                 the only O(N²)-avoiding near-dup scheme that scales.
+  *   - simhash:    one 64→16-bit signature per doc (map-side only), dup
+  *                 candidates = equal signatures (or Hamming≤d via
+  *                 rotated-band trick).
+  *   - ngramJaccard: exact verify kernel (used standalone for small
+  *                 candidate sets, and as the LSH verify stage).
+  *
+  * All hashing is [[Hashing.hash64]]-portable so the DuckDB oracle can
+  * replay signatures bit-for-bit.
+  */
+object Dedup {
+  import Hashing._
+
+  /** Exact dedup: digest → group. Returns one row per distinct text with
+    * the keeper (min id) and the duplicate count. */
+  def exact(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.groupBy(md5(col(textCol)).as("text_md5"))
+      .agg(min(col(idCol)).as("keeper_id"),
+        count(lit(1)).as("n_copies"))
+
+  /** Per-doc MinHash signature: k universal-hash minima over word
+    * `shingleK`-shingles. ONE md5 per shingle (the 31-bit base hash) + k
+    * affine permutations — the standard universal-hashing MinHash, 8×
+    * cheaper than k independent digests. Map-side only — no shuffle. */
+  def minhashSignature(docs: DataFrame, idCol: String, textCol: String,
+                       k: Int = 8, shingleK: Int = 3): DataFrame =
+    withSignature(docs, idCol, textCol, k, shingleK)
+      .drop("sh")
+
+  /** id + distinct shingle set + mh0..mh(k-1). The base-hash array is
+    * computed once and every permutation minimum reads it. */
+  private[operators] def withSignature(docs: DataFrame, idCol: String, textCol: String,
+                                       k: Int, shingleK: Int): DataFrame = {
+    val mhCols = (0 until k).map { i =>
+      array_min(transform(col("bases"), b => Hashing.affine(b, i))).as(s"mh$i")
+    }
+    docs
+      .select(col(idCol),
+        array_distinct(TextFunctions.shingles(col(textCol), shingleK)).as("sh"))
+      .withColumn("bases", transform(col("sh"), s => Hashing.base31(s)))
+      .select(col(idCol) +: col("sh") +: mhCols: _*)
+  }
+
+  /** MinHash+LSH near-duplicate pairs: band the signature (`bands` bands
+    * of `k/bands` rows), bucket-join docs sharing any band, verify with
+    * exact shingle-set Jaccard ≥ `threshold`. Returns (id_a, id_b,
+    * jaccard) with id_a < id_b, distinct. */
+  def minhashLshPairs(docs: DataFrame, idCol: String, textCol: String,
+                      k: Int = 8, bands: Int = 4, shingleK: Int = 3,
+                      threshold: Double = 0.7): DataFrame = {
+    val rows = k / bands
+    // Signatures are consumed 4× (both self-join sides + both verify
+    // probes): persist them — at warehouse scale this materialization is
+    // a signatures table you'd write once and reuse across dedup runs.
+    val sig = withSignature(docs, idCol, textCol, k, shingleK)
+      .withColumnRenamed(idCol, "id")
+      .persist()
+    // band value = the tuple of its rows, carried as a single portable
+    // hash so the shuffle key is 8 bytes.
+    val banded = sig.select(
+      col("id"),
+      posexplode(array((0 until bands).map { b =>
+        hash64(concat_ws(",", lit(b.toString) +:
+          (0 until rows).map(r => col(s"mh${b * rows + r}").cast("string")): _*))
+      }: _*)).as(Seq("band", "bucket")))
+    val cand = banded.as("l")
+      .join(banded.as("r"),
+        col("l.band") === col("r.band") &&
+          col("l.bucket") === col("r.bucket") &&
+          col("l.id") < col("r.id"))
+      .select(col("l.id").as("id_a"), col("r.id").as("id_b"))
+      .distinct()
+    val sh = sig.select(col("id"), col("sh"))
+    cand
+      .join(sh.withColumnRenamed("sh", "sh_a"), col("id_a") === col("id"))
+      .drop("id")
+      .join(sh.withColumnRenamed("sh", "sh_b"), col("id_b") === col("id"))
+      .drop("id")
+      .withColumn("jaccard",
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b"))).cast("double"))
+      .where(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+  }
+
+  /** 16-bit SimHash signature per doc: token hashes vote per bit position;
+    * bit set iff positive majority. Pure map-side expressions. */
+  def simhash(docs: DataFrame, idCol: String, textCol: String,
+              bits: Int = 16): DataFrame = {
+    val tokenHashes = transform(TextFunctions.tokens(col(textCol)), t => hash64(t))
+    val sig = (0 until bits).map { b =>
+      val vote = aggregate(tokenHashes, lit(0L),
+        (acc, h) => acc + when(shiftright(h, b).bitwiseAND(lit(1L)) === 1L, lit(1L)).otherwise(lit(-1L)))
+      when(vote > 0, lit(1L << b)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    docs.select(col(idCol), sig.as("simhash"))
+  }
+
+  /** Exact n-gram (shingle-set) Jaccard for every pair within a small
+    * candidate set — the verify kernel. O(n²): gate `docs` first. */
+  def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
+                        shingleK: Int = 3): DataFrame = {
+    val sh = docs.select(col(idCol).as("id"),
+      array_distinct(TextFunctions.shingles(col(textCol), shingleK)).as("sh"))
+    sh.as("a").join(sh.as("b"), col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        round(size(array_intersect(col("a.sh"), col("b.sh"))).cast("double") /
+          size(array_union(col("a.sh"), col("b.sh"))).cast("double"), 6).as("jaccard"))
+  }
+
+  /** Embedding near-dup: cosine ≥ threshold via LSH-bucketed self-join
+    * (scale path — brute force only within buckets). */
+  def embeddingNearDups(emb: DataFrame, idCol: String, vecCol: String,
+                        dim: Int, threshold: Double = 0.95,
+                        planes: Int = 12): DataFrame = {
+    import graft.functions.VectorFunctions._
+    val b = emb.select(col(idCol).as("id"), col(vecCol).as("v"),
+      lshBucket(col(vecCol), planes, dim).as("bucket"))
+    b.as("l").join(b.as("r"),
+        col("l.bucket") === col("r.bucket") && col("l.id") < col("r.id"))
+      .withColumn("cos", cosine(col("l.v"), col("r.v")))
+      .where(col("cos") >= threshold)
+      .select(col("l.id").as("id_a"), col("r.id").as("id_b"),
+        round(col("cos"), 6).as("cosine"))
+  }
+}

@@ -1,0 +1,234 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.functions.{Hashing, TextFunctions, VectorFunctions}
+import graft.operators.{Dedup, Multimodal, Similarity}
+import graft.streaming.EventStreams
+
+/** Training-data-pipeline operators over `documents` / `embeddings` /
+  * `events` — the driver's north-star extension surface. Queries whose
+  * semantics are SQL-expressible carry exact DuckDB oracles built on the
+  * same portable md5-derived hashing ([[Hashing.hash64]]); LSH-ANN,
+  * streaming and multimodal entries are structurally non-SQL and get the
+  * driver's rows-only check (oracle intentionally omitted).
+  */
+object PipelineQueries {
+  import Tables.load
+  import Hashing.{duckHash64, Mod}
+
+  private val MinhashK = 8
+  private val ShingleK = 3
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // exact dedup (hash-groupBy on 128-bit digest)
+    "pipe_q1_exact_dedup" -> ((s, dir) =>
+      Dedup.exact(load(s, dir, "documents"), "doc_id", "text")),
+
+    // token statistics
+    "pipe_q2_tokens" -> ((s, dir) =>
+      load(s, dir, "documents").select(
+        col("doc_id"),
+        TextFunctions.tokenCount(col("text")).cast("long").as("n_tokens"),
+        TextFunctions.subwordCount(col("text")).cast("long").as("n_subwords"),
+        col("n_chars"))),
+
+    // quality scoring
+    "pipe_q3_quality" -> ((s, dir) =>
+      load(s, dir, "documents").select(
+        col("doc_id"),
+        TextFunctions.qualityScore(col("text"), col("n_chars")).as("quality"))),
+
+    // language-ID heuristic
+    "pipe_q4_langid" -> ((s, dir) =>
+      load(s, dir, "documents").select(
+        col("doc_id"), col("lang"),
+        TextFunctions.langId(col("text")).as("lang_pred"))),
+
+    // order-sensitive fingerprint
+    "pipe_q5_fingerprint" -> ((s, dir) =>
+      load(s, dir, "documents").select(
+        col("doc_id"), TextFunctions.fingerprint(col("text")).as("fp"))),
+
+    // minhash signatures (k=8 over word 3-shingles)
+    "pipe_q6_minhash" -> ((s, dir) =>
+      Dedup.minhashSignature(load(s, dir, "documents"), "doc_id", "text",
+        k = MinhashK, shingleK = ShingleK)),
+
+    // LSH near-dup pairs (banded minhash → bucket join → jaccard verify)
+    "pipe_q7_lsh_pairs" -> ((s, dir) =>
+      Dedup.minhashLshPairs(load(s, dir, "documents"), "doc_id", "text",
+        k = MinhashK, bands = 4, shingleK = ShingleK, threshold = 0.5)),
+
+    // simhash signatures
+    "pipe_q8_simhash" -> ((s, dir) =>
+      Dedup.simhash(load(s, dir, "documents"), "doc_id", "text")),
+
+    // exact pairwise n-gram jaccard over a gated candidate set
+    "pipe_q9_jaccard" -> ((s, dir) =>
+      Dedup.ngramJaccardPairs(
+        load(s, dir, "documents").where(col("doc_id") < 15), "doc_id", "text",
+        shingleK = ShingleK).where(col("jaccard") > 0)),
+
+    // brute-force cosine top-k (exact ANN baseline)
+    "pipe_q10_knn" -> ((s, dir) => {
+      val emb = load(s, dir, "embeddings")
+      Similarity.bruteForceKnn(emb, emb.where(col("vec_id") < 5),
+        "vec_id", "embedding", k = 5)
+    }),
+
+    // embedding column stats (array math portability probe)
+    "pipe_q11_embstats" -> ((s, dir) =>
+      load(s, dir, "embeddings").groupBy(col("label"))
+        .agg(count(lit(1)).as("n"),
+          round(avg(VectorFunctions.norm(col("embedding"))), 6).as("avg_norm"))),
+
+    // ---- rows-only checked (non-SQL-expressible) ----
+    "pipe_q12_lsh_knn" -> ((s, dir) => {
+      val emb = load(s, dir, "embeddings")
+      Similarity.lshKnn(emb, emb.where(col("vec_id") < 5),
+        "vec_id", "embedding", dim = 64, k = 5, planes = 6, tables = 3)
+    }),
+    "pipe_q13_ivf_knn" -> ((s, dir) => {
+      val emb = load(s, dir, "embeddings")
+      Similarity.ivfKnn(emb, emb.where(col("vec_id") < 5),
+        "vec_id", "embedding", dim = 64, k = 3, nCells = 8)
+    }),
+    "pipe_q14_embdedup" -> ((s, dir) =>
+      Dedup.embeddingNearDups(load(s, dir, "embeddings"), "vec_id", "embedding",
+        dim = 64, threshold = 0.2, planes = 8)),
+    "pipe_q15_multimodal" -> ((s, dir) =>
+      Multimodal.featurize(
+        Multimodal.synthesize(load(s, dir, "documents"), "doc_id", "text")).toDF()),
+    "pipe_q16_frames" -> ((s, dir) =>
+      Multimodal.sampleFrames(
+        Multimodal.synthesize(load(s, dir, "documents"), "doc_id", "text"))),
+    "stream_q1_windowed" -> ((s, dir) =>
+      EventStreams.runToMemory(
+        EventStreams.windowedCounts(EventStreams.readEvents(s, dir)),
+        // complete mode: emit every window regardless of watermark, so a
+        // single static batch yields the full result deterministically
+        "stream_q1_windowed", mode = "complete")),
+  )
+
+  // ---------- oracle SQL ----------
+
+  private def duckShingles(k: Int): String =
+    s"""CASE WHEN len(string_split(text, ' ')) < $k THEN [text]
+       |ELSE list_transform(range(0, len(string_split(text, ' ')) - $k + 1),
+       |  j -> array_to_string(list_slice(string_split(text, ' '), j + 1, j + $k), ' '))
+       |END""".stripMargin
+
+  private def duckMinhashCols(k: Int): String =
+    (0 until k).map(i =>
+      s"list_min(list_transform(sh, s -> ${Hashing.duckAffine(Hashing.duckBase31("s"), i)})) AS mh$i")
+      .mkString(",\n  ")
+
+  val oracles: Map[String, String] = Map(
+    "pipe_q1_exact_dedup" ->
+      """SELECT md5(text) AS text_md5, min(doc_id) AS keeper_id,
+        |  count(*) AS n_copies
+        |FROM documents GROUP BY 1""".stripMargin,
+    "pipe_q2_tokens" ->
+      """SELECT doc_id,
+        |  len(string_split(text, ' ')) AS n_tokens,
+        |  len(regexp_extract_all(text, '[A-Za-z]{1,6}|[0-9]|[^A-Za-z0-9\s]')) AS n_subwords,
+        |  n_chars
+        |FROM documents""".stripMargin,
+    "pipe_q3_quality" ->
+      """SELECT doc_id, round(
+        |  0.4 * least(CAST(len(string_split(text,' ')) AS DOUBLE) / 64.0, 1.0)
+        |  + 0.3 * least(CAST(len(regexp_extract_all(text, '\b(the|a|and|of|to)\b')) AS DOUBLE)
+        |      / greatest(CAST(len(string_split(text,' ')) AS DOUBLE), 1.0) * 10.0, 1.0)
+        |  + 0.2 * (CASE WHEN CAST(n_chars AS DOUBLE) / greatest(CAST(len(string_split(text,' ')) AS DOUBLE), 1.0)
+        |      BETWEEN 3 AND 10 THEN 1.0 ELSE 0.5 END)
+        |  + 0.1 * (1.0 - least(CAST(len(regexp_extract_all(text, '[^A-Za-z0-9 ]')) AS DOUBLE)
+        |      / greatest(CAST(n_chars AS DOUBLE), 1.0) * 5.0, 1.0)), 6) AS quality
+        |FROM documents""".stripMargin,
+    "pipe_q4_langid" -> {
+      val en = """len(regexp_extract_all(text, '\b(the|and|of|is|to)\b'))"""
+      val de = """(len(regexp_extract_all(text, '\b(der|die|das|und|ist)\b')) + len(regexp_extract_all(text, 'sch|ein')))"""
+      val es = """(len(regexp_extract_all(text, '\b(el|la|los|que|es)\b')) + len(regexp_extract_all(text, 'ción|ado')))"""
+      val fr = """(len(regexp_extract_all(text, '\b(le|la|les|est|une)\b')) + len(regexp_extract_all(text, 'eau|oux')))"""
+      s"""SELECT doc_id, lang,
+         |  CASE
+         |    WHEN $en > 0 AND $en = greatest($en, $de, $es, $fr) THEN 'en'
+         |    WHEN $de > 0 AND $de = greatest($en, $de, $es, $fr) THEN 'de'
+         |    WHEN $es > 0 AND $es = greatest($en, $de, $es, $fr) THEN 'es'
+         |    WHEN $fr > 0 AND $fr = greatest($en, $de, $es, $fr) THEN 'fr'
+         |    ELSE 'und' END AS lang_pred
+         |FROM documents""".stripMargin
+    },
+    "pipe_q5_fingerprint" ->
+      s"""SELECT doc_id, CAST(list_sum(
+         |  list_transform(range(1, len(string_split(text, ' ')) + 1),
+         |    i -> i * (${duckHash64("string_split(text, ' ')[i]")} % ${Mod}))
+         |) % ${Mod} AS BIGINT) AS fp
+         |FROM documents""".stripMargin,
+    "pipe_q6_minhash" ->
+      s"""WITH s AS (SELECT doc_id, ${duckShingles(ShingleK)} AS sh FROM documents)
+         |SELECT doc_id, ${duckMinhashCols(MinhashK)}
+         |FROM s""".stripMargin,
+    "pipe_q7_lsh_pairs" -> {
+      val bands = 4; val rows = MinhashK / bands
+      val bandExprs = (0 until bands).map { b =>
+        val tuple = (0 until rows).map(r => s"CAST(mh${b * rows + r} AS VARCHAR)").mkString(" || ',' || ")
+        duckHash64(s"'$b,' || $tuple")
+      }
+      s"""WITH s AS (SELECT doc_id, ${duckShingles(ShingleK)} AS sh FROM documents),
+         |sig AS (SELECT doc_id, sh, ${duckMinhashCols(MinhashK)} FROM s),
+         |banded AS (
+         |  SELECT doc_id, unnest(range(0, $bands)) AS band,
+         |    unnest([${bandExprs.mkString(", ")}]) AS bucket
+         |  FROM sig),
+         |cand AS (SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+         |  FROM banded l JOIN banded r
+         |    ON l.band = r.band AND l.bucket = r.bucket AND l.doc_id < r.doc_id),
+         |sets AS (SELECT doc_id, list_distinct(sh) AS sh FROM sig)
+         |SELECT id_a, id_b, round(jac, 6) AS jaccard FROM (
+         |  SELECT id_a, id_b,
+         |    CAST(len(list_filter(a.sh, x -> list_contains(b.sh, x))) AS DOUBLE) /
+         |    CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE) AS jac
+         |  FROM cand JOIN sets a ON id_a = a.doc_id JOIN sets b ON id_b = b.doc_id)
+         |WHERE jac >= 0.5""".stripMargin
+    },
+    "pipe_q8_simhash" -> {
+      val bits = (0 until 16).map { b =>
+        s"""CASE WHEN list_sum(list_transform(hs,
+           |  h -> CASE WHEN (h >> $b) & 1 = 1 THEN 1 ELSE -1 END)) > 0
+           |  THEN ${1L << b} ELSE 0 END""".stripMargin
+      }.mkString(" +\n  ")
+      s"""WITH h AS (SELECT doc_id,
+         |  list_transform(string_split(text, ' '), t -> ${duckHash64("t")}) AS hs
+         |FROM documents)
+         |SELECT doc_id, CAST($bits AS BIGINT) AS simhash FROM h""".stripMargin
+    },
+    "pipe_q9_jaccard" ->
+      s"""WITH s AS (SELECT doc_id, list_distinct(${duckShingles(ShingleK)}) AS sh
+         |  FROM documents WHERE doc_id < 15)
+         |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |  round(CAST(len(list_filter(a.sh, x -> list_contains(b.sh, x))) AS DOUBLE) /
+         |        CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE), 6) AS jaccard
+         |FROM s a JOIN s b ON a.doc_id < b.doc_id
+         |WHERE len(list_filter(a.sh, x -> list_contains(b.sh, x))) > 0""".stripMargin,
+    "pipe_q10_knn" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |scored AS (
+        |  SELECT p.vec_id AS probe_id, c.vec_id AS nn_id,
+        |    list_sum(list_transform(range(1, len(p.v) + 1), i -> p.v[i] * c.v[i])) /
+        |    (sqrt(list_sum(list_transform(range(1, len(p.v) + 1), i -> p.v[i] * p.v[i]))) *
+        |     sqrt(list_sum(list_transform(range(1, len(c.v) + 1), i -> c.v[i] * c.v[i])))) AS cos
+        |  FROM e c, (SELECT * FROM e WHERE vec_id < 5) p
+        |  WHERE c.vec_id <> p.vec_id),
+        |ranked AS (SELECT probe_id, nn_id, cos,
+        |    row_number() OVER (PARTITION BY probe_id ORDER BY cos DESC, nn_id ASC) AS rank
+        |  FROM scored)
+        |SELECT probe_id, nn_id, round(cos, 6) AS cosine, rank
+        |FROM ranked WHERE rank <= 5""".stripMargin,
+    "pipe_q11_embstats" ->
+      """SELECT label, count(*) AS n,
+        |  round(avg(sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]),
+        |    x -> x * x)))), 6) AS avg_norm
+        |FROM embeddings GROUP BY 1""".stripMargin,
+  )
+}

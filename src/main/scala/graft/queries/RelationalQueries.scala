@@ -1,0 +1,204 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.operators.AsOfJoin
+
+/** General relational surface over the star schema — the operator classes
+  * SURVEY.md §2.5 lists as the engine's extension beyond the reference's
+  * single-table scope: aggregation, broadcast/shuffle joins, semi/anti
+  * joins, windows, rollup, set ops, top-k, as-of join.
+  *
+  * Scale notes (the plans these produce at 100 TB):
+  *  - dimension joins (`region`,`nation`,`customer`) are `broadcast()`
+  *    hinted — no shuffle of the fact table;
+  *  - fact-fact joins (lineitem ⋈ orders) shuffle on the join key once,
+  *    with AQE free to re-plan skew;
+  *  - aggregates are partial (map-side combine) by construction;
+  *  - money sums are rounded at the OUTPUT only (never mid-plan), to
+  *    pin cross-engine float determinism for the oracle.
+  */
+object RelationalQueries {
+  import Tables.load
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // TPC-H Q1 flavor: scan-heavy partial aggregation
+    "rel_q1_pricing" -> ((s, dir) =>
+      load(s, dir, "lineitem")
+        .where(col("l_shipdate") <= lit(java.sql.Timestamp.valueOf("1998-09-01 00:00:00")))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          round(sum(col("l_quantity")), 2).as("sum_qty"),
+          round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
+          round(avg(col("l_quantity")), 4).as("avg_qty"),
+          round(avg(col("l_discount")), 4).as("avg_disc"),
+          count(lit(1)).as("count_order"))),
+
+    // dimension-chain broadcast join: orders → customer → nation → region
+    "rel_q2_star_join" -> ((s, dir) => {
+      val o = load(s, dir, "orders")
+      val c = load(s, dir, "customer")
+      val n = load(s, dir, "nation")
+      val r = load(s, dir, "region")
+      o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
+        .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+        .groupBy(col("r_name"))
+        .agg(count(lit(1)).as("n_orders"),
+          round(sum(col("o_totalprice")), 2).as("total"))
+    }),
+
+    // fact-fact shuffle join + group
+    "rel_q3_fact_join" -> ((s, dir) => {
+      val l = load(s, dir, "lineitem")
+      val o = load(s, dir, "orders").where(col("o_orderstatus") =!= "F")
+      l.join(o, l("l_orderkey") === o("o_orderkey"))
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_items"),
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+    }),
+
+    // left-semi: orders having at least one heavy lineitem
+    "rel_q4_semi" -> ((s, dir) => {
+      val o = load(s, dir, "orders")
+      val heavy = load(s, dir, "lineitem").where(col("l_quantity") >= 49)
+      o.join(heavy, o("o_orderkey") === heavy("l_orderkey"), "left_semi")
+        .groupBy(col("o_orderpriority")).agg(count(lit(1)).as("n"))
+    }),
+
+    // left-anti: customers with no big-ticket order
+    "rel_q5_anti" -> ((s, dir) => {
+      val c = load(s, dir, "customer")
+      val o = load(s, dir, "orders").where(col("o_totalprice") > 300000)
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+        .groupBy(col("c_mktsegment")).agg(count(lit(1)).as("n"))
+    }),
+
+    // window functions: per-customer order sequence + running spend
+    "rel_q6_window" -> ((s, dir) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+      load(s, dir, "orders")
+        .withColumn("rn", row_number().over(w))
+        .withColumn("running", round(
+          sum(col("o_totalprice")).over(w.rowsBetween(Window.unboundedPreceding, 0)), 2))
+        .where(col("rn") <= 3)
+        .select(col("o_custkey"), col("o_orderkey"), col("rn").cast("long").as("rn"), col("running"))
+    }),
+
+    // rollup: hierarchical aggregates with NULL grouping markers
+    "rel_q7_rollup" -> ((s, dir) =>
+      load(s, dir, "lineitem")
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"), round(sum(col("l_quantity")), 2).as("sum_qty"))),
+
+    // set ops: users who purchased AND errored; minus those who signed up
+    "rel_q8_setops" -> ((s, dir) => {
+      val e = load(s, dir, "events")
+      def users(t: String, minValue: Double) =
+        e.where(col("event_type") === t && col("value") > minValue)
+          .select(col("user_id"))
+      users("purchase", 150).intersect(users("error", 150))
+        .except(users("signup", 190))
+    }),
+
+    // deterministic top-k on stored columns
+    "rel_q9_topk" -> ((s, dir) =>
+      load(s, dir, "orders")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+        .limit(20)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))),
+
+    // exact distinct counts (expansion + two-level aggregate under AQE)
+    "rel_q10_distinct" -> ((s, dir) =>
+      load(s, dir, "lineitem").agg(
+        countDistinct(col("l_partkey")).as("n_parts"),
+        countDistinct(col("l_suppkey")).as("n_supps"),
+        countDistinct(col("l_orderkey")).as("n_orders"))),
+
+    // as-of join: each purchase matched to the user's most recent click
+    "rel_q11_asof" -> ((s, dir) => {
+      val e = load(s, dir, "events")
+      val purchases = e.where(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id"), col("ts"), col("value"))
+      val clicks = e.where(col("event_type") === "click")
+        .select(col("user_id"), col("ts").as("click_ts"), col("value").as("click_value"))
+      AsOfJoin.asof(purchases, clicks, Seq("user_id"),
+          leftTs = "ts", rightTs = "click_ts", rightVals = Seq("click_ts", "click_value"))
+        .select(col("event_id"), col("user_id"), col("ts"), col("value"),
+          col("asof_click_ts").as("click_ts"), col("asof_click_value").as("click_value"))
+    }),
+  )
+
+  val oracles: Map[String, String] = Map(
+    "rel_q1_pricing" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  round(sum(l_quantity), 2) AS sum_qty,
+        |  round(sum(l_extendedprice), 2) AS sum_base_price,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+        |  round(avg(l_quantity), 4) AS avg_qty,
+        |  round(avg(l_discount), 4) AS avg_disc,
+        |  count(*) AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '1998-09-01 00:00:00'
+        |GROUP BY 1, 2""".stripMargin,
+    "rel_q2_star_join" ->
+      """SELECT r_name, count(*) AS n_orders, round(sum(o_totalprice), 2) AS total
+        |FROM orders
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY 1""".stripMargin,
+    "rel_q3_fact_join" ->
+      """SELECT o_orderpriority, count(*) AS n_items,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE o_orderstatus <> 'F'
+        |GROUP BY 1""".stripMargin,
+    "rel_q4_semi" ->
+      """SELECT o_orderpriority, count(*) AS n FROM orders
+        |WHERE EXISTS (SELECT 1 FROM lineitem
+        |  WHERE l_orderkey = o_orderkey AND l_quantity >= 49)
+        |GROUP BY 1""".stripMargin,
+    "rel_q5_anti" ->
+      """SELECT c_mktsegment, count(*) AS n FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |  WHERE o_custkey = c_custkey AND o_totalprice > 300000)
+        |GROUP BY 1""".stripMargin,
+    "rel_q6_window" ->
+      """SELECT o_custkey, o_orderkey, rn, running FROM (
+        |  SELECT o_custkey, o_orderkey,
+        |    row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC) AS rn,
+        |    round(sum(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running
+        |  FROM orders
+        |) WHERE rn <= 3""".stripMargin,
+    "rel_q7_rollup" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n,
+        |  round(sum(l_quantity), 2) AS sum_qty
+        |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin,
+    "rel_q8_setops" ->
+      """SELECT user_id FROM events WHERE event_type = 'purchase' AND value > 150
+        |INTERSECT
+        |SELECT user_id FROM events WHERE event_type = 'error' AND value > 150
+        |EXCEPT
+        |SELECT user_id FROM events WHERE event_type = 'signup' AND value > 190""".stripMargin,
+    "rel_q9_topk" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 20""".stripMargin,
+    "rel_q10_distinct" ->
+      """SELECT count(DISTINCT l_partkey) AS n_parts,
+        |  count(DISTINCT l_suppkey) AS n_supps,
+        |  count(DISTINCT l_orderkey) AS n_orders
+        |FROM lineitem""".stripMargin,
+    "rel_q11_asof" ->
+      """SELECT p.event_id, p.user_id, p.ts, p.value, c.click_ts, c.click_value
+        |FROM (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, value FROM events
+        |      WHERE event_type = 'purchase') p
+        |ASOF LEFT JOIN (SELECT user_id, CAST(ts AS TIMESTAMP) AS click_ts, value AS click_value
+        |      FROM events WHERE event_type = 'click') c
+        |ON p.user_id = c.user_id AND p.ts >= c.click_ts""".stripMargin,
+  )
+}

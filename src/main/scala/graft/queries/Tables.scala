@@ -1,0 +1,50 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Testdata table loaders + the events→TSDB mapping shared by the query
+  * pack and the oracle SQL.
+  */
+object Tables {
+  def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    // events.parquet carries TIMESTAMP(NANOS), which Spark only reads as
+    // LongType behind this legacy flag; normalize to a microsecond
+    // TimestampType up front (lossless for this data — no sub-µs ticks)
+    // so every downstream operator sees a plain timestamp.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val df = spark.read.parquet(s"$sfDir/$name.parquet")
+    if (name == "events" && df.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+      df.withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+    else df
+  }
+
+  /** `events` viewed as the reference's wide dynamic-column TSDB table
+    * (FIXTURES.md §B mapping): ts→time (epoch ms), value→value, and three
+    * label columns `labels.name` (event_type), `labels.user` (user_id as
+    * string), `labels.k` (parsed from the props JSON). Literal dots in
+    * flat column names, exactly like the reference's `labels.<name>`
+    * storage convention (hello.go:334).
+    */
+  def eventsAsTsdb(spark: SparkSession, sfDir: String): DataFrame =
+    load(spark, sfDir, "events").select(
+      unix_millis(col("ts")).as("time"),
+      col("value"),
+      col("event_type").as("labels.name"),
+      col("user_id").cast("string").as("labels.user"),
+      regexp_extract(col("props"), "\"k\": (\\d+)", 1).as("labels.k"))
+
+  /** The DuckDB CTE equivalent of [[eventsAsTsdb]], prefixed to every
+    * TSDB oracle query. */
+  val duckTsdbCte: String =
+    """WITH t AS (SELECT epoch_ms(ts) AS time, value,
+      |  event_type AS "labels.name",
+      |  CAST(user_id AS VARCHAR) AS "labels.user",
+      |  regexp_extract(props, '"k": (\d+)', 1) AS "labels.k"
+      |FROM events)""".stripMargin
+
+  // epoch ms of 2024-01-05 / 2024-01-20 — inside the events time range
+  // (2024-01-01 .. 2024-01-31) at every scale factor.
+  val RangeStart: Long = 1704412800000L
+  val RangeEnd: Long = 1705708800000L
+}

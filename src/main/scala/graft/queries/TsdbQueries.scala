@@ -1,0 +1,96 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.model.Matcher
+import graft.tsdb.TsdbTable
+
+/** Reference-parity query surface (SURVEY.md §2.6 Q1-Q5) over the
+  * `events` table viewed as the wide TSDB relation. Every query routes
+  * through the real operators ([[TsdbTable]], [[graft.tsdb.MatcherCompiler]])
+  * and has an exact DuckDB oracle.
+  */
+object TsdbQueries {
+  import Tables._
+
+  private def table(s: SparkSession, dir: String): TsdbTable =
+    TsdbTable(eventsAsTsdb(s, dir))
+
+  private val labelsTimeValue = Seq("`labels.k`", "`labels.name`", "`labels.user`", "time", "value")
+
+  private def proj(df: DataFrame): DataFrame =
+    df.select(labelsTimeValue.map(col): _*)
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Q1: full-scan projection (P1 + DynCol expansion P2)
+    "tsdb_q1_scan" -> ((s, dir) => proj(table(s, dir).select(Nil))),
+    // Q2: the reference's hard-coded query shape (hello.go:514-530) —
+    // exclusive time range ∧ three equality matchers, labels+time+value
+    "tsdb_q2_range" -> ((s, dir) => proj(table(s, dir).select(
+      RangeStart, RangeEnd,
+      Seq(Matcher.Eq("name", "purchase"), Matcher.Eq("user", "12"))))),
+    // Q3: each matcher type alone (P3-P6)
+    "tsdb_q3_eq" -> ((s, dir) => proj(table(s, dir).select(Seq(Matcher.Eq("name", "click"))))),
+    "tsdb_q3_neq" -> ((s, dir) => proj(table(s, dir).select(Seq(Matcher.NotEq("name", "click"))))),
+    "tsdb_q3_re" -> ((s, dir) => proj(table(s, dir).select(Seq(Matcher.Re("name", "pu.+ase"))))),
+    "tsdb_q3_nre" -> ((s, dir) => proj(table(s, dir).select(Seq(Matcher.NotRe("name", "pu.+ase"))))),
+    // Q4: series regrouping (A1) — scalar form (portable aggregates)
+    "tsdb_q4_regroup" -> ((s, dir) => table(s, dir).select(Nil)
+      .groupBy(col("`labels.name`"), col("`labels.user`"), col("`labels.k`"))
+      .agg(
+        count(lit(1)).as("n"),
+        min(col("time")).as("min_time"),
+        max(col("time")).as("max_time"),
+        round(sum(col("value")), 4).as("sum_value"),
+        min_by(col("value"), col("time")).as("first_value"),
+        max_by(col("value"), col("time")).as("last_value"))),
+    // Q4b: series regrouping — true array form (collect_list sorted by
+    // time; duplicates kept, hello.go:380-418)
+    "tsdb_q4_series" -> ((s, dir) => table(s, dir).select(
+      RangeStart, RangeEnd, Seq(Matcher.Eq("name", "signup")))
+      .groupBy(col("`labels.name`"), col("`labels.user`"))
+      .agg(sort_array(collect_list(col("time"))).as("ts"),
+        array_sort(collect_list(struct(col("time"), col("value"))))
+          .getField("value").as("v"))),
+    // Q5: count parity (A4)
+    "tsdb_q5_count" -> ((s, dir) =>
+      table(s, dir).df.agg(count(lit(1)).as("n"))),
+  )
+
+  private val projSql =
+    """SELECT "labels.k", "labels.name", "labels.user", time, value FROM t"""
+
+  val oracles: Map[String, String] = Map(
+    "tsdb_q1_scan" -> s"$duckTsdbCte $projSql",
+    "tsdb_q2_range" ->
+      s"""$duckTsdbCte $projSql
+         |WHERE time > $RangeStart AND time < $RangeEnd
+         |  AND "labels.name" = 'purchase' AND "labels.user" = '12'""".stripMargin,
+    "tsdb_q3_eq" -> s"""$duckTsdbCte $projSql WHERE "labels.name" = 'click'""",
+    "tsdb_q3_neq" ->
+      s"""$duckTsdbCte $projSql
+         |WHERE ("labels.name" IS NULL OR "labels.name" <> 'click')""".stripMargin,
+    "tsdb_q3_re" -> s"""$duckTsdbCte $projSql WHERE regexp_matches("labels.name", 'pu.+ase')""",
+    "tsdb_q3_nre" ->
+      s"""$duckTsdbCte $projSql
+         |WHERE ("labels.name" IS NULL OR NOT regexp_matches("labels.name", 'pu.+ase'))""".stripMargin,
+    "tsdb_q4_regroup" ->
+      s"""$duckTsdbCte
+         |SELECT "labels.name", "labels.user", "labels.k",
+         |  count(*) AS n, min(time) AS min_time, max(time) AS max_time,
+         |  round(sum(value), 4) AS sum_value,
+         |  arg_min(value, time) AS first_value,
+         |  arg_max(value, time) AS last_value
+         |FROM t GROUP BY 1, 2, 3""".stripMargin,
+    "tsdb_q4_series" ->
+      s"""$duckTsdbCte
+         |SELECT "labels.name", "labels.user",
+         |  list(time ORDER BY time) AS ts,
+         |  list(value ORDER BY time, value) AS v
+         |FROM t
+         |WHERE time > $RangeStart AND time < $RangeEnd
+         |  AND "labels.name" = 'signup'
+         |GROUP BY 1, 2""".stripMargin,
+    "tsdb_q5_count" -> s"$duckTsdbCte SELECT count(*) AS n FROM t",
+  )
+}

@@ -1,0 +1,100 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types._
+
+/** Structured Streaming surface over the `events` stream table.
+  * The reference is strictly batch (SURVEY.md §2.5), so this is the
+  * engine's forward-looking streaming tier: the SAME logical transforms
+  * run incrementally with watermarked state. Local tests drive these with
+  * the file source + a memory sink (`processAllAvailable`).
+  */
+object EventStreams {
+
+  // ts is stored TIMESTAMP(NANOS); Spark reads it as LongType (nanos)
+  // behind the legacy flag, normalized to TimestampType right after scan.
+  val eventSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType), StructField("ts", LongType),
+    StructField("user_id", LongType), StructField("event_type", StringType),
+    StructField("value", DoubleType), StructField("props", StringType)))
+
+  /** @param sfDir testdata directory containing events.parquet. The file
+    * source requires a directory; a glob filter selects the events file. */
+  def readEvents(spark: SparkSession, sfDir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.readStream.schema(eventSchema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(sfDir)
+      .withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+  }
+
+  /** Tumbling-window aggregation with a watermark — late rows beyond
+    * 1 hour are dropped, state is bounded (the 100 TB/day requirement:
+    * state size ∝ windows-in-flight × keys, independent of history). */
+  def windowedCounts(events: DataFrame,
+                     window_ : String = "1 hour",
+                     watermark: String = "1 hour"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), window_), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("total_value"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n"), col("total_value"))
+
+  final case class SessionUpdate(user_id: Long, n_events: Long,
+                                 session_start: Long, session_end: Long,
+                                 closed: Boolean)
+  private final case class SessionState(n: Long, start: Long, end: Long)
+
+  /** Sessionization via flatMapGroupsWithState: a session closes after
+    * `gapMs` of inactivity (event-time, watermark-driven timeout). The
+    * canonical custom-state operator the built-in windows can't express. */
+  def sessionize(events: DataFrame, gapMs: Long = 30 * 60 * 1000L): Dataset[SessionUpdate] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .withWatermark("ts", "1 hour")
+      .selectExpr("user_id", "CAST(ts AS LONG) * 1000 AS ts_ms")
+      .as[(Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[SessionState, SessionUpdate](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (user: Long, rows: Iterator[(Long, Long)], state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator(SessionUpdate(user, s.n, s.start, s.end, closed = true))
+          } else {
+            val ts = rows.map(_._2).toSeq.sorted
+            val (closedSessions, open) = ts.foldLeft((Vector.empty[SessionUpdate],
+              state.getOption)) { case ((acc, cur), t) =>
+              cur match {
+                case Some(s) if t - s.end <= gapMs =>
+                  (acc, Some(s.copy(n = s.n + 1, end = t)))
+                case Some(s) =>
+                  (acc :+ SessionUpdate(user, s.n, s.start, s.end, closed = true),
+                    Some(SessionState(1, t, t)))
+                case None => (acc, Some(SessionState(1, t, t)))
+              }
+            }
+            open.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp(s.end + gapMs)
+            }
+            closedSessions.iterator
+          }
+      }
+  }
+
+  /** Run any of the above to completion against static files through the
+    * streaming engine and return the materialized result (test/verify
+    * harness — exercises the real incremental execution path). */
+  def runToMemory(df: DataFrame, name: String, mode: String = "append"): DataFrame = {
+    val q = df.writeStream.outputMode(mode).format("memory").queryName(name).start()
+    q.processAllAvailable()
+    q.stop()
+    df.sparkSession.table(name)
+  }
+}

@@ -1,0 +1,86 @@
+package graft.tsdb
+
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.model.Sample
+
+/** Ingest pipeline: long-form samples → wide dynamic-column parquet table
+  * (SURVEY.md §2.1 S1-S3/S5/S6, §3.1; reference `readTsdb` first half,
+  * hello.go:429-509).
+  *
+  * The reference's two-pass semantics (union all label names to fix the
+  * concrete schema, then fill rows — commented path hello.go:216-233, and
+  * what FrostDB's dynamic columns do incrementally inside `table.Write`)
+  * map to:
+  *   pass 1: `select(explode(map_keys(labels))).distinct()` — a map-side
+  *           partial-aggregated distinct; at 100 TB this is a cheap
+  *           shuffle of label-NAME cardinality (thousands), not data size.
+  *   pass 2: one projection `labels[name] AS labels.name` per discovered
+  *           name — no shuffle at all; executed columnar + codegen'd.
+  *
+  * Write layout (≡ simpleSchema() knobs, hello.go:120-157):
+  *   - sorted by (time ASC, label cols ASC NULLS FIRST) — hello.go:148-155.
+  *     At scale: `repartitionByRange(time)` + `sortWithinPartitions`, so
+  *     the global sort is one range shuffle and each parquet file covers a
+  *     tight time slice ⇒ row-group min/max stats prune time-range queries.
+  *   - snappy + dictionary encoding: Spark parquet defaults already match
+  *     (dictionary ≡ RLE_DICTIONARY on label columns).
+  *   - later batches carrying NEW label names simply write a superset
+  *     schema; `read` reconciles with mergeSchema (FrostDB's read-time
+  *     dynamic-column union).
+  */
+object TsdbIngest {
+  import TsdbSchema._
+
+  /** Pass 1 — discover the label-name universe (hello.go:216-233). */
+  def labelNames(longForm: DataFrame): Seq[String] =
+    longForm
+      .select(explode(map_keys(col(LabelsCol))).as("name"))
+      .distinct()
+      .collect() // label-NAME cardinality: small by construction
+      .map(_.getString(0))
+      .sorted
+      .toSeq
+
+  /** Pass 2 — pivot long form to the wide dynamic-column form. Absent
+    * label ⇒ NULL (map lookup of a missing key is NULL — exactly the
+    * sparse-column semantics of README.md:71-73). Empty-string label
+    * values are stored as written; the decode path treats them as absent
+    * (hello.go:339-349), which [[TsdbSeries.regroup]] reproduces. */
+  def toWide(longForm: DataFrame, names: Seq[String]): DataFrame = {
+    val labelCols: Seq[Column] =
+      names.map(n => col(LabelsCol).getItem(n).as(labelColName(n)))
+    longForm.select(col(TimeCol) +: col(ValueCol) +: labelCols: _*)
+  }
+
+  def toWide(longForm: DataFrame): DataFrame =
+    toWide(longForm, labelNames(longForm))
+
+  /** Sorted, pruning-friendly parquet write (R2; hello.go:148-155).
+    * `timePartitions` sizes the range shuffle — at 100 TB pick
+    * bytes/partition ≈ 128-512 MB; here the caller passes a small count.
+    */
+  def write(wide: DataFrame, path: String, timePartitions: Int = 8,
+            mode: SaveMode = SaveMode.Overwrite): Unit = {
+    val sortCols: Seq[Column] =
+      col(TimeCol).asc +: labelColumns(wide).map(c => col(s"`$c`").asc_nulls_first)
+    wide
+      .repartitionByRange(timePartitions, col(TimeCol))
+      .sortWithinPartitions(sortCols: _*)
+      .write
+      .mode(mode)
+      .option("parquet.enable.dictionary", "true")
+      .option("compression", "snappy")
+      .parquet(path)
+  }
+
+  /** Read the wide table back, unioning schemas across batches (the
+    * dynamic-column read-time union). */
+  def read(spark: SparkSession, path: String): DataFrame =
+    spark.read.option("mergeSchema", "true").parquet(path)
+
+  /** Full ingest: typed samples → wide sorted parquet (S3+S5 in one —
+    * Spark has no separate in-memory tier). */
+  def ingest(samples: Dataset[Sample], path: String): Unit =
+    write(toWide(samples.toDF()), path)
+}
