@@ -46,7 +46,7 @@ object EventStreams {
   final case class SessionUpdate(user_id: Long, n_events: Long,
                                  session_start: Long, session_end: Long,
                                  closed: Boolean)
-  private final case class SessionState(n: Long, start: Long, end: Long)
+  final case class SessionState(n: Long, start: Long, end: Long)
 
   /** Sessionization via flatMapGroupsWithState: a session closes after
     * `gapMs` of inactivity (event-time, watermark-driven timeout). The
@@ -56,18 +56,21 @@ object EventStreams {
     import spark.implicits._
     events
       .withWatermark("ts", "1 hour")
-      .selectExpr("user_id", "CAST(ts AS LONG) * 1000 AS ts_ms")
-      .as[(Long, Long)]
+      // keep the watermarked `ts` column itself — projecting it away
+      // would drop the watermark EventTimeTimeout depends on
+      .select(col("user_id"), col("ts"))
+      .as[(Long, java.sql.Timestamp)]
       .groupByKey(_._1)
       .flatMapGroupsWithState[SessionState, SessionUpdate](
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
-        (user: Long, rows: Iterator[(Long, Long)], state: GroupState[SessionState]) =>
+        (user: Long, rows: Iterator[(Long, java.sql.Timestamp)],
+         state: GroupState[SessionState]) =>
           if (state.hasTimedOut) {
             val s = state.get
             state.remove()
             Iterator(SessionUpdate(user, s.n, s.start, s.end, closed = true))
           } else {
-            val ts = rows.map(_._2).toSeq.sorted
+            val ts = rows.map(_._2.getTime).toSeq.sorted
             val (closedSessions, open) = ts.foldLeft((Vector.empty[SessionUpdate],
               state.getOption)) { case ((acc, cur), t) =>
               cur match {

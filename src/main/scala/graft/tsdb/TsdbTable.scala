@@ -52,16 +52,21 @@ final case class TsdbTable(df: DataFrame) {
     val spark = selected.sparkSession
     import spark.implicits._
     val labels = labelColumns(selected)
+    // Group by the DECODED label set: empty-string values are dropped
+    // before hashing in the reference (hello.go:339-352), so "" and NULL
+    // must land in the SAME group — normalize with nullif first.
+    val normalized = labels.map(c => nullif(col(s"`$c`"), lit("")).as(c))
     val pairs = labels.flatMap { c =>
       Seq(lit(c.stripPrefix(LabelPrefix)), col(s"`$c`"))
     }
     selected
+      .select(normalized :+ col(TimeCol) :+ col(ValueCol): _*)
       .groupBy(labels.map(c => col(s"`$c`")): _*)
       .agg(sort_array(collect_list(struct(col(TimeCol), col(ValueCol)))).as("tv"))
       .select(
         map_filter(
           map(pairs: _*),
-          (_, v) => v.isNotNull && v =!= ""
+          (_, v) => v.isNotNull
         ).as("labels"),
         col("tv.time").as("ts"),
         col("tv.value").as("v"))

@@ -1,0 +1,83 @@
+package graft.functions
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class TextFunctionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("tokens keep empty tokens from space runs (DuckDB string_split parity)") {
+    val got = Seq("a b  c").toDF("t")
+      .select(TextFunctions.tokenCount($"t")).as[Int].head()
+    assert(got == 4)
+  }
+
+  test("shingles: sliding word windows; short docs fall back to whole text") {
+    val got = Seq("a b c d").toDF("t")
+      .select(TextFunctions.shingles($"t", 3)).as[Seq[String]].head()
+    assert(got == Seq("a b c", "b c d"))
+    val short = Seq("a b").toDF("t")
+      .select(TextFunctions.shingles($"t", 3)).as[Seq[String]].head()
+    assert(short == Seq("a b"))
+  }
+
+  test("fingerprint is order-sensitive and deterministic") {
+    val fps = Seq("alpha beta gamma", "beta alpha gamma", "alpha beta gamma")
+      .toDF("t").select(TextFunctions.fingerprint($"t")).as[Long].collect()
+    assert(fps(0) == fps(2))
+    assert(fps(0) != fps(1))
+    assert(fps.forall(f => f >= 0 && f < Hashing.Mod))
+  }
+
+  test("langId picks the language with strongest markers") {
+    val got = Seq(
+      "the cat is on the mat and the dog",
+      "der hund und die katze ist schön",
+      "el perro que es la casa los gatos").toDF("t")
+      .select(TextFunctions.langId($"t")).as[String].collect().toSeq
+    assert(got == Seq("en", "de", "es"))
+  }
+
+  test("qualityScore in [0,1] and favors longer stopword-bearing text") {
+    val df = Seq(
+      ("the cat and the dog of the house went to the market " * 6, 318L),
+      ("zzz", 3L)).toDF("t", "n")
+    val s = df.select(TextFunctions.qualityScore($"t", $"n")).as[Double].collect()
+    assert(s.forall(x => x >= 0.0 && x <= 1.0))
+    assert(s(0) > s(1))
+  }
+
+  test("universal hash family: portable, stable, independent") {
+    val h = Seq("abc").toDF("s")
+      .select(Hashing.hash64($"s"), Hashing.base31($"s"),
+        Hashing.affine(Hashing.base31($"s"), 0),
+        Hashing.affine(Hashing.base31($"s"), 1))
+      .as[(Long, Long, Long, Long)].head()
+    // md5('abc') = 900150983cd24fb0... → first 15 hex digits as int64
+    assert(h._1 == java.lang.Long.parseLong("900150983cd24fb", 16))
+    assert(h._2 == h._1 % Hashing.MersenneP)
+    assert(h._3 != h._4)
+  }
+}
+
+class VectorFunctionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("dot/norm/cosine compute exact double math") {
+    val df = Seq((Array(1f, 2f, 2f), Array(2f, 1f, 2f))).toDF("a", "b")
+    val (d, n, c) = df.select(
+      VectorFunctions.dot($"a", $"b"),
+      VectorFunctions.norm($"a"),
+      VectorFunctions.cosine($"a", $"b")).as[(Double, Double, Double)].head()
+    assert(d == 8.0)
+    assert(n == 3.0)
+    assert(math.abs(c - 8.0 / 9.0) < 1e-12)
+  }
+
+  test("lshBucket deterministic and within range") {
+    val df = Seq(Array(1f, 0f), Array(0f, 1f), Array(1f, 0f)).toDF("v")
+    val b = df.select(VectorFunctions.lshBucket($"v", planes = 4, dim = 2)).as[Int].collect()
+    assert(b(0) == b(2))
+    assert(b.forall(x => x >= 0 && x < 16))
+  }
+}

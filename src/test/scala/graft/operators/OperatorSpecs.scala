@@ -1,0 +1,131 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class AsOfJoinSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("asof: most recent right row at or before left ts, per key") {
+    val left = Seq((1L, 100L, "a"), (1L, 205L, "b"), (2L, 50L, "c"), (3L, 10L, "d"))
+      .toDF("k", "ts", "tag")
+    val right = Seq((1L, 100L, 9.0), (1L, 200L, 8.0), (1L, 300L, 7.0), (2L, 40L, 6.0))
+      .toDF("k", "rts", "rv")
+    val out = AsOfJoin.asof(left, right, Seq("k"), "ts", "rts", Seq("rv"))
+      .select($"k", $"ts", $"tag", $"asof_rv").as[(Long, Long, String, Option[Double])]
+      .collect().toSet
+    assert(out == Set(
+      (1L, 100L, "a", Some(9.0)),   // equal ts is inclusive
+      (1L, 205L, "b", Some(8.0)),   // skips future 300
+      (2L, 50L, "c", Some(6.0)),
+      (3L, 10L, "d", None)))        // no right row for key
+  }
+}
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog again and again today"),
+    (2L, "the quick brown fox jumps over the lazy dog again and again today"), // exact dup of 1
+    (3L, "the quick brown fox jumps over the lazy cat again and again today"), // near dup of 1
+    (4L, "completely different words appear here nothing shared with others at all ok")
+  ).toDF("doc_id", "text")
+
+  test("exact dedup groups identical texts") {
+    val got = Dedup.exact(docs, "doc_id", "text")
+      .select($"keeper_id", $"n_copies").as[(Long, Long)].collect().toSet
+    assert(got == Set((1L, 2L), (3L, 1L), (4L, 1L)))
+  }
+
+  test("minhash signature is identical for identical docs, differs across unrelated docs") {
+    val sig = Dedup.minhashSignature(docs, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> (1 until r.length).map(r.getLong)).toMap
+    assert(sig(1L) == sig(2L))
+    assert(sig(1L) != sig(4L))
+  }
+
+  test("LSH pairs find exact and near dups, not unrelated docs") {
+    val pairs = Dedup.minhashLshPairs(docs, "doc_id", "text", threshold = 0.3)
+      .select($"id_a", $"id_b", $"jaccard").as[(Long, Long, Double)].collect()
+    val keys = pairs.map(p => (p._1, p._2)).toSet
+    assert(keys.contains((1L, 2L)))
+    assert(pairs.find(p => (p._1, p._2) == ((1L, 2L))).get._3 == 1.0)
+    assert(!keys.exists(p => p._1 == 4L || p._2 == 4L))
+  }
+
+  test("simhash: identical docs equal; near dups within small hamming distance") {
+    val sh = Dedup.simhash(docs, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sh(1L) == sh(2L))
+    val hamming = java.lang.Long.bitCount(sh(1L) ^ sh(3L))
+    assert(hamming <= 6, s"near-dup hamming=$hamming")
+  }
+
+  test("ngram jaccard: exact value for known overlap") {
+    val two = Seq((1L, "a b c d"), (2L, "a b c e")).toDF("doc_id", "text")
+    // 3-shingles: {a b c, b c d} vs {a b c, b c e} → |∩|=1, |∪|=3
+    val j = Dedup.ngramJaccardPairs(two, "doc_id", "text")
+      .select($"jaccard").as[Double].head()
+    assert(math.abs(j - 1.0 / 3.0) < 1e-6)
+  }
+}
+
+class SimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  // 4-dim toy corpus with known geometry
+  private lazy val emb = Seq(
+    (0L, Array(1f, 0f, 0f, 0f)),
+    (1L, Array(0.9f, 0.1f, 0f, 0f)),  // closest to 0
+    (2L, Array(0f, 1f, 0f, 0f)),      // orthogonal to 0
+    (3L, Array(0.5f, 0.5f, 0f, 0f)),
+    (4L, Array(-1f, 0f, 0f, 0f))      // opposite of 0
+  ).toDF("vec_id", "embedding")
+
+  test("brute-force knn ranks by cosine with correct order") {
+    val got = Similarity.bruteForceKnn(emb, emb.where($"vec_id" === 0), "vec_id", "embedding", k = 4)
+      .orderBy($"rank").select($"nn_id").as[Long].collect().toSeq
+    assert(got == Seq(1L, 3L, 2L, 4L))
+  }
+
+  test("lsh knn returns a subset of true ranking, exactly re-ranked") {
+    val brute = Similarity.bruteForceKnn(emb, emb.where($"vec_id" === 0), "vec_id", "embedding", k = 4)
+      .select($"nn_id", $"cosine").as[(Long, Double)].collect().toMap
+    val lsh = Similarity.lshKnn(emb, emb.where($"vec_id" === 0), "vec_id", "embedding",
+      dim = 4, k = 4, planes = 2, tables = 2)
+      .select($"nn_id", $"cosine").as[(Long, Double)].collect()
+    assert(lsh.nonEmpty)
+    lsh.foreach { case (id, cos) => assert(brute(id) == cos) } // same exact scores
+  }
+
+  test("ivf knn searches only the probe's cell but scores exactly") {
+    val got = Similarity.ivfKnn(emb, emb.where($"vec_id" === 0), "vec_id", "embedding",
+      dim = 4, k = 3, nCells = 2)
+    assert(got.count() >= 1)
+  }
+}
+
+class MultimodalSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val docs = Seq((0L, "abc def"), (1L, "xyz"), (2L, "frame sample text here"))
+    .toDF("doc_id", "text")
+
+  test("featurize: deterministic stub features, payload not carried downstream") {
+    val media = Multimodal.synthesize(docs, "doc_id", "text")
+    val f1 = Multimodal.featurize(media, featureDim = 4).collect().sortBy(_.media_id)
+    val f2 = Multimodal.featurize(media, featureDim = 4).collect().sortBy(_.media_id)
+    assert(f1.map(_.features.toSeq).toSeq == f2.map(_.features.toSeq).toSeq)
+    assert(f1.forall(_.n_bytes > 0))
+    assert(f1.map(_.kind).toSet.subsetOf(Set("image", "audio", "video")))
+  }
+
+  test("frame sampling strides over n_frames") {
+    val media = Multimodal.synthesize(docs, "doc_id", "text")
+    val frames = Multimodal.sampleFrames(media, stride = 10)
+    val byId = frames.groupBy($"media_id").count().as[(Long, Long)].collect().toMap
+    // only 'video' rows (doc_id % 3 == 2) produce frames
+    assert(byId.keySet == Set(2L))
+  }
+}

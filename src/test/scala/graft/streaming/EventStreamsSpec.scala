@@ -1,0 +1,47 @@
+package graft.streaming
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class EventStreamsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("windowed counts through the streaming engine equal the batch result") {
+    val streamed = EventStreams.runToMemory(
+      EventStreams.windowedCounts(EventStreams.readEvents(spark, Sf0001)),
+      "es_test_windowed", mode = "complete")
+    val batch = graft.queries.Tables.load(spark, Sf0001, "events")
+      .groupBy(window($"ts", "1 hour"), $"event_type")
+      .agg(count(lit(1)).as("n"), sum($"value").as("total_value"))
+      .select($"window.start".as("window_start"), $"event_type", $"n", $"total_value")
+    val s = streamed.select($"window_start", $"event_type", $"n").as[(java.sql.Timestamp, String, Long)].collect().toSet
+    val b = batch.select($"window_start", $"event_type", $"n").as[(java.sql.Timestamp, String, Long)].collect().toSet
+    assert(s == b)
+    assert(s.nonEmpty)
+  }
+
+  test("sessionize closes sessions separated by more than the gap") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, java.sql.Timestamp)]
+    val df = input.toDF().toDF("user_id", "ts")
+      .withColumn("event_id", lit(0L)).withColumn("event_type", lit("x"))
+      .withColumn("value", lit(0.0)).withColumn("props", lit("{}"))
+    val sessions = EventStreams.sessionize(df, gapMs = 60000L) // 1 min gap
+    val q = sessions.writeStream.outputMode("append")
+      .format("memory").queryName("es_test_sessions").start()
+    def ts(min: Int) = new java.sql.Timestamp(1700000000000L + min * 60000L)
+    input.addData((1L, ts(0)), (1L, ts(0)), (1L, ts(10)), (2L, ts(0)))
+    q.processAllAvailable()
+    input.addData((1L, ts(120))) // advances watermark far past the gap
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("es_test_sessions")
+      .select($"user_id", $"n_events", $"closed").as[(Long, Long, Boolean)]
+      .collect().toSet
+    // user 1: session {0,0} closed (gap to min10) with 2 events, then {10} closed later
+    assert(got.contains((1L, 2L, true)))
+    assert(got.contains((1L, 1L, true)))
+    assert(got.contains((2L, 1L, true)))
+  }
+}
