@@ -83,7 +83,21 @@ object PipelineQueries {
         .agg(count(lit(1)).as("n"),
           round(avg(VectorFunctions.norm(col("embedding"))), 6).as("avg_norm"))),
 
+    // corpus shingle frequencies: generator (explode) → partial-agg count.
+    // The flatten that feeds every corpus-level n-gram statistic; shuffle
+    // volume is distinct-shingle cardinality, not corpus size.
+    "pipe_q17_shingle_freq" -> ((s, dir) =>
+      load(s, dir, "documents")
+        .select(explode(TextFunctions.shingles(col("text"), ShingleK)).as("shingle"))
+        .groupBy(col("shingle"))
+        .agg(count(lit(1)).as("n"))
+        .where(col("n") >= 5)),
+
     // ---- rows-only checked (non-SQL-expressible) ----
+    "stream_q2_sessionize" -> ((s, dir) =>
+      EventStreams.runToMemory(
+        EventStreams.sessionize(EventStreams.readEvents(s, dir)).toDF(),
+        "stream_q2_sessionize", mode = "append")),
     "pipe_q12_lsh_knn" -> ((s, dir) => {
       val emb = load(s, dir, "embeddings")
       Similarity.lshKnn(emb, emb.where(col("vec_id") < 5),
@@ -225,6 +239,10 @@ object PipelineQueries {
         |  FROM scored)
         |SELECT probe_id, nn_id, round(cos, 6) AS cosine, rank
         |FROM ranked WHERE rank <= 5""".stripMargin,
+    "pipe_q17_shingle_freq" ->
+      s"""SELECT sh AS shingle, count(*) AS n
+         |FROM (SELECT unnest(${duckShingles(ShingleK)}) AS sh FROM documents)
+         |GROUP BY 1 HAVING count(*) >= 5""".stripMargin,
     "pipe_q11_embstats" ->
       """SELECT label, count(*) AS n,
         |  round(avg(sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]),

@@ -118,6 +118,73 @@ object RelationalQueries {
         countDistinct(col("l_suppkey")).as("n_supps"),
         countDistinct(col("l_orderkey")).as("n_orders"))),
 
+    // cube: all grouping combinations in ONE pass (expand + partial agg —
+    // no re-scan per grouping at scale)
+    "rel_q12_cube" -> ((s, dir) =>
+      load(s, dir, "lineitem")
+        .cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("l_extendedprice")), 2).as("sum_price"))),
+
+    // grouping sets: explicit grouping combinations (finer than cube)
+    "rel_q13_grouping_sets" -> ((s, dir) =>
+      load(s, dir, "orders")
+        .groupingSets(
+          Seq(Seq(col("o_orderpriority")), Seq(col("o_orderstatus"))),
+          col("o_orderpriority"), col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("o_totalprice")), 2).as("total"))),
+
+    // scalar-function panel: string/date/math/conditional/JSON — all
+    // codegen'd builtins, zero UDFs (the hot-path rule)
+    "rel_q14_scalar" -> ((s, dir) =>
+      load(s, dir, "events").select(
+        col("event_id"),
+        upper(col("event_type")).as("etype"),
+        concat_ws("-", col("event_type"), col("user_id").cast("string")).as("tag"),
+        to_date(col("ts")).as("day"),
+        year(col("ts")).cast("long").as("y"),
+        month(col("ts")).cast("long").as("m"),
+        round(sqrt(col("value")), 6).as("sqrt_v"),
+        round(log(col("value") + 1), 6).as("ln_v"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"),
+        when(col("value") > 250, "high").when(col("value") > 100, "mid")
+          .otherwise("low").as("bucket"))),
+
+    // approximate distinct (HLL sketch — mergeable, O(1) state/partition;
+    // the 100 TB answer to rel_q10's exact expansion). No SQL oracle:
+    // sketch estimates are engine-specific → rows-only check.
+    "rel_q15_approx_distinct" -> ((s, dir) =>
+      load(s, dir, "lineitem").agg(
+        approx_count_distinct(col("l_partkey")).as("approx_parts"),
+        approx_count_distinct(col("l_suppkey")).as("approx_supps"),
+        approx_count_distinct(col("l_orderkey")).as("approx_orders"))),
+
+    // range/interval join: fact rows into broadcast interval dim —
+    // non-equi predicate against a tiny build side, so the fact table
+    // never shuffles (the scale-safe banded-join shape)
+    "rel_q16_range_join" -> ((s, dir) => {
+      val s_ = s; import s_.implicits._
+      val bands = s.range(0, 6).select(
+        col("id").as("band"),
+        (col("id") * 10).cast("double").as("lo"),
+        ((col("id") + 1) * 10).cast("double").as("hi"))
+      load(s, dir, "lineitem")
+        .join(broadcast(bands),
+          col("l_quantity") >= col("lo") && col("l_quantity") < col("hi"))
+        .groupBy(col("band"))
+        .agg(count(lit(1)).as("n"),
+          round(avg(col("l_extendedprice")), 2).as("avg_price"))
+    }),
+
+    // pivot: event_type columns per user cohort (explicit value list —
+    // no discovery scan; conditional aggregation under the hood)
+    "rel_q17_pivot" -> ((s, dir) =>
+      load(s, dir, "events")
+        .groupBy(pmod(col("user_id"), lit(10)).as("cohort"))
+        .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+        .agg(round(sum(col("value")), 2))),
+
     // as-of join: each purchase matched to the user's most recent click
     "rel_q11_asof" -> ((s, dir) => {
       val e = load(s, dir, "events")
@@ -193,6 +260,41 @@ object RelationalQueries {
         |  count(DISTINCT l_suppkey) AS n_supps,
         |  count(DISTINCT l_orderkey) AS n_orders
         |FROM lineitem""".stripMargin,
+    "rel_q12_cube" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n,
+        |  round(sum(l_extendedprice), 2) AS sum_price
+        |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)""".stripMargin,
+    "rel_q13_grouping_sets" ->
+      """SELECT o_orderpriority, o_orderstatus, count(*) AS n,
+        |  round(sum(o_totalprice), 2) AS total
+        |FROM orders GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus))""".stripMargin,
+    "rel_q14_scalar" ->
+      """SELECT event_id,
+        |  upper(event_type) AS etype,
+        |  event_type || '-' || CAST(user_id AS VARCHAR) AS tag,
+        |  CAST(ts AS DATE) AS day,
+        |  year(ts) AS y, month(ts) AS m,
+        |  round(sqrt(value), 6) AS sqrt_v,
+        |  round(ln(value + 1), 6) AS ln_v,
+        |  CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+        |  CASE WHEN value > 250 THEN 'high' WHEN value > 100 THEN 'mid'
+        |       ELSE 'low' END AS bucket
+        |FROM events""".stripMargin,
+    "rel_q16_range_join" ->
+      """SELECT band, count(*) AS n, round(avg(l_extendedprice), 2) AS avg_price
+        |FROM lineitem
+        |JOIN (SELECT i AS band, i * 10 AS lo, (i + 1) * 10 AS hi
+        |      FROM range(0, 6) t(i))
+        |  ON l_quantity >= lo AND l_quantity < hi
+        |GROUP BY 1""".stripMargin,
+    "rel_q17_pivot" ->
+      """SELECT user_id % 10 AS cohort,
+        |  round(sum(CASE WHEN event_type = 'click' THEN value END), 2) AS click,
+        |  round(sum(CASE WHEN event_type = 'error' THEN value END), 2) AS error,
+        |  round(sum(CASE WHEN event_type = 'purchase' THEN value END), 2) AS purchase,
+        |  round(sum(CASE WHEN event_type = 'signup' THEN value END), 2) AS signup,
+        |  round(sum(CASE WHEN event_type = 'view' THEN value END), 2) AS view
+        |FROM events GROUP BY 1""".stripMargin,
     "rel_q11_asof" ->
       """SELECT p.event_id, p.user_id, p.ts, p.value, c.click_ts, c.click_value
         |FROM (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, value FROM events

@@ -14,7 +14,7 @@ object TsdbQueries {
   import Tables._
 
   private def table(s: SparkSession, dir: String): TsdbTable =
-    TsdbTable(eventsAsTsdb(s, dir))
+    TsdbTable(eventsAsTsdbStored(s, dir))
 
   private val labelsTimeValue = Seq("`labels.k`", "`labels.name`", "`labels.user`", "time", "value")
 
