@@ -32,8 +32,16 @@ object Bench {
     // warmup: JIT + codegen + parquet footer caches
     spark.read.parquet(s"$sfDir/region.parquet").count()
 
+    // the tsdb_* queries read a write-once sorted materialization
+    // (queries.Tables.eventsAsTsdbStored); time that ingest as its own
+    // metric so query numbers measure queries, not the one-time build
+    val tIngest0 = System.nanoTime()
+    graft.queries.Tables.eventsAsTsdbStored(spark, sfDir).count()
+    val ingestSec = (System.nanoTime() - tIngest0) / 1e9
+
     val fns = SparkEntry.queries
-    val results = headline.filter(fns.contains).map { name =>
+    val results = ("tsdb_ingest", ingestSec, 0L) +:
+      headline.filter(fns.contains).map { name =>
       val t0 = System.nanoTime()
       val n = try fns(name)(spark, sfDir).count() catch { case _: Throwable => -1L }
       val sec = (System.nanoTime() - t0) / 1e9
