@@ -26,6 +26,15 @@ object VectorFunctions {
   def cosine(a: Column, b: Column): Column =
     dot(a, b) / (norm(a) * norm(b))
 
+  /** [[cosine]] as a native codegen'd Expression ([[CosineSimilarity]]):
+    * same fold order ⇒ bit-identical results, one fused loop ⇒ no
+    * intermediate arrays. Use on brute-force scoring hot paths. */
+  def cosineNative(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.graft.NativeBridge
+    NativeBridge.column(CosineSimilarity(
+      NativeBridge.expression(a), NativeBridge.expression(b)))
+  }
+
   /** Random-hyperplane LSH bucket id: `planes` pseudo-random unit-free
     * hyperplanes derived deterministically from [[Hashing.hash64]], one
     * sign bit each → an int bucket. Vectors in the same bucket are

@@ -133,7 +133,7 @@ object Dedup {
       lshBucket(col(vecCol), planes, dim).as("bucket"))
     b.as("l").join(b.as("r"),
         col("l.bucket") === col("r.bucket") && col("l.id") < col("r.id"))
-      .withColumn("cos", cosine(col("l.v"), col("r.v")))
+      .withColumn("cos", cosineNative(col("l.v"), col("r.v")))
       .where(col("cos") >= threshold)
       .select(col("l.id").as("id_a"), col("r.id").as("id_b"),
         round(col("cos"), 6).as("cosine"))

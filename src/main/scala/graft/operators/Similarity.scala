@@ -29,7 +29,7 @@ object Similarity {
     val p = probes.select(col(idCol).as("probe_id"), col(vecCol).as("probe_v"))
     val scored = c.crossJoin(broadcast(p))
       .where(col("nn_id") =!= col("probe_id"))
-      .withColumn("cos", cosine(col("probe_v"), col("nn_v")))
+      .withColumn("cos", cosineNative(col("probe_v"), col("nn_v")))
     val w = Window.partitionBy(col("probe_id"))
       .orderBy(col("cos").desc, col("nn_id").asc)
     scored.withColumn("rank", row_number().over(w))
@@ -61,7 +61,7 @@ object Similarity {
       .dropDuplicates("probe_id", "nn_id")
     val w = Window.partitionBy(col("probe_id"))
       .orderBy(col("cos").desc, col("nn_id").asc)
-    cand.withColumn("cos", cosine(col("probe_v"), col("nn_v")))
+    cand.withColumn("cos", cosineNative(col("probe_v"), col("nn_v")))
       .withColumn("rank", row_number().over(w))
       .where(col("rank") <= k)
       .select(col("probe_id"), col("nn_id"), round(col("cos"), 6).as("cosine"),
@@ -88,7 +88,7 @@ object Similarity {
     val w = Window.partitionBy(col("probe_id"))
       .orderBy(col("cos").desc, col("nn_id").asc)
     c.join(p, Seq("cell")).where(col("nn_id") =!= col("probe_id"))
-      .withColumn("cos", cosine(col("probe_v"), col("nn_v")))
+      .withColumn("cos", cosineNative(col("probe_v"), col("nn_v")))
       .withColumn("rank", row_number().over(w))
       .where(col("rank") <= k)
       .select(col("probe_id"), col("nn_id"), round(col("cos"), 6).as("cosine"),

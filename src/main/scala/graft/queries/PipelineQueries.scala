@@ -98,6 +98,10 @@ object PipelineQueries {
       EventStreams.runToMemory(
         EventStreams.sessionize(EventStreams.readEvents(s, dir)).toDF(),
         "stream_q2_sessionize", mode = "append")),
+    "stream_q3_dedup" -> ((s, dir) =>
+      EventStreams.runToMemory(
+        EventStreams.dedupWithinWatermark(EventStreams.readEvents(s, dir)),
+        "stream_q3_dedup", mode = "append")),
     "pipe_q12_lsh_knn" -> ((s, dir) => {
       val emb = load(s, dir, "embeddings")
       Similarity.lshKnn(emb, emb.where(col("vec_id") < 5),

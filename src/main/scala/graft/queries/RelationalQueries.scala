@@ -185,6 +185,23 @@ object RelationalQueries {
         .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
         .agg(round(sum(col("value")), 2))),
 
+    // bucketed co-located fact-fact join: same semantics as rel_q3 but
+    // over 16-bucket tables on the join key — the join runs with ZERO
+    // exchanges (bucket n ⋈ bucket n in place). At 100 TB this is the
+    // layout that turns the nightly fact join from a network pass into
+    // a local merge.
+    "rel_q18_bucketed_join" -> ((s, dir) => {
+      val (l, o) = Tables.bucketedFacts(s, dir)
+      // hint("merge"): at this SF the optimizer would broadcast orders;
+      // force the sort-merge path to exercise the exchange-free bucketed
+      // join that both sides would take at real fact-table sizes
+      l.hint("merge").join(o.where(col("o_orderstatus") =!= "F"),
+          l("l_orderkey") === o("o_orderkey"))
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_items"),
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+    }),
+
     // as-of join: each purchase matched to the user's most recent click
     "rel_q11_asof" -> ((s, dir) => {
       val e = load(s, dir, "events")
@@ -295,6 +312,12 @@ object RelationalQueries {
         |  round(sum(CASE WHEN event_type = 'signup' THEN value END), 2) AS signup,
         |  round(sum(CASE WHEN event_type = 'view' THEN value END), 2) AS view
         |FROM events GROUP BY 1""".stripMargin,
+    "rel_q18_bucketed_join" ->
+      """SELECT o_orderpriority, count(*) AS n_items,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE o_orderstatus <> 'F'
+        |GROUP BY 1""".stripMargin,
     "rel_q11_asof" ->
       """SELECT p.event_id, p.user_id, p.ts, p.value, c.click_ts, c.click_value
         |FROM (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, value FROM events

@@ -54,6 +54,34 @@ object Tables {
   private val storedCache =
     scala.collection.mutable.Map.empty[(String, String), String]
 
+  /** lineitem + orders written ONCE per (JVM, sfDir) as bucketed tables
+    * (16 buckets on the join key, sorted within buckets). Joins between
+    * them then need NO exchange: bucket n joins bucket n in place — the
+    * co-located-join layout a 100 TB warehouse maintains for its
+    * hottest fact-fact key. Registered as `graft_lineitem_b` /
+    * `graft_orders_b` with data under an external /tmp path (the
+    * in-memory catalog holds only metadata). */
+  def bucketedFacts(spark: SparkSession, sfDir: String): (DataFrame, DataFrame) = {
+    bucketCache.synchronized {
+      if (!bucketCache.contains((spark.sparkContext.applicationId, sfDir))) {
+        val base = java.nio.file.Files.createTempDirectory("graft_bucket_").toString
+        def writeBucketed(name: String, key: String): Unit =
+          load(spark, sfDir, name).write
+            .bucketBy(16, key).sortBy(key)
+            .option("path", s"$base/$name")
+            .mode("overwrite")
+            .saveAsTable(s"graft_${name}_b")
+        writeBucketed("lineitem", "l_orderkey")
+        writeBucketed("orders", "o_orderkey")
+        bucketCache((spark.sparkContext.applicationId, sfDir)) = base
+      }
+    }
+    (spark.table("graft_lineitem_b"), spark.table("graft_orders_b"))
+  }
+
+  private val bucketCache =
+    scala.collection.mutable.Map.empty[(String, String), String]
+
   /** The DuckDB CTE equivalent of [[eventsAsTsdb]], prefixed to every
     * TSDB oracle query. */
   val duckTsdbCte: String =

@@ -91,6 +91,16 @@ object EventStreams {
       }
   }
 
+  /** Streaming dedup: first event per (user_id, event_type) wins; state
+    * for a key is dropped once the watermark passes it (bounded state —
+    * the exactly-once ingestion guard a 100 TB/day feed needs, with
+    * memory independent of stream history). */
+  def dedupWithinWatermark(events: DataFrame,
+                           watermark: String = "1 hour"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("user_id", "event_type")
+
   /** Run any of the above to completion against static files through the
     * streaming engine and return the materialized result (test/verify
     * harness — exercises the real incremental execution path). */

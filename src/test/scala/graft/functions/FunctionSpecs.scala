@@ -80,4 +80,34 @@ class VectorFunctionsSpec extends SparkSpec {
     assert(b(0) == b(2))
     assert(b.forall(x => x >= 0 && x < 16))
   }
+
+  test("native cosine expression is bit-identical to the declarative form") {
+    // real fixture vectors (array<float>, dim 64) through BOTH the
+    // codegen'd path and the interpreted eval path
+    val emb = spark.read.parquet(s"$Sf0001/embeddings.parquet")
+    val pairs = emb.select($"vec_id", $"embedding".as("a"))
+      .crossJoin(emb.select($"embedding".as("b")).limit(3))
+    val both = pairs.select(
+      VectorFunctions.cosine($"a", $"b").as("decl"),
+      VectorFunctions.cosineNative($"a", $"b").as("nat"))
+    assert(both.where($"decl" =!= $"nat").count() == 0)
+    // eval (non-codegen) path: evaluate the expression directly
+    val e = graft.functions.CosineSimilarity(
+      org.apache.spark.sql.catalyst.expressions.Literal.create(
+        Array(1f, 2f, 2f), org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.FloatType)),
+      org.apache.spark.sql.catalyst.expressions.Literal.create(
+        Array(2f, 1f, 2f), org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.FloatType)))
+    assert(math.abs(e.eval(null).asInstanceOf[Double] - 8.0 / 9.0) < 1e-12)
+    // mismatched lengths ⇒ NULL (zip_with padding semantics)
+    val m = graft.functions.CosineSimilarity(
+      org.apache.spark.sql.catalyst.expressions.Literal.create(
+        Array(1f, 2f), org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.FloatType)),
+      org.apache.spark.sql.catalyst.expressions.Literal.create(
+        Array(2f, 1f, 2f), org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.FloatType)))
+    assert(m.eval(null) == null)
+  }
 }
