@@ -55,6 +55,17 @@ object TsdbQueries {
     // Q5: count parity (A4)
     "tsdb_q5_count" -> ((s, dir) =>
       table(s, dir).df.agg(count(lit(1)).as("n"))),
+    // Q6: raw Prometheus TSDB block via the DataSource V2 (S1/S2) — the
+    // reference's actual input format, read distributed. Per-series
+    // sample counts over the bundled reference block; rows-only check
+    // (DuckDB cannot read TSDB blocks; exact parity is asserted against
+    // meta.json in TsdbBlockSourceSpec).
+    "tsdb_q6_block" -> ((s, _) =>
+      s.read.format("tsdb-block")
+        .load("/root/reference/01GW1T7K3E9F9R361GDPVH8NZF")
+        .groupBy(col("labels").getItem("__name__").as("name"))
+        .agg(count(lit(1)).as("n_samples"),
+          min(col("time")).as("min_time"), max(col("time")).as("max_time"))),
   )
 
   private val projSql =

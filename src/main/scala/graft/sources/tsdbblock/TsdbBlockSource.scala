@@ -1,0 +1,192 @@
+package graft.sources.tsdbblock
+
+import java.util
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.util.ArrayBasedMapData
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.sources.{DataSourceRegister, Filter, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual}
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** DataSource V2 for raw Prometheus TSDB block directories — the
+  * reference's actual input format (SURVEY.md §2.1 S1/S2, §7.5 stretch
+  * goal; hello.go:429-509 reads the same block via the prometheus
+  * library and row-inserts into FrostDB).
+  *
+  *   spark.read.format("tsdb-block").load(blockDir)
+  *     → (time LONG ms, value DOUBLE, labels MAP<STRING,STRING>)
+  *
+  * i.e. the engine's long/ingest form, feeding [[graft.tsdb.TsdbIngest]]
+  * directly. Distribution model: the driver reads only the index
+  * (~0.02% of block bytes) to plan; series are split across partitions,
+  * and each task seeks exactly its own chunks — on an object store this
+  * is the ranged-GET pattern, no full-file reads on the driver.
+  *
+  * Time-range predicates (`time >/>= x`, `time </<= y`) are pushed into
+  * the scan as CHUNK pruning against the index's per-chunk
+  * (minTime, maxTime) — the TSDB analogue of parquet row-group pruning.
+  * Filters are also left in the plan (returned as residual), so
+  * semantics never depend on the pruning.
+  */
+class TsdbBlockSource extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "tsdb-block"
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    TsdbBlockSource.schema
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+                        properties: util.Map[String, String]): Table =
+    new TsdbBlockTable(properties.get("path"))
+}
+
+object TsdbBlockSource {
+  val schema: StructType = StructType(Seq(
+    StructField("time", LongType, nullable = false),
+    StructField("value", DoubleType, nullable = false),
+    StructField("labels", MapType(StringType, StringType), nullable = false)))
+}
+
+final class TsdbBlockTable(path: String) extends Table with SupportsRead {
+  require(path != null, "tsdb-block requires a block directory path")
+  override def name(): String = s"tsdb-block($path)"
+  override def schema(): StructType = TsdbBlockSource.schema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new TsdbBlockScanBuilder(path,
+      options.getInt("partitions", 16))
+}
+
+final class TsdbBlockScanBuilder(path: String, partitions: Int)
+    extends ScanBuilder with SupportsPushDownFilters {
+  private var timeLo = Long.MinValue // exclusive lower bound semantics via +1 handled at use
+  private var timeHi = Long.MaxValue
+  private var pushed: Array[Filter] = Array.empty
+
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    pushed = filters.filter {
+      case GreaterThan("time", v: Long) => timeLo = math.max(timeLo, v); true
+      case GreaterThanOrEqual("time", v: Long) => timeLo = math.max(timeLo, v - 1); true
+      case LessThan("time", v: Long) => timeHi = math.min(timeHi, v); true
+      case LessThanOrEqual("time", v: Long) => timeHi = math.min(timeHi, v + 1); true
+      case _ => false
+    }
+    filters // all residual: pruning is chunk-granular, Spark re-filters rows
+  }
+  override def pushedFilters(): Array[Filter] = pushed
+
+  override def build(): Scan = new TsdbBlockScan(path, partitions, timeLo, timeHi)
+}
+
+final case class TsdbSeriesPartition(
+    series: Seq[IndexReader.SeriesEntry]) extends InputPartition
+
+final class TsdbBlockScan(path: String, partitions: Int,
+                          timeLo: Long, timeHi: Long) extends Scan with Batch {
+  override def readSchema(): StructType = TsdbBlockSource.schema
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"tsdb-block $path, chunk pruning time ∈ ($timeLo, $timeHi)"
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    // driver-side: index only. Prune chunks against the pushed time
+    // range, drop emptied series, then round-robin series into
+    // partitions to balance sample counts.
+    val all = IndexReader.read(s"$path/index")
+    val prunedSeries = all.flatMap { s =>
+      val keep = s.chunks.filter(c => c.maxTime > timeLo && c.minTime < timeHi)
+      if (keep.isEmpty) None else Some(s.copy(chunks = keep))
+    }
+    val n = math.max(1, math.min(partitions, prunedSeries.size))
+    (0 until n).map { p =>
+      TsdbSeriesPartition(prunedSeries.zipWithIndex
+        .collect { case (s, i) if i % n == p => s }): InputPartition
+    }.toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new TsdbReaderFactory(path)
+}
+
+final class TsdbReaderFactory(path: String) extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
+    new TsdbPartitionReader(path, partition.asInstanceOf[TsdbSeriesPartition])
+}
+
+/** Streams (time, value, labels) rows for a slice of series. Chunk
+  * segment files are read lazily, one ranged read per chunk (seek +
+  * exact length) — never whole-file on small partitions. */
+final class TsdbPartitionReader(path: String, part: TsdbSeriesPartition)
+    extends PartitionReader[InternalRow] {
+  import Binary.ByteReader
+
+  private val segments =
+    scala.collection.mutable.Map.empty[Int, java.io.RandomAccessFile]
+  private val seriesIt = part.series.iterator
+  private var chunkIt: Iterator[IndexReader.ChunkRef] = Iterator.empty
+  private var labelsMap: ArrayBasedMapData = _
+  private var ts: Array[Long] = Array.emptyLongArray
+  private var vs: Array[Double] = Array.emptyDoubleArray
+  private var i = 0
+
+  private def segment(n: Int): java.io.RandomAccessFile =
+    segments.getOrElseUpdate(n, new java.io.RandomAccessFile(
+      f"$path/chunks/${n + 1}%06d", "r"))
+
+  private def loadChunk(c: IndexReader.ChunkRef): Unit = {
+    val f = segment(c.segment)
+    f.seek(c.offset)
+    // uvarint len (≤ 5 bytes for 32-bit sizes) + enc byte: read a small
+    // header window first, then exactly the payload
+    val head = new Array[Byte](8)
+    f.readFully(head)
+    val hr = new ByteReader(head, 0)
+    val len = hr.uvarint().toInt
+    val enc = hr.u8()
+    require(enc == 1, s"unsupported chunk encoding $enc (only XOR=1)")
+    val data = new Array[Byte](len)
+    val fromHead = math.min(len, head.length - hr.pos)
+    System.arraycopy(head, hr.pos, data, 0, fromHead)
+    if (fromHead < len) {
+      f.seek(c.offset + hr.pos + fromHead)
+      f.readFully(data, fromHead, len - fromHead)
+    }
+    val decoded = XorChunk.decode(data)
+    ts = decoded._1; vs = decoded._2; i = 0
+  }
+
+  private def nextSeries(): Boolean = {
+    if (!seriesIt.hasNext) return false
+    val s = seriesIt.next()
+    val keys = s.labels.keys.toArray.sorted
+    labelsMap = new ArrayBasedMapData(
+      org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(
+        keys.map(UTF8String.fromString)),
+      org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(
+        keys.map(k => UTF8String.fromString(s.labels(k)))))
+    chunkIt = s.chunks.iterator
+    true
+  }
+
+  override def next(): Boolean = {
+    while (i >= ts.length) {
+      if (chunkIt.hasNext) loadChunk(chunkIt.next())
+      else if (!nextSeries()) return false
+    }
+    true
+  }
+
+  override def get(): InternalRow = {
+    val row = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(3)
+    row.update(0, ts(i))
+    row.update(1, vs(i))
+    row.update(2, labelsMap)
+    i += 1
+    row
+  }
+
+  override def close(): Unit = segments.values.foreach(_.close())
+}

