@@ -13,7 +13,8 @@ object Bench {
   private val headline = Seq(
     "tsdb_q1_scan", "tsdb_q2_range", "tsdb_q4_regroup",
     "rel_q1_pricing", "rel_q2_star_join", "rel_q3_fact_join",
-    "rel_q6_window", "rel_q11_asof",
+    "rel_q6_window", "rel_q11_asof", "rel_q16_range_join",
+    "rel_q18_bucketed_join",
     "pipe_q1_exact_dedup", "pipe_q5_fingerprint", "pipe_q6_minhash",
     "pipe_q7_lsh_pairs", "pipe_q8_simhash", "pipe_q10_knn")
 
