@@ -30,7 +30,11 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
-    // warmup: JIT + codegen + parquet footer caches
+    // warmup: JIT + codegen + parquet footer caches. One untimed pass of
+    // every headline query — whole-stage codegen compiles each query's
+    // generated class once (Janino), a JVM-lifetime cost that a long-
+    // running cluster pays once; timing the second pass measures the
+    // engine, not the compiler.
     spark.read.parquet(s"$sfDir/region.parquet").count()
 
     // the tsdb_* queries read a write-once sorted materialization
@@ -39,6 +43,11 @@ object Bench {
     val tIngest0 = System.nanoTime()
     graft.queries.Tables.eventsAsTsdbStored(spark, sfDir).count()
     val ingestSec = (System.nanoTime() - tIngest0) / 1e9
+
+    headline.filter(SparkEntry.queries.contains).foreach { name =>
+      try SparkEntry.queries(name)(spark, sfDir).count()
+      catch { case _: Throwable => }
+    }
 
     val fns = SparkEntry.queries
     val results = ("tsdb_ingest", ingestSec, 0L) +:
