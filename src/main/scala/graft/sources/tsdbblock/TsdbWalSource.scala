@@ -1,0 +1,124 @@
+package graft.sources.tsdbblock
+
+import java.util
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.util.{ArrayBasedMapData, ArrayData}
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** DataSource V2 over a Prometheus WAL directory — the head samples the
+  * reference's `DBReadOnly.Querier` merges with block data
+  * (hello.go:429-447). Same long-form schema as `tsdb-block`.
+  *
+  * Planning reads only the tiny Series records to build the global
+  * ref→labels dictionary (samples may reference series defined in an
+  * earlier segment); each task then decodes one whole segment — WAL
+  * segments are bounded (128 MiB), so a segment is a natural, balanced
+  * split.
+  */
+class TsdbWalSource extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "tsdb-wal"
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    TsdbBlockSource.schema
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+                        properties: util.Map[String, String]): Table =
+    new TsdbWalTable(properties.get("path"))
+}
+
+final class TsdbWalTable(path: String) extends Table with SupportsRead {
+  require(path != null, "tsdb-wal requires a WAL directory path")
+  override def name(): String = s"tsdb-wal($path)"
+  override def schema(): StructType = TsdbBlockSource.schema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    () => new TsdbWalScan(path)
+}
+
+final case class TsdbWalPartition(
+    segment: String, dict: Map[Long, Map[String, String]]) extends InputPartition
+
+final class TsdbWalScan(path: String) extends Scan with Batch {
+  override def readSchema(): StructType = TsdbBlockSource.schema
+  override def toBatch: Batch = this
+  override def description(): String = s"tsdb-wal $path"
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val dict = WalReader.seriesDict(path)
+    WalReader.segments(path)
+      .map(seg => TsdbWalPartition(seg, dict): InputPartition).toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    (partition: InputPartition) => {
+      val p = partition.asInstanceOf[TsdbWalPartition]
+      new PartitionReader[InternalRow] {
+        private val mapCache =
+          scala.collection.mutable.Map.empty[Long, ArrayBasedMapData]
+        private val it = WalReader.samples(p.segment)
+          .filter(s => p.dict.contains(s.ref)) // orphan refs: dropped
+        private var cur: WalReader.WalSample = _
+
+        override def next(): Boolean = {
+          if (it.hasNext) { cur = it.next(); true } else false
+        }
+
+        override def get(): InternalRow = {
+          val labels = mapCache.getOrElseUpdate(cur.ref, {
+            val m = p.dict(cur.ref)
+            val keys = m.keys.toArray.sorted
+            new ArrayBasedMapData(
+              ArrayData.toArrayData(keys.map(UTF8String.fromString)),
+              ArrayData.toArrayData(keys.map(k => UTF8String.fromString(m(k)))))
+          })
+          val row = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(3)
+          row.update(0, cur.time)
+          row.update(1, cur.value)
+          row.update(2, labels)
+          row
+        }
+
+        override def close(): Unit = ()
+      }
+    }
+}
+
+/** The reference's whole-DB view (hello.go:429-447: `DBReadOnly.Querier`
+  * over all blocks + the WAL head): union of every block directory and
+  * the WAL, deduplicated on (series, time) — Prometheus's storage merge
+  * keeps one sample per series-timestamp across overlapping sources.
+  */
+object TsdbDb {
+  import org.apache.spark.sql.{DataFrame, SparkSession}
+  import org.apache.spark.sql.functions._
+
+  def read(spark: SparkSession, dbDir: String): DataFrame = {
+    val root = new java.io.File(dbDir)
+    val blockDirs = root.listFiles()
+      .filter(f => f.isDirectory && new java.io.File(f, "index").isFile)
+      .map(_.getPath).sorted
+    val parts =
+      blockDirs.map(d => spark.read.format("tsdb-block").load(d)) ++
+        (if (new java.io.File(root, "wal").isDirectory)
+          Seq(spark.read.format("tsdb-wal").load(s"$dbDir/wal"))
+        else Nil)
+    val union = parts.reduce(_ unionByName _)
+    // maps aren't comparable: dedup on the sorted entry list, then
+    // rebuild the map. One shuffle; at scale this is the same
+    // merge-dedup Prometheus does per queried chunk, done set-wise.
+    union
+      .withColumn("_entries", array_sort(map_entries(col("labels"))))
+      .withColumn("_rn", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("_entries"), col("time"))
+          .orderBy(col("value").asc)))
+      .where(col("_rn") === 1)
+      .select(col("time"), col("value"),
+        map_from_entries(col("_entries")).as("labels"))
+  }
+}

@@ -1,0 +1,140 @@
+package graft.sources.tsdbblock
+
+import java.nio.file.{Files, Paths}
+import scala.collection.mutable
+import Binary.ByteReader
+
+/** Reader for the Prometheus write-ahead log (wlog) — the uncompacted
+  * head the reference ALSO queries (`DBReadOnly.Querier` replays the WAL
+  * into a head block; SURVEY.md §2.1 S1, hello.go:429-447).
+  *
+  * Format (prometheus/tsdb/docs/format/wal.md): numbered segment files
+  * of 32 KiB pages; each page holds records framed as
+  * `type(1) len(2 BE) crc32c(4) data`, where type's low 3 bits are the
+  * fragment kind (0 page-pad, 1 full, 2 first, 3 middle, 4 last) and
+  * bit 3 marks snappy compression of the reassembled record. Record
+  * payloads we decode: Series (=1): repeated (ref BE64, uvarint #labels,
+  * uvarint-len name/value strings); Samples (=2): base (ref BE64,
+  * time BE64) then repeated (ref delta varint, time delta varint,
+  * value BE64 float bits). Other kinds (tombstones, exemplars,
+  * histograms, metadata) are skipped.
+  */
+object WalReader {
+
+  final case class WalSeries(ref: Long, labels: Map[String, String])
+  final case class WalSample(ref: Long, time: Long, value: Double)
+
+  private val PageSize = 32 * 1024
+  private val SnappyFlag = 0x08
+
+  /** Segment file paths of a WAL directory, in replay order. */
+  def segments(walDir: String): Seq[String] = {
+    val dir = new java.io.File(walDir)
+    dir.listFiles()
+      .filter(f => f.isFile && f.getName.forall(_.isDigit))
+      .sortBy(_.getName.toInt)
+      .map(_.getPath).toSeq
+  }
+
+  /** Reassembled, decompressed records of one segment. */
+  def records(segmentPath: String): Iterator[Array[Byte]] = {
+    val buf = Files.readAllBytes(Paths.get(segmentPath))
+    new Iterator[Array[Byte]] {
+      private var pos = 0
+      private var nextRec: Array[Byte] = _
+      private val frag = mutable.ArrayBuilder.make[Byte]
+      private var fragSnappy = false
+
+      private def pageRemaining: Int = PageSize - (pos % PageSize)
+
+      @annotation.tailrec
+      private def advance(): Unit = {
+        if (pos + 7 > buf.length) { nextRec = null; return }
+        if (pageRemaining < 7) { pos += pageRemaining; advance() }
+        else {
+          val typ = buf(pos) & 0xff
+          if ((typ & 0x07) == 0) { pos += pageRemaining; advance() } // pad
+          else {
+            val len = ((buf(pos + 1) & 0xff) << 8) | (buf(pos + 2) & 0xff)
+            val data = java.util.Arrays.copyOfRange(buf, pos + 7, pos + 7 + len)
+            pos += 7 + len
+            if ((typ & SnappyFlag) != 0) fragSnappy = true
+            (typ & 0x07) match {
+              case 1 => // full
+                nextRec = finishRecord(data, (typ & SnappyFlag) != 0)
+              case 2 => frag.clear(); fragSnappy = (typ & SnappyFlag) != 0
+                frag ++= data; advance() // first
+              case 3 => frag ++= data; advance() // middle
+              case 4 => // last
+                frag ++= data
+                nextRec = finishRecord(frag.result(), fragSnappy)
+                frag.clear()
+              case _ => advance()
+            }
+          }
+        }
+      }
+
+      private def finishRecord(data: Array[Byte], snappy: Boolean): Array[Byte] =
+        if (snappy) org.xerial.snappy.Snappy.uncompress(data) else data
+
+      override def hasNext: Boolean = {
+        if (nextRec == null) advance()
+        nextRec != null
+      }
+      override def next(): Array[Byte] = {
+        if (!hasNext) throw new NoSuchElementException
+        val r = nextRec; nextRec = null; r
+      }
+    }
+  }
+
+  /** All series definitions in a WAL (driver-side pass — series records
+    * are a tiny fraction of WAL bytes; the ref→labels dictionary must be
+    * global because samples may reference series defined in an earlier
+    * segment). */
+  def seriesDict(walDir: String): Map[Long, Map[String, String]] = {
+    val out = mutable.Map.empty[Long, Map[String, String]]
+    segments(walDir).foreach { seg =>
+      records(seg).foreach { rec =>
+        if (rec.nonEmpty && rec(0) == 1) {
+          val r = new ByteReader(rec, 1)
+          while (r.pos < rec.length) {
+            val ref = r.be64()
+            val n = r.uvarint().toInt
+            val labels = (0 until n).map { _ =>
+              val k = new String(r.bytes(r.uvarint().toInt), "UTF-8")
+              val v = new String(r.bytes(r.uvarint().toInt), "UTF-8")
+              k -> v
+            }.toMap
+            out(ref) = labels
+          }
+        }
+      }
+    }
+    out.toMap
+  }
+
+  /** Decode every float sample of one segment. */
+  def samples(segmentPath: String): Iterator[WalSample] =
+    records(segmentPath).flatMap { rec =>
+      if (rec.isEmpty || rec(0) != 2) Iterator.empty
+      else {
+        val r = new ByteReader(rec, 1)
+        if (r.pos >= rec.length) Iterator.empty
+        else {
+          val baseRef = r.be64()
+          val baseTime = r.be64() // int64 BE
+          val out = mutable.ArrayBuffer.empty[WalSample]
+          while (r.pos < rec.length) {
+            val dref = r.varint()
+            val dtime = r.varint()
+            val vbits = r.be64()
+            out += WalSample(baseRef + dref, baseTime + dtime,
+              java.lang.Double.longBitsToDouble(vbits))
+          }
+          out.iterator
+        }
+      }
+    }
+}

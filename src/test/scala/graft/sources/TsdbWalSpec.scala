@@ -1,0 +1,45 @@
+package graft.sources
+
+import graft.SparkSpec
+import graft.sources.tsdbblock.{TsdbDb, WalReader}
+import org.apache.spark.sql.functions._
+
+/** WAL decode + whole-DB merge over the reference's bundled WAL
+  * (/root/reference/wal — 2 segments, snappy-compressed records).
+  * Ground truth is structural: the WAL defines the same 767-series
+  * universe as the block, starts at the block's exact minTime, and
+  * extends past its maxTime (the uncompacted head).
+  */
+class TsdbWalSpec extends SparkSpec {
+  private val db = "/root/reference"
+  private val BlockMin = 1679382479083L
+  private val BlockMax = 1679385600000L
+  private val WalSamples = 657681L
+  private val NumSeries = 767L
+
+  test("WAL decode: all sample refs resolve; head extends past the block") {
+    val dict = WalReader.seriesDict(s"$db/wal")
+    assert(dict.size == NumSeries)
+    val df = spark.read.format("tsdb-wal").load(s"$db/wal")
+    assert(df.count() == WalSamples)
+    val r = df.agg(min("time"), max("time")).head()
+    assert(r.getLong(0) == BlockMin)
+    assert(r.getLong(1) > BlockMax) // head continues after the block
+  }
+
+  test("whole-DB view: blocks ∪ WAL deduped on (series, time)") {
+    val all = TsdbDb.read(spark, db)
+    val n = all.count()
+    // distinct by construction
+    val pairs = all.select(array_sort(map_entries(col("labels"))), col("time"))
+      .distinct().count()
+    assert(n == pairs)
+    // the WAL spans the whole fixture; dedup can only add block-only rows
+    assert(n >= WalSamples)
+    assert(n <= WalSamples + 154529L)
+    // the reference's canonical series is intact, sorted, boolean-valued
+    val up = all.where(col("labels").getItem("__name__") === "up")
+    assert(up.count() > 100)
+    assert(up.where(col("value") =!= 0.0 && col("value") =!= 1.0).count() == 0)
+  }
+}
