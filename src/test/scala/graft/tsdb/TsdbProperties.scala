@@ -1,0 +1,99 @@
+package graft.tsdb
+
+import graft.SparkTestBase
+import graft.model.{Matcher, Sample}
+import org.apache.spark.sql.functions._
+import org.scalacheck.{Gen, Prop, Properties, Test}
+
+/** Property-based checks (SURVEY §5): the matcher compiler and the
+  * regroup pipeline are compared against direct Scala models of the
+  * reference semantics over randomized inputs — absent/empty labels,
+  * duplicate timestamps, adversarial value mixes.
+  */
+object TsdbProperties extends Properties("tsdb") {
+  override def overrideParameters(p: Test.Parameters): Test.Parameters =
+    p.withMinSuccessfulTests(12)
+
+  private lazy val spark = SparkTestBase.spark
+  import spark.implicits._
+
+  // ---- generators ----
+  private val labelValue: Gen[Option[String]] = Gen.oneOf(
+    Gen.const(None),            // absent ⇒ NULL column
+    Gen.const(Some("")),        // stored empty ⇒ semantically absent
+    Gen.oneOf("a", "b", "ab", "ba").map(Some(_)))
+
+  private val matcher: Gen[Matcher] = for {
+    v <- Gen.oneOf("", "a", "b", "ab")
+    p <- Gen.oneOf("", "a", "b", "a+", "b.")
+    m <- Gen.oneOf[Matcher](Matcher.Eq("env", v), Matcher.NotEq("env", v),
+      Matcher.Re("env", p), Matcher.NotRe("env", p))
+  } yield m
+
+  /** The reference's decode semantics: absent ≡ "" (hello.go:339-349);
+    * regex is an unanchored find (hello.go:310-311). */
+  private def model(m: Matcher, stored: Option[String]): Boolean = {
+    val s = stored.getOrElse("")
+    m match {
+      case Matcher.Eq(_, v) => s == v
+      case Matcher.NotEq(_, v) => s != v
+      case Matcher.Re(_, p) => java.util.regex.Pattern.compile(p).matcher(s).find()
+      case Matcher.NotRe(_, p) => !java.util.regex.Pattern.compile(p).matcher(s).find()
+    }
+  }
+
+  property("matcher compiler ≡ Prometheus matcher model") = Prop.forAll(
+    Gen.nonEmptyListOf(labelValue), matcher) { (values, m) =>
+    val rows = values.zipWithIndex.map { case (v, i) => (i.toLong, v.orNull) }
+    val df = rows.toDF("id", "labels.env")
+    val got = df.where(MatcherCompiler.compile(m, Set("env")))
+      .select($"id").as[Long].collect().toSet
+    val want = rows.collect {
+      case (id, v) if model(m, Option(v)) => id
+    }.toSet
+    got == want
+  }
+
+  property("unknown label name behaves as an all-NULL column") = Prop.forAll(matcher) { m =>
+    val df = Seq((1L, "x")).toDF("id", "labels.other")
+    val got = df.where(MatcherCompiler.compile(m, Set("other"))).count() == 1
+    got == model(m, None)
+  }
+
+  // ---- regroup: long → wide → series ≡ Scala model ----
+  private val sample: Gen[Sample] = for {
+    t <- Gen.choose(0L, 15L) // small range ⇒ duplicate timestamps likely
+    v <- Gen.choose(0, 9).map(_.toDouble)
+    env <- labelValue
+    job <- labelValue
+  } yield Sample(t, v,
+    (env.map("env" -> _) ++ job.map("job" -> _)).toMap)
+
+  property("regroup ≡ group-by decoded label set, time-sorted, dups kept") =
+    Prop.forAll(Gen.nonEmptyListOf(sample)) { samples =>
+      val wide = TsdbIngest.toWide(samples.toDS().toDF())
+      val got = TsdbTable(wide).regroup(wide).collect()
+        .map(s => (s.labels, s.ts.toList, s.v.toList)).toSet
+      val want = samples
+        .groupBy(s => s.labels.filter(_._2.nonEmpty)) // decode: drop ""
+        .map { case (k, ss) =>
+          val pairs = ss.map(s => (s.time, s.value)).sorted // struct sort
+          (k, pairs.map(_._1), pairs.map(_._2))
+        }.toSet
+      got == want
+    }
+
+  property("toWide is lossless for non-empty labels (round trip)") =
+    Prop.forAll(Gen.nonEmptyListOf(sample)) { samples =>
+      val wide = TsdbIngest.toWide(samples.toDS().toDF())
+      val names = TsdbSchema.labelColumns(wide).map(_.stripPrefix("labels."))
+      val back = wide.collect().map { r =>
+        val labels = names.flatMap { n =>
+          Option(r.getAs[String](s"labels.$n")).map(n -> _)
+        }.toMap
+        Sample(r.getAs[Long]("time"), r.getAs[Double]("value"), labels)
+      }.toList
+      back.sortBy(s => (s.time, s.value, s.labels.toString)) ==
+        samples.sortBy(s => (s.time, s.value, s.labels.toString))
+    }
+}
