@@ -202,6 +202,20 @@ object RelationalQueries {
           round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
     }),
 
+    // salted skew join: lineitem ⋈ part through the manual skew escape
+    // hatch (SkewJoin) — salting spreads hot keys across `salts` tasks;
+    // semantics must equal the plain join, which the oracle asserts.
+    "rel_q19_skew_join" -> ((s, dir) => {
+      val l = load(s, dir, "lineitem")
+        .select(col("l_partkey"), col("l_quantity"), col("l_extendedprice"))
+      val p = load(s, dir, "part")
+        .select(col("p_partkey").as("l_partkey"), col("p_brand"))
+      graft.operators.SkewJoin.saltedJoin(l, p, Seq("l_partkey"), salts = 4)
+        .groupBy(col("p_brand"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("l_quantity")), 2).as("sum_qty"))
+    }),
+
     // as-of join: each purchase matched to the user's most recent click
     "rel_q11_asof" -> ((s, dir) => {
       val e = load(s, dir, "events")
@@ -317,6 +331,10 @@ object RelationalQueries {
         |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |WHERE o_orderstatus <> 'F'
+        |GROUP BY 1""".stripMargin,
+    "rel_q19_skew_join" ->
+      """SELECT p_brand, count(*) AS n, round(sum(l_quantity), 2) AS sum_qty
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
         |GROUP BY 1""".stripMargin,
     "rel_q11_asof" ->
       """SELECT p.event_id, p.user_id, p.ts, p.value, c.click_ts, c.click_value

@@ -129,3 +129,24 @@ class MultimodalSpec extends SparkSpec {
     assert(byId.keySet == Set(2L))
   }
 }
+
+class SkewJoinSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("salted join equals plain join on skewed data (inner + left)") {
+    // 90% of fact rows share one hot key
+    val big = (1 to 500).map(i =>
+      (if (i % 10 == 0) i.toLong % 7 else 42L, i.toLong)).toDF("k", "payload")
+    val small = Seq((42L, "hot"), (0L, "a"), (1L, "b"), (99L, "unmatched"))
+      .toDF("k", "name")
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.select($"k", $"payload", $"name").collect()
+        .map(r => (r.getLong(0), r.getLong(1), Option(r.getString(2)))).sorted.toSeq
+    val plainInner = big.join(small, Seq("k"))
+    val saltedInner = SkewJoin.saltedJoin(big, small, Seq("k"), salts = 8)
+    assert(canon(saltedInner) == canon(plainInner))
+    val plainLeft = big.join(small, Seq("k"), "left")
+    val saltedLeft = SkewJoin.saltedJoin(big, small, Seq("k"), salts = 8, "left")
+    assert(canon(saltedLeft) == canon(plainLeft))
+  }
+}
