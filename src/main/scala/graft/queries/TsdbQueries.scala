@@ -55,6 +55,34 @@ object TsdbQueries {
     // Q5: count parity (A4)
     "tsdb_q5_count" -> ((s, dir) =>
       table(s, dir).df.agg(count(lit(1)).as("n"))),
+    // Q7: range-vector aggregates (the PromQL direction the reference
+    // was headed): per-series tumbling 1-day buckets with
+    // avg/min/max/count_over_time, delta, rate
+    "tsdb_q7_range_vectors" -> ((s, dir) =>
+      graft.tsdb.RangeVectors.overTime(
+        eventsAsTsdbStored(s, dir), stepMs = 86400000L)),
+    // Q8: the S7 metadata inspection surface (reference `visualize`,
+    // hello.go:75-119) as an exact-oracle query: footer stats of a FIXED
+    // artifact (sf0.01 lineitem — both sides pin the same literal path,
+    // independent of the running sfDir) vs DuckDB's parquet_metadata().
+    "inspect_q1_footer" -> ((s, _) => {
+      val stats = graft.inspect.ParquetInspect
+        .inspect("/root/testdata/sf0.01/lineitem.parquet")
+      // parquet-mr says BINARY where the thrift/DuckDB name is BYTE_ARRAY
+      val rows = stats.flatMap(f => f.columns.map(c =>
+        (c.rowGroup.toLong, c.column,
+          if (c.physicalType == "BINARY") "BYTE_ARRAY" else c.physicalType,
+          c.numValues, c.compressedBytes, c.uncompressedBytes)))
+      val s_ = s; import s_.implicits._
+      rows.toDF("row_group_id", "path_in_schema", "type", "num_values",
+        "total_compressed_size", "total_uncompressed_size")
+    }),
+    // Q9: the whole-DB view (blocks ∪ WAL head, deduped) over the
+    // reference's own database — rows-only (DuckDB reads neither format)
+    "tsdb_q9_db" -> ((s, _) =>
+      graft.sources.tsdbblock.TsdbDb.read(s, "/root/reference")
+        .groupBy(col("labels").getItem("__name__").as("name"))
+        .agg(count(lit(1)).as("n_samples"))),
     // Q6: raw Prometheus TSDB block via the DataSource V2 (S1/S2) — the
     // reference's actual input format, read distributed. Per-series
     // sample counts over the bundled reference block; rows-only check
@@ -103,5 +131,22 @@ object TsdbQueries {
          |  AND "labels.name" = 'signup'
          |GROUP BY 1, 2""".stripMargin,
     "tsdb_q5_count" -> s"$duckTsdbCte SELECT count(*) AS n FROM t",
+    "tsdb_q7_range_vectors" ->
+      s"""$duckTsdbCte
+         |SELECT "labels.k", "labels.name", "labels.user",
+         |  CAST(floor(time / 86400000.0) * 86400000 AS BIGINT) AS bucket,
+         |  count(*) AS n,
+         |  round(avg(value), 6) AS avg_v,
+         |  min(value) AS min_v, max(value) AS max_v,
+         |  round(list_extract(max([CAST(time AS DOUBLE), value]), 2)
+         |      - list_extract(min([CAST(time AS DOUBLE), value]), 2), 6) AS delta,
+         |  round((list_extract(max([CAST(time AS DOUBLE), value]), 2)
+         |      - list_extract(min([CAST(time AS DOUBLE), value]), 2))
+         |    / nullif((max(time) - min(time)) / 1000.0, 0.0), 6) AS rate
+         |FROM t GROUP BY 1, 2, 3, 4""".stripMargin,
+    "inspect_q1_footer" ->
+      """SELECT row_group_id, path_in_schema, type, num_values,
+        |  total_compressed_size, total_uncompressed_size
+        |FROM parquet_metadata('/root/testdata/sf0.01/lineitem.parquet')""".stripMargin,
   )
 }

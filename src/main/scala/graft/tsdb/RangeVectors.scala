@@ -1,0 +1,43 @@
+package graft.tsdb
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** PromQL-flavored range-vector aggregates over the wide TSDB table —
+  * the query layer the reference was building toward ("Querying Apache
+  * Parquet files with PromQL" is its title; the PromQL layer was never
+  * reached, README.md:125). Each function evaluates per series over
+  * tumbling `stepMs` buckets: one groupBy on (labels, bucket), partial-
+  * aggregated map-side, so the shuffle carries one row per
+  * (series, bucket) — not per sample.
+  *
+  * Determinism with duplicate timestamps: first/last are defined by the
+  * lexicographic (time, value) order — `min/max` over a 2-element array
+  * — which both Spark and the DuckDB oracle total-order identically
+  * (time < 2^53, so the double cast is exact).
+  */
+object RangeVectors {
+
+  /** avg/min/max/count_over_time + delta + rate per (series, bucket). */
+  def overTime(wide: DataFrame, stepMs: Long): DataFrame = {
+    val labels = TsdbSchema.dynCols(wide)
+    val bucket = (floor(col(TsdbSchema.TimeCol) / stepMs.toDouble) * stepMs)
+      .cast("long").as("bucket")
+    val tv: Column = array(col(TsdbSchema.TimeCol).cast("double"), col(TsdbSchema.ValueCol))
+    val firstV = min(tv).getItem(1)
+    val lastV = max(tv).getItem(1)
+    val spanSec = (max(col(TsdbSchema.TimeCol)) - min(col(TsdbSchema.TimeCol))) / 1000.0
+    wide
+      .groupBy(labels :+ bucket: _*)
+      .agg(
+        count(lit(1)).as("n"),
+        round(avg(col(TsdbSchema.ValueCol)), 6).as("avg_v"),
+        min(col(TsdbSchema.ValueCol)).as("min_v"),
+        max(col(TsdbSchema.ValueCol)).as("max_v"),
+        round(lastV - firstV, 6).as("delta"),
+        // rate ≡ delta / elapsed-seconds within the bucket (simplified:
+        // no PromQL boundary extrapolation, no counter-reset handling —
+        // gauges/monotone-in-bucket counters only)
+        round((lastV - firstV) / nullif(spanSec, lit(0.0)), 6).as("rate"))
+  }
+}
