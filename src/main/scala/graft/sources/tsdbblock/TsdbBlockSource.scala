@@ -61,10 +61,18 @@ final class TsdbBlockTable(path: String) extends Table with SupportsRead {
 }
 
 final class TsdbBlockScanBuilder(path: String, partitions: Int)
-    extends ScanBuilder with SupportsPushDownFilters {
+    extends ScanBuilder with SupportsPushDownFilters
+    with SupportsPushDownRequiredColumns {
   private var timeLo = Long.MinValue // exclusive lower bound semantics via +1 handled at use
   private var timeHi = Long.MaxValue
   private var pushed: Array[Filter] = Array.empty
+  private var required: StructType = TsdbBlockSource.schema
+
+  // column pruning: a (time, value)-only projection never materializes
+  // label maps; a labels-only projection still decodes chunks (samples
+  // ARE the rows) but skips nothing else — the map is per-series anyway
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     pushed = filters.filter {
@@ -78,18 +86,21 @@ final class TsdbBlockScanBuilder(path: String, partitions: Int)
   }
   override def pushedFilters(): Array[Filter] = pushed
 
-  override def build(): Scan = new TsdbBlockScan(path, partitions, timeLo, timeHi)
+  override def build(): Scan =
+    new TsdbBlockScan(path, partitions, timeLo, timeHi, required)
 }
 
 final case class TsdbSeriesPartition(
     series: Seq[IndexReader.SeriesEntry]) extends InputPartition
 
 final class TsdbBlockScan(path: String, partitions: Int,
-                          timeLo: Long, timeHi: Long) extends Scan with Batch {
-  override def readSchema(): StructType = TsdbBlockSource.schema
+                          timeLo: Long, timeHi: Long,
+                          required: StructType) extends Scan with Batch {
+  override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =
-    s"tsdb-block $path, chunk pruning time ∈ ($timeLo, $timeHi)"
+    s"tsdb-block $path, chunk pruning time ∈ ($timeLo, $timeHi), " +
+      s"columns [${required.fieldNames.mkString(",")}]"
 
   override def planInputPartitions(): Array[InputPartition] = {
     // driver-side: index only. Prune chunks against the pushed time
@@ -108,20 +119,24 @@ final class TsdbBlockScan(path: String, partitions: Int,
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new TsdbReaderFactory(path)
+    new TsdbReaderFactory(path, required.fieldNames)
 }
 
-final class TsdbReaderFactory(path: String) extends PartitionReaderFactory {
+final class TsdbReaderFactory(path: String, fields: Array[String])
+    extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
-    new TsdbPartitionReader(path, partition.asInstanceOf[TsdbSeriesPartition])
+    new TsdbPartitionReader(path, partition.asInstanceOf[TsdbSeriesPartition], fields)
 }
 
 /** Streams (time, value, labels) rows for a slice of series. Chunk
   * segment files are read lazily, one ranged read per chunk (seek +
   * exact length) — never whole-file on small partitions. */
-final class TsdbPartitionReader(path: String, part: TsdbSeriesPartition)
+final class TsdbPartitionReader(path: String, part: TsdbSeriesPartition,
+                                fields: Array[String])
     extends PartitionReader[InternalRow] {
   import Binary.ByteReader
+
+  private val wantLabels = fields.contains("labels")
 
   private val segments =
     scala.collection.mutable.Map.empty[Int, java.io.RandomAccessFile]
@@ -161,12 +176,14 @@ final class TsdbPartitionReader(path: String, part: TsdbSeriesPartition)
   private def nextSeries(): Boolean = {
     if (!seriesIt.hasNext) return false
     val s = seriesIt.next()
-    val keys = s.labels.keys.toArray.sorted
-    labelsMap = new ArrayBasedMapData(
-      org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(
-        keys.map(UTF8String.fromString)),
-      org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(
-        keys.map(k => UTF8String.fromString(s.labels(k)))))
+    if (wantLabels) { // pruned away ⇒ never materialize the map
+      val keys = s.labels.keys.toArray.sorted
+      labelsMap = new ArrayBasedMapData(
+        org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(
+          keys.map(UTF8String.fromString)),
+        org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(
+          keys.map(k => UTF8String.fromString(s.labels(k)))))
+    }
     chunkIt = s.chunks.iterator
     true
   }
@@ -180,10 +197,16 @@ final class TsdbPartitionReader(path: String, part: TsdbSeriesPartition)
   }
 
   override def get(): InternalRow = {
-    val row = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(3)
-    row.update(0, ts(i))
-    row.update(1, vs(i))
-    row.update(2, labelsMap)
+    val row = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(fields.length)
+    var f = 0
+    while (f < fields.length) {
+      fields(f) match {
+        case "time" => row.update(f, ts(i))
+        case "value" => row.update(f, vs(i))
+        case "labels" => row.update(f, labelsMap)
+      }
+      f += 1
+    }
     i += 1
     row
   }

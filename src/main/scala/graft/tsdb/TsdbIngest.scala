@@ -79,6 +79,41 @@ object TsdbIngest {
   def read(spark: SparkSession, path: String): DataFrame =
     spark.read.option("mergeSchema", "true").parquet(path)
 
+  /** Metric-partitioned layout — the mentorship notes' "one file per
+    * metric … sorted by timestamp" design (SURVEY §6), as Hive-style
+    * directory partitioning on the metric name: `__metric=<name>/…`.
+    * An `Eq("__name__", v)` matcher then prunes to ONE directory at
+    * planning (PartitionFilters — zero I/O for other metrics), and
+    * within each directory files stay time-sorted for row-group
+    * pruning. At 100 TB this bounds every single-metric query by that
+    * metric's bytes, not the corpus's. The metric column is DUPLICATED
+    * into the partition directory (kept as a data column too, so the
+    * wide schema is unchanged on read). */
+  def writePartitionedByMetric(wide: DataFrame, path: String,
+                               timePartitions: Int = 8): Unit = {
+    val nameCol = labelColName("__name__")
+    require(wide.columns.contains(nameCol), s"no $nameCol column")
+    val sortCols: Seq[Column] =
+      col(TimeCol).asc +: labelColumns(wide).map(c => col(s"`$c`").asc_nulls_first)
+    wide
+      .withColumn("__metric", coalesce(col(s"`$nameCol`"), lit("__none__")))
+      .repartitionByRange(timePartitions, col("__metric"), col(TimeCol))
+      .sortWithinPartitions(sortCols: _*)
+      .write
+      .partitionBy("__metric")
+      .mode(SaveMode.Overwrite)
+      .option("parquet.enable.dictionary", "true")
+      .option("compression", "snappy")
+      .parquet(path)
+  }
+
+  /** Read back a metric-partitioned table. `__metric` stays in the
+    * schema so [[TsdbTable.select]] can translate an `Eq("__name__", v)`
+    * matcher into a partition filter; it is never projected into query
+    * output (it is not a `labels.*` column). */
+  def readPartitioned(spark: SparkSession, path: String): DataFrame =
+    spark.read.option("mergeSchema", "true").parquet(path)
+
   /** Full ingest: typed samples → wide sorted parquet (S3+S5 in one —
     * Spark has no separate in-memory tier). */
   def ingest(samples: Dataset[Sample], path: String): Unit =

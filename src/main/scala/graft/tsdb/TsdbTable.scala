@@ -24,7 +24,8 @@ final case class TsdbTable(df: DataFrame) {
     * (every labels.* column, time, value). */
   def select(start: Long, end: Long, matchers: Seq[Matcher]): DataFrame = {
     val pred = MatcherCompiler.timeRange(start, end) &&
-      MatcherCompiler.compileAll(matchers, knownLabels)
+      MatcherCompiler.compileAll(matchers, knownLabels) &&
+      partitionPrune(matchers)
     df.where(pred)
       .select(dynCols(df) :+ col(TimeCol) :+ col(ValueCol): _*)
   }
@@ -32,8 +33,20 @@ final case class TsdbTable(df: DataFrame) {
   /** Matchers only (no time bounds) — the `Select(MinInt64, MaxInt64, …)`
     * full-range form (hello.go:442-447). */
   def select(matchers: Seq[Matcher]): DataFrame =
-    df.where(MatcherCompiler.compileAll(matchers, knownLabels))
+    df.where(MatcherCompiler.compileAll(matchers, knownLabels) &&
+        partitionPrune(matchers))
       .select(dynCols(df) :+ col(TimeCol) :+ col(ValueCol): _*)
+
+  /** Metric-partitioned layout support (TsdbIngest.writePartitionedByMetric):
+    * an equality matcher on `__name__` is duplicated onto the `__metric`
+    * partition directory column, so Catalyst turns it into a
+    * PartitionFilter — whole directories are skipped at planning, the
+    * row-level matcher semantics are untouched. */
+  private def partitionPrune(matchers: Seq[Matcher]): Column =
+    if (!df.columns.contains("__metric")) lit(true)
+    else matchers.collect {
+      case Matcher.Eq("__name__", v) if v.nonEmpty => col("__metric") === lit(v)
+    }.reduceOption(_ && _).getOrElse(lit(true))
 
   /** Label names with a materialized column in this table. */
   def knownLabels: Set[String] =

@@ -70,3 +70,17 @@ class TsdbBlockSourceSpec extends SparkSpec {
     assert(p4.count() == NumSamples)
   }
 }
+
+class TsdbBlockPruningSpec extends graft.SparkSpec {
+  import org.apache.spark.sql.functions._
+  private val block = "/root/reference/01GW1T7K3E9F9R361GDPVH8NZF"
+
+  test("column pruning reaches the scan (labels dropped from ReadSchema)") {
+    val df = spark.read.format("tsdb-block").load(block)
+      .select(col("time"), col("value"))
+    val desc = df.queryExecution.executedPlan.toString()
+    assert(desc.contains("columns [time,value]"), s"scan not pruned:\n$desc")
+    val r = df.agg(count(lit(1)), min("time")).head()
+    assert(r.getLong(0) == 154529L && r.getLong(1) == 1679382479083L)
+  }
+}

@@ -121,3 +121,36 @@ class TsdbEndToEndSpec extends SparkSpec {
     assert(rendered.contains("labels.__name__") && rendered.contains("INT64"))
   }
 }
+
+class MetricPartitionSpec extends graft.SparkSpec {
+  import org.apache.spark.sql.functions._
+  import graft.model.Matcher
+
+  test("metric-partitioned layout: Eq(__name__) becomes a partition filter") {
+    val block = spark.read.format("tsdb-block")
+      .load("/root/reference/01GW1T7K3E9F9R361GDPVH8NZF")
+    val wide = TsdbIngest.toWide(block)
+    val flat = tmpDir("tsdb_flat"); val part = tmpDir("tsdb_part")
+    TsdbIngest.write(wide, flat)
+    TsdbIngest.writePartitionedByMetric(wide, part)
+
+    val q = Seq(Matcher.Eq("__name__", "up"))
+    val flatT = TsdbTable(TsdbIngest.read(spark, flat))
+    val partT = TsdbTable(TsdbIngest.readPartitioned(spark, part))
+
+    // identical results through both layouts
+    def canon(t: TsdbTable) = t.regroup(t.select(q)).collect()
+      .map(s => (s.labels, s.ts.toList, s.v.toList)).toSet
+    assert(canon(partT) == canon(flatT))
+    assert(canon(partT).size == 1)
+
+    // and the partitioned plan prunes directories at planning time
+    val plan = partT.select(q).queryExecution.executedPlan.toString()
+    assert(plan.contains("PartitionFilters") &&
+      plan.contains("__metric"), s"no partition filter in:\n$plan")
+    // only the up/ directory's files are actually read
+    val scanned = partT.select(q).select(input_file_name())
+      .distinct().collect().map(_.getString(0))
+    assert(scanned.nonEmpty && scanned.forall(_.contains("__metric=up")))
+  }
+}
