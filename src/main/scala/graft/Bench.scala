@@ -12,6 +12,7 @@ object Bench {
   // the 100 TB design decisions.
   private val headline = Seq(
     "tsdb_q1_scan", "tsdb_q2_range", "tsdb_q4_regroup",
+    "tsdb_q7_range_vectors",
     "rel_q1_pricing", "rel_q2_star_join", "rel_q3_fact_join",
     "rel_q6_window", "rel_q11_asof", "rel_q16_range_join",
     "rel_q18_bucketed_join",
