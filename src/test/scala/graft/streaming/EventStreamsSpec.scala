@@ -45,3 +45,34 @@ class EventStreamsSpec extends SparkSpec {
     assert(got.contains((2L, 1L, true)))
   }
 }
+
+class TsdbStreamIngestSpec extends graft.SparkSpec {
+  import org.apache.spark.sql.functions._
+  import graft.model.Matcher
+  import graft.tsdb.{TsdbIngest, TsdbTable}
+
+  test("streaming ingest equals batch ingest (same wide table, same query)") {
+    def longForm(df: org.apache.spark.sql.DataFrame) = df.select(
+      unix_millis(col("ts")).as("time"), col("value"),
+      map(lit("name"), col("event_type"),
+        lit("user"), col("user_id").cast("string")).as("labels"))
+
+    val out = tmpDir("tsdb_stream_out"); val ckpt = tmpDir("tsdb_stream_ckpt")
+    val q = TsdbStreamIngest.start(
+      longForm(EventStreams.readEvents(spark, Sf0001)), out, ckpt)
+    q.processAllAvailable(); q.stop()
+
+    val batchDir = tmpDir("tsdb_batch_out")
+    TsdbIngest.write(TsdbIngest.toWide(
+      longForm(graft.queries.Tables.load(spark, Sf0001, "events"))), batchDir)
+
+    def canon(dir: String) = {
+      val t = TsdbTable(TsdbIngest.read(spark, dir))
+      t.regroup(t.select(Seq(Matcher.Eq("name", "purchase")))).collect()
+        .map(s => (s.labels, s.ts.toList, s.v.toList)).toSet
+    }
+    val streamed = canon(out)
+    assert(streamed.nonEmpty)
+    assert(streamed == canon(batchDir))
+  }
+}
