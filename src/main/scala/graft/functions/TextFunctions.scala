@@ -16,6 +16,13 @@ object TextFunctions {
     * tokens from runs of spaces are KEPT, matching DuckDB string_split). */
   def tokens(text: Column): Column = split(text, " ", -1)
 
+  /** Canonical cleanup before dedup/fingerprinting: lowercase, strip
+    * non-alphanumerics, collapse whitespace runs, trim. Pure codegen'd
+    * string expressions (regexp_replace), map-side only. */
+  def normalize(text: Column): Column =
+    trim(regexp_replace(
+      regexp_replace(lower(text), "[^a-z0-9 ]", ""), " +", " "))
+
   def tokenCount(text: Column): Column = size(tokens(text))
 
   /** BPE-ish subword count: word chunks + digits + punctuation as separate

@@ -93,6 +93,26 @@ object PipelineQueries {
         .agg(count(lit(1)).as("n"))
         .where(col("n") >= 5)),
 
+    // text normalization: the standard pre-dedup cleanup pass (lowercase,
+    // collapse whitespace, strip non-alphanumerics) — pure codegen'd
+    // string expressions, map-side only
+    "pipe_q18_normalize" -> ((s, dir) =>
+      load(s, dir, "documents").select(
+        col("doc_id"),
+        TextFunctions.normalize(col("text")).as("norm_text"),
+        md5(TextFunctions.normalize(col("text"))).as("norm_md5"))),
+
+    // deterministic train/eval split: hash-mod bucketing on the portable
+    // doc-id hash — stable across runs, engines, and corpus growth
+    // (a doc's split never changes when other docs are added), the
+    // property random sampling can't give a training pipeline
+    "pipe_q19_split" -> ((s, dir) =>
+      load(s, dir, "documents").select(
+        col("doc_id"),
+        when(pmod(Hashing.hash64(col("doc_id").cast("string")), lit(100)) < 90, "train")
+          .when(pmod(Hashing.hash64(col("doc_id").cast("string")), lit(100)) < 95, "val")
+          .otherwise("test").as("split"))),
+
     // ---- rows-only checked (non-SQL-expressible) ----
     "stream_q2_sessionize" -> ((s, dir) =>
       EventStreams.runToMemory(
@@ -243,6 +263,19 @@ object PipelineQueries {
         |  FROM scored)
         |SELECT probe_id, nn_id, round(cos, 6) AS cosine, rank
         |FROM ranked WHERE rank <= 5""".stripMargin,
+    "pipe_q18_normalize" ->
+      """SELECT doc_id,
+        |  trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
+        |    ' +', ' ', 'g')) AS norm_text,
+        |  md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
+        |    ' +', ' ', 'g'))) AS norm_md5
+        |FROM documents""".stripMargin,
+    "pipe_q19_split" ->
+      s"""SELECT doc_id,
+         |  CASE WHEN ${Hashing.duckHash64("CAST(doc_id AS VARCHAR)")} % 100 < 90 THEN 'train'
+         |       WHEN ${Hashing.duckHash64("CAST(doc_id AS VARCHAR)")} % 100 < 95 THEN 'val'
+         |       ELSE 'test' END AS split
+         |FROM documents""".stripMargin,
     "pipe_q17_shingle_freq" ->
       s"""SELECT sh AS shingle, count(*) AS n
          |FROM (SELECT unnest(${duckShingles(ShingleK)}) AS sh FROM documents)

@@ -216,6 +216,33 @@ object RelationalQueries {
           round(sum(col("l_quantity")), 2).as("sum_qty"))
     }),
 
+    // exact percentiles (sort-based within group; one shuffle). For
+    // scale, rel_q15's HLL shows the sketch-side answer; this is the
+    // exact-path complement.
+    "rel_q20_percentiles" -> ((s, dir) =>
+      load(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          round(expr("percentile(l_quantity, 0.5)"), 4).as("p50_qty"),
+          round(expr("percentile(l_quantity, 0.9)"), 4).as("p90_qty"),
+          round(expr("percentile(l_extendedprice, 0.99)"), 4).as("p99_price"))),
+
+    // analytic window battery: lag/lead/rank/dense_rank/ntile over the
+    // same single partition-sort — one shuffle serves all five
+    "rel_q21_analytics" -> ((s, dir) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+      load(s, dir, "orders")
+        .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+          lag(col("o_totalprice"), 1).over(w).as("prev_price"),
+          lead(col("o_totalprice"), 1).over(w).as("next_price"),
+          rank().over(Window.partitionBy(col("o_orderpriority"))
+            .orderBy(col("o_totalprice").desc, col("o_orderkey").asc))
+            .cast("long").as("prio_rank"),
+          ntile(4).over(w).cast("long").as("quartile"))
+        .where(col("o_custkey") % 10 === 0)
+    }),
+
     // as-of join: each purchase matched to the user's most recent click
     "rel_q11_asof" -> ((s, dir) => {
       val e = load(s, dir, "events")
@@ -336,6 +363,23 @@ object RelationalQueries {
       """SELECT p_brand, count(*) AS n, round(sum(l_quantity), 2) AS sum_qty
         |FROM lineitem JOIN part ON l_partkey = p_partkey
         |GROUP BY 1""".stripMargin,
+    "rel_q20_percentiles" ->
+      """SELECT l_returnflag,
+        |  round(quantile_cont(l_quantity, 0.5), 4) AS p50_qty,
+        |  round(quantile_cont(l_quantity, 0.9), 4) AS p90_qty,
+        |  round(quantile_cont(l_extendedprice, 0.99), 4) AS p99_price
+        |FROM lineitem GROUP BY 1""".stripMargin,
+    "rel_q21_analytics" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice,
+        |  lag(o_totalprice, 1) OVER w AS prev_price,
+        |  lead(o_totalprice, 1) OVER w AS next_price,
+        |  rank() OVER (PARTITION BY o_orderpriority
+        |    ORDER BY o_totalprice DESC, o_orderkey ASC) AS prio_rank,
+        |  ntile(4) OVER w AS quartile
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey
+        |  ORDER BY o_orderdate ASC, o_orderkey ASC)
+        |QUALIFY o_custkey % 10 = 0""".stripMargin,
     "rel_q11_asof" ->
       """SELECT p.event_id, p.user_id, p.ts, p.value, c.click_ts, c.click_value
         |FROM (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, value FROM events
