@@ -111,3 +111,26 @@ class VectorFunctionsSpec extends SparkSpec {
     assert(m.eval(null) == null)
   }
 }
+
+class GraftExtensionsSpec extends graft.SparkSpec {
+  test("graft_cosine is callable from plain SQL via spark.sql.extensions") {
+    // a sibling session over the same SparkContext, with extensions
+    org.apache.spark.sql.SparkSession.clearActiveSession()
+    org.apache.spark.sql.SparkSession.clearDefaultSession()
+    val s2 = org.apache.spark.sql.SparkSession.builder()
+      .master("local[2]")
+      .withExtensions(new graft.GraftExtensions)
+      .getOrCreate()
+    try {
+      val r = s2.sql(
+        """SELECT graft_cosine(array(1.0F, 2.0F, 2.0F), array(2.0F, 1.0F, 2.0F)) AS c"""
+      ).head().getDouble(0)
+      assert(math.abs(r - 8.0 / 9.0) < 1e-12)
+    } finally {
+      org.apache.spark.sql.SparkSession.clearActiveSession()
+      org.apache.spark.sql.SparkSession.clearDefaultSession()
+      org.apache.spark.sql.SparkSession.setDefaultSession(spark)
+      org.apache.spark.sql.SparkSession.setActiveSession(spark)
+    }
+  }
+}
