@@ -1,0 +1,57 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import graft.model.Matcher
+import graft.queries.Tables
+import graft.tsdb.{RangeVectors, TsdbIngest, TsdbTable}
+
+/** Scale-stress harness: replicate the sf events corpus N-fold (shifted
+  * user label + time jitter ⇒ N× rows AND N× distinct series), ingest
+  * through the real sorted writer, and time the headline TSDB queries.
+  * The check is SHAPE, not absolute speed: ingest and regroup should
+  * scale ~linearly in rows, matcher queries should stay bounded by the
+  * matched slice (pushdown + row-group pruning), not corpus size.
+  *
+  * Usage: runMain graft.ScaleStress [sfDir] [factor]
+  */
+object ScaleStress {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val factor = if (args.length > 1) args(1).toInt else 10
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    def time[T](name: String)(f: => T): T = {
+      val t0 = System.nanoTime(); val r = f
+      println(f"[scale] $name%-32s ${(System.nanoTime() - t0) / 1e9}%8.2f s")
+      r
+    }
+
+    val base = Tables.eventsAsTsdb(spark, sfDir)
+    val xN = (0 until factor).map { i =>
+      base.withColumn("labels.user", concat(col("`labels.user`"), lit("_" + i)))
+        .withColumn("time", col("time") + lit(i * 1000L))
+    }.reduce(_ unionByName _)
+    val dir = java.nio.file.Files.createTempDirectory("graft_scale").toString
+
+    time(s"ingest ${factor}x sorted")(TsdbIngest.write(xN, dir, timePartitions = 32))
+    val t = TsdbTable(TsdbIngest.read(spark, dir))
+    val rows = time("full count")(t.df.count())
+    println(s"[scale] rows=$rows seriesFactor=$factor")
+    time("q2 range+matchers") {
+      t.select(Tables.RangeStart, Tables.RangeEnd,
+        Seq(Matcher.Eq("name", "purchase"), Matcher.Eq("user", "12_3"))).count()
+    }
+    time("regroup all series")(t.regroup(t.select(Nil)).count())
+    time("range vectors 1d")(RangeVectors.overTime(t.df, 86400000L).count())
+    spark.stop()
+  }
+}
