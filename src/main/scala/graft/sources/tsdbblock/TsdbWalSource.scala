@@ -37,16 +37,26 @@ final class TsdbWalTable(path: String) extends Table with SupportsRead {
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    () => new TsdbWalScan(path)
+    new TsdbWalScanBuilder(path)
+}
+
+final class TsdbWalScanBuilder(path: String)
+    extends ScanBuilder with SupportsPushDownRequiredColumns {
+  private var required: StructType = TsdbBlockSource.schema
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+  override def build(): Scan = new TsdbWalScan(path, required)
 }
 
 final case class TsdbWalPartition(
     segment: String, dict: Map[Long, Map[String, String]]) extends InputPartition
 
-final class TsdbWalScan(path: String) extends Scan with Batch {
-  override def readSchema(): StructType = TsdbBlockSource.schema
+final class TsdbWalScan(path: String, required: StructType)
+    extends Scan with Batch {
+  override def readSchema(): StructType = required
   override def toBatch: Batch = this
-  override def description(): String = s"tsdb-wal $path"
+  override def description(): String =
+    s"tsdb-wal $path, columns [${required.fieldNames.mkString(",")}]"
 
   override def planInputPartitions(): Array[InputPartition] = {
     val dict = WalReader.seriesDict(path)
@@ -54,10 +64,12 @@ final class TsdbWalScan(path: String) extends Scan with Batch {
       .map(seg => TsdbWalPartition(seg, dict): InputPartition).toArray
   }
 
-  override def createReaderFactory(): PartitionReaderFactory =
+  override def createReaderFactory(): PartitionReaderFactory = {
+    val fields = required.fieldNames
     (partition: InputPartition) => {
       val p = partition.asInstanceOf[TsdbWalPartition]
       new PartitionReader[InternalRow] {
+        private val wantLabels = fields.contains("labels")
         private val mapCache =
           scala.collection.mutable.Map.empty[Long, ArrayBasedMapData]
         private val it = WalReader.samples(p.segment)
@@ -69,23 +81,31 @@ final class TsdbWalScan(path: String) extends Scan with Batch {
         }
 
         override def get(): InternalRow = {
-          val labels = mapCache.getOrElseUpdate(cur.ref, {
+          val labels = if (!wantLabels) null
+          else mapCache.getOrElseUpdate(cur.ref, {
             val m = p.dict(cur.ref)
             val keys = m.keys.toArray.sorted
             new ArrayBasedMapData(
               ArrayData.toArrayData(keys.map(UTF8String.fromString)),
               ArrayData.toArrayData(keys.map(k => UTF8String.fromString(m(k)))))
           })
-          val row = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(3)
-          row.update(0, cur.time)
-          row.update(1, cur.value)
-          row.update(2, labels)
+          val row = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(fields.length)
+          var f = 0
+          while (f < fields.length) {
+            fields(f) match {
+              case "time" => row.update(f, cur.time)
+              case "value" => row.update(f, cur.value)
+              case "labels" => row.update(f, labels)
+            }
+            f += 1
+          }
           row
         }
 
         override def close(): Unit = ()
       }
     }
+  }
 }
 
 /** The reference's whole-DB view (hello.go:429-447: `DBReadOnly.Querier`
