@@ -146,7 +146,12 @@ object PipelineQueries {
         EventStreams.windowedCounts(EventStreams.readEvents(s, dir)),
         // complete mode: emit every window regardless of watermark, so a
         // single static batch yields the full result deterministically
-        "stream_q1_windowed", mode = "complete")),
+        "stream_q1_windowed", mode = "complete")
+        // rounded at the edge: tumbling epoch-aligned windows ≡
+        // date_trunc in the oracle, so the STREAMING result is
+        // hash-checked against batch SQL — not just rows-counted
+        .select(col("window_start"), col("event_type"), col("n"),
+          round(col("total_value"), 4).as("total_value"))),
   )
 
   // ---------- oracle SQL ----------
@@ -263,6 +268,10 @@ object PipelineQueries {
         |  FROM scored)
         |SELECT probe_id, nn_id, round(cos, 6) AS cosine, rank
         |FROM ranked WHERE rank <= 5""".stripMargin,
+    "stream_q1_windowed" ->
+      """SELECT date_trunc('hour', ts) AS window_start, event_type,
+        |  count(*) AS n, round(sum(value), 4) AS total_value
+        |FROM events GROUP BY 1, 2""".stripMargin,
     "pipe_q18_normalize" ->
       """SELECT doc_id,
         |  trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
