@@ -28,13 +28,21 @@ object IndexReader {
     require(version == 2, s"unsupported index version $version (need 2)")
 
     // TOC: last 52 bytes = 6 × uint64 refs + crc32
+    // Offsets are uint64 in the format but we parse from a byte[], which
+    // java.nio.Files.readAllBytes already caps at Int.MaxValue — so any
+    // section offset past 2 GiB must fail LOUDLY, not wrap via .toInt.
+    def sectionOffset(v: Long, what: String): Int = {
+      require(v >= 0 && v <= buf.length,
+        s"index $what offset $v out of range (index files > 2 GiB unsupported)")
+      v.toInt
+    }
     val toc = new ByteReader(buf, buf.length - 52)
-    val symbolsStart = toc.be64()
-    val seriesStart = toc.be64()
-    val labelIndicesStart = toc.be64()
+    val symbolsStart = sectionOffset(toc.be64(), "symbols")
+    val seriesStart = sectionOffset(toc.be64(), "series")
+    val labelIndicesStart = sectionOffset(toc.be64(), "label-indices")
 
     // ---- symbol table: len(4) #symbols(4) then uvarint-len strings ----
-    val sym = new ByteReader(buf, symbolsStart.toInt)
+    val sym = new ByteReader(buf, symbolsStart)
     sym.be32() // section length
     val nSyms = sym.be32().toInt
     val symbols = new Array[String](nSyms)
@@ -49,8 +57,8 @@ object IndexReader {
     val out = Seq.newBuilder[SeriesEntry]
     // entries are 16-byte aligned from file start (series ref = offset/16);
     // the section may open with zero padding up to the first boundary
-    var pos = (seriesStart.toInt + 15) & ~15
-    val end = labelIndicesStart.toInt
+    var pos = (seriesStart + 15) & ~15
+    val end = labelIndicesStart
     var done = false
     while (!done && pos < end) {
       val r = new ByteReader(buf, pos)

@@ -76,10 +76,15 @@ final class TsdbBlockScanBuilder(path: String, partitions: Int)
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     pushed = filters.filter {
+      // inclusive bounds widen by 1 to reuse the exclusive pruning test;
+      // saturate at the extremes (v±1 would wrap and prune EVERYTHING,
+      // which the residual filter could never resurrect)
       case GreaterThan("time", v: Long) => timeLo = math.max(timeLo, v); true
-      case GreaterThanOrEqual("time", v: Long) => timeLo = math.max(timeLo, v - 1); true
+      case GreaterThanOrEqual("time", v: Long) =>
+        timeLo = math.max(timeLo, if (v == Long.MinValue) v else v - 1); true
       case LessThan("time", v: Long) => timeHi = math.min(timeHi, v); true
-      case LessThanOrEqual("time", v: Long) => timeHi = math.min(timeHi, v + 1); true
+      case LessThanOrEqual("time", v: Long) =>
+        timeHi = math.min(timeHi, if (v == Long.MaxValue) v else v + 1); true
       case _ => false
     }
     filters // all residual: pruning is chunk-granular, Spark re-filters rows

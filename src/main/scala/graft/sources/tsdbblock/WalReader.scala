@@ -26,6 +26,7 @@ object WalReader {
 
   private val PageSize = 32 * 1024
   private val SnappyFlag = 0x08
+  private val ZstdFlag = 0x10 // Prometheus ≥2.50; we don't ship zstd — reject loudly
 
   /** Segment file paths of a WAL directory, in replay order. */
   def segments(walDir: String): Seq[String] = {
@@ -54,9 +55,20 @@ object WalReader {
         else {
           val typ = buf(pos) & 0xff
           if ((typ & 0x07) == 0) { pos += pageRemaining; advance() } // pad
-          else {
+          else if ((typ & ZstdFlag) != 0) {
+            throw new IllegalStateException(
+              s"zstd-compressed WAL record at $segmentPath:$pos not supported")
+          } else {
             val len = ((buf(pos + 1) & 0xff) << 8) | (buf(pos + 2) & 0xff)
+            if (pos + 7 + len > buf.length) { nextRec = null; return } // torn tail
+            val stored = ((buf(pos + 3) & 0xff) << 24) | ((buf(pos + 4) & 0xff) << 16) |
+              ((buf(pos + 5) & 0xff) << 8) | (buf(pos + 6) & 0xff)
             val data = java.util.Arrays.copyOfRange(buf, pos + 7, pos + 7 + len)
+            val crc = new java.util.zip.CRC32C
+            crc.update(data)
+            // checksum mismatch ⇒ torn/corrupt write; stop at the last
+            // valid record, which is how Prometheus treats a damaged tail
+            if (crc.getValue != (stored.toLong & 0xffffffffL)) { nextRec = null; return }
             pos += 7 + len
             if ((typ & SnappyFlag) != 0) fragSnappy = true
             (typ & 0x07) match {

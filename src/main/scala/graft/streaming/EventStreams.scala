@@ -74,8 +74,10 @@ object EventStreams {
             val (closedSessions, open) = ts.foldLeft((Vector.empty[SessionUpdate],
               state.getOption)) { case ((acc, cur), t) =>
               cur match {
+                // late-but-in-watermark events (t < s.end across batches)
+                // may only EXTEND a session, never truncate it
                 case Some(s) if t - s.end <= gapMs =>
-                  (acc, Some(s.copy(n = s.n + 1, end = t)))
+                  (acc, Some(s.copy(n = s.n + 1, end = math.max(s.end, t))))
                 case Some(s) =>
                   (acc :+ SessionUpdate(user, s.n, s.start, s.end, closed = true),
                     Some(SessionState(1, t, t)))

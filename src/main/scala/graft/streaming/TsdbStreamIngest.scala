@@ -9,29 +9,44 @@ import graft.tsdb.TsdbIngest
   * block once; a live system tails samples forever).
   *
   * Each micro-batch pivots long→wide with the BATCH's own label
-  * universe and appends sorted, time-sliced parquet. Batches carrying
+  * universe and writes sorted, time-sliced parquet. Batches carrying
   * never-seen label names simply write a superset schema; readers union
   * with `mergeSchema` — FrostDB's on-the-fly dynamic columns, realized
-  * as schema evolution under exactly-once `foreachBatch` (checkpointed
-  * offsets ⇒ no batch is double-applied on restart).
+  * as schema evolution.
+  *
+  * Delivery: `foreachBatch` alone is at-least-once (the job can die
+  * after a parquet commit but before the checkpoint records the batch,
+  * and the restart re-runs it). The sink is therefore made IDEMPOTENT
+  * on batchId: every batch lands in its own `batch=<id>` partition
+  * directory with Overwrite, so a replayed batch rewrites the same
+  * directory instead of appending duplicates — at-least-once replay ×
+  * idempotent write = effectively-once table contents. Readers see
+  * `batch` as an ordinary Hive-style partition column (never a
+  * `labels.*` column, so query output is unchanged).
   *
   * State: none (stateless transform) — at 100 TB/day the only scaling
   * knob is `timePartitions` per batch (files per time slice).
   */
 object TsdbStreamIngest {
 
+  /** Idempotent per-batch write: deterministic directory from batchId +
+    * Overwrite ⇒ re-running a batch is a no-op on table contents. */
+  def writeBatch(batch: DataFrame, path: String, batchId: Long,
+                 timePartitions: Int = 4): Unit =
+    TsdbIngest.write(TsdbIngest.toWide(batch), f"$path/batch=$batchId%010d",
+      timePartitions, SaveMode.Overwrite)
+
   /** @param samples streaming long-form frame: (time LONG, value DOUBLE,
     *                labels MAP<STRING,STRING>)
     * @param path wide-table output directory
-    * @param checkpoint checkpoint directory (exactly-once bookkeeping)
+    * @param checkpoint checkpoint directory (offset bookkeeping)
     */
   def start(samples: DataFrame, path: String, checkpoint: String,
             timePartitions: Int = 4): StreamingQuery =
     samples.writeStream
       .option("checkpointLocation", checkpoint)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        TsdbIngest.write(TsdbIngest.toWide(batch), path,
-          timePartitions, SaveMode.Append)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        writeBatch(batch, path, batchId, timePartitions)
       }
       .start()
 }

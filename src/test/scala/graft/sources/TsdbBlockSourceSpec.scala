@@ -63,6 +63,13 @@ class TsdbBlockSourceSpec extends SparkSpec {
     assert(pruned.count() < NumSamples)
   }
 
+  test("inclusive bounds at the Long extremes saturate instead of wrapping") {
+    // >= MinValue / <= MaxValue must be no-op pruning, not prune-everything
+    val all = spark.read.format("tsdb-block").load(block)
+      .where(col("time") >= Long.MinValue && col("time") <= Long.MaxValue)
+    assert(all.count() == NumSamples)
+  }
+
   test("partitioning splits series across tasks without double-reading") {
     val p4 = spark.read.format("tsdb-block")
       .option("partitions", 4).load(block)

@@ -27,6 +27,40 @@ class TsdbWalSpec extends SparkSpec {
     assert(r.getLong(1) > BlockMax) // head continues after the block
   }
 
+  test("a corrupted record CRC stops decode instead of yielding garbage") {
+    val orig = java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$db/wal/00000000"))
+    assert(WalReader.records(s"$db/wal/00000000").nonEmpty)
+    // flip one CRC byte of the very first record → iterator must stop at
+    // the damaged tail (here: immediately), never decode the payload
+    val bad = orig.clone(); bad(3) = (bad(3) ^ 0xff).toByte
+    val dir = java.nio.file.Files.createTempDirectory("walcrc")
+    val p = dir.resolve("00000000")
+    java.nio.file.Files.write(p, bad)
+    assert(WalReader.records(p.toString).isEmpty)
+  }
+
+  test("a torn tail (truncated segment) terminates cleanly") {
+    val orig = java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$db/wal/00000001"))
+    val full = WalReader.samples(s"$db/wal/00000001").size
+    val dir = java.nio.file.Files.createTempDirectory("waltorn")
+    val p = dir.resolve("00000000")
+    java.nio.file.Files.write(p, java.util.Arrays.copyOfRange(orig, 0, orig.length - 51))
+    val torn = WalReader.samples(p.toString).size // no exception
+    assert(torn <= full)
+  }
+
+  test("zstd-compressed WAL records are rejected loudly") {
+    val page = new Array[Byte](32 * 1024)
+    page(0) = 0x11 // full record + zstd flag
+    page(2) = 8    // len
+    val dir = java.nio.file.Files.createTempDirectory("walzstd")
+    val p = dir.resolve("00000000")
+    java.nio.file.Files.write(p, page)
+    intercept[IllegalStateException] { WalReader.records(p.toString).hasNext }
+  }
+
   test("whole-DB view: blocks ∪ WAL deduped on (series, time)") {
     val all = TsdbDb.read(spark, db)
     val n = all.count()

@@ -20,6 +20,31 @@ class EventStreamsSpec extends SparkSpec {
     assert(s.nonEmpty)
   }
 
+  test("late in-watermark events extend, never truncate, an open session") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, java.sql.Timestamp)]
+    val df = input.toDF().toDF("user_id", "ts")
+      .withColumn("event_id", lit(0L)).withColumn("event_type", lit("x"))
+      .withColumn("value", lit(0.0)).withColumn("props", lit("{}"))
+    val sessions = EventStreams.sessionize(df, gapMs = 10 * 60000L)
+    val q = sessions.writeStream.outputMode("append")
+      .format("memory").queryName("es_test_late").start()
+    def ts(min: Int) = new java.sql.Timestamp(1700000000000L + min * 60000L)
+    input.addData((1L, ts(0)), (1L, ts(9)))
+    q.processAllAvailable()
+    input.addData((1L, ts(4))) // out-of-order but within the 1 h watermark
+    q.processAllAvailable()
+    input.addData((1L, ts(120))) // push the watermark past the gap
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("es_test_late")
+      .select($"n_events", $"session_start", $"session_end", $"closed")
+      .as[(Long, Long, Long, Boolean)].collect().toSet
+    // session_end must remain ts(9) — the late ts(4) only adds a count
+    assert(got.contains((3L, ts(0).getTime, ts(9).getTime, true)), got.toString)
+  }
+
   test("sessionize closes sessions separated by more than the gap") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx = spark.sqlContext
@@ -75,4 +100,20 @@ class TsdbStreamIngestSpec extends graft.SparkSpec {
     assert(streamed.nonEmpty)
     assert(streamed == canon(batchDir))
   }
+
+  test("writeBatch is idempotent on batchId (at-least-once replay safe)") {
+    val batch = longFormStatic(graft.queries.Tables.load(spark, Sf0001, "events"))
+    val out = tmpDir("tsdb_idem_out")
+    TsdbStreamIngest.writeBatch(batch, out, batchId = 7L)
+    val n1 = TsdbIngest.read(spark, out).count()
+    TsdbStreamIngest.writeBatch(batch, out, batchId = 7L) // simulated replay
+    assert(TsdbIngest.read(spark, out).count() == n1)
+    TsdbStreamIngest.writeBatch(batch, out, batchId = 8L) // a NEW batch appends
+    assert(TsdbIngest.read(spark, out).count() == 2 * n1)
+  }
+
+  private def longFormStatic(df: org.apache.spark.sql.DataFrame) = df.select(
+    unix_millis(col("ts")).as("time"), col("value"),
+    map(lit("name"), col("event_type"),
+      lit("user"), col("user_id").cast("string")).as("labels"))
 }
