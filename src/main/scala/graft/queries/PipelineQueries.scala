@@ -135,9 +135,15 @@ object PipelineQueries {
     "pipe_q14_embdedup" -> ((s, dir) =>
       Dedup.embeddingNearDups(load(s, dir, "embeddings"), "vec_id", "embedding",
         dim = 64, threshold = 0.2, planes = 8)),
+    // multimodal featurize: runs the real mapPartitions kernel, then
+    // projects the scalar plumbing columns (the float feature vector is
+    // stub-derived and not SQL-reproducible; it stays spec-checked) —
+    // this keeps the query oracle-checkable instead of rows-only
     "pipe_q15_multimodal" -> ((s, dir) =>
       Multimodal.featurize(
-        Multimodal.synthesize(load(s, dir, "documents"), "doc_id", "text")).toDF()),
+        Multimodal.synthesize(load(s, dir, "documents"), "doc_id", "text")).toDF()
+        .select(col("media_id"), col("kind"), col("n_bytes"),
+          size(col("features")).cast("long").as("n_features"))),
     "pipe_q16_frames" -> ((s, dir) =>
       Multimodal.sampleFrames(
         Multimodal.synthesize(load(s, dir, "documents"), "doc_id", "text"))),
@@ -289,6 +295,13 @@ object PipelineQueries {
       s"""SELECT sh AS shingle, count(*) AS n
          |FROM (SELECT unnest(${duckShingles(ShingleK)}) AS sh FROM documents)
          |GROUP BY 1 HAVING count(*) >= 5""".stripMargin,
+    "pipe_q15_multimodal" ->
+      """SELECT CAST(doc_id AS BIGINT) AS media_id,
+        |  CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN 'image'
+        |    WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+        |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        |  CAST(8 AS BIGINT) AS n_features
+        |FROM documents""".stripMargin,
     "pipe_q11_embstats" ->
       """SELECT label, count(*) AS n,
         |  round(avg(sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]),

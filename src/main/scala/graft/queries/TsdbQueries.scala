@@ -45,13 +45,19 @@ object TsdbQueries {
         min_by(col("value"), col("time")).as("first_value"),
         max_by(col("value"), col("time")).as("last_value"))),
     // Q4b: series regrouping — true array form (collect_list sorted by
-    // time; duplicates kept, hello.go:380-418)
+    // time; duplicates kept, hello.go:380-418). The per-series vectors
+    // are re-flattened with their positions for the driver compare
+    // (array cells aren't hashable on the oracle side); `idx` IS the
+    // vector offset, so element order — the actual merge semantics —
+    // stays under oracle check.
     "tsdb_q4_series" -> ((s, dir) => table(s, dir).select(
       RangeStart, RangeEnd, Seq(Matcher.Eq("name", "signup")))
       .groupBy(col("`labels.name`"), col("`labels.user`"))
-      .agg(sort_array(collect_list(col("time"))).as("ts"),
-        array_sort(collect_list(struct(col("time"), col("value"))))
-          .getField("value").as("v"))),
+      .agg(array_sort(collect_list(struct(col("time"), col("value")))).as("tv"))
+      .select(col("`labels.name`"), col("`labels.user`"),
+        posexplode(col("tv")).as(Seq("idx", "tv")))
+      .select(col("`labels.name`"), col("`labels.user`"), col("idx"),
+        col("tv.time").as("time"), col("tv.value").as("value"))),
     // Q5: count parity (A4)
     "tsdb_q5_count" -> ((s, dir) =>
       table(s, dir).df.agg(count(lit(1)).as("n"))),
@@ -124,12 +130,12 @@ object TsdbQueries {
     "tsdb_q4_series" ->
       s"""$duckTsdbCte
          |SELECT "labels.name", "labels.user",
-         |  list(time ORDER BY time) AS ts,
-         |  list(value ORDER BY time, value) AS v
+         |  CAST(row_number() OVER (PARTITION BY "labels.name", "labels.user"
+         |    ORDER BY time, value) - 1 AS INTEGER) AS idx,
+         |  time, value
          |FROM t
          |WHERE time > $RangeStart AND time < $RangeEnd
-         |  AND "labels.name" = 'signup'
-         |GROUP BY 1, 2""".stripMargin,
+         |  AND "labels.name" = 'signup'""".stripMargin,
     "tsdb_q5_count" -> s"$duckTsdbCte SELECT count(*) AS n FROM t",
     "tsdb_q7_range_vectors" ->
       s"""$duckTsdbCte
