@@ -113,15 +113,22 @@ object PipelineQueries {
           .when(pmod(Hashing.hash64(col("doc_id").cast("string")), lit(100)) < 95, "val")
           .otherwise("test").as("split"))),
 
-    // ---- rows-only checked (non-SQL-expressible) ----
+    // sessionize: the streaming result IS batch gap-sessionization plus
+    // the watermark emission rule (a session is emitted iff it was closed
+    // by a gap, or the final watermark maxTs-1h passed its end+gap), so
+    // the full flatMapGroupsWithState output hash-checks against SQL
     "stream_q2_sessionize" -> ((s, dir) =>
       EventStreams.runToMemory(
         EventStreams.sessionize(EventStreams.readEvents(s, dir)).toDF(),
         "stream_q2_sessionize", mode = "append")),
+    // streaming dedup: which physical row survives per key is arrival-
+    // order-dependent, but the KEY SET is exact — project to it so the
+    // operator's semantics (one row per key) are oracle-checked
     "stream_q3_dedup" -> ((s, dir) =>
       EventStreams.runToMemory(
         EventStreams.dedupWithinWatermark(EventStreams.readEvents(s, dir)),
-        "stream_q3_dedup", mode = "append")),
+        "stream_q3_dedup", mode = "append")
+        .select(col("user_id"), col("event_type"))),
     "pipe_q12_lsh_knn" -> ((s, dir) => {
       val emb = load(s, dir, "embeddings")
       Similarity.lshKnn(emb, emb.where(col("vec_id") < 5),
@@ -144,9 +151,13 @@ object PipelineQueries {
         Multimodal.synthesize(load(s, dir, "documents"), "doc_id", "text")).toDF()
         .select(col("media_id"), col("kind"), col("n_bytes"),
           size(col("features")).cast("long").as("n_features"))),
+    // frame sampling is deterministic byte-slicing of the synthesized
+    // payload; hex() the slice so the oracle compares strings, not blobs
     "pipe_q16_frames" -> ((s, dir) =>
       Multimodal.sampleFrames(
-        Multimodal.synthesize(load(s, dir, "documents"), "doc_id", "text"))),
+        Multimodal.synthesize(load(s, dir, "documents"), "doc_id", "text"))
+        .select(col("media_id"), col("frame_idx"),
+          hex(col("frame_bytes")).as("frame_hex"))),
     "stream_q1_windowed" -> ((s, dir) =>
       EventStreams.runToMemory(
         EventStreams.windowedCounts(EventStreams.readEvents(s, dir)),
@@ -167,6 +178,30 @@ object PipelineQueries {
        |ELSE list_transform(range(0, len(string_split(text, ' ')) - $k + 1),
        |  j -> array_to_string(list_slice(string_split(text, ' '), j + 1, j + $k), ' '))
        |END""".stripMargin
+
+  // ---- DuckDB replicas of the hash-derived ANN machinery ----
+  // (mirrors VectorFunctions.lshBucket / Similarity.centroid exactly:
+  // plane[p][j] = (hash64("p,j") % 2001 - 1000) / 1000)
+
+  private val Dim = 64
+
+  private def duckPlaneProj(p: Int, v: String): String =
+    s"list_sum(list_transform(range(1, ${Dim + 1}), j -> $v[j] * " +
+      s"(CAST(${Hashing.duckHash64(s"'$p,' || CAST(j - 1 AS VARCHAR)")} % 2001 - 1000 AS DOUBLE) / 1000.0)))"
+
+  private def duckBucket(v: String, planes: Int, seedOffset: Int = 0): String =
+    (0 until planes).map(pi =>
+      s"(CASE WHEN ${duckPlaneProj(pi + seedOffset, v)} >= 0 THEN ${1 << pi} ELSE 0 END)")
+      .mkString("(", " + ", ")")
+
+  private def duckCos(a: String, b: String): String =
+    s"(list_sum(list_transform(range(1, ${Dim + 1}), i -> $a[i] * $b[i])) / " +
+      s"(sqrt(list_sum(list_transform(range(1, ${Dim + 1}), i -> $a[i] * $a[i]))) * " +
+      s"sqrt(list_sum(list_transform(range(1, ${Dim + 1}), i -> $b[i] * $b[i])))))"
+
+  private def duckCentroidDot(c: Int, v: String): String =
+    s"list_sum(list_transform(range(1, ${Dim + 1}), j -> $v[j] * " +
+      s"(CAST(${Hashing.duckHash64(s"'cell$c,' || CAST(j - 1 AS VARCHAR)")} % 2001 - 1000 AS DOUBLE) / 1000.0)))"
 
   private def duckMinhashCols(k: Int): String =
     (0 until k).map(i =>
@@ -307,5 +342,74 @@ object PipelineQueries {
         |  round(avg(sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]),
         |    x -> x * x)))), 6) AS avg_norm
         |FROM embeddings GROUP BY 1""".stripMargin,
+    "pipe_q12_lsh_knn" -> {
+      val planes = 6; val tables = 3; val k = 5
+      val buckets = (0 until tables)
+        .map(t => duckBucket("v", planes, seedOffset = t * planes)).mkString(", ")
+      s"""WITH e AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |sig AS (SELECT id, unnest(range(0, $tables)) AS tbl,
+         |  unnest([$buckets]) AS bucket FROM e),
+         |cand AS (SELECT DISTINCT p.id AS probe_id, c.id AS nn_id
+         |  FROM sig p JOIN sig c ON p.tbl = c.tbl AND p.bucket = c.bucket
+         |    AND c.id <> p.id
+         |  WHERE p.id < 5),
+         |scored AS (SELECT probe_id, nn_id, ${duckCos("pv.v", "cv.v")} AS cos
+         |  FROM cand JOIN e pv ON probe_id = pv.id JOIN e cv ON nn_id = cv.id),
+         |ranked AS (SELECT probe_id, nn_id, cos,
+         |    row_number() OVER (PARTITION BY probe_id ORDER BY cos DESC, nn_id ASC) AS rank
+         |  FROM scored)
+         |SELECT probe_id, nn_id, round(cos, 6) AS cosine, rank
+         |FROM ranked WHERE rank <= $k""".stripMargin
+    },
+    "pipe_q13_ivf_knn" -> {
+      val nCells = 8; val k = 3
+      val sims = (0 until nCells).map(c => duckCentroidDot(c, "v")).mkString(", ")
+      s"""WITH e AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |cells AS (SELECT id, v,
+         |  $nCells - list_position(list_reverse([$sims]), list_max([$sims])) AS cell
+         |  FROM e),
+         |cand AS (SELECT p.id AS probe_id, c.id AS nn_id, p.v AS pv, c.v AS cv
+         |  FROM cells p JOIN cells c ON p.cell = c.cell AND c.id <> p.id
+         |  WHERE p.id < 5),
+         |scored AS (SELECT probe_id, nn_id, ${duckCos("pv", "cv")} AS cos FROM cand),
+         |ranked AS (SELECT probe_id, nn_id, cos,
+         |    row_number() OVER (PARTITION BY probe_id ORDER BY cos DESC, nn_id ASC) AS rank
+         |  FROM scored)
+         |SELECT probe_id, nn_id, round(cos, 6) AS cosine, rank
+         |FROM ranked WHERE rank <= $k""".stripMargin
+    },
+    "pipe_q14_embdedup" ->
+      s"""WITH e AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |b AS (SELECT id, v, ${duckBucket("v", 8)} AS bucket FROM e),
+         |pairs AS (SELECT l.id AS id_a, r.id AS id_b, ${duckCos("l.v", "r.v")} AS cos
+         |  FROM b l JOIN b r ON l.bucket = r.bucket AND l.id < r.id)
+         |SELECT id_a, id_b, round(cos, 6) AS cosine
+         |FROM pairs WHERE cos >= 0.2""".stripMargin,
+    "pipe_q16_frames" ->
+      """SELECT CAST(doc_id AS BIGINT) AS media_id,
+        |  CAST(f AS INTEGER) AS frame_idx,
+        |  substr(hex(encode(text)), CAST(f AS INTEGER) * 32 + 1, 32) AS frame_hex
+        |FROM documents, unnest(generate_series(0, CAST(doc_id % 30 AS INTEGER), 10)) AS t(f)
+        |WHERE doc_id % 3 = 2""".stripMargin,
+    // streaming sessionize ≡ batch gap-sessionization + the watermark
+    // emission rule: emit gap-closed sessions, plus the final session of
+    // a user iff the terminal watermark (max ts - 1h) passed end + gap
+    "stream_q2_sessionize" ->
+      """WITH e AS (SELECT user_id, CAST(epoch_ms(ts) AS BIGINT) AS tms FROM events),
+        |o AS (SELECT user_id, tms,
+        |  CASE WHEN tms - lag(tms) OVER (PARTITION BY user_id ORDER BY tms) > 1800000
+        |    THEN 1 ELSE 0 END AS brk FROM e),
+        |g AS (SELECT user_id, tms, sum(brk) OVER (PARTITION BY user_id ORDER BY tms
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid FROM o),
+        |s AS (SELECT user_id, sid, count(*) AS n_events,
+        |  min(tms) AS session_start, max(tms) AS session_end
+        |  FROM g GROUP BY 1, 2),
+        |s2 AS (SELECT *, max(sid) OVER (PARTITION BY user_id) AS last_sid FROM s),
+        |m AS (SELECT CAST(epoch_ms(max(ts)) AS BIGINT) AS mx FROM events)
+        |SELECT user_id, n_events, session_start, session_end, true AS closed
+        |FROM s2, m
+        |WHERE sid < last_sid OR session_end + 1800000 < mx - 3600000""".stripMargin,
+    "stream_q3_dedup" ->
+      "SELECT DISTINCT user_id, event_type FROM events",
   )
 }
