@@ -129,6 +129,12 @@ object PipelineQueries {
         EventStreams.dedupWithinWatermark(EventStreams.readEvents(s, dir)),
         "stream_q3_dedup", mode = "append")
         .select(col("user_id"), col("event_type"))),
+    // stream-stream interval join: inner join emits exactly the batch
+    // join's matches, so the full streaming output hash-checks
+    "stream_q4_join" -> ((s, dir) =>
+      EventStreams.runToMemory(
+        EventStreams.intervalJoin(EventStreams.readEvents(s, dir)),
+        "stream_q4_join", mode = "append")),
     "pipe_q12_lsh_knn" -> ((s, dir) => {
       val emb = load(s, dir, "embeddings")
       Similarity.lshKnn(emb, emb.where(col("vec_id") < 5),
@@ -411,5 +417,13 @@ object PipelineQueries {
         |WHERE sid < last_sid OR session_end + 1800000 < mx - 3600000""".stripMargin,
     "stream_q3_dedup" ->
       "SELECT DISTINCT user_id, event_type FROM events",
+    "stream_q4_join" ->
+      """SELECT p.event_id AS purchase_id, c.event_id AS click_id, p.user_id,
+        |  CAST(epoch_ms(p.ts) AS BIGINT) AS purchase_ms,
+        |  CAST(epoch_ms(c.ts) AS BIGINT) AS click_ms
+        |FROM events p JOIN events c
+        |  ON p.user_id = c.user_id
+        |  AND p.event_type = 'purchase' AND c.event_type = 'click'
+        |  AND c.ts >= p.ts - INTERVAL 5 MINUTES AND c.ts <= p.ts""".stripMargin,
   )
 }

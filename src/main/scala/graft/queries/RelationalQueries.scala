@@ -243,6 +243,59 @@ object RelationalQueries {
         .where(col("o_custkey") % 10 === 0)
     }),
 
+    // left outer join: null-extended dimension rows survive into the
+    // aggregate (count(col) vs count(*) distinguishes matched/unmatched)
+    "rel_q22_outer" -> ((s, dir) => {
+      val c = load(s, dir, "customer")
+      val o = load(s, dir, "orders").where(col("o_totalprice") > 250000)
+      c.join(o, c("c_custkey") === o("o_custkey"), "left")
+        .groupBy(col("c_mktsegment"))
+        .agg(count(col("o_orderkey")).as("n_big_orders"),
+          count(lit(1)).as("n_rows"))
+    }),
+
+    // full outer join of two per-user aggregates (USING-key coalescing)
+    "rel_q23_full_outer" -> ((s, dir) => {
+      val e = load(s, dir, "events")
+      val p = e.where(col("event_type") === "purchase")
+        .groupBy(col("user_id")).agg(count(lit(1)).as("n_purchases"))
+      val r = e.where(col("event_type") === "error")
+        .groupBy(col("user_id")).agg(count(lit(1)).as("n_errors"))
+      p.join(r, Seq("user_id"), "full_outer")
+        .select(col("user_id"),
+          coalesce(col("n_purchases"), lit(0L)).as("n_purchases"),
+          coalesce(col("n_errors"), lit(0L)).as("n_errors"))
+    }),
+
+    // SQL-text surface: scalar subquery + decorrelated IN subquery through
+    // Spark's own parser/analyzer (the rounded avg pins the float
+    // threshold so both engines compare against the identical literal)
+    "rel_q24_subqueries" -> ((s, dir) => {
+      load(s, dir, "orders").createOrReplaceTempView("orders")
+      load(s, dir, "customer").createOrReplaceTempView("customer")
+      s.sql(
+        """SELECT o_orderpriority, count(*) AS n,
+          |  round(sum(o_totalprice), 2) AS total
+          |FROM orders
+          |WHERE o_totalprice > (SELECT round(avg(o_totalprice), 2) FROM orders)
+          |  AND o_custkey IN (SELECT c_custkey FROM customer
+          |                    WHERE c_mktsegment = 'BUILDING')
+          |GROUP BY o_orderpriority""".stripMargin)
+    }),
+
+    // typed Aggregator UDAF: custom (min, max, n) in one partial-agg pass
+    "rel_q25_udaf" -> ((s, dir) => {
+      val span = udaf(graft.functions.TypedAggregators.SpanAgg,
+        org.apache.spark.sql.Encoders.scalaDouble)
+      load(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(span(col("l_extendedprice")).as("s"))
+        .select(col("l_returnflag"),
+          col("s.min").as("min_price"), col("s.max").as("max_price"),
+          col("s.n").as("n"),
+          round(col("s.max") - col("s.min"), 2).as("span"))
+    }),
+
     // as-of join: each purchase matched to the user's most recent click
     "rel_q11_asof" -> ((s, dir) => {
       val e = load(s, dir, "events")
@@ -380,6 +433,35 @@ object RelationalQueries {
         |WINDOW w AS (PARTITION BY o_custkey
         |  ORDER BY o_orderdate ASC, o_orderkey ASC)
         |QUALIFY o_custkey % 10 = 0""".stripMargin,
+    "rel_q22_outer" ->
+      """SELECT c_mktsegment, count(o_orderkey) AS n_big_orders,
+        |  count(*) AS n_rows
+        |FROM customer LEFT JOIN
+        |  (SELECT * FROM orders WHERE o_totalprice > 250000) o
+        |  ON c_custkey = o_custkey
+        |GROUP BY 1""".stripMargin,
+    "rel_q23_full_outer" ->
+      """SELECT user_id,
+        |  coalesce(n_purchases, 0) AS n_purchases,
+        |  coalesce(n_errors, 0) AS n_errors
+        |FROM (SELECT user_id, count(*) AS n_purchases FROM events
+        |      WHERE event_type = 'purchase' GROUP BY 1) p
+        |FULL JOIN (SELECT user_id, count(*) AS n_errors FROM events
+        |      WHERE event_type = 'error' GROUP BY 1) e
+        |USING (user_id)""".stripMargin,
+    "rel_q24_subqueries" ->
+      """SELECT o_orderpriority, count(*) AS n,
+        |  round(sum(o_totalprice), 2) AS total
+        |FROM orders
+        |WHERE o_totalprice > (SELECT round(avg(o_totalprice), 2) FROM orders)
+        |  AND o_custkey IN (SELECT c_custkey FROM customer
+        |                    WHERE c_mktsegment = 'BUILDING')
+        |GROUP BY o_orderpriority""".stripMargin,
+    "rel_q25_udaf" ->
+      """SELECT l_returnflag, min(l_extendedprice) AS min_price,
+        |  max(l_extendedprice) AS max_price, count(*) AS n,
+        |  round(max(l_extendedprice) - min(l_extendedprice), 2) AS span
+        |FROM lineitem GROUP BY 1""".stripMargin,
     "rel_q11_asof" ->
       """SELECT p.event_id, p.user_id, p.ts, p.value, c.click_ts, c.click_value
         |FROM (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, value FROM events

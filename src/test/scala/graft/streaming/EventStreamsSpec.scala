@@ -72,6 +72,7 @@ class EventStreamsSpec extends SparkSpec {
 }
 
 class TsdbStreamIngestSpec extends graft.SparkSpec {
+  import spark.implicits._
   import org.apache.spark.sql.functions._
   import graft.model.Matcher
   import graft.tsdb.{TsdbIngest, TsdbTable}
@@ -116,4 +117,23 @@ class TsdbStreamIngestSpec extends graft.SparkSpec {
     unix_millis(col("ts")).as("time"), col("value"),
     map(lit("name"), col("event_type"),
       lit("user"), col("user_id").cast("string")).as("labels"))
+
+  test("stream-stream interval join equals the batch interval join") {
+    val streamed = EventStreams.runToMemory(
+      EventStreams.intervalJoin(EventStreams.readEvents(spark, Sf0001)),
+      "es_test_ssjoin", mode = "append")
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+    val e = graft.queries.Tables.load(spark, Sf0001, "events")
+    val p = e.where($"event_type" === "purchase")
+      .select($"user_id".as("pu"), $"event_id".as("purchase_id"), $"ts".as("pts"))
+    val c = e.where($"event_type" === "click")
+      .select($"user_id".as("cu"), $"event_id".as("click_id"), $"ts".as("cts"))
+    val batch = p.join(c, $"pu" === $"cu" &&
+        $"cts" >= $"pts" - expr("INTERVAL 5 MINUTES") && $"cts" <= $"pts")
+      .select($"purchase_id", $"click_id", $"pu",
+        unix_millis($"pts"), unix_millis($"cts"))
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+    assert(streamed == batch)
+    assert(streamed.nonEmpty)
+  }
 }
