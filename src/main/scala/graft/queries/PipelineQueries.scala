@@ -113,6 +113,42 @@ object PipelineQueries {
           .when(pmod(Hashing.hash64(col("doc_id").cast("string")), lit(100)) < 95, "val")
           .otherwise("test").as("split"))),
 
+    // stratified sampling via the portable hash: per-language rates
+    // (en 50%, others 20%), deterministic per doc — membership never
+    // changes as the corpus grows, unlike seeded random sampling, and
+    // it is a pure map-side filter (no shuffle, no sampling pass)
+    "pipe_q20_stratified" -> ((s, dir) =>
+      load(s, dir, "documents")
+        .where(pmod(Hashing.hash64(concat(col("lang"), lit(":"),
+            col("doc_id").cast("string"))), lit(100)) <
+          when(col("lang") === "en", lit(50)).otherwise(lit(20)))
+        .select(col("doc_id"), col("lang"))),
+
+    // corpus TF-IDF: term frequency per doc × ln(N / doc-frequency),
+    // top-3 terms per doc. Two aggregations + a broadcast join on term —
+    // the doc-frequency side is distinct-term cardinality, tiny relative
+    // to the corpus, so at scale the corpus shuffles once.
+    "pipe_q21_tfidf" -> ((s, dir) => {
+      val docs = load(s, dir, "documents").where(col("doc_id") < 100)
+      val terms = docs.select(col("doc_id"),
+        explode(split(col("text"), " ")).as("term"))
+      val tf = terms.groupBy(col("doc_id"), col("term"))
+        .agg(count(lit(1)).as("tf"))
+      val dfreq = terms.select(col("doc_id"), col("term")).distinct()
+        .groupBy(col("term")).agg(count(lit(1)).as("df"))
+      val n = docs.count()
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("doc_id"))
+        .orderBy(col("score").desc, col("term").asc)
+      tf.join(broadcast(dfreq), Seq("term"))
+        .withColumn("score",
+          round(col("tf") * log(lit(n.toDouble) / col("df")), 6))
+        .withColumn("rank", row_number().over(w))
+        .where(col("rank") <= 3)
+        .select(col("doc_id"), col("term"), col("tf"), col("df"),
+          col("score"), col("rank").cast("long").as("rank"))
+    }),
+
     // sessionize: the streaming result IS batch gap-sessionization plus
     // the watermark emission rule (a session is emitted iff it was closed
     // by a gap, or the final watermark maxTs-1h passed its end+gap), so
@@ -417,6 +453,24 @@ object PipelineQueries {
         |WHERE sid < last_sid OR session_end + 1800000 < mx - 3600000""".stripMargin,
     "stream_q3_dedup" ->
       "SELECT DISTINCT user_id, event_type FROM events",
+    "pipe_q20_stratified" ->
+      s"""SELECT doc_id, lang FROM documents
+         |WHERE ${Hashing.duckHash64("lang || ':' || CAST(doc_id AS VARCHAR)")} % 100 <
+         |  CASE WHEN lang = 'en' THEN 50 ELSE 20 END""".stripMargin,
+    "pipe_q21_tfidf" ->
+      """WITH docs AS (SELECT * FROM documents WHERE doc_id < 100),
+        |terms AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM docs),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM terms GROUP BY 1, 2),
+        |dfreq AS (SELECT term, count(*) AS df
+        |  FROM (SELECT DISTINCT doc_id, term FROM terms) GROUP BY 1),
+        |n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM docs),
+        |scored AS (SELECT doc_id, tf.term, tf, df,
+        |    round(tf * ln(n / df), 6) AS score
+        |  FROM tf JOIN dfreq ON tf.term = dfreq.term, n),
+        |ranked AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+        |    ORDER BY score DESC, term ASC) AS rank FROM scored)
+        |SELECT doc_id, term, tf, df, score, rank
+        |FROM ranked WHERE rank <= 3""".stripMargin,
     "stream_q4_join" ->
       """SELECT p.event_id AS purchase_id, c.event_id AS click_id, p.user_id,
         |  CAST(epoch_ms(p.ts) AS BIGINT) AS purchase_ms,

@@ -296,6 +296,18 @@ object RelationalQueries {
           round(col("s.max") - col("s.min"), 2).as("span"))
     }),
 
+    // statistical aggregates: correlation / stddev / variance per group —
+    // single-pass co-moment accumulation (partial-aggregated), rounded at
+    // the output to absorb engine-specific summation order
+    "rel_q26_stats" -> ((s, dir) =>
+      load(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          round(corr(col("l_quantity"), col("l_extendedprice")), 6).as("corr_qty_price"),
+          round(stddev_samp(col("l_quantity")), 6).as("sd_qty"),
+          round(var_samp(col("l_quantity")), 6).as("var_qty"),
+          round(avg(col("l_quantity")), 6).as("avg_qty"))),
+
     // as-of join: each purchase matched to the user's most recent click
     "rel_q11_asof" -> ((s, dir) => {
       val e = load(s, dir, "events")
@@ -461,6 +473,13 @@ object RelationalQueries {
       """SELECT l_returnflag, min(l_extendedprice) AS min_price,
         |  max(l_extendedprice) AS max_price, count(*) AS n,
         |  round(max(l_extendedprice) - min(l_extendedprice), 2) AS span
+        |FROM lineitem GROUP BY 1""".stripMargin,
+    "rel_q26_stats" ->
+      """SELECT l_returnflag,
+        |  round(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price,
+        |  round(stddev_samp(l_quantity), 6) AS sd_qty,
+        |  round(var_samp(l_quantity), 6) AS var_qty,
+        |  round(avg(l_quantity), 6) AS avg_qty
         |FROM lineitem GROUP BY 1""".stripMargin,
     "rel_q11_asof" ->
       """SELECT p.event_id, p.user_id, p.ts, p.value, c.click_ts, c.click_value

@@ -67,6 +67,27 @@ object TsdbQueries {
     "tsdb_q7_range_vectors" -> ((s, dir) =>
       graft.tsdb.RangeVectors.overTime(
         eventsAsTsdbStored(s, dir), stepMs = 86400000L)),
+    // Q8: PromQL instant-vector evaluation — each series' latest sample
+    // in the 1-day lookback window ending at RangeEnd (staleness rule:
+    // series without a sample in the window drop out)
+    "tsdb_q8_instant" -> ((s, dir) =>
+      graft.tsdb.RangeVectors.instant(
+        eventsAsTsdbStored(s, dir), at = RangeEnd, lookbackMs = 86400000L)),
+    // Q10: PromQL vector-matching binary op — purchase-sum / click-sum
+    // per user over the range (inner match: users missing either side
+    // drop out, exactly PromQL's on(user) matching). Ratio computed from
+    // the ROUNDED sums so both engines divide identical literals.
+    "tsdb_q10_binop" -> ((s, dir) => {
+      val t = table(s, dir)
+      def sumBy(name: String, as: String) =
+        t.select(RangeStart, RangeEnd, Seq(Matcher.Eq("name", name)))
+          .groupBy(col("`labels.user`").as("user"))
+          .agg(round(sum(col("value")), 6).as(as))
+      sumBy("purchase", "purchase_sum")
+        .join(sumBy("click", "click_sum"), Seq("user"))
+        .select(col("user"), col("purchase_sum"), col("click_sum"),
+          round(col("purchase_sum") / col("click_sum"), 6).as("ratio"))
+    }),
     // Q8: the S7 metadata inspection surface (reference `visualize`,
     // hello.go:75-119) as an exact-oracle query: footer stats of a FIXED
     // artifact (sf0.01 lineitem — both sides pin the same literal path,
@@ -150,6 +171,25 @@ object TsdbQueries {
          |      - list_extract(min([CAST(time AS DOUBLE), value]), 2))
          |    / nullif((max(time) - min(time)) / 1000.0, 0.0), 6) AS rate
          |FROM t GROUP BY 1, 2, 3, 4""".stripMargin,
+    "tsdb_q8_instant" ->
+      s"""$duckTsdbCte
+         |SELECT "labels.k", "labels.name", "labels.user",
+         |  max(time) AS time,
+         |  list_extract(max([CAST(time AS DOUBLE), value]), 2) AS value
+         |FROM t
+         |WHERE time > ${RangeEnd - 86400000L} AND time <= $RangeEnd
+         |GROUP BY 1, 2, 3""".stripMargin,
+    "tsdb_q10_binop" ->
+      s"""$duckTsdbCte,
+         |p AS (SELECT "labels.user" AS "user", round(sum(value), 6) AS purchase_sum
+         |  FROM t WHERE time > $RangeStart AND time < $RangeEnd
+         |    AND "labels.name" = 'purchase' GROUP BY 1),
+         |c AS (SELECT "labels.user" AS "user", round(sum(value), 6) AS click_sum
+         |  FROM t WHERE time > $RangeStart AND time < $RangeEnd
+         |    AND "labels.name" = 'click' GROUP BY 1)
+         |SELECT "user", purchase_sum, click_sum,
+         |  round(purchase_sum / click_sum, 6) AS ratio
+         |FROM p JOIN c USING ("user")""".stripMargin,
     "inspect_q1_footer" ->
       """SELECT row_group_id, path_in_schema, type, num_values,
         |  total_compressed_size, total_uncompressed_size

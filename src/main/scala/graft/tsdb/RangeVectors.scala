@@ -18,6 +18,28 @@ import org.apache.spark.sql.functions._
   */
 object RangeVectors {
 
+  /** PromQL instant-vector evaluation: for each series, the most recent
+    * sample in the lookback window ending at `at` (Prometheus's staleness
+    * rule: a series with no sample in the window drops out of the
+    * vector). One partial-aggregated groupBy; with the time-sorted
+    * storage layout the scan itself is pruned to the window, so the cost
+    * at 100 TB is ∝ one lookback window of data, not history.
+    *
+    * Duplicate-timestamp ties resolve by lexicographic (time, value) max
+    * — same total order as [[overTime]], replayed identically by the
+    * oracle. */
+  def instant(wide: DataFrame, at: Long, lookbackMs: Long): DataFrame = {
+    val labels = TsdbSchema.dynCols(wide)
+    val tv: Column = array(col(TsdbSchema.TimeCol).cast("double"), col(TsdbSchema.ValueCol))
+    wide
+      .where(col(TsdbSchema.TimeCol) > at - lookbackMs &&
+        col(TsdbSchema.TimeCol) <= at)
+      .groupBy(labels: _*)
+      .agg(
+        max(col(TsdbSchema.TimeCol)).as("time"),
+        max(tv).getItem(1).as("value"))
+  }
+
   /** avg/min/max/count_over_time + delta + rate per (series, bucket). */
   def overTime(wide: DataFrame, stepMs: Long): DataFrame = {
     val labels = TsdbSchema.dynCols(wide)
