@@ -195,6 +195,16 @@ object PipelineQueries {
           size(col("features")).cast("long").as("n_features"))),
     // frame sampling is deterministic byte-slicing of the synthesized
     // payload; hex() the slice so the oracle compares strings, not blobs
+    // resize records target dims in meta and passes payload through —
+    // the schema/partitioning contract of a real codec resize
+    "pipe_q22_resize" -> ((s, dir) =>
+      Multimodal.resize(
+        Multimodal.synthesize(load(s, dir, "documents"), "doc_id", "text"),
+        w = 32, h = 24)
+        .select(col("media_id"), col("kind"),
+          col("meta.width").as("width"), col("meta.height").as("height"),
+          col("meta.sample_rate").as("sample_rate"),
+          col("meta.n_frames").as("n_frames"), col("meta.mime").as("mime"))),
     "pipe_q16_frames" -> ((s, dir) =>
       Multimodal.sampleFrames(
         Multimodal.synthesize(load(s, dir, "documents"), "doc_id", "text"))
@@ -453,6 +463,15 @@ object PipelineQueries {
         |WHERE sid < last_sid OR session_end + 1800000 < mx - 3600000""".stripMargin,
     "stream_q3_dedup" ->
       "SELECT DISTINCT user_id, event_type FROM events",
+    "pipe_q22_resize" ->
+      """SELECT CAST(doc_id AS BIGINT) AS media_id,
+        |  CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN 'image'
+        |    WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+        |  CAST(32 AS INTEGER) AS width, CAST(24 AS INTEGER) AS height,
+        |  CAST(16000 AS INTEGER) AS sample_rate,
+        |  CAST(doc_id % 30 + 1 AS INTEGER) AS n_frames,
+        |  'application/octet-stream' AS mime
+        |FROM documents""".stripMargin,
     "pipe_q20_stratified" ->
       s"""SELECT doc_id, lang FROM documents
          |WHERE ${Hashing.duckHash64("lang || ':' || CAST(doc_id AS VARCHAR)")} % 100 <

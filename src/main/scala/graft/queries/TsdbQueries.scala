@@ -88,6 +88,9 @@ object TsdbQueries {
         .select(col("user"), col("purchase_sum"), col("click_sum"),
           round(col("purchase_sum") / col("click_sum"), 6).as("ratio"))
     }),
+    // Q11: PromQL increase() with counter-reset handling per series
+    "tsdb_q11_increase" -> ((s, dir) =>
+      graft.tsdb.RangeVectors.increase(eventsAsTsdbStored(s, dir))),
     // Q8: the S7 metadata inspection surface (reference `visualize`,
     // hello.go:75-119) as an exact-oracle query: footer stats of a FIXED
     // artifact (sf0.01 lineitem — both sides pin the same literal path,
@@ -171,6 +174,16 @@ object TsdbQueries {
          |      - list_extract(min([CAST(time AS DOUBLE), value]), 2))
          |    / nullif((max(time) - min(time)) / 1000.0, 0.0), 6) AS rate
          |FROM t GROUP BY 1, 2, 3, 4""".stripMargin,
+    "tsdb_q11_increase" ->
+      s"""$duckTsdbCte,
+         |d AS (SELECT "labels.k", "labels.name", "labels.user", value,
+         |  value - lag(value) OVER (PARTITION BY "labels.k", "labels.name",
+         |    "labels.user" ORDER BY time, value) AS dd
+         |  FROM t)
+         |SELECT "labels.k", "labels.name", "labels.user", count(*) AS n,
+         |  round(sum(CASE WHEN dd IS NULL THEN 0
+         |    WHEN dd < 0 THEN value ELSE dd END), 6) AS increase
+         |FROM d GROUP BY 1, 2, 3""".stripMargin,
     "tsdb_q8_instant" ->
       s"""$duckTsdbCte
          |SELECT "labels.k", "labels.name", "labels.user",

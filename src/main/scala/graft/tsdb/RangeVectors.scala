@@ -40,6 +40,30 @@ object RangeVectors {
         max(tv).getItem(1).as("value"))
   }
 
+  /** PromQL `increase()` with counter-reset handling: per series, sum of
+    * consecutive-sample deltas where a negative delta (counter reset)
+    * contributes the new raw value instead (Prometheus's reset rule).
+    * One window pass (lag over series-partitioned, time-ordered rows) +
+    * one aggregation — both partial-shuffle-friendly; the window's sort
+    * is free on time-sorted storage partitions.
+    *
+    * Duplicate timestamps: ordered by (time, value) so the lag sequence
+    * is a total order both engines replay identically. */
+  def increase(wide: DataFrame): DataFrame = {
+    val labels = TsdbSchema.dynCols(wide)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(labels: _*)
+      .orderBy(col(TsdbSchema.TimeCol).asc, col(TsdbSchema.ValueCol).asc)
+    val d = col(TsdbSchema.ValueCol) - lag(col(TsdbSchema.ValueCol), 1).over(w)
+    wide
+      .withColumn("d",
+        when(d.isNull, lit(0.0)) // first sample of a series: no delta
+          .when(d < 0, col(TsdbSchema.ValueCol)) // counter reset
+          .otherwise(d))
+      .groupBy(labels: _*)
+      .agg(count(lit(1)).as("n"), round(sum(col("d")), 6).as("increase"))
+  }
+
   /** avg/min/max/count_over_time + delta + rate per (series, bucket). */
   def overTime(wide: DataFrame, stepMs: Long): DataFrame = {
     val labels = TsdbSchema.dynCols(wide)
