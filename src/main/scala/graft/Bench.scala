@@ -37,6 +37,15 @@ object Bench {
     // running cluster pays once; timing the second pass measures the
     // engine, not the compiler.
     spark.read.parquet(s"$sfDir/region.parquet").count()
+    // ...including the WRITE path (committer/codegen init is a JVM-
+    // lifetime cost): a tiny sorted parquet write before timing ingest
+    locally {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_warm_").toString
+      spark.read.parquet(s"$sfDir/region.parquet")
+        .repartitionByRange(2, org.apache.spark.sql.functions.col("r_regionkey"))
+        .sortWithinPartitions("r_regionkey")
+        .write.mode("overwrite").parquet(tmp)
+    }
 
     // the tsdb_* queries read a write-once sorted materialization
     // (queries.Tables.eventsAsTsdbStored); time that ingest as its own
