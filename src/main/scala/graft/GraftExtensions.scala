@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.CosineSimilarity
+import graft.functions.{CosineSimilarity, HistogramSketch}
 
 /** SQL-surface registration for graft's native expressions, via the
   * standard extension point:
@@ -23,6 +23,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[Expression]) => {
         require(children.length == 2, "graft_cosine(a, b) takes two arrays")
         CosineSimilarity(children.head, children(1))
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_hist"),
+      new ExpressionInfo(classOf[HistogramSketch].getCanonicalName, "graft_hist"),
+      (children: Seq[Expression]) => {
+        require(children.length == 4,
+          "graft_hist(x, lo, hi, bins) takes four arguments")
+        HistogramSketch(children(0), children(1), children(2), children(3))
       }))
   }
 }

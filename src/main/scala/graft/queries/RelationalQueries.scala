@@ -308,6 +308,16 @@ object RelationalQueries {
           round(var_samp(col("l_quantity")), 6).as("var_qty"),
           round(avg(col("l_quantity")), 6).as("avg_qty"))),
 
+    // mergeable histogram sketch (custom TypedImperativeAggregate):
+    // per-group fixed-bin counts, shuffled as O(bins) state — the
+    // deterministic, oracle-checkable counterpart of rel_q15's HLL
+    "rel_q27_hist_sketch" -> ((s, dir) =>
+      load(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(graft.functions.HistogramSketch
+          .hist(col("l_quantity"), lo = 0.0, hi = 55.0, bins = 11).as("hist"))
+        .select(col("l_returnflag"), posexplode(col("hist")).as(Seq("bin", "n")))),
+
     // as-of join: each purchase matched to the user's most recent click
     "rel_q11_asof" -> ((s, dir) => {
       val e = load(s, dir, "events")
@@ -481,6 +491,16 @@ object RelationalQueries {
         |  round(var_samp(l_quantity), 6) AS var_qty,
         |  round(avg(l_quantity), 6) AS avg_qty
         |FROM lineitem GROUP BY 1""".stripMargin,
+    "rel_q27_hist_sketch" ->
+      """WITH bins AS (SELECT CAST(unnest(range(0, 11)) AS INTEGER) AS bin),
+        |flags AS (SELECT DISTINCT l_returnflag FROM lineitem),
+        |c AS (SELECT l_returnflag,
+        |    least(10, greatest(0, CAST(floor((l_quantity - 0.0) / 5.0) AS INTEGER))) AS bin,
+        |    count(*) AS n
+        |  FROM lineitem GROUP BY 1, 2)
+        |SELECT f.l_returnflag, b.bin, coalesce(c.n, 0) AS n
+        |FROM flags f CROSS JOIN bins b
+        |LEFT JOIN c ON c.l_returnflag = f.l_returnflag AND c.bin = b.bin""".stripMargin,
     "rel_q11_asof" ->
       """SELECT p.event_id, p.user_id, p.ts, p.value, c.click_ts, c.click_value
         |FROM (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, value FROM events
