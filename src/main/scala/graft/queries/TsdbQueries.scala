@@ -88,6 +88,24 @@ object TsdbQueries {
         .select(col("user"), col("purchase_sum"), col("click_sum"),
           round(col("purchase_sum") / col("click_sum"), 6).as("ratio"))
     }),
+    // Q12: OpenMetrics/text-exposition ingest surface — format the events
+    // as exposition lines, parse them back with the built-in-expression
+    // parser, and project. The oracle is the IDENTITY over events, so the
+    // formatter⇄parser pair is proven lossless (incl. double round-trip)
+    "tsdb_q12_openmetrics" -> ((s, dir) => {
+      val long = load(s, dir, "events").select(
+        unix_millis(col("ts")).as("time"), col("value"),
+        map(lit("__name__"), col("event_type"),
+          lit("user"), col("user_id").cast("string"),
+          lit("k"), regexp_extract(col("props"), "\"k\": (\\d+)", 1))
+          .as("labels"))
+      graft.tsdb.SampleReaders.fromOpenMetricsLines(
+          graft.tsdb.SampleReaders.toOpenMetricsLines(long))
+        .select(col("time"), col("value"),
+          col("labels").getItem("__name__").as("name"),
+          col("labels").getItem("user").as("user"),
+          col("labels").getItem("k").as("k"))
+    }),
     // Q11: PromQL increase() with counter-reset handling per series
     "tsdb_q11_increase" -> ((s, dir) =>
       graft.tsdb.RangeVectors.increase(eventsAsTsdbStored(s, dir))),
@@ -174,6 +192,11 @@ object TsdbQueries {
          |      - list_extract(min([CAST(time AS DOUBLE), value]), 2))
          |    / nullif((max(time) - min(time)) / 1000.0, 0.0), 6) AS rate
          |FROM t GROUP BY 1, 2, 3, 4""".stripMargin,
+    "tsdb_q12_openmetrics" ->
+      """SELECT CAST(epoch_ms(ts) AS BIGINT) AS time, value,
+        |  event_type AS name, CAST(user_id AS VARCHAR) AS "user",
+        |  regexp_extract(props, '"k": (\d+)', 1) AS k
+        |FROM events""".stripMargin,
     "tsdb_q11_increase" ->
       s"""$duckTsdbCte,
          |d AS (SELECT "labels.k", "labels.name", "labels.user", value,

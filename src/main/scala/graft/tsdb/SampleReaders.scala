@@ -1,0 +1,81 @@
+package graft.tsdb
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Long-form sample readers (SURVEY.md §7.2): every source lands in the
+  * same ingest-form relation `(time LONG ms, value DOUBLE,
+  * labels MAP<STRING,STRING>)` that [[TsdbIngest]] pivots wide — the
+  * Spark analogue of the reference's `Data{Value, Time, LABEL}` rows
+  * (hello.go:29-38), source-agnostic by construction.
+  *
+  * All parsing is built-in expressions (regexp/str_to_map) — codegen'd,
+  * no UDFs, so a 100 TB text backfill runs at scan speed and the
+  * formatter⇄parser pair is replayable by the SQL oracle.
+  */
+object SampleReaders {
+
+  /** Long-form parquet: (time, value, labels) as written. */
+  def fromParquet(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
+
+  /** CSV with columns `time,value,labels` where labels is encoded
+    * `k1=v1;k2=v2` (no header assumptions beyond these names). */
+  def fromCsv(spark: SparkSession, path: String): DataFrame =
+    spark.read
+      .schema(StructType(Seq(
+        StructField("time", LongType), StructField("value", DoubleType),
+        StructField("labels", StringType))))
+      .option("header", "true")
+      .csv(path)
+      .select(col("time"), col("value"),
+        str_to_map(col("labels"), lit(";"), lit("=")).as("labels"))
+
+  /** Prometheus text-exposition / OpenMetrics sample lines:
+    *
+    *   metric_name{label="value",other="v2"} 1.5 1704067200000
+    *
+    * Comment (`#`) and blank lines are dropped; the metric name lands in
+    * the label map as `__name__` (Prometheus convention). Timestamps are
+    * read as epoch milliseconds (the text-exposition convention).
+    * Simple-subset parser: label values must not contain escaped quotes,
+    * commas or `=` (the reference's own fixture vocabulary is within
+    * this subset). */
+  def fromOpenMetricsLines(lines: DataFrame, lineCol: String = "line"): DataFrame = {
+    val l = trim(col(lineCol))
+    val name = regexp_extract(l, "^([a-zA-Z_:][a-zA-Z0-9_:]*)", 1)
+    val labelBlob = regexp_extract(l, "\\{(.*)\\}", 1)
+    val value = regexp_extract(l, "[}\\s]\\s*([-+0-9.eE]+)\\s+[0-9]+\\s*$", 1)
+    val ts = regexp_extract(l, "([0-9]+)\\s*$", 1)
+    lines
+      .where(l =!= "" && !l.startsWith("#"))
+      .select(
+        ts.cast("long").as("time"),
+        value.cast("double").as("value"),
+        map_concat(
+          map(lit("__name__"), name),
+          when(labelBlob === "", map().cast("map<string,string>"))
+            .otherwise(str_to_map(regexp_replace(labelBlob, "\"", ""),
+              lit(","), lit("=")))).as("labels"))
+  }
+
+  /** [[fromOpenMetricsLines]] over text files. */
+  def fromOpenMetricsText(spark: SparkSession, path: String): DataFrame =
+    fromOpenMetricsLines(spark.read.text(path), "value")
+
+  /** The inverse — long-form rows to exposition lines (a text exporter;
+    * also the round-trip harness that puts the parser under the oracle). */
+  def toOpenMetricsLines(samples: DataFrame): DataFrame = {
+    val pairs = transform(
+      array_sort(map_keys(col("labels"))),
+      k => concat(k, lit("=\""), element_at(col("labels"), k), lit("\"")))
+    samples.select(concat(
+      element_at(col("labels"), "__name__"),
+      lit("{"),
+      concat_ws(",", filter(pairs, p => !p.startsWith("__name__="))),
+      lit("} "),
+      col("value").cast("string"), lit(" "),
+      col("time").cast("string")).as("line"))
+  }
+}

@@ -1,0 +1,54 @@
+package graft.tsdb
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class SampleReadersSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("OpenMetrics parser handles comments, blanks, and label-less lines") {
+    val text = Seq(
+      "# HELP up Whether the target is up.",
+      "# TYPE up gauge",
+      "",
+      """up{instance="localhost:9090",job="prometheus"} 1 1679382479083""",
+      """scrape_duration_seconds{instance="localhost:9090",job="prometheus"} 0.0042 1679382479083""",
+      "go_goroutines 33 1679382479083")
+    val got = SampleReaders.fromOpenMetricsLines(text.toDF("line"))
+      .orderBy(col("value"))
+      .collect()
+    assert(got.length == 3)
+    val up = got.find(_.getDouble(1) == 1.0).get
+    assert(up.getLong(0) == 1679382479083L)
+    val labels = up.getMap[String, String](2)
+    assert(labels("__name__") == "up")
+    assert(labels("instance") == "localhost:9090")
+    assert(labels("job") == "prometheus")
+    // label-less line: only __name__
+    val go = got.find(_.getDouble(1) == 33.0).get
+    assert(go.getMap[String, String](2).toMap == Map("__name__" -> "go_goroutines"))
+  }
+
+  test("formatter ⇄ parser round-trips samples exactly") {
+    val in = Seq(
+      (1000L, 1.5, Map("__name__" -> "m", "a" -> "x")),
+      (2000L, -0.25, Map("__name__" -> "m2", "b" -> "y", "a" -> "z")),
+      (3000L, 1.0e7, Map("__name__" -> "m3")))
+      .toDF("time", "value", "labels")
+    val back = SampleReaders.fromOpenMetricsLines(
+        SampleReaders.toOpenMetricsLines(in))
+      .as[(Long, Double, Map[String, String])].collect().toSet
+    assert(back == in.as[(Long, Double, Map[String, String])].collect().toSet)
+  }
+
+  test("CSV long-form reader parses k=v;k=v label encoding") {
+    val dir = tmpDir("graft_csv")
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$dir/s.csv"),
+      "time,value,labels\n100,2.5,__name__=up;job=prom\n200,3.5,__name__=up\n")
+    val got = SampleReaders.fromCsv(spark, dir)
+      .as[(Long, Double, Map[String, String])].collect().toSet
+    assert(got == Set(
+      (100L, 2.5, Map("__name__" -> "up", "job" -> "prom")),
+      (200L, 3.5, Map("__name__" -> "up"))))
+  }
+}
