@@ -83,6 +83,53 @@ object TsdbProperties extends Properties("tsdb") {
       got == want
     }
 
+  property("increase ≡ per-series reset-aware delta fold") =
+    Prop.forAll(Gen.nonEmptyListOf(sample)) { samples =>
+      val wide = TsdbIngest.toWide(samples.toDS().toDF())
+      val got = RangeVectors.increase(wide).collect()
+        .map { r =>
+          val labels = TsdbSchema.labelColumns(wide).flatMap(c =>
+            Option(r.getAs[String](c)).map(c.stripPrefix("labels.") -> _)).toMap
+          (labels, r.getAs[Long]("n"), r.getAs[Double]("increase"))
+        }.toSet
+      // model: group by RAW label map (increase groups on stored columns,
+      // "" kept distinct from absent — unlike regroup's decode), order by
+      // (time, value), fold deltas with the Prometheus reset rule
+      val want = samples
+        .groupBy(_.labels) // raw stored labels ("" not dropped)
+        .map { case (k, ss) =>
+          val vs = ss.map(s => (s.time, s.value)).sorted.map(_._2)
+          val inc = vs.zip(0.0 +: vs.dropRight(1)).zipWithIndex.map {
+            case ((v, prev), 0) => 0.0
+            case ((v, prev), _) if v - prev < 0 => v // reset
+            case ((v, prev), _) => v - prev
+          }.sum
+          (k, ss.size.toLong,
+            BigDecimal(inc).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+        }.toSet
+      got == want
+    }
+
+  property("instant vector ≡ latest-in-lookback per series, stale dropped") =
+    Prop.forAll(Gen.nonEmptyListOf(sample), Gen.choose(5L, 15L),
+      Gen.choose(1L, 10L)) { (samples, at, lookback) =>
+      val wide = TsdbIngest.toWide(samples.toDS().toDF())
+      val got = RangeVectors.instant(wide, at, lookback).collect()
+        .map { r =>
+          val labels = TsdbSchema.labelColumns(wide).flatMap(c =>
+            Option(r.getAs[String](c)).map(c.stripPrefix("labels.") -> _)).toMap
+          (labels, r.getAs[Long]("time"), r.getAs[Double]("value"))
+        }.toSet
+      val want = samples
+        .filter(s => s.time > at - lookback && s.time <= at)
+        .groupBy(_.labels)
+        .map { case (k, ss) =>
+          val (t, v) = ss.map(s => (s.time, s.value)).max
+          (k, t, v)
+        }.toSet
+      got == want
+    }
+
   property("toWide is lossless for non-empty labels (round trip)") =
     Prop.forAll(Gen.nonEmptyListOf(sample)) { samples =>
       val wide = TsdbIngest.toWide(samples.toDS().toDF())
