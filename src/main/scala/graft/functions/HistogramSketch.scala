@@ -114,6 +114,7 @@ case class HistogramSketch(
 
 object HistogramSketch {
   import org.apache.spark.sql.Column
+  import org.apache.spark.sql.functions._
   import org.apache.spark.sql.graft.NativeBridge
 
   /** Column-API entry: `hist(col, lo, hi, bins)` usable in `agg(...)`. */
@@ -122,5 +123,28 @@ object HistogramSketch {
     NativeBridge.column(HistogramSketch(
       NativeBridge.expression(c.cast("double")),
       Literal(lo), Literal(hi), Literal(bins)).toAggregateExpression())
+  }
+
+  /** PromQL-style `histogram_quantile(φ)` over the sketch's counts:
+    * find the first bin whose cumulative count reaches φ·total, then
+    * interpolate linearly within it. Pure higher-order built-ins
+    * (O(bins²) slice-sums — bins is small by construction), evaluated in
+    * the same float-op order the DuckDB oracle replays, so the estimate
+    * is deterministic cross-engine. The sketch-then-estimate split is
+    * the warehouse pattern: the expensive pass produces mergeable state,
+    * any number of φs are read off it for free. */
+  def quantile(histCol: Column, lo: Double, width: Double, phi: Double): Column = {
+    val total = aggregate(histCol, lit(0L), (a, x) => a + x)
+    val target = lit(phi) * total.cast("double")
+    val cums = transform(sequence(lit(1), size(histCol)), i =>
+      aggregate(slice(histCol, lit(1), i), lit(0L), (a, x) => a + x))
+    val idx = array_position(
+      transform(cums, c => c.cast("double") >= target), true)
+    val cumBefore = when(idx === 1, lit(0L))
+      .otherwise(element_at(cums, (idx - 1).cast("int")))
+    val cnt = element_at(histCol, idx.cast("int"))
+    round(lit(lo) + lit(width) *
+      ((idx - 1).cast("double") +
+        (target - cumBefore.cast("double")) / cnt.cast("double")), 6)
   }
 }

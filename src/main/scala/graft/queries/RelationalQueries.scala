@@ -318,6 +318,18 @@ object RelationalQueries {
           .hist(col("l_quantity"), lo = 0.0, hi = 55.0, bins = 11).as("hist"))
         .select(col("l_returnflag"), posexplode(col("hist")).as(Seq("bin", "n")))),
 
+    // quantile estimates read off the histogram sketch (PromQL
+    // histogram_quantile semantics: first bin reaching φ·total, linear
+    // interpolation within it) — sketch once, estimate any φ for free
+    "rel_q28_hist_quantile" -> ((s, dir) =>
+      load(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(graft.functions.HistogramSketch
+          .hist(col("l_quantity"), lo = 0.0, hi = 55.0, bins = 11).as("hist"))
+        .select(col("l_returnflag"),
+          graft.functions.HistogramSketch.quantile(col("hist"), 0.0, 5.0, 0.5).as("p50_est"),
+          graft.functions.HistogramSketch.quantile(col("hist"), 0.0, 5.0, 0.9).as("p90_est"))),
+
     // as-of join: each purchase matched to the user's most recent click
     "rel_q11_asof" -> ((s, dir) => {
       val e = load(s, dir, "events")
@@ -491,6 +503,35 @@ object RelationalQueries {
         |  round(var_samp(l_quantity), 6) AS var_qty,
         |  round(avg(l_quantity), 6) AS avg_qty
         |FROM lineitem GROUP BY 1""".stripMargin,
+    "rel_q28_hist_quantile" ->
+      """WITH bins AS (SELECT CAST(unnest(range(0, 11)) AS INTEGER) AS bin),
+        |flags AS (SELECT DISTINCT l_returnflag FROM lineitem),
+        |cnt AS (SELECT l_returnflag,
+        |    least(10, greatest(0, CAST(floor((l_quantity - 0.0) / 5.0) AS INTEGER))) AS bin,
+        |    count(*) AS n
+        |  FROM lineitem GROUP BY 1, 2),
+        |h AS (SELECT f.l_returnflag,
+        |    list(coalesce(cnt.n, 0) ORDER BY b.bin) AS hist
+        |  FROM flags f CROSS JOIN bins b
+        |  LEFT JOIN cnt ON cnt.l_returnflag = f.l_returnflag AND cnt.bin = b.bin
+        |  GROUP BY 1),
+        |q AS (SELECT l_returnflag, hist,
+        |    list_transform(range(1, 12), i -> list_sum(hist[1:i])) AS cums,
+        |    CAST(list_sum(hist) AS DOUBLE) AS total
+        |  FROM h),
+        |e AS (SELECT l_returnflag, hist, cums,
+        |    0.5 * total AS t50, 0.9 * total AS t90,
+        |    list_position(list_transform(cums, c -> CAST(c AS DOUBLE) >= 0.5 * total), true) AS i50,
+        |    list_position(list_transform(cums, c -> CAST(c AS DOUBLE) >= 0.9 * total), true) AS i90
+        |  FROM q)
+        |SELECT l_returnflag,
+        |  round(0.0 + 5.0 * ((i50 - 1) +
+        |    (t50 - CASE WHEN i50 = 1 THEN 0 ELSE cums[i50 - 1] END) /
+        |    CAST(hist[i50] AS DOUBLE)), 6) AS p50_est,
+        |  round(0.0 + 5.0 * ((i90 - 1) +
+        |    (t90 - CASE WHEN i90 = 1 THEN 0 ELSE cums[i90 - 1] END) /
+        |    CAST(hist[i90] AS DOUBLE)), 6) AS p90_est
+        |FROM e""".stripMargin,
     "rel_q27_hist_sketch" ->
       """WITH bins AS (SELECT CAST(unnest(range(0, 11)) AS INTEGER) AS bin),
         |flags AS (SELECT DISTINCT l_returnflag FROM lineitem),
