@@ -12,12 +12,13 @@ object Bench {
   // the 100 TB design decisions.
   private val headline = Seq(
     "tsdb_q1_scan", "tsdb_q2_range", "tsdb_q4_regroup",
-    "tsdb_q7_range_vectors",
+    "tsdb_q7_range_vectors", "tsdb_q8_instant", "tsdb_q11_increase",
     "rel_q1_pricing", "rel_q2_star_join", "rel_q3_fact_join",
     "rel_q6_window", "rel_q11_asof", "rel_q16_range_join",
-    "rel_q18_bucketed_join",
+    "rel_q18_bucketed_join", "rel_q27_hist_sketch",
     "pipe_q1_exact_dedup", "pipe_q5_fingerprint", "pipe_q6_minhash",
-    "pipe_q7_lsh_pairs", "pipe_q8_simhash", "pipe_q10_knn")
+    "pipe_q7_lsh_pairs", "pipe_q8_simhash", "pipe_q10_knn",
+    "pipe_q21_tfidf")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

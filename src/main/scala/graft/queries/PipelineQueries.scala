@@ -171,6 +171,23 @@ object PipelineQueries {
       EventStreams.runToMemory(
         EventStreams.intervalJoin(EventStreams.readEvents(s, dir)),
         "stream_q4_join", mode = "append")),
+    // continuous TSDB ingest end-to-end through the STREAMING engine:
+    // micro-batch long→wide idempotent writes, then aggregate the
+    // resulting wide table — the oracle computes the same from raw
+    // events, so the whole streaming ingest path is hash-checked
+    "stream_q5_ingest" -> ((s, dir) => {
+      val long = EventStreams.readEvents(s, dir).select(
+        unix_millis(col("ts")).as("time"), col("value"),
+        map(lit("name"), col("event_type"),
+          lit("user"), col("user_id").cast("string")).as("labels"))
+      val out = java.nio.file.Files.createTempDirectory("graft_sq5_out").toString
+      val ckpt = java.nio.file.Files.createTempDirectory("graft_sq5_ck").toString
+      val q = graft.streaming.TsdbStreamIngest.start(long, out, ckpt)
+      q.processAllAvailable(); q.stop()
+      graft.tsdb.TsdbIngest.read(s, out)
+        .groupBy(col("`labels.name`").as("name"))
+        .agg(count(lit(1)).as("n"), round(sum(col("value")), 4).as("total"))
+    }),
     "pipe_q12_lsh_knn" -> ((s, dir) => {
       val emb = load(s, dir, "embeddings")
       Similarity.lshKnn(emb, emb.where(col("vec_id") < 5),
@@ -490,6 +507,10 @@ object PipelineQueries {
         |    ORDER BY score DESC, term ASC) AS rank FROM scored)
         |SELECT doc_id, term, tf, df, score, rank
         |FROM ranked WHERE rank <= 3""".stripMargin,
+    "stream_q5_ingest" ->
+      """SELECT event_type AS name, count(*) AS n,
+        |  round(sum(value), 4) AS total
+        |FROM events GROUP BY 1""".stripMargin,
     "stream_q4_join" ->
       """SELECT p.event_id AS purchase_id, c.event_id AS click_id, p.user_id,
         |  CAST(epoch_ms(p.ts) AS BIGINT) AS purchase_ms,
