@@ -55,12 +55,33 @@ final class TsdbBlockTable(path: String) extends Table with SupportsRead {
   override def schema(): StructType = TsdbBlockSource.schema
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ)
-  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new TsdbBlockScanBuilder(path,
-      options.getInt("partitions", 16))
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
+    // Series selection at PLANNING time: `matcher.<label>=<value>`
+    // (equality) / `matcher_re.<label>=<pattern>` (unanchored regex, the
+    // reference's regex semantics). Labels are per-series constants, so
+    // this is EXACT filtering against the index — the planner never
+    // schedules a non-matching series, which at object-store scale means
+    // its chunks are never fetched at all. Absent label ≡ "" (Prometheus
+    // decode rule, hello.go:339-349). Label-name case is preserved via
+    // the case-sensitive view of the options map.
+    import scala.jdk.CollectionConverters._
+    val matchers = options.asCaseSensitiveMap().asScala.toSeq.collect {
+      case (k, v) if k.toLowerCase.startsWith("matcher.") =>
+        val lbl = k.substring("matcher.".length)
+        (s: IndexReader.SeriesEntry) => s.labels.getOrElse(lbl, "") == v
+      case (k, v) if k.toLowerCase.startsWith("matcher_re.") =>
+        val lbl = k.substring("matcher_re.".length)
+        val p = java.util.regex.Pattern.compile(v)
+        (s: IndexReader.SeriesEntry) =>
+          p.matcher(s.labels.getOrElse(lbl, "")).find()
+    }
+    new TsdbBlockScanBuilder(path, options.getInt("partitions", 16), matchers)
+  }
 }
 
-final class TsdbBlockScanBuilder(path: String, partitions: Int)
+final class TsdbBlockScanBuilder(
+    path: String, partitions: Int,
+    matchers: Seq[IndexReader.SeriesEntry => Boolean] = Nil)
     extends ScanBuilder with SupportsPushDownFilters
     with SupportsPushDownRequiredColumns {
   private var timeLo = Long.MinValue // exclusive lower bound semantics via +1 handled at use
@@ -92,7 +113,7 @@ final class TsdbBlockScanBuilder(path: String, partitions: Int)
   override def pushedFilters(): Array[Filter] = pushed
 
   override def build(): Scan =
-    new TsdbBlockScan(path, partitions, timeLo, timeHi, required)
+    new TsdbBlockScan(path, partitions, timeLo, timeHi, required, matchers)
 }
 
 final case class TsdbSeriesPartition(
@@ -100,18 +121,23 @@ final case class TsdbSeriesPartition(
 
 final class TsdbBlockScan(path: String, partitions: Int,
                           timeLo: Long, timeHi: Long,
-                          required: StructType) extends Scan with Batch {
+                          required: StructType,
+                          matchers: Seq[IndexReader.SeriesEntry => Boolean] = Nil)
+    extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =
     s"tsdb-block $path, chunk pruning time ∈ ($timeLo, $timeHi), " +
+      s"${matchers.size} series matchers, " +
       s"columns [${required.fieldNames.mkString(",")}]"
 
   override def planInputPartitions(): Array[InputPartition] = {
-    // driver-side: index only. Prune chunks against the pushed time
+    // driver-side: index only. Select series by matcher options (exact —
+    // labels are series constants), prune chunks against the pushed time
     // range, drop emptied series, then round-robin series into
     // partitions to balance sample counts.
     val all = IndexReader.read(s"$path/index")
+      .filter(s => matchers.forall(_(s)))
     val prunedSeries = all.flatMap { s =>
       val keep = s.chunks.filter(c => c.maxTime > timeLo && c.minTime < timeHi)
       if (keep.isEmpty) None else Some(s.copy(chunks = keep))

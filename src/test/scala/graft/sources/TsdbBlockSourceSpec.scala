@@ -90,4 +90,37 @@ class TsdbBlockPruningSpec extends graft.SparkSpec {
     val r = df.agg(count(lit(1)), min("time")).head()
     assert(r.getLong(0) == 154529L && r.getLong(1) == 1679382479083L)
   }
+
+  test("matcher options select series at planning, exactly") {
+    val df = spark.read.format("tsdb-block").load(block)
+    val NumSamples = 154529L
+    // the reference's canonical query via planning-time series selection
+    val pruned = spark.read.format("tsdb-block")
+      .option("matcher.__name__", "up")
+      .option("matcher.instance", "localhost:9090")
+      .option("matcher.job", "prometheus")
+      .load(block)
+    val viaFilter = df.where(
+      element_at(col("labels"), "__name__") === "up" &&
+        element_at(col("labels"), "instance") === "localhost:9090" &&
+        element_at(col("labels"), "job") === "prometheus")
+    assert(pruned.count() == viaFilter.count())
+    assert(pruned.count() > 100) // up samples exist
+    assert(pruned.select(array_sort(map_entries(col("labels"))))
+      .distinct().count() == 1) // exactly one series scheduled
+
+    // regex matcher: unanchored find, reference semantics
+    val re = spark.read.format("tsdb-block")
+      .option("matcher_re.__name__", "go_gc_.*seconds")
+      .load(block)
+    val reFilter = df.where(
+      element_at(col("labels"), "__name__").rlike("go_gc_.*seconds"))
+    assert(re.count() == reFilter.count() && re.count() > 0)
+
+    // absent label ≡ "" (Prometheus decode rule)
+    val none = spark.read.format("tsdb-block")
+      .option("matcher.no_such_label", "")
+      .load(block)
+    assert(none.count() == NumSamples)
+  }
 }
