@@ -114,20 +114,50 @@ final class TsdbWalScan(path: String, required: StructType)
   * keeps one sample per series-timestamp across overlapping sources.
   */
 object TsdbDb {
-  import org.apache.spark.sql.{DataFrame, SparkSession}
+  import org.apache.spark.sql.{Column, DataFrame, SparkSession}
   import org.apache.spark.sql.functions._
+  import graft.model.Matcher
 
-  def read(spark: SparkSession, dbDir: String): DataFrame = {
+  def read(spark: SparkSession, dbDir: String): DataFrame =
+    select(spark, dbDir, Nil)
+
+  /** The reference's `Querier(...).Select(matchers)` over the whole DB
+    * (hello.go:442-447): blocks ∪ WAL head, label matchers applied,
+    * deduped on (series, time). Eq/Re matchers push into the block
+    * source as PLANNING-time series selection (non-matching series are
+    * never scheduled, their chunks never fetched); every matcher is also
+    * applied as a residual row filter so WAL rows and negative kinds get
+    * identical semantics. Absent label ≡ "" throughout (hello.go:339-349). */
+  def select(spark: SparkSession, dbDir: String,
+             matchers: Seq[Matcher]): DataFrame = {
+    val opts = matchers.collect {
+      case Matcher.Eq(n, v) => s"matcher.$n" -> v
+      case Matcher.Re(n, p) => s"matcher_re.$n" -> p
+    }.toMap
+    def residual(m: Matcher): Column = {
+      def l(n: String) = coalesce(element_at(col("labels"), n), lit(""))
+      m match {
+        case Matcher.Eq(n, v) => l(n) === v
+        case Matcher.NotEq(n, v) => l(n) =!= v
+        case Matcher.Re(n, p) => l(n).rlike(p)
+        case Matcher.NotRe(n, p) => !l(n).rlike(p)
+      }
+    }
     val root = new java.io.File(dbDir)
     val blockDirs = root.listFiles()
       .filter(f => f.isDirectory && new java.io.File(f, "index").isFile)
       .map(_.getPath).sorted
     val parts =
-      blockDirs.map(d => spark.read.format("tsdb-block").load(d)) ++
+      blockDirs.map(d =>
+        spark.read.format("tsdb-block").options(opts).load(d)) ++
         (if (new java.io.File(root, "wal").isDirectory)
           Seq(spark.read.format("tsdb-wal").load(s"$dbDir/wal"))
         else Nil)
-    val union = parts.reduce(_ unionByName _)
+    // label-only predicates select whole series, so filtering commutes
+    // with the (series, time) dedup — apply before it, shrinking the
+    // shuffle to the matched series
+    val union = matchers.foldLeft(parts.reduce(_ unionByName _))(
+      (d, m) => d.where(residual(m)))
     // maps aren't comparable: dedup on the sorted entry list, then
     // rebuild the map. One shuffle; at scale this is the same
     // merge-dedup Prometheus does per queried chunk, done set-wise.

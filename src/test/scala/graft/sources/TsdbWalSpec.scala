@@ -76,4 +76,28 @@ class TsdbWalSpec extends SparkSpec {
     assert(up.count() > 100)
     assert(up.where(col("value") =!= 0.0 && col("value") =!= 1.0).count() == 0)
   }
+
+  test("Querier.Select shape: matchers over the whole DB ≡ post-filter") {
+    import graft.model.Matcher
+    val got = TsdbDb.select(spark, db, Seq(
+      Matcher.Eq("__name__", "up"),
+      Matcher.Eq("instance", "localhost:9090"),
+      Matcher.Eq("job", "prometheus")))
+    val want = TsdbDb.read(spark, db).where(
+      col("labels").getItem("__name__") === "up" &&
+        col("labels").getItem("instance") === "localhost:9090" &&
+        col("labels").getItem("job") === "prometheus")
+    assert(got.count() == want.count() && got.count() > 100)
+    assert(got.select(col("time"), col("value")).except(
+      want.select(col("time"), col("value"))).count() == 0)
+
+    // negative + regex kinds (residual-only path, WAL rows included)
+    val re = TsdbDb.select(spark, db, Seq(
+      Matcher.Re("__name__", "go_gc_.*seconds"),
+      Matcher.NotEq("quantile", "")))
+    val reWant = TsdbDb.read(spark, db).where(
+      col("labels").getItem("__name__").rlike("go_gc_.*seconds") &&
+        coalesce(col("labels").getItem("quantile"), lit("")) =!= "")
+    assert(re.count() == reWant.count() && re.count() > 0)
+  }
 }
