@@ -70,6 +70,11 @@ object TsdbIngest {
       .write
       .mode(mode)
       .option("parquet.enable.dictionary", "true")
+      // v2 writer + per-column dictionary opt-out: sorted int64 `time`
+      // gets DELTA_BINARY_PACKED, the reference's declared encoding for
+      // the time column (hello.go:131-138: delta-packed, NOT dictionary)
+      .option("parquet.writer.version", "v2")
+      .option(s"parquet.enable.dictionary#$TimeCol", "false")
       .option("compression", "snappy")
       .parquet(path)
   }

@@ -100,6 +100,11 @@ class TsdbEndToEndSpec extends SparkSpec {
     val nameCols = all.filter(_.column == "labels.__name__")
     assert(nameCols.nonEmpty)
     assert(nameCols.forall(c => c.encodings.exists(_.contains("DICTIONARY"))))
+    // time column: DELTA_BINARY_PACKED via the v2 writer (hello.go:136)
+    val timeCols = all.filter(_.column == "time")
+    assert(timeCols.nonEmpty)
+    assert(timeCols.forall(_.encodings.exists(_.contains("DELTA_BINARY_PACKED"))),
+      timeCols.map(_.encodings).toString)
     // read back and confirm time ordering within each file (write-time sort)
     val spark2 = spark
     import org.apache.spark.sql.functions._
