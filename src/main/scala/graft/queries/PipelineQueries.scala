@@ -227,6 +227,15 @@ object PipelineQueries {
         Multimodal.synthesize(load(s, dir, "documents"), "doc_id", "text"))
         .select(col("media_id"), col("frame_idx"),
           hex(col("frame_bytes")).as("frame_hex"))),
+    // append-mode windows: only windows the terminal watermark closed are
+    // emitted (complete-mode emission is stream_q1's complement) — the
+    // oracle replays the emission rule with a HAVING on window_end
+    "stream_q6_append_windows" -> ((s, dir) =>
+      EventStreams.runToMemory(
+        EventStreams.windowedCounts(EventStreams.readEvents(s, dir)),
+        "stream_q6_append_windows", mode = "append")
+        .select(col("window_start"), col("event_type"), col("n"),
+          round(col("total_value"), 4).as("total_value"))),
     "stream_q1_windowed" -> ((s, dir) =>
       EventStreams.runToMemory(
         EventStreams.windowedCounts(EventStreams.readEvents(s, dir)),
@@ -511,6 +520,12 @@ object PipelineQueries {
       """SELECT event_type AS name, count(*) AS n,
         |  round(sum(value), 4) AS total
         |FROM events GROUP BY 1""".stripMargin,
+    "stream_q6_append_windows" ->
+      """SELECT date_trunc('hour', ts) AS window_start, event_type,
+        |  count(*) AS n, round(sum(value), 4) AS total_value
+        |FROM events GROUP BY 1, 2
+        |HAVING CAST(epoch_ms(date_trunc('hour', ts)) AS BIGINT) + 3600000 <=
+        |  (SELECT CAST(epoch_ms(max(ts)) AS BIGINT) FROM events) - 3600000""".stripMargin,
     "stream_q4_join" ->
       """SELECT p.event_id AS purchase_id, c.event_id AS click_id, p.user_id,
         |  CAST(epoch_ms(p.ts) AS BIGINT) AS purchase_ms,
