@@ -52,6 +52,33 @@ object ScaleStress {
     }
     time("regroup all series")(t.regroup(t.select(Nil)).count())
     time("range vectors 1d")(RangeVectors.overTime(t.df, 86400000L).count())
+
+    // pipeline path: replicate documents N-fold (new doc_ids, SAME text ⇒
+    // every doc gains N-1 exact/near duplicates — the adversarial dedup
+    // load). Exact dedup and LSH must scale in corpus size, never in
+    // pairs (the bucket join meets only same-bucket docs).
+    val docs = Tables.load(spark, sfDir, "documents")
+    val nDocs = docs.count()
+    val docsXN = (0 until factor).map(i =>
+      docs.withColumn("doc_id", col("doc_id") + lit(i * 1000000L)))
+      .reduce(_ unionByName _)
+    docsXN.cache().count()
+    time(s"exact dedup ${factor}x") {
+      val d = graft.operators.Dedup.exact(docsXN, "doc_id", "text")
+      // replication adds copies, never new distinct texts
+      val distinctTexts = d.count()
+      assert(distinctTexts <= nDocs, s"$distinctTexts distinct > $nDocs docs")
+    }
+    time(s"minhash signatures ${factor}x")(
+      graft.operators.Dedup.minhashSignature(docsXN, "doc_id", "text",
+        k = 8, shingleK = 3).count())
+    time(s"lsh near-dup pairs ${factor}x")(
+      graft.operators.Dedup.minhashLshPairs(docsXN, "doc_id", "text",
+        k = 8, bands = 4, shingleK = 3, threshold = 0.5).count())
+    time(s"lsh keeper dedup ${factor}x")(
+      graft.operators.Dedup.lshDedupKeepers(docsXN, "doc_id", "text",
+        k = 8, bands = 4, shingleK = 3).where(col("kept")).count())
+    docsXN.unpersist()
     spark.stop()
   }
 }

@@ -98,6 +98,33 @@ object Dedup {
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
   }
 
+  /** LSH keeper selection — the LINEAR dedup path: every doc's keeper is
+    * the minimum id across its band buckets; a doc is kept iff it is its
+    * own keeper. One-hop bucket-min (not full connected components —
+    * chains A~B~C with A,C in disjoint buckets keep both A and C's
+    * groups separate), which is the standard first-pass at corpus scale:
+    * work is O(N × bands) rows through two aggregations, versus the
+    * inherently O(duplicates²) pair enumeration of [[minhashLshPairs]] —
+    * on a 10×-replicated corpus that is seconds vs minutes. */
+  def lshDedupKeepers(docs: DataFrame, idCol: String, textCol: String,
+                      k: Int = 8, bands: Int = 4, shingleK: Int = 3): DataFrame = {
+    val rows = k / bands
+    val sig = withSignature(docs, idCol, textCol, k, shingleK)
+      .withColumnRenamed(idCol, "id")
+    val banded = sig.select(
+      col("id"),
+      posexplode(array((0 until bands).map { b =>
+        hash64(concat_ws(",", lit(b.toString) +:
+          (0 until rows).map(r => col(s"mh${b * rows + r}").cast("string")): _*))
+      }: _*)).as(Seq("band", "bucket")))
+    val bucketMin = banded.groupBy(col("band"), col("bucket"))
+      .agg(min(col("id")).as("bmin"))
+    banded.join(bucketMin, Seq("band", "bucket"))
+      .groupBy(col("id"))
+      .agg(min(col("bmin")).as("keeper_id"))
+      .withColumn("kept", col("id") === col("keeper_id"))
+  }
+
   /** 16-bit SimHash signature per doc: token hashes vote per bit position;
     * bit set iff positive majority. Pure map-side expressions. */
   def simhash(docs: DataFrame, idCol: String, textCol: String,

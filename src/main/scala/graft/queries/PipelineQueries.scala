@@ -113,6 +113,12 @@ object PipelineQueries {
           .when(pmod(Hashing.hash64(col("doc_id").cast("string")), lit(100)) < 95, "val")
           .otherwise("test").as("split"))),
 
+    // linear LSH dedup: keeper = min id over a doc's band buckets —
+    // the O(N)-rows counterpart of pipe_q7's pair enumeration
+    "pipe_q23_lsh_dedup" -> ((s, dir) =>
+      Dedup.lshDedupKeepers(load(s, dir, "documents"), "doc_id", "text",
+        k = MinhashK, bands = 4, shingleK = ShingleK)),
+
     // stratified sampling via the portable hash: per-language rates
     // (en 50%, others 20%), deterministic per doc — membership never
     // changes as the corpus grows, unlike seeded random sampling, and
@@ -353,6 +359,25 @@ object PipelineQueries {
          |    CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE) AS jac
          |  FROM cand JOIN sets a ON id_a = a.doc_id JOIN sets b ON id_b = b.doc_id)
          |WHERE jac >= 0.5""".stripMargin
+    },
+    "pipe_q23_lsh_dedup" -> {
+      val bands = 4; val rows = MinhashK / bands
+      val bandExprs = (0 until bands).map { b =>
+        val tuple = (0 until rows).map(r => s"CAST(mh${b * rows + r} AS VARCHAR)").mkString(" || ',' || ")
+        duckHash64(s"'$b,' || $tuple")
+      }
+      s"""WITH s AS (SELECT doc_id, ${duckShingles(ShingleK)} AS sh FROM documents),
+         |sig AS (SELECT doc_id, ${duckMinhashCols(MinhashK)} FROM s),
+         |banded AS (
+         |  SELECT doc_id, unnest(range(0, $bands)) AS band,
+         |    unnest([${bandExprs.mkString(", ")}]) AS bucket
+         |  FROM sig),
+         |bmin AS (SELECT band, bucket, min(doc_id) AS bmin
+         |  FROM banded GROUP BY 1, 2)
+         |SELECT b.doc_id AS id, min(m.bmin) AS keeper_id,
+         |  b.doc_id = min(m.bmin) AS kept
+         |FROM banded b JOIN bmin m USING (band, bucket)
+         |GROUP BY 1""".stripMargin
     },
     "pipe_q8_simhash" -> {
       val bits = (0 until 16).map { b =>

@@ -106,6 +106,18 @@ object TsdbQueries {
           col("labels").getItem("user").as("user"),
           col("labels").getItem("k").as("k"))
     }),
+    // Q13: PromQL topk() over the instant vector — the k series with the
+    // highest current value (deterministic tie-break on the label set)
+    "tsdb_q13_topk" -> ((s, dir) =>
+      graft.tsdb.RangeVectors.instant(
+          eventsAsTsdbStored(s, dir), at = RangeEnd, lookbackMs = 86400000L)
+        .withColumn("rank", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .orderBy(col("value").desc, col("`labels.name`").asc,
+              col("`labels.user`").asc, col("`labels.k`").asc)))
+        .where(col("rank") <= 10)
+        .select(col("`labels.name`"), col("`labels.user`"), col("`labels.k`"),
+          col("time"), col("value"), col("rank").cast("long").as("rank"))),
     // Q11: PromQL increase() with counter-reset handling per series
     "tsdb_q11_increase" -> ((s, dir) =>
       graft.tsdb.RangeVectors.increase(eventsAsTsdbStored(s, dir))),
@@ -197,6 +209,17 @@ object TsdbQueries {
         |  event_type AS name, CAST(user_id AS VARCHAR) AS "user",
         |  regexp_extract(props, '"k": (\d+)', 1) AS k
         |FROM events""".stripMargin,
+    "tsdb_q13_topk" ->
+      s"""$duckTsdbCte,
+         |iv AS (SELECT "labels.k", "labels.name", "labels.user",
+         |  max(time) AS time,
+         |  list_extract(max([CAST(time AS DOUBLE), value]), 2) AS value
+         |  FROM t WHERE time > ${RangeEnd - 86400000L} AND time <= $RangeEnd
+         |  GROUP BY 1, 2, 3),
+         |r AS (SELECT *, row_number() OVER (ORDER BY value DESC,
+         |  "labels.name" ASC, "labels.user" ASC, "labels.k" ASC) AS rank FROM iv)
+         |SELECT "labels.name", "labels.user", "labels.k", time, value, rank
+         |FROM r WHERE rank <= 10""".stripMargin,
     "tsdb_q11_increase" ->
       s"""$duckTsdbCte,
          |d AS (SELECT "labels.k", "labels.name", "labels.user", value,
