@@ -171,6 +171,15 @@ object PipelineQueries {
         EventStreams.dedupWithinWatermark(EventStreams.readEvents(s, dir)),
         "stream_q3_dedup", mode = "append")
         .select(col("user_id"), col("event_type"))),
+    // tail the reference's own Prometheus WAL through the streaming
+    // source (rows-only: DuckDB reads neither format; incremental ≡
+    // batch equivalence is spec-proven in TsdbWalSpec)
+    "stream_q7_wal_tail" -> ((s, _) =>
+      EventStreams.runToMemory(
+        s.readStream.format("tsdb-wal-stream").load("/root/reference/wal")
+          .groupBy(col("labels").getItem("__name__").as("name"))
+          .agg(count(lit(1)).as("n_samples")),
+        "stream_q7_wal_tail", mode = "complete")),
     // stream-stream interval join: inner join emits exactly the batch
     // join's matches, so the full streaming output hash-checks
     "stream_q4_join" -> ((s, dir) =>
