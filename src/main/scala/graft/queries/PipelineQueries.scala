@@ -171,6 +171,15 @@ object PipelineQueries {
         EventStreams.dedupWithinWatermark(EventStreams.readEvents(s, dir)),
         "stream_q3_dedup", mode = "append")
         .select(col("user_id"), col("event_type"))),
+    // left-outer stream-stream join: matches emit immediately; an
+    // unmatched purchase emits null-extended only once the terminal
+    // watermark proves no in-window click can still arrive — the oracle
+    // replays both the join and that emission rule
+    "stream_q8_outer_join" -> ((s, dir) =>
+      EventStreams.runToMemory(
+        EventStreams.intervalJoin(EventStreams.readEvents(s, dir),
+          joinType = "left_outer"),
+        "stream_q8_outer_join", mode = "append")),
     // tail the reference's own Prometheus WAL through the streaming
     // source (rows-only: DuckDB reads neither format; incremental ≡
     // batch equivalence is spec-proven in TsdbWalSpec)
@@ -560,6 +569,28 @@ object PipelineQueries {
         |FROM events GROUP BY 1, 2
         |HAVING CAST(epoch_ms(date_trunc('hour', ts)) AS BIGINT) + 3600000 <=
         |  (SELECT CAST(epoch_ms(max(ts)) AS BIGINT) FROM events) - 3600000""".stripMargin,
+    // NB the terminal watermark is the MIN over both sides' own max event
+    // times (Spark's multipleWatermarkPolicy=min), not the global max
+    "stream_q8_outer_join" ->
+      """WITH m AS (SELECT least(
+        |  (SELECT CAST(epoch_ms(max(ts)) AS BIGINT) FROM events WHERE event_type = 'purchase'),
+        |  (SELECT CAST(epoch_ms(max(ts)) AS BIGINT) FROM events WHERE event_type = 'click')) AS mx)
+        |SELECT p.event_id AS purchase_id, c.event_id AS click_id, p.user_id,
+        |  CAST(epoch_ms(p.ts) AS BIGINT) AS purchase_ms,
+        |  CAST(epoch_ms(c.ts) AS BIGINT) AS click_ms
+        |FROM events p JOIN events c
+        |  ON p.user_id = c.user_id
+        |  AND p.event_type = 'purchase' AND c.event_type = 'click'
+        |  AND c.ts >= p.ts - INTERVAL 5 MINUTES AND c.ts <= p.ts
+        |UNION ALL
+        |SELECT p.event_id, NULL, p.user_id,
+        |  CAST(epoch_ms(p.ts) AS BIGINT), NULL
+        |FROM events p, m
+        |WHERE p.event_type = 'purchase'
+        |  AND NOT EXISTS (SELECT 1 FROM events c
+        |    WHERE c.event_type = 'click' AND c.user_id = p.user_id
+        |      AND c.ts >= p.ts - INTERVAL 5 MINUTES AND c.ts <= p.ts)
+        |  AND CAST(epoch_ms(p.ts) AS BIGINT) < mx - 3600000""".stripMargin,
     "stream_q4_join" ->
       """SELECT p.event_id AS purchase_id, c.event_id AS click_id, p.user_id,
         |  CAST(epoch_ms(p.ts) AS BIGINT) AS purchase_ms,

@@ -118,6 +118,16 @@ object TsdbQueries {
         .where(col("rank") <= 10)
         .select(col("`labels.name`"), col("`labels.user`"), col("`labels.k`"),
           col("time"), col("value"), col("rank").cast("long").as("rank"))),
+    // Q14: PromQL aggregation-operator family over the instant vector —
+    // `avg/min/max/count by (name)` collapsing the series dimension
+    "tsdb_q14_agg_by" -> ((s, dir) =>
+      graft.tsdb.RangeVectors.instant(
+          eventsAsTsdbStored(s, dir), at = RangeEnd, lookbackMs = 86400000L)
+        .groupBy(col("`labels.name`").as("name"))
+        .agg(count(lit(1)).as("n_series"),
+          round(avg(col("value")), 6).as("avg_v"),
+          min(col("value")).as("min_v"),
+          max(col("value")).as("max_v"))),
     // Q11: PromQL increase() with counter-reset handling per series
     "tsdb_q11_increase" -> ((s, dir) =>
       graft.tsdb.RangeVectors.increase(eventsAsTsdbStored(s, dir))),
@@ -209,6 +219,16 @@ object TsdbQueries {
         |  event_type AS name, CAST(user_id AS VARCHAR) AS "user",
         |  regexp_extract(props, '"k": (\d+)', 1) AS k
         |FROM events""".stripMargin,
+    "tsdb_q14_agg_by" ->
+      s"""$duckTsdbCte,
+         |iv AS (SELECT "labels.k", "labels.name", "labels.user",
+         |  list_extract(max([CAST(time AS DOUBLE), value]), 2) AS value
+         |  FROM t WHERE time > ${RangeEnd - 86400000L} AND time <= $RangeEnd
+         |  GROUP BY 1, 2, 3)
+         |SELECT "labels.name" AS name, count(*) AS n_series,
+         |  round(avg(value), 6) AS avg_v,
+         |  min(value) AS min_v, max(value) AS max_v
+         |FROM iv GROUP BY 1""".stripMargin,
     "tsdb_q13_topk" ->
       s"""$duckTsdbCte,
          |iv AS (SELECT "labels.k", "labels.name", "labels.user",

@@ -110,7 +110,11 @@ object EventStreams {
     * watermark passes its window) — without them, stream-stream join
     * state grows without limit; with them it is ∝ events-per-window,
     * the only shape that survives a 100 TB/day feed. */
-  def intervalJoin(events: DataFrame, windowMinutes: Int = 5): DataFrame = {
+  /** @param joinType "inner" (matches only) or "left_outer" (a purchase
+    * with no click in its window emits null-extended once the watermark
+    * proves no matching click can still arrive). */
+  def intervalJoin(events: DataFrame, windowMinutes: Int = 5,
+                   joinType: String = "inner"): DataFrame = {
     val p = events.where(col("event_type") === "purchase")
       .select(col("user_id").as("p_user"), col("event_id").as("purchase_id"),
         col("ts").as("purchase_ts"))
@@ -122,7 +126,8 @@ object EventStreams {
     p.join(c,
         col("p_user") === col("c_user") &&
           col("click_ts") >= col("purchase_ts") - expr(s"INTERVAL $windowMinutes MINUTES") &&
-          col("click_ts") <= col("purchase_ts"))
+          col("click_ts") <= col("purchase_ts"),
+        joinType)
       .select(col("purchase_id"), col("click_id"), col("p_user").as("user_id"),
         expr("unix_millis(purchase_ts)").as("purchase_ms"),
         expr("unix_millis(click_ts)").as("click_ms"))
