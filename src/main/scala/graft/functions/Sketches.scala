@@ -1,0 +1,84 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Distributed cardinality sketching with DETERMINISTIC, engine-portable
+  * results. Spark's built-in `approx_count_distinct` is a fine HLL, but
+  * its estimate is a function of its private hash — no other engine can
+  * reproduce the number, so it can only ever be rows-only checked.
+  * This HLL is built from [[Hashing.hash64]] and integer/string
+  * expressions that evaluate bit-identically in Spark and DuckDB, so the
+  * ESTIMATE ITSELF is oracle-checkable (r2's histogram-sketch move,
+  * applied to cardinality).
+  *
+  * Sketch definition (m registers): register = hash64(x) mod m; rank =
+  * 53 - bitlength(hash64(x) div m) (div-bits are < 2^52, exact in
+  * doubles and in `bin()` string length on both engines; empty rest ⇒
+  * max rank 53). Estimate = HyperLogLog's alpha·m²/Σ2^(−M_j) with the
+  * standard linear-counting fallback below 2.5·m.
+  *
+  * Scale shape: two partial-aggregated groupBys — (keys, register) max,
+  * then keys — so the shuffle carries ≤ m rows per group × partition,
+  * identical to the built-in sketch's O(m) state. All expressions are
+  * codegen'd built-ins.
+  */
+object Sketches {
+
+  /** Per-group deterministic-HLL estimate of `count(distinct valueCol)`.
+    * Output: keys :+ `est_distinct` (double, rounded to 2 — absorbs
+    * summation-order ulps across engines). */
+  def hllDistinct(df: DataFrame, keys: Seq[Column], valueCol: Column,
+                  m: Int = 256): DataFrame = {
+    require(m > 0 && (m & (m - 1)) == 0 && m <= 65536, s"m must be a power of 2, got $m")
+    val h = Hashing.hash64(valueCol.cast("string"))
+    val reg = pmod(h, lit(m.toLong)).as("_reg")
+    val rest = (h / m).cast("long")
+    val rank = when(rest === 0, lit(53))
+      .otherwise(lit(53) - length(bin(rest))).as("_rank")
+    val keyed = df.select((keys :+ reg :+ rank): _*)
+    val keyNames = keyed.columns.dropRight(2).toSeq
+    val regs = keyed.groupBy((keyNames :+ "_reg").map(col): _*)
+      .agg(max(col("_rank")).as("_r"))
+    val grouped = regs.groupBy(keyNames.map(col): _*)
+      .agg(
+        sum(pow(lit(2.0), -col("_r"))).as("_s_present"),
+        count(lit(1)).as("_present"))
+    val S = col("_s_present") + (lit(m) - col("_present")) // absent regs: 2^0 each
+    val zeros = lit(m) - col("_present")
+    val raw = lit(alpha(m) * m * m) / S
+    val est = when(raw <= lit(2.5 * m) && zeros > 0,
+      lit(m.toDouble) * log(lit(m.toDouble) / zeros.cast("double")))
+      .otherwise(raw)
+    grouped.select(keyNames.map(col) :+ round(est, 2).as("est_distinct"): _*)
+  }
+
+  def alpha(m: Int): Double = 0.7213 / (1 + 1.079 / m)
+
+  /** The DuckDB SQL replica: same registers, ranks and estimate formula,
+    * for oracle queries. `table`/`keyCols`/`valExpr` are SQL fragments. */
+  def duckHllSql(table: String, keyCols: Seq[String], valExpr: String,
+                 m: Int = 256): String = {
+    val h = Hashing.duckHash64(s"CAST($valExpr AS VARCHAR)")
+    val keys = keyCols.mkString(", ")
+    val keyPrefix = if (keyCols.isEmpty) "" else s"$keys, "
+    // precomputed in Scala and embedded as ONE double literal (cast to
+    // DOUBLE — DuckDB would otherwise parse it as DECIMAL and overflow)
+    val amm = alpha(m) * m * m
+    s"""WITH hll_regs AS (
+       |  SELECT $keyPrefix($h % $m) AS reg,
+       |    max(CASE WHEN ($h // $m) = 0 THEN 53
+       |      ELSE 53 - length(bin($h // $m)) END) AS r
+       |  FROM $table GROUP BY ${(1 to keyCols.size + 1).mkString(", ")}),
+       |hll_g AS (
+       |  SELECT ${keyPrefix}sum(power(2.0, -r)) AS s_present,
+       |    count(*) AS present
+       |  FROM hll_regs${if (keyCols.isEmpty) "" else s" GROUP BY $keys"})
+       |SELECT ${keyPrefix}round(CASE
+       |    WHEN CAST($amm AS DOUBLE) / (s_present + ($m - present)) <= ${2.5 * m}
+       |         AND ($m - present) > 0
+       |    THEN $m * ln(CAST($m AS DOUBLE) / ($m - present))
+       |    ELSE CAST($amm AS DOUBLE) / (s_present + ($m - present)) END, 2) AS est_distinct
+       |FROM hll_g""".stripMargin
+  }
+}

@@ -296,6 +296,13 @@ object RelationalQueries {
           round(col("s.max") - col("s.min"), 2).as("span"))
     }),
 
+    // deterministic HLL: the portable-hash cardinality sketch whose
+    // ESTIMATE is oracle-checkable (vs rel_q15's engine-private HLL)
+    "rel_q29_hll_distinct" -> ((s, dir) =>
+      graft.functions.Sketches.hllDistinct(
+        load(s, dir, "lineitem"),
+        Seq(col("l_returnflag")), col("l_partkey"))),
+
     // statistical aggregates: correlation / stddev / variance per group —
     // single-pass co-moment accumulation (partial-aggregated), rounded at
     // the output to absorb engine-specific summation order
@@ -496,6 +503,9 @@ object RelationalQueries {
         |  max(l_extendedprice) AS max_price, count(*) AS n,
         |  round(max(l_extendedprice) - min(l_extendedprice), 2) AS span
         |FROM lineitem GROUP BY 1""".stripMargin,
+    "rel_q29_hll_distinct" ->
+      graft.functions.Sketches.duckHllSql(
+        "lineitem", Seq("l_returnflag"), "l_partkey"),
     "rel_q26_stats" ->
       """SELECT l_returnflag,
         |  round(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price,
