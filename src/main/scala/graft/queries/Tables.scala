@@ -57,6 +57,29 @@ object Tables {
   private val storedCache =
     scala.collection.mutable.Map.empty[(String, String), String]
 
+  /** Events in the METRIC-PARTITIONED layout (`__metric=<name>/…`, the
+    * mentors' "one file per metric" design): event_type becomes the
+    * `__name__` label so `Eq("__name__", v)` matchers prune whole
+    * directories at planning. Materialized once per (JVM, sfDir). */
+  def eventsAsTsdbMetricStored(spark: SparkSession, sfDir: String): DataFrame =
+    partCache.synchronized {
+      partCache.getOrElseUpdate((spark.sparkContext.applicationId, sfDir), {
+        val wide = load(spark, sfDir, "events").select(
+          unix_millis(col("ts")).as("time"),
+          col("value"),
+          col("event_type").as("labels.__name__"),
+          col("user_id").cast("string").as("labels.user"),
+          regexp_extract(col("props"), "\"k\": (\\d+)", 1).as("labels.k"))
+        val path = java.nio.file.Files
+          .createTempDirectory("graft_tsdb_part_").toString
+        graft.tsdb.TsdbIngest.writePartitionedByMetric(wide, path)
+        path
+      })
+    } match { case path => graft.tsdb.TsdbIngest.readPartitioned(spark, path) }
+
+  private val partCache =
+    scala.collection.mutable.Map.empty[(String, String), String]
+
   /** lineitem + orders written ONCE per (JVM, sfDir) as bucketed tables
     * (16 buckets on the join key, sorted within buckets). Joins between
     * them then need NO exchange: bucket n joins bucket n in place — the

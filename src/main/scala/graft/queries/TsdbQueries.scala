@@ -118,6 +118,13 @@ object TsdbQueries {
         .where(col("rank") <= 10)
         .select(col("`labels.name`"), col("`labels.user`"), col("`labels.k`"),
           col("time"), col("value"), col("rank").cast("long").as("rank"))),
+    // Q15: the metric-partitioned layout under the oracle — Eq(__name__)
+    // prunes to ONE `__metric=` directory at planning (PartitionFilters;
+    // proven in MetricPartitionSpec), and the result must equal the flat
+    // layout's, i.e. the raw events
+    "tsdb_q15_partitioned" -> ((s, dir) =>
+      TsdbTable(eventsAsTsdbMetricStored(s, dir)).select(
+        RangeStart, RangeEnd, Seq(Matcher.Eq("__name__", "purchase")))),
     // Q14: PromQL aggregation-operator family over the instant vector —
     // `avg/min/max/count by (name)` collapsing the series dimension
     "tsdb_q14_agg_by" -> ((s, dir) =>
@@ -219,6 +226,15 @@ object TsdbQueries {
         |  event_type AS name, CAST(user_id AS VARCHAR) AS "user",
         |  regexp_extract(props, '"k": (\d+)', 1) AS k
         |FROM events""".stripMargin,
+    "tsdb_q15_partitioned" ->
+      s"""SELECT event_type AS "labels.__name__",
+         |  regexp_extract(props, '"k": (\\d+)', 1) AS "labels.k",
+         |  CAST(user_id AS VARCHAR) AS "labels.user",
+         |  CAST(epoch_ms(ts) AS BIGINT) AS time, value
+         |FROM events
+         |WHERE CAST(epoch_ms(ts) AS BIGINT) > $RangeStart
+         |  AND CAST(epoch_ms(ts) AS BIGINT) < $RangeEnd
+         |  AND event_type = 'purchase'""".stripMargin,
     "tsdb_q14_agg_by" ->
       s"""$duckTsdbCte,
          |iv AS (SELECT "labels.k", "labels.name", "labels.user",
