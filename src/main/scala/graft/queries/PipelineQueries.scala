@@ -119,6 +119,17 @@ object PipelineQueries {
       Dedup.lshDedupKeepers(load(s, dir, "documents"), "doc_id", "text",
         k = MinhashK, bands = 4, shingleK = ShingleK)),
 
+    // consistent bottom-k sampling: the k docs with the smallest portable
+    // hash — a uniform sample whose membership is stable under corpus
+    // growth and identical on every engine (the basis of bottom-k
+    // sketches); computed as a global top-k, no full sort
+    "pipe_q24_bottomk" -> ((s, dir) =>
+      load(s, dir, "documents")
+        .select(col("doc_id"),
+          Hashing.hash64(col("doc_id").cast("string")).as("h"))
+        .orderBy(col("h").asc, col("doc_id").asc)
+        .limit(25)),
+
     // stratified sampling via the portable hash: per-language rates
     // (en 50%, others 20%), deterministic per doc — membership never
     // changes as the corpus grows, unlike seeded random sampling, and
@@ -541,6 +552,10 @@ object PipelineQueries {
         |  CAST(doc_id % 30 + 1 AS INTEGER) AS n_frames,
         |  'application/octet-stream' AS mime
         |FROM documents""".stripMargin,
+    "pipe_q24_bottomk" ->
+      s"""SELECT doc_id, ${Hashing.duckHash64("CAST(doc_id AS VARCHAR)")} AS h
+         |FROM documents
+         |ORDER BY 2 ASC, 1 ASC LIMIT 25""".stripMargin,
     "pipe_q20_stratified" ->
       s"""SELECT doc_id, lang FROM documents
          |WHERE ${Hashing.duckHash64("lang || ':' || CAST(doc_id AS VARCHAR)")} % 100 <

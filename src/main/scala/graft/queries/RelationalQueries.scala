@@ -296,6 +296,23 @@ object RelationalQueries {
           round(col("s.max") - col("s.min"), 2).as("span"))
     }),
 
+    // RANGE window frames + the remaining ranking functions: a
+    // value-range running sum (peers aggregate together, unlike ROWS)
+    // plus dense_rank / percent_rank / cume_dist off one partition-sort
+    "rel_q30_range_frames" -> ((s, dir) => {
+      val byDate = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("o_custkey")).orderBy(col("o_totalprice"))
+      load(s, dir, "orders")
+        .where(col("o_custkey") % 20 === 0)
+        .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+          round(sum(col("o_totalprice")).over(
+            byDate.rangeBetween(org.apache.spark.sql.expressions.Window
+              .unboundedPreceding, 0)), 2).as("running_range"),
+          dense_rank().over(byDate).cast("long").as("drank"),
+          round(percent_rank().over(byDate), 6).as("prank"),
+          round(cume_dist().over(byDate), 6).as("cdist"))
+    }),
+
     // deterministic HLL: the portable-hash cardinality sketch whose
     // ESTIMATE is oracle-checkable (vs rel_q15's engine-private HLL)
     "rel_q29_hll_distinct" -> ((s, dir) =>
@@ -506,6 +523,17 @@ object RelationalQueries {
     "rel_q29_hll_distinct" ->
       graft.functions.Sketches.duckHllSql(
         "lineitem", Seq("l_returnflag"), "l_partkey"),
+    "rel_q30_range_frames" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice,
+        |  round(sum(o_totalprice) OVER (PARTITION BY o_custkey
+        |    ORDER BY o_totalprice
+        |    RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_range,
+        |  dense_rank() OVER w AS drank,
+        |  round(percent_rank() OVER w, 6) AS prank,
+        |  round(cume_dist() OVER w, 6) AS cdist
+        |FROM orders
+        |WHERE o_custkey % 20 = 0
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice)""".stripMargin,
     "rel_q26_stats" ->
       """SELECT l_returnflag,
         |  round(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price,
