@@ -18,6 +18,10 @@ class ContractSpec extends SparkSpec {
       try {
         val df = fn(spark, Sf0001)
         assert(df.columns.nonEmpty)
+        // the driver compare sorts columns BY NAME — duplicates would
+        // silently scramble the hash
+        assert(df.columns.distinct.length == df.columns.length,
+          s"duplicate column names: ${df.columns.mkString(",")}")
         df.count() // force full execution
         None
       } catch { case e: Throwable => Some(s"$name: ${e.getMessage.take(120)}") }
