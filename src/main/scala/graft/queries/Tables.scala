@@ -80,6 +80,38 @@ object Tables {
   private val partCache =
     scala.collection.mutable.Map.empty[(String, String), String]
 
+  /** The dynamic-column story (SURVEY §1.4) materialized: batch A writes
+    * events with labels (name, user); batch B later writes a SUPERSET
+    * schema adding `labels.k` — FrostDB's on-the-fly column creation,
+    * realized as parquet schema evolution reconciled by mergeSchema at
+    * read. Batch-A rows read back with `labels.k` NULL (absent). */
+  def eventsAsTsdbEvolvedStored(spark: SparkSession, sfDir: String): DataFrame =
+    evolvedCache.synchronized {
+      evolvedCache.getOrElseUpdate((spark.sparkContext.applicationId, sfDir), {
+        val e = load(spark, sfDir, "events")
+        val base = e.select(
+          unix_millis(col("ts")).as("time"), col("value"),
+          col("event_type").as("labels.name"),
+          col("user_id").cast("string").as("labels.user"))
+        val path = java.nio.file.Files
+          .createTempDirectory("graft_tsdb_evo_").toString
+        graft.tsdb.TsdbIngest.write(
+          base.where(col("time") % 2 === 0), path)
+        graft.tsdb.TsdbIngest.write(
+          e.select(
+            unix_millis(col("ts")).as("time"), col("value"),
+            col("event_type").as("labels.name"),
+            col("user_id").cast("string").as("labels.user"),
+            regexp_extract(col("props"), "\"k\": (\\d+)", 1).as("labels.k"))
+            .where(col("time") % 2 === 1),
+          path, mode = org.apache.spark.sql.SaveMode.Append)
+        path
+      })
+    } match { case path => graft.tsdb.TsdbIngest.read(spark, path) }
+
+  private val evolvedCache =
+    scala.collection.mutable.Map.empty[(String, String), String]
+
   /** lineitem + orders written ONCE per (JVM, sfDir) as bucketed tables
     * (16 buckets on the join key, sorted within buckets). Joins between
     * them then need NO exchange: bucket n joins bucket n in place — the

@@ -118,6 +118,14 @@ object TsdbQueries {
         .where(col("rank") <= 10)
         .select(col("`labels.name`"), col("`labels.user`"), col("`labels.k`"),
           col("time"), col("value"), col("rank").cast("long").as("rank"))),
+    // Q16: DYNAMIC COLUMNS under the oracle (SURVEY §1.4, the
+    // load-bearing design decision): batch A wrote (name, user), batch B
+    // later added `labels.k`; mergeSchema unions the schemas and a
+    // NULL-aware NotEq matcher on the late column must treat batch-A
+    // rows as absent ≡ "" — the exact FrostDB read-time semantics
+    "tsdb_q16_schema_evolution" -> ((s, dir) =>
+      TsdbTable(eventsAsTsdbEvolvedStored(s, dir)).select(
+        RangeStart, RangeEnd, Seq(Matcher.NotEq("k", "5")))),
     // Q15: the metric-partitioned layout under the oracle — Eq(__name__)
     // prunes to ONE `__metric=` directory at planning (PartitionFilters;
     // proven in MetricPartitionSpec), and the result must equal the flat
@@ -226,6 +234,17 @@ object TsdbQueries {
         |  event_type AS name, CAST(user_id AS VARCHAR) AS "user",
         |  regexp_extract(props, '"k": (\d+)', 1) AS k
         |FROM events""".stripMargin,
+    "tsdb_q16_schema_evolution" ->
+      s"""WITH t AS (SELECT CAST(epoch_ms(ts) AS BIGINT) AS time, value,
+         |  event_type AS "labels.name",
+         |  CAST(user_id AS VARCHAR) AS "labels.user",
+         |  CASE WHEN CAST(epoch_ms(ts) AS BIGINT) % 2 = 1
+         |    THEN regexp_extract(props, '"k": (\\d+)', 1) END AS "labels.k"
+         |FROM events)
+         |SELECT "labels.k", "labels.name", "labels.user", time, value
+         |FROM t
+         |WHERE time > $RangeStart AND time < $RangeEnd
+         |  AND ("labels.k" IS NULL OR "labels.k" <> '5')""".stripMargin,
     "tsdb_q15_partitioned" ->
       s"""SELECT event_type AS "labels.__name__",
          |  regexp_extract(props, '"k": (\\d+)', 1) AS "labels.k",
