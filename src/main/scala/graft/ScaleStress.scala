@@ -79,6 +79,33 @@ object ScaleStress {
       graft.operators.Dedup.lshDedupKeepers(docsXN, "doc_id", "text",
         k = 8, bands = 4, shingleK = 3).where(col("kept")).count())
     docsXN.unpersist()
+
+    // extreme-skew join: ONE hot part key owns `factor`/11 of the fact
+    // table. The salted join must spread the hot key across tasks and
+    // match the plain join's result; with AQE off (to isolate the
+    // mechanism) the plain join serializes the hot key into one task.
+    val li = Tables.load(spark, sfDir, "lineitem")
+      .select(col("l_partkey"), col("l_quantity"))
+    val hot = (0 until factor).map(_ =>
+      li.limit(100000).withColumn("l_partkey", lit(1L)))
+      .reduce(_ unionByName _)
+    val skewed = li.unionByName(hot).cache()
+    val parts = Tables.load(spark, sfDir, "part")
+      .select(col("p_partkey").as("l_partkey"), col("p_brand"))
+    skewed.count()
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    time(s"plain join, hot key ${factor}x100k") {
+      skewed.hint("merge").join(parts, Seq("l_partkey"))
+        .groupBy(col("p_brand")).count().count()
+    }
+    val nSalted = time(s"salted join, hot key ${factor}x100k") {
+      graft.operators.SkewJoin.saltedJoin(skewed, parts,
+        Seq("l_partkey"), salts = 16)
+        .groupBy(col("p_brand")).count().count()
+    }
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+    println(s"[scale] salted-join groups=$nSalted")
+    skewed.unpersist()
     spark.stop()
   }
 }
