@@ -146,6 +146,25 @@ object TsdbQueries {
     // Q11: PromQL increase() with counter-reset handling per series
     "tsdb_q11_increase" -> ((s, dir) =>
       graft.tsdb.RangeVectors.increase(eventsAsTsdbStored(s, dir))),
+    // Q17: PromQL resets()/changes() per series per 1-day bucket —
+    // consecutive-pair scans WITHIN the range-vector window
+    "tsdb_q17_resets" -> ((s, dir) =>
+      graft.tsdb.RangeVectors.resetsChanges(
+        eventsAsTsdbStored(s, dir), stepMs = 86400000L)),
+    // Q18: proper counter rate(): per-bucket reset-adjusted increase over
+    // the observed span (the full PromQL counter semantics, vs Q7's
+    // simplified gauge rate)
+    "tsdb_q18_rate" -> ((s, dir) =>
+      graft.tsdb.RangeVectors.rate(
+        eventsAsTsdbStored(s, dir), stepMs = 86400000L)),
+    // Q19: irate()/idelta() — last-two-samples instant rate per bucket
+    "tsdb_q19_irate" -> ((s, dir) =>
+      graft.tsdb.RangeVectors.irate(
+        eventsAsTsdbStored(s, dir), stepMs = 86400000L)),
+    // Q20: quantile_over_time + sum/stddev_over_time per (series, bucket)
+    "tsdb_q20_quantile" -> ((s, dir) =>
+      graft.tsdb.RangeVectors.quantileOverTime(
+        eventsAsTsdbStored(s, dir), stepMs = 86400000L)),
     // Q8: the S7 metadata inspection surface (reference `visualize`,
     // hello.go:75-119) as an exact-oracle query: footer stats of a FIXED
     // artifact (sf0.01 lineitem — both sides pin the same literal path,
@@ -285,6 +304,65 @@ object TsdbQueries {
          |  round(sum(CASE WHEN dd IS NULL THEN 0
          |    WHEN dd < 0 THEN value ELSE dd END), 6) AS increase
          |FROM d GROUP BY 1, 2, 3""".stripMargin,
+    "tsdb_q17_resets" ->
+      s"""$duckTsdbCte,
+         |d AS (SELECT "labels.k", "labels.name", "labels.user",
+         |  CAST(floor(time / 86400000.0) * 86400000 AS BIGINT) AS bucket,
+         |  value,
+         |  lag(value) OVER (PARTITION BY "labels.k", "labels.name",
+         |    "labels.user", CAST(floor(time / 86400000.0) * 86400000 AS BIGINT)
+         |    ORDER BY time, value) AS prev
+         |  FROM t)
+         |SELECT "labels.k", "labels.name", "labels.user", bucket,
+         |  count(*) AS n,
+         |  sum(CASE WHEN prev IS NOT NULL AND value < prev THEN 1 ELSE 0 END) AS resets,
+         |  sum(CASE WHEN prev IS NOT NULL AND value <> prev THEN 1 ELSE 0 END) AS changes
+         |FROM d GROUP BY 1, 2, 3, 4""".stripMargin,
+    "tsdb_q18_rate" ->
+      s"""$duckTsdbCte,
+         |d AS (SELECT "labels.k", "labels.name", "labels.user", time,
+         |  CAST(floor(time / 86400000.0) * 86400000 AS BIGINT) AS bucket,
+         |  value,
+         |  value - lag(value) OVER (PARTITION BY "labels.k", "labels.name",
+         |    "labels.user", CAST(floor(time / 86400000.0) * 86400000 AS BIGINT)
+         |    ORDER BY time, value) AS dd
+         |  FROM t),
+         |g AS (SELECT "labels.k", "labels.name", "labels.user", bucket,
+         |  count(*) AS n,
+         |  round(sum(CASE WHEN dd IS NULL THEN 0
+         |    WHEN dd < 0 THEN value ELSE dd END), 6) AS increase,
+         |  (max(time) - min(time)) / 1000.0 AS span_sec
+         |FROM d GROUP BY 1, 2, 3, 4)
+         |SELECT *, round(increase / nullif(span_sec, 0.0), 6) AS rate_v
+         |FROM g""".stripMargin,
+    "tsdb_q19_irate" ->
+      s"""$duckTsdbCte,
+         |d AS (SELECT "labels.k", "labels.name", "labels.user", time, value,
+         |  CAST(floor(time / 86400000.0) * 86400000 AS BIGINT) AS bucket,
+         |  lag(value) OVER w AS prev_v,
+         |  lag(time) OVER w AS prev_t,
+         |  row_number() OVER w AS rn,
+         |  count(*) OVER (PARTITION BY "labels.k", "labels.name",
+         |    "labels.user", CAST(floor(time / 86400000.0) * 86400000 AS BIGINT)) AS cnt
+         |  FROM t
+         |  WINDOW w AS (PARTITION BY "labels.k", "labels.name", "labels.user",
+         |    CAST(floor(time / 86400000.0) * 86400000 AS BIGINT)
+         |    ORDER BY time, value))
+         |SELECT "labels.k", "labels.name", "labels.user", bucket,
+         |  round(value - prev_v, 6) AS idelta,
+         |  round((CASE WHEN value >= prev_v THEN value - prev_v ELSE value END)
+         |    / nullif((time - prev_t) / 1000.0, 0.0), 6) AS irate_v
+         |FROM d WHERE rn = cnt AND prev_v IS NOT NULL""".stripMargin,
+    "tsdb_q20_quantile" ->
+      s"""$duckTsdbCte
+         |SELECT "labels.k", "labels.name", "labels.user",
+         |  CAST(floor(time / 86400000.0) * 86400000 AS BIGINT) AS bucket,
+         |  count(*) AS n,
+         |  round(quantile_cont(value, 0.5), 4) AS p50_v,
+         |  round(quantile_cont(value, 0.9), 4) AS p90_v,
+         |  round(sum(value), 4) AS sum_v,
+         |  round(stddev_samp(value), 4) AS stddev_v
+         |FROM t GROUP BY 1, 2, 3, 4""".stripMargin,
     "tsdb_q8_instant" ->
       s"""$duckTsdbCte
          |SELECT "labels.k", "labels.name", "labels.user",

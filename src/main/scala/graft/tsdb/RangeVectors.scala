@@ -38,6 +38,10 @@ object RangeVectors {
       .agg(
         max(col(TsdbSchema.TimeCol)).as("time"),
         max(tv).getItem(1).as("value"))
+      // degenerate no-label-column table + empty window: groupBy() is a
+      // GLOBAL agg and would emit one all-null row — an empty vector has
+      // no series, so drop it
+      .where(col("time").isNotNull)
   }
 
   /** PromQL `increase()` with counter-reset handling: per series, sum of
@@ -62,6 +66,109 @@ object RangeVectors {
           .otherwise(d))
       .groupBy(labels: _*)
       .agg(count(lit(1)).as("n"), round(sum(col("d")), 6).as("increase"))
+  }
+
+  private def bucketCol(stepMs: Long): Column =
+    (floor(col(TsdbSchema.TimeCol) / stepMs.toDouble) * stepMs).cast("long")
+
+  /** PromQL `resets()` / `changes()` per (series, bucket): the number of
+    * decreasing / differing consecutive-sample pairs WITHIN the bucket
+    * (the range-vector window — the first sample of a bucket is not
+    * compared across the boundary, matching PromQL's per-window scan).
+    * One window pass partitioned by (series, bucket) + one partial-agg
+    * groupBy on the same keys — the window sort is (time, value), free
+    * on time-sorted storage partitions. */
+  def resetsChanges(wide: DataFrame, stepMs: Long): DataFrame = {
+    val labels = TsdbSchema.dynCols(wide)
+    val b = wide.withColumn("bucket", bucketCol(stepMs))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(labels :+ col("bucket"): _*)
+      .orderBy(col(TsdbSchema.TimeCol).asc, col(TsdbSchema.ValueCol).asc)
+    val v = col(TsdbSchema.ValueCol)
+    b.withColumn("prev", lag(v, 1).over(w))
+      .groupBy(labels :+ col("bucket"): _*)
+      .agg(
+        count(lit(1)).as("n"),
+        sum(when(col("prev").isNotNull && v < col("prev"), 1L)
+          .otherwise(0L)).as("resets"),
+        sum(when(col("prev").isNotNull && v =!= col("prev"), 1L)
+          .otherwise(0L)).as("changes"))
+  }
+
+  /** PromQL `rate()`/`increase()` per (series, bucket) WITH counter-reset
+    * handling (unlike [[overTime]]'s simplified gauge rate): per-bucket
+    * sum of consecutive deltas where a negative delta contributes the new
+    * raw value, divided by the observed span. Rate is computed from the
+    * ROUNDED increase so the oracle divides identical literals. No
+    * boundary extrapolation (PromQL's xrate debate — we take the
+    * observed-span definition). */
+  def rate(wide: DataFrame, stepMs: Long): DataFrame = {
+    val labels = TsdbSchema.dynCols(wide)
+    val b = wide.withColumn("bucket", bucketCol(stepMs))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(labels :+ col("bucket"): _*)
+      .orderBy(col(TsdbSchema.TimeCol).asc, col(TsdbSchema.ValueCol).asc)
+    val v = col(TsdbSchema.ValueCol)
+    val d = v - lag(v, 1).over(w)
+    val spanSec = (max(col(TsdbSchema.TimeCol)) - min(col(TsdbSchema.TimeCol))) / 1000.0
+    b.withColumn("d",
+        when(d.isNull, lit(0.0)).when(d < 0, v).otherwise(d))
+      .groupBy(labels :+ col("bucket"): _*)
+      .agg(count(lit(1)).as("n"), round(sum(col("d")), 6).as("increase"),
+        spanSec.as("span_sec"))
+      .withColumn("rate_v",
+        round(col("increase") / nullif(col("span_sec"), lit(0.0)), 6))
+  }
+
+  /** PromQL `irate()`/`idelta()` per (series, bucket): the delta of the
+    * LAST TWO samples in the window, over their own time gap. Buckets
+    * with fewer than two samples drop out (PromQL needs two points).
+    * Same single (series, bucket) shuffle: the asc lag and the desc
+    * row_number share one partitioning, so this is two sorts but one
+    * exchange. */
+  def irate(wide: DataFrame, stepMs: Long): DataFrame = {
+    val labels = TsdbSchema.dynCols(wide)
+    val b = wide.withColumn("bucket", bucketCol(stepMs))
+    val part = labels :+ col("bucket")
+    // ONE ascending ordering serves lag, row_number, and the partition
+    // count — "last row" is rn == cnt over the SAME sort, so duplicate
+    // (time, value) ties can't pick inconsistent rows the way an
+    // opposite-order row_number would (ties order arbitrarily but
+    // consistently within a single window sort)
+    val wAsc = org.apache.spark.sql.expressions.Window
+      .partitionBy(part: _*)
+      .orderBy(col(TsdbSchema.TimeCol).asc, col(TsdbSchema.ValueCol).asc)
+    val wAll = org.apache.spark.sql.expressions.Window.partitionBy(part: _*)
+    val v = col(TsdbSchema.ValueCol)
+    b.withColumn("prev_v", lag(v, 1).over(wAsc))
+      .withColumn("prev_t", lag(col(TsdbSchema.TimeCol), 1).over(wAsc))
+      .withColumn("rn", row_number().over(wAsc))
+      .withColumn("cnt", count(lit(1)).over(wAll))
+      .where(col("rn") === col("cnt") && col("prev_v").isNotNull)
+      .select(labels :+ col("bucket") :+
+        round(v - col("prev_v"), 6).as("idelta") :+
+        round(
+          when(v >= col("prev_v"), v - col("prev_v")).otherwise(v) /
+            nullif((col(TsdbSchema.TimeCol) - col("prev_t")) / 1000.0, lit(0.0)), 6)
+          .as("irate_v"): _*)
+  }
+
+  /** `quantile_over_time` (exact interpolated percentiles) plus
+    * sum/stddev_over_time per (series, bucket) — one partial-aggregated
+    * groupBy; floats rounded at output for portability. */
+  def quantileOverTime(wide: DataFrame, stepMs: Long): DataFrame = {
+    val labels = TsdbSchema.dynCols(wide)
+    val v = col(TsdbSchema.ValueCol)
+    wide
+      .groupBy(labels :+ bucketCol(stepMs).as("bucket"): _*)
+      .agg(
+        count(lit(1)).as("n"),
+        round(expr(s"percentile(${TsdbSchema.ValueCol}, 0.5)"), 4).as("p50_v"),
+        round(expr(s"percentile(${TsdbSchema.ValueCol}, 0.9)"), 4).as("p90_v"),
+        round(sum(v), 4).as("sum_v"),
+        // single-sample buckets: Spark yields NaN (0/0), DuckDB NULL —
+        // make the NULL explicit so both engines agree
+        when(count(lit(1)) > 1, round(stddev_samp(v), 4)).as("stddev_v"))
   }
 
   /** avg/min/max/count_over_time + delta + rate per (series, bucket). */

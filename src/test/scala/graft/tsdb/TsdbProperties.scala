@@ -110,6 +110,76 @@ object TsdbProperties extends Properties("tsdb") {
       got == want
     }
 
+  // shared model scaffolding for the bucketed range-vector functions:
+  // group by (raw labels, bucket), samples ordered (time, value)
+  private val Step = 8L
+  private def bucketed(samples: List[Sample]): Map[(Map[String, String], Long), List[(Long, Double)]] =
+    samples.groupBy(s => (s.labels, s.time / Step * Step))
+      .view.mapValues(_.map(s => (s.time, s.value)).sorted).toMap
+  private def round6(x: Double): Double =
+    BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+  private def rowLabels(wide: org.apache.spark.sql.DataFrame,
+                        r: org.apache.spark.sql.Row): Map[String, String] =
+    TsdbSchema.labelColumns(wide).flatMap(c =>
+      Option(r.getAs[String](c)).map(c.stripPrefix("labels.") -> _)).toMap
+
+  property("resets/changes ≡ per-(series,bucket) consecutive-pair scan") =
+    Prop.forAll(Gen.nonEmptyListOf(sample)) { samples =>
+      val wide = TsdbIngest.toWide(samples.toDS().toDF())
+      val got = RangeVectors.resetsChanges(wide, Step).collect().map { r =>
+        (rowLabels(wide, r), r.getAs[Long]("bucket"), r.getAs[Long]("n"),
+          r.getAs[Long]("resets"), r.getAs[Long]("changes"))
+      }.toSet
+      val want = bucketed(samples).map { case ((k, b), tv) =>
+        val pairs = tv.map(_._2).sliding(2).filter(_.size == 2).toList
+        (k, b, tv.size.toLong,
+          pairs.count(p => p(1) < p(0)).toLong,
+          pairs.count(p => p(1) != p(0)).toLong)
+      }.toSet
+      got == want
+    }
+
+  property("rate ≡ reset-adjusted increase over observed span per bucket") =
+    Prop.forAll(Gen.nonEmptyListOf(sample)) { samples =>
+      val wide = TsdbIngest.toWide(samples.toDS().toDF())
+      val got = RangeVectors.rate(wide, Step).collect().map { r =>
+        (rowLabels(wide, r), r.getAs[Long]("bucket"), r.getAs[Long]("n"),
+          r.getAs[Double]("increase"),
+          if (r.isNullAt(r.fieldIndex("rate_v"))) None
+          else Some(r.getAs[Double]("rate_v")))
+      }.toSet
+      val want = bucketed(samples).map { case ((k, b), tv) =>
+        val vs = tv.map(_._2)
+        val inc = round6(vs.tail.zip(vs.init).map {
+          case (v, prev) if v - prev < 0 => v
+          case (v, prev) => v - prev
+        }.sum)
+        val span = (tv.last._1 - tv.head._1) / 1000.0
+        (k, b, tv.size.toLong, inc,
+          if (span == 0.0) None else Some(round6(inc / span)))
+      }.toSet
+      got == want
+    }
+
+  property("irate/idelta ≡ last-two-samples delta; <2-sample buckets drop") =
+    Prop.forAll(Gen.nonEmptyListOf(sample)) { samples =>
+      val wide = TsdbIngest.toWide(samples.toDS().toDF())
+      val got = RangeVectors.irate(wide, Step).collect().map { r =>
+        (rowLabels(wide, r), r.getAs[Long]("bucket"),
+          r.getAs[Double]("idelta"),
+          if (r.isNullAt(r.fieldIndex("irate_v"))) None
+          else Some(r.getAs[Double]("irate_v")))
+      }.toSet
+      val want = bucketed(samples).collect {
+        case ((k, b), tv) if tv.size >= 2 =>
+          val List((t0, v0), (t1, v1)) = tv.takeRight(2)
+          val num = if (v1 >= v0) v1 - v0 else v1
+          (k, b, round6(v1 - v0),
+            if (t1 == t0) None else Some(round6(num / ((t1 - t0) / 1000.0))))
+      }.toSet
+      got == want
+    }
+
   property("instant vector ≡ latest-in-lookback per series, stale dropped") =
     Prop.forAll(Gen.nonEmptyListOf(sample), Gen.choose(5L, 15L),
       Gen.choose(1L, 10L)) { (samples, at, lookback) =>
