@@ -112,6 +112,42 @@ object Tables {
   private val evolvedCache =
     scala.collection.mutable.Map.empty[(String, String), String]
 
+  /** Events landed through the STREAMING sink's idempotent per-batch
+    * writer (7 micro-batch directories, one replayed to prove the
+    * idempotence gate), then COMPACTED by [[graft.tsdb.TsdbCompact]] into
+    * few large time-sorted files. Queries over this table prove the whole
+    * ingest→compact lifecycle preserves contents exactly. */
+  def eventsAsTsdbCompactedStored(spark: SparkSession, sfDir: String): DataFrame =
+    compactCache.synchronized {
+      compactCache.getOrElseUpdate((spark.sparkContext.applicationId, sfDir), {
+        val long = load(spark, sfDir, "events").select(
+          unix_millis(col("ts")).as("time"),
+          col("value"),
+          map(lit("name"), col("event_type"),
+            lit("user"), col("user_id").cast("string"),
+            lit("k"), regexp_extract(col("props"), "\"k\": (\\d+)", 1))
+            .as("labels"))
+        val path = java.nio.file.Files
+          .createTempDirectory("graft_tsdb_compact_").toString
+        (0 until 7).foreach { b =>
+          graft.streaming.TsdbStreamIngest.writeBatch(
+            long.where(pmod(col("time"), lit(7)) === b), path, b.toLong,
+            timePartitions = 2)
+        }
+        // replayed batch (at-least-once delivery) — must be a no-op
+        graft.streaming.TsdbStreamIngest.writeBatch(
+          long.where(pmod(col("time"), lit(7)) === 3), path, 3L,
+          timePartitions = 2)
+        val stats = graft.tsdb.TsdbCompact.compact(spark, path)
+        require(stats.filesAfter < stats.filesBefore,
+          s"compaction did not reduce files: $stats")
+        path
+      })
+    } match { case path => graft.tsdb.TsdbIngest.read(spark, path) }
+
+  private val compactCache =
+    scala.collection.mutable.Map.empty[(String, String), String]
+
   /** lineitem + orders written ONCE per (JVM, sfDir) as bucketed tables
     * (16 buckets on the join key, sorted within buckets). Joins between
     * them then need NO exchange: bucket n joins bucket n in place — the

@@ -61,6 +61,12 @@ object TsdbQueries {
     // Q5: count parity (A4)
     "tsdb_q5_count" -> ((s, dir) =>
       table(s, dir).df.agg(count(lit(1)).as("n"))),
+    // Q21: the ingest→compact lifecycle under the oracle — events landed
+    // as 7 streaming micro-batch directories (one replayed), compacted
+    // into few large time-sorted files; contents must equal the raw
+    // mapping byte-for-byte (layout is the ONLY thing compaction changes)
+    "tsdb_q21_compacted" -> ((s, dir) =>
+      proj(TsdbTable(eventsAsTsdbCompactedStored(s, dir)).select(Nil))),
     // Q7: range-vector aggregates (the PromQL direction the reference
     // was headed): per-series tumbling 1-day buckets with
     // avg/min/max/count_over_time, delta, rate
@@ -235,6 +241,7 @@ object TsdbQueries {
          |WHERE time > $RangeStart AND time < $RangeEnd
          |  AND "labels.name" = 'signup'""".stripMargin,
     "tsdb_q5_count" -> s"$duckTsdbCte SELECT count(*) AS n FROM t",
+    "tsdb_q21_compacted" -> s"$duckTsdbCte $projSql",
     "tsdb_q7_range_vectors" ->
       s"""$duckTsdbCte
          |SELECT "labels.k", "labels.name", "labels.user",
