@@ -148,6 +148,44 @@ object Tables {
   private val compactCache =
     scala.collection.mutable.Map.empty[(String, String), String]
 
+  /** A fresh stored copy with a TOMBSTONE-style delete applied:
+    * `DeleteSeries(name="click", RangeStart..RangeEnd)` (inclusive, the
+    * delete-API convention). Only files whose footer time bounds
+    * intersect the range are rewritten. */
+  def eventsAsTsdbDeletedStored(spark: SparkSession, sfDir: String): DataFrame =
+    deletedCache.synchronized {
+      deletedCache.getOrElseUpdate((spark.sparkContext.applicationId, sfDir), {
+        val path = java.nio.file.Files
+          .createTempDirectory("graft_tsdb_del_").toString
+        graft.tsdb.TsdbIngest.write(eventsAsTsdb(spark, sfDir), path)
+        graft.tsdb.TsdbRetention.delete(spark, path,
+          Seq(graft.model.Matcher.Eq("name", "click")), RangeStart, RangeEnd)
+        path
+      })
+    } match { case path => graft.tsdb.TsdbIngest.read(spark, path) }
+
+  private val deletedCache =
+    scala.collection.mutable.Map.empty[(String, String), String]
+
+  /** A fresh stored copy with RETENTION enforced: everything before
+    * RangeStart expired; files wholly below the horizon are dropped from
+    * footer metadata alone. */
+  def eventsAsTsdbExpiredStored(spark: SparkSession, sfDir: String): DataFrame =
+    expiredCache.synchronized {
+      expiredCache.getOrElseUpdate((spark.sparkContext.applicationId, sfDir), {
+        val path = java.nio.file.Files
+          .createTempDirectory("graft_tsdb_exp_").toString
+        graft.tsdb.TsdbIngest.write(eventsAsTsdb(spark, sfDir), path)
+        val stats = graft.tsdb.TsdbRetention.expire(spark, path, RangeStart)
+        require(stats.filesDropped > 0,
+          s"retention should drop whole files from footer bounds alone: $stats")
+        path
+      })
+    } match { case path => graft.tsdb.TsdbIngest.read(spark, path) }
+
+  private val expiredCache =
+    scala.collection.mutable.Map.empty[(String, String), String]
+
   /** lineitem + orders written ONCE per (JVM, sfDir) as bucketed tables
     * (16 buckets on the join key, sorted within buckets). Joins between
     * them then need NO exchange: bucket n joins bucket n in place — the

@@ -61,6 +61,18 @@ object TsdbQueries {
     // Q5: count parity (A4)
     "tsdb_q5_count" -> ((s, dir) =>
       table(s, dir).df.agg(count(lit(1)).as("n"))),
+    // Q22: tombstone-style delete under the oracle — the engine's DML
+    // tier (the reference ships an empty, never-consulted tombstones
+    // file): samples matching (name='click', RangeStart<=t<=RangeEnd)
+    // removed via footer-pruned file rewrite; survivors must equal the
+    // SQL DELETE semantics exactly
+    "tsdb_q22_delete" -> ((s, dir) =>
+      proj(TsdbTable(eventsAsTsdbDeletedStored(s, dir)).select(Nil))),
+    // Q23: retention enforcement — expire everything before RangeStart;
+    // whole files below the horizon are dropped from footer metadata
+    // alone (zero data I/O), boundary files rewritten
+    "tsdb_q23_retention" -> ((s, dir) =>
+      proj(TsdbTable(eventsAsTsdbExpiredStored(s, dir)).select(Nil))),
     // Q21: the ingest→compact lifecycle under the oracle — events landed
     // as 7 streaming micro-batch directories (one replayed), compacted
     // into few large time-sorted files; contents must equal the raw
@@ -242,6 +254,11 @@ object TsdbQueries {
          |  AND "labels.name" = 'signup'""".stripMargin,
     "tsdb_q5_count" -> s"$duckTsdbCte SELECT count(*) AS n FROM t",
     "tsdb_q21_compacted" -> s"$duckTsdbCte $projSql",
+    "tsdb_q22_delete" ->
+      s"""$duckTsdbCte $projSql
+         |WHERE NOT ("labels.name" = 'click'
+         |  AND time >= $RangeStart AND time <= $RangeEnd)""".stripMargin,
+    "tsdb_q23_retention" -> s"$duckTsdbCte $projSql WHERE time >= $RangeStart",
     "tsdb_q7_range_vectors" ->
       s"""$duckTsdbCte
          |SELECT "labels.k", "labels.name", "labels.user",
