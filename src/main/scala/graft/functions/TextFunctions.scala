@@ -86,6 +86,32 @@ object TextFunctions {
     }
   }
 
+  // ---- PII redaction ----
+  // Patterns kept in the Java∩RE2 regex subset so Spark and the DuckDB
+  // oracle scrub identically. Applied email → IPv4 → phone (fixed order:
+  // later patterns see earlier replacements, so ordering is part of the
+  // contract).
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val Ipv4Re = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+  val PhoneRe = "\\b\\d{3}[-.]\\d{3}[-.]\\d{4}\\b"
+
+  /** Count of PII hits per kind — the decision signal (drop vs scrub)
+    * a curation pipeline filters on. */
+  def piiCounts(text: Column): (Column, Column, Column) =
+    (regexp_count(text, lit(EmailRe)),
+      regexp_count(text, lit(Ipv4Re)),
+      regexp_count(text, lit(PhoneRe)))
+
+  /** Redact emails/IPv4s/phone numbers with typed placeholders — the
+    * standard pre-training scrub. Pure codegen'd regexp_replace chain,
+    * map-side only at any scale. */
+  def piiScrub(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, EmailRe, "[EMAIL]"),
+        Ipv4Re, "[IP]"),
+      PhoneRe, "[PHONE]")
+
   /** Order-sensitive document fingerprint (rolling-hash flavored):
     * sum over tokens of position × (hash64(token) mod P), mod P.
     * Content+order sensitive, portable (same formula in DuckDB), and a

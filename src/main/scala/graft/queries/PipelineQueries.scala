@@ -130,6 +130,41 @@ object PipelineQueries {
         .orderBy(col("h").asc, col("doc_id").asc)
         .limit(25)),
 
+    // PII scrubbing: deterministic synthetic PII (derived from doc_id, so
+    // both engines build the identical input) counted per kind, then
+    // redacted with typed placeholders — the full scrubbed text is under
+    // the hash check, so replacement is proven character-exact
+    "pipe_q25_pii" -> ((s, dir) => {
+      val dirty = concat(col("text"),
+        lit(" contact user"), col("doc_id").cast("string"),
+        lit("@example.com or 555-867-530"), pmod(col("doc_id"), lit(10)).cast("string"),
+        lit(" from 10.0."), pmod(col("doc_id"), lit(256)).cast("string"), lit(".7"))
+      val (ne, ni, np) = TextFunctions.piiCounts(dirty)
+      load(s, dir, "documents").select(
+        col("doc_id"),
+        ne.cast("long").as("n_emails"),
+        ni.cast("long").as("n_ips"),
+        np.cast("long").as("n_phones"),
+        TextFunctions.piiScrub(dirty).as("scrubbed"))
+    }),
+
+    // benchmark decontamination: docs ending in 0 play the eval set, the
+    // rest the train corpus; a broadcast shingle join surfaces every
+    // train doc sharing a 3-shingle with any benchmark doc
+    "pipe_q26_contamination" -> ((s, dir) => {
+      val docs = load(s, dir, "documents")
+      graft.operators.TextPipeline.contamination(
+        docs.where(pmod(col("doc_id"), lit(10)) =!= 0),
+        docs.where(pmod(col("doc_id"), lit(10)) === 0),
+        "doc_id", "text", ShingleK)
+    }),
+
+    // repetition detection: dominance of the most repeated 3-shingle and
+    // the distinct ratio per doc — boilerplate/degenerate-text filter
+    "pipe_q27_repetition" -> ((s, dir) =>
+      graft.operators.TextPipeline.repetition(
+        load(s, dir, "documents"), "doc_id", "text", ShingleK)),
+
     // stratified sampling via the portable hash: per-language rates
     // (en 50%, others 20%), deterministic per doc — membership never
     // changes as the corpus grows, unlike seeded random sampling, and
@@ -560,6 +595,42 @@ object PipelineQueries {
       s"""SELECT doc_id, lang FROM documents
          |WHERE ${Hashing.duckHash64("lang || ':' || CAST(doc_id AS VARCHAR)")} % 100 <
          |  CASE WHEN lang = 'en' THEN 50 ELSE 20 END""".stripMargin,
+    "pipe_q25_pii" ->
+      """WITH d AS (SELECT doc_id,
+        |  text || ' contact user' || CAST(doc_id AS VARCHAR)
+        |    || '@example.com or 555-867-530' || CAST(doc_id % 10 AS VARCHAR)
+        |    || ' from 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.7' AS dirty
+        |FROM documents)
+        |SELECT doc_id,
+        |  len(regexp_extract_all(dirty, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_emails,
+        |  len(regexp_extract_all(dirty, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS n_ips,
+        |  len(regexp_extract_all(dirty, '\b\d{3}[-.]\d{3}[-.]\d{4}\b')) AS n_phones,
+        |  regexp_replace(regexp_replace(regexp_replace(dirty,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+        |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '[IP]', 'g'),
+        |    '\b\d{3}[-.]\d{3}[-.]\d{4}\b', '[PHONE]', 'g') AS scrubbed
+        |FROM d""".stripMargin,
+    "pipe_q26_contamination" ->
+      s"""WITH sh AS (SELECT doc_id,
+         |  unnest(list_distinct(${duckShingles(ShingleK)})) AS shingle
+         |  FROM documents),
+         |tr AS (SELECT * FROM sh WHERE doc_id % 10 <> 0),
+         |be AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 10 = 0),
+         |tot AS (SELECT doc_id, count(*) AS n_shingles FROM tr GROUP BY 1),
+         |hit AS (SELECT tr.doc_id, count(*) AS n_shared
+         |  FROM tr JOIN be USING (shingle) GROUP BY 1)
+         |SELECT doc_id, n_shingles, n_shared,
+         |  round(CAST(n_shared AS DOUBLE) / n_shingles, 6) AS ratio
+         |FROM hit JOIN tot USING (doc_id)""".stripMargin,
+    "pipe_q27_repetition" ->
+      s"""WITH sh AS (SELECT doc_id, unnest(${duckShingles(ShingleK)}) AS shingle
+         |  FROM documents),
+         |c AS (SELECT doc_id, shingle, count(*) AS n FROM sh GROUP BY 1, 2)
+         |SELECT doc_id, sum(n) AS n_shingles, count(*) AS n_distinct,
+         |  max(n) AS max_rep,
+         |  round(CAST(max(n) AS DOUBLE) / sum(n), 6) AS rep_ratio,
+         |  round(CAST(count(*) AS DOUBLE) / sum(n), 6) AS distinct_ratio
+         |FROM c GROUP BY 1""".stripMargin,
     "pipe_q21_tfidf" ->
       """WITH docs AS (SELECT * FROM documents WHERE doc_id < 100),
         |terms AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM docs),

@@ -1,0 +1,60 @@
+package graft.operators
+
+import graft.SparkSpec
+import graft.functions.TextFunctions
+import org.apache.spark.sql.functions._
+
+class TextPipelineSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("piiScrub redacts emails, IPs and phones with typed placeholders") {
+    val df = Seq(
+      ("mail me at a.b+c@sub.example.org now", "[EMAIL]"),
+      ("server 192.168.0.1 down", "[IP]"),
+      ("call 555-867-5309 or 555.867.5309", "[PHONE]"),
+      ("clean text stays clean", null)
+    ).toDF("text", "expect_token")
+    val out = df.select(col("expect_token"),
+      TextFunctions.piiScrub(col("text")).as("scrubbed")).collect()
+    out.foreach { r =>
+      val tok = r.getString(0)
+      val s = r.getString(1)
+      if (tok == null) assert(s === "clean text stays clean")
+      else assert(s.contains(tok) && !s.exists(_.isDigit) || !s.contains("@"),
+        s"scrub failed: $s")
+    }
+    // exactness: every PII kind replaced, order-independent content intact
+    val one = df.sparkSession.range(1).select(TextFunctions.piiScrub(
+      lit("x a@b.co 1.2.3.4 555-123-4567 y")).as("s")).head.getString(0)
+    assert(one === "x [EMAIL] [IP] [PHONE] y")
+  }
+
+  test("contamination flags exactly the train docs sharing a shingle") {
+    val train = Seq(
+      (1L, "alpha beta gamma delta"),     // shares "alpha beta gamma"
+      (2L, "zeta eta theta iota"),        // clean
+      (3L, "alpha beta gamma alpha beta gamma") // duplicate shingles count once
+    ).toDF("doc_id", "text")
+    val bench = Seq((100L, "alpha beta gamma epsilon")).toDF("doc_id", "text")
+    val got = TextPipeline.contamination(train, bench, "doc_id", "text", 3)
+      .as[(Long, Long, Long, Double)].collect().toSet
+    // doc 1: shingles {abg, bgd} distinct=2, shared=1; doc 3: distinct
+    // shingles {abg, bga, gab, abg…}→ check: tokens a b g a b g, 3-shingles:
+    // abg, bga, gab, abg → distinct {abg,bga,gab}=3, shared {abg}=1
+    assert(got === Set(
+      (1L, 2L, 1L, 0.5),
+      (3L, 3L, 1L, 0.333333)))
+  }
+
+  test("repetition stats expose degenerate documents") {
+    val docs = Seq(
+      (1L, "spam spam spam spam spam spam"), // all shingles identical
+      (2L, "one two three four five six")    // all distinct
+    ).toDF("doc_id", "text")
+    val got = TextPipeline.repetition(docs, "doc_id", "text", 3)
+      .as[(Long, Long, Long, Long, Double, Double)].collect().toSet
+    assert(got === Set(
+      (1L, 4L, 1L, 4L, 1.0, 0.25),
+      (2L, 4L, 4L, 1L, 0.25, 1.0)))
+  }
+}
