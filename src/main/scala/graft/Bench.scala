@@ -39,13 +39,16 @@ object Bench {
     // engine, not the compiler.
     spark.read.parquet(s"$sfDir/region.parquet").count()
     // ...including the WRITE path (committer/codegen init is a JVM-
-    // lifetime cost): a tiny sorted parquet write before timing ingest
+    // lifetime cost): warm the REAL ingest pipeline — events read (nanos
+    // flag, props regexp codegen), range sampling, sort, parquet v2
+    // writer — on a tiny slice, so the timed ingest measures the engine,
+    // not first-touch class loading
     locally {
       val tmp = java.nio.file.Files.createTempDirectory("graft_warm_").toString
-      spark.read.parquet(s"$sfDir/region.parquet")
-        .repartitionByRange(2, org.apache.spark.sql.functions.col("r_regionkey"))
-        .sortWithinPartitions("r_regionkey")
-        .write.mode("overwrite").parquet(tmp)
+      graft.tsdb.TsdbIngest.write(
+        graft.queries.Tables.eventsAsTsdb(spark, sfDir).limit(2000),
+        tmp, timePartitions = 2)
+      spark.read.parquet(tmp).count()
     }
 
     // the tsdb_* queries read a write-once sorted materialization

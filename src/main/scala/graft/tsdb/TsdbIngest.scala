@@ -77,12 +77,75 @@ object TsdbIngest {
       .option(s"parquet.enable.dictionary#$TimeCol", "false")
       .option("compression", "snappy")
       .parquet(path)
+    writeSchemaManifest(wide, path)
+  }
+
+  // ---- schema manifests ----
+  // mergeSchema=true reconciles dynamic columns by reading EVERY file's
+  // footer at planning — O(files) driver work, the thing that dies first
+  // at 100 TB (a year of appends is millions of footers). Each write()
+  // therefore records its schema once under `_schema/` (underscore ⇒
+  // invisible to the parquet reader); read() unions the handful of
+  // manifests instead. This is FrostDB's table-level schema registry /
+  // a table format's manifest, in minimal form. Appends from OTHER
+  // writers (no manifest) still work: read() falls back to mergeSchema.
+
+  private val SchemaDir = "_schema"
+
+  private def writeSchemaManifest(wide: DataFrame, path: String): Unit = {
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(wide.sparkSession.sessionState.newHadoopConf())
+    val dir = new org.apache.hadoop.fs.Path(path, SchemaDir)
+    fs.mkdirs(dir)
+    // name = epochMs + uuid: listing order ⇒ write order ⇒ deterministic
+    // column order on read (first writer's columns first)
+    val f = new org.apache.hadoop.fs.Path(dir,
+      f"${System.currentTimeMillis()}%013d-${java.util.UUID.randomUUID()}.json")
+    val out = fs.create(f, true)
+    try out.write(wide.schema.json.getBytes("UTF-8")) finally out.close()
+  }
+
+  /** Union of all recorded schemas, by field name, first-seen order. */
+  private def manifestSchema(spark: SparkSession,
+                             path: String): Option[org.apache.spark.sql.types.StructType] = {
+    val p = new org.apache.hadoop.fs.Path(path, SchemaDir)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(p)) return None
+    val files = fs.listStatus(p).filter(_.getPath.getName.endsWith(".json"))
+      .sortBy(_.getPath.getName)
+    if (files.isEmpty) return None
+    val fields = scala.collection.mutable.LinkedHashMap
+      .empty[String, org.apache.spark.sql.types.StructField]
+    files.foreach { st =>
+      val in = fs.open(st.getPath)
+      val json = try {
+        val buf = new java.io.ByteArrayOutputStream()
+        org.apache.hadoop.io.IOUtils.copyBytes(in, buf, 64 * 1024, false)
+        buf.toString("UTF-8")
+      } finally in.close()
+      org.apache.spark.sql.types.DataType.fromJson(json)
+        .asInstanceOf[org.apache.spark.sql.types.StructType]
+        .fields.foreach(f => if (!fields.contains(f.name)) fields(f.name) = f)
+    }
+    Some(org.apache.spark.sql.types.StructType(fields.values.toSeq))
   }
 
   /** Read the wide table back, unioning schemas across batches (the
-    * dynamic-column read-time union). */
-  def read(spark: SparkSession, path: String): DataFrame =
-    spark.read.option("mergeSchema", "true").parquet(path)
+    * dynamic-column read-time union). Fast path: the manifest union with
+    * an explicit schema — planning cost independent of file count.
+    * Fallback (no manifests, or Hive-style partition dirs whose inferred
+    * partition columns an explicit schema would suppress): mergeSchema. */
+  def read(spark: SparkSession, path: String): DataFrame = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    val hasPartitionDirs = fs.exists(p) && fs.listStatus(p)
+      .exists(s => s.isDirectory && s.getPath.getName.contains("="))
+    manifestSchema(spark, path) match {
+      case Some(schema) if !hasPartitionDirs =>
+        spark.read.schema(schema).parquet(path)
+      case _ => spark.read.option("mergeSchema", "true").parquet(path)
+    }
+  }
 
   /** Metric-partitioned layout — the mentorship notes' "one file per
     * metric … sorted by timestamp" design (SURVEY §6), as Hive-style
