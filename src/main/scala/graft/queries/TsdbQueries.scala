@@ -183,6 +183,25 @@ object TsdbQueries {
     "tsdb_q20_quantile" -> ((s, dir) =>
       graft.tsdb.RangeVectors.quantileOverTime(
         eventsAsTsdbStored(s, dir), stepMs = 86400000L)),
+    // Q24: label_replace — cohort derived from the user label's leading
+    // digit (anchored regex + $1 expansion), aggregated per cohort
+    "tsdb_q24_label_replace" -> ((s, dir) =>
+      graft.tsdb.LabelOps.labelReplace(eventsAsTsdbStored(s, dir),
+          dst = "cohort", replacement = "c$1", src = "user", regex = "(\\d)\\d*")
+        .groupBy(col("`labels.cohort`").as("cohort"))
+        .agg(count(lit(1)).as("n"), round(sum(col("value")), 4).as("sum_v"))),
+    // Q25: label_join — series key assembled from (name, user, k); absent
+    // labels join as "" at their position (NOT skipped)
+    "tsdb_q25_label_join" -> ((s, dir) =>
+      graft.tsdb.LabelOps.labelJoin(eventsAsTsdbStored(s, dir),
+          dst = "series_key", sep = ":", srcs = Seq("name", "user", "k"))
+        .groupBy(col("`labels.series_key`").as("series_key"))
+        .agg(count(lit(1)).as("n"))),
+    // Q26: deriv()/predict_linear() — per-series least-squares slope per
+    // 1-day bucket and the value extrapolated 30 min past bucket end
+    "tsdb_q26_deriv" -> ((s, dir) =>
+      graft.tsdb.RangeVectors.deriv(eventsAsTsdbStored(s, dir),
+        stepMs = 86400000L, horizonMs = 1800000L)),
     // Q8: the S7 metadata inspection surface (reference `visualize`,
     // hello.go:75-119) as an exact-oracle query: footer stats of a FIXED
     // artifact (sf0.01 lineitem — both sides pin the same literal path,
@@ -259,6 +278,35 @@ object TsdbQueries {
          |WHERE NOT ("labels.name" = 'click'
          |  AND time >= $RangeStart AND time <= $RangeEnd)""".stripMargin,
     "tsdb_q23_retention" -> s"$duckTsdbCte $projSql WHERE time >= $RangeStart",
+    "tsdb_q24_label_replace" ->
+      s"""$duckTsdbCte,
+         |r AS (SELECT value,
+         |  CASE WHEN regexp_full_match(coalesce("labels.user", ''), '(\\d)\\d*')
+         |    THEN nullif(regexp_replace(coalesce("labels.user", ''),
+         |      '^(?:(\\d)\\d*)$$', 'c\\1'), '')
+         |  END AS cohort FROM t)
+         |SELECT cohort, count(*) AS n, round(sum(value), 4) AS sum_v
+         |FROM r GROUP BY 1""".stripMargin,
+    "tsdb_q25_label_join" ->
+      s"""$duckTsdbCte
+         |SELECT nullif(coalesce("labels.name", '') || ':' ||
+         |    coalesce("labels.user", '') || ':' ||
+         |    coalesce("labels.k", ''), '') AS series_key,
+         |  count(*) AS n
+         |FROM t GROUP BY 1""".stripMargin,
+    "tsdb_q26_deriv" ->
+      s"""$duckTsdbCte,
+         |g AS (SELECT "labels.k", "labels.name", "labels.user",
+         |  CAST(floor(time / 86400000.0) * 86400000 AS BIGINT) AS bucket,
+         |  count(*) AS n,
+         |  regr_slope(value, time / 1000.0) AS s,
+         |  regr_intercept(value, time / 1000.0) AS i
+         |FROM t GROUP BY 1, 2, 3, 4)
+         |SELECT "labels.k", "labels.name", "labels.user", bucket, n,
+         |  round(s, 6) AS deriv,
+         |  round(i + s * ((bucket + ${86400000L + 1800000L}) / 1000.0), 4)
+         |    AS predicted
+         |FROM g""".stripMargin,
     "tsdb_q7_range_vectors" ->
       s"""$duckTsdbCte
          |SELECT "labels.k", "labels.name", "labels.user",

@@ -153,6 +153,29 @@ object RangeVectors {
           .as("irate_v"): _*)
   }
 
+  /** PromQL `deriv()` / `predict_linear()`: least-squares slope of value
+    * over time-in-seconds per (series, bucket), and the extrapolated
+    * value `horizonMs` past the bucket end. One partial-aggregated
+    * groupBy (regr_* are plain declarative aggregates). Buckets where
+    * the regression is undefined (single sample / zero time variance)
+    * yield NULL in both engines. */
+  def deriv(wide: DataFrame, stepMs: Long, horizonMs: Long): DataFrame = {
+    val labels = TsdbSchema.dynCols(wide)
+    val v = col(TsdbSchema.ValueCol)
+    val tSec = col(TsdbSchema.TimeCol) / 1000.0
+    wide
+      .groupBy(labels :+ bucketCol(stepMs).as("bucket"): _*)
+      .agg(
+        count(lit(1)).as("n"),
+        regr_slope(v, tSec).as("_s"),
+        regr_intercept(v, tSec).as("_i"))
+      .select(labels ++ Seq(col("bucket"), col("n"),
+        round(col("_s"), 6).as("deriv"),
+        round(col("_i") + col("_s") *
+          ((col("bucket") + lit(stepMs + horizonMs)) / 1000.0), 4)
+          .as("predicted")): _*)
+  }
+
   /** `quantile_over_time` (exact interpolated percentiles) plus
     * sum/stddev_over_time per (series, bucket) — one partial-aggregated
     * groupBy; floats rounded at output for portability. */
