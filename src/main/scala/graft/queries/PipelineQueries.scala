@@ -165,6 +165,22 @@ object PipelineQueries {
       graft.operators.TextPipeline.repetition(
         load(s, dir, "documents"), "doc_id", "text", ShingleK)),
 
+    // URL/domain analysis: extract every domain from (deterministically
+    // synthesized) links and rank hosts — the crawl-side frequency pass
+    // behind domain allow/deny lists
+    "pipe_q28_domains" -> ((s, dir) => {
+      val dirty = concat(col("text"),
+        lit(" see https://site"), pmod(col("doc_id"), lit(20)).cast("string"),
+        lit(".example.org/p/"), col("doc_id").cast("string"),
+        lit(" and http://cdn"), pmod(col("doc_id"), lit(5)).cast("string"),
+        lit(".example.net/x"))
+      load(s, dir, "documents")
+        .select(explode(regexp_extract_all(dirty,
+          lit("https?://([A-Za-z0-9.-]+)"), lit(1))).as("domain"))
+        .groupBy(col("domain"))
+        .agg(count(lit(1)).as("n"))
+    }),
+
     // stratified sampling via the portable hash: per-language rates
     // (en 50%, others 20%), deterministic per doc — membership never
     // changes as the corpus grows, unlike seeded random sampling, and
@@ -610,6 +626,16 @@ object PipelineQueries {
         |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '[IP]', 'g'),
         |    '\b\d{3}[-.]\d{3}[-.]\d{4}\b', '[PHONE]', 'g') AS scrubbed
         |FROM d""".stripMargin,
+    "pipe_q28_domains" ->
+      """WITH d AS (SELECT
+        |  text || ' see https://site' || CAST(doc_id % 20 AS VARCHAR)
+        |    || '.example.org/p/' || CAST(doc_id AS VARCHAR)
+        |    || ' and http://cdn' || CAST(doc_id % 5 AS VARCHAR)
+        |    || '.example.net/x' AS dirty
+        |FROM documents),
+        |u AS (SELECT unnest(regexp_extract_all(dirty,
+        |    'https?://([A-Za-z0-9.-]+)', 1)) AS domain FROM d)
+        |SELECT domain, count(*) AS n FROM u GROUP BY 1""".stripMargin,
     "pipe_q26_contamination" ->
       s"""WITH sh AS (SELECT doc_id,
          |  unnest(list_distinct(${duckShingles(ShingleK)})) AS shingle

@@ -202,6 +202,33 @@ object TsdbQueries {
     "tsdb_q26_deriv" -> ((s, dir) =>
       graft.tsdb.RangeVectors.deriv(eventsAsTsdbStored(s, dir),
         stepMs = 86400000L, horizonMs = 1800000L)),
+    // Q27: the PromQL scalar-math battery over the instant vector —
+    // abs/ceil/floor/sgn/clamp/exp/ln as codegen'd column expressions
+    "tsdb_q27_math" -> ((s, dir) =>
+      graft.tsdb.RangeVectors.instant(
+          eventsAsTsdbStored(s, dir), at = RangeEnd, lookbackMs = 86400000L)
+        .select(col("`labels.name`"), col("`labels.user`"), col("`labels.k`"),
+          col("value"),
+          abs(col("value") - 50).as("abs_v"),
+          ceil(col("value")).cast("long").as("ceil_v"),
+          floor(col("value")).cast("long").as("floor_v"),
+          signum(col("value") - 50).as("sgn_v"),
+          least(greatest(col("value"), lit(10.0)), lit(90.0)).as("clamp_v"),
+          round(exp(col("value") / 100.0), 6).as("exp_v"),
+          round(log(col("value") + 1.0), 6).as("ln_v"))),
+    // Q28: operator COMPOSITION (PromQL subquery shape
+    // `max_over_time(rate(v[6h])[1d:])`): counter rate per 6-hour bucket,
+    // then the max rate per series per day — range-vector functions nest
+    // like any other DataFrame transform
+    "tsdb_q28_subquery" -> ((s, dir) => {
+      val r = graft.tsdb.RangeVectors.rate(
+        eventsAsTsdbStored(s, dir), stepMs = 21600000L)
+      r.groupBy(col("`labels.k`"), col("`labels.name`"), col("`labels.user`"),
+          (floor(col("bucket") / 86400000.0) * 86400000).cast("long").as("day"))
+        .agg(count(lit(1)).as("n_buckets"),
+          max(col("rate_v")).as("max_rate"),
+          round(sum(col("increase")), 6).as("day_increase"))
+    }),
     // Q8: the S7 metadata inspection surface (reference `visualize`,
     // hello.go:75-119) as an exact-oracle query: footer stats of a FIXED
     // artifact (sf0.01 lineitem — both sides pin the same literal path,
@@ -435,6 +462,43 @@ object TsdbQueries {
          |  round(sum(value), 4) AS sum_v,
          |  round(stddev_samp(value), 4) AS stddev_v
          |FROM t GROUP BY 1, 2, 3, 4""".stripMargin,
+    "tsdb_q27_math" ->
+      s"""$duckTsdbCte,
+         |iv AS (SELECT "labels.k", "labels.name", "labels.user",
+         |  list_extract(max([CAST(time AS DOUBLE), value]), 2) AS value
+         |  FROM t WHERE time > ${RangeEnd - 86400000L} AND time <= $RangeEnd
+         |  GROUP BY 1, 2, 3)
+         |SELECT "labels.name", "labels.user", "labels.k", value,
+         |  abs(value - 50) AS abs_v,
+         |  CAST(ceil(value) AS BIGINT) AS ceil_v,
+         |  CAST(floor(value) AS BIGINT) AS floor_v,
+         |  CAST(sign(value - 50) AS DOUBLE) AS sgn_v,
+         |  least(greatest(value, 10.0), 90.0) AS clamp_v,
+         |  round(exp(value / 100.0), 6) AS exp_v,
+         |  round(ln(value + 1.0), 6) AS ln_v
+         |FROM iv""".stripMargin,
+    "tsdb_q28_subquery" ->
+      s"""$duckTsdbCte,
+         |d AS (SELECT "labels.k", "labels.name", "labels.user", time,
+         |  CAST(floor(time / 21600000.0) * 21600000 AS BIGINT) AS bucket,
+         |  value,
+         |  value - lag(value) OVER (PARTITION BY "labels.k", "labels.name",
+         |    "labels.user", CAST(floor(time / 21600000.0) * 21600000 AS BIGINT)
+         |    ORDER BY time, value) AS dd
+         |  FROM t),
+         |g AS (SELECT "labels.k", "labels.name", "labels.user", bucket,
+         |  round(sum(CASE WHEN dd IS NULL THEN 0
+         |    WHEN dd < 0 THEN value ELSE dd END), 6) AS increase,
+         |  (max(time) - min(time)) / 1000.0 AS span_sec
+         |FROM d GROUP BY 1, 2, 3, 4),
+         |r AS (SELECT *, round(increase / nullif(span_sec, 0.0), 6) AS rate_v
+         |FROM g)
+         |SELECT "labels.k", "labels.name", "labels.user",
+         |  CAST(floor(bucket / 86400000.0) * 86400000 AS BIGINT) AS day,
+         |  count(*) AS n_buckets,
+         |  max(rate_v) AS max_rate,
+         |  round(sum(increase), 6) AS day_increase
+         |FROM r GROUP BY 1, 2, 3, 4""".stripMargin,
     "tsdb_q8_instant" ->
       s"""$duckTsdbCte
          |SELECT "labels.k", "labels.name", "labels.user",
