@@ -106,6 +106,23 @@ object TsdbQueries {
         .select(col("user"), col("purchase_sum"), col("click_sum"),
           round(col("purchase_sum") / col("click_sum"), 6).as("ratio"))
     }),
+    // Q29: PromQL many-to-one vector matching (`group_left`): each
+    // purchase SERIES (user, k) divided by its user's click total — the
+    // higher-cardinality left side keeps its extra `k` label, the
+    // one-per-user right side fans out. Broadcast the low-cardinality
+    // side: group_left is definitionally a star join.
+    "tsdb_q29_group_left" -> ((s, dir) => {
+      val t = table(s, dir)
+      val left = t.select(RangeStart, RangeEnd, Seq(Matcher.Eq("name", "purchase")))
+        .groupBy(col("`labels.user`").as("user"), col("`labels.k`").as("k"))
+        .agg(round(sum(col("value")), 6).as("purchase_sum"))
+      val right = t.select(RangeStart, RangeEnd, Seq(Matcher.Eq("name", "click")))
+        .groupBy(col("`labels.user`").as("user"))
+        .agg(round(sum(col("value")), 6).as("click_sum"))
+      left.join(broadcast(right), Seq("user"))
+        .select(col("user"), col("k"), col("purchase_sum"), col("click_sum"),
+          round(col("purchase_sum") / col("click_sum"), 6).as("ratio"))
+    }),
     // Q12: OpenMetrics/text-exposition ingest surface — format the events
     // as exposition lines, parse them back with the built-in-expression
     // parser, and project. The oracle is the IDENTITY over events, so the
@@ -507,6 +524,18 @@ object TsdbQueries {
          |FROM t
          |WHERE time > ${RangeEnd - 86400000L} AND time <= $RangeEnd
          |GROUP BY 1, 2, 3""".stripMargin,
+    "tsdb_q29_group_left" ->
+      s"""$duckTsdbCte,
+         |p AS (SELECT "labels.user" AS "user", "labels.k" AS k,
+         |  round(sum(value), 6) AS purchase_sum
+         |  FROM t WHERE time > $RangeStart AND time < $RangeEnd
+         |    AND "labels.name" = 'purchase' GROUP BY 1, 2),
+         |c AS (SELECT "labels.user" AS "user", round(sum(value), 6) AS click_sum
+         |  FROM t WHERE time > $RangeStart AND time < $RangeEnd
+         |    AND "labels.name" = 'click' GROUP BY 1)
+         |SELECT "user", k, purchase_sum, click_sum,
+         |  round(purchase_sum / click_sum, 6) AS ratio
+         |FROM p JOIN c USING ("user")""".stripMargin,
     "tsdb_q10_binop" ->
       s"""$duckTsdbCte,
          |p AS (SELECT "labels.user" AS "user", round(sum(value), 6) AS purchase_sum
