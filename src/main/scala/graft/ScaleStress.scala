@@ -53,6 +53,31 @@ object ScaleStress {
     time("regroup all series")(t.regroup(t.select(Nil)).count())
     time("range vectors 1d")(RangeVectors.overTime(t.df, 86400000L).count())
 
+    // lifecycle tier at Nx: compaction must scale in bytes (one range
+    // shuffle), retention in TOUCHED bytes only — the footer triage must
+    // drop whole files below the horizon without reading them
+    // target sized so the compacted table keeps ~8 time slices (at real
+    // scale the knob is 128-512 MB; the POINT is slices stay prunable)
+    time(s"compact ${factor}x table") {
+      val st = graft.tsdb.TsdbCompact.compact(spark, dir, targetFileBytes = 1L << 20)
+      println(s"[scale] compaction: $st")
+    }
+    // pre-swap DataFrames hold the old file listing — readers re-resolve
+    // after a compaction swap (at real scale: a catalog pointer flip)
+    val tc = TsdbTable(TsdbIngest.read(spark, dir))
+    time("q2 range+matchers after compaction") {
+      tc.select(Tables.RangeStart, Tables.RangeEnd,
+        Seq(Matcher.Eq("name", "purchase"), Matcher.Eq("user", "12_3"))).count()
+    }
+    time(s"retention expire below ${Tables.RangeEnd}") {
+      // Jan 20 horizon ⇒ ~60% of the time-sliced files sit wholly below
+      // it and must drop without being read
+      val st = graft.tsdb.TsdbRetention.expire(spark, dir, Tables.RangeEnd)
+      assert(st.filesDropped > 0,
+        s"expire must drop whole files from footer bounds alone: $st")
+      println(s"[scale] retention: $st")
+    }
+
     // pipeline path: replicate documents N-fold (new doc_ids, SAME text ⇒
     // every doc gains N-1 exact/near duplicates — the adversarial dedup
     // load). Exact dedup and LSH must scale in corpus size, never in
@@ -78,6 +103,13 @@ object ScaleStress {
     time(s"lsh keeper dedup ${factor}x")(
       graft.operators.Dedup.lshDedupKeepers(docsXN, "doc_id", "text",
         k = 8, bands = 4, shingleK = 3).where(col("kept")).count())
+    // decontamination at Nx: the benchmark side stays broadcast-sized, so
+    // cost scales in the TRAIN corpus scan, never in the doc×doc product
+    time(s"contamination ${factor}x train vs 1x bench")(
+      graft.operators.TextPipeline.contamination(
+        docsXN.where(pmod(col("doc_id"), lit(10)) =!= 0),
+        docs.where(pmod(col("doc_id"), lit(10)) === 0),
+        "doc_id", "text", k = 3).count())
     docsXN.unpersist()
 
     // extreme-skew join: ONE hot part key owns `factor`/11 of the fact

@@ -33,7 +33,10 @@ import org.apache.spark.sql.functions.col
   * swap in, so a crash mid-compaction leaves the original table intact
   * (rename-based; on an object store the swap window is not atomic —
   * production there would flip a manifest/catalog pointer instead, which
-  * is exactly what table formats do).
+  * is exactly what table formats do). DataFrames planned BEFORE the swap
+  * hold the old file listing and must re-resolve (`TsdbIngest.read`
+  * again) — the catalog-pointer design is also what gives concurrent
+  * readers snapshot isolation at scale.
   */
 object TsdbCompact {
 
