@@ -313,6 +313,21 @@ object RelationalQueries {
           round(cume_dist().over(byDate), 6).as("cdist"))
     }),
 
+    // value window functions (first/last/nth) over an EXPLICIT unbounded
+    // frame — last_value's default frame ends at CURRENT ROW, the classic
+    // silent-wrong-answer; pinning the frame is the portable semantics
+    "rel_q31_value_windows" -> ((s, dir) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      load(s, dir, "orders")
+        .where(col("o_custkey") % 10 === 0)
+        .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+          first(col("o_totalprice")).over(w).as("first_price"),
+          last(col("o_totalprice")).over(w).as("last_price"),
+          nth_value(col("o_totalprice"), 2).over(w).as("second_price"))
+    }),
+
     // deterministic HLL: the portable-hash cardinality sketch whose
     // ESTIMATE is oracle-checkable (vs rel_q15's engine-private HLL)
     "rel_q29_hll_distinct" -> ((s, dir) =>
@@ -523,6 +538,16 @@ object RelationalQueries {
     "rel_q29_hll_distinct" ->
       graft.functions.Sketches.duckHllSql(
         "lineitem", Seq("l_returnflag"), "l_partkey"),
+    "rel_q31_value_windows" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice,
+        |  first_value(o_totalprice) OVER w AS first_price,
+        |  last_value(o_totalprice) OVER w AS last_price,
+        |  nth_value(o_totalprice, 2) OVER w AS second_price
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey
+        |  ORDER BY o_orderdate ASC, o_orderkey ASC
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        |QUALIFY o_custkey % 10 = 0""".stripMargin,
     "rel_q30_range_frames" ->
       """SELECT o_custkey, o_orderkey, o_totalprice,
         |  round(sum(o_totalprice) OVER (PARTITION BY o_custkey
