@@ -1,0 +1,52 @@
+package graft
+
+/** Plan-shape regressions: the properties the 100 TB design depends on,
+  * asserted on the actual physical plans at sf0.001. A refactor that
+  * silently turns a broadcast into a shuffle or loses scan pushdown
+  * fails here, not in a production-scale incident. */
+class PlanQualitySpec extends SparkSpec {
+
+  private def planOf(name: String): String =
+    SparkEntry.queries(name)(spark, Sf0001).queryExecution.executedPlan.toString()
+
+  test("star join broadcasts the dimensions (no fact shuffle)") {
+    assert(planOf("rel_q2_star_join").contains("BroadcastHashJoin"))
+  }
+
+  test("bucketed fact-fact join needs no exchange at the join") {
+    val plan = planOf("rel_q18_bucketed_join")
+    val joinIdx = plan.indexOf("SortMergeJoin")
+    assert(joinIdx >= 0, "bucketed join should be a sort-merge join")
+    // bucketed scan-side: no Exchange below the join operator
+    assert(!plan.substring(joinIdx).contains("Exchange"),
+      "bucket layout must satisfy the join's distribution")
+  }
+
+  test("contamination check broadcasts the benchmark side") {
+    assert(planOf("pipe_q26_contamination").contains("BroadcastHashJoin"))
+  }
+
+  test("group_left vector matching broadcasts the one-per-key side") {
+    assert(planOf("tsdb_q29_group_left").contains("BroadcastHashJoin"))
+  }
+
+  test("time-range matcher query pushes predicates to the parquet scan") {
+    val plan = planOf("tsdb_q2_range")
+    assert(plan.contains("PushedFilters: ["), "scan should list pushed filters")
+    assert("PushedFilters: \\[[^\\]]*GreaterThan\\(time".r
+      .findFirstIn(plan).isDefined, s"time bound not pushed:\n$plan")
+  }
+
+  test("(time,value) projection prunes label columns at the scan") {
+    val plan = planOf("tsdb_q5_count")
+    // count(*) should not read any labels.* column
+    val readSchema = "ReadSchema: [^\\n]*".r.findFirstIn(plan).getOrElse("")
+    assert(!readSchema.contains("labels"), s"labels read for a count: $readSchema")
+  }
+
+  test("knn keeps the embedding corpus un-shuffled (broadcast probe)") {
+    val plan = planOf("pipe_q10_knn")
+    assert(plan.contains("BroadcastNestedLoopJoin") ||
+      plan.contains("BroadcastHashJoin"), s"probe side should broadcast:\n$plan")
+  }
+}
