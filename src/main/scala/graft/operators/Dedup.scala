@@ -125,6 +125,56 @@ object Dedup {
       .withColumn("kept", col("id") === col("keeper_id"))
   }
 
+  /** FULL transitive-closure dedup: connected components of the
+    * "shares an LSH band bucket" graph, each doc labeled with its
+    * component's minimum id ([[lshDedupKeepers]] is the one-hop
+    * approximation of this fixpoint). Min-label propagation over the
+    * BIPARTITE doc–bucket graph — the edge list is the banded signature
+    * table itself (O(docs × bands) rows), never materialized doc×doc
+    * pairs, which is what makes CC tractable when a bucket holds
+    * thousands of near-identical crawl copies:
+    *
+    *   repeat: bucket_label = min(label of member docs)
+    *           doc_label    = min(own label, labels of its buckets)
+    *   until no label changes (≤ graph diameter rounds; each round is
+    *   two partial-aggregated shuffles + a localCheckpoint to keep the
+    *   plan from growing with iterations).
+    *
+    * Converges to the unique fixpoint (component min), so the result is
+    * deterministic and oracle-checkable via a recursive-CTE closure. */
+  def lshConnectedComponents(docs: DataFrame, idCol: String, textCol: String,
+                             k: Int = 8, bands: Int = 4,
+                             shingleK: Int = 3): DataFrame = {
+    val rows = k / bands
+    val sig = withSignature(docs, idCol, textCol, k, shingleK)
+      .withColumnRenamed(idCol, "id")
+    val banded = sig.select(
+      col("id"),
+      posexplode(array((0 until bands).map { b =>
+        hash64(concat_ws(",", lit(b.toString) +:
+          (0 until rows).map(r => col(s"mh${b * rows + r}").cast("string")): _*))
+      }: _*)).as(Seq("band", "bucket")))
+      .select(col("id"), concat_ws("#", col("band"), col("bucket")).as("bk"))
+      .localCheckpoint()
+    var comp = banded.select(col("id")).distinct()
+      .withColumn("comp", col("id")).localCheckpoint()
+    var changed = 1L
+    while (changed > 0) {
+      val bucketMin = banded.join(comp, "id")
+        .groupBy(col("bk")).agg(min(col("comp")).as("bcomp"))
+      val next = banded.join(bucketMin, "bk")
+        .groupBy(col("id")).agg(min(col("bcomp")).as("nc"))
+        .join(comp, "id")
+        .select(col("id"), least(col("nc"), col("comp")).as("comp"),
+          (col("nc") < col("comp")).cast("long").as("chg"))
+        .localCheckpoint()
+      changed = next.agg(sum(col("chg"))).head.getLong(0)
+      comp = next.select(col("id"), col("comp"))
+    }
+    comp.select(col("id").as(idCol), col("comp").as("component"),
+      (col("id") === col("comp")).as("kept"))
+  }
+
   /** 16-bit SimHash signature per doc: token hashes vote per bit position;
     * bit set iff positive majority. Pure map-side expressions. */
   def simhash(docs: DataFrame, idCol: String, textCol: String,

@@ -165,6 +165,14 @@ object PipelineQueries {
       graft.operators.TextPipeline.repetition(
         load(s, dir, "documents"), "doc_id", "text", ShingleK)),
 
+    // FULL transitive-closure dedup: connected components of the LSH
+    // bucket graph via bipartite min-propagation (pipe_q23's one-hop
+    // keeper, iterated to the fixpoint)
+    "pipe_q29_components" -> ((s, dir) =>
+      graft.operators.Dedup.lshConnectedComponents(
+        load(s, dir, "documents"), "doc_id", "text",
+        k = MinhashK, bands = 4, shingleK = ShingleK)),
+
     // URL/domain analysis: extract every domain from (deterministically
     // synthesized) links and rank hosts — the crawl-side frequency pass
     // behind domain allow/deny lists
@@ -439,6 +447,29 @@ object PipelineQueries {
          |    CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE) AS jac
          |  FROM cand JOIN sets a ON id_a = a.doc_id JOIN sets b ON id_b = b.doc_id)
          |WHERE jac >= 0.5""".stripMargin
+    },
+    "pipe_q29_components" -> {
+      val bands = 4; val rows = MinhashK / bands
+      val bandExprs = (0 until bands).map { b =>
+        val tuple = (0 until rows).map(r => s"CAST(mh${b * rows + r} AS VARCHAR)").mkString(" || ',' || ")
+        duckHash64(s"'$b,' || $tuple")
+      }
+      s"""WITH RECURSIVE
+         |s AS (SELECT doc_id, ${duckShingles(ShingleK)} AS sh FROM documents),
+         |sig AS (SELECT doc_id, ${duckMinhashCols(MinhashK)} FROM s),
+         |banded AS (
+         |  SELECT doc_id, unnest(range(0, $bands)) AS band,
+         |    unnest([${bandExprs.mkString(", ")}]) AS bucket
+         |  FROM sig),
+         |cand AS (SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+         |  FROM banded l JOIN banded r
+         |    ON l.band = r.band AND l.bucket = r.bucket AND l.doc_id <> r.doc_id),
+         |edges AS (SELECT a, b FROM cand
+         |  UNION SELECT doc_id, doc_id FROM documents),
+         |reach AS (SELECT a, b FROM edges
+         |  UNION SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a)
+         |SELECT a AS doc_id, min(b) AS component, min(b) = a AS kept
+         |FROM reach GROUP BY a""".stripMargin
     },
     "pipe_q23_lsh_dedup" -> {
       val bands = 4; val rows = MinhashK / bands

@@ -46,6 +46,43 @@ class TextPipelineSpec extends SparkSpec {
       (3L, 3L, 1L, 0.333333)))
   }
 
+  test("lshConnectedComponents ≡ union-find over the same bucket graph") {
+    // replicated + mutated docs: several multi-doc components plus
+    // singletons; fixpoint label = component min id
+    val docs = (0L until 40L).map { i =>
+      val fam = i % 7
+      val text = s"family $fam shared body of text " +
+        (if (i % 3 == 0) s"tail variant ${i % 2}" else s"tail variant ${i % 5}")
+      (i, text)
+    }.toDF("doc_id", "text")
+    val got = Dedup.lshConnectedComponents(docs, "doc_id", "text",
+        k = 8, bands = 4, shingleK = 3)
+      .as[(Long, Long, Boolean)].collect()
+      .map { case (id, comp, _) => id -> comp }.toMap
+
+    // independent model: bucket graph from the signature columns, plain
+    // union-find to the fixpoint
+    val sig = Dedup.minhashSignature(docs, "doc_id", "text", k = 8, shingleK = 3)
+      .collect().map(r => r.getLong(0) ->
+        (0 until 8).map(i => r.getLong(r.fieldIndex(s"mh$i"))))
+    val parent = scala.collection.mutable.Map((0L until 40L).map(i => i -> i): _*)
+    def find(x: Long): Long = if (parent(x) == x) x else { val r = find(parent(x)); parent(x) = r; r }
+    def union(a: Long, b: Long): Unit = {
+      val (ra, rb) = (find(a), find(b)); if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    for (b <- 0 until 4) {
+      sig.groupBy { case (_, mh) => mh.slice(b * 2, b * 2 + 2) }
+        .values.foreach { members =>
+          members.map(_._1).toSeq.sliding(2).foreach {
+            case Seq(x, y) => union(x, y); case _ => ()
+          }
+        }
+    }
+    val want = (0L until 40L).map(i => i -> find(i)).toMap
+    assert(got === want)
+    assert(want.values.toSet.size < 40, "fixture must form real components")
+  }
+
   test("repetition stats expose degenerate documents") {
     val docs = Seq(
       (1L, "spam spam spam spam spam spam"), // all shingles identical
