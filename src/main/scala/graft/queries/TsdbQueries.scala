@@ -123,6 +123,23 @@ object TsdbQueries {
         .select(col("user"), col("k"), col("purchase_sum"), col("click_sum"),
           round(col("purchase_sum") / col("click_sum"), 6).as("ratio"))
     }),
+    // Q30: count_values() — the value-histogram aggregator: how many
+    // series currently report each (rounded) value, per metric
+    "tsdb_q30_count_values" -> ((s, dir) =>
+      graft.tsdb.RangeVectors.instant(
+          eventsAsTsdbStored(s, dir), at = RangeEnd, lookbackMs = 86400000L)
+        .groupBy(col("`labels.name`").as("name"),
+          floor(col("value")).cast("long").as("value_bin"))
+        .agg(count(lit(1)).as("n_series"))),
+    // Q31: absent() — emits the 1-vector exactly when no series matches
+    // (the alerting primitive for "metric is gone"); here the matcher
+    // can never match, so the result is one row
+    "tsdb_q31_absent" -> ((s, dir) =>
+      table(s, dir).select(
+          RangeStart, RangeEnd, Seq(Matcher.Eq("name", "no_such_metric")))
+        .agg(count(lit(1)).as("n"))
+        .where(col("n") === 0)
+        .select(lit(1L).as("absent"))),
     // Q12: OpenMetrics/text-exposition ingest surface — format the events
     // as exposition lines, parse them back with the built-in-expression
     // parser, and project. The oracle is the IDENTITY over events, so the
@@ -524,6 +541,22 @@ object TsdbQueries {
          |FROM t
          |WHERE time > ${RangeEnd - 86400000L} AND time <= $RangeEnd
          |GROUP BY 1, 2, 3""".stripMargin,
+    "tsdb_q30_count_values" ->
+      s"""$duckTsdbCte,
+         |iv AS (SELECT "labels.k", "labels.name", "labels.user",
+         |  list_extract(max([CAST(time AS DOUBLE), value]), 2) AS value
+         |  FROM t WHERE time > ${RangeEnd - 86400000L} AND time <= $RangeEnd
+         |  GROUP BY 1, 2, 3)
+         |SELECT "labels.name" AS name,
+         |  CAST(floor(value) AS BIGINT) AS value_bin,
+         |  count(*) AS n_series
+         |FROM iv GROUP BY 1, 2""".stripMargin,
+    "tsdb_q31_absent" ->
+      s"""$duckTsdbCte
+         |SELECT CAST(1 AS BIGINT) AS absent
+         |WHERE (SELECT count(*) FROM t
+         |  WHERE time > $RangeStart AND time < $RangeEnd
+         |    AND "labels.name" = 'no_such_metric') = 0""".stripMargin,
     "tsdb_q29_group_left" ->
       s"""$duckTsdbCte,
          |p AS (SELECT "labels.user" AS "user", "labels.k" AS k,
