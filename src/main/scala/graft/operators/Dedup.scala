@@ -125,6 +125,15 @@ object Dedup {
       .withColumn("kept", col("id") === col("keeper_id"))
   }
 
+  /** Free the block-manager storage behind a localCheckpoint'ed frame
+    * (or one derived from it): `Dataset.unpersist` only consults the
+    * cache manager, so checkpoint RDD blocks must be released via the
+    * `LogicalRDD` leaves themselves. */
+  private def releaseLocalCheckpoint(df: DataFrame): Unit =
+    df.queryExecution.analyzed.collect {
+      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
+    }.foreach(_.unpersist(false))
+
   /** FULL transitive-closure dedup: connected components of the
     * "shares an LSH band bucket" graph, each doc labeled with its
     * component's minimum id ([[lshDedupKeepers]] is the one-hop
@@ -168,9 +177,17 @@ object Dedup {
         .select(col("id"), least(col("nc"), col("comp")).as("comp"),
           (col("nc") < col("comp")).cast("long").as("chg"))
         .localCheckpoint()
-      changed = next.agg(sum(col("chg"))).head.getLong(0)
+      // sum over zero rows is NULL — an empty corpus converges immediately
+      changed = Option(next.agg(sum(col("chg"))).head.get(0))
+        .fold(0L)(_.asInstanceOf[Long])
+      // `next` is materialized; release the previous iteration's
+      // checkpoint blocks so storage stays O(1) in graph diameter, not
+      // O(diameter). (`comp`'s lineage was cut at its own checkpoint, so
+      // its leaf RDDs never include `banded`'s.)
+      releaseLocalCheckpoint(comp)
       comp = next.select(col("id"), col("comp"))
     }
+    releaseLocalCheckpoint(banded)
     comp.select(col("id").as(idCol), col("comp").as("component"),
       (col("id") === col("comp")).as("kept"))
   }

@@ -683,7 +683,7 @@ object PipelineQueries {
       s"""WITH sh AS (SELECT doc_id, unnest(${duckShingles(ShingleK)}) AS shingle
          |  FROM documents),
          |c AS (SELECT doc_id, shingle, count(*) AS n FROM sh GROUP BY 1, 2)
-         |SELECT doc_id, sum(n) AS n_shingles, count(*) AS n_distinct,
+         |SELECT doc_id, CAST(sum(n) AS BIGINT) AS n_shingles, count(*) AS n_distinct,
          |  max(n) AS max_rep,
          |  round(CAST(max(n) AS DOUBLE) / sum(n), 6) AS rep_ratio,
          |  round(CAST(count(*) AS DOUBLE) / sum(n), 6) AS distinct_ratio

@@ -336,8 +336,8 @@ object TsdbQueries {
     "tsdb_q21_compacted" -> s"$duckTsdbCte $projSql",
     "tsdb_q22_delete" ->
       s"""$duckTsdbCte $projSql
-         |WHERE NOT ("labels.name" = 'click'
-         |  AND time >= $RangeStart AND time <= $RangeEnd)""".stripMargin,
+         |WHERE NOT coalesce("labels.name" = 'click'
+         |  AND time >= $RangeStart AND time <= $RangeEnd, false)""".stripMargin,
     "tsdb_q23_retention" -> s"$duckTsdbCte $projSql WHERE time >= $RangeStart",
     "tsdb_q24_label_replace" ->
       s"""$duckTsdbCte,
@@ -448,8 +448,8 @@ object TsdbQueries {
          |  FROM t)
          |SELECT "labels.k", "labels.name", "labels.user", bucket,
          |  count(*) AS n,
-         |  sum(CASE WHEN prev IS NOT NULL AND value < prev THEN 1 ELSE 0 END) AS resets,
-         |  sum(CASE WHEN prev IS NOT NULL AND value <> prev THEN 1 ELSE 0 END) AS changes
+         |  CAST(sum(CASE WHEN prev IS NOT NULL AND value < prev THEN 1 ELSE 0 END) AS BIGINT) AS resets,
+         |  CAST(sum(CASE WHEN prev IS NOT NULL AND value <> prev THEN 1 ELSE 0 END) AS BIGINT) AS changes
          |FROM d GROUP BY 1, 2, 3, 4""".stripMargin,
     "tsdb_q18_rate" ->
       s"""$duckTsdbCte,

@@ -29,14 +29,19 @@ import org.apache.spark.sql.functions.col
   *   - the `batch` partition column (idempotent-replay bookkeeping, never
   *     a `labels.*` column) is dropped — its job ended with the rewrite.
   *
-  * Swap protocol: write to `<path>.compacting`, then rename old → trash →
-  * swap in, so a crash mid-compaction leaves the original table intact
-  * (rename-based; on an object store the swap window is not atomic —
-  * production there would flip a manifest/catalog pointer instead, which
-  * is exactly what table formats do). DataFrames planned BEFORE the swap
-  * hold the old file listing and must re-resolve (`TsdbIngest.read`
-  * again) — the catalog-pointer design is also what gives concurrent
-  * readers snapshot isolation at scale.
+  * Swap protocol: write to `<path>.compacting`, then
+  * `rename(path, path.precompact)` + `rename(tmp, path)`. Data is never
+  * lost, but the two renames are NOT one atomic step: a crash between
+  * them leaves no table at `path` (readers fail) until recovery. Every
+  * `compact()` therefore starts with [[recover]]: if `path` is missing
+  * but `<path>.precompact` exists, the original is renamed back; stale
+  * `.compacting`/`.precompact` leftovers are cleared. On an object store
+  * the window is wider still — production there would flip a
+  * manifest/catalog pointer instead, which is exactly what table formats
+  * do. DataFrames planned BEFORE the swap hold the old file listing and
+  * must re-resolve (`TsdbIngest.read` again) — the catalog-pointer
+  * design is also what gives concurrent readers snapshot isolation at
+  * scale.
   */
 object TsdbCompact {
 
@@ -54,6 +59,27 @@ object TsdbCompact {
     out.result()
   }
 
+  /** Recover from a crash inside a previous compaction's swap window:
+    * if `path` vanished mid-swap, the aside copy at `<path>.precompact`
+    * is the authoritative table — rename it back (the half-finished
+    * `.compacting` output is discarded and simply recomputed). With
+    * `path` present, any leftovers are superseded and cleared. Returns
+    * true when a rollback was performed. Safe to call at startup. */
+  def recover(spark: SparkSession, path: String): Boolean = {
+    val p = new Path(path)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    val old = new Path(path + ".precompact")
+    val tmp = new Path(path + ".compacting")
+    val rolledBack =
+      if (!fs.exists(p) && fs.exists(old)) {
+        require(fs.rename(old, p), s"recovery failed: cannot restore $old to $p")
+        true
+      } else false
+    fs.delete(tmp, true)
+    if (fs.exists(p)) fs.delete(old, true)
+    rolledBack
+  }
+
   /** Rewrite the table at `path` into ≤ `targetFileBytes`-sized, globally
     * time-sorted parquet. Contents are exactly preserved (oracle-checked:
     * `tsdb_q21_compacted`); only layout changes. */
@@ -61,6 +87,7 @@ object TsdbCompact {
               targetFileBytes: Long = 256L << 20): CompactionStats = {
     val p = new Path(path)
     val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    recover(spark, path)
     val before = parquetFiles(fs, p)
     val bytesBefore = before.map(_.getLen).sum
     // parquet re-encodes; sorted data usually compresses tighter than the

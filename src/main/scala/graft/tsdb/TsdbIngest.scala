@@ -88,11 +88,14 @@ object TsdbIngest {
   // invisible to the parquet reader); read() unions the handful of
   // manifests instead. This is FrostDB's table-level schema registry /
   // a table format's manifest, in minimal form. Appends from OTHER
-  // writers (no manifest) still work: read() falls back to mergeSchema.
+  // writers (which record no manifest) are detected by modification
+  // time: if any data file is newer than the newest manifest, read()
+  // distrusts the manifests and falls back to mergeSchema, so foreign
+  // columns can never silently vanish behind a stale explicit schema.
 
   private val SchemaDir = "_schema"
 
-  private def writeSchemaManifest(wide: DataFrame, path: String): Unit = {
+  private[tsdb] def writeSchemaManifest(wide: DataFrame, path: String): Unit = {
     val fs = new org.apache.hadoop.fs.Path(path)
       .getFileSystem(wide.sparkSession.sessionState.newHadoopConf())
     val dir = new org.apache.hadoop.fs.Path(path, SchemaDir)
@@ -133,15 +136,35 @@ object TsdbIngest {
   /** Read the wide table back, unioning schemas across batches (the
     * dynamic-column read-time union). Fast path: the manifest union with
     * an explicit schema — planning cost independent of file count.
-    * Fallback (no manifests, or Hive-style partition dirs whose inferred
-    * partition columns an explicit schema would suppress): mergeSchema. */
+    * Fallback (no manifests; Hive-style partition dirs whose inferred
+    * partition columns an explicit schema would suppress; or any data
+    * file NEWER than the newest manifest, i.e. an append by a writer
+    * that records no manifest — trusting the manifests there would
+    * silently drop that writer's new columns): mergeSchema. The
+    * staleness probe is one directory listing, which the scan's own
+    * file-index planning repeats anyway — not an extra O(files) footer
+    * read. */
   def read(spark: SparkSession, path: String): DataFrame = {
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
-    val hasPartitionDirs = fs.exists(p) && fs.listStatus(p)
-      .exists(s => s.isDirectory && s.getPath.getName.contains("="))
+    val entries =
+      if (fs.exists(p)) fs.listStatus(p).toSeq
+      else Seq.empty[org.apache.hadoop.fs.FileStatus]
+    val hasPartitionDirs =
+      entries.exists(s => s.isDirectory && s.getPath.getName.contains("="))
+    val newestData = entries
+      .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+      .map(_.getModificationTime)
+      .foldLeft(Long.MinValue)(math.max)
+    val newestManifest = {
+      val sd = new org.apache.hadoop.fs.Path(p, SchemaDir)
+      if (fs.exists(sd))
+        fs.listStatus(sd).filter(_.getPath.getName.endsWith(".json"))
+          .map(_.getModificationTime).foldLeft(Long.MinValue)(math.max)
+      else Long.MinValue
+    }
     manifestSchema(spark, path) match {
-      case Some(schema) if !hasPartitionDirs =>
+      case Some(schema) if !hasPartitionDirs && newestData <= newestManifest =>
         spark.read.schema(schema).parquet(path)
       case _ => spark.read.option("mergeSchema", "true").parquet(path)
     }

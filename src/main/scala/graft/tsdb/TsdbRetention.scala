@@ -117,6 +117,11 @@ object TsdbRetention {
         .option("parquet.enable.dictionary", "true")
         .option("compression", "snappy")
         .parquet(path)
+      // record a manifest for the appended part files so TsdbIngest.read's
+      // explicit-schema fast path stays trusted (its staleness probe would
+      // otherwise see data newer than the newest manifest and fall back to
+      // mergeSchema over every footer)
+      TsdbIngest.writeSchemaManifest(kept, path)
     }
     (dropped ++ rewrite).foreach(b => fs.delete(b.status.getPath, false))
 

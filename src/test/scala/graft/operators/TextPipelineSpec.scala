@@ -20,7 +20,7 @@ class TextPipelineSpec extends SparkSpec {
       val tok = r.getString(0)
       val s = r.getString(1)
       if (tok == null) assert(s === "clean text stays clean")
-      else assert(s.contains(tok) && !s.exists(_.isDigit) || !s.contains("@"),
+      else assert(s.contains(tok) && !s.exists(_.isDigit) && !s.contains("@"),
         s"scrub failed: $s")
     }
     // exactness: every PII kind replaced, order-independent content intact

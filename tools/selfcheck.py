@@ -38,7 +38,10 @@ def canon(v):
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
-        return f"{v:.10g}"
+        # Keep floatness visible: the driver distinguishes int64 3 from
+        # float64 3.0 (e.g. DuckDB sum(INTEGER) -> HUGEINT -> pandas float).
+        s = f"{v:.10g}"
+        return s if ("." in s or "e" in s or "inf" in s) else s + ".0"
     if isinstance(v, (list, tuple)):
         return "[" + ",".join(canon(x) for x in v) + "]"
     if isinstance(v, dict):
