@@ -1,0 +1,92 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.Hashing
+
+/** Deterministic Lloyd's k-means over an embedding column — the
+  * clustering pass behind semantic dedup / corpus curation / IVF index
+  * training. The Spark shape is the canonical one: centroids are tiny
+  * (k·dim doubles) and live on the driver, broadcast into each
+  * assignment pass as literal expressions; the data is never collected
+  * and each iteration is one codegen'd map (assign) plus one
+  * partial-aggregated shuffle of (cluster, component) partial sums —
+  * O(k·dim) rows, independent of corpus size. That is exactly the
+  * 1000-executor shape: iterations add driver round-trips of kilobytes,
+  * not data movement.
+  *
+  * Determinism (oracle-replayable):
+  *   - init centroids = the embeddings of the k ids with the smallest
+  *     (portable md5 hash, id) — a seedless deterministic sample;
+  *   - per-component means are ROUNDED (6 dp) before the next assignment
+  *     so both engines compare distances of identical literals;
+  *   - assignment ties break toward the smallest cluster index;
+  *   - distances fold sequentially component-by-component (same IEEE op
+  *     order as the oracle's list_sum).
+  */
+object Clustering {
+
+  /** Squared L2 distance between the vector column and a centroid given
+    * as per-component literals, folded left-to-right. */
+  private def sqDist(v: Column, centroid: Seq[Double]): Column =
+    aggregate(
+      zip_with(v, array(centroid.map(lit): _*), (a, b) => (a - b) * (a - b)),
+      lit(0.0), (acc, x) => acc + x)
+
+  /** `iters` rounds of Lloyd's algorithm with `k` clusters; returns one
+    * row per input vector: (id, cluster, round(dist², 6)). */
+  def kmeansAssign(emb: DataFrame, idCol: String, vecCol: String,
+                   k: Int, iters: Int): DataFrame = {
+    val base = emb.select(col(idCol).as("id"),
+      col(vecCol).cast("array<double>").as("v"))
+
+    // deterministic bootstrap: k rows to the driver (k·dim doubles —
+    // the standard k-means centroid exchange, not a data collect)
+    var centroids: IndexedSeq[Seq[Double]] = base
+      .withColumn("h", Hashing.hash64(col("id").cast("string")))
+      .orderBy(col("h").asc, col("id").asc)
+      .limit(k)
+      .select(col("v"))
+      .collect()
+      .map(_.getSeq[Double](0).toIndexedSeq)
+      .toIndexedSeq
+
+    def assigned: DataFrame = {
+      val dists = centroids.map(c => sqDist(col("v"), c))
+      val mind = dists.reduce(least(_, _))
+      // first-match-wins when-chain ⇒ ties pick the smallest index
+      val cluster = dists.zipWithIndex.tail.foldLeft(
+        when(dists.head === mind, lit(0))) { case (acc, (d, i)) =>
+        acc.when(d === mind, lit(i))
+      }
+      // the chosen cluster is the argmin, so its distance IS the min
+      base.withColumn("cluster", cluster).withColumn("dist", mind)
+    }
+
+    (1 to iters).foreach { _ =>
+      // per-(cluster, component) means: k·dim result rows, partial-agg'd
+      val means = assigned
+        .select(col("cluster"), posexplode(col("v")).as(Seq("j", "x")))
+        .groupBy(col("cluster"), col("j"))
+        .agg(round(avg(col("x")), 6).as("m"))
+        .collect()
+        .map(r => (r.getInt(0), r.getInt(1)) -> r.getDouble(2))
+        .toMap
+      centroids = centroids.zipWithIndex.map { case (old, c) =>
+        // a cluster that lost all members keeps its previous centroid
+        old.indices.map(j => means.getOrElse((c, j), old(j)))
+      }
+    }
+
+    assigned.select(col("id").as(idCol), col("cluster").cast("long").as("cluster"),
+      round(col("dist"), 6).as("dist"))
+  }
+
+  /** Cluster summary: member count and total (rounded) distortion. */
+  def kmeansStats(emb: DataFrame, idCol: String, vecCol: String,
+                  k: Int, iters: Int): DataFrame =
+    kmeansAssign(emb, idCol, vecCol, k, iters)
+      .groupBy(col("cluster"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("dist")), 4).as("distortion"))
+}

@@ -64,4 +64,70 @@ object TextPipeline {
       .select(col(idCol), col("n_shingles"), col("n_distinct"), col("max_rep"),
         round(col("max_rep") / col("n_shingles"), 6).as("rep_ratio"),
         round(col("n_distinct") / col("n_shingles"), 6).as("distinct_ratio"))
+
+  /** Sequence packing for training: concatenate documents in a
+    * deterministic pseudo-random order and cut the token stream every
+    * `capacity` tokens (the pack-then-chunk scheme used to fill fixed
+    * context windows). A single global running sum would serialize the
+    * corpus through one partition, so packing is SHARDED: each doc hashes
+    * to one of `shards` independent streams, and the running token count
+    * lives per shard — `shards` ≈ cluster parallelism makes every shard's
+    * window sort and cumsum an independent task at 100 TB. Within a
+    * shard, order is (portable hash, id): stable, shuffle-proof, and
+    * decorrelated from crawl order.
+    *
+    * Output per doc: its shard, token count, running total `cum` (tokens
+    * through this doc within the shard), the sequence index its FIRST
+    * token lands in, and whether it straddles a sequence boundary. */
+  def packSequences(docs: DataFrame, idCol: String, textCol: String,
+                    capacity: Int, shards: Int): DataFrame = {
+    val h = graft.functions.Hashing.hash64(col(idCol).cast("string"))
+    val d = docs.select(col(idCol),
+      TextFunctions.tokenCount(col(textCol)).cast("long").as("n_tokens"),
+      pmod(h, lit(shards.toLong)).as("shard"), h.as("h"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("shard")).orderBy(col("h").asc, col(idCol).asc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    d.withColumn("cum", sum(col("n_tokens")).over(w))
+      .select(col(idCol), col("shard"), col("n_tokens"), col("cum"),
+        floor((col("cum") - col("n_tokens")) / capacity.toDouble)
+          .cast("long").as("seq"),
+        (floor((col("cum") - col("n_tokens")) / capacity.toDouble) =!=
+          floor((col("cum") - 1) / capacity.toDouble)).as("straddles"))
+  }
+
+  /** Corpus-wide chunk-level dedup (the paragraph/line dedup of CCNet/
+    * Gopher pipelines, over fixed `chunkWords`-word chunks since this
+    * corpus has no line structure): every doc is cut into consecutive
+    * chunks, identical chunks are deduplicated globally keeping the
+    * FIRST occurrence (lowest (doc, position)), and each doc is
+    * reassembled from its surviving chunks. The unit of shuffle is the
+    * (chunk → min occurrence) aggregation — bounded by distinct chunk
+    * text, never doc×doc pairs.
+    *
+    * Output per doc: chunk counts and the deduplicated text
+    * (character-exact, so the oracle pins reassembly order too). */
+  def chunkDedup(docs: DataFrame, idCol: String, textCol: String,
+                 chunkWords: Int): DataFrame = {
+    val toks = TextFunctions.tokens(col(textCol))
+    val nChunks = ceil(size(toks) / chunkWords.toDouble).cast("int")
+    val chunks = transform(sequence(lit(0), nChunks - 1),
+      i => concat_ws(" ", slice(toks, i * chunkWords + 1, lit(chunkWords))))
+    val exploded = docs
+      .select(col(idCol), posexplode(chunks).as(Seq("pos", "chunk")))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("chunk"))
+    exploded
+      .withColumn("keeper",
+        min(struct(col(idCol).as("id"), col("pos").as("pos"))).over(w))
+      .withColumn("kept",
+        col("keeper.id") === col(idCol) && col("keeper.pos") === col("pos"))
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).cast("long").as("n_chunks"),
+        sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"),
+        concat_ws(" ", transform(
+          array_sort(collect_list(when(col("kept"),
+            struct(col("pos").as("pos"), col("chunk").as("chunk"))))),
+          x => x.getField("chunk"))).as("dedup_text"))
+  }
 }

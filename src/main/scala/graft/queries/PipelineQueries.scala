@@ -173,6 +173,25 @@ object PipelineQueries {
         load(s, dir, "documents"), "doc_id", "text",
         k = MinhashK, bands = 4, shingleK = ShingleK)),
 
+    // sequence packing: documents concatenated in hash order within 8
+    // shards and cut every 256 tokens — the fill-the-context-window pass;
+    // each shard's cumsum is an independent task (no global sort)
+    "pipe_q30_packing" -> ((s, dir) =>
+      graft.operators.TextPipeline.packSequences(
+        load(s, dir, "documents"), "doc_id", "text",
+        capacity = 256, shards = 8)),
+    // chunk-level corpus dedup (paragraph/line dedup over fixed 8-word
+    // chunks): global first-occurrence wins, docs reassembled from their
+    // surviving chunks — dedup_text is compared character-exact
+    "pipe_q31_chunk_dedup" -> ((s, dir) =>
+      graft.operators.TextPipeline.chunkDedup(
+        load(s, dir, "documents"), "doc_id", "text", chunkWords = 8)),
+    // k-means over the embedding corpus (semantic-clustering / IVF
+    // training): deterministic hash bootstrap, one Lloyd update, final
+    // assignment — centroids broadcast as literals, data never collected
+    "pipe_q32_kmeans" -> ((s, dir) =>
+      graft.operators.Clustering.kmeansStats(
+        load(s, dir, "embeddings"), "vec_id", "embedding", k = 8, iters = 1)),
     // URL/domain analysis: extract every domain from (deterministically
     // synthesized) links and rank hosts — the crawl-side frequency pass
     // behind domain allow/deny lists
@@ -688,6 +707,60 @@ object PipelineQueries {
          |  round(CAST(max(n) AS DOUBLE) / sum(n), 6) AS rep_ratio,
          |  round(CAST(count(*) AS DOUBLE) / sum(n), 6) AS distinct_ratio
          |FROM c GROUP BY 1""".stripMargin,
+    "pipe_q30_packing" ->
+      s"""WITH d AS (SELECT doc_id,
+         |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+         |  ${Hashing.duckHash64("CAST(doc_id AS VARCHAR)")} AS h
+         |FROM documents),
+         |s AS (SELECT doc_id, n_tokens, h, h % 8 AS shard FROM d),
+         |c AS (SELECT doc_id, shard, n_tokens,
+         |  CAST(sum(n_tokens) OVER (PARTITION BY shard ORDER BY h, doc_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+         |FROM s)
+         |SELECT doc_id, shard, n_tokens, cum,
+         |  CAST(floor((cum - n_tokens) / 256.0) AS BIGINT) AS seq,
+         |  floor((cum - n_tokens) / 256.0) <> floor((cum - 1) / 256.0) AS straddles
+         |FROM c""".stripMargin,
+    "pipe_q31_chunk_dedup" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |ch AS (SELECT doc_id, CAST(i AS INTEGER) AS pos,
+        |  array_to_string(toks[(i * 8 + 1):((i + 1) * 8)], ' ') AS chunk
+        |  FROM d, unnest(range(0, CAST(ceil(len(toks) / 8.0) AS BIGINT))) AS u(i)),
+        |k AS (SELECT *, min([doc_id, CAST(pos AS BIGINT)])
+        |    OVER (PARTITION BY chunk) AS keeper FROM ch),
+        |f AS (SELECT doc_id, pos, chunk,
+        |  (keeper[1] = doc_id AND keeper[2] = pos) AS kept FROM k)
+        |SELECT doc_id, count(*) AS n_chunks,
+        |  CAST(sum(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        |  coalesce(array_to_string(list(chunk ORDER BY pos) FILTER (WHERE kept), ' '),
+        |    '') AS dedup_text
+        |FROM f GROUP BY 1""".stripMargin,
+    "pipe_q32_kmeans" -> {
+      def dist(v: String, c: String) =
+        s"""list_sum(list_transform(range(1, ${Dim + 1}), i ->
+           |    (CAST($v[i] AS DOUBLE) - $c[i]) * (CAST($v[i] AS DOUBLE) - $c[i])))"""
+          .stripMargin
+      s"""WITH e AS (SELECT vec_id AS id, embedding AS v FROM embeddings),
+         |c0 AS (SELECT CAST(row_number() OVER (ORDER BY h, id) - 1 AS INTEGER) AS cluster,
+         |    list_transform(v, x -> CAST(x AS DOUBLE)) AS cv
+         |  FROM (SELECT id, v, ${Hashing.duckHash64("CAST(id AS VARCHAR)")} AS h FROM e)
+         |  QUALIFY row_number() OVER (ORDER BY h, id) <= 8),
+         |a1 AS (SELECT id, cluster, d FROM (
+         |    SELECT e.id, c0.cluster, ${dist("e.v", "c0.cv")} AS d FROM e, c0)
+         |  QUALIFY row_number() OVER (PARTITION BY id ORDER BY d, cluster) = 1),
+         |m1 AS (SELECT a1.cluster, t.j, round(avg(CAST(e.v[t.j] AS DOUBLE)), 6) AS m
+         |  FROM a1 JOIN e USING (id), unnest(range(1, ${Dim + 1})) AS t(j)
+         |  GROUP BY 1, 2),
+         |g AS (SELECT cluster, cv, unnest(range(1, ${Dim + 1})) AS j FROM c0),
+         |c1 AS (SELECT g.cluster, list(coalesce(m1.m, g.cv[g.j]) ORDER BY g.j) AS cv
+         |  FROM g LEFT JOIN m1 ON m1.cluster = g.cluster AND m1.j = g.j
+         |  GROUP BY 1),
+         |a2 AS (SELECT id, cluster, d FROM (
+         |    SELECT e.id, c1.cluster, ${dist("e.v", "c1.cv")} AS d FROM e, c1)
+         |  QUALIFY row_number() OVER (PARTITION BY id ORDER BY d, cluster) = 1)
+         |SELECT cluster, count(*) AS n, round(sum(round(d, 6)), 4) AS distortion
+         |FROM a2 GROUP BY 1""".stripMargin
+    },
     "pipe_q21_tfidf" ->
       """WITH docs AS (SELECT * FROM documents WHERE doc_id < 100),
         |terms AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM docs),

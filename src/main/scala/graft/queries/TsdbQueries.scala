@@ -263,6 +263,65 @@ object TsdbQueries {
           max(col("rate_v")).as("max_rate"),
           round(sum(col("increase")), 6).as("day_increase"))
     }),
+    // Q32: PromQL vector set operators — `and` (filter), `unless`
+    // (exclusion), `or` (fill): the purchase instant vector against the
+    // click vector matched on(user, k). The right side of each op is an
+    // aggregated instant vector (one row per SERIES), so it is broadcast
+    // — set-matching never shuffles the left vector.
+    "tsdb_q32_setops" -> ((s, dir) => {
+      val iv = graft.tsdb.RangeVectors.instant(
+        eventsAsTsdbStored(s, dir), at = RangeEnd, lookbackMs = 86400000L)
+      val left = iv.where(col("`labels.name`") === "purchase")
+      val right = iv.where(col("`labels.name`") === "click")
+      val on = Seq("user", "k")
+      def tag(df: DataFrame, op: String) = df.select(lit(op).as("op"),
+        col("`labels.user`").as("user"), col("`labels.k`").as("k"),
+        col("time"), col("value"))
+      tag(graft.tsdb.VectorOps.vectorAnd(left, right, on), "and")
+        .unionByName(tag(graft.tsdb.VectorOps.vectorUnless(left, right, on), "unless"))
+        .unionByName(tag(graft.tsdb.VectorOps.vectorOr(left, right, on), "or"))
+    }),
+    // Q33: the PromQL `offset` modifier — `sum by (name, user) (v)`
+    // against the same aggregate `offset 7d`, joined per group for
+    // week-over-week delta/ratio (two pruned lookback scans, never a
+    // history scan; ratio computed from the ROUNDED sums so both
+    // engines divide identical literals)
+    "tsdb_q33_offset" -> ((s, dir) => {
+      val wide = eventsAsTsdbStored(s, dir)
+      def sumBy(at: Long, as: String) =
+        graft.tsdb.RangeVectors.instant(wide, at, 86400000L)
+          .groupBy(col("`labels.name`").as("name"), col("`labels.user`").as("user"))
+          .agg(round(sum(col("value")), 6).as(as))
+      sumBy(RangeEnd, "now_v").join(sumBy(RangeEnd - 604800000L, "prev_v"),
+          Seq("name", "user"))
+        .select(col("name"), col("user"), col("now_v"), col("prev_v"),
+          round(col("now_v") - col("prev_v"), 6).as("delta"),
+          round(col("now_v") / col("prev_v"), 6).as("wow"))
+    }),
+    // Q34: classic `histogram_quantile(0.9, ...)` over `le`-labeled
+    // cumulative bucket series: samples in the range binned to upper
+    // bounds 50,100..400,+Inf per (name, user), cumulated per series,
+    // then the PromQL bucket interpolation ([[graft.tsdb.VectorOps]])
+    "tsdb_q34_hist_quantile" -> ((s, dir) => {
+      val t = table(s, dir).select(RangeStart, RangeEnd, Nil)
+      val le = when(col("value") > 400.0, lit(Double.PositiveInfinity))
+        .otherwise(ceil(col("value") / 50.0) * 50.0)
+      val binned = t
+        .groupBy(col("`labels.name`").as("name"), col("`labels.user`").as("user"),
+          le.as("le"))
+        .agg(count(lit(1)).as("cnt"))
+      val cum = binned.withColumn("cum",
+        sum(col("cnt")).over(org.apache.spark.sql.expressions.Window
+          .partitionBy(col("name"), col("user")).orderBy(col("le").asc)
+          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+      graft.tsdb.VectorOps.histogramQuantile(cum, Seq("name", "user"), q = 0.9)
+    }),
+    // Q35: `holt_winters(v[1d], 0.5, 0.3)` — double exponential smoothing
+    // per (series, day): the sequential recursion folded inside a
+    // codegen'd `aggregate` over each bucket's sorted sample array
+    "tsdb_q35_holt_winters" -> ((s, dir) =>
+      graft.tsdb.RangeVectors.holtWinters(eventsAsTsdbStored(s, dir),
+        stepMs = 86400000L, sf = 0.5, sfC = 0.5, tf = 0.3, tfC = 0.7)),
     // Q8: the S7 metadata inspection surface (reference `visualize`,
     // hello.go:75-119) as an exact-oracle query: footer stats of a FIXED
     // artifact (sf0.01 lineitem — both sides pin the same literal path,
@@ -302,6 +361,89 @@ object TsdbQueries {
     """SELECT "labels.k", "labels.name", "labels.user", time, value FROM t"""
 
   val oracles: Map[String, String] = Map(
+    "tsdb_q32_setops" ->
+      s"""$duckTsdbCte,
+         |iv AS (SELECT "labels.name" AS name, "labels.user" AS u, "labels.k" AS kk,
+         |  max(time) AS time,
+         |  list_extract(max([CAST(time AS DOUBLE), value]), 2) AS value
+         |  FROM t WHERE time > ${RangeEnd - 86400000L} AND time <= $RangeEnd
+         |  GROUP BY 1, 2, 3),
+         |l AS (SELECT * FROM iv WHERE name = 'purchase'),
+         |r AS (SELECT * FROM iv WHERE name = 'click')
+         |SELECT 'and' AS op, u AS "user", kk AS k, time, value FROM l
+         |WHERE EXISTS (SELECT 1 FROM r WHERE r.u = l.u AND r.kk = l.kk)
+         |UNION ALL
+         |SELECT 'unless' AS op, u AS "user", kk AS k, time, value FROM l
+         |WHERE NOT EXISTS (SELECT 1 FROM r WHERE r.u = l.u AND r.kk = l.kk)
+         |UNION ALL
+         |SELECT 'or' AS op, u AS "user", kk AS k, time, value FROM l
+         |UNION ALL
+         |SELECT 'or' AS op, u AS "user", kk AS k, time, value FROM r
+         |WHERE NOT EXISTS (SELECT 1 FROM l WHERE l.u = r.u AND l.kk = r.kk)""".stripMargin,
+    "tsdb_q33_offset" ->
+      s"""$duckTsdbCte,
+         |a AS (SELECT name, "user", round(sum(value), 6) AS now_v FROM (
+         |    SELECT "labels.name" AS name, "labels.user" AS "user",
+         |      list_extract(max([CAST(time AS DOUBLE), value]), 2) AS value
+         |    FROM t WHERE time > ${RangeEnd - 86400000L} AND time <= $RangeEnd
+         |    GROUP BY 1, 2, "labels.k")
+         |  GROUP BY 1, 2),
+         |b AS (SELECT name, "user", round(sum(value), 6) AS prev_v FROM (
+         |    SELECT "labels.name" AS name, "labels.user" AS "user",
+         |      list_extract(max([CAST(time AS DOUBLE), value]), 2) AS value
+         |    FROM t WHERE time > ${RangeEnd - 604800000L - 86400000L}
+         |      AND time <= ${RangeEnd - 604800000L}
+         |    GROUP BY 1, 2, "labels.k")
+         |  GROUP BY 1, 2)
+         |SELECT name, "user", now_v, prev_v,
+         |  round(now_v - prev_v, 6) AS delta,
+         |  round(now_v / prev_v, 6) AS wow
+         |FROM a JOIN b USING (name, "user")""".stripMargin,
+    "tsdb_q34_hist_quantile" ->
+      s"""$duckTsdbCte,
+         |f AS (SELECT "labels.name" AS name, "labels.user" AS "user", value FROM t
+         |  WHERE time > $RangeStart AND time < $RangeEnd),
+         |b AS (SELECT name, "user",
+         |  CASE WHEN value > 400.0 THEN CAST('infinity' AS DOUBLE)
+         |       ELSE ceil(value / 50.0) * 50.0 END AS le,
+         |  count(*) AS cnt FROM f GROUP BY 1, 2, 3),
+         |c AS (SELECT *, CAST(sum(cnt) OVER (PARTITION BY name, "user" ORDER BY le
+         |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS cum FROM b),
+         |w1 AS (SELECT *, max(cum) OVER (PARTITION BY name, "user") AS total FROM c),
+         |w2 AS (SELECT *, 0.9 * total AS rk FROM w1),
+         |w3 AS (SELECT *,
+         |  min(CASE WHEN cum >= rk THEN le END)
+         |    OVER (PARTITION BY name, "user") AS chosen_le,
+         |  max(CASE WHEN le <> CAST('infinity' AS DOUBLE) THEN le END)
+         |    OVER (PARTITION BY name, "user") AS max_finite_le
+         |  FROM w2),
+         |w4 AS (SELECT *,
+         |  max(CASE WHEN le < chosen_le THEN cum END)
+         |    OVER (PARTITION BY name, "user") AS cum_below,
+         |  max(CASE WHEN le < chosen_le THEN le END)
+         |    OVER (PARTITION BY name, "user") AS le_below
+         |  FROM w3)
+         |SELECT name, "user", CAST(total AS BIGINT) AS n,
+         |  round(CASE WHEN chosen_le = CAST('infinity' AS DOUBLE) THEN max_finite_le
+         |    ELSE coalesce(le_below, 0.0) + (chosen_le - coalesce(le_below, 0.0)) *
+         |      (rk - coalesce(cum_below, 0.0)) / (cum - coalesce(cum_below, 0.0))
+         |    END, 6) AS phi
+         |FROM w4 WHERE le = chosen_le""".stripMargin,
+    "tsdb_q35_holt_winters" ->
+      s"""$duckTsdbCte,
+         |g AS (SELECT "labels.k", "labels.name", "labels.user",
+         |  CAST(floor(time / 86400000.0) * 86400000 AS BIGINT) AS bucket,
+         |  list_transform(list_sort(list([CAST(time AS DOUBLE), value])),
+         |    x -> x[2]) AS vs
+         |  FROM t GROUP BY 1, 2, 3, 4)
+         |SELECT "labels.k", "labels.name", "labels.user", bucket,
+         |  CAST(len(vs) AS BIGINT) AS n,
+         |  round(list_reduce(
+         |    [[vs[1], vs[2] - vs[1]]] || list_transform(vs[2:], v -> [v, 0.0]),
+         |    (acc, x) -> [0.5 * x[1] + 0.5 * (acc[1] + acc[2]),
+         |      0.3 * (0.5 * x[1] + 0.5 * (acc[1] + acc[2]) - acc[1]) + 0.7 * acc[2]]
+         |  )[1], 6) AS hw
+         |FROM g WHERE len(vs) >= 2""".stripMargin,
     "tsdb_q1_scan" -> s"$duckTsdbCte $projSql",
     "tsdb_q2_range" ->
       s"""$duckTsdbCte $projSql

@@ -216,4 +216,45 @@ object RangeVectors {
         // gauges/monotone-in-bucket counters only)
         round((lastV - firstV) / nullif(spanSec, lit(0.0)), 6).as("rate"))
   }
+
+  /** PromQL `holt_winters(v[w], sf, tf)` — double exponential smoothing
+    * per (series, bucket): level seeded with v₀, trend with v₁−v₀, then
+    * for each subsequent sample
+    * `level' = sf·x + (1−sf)·(level+trend); trend' = tf·(level'−level)
+    * + (1−tf)·trend`. The recursion is inherently sequential per window,
+    * so it runs as a codegen'd `aggregate` fold over the per-bucket
+    * sorted sample array — one groupBy shuffle carrying one array per
+    * (series, bucket), no iterative jobs, no driver loop. Buckets with a
+    * single sample are dropped (PromQL needs ≥ 2). `tfC` must be passed
+    * as its complement too, so both engines fold with the same literal
+    * (never a computed 1−tf). Sort order (time, value) totalizes
+    * duplicate timestamps identically to every other window here. */
+  def holtWinters(wide: DataFrame, stepMs: Long,
+                  sf: Double, sfC: Double, tf: Double, tfC: Double): DataFrame = {
+    val labels = TsdbSchema.dynCols(wide)
+    val tv: Column = array(col(TsdbSchema.TimeCol).cast("double"), col(TsdbSchema.ValueCol))
+    val grouped = wide
+      .withColumn("bucket", bucketCol(stepMs).as("bucket"))
+      .groupBy(labels :+ col("bucket"): _*)
+      .agg(array_sort(collect_list(tv)).as("tvs"))
+      .withColumn("vs", transform(col("tvs"), x => element_at(x, 2)))
+      .where(size(col("vs")) >= 2)
+    val v1 = element_at(col("vs"), 1)
+    val v2 = element_at(col("vs"), 2)
+    val init = struct(v1.as("level"), (v2 - v1).as("trend"))
+    val folded = aggregate(
+      slice(col("vs"), lit(2), size(col("vs")) - 1),
+      init,
+      (acc, x) => {
+        // level' appears twice; recomputed with the identical op sequence,
+        // so the oracle's lambda (which cannot bind intermediates) matches
+        val level2 = lit(sf) * x + lit(sfC) * (acc.getField("level") + acc.getField("trend"))
+        struct(level2.as("level"),
+          (lit(tf) * (level2 - acc.getField("level")) +
+            lit(tfC) * acc.getField("trend")).as("trend"))
+      })
+    grouped.select(labels :+ col("bucket") :+
+      size(col("vs")).cast("long").as("n") :+
+      round(folded.getField("level"), 6).as("hw"): _*)
+  }
 }
