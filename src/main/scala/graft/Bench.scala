@@ -18,7 +18,9 @@ object Bench {
     "rel_q18_bucketed_join", "rel_q27_hist_sketch",
     "pipe_q1_exact_dedup", "pipe_q5_fingerprint", "pipe_q6_minhash",
     "pipe_q7_lsh_pairs", "pipe_q8_simhash", "pipe_q10_knn",
-    "pipe_q21_tfidf")
+    "pipe_q21_tfidf",
+    "tsdb_q32_setops", "tsdb_q34_hist_quantile", "tsdb_q35_holt_winters",
+    "pipe_q30_packing", "pipe_q31_chunk_dedup", "pipe_q32_kmeans")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -49,4 +49,25 @@ class PlanQualitySpec extends SparkSpec {
     assert(plan.contains("BroadcastNestedLoopJoin") ||
       plan.contains("BroadcastHashJoin"), s"probe side should broadcast:\n$plan")
   }
+
+  test("vector set ops broadcast the right-hand instant vector") {
+    assert(planOf("tsdb_q32_setops").contains("BroadcastHashJoin"))
+  }
+
+  test("histogram_quantile runs its whole window stack on one exchange") {
+    // every window + the final filter share partitioning on the group
+    // cols; extra exchanges would mean the stack re-shuffles per step.
+    // (one exchange for the groupBy binning + one for the window stack)
+    val plan = planOf("tsdb_q34_hist_quantile")
+    val exchanges = "(?m)^\\s*\\+?-?\\s*Exchange".r.findAllIn(plan).size
+    assert(exchanges <= 2, s"window stack re-shuffles ($exchanges exchanges):\n$plan")
+  }
+
+  test("sequence packing shuffles once (per-shard windows, no global sort)") {
+    val plan = planOf("pipe_q30_packing")
+    val exchanges = "(?m)^\\s*\\+?-?\\s*Exchange".r.findAllIn(plan).size
+    assert(exchanges === 1, s"packing should be one shard shuffle:\n$plan")
+    assert(!plan.contains("rangepartitioning"),
+      s"packing must not globally sort:\n$plan")
+  }
 }
