@@ -52,6 +52,10 @@ object ScaleStress {
     }
     time("regroup all series")(t.regroup(t.select(Nil)).count())
     time("range vectors 1d")(RangeVectors.overTime(t.df, 86400000L).count())
+    // sequential-fold smoothing: cost is one groupBy shuffle carrying an
+    // array per (series, bucket) — must scale in rows, not series²
+    time("holt_winters 1d")(
+      RangeVectors.holtWinters(t.df, 86400000L, 0.5, 0.5, 0.3, 0.7).count())
 
     // lifecycle tier at Nx: compaction must scale in bytes (one range
     // shuffle), retention in TOUCHED bytes only — the footer triage must
@@ -110,7 +114,35 @@ object ScaleStress {
         docsXN.where(pmod(col("doc_id"), lit(10)) =!= 0),
         docs.where(pmod(col("doc_id"), lit(10)) === 0),
         "doc_id", "text", k = 3).count())
+    // packing at Nx: per-shard running sums — N× rows, same shard count,
+    // each shard an independent sort/cumsum task (no global ordering)
+    time(s"sequence packing ${factor}x")(
+      graft.operators.TextPipeline.packSequences(
+        docsXN, "doc_id", "text", capacity = 256, shards = 32).count())
+    // chunk dedup under adversarial replication: EVERY chunk now has
+    // factor duplicates; the (chunk → first occurrence) aggregation must
+    // stay bounded by distinct chunk text, never pairs
+    time(s"chunk dedup ${factor}x") {
+      val d = graft.operators.TextPipeline.chunkDedup(
+        docsXN, "doc_id", "text", chunkWords = 8)
+      val keptChunks = d.agg(sum(col("n_kept"))).head.getLong(0)
+      // replicas contribute zero new distinct chunks
+      println(s"[scale] chunk dedup: kept=$keptChunks of ${factor}x corpus")
+    }
     docsXN.unpersist()
+
+    // k-means at Nx vectors: assignment is a broadcast-centroid map pass
+    // (linear in rows); the update shuffle carries k·dim partial sums per
+    // partition regardless of corpus size
+    val emb = Tables.load(spark, sfDir, "embeddings")
+    val embXN = (0 until factor).map(i =>
+      emb.withColumn("vec_id", col("vec_id") + lit(i * 1000000L)))
+      .reduce(_ unionByName _).cache()
+    embXN.count()
+    time(s"kmeans 2 iters ${factor}x")(
+      graft.operators.Clustering.kmeansAssign(
+        embXN, "vec_id", "embedding", k = 8, iters = 2).count())
+    embXN.unpersist()
 
     // extreme-skew join: ONE hot part key owns `factor`/11 of the fact
     // table. The salted join must spread the hot key across tasks and
