@@ -322,6 +322,31 @@ object TsdbQueries {
     "tsdb_q35_holt_winters" -> ((s, dir) =>
       graft.tsdb.RangeVectors.holtWinters(eventsAsTsdbStored(s, dir),
         stepMs = 86400000L, sf = 0.5, sfC = 0.5, tf = 0.3, tfC = 0.7)),
+    // Q36: the cross-series PromQL aggregators `quantile by` /
+    // `stddev by` / `stdvar by` over the instant vector — exact
+    // interpolated median across each metric's series (one tiny
+    // aggregation over the vector, never the raw samples)
+    "tsdb_q36_agg_quantile" -> ((s, dir) =>
+      graft.tsdb.RangeVectors.instant(
+          eventsAsTsdbStored(s, dir), at = RangeEnd, lookbackMs = 86400000L)
+        .groupBy(col("`labels.name`").as("name"))
+        .agg(count(lit(1)).as("n_series"),
+          round(expr("percentile(value, 0.5)"), 6).as("q50"),
+          round(expr("percentile(value, 0.9)"), 6).as("q90"),
+          // n=1 guard: Spark yields NaN, SQL NULL (portability edge)
+          when(count(lit(1)) > 1, round(stddev_samp(col("value")), 6)).as("sd"),
+          when(count(lit(1)) > 1, round(var_samp(col("value")), 6)).as("stdvar"))),
+    // Q37: PromQL's wall-clock functions (day_of_week/hour/minute over
+    // the sample timestamp, UTC): traffic heatmap per metric — the time
+    // column stays epoch-ms (reference convention), views are derived
+    "tsdb_q37_time_of_day" -> ((s, dir) => {
+      val ts = timestamp_millis(col("time"))
+      table(s, dir).select(Nil)
+        .groupBy(col("`labels.name`").as("name"),
+          (dayofweek(ts) - 1).cast("long").as("dow"),
+          hour(ts).cast("long").as("hod"))
+        .agg(count(lit(1)).as("n"), round(sum(col("value")), 4).as("sum_v"))
+    }),
     // Q8: the S7 metadata inspection surface (reference `visualize`,
     // hello.go:75-119) as an exact-oracle query: footer stats of a FIXED
     // artifact (sf0.01 lineitem — both sides pin the same literal path,
@@ -444,6 +469,25 @@ object TsdbQueries {
          |      0.3 * (0.5 * x[1] + 0.5 * (acc[1] + acc[2]) - acc[1]) + 0.7 * acc[2]]
          |  )[1], 6) AS hw
          |FROM g WHERE len(vs) >= 2""".stripMargin,
+    "tsdb_q36_agg_quantile" ->
+      s"""$duckTsdbCte,
+         |iv AS (SELECT "labels.name" AS name,
+         |  list_extract(max([CAST(time AS DOUBLE), value]), 2) AS value
+         |  FROM t WHERE time > ${RangeEnd - 86400000L} AND time <= $RangeEnd
+         |  GROUP BY 1, "labels.user", "labels.k")
+         |SELECT name, count(*) AS n_series,
+         |  round(quantile_cont(value, 0.5), 6) AS q50,
+         |  round(quantile_cont(value, 0.9), 6) AS q90,
+         |  CASE WHEN count(*) > 1 THEN round(stddev_samp(value), 6) END AS sd,
+         |  CASE WHEN count(*) > 1 THEN round(var_samp(value), 6) END AS stdvar
+         |FROM iv GROUP BY 1""".stripMargin,
+    "tsdb_q37_time_of_day" ->
+      s"""$duckTsdbCte
+         |SELECT "labels.name" AS name,
+         |  CAST(dayofweek(epoch_ms(time)) AS BIGINT) AS dow,
+         |  CAST(hour(epoch_ms(time)) AS BIGINT) AS hod,
+         |  count(*) AS n, round(sum(value), 4) AS sum_v
+         |FROM t GROUP BY 1, 2, 3""".stripMargin,
     "tsdb_q1_scan" -> s"$duckTsdbCte $projSql",
     "tsdb_q2_range" ->
       s"""$duckTsdbCte $projSql
