@@ -50,6 +50,7 @@ object Clustering {
       .collect()
       .map(_.getSeq[Double](0).toIndexedSeq)
       .toIndexedSeq
+    require(centroids.nonEmpty, "kmeans over an empty corpus")
 
     def assigned: DataFrame = {
       val dists = centroids.map(c => sqDist(col("v"), c))
