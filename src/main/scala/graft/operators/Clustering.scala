@@ -90,4 +90,25 @@ object Clustering {
       .groupBy(col("cluster"))
       .agg(count(lit(1)).as("n"),
         round(sum(col("dist")), 4).as("distortion"))
+
+  /** Semantic near-dup pairs BLOCKED by k-means cells: candidates are
+    * pairs sharing a cluster, re-ranked by exact cosine. The third
+    * blocking strategy beside LSH buckets ([[Dedup.embeddingNearDups]])
+    * and IVF cells ([[Similarity.ivfKnn]]) — trained cells adapt to the
+    * data distribution, so at corpus scale the candidate set is
+    * Σ|cell|², never N². Same-cell join + codegen'd cosine; the cluster
+    * column rides the one hash-join shuffle. */
+  def semanticNearDups(emb: DataFrame, idCol: String, vecCol: String,
+                       k: Int, iters: Int, threshold: Double): DataFrame = {
+    val a = kmeansAssign(emb, idCol, vecCol, k, iters)
+      .select(col(idCol).as("id"), col("cluster"))
+    val b = emb.select(col(idCol).as("id"), col(vecCol).as("v")).join(a, "id")
+    b.as("l").join(b.as("r"),
+        col("l.cluster") === col("r.cluster") && col("l.id") < col("r.id"))
+      .withColumn("cos",
+        graft.functions.VectorFunctions.cosineNative(col("l.v"), col("r.v")))
+      .where(col("cos") >= threshold)
+      .select(col("l.id").as("id_a"), col("r.id").as("id_b"),
+        col("l.cluster").as("cluster"), round(col("cos"), 6).as("cosine"))
+  }
 }

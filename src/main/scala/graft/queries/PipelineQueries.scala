@@ -192,6 +192,13 @@ object PipelineQueries {
     "pipe_q32_kmeans" -> ((s, dir) =>
       graft.operators.Clustering.kmeansStats(
         load(s, dir, "embeddings"), "vec_id", "embedding", k = 8, iters = 1)),
+    // semantic near-dup pairs blocked by the trained k-means cells (the
+    // data-adaptive alternative to LSH-bucket blocking): same-cell pairs
+    // re-ranked by exact codegen'd cosine
+    "pipe_q33_semantic_dedup" -> ((s, dir) =>
+      graft.operators.Clustering.semanticNearDups(
+        load(s, dir, "embeddings"), "vec_id", "embedding",
+        k = 8, iters = 1, threshold = 0.2)),
     // URL/domain analysis: extract every domain from (deterministically
     // synthesized) links and rank hosts — the crawl-side frequency pass
     // behind domain allow/deny lists
@@ -349,6 +356,16 @@ object PipelineQueries {
         "stream_q6_append_windows", mode = "append")
         .select(col("window_start"), col("event_type"), col("n"),
           round(col("total_value"), 4).as("total_value"))),
+    // recording rule: continuously-evaluated per-SERIES windowed
+    // aggregate (count/sum/windowed delta per (hour, name, user)) in
+    // append mode — the `record:` rule a production TSDB runs 24/7
+    "stream_q9_recording_rule" -> ((s, dir) =>
+      EventStreams.runToMemory(
+        EventStreams.recordingRule(EventStreams.readEvents(s, dir)),
+        "stream_q9_recording_rule", mode = "append")
+        .select(col("window_start"), col("event_type"), col("user_id"),
+          col("n"), round(col("total_value"), 4).as("total_value"),
+          round(col("delta_v"), 6).as("delta_v"))),
     "stream_q1_windowed" -> ((s, dir) =>
       EventStreams.runToMemory(
         EventStreams.windowedCounts(EventStreams.readEvents(s, dir)),
@@ -398,6 +415,36 @@ object PipelineQueries {
     (0 until k).map(i =>
       s"list_min(list_transform(sh, s -> ${Hashing.duckAffine(Hashing.duckBase31("s"), i)})) AS mh$i")
       .mkString(",\n  ")
+
+  /** Shared DuckDB replica of [[graft.operators.Clustering.kmeansAssign]]
+    * with k=8, iters=1: hash bootstrap (c0) → assignment (a1) → rounded
+    * per-component means (m1/c1, empty cells keep their old centroid) →
+    * final assignment (a2). */
+  private val duckKmeansCtes: String = {
+    def dist(v: String, c: String) =
+      s"""list_sum(list_transform(range(1, ${Dim + 1}), i ->
+         |    (CAST($v[i] AS DOUBLE) - $c[i]) * (CAST($v[i] AS DOUBLE) - $c[i])))"""
+        .stripMargin
+    s"""WITH e AS (SELECT vec_id AS id, embedding AS v FROM embeddings),
+       |c0 AS (SELECT CAST(row_number() OVER (ORDER BY h, id) - 1 AS INTEGER) AS cluster,
+       |    list_transform(v, x -> CAST(x AS DOUBLE)) AS cv
+       |  FROM (SELECT id, v, ${Hashing.duckHash64("CAST(id AS VARCHAR)")} AS h FROM e)
+       |  QUALIFY row_number() OVER (ORDER BY h, id) <= 8),
+       |a1 AS (SELECT id, cluster, d FROM (
+       |    SELECT e.id, c0.cluster, ${dist("e.v", "c0.cv")} AS d FROM e, c0)
+       |  QUALIFY row_number() OVER (PARTITION BY id ORDER BY d, cluster) = 1),
+       |m1 AS (SELECT a1.cluster, t.j, round(avg(CAST(e.v[t.j] AS DOUBLE)), 6) AS m
+       |  FROM a1 JOIN e USING (id), unnest(range(1, ${Dim + 1})) AS t(j)
+       |  GROUP BY 1, 2),
+       |g AS (SELECT cluster, cv, unnest(range(1, ${Dim + 1})) AS j FROM c0),
+       |c1 AS (SELECT g.cluster, list(coalesce(m1.m, g.cv[g.j]) ORDER BY g.j) AS cv
+       |  FROM g LEFT JOIN m1 ON m1.cluster = g.cluster AND m1.j = g.j
+       |  GROUP BY 1),
+       |a2 AS (SELECT id, cluster, d FROM (
+       |    SELECT e.id, c1.cluster, ${dist("e.v", "c1.cv")} AS d FROM e, c1)
+       |  QUALIFY row_number() OVER (PARTITION BY id ORDER BY d, cluster) = 1)"""
+      .stripMargin
+  }
 
   val oracles: Map[String, String] = Map(
     "pipe_q1_exact_dedup" ->
@@ -542,6 +589,17 @@ object PipelineQueries {
         |  FROM scored)
         |SELECT probe_id, nn_id, round(cos, 6) AS cosine, rank
         |FROM ranked WHERE rank <= 5""".stripMargin,
+    "stream_q9_recording_rule" ->
+      """WITH m AS (SELECT CAST(epoch_ms(max(ts)) AS BIGINT) AS mx FROM events)
+        |SELECT date_trunc('hour', ts) AS window_start, event_type, user_id,
+        |  count(*) AS n, round(sum(value), 4) AS total_value,
+        |  round(list_extract(max([CAST(epoch_ms(ts) AS DOUBLE), value]), 2) -
+        |        list_extract(min([CAST(epoch_ms(ts) AS DOUBLE), value]), 2), 6)
+        |    AS delta_v
+        |FROM events, m
+        |GROUP BY 1, 2, 3, mx
+        |HAVING CAST(epoch_ms(date_trunc('hour', ts)) AS BIGINT) + 3600000 <=
+        |  mx - 3600000""".stripMargin,
     "stream_q1_windowed" ->
       """SELECT date_trunc('hour', ts) AS window_start, event_type,
         |  count(*) AS n, round(sum(value), 4) AS total_value
@@ -735,32 +793,18 @@ object PipelineQueries {
         |  coalesce(array_to_string(list(chunk ORDER BY pos) FILTER (WHERE kept), ' '),
         |    '') AS dedup_text
         |FROM f GROUP BY 1""".stripMargin,
-    "pipe_q32_kmeans" -> {
-      def dist(v: String, c: String) =
-        s"""list_sum(list_transform(range(1, ${Dim + 1}), i ->
-           |    (CAST($v[i] AS DOUBLE) - $c[i]) * (CAST($v[i] AS DOUBLE) - $c[i])))"""
-          .stripMargin
-      s"""WITH e AS (SELECT vec_id AS id, embedding AS v FROM embeddings),
-         |c0 AS (SELECT CAST(row_number() OVER (ORDER BY h, id) - 1 AS INTEGER) AS cluster,
-         |    list_transform(v, x -> CAST(x AS DOUBLE)) AS cv
-         |  FROM (SELECT id, v, ${Hashing.duckHash64("CAST(id AS VARCHAR)")} AS h FROM e)
-         |  QUALIFY row_number() OVER (ORDER BY h, id) <= 8),
-         |a1 AS (SELECT id, cluster, d FROM (
-         |    SELECT e.id, c0.cluster, ${dist("e.v", "c0.cv")} AS d FROM e, c0)
-         |  QUALIFY row_number() OVER (PARTITION BY id ORDER BY d, cluster) = 1),
-         |m1 AS (SELECT a1.cluster, t.j, round(avg(CAST(e.v[t.j] AS DOUBLE)), 6) AS m
-         |  FROM a1 JOIN e USING (id), unnest(range(1, ${Dim + 1})) AS t(j)
-         |  GROUP BY 1, 2),
-         |g AS (SELECT cluster, cv, unnest(range(1, ${Dim + 1})) AS j FROM c0),
-         |c1 AS (SELECT g.cluster, list(coalesce(m1.m, g.cv[g.j]) ORDER BY g.j) AS cv
-         |  FROM g LEFT JOIN m1 ON m1.cluster = g.cluster AND m1.j = g.j
-         |  GROUP BY 1),
-         |a2 AS (SELECT id, cluster, d FROM (
-         |    SELECT e.id, c1.cluster, ${dist("e.v", "c1.cv")} AS d FROM e, c1)
-         |  QUALIFY row_number() OVER (PARTITION BY id ORDER BY d, cluster) = 1)
+    "pipe_q32_kmeans" ->
+      s"""$duckKmeansCtes
          |SELECT cluster, count(*) AS n, round(sum(round(d, 6)), 4) AS distortion
-         |FROM a2 GROUP BY 1""".stripMargin
-    },
+         |FROM a2 GROUP BY 1""".stripMargin,
+    "pipe_q33_semantic_dedup" ->
+      s"""$duckKmeansCtes,
+         |ed AS (SELECT id, CAST(v AS DOUBLE[]) AS v FROM e),
+         |p AS (SELECT a2.id, a2.cluster, ed.v FROM a2 JOIN ed USING (id))
+         |SELECT l.id AS id_a, r.id AS id_b, CAST(l.cluster AS BIGINT) AS cluster,
+         |  round(${duckCos("l.v", "r.v")}, 6) AS cosine
+         |FROM p l JOIN p r ON l.cluster = r.cluster AND l.id < r.id
+         |WHERE ${duckCos("l.v", "r.v")} >= 0.2""".stripMargin,
     "pipe_q21_tfidf" ->
       """WITH docs AS (SELECT * FROM documents WHERE doc_id < 100),
         |terms AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM docs),

@@ -136,6 +136,30 @@ object EventStreams {
   /** Run any of the above to completion against static files through the
     * streaming engine and return the materialized result (test/verify
     * harness — exercises the real incremental execution path). */
+  /** Recording rule: the continuously-evaluated per-SERIES windowed
+    * aggregate (PromQL's `record:` rules — the standard way a TSDB keeps
+    * dashboards cheap at scale). Per (window, event_type, user): count,
+    * sum, and the windowed gauge delta (last − first by event time,
+    * duplicate timestamps totalized by (ts, value) like the batch tier).
+    * Append mode: a window emits once its end passes the watermark —
+    * state ∝ windows-in-flight × series, independent of history. */
+  def recordingRule(events: DataFrame,
+                    window_ : String = "1 hour",
+                    watermark: String = "1 hour"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), window_), col("event_type"), col("user_id"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("total_value"),
+        // (epoch-ms, value) totalizes duplicate timestamps in the same
+        // order the batch tier and the oracle use (ms, not micros)
+        max(struct(unix_millis(col("ts")).as("t"), col("value")))
+          .getField("value").as("last_v"),
+        min(struct(unix_millis(col("ts")).as("t"), col("value")))
+          .getField("value").as("first_v"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("user_id"), col("n"), col("total_value"),
+        (col("last_v") - col("first_v")).as("delta_v"))
+
   def runToMemory(df: DataFrame, name: String, mode: String = "append"): DataFrame = {
     val q = df.writeStream.outputMode(mode).format("memory").queryName(name).start()
     q.processAllAvailable()

@@ -213,4 +213,44 @@ object TsdbProperties extends Properties("tsdb") {
       back.sortBy(s => (s.time, s.value, s.labels.toString)) ==
         samples.sortBy(s => (s.time, s.value, s.labels.toString))
     }
+
+  property("histogram_quantile ≡ bucket-interpolation model") = {
+    // random non-cumulative bucket counts over a fixed finite le ladder
+    // plus +Inf, random q — the engine (fed only the OBSERVED buckets,
+    // mirroring a binned groupBy) must equal a direct Scala model of
+    // Prometheus's bucketQuantile over the same present-bucket ladder
+    val les = List(10.0, 20.0, 40.0, 80.0)
+    val gen = for {
+      counts <- Gen.listOfN(les.size + 1, Gen.choose(0L, 20L))
+        .suchThat(cs => cs.init.sum > 0) // at least one finite bucket
+      q <- Gen.oneOf(0.1, 0.25, 0.5, 0.9, 0.99)
+    } yield (counts, q)
+    Prop.forAll(gen) { case (counts, q) =>
+      val allLes = les :+ Double.PositiveInfinity
+      val cums = counts.scanLeft(0L)(_ + _).tail
+      // a bucket is a series only if a sample fell in it (count > 0)
+      val present = allLes.lazyZip(counts).lazyZip(cums)
+        .collect { case (le, c, cum) if c > 0 => (le, cum.toDouble) }.toList
+      val pLes = present.map(_._1)
+      val pCums = present.map(_._2)
+      val rank = q * pCums.last
+      val i = pCums.indexWhere(_ >= rank)
+      val want =
+        if (pLes(i).isPosInfinity) pLes.takeWhile(!_.isPosInfinity).last
+        else {
+          val lower = if (i == 0) 0.0 else pLes(i - 1)
+          val below = if (i == 0) 0.0 else pCums(i - 1)
+          lower + (pLes(i) - lower) * (rank - below) / (pCums(i) - below)
+        }
+      val df = present.map { case (le, cum) => ("g", le, cum) }
+        .toDF("g", "le", "cum")
+      val got = VectorOps.histogramQuantile(df, Seq("g"), q)
+        .select($"phi").as[Double].head()
+      val wantR = BigDecimal(want)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      val ok = math.abs(got - wantR) < 1e-9
+      if (!ok) println(s"present=$present q=$q got=$got want=$wantR")
+      ok
+    }
+  }
 }
