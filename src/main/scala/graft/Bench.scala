@@ -20,7 +20,8 @@ object Bench {
     "pipe_q7_lsh_pairs", "pipe_q8_simhash", "pipe_q10_knn",
     "pipe_q21_tfidf",
     "tsdb_q32_setops", "tsdb_q34_hist_quantile", "tsdb_q35_holt_winters",
-    "pipe_q30_packing", "pipe_q31_chunk_dedup", "pipe_q32_kmeans")
+    "pipe_q30_packing", "pipe_q31_chunk_dedup", "pipe_q32_kmeans",
+    "pipe_q33_semantic_dedup")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

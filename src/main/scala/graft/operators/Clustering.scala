@@ -33,10 +33,12 @@ object Clustering {
       zip_with(v, array(centroid.map(lit): _*), (a, b) => (a - b) * (a - b)),
       lit(0.0), (acc, x) => acc + x)
 
-  /** `iters` rounds of Lloyd's algorithm with `k` clusters; returns one
-    * row per input vector: (id, cluster, round(dist², 6)). */
-  def kmeansAssign(emb: DataFrame, idCol: String, vecCol: String,
-                   k: Int, iters: Int): DataFrame = {
+  /** [[kmeansAssign]] keeping the (double-cast) vector column in the
+    * output — consumers that need both (cell-blocked pairing) read the
+    * assignment as ONE map pass instead of joining assignments back to
+    * vectors on id (which would shuffle the whole corpus twice). */
+  private def assignFull(emb: DataFrame, idCol: String, vecCol: String,
+                         k: Int, iters: Int): DataFrame = {
     val base = emb.select(col(idCol).as("id"),
       col(vecCol).cast("array<double>").as("v"))
 
@@ -79,9 +81,16 @@ object Clustering {
       }
     }
 
-    assigned.select(col("id").as(idCol), col("cluster").cast("long").as("cluster"),
-      round(col("dist"), 6).as("dist"))
+    assigned
   }
+
+  /** `iters` rounds of Lloyd's algorithm with `k` clusters; returns one
+    * row per input vector: (id, cluster, round(dist², 6)). */
+  def kmeansAssign(emb: DataFrame, idCol: String, vecCol: String,
+                   k: Int, iters: Int): DataFrame =
+    assignFull(emb, idCol, vecCol, k, iters)
+      .select(col("id").as(idCol), col("cluster").cast("long").as("cluster"),
+        round(col("dist"), 6).as("dist"))
 
   /** Cluster summary: member count and total (rounded) distortion. */
   def kmeansStats(emb: DataFrame, idCol: String, vecCol: String,
@@ -96,13 +105,13 @@ object Clustering {
     * blocking strategy beside LSH buckets ([[Dedup.embeddingNearDups]])
     * and IVF cells ([[Similarity.ivfKnn]]) — trained cells adapt to the
     * data distribution, so at corpus scale the candidate set is
-    * Σ|cell|², never N². Same-cell join + codegen'd cosine; the cluster
-    * column rides the one hash-join shuffle. */
+    * Σ|cell|², never N². Assignment carries the vectors with it (one
+    * map pass, no id join-back), so the ONLY shuffle is the same-cell
+    * hash join; cosine is the exact codegen'd kernel. */
   def semanticNearDups(emb: DataFrame, idCol: String, vecCol: String,
                        k: Int, iters: Int, threshold: Double): DataFrame = {
-    val a = kmeansAssign(emb, idCol, vecCol, k, iters)
-      .select(col(idCol).as("id"), col("cluster"))
-    val b = emb.select(col(idCol).as("id"), col(vecCol).as("v")).join(a, "id")
+    val b = assignFull(emb, idCol, vecCol, k, iters)
+      .select(col("id"), col("v"), col("cluster").cast("long").as("cluster"))
     b.as("l").join(b.as("r"),
         col("l.cluster") === col("r.cluster") && col("l.id") < col("r.id"))
       .withColumn("cos",
