@@ -112,6 +112,11 @@ object Clustering {
                        k: Int, iters: Int, threshold: Double): DataFrame = {
     val b = assignFull(emb, idCol, vecCol, k, iters)
       .select(col("id"), col("v"), col("cluster").cast("long").as("cluster"))
+      // the self-join evaluates each side once — persist so the k·dim
+      // distance when-chain runs ONE pass over the corpus, not two
+      // (write-once assignment table at warehouse scale, like Dedup's
+      // persisted signatures)
+      .persist()
     b.as("l").join(b.as("r"),
         col("l.cluster") === col("r.cluster") && col("l.id") < col("r.id"))
       .withColumn("cos",

@@ -133,9 +133,6 @@ object EventStreams {
         expr("unix_millis(click_ts)").as("click_ms"))
   }
 
-  /** Run any of the above to completion against static files through the
-    * streaming engine and return the materialized result (test/verify
-    * harness — exercises the real incremental execution path). */
   /** Recording rule: the continuously-evaluated per-SERIES windowed
     * aggregate (PromQL's `record:` rules — the standard way a TSDB keeps
     * dashboards cheap at scale). Per (window, event_type, user): count,
@@ -160,6 +157,9 @@ object EventStreams {
         col("user_id"), col("n"), col("total_value"),
         (col("last_v") - col("first_v")).as("delta_v"))
 
+  /** Run any of the above to completion against static files through the
+    * streaming engine and return the materialized result (test/verify
+    * harness — exercises the real incremental execution path). */
   def runToMemory(df: DataFrame, name: String, mode: String = "append"): DataFrame = {
     val q = df.writeStream.outputMode(mode).format("memory").queryName(name).start()
     q.processAllAvailable()

@@ -96,8 +96,8 @@ object TsdbIngest {
   private val SchemaDir = "_schema"
 
   private[tsdb] def writeSchemaManifest(wide: DataFrame, path: String): Unit = {
-    val fs = new org.apache.hadoop.fs.Path(path)
-      .getFileSystem(wide.sparkSession.sessionState.newHadoopConf())
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(wide.sparkSession.sessionState.newHadoopConf())
     val dir = new org.apache.hadoop.fs.Path(path, SchemaDir)
     fs.mkdirs(dir)
     // name = epochMs + uuid: listing order ⇒ write order ⇒ deterministic
@@ -106,6 +106,23 @@ object TsdbIngest {
       f"${System.currentTimeMillis()}%013d-${java.util.UUID.randomUUID()}.json")
     val out = fs.create(f, true)
     try out.write(wide.schema.json.getBytes("UTF-8")) finally out.close()
+    // read()'s staleness probe trusts manifests only when STRICTLY newer
+    // than every data file; stamp past the newest data mtime so an
+    // internal write can never tie with its own files on a coarse-mtime
+    // filesystem (ties are reserved for foreign appends)
+    val newestData = fs.listStatus(p)
+      .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+      .map(_.getModificationTime).foldLeft(0L)(math.max)
+    val stamp = math.max(System.currentTimeMillis(), newestData + 1)
+    if (fs.getFileStatus(f).getModificationTime <= newestData)
+      fs.setTimes(f, stamp, -1)
+  }
+
+  /** Whether the table already records schema manifests. */
+  private[tsdb] def hasSchemaManifests(spark: SparkSession, path: String): Boolean = {
+    val sd = new org.apache.hadoop.fs.Path(path, SchemaDir)
+    val fs = sd.getFileSystem(spark.sessionState.newHadoopConf())
+    fs.exists(sd) && fs.listStatus(sd).exists(_.getPath.getName.endsWith(".json"))
   }
 
   /** Union of all recorded schemas, by field name, first-seen order. */
@@ -164,7 +181,10 @@ object TsdbIngest {
       else Long.MinValue
     }
     manifestSchema(spark, path) match {
-      case Some(schema) if !hasPartitionDirs && newestData <= newestManifest =>
+      // strict <: a data file stamped the same instant as the newest
+      // manifest (coarse-mtime filesystems) could be a foreign append —
+      // ties conservatively fall back to mergeSchema
+      case Some(schema) if !hasPartitionDirs && newestData < newestManifest =>
         spark.read.schema(schema).parquet(path)
       case _ => spark.read.option("mergeSchema", "true").parquet(path)
     }

@@ -120,8 +120,13 @@ object TsdbRetention {
       // record a manifest for the appended part files so TsdbIngest.read's
       // explicit-schema fast path stays trusted (its staleness probe would
       // otherwise see data newer than the newest manifest and fall back to
-      // mergeSchema over every footer)
-      TsdbIngest.writeSchemaManifest(kept, path)
+      // mergeSchema over every footer). ONLY on already-manifested tables:
+      // `kept` covers just the rewritten files, and on a manifest-less
+      // (foreign) table making its subset schema the table's FIRST
+      // manifest would hide untouched files' columns — those tables stay
+      // on the mergeSchema fallback, where every footer is consulted
+      if (TsdbIngest.hasSchemaManifests(spark, path))
+        TsdbIngest.writeSchemaManifest(kept, path)
     }
     (dropped ++ rewrite).foreach(b => fs.delete(b.status.getPath, false))
 

@@ -59,13 +59,18 @@ class PlanQualitySpec extends SparkSpec {
     // cols; extra exchanges would mean the stack re-shuffles per step.
     // (one exchange for the groupBy binning + one for the window stack)
     val plan = planOf("tsdb_q34_hist_quantile")
-    val exchanges = "(?m)^\\s*\\+?-?\\s*Exchange".r.findAllIn(plan).size
+    val exchanges = shuffleExchanges(plan)
     assert(exchanges <= 2, s"window stack re-shuffles ($exchanges exchanges):\n$plan")
   }
 
+  // count shuffle Exchange nodes on ANY tree-branch prefix (':-', ': +-',
+  // …), excluding BroadcastExchange (which is the cheap path we WANT)
+  private def shuffleExchanges(plan: String): Int =
+    "(?m)^[\\s:+*-]*Exchange".r.findAllIn(plan).size
+
   test("sequence packing shuffles once (per-shard windows, no global sort)") {
     val plan = planOf("pipe_q30_packing")
-    val exchanges = "(?m)^\\s*\\+?-?\\s*Exchange".r.findAllIn(plan).size
+    val exchanges = shuffleExchanges(plan)
     assert(exchanges === 1, s"packing should be one shard shuffle:\n$plan")
     assert(!plan.contains("rangepartitioning"),
       s"packing must not globally sort:\n$plan")
