@@ -180,6 +180,20 @@ object PipelineQueries {
       graft.operators.TextPipeline.packSequences(
         load(s, dir, "documents"), "doc_id", "text",
         capacity = 256, shards = 8)),
+    // packing efficiency report: per (shard, sequence) document count,
+    // token fill and fill ratio — the metric a packing pass is tuned by
+    // (ratio computed from integer operands, so it is exact)
+    "pipe_q34_pack_stats" -> ((s, dir) =>
+      graft.operators.TextPipeline.packSequences(
+          load(s, dir, "documents"), "doc_id", "text",
+          capacity = 256, shards = 8)
+        .groupBy(col("shard"), col("seq"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).as("n_tokens"),
+          count_if(col("straddles")).as("n_straddling"))
+        .select(col("shard"), col("seq"), col("n_docs"), col("n_tokens"),
+          col("n_straddling"),
+          round(col("n_tokens") / lit(256.0), 6).as("fill"))),
     // chunk-level corpus dedup (paragraph/line dedup over fixed 8-word
     // chunks): global first-occurrence wins, docs reassembled from their
     // surviving chunks — dedup_text is compared character-exact
@@ -779,6 +793,25 @@ object PipelineQueries {
          |  CAST(floor((cum - n_tokens) / 256.0) AS BIGINT) AS seq,
          |  floor((cum - n_tokens) / 256.0) <> floor((cum - 1) / 256.0) AS straddles
          |FROM c""".stripMargin,
+    "pipe_q34_pack_stats" ->
+      s"""WITH d AS (SELECT doc_id,
+         |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+         |  ${Hashing.duckHash64("CAST(doc_id AS VARCHAR)")} AS h
+         |FROM documents),
+         |s AS (SELECT doc_id, n_tokens, h, h % 8 AS shard FROM d),
+         |c AS (SELECT doc_id, shard, n_tokens,
+         |  CAST(sum(n_tokens) OVER (PARTITION BY shard ORDER BY h, doc_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+         |FROM s),
+         |p AS (SELECT shard, n_tokens,
+         |  CAST(floor((cum - n_tokens) / 256.0) AS BIGINT) AS seq,
+         |  floor((cum - n_tokens) / 256.0) <> floor((cum - 1) / 256.0) AS straddles
+         |FROM c)
+         |SELECT shard, seq, count(*) AS n_docs,
+         |  CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+         |  CAST(sum(CASE WHEN straddles THEN 1 ELSE 0 END) AS BIGINT) AS n_straddling,
+         |  round(CAST(sum(n_tokens) AS BIGINT) / 256.0, 6) AS fill
+         |FROM p GROUP BY 1, 2""".stripMargin,
     "pipe_q31_chunk_dedup" ->
       """WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
         |ch AS (SELECT doc_id, CAST(i AS INTEGER) AS pos,

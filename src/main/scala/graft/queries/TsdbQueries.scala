@@ -322,6 +322,19 @@ object TsdbQueries {
     "tsdb_q35_holt_winters" -> ((s, dir) =>
       graft.tsdb.RangeVectors.holtWinters(eventsAsTsdbStored(s, dir),
         stepMs = 86400000L, sf = 0.5, sfC = 0.5, tf = 0.3, tfC = 0.7)),
+    // Q38: PromQL bottomk() — the k series with the LOWEST current value
+    // (topk's mirror, deterministic tie-break on the label set); the
+    // rank ordering doubles as sort() over the instant vector
+    "tsdb_q38_bottomk" -> ((s, dir) =>
+      graft.tsdb.RangeVectors.instant(
+          eventsAsTsdbStored(s, dir), at = RangeEnd, lookbackMs = 86400000L)
+        .withColumn("rank", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .orderBy(col("value").asc, col("`labels.name`").asc,
+              col("`labels.user`").asc, col("`labels.k`").asc)))
+        .where(col("rank") <= 10)
+        .select(col("`labels.name`"), col("`labels.user`"), col("`labels.k`"),
+          col("time"), col("value"), col("rank").cast("long").as("rank"))),
     // Q36: the cross-series PromQL aggregators `quantile by` /
     // `stddev by` / `stdvar by` over the instant vector — exact
     // interpolated median across each metric's series (one tiny
@@ -469,6 +482,17 @@ object TsdbQueries {
          |      0.3 * (0.5 * x[1] + 0.5 * (acc[1] + acc[2]) - acc[1]) + 0.7 * acc[2]]
          |  )[1], 6) AS hw
          |FROM g WHERE len(vs) >= 2""".stripMargin,
+    "tsdb_q38_bottomk" ->
+      s"""$duckTsdbCte,
+         |iv AS (SELECT "labels.k", "labels.name", "labels.user",
+         |  max(time) AS time,
+         |  list_extract(max([CAST(time AS DOUBLE), value]), 2) AS value
+         |  FROM t WHERE time > ${RangeEnd - 86400000L} AND time <= $RangeEnd
+         |  GROUP BY 1, 2, 3),
+         |r AS (SELECT *, row_number() OVER (ORDER BY value ASC,
+         |  "labels.name" ASC, "labels.user" ASC, "labels.k" ASC) AS rank FROM iv)
+         |SELECT "labels.name", "labels.user", "labels.k", time, value, rank
+         |FROM r WHERE rank <= 10""".stripMargin,
     "tsdb_q36_agg_quantile" ->
       s"""$duckTsdbCte,
          |iv AS (SELECT "labels.name" AS name,
