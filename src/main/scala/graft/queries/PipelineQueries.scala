@@ -180,6 +180,27 @@ object PipelineQueries {
       graft.operators.TextPipeline.packSequences(
         load(s, dir, "documents"), "doc_id", "text",
         capacity = 256, shards = 8)),
+    // the composite FILTER GATE a curation pipeline ships: every per-doc
+    // signal (token budget, quality, language, repetition, PII) composed
+    // into one keep/drop verdict — the end-to-end "what survives" query
+    "pipe_q35_filter_gate" -> ((s, dir) => {
+      val docs = load(s, dir, "documents")
+      val rep = graft.operators.TextPipeline
+        .repetition(docs, "doc_id", "text", ShingleK)
+        .select(col("doc_id"), col("rep_ratio"))
+      val (e, i, p) = TextFunctions.piiCounts(col("text"))
+      docs.join(rep, "doc_id")
+        .select(col("doc_id"),
+          TextFunctions.tokenCount(col("text")).cast("long").as("n_tokens"),
+          TextFunctions.qualityScore(col("text"), col("n_chars")).as("quality"),
+          TextFunctions.langId(col("text")).as("lang_pred"),
+          col("rep_ratio"),
+          (e + i + p).cast("long").as("n_pii"))
+        .withColumn("keep",
+          col("n_tokens").between(16, 512) && col("quality") >= 0.5 &&
+            col("lang_pred") === "en" && col("rep_ratio") <= 0.2 &&
+            col("n_pii") === 0)
+    }),
     // packing efficiency report: per (shard, sequence) document count,
     // token fill and fill ratio — the metric a packing pass is tuned by
     // (ratio computed from integer operands, so it is exact)
@@ -793,6 +814,48 @@ object PipelineQueries {
          |  CAST(floor((cum - n_tokens) / 256.0) AS BIGINT) AS seq,
          |  floor((cum - n_tokens) / 256.0) <> floor((cum - 1) / 256.0) AS straddles
          |FROM c""".stripMargin,
+    "pipe_q35_filter_gate" -> {
+      val quality =
+        """round(
+          |  0.4 * least(CAST(len(string_split(text,' ')) AS DOUBLE) / 64.0, 1.0)
+          |  + 0.3 * least(CAST(len(regexp_extract_all(text, '\b(the|a|and|of|to)\b')) AS DOUBLE)
+          |      / greatest(CAST(len(string_split(text,' ')) AS DOUBLE), 1.0) * 10.0, 1.0)
+          |  + 0.2 * (CASE WHEN CAST(n_chars AS DOUBLE) / greatest(CAST(len(string_split(text,' ')) AS DOUBLE), 1.0)
+          |      BETWEEN 3 AND 10 THEN 1.0 ELSE 0.5 END)
+          |  + 0.1 * (1.0 - least(CAST(len(regexp_extract_all(text, '[^A-Za-z0-9 ]')) AS DOUBLE)
+          |      / greatest(CAST(n_chars AS DOUBLE), 1.0) * 5.0, 1.0)), 6)""".stripMargin
+      val en = """len(regexp_extract_all(text, '\b(the|and|of|is|to)\b'))"""
+      val de = """(len(regexp_extract_all(text, '\b(der|die|das|und|ist)\b')) + len(regexp_extract_all(text, 'sch|ein')))"""
+      val es = """(len(regexp_extract_all(text, '\b(el|la|los|que|es)\b')) + len(regexp_extract_all(text, 'ción|ado')))"""
+      val fr = """(len(regexp_extract_all(text, '\b(le|la|les|est|une)\b')) + len(regexp_extract_all(text, 'eau|oux')))"""
+      val lang =
+        s"""CASE
+           |    WHEN $en > 0 AND $en = greatest($en, $de, $es, $fr) THEN 'en'
+           |    WHEN $de > 0 AND $de = greatest($en, $de, $es, $fr) THEN 'de'
+           |    WHEN $es > 0 AND $es = greatest($en, $de, $es, $fr) THEN 'es'
+           |    WHEN $fr > 0 AND $fr = greatest($en, $de, $es, $fr) THEN 'fr'
+           |    ELSE 'und' END""".stripMargin
+      val pii =
+        """CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+          |    + len(regexp_extract_all(text, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b'))
+          |    + len(regexp_extract_all(text, '\b\d{3}[-.]\d{3}[-.]\d{4}\b')) AS BIGINT)"""
+          .stripMargin
+      s"""WITH sh AS (SELECT doc_id, unnest(${duckShingles(ShingleK)}) AS shingle
+         |  FROM documents),
+         |c AS (SELECT doc_id, shingle, count(*) AS n FROM sh GROUP BY 1, 2),
+         |rep AS (SELECT doc_id,
+         |  round(CAST(max(n) AS DOUBLE) / sum(n), 6) AS rep_ratio FROM c GROUP BY 1),
+         |base AS (SELECT doc_id,
+         |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+         |  $quality AS quality,
+         |  $lang AS lang_pred,
+         |  $pii AS n_pii
+         |FROM documents)
+         |SELECT base.doc_id, n_tokens, quality, lang_pred, rep_ratio, n_pii,
+         |  (n_tokens BETWEEN 16 AND 512 AND quality >= 0.5 AND lang_pred = 'en'
+         |   AND rep_ratio <= 0.2 AND n_pii = 0) AS keep
+         |FROM base JOIN rep USING (doc_id)""".stripMargin
+    },
     "pipe_q34_pack_stats" ->
       s"""WITH d AS (SELECT doc_id,
          |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,

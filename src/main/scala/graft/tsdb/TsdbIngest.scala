@@ -125,6 +125,30 @@ object TsdbIngest {
     fs.exists(sd) && fs.listStatus(sd).exists(_.getPath.getName.endsWith(".json"))
   }
 
+  /** Fold all recorded manifests into ONE carrying their union schema —
+    * the registry's own compaction. A year of appends is thousands of
+    * manifest files; the union is what read() computes anyway, so
+    * materializing it keeps the planning listing O(1). Crash-safe by
+    * ordering: the union manifest lands (newest, so read() trusts it)
+    * BEFORE the old ones are deleted — the worst case is duplicate
+    * manifests, and the union is idempotent. First-seen column order is
+    * preserved, so reads before and after produce identical schemas. */
+  def compactManifests(spark: SparkSession, path: String): Int = {
+    val sd = new org.apache.hadoop.fs.Path(path, SchemaDir)
+    val fs = sd.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(sd)) return 0
+    val old = fs.listStatus(sd).filter(_.getPath.getName.endsWith(".json"))
+    if (old.length <= 1) return old.length
+    val union = manifestSchema(spark, path)
+      .getOrElse(return 0)
+    val f = new org.apache.hadoop.fs.Path(sd,
+      f"${System.currentTimeMillis()}%013d-${java.util.UUID.randomUUID()}.json")
+    val out = fs.create(f, true)
+    try out.write(union.json.getBytes("UTF-8")) finally out.close()
+    old.foreach(s => fs.delete(s.getPath, false))
+    1
+  }
+
   /** Union of all recorded schemas, by field name, first-seen order. */
   private def manifestSchema(spark: SparkSession,
                              path: String): Option[org.apache.spark.sql.types.StructType] = {

@@ -54,6 +54,24 @@ class TsdbManifestSpec extends SparkSpec {
       s"untouched file's column lost after delete: $cols")
   }
 
+  test("compactManifests folds appends into one union manifest, schema intact") {
+    val path = tmp()
+    TsdbIngest.write(Seq((1L, 1.0, "a"))
+      .toDF("time", "value", "labels.env"), path)
+    TsdbIngest.write(Seq((2L, 2.0, "x"))
+      .toDF("time", "value", "labels.job"), path, mode = SaveMode.Append)
+    TsdbIngest.write(Seq((3L, 3.0, "y"))
+      .toDF("time", "value", "labels.zone"), path, mode = SaveMode.Append)
+    val before = TsdbIngest.read(spark, path).schema
+    assert(TsdbIngest.compactManifests(spark, path) === 1)
+    val sd = new org.apache.hadoop.fs.Path(path, "_schema")
+    val fs = sd.getFileSystem(spark.sessionState.newHadoopConf())
+    assert(fs.listStatus(sd).count(_.getPath.getName.endsWith(".json")) === 1)
+    // identical schema (incl. first-seen column order) through one manifest
+    assert(TsdbIngest.read(spark, path).schema === before)
+    assert(TsdbIngest.read(spark, path).count() === 3)
+  }
+
   test("retention rewrite keeps the fast path on a manifested table") {
     val path = tmp()
     TsdbIngest.write((1L to 100L).map(i => (i * 10L, i.toDouble, s"u$i"))
