@@ -158,6 +158,24 @@ object TsdbQueries {
           col("labels").getItem("user").as("user"),
           col("labels").getItem("k").as("k"))
     }),
+    // Q39: JSON-lines ingest surface — the log-shipper interchange
+    // format: events encoded as JSON lines, parsed back with the
+    // built-in permissive from_json, projected. Identity oracle ⇒ the
+    // exporter⇄parser pair is proven lossless (incl. double round-trip)
+    "tsdb_q39_jsonlines" -> ((s, dir) => {
+      val long = load(s, dir, "events").select(
+        unix_millis(col("ts")).as("time"), col("value"),
+        map(lit("__name__"), col("event_type"),
+          lit("user"), col("user_id").cast("string"),
+          lit("k"), regexp_extract(col("props"), "\"k\": (\\d+)", 1))
+          .as("labels"))
+      graft.tsdb.SampleReaders.fromJsonLines(
+          graft.tsdb.SampleReaders.toJsonLines(long))
+        .select(col("time"), col("value"),
+          col("labels").getItem("__name__").as("name"),
+          col("labels").getItem("user").as("user"),
+          col("labels").getItem("k").as("k"))
+    }),
     // Q13: PromQL topk() over the instant vector — the k series with the
     // highest current value (deterministic tie-break on the label set)
     "tsdb_q13_topk" -> ((s, dir) =>
@@ -592,6 +610,11 @@ object TsdbQueries {
          |    / nullif((max(time) - min(time)) / 1000.0, 0.0), 6) AS rate
          |FROM t GROUP BY 1, 2, 3, 4""".stripMargin,
     "tsdb_q12_openmetrics" ->
+      """SELECT CAST(epoch_ms(ts) AS BIGINT) AS time, value,
+        |  event_type AS name, CAST(user_id AS VARCHAR) AS "user",
+        |  regexp_extract(props, '"k": (\d+)', 1) AS k
+        |FROM events""".stripMargin,
+    "tsdb_q39_jsonlines" ->
       """SELECT CAST(epoch_ms(ts) AS BIGINT) AS time, value,
         |  event_type AS name, CAST(user_id AS VARCHAR) AS "user",
         |  regexp_extract(props, '"k": (\d+)', 1) AS k

@@ -64,6 +64,32 @@ object SampleReaders {
   def fromOpenMetricsText(spark: SparkSession, path: String): DataFrame =
     fromOpenMetricsLines(spark.read.text(path), "value")
 
+  /** JSON-lines samples — `{"time":…,"value":…,"labels":{"k":"v"}}`,
+    * the interchange shape of most log shippers/collectors. Built-in
+    * `from_json` (codegen'd, permissive: malformed lines parse to NULL
+    * and are dropped rather than failing a 100 TB backfill). */
+  def fromJsonLines(lines: DataFrame, lineCol: String = "line"): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("time", LongType), StructField("value", DoubleType),
+      StructField("labels", MapType(StringType, StringType))))
+    lines
+      .select(from_json(col(lineCol), schema).as("s"))
+      .where(col("s").isNotNull && col("s.time").isNotNull)
+      .select(col("s.time").as("time"), col("s.value").as("value"),
+        col("s.labels").as("labels"))
+  }
+
+  /** The inverse — long-form rows to JSON lines (sorted label keys so
+    * the encoding is deterministic; the round-trip pairs with
+    * [[fromJsonLines]] under the identity oracle). */
+  def toJsonLines(samples: DataFrame): DataFrame = {
+    val sortedLabels = map_from_entries(transform(
+      array_sort(map_keys(col("labels"))),
+      k => struct(k, element_at(col("labels"), k))))
+    samples.select(to_json(struct(
+      col("time"), col("value"), sortedLabels.as("labels"))).as("line"))
+  }
+
   /** The inverse — long-form rows to exposition lines (a text exporter;
     * also the round-trip harness that puts the parser under the oracle). */
   def toOpenMetricsLines(samples: DataFrame): DataFrame = {

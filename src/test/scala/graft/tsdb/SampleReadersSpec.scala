@@ -51,4 +51,19 @@ class SampleReadersSpec extends SparkSpec {
       (100L, 2.5, Map("__name__" -> "up", "job" -> "prom")),
       (200L, 3.5, Map("__name__" -> "up"))))
   }
+
+  test("JSON-lines reader round-trips and drops malformed lines") {
+    val good = Seq(
+      (100L, 2.5, Map("__name__" -> "up", "job" -> "prom")),
+      (200L, -1.25e-3, Map("__name__" -> "up")))
+    val lines = SampleReaders.toJsonLines(
+      good.toDF("time", "value", "labels"))
+      .union(Seq("not json at all", """{"no_time_field": true}""", "")
+        .toDF("line"))
+    val got = SampleReaders.fromJsonLines(lines)
+      .as[(Long, Double, Map[String, String])].collect().toSet
+    // malformed/field-less lines are dropped, never a job failure;
+    // doubles (incl. scientific notation) round-trip exactly
+    assert(got == good.toSet)
+  }
 }
