@@ -353,6 +353,15 @@ object TsdbQueries {
         .where(col("rank") <= 10)
         .select(col("`labels.name`"), col("`labels.user`"), col("`labels.k`"),
           col("time"), col("value"), col("rank").cast("long").as("rank"))),
+    // Q40: the PromQL FRONT END end-to-end — the reference's stated but
+    // never-reached goal: query text in, DataFrame out. Parsed by
+    // graft.tsdb.PromQL and compiled onto the same oracle-checked
+    // operators the programmatic API uses.
+    "tsdb_q40_promql" -> ((s, dir) =>
+      graft.tsdb.PromQL.eval(
+        graft.tsdb.PromQL.parse("""sum by (user) ({name="purchase"})"""),
+        eventsAsTsdbStored(s, dir), at = RangeEnd, lookbackMs = 86400000L,
+        start = RangeStart, end = RangeEnd)),
     // Q36: the cross-series PromQL aggregators `quantile by` /
     // `stddev by` / `stdvar by` over the instant vector — exact
     // interpolated median across each metric's series (one tiny
@@ -500,6 +509,14 @@ object TsdbQueries {
          |      0.3 * (0.5 * x[1] + 0.5 * (acc[1] + acc[2]) - acc[1]) + 0.7 * acc[2]]
          |  )[1], 6) AS hw
          |FROM g WHERE len(vs) >= 2""".stripMargin,
+    "tsdb_q40_promql" ->
+      s"""$duckTsdbCte,
+         |iv AS (SELECT "labels.user" AS "user",
+         |  list_extract(max([CAST(time AS DOUBLE), value]), 2) AS value
+         |  FROM t WHERE time > ${RangeEnd - 86400000L} AND time <= $RangeEnd
+         |    AND "labels.name" = 'purchase'
+         |  GROUP BY 1, "labels.name", "labels.k")
+         |SELECT "user", round(sum(value), 6) AS value FROM iv GROUP BY 1""".stripMargin,
     "tsdb_q38_bottomk" ->
       s"""$duckTsdbCte,
          |iv AS (SELECT "labels.k", "labels.name", "labels.user",

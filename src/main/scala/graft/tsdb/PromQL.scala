@@ -1,0 +1,251 @@
+package graft.tsdb
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.model.Matcher
+
+/** A PromQL front end for the engine — the reference's stated goal
+  * ("Research querying Apache Parquet files with PromQL", README.md:3;
+  * never reached: "Currently still working on making querier generic",
+  * README.md:125). Text in, DataFrame out: a recursive-descent parser
+  * for the working PromQL subset, compiled onto the same operators the
+  * programmatic API uses ([[TsdbTable]], [[RangeVectors]],
+  * [[VectorOps]]) — so every parsed query inherits their pushdown,
+  * broadcast and oracle-checked semantics.
+  *
+  * Supported subset (one deviation, documented): range selectors
+  * `v[1d]` evaluate range-vector functions over TUMBLING `[duration]`
+  * buckets across the queried window rather than a sliding window per
+  * step — the tumbling interpretation is what the batch tier computes
+  * and the oracle verifies.
+  *
+  * {{{
+  *   expr     := agg | fn | selector
+  *   agg      := ("sum"|"avg"|"min"|"max"|"count") "by" "(" names ")" "(" expr ")"
+  *             | ("topk"|"bottomk") "(" int "," expr ")"
+  *   fn       := name "(" [num ","] expr ["," num]* ")"   e.g. rate(v[1d]),
+  *               holt_winters(v[1d], 0.5, 0.3), quantile_over_time(0.9, v[1d])
+  *   selector := [metric] "{" m ("," m)* "}" ["[" dur "]"] ["offset" dur]
+  *   m        := label ("=" | "!=" | "=~" | "!~") quoted
+  * }}}
+  */
+object PromQL {
+
+  // ---- AST ----
+  sealed trait Expr
+  final case class Selector(matchers: Seq[Matcher], rangeMs: Option[Long],
+                            offsetMs: Long) extends Expr
+  final case class Fn(name: String, arg: Expr, params: Seq[Double]) extends Expr
+  final case class AggBy(op: String, by: Seq[String], arg: Expr) extends Expr
+  final case class RankK(op: String, k: Int, arg: Expr) extends Expr
+
+  // ---- parser ----
+  final case class ParseError(msg: String, at: Int)
+    extends RuntimeException(s"$msg (at offset $at)")
+
+  private final class P(s: String) {
+    private var i = 0
+    private def ws(): Unit = while (i < s.length && s(i).isWhitespace) i += 1
+    def eof: Boolean = { ws(); i >= s.length }
+    def peek(c: Char): Boolean = { ws(); i < s.length && s(i) == c }
+    def opt(c: Char): Boolean = if (peek(c)) { i += 1; true } else false
+    def expect(c: Char): Unit =
+      if (!opt(c)) throw ParseError(s"expected '$c'", i)
+    def ident(): String = {
+      ws()
+      val start = i
+      while (i < s.length && (s(i).isLetterOrDigit || s(i) == '_' || s(i) == ':')) i += 1
+      if (i == start) throw ParseError("expected identifier", i)
+      s.substring(start, i)
+    }
+    def quoted(): String = {
+      ws()
+      val q = if (i < s.length && (s(i) == '"' || s(i) == '\'')) s(i)
+              else throw ParseError("expected quoted string", i)
+      i += 1
+      val start = i
+      while (i < s.length && s(i) != q) i += 1
+      if (i >= s.length) throw ParseError("unterminated string", start)
+      val v = s.substring(start, i); i += 1; v
+    }
+    def number(): Double = {
+      ws()
+      val start = i
+      while (i < s.length && (s(i).isDigit || "+-.eE".contains(s(i)))) i += 1
+      if (i == start) throw ParseError("expected number", i)
+      s.substring(start, i).toDouble
+    }
+    def duration(): Long = {
+      ws()
+      val start = i
+      while (i < s.length && s(i).isDigit) i += 1
+      if (i == start) throw ParseError("expected duration", i)
+      val n = s.substring(start, i).toLong
+      val unit = if (i < s.length) s(i) else ' '
+      i += 1
+      n * (unit match {
+        case 's' => 1000L
+        case 'm' => 60000L
+        case 'h' => 3600000L
+        case 'd' => 86400000L
+        case 'w' => 604800000L
+        case u => throw ParseError(s"unknown duration unit '$u'", i - 1)
+      })
+    }
+    def matcherOp(): String = {
+      ws()
+      val two = if (i + 1 < s.length) s.substring(i, i + 2) else ""
+      if (two == "!=" || two == "=~" || two == "!~") { i += 2; two }
+      else if (peek('=')) { i += 1; "=" }
+      else throw ParseError("expected matcher operator", i)
+    }
+    def keyword(k: String): Boolean = {
+      ws()
+      if (s.startsWith(k, i) &&
+        (i + k.length >= s.length || !s(i + k.length).isLetterOrDigit)) {
+        i += k.length; true
+      } else false
+    }
+    def offset: Int = i
+  }
+
+  private val AggOps = Set("sum", "avg", "min", "max", "count")
+  private val RankOps = Set("topk", "bottomk")
+  private val RangeFns = Set("rate", "increase", "irate", "resets",
+    "holt_winters", "quantile_over_time", "avg_over_time", "deriv")
+
+  def parse(q: String): Expr = {
+    val p = new P(q)
+    val e = parseExpr(p)
+    if (!p.eof) throw ParseError("trailing input", p.offset)
+    e
+  }
+
+  private def parseExpr(p: P): Expr = {
+    // lookahead: an identifier followed by '(' or "by" is an operator;
+    // otherwise it is the metric name of a selector
+    if (p.peek('{')) return parseSelector(p, None)
+    val name = p.ident()
+    if (AggOps(name) && p.keyword("by")) {
+      p.expect('(')
+      val by = Seq.newBuilder[String]
+      by += p.ident()
+      while (p.opt(',')) by += p.ident()
+      p.expect(')')
+      p.expect('(')
+      val arg = parseExpr(p)
+      p.expect(')')
+      AggBy(name, by.result(), arg)
+    } else if (RankOps(name) && p.peek('(')) {
+      p.expect('(')
+      val k = p.number().toInt
+      p.expect(',')
+      val arg = parseExpr(p)
+      p.expect(')')
+      RankK(name, k, arg)
+    } else if (RangeFns(name) && p.peek('(')) {
+      p.expect('(')
+      // leading numeric param (quantile_over_time(0.9, v))
+      val pre = if (name == "quantile_over_time") { val q = p.number(); p.expect(','); Seq(q) }
+                else Seq.empty[Double]
+      val arg = parseExpr(p)
+      // trailing numeric params (holt_winters(v, sf, tf))
+      val post = Seq.newBuilder[Double]
+      while (p.opt(',')) post += p.number()
+      p.expect(')')
+      Fn(name, arg, pre ++ post.result())
+    } else parseSelector(p, Some(name).filter(_.nonEmpty))
+  }
+
+  private def parseSelector(p: P, metric: Option[String]): Selector = {
+    val ms = Seq.newBuilder[Matcher]
+    metric.foreach(m => ms += Matcher.Eq("__name__", m))
+    if (p.opt('{')) {
+      if (!p.peek('}')) {
+        def one(): Unit = {
+          val label = p.ident()
+          val op = p.matcherOp()
+          val v = p.quoted()
+          ms += (op match {
+            case "=" => Matcher.Eq(label, v)
+            case "!=" => Matcher.NotEq(label, v)
+            case "=~" => Matcher.Re(label, v)
+            case "!~" => Matcher.NotRe(label, v)
+          })
+        }
+        one()
+        while (p.opt(',')) one()
+      }
+      p.expect('}')
+    }
+    val range = if (p.opt('[')) { val d = p.duration(); p.expect(']'); Some(d) }
+                else None
+    val off = if (p.keyword("offset")) p.duration() else 0L
+    Selector(ms.result(), range, off)
+  }
+
+  // ---- evaluator ----
+
+  /** Evaluate a parsed expression against the wide table.
+    *
+    * @param at         evaluation instant (epoch ms) for instant vectors
+    * @param lookbackMs staleness lookback for instant vectors
+    * @param start/end  exclusive window that range-vector functions
+    *                   bucket over (tumbling `[duration]` buckets)
+    */
+  def eval(expr: Expr, wide: DataFrame, at: Long, lookbackMs: Long,
+           start: Long, end: Long): DataFrame = expr match {
+    case Selector(ms, None, off) =>
+      RangeVectors.instant(TsdbTable(wide).select(ms), at - off, lookbackMs)
+    case Selector(ms, Some(_), _) =>
+      throw new IllegalArgumentException(
+        "range selector must be wrapped in a range-vector function")
+    case Fn(name, Selector(ms, Some(stepMs), off), params) =>
+      val sel = TsdbTable(wide).select(start - off, end - off, ms)
+      name match {
+        case "rate" => RangeVectors.rate(sel, stepMs)
+        case "increase" => RangeVectors.increase(sel)
+        case "irate" => RangeVectors.irate(sel, stepMs)
+        case "resets" => RangeVectors.resetsChanges(sel, stepMs)
+        case "avg_over_time" => RangeVectors.overTime(sel, stepMs)
+        case "deriv" => RangeVectors.deriv(sel, stepMs, horizonMs = 0L)
+        case "quantile_over_time" =>
+          RangeVectors.quantileOverTime(sel, stepMs)
+        case "holt_winters" =>
+          val sf = params.headOption.getOrElse(0.5)
+          val tf = params.lift(1).getOrElse(0.3)
+          RangeVectors.holtWinters(sel, stepMs, sf, 1.0 - sf, tf, 1.0 - tf)
+      }
+    case Fn(name, _, _) =>
+      throw new IllegalArgumentException(
+        s"$name needs a range selector argument (v[duration])")
+    case AggBy(op, by, arg) =>
+      val iv = eval(arg, wide, at, lookbackMs, start, end)
+      // aggregation operators consume INSTANT vectors; range-vector
+      // function outputs carry per-bucket stat columns, not `value`
+      require(iv.columns.contains(TsdbSchema.ValueCol),
+        s"$op by(...) needs an instant-vector argument (a selector), " +
+          "not a range-vector function result")
+      val keys = by.map(n => TsdbSchema.labelCol(n).as(n))
+      val agg: Column = op match {
+        case "sum" => round(sum(col("value")), 6).as("value")
+        case "avg" => round(avg(col("value")), 6).as("value")
+        case "min" => min(col("value")).as("value")
+        case "max" => max(col("value")).as("value")
+        case "count" => count(lit(1)).cast("double").as("value")
+      }
+      iv.groupBy(keys: _*).agg(agg)
+    case RankK(op, k, arg) =>
+      val iv = eval(arg, wide, at, lookbackMs, start, end)
+      require(iv.columns.contains(TsdbSchema.ValueCol),
+        s"$op(k, ...) needs an instant-vector argument (a selector)")
+      val labels = TsdbSchema.dynCols(iv)
+      val ord =
+        (if (op == "topk") col("value").desc else col("value").asc) +:
+          labels.map(_.asc)
+      iv.withColumn("rank", row_number().over(
+          org.apache.spark.sql.expressions.Window.orderBy(ord: _*)))
+        .where(col("rank") <= k)
+        .drop("rank")
+  }
+}

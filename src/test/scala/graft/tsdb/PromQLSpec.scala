@@ -1,0 +1,108 @@
+package graft.tsdb
+
+import graft.SparkSpec
+import graft.model.Matcher
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** PromQL front end: parse structure, parse errors, and — the real
+  * contract — parse+eval ≡ the direct operator calls for every
+  * supported shape. */
+class PromQLSpec extends SparkSpec {
+  import spark.implicits._
+  import PromQL._
+
+  test("selector parses all four matcher ops, range and offset") {
+    val e = parse("""http_requests{job="api",env!="dev",zone=~"us-.*",k!~"9"}[5m] offset 1h""")
+    assert(e === Selector(Seq(
+      Matcher.Eq("__name__", "http_requests"),
+      Matcher.Eq("job", "api"), Matcher.NotEq("env", "dev"),
+      Matcher.Re("zone", "us-.*"), Matcher.NotRe("k", "9")),
+      rangeMs = Some(300000L), offsetMs = 3600000L))
+  }
+
+  test("operator grammar: agg by / rank / function nesting") {
+    assert(parse("""sum by (user, k) ({name="purchase"})""") ===
+      AggBy("sum", Seq("user", "k"),
+        Selector(Seq(Matcher.Eq("name", "purchase")), None, 0L)))
+    assert(parse("""topk(5, {name="click"})""") ===
+      RankK("topk", 5, Selector(Seq(Matcher.Eq("name", "click")), None, 0L)))
+    assert(parse("""holt_winters({name="purchase"}[1d], 0.5, 0.3)""") ===
+      Fn("holt_winters",
+        Selector(Seq(Matcher.Eq("name", "purchase")), Some(86400000L), 0L),
+        Seq(0.5, 0.3)))
+    assert(parse("""quantile_over_time(0.9, {name="purchase"}[6h])""") ===
+      Fn("quantile_over_time",
+        Selector(Seq(Matcher.Eq("name", "purchase")), Some(21600000L), 0L),
+        Seq(0.9)))
+  }
+
+  test("parse errors carry offsets; trailing input rejected") {
+    intercept[ParseError](parse("""{job=api}"""))          // unquoted value
+    intercept[ParseError](parse("""{job="a"} junk"""))     // trailing input
+    intercept[ParseError](parse("""rate({j="a"}[5q])"""))  // bad unit
+  }
+
+  // a tiny wide table: two series over two days
+  private val wide = Seq(
+    (0L, 1.0, "up", "a"), (3600000L, 4.0, "up", "a"),
+    (86400000L, 9.0, "up", "a"),
+    (0L, 2.0, "up", "b"), (7200000L, 8.0, "up", "b"),
+    (0L, 5.0, "down", "a")
+  ).toDF("time", "value", "labels.name", "labels.user")
+
+  private val At = 90000000L
+  private def evalQ(q: String): DataFrame =
+    eval(parse(q), wide, at = At, lookbackMs = 86400000L,
+      start = -1L, end = 100000000L)
+
+  private def rows(df: DataFrame): Set[Seq[Any]] =
+    df.collect().map(_.toSeq).toSet
+
+  test("instant selector ≡ TsdbTable.select + instant") {
+    assert(rows(evalQ("""{name="up"}""")) ===
+      rows(RangeVectors.instant(
+        TsdbTable(wide).select(Seq(Matcher.Eq("name", "up"))),
+        At, 86400000L)))
+  }
+
+  test("rate over a range selector ≡ RangeVectors.rate") {
+    assert(rows(evalQ("""rate({name="up"}[1d])""")) ===
+      rows(RangeVectors.rate(
+        TsdbTable(wide).select(-1L, 100000000L, Seq(Matcher.Eq("name", "up"))),
+        86400000L)))
+  }
+
+  test("holt_winters params flow through (sf/tf and complements)") {
+    assert(rows(evalQ("""holt_winters({name="up"}[1d], 0.5, 0.3)""")) ===
+      rows(RangeVectors.holtWinters(
+        TsdbTable(wide).select(-1L, 100000000L, Seq(Matcher.Eq("name", "up"))),
+        86400000L, 0.5, 0.5, 0.3, 0.7)))
+  }
+
+  test("sum by ≡ groupBy over the instant vector") {
+    val got = evalQ("""sum by (name) ({user="a"})""")
+      .as[(String, Double)].collect().toMap
+    // instant at 90000000: series (up,a) last=9.0@86400000, (down,a)
+    // last=5.0@0 is OUTSIDE the 1d lookback (90000000-86400000=3600000)
+    assert(got === Map("up" -> 9.0))
+  }
+
+  test("offset shifts the instant evaluation window") {
+    // offset 1d moves eval to t=3600000 with window (-82800000, 3600000]:
+    // (up,a) last in window = 4.0@3600000; (up,b)'s 8.0@7200000 is
+    // beyond the shifted instant, so its last is 2.0@0
+    val got = evalQ("""sum by (user) ({name="up"} offset 1d)""")
+      .as[(String, Double)].collect().toMap
+    assert(got === Map("a" -> 4.0, "b" -> 2.0))
+  }
+
+  test("topk/bottomk rank the instant vector") {
+    val top = evalQ("""topk(1, {name="up"})""")
+      .select(col("`labels.user`"), col("value")).as[(String, Double)].collect().toSet
+    assert(top === Set(("a", 9.0)))
+    val bottom = evalQ("""bottomk(1, {name="up"})""")
+      .select(col("`labels.user`"), col("value")).as[(String, Double)].collect().toSet
+    assert(bottom === Set(("b", 8.0)))
+  }
+}
