@@ -362,6 +362,14 @@ object TsdbQueries {
         graft.tsdb.PromQL.parse("""sum by (user) ({name="purchase"})"""),
         eventsAsTsdbStored(s, dir), at = RangeEnd, lookbackMs = 86400000L,
         start = RangeStart, end = RangeEnd)),
+    // Q41: PromQL binary op through the front end — aggregated vectors
+    // matched on(user) and divided; the textual form of Q10's shape
+    "tsdb_q41_promql_binop" -> ((s, dir) =>
+      graft.tsdb.PromQL.eval(
+        graft.tsdb.PromQL.parse(
+          """sum by (user) ({name="purchase"}) / on(user) sum by (user) ({name="click"})"""),
+        eventsAsTsdbStored(s, dir), at = RangeEnd, lookbackMs = 86400000L,
+        start = RangeStart, end = RangeEnd)),
     // Q36: the cross-series PromQL aggregators `quantile by` /
     // `stddev by` / `stdvar by` over the instant vector — exact
     // interpolated median across each metric's series (one tiny
@@ -517,6 +525,18 @@ object TsdbQueries {
          |    AND "labels.name" = 'purchase'
          |  GROUP BY 1, "labels.name", "labels.k")
          |SELECT "user", round(sum(value), 6) AS value FROM iv GROUP BY 1""".stripMargin,
+    "tsdb_q41_promql_binop" ->
+      s"""$duckTsdbCte,
+         |iv AS (SELECT "labels.name" AS name, "labels.user" AS "user",
+         |  list_extract(max([CAST(time AS DOUBLE), value]), 2) AS value
+         |  FROM t WHERE time > ${RangeEnd - 86400000L} AND time <= $RangeEnd
+         |  GROUP BY 1, 2, "labels.k"),
+         |a AS (SELECT "user", round(sum(value), 6) AS v FROM iv
+         |  WHERE name = 'purchase' GROUP BY 1),
+         |b AS (SELECT "user", round(sum(value), 6) AS v FROM iv
+         |  WHERE name = 'click' GROUP BY 1)
+         |SELECT a."user", round(a.v / b.v, 6) AS value
+         |FROM a JOIN b USING ("user")""".stripMargin,
     "tsdb_q38_bottomk" ->
       s"""$duckTsdbCte,
          |iv AS (SELECT "labels.k", "labels.name", "labels.user",

@@ -38,6 +38,12 @@ object PromQL {
   final case class Fn(name: String, arg: Expr, params: Seq[Double]) extends Expr
   final case class AggBy(op: String, by: Seq[String], arg: Expr) extends Expr
   final case class RankK(op: String, k: Int, arg: Expr) extends Expr
+  final case class ScalarLit(v: Double) extends Expr
+  /** Vector-vector arithmetic/comparison matched `on(keys)`, or
+    * vector-scalar when one side is a [[ScalarLit]] (then `on` empty). */
+  final case class BinOp(op: String, on: Seq[String], l: Expr, r: Expr) extends Expr
+  /** `and` / `or` / `unless` matched `on(keys)`. */
+  final case class SetOp(op: String, on: Seq[String], l: Expr, r: Expr) extends Expr
 
   // ---- parser ----
   final case class ParseError(msg: String, at: Int)
@@ -99,6 +105,18 @@ object PromQL {
       else if (peek('=')) { i += 1; "=" }
       else throw ParseError("expected matcher operator", i)
     }
+    def peekNumber: Boolean = {
+      ws(); i < s.length && (s(i).isDigit || s(i) == '.')
+    }
+    /** Arithmetic/comparison operator at the cursor, if any. */
+    def binOp(): Option[String] = {
+      ws()
+      val two = if (i + 1 < s.length) s.substring(i, i + 2) else ""
+      if (Seq(">=", "<=", "==", "!=").contains(two)) { i += 2; Some(two) }
+      else if (i < s.length && "+-*/><".contains(s(i))) {
+        val op = s(i).toString; i += 1; Some(op)
+      } else None
+    }
     def keyword(k: String): Boolean = {
       ws()
       if (s.startsWith(k, i) &&
@@ -121,9 +139,51 @@ object PromQL {
     e
   }
 
+  /** expr := term (("and"|"or"|"unless") "on" "(" names ")" term
+    *        |  binop ["on" "(" names ")"] term)*  — left-associative,
+    * single precedence level (parenthesize to group). */
   private def parseExpr(p: P): Expr = {
+    var left = parseTerm(p)
+    var done = false
+    while (!done) {
+      val setOp = Seq("unless", "and", "or").find(p.keyword)
+      setOp match {
+        case Some(op) =>
+          left = SetOp(op, parseOn(p, required = true), left, parseTerm(p))
+        case None =>
+          p.binOp() match {
+            case Some(op) =>
+              // PromQL places the match spec between op and rhs:
+              // `l / on(user) r`; empty for vector-scalar
+              val on = parseOn(p, required = false)
+              left = BinOp(op, on, left, parseTerm(p))
+            case None => done = true
+          }
+      }
+    }
+    left
+  }
+
+  private def parseOn(p: P, required: Boolean): Seq[String] =
+    if (p.keyword("on")) {
+      p.expect('(')
+      val names = Seq.newBuilder[String]
+      names += p.ident()
+      while (p.opt(',')) names += p.ident()
+      p.expect(')')
+      names.result()
+    } else if (required) throw ParseError("set operators require on(...)", p.offset)
+    else Seq.empty
+
+  private def parseTerm(p: P): Expr = {
     // lookahead: an identifier followed by '(' or "by" is an operator;
     // otherwise it is the metric name of a selector
+    if (p.opt('(')) {
+      val e = parseExpr(p)
+      p.expect(')')
+      return e
+    }
+    if (p.peekNumber) return ScalarLit(p.number())
     if (p.peek('{')) return parseSelector(p, None)
     val name = p.ident()
     if (AggOps(name) && p.keyword("by")) {
@@ -247,5 +307,96 @@ object PromQL {
           org.apache.spark.sql.expressions.Window.orderBy(ord: _*)))
         .where(col("rank") <= k)
         .drop("rank")
+
+    case ScalarLit(_) =>
+      throw new IllegalArgumentException(
+        "a bare scalar is not a query; use it as a binary-op operand")
+
+    case BinOp(op, _, l, ScalarLit(s)) =>
+      scalarOp(eval(l, wide, at, lookbackMs, start, end), op, lit(s),
+        flipped = false)
+    case BinOp(op, _, ScalarLit(s), r) =>
+      scalarOp(eval(r, wide, at, lookbackMs, start, end), op, lit(s),
+        flipped = true)
+
+    case BinOp(op, on, l, r) =>
+      require(on.nonEmpty, s"vector $op vector requires on(...) matching")
+      val lv = eval(l, wide, at, lookbackMs, start, end)
+      val rv = eval(r, wide, at, lookbackMs, start, end)
+      val joined = keyed(lv, on, "value").as("l")
+        .join(keyed(rv, on, "rvalue").as("r"), on)
+      val lc = col("value"); val rc = col("rvalue")
+      if (CmpOps.contains(op))
+        // PromQL filter semantics: keep LEFT series where the
+        // comparison against the matched right value holds
+        joined.where(cmp(op, lc, rc))
+          .select(on.map(col) :+ lc.as("value"): _*)
+      else {
+        val v = op match {
+          case "+" => lc + rc
+          case "-" => lc - rc
+          case "*" => lc * rc
+          case "/" => lc / rc
+        }
+        // rounded so oracle replays divide/multiply identical literals
+        joined.select(on.map(col) :+ round(v, 6).as("value"): _*)
+      }
+
+    case SetOp(op, on, l, r) =>
+      val lv = keyed(eval(l, wide, at, lookbackMs, start, end), on, "value")
+      val rv = keyed(eval(r, wide, at, lookbackMs, start, end), on, "value")
+      def keysOf(df: DataFrame) =
+        broadcast(df.select(on.map(col): _*).distinct())
+      op match {
+        case "and" => lv.join(keysOf(rv), on, "left_semi")
+        case "unless" => lv.join(keysOf(rv), on, "left_anti")
+        case "or" => lv.unionByName(rv.join(keysOf(lv), on, "left_anti"))
+      }
+  }
+
+  private val CmpOps = Set(">", "<", ">=", "<=", "==", "!=")
+
+  private def cmp(op: String, a: Column, b: Column): Column = op match {
+    case ">" => a > b
+    case "<" => a < b
+    case ">=" => a >= b
+    case "<=" => a <= b
+    case "==" => a === b
+    case "!=" => a =!= b
+  }
+
+  /** Vector-scalar arithmetic maps the value; comparison FILTERS the
+    * vector (PromQL semantics). `flipped` = scalar was the left operand. */
+  private def scalarOp(iv: DataFrame, op: String, s: Column,
+                       flipped: Boolean): DataFrame = {
+    require(iv.columns.contains(TsdbSchema.ValueCol),
+      s"'$op' needs an instant-vector operand")
+    val v = col(TsdbSchema.ValueCol)
+    if (CmpOps.contains(op))
+      iv.where(if (flipped) cmp(op, s, v) else cmp(op, v, s))
+    else {
+      val (a, b) = if (flipped) (s, v) else (v, s)
+      val r = op match {
+        case "+" => a + b
+        case "-" => a - b
+        case "*" => a * b
+        case "/" => a / b
+      }
+      iv.withColumn(TsdbSchema.ValueCol, round(r, 6))
+    }
+  }
+
+  /** Project an instant vector to bare `on`-key columns + the value —
+    * resolving each key as `labels.<n>` (selector output) or bare `<n>`
+    * (aggregation output), whichever the frame carries. */
+  private def keyed(iv: DataFrame, on: Seq[String], as: String): DataFrame = {
+    require(iv.columns.contains(TsdbSchema.ValueCol),
+      "set/binary operators need instant-vector operands")
+    val keys = on.map { n =>
+      if (iv.columns.contains(TsdbSchema.labelColName(n)))
+        TsdbSchema.labelCol(n).as(n)
+      else col(s"`$n`").as(n)
+    }
+    iv.select(keys :+ col(TsdbSchema.ValueCol).as(as): _*)
   }
 }

@@ -97,6 +97,54 @@ class PromQLSpec extends SparkSpec {
     assert(got === Map("a" -> 4.0, "b" -> 2.0))
   }
 
+  test("binary/set operator grammar parses with on(...) match specs") {
+    assert(parse("""{a="1"} / on(user) {b="2"}""") ===
+      BinOp("/", Seq("user"),
+        Selector(Seq(Matcher.Eq("a", "1")), None, 0L),
+        Selector(Seq(Matcher.Eq("b", "2")), None, 0L)))
+    assert(parse("""{a="1"} unless on(user, k) {b="2"}""") ===
+      SetOp("unless", Seq("user", "k"),
+        Selector(Seq(Matcher.Eq("a", "1")), None, 0L),
+        Selector(Seq(Matcher.Eq("b", "2")), None, 0L)))
+    assert(parse("""{a="1"} > 50""") ===
+      BinOp(">", Nil, Selector(Seq(Matcher.Eq("a", "1")), None, 0L),
+        ScalarLit(50.0)))
+    intercept[ParseError](parse("""{a="1"} and {b="2"}"""))  // missing on()
+  }
+
+  test("vector-scalar ops: arithmetic maps, comparison filters") {
+    val doubled = evalQ("""{name="up"} * 2""")
+      .select(col("`labels.user`"), col("value")).as[(String, Double)].collect().toMap
+    assert(doubled === Map("a" -> 18.0, "b" -> 16.0))
+    val filtered = evalQ("""{name="up"} > 8.5""")
+      .select(col("`labels.user`"), col("value")).as[(String, Double)].collect().toMap
+    assert(filtered === Map("a" -> 9.0))
+  }
+
+  test("vector/vector arithmetic joins on(...) and divides matched values") {
+    // up: a→9.0, b→8.0 (instant at 90000000); down exists only for a→
+    // but down@0 is outside the lookback, so the join keeps nothing…
+    // use a selector pair that both resolve: up/a ÷ up/a via two sums
+    val got = evalQ(
+      """sum by (user) ({name="up"}) / on(user) sum by (user) ({name="up"})""")
+      .as[(String, Double)].collect().toMap
+    assert(got === Map("a" -> 1.0, "b" -> 1.0))
+  }
+
+  test("set ops and/or/unless respect on(...) membership") {
+    val base = """{name="up"}"""
+    val others = """{user="a"}"""
+    val andU = evalQ(s"""$base and on(user) $others""")
+      .select(col("user")).as[String].collect().toSet
+    assert(andU === Set("a"))
+    val unlessU = evalQ(s"""$base unless on(user) $others""")
+      .select(col("user")).as[String].collect().toSet
+    assert(unlessU === Set("b"))
+    val orU = evalQ(s"""({name="nope"}) or on(user) $base""")
+      .select(col("user")).as[String].collect().toSet
+    assert(orU === Set("a", "b"))
+  }
+
   test("topk/bottomk rank the instant vector") {
     val top = evalQ("""topk(1, {name="up"})""")
       .select(col("`labels.user`"), col("value")).as[(String, Double)].collect().toSet
