@@ -45,6 +45,40 @@ object PromQL {
   /** `and` / `or` / `unless` matched `on(keys)`. */
   final case class SetOp(op: String, on: Seq[String], l: Expr, r: Expr) extends Expr
 
+  /** Canonical text for an AST — the inverse of [[parse]] (pinned by a
+    * round-trip property: `parse(render(e)) == e`). Useful for logging
+    * the normalized form of a query. */
+  def render(e: Expr): String = e match {
+    case Selector(ms, range, off) =>
+      val (metric, rest) = ms.partition {
+        case Matcher.Eq("__name__", _) => true
+        case _ => false
+      }
+      val name = metric.collectFirst { case Matcher.Eq(_, v) => v }.getOrElse("")
+      val body = rest.map {
+        case Matcher.Eq(n, v) => s"""$n="$v""""
+        case Matcher.NotEq(n, v) => s"""$n!="$v""""
+        case Matcher.Re(n, v) => s"""$n=~"$v""""
+        case Matcher.NotRe(n, v) => s"""$n!~"$v""""
+      }.mkString(",")
+      val braces = if (body.nonEmpty || name.isEmpty) s"{$body}" else ""
+      val r = range.fold("")(ms => s"[${ms / 1000}s]")
+      val o = if (off != 0L) s" offset ${off / 1000}s" else ""
+      s"$name$braces$r$o"
+    case Fn("quantile_over_time", arg, Seq(q)) =>
+      s"quantile_over_time($q, ${render(arg)})"
+    case Fn(name, arg, params) =>
+      (s"$name(${render(arg)}" +: params.map(_.toString)).mkString(", ") + ")"
+    case AggBy(op, by, arg) => s"$op by (${by.mkString(", ")}) (${render(arg)})"
+    case RankK(op, k, arg) => s"$op($k, ${render(arg)})"
+    case ScalarLit(v) => v.toString
+    case BinOp(op, on, l, r) =>
+      val spec = if (on.nonEmpty) s"on(${on.mkString(", ")}) " else ""
+      s"(${render(l)}) $op $spec(${render(r)})"
+    case SetOp(op, on, l, r) =>
+      s"(${render(l)}) $op on(${on.mkString(", ")}) (${render(r)})"
+  }
+
   // ---- parser ----
   final case class ParseError(msg: String, at: Int)
     extends RuntimeException(s"$msg (at offset $at)")

@@ -214,6 +214,62 @@ object TsdbProperties extends Properties("tsdb") {
         samples.sortBy(s => (s.time, s.value, s.labels.toString))
     }
 
+  property("PromQL parse ∘ render = identity over random ASTs") = {
+    import PromQL._
+    val label = Gen.oneOf("job", "env", "user", "k")
+    val value = Gen.oneOf("api", "prod", "us-1", "9")
+    val matcher = for {
+      n <- label; v <- value
+      m <- Gen.oneOf[Matcher](Matcher.Eq(n, v), Matcher.NotEq(n, v),
+        Matcher.Re(n, v + ".*"), Matcher.NotRe(n, v))
+    } yield m
+    val selector = for {
+      metric <- Gen.oneOf(None, Some("http_requests"), Some("up"))
+      ms <- Gen.listOfN(2, matcher)
+      range <- Gen.oneOf(None, Some(60000L), Some(86400000L))
+      off <- Gen.oneOf(0L, 3600000L)
+    } yield Selector(
+      metric.map(m => Matcher.Eq("__name__", m)).toSeq ++ ms, range, off)
+    val ranged = selector.map(_.copy(rangeMs = Some(3600000L)))
+    val instant = selector.map(_.copy(rangeMs = None))
+    def expr(depth: Int): Gen[Expr] =
+      if (depth == 0) instant
+      else Gen.oneOf(
+        instant,
+        ranged.map(Fn("rate", _, Nil)),
+        ranged.map(Fn("holt_winters", _, Seq(0.5, 0.3))),
+        ranged.map(Fn("quantile_over_time", _, Seq(0.9))),
+        Gen.lzy(for {
+          op <- Gen.oneOf("sum", "avg", "min", "max", "count")
+          by <- Gen.nonEmptyListOf(label).map(_.distinct)
+          a <- expr(depth - 1)
+        } yield AggBy(op, by, a)),
+        Gen.lzy(for {
+          op <- Gen.oneOf("topk", "bottomk"); k <- Gen.choose(1, 9)
+          a <- expr(depth - 1)
+        } yield RankK(op, k, a)),
+        Gen.lzy(for {
+          op <- Gen.oneOf("+", "-", "*", "/", ">", "<", ">=", "<=", "==", "!=")
+          a <- expr(depth - 1); s <- Gen.choose(1, 99)
+        } yield BinOp(op, Nil, a, ScalarLit(s.toDouble))),
+        Gen.lzy(for {
+          op <- Gen.oneOf("+", "*", "/")
+          on <- Gen.nonEmptyListOf(label).map(_.distinct)
+          a <- expr(depth - 1); b <- expr(depth - 1)
+        } yield BinOp(op, on, a, b)),
+        Gen.lzy(for {
+          op <- Gen.oneOf("and", "or", "unless")
+          on <- Gen.nonEmptyListOf(label).map(_.distinct)
+          a <- expr(depth - 1); b <- expr(depth - 1)
+        } yield SetOp(op, on, a, b)))
+    Prop.forAll(expr(2)) { e =>
+      val text = render(e)
+      val back = parse(text)
+      if (back != e) println(s"text=$text\n  want=$e\n  got =$back")
+      back == e
+    }
+  }
+
   property("histogram_quantile ≡ bucket-interpolation model") = {
     // random non-cumulative bucket counts over a fixed finite le ladder
     // plus +Inf, random q — the engine (fed only the OBSERVED buckets,
