@@ -65,8 +65,8 @@ object PromQL {
       val r = range.fold("")(ms => s"[${ms / 1000}s]")
       val o = if (off != 0L) s" offset ${off / 1000}s" else ""
       s"$name$braces$r$o"
-    case Fn("quantile_over_time", arg, Seq(q)) =>
-      s"quantile_over_time($q, ${render(arg)})"
+    case Fn(name, arg, Seq(q)) if LeadingParamFns(name) =>
+      s"$name($q, ${render(arg)})"
     case Fn(name, arg, params) =>
       (s"$name(${render(arg)}" +: params.map(_.toString)).mkString(", ") + ")"
     case AggBy(op, by, arg) => s"$op by (${by.mkString(", ")}) (${render(arg)})"
@@ -164,7 +164,9 @@ object PromQL {
   private val AggOps = Set("sum", "avg", "min", "max", "count")
   private val RankOps = Set("topk", "bottomk")
   private val RangeFns = Set("rate", "increase", "irate", "resets",
-    "holt_winters", "quantile_over_time", "avg_over_time", "deriv")
+    "holt_winters", "quantile_over_time", "avg_over_time", "deriv",
+    "histogram_quantile")
+  private val LeadingParamFns = Set("quantile_over_time", "histogram_quantile")
 
   def parse(q: String): Expr = {
     val p = new P(q)
@@ -239,8 +241,8 @@ object PromQL {
       RankK(name, k, arg)
     } else if (RangeFns(name) && p.peek('(')) {
       p.expect('(')
-      // leading numeric param (quantile_over_time(0.9, v))
-      val pre = if (name == "quantile_over_time") { val q = p.number(); p.expect(','); Seq(q) }
+      // leading numeric param (quantile_over_time(0.9, v) / histogram_quantile)
+      val pre = if (LeadingParamFns(name)) { val q = p.number(); p.expect(','); Seq(q) }
                 else Seq.empty[Double]
       val arg = parseExpr(p)
       // trailing numeric params (holt_winters(v, sf, tf))
@@ -294,6 +296,22 @@ object PromQL {
     case Selector(ms, Some(_), _) =>
       throw new IllegalArgumentException(
         "range selector must be wrapped in a range-vector function")
+    case Fn("histogram_quantile", arg, params) =>
+      // classic le-bucket interpolation over an INSTANT vector of
+      // cumulative bucket series; groups = every label except `le`
+      val iv = eval(arg, wide, at, lookbackMs, start, end)
+      val leCol = TsdbSchema.labelColName("le")
+      require(iv.columns.contains(leCol),
+        "histogram_quantile needs an instant vector with an `le` label")
+      val groups = iv.columns.filter(c =>
+        c.startsWith(TsdbSchema.LabelPrefix) && c != leCol).toSeq
+      // Prometheus writes the top bucket as le="+Inf", which a bare
+      // double cast nulls out — map it explicitly
+      val leD = when(col(s"`$leCol`") === "+Inf", lit(Double.PositiveInfinity))
+        .otherwise(col(s"`$leCol`").cast("double"))
+      VectorOps.histogramQuantile(
+        iv.withColumn("le_d", leD),
+        groups, q = params.head, leCol = "le_d", cumCol = TsdbSchema.ValueCol)
     case Fn(name, Selector(ms, Some(stepMs), off), params) =>
       val sel = TsdbTable(wide).select(start - off, end - off, ms)
       name match {

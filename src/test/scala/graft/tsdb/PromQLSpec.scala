@@ -145,6 +145,19 @@ class PromQLSpec extends SparkSpec {
     assert(orU === Set("a", "b"))
   }
 
+  test("histogram_quantile evaluates le-labeled cumulative buckets") {
+    // one histogram at t=1000: buckets 10→2, 20→8, +Inf→10 per path
+    val h = Seq(
+      (1000L, 2.0, "/api", "10"), (1000L, 8.0, "/api", "20"),
+      (1000L, 10.0, "/api", "+Inf")
+    ).toDF("time", "value", "labels.path", "labels.le")
+    val got = eval(parse("""histogram_quantile(0.5, {path="/api"})"""),
+      h, at = 2000L, lookbackMs = 86400000L, start = 0L, end = 2000L)
+      .select(col("`labels.path`"), col("phi")).as[(String, Double)].collect().toSet
+    // rank 5 in bucket (10,20]: 10 + 10*(5-2)/(8-2) = 15
+    assert(got === Set(("/api", 15.0)))
+  }
+
   test("topk/bottomk rank the instant vector") {
     val top = evalQ("""topk(1, {name="up"})""")
       .select(col("`labels.user`"), col("value")).as[(String, Double)].collect().toSet
