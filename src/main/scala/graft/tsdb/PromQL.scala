@@ -36,12 +36,22 @@ object PromQL {
   final case class Selector(matchers: Seq[Matcher], rangeMs: Option[Long],
                             offsetMs: Long) extends Expr
   final case class Fn(name: String, arg: Expr, params: Seq[Double]) extends Expr
+  /** Functions whose extra parameters are strings: `label_replace`,
+    * `label_join`, `count_values`. */
+  final case class StrFn(name: String, arg: Expr, strs: Seq[String]) extends Expr
+  /** `op by (names) (arg)`; empty `by` is the global form `op(arg)`. */
   final case class AggBy(op: String, by: Seq[String], arg: Expr) extends Expr
+  /** `op without (names) (arg)` — group by every label EXCEPT `without`. */
+  final case class AggWithout(op: String, without: Seq[String],
+                              arg: Expr) extends Expr
   final case class RankK(op: String, k: Int, arg: Expr) extends Expr
   final case class ScalarLit(v: Double) extends Expr
   /** Vector-vector arithmetic/comparison matched `on(keys)`, or
-    * vector-scalar when one side is a [[ScalarLit]] (then `on` empty). */
-  final case class BinOp(op: String, on: Seq[String], l: Expr, r: Expr) extends Expr
+    * vector-scalar when one side is a [[ScalarLit]] (then `on` empty).
+    * `bool` = the PromQL `bool` modifier: a comparison yields 0/1 values
+    * instead of filtering. */
+  final case class BinOp(op: String, on: Seq[String], l: Expr, r: Expr,
+                         bool: Boolean = false) extends Expr
   /** `and` / `or` / `unless` matched `on(keys)`. */
   final case class SetOp(op: String, on: Seq[String], l: Expr, r: Expr) extends Expr
 
@@ -69,12 +79,20 @@ object PromQL {
       s"$name($q, ${render(arg)})"
     case Fn(name, arg, params) =>
       (s"$name(${render(arg)}" +: params.map(_.toString)).mkString(", ") + ")"
+    case StrFn("count_values", arg, Seq(lbl)) =>
+      s"""count_values("$lbl", ${render(arg)})"""
+    case StrFn(name, arg, strs) =>
+      s"$name(${render(arg)}${strs.map(v => s""", "$v"""").mkString})"
+    case AggBy(op, Seq(), arg) => s"$op(${render(arg)})"
     case AggBy(op, by, arg) => s"$op by (${by.mkString(", ")}) (${render(arg)})"
+    case AggWithout(op, names, arg) =>
+      s"$op without (${names.mkString(", ")}) (${render(arg)})"
     case RankK(op, k, arg) => s"$op($k, ${render(arg)})"
     case ScalarLit(v) => v.toString
-    case BinOp(op, on, l, r) =>
+    case BinOp(op, on, l, r, bool) =>
       val spec = if (on.nonEmpty) s"on(${on.mkString(", ")}) " else ""
-      s"(${render(l)}) $op $spec(${render(r)})"
+      val b = if (bool) "bool " else ""
+      s"(${render(l)}) $op $b$spec(${render(r)})"
     case SetOp(op, on, l, r) =>
       s"(${render(l)}) $op on(${on.mkString(", ")}) (${render(r)})"
   }
@@ -161,11 +179,17 @@ object PromQL {
     def offset: Int = i
   }
 
-  private val AggOps = Set("sum", "avg", "min", "max", "count")
+  private val AggOps = Set("sum", "avg", "min", "max", "count",
+    "stddev", "stdvar")
   private val RankOps = Set("topk", "bottomk")
   private val RangeFns = Set("rate", "increase", "irate", "resets",
     "holt_winters", "quantile_over_time", "avg_over_time", "deriv",
     "histogram_quantile")
+  /** Instant-vector functions (value maps + `absent`); `clamp*` take
+    * trailing scalar params. */
+  private val InstantFns = Set("abs", "ceil", "floor", "exp", "ln", "sqrt",
+    "sgn", "clamp", "clamp_min", "clamp_max", "absent")
+  private val StrFns = Set("label_replace", "label_join", "count_values")
   private val LeadingParamFns = Set("quantile_over_time", "histogram_quantile")
 
   def parse(q: String): Expr = {
@@ -189,10 +213,13 @@ object PromQL {
         case None =>
           p.binOp() match {
             case Some(op) =>
-              // PromQL places the match spec between op and rhs:
-              // `l / on(user) r`; empty for vector-scalar
+              // PromQL places the modifiers between op and rhs:
+              // `l > bool r`, `l / on(user) r`; empty for vector-scalar
+              val bool = p.keyword("bool")
+              if (bool && !CmpOps.contains(op))
+                throw ParseError("bool modifier requires a comparison", p.offset)
               val on = parseOn(p, required = false)
-              left = BinOp(op, on, left, parseTerm(p))
+              left = BinOp(op, on, left, parseTerm(p), bool)
             case None => done = true
           }
       }
@@ -222,16 +249,47 @@ object PromQL {
     if (p.peekNumber) return ScalarLit(p.number())
     if (p.peek('{')) return parseSelector(p, None)
     val name = p.ident()
-    if (AggOps(name) && p.keyword("by")) {
+    def names(): Seq[String] = {
       p.expect('(')
-      val by = Seq.newBuilder[String]
-      by += p.ident()
-      while (p.opt(',')) by += p.ident()
+      val b = Seq.newBuilder[String]
+      b += p.ident()
+      while (p.opt(',')) b += p.ident()
       p.expect(')')
+      b.result()
+    }
+    if (AggOps(name) && p.keyword("by")) {
+      val by = names()
       p.expect('(')
       val arg = parseExpr(p)
       p.expect(')')
-      AggBy(name, by.result(), arg)
+      AggBy(name, by, arg)
+    } else if (AggOps(name) && p.keyword("without")) {
+      val w = names()
+      p.expect('(')
+      val arg = parseExpr(p)
+      p.expect(')')
+      AggWithout(name, w, arg)
+    } else if (AggOps(name) && p.peek('(')) {
+      // global form: `sum(v)` ≡ `sum by () (v)`
+      p.expect('(')
+      val arg = parseExpr(p)
+      p.expect(')')
+      AggBy(name, Seq.empty, arg)
+    } else if (StrFns(name) && p.peek('(')) {
+      p.expect('(')
+      if (name == "count_values") {
+        // the output-label name comes FIRST: count_values("bin", v)
+        val lbl = p.quoted(); p.expect(',')
+        val arg = parseExpr(p)
+        p.expect(')')
+        StrFn(name, arg, Seq(lbl))
+      } else {
+        val arg = parseExpr(p)
+        val ss = Seq.newBuilder[String]
+        while (p.opt(',')) ss += p.quoted()
+        p.expect(')')
+        StrFn(name, arg, ss.result())
+      }
     } else if (RankOps(name) && p.peek('(')) {
       p.expect('(')
       val k = p.number().toInt
@@ -239,7 +297,7 @@ object PromQL {
       val arg = parseExpr(p)
       p.expect(')')
       RankK(name, k, arg)
-    } else if (RangeFns(name) && p.peek('(')) {
+    } else if ((RangeFns(name) || InstantFns(name)) && p.peek('(')) {
       p.expect('(')
       // leading numeric param (quantile_over_time(0.9, v) / histogram_quantile)
       val pre = if (LeadingParamFns(name)) { val q = p.number(); p.expect(','); Seq(q) }
