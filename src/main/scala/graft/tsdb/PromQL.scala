@@ -422,21 +422,25 @@ object PromQL {
       throw new IllegalArgumentException(
         "a bare scalar is not a query; use it as a binary-op operand")
 
-    case BinOp(op, _, l, ScalarLit(s)) =>
+    case BinOp(op, _, l, ScalarLit(s), bool) =>
       scalarOp(eval(l, wide, at, lookbackMs, start, end), op, lit(s),
-        flipped = false)
-    case BinOp(op, _, ScalarLit(s), r) =>
+        flipped = false, bool = bool)
+    case BinOp(op, _, ScalarLit(s), r, bool) =>
       scalarOp(eval(r, wide, at, lookbackMs, start, end), op, lit(s),
-        flipped = true)
+        flipped = true, bool = bool)
 
-    case BinOp(op, on, l, r) =>
+    case BinOp(op, on, l, r, bool) =>
       require(on.nonEmpty, s"vector $op vector requires on(...) matching")
       val lv = eval(l, wide, at, lookbackMs, start, end)
       val rv = eval(r, wide, at, lookbackMs, start, end)
       val joined = keyed(lv, on, "value").as("l")
         .join(keyed(rv, on, "rvalue").as("r"), on)
       val lc = col("value"); val rc = col("rvalue")
-      if (CmpOps.contains(op))
+      if (CmpOps.contains(op) && bool)
+        // `bool` modifier: keep every matched series, value = 0/1
+        joined.select(on.map(col) :+
+          when(cmp(op, lc, rc), 1.0d).otherwise(0.0d).as("value"): _*)
+      else if (CmpOps.contains(op))
         // PromQL filter semantics: keep LEFT series where the
         // comparison against the matched right value holds
         joined.where(cmp(op, lc, rc))
@@ -476,13 +480,18 @@ object PromQL {
   }
 
   /** Vector-scalar arithmetic maps the value; comparison FILTERS the
-    * vector (PromQL semantics). `flipped` = scalar was the left operand. */
+    * vector (PromQL semantics) unless `bool`, which maps it to 0/1.
+    * `flipped` = scalar was the left operand. */
   private def scalarOp(iv: DataFrame, op: String, s: Column,
-                       flipped: Boolean): DataFrame = {
+                       flipped: Boolean, bool: Boolean = false): DataFrame = {
     require(iv.columns.contains(TsdbSchema.ValueCol),
       s"'$op' needs an instant-vector operand")
     val v = col(TsdbSchema.ValueCol)
-    if (CmpOps.contains(op))
+    if (CmpOps.contains(op) && bool)
+      iv.withColumn(TsdbSchema.ValueCol,
+        when(if (flipped) cmp(op, s, v) else cmp(op, v, s), 1.0d)
+          .otherwise(0.0d))
+    else if (CmpOps.contains(op))
       iv.where(if (flipped) cmp(op, s, v) else cmp(op, v, s))
     else {
       val (a, b) = if (flipped) (s, v) else (v, s)
