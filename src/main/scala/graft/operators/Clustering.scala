@@ -39,8 +39,14 @@ object Clustering {
     * vectors on id (which would shuffle the whole corpus twice). */
   private def assignFull(emb: DataFrame, idCol: String, vecCol: String,
                          k: Int, iters: Int): DataFrame = {
+    // Each Lloyd iteration and the final assignment re-scan `base`
+    // (iters+1 passes) — persist the projected (id, v) slice once so at
+    // 100 TB those passes hit cached columnar batches, not the source
+    // parquet every round (the write-once projection a warehouse job
+    // would materialize before iterating).
     val base = emb.select(col(idCol).as("id"),
       col(vecCol).cast("array<double>").as("v"))
+      .persist()
 
     // deterministic bootstrap: k rows to the driver (k·dim doubles —
     // the standard k-means centroid exchange, not a data collect)

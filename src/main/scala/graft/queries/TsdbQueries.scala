@@ -177,17 +177,22 @@ object TsdbQueries {
           col("labels").getItem("k").as("k"))
     }),
     // Q13: PromQL topk() over the instant vector — the k series with the
-    // highest current value (deterministic tie-break on the label set)
-    "tsdb_q13_topk" -> ((s, dir) =>
+    // highest current value (deterministic tie-break on the label set).
+    // Global top-k is orderBy+limit, which Catalyst plans as
+    // TakeOrderedAndProject (per-partition k-heaps + driver merge of k·P
+    // rows) — never a full sort of the instant vector in one task; the
+    // rank column is re-derived by re-ranking only the k survivors.
+    "tsdb_q13_topk" -> ((s, dir) => {
+      val ord = Seq(col("value").desc, col("`labels.name`").asc,
+        col("`labels.user`").asc, col("`labels.k`").asc)
       graft.tsdb.RangeVectors.instant(
           eventsAsTsdbStored(s, dir), at = RangeEnd, lookbackMs = 86400000L)
+        .orderBy(ord: _*).limit(10)
         .withColumn("rank", row_number().over(
-          org.apache.spark.sql.expressions.Window
-            .orderBy(col("value").desc, col("`labels.name`").asc,
-              col("`labels.user`").asc, col("`labels.k`").asc)))
-        .where(col("rank") <= 10)
+          org.apache.spark.sql.expressions.Window.orderBy(ord: _*)))
         .select(col("`labels.name`"), col("`labels.user`"), col("`labels.k`"),
-          col("time"), col("value"), col("rank").cast("long").as("rank"))),
+          col("time"), col("value"), col("rank").cast("long").as("rank"))
+    }),
     // Q16: DYNAMIC COLUMNS under the oracle (SURVEY §1.4, the
     // load-bearing design decision): batch A wrote (name, user), batch B
     // later added `labels.k`; mergeSchema unions the schemas and a
@@ -343,16 +348,19 @@ object TsdbQueries {
     // Q38: PromQL bottomk() — the k series with the LOWEST current value
     // (topk's mirror, deterministic tie-break on the label set); the
     // rank ordering doubles as sort() over the instant vector
-    "tsdb_q38_bottomk" -> ((s, dir) =>
+    // Global bottom-k = orderBy+limit ⇒ TakeOrderedAndProject (see Q13);
+    // rank re-derived over the k survivors only.
+    "tsdb_q38_bottomk" -> ((s, dir) => {
+      val ord = Seq(col("value").asc, col("`labels.name`").asc,
+        col("`labels.user`").asc, col("`labels.k`").asc)
       graft.tsdb.RangeVectors.instant(
           eventsAsTsdbStored(s, dir), at = RangeEnd, lookbackMs = 86400000L)
+        .orderBy(ord: _*).limit(10)
         .withColumn("rank", row_number().over(
-          org.apache.spark.sql.expressions.Window
-            .orderBy(col("value").asc, col("`labels.name`").asc,
-              col("`labels.user`").asc, col("`labels.k`").asc)))
-        .where(col("rank") <= 10)
+          org.apache.spark.sql.expressions.Window.orderBy(ord: _*)))
         .select(col("`labels.name`"), col("`labels.user`"), col("`labels.k`"),
-          col("time"), col("value"), col("rank").cast("long").as("rank"))),
+          col("time"), col("value"), col("rank").cast("long").as("rank"))
+    }),
     // Q40: the PromQL FRONT END end-to-end — the reference's stated but
     // never-reached goal: query text in, DataFrame out. Parsed by
     // graft.tsdb.PromQL and compiled onto the same oracle-checked
@@ -368,6 +376,29 @@ object TsdbQueries {
       graft.tsdb.PromQL.eval(
         graft.tsdb.PromQL.parse(
           """sum by (user) ({name="purchase"}) / on(user) sum by (user) ({name="click"})"""),
+        eventsAsTsdbStored(s, dir), at = RangeEnd, lookbackMs = 86400000L,
+        start = RangeStart, end = RangeEnd)),
+    // Q42: PromQL DEFAULT vector matching — no on(...) modifier, so the
+    // two aggregated vectors match one-to-one on their full shared
+    // label set (user, k), null-safe (absent ≡ "" ≡ NULL, rule P3).
+    // The grafana-style `a / b` query every Prometheus user writes.
+    // 7-day lookback: the 1-day instant window has zero (user, k)
+    // overlap between purchase and click at sf0.01, which would make
+    // the oracle vacuously green.
+    "tsdb_q42_promql_default_match" -> ((s, dir) =>
+      graft.tsdb.PromQL.eval(
+        graft.tsdb.PromQL.parse(
+          """sum by (user, k) ({name="purchase"}) / sum by (user, k) ({name="click"})"""),
+        eventsAsTsdbStored(s, dir), at = RangeEnd, lookbackMs = 604800000L,
+        start = RangeStart, end = RangeEnd)),
+    // Q44: group_left through the PARSER — many-to-one vector matching
+    // from query text, compiled to the broadcast star join the
+    // programmatic tsdb_q29 already verifies (per-(user,k) purchase
+    // vector × per-user click total)
+    "tsdb_q44_promql_group_left" -> ((s, dir) =>
+      graft.tsdb.PromQL.eval(
+        graft.tsdb.PromQL.parse(
+          """sum by (user, k) ({name="purchase"}) * on(user) group_left sum by (user) ({name="click"})"""),
         eventsAsTsdbStored(s, dir), at = RangeEnd, lookbackMs = 86400000L,
         start = RangeStart, end = RangeEnd)),
     // Q36: the cross-series PromQL aggregators `quantile by` /
@@ -537,6 +568,33 @@ object TsdbQueries {
          |  WHERE name = 'click' GROUP BY 1)
          |SELECT a."user", round(a.v / b.v, 6) AS value
          |FROM a JOIN b USING ("user")""".stripMargin,
+    "tsdb_q42_promql_default_match" ->
+      s"""$duckTsdbCte,
+         |iv AS (SELECT "labels.name" AS name, "labels.user" AS "user",
+         |  "labels.k" AS k,
+         |  list_extract(max([CAST(time AS DOUBLE), value]), 2) AS value
+         |  FROM t WHERE time > ${RangeEnd - 604800000L} AND time <= $RangeEnd
+         |  GROUP BY 1, 2, 3),
+         |a AS (SELECT "user", k, round(sum(value), 6) AS v FROM iv
+         |  WHERE name = 'purchase' GROUP BY 1, 2),
+         |b AS (SELECT "user", k, round(sum(value), 6) AS v FROM iv
+         |  WHERE name = 'click' GROUP BY 1, 2)
+         |SELECT a."user", a.k, round(a.v / b.v, 6) AS value
+         |FROM a JOIN b ON a."user" IS NOT DISTINCT FROM b."user"
+         |  AND a.k IS NOT DISTINCT FROM b.k""".stripMargin,
+    "tsdb_q44_promql_group_left" ->
+      s"""$duckTsdbCte,
+         |iv AS (SELECT "labels.name" AS name, "labels.user" AS "user",
+         |  "labels.k" AS k,
+         |  list_extract(max([CAST(time AS DOUBLE), value]), 2) AS value
+         |  FROM t WHERE time > ${RangeEnd - 86400000L} AND time <= $RangeEnd
+         |  GROUP BY 1, 2, 3),
+         |p AS (SELECT "user", k, round(sum(value), 6) AS v FROM iv
+         |  WHERE name = 'purchase' GROUP BY 1, 2),
+         |c AS (SELECT "user", round(sum(value), 6) AS v FROM iv
+         |  WHERE name = 'click' GROUP BY 1)
+         |SELECT p."user", p.k, round(p.v * c.v, 6) AS value
+         |FROM p JOIN c ON p."user" IS NOT DISTINCT FROM c."user"""".stripMargin,
     "tsdb_q38_bottomk" ->
       s"""$duckTsdbCte,
          |iv AS (SELECT "labels.k", "labels.name", "labels.user",

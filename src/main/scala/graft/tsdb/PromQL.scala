@@ -46,12 +46,15 @@ object PromQL {
                               arg: Expr) extends Expr
   final case class RankK(op: String, k: Int, arg: Expr) extends Expr
   final case class ScalarLit(v: Double) extends Expr
-  /** Vector-vector arithmetic/comparison matched `on(keys)`, or
-    * vector-scalar when one side is a [[ScalarLit]] (then `on` empty).
+  /** Vector-vector arithmetic/comparison matched `on(keys)` (or on the
+    * full shared label set when `on` is empty — PromQL default
+    * matching), or vector-scalar when one side is a [[ScalarLit]].
     * `bool` = the PromQL `bool` modifier: a comparison yields 0/1 values
-    * instead of filtering. */
+    * instead of filtering. `card` = "" (one-to-one) | "left"
+    * (`group_left`, many left series per key) | "right"
+    * (`group_right`). */
   final case class BinOp(op: String, on: Seq[String], l: Expr, r: Expr,
-                         bool: Boolean = false) extends Expr
+                         bool: Boolean = false, card: String = "") extends Expr
   /** `and` / `or` / `unless` matched `on(keys)`. */
   final case class SetOp(op: String, on: Seq[String], l: Expr, r: Expr) extends Expr
 
@@ -89,12 +92,18 @@ object PromQL {
       s"$op without (${names.mkString(", ")}) (${render(arg)})"
     case RankK(op, k, arg) => s"$op($k, ${render(arg)})"
     case ScalarLit(v) => v.toString
-    case BinOp(op, on, l, r, bool) =>
+    case BinOp(op, on, l, r, bool, card) =>
       val spec = if (on.nonEmpty) s"on(${on.mkString(", ")}) " else ""
       val b = if (bool) "bool " else ""
-      s"(${render(l)}) $op $b$spec(${render(r)})"
+      val c = card match {
+        case "left" => "group_left "
+        case "right" => "group_right "
+        case _ => ""
+      }
+      s"(${render(l)}) $op $b$spec$c(${render(r)})"
     case SetOp(op, on, l, r) =>
-      s"(${render(l)}) $op on(${on.mkString(", ")}) (${render(r)})"
+      val spec = if (on.nonEmpty) s"on(${on.mkString(", ")}) " else ""
+      s"(${render(l)}) $op $spec(${render(r)})"
   }
 
   // ---- parser ----
@@ -209,7 +218,7 @@ object PromQL {
       val setOp = Seq("unless", "and", "or").find(p.keyword)
       setOp match {
         case Some(op) =>
-          left = SetOp(op, parseOn(p, required = true), left, parseTerm(p))
+          left = SetOp(op, parseOn(p, required = false), left, parseTerm(p))
         case None =>
           p.binOp() match {
             case Some(op) =>
@@ -219,7 +228,11 @@ object PromQL {
               if (bool && !CmpOps.contains(op))
                 throw ParseError("bool modifier requires a comparison", p.offset)
               val on = parseOn(p, required = false)
-              left = BinOp(op, on, left, parseTerm(p), bool)
+              val card =
+                if (p.keyword("group_left")) "left"
+                else if (p.keyword("group_right")) "right"
+                else ""
+              left = BinOp(op, on, left, parseTerm(p), bool, card)
             case None => done = true
           }
       }
@@ -348,7 +361,7 @@ object PromQL {
     *                   bucket over (tumbling `[duration]` buckets)
     */
   def eval(expr: Expr, wide: DataFrame, at: Long, lookbackMs: Long,
-           start: Long, end: Long): DataFrame = expr match {
+           start: Long, end: Long): DataFrame = fold(expr) match {
     case Selector(ms, None, off) =>
       RangeVectors.instant(TsdbTable(wide).select(ms), at - off, lookbackMs)
     case Selector(ms, Some(_), _) =>
@@ -413,38 +426,89 @@ object PromQL {
       val ord =
         (if (op == "topk") col("value").desc else col("value").asc) +:
           labels.map(_.asc)
-      iv.withColumn("rank", row_number().over(
-          org.apache.spark.sql.expressions.Window.orderBy(ord: _*)))
-        .where(col("rank") <= k)
-        .drop("rank")
+      // global top-k = orderBy+limit ⇒ TakeOrderedAndProject (per-
+      // partition k-heaps, driver merges k·P rows) — NOT a row_number
+      // window with no partitionBy, which would sort the whole instant
+      // vector in a single task
+      iv.orderBy(ord: _*).limit(k)
 
-    case ScalarLit(_) =>
-      throw new IllegalArgumentException(
-        "a bare scalar is not a query; use it as a binary-op operand")
+    case ScalarLit(v) =>
+      // a scalar query evaluates to the Prometheus scalar result type:
+      // one (time, value) row at the evaluation instant. Scalar-scalar
+      // arithmetic/comparisons reach here already folded (see [[fold]])
+      wide.sparkSession.range(1)
+        .select(lit(at).as("time"), lit(v).cast("double").as("value"))
 
-    case BinOp(op, _, l, ScalarLit(s), bool) =>
+    case BinOp(op, _, l, ScalarLit(s), bool, _) =>
       scalarOp(eval(l, wide, at, lookbackMs, start, end), op, lit(s),
         flipped = false, bool = bool)
-    case BinOp(op, _, ScalarLit(s), r, bool) =>
+    case BinOp(op, _, ScalarLit(s), r, bool, _) =>
       scalarOp(eval(r, wide, at, lookbackMs, start, end), op, lit(s),
         flipped = true, bool = bool)
 
-    case BinOp(op, on, l, r, bool) =>
-      require(on.nonEmpty, s"vector $op vector requires on(...) matching")
-      val lv = eval(l, wide, at, lookbackMs, start, end)
-      val rv = eval(r, wide, at, lookbackMs, start, end)
-      val joined = keyed(lv, on, "value").as("l")
-        .join(keyed(rv, on, "rvalue").as("r"), on)
-      val lc = col("value"); val rc = col("rvalue")
+    case BinOp(op, on, l, r, bool, card) if card.nonEmpty =>
+      // group_left / group_right: MANY series on the grouped side share
+      // one match partner on the "one" side. The one side is an
+      // aggregate per key — tiny — so broadcast it into the many side:
+      // zero shuffle of the many vector (the tsdb_q29 star-join shape).
+      val lv0 = eval(l, wide, at, lookbackMs, start, end)
+      val rv0 = eval(r, wide, at, lookbackMs, start, end)
+      val (many, one) = if (card == "left") (lv0, rv0) else (rv0, lv0)
+      val keys = if (on.nonEmpty) on else defaultMatchKeys(lv0, rv0)
+      val cond = keys.map { n =>
+        val mc = if (many.columns.contains(TsdbSchema.labelColName(n)))
+          col(s"l.`${TsdbSchema.labelColName(n)}`")
+        else if (many.columns.contains(n)) col(s"l.`$n`")
+        else lit(null).cast("string")
+        mc <=> col(s"r.`$n`")
+      }.reduceOption(_ && _).getOrElse(lit(true))
+      val joined = many.as("l")
+        .join(broadcast(keyed(one, keys, "ovalue").as("r")), cond)
+      val (lc, rc) =
+        if (card == "left") (col("l.value"), col("r.ovalue"))
+        else (col("r.ovalue"), col("l.value"))
+      // output keeps the many side's full label set (PromQL group_*)
+      val outCols = many.columns.toSeq
+        .filterNot(Seq(TsdbSchema.TimeCol, TsdbSchema.ValueCol).contains(_))
+        .map(c => col(s"l.`$c`").as(c))
+      if (CmpOps.contains(op) && bool)
+        joined.select(outCols :+
+          when(cmp(op, lc, rc), 1.0d).otherwise(0.0d).as("value"): _*)
+      else if (CmpOps.contains(op))
+        joined.where(cmp(op, lc, rc))
+          .select(outCols :+ col("l.value").as("value"): _*)
+      else {
+        val v = op match {
+          case "+" => lc + rc
+          case "-" => lc - rc
+          case "*" => lc * rc
+          case "/" => lc / rc
+        }
+        joined.select(outCols :+ round(v, 6).as("value"): _*)
+      }
+
+    case BinOp(op, on, l, r, bool, _) =>
+      val lv0 = eval(l, wide, at, lookbackMs, start, end)
+      val rv0 = eval(r, wide, at, lookbackMs, start, end)
+      // no on(...) ⇒ PromQL default one-to-one matching: the full label
+      // sets (metric name excluded) must be identical. Over the wide
+      // schema that is a null-safe join on the UNION of both sides'
+      // label names — a label present on one side only matches when it
+      // is NULL (absent ≡ "", the engine's P3 rule) on that side.
+      val keys = if (on.nonEmpty) on else defaultMatchKeys(lv0, rv0)
+      val joined = keyed(lv0, keys, "value").as("l")
+        .join(keyed(rv0, keys, "rvalue").as("r"), matchCond(keys))
+      val outKeys = keys.map(k => col(s"l.`$k`").as(k))
+      val lc = col("l.value"); val rc = col("r.rvalue")
       if (CmpOps.contains(op) && bool)
         // `bool` modifier: keep every matched series, value = 0/1
-        joined.select(on.map(col) :+
+        joined.select(outKeys :+
           when(cmp(op, lc, rc), 1.0d).otherwise(0.0d).as("value"): _*)
       else if (CmpOps.contains(op))
         // PromQL filter semantics: keep LEFT series where the
         // comparison against the matched right value holds
         joined.where(cmp(op, lc, rc))
-          .select(on.map(col) :+ lc.as("value"): _*)
+          .select(outKeys :+ lc.as("value"): _*)
       else {
         val v = op match {
           case "+" => lc + rc
@@ -453,31 +517,109 @@ object PromQL {
           case "/" => lc / rc
         }
         // rounded so oracle replays divide/multiply identical literals
-        joined.select(on.map(col) :+ round(v, 6).as("value"): _*)
+        joined.select(outKeys :+ round(v, 6).as("value"): _*)
       }
 
     case SetOp(op, on, l, r) =>
-      val lv = keyed(eval(l, wide, at, lookbackMs, start, end), on, "value")
-      val rv = keyed(eval(r, wide, at, lookbackMs, start, end), on, "value")
+      val lv0 = eval(l, wide, at, lookbackMs, start, end)
+      val rv0 = eval(r, wide, at, lookbackMs, start, end)
+      // no on(...) ⇒ default matching on the full shared label set,
+      // null-safe (see BinOp above)
+      val keys = if (on.nonEmpty) on else defaultMatchKeys(lv0, rv0)
+      val lv = keyed(lv0, keys, "value")
+      val rv = keyed(rv0, keys, "value")
       def keysOf(df: DataFrame) =
-        broadcast(df.select(on.map(col): _*).distinct())
+        broadcast(df.select(keys.map(k => col(s"`$k`")): _*).distinct())
       op match {
-        case "and" => lv.join(keysOf(rv), on, "left_semi")
-        case "unless" => lv.join(keysOf(rv), on, "left_anti")
-        case "or" => lv.unionByName(rv.join(keysOf(lv), on, "left_anti"))
+        case "and" =>
+          lv.as("l").join(keysOf(rv).as("r"), matchCond(keys), "left_semi")
+        case "unless" =>
+          lv.as("l").join(keysOf(rv).as("r"), matchCond(keys), "left_anti")
+        case "or" => lv.unionByName(
+          rv.as("l").join(keysOf(lv).as("r"), matchCond(keys), "left_anti"))
       }
+  }
+
+  /** Null-safe conjunction over match keys between frames aliased `l`
+    * and `r` — NULL (absent label) matches NULL, per the engine's
+    * absent ≡ "" rule. */
+  private def matchCond(keys: Seq[String]): Column =
+    keys.map(k => col(s"l.`$k`") <=> col(s"r.`$k`"))
+      .reduceOption(_ && _).getOrElse(lit(true))
+
+  /** Default-matching key set: the union of both sides' label names
+    * (selector-output `labels.x` columns and aggregation-output bare
+    * columns alike), excluding the metric name — PromQL drops
+    * `__name__` before matching. */
+  private def defaultMatchKeys(lv: DataFrame, rv: DataFrame): Seq[String] = {
+    def names(df: DataFrame): Seq[String] = df.columns.toSeq
+      .filterNot(Seq(TsdbSchema.TimeCol, TsdbSchema.ValueCol, "rvalue", "rank")
+        .contains(_))
+      .map(c => if (c.startsWith(TsdbSchema.LabelPrefix))
+        c.stripPrefix(TsdbSchema.LabelPrefix) else c)
+      .filterNot(_ == "__name__")
+    val ln = names(lv)
+    ln ++ names(rv).filterNot(ln.contains(_))
   }
 
   private val CmpOps = Set(">", "<", ">=", "<=", "==", "!=")
 
-  private def cmp(op: String, a: Column, b: Column): Column = op match {
-    case ">" => a > b
-    case "<" => a < b
-    case ">=" => a >= b
-    case "<=" => a <= b
-    case "==" => a === b
-    case "!=" => a =!= b
+  /** Comparison under IEEE-754 semantics (Prometheus's): ANY comparison
+    * involving NaN is false, except `!=` which is true. Spark's native
+    * ordering deviates (NaN equals itself and sorts greater than every
+    * double), so the NaN cases are guarded explicitly. */
+  private def cmp(op: String, a: Column, b: Column): Column = {
+    val noNaN = !isnan(a) && !isnan(b)
+    op match {
+      case ">" => noNaN && (a > b)
+      case "<" => noNaN && (a < b)
+      case ">=" => noNaN && (a >= b)
+      case "<=" => noNaN && (a <= b)
+      case "==" => noNaN && (a === b)
+      case "!=" => isnan(a) || isnan(b) || (a =!= b)
+    }
   }
+
+  /** Recursively constant-fold scalar-scalar binary ops on the driver
+    * (the Prometheus scalar evaluation path). Comparisons between
+    * scalars REQUIRE the `bool` modifier, exactly as Prometheus
+    * enforces; the fold uses JVM doubles, which are IEEE-754, so NaN
+    * comparison semantics match [[cmp]] for free. */
+  def fold(e: Expr): Expr = e match {
+    case BinOp(op, on, l, r, bool, card) =>
+      (fold(l), fold(r)) match {
+        case (ScalarLit(a), ScalarLit(b)) if card.isEmpty =>
+          if (CmpOps.contains(op) && !bool)
+            throw new IllegalArgumentException(
+              "comparisons between scalars must use the bool modifier")
+          ScalarLit(
+            if (CmpOps.contains(op)) { if (cmpScalar(op, a, b)) 1.0 else 0.0 }
+            else op match {
+              case "+" => a + b
+              case "-" => a - b
+              case "*" => a * b
+              case "/" => a / b
+            })
+        case (fl, fr) => BinOp(op, on, fl, fr, bool, card)
+      }
+    case Fn(n, a, p) => Fn(n, fold(a), p)
+    case StrFn(n, a, s) => StrFn(n, fold(a), s)
+    case AggBy(o, b, a) => AggBy(o, b, fold(a))
+    case AggWithout(o, w, a) => AggWithout(o, w, fold(a))
+    case RankK(o, k, a) => RankK(o, k, fold(a))
+    case SetOp(o, on, l, r) => SetOp(o, on, fold(l), fold(r))
+    case other => other
+  }
+
+  private def cmpScalar(op: String, a: Double, b: Double): Boolean =
+    op match {
+      case ">" => a > b
+      case "<" => a < b
+      case ">=" => a >= b
+      case "<=" => a <= b
+      case "==" => a == b
+      case "!=" => a != b
+    }
 
   /** Vector-scalar arithmetic maps the value; comparison FILTERS the
     * vector (PromQL semantics) unless `bool`, which maps it to 0/1.
@@ -514,7 +656,10 @@ object PromQL {
     val keys = on.map { n =>
       if (iv.columns.contains(TsdbSchema.labelColName(n)))
         TsdbSchema.labelCol(n).as(n)
-      else col(s"`$n`").as(n)
+      else if (iv.columns.contains(n)) col(s"`$n`").as(n)
+      // label absent from this side entirely: NULL ≡ "" ≡ absent, so
+      // default matching still pairs it with the other side's absents
+      else lit(null).cast("string").as(n)
     }
     iv.select(keys :+ col(TsdbSchema.ValueCol).as(as): _*)
   }

@@ -30,6 +30,19 @@ class PlanQualitySpec extends SparkSpec {
     assert(planOf("tsdb_q29_group_left").contains("BroadcastHashJoin"))
   }
 
+  test("global top-k plans TakeOrderedAndProject, not a one-task sort") {
+    for (q <- Seq("tsdb_q13_topk", "tsdb_q38_bottomk")) {
+      val plan = planOf(q)
+      assert(plan.contains("TakeOrderedAndProject"),
+        s"$q should plan per-partition k-heaps:\n$plan")
+      // the only single-partition exchange allowed is the one feeding
+      // the 10-row re-rank window, which sits ABOVE the limit
+      val limIdx = plan.indexOf("TakeOrderedAndProject")
+      assert(!plan.substring(limIdx).contains("Exchange SinglePartition"),
+        s"$q must not globally sort below the limit:\n$plan")
+    }
+  }
+
   test("time-range matcher query pushes predicates to the parquet scan") {
     val plan = planOf("tsdb_q2_range")
     assert(plan.contains("PushedFilters: ["), "scan should list pushed filters")

@@ -109,7 +109,75 @@ class PromQLSpec extends SparkSpec {
     assert(parse("""{a="1"} > 50""") ===
       BinOp(">", Nil, Selector(Seq(Matcher.Eq("a", "1")), None, 0L),
         ScalarLit(50.0)))
-    intercept[ParseError](parse("""{a="1"} and {b="2"}"""))  // missing on()
+    // no on(...) = PromQL default matching (all shared labels)
+    assert(parse("""{a="1"} and {b="2"}""") ===
+      SetOp("and", Nil,
+        Selector(Seq(Matcher.Eq("a", "1")), None, 0L),
+        Selector(Seq(Matcher.Eq("b", "2")), None, 0L)))
+    assert(parse("""{a="1"} * on(user) group_left {b="2"}""") ===
+      BinOp("*", Seq("user"),
+        Selector(Seq(Matcher.Eq("a", "1")), None, 0L),
+        Selector(Seq(Matcher.Eq("b", "2")), None, 0L),
+        bool = false, card = "left"))
+  }
+
+  test("default vector matching ≡ explicit on(all shared labels)") {
+    val got = evalQ("""sum by (user) ({name="up"}) / sum by (user) ({name="up"})""")
+      .as[(String, Double)].collect().toMap
+    assert(got === Map("a" -> 1.0, "b" -> 1.0))
+    // selector-level default match: full label sets must be identical
+    // (name differs between up and down ⇒ no pairs survive)
+    assert(evalQ("""{name="up"} + {name="down"}""").count() === 0L)
+    // identical selectors pair with themselves on (name, user)
+    val self = evalQ("""{name="up"} + {name="up"}""")
+      .select(col("user"), col("value")).as[(String, Double)].collect().toMap
+    assert(self === Map("a" -> 18.0, "b" -> 16.0))
+  }
+
+  test("group_left joins many left series to one right partner") {
+    // left: per-(user) up sums {a→9, b→8}; right: per-() … use q29's
+    // shape at spec scale: (user) many side × (global) one side needs a
+    // shared key, so match per-user and keep the left label set
+    val got = evalQ(
+      """{name="up"} * on(user) group_left sum by (user) ({name="up"})""")
+      .select(col("`labels.user`"), col("value")).as[(String, Double)].collect().toMap
+    assert(got === Map("a" -> 81.0, "b" -> 64.0))
+    val right = evalQ(
+      """sum by (user) ({name="up"}) * on(user) group_right {name="up"}""")
+      .select(col("`labels.user`"), col("value")).as[(String, Double)].collect().toMap
+    assert(right === Map("a" -> 81.0, "b" -> 64.0))
+  }
+
+  test("bool comparisons emit 0/1; scalar-scalar ops constant-fold") {
+    val b = evalQ("""{name="up"} > bool 8.5""")
+      .select(col("`labels.user`"), col("value")).as[(String, Double)].collect().toMap
+    assert(b === Map("a" -> 1.0, "b" -> 0.0))
+    // scalar-scalar comparison folds on the driver (bool required, as
+    // in Prometheus) and yields the scalar result type
+    val r = evalQ("""1 >= bool 2""").collect()
+    assert(r.length === 1 && r.head.getDouble(1) === 0.0)
+    assert(evalQ("""(1 + 2) * 3""").head.getDouble(1) === 9.0)
+    intercept[IllegalArgumentException](evalQ("""1 >= 2"""))
+  }
+
+  test("NaN comparisons follow IEEE semantics, not Spark ordering") {
+    import PromQL._
+    val sel = Selector(Seq(Matcher.Eq("name", "up")), None, 0L)
+    def evalE(e: Expr) =
+      eval(e, wide, at = At, lookbackMs = 86400000L, start = -1L,
+        end = 100000000L)
+    // v == NaN is false for every series (Spark's === would keep NaN
+    // rows if any value were NaN; here it proves the guard compiles the
+    // IEEE path: bool form maps everything to 0)
+    val eq = evalE(BinOp("==", Nil, sel, ScalarLit(Double.NaN), bool = true))
+      .select(col("value")).as[Double].collect().toSet
+    assert(eq === Set(0.0))
+    val ne = evalE(BinOp("!=", Nil, sel, ScalarLit(Double.NaN), bool = true))
+      .select(col("value")).as[Double].collect().toSet
+    assert(ne === Set(1.0))
+    // and on the folded scalar path
+    assert(evalE(BinOp("==", Nil, ScalarLit(Double.NaN),
+      ScalarLit(Double.NaN), bool = true)).head.getDouble(1) === 0.0)
   }
 
   test("vector-scalar ops: arithmetic maps, comparison filters") {

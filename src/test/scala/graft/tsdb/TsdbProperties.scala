@@ -251,15 +251,23 @@ object TsdbProperties extends Properties("tsdb") {
         Gen.lzy(for {
           op <- Gen.oneOf("+", "-", "*", "/", ">", "<", ">=", "<=", "==", "!=")
           a <- expr(depth - 1); s <- Gen.choose(1, 99)
-        } yield BinOp(op, Nil, a, ScalarLit(s.toDouble))),
+          // `bool` only renders on comparisons
+          bool <- if (Set(">", "<", ">=", "<=", "==", "!=").contains(op))
+                    Gen.oneOf(true, false)
+                  else Gen.const(false)
+        } yield BinOp(op, Nil, a, ScalarLit(s.toDouble), bool)),
         Gen.lzy(for {
           op <- Gen.oneOf("+", "*", "/")
-          on <- Gen.nonEmptyListOf(label).map(_.distinct)
+          // empty on = PromQL default matching; both forms round-trip
+          on <- Gen.oneOf(Gen.const(Seq.empty[String]),
+            Gen.nonEmptyListOf(label).map(_.distinct))
+          card <- Gen.oneOf("", "left", "right")
           a <- expr(depth - 1); b <- expr(depth - 1)
-        } yield BinOp(op, on, a, b)),
+        } yield BinOp(op, on, a, b, bool = false, card = card)),
         Gen.lzy(for {
           op <- Gen.oneOf("and", "or", "unless")
-          on <- Gen.nonEmptyListOf(label).map(_.distinct)
+          on <- Gen.oneOf(Gen.const(Seq.empty[String]),
+            Gen.nonEmptyListOf(label).map(_.distinct))
           a <- expr(depth - 1); b <- expr(depth - 1)
         } yield SetOp(op, on, a, b)))
     Prop.forAll(expr(2)) { e =>
