@@ -391,6 +391,25 @@ object TsdbQueries {
           """sum by (user, k) ({name="purchase"}) / sum by (user, k) ({name="click"})"""),
         eventsAsTsdbStored(s, dir), at = RangeEnd, lookbackMs = 604800000L,
         start = RangeStart, end = RangeEnd)),
+    // Q43: SLIDING-window range query — the Prometheus query_range
+    // shape: rate over a 7-DAY window re-evaluated at every 1-DAY step
+    // (each pair of consecutive samples is visible to up to 7
+    // overlapping windows). Per-series pair deltas are computed once
+    // and fanned out to the ≤7 covering grid points; one (series, t)
+    // groupBy finishes — never a re-scan per step.
+    "tsdb_q43_promql_sliding_rate" -> ((s, dir) =>
+      graft.tsdb.PromQL.evalRange(
+        graft.tsdb.PromQL.parse("""rate({name="purchase"}[7d])"""),
+        eventsAsTsdbStored(s, dir), start = RangeStart, end = RangeEnd,
+        stepMs = 86400000L, lookbackMs = 86400000L)),
+    // Q45: per-step instant vectors + aggregation — the dashboard panel
+    // `sum by (user) (metric)` evaluated at every step with a 1-day
+    // staleness lookback
+    "tsdb_q45_promql_sliding_agg" -> ((s, dir) =>
+      graft.tsdb.PromQL.evalRange(
+        graft.tsdb.PromQL.parse("""sum by (user) ({name="click"})"""),
+        eventsAsTsdbStored(s, dir), start = RangeStart, end = RangeEnd,
+        stepMs = 86400000L, lookbackMs = 86400000L)),
     // Q44: group_left through the PARSER — many-to-one vector matching
     // from query text, compiled to the broadcast star join the
     // programmatic tsdb_q29 already verifies (per-(user,k) purchase
@@ -582,6 +601,46 @@ object TsdbQueries {
          |SELECT a."user", a.k, round(a.v / b.v, 6) AS value
          |FROM a JOIN b ON a."user" IS NOT DISTINCT FROM b."user"
          |  AND a.k IS NOT DISTINCT FROM b.k""".stripMargin,
+    // Sliding-window oracles: the lateral unnest fans each sample/pair
+    // out to the grid points it covers — exactly the Spark kernels'
+    // decomposition. Grid: t = RangeStart + i*86400000, i in 0..15.
+    "tsdb_q43_promql_sliding_rate" ->
+      s"""$duckTsdbCte,
+         |s AS (SELECT "labels.name" AS name, "labels.user" AS u,
+         |  "labels.k" AS kk, time, value FROM t
+         |  WHERE "labels.name" = 'purchase'
+         |    AND time > ${RangeStart - 604800000L} AND time <= $RangeEnd),
+         |p AS (SELECT *, lag(value) OVER w AS pv, lag(time) OVER w AS pt
+         |  FROM s WINDOW w AS (PARTITION BY name, u, kk
+         |                      ORDER BY time, value)),
+         |pairs AS (SELECT name, u, kk, time, pt,
+         |    CASE WHEN value - pv < 0 THEN value ELSE value - pv END AS d,
+         |    time - pt AS gap
+         |  FROM p WHERE pt IS NOT NULL),
+         |g AS (SELECT name, u, kk, d, gap, $RangeStart + i * 86400000 AS tt
+         |  FROM pairs, LATERAL unnest(range(
+         |    greatest(0, CAST(ceil((time - $RangeStart) / 86400000.0) AS BIGINT)),
+         |    least(15, CAST(floor((pt + 604799999 - $RangeStart) / 86400000.0) AS BIGINT)) + 1
+         |  )) AS r(i))
+         |SELECT name AS "labels.name", u AS "labels.user", kk AS "labels.k",
+         |  tt AS t, count(*) + 1 AS n, round(sum(d), 6) AS increase,
+         |  round(round(sum(d), 6) / nullif(sum(gap) / 1000.0, 0), 6) AS rate_v
+         |FROM g GROUP BY 1, 2, 3, 4""".stripMargin,
+    "tsdb_q45_promql_sliding_agg" ->
+      s"""$duckTsdbCte,
+         |s AS (SELECT "labels.user" AS u, "labels.k" AS kk, time, value
+         |  FROM t WHERE "labels.name" = 'click'
+         |    AND time > ${RangeStart - 86400000L} AND time <= $RangeEnd),
+         |g AS (SELECT u, kk, time, value, $RangeStart + i * 86400000 AS tt
+         |  FROM s, LATERAL unnest(range(
+         |    greatest(0, CAST(ceil((time - $RangeStart) / 86400000.0) AS BIGINT)),
+         |    least(15, CAST(floor((time + 86399999 - $RangeStart) / 86400000.0) AS BIGINT)) + 1
+         |  )) AS r(i)),
+         |iv AS (SELECT u, kk, tt,
+         |    list_extract(max([CAST(time AS DOUBLE), value]), 2) AS value
+         |  FROM g GROUP BY 1, 2, 3)
+         |SELECT u AS "user", tt AS t, round(sum(value), 6) AS value
+         |FROM iv GROUP BY 1, 2""".stripMargin,
     "tsdb_q44_promql_group_left" ->
       s"""$duckTsdbCte,
          |iv AS (SELECT "labels.name" AS name, "labels.user" AS "user",

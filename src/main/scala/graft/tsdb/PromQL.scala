@@ -13,11 +13,14 @@ import graft.model.Matcher
   * [[VectorOps]]) — so every parsed query inherits their pushdown,
   * broadcast and oracle-checked semantics.
   *
-  * Supported subset (one deviation, documented): range selectors
-  * `v[1d]` evaluate range-vector functions over TUMBLING `[duration]`
-  * buckets across the queried window rather than a sliding window per
-  * step — the tumbling interpretation is what the batch tier computes
-  * and the oracle verifies.
+  * Two evaluation modes:
+  *   - [[eval]] — instant evaluation at one timestamp; range selectors
+  *     `v[1d]` evaluate range-vector functions over TUMBLING
+  *     `[duration]` buckets across the queried window (the batch fast
+  *     path: one bucket per window of data, zero overlap).
+  *   - [[evalRange]] — Prometheus `query_range` semantics: the
+  *     expression re-evaluates at every `step` over its own SLIDING
+  *     window ending at that step (the dashboard-panel shape).
   *
   * {{{
   *   expr     := agg | fn | selector
@@ -410,14 +413,7 @@ object PromQL {
         s"$op by(...) needs an instant-vector argument (a selector), " +
           "not a range-vector function result")
       val keys = by.map(n => TsdbSchema.labelCol(n).as(n))
-      val agg: Column = op match {
-        case "sum" => round(sum(col("value")), 6).as("value")
-        case "avg" => round(avg(col("value")), 6).as("value")
-        case "min" => min(col("value")).as("value")
-        case "max" => max(col("value")).as("value")
-        case "count" => count(lit(1)).cast("double").as("value")
-      }
-      iv.groupBy(keys: _*).agg(agg)
+      iv.groupBy(keys: _*).agg(aggValue(op))
     case RankK(op, k, arg) =>
       val iv = eval(arg, wide, at, lookbackMs, start, end)
       require(iv.columns.contains(TsdbSchema.ValueCol),
@@ -538,6 +534,74 @@ object PromQL {
         case "or" => lv.unionByName(
           rv.as("l").join(keysOf(lv).as("r"), matchCond(keys), "left_anti"))
       }
+  }
+
+  /** Prometheus `query_range` evaluation: `expr` re-evaluates at every
+    * grid timestamp t = start + i·step (i ∈ [0, (end-start)/step]),
+    * each over its OWN sliding window ending at t — instant selectors
+    * over (t - lookback, t], range selectors over (t - range, t].
+    * Output rows carry the evaluation timestamp as column `t`. This is
+    * the dashboard-panel shape; [[eval]]'s tumbling buckets remain the
+    * batch fast path (equivalent when step == range).
+    *
+    * Scale shape (see [[RangeVectors.slidingRate]]): per-series state is
+    * computed once in one series-partitioned pass, each row fans out to
+    * the ≤ ceil(range/step) grid points covering it, and one partial-agg
+    * groupBy on (series, t) finishes — work is samples × overlap factor,
+    * never a re-scan per step.
+    *
+    * Supported: selectors (with offset), rate / increase /
+    * avg_over_time over range selectors, and aggregation operators on
+    * top. Other shapes are instant-only today — use [[eval]]. */
+  def evalRange(expr: Expr, wide: DataFrame, start: Long, end: Long,
+                stepMs: Long, lookbackMs: Long): DataFrame = fold(expr) match {
+    case Selector(ms, None, off) =>
+      shiftGrid(RangeVectors.slidingInstant(TsdbTable(wide).select(ms),
+        lookbackMs, stepMs, start - off, end - off), off)
+    case Selector(_, Some(_), _) =>
+      throw new IllegalArgumentException(
+        "range selector must be wrapped in a range-vector function")
+    case Fn(name, Selector(ms, Some(rangeMs), off), _) =>
+      // the sliding kernels prefilter to (start - range, end] themselves
+      // (and that filter reaches the parquet scan)
+      val sel = TsdbTable(wide).select(ms)
+      val r = name match {
+        case "rate" | "increase" =>
+          RangeVectors.slidingRate(sel, rangeMs, stepMs,
+            start - off, end - off)
+        case "avg_over_time" =>
+          RangeVectors.slidingOverTime(sel, rangeMs, stepMs,
+            start - off, end - off)
+        case other => throw new IllegalArgumentException(
+          s"$other is not supported in range evaluation yet; use eval()")
+      }
+      shiftGrid(r, off)
+    case AggBy(op, by, arg) =>
+      val iv = evalRange(arg, wide, start, end, stepMs, lookbackMs)
+      require(iv.columns.contains(TsdbSchema.ValueCol),
+        s"$op by(...) needs per-step instant vectors (a selector), " +
+          "not a range-vector function result")
+      val keys = by.map(n => TsdbSchema.labelCol(n).as(n)) :+ col("t")
+      iv.groupBy(keys: _*).agg(aggValue(op))
+    case other =>
+      throw new IllegalArgumentException(
+        s"${other.getClass.getSimpleName} is not supported in range " +
+          "evaluation yet; use eval() for instant evaluation")
+  }
+
+  /** Grid timestamps computed on an offset-shifted window map back to
+    * the caller's grid. */
+  private def shiftGrid(df: DataFrame, offsetMs: Long): DataFrame =
+    if (offsetMs == 0L) df else df.withColumn("t", col("t") + offsetMs)
+
+  /** The `value` aggregate for a PromQL aggregation operator (floats
+    * rounded so the oracle replays identical literals). */
+  private def aggValue(op: String): Column = op match {
+    case "sum" => round(sum(col("value")), 6).as("value")
+    case "avg" => round(avg(col("value")), 6).as("value")
+    case "min" => min(col("value")).as("value")
+    case "max" => max(col("value")).as("value")
+    case "count" => count(lit(1)).cast("double").as("value")
   }
 
   /** Null-safe conjunction over match keys between frames aliased `l`

@@ -217,6 +217,129 @@ object RangeVectors {
         round((lastV - firstV) / nullif(spanSec, lit(0.0)), 6).as("rate"))
   }
 
+  // ---- sliding-window (query_range) kernels ----
+  //
+  // Prometheus `query_range` evaluates the expression at every grid
+  // timestamp t_i = start + i·step over its OWN window ending at t_i —
+  // consecutive windows overlap whenever range > step. The scale shape
+  // here: per-series state (consecutive-pair deltas, samples) is
+  // computed ONCE in one series-partitioned pass, then each row fans
+  // out to the ≤ ceil(range/step) grid points whose window covers it
+  // (an explode of small longs, not of payloads), and one partial-agg
+  // groupBy on (series, t) finishes. Cost is samples × overlap factor —
+  // the inherent work of sliding windows — never a re-scan per step.
+
+  /** Grid-index bounds [iLo, iHi] for a row covering evaluation
+    * timestamps t ∈ [coverLo, coverHi] (inclusive ms) on the grid
+    * t_i = startMs + i·stepMs, i ∈ [0, nSteps]. The double quotients
+    * are exact enough to ceil/floor portably: magnitudes < 2^53 and a
+    * non-integer quotient sits ≥ 1/stepMs from the nearest integer,
+    * orders of magnitude beyond one ulp — Spark and DuckDB round
+    * identically. */
+  private def gridIdx(coverLo: Column, coverHi: Column, startMs: Long,
+                      stepMs: Long, nSteps: Long): (Column, Column) = {
+    val stepD = stepMs.toDouble
+    (greatest(lit(0L), ceil((coverLo - startMs) / stepD).cast("long")),
+      least(lit(nSteps), floor((coverHi - startMs) / stepD).cast("long")))
+  }
+
+  /** Per-step instant vectors: for every grid timestamp t, each series'
+    * most recent sample in (t - lookbackMs, t] (the `query_range`
+    * analogue of [[instant]]). A sample at ts covers the grid points in
+    * [ts, ts + lookback); series with no sample in a window drop out of
+    * that step's vector (staleness). Output adds the evaluation
+    * timestamp column `t`. */
+  def slidingInstant(wide: DataFrame, lookbackMs: Long, stepMs: Long,
+                     startMs: Long, endMs: Long): DataFrame = {
+    val labels = TsdbSchema.dynCols(wide)
+    val nSteps = (endMs - startMs) / stepMs
+    val tv: Column = array(col(TsdbSchema.TimeCol).cast("double"),
+      col(TsdbSchema.ValueCol))
+    val (iLo, iHi) = gridIdx(col(TsdbSchema.TimeCol),
+      col(TsdbSchema.TimeCol) + (lookbackMs - 1), startMs, stepMs, nSteps)
+    wide
+      .where(col(TsdbSchema.TimeCol) > startMs - lookbackMs &&
+        col(TsdbSchema.TimeCol) <= endMs)
+      .withColumn("_ilo", iLo).withColumn("_ihi", iHi)
+      // sequence(a, b) counts DOWN when b < a — rows covering no grid
+      // point must be dropped, not exploded
+      .where(col("_ilo") <= col("_ihi"))
+      .withColumn("_i", explode(sequence(col("_ilo"), col("_ihi"))))
+      .withColumn("t", lit(startMs) + col("_i") * stepMs)
+      .groupBy(labels :+ col("t"): _*)
+      .agg(max(col(TsdbSchema.TimeCol)).as("time"),
+        max(tv).getItem(1).as("value"))
+  }
+
+  /** Sliding-window `rate()`/`increase()` with counter-reset handling:
+    * for every grid timestamp t, the reset-adjusted increase over
+    * (t - rangeMs, t] divided by the observed span. Decomposition: the
+    * delta between a consecutive sample pair is the same in every
+    * window that contains BOTH endpoints (windows are intervals, so a
+    * pair is in-window iff prev_t and time are), so pairs are built
+    * once per series and fanned out to the grid points in
+    * [time, prev_t + range); per (series, t): increase = Σd, span =
+    * Σgap = last - first (the in-window pairs chain contiguously).
+    * Windows with < 2 samples have no pair and drop out, matching
+    * PromQL's two-point requirement. Same observed-span, no-boundary-
+    * extrapolation definition as the tumbling [[rate]]. */
+  def slidingRate(wide: DataFrame, rangeMs: Long, stepMs: Long,
+                  startMs: Long, endMs: Long): DataFrame = {
+    val labels = TsdbSchema.dynCols(wide)
+    val nSteps = (endMs - startMs) / stepMs
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(labels: _*)
+      .orderBy(col(TsdbSchema.TimeCol).asc, col(TsdbSchema.ValueCol).asc)
+    val v = col(TsdbSchema.ValueCol)
+    val d0 = v - lag(v, 1).over(w)
+    // prefiltering to (start - range, end] BEFORE the lag is safe:
+    // every window is a subinterval of it, and by interval convexity a
+    // pair consecutive in the prefiltered series is consecutive in any
+    // window containing both endpoints — and the filter reaches the scan
+    val pairs = wide
+      .where(col(TsdbSchema.TimeCol) > startMs - rangeMs &&
+        col(TsdbSchema.TimeCol) <= endMs)
+      .withColumn("prev_t", lag(col(TsdbSchema.TimeCol), 1).over(w))
+      .withColumn("d", when(d0 < 0, v).otherwise(d0)) // counter reset
+      .where(col("prev_t").isNotNull)
+    val (iLo, iHi) = gridIdx(col(TsdbSchema.TimeCol),
+      col("prev_t") + (rangeMs - 1), startMs, stepMs, nSteps)
+    pairs
+      .withColumn("_ilo", iLo).withColumn("_ihi", iHi)
+      .where(col("_ilo") <= col("_ihi"))
+      .withColumn("_i", explode(sequence(col("_ilo"), col("_ihi"))))
+      .withColumn("t", lit(startMs) + col("_i") * stepMs)
+      .groupBy(labels :+ col("t"): _*)
+      .agg((count(lit(1)) + 1).as("n"), // pairs + 1 = samples in window
+        round(sum(col("d")), 6).as("increase"),
+        (sum(col(TsdbSchema.TimeCol) - col("prev_t")) / 1000.0).as("span_sec"))
+      .withColumn("rate_v",
+        round(col("increase") / nullif(col("span_sec"), lit(0.0)), 6))
+      .drop("span_sec")
+  }
+
+  /** Sliding-window avg/min/max/count_over_time: per grid timestamp t,
+    * plain aggregates of the samples in (t - rangeMs, t] — samples fan
+    * out to the grid points in [time, time + range). */
+  def slidingOverTime(wide: DataFrame, rangeMs: Long, stepMs: Long,
+                      startMs: Long, endMs: Long): DataFrame = {
+    val labels = TsdbSchema.dynCols(wide)
+    val nSteps = (endMs - startMs) / stepMs
+    val v = col(TsdbSchema.ValueCol)
+    val (iLo, iHi) = gridIdx(col(TsdbSchema.TimeCol),
+      col(TsdbSchema.TimeCol) + (rangeMs - 1), startMs, stepMs, nSteps)
+    wide
+      .where(col(TsdbSchema.TimeCol) > startMs - rangeMs &&
+        col(TsdbSchema.TimeCol) <= endMs)
+      .withColumn("_ilo", iLo).withColumn("_ihi", iHi)
+      .where(col("_ilo") <= col("_ihi"))
+      .withColumn("_i", explode(sequence(col("_ilo"), col("_ihi"))))
+      .withColumn("t", lit(startMs) + col("_i") * stepMs)
+      .groupBy(labels :+ col("t"): _*)
+      .agg(count(lit(1)).as("n"), round(avg(v), 6).as("avg_v"),
+        min(v).as("min_v"), max(v).as("max_v"))
+  }
+
   /** PromQL `holt_winters(v[w], sf, tf)` — double exponential smoothing
     * per (series, bucket): level seeded with v₀, trend with v₁−v₀, then
     * for each subsequent sample

@@ -43,6 +43,18 @@ class PlanQualitySpec extends SparkSpec {
     }
   }
 
+  test("sliding-window rate: window prefilter reaches the scan, ≤2 shuffles") {
+    val plan = planOf("tsdb_q43_promql_sliding_rate")
+    assert("PushedFilters: \\[[^\\]]*GreaterThan\\(time".r
+      .findFirstIn(plan).isDefined,
+      s"(start-range, end] prefilter not pushed:\n$plan")
+    // one exchange for the per-series lag, one for the (series, t)
+    // aggregation after the grid fan-out — a re-scan-per-step shape
+    // would show up as more
+    val exchanges = shuffleExchanges(plan)
+    assert(exchanges <= 2, s"sliding rate re-shuffles ($exchanges):\n$plan")
+  }
+
   test("time-range matcher query pushes predicates to the parquet scan") {
     val plan = planOf("tsdb_q2_range")
     assert(plan.contains("PushedFilters: ["), "scan should list pushed filters")

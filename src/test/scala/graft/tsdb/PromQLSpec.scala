@@ -160,6 +160,36 @@ class PromQLSpec extends SparkSpec {
     intercept[IllegalArgumentException](evalQ("""1 >= 2"""))
   }
 
+  test("evalRange: per-step sliding windows (instant + rate)") {
+    def rangeQ(q: String) =
+      PromQL.evalRange(parse(q), wide, start = 0L, end = 86400000L,
+        stepMs = 43200000L, lookbackMs = 86400000L)
+    // grid t = 0h, 12h, 24h, each with its own (t-1d, t] lookback:
+    // t=0h sees the 0h samples; t=12h the 1h/2h ones; t=24h's window
+    // (0h, 24h] EXCLUDES the 0h samples (exclusive lower bound)
+    val agg = rangeQ("""sum by (user) ({name="up"})""")
+      .select(col("user"), col("t"), col("value"))
+      .as[(String, Long, Double)].collect().toSet
+    assert(agg === Set(
+      ("a", 0L, 1.0), ("b", 0L, 2.0),
+      ("a", 43200000L, 4.0), ("b", 43200000L, 8.0),
+      ("a", 86400000L, 9.0), ("b", 86400000L, 8.0)))
+    // sliding rate[1d] by 12h: t=12h covers a's (0h,1h] pair and b's
+    // (0h,2h] pair; t=24h covers ONLY a's (1h,24h] pair — the 0h
+    // samples fall out of (0h, 24h], so consecutive overlapping
+    // windows see different pair sets (the tumbling path cannot
+    // express this)
+    val r = rangeQ("""rate({name="up"}[1d])""")
+      .select(col("`labels.user`"), col("t"), col("increase"), col("n"))
+      .as[(String, Long, Double, Long)].collect().toSet
+    assert(r === Set(
+      ("a", 43200000L, 3.0, 2L), ("b", 43200000L, 6.0, 2L),
+      ("a", 86400000L, 5.0, 2L)))
+    // unsupported shapes point the caller at eval()
+    intercept[IllegalArgumentException](
+      rangeQ("""topk(2, {name="up"})""").collect())
+  }
+
   test("NaN comparisons follow IEEE semantics, not Spark ordering") {
     import PromQL._
     val sel = Selector(Seq(Matcher.Eq("name", "up")), None, 0L)
