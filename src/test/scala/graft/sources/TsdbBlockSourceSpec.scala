@@ -11,6 +11,27 @@ import org.apache.spark.sql.functions._
   * hard-coded query (hello.go:514-517) defines the expected result
   * shape (1 series of `up`).
   */
+/** Order-independent content digest of a long-form (labels MAP, time,
+  * value) frame: bit-XOR of xxhash64 over each sample's canonical
+  * (sorted-label series key, time, value). Deterministic across
+  * partitionings and row order; pinned goldens give the raw
+  * block/WAL readers exact-value coverage where no SQL oracle can
+  * reach (DuckDB cannot read the Prometheus on-disk format). */
+object ContentDigest {
+  import org.apache.spark.sql.DataFrame
+  private val key = concat_ws(",",
+    transform(array_sort(map_entries(col("labels"))),
+      e => concat(e.getField("key"), lit("="), e.getField("value"))))
+  private val h = xxhash64(key, col("time"), col("value"))
+
+  def of(df: DataFrame): Long =
+    df.select(h.as("h")).agg(expr("bit_xor(h)")).head.getLong(0)
+
+  def perSeries(df: DataFrame): DataFrame =
+    df.select(key.as("k"), h.as("h"))
+      .groupBy("k").agg(expr("bit_xor(h)").as("d"))
+}
+
 class TsdbBlockSourceSpec extends SparkSpec {
   private val block = "/root/reference/01GW1T7K3E9F9R361GDPVH8NZF"
 
@@ -31,6 +52,24 @@ class TsdbBlockSourceSpec extends SparkSpec {
     val r = df.agg(min("time"), max("time")).head()
     assert(r.getLong(0) == MinTime)
     assert(r.getLong(1) < MaxTime) // maxTime is an exclusive ceiling
+  }
+
+  test("golden content digest pins every decoded sample bit-exactly") {
+    // order-independent bit-XOR of xxhash64 over each sample's canonical
+    // (sorted-label series key, time, value): any flipped bit in the XOR
+    // chunk decode, label dictionary, or timestamp delta chain changes
+    // the digest. This is golden-VALUE coverage for the raw block reader
+    // (DuckDB cannot read the Prometheus format, so no SQL oracle).
+    assert(ContentDigest.of(df) === 6494011489067630506L)
+    // the reference's canonical series, pinned on its own
+    assert(ContentDigest.of(df.where(
+      element_at(col("labels"), "__name__") === "up" &&
+        element_at(col("labels"), "instance") === "localhost:9090" &&
+        element_at(col("labels"), "job") === "prometheus"))
+      === -7919507711247481556L)
+    // per-series digests discriminate: 767 series → 767 distinct values
+    assert(ContentDigest.perSeries(df).select("d").distinct().count()
+      === NumSeries)
   }
 
   test("reference Q2 over a real block: up{instance,job} is one series") {

@@ -27,6 +27,19 @@ class TsdbWalSpec extends SparkSpec {
     assert(r.getLong(1) > BlockMax) // head continues after the block
   }
 
+  test("golden content digest pins every decoded WAL sample bit-exactly") {
+    // same order-independent digest as the block spec (ContentDigest):
+    // exact-value coverage for the snappy-framed record decode + series
+    // dictionary resolution, where no SQL oracle can reach
+    val df = spark.read.format("tsdb-wal").load(s"$db/wal")
+    assert(ContentDigest.of(df) === 8282046805160407214L)
+    assert(ContentDigest.of(df.where(
+      element_at(col("labels"), "__name__") === "up" &&
+        element_at(col("labels"), "instance") === "localhost:9090" &&
+        element_at(col("labels"), "job") === "prometheus"))
+      === 6120864956709336334L)
+  }
+
   test("a corrupted record CRC stops decode instead of yielding garbage") {
     val orig = java.nio.file.Files.readAllBytes(
       java.nio.file.Paths.get(s"$db/wal/00000000"))
