@@ -410,6 +410,30 @@ object TsdbQueries {
         graft.tsdb.PromQL.parse("""sum by (user) ({name="click"})"""),
         eventsAsTsdbStored(s, dir), start = RangeStart, end = RangeEnd,
         stepMs = 86400000L, lookbackMs = 86400000L)),
+    // Q46: instant value-map functions through the PARSER — the scalar
+    // math battery (tsdb_q27 verifies the operators; this verifies the
+    // query-text path composes them: sqrt then clamp_max)
+    "tsdb_q46_promql_instant_fns" -> ((s, dir) =>
+      graft.tsdb.PromQL.eval(
+        graft.tsdb.PromQL.parse("""clamp_max(sqrt({name="purchase"}), 5)"""),
+        eventsAsTsdbStored(s, dir), at = RangeEnd, lookbackMs = 86400000L,
+        start = RangeStart, end = RangeEnd)),
+    // Q47: `sum without (...)` — group by every label EXCEPT the listed
+    // ones; output keeps the wide labels.x names (still a valid vector)
+    "tsdb_q47_promql_without" -> ((s, dir) =>
+      graft.tsdb.PromQL.eval(
+        graft.tsdb.PromQL.parse("""sum without (k) ({name="purchase"})"""),
+        eventsAsTsdbStored(s, dir), at = RangeEnd, lookbackMs = 86400000L,
+        start = RangeStart, end = RangeEnd)),
+    // Q48: per-step BINARY op — the dashboard ratio panel: each grid
+    // timestamp's vectors combine only with themselves (t is an extra
+    // match key), default-matched on the shared (user) label
+    "tsdb_q48_promql_sliding_binop" -> ((s, dir) =>
+      graft.tsdb.PromQL.evalRange(
+        graft.tsdb.PromQL.parse(
+          """sum by (user) ({name="purchase"}) / sum by (user) ({name="click"})"""),
+        eventsAsTsdbStored(s, dir), start = RangeStart, end = RangeEnd,
+        stepMs = 86400000L, lookbackMs = 86400000L)),
     // Q44: group_left through the PARSER — many-to-one vector matching
     // from query text, compiled to the broadcast star join the
     // programmatic tsdb_q29 already verifies (per-(user,k) purchase
@@ -601,6 +625,45 @@ object TsdbQueries {
          |SELECT a."user", a.k, round(a.v / b.v, 6) AS value
          |FROM a JOIN b ON a."user" IS NOT DISTINCT FROM b."user"
          |  AND a.k IS NOT DISTINCT FROM b.k""".stripMargin,
+    "tsdb_q46_promql_instant_fns" ->
+      s"""$duckTsdbCte,
+         |iv AS (SELECT "labels.name", "labels.user", "labels.k",
+         |  max(time) AS time,
+         |  list_extract(max([CAST(time AS DOUBLE), value]), 2) AS value
+         |  FROM t WHERE "labels.name" = 'purchase'
+         |    AND time > ${RangeEnd - 86400000L} AND time <= $RangeEnd
+         |  GROUP BY 1, 2, 3)
+         |SELECT "labels.name", "labels.user", "labels.k", time,
+         |  least(round(sqrt(value), 6), 5) AS value FROM iv""".stripMargin,
+    "tsdb_q47_promql_without" ->
+      s"""$duckTsdbCte,
+         |iv AS (SELECT "labels.name", "labels.user", "labels.k",
+         |  list_extract(max([CAST(time AS DOUBLE), value]), 2) AS value
+         |  FROM t WHERE time > ${RangeEnd - 86400000L} AND time <= $RangeEnd
+         |  GROUP BY 1, 2, 3)
+         |SELECT "labels.name", "labels.user", round(sum(value), 6) AS value
+         |FROM iv WHERE "labels.name" = 'purchase' GROUP BY 1, 2""".stripMargin,
+    "tsdb_q48_promql_sliding_binop" ->
+      s"""$duckTsdbCte,
+         |s AS (SELECT "labels.name" AS name, "labels.user" AS u,
+         |  "labels.k" AS kk, time, value FROM t
+         |  WHERE "labels.name" IN ('purchase', 'click')
+         |    AND time > ${RangeStart - 86400000L} AND time <= $RangeEnd),
+         |g AS (SELECT name, u, kk, time, value,
+         |    $RangeStart + i * 86400000 AS tt
+         |  FROM s, LATERAL unnest(range(
+         |    greatest(0, CAST(ceil((time - $RangeStart) / 86400000.0) AS BIGINT)),
+         |    least(15, CAST(floor((time + 86399999 - $RangeStart) / 86400000.0) AS BIGINT)) + 1
+         |  )) AS r(i)),
+         |iv AS (SELECT name, u, kk, tt,
+         |    list_extract(max([CAST(time AS DOUBLE), value]), 2) AS value
+         |  FROM g GROUP BY 1, 2, 3, 4),
+         |a AS (SELECT u, tt, round(sum(value), 6) AS v FROM iv
+         |  WHERE name = 'purchase' GROUP BY 1, 2),
+         |b AS (SELECT u, tt, round(sum(value), 6) AS v FROM iv
+         |  WHERE name = 'click' GROUP BY 1, 2)
+         |SELECT a.u AS "user", a.tt AS t, round(a.v / b.v, 6) AS value
+         |FROM a JOIN b ON a.u = b.u AND a.tt = b.tt""".stripMargin,
     // Sliding-window oracles: the lateral unnest fans each sample/pair
     // out to the grid points it covers — exactly the Spark kernels'
     // decomposition. Grid: t = RangeStart + i*86400000, i in 0..15.

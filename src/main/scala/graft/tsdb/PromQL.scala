@@ -402,9 +402,14 @@ object PromQL {
           val tf = params.lift(1).getOrElse(0.3)
           RangeVectors.holtWinters(sel, stepMs, sf, 1.0 - sf, tf, 1.0 - tf)
       }
+    case Fn(name, arg, params) if InstantFns(name) =>
+      instantFn(name, eval(arg, wide, at, lookbackMs, start, end),
+        params, at)
     case Fn(name, _, _) =>
       throw new IllegalArgumentException(
         s"$name needs a range selector argument (v[duration])")
+    case StrFn(name, arg, strs) =>
+      strFn(name, eval(arg, wide, at, lookbackMs, start, end), strs)
     case AggBy(op, by, arg) =>
       val iv = eval(arg, wide, at, lookbackMs, start, end)
       // aggregation operators consume INSTANT vectors; range-vector
@@ -413,6 +418,16 @@ object PromQL {
         s"$op by(...) needs an instant-vector argument (a selector), " +
           "not a range-vector function result")
       val keys = by.map(n => TsdbSchema.labelCol(n).as(n))
+      iv.groupBy(keys: _*).agg(aggValue(op))
+    case AggWithout(op, without, arg) =>
+      val iv = eval(arg, wide, at, lookbackMs, start, end)
+      require(iv.columns.contains(TsdbSchema.ValueCol),
+        s"$op without(...) needs an instant-vector argument")
+      // group by every label EXCEPT `without` — output keeps the wide
+      // `labels.x` names, so the result is still a valid instant vector
+      val dropped = without.map(TsdbSchema.labelColName).toSet
+      val keys = TsdbSchema.labelColumns(iv).filterNot(dropped)
+        .map(c => col(s"`$c`"))
       iv.groupBy(keys: _*).agg(aggValue(op))
     case RankK(op, k, arg) =>
       val iv = eval(arg, wide, at, lookbackMs, start, end)
@@ -443,97 +458,120 @@ object PromQL {
         flipped = true, bool = bool)
 
     case BinOp(op, on, l, r, bool, card) if card.nonEmpty =>
-      // group_left / group_right: MANY series on the grouped side share
-      // one match partner on the "one" side. The one side is an
-      // aggregate per key — tiny — so broadcast it into the many side:
-      // zero shuffle of the many vector (the tsdb_q29 star-join shape).
-      val lv0 = eval(l, wide, at, lookbackMs, start, end)
-      val rv0 = eval(r, wide, at, lookbackMs, start, end)
-      val (many, one) = if (card == "left") (lv0, rv0) else (rv0, lv0)
-      val keys = if (on.nonEmpty) on else defaultMatchKeys(lv0, rv0)
-      val cond = keys.map { n =>
-        val mc = if (many.columns.contains(TsdbSchema.labelColName(n)))
-          col(s"l.`${TsdbSchema.labelColName(n)}`")
-        else if (many.columns.contains(n)) col(s"l.`$n`")
-        else lit(null).cast("string")
-        mc <=> col(s"r.`$n`")
-      }.reduceOption(_ && _).getOrElse(lit(true))
-      val joined = many.as("l")
-        .join(broadcast(keyed(one, keys, "ovalue").as("r")), cond)
-      val (lc, rc) =
-        if (card == "left") (col("l.value"), col("r.ovalue"))
-        else (col("r.ovalue"), col("l.value"))
-      // output keeps the many side's full label set (PromQL group_*)
-      val outCols = many.columns.toSeq
-        .filterNot(Seq(TsdbSchema.TimeCol, TsdbSchema.ValueCol).contains(_))
-        .map(c => col(s"l.`$c`").as(c))
-      if (CmpOps.contains(op) && bool)
-        joined.select(outCols :+
-          when(cmp(op, lc, rc), 1.0d).otherwise(0.0d).as("value"): _*)
-      else if (CmpOps.contains(op))
-        joined.where(cmp(op, lc, rc))
-          .select(outCols :+ col("l.value").as("value"): _*)
-      else {
-        val v = op match {
-          case "+" => lc + rc
-          case "-" => lc - rc
-          case "*" => lc * rc
-          case "/" => lc / rc
-        }
-        joined.select(outCols :+ round(v, 6).as("value"): _*)
-      }
+      vectorBinOpCard(op, on,
+        eval(l, wide, at, lookbackMs, start, end),
+        eval(r, wide, at, lookbackMs, start, end), bool, card, extra = Nil)
 
     case BinOp(op, on, l, r, bool, _) =>
-      val lv0 = eval(l, wide, at, lookbackMs, start, end)
-      val rv0 = eval(r, wide, at, lookbackMs, start, end)
-      // no on(...) ⇒ PromQL default one-to-one matching: the full label
-      // sets (metric name excluded) must be identical. Over the wide
-      // schema that is a null-safe join on the UNION of both sides'
-      // label names — a label present on one side only matches when it
-      // is NULL (absent ≡ "", the engine's P3 rule) on that side.
-      val keys = if (on.nonEmpty) on else defaultMatchKeys(lv0, rv0)
-      val joined = keyed(lv0, keys, "value").as("l")
-        .join(keyed(rv0, keys, "rvalue").as("r"), matchCond(keys))
-      val outKeys = keys.map(k => col(s"l.`$k`").as(k))
-      val lc = col("l.value"); val rc = col("r.rvalue")
-      if (CmpOps.contains(op) && bool)
-        // `bool` modifier: keep every matched series, value = 0/1
-        joined.select(outKeys :+
-          when(cmp(op, lc, rc), 1.0d).otherwise(0.0d).as("value"): _*)
-      else if (CmpOps.contains(op))
-        // PromQL filter semantics: keep LEFT series where the
-        // comparison against the matched right value holds
-        joined.where(cmp(op, lc, rc))
-          .select(outKeys :+ lc.as("value"): _*)
-      else {
-        val v = op match {
-          case "+" => lc + rc
-          case "-" => lc - rc
-          case "*" => lc * rc
-          case "/" => lc / rc
-        }
-        // rounded so oracle replays divide/multiply identical literals
-        joined.select(outKeys :+ round(v, 6).as("value"): _*)
-      }
+      vectorBinOp(op, on,
+        eval(l, wide, at, lookbackMs, start, end),
+        eval(r, wide, at, lookbackMs, start, end), bool, extra = Nil)
 
     case SetOp(op, on, l, r) =>
-      val lv0 = eval(l, wide, at, lookbackMs, start, end)
-      val rv0 = eval(r, wide, at, lookbackMs, start, end)
-      // no on(...) ⇒ default matching on the full shared label set,
-      // null-safe (see BinOp above)
-      val keys = if (on.nonEmpty) on else defaultMatchKeys(lv0, rv0)
-      val lv = keyed(lv0, keys, "value")
-      val rv = keyed(rv0, keys, "value")
-      def keysOf(df: DataFrame) =
-        broadcast(df.select(keys.map(k => col(s"`$k`")): _*).distinct())
-      op match {
-        case "and" =>
-          lv.as("l").join(keysOf(rv).as("r"), matchCond(keys), "left_semi")
-        case "unless" =>
-          lv.as("l").join(keysOf(rv).as("r"), matchCond(keys), "left_anti")
-        case "or" => lv.unionByName(
-          rv.as("l").join(keysOf(lv).as("r"), matchCond(keys), "left_anti"))
+      vectorSetOp(op, on,
+        eval(l, wide, at, lookbackMs, start, end),
+        eval(r, wide, at, lookbackMs, start, end), extra = Nil)
+  }
+
+  /** One-to-one vector matching for binary arithmetic/comparison ops —
+    * `on(keys)` when given, else PromQL default matching: the full
+    * label sets (metric name excluded) must be identical, which over
+    * the wide schema is a null-safe join on the UNION of both sides'
+    * label names (a label present on one side only matches when it is
+    * NULL — absent ≡ "", the engine's P3 rule). `extra` = additional
+    * equality keys, the per-step grid column in range evaluation. */
+  private def vectorBinOp(op: String, on: Seq[String], lv0: DataFrame,
+                          rv0: DataFrame, bool: Boolean,
+                          extra: Seq[String]): DataFrame = {
+    val keys = if (on.nonEmpty) on else defaultMatchKeys(lv0, rv0)
+    val joined = keyed(lv0, keys, "value", extra).as("l")
+      .join(keyed(rv0, keys, "rvalue", extra).as("r"),
+        matchCond(keys ++ extra))
+    val outKeys = (keys ++ extra).map(k => col(s"l.`$k`").as(k))
+    val lc = col("l.value"); val rc = col("r.rvalue")
+    if (CmpOps.contains(op) && bool)
+      // `bool` modifier: keep every matched series, value = 0/1
+      joined.select(outKeys :+
+        when(cmp(op, lc, rc), 1.0d).otherwise(0.0d).as("value"): _*)
+    else if (CmpOps.contains(op))
+      // PromQL filter semantics: keep LEFT series where the
+      // comparison against the matched right value holds
+      joined.where(cmp(op, lc, rc))
+        .select(outKeys :+ lc.as("value"): _*)
+    else {
+      val v = op match {
+        case "+" => lc + rc
+        case "-" => lc - rc
+        case "*" => lc * rc
+        case "/" => lc / rc
       }
+      // rounded so oracle replays divide/multiply identical literals
+      joined.select(outKeys :+ round(v, 6).as("value"): _*)
+    }
+  }
+
+  /** group_left / group_right: MANY series on the grouped side share
+    * one match partner on the "one" side. The one side is an aggregate
+    * per key — tiny — so broadcast it into the many side: zero shuffle
+    * of the many vector (the tsdb_q29 star-join shape). Output keeps
+    * the many side's full label set (PromQL group_*). */
+  private def vectorBinOpCard(op: String, on: Seq[String], lv0: DataFrame,
+                              rv0: DataFrame, bool: Boolean, card: String,
+                              extra: Seq[String]): DataFrame = {
+    val (many, one) = if (card == "left") (lv0, rv0) else (rv0, lv0)
+    val keys = if (on.nonEmpty) on else defaultMatchKeys(lv0, rv0)
+    val cond = (keys.map { n =>
+      val mc = if (many.columns.contains(TsdbSchema.labelColName(n)))
+        col(s"l.`${TsdbSchema.labelColName(n)}`")
+      else if (many.columns.contains(n)) col(s"l.`$n`")
+      else lit(null).cast("string")
+      mc <=> col(s"r.`$n`")
+    } ++ extra.map(e => col(s"l.`$e`") <=> col(s"r.`$e`")))
+      .reduceOption(_ && _).getOrElse(lit(true))
+    val joined = many.as("l")
+      .join(broadcast(keyed(one, keys, "ovalue", extra).as("r")), cond)
+    val (lc, rc) =
+      if (card == "left") (col("l.value"), col("r.ovalue"))
+      else (col("r.ovalue"), col("l.value"))
+    val outCols = many.columns.toSeq
+      .filterNot(Seq(TsdbSchema.TimeCol, TsdbSchema.ValueCol).contains(_))
+      .map(c => col(s"l.`$c`").as(c))
+    if (CmpOps.contains(op) && bool)
+      joined.select(outCols :+
+        when(cmp(op, lc, rc), 1.0d).otherwise(0.0d).as("value"): _*)
+    else if (CmpOps.contains(op))
+      joined.where(cmp(op, lc, rc))
+        .select(outCols :+ col("l.value").as("value"): _*)
+    else {
+      val v = op match {
+        case "+" => lc + rc
+        case "-" => lc - rc
+        case "*" => lc * rc
+        case "/" => lc / rc
+      }
+      joined.select(outCols :+ round(v, 6).as("value"): _*)
+    }
+  }
+
+  /** `and` / `or` / `unless` — membership on `on(keys)` when given,
+    * else the default full shared label set, null-safe; the membership
+    * side collapses to distinct keys and broadcasts. */
+  private def vectorSetOp(op: String, on: Seq[String], lv0: DataFrame,
+                          rv0: DataFrame, extra: Seq[String]): DataFrame = {
+    val keys0 = if (on.nonEmpty) on else defaultMatchKeys(lv0, rv0)
+    val lv = keyed(lv0, keys0, "value", extra)
+    val rv = keyed(rv0, keys0, "value", extra)
+    val keys = keys0 ++ extra
+    def keysOf(df: DataFrame) =
+      broadcast(df.select(keys.map(k => col(s"`$k`")): _*).distinct())
+    op match {
+      case "and" =>
+        lv.as("l").join(keysOf(rv).as("r"), matchCond(keys), "left_semi")
+      case "unless" =>
+        lv.as("l").join(keysOf(rv).as("r"), matchCond(keys), "left_anti")
+      case "or" => lv.unionByName(
+        rv.as("l").join(keysOf(lv).as("r"), matchCond(keys), "left_anti"))
+    }
   }
 
   /** Prometheus `query_range` evaluation: `expr` re-evaluates at every
@@ -551,8 +589,12 @@ object PromQL {
     * never a re-scan per step.
     *
     * Supported: selectors (with offset), rate / increase /
-    * avg_over_time over range selectors, and aggregation operators on
-    * top. Other shapes are instant-only today — use [[eval]]. */
+    * avg_over_time over range selectors, value-map functions,
+    * aggregation operators (by / without), topk/bottomk per step,
+    * and binary / set operators matched per step (each grid timestamp
+    * combines only with itself — `t` joins as an extra match key).
+    * `absent` and the remaining range functions are instant-only today
+    * — use [[eval]]. */
   def evalRange(expr: Expr, wide: DataFrame, start: Long, end: Long,
                 stepMs: Long, lookbackMs: Long): DataFrame = fold(expr) match {
     case Selector(ms, None, off) =>
@@ -561,7 +603,7 @@ object PromQL {
     case Selector(_, Some(_), _) =>
       throw new IllegalArgumentException(
         "range selector must be wrapped in a range-vector function")
-    case Fn(name, Selector(ms, Some(rangeMs), off), _) =>
+    case Fn(name, Selector(ms, Some(rangeMs), off), _) if RangeFns(name) =>
       // the sliding kernels prefilter to (start - range, end] themselves
       // (and that filter reaches the parquet scan)
       val sel = TsdbTable(wide).select(ms)
@@ -576,6 +618,12 @@ object PromQL {
           s"$other is not supported in range evaluation yet; use eval()")
       }
       shiftGrid(r, off)
+    case Fn(name, arg, params) if InstantFns(name) && name != "absent" =>
+      // value maps don't touch the grid column — per-step for free
+      instantFn(name, evalRange(arg, wide, start, end, stepMs, lookbackMs),
+        params, at = end)
+    case StrFn(name, arg, strs) if name != "count_values" =>
+      strFn(name, evalRange(arg, wide, start, end, stepMs, lookbackMs), strs)
     case AggBy(op, by, arg) =>
       val iv = evalRange(arg, wide, start, end, stepMs, lookbackMs)
       require(iv.columns.contains(TsdbSchema.ValueCol),
@@ -583,6 +631,51 @@ object PromQL {
           "not a range-vector function result")
       val keys = by.map(n => TsdbSchema.labelCol(n).as(n)) :+ col("t")
       iv.groupBy(keys: _*).agg(aggValue(op))
+    case AggWithout(op, without, arg) =>
+      val iv = evalRange(arg, wide, start, end, stepMs, lookbackMs)
+      require(iv.columns.contains(TsdbSchema.ValueCol),
+        s"$op without(...) needs per-step instant vectors")
+      val dropped = without.map(TsdbSchema.labelColName).toSet
+      val keys = TsdbSchema.labelColumns(iv).filterNot(dropped)
+        .map(c => col(s"`$c`")) :+ col("t")
+      iv.groupBy(keys: _*).agg(aggValue(op))
+    case RankK(op, k, arg) =>
+      val iv = evalRange(arg, wide, start, end, stepMs, lookbackMs)
+      require(iv.columns.contains(TsdbSchema.ValueCol),
+        s"$op(k, ...) needs per-step instant vectors")
+      val labels = TsdbSchema.dynCols(iv)
+      val ord =
+        (if (op == "topk") col("value").desc else col("value").asc) +:
+          labels.map(_.asc)
+      // per-step top-k IS a partitioned window (one partition per grid
+      // timestamp) — unlike the instant path's global orderBy+limit,
+      // this shape scales: each step ranks independently
+      iv.withColumn("_rk", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy(col("t")).orderBy(ord: _*)))
+        .where(col("_rk") <= k)
+        .drop("_rk")
+    case BinOp(op, _, l, ScalarLit(s), bool, _) =>
+      scalarOp(evalRange(l, wide, start, end, stepMs, lookbackMs), op,
+        lit(s), flipped = false, bool = bool)
+    case BinOp(op, _, ScalarLit(s), r, bool, _) =>
+      scalarOp(evalRange(r, wide, start, end, stepMs, lookbackMs), op,
+        lit(s), flipped = true, bool = bool)
+    case BinOp(op, on, l, r, bool, card) if card.nonEmpty =>
+      vectorBinOpCard(op, on,
+        evalRange(l, wide, start, end, stepMs, lookbackMs),
+        evalRange(r, wide, start, end, stepMs, lookbackMs),
+        bool, card, extra = Seq("t"))
+    case BinOp(op, on, l, r, bool, _) =>
+      vectorBinOp(op, on,
+        evalRange(l, wide, start, end, stepMs, lookbackMs),
+        evalRange(r, wide, start, end, stepMs, lookbackMs),
+        bool, extra = Seq("t"))
+    case SetOp(op, on, l, r) =>
+      vectorSetOp(op, on,
+        evalRange(l, wide, start, end, stepMs, lookbackMs),
+        evalRange(r, wide, start, end, stepMs, lookbackMs),
+        extra = Seq("t"))
     case other =>
       throw new IllegalArgumentException(
         s"${other.getClass.getSimpleName} is not supported in range " +
@@ -593,6 +686,51 @@ object PromQL {
     * the caller's grid. */
   private def shiftGrid(df: DataFrame, offsetMs: Long): DataFrame =
     if (offsetMs == 0L) df else df.withColumn("t", col("t") + offsetMs)
+
+  /** Instant-vector value maps (`abs`, `clamp*`, …) plus `absent`.
+    * Transcendentals round(6) — libm last-bit differences between
+    * engines are not semantics. */
+  private def instantFn(name: String, iv: DataFrame, params: Seq[Double],
+                        at: Long): DataFrame = {
+    val v = col(TsdbSchema.ValueCol)
+    def mapV(c: Column): DataFrame = iv.withColumn(TsdbSchema.ValueCol, c)
+    name match {
+      case "abs" => mapV(abs(v))
+      case "ceil" => mapV(ceil(v).cast("double"))
+      case "floor" => mapV(floor(v).cast("double"))
+      case "exp" => mapV(round(exp(v), 6))
+      case "ln" => mapV(round(log(v), 6))
+      case "sqrt" => mapV(round(sqrt(v), 6))
+      case "sgn" => mapV(signum(v))
+      case "clamp" => mapV(least(greatest(v, lit(params(0))), lit(params(1))))
+      case "clamp_min" => mapV(greatest(v, lit(params(0))))
+      case "clamp_max" => mapV(least(v, lit(params(0))))
+      case "absent" =>
+        // the alerting primitive: a {} 1 sample exactly when the
+        // argument vector is empty at the evaluation instant
+        iv.agg(count(lit(1)).as("n")).where(col("n") === 0)
+          .select(lit(at).as("time"), lit(1.0d).as("value"))
+    }
+  }
+
+  /** String-parameter functions: label manipulation compiles onto
+    * [[LabelOps]] (pure map-side column derivations); `count_values`
+    * is the value-histogram aggregator. */
+  private def strFn(name: String, iv: DataFrame,
+                    strs: Seq[String]): DataFrame = (name, strs) match {
+    case ("label_replace", Seq(dst, repl, src, regex)) =>
+      LabelOps.labelReplace(iv, dst, repl, src, regex)
+    case ("label_join", dst +: sep +: srcs) if srcs.nonEmpty =>
+      LabelOps.labelJoin(iv, dst, sep, srcs)
+    case ("count_values", Seq(lbl)) =>
+      // how many series currently report each value; the value renders
+      // as the new label (Prometheus stringifies the float)
+      iv.groupBy(col(TsdbSchema.ValueCol).cast("string")
+          .as(TsdbSchema.labelColName(lbl)))
+        .agg(count(lit(1)).cast("double").as(TsdbSchema.ValueCol))
+    case _ => throw new IllegalArgumentException(
+      s"$name: wrong arguments ${strs.mkString(", ")}")
+  }
 
   /** The `value` aggregate for a PromQL aggregation operator (floats
     * rounded so the oracle replays identical literals). */
@@ -617,8 +755,8 @@ object PromQL {
     * `__name__` before matching. */
   private def defaultMatchKeys(lv: DataFrame, rv: DataFrame): Seq[String] = {
     def names(df: DataFrame): Seq[String] = df.columns.toSeq
-      .filterNot(Seq(TsdbSchema.TimeCol, TsdbSchema.ValueCol, "rvalue", "rank")
-        .contains(_))
+      .filterNot(Seq(TsdbSchema.TimeCol, TsdbSchema.ValueCol, "rvalue",
+        "rank", "t").contains(_))
       .map(c => if (c.startsWith(TsdbSchema.LabelPrefix))
         c.stripPrefix(TsdbSchema.LabelPrefix) else c)
       .filterNot(_ == "__name__")
@@ -713,8 +851,11 @@ object PromQL {
 
   /** Project an instant vector to bare `on`-key columns + the value —
     * resolving each key as `labels.<n>` (selector output) or bare `<n>`
-    * (aggregation output), whichever the frame carries. */
-  private def keyed(iv: DataFrame, on: Seq[String], as: String): DataFrame = {
+    * (aggregation output), whichever the frame carries. `extra` columns
+    * (the per-step grid column in range evaluation) pass through
+    * verbatim. */
+  private def keyed(iv: DataFrame, on: Seq[String], as: String,
+                    extra: Seq[String] = Nil): DataFrame = {
     require(iv.columns.contains(TsdbSchema.ValueCol),
       "set/binary operators need instant-vector operands")
     val keys = on.map { n =>
@@ -725,6 +866,7 @@ object PromQL {
       // default matching still pairs it with the other side's absents
       else lit(null).cast("string").as(n)
     }
-    iv.select(keys :+ col(TsdbSchema.ValueCol).as(as): _*)
+    iv.select(keys ++ extra.map(c => col(s"`$c`")) :+
+      col(TsdbSchema.ValueCol).as(as): _*)
   }
 }

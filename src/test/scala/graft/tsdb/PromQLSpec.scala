@@ -160,6 +160,58 @@ class PromQLSpec extends SparkSpec {
     intercept[IllegalArgumentException](evalQ("""1 >= 2"""))
   }
 
+  test("instant fns, without, label fns, count_values compile from text") {
+    // value maps
+    val clamped = evalQ("""clamp({name="up"}, 2, 8)""")
+      .select(col("`labels.user`"), col("value"))
+      .as[(String, Double)].collect().toMap
+    assert(clamped === Map("a" -> 8.0, "b" -> 8.0)) // 9→8, 8 stays
+    assert(evalQ("""abs({name="up"} - 10)""")
+      .select(col("value")).as[Double].collect().toSet === Set(1.0, 2.0))
+    // sum without (user): drop user, keep the rest of the label set
+    val wo = evalQ("""sum without (user) ({name="up"})""")
+      .select(col("`labels.name`"), col("value"))
+      .as[(String, Double)].collect().toMap
+    assert(wo === Map("up" -> 17.0)) // 9 + 8
+    // label_replace materializes a derived label on the vector
+    val lr = evalQ(
+      """label_replace({name="up"}, "env", "prod-$1", "user", "(a)")""")
+      .select(col("`labels.user`"), col("`labels.env`"))
+      .as[(String, String)].collect().toMap
+    assert(lr === Map("a" -> "prod-a", "b" -> null))
+    // count_values bins the instant vector by rendered value
+    val cv = evalQ("""count_values("v", {name="up"})""")
+      .select(col("`labels.v`"), col("value"))
+      .as[(String, Double)].collect().toMap
+    assert(cv === Map("9.0" -> 1.0, "8.0" -> 1.0))
+    // absent() emits the 1-vector exactly when nothing matches
+    assert(evalQ("""absent({name="nope"})""").count() === 1L)
+    assert(evalQ("""absent({name="up"})""").count() === 0L)
+  }
+
+  test("evalRange: binary ops and topk match per step") {
+    def rangeQ(q: String) =
+      PromQL.evalRange(parse(q), wide, start = 0L, end = 86400000L,
+        stepMs = 43200000L, lookbackMs = 86400000L)
+    // per-step self-ratio is 1.0 at every step the series exists
+    val ratio = rangeQ(
+      """sum by (user) ({name="up"}) / sum by (user) ({name="up"})""")
+      .select(col("user"), col("t"), col("value"))
+      .as[(String, Long, Double)].collect().toSet
+    assert(ratio === Set(
+      ("a", 0L, 1.0), ("b", 0L, 1.0),
+      ("a", 43200000L, 1.0), ("b", 43200000L, 1.0),
+      ("a", 86400000L, 1.0), ("b", 86400000L, 1.0)))
+    // topk(1) ranks WITHIN each step: b leads at 0h (2>1) and 12h
+    // (8>4), a overtakes at 24h (9>8) — a global top-k could never
+    // produce this
+    val top = rangeQ("""topk(1, {name="up"})""")
+      .select(col("`labels.user`"), col("t"), col("value"))
+      .as[(String, Long, Double)].collect().toSet
+    assert(top === Set(
+      ("b", 0L, 2.0), ("b", 43200000L, 8.0), ("a", 86400000L, 9.0)))
+  }
+
   test("evalRange: per-step sliding windows (instant + rate)") {
     def rangeQ(q: String) =
       PromQL.evalRange(parse(q), wide, start = 0L, end = 86400000L,
@@ -187,7 +239,7 @@ class PromQLSpec extends SparkSpec {
       ("a", 86400000L, 5.0, 2L)))
     // unsupported shapes point the caller at eval()
     intercept[IllegalArgumentException](
-      rangeQ("""topk(2, {name="up"})""").collect())
+      rangeQ("""irate({name="up"}[1d])""").collect())
   }
 
   test("NaN comparisons follow IEEE semantics, not Spark ordering") {
