@@ -245,6 +245,21 @@ object TsdbProperties extends Properties("tsdb") {
           a <- expr(depth - 1)
         } yield AggBy(op, by, a)),
         Gen.lzy(for {
+          op <- Gen.oneOf("sum", "avg", "min", "max", "count")
+          w <- Gen.nonEmptyListOf(label).map(_.distinct)
+          a <- expr(depth - 1)
+        } yield AggWithout(op, w, a)),
+        Gen.lzy(for {
+          name <- Gen.oneOf("abs", "sqrt", "absent")
+          a <- expr(depth - 1)
+        } yield Fn(name, a, Nil)),
+        Gen.lzy(expr(depth - 1).map(a => Fn("clamp", a, Seq(2.0, 8.0)))),
+        Gen.lzy(for {
+          a <- expr(depth - 1); dst <- label; src <- label
+        } yield StrFn("label_replace", a, Seq(dst, "x-$1", src, "(a.*)"))),
+        Gen.lzy(for { a <- expr(depth - 1); lbl <- label }
+          yield StrFn("count_values", a, Seq(lbl))),
+        Gen.lzy(for {
           op <- Gen.oneOf("topk", "bottomk"); k <- Gen.choose(1, 9)
           a <- expr(depth - 1)
         } yield RankK(op, k, a)),
