@@ -733,13 +733,22 @@ object PromQL {
   }
 
   /** The `value` aggregate for a PromQL aggregation operator (floats
-    * rounded so the oracle replays identical literals). */
+    * rounded so the oracle replays identical literals). stddev/stdvar
+    * follow the engine's q36 convention: SAMPLE moments with the n=1
+    * guard (Spark yields NaN, SQL NULL — the guard makes both engines
+    * agree on NULL). */
   private def aggValue(op: String): Column = op match {
     case "sum" => round(sum(col("value")), 6).as("value")
     case "avg" => round(avg(col("value")), 6).as("value")
     case "min" => min(col("value")).as("value")
     case "max" => max(col("value")).as("value")
     case "count" => count(lit(1)).cast("double").as("value")
+    case "stddev" =>
+      when(count(lit(1)) > 1, round(stddev_samp(col("value")), 6))
+        .as("value")
+    case "stdvar" =>
+      when(count(lit(1)) > 1, round(var_samp(col("value")), 6))
+        .as("value")
   }
 
   /** Null-safe conjunction over match keys between frames aliased `l`
