@@ -444,6 +444,18 @@ object TsdbQueries {
           """sum by (user, k) ({name="purchase"}) * on(user) group_left sum by (user) ({name="click"})"""),
         eventsAsTsdbStored(s, dir), at = RangeEnd, lookbackMs = 86400000L,
         start = RangeStart, end = RangeEnd)),
+    // Q49: the precedence ladder + % / ^ / unary minus end-to-end —
+    // `A % 3 + B ^ 2 * -1` parses as (A % 3) + ((B ^ 2) * (-1)) ONLY
+    // under Prometheus precedence (^ tightest, then *, then +; the old
+    // single-level parser would have computed (((A % 3) + B) ^ 2) * -1).
+    // 7-day lookback so the per-user (purchase, click) match is
+    // non-vacuous at sf0.01, as in q42.
+    "tsdb_q49_promql_precedence" -> ((s, dir) =>
+      graft.tsdb.PromQL.eval(
+        graft.tsdb.PromQL.parse(
+          """sum by (user) ({name="purchase"}) % 3 + sum by (user) ({name="click"}) ^ 2 * -1"""),
+        eventsAsTsdbStored(s, dir), at = RangeEnd, lookbackMs = 604800000L,
+        start = RangeStart, end = RangeEnd)),
     // Q36: the cross-series PromQL aggregators `quantile by` /
     // `stddev by` / `stdvar by` over the instant vector — exact
     // interpolated median across each metric's series (one tiny
@@ -625,6 +637,19 @@ object TsdbQueries {
          |SELECT a."user", a.k, round(a.v / b.v, 6) AS value
          |FROM a JOIN b ON a."user" IS NOT DISTINCT FROM b."user"
          |  AND a.k IS NOT DISTINCT FROM b.k""".stripMargin,
+    "tsdb_q49_promql_precedence" ->
+      s"""$duckTsdbCte,
+         |iv AS (SELECT "labels.name" AS name, "labels.user" AS u,
+         |  list_extract(max([CAST(time AS DOUBLE), value]), 2) AS value
+         |  FROM t WHERE time > ${RangeEnd - 604800000L} AND time <= $RangeEnd
+         |  GROUP BY 1, 2, "labels.k"),
+         |a AS (SELECT u, round(fmod(round(sum(value), 6), 3), 6) AS v
+         |  FROM iv WHERE name = 'purchase' GROUP BY 1),
+         |b AS (SELECT u,
+         |    round(round(pow(round(sum(value), 6), 2), 6) * -1, 6) AS v
+         |  FROM iv WHERE name = 'click' GROUP BY 1)
+         |SELECT a.u AS "user", round(a.v + b.v, 6) AS value
+         |FROM a JOIN b ON a.u IS NOT DISTINCT FROM b.u""".stripMargin,
     "tsdb_q46_promql_instant_fns" ->
       s"""$duckTsdbCte,
          |iv AS (SELECT "labels.name", "labels.user", "labels.k",

@@ -23,7 +23,8 @@ import graft.model.Matcher
   *     window ending at that step (the dashboard-panel shape).
   *
   * {{{
-  *   expr     := agg | fn | selector
+  *   expr     := or-level expression with Prometheus's precedence:
+  *               or < and,unless < cmp < "+","-" < "*","/","%" < "^" < unary "-"
   *   agg      := ("sum"|"avg"|"min"|"max"|"count") "by" "(" names ")" "(" expr ")"
   *             | ("topk"|"bottomk") "(" int "," expr ")"
   *   fn       := name "(" [num ","] expr ["," num]* ")"   e.g. rate(v[1d]),
@@ -138,10 +139,22 @@ object PromQL {
       if (i >= s.length) throw ParseError("unterminated string", start)
       val v = s.substring(start, i); i += 1; v
     }
+    /** Standard float syntax only — digits, optional fraction, optional
+      * signed exponent. A greedy scan over [+-.eE] would swallow binary
+      * operators (`1+2` must lex as three tokens, as in Prometheus). */
     def number(): Double = {
       ws()
       val start = i
-      while (i < s.length && (s(i).isDigit || "+-.eE".contains(s(i)))) i += 1
+      while (i < s.length && s(i).isDigit) i += 1
+      if (i < s.length && s(i) == '.') {
+        i += 1
+        while (i < s.length && s(i).isDigit) i += 1
+      }
+      if (i < s.length && (s(i) == 'e' || s(i) == 'E')) {
+        i += 1
+        if (i < s.length && (s(i) == '+' || s(i) == '-')) i += 1
+        while (i < s.length && s(i).isDigit) i += 1
+      }
       if (i == start) throw ParseError("expected number", i)
       s.substring(start, i).toDouble
     }
@@ -172,14 +185,11 @@ object PromQL {
     def peekNumber: Boolean = {
       ws(); i < s.length && (s(i).isDigit || s(i) == '.')
     }
-    /** Arithmetic/comparison operator at the cursor, if any. */
-    def binOp(): Option[String] = {
+    /** Consume the first of `ops` that prefixes the input (callers list
+      * longer operators first: ">=" before ">"). */
+    def sym(ops: String*): Option[String] = {
       ws()
-      val two = if (i + 1 < s.length) s.substring(i, i + 2) else ""
-      if (Seq(">=", "<=", "==", "!=").contains(two)) { i += 2; Some(two) }
-      else if (i < s.length && "+-*/><".contains(s(i))) {
-        val op = s(i).toString; i += 1; Some(op)
-      } else None
+      ops.find(o => s.startsWith(o, i)).map { o => i += o.length; o }
     }
     def keyword(k: String): Boolean = {
       ws()
@@ -211,36 +221,83 @@ object PromQL {
     e
   }
 
-  /** expr := term (("and"|"or"|"unless") "on" "(" names ")" term
-    *        |  binop ["on" "(" names ")"] term)*  — left-associative,
-    * single precedence level (parenthesize to group). */
-  private def parseExpr(p: P): Expr = {
-    var left = parseTerm(p)
-    var done = false
-    while (!done) {
-      val setOp = Seq("unless", "and", "or").find(p.keyword)
-      setOp match {
-        case Some(op) =>
-          left = SetOp(op, parseOn(p, required = false), left, parseTerm(p))
-        case None =>
-          p.binOp() match {
-            case Some(op) =>
-              // PromQL places the modifiers between op and rhs:
-              // `l > bool r`, `l / on(user) r`; empty for vector-scalar
-              val bool = p.keyword("bool")
-              if (bool && !CmpOps.contains(op))
-                throw ParseError("bool modifier requires a comparison", p.offset)
-              val on = parseOn(p, required = false)
-              val card =
-                if (p.keyword("group_left")) "left"
-                else if (p.keyword("group_right")) "right"
-                else ""
-              left = BinOp(op, on, left, parseTerm(p), bool, card)
-            case None => done = true
-          }
-      }
+  /** Prometheus's precedence ladder, loosest to tightest (each level
+    * left-associative except `^`):
+    * {{{
+    *   or  <  and, unless  <  == != <= < >= >  <  + -  <  * / %  <  ^
+    *        <  unary -  <  atom
+    * }}}
+    * Matching modifiers (`bool`, `on(...)`, `group_left`/`group_right`)
+    * sit between any binary operator and its right operand. */
+  private def parseExpr(p: P): Expr = parseOr(p)
+
+  private def parseOr(p: P): Expr = {
+    var left = parseAndUnless(p)
+    while (p.keyword("or"))
+      left = SetOp("or", parseOn(p, required = false), left, parseAndUnless(p))
+    left
+  }
+
+  private def parseAndUnless(p: P): Expr = {
+    var left = parseCmp(p)
+    var more = true
+    while (more) Seq("and", "unless").find(p.keyword) match {
+      case Some(op) =>
+        left = SetOp(op, parseOn(p, required = false), left, parseCmp(p))
+      case None => more = false
     }
     left
+  }
+
+  // two-char comparison ops listed before their one-char prefixes
+  private def parseCmp(p: P): Expr =
+    binLevel(p, Seq(">=", "<=", "==", "!=", ">", "<"), parseAdd)
+  private def parseAdd(p: P): Expr = binLevel(p, Seq("+", "-"), parseMul)
+  private def parseMul(p: P): Expr = binLevel(p, Seq("*", "/", "%"), parsePow)
+
+  /** `^` is RIGHT-associative in PromQL: 2^3^2 = 2^(3^2) = 512. */
+  private def parsePow(p: P): Expr = {
+    val base = parseUnary(p)
+    if (p.sym("^").isDefined) {
+      val (bool, on, card) = parseModifiers(p, "^")
+      BinOp("^", on, base, parsePow(p), bool, card)
+    } else base
+  }
+
+  /** Unary minus: a negated scalar folds at parse time; a negated
+    * vector desugars to `(-1) * v` (same value map, zero new eval
+    * machinery — and `render ∘ parse` stays the identity because the
+    * desugared form reparses to itself). */
+  private def parseUnary(p: P): Expr =
+    if (p.sym("-").isDefined) parseUnary(p) match {
+      case ScalarLit(v) => ScalarLit(-v)
+      case e => BinOp("*", Nil, ScalarLit(-1.0), e)
+    } else parseTerm(p)
+
+  private def binLevel(p: P, ops: Seq[String], next: P => Expr): Expr = {
+    var left = next(p)
+    var more = true
+    while (more) p.sym(ops: _*) match {
+      case Some(op) =>
+        val (bool, on, card) = parseModifiers(p, op)
+        left = BinOp(op, on, left, next(p), bool, card)
+      case None => more = false
+    }
+    left
+  }
+
+  /** PromQL places the modifiers between op and rhs: `l > bool r`,
+    * `l / on(user) group_left r`; all empty for vector-scalar. */
+  private def parseModifiers(p: P, op: String): (Boolean, Seq[String], String) = {
+    val bool = p.keyword("bool")
+    if (bool && !CmpOps.contains(op))
+      throw ParseError("bool modifier requires a comparison", p.offset)
+    val on = parseOn(p, required = false)
+    val card =
+      if (p.keyword("group_left")) "left"
+      else if (p.keyword("group_right")) "right"
+      else ""
+    (bool, on, card)
   }
 
   private def parseOn(p: P, required: Boolean): Seq[String] =
@@ -498,16 +555,9 @@ object PromQL {
       // comparison against the matched right value holds
       joined.where(cmp(op, lc, rc))
         .select(outKeys :+ lc.as("value"): _*)
-    else {
-      val v = op match {
-        case "+" => lc + rc
-        case "-" => lc - rc
-        case "*" => lc * rc
-        case "/" => lc / rc
-      }
+    else
       // rounded so oracle replays divide/multiply identical literals
-      joined.select(outKeys :+ round(v, 6).as("value"): _*)
-    }
+      joined.select(outKeys :+ round(arith(op, lc, rc), 6).as("value"): _*)
   }
 
   /** group_left / group_right: MANY series on the grouped side share
@@ -542,15 +592,20 @@ object PromQL {
     else if (CmpOps.contains(op))
       joined.where(cmp(op, lc, rc))
         .select(outCols :+ col("l.value").as("value"): _*)
-    else {
-      val v = op match {
-        case "+" => lc + rc
-        case "-" => lc - rc
-        case "*" => lc * rc
-        case "/" => lc / rc
-      }
-      joined.select(outCols :+ round(v, 6).as("value"): _*)
-    }
+    else
+      joined.select(outCols :+ round(arith(op, lc, rc), 6).as("value"): _*)
+  }
+
+  /** Arithmetic on value columns. `%` is float remainder with the
+    * dividend's sign (Spark's Remainder ≡ Go math.Mod ≡ C fmod — the
+    * Prometheus definition); `^` is math.Pow. */
+  private def arith(op: String, a: Column, b: Column): Column = op match {
+    case "+" => a + b
+    case "-" => a - b
+    case "*" => a * b
+    case "/" => a / b
+    case "%" => a % b
+    case "^" => pow(a, b)
   }
 
   /** `and` / `or` / `unless` — membership on `on(keys)` when given,
@@ -810,6 +865,10 @@ object PromQL {
               case "-" => a - b
               case "*" => a * b
               case "/" => a / b
+              // JVM double % is IEEE remainder-with-dividend-sign, the
+              // same fmod the vector path's Remainder expression computes
+              case "%" => a % b
+              case "^" => math.pow(a, b)
             })
         case (fl, fr) => BinOp(op, on, fl, fr, bool, card)
       }
@@ -848,13 +907,7 @@ object PromQL {
       iv.where(if (flipped) cmp(op, s, v) else cmp(op, v, s))
     else {
       val (a, b) = if (flipped) (s, v) else (v, s)
-      val r = op match {
-        case "+" => a + b
-        case "-" => a - b
-        case "*" => a * b
-        case "/" => a / b
-      }
-      iv.withColumn(TsdbSchema.ValueCol, round(r, 6))
+      iv.withColumn(TsdbSchema.ValueCol, round(arith(op, a, b), 6))
     }
   }
 

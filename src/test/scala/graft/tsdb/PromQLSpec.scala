@@ -37,6 +37,55 @@ class PromQLSpec extends SparkSpec {
         Seq(0.9)))
   }
 
+  test("operator precedence follows the Prometheus ladder") {
+    val a = Selector(Seq(Matcher.Eq("__name__", "a")), None, 0L)
+    val b = Selector(Seq(Matcher.Eq("__name__", "b")), None, 0L)
+    val c = Selector(Seq(Matcher.Eq("__name__", "c")), None, 0L)
+    // * binds tighter than +
+    assert(parse("a + b * c") ===
+      BinOp("+", Nil, a, BinOp("*", Nil, b, c)))
+    // comparison binds looser than arithmetic
+    assert(parse("a > b + c") ===
+      BinOp(">", Nil, a, BinOp("+", Nil, b, c)))
+    // and/unless loosest but for or; both looser than comparisons
+    assert(parse("a > c or a and b") ===
+      SetOp("or", Nil, BinOp(">", Nil, a, c), SetOp("and", Nil, a, b)))
+    // ^ tightest and RIGHT-associative: 2^3^2 = 2^(3^2) = 512
+    assert(fold(parse("2 ^ 3 ^ 2")) === ScalarLit(512.0))
+    assert(fold(parse("2 + 3 * 4 ^ 2")) === ScalarLit(50.0))
+    // left-associativity within a level: 8 / 4 / 2 = 1, 7 - 3 - 2 = 2
+    assert(fold(parse("8 / 4 / 2")) === ScalarLit(1.0))
+    assert(fold(parse("7 - 3 - 2")) === ScalarLit(2.0))
+    // no-whitespace lexing: a greedy number scan must not eat operators
+    assert(fold(parse("1+2*3")) === ScalarLit(7.0))
+    assert(fold(parse("1e2+2.5e1")) === ScalarLit(125.0))
+  }
+
+  test("% is fmod (dividend sign), ^ is pow, unary minus negates") {
+    assert(fold(parse("7 % 3")) === ScalarLit(1.0))
+    assert(fold(parse("-7 % 3")) === ScalarLit(-1.0))  // Go math.Mod sign
+    assert(fold(parse("7.5 % 2")) === ScalarLit(1.5))
+    assert(fold(parse("-2 + 3")) === ScalarLit(1.0))
+    assert(fold(parse("2 - -3")) === ScalarLit(5.0))
+    // unary minus on a vector desugars to (-1) * v
+    assert(parse("""-{name="up"}""") ===
+      BinOp("*", Nil, ScalarLit(-1.0),
+        Selector(Seq(Matcher.Eq("name", "up")), None, 0L)))
+    val neg = evalQ("""-{name="up"}""")
+      .select(col("`labels.user`"), col("value"))
+      .as[(String, Double)].collect().toMap
+    assert(neg === Map("a" -> -9.0, "b" -> -8.0))
+    // vector % and ^ map values per series
+    val m = evalQ("""{name="up"} % 4""")
+      .select(col("`labels.user`"), col("value"))
+      .as[(String, Double)].collect().toMap
+    assert(m === Map("a" -> 1.0, "b" -> 0.0))
+    val sq = evalQ("""{name="up"} ^ 2""")
+      .select(col("`labels.user`"), col("value"))
+      .as[(String, Double)].collect().toMap
+    assert(sq === Map("a" -> 81.0, "b" -> 64.0))
+  }
+
   test("parse errors carry offsets; trailing input rejected") {
     intercept[ParseError](parse("""{job=api}"""))          // unquoted value
     intercept[ParseError](parse("""{job="a"} junk"""))     // trailing input

@@ -264,15 +264,19 @@ object TsdbProperties extends Properties("tsdb") {
           a <- expr(depth - 1)
         } yield RankK(op, k, a)),
         Gen.lzy(for {
-          op <- Gen.oneOf("+", "-", "*", "/", ">", "<", ">=", "<=", "==", "!=")
-          a <- expr(depth - 1); s <- Gen.choose(1, 99)
+          op <- Gen.oneOf("+", "-", "*", "/", "%", "^",
+            ">", "<", ">=", "<=", "==", "!=")
+          a <- expr(depth - 1)
+          // negative scalars render as "-42.0" and reparse through the
+          // unary-minus path
+          s <- Gen.oneOf(Gen.choose(1, 99), Gen.choose(-99, -1))
           // `bool` only renders on comparisons
           bool <- if (Set(">", "<", ">=", "<=", "==", "!=").contains(op))
                     Gen.oneOf(true, false)
                   else Gen.const(false)
         } yield BinOp(op, Nil, a, ScalarLit(s.toDouble), bool)),
         Gen.lzy(for {
-          op <- Gen.oneOf("+", "*", "/")
+          op <- Gen.oneOf("+", "*", "/", "%", "^")
           // empty on = PromQL default matching; both forms round-trip
           on <- Gen.oneOf(Gen.const(Seq.empty[String]),
             Gen.nonEmptyListOf(label).map(_.distinct))
