@@ -456,6 +456,42 @@ object TsdbQueries {
           """sum by (user) ({name="purchase"}) % 3 + sum by (user) ({name="click"}) ^ 2 * -1"""),
         eventsAsTsdbStored(s, dir), at = RangeEnd, lookbackMs = 604800000L,
         start = RangeStart, end = RangeEnd)),
+    // Q50: the single-value *_over_time family COMPOSES — max_over_time
+    // yields a genuine vector (labels + bucket + value), so `sum by`
+    // aggregates it per (user, bucket): weekly per-user peak totals,
+    // a shape the multi-stat kernels could not feed
+    "tsdb_q50_promql_over_time" -> ((s, dir) =>
+      graft.tsdb.PromQL.eval(
+        graft.tsdb.PromQL.parse(
+          """sum by (user) (max_over_time({name="purchase"}[7d]))"""),
+        eventsAsTsdbStored(s, dir), at = RangeEnd, lookbackMs = 86400000L,
+        start = RangeStart, end = RangeEnd)),
+    // Q51: binary op BETWEEN two *_over_time vectors — bucket joins as
+    // an extra match key (each tumbling window combines only with
+    // itself): the weekly per-series value span max−min
+    "tsdb_q51_promql_over_time_binop" -> ((s, dir) =>
+      graft.tsdb.PromQL.eval(
+        graft.tsdb.PromQL.parse(
+          """max_over_time({name="purchase"}[7d]) - min_over_time({name="purchase"}[7d])"""),
+        eventsAsTsdbStored(s, dir), at = RangeEnd, lookbackMs = 86400000L,
+        start = RangeStart, end = RangeEnd)),
+    // Q52: sliding quantile_over_time through the front end — exact
+    // interpolated p90 over a 7-day window re-evaluated every day (the
+    // latency-panel shape); the q parameter flows from the query text
+    "tsdb_q52_promql_sliding_quantile" -> ((s, dir) =>
+      graft.tsdb.PromQL.evalRange(
+        graft.tsdb.PromQL.parse(
+          """quantile_over_time(0.9, {name="purchase"}[7d])"""),
+        eventsAsTsdbStored(s, dir), start = RangeStart, end = RangeEnd,
+        stepMs = 86400000L, lookbackMs = 86400000L)),
+    // Q53: sliding changes() — consecutive-pair value changes per
+    // 7-day window, pairs fanned out to the windows containing BOTH
+    // endpoints (the slidingRate decomposition over pair statistics)
+    "tsdb_q53_promql_sliding_changes" -> ((s, dir) =>
+      graft.tsdb.PromQL.evalRange(
+        graft.tsdb.PromQL.parse("""changes({name="click"}[7d])"""),
+        eventsAsTsdbStored(s, dir), start = RangeStart, end = RangeEnd,
+        stepMs = 86400000L, lookbackMs = 86400000L)),
     // Q36: the cross-series PromQL aggregators `quantile by` /
     // `stddev by` / `stdvar by` over the instant vector — exact
     // interpolated median across each metric's series (one tiny
@@ -637,6 +673,60 @@ object TsdbQueries {
          |SELECT a."user", a.k, round(a.v / b.v, 6) AS value
          |FROM a JOIN b ON a."user" IS NOT DISTINCT FROM b."user"
          |  AND a.k IS NOT DISTINCT FROM b.k""".stripMargin,
+    "tsdb_q52_promql_sliding_quantile" ->
+      s"""$duckTsdbCte,
+         |s AS (SELECT "labels.k" AS kk, "labels.name" AS name,
+         |  "labels.user" AS u, time, value FROM t
+         |  WHERE "labels.name" = 'purchase'
+         |    AND time > ${RangeStart - 604800000L} AND time <= $RangeEnd),
+         |g AS (SELECT kk, name, u, value, $RangeStart + i * 86400000 AS tt
+         |  FROM s, LATERAL unnest(range(
+         |    greatest(0, CAST(ceil((time - $RangeStart) / 86400000.0) AS BIGINT)),
+         |    least(15, CAST(floor((time + 604799999 - $RangeStart) / 86400000.0) AS BIGINT)) + 1
+         |  )) AS r(i))
+         |SELECT kk AS "labels.k", name AS "labels.name", u AS "labels.user",
+         |  tt AS t, round(quantile_cont(value, 0.9), 6) AS value
+         |FROM g GROUP BY 1, 2, 3, 4""".stripMargin,
+    "tsdb_q53_promql_sliding_changes" ->
+      s"""$duckTsdbCte,
+         |s AS (SELECT "labels.k" AS kk, "labels.name" AS name,
+         |  "labels.user" AS u, time, value FROM t
+         |  WHERE "labels.name" = 'click'
+         |    AND time > ${RangeStart - 604800000L} AND time <= $RangeEnd),
+         |p AS (SELECT *, lag(value) OVER w AS pv, lag(time) OVER w AS pt
+         |  FROM s WINDOW w AS (PARTITION BY name, u, kk
+         |                      ORDER BY time, value)),
+         |pairs AS (SELECT name, u, kk, time, pt,
+         |    CASE WHEN value <> pv THEN 1.0 ELSE 0.0 END AS c
+         |  FROM p WHERE pt IS NOT NULL),
+         |g AS (SELECT name, u, kk, c, $RangeStart + i * 86400000 AS tt
+         |  FROM pairs, LATERAL unnest(range(
+         |    greatest(0, CAST(ceil((time - $RangeStart) / 86400000.0) AS BIGINT)),
+         |    least(15, CAST(floor((pt + 604799999 - $RangeStart) / 86400000.0) AS BIGINT)) + 1
+         |  )) AS r(i))
+         |SELECT kk AS "labels.k", name AS "labels.name", u AS "labels.user",
+         |  tt AS t, sum(c) AS value
+         |FROM g GROUP BY 1, 2, 3, 4""".stripMargin,
+    "tsdb_q50_promql_over_time" ->
+      s"""$duckTsdbCte,
+         |b AS (SELECT "labels.user" AS u,
+         |    CAST(floor(time / 604800000.0) * 604800000 AS BIGINT) AS bucket,
+         |    max(value) AS mv
+         |  FROM t WHERE "labels.name" = 'purchase'
+         |    AND time > $RangeStart AND time < $RangeEnd
+         |  GROUP BY 1, bucket, "labels.name", "labels.k")
+         |SELECT u AS "user", bucket, round(sum(mv), 6) AS value
+         |FROM b GROUP BY 1, 2""".stripMargin,
+    "tsdb_q51_promql_over_time_binop" ->
+      s"""$duckTsdbCte,
+         |b AS (SELECT "labels.k" AS k, "labels.name" AS name,
+         |    "labels.user" AS u,
+         |    CAST(floor(time / 604800000.0) * 604800000 AS BIGINT) AS bucket,
+         |    round(max(value) - min(value), 6) AS v
+         |  FROM t WHERE "labels.name" = 'purchase'
+         |    AND time > $RangeStart AND time < $RangeEnd
+         |  GROUP BY 1, 2, 3, 4)
+         |SELECT k, name, u AS "user", bucket, v AS value FROM b""".stripMargin,
     "tsdb_q49_promql_precedence" ->
       s"""$duckTsdbCte,
          |iv AS (SELECT "labels.name" AS name, "labels.user" AS u,

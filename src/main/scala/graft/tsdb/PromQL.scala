@@ -204,9 +204,20 @@ object PromQL {
   private val AggOps = Set("sum", "avg", "min", "max", "count",
     "stddev", "stdvar")
   private val RankOps = Set("topk", "bottomk")
-  private val RangeFns = Set("rate", "increase", "irate", "resets",
-    "holt_winters", "quantile_over_time", "avg_over_time", "deriv",
-    "histogram_quantile")
+  private val RangeFns = Set("rate", "increase", "irate", "idelta",
+    "resets", "changes", "holt_winters", "quantile_over_time",
+    "avg_over_time", "min_over_time", "max_over_time", "sum_over_time",
+    "count_over_time", "last_over_time", "present_over_time",
+    "stddev_over_time", "stdvar_over_time", "delta", "deriv",
+    "predict_linear", "histogram_quantile")
+  /** The single-value `*_over_time` family → [[RangeVectors.overTimeStat]]
+    * statistic keys (composable: output is labels + bucket + `value`). */
+  private val OverTimeStats = Map(
+    "avg_over_time" -> "avg", "min_over_time" -> "min",
+    "max_over_time" -> "max", "sum_over_time" -> "sum",
+    "count_over_time" -> "count", "last_over_time" -> "last",
+    "present_over_time" -> "present", "stddev_over_time" -> "stddev",
+    "stdvar_over_time" -> "stdvar", "delta" -> "delta")
   /** Instant-vector functions (value maps + `absent`); `clamp*` take
     * trailing scalar params. */
   private val InstantFns = Set("abs", "ceil", "floor", "exp", "ln", "sqrt",
@@ -430,34 +441,34 @@ object PromQL {
     case Fn("histogram_quantile", arg, params) =>
       // classic le-bucket interpolation over an INSTANT vector of
       // cumulative bucket series; groups = every label except `le`
-      val iv = eval(arg, wide, at, lookbackMs, start, end)
-      val leCol = TsdbSchema.labelColName("le")
-      require(iv.columns.contains(leCol),
-        "histogram_quantile needs an instant vector with an `le` label")
-      val groups = iv.columns.filter(c =>
-        c.startsWith(TsdbSchema.LabelPrefix) && c != leCol).toSeq
-      // Prometheus writes the top bucket as le="+Inf", which a bare
-      // double cast nulls out — map it explicitly
-      val leD = when(col(s"`$leCol`") === "+Inf", lit(Double.PositiveInfinity))
-        .otherwise(col(s"`$leCol`").cast("double"))
-      VectorOps.histogramQuantile(
-        iv.withColumn("le_d", leD),
-        groups, q = params.head, leCol = "le_d", cumCol = TsdbSchema.ValueCol)
+      histQuantile(eval(arg, wide, at, lookbackMs, start, end),
+        params.head, extra = Nil)
     case Fn(name, Selector(ms, Some(stepMs), off), params) =>
       val sel = TsdbTable(wide).select(start - off, end - off, ms)
+      // a multi-stat kernel frame re-projected to labels+bucket+value —
+      // the composable single-value vector form
+      def asValue(df: DataFrame, valueCol: String): DataFrame =
+        df.select(TsdbSchema.dynCols(df) :+ col("bucket") :+
+          col(valueCol).cast("double").as(TsdbSchema.ValueCol): _*)
       name match {
         case "rate" => RangeVectors.rate(sel, stepMs)
         case "increase" => RangeVectors.increase(sel)
         case "irate" => RangeVectors.irate(sel, stepMs)
-        case "resets" => RangeVectors.resetsChanges(sel, stepMs)
-        case "avg_over_time" => RangeVectors.overTime(sel, stepMs)
+        case "idelta" => asValue(RangeVectors.irate(sel, stepMs), "idelta")
+        case "resets" | "changes" =>
+          asValue(RangeVectors.resetsChanges(sel, stepMs), name)
         case "deriv" => RangeVectors.deriv(sel, stepMs, horizonMs = 0L)
+        case "predict_linear" =>
+          val horizonMs = (params.headOption.getOrElse(0.0) * 1000).toLong
+          asValue(RangeVectors.deriv(sel, stepMs, horizonMs), "predicted")
         case "quantile_over_time" =>
-          RangeVectors.quantileOverTime(sel, stepMs)
+          RangeVectors.overTimeQuantile(sel, stepMs, params.head)
         case "holt_winters" =>
           val sf = params.headOption.getOrElse(0.5)
           val tf = params.lift(1).getOrElse(0.3)
           RangeVectors.holtWinters(sel, stepMs, sf, 1.0 - sf, tf, 1.0 - tf)
+        case overTime if OverTimeStats.contains(overTime) =>
+          RangeVectors.overTimeStat(sel, stepMs, OverTimeStats(overTime))
       }
     case Fn(name, arg, params) if InstantFns(name) =>
       instantFn(name, eval(arg, wide, at, lookbackMs, start, end),
@@ -469,12 +480,15 @@ object PromQL {
       strFn(name, eval(arg, wide, at, lookbackMs, start, end), strs)
     case AggBy(op, by, arg) =>
       val iv = eval(arg, wide, at, lookbackMs, start, end)
-      // aggregation operators consume INSTANT vectors; range-vector
-      // function outputs carry per-bucket stat columns, not `value`
+      // aggregation operators consume vectors with a `value` column —
+      // instant selectors or the single-value *_over_time family (whose
+      // tumbling `bucket` stays an implicit grouping key, so each
+      // bucket aggregates independently)
       require(iv.columns.contains(TsdbSchema.ValueCol),
-        s"$op by(...) needs an instant-vector argument (a selector), " +
-          "not a range-vector function result")
-      val keys = by.map(n => TsdbSchema.labelCol(n).as(n))
+        s"$op by(...) needs an instant-vector argument (a selector or " +
+          "a single-value *_over_time function), not a multi-stat " +
+          "range-vector frame")
+      val keys = by.map(n => TsdbSchema.labelCol(n).as(n)) ++ gridKeys(iv)
       iv.groupBy(keys: _*).agg(aggValue(op))
     case AggWithout(op, without, arg) =>
       val iv = eval(arg, wide, at, lookbackMs, start, end)
@@ -484,7 +498,7 @@ object PromQL {
       // `labels.x` names, so the result is still a valid instant vector
       val dropped = without.map(TsdbSchema.labelColName).toSet
       val keys = TsdbSchema.labelColumns(iv).filterNot(dropped)
-        .map(c => col(s"`$c`"))
+        .map(c => col(s"`$c`")) ++ gridKeys(iv)
       iv.groupBy(keys: _*).agg(aggValue(op))
     case RankK(op, k, arg) =>
       val iv = eval(arg, wide, at, lookbackMs, start, end)
@@ -494,11 +508,20 @@ object PromQL {
       val ord =
         (if (op == "topk") col("value").desc else col("value").asc) +:
           labels.map(_.asc)
-      // global top-k = orderBy+limit ⇒ TakeOrderedAndProject (per-
-      // partition k-heaps, driver merges k·P rows) — NOT a row_number
-      // window with no partitionBy, which would sort the whole instant
-      // vector in a single task
-      iv.orderBy(ord: _*).limit(k)
+      if (iv.columns.contains("bucket"))
+        // bucketed vectors rank WITHIN each bucket — a partitioned
+        // window, one partition per bucket (the scale-safe shape)
+        iv.withColumn("_rk", row_number().over(
+            org.apache.spark.sql.expressions.Window
+              .partitionBy(col("bucket")).orderBy(ord: _*)))
+          .where(col("_rk") <= k)
+          .drop("_rk")
+      else
+        // global top-k = orderBy+limit ⇒ TakeOrderedAndProject (per-
+        // partition k-heaps, driver merges k·P rows) — NOT a row_number
+        // window with no partitionBy, which would sort the whole instant
+        // vector in a single task
+        iv.orderBy(ord: _*).limit(k)
 
     case ScalarLit(v) =>
       // a scalar query evaluates to the Prometheus scalar result type:
@@ -515,20 +538,54 @@ object PromQL {
         flipped = true, bool = bool)
 
     case BinOp(op, on, l, r, bool, card) if card.nonEmpty =>
-      vectorBinOpCard(op, on,
-        eval(l, wide, at, lookbackMs, start, end),
-        eval(r, wide, at, lookbackMs, start, end), bool, card, extra = Nil)
+      val (lv, rv) = (eval(l, wide, at, lookbackMs, start, end),
+        eval(r, wide, at, lookbackMs, start, end))
+      vectorBinOpCard(op, on, lv, rv, bool, card, extra = bucketKey(lv, rv))
 
     case BinOp(op, on, l, r, bool, _) =>
-      vectorBinOp(op, on,
-        eval(l, wide, at, lookbackMs, start, end),
-        eval(r, wide, at, lookbackMs, start, end), bool, extra = Nil)
+      val (lv, rv) = (eval(l, wide, at, lookbackMs, start, end),
+        eval(r, wide, at, lookbackMs, start, end))
+      vectorBinOp(op, on, lv, rv, bool, extra = bucketKey(lv, rv))
 
     case SetOp(op, on, l, r) =>
-      vectorSetOp(op, on,
-        eval(l, wide, at, lookbackMs, start, end),
-        eval(r, wide, at, lookbackMs, start, end), extra = Nil)
+      val (lv, rv) = (eval(l, wide, at, lookbackMs, start, end),
+        eval(r, wide, at, lookbackMs, start, end))
+      vectorSetOp(op, on, lv, rv, extra = bucketKey(lv, rv))
   }
+
+  /** le-bucket interpolation over a vector of cumulative bucket series;
+    * groups = every label except `le`, plus `extra` (the evaluation grid
+    * in range mode). */
+  private def histQuantile(iv: DataFrame, q: Double,
+                           extra: Seq[String]): DataFrame = {
+    val leCol = TsdbSchema.labelColName("le")
+    require(iv.columns.contains(leCol),
+      "histogram_quantile needs an instant vector with an `le` label")
+    val groups = iv.columns.filter(c =>
+      c.startsWith(TsdbSchema.LabelPrefix) && c != leCol).toSeq ++
+      extra.filter(iv.columns.contains)
+    // Prometheus writes the top bucket as le="+Inf", which a bare
+    // double cast nulls out — map it explicitly
+    val leD = when(col(s"`$leCol`") === "+Inf", lit(Double.PositiveInfinity))
+      .otherwise(col(s"`$leCol`").cast("double"))
+    VectorOps.histogramQuantile(
+      iv.withColumn("le_d", leD),
+      groups, q = q, leCol = "le_d", cumCol = TsdbSchema.ValueCol)
+  }
+
+  /** Implicit grouping keys a vector carries besides its labels: the
+    * tumbling `bucket` of the *_over_time family (instant mode) or the
+    * evaluation grid `t` (range mode, added by the evalRange cases). */
+  private def gridKeys(iv: DataFrame): Seq[Column] =
+    if (iv.columns.contains("bucket")) Seq(col("bucket")) else Nil
+
+  /** Bucketed vectors on BOTH sides of a binary/set op match per
+    * bucket — `bucket` joins as an extra equality key, exactly like
+    * `t` in range evaluation. */
+  private def bucketKey(lv: DataFrame, rv: DataFrame): Seq[String] =
+    if (lv.columns.contains("bucket") && rv.columns.contains("bucket"))
+      Seq("bucket")
+    else Nil
 
   /** One-to-one vector matching for binary arithmetic/comparison ops —
     * `on(keys)` when given, else PromQL default matching: the full
@@ -643,13 +700,14 @@ object PromQL {
     * groupBy on (series, t) finishes — work is samples × overlap factor,
     * never a re-scan per step.
     *
-    * Supported: selectors (with offset), rate / increase /
-    * avg_over_time over range selectors, value-map functions,
-    * aggregation operators (by / without), topk/bottomk per step,
-    * and binary / set operators matched per step (each grid timestamp
-    * combines only with itself — `t` joins as an extra match key).
-    * `absent` and the remaining range functions are instant-only today
-    * — use [[eval]]. */
+    * Supported: selectors (with offset); rate / increase, the whole
+    * single-value *_over_time family, quantile_over_time, changes /
+    * resets, idelta / irate, deriv / predict_linear over range
+    * selectors; histogram_quantile and absent per step; value-map
+    * functions; aggregation operators (by / without); topk/bottomk per
+    * step; and binary / set operators matched per step (each grid
+    * timestamp combines only with itself — `t` joins as an extra match
+    * key). holt_winters remains instant-only — use [[eval]]. */
   def evalRange(expr: Expr, wide: DataFrame, start: Long, end: Long,
                 stepMs: Long, lookbackMs: Long): DataFrame = fold(expr) match {
     case Selector(ms, None, off) =>
@@ -658,22 +716,49 @@ object PromQL {
     case Selector(_, Some(_), _) =>
       throw new IllegalArgumentException(
         "range selector must be wrapped in a range-vector function")
-    case Fn(name, Selector(ms, Some(rangeMs), off), _) if RangeFns(name) =>
+    case Fn("histogram_quantile", arg, params) =>
+      // per-step bucket interpolation: the evaluation grid `t` joins the
+      // grouping label set, so each step's cumulative buckets interpolate
+      // independently
+      histQuantile(evalRange(arg, wide, start, end, stepMs, lookbackMs),
+        params.head, extra = Seq("t"))
+    case Fn(name, Selector(ms, Some(rangeMs), off), params) if RangeFns(name) =>
       // the sliding kernels prefilter to (start - range, end] themselves
       // (and that filter reaches the parquet scan)
       val sel = TsdbTable(wide).select(ms)
+      val (s0, e0) = (start - off, end - off)
       val r = name match {
         case "rate" | "increase" =>
-          RangeVectors.slidingRate(sel, rangeMs, stepMs,
-            start - off, end - off)
-        case "avg_over_time" =>
-          RangeVectors.slidingOverTime(sel, rangeMs, stepMs,
-            start - off, end - off)
+          RangeVectors.slidingRate(sel, rangeMs, stepMs, s0, e0)
+        case n if OverTimeStats.contains(n) =>
+          RangeVectors.slidingStat(sel, rangeMs, stepMs, s0, e0,
+            OverTimeStats(n))
+        case "quantile_over_time" =>
+          RangeVectors.slidingQuantile(sel, rangeMs, stepMs, s0, e0,
+            params.head)
+        case "changes" | "resets" =>
+          RangeVectors.slidingPairCount(sel, rangeMs, stepMs, s0, e0, name)
+        case "idelta" | "irate" =>
+          RangeVectors.slidingIstat(sel, rangeMs, stepMs, s0, e0, name)
+        case "deriv" =>
+          RangeVectors.slidingDeriv(sel, rangeMs, stepMs, s0, e0, None)
+        case "predict_linear" =>
+          RangeVectors.slidingDeriv(sel, rangeMs, stepMs, s0, e0,
+            Some((params.headOption.getOrElse(0.0) * 1000).toLong))
         case other => throw new IllegalArgumentException(
           s"$other is not supported in range evaluation yet; use eval()")
       }
       shiftGrid(r, off)
-    case Fn(name, arg, params) if InstantFns(name) && name != "absent" =>
+    case Fn("absent", arg, _) =>
+      // per-step absent: a {} 1 sample at every grid timestamp where the
+      // argument vector is empty — grid anti-join against present steps
+      val iv = evalRange(arg, wide, start, end, stepMs, lookbackMs)
+      val nSteps = (end - start) / stepMs
+      wide.sparkSession.range(nSteps + 1)
+        .select((lit(start) + col("id") * stepMs).as("t"))
+        .join(iv.select(col("t")).distinct(), Seq("t"), "left_anti")
+        .select(col("t"), lit(1.0).as("value"))
+    case Fn(name, arg, params) if InstantFns(name) =>
       // value maps don't touch the grid column — per-step for free
       instantFn(name, evalRange(arg, wide, start, end, stepMs, lookbackMs),
         params, at = end)
@@ -820,7 +905,7 @@ object PromQL {
   private def defaultMatchKeys(lv: DataFrame, rv: DataFrame): Seq[String] = {
     def names(df: DataFrame): Seq[String] = df.columns.toSeq
       .filterNot(Seq(TsdbSchema.TimeCol, TsdbSchema.ValueCol, "rvalue",
-        "rank", "t").contains(_))
+        "rank", "t", "bucket").contains(_))
       .map(c => if (c.startsWith(TsdbSchema.LabelPrefix))
         c.stripPrefix(TsdbSchema.LabelPrefix) else c)
       .filterNot(_ == "__name__")

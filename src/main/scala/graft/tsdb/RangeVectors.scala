@@ -217,6 +217,56 @@ object RangeVectors {
         round((lastV - firstV) / nullif(spanSec, lit(0.0)), 6).as("rate"))
   }
 
+  /** Single-statistic `*_over_time` per (series, bucket), exposed as
+    * `value` — the COMPOSABLE form the PromQL front end uses: the
+    * output is a valid instant vector (labels + `value`) with `bucket`
+    * as an implicit grouping/match key, so aggregation operators,
+    * binary ops and value maps consume it like any other vector.
+    * `last`/`first` tie-break duplicate timestamps by value (the
+    * engine-wide total order); `stddev`/`stdvar` are POPULATION
+    * moments — Prometheus's `*_over_time` definition, unlike the
+    * SAMPLE `stddev by` aggregation operator (a single-sample window
+    * is 0, not NULL, in both engines); `delta` is last − first (the
+    * engine's documented no-extrapolation rate family); `present` is
+    * the constant 1. One partial-aggregated groupBy — no window pass. */
+  def overTimeStat(wide: DataFrame, stepMs: Long, stat: String): DataFrame = {
+    val labels = TsdbSchema.dynCols(wide)
+    wide.groupBy(labels :+ bucketCol(stepMs).as("bucket"): _*)
+      .agg(statAgg(stat).as(TsdbSchema.ValueCol))
+  }
+
+  /** Exact interpolated `quantile_over_time(q, v[w])` as a single-value
+    * vector (the text front end's form; [[quantileOverTime]] keeps the
+    * fixed p50/p90 report shape for the programmatic surface). */
+  def overTimeQuantile(wide: DataFrame, stepMs: Long, q: Double): DataFrame = {
+    val labels = TsdbSchema.dynCols(wide)
+    wide.groupBy(labels :+ bucketCol(stepMs).as("bucket"): _*)
+      .agg(round(expr(s"percentile(${TsdbSchema.ValueCol}, $q)"), 6)
+        .as(TsdbSchema.ValueCol))
+  }
+
+  /** The statistic → aggregate mapping shared by the tumbling and
+    * sliding single-value kernels. */
+  private def statAgg(stat: String): Column = {
+    val v = col(TsdbSchema.ValueCol)
+    val tv: Column = array(col(TsdbSchema.TimeCol).cast("double"), v)
+    stat match {
+      case "min" => min(v)
+      case "max" => max(v)
+      case "sum" => round(sum(v), 6)
+      case "avg" => round(avg(v), 6)
+      case "count" => count(lit(1)).cast("double")
+      case "last" => max(tv).getItem(1)
+      case "first" => min(tv).getItem(1)
+      case "present" => max(lit(1.0))
+      case "stddev" => round(stddev_pop(v), 6)
+      case "stdvar" => round(var_pop(v), 6)
+      case "delta" => round(max(tv).getItem(1) - min(tv).getItem(1), 6)
+      case other => throw new IllegalArgumentException(
+        s"unknown over-time statistic '$other'")
+    }
+  }
+
   // ---- sliding-window (query_range) kernels ----
   //
   // Prometheus `query_range` evaluates the expression at every grid
@@ -338,6 +388,129 @@ object RangeVectors {
       .groupBy(labels :+ col("t"): _*)
       .agg(count(lit(1)).as("n"), round(avg(v), 6).as("avg_v"),
         min(v).as("min_v"), max(v).as("max_v"))
+  }
+
+  /** The sliding fan-out skeleton shared by the single-value kernels:
+    * prefilter to (start − range, end] (reaches the scan), explode each
+    * sample to the grid points in [time, time + range), attach `t`.
+    * Cost = samples × overlap factor, never a re-scan per step. */
+  private def sampleFanOut(wide: DataFrame, rangeMs: Long, stepMs: Long,
+                           startMs: Long, endMs: Long): DataFrame = {
+    val nSteps = (endMs - startMs) / stepMs
+    val (iLo, iHi) = gridIdx(col(TsdbSchema.TimeCol),
+      col(TsdbSchema.TimeCol) + (rangeMs - 1), startMs, stepMs, nSteps)
+    wide
+      .where(col(TsdbSchema.TimeCol) > startMs - rangeMs &&
+        col(TsdbSchema.TimeCol) <= endMs)
+      .withColumn("_ilo", iLo).withColumn("_ihi", iHi)
+      .where(col("_ilo") <= col("_ihi"))
+      .withColumn("_i", explode(sequence(col("_ilo"), col("_ihi"))))
+      .withColumn("t", lit(startMs) + col("_i") * stepMs)
+  }
+
+  /** Per-pair sliding fan-out: consecutive-sample pairs (built once per
+    * series, one window pass) exploded to the grid points whose window
+    * contains BOTH endpoints — the [[slidingRate]] decomposition, shared
+    * by the pair statistics (changes/resets/idelta/irate). */
+  private def pairFanOut(wide: DataFrame, rangeMs: Long, stepMs: Long,
+                         startMs: Long, endMs: Long): DataFrame = {
+    val labels = TsdbSchema.dynCols(wide)
+    val nSteps = (endMs - startMs) / stepMs
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(labels: _*)
+      .orderBy(col(TsdbSchema.TimeCol).asc, col(TsdbSchema.ValueCol).asc)
+    val pairs = wide
+      .where(col(TsdbSchema.TimeCol) > startMs - rangeMs &&
+        col(TsdbSchema.TimeCol) <= endMs)
+      .withColumn("prev_t", lag(col(TsdbSchema.TimeCol), 1).over(w))
+      .withColumn("prev_v", lag(col(TsdbSchema.ValueCol), 1).over(w))
+      .where(col("prev_t").isNotNull)
+    val (iLo, iHi) = gridIdx(col(TsdbSchema.TimeCol),
+      col("prev_t") + (rangeMs - 1), startMs, stepMs, nSteps)
+    pairs
+      .withColumn("_ilo", iLo).withColumn("_ihi", iHi)
+      .where(col("_ilo") <= col("_ihi"))
+      .withColumn("_i", explode(sequence(col("_ilo"), col("_ihi"))))
+      .withColumn("t", lit(startMs) + col("_i") * stepMs)
+  }
+
+  /** Sliding single-statistic `*_over_time` — [[overTimeStat]]'s
+    * semantics per grid timestamp t over (t − range, t], as `value`. */
+  def slidingStat(wide: DataFrame, rangeMs: Long, stepMs: Long,
+                  startMs: Long, endMs: Long, stat: String): DataFrame = {
+    val labels = TsdbSchema.dynCols(wide)
+    sampleFanOut(wide, rangeMs, stepMs, startMs, endMs)
+      .groupBy(labels :+ col("t"): _*)
+      .agg(statAgg(stat).as(TsdbSchema.ValueCol))
+  }
+
+  /** Sliding exact `quantile_over_time(q, v[w])`. */
+  def slidingQuantile(wide: DataFrame, rangeMs: Long, stepMs: Long,
+                      startMs: Long, endMs: Long, q: Double): DataFrame = {
+    val labels = TsdbSchema.dynCols(wide)
+    sampleFanOut(wide, rangeMs, stepMs, startMs, endMs)
+      .groupBy(labels :+ col("t"): _*)
+      .agg(round(expr(s"percentile(${TsdbSchema.ValueCol}, $q)"), 6)
+        .as(TsdbSchema.ValueCol))
+  }
+
+  /** Sliding `changes()` / `resets()`: differing / decreasing
+    * consecutive pairs among the samples in each window. */
+  def slidingPairCount(wide: DataFrame, rangeMs: Long, stepMs: Long,
+                       startMs: Long, endMs: Long, stat: String): DataFrame = {
+    val labels = TsdbSchema.dynCols(wide)
+    val v = col(TsdbSchema.ValueCol)
+    val hit = stat match {
+      case "changes" => v =!= col("prev_v")
+      case "resets" => v < col("prev_v")
+    }
+    pairFanOut(wide, rangeMs, stepMs, startMs, endMs)
+      .groupBy(labels :+ col("t"): _*)
+      .agg(sum(when(hit, 1.0).otherwise(0.0)).as(TsdbSchema.ValueCol))
+  }
+
+  /** Sliding `idelta()` / `irate()`: the LAST consecutive pair in each
+    * window — `max_by` over the (time, value)-ordered pair set.
+    * `idelta` is the raw delta; `irate` applies the counter-reset rule
+    * over the pair's own gap. */
+  def slidingIstat(wide: DataFrame, rangeMs: Long, stepMs: Long,
+                   startMs: Long, endMs: Long, stat: String): DataFrame = {
+    val labels = TsdbSchema.dynCols(wide)
+    val v = col(TsdbSchema.ValueCol)
+    val d = v - col("prev_v")
+    val pick = stat match {
+      case "idelta" => d
+      case "irate" =>
+        when(d >= 0, d).otherwise(v) /
+          nullif((col(TsdbSchema.TimeCol) - col("prev_t")) / 1000.0, lit(0.0))
+    }
+    // the pair ordered last by (time, value) — the same total order every
+    // window kernel uses, so duplicate timestamps pick consistently
+    val ord = struct(col(TsdbSchema.TimeCol), v)
+    pairFanOut(wide, rangeMs, stepMs, startMs, endMs)
+      .groupBy(labels :+ col("t"): _*)
+      .agg(round(max_by(pick, ord), 6).as(TsdbSchema.ValueCol))
+  }
+
+  /** Sliding `deriv()` / `predict_linear(v[w], horizon)`: least-squares
+    * slope over each window; with a horizon, the extrapolated value at
+    * t + horizon (Prometheus anchors the prediction at the evaluation
+    * timestamp). Windows with an undefined regression yield NULL. */
+  def slidingDeriv(wide: DataFrame, rangeMs: Long, stepMs: Long,
+                   startMs: Long, endMs: Long,
+                   horizonMs: Option[Long]): DataFrame = {
+    val labels = TsdbSchema.dynCols(wide)
+    val v = col(TsdbSchema.ValueCol)
+    val tSec = col(TsdbSchema.TimeCol) / 1000.0
+    val g = sampleFanOut(wide, rangeMs, stepMs, startMs, endMs)
+      .groupBy(labels :+ col("t"): _*)
+      .agg(regr_slope(v, tSec).as("_s"), regr_intercept(v, tSec).as("_i"))
+    val out = horizonMs match {
+      case None => round(col("_s"), 6)
+      case Some(h) =>
+        round(col("_i") + col("_s") * ((col("t") + h) / 1000.0), 4)
+    }
+    g.select(labels ++ Seq(col("t"), out.as(TsdbSchema.ValueCol)): _*)
   }
 
   /** PromQL `holt_winters(v[w], sf, tf)` — double exponential smoothing

@@ -288,7 +288,107 @@ class PromQLSpec extends SparkSpec {
       ("a", 86400000L, 5.0, 2L)))
     // unsupported shapes point the caller at eval()
     intercept[IllegalArgumentException](
-      rangeQ("""irate({name="up"}[1d])""").collect())
+      rangeQ("""holt_winters({name="up"}[1d], 0.5, 0.3)""").collect())
+  }
+
+  test("evalRange: sliding *_over_time / pair / regression battery") {
+    def rangeQ(q: String) =
+      PromQL.evalRange(parse(q), wide, start = 0L, end = 86400000L,
+        stepMs = 43200000L, lookbackMs = 86400000L)
+    def m(q: String) = rangeQ(q)
+      .select(col("`labels.user`"), col("t"), col("value"))
+      .as[(String, Long, Double)].collect().toSet
+    // sliding max[1d] by 12h: t=24h's window (0h,24h] EXCLUDES the 0h
+    // samples — overlapping windows see different sample sets
+    assert(m("""max_over_time({name="up"}[1d])""") ===
+      Set(("a", 0L, 1.0), ("b", 0L, 2.0),
+        ("a", 43200000L, 4.0), ("b", 43200000L, 8.0),
+        ("a", 86400000L, 9.0), ("b", 86400000L, 8.0)))
+    // quantile_over_time(1.0, …) ≡ max_over_time
+    assert(m("""quantile_over_time(1.0, {name="up"}[1d])""") ===
+      m("""max_over_time({name="up"}[1d])"""))
+    // changes: a pair is visible to the windows containing BOTH
+    // endpoints — a's (0h,1h] pair covers only t=12h, its (1h,24h]
+    // pair only t=24h
+    assert(m("""changes({name="up"}[1d])""") ===
+      Set(("a", 43200000L, 1.0), ("b", 43200000L, 1.0),
+        ("a", 86400000L, 1.0)))
+    // idelta: the LAST pair per window
+    assert(m("""idelta({name="up"}[1d])""") ===
+      Set(("a", 43200000L, 3.0), ("b", 43200000L, 6.0),
+        ("a", 86400000L, 5.0)))
+    // per-step absent: `up` is present at every step, `nope` at none
+    assert(rangeQ("""absent({name="up"})""").count() === 0L)
+    assert(rangeQ("""absent({name="nope"})""")
+      .select(col("t"), col("value")).as[(Long, Double)].collect().toSet ===
+      Set((0L, 1.0), (43200000L, 1.0), (86400000L, 1.0)))
+    // deriv: exact two-point regression in t=12h windows
+    val d = rangeQ("""deriv({name="up"}[1d])""")
+      .where(col("value").isNotNull)
+      .select(col("`labels.user`"), col("t"), col("value"))
+      .as[(String, Long, Double)].collect().toSet
+    // a: (0s,1)→(3600s,4): slope 3/3600 ≈ 0.000833; b: 6/7200 = 0.000833
+    assert(d.contains(("a", 43200000L, 8.33e-4)))
+    assert(d.contains(("b", 43200000L, 8.33e-4)))
+  }
+
+  test("evalRange: per-step histogram_quantile over le buckets") {
+    val h = Seq(
+      (1000L, 2.0, "/api", "10"), (1000L, 8.0, "/api", "20"),
+      (1000L, 10.0, "/api", "+Inf")
+    ).toDF("time", "value", "labels.path", "labels.le")
+    val got = PromQL.evalRange(
+      parse("""histogram_quantile(0.5, {path="/api"})"""),
+      h, start = 0L, end = 2000L, stepMs = 1000L, lookbackMs = 86400000L)
+      .select(col("`labels.path`"), col("t"), col("phi"))
+      .as[(String, Long, Double)].collect().toSet
+    // the t=0 step predates every sample (staleness drops it); both
+    // later steps see the same cumulative buckets → rank-5 interp = 15
+    assert(got === Set(("/api", 1000L, 15.0), ("/api", 2000L, 15.0)))
+  }
+
+  test("*_over_time battery: single-value bucketed vectors that compose") {
+    def m(q: String) = evalQ(q)
+      .select(col("`labels.user`"), col("bucket"), col("value"))
+      .as[(String, Long, Double)].collect().toSet
+    // tumbling 1d buckets over `up`: a = {0→1, 1h→4, 24h→9}, b = {0→2, 2h→8}
+    assert(m("""max_over_time({name="up"}[1d])""") ===
+      Set(("a", 0L, 4.0), ("a", 86400000L, 9.0), ("b", 0L, 8.0)))
+    assert(m("""last_over_time({name="up"}[1d])""") ===
+      Set(("a", 0L, 4.0), ("a", 86400000L, 9.0), ("b", 0L, 8.0)))
+    assert(m("""present_over_time({name="up"}[1d])""") ===
+      Set(("a", 0L, 1.0), ("a", 86400000L, 1.0), ("b", 0L, 1.0)))
+    assert(m("""delta({name="up"}[1d])""") ===
+      Set(("a", 0L, 3.0), ("a", 86400000L, 0.0), ("b", 0L, 6.0)))
+    // POPULATION stddev (Prometheus *_over_time): single-sample = 0
+    assert(m("""stddev_over_time({name="up"}[1d])""") ===
+      Set(("a", 0L, 1.5), ("a", 86400000L, 0.0), ("b", 0L, 3.0)))
+    // idelta needs two samples — a's second bucket drops out
+    assert(m("""idelta({name="up"}[1d])""") ===
+      Set(("a", 0L, 3.0), ("b", 0L, 6.0)))
+    assert(m("""changes({name="up"}[1d])""") ===
+      Set(("a", 0L, 1.0), ("a", 86400000L, 0.0), ("b", 0L, 1.0)))
+    // exact two-point regressions extrapolated 1h past the bucket end
+    val pl = evalQ("""predict_linear({name="up"}[1d], 3600)""")
+      .where(col("value").isNotNull)
+      .select(col("`labels.user`"), col("bucket"), col("value"))
+      .as[(String, Long, Double)].collect().toSet
+    assert(pl === Set(("a", 0L, 76.0), ("b", 0L, 77.0)))
+    // global aggregation keeps bucket as an implicit group key
+    val tot = evalQ("""sum(max_over_time({name="up"}[1d]))""")
+      .select(col("bucket"), col("value")).as[(Long, Double)].collect().toSet
+    assert(tot === Set((0L, 12.0), (86400000L, 9.0)))
+    // binary op between two bucketed vectors matches per bucket
+    val span = evalQ(
+      """max_over_time({name="up"}[1d]) - min_over_time({name="up"}[1d])""")
+      .select(col("user"), col("bucket"), col("value"))
+      .as[(String, Long, Double)].collect().toSet
+    assert(span === Set(("a", 0L, 3.0), ("a", 86400000L, 0.0), ("b", 0L, 6.0)))
+    // topk ranks WITHIN each bucket: b leads bucket 0 (8>4), a bucket 1
+    val top = evalQ("""topk(1, max_over_time({name="up"}[1d]))""")
+      .select(col("`labels.user`"), col("bucket"), col("value"))
+      .as[(String, Long, Double)].collect().toSet
+    assert(top === Set(("b", 0L, 8.0), ("a", 86400000L, 9.0)))
   }
 
   test("NaN comparisons follow IEEE semantics, not Spark ordering") {

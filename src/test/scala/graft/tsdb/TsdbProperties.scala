@@ -239,6 +239,14 @@ object TsdbProperties extends Properties("tsdb") {
         ranged.map(Fn("rate", _, Nil)),
         ranged.map(Fn("holt_winters", _, Seq(0.5, 0.3))),
         ranged.map(Fn("quantile_over_time", _, Seq(0.9))),
+        for {
+          name <- Gen.oneOf("min_over_time", "max_over_time",
+            "sum_over_time", "count_over_time", "last_over_time",
+            "present_over_time", "stddev_over_time", "stdvar_over_time",
+            "delta", "changes", "idelta")
+          r <- ranged
+        } yield Fn(name, r, Nil),
+        ranged.map(Fn("predict_linear", _, Seq(3600.0))),
         Gen.lzy(for {
           op <- Gen.oneOf("sum", "avg", "min", "max", "count")
           by <- Gen.nonEmptyListOf(label).map(_.distinct)
