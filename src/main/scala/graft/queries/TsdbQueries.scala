@@ -492,6 +492,18 @@ object TsdbQueries {
         graft.tsdb.PromQL.parse("""changes({name="click"}[7d])"""),
         eventsAsTsdbStored(s, dir), start = RangeStart, end = RangeEnd,
         stepMs = 86400000L, lookbackMs = 86400000L)),
+    // Q54: ignoring(...) + group_left(label) through the PARSER — the
+    // complement matching form: the default shared label set
+    // (user, k, name) narrowed by ignoring(k, name) to (user); many
+    // per-(user, k) purchase series match the one per-user click
+    // vector, which CARRIES its `name` label onto the output
+    // (Prometheus `group_left(name)`). 7-day lookback as in q42.
+    "tsdb_q54_promql_ignoring" -> ((s, dir) =>
+      graft.tsdb.PromQL.eval(
+        graft.tsdb.PromQL.parse(
+          """sum by (user, k) ({name="purchase"}) * ignoring(k, name) group_left(name) sum by (user, name) ({name="click"})"""),
+        eventsAsTsdbStored(s, dir), at = RangeEnd, lookbackMs = 604800000L,
+        start = RangeStart, end = RangeEnd)),
     // Q36: the cross-series PromQL aggregators `quantile by` /
     // `stddev by` / `stdvar by` over the instant vector — exact
     // interpolated median across each metric's series (one tiny
@@ -831,6 +843,19 @@ object TsdbQueries {
          |c AS (SELECT "user", round(sum(value), 6) AS v FROM iv
          |  WHERE name = 'click' GROUP BY 1)
          |SELECT p."user", p.k, round(p.v * c.v, 6) AS value
+         |FROM p JOIN c ON p."user" IS NOT DISTINCT FROM c."user"""".stripMargin,
+    "tsdb_q54_promql_ignoring" ->
+      s"""$duckTsdbCte,
+         |iv AS (SELECT "labels.name" AS name, "labels.user" AS "user",
+         |  "labels.k" AS k,
+         |  list_extract(max([CAST(time AS DOUBLE), value]), 2) AS value
+         |  FROM t WHERE time > ${RangeEnd - 604800000L} AND time <= $RangeEnd
+         |  GROUP BY 1, 2, 3),
+         |p AS (SELECT "user", k, round(sum(value), 6) AS v FROM iv
+         |  WHERE name = 'purchase' GROUP BY 1, 2),
+         |c AS (SELECT "user", name, round(sum(value), 6) AS v FROM iv
+         |  WHERE name = 'click' GROUP BY 1, 2)
+         |SELECT p."user", p.k, c.name, round(p.v * c.v, 6) AS value
          |FROM p JOIN c ON p."user" IS NOT DISTINCT FROM c."user"""".stripMargin,
     "tsdb_q38_bottomk" ->
       s"""$duckTsdbCte,

@@ -50,17 +50,22 @@ object PromQL {
                               arg: Expr) extends Expr
   final case class RankK(op: String, k: Int, arg: Expr) extends Expr
   final case class ScalarLit(v: Double) extends Expr
-  /** Vector-vector arithmetic/comparison matched `on(keys)` (or on the
-    * full shared label set when `on` is empty — PromQL default
-    * matching), or vector-scalar when one side is a [[ScalarLit]].
+  /** Vector-vector arithmetic/comparison matched `on(keys)`, or — when
+    * `on` is empty — on the full shared label set MINUS `ignoring`
+    * (PromQL default matching; `ignoring(keys)` is the complement form
+    * of `on`), or vector-scalar when one side is a [[ScalarLit]].
     * `bool` = the PromQL `bool` modifier: a comparison yields 0/1 values
     * instead of filtering. `card` = "" (one-to-one) | "left"
     * (`group_left`, many left series per key) | "right"
-    * (`group_right`). */
+    * (`group_right`); `carry` = the `group_left(lbl, ...)` label list
+    * copied from the "one" side into the output. */
   final case class BinOp(op: String, on: Seq[String], l: Expr, r: Expr,
-                         bool: Boolean = false, card: String = "") extends Expr
-  /** `and` / `or` / `unless` matched `on(keys)`. */
-  final case class SetOp(op: String, on: Seq[String], l: Expr, r: Expr) extends Expr
+                         bool: Boolean = false, card: String = "",
+                         ignoring: Seq[String] = Nil,
+                         carry: Seq[String] = Nil) extends Expr
+  /** `and` / `or` / `unless` matched `on(keys)` / `ignoring(keys)`. */
+  final case class SetOp(op: String, on: Seq[String], l: Expr, r: Expr,
+                         ignoring: Seq[String] = Nil) extends Expr
 
   /** Canonical text for an AST — the inverse of [[parse]] (pinned by a
     * round-trip property: `parse(render(e)) == e`). Useful for logging
@@ -96,19 +101,25 @@ object PromQL {
       s"$op without (${names.mkString(", ")}) (${render(arg)})"
     case RankK(op, k, arg) => s"$op($k, ${render(arg)})"
     case ScalarLit(v) => v.toString
-    case BinOp(op, on, l, r, bool, card) =>
-      val spec = if (on.nonEmpty) s"on(${on.mkString(", ")}) " else ""
+    case BinOp(op, on, l, r, bool, card, ign, carry) =>
+      val spec = matchSpecText(on, ign)
       val b = if (bool) "bool " else ""
+      // an explicit (possibly empty) label list keeps the text
+      // unambiguous: `group_left() (rhs)` cannot eat the rhs parens
       val c = card match {
-        case "left" => "group_left "
-        case "right" => "group_right "
+        case "left" => s"group_left(${carry.mkString(", ")}) "
+        case "right" => s"group_right(${carry.mkString(", ")}) "
         case _ => ""
       }
       s"(${render(l)}) $op $b$spec$c(${render(r)})"
-    case SetOp(op, on, l, r) =>
-      val spec = if (on.nonEmpty) s"on(${on.mkString(", ")}) " else ""
-      s"(${render(l)}) $op $spec(${render(r)})"
+    case SetOp(op, on, l, r, ign) =>
+      s"(${render(l)}) $op ${matchSpecText(on, ign)}(${render(r)})"
   }
+
+  private def matchSpecText(on: Seq[String], ign: Seq[String]): String =
+    if (on.nonEmpty) s"on(${on.mkString(", ")}) "
+    else if (ign.nonEmpty) s"ignoring(${ign.mkString(", ")}) "
+    else ""
 
   // ---- parser ----
   final case class ParseError(msg: String, at: Int)
@@ -199,6 +210,10 @@ object PromQL {
       } else false
     }
     def offset: Int = i
+    /** Backtrack to a saved offset (used for the `group_left (x)`
+      * label-list-vs-parenthesized-rhs ambiguity, which Prometheus's
+      * grammar shares). */
+    def reset(to: Int): Unit = i = to
   }
 
   private val AggOps = Set("sum", "avg", "min", "max", "count",
@@ -244,8 +259,10 @@ object PromQL {
 
   private def parseOr(p: P): Expr = {
     var left = parseAndUnless(p)
-    while (p.keyword("or"))
-      left = SetOp("or", parseOn(p, required = false), left, parseAndUnless(p))
+    while (p.keyword("or")) {
+      val (on, ign) = parseMatchSpec(p)
+      left = SetOp("or", on, left, parseAndUnless(p), ign)
+    }
     left
   }
 
@@ -254,7 +271,8 @@ object PromQL {
     var more = true
     while (more) Seq("and", "unless").find(p.keyword) match {
       case Some(op) =>
-        left = SetOp(op, parseOn(p, required = false), left, parseCmp(p))
+        val (on, ign) = parseMatchSpec(p)
+        left = SetOp(op, on, left, parseCmp(p), ign)
       case None => more = false
     }
     left
@@ -270,8 +288,8 @@ object PromQL {
   private def parsePow(p: P): Expr = {
     val base = parseUnary(p)
     if (p.sym("^").isDefined) {
-      val (bool, on, card) = parseModifiers(p, "^")
-      BinOp("^", on, base, parsePow(p), bool, card)
+      val m = parseModifiers(p, "^")
+      BinOp("^", m.on, base, parsePow(p), m.bool, m.card, m.ignoring, m.carry)
     } else base
   }
 
@@ -290,37 +308,67 @@ object PromQL {
     var more = true
     while (more) p.sym(ops: _*) match {
       case Some(op) =>
-        val (bool, on, card) = parseModifiers(p, op)
-        left = BinOp(op, on, left, next(p), bool, card)
+        val m = parseModifiers(p, op)
+        left = BinOp(op, m.on, left, next(p), m.bool, m.card, m.ignoring,
+          m.carry)
       case None => more = false
     }
     left
   }
 
+  private final case class Mods(bool: Boolean, on: Seq[String],
+                                ignoring: Seq[String], card: String,
+                                carry: Seq[String])
+
   /** PromQL places the modifiers between op and rhs: `l > bool r`,
-    * `l / on(user) group_left r`; all empty for vector-scalar. */
-  private def parseModifiers(p: P, op: String): (Boolean, Seq[String], String) = {
+    * `l / on(user) group_left r`, `l / ignoring(k) group_left(name) r`;
+    * all empty for vector-scalar. */
+  private def parseModifiers(p: P, op: String): Mods = {
     val bool = p.keyword("bool")
     if (bool && !CmpOps.contains(op))
       throw ParseError("bool modifier requires a comparison", p.offset)
-    val on = parseOn(p, required = false)
+    val (on, ign) = parseMatchSpec(p)
     val card =
       if (p.keyword("group_left")) "left"
       else if (p.keyword("group_right")) "right"
       else ""
-    (bool, on, card)
+    // optional parenthesized label list to COPY from the one side.
+    // Ambiguity (as in Prometheus): `group_left (x)` — try the label
+    // list; if the parens hold anything but bare idents, backtrack and
+    // treat them as the rhs.
+    val carry =
+      if (card.nonEmpty && p.peek('(')) {
+        val saved = p.offset
+        try {
+          p.expect('(')
+          val names = Seq.newBuilder[String]
+          if (!p.peek(')')) {
+            names += p.ident()
+            while (p.opt(',')) names += p.ident()
+          }
+          p.expect(')')
+          names.result()
+        } catch {
+          case _: ParseError => p.reset(saved); Seq.empty[String]
+        }
+      } else Seq.empty[String]
+    Mods(bool, on, ign, card, carry)
   }
 
-  private def parseOn(p: P, required: Boolean): Seq[String] =
-    if (p.keyword("on")) {
+  /** `on(...)` XOR `ignoring(...)` — either empty. */
+  private def parseMatchSpec(p: P): (Seq[String], Seq[String]) = {
+    def names(): Seq[String] = {
       p.expect('(')
-      val names = Seq.newBuilder[String]
-      names += p.ident()
-      while (p.opt(',')) names += p.ident()
+      val b = Seq.newBuilder[String]
+      b += p.ident()
+      while (p.opt(',')) b += p.ident()
       p.expect(')')
-      names.result()
-    } else if (required) throw ParseError("set operators require on(...)", p.offset)
-    else Seq.empty
+      b.result()
+    }
+    if (p.keyword("on")) (names(), Seq.empty)
+    else if (p.keyword("ignoring")) (Seq.empty, names())
+    else (Seq.empty, Seq.empty)
+  }
 
   private def parseTerm(p: P): Expr = {
     // lookahead: an identifier followed by '(' or "by" is an operator;
@@ -530,27 +578,28 @@ object PromQL {
       wide.sparkSession.range(1)
         .select(lit(at).as("time"), lit(v).cast("double").as("value"))
 
-    case BinOp(op, _, l, ScalarLit(s), bool, _) =>
+    case BinOp(op, _, l, ScalarLit(s), bool, _, _, _) =>
       scalarOp(eval(l, wide, at, lookbackMs, start, end), op, lit(s),
         flipped = false, bool = bool)
-    case BinOp(op, _, ScalarLit(s), r, bool, _) =>
+    case BinOp(op, _, ScalarLit(s), r, bool, _, _, _) =>
       scalarOp(eval(r, wide, at, lookbackMs, start, end), op, lit(s),
         flipped = true, bool = bool)
 
-    case BinOp(op, on, l, r, bool, card) if card.nonEmpty =>
+    case BinOp(op, on, l, r, bool, card, ign, carry) if card.nonEmpty =>
       val (lv, rv) = (eval(l, wide, at, lookbackMs, start, end),
         eval(r, wide, at, lookbackMs, start, end))
-      vectorBinOpCard(op, on, lv, rv, bool, card, extra = bucketKey(lv, rv))
+      vectorBinOpCard(op, on, ign, carry, lv, rv, bool, card,
+        extra = bucketKey(lv, rv))
 
-    case BinOp(op, on, l, r, bool, _) =>
+    case BinOp(op, on, l, r, bool, _, ign, _) =>
       val (lv, rv) = (eval(l, wide, at, lookbackMs, start, end),
         eval(r, wide, at, lookbackMs, start, end))
-      vectorBinOp(op, on, lv, rv, bool, extra = bucketKey(lv, rv))
+      vectorBinOp(op, on, ign, lv, rv, bool, extra = bucketKey(lv, rv))
 
-    case SetOp(op, on, l, r) =>
+    case SetOp(op, on, l, r, ign) =>
       val (lv, rv) = (eval(l, wide, at, lookbackMs, start, end),
         eval(r, wide, at, lookbackMs, start, end))
-      vectorSetOp(op, on, lv, rv, extra = bucketKey(lv, rv))
+      vectorSetOp(op, on, ign, lv, rv, extra = bucketKey(lv, rv))
   }
 
   /** le-bucket interpolation over a vector of cumulative bucket series;
@@ -587,17 +636,25 @@ object PromQL {
       Seq("bucket")
     else Nil
 
+  /** Effective match-key set: `on(keys)` verbatim when given, else the
+    * default full shared label set minus `ignoring(keys)`. */
+  private def matchKeys(on: Seq[String], ignoring: Seq[String],
+                        lv: DataFrame, rv: DataFrame): Seq[String] =
+    if (on.nonEmpty) on
+    else defaultMatchKeys(lv, rv).filterNot(ignoring.contains(_))
+
   /** One-to-one vector matching for binary arithmetic/comparison ops —
     * `on(keys)` when given, else PromQL default matching: the full
-    * label sets (metric name excluded) must be identical, which over
-    * the wide schema is a null-safe join on the UNION of both sides'
-    * label names (a label present on one side only matches when it is
-    * NULL — absent ≡ "", the engine's P3 rule). `extra` = additional
-    * equality keys, the per-step grid column in range evaluation. */
-  private def vectorBinOp(op: String, on: Seq[String], lv0: DataFrame,
-                          rv0: DataFrame, bool: Boolean,
+    * label sets (metric name excluded, `ignoring(...)` removed) must be
+    * identical, which over the wide schema is a null-safe join on the
+    * UNION of both sides' label names (a label present on one side only
+    * matches when it is NULL — absent ≡ "", the engine's P3 rule).
+    * `extra` = additional equality keys, the per-step grid column in
+    * range evaluation. */
+  private def vectorBinOp(op: String, on: Seq[String], ign: Seq[String],
+                          lv0: DataFrame, rv0: DataFrame, bool: Boolean,
                           extra: Seq[String]): DataFrame = {
-    val keys = if (on.nonEmpty) on else defaultMatchKeys(lv0, rv0)
+    val keys = matchKeys(on, ign, lv0, rv0)
     val joined = keyed(lv0, keys, "value", extra).as("l")
       .join(keyed(rv0, keys, "rvalue", extra).as("r"),
         matchCond(keys ++ extra))
@@ -621,12 +678,15 @@ object PromQL {
     * one match partner on the "one" side. The one side is an aggregate
     * per key — tiny — so broadcast it into the many side: zero shuffle
     * of the many vector (the tsdb_q29 star-join shape). Output keeps
-    * the many side's full label set (PromQL group_*). */
-  private def vectorBinOpCard(op: String, on: Seq[String], lv0: DataFrame,
+    * the many side's full label set (PromQL group_*) plus any
+    * `group_left(lbl, ...)` labels copied from the one side (which
+    * overwrite same-named many-side labels, as in Prometheus). */
+  private def vectorBinOpCard(op: String, on: Seq[String], ign: Seq[String],
+                              carry: Seq[String], lv0: DataFrame,
                               rv0: DataFrame, bool: Boolean, card: String,
                               extra: Seq[String]): DataFrame = {
     val (many, one) = if (card == "left") (lv0, rv0) else (rv0, lv0)
-    val keys = if (on.nonEmpty) on else defaultMatchKeys(lv0, rv0)
+    val keys = matchKeys(on, ign, lv0, rv0)
     val cond = (keys.map { n =>
       val mc = if (many.columns.contains(TsdbSchema.labelColName(n)))
         col(s"l.`${TsdbSchema.labelColName(n)}`")
@@ -635,14 +695,22 @@ object PromQL {
       mc <=> col(s"r.`$n`")
     } ++ extra.map(e => col(s"l.`$e`") <=> col(s"r.`$e`")))
       .reduceOption(_ && _).getOrElse(lit(true))
+    // carry labels ride the keyed projection of the one side (resolved
+    // bare or `labels.`-prefixed, like keys); they join nothing
+    val carried = carry.filterNot(keys.contains(_))
     val joined = many.as("l")
-      .join(broadcast(keyed(one, keys, "ovalue", extra).as("r")), cond)
+      .join(broadcast(keyed(one, keys ++ carried, "ovalue", extra).as("r")),
+        cond)
     val (lc, rc) =
       if (card == "left") (col("l.value"), col("r.ovalue"))
       else (col("r.ovalue"), col("l.value"))
     val outCols = many.columns.toSeq
       .filterNot(Seq(TsdbSchema.TimeCol, TsdbSchema.ValueCol).contains(_))
-      .map(c => col(s"l.`$c`").as(c))
+      // a copied label overwrites the many side's same-named label
+      .filterNot(c => carried.contains(c) ||
+        carried.map(TsdbSchema.labelColName).contains(c))
+      .map(c => col(s"l.`$c`").as(c)) ++
+      carried.map(n => col(s"r.`$n`").as(n))
     if (CmpOps.contains(op) && bool)
       joined.select(outCols :+
         when(cmp(op, lc, rc), 1.0d).otherwise(0.0d).as("value"): _*)
@@ -666,11 +734,13 @@ object PromQL {
   }
 
   /** `and` / `or` / `unless` — membership on `on(keys)` when given,
-    * else the default full shared label set, null-safe; the membership
-    * side collapses to distinct keys and broadcasts. */
-  private def vectorSetOp(op: String, on: Seq[String], lv0: DataFrame,
-                          rv0: DataFrame, extra: Seq[String]): DataFrame = {
-    val keys0 = if (on.nonEmpty) on else defaultMatchKeys(lv0, rv0)
+    * else the default full shared label set minus `ignoring(keys)`,
+    * null-safe; the membership side collapses to distinct keys and
+    * broadcasts. */
+  private def vectorSetOp(op: String, on: Seq[String], ign: Seq[String],
+                          lv0: DataFrame, rv0: DataFrame,
+                          extra: Seq[String]): DataFrame = {
+    val keys0 = matchKeys(on, ign, lv0, rv0)
     val lv = keyed(lv0, keys0, "value", extra)
     val rv = keyed(rv0, keys0, "value", extra)
     val keys = keys0 ++ extra
@@ -795,24 +865,24 @@ object PromQL {
             .partitionBy(col("t")).orderBy(ord: _*)))
         .where(col("_rk") <= k)
         .drop("_rk")
-    case BinOp(op, _, l, ScalarLit(s), bool, _) =>
+    case BinOp(op, _, l, ScalarLit(s), bool, _, _, _) =>
       scalarOp(evalRange(l, wide, start, end, stepMs, lookbackMs), op,
         lit(s), flipped = false, bool = bool)
-    case BinOp(op, _, ScalarLit(s), r, bool, _) =>
+    case BinOp(op, _, ScalarLit(s), r, bool, _, _, _) =>
       scalarOp(evalRange(r, wide, start, end, stepMs, lookbackMs), op,
         lit(s), flipped = true, bool = bool)
-    case BinOp(op, on, l, r, bool, card) if card.nonEmpty =>
-      vectorBinOpCard(op, on,
+    case BinOp(op, on, l, r, bool, card, ign, carry) if card.nonEmpty =>
+      vectorBinOpCard(op, on, ign, carry,
         evalRange(l, wide, start, end, stepMs, lookbackMs),
         evalRange(r, wide, start, end, stepMs, lookbackMs),
         bool, card, extra = Seq("t"))
-    case BinOp(op, on, l, r, bool, _) =>
-      vectorBinOp(op, on,
+    case BinOp(op, on, l, r, bool, _, ign, _) =>
+      vectorBinOp(op, on, ign,
         evalRange(l, wide, start, end, stepMs, lookbackMs),
         evalRange(r, wide, start, end, stepMs, lookbackMs),
         bool, extra = Seq("t"))
-    case SetOp(op, on, l, r) =>
-      vectorSetOp(op, on,
+    case SetOp(op, on, l, r, ign) =>
+      vectorSetOp(op, on, ign,
         evalRange(l, wide, start, end, stepMs, lookbackMs),
         evalRange(r, wide, start, end, stepMs, lookbackMs),
         extra = Seq("t"))
@@ -937,7 +1007,7 @@ object PromQL {
     * enforces; the fold uses JVM doubles, which are IEEE-754, so NaN
     * comparison semantics match [[cmp]] for free. */
   def fold(e: Expr): Expr = e match {
-    case BinOp(op, on, l, r, bool, card) =>
+    case BinOp(op, on, l, r, bool, card, ign, carry) =>
       (fold(l), fold(r)) match {
         case (ScalarLit(a), ScalarLit(b)) if card.isEmpty =>
           if (CmpOps.contains(op) && !bool)
@@ -955,14 +1025,14 @@ object PromQL {
               case "%" => a % b
               case "^" => math.pow(a, b)
             })
-        case (fl, fr) => BinOp(op, on, fl, fr, bool, card)
+        case (fl, fr) => BinOp(op, on, fl, fr, bool, card, ign, carry)
       }
     case Fn(n, a, p) => Fn(n, fold(a), p)
     case StrFn(n, a, s) => StrFn(n, fold(a), s)
     case AggBy(o, b, a) => AggBy(o, b, fold(a))
     case AggWithout(o, w, a) => AggWithout(o, w, fold(a))
     case RankK(o, k, a) => RankK(o, k, fold(a))
-    case SetOp(o, on, l, r) => SetOp(o, on, fold(l), fold(r))
+    case SetOp(o, on, l, r, ign) => SetOp(o, on, fold(l), fold(r), ign)
     case other => other
   }
 

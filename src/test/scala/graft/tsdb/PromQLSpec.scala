@@ -197,6 +197,39 @@ class PromQLSpec extends SparkSpec {
     assert(right === Map("a" -> 81.0, "b" -> 64.0))
   }
 
+  test("ignoring(...) narrows default matching; group_left(lbl) copies") {
+    // grammar: ignoring is the complement of on; group_left takes an
+    // optional parenthesized label list to copy from the one side
+    assert(parse("""{a="1"} / ignoring(k) group_left(name) {b="2"}""") ===
+      BinOp("/", Nil,
+        Selector(Seq(Matcher.Eq("a", "1")), None, 0L),
+        Selector(Seq(Matcher.Eq("b", "2")), None, 0L),
+        bool = false, card = "left", ignoring = Seq("k"),
+        carry = Seq("name")))
+    // the `group_left (rhs)` ambiguity backtracks when the parens hold
+    // anything but bare idents (Prometheus's grammar shares this wart)
+    assert(parse("""{a="1"} * on(user) group_left ({b="2"})""") ===
+      BinOp("*", Seq("user"),
+        Selector(Seq(Matcher.Eq("a", "1")), None, 0L),
+        Selector(Seq(Matcher.Eq("b", "2")), None, 0L),
+        bool = false, card = "left"))
+    // ignoring(name) ≡ on(user) over this fixture's (name, user) set
+    val got = evalQ("""{name="up"} + ignoring(name) {name="up"}""")
+      .select(col("user"), col("value")).as[(String, Double)].collect().toMap
+    assert(got === Map("a" -> 18.0, "b" -> 16.0))
+    // set ops accept ignoring too
+    assert(evalQ("""{name="up"} and ignoring(name) {name="up"}""").count()
+      === 2L)
+    // carry: the one side's `name` label lands on the output (bare,
+    // aggregation-output convention), replacing the many side's
+    val carried = evalQ(
+      """{name="up"} * on(user) group_left(name) sum by (user, name) ({name="up"})""")
+    assert(carried.columns.toSet === Set("labels.user", "name", "value"))
+    val m = carried.select(col("`labels.user`"), col("name"), col("value"))
+      .as[(String, String, Double)].collect().toSet
+    assert(m === Set(("a", "up", 81.0), ("b", "up", 64.0)))
+  }
+
   test("bool comparisons emit 0/1; scalar-scalar ops constant-fold") {
     val b = evalQ("""{name="up"} > bool 8.5""")
       .select(col("`labels.user`"), col("value")).as[(String, Double)].collect().toMap

@@ -285,18 +285,29 @@ object TsdbProperties extends Properties("tsdb") {
         } yield BinOp(op, Nil, a, ScalarLit(s.toDouble), bool)),
         Gen.lzy(for {
           op <- Gen.oneOf("+", "*", "/", "%", "^")
-          // empty on = PromQL default matching; both forms round-trip
+          // empty on = PromQL default matching (optionally narrowed by
+          // ignoring(...)); all three forms round-trip
           on <- Gen.oneOf(Gen.const(Seq.empty[String]),
             Gen.nonEmptyListOf(label).map(_.distinct))
+          ign <- if (on.nonEmpty) Gen.const(Seq.empty[String])
+                 else Gen.oneOf(Gen.const(Seq.empty[String]),
+                   Gen.nonEmptyListOf(label).map(_.distinct))
           card <- Gen.oneOf("", "left", "right")
+          carry <- if (card.isEmpty) Gen.const(Seq.empty[String])
+                   else Gen.oneOf(Gen.const(Seq.empty[String]),
+                     Gen.nonEmptyListOf(label).map(_.distinct))
           a <- expr(depth - 1); b <- expr(depth - 1)
-        } yield BinOp(op, on, a, b, bool = false, card = card)),
+        } yield BinOp(op, on, a, b, bool = false, card = card,
+          ignoring = ign, carry = carry)),
         Gen.lzy(for {
           op <- Gen.oneOf("and", "or", "unless")
           on <- Gen.oneOf(Gen.const(Seq.empty[String]),
             Gen.nonEmptyListOf(label).map(_.distinct))
+          ign <- if (on.nonEmpty) Gen.const(Seq.empty[String])
+                 else Gen.oneOf(Gen.const(Seq.empty[String]),
+                   Gen.nonEmptyListOf(label).map(_.distinct))
           a <- expr(depth - 1); b <- expr(depth - 1)
-        } yield SetOp(op, on, a, b)))
+        } yield SetOp(op, on, a, b, ignoring = ign)))
     Prop.forAll(expr(2)) { e =>
       val text = render(e)
       val back = parse(text)
