@@ -504,6 +504,58 @@ object TsdbQueries {
           """sum by (user, k) ({name="purchase"}) * ignoring(k, name) group_left(name) sum by (user, name) ({name="click"})"""),
         eventsAsTsdbStored(s, dir), at = RangeEnd, lookbackMs = 604800000L,
         start = RangeStart, end = RangeEnd)),
+    // Q55: the Prometheus wall-clock family through the PARSER —
+    // `hour(timestamp(m))` maps each series' last-sample time to its
+    // UTC hour-of-day (timestamp(): value ← epoch seconds; hour():
+    // value-as-epoch-seconds → hour), then sums per user. The textual
+    // form of q37's time-of-day kernel.
+    "tsdb_q55_promql_clock" -> ((s, dir) =>
+      graft.tsdb.PromQL.eval(
+        graft.tsdb.PromQL.parse(
+          """sum by (user) (hour(timestamp({name="click"})))"""),
+        eventsAsTsdbStored(s, dir), at = RangeEnd, lookbackMs = 604800000L,
+        start = RangeStart, end = RangeEnd)),
+    // Q56: round(v, to) through the PARSER — Prometheus round() snaps
+    // to the nearest multiple of `to` (ties up): floor(v/to + 0.5)·to,
+    // every step an exact IEEE op both engines replay bit-identically
+    // (log2/log10 are spec-covered instead — libm ULP differences make
+    // them poor oracle subjects at round boundaries)
+    "tsdb_q56_promql_round" -> ((s, dir) =>
+      graft.tsdb.PromQL.eval(
+        graft.tsdb.PromQL.parse(
+          """sum by (user) (round({name="purchase"}, 0.5))"""),
+        eventsAsTsdbStored(s, dir), at = RangeEnd, lookbackMs = 604800000L,
+        start = RangeStart, end = RangeEnd)),
+    // Q58: PromQL SUBQUERY through the PARSER — the classic "peak
+    // rate over the trailing week": rate over 7-day windows (sf0.01
+    // series are too sparse for 2 samples/day) re-evaluated at every
+    // 1-day grid point of [RangeEnd-7d, RangeEnd] (absolute-aligned),
+    // then max across the grid per series. One evalRange pass (pair
+    // fan-out) + one fold — never a loop over steps.
+    "tsdb_q58_promql_subquery" -> ((s, dir) =>
+      graft.tsdb.PromQL.eval(
+        graft.tsdb.PromQL.parse(
+          """max_over_time(rate({name="purchase"}[7d])[7d:1d])"""),
+        eventsAsTsdbStored(s, dir), at = RangeEnd, lookbackMs = 86400000L,
+        start = RangeStart, end = RangeEnd)),
+    // Q57: the parameterized `quantile(φ, v)` aggregator and `group`
+    // through the PARSER — per-metric exact interpolated q75 across
+    // series (the q36 kernel from query text), one tiny agg over the
+    // instant vector; `group` marks each (name) group with value 1
+    "tsdb_q57_promql_agg_quantile" -> ((s, dir) => {
+      val q = graft.tsdb.PromQL.eval(
+        graft.tsdb.PromQL.parse(
+          """quantile by (name) (0.75, {k!=""})"""),
+        eventsAsTsdbStored(s, dir), at = RangeEnd, lookbackMs = 86400000L,
+        start = RangeStart, end = RangeEnd)
+      val g = graft.tsdb.PromQL.eval(
+        graft.tsdb.PromQL.parse("""group by (name) ({k!=""})"""),
+        eventsAsTsdbStored(s, dir), at = RangeEnd, lookbackMs = 86400000L,
+        start = RangeStart, end = RangeEnd)
+      q.as("q").join(g.as("g"), col("q.name") === col("g.name"))
+        .select(col("q.name").as("name"), col("q.value").as("q75"),
+          col("g.value").as("grp"))
+    }),
     // Q36: the cross-series PromQL aggregators `quantile by` /
     // `stddev by` / `stdvar by` over the instant vector — exact
     // interpolated median across each metric's series (one tiny
@@ -857,6 +909,64 @@ object TsdbQueries {
          |  WHERE name = 'click' GROUP BY 1, 2)
          |SELECT p."user", p.k, c.name, round(p.v * c.v, 6) AS value
          |FROM p JOIN c ON p."user" IS NOT DISTINCT FROM c."user"""".stripMargin,
+    // hour-of-day without to_timestamp: DuckDB's extract() follows the
+    // process timezone, but floor(mod(epoch_s, 86400)/3600) is tz-free
+    // and identical to Spark's hour() under the UTC session
+    "tsdb_q55_promql_clock" ->
+      s"""$duckTsdbCte,
+         |iv AS (SELECT "labels.name" AS name, "labels.user" AS "user",
+         |  max(time) AS time
+         |  FROM t WHERE time > ${RangeEnd - 604800000L} AND time <= $RangeEnd
+         |  GROUP BY 1, 2, "labels.k")
+         |SELECT "user", round(sum(
+         |    CAST(floor((time / 1000.0) % 86400 / 3600) AS DOUBLE)), 6) AS value
+         |FROM iv WHERE name = 'click' GROUP BY 1""".stripMargin,
+    "tsdb_q56_promql_round" ->
+      s"""$duckTsdbCte,
+         |iv AS (SELECT "labels.name" AS name, "labels.user" AS "user",
+         |  list_extract(max([CAST(time AS DOUBLE), value]), 2) AS value
+         |  FROM t WHERE time > ${RangeEnd - 604800000L} AND time <= $RangeEnd
+         |  GROUP BY 1, 2, "labels.k")
+         |SELECT "user", round(sum(
+         |    round(floor(value / 0.5 + 0.5) * 0.5, 6)), 6) AS value
+         |FROM iv WHERE name = 'purchase' GROUP BY 1""".stripMargin,
+    // replays the subquery grid: slidingRate over 7d windows at the 8
+    // daily grid points of [RangeEnd-7d, RangeEnd], then max per series
+    "tsdb_q58_promql_subquery" ->
+      s"""$duckTsdbCte,
+         |s AS (SELECT "labels.name" AS name, "labels.user" AS u,
+         |  "labels.k" AS kk, time, value FROM t
+         |  WHERE "labels.name" = 'purchase'
+         |    AND time > ${RangeEnd - 1209600000L} AND time <= $RangeEnd),
+         |p AS (SELECT *, lag(value) OVER w AS pv, lag(time) OVER w AS pt
+         |  FROM s WINDOW w AS (PARTITION BY name, u, kk
+         |                      ORDER BY time, value)),
+         |pairs AS (SELECT name, u, kk, time, pt,
+         |    CASE WHEN value - pv < 0 THEN value ELSE value - pv END AS d,
+         |    time - pt AS gap
+         |  FROM p WHERE pt IS NOT NULL),
+         |g AS (SELECT name, u, kk, d, gap,
+         |    ${RangeEnd - 604800000L} + i * 86400000 AS tt
+         |  FROM pairs, LATERAL unnest(range(
+         |    greatest(0, CAST(ceil((time - ${RangeEnd - 604800000L}) / 86400000.0) AS BIGINT)),
+         |    least(7, CAST(floor((pt + 604799999 - ${RangeEnd - 604800000L}) / 86400000.0) AS BIGINT)) + 1
+         |  )) AS r(i)),
+         |rv AS (SELECT name, u, kk, tt,
+         |    round(round(sum(d), 6) / nullif(sum(gap) / 1000.0, 0), 6) AS v
+         |  FROM g GROUP BY 1, 2, 3, 4)
+         |SELECT name AS "labels.name", u AS "labels.user",
+         |  kk AS "labels.k", max(v) AS value
+         |FROM rv GROUP BY 1, 2, 3""".stripMargin,
+    "tsdb_q57_promql_agg_quantile" ->
+      s"""$duckTsdbCte,
+         |iv AS (SELECT "labels.name" AS name,
+         |  list_extract(max([CAST(time AS DOUBLE), value]), 2) AS value
+         |  FROM t WHERE time > ${RangeEnd - 86400000L} AND time <= $RangeEnd
+         |    AND "labels.k" IS NOT NULL AND "labels.k" <> ''
+         |  GROUP BY 1, "labels.user", "labels.k")
+         |SELECT name, round(quantile_cont(value, 0.75), 6) AS q75,
+         |  CAST(1.0 AS DOUBLE) AS grp
+         |FROM iv GROUP BY 1""".stripMargin,
     "tsdb_q38_bottomk" ->
       s"""$duckTsdbCte,
          |iv AS (SELECT "labels.k", "labels.name", "labels.user",

@@ -43,13 +43,23 @@ object PromQL {
   /** Functions whose extra parameters are strings: `label_replace`,
     * `label_join`, `count_values`. */
   final case class StrFn(name: String, arg: Expr, strs: Seq[String]) extends Expr
-  /** `op by (names) (arg)`; empty `by` is the global form `op(arg)`. */
-  final case class AggBy(op: String, by: Seq[String], arg: Expr) extends Expr
+  /** `op by (names) (arg)`; empty `by` is the global form `op(arg)`.
+    * `param` = the aggregator's leading scalar parameter — only
+    * `quantile(φ, v)` takes one. */
+  final case class AggBy(op: String, by: Seq[String], arg: Expr,
+                         param: Option[Double] = None) extends Expr
   /** `op without (names) (arg)` — group by every label EXCEPT `without`. */
   final case class AggWithout(op: String, without: Seq[String],
-                              arg: Expr) extends Expr
+                              arg: Expr,
+                              param: Option[Double] = None) extends Expr
   final case class RankK(op: String, k: Int, arg: Expr) extends Expr
   final case class ScalarLit(v: Double) extends Expr
+  /** PromQL subquery `expr[range:step]` (+ optional trailing offset):
+    * the inner expression evaluated at every absolute-aligned grid
+    * point t ≡ 0 (mod step) in [at − offset − range, at − offset] —
+    * a range vector consumed by an `*_over_time` function. */
+  final case class Subquery(arg: Expr, rangeMs: Long, stepMs: Long,
+                            offsetMs: Long = 0L) extends Expr
   /** Vector-vector arithmetic/comparison matched `on(keys)`, or — when
     * `on` is empty — on the full shared label set MINUS `ignoring`
     * (PromQL default matching; `ignoring(keys)` is the complement form
@@ -95,12 +105,19 @@ object PromQL {
       s"""count_values("$lbl", ${render(arg)})"""
     case StrFn(name, arg, strs) =>
       s"$name(${render(arg)}${strs.map(v => s""", "$v"""").mkString})"
-    case AggBy(op, Seq(), arg) => s"$op(${render(arg)})"
-    case AggBy(op, by, arg) => s"$op by (${by.mkString(", ")}) (${render(arg)})"
-    case AggWithout(op, names, arg) =>
-      s"$op without (${names.mkString(", ")}) (${render(arg)})"
+    case AggBy(op, Seq(), arg, param) =>
+      s"$op(${param.fold("")(p => s"$p, ")}${render(arg)})"
+    case AggBy(op, by, arg, param) =>
+      s"$op by (${by.mkString(", ")}) " +
+        s"(${param.fold("")(p => s"$p, ")}${render(arg)})"
+    case AggWithout(op, names, arg, param) =>
+      s"$op without (${names.mkString(", ")}) " +
+        s"(${param.fold("")(p => s"$p, ")}${render(arg)})"
     case RankK(op, k, arg) => s"$op($k, ${render(arg)})"
     case ScalarLit(v) => v.toString
+    case Subquery(arg, r, st, off) =>
+      val o = if (off != 0L) s" offset ${off / 1000}s" else ""
+      s"(${render(arg)})[${r / 1000}s:${st / 1000}s]$o"
     case BinOp(op, on, l, r, bool, card, ign, carry) =>
       val spec = matchSpecText(on, ign)
       val b = if (bool) "bool " else ""
@@ -217,7 +234,7 @@ object PromQL {
   }
 
   private val AggOps = Set("sum", "avg", "min", "max", "count",
-    "stddev", "stdvar")
+    "stddev", "stdvar", "group", "quantile")
   private val RankOps = Set("topk", "bottomk")
   private val RangeFns = Set("rate", "increase", "irate", "idelta",
     "resets", "changes", "holt_winters", "quantile_over_time",
@@ -233,10 +250,20 @@ object PromQL {
     "count_over_time" -> "count", "last_over_time" -> "last",
     "present_over_time" -> "present", "stddev_over_time" -> "stddev",
     "stdvar_over_time" -> "stdvar", "delta" -> "delta")
-  /** Instant-vector functions (value maps + `absent`); `clamp*` take
-    * trailing scalar params. */
+  /** Instant-vector functions (value maps + `absent`); `clamp*` and
+    * `round` take trailing scalar params. `timestamp` rewrites value ←
+    * sample time (epoch seconds); the wall-clock family (`hour`,
+    * `day_of_week`, ...) interprets the VALUE as epoch seconds, UTC —
+    * Prometheus's `hour(v)` contract, so `hour(timestamp(m))` is the
+    * time-of-day of m's samples. (Prometheus defaults a missing arg to
+    * `vector(time())`; this front end requires the arg explicitly.)
+    * `sort`/`sort_desc` order the instant vector by value
+    * (presentation only — row order, not content). */
   private val InstantFns = Set("abs", "ceil", "floor", "exp", "ln", "sqrt",
-    "sgn", "clamp", "clamp_min", "clamp_max", "absent")
+    "sgn", "clamp", "clamp_min", "clamp_max", "absent",
+    "log2", "log10", "round", "timestamp", "sort", "sort_desc",
+    "hour", "minute", "day_of_week", "day_of_month", "days_in_month",
+    "month", "year")
   private val StrFns = Set("label_replace", "label_join", "count_values")
   private val LeadingParamFns = Set("quantile_over_time", "histogram_quantile")
 
@@ -370,7 +397,23 @@ object PromQL {
     else (Seq.empty, Seq.empty)
   }
 
+  /** A term plus any `[range:step]` subquery postfix (selectors handle
+    * their own brackets inside [[parseSelector]], where `[d]` vs
+    * `[d:st]` disambiguates range selector vs subquery). */
   private def parseTerm(p: P): Expr = {
+    var e = parseTerm0(p)
+    while (p.opt('[')) {
+      val r = p.duration()
+      p.expect(':')
+      val st = p.duration()
+      p.expect(']')
+      val off = if (p.keyword("offset")) p.duration() else 0L
+      e = Subquery(e, r, st, off)
+    }
+    e
+  }
+
+  private def parseTerm0(p: P): Expr = {
     // lookahead: an identifier followed by '(' or "by" is an operator;
     // otherwise it is the metric name of a selector
     if (p.opt('(')) {
@@ -389,24 +432,31 @@ object PromQL {
       p.expect(')')
       b.result()
     }
+    // quantile's leading φ parameter: `quantile by (u) (0.9, v)`
+    def aggParam(): Option[Double] =
+      if (name == "quantile") { val q = p.number(); p.expect(','); Some(q) }
+      else None
     if (AggOps(name) && p.keyword("by")) {
       val by = names()
       p.expect('(')
+      val param = aggParam()
       val arg = parseExpr(p)
       p.expect(')')
-      AggBy(name, by, arg)
+      AggBy(name, by, arg, param)
     } else if (AggOps(name) && p.keyword("without")) {
       val w = names()
       p.expect('(')
+      val param = aggParam()
       val arg = parseExpr(p)
       p.expect(')')
-      AggWithout(name, w, arg)
+      AggWithout(name, w, arg, param)
     } else if (AggOps(name) && p.peek('(')) {
       // global form: `sum(v)` ≡ `sum by () (v)`
       p.expect('(')
+      val param = aggParam()
       val arg = parseExpr(p)
       p.expect(')')
-      AggBy(name, Seq.empty, arg)
+      AggBy(name, Seq.empty, arg, param)
     } else if (StrFns(name) && p.peek('(')) {
       p.expect('(')
       if (name == "count_values") {
@@ -443,7 +493,7 @@ object PromQL {
     } else parseSelector(p, Some(name).filter(_.nonEmpty))
   }
 
-  private def parseSelector(p: P, metric: Option[String]): Selector = {
+  private def parseSelector(p: P, metric: Option[String]): Expr = {
     val ms = Seq.newBuilder[Matcher]
     metric.foreach(m => ms += Matcher.Eq("__name__", m))
     if (p.opt('{')) {
@@ -464,10 +514,18 @@ object PromQL {
       }
       p.expect('}')
     }
-    val range = if (p.opt('[')) { val d = p.duration(); p.expect(']'); Some(d) }
-                else None
+    var subq: Option[(Long, Long)] = None
+    val range = if (p.opt('[')) {
+      val d = p.duration()
+      if (p.opt(':')) { // `m[1h:5m]` — a subquery over an instant selector
+        subq = Some((d, p.duration())); p.expect(']'); None
+      } else { p.expect(']'); Some(d) }
+    } else None
     val off = if (p.keyword("offset")) p.duration() else 0L
-    Selector(ms.result(), range, off)
+    subq match {
+      case Some((r, st)) => Subquery(Selector(ms.result(), None, 0L), r, st, off)
+      case None => Selector(ms.result(), range, off)
+    }
   }
 
   // ---- evaluator ----
@@ -518,6 +576,43 @@ object PromQL {
         case overTime if OverTimeStats.contains(overTime) =>
           RangeVectors.overTimeStat(sel, stepMs, OverTimeStats(overTime))
       }
+    case Fn(name, Subquery(inner, rangeMs, stepMs, off), params)
+        if OverTimeStats.contains(name) || name == "quantile_over_time" =>
+      // subquery: the inner expression evaluated per grid step (one
+      // evalRange pass — never a loop over steps), then the over-time
+      // statistic folds each series' step values; the grid column `t`
+      // is the time axis for last/first/delta
+      val sqEnd = at - off
+      val gridStart =
+        math.ceil((sqEnd - rangeMs).toDouble / stepMs).toLong * stepMs
+      val grid0 = evalRange(inner, wide, gridStart, sqEnd, stepMs, lookbackMs)
+      // rate/increase range evaluation yields the multi-stat frame;
+      // project the requested statistic back to the `value` shape
+      val grid = inner match {
+        case Fn(n @ ("rate" | "increase"), _, _) =>
+          val vc = if (n == "rate") "rate_v" else "increase"
+          grid0.select(TsdbSchema.dynCols(grid0) :+ col("t") :+
+            col(vc).cast("double").as(TsdbSchema.ValueCol): _*)
+        case _ => grid0
+      }
+      require(grid.columns.contains(TsdbSchema.ValueCol),
+        s"$name over a subquery needs per-step instant vectors")
+      val keys = grid.columns.toSeq
+        .filterNot(Seq("t", TsdbSchema.TimeCol, TsdbSchema.ValueCol)
+          .contains(_))
+        .map(c => col(s"`$c`"))
+      val aggc =
+        if (name == "quantile_over_time")
+          round(org.apache.spark.sql.functions.expr(
+            s"percentile(${TsdbSchema.ValueCol}, ${params.head})"), 6)
+            .as(TsdbSchema.ValueCol)
+        else RangeVectors.statAgg(OverTimeStats(name), timeCol = "t")
+          .as(TsdbSchema.ValueCol)
+      grid.groupBy(keys: _*).agg(aggc)
+    case Subquery(_, _, _, _) =>
+      throw new IllegalArgumentException(
+        "a subquery yields a range vector — wrap it in an *_over_time " +
+          "function (e.g. max_over_time(rate(m[5m])[1h:10m]))")
     case Fn(name, arg, params) if InstantFns(name) =>
       instantFn(name, eval(arg, wide, at, lookbackMs, start, end),
         params, at)
@@ -526,7 +621,7 @@ object PromQL {
         s"$name needs a range selector argument (v[duration])")
     case StrFn(name, arg, strs) =>
       strFn(name, eval(arg, wide, at, lookbackMs, start, end), strs)
-    case AggBy(op, by, arg) =>
+    case AggBy(op, by, arg, param) =>
       val iv = eval(arg, wide, at, lookbackMs, start, end)
       // aggregation operators consume vectors with a `value` column —
       // instant selectors or the single-value *_over_time family (whose
@@ -537,8 +632,8 @@ object PromQL {
           "a single-value *_over_time function), not a multi-stat " +
           "range-vector frame")
       val keys = by.map(n => TsdbSchema.labelCol(n).as(n)) ++ gridKeys(iv)
-      iv.groupBy(keys: _*).agg(aggValue(op))
-    case AggWithout(op, without, arg) =>
+      iv.groupBy(keys: _*).agg(aggValue(op, param))
+    case AggWithout(op, without, arg, param) =>
       val iv = eval(arg, wide, at, lookbackMs, start, end)
       require(iv.columns.contains(TsdbSchema.ValueCol),
         s"$op without(...) needs an instant-vector argument")
@@ -547,7 +642,7 @@ object PromQL {
       val dropped = without.map(TsdbSchema.labelColName).toSet
       val keys = TsdbSchema.labelColumns(iv).filterNot(dropped)
         .map(c => col(s"`$c`")) ++ gridKeys(iv)
-      iv.groupBy(keys: _*).agg(aggValue(op))
+      iv.groupBy(keys: _*).agg(aggValue(op, param))
     case RankK(op, k, arg) =>
       val iv = eval(arg, wide, at, lookbackMs, start, end)
       require(iv.columns.contains(TsdbSchema.ValueCol),
@@ -786,6 +881,11 @@ object PromQL {
     case Selector(_, Some(_), _) =>
       throw new IllegalArgumentException(
         "range selector must be wrapped in a range-vector function")
+    case Subquery(_, _, _, _) | Fn(_, Subquery(_, _, _, _), _) =>
+      throw new IllegalArgumentException(
+        "subqueries are instant-query only — evaluate with eval(); " +
+          "range-mode subqueries (a grid per grid point) are not " +
+          "supported")
     case Fn("histogram_quantile", arg, params) =>
       // per-step bucket interpolation: the evaluation grid `t` joins the
       // grouping label set, so each step's cumulative buckets interpolate
@@ -834,21 +934,21 @@ object PromQL {
         params, at = end)
     case StrFn(name, arg, strs) if name != "count_values" =>
       strFn(name, evalRange(arg, wide, start, end, stepMs, lookbackMs), strs)
-    case AggBy(op, by, arg) =>
+    case AggBy(op, by, arg, param) =>
       val iv = evalRange(arg, wide, start, end, stepMs, lookbackMs)
       require(iv.columns.contains(TsdbSchema.ValueCol),
         s"$op by(...) needs per-step instant vectors (a selector), " +
           "not a range-vector function result")
       val keys = by.map(n => TsdbSchema.labelCol(n).as(n)) :+ col("t")
-      iv.groupBy(keys: _*).agg(aggValue(op))
-    case AggWithout(op, without, arg) =>
+      iv.groupBy(keys: _*).agg(aggValue(op, param))
+    case AggWithout(op, without, arg, param) =>
       val iv = evalRange(arg, wide, start, end, stepMs, lookbackMs)
       require(iv.columns.contains(TsdbSchema.ValueCol),
         s"$op without(...) needs per-step instant vectors")
       val dropped = without.map(TsdbSchema.labelColName).toSet
       val keys = TsdbSchema.labelColumns(iv).filterNot(dropped)
         .map(c => col(s"`$c`")) :+ col("t")
-      iv.groupBy(keys: _*).agg(aggValue(op))
+      iv.groupBy(keys: _*).agg(aggValue(op, param))
     case RankK(op, k, arg) =>
       val iv = evalRange(arg, wide, start, end, stepMs, lookbackMs)
       require(iv.columns.contains(TsdbSchema.ValueCol),
@@ -915,6 +1015,29 @@ object PromQL {
       case "clamp" => mapV(least(greatest(v, lit(params(0))), lit(params(1))))
       case "clamp_min" => mapV(greatest(v, lit(params(0))))
       case "clamp_max" => mapV(least(v, lit(params(0))))
+      case "log2" => mapV(round(log(2.0, v), 6))
+      case "log10" => mapV(round(log10(v), 6))
+      case "round" =>
+        // Prometheus: nearest multiple of `to` (default 1), ties up
+        val to = params.headOption.getOrElse(1.0)
+        mapV(round(floor(v / lit(to) + lit(0.5)) * lit(to), 6))
+      case "timestamp" =>
+        // value ← the sample's own timestamp in epoch seconds
+        require(iv.columns.contains(TsdbSchema.TimeCol),
+          "timestamp() needs a selector-shaped vector (sample times)")
+        mapV(col(TsdbSchema.TimeCol).cast("double") / 1000.0)
+      case "hour" => mapV(hour(timestamp_seconds(v)).cast("double"))
+      case "minute" => mapV(minute(timestamp_seconds(v)).cast("double"))
+      case "day_of_week" => // 0 = Sunday, per Prometheus
+        mapV((dayofweek(timestamp_seconds(v)) - 1).cast("double"))
+      case "day_of_month" =>
+        mapV(dayofmonth(timestamp_seconds(v)).cast("double"))
+      case "days_in_month" =>
+        mapV(dayofmonth(last_day(timestamp_seconds(v))).cast("double"))
+      case "month" => mapV(month(timestamp_seconds(v)).cast("double"))
+      case "year" => mapV(year(timestamp_seconds(v)).cast("double"))
+      case "sort" => iv.orderBy(v.asc_nulls_last)
+      case "sort_desc" => iv.orderBy(v.desc_nulls_last)
       case "absent" =>
         // the alerting primitive: a {} 1 sample exactly when the
         // argument vector is empty at the evaluation instant
@@ -947,19 +1070,27 @@ object PromQL {
     * follow the engine's q36 convention: SAMPLE moments with the n=1
     * guard (Spark yields NaN, SQL NULL — the guard makes both engines
     * agree on NULL). */
-  private def aggValue(op: String): Column = op match {
-    case "sum" => round(sum(col("value")), 6).as("value")
-    case "avg" => round(avg(col("value")), 6).as("value")
-    case "min" => min(col("value")).as("value")
-    case "max" => max(col("value")).as("value")
-    case "count" => count(lit(1)).cast("double").as("value")
-    case "stddev" =>
-      when(count(lit(1)) > 1, round(stddev_samp(col("value")), 6))
-        .as("value")
-    case "stdvar" =>
-      when(count(lit(1)) > 1, round(var_samp(col("value")), 6))
-        .as("value")
-  }
+  private def aggValue(op: String, param: Option[Double] = None): Column =
+    op match {
+      case "sum" => round(sum(col("value")), 6).as("value")
+      case "avg" => round(avg(col("value")), 6).as("value")
+      case "min" => min(col("value")).as("value")
+      case "max" => max(col("value")).as("value")
+      case "count" => count(lit(1)).cast("double").as("value")
+      case "group" => max(lit(1.0d)).as("value") // value 1 per group
+      case "quantile" =>
+        // exact interpolated quantile across the group's series — the
+        // q36 kernel (Spark percentile ≡ SQL quantile_cont)
+        val q = param.getOrElse(throw new IllegalArgumentException(
+          "quantile needs its φ parameter: quantile(0.9, v)"))
+        round(expr(s"percentile(value, $q)"), 6).as("value")
+      case "stddev" =>
+        when(count(lit(1)) > 1, round(stddev_samp(col("value")), 6))
+          .as("value")
+      case "stdvar" =>
+        when(count(lit(1)) > 1, round(var_samp(col("value")), 6))
+          .as("value")
+    }
 
   /** Null-safe conjunction over match keys between frames aliased `l`
     * and `r` — NULL (absent label) matches NULL, per the engine's
@@ -1028,9 +1159,10 @@ object PromQL {
         case (fl, fr) => BinOp(op, on, fl, fr, bool, card, ign, carry)
       }
     case Fn(n, a, p) => Fn(n, fold(a), p)
+    case Subquery(a, r, s, o) => Subquery(fold(a), r, s, o)
     case StrFn(n, a, s) => StrFn(n, fold(a), s)
-    case AggBy(o, b, a) => AggBy(o, b, fold(a))
-    case AggWithout(o, w, a) => AggWithout(o, w, fold(a))
+    case AggBy(o, b, a, q) => AggBy(o, b, fold(a), q)
+    case AggWithout(o, w, a, q) => AggWithout(o, w, fold(a), q)
     case RankK(o, k, a) => RankK(o, k, fold(a))
     case SetOp(o, on, l, r, ign) => SetOp(o, on, fold(l), fold(r), ign)
     case other => other

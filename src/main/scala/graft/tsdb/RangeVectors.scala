@@ -246,10 +246,12 @@ object RangeVectors {
   }
 
   /** The statistic → aggregate mapping shared by the tumbling and
-    * sliding single-value kernels. */
-  private def statAgg(stat: String): Column = {
+    * sliding single-value kernels (and PromQL subqueries, whose time
+    * axis is the grid column `t` rather than the sample time). */
+  private[tsdb] def statAgg(stat: String,
+                            timeCol: String = TsdbSchema.TimeCol): Column = {
     val v = col(TsdbSchema.ValueCol)
-    val tv: Column = array(col(TsdbSchema.TimeCol).cast("double"), v)
+    val tv: Column = array(col(timeCol).cast("double"), v)
     stat match {
       case "min" => min(v)
       case "max" => max(v)

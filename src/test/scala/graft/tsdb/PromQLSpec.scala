@@ -230,6 +230,90 @@ class PromQLSpec extends SparkSpec {
     assert(m === Set(("a", "up", 81.0), ("b", "up", 64.0)))
   }
 
+  test("timestamp/wall-clock/round/log/sort instant functions") {
+    def m(q: String): Map[String, Double] =
+      evalQ(q).select(col("`labels.user`"), col("value"))
+        .as[(String, Double)].collect().toMap
+    // timestamp(): value ← sample epoch seconds (a=86400s, b=7200s)
+    assert(m("""timestamp({name="up"})""") ===
+      Map("a" -> 86400.0, "b" -> 7200.0))
+    // hour of those instants, UTC: 86400s = 00:00 day 2; 7200s = 02:00
+    assert(m("""hour(timestamp({name="up"}))""") ===
+      Map("a" -> 0.0, "b" -> 2.0))
+    // Jan 2 1970 = Friday (5), Jan 1 = Thursday (4); 0 = Sunday
+    assert(m("""day_of_week(timestamp({name="up"}))""") ===
+      Map("a" -> 5.0, "b" -> 4.0))
+    assert(m("""days_in_month(timestamp({name="up"}))""") ===
+      Map("a" -> 31.0, "b" -> 31.0))
+    assert(m("""year(timestamp({name="up"}))""") ===
+      Map("a" -> 1970.0, "b" -> 1970.0))
+    // round to the nearest 0.5 multiple, ties UP: 2.25 → 2.5
+    assert(m("""round({name="up"} / 4, 0.5)""") ===
+      Map("a" -> 2.5, "b" -> 2.0))
+    // default to=1
+    assert(m("""round({name="up"} / 4)""") === Map("a" -> 2.0, "b" -> 2.0))
+    // log2/log10 on exact powers (9·0+8, 8·0+8 → 8; +92 → 100)
+    assert(m("""log2({name="up"} * 0 + 8)""") === Map("a" -> 3.0, "b" -> 3.0))
+    assert(m("""log10({name="up"} * 0 + 100)""") ===
+      Map("a" -> 2.0, "b" -> 2.0))
+    // sort/sort_desc order rows by value (presentation)
+    assert(evalQ("""sort_desc({name="up"})""")
+      .select(col("value")).as[Double].collect().toSeq === Seq(9.0, 8.0))
+    assert(evalQ("""sort({name="up"})""")
+      .select(col("value")).as[Double].collect().toSeq === Seq(8.0, 9.0))
+  }
+
+  test("quantile(φ, v) and group aggregators") {
+    assert(parse("""quantile by (user) (0.9, {name="up"})""") ===
+      AggBy("quantile", Seq("user"),
+        Selector(Seq(Matcher.Eq("name", "up")), None, 0L), Some(0.9)))
+    assert(parse("""group by (name) ({name="up"})""") ===
+      AggBy("group", Seq("name"),
+        Selector(Seq(Matcher.Eq("name", "up")), None, 0L)))
+    // interpolated median of the up vector {9, 8} = 8.5
+    val med = evalQ("""quantile(0.5, {name="up"})""")
+      .select(col("value")).as[Double].collect().toSeq
+    assert(med === Seq(8.5))
+    // group: value 1 per output group
+    val g = evalQ("""group by (name) ({name="up"})""")
+      .select(col("name"), col("value")).as[(String, Double)].collect().toSet
+    assert(g === Set(("up", 1.0)))
+    // quantile without its φ parameter is a parse error (number first)
+    intercept[ParseError](parse("""quantile({name="up"})"""))
+  }
+
+  test("subqueries: expr[range:step] parses and folds over the grid") {
+    // grammar: selector subquery, fn-result subquery (postfix), offset
+    assert(parse("""{name="up"}[1d:1h]""") ===
+      Subquery(Selector(Seq(Matcher.Eq("name", "up")), None, 0L),
+        86400000L, 3600000L))
+    assert(parse("""rate({name="up"}[1h])[1d:6h] offset 30s""") ===
+      Subquery(Fn("rate",
+        Selector(Seq(Matcher.Eq("name", "up")), Some(3600000L), 0L), Nil),
+        86400000L, 21600000L, 30000L))
+    // max_over_time over a subquery ≡ max over the per-step instant
+    // vectors. [1d:5h] at At=25h: absolute-aligned grid t ∈ {5h, 10h,
+    // 15h, 20h, 25h} (first multiple of 5h ≥ At−1d = 1h). Series a
+    // (samples 0h→1, 1h→4, 24h→9, 1d staleness): t=5h..20h see 4.0;
+    // t=25h sees 9.0 (the 0h/1h samples have gone stale there).
+    val mx = evalQ("""max_over_time({name="up"}[1d:5h])""")
+      .select(col("`labels.user`"), col("value"))
+      .as[(String, Double)].collect().toMap
+    assert(mx === Map("a" -> 9.0, "b" -> 8.0))
+    // count_over_time counts grid points where the series is live
+    val ct = evalQ("""count_over_time({name="up"}[1d:5h])""")
+      .select(col("`labels.user`"), col("value"))
+      .as[(String, Double)].collect().toMap
+    assert(ct === Map("a" -> 5.0, "b" -> 5.0))
+    // inner aggregation: sum by (user) per step, then avg over steps:
+    // a = (4+4+4+4+9)/5 = 5.0, b = 8.0 at every step
+    val av = evalQ("""avg_over_time(sum by (user) ({name="up"})[1d:5h])""")
+      .select(col("user"), col("value")).as[(String, Double)].collect().toMap
+    assert(av === Map("a" -> 5.0, "b" -> 8.0))
+    // a bare subquery is not a query
+    intercept[IllegalArgumentException](evalQ("""{name="up"}[1d:7h]"""))
+  }
+
   test("bool comparisons emit 0/1; scalar-scalar ops constant-fold") {
     val b = evalQ("""{name="up"} > bool 8.5""")
       .select(col("`labels.user`"), col("value")).as[(String, Double)].collect().toMap

@@ -253,15 +253,29 @@ object TsdbProperties extends Properties("tsdb") {
           a <- expr(depth - 1)
         } yield AggBy(op, by, a)),
         Gen.lzy(for {
-          op <- Gen.oneOf("sum", "avg", "min", "max", "count")
+          op <- Gen.oneOf("sum", "avg", "min", "max", "count", "group")
           w <- Gen.nonEmptyListOf(label).map(_.distinct)
           a <- expr(depth - 1)
         } yield AggWithout(op, w, a)),
         Gen.lzy(for {
-          name <- Gen.oneOf("abs", "sqrt", "absent")
+          by <- Gen.listOf(label).map(_.distinct)
+          a <- expr(depth - 1)
+        } yield AggBy("quantile", by, a, Some(0.9))),
+        Gen.lzy(for {
+          fn <- Gen.oneOf("max_over_time", "avg_over_time",
+            "count_over_time")
+          r <- Gen.choose(2L, 48L).map(_ * 3600000L)
+          st <- Gen.choose(1L, 12L).map(_ * 3600000L)
+          off <- Gen.oneOf(0L, 60000L)
+          a <- expr(depth - 1)
+        } yield Fn(fn, Subquery(a, r, st, off), Nil)),
+        Gen.lzy(for {
+          name <- Gen.oneOf("abs", "sqrt", "absent", "log2", "log10",
+            "timestamp", "hour", "day_of_week", "year", "sort")
           a <- expr(depth - 1)
         } yield Fn(name, a, Nil)),
         Gen.lzy(expr(depth - 1).map(a => Fn("clamp", a, Seq(2.0, 8.0)))),
+        Gen.lzy(expr(depth - 1).map(a => Fn("round", a, Seq(0.5)))),
         Gen.lzy(for {
           a <- expr(depth - 1); dst <- label; src <- label
         } yield StrFn("label_replace", a, Seq(dst, "x-$1", src, "(a.*)"))),
