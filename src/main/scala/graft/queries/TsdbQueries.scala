@@ -538,6 +538,28 @@ object TsdbQueries {
           """max_over_time(rate({name="purchase"}[7d])[7d:1d])"""),
         eventsAsTsdbStored(s, dir), at = RangeEnd, lookbackMs = 86400000L,
         start = RangeStart, end = RangeEnd)),
+    // Q59: absent_over_time through the PARSER — the windowed alerting
+    // primitive: one {} 1 sample iff the selector matched NOTHING in
+    // (at-range, at]; probed with a metric that does not exist, so the
+    // row fires (the count-to-zero plan aggregates to one driver row —
+    // no data moves)
+    "tsdb_q59_promql_absent" -> ((s, dir) =>
+      graft.tsdb.PromQL.eval(
+        graft.tsdb.PromQL.parse(
+          """absent_over_time({name="no_such_metric"}[1d])"""),
+        eventsAsTsdbStored(s, dir), at = RangeEnd, lookbackMs = 86400000L,
+        start = RangeStart, end = RangeEnd)),
+    // Q60: time() + vector() through the PARSER — the grafana idiom
+    // `sum(m) - vector(time())` (e.g. seconds-since-last-report):
+    // time() resolves to the evaluation instant (scalar, const-folded),
+    // vector() lifts it to the no-label vector, default matching pairs
+    // it with the no-label global sum
+    "tsdb_q60_promql_time_vector" -> ((s, dir) =>
+      graft.tsdb.PromQL.eval(
+        graft.tsdb.PromQL.parse(
+          """sum({name="purchase"}) - vector(time())"""),
+        eventsAsTsdbStored(s, dir), at = RangeEnd, lookbackMs = 86400000L,
+        start = RangeStart, end = RangeEnd)),
     // Q57: the parameterized `quantile(φ, v)` aggregator and `group`
     // through the PARSER — per-metric exact interpolated q75 across
     // series (the q36 kernel from query text), one tiny agg over the
@@ -957,6 +979,21 @@ object TsdbQueries {
          |SELECT name AS "labels.name", u AS "labels.user",
          |  kk AS "labels.k", max(v) AS value
          |FROM rv GROUP BY 1, 2, 3""".stripMargin,
+    "tsdb_q59_promql_absent" ->
+      s"""$duckTsdbCte
+         |SELECT CAST($RangeEnd AS BIGINT) AS time,
+         |  CAST(1.0 AS DOUBLE) AS value
+         |WHERE (SELECT count(*) FROM t
+         |  WHERE "labels.name" = 'no_such_metric'
+         |    AND time > ${RangeEnd - 86400000L} AND time <= $RangeEnd) = 0""".stripMargin,
+    "tsdb_q60_promql_time_vector" ->
+      s"""$duckTsdbCte,
+         |iv AS (SELECT list_extract(max([CAST(time AS DOUBLE), value]), 2) AS value
+         |  FROM t WHERE "labels.name" = 'purchase'
+         |    AND time > ${RangeEnd - 86400000L} AND time <= $RangeEnd
+         |  GROUP BY "labels.name", "labels.user", "labels.k")
+         |SELECT round(round(sum(value), 6) - ${RangeEnd / 1000.0}, 6) AS value
+         |FROM iv""".stripMargin,
     "tsdb_q57_promql_agg_quantile" ->
       s"""$duckTsdbCte,
          |iv AS (SELECT "labels.name" AS name,

@@ -25,13 +25,25 @@ import graft.model.Matcher
   * {{{
   *   expr     := or-level expression with Prometheus's precedence:
   *               or < and,unless < cmp < "+","-" < "*","/","%" < "^" < unary "-"
-  *   agg      := ("sum"|"avg"|"min"|"max"|"count") "by" "(" names ")" "(" expr ")"
+  *   binop    := expr op ["bool"] [("on"|"ignoring") "(" names ")"]
+  *               [("group_left"|"group_right") ["(" names ")"]] expr
+  *   agg      := op ["by"|"without" "(" names ")"] "(" [num ","] expr ")"
+  *               op ∈ sum avg min max count stddev stdvar group quantile(φ,)
   *             | ("topk"|"bottomk") "(" int "," expr ")"
   *   fn       := name "(" [num ","] expr ["," num]* ")"   e.g. rate(v[1d]),
-  *               holt_winters(v[1d], 0.5, 0.3), quantile_over_time(0.9, v[1d])
+  *               holt_winters(v[1d], 0.5, 0.3), quantile_over_time(0.9, v[1d]);
+  *               also time(), vector(s), timestamp/wall-clock/round/log/sort
   *   selector := [metric] "{" m ("," m)* "}" ["[" dur "]"] ["offset" dur]
+  *   subquery := term "[" dur ":" dur "]" ["offset" dur]   (instant mode;
+  *               consumed by an *_over_time function)
   *   m        := label ("=" | "!=" | "=~" | "!~") quoted
   * }}}
+  *
+  * Known deviations from Prometheus, documented rather than hidden:
+  * `scalar()` is unsupported (use vector matching); subqueries evaluate
+  * in instant mode only; subquery `[1h:]` default-step and `@` modifiers
+  * are not implemented; wall-clock fns require their vector argument
+  * explicitly (no implicit `vector(time())`).
   */
 object PromQL {
 
@@ -54,6 +66,10 @@ object PromQL {
                               param: Option[Double] = None) extends Expr
   final case class RankK(op: String, k: Int, arg: Expr) extends Expr
   final case class ScalarLit(v: Double) extends Expr
+  /** `time()` — the evaluation timestamp in epoch seconds: a scalar
+    * (the instant `at`) in instant mode, the per-step grid time in
+    * range mode. */
+  case object TimeLit extends Expr
   /** PromQL subquery `expr[range:step]` (+ optional trailing offset):
     * the inner expression evaluated at every absolute-aligned grid
     * point t ≡ 0 (mod step) in [at − offset − range, at − offset] —
@@ -115,6 +131,7 @@ object PromQL {
         s"(${param.fold("")(p => s"$p, ")}${render(arg)})"
     case RankK(op, k, arg) => s"$op($k, ${render(arg)})"
     case ScalarLit(v) => v.toString
+    case TimeLit => "time()"
     case Subquery(arg, r, st, off) =>
       val o = if (off != 0L) s" offset ${off / 1000}s" else ""
       s"(${render(arg)})[${r / 1000}s:${st / 1000}s]$o"
@@ -241,7 +258,7 @@ object PromQL {
     "avg_over_time", "min_over_time", "max_over_time", "sum_over_time",
     "count_over_time", "last_over_time", "present_over_time",
     "stddev_over_time", "stdvar_over_time", "delta", "deriv",
-    "predict_linear", "histogram_quantile")
+    "predict_linear", "histogram_quantile", "absent_over_time")
   /** The single-value `*_over_time` family → [[RangeVectors.overTimeStat]]
     * statistic keys (composable: output is labels + bucket + `value`). */
   private val OverTimeStats = Map(
@@ -263,7 +280,8 @@ object PromQL {
     "sgn", "clamp", "clamp_min", "clamp_max", "absent",
     "log2", "log10", "round", "timestamp", "sort", "sort_desc",
     "hour", "minute", "day_of_week", "day_of_month", "days_in_month",
-    "month", "year")
+    "month", "year",
+    "vector") // scalar→vector conversion; eval intercepts before instantFn
   private val StrFns = Set("label_replace", "label_join", "count_values")
   private val LeadingParamFns = Set("quantile_over_time", "histogram_quantile")
 
@@ -424,6 +442,10 @@ object PromQL {
     if (p.peekNumber) return ScalarLit(p.number())
     if (p.peek('{')) return parseSelector(p, None)
     val name = p.ident()
+    if (name == "time" && p.peek('(')) {
+      p.expect('('); p.expect(')')
+      return TimeLit
+    }
     def names(): Seq[String] = {
       p.expect('(')
       val b = Seq.newBuilder[String]
@@ -538,7 +560,8 @@ object PromQL {
     *                   bucket over (tumbling `[duration]` buckets)
     */
   def eval(expr: Expr, wide: DataFrame, at: Long, lookbackMs: Long,
-           start: Long, end: Long): DataFrame = fold(expr) match {
+           start: Long, end: Long): DataFrame =
+    fold(substTime(expr, at / 1000.0)) match {
     case Selector(ms, None, off) =>
       RangeVectors.instant(TsdbTable(wide).select(ms), at - off, lookbackMs)
     case Selector(ms, Some(_), _) =>
@@ -549,6 +572,21 @@ object PromQL {
       // cumulative bucket series; groups = every label except `le`
       histQuantile(eval(arg, wide, at, lookbackMs, start, end),
         params.head, extra = Nil)
+    case Fn("vector", ScalarLit(v), _) =>
+      // scalar → the one-element no-label vector at the instant
+      wide.sparkSession.range(1)
+        .select(lit(at).as(TsdbSchema.TimeCol),
+          lit(v).cast("double").as(TsdbSchema.ValueCol))
+    case Fn("vector", _, _) =>
+      throw new IllegalArgumentException(
+        "vector() needs a scalar expression (a number or time())")
+    case Fn("absent_over_time", Selector(ms, Some(rangeMs), off), _) =>
+      // the alerting primitive over a window: a {} 1 sample exactly
+      // when the selector matched nothing in (at − range, at]
+      TsdbTable(wide).select(at - off - rangeMs, at - off + 1, ms)
+        .agg(count(lit(1)).as("n")).where(col("n") === 0)
+        .select(lit(at).as(TsdbSchema.TimeCol),
+          lit(1.0d).as(TsdbSchema.ValueCol))
     case Fn(name, Selector(ms, Some(stepMs), off), params) =>
       val sel = TsdbTable(wide).select(start - off, end - off, ms)
       // a multi-stat kernel frame re-projected to labels+bucket+value —
@@ -731,6 +769,27 @@ object PromQL {
       Seq("bucket")
     else Nil
 
+  /** Instant-mode `time()` resolution: the evaluation timestamp is a
+    * constant there, so TimeLit becomes a scalar literal BEFORE folding
+    * and `time() / 3600 > bool 2` const-folds like any scalar. (Range
+    * mode keeps TimeLit — the grid time varies per step.) */
+  private def substTime(e: Expr, atSec: Double): Expr = e match {
+    case TimeLit => ScalarLit(atSec)
+    case BinOp(op, on, l, r, b, c, i, cr) =>
+      BinOp(op, on, substTime(l, atSec), substTime(r, atSec), b, c, i, cr)
+    case SetOp(op, on, l, r, i) =>
+      SetOp(op, on, substTime(l, atSec), substTime(r, atSec), i)
+    case Fn(n, a, p) => Fn(n, substTime(a, atSec), p)
+    case StrFn(n, a, s) => StrFn(n, substTime(a, atSec), s)
+    case AggBy(o, b, a, q) => AggBy(o, b, substTime(a, atSec), q)
+    case AggWithout(o, w, a, q) => AggWithout(o, w, substTime(a, atSec), q)
+    case RankK(o, k, a) => RankK(o, k, substTime(a, atSec))
+    // a subquery's inner expression evaluates in range mode, where
+    // time() is the per-step grid time — leave it unresolved
+    case s: Subquery => s
+    case other => other
+  }
+
   /** Effective match-key set: `on(keys)` verbatim when given, else the
     * default full shared label set minus `ignoring(keys)`. */
   private def matchKeys(on: Seq[String], ignoring: Seq[String],
@@ -886,6 +945,23 @@ object PromQL {
         "subqueries are instant-query only — evaluate with eval(); " +
           "range-mode subqueries (a grid per grid point) are not " +
           "supported")
+    case TimeLit =>
+      // the per-step grid time as a no-label vector (epoch seconds)
+      wide.sparkSession.range((end - start) / stepMs + 1)
+        .select((lit(start) + col("id") * stepMs).as("t"))
+        .select(col("t"),
+          (col("t").cast("double") / 1000.0).as(TsdbSchema.ValueCol))
+    case Fn("vector", arg, _) =>
+      fold(arg) match {
+        case ScalarLit(v) =>
+          wide.sparkSession.range((end - start) / stepMs + 1)
+            .select((lit(start) + col("id") * stepMs).as("t"),
+              lit(v).cast("double").as(TsdbSchema.ValueCol))
+        case TimeLit => evalRange(TimeLit, wide, start, end, stepMs,
+          lookbackMs)
+        case _ => throw new IllegalArgumentException(
+          "vector() needs a scalar expression (a number or time())")
+      }
     case Fn("histogram_quantile", arg, params) =>
       // per-step bucket interpolation: the evaluation grid `t` joins the
       // grouping label set, so each step's cumulative buckets interpolate
@@ -971,6 +1047,14 @@ object PromQL {
     case BinOp(op, _, ScalarLit(s), r, bool, _, _, _) =>
       scalarOp(evalRange(r, wide, start, end, stepMs, lookbackMs), op,
         lit(s), flipped = true, bool = bool)
+    // time() as a binary operand is a per-step SCALAR (the grid time in
+    // epoch seconds) — each row's own `t` column, no join needed
+    case BinOp(op, _, l, TimeLit, bool, _, _, _) =>
+      scalarOp(evalRange(l, wide, start, end, stepMs, lookbackMs), op,
+        col("t").cast("double") / 1000.0, flipped = false, bool = bool)
+    case BinOp(op, _, TimeLit, r, bool, _, _, _) =>
+      scalarOp(evalRange(r, wide, start, end, stepMs, lookbackMs), op,
+        col("t").cast("double") / 1000.0, flipped = true, bool = bool)
     case BinOp(op, on, l, r, bool, card, ign, carry) if card.nonEmpty =>
       vectorBinOpCard(op, on, ign, carry,
         evalRange(l, wide, start, end, stepMs, lookbackMs),

@@ -55,6 +55,18 @@ class PlanQualitySpec extends SparkSpec {
     assert(exchanges <= 2, s"sliding rate re-shuffles ($exchanges):\n$plan")
   }
 
+  test("subquery: one exchange end-to-end, window prefilter at the scan") {
+    val plan = planOf("tsdb_q58_promql_subquery")
+    assert("PushedFilters: \\[[^\\]]*GreaterThan\\(time".r
+      .findFirstIn(plan).isDefined,
+      s"subquery grid prefilter not pushed:\n$plan")
+    // the series-partitioned lag exchange satisfies BOTH downstream
+    // aggregations ((series, t) rate grid, then the per-series fold) —
+    // hash partitioning on a subset of the grouping keys clusters them
+    val exchanges = shuffleExchanges(plan)
+    assert(exchanges <= 1, s"subquery re-shuffles ($exchanges):\n$plan")
+  }
+
   test("time-range matcher query pushes predicates to the parquet scan") {
     val plan = planOf("tsdb_q2_range")
     assert(plan.contains("PushedFilters: ["), "scan should list pushed filters")

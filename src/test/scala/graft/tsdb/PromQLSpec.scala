@@ -314,6 +314,35 @@ class PromQLSpec extends SparkSpec {
     intercept[IllegalArgumentException](evalQ("""{name="up"}[1d:7h]"""))
   }
 
+  test("time(), vector() and absent_over_time") {
+    assert(parse("time()") === TimeLit)
+    assert(parse("vector(1)") === Fn("vector", ScalarLit(1.0), Nil))
+    // time() is the evaluation instant in seconds (At = 90000000 ms)
+    val t = evalQ("""{name="up"} * time()""")
+      .select(col("`labels.user`"), col("value"))
+      .as[(String, Double)].collect().toMap
+    assert(t === Map("a" -> 810000.0, "b" -> 720000.0))
+    // vector(s): the one-element no-label vector
+    assert(evalQ("vector(42)").select(col("value")).as[Double]
+      .collect().toSeq === Seq(42.0))
+    // no-label vectors match each other under default matching
+    assert(evalQ("""sum({name="up"}) - vector(time())""")
+      .select(col("value")).as[Double].collect().toSeq === Seq(-89983.0))
+    // absent_over_time: {} 1 iff the selector matched nothing in-window
+    val ab = evalQ("""absent_over_time({name="nosuch"}[1d])""")
+    assert(ab.collect().map(_.toSeq).toSeq === Seq(Seq(At, 1.0)))
+    assert(evalQ("""absent_over_time({name="up"}[1d])""").count() === 0L)
+    // range mode: time() is the per-step grid time
+    val rt = evalRange(parse("""{name="up"} * time()"""), wide,
+      start = 0L, end = 86400000L, stepMs = 86400000L,
+      lookbackMs = 86400000L)
+      .select(col("`labels.user`"), col("t"), col("value"))
+      .as[(String, Long, Double)].collect().toSet
+    // t=0: a→1·0=0, b→2·0=0; t=86400000: a→9·86400=777600, b→8·86400
+    assert(rt === Set(("a", 0L, 0.0), ("b", 0L, 0.0),
+      ("a", 86400000L, 777600.0), ("b", 86400000L, 691200.0)))
+  }
+
   test("bool comparisons emit 0/1; scalar-scalar ops constant-fold") {
     val b = evalQ("""{name="up"} > bool 8.5""")
       .select(col("`labels.user`"), col("value")).as[(String, Double)].collect().toMap

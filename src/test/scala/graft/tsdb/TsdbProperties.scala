@@ -236,6 +236,10 @@ object TsdbProperties extends Properties("tsdb") {
       if (depth == 0) instant
       else Gen.oneOf(
         instant,
+        Gen.const(TimeLit),
+        Gen.oneOf(Gen.const(Fn("vector", TimeLit, Nil)),
+          Gen.choose(0, 9).map(n => Fn("vector", ScalarLit(n), Nil))),
+        ranged.map(Fn("absent_over_time", _, Nil)),
         ranged.map(Fn("rate", _, Nil)),
         ranged.map(Fn("holt_winters", _, Seq(0.5, 0.3))),
         ranged.map(Fn("quantile_over_time", _, Seq(0.9))),
