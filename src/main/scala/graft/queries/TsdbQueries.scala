@@ -560,6 +560,16 @@ object TsdbQueries {
           """sum({name="purchase"}) - vector(time())"""),
         eventsAsTsdbStored(s, dir), at = RangeEnd, lookbackMs = 86400000L,
         start = RangeStart, end = RangeEnd)),
+    // Q61: scalar() through the PARSER — the normalization idiom
+    // `m / scalar(sum(m))` (each series' share of the total): the
+    // scalar is ONE broadcast row cross-joined into the vector, never
+    // a vector match; exactly-one-element semantics (else NaN)
+    "tsdb_q61_promql_scalar" -> ((s, dir) =>
+      graft.tsdb.PromQL.eval(
+        graft.tsdb.PromQL.parse(
+          """sum by (user) ({name="purchase"}) / scalar(sum({name="purchase"}))"""),
+        eventsAsTsdbStored(s, dir), at = RangeEnd, lookbackMs = 86400000L,
+        start = RangeStart, end = RangeEnd)),
     // Q57: the parameterized `quantile(φ, v)` aggregator and `group`
     // through the PARSER — per-metric exact interpolated q75 across
     // series (the q36 kernel from query text), one tiny agg over the
@@ -979,6 +989,17 @@ object TsdbQueries {
          |SELECT name AS "labels.name", u AS "labels.user",
          |  kk AS "labels.k", max(v) AS value
          |FROM rv GROUP BY 1, 2, 3""".stripMargin,
+    "tsdb_q61_promql_scalar" ->
+      s"""$duckTsdbCte,
+         |iv AS (SELECT "labels.user" AS "user",
+         |  list_extract(max([CAST(time AS DOUBLE), value]), 2) AS value
+         |  FROM t WHERE "labels.name" = 'purchase'
+         |    AND time > ${RangeEnd - 86400000L} AND time <= $RangeEnd
+         |  GROUP BY 1, "labels.name", "labels.k"),
+         |tot AS (SELECT round(sum(value), 6) AS v FROM iv)
+         |SELECT "user",
+         |  round(round(sum(value), 6) / (SELECT v FROM tot), 6) AS value
+         |FROM iv GROUP BY 1""".stripMargin,
     "tsdb_q59_promql_absent" ->
       s"""$duckTsdbCte
          |SELECT CAST($RangeEnd AS BIGINT) AS time,

@@ -40,10 +40,10 @@ import graft.model.Matcher
   * }}}
   *
   * Known deviations from Prometheus, documented rather than hidden:
-  * `scalar()` is unsupported (use vector matching); subqueries evaluate
-  * in instant mode only; subquery `[1h:]` default-step and `@` modifiers
-  * are not implemented; wall-clock fns require their vector argument
-  * explicitly (no implicit `vector(time())`).
+  * subqueries evaluate in instant mode only; subquery `[1h:]`
+  * default-step and `@` modifiers are not implemented; wall-clock fns
+  * require their vector argument explicitly (no implicit
+  * `vector(time())`).
   */
 object PromQL {
 
@@ -281,7 +281,9 @@ object PromQL {
     "log2", "log10", "round", "timestamp", "sort", "sort_desc",
     "hour", "minute", "day_of_week", "day_of_month", "days_in_month",
     "month", "year",
-    "vector") // scalar→vector conversion; eval intercepts before instantFn
+    // conversions — eval intercepts both before instantFn
+    "vector",  // scalar → one-element no-label vector
+    "scalar")  // vector → scalar: its value iff exactly 1 element, NaN else
   private val StrFns = Set("label_replace", "label_join", "count_values")
   private val LeadingParamFns = Set("quantile_over_time", "histogram_quantile")
 
@@ -577,9 +579,19 @@ object PromQL {
       wide.sparkSession.range(1)
         .select(lit(at).as(TsdbSchema.TimeCol),
           lit(v).cast("double").as(TsdbSchema.ValueCol))
+    case Fn("vector", s @ Fn("scalar", _, _), _) =>
+      // vector(scalar(v)) — scalar() already renders as the one-row
+      // no-label vector
+      eval(s, wide, at, lookbackMs, start, end)
     case Fn("vector", _, _) =>
       throw new IllegalArgumentException(
         "vector() needs a scalar expression (a number or time())")
+    case Fn("scalar", arg, _) =>
+      // standalone scalar(v): its value iff the vector has exactly one
+      // element, else NaN — rendered as the one-row scalar frame
+      scalarFrame(eval(arg, wide, at, lookbackMs, start, end))
+        .select(lit(at).as(TsdbSchema.TimeCol),
+          col("_scalar_").as(TsdbSchema.ValueCol))
     case Fn("absent_over_time", Selector(ms, Some(rangeMs), off), _) =>
       // the alerting primitive over a window: a {} 1 sample exactly
       // when the selector matched nothing in (at − range, at]
@@ -718,6 +730,22 @@ object PromQL {
       scalarOp(eval(r, wide, at, lookbackMs, start, end), op, lit(s),
         flipped = true, bool = bool)
 
+    // scalar(v) as a binary operand: a DATA-DEPENDENT scalar — one
+    // 1-row aggregate, broadcast cross-joined into every row of the
+    // other side (no vector matching, per Prometheus scalar semantics)
+    case BinOp(op, _, l, Fn("scalar", sv, _), bool, _, _, _) =>
+      val s = scalarFrame(eval(sv, wide, at, lookbackMs, start, end))
+      scalarOp(eval(l, wide, at, lookbackMs, start, end)
+          .crossJoin(broadcast(s)),
+        op, col("_scalar_"), flipped = false, bool = bool)
+        .drop("_scalar_")
+    case BinOp(op, _, Fn("scalar", sv, _), r, bool, _, _, _) =>
+      val s = scalarFrame(eval(sv, wide, at, lookbackMs, start, end))
+      scalarOp(eval(r, wide, at, lookbackMs, start, end)
+          .crossJoin(broadcast(s)),
+        op, col("_scalar_"), flipped = true, bool = bool)
+        .drop("_scalar_")
+
     case BinOp(op, on, l, r, bool, card, ign, carry) if card.nonEmpty =>
       val (lv, rv) = (eval(l, wide, at, lookbackMs, start, end),
         eval(r, wide, at, lookbackMs, start, end))
@@ -768,6 +796,22 @@ object PromQL {
     if (lv.columns.contains("bucket") && rv.columns.contains("bucket"))
       Seq("bucket")
     else Nil
+
+  /** One row, one column `_scalar_` = PromQL `scalar()` of the vector:
+    * its value iff the vector has exactly one element, NaN otherwise
+    * (including empty — a global aggregate always yields the row). */
+  private def scalarFrame(iv: DataFrame): DataFrame =
+    iv.agg(count(lit(1)).as("_n_"), max(col(TsdbSchema.ValueCol)).as("_v_"))
+      .select(when(col("_n_") === 1, col("_v_"))
+        .otherwise(lit(Double.NaN)).cast("double").as("_scalar_"))
+
+  /** Per-step [[scalarFrame]]: `(t, _scalar_)` for the grid points the
+    * inner vector reaches (missing steps are left-join + NaN at use). */
+  private def scalarFrameRange(grid: DataFrame): DataFrame =
+    grid.groupBy(col("t"))
+      .agg(count(lit(1)).as("_n_"), max(col(TsdbSchema.ValueCol)).as("_v_"))
+      .select(col("t"), when(col("_n_") === 1, col("_v_"))
+        .otherwise(lit(Double.NaN)).cast("double").as("_scalar_"))
 
   /** Instant-mode `time()` resolution: the evaluation timestamp is a
     * constant there, so TimeLit becomes a scalar literal BEFORE folding
@@ -959,9 +1003,20 @@ object PromQL {
               lit(v).cast("double").as(TsdbSchema.ValueCol))
         case TimeLit => evalRange(TimeLit, wide, start, end, stepMs,
           lookbackMs)
+        case s @ Fn("scalar", _, _) =>
+          evalRange(s, wide, start, end, stepMs, lookbackMs)
         case _ => throw new IllegalArgumentException(
           "vector() needs a scalar expression (a number or time())")
       }
+    case Fn("scalar", arg, _) =>
+      // per-step scalar(v): every grid point gets a row — the inner
+      // vector's value where it has exactly one element, NaN elsewhere
+      evalRange(TimeLit, wide, start, end, stepMs, lookbackMs).select("t")
+        .join(scalarFrameRange(
+          evalRange(arg, wide, start, end, stepMs, lookbackMs)),
+          Seq("t"), "left")
+        .select(col("t"), coalesce(col("_scalar_"), lit(Double.NaN))
+          .as(TsdbSchema.ValueCol))
     case Fn("histogram_quantile", arg, params) =>
       // per-step bucket interpolation: the evaluation grid `t` joins the
       // grouping label set, so each step's cumulative buckets interpolate
@@ -1055,6 +1110,26 @@ object PromQL {
     case BinOp(op, _, TimeLit, r, bool, _, _, _) =>
       scalarOp(evalRange(r, wide, start, end, stepMs, lookbackMs), op,
         col("t").cast("double") / 1000.0, flipped = true, bool = bool)
+    // scalar(v) as a per-step operand: tiny (one row per step) — a
+    // broadcast equi-join on t, NaN where the inner vector has ≠1 rows
+    case BinOp(op, _, l, Fn("scalar", sv, _), bool, _, _, _) =>
+      val s = scalarFrameRange(
+        evalRange(sv, wide, start, end, stepMs, lookbackMs))
+      val lv = evalRange(l, wide, start, end, stepMs, lookbackMs)
+        .join(broadcast(s), Seq("t"), "left")
+        .withColumn("_scalar_",
+          coalesce(col("_scalar_"), lit(Double.NaN)))
+      scalarOp(lv, op, col("_scalar_"), flipped = false, bool = bool)
+        .drop("_scalar_")
+    case BinOp(op, _, Fn("scalar", sv, _), r, bool, _, _, _) =>
+      val s = scalarFrameRange(
+        evalRange(sv, wide, start, end, stepMs, lookbackMs))
+      val rv = evalRange(r, wide, start, end, stepMs, lookbackMs)
+        .join(broadcast(s), Seq("t"), "left")
+        .withColumn("_scalar_",
+          coalesce(col("_scalar_"), lit(Double.NaN)))
+      scalarOp(rv, op, col("_scalar_"), flipped = true, bool = bool)
+        .drop("_scalar_")
     case BinOp(op, on, l, r, bool, card, ign, carry) if card.nonEmpty =>
       vectorBinOpCard(op, on, ign, carry,
         evalRange(l, wide, start, end, stepMs, lookbackMs),

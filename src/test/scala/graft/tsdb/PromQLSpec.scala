@@ -343,6 +343,41 @@ class PromQLSpec extends SparkSpec {
       ("a", 86400000L, 777600.0), ("b", 86400000L, 691200.0)))
   }
 
+  test("scalar(): data-dependent scalar, NaN unless exactly one element") {
+    // sum() collapses to one element → its value
+    assert(evalQ("""{name="up"} / scalar(sum({name="up"}))""")
+      .select(col("`labels.user`"), col("value"))
+      .as[(String, Double)].collect().toMap ===
+      Map("a" -> 9.0 / 17.0, "b" -> 8.0 / 17.0).map {
+        case (k, v) => k -> math.rint(v * 1e6) / 1e6 })
+    // two elements → NaN; arithmetic with NaN stays NaN (rows kept)
+    val nan = evalQ("""{name="up"} * scalar({name="up"})""")
+      .select(col("value")).as[Double].collect()
+    assert(nan.length === 2 && nan.forall(_.isNaN))
+    // empty vector → NaN
+    val e = evalQ("""{name="up"} * scalar({name="nosuch"})""")
+      .select(col("value")).as[Double].collect()
+    assert(e.length === 2 && e.forall(_.isNaN))
+    // comparison against a NaN scalar filters everything (IEEE)
+    assert(evalQ("""{name="up"} > scalar({name="up"})""").count() === 0L)
+    // standalone and vector(scalar(v)) forms
+    assert(evalQ("""scalar(sum({name="up"}))""")
+      .select(col("value")).as[Double].collect().toSeq === Seq(17.0))
+    assert(evalQ("""vector(scalar(sum({name="up"})))""")
+      .select(col("value")).as[Double].collect().toSeq === Seq(17.0))
+    // range mode: per-step scalar joins on t
+    val rt = evalRange(parse(
+      """{name="up"} / scalar(sum({name="up"}))"""), wide,
+      start = 0L, end = 86400000L, stepMs = 86400000L,
+      lookbackMs = 86400000L)
+      .select(col("`labels.user`"), col("t"), col("value"))
+      .as[(String, Long, Double)].collect().toSet
+    // t=0: values 1,2 sum 3 → 1/3, 2/3; t=1d: values 9,8 sum 17
+    def r6(x: Double) = math.rint(x * 1e6) / 1e6
+    assert(rt === Set(("a", 0L, r6(1.0 / 3)), ("b", 0L, r6(2.0 / 3)),
+      ("a", 86400000L, r6(9.0 / 17)), ("b", 86400000L, r6(8.0 / 17))))
+  }
+
   test("bool comparisons emit 0/1; scalar-scalar ops constant-fold") {
     val b = evalQ("""{name="up"} > bool 8.5""")
       .select(col("`labels.user`"), col("value")).as[(String, Double)].collect().toMap

@@ -275,7 +275,7 @@ object TsdbProperties extends Properties("tsdb") {
         } yield Fn(fn, Subquery(a, r, st, off), Nil)),
         Gen.lzy(for {
           name <- Gen.oneOf("abs", "sqrt", "absent", "log2", "log10",
-            "timestamp", "hour", "day_of_week", "year", "sort")
+            "timestamp", "hour", "day_of_week", "year", "sort", "scalar")
           a <- expr(depth - 1)
         } yield Fn(name, a, Nil)),
         Gen.lzy(expr(depth - 1).map(a => Fn("clamp", a, Seq(2.0, 8.0)))),
