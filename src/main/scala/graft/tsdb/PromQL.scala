@@ -281,6 +281,8 @@ object PromQL {
     "log2", "log10", "round", "timestamp", "sort", "sort_desc",
     "hour", "minute", "day_of_week", "day_of_month", "days_in_month",
     "month", "year",
+    "sin", "cos", "tan", "asin", "acos", "atan",
+    "sinh", "cosh", "tanh", "deg", "rad",
     // conversions — eval intercepts both before instantFn
     "vector",  // scalar → one-element no-label vector
     "scalar")  // vector → scalar: its value iff exactly 1 element, NaN else
@@ -447,6 +449,10 @@ object PromQL {
     if (name == "time" && p.peek('(')) {
       p.expect('('); p.expect(')')
       return TimeLit
+    }
+    if (name == "pi" && p.peek('(')) {
+      p.expect('('); p.expect(')')
+      return ScalarLit(math.Pi)
     }
     def names(): Seq[String] = {
       p.expect('(')
@@ -1197,6 +1203,18 @@ object PromQL {
       case "year" => mapV(year(timestamp_seconds(v)).cast("double"))
       case "sort" => iv.orderBy(v.asc_nulls_last)
       case "sort_desc" => iv.orderBy(v.desc_nulls_last)
+      // the Prometheus trigonometry group (radians, like Go math)
+      case "sin" => mapV(round(sin(v), 6))
+      case "cos" => mapV(round(cos(v), 6))
+      case "tan" => mapV(round(tan(v), 6))
+      case "asin" => mapV(round(asin(v), 6))
+      case "acos" => mapV(round(acos(v), 6))
+      case "atan" => mapV(round(atan(v), 6))
+      case "sinh" => mapV(round(sinh(v), 6))
+      case "cosh" => mapV(round(cosh(v), 6))
+      case "tanh" => mapV(round(tanh(v), 6))
+      case "deg" => mapV(round(v * lit(180.0 / math.Pi), 6))
+      case "rad" => mapV(round(v * lit(math.Pi / 180.0), 6))
       case "absent" =>
         // the alerting primitive: a {} 1 sample exactly when the
         // argument vector is empty at the evaluation instant

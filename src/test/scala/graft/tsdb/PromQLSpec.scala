@@ -378,6 +378,28 @@ class PromQLSpec extends SparkSpec {
       ("a", 86400000L, r6(9.0 / 17)), ("b", 86400000L, r6(8.0 / 17))))
   }
 
+  test("trigonometry group, deg/rad, pi()") {
+    def m(q: String): Map[String, Double] =
+      evalQ(q).select(col("`labels.user`"), col("value"))
+        .as[(String, Double)].collect().toMap
+    // exact points: v·0 → sin 0 / cos 1; +1 → sinh/cosh/tanh of 1
+    assert(m("""sin({name="up"} * 0)""") === Map("a" -> 0.0, "b" -> 0.0))
+    assert(m("""cos({name="up"} * 0)""") === Map("a" -> 1.0, "b" -> 1.0))
+    assert(m("""atan({name="up"} * 0)""") === Map("a" -> 0.0, "b" -> 0.0))
+    assert(m("""tanh({name="up"} * 0 + 1)""") ===
+      Map("a" -> 0.761594, "b" -> 0.761594))
+    // deg/rad: 180° = π rad; round-to-6 applied like the other fns
+    assert(m("""rad({name="up"} * 0 + 180)""") ===
+      Map("a" -> 3.141593, "b" -> 3.141593))
+    assert(m("""deg({name="up"} * 0 + 1)""") ===
+      Map("a" -> 57.29578, "b" -> 57.29578))
+    // pi() is a scalar literal; asin(sin) identity at exact 0
+    assert(parse("pi()") === ScalarLit(math.Pi))
+    assert(fold(parse("pi() / pi()")) === ScalarLit(1.0))
+    assert(m("""asin(sin({name="up"} * 0))""") ===
+      Map("a" -> 0.0, "b" -> 0.0))
+  }
+
   test("bool comparisons emit 0/1; scalar-scalar ops constant-fold") {
     val b = evalQ("""{name="up"} > bool 8.5""")
       .select(col("`labels.user`"), col("value")).as[(String, Double)].collect().toMap
