@@ -56,6 +56,21 @@ object ScaleStress {
     // array per (series, bucket) — must scale in rows, not series²
     time("holt_winters 1d")(
       RangeVectors.holtWinters(t.df, 86400000L, 0.5, 0.5, 0.3, 0.7).count())
+    // PromQL text tier at Nx series: sliding-window rate (pair fan-out,
+    // cost = matched rows × window/step overlap) and a subquery fold —
+    // one evalRange pass + one per-series aggregation; a re-scan-per-step
+    // implementation would blow up HERE, at 10× series × 15 steps
+    time(s"promql sliding rate ${factor}x")(
+      graft.tsdb.PromQL.evalRange(
+        graft.tsdb.PromQL.parse("""rate({name="purchase"}[7d])"""),
+        t.df, start = Tables.RangeStart, end = Tables.RangeEnd,
+        stepMs = 86400000L, lookbackMs = 86400000L).count())
+    time(s"promql subquery fold ${factor}x")(
+      graft.tsdb.PromQL.eval(
+        graft.tsdb.PromQL.parse(
+          """max_over_time(rate({name="purchase"}[7d])[7d:1d])"""),
+        t.df, at = Tables.RangeEnd, lookbackMs = 86400000L,
+        start = Tables.RangeStart, end = Tables.RangeEnd).count())
 
     // lifecycle tier at Nx: compaction must scale in bytes (one range
     // shuffle), retention in TOUCHED bytes only — the footer triage must
