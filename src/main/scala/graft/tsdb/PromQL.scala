@@ -24,7 +24,8 @@ import graft.model.Matcher
   *
   * {{{
   *   expr     := or-level expression with Prometheus's precedence:
-  *               or < and,unless < cmp < "+","-" < "*","/","%" < "^" < unary "-"
+  *               or < and,unless < cmp < "+","-" < "*","/","%","atan2"
+  *               < "^" < unary "-"
   *   binop    := expr op ["bool"] [("on"|"ignoring") "(" names ")"]
   *               [("group_left"|"group_right") ["(" names ")"]] expr
   *   agg      := op ["by"|"without" "(" names ")"] "(" [num ","] expr ")"
@@ -331,7 +332,25 @@ object PromQL {
   private def parseCmp(p: P): Expr =
     binLevel(p, Seq(">=", "<=", "==", "!=", ">", "<"), parseAdd)
   private def parseAdd(p: P): Expr = binLevel(p, Seq("+", "-"), parseMul)
-  private def parseMul(p: P): Expr = binLevel(p, Seq("*", "/", "%"), parsePow)
+
+  /** `*` `/` `%` plus Prometheus's one KEYWORD arithmetic operator,
+    * `atan2`, which shares this precedence level. */
+  private def parseMul(p: P): Expr = {
+    var left = parsePow(p)
+    var more = true
+    while (more) p.sym("*", "/", "%") match {
+      case Some(op) =>
+        val m = parseModifiers(p, op)
+        left = BinOp(op, m.on, left, parsePow(p), m.bool, m.card,
+          m.ignoring, m.carry)
+      case None if p.keyword("atan2") =>
+        val m = parseModifiers(p, "atan2")
+        left = BinOp("atan2", m.on, left, parsePow(p), m.bool, m.card,
+          m.ignoring, m.carry)
+      case None => more = false
+    }
+    left
+  }
 
   /** `^` is RIGHT-associative in PromQL: 2^3^2 = 2^(3^2) = 512. */
   private def parsePow(p: P): Expr = {
@@ -935,6 +954,7 @@ object PromQL {
     case "/" => a / b
     case "%" => a % b
     case "^" => pow(a, b)
+    case "atan2" => atan2(a, b)
   }
 
   /** `and` / `or` / `unless` — membership on `on(keys)` when given,
@@ -1332,6 +1352,7 @@ object PromQL {
               // same fmod the vector path's Remainder expression computes
               case "%" => a % b
               case "^" => math.pow(a, b)
+              case "atan2" => math.atan2(a, b)
             })
         case (fl, fr) => BinOp(op, on, fl, fr, bool, card, ign, carry)
       }

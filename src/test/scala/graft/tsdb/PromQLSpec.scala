@@ -400,6 +400,28 @@ class PromQLSpec extends SparkSpec {
       Map("a" -> 0.0, "b" -> 0.0))
   }
 
+  test("atan2 keyword operator at the */% precedence level") {
+    val a = Selector(Seq(Matcher.Eq("__name__", "a")), None, 0L)
+    val b = Selector(Seq(Matcher.Eq("__name__", "b")), None, 0L)
+    val c = Selector(Seq(Matcher.Eq("__name__", "c")), None, 0L)
+    // binds tighter than +, like * and /
+    assert(parse("a + b atan2 c") ===
+      BinOp("+", Nil, a, BinOp("atan2", Nil, b, c)))
+    assert(fold(parse("1 atan2 0")) === ScalarLit(math.atan2(1.0, 0.0)))
+    assert(fold(parse("0 atan2 1")) === ScalarLit(0.0))
+    // vector atan2 scalar: atan2(1, 1) = π/4 (rounded to 6 like arith)
+    val v = evalQ("""({name="up"} * 0 + 1) atan2 1""")
+      .select(col("`labels.user`"), col("value"))
+      .as[(String, Double)].collect().toMap
+    assert(v === Map("a" -> 0.785398, "b" -> 0.785398))
+    // vector-vector with matching
+    val vv = evalQ(
+      """({name="up"} * 0 + 1) atan2 on(user) ({name="up"} * 0)""")
+      .select(col("user"), col("value")).as[(String, Double)]
+      .collect().toMap
+    assert(vv === Map("a" -> 1.570796, "b" -> 1.570796))
+  }
+
   test("bool comparisons emit 0/1; scalar-scalar ops constant-fold") {
     val b = evalQ("""{name="up"} > bool 8.5""")
       .select(col("`labels.user`"), col("value")).as[(String, Double)].collect().toMap

@@ -302,7 +302,7 @@ object TsdbProperties extends Properties("tsdb") {
                   else Gen.const(false)
         } yield BinOp(op, Nil, a, ScalarLit(s.toDouble), bool)),
         Gen.lzy(for {
-          op <- Gen.oneOf("+", "*", "/", "%", "^")
+          op <- Gen.oneOf("+", "*", "/", "%", "^", "atan2")
           // empty on = PromQL default matching (optionally narrowed by
           // ignoring(...)); all three forms round-trip
           on <- Gen.oneOf(Gen.const(Seq.empty[String]),
