@@ -154,11 +154,24 @@ object RelationalQueries {
     // approximate distinct (HLL sketch — mergeable, O(1) state/partition;
     // the 100 TB answer to rel_q10's exact expansion). No SQL oracle:
     // sketch estimates are engine-specific → rows-only check.
-    "rel_q15_approx_distinct" -> ((s, dir) =>
+    // built-in HLL sketch (engine-private hash, so the raw estimate is
+    // not replayable in DuckDB — rel_q29 is the portable-sketch
+    // counterpart). The oracle-checkable CLAIM: each estimate lands
+    // within 5% of the exact count (rsd 1%, so a 5σ envelope; HLL is
+    // deterministic for fixed input) — exact counts + the booleans
+    // replay in SQL as count(DISTINCT) + TRUE.
+    "rel_q15_approx_distinct" -> ((s, dir) => {
+      def within(c: String) =
+        abs(approx_count_distinct(col(c), 0.01) - countDistinct(col(c)))
+          .leq(countDistinct(col(c)).cast("double") * 0.05)
       load(s, dir, "lineitem").agg(
-        approx_count_distinct(col("l_partkey")).as("approx_parts"),
-        approx_count_distinct(col("l_suppkey")).as("approx_supps"),
-        approx_count_distinct(col("l_orderkey")).as("approx_orders"))),
+        countDistinct(col("l_partkey")).as("exact_parts"),
+        countDistinct(col("l_suppkey")).as("exact_supps"),
+        countDistinct(col("l_orderkey")).as("exact_orders"),
+        within("l_partkey").as("parts_ok"),
+        within("l_suppkey").as("supps_ok"),
+        within("l_orderkey").as("orders_ok"))
+    }),
 
     // range/interval join: fact rows into broadcast interval dim —
     // non-equi predicate against a tiny build side, so the fact table
@@ -464,6 +477,12 @@ object RelationalQueries {
         |  CASE WHEN value > 250 THEN 'high' WHEN value > 100 THEN 'mid'
         |       ELSE 'low' END AS bucket
         |FROM events""".stripMargin,
+    "rel_q15_approx_distinct" ->
+      """SELECT count(DISTINCT l_partkey) AS exact_parts,
+        |  count(DISTINCT l_suppkey) AS exact_supps,
+        |  count(DISTINCT l_orderkey) AS exact_orders,
+        |  TRUE AS parts_ok, TRUE AS supps_ok, TRUE AS orders_ok
+        |FROM lineitem""".stripMargin,
     "rel_q16_range_join" ->
       """SELECT band, count(*) AS n, round(avg(l_extendedprice), 2) AS avg_price
         |FROM lineitem
