@@ -330,6 +330,20 @@ object PipelineQueries {
     // micro-batch long→wide idempotent writes, then aggregate the
     // resulting wide table — the oracle computes the same from raw
     // events, so the whole streaming ingest path is hash-checked
+    // PromQL text over Structured Streaming: the parsed selector's
+    // instant vector maintained INCREMENTALLY in complete mode — the
+    // live-dashboard materialized view (one streaming aggregate:
+    // last-sample-per-series state, bounded by series count, never
+    // history). Same eval code path as the batch tsdb_q8 — the query
+    // doesn't know it's streaming.
+    "stream_q9_promql_instant" -> ((s, dir) =>
+      graft.streaming.EventStreams.runToMemory(
+        graft.tsdb.PromQL.eval(
+          graft.tsdb.PromQL.parse("""{name="purchase"}"""),
+          graft.streaming.EventStreams.readEventsWide(s, dir),
+          at = Tables.RangeEnd, lookbackMs = 86400000L,
+          start = Tables.RangeStart, end = Tables.RangeEnd),
+        "stream_q9_promql_instant", mode = "complete")),
     "stream_q5_ingest" -> ((s, dir) => {
       val long = EventStreams.readEvents(s, dir).select(
         unix_millis(col("ts")).as("time"), col("value"),
@@ -915,6 +929,15 @@ object PipelineQueries {
         |    ORDER BY score DESC, term ASC) AS rank FROM scored)
         |SELECT doc_id, term, tf, df, score, rank
         |FROM ranked WHERE rank <= 3""".stripMargin,
+    "stream_q9_promql_instant" ->
+      s"""${Tables.duckTsdbCte}
+         |SELECT "labels.k", "labels.name", "labels.user",
+         |  max(time) AS time,
+         |  list_extract(max([CAST(time AS DOUBLE), value]), 2) AS value
+         |FROM t WHERE "labels.name" = 'purchase'
+         |  AND time > ${Tables.RangeEnd - 86400000L}
+         |  AND time <= ${Tables.RangeEnd}
+         |GROUP BY 1, 2, 3""".stripMargin,
     "stream_q5_ingest" ->
       """SELECT event_type AS name, count(*) AS n,
         |  round(sum(value), 4) AS total

@@ -22,6 +22,18 @@ object EventStreams {
 
   /** @param sfDir testdata directory containing events.parquet. The file
     * source requires a directory; a glob filter selects the events file. */
+  /** The streaming events as the wide dynamic-column TSDB frame — the
+    * same mapping as `Tables.eventsAsTsdb`, so PromQL / TsdbTable
+    * operators run UNCHANGED over the stream (the instant vector
+    * becomes a live materialized view in complete mode). */
+  def readEventsWide(spark: SparkSession, sfDir: String): DataFrame =
+    readEvents(spark, sfDir).select(
+      unix_millis(col("ts")).as("time"),
+      col("value"),
+      col("event_type").as("labels.name"),
+      col("user_id").cast("string").as("labels.user"),
+      regexp_extract(col("props"), "\"k\": (\\d+)", 1).as("labels.k"))
+
   def readEvents(spark: SparkSession, sfDir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.readStream.schema(eventSchema)

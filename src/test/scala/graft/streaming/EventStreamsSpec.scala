@@ -20,6 +20,22 @@ class EventStreamsSpec extends SparkSpec {
     assert(s.nonEmpty)
   }
 
+  test("a parsed PromQL instant query runs unchanged over the stream") {
+    import graft.queries.Tables
+    val q = graft.tsdb.PromQL.parse("""{name="purchase"}""")
+    def ev(wide: org.apache.spark.sql.DataFrame) =
+      graft.tsdb.PromQL.eval(q, wide, at = Tables.RangeEnd,
+        lookbackMs = 86400000L, start = Tables.RangeStart,
+        end = Tables.RangeEnd)
+    val streamed = EventStreams.runToMemory(
+      ev(EventStreams.readEventsWide(spark, Sf0001)),
+      "es_test_promql", mode = "complete")
+    val batch = ev(Tables.eventsAsTsdb(spark, Sf0001))
+    val s = streamed.collect().map(_.toSeq).toSet
+    assert(s === batch.collect().map(_.toSeq).toSet)
+    assert(s.nonEmpty)
+  }
+
   test("late in-watermark events extend, never truncate, an open session") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx = spark.sqlContext
