@@ -570,6 +570,17 @@ object TsdbQueries {
           """sum by (user) ({name="purchase"}) / scalar(sum({name="purchase"}))"""),
         eventsAsTsdbStored(s, dir), at = RangeEnd, lookbackMs = 86400000L,
         start = RangeStart, end = RangeEnd)),
+    // Q62: the @ modifier through the PARSER — the pinned-reference
+    // ratio idiom: today's per-user purchase total vs the same vector
+    // anchored @ start() (the query range start). Both sides are one
+    // instant evaluation; the anchor changes only the window bounds,
+    // so pushdown is identical.
+    "tsdb_q62_promql_at" -> ((s, dir) =>
+      graft.tsdb.PromQL.eval(
+        graft.tsdb.PromQL.parse(
+          """sum by (user) ({name="purchase"}) / on(user) sum by (user) ({name="purchase"} @ start())"""),
+        eventsAsTsdbStored(s, dir), at = RangeEnd, lookbackMs = 604800000L,
+        start = RangeStart, end = RangeEnd)),
     // Q57: the parameterized `quantile(φ, v)` aggregator and `group`
     // through the PARSER — per-metric exact interpolated q75 across
     // series (the q36 kernel from query text), one tiny agg over the
@@ -989,6 +1000,23 @@ object TsdbQueries {
          |SELECT name AS "labels.name", u AS "labels.user",
          |  kk AS "labels.k", max(v) AS value
          |FROM rv GROUP BY 1, 2, 3""".stripMargin,
+    "tsdb_q62_promql_at" ->
+      s"""$duckTsdbCte,
+         |iv AS (SELECT "labels.user" AS "user",
+         |  list_extract(max([CAST(time AS DOUBLE), value]), 2) AS value
+         |  FROM t WHERE "labels.name" = 'purchase'
+         |    AND time > ${RangeEnd - 604800000L} AND time <= $RangeEnd
+         |  GROUP BY 1, "labels.name", "labels.k"),
+         |pinned AS (SELECT "labels.user" AS "user",
+         |  list_extract(max([CAST(time AS DOUBLE), value]), 2) AS value
+         |  FROM t WHERE "labels.name" = 'purchase'
+         |    AND time > ${RangeStart - 604800000L} AND time <= $RangeStart
+         |  GROUP BY 1, "labels.name", "labels.k"),
+         |a AS (SELECT "user", round(sum(value), 6) AS v FROM iv GROUP BY 1),
+         |b AS (SELECT "user", round(sum(value), 6) AS v FROM pinned
+         |  GROUP BY 1)
+         |SELECT a."user", round(a.v / b.v, 6) AS value
+         |FROM a JOIN b ON a."user" IS NOT DISTINCT FROM b."user"""".stripMargin,
     "tsdb_q61_promql_scalar" ->
       s"""$duckTsdbCte,
          |iv AS (SELECT "labels.user" AS "user",

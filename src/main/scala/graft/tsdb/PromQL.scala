@@ -34,7 +34,8 @@ import graft.model.Matcher
   *   fn       := name "(" [num ","] expr ["," num]* ")"   e.g. rate(v[1d]),
   *               holt_winters(v[1d], 0.5, 0.3), quantile_over_time(0.9, v[1d]);
   *               also time(), vector(s), timestamp/wall-clock/round/log/sort
-  *   selector := [metric] "{" m ("," m)* "}" ["[" dur "]"] ["offset" dur]
+  *   selector := [metric] "{" m ("," m)* "}" ["[" dur "]"]
+  *               (["offset" dur] | ["@" (epoch | "start()" | "end()")])*
   *   subquery := term "[" dur ":" dur "]" ["offset" dur]   (instant mode;
   *               consumed by an *_over_time function)
   *   m        := label ("=" | "!=" | "=~" | "!~") quoted
@@ -42,16 +43,25 @@ import graft.model.Matcher
   *
   * Known deviations from Prometheus, documented rather than hidden:
   * subqueries evaluate in instant mode only; subquery `[1h:]`
-  * default-step and `@` modifiers are not implemented; wall-clock fns
-  * require their vector argument explicitly (no implicit
-  * `vector(time())`).
+  * default-step is not implemented; `@` applies to instant selectors
+  * only (not range selectors or subqueries); wall-clock fns require
+  * their vector argument explicitly (no implicit `vector(time())`).
   */
 object PromQL {
 
   // ---- AST ----
   sealed trait Expr
+  /** The `@` modifier's anchor: a fixed epoch timestamp, or the query
+    * range's start()/end(). Supported on INSTANT selectors (the
+    * dashboard "pin a reference value" idiom, `m / m @ start()`); `@`
+    * on range selectors or subqueries is rejected at eval. */
+  sealed trait AtAnchor
+  final case class AtMs(ms: Long) extends AtAnchor
+  case object AtStart extends AtAnchor
+  case object AtEnd extends AtAnchor
   final case class Selector(matchers: Seq[Matcher], rangeMs: Option[Long],
-                            offsetMs: Long) extends Expr
+                            offsetMs: Long,
+                            atMod: Option[AtAnchor] = None) extends Expr
   final case class Fn(name: String, arg: Expr, params: Seq[Double]) extends Expr
   /** Functions whose extra parameters are strings: `label_replace`,
     * `label_join`, `count_values`. */
@@ -98,7 +108,7 @@ object PromQL {
     * round-trip property: `parse(render(e)) == e`). Useful for logging
     * the normalized form of a query. */
   def render(e: Expr): String = e match {
-    case Selector(ms, range, off) =>
+    case Selector(ms, range, off, atm) =>
       val (metric, rest) = ms.partition {
         case Matcher.Eq("__name__", _) => true
         case _ => false
@@ -113,7 +123,12 @@ object PromQL {
       val braces = if (body.nonEmpty || name.isEmpty) s"{$body}" else ""
       val r = range.fold("")(ms => s"[${ms / 1000}s]")
       val o = if (off != 0L) s" offset ${off / 1000}s" else ""
-      s"$name$braces$r$o"
+      val a = atm.fold("") {
+        case AtMs(t) => s" @ ${t / 1000}"
+        case AtStart => " @ start()"
+        case AtEnd => " @ end()"
+      }
+      s"$name$braces$r$o$a"
     case Fn(name, arg, Seq(q)) if LeadingParamFns(name) =>
       s"$name($q, ${render(arg)})"
     case Fn(name, arg, params) =>
@@ -570,10 +585,25 @@ object PromQL {
         subq = Some((d, p.duration())); p.expect(']'); None
       } else { p.expect(']'); Some(d) }
     } else None
-    val off = if (p.keyword("offset")) p.duration() else 0L
+    // `offset` and `@` compose in either order, each at most once
+    var off = 0L
+    var atm: Option[AtAnchor] = None
+    var more = true
+    while (more) {
+      if (p.keyword("offset")) off = p.duration()
+      else if (p.sym("@").isDefined) {
+        atm = Some(
+          if (p.keyword("start")) { p.expect('('); p.expect(')'); AtStart }
+          else if (p.keyword("end")) { p.expect('('); p.expect(')'); AtEnd }
+          else AtMs((p.number() * 1000).toLong))
+      } else more = false
+    }
     subq match {
-      case Some((r, st)) => Subquery(Selector(ms.result(), None, 0L), r, st, off)
-      case None => Selector(ms.result(), range, off)
+      case Some((r, st)) =>
+        if (atm.nonEmpty)
+          throw ParseError("@ on a subquery is not supported", p.offset)
+        Subquery(Selector(ms.result(), None, 0L), r, st, off)
+      case None => Selector(ms.result(), range, off, atm)
     }
   }
 
@@ -589,9 +619,10 @@ object PromQL {
   def eval(expr: Expr, wide: DataFrame, at: Long, lookbackMs: Long,
            start: Long, end: Long): DataFrame =
     fold(substTime(expr, at / 1000.0)) match {
-    case Selector(ms, None, off) =>
-      RangeVectors.instant(TsdbTable(wide).select(ms), at - off, lookbackMs)
-    case Selector(ms, Some(_), _) =>
+    case Selector(ms, None, off, atm) =>
+      RangeVectors.instant(TsdbTable(wide).select(ms),
+        resolveAt(atm, at, start, end) - off, lookbackMs)
+    case Selector(ms, Some(_), _, _) =>
       throw new IllegalArgumentException(
         "range selector must be wrapped in a range-vector function")
     case Fn("histogram_quantile", arg, params) =>
@@ -617,14 +648,17 @@ object PromQL {
       scalarFrame(eval(arg, wide, at, lookbackMs, start, end))
         .select(lit(at).as(TsdbSchema.TimeCol),
           col("_scalar_").as(TsdbSchema.ValueCol))
-    case Fn("absent_over_time", Selector(ms, Some(rangeMs), off), _) =>
+    case Fn("absent_over_time", Selector(ms, Some(rangeMs), off, atm), _) =>
       // the alerting primitive over a window: a {} 1 sample exactly
       // when the selector matched nothing in (at − range, at]
-      TsdbTable(wide).select(at - off - rangeMs, at - off + 1, ms)
+      val at1 = resolveAt(atm, at, start, end)
+      TsdbTable(wide).select(at1 - off - rangeMs, at1 - off + 1, ms)
         .agg(count(lit(1)).as("n")).where(col("n") === 0)
         .select(lit(at).as(TsdbSchema.TimeCol),
           lit(1.0d).as(TsdbSchema.ValueCol))
-    case Fn(name, Selector(ms, Some(stepMs), off), params) =>
+    case Fn(name, Selector(ms, Some(stepMs), off, atm), params) =>
+      require(atm.isEmpty,
+        s"@ on a range selector is not supported ($name)")
       val sel = TsdbTable(wide).select(start - off, end - off, ms)
       // a multi-stat kernel frame re-projected to labels+bucket+value —
       // the composable single-value vector form
@@ -822,6 +856,16 @@ object PromQL {
       Seq("bucket")
     else Nil
 
+  /** The `@` modifier's evaluation timestamp: the anchor when present
+    * (start()/end() resolve against the query range), else `default`. */
+  private def resolveAt(atm: Option[AtAnchor], default: Long,
+                        start: Long, end: Long): Long = atm match {
+    case None => default
+    case Some(AtMs(t)) => t
+    case Some(AtStart) => start
+    case Some(AtEnd) => end
+  }
+
   /** One row, one column `_scalar_` = PromQL `scalar()` of the vector:
     * its value iff the vector has exactly one element, NaN otherwise
     * (including empty — a global aggregate always yields the row). */
@@ -1004,10 +1048,20 @@ object PromQL {
     * key). holt_winters remains instant-only — use [[eval]]. */
   def evalRange(expr: Expr, wide: DataFrame, start: Long, end: Long,
                 stepMs: Long, lookbackMs: Long): DataFrame = fold(expr) match {
-    case Selector(ms, None, off) =>
+    case Selector(ms, None, off, None) =>
       shiftGrid(RangeVectors.slidingInstant(TsdbTable(wide).select(ms),
         lookbackMs, stepMs, start - off, end - off), off)
-    case Selector(_, Some(_), _) =>
+    case Selector(ms, None, off, atm @ Some(_)) =>
+      // @-pinned selector in range mode: ONE instant evaluation at the
+      // anchor, attached to every grid step (the pinned-reference
+      // dashboard idiom) — a tiny broadcast cross join, no per-step work
+      val iv = RangeVectors.instant(TsdbTable(wide).select(ms),
+        resolveAt(atm, end, start, end) - off, lookbackMs)
+        .drop(TsdbSchema.TimeCol)
+      val grid = wide.sparkSession.range((end - start) / stepMs + 1)
+        .select((lit(start) + col("id") * stepMs).as("t"))
+      iv.crossJoin(broadcast(grid))
+    case Selector(_, Some(_), _, _) =>
       throw new IllegalArgumentException(
         "range selector must be wrapped in a range-vector function")
     case Subquery(_, _, _, _) | Fn(_, Subquery(_, _, _, _), _) =>
@@ -1049,7 +1103,10 @@ object PromQL {
       // independently
       histQuantile(evalRange(arg, wide, start, end, stepMs, lookbackMs),
         params.head, extra = Seq("t"))
-    case Fn(name, Selector(ms, Some(rangeMs), off), params) if RangeFns(name) =>
+    case Fn(name, Selector(ms, Some(rangeMs), off, atm), params)
+        if RangeFns(name) =>
+      require(atm.isEmpty,
+        s"@ on a range selector is not supported ($name)")
       // the sliding kernels prefilter to (start - range, end] themselves
       // (and that filter reaches the parquet scan)
       val sel = TsdbTable(wide).select(ms)

@@ -422,6 +422,45 @@ class PromQLSpec extends SparkSpec {
     assert(vv === Map("a" -> 1.570796, "b" -> 1.570796))
   }
 
+  test("@ modifier pins instant selectors to an anchor") {
+    assert(parse("""{name="up"} @ 90000""") ===
+      Selector(Seq(Matcher.Eq("name", "up")), None, 0L,
+        Some(AtMs(90000000L))))
+    assert(parse("""{name="up"} @ start() offset 1h""") ===
+      Selector(Seq(Matcher.Eq("name", "up")), None, 3600000L,
+        Some(AtStart)))
+    assert(parse("""{name="up"} offset 1h @ end()""") ===
+      Selector(Seq(Matcher.Eq("name", "up")), None, 3600000L,
+        Some(AtEnd)))
+    // literal anchor ≡ evaluating at that instant: @ 7200 (2h) sees
+    // a→4 (1h sample), b→8 (2h sample)
+    val pinned = evalQ("""{name="up"} @ 7200""")
+      .select(col("`labels.user`"), col("value"))
+      .as[(String, Double)].collect().toMap
+    assert(pinned === Map("a" -> 4.0, "b" -> 8.0))
+    // the pinned-reference ratio idiom: current / value-as-of-2h
+    // (default matching projects the bare match-key columns)
+    val ratio = evalQ("""{name="up"} / {name="up"} @ 7200""")
+      .select(col("user"), col("value"))
+      .as[(String, Double)].collect().toMap
+    assert(ratio === Map("a" -> 2.25, "b" -> 1.0))
+    // end() resolves to the query range end (100000000): only series a
+    // has a sample inside that instant's 1d lookback window
+    assert(evalQ("""{name="up"} @ end()""").count() === 1L)
+    // range mode: the pinned vector is constant across the grid
+    val rt = evalRange(parse("""{name="up"} @ 7200"""), wide,
+      start = 0L, end = 86400000L, stepMs = 86400000L,
+      lookbackMs = 86400000L)
+      .select(col("`labels.user`"), col("t"), col("value"))
+      .as[(String, Long, Double)].collect().toSet
+    assert(rt === Set(("a", 0L, 4.0), ("b", 0L, 8.0),
+      ("a", 86400000L, 4.0), ("b", 86400000L, 8.0)))
+    // @ on range selectors / subqueries is rejected, not mis-evaluated
+    intercept[IllegalArgumentException](
+      evalQ("""rate({name="up"}[1h] @ 7200)"""))
+    intercept[ParseError](parse("""{name="up"}[1d:1h] @ 7200"""))
+  }
+
   test("bool comparisons emit 0/1; scalar-scalar ops constant-fold") {
     val b = evalQ("""{name="up"} > bool 8.5""")
       .select(col("`labels.user`"), col("value")).as[(String, Double)].collect().toMap

@@ -228,8 +228,12 @@ object TsdbProperties extends Properties("tsdb") {
       ms <- Gen.listOfN(2, matcher)
       range <- Gen.oneOf(None, Some(60000L), Some(86400000L))
       off <- Gen.oneOf(0L, 3600000L)
+      atm <- Gen.oneOf(None, Some(AtMs(1704412800000L)), Some(AtStart),
+        Some(AtEnd))
     } yield Selector(
-      metric.map(m => Matcher.Eq("__name__", m)).toSeq ++ ms, range, off)
+      metric.map(m => Matcher.Eq("__name__", m)).toSeq ++ ms, range, off,
+      // @ is instant-selector-only: drop it when a range is present
+      if (range.isEmpty) atm else None)
     val ranged = selector.map(_.copy(rangeMs = Some(3600000L)))
     val instant = selector.map(_.copy(rangeMs = None))
     def expr(depth: Int): Gen[Expr] =
