@@ -270,7 +270,8 @@ object PromQL {
     "stddev", "stdvar", "group", "quantile")
   private val RankOps = Set("topk", "bottomk")
   private val RangeFns = Set("rate", "increase", "irate", "idelta",
-    "resets", "changes", "holt_winters", "quantile_over_time",
+    "resets", "changes", "holt_winters", "double_exponential_smoothing",
+    "quantile_over_time",
     "avg_over_time", "min_over_time", "max_over_time", "sum_over_time",
     "count_over_time", "last_over_time", "present_over_time",
     "stddev_over_time", "stdvar_over_time", "delta", "deriv",
@@ -302,6 +303,9 @@ object PromQL {
     // conversions — eval intercepts both before instantFn
     "vector",  // scalar → one-element no-label vector
     "scalar")  // vector → scalar: its value iff exactly 1 element, NaN else
+  /** Wall-clock fns whose missing argument defaults to vector(time()). */
+  private val ClockFns = Set("hour", "minute", "day_of_week",
+    "day_of_month", "days_in_month", "month", "year")
   private val StrFns = Set("label_replace", "label_join", "count_values")
   private val LeadingParamFns = Set("quantile_over_time", "histogram_quantile")
 
@@ -545,6 +549,10 @@ object PromQL {
       RankK(name, k, arg)
     } else if ((RangeFns(name) || InstantFns(name)) && p.peek('(')) {
       p.expect('(')
+      // Prometheus defaults a wall-clock fn's missing argument to
+      // vector(time()): `hour()` ≡ `hour(vector(time()))`
+      if (ClockFns(name) && p.opt(')'))
+        return Fn(name, Fn("vector", TimeLit, Nil), Nil)
       // leading numeric param (quantile_over_time(0.9, v) / histogram_quantile)
       val pre = if (LeadingParamFns(name)) { val q = p.number(); p.expect(','); Seq(q) }
                 else Seq.empty[Double]
@@ -678,7 +686,8 @@ object PromQL {
           asValue(RangeVectors.deriv(sel, stepMs, horizonMs), "predicted")
         case "quantile_over_time" =>
           RangeVectors.overTimeQuantile(sel, stepMs, params.head)
-        case "holt_winters" =>
+        // double_exponential_smoothing = Prometheus 3's name for it
+        case "holt_winters" | "double_exponential_smoothing" =>
           val sf = params.headOption.getOrElse(0.5)
           val tf = params.lift(1).getOrElse(0.3)
           RangeVectors.holtWinters(sel, stepMs, sf, 1.0 - sf, tf, 1.0 - tf)

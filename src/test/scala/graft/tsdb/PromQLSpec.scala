@@ -461,6 +461,21 @@ class PromQLSpec extends SparkSpec {
     intercept[ParseError](parse("""{name="up"}[1d:1h] @ 7200"""))
   }
 
+  test("argless clock fns default to vector(time()); holt_winters alias") {
+    // hour() ≡ hour(vector(time())) — Prometheus's implicit argument
+    assert(parse("hour()") ===
+      Fn("hour", Fn("vector", TimeLit, Nil), Nil))
+    // At = 90000000 ms = 25h → 01:00 UTC on day 2
+    assert(evalQ("hour()").select(col("value")).as[Double]
+      .collect().toSeq === Seq(1.0))
+    assert(evalQ("day_of_week()").select(col("value")).as[Double]
+      .collect().toSeq === Seq(5.0)) // Jan 2 1970 = Friday
+    // Prometheus 3 renamed holt_winters; both names evaluate identically
+    assert(rows(evalQ(
+      """double_exponential_smoothing({name="up"}[1d], 0.5, 0.3)""")) ===
+      rows(evalQ("""holt_winters({name="up"}[1d], 0.5, 0.3)""")))
+  }
+
   test("bool comparisons emit 0/1; scalar-scalar ops constant-fold") {
     val b = evalQ("""{name="up"} > bool 8.5""")
       .select(col("`labels.user`"), col("value")).as[(String, Double)].collect().toMap
