@@ -581,6 +581,16 @@ object TsdbQueries {
           """sum by (user) ({name="purchase"}) / on(user) sum by (user) ({name="purchase"} @ start())"""),
         eventsAsTsdbStored(s, dir), at = RangeEnd, lookbackMs = 604800000L,
         start = RangeStart, end = RangeEnd)),
+    // Q63: SLIDING holt_winters — the smoothing fold re-evaluated per
+    // overlapping 7-day window at daily steps (the last instant-only
+    // kernel brought to query_range): samples fan out to covering grid
+    // points, one (series, t) collect + per-window sequential fold
+    "tsdb_q63_promql_sliding_hw" -> ((s, dir) =>
+      graft.tsdb.PromQL.evalRange(
+        graft.tsdb.PromQL.parse(
+          """holt_winters({name="purchase"}[7d], 0.5, 0.3)"""),
+        eventsAsTsdbStored(s, dir), start = RangeStart, end = RangeEnd,
+        stepMs = 86400000L, lookbackMs = 86400000L)),
     // Q57: the parameterized `quantile(φ, v)` aggregator and `group`
     // through the PARSER — per-metric exact interpolated q75 across
     // series (the q36 kernel from query text), one tiny agg over the
@@ -1000,6 +1010,30 @@ object TsdbQueries {
          |SELECT name AS "labels.name", u AS "labels.user",
          |  kk AS "labels.k", max(v) AS value
          |FROM rv GROUP BY 1, 2, 3""".stripMargin,
+    "tsdb_q63_promql_sliding_hw" ->
+      s"""$duckTsdbCte,
+         |s AS (SELECT "labels.k" AS kk, "labels.name" AS name,
+         |  "labels.user" AS u, time, value FROM t
+         |  WHERE "labels.name" = 'purchase'
+         |    AND time > ${RangeStart - 604800000L} AND time <= $RangeEnd),
+         |g AS (SELECT kk, name, u, [CAST(time AS DOUBLE), value] AS tv,
+         |    $RangeStart + i * 86400000 AS tt
+         |  FROM s, LATERAL unnest(range(
+         |    greatest(0, CAST(ceil((time - $RangeStart) / 86400000.0) AS BIGINT)),
+         |    least(15, CAST(floor((time + 604799999 - $RangeStart) / 86400000.0) AS BIGINT)) + 1
+         |  )) AS r(i)),
+         |w AS (SELECT kk, name, u, tt,
+         |    list_transform(list_sort(list(tv)), x -> x[2]) AS vs
+         |  FROM g GROUP BY 1, 2, 3, 4)
+         |SELECT kk AS "labels.k", name AS "labels.name",
+         |  u AS "labels.user", tt AS t,
+         |  CAST(len(vs) AS BIGINT) AS n,
+         |  round(list_reduce(
+         |    [[vs[1], vs[2] - vs[1]]] || list_transform(vs[2:], v -> [v, 0.0]),
+         |    (acc, x) -> [0.5 * x[1] + 0.5 * (acc[1] + acc[2]),
+         |      0.3 * (0.5 * x[1] + 0.5 * (acc[1] + acc[2]) - acc[1]) + 0.7 * acc[2]]
+         |  )[1], 6) AS hw
+         |FROM w WHERE len(vs) >= 2""".stripMargin,
     "tsdb_q62_promql_at" ->
       s"""$duckTsdbCte,
          |iv AS (SELECT "labels.user" AS "user",

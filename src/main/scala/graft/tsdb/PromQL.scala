@@ -1052,9 +1052,10 @@ object PromQL {
     * resets, idelta / irate, deriv / predict_linear over range
     * selectors; histogram_quantile and absent per step; value-map
     * functions; aggregation operators (by / without); topk/bottomk per
-    * step; and binary / set operators matched per step (each grid
+    * step; binary / set operators matched per step (each grid
     * timestamp combines only with itself — `t` joins as an extra match
-    * key). holt_winters remains instant-only — use [[eval]]. */
+    * key); and holt_winters / double_exponential_smoothing per
+    * overlapping window. */
   def evalRange(expr: Expr, wide: DataFrame, start: Long, end: Long,
                 stepMs: Long, lookbackMs: Long): DataFrame = fold(expr) match {
     case Selector(ms, None, off, None) =>
@@ -1138,6 +1139,11 @@ object PromQL {
         case "predict_linear" =>
           RangeVectors.slidingDeriv(sel, rangeMs, stepMs, s0, e0,
             Some((params.headOption.getOrElse(0.0) * 1000).toLong))
+        case "holt_winters" | "double_exponential_smoothing" =>
+          val sf = params.headOption.getOrElse(0.5)
+          val tf = params.lift(1).getOrElse(0.3)
+          RangeVectors.slidingHoltWinters(sel, rangeMs, stepMs, s0, e0,
+            sf, 1.0 - sf, tf, 1.0 - tf)
         case other => throw new IllegalArgumentException(
           s"$other is not supported in range evaluation yet; use eval()")
       }

@@ -530,13 +530,38 @@ object RangeVectors {
   def holtWinters(wide: DataFrame, stepMs: Long,
                   sf: Double, sfC: Double, tf: Double, tfC: Double): DataFrame = {
     val labels = TsdbSchema.dynCols(wide)
-    val tv: Column = array(col(TsdbSchema.TimeCol).cast("double"), col(TsdbSchema.ValueCol))
-    val grouped = wide
-      .withColumn("bucket", bucketCol(stepMs).as("bucket"))
-      .groupBy(labels :+ col("bucket"): _*)
+    val grouped = hwGroup(
+      wide.withColumn("bucket", bucketCol(stepMs).as("bucket")),
+      labels :+ col("bucket"))
+    hwSelect(grouped, labels :+ col("bucket"), sf, sfC, tf, tfC)
+  }
+
+  /** Sliding holt_winters / double_exponential_smoothing: the same
+    * sequential fold per OVERLAPPING window — samples fan out to the
+    * grid points whose (t − range, t] window contains them, then one
+    * (series, t) aggregation collects each window's ordered values.
+    * Cost is samples × overlap factor, like every sliding kernel. */
+  def slidingHoltWinters(wide: DataFrame, rangeMs: Long, stepMs: Long,
+                         startMs: Long, endMs: Long, sf: Double,
+                         sfC: Double, tf: Double, tfC: Double): DataFrame = {
+    val labels = TsdbSchema.dynCols(wide)
+    val grouped = hwGroup(
+      sampleFanOut(wide, rangeMs, stepMs, startMs, endMs),
+      labels :+ col("t"))
+    hwSelect(grouped, labels :+ col("t"), sf, sfC, tf, tfC)
+  }
+
+  private def hwGroup(rows: DataFrame, keys: Seq[Column]): DataFrame = {
+    val tv: Column = array(col(TsdbSchema.TimeCol).cast("double"),
+      col(TsdbSchema.ValueCol))
+    rows.groupBy(keys: _*)
       .agg(array_sort(collect_list(tv)).as("tvs"))
       .withColumn("vs", transform(col("tvs"), x => element_at(x, 2)))
       .where(size(col("vs")) >= 2)
+  }
+
+  private def hwSelect(grouped: DataFrame, keys: Seq[Column], sf: Double,
+                       sfC: Double, tf: Double, tfC: Double): DataFrame = {
     val v1 = element_at(col("vs"), 1)
     val v2 = element_at(col("vs"), 2)
     val init = struct(v1.as("level"), (v2 - v1).as("trend"))
@@ -551,7 +576,7 @@ object RangeVectors {
           (lit(tf) * (level2 - acc.getField("level")) +
             lit(tfC) * acc.getField("trend")).as("trend"))
       })
-    grouped.select(labels :+ col("bucket") :+
+    grouped.select(keys :+
       size(col("vs")).cast("long").as("n") :+
       round(folded.getField("level"), 6).as("hw"): _*)
   }

@@ -476,6 +476,19 @@ class PromQLSpec extends SparkSpec {
       rows(evalQ("""holt_winters({name="up"}[1d], 0.5, 0.3)""")))
   }
 
+  test("evalRange: sliding holt_winters folds each overlapping window") {
+    val rt = evalRange(parse("""holt_winters({name="up"}[1d], 0.5, 0.3)"""),
+      wide, start = 0L, end = 86400000L, stepMs = 86400000L,
+      lookbackMs = 86400000L)
+      .select(col("`labels.user`"), col("t"), col("n"), col("hw"))
+      .as[(String, Long, Long, Double)].collect().toSet
+    // t=0 windows (−1d, 0] hold one sample each → dropped (PromQL needs
+    // 2); t=1d: a sees (3.6e6→4, 86.4e6→9): level₀=4, trend₀=5, one
+    // fold step on 9 → level 0.5·9 + 0.5·(4+5) = 9; b has one in-window
+    // sample (time 0 is excluded by the exclusive lower bound) → dropped
+    assert(rt === Set(("a", 86400000L, 2L, 9.0)))
+  }
+
   test("bool comparisons emit 0/1; scalar-scalar ops constant-fold") {
     val b = evalQ("""{name="up"} > bool 8.5""")
       .select(col("`labels.user`"), col("value")).as[(String, Double)].collect().toMap
@@ -567,7 +580,7 @@ class PromQLSpec extends SparkSpec {
       ("a", 86400000L, 5.0, 2L)))
     // unsupported shapes point the caller at eval()
     intercept[IllegalArgumentException](
-      rangeQ("""holt_winters({name="up"}[1d], 0.5, 0.3)""").collect())
+      rangeQ("""absent_over_time({name="up"}[1d])""").collect())
   }
 
   test("evalRange: sliding *_over_time / pair / regression battery") {
