@@ -591,6 +591,28 @@ object TsdbQueries {
           """holt_winters({name="purchase"}[7d], 0.5, 0.3)"""),
         eventsAsTsdbStored(s, dir), start = RangeStart, end = RangeEnd,
         stepMs = 86400000L, lookbackMs = 86400000L)),
+    // Q64: @ on a RANGE selector through the PARSER — the window pins
+    // to (end()−2w, end()] regardless of the evaluation instant: one
+    // sliding-kernel evaluation on a single-point grid (no per-step
+    // fan-out), projected to a plain instant vector. The trailing-week
+    // total-increase panel, reset-adjusted.
+    "tsdb_q64_promql_at_range" -> ((s, dir) =>
+      graft.tsdb.PromQL.eval(
+        graft.tsdb.PromQL.parse(
+          """increase({name="purchase"}[2w] @ end())"""),
+        eventsAsTsdbStored(s, dir), at = RangeStart, lookbackMs = 86400000L,
+        start = RangeStart, end = RangeEnd)),
+    // Q65: range-mode SUBQUERY — per-user daily totals (the inner sum
+    // by (user) instant vector on the absolute 1d-aligned covering
+    // grid), folded to a trailing-7d max at every outer step: the
+    // inner expression evaluates ONCE, inner points fan out to the
+    // outer windows containing them — never a grid of grids
+    "tsdb_q65_promql_range_subquery" -> ((s, dir) =>
+      graft.tsdb.PromQL.evalRange(
+        graft.tsdb.PromQL.parse(
+          """max_over_time(sum by (user) ({name="purchase"})[7d:1d])"""),
+        eventsAsTsdbStored(s, dir), start = RangeStart, end = RangeEnd,
+        stepMs = 86400000L, lookbackMs = 86400000L)),
     // Q57: the parameterized `quantile(φ, v)` aggregator and `group`
     // through the PARSER — per-metric exact interpolated q75 across
     // series (the q36 kernel from query text), one tiny agg over the
@@ -1034,6 +1056,51 @@ object TsdbQueries {
          |      0.3 * (0.5 * x[1] + 0.5 * (acc[1] + acc[2]) - acc[1]) + 0.7 * acc[2]]
          |  )[1], 6) AS hw
          |FROM w WHERE len(vs) >= 2""".stripMargin,
+    // replays the pinned window (RangeEnd−2w, RangeEnd]: every
+    // consecutive pair of the prefiltered series is in-window, so
+    // increase = Σ reset-adjusted deltas — no grid, no fan-out
+    "tsdb_q64_promql_at_range" ->
+      s"""$duckTsdbCte,
+         |s AS (SELECT "labels.name" AS name, "labels.user" AS u,
+         |  "labels.k" AS kk, time, value FROM t
+         |  WHERE "labels.name" = 'purchase'
+         |    AND time > ${RangeEnd - 1209600000L} AND time <= $RangeEnd),
+         |p AS (SELECT *, lag(value) OVER w AS pv
+         |  FROM s WINDOW w AS (PARTITION BY name, u, kk
+         |                      ORDER BY time, value)),
+         |pairs AS (SELECT name, u, kk,
+         |    CASE WHEN value - pv < 0 THEN value ELSE value - pv END AS d
+         |  FROM p WHERE pv IS NOT NULL)
+         |SELECT name AS "labels.name", u AS "labels.user",
+         |  kk AS "labels.k", round(sum(d), 6) AS value
+         |FROM pairs GROUP BY 1, 2, 3""".stripMargin,
+    // replays the two-level fan-out: samples → the 23-point inner 1d
+    // grid (last sample per series per point, summed per user), inner
+    // points → the 16 outer steps whose [t−7d, t] window covers them
+    "tsdb_q65_promql_range_subquery" ->
+      s"""$duckTsdbCte,
+         |s AS (SELECT "labels.name" AS name, "labels.user" AS u,
+         |  "labels.k" AS kk, time, value FROM t
+         |  WHERE "labels.name" = 'purchase'
+         |    AND time > ${RangeStart - 604800000L - 86400000L}
+         |    AND time <= $RangeEnd),
+         |gi AS (SELECT name, u, kk, time, value,
+         |    ${RangeStart - 604800000L} + i * 86400000 AS ug
+         |  FROM s, LATERAL unnest(range(
+         |    greatest(0, CAST(ceil((time - ${RangeStart - 604800000L}) / 86400000.0) AS BIGINT)),
+         |    least(22, CAST(floor((time + 86399999 - ${RangeStart - 604800000L}) / 86400000.0) AS BIGINT)) + 1
+         |  )) AS r(i)),
+         |iv AS (SELECT u, ug, name, kk,
+         |    list_extract(max([CAST(time AS DOUBLE), value]), 2) AS lv
+         |  FROM gi GROUP BY 1, 2, 3, 4),
+         |isum AS (SELECT u, ug, round(sum(lv), 6) AS v
+         |  FROM iv GROUP BY 1, 2),
+         |o AS (SELECT u, $RangeStart + k * 86400000 AS t, v
+         |  FROM isum, LATERAL unnest(range(
+         |    greatest(0, CAST(ceil((ug - $RangeStart) / 86400000.0) AS BIGINT)),
+         |    least(15, CAST(floor((ug + 604800000 - $RangeStart) / 86400000.0) AS BIGINT)) + 1
+         |  )) AS r(k))
+         |SELECT u AS "user", t, max(v) AS value FROM o GROUP BY 1, 2""".stripMargin,
     "tsdb_q62_promql_at" ->
       s"""$duckTsdbCte,
          |iv AS (SELECT "labels.user" AS "user",

@@ -36,25 +36,28 @@ import graft.model.Matcher
   *               also time(), vector(s), timestamp/wall-clock/round/log/sort
   *   selector := [metric] "{" m ("," m)* "}" ["[" dur "]"]
   *               (["offset" dur] | ["@" (epoch | "start()" | "end()")])*
-  *   subquery := term "[" dur ":" dur "]" ["offset" dur]   (instant mode;
-  *               consumed by an *_over_time function)
+  *   subquery := term "[" dur ":" [dur] "]" ["offset" dur]   (consumed
+  *               by an *_over_time function; omitted step = 1m, the
+  *               Prometheus default evaluation interval)
   *   m        := label ("=" | "!=" | "=~" | "!~") quoted
   * }}}
   *
   * Known deviations from Prometheus, documented rather than hidden:
-  * subqueries evaluate in instant mode only; subquery `[1h:]`
-  * default-step is not implemented; `@` applies to instant selectors
-  * only (not range selectors or subqueries); wall-clock fns require
-  * their vector argument explicitly (no implicit `vector(time())`).
+  * `@` composes with instant and range selectors but not subqueries;
+  * a subquery must be consumed by an `*_over_time` /
+  * `quantile_over_time` function (the rate family over a subquery is
+  * not supported); instant-mode range selectors evaluate over tumbling
+  * buckets (see [[eval]] above).
   */
 object PromQL {
 
   // ---- AST ----
   sealed trait Expr
   /** The `@` modifier's anchor: a fixed epoch timestamp, or the query
-    * range's start()/end(). Supported on INSTANT selectors (the
-    * dashboard "pin a reference value" idiom, `m / m @ start()`); `@`
-    * on range selectors or subqueries is rejected at eval. */
+    * range's start()/end(). Supported on instant selectors (the
+    * dashboard "pin a reference value" idiom, `m / m @ start()`) and on
+    * range selectors (`rate(m[5m] @ end())` — the window pins to the
+    * anchor); `@` on subqueries is rejected at parse. */
   sealed trait AtAnchor
   final case class AtMs(ms: Long) extends AtAnchor
   case object AtStart extends AtAnchor
@@ -289,8 +292,8 @@ object PromQL {
     * sample time (epoch seconds); the wall-clock family (`hour`,
     * `day_of_week`, ...) interprets the VALUE as epoch seconds, UTC —
     * Prometheus's `hour(v)` contract, so `hour(timestamp(m))` is the
-    * time-of-day of m's samples. (Prometheus defaults a missing arg to
-    * `vector(time())`; this front end requires the arg explicitly.)
+    * time-of-day of m's samples. (A missing arg defaults to
+    * `vector(time())`, as in Prometheus — see [[ClockFns]].)
     * `sort`/`sort_desc` order the instant vector by value
     * (presentation only — row order, not content). */
   private val InstantFns = Set("abs", "ceil", "floor", "exp", "ln", "sqrt",
@@ -308,6 +311,12 @@ object PromQL {
     "day_of_month", "days_in_month", "month", "year")
   private val StrFns = Set("label_replace", "label_join", "count_values")
   private val LeadingParamFns = Set("quantile_over_time", "histogram_quantile")
+
+  /** Prometheus resolves a subquery with no step (`m[1h:]`) to the
+    * global evaluation interval; its shipped default is 1m, which this
+    * front end adopts (the AST stores the resolved step, so
+    * `render ∘ parse` emits it explicitly and round-trips). */
+  val DefaultSubqueryStepMs: Long = 60000L
 
   def parse(q: String): Expr = {
     val p = new P(q)
@@ -465,7 +474,7 @@ object PromQL {
     while (p.opt('[')) {
       val r = p.duration()
       p.expect(':')
-      val st = p.duration()
+      val st = if (p.peek(']')) DefaultSubqueryStepMs else p.duration()
       p.expect(']')
       val off = if (p.keyword("offset")) p.duration() else 0L
       e = Subquery(e, r, st, off)
@@ -590,7 +599,8 @@ object PromQL {
     val range = if (p.opt('[')) {
       val d = p.duration()
       if (p.opt(':')) { // `m[1h:5m]` — a subquery over an instant selector
-        subq = Some((d, p.duration())); p.expect(']'); None
+        val st = if (p.peek(']')) DefaultSubqueryStepMs else p.duration()
+        subq = Some((d, st)); p.expect(']'); None
       } else { p.expect(']'); Some(d) }
     } else None
     // `offset` and `@` compose in either order, each at most once
@@ -664,9 +674,18 @@ object PromQL {
         .agg(count(lit(1)).as("n")).where(col("n") === 0)
         .select(lit(at).as(TsdbSchema.TimeCol),
           lit(1.0d).as(TsdbSchema.ValueCol))
+    case Fn(name, Selector(ms, Some(rangeMs), off, Some(a)), params)
+        if RangeFns(name) =>
+      // @-anchored range selector: Prometheus pins the window to
+      // (anchor − offset − range, anchor − offset] regardless of the
+      // evaluation instant. ONE window = the sliding kernels on a
+      // single-point grid (zero fan-out cost), projected back to the
+      // plain instant-vector shape (one value per series).
+      val t0 = resolveAt(Some(a), at, start, end) - off
+      asAnchoredVector(name,
+        evalRange(Fn(name, Selector(ms, Some(rangeMs), 0L, None), params),
+          wide, t0, t0, stepMs = rangeMs, lookbackMs = lookbackMs))
     case Fn(name, Selector(ms, Some(stepMs), off, atm), params) =>
-      require(atm.isEmpty,
-        s"@ on a range selector is not supported ($name)")
       val sel = TsdbTable(wide).select(start - off, end - off, ms)
       // a multi-stat kernel frame re-projected to labels+bucket+value —
       // the composable single-value vector form
@@ -856,6 +875,21 @@ object PromQL {
     * evaluation grid `t` (range mode, added by the evalRange cases). */
   private def gridKeys(iv: DataFrame): Seq[Column] =
     if (iv.columns.contains("bucket")) Seq(col("bucket")) else Nil
+
+  /** An @-anchored range-vector function evaluates over ONE pinned
+    * window, so its result is a plain instant vector — project the
+    * sliding-kernel frame (labels + t + per-kernel columns) down to
+    * labels + `value`. */
+  private def asAnchoredVector(name: String, df: DataFrame): DataFrame = {
+    val vc = name match {
+      case "rate" => col("rate_v")
+      case "increase" => col("increase")
+      case "holt_winters" | "double_exponential_smoothing" => col("hw")
+      case _ => col(TsdbSchema.ValueCol)
+    }
+    df.select(TsdbSchema.dynCols(df) :+
+      vc.cast("double").as(TsdbSchema.ValueCol): _*)
+  }
 
   /** Bucketed vectors on BOTH sides of a binary/set op match per
     * bucket — `bucket` joins as an extra equality key, exactly like
@@ -1074,11 +1108,55 @@ object PromQL {
     case Selector(_, Some(_), _, _) =>
       throw new IllegalArgumentException(
         "range selector must be wrapped in a range-vector function")
+    case Fn(name, Subquery(inner, rangeMs, sqStep, off), params)
+        if OverTimeStats.contains(name) || name == "quantile_over_time" =>
+      // range-mode subquery: the inner expression evaluates ONCE over
+      // the covering absolute-aligned grid (u ≡ 0 mod sqStep, spanning
+      // every outer window), then each inner point fans out to the
+      // outer steps t whose window [t − off − range, t − off] contains
+      // it — the sliding-kernel decomposition lifted one level up,
+      // never a grid of grids. Cost = inner points × overlap factor.
+      val uStart =
+        math.ceil((start - off - rangeMs).toDouble / sqStep).toLong * sqStep
+      val uEnd = math.floor((end - off).toDouble / sqStep).toLong * sqStep
+      val grid0 = evalRange(inner, wide, uStart, uEnd, sqStep, lookbackMs)
+      val grid = inner match {
+        case Fn(n @ ("rate" | "increase"), _, _) =>
+          val vc = if (n == "rate") "rate_v" else "increase"
+          grid0.select(TsdbSchema.dynCols(grid0) :+ col("t") :+
+            col(vc).cast("double").as(TsdbSchema.ValueCol): _*)
+        case _ => grid0
+      }
+      require(grid.columns.contains(TsdbSchema.ValueCol),
+        s"$name over a subquery needs per-step instant vectors")
+      val keys = grid.columns.toSeq
+        .filterNot(Seq("t", TsdbSchema.TimeCol, TsdbSchema.ValueCol)
+          .contains(_))
+        .map(c => col(s"`$c`"))
+      val aggc =
+        if (name == "quantile_over_time")
+          round(org.apache.spark.sql.functions.expr(
+            s"percentile(${TsdbSchema.ValueCol}, ${params.head})"), 6)
+            .as(TsdbSchema.ValueCol)
+        else RangeVectors.statAgg(OverTimeStats(name), timeCol = "_ut")
+          .as(TsdbSchema.ValueCol)
+      val nSteps = (end - start) / stepMs
+      val iLo = greatest(lit(0L),
+        ceil((col("_ut") + (off - start)) / stepMs.toDouble).cast("long"))
+      val iHi = least(lit(nSteps),
+        floor((col("_ut") + (off + rangeMs - start)) / stepMs.toDouble)
+          .cast("long"))
+      grid.withColumnRenamed("t", "_ut")
+        .withColumn("_ilo", iLo).withColumn("_ihi", iHi)
+        .where(col("_ilo") <= col("_ihi"))
+        .withColumn("_i", explode(sequence(col("_ilo"), col("_ihi"))))
+        .withColumn("t", lit(start) + col("_i") * stepMs)
+        .groupBy(keys :+ col("t"): _*)
+        .agg(aggc)
     case Subquery(_, _, _, _) | Fn(_, Subquery(_, _, _, _), _) =>
       throw new IllegalArgumentException(
-        "subqueries are instant-query only — evaluate with eval(); " +
-          "range-mode subqueries (a grid per grid point) are not " +
-          "supported")
+        "a subquery yields a range vector — wrap it in an *_over_time " +
+          "function (e.g. max_over_time(rate(m[5m])[1h:10m]))")
     case TimeLit =>
       // the per-step grid time as a no-label vector (epoch seconds)
       wide.sparkSession.range((end - start) / stepMs + 1)
@@ -1113,10 +1191,20 @@ object PromQL {
       // independently
       histQuantile(evalRange(arg, wide, start, end, stepMs, lookbackMs),
         params.head, extra = Seq("t"))
-    case Fn(name, Selector(ms, Some(rangeMs), off, atm), params)
+    case Fn(name, Selector(ms, Some(rangeMs), off, Some(a)), params)
         if RangeFns(name) =>
-      require(atm.isEmpty,
-        s"@ on a range selector is not supported ($name)")
+      // @-pinned range fn in range mode: ONE window evaluation at the
+      // anchor, attached to every grid step — the same broadcast-grid
+      // idiom as the @-pinned instant selector above
+      val t0 = resolveAt(Some(a), end, start, end) - off
+      val one = asAnchoredVector(name,
+        evalRange(Fn(name, Selector(ms, Some(rangeMs), 0L, None), params),
+          wide, t0, t0, stepMs = rangeMs, lookbackMs = lookbackMs))
+      val grid = wide.sparkSession.range((end - start) / stepMs + 1)
+        .select((lit(start) + col("id") * stepMs).as("t"))
+      one.crossJoin(broadcast(grid))
+    case Fn(name, Selector(ms, Some(rangeMs), off, None), params)
+        if RangeFns(name) =>
       // the sliding kernels prefilter to (start - range, end] themselves
       // (and that filter reaches the parquet scan)
       val sel = TsdbTable(wide).select(ms)

@@ -455,10 +455,88 @@ class PromQLSpec extends SparkSpec {
       .as[(String, Long, Double)].collect().toSet
     assert(rt === Set(("a", 0L, 4.0), ("b", 0L, 8.0),
       ("a", 86400000L, 4.0), ("b", 86400000L, 8.0)))
-    // @ on range selectors / subqueries is rejected, not mis-evaluated
-    intercept[IllegalArgumentException](
-      evalQ("""rate({name="up"}[1h] @ 7200)"""))
+    // @ on a subquery is rejected, not mis-evaluated
     intercept[ParseError](parse("""{name="up"}[1d:1h] @ 7200"""))
+  }
+
+  test("@ modifier pins range selectors to an anchor") {
+    // parse: @ composes after the range bracket
+    assert(parse("""rate({name="up"}[1h] @ 7200)""") ===
+      Fn("rate", Selector(Seq(Matcher.Eq("name", "up")), Some(3600000L),
+        0L, Some(AtMs(7200000L))), Nil))
+    // sum_over_time over the pinned window (0, 2h]: a→4 (1h), b→8 (2h)
+    val s = evalQ("""sum_over_time({name="up"}[2h] @ 7200)""")
+      .select(col("`labels.user`"), col("value"))
+      .as[(String, Double)].collect().toMap
+    assert(s === Map("a" -> 4.0, "b" -> 8.0))
+    // increase over (end()−2d, end()]: reset-adjusted consecutive
+    // deltas — a: 3+5, b: 6
+    val inc = evalQ("""increase({name="up"}[2d] @ end())""")
+      .select(col("`labels.user`"), col("value"))
+      .as[(String, Double)].collect().toMap
+    assert(inc === Map("a" -> 8.0, "b" -> 6.0))
+    // the pinned result is a plain instant vector — aggregates compose
+    assert(evalQ("""sum(increase({name="up"}[2d] @ end()))""")
+      .select(col("value")).as[Double].collect().toSeq === Seq(14.0))
+    // range mode: the pinned window is constant across the grid
+    val rt = evalRange(parse("""increase({name="up"}[2d] @ end())"""),
+      wide, start = 0L, end = 86400000L, stepMs = 86400000L,
+      lookbackMs = 86400000L)
+      .select(col("`labels.user`"), col("t"), col("value"))
+      .as[(String, Long, Double)].collect().toSet
+    assert(rt === Set(("a", 0L, 8.0), ("a", 86400000L, 8.0),
+      ("b", 0L, 6.0), ("b", 86400000L, 6.0)))
+  }
+
+  test("subquery default step [1h:] = the 1m evaluation interval") {
+    assert(parse("""{name="up"}[1h:]""") ===
+      Subquery(Selector(Seq(Matcher.Eq("name", "up")), None, 0L),
+        3600000L, 60000L))
+    // postfix form too: (expr)[1d:]
+    assert(parse("""(sum({name="up"}))[1d:]""") ===
+      Subquery(AggBy("sum", Nil,
+        Selector(Seq(Matcher.Eq("name", "up")), None, 0L)),
+        86400000L, 60000L))
+    // 61 absolute-aligned minutes in [At−1h, At]; both series are live
+    // at every one of them (last samples within the 1d lookback)
+    val ct = evalQ("""count_over_time({name="up"}[1h:])""")
+      .select(col("`labels.user`"), col("value"))
+      .as[(String, Double)].collect().toMap
+    assert(ct === Map("a" -> 61.0, "b" -> 61.0))
+  }
+
+  test("evalRange: subqueries fan inner grid points to outer steps") {
+    def rq(q: String) = evalRange(parse(q), wide, start = 0L,
+      end = 86400000L, stepMs = 43200000L, lookbackMs = 86400000L)
+    // max_over_time(m[1d:5h]): the inner instant vectors evaluate ONCE
+    // on the absolute 5h-aligned covering grid; each outer step t folds
+    // the inner points in [t−1d, t]
+    val mx = rq("""max_over_time({name="up"}[1d:5h])""")
+      .select(col("`labels.user`"), col("t"), col("value"))
+      .as[(String, Long, Double)].collect().toSet
+    assert(mx === Set(
+      ("a", 0L, 1.0), ("b", 0L, 2.0),
+      ("a", 43200000L, 4.0), ("b", 43200000L, 8.0),
+      ("a", 86400000L, 4.0), ("b", 86400000L, 8.0)))
+    // inner aggregation: sum by (user) per inner point, then the
+    // window fold sums the points each outer window covers
+    val sm = rq("""sum_over_time(sum by (user) ({name="up"})[1d:12h])""")
+      .select(col("user"), col("t"), col("value"))
+      .as[(String, Long, Double)].collect().toSet
+    assert(sm === Set(
+      ("a", 0L, 1.0), ("b", 0L, 2.0),
+      ("a", 43200000L, 5.0), ("b", 43200000L, 10.0),
+      ("a", 86400000L, 14.0), ("b", 86400000L, 18.0)))
+    // rate under a subquery: the multi-stat frame re-projects to value;
+    // outer steps whose windows cover no inner point drop out (t=0)
+    val rr = rq("""max_over_time(rate({name="up"}[1d])[1d:12h])""")
+      .select(col("`labels.user`"), col("t"), col("value"))
+      .as[(String, Long, Double)].collect().toSet
+    assert(rr === Set(
+      ("a", 43200000L, 0.000833), ("b", 43200000L, 0.000833),
+      ("a", 86400000L, 0.000833), ("b", 86400000L, 0.000833)))
+    // a bare subquery is still not a query in range mode
+    intercept[IllegalArgumentException](rq("""{name="up"}[1d:5h]"""))
   }
 
   test("argless clock fns default to vector(time()); holt_winters alias") {

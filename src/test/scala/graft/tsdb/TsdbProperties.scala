@@ -232,8 +232,8 @@ object TsdbProperties extends Properties("tsdb") {
         Some(AtEnd))
     } yield Selector(
       metric.map(m => Matcher.Eq("__name__", m)).toSeq ++ ms, range, off,
-      // @ is instant-selector-only: drop it when a range is present
-      if (range.isEmpty) atm else None)
+      // @ composes with instant AND range selectors (not subqueries)
+      atm)
     val ranged = selector.map(_.copy(rangeMs = Some(3600000L)))
     val instant = selector.map(_.copy(rangeMs = None))
     def expr(depth: Int): Gen[Expr] =
