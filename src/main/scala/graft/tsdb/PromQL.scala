@@ -36,14 +36,14 @@ import graft.model.Matcher
   *               also time(), vector(s), timestamp/wall-clock/round/log/sort
   *   selector := [metric] "{" m ("," m)* "}" ["[" dur "]"]
   *               (["offset" dur] | ["@" (epoch | "start()" | "end()")])*
-  *   subquery := term "[" dur ":" [dur] "]" ["offset" dur]   (consumed
-  *               by an *_over_time function; omitted step = 1m, the
-  *               Prometheus default evaluation interval)
+  *   subquery := term "[" dur ":" [dur] "]"
+  *               (["offset" dur] | ["@" (epoch | "start()" | "end()")])*
+  *               (consumed by an *_over_time function; omitted step =
+  *               1m, the Prometheus default evaluation interval)
   *   m        := label ("=" | "!=" | "=~" | "!~") quoted
   * }}}
   *
   * Known deviations from Prometheus, documented rather than hidden:
-  * `@` composes with instant and range selectors but not subqueries;
   * a subquery must be consumed by an `*_over_time` /
   * `quantile_over_time` function (the rate family over a subquery is
   * not supported); instant-mode range selectors evaluate over tumbling
@@ -55,9 +55,9 @@ object PromQL {
   sealed trait Expr
   /** The `@` modifier's anchor: a fixed epoch timestamp, or the query
     * range's start()/end(). Supported on instant selectors (the
-    * dashboard "pin a reference value" idiom, `m / m @ start()`) and on
-    * range selectors (`rate(m[5m] @ end())` — the window pins to the
-    * anchor); `@` on subqueries is rejected at parse. */
+    * dashboard "pin a reference value" idiom, `m / m @ start()`), on
+    * range selectors (`rate(m[5m] @ end())`), and on subqueries —
+    * in each case the evaluation window pins to the anchor. */
   sealed trait AtAnchor
   final case class AtMs(ms: Long) extends AtAnchor
   case object AtStart extends AtAnchor
@@ -84,12 +84,15 @@ object PromQL {
     * (the instant `at`) in instant mode, the per-step grid time in
     * range mode. */
   case object TimeLit extends Expr
-  /** PromQL subquery `expr[range:step]` (+ optional trailing offset):
-    * the inner expression evaluated at every absolute-aligned grid
-    * point t ≡ 0 (mod step) in [at − offset − range, at − offset] —
-    * a range vector consumed by an `*_over_time` function. */
+  /** PromQL subquery `expr[range:step]` (+ optional trailing offset
+    * and/or `@` anchor): the inner expression evaluated at every
+    * absolute-aligned grid point t ≡ 0 (mod step) in
+    * [E − offset − range, E − offset], where E is the `@` anchor when
+    * present, else the evaluation instant — a range vector consumed by
+    * an `*_over_time` function. */
   final case class Subquery(arg: Expr, rangeMs: Long, stepMs: Long,
-                            offsetMs: Long = 0L) extends Expr
+                            offsetMs: Long = 0L,
+                            atMod: Option[AtAnchor] = None) extends Expr
   /** Vector-vector arithmetic/comparison matched `on(keys)`, or — when
     * `on` is empty — on the full shared label set MINUS `ignoring`
     * (PromQL default matching; `ignoring(keys)` is the complement form
@@ -126,12 +129,7 @@ object PromQL {
       val braces = if (body.nonEmpty || name.isEmpty) s"{$body}" else ""
       val r = range.fold("")(ms => s"[${ms / 1000}s]")
       val o = if (off != 0L) s" offset ${off / 1000}s" else ""
-      val a = atm.fold("") {
-        case AtMs(t) => s" @ ${t / 1000}"
-        case AtStart => " @ start()"
-        case AtEnd => " @ end()"
-      }
-      s"$name$braces$r$o$a"
+      s"$name$braces$r$o${atText(atm)}"
     case Fn(name, arg, Seq(q)) if LeadingParamFns(name) =>
       s"$name($q, ${render(arg)})"
     case Fn(name, arg, params) =>
@@ -151,9 +149,9 @@ object PromQL {
     case RankK(op, k, arg) => s"$op($k, ${render(arg)})"
     case ScalarLit(v) => v.toString
     case TimeLit => "time()"
-    case Subquery(arg, r, st, off) =>
+    case Subquery(arg, r, st, off, atm) =>
       val o = if (off != 0L) s" offset ${off / 1000}s" else ""
-      s"(${render(arg)})[${r / 1000}s:${st / 1000}s]$o"
+      s"(${render(arg)})[${r / 1000}s:${st / 1000}s]$o${atText(atm)}"
     case BinOp(op, on, l, r, bool, card, ign, carry) =>
       val spec = matchSpecText(on, ign)
       val b = if (bool) "bool " else ""
@@ -167,6 +165,12 @@ object PromQL {
       s"(${render(l)}) $op $b$spec$c(${render(r)})"
     case SetOp(op, on, l, r, ign) =>
       s"(${render(l)}) $op ${matchSpecText(on, ign)}(${render(r)})"
+  }
+
+  private def atText(atm: Option[AtAnchor]): String = atm.fold("") {
+    case AtMs(t) => s" @ ${t / 1000}"
+    case AtStart => " @ start()"
+    case AtEnd => " @ end()"
   }
 
   private def matchSpecText(on: Seq[String], ign: Seq[String]): String =
@@ -476,8 +480,8 @@ object PromQL {
       p.expect(':')
       val st = if (p.peek(']')) DefaultSubqueryStepMs else p.duration()
       p.expect(']')
-      val off = if (p.keyword("offset")) p.duration() else 0L
-      e = Subquery(e, r, st, off)
+      val (off, atm) = parseOffsetAt(p)
+      e = Subquery(e, r, st, off, atm)
     }
     e
   }
@@ -603,7 +607,17 @@ object PromQL {
         subq = Some((d, st)); p.expect(']'); None
       } else { p.expect(']'); Some(d) }
     } else None
-    // `offset` and `@` compose in either order, each at most once
+    val (off, atm) = parseOffsetAt(p)
+    subq match {
+      case Some((r, st)) =>
+        Subquery(Selector(ms.result(), None, 0L), r, st, off, atm)
+      case None => Selector(ms.result(), range, off, atm)
+    }
+  }
+
+  /** `offset` and `@` compose in either order, each at most once —
+    * shared by selectors and subquery postfixes. */
+  private def parseOffsetAt(p: P): (Long, Option[AtAnchor]) = {
     var off = 0L
     var atm: Option[AtAnchor] = None
     var more = true
@@ -616,13 +630,7 @@ object PromQL {
           else AtMs((p.number() * 1000).toLong))
       } else more = false
     }
-    subq match {
-      case Some((r, st)) =>
-        if (atm.nonEmpty)
-          throw ParseError("@ on a subquery is not supported", p.offset)
-        Subquery(Selector(ms.result(), None, 0L), r, st, off)
-      case None => Selector(ms.result(), range, off, atm)
-    }
+    (off, atm)
   }
 
   // ---- evaluator ----
@@ -713,40 +721,15 @@ object PromQL {
         case overTime if OverTimeStats.contains(overTime) =>
           RangeVectors.overTimeStat(sel, stepMs, OverTimeStats(overTime))
       }
-    case Fn(name, Subquery(inner, rangeMs, stepMs, off), params)
+    case Fn(name, Subquery(inner, rangeMs, stepMs, off, atm), params)
         if OverTimeStats.contains(name) || name == "quantile_over_time" =>
       // subquery: the inner expression evaluated per grid step (one
       // evalRange pass — never a loop over steps), then the over-time
-      // statistic folds each series' step values; the grid column `t`
-      // is the time axis for last/first/delta
-      val sqEnd = at - off
-      val gridStart =
-        math.ceil((sqEnd - rangeMs).toDouble / stepMs).toLong * stepMs
-      val grid0 = evalRange(inner, wide, gridStart, sqEnd, stepMs, lookbackMs)
-      // rate/increase range evaluation yields the multi-stat frame;
-      // project the requested statistic back to the `value` shape
-      val grid = inner match {
-        case Fn(n @ ("rate" | "increase"), _, _) =>
-          val vc = if (n == "rate") "rate_v" else "increase"
-          grid0.select(TsdbSchema.dynCols(grid0) :+ col("t") :+
-            col(vc).cast("double").as(TsdbSchema.ValueCol): _*)
-        case _ => grid0
-      }
-      require(grid.columns.contains(TsdbSchema.ValueCol),
-        s"$name over a subquery needs per-step instant vectors")
-      val keys = grid.columns.toSeq
-        .filterNot(Seq("t", TsdbSchema.TimeCol, TsdbSchema.ValueCol)
-          .contains(_))
-        .map(c => col(s"`$c`"))
-      val aggc =
-        if (name == "quantile_over_time")
-          round(org.apache.spark.sql.functions.expr(
-            s"percentile(${TsdbSchema.ValueCol}, ${params.head})"), 6)
-            .as(TsdbSchema.ValueCol)
-        else RangeVectors.statAgg(OverTimeStats(name), timeCol = "t")
-          .as(TsdbSchema.ValueCol)
-      grid.groupBy(keys: _*).agg(aggc)
-    case Subquery(_, _, _, _) =>
+      // statistic folds each series' step values. An @ anchor pins the
+      // grid end to the anchor instead of the evaluation instant.
+      subqueryFold(name, inner, rangeMs, stepMs,
+        resolveAt(atm, at, start, end) - off, wide, lookbackMs, params)
+    case Subquery(_, _, _, _, _) =>
       throw new IllegalArgumentException(
         "a subquery yields a range vector — wrap it in an *_over_time " +
           "function (e.g. max_over_time(rate(m[5m])[1h:10m]))")
@@ -889,6 +872,44 @@ object PromQL {
     }
     df.select(TsdbSchema.dynCols(df) :+
       vc.cast("double").as(TsdbSchema.ValueCol): _*)
+  }
+
+  /** One subquery evaluation: the inner expression at every
+    * absolute-aligned grid point t ≡ 0 (mod stepMs) in
+    * [sqEnd − rangeMs, sqEnd] (ONE evalRange pass — never a loop over
+    * steps), folded per series by the over-time statistic; the grid
+    * column `t` is the time axis for last/first/delta. Returns
+    * labels + `value`. */
+  private def subqueryFold(name: String, inner: Expr, rangeMs: Long,
+                           stepMs: Long, sqEnd: Long, wide: DataFrame,
+                           lookbackMs: Long,
+                           params: Seq[Double]): DataFrame = {
+    val gridStart =
+      math.ceil((sqEnd - rangeMs).toDouble / stepMs).toLong * stepMs
+    val grid0 = evalRange(inner, wide, gridStart, sqEnd, stepMs, lookbackMs)
+    // rate/increase range evaluation yields the multi-stat frame;
+    // project the requested statistic back to the `value` shape
+    val grid = inner match {
+      case Fn(n @ ("rate" | "increase"), _, _) =>
+        val vc = if (n == "rate") "rate_v" else "increase"
+        grid0.select(TsdbSchema.dynCols(grid0) :+ col("t") :+
+          col(vc).cast("double").as(TsdbSchema.ValueCol): _*)
+      case _ => grid0
+    }
+    require(grid.columns.contains(TsdbSchema.ValueCol),
+      s"$name over a subquery needs per-step instant vectors")
+    val keys = grid.columns.toSeq
+      .filterNot(Seq("t", TsdbSchema.TimeCol, TsdbSchema.ValueCol)
+        .contains(_))
+      .map(c => col(s"`$c`"))
+    val aggc =
+      if (name == "quantile_over_time")
+        round(org.apache.spark.sql.functions.expr(
+          s"percentile(${TsdbSchema.ValueCol}, ${params.head})"), 6)
+          .as(TsdbSchema.ValueCol)
+      else RangeVectors.statAgg(OverTimeStats(name), timeCol = "t")
+        .as(TsdbSchema.ValueCol)
+    grid.groupBy(keys: _*).agg(aggc)
   }
 
   /** Bucketed vectors on BOTH sides of a binary/set op match per
@@ -1108,7 +1129,17 @@ object PromQL {
     case Selector(_, Some(_), _, _) =>
       throw new IllegalArgumentException(
         "range selector must be wrapped in a range-vector function")
-    case Fn(name, Subquery(inner, rangeMs, sqStep, off), params)
+    case Fn(name, Subquery(inner, rangeMs, sqStep, off, atm @ Some(_)),
+            params)
+        if OverTimeStats.contains(name) || name == "quantile_over_time" =>
+      // @-pinned subquery in range mode: ONE anchored evaluation,
+      // attached to every grid step (the broadcast-grid idiom again)
+      val one = subqueryFold(name, inner, rangeMs, sqStep,
+        resolveAt(atm, end, start, end) - off, wide, lookbackMs, params)
+      val grid = wide.sparkSession.range((end - start) / stepMs + 1)
+        .select((lit(start) + col("id") * stepMs).as("t"))
+      one.crossJoin(broadcast(grid))
+    case Fn(name, Subquery(inner, rangeMs, sqStep, off, None), params)
         if OverTimeStats.contains(name) || name == "quantile_over_time" =>
       // range-mode subquery: the inner expression evaluates ONCE over
       // the covering absolute-aligned grid (u ≡ 0 mod sqStep, spanning
@@ -1153,7 +1184,7 @@ object PromQL {
         .withColumn("t", lit(start) + col("_i") * stepMs)
         .groupBy(keys :+ col("t"): _*)
         .agg(aggc)
-    case Subquery(_, _, _, _) | Fn(_, Subquery(_, _, _, _), _) =>
+    case Subquery(_, _, _, _, _) | Fn(_, Subquery(_, _, _, _, _), _) =>
       throw new IllegalArgumentException(
         "a subquery yields a range vector — wrap it in an *_over_time " +
           "function (e.g. max_over_time(rate(m[5m])[1h:10m]))")
@@ -1249,7 +1280,15 @@ object PromQL {
       // value maps don't touch the grid column — per-step for free
       instantFn(name, evalRange(arg, wide, start, end, stepMs, lookbackMs),
         params, at = end)
-    case StrFn(name, arg, strs) if name != "count_values" =>
+    case StrFn("count_values", arg, Seq(lbl)) =>
+      // per-step count_values: how many series report each value AT
+      // each grid timestamp — `t` joins the grouping like every other
+      // per-step aggregation
+      evalRange(arg, wide, start, end, stepMs, lookbackMs)
+        .groupBy(col(TsdbSchema.ValueCol).cast("string")
+            .as(TsdbSchema.labelColName(lbl)), col("t"))
+        .agg(count(lit(1)).cast("double").as(TsdbSchema.ValueCol))
+    case StrFn(name, arg, strs) =>
       strFn(name, evalRange(arg, wide, start, end, stepMs, lookbackMs), strs)
     case AggBy(op, by, arg, param) =>
       val iv = evalRange(arg, wide, start, end, stepMs, lookbackMs)
@@ -1517,7 +1556,7 @@ object PromQL {
         case (fl, fr) => BinOp(op, on, fl, fr, bool, card, ign, carry)
       }
     case Fn(n, a, p) => Fn(n, fold(a), p)
-    case Subquery(a, r, s, o) => Subquery(fold(a), r, s, o)
+    case Subquery(a, r, s, o, atm) => Subquery(fold(a), r, s, o, atm)
     case StrFn(n, a, s) => StrFn(n, fold(a), s)
     case AggBy(o, b, a, q) => AggBy(o, b, fold(a), q)
     case AggWithout(o, w, a, q) => AggWithout(o, w, fold(a), q)

@@ -67,6 +67,29 @@ class PlanQualitySpec extends SparkSpec {
     assert(exchanges <= 1, s"subquery re-shuffles ($exchanges):\n$plan")
   }
 
+  test("range-mode subquery: ONE inner evaluation, not a grid of grids") {
+    val plan = planOf("tsdb_q65_promql_range_subquery")
+    assert("PushedFilters: \\[[^\\]]*GreaterThan\\(time".r
+      .findFirstIn(plan).isDefined,
+      s"inner-grid prefilter not pushed:\n$plan")
+    // inner instant groupBy, inner sum-by-user, outer (user, t) fold —
+    // a per-outer-step re-evaluation would multiply this by the 16-step
+    // grid (and show up as a union of per-step subtrees)
+    val exchanges = shuffleExchanges(plan)
+    assert(exchanges <= 3,
+      s"range-mode subquery re-evaluates per step ($exchanges):\n$plan")
+  }
+
+  test("@-anchored range fn: pinned-window prefilter reaches the scan") {
+    val plan = planOf("tsdb_q64_promql_at_range")
+    assert("PushedFilters: \\[[^\\]]*GreaterThan\\(time".r
+      .findFirstIn(plan).isDefined,
+      s"pinned-window prefilter not pushed:\n$plan")
+    // one series-partitioned lag exchange feeds the (series, t) agg
+    val exchanges = shuffleExchanges(plan)
+    assert(exchanges <= 1, s"anchored window re-shuffles ($exchanges):\n$plan")
+  }
+
   test("time-range matcher query pushes predicates to the parquet scan") {
     val plan = planOf("tsdb_q2_range")
     assert(plan.contains("PushedFilters: ["), "scan should list pushed filters")

@@ -455,8 +455,40 @@ class PromQLSpec extends SparkSpec {
       .as[(String, Long, Double)].collect().toSet
     assert(rt === Set(("a", 0L, 4.0), ("b", 0L, 8.0),
       ("a", 86400000L, 4.0), ("b", 86400000L, 8.0)))
-    // @ on a subquery is rejected, not mis-evaluated
-    intercept[ParseError](parse("""{name="up"}[1d:1h] @ 7200"""))
+  }
+
+  test("@ modifier pins subqueries to an anchor") {
+    assert(parse("""{name="up"}[1d:1h] @ 7200""") ===
+      Subquery(Selector(Seq(Matcher.Eq("name", "up")), None, 0L),
+        86400000L, 3600000L, 0L, Some(AtMs(7200000L))))
+    assert(parse("""(sum({name="up"}))[1d:5h] offset 30s @ end()""") ===
+      Subquery(AggBy("sum", Nil,
+        Selector(Seq(Matcher.Eq("name", "up")), None, 0L)),
+        86400000L, 18000000L, 30000L, Some(AtEnd)))
+    // @ 7200 pins the inner grid to [7200s−1d, 7200s]: the only live
+    // 5h-aligned point is u=0 (a→1, b→2) — the evaluation instant At
+    // plays no part
+    val mx = evalQ("""max_over_time({name="up"}[1d:5h] @ 7200)""")
+      .select(col("`labels.user`"), col("value"))
+      .as[(String, Double)].collect().toMap
+    assert(mx === Map("a" -> 1.0, "b" -> 2.0))
+    // anchoring at the evaluation instant ≡ no anchor
+    val un = evalQ("""max_over_time({name="up"}[1d:5h])""")
+      .select(col("`labels.user`"), col("value"))
+      .as[(String, Double)].collect().toMap
+    val at = evalQ("""max_over_time({name="up"}[1d:5h] @ 90000)""")
+      .select(col("`labels.user`"), col("value"))
+      .as[(String, Double)].collect().toMap
+    assert(at === un)
+    // range mode: the pinned subquery is constant across the grid
+    val rt = evalRange(
+      parse("""max_over_time({name="up"}[1d:5h] @ 7200)"""), wide,
+      start = 0L, end = 86400000L, stepMs = 86400000L,
+      lookbackMs = 86400000L)
+      .select(col("`labels.user`"), col("t"), col("value"))
+      .as[(String, Long, Double)].collect().toSet
+    assert(rt === Set(("a", 0L, 1.0), ("a", 86400000L, 1.0),
+      ("b", 0L, 2.0), ("b", 86400000L, 2.0)))
   }
 
   test("@ modifier pins range selectors to an anchor") {
@@ -606,6 +638,15 @@ class PromQLSpec extends SparkSpec {
     // absent() emits the 1-vector exactly when nothing matches
     assert(evalQ("""absent({name="nope"})""").count() === 1L)
     assert(evalQ("""absent({name="up"})""").count() === 0L)
+    // range mode: count_values bins per grid step (t joins the group)
+    val cvr = PromQL.evalRange(
+      parse("""count_values("v", {name="up"})"""), wide,
+      start = 0L, end = 86400000L, stepMs = 86400000L,
+      lookbackMs = 86400000L)
+      .select(col("`labels.v`"), col("t"), col("value"))
+      .as[(String, Long, Double)].collect().toSet
+    assert(cvr === Set(("1.0", 0L, 1.0), ("2.0", 0L, 1.0),
+      ("9.0", 86400000L, 1.0), ("8.0", 86400000L, 1.0)))
   }
 
   test("evalRange: binary ops and topk match per step") {

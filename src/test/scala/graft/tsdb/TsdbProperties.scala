@@ -275,8 +275,10 @@ object TsdbProperties extends Properties("tsdb") {
           r <- Gen.choose(2L, 48L).map(_ * 3600000L)
           st <- Gen.choose(1L, 12L).map(_ * 3600000L)
           off <- Gen.oneOf(0L, 60000L)
+          atm <- Gen.oneOf(None, Some(AtMs(1704412800000L)),
+            Some(AtStart), Some(AtEnd))
           a <- expr(depth - 1)
-        } yield Fn(fn, Subquery(a, r, st, off), Nil)),
+        } yield Fn(fn, Subquery(a, r, st, off, atm), Nil)),
         Gen.lzy(for {
           name <- Gen.oneOf("abs", "sqrt", "absent", "log2", "log10",
             "timestamp", "hour", "day_of_week", "year", "sort", "scalar")
