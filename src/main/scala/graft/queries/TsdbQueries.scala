@@ -613,6 +613,17 @@ object TsdbQueries {
           """max_over_time(sum by (user) ({name="purchase"})[7d:1d])"""),
         eventsAsTsdbStored(s, dir), start = RangeStart, end = RangeEnd,
         stepMs = 86400000L, lookbackMs = 86400000L)),
+    // Q66: the rate family over a SUBQUERY — increase of the per-user
+    // daily-total series (a derived vector, not a stored one): the
+    // inner sum by (user) evaluates once on the 8-point trailing-week
+    // grid, then one lag pass per user folds reset-adjusted deltas
+    // over the grid axis
+    "tsdb_q66_promql_subquery_increase" -> ((s, dir) =>
+      graft.tsdb.PromQL.eval(
+        graft.tsdb.PromQL.parse(
+          """increase(sum by (user) ({name="purchase"})[7d:1d])"""),
+        eventsAsTsdbStored(s, dir), at = RangeEnd, lookbackMs = 86400000L,
+        start = RangeStart, end = RangeEnd)),
     // Q57: the parameterized `quantile(φ, v)` aggregator and `group`
     // through the PARSER — per-metric exact interpolated q75 across
     // series (the q36 kernel from query text), one tiny agg over the
@@ -1101,6 +1112,34 @@ object TsdbQueries {
          |    least(15, CAST(floor((ug + 604800000 - $RangeStart) / 86400000.0) AS BIGINT)) + 1
          |  )) AS r(k))
          |SELECT u AS "user", t, max(v) AS value FROM o GROUP BY 1, 2""".stripMargin,
+    // replays the subquery grid (8 daily points, last sample per
+    // series per point, summed per user) then the per-user lag fold of
+    // reset-adjusted deltas over the grid axis
+    "tsdb_q66_promql_subquery_increase" ->
+      s"""$duckTsdbCte,
+         |s AS (SELECT "labels.name" AS name, "labels.user" AS u,
+         |  "labels.k" AS kk, time, value FROM t
+         |  WHERE "labels.name" = 'purchase'
+         |    AND time > ${RangeEnd - 604800000L - 86400000L}
+         |    AND time <= $RangeEnd),
+         |gi AS (SELECT name, u, kk, time, value,
+         |    ${RangeEnd - 604800000L} + i * 86400000 AS ug
+         |  FROM s, LATERAL unnest(range(
+         |    greatest(0, CAST(ceil((time - ${RangeEnd - 604800000L}) / 86400000.0) AS BIGINT)),
+         |    least(7, CAST(floor((time + 86399999 - ${RangeEnd - 604800000L}) / 86400000.0) AS BIGINT)) + 1
+         |  )) AS r(i)),
+         |iv AS (SELECT u, ug, name, kk,
+         |    list_extract(max([CAST(time AS DOUBLE), value]), 2) AS lv
+         |  FROM gi GROUP BY 1, 2, 3, 4),
+         |isum AS (SELECT u, ug, round(sum(lv), 6) AS v
+         |  FROM iv GROUP BY 1, 2),
+         |p AS (SELECT u, v,
+         |    lag(v) OVER (PARTITION BY u ORDER BY ug, v) AS pv
+         |  FROM isum)
+         |SELECT u AS "user",
+         |  round(sum(CASE WHEN v - pv < 0 THEN v ELSE v - pv END), 6)
+         |    AS value
+         |FROM p WHERE pv IS NOT NULL GROUP BY 1""".stripMargin,
     "tsdb_q62_promql_at" ->
       s"""$duckTsdbCte,
          |iv AS (SELECT "labels.user" AS "user",

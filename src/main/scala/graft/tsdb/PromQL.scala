@@ -315,6 +315,14 @@ object PromQL {
     "day_of_month", "days_in_month", "month", "year")
   private val StrFns = Set("label_replace", "label_join", "count_values")
   private val LeadingParamFns = Set("quantile_over_time", "histogram_quantile")
+  /** Range-vector functions a SUBQUERY supports as its consumer: the
+    * single-value statistics plus the pair/fold family, each evaluated
+    * over the subquery's grid points (the grid timestamp `t` is the
+    * time axis). */
+  private val SubqueryFns: Set[String] =
+    OverTimeStats.keySet ++ Set("quantile_over_time", "rate", "increase",
+      "irate", "idelta", "changes", "resets", "deriv", "predict_linear",
+      "holt_winters", "double_exponential_smoothing")
 
   /** Prometheus resolves a subquery with no step (`m[1h:]`) to the
     * global evaluation interval; its shipped default is 1m, which this
@@ -722,7 +730,7 @@ object PromQL {
           RangeVectors.overTimeStat(sel, stepMs, OverTimeStats(overTime))
       }
     case Fn(name, Subquery(inner, rangeMs, stepMs, off, atm), params)
-        if OverTimeStats.contains(name) || name == "quantile_over_time" =>
+        if SubqueryFns(name) =>
       // subquery: the inner expression evaluated per grid step (one
       // evalRange pass — never a loop over steps), then the over-time
       // statistic folds each series' step values. An @ anchor pins the
@@ -902,14 +910,81 @@ object PromQL {
       .filterNot(Seq("t", TsdbSchema.TimeCol, TsdbSchema.ValueCol)
         .contains(_))
       .map(c => col(s"`$c`"))
-    val aggc =
-      if (name == "quantile_over_time")
-        round(org.apache.spark.sql.functions.expr(
-          s"percentile(${TsdbSchema.ValueCol}, ${params.head})"), 6)
+    if (OverTimeStats.contains(name) || name == "quantile_over_time") {
+      val aggc =
+        if (name == "quantile_over_time")
+          round(org.apache.spark.sql.functions.expr(
+            s"percentile(${TsdbSchema.ValueCol}, ${params.head})"), 6)
+            .as(TsdbSchema.ValueCol)
+        else RangeVectors.statAgg(OverTimeStats(name), timeCol = "t")
           .as(TsdbSchema.ValueCol)
-      else RangeVectors.statAgg(OverTimeStats(name), timeCol = "t")
-        .as(TsdbSchema.ValueCol)
-    grid.groupBy(keys: _*).agg(aggc)
+      grid.groupBy(keys: _*).agg(aggc)
+    } else subqueryRangeFn(name, grid.drop(TsdbSchema.TimeCol), keys,
+      sqEnd, params)
+  }
+
+  /** The pair/fold range-vector functions over a subquery's grid: every
+    * grid point is in-window by construction (ONE window ending at
+    * sqEnd), so rate/increase/changes/resets/irate/idelta reduce to one
+    * lag pass per series over the grid axis `t`, deriv/predict_linear
+    * to one regression aggregate, and holt_winters to the sequential
+    * fold over the (t, value)-sorted grid values. Output: keys +
+    * `value` — a plain instant vector. */
+  private def subqueryRangeFn(name: String, grid: DataFrame,
+                              keys: Seq[Column], sqEnd: Long,
+                              params: Seq[Double]): DataFrame = {
+    val v = col(TsdbSchema.ValueCol)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keys: _*).orderBy(col("t").asc, v.asc)
+    def pairs: DataFrame = {
+      val d0 = v - lag(v, 1).over(w)
+      grid.withColumn("prev_t", lag(col("t"), 1).over(w))
+        .withColumn("prev_v", lag(v, 1).over(w))
+        .withColumn("d", when(d0 < 0, v).otherwise(d0)) // counter reset
+        .where(col("prev_t").isNotNull)
+    }
+    name match {
+      case "rate" | "increase" =>
+        val agg = pairs.groupBy(keys: _*).agg(
+          round(sum(col("d")), 6).as("_inc"),
+          (sum(col("t") - col("prev_t")) / 1000.0).as("_span"))
+        val out =
+          if (name == "increase") col("_inc")
+          else round(col("_inc") / nullif(col("_span"), lit(0.0)), 6)
+        agg.select(keys :+ out.cast("double").as(TsdbSchema.ValueCol): _*)
+      case "changes" | "resets" =>
+        val hit =
+          if (name == "changes") v =!= col("prev_v") else v < col("prev_v")
+        pairs.groupBy(keys: _*)
+          .agg(sum(when(hit, 1.0).otherwise(0.0)).as(TsdbSchema.ValueCol))
+      case "idelta" | "irate" =>
+        val d = v - col("prev_v")
+        val pick =
+          if (name == "idelta") d
+          else when(d >= 0, d).otherwise(v) /
+            nullif((col("t") - col("prev_t")) / 1000.0, lit(0.0))
+        pairs.groupBy(keys: _*)
+          .agg(round(max_by(pick, struct(col("t"), v)), 6)
+            .as(TsdbSchema.ValueCol))
+      case "deriv" | "predict_linear" =>
+        val tSec = col("t") / 1000.0
+        val g = grid.groupBy(keys: _*)
+          .agg(regr_slope(v, tSec).as("_s"), regr_intercept(v, tSec).as("_i"))
+        val out =
+          if (name == "deriv") round(col("_s"), 6)
+          else round(col("_i") + col("_s") *
+            ((sqEnd + (params.headOption.getOrElse(0.0) * 1000).toLong) /
+              1000.0), 4)
+        g.select(keys :+ out.cast("double").as(TsdbSchema.ValueCol): _*)
+      case "holt_winters" | "double_exponential_smoothing" =>
+        val sf = params.headOption.getOrElse(0.5)
+        val tf = params.lift(1).getOrElse(0.3)
+        val grouped = RangeVectors.hwGroup(
+          grid.withColumnRenamed("t", TsdbSchema.TimeCol), keys)
+        RangeVectors.hwSelect(grouped, keys, sf, 1.0 - sf, tf, 1.0 - tf)
+          .select(keys :+ col("hw").cast("double")
+            .as(TsdbSchema.ValueCol): _*)
+    }
   }
 
   /** Bucketed vectors on BOTH sides of a binary/set op match per
@@ -1131,7 +1206,7 @@ object PromQL {
         "range selector must be wrapped in a range-vector function")
     case Fn(name, Subquery(inner, rangeMs, sqStep, off, atm @ Some(_)),
             params)
-        if OverTimeStats.contains(name) || name == "quantile_over_time" =>
+        if SubqueryFns(name) =>
       // @-pinned subquery in range mode: ONE anchored evaluation,
       // attached to every grid step (the broadcast-grid idiom again)
       val one = subqueryFold(name, inner, rangeMs, sqStep,
@@ -1187,7 +1262,8 @@ object PromQL {
     case Subquery(_, _, _, _, _) | Fn(_, Subquery(_, _, _, _, _), _) =>
       throw new IllegalArgumentException(
         "a subquery yields a range vector — wrap it in an *_over_time " +
-          "function (e.g. max_over_time(rate(m[5m])[1h:10m]))")
+          "function; the pair/fold family (rate, changes, ...) over a " +
+          "subquery evaluates in instant or @-pinned mode only")
     case TimeLit =>
       // the per-step grid time as a no-label vector (epoch seconds)
       wide.sparkSession.range((end - start) / stepMs + 1)

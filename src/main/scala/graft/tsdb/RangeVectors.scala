@@ -551,7 +551,7 @@ object RangeVectors {
     hwSelect(grouped, labels :+ col("t"), sf, sfC, tf, tfC)
   }
 
-  private def hwGroup(rows: DataFrame, keys: Seq[Column]): DataFrame = {
+  private[tsdb] def hwGroup(rows: DataFrame, keys: Seq[Column]): DataFrame = {
     val tv: Column = array(col(TsdbSchema.TimeCol).cast("double"),
       col(TsdbSchema.ValueCol))
     rows.groupBy(keys: _*)
@@ -560,7 +560,7 @@ object RangeVectors {
       .where(size(col("vs")) >= 2)
   }
 
-  private def hwSelect(grouped: DataFrame, keys: Seq[Column], sf: Double,
+  private[tsdb] def hwSelect(grouped: DataFrame, keys: Seq[Column], sf: Double,
                        sfC: Double, tf: Double, tfC: Double): DataFrame = {
     val v1 = element_at(col("vs"), 1)
     val v2 = element_at(col("vs"), 2)

@@ -457,6 +457,37 @@ class PromQLSpec extends SparkSpec {
       ("a", 86400000L, 4.0), ("b", 86400000L, 8.0)))
   }
 
+  test("rate family over subqueries folds the grid axis") {
+    // grid at At: 5h-aligned points {5h..25h} → inner instant values
+    // a: 4,4,4,4,9 and b: 8,8,8,8,8; every grid point is in-window
+    def m(q: String) = evalQ(q)
+      .select(col("`labels.user`"), col("value"))
+      .as[(String, Double)].collect().toMap
+    assert(m("""increase({name="up"}[1d:5h])""") ===
+      Map("a" -> 5.0, "b" -> 0.0))
+    assert(m("""changes({name="up"}[1d:5h])""") ===
+      Map("a" -> 1.0, "b" -> 0.0))
+    assert(m("""idelta({name="up"}[1d:5h])""") ===
+      Map("a" -> 5.0, "b" -> 0.0))
+    // irate: the LAST grid pair (4→9 over the 5h gap)
+    assert(m("""irate({name="up"}[1d:5h])""") ===
+      Map("a" -> 0.000278, "b" -> 0.0))
+    // least-squares slope over the 5 grid points
+    assert(m("""deriv({name="up"}[1d:5h])""") ===
+      Map("a" -> 0.000056, "b" -> 0.0))
+    // the smoothing fold over the sorted grid values
+    assert(m("""holt_winters({name="up"}[1d:5h], 0.5, 0.3)""") ===
+      Map("a" -> 6.5, "b" -> 8.0))
+    // @-pinned: the [7200s−1d, 7200s] grid has ONE live point → no
+    // pairs → every series drops (PromQL's two-point rule)
+    assert(evalQ("""increase({name="up"}[1d:5h] @ 7200)""").count() === 0L)
+    // non-pinned range mode for the pair family stays rejected
+    intercept[IllegalArgumentException](
+      evalRange(parse("""rate({name="up"}[1d:5h])"""), wide,
+        start = 0L, end = 86400000L, stepMs = 86400000L,
+        lookbackMs = 86400000L))
+  }
+
   test("@ modifier pins subqueries to an anchor") {
     assert(parse("""{name="up"}[1d:1h] @ 7200""") ===
       Subquery(Selector(Seq(Matcher.Eq("name", "up")), None, 0L),
