@@ -624,6 +624,18 @@ object TsdbQueries {
           """increase(sum by (user) ({name="purchase"})[7d:1d])"""),
         eventsAsTsdbStored(s, dir), at = RangeEnd, lookbackMs = 86400000L,
         start = RangeStart, end = RangeEnd)),
+    // Q67: the rate family over a subquery in RANGE mode — the
+    // dashboard query_range of q66: trailing-7d increase of the
+    // per-user daily-total derived vector at every daily step. Inner
+    // evaluates once; consecutive inner-point PAIRS fan out to the
+    // outer steps whose window contains both endpoints (the
+    // slidingRate decomposition lifted to the grid level)
+    "tsdb_q67_promql_range_subquery_increase" -> ((s, dir) =>
+      graft.tsdb.PromQL.evalRange(
+        graft.tsdb.PromQL.parse(
+          """increase(sum by (user) ({name="purchase"})[7d:1d])"""),
+        eventsAsTsdbStored(s, dir), start = RangeStart, end = RangeEnd,
+        stepMs = 86400000L, lookbackMs = 86400000L)),
     // Q57: the parameterized `quantile(φ, v)` aggregator and `group`
     // through the PARSER — per-metric exact interpolated q75 across
     // series (the q36 kernel from query text), one tiny agg over the
@@ -1112,6 +1124,39 @@ object TsdbQueries {
          |    least(15, CAST(floor((ug + 604800000 - $RangeStart) / 86400000.0) AS BIGINT)) + 1
          |  )) AS r(k))
          |SELECT u AS "user", t, max(v) AS value FROM o GROUP BY 1, 2""".stripMargin,
+    // replays q66's grid at range scale: the 23-point inner grid,
+    // per-user daily sums, consecutive-pair deltas, pairs fanned to
+    // the outer steps whose [t−7d, t] window holds both endpoints
+    "tsdb_q67_promql_range_subquery_increase" ->
+      s"""$duckTsdbCte,
+         |s AS (SELECT "labels.name" AS name, "labels.user" AS u,
+         |  "labels.k" AS kk, time, value FROM t
+         |  WHERE "labels.name" = 'purchase'
+         |    AND time > ${RangeStart - 604800000L - 86400000L}
+         |    AND time <= $RangeEnd),
+         |gi AS (SELECT name, u, kk, time, value,
+         |    ${RangeStart - 604800000L} + i * 86400000 AS ug
+         |  FROM s, LATERAL unnest(range(
+         |    greatest(0, CAST(ceil((time - ${RangeStart - 604800000L}) / 86400000.0) AS BIGINT)),
+         |    least(22, CAST(floor((time + 86399999 - ${RangeStart - 604800000L}) / 86400000.0) AS BIGINT)) + 1
+         |  )) AS r(i)),
+         |iv AS (SELECT u, ug, name, kk,
+         |    list_extract(max([CAST(time AS DOUBLE), value]), 2) AS lv
+         |  FROM gi GROUP BY 1, 2, 3, 4),
+         |isum AS (SELECT u, ug, round(sum(lv), 6) AS v
+         |  FROM iv GROUP BY 1, 2),
+         |p AS (SELECT u, ug, v, lag(v) OVER w AS pv, lag(ug) OVER w AS pug
+         |  FROM isum WINDOW w AS (PARTITION BY u ORDER BY ug, v)),
+         |pairs AS (SELECT u, ug, pug,
+         |    CASE WHEN v - pv < 0 THEN v ELSE v - pv END AS d
+         |  FROM p WHERE pug IS NOT NULL),
+         |o AS (SELECT u, $RangeStart + k * 86400000 AS t, d
+         |  FROM pairs, LATERAL unnest(range(
+         |    greatest(0, CAST(ceil((ug - $RangeStart) / 86400000.0) AS BIGINT)),
+         |    least(15, CAST(floor((pug + 604800000 - $RangeStart) / 86400000.0) AS BIGINT)) + 1
+         |  )) AS r(k))
+         |SELECT u AS "user", t, round(sum(d), 6) AS value
+         |FROM o GROUP BY 1, 2""".stripMargin,
     // replays the subquery grid (8 daily points, last sample per
     // series per point, summed per user) then the per-user lag fold of
     // reset-adjusted deltas over the grid axis

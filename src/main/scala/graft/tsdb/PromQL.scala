@@ -44,10 +44,12 @@ import graft.model.Matcher
   * }}}
   *
   * Known deviations from Prometheus, documented rather than hidden:
-  * a subquery must be consumed by an `*_over_time` /
-  * `quantile_over_time` function (the rate family over a subquery is
-  * not supported); instant-mode range selectors evaluate over tumbling
-  * buckets (see [[eval]] above).
+  * a subquery must be consumed by a range-vector function (the
+  * `*_over_time` family, quantile_over_time, or the pair/fold family
+  * rate/increase/irate/idelta/changes/resets/deriv/predict_linear/
+  * holt_winters — a bare subquery is not a query, as in Prometheus);
+  * instant-mode range selectors evaluate over tumbling buckets (see
+  * [[eval]] above).
   */
 object PromQL {
 
@@ -740,7 +742,8 @@ object PromQL {
     case Subquery(_, _, _, _, _) =>
       throw new IllegalArgumentException(
         "a subquery yields a range vector — wrap it in an *_over_time " +
-          "function (e.g. max_over_time(rate(m[5m])[1h:10m]))")
+          "or pair/fold range-vector function " +
+          "(e.g. max_over_time(rate(m[5m])[1h:10m]))")
     case Fn(name, arg, params) if InstantFns(name) =>
       instantFn(name, eval(arg, wide, at, lookbackMs, start, end),
         params, at)
@@ -921,6 +924,129 @@ object PromQL {
       grid.groupBy(keys: _*).agg(aggc)
     } else subqueryRangeFn(name, grid.drop(TsdbSchema.TimeCol), keys,
       sqEnd, params)
+  }
+
+  /** Range-mode subquery evaluation: ONE inner evalRange pass over the
+    * absolute-aligned covering grid [uStart, uEnd] (step sqStep), then
+    * a fan-out to the outer evaluation grid t = start + i·stepMs:
+    *
+    *   - single-value statistics / quantile: each inner point u fans to
+    *     the outer steps with u ∈ [t − off − range, t − off];
+    *   - deriv / predict_linear / holt_winters: same sample fan-out,
+    *     then a per-(series, t) regression / smoothing fold;
+    *   - the pair family (rate/increase/changes/resets/idelta/irate):
+    *     consecutive inner-point pairs are built once per series (one
+    *     lag pass) and fan to the outer steps whose window contains
+    *     BOTH endpoints — the [[RangeVectors.slidingRate]]
+    *     decomposition, one level up.
+    *
+    * Never a grid per grid point: cost = inner points × overlap. */
+  private def subqueryFoldRange(name: String, inner: Expr, rangeMs: Long,
+                                sqStep: Long, off: Long, wide: DataFrame,
+                                start: Long, end: Long, stepMs: Long,
+                                lookbackMs: Long,
+                                params: Seq[Double]): DataFrame = {
+    val uStart =
+      math.ceil((start - off - rangeMs).toDouble / sqStep).toLong * sqStep
+    val uEnd = math.floor((end - off).toDouble / sqStep).toLong * sqStep
+    val grid0 = evalRange(inner, wide, uStart, uEnd, sqStep, lookbackMs)
+    val grid1 = inner match {
+      case Fn(n @ ("rate" | "increase"), _, _) =>
+        val vc = if (n == "rate") "rate_v" else "increase"
+        grid0.select(TsdbSchema.dynCols(grid0) :+ col("t") :+
+          col(vc).cast("double").as(TsdbSchema.ValueCol): _*)
+      case _ => grid0
+    }
+    require(grid1.columns.contains(TsdbSchema.ValueCol),
+      s"$name over a subquery needs per-step instant vectors")
+    val keys = grid1.columns.toSeq
+      .filterNot(Seq("t", TsdbSchema.TimeCol, TsdbSchema.ValueCol)
+        .contains(_))
+      .map(c => col(s"`$c`"))
+    // inner grid time → `_ut`; the outer evaluation timestamp takes `t`
+    val grid = grid1.drop(TsdbSchema.TimeCol).withColumnRenamed("t", "_ut")
+    val nSteps = (end - start) / stepMs
+    // fan rows to outer steps t = start + i·stepMs with
+    // t ∈ [coverLo, coverHi] (inclusive ms)
+    def fanned(df: DataFrame, coverLo: Column, coverHi: Column): DataFrame =
+      df.withColumn("_ilo", greatest(lit(0L),
+          ceil((coverLo - start) / stepMs.toDouble).cast("long")))
+        .withColumn("_ihi", least(lit(nSteps),
+          floor((coverHi - start) / stepMs.toDouble).cast("long")))
+        .where(col("_ilo") <= col("_ihi"))
+        .withColumn("_i", explode(sequence(col("_ilo"), col("_ihi"))))
+        .withColumn("t", lit(start) + col("_i") * stepMs)
+    val v = col(TsdbSchema.ValueCol)
+    // an inner point u is in t's window iff t ∈ [u + off, u + off + range]
+    def sampleFanned: DataFrame =
+      fanned(grid, col("_ut") + off, col("_ut") + (off + rangeMs))
+    def pairFanned: DataFrame = {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(keys: _*).orderBy(col("_ut").asc, v.asc)
+      val pairs = grid
+        .withColumn("_put", lag(col("_ut"), 1).over(w))
+        .withColumn("prev_v", lag(v, 1).over(w))
+        .where(col("_put").isNotNull)
+      // both endpoints in-window: t ∈ [u + off, prev_u + off + range]
+      fanned(pairs, col("_ut") + off, col("_put") + (off + rangeMs))
+    }
+    val outKeys = keys :+ col("t")
+    name match {
+      case n if OverTimeStats.contains(n) =>
+        sampleFanned.groupBy(outKeys: _*)
+          .agg(RangeVectors.statAgg(OverTimeStats(n), timeCol = "_ut")
+            .as(TsdbSchema.ValueCol))
+      case "quantile_over_time" =>
+        sampleFanned.groupBy(outKeys: _*)
+          .agg(round(org.apache.spark.sql.functions.expr(
+            s"percentile(${TsdbSchema.ValueCol}, ${params.head})"), 6)
+            .as(TsdbSchema.ValueCol))
+      case "deriv" | "predict_linear" =>
+        val tSec = col("_ut") / 1000.0
+        val g = sampleFanned.groupBy(outKeys: _*)
+          .agg(regr_slope(v, tSec).as("_s"),
+            regr_intercept(v, tSec).as("_i2"))
+        val out =
+          if (name == "deriv") round(col("_s"), 6)
+          else round(col("_i2") + col("_s") *
+            ((col("t") + (params.headOption.getOrElse(0.0) * 1000).toLong)
+              / 1000.0), 4)
+        g.select(outKeys :+ out.cast("double").as(TsdbSchema.ValueCol): _*)
+      case "holt_winters" | "double_exponential_smoothing" =>
+        val sf = params.headOption.getOrElse(0.5)
+        val tf = params.lift(1).getOrElse(0.3)
+        val grouped = RangeVectors.hwGroup(
+          sampleFanned.withColumnRenamed("_ut", TsdbSchema.TimeCol),
+          outKeys)
+        RangeVectors.hwSelect(grouped, outKeys, sf, 1.0 - sf, tf, 1.0 - tf)
+          .select(outKeys :+ col("hw").cast("double")
+            .as(TsdbSchema.ValueCol): _*)
+      case "rate" | "increase" =>
+        val d0 = v - col("prev_v")
+        val agg = pairFanned
+          .withColumn("d", when(d0 < 0, v).otherwise(d0)) // counter reset
+          .groupBy(outKeys: _*)
+          .agg(round(sum(col("d")), 6).as("_inc"),
+            (sum(col("_ut") - col("_put")) / 1000.0).as("_span"))
+        val out =
+          if (name == "increase") col("_inc")
+          else round(col("_inc") / nullif(col("_span"), lit(0.0)), 6)
+        agg.select(outKeys :+ out.cast("double").as(TsdbSchema.ValueCol): _*)
+      case "changes" | "resets" =>
+        val hit =
+          if (name == "changes") v =!= col("prev_v") else v < col("prev_v")
+        pairFanned.groupBy(outKeys: _*)
+          .agg(sum(when(hit, 1.0).otherwise(0.0)).as(TsdbSchema.ValueCol))
+      case "idelta" | "irate" =>
+        val d = v - col("prev_v")
+        val pick =
+          if (name == "idelta") d
+          else when(d >= 0, d).otherwise(v) /
+            nullif((col("_ut") - col("_put")) / 1000.0, lit(0.0))
+        pairFanned.groupBy(outKeys: _*)
+          .agg(round(max_by(pick, struct(col("_ut"), v)), 6)
+            .as(TsdbSchema.ValueCol))
+    }
   }
 
   /** The pair/fold range-vector functions over a subquery's grid: every
@@ -1184,8 +1310,9 @@ object PromQL {
     * functions; aggregation operators (by / without); topk/bottomk per
     * step; binary / set operators matched per step (each grid
     * timestamp combines only with itself — `t` joins as an extra match
-    * key); and holt_winters / double_exponential_smoothing per
-    * overlapping window. */
+    * key); holt_winters / double_exponential_smoothing per
+    * overlapping window; and subqueries under any range-vector
+    * function (ONE inner pass + fan-out, see [[subqueryFoldRange]]). */
   def evalRange(expr: Expr, wide: DataFrame, start: Long, end: Long,
                 stepMs: Long, lookbackMs: Long): DataFrame = fold(expr) match {
     case Selector(ms, None, off, None) =>
@@ -1215,55 +1342,21 @@ object PromQL {
         .select((lit(start) + col("id") * stepMs).as("t"))
       one.crossJoin(broadcast(grid))
     case Fn(name, Subquery(inner, rangeMs, sqStep, off, None), params)
-        if OverTimeStats.contains(name) || name == "quantile_over_time" =>
+        if SubqueryFns(name) =>
       // range-mode subquery: the inner expression evaluates ONCE over
       // the covering absolute-aligned grid (u ≡ 0 mod sqStep, spanning
-      // every outer window), then each inner point fans out to the
-      // outer steps t whose window [t − off − range, t − off] contains
-      // it — the sliding-kernel decomposition lifted one level up,
-      // never a grid of grids. Cost = inner points × overlap factor.
-      val uStart =
-        math.ceil((start - off - rangeMs).toDouble / sqStep).toLong * sqStep
-      val uEnd = math.floor((end - off).toDouble / sqStep).toLong * sqStep
-      val grid0 = evalRange(inner, wide, uStart, uEnd, sqStep, lookbackMs)
-      val grid = inner match {
-        case Fn(n @ ("rate" | "increase"), _, _) =>
-          val vc = if (n == "rate") "rate_v" else "increase"
-          grid0.select(TsdbSchema.dynCols(grid0) :+ col("t") :+
-            col(vc).cast("double").as(TsdbSchema.ValueCol): _*)
-        case _ => grid0
-      }
-      require(grid.columns.contains(TsdbSchema.ValueCol),
-        s"$name over a subquery needs per-step instant vectors")
-      val keys = grid.columns.toSeq
-        .filterNot(Seq("t", TsdbSchema.TimeCol, TsdbSchema.ValueCol)
-          .contains(_))
-        .map(c => col(s"`$c`"))
-      val aggc =
-        if (name == "quantile_over_time")
-          round(org.apache.spark.sql.functions.expr(
-            s"percentile(${TsdbSchema.ValueCol}, ${params.head})"), 6)
-            .as(TsdbSchema.ValueCol)
-        else RangeVectors.statAgg(OverTimeStats(name), timeCol = "_ut")
-          .as(TsdbSchema.ValueCol)
-      val nSteps = (end - start) / stepMs
-      val iLo = greatest(lit(0L),
-        ceil((col("_ut") + (off - start)) / stepMs.toDouble).cast("long"))
-      val iHi = least(lit(nSteps),
-        floor((col("_ut") + (off + rangeMs - start)) / stepMs.toDouble)
-          .cast("long"))
-      grid.withColumnRenamed("t", "_ut")
-        .withColumn("_ilo", iLo).withColumn("_ihi", iHi)
-        .where(col("_ilo") <= col("_ihi"))
-        .withColumn("_i", explode(sequence(col("_ilo"), col("_ihi"))))
-        .withColumn("t", lit(start) + col("_i") * stepMs)
-        .groupBy(keys :+ col("t"): _*)
-        .agg(aggc)
+      // every outer window), then inner points (or consecutive-point
+      // pairs, for the pair family) fan out to the outer steps t whose
+      // window [t − off − range, t − off] contains them — the
+      // sliding-kernel decomposition lifted one level up, never a grid
+      // of grids. Cost = inner points × overlap factor.
+      subqueryFoldRange(name, inner, rangeMs, sqStep, off, wide,
+        start, end, stepMs, lookbackMs, params)
     case Subquery(_, _, _, _, _) | Fn(_, Subquery(_, _, _, _, _), _) =>
       throw new IllegalArgumentException(
         "a subquery yields a range vector — wrap it in an *_over_time " +
-          "function; the pair/fold family (rate, changes, ...) over a " +
-          "subquery evaluates in instant or @-pinned mode only")
+          "or pair/fold range-vector function " +
+          "(e.g. max_over_time(rate(m[5m])[1h:10m]))")
     case TimeLit =>
       // the per-step grid time as a no-label vector (epoch seconds)
       wide.sparkSession.range((end - start) / stepMs + 1)

@@ -481,11 +481,19 @@ class PromQLSpec extends SparkSpec {
     // @-pinned: the [7200s−1d, 7200s] grid has ONE live point → no
     // pairs → every series drops (PromQL's two-point rule)
     assert(evalQ("""increase({name="up"}[1d:5h] @ 7200)""").count() === 0L)
-    // non-pinned range mode for the pair family stays rejected
-    intercept[IllegalArgumentException](
-      evalRange(parse("""rate({name="up"}[1d:5h])"""), wide,
-        start = 0L, end = 86400000L, stepMs = 86400000L,
-        lookbackMs = 86400000L))
+    // range mode: inner-pair fan-out — pairs land on the outer steps
+    // whose [t−1d, t] window contains BOTH endpoints; t=0 covers only
+    // the u=0 inner point (no pair) and drops out
+    def rm(q: String) = evalRange(parse(q), wide, start = 0L,
+      end = 86400000L, stepMs = 43200000L, lookbackMs = 86400000L)
+      .select(col("`labels.user`"), col("t"), col("value"))
+      .as[(String, Long, Double)].collect().toSet
+    assert(rm("""increase({name="up"}[1d:5h])""") === Set(
+      ("a", 43200000L, 3.0), ("b", 43200000L, 6.0),
+      ("a", 86400000L, 3.0), ("b", 86400000L, 6.0)))
+    assert(rm("""changes({name="up"}[1d:5h])""") === Set(
+      ("a", 43200000L, 1.0), ("b", 43200000L, 1.0),
+      ("a", 86400000L, 1.0), ("b", 86400000L, 1.0)))
   }
 
   test("@ modifier pins subqueries to an anchor") {
