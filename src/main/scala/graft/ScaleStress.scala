@@ -71,6 +71,17 @@ object ScaleStress {
           """max_over_time(rate({name="purchase"}[7d])[7d:1d])"""),
         t.df, at = Tables.RangeEnd, lookbackMs = 86400000L,
         start = Tables.RangeStart, end = Tables.RangeEnd).count())
+    // range-mode subquery with the PAIR fan-out: inner per-user daily
+    // sums evaluate once (23 grid points), consecutive pairs fan to the
+    // 16 outer steps containing both endpoints — cost = inner points ×
+    // overlap, invariant to outer step count; a grid-of-grids design
+    // would pay 16 inner evaluations here
+    time(s"promql range subquery ${factor}x")(
+      graft.tsdb.PromQL.evalRange(
+        graft.tsdb.PromQL.parse(
+          """increase(sum by (user) ({name="purchase"})[7d:1d])"""),
+        t.df, start = Tables.RangeStart, end = Tables.RangeEnd,
+        stepMs = 86400000L, lookbackMs = 86400000L).count())
 
     // lifecycle tier at Nx: compaction must scale in bytes (one range
     // shuffle), retention in TOUCHED bytes only — the footer triage must
