@@ -21,6 +21,7 @@ object Bench {
     "pipe_q21_tfidf",
     "tsdb_q32_setops", "tsdb_q34_hist_quantile", "tsdb_q35_holt_winters",
     "tsdb_q43_promql_sliding_rate", "tsdb_q48_promql_sliding_binop",
+    "tsdb_q67_promql_range_subquery_increase",
     "pipe_q30_packing", "pipe_q31_chunk_dedup", "pipe_q32_kmeans",
     "pipe_q33_semantic_dedup")
 

@@ -305,8 +305,8 @@ object PromQL {
   private val InstantFns = Set("abs", "ceil", "floor", "exp", "ln", "sqrt",
     "sgn", "clamp", "clamp_min", "clamp_max", "absent",
     "log2", "log10", "round", "timestamp", "sort", "sort_desc",
-    "hour", "minute", "day_of_week", "day_of_month", "days_in_month",
-    "month", "year",
+    "hour", "minute", "day_of_week", "day_of_month", "day_of_year",
+    "days_in_month", "month", "year",
     "sin", "cos", "tan", "asin", "acos", "atan",
     "sinh", "cosh", "tanh", "deg", "rad",
     // conversions — eval intercepts both before instantFn
@@ -314,7 +314,7 @@ object PromQL {
     "scalar")  // vector → scalar: its value iff exactly 1 element, NaN else
   /** Wall-clock fns whose missing argument defaults to vector(time()). */
   private val ClockFns = Set("hour", "minute", "day_of_week",
-    "day_of_month", "days_in_month", "month", "year")
+    "day_of_month", "day_of_year", "days_in_month", "month", "year")
   private val StrFns = Set("label_replace", "label_join", "count_values")
   private val LeadingParamFns = Set("quantile_over_time", "histogram_quantile")
   /** Range-vector functions a SUBQUERY supports as its consumer: the
@@ -1585,6 +1585,8 @@ object PromQL {
         mapV((dayofweek(timestamp_seconds(v)) - 1).cast("double"))
       case "day_of_month" =>
         mapV(dayofmonth(timestamp_seconds(v)).cast("double"))
+      case "day_of_year" =>
+        mapV(dayofyear(timestamp_seconds(v)).cast("double"))
       case "days_in_month" =>
         mapV(dayofmonth(last_day(timestamp_seconds(v))).cast("double"))
       case "month" => mapV(month(timestamp_seconds(v)).cast("double"))

@@ -245,6 +245,9 @@ class PromQLSpec extends SparkSpec {
       Map("a" -> 5.0, "b" -> 4.0))
     assert(m("""days_in_month(timestamp({name="up"}))""") ===
       Map("a" -> 31.0, "b" -> 31.0))
+    // a's last sample sits on Jan 2 1970, b's on Jan 1
+    assert(m("""day_of_year(timestamp({name="up"}))""") ===
+      Map("a" -> 2.0, "b" -> 1.0))
     assert(m("""year(timestamp({name="up"}))""") ===
       Map("a" -> 1970.0, "b" -> 1970.0))
     // round to the nearest 0.5 multiple, ties UP: 2.25 → 2.5
