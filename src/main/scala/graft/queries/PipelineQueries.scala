@@ -344,6 +344,19 @@ object PipelineQueries {
           at = Tables.RangeEnd, lookbackMs = 86400000L,
           start = Tables.RangeStart, end = Tables.RangeEnd),
         "stream_q9_promql_instant", mode = "complete")),
+    // a RANGE-VECTOR PromQL function over the STREAMING engine: the
+    // tumbling sum_over_time buckets are one incremental aggregate
+    // (state bounded by series × live buckets, never history) — the
+    // live daily-totals panel; same eval code path as batch tsdb_q50
+    "stream_q10_promql_range" -> ((s, dir) =>
+      graft.streaming.EventStreams.runToMemory(
+        graft.tsdb.PromQL.eval(
+          graft.tsdb.PromQL.parse(
+            """sum_over_time({name="purchase"}[1d])"""),
+          graft.streaming.EventStreams.readEventsWide(s, dir),
+          at = Tables.RangeEnd, lookbackMs = 86400000L,
+          start = Tables.RangeStart, end = Tables.RangeEnd),
+        "stream_q10_promql_range", mode = "complete")),
     "stream_q5_ingest" -> ((s, dir) => {
       val long = EventStreams.readEvents(s, dir).select(
         unix_millis(col("ts")).as("time"), col("value"),
@@ -938,6 +951,14 @@ object PipelineQueries {
          |  AND time > ${Tables.RangeEnd - 86400000L}
          |  AND time <= ${Tables.RangeEnd}
          |GROUP BY 1, 2, 3""".stripMargin,
+    "stream_q10_promql_range" ->
+      s"""${Tables.duckTsdbCte}
+         |SELECT "labels.k", "labels.name", "labels.user",
+         |  CAST(floor(time / 86400000.0) * 86400000 AS BIGINT) AS bucket,
+         |  round(sum(value), 6) AS value
+         |FROM t WHERE "labels.name" = 'purchase'
+         |  AND time >= ${Tables.RangeStart} AND time < ${Tables.RangeEnd}
+         |GROUP BY 1, 2, 3, 4""".stripMargin,
     "stream_q5_ingest" ->
       """SELECT event_type AS name, count(*) AS n,
         |  round(sum(value), 4) AS total
