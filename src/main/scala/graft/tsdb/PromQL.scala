@@ -898,11 +898,16 @@ object PromQL {
     val gridStart =
       math.ceil((sqEnd - rangeMs).toDouble / stepMs).toLong * stepMs
     val grid0 = evalRange(inner, wide, gridStart, sqEnd, stepMs, lookbackMs)
-    // rate/increase range evaluation yields the multi-stat frame;
-    // project the requested statistic back to the `value` shape
+    // rate/increase/holt_winters range evaluation yields multi-stat
+    // frames; project the requested statistic back to the `value` shape
     val grid = inner match {
-      case Fn(n @ ("rate" | "increase"), _, _) =>
-        val vc = if (n == "rate") "rate_v" else "increase"
+      case Fn(n @ ("rate" | "increase" | "holt_winters" |
+                   "double_exponential_smoothing"), _, _) =>
+        val vc = n match {
+          case "rate" => "rate_v"
+          case "increase" => "increase"
+          case _ => "hw"
+        }
         grid0.select(TsdbSchema.dynCols(grid0) :+ col("t") :+
           col(vc).cast("double").as(TsdbSchema.ValueCol): _*)
       case _ => grid0
@@ -951,8 +956,13 @@ object PromQL {
     val uEnd = math.floor((end - off).toDouble / sqStep).toLong * sqStep
     val grid0 = evalRange(inner, wide, uStart, uEnd, sqStep, lookbackMs)
     val grid1 = inner match {
-      case Fn(n @ ("rate" | "increase"), _, _) =>
-        val vc = if (n == "rate") "rate_v" else "increase"
+      case Fn(n @ ("rate" | "increase" | "holt_winters" |
+                   "double_exponential_smoothing"), _, _) =>
+        val vc = n match {
+          case "rate" => "rate_v"
+          case "increase" => "increase"
+          case _ => "hw"
+        }
         grid0.select(TsdbSchema.dynCols(grid0) :+ col("t") :+
           col(vc).cast("double").as(TsdbSchema.ValueCol): _*)
       case _ => grid0

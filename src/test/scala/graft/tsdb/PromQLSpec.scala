@@ -481,6 +481,11 @@ class PromQLSpec extends SparkSpec {
     // the smoothing fold over the sorted grid values
     assert(m("""holt_winters({name="up"}[1d:5h], 0.5, 0.3)""") ===
       Map("a" -> 6.5, "b" -> 8.0))
+    // holt_winters as the INNER expression re-projects hw → value:
+    // per-u 1d windows give a ∈ {4,...}, b ∈ {8,...} (u=25h drops,
+    // single sample); max over the grid
+    assert(m("""max_over_time(holt_winters({name="up"}[1d], 0.5, 0.3)[1d:5h])""") ===
+      Map("a" -> 4.0, "b" -> 8.0))
     // @-pinned: the [7200s−1d, 7200s] grid has ONE live point → no
     // pairs → every series drops (PromQL's two-point rule)
     assert(evalQ("""increase({name="up"}[1d:5h] @ 7200)""").count() === 0L)
