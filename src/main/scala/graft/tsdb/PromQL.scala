@@ -762,7 +762,7 @@ object PromQL {
         s"$op by(...) needs an instant-vector argument (a selector or " +
           "a single-value *_over_time function), not a multi-stat " +
           "range-vector frame")
-      val keys = by.map(n => TsdbSchema.labelCol(n).as(n)) ++ gridKeys(iv)
+      val keys = by.map(labelKey(iv, _)) ++ gridKeys(iv)
       iv.groupBy(keys: _*).agg(aggValue(op, param))
     case AggWithout(op, without, arg, param) =>
       val iv = eval(arg, wide, at, lookbackMs, start, end)
@@ -1474,7 +1474,7 @@ object PromQL {
       require(iv.columns.contains(TsdbSchema.ValueCol),
         s"$op by(...) needs per-step instant vectors (a selector), " +
           "not a range-vector function result")
-      val keys = by.map(n => TsdbSchema.labelCol(n).as(n)) :+ col("t")
+      val keys = by.map(labelKey(iv, _)) :+ col("t")
       iv.groupBy(keys: _*).agg(aggValue(op, param))
     case AggWithout(op, without, arg, param) =>
       val iv = evalRange(arg, wide, start, end, stepMs, lookbackMs)
@@ -1785,15 +1785,18 @@ object PromQL {
                     extra: Seq[String] = Nil): DataFrame = {
     require(iv.columns.contains(TsdbSchema.ValueCol),
       "set/binary operators need instant-vector operands")
-    val keys = on.map { n =>
-      if (iv.columns.contains(TsdbSchema.labelColName(n)))
-        TsdbSchema.labelCol(n).as(n)
-      else if (iv.columns.contains(n)) col(s"`$n`").as(n)
-      // label absent from this side entirely: NULL ≡ "" ≡ absent, so
-      // default matching still pairs it with the other side's absents
-      else lit(null).cast("string").as(n)
-    }
-    iv.select(keys ++ extra.map(c => col(s"`$c`")) :+
+    iv.select(on.map(labelKey(iv, _)) ++ extra.map(c => col(s"`$c`")) :+
       col(TsdbSchema.ValueCol).as(as): _*)
   }
+
+  /** Resolve a PromQL label name against a vector frame: the wide
+    * `labels.n` column, a bare `n` column (an aggregation output), or —
+    * when the label exists nowhere — NULL (absent ≡ "", the P3 rule:
+    * referencing a non-existent label is legal in PromQL, both in
+    * `by (...)` grouping and in matching). */
+  private def labelKey(iv: DataFrame, n: String): Column =
+    if (iv.columns.contains(TsdbSchema.labelColName(n)))
+      TsdbSchema.labelCol(n).as(n)
+    else if (iv.columns.contains(n)) col(s"`$n`").as(n)
+    else lit(null).cast("string").as(n)
 }

@@ -567,6 +567,21 @@ class PromQLSpec extends SparkSpec {
       ("b", 0L, 6.0), ("b", 86400000L, 6.0)))
   }
 
+  test("grouping by non-existent or aggregated labels resolves NULL-safely") {
+    // `by` on a label no series carries: legal PromQL — one group with
+    // the label absent (NULL), like Prometheus's empty-label grouping
+    val g = evalQ("""sum by (nope) ({name="up"})""")
+      .select(col("nope"), col("value"))
+      .as[(String, Double)].collect().toSeq
+    assert(g === Seq((null, 17.0)))
+    // re-aggregating an aggregated vector: the key is the BARE output
+    // column of the inner agg, not a labels.* column
+    val re = evalQ("""max by (user) (sum by (user) ({name="up"}))""")
+      .select(col("user"), col("value"))
+      .as[(String, Double)].collect().toMap
+    assert(re === Map("a" -> 9.0, "b" -> 8.0))
+  }
+
   test("subquery default step [1h:] = the 1m evaluation interval") {
     assert(parse("""{name="up"}[1h:]""") ===
       Subquery(Selector(Seq(Matcher.Eq("name", "up")), None, 0L),

@@ -214,7 +214,9 @@ object TsdbProperties extends Properties("tsdb") {
         samples.sortBy(s => (s.time, s.value, s.labels.toString))
     }
 
-  property("PromQL parse ∘ render = identity over random ASTs") = {
+  // the PromQL AST generator shared by the round-trip and
+  // analyzability properties
+  private object PromQLGen {
     import PromQL._
     val label = Gen.oneOf("job", "env", "user", "k")
     val value = Gen.oneOf("api", "prod", "us-1", "9")
@@ -332,11 +334,42 @@ object TsdbProperties extends Properties("tsdb") {
                    Gen.nonEmptyListOf(label).map(_.distinct))
           a <- expr(depth - 1); b <- expr(depth - 1)
         } yield SetOp(op, on, a, b, ignoring = ign)))
-    Prop.forAll(expr(2)) { e =>
+  }
+
+  property("PromQL parse ∘ render = identity over random ASTs") = {
+    import PromQL._
+    Prop.forAll(PromQLGen.expr(2)) { e =>
       val text = render(e)
       val back = parse(text)
       if (back != e) println(s"text=$text\n  want=$e\n  got =$back")
       back == e
+    }
+  }
+
+  property("PromQL eval analyzes every generated AST or rejects it") = {
+    // robustness pin over the same expression space: both evaluators
+    // must either produce an ANALYZABLE plan (column plumbing resolves
+    // end-to-end) or reject with the engine's IllegalArgumentException
+    // (shapes invalid by design, e.g. aggregating a multi-stat frame) —
+    // never a MatchError (missed evaluator case) or an
+    // AnalysisException (broken column references)
+    val wide = Seq(
+      (0L, 1.0, "up", "a", "x"), (3600000L, 4.0, "up", "a", "x"),
+      (7200000L, 8.0, "up", "b", "y"), (86400000L, 9.0, "up", "b", "y")
+    ).toDF("time", "value", "labels.user", "labels.job", "labels.env")
+    Prop.forAll(PromQLGen.expr(2)) { e =>
+      def ok(label: String)(f: => org.apache.spark.sql.DataFrame): Boolean =
+        try { f.queryExecution.analyzed; true }
+        catch {
+          case _: IllegalArgumentException => true
+          case t: Throwable =>
+            println(s"$label: ${PromQL.render(e)}\n  ${t.getClass.getName}: ${t.getMessage}")
+            false
+        }
+      ok("eval")(PromQL.eval(e, wide, at = 90000000L,
+        lookbackMs = 86400000L, start = -1L, end = 100000000L)) &&
+      ok("evalRange")(PromQL.evalRange(e, wide, start = 0L,
+        end = 86400000L, stepMs = 43200000L, lookbackMs = 86400000L))
     }
   }
 
