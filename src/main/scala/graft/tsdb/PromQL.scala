@@ -753,7 +753,7 @@ object PromQL {
     case StrFn(name, arg, strs) =>
       strFn(name, eval(arg, wide, at, lookbackMs, start, end), strs)
     case AggBy(op, by, arg, param) =>
-      val iv = eval(arg, wide, at, lookbackMs, start, end)
+      val iv = toValueShape(eval(arg, wide, at, lookbackMs, start, end))
       // aggregation operators consume vectors with a `value` column —
       // instant selectors or the single-value *_over_time family (whose
       // tumbling `bucket` stays an implicit grouping key, so each
@@ -765,7 +765,7 @@ object PromQL {
       val keys = by.map(labelKey(iv, _)) ++ gridKeys(iv)
       iv.groupBy(keys: _*).agg(aggValue(op, param))
     case AggWithout(op, without, arg, param) =>
-      val iv = eval(arg, wide, at, lookbackMs, start, end)
+      val iv = toValueShape(eval(arg, wide, at, lookbackMs, start, end))
       require(iv.columns.contains(TsdbSchema.ValueCol),
         s"$op without(...) needs an instant-vector argument")
       // group by every label EXCEPT `without` — output keeps the wide
@@ -775,7 +775,7 @@ object PromQL {
         .map(c => col(s"`$c`")) ++ gridKeys(iv)
       iv.groupBy(keys: _*).agg(aggValue(op, param))
     case RankK(op, k, arg) =>
-      val iv = eval(arg, wide, at, lookbackMs, start, end)
+      val iv = toValueShape(eval(arg, wide, at, lookbackMs, start, end))
       require(iv.columns.contains(TsdbSchema.ValueCol),
         s"$op(k, ...) needs an instant-vector argument (a selector)")
       val labels = TsdbSchema.dynCols(iv)
@@ -847,8 +847,9 @@ object PromQL {
   /** le-bucket interpolation over a vector of cumulative bucket series;
     * groups = every label except `le`, plus `extra` (the evaluation grid
     * in range mode). */
-  private def histQuantile(iv: DataFrame, q: Double,
+  private def histQuantile(iv0: DataFrame, q: Double,
                            extra: Seq[String]): DataFrame = {
+    val iv = toValueShape(iv0)
     val leCol = TsdbSchema.labelColName("le")
     require(iv.columns.contains(leCol),
       "histogram_quantile needs an instant vector with an `le` label")
@@ -869,6 +870,26 @@ object PromQL {
     * evaluation grid `t` (range mode, added by the evalRange cases). */
   private def gridKeys(iv: DataFrame): Seq[Column] =
     if (iv.columns.contains("bucket")) Seq(col("bucket")) else Nil
+
+  /** Coerce a multi-stat range-vector kernel frame to the composable
+    * instant-vector shape by projecting its CANONICAL statistic as
+    * `value`: rate → rate_v, irate → irate_v (listed after rate_v —
+    * the rate frame carries an `increase` column too), increase,
+    * holt_winters → hw, deriv. Frames already carrying `value` pass
+    * through untouched. This is what lets the full Prometheus
+    * composition surface — `abs(rate(m[1h]))`, `sum by (u) (rate(…))`,
+    * `histogram_quantile(q, rate(bucket[5m]))`, `rate(a) / rate(b)` —
+    * consume the tumbling report frames the programmatic API exposes. */
+  private def toValueShape(df: DataFrame): DataFrame =
+    if (df.columns.contains(TsdbSchema.ValueCol)) df
+    else Seq("rate_v", "irate_v", "increase", "hw", "deriv")
+      .find(df.columns.contains(_)) match {
+      case Some(c) =>
+        val keep = TsdbSchema.dynCols(df) ++
+          Seq("bucket", "t").filter(df.columns.contains(_)).map(n => col(n))
+        df.select(keep :+ col(c).cast("double").as(TsdbSchema.ValueCol): _*)
+      case None => df
+    }
 
   /** An @-anchored range-vector function evaluates over ONE pinned
     * window, so its result is a plain instant vector — project the
@@ -898,20 +919,7 @@ object PromQL {
     val gridStart =
       math.ceil((sqEnd - rangeMs).toDouble / stepMs).toLong * stepMs
     val grid0 = evalRange(inner, wide, gridStart, sqEnd, stepMs, lookbackMs)
-    // rate/increase/holt_winters range evaluation yields multi-stat
-    // frames; project the requested statistic back to the `value` shape
-    val grid = inner match {
-      case Fn(n @ ("rate" | "increase" | "holt_winters" |
-                   "double_exponential_smoothing"), _, _) =>
-        val vc = n match {
-          case "rate" => "rate_v"
-          case "increase" => "increase"
-          case _ => "hw"
-        }
-        grid0.select(TsdbSchema.dynCols(grid0) :+ col("t") :+
-          col(vc).cast("double").as(TsdbSchema.ValueCol): _*)
-      case _ => grid0
-    }
+    val grid = innerValueShape(inner, grid0)
     require(grid.columns.contains(TsdbSchema.ValueCol),
       s"$name over a subquery needs per-step instant vectors")
     val keys = grid.columns.toSeq
@@ -955,18 +963,7 @@ object PromQL {
       math.ceil((start - off - rangeMs).toDouble / sqStep).toLong * sqStep
     val uEnd = math.floor((end - off).toDouble / sqStep).toLong * sqStep
     val grid0 = evalRange(inner, wide, uStart, uEnd, sqStep, lookbackMs)
-    val grid1 = inner match {
-      case Fn(n @ ("rate" | "increase" | "holt_winters" |
-                   "double_exponential_smoothing"), _, _) =>
-        val vc = n match {
-          case "rate" => "rate_v"
-          case "increase" => "increase"
-          case _ => "hw"
-        }
-        grid0.select(TsdbSchema.dynCols(grid0) :+ col("t") :+
-          col(vc).cast("double").as(TsdbSchema.ValueCol): _*)
-      case _ => grid0
-    }
+    val grid1 = innerValueShape(inner, grid0)
     require(grid1.columns.contains(TsdbSchema.ValueCol),
       s"$name over a subquery needs per-step instant vectors")
     val keys = grid1.columns.toSeq
@@ -1059,6 +1056,27 @@ object PromQL {
     }
   }
 
+  /** A subquery's inner rate/increase/holt_winters evaluation yields a
+    * multi-stat kernel frame — project the statistic the function name
+    * denotes back to the composable `value` shape. Gated on the kernel
+    * column actually being present: an @-ANCHORED inner arrives already
+    * value-shaped (via [[asAnchoredVector]]) and passes through. */
+  private def innerValueShape(inner: Expr, grid0: DataFrame): DataFrame = {
+    val vc = inner match {
+      case Fn("rate", _, _) => Some("rate_v")
+      case Fn("increase", _, _) => Some("increase")
+      case Fn("holt_winters" | "double_exponential_smoothing", _, _) =>
+        Some("hw")
+      case _ => None
+    }
+    vc.filter(grid0.columns.contains(_)) match {
+      case Some(c) =>
+        grid0.select(TsdbSchema.dynCols(grid0) :+ col("t") :+
+          col(c).cast("double").as(TsdbSchema.ValueCol): _*)
+      case None => grid0
+    }
+  }
+
   /** The pair/fold range-vector functions over a subquery's grid: every
     * grid point is in-window by construction (ONE window ending at
     * sqEnd), so rate/increase/changes/resets/irate/idelta reduce to one
@@ -1145,14 +1163,14 @@ object PromQL {
     * its value iff the vector has exactly one element, NaN otherwise
     * (including empty — a global aggregate always yields the row). */
   private def scalarFrame(iv: DataFrame): DataFrame =
-    iv.agg(count(lit(1)).as("_n_"), max(col(TsdbSchema.ValueCol)).as("_v_"))
+    toValueShape(iv).agg(count(lit(1)).as("_n_"), max(col(TsdbSchema.ValueCol)).as("_v_"))
       .select(when(col("_n_") === 1, col("_v_"))
         .otherwise(lit(Double.NaN)).cast("double").as("_scalar_"))
 
   /** Per-step [[scalarFrame]]: `(t, _scalar_)` for the grid points the
     * inner vector reaches (missing steps are left-join + NaN at use). */
   private def scalarFrameRange(grid: DataFrame): DataFrame =
-    grid.groupBy(col("t"))
+    toValueShape(grid).groupBy(col("t"))
       .agg(count(lit(1)).as("_n_"), max(col(TsdbSchema.ValueCol)).as("_v_"))
       .select(col("t"), when(col("_n_") === 1, col("_v_"))
         .otherwise(lit(Double.NaN)).cast("double").as("_scalar_"))
@@ -1227,7 +1245,9 @@ object PromQL {
                               carry: Seq[String], lv0: DataFrame,
                               rv0: DataFrame, bool: Boolean, card: String,
                               extra: Seq[String]): DataFrame = {
-    val (many, one) = if (card == "left") (lv0, rv0) else (rv0, lv0)
+    val (many, one) =
+      if (card == "left") (toValueShape(lv0), toValueShape(rv0))
+      else (toValueShape(rv0), toValueShape(lv0))
     val keys = matchKeys(on, ign, lv0, rv0)
     val cond = (keys.map { n =>
       val mc = if (many.columns.contains(TsdbSchema.labelColName(n)))
@@ -1463,21 +1483,21 @@ object PromQL {
       // per-step count_values: how many series report each value AT
       // each grid timestamp — `t` joins the grouping like every other
       // per-step aggregation
-      evalRange(arg, wide, start, end, stepMs, lookbackMs)
+      toValueShape(evalRange(arg, wide, start, end, stepMs, lookbackMs))
         .groupBy(col(TsdbSchema.ValueCol).cast("string")
             .as(TsdbSchema.labelColName(lbl)), col("t"))
         .agg(count(lit(1)).cast("double").as(TsdbSchema.ValueCol))
     case StrFn(name, arg, strs) =>
       strFn(name, evalRange(arg, wide, start, end, stepMs, lookbackMs), strs)
     case AggBy(op, by, arg, param) =>
-      val iv = evalRange(arg, wide, start, end, stepMs, lookbackMs)
+      val iv = toValueShape(evalRange(arg, wide, start, end, stepMs, lookbackMs))
       require(iv.columns.contains(TsdbSchema.ValueCol),
         s"$op by(...) needs per-step instant vectors (a selector), " +
           "not a range-vector function result")
       val keys = by.map(labelKey(iv, _)) :+ col("t")
       iv.groupBy(keys: _*).agg(aggValue(op, param))
     case AggWithout(op, without, arg, param) =>
-      val iv = evalRange(arg, wide, start, end, stepMs, lookbackMs)
+      val iv = toValueShape(evalRange(arg, wide, start, end, stepMs, lookbackMs))
       require(iv.columns.contains(TsdbSchema.ValueCol),
         s"$op without(...) needs per-step instant vectors")
       val dropped = without.map(TsdbSchema.labelColName).toSet
@@ -1485,7 +1505,7 @@ object PromQL {
         .map(c => col(s"`$c`")) :+ col("t")
       iv.groupBy(keys: _*).agg(aggValue(op, param))
     case RankK(op, k, arg) =>
-      val iv = evalRange(arg, wide, start, end, stepMs, lookbackMs)
+      val iv = toValueShape(evalRange(arg, wide, start, end, stepMs, lookbackMs))
       require(iv.columns.contains(TsdbSchema.ValueCol),
         s"$op(k, ...) needs per-step instant vectors")
       val labels = TsdbSchema.dynCols(iv)
@@ -1563,8 +1583,9 @@ object PromQL {
   /** Instant-vector value maps (`abs`, `clamp*`, …) plus `absent`.
     * Transcendentals round(6) — libm last-bit differences between
     * engines are not semantics. */
-  private def instantFn(name: String, iv: DataFrame, params: Seq[Double],
+  private def instantFn(name: String, iv0: DataFrame, params: Seq[Double],
                         at: Long): DataFrame = {
+    val iv = toValueShape(iv0)
     val v = col(TsdbSchema.ValueCol)
     def mapV(c: Column): DataFrame = iv.withColumn(TsdbSchema.ValueCol, c)
     name match {
@@ -1626,8 +1647,10 @@ object PromQL {
   /** String-parameter functions: label manipulation compiles onto
     * [[LabelOps]] (pure map-side column derivations); `count_values`
     * is the value-histogram aggregator. */
-  private def strFn(name: String, iv: DataFrame,
-                    strs: Seq[String]): DataFrame = (name, strs) match {
+  private def strFn(name: String, iv0: DataFrame,
+                    strs: Seq[String]): DataFrame = {
+    val iv = toValueShape(iv0)
+    (name, strs) match {
     case ("label_replace", Seq(dst, repl, src, regex)) =>
       LabelOps.labelReplace(iv, dst, repl, src, regex)
     case ("label_join", dst +: sep +: srcs) if srcs.nonEmpty =>
@@ -1640,7 +1663,7 @@ object PromQL {
         .agg(count(lit(1)).cast("double").as(TsdbSchema.ValueCol))
     case _ => throw new IllegalArgumentException(
       s"$name: wrong arguments ${strs.mkString(", ")}")
-  }
+  }}
 
   /** The `value` aggregate for a PromQL aggregation operator (floats
     * rounded so the oracle replays identical literals). stddev/stdvar
@@ -1759,8 +1782,9 @@ object PromQL {
   /** Vector-scalar arithmetic maps the value; comparison FILTERS the
     * vector (PromQL semantics) unless `bool`, which maps it to 0/1.
     * `flipped` = scalar was the left operand. */
-  private def scalarOp(iv: DataFrame, op: String, s: Column,
+  private def scalarOp(iv0: DataFrame, op: String, s: Column,
                        flipped: Boolean, bool: Boolean = false): DataFrame = {
+    val iv = toValueShape(iv0)
     require(iv.columns.contains(TsdbSchema.ValueCol),
       s"'$op' needs an instant-vector operand")
     val v = col(TsdbSchema.ValueCol)
@@ -1781,8 +1805,9 @@ object PromQL {
     * (aggregation output), whichever the frame carries. `extra` columns
     * (the per-step grid column in range evaluation) pass through
     * verbatim. */
-  private def keyed(iv: DataFrame, on: Seq[String], as: String,
+  private def keyed(iv0: DataFrame, on: Seq[String], as: String,
                     extra: Seq[String] = Nil): DataFrame = {
+    val iv = toValueShape(iv0)
     require(iv.columns.contains(TsdbSchema.ValueCol),
       "set/binary operators need instant-vector operands")
     iv.select(on.map(labelKey(iv, _)) ++ extra.map(c => col(s"`$c`")) :+

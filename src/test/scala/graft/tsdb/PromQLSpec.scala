@@ -567,6 +567,28 @@ class PromQLSpec extends SparkSpec {
       ("b", 0L, 6.0), ("b", 86400000L, 6.0)))
   }
 
+  test("multi-stat kernel frames coerce to value when composed") {
+    // rate's tumbling report frame (n/increase/span_sec/rate_v)
+    // projects rate_v as `value` at every composition site — the
+    // Prometheus shapes sum(rate(...)), abs(rate(...)), rate > bool s.
+    // Single-sample buckets rate NULL (observed span 0) and stay NULL
+    // through the aggregation.
+    val s = evalQ("""sum by (user) (rate({name="up"}[1d]))""")
+      .select(col("user"), col("bucket"), col("value"))
+      .as[(String, Long, Option[Double])].collect().toSet
+    assert(s === Set(("a", 0L, Some(0.000833)), ("b", 0L, Some(0.000833)),
+      ("a", 86400000L, None)))
+    val b = evalQ("""rate({name="up"}[1d]) > bool 0.0005""")
+      .select(col("`labels.user`"), col("bucket"), col("value"))
+      .as[(String, Long, Double)].collect().toSet
+    assert(b === Set(("a", 0L, 1.0), ("b", 0L, 1.0), ("a", 86400000L, 0.0)))
+    // vector-vector between two coerced frames matches per bucket
+    val r = evalQ("""rate({name="up"}[1d]) / on(user) rate({name="up"}[1d])""")
+      .select(col("user"), col("value"))
+      .as[(String, Option[Double])].collect().toSet
+    assert(r === Set(("a", Some(1.0)), ("b", Some(1.0)), ("a", None)))
+  }
+
   test("grouping by non-existent or aggregated labels resolves NULL-safely") {
     // `by` on a label no series carries: legal PromQL — one group with
     // the label absent (NULL), like Prometheus's empty-label grouping

@@ -357,7 +357,7 @@ object TsdbProperties extends Properties("tsdb") {
       (0L, 1.0, "up", "a", "x"), (3600000L, 4.0, "up", "a", "x"),
       (7200000L, 8.0, "up", "b", "y"), (86400000L, 9.0, "up", "b", "y")
     ).toDF("time", "value", "labels.user", "labels.job", "labels.env")
-    Prop.forAll(PromQLGen.expr(2)) { e =>
+    Prop.forAll(PromQLGen.expr(3)) { e =>
       def ok(label: String)(f: => org.apache.spark.sql.DataFrame): Boolean =
         try { f.queryExecution.analyzed; true }
         catch {
