@@ -853,9 +853,12 @@ object PromQL {
     val leCol = TsdbSchema.labelColName("le")
     require(iv.columns.contains(leCol),
       "histogram_quantile needs an instant vector with an `le` label")
+    // the tumbling `bucket` (instant mode) or grid `t` (range mode,
+    // via `extra`) is an implicit grouping key: each window's bucket
+    // ladder interpolates independently
     val groups = iv.columns.filter(c =>
       c.startsWith(TsdbSchema.LabelPrefix) && c != leCol).toSeq ++
-      extra.filter(iv.columns.contains)
+      ("bucket" +: extra).distinct.filter(iv.columns.contains)
     // Prometheus writes the top bucket as le="+Inf", which a bare
     // double cast nulls out — map it explicitly
     val leD = when(col(s"`$leCol`") === "+Inf", lit(Double.PositiveInfinity))

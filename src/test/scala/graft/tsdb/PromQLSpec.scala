@@ -950,6 +950,20 @@ class PromQLSpec extends SparkSpec {
       .select(col("`labels.path`"), col("phi")).as[(String, Double)].collect().toSet
     // rank 5 in bucket (10,20]: 10 + 10*(5-2)/(8-2) = 15
     assert(got === Set(("/api", 15.0)))
+    // THE canonical Prometheus histogram query — quantile over bucket
+    // RATES: cumulative counters per le sampled twice, rate coerces to
+    // value (toValueShape), interpolation runs over the rate ladder
+    // 10→0.000556, 20→0.003333, +Inf→0.005556 (1h observed span)
+    val hc = Seq(
+      (1000L, 2.0, "/api", "10"), (3601000L, 4.0, "/api", "10"),
+      (1000L, 8.0, "/api", "20"), (3601000L, 20.0, "/api", "20"),
+      (1000L, 10.0, "/api", "+Inf"), (3601000L, 30.0, "/api", "+Inf")
+    ).toDF("time", "value", "labels.path", "labels.le")
+    val rq = eval(parse("""histogram_quantile(0.5, rate({path="/api"}[1d]))"""),
+      hc, at = 3602000L, lookbackMs = 86400000L, start = 0L, end = 3602000L)
+      .select(col("`labels.path`"), col("phi")).as[(String, Double)].collect().toSet
+    // rank 0.002778 lands in (10, 20]: 10 + 10*(rank−r10)/(r20−r10)
+    assert(rq === Set(("/api", 18.00144)))
   }
 
   test("topk/bottomk rank the instant vector") {
