@@ -636,6 +636,16 @@ object TsdbQueries {
           """increase(sum by (user) ({name="purchase"})[7d:1d])"""),
         eventsAsTsdbStored(s, dir), start = RangeStart, end = RangeEnd,
         stepMs = 86400000L, lookbackMs = 86400000L)),
+    // Q68: the composition surface — sum by (user) OVER rate(...): the
+    // tumbling rate report frame coerces to its canonical statistic
+    // (rate_v → value) before the aggregation consumes it; bucket stays
+    // an implicit grouping key, so each 7d window sums independently
+    "tsdb_q68_promql_sum_rate" -> ((s, dir) =>
+      graft.tsdb.PromQL.eval(
+        graft.tsdb.PromQL.parse(
+          """sum by (user) (rate({name="purchase"}[7d]))"""),
+        eventsAsTsdbStored(s, dir), at = RangeEnd, lookbackMs = 86400000L,
+        start = RangeStart, end = RangeEnd)),
     // Q57: the parameterized `quantile(φ, v)` aggregator and `group`
     // through the PARSER — per-metric exact interpolated q75 across
     // series (the q36 kernel from query text), one tiny agg over the
@@ -1124,6 +1134,30 @@ object TsdbQueries {
          |    least(15, CAST(floor((ug + 604800000 - $RangeStart) / 86400000.0) AS BIGINT)) + 1
          |  )) AS r(k))
          |SELECT u AS "user", t, max(v) AS value FROM o GROUP BY 1, 2""".stripMargin,
+    // replays the coercion pipeline: per-(series, 7d-bucket) rate with
+    // the reset rule (first sample contributes 0), rate = rounded
+    // increase / observed span, then the per-(user, bucket) sum of the
+    // coerced values (NULL rates — span-0 windows — skipped, all-NULL
+    // groups stay NULL)
+    "tsdb_q68_promql_sum_rate" ->
+      s"""$duckTsdbCte,
+         |s AS (SELECT "labels.name" AS name, "labels.user" AS u,
+         |  "labels.k" AS kk, time, value FROM t
+         |  WHERE "labels.name" = 'purchase'
+         |    AND time >= $RangeStart AND time < $RangeEnd),
+         |b AS (SELECT *, CAST(floor(time / 604800000.0) * 604800000
+         |    AS BIGINT) AS bucket FROM s),
+         |p AS (SELECT *, lag(value) OVER w AS pv FROM b
+         |  WINDOW w AS (PARTITION BY name, u, kk, bucket
+         |               ORDER BY time, value)),
+         |r AS (SELECT u, bucket,
+         |    round(round(sum(CASE WHEN pv IS NULL THEN 0
+         |        WHEN value - pv < 0 THEN value
+         |        ELSE value - pv END), 6)
+         |      / nullif((max(time) - min(time)) / 1000.0, 0), 6) AS rv
+         |  FROM p GROUP BY u, name, kk, bucket)
+         |SELECT u AS "user", bucket, round(sum(rv), 6) AS value
+         |FROM r GROUP BY 1, 2""".stripMargin,
     // replays q66's grid at range scale: the 23-point inner grid,
     // per-user daily sums, consecutive-pair deltas, pairs fanned to
     // the outer steps whose [t−7d, t] window holds both endpoints
