@@ -646,6 +646,60 @@ object TsdbQueries {
           """sum by (user) (rate({name="purchase"}[7d]))"""),
         eventsAsTsdbStored(s, dir), at = RangeEnd, lookbackMs = 86400000L,
         start = RangeStart, end = RangeEnd)),
+    // Q69: GROUPED rank through the parser — `topk by (name) (2, v)`
+    // ranks WITHIN each metric (the Grafana "top k per job" shape). The
+    // plan is a partitioned window (one partition per by-group), never
+    // a global sort.
+    "tsdb_q69_promql_topk_by" -> ((s, dir) =>
+      graft.tsdb.PromQL.eval(
+        graft.tsdb.PromQL.parse("""topk by (name) (2, {name=~".+"})"""),
+        eventsAsTsdbStored(s, dir), at = RangeEnd, lookbackMs = 86400000L,
+        start = RangeStart, end = RangeEnd)),
+    // Q70: limitk (Prometheus's experimental series sampler) made
+    // deterministic: the k FIRST series in label-set order —
+    // orderBy+limit ⇒ TakeOrderedAndProject, the scale-safe global-k
+    // plan
+    "tsdb_q70_promql_limitk" -> ((s, dir) =>
+      graft.tsdb.PromQL.eval(
+        graft.tsdb.PromQL.parse("""limitk(5, {name="click"})"""),
+        eventsAsTsdbStored(s, dir), at = RangeEnd, lookbackMs = 86400000L,
+        start = RangeStart, end = RangeEnd)),
+    // Q71: limit_ratio — deterministic hash-band sampling over the
+    // portable series hash (map-side filter, no shuffle); the kept set
+    // is stable across evaluation timestamps per the Prometheus
+    // contract
+    "tsdb_q71_promql_limit_ratio" -> ((s, dir) =>
+      graft.tsdb.PromQL.eval(
+        graft.tsdb.PromQL.parse("""limit_ratio(0.5, {name=~".+"})"""),
+        eventsAsTsdbStored(s, dir), at = RangeEnd, lookbackMs = 86400000L,
+        start = RangeStart, end = RangeEnd)),
+    // Q72: mad_over_time — median absolute deviation around the
+    // interpolated median per (series, 7d window), ONE aggregation pass
+    // (both medians from one sorted buffer)
+    "tsdb_q72_promql_mad" -> ((s, dir) =>
+      graft.tsdb.PromQL.eval(
+        graft.tsdb.PromQL.parse("""mad_over_time({name="purchase"}[7d])"""),
+        eventsAsTsdbStored(s, dir), at = RangeEnd, lookbackMs = 86400000L,
+        start = RangeStart, end = RangeEnd)),
+    // Q74: STRICT Prometheus instant semantics (the `query` API) — the
+    // un-anchored range selector evaluates ONE window
+    // (RangeEnd − 7d, RangeEnd] per series (no tumbling buckets), then
+    // the aggregation collapses series; closes the tumbling deviation
+    // for callers that opt into evalStrict
+    "tsdb_q74_promql_strict_rate" -> ((s, dir) =>
+      graft.tsdb.PromQL.evalStrict(
+        graft.tsdb.PromQL.parse(
+          """sum by (user) (rate({name="purchase"}[7d]))"""),
+        eventsAsTsdbStored(s, dir), at = RangeEnd, lookbackMs = 86400000L,
+        start = RangeStart, end = RangeEnd)),
+    // Q73: sort_by_label — presentation ordering (content equals the
+    // instant vector; row order is pinned in PromQLSpec, the oracle
+    // hash-checks content)
+    "tsdb_q73_promql_sort_by_label" -> ((s, dir) =>
+      graft.tsdb.PromQL.eval(
+        graft.tsdb.PromQL.parse("""sort_by_label({name="click"}, "user")"""),
+        eventsAsTsdbStored(s, dir), at = RangeEnd, lookbackMs = 86400000L,
+        start = RangeStart, end = RangeEnd)),
     // Q57: the parameterized `quantile(φ, v)` aggregator and `group`
     // through the PARSER — per-metric exact interpolated q75 across
     // series (the q36 kernel from query text), one tiny agg over the
@@ -1158,6 +1212,102 @@ object TsdbQueries {
          |  FROM p GROUP BY u, name, kk, bucket)
          |SELECT u AS "user", bucket, round(sum(rv), 6) AS value
          |FROM r GROUP BY 1, 2""".stripMargin,
+    // replays the grouped rank: instant vector, then row_number within
+    // each name partition ordered (value DESC, labels ASC NULLS FIRST —
+    // Spark's asc default), keep rank ≤ 2
+    "tsdb_q69_promql_topk_by" ->
+      s"""$duckTsdbCte,
+         |iv AS (SELECT "labels.k", "labels.name", "labels.user",
+         |  max(time) AS time,
+         |  list_extract(max([CAST(time AS DOUBLE), value]), 2) AS value
+         |  FROM t WHERE "labels.name" IS NOT NULL
+         |    AND time > ${RangeEnd - 86400000L}
+         |    AND time <= $RangeEnd GROUP BY 1, 2, 3),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY "labels.name"
+         |    ORDER BY value DESC,
+         |      'labels.k=' || coalesce("labels.k", '') ||
+         |      ',labels.name=' || coalesce("labels.name", '') ||
+         |      ',labels.user=' || coalesce("labels.user", '') ASC)
+         |  AS rk FROM iv)
+         |SELECT "labels.k", "labels.name", "labels.user", time, value
+         |FROM r WHERE rk <= 2""".stripMargin,
+    // replays limitk's deterministic order: the series-identity string
+    // ("col=value" pairs over the sorted label columns, absent → ''),
+    // ascending, LIMIT k
+    "tsdb_q70_promql_limitk" ->
+      s"""$duckTsdbCte,
+         |iv AS (SELECT "labels.k", "labels.name", "labels.user",
+         |  max(time) AS time,
+         |  list_extract(max([CAST(time AS DOUBLE), value]), 2) AS value
+         |  FROM t WHERE "labels.name" = 'click'
+         |    AND time > ${RangeEnd - 86400000L}
+         |    AND time <= $RangeEnd GROUP BY 1, 2, 3)
+         |SELECT * FROM iv
+         |ORDER BY 'labels.k=' || coalesce("labels.k", '') ||
+         |  ',labels.name=' || coalesce("labels.name", '') ||
+         |  ',labels.user=' || coalesce("labels.user", '')
+         |LIMIT 5""".stripMargin,
+    // replays limit_ratio's hash band: portable md5-derived 60-bit hash
+    // of the series-identity string, mod 1000 / 1000 < r
+    "tsdb_q71_promql_limit_ratio" ->
+      s"""$duckTsdbCte,
+         |iv AS (SELECT "labels.k", "labels.name", "labels.user",
+         |  max(time) AS time,
+         |  list_extract(max([CAST(time AS DOUBLE), value]), 2) AS value
+         |  FROM t WHERE "labels.name" IS NOT NULL
+         |    AND time > ${RangeEnd - 86400000L}
+         |    AND time <= $RangeEnd GROUP BY 1, 2, 3)
+         |SELECT * FROM iv
+         |WHERE ${graft.functions.Hashing.duckHash64(
+              """'labels.k=' || coalesce("labels.k", '') ||
+                | ',labels.name=' || coalesce("labels.name", '') ||
+                | ',labels.user=' || coalesce("labels.user", '')"""
+                .stripMargin.replace("\n", ""))} % 1000
+         |  < 500""".stripMargin,
+    // replays mad_over_time: per (series, 7d bucket) interpolated
+    // median via a window, then the median of absolute deviations
+    "tsdb_q72_promql_mad" ->
+      s"""$duckTsdbCte,
+         |s AS (SELECT * FROM t WHERE "labels.name" = 'purchase'
+         |  AND time >= $RangeStart AND time < $RangeEnd),
+         |b AS (SELECT *, CAST(floor(time / 604800000.0) * 604800000
+         |    AS BIGINT) AS bucket FROM s),
+         |m AS (SELECT *, median(value) OVER (PARTITION BY "labels.k",
+         |    "labels.name", "labels.user", bucket) AS med FROM b)
+         |SELECT "labels.k", "labels.name", "labels.user", bucket,
+         |  round(median(abs(value - med)), 6) AS value
+         |FROM m GROUP BY 1, 2, 3, 4""".stripMargin,
+    // replays the strict one-window rate: consecutive pairs wholly
+    // inside (RangeEnd − 7d, RangeEnd], reset rule, rate = rounded
+    // increase / observed span (the q43 sliding kernel at a single
+    // grid point), then sum by user
+    "tsdb_q74_promql_strict_rate" ->
+      s"""$duckTsdbCte,
+         |s AS (SELECT "labels.name" AS name, "labels.user" AS u,
+         |  "labels.k" AS kk, time, value FROM t
+         |  WHERE "labels.name" = 'purchase'
+         |    AND time > ${RangeEnd - 604800000L} AND time <= $RangeEnd),
+         |p AS (SELECT *, lag(value) OVER w AS pv, lag(time) OVER w AS pt
+         |  FROM s WINDOW w AS (PARTITION BY name, u, kk
+         |                      ORDER BY time, value)),
+         |r AS (SELECT u, name, kk,
+         |    round(round(sum(CASE WHEN value - pv < 0 THEN value
+         |        ELSE value - pv END), 6)
+         |      / nullif(sum(time - pt) / 1000.0, 0), 6) AS rv
+         |  FROM p WHERE pt IS NOT NULL GROUP BY u, name, kk)
+         |SELECT u AS "user", round(sum(rv), 6) AS value
+         |FROM r GROUP BY 1""".stripMargin,
+    // content check only — row ORDER (the presentation semantics) is
+    // pinned in PromQLSpec; the driver compare sorts rows before
+    // hashing
+    "tsdb_q73_promql_sort_by_label" ->
+      s"""$duckTsdbCte
+         |SELECT "labels.k", "labels.name", "labels.user",
+         |  max(time) AS time,
+         |  list_extract(max([CAST(time AS DOUBLE), value]), 2) AS value
+         |FROM t WHERE "labels.name" = 'click'
+         |  AND time > ${RangeEnd - 86400000L} AND time <= $RangeEnd
+         |GROUP BY 1, 2, 3""".stripMargin,
     // replays q66's grid at range scale: the 23-point inner grid,
     // per-user daily sums, consecutive-pair deltas, pairs fanned to
     // the outer steps whose [t−7d, t] window holds both endpoints

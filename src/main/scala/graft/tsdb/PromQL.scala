@@ -30,7 +30,9 @@ import graft.model.Matcher
   *               [("group_left"|"group_right") ["(" names ")"]] expr
   *   agg      := op ["by"|"without" "(" names ")"] "(" [num ","] expr ")"
   *               op ∈ sum avg min max count stddev stdvar group quantile(φ,)
-  *             | ("topk"|"bottomk") "(" int "," expr ")"
+  *             | ("topk"|"bottomk"|"limitk") ["by" "(" names ")"]
+  *               "(" int "," expr ")"
+  *             | "limit_ratio" "(" ["-"] num "," expr ")"
   *   fn       := name "(" [num ","] expr ["," num]* ")"   e.g. rate(v[1d]),
   *               holt_winters(v[1d], 0.5, 0.3), quantile_over_time(0.9, v[1d]);
   *               also time(), vector(s), timestamp/wall-clock/round/log/sort
@@ -80,7 +82,19 @@ object PromQL {
   final case class AggWithout(op: String, without: Seq[String],
                               arg: Expr,
                               param: Option[Double] = None) extends Expr
-  final case class RankK(op: String, k: Int, arg: Expr) extends Expr
+  /** `topk`/`bottomk`/`limitk` — the rank/sample family. `by` is the
+    * optional grouping modifier (`topk by (job) (3, v)` — rank WITHIN
+    * each job): empty = global. `limitk` (Prometheus's experimental
+    * series sampler) is deterministic here: the k first series in
+    * label order — a documented refinement of "k arbitrary series". */
+  final case class RankK(op: String, k: Int, arg: Expr,
+                         by: Seq[String] = Nil) extends Expr
+  /** `limit_ratio(r, v)` — Prometheus's experimental deterministic
+    * series sampler: keep the series whose portable label-set hash
+    * fraction falls below r (r ≥ 0), or in the complement band
+    * (r < 0) — so `limit_ratio(0.2, v)` and `limit_ratio(-0.8, v)`
+    * partition the vector exactly, per the Prometheus contract. */
+  final case class LimitRatio(r: Double, arg: Expr) extends Expr
   final case class ScalarLit(v: Double) extends Expr
   /** `time()` — the evaluation timestamp in epoch seconds: a scalar
     * (the instant `at`) in instant mode, the per-step grid time in
@@ -148,7 +162,10 @@ object PromQL {
     case AggWithout(op, names, arg, param) =>
       s"$op without (${names.mkString(", ")}) " +
         s"(${param.fold("")(p => s"$p, ")}${render(arg)})"
-    case RankK(op, k, arg) => s"$op($k, ${render(arg)})"
+    case RankK(op, k, arg, Seq()) => s"$op($k, ${render(arg)})"
+    case RankK(op, k, arg, by) =>
+      s"$op by (${by.mkString(", ")}) ($k, ${render(arg)})"
+    case LimitRatio(r, arg) => s"limit_ratio($r, ${render(arg)})"
     case ScalarLit(v) => v.toString
     case TimeLit => "time()"
     case Subquery(arg, r, st, off, atm) =>
@@ -277,14 +294,14 @@ object PromQL {
 
   private val AggOps = Set("sum", "avg", "min", "max", "count",
     "stddev", "stdvar", "group", "quantile")
-  private val RankOps = Set("topk", "bottomk")
+  private val RankOps = Set("topk", "bottomk", "limitk")
   private val RangeFns = Set("rate", "increase", "irate", "idelta",
     "resets", "changes", "holt_winters", "double_exponential_smoothing",
     "quantile_over_time",
     "avg_over_time", "min_over_time", "max_over_time", "sum_over_time",
     "count_over_time", "last_over_time", "present_over_time",
-    "stddev_over_time", "stdvar_over_time", "delta", "deriv",
-    "predict_linear", "histogram_quantile", "absent_over_time")
+    "stddev_over_time", "stdvar_over_time", "mad_over_time", "delta",
+    "deriv", "predict_linear", "histogram_quantile", "absent_over_time")
   /** The single-value `*_over_time` family → [[RangeVectors.overTimeStat]]
     * statistic keys (composable: output is labels + bucket + `value`). */
   private val OverTimeStats = Map(
@@ -292,7 +309,8 @@ object PromQL {
     "max_over_time" -> "max", "sum_over_time" -> "sum",
     "count_over_time" -> "count", "last_over_time" -> "last",
     "present_over_time" -> "present", "stddev_over_time" -> "stddev",
-    "stdvar_over_time" -> "stdvar", "delta" -> "delta")
+    "stdvar_over_time" -> "stdvar", "delta" -> "delta",
+    "mad_over_time" -> "mad")
   /** Instant-vector functions (value maps + `absent`); `clamp*` and
     * `round` take trailing scalar params. `timestamp` rewrites value ←
     * sample time (epoch seconds); the wall-clock family (`hour`,
@@ -315,7 +333,8 @@ object PromQL {
   /** Wall-clock fns whose missing argument defaults to vector(time()). */
   private val ClockFns = Set("hour", "minute", "day_of_week",
     "day_of_month", "day_of_year", "days_in_month", "month", "year")
-  private val StrFns = Set("label_replace", "label_join", "count_values")
+  private val StrFns = Set("label_replace", "label_join", "count_values",
+    "sort_by_label", "sort_by_label_desc")
   private val LeadingParamFns = Set("quantile_over_time", "histogram_quantile")
   /** Range-vector functions a SUBQUERY supports as its consumer: the
     * single-value statistics plus the pair/fold family, each evaluated
@@ -563,6 +582,15 @@ object PromQL {
         p.expect(')')
         StrFn(name, arg, ss.result())
       }
+    } else if (RankOps(name) && p.keyword("by")) {
+      // grouped rank: `topk by (job) (3, v)` — k within each group
+      val by = names()
+      p.expect('(')
+      val k = p.number().toInt
+      p.expect(',')
+      val arg = parseExpr(p)
+      p.expect(')')
+      RankK(name, k, arg, by)
     } else if (RankOps(name) && p.peek('(')) {
       p.expect('(')
       val k = p.number().toInt
@@ -570,6 +598,16 @@ object PromQL {
       val arg = parseExpr(p)
       p.expect(')')
       RankK(name, k, arg)
+    } else if (name == "limit_ratio" && p.peek('(')) {
+      p.expect('(')
+      // the ratio may be negative (complement band) — number() itself
+      // is unsigned (unary minus is an expression operator elsewhere)
+      val neg = p.opt('-')
+      val r = (if (neg) -1 else 1) * p.number()
+      p.expect(',')
+      val arg = parseExpr(p)
+      p.expect(')')
+      LimitRatio(r, arg)
     } else if ((RangeFns(name) || InstantFns(name)) && p.peek('(')) {
       p.expect('(')
       // Prometheus defaults a wall-clock fn's missing argument to
@@ -644,6 +682,40 @@ object PromQL {
   }
 
   // ---- evaluator ----
+
+  /** Prometheus-EXACT instant evaluation (the `query` API): every
+    * un-anchored range selector is pinned `@ at`, so each range-vector
+    * function evaluates ONE window (at − offset − range, at − offset]
+    * per series — one value per series, no tumbling buckets. This
+    * closes the default [[eval]]'s documented tumbling deviation for
+    * callers that want strict semantics; [[eval]] remains the
+    * batch-report fast path (one value per window of data). Subquery
+    * interiors are left untouched — they already evaluate on their own
+    * grid with sliding semantics. */
+  def evalStrict(expr: Expr, wide: DataFrame, at: Long, lookbackMs: Long,
+                 start: Long, end: Long): DataFrame =
+    eval(anchorRanges(expr, at), wide, at, lookbackMs, start, end)
+
+  /** Pin every un-anchored range selector to `@ atMs`. Does NOT
+    * descend into [[Subquery]] — the inner expression evaluates per
+    * grid step in range mode, where anchoring to the outer instant
+    * would be wrong. */
+  private def anchorRanges(e: Expr, atMs: Long): Expr = e match {
+    case s @ Selector(_, Some(_), _, None) => s.copy(atMod = Some(AtMs(atMs)))
+    case s: Selector => s
+    case sq: Subquery => sq
+    case Fn(n, a, p) => Fn(n, anchorRanges(a, atMs), p)
+    case StrFn(n, a, s) => StrFn(n, anchorRanges(a, atMs), s)
+    case AggBy(o, b, a, q) => AggBy(o, b, anchorRanges(a, atMs), q)
+    case AggWithout(o, w, a, q) => AggWithout(o, w, anchorRanges(a, atMs), q)
+    case RankK(o, k, a, b) => RankK(o, k, anchorRanges(a, atMs), b)
+    case LimitRatio(r, a) => LimitRatio(r, anchorRanges(a, atMs))
+    case BinOp(op, on, l, r, b, c, i, cr) =>
+      BinOp(op, on, anchorRanges(l, atMs), anchorRanges(r, atMs), b, c, i, cr)
+    case SetOp(op, on, l, r, i) =>
+      SetOp(op, on, anchorRanges(l, atMs), anchorRanges(r, atMs), i)
+    case other => other
+  }
 
   /** Evaluate a parsed expression against the wide table.
     *
@@ -774,20 +846,18 @@ object PromQL {
       val keys = TsdbSchema.labelColumns(iv).filterNot(dropped)
         .map(c => col(s"`$c`")) ++ gridKeys(iv)
       iv.groupBy(keys: _*).agg(aggValue(op, param))
-    case RankK(op, k, arg) =>
+    case RankK(op, k, arg, by) =>
       val iv = toValueShape(eval(arg, wide, at, lookbackMs, start, end))
       require(iv.columns.contains(TsdbSchema.ValueCol),
         s"$op(k, ...) needs an instant-vector argument (a selector)")
-      val labels = TsdbSchema.dynCols(iv)
-      val ord =
-        (if (op == "topk") col("value").desc else col("value").asc) +:
-          labels.map(_.asc)
-      if (iv.columns.contains("bucket"))
-        // bucketed vectors rank WITHIN each bucket — a partitioned
-        // window, one partition per bucket (the scale-safe shape)
+      val parts = by.map(labelPart(iv, _)) ++ gridKeys(iv)
+      if (parts.nonEmpty)
+        // grouped (`by`) and/or bucketed vectors rank WITHIN each
+        // partition — a partitioned window, one partition per group
+        // (the scale-safe shape: no global sort)
         iv.withColumn("_rk", row_number().over(
             org.apache.spark.sql.expressions.Window
-              .partitionBy(col("bucket")).orderBy(ord: _*)))
+              .partitionBy(parts: _*).orderBy(rankOrd(op, iv): _*)))
           .where(col("_rk") <= k)
           .drop("_rk")
       else
@@ -795,7 +865,13 @@ object PromQL {
         // partition k-heaps, driver merges k·P rows) — NOT a row_number
         // window with no partitionBy, which would sort the whole instant
         // vector in a single task
-        iv.orderBy(ord: _*).limit(k)
+        iv.orderBy(rankOrd(op, iv): _*).limit(k)
+
+    case LimitRatio(r, arg) =>
+      val iv = toValueShape(eval(arg, wide, at, lookbackMs, start, end))
+      require(iv.columns.contains(TsdbSchema.ValueCol),
+        "limit_ratio(r, ...) needs an instant-vector argument")
+      iv.where(ratioBand(iv, r))
 
     case ScalarLit(v) =>
       // a scalar query evaluates to the Prometheus scalar result type:
@@ -1192,7 +1268,8 @@ object PromQL {
     case StrFn(n, a, s) => StrFn(n, substTime(a, atSec), s)
     case AggBy(o, b, a, q) => AggBy(o, b, substTime(a, atSec), q)
     case AggWithout(o, w, a, q) => AggWithout(o, w, substTime(a, atSec), q)
-    case RankK(o, k, a) => RankK(o, k, substTime(a, atSec))
+    case RankK(o, k, a, b) => RankK(o, k, substTime(a, atSec), b)
+    case LimitRatio(r, a) => LimitRatio(r, substTime(a, atSec))
     // a subquery's inner expression evaluates in range mode, where
     // time() is the per-step grid time — leave it unresolved
     case s: Subquery => s
@@ -1507,22 +1584,28 @@ object PromQL {
       val keys = TsdbSchema.labelColumns(iv).filterNot(dropped)
         .map(c => col(s"`$c`")) :+ col("t")
       iv.groupBy(keys: _*).agg(aggValue(op, param))
-    case RankK(op, k, arg) =>
+    case RankK(op, k, arg, by) =>
       val iv = toValueShape(evalRange(arg, wide, start, end, stepMs, lookbackMs))
       require(iv.columns.contains(TsdbSchema.ValueCol),
         s"$op(k, ...) needs per-step instant vectors")
-      val labels = TsdbSchema.dynCols(iv)
-      val ord =
-        (if (op == "topk") col("value").desc else col("value").asc) +:
-          labels.map(_.asc)
       // per-step top-k IS a partitioned window (one partition per grid
-      // timestamp) — unlike the instant path's global orderBy+limit,
-      // this shape scales: each step ranks independently
+      // timestamp, further split by any `by` labels) — unlike the
+      // instant path's global orderBy+limit, this shape scales: each
+      // step ranks independently
+      val parts = by.map(labelPart(iv, _)) :+ col("t")
       iv.withColumn("_rk", row_number().over(
           org.apache.spark.sql.expressions.Window
-            .partitionBy(col("t")).orderBy(ord: _*)))
+            .partitionBy(parts: _*).orderBy(rankOrd(op, iv): _*)))
         .where(col("_rk") <= k)
         .drop("_rk")
+    case LimitRatio(r, arg) =>
+      // membership is a pure per-series hash predicate (no t in the
+      // key), so the kept set is stable across the grid — the
+      // Prometheus contract for ratio sampling under query_range
+      val iv = toValueShape(evalRange(arg, wide, start, end, stepMs, lookbackMs))
+      require(iv.columns.contains(TsdbSchema.ValueCol),
+        "limit_ratio(r, ...) needs per-step instant vectors")
+      iv.where(ratioBand(iv, r))
     case BinOp(op, _, l, ScalarLit(s), bool, _, _, _) =>
       scalarOp(evalRange(l, wide, start, end, stepMs, lookbackMs), op,
         lit(s), flipped = false, bool = bool)
@@ -1656,6 +1739,14 @@ object PromQL {
     (name, strs) match {
     case ("label_replace", Seq(dst, repl, src, regex)) =>
       LabelOps.labelReplace(iv, dst, repl, src, regex)
+    case ("sort_by_label", srcs) if srcs.nonEmpty =>
+      // presentation ordering by the given label values (row order,
+      // not content — like sort/sort_desc), full label set breaks ties
+      iv.orderBy(srcs.map(l => labelPart(iv, l).asc_nulls_first) :+
+        seriesKey(iv).asc: _*)
+    case ("sort_by_label_desc", srcs) if srcs.nonEmpty =>
+      iv.orderBy(srcs.map(l => labelPart(iv, l).desc_nulls_last) :+
+        seriesKey(iv).desc: _*)
     case ("label_join", dst +: sep +: srcs) if srcs.nonEmpty =>
       LabelOps.labelJoin(iv, dst, sep, srcs)
     case ("count_values", Seq(lbl)) =>
@@ -1767,7 +1858,8 @@ object PromQL {
     case StrFn(n, a, s) => StrFn(n, fold(a), s)
     case AggBy(o, b, a, q) => AggBy(o, b, fold(a), q)
     case AggWithout(o, w, a, q) => AggWithout(o, w, fold(a), q)
-    case RankK(o, k, a) => RankK(o, k, fold(a))
+    case RankK(o, k, a, b) => RankK(o, k, fold(a), b)
+    case LimitRatio(r, a) => LimitRatio(r, fold(a))
     case SetOp(o, on, l, r, ign) => SetOp(o, on, fold(l), fold(r), ign)
     case other => other
   }
@@ -1827,4 +1919,51 @@ object PromQL {
       TsdbSchema.labelCol(n).as(n)
     else if (iv.columns.contains(n)) col(s"`$n`").as(n)
     else lit(null).cast("string").as(n)
+
+  /** [[labelKey]] without the output alias — window PARTITION BY
+    * expressions (an alias inside a partition spec is not a grouping
+    * output, so the bare column is the right shape). */
+  private def labelPart(iv: DataFrame, n: String): Column =
+    if (iv.columns.contains(TsdbSchema.labelColName(n)))
+      TsdbSchema.labelCol(n)
+    else if (iv.columns.contains(n)) col(s"`$n`")
+    else lit(null).cast("string")
+
+  /** Deterministic, engine-portable series identity: "name=value"
+    * pairs over every label column (wide `labels.x` selector output or
+    * aggregation-output bare names alike), sorted by column name,
+    * absent label → empty value — the basis for `limitk`'s
+    * deterministic order and `limit_ratio`'s stable hash band (stable
+    * across evaluation steps, as Prometheus requires). */
+  private def seriesKey(iv: DataFrame): Column = {
+    val reserved = Set(TsdbSchema.TimeCol, TsdbSchema.ValueCol,
+      "rvalue", "rank", "t", "bucket")
+    val idCols = iv.columns.toSeq.filterNot(reserved).sorted
+    concat_ws(",", idCols.map(c =>
+      concat(lit(c + "="),
+        coalesce(col(s"`$c`").cast("string"), lit("")))): _*)
+  }
+
+  /** Rank ordering for the [[RankK]] family: `topk`/`bottomk` by value
+    * with the canonical series identity breaking ties (sorted column
+    * names — schema-order independent, so the tie rule is stable
+    * across layouts and replayable by the oracle); `limitk`'s "any k
+    * series" is made deterministic as the k FIRST series in
+    * label-set order. */
+  private def rankOrd(op: String, iv: DataFrame): Seq[Column] =
+    op match {
+      case "topk" => Seq(col("value").desc, seriesKey(iv).asc)
+      case "bottomk" => Seq(col("value").asc, seriesKey(iv).asc)
+      case "limitk" => Seq(seriesKey(iv).asc)
+    }
+
+  /** `limit_ratio`'s membership predicate: the series' portable hash
+    * fraction ([[graft.functions.Hashing.hash64]] mod 1000 / 1000)
+    * falls below r (r ≥ 0) or in the complement band (r < 0), so
+    * `limit_ratio(r, v)` ∪ `limit_ratio(r − 1, v)` = v exactly. */
+  private def ratioBand(iv: DataFrame, r: Double): Column = {
+    val frac = pmod(graft.functions.Hashing.hash64(seriesKey(iv)),
+      lit(1000L)).cast("double") / 1000.0
+    if (r >= 0) frac < lit(r) else frac >= lit(1.0 + r)
+  }
 }

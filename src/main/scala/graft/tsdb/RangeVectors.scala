@@ -264,6 +264,20 @@ object RangeVectors {
       case "stddev" => round(stddev_pop(v), 6)
       case "stdvar" => round(var_pop(v), 6)
       case "delta" => round(max(tv).getItem(1) - min(tv).getItem(1), 6)
+      case "mad" =>
+        // median absolute deviation around the interpolated median
+        // (Prometheus mad_over_time = quantile(0.5) of |x − q(0.5)|).
+        // ONE sorted value buffer per window feeds both medians — a
+        // single aggregation pass, no second shuffle; buffer size is
+        // bounded by the window's sample count, the same bound
+        // quantile_over_time's percentile buffer already carries
+        val arr = sort_array(collect_list(v))
+        def med(a: Column): Column = {
+          val n = size(a)
+          (element_at(a, floor((n + 1) / 2.0).cast("int")) +
+            element_at(a, floor(n / 2.0 + 1).cast("int"))) / 2.0
+        }
+        round(med(sort_array(transform(arr, x => abs(x - med(arr))))), 6)
       case other => throw new IllegalArgumentException(
         s"unknown over-time statistic '$other'")
     }

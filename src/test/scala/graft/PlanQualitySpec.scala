@@ -43,6 +43,25 @@ class PlanQualitySpec extends SparkSpec {
     }
   }
 
+  test("grouped rank: partitioned window, no single-partition exchange") {
+    // topk by (name) ranks within each group — the plan must be a
+    // partitioned window (parallel across groups), never a global sort
+    val plan = planOf("tsdb_q69_promql_topk_by")
+    assert(plan.contains("Window"), s"expected a window plan:\n$plan")
+    assert(!plan.contains("Exchange SinglePartition"),
+      s"grouped rank must not serialize into one task:\n$plan")
+  }
+
+  test("limitk keeps the k-heap plan; limit_ratio filters map-side") {
+    assert(planOf("tsdb_q70_promql_limitk").contains("TakeOrderedAndProject"),
+      "limitk's global form should plan per-partition k-heaps")
+    // limit_ratio adds NO shuffle beyond the instant vector's own
+    // (series) aggregation — the hash band is a map-side predicate
+    val plan = planOf("tsdb_q71_promql_limit_ratio")
+    assert(shuffleExchanges(plan) <= 1,
+      s"limit_ratio must not introduce extra shuffles:\n$plan")
+  }
+
   test("sliding-window rate: window prefilter reaches the scan, ≤2 shuffles") {
     val plan = planOf("tsdb_q43_promql_sliding_rate")
     assert("PushedFilters: \\[[^\\]]*GreaterThan\\(time".r

@@ -974,4 +974,91 @@ class PromQLSpec extends SparkSpec {
       .select(col("`labels.user`"), col("value")).as[(String, Double)].collect().toSet
     assert(bottom === Set(("b", 8.0)))
   }
+
+  test("rank family parses: by-grouping, limitk, limit_ratio") {
+    val sel = Selector(Seq(Matcher.Eq("name", "up")), None, 0L)
+    assert(parse("""topk by (job, env) (3, {name="up"})""") ===
+      RankK("topk", 3, sel, Seq("job", "env")))
+    assert(parse("""limitk(4, {name="up"})""") === RankK("limitk", 4, sel))
+    assert(parse("""limit_ratio(0.5, {name="up"})""") ===
+      LimitRatio(0.5, sel))
+    assert(parse("""limit_ratio(-0.5, {name="up"})""") ===
+      LimitRatio(-0.5, sel))
+    assert(parse("""sort_by_label({name="up"}, "user")""") ===
+      StrFn("sort_by_label", sel, Seq("user")))
+  }
+
+  test("topk by (...) ranks within each group") {
+    // at=0 the 1-day lookback window holds every series' t=0 sample:
+    // up→{a:1, b:2}, down→{a:5}; topk by (name) (1, …) keeps the max
+    // per name
+    val df = eval(parse("""topk by (name) (1, {name=~"up|down"})"""),
+      wide, at = 0L, lookbackMs = 86400000L, start = -1L, end = 100000000L)
+    assert(df.select(col("`labels.name`"), col("`labels.user`"),
+        col("value")).as[(String, String, Double)].collect().toSet ===
+      Set(("up", "b", 2.0), ("down", "a", 5.0)))
+  }
+
+  test("limitk keeps the k first series in label order") {
+    // deterministic refinement of Prometheus's "any k series": the
+    // canonical series identity orders (up,a) < (up,b)
+    val one = evalQ("""limitk(1, {name="up"})""")
+      .select(col("`labels.user`"), col("value")).as[(String, Double)].collect().toSet
+    assert(one === Set(("a", 9.0)))
+    val all = evalQ("""limitk(5, {name="up"})""")
+      .select(col("`labels.user`")).as[String].collect().toSet
+    assert(all === Set("a", "b"))
+  }
+
+  test("limit_ratio(r) and limit_ratio(r-1) partition the vector") {
+    val full = rows(evalQ("""{name=~"up|down"}"""))
+    val kept = rows(evalQ("""limit_ratio(0.4, {name=~"up|down"})"""))
+    val rest = rows(evalQ("""limit_ratio(-0.6, {name=~"up|down"})"""))
+    assert((kept ++ rest) === full)
+    assert(kept.intersect(rest).isEmpty)
+  }
+
+  test("mad_over_time: median absolute deviation per tumbling window") {
+    // bucket 0: (up,a)={1,4} → med 2.5, devs {1.5,1.5} → 1.5;
+    //           (up,b)={2,8} → med 5, devs {3,3} → 3;
+    // bucket 1d: (up,a)={9} → 0
+    val df = evalQ("""mad_over_time({name="up"}[1d])""")
+    assert(df.select(col("`labels.user`"), col("bucket"), col("value"))
+        .as[(String, Long, Double)].collect().toSet ===
+      Set(("a", 0L, 1.5), ("b", 0L, 3.0), ("a", 86400000L, 0.0)))
+  }
+
+  test("evalStrict: un-anchored range fns evaluate ONE Prometheus window") {
+    // strict instant semantics ≡ the explicitly @-anchored form: one
+    // window (at − range, at] per series, one value per series, no
+    // tumbling bucket column
+    val strict = evalStrict(parse("""rate({name="up"}[2d])"""), wide,
+      at = At, lookbackMs = 86400000L, start = -1L, end = 100000000L)
+    assert(!strict.columns.contains("bucket"))
+    assert(rows(strict) === rows(evalQ(s"""rate({name="up"}[2d] @ ${At / 1000})""")))
+    // hand check: (up,b) has one in-window pair (0 → 7200000, Δ=6) →
+    // round(6 / 7200, 6); (up,a) two pairs Δ=3+5 over 86400 s
+    val v = strict.select(col("`labels.user`"), col("value"))
+      .as[(String, Double)].collect().toMap
+    assert(v("b") === 0.000833)
+    assert(v("a") === 0.000093)
+    // composition under strict mode: aggregation over the one-window
+    // vector yields one row per group
+    val agg = evalStrict(parse("""sum by (name) (rate({name="up"}[2d]))"""),
+      wide, at = At, lookbackMs = 86400000L, start = -1L, end = 100000000L)
+    assert(agg.count() === 1L)
+    // subquery interiors stay on their own grid (NOT anchored to `at`)
+    val sq = parse("""max_over_time(({name="up"})[1d:1h])""")
+    assert(rows(evalStrict(sq, wide, At, 86400000L, -1L, 100000000L)) ===
+      rows(eval(sq, wide, At, 86400000L, -1L, 100000000L)))
+  }
+
+  test("sort_by_label orders rows by the label (presentation)") {
+    val asc = evalQ("""sort_by_label({name="up"}, "user")""")
+      .select(col("`labels.user`")).as[String].collect().toSeq
+    assert(asc === Seq("a", "b"))
+    val desc = evalQ("""sort_by_label_desc({name="up"}, "user")""")
+      .select(col("`labels.user`")).as[String].collect().toSeq
+    assert(desc === Seq("b", "a"))
+  }
 }

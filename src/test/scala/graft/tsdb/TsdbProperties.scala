@@ -253,7 +253,7 @@ object TsdbProperties extends Properties("tsdb") {
           name <- Gen.oneOf("min_over_time", "max_over_time",
             "sum_over_time", "count_over_time", "last_over_time",
             "present_over_time", "stddev_over_time", "stdvar_over_time",
-            "delta", "changes", "idelta")
+            "mad_over_time", "delta", "changes", "idelta")
           r <- ranged
         } yield Fn(name, r, Nil),
         ranged.map(Fn("predict_linear", _, Seq(3600.0))),
@@ -294,9 +294,20 @@ object TsdbProperties extends Properties("tsdb") {
         Gen.lzy(for { a <- expr(depth - 1); lbl <- label }
           yield StrFn("count_values", a, Seq(lbl))),
         Gen.lzy(for {
-          op <- Gen.oneOf("topk", "bottomk"); k <- Gen.choose(1, 9)
+          op <- Gen.oneOf("topk", "bottomk", "limitk")
+          k <- Gen.choose(1, 9)
+          by <- Gen.listOf(label).map(_.distinct)
           a <- expr(depth - 1)
-        } yield RankK(op, k, a)),
+        } yield RankK(op, k, a, by)),
+        Gen.lzy(for {
+          r <- Gen.oneOf(0.2, 0.5, 0.9, -0.5)
+          a <- expr(depth - 1)
+        } yield LimitRatio(r, a)),
+        Gen.lzy(for {
+          name <- Gen.oneOf("sort_by_label", "sort_by_label_desc")
+          ls <- Gen.nonEmptyListOf(label).map(_.distinct)
+          a <- expr(depth - 1)
+        } yield StrFn(name, a, ls)),
         Gen.lzy(for {
           op <- Gen.oneOf("+", "-", "*", "/", "%", "^",
             ">", "<", ">=", "<=", "==", "!=")
