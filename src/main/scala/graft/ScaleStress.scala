@@ -82,6 +82,20 @@ object ScaleStress {
           """increase(sum by (user) ({name="purchase"})[7d:1d])"""),
         t.df, start = Tables.RangeStart, end = Tables.RangeEnd,
         stepMs = 86400000L, lookbackMs = 86400000L).count())
+    // grouped rank at Nx series: one partitioned window, parallelism =
+    // number of (name) groups × partitions — never a global sort
+    time(s"promql grouped topk ${factor}x")(
+      graft.tsdb.PromQL.eval(
+        graft.tsdb.PromQL.parse("""topk by (name) (3, {name=~".+"})"""),
+        t.df, at = Tables.RangeEnd, lookbackMs = 86400000L,
+        start = Tables.RangeStart, end = Tables.RangeEnd).count())
+    // Prometheus-exact extrapolated rate, sliding: pair fan-out + one
+    // (series, t) aggregation carrying five scalar aggregates
+    time(s"promql sliding xrate ${factor}x")(
+      graft.tsdb.PromQL.evalRange(
+        graft.tsdb.PromQL.parse("""xrate({name="purchase"}[7d])"""),
+        t.df, start = Tables.RangeStart, end = Tables.RangeEnd,
+        stepMs = 86400000L, lookbackMs = 86400000L).count())
 
     // lifecycle tier at Nx: compaction must scale in bytes (one range
     // shuffle), retention in TOUCHED bytes only — the footer triage must

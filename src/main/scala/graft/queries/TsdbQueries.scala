@@ -692,6 +692,23 @@ object TsdbQueries {
           """sum by (user) (rate({name="purchase"}[7d]))"""),
         eventsAsTsdbStored(s, dir), at = RangeEnd, lookbackMs = 86400000L,
         start = RangeStart, end = RangeEnd)),
+    // Q75: xrate — the Prometheus-EXACT boundary-extrapolated rate
+    // (promql extrapolatedRate reproduced as one deterministic scalar
+    // expression over per-window aggregates); per (series, 7d bucket)
+    "tsdb_q75_promql_xrate" -> ((s, dir) =>
+      graft.tsdb.PromQL.eval(
+        graft.tsdb.PromQL.parse("""xrate({name="purchase"}[7d])"""),
+        eventsAsTsdbStored(s, dir), at = RangeEnd, lookbackMs = 86400000L,
+        start = RangeStart, end = RangeEnd)),
+    // Q76: ts_of_max_over_time — the TIMESTAMP (epoch seconds) of each
+    // window's maximum sample (last max wins on ties, Prometheus's
+    // scan order, order-free via lexicographic array extremes)
+    "tsdb_q76_promql_ts_of" -> ((s, dir) =>
+      graft.tsdb.PromQL.eval(
+        graft.tsdb.PromQL.parse(
+          """ts_of_max_over_time({name="click"}[7d])"""),
+        eventsAsTsdbStored(s, dir), at = RangeEnd, lookbackMs = 86400000L,
+        start = RangeStart, end = RangeEnd)),
     // Q73: sort_by_label — presentation ordering (content equals the
     // instant vector; row order is pinned in PromQLSpec, the oracle
     // hash-checks content)
@@ -1297,6 +1314,58 @@ object TsdbQueries {
          |  FROM p WHERE pt IS NOT NULL GROUP BY u, name, kk)
          |SELECT u AS "user", round(sum(rv), 6) AS value
          |FROM r GROUP BY 1""".stripMargin,
+    // replays the extrapolation formula verbatim: per-(series, bucket)
+    // pair aggregates (rounded increase, pair count, first/last times,
+    // first value), then sampled/avg/threshold gap logic scaled to the
+    // bucket edges and divided by the range seconds
+    "tsdb_q75_promql_xrate" ->
+      s"""$duckTsdbCte,
+         |s AS (SELECT "labels.name" AS name, "labels.user" AS u,
+         |  "labels.k" AS kk, time, value FROM t
+         |  WHERE "labels.name" = 'purchase'
+         |    AND time >= $RangeStart AND time < $RangeEnd),
+         |b AS (SELECT *, CAST(floor(time / 604800000.0) * 604800000
+         |    AS BIGINT) AS bucket FROM s),
+         |p AS (SELECT *, lag(value) OVER w AS pv, lag(time) OVER w AS pt
+         |  FROM b WINDOW w AS (PARTITION BY name, u, kk, bucket
+         |                      ORDER BY time, value)),
+         |a AS (SELECT name, u, kk, bucket, count(*) AS pairs,
+         |    round(sum(CASE WHEN value - pv < 0 THEN value
+         |      ELSE value - pv END), 6) AS incr,
+         |    min(pt) AS first_t, max(time) AS last_t,
+         |    list_extract(min([CAST(pt AS DOUBLE), pv]), 2) AS first_v
+         |  FROM p WHERE pt IS NOT NULL GROUP BY 1, 2, 3, 4),
+         |f AS (SELECT *, nullif(CAST(last_t - first_t AS DOUBLE), 0.0)
+         |    AS sampled FROM a),
+         |g AS (SELECT *, sampled / pairs AS avg_gap,
+         |    sampled / pairs * 1.1 AS thresh,
+         |    CAST(first_t - bucket AS DOUBLE) AS ds0,
+         |    CAST(bucket + 604800000 - last_t AS DOUBLE) AS de0,
+         |    sampled * (first_v / incr) AS dz FROM f),
+         |h AS (SELECT *, CASE WHEN ds0 >= thresh THEN avg_gap / 2.0
+         |    ELSE ds0 END AS ds1 FROM g),
+         |i AS (SELECT *,
+         |    CASE WHEN incr > 0 AND first_v >= 0 AND dz < ds1 THEN dz
+         |      ELSE ds1 END AS ds,
+         |    CASE WHEN de0 >= thresh THEN avg_gap / 2.0 ELSE de0 END
+         |      AS de FROM h)
+         |SELECT name AS "labels.name", u AS "labels.user",
+         |  kk AS "labels.k", bucket,
+         |  round(incr * (((sampled + ds + de) / sampled) / 604800.0), 6)
+         |    AS value
+         |FROM i""".stripMargin,
+    // replays the lexicographic-extreme timestamp: list-max of
+    // [value, time] → the last max's time, in epoch seconds
+    "tsdb_q76_promql_ts_of" ->
+      s"""$duckTsdbCte,
+         |s AS (SELECT * FROM t WHERE "labels.name" = 'click'
+         |  AND time >= $RangeStart AND time < $RangeEnd)
+         |SELECT "labels.k", "labels.name", "labels.user",
+         |  CAST(floor(time / 604800000.0) * 604800000 AS BIGINT)
+         |    AS bucket,
+         |  list_extract(max([value, CAST(time AS DOUBLE)]), 2) / 1000.0
+         |    AS value
+         |FROM s GROUP BY 1, 2, 3, 4""".stripMargin,
     // content check only — row ORDER (the presentation semantics) is
     // pinned in PromQLSpec; the driver compare sorts rows before
     // hashing

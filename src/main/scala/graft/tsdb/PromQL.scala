@@ -295,12 +295,15 @@ object PromQL {
   private val AggOps = Set("sum", "avg", "min", "max", "count",
     "stddev", "stdvar", "group", "quantile")
   private val RankOps = Set("topk", "bottomk", "limitk")
-  private val RangeFns = Set("rate", "increase", "irate", "idelta",
+  private val RangeFns = Set("rate", "increase", "xrate", "xincrease",
+    "irate", "idelta",
     "resets", "changes", "holt_winters", "double_exponential_smoothing",
     "quantile_over_time",
     "avg_over_time", "min_over_time", "max_over_time", "sum_over_time",
     "count_over_time", "last_over_time", "present_over_time",
-    "stddev_over_time", "stdvar_over_time", "mad_over_time", "delta",
+    "stddev_over_time", "stdvar_over_time", "mad_over_time",
+    "ts_of_last_over_time", "ts_of_max_over_time", "ts_of_min_over_time",
+    "delta",
     "deriv", "predict_linear", "histogram_quantile", "absent_over_time")
   /** The single-value `*_over_time` family → [[RangeVectors.overTimeStat]]
     * statistic keys (composable: output is labels + bucket + `value`). */
@@ -310,7 +313,9 @@ object PromQL {
     "count_over_time" -> "count", "last_over_time" -> "last",
     "present_over_time" -> "present", "stddev_over_time" -> "stddev",
     "stdvar_over_time" -> "stdvar", "delta" -> "delta",
-    "mad_over_time" -> "mad")
+    "mad_over_time" -> "mad", "ts_of_last_over_time" -> "ts_of_last",
+    "ts_of_max_over_time" -> "ts_of_max",
+    "ts_of_min_over_time" -> "ts_of_min")
   /** Instant-vector functions (value maps + `absent`); `clamp*` and
     * `round` take trailing scalar params. `timestamp` rewrites value ←
     * sample time (epoch seconds); the wall-clock family (`hour`,
@@ -785,6 +790,12 @@ object PromQL {
       name match {
         case "rate" => RangeVectors.rate(sel, stepMs)
         case "increase" => RangeVectors.increase(sel)
+        // Prometheus-EXACT boundary-extrapolated variants (the engine's
+        // default rate/increase use the documented observed-span
+        // definition; xrate/xincrease reproduce promql's
+        // extrapolatedRate numerically)
+        case "xrate" | "xincrease" =>
+          RangeVectors.xRate(sel, stepMs, asRate = name == "xrate")
         case "irate" => RangeVectors.irate(sel, stepMs)
         case "idelta" => asValue(RangeVectors.irate(sel, stepMs), "idelta")
         case "resets" | "changes" =>
@@ -1522,6 +1533,9 @@ object PromQL {
       val r = name match {
         case "rate" | "increase" =>
           RangeVectors.slidingRate(sel, rangeMs, stepMs, s0, e0)
+        case "xrate" | "xincrease" =>
+          RangeVectors.slidingXRate(sel, rangeMs, stepMs, s0, e0,
+            asRate = name == "xrate")
         case n if OverTimeStats.contains(n) =>
           RangeVectors.slidingStat(sel, rangeMs, stepMs, s0, e0,
             OverTimeStats(n))

@@ -264,6 +264,16 @@ object RangeVectors {
       case "stddev" => round(stddev_pop(v), 6)
       case "stdvar" => round(var_pop(v), 6)
       case "delta" => round(max(tv).getItem(1) - min(tv).getItem(1), 6)
+      // ts_of_{max,min,last}_over_time: the TIMESTAMP (epoch seconds)
+      // of the extreme/last sample. Ties on value: max keeps the LAST
+      // max, min the LAST min — Prometheus's >=/<= scan order,
+      // reproduced order-free via lexicographic array extremes (the
+      // -time trick flips the tie direction for min)
+      case "ts_of_last" => max(tv).getItem(0) / 1000.0
+      case "ts_of_max" =>
+        max(array(v, col(timeCol).cast("double"))).getItem(1) / 1000.0
+      case "ts_of_min" =>
+        -min(array(v, -col(timeCol).cast("double"))).getItem(1) / 1000.0
       case "mad" =>
         // median absolute deviation around the interpolated median
         // (Prometheus mad_over_time = quantile(0.5) of |x − q(0.5)|).
@@ -382,6 +392,90 @@ object RangeVectors {
       .withColumn("rate_v",
         round(col("increase") / nullif(col("span_sec"), lit(0.0)), 6))
       .drop("span_sec")
+  }
+
+  /** Prometheus's boundary extrapolation (promql extrapolatedRate): the
+    * observed increase is scaled from the sampled interval
+    * [firstT, lastT] out to the window edges — fully when the edge gap
+    * is under 1.1× the average sample spacing, by half a spacing
+    * otherwise, and never past the counter's zero point. All inputs are
+    * per-window aggregates, so the formula is one deterministic scalar
+    * expression replayable by the SQL oracle (incr arrives ROUNDED so
+    * both engines scale identical literals). */
+  private def extrapolated(incr: Column, pairs: Column, firstT: Column,
+                           lastT: Column, firstV: Column,
+                           rangeStart: Column, rangeEnd: Column,
+                           rangeMs: Long, asRate: Boolean): Column = {
+    val sampled = nullif((lastT - firstT).cast("double"), lit(0.0))
+    val avg = sampled / pairs
+    val thresh = avg * 1.1
+    val ds0 = (firstT - rangeStart).cast("double")
+    val de0 = (rangeEnd - lastT).cast("double")
+    val ds1 = when(ds0 >= thresh, avg / 2.0).otherwise(ds0)
+    // a counter that started at firstV cannot extrapolate below zero
+    val dz = sampled * (firstV / incr)
+    val ds = when(incr > 0.0 && firstV >= 0.0 && dz < ds1, dz).otherwise(ds1)
+    val de = when(de0 >= thresh, avg / 2.0).otherwise(de0)
+    val factor0 = (sampled + ds + de) / sampled
+    val factor = if (asRate) factor0 / (rangeMs / 1000.0) else factor0
+    round(incr * factor, 6)
+  }
+
+  /** Tumbling `xrate()`/`xincrease()`: the Prometheus-EXACT extrapolated
+    * rate/increase per (series, `[duration]` bucket) — counter resets
+    * handled pairwise, then [[extrapolated]] scales to the bucket edges
+    * [bucket, bucket + range). One window pass for the pairs + one
+    * partial-aggregated groupBy, the same shape as the plain kernels. */
+  def xRate(wide: DataFrame, stepMs: Long, asRate: Boolean): DataFrame = {
+    val labels = TsdbSchema.dynCols(wide)
+    val v = col(TsdbSchema.ValueCol)
+    val bkt = bucketCol(stepMs)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(labels :+ bkt: _*)
+      .orderBy(col(TsdbSchema.TimeCol).asc, v.asc)
+    val d0 = v - lag(v, 1).over(w)
+    val agg = wide
+      .withColumn("prev_t", lag(col(TsdbSchema.TimeCol), 1).over(w))
+      .withColumn("prev_v", lag(v, 1).over(w))
+      .withColumn("d", when(d0 < 0, v).otherwise(d0))
+      .where(col("prev_t").isNotNull)
+      .groupBy(labels :+ bkt.as("bucket"): _*)
+      .agg(count(lit(1)).as("_pairs"),
+        round(sum(col("d")), 6).as("_incr"),
+        min(col("prev_t")).as("_first_t"),
+        max(col(TsdbSchema.TimeCol)).as("_last_t"),
+        min(array(col("prev_t").cast("double"), col("prev_v")))
+          .getItem(1).as("_first_v"))
+    agg
+      .withColumn(TsdbSchema.ValueCol, extrapolated(col("_incr"),
+        col("_pairs"), col("_first_t"), col("_last_t"), col("_first_v"),
+        col("bucket"), col("bucket") + stepMs, stepMs, asRate))
+      .select(labels ++ Seq(col("bucket"), col(TsdbSchema.ValueCol)): _*)
+  }
+
+  /** Sliding `xrate()`/`xincrease()`: [[xRate]]'s Prometheus-exact
+    * extrapolation per grid timestamp over (t − range, t] — the
+    * [[pairFanOut]] decomposition (pairs built once, fanned to covering
+    * grid points), one (series, t) aggregation. */
+  def slidingXRate(wide: DataFrame, rangeMs: Long, stepMs: Long,
+                   startMs: Long, endMs: Long, asRate: Boolean): DataFrame = {
+    val labels = TsdbSchema.dynCols(wide)
+    val v = col(TsdbSchema.ValueCol)
+    val d0 = v - col("prev_v")
+    val agg = pairFanOut(wide, rangeMs, stepMs, startMs, endMs)
+      .withColumn("d", when(d0 < 0, v).otherwise(d0))
+      .groupBy(labels :+ col("t"): _*)
+      .agg(count(lit(1)).as("_pairs"),
+        round(sum(col("d")), 6).as("_incr"),
+        min(col("prev_t")).as("_first_t"),
+        max(col(TsdbSchema.TimeCol)).as("_last_t"),
+        min(array(col("prev_t").cast("double"), col("prev_v")))
+          .getItem(1).as("_first_v"))
+    agg
+      .withColumn(TsdbSchema.ValueCol, extrapolated(col("_incr"),
+        col("_pairs"), col("_first_t"), col("_last_t"), col("_first_v"),
+        col("t") - rangeMs, col("t"), rangeMs, asRate))
+      .select(labels ++ Seq(col("t"), col(TsdbSchema.ValueCol)): _*)
   }
 
   /** Sliding-window avg/min/max/count_over_time: per grid timestamp t,

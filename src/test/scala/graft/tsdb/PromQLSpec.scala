@@ -1053,6 +1053,44 @@ class PromQLSpec extends SparkSpec {
       rows(eval(sq, wide, At, 86400000L, -1L, 100000000L)))
   }
 
+  test("xincrease/xrate: Prometheus boundary extrapolation, exactly") {
+    // the canonical Prometheus behavior: a perfectly regular counter
+    // 0..9 over a 10s window extrapolates increase 9 → 10 (classic
+    // "increase returns the true per-window delta, not n−1 intervals")
+    val counter = (0 to 10).map(i => (i * 1000L, i.toDouble, "c"))
+      .toDF("time", "value", "labels.name")
+    val inc = eval(parse("""xincrease({name="c"}[10s])"""), counter,
+      at = 10000L, lookbackMs = 86400000L, start = 0L, end = 10000L)
+      .select(col("bucket"), col("value")).as[(Long, Double)].collect().toMap
+    assert(inc(0L) === 10.0)
+    val rate = eval(parse("""xrate({name="c"}[10s])"""), counter,
+      at = 10000L, lookbackMs = 86400000L, start = 0L, end = 10000L)
+      .select(col("value")).as[Double].collect().toSeq
+    assert(rate === Seq(1.0))
+    // sliding form at t=10000 over (0, 10000]: 9 in-window pairs,
+    // start gap 1000 = one average interval → extrapolates to 10.0;
+    // counter-zero clamp: dz = 1000 NOT < ds1 = 1000 keeps the gap
+    val sl = evalRange(parse("""xincrease({name="c"}[10s])"""), counter,
+      start = 0L, end = 10000L, stepMs = 5000L, lookbackMs = 86400000L)
+      .where(col("t") === 10000L)
+      .select(col("value")).as[Double].collect().toSeq
+    assert(sl === Seq(10.0))
+  }
+
+  test("ts_of_max/min/last_over_time report the sample's timestamp") {
+    // (up,a) bucket 0 samples: (0, 1), (3600000, 4) → max at 3600 s,
+    // min at 0 s, last at 3600 s
+    val df = evalQ("""ts_of_max_over_time({name="up", user="a"}[1d])""")
+      .select(col("bucket"), col("value")).as[(Long, Double)].collect().toMap
+    assert(df(0L) === 3600.0)
+    val mn = evalQ("""ts_of_min_over_time({name="up", user="a"}[1d])""")
+      .select(col("bucket"), col("value")).as[(Long, Double)].collect().toMap
+    assert(mn(0L) === 0.0)
+    val lt = evalQ("""ts_of_last_over_time({name="up", user="a"}[1d])""")
+      .select(col("bucket"), col("value")).as[(Long, Double)].collect().toMap
+    assert(lt(0L) === 3600.0)
+  }
+
   test("sort_by_label orders rows by the label (presentation)") {
     val asc = evalQ("""sort_by_label({name="up"}, "user")""")
       .select(col("`labels.user`")).as[String].collect().toSeq

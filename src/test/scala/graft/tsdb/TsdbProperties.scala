@@ -253,7 +253,9 @@ object TsdbProperties extends Properties("tsdb") {
           name <- Gen.oneOf("min_over_time", "max_over_time",
             "sum_over_time", "count_over_time", "last_over_time",
             "present_over_time", "stddev_over_time", "stdvar_over_time",
-            "mad_over_time", "delta", "changes", "idelta")
+            "mad_over_time", "ts_of_max_over_time", "ts_of_min_over_time",
+            "ts_of_last_over_time", "delta", "changes", "idelta",
+            "xrate", "xincrease")
           r <- ranged
         } yield Fn(name, r, Nil),
         ranged.map(Fn("predict_linear", _, Seq(3600.0))),
