@@ -429,17 +429,23 @@ object RangeVectors {
   def xRate(wide: DataFrame, stepMs: Long, asRate: Boolean): DataFrame = {
     val labels = TsdbSchema.dynCols(wide)
     val v = col(TsdbSchema.ValueCol)
-    val bkt = bucketCol(stepMs)
+    // bucket is materialized as an ATTRIBUTE before the window so the
+    // window partitioning, and then the groupBy on the same keys, hash
+    // on the same attributes — one exchange end-to-end. (Partitioning
+    // on the floor() expression directly defeats exchange reuse: each
+    // Window re-shuffles.) Both lags live in ONE select → one Window.
+    val withB = wide.withColumn("bucket", bucketCol(stepMs))
     val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(labels :+ bkt: _*)
+      .partitionBy(labels :+ col("bucket"): _*)
       .orderBy(col(TsdbSchema.TimeCol).asc, v.asc)
-    val d0 = v - lag(v, 1).over(w)
-    val agg = wide
-      .withColumn("prev_t", lag(col(TsdbSchema.TimeCol), 1).over(w))
-      .withColumn("prev_v", lag(v, 1).over(w))
+    val d0 = v - col("prev_v")
+    val agg = withB
+      .select(withB.columns.map(c => col(s"`$c`")) ++ Seq(
+        lag(col(TsdbSchema.TimeCol), 1).over(w).as("prev_t"),
+        lag(v, 1).over(w).as("prev_v")): _*)
       .withColumn("d", when(d0 < 0, v).otherwise(d0))
       .where(col("prev_t").isNotNull)
-      .groupBy(labels :+ bkt.as("bucket"): _*)
+      .groupBy(labels :+ col("bucket"): _*)
       .agg(count(lit(1)).as("_pairs"),
         round(sum(col("d")), 6).as("_incr"),
         min(col("prev_t")).as("_first_t"),

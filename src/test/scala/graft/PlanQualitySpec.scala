@@ -62,6 +62,15 @@ class PlanQualitySpec extends SparkSpec {
       s"limit_ratio must not introduce extra shuffles:\n$plan")
   }
 
+  test("tumbling xrate: one exchange — groupBy reuses the window shuffle") {
+    // bucket is an attribute before the window, so the window partition
+    // and the (series, bucket) aggregation hash identically; the
+    // extrapolation itself is a post-aggregate scalar expression
+    val plan = planOf("tsdb_q75_promql_xrate")
+    assert(shuffleExchanges(plan) == 1,
+      s"xrate should shuffle exactly once:\n$plan")
+  }
+
   test("sliding-window rate: window prefilter reaches the scan, ≤2 shuffles") {
     val plan = planOf("tsdb_q43_promql_sliding_rate")
     assert("PushedFilters: \\[[^\\]]*GreaterThan\\(time".r
