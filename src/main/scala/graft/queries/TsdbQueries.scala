@@ -692,6 +692,14 @@ object TsdbQueries {
           """sum by (user) (rate({name="purchase"}[7d]))"""),
         eventsAsTsdbStored(s, dir), at = RangeEnd, lookbackMs = 86400000L,
         start = RangeStart, end = RangeEnd)),
+    // Q77: rank with the COMPLEMENT grouping — `topk without (k) (...)`
+    // ranks within every-label-except-k, i.e. per (name, user)
+    "tsdb_q77_promql_topk_without" -> ((s, dir) =>
+      graft.tsdb.PromQL.eval(
+        graft.tsdb.PromQL.parse(
+          """topk without (k) (2, {name=~".+"})"""),
+        eventsAsTsdbStored(s, dir), at = RangeEnd, lookbackMs = 86400000L,
+        start = RangeStart, end = RangeEnd)),
     // Q75: xrate — the Prometheus-EXACT boundary-extrapolated rate
     // (promql extrapolatedRate reproduced as one deterministic scalar
     // expression over per-window aggregates); per (series, 7d bucket)
@@ -1314,6 +1322,25 @@ object TsdbQueries {
          |  FROM p WHERE pt IS NOT NULL GROUP BY u, name, kk)
          |SELECT u AS "user", round(sum(rv), 6) AS value
          |FROM r GROUP BY 1""".stripMargin,
+    // replays the complement grouping: partition by every label EXCEPT
+    // k (= name, user), same canonical tie string
+    "tsdb_q77_promql_topk_without" ->
+      s"""$duckTsdbCte,
+         |iv AS (SELECT "labels.k", "labels.name", "labels.user",
+         |  max(time) AS time,
+         |  list_extract(max([CAST(time AS DOUBLE), value]), 2) AS value
+         |  FROM t WHERE "labels.name" IS NOT NULL
+         |    AND time > ${RangeEnd - 86400000L}
+         |    AND time <= $RangeEnd GROUP BY 1, 2, 3),
+         |r AS (SELECT *, row_number() OVER (
+         |    PARTITION BY "labels.name", "labels.user"
+         |    ORDER BY value DESC,
+         |      'labels.k=' || coalesce("labels.k", '') ||
+         |      ',labels.name=' || coalesce("labels.name", '') ||
+         |      ',labels.user=' || coalesce("labels.user", '') ASC)
+         |  AS rk FROM iv)
+         |SELECT "labels.k", "labels.name", "labels.user", time, value
+         |FROM r WHERE rk <= 2""".stripMargin,
     // replays the extrapolation formula verbatim: per-(series, bucket)
     // pair aggregates (rounded increase, pair count, first/last times,
     // first value), then sampled/avg/threshold gap logic scaled to the

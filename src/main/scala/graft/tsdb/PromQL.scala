@@ -30,8 +30,8 @@ import graft.model.Matcher
   *               [("group_left"|"group_right") ["(" names ")"]] expr
   *   agg      := op ["by"|"without" "(" names ")"] "(" [num ","] expr ")"
   *               op ∈ sum avg min max count stddev stdvar group quantile(φ,)
-  *             | ("topk"|"bottomk"|"limitk") ["by" "(" names ")"]
-  *               "(" int "," expr ")"
+  *             | ("topk"|"bottomk"|"limitk")
+  *               ["by"|"without" "(" names ")"] "(" int "," expr ")"
   *             | "limit_ratio" "(" ["-"] num "," expr ")"
   *   fn       := name "(" [num ","] expr ["," num]* ")"   e.g. rate(v[1d]),
   *               holt_winters(v[1d], 0.5, 0.3), quantile_over_time(0.9, v[1d]);
@@ -88,7 +88,8 @@ object PromQL {
     * series sampler) is deterministic here: the k first series in
     * label order — a documented refinement of "k arbitrary series". */
   final case class RankK(op: String, k: Int, arg: Expr,
-                         by: Seq[String] = Nil) extends Expr
+                         by: Seq[String] = Nil,
+                         without: Seq[String] = Nil) extends Expr
   /** `limit_ratio(r, v)` — Prometheus's experimental deterministic
     * series sampler: keep the series whose portable label-set hash
     * fraction falls below r (r ≥ 0), or in the complement band
@@ -162,9 +163,11 @@ object PromQL {
     case AggWithout(op, names, arg, param) =>
       s"$op without (${names.mkString(", ")}) " +
         s"(${param.fold("")(p => s"$p, ")}${render(arg)})"
-    case RankK(op, k, arg, Seq()) => s"$op($k, ${render(arg)})"
-    case RankK(op, k, arg, by) =>
+    case RankK(op, k, arg, Seq(), Seq()) => s"$op($k, ${render(arg)})"
+    case RankK(op, k, arg, by, Seq()) =>
       s"$op by (${by.mkString(", ")}) ($k, ${render(arg)})"
+    case RankK(op, k, arg, _, w) =>
+      s"$op without (${w.mkString(", ")}) ($k, ${render(arg)})"
     case LimitRatio(r, arg) => s"limit_ratio($r, ${render(arg)})"
     case ScalarLit(v) => v.toString
     case TimeLit => "time()"
@@ -596,6 +599,15 @@ object PromQL {
       val arg = parseExpr(p)
       p.expect(')')
       RankK(name, k, arg, by)
+    } else if (RankOps(name) && p.keyword("without")) {
+      // complement grouping: rank within every-label-EXCEPT-these
+      val w = names()
+      p.expect('(')
+      val k = p.number().toInt
+      p.expect(',')
+      val arg = parseExpr(p)
+      p.expect(')')
+      RankK(name, k, arg, Nil, w)
     } else if (RankOps(name) && p.peek('(')) {
       p.expect('(')
       val k = p.number().toInt
@@ -713,7 +725,7 @@ object PromQL {
     case StrFn(n, a, s) => StrFn(n, anchorRanges(a, atMs), s)
     case AggBy(o, b, a, q) => AggBy(o, b, anchorRanges(a, atMs), q)
     case AggWithout(o, w, a, q) => AggWithout(o, w, anchorRanges(a, atMs), q)
-    case RankK(o, k, a, b) => RankK(o, k, anchorRanges(a, atMs), b)
+    case RankK(o, k, a, b, w) => RankK(o, k, anchorRanges(a, atMs), b, w)
     case LimitRatio(r, a) => LimitRatio(r, anchorRanges(a, atMs))
     case BinOp(op, on, l, r, b, c, i, cr) =>
       BinOp(op, on, anchorRanges(l, atMs), anchorRanges(r, atMs), b, c, i, cr)
@@ -857,11 +869,11 @@ object PromQL {
       val keys = TsdbSchema.labelColumns(iv).filterNot(dropped)
         .map(c => col(s"`$c`")) ++ gridKeys(iv)
       iv.groupBy(keys: _*).agg(aggValue(op, param))
-    case RankK(op, k, arg, by) =>
+    case RankK(op, k, arg, by, without) =>
       val iv = toValueShape(eval(arg, wide, at, lookbackMs, start, end))
       require(iv.columns.contains(TsdbSchema.ValueCol),
         s"$op(k, ...) needs an instant-vector argument (a selector)")
-      val parts = by.map(labelPart(iv, _)) ++ gridKeys(iv)
+      val parts = rankParts(iv, by, without) ++ gridKeys(iv)
       if (parts.nonEmpty)
         // grouped (`by`) and/or bucketed vectors rank WITHIN each
         // partition — a partitioned window, one partition per group
@@ -1279,7 +1291,7 @@ object PromQL {
     case StrFn(n, a, s) => StrFn(n, substTime(a, atSec), s)
     case AggBy(o, b, a, q) => AggBy(o, b, substTime(a, atSec), q)
     case AggWithout(o, w, a, q) => AggWithout(o, w, substTime(a, atSec), q)
-    case RankK(o, k, a, b) => RankK(o, k, substTime(a, atSec), b)
+    case RankK(o, k, a, b, w) => RankK(o, k, substTime(a, atSec), b, w)
     case LimitRatio(r, a) => LimitRatio(r, substTime(a, atSec))
     // a subquery's inner expression evaluates in range mode, where
     // time() is the per-step grid time — leave it unresolved
@@ -1598,15 +1610,15 @@ object PromQL {
       val keys = TsdbSchema.labelColumns(iv).filterNot(dropped)
         .map(c => col(s"`$c`")) :+ col("t")
       iv.groupBy(keys: _*).agg(aggValue(op, param))
-    case RankK(op, k, arg, by) =>
+    case RankK(op, k, arg, by, without) =>
       val iv = toValueShape(evalRange(arg, wide, start, end, stepMs, lookbackMs))
       require(iv.columns.contains(TsdbSchema.ValueCol),
         s"$op(k, ...) needs per-step instant vectors")
       // per-step top-k IS a partitioned window (one partition per grid
-      // timestamp, further split by any `by` labels) — unlike the
-      // instant path's global orderBy+limit, this shape scales: each
-      // step ranks independently
-      val parts = by.map(labelPart(iv, _)) :+ col("t")
+      // timestamp, further split by any `by`/`without` grouping) —
+      // unlike the instant path's global orderBy+limit, this shape
+      // scales: each step ranks independently
+      val parts = rankParts(iv, by, without) :+ col("t")
       iv.withColumn("_rk", row_number().over(
           org.apache.spark.sql.expressions.Window
             .partitionBy(parts: _*).orderBy(rankOrd(op, iv): _*)))
@@ -1872,7 +1884,7 @@ object PromQL {
     case StrFn(n, a, s) => StrFn(n, fold(a), s)
     case AggBy(o, b, a, q) => AggBy(o, b, fold(a), q)
     case AggWithout(o, w, a, q) => AggWithout(o, w, fold(a), q)
-    case RankK(o, k, a, b) => RankK(o, k, fold(a), b)
+    case RankK(o, k, a, b, w) => RankK(o, k, fold(a), b, w)
     case LimitRatio(r, a) => LimitRatio(r, fold(a))
     case SetOp(o, on, l, r, ign) => SetOp(o, on, fold(l), fold(r), ign)
     case other => other
@@ -1933,6 +1945,20 @@ object PromQL {
       TsdbSchema.labelCol(n).as(n)
     else if (iv.columns.contains(n)) col(s"`$n`").as(n)
     else lit(null).cast("string").as(n)
+
+  /** Rank-family partition keys: the `by` labels, or — `without` form —
+    * every label column EXCEPT the listed ones. Empty both ⇒ global. */
+  private def rankParts(iv: DataFrame, by: Seq[String],
+                        without: Seq[String]): Seq[Column] =
+    if (without.nonEmpty) {
+      val dropped = without.map(TsdbSchema.labelColName).toSet ++ without
+      iv.columns.toSeq
+        .filter(c => c.startsWith(TsdbSchema.LabelPrefix) ||
+          !Seq(TsdbSchema.TimeCol, TsdbSchema.ValueCol, "rvalue",
+            "rank", "t", "bucket").contains(c))
+        .filterNot(dropped)
+        .map(c => col(s"`$c`"))
+    } else by.map(labelPart(iv, _))
 
   /** [[labelKey]] without the output alias — window PARTITION BY
     * expressions (an alias inside a partition spec is not a grouping

@@ -980,6 +980,8 @@ class PromQLSpec extends SparkSpec {
     assert(parse("""topk by (job, env) (3, {name="up"})""") ===
       RankK("topk", 3, sel, Seq("job", "env")))
     assert(parse("""limitk(4, {name="up"})""") === RankK("limitk", 4, sel))
+    assert(parse("""topk without (env) (3, {name="up"})""") ===
+      RankK("topk", 3, sel, Nil, Seq("env")))
     assert(parse("""limit_ratio(0.5, {name="up"})""") ===
       LimitRatio(0.5, sel))
     assert(parse("""limit_ratio(-0.5, {name="up"})""") ===
@@ -995,6 +997,13 @@ class PromQLSpec extends SparkSpec {
     val df = eval(parse("""topk by (name) (1, {name=~"up|down"})"""),
       wide, at = 0L, lookbackMs = 86400000L, start = -1L, end = 100000000L)
     assert(df.select(col("`labels.name`"), col("`labels.user`"),
+        col("value")).as[(String, String, Double)].collect().toSet ===
+      Set(("up", "b", 2.0), ("down", "a", 5.0)))
+    // the without form groups by the complement — without (user) ≡
+    // by (name) on this two-label vector
+    val w = eval(parse("""topk without (user) (1, {name=~"up|down"})"""),
+      wide, at = 0L, lookbackMs = 86400000L, start = -1L, end = 100000000L)
+    assert(w.select(col("`labels.name`"), col("`labels.user`"),
         col("value")).as[(String, String, Double)].collect().toSet ===
       Set(("up", "b", 2.0), ("down", "a", 5.0)))
   }

@@ -299,8 +299,11 @@ object TsdbProperties extends Properties("tsdb") {
           op <- Gen.oneOf("topk", "bottomk", "limitk")
           k <- Gen.choose(1, 9)
           by <- Gen.listOf(label).map(_.distinct)
+          w <- if (by.nonEmpty) Gen.const(Seq.empty[String])
+               else Gen.oneOf(Gen.const(Seq.empty[String]),
+                 Gen.nonEmptyListOf(label).map(_.distinct))
           a <- expr(depth - 1)
-        } yield RankK(op, k, a, by)),
+        } yield RankK(op, k, a, by, w)),
         Gen.lzy(for {
           r <- Gen.oneOf(0.2, 0.5, 0.9, -0.5)
           a <- expr(depth - 1)
