@@ -23,6 +23,7 @@ object Bench {
     "tsdb_q43_promql_sliding_rate", "tsdb_q48_promql_sliding_binop",
     "tsdb_q67_promql_range_subquery_increase",
     "tsdb_q69_promql_topk_by", "tsdb_q74_promql_strict_rate",
+    "tsdb_q75_promql_xrate",
     "pipe_q30_packing", "pipe_q31_chunk_dedup", "pipe_q32_kmeans",
     "pipe_q33_semantic_dedup")
 
