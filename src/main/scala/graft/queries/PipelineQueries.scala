@@ -357,6 +357,20 @@ object PipelineQueries {
           at = Tables.RangeEnd, lookbackMs = 86400000L,
           start = Tables.RangeStart, end = Tables.RangeEnd),
         "stream_q10_promql_range", mode = "complete")),
+    // the round-7 mad_over_time aggregate over the STREAMING engine:
+    // the sorted value buffer (collect_list) is ordinary incremental
+    // aggregation state — bounded by series × live buckets × samples
+    // per window, the same bound the batch kernel's percentile carries;
+    // the query text doesn't know it's streaming
+    "stream_q11_promql_mad" -> ((s, dir) =>
+      graft.streaming.EventStreams.runToMemory(
+        graft.tsdb.PromQL.eval(
+          graft.tsdb.PromQL.parse(
+            """mad_over_time({name="purchase"}[1d])"""),
+          graft.streaming.EventStreams.readEventsWide(s, dir),
+          at = Tables.RangeEnd, lookbackMs = 86400000L,
+          start = Tables.RangeStart, end = Tables.RangeEnd),
+        "stream_q11_promql_mad", mode = "complete")),
     "stream_q5_ingest" -> ((s, dir) => {
       val long = EventStreams.readEvents(s, dir).select(
         unix_millis(col("ts")).as("time"), col("value"),
@@ -959,6 +973,17 @@ object PipelineQueries {
          |FROM t WHERE "labels.name" = 'purchase'
          |  AND time >= ${Tables.RangeStart} AND time < ${Tables.RangeEnd}
          |GROUP BY 1, 2, 3, 4""".stripMargin,
+    "stream_q11_promql_mad" ->
+      s"""${Tables.duckTsdbCte},
+         |s AS (SELECT * FROM t WHERE "labels.name" = 'purchase'
+         |  AND time >= ${Tables.RangeStart} AND time < ${Tables.RangeEnd}),
+         |b AS (SELECT *, CAST(floor(time / 86400000.0) * 86400000
+         |    AS BIGINT) AS bucket FROM s),
+         |m AS (SELECT *, median(value) OVER (PARTITION BY "labels.k",
+         |    "labels.name", "labels.user", bucket) AS med FROM b)
+         |SELECT "labels.k", "labels.name", "labels.user", bucket,
+         |  round(median(abs(value - med)), 6) AS value
+         |FROM m GROUP BY 1, 2, 3, 4""".stripMargin,
     "stream_q5_ingest" ->
       """SELECT event_type AS name, count(*) AS n,
         |  round(sum(value), 4) AS total
