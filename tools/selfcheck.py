@@ -15,8 +15,11 @@ FLAGS = set(a for a in sys.argv[3:] if a.startswith("--"))
 ONLY = [a for a in sys.argv[3:] if not a.startswith("--")]
 
 if "--skip-verify" not in FLAGS:
+    # restricted names forward to Verify: only those queries re-dump
+    # (the compare below is restricted to the same set)
+    extra = (" " + " ".join(ONLY)) if ONLY else ""
     r = subprocess.run(
-        ["sbt", f'runMain graft.Verify {SF_DIR} {OUT_DIR}'],
+        ["sbt", f'runMain graft.Verify {SF_DIR} {OUT_DIR}{extra}'],
         cwd="/root/repo", capture_output=True, text=True)
     sys.stdout.write(r.stdout[-3000:])
     if r.returncode != 0:
