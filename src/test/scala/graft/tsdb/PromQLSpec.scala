@@ -1027,6 +1027,21 @@ class PromQLSpec extends SparkSpec {
     assert(kept.intersect(rest).isEmpty)
   }
 
+  test("limit_ratio membership is stable across range-mode steps") {
+    // the hash band keys on the series identity only (no t), so the
+    // kept series set cannot flicker between grid steps — the
+    // Prometheus contract for ratio sampling under query_range
+    val df = evalRange(parse("""limit_ratio(0.5, {name="up"})"""), wide,
+      start = 0L, end = 86400000L, stepMs = 3600000L,
+      lookbackMs = 86400000L)
+    val perStep = df.select(col("t"), col("`labels.user`"))
+      .as[(Long, String)].collect().groupBy(_._1)
+      .map { case (_, v) => v.map(_._2).toSet }.toSet
+    // every step that returned anything returned the SAME series set
+    // (here both series' samples cover every step via the lookback)
+    assert(perStep.size <= 1)
+  }
+
   test("mad_over_time: median absolute deviation per tumbling window") {
     // bucket 0: (up,a)={1,4} → med 2.5, devs {1.5,1.5} → 1.5;
     //           (up,b)={2,8} → med 5, devs {3,3} → 3;
