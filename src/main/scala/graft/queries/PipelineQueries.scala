@@ -371,6 +371,21 @@ object PipelineQueries {
           at = Tables.RangeEnd, lookbackMs = 86400000L,
           start = Tables.RangeStart, end = Tables.RangeEnd),
         "stream_q11_promql_mad", mode = "complete")),
+    // SLIDING query_range over the STREAMING engine: the sample
+    // fan-out kernel is explode + groupBy — no window functions — so
+    // the per-step overlapping windows (7d range, 1d step: each sample
+    // feeds ≤7 steps) maintain incrementally in complete mode. The
+    // live-dashboard query_range panel; same evalRange code path as
+    // batch tsdb_q45.
+    "stream_q12_promql_sliding" -> ((s, dir) =>
+      graft.streaming.EventStreams.runToMemory(
+        graft.tsdb.PromQL.evalRange(
+          graft.tsdb.PromQL.parse(
+            """sum_over_time({name="click"}[7d])"""),
+          graft.streaming.EventStreams.readEventsWide(s, dir),
+          start = Tables.RangeStart, end = Tables.RangeEnd,
+          stepMs = 86400000L, lookbackMs = 86400000L),
+        "stream_q12_promql_sliding", mode = "complete")),
     "stream_q5_ingest" -> ((s, dir) => {
       val long = EventStreams.readEvents(s, dir).select(
         unix_millis(col("ts")).as("time"), col("value"),
@@ -984,6 +999,25 @@ object PipelineQueries {
          |SELECT "labels.k", "labels.name", "labels.user", bucket,
          |  round(median(abs(value - med)), 6) AS value
          |FROM m GROUP BY 1, 2, 3, 4""".stripMargin,
+    // the q45-style lateral-unnest replay: each sample fans to the
+    // grid steps whose (t-7d, t] window covers it, then per-step sums
+    "stream_q12_promql_sliding" ->
+      s"""${Tables.duckTsdbCte},
+         |s AS (SELECT "labels.k" AS kk, "labels.name" AS name,
+         |  "labels.user" AS u, time, value FROM t
+         |  WHERE "labels.name" = 'click'
+         |    AND time > ${Tables.RangeStart - 604800000L}
+         |    AND time <= ${Tables.RangeEnd}),
+         |g AS (SELECT kk, name, u, value,
+         |    ${Tables.RangeStart} + i * 86400000 AS t
+         |  FROM s, LATERAL unnest(range(
+         |    greatest(0, CAST(ceil((time - ${Tables.RangeStart})
+         |      / 86400000.0) AS BIGINT)),
+         |    least(15, CAST(floor((time + 604799999 - ${Tables.RangeStart})
+         |      / 86400000.0) AS BIGINT)) + 1)) AS r(i))
+         |SELECT kk AS "labels.k", name AS "labels.name",
+         |  u AS "labels.user", t, round(sum(value), 6) AS value
+         |FROM g GROUP BY 1, 2, 3, 4""".stripMargin,
     "stream_q5_ingest" ->
       """SELECT event_type AS name, count(*) AS n,
         |  round(sum(value), 4) AS total
