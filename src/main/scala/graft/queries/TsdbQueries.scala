@@ -692,6 +692,15 @@ object TsdbQueries {
           """sum by (user) (rate({name="purchase"}[7d]))"""),
         eventsAsTsdbStored(s, dir), at = RangeEnd, lookbackMs = 86400000L,
         start = RangeStart, end = RangeEnd)),
+    // Q78: count_values WITH the aggregation modifier — the value
+    // histogram per metric (floor keeps the stringified bin portable:
+    // integer-valued doubles render "N.0" in both engines)
+    "tsdb_q78_promql_count_values_by" -> ((s, dir) =>
+      graft.tsdb.PromQL.eval(
+        graft.tsdb.PromQL.parse(
+          """count_values by (name) ("bin", floor({name=~".+"}))"""),
+        eventsAsTsdbStored(s, dir), at = RangeEnd, lookbackMs = 86400000L,
+        start = RangeStart, end = RangeEnd)),
     // Q77: rank with the COMPLEMENT grouping — `topk without (k) (...)`
     // ranks within every-label-except-k, i.e. per (name, user)
     "tsdb_q77_promql_topk_without" -> ((s, dir) =>
@@ -1322,6 +1331,19 @@ object TsdbQueries {
          |  FROM p WHERE pt IS NOT NULL GROUP BY u, name, kk)
          |SELECT u AS "user", round(sum(rv), 6) AS value
          |FROM r GROUP BY 1""".stripMargin,
+    // replays the grouped value histogram: per-metric counts keyed on
+    // the floored value's string rendering
+    "tsdb_q78_promql_count_values_by" ->
+      s"""$duckTsdbCte,
+         |iv AS (SELECT "labels.name", "labels.user", "labels.k",
+         |  list_extract(max([CAST(time AS DOUBLE), value]), 2) AS value
+         |  FROM t WHERE "labels.name" IS NOT NULL
+         |    AND time > ${RangeEnd - 86400000L}
+         |    AND time <= $RangeEnd GROUP BY 1, 2, 3)
+         |SELECT "labels.name" AS name,
+         |  CAST(floor(value) AS VARCHAR) AS "labels.bin",
+         |  CAST(count(*) AS DOUBLE) AS value
+         |FROM iv GROUP BY 1, 2""".stripMargin,
     // replays the complement grouping: partition by every label EXCEPT
     // k (= name, user), same canonical tie string
     "tsdb_q77_promql_topk_without" ->

@@ -71,8 +71,15 @@ object PromQL {
                             atMod: Option[AtAnchor] = None) extends Expr
   final case class Fn(name: String, arg: Expr, params: Seq[Double]) extends Expr
   /** Functions whose extra parameters are strings: `label_replace`,
-    * `label_join`, `count_values`. */
+    * `label_join`, `sort_by_label[_desc]`. */
   final case class StrFn(name: String, arg: Expr, strs: Seq[String]) extends Expr
+  /** `count_values [by|without (lbls)] ("lbl", v)` — the value-histogram
+    * AGGREGATION operator: how many series report each value, grouped
+    * by the modifier labels (by, or everything-except-`without`) plus
+    * the stringified value as a NEW label `lbl`. */
+  final case class CountValues(lbl: String, arg: Expr,
+                               by: Seq[String] = Nil,
+                               without: Seq[String] = Nil) extends Expr
   /** `op by (names) (arg)`; empty `by` is the global form `op(arg)`.
     * `param` = the aggregator's leading scalar parameter — only
     * `quantile(φ, v)` takes one. */
@@ -151,8 +158,12 @@ object PromQL {
       s"$name($q, ${render(arg)})"
     case Fn(name, arg, params) =>
       (s"$name(${render(arg)}" +: params.map(_.toString)).mkString(", ") + ")"
-    case StrFn("count_values", arg, Seq(lbl)) =>
+    case CountValues(lbl, arg, Seq(), Seq()) =>
       s"""count_values("$lbl", ${render(arg)})"""
+    case CountValues(lbl, arg, by, Seq()) =>
+      s"""count_values by (${by.mkString(", ")}) ("$lbl", ${render(arg)})"""
+    case CountValues(lbl, arg, _, w) =>
+      s"""count_values without (${w.mkString(", ")}) ("$lbl", ${render(arg)})"""
     case StrFn(name, arg, strs) =>
       s"$name(${render(arg)}${strs.map(v => s""", "$v"""").mkString})"
     case AggBy(op, Seq(), arg, param) =>
@@ -341,7 +352,7 @@ object PromQL {
   /** Wall-clock fns whose missing argument defaults to vector(time()). */
   private val ClockFns = Set("hour", "minute", "day_of_week",
     "day_of_month", "day_of_year", "days_in_month", "month", "year")
-  private val StrFns = Set("label_replace", "label_join", "count_values",
+  private val StrFns = Set("label_replace", "label_join",
     "sort_by_label", "sort_by_label_desc")
   private val LeadingParamFns = Set("quantile_over_time", "histogram_quantile")
   /** Range-vector functions a SUBQUERY supports as its consumer: the
@@ -575,21 +586,29 @@ object PromQL {
       val arg = parseExpr(p)
       p.expect(')')
       AggBy(name, Seq.empty, arg, param)
+    } else if (name == "count_values" && p.keyword("by")) {
+      // aggregation-operator modifiers; the output-label name comes
+      // FIRST inside the parens: count_values by (job) ("bin", v)
+      val by = names()
+      p.expect('('); val lbl = p.quoted(); p.expect(',')
+      val arg = parseExpr(p); p.expect(')')
+      CountValues(lbl, arg, by)
+    } else if (name == "count_values" && p.keyword("without")) {
+      val w = names()
+      p.expect('('); val lbl = p.quoted(); p.expect(',')
+      val arg = parseExpr(p); p.expect(')')
+      CountValues(lbl, arg, Nil, w)
+    } else if (name == "count_values" && p.peek('(')) {
+      p.expect('('); val lbl = p.quoted(); p.expect(',')
+      val arg = parseExpr(p); p.expect(')')
+      CountValues(lbl, arg)
     } else if (StrFns(name) && p.peek('(')) {
       p.expect('(')
-      if (name == "count_values") {
-        // the output-label name comes FIRST: count_values("bin", v)
-        val lbl = p.quoted(); p.expect(',')
-        val arg = parseExpr(p)
-        p.expect(')')
-        StrFn(name, arg, Seq(lbl))
-      } else {
-        val arg = parseExpr(p)
-        val ss = Seq.newBuilder[String]
-        while (p.opt(',')) ss += p.quoted()
-        p.expect(')')
-        StrFn(name, arg, ss.result())
-      }
+      val arg = parseExpr(p)
+      val ss = Seq.newBuilder[String]
+      while (p.opt(',')) ss += p.quoted()
+      p.expect(')')
+      StrFn(name, arg, ss.result())
     } else if (RankOps(name) && p.keyword("by")) {
       // grouped rank: `topk by (job) (3, v)` — k within each group
       val by = names()
@@ -723,6 +742,7 @@ object PromQL {
     case sq: Subquery => sq
     case Fn(n, a, p) => Fn(n, anchorRanges(a, atMs), p)
     case StrFn(n, a, s) => StrFn(n, anchorRanges(a, atMs), s)
+    case CountValues(l, a, b, w) => CountValues(l, anchorRanges(a, atMs), b, w)
     case AggBy(o, b, a, q) => AggBy(o, b, anchorRanges(a, atMs), q)
     case AggWithout(o, w, a, q) => AggWithout(o, w, anchorRanges(a, atMs), q)
     case RankK(o, k, a, b, w) => RankK(o, k, anchorRanges(a, atMs), b, w)
@@ -847,6 +867,16 @@ object PromQL {
         s"$name needs a range selector argument (v[duration])")
     case StrFn(name, arg, strs) =>
       strFn(name, eval(arg, wide, at, lookbackMs, start, end), strs)
+    case CountValues(lbl, arg, by, without) =>
+      // value-histogram aggregation: group by the modifier labels (by,
+      // or everything-except-without — AggBy/AggWithout's resolution),
+      // any implicit grid key, and the stringified value as new label
+      val iv = toValueShape(eval(arg, wide, at, lookbackMs, start, end))
+      require(iv.columns.contains(TsdbSchema.ValueCol),
+        "count_values needs an instant-vector argument")
+      iv.groupBy(countValuesKeys(iv, lbl, by, without) ++
+          gridKeys(iv): _*)
+        .agg(count(lit(1)).cast("double").as(TsdbSchema.ValueCol))
     case AggBy(op, by, arg, param) =>
       val iv = toValueShape(eval(arg, wide, at, lookbackMs, start, end))
       // aggregation operators consume vectors with a `value` column —
@@ -1289,6 +1319,7 @@ object PromQL {
       SetOp(op, on, substTime(l, atSec), substTime(r, atSec), i)
     case Fn(n, a, p) => Fn(n, substTime(a, atSec), p)
     case StrFn(n, a, s) => StrFn(n, substTime(a, atSec), s)
+    case CountValues(l, a, b, w) => CountValues(l, substTime(a, atSec), b, w)
     case AggBy(o, b, a, q) => AggBy(o, b, substTime(a, atSec), q)
     case AggWithout(o, w, a, q) => AggWithout(o, w, substTime(a, atSec), q)
     case RankK(o, k, a, b, w) => RankK(o, k, substTime(a, atSec), b, w)
@@ -1585,13 +1616,15 @@ object PromQL {
       // value maps don't touch the grid column — per-step for free
       instantFn(name, evalRange(arg, wide, start, end, stepMs, lookbackMs),
         params, at = end)
-    case StrFn("count_values", arg, Seq(lbl)) =>
+    case CountValues(lbl, arg, by, without) =>
       // per-step count_values: how many series report each value AT
       // each grid timestamp — `t` joins the grouping like every other
       // per-step aggregation
-      toValueShape(evalRange(arg, wide, start, end, stepMs, lookbackMs))
-        .groupBy(col(TsdbSchema.ValueCol).cast("string")
-            .as(TsdbSchema.labelColName(lbl)), col("t"))
+      val iv = toValueShape(
+        evalRange(arg, wide, start, end, stepMs, lookbackMs))
+      require(iv.columns.contains(TsdbSchema.ValueCol),
+        "count_values needs per-step instant vectors")
+      iv.groupBy(countValuesKeys(iv, lbl, by, without) :+ col("t"): _*)
         .agg(count(lit(1)).cast("double").as(TsdbSchema.ValueCol))
     case StrFn(name, arg, strs) =>
       strFn(name, evalRange(arg, wide, start, end, stepMs, lookbackMs), strs)
@@ -1757,8 +1790,8 @@ object PromQL {
   }
 
   /** String-parameter functions: label manipulation compiles onto
-    * [[LabelOps]] (pure map-side column derivations); `count_values`
-    * is the value-histogram aggregator. */
+    * [[LabelOps]] (pure map-side column derivations); the sort pair is
+    * presentation-only row ordering. */
   private def strFn(name: String, iv0: DataFrame,
                     strs: Seq[String]): DataFrame = {
     val iv = toValueShape(iv0)
@@ -1775,12 +1808,6 @@ object PromQL {
         seriesKey(iv).desc: _*)
     case ("label_join", dst +: sep +: srcs) if srcs.nonEmpty =>
       LabelOps.labelJoin(iv, dst, sep, srcs)
-    case ("count_values", Seq(lbl)) =>
-      // how many series currently report each value; the value renders
-      // as the new label (Prometheus stringifies the float)
-      iv.groupBy(col(TsdbSchema.ValueCol).cast("string")
-          .as(TsdbSchema.labelColName(lbl)))
-        .agg(count(lit(1)).cast("double").as(TsdbSchema.ValueCol))
     case _ => throw new IllegalArgumentException(
       s"$name: wrong arguments ${strs.mkString(", ")}")
   }}
@@ -1882,6 +1909,7 @@ object PromQL {
     case Fn(n, a, p) => Fn(n, fold(a), p)
     case Subquery(a, r, s, o, atm) => Subquery(fold(a), r, s, o, atm)
     case StrFn(n, a, s) => StrFn(n, fold(a), s)
+    case CountValues(l, a, b, w) => CountValues(l, fold(a), b, w)
     case AggBy(o, b, a, q) => AggBy(o, b, fold(a), q)
     case AggWithout(o, w, a, q) => AggWithout(o, w, fold(a), q)
     case RankK(o, k, a, b, w) => RankK(o, k, fold(a), b, w)
@@ -1945,6 +1973,21 @@ object PromQL {
       TsdbSchema.labelCol(n).as(n)
     else if (iv.columns.contains(n)) col(s"`$n`").as(n)
     else lit(null).cast("string").as(n)
+
+  /** count_values grouping: the modifier labels (AggBy's aliased-key /
+    * AggWithout's wide-name resolution) plus the stringified value as
+    * the NEW label. Empty modifiers ⇒ just the value label. */
+  private def countValuesKeys(iv: DataFrame, lbl: String, by: Seq[String],
+                              without: Seq[String]): Seq[Column] = {
+    val groups =
+      if (without.nonEmpty) {
+        val dropped = without.map(TsdbSchema.labelColName).toSet
+        TsdbSchema.labelColumns(iv).filterNot(dropped)
+          .map(c => col(s"`$c`"))
+      } else by.map(labelKey(iv, _))
+    groups :+ col(TsdbSchema.ValueCol).cast("string")
+      .as(TsdbSchema.labelColName(lbl))
+  }
 
   /** Rank-family partition keys: the `by` labels, or — `without` form —
     * every label column EXCEPT the listed ones. Empty both ⇒ global. */

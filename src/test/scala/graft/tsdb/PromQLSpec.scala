@@ -719,6 +719,14 @@ class PromQLSpec extends SparkSpec {
       .select(col("`labels.v`"), col("value"))
       .as[(String, Double)].collect().toMap
     assert(cv === Map("9.0" -> 1.0, "8.0" -> 1.0))
+    // grouped count_values: the modifier labels join the bin grouping
+    val cvb = evalQ("""count_values by (name) ("v", {name=~"up|down"})""")
+      .select(col("name"), col("`labels.v`"), col("value"))
+      .as[(String, String, Double)].collect().toSet
+    assert(cvb === Set(("up", "9.0", 1.0), ("up", "8.0", 1.0)))
+    assert(parse("""count_values without (user) ("v", {name="up"})""") ===
+      CountValues("v", Selector(Seq(Matcher.Eq("name", "up")), None, 0L),
+        Nil, Seq("user")))
     // absent() emits the 1-vector exactly when nothing matches
     assert(evalQ("""absent({name="nope"})""").count() === 1L)
     assert(evalQ("""absent({name="up"})""").count() === 0L)

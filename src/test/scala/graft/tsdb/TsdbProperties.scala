@@ -293,8 +293,13 @@ object TsdbProperties extends Properties("tsdb") {
         Gen.lzy(for {
           a <- expr(depth - 1); dst <- label; src <- label
         } yield StrFn("label_replace", a, Seq(dst, "x-$1", src, "(a.*)"))),
-        Gen.lzy(for { a <- expr(depth - 1); lbl <- label }
-          yield StrFn("count_values", a, Seq(lbl))),
+        Gen.lzy(for {
+          a <- expr(depth - 1); lbl <- label
+          by <- Gen.listOf(label).map(_.distinct)
+          w <- if (by.nonEmpty) Gen.const(Seq.empty[String])
+               else Gen.oneOf(Gen.const(Seq.empty[String]),
+                 Gen.nonEmptyListOf(label).map(_.distinct))
+        } yield CountValues(lbl, a, by, w)),
         Gen.lzy(for {
           op <- Gen.oneOf("topk", "bottomk", "limitk")
           k <- Gen.choose(1, 9)
