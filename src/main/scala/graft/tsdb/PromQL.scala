@@ -361,6 +361,7 @@ object PromQL {
     * time axis). */
   private val SubqueryFns: Set[String] =
     OverTimeStats.keySet ++ Set("quantile_over_time", "rate", "increase",
+      "xrate", "xincrease",
       "irate", "idelta", "changes", "resets", "deriv", "predict_linear",
       "holt_winters", "double_exponential_smoothing")
 
@@ -1068,7 +1069,7 @@ object PromQL {
           .as(TsdbSchema.ValueCol)
       grid.groupBy(keys: _*).agg(aggc)
     } else subqueryRangeFn(name, grid.drop(TsdbSchema.TimeCol), keys,
-      sqEnd, params)
+      sqEnd, rangeMs, params)
   }
 
   /** Range-mode subquery evaluation: ONE inner evalRange pass over the
@@ -1171,6 +1172,24 @@ object PromQL {
           if (name == "increase") col("_inc")
           else round(col("_inc") / nullif(col("_span"), lit(0.0)), 6)
         agg.select(outKeys :+ out.cast("double").as(TsdbSchema.ValueCol): _*)
+      case "xrate" | "xincrease" =>
+        // boundary extrapolation per outer step: the window is
+        // [t − off − range, t − off] on the inner-grid axis
+        val d0 = v - col("prev_v")
+        val agg = pairFanned
+          .withColumn("d", when(d0 < 0, v).otherwise(d0))
+          .groupBy(outKeys: _*)
+          .agg(count(lit(1)).as("_pairs"),
+            round(sum(col("d")), 6).as("_incr"),
+            min(col("_put")).as("_first_t"),
+            max(col("_ut")).as("_last_t"),
+            min(array(col("_put").cast("double"), col("prev_v")))
+              .getItem(1).as("_first_v"))
+        agg.select(outKeys :+ RangeVectors.extrapolated(col("_incr"),
+          col("_pairs"), col("_first_t"), col("_last_t"),
+          col("_first_v"), col("t") - (off + rangeMs), col("t") - off,
+          rangeMs, asRate = name == "xrate")
+            .as(TsdbSchema.ValueCol): _*)
       case "changes" | "resets" =>
         val hit =
           if (name == "changes") v =!= col("prev_v") else v < col("prev_v")
@@ -1218,6 +1237,7 @@ object PromQL {
     * `value` — a plain instant vector. */
   private def subqueryRangeFn(name: String, grid: DataFrame,
                               keys: Seq[Column], sqEnd: Long,
+                              rangeMs: Long,
                               params: Seq[Double]): DataFrame = {
     val v = col(TsdbSchema.ValueCol)
     val w = org.apache.spark.sql.expressions.Window
@@ -1238,6 +1258,20 @@ object PromQL {
           if (name == "increase") col("_inc")
           else round(col("_inc") / nullif(col("_span"), lit(0.0)), 6)
         agg.select(keys :+ out.cast("double").as(TsdbSchema.ValueCol): _*)
+      case "xrate" | "xincrease" =>
+        // Prometheus boundary extrapolation over the subquery's grid
+        // axis — the window is [sqEnd − range, sqEnd]
+        val agg = pairs.groupBy(keys: _*).agg(
+          count(lit(1)).as("_pairs"),
+          round(sum(col("d")), 6).as("_incr"),
+          min(col("prev_t")).as("_first_t"),
+          max(col("t")).as("_last_t"),
+          min(array(col("prev_t").cast("double"), col("prev_v")))
+            .getItem(1).as("_first_v"))
+        agg.select(keys :+ RangeVectors.extrapolated(col("_incr"),
+          col("_pairs"), col("_first_t"), col("_last_t"),
+          col("_first_v"), lit(sqEnd - rangeMs), lit(sqEnd), rangeMs,
+          asRate = name == "xrate").as(TsdbSchema.ValueCol): _*)
       case "changes" | "resets" =>
         val hit =
           if (name == "changes") v =!= col("prev_v") else v < col("prev_v")

@@ -402,10 +402,11 @@ object RangeVectors {
     * per-window aggregates, so the formula is one deterministic scalar
     * expression replayable by the SQL oracle (incr arrives ROUNDED so
     * both engines scale identical literals). */
-  private def extrapolated(incr: Column, pairs: Column, firstT: Column,
-                           lastT: Column, firstV: Column,
-                           rangeStart: Column, rangeEnd: Column,
-                           rangeMs: Long, asRate: Boolean): Column = {
+  private[tsdb] def extrapolated(incr: Column, pairs: Column,
+                                 firstT: Column,
+                                 lastT: Column, firstV: Column,
+                                 rangeStart: Column, rangeEnd: Column,
+                                 rangeMs: Long, asRate: Boolean): Column = {
     val sampled = nullif((lastT - firstT).cast("double"), lit(0.0))
     val avg = sampled / pairs
     val thresh = avg * 1.1

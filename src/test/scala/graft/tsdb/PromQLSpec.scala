@@ -1109,6 +1109,25 @@ class PromQLSpec extends SparkSpec {
     assert(sl === Seq(10.0))
   }
 
+  test("xincrease composes over subqueries (grid-axis extrapolation)") {
+    val counter = (0 to 10).map(i => (i * 1000L, i.toDouble, "c"))
+      .toDF("time", "value", "labels.name")
+    // the subquery grid touches both window edges, so the
+    // extrapolation factor is 1 and xincrease = the true delta 10
+    val r = eval(parse("""xincrease(({name="c"})[10s:1s])"""), counter,
+      at = 10000L, lookbackMs = 86400000L, start = 0L, end = 10000L)
+      .select(col("value")).as[Double].collect().toSeq
+    assert(r === Seq(10.0))
+    // range mode: per outer step, same machinery one level up — at
+    // t=10000 the window [0, 10000] holds the full grid
+    val rr = evalRange(parse("""xincrease(({name="c"})[10s:1s])"""),
+      counter, start = 0L, end = 10000L, stepMs = 5000L,
+      lookbackMs = 86400000L)
+      .where(col("t") === 10000L)
+      .select(col("value")).as[Double].collect().toSeq
+    assert(rr === Seq(10.0))
+  }
+
   test("ts_of_max/min/last_over_time report the sample's timestamp") {
     // (up,a) bucket 0 samples: (0, 1), (3600000, 4) → max at 3600 s,
     // min at 0 s, last at 3600 s
