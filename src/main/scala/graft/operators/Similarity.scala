@@ -75,7 +75,7 @@ object Similarity {
     * the Spark plumbing (cell-keyed co-partitioned join) is identical. */
   def ivfKnn(corpus: DataFrame, probes: DataFrame,
              idCol: String, vecCol: String, dim: Int, k: Int,
-             nCells: Int = 16): DataFrame = {
+             nCells: Int = 16, nProbe: Int = 1): DataFrame = {
     def withCell(df: DataFrame, id: String, v: String): DataFrame = {
       val sims = (0 until nCells).map(c => dot(col(vecCol), centroid(c, dim)))
       val best = sims.zipWithIndex.foldLeft(lit(0)) { case (acc, (s, i)) =>
@@ -84,7 +84,25 @@ object Similarity {
       df.select(col(idCol).as(id), col(vecCol).as(v), best.as("cell"))
     }
     val c = withCell(corpus, "nn_id", "nn_v")
-    val p = withCell(probes, "probe_id", "probe_v")
+    // the recall knob: each probe searches its nProbe NEAREST cells
+    // (corpus vectors stay in exactly one cell, so candidates never
+    // duplicate); join fan-out is nProbe × probes — still cell-keyed,
+    // never a cross product. Ties rank (sim desc, cell desc), the same
+    // last-max rule as the argmax assignment.
+    val p =
+      if (nProbe <= 1) withCell(probes, "probe_id", "probe_v")
+      else {
+        val sims = array(
+          (0 until nCells).map(c => dot(col(vecCol), centroid(c, dim))): _*)
+        probes
+          .select(col(idCol).as("probe_id"), col(vecCol).as("probe_v"),
+            posexplode(sims).as(Seq("cell", "_sim")))
+          .withColumn("_rk", row_number().over(
+            Window.partitionBy(col("probe_id"))
+              .orderBy(col("_sim").desc, col("cell").desc)))
+          .where(col("_rk") <= nProbe)
+          .drop("_sim", "_rk")
+      }
     val w = Window.partitionBy(col("probe_id"))
       .orderBy(col("cos").desc, col("nn_id").asc)
     c.join(p, Seq("cell")).where(col("nn_id") =!= col("probe_id"))

@@ -409,6 +409,14 @@ object PipelineQueries {
       Similarity.ivfKnn(emb, emb.where(col("vec_id") < 5),
         "vec_id", "embedding", dim = 64, k = 3, nCells = 8)
     }),
+    // IVF with the recall knob: each probe searches its 2 nearest
+    // cells (candidates = union of cell-keyed joins, never a cross
+    // product) — the nProbe > 1 shape a 100 TB ANN deployment runs
+    "pipe_q36_ivf_nprobe" -> ((s, dir) => {
+      val emb = load(s, dir, "embeddings")
+      Similarity.ivfKnn(emb, emb.where(col("vec_id") < 5),
+        "vec_id", "embedding", dim = 64, k = 3, nCells = 8, nProbe = 2)
+    }),
     "pipe_q14_embdedup" -> ((s, dir) =>
       Dedup.embeddingNearDups(load(s, dir, "embeddings"), "vec_id", "embedding",
         dim = 64, threshold = 0.2, planes = 8)),
@@ -753,6 +761,30 @@ object PipelineQueries {
          |cand AS (SELECT p.id AS probe_id, c.id AS nn_id, p.v AS pv, c.v AS cv
          |  FROM cells p JOIN cells c ON p.cell = c.cell AND c.id <> p.id
          |  WHERE p.id < 5),
+         |scored AS (SELECT probe_id, nn_id, ${duckCos("pv", "cv")} AS cos FROM cand),
+         |ranked AS (SELECT probe_id, nn_id, cos,
+         |    row_number() OVER (PARTITION BY probe_id ORDER BY cos DESC, nn_id ASC) AS rank
+         |  FROM scored)
+         |SELECT probe_id, nn_id, round(cos, 6) AS cosine, rank
+         |FROM ranked WHERE rank <= $k""".stripMargin
+    },
+    "pipe_q36_ivf_nprobe" -> {
+      val nCells = 8; val k = 3; val nProbe = 2
+      val sims = (0 until nCells).map(c => duckCentroidDot(c, "v")).mkString(", ")
+      // probes take their nProbe nearest cells: zip (sim, cell), sort
+      // ascending, reverse → (sim DESC, cell DESC) — the same last-max
+      // tie rule as the corpus argmax — and slice the head
+      s"""WITH e AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |cells AS (SELECT id, v,
+         |  $nCells - list_position(list_reverse([$sims]), list_max([$sims])) AS cell
+         |  FROM e),
+         |p2 AS (SELECT id, v,
+         |    unnest(list_slice(list_reverse(list_sort(
+         |      list_zip([$sims], range($nCells)))), 1, $nProbe)) AS sc
+         |  FROM e WHERE id < 5),
+         |pcells AS (SELECT id, v, CAST(sc[2] AS BIGINT) AS cell FROM p2),
+         |cand AS (SELECT p.id AS probe_id, c.id AS nn_id, p.v AS pv, c.v AS cv
+         |  FROM pcells p JOIN cells c ON p.cell = c.cell AND c.id <> p.id),
          |scored AS (SELECT probe_id, nn_id, ${duckCos("pv", "cv")} AS cos FROM cand),
          |ranked AS (SELECT probe_id, nn_id, cos,
          |    row_number() OVER (PARTITION BY probe_id ORDER BY cos DESC, nn_id ASC) AS rank
