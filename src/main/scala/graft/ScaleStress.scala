@@ -96,6 +96,20 @@ object ScaleStress {
         graft.tsdb.PromQL.parse("""xrate({name="purchase"}[7d])"""),
         t.df, start = Tables.RangeStart, end = Tables.RangeEnd,
         stepMs = 86400000L, lookbackMs = 86400000L).count())
+    // ANN at (10·N)x corpus: IVF nProbe=2 must stay cell-keyed — cost
+    // is Σ probes × |probed cells|, never |corpus| × probes. Replicate
+    // via ONE explode, not an N-way union: the per-row cell-argmax
+    // expression tree is large, and N union branches would make the
+    // DRIVER's plan O(N × tree) (it OOMed at 100 branches)
+    val embAnn = Tables.load(spark, sfDir, "embeddings")
+    val embAnnN = embAnn
+      .withColumn("_r", explode(sequence(lit(0), lit(factor * 10 - 1))))
+      .withColumn("vec_id", col("vec_id") + col("_r") * lit(1000000L))
+      .drop("_r")
+    time(s"ivf knn nprobe=2 ${factor * 10}x corpus")(
+      graft.operators.Similarity.ivfKnn(embAnnN,
+        embAnn.where(col("vec_id") < 50), "vec_id", "embedding",
+        dim = 64, k = 10, nCells = 16, nProbe = 2).count())
 
     // lifecycle tier at Nx: compaction must scale in bytes (one range
     // shuffle), retention in TOUCHED bytes only — the footer triage must

@@ -27,6 +27,17 @@ object Hashing {
   def hash64(c: Column, seed: Int): Column =
     hash64(concat(lit(seed.toString), lit(":"), c))
 
+  /** Driver-side evaluation of [[hash64]] for CONSTANT strings —
+    * bit-identical to the Column form. Use when the hash input is a
+    * literal (centroids, LSH planes): md5 inside a Catalyst lambda is
+    * not constant-folded, so the Column form would recompute the md5
+    * per row. */
+  def hash64Const(s: String): Long =
+    java.lang.Long.parseLong(
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        .map("%02x".format(_)).mkString.take(15), 16)
+
   /** The DuckDB SQL fragment equivalent to [[hash64]], for oracle SQL. */
   def duckHash64(expr: String): String =
     s"CAST(('0x' || substr(md5($expr), 1, 15)) AS BIGINT)"

@@ -35,6 +35,14 @@ object VectorFunctions {
       NativeBridge.expression(a), NativeBridge.expression(b)))
   }
 
+  /** [[dot]] as a native codegen'd Expression ([[DotProduct]]): same
+    * fold order ⇒ bit-identical; the IVF cell-assignment hot path. */
+  def dotNative(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.graft.NativeBridge
+    NativeBridge.column(DotProduct(
+      NativeBridge.expression(a), NativeBridge.expression(b)))
+  }
+
   /** Random-hyperplane LSH bucket id: `planes` pseudo-random unit-free
     * hyperplanes derived deterministically from [[Hashing.hash64]], one
     * sign bit each → an int bucket. Vectors in the same bucket are
@@ -44,15 +52,17 @@ object VectorFunctions {
     val vd = asDouble(v)
     (0 until planes).map { p =>
       // plane component j = (hash64("p,j") mod 2001 - 1000) / 1000 ∈ [-1,1]
-      val proj = aggregate(
-        zip_with(vd, sequence(lit(0), lit(dim - 1)),
-          (x, j) => x * planeComponent(p, j)),
-        lit(0.0), (acc, x) => acc + x)
+      // — computed ONCE on the driver as a literal array: md5 inside a
+      // Catalyst lambda is not constant-folded, so the expression form
+      // paid planes × dim md5 calls per ROW (billions at a 100k+
+      // corpus). The oracle derives the identical constants in SQL.
+      val plane = array((0 until dim).map(j =>
+        lit(planeComponent(p, j))): _*)
+      val proj = dotNative(vd, plane)
       when(proj >= 0, lit(1 << p)).otherwise(lit(0))
     }.reduce(_ + _)
   }
 
-  private def planeComponent(p: Int, j: Column): Column =
-    ((pmod(Hashing.hash64(concat(lit(p.toString), lit(","), j.cast("string"))),
-      lit(2001L)) - lit(1000L)).cast("double")) / lit(1000.0)
+  private def planeComponent(p: Int, j: Int): Double =
+    ((Hashing.hash64Const(s"$p,$j") % 2001L) - 1000L).toDouble / 1000.0
 }

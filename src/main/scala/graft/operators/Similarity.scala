@@ -77,11 +77,18 @@ object Similarity {
              idCol: String, vecCol: String, dim: Int, k: Int,
              nCells: Int = 16, nProbe: Int = 1): DataFrame = {
     def withCell(df: DataFrame, id: String, v: String): DataFrame = {
-      val sims = (0 until nCells).map(c => dot(col(vecCol), centroid(c, dim)))
-      val best = sims.zipWithIndex.foldLeft(lit(0)) { case (acc, (s, i)) =>
-        when(s === sims.reduce((a, b) => greatest(a, b)), lit(i)).otherwise(acc)
-      }
-      df.select(col(idCol).as(id), col(vecCol).as(v), best.as("cell"))
+      // each centroid dot evaluates ONCE per row: the argmax is the
+      // lexicographic max of (sim, cell) structs — the same last-max
+      // tie rule as a when-chain, without re-evaluating the
+      // (interpreted, higher-order) dot products O(nCells²) times
+      val simArr = array(
+        (0 until nCells).map(c =>
+          dotNative(col(vecCol), centroid(c, dim))): _*)
+      val best = array_max(zip_with(simArr,
+        sequence(lit(0), lit(nCells - 1)),
+        (s, i) => struct(s.as("s"), i.as("i"))))("i")
+      df.select(col(idCol).as(id), col(vecCol).as(v),
+        best.cast("int").as("cell"))
     }
     val c = withCell(corpus, "nn_id", "nn_v")
     // the recall knob: each probe searches its nProbe NEAREST cells
@@ -93,7 +100,8 @@ object Similarity {
       if (nProbe <= 1) withCell(probes, "probe_id", "probe_v")
       else {
         val sims = array(
-          (0 until nCells).map(c => dot(col(vecCol), centroid(c, dim))): _*)
+          (0 until nCells).map(c =>
+            dotNative(col(vecCol), centroid(c, dim))): _*)
         probes
           .select(col(idCol).as("probe_id"), col(vecCol).as("probe_v"),
             posexplode(sims).as(Seq("cell", "_sim")))
@@ -114,26 +122,34 @@ object Similarity {
   }
 
   import org.apache.spark.sql.Column
-  import graft.functions.Hashing
 
-  /** Deterministic pseudo-random centroid c (array<double> literal-free,
-    * computed from the portable hash so oracles can replay it). */
+  /** The portable unit-interval coordinate: (hash64(s) mod 2001 − 1000)
+    * / 1000 ∈ [−1, 1], computed ONCE on the driver
+    * ([[graft.functions.Hashing.hash64Const]]): the centroid/plane
+    * coordinates are pure functions of literals, but a Catalyst
+    * `transform` over md5 expressions is NOT constant-folded — the
+    * expression form recomputed a full md5 battery per ROW (billions of
+    * md5 calls at a 200k-vector corpus). Literal arrays keep the oracle
+    * contract (DuckDB derives identical values from the same formula)
+    * at zero per-row hashing cost. */
+  private def unitVal(s: String): Double =
+    ((graft.functions.Hashing.hash64Const(s) % 2001L) - 1000L)
+      .toDouble / 1000.0
+
+  /** Deterministic pseudo-random centroid c, as a literal array (the
+    * oracle replays the same md5 formula in SQL). */
   private def centroid(c: Int, dim: Int): Column =
-    transform(sequence(lit(0), lit(dim - 1)), j =>
-      (pmod(Hashing.hash64(concat(lit(s"cell$c,"), j.cast("string"))), lit(2001L))
-        - lit(1000L)).cast("double") / lit(1000.0))
+    array((0 until dim).map(j => lit(unitVal(s"cell$c,$j"))): _*)
 
   /** lshBucket with a seed offset so multiple tables use independent
-    * plane families. */
+    * plane families; plane coordinates are literal arrays (see
+    * [[hash64Const]]). */
   private def lshBucket(v: Column, planes: Int, dim: Int, seedOffset: Int): Column = {
     val vd = v.cast("array<double>")
     (0 until planes).map { pi =>
       val p = pi + seedOffset
-      val proj = aggregate(
-        zip_with(vd, sequence(lit(0), lit(dim - 1)), (x, j) =>
-          x * ((pmod(Hashing.hash64(concat(lit(s"$p,"), j.cast("string"))), lit(2001L))
-            - lit(1000L)).cast("double") / lit(1000.0))),
-        lit(0.0), (acc, x) => acc + x)
+      val plane = array((0 until dim).map(j => lit(unitVal(s"$p,$j"))): _*)
+      val proj = dotNative(vd, plane)
       when(proj >= 0, lit(1 << pi)).otherwise(lit(0))
     }.reduce(_ + _)
   }
