@@ -43,6 +43,15 @@ object VectorFunctions {
       NativeBridge.expression(a), NativeBridge.expression(b)))
   }
 
+  /** Squared L2 distance as a native codegen'd Expression
+    * ([[SquaredDistance]]): same per-component fold order ⇒
+    * bit-identical; the k-means assignment hot path. */
+  def sqDistNative(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.graft.NativeBridge
+    NativeBridge.column(SquaredDistance(
+      NativeBridge.expression(a), NativeBridge.expression(b)))
+  }
+
   /** Random-hyperplane LSH bucket id: `planes` pseudo-random unit-free
     * hyperplanes derived deterministically from [[Hashing.hash64]], one
     * sign bit each → an int bucket. Vectors in the same bucket are

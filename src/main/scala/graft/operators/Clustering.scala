@@ -27,11 +27,14 @@ import graft.functions.Hashing
 object Clustering {
 
   /** Squared L2 distance between the vector column and a centroid given
-    * as per-component literals, folded left-to-right. */
+    * as per-component literals — the native codegen'd kernel
+    * ([[graft.functions.SquaredDistance]]), same left-to-right fold
+    * order as the declarative form and the oracle's list_sum (the
+    * higher-order `aggregate` runs interpreted, and the assignment
+    * evaluates k of these per row per Lloyd iteration). */
   private def sqDist(v: Column, centroid: Seq[Double]): Column =
-    aggregate(
-      zip_with(v, array(centroid.map(lit): _*), (a, b) => (a - b) * (a - b)),
-      lit(0.0), (acc, x) => acc + x)
+    graft.functions.VectorFunctions.sqDistNative(
+      v, array(centroid.map(lit): _*))
 
   /** [[kmeansAssign]] keeping the (double-cast) vector column in the
     * output — consumers that need both (cell-blocked pairing) read the
