@@ -81,6 +81,22 @@ class VectorFunctionsSpec extends SparkSpec {
     assert(b.forall(x => x >= 0 && x < 16))
   }
 
+  test("native dot / squared-distance are bit-identical to declarative") {
+    val emb = spark.read.parquet(s"$Sf0001/embeddings.parquet")
+    val pairs = emb.select($"vec_id", $"embedding".as("a"))
+      .crossJoin(emb.select($"embedding".as("b")).limit(3))
+    def declSq(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+      aggregate(zip_with(a.cast("array<double>"), b.cast("array<double>"),
+        (x, y) => (x - y) * (x - y)), lit(0.0), (acc, x) => acc + x)
+    val both = pairs.select(
+      VectorFunctions.dot($"a", $"b").as("dd"),
+      VectorFunctions.dotNative($"a", $"b").as("dn"),
+      declSq($"a", $"b").as("sd"),
+      VectorFunctions.sqDistNative($"a".cast("array<double>"),
+        $"b".cast("array<double>")).as("sn"))
+    assert(both.where($"dd" =!= $"dn" || $"sd" =!= $"sn").count() == 0)
+  }
+
   test("native cosine expression is bit-identical to the declarative form") {
     // real fixture vectors (array<float>, dim 64) through BOTH the
     // codegen'd path and the interpreted eval path
