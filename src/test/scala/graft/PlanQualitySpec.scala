@@ -132,6 +132,17 @@ class PlanQualitySpec extends SparkSpec {
     assert(!readSchema.contains("labels"), s"labels read for a count: $readSchema")
   }
 
+  test("vector hot paths run native codegen'd kernels, not HOFs") {
+    // higher-order aggregate/zip_with is CodegenFallback (interpreted);
+    // the scoring/assignment kernels must stay native expressions
+    assert(planOf("pipe_q13_ivf_knn").contains("graft_dot"),
+      "IVF cell assignment should use the native DotProduct")
+    assert(planOf("pipe_q32_kmeans").contains("graft_sqdist"),
+      "k-means assignment should use the native SquaredDistance")
+    assert(planOf("pipe_q10_knn").contains("graft_cosine"),
+      "brute-force scoring should use the native CosineSimilarity")
+  }
+
   test("knn keeps the embedding corpus un-shuffled (broadcast probe)") {
     val plan = planOf("pipe_q10_knn")
     assert(plan.contains("BroadcastNestedLoopJoin") ||
