@@ -161,6 +161,17 @@ object ScaleStress {
     time(s"lsh keeper dedup ${factor}x")(
       graft.operators.Dedup.lshDedupKeepers(docsXN, "doc_id", "text",
         k = 8, bands = 4, shingleK = 3).where(col("kept")).count())
+    // connected-components dedup at Nx: every text's replicas share all
+    // LSH buckets, so each text forms ONE N-node component — min-label
+    // propagation must converge in O(log diameter) rounds with
+    // per-round localCheckpoint, state bounded by docs + buckets,
+    // never doc×doc
+    time(s"cc dedup ${factor}x") {
+      val comps = graft.operators.Dedup.lshConnectedComponents(
+          docsXN, "doc_id", "text", k = 8, bands = 4, shingleK = 3)
+        .select("component").distinct().count()
+      assert(comps <= nDocs, s"$comps components > $nDocs distinct texts")
+    }
     // decontamination at Nx: the benchmark side stays broadcast-sized, so
     // cost scales in the TRAIN corpus scan, never in the doc×doc product
     time(s"contamination ${factor}x train vs 1x bench")(
