@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{CosineSimilarity, HistogramSketch}
+import graft.functions.{CosineSimilarity, DotProduct, HistogramSketch, SquaredDistance}
 
 /** SQL-surface registration for graft's native expressions, via the
   * standard extension point:
@@ -23,6 +23,20 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[Expression]) => {
         require(children.length == 2, "graft_cosine(a, b) takes two arrays")
         CosineSimilarity(children.head, children(1))
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_dot"),
+      new ExpressionInfo(classOf[DotProduct].getCanonicalName, "graft_dot"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2, "graft_dot(a, b) takes two arrays")
+        DotProduct(children.head, children(1))
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_sqdist"),
+      new ExpressionInfo(classOf[SquaredDistance].getCanonicalName, "graft_sqdist"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2, "graft_sqdist(a, b) takes two arrays")
+        SquaredDistance(children.head, children(1))
       }))
     ext.injectFunction((
       new FunctionIdentifier("graft_hist"),

@@ -142,6 +142,14 @@ class GraftExtensionsSpec extends graft.SparkSpec {
         """SELECT graft_cosine(array(1.0F, 2.0F, 2.0F), array(2.0F, 1.0F, 2.0F)) AS c"""
       ).head().getDouble(0)
       assert(math.abs(r - 8.0 / 9.0) < 1e-12)
+      val d = s2.sql(
+        """SELECT graft_dot(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS d"""
+      ).head().getDouble(0)
+      assert(d === 11.0)
+      val q = s2.sql(
+        """SELECT graft_sqdist(array(1.0D, 2.0D), array(3.0D, 5.0D)) AS q"""
+      ).head().getDouble(0)
+      assert(q === 13.0)
     } finally {
       org.apache.spark.sql.SparkSession.clearActiveSession()
       org.apache.spark.sql.SparkSession.clearDefaultSession()
