@@ -51,7 +51,13 @@ import graft.model.Matcher
   * rate/increase/irate/idelta/changes/resets/deriv/predict_linear/
   * holt_winters — a bare subquery is not a query, as in Prometheus);
   * instant-mode range selectors evaluate over tumbling buckets (see
-  * [[eval]] above).
+  * [[eval]] above; [[evalStrict]] gives Prometheus-exact one-window
+  * instant semantics); `rate`/`increase` use the engine's documented
+  * observed-span definition (reset-adjusted Σdelta / observed span, no
+  * boundary extrapolation) — `xrate`/`xincrease` are the
+  * Prometheus-NUMERICALLY-EXACT extrapolated variants
+  * ([[RangeVectors.extrapolated]]), available everywhere the plain
+  * pair family is (tumbling, sliding, subqueries).
   */
 object PromQL {
 
