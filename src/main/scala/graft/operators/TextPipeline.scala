@@ -130,4 +130,37 @@ object TextPipeline {
             struct(col("pos").as("pos"), col("chunk").as("chunk"))))),
           x => x.getField("chunk"))).as("dedup_text"))
   }
+
+  /** Deterministic domain-mix resampling — rebalance a corpus so each
+    * group's share of the OUTPUT matches `weights` (the training-data
+    * "data mixing" pass). The achievable total is fixed by the binding
+    * group (min over nᵍ/wᵍ); every other group downsamples to
+    * wᵍ·T docs via the portable per-doc hash band, so membership is
+    * stable across runs, engines, and corpus growth. Groups without a
+    * target weight are dropped.
+    *
+    * Scale shape: ONE partial-aggregated count per group (the group
+    * universe is small by construction — it's a mixing config), rates
+    * resolved driver-side into a literal CASE, then a map-side filter.
+    * No shuffle of the corpus, no join. */
+  def resampleToMix(docs: DataFrame, idCol: String, groupCol: String,
+                    weights: Map[String, Double]): DataFrame = {
+    val counts = docs
+      .where(col(groupCol).isin(weights.keys.toSeq: _*))
+      .groupBy(col(groupCol)).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val t = weights.collect {
+      case (g, w) if counts.contains(g) && w > 0 => counts(g) / w
+    }.min
+    val rate = weights.map { case (g, w) =>
+      g -> math.min(1.0, w * t / counts.getOrElse(g, 1L).toDouble)
+    }
+    val rateCol = weights.keys.foldLeft(lit(Double.NaN)) { (acc, g) =>
+      when(col(groupCol) === g, lit(rate(g))).otherwise(acc)
+    }
+    docs
+      .where(col(groupCol).isin(weights.keys.toSeq: _*))
+      .where(pmod(graft.functions.Hashing.hash64(col(idCol).cast("string")),
+        lit(1000000L)).cast("double") / 1000000.0 < rateCol)
+  }
 }

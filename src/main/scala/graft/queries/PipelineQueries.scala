@@ -183,6 +183,14 @@ object PipelineQueries {
     // the composite FILTER GATE a curation pipeline ships: every per-doc
     // signal (token budget, quality, language, repetition, PII) composed
     // into one keep/drop verdict — the end-to-end "what survives" query
+    // deterministic domain-mix resampling: rebalance three sources to
+    // 50/30/20 output shares — the data-mixing pass of a training
+    // pipeline. One count per group + a map-side hash-band filter;
+    // membership is stable across runs, engines, and corpus growth.
+    "pipe_q37_domain_mix" -> ((s, dir) =>
+      graft.operators.TextPipeline.resampleToMix(
+        load(s, dir, "documents"), "doc_id", "source",
+        Map("src0" -> 0.5, "src1" -> 0.3, "src2" -> 0.2))),
     "pipe_q35_filter_gate" -> ((s, dir) => {
       val docs = load(s, dir, "documents")
       val rep = graft.operators.TextPipeline
@@ -768,6 +776,20 @@ object PipelineQueries {
          |SELECT probe_id, nn_id, round(cos, 6) AS cosine, rank
          |FROM ranked WHERE rank <= $k""".stripMargin
     },
+    // replays the mix: T = min(n/w) fixes the achievable total, each
+    // group keeps w*T docs via the same portable hash band
+    "pipe_q37_domain_mix" ->
+      s"""WITH w(g, wt) AS (VALUES ('src0', 0.5::DOUBLE),
+         |  ('src1', 0.3::DOUBLE), ('src2', 0.2::DOUBLE)),
+         |c AS (SELECT source AS g, count(*) AS n FROM documents
+         |  WHERE source IN ('src0', 'src1', 'src2') GROUP BY 1),
+         |t AS (SELECT min(n / wt) AS t FROM c JOIN w USING (g)),
+         |r AS (SELECT g, least(1.0, wt * t.t / n) AS rate
+         |  FROM c JOIN w USING (g), t)
+         |SELECT d.* FROM documents d JOIN r ON d.source = r.g
+         |WHERE ${graft.functions.Hashing.duckHash64(
+              "CAST(doc_id AS VARCHAR)")} % 1000000 / 1000000.0
+         |  < r.rate""".stripMargin,
     "pipe_q36_ivf_nprobe" -> {
       val nCells = 8; val k = 3; val nProbe = 2
       val sims = (0 until nCells).map(c => duckCentroidDot(c, "v")).mkString(", ")
