@@ -172,6 +172,12 @@ object ScaleStress {
         .select("component").distinct().count()
       assert(comps <= nDocs, s"$comps components > $nDocs distinct texts")
     }
+    // domain-mix resampling at Nx: one count aggregate + a map-side
+    // hash-band filter — no corpus shuffle at any scale
+    time(s"domain mix ${factor}x")(
+      graft.operators.TextPipeline.resampleToMix(docsXN, "doc_id",
+        "source", Map("src0" -> 0.5, "src1" -> 0.3, "src2" -> 0.2))
+        .count())
     // decontamination at Nx: the benchmark side stays broadcast-sized, so
     // cost scales in the TRAIN corpus scan, never in the doc×doc product
     time(s"contamination ${factor}x train vs 1x bench")(
