@@ -149,9 +149,15 @@ object TextPipeline {
       .where(col(groupCol).isin(weights.keys.toSeq: _*))
       .groupBy(col(groupCol)).agg(count(lit(1)).as("n"))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-    val t = weights.collect {
+    val ratios = weights.collect {
       case (g, w) if counts.contains(g) && w > 0 => counts(g) / w
-    }.min
+    }
+    // a mixing config whose groups are all absent from the corpus is a
+    // config error — fail with the mismatch, not an opaque empty.min
+    require(ratios.nonEmpty,
+      s"resampleToMix: none of the weighted groups " +
+        s"${weights.keys.mkString(", ")} is present in $groupCol")
+    val t = ratios.min
     val rate = weights.map { case (g, w) =>
       g -> math.min(1.0, w * t / counts.getOrElse(g, 1L).toDouble)
     }

@@ -1185,12 +1185,10 @@ object PromQL {
         val agg = pairFanned
           .withColumn("d", when(d0 < 0, v).otherwise(d0))
           .groupBy(outKeys: _*)
-          .agg(count(lit(1)).as("_pairs"),
-            round(sum(col("d")), 6).as("_incr"),
-            min(col("_put")).as("_first_t"),
-            max(col("_ut")).as("_last_t"),
-            min(array(col("_put").cast("double"), col("prev_v")))
-              .getItem(1).as("_first_v"))
+          .agg(RangeVectors.xRateAggs(col("_put"), col("_ut"),
+            col("prev_v"), col("d")).head,
+            RangeVectors.xRateAggs(col("_put"), col("_ut"),
+              col("prev_v"), col("d")).tail: _*)
         agg.select(outKeys :+ RangeVectors.extrapolated(col("_incr"),
           col("_pairs"), col("_first_t"), col("_last_t"),
           col("_first_v"), col("t") - (off + rangeMs), col("t") - off,
@@ -1267,13 +1265,9 @@ object PromQL {
       case "xrate" | "xincrease" =>
         // Prometheus boundary extrapolation over the subquery's grid
         // axis — the window is [sqEnd − range, sqEnd]
-        val agg = pairs.groupBy(keys: _*).agg(
-          count(lit(1)).as("_pairs"),
-          round(sum(col("d")), 6).as("_incr"),
-          min(col("prev_t")).as("_first_t"),
-          max(col("t")).as("_last_t"),
-          min(array(col("prev_t").cast("double"), col("prev_v")))
-            .getItem(1).as("_first_v"))
+        val aggs = RangeVectors.xRateAggs(col("prev_t"), col("t"),
+          col("prev_v"), col("d"))
+        val agg = pairs.groupBy(keys: _*).agg(aggs.head, aggs.tail: _*)
         agg.select(keys :+ RangeVectors.extrapolated(col("_incr"),
           col("_pairs"), col("_first_t"), col("_last_t"),
           col("_first_v"), lit(sqEnd - rangeMs), lit(sqEnd), rangeMs,
@@ -2016,15 +2010,19 @@ object PromQL {
 
   /** count_values grouping: the modifier labels (AggBy's aliased-key /
     * AggWithout's wide-name resolution) plus the stringified value as
-    * the NEW label. Empty modifiers ⇒ just the value label. */
+    * the NEW label. Empty modifiers ⇒ just the value label. A kept
+    * label that collides with the value label is excluded — Prometheus
+    * OVERWRITES the colliding label with the stringified value, and a
+    * duplicate output column would be unselectable anyway. */
   private def countValuesKeys(iv: DataFrame, lbl: String, by: Seq[String],
                               without: Seq[String]): Seq[Column] = {
     val groups =
       if (without.nonEmpty) {
-        val dropped = without.map(TsdbSchema.labelColName).toSet
+        val dropped = without.map(TsdbSchema.labelColName).toSet +
+          TsdbSchema.labelColName(lbl)
         TsdbSchema.labelColumns(iv).filterNot(dropped)
           .map(c => col(s"`$c`"))
-      } else by.map(labelKey(iv, _))
+      } else by.filterNot(_ == lbl).map(labelKey(iv, _))
     groups :+ col(TsdbSchema.ValueCol).cast("string")
       .as(TsdbSchema.labelColName(lbl))
   }

@@ -280,14 +280,20 @@ object RangeVectors {
         // ONE sorted value buffer per window feeds both medians — a
         // single aggregation pass, no second shuffle; buffer size is
         // bounded by the window's sample count, the same bound
-        // quantile_over_time's percentile buffer already carries
+        // quantile_over_time's percentile buffer already carries.
+        // The buffer is BOUND ONCE through a 1-element transform lambda
+        // so every median reference reads the materialized array
+        // (element_at, O(1)) — referencing the sort_array(collect_list)
+        // subtree directly inside the deviation lambda would re-sort
+        // the buffer per element (O(n² log n) per window)
         val arr = sort_array(collect_list(v))
         def med(a: Column): Column = {
           val n = size(a)
           (element_at(a, floor((n + 1) / 2.0).cast("int")) +
             element_at(a, floor(n / 2.0 + 1).cast("int"))) / 2.0
         }
-        round(med(sort_array(transform(arr, x => abs(x - med(arr))))), 6)
+        round(element_at(transform(array(arr), buf =>
+          med(array_sort(transform(buf, x => abs(x - med(buf)))))), 1), 6)
       case other => throw new IllegalArgumentException(
         s"unknown over-time statistic '$other'")
     }
@@ -422,6 +428,18 @@ object RangeVectors {
     round(incr * factor, 6)
   }
 
+  /** The five per-window aggregates [[extrapolated]] consumes — ONE
+    * definition shared by every xrate call site (tumbling, sliding,
+    * and both subquery modes in PromQL), parameterized on the pair
+    * columns so the _first_v tie rule can never silently diverge. */
+  private[tsdb] def xRateAggs(prevT: Column, curT: Column,
+                              prevV: Column, d: Column): Seq[Column] = Seq(
+    count(lit(1)).as("_pairs"),
+    round(sum(d), 6).as("_incr"),
+    min(prevT).as("_first_t"),
+    max(curT).as("_last_t"),
+    min(array(prevT.cast("double"), prevV)).getItem(1).as("_first_v"))
+
   /** Tumbling `xrate()`/`xincrease()`: the Prometheus-EXACT extrapolated
     * rate/increase per (series, `[duration]` bucket) — counter resets
     * handled pairwise, then [[extrapolated]] scales to the bucket edges
@@ -447,12 +465,10 @@ object RangeVectors {
       .withColumn("d", when(d0 < 0, v).otherwise(d0))
       .where(col("prev_t").isNotNull)
       .groupBy(labels :+ col("bucket"): _*)
-      .agg(count(lit(1)).as("_pairs"),
-        round(sum(col("d")), 6).as("_incr"),
-        min(col("prev_t")).as("_first_t"),
-        max(col(TsdbSchema.TimeCol)).as("_last_t"),
-        min(array(col("prev_t").cast("double"), col("prev_v")))
-          .getItem(1).as("_first_v"))
+      .agg(xRateAggs(col("prev_t"), col(TsdbSchema.TimeCol),
+        col("prev_v"), col("d")).head,
+        xRateAggs(col("prev_t"), col(TsdbSchema.TimeCol),
+          col("prev_v"), col("d")).tail: _*)
     agg
       .withColumn(TsdbSchema.ValueCol, extrapolated(col("_incr"),
         col("_pairs"), col("_first_t"), col("_last_t"), col("_first_v"),
@@ -472,12 +488,10 @@ object RangeVectors {
     val agg = pairFanOut(wide, rangeMs, stepMs, startMs, endMs)
       .withColumn("d", when(d0 < 0, v).otherwise(d0))
       .groupBy(labels :+ col("t"): _*)
-      .agg(count(lit(1)).as("_pairs"),
-        round(sum(col("d")), 6).as("_incr"),
-        min(col("prev_t")).as("_first_t"),
-        max(col(TsdbSchema.TimeCol)).as("_last_t"),
-        min(array(col("prev_t").cast("double"), col("prev_v")))
-          .getItem(1).as("_first_v"))
+      .agg(xRateAggs(col("prev_t"), col(TsdbSchema.TimeCol),
+        col("prev_v"), col("d")).head,
+        xRateAggs(col("prev_t"), col(TsdbSchema.TimeCol),
+          col("prev_v"), col("d")).tail: _*)
     agg
       .withColumn(TsdbSchema.ValueCol, extrapolated(col("_incr"),
         col("_pairs"), col("_first_t"), col("_last_t"), col("_first_v"),

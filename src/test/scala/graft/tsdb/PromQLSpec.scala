@@ -727,6 +727,13 @@ class PromQLSpec extends SparkSpec {
     assert(parse("""count_values without (user) ("v", {name="up"})""") ===
       CountValues("v", Selector(Seq(Matcher.Eq("name", "up")), None, 0L),
         Nil, Seq("user")))
+    // a kept label colliding with the value label is OVERWRITTEN
+    // (Prometheus semantics), never a duplicate output column
+    val cvc = evalQ("""count_values without (user) ("name", {name="up"})""")
+    assert(cvc.columns.count(_ == "labels.name") === 1)
+    assert(cvc.select(col("`labels.name`"), col("value"))
+      .as[(String, Double)].collect().toSet ===
+      Set(("9.0", 1.0), ("8.0", 1.0)))
     // absent() emits the 1-vector exactly when nothing matches
     assert(evalQ("""absent({name="nope"})""").count() === 1L)
     assert(evalQ("""absent({name="up"})""").count() === 0L)

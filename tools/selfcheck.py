@@ -97,9 +97,5 @@ for name in names:
     else:
         print(f"{'ok':18s} {name}: rows={len(gr)}")
 
-# rows-only entries without oracle
-for name in (ONLY or []):
-    pass
-
 print(f"\n{len(fails)} failures" + (f": {fails}" if fails else ""))
 sys.exit(1 if fails else 0)
