@@ -37,7 +37,7 @@ import graft.model.Matcher
   *               holt_winters(v[1d], 0.5, 0.3), quantile_over_time(0.9, v[1d]);
   *               also time(), vector(s), timestamp/wall-clock/round/log/sort
   *   selector := [metric] "{" m ("," m)* "}" ["[" dur "]"]
-  *               (["offset" dur] | ["@" (epoch | "start()" | "end()")])*
+  *               (["offset" ["-"] dur] | ["@" (epoch | "start()" | "end()")])*
   *   subquery := term "[" dur ":" [dur] "]"
   *               (["offset" dur] | ["@" (epoch | "start()" | "end()")])*
   *               (consumed by an *_over_time function; omitted step =
@@ -713,7 +713,14 @@ object PromQL {
     var atm: Option[AtAnchor] = None
     var more = true
     while (more) {
-      if (p.keyword("offset")) off = p.duration()
+      if (p.keyword("offset")) {
+        // negative offsets (Prometheus's promql-negative-offset
+        // feature): the window shifts FORWARD relative to the
+        // evaluation time — every eval site computes `… − off`, so the
+        // signed value flows through unchanged
+        val neg = p.opt('-')
+        off = (if (neg) -1 else 1) * p.duration()
+      }
       else if (p.sym("@").isDefined) {
         atm = Some(
           if (p.keyword("start")) { p.expect('('); p.expect(')'); AtStart }

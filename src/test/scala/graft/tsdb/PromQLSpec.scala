@@ -990,6 +990,16 @@ class PromQLSpec extends SparkSpec {
     assert(bottom === Set(("b", 8.0)))
   }
 
+  test("negative offset parses and shifts the window forward") {
+    assert(parse("""{name="up"} offset -1h""") ===
+      Selector(Seq(Matcher.Eq("name", "up")), None, -3600000L))
+    // at=0 with offset -1h the lookback window is (At-1d, At]+1h —
+    // it reaches the 3600000 sample the un-shifted instant misses
+    val df = eval(parse("""{name="up", user="a"} offset -1h"""), wide,
+      at = 0L, lookbackMs = 3600000L, start = -1L, end = 100000000L)
+    assert(df.select(col("value")).as[Double].collect().toSeq === Seq(4.0))
+  }
+
   test("rank family parses: by-grouping, limitk, limit_ratio") {
     val sel = Selector(Seq(Matcher.Eq("name", "up")), None, 0L)
     assert(parse("""topk by (job, env) (3, {name="up"})""") ===

@@ -229,7 +229,7 @@ object TsdbProperties extends Properties("tsdb") {
       metric <- Gen.oneOf(None, Some("http_requests"), Some("up"))
       ms <- Gen.listOfN(2, matcher)
       range <- Gen.oneOf(None, Some(60000L), Some(86400000L))
-      off <- Gen.oneOf(0L, 3600000L)
+      off <- Gen.oneOf(0L, 3600000L, -3600000L)
       atm <- Gen.oneOf(None, Some(AtMs(1704412800000L)), Some(AtStart),
         Some(AtEnd))
     } yield Selector(
@@ -278,7 +278,7 @@ object TsdbProperties extends Properties("tsdb") {
             "count_over_time")
           r <- Gen.choose(2L, 48L).map(_ * 3600000L)
           st <- Gen.choose(1L, 12L).map(_ * 3600000L)
-          off <- Gen.oneOf(0L, 60000L)
+          off <- Gen.oneOf(0L, 60000L, -60000L)
           atm <- Gen.oneOf(None, Some(AtMs(1704412800000L)),
             Some(AtStart), Some(AtEnd))
           a <- expr(depth - 1)
