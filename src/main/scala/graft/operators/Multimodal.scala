@@ -1,19 +1,31 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
+import java.awt.image.BufferedImage
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+
+import javax.imageio.ImageIO
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 /** Multimodal-column plumbing: image/audio/video payloads as opaque
   * BINARY columns with typed metadata, processed batch-wise per
-  * partition. The container ships no image/audio codecs, so the decode
-  * kernel is a clearly-marked deterministic STUB — everything around it
-  * (schema, partition sizing, batch iteration shape, feature schema) is
-  * the real 100 TB design:
+  * partition.
   *
-  *   - payloads NEVER pass through a shuffle: featurize/resize/sample are
-  *     map-side `mapPartitions`, so only the (small) derived features
-  *     move downstream;
+  * The IMAGE path is a real codec kernel: payloads are genuine PNG
+  * bytes, decoded with the JDK's `javax.imageio.ImageIO` (no external
+  * dependency) into exact dimensions, per-channel pixel sums and a
+  * luminance-ish histogram feature vector; `resize` is decode →
+  * exact nearest-neighbor resample → PNG re-encode. AUDIO/VIDEO decode
+  * remains a clearly-marked deterministic stub (the container ships no
+  * audio/video codecs and the JDK has none); the plumbing around it is
+  * identical to the image path.
+  *
+  * 100 TB design properties (both paths):
+  *   - payloads NEVER pass through a shuffle: featurize/resize/sample
+  *     are map-side `mapPartitions`, so only the (small) derived
+  *     features move downstream;
   *   - `spark.sql.files.maxPartitionBytes` governs blob-scan partition
   *     sizing; rows stay within a partition ⇒ one codec init per task,
   *     amortized across the batch (the Scala analogue of a Pandas-UDF
@@ -33,8 +45,16 @@ object Multimodal {
       StructField("n_frames", IntegerType, nullable = true),
       StructField("mime", StringType, nullable = true))), nullable = true)))
 
-  /** Build a media table from any source DataFrame — here used in tests
-    * to wrap `documents.text` bytes as fake payloads (deterministic). */
+  final case class MediaMeta(width: Option[Int], height: Option[Int],
+                             sample_rate: Option[Int], n_frames: Option[Int],
+                             mime: Option[String])
+  final case class Media(media_id: Long, kind: String,
+                         payload: Array[Byte], meta: MediaMeta)
+
+  /** Build a media table from any source DataFrame — used in tests to
+    * derive deterministic payloads from `documents`. Image dims are a
+    * pure function of the id so an arithmetic oracle can replay the
+    * decoded pixels (see `pixelR/G/B`). */
   def synthesize(docs: DataFrame, idCol: String, textCol: String): DataFrame =
     docs.select(
       col(idCol).cast("long").as("media_id"),
@@ -43,16 +63,101 @@ object Multimodal {
         .otherwise("video")).as("kind"),
       encode(col(textCol), "UTF-8").as("payload"),
       struct(
-        (pmod(col(idCol), lit(64)) + 16).cast("int").as("width"),
-        (pmod(col(idCol), lit(48)) + 16).cast("int").as("height"),
+        (pmod(col(idCol), lit(13)) + 4).cast("int").as("width"),
+        (pmod(col(idCol), lit(11)) + 4).cast("int").as("height"),
         lit(16000).as("sample_rate"),
         (pmod(col(idCol), lit(30)) + 1).cast("int").as("n_frames"),
         lit("application/octet-stream").as("mime")).as("meta"))
 
-  /** ======== STUB decode kernel ========
-    * A real deployment plugs a codec (JPEG/PNG/opus/...) here; the rest
-    * of the pipeline is codec-agnostic. The stub derives `featureDim`
-    * deterministic floats from payload bytes so tests are stable. */
+  /** The deterministic test-image pixel formulas: channel value of
+    * pixel (x, y) in image `id`. Chosen so a SQL oracle can replay the
+    * decoded values with integer arithmetic. */
+  @inline def pixelR(id: Long, x: Int, y: Int): Int = ((id + 7L * x + 13L * y) % 256).toInt
+  @inline def pixelG(id: Long, x: Int, y: Int): Int = ((3L * id + 5L * x + 11L * y) % 256).toInt
+  @inline def pixelB(id: Long, x: Int, y: Int): Int = ((5L * id + 3L * x + 17L * y) % 256).toInt
+
+  /** Encode the deterministic w×h RGB test image for `id` as real PNG
+    * bytes (lossless — decode returns the formula values exactly). */
+  def makePng(id: Long, w: Int, h: Int): Array[Byte] = {
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        img.setRGB(x, y, (pixelR(id, x, y) << 16) | (pixelG(id, x, y) << 8) | pixelB(id, x, y))
+        x += 1
+      }
+      y += 1
+    }
+    val baos = new ByteArrayOutputStream()
+    ImageIO.write(img, "png", baos)
+    baos.toByteArray
+  }
+
+  /** Replace the payload of `image` rows with real PNG bytes encoding
+    * the deterministic test image at the meta dims. Map-side; audio and
+    * video rows pass through untouched. */
+  def withImagePayloads(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.as[Media].mapPartitions { it =>
+      codecInit()
+      it.map { m =>
+        if (m.kind == "image")
+          m.copy(
+            payload = makePng(m.media_id, m.meta.width.getOrElse(16), m.meta.height.getOrElse(16)),
+            meta = m.meta.copy(mime = Some("image/png")))
+        else m
+      }
+    }.toDF()
+  }
+
+  /** Per-task codec initialization: disable ImageIO's disk cache so
+    * decode stays purely in-memory on executors. */
+  private def codecInit(): Unit = ImageIO.setUseCache(false)
+
+  /** Exact per-image decode stats: dimensions, channel count, per-channel
+    * pixel-value sums, and a `bins`-bin histogram of the red channel. */
+  final case class ImageStats(width: Int, height: Int, channels: Int,
+                              sumR: Long, sumG: Long, sumB: Long,
+                              histR: Array[Long])
+
+  /** REAL image decode via JDK ImageIO (PNG/JPEG/GIF/BMP). Returns None
+    * for undecodable payloads. */
+  def decodeImage(payload: Array[Byte], bins: Int = 8): Option[ImageStats] = {
+    if (payload == null) return None
+    try {
+      val img = ImageIO.read(new ByteArrayInputStream(payload))
+      if (img == null) None
+      else {
+        val w = img.getWidth
+        val h = img.getHeight
+        var sr = 0L; var sg = 0L; var sb = 0L
+        val hist = new Array[Long](bins)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val rgb = img.getRGB(x, y)
+            val r = (rgb >> 16) & 0xff
+            sr += r
+            sg += (rgb >> 8) & 0xff
+            sb += rgb & 0xff
+            hist(r * bins / 256) += 1L
+            x += 1
+          }
+          y += 1
+        }
+        Some(ImageStats(w, h, img.getColorModel.getNumColorComponents, sr, sg, sb, hist))
+      }
+    } catch { case _: java.io.IOException => None }
+  }
+
+  /** ======== STUB decode kernel (audio/video ONLY) ========
+    * The JDK ships no audio/video codecs; a real deployment plugs
+    * opus/h264/... here. The stub derives `featureDim` deterministic
+    * floats from payload bytes so tests are stable. Image rows never
+    * reach this — they get the real ImageIO kernel above. */
   def stubDecodeFeatures(payload: Array[Byte], featureDim: Int): Array[Float] = {
     val out = new Array[Float](featureDim)
     if (payload != null) {
@@ -65,23 +170,45 @@ object Multimodal {
     out
   }
 
-  final case class MediaFeatures(media_id: Long, kind: String,
-                                 n_bytes: Long, features: Array[Float])
+  final case class MediaFeatures(media_id: Long, kind: String, n_bytes: Long,
+                                 width: Option[Int], height: Option[Int],
+                                 channels: Option[Int],
+                                 px_sum_r: Option[Long], px_sum_g: Option[Long],
+                                 px_sum_b: Option[Long],
+                                 features: Array[Float])
 
   /** Feature extraction: one batch-iterator pass per partition (codec
-    * init once per task), payload dropped on output. */
+    * init once per task), payload dropped on output. Image rows are
+    * REALLY decoded (dims/channels/sums from the PNG bytes, features =
+    * normalized red-channel histogram); audio/video rows carry meta
+    * dims through and use the stub feature kernel. */
   def featurize(media: DataFrame, featureDim: Int = 8): Dataset[MediaFeatures] = {
     val spark = media.sparkSession
     import spark.implicits._
-    media.select("media_id", "kind", "payload").mapPartitions { it =>
-      // per-task codec/context init would go here
-      it.map { r: Row =>
-        val payload = r.getAs[Array[Byte]]("payload")
-        MediaFeatures(r.getAs[Long]("media_id"), r.getAs[String]("kind"),
-          if (payload == null) 0L else payload.length.toLong,
-          stubDecodeFeatures(payload, featureDim))
+    media.select(col("media_id"), col("kind"), col("payload"),
+        col("meta.width").as("meta_w"), col("meta.height").as("meta_h"))
+      .mapPartitions { it =>
+        codecInit()
+        it.map { r =>
+          val id = r.getLong(0)
+          val kind = r.getString(1)
+          val payload = r.getAs[Array[Byte]](2)
+          val nBytes = if (payload == null) 0L else payload.length.toLong
+          val decoded = if (kind == "image") decodeImage(payload, featureDim) else None
+          decoded match {
+            case Some(st) =>
+              val nPx = st.width.toLong * st.height
+              val feats = st.histR.map(c => c.toFloat / nPx)
+              MediaFeatures(id, kind, nBytes, Some(st.width), Some(st.height),
+                Some(st.channels), Some(st.sumR), Some(st.sumG), Some(st.sumB), feats)
+            case None =>
+              MediaFeatures(id, kind, nBytes,
+                Option(r.getAs[java.lang.Integer](3)).map(_.intValue),
+                Option(r.getAs[java.lang.Integer](4)).map(_.intValue),
+                None, None, None, None, stubDecodeFeatures(payload, featureDim))
+          }
+        }
       }
-    }
   }
 
   /** Frame sampling for video rows: emit every `stride`-th frame index
@@ -97,11 +224,43 @@ object Multimodal {
         // stub "frame": a window into the payload bytes
         expr("substring(payload, frame_idx * 16 + 1, 16)").as("frame_bytes"))
 
-  /** Resize stub: records the target dims, passes payload through —
-    * the schema/partitioning contract of a real resize. */
-  def resize(media: DataFrame, w: Int, h: Int): DataFrame =
-    media.withColumn("meta",
-      struct(lit(w).as("width"), lit(h).as("height"),
-        col("meta.sample_rate").as("sample_rate"),
-        col("meta.n_frames").as("n_frames"), col("meta.mime").as("mime")))
+  /** Resize. Image rows: REAL decode → exact nearest-neighbor resample
+    * (src pixel (x·srcW/w, y·srcH/h), floor division — replayable by an
+    * arithmetic oracle) → PNG re-encode as the new payload. Audio/video
+    * rows: record the target dims in meta and pass the payload through
+    * (the schema/partitioning contract of a real codec resize). */
+  def resize(media: DataFrame, w: Int, h: Int): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.as[Media].mapPartitions { it =>
+      codecInit()
+      it.map { m =>
+        val newMeta = m.meta.copy(width = Some(w), height = Some(h))
+        if (m.kind != "image") m.copy(meta = newMeta)
+        else {
+          val src = if (m.payload == null) null
+                    else ImageIO.read(new ByteArrayInputStream(m.payload))
+          if (src == null) m.copy(meta = newMeta)
+          else {
+            val dst = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+            val sw = src.getWidth
+            val sh = src.getHeight
+            var y = 0
+            while (y < h) {
+              var x = 0
+              while (x < w) {
+                dst.setRGB(x, y, src.getRGB(x * sw / w, y * sh / h) & 0xffffff)
+                x += 1
+              }
+              y += 1
+            }
+            val baos = new ByteArrayOutputStream()
+            ImageIO.write(dst, "png", baos)
+            m.copy(payload = baos.toByteArray,
+              meta = newMeta.copy(mime = Some("image/png")))
+          }
+        }
+      }
+    }.toDF()
+  }
 }

@@ -432,23 +432,35 @@ object PipelineQueries {
     // projects the scalar plumbing columns (the float feature vector is
     // stub-derived and not SQL-reproducible; it stays spec-checked) —
     // this keeps the query oracle-checkable instead of rows-only
+    // image rows carry REAL PNG payloads; featurize REALLY decodes them
+    // with JDK ImageIO — the oracle replays the decoded pixel values
+    // arithmetically (the test-image channel formulas). n_bytes for
+    // image rows is the PNG-encoded size (not SQL-replayable → NULL in
+    // the query; spec-checked instead); audio/video keep the stub path.
     "pipe_q15_multimodal" -> ((s, dir) =>
       Multimodal.featurize(
-        Multimodal.synthesize(load(s, dir, "documents"), "doc_id", "text")).toDF()
-        .select(col("media_id"), col("kind"), col("n_bytes"),
+        Multimodal.withImagePayloads(
+          Multimodal.synthesize(load(s, dir, "documents"), "doc_id", "text"))).toDF()
+        .select(col("media_id"), col("kind"),
+          when(col("kind") === "image", lit(null)).otherwise(col("n_bytes"))
+            .cast("long").as("n_bytes"),
+          col("width"), col("height"), col("channels"),
+          col("px_sum_r"), col("px_sum_g"), col("px_sum_b"),
           size(col("features")).cast("long").as("n_features"))),
     // frame sampling is deterministic byte-slicing of the synthesized
     // payload; hex() the slice so the oracle compares strings, not blobs
-    // resize records target dims in meta and passes payload through —
-    // the schema/partitioning contract of a real codec resize
+    // resize = real decode → exact nearest-neighbor (floor mapping) →
+    // PNG re-encode for images; re-featurizing the output proves the
+    // re-encoded bytes decode to the resampled pixels (oracle replays
+    // the nearest-neighbor arithmetic). Audio/video: meta-dims contract.
     "pipe_q22_resize" -> ((s, dir) =>
-      Multimodal.resize(
-        Multimodal.synthesize(load(s, dir, "documents"), "doc_id", "text"),
-        w = 32, h = 24)
-        .select(col("media_id"), col("kind"),
-          col("meta.width").as("width"), col("meta.height").as("height"),
-          col("meta.sample_rate").as("sample_rate"),
-          col("meta.n_frames").as("n_frames"), col("meta.mime").as("mime"))),
+      Multimodal.featurize(
+        Multimodal.resize(
+          Multimodal.withImagePayloads(
+            Multimodal.synthesize(load(s, dir, "documents"), "doc_id", "text")),
+          w = 8, h = 6)).toDF()
+        .select(col("media_id"), col("kind"), col("width"), col("height"),
+          col("px_sum_r"), col("px_sum_g"), col("px_sum_b"))),
     "pipe_q16_frames" -> ((s, dir) =>
       Multimodal.sampleFrames(
         Multimodal.synthesize(load(s, dir, "documents"), "doc_id", "text"))
@@ -728,13 +740,34 @@ object PipelineQueries {
       s"""SELECT sh AS shingle, count(*) AS n
          |FROM (SELECT unnest(${duckShingles(ShingleK)}) AS sh FROM documents)
          |GROUP BY 1 HAVING count(*) >= 5""".stripMargin,
+    // replays the REAL ImageIO decode arithmetically: the test images
+    // encode channel formulas r=(id+7x+13y)%256, g=(3id+5x+11y)%256,
+    // b=(5id+3x+17y)%256 at w=(id%13)+4, h=(id%11)+4 — PNG is lossless,
+    // so the decoded per-channel sums equal the formula sums exactly
     "pipe_q15_multimodal" ->
-      """SELECT CAST(doc_id AS BIGINT) AS media_id,
-        |  CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN 'image'
-        |    WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
-        |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+      """WITH d AS (SELECT CAST(doc_id AS BIGINT) AS id,
+        |    CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN 'image'
+        |      WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+        |    CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        |    CAST(doc_id % 13 + 4 AS INTEGER) AS w,
+        |    CAST(doc_id % 11 + 4 AS INTEGER) AS h
+        |  FROM documents),
+        |px AS (SELECT id, w, h, p % w AS x, p // w AS y
+        |  FROM (SELECT id, w, h,
+        |          unnest(range(0, CAST(w AS BIGINT) * h)) AS p
+        |        FROM d WHERE kind = 'image')),
+        |s AS (SELECT id,
+        |    CAST(sum((id + 7 * x + 13 * y) % 256) AS BIGINT) AS sr,
+        |    CAST(sum((3 * id + 5 * x + 11 * y) % 256) AS BIGINT) AS sg,
+        |    CAST(sum((5 * id + 3 * x + 17 * y) % 256) AS BIGINT) AS sb
+        |  FROM px GROUP BY 1)
+        |SELECT d.id AS media_id, d.kind,
+        |  CASE WHEN d.kind = 'image' THEN NULL ELSE d.n_bytes END AS n_bytes,
+        |  d.w AS width, d.h AS height,
+        |  CASE WHEN d.kind = 'image' THEN 3 ELSE NULL END AS channels,
+        |  s.sr AS px_sum_r, s.sg AS px_sum_g, s.sb AS px_sum_b,
         |  CAST(8 AS BIGINT) AS n_features
-        |FROM documents""".stripMargin,
+        |FROM d LEFT JOIN s ON d.id = s.id""".stripMargin,
     "pipe_q11_embstats" ->
       """SELECT label, count(*) AS n,
         |  round(avg(sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]),
@@ -847,15 +880,28 @@ object PipelineQueries {
         |WHERE sid < last_sid OR session_end + 1800000 < mx - 3600000""".stripMargin,
     "stream_q3_dedup" ->
       "SELECT DISTINCT user_id, event_type FROM events",
+    // replays decode → nearest-neighbor resample to 8×6 → re-encode →
+    // re-decode: dst(x,y) = src(x·srcW//8, y·srcH//6) on the formula
+    // channels — exact because PNG round-trips losslessly both ways
     "pipe_q22_resize" ->
-      """SELECT CAST(doc_id AS BIGINT) AS media_id,
-        |  CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN 'image'
-        |    WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
-        |  CAST(32 AS INTEGER) AS width, CAST(24 AS INTEGER) AS height,
-        |  CAST(16000 AS INTEGER) AS sample_rate,
-        |  CAST(doc_id % 30 + 1 AS INTEGER) AS n_frames,
-        |  'application/octet-stream' AS mime
-        |FROM documents""".stripMargin,
+      """WITH d AS (SELECT CAST(doc_id AS BIGINT) AS id,
+        |    CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN 'image'
+        |      WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+        |    CAST(doc_id % 13 + 4 AS INTEGER) AS sw,
+        |    CAST(doc_id % 11 + 4 AS INTEGER) AS sh
+        |  FROM documents),
+        |px AS (SELECT id, ((p % 8) * sw) // 8 AS sx, ((p // 8) * sh) // 6 AS sy
+        |  FROM (SELECT id, sw, sh, unnest(range(0, 48)) AS p
+        |        FROM d WHERE kind = 'image')),
+        |s AS (SELECT id,
+        |    CAST(sum((id + 7 * sx + 13 * sy) % 256) AS BIGINT) AS sr,
+        |    CAST(sum((3 * id + 5 * sx + 11 * sy) % 256) AS BIGINT) AS sg,
+        |    CAST(sum((5 * id + 3 * sx + 17 * sy) % 256) AS BIGINT) AS sb
+        |  FROM px GROUP BY 1)
+        |SELECT d.id AS media_id, d.kind,
+        |  CAST(8 AS INTEGER) AS width, CAST(6 AS INTEGER) AS height,
+        |  s.sr AS px_sum_r, s.sg AS px_sum_g, s.sb AS px_sum_b
+        |FROM d LEFT JOIN s ON d.id = s.id""".stripMargin,
     "pipe_q24_bottomk" ->
       s"""SELECT doc_id, ${Hashing.duckHash64("CAST(doc_id AS VARCHAR)")} AS h
          |FROM documents

@@ -121,6 +121,57 @@ class MultimodalSpec extends SparkSpec {
     assert(f1.map(_.kind).toSet.subsetOf(Set("image", "audio", "video")))
   }
 
+  test("PNG round trip: ImageIO decode returns the formula pixels exactly") {
+    val (id, w, h) = (42L, 13, 7)
+    val st = Multimodal.decodeImage(Multimodal.makePng(id, w, h)).get
+    assert(st.width == w && st.height == h && st.channels == 3)
+    val px = for (y <- 0 until h; x <- 0 until w) yield (x, y)
+    assert(st.sumR == px.map { case (x, y) => Multimodal.pixelR(id, x, y).toLong }.sum)
+    assert(st.sumG == px.map { case (x, y) => Multimodal.pixelG(id, x, y).toLong }.sum)
+    assert(st.sumB == px.map { case (x, y) => Multimodal.pixelB(id, x, y).toLong }.sum)
+    assert(st.histR.sum == w.toLong * h) // every pixel lands in one bin
+    assert(Multimodal.decodeImage("not a png".getBytes) == None)
+  }
+
+  test("featurize really decodes image payloads: dims, channels, hist features") {
+    val media = Multimodal.withImagePayloads(
+      Multimodal.synthesize(docs, "doc_id", "text"))
+    val imgs = Multimodal.featurize(media).collect().filter(_.kind == "image")
+    assert(imgs.nonEmpty)
+    imgs.foreach { f =>
+      val (w, h) = ((f.media_id % 13 + 4).toInt, (f.media_id % 11 + 4).toInt)
+      assert(f.width == Some(w) && f.height == Some(h) && f.channels == Some(3))
+      assert(f.n_bytes > 0) // PNG-encoded size
+      assert(math.abs(f.features.sum - 1.0f) < 1e-5) // normalized histogram
+      val px = for (y <- 0 until h; x <- 0 until w) yield
+        Multimodal.pixelR(f.media_id, x, y).toLong
+      assert(f.px_sum_r == Some(px.sum))
+    }
+  }
+
+  test("resize: decode -> exact nearest-neighbor -> PNG re-encode") {
+    val media = Multimodal.withImagePayloads(
+      Multimodal.synthesize(docs, "doc_id", "text"))
+    val out = Multimodal.resize(media, w = 8, h = 6)
+    val img = out.where($"kind" === "image").select($"media_id", $"payload", $"meta.mime")
+      .collect()
+    assert(img.nonEmpty)
+    img.foreach { r =>
+      val id = r.getLong(0)
+      val st = Multimodal.decodeImage(r.getAs[Array[Byte]](1)).get
+      assert(st.width == 8 && st.height == 6)
+      assert(r.getString(2) == "image/png")
+      val (sw, sh) = ((id % 13 + 4).toInt, (id % 11 + 4).toInt)
+      val want = (for (y <- 0 until 6; x <- 0 until 8) yield
+        Multimodal.pixelR(id, x * sw / 8, y * sh / 6).toLong).sum
+      assert(st.sumR == want)
+    }
+    // non-image rows: meta records the target dims, payload untouched
+    val av = out.where($"kind" =!= "image")
+      .select($"meta.width", $"meta.height").distinct().collect()
+    assert(av.forall(r => r.getInt(0) == 8 && r.getInt(1) == 6))
+  }
+
   test("frame sampling strides over n_frames") {
     val media = Multimodal.synthesize(docs, "doc_id", "text")
     val frames = Multimodal.sampleFrames(media, stride = 10)
