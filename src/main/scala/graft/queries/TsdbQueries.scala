@@ -539,14 +539,25 @@ object TsdbQueries {
         eventsAsTsdbStored(s, dir), at = RangeEnd, lookbackMs = 86400000L,
         start = RangeStart, end = RangeEnd)),
     // Q59: absent_over_time through the PARSER — the windowed alerting
-    // primitive: one {} 1 sample iff the selector matched NOTHING in
-    // (at-range, at]; probed with a metric that does not exist, so the
-    // row fires (the count-to-zero plan aggregates to one driver row —
-    // no data moves)
+    // primitive: one `{name="no_such_metric"} 1` sample iff the selector
+    // matched NOTHING in (at-range, at]; probed with a metric that does
+    // not exist, so the row fires with the Eq-matcher labels synthesized
+    // (the count-to-zero plan aggregates to one driver row — no data
+    // moves)
     "tsdb_q59_promql_absent" -> ((s, dir) =>
       graft.tsdb.PromQL.eval(
         graft.tsdb.PromQL.parse(
           """absent_over_time({name="no_such_metric"}[1d])"""),
+        eventsAsTsdbStored(s, dir), at = RangeEnd, lookbackMs = 86400000L,
+        start = RangeStart, end = RangeEnd)),
+    // Q79: absent() label synthesis (Prometheus's
+    // createLabelsForAbsentFunction): Eq matchers become literal labels
+    // on the fired sample; the regex matcher contributes nothing — the
+    // alerting user keys on {name=..., user=...}
+    "tsdb_q79_promql_absent_labels" -> ((s, dir) =>
+      graft.tsdb.PromQL.eval(
+        graft.tsdb.PromQL.parse(
+          """absent({name="no_such_metric",user="u1",k=~"x.*"})"""),
         eventsAsTsdbStored(s, dir), at = RangeEnd, lookbackMs = 86400000L,
         start = RangeStart, end = RangeEnd)),
     // Q60: time() + vector() through the PARSER — the grafana idiom
@@ -1518,9 +1529,19 @@ object TsdbQueries {
     "tsdb_q59_promql_absent" ->
       s"""$duckTsdbCte
          |SELECT CAST($RangeEnd AS BIGINT) AS time,
+         |  'no_such_metric' AS name,
          |  CAST(1.0 AS DOUBLE) AS value
          |WHERE (SELECT count(*) FROM t
          |  WHERE "labels.name" = 'no_such_metric'
+         |    AND time > ${RangeEnd - 86400000L} AND time <= $RangeEnd) = 0""".stripMargin,
+    "tsdb_q79_promql_absent_labels" ->
+      s"""$duckTsdbCte
+         |SELECT CAST($RangeEnd AS BIGINT) AS time,
+         |  'no_such_metric' AS name, 'u1' AS "user",
+         |  CAST(1.0 AS DOUBLE) AS value
+         |WHERE (SELECT count(*) FROM t
+         |  WHERE "labels.name" = 'no_such_metric' AND "labels.user" = 'u1'
+         |    AND regexp_matches("labels.k", 'x.*')
          |    AND time > ${RangeEnd - 86400000L} AND time <= $RangeEnd) = 0""".stripMargin,
     "tsdb_q60_promql_time_vector" ->
       s"""$duckTsdbCte,

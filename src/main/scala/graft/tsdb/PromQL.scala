@@ -807,14 +807,24 @@ object PromQL {
       scalarFrame(eval(arg, wide, at, lookbackMs, start, end))
         .select(lit(at).as(TsdbSchema.TimeCol),
           col("_scalar_").as(TsdbSchema.ValueCol))
-    case Fn("absent_over_time", Selector(ms, Some(rangeMs), off, atm), _) =>
-      // the alerting primitive over a window: a {} 1 sample exactly
-      // when the selector matched nothing in (at − range, at]
+    case Fn("absent_over_time", sel @ Selector(ms, Some(rangeMs), off, atm), _) =>
+      // the alerting primitive over a window: a `{<synthesized>} 1`
+      // sample exactly when the selector matched nothing in
+      // (at − range, at] — labels synthesized from the Eq matchers
       val at1 = resolveAt(atm, at, start, end)
       TsdbTable(wide).select(at1 - off - rangeMs, at1 - off + 1, ms)
         .agg(count(lit(1)).as("n")).where(col("n") === 0)
-        .select(lit(at).as(TsdbSchema.TimeCol),
-          lit(1.0d).as(TsdbSchema.ValueCol))
+        .select(lit(at).as(TsdbSchema.TimeCol) +:
+          absentLabelCols(sel) :+ lit(1.0d).as(TsdbSchema.ValueCol): _*)
+    case Fn("absent", arg, _) =>
+      // the instant alerting primitive: a single `{<synthesized>} 1`
+      // sample exactly when the argument vector is empty at the
+      // evaluation instant; labels come from the argument selector's
+      // Eq matchers (Prometheus's createLabelsForAbsentFunction)
+      toValueShape(eval(arg, wide, at, lookbackMs, start, end))
+        .agg(count(lit(1)).as("n")).where(col("n") === 0)
+        .select(lit(at).as(TsdbSchema.TimeCol) +:
+          absentLabelCols(arg) :+ lit(1.0d).as(TsdbSchema.ValueCol): _*)
     case Fn(name, Selector(ms, Some(rangeMs), off, Some(a)), params)
         if RangeFns(name) =>
       // @-anchored range selector: Prometheus pins the window to
@@ -1645,14 +1655,15 @@ object PromQL {
       }
       shiftGrid(r, off)
     case Fn("absent", arg, _) =>
-      // per-step absent: a {} 1 sample at every grid timestamp where the
-      // argument vector is empty — grid anti-join against present steps
+      // per-step absent: a `{<synthesized>} 1` sample at every grid
+      // timestamp where the argument vector is empty — grid anti-join
+      // against present steps; labels from the selector's Eq matchers
       val iv = evalRange(arg, wide, start, end, stepMs, lookbackMs)
       val nSteps = (end - start) / stepMs
       wide.sparkSession.range(nSteps + 1)
         .select((lit(start) + col("id") * stepMs).as("t"))
         .join(iv.select(col("t")).distinct(), Seq("t"), "left_anti")
-        .select(col("t"), lit(1.0).as("value"))
+        .select(col("t") +: absentLabelCols(arg) :+ lit(1.0).as("value"): _*)
     case Fn(name, arg, params) if InstantFns(name) =>
       // value maps don't touch the grid column — per-step for free
       instantFn(name, evalRange(arg, wide, start, end, stepMs, lookbackMs),
@@ -1822,12 +1833,33 @@ object PromQL {
       case "tanh" => mapV(round(tanh(v), 6))
       case "deg" => mapV(round(v * lit(180.0 / math.Pi), 6))
       case "rad" => mapV(round(v * lit(math.Pi / 180.0), 6))
-      case "absent" =>
-        // the alerting primitive: a {} 1 sample exactly when the
-        // argument vector is empty at the evaluation instant
-        iv.agg(count(lit(1)).as("n")).where(col("n") === 0)
-          .select(lit(at).as("time"), lit(1.0d).as("value"))
+      // "absent" never reaches here: eval/evalRange dispatch it to
+      // dedicated cases that synthesize labels from the argument AST
     }
+  }
+
+  /** Labels `absent`/`absent_over_time` synthesize, as literal output
+    * columns — Prometheus's createLabelsForAbsentFunction
+    * (promql/functions.go): walk the argument's vector/matrix selector
+    * matchers in order; a first-seen Eq matcher (name ≠ __name__,
+    * value ≠ "") contributes its value, while any other matcher kind —
+    * or a repeated name — removes the name. Non-selector arguments
+    * synthesize no labels. Emitted as bare columns, like aggregation
+    * outputs. */
+  private def absentLabelCols(arg: Expr): Seq[Column] = {
+    val ms = arg match {
+      case Selector(m, _, _, _) => m
+      case _ => Seq.empty
+    }
+    val out = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    val seen = scala.collection.mutable.Set.empty[String]
+    ms.filterNot(_.name == "__name__").foreach {
+      case Matcher.Eq(n, v) if !seen(n) =>
+        seen += n
+        if (v.isEmpty) out.remove(n) else out(n) = v
+      case m => out.remove(m.name)
+    }
+    out.toSeq.map { case (n, v) => lit(v).as(n) }
   }
 
   /** String-parameter functions: label manipulation compiles onto

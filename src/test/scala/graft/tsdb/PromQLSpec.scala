@@ -331,9 +331,11 @@ class PromQLSpec extends SparkSpec {
     // no-label vectors match each other under default matching
     assert(evalQ("""sum({name="up"}) - vector(time())""")
       .select(col("value")).as[Double].collect().toSeq === Seq(-89983.0))
-    // absent_over_time: {} 1 iff the selector matched nothing in-window
+    // absent_over_time: one sample iff the selector matched nothing
+    // in-window, carrying the Eq-matcher labels
     val ab = evalQ("""absent_over_time({name="nosuch"}[1d])""")
-    assert(ab.collect().map(_.toSeq).toSeq === Seq(Seq(At, 1.0)))
+    assert(ab.columns.toSeq === Seq("time", "name", "value"))
+    assert(ab.collect().map(_.toSeq).toSeq === Seq(Seq(At, "nosuch", 1.0)))
     assert(evalQ("""absent_over_time({name="up"}[1d])""").count() === 0L)
     // range mode: time() is the per-step grid time
     val rt = evalRange(parse("""{name="up"} * time()"""), wide,
@@ -344,6 +346,37 @@ class PromQLSpec extends SparkSpec {
     // t=0: a→1·0=0, b→2·0=0; t=86400000: a→9·86400=777600, b→8·86400
     assert(rt === Set(("a", 0L, 0.0), ("b", 0L, 0.0),
       ("a", 86400000L, 777600.0), ("b", 86400000L, 691200.0)))
+  }
+
+  test("absent() synthesizes labels from Eq matchers (createLabelsForAbsentFunction)") {
+    def rangeQ(q: String) =
+      PromQL.evalRange(parse(q), wide, start = 0L, end = 86400000L,
+        stepMs = 43200000L, lookbackMs = 86400000L)
+    // Eq matchers become literal labels on the fired sample
+    val ab = evalQ("""absent({name="nope",user="x"})""")
+    assert(ab.columns.toSeq === Seq("time", "name", "user", "value"))
+    assert(ab.collect().map(_.toSeq).toSeq === Seq(Seq(At, "nope", "x", 1.0)))
+    // non-Eq matchers contribute nothing; a non-Eq on an Eq-set name
+    // removes it (Prometheus's backwards-compat `has` rule)
+    assert(evalQ("""absent({name="nope",user=~"x.*"})""").columns.toSeq ===
+      Seq("time", "name", "value"))
+    assert(evalQ("""absent({name="nope",user="x",user!="y"})""")
+      .columns.toSeq === Seq("time", "name", "value"))
+    // duplicate Eq on one name drops the name entirely
+    assert(evalQ("""absent({name="nope",user="x",user="y"})""")
+      .columns.toSeq === Seq("time", "name", "value"))
+    // empty-value Eq synthesizes nothing
+    assert(evalQ("""absent({name="nope",user=""})""").columns.toSeq ===
+      Seq("time", "name", "value"))
+    // non-selector argument: no labels (Prometheus returns empty labels)
+    assert(evalQ("""absent(sum({name="nope"}))""").columns.toSeq ===
+      Seq("time", "value"))
+    // range mode carries the labels per fired step
+    assert(rangeQ("""absent({name="nope",user="x"})""")
+      .select(col("t"), col("name"), col("user"), col("value"))
+      .as[(Long, String, String, Double)].collect().toSet ===
+      Set((0L, "nope", "x", 1.0), (43200000L, "nope", "x", 1.0),
+        (86400000L, "nope", "x", 1.0)))
   }
 
   test("scalar(): data-dependent scalar, NaN unless exactly one element") {
