@@ -57,7 +57,14 @@ import graft.model.Matcher
   * boundary extrapolation) — `xrate`/`xincrease` are the
   * Prometheus-NUMERICALLY-EXACT extrapolated variants
   * ([[RangeVectors.extrapolated]]), available everywhere the plain
-  * pair family is (tumbling, sliding, subqueries).
+  * pair family is (tumbling, sliding, subqueries); subquery grids are
+  * closed on the LEFT — when the alignment lands a grid point at
+  * exactly `t − range`, that point is included (Prometheus 3 excludes
+  * it, making subquery windows left-open like raw-sample windows: a
+  * one-grid-point difference only for exactly-aligned ranges).
+  * Wall-clock functions (`hour`, `day_of_week`, ...) are computed with
+  * pure epoch arithmetic, so Prometheus's UTC contract holds for ANY
+  * session timezone.
   */
 object PromQL {
 
@@ -709,26 +716,31 @@ object PromQL {
   /** `offset` and `@` compose in either order, each at most once —
     * shared by selectors and subquery postfixes. */
   private def parseOffsetAt(p: P): (Long, Option[AtAnchor]) = {
-    var off = 0L
+    var off: Option[Long] = None
     var atm: Option[AtAnchor] = None
     var more = true
     while (more) {
       if (p.keyword("offset")) {
+        // duplicates are a parse error, as in Prometheus
+        if (off.isDefined)
+          throw ParseError("offset may not be set multiple times", p.offset)
         // negative offsets (Prometheus's promql-negative-offset
         // feature): the window shifts FORWARD relative to the
         // evaluation time — every eval site computes `… − off`, so the
         // signed value flows through unchanged
         val neg = p.opt('-')
-        off = (if (neg) -1 else 1) * p.duration()
+        off = Some((if (neg) -1 else 1) * p.duration())
       }
       else if (p.sym("@").isDefined) {
+        if (atm.isDefined)
+          throw ParseError("@ <timestamp> may not be set multiple times", p.offset)
         atm = Some(
           if (p.keyword("start")) { p.expect('('); p.expect(')'); AtStart }
           else if (p.keyword("end")) { p.expect('('); p.expect(')'); AtEnd }
           else AtMs((p.number() * 1000).toLong))
       } else more = false
     }
-    (off, atm)
+    (off.getOrElse(0L), atm)
   }
 
   // ---- evaluator ----
@@ -917,11 +929,10 @@ object PromQL {
       val iv = toValueShape(eval(arg, wide, at, lookbackMs, start, end))
       require(iv.columns.contains(TsdbSchema.ValueCol),
         s"$op without(...) needs an instant-vector argument")
-      // group by every label EXCEPT `without` — output keeps the wide
-      // `labels.x` names, so the result is still a valid instant vector
-      val dropped = without.map(TsdbSchema.labelColName).toSet
-      val keys = TsdbSchema.labelColumns(iv).filterNot(dropped)
-        .map(c => col(s"`$c`")) ++ gridKeys(iv)
+      // group by every label-bearing column EXCEPT `without` (wide
+      // `labels.x` AND bare aggregation-output/carried labels) — the
+      // output keeps the input names, so it is still a valid vector
+      val keys = withoutGroupCols(iv, without) ++ gridKeys(iv)
       iv.groupBy(keys: _*).agg(aggValue(op, param))
     case RankK(op, k, arg, by, without) =>
       val iv = toValueShape(eval(arg, wide, at, lookbackMs, start, end))
@@ -1691,9 +1702,7 @@ object PromQL {
       val iv = toValueShape(evalRange(arg, wide, start, end, stepMs, lookbackMs))
       require(iv.columns.contains(TsdbSchema.ValueCol),
         s"$op without(...) needs per-step instant vectors")
-      val dropped = without.map(TsdbSchema.labelColName).toSet
-      val keys = TsdbSchema.labelColumns(iv).filterNot(dropped)
-        .map(c => col(s"`$c`")) :+ col("t")
+      val keys = withoutGroupCols(iv, without) :+ col("t")
       iv.groupBy(keys: _*).agg(aggValue(op, param))
     case RankK(op, k, arg, by, without) =>
       val iv = toValueShape(evalRange(arg, wide, start, end, stepMs, lookbackMs))
@@ -1777,6 +1786,51 @@ object PromQL {
   private def shiftGrid(df: DataFrame, offsetMs: Long): DataFrame =
     if (offsetMs == 0L) df else df.withColumn("t", col("t") + offsetMs)
 
+  /** Floor division as a Column — `(a - pmod(a, b)) / b` is exact (the
+    * numerator is divisible), so the double division round-trips to the
+    * true quotient for |a| < 2^52. */
+  private def fdiv(a: Column, b: Long): Column =
+    ((a - pmod(a, lit(b))) / lit(b)).cast("long")
+
+  /** Epoch seconds from a PromQL value: Prometheus's dateWrapper does
+    * `time.Unix(int64(v), 0).UTC()` — int64 truncation of the float. */
+  private def epochSec(v: Column): Column = v.cast("long")
+
+  /** UTC calendar fields from a value interpreted as epoch seconds,
+    * via pure integer arithmetic (Hinnant's civil-from-days) — zero
+    * dependence on the session timezone. */
+  private final case class UtcCivil(year: Column, month: Column, day: Column) {
+    private def leap: Column =
+      (pmod(year, lit(4L)) === 0L && pmod(year, lit(100L)) =!= 0L) ||
+        pmod(year, lit(400L)) === 0L
+    def dayOfYear: Column = {
+      // cumulative days before each month, non-leap
+      val cum = Seq(0L, 0L, 31L, 59L, 90L, 120L, 151L, 181L, 212L, 243L,
+        273L, 304L, 334L)
+      val base = (1 to 12).map(m => when(month === m.toLong, lit(cum(m))))
+        .reduceRight(_ otherwise _)
+      base + day + when(month > 2L && leap, 1L).otherwise(0L)
+    }
+    def daysInMonth: Column =
+      when(month === 2L, when(leap, 29L).otherwise(28L))
+        .otherwise(when(month.isin(4L, 6L, 9L, 11L), 30L).otherwise(31L))
+  }
+  private object UtcCivil {
+    def apply(v: Column): UtcCivil = {
+      val z = fdiv(epochSec(v), 86400L) + lit(719468L)
+      val era = fdiv(z, 146097L)
+      val doe = z - era * lit(146097L)
+      val yoe = fdiv(doe - fdiv(doe, 1460L) + fdiv(doe, 36524L) -
+        fdiv(doe, 146096L), 365L)
+      val y = yoe + era * lit(400L)
+      val doy = doe - (yoe * lit(365L) + fdiv(yoe, 4L) - fdiv(yoe, 100L))
+      val mp = fdiv(doy * lit(5L) + lit(2L), 153L)
+      val d = doy - fdiv(mp * lit(153L) + lit(2L), 5L) + lit(1L)
+      val m = when(mp < 10L, mp + lit(3L)).otherwise(mp - lit(9L))
+      UtcCivil(when(m <= 2L, y + lit(1L)).otherwise(y), m, d)
+    }
+  }
+
   /** Instant-vector value maps (`abs`, `clamp*`, …) plus `absent`.
     * Transcendentals round(6) — libm last-bit differences between
     * engines are not semantics. */
@@ -1807,18 +1861,18 @@ object PromQL {
         require(iv.columns.contains(TsdbSchema.TimeCol),
           "timestamp() needs a selector-shaped vector (sample times)")
         mapV(col(TsdbSchema.TimeCol).cast("double") / 1000.0)
-      case "hour" => mapV(hour(timestamp_seconds(v)).cast("double"))
-      case "minute" => mapV(minute(timestamp_seconds(v)).cast("double"))
-      case "day_of_week" => // 0 = Sunday, per Prometheus
-        mapV((dayofweek(timestamp_seconds(v)) - 1).cast("double"))
-      case "day_of_month" =>
-        mapV(dayofmonth(timestamp_seconds(v)).cast("double"))
-      case "day_of_year" =>
-        mapV(dayofyear(timestamp_seconds(v)).cast("double"))
-      case "days_in_month" =>
-        mapV(dayofmonth(last_day(timestamp_seconds(v))).cast("double"))
-      case "month" => mapV(month(timestamp_seconds(v)).cast("double"))
-      case "year" => mapV(year(timestamp_seconds(v)).cast("double"))
+      // wall-clock family: pure epoch ARITHMETIC (UTC by construction,
+      // independent of spark.sql.session.timeZone — a library caller
+      // with a default-TZ session still gets Prometheus's UTC contract)
+      case "hour" => mapV(pmod(fdiv(epochSec(v), 3600L), lit(24L)).cast("double"))
+      case "minute" => mapV(pmod(fdiv(epochSec(v), 60L), lit(60L)).cast("double"))
+      case "day_of_week" => // 0 = Sunday (epoch day 0 was a Thursday)
+        mapV(pmod(fdiv(epochSec(v), 86400L) + 4L, lit(7L)).cast("double"))
+      case "day_of_month" => mapV(UtcCivil(v).day.cast("double"))
+      case "day_of_year" => mapV(UtcCivil(v).dayOfYear.cast("double"))
+      case "days_in_month" => mapV(UtcCivil(v).daysInMonth.cast("double"))
+      case "month" => mapV(UtcCivil(v).month.cast("double"))
+      case "year" => mapV(UtcCivil(v).year.cast("double"))
       case "sort" => iv.orderBy(v.asc_nulls_last)
       case "sort_desc" => iv.orderBy(v.desc_nulls_last)
       // the Prometheus trigonometry group (radians, like Go math)
@@ -2056,29 +2110,38 @@ object PromQL {
   private def countValuesKeys(iv: DataFrame, lbl: String, by: Seq[String],
                               without: Seq[String]): Seq[Column] = {
     val groups =
-      if (without.nonEmpty) {
-        val dropped = without.map(TsdbSchema.labelColName).toSet +
-          TsdbSchema.labelColName(lbl)
-        TsdbSchema.labelColumns(iv).filterNot(dropped)
-          .map(c => col(s"`$c`"))
-      } else by.filterNot(_ == lbl).map(labelKey(iv, _))
+      if (without.nonEmpty) withoutGroupCols(iv, without, alsoDrop = Set(lbl))
+      else by.filterNot(_ == lbl).map(labelKey(iv, _))
     groups :+ col(TsdbSchema.ValueCol).cast("string")
       .as(TsdbSchema.labelColName(lbl))
+  }
+
+  /** `without`-form grouping columns: every label-bearing column of
+    * the frame — wide `labels.x` selector outputs AND bare non-reserved
+    * columns (aggregation outputs like the `user` of `sum by (user)`,
+    * `group_left(lbl)`-carried labels, `absent()` synthesized labels) —
+    * except the `without`-listed names in either form, plus `alsoDrop`.
+    * Shared by AggWithout (both modes), count_values and the rank
+    * family so none of them silently collapses bare label columns. */
+  private def withoutGroupCols(iv: DataFrame, without: Seq[String],
+                               alsoDrop: Set[String] = Set.empty): Seq[Column] = {
+    val reserved = Set(TsdbSchema.TimeCol, TsdbSchema.ValueCol, "rvalue",
+      "rank", "t", "bucket")
+    val dropped = without.map(TsdbSchema.labelColName).toSet ++ without ++
+      alsoDrop ++ alsoDrop.map(TsdbSchema.labelColName)
+    iv.columns.toSeq
+      .filter(c => c.startsWith(TsdbSchema.LabelPrefix) ||
+        !reserved.contains(c))
+      .filterNot(dropped)
+      .map(c => col(s"`$c`"))
   }
 
   /** Rank-family partition keys: the `by` labels, or — `without` form —
     * every label column EXCEPT the listed ones. Empty both ⇒ global. */
   private def rankParts(iv: DataFrame, by: Seq[String],
                         without: Seq[String]): Seq[Column] =
-    if (without.nonEmpty) {
-      val dropped = without.map(TsdbSchema.labelColName).toSet ++ without
-      iv.columns.toSeq
-        .filter(c => c.startsWith(TsdbSchema.LabelPrefix) ||
-          !Seq(TsdbSchema.TimeCol, TsdbSchema.ValueCol, "rvalue",
-            "rank", "t", "bucket").contains(c))
-        .filterNot(dropped)
-        .map(c => col(s"`$c`"))
-    } else by.map(labelPart(iv, _))
+    if (without.nonEmpty) withoutGroupCols(iv, without)
+    else by.map(labelPart(iv, _))
 
   /** [[labelKey]] without the output alias — window PARTITION BY
     * expressions (an alias inside a partition spec is not a grouping

@@ -348,6 +348,57 @@ class PromQLSpec extends SparkSpec {
       ("a", 86400000L, 777600.0), ("b", 86400000L, 691200.0)))
   }
 
+  test("duplicate offset/@ modifiers are parse errors (as in Prometheus)") {
+    intercept[ParseError](parse("""{name="up"} offset 5m offset 3m"""))
+    intercept[ParseError](parse("""{name="up"} @ 100 @ 200"""))
+    intercept[ParseError](parse("""rate({name="up"}[5m] offset 5m offset 3m)"""))
+    // one of each still composes, in either order
+    assert(parse("""{name="up"} offset 5m @ 100""") ===
+      parse("""{name="up"} @ 100 offset 5m"""))
+  }
+
+  test("without(...) groups bare label columns (aggregation outputs)") {
+    // sum by (user) emits a bare `user` column; an outer without-form
+    // aggregation must group by it, not silently collapse the series
+    val w = evalQ("""sum without (nosuch) (sum by (user) ({name="up"}))""")
+    assert(w.columns.contains("user"))
+    assert(w.select(col("user"), col("value")).as[(String, Double)]
+      .collect().toSet === Set(("a", 9.0), ("b", 8.0)))
+    // a bare column listed in without() is dropped
+    val g = evalQ("""sum without (user) (sum by (user) ({name="up"}))""")
+    assert(!g.columns.contains("user"))
+    assert(g.select(col("value")).as[Double].collect().toSeq === Seq(17.0))
+  }
+
+  test("wall-clock family: UTC epoch arithmetic, session-TZ independent") {
+    import java.time.{Instant, ZoneOffset}
+    // epoch day 0, 2000-02-29 (leap), end of 2000-02-29, 2100-03-01
+    // (2100 is NOT leap), a 2023 instant
+    val secs = Seq(0L, 951782400L, 951868799L, 4108838400L, 1692403199L)
+    for (s <- secs) {
+      val dt = Instant.ofEpochSecond(s).atZone(ZoneOffset.UTC)
+      def f(fn: String): Double =
+        evalQ(s"$fn(vector($s))").select(col("value")).as[Double].head()
+      assert(f("hour") === dt.getHour.toDouble, s"hour($s)")
+      assert(f("minute") === dt.getMinute.toDouble, s"minute($s)")
+      assert(f("day_of_week") === (dt.getDayOfWeek.getValue % 7).toDouble, s"dow($s)")
+      assert(f("day_of_month") === dt.getDayOfMonth.toDouble, s"dom($s)")
+      assert(f("day_of_year") === dt.getDayOfYear.toDouble, s"doy($s)")
+      assert(f("days_in_month") === dt.toLocalDate.lengthOfMonth.toDouble, s"dim($s)")
+      assert(f("month") === dt.getMonthValue.toDouble, s"month($s)")
+      assert(f("year") === dt.getYear.toDouble, s"year($s)")
+    }
+    // the UTC contract survives a non-UTC session timezone
+    val tz = spark.conf.get("spark.sql.session.timeZone")
+    try {
+      spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+      assert(evalQ("hour(vector(3600))").select(col("value"))
+        .as[Double].head() === 1.0)
+      assert(evalQ("day_of_month(vector(0))").select(col("value"))
+        .as[Double].head() === 1.0)
+    } finally spark.conf.set("spark.sql.session.timeZone", tz)
+  }
+
   test("absent() synthesizes labels from Eq matchers (createLabelsForAbsentFunction)") {
     def rangeQ(q: String) =
       PromQL.evalRange(parse(q), wide, start = 0L, end = 86400000L,
