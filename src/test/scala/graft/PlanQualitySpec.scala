@@ -9,6 +9,17 @@ class PlanQualitySpec extends SparkSpec {
   private def planOf(name: String): String =
     SparkEntry.queries(name)(spark, Sf0001).queryExecution.executedPlan.toString()
 
+  /** Capture a plan under temporary SQL conf (restored afterwards) —
+    * used to pin at-scale shapes that sf0.001 statistics would hide
+    * (e.g. a 36 KB fact side legitimately broadcasts locally). */
+  private def withConf[T](kvs: (String, String)*)(f: => T): T = {
+    val olds = kvs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    kvs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try f
+    finally olds.foreach { case (k, o) =>
+      o.fold(spark.conf.unset(k))(spark.conf.set(k, _)) }
+  }
+
   test("star join broadcasts the dimensions (no fact shuffle)") {
     assert(planOf("rel_q2_star_join").contains("BroadcastHashJoin"))
   }
@@ -166,6 +177,38 @@ class PlanQualitySpec extends SparkSpec {
   // …), excluding BroadcastExchange (which is the cheap path we WANT)
   private def shuffleExchanges(plan: String): Int =
     "(?m)^[\\s:+*-]*Exchange".r.findAllIn(plan).size
+
+  test("fact-fact join keeps the shuffled SMJ shape at scale") {
+    // at sf0.001 the 36 KB orders side broadcasts (correct locally);
+    // the 100 TB property is the shape once stats exceed the broadcast
+    // threshold — capture with auto-broadcast off to pin it
+    val plan = withConf("spark.sql.autoBroadcastJoinThreshold" -> "-1") {
+      planOf("rel_q3_fact_join")
+    }
+    assert(plan.contains("SortMergeJoin"),
+      s"fact-fact join should sort-merge when neither side broadcasts:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"),
+      s"fact-fact join must never degrade past SMJ:\n$plan")
+  }
+
+  test("per-customer window: ONE exchange feeds both window functions") {
+    // row_number and the running sum share the partition key, so the
+    // plan must reuse one hash exchange — a second exchange would mean
+    // the window specs stopped aligning and the fact shuffles twice
+    val plan = planOf("rel_q6_window")
+    assert(plan.contains("Window"), s"expected a window plan:\n$plan")
+    assert(shuffleExchanges(plan) == 1,
+      s"window stack should reuse one exchange:\n$plan")
+  }
+
+  test("as-of join: the union-tag trick costs exactly one shuffle, no join") {
+    val plan = planOf("rel_q11_asof")
+    assert(!plan.contains("Join"),
+      s"asof must stay union+window, never a range/cross join:\n$plan")
+    assert(shuffleExchanges(plan) == 1,
+      s"asof should shuffle once (the window partition):\n$plan")
+  }
 
   test("sequence packing shuffles once (per-shard windows, no global sort)") {
     val plan = planOf("pipe_q30_packing")
