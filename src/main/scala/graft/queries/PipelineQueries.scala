@@ -320,13 +320,19 @@ object PipelineQueries {
           joinType = "left_outer"),
         "stream_q8_outer_join", mode = "append")),
     // tail the reference's own Prometheus WAL through the streaming
-    // source (rows-only: DuckDB reads neither format; incremental ≡
-    // batch equivalence is spec-proven in TsdbWalSpec)
+    // source (rows-only: DuckDB reads neither format). The per-name
+    // content digest column pins exact decoded content: TsdbWalSpec
+    // asserts it equals the BATCH source's digest over the same
+    // directory, so the rows-only row still commits to every sample
     "stream_q7_wal_tail" -> ((s, _) =>
       EventStreams.runToMemory(
         s.readStream.format("tsdb-wal-stream").load("/root/reference/wal")
-          .groupBy(col("labels").getItem("__name__").as("name"))
-          .agg(count(lit(1)).as("n_samples")),
+          .select(col("labels").getItem("__name__").as("name"),
+            graft.sources.tsdbblock.SampleDigest.perSample.as("_h"))
+          .groupBy(col("name"))
+          .agg(count(lit(1)).as("n_samples"),
+            graft.sources.tsdbblock.SampleDigest.folded(col("_h"))
+              .as("digest")),
         "stream_q7_wal_tail", mode = "complete")),
     // stream-stream interval join: inner join emits exactly the batch
     // join's matches, so the full streaming output hash-checks

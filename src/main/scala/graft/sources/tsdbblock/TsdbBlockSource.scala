@@ -45,7 +45,8 @@ class TsdbBlockSource extends TableProvider with DataSourceRegister {
 object TsdbBlockSource {
   val schema: StructType = StructType(Seq(
     StructField("time", LongType, nullable = false),
-    StructField("value", DoubleType, nullable = false),
+    // nullable: staleness markers decode to NULL (TsdbSchema.isStaleMarker)
+    StructField("value", DoubleType, nullable = true),
     StructField("labels", MapType(StringType, StringType), nullable = false)))
 }
 
@@ -233,7 +234,11 @@ final class TsdbPartitionReader(path: String, part: TsdbSeriesPartition,
     while (f < fields.length) {
       fields(f) match {
         case "time" => row.update(f, ts(i))
-        case "value" => row.update(f, vs(i))
+        // staleness markers → NULL here, while the raw bits still exist
+        // (UnsafeRow canonicalizes NaN payloads downstream)
+        case "value" =>
+          row.update(f,
+            if (graft.tsdb.TsdbSchema.isStaleMarker(vs(i))) null else vs(i))
         case "labels" => row.update(f, labelsMap)
       }
       f += 1

@@ -94,7 +94,11 @@ final class TsdbWalScan(path: String, required: StructType)
           while (f < fields.length) {
             fields(f) match {
               case "time" => row.update(f, cur.time)
-              case "value" => row.update(f, cur.value)
+              // staleness markers → NULL (TsdbSchema contract)
+              case "value" =>
+                row.update(f,
+                  if (graft.tsdb.TsdbSchema.isStaleMarker(cur.value)) null
+                  else cur.value)
               case "labels" => row.update(f, labels)
             }
             f += 1
@@ -166,7 +170,9 @@ object TsdbDb {
       .withColumn("_rn", row_number().over(
         org.apache.spark.sql.expressions.Window
           .partitionBy(col("_entries"), col("time"))
-          .orderBy(col("value").asc)))
+          // nulls last: a real sample beats a staleness marker at the
+          // same (series, time) across overlapping sources
+          .orderBy(col("value").asc_nulls_last)))
       .where(col("_rn") === 1)
       .select(col("time"), col("value"),
         map_from_entries(col("_entries")).as("labels"))

@@ -122,8 +122,12 @@ final class TsdbWalMicroBatchStream(path: String) extends MicroBatchStream {
               ArrayData.toArrayData(keys.map(UTF8String.fromString)),
               ArrayData.toArrayData(keys.map(k => UTF8String.fromString(m(k)))))
           })
+          // staleness markers → NULL (TsdbSchema contract, ≡ batch source)
+          val v: Any =
+            if (graft.tsdb.TsdbSchema.isStaleMarker(cur.value)) null
+            else cur.value
           new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
-            Array[Any](cur.time, cur.value, labels))
+            Array[Any](cur.time, v, labels))
         }
         override def close(): Unit = ()
       }

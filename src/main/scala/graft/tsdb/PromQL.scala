@@ -65,6 +65,13 @@ import graft.model.Matcher
   * Wall-clock functions (`hour`, `day_of_week`, ...) are computed with
   * pure epoch arithmetic, so Prometheus's UTC contract holds for ANY
   * session timezone.
+  *
+  * Staleness: Prometheus's staleness-marker NaN is represented as a
+  * NULL `value` in the long/wide data model (mapped at source decode —
+  * [[TsdbSchema.isStaleMarker]]; Spark canonicalizes NaN payloads, so
+  * the bit pattern cannot survive a shuffle). Instant lookback ends a
+  * series at a marker ([[RangeVectors.instant]]); range selections skip
+  * markers entirely ([[PromQL.live]]), both per Prometheus 3.
   */
 object PromQL {
 
@@ -824,7 +831,7 @@ object PromQL {
       // sample exactly when the selector matched nothing in
       // (at − range, at] — labels synthesized from the Eq matchers
       val at1 = resolveAt(atm, at, start, end)
-      TsdbTable(wide).select(at1 - off - rangeMs, at1 - off + 1, ms)
+      live(TsdbTable(wide).select(at1 - off - rangeMs, at1 - off + 1, ms))
         .agg(count(lit(1)).as("n")).where(col("n") === 0)
         .select(lit(at).as(TsdbSchema.TimeCol) +:
           absentLabelCols(sel) :+ lit(1.0d).as(TsdbSchema.ValueCol): _*)
@@ -849,7 +856,7 @@ object PromQL {
         evalRange(Fn(name, Selector(ms, Some(rangeMs), 0L, None), params),
           wide, t0, t0, stepMs = rangeMs, lookbackMs = lookbackMs))
     case Fn(name, Selector(ms, Some(stepMs), off, atm), params) =>
-      val sel = TsdbTable(wide).select(start - off, end - off, ms)
+      val sel = live(TsdbTable(wide).select(start - off, end - off, ms))
       // a multi-stat kernel frame re-projected to labels+bucket+value —
       // the composable single-value vector form
       def asValue(df: DataFrame, valueCol: String): DataFrame =
@@ -1633,7 +1640,7 @@ object PromQL {
         if RangeFns(name) =>
       // the sliding kernels prefilter to (start - range, end] themselves
       // (and that filter reaches the parquet scan)
-      val sel = TsdbTable(wide).select(ms)
+      val sel = live(TsdbTable(wide).select(ms))
       val (s0, e0) = (start - off, end - off)
       val r = name match {
         case "rate" | "increase" =>
@@ -1785,6 +1792,16 @@ object PromQL {
     * the caller's grid. */
   private def shiftGrid(df: DataFrame, offsetMs: Long): DataFrame =
     if (offsetMs == 0L) df else df.withColumn("t", col("t") + offsetMs)
+
+  /** Range selections see only LIVE samples: a NULL value is the
+    * staleness-marker representation ([[TsdbSchema.isStaleMarker]]) and
+    * Prometheus excludes markers from range vectors entirely. Instant
+    * lookback is the one consumer that must SEE markers (to end a
+    * series early), so it is handled inside [[RangeVectors.instant]] /
+    * [[RangeVectors.slidingInstant]], not here. Map-side predicate —
+    * no plan-shape cost. */
+  private def live(sel: DataFrame): DataFrame =
+    sel.where(col(TsdbSchema.ValueCol).isNotNull)
 
   /** Floor division as a Column — `(a - pmod(a, b)) / b` is exact (the
     * numerator is divisible), so the double division round-trips to the
@@ -2121,14 +2138,19 @@ object PromQL {
     * columns (aggregation outputs like the `user` of `sum by (user)`,
     * `group_left(lbl)`-carried labels, `absent()` synthesized labels) —
     * except the `without`-listed names in either form, plus `alsoDrop`.
-    * Shared by AggWithout (both modes), count_values and the rank
-    * family so none of them silently collapses bare label columns. */
+    * `__name__` is always dropped — Prometheus's without-grouping
+    * deletes the metric name implicitly (aggregation output loses it;
+    * the rank family only PARTITIONS by these, so its output keeps the
+    * name, also as in Prometheus). Shared by AggWithout (both modes),
+    * count_values and the rank family so none of them silently
+    * collapses bare label columns. */
   private def withoutGroupCols(iv: DataFrame, without: Seq[String],
                                alsoDrop: Set[String] = Set.empty): Seq[Column] = {
     val reserved = Set(TsdbSchema.TimeCol, TsdbSchema.ValueCol, "rvalue",
       "rank", "t", "bucket")
     val dropped = without.map(TsdbSchema.labelColName).toSet ++ without ++
-      alsoDrop ++ alsoDrop.map(TsdbSchema.labelColName)
+      alsoDrop ++ alsoDrop.map(TsdbSchema.labelColName) +
+      "__name__" + TsdbSchema.labelColName("__name__")
     iv.columns.toSeq
       .filter(c => c.startsWith(TsdbSchema.LabelPrefix) ||
         !reserved.contains(c))

@@ -27,7 +27,13 @@ object RangeVectors {
     *
     * Duplicate-timestamp ties resolve by lexicographic (time, value) max
     * — same total order as [[overTime]], replayed identically by the
-    * oracle. */
+    * oracle.
+    *
+    * Staleness: a NULL value is the staleness-marker representation
+    * ([[TsdbSchema.isStaleMarker]]); when the most recent in-window
+    * sample is a marker the series drops out of the vector (Prometheus's
+    * explicit-staleness rule). Array ordering puts a NULL element first,
+    * so at an equal timestamp a real sample still wins the max. */
   def instant(wide: DataFrame, at: Long, lookbackMs: Long): DataFrame = {
     val labels = TsdbSchema.dynCols(wide)
     val tv: Column = array(col(TsdbSchema.TimeCol).cast("double"), col(TsdbSchema.ValueCol))
@@ -40,8 +46,9 @@ object RangeVectors {
         max(tv).getItem(1).as("value"))
       // degenerate no-label-column table + empty window: groupBy() is a
       // GLOBAL agg and would emit one all-null row — an empty vector has
-      // no series, so drop it
-      .where(col("time").isNotNull)
+      // no series, so drop it; a null VALUE is a winning staleness
+      // marker — that series has been explicitly ended, drop it too
+      .where(col("time").isNotNull && col("value").isNotNull)
   }
 
   /** PromQL `increase()` with counter-reset handling: per series, sum of
@@ -351,6 +358,9 @@ object RangeVectors {
       .groupBy(labels :+ col("t"): _*)
       .agg(max(col(TsdbSchema.TimeCol)).as("time"),
         max(tv).getItem(1).as("value"))
+      // a null winner is a staleness marker: the series is ended at
+      // every grid point the marker is the latest sample for
+      .where(col("value").isNotNull)
   }
 
   /** Sliding-window `rate()`/`increase()` with counter-reset handling:

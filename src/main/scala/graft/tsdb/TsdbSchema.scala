@@ -40,4 +40,19 @@ object TsdbSchema {
     * of the dynamic family that exists in storage, as Columns. */
   def dynCols(df: DataFrame): Seq[Column] =
     labelColumns(df).map(c => col(s"`$c`"))
+
+  /** Prometheus's staleness marker: a NaN with this exact payload
+    * (prometheus/model/value StaleNaN). Spark canonicalizes NaN bit
+    * patterns inside UnsafeRow, so the marker cannot survive a shuffle
+    * as a float — the engine's long/wide data model represents it as a
+    * NULL `value` instead, mapped at source-decode time (the only place
+    * the raw bits exist). Contract: NULL value ≡ staleness marker —
+    * instant lookback ends a series at it, range selections skip it. */
+  val StaleNaNBits = 0x7ff0000000000002L
+
+  /** True iff the double carries the staleness-marker bit pattern
+    * (exact-bits check; ordinary NaN values stay live, as in
+    * Prometheus's IsStaleNaN). */
+  def isStaleMarker(v: Double): Boolean =
+    java.lang.Double.doubleToRawLongBits(v) == StaleNaNBits
 }

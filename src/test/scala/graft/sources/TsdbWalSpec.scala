@@ -128,6 +128,23 @@ class TsdbWalSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream_q7_wal_tail digest column ≡ batch source per-name digest") {
+    // the driver's rows-only check now carries a content commitment:
+    // the streaming query's per-name digest must equal the same fold
+    // computed through the BATCH wal source — exact decoded content,
+    // not just a row count
+    import graft.sources.tsdbblock.SampleDigest
+    val streamed = graft.SparkEntry.queries("stream_q7_wal_tail")(spark, "")
+    val batch = spark.read.format("tsdb-wal").load(s"$db/wal")
+      .select(col("labels").getItem("__name__").as("name"),
+        SampleDigest.perSample.as("_h"))
+      .groupBy(col("name"))
+      .agg(count(lit(1)).as("n_samples"),
+        SampleDigest.folded(col("_h")).as("digest"))
+    assert(streamed.count() > 0)
+    assert(streamed.except(batch).isEmpty && batch.except(streamed).isEmpty)
+  }
+
   test("Querier.Select shape: matchers over the whole DB ≡ post-filter") {
     import graft.model.Matcher
     val got = TsdbDb.select(spark, db, Seq(
