@@ -705,7 +705,7 @@ object TsdbQueries {
         start = RangeStart, end = RangeEnd)),
     // Q78: count_values WITH the aggregation modifier — the value
     // histogram per metric (floor keeps the stringified bin portable:
-    // integer-valued doubles render "N.0" in both engines)
+    // integral values render shortest-form "N", as Prometheus does)
     "tsdb_q78_promql_count_values_by" -> ((s, dir) =>
       graft.tsdb.PromQL.eval(
         graft.tsdb.PromQL.parse(
@@ -774,9 +774,10 @@ object TsdbQueries {
         .agg(count(lit(1)).as("n_series"),
           round(expr("percentile(value, 0.5)"), 6).as("q50"),
           round(expr("percentile(value, 0.9)"), 6).as("q90"),
-          // n=1 guard: Spark yields NaN, SQL NULL (portability edge)
-          when(count(lit(1)) > 1, round(stddev_samp(col("value")), 6)).as("sd"),
-          when(count(lit(1)) > 1, round(var_samp(col("value")), 6)).as("stdvar"))),
+          // POPULATION moments — the Prometheus stddev/stdvar contract
+          // (a single-series group yields 0, portable to SQL)
+          round(stddev_pop(col("value")), 6).as("sd"),
+          round(var_pop(col("value")), 6).as("stdvar"))),
     // Q37: PromQL's wall-clock functions (day_of_week/hour/minute over
     // the sample timestamp, UTC): traffic heatmap per metric — the time
     // column stays epoch-ms (reference convention), views are derived
@@ -1352,7 +1353,7 @@ object TsdbQueries {
          |    AND time > ${RangeEnd - 86400000L}
          |    AND time <= $RangeEnd GROUP BY 1, 2, 3)
          |SELECT "labels.name" AS name,
-         |  CAST(floor(value) AS VARCHAR) AS "labels.bin",
+         |  CAST(CAST(floor(value) AS BIGINT) AS VARCHAR) AS "labels.bin",
          |  CAST(count(*) AS DOUBLE) AS value
          |FROM iv GROUP BY 1, 2""".stripMargin,
     // replays the complement grouping: partition by every label EXCEPT
@@ -1581,8 +1582,8 @@ object TsdbQueries {
          |SELECT name, count(*) AS n_series,
          |  round(quantile_cont(value, 0.5), 6) AS q50,
          |  round(quantile_cont(value, 0.9), 6) AS q90,
-         |  CASE WHEN count(*) > 1 THEN round(stddev_samp(value), 6) END AS sd,
-         |  CASE WHEN count(*) > 1 THEN round(var_samp(value), 6) END AS stdvar
+         |  round(stddev_pop(value), 6) AS sd,
+         |  round(var_pop(value), 6) AS stdvar
          |FROM iv GROUP BY 1""".stripMargin,
     "tsdb_q37_time_of_day" ->
       s"""$duckTsdbCte

@@ -64,7 +64,11 @@ import graft.model.Matcher
   * one-grid-point difference only for exactly-aligned ranges).
   * Wall-clock functions (`hour`, `day_of_week`, ...) are computed with
   * pure epoch arithmetic, so Prometheus's UTC contract holds for ANY
-  * session timezone.
+  * session timezone. The `__name__` label is PRESERVED through
+  * value-transforming functions, binops and range functions (Prometheus
+  * drops it); aggregations and `without(...)` grouping drop it, as in
+  * Prometheus. `PromQLConformanceSpec` sweeps upstream-style eval cases
+  * against these semantics and names the measured pass/skip counts.
   *
   * Staleness: Prometheus's staleness-marker NaN is represented as a
   * NULL `value` in the long/wide data model (mapped at source decode —
@@ -1034,9 +1038,15 @@ object PromQL {
     // double cast nulls out — map it explicitly
     val leD = when(col(s"`$leCol`") === "+Inf", lit(Double.PositiveInfinity))
       .otherwise(col(s"`$leCol`").cast("double"))
+    // project the kernel's (groups, n, phi) back to the standard
+    // instant-vector shape — Prometheus returns a plain vector, and
+    // the `value` name is what lets the result compose (sum over it,
+    // binops, nested functions)
     VectorOps.histogramQuantile(
-      iv.withColumn("le_d", leD),
-      groups, q = q, leCol = "le_d", cumCol = TsdbSchema.ValueCol)
+        iv.withColumn("le_d", leD),
+        groups, q = q, leCol = "le_d", cumCol = TsdbSchema.ValueCol)
+      .select(groups.map(c => col(s"`$c`")) :+
+        col("phi").cast("double").as(TsdbSchema.ValueCol): _*)
   }
 
   /** Implicit grouping keys a vector carries besides its labels: the
@@ -1488,13 +1498,25 @@ object PromQL {
 
   /** Arithmetic on value columns. `%` is float remainder with the
     * dividend's sign (Spark's Remainder ≡ Go math.Mod ≡ C fmod — the
-    * Prometheus definition); `^` is math.Pow. */
+    * Prometheus definition); `^` is math.Pow. Division and remainder
+    * by zero follow IEEE-754 (±Inf / NaN), guarded explicitly so the
+    * semantics hold even under spark.sql.ansi.enabled=true (where the
+    * raw operators would throw DIVIDE_BY_ZERO). */
   private def arith(op: String, a: Column, b: Column): Column = op match {
     case "+" => a + b
     case "-" => a - b
     case "*" => a * b
-    case "/" => a / b
-    case "%" => a % b
+    case "/" =>
+      when(a.isNull || b.isNull, lit(null).cast("double")) // NULL propagates
+        .when(b =!= 0.0, a / b)
+        .when(isnan(a), lit(Double.NaN))
+        .when(a > 0, lit(Double.PositiveInfinity))
+        .when(a < 0, lit(Double.NegativeInfinity))
+        .otherwise(lit(Double.NaN)) // 0/0
+    case "%" =>
+      when(a.isNull || b.isNull, lit(null).cast("double"))
+        .when(b =!= 0.0, a % b)
+        .otherwise(lit(Double.NaN))
     case "^" => pow(a, b)
     case "atan2" => atan2(a, b)
   }
@@ -1507,18 +1529,38 @@ object PromQL {
                           lv0: DataFrame, rv0: DataFrame,
                           extra: Seq[String]): DataFrame = {
     val keys0 = matchKeys(on, ign, lv0, rv0)
-    val lv = keyed(lv0, keys0, "value", extra)
-    val rv = keyed(rv0, keys0, "value", extra)
     val keys = keys0 ++ extra
+    // Prometheus set ops return the surviving side's rows UNCHANGED —
+    // full label set, metric name included; only MEMBERSHIP consults
+    // the match keys. The membership side collapses to its distinct
+    // keys and broadcasts.
     def keysOf(df: DataFrame) =
-      broadcast(df.select(keys.map(k => col(s"`$k`")): _*).distinct())
+      broadcast(keyed(df, keys0, "value", extra)
+        .select(keys.map(k => col(s"`$k`")): _*).distinct())
+    // the kept side stays unprojected, so resolve each match key
+    // against ITS schema (wide labels.k, bare k, or absent ≡ NULL),
+    // qualified `l.` to dodge collisions with the key frame
+    def cond(kept: DataFrame): Column =
+      (keys0.map { k =>
+        val c =
+          if (kept.columns.contains(TsdbSchema.labelColName(k)))
+            col(s"l.`${TsdbSchema.labelColName(k)}`")
+          else if (kept.columns.contains(k)) col(s"l.`$k`")
+          else lit(null).cast("string")
+        c <=> col(s"r.`$k`")
+      } ++ extra.map(k => col(s"l.`$k`") <=> col(s"r.`$k`")))
+        .reduceOption(_ && _).getOrElse(lit(true))
+    val lv = toValueShape(lv0)
     op match {
       case "and" =>
-        lv.as("l").join(keysOf(rv).as("r"), matchCond(keys), "left_semi")
+        lv.as("l").join(keysOf(rv0).as("r"), cond(lv), "left_semi")
       case "unless" =>
-        lv.as("l").join(keysOf(rv).as("r"), matchCond(keys), "left_anti")
-      case "or" => lv.unionByName(
-        rv.as("l").join(keysOf(lv).as("r"), matchCond(keys), "left_anti"))
+        lv.as("l").join(keysOf(rv0).as("r"), cond(lv), "left_anti")
+      case "or" =>
+        val rv = toValueShape(rv0)
+        lv.unionByName(
+          rv.as("l").join(keysOf(lv0).as("r"), cond(rv), "left_anti"),
+          allowMissingColumns = true)
     }
   }
 
@@ -1958,9 +2000,8 @@ object PromQL {
 
   /** The `value` aggregate for a PromQL aggregation operator (floats
     * rounded so the oracle replays identical literals). stddev/stdvar
-    * follow the engine's q36 convention: SAMPLE moments with the n=1
-    * guard (Spark yields NaN, SQL NULL — the guard makes both engines
-    * agree on NULL). */
+    * are POPULATION moments, as in Prometheus (a single-series group
+    * yields 0, not NULL/NaN). */
   private def aggValue(op: String, param: Option[Double] = None): Column =
     op match {
       case "sum" => round(sum(col("value")), 6).as("value")
@@ -1975,12 +2016,8 @@ object PromQL {
         val q = param.getOrElse(throw new IllegalArgumentException(
           "quantile needs its φ parameter: quantile(0.9, v)"))
         round(expr(s"percentile(value, $q)"), 6).as("value")
-      case "stddev" =>
-        when(count(lit(1)) > 1, round(stddev_samp(col("value")), 6))
-          .as("value")
-      case "stdvar" =>
-        when(count(lit(1)) > 1, round(var_samp(col("value")), 6))
-          .as("value")
+      case "stddev" => round(stddev_pop(col("value")), 6).as("value")
+      case "stdvar" => round(var_pop(col("value")), 6).as("value")
     }
 
   /** Null-safe conjunction over match keys between frames aliased `l`
@@ -2129,8 +2166,14 @@ object PromQL {
     val groups =
       if (without.nonEmpty) withoutGroupCols(iv, without, alsoDrop = Set(lbl))
       else by.filterNot(_ == lbl).map(labelKey(iv, _))
-    groups :+ col(TsdbSchema.ValueCol).cast("string")
-      .as(TsdbSchema.labelColName(lbl))
+    // Prometheus renders the value label in shortest form — integral
+    // values without a trailing ".0" (strconv.FormatFloat 'g'); the
+    // 2^53 guard keeps the long cast exact
+    val v = col(TsdbSchema.ValueCol)
+    val rendered = when(v === floor(v) && abs(v) < 9.007199254740992e15,
+        v.cast("long").cast("string"))
+      .otherwise(v.cast("string"))
+    groups :+ rendered.as(TsdbSchema.labelColName(lbl))
   }
 
   /** `without`-form grouping columns: every label-bearing column of

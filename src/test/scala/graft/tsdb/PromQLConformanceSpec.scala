@@ -1,0 +1,403 @@
+package graft.tsdb
+
+import graft.SparkSpec
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.types._
+
+/** PromQL conformance sweep: eval-style cases in the upstream
+  * prometheus `promql/promqltest/testdata` format (`load <step>` series
+  * notation + `eval instant at <t>`), re-typed here from the public
+  * corpus (aggregators.test, operators.test, functions.test,
+  * staleness.test shapes) and run through [[PromQL.parse]] +
+  * [[PromQL.evalStrict]] with Prometheus's 5m default lookback.
+  *
+  * Documented deviations are SKIPPED by name with a reason (rate /
+  * increase / delta use the engine's observed-span definition — the
+  * Prometheus-exact numerics live under xrate / xincrease, which ARE
+  * swept here). `stripName` marks cases where Prometheus drops
+  * `__name__` from the output while this engine preserves it (value
+  * maps, binops, range functions over selectors) — the comparator
+  * removes the name label from the ENGINE rows only, so every other
+  * label and every value still conforms. The final test reports the
+  * measured pass/skip counts, making "near-complete Prometheus
+  * semantics" a number instead of a claim. */
+class PromQLConformanceSpec extends SparkSpec {
+
+  // ---- corpus ----
+
+  private case class C(at: String, query: String, expected: String,
+                       stripName: Boolean = false, skip: String = "")
+  private case class B(name: String, step: String, series: Seq[String],
+                       cases: Seq[C])
+
+  private val httpLoad = Seq(
+    """http_requests{job="api-server", instance="0", group="production"} 0+10x10""",
+    """http_requests{job="api-server", instance="1", group="production"} 0+20x10""",
+    """http_requests{job="api-server", instance="0", group="canary"} 0+30x10""",
+    """http_requests{job="api-server", instance="1", group="canary"} 0+40x10""",
+    """http_requests{job="app-server", instance="0", group="production"} 0+50x10""",
+    """http_requests{job="app-server", instance="1", group="production"} 0+60x10""",
+    """http_requests{job="app-server", instance="0", group="canary"} 0+70x10""",
+    """http_requests{job="app-server", instance="1", group="canary"} 0+80x10""")
+
+  private val aggregators = B("aggregators", "5m", httpLoad, Seq(
+    C("50m", """sum by (group) (http_requests{job="api-server"})""",
+      """{group="canary"} 700
+        |{group="production"} 300"""),
+    C("50m", """sum by (group) (http_requests)""",
+      """{group="canary"} 2200
+        |{group="production"} 1400"""),
+    C("50m", """sum without (instance) (http_requests{job="api-server"})""",
+      """{group="canary", job="api-server"} 700
+        |{group="production", job="api-server"} 300"""),
+    C("50m", """avg by (group) (http_requests{job="api-server"})""",
+      """{group="canary"} 350
+        |{group="production"} 150"""),
+    C("50m", """count by (group) (http_requests{job="api-server"})""",
+      """{group="canary"} 2
+        |{group="production"} 2"""),
+    C("50m", """max by (group) (http_requests{job="api-server"})""",
+      """{group="canary"} 400
+        |{group="production"} 200"""),
+    C("50m", """min by (group) (http_requests{job="api-server"})""",
+      """{group="canary"} 300
+        |{group="production"} 100"""),
+    C("50m", """stddev by (group) (http_requests{job="api-server"})""",
+      """{group="canary"} 50
+        |{group="production"} 50"""),
+    C("50m", """stdvar by (group) (http_requests{job="api-server"})""",
+      """{group="canary"} 2500
+        |{group="production"} 2500"""),
+    C("50m", """quantile by (group) (0.5, http_requests{job="api-server"})""",
+      """{group="canary"} 350
+        |{group="production"} 150"""),
+    C("50m", """sum(http_requests)""", """{} 3600"""),
+    C("50m", """count(http_requests)""", """{} 8"""),
+    C("50m", """group by (group) (http_requests)""",
+      """{group="canary"} 1
+        |{group="production"} 1"""),
+    C("50m", """topk(1, http_requests{job="api-server", group="canary"})""",
+      """http_requests{group="canary", instance="1", job="api-server"} 400"""),
+    C("50m", """bottomk(1, http_requests{job="api-server", group="canary"})""",
+      """http_requests{group="canary", instance="0", job="api-server"} 300"""),
+    C("50m", """sort(http_requests)""", "",
+      skip = "presentation ordering — the set-based comparator cannot " +
+        "observe row order")))
+
+  private val operators = B("operators", "5m", httpLoad, Seq(
+    C("50m", """sum(http_requests{job="api-server"}) + sum(http_requests{job="app-server"})""",
+      """{} 3600"""),
+    C("50m", """2 * sum(http_requests{job="api-server"})""", """{} 2000"""),
+    C("50m", """sum(http_requests) % 3""", """{} 0"""),
+    C("50m", """sum by (job) (http_requests) / count by (job) (http_requests)""",
+      """{job="api-server"} 250
+        |{job="app-server"} 650"""),
+    C("50m", """http_requests{job="api-server"} > 150""",
+      """http_requests{group="production", instance="1", job="api-server"} 200
+        |http_requests{group="canary", instance="0", job="api-server"} 300
+        |http_requests{group="canary", instance="1", job="api-server"} 400"""),
+    C("50m", """http_requests{job="api-server"} > bool 150""",
+      """{group="production", instance="0", job="api-server"} 0
+        |{group="production", instance="1", job="api-server"} 1
+        |{group="canary", instance="0", job="api-server"} 1
+        |{group="canary", instance="1", job="api-server"} 1""",
+      stripName = true),
+    C("50m", """http_requests{group="canary"} and http_requests{instance="0"}""",
+      """http_requests{group="canary", instance="0", job="api-server"} 300
+        |http_requests{group="canary", instance="0", job="app-server"} 700"""),
+    C("50m", """http_requests{group="canary"} unless http_requests{instance="0"}""",
+      """http_requests{group="canary", instance="1", job="api-server"} 400
+        |http_requests{group="canary", instance="1", job="app-server"} 800""")))
+
+  private val binops = B("binops", "5m", Seq(
+    """foo{job="api"} 10""",
+    """bar{job="api"} 4""",
+    """node_cpu{instance="abc", job="node", mode="idle"} 3""",
+    """node_cpu{instance="abc", job="node", mode="user"} 1""",
+    """node_num_cpu{instance="abc", job="node"} 2"""), Seq(
+    C("1m", """foo + bar""", """{job="api"} 14""", stripName = true),
+    C("1m", """foo - bar""", """{job="api"} 6""", stripName = true),
+    C("1m", """foo * bar""", """{job="api"} 40""", stripName = true),
+    C("1m", """foo / bar""", """{job="api"} 2.5""", stripName = true),
+    C("1m", """foo % bar""", """{job="api"} 2""", stripName = true),
+    C("1m", """foo ^ bar""", """{job="api"} 10000""", stripName = true),
+    C("1m", """foo / (bar - bar)""", """{job="api"} Inf""", stripName = true),
+    C("1m", """vector(0) / vector(0)""", """{} NaN"""),
+    C("1m", """node_cpu / on(instance) group_left node_num_cpu""",
+      """{instance="abc", job="node", mode="idle"} 1.5
+        |{instance="abc", job="node", mode="user"} 0.5""",
+      stripName = true)))
+
+  private val functions = B("functions", "5m", httpLoad ++ Seq(
+    """linear 0+10x10""",
+    """reset_counter 0 10 20 5 15 25"""), Seq(
+    C("50m", """abs(-1 * http_requests{group="production", job="api-server"})""",
+      """{group="production", instance="0", job="api-server"} 100
+        |{group="production", instance="1", job="api-server"} 200""",
+      stripName = true),
+    C("50m", """ceil(http_requests{job="api-server"} / 300)""",
+      """{group="production", instance="0", job="api-server"} 1
+        |{group="production", instance="1", job="api-server"} 1
+        |{group="canary", instance="0", job="api-server"} 1
+        |{group="canary", instance="1", job="api-server"} 2""",
+      stripName = true),
+    C("50m", """floor(http_requests{job="api-server"} / 300)""",
+      """{group="production", instance="0", job="api-server"} 0
+        |{group="production", instance="1", job="api-server"} 0
+        |{group="canary", instance="0", job="api-server"} 1
+        |{group="canary", instance="1", job="api-server"} 1""",
+      stripName = true),
+    C("50m", """round(http_requests{job="api-server"} / 300)""",
+      """{group="production", instance="0", job="api-server"} 0
+        |{group="production", instance="1", job="api-server"} 1
+        |{group="canary", instance="0", job="api-server"} 1
+        |{group="canary", instance="1", job="api-server"} 1""",
+      stripName = true),
+    C("50m", """clamp_max(http_requests{job="api-server"}, 150)""",
+      """{group="production", instance="0", job="api-server"} 100
+        |{group="production", instance="1", job="api-server"} 150
+        |{group="canary", instance="0", job="api-server"} 150
+        |{group="canary", instance="1", job="api-server"} 150""",
+      stripName = true),
+    C("50m", """exp(vector(1))""", """{} 2.718281828459045"""),
+    C("50m", """ln(vector(1))""", """{} 0"""),
+    C("50m", """sqrt(vector(4))""", """{} 2"""),
+    C("50m", """sgn(vector(-5))""", """{} -1"""),
+    C("50m", """vector(time())""", """{} 3000"""),
+    C("50m", """hour(vector(3600))""", """{} 1"""),
+    C("50m", """day_of_week(vector(0))""", """{} 4"""),
+    C("50m", """absent(http_requests)""", ""),
+    C("50m", """absent(nonexistent{job="myjob", instance="a"})""",
+      """{instance="a", job="myjob"} 1"""),
+    C("50m", """timestamp(http_requests{group="canary", instance="1", job="api-server"})""",
+      """{group="canary", instance="1", job="api-server"} 3000""",
+      stripName = true),
+    // range-vector functions over the counter-shaped series
+    C("50m", """rate(http_requests{group="canary", instance="1", job="api-server"}[50m])""",
+      "", skip = "documented deviation: rate/increase use the " +
+        "observed-span definition; xrate/xincrease are the " +
+        "Prometheus-exact extrapolated variants (swept below)"),
+    C("50m", """xrate(http_requests{group="canary", instance="1", job="api-server"}[50m])""",
+      """{group="canary", instance="1", job="api-server"} 0.13333333333333333""",
+      stripName = true),
+    C("50m", """xincrease(http_requests{group="canary", instance="1", job="api-server"}[50m])""",
+      """{group="canary", instance="1", job="api-server"} 400""",
+      stripName = true),
+    C("50m", """irate(http_requests{group="canary", instance="1", job="api-server"}[50m])""",
+      """{group="canary", instance="1", job="api-server"} 0.13333333333333333""",
+      stripName = true),
+    C("50m", """idelta(http_requests{group="canary", instance="1", job="api-server"}[50m])""",
+      """{group="canary", instance="1", job="api-server"} 40""",
+      stripName = true),
+    C("50m", """changes(http_requests{group="canary", instance="1", job="api-server"}[50m])""",
+      """{group="canary", instance="1", job="api-server"} 9""",
+      stripName = true),
+    C("25m", """resets(reset_counter[25m])""", """{} 1""", stripName = true),
+    C("50m", """deriv(linear[50m])""", """{} 0.033333333333333333""",
+      stripName = true),
+    C("50m", """predict_linear(linear[50m], 3600)""", """{} 220""",
+      stripName = true),
+    C("50m", """delta(linear[50m])""",
+      "", skip = "documented deviation: delta is last-minus-first over " +
+        "observed samples, not boundary-extrapolated"),
+    C("50m", """max_over_time(http_requests{group="canary", instance="1", job="app-server"}[30m])""",
+      """{group="canary", instance="1", job="app-server"} 800""",
+      stripName = true),
+    C("50m", """min_over_time(http_requests{group="canary", instance="1", job="app-server"}[30m])""",
+      """{group="canary", instance="1", job="app-server"} 400""",
+      stripName = true),
+    C("50m", """avg_over_time(http_requests{group="canary", instance="1", job="app-server"}[30m])""",
+      """{group="canary", instance="1", job="app-server"} 600""",
+      stripName = true),
+    C("50m", """sum_over_time(http_requests{group="canary", instance="1", job="app-server"}[30m])""",
+      """{group="canary", instance="1", job="app-server"} 3600""",
+      stripName = true),
+    C("50m", """count_over_time(http_requests{group="canary", instance="1", job="app-server"}[30m])""",
+      """{group="canary", instance="1", job="app-server"} 6""",
+      stripName = true),
+    C("50m", """last_over_time(http_requests{group="canary", instance="1", job="app-server"}[30m])""",
+      """http_requests{group="canary", instance="1", job="app-server"} 800"""),
+    C("50m", """quantile_over_time(0.5, http_requests{group="canary", instance="1", job="app-server"}[30m])""",
+      """{group="canary", instance="1", job="app-server"} 600""",
+      stripName = true),
+    C("50m", """stddev_over_time(http_requests{group="canary", instance="1", job="app-server"}[30m])""",
+      """{group="canary", instance="1", job="app-server"} 136.62601021279464""",
+      stripName = true)))
+
+  private val histograms = B("histograms", "5m", Seq(
+    """h_bucket{le="1"} 0+1x10""",
+    """h_bucket{le="2"} 0+3x10""",
+    """h_bucket{le="+Inf"} 0+4x10"""), Seq(
+    C("50m", """histogram_quantile(0.5, h_bucket)""", """{} 1.5""",
+      stripName = true),
+    C("50m", """histogram_quantile(0.9, h_bucket)""", """{} 2""",
+      stripName = true)))
+
+  private val countValues = B("count_values", "5m", Seq(
+    """version{job="a"} 6""",
+    """version{job="b"} 6""",
+    """version{job="c"} 7"""), Seq(
+    C("1m", """count_values("version", version)""",
+      """{version="6"} 2
+        |{version="7"} 1""")))
+
+  private val staleness = B("staleness", "10s", Seq(
+    """metric 0 1 stale 2"""), Seq(
+    C("10s", """metric""", """metric 1"""),
+    C("20s", """metric""", ""),
+    C("25s", """metric""", ""),
+    C("30s", """metric""", """metric 2"""),
+    C("31s", """count_over_time(metric[31s])""", """{} 2""",
+      stripName = true)))
+
+  private val labelFns = B("label functions", "5m", Seq(
+    """q{a="x"} 1"""), Seq(
+    C("1m", """label_replace(q, "b", "$1-y", "a", "(.*)")""",
+      """q{a="x", b="x-y"} 1"""),
+    C("1m", """label_join(q, "ab", "-", "a", "a")""",
+      """q{a="x", ab="x-x"} 1""")))
+
+  private val blocks = Seq(aggregators, operators, binops, functions,
+    histograms, countValues, staleness, labelFns)
+
+  // ---- harness ----
+
+  private val Lookback = 300000L // Prometheus default 5m
+
+  private def durMs(s: String): Long =
+    "(\\d+)(ms|s|m|h|d)".r.findAllMatchIn(s).map { m =>
+      m.group(1).toLong * (m.group(2) match {
+        case "ms" => 1L; case "s" => 1000L; case "m" => 60000L
+        case "h" => 3600000L; case "d" => 86400000L })
+    }.sum
+
+  /** Series line → (labels incl __name__, per-slot samples): a slot is
+    * None (missed scrape `_`), Some(None) (stale marker) or
+    * Some(Some(v)); `a+bxN` / `a-bxN` / `axN` expand per upstream. */
+  private def parseSeries(line: String)
+      : (Map[String, String], Seq[Option[Option[Double]]]) = {
+    val (sel, values) = line.indexOf('}') match {
+      case -1 => val i = line.indexOf(' '); (line.take(i), line.drop(i))
+      case i => (line.take(i + 1), line.drop(i + 1))
+    }
+    val name = "^[a-zA-Z_:][a-zA-Z0-9_:]*".r.findFirstIn(sel.trim)
+    val labels = """([a-zA-Z_][a-zA-Z0-9_]*)="([^"]*)"""".r
+      .findAllMatchIn(sel).map(m => m.group(1) -> m.group(2)).toMap ++
+      name.map("__name__" -> _)
+    val num = """-?\d+(?:\.\d+)?(?:[eE]-?\d+)?"""
+    val expand = s"^($num)(?:([+-]$num)?x(\\d+))?$$".r
+    val slots = values.trim.split("\\s+").toSeq.filter(_.nonEmpty).flatMap {
+      case "_" => Seq(None)
+      case "stale" => Seq(Some(None))
+      case expand(a, d, n) if n != null =>
+        val delta = Option(d).map(_.toDouble).getOrElse(0.0)
+        (0 to n.toInt).map(k => Some(Some(a.toDouble + k * delta)))
+      case expand(a, _, _) => Seq(Some(Some(a.toDouble)))
+      case other => sys.error(s"unsupported series token: $other")
+    }
+    (labels, slots)
+  }
+
+  private def toWide(stepMs: Long, series: Seq[String]): DataFrame = {
+    val parsed = series.map(parseSeries)
+    val labelNames = parsed.flatMap(_._1.keys).distinct.sorted
+    val rows = for {
+      (labels, slots) <- parsed
+      (slot, i) <- slots.zipWithIndex
+      sample <- slot
+    } yield Row.fromSeq((i * stepMs) +: sample.map(Double.box).orNull +:
+      labelNames.map(n => labels.get(n).orNull))
+    val schema = StructType(
+      StructField("time", LongType, nullable = false) ::
+        StructField("value", DoubleType, nullable = true) ::
+        labelNames.map(n =>
+          StructField("labels." + n, StringType, nullable = true)).toList)
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.toList, 2), schema)
+  }
+
+  private def parseValue(s: String): Double = s match {
+    case "NaN" => Double.NaN
+    case "Inf" | "+Inf" => Double.PositiveInfinity
+    case "-Inf" => Double.NegativeInfinity
+    case v => v.toDouble
+  }
+
+  private def parseExpected(s: String): Seq[(Map[String, String], Double)] =
+    s.stripMargin.linesIterator.map(_.trim).filter(_.nonEmpty).toSeq.map {
+      line =>
+        val i = line.lastIndexOf(' ')
+        val (sel, v) = (line.take(i).trim, line.drop(i).trim)
+        val name = "^[a-zA-Z_:][a-zA-Z0-9_:]*".r.findFirstIn(sel)
+        val labels = """([a-zA-Z_][a-zA-Z0-9_]*)="([^"]*)"""".r
+          .findAllMatchIn(sel).map(m => m.group(1) -> m.group(2)).toMap ++
+          name.map("__name__" -> _)
+        (labels, parseValue(v))
+    }
+
+  private val NonLabelCols =
+    Set("time", "value", "t", "n", "rank", "rvalue", "bucket")
+
+  private def resultRows(df: DataFrame, stripName: Boolean)
+      : Seq[(Map[String, String], Double)] = {
+    val cols = df.columns
+    df.collect().toSeq.map { r =>
+      val labels = cols.zipWithIndex.flatMap { case (c, i) =>
+        if (NonLabelCols.contains(c)) None
+        else Option(r.get(i)).map(v =>
+          (if (c.startsWith("labels.")) c.drop(7) else c) -> v.toString)
+      }.toMap
+      val v = r.get(cols.indexOf("value")) match {
+        case d: java.lang.Double => d.doubleValue()
+        case other => other.toString.toDouble
+      }
+      (if (stripName) labels - "__name__" else labels, v)
+    }
+  }
+
+  private def valueEq(got: Double, want: Double): Boolean =
+    got == want || (got.isNaN && want.isNaN) ||
+      math.abs(got - want) <= math.max(1e-6, 1e-6 * math.abs(want))
+
+  /** Runs every non-skipped case of a block; returns failure messages. */
+  private def runBlock(b: B): Seq[String] = {
+    val wide = toWide(durMs(b.step), b.series)
+    b.cases.filter(_.skip.isEmpty).flatMap { c =>
+      val at = durMs(c.at)
+      val want = parseExpected(c.expected)
+      val got =
+        try resultRows(PromQL.evalStrict(PromQL.parse(c.query), wide, at,
+          Lookback, start = 0L, end = at), c.stripName)
+        catch { case e: Exception =>
+          return Seq(s"[${b.name}] ${c.query} at ${c.at}: threw $e")
+        }
+      val gm = got.toMap
+      val missing = want.filter { case (ls, v) =>
+        !gm.get(ls).exists(valueEq(_, v)) }
+      if (got.size != want.size || missing.nonEmpty)
+        Some(s"[${b.name}] ${c.query} at ${c.at}:\n  want ${want.toSet}" +
+          s"\n  got  ${got.toSet}")
+      else None
+    }
+  }
+
+  for (b <- blocks)
+    test(s"conformance: ${b.name} " +
+      s"(${b.cases.count(_.skip.isEmpty)} eval, " +
+      s"${b.cases.count(_.skip.nonEmpty)} skip)") {
+      val fails = runBlock(b)
+      assert(fails.isEmpty, fails.mkString("\n"))
+    }
+
+  test("conformance sweep: measured pass/skip counts") {
+    val evals = blocks.map(_.cases.count(_.skip.isEmpty)).sum
+    val skips = blocks.flatMap(_.cases.filter(_.skip.nonEmpty))
+    // the headline numbers the coverage claim rests on — update when
+    // cases are added, never by deleting failing cases
+    assert(evals === 73)
+    assert(skips.size === 3)
+    // every skip names its documented deviation
+    assert(skips.forall(_.skip.nonEmpty))
+  }
+}

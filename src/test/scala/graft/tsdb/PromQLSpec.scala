@@ -802,12 +802,12 @@ class PromQLSpec extends SparkSpec {
     val cv = evalQ("""count_values("v", {name="up"})""")
       .select(col("`labels.v`"), col("value"))
       .as[(String, Double)].collect().toMap
-    assert(cv === Map("9.0" -> 1.0, "8.0" -> 1.0))
+    assert(cv === Map("9" -> 1.0, "8" -> 1.0))
     // grouped count_values: the modifier labels join the bin grouping
     val cvb = evalQ("""count_values by (name) ("v", {name=~"up|down"})""")
       .select(col("name"), col("`labels.v`"), col("value"))
       .as[(String, String, Double)].collect().toSet
-    assert(cvb === Set(("up", "9.0", 1.0), ("up", "8.0", 1.0)))
+    assert(cvb === Set(("up", "9", 1.0), ("up", "8", 1.0)))
     assert(parse("""count_values without (user) ("v", {name="up"})""") ===
       CountValues("v", Selector(Seq(Matcher.Eq("name", "up")), None, 0L),
         Nil, Seq("user")))
@@ -817,7 +817,7 @@ class PromQLSpec extends SparkSpec {
     assert(cvc.columns.count(_ == "labels.name") === 1)
     assert(cvc.select(col("`labels.name`"), col("value"))
       .as[(String, Double)].collect().toSet ===
-      Set(("9.0", 1.0), ("8.0", 1.0)))
+      Set(("9", 1.0), ("8", 1.0)))
     // absent() emits the 1-vector exactly when nothing matches
     assert(evalQ("""absent({name="nope"})""").count() === 1L)
     assert(evalQ("""absent({name="up"})""").count() === 0L)
@@ -828,8 +828,8 @@ class PromQLSpec extends SparkSpec {
       lookbackMs = 86400000L)
       .select(col("`labels.v`"), col("t"), col("value"))
       .as[(String, Long, Double)].collect().toSet
-    assert(cvr === Set(("1.0", 0L, 1.0), ("2.0", 0L, 1.0),
-      ("9.0", 86400000L, 1.0), ("8.0", 86400000L, 1.0)))
+    assert(cvr === Set(("1", 0L, 1.0), ("2", 0L, 1.0),
+      ("9", 86400000L, 1.0), ("8", 86400000L, 1.0)))
   }
 
   test("evalRange: binary ops and topk match per step") {
@@ -934,7 +934,7 @@ class PromQLSpec extends SparkSpec {
     val got = PromQL.evalRange(
       parse("""histogram_quantile(0.5, {path="/api"})"""),
       h, start = 0L, end = 2000L, stepMs = 1000L, lookbackMs = 86400000L)
-      .select(col("`labels.path`"), col("t"), col("phi"))
+      .select(col("`labels.path`"), col("t"), col("value"))
       .as[(String, Long, Double)].collect().toSet
     // the t=0 step predates every sample (staleness drops it); both
     // later steps see the same cumulative buckets → rank-5 interp = 15
@@ -1027,14 +1027,17 @@ class PromQLSpec extends SparkSpec {
   test("set ops and/or/unless respect on(...) membership") {
     val base = """{name="up"}"""
     val others = """{user="a"}"""
+    // output rows are the surviving side's UNCHANGED (full label set,
+    // Prometheus semantics) — membership alone consults on(user)
     val andU = evalQ(s"""$base and on(user) $others""")
-      .select(col("user")).as[String].collect().toSet
-    assert(andU === Set("a"))
+      .select(col("`labels.user`"), col("`labels.name`"))
+      .as[(String, String)].collect().toSet
+    assert(andU === Set(("a", "up")))
     val unlessU = evalQ(s"""$base unless on(user) $others""")
-      .select(col("user")).as[String].collect().toSet
+      .select(col("`labels.user`")).as[String].collect().toSet
     assert(unlessU === Set("b"))
     val orU = evalQ(s"""({name="nope"}) or on(user) $base""")
-      .select(col("user")).as[String].collect().toSet
+      .select(col("`labels.user`")).as[String].collect().toSet
     assert(orU === Set("a", "b"))
   }
 
@@ -1046,7 +1049,7 @@ class PromQLSpec extends SparkSpec {
     ).toDF("time", "value", "labels.path", "labels.le")
     val got = eval(parse("""histogram_quantile(0.5, {path="/api"})"""),
       h, at = 2000L, lookbackMs = 86400000L, start = 0L, end = 2000L)
-      .select(col("`labels.path`"), col("phi")).as[(String, Double)].collect().toSet
+      .select(col("`labels.path`"), col("value")).as[(String, Double)].collect().toSet
     // rank 5 in bucket (10,20]: 10 + 10*(5-2)/(8-2) = 15
     assert(got === Set(("/api", 15.0)))
     // THE canonical Prometheus histogram query — quantile over bucket
@@ -1060,7 +1063,7 @@ class PromQLSpec extends SparkSpec {
     ).toDF("time", "value", "labels.path", "labels.le")
     val rq = eval(parse("""histogram_quantile(0.5, rate({path="/api"}[1d]))"""),
       hc, at = 3602000L, lookbackMs = 86400000L, start = 0L, end = 3602000L)
-      .select(col("`labels.path`"), col("phi")).as[(String, Double)].collect().toSet
+      .select(col("`labels.path`"), col("value")).as[(String, Double)].collect().toSet
     // rank 0.002778 lands in (10, 20]: 10 + 10*(rank−r10)/(r20−r10)
     assert(rq === Set(("/api", 18.00144)))
   }
