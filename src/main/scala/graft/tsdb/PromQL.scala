@@ -64,11 +64,13 @@ import graft.model.Matcher
   * one-grid-point difference only for exactly-aligned ranges).
   * Wall-clock functions (`hour`, `day_of_week`, ...) are computed with
   * pure epoch arithmetic, so Prometheus's UTC contract holds for ANY
-  * session timezone. The `__name__` label is PRESERVED through
-  * value-transforming functions, binops and range functions (Prometheus
-  * drops it); aggregations and `without(...)` grouping drop it, as in
-  * Prometheus. `PromQLConformanceSpec` sweeps upstream-style eval cases
-  * against these semantics and names the measured pass/skip counts.
+  * session timezone. `__name__` handling matches Prometheus exactly
+  * ([[dropName]]): kept by selectors, comparison filters, `sort`,
+  * `last_over_time`, the rank family and set ops; dropped by value
+  * maps, arithmetic, `bool` comparisons, range functions, aggregations
+  * and `histogram_quantile`. `PromQLConformanceSpec` sweeps
+  * upstream-style eval cases against these semantics comparing FULL
+  * label sets, and names the measured pass/skip counts.
   *
   * Staleness: Prometheus's staleness-marker NaN is represented as a
   * NULL `value` in the long/wide data model (mapped at source decode —
@@ -866,7 +868,7 @@ object PromQL {
       def asValue(df: DataFrame, valueCol: String): DataFrame =
         df.select(TsdbSchema.dynCols(df) :+ col("bucket") :+
           col(valueCol).cast("double").as(TsdbSchema.ValueCol): _*)
-      name match {
+      val r0 = name match {
         case "rate" => RangeVectors.rate(sel, stepMs)
         case "increase" => RangeVectors.increase(sel)
         // Prometheus-EXACT boundary-extrapolated variants (the engine's
@@ -893,6 +895,11 @@ object PromQL {
         case overTime if OverTimeStats.contains(overTime) =>
           RangeVectors.overTimeStat(sel, stepMs, OverTimeStats(overTime))
       }
+      // Prometheus: range functions drop __name__ from the OUTPUT (the
+      // per-series evaluation above still saw the name, so metrics that
+      // differ only by name never merge); last_over_time returns raw
+      // samples and keeps it
+      if (name == "last_over_time") r0 else dropName(r0)
     case Fn(name, Subquery(inner, rangeMs, stepMs, off, atm), params)
         if SubqueryFns(name) =>
       // subquery: the inner expression evaluated per grid step (one
@@ -1032,7 +1039,9 @@ object PromQL {
     // via `extra`) is an implicit grouping key: each window's bucket
     // ladder interpolates independently
     val groups = iv.columns.filter(c =>
-      c.startsWith(TsdbSchema.LabelPrefix) && c != leCol).toSeq ++
+      c.startsWith(TsdbSchema.LabelPrefix) && c != leCol &&
+        // Prometheus drops __name__ (with le) from the output vector
+        c != TsdbSchema.labelColName("__name__")).toSeq ++
       ("bucket" +: extra).distinct.filter(iv.columns.contains)
     // Prometheus writes the top bucket as le="+Inf", which a bare
     // double cast nulls out — map it explicitly
@@ -1086,8 +1095,9 @@ object PromQL {
       case "holt_winters" | "double_exponential_smoothing" => col("hw")
       case _ => col(TsdbSchema.ValueCol)
     }
-    df.select(TsdbSchema.dynCols(df) :+
+    val r = df.select(TsdbSchema.dynCols(df) :+
       vc.cast("double").as(TsdbSchema.ValueCol): _*)
+    if (name == "last_over_time") r else dropName(r)
   }
 
   /** One subquery evaluation: the inner expression at every
@@ -1118,9 +1128,13 @@ object PromQL {
             .as(TsdbSchema.ValueCol)
         else RangeVectors.statAgg(OverTimeStats(name), timeCol = "t")
           .as(TsdbSchema.ValueCol)
-      grid.groupBy(keys: _*).agg(aggc)
-    } else subqueryRangeFn(name, grid.drop(TsdbSchema.TimeCol), keys,
-      sqEnd, rangeMs, params)
+      val r = grid.groupBy(keys: _*).agg(aggc)
+      // the over-time fold drops __name__ (Prometheus); last_over_time
+      // keeps it — the fold's input name column was a grouping key, so
+      // dropping after the aggregation is exact
+      if (name == "last_over_time") r else dropName(r)
+    } else dropName(subqueryRangeFn(name, grid.drop(TsdbSchema.TimeCol),
+      keys, sqEnd, rangeMs, params))
   }
 
   /** Range-mode subquery evaluation: ONE inner evalRange pass over the
@@ -1182,7 +1196,7 @@ object PromQL {
       fanned(pairs, col("_ut") + off, col("_put") + (off + rangeMs))
     }
     val outKeys = keys :+ col("t")
-    name match {
+    val folded = name match {
       case n if OverTimeStats.contains(n) =>
         sampleFanned.groupBy(outKeys: _*)
           .agg(RangeVectors.statAgg(OverTimeStats(n), timeCol = "_ut")
@@ -1254,6 +1268,9 @@ object PromQL {
           .agg(round(max_by(pick, struct(col("_ut"), v)), 6)
             .as(TsdbSchema.ValueCol))
     }
+    // the subquery fold drops __name__ (Prometheus); last_over_time
+    // keeps it (name was a grouping key, so the drop is exact)
+    if (name == "last_over_time") folded else dropName(folded)
   }
 
   /** A subquery's inner rate/increase/holt_winters evaluation yields a
@@ -1428,24 +1445,48 @@ object PromQL {
                           lv0: DataFrame, rv0: DataFrame, bool: Boolean,
                           extra: Seq[String]): DataFrame = {
     val keys = matchKeys(on, ign, lv0, rv0)
-    val joined = keyed(lv0, keys, "value", extra).as("l")
-      .join(keyed(rv0, keys, "rvalue", extra).as("r"),
-        matchCond(keys ++ extra))
-    val outKeys = (keys ++ extra).map(k => col(s"l.`$k`").as(k))
-    val lc = col("l.value"); val rc = col("r.rvalue")
-    if (CmpOps.contains(op) && bool)
-      // `bool` modifier: keep every matched series, value = 0/1
-      joined.select(outKeys :+
-        when(cmp(op, lc, rc), 1.0d).otherwise(0.0d).as("value"): _*)
-    else if (CmpOps.contains(op))
-      // PromQL filter semantics: keep LEFT series where the
-      // comparison against the matched right value holds
-      joined.where(cmp(op, lc, rc))
-        .select(outKeys :+ lc.as("value"): _*)
-    else
-      // rounded so oracle replays divide/multiply identical literals
-      joined.select(outKeys :+ round(arith(op, lc, rc), 6).as("value"): _*)
+    if (CmpOps.contains(op) && !bool) {
+      // PromQL filter semantics: the LEFT rows survive UNCHANGED (full
+      // label set, metric name included) where the comparison against
+      // the matched right value holds — membership-style join against
+      // the keyed right, like the set operators
+      val lv = toValueShape(lv0)
+      val rv = keyed(rv0, keys, "rvalue", extra)
+      lv.as("l").join(rv.as("r"), keptKeyCond(lv, keys, extra))
+        .where(cmp(op, col("l.value"), col("r.rvalue")))
+        .select(lv.columns.toSeq.map(c => col(s"l.`$c`").as(c)): _*)
+    } else {
+      val joined = keyed(lv0, keys, "value", extra).as("l")
+        .join(keyed(rv0, keys, "rvalue", extra).as("r"),
+          matchCond(keys ++ extra))
+      val outKeys = (keys ++ extra).map(k => col(s"l.`$k`").as(k))
+      val lc = col("l.value"); val rc = col("r.rvalue")
+      if (bool)
+        // `bool` modifier: keep every matched series, value = 0/1
+        joined.select(outKeys :+
+          when(cmp(op, lc, rc), 1.0d).otherwise(0.0d).as("value"): _*)
+      else
+        // rounded so oracle replays divide/multiply identical literals
+        joined.select(outKeys :+ round(arith(op, lc, rc), 6).as("value"): _*)
+    }
   }
+
+  /** Join condition between an UNPROJECTED kept frame (aliased `l`) and
+    * a [[keyed]] membership frame (aliased `r`): each match key resolves
+    * against the kept frame's schema — wide `labels.k`, bare `k`, or
+    * absent ≡ NULL — null-safely equal to the bare key column on `r`.
+    * Shared by the set operators and the comparison-filter binop. */
+  private def keptKeyCond(kept: DataFrame, keys0: Seq[String],
+                          extra: Seq[String]): Column =
+    (keys0.map { k =>
+      val c =
+        if (kept.columns.contains(TsdbSchema.labelColName(k)))
+          col(s"l.`${TsdbSchema.labelColName(k)}`")
+        else if (kept.columns.contains(k)) col(s"l.`$k`")
+        else lit(null).cast("string")
+      c <=> col(s"r.`$k`")
+    } ++ extra.map(k => col(s"l.`$k`") <=> col(s"r.`$k`")))
+      .reduceOption(_ && _).getOrElse(lit(true))
 
   /** group_left / group_right: MANY series on the grouped side share
     * one match partner on the "one" side. The one side is an aggregate
@@ -1487,13 +1528,15 @@ object PromQL {
       .map(c => col(s"l.`$c`").as(c)) ++
       carried.map(n => col(s"r.`$n`").as(n))
     if (CmpOps.contains(op) && bool)
-      joined.select(outCols :+
-        when(cmp(op, lc, rc), 1.0d).otherwise(0.0d).as("value"): _*)
+      dropName(joined.select(outCols :+
+        when(cmp(op, lc, rc), 1.0d).otherwise(0.0d).as("value"): _*))
     else if (CmpOps.contains(op))
+      // comparison filter: the kept side's rows unchanged, name included
       joined.where(cmp(op, lc, rc))
         .select(outCols :+ col("l.value").as("value"): _*)
     else
-      joined.select(outCols :+ round(arith(op, lc, rc), 6).as("value"): _*)
+      dropName(joined.select(outCols :+
+        round(arith(op, lc, rc), 6).as("value"): _*))
   }
 
   /** Arithmetic on value columns. `%` is float remainder with the
@@ -1537,29 +1580,19 @@ object PromQL {
     def keysOf(df: DataFrame) =
       broadcast(keyed(df, keys0, "value", extra)
         .select(keys.map(k => col(s"`$k`")): _*).distinct())
-    // the kept side stays unprojected, so resolve each match key
-    // against ITS schema (wide labels.k, bare k, or absent ≡ NULL),
-    // qualified `l.` to dodge collisions with the key frame
-    def cond(kept: DataFrame): Column =
-      (keys0.map { k =>
-        val c =
-          if (kept.columns.contains(TsdbSchema.labelColName(k)))
-            col(s"l.`${TsdbSchema.labelColName(k)}`")
-          else if (kept.columns.contains(k)) col(s"l.`$k`")
-          else lit(null).cast("string")
-        c <=> col(s"r.`$k`")
-      } ++ extra.map(k => col(s"l.`$k`") <=> col(s"r.`$k`")))
-        .reduceOption(_ && _).getOrElse(lit(true))
     val lv = toValueShape(lv0)
     op match {
       case "and" =>
-        lv.as("l").join(keysOf(rv0).as("r"), cond(lv), "left_semi")
+        lv.as("l").join(keysOf(rv0).as("r"),
+          keptKeyCond(lv, keys0, extra), "left_semi")
       case "unless" =>
-        lv.as("l").join(keysOf(rv0).as("r"), cond(lv), "left_anti")
+        lv.as("l").join(keysOf(rv0).as("r"),
+          keptKeyCond(lv, keys0, extra), "left_anti")
       case "or" =>
         val rv = toValueShape(rv0)
         lv.unionByName(
-          rv.as("l").join(keysOf(lv0).as("r"), cond(rv), "left_anti"),
+          rv.as("l").join(keysOf(lv0).as("r"),
+            keptKeyCond(rv, keys0, extra), "left_anti"),
           allowMissingColumns = true)
     }
   }
@@ -1713,7 +1746,9 @@ object PromQL {
         case other => throw new IllegalArgumentException(
           s"$other is not supported in range evaluation yet; use eval()")
       }
-      shiftGrid(r, off)
+      // range functions drop __name__ from the output (Prometheus);
+      // last_over_time returns raw samples and keeps it
+      shiftGrid(if (name == "last_over_time") r else dropName(r), off)
     case Fn("absent", arg, _) =>
       // per-step absent: a `{<synthesized>} 1` sample at every grid
       // timestamp where the argument vector is empty — grid anti-join
@@ -1897,7 +1932,10 @@ object PromQL {
                         at: Long): DataFrame = {
     val iv = toValueShape(iv0)
     val v = col(TsdbSchema.ValueCol)
-    def mapV(c: Column): DataFrame = iv.withColumn(TsdbSchema.ValueCol, c)
+    // Prometheus drops __name__ from every value-transforming function;
+    // the sort family only reorders, so it keeps the name
+    def mapV(c: Column): DataFrame =
+      dropName(iv.withColumn(TsdbSchema.ValueCol, c))
     name match {
       case "abs" => mapV(abs(v))
       case "ceil" => mapV(ceil(v).cast("double"))
@@ -2109,9 +2147,18 @@ object PromQL {
       case "!=" => a != b
     }
 
+  /** Drop the metric-name label — Prometheus removes `__name__` from
+    * the output of every value-transforming operation (arithmetic,
+    * `bool` comparisons, value-map functions, range functions except
+    * `last_over_time`). A no-op on frames that never carried it. */
+  private def dropName(df: DataFrame): DataFrame =
+    df.drop(TsdbSchema.labelColName("__name__")).drop("__name__")
+
   /** Vector-scalar arithmetic maps the value; comparison FILTERS the
     * vector (PromQL semantics) unless `bool`, which maps it to 0/1.
-    * `flipped` = scalar was the left operand. */
+    * `flipped` = scalar was the left operand. Arithmetic and `bool`
+    * drop `__name__` (the value changed); the filter keeps the rows
+    * UNCHANGED, name included — all as in Prometheus. */
   private def scalarOp(iv0: DataFrame, op: String, s: Column,
                        flipped: Boolean, bool: Boolean = false): DataFrame = {
     val iv = toValueShape(iv0)
@@ -2119,14 +2166,14 @@ object PromQL {
       s"'$op' needs an instant-vector operand")
     val v = col(TsdbSchema.ValueCol)
     if (CmpOps.contains(op) && bool)
-      iv.withColumn(TsdbSchema.ValueCol,
+      dropName(iv.withColumn(TsdbSchema.ValueCol,
         when(if (flipped) cmp(op, s, v) else cmp(op, v, s), 1.0d)
-          .otherwise(0.0d))
+          .otherwise(0.0d)))
     else if (CmpOps.contains(op))
       iv.where(if (flipped) cmp(op, s, v) else cmp(op, v, s))
     else {
       val (a, b) = if (flipped) (s, v) else (v, s)
-      iv.withColumn(TsdbSchema.ValueCol, round(arith(op, a, b), 6))
+      dropName(iv.withColumn(TsdbSchema.ValueCol, round(arith(op, a, b), 6)))
     }
   }
 

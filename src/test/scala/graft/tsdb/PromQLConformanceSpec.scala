@@ -15,19 +15,19 @@ import org.apache.spark.sql.types._
   * Documented deviations are SKIPPED by name with a reason (rate /
   * increase / delta use the engine's observed-span definition — the
   * Prometheus-exact numerics live under xrate / xincrease, which ARE
-  * swept here). `stripName` marks cases where Prometheus drops
-  * `__name__` from the output while this engine preserves it (value
-  * maps, binops, range functions over selectors) — the comparator
-  * removes the name label from the ENGINE rows only, so every other
-  * label and every value still conforms. The final test reports the
-  * measured pass/skip counts, making "near-complete Prometheus
-  * semantics" a number instead of a claim. */
+  * swept here). Label sets are compared IN FULL, including `__name__`
+  * — the engine matches Prometheus's metric-name handling exactly
+  * (kept by selectors, comparison filters, sort, last_over_time, topk
+  * and set ops; dropped by value maps, arithmetic, bool comparisons,
+  * range functions, aggregations and histogram_quantile). The final
+  * test reports the measured pass/skip counts, making "near-complete
+  * Prometheus semantics" a number instead of a claim. */
 class PromQLConformanceSpec extends SparkSpec {
 
   // ---- corpus ----
 
   private case class C(at: String, query: String, expected: String,
-                       stripName: Boolean = false, skip: String = "")
+                       skip: String = "")
   private case class B(name: String, step: String, series: Seq[String],
                        cases: Seq[C])
 
@@ -81,6 +81,9 @@ class PromQLConformanceSpec extends SparkSpec {
       """http_requests{group="canary", instance="1", job="api-server"} 400"""),
     C("50m", """bottomk(1, http_requests{job="api-server", group="canary"})""",
       """http_requests{group="canary", instance="0", job="api-server"} 300"""),
+    C("50m", """topk by (group) (1, http_requests{job="api-server"})""",
+      """http_requests{group="canary", instance="1", job="api-server"} 400
+        |http_requests{group="production", instance="1", job="api-server"} 200"""),
     C("50m", """sort(http_requests)""", "",
       skip = "presentation ordering — the set-based comparator cannot " +
         "observe row order")))
@@ -101,14 +104,20 @@ class PromQLConformanceSpec extends SparkSpec {
       """{group="production", instance="0", job="api-server"} 0
         |{group="production", instance="1", job="api-server"} 1
         |{group="canary", instance="0", job="api-server"} 1
-        |{group="canary", instance="1", job="api-server"} 1""",
-      stripName = true),
+        |{group="canary", instance="1", job="api-server"} 1"""),
     C("50m", """http_requests{group="canary"} and http_requests{instance="0"}""",
       """http_requests{group="canary", instance="0", job="api-server"} 300
         |http_requests{group="canary", instance="0", job="app-server"} 700"""),
     C("50m", """http_requests{group="canary"} unless http_requests{instance="0"}""",
       """http_requests{group="canary", instance="1", job="api-server"} 400
-        |http_requests{group="canary", instance="1", job="app-server"} 800""")))
+        |http_requests{group="canary", instance="1", job="app-server"} 800"""),
+    // offset and @ shift the evaluation instant of the selector
+    C("50m", """http_requests{group="canary", instance="0", job="api-server"} offset 5m""",
+      """http_requests{group="canary", instance="0", job="api-server"} 270"""),
+    C("50m", """sum(http_requests offset 5m)""", """{} 3240"""),
+    C("50m", """http_requests{group="canary", instance="0", job="api-server"} @ 1500""",
+      """http_requests{group="canary", instance="0", job="api-server"} 150"""),
+    C("50m", """sum(http_requests @ 3000)""", """{} 3600""")))
 
   private val binops = B("binops", "5m", Seq(
     """foo{job="api"} 10""",
@@ -116,50 +125,48 @@ class PromQLConformanceSpec extends SparkSpec {
     """node_cpu{instance="abc", job="node", mode="idle"} 3""",
     """node_cpu{instance="abc", job="node", mode="user"} 1""",
     """node_num_cpu{instance="abc", job="node"} 2"""), Seq(
-    C("1m", """foo + bar""", """{job="api"} 14""", stripName = true),
-    C("1m", """foo - bar""", """{job="api"} 6""", stripName = true),
-    C("1m", """foo * bar""", """{job="api"} 40""", stripName = true),
-    C("1m", """foo / bar""", """{job="api"} 2.5""", stripName = true),
-    C("1m", """foo % bar""", """{job="api"} 2""", stripName = true),
-    C("1m", """foo ^ bar""", """{job="api"} 10000""", stripName = true),
-    C("1m", """foo / (bar - bar)""", """{job="api"} Inf""", stripName = true),
+    C("1m", """foo + bar""", """{job="api"} 14"""),
+    C("1m", """foo - bar""", """{job="api"} 6"""),
+    C("1m", """foo * bar""", """{job="api"} 40"""),
+    C("1m", """foo / bar""", """{job="api"} 2.5"""),
+    C("1m", """foo % bar""", """{job="api"} 2"""),
+    C("1m", """foo ^ bar""", """{job="api"} 10000"""),
+    C("1m", """foo / (bar - bar)""", """{job="api"} Inf"""),
     C("1m", """vector(0) / vector(0)""", """{} NaN"""),
     C("1m", """node_cpu / on(instance) group_left node_num_cpu""",
       """{instance="abc", job="node", mode="idle"} 1.5
-        |{instance="abc", job="node", mode="user"} 0.5""",
-      stripName = true)))
+        |{instance="abc", job="node", mode="user"} 0.5"""),
+    // or: right elements only where no left element shares the match
+    // keys (default keys exclude __name__, so bar is shadowed by foo)
+    C("1m", """foo or bar""", """foo{job="api"} 10"""),
+    C("1m", """nonexistent or bar""", """bar{job="api"} 4""")))
 
   private val functions = B("functions", "5m", httpLoad ++ Seq(
     """linear 0+10x10""",
     """reset_counter 0 10 20 5 15 25"""), Seq(
     C("50m", """abs(-1 * http_requests{group="production", job="api-server"})""",
       """{group="production", instance="0", job="api-server"} 100
-        |{group="production", instance="1", job="api-server"} 200""",
-      stripName = true),
+        |{group="production", instance="1", job="api-server"} 200"""),
     C("50m", """ceil(http_requests{job="api-server"} / 300)""",
       """{group="production", instance="0", job="api-server"} 1
         |{group="production", instance="1", job="api-server"} 1
         |{group="canary", instance="0", job="api-server"} 1
-        |{group="canary", instance="1", job="api-server"} 2""",
-      stripName = true),
+        |{group="canary", instance="1", job="api-server"} 2"""),
     C("50m", """floor(http_requests{job="api-server"} / 300)""",
       """{group="production", instance="0", job="api-server"} 0
         |{group="production", instance="1", job="api-server"} 0
         |{group="canary", instance="0", job="api-server"} 1
-        |{group="canary", instance="1", job="api-server"} 1""",
-      stripName = true),
+        |{group="canary", instance="1", job="api-server"} 1"""),
     C("50m", """round(http_requests{job="api-server"} / 300)""",
       """{group="production", instance="0", job="api-server"} 0
         |{group="production", instance="1", job="api-server"} 1
         |{group="canary", instance="0", job="api-server"} 1
-        |{group="canary", instance="1", job="api-server"} 1""",
-      stripName = true),
+        |{group="canary", instance="1", job="api-server"} 1"""),
     C("50m", """clamp_max(http_requests{job="api-server"}, 150)""",
       """{group="production", instance="0", job="api-server"} 100
         |{group="production", instance="1", job="api-server"} 150
         |{group="canary", instance="0", job="api-server"} 150
-        |{group="canary", instance="1", job="api-server"} 150""",
-      stripName = true),
+        |{group="canary", instance="1", job="api-server"} 150"""),
     C("50m", """exp(vector(1))""", """{} 2.718281828459045"""),
     C("50m", """ln(vector(1))""", """{} 0"""),
     C("50m", """sqrt(vector(4))""", """{} 2"""),
@@ -170,69 +177,67 @@ class PromQLConformanceSpec extends SparkSpec {
     C("50m", """absent(http_requests)""", ""),
     C("50m", """absent(nonexistent{job="myjob", instance="a"})""",
       """{instance="a", job="myjob"} 1"""),
+    C("50m", """absent_over_time(nonexistent{job="myjob"}[1h])""",
+      """{job="myjob"} 1"""),
+    C("50m", """hour()""", """{} 0"""),
+    C("50m", """minute(vector(90))""", """{} 1"""),
+    C("50m", """month(vector(0))""", """{} 1"""),
+    C("50m", """year(vector(0))""", """{} 1970"""),
+    C("50m", """days_in_month(vector(0))""", """{} 31"""),
+    C("50m", """day_of_year(vector(0))""", """{} 1"""),
+    // subqueries: the inner instant vector on its own absolute-aligned
+    // grid, folded by the outer statistic (7m step dodges the
+    // documented closed-left boundary deviation)
+    C("50m", """max_over_time(http_requests{group="canary", instance="1", job="app-server"}[30m:5m])""",
+      """{group="canary", instance="1", job="app-server"} 800"""),
+    C("50m", """avg_over_time(http_requests{group="canary", instance="1", job="app-server"}[30m:7m])""",
+      """{group="canary", instance="1", job="app-server"} 528"""),
     C("50m", """timestamp(http_requests{group="canary", instance="1", job="api-server"})""",
-      """{group="canary", instance="1", job="api-server"} 3000""",
-      stripName = true),
+      """{group="canary", instance="1", job="api-server"} 3000"""),
     // range-vector functions over the counter-shaped series
     C("50m", """rate(http_requests{group="canary", instance="1", job="api-server"}[50m])""",
       "", skip = "documented deviation: rate/increase use the " +
         "observed-span definition; xrate/xincrease are the " +
         "Prometheus-exact extrapolated variants (swept below)"),
     C("50m", """xrate(http_requests{group="canary", instance="1", job="api-server"}[50m])""",
-      """{group="canary", instance="1", job="api-server"} 0.13333333333333333""",
-      stripName = true),
+      """{group="canary", instance="1", job="api-server"} 0.13333333333333333"""),
     C("50m", """xincrease(http_requests{group="canary", instance="1", job="api-server"}[50m])""",
-      """{group="canary", instance="1", job="api-server"} 400""",
-      stripName = true),
+      """{group="canary", instance="1", job="api-server"} 400"""),
     C("50m", """irate(http_requests{group="canary", instance="1", job="api-server"}[50m])""",
-      """{group="canary", instance="1", job="api-server"} 0.13333333333333333""",
-      stripName = true),
+      """{group="canary", instance="1", job="api-server"} 0.13333333333333333"""),
     C("50m", """idelta(http_requests{group="canary", instance="1", job="api-server"}[50m])""",
-      """{group="canary", instance="1", job="api-server"} 40""",
-      stripName = true),
+      """{group="canary", instance="1", job="api-server"} 40"""),
     C("50m", """changes(http_requests{group="canary", instance="1", job="api-server"}[50m])""",
-      """{group="canary", instance="1", job="api-server"} 9""",
-      stripName = true),
-    C("25m", """resets(reset_counter[25m])""", """{} 1""", stripName = true),
-    C("50m", """deriv(linear[50m])""", """{} 0.033333333333333333""",
-      stripName = true),
-    C("50m", """predict_linear(linear[50m], 3600)""", """{} 220""",
-      stripName = true),
+      """{group="canary", instance="1", job="api-server"} 9"""),
+    C("25m", """resets(reset_counter[25m])""", """{} 1"""),
+    C("50m", """deriv(linear[50m])""", """{} 0.033333333333333333"""),
+    C("50m", """predict_linear(linear[50m], 3600)""", """{} 220"""),
     C("50m", """delta(linear[50m])""",
       "", skip = "documented deviation: delta is last-minus-first over " +
         "observed samples, not boundary-extrapolated"),
     C("50m", """max_over_time(http_requests{group="canary", instance="1", job="app-server"}[30m])""",
-      """{group="canary", instance="1", job="app-server"} 800""",
-      stripName = true),
+      """{group="canary", instance="1", job="app-server"} 800"""),
     C("50m", """min_over_time(http_requests{group="canary", instance="1", job="app-server"}[30m])""",
-      """{group="canary", instance="1", job="app-server"} 400""",
-      stripName = true),
+      """{group="canary", instance="1", job="app-server"} 400"""),
     C("50m", """avg_over_time(http_requests{group="canary", instance="1", job="app-server"}[30m])""",
-      """{group="canary", instance="1", job="app-server"} 600""",
-      stripName = true),
+      """{group="canary", instance="1", job="app-server"} 600"""),
     C("50m", """sum_over_time(http_requests{group="canary", instance="1", job="app-server"}[30m])""",
-      """{group="canary", instance="1", job="app-server"} 3600""",
-      stripName = true),
+      """{group="canary", instance="1", job="app-server"} 3600"""),
     C("50m", """count_over_time(http_requests{group="canary", instance="1", job="app-server"}[30m])""",
-      """{group="canary", instance="1", job="app-server"} 6""",
-      stripName = true),
+      """{group="canary", instance="1", job="app-server"} 6"""),
     C("50m", """last_over_time(http_requests{group="canary", instance="1", job="app-server"}[30m])""",
       """http_requests{group="canary", instance="1", job="app-server"} 800"""),
     C("50m", """quantile_over_time(0.5, http_requests{group="canary", instance="1", job="app-server"}[30m])""",
-      """{group="canary", instance="1", job="app-server"} 600""",
-      stripName = true),
+      """{group="canary", instance="1", job="app-server"} 600"""),
     C("50m", """stddev_over_time(http_requests{group="canary", instance="1", job="app-server"}[30m])""",
-      """{group="canary", instance="1", job="app-server"} 136.62601021279464""",
-      stripName = true)))
+      """{group="canary", instance="1", job="app-server"} 136.62601021279464""")))
 
   private val histograms = B("histograms", "5m", Seq(
     """h_bucket{le="1"} 0+1x10""",
     """h_bucket{le="2"} 0+3x10""",
     """h_bucket{le="+Inf"} 0+4x10"""), Seq(
-    C("50m", """histogram_quantile(0.5, h_bucket)""", """{} 1.5""",
-      stripName = true),
-    C("50m", """histogram_quantile(0.9, h_bucket)""", """{} 2""",
-      stripName = true)))
+    C("50m", """histogram_quantile(0.5, h_bucket)""", """{} 1.5"""),
+    C("50m", """histogram_quantile(0.9, h_bucket)""", """{} 2""")))
 
   private val countValues = B("count_values", "5m", Seq(
     """version{job="a"} 6""",
@@ -243,13 +248,16 @@ class PromQLConformanceSpec extends SparkSpec {
         |{version="7"} 1""")))
 
   private val staleness = B("staleness", "10s", Seq(
-    """metric 0 1 stale 2"""), Seq(
+    """metric 0 1 stale 2""",
+    """sc 0 10 stale 30"""), Seq(
     C("10s", """metric""", """metric 1"""),
     C("20s", """metric""", ""),
     C("25s", """metric""", ""),
     C("30s", """metric""", """metric 2"""),
-    C("31s", """count_over_time(metric[31s])""", """{} 2""",
-      stripName = true)))
+    C("31s", """count_over_time(metric[31s])""", """{} 2"""),
+    // markers are invisible to range functions: the pair (10, 30)
+    // spans the marker; Prometheus extrapolation sees 2 live samples
+    C("31s", """xincrease(sc[31s])""", """{} 31""")))
 
   private val labelFns = B("label functions", "5m", Seq(
     """q{a="x"} 1"""), Seq(
@@ -339,7 +347,7 @@ class PromQLConformanceSpec extends SparkSpec {
   private val NonLabelCols =
     Set("time", "value", "t", "n", "rank", "rvalue", "bucket")
 
-  private def resultRows(df: DataFrame, stripName: Boolean)
+  private def resultRows(df: DataFrame)
       : Seq[(Map[String, String], Double)] = {
     val cols = df.columns
     df.collect().toSeq.map { r =>
@@ -352,7 +360,7 @@ class PromQLConformanceSpec extends SparkSpec {
         case d: java.lang.Double => d.doubleValue()
         case other => other.toString.toDouble
       }
-      (if (stripName) labels - "__name__" else labels, v)
+      (labels, v)
     }
   }
 
@@ -368,7 +376,7 @@ class PromQLConformanceSpec extends SparkSpec {
       val want = parseExpected(c.expected)
       val got =
         try resultRows(PromQL.evalStrict(PromQL.parse(c.query), wide, at,
-          Lookback, start = 0L, end = at), c.stripName)
+          Lookback, start = 0L, end = at))
         catch { case e: Exception =>
           return Seq(s"[${b.name}] ${c.query} at ${c.at}: threw $e")
         }
@@ -395,7 +403,7 @@ class PromQLConformanceSpec extends SparkSpec {
     val skips = blocks.flatMap(_.cases.filter(_.skip.nonEmpty))
     // the headline numbers the coverage claim rests on — update when
     // cases are added, never by deleting failing cases
-    assert(evals === 73)
+    assert(evals === 90)
     assert(skips.size === 3)
     // every skip names its documented deviation
     assert(skips.forall(_.skip.nonEmpty))
