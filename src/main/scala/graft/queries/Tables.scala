@@ -8,15 +8,29 @@ import org.apache.spark.sql.functions._
   */
 object Tables {
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
-    // events.parquet carries TIMESTAMP(NANOS), which Spark only reads as
-    // LongType behind this legacy flag; normalize to a microsecond
-    // TimestampType up front (lossless for this data — no sub-µs ticks)
-    // so every downstream operator sees a plain timestamp.
+    // events.parquet's `ts` encoding has varied across generator runs:
+    // TIMESTAMP(NANOS) (Spark reads as LongType nanos behind the legacy
+    // flag), TIMESTAMP(MICROS) isAdjustedToUTC=false (TIMESTAMP_NTZ), or
+    // a plain UTC TimestampType. Normalize every one of them to a
+    // microsecond TimestampType up front (lossless for this data — no
+    // sub-µs ticks; sessions run with spark.sql.session.timeZone=UTC, so
+    // the NTZ→TZ cast pins the same UTC epoch DuckDB's epoch_ms reads)
+    // so every downstream operator sees one plain timestamp type.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val df = spark.read.parquet(s"$sfDir/$name.parquet")
-    if (name == "events" && df.schema("ts").dataType == org.apache.spark.sql.types.LongType)
-      df.withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
-    else df
+    if (name == "events") normalizeTs(df) else df
+  }
+
+  /** Normalize an `events` frame's `ts` column to UTC TimestampType,
+    * whatever encoding the parquet writer used (see [[load]]). Shared
+    * with the streaming source, which must declare a schema up front. */
+  def normalizeTs(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType}
+    df.schema("ts").dataType match {
+      case LongType         => df.withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+      case TimestampNTZType => df.withColumn("ts", col("ts").cast("timestamp"))
+      case _                => df
+    }
   }
 
   /** `events` viewed as the reference's wide dynamic-column TSDB table

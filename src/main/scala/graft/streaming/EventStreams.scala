@@ -13,12 +13,13 @@ import org.apache.spark.sql.types._
   */
 object EventStreams {
 
-  // ts is stored TIMESTAMP(NANOS); Spark reads it as LongType (nanos)
-  // behind the legacy flag, normalized to TimestampType right after scan.
-  val eventSchema: StructType = StructType(Seq(
-    StructField("event_id", LongType), StructField("ts", LongType),
-    StructField("user_id", LongType), StructField("event_type", StringType),
-    StructField("value", DoubleType), StructField("props", StringType)))
+  // The file source requires an explicit schema. Hardcoding one broke
+  // when the data generator switched ts from TIMESTAMP(NANOS) to
+  // TIMESTAMP_NTZ (the declared LongType silently misread micros as
+  // nanos and every watermark collapsed to 1970) — so take the schema
+  // from the actual file footer via a one-time batch read at stream
+  // start, and normalize ts with the same shared rule the batch tier
+  // uses (Tables.normalizeTs).
 
   /** @param sfDir testdata directory containing events.parquet. The file
     * source requires a directory; a glob filter selects the events file. */
@@ -36,10 +37,12 @@ object EventStreams {
 
   def readEvents(spark: SparkSession, sfDir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.readStream.schema(eventSchema)
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(sfDir)
-      .withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+    val fileSchema = spark.read
+      .option("pathGlobFilter", "events.parquet").parquet(sfDir).schema
+    graft.queries.Tables.normalizeTs(
+      spark.readStream.schema(fileSchema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sfDir))
   }
 
   /** Tumbling-window aggregation with a watermark — late rows beyond
