@@ -18,6 +18,11 @@ object TsdbQueries {
 
   private val labelsTimeValue = Seq("`labels.k`", "`labels.name`", "`labels.user`", "time", "value")
 
+  // native-histogram bucket upper bounds (Q80-Q83): 50-wide bins to 400,
+  // +Inf overflow implicit — the same binning tsdb_q34 uses for classic
+  // le-series, so the two paths are directly comparable
+  private val NhBounds: Seq[Double] = (1 to 8).map(_ * 50.0)
+
   private def proj(df: DataFrame): DataFrame =
     df.select(labelsTimeValue.map(col): _*)
 
@@ -560,6 +565,69 @@ object TsdbQueries {
           """absent({name="no_such_metric",user="u1",k=~"x.*"})"""),
         eventsAsTsdbStored(s, dir), at = RangeEnd, lookbackMs = 86400000L,
         start = RangeStart, end = RangeEnd)),
+    // Q80-Q83: the NATIVE-HISTOGRAM family ([[graft.tsdb.NativeHistogram]])
+    // — whole histograms as single struct values (Prometheus NHCB), the
+    // feature the reference scopes out (hello.go:490 is ValFloat-only).
+    // Q80: build one histogram per series from raw samples (one map-side
+    // partial agg; the shuffle carries |series| structs, never samples)
+    // and read back histogram_count/sum/avg plus spot bucket counts.
+    "tsdb_q80_native_hist" -> ((s, dir) => {
+      import graft.tsdb.NativeHistogram._
+      val h = col("hist")
+      build(table(s, dir).select(RangeStart, RangeEnd, Nil).toDF(),
+        Seq(col("`labels.name`").as("name"), col("`labels.user`").as("user")),
+        col("value"), NhBounds)
+        .select(col("name"), col("user"),
+          histCount(h).cast("long").as("n"),
+          round(histSum(h), 4).as("sum_v"),
+          round(histAvg(h), 6).as("avg_v"),
+          element_at(h.getField("counts"), 1).cast("long").as("c_le50"),
+          element_at(h.getField("counts"), 4).cast("long").as("c_150_200"),
+          element_at(h.getField("counts"), 9).cast("long").as("c_inf"))
+    }),
+    // Q81: histogram_fraction — exact on bucket boundaries (100,300];
+    // linearly interpolated inside a straddled bucket (≤125 takes half
+    // of the (100,150] bucket)
+    "tsdb_q81_native_hist_fraction" -> ((s, dir) => {
+      import graft.tsdb.NativeHistogram._
+      val h = col("hist")
+      build(table(s, dir).select(RangeStart, RangeEnd, Nil).toDF(),
+        Seq(col("`labels.name`").as("name"), col("`labels.user`").as("user")),
+        col("value"), NhBounds)
+        .select(col("name"), col("user"),
+          round(histFraction(h, lit(100.0), lit(300.0)), 6).as("frac_mid"),
+          round(histFraction(h, lit(0.0), lit(125.0)), 6).as("frac_interp"))
+    }),
+    // Q82: histogram_quantile over ONE histogram value — a per-row fold
+    // over the bucket array (no join, no window); bit-matches the
+    // classic le-series path (tsdb_q34) on the same binning
+    "tsdb_q82_native_hist_quantile" -> ((s, dir) => {
+      import graft.tsdb.NativeHistogram._
+      val h = col("hist")
+      build(table(s, dir).select(RangeStart, RangeEnd, Nil).toDF(),
+        Seq(col("`labels.name`").as("name"), col("`labels.user`").as("user")),
+        col("value"), NhBounds)
+        .select(col("name"), col("user"),
+          histCount(h).cast("long").as("n"),
+          round(histQuantile(h, 0.5), 6).as("phi"))
+    }),
+    // Q83: vector sum(h) — merge per-series histograms across users into
+    // per-name histograms (element-wise bucket sums, partial-aggregated)
+    // and quantile the MERGED histogram
+    "tsdb_q83_native_hist_merge" -> ((s, dir) => {
+      import graft.tsdb.NativeHistogram._
+      val h = col("hist")
+      val perSeries = build(
+        table(s, dir).select(RangeStart, RangeEnd, Nil).toDF(),
+        Seq(col("`labels.name`").as("name"), col("`labels.user`").as("user")),
+        col("value"), NhBounds)
+      merge(perSeries, Seq(col("name")), NhBounds.size)
+        .select(col("name"),
+          histCount(h).cast("long").as("n"),
+          round(histSum(h), 4).as("sum_v"),
+          round(histAvg(h), 6).as("avg_v"),
+          round(histQuantile(h, 0.5), 6).as("phi"))
+    }),
     // Q60: time() + vector() through the PARSER — the grafana idiom
     // `sum(m) - vector(time())` (e.g. seconds-since-last-report):
     // time() resolves to the evaluation instant (scalar, const-folded),
@@ -1544,6 +1612,103 @@ object TsdbQueries {
          |  WHERE "labels.name" = 'no_such_metric' AND "labels.user" = 'u1'
          |    AND regexp_matches("labels.k", 'x.*')
          |    AND time > ${RangeEnd - 86400000L} AND time <= $RangeEnd) = 0""".stripMargin,
+    // Q80-Q83 native histograms: counts/sums/avg replay directly from the
+    // raw values; quantiles replay the bucket walk over the FULL bucket
+    // grid (every configured bound present, zero-count buckets included —
+    // exactly the builder's materialization, unlike q34's observed-only
+    // bins)
+    "tsdb_q80_native_hist" ->
+      s"""$duckTsdbCte
+         |SELECT "labels.name" AS name, "labels.user" AS "user",
+         |  count(*) AS n,
+         |  round(sum(value), 4) AS sum_v,
+         |  round(avg(value), 6) AS avg_v,
+         |  count(*) FILTER (value <= 50.0) AS c_le50,
+         |  count(*) FILTER (value > 150.0 AND value <= 200.0) AS c_150_200,
+         |  count(*) FILTER (value > 400.0) AS c_inf
+         |FROM t WHERE time > $RangeStart AND time < $RangeEnd
+         |GROUP BY 1, 2""".stripMargin,
+    "tsdb_q81_native_hist_fraction" ->
+      s"""$duckTsdbCte
+         |SELECT "labels.name" AS name, "labels.user" AS "user",
+         |  round((count(*) FILTER (value > 100.0 AND value <= 300.0))
+         |    / CAST(count(*) AS DOUBLE), 6) AS frac_mid,
+         |  round((count(*) FILTER (value <= 100.0)
+         |      + 0.5 * (count(*) FILTER (value > 100.0 AND value <= 150.0)))
+         |    / CAST(count(*) AS DOUBLE), 6) AS frac_interp
+         |FROM t WHERE time > $RangeStart AND time < $RangeEnd
+         |GROUP BY 1, 2""".stripMargin,
+    "tsdb_q82_native_hist_quantile" ->
+      s"""$duckTsdbCte,
+         |f AS (SELECT "labels.name" AS name, "labels.user" AS "user", value FROM t
+         |  WHERE time > $RangeStart AND time < $RangeEnd),
+         |les AS (SELECT unnest([50.0,100.0,150.0,200.0,250.0,300.0,350.0,400.0,
+         |  CAST('infinity' AS DOUBLE)]) AS le),
+         |b AS (SELECT name, "user", le,
+         |  (SELECT count(*) FROM f f2 WHERE f2.name = k.name AND f2."user" = k."user"
+         |    AND f2.value <= le
+         |    AND (le = 50.0 OR f2.value >
+         |      (CASE WHEN le = CAST('infinity' AS DOUBLE) THEN 400.0
+         |            ELSE le - 50.0 END))) AS cnt
+         |  FROM (SELECT DISTINCT name, "user" FROM f) k CROSS JOIN les),
+         |c AS (SELECT *, CAST(sum(cnt) OVER (PARTITION BY name, "user" ORDER BY le
+         |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS cum FROM b),
+         |w1 AS (SELECT *, max(cum) OVER (PARTITION BY name, "user") AS total FROM c),
+         |w2 AS (SELECT *, 0.5 * total AS rk FROM w1),
+         |w3 AS (SELECT *,
+         |  min(CASE WHEN cum >= rk THEN le END)
+         |    OVER (PARTITION BY name, "user") AS chosen_le,
+         |  max(CASE WHEN le <> CAST('infinity' AS DOUBLE) THEN le END)
+         |    OVER (PARTITION BY name, "user") AS max_finite_le
+         |  FROM w2),
+         |w4 AS (SELECT *,
+         |  max(CASE WHEN le < chosen_le THEN cum END)
+         |    OVER (PARTITION BY name, "user") AS cum_below,
+         |  max(CASE WHEN le < chosen_le THEN le END)
+         |    OVER (PARTITION BY name, "user") AS le_below
+         |  FROM w3)
+         |SELECT name, "user", CAST(total AS BIGINT) AS n,
+         |  round(CASE WHEN chosen_le = CAST('infinity' AS DOUBLE) THEN max_finite_le
+         |    ELSE coalesce(le_below, 0.0) + (chosen_le - coalesce(le_below, 0.0)) *
+         |      (rk - coalesce(cum_below, 0.0)) / (cum - coalesce(cum_below, 0.0))
+         |    END, 6) AS phi
+         |FROM w4 WHERE le = chosen_le""".stripMargin,
+    "tsdb_q83_native_hist_merge" ->
+      s"""$duckTsdbCte,
+         |f AS (SELECT "labels.name" AS name, value FROM t
+         |  WHERE time > $RangeStart AND time < $RangeEnd),
+         |les AS (SELECT unnest([50.0,100.0,150.0,200.0,250.0,300.0,350.0,400.0,
+         |  CAST('infinity' AS DOUBLE)]) AS le),
+         |b AS (SELECT name, le,
+         |  (SELECT count(*) FROM f f2 WHERE f2.name = k.name
+         |    AND f2.value <= le
+         |    AND (le = 50.0 OR f2.value >
+         |      (CASE WHEN le = CAST('infinity' AS DOUBLE) THEN 400.0
+         |            ELSE le - 50.0 END))) AS cnt
+         |  FROM (SELECT DISTINCT name FROM f) k CROSS JOIN les),
+         |c AS (SELECT *, CAST(sum(cnt) OVER (PARTITION BY name ORDER BY le
+         |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS cum FROM b),
+         |w1 AS (SELECT *, max(cum) OVER (PARTITION BY name) AS total FROM c),
+         |w2 AS (SELECT *, 0.5 * total AS rk FROM w1),
+         |w3 AS (SELECT *,
+         |  min(CASE WHEN cum >= rk THEN le END) OVER (PARTITION BY name) AS chosen_le,
+         |  max(CASE WHEN le <> CAST('infinity' AS DOUBLE) THEN le END)
+         |    OVER (PARTITION BY name) AS max_finite_le
+         |  FROM w2),
+         |w4 AS (SELECT *,
+         |  max(CASE WHEN le < chosen_le THEN cum END)
+         |    OVER (PARTITION BY name) AS cum_below,
+         |  max(CASE WHEN le < chosen_le THEN le END)
+         |    OVER (PARTITION BY name) AS le_below
+         |  FROM w3),
+         |agg AS (SELECT name, count(*) AS n, round(sum(value), 4) AS sum_v,
+         |  round(avg(value), 6) AS avg_v FROM f GROUP BY 1)
+         |SELECT agg.name, agg.n, agg.sum_v, agg.avg_v,
+         |  round(CASE WHEN chosen_le = CAST('infinity' AS DOUBLE) THEN max_finite_le
+         |    ELSE coalesce(le_below, 0.0) + (chosen_le - coalesce(le_below, 0.0)) *
+         |      (rk - coalesce(cum_below, 0.0)) / (cum - coalesce(cum_below, 0.0))
+         |    END, 6) AS phi
+         |FROM w4 JOIN agg ON w4.name = agg.name WHERE le = chosen_le""".stripMargin,
     "tsdb_q60_promql_time_vector" ->
       s"""$duckTsdbCte,
          |iv AS (SELECT list_extract(max([CAST(time AS DOUBLE), value]), 2) AS value

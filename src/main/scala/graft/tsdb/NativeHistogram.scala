@@ -1,0 +1,132 @@
+package graft.tsdb
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Native-histogram data model + function family
+  * (`histogram_count/sum/avg/fraction/quantile` and histogram `sum()`
+  * aggregation), the Prometheus feature the reference scopes out
+  * (hello.go:490 consumes `ValFloat` only; SURVEY §1.2).
+  *
+  * A histogram SAMPLE here is one struct value per series —
+  * `{count, sum, les, counts}` with `les` the ascending bucket upper
+  * bounds (last = +Inf) and `counts` the per-bucket NON-cumulative
+  * observation counts — i.e. Prometheus's "native histograms with custom
+  * buckets" (NHCB) shape, where a whole histogram travels as one value
+  * instead of classic `le`-labeled series. That single-column form is
+  * what makes the family cheap at scale: building is ONE map-side
+  * partial aggregation over samples, merging (`sum(h)` across series) is
+  * ONE aggregation over fixed-width arrays, and every scalar function is
+  * a per-row expression over an ~8-element array — no joins, no windows,
+  * no shuffle beyond the one the grouping itself requires.
+  *
+  * Quantile/fraction interpolation follows Prometheus's bucketQuantile
+  * contract, bit-matching [[VectorOps.histogramQuantile]] on the same
+  * binning: linear inside the chosen bucket, the first bucket's lower
+  * bound taken as 0 (non-negative data), a rank landing in the +Inf
+  * bucket returning the highest finite bound.
+  */
+object NativeHistogram {
+
+  /** Build one histogram struct per group from raw sample values: bucket
+    * i counts observations in `(les(i-1), les(i)]` (first bucket
+    * `(-Inf, les(0)]`, an implicit `+Inf` overflow bucket last). Each
+    * bucket count is a `sum(when(...))` — all partial-aggregatable, so
+    * the shuffle carries |groups| rows of ~|buckets| doubles, never
+    * samples. */
+  def build(df: DataFrame, groupCols: Seq[Column], valueCol: Column,
+            boundaries: Seq[Double]): DataFrame = {
+    require(boundaries.nonEmpty && boundaries == boundaries.sorted,
+      s"boundaries must be ascending: $boundaries")
+    val les = boundaries :+ Double.PositiveInfinity
+    val bucketCounts = les.zipWithIndex.map { case (le, i) =>
+      val lower = if (i == 0) Double.NegativeInfinity else les(i - 1)
+      sum(when(valueCol > lower && valueCol <= le, 1.0).otherwise(0.0))
+    }
+    df.groupBy(groupCols: _*).agg(
+      struct(
+        count(lit(1)).cast("double").as("count"),
+        sum(valueCol).as("sum"),
+        array(les.map(lit(_)): _*).as("les"),
+        array(bucketCounts: _*).as("counts")).as("hist"))
+  }
+
+  /** PromQL vector `sum(h)` — merge histograms across series (same
+    * boundary layout, enforced by the builder). One aggregation:
+    * counts merge element-wise via per-index sums, so partial (map-side)
+    * aggregation applies and the exchange carries merged structs only. */
+  def merge(df: DataFrame, groupCols: Seq[Column], nBoundaries: Int,
+            h: Column = col("hist")): DataFrame = {
+    val mergedCounts = (0 to nBoundaries).map(i =>
+      sum(element_at(h.getField("counts"), i + 1)))
+    df.groupBy(groupCols: _*).agg(
+      struct(
+        sum(h.getField("count")).as("count"),
+        sum(h.getField("sum")).as("sum"),
+        first(h.getField("les")).as("les"),
+        array(mergedCounts: _*).as("counts")).as("hist"))
+  }
+
+  /** `histogram_count(h)` — observation count. */
+  def histCount(h: Column): Column = h.getField("count")
+
+  /** `histogram_sum(h)` — sum of observations. */
+  def histSum(h: Column): Column = h.getField("sum")
+
+  /** `histogram_avg(h)` — mean observation. */
+  def histAvg(h: Column): Column = h.getField("sum") / h.getField("count")
+
+  /** Buckets as `array<struct<lower, le, c>>` with explicit lower
+    * bounds (first = 0, the non-negative-data contract). */
+  private def buckets(h: Column): Column = {
+    val les = h.getField("les")
+    val counts = h.getField("counts")
+    val idx = sequence(lit(0), size(les) - 1)
+    transform(idx, i => struct(
+      when(i === 0, lit(0.0)).otherwise(element_at(les, i)).as("lower"),
+      element_at(les, i + 1).as("le"),
+      element_at(counts, i + 1).as("c")))
+  }
+
+  /** Interpolated count of observations ≤ x: full buckets below x, plus
+    * the straddling bucket's count scaled linearly by how far x sits
+    * inside it. A finite x inside the +Inf bucket contributes none of
+    * that bucket (no width to interpolate over — Prometheus returns the
+    * same shape). */
+  def cumAt(h: Column, x: Column): Column =
+    aggregate(buckets(h), lit(0.0), (acc, b) => {
+      val lower = b.getField("lower"); val le = b.getField("le")
+      val c = b.getField("c")
+      acc + when(le <= x, c)
+        .when(lower >= x, lit(0.0))
+        .when(le === lit(Double.PositiveInfinity), lit(0.0))
+        .otherwise(c * (x - lower) / (le - lower))
+    })
+
+  /** `histogram_fraction(lo, hi, h)` — interpolated fraction of
+    * observations in `(lo, hi]`. Exact when lo/hi sit on bucket
+    * boundaries; linearly interpolated inside straddled buckets. */
+  def histFraction(h: Column, lo: Column, hi: Column): Column =
+    (cumAt(h, hi) - cumAt(h, lo)) / h.getField("count")
+
+  /** `histogram_quantile(q, h)` over ONE histogram value: a single
+    * left-to-right fold over the bucket array (codegen-free HOF, but
+    * over ≤ a few dozen elements per row — negligible next to the scan).
+    * Matches [[VectorOps.histogramQuantile]]'s classic-bucket math. */
+  def histQuantile(h: Column, q: Double): Column = {
+    val rank = lit(q) * h.getField("count")
+    val zero = struct(lit(0.0).as("cum"), lit(null).cast("double").as("res"))
+    aggregate(buckets(h), zero, (acc, b) => {
+      val cum0 = acc.getField("cum"); val res0 = acc.getField("res")
+      val lower = b.getField("lower"); val le = b.getField("le")
+      val c = b.getField("c")
+      val cum1 = cum0 + c
+      val res1 = when(res0.isNotNull, res0)
+        .when(cum1 >= rank,
+          when(le === lit(Double.PositiveInfinity), lower)
+            .otherwise(lower + (le - lower) * (rank - cum0) / c))
+        .otherwise(lit(null).cast("double"))
+      struct(cum1.as("cum"), res1.as("res"))
+    }, acc => acc.getField("res"))
+  }
+}

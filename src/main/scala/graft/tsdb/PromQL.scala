@@ -78,6 +78,13 @@ import graft.model.Matcher
   * the bit pattern cannot survive a shuffle). Instant lookback ends a
   * series at a marker ([[RangeVectors.instant]]); range selections skip
   * markers entirely ([[PromQL.live]]), both per Prometheus 3.
+  *
+  * Native histograms: the float-sample PromQL tier (this file) does not
+  * carry histogram-typed samples — the reference is ValFloat-only too
+  * (hello.go:490). The `histogram_count/sum/avg/fraction/quantile`
+  * family and histogram `sum()` merging ARE available at the DataFrame
+  * tier over struct-valued histogram columns ([[NativeHistogram]],
+  * oracle-checked as tsdb_q80-q83).
   */
 object PromQL {
 
