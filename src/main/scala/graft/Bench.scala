@@ -44,26 +44,39 @@ object Bench {
     // generated class once (Janino), a JVM-lifetime cost that a long-
     // running cluster pays once; timing the second pass measures the
     // engine, not the compiler.
-    spark.read.parquet(s"$sfDir/region.parquet").count()
+    try spark.read.parquet(s"$sfDir/region.parquet").count()
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] warmup scan FAILED: ${e.getMessage}") }
     // ...including the WRITE path (committer/codegen init is a JVM-
     // lifetime cost): warm the REAL ingest pipeline — events read (nanos
     // flag, props regexp codegen), range sampling, sort, parquet v2
     // writer — on a tiny slice, so the timed ingest measures the engine,
     // not first-touch class loading
-    locally {
+    // Nothing before the timed loop may abort the run: round 8 lost its
+    // ENTIRE bench artifact because an analysis exception in this warmup
+    // escaped (testdata schema drift). A failed warmup only costs
+    // first-touch noise on the affected path; a failed ingest reports -1
+    // for that metric — either way the JSON line still prints.
+    try {
       val tmp = java.nio.file.Files.createTempDirectory("graft_warm_").toString
       graft.tsdb.TsdbIngest.write(
         graft.queries.Tables.eventsAsTsdb(spark, sfDir).limit(2000),
         tmp, timePartitions = 2)
       spark.read.parquet(tmp).count()
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] warmup FAILED: ${e.getMessage}")
     }
 
     // the tsdb_* queries read a write-once sorted materialization
     // (queries.Tables.eventsAsTsdbStored); time that ingest as its own
     // metric so query numbers measure queries, not the one-time build
     val tIngest0 = System.nanoTime()
-    graft.queries.Tables.eventsAsTsdbStored(spark, sfDir).count()
-    val ingestSec = (System.nanoTime() - tIngest0) / 1e9
+    val ingestOk =
+      try { graft.queries.Tables.eventsAsTsdbStored(spark, sfDir).count(); true }
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] ingest FAILED: ${e.getMessage}"); false }
+    val ingestSec =
+      if (ingestOk) (System.nanoTime() - tIngest0) / 1e9 else -1.0
 
     headline.filter(SparkEntry.queries.contains).foreach { name =>
       try SparkEntry.queries(name)(spark, sfDir).count()

@@ -628,6 +628,22 @@ object TsdbQueries {
           round(histAvg(h), 6).as("avg_v"),
           round(histQuantile(h, 0.5), 6).as("phi"))
     }),
+    // Q84: histogram_stddev/stdvar — the bucket-midpoint spread ESTIMATE
+    // (observations are gone once histogrammed; Prometheus puts each
+    // bucket's mass at its midpoint, the +Inf bucket's at its lower
+    // bound). The oracle replays the identical estimate from the same
+    // bucket grid — NOT the raw-value stddev, which a histogram cannot
+    // recover.
+    "tsdb_q84_native_hist_stddev" -> ((s, dir) => {
+      import graft.tsdb.NativeHistogram._
+      val h = col("hist")
+      build(table(s, dir).select(RangeStart, RangeEnd, Nil).toDF(),
+        Seq(col("`labels.name`").as("name"), col("`labels.user`").as("user")),
+        col("value"), NhBounds)
+        .select(col("name"), col("user"),
+          round(histStdvar(h), 6).as("stdvar"),
+          round(histStddev(h), 6).as("stddev"))
+    }),
     // Q60: time() + vector() through the PARSER — the grafana idiom
     // `sum(m) - vector(time())` (e.g. seconds-since-last-report):
     // time() resolves to the evaluation instant (scalar, const-folded),
@@ -1709,6 +1725,31 @@ object TsdbQueries {
          |      (rk - coalesce(cum_below, 0.0)) / (cum - coalesce(cum_below, 0.0))
          |    END, 6) AS phi
          |FROM w4 JOIN agg ON w4.name = agg.name WHERE le = chosen_le""".stripMargin,
+    "tsdb_q84_native_hist_stddev" ->
+      s"""$duckTsdbCte,
+         |f AS (SELECT "labels.name" AS name, "labels.user" AS "user", value FROM t
+         |  WHERE time > $RangeStart AND time < $RangeEnd),
+         |les AS (SELECT unnest([50.0,100.0,150.0,200.0,250.0,300.0,350.0,400.0,
+         |  CAST('infinity' AS DOUBLE)]) AS le),
+         |b AS (SELECT name, "user", le,
+         |  (SELECT count(*) FROM f f2 WHERE f2.name = k.name AND f2."user" = k."user"
+         |    AND f2.value <= le
+         |    AND (le = 50.0 OR f2.value >
+         |      (CASE WHEN le = CAST('infinity' AS DOUBLE) THEN 400.0
+         |            ELSE le - 50.0 END))) AS cnt
+         |  FROM (SELECT DISTINCT name, "user" FROM f) k CROSS JOIN les),
+         |m AS (SELECT name, "user", sum(value) AS sv, CAST(count(*) AS DOUBLE) AS n
+         |  FROM f GROUP BY 1, 2),
+         |e AS (SELECT b.name, b."user", b.cnt,
+         |  CASE WHEN b.le = CAST('infinity' AS DOUBLE) THEN 400.0
+         |       WHEN b.le = 50.0 THEN 25.0
+         |       ELSE b.le - 25.0 END AS mid,
+         |  m.sv / m.n AS mean, m.n AS n
+         |  FROM b JOIN m ON b.name = m.name AND b."user" = m."user")
+         |SELECT name, "user",
+         |  round(sum(cnt * (mid - mean) * (mid - mean)) / max(n), 6) AS stdvar,
+         |  round(sqrt(sum(cnt * (mid - mean) * (mid - mean)) / max(n)), 6) AS stddev
+         |FROM e GROUP BY 1, 2""".stripMargin,
     "tsdb_q60_promql_time_vector" ->
       s"""$duckTsdbCte,
          |iv AS (SELECT list_extract(max([CAST(time AS DOUBLE), value]), 2) AS value

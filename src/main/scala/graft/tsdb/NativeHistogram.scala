@@ -109,6 +109,25 @@ object NativeHistogram {
   def histFraction(h: Column, lo: Column, hi: Column): Column =
     (cumAt(h, hi) - cumAt(h, lo)) / h.getField("count")
 
+  /** `histogram_stdvar(h)` — the bucket-geometry variance ESTIMATE
+    * (Prometheus semantics: observations are not retained, so each
+    * bucket's mass sits at its midpoint `(lower+le)/2`; the +Inf
+    * bucket's at its lower bound). Mean is the exact `sum/count`. */
+  def histStdvar(h: Column): Column = {
+    val mean = histAvg(h)
+    val acc = aggregate(buckets(h), lit(0.0), (a, b) => {
+      val mid = when(b.getField("le") === lit(Double.PositiveInfinity),
+        b.getField("lower"))
+        .otherwise((b.getField("lower") + b.getField("le")) / 2)
+      val d = mid - mean
+      a + b.getField("c") * d * d
+    })
+    acc / h.getField("count")
+  }
+
+  /** `histogram_stddev(h)` — √[[histStdvar]]. */
+  def histStddev(h: Column): Column = sqrt(histStdvar(h))
+
   /** `histogram_quantile(q, h)` over ONE histogram value: a single
     * left-to-right fold over the bucket array (codegen-free HOF, but
     * over ≤ a few dozen elements per row — negligible next to the scan).

@@ -217,4 +217,19 @@ class PlanQualitySpec extends SparkSpec {
     assert(!plan.contains("rangepartitioning"),
       s"packing must not globally sort:\n$plan")
   }
+
+  test("native-histogram build partial-aggregates: one exchange carries structs, not samples") {
+    val plan = planOf("tsdb_q80_native_hist")
+    assert(plan.contains("partial_sum"),
+      s"bucket counts must map-side combine before the exchange:\n$plan")
+    assert(shuffleExchanges(plan) == 1,
+      s"histogram build should cost exactly the grouping shuffle:\n$plan")
+    // quantile/fraction over the struct are per-row folds — no window,
+    // no join may creep into the family
+    for (q <- Seq("tsdb_q82_native_hist_quantile", "tsdb_q84_native_hist_stddev")) {
+      val p = planOf(q)
+      assert(!p.contains("Window") && !p.contains("Join"),
+        s"$q must stay a per-row fold over the bucket array:\n$p")
+    }
+  }
 }

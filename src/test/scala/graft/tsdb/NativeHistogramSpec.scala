@@ -51,6 +51,18 @@ class NativeHistogramSpec extends SparkSpec {
     assert(phi(0.9) == 20.0)
   }
 
+  test("stddev/stdvar estimate from bucket midpoints (+Inf at its lower bound)") {
+    // buckets (0,10]=4 @5, (10,20]=3 @15, (20,+Inf]=3 @20; mean = 22.5
+    val mean = values.sum / 10
+    val expectedVar =
+      (4 * math.pow(5 - mean, 2) + 3 * math.pow(15 - mean, 2) +
+        3 * math.pow(20 - mean, 2)) / 10
+    val (sv, sd) = hist.select(histStdvar(col("hist")), histStddev(col("hist")))
+      .as[(Double, Double)].head()
+    assert(math.abs(sv - expectedVar) < 1e-9, s"stdvar=$sv expected=$expectedVar")
+    assert(sd == math.sqrt(sv))
+  }
+
   test("merge sums counts element-wise and quantiles the merged histogram") {
     val two = (values.map(("a", _)) ++ Seq(("b", 3.0), ("b", 50.0)))
       .toDF("g", "v")
