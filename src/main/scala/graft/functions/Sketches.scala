@@ -55,6 +55,67 @@ object Sketches {
 
   def alpha(m: Int): Double = 0.7213 / (1 + 1.079 / m)
 
+  /** Count-min sketch + heavy hitters with a DETERMINISTIC, portable
+    * estimate ([[duckCountMinSql]] replays it bit-for-bit in DuckDB).
+    *
+    * Sketch: `depth` hash rows × `width` cells; every input row
+    * increments one cell per hash row (`hash64(i ":" v) mod width`).
+    * Building is one partial-aggregated groupBy over (row, cell) — the
+    * shuffle carries ≤ depth·width counters per map partition, a few KB,
+    * regardless of input size. `est(v) = min_i cell[i][h_i(v)]` is the
+    * classic upper-bound estimate (error ≤ εN with ε = e/width at
+    * confidence 1−e^−depth).
+    *
+    * Heavy-hitter retrieval joins CANDIDATES against the broadcast
+    * sketch (depth·width rows — always broadcastable). Candidates here
+    * are the column's distinct values, which keeps the final top-k
+    * deterministic and oracle-checkable; at 100 TB substitute a bounded
+    * candidate pre-pass (per-partition top-n, or the keys of a sampled
+    * count) — the sketch and estimate math are unchanged, and the
+    * sketch is the part that must stay small and mergeable. */
+  def countMinTopK(df: DataFrame, valueCol: Column, k: Int,
+                   depth: Int = 4, width: Int = 512): DataFrame = {
+    require(depth >= 1 && width >= 1, s"bad sketch dims: $depth x $width")
+    def rowCells = explode(array((0 until depth).map(i =>
+      struct(lit(i).as("i"),
+        pmod(Hashing.hash64(col("_v"), i), lit(width.toLong)).as("cell"))): _*))
+    val src = df.select(valueCol.cast("string").as("_v"))
+    val cells = src.select(rowCells.as("rc"))
+      .groupBy(col("rc.i").as("i"), col("rc.cell").as("cell"))
+      .agg(count(lit(1)).as("cnt"))
+    src.distinct()
+      .select(col("_v"), rowCells.as("rc"))
+      .join(broadcast(cells),
+        col("rc.i") === col("i") && col("rc.cell") === col("cell"))
+      .groupBy(col("_v"))
+      .agg(min(col("cnt")).as("est_n"))
+      .orderBy(col("est_n").desc, col("_v").asc)
+      .limit(k)
+      .select(col("_v").as("value"), col("est_n"))
+  }
+
+  /** The DuckDB replica of [[countMinTopK]]: same cells, same min-over-
+    * rows estimate, same deterministic tie-break. `srcSql` must yield a
+    * single VARCHAR column `v`. */
+  def duckCountMinSql(srcSql: String, k: Int,
+                      depth: Int = 4, width: Int = 512): String = {
+    val hashCell = (vExpr: String, i: Int) =>
+      s"(${Hashing.duckHash64(vExpr, i)} % $width)"
+    val rowSelects = (0 until depth).map(i =>
+      s"SELECT $i AS i, ${hashCell("v", i)} AS cell FROM src_cm").mkString("\nUNION ALL ")
+    val candSelects = (0 until depth).map(i =>
+      s"SELECT v, $i AS i, ${hashCell("v", i)} AS cell FROM cand").mkString("\nUNION ALL ")
+    s"""WITH src_cm AS ($srcSql),
+       |inc AS ($rowSelects),
+       |cells AS (SELECT i, cell, count(*) AS cnt FROM inc GROUP BY 1, 2),
+       |cand AS (SELECT DISTINCT v FROM src_cm),
+       |cand_cells AS ($candSelects),
+       |est AS (SELECT v, min(cnt) AS est_n
+       |  FROM cand_cells JOIN cells USING (i, cell) GROUP BY 1)
+       |SELECT v AS value, est_n FROM est
+       |ORDER BY est_n DESC, v ASC LIMIT $k""".stripMargin
+  }
+
   /** The DuckDB SQL replica: same registers, ranks and estimate formula,
     * for oracle queries. `table`/`keyCols`/`valExpr` are SQL fragments. */
   def duckHllSql(table: String, keyCols: Seq[String], valExpr: String,

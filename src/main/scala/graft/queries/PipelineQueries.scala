@@ -257,6 +257,23 @@ object PipelineQueries {
         .groupBy(col("domain"))
         .agg(count(lit(1)).as("n"))
     }),
+    // count-min heavy hitters over the same domain stream: the sketch is
+    // depth×width counters built in ONE partial-aggregated pass (a few
+    // KB shuffled regardless of input size — the bounded-memory answer
+    // to "top domains over 100 TB"), estimates replayed bit-for-bit by
+    // the oracle through the portable md5 hash family
+    "pipe_q38_cm_heavy_hitters" -> ((s, dir) => {
+      val dirty = concat(col("text"),
+        lit(" see https://site"), pmod(col("doc_id"), lit(20)).cast("string"),
+        lit(".example.org/p/"), col("doc_id").cast("string"),
+        lit(" and http://cdn"), pmod(col("doc_id"), lit(5)).cast("string"),
+        lit(".example.net/x"))
+      graft.functions.Sketches.countMinTopK(
+        load(s, dir, "documents")
+          .select(explode(regexp_extract_all(dirty,
+            lit("https?://([A-Za-z0-9.-]+)"), lit(1))).as("domain")),
+        col("domain"), k = 10)
+    }),
 
     // stratified sampling via the portable hash: per-language rates
     // (en 50%, others 20%), deterministic per doc — membership never
@@ -491,6 +508,25 @@ object PipelineQueries {
         .select(col("window_start"), col("event_type"), col("user_id"),
           col("n"), round(col("total_value"), 4).as("total_value"),
           round(col("delta_v"), 6).as("delta_v"))),
+    // streaming native-histogram recording rule: per-(hour, event_type)
+    // histogram structs maintained incrementally (fixed-width state per
+    // window — NativeHistogram.histAgg partial-aggregates); scalar reads
+    // (count/sum/bucket counts/boundary-aligned fraction) are exact, so
+    // the STREAMED histogram is hash-checked against batch SQL
+    "stream_q13_histogram_rule" -> ((s, dir) => {
+      import graft.tsdb.NativeHistogram._
+      val h = col("hist")
+      EventStreams.runToMemory(
+        EventStreams.histogramRule(EventStreams.readEvents(s, dir),
+          boundaries = (1 to 8).map(_ * 50.0)),
+        "stream_q13_histogram_rule", mode = "append")
+        .select(col("window_start"), col("event_type"),
+          histCount(h).cast("long").as("n"),
+          round(histSum(h), 4).as("sum_v"),
+          element_at(h.getField("counts"), 1).cast("long").as("c_le50"),
+          element_at(h.getField("counts"), 9).cast("long").as("c_inf"),
+          round(histFraction(h, lit(100.0), lit(300.0)), 6).as("frac_mid"))
+    }),
     "stream_q1_windowed" -> ((s, dir) =>
       EventStreams.runToMemory(
         EventStreams.windowedCounts(EventStreams.readEvents(s, dir)),
@@ -941,6 +977,17 @@ object PipelineQueries {
         |u AS (SELECT unnest(regexp_extract_all(dirty,
         |    'https?://([A-Za-z0-9.-]+)', 1)) AS domain FROM d)
         |SELECT domain, count(*) AS n FROM u GROUP BY 1""".stripMargin,
+    // NB srcSql must stay one line: duckCountMinSql stripMargins the
+    // composed query, which would eat the first pipe of any embedded ||
+    "pipe_q38_cm_heavy_hitters" ->
+      graft.functions.Sketches.duckCountMinSql(
+        "SELECT unnest(regexp_extract_all(" +
+          "text || ' see https://site' || CAST(doc_id % 20 AS VARCHAR)" +
+          " || '.example.org/p/' || CAST(doc_id AS VARCHAR)" +
+          " || ' and http://cdn' || CAST(doc_id % 5 AS VARCHAR)" +
+          " || '.example.net/x', 'https?://([A-Za-z0-9.-]+)', 1)) AS v" +
+          " FROM documents",
+        k = 10),
     "pipe_q26_contamination" ->
       s"""WITH sh AS (SELECT doc_id,
          |  unnest(list_distinct(${duckShingles(ShingleK)})) AS shingle
@@ -1131,6 +1178,18 @@ object PipelineQueries {
     "stream_q6_append_windows" ->
       """SELECT date_trunc('hour', ts) AS window_start, event_type,
         |  count(*) AS n, round(sum(value), 4) AS total_value
+        |FROM events GROUP BY 1, 2
+        |HAVING CAST(epoch_ms(date_trunc('hour', ts)) AS BIGINT) + 3600000 <=
+        |  (SELECT CAST(epoch_ms(max(ts)) AS BIGINT) FROM events) - 3600000""".stripMargin,
+    // same append-mode emission rule as stream_q6 (window end ≤ terminal
+    // watermark); scalar histogram reads replayed from the raw values
+    "stream_q13_histogram_rule" ->
+      """SELECT date_trunc('hour', ts) AS window_start, event_type,
+        |  count(*) AS n, round(sum(value), 4) AS sum_v,
+        |  count(*) FILTER (value <= 50.0) AS c_le50,
+        |  count(*) FILTER (value > 400.0) AS c_inf,
+        |  round((count(*) FILTER (value > 100.0 AND value <= 300.0))
+        |    / CAST(count(*) AS DOUBLE), 6) AS frac_mid
         |FROM events GROUP BY 1, 2
         |HAVING CAST(epoch_ms(date_trunc('hour', ts)) AS BIGINT) + 3600000 <=
         |  (SELECT CAST(epoch_ms(max(ts)) AS BIGINT) FROM events) - 3600000""".stripMargin,

@@ -172,6 +172,26 @@ object EventStreams {
         col("user_id"), col("n"), col("total_value"),
         (col("last_v") - col("first_v")).as("delta_v"))
 
+  /** Histogram recording rule: the continuously-maintained per-window
+    * NATIVE histogram ([[graft.tsdb.NativeHistogram]]) — how a TSDB keeps
+    * latency/size distributions queryable 24/7 without retaining raw
+    * samples. The histogram aggregate is the same partial-aggregatable
+    * expression the batch tier uses, so streaming state per key is one
+    * fixed-width struct (count, sum, |buckets| doubles) — independent of
+    * window row count, the only state shape that survives 100 TB/day.
+    * Append mode: a window's histogram emits once, final, when the
+    * watermark passes it. */
+  def histogramRule(events: DataFrame,
+                    boundaries: Seq[Double],
+                    window_ : String = "1 hour",
+                    watermark: String = "1 hour"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), window_), col("event_type"))
+      .agg(graft.tsdb.NativeHistogram.histAgg(col("value"), boundaries).as("hist"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("hist"))
+
   /** Run any of the above to completion against static files through the
     * streaming engine and return the materialized result (test/verify
     * harness — exercises the real incremental execution path). */

@@ -35,7 +35,15 @@ object NativeHistogram {
     * the shuffle carries |groups| rows of ~|buckets| doubles, never
     * samples. */
   def build(df: DataFrame, groupCols: Seq[Column], valueCol: Column,
-            boundaries: Seq[Double]): DataFrame = {
+            boundaries: Seq[Double]): DataFrame =
+    df.groupBy(groupCols: _*).agg(histAgg(valueCol, boundaries).as("hist"))
+
+  /** The histogram as a raw AGGREGATE EXPRESSION, usable under any
+    * grouping — batch groupBy above, or a watermarked streaming window
+    * ([[graft.streaming.EventStreams.histogramRule]]): every component
+    * (count/sum/conditional bucket sums) partial-aggregates, which is
+    * also exactly what incremental streaming state needs. */
+  def histAgg(valueCol: Column, boundaries: Seq[Double]): Column = {
     require(boundaries.nonEmpty && boundaries == boundaries.sorted,
       s"boundaries must be ascending: $boundaries")
     val les = boundaries :+ Double.PositiveInfinity
@@ -43,12 +51,11 @@ object NativeHistogram {
       val lower = if (i == 0) Double.NegativeInfinity else les(i - 1)
       sum(when(valueCol > lower && valueCol <= le, 1.0).otherwise(0.0))
     }
-    df.groupBy(groupCols: _*).agg(
-      struct(
-        count(lit(1)).cast("double").as("count"),
-        sum(valueCol).as("sum"),
-        array(les.map(lit(_)): _*).as("les"),
-        array(bucketCounts: _*).as("counts")).as("hist"))
+    struct(
+      count(lit(1)).cast("double").as("count"),
+      sum(valueCol).as("sum"),
+      array(les.map(lit(_)): _*).as("les"),
+      array(bucketCounts: _*).as("counts"))
   }
 
   /** PromQL vector `sum(h)` — merge histograms across series (same

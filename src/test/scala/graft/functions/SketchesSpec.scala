@@ -26,4 +26,29 @@ class SketchesSpec extends SparkSpec {
         .collect().head.getDouble(1)
     assert(run(li.repartition(1)) == run(li.repartition(13)))
   }
+
+  test("count-min: estimates upper-bound truth; heavy hitters surface in order") {
+    import spark.implicits._
+    val data = (Seq.fill(50)("a") ++ Seq.fill(30)("b") ++ Seq.fill(5)("c") ++
+      (1 to 40).map(i => s"x$i")).toDF("v")
+    val top = Sketches.countMinTopK(data, col("v"), k = 3)
+      .as[(String, Long)].collect()
+    val truth = Map("a" -> 50L, "b" -> 30L, "c" -> 5L)
+    // CM never underestimates; with 43 keys in 4x512 cells overshoot is
+    // bounded by colliding mass (each colliding key adds its full count)
+    top.foreach { case (v, est) =>
+      assert(est >= truth.getOrElse(v, 1L), s"$v underestimated: $est")
+    }
+    assert(top.head._1 == "a" && top(1)._1 == "b",
+      s"heavy hitters out of order: ${top.toSeq}")
+  }
+
+  test("count-min estimate is invariant to partitioning (mergeable cells)") {
+    import spark.implicits._
+    val data = (1 to 500).map(i => s"k${i % 37}").toDF("v")
+    def run(df: org.apache.spark.sql.DataFrame) =
+      Sketches.countMinTopK(df, col("v"), k = 5)
+        .as[(String, Long)].collect().toSeq
+    assert(run(data.repartition(1)) == run(data.repartition(13)))
+  }
 }
