@@ -169,4 +169,38 @@ object TextPipeline {
       .where(pmod(graft.functions.Hashing.hash64(col(idCol).cast("string")),
         lit(1000000L)).cast("double") / 1000000.0 < rateCol)
   }
+
+  /** Unigram log-probability fluency score — the language-model-proxy
+    * quality filter of the CCNet/Gopher lineage, with the corpus itself
+    * as the LM: score(doc) = mean over its tokens of ln(count(token)/N).
+    * Gibberish/rare-token documents score far below fluent ones.
+    *
+    * Two passes, both shuffle-bounded by TOKENS not documents: (1) the
+    * unigram table (token → count) via one partial-aggregated groupBy;
+    * (2) doc tokens joined to it (at 100 TB the zipfian head covers
+    * almost all mass — broadcast the top-k vocabulary and join only the
+    * tail, same math). The per-doc mean folds SEQUENTIALLY over the
+    * position-sorted token log-probs (`aggregate` over the sorted
+    * array), so the result is bit-deterministic and the oracle replays
+    * the identical fold (summation-order-dependent float totals would
+    * otherwise diverge across engines).
+    */
+  def unigramLogProb(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = docs.select(col(idCol),
+      posexplode(graft.functions.TextFunctions.tokens(col(textCol)))
+        .as(Seq("pos", "tok")))
+    val freq = toks.groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+    // one scalar to the driver (corpus token total) — bounded by construction
+    val total = freq.agg(sum(col("cnt"))).head().getLong(0)
+    toks.join(freq, "tok")
+      .select(col(idCol), col("pos"),
+        log(col("cnt").cast("double") / lit(total.toDouble)).as("lp"))
+      .groupBy(col(idCol))
+      .agg(array_sort(collect_list(struct(col("pos"), col("lp")))).as("lps"))
+      .select(col(idCol),
+        size(col("lps")).cast("long").as("n_tokens"),
+        round(aggregate(col("lps"), lit(0.0),
+          (acc, x) => acc + x.getField("lp")) / size(col("lps")), 6)
+          .as("avg_logprob"))
+  }
 }

@@ -257,6 +257,12 @@ object PipelineQueries {
         .groupBy(col("domain"))
         .agg(count(lit(1)).as("n"))
     }),
+    // unigram LM-proxy fluency score (CCNet/Gopher-style quality filter,
+    // corpus-as-LM): mean ln(count(token)/N) per doc; sequential
+    // position-ordered fold ⇒ bit-deterministic across engines
+    "pipe_q39_unigram_logprob" -> ((s, dir) =>
+      graft.operators.TextPipeline.unigramLogProb(
+        load(s, dir, "documents"), "doc_id", "text")),
     // count-min heavy hitters over the same domain stream: the sketch is
     // depth×width counters built in ONE partial-aggregated pass (a few
     // KB shuffled regardless of input size — the bounded-memory answer
@@ -977,6 +983,23 @@ object PipelineQueries {
         |u AS (SELECT unnest(regexp_extract_all(dirty,
         |    'https?://([A-Za-z0-9.-]+)', 1)) AS domain FROM d)
         |SELECT domain, count(*) AS n FROM u GROUP BY 1""".stripMargin,
+    // identical sequential fold: 0.0-seeded left fold over the
+    // position-sorted log-probs, so float totals match bit-for-bit
+    "pipe_q39_unigram_logprob" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+        |tk AS (SELECT doc_id, unnest(ts) AS tok,
+        |  unnest(range(1, len(ts) + 1)) AS pos FROM d),
+        |fr AS (SELECT tok, count(*) AS cnt FROM tk GROUP BY 1),
+        |n AS (SELECT CAST(sum(cnt) AS DOUBLE) AS total FROM fr),
+        |lp AS (SELECT tk.doc_id, tk.pos,
+        |  ln(CAST(fr.cnt AS DOUBLE) / (SELECT total FROM n)) AS lp
+        |  FROM tk JOIN fr USING (tok)),
+        |g AS (SELECT doc_id,
+        |  list_sort(list([CAST(pos AS DOUBLE), lp])) AS lps FROM lp GROUP BY 1)
+        |SELECT doc_id, len(lps) AS n_tokens,
+        |  round(list_reduce(list_prepend(0.0, list_transform(lps, x -> x[2])),
+        |    (a, b) -> a + b) / len(lps), 6) AS avg_logprob
+        |FROM g""".stripMargin,
     // NB srcSql must stay one line: duckCountMinSql stripMargins the
     // composed query, which would eat the first pipe of any embedded ||
     "pipe_q38_cm_heavy_hitters" ->

@@ -201,3 +201,18 @@ class SkewJoinSpec extends SparkSpec {
     assert(canon(saltedLeft) == canon(plainLeft))
   }
 }
+
+class TextPipelineScoreSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("unigram logprob: common-token docs outscore rare-token docs; exact MLE math") {
+    // corpus: 8 tokens total; "a" appears 4x (p=1/2), b,c,d,e once (p=1/8)
+    val docs = Seq((1L, "a a a a"), (2L, "b c d e")).toDF("doc_id", "text")
+    val got = TextPipeline.unigramLogProb(docs, "doc_id", "text")
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got(1L)._1 == 4 && got(2L)._1 == 4)
+    assert(got(1L)._2 == math.rint(math.log(0.5) * 1e6) / 1e6)
+    assert(got(2L)._2 == math.rint(math.log(0.125) * 1e6) / 1e6)
+    assert(got(1L)._2 > got(2L)._2)
+  }
+}
