@@ -21,15 +21,24 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    val failed = scala.collection.mutable.ListBuffer.empty[String]
     SparkEntry.queries
       .filter { case (name, _) => only.isEmpty || only(name) }
       .foreach { case (name, fn) =>
         try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
           .parquet(s"$outDir/$name")
         catch { case e: Throwable =>
+          failed += name
           System.err.println(s"[verify] $name failed: ${e.getMessage}")
         }
       }
+    // end-of-run summary: a whole FAMILY failing on one shared upstream
+    // (round 8: every tsdb_* on a testdata schema change) reads as a
+    // driver crash in the artifact — make it unmissable in the log
+    if (failed.nonEmpty)
+      System.err.println(s"[verify] ${failed.size} of ${
+        SparkEntry.queries.count { case (n, _) => only.isEmpty || only(n) }
+      } queries FAILED: ${failed.sorted.mkString(", ")}")
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.

@@ -644,6 +644,19 @@ object TsdbQueries {
           round(histStdvar(h), 6).as("stdvar"),
           round(histStddev(h), 6).as("stddev"))
     }),
+    // Q85-Q87: the METADATA API ([[graft.tsdb.TsdbMeta]]) — Prometheus's
+    // /api/v1/labels, /label/<name>/values and /series endpoints, the
+    // surface dashboard variable queries hit constantly. Each is one
+    // pruned scan + a label-universe-bounded aggregation.
+    "tsdb_q85_label_names" -> ((s, dir) =>
+      graft.tsdb.TsdbMeta.labelNames(table(s, dir), RangeStart, RangeEnd,
+        Seq(Matcher.Re("user", "1.*")))),
+    "tsdb_q86_label_values" -> ((s, dir) =>
+      graft.tsdb.TsdbMeta.labelValues(table(s, dir), "k", RangeStart, RangeEnd,
+        Seq(Matcher.Eq("name", "click")))),
+    "tsdb_q87_series" -> ((s, dir) =>
+      graft.tsdb.TsdbMeta.series(table(s, dir), RangeStart, RangeEnd,
+        Seq(Matcher.Re("name", "p.*")))),
     // Q60: time() + vector() through the PARSER — the grafana idiom
     // `sum(m) - vector(time())` (e.g. seconds-since-last-report):
     // time() resolves to the evaluation instant (scalar, const-folded),
@@ -1725,6 +1738,30 @@ object TsdbQueries {
          |      (rk - coalesce(cum_below, 0.0)) / (cum - coalesce(cum_below, 0.0))
          |    END, 6) AS phi
          |FROM w4 JOIN agg ON w4.name = agg.name WHERE le = chosen_le""".stripMargin,
+    "tsdb_q85_label_names" ->
+      s"""$duckTsdbCte,
+         |f AS (SELECT * FROM t WHERE time > $RangeStart AND time < $RangeEnd
+         |  AND regexp_matches("labels.user", '1.*')),
+         |u AS (
+         |  SELECT 'k' AS label, count(nullif("labels.k", '')) AS c FROM f
+         |  UNION ALL SELECT 'name', count(nullif("labels.name", '')) FROM f
+         |  UNION ALL SELECT 'user', count(nullif("labels.user", '')) FROM f)
+         |SELECT label FROM u WHERE c > 0 ORDER BY label""".stripMargin,
+    "tsdb_q86_label_values" ->
+      s"""$duckTsdbCte
+         |SELECT DISTINCT nullif("labels.k", '') AS value FROM t
+         |WHERE time > $RangeStart AND time < $RangeEnd
+         |  AND "labels.name" = 'click'
+         |  AND nullif("labels.k", '') IS NOT NULL
+         |ORDER BY value""".stripMargin,
+    "tsdb_q87_series" ->
+      s"""$duckTsdbCte
+         |SELECT DISTINCT nullif("labels.k", '') AS k,
+         |  nullif("labels.name", '') AS name,
+         |  nullif("labels.user", '') AS "user"
+         |FROM t
+         |WHERE time > $RangeStart AND time < $RangeEnd
+         |  AND regexp_matches("labels.name", 'p.*')""".stripMargin,
     "tsdb_q84_native_hist_stddev" ->
       s"""$duckTsdbCte,
          |f AS (SELECT "labels.name" AS name, "labels.user" AS "user", value FROM t

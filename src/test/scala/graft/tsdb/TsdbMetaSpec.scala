@@ -1,0 +1,37 @@
+package graft.tsdb
+
+import graft.SparkSpec
+import graft.model.Matcher
+
+/** Metadata API semantics: `"" ≡ absent` must hold exactly — a label
+  * with only empty/NULL values in the matched slice is not a label. */
+class TsdbMetaSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val t = TsdbTable(
+    Seq(
+      (10L, 1.0, "x", ""),
+      (20L, 2.0, "y", null),
+      (30L, 3.0, "x", null))
+      .toDF("time", "value", "labels.a", "labels.b"))
+
+  test("labelNames drops labels whose every value is empty or NULL") {
+    val names = TsdbMeta.labelNames(t, 0L, 100L, Nil).as[String].collect().toSeq
+    assert(names == Seq("a"))
+  }
+
+  test("labelValues are distinct, sorted, empty-excluded") {
+    val vs = TsdbMeta.labelValues(t, "a", 0L, 100L, Nil).as[String].collect().toSeq
+    assert(vs == Seq("x", "y"))
+    assert(TsdbMeta.labelValues(t, "b", 0L, 100L, Nil).count() == 0)
+  }
+
+  test("series returns distinct normalized label sets, matcher-filtered") {
+    val all = TsdbMeta.series(t, 0L, 100L, Nil)
+      .as[(String, Option[String])].collect().toSet
+    assert(all == Set(("x", None), ("y", None)))
+    val matched = TsdbMeta.series(t, 0L, 100L, Seq(Matcher.Eq("a", "x")))
+      .as[(String, Option[String])].collect().toSet
+    assert(matched == Set(("x", None)))
+  }
+}
