@@ -830,6 +830,11 @@ object PromQL {
       // vector(scalar(v)) — scalar() already renders as the one-row
       // no-label vector
       eval(s, wide, at, lookbackMs, start, end)
+    case Fn("vector", arg, _) if isScalarTyped(arg) =>
+      // any scalar-TYPED expression (arithmetic over numbers, time(),
+      // scalar(v)) already evaluates to the one-row no-label frame —
+      // Prometheus's vector(s scalar) accepts the whole scalar grammar
+      eval(arg, wide, at, lookbackMs, start, end)
     case Fn("vector", _, _) =>
       throw new IllegalArgumentException(
         "vector() needs a scalar expression (a number or time())")
@@ -1688,6 +1693,8 @@ object PromQL {
           lookbackMs)
         case s @ Fn("scalar", _, _) =>
           evalRange(s, wide, start, end, stepMs, lookbackMs)
+        case e if isScalarTyped(e) =>
+          evalRange(e, wide, start, end, stepMs, lookbackMs)
         case _ => throw new IllegalArgumentException(
           "vector() needs a scalar expression (a number or time())")
       }
@@ -2110,6 +2117,18 @@ object PromQL {
     * scalars REQUIRE the `bool` modifier, exactly as Prometheus
     * enforces; the fold uses JVM doubles, which are IEEE-754, so NaN
     * comparison semantics match [[cmp]] for free. */
+  /** Prometheus's scalar TYPE, recursively: number literals, time(),
+    * scalar(v), and arithmetic/comparisons closed over them. The whole
+    * scalar grammar is admissible wherever a scalar is expected
+    * (vector(), aggregator params) — shape-matching on bare literals
+    * alone rejected e.g. `vector(scalar(m) / 36)`. */
+  def isScalarTyped(e: Expr): Boolean = e match {
+    case ScalarLit(_) | TimeLit => true
+    case Fn("scalar", _, _) => true
+    case BinOp(_, _, l, r, _, _, _, _) => isScalarTyped(l) && isScalarTyped(r)
+    case _ => false
+  }
+
   def fold(e: Expr): Expr = e match {
     case BinOp(op, on, l, r, bool, card, ign, carry) =>
       (fold(l), fold(r)) match {

@@ -97,8 +97,18 @@ class TsdbWalSpec extends SparkSpec {
       java.nio.file.Paths.get(s"$db/wal/00000000"))
     val seg1 = java.nio.file.Files.readAllBytes(
       java.nio.file.Paths.get(s"$db/wal/00000001"))
-    def put(name: String, bytes: Array[Byte]): Unit =
-      java.nio.file.Files.write(dir.resolve(name), bytes)
+    // atomic replace: the stream polls continuously in the background, and
+    // a plain truncate-then-write can surface a torn MID-WRITE state to a
+    // racing micro-batch (observed as a flake under full-suite load). The
+    // .tmp name doesn't match the 8-digit segment pattern, so the source
+    // never sees the staging file.
+    def put(name: String, bytes: Array[Byte]): Unit = {
+      val tmp = dir.resolve(name + ".tmp")
+      java.nio.file.Files.write(tmp, bytes)
+      java.nio.file.Files.move(tmp, dir.resolve(name),
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    }
     put("00000000", seg0.take(64 * 1024)) // torn mid-segment
 
     val q = spark.readStream.format("tsdb-wal-stream").load(dir.toString)

@@ -266,8 +266,58 @@ class PromQLConformanceSpec extends SparkSpec {
     C("1m", """label_join(q, "ab", "-", "a", "a")""",
       """q{a="x", ab="x-x"} 1""")))
 
+  private val functions2 = B("functions2", "5m", httpLoad ++ Seq(
+    """linear 0+10x10""",
+    """reset_counter 0 10 20 5 15 25"""), Seq(
+    C("50m", """clamp(http_requests{job="api-server"}, 150, 300)""",
+      """{group="production", instance="0", job="api-server"} 150
+        |{group="production", instance="1", job="api-server"} 200
+        |{group="canary", instance="0", job="api-server"} 300
+        |{group="canary", instance="1", job="api-server"} 300"""),
+    C("50m", """clamp_min(http_requests{job="api-server"}, 200)""",
+      """{group="production", instance="0", job="api-server"} 200
+        |{group="production", instance="1", job="api-server"} 200
+        |{group="canary", instance="0", job="api-server"} 300
+        |{group="canary", instance="1", job="api-server"} 400"""),
+    // negative offset (promql-negative-offset): the window shifts FORWARD
+    C("45m", """http_requests{group="canary", instance="0", job="api-server"} offset -5m""",
+      """http_requests{group="canary", instance="0", job="api-server"} 300"""),
+    C("50m", """group without (instance) (http_requests)""",
+      """{group="canary", job="api-server"} 1
+        |{group="canary", job="app-server"} 1
+        |{group="production", job="api-server"} 1
+        |{group="production", job="app-server"} 1"""),
+    C("50m", """avg without (instance) (http_requests{job="api-server"})""",
+      """{group="canary", job="api-server"} 350
+        |{group="production", job="api-server"} 150"""),
+    C("50m", """count_values("v", http_requests{job="api-server"})""",
+      """{v="100"} 1
+        |{v="200"} 1
+        |{v="300"} 1
+        |{v="400"} 1"""),
+    C("50m", """min_over_time(http_requests{group="canary", instance="1", job="app-server"}[30m])""",
+      """{group="canary", instance="1", job="app-server"} 400"""),
+    C("50m", """max_over_time(http_requests{group="canary", instance="1", job="app-server"}[30m])""",
+      """{group="canary", instance="1", job="app-server"} 800"""),
+    C("50m", """present_over_time(http_requests{group="canary", instance="1", job="app-server"}[1h])""",
+      """{group="canary", instance="1", job="app-server"} 1"""),
+    // last_over_time KEEPS the metric name (selector-like semantics)
+    C("50m", """last_over_time(http_requests{group="canary", instance="1", job="app-server"}[30m])""",
+      """http_requests{group="canary", instance="1", job="app-server"} 800"""),
+    C("25m", """changes(reset_counter[25m])""", """{} 4"""),
+    C("25m", """resets(reset_counter[25m])""", """{} 1"""),
+    C("25m", """quantile_over_time(0.5, reset_counter[25m])""", """{} 15"""),
+    C("25m", """stdvar_over_time(reset_counter[25m])""", """{} 50"""),
+    C("25m", """stddev_over_time(reset_counter[25m])""",
+      """{} 7.0710678118654755"""),
+    C("25m", """idelta(reset_counter[25m])""", """{} 10"""),
+    // least-squares kernels on exactly-linear data
+    C("50m", """deriv(linear[30m])""", """{} 0.03333333333333333"""),
+    C("50m", """predict_linear(linear[30m], 300)""", """{} 110"""),
+    C("50m", """vector(scalar(sum(http_requests)) / 36)""", """{} 100""")))
+
   private val blocks = Seq(aggregators, operators, binops, functions,
-    histograms, countValues, staleness, labelFns)
+    functions2, histograms, countValues, staleness, labelFns)
 
   // ---- harness ----
 
@@ -403,7 +453,7 @@ class PromQLConformanceSpec extends SparkSpec {
     val skips = blocks.flatMap(_.cases.filter(_.skip.nonEmpty))
     // the headline numbers the coverage claim rests on — update when
     // cases are added, never by deleting failing cases
-    assert(evals === 90)
+    assert(evals === 109)
     assert(skips.size === 3)
     // every skip names its documented deviation
     assert(skips.forall(_.skip.nonEmpty))

@@ -452,6 +452,15 @@ class PromQLSpec extends SparkSpec {
       .select(col("value")).as[Double].collect().toSeq === Seq(17.0))
     assert(evalQ("""vector(scalar(sum({name="up"})))""")
       .select(col("value")).as[Double].collect().toSeq === Seq(17.0))
+    // vector() admits the whole scalar GRAMMAR, not just bare forms —
+    // arithmetic over scalar()/numbers/time() is scalar-typed
+    assert(evalQ("""vector(scalar(sum({name="up"})) * 2 + 1)""")
+      .select(col("value")).as[Double].collect().toSeq === Seq(35.0))
+    assert(evalRange(parse("""vector(scalar(sum({name="up"})) * 2 + 1)"""),
+      wide, start = 0L, end = 86400000L, stepMs = 86400000L,
+      lookbackMs = 86400000L)
+      // t=0: sum 3 → 7; t=1d: sum 17 → 35
+      .select(col("value")).as[Double].collect().toSet === Set(7.0, 35.0))
     // range mode: per-step scalar joins on t
     val rt = evalRange(parse(
       """{name="up"} / scalar(sum({name="up"}))"""), wide,
