@@ -218,6 +218,27 @@ class PlanQualitySpec extends SparkSpec {
       s"packing must not globally sort:\n$plan")
   }
 
+  test("count-min top-k: broadcast sketch join, k-heap limit, no global sort") {
+    val plan = planOf("pipe_q38_cm_heavy_hitters")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"the depth x width sketch must broadcast, never shuffle-join:\n$plan")
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"top-k by estimate should plan per-partition k-heaps:\n$plan")
+  }
+
+  test("metadata API: matcher + time prefilter reach the parquet scan") {
+    // label_values reads one pruned slice — the Eq(name) matcher and the
+    // exclusive time range must be scan-level filters, not post-scan
+    val plan = planOf("tsdb_q86_label_values")
+    assert("PushedFilters: \\[[^\\]]*GreaterThan\\(time".r
+      .findFirstIn(plan).isDefined,
+      s"time range not pushed to the scan:\n$plan")
+    // dotted column names print backtick-quoted inside PushedFilters
+    assert("PushedFilters: \\[[^\\]]*EqualTo\\(`?labels\\.name`?,click".r
+      .findFirstIn(plan).isDefined,
+      s"name matcher not pushed to the scan:\n$plan")
+  }
+
   test("native-histogram build partial-aggregates: one exchange carries structs, not samples") {
     val plan = planOf("tsdb_q80_native_hist")
     assert(plan.contains("partial_sum"),
