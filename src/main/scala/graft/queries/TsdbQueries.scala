@@ -644,6 +644,32 @@ object TsdbQueries {
           round(histStdvar(h), 6).as("stdvar"),
           round(histStddev(h), 6).as("stddev"))
     }),
+    // Q88: rate over a native-histogram TIME SERIES — per-(series, day)
+    // histograms, each paired with its previous snapshot (lag over the
+    // series partition) and merged element-wise (histAdd zip_with, a
+    // per-row kernel), yielding the per-second observation rate over the
+    // trailing two windows per bucket — Prometheus's rate(h[2d]) shape.
+    // One build aggregation + one lag exchange; no pairwise joins.
+    "tsdb_q88_native_hist_rate" -> ((s, dir) => {
+      import graft.tsdb.NativeHistogram._
+      val daily = build(
+        table(s, dir).select(RangeStart, RangeEnd, Nil).toDF()
+          .withColumn("day", floor(col("time") / lit(86400000.0)).cast("long")),
+        Seq(col("`labels.name`").as("name"), col("`labels.user`").as("user"),
+          col("day")),
+        col("value"), NhBounds)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("name"), col("user")).orderBy(col("day"))
+      val merged = histAdd(col("hist"), col("prev"))
+      daily.withColumn("prev", lag(col("hist"), 1).over(w))
+        .where(col("prev").isNotNull)
+        .select(col("name"), col("user"), col("day"),
+          round(merged.getField("count") / lit(172800.0), 8).as("rate_total"),
+          round(element_at(merged.getField("counts"), 1) / lit(172800.0), 8)
+            .as("rate_le50"),
+          round(element_at(merged.getField("counts"), 9) / lit(172800.0), 8)
+            .as("rate_inf"))
+    }),
     // Q85-Q87: the METADATA API ([[graft.tsdb.TsdbMeta]]) — Prometheus's
     // /api/v1/labels, /label/<name>/values and /series endpoints, the
     // surface dashboard variable queries hit constantly. Each is one
@@ -1738,6 +1764,23 @@ object TsdbQueries {
          |      (rk - coalesce(cum_below, 0.0)) / (cum - coalesce(cum_below, 0.0))
          |    END, 6) AS phi
          |FROM w4 JOIN agg ON w4.name = agg.name WHERE le = chosen_le""".stripMargin,
+    "tsdb_q88_native_hist_rate" ->
+      s"""$duckTsdbCte,
+         |f AS (SELECT "labels.name" AS name, "labels.user" AS "user",
+         |  CAST(floor(time / 86400000.0) AS BIGINT) AS day, value FROM t
+         |  WHERE time > $RangeStart AND time < $RangeEnd),
+         |d AS (SELECT name, "user", day, count(*) AS n,
+         |  count(*) FILTER (value <= 50.0) AS c1,
+         |  count(*) FILTER (value > 400.0) AS c9
+         |  FROM f GROUP BY 1, 2, 3),
+         |p AS (SELECT name, "user", day, n, c1, c9,
+         |  lag(n) OVER w AS pn, lag(c1) OVER w AS pc1, lag(c9) OVER w AS pc9
+         |  FROM d WINDOW w AS (PARTITION BY name, "user" ORDER BY day))
+         |SELECT name, "user", day,
+         |  round((n + pn) / 172800.0, 8) AS rate_total,
+         |  round((c1 + pc1) / 172800.0, 8) AS rate_le50,
+         |  round((c9 + pc9) / 172800.0, 8) AS rate_inf
+         |FROM p WHERE pn IS NOT NULL""".stripMargin,
     "tsdb_q85_label_names" ->
       s"""$duckTsdbCte,
          |f AS (SELECT * FROM t WHERE time > $RangeStart AND time < $RangeEnd

@@ -74,6 +74,17 @@ object NativeHistogram {
         array(mergedCounts: _*).as("counts")).as("hist"))
   }
 
+  /** Pairwise histogram addition (same boundary layout): the kernel
+    * under windowed-rate composition — merging two window histograms of
+    * one series is a per-row `zip_with`, no aggregation at all. */
+  def histAdd(a: Column, b: Column): Column =
+    struct(
+      (a.getField("count") + b.getField("count")).as("count"),
+      (a.getField("sum") + b.getField("sum")).as("sum"),
+      a.getField("les").as("les"),
+      zip_with(a.getField("counts"), b.getField("counts"),
+        (x, y) => x + y).as("counts"))
+
   /** `histogram_count(h)` — observation count. */
   def histCount(h: Column): Column = h.getField("count")
 

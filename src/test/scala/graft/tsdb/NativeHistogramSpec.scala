@@ -73,6 +73,19 @@ class NativeHistogramSpec extends SparkSpec {
     assert(r == ((12.0, values.sum + 53.0, Seq(5.0, 3.0, 4.0))))
   }
 
+  test("histAdd merges two histograms element-wise, per row") {
+    val two = Seq(
+      ("a", Seq(1.0, 5.0, 12.0)), ("b", Seq(15.0, 25.0)))
+      .flatMap { case (g, vs) => vs.map((g, _)) }.toDF("g", "v")
+    val per = build(two, Seq(col("g")), col("v"), Seq(10.0, 20.0))
+    val pair = per.where(col("g") === "a").select(col("hist").as("ha"))
+      .crossJoin(per.where(col("g") === "b").select(col("hist").as("hb")))
+    val m = pair.select(histAdd(col("ha"), col("hb")).as("hist"))
+      .select(col("hist.count"), col("hist.sum"), col("hist.counts"))
+      .as[(Double, Double, Seq[Double])].head()
+    assert(m == ((5.0, 58.0, Seq(2.0, 2.0, 1.0))))
+  }
+
   test("native quantile equals the classic le-series path on the same binning") {
     // classic: explode the same observations into cumulative le series
     val obs = values.map(("a", _)).toDF("g", "v")
