@@ -314,7 +314,15 @@ class PromQLConformanceSpec extends SparkSpec {
     // least-squares kernels on exactly-linear data
     C("50m", """deriv(linear[30m])""", """{} 0.03333333333333333"""),
     C("50m", """predict_linear(linear[30m], 300)""", """{} 110"""),
-    C("50m", """vector(scalar(sum(http_requests)) / 36)""", """{} 100""")))
+    C("50m", """vector(scalar(sum(http_requests)) / 36)""", """{} 100"""),
+    // @ start()/end() pin the selector to the query range bounds
+    C("50m", """sum(http_requests @ start())""", """{} 0"""),
+    C("50m", """sum(http_requests @ end())""", """{} 3600"""),
+    C("50m", """log2(vector(8))""", """{} 3"""),
+    C("50m", """log10(vector(100))""", """{} 2"""),
+    C("50m", """vector(1) atan2 vector(1)""", """{} 0.7853981633974483"""),
+    C("50m", """sin(vector(0))""", """{} 0"""),
+    C("50m", """deg(vector(pi()))""", """{} 180""")))
 
   private val blocks = Seq(aggregators, operators, binops, functions,
     functions2, histograms, countValues, staleness, labelFns)
@@ -453,7 +461,7 @@ class PromQLConformanceSpec extends SparkSpec {
     val skips = blocks.flatMap(_.cases.filter(_.skip.nonEmpty))
     // the headline numbers the coverage claim rests on — update when
     // cases are added, never by deleting failing cases
-    assert(evals === 109)
+    assert(evals === 116)
     assert(skips.size === 3)
     // every skip names its documented deviation
     assert(skips.forall(_.skip.nonEmpty))
