@@ -1,12 +1,24 @@
 package graft
 
 import org.apache.spark.sql.SparkSession
+import scala.util.control.NonFatal
 
 /** Benchmark main — runs the headline queries on SPARK_GRAFT_SF_DIR and
   * prints ONE JSON line {"metric":…,"value":…,"queries":{…},"sf":…}.
   * Each query is forced with .count() (full plan execution, no collect
   * of payload to the driver). A warmup pass on the smallest table
-  * absorbs JVM/codegen startup so numbers reflect steady-state. */
+  * absorbs JVM/codegen startup so numbers reflect steady-state.
+  *
+  * The artifact is load-proofed: ambient machine load once inflated a
+  * round record 4× (BENCH_r09: 54.7 s recorded where an idle rerun
+  * measured 13.5 s). So the JSON now carries /proc/loadavg before and
+  * after, BOTH per-pass times for every query, and — when the total
+  * lands above 2× the measured idle-noise floor (BENCHNOISE.md:
+  * 12.1–15.5 s over identical sf0.1 runs) — the whole timed loop
+  * sleeps and reruns once, emitting both attempts and headlining the
+  * better one. A reader can always tell a loaded-box artifact from an
+  * engine regression without rerunning anything.
+  */
 object Bench {
   // Scan/join/agg/window/dedup/ANN mix — the queries whose plans carry
   // the 100 TB design decisions.
@@ -27,9 +39,24 @@ object Bench {
     "pipe_q30_packing", "pipe_q31_chunk_dedup", "pipe_q32_kmeans",
     "pipe_q33_semantic_dedup")
 
+  /** 1/5/15-minute fields of /proc/loadavg (empty off-Linux). */
+  private def loadavg(): Seq[Double] =
+    try new String(java.nio.file.Files.readAllBytes(
+          java.nio.file.Paths.get("/proc/loadavg")), "UTF-8")
+          .trim.split("\\s+").take(3).toSeq.map(_.toDouble)
+    catch { case NonFatal(_) => Seq.empty }
+
+  private def jsonArr(xs: Seq[Double]): String =
+    xs.mkString("[", ",", "]")
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    // Idle-machine noise-floor ceiling for the 35-query total at sf0.1
+    // (BENCHNOISE.md three-run spread 12.1–15.5 s). Totals above
+    // 2× this trigger one sleep-and-rerun; both attempts are recorded.
+    val floorSec =
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_FLOOR_SEC", "15.5").toDouble
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -44,8 +71,11 @@ object Bench {
     // generated class once (Janino), a JVM-lifetime cost that a long-
     // running cluster pays once; timing the second pass measures the
     // engine, not the compiler.
+    // Guards catch NonFatal only: an OutOfMemoryError/LinkageError means
+    // the JVM can no longer produce trustworthy numbers, so let it abort
+    // the run rather than record timings from a corrupted process.
     try spark.read.parquet(s"$sfDir/region.parquet").count()
-    catch { case e: Throwable =>
+    catch { case NonFatal(e) =>
       System.err.println(s"[bench] warmup scan FAILED: ${e.getMessage}") }
     // ...including the WRITE path (committer/codegen init is a JVM-
     // lifetime cost): warm the REAL ingest pipeline — events read (nanos
@@ -58,49 +88,79 @@ object Bench {
     // first-touch noise on the affected path; a failed ingest reports -1
     // for that metric — either way the JSON line still prints.
     try {
-      val tmp = java.nio.file.Files.createTempDirectory("graft_warm_").toString
+      val tmp = graft.queries.Tables.scratchDir("graft_warm_")
       graft.tsdb.TsdbIngest.write(
         graft.queries.Tables.eventsAsTsdb(spark, sfDir).limit(2000),
         tmp, timePartitions = 2)
       spark.read.parquet(tmp).count()
-    } catch { case e: Throwable =>
+    } catch { case NonFatal(e) =>
       System.err.println(s"[bench] warmup FAILED: ${e.getMessage}")
     }
 
     // the tsdb_* queries read a write-once sorted materialization
     // (queries.Tables.eventsAsTsdbStored); time that ingest as its own
-    // metric so query numbers measure queries, not the one-time build
+    // metric so query numbers measure queries, not the one-time build.
+    // Ingest is one-shot per JVM (the store is cached), so a load-flag
+    // rerun reuses this number — only the query loop repeats.
     val tIngest0 = System.nanoTime()
     val ingestOk =
       try { graft.queries.Tables.eventsAsTsdbStored(spark, sfDir).count(); true }
-      catch { case e: Throwable =>
+      catch { case NonFatal(e) =>
         System.err.println(s"[bench] ingest FAILED: ${e.getMessage}"); false }
     val ingestSec =
       if (ingestOk) (System.nanoTime() - tIngest0) / 1e9 else -1.0
 
-    headline.filter(SparkEntry.queries.contains).foreach { name =>
-      try SparkEntry.queries(name)(spark, sfDir).count()
-      catch { case _: Throwable => }
+    val fns = SparkEntry.queries
+    val names = headline.filter(fns.contains)
+
+    names.foreach { name =>
+      try fns(name)(spark, sfDir).count()
+      catch { case NonFatal(_) => }
     }
 
-    val fns = SparkEntry.queries
-    // two timed passes, keep the min — absorbs scheduler/GC noise so
-    // round-over-round numbers compare the engine, not the machine
-    val results = ("tsdb_ingest", ingestSec, 0L) +:
-      headline.filter(fns.contains).map { name =>
-      val secs = (1 to 2).map { _ =>
-        val t0 = System.nanoTime()
-        val n = try fns(name)(spark, sfDir).count()
-                catch { case e: Throwable =>
-                  System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
-                  -1L }
-        ((System.nanoTime() - t0) / 1e9, n)
+    // one timed attempt = two passes per query; min-of-2 absorbs
+    // transient scheduler/GC noise, and BOTH raw pass times go into the
+    // artifact so sustained load is visible after the fact
+    def timedAttempt(): Seq[(String, Seq[Double], Long)] =
+      names.map { name =>
+        val passes = (1 to 2).map { _ =>
+          val t0 = System.nanoTime()
+          val n = try fns(name)(spark, sfDir).count()
+                  catch { case NonFatal(e) =>
+                    System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+                    -1L }
+          ((System.nanoTime() - t0) / 1e9, n)
+        }
+        (name, passes.map(_._1), passes.head._2)
       }
-      (name, secs.map(_._1).min, secs.head._2)
+    def totalOf(a: Seq[(String, Seq[Double], Long)]): Double =
+      ingestSec + a.map(_._2.min).sum
+
+    val loadBefore = loadavg()
+    var attempts = Vector((timedAttempt(), loadavg()))
+    val loadFlagged = totalOf(attempts.head._1) > 2 * floorSec
+    if (loadFlagged) {
+      System.err.println(
+        f"[bench] total ${totalOf(attempts.head._1)}%.1f s > 2x noise floor " +
+        f"($floorSec%.1f s) — ambient load suspected; sleeping 30 s and rerunning")
+      Thread.sleep(30000)
+      attempts :+= ((timedAttempt(), loadavg()))
     }
-    val qs = results.map { case (k, v, _) => s""""$k":$v""" }.mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    val (best, _) = attempts.minBy { case (a, _) => totalOf(a) }
+
+    val results = ("tsdb_ingest", Seq(ingestSec), 0L) +: best
+    val qs = results.map { case (k, ps, _) => s""""$k":${ps.min}""" }
+      .mkString("{", ",", "}")
+    val passes = results.map { case (k, ps, _) => s""""$k":${jsonArr(ps)}""" }
+      .mkString("{", ",", "}")
+    val total = totalOf(best)
+    val line = s"""{"metric":"total","value":$total,"unit":"sec",""" +
+      s""""queries":$qs,"sf":"$sfDir"""" +
+      s""","passes":$passes""" +
+      s""","loadavg_before":${jsonArr(loadBefore)}""" +
+      s""","loadavg_after":${jsonArr(attempts.last._2)}""" +
+      s""","attempt_totals":${jsonArr(attempts.map(a => totalOf(a._1)))}""" +
+      s""","noise_floor_sec":$floorSec,"load_flagged":$loadFlagged}"""
     println(line)
     // side artifact in case stdout is swallowed by a wrapper
     java.nio.file.Files.write(java.nio.file.Paths.get("bench_out.json"),

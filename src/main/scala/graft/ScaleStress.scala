@@ -40,7 +40,7 @@ object ScaleStress {
       base.withColumn("labels.user", concat(col("`labels.user`"), lit("_" + i)))
         .withColumn("time", col("time") + lit(i * 1000L))
     }.reduce(_ unionByName _)
-    val dir = java.nio.file.Files.createTempDirectory("graft_scale").toString
+    val dir = Tables.scratchDir("graft_scale")
 
     time(s"ingest ${factor}x sorted")(TsdbIngest.write(xN, dir, timePartitions = 32))
     val t = TsdbTable(TsdbIngest.read(spark, dir))

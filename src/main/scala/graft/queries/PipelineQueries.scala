@@ -428,8 +428,8 @@ object PipelineQueries {
         unix_millis(col("ts")).as("time"), col("value"),
         map(lit("name"), col("event_type"),
           lit("user"), col("user_id").cast("string")).as("labels"))
-      val out = java.nio.file.Files.createTempDirectory("graft_sq5_out").toString
-      val ckpt = java.nio.file.Files.createTempDirectory("graft_sq5_ck").toString
+      val out = Tables.scratchDir("graft_sq5_out")
+      val ckpt = Tables.scratchDir("graft_sq5_ck")
       val q = graft.streaming.TsdbStreamIngest.start(long, out, ckpt)
       q.processAllAvailable(); q.stop()
       graft.tsdb.TsdbIngest.read(s, out)

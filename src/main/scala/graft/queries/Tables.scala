@@ -7,6 +7,24 @@ import org.apache.spark.sql.functions._
   * pack and the oracle SQL.
   */
 object Tables {
+  /** A temp directory deleted (recursively) when the JVM exits. The
+    * stored-table caches below are write-once per (JVM, sfDir); without
+    * the hook every local run leaked its /tmp/graft_* materializations
+    * across runs. Registered lazily per directory — Spark's own shutdown
+    * hooks don't read these paths, so deletion order is immaterial. */
+  def scratchDir(prefix: String): String = {
+    val p = java.nio.file.Files.createTempDirectory(prefix)
+    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      deleteRecursively(p.toFile)))
+    p.toString
+  }
+
+  private def deleteRecursively(f: java.io.File): Unit = {
+    val children = f.listFiles()
+    if (children != null) children.foreach(deleteRecursively)
+    f.delete(): Unit
+  }
+
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     // events.parquet's `ts` encoding has varied across generator runs:
     // TIMESTAMP(NANOS) (Spark reads as LongType nanos behind the legacy
@@ -58,8 +76,7 @@ object Tables {
   def eventsAsTsdbStored(spark: SparkSession, sfDir: String): DataFrame =
     storedCache.synchronized {
       storedCache.getOrElseUpdate((spark.sparkContext.applicationId, sfDir), {
-        val path = java.nio.file.Files
-          .createTempDirectory("graft_tsdb_").toString
+        val path = scratchDir("graft_tsdb_")
         // 8 time slices: fewer, bigger time-sorted files beat
         // one-per-core here (tighter row-group pruning, fewer footers);
         // at 100 TB the knob is bytes/partition, ~128-512 MB
@@ -84,8 +101,7 @@ object Tables {
           col("event_type").as("labels.__name__"),
           col("user_id").cast("string").as("labels.user"),
           regexp_extract(col("props"), "\"k\": (\\d+)", 1).as("labels.k"))
-        val path = java.nio.file.Files
-          .createTempDirectory("graft_tsdb_part_").toString
+        val path = scratchDir("graft_tsdb_part_")
         graft.tsdb.TsdbIngest.writePartitionedByMetric(wide, path)
         path
       })
@@ -107,8 +123,7 @@ object Tables {
           unix_millis(col("ts")).as("time"), col("value"),
           col("event_type").as("labels.name"),
           col("user_id").cast("string").as("labels.user"))
-        val path = java.nio.file.Files
-          .createTempDirectory("graft_tsdb_evo_").toString
+        val path = scratchDir("graft_tsdb_evo_")
         graft.tsdb.TsdbIngest.write(
           base.where(col("time") % 2 === 0), path)
         graft.tsdb.TsdbIngest.write(
@@ -141,8 +156,7 @@ object Tables {
             lit("user"), col("user_id").cast("string"),
             lit("k"), regexp_extract(col("props"), "\"k\": (\\d+)", 1))
             .as("labels"))
-        val path = java.nio.file.Files
-          .createTempDirectory("graft_tsdb_compact_").toString
+        val path = scratchDir("graft_tsdb_compact_")
         (0 until 7).foreach { b =>
           graft.streaming.TsdbStreamIngest.writeBatch(
             long.where(pmod(col("time"), lit(7)) === b), path, b.toLong,
@@ -169,8 +183,7 @@ object Tables {
   def eventsAsTsdbDeletedStored(spark: SparkSession, sfDir: String): DataFrame =
     deletedCache.synchronized {
       deletedCache.getOrElseUpdate((spark.sparkContext.applicationId, sfDir), {
-        val path = java.nio.file.Files
-          .createTempDirectory("graft_tsdb_del_").toString
+        val path = scratchDir("graft_tsdb_del_")
         graft.tsdb.TsdbIngest.write(eventsAsTsdb(spark, sfDir), path)
         graft.tsdb.TsdbRetention.delete(spark, path,
           Seq(graft.model.Matcher.Eq("name", "click")), RangeStart, RangeEnd)
@@ -187,8 +200,7 @@ object Tables {
   def eventsAsTsdbExpiredStored(spark: SparkSession, sfDir: String): DataFrame =
     expiredCache.synchronized {
       expiredCache.getOrElseUpdate((spark.sparkContext.applicationId, sfDir), {
-        val path = java.nio.file.Files
-          .createTempDirectory("graft_tsdb_exp_").toString
+        val path = scratchDir("graft_tsdb_exp_")
         graft.tsdb.TsdbIngest.write(eventsAsTsdb(spark, sfDir), path)
         val stats = graft.tsdb.TsdbRetention.expire(spark, path, RangeStart)
         require(stats.filesDropped > 0,
@@ -210,7 +222,7 @@ object Tables {
   def bucketedFacts(spark: SparkSession, sfDir: String): (DataFrame, DataFrame) = {
     bucketCache.synchronized {
       if (!bucketCache.contains((spark.sparkContext.applicationId, sfDir))) {
-        val base = java.nio.file.Files.createTempDirectory("graft_bucket_").toString
+        val base = scratchDir("graft_bucket_")
         def writeBucketed(name: String, key: String): Unit =
           load(spark, sfDir, name).write
             .bucketBy(16, key).sortBy(key)

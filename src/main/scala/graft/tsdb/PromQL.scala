@@ -2112,11 +2112,6 @@ object PromQL {
     }
   }
 
-  /** Recursively constant-fold scalar-scalar binary ops on the driver
-    * (the Prometheus scalar evaluation path). Comparisons between
-    * scalars REQUIRE the `bool` modifier, exactly as Prometheus
-    * enforces; the fold uses JVM doubles, which are IEEE-754, so NaN
-    * comparison semantics match [[cmp]] for free. */
   /** Prometheus's scalar TYPE, recursively: number literals, time(),
     * scalar(v), and arithmetic/comparisons closed over them. The whole
     * scalar grammar is admissible wherever a scalar is expected
@@ -2129,6 +2124,11 @@ object PromQL {
     case _ => false
   }
 
+  /** Recursively constant-fold scalar-scalar binary ops on the driver
+    * (the Prometheus scalar evaluation path). Comparisons between
+    * scalars REQUIRE the `bool` modifier, exactly as Prometheus
+    * enforces; the fold uses JVM doubles, which are IEEE-754, so NaN
+    * comparison semantics match [[cmp]] for free. */
   def fold(e: Expr): Expr = e match {
     case BinOp(op, on, l, r, bool, card, ign, carry) =>
       (fold(l), fold(r)) match {
