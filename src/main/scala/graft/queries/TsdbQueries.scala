@@ -670,6 +670,26 @@ object TsdbQueries {
           round(element_at(merged.getField("counts"), 9) / lit(172800.0), 8)
             .as("rate_inf"))
     }),
+    // Q89: STANDARD exponential-schema native histogram (schema 0 →
+    // base = 2^(2^0) = 2, bounds 1,2,4,…,512 — every boundary an exact
+    // double — plus Prometheus's zero bucket), built by the SAME one-pass
+    // partial agg as the NHCB family and quantiled by the same per-row
+    // fold: the exponential form is just a derived binning, so every
+    // kernel carries over unchanged.
+    "tsdb_q89_native_hist_exp" -> ((s, dir) => {
+      import graft.tsdb.NativeHistogram._
+      val h = col("hist")
+      buildExp(table(s, dir).select(RangeStart, RangeEnd, Nil).toDF(),
+        Seq(col("`labels.name`").as("name"), col("`labels.user`").as("user")),
+        col("value"), schema = 0, minExp = 0, maxExp = 9)
+        .select(col("name"), col("user"),
+          histCount(h).cast("long").as("n"),
+          round(histSum(h), 4).as("sum_v"),
+          element_at(h.getField("counts"), 2).cast("long").as("c_le1"),
+          element_at(h.getField("counts"), 9).cast("long").as("c_64_128"),
+          element_at(h.getField("counts"), 12).cast("long").as("c_inf"),
+          round(histQuantile(h, 0.5), 6).as("phi"))
+    }),
     // Q85-Q87: the METADATA API ([[graft.tsdb.TsdbMeta]]) — Prometheus's
     // /api/v1/labels, /label/<name>/values and /series endpoints, the
     // surface dashboard variable queries hit constantly. Each is one
@@ -1830,6 +1850,50 @@ object TsdbQueries {
          |  round(sum(cnt * (mid - mean) * (mid - mean)) / max(n), 6) AS stdvar,
          |  round(sqrt(sum(cnt * (mid - mean) * (mid - mean)) / max(n)), 6) AS stddev
          |FROM e GROUP BY 1, 2""".stripMargin,
+    // Q89 exponential schema: same bucket-grid replay as q82, over the
+    // schema-0 grid (zero bucket, 1,2,…,512, +Inf) with explicit
+    // (lower, le] pairs — the lower of the zero bucket is NULL (-Inf)
+    "tsdb_q89_native_hist_exp" ->
+      s"""$duckTsdbCte,
+         |f AS (SELECT "labels.name" AS name, "labels.user" AS "user", value FROM t
+         |  WHERE time > $RangeStart AND time < $RangeEnd),
+         |les AS (SELECT * FROM (VALUES (CAST(NULL AS DOUBLE), 0.0), (0.0, 1.0),
+         |  (1.0, 2.0), (2.0, 4.0), (4.0, 8.0), (8.0, 16.0), (16.0, 32.0),
+         |  (32.0, 64.0), (64.0, 128.0), (128.0, 256.0), (256.0, 512.0),
+         |  (512.0, CAST('infinity' AS DOUBLE))) AS v(lo, le)),
+         |b AS (SELECT name, "user", le,
+         |  (SELECT count(*) FROM f f2 WHERE f2.name = k.name AND f2."user" = k."user"
+         |    AND f2.value <= le AND (lo IS NULL OR f2.value > lo)) AS cnt
+         |  FROM (SELECT DISTINCT name, "user" FROM f) k CROSS JOIN les),
+         |c AS (SELECT *, CAST(sum(cnt) OVER (PARTITION BY name, "user" ORDER BY le
+         |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS cum FROM b),
+         |w1 AS (SELECT *, max(cum) OVER (PARTITION BY name, "user") AS total FROM c),
+         |w2 AS (SELECT *, 0.5 * total AS rk FROM w1),
+         |w3 AS (SELECT *,
+         |  min(CASE WHEN cum >= rk THEN le END)
+         |    OVER (PARTITION BY name, "user") AS chosen_le,
+         |  max(CASE WHEN le <> CAST('infinity' AS DOUBLE) THEN le END)
+         |    OVER (PARTITION BY name, "user") AS max_finite_le
+         |  FROM w2),
+         |w4 AS (SELECT *,
+         |  max(CASE WHEN le < chosen_le THEN cum END)
+         |    OVER (PARTITION BY name, "user") AS cum_below,
+         |  max(CASE WHEN le < chosen_le THEN le END)
+         |    OVER (PARTITION BY name, "user") AS le_below
+         |  FROM w3),
+         |agg AS (SELECT name, "user", count(*) AS n, round(sum(value), 4) AS sum_v,
+         |  count(*) FILTER (value > 0.0 AND value <= 1.0) AS c_le1,
+         |  count(*) FILTER (value > 64.0 AND value <= 128.0) AS c_64_128,
+         |  count(*) FILTER (value > 512.0) AS c_inf
+         |  FROM f GROUP BY 1, 2)
+         |SELECT agg.name, agg."user", agg.n, agg.sum_v, agg.c_le1, agg.c_64_128,
+         |  agg.c_inf,
+         |  round(CASE WHEN chosen_le = CAST('infinity' AS DOUBLE) THEN max_finite_le
+         |    ELSE coalesce(le_below, 0.0) + (chosen_le - coalesce(le_below, 0.0)) *
+         |      (rk - coalesce(cum_below, 0.0)) / (cum - coalesce(cum_below, 0.0))
+         |    END, 6) AS phi
+         |FROM w4 JOIN agg ON w4.name = agg.name AND w4."user" = agg."user"
+         |WHERE le = chosen_le""".stripMargin,
     "tsdb_q60_promql_time_vector" ->
       s"""$duckTsdbCte,
          |iv AS (SELECT list_extract(max([CAST(time AS DOUBLE), value]), 2) AS value

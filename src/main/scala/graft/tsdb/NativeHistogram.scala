@@ -38,6 +38,36 @@ object NativeHistogram {
             boundaries: Seq[Double]): DataFrame =
     df.groupBy(groupCols: _*).agg(histAgg(valueCol, boundaries).as("hist"))
 
+  /** Upper bounds for a STANDARD exponential schema (Prometheus native
+    * histograms proper, schemas −4..8, as opposed to the custom-bucket
+    * NHCB shape the rest of this family takes verbatim): bucket i covers
+    * `(base^(i−1), base^i]` with `base = 2^(2^−schema)`, so this returns
+    * `les = base^minExp .. base^maxExp` ascending. Computed as
+    * `2^(i·2^−schema)` — one exp2 per bound, the same formulation
+    * Prometheus uses, exact for schema ≤ 0 (integer powers of two) and
+    * a shared deterministic grid for positive schemas. The NHCB kernels
+    * (quantile/fraction/stddev/merge/rate) consume the result unchanged:
+    * an exponential histogram is just a derived binning. */
+  def exponentialLes(schema: Int, minExp: Int, maxExp: Int): Seq[Double] = {
+    require(schema >= -4 && schema <= 8,
+      s"standard schemas are -4..8 (factor 2^(2^-schema)): $schema")
+    require(minExp <= maxExp, s"empty bucket range: $minExp..$maxExp")
+    val invScale = math.pow(2.0, -schema) // 2^-schema, exact
+    (minExp to maxExp).map(i => math.pow(2.0, i * invScale))
+  }
+
+  /** [[build]] over schema-derived exponential boundaries. A `0.0`
+    * boundary is prepended — Prometheus's ZERO BUCKET — so non-positive
+    * observations get their own bucket and every exponential bucket
+    * keeps strictly positive width (interpolation stays well-defined).
+    * Merge compatibility across frames reduces to equal (schema,
+    * minExp, maxExp), which [[merge]]/[[histAdd]] enforce by layout
+    * size. */
+  def buildExp(df: DataFrame, groupCols: Seq[Column], valueCol: Column,
+               schema: Int, minExp: Int, maxExp: Int): DataFrame =
+    build(df, groupCols, valueCol,
+      0.0 +: exponentialLes(schema, minExp, maxExp))
+
   /** The histogram as a raw AGGREGATE EXPRESSION, usable under any
     * grouping — batch groupBy above, or a watermarked streaming window
     * ([[graft.streaming.EventStreams.histogramRule]]): every component
@@ -61,29 +91,49 @@ object NativeHistogram {
   /** PromQL vector `sum(h)` — merge histograms across series (same
     * boundary layout, enforced by the builder). One aggregation:
     * counts merge element-wise via per-index sums, so partial (map-side)
-    * aggregation applies and the exchange carries merged structs only. */
+    * aggregation applies and the exchange carries merged structs only.
+    * Layout compatibility is CHECKED per group (a cheap min/max over
+    * `size(les)` — two more partial-aggregatable scalars): summing
+    * counts positionally across different binnings would silently
+    * produce wrong buckets. Same-size layouts with different bounds
+    * remain the caller's contract (checking contents would mean
+    * shuffling the arrays themselves). */
   def merge(df: DataFrame, groupCols: Seq[Column], nBoundaries: Int,
             h: Column = col("hist")): DataFrame = {
+    val les = h.getField("les")
     val mergedCounts = (0 to nBoundaries).map(i =>
       sum(element_at(h.getField("counts"), i + 1)))
+    val layoutOk = assert_true(min(size(les)) === max(size(les)),
+      lit("NativeHistogram.merge: incompatible bucket layouts in group"))
+    // the guard rides on les AND counts — the two fields whose positional
+    // meaning a layout mismatch corrupts (count/sum stay well-defined
+    // regardless); nested-schema pruning keeps it free when neither is read
     df.groupBy(groupCols: _*).agg(
       struct(
         sum(h.getField("count")).as("count"),
         sum(h.getField("sum")).as("sum"),
-        first(h.getField("les")).as("les"),
-        array(mergedCounts: _*).as("counts")).as("hist"))
+        when(layoutOk.isNull, first(les)).as("les"),
+        when(layoutOk.isNull, array(mergedCounts: _*)).as("counts")).as("hist"))
   }
 
-  /** Pairwise histogram addition (same boundary layout): the kernel
-    * under windowed-rate composition — merging two window histograms of
-    * one series is a per-row `zip_with`, no aggregation at all. */
-  def histAdd(a: Column, b: Column): Column =
+  /** Pairwise histogram addition (same boundary layout — CHECKED by
+    * bucket-array size, since `zip_with` would silently truncate to the
+    * shorter counts array; equal-size different-bounds layouts remain
+    * the caller's contract): the kernel under windowed-rate composition
+    * — merging two window histograms of one series is a per-row
+    * `zip_with`, no aggregation at all. */
+  def histAdd(a: Column, b: Column): Column = {
+    val layoutOk = assert_true(
+      size(a.getField("les")) === size(b.getField("les")),
+      lit("NativeHistogram.histAdd: incompatible bucket layouts"))
     struct(
       (a.getField("count") + b.getField("count")).as("count"),
       (a.getField("sum") + b.getField("sum")).as("sum"),
-      a.getField("les").as("les"),
-      zip_with(a.getField("counts"), b.getField("counts"),
-        (x, y) => x + y).as("counts"))
+      when(layoutOk.isNull, a.getField("les")).as("les"),
+      when(layoutOk.isNull,
+        zip_with(a.getField("counts"), b.getField("counts"),
+          (x, y) => x + y)).as("counts"))
+  }
 
   /** `histogram_count(h)` — observation count. */
   def histCount(h: Column): Column = h.getField("count")
@@ -149,8 +199,14 @@ object NativeHistogram {
   /** `histogram_quantile(q, h)` over ONE histogram value: a single
     * left-to-right fold over the bucket array (codegen-free HOF, but
     * over ≤ a few dozen elements per row — negligible next to the scan).
-    * Matches [[VectorOps.histogramQuantile]]'s classic-bucket math. */
+    * Matches [[VectorOps.histogramQuantile]]'s classic-bucket math.
+    * Edge contract per Prometheus bucketQuantile: q<0 → -Inf, q>1 →
+    * +Inf; zero-count buckets are skipped before interpolating, so a
+    * rank of 0 (q=0) lands at the lower bound of the first NON-empty
+    * bucket instead of dividing 0/0. */
   def histQuantile(h: Column, q: Double): Column = {
+    if (q < 0) return lit(Double.NegativeInfinity)
+    if (q > 1) return lit(Double.PositiveInfinity)
     val rank = lit(q) * h.getField("count")
     val zero = struct(lit(0.0).as("cum"), lit(null).cast("double").as("res"))
     aggregate(buckets(h), zero, (acc, b) => {
@@ -159,7 +215,7 @@ object NativeHistogram {
       val c = b.getField("c")
       val cum1 = cum0 + c
       val res1 = when(res0.isNotNull, res0)
-        .when(cum1 >= rank,
+        .when(cum1 >= rank && c > 0,
           when(le === lit(Double.PositiveInfinity), lower)
             .otherwise(lower + (le - lower) * (rank - cum0) / c))
         .otherwise(lit(null).cast("double"))

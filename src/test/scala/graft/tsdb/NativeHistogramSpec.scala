@@ -86,6 +86,67 @@ class NativeHistogramSpec extends SparkSpec {
     assert(m == ((5.0, 58.0, Seq(2.0, 2.0, 1.0))))
   }
 
+  test("quantile edge contract: q<0 → -Inf, q>1 → +Inf (Prometheus bucketQuantile)") {
+    val (lo, hi) = hist.select(
+      histQuantile(col("hist"), -0.5), histQuantile(col("hist"), 1.5))
+      .as[(Double, Double)].head()
+    assert(lo == Double.NegativeInfinity && hi == Double.PositiveInfinity)
+  }
+
+  test("quantile q=0 skips empty leading buckets instead of dividing 0/0") {
+    // every observation above the first bucket: (−inf,10]=0, (10,20]=2
+    val h = build(Seq(("a", 12.0), ("a", 15.0)).toDF("g", "v"),
+      Seq(col("g")), col("v"), Seq(10.0, 20.0))
+    val phi = h.select(histQuantile(col("hist"), 0.0)).as[Double].head()
+    assert(phi == 10.0, s"q=0 over an empty first bucket gave $phi (was NaN)")
+  }
+
+  test("exponential schema 0 derives exact base-2 bounds; schema s refines by 2^s") {
+    assert(exponentialLes(0, 0, 9) == (0 to 9).map(i => math.pow(2.0, i)))
+    // schema 2: base 2^(1/4); bound i = 2^(i/4), exact at multiples of 4
+    val s2 = exponentialLes(2, -2, 8)
+    assert(s2.size == 11 && s2(2) == 1.0 && s2(6) == 2.0 && s2(10) == 4.0)
+    assert(s2.zip(s2.tail).forall { case (a, b) => a < b })
+    assert(math.abs(s2(3) - math.pow(2.0, 0.25)) == 0.0)
+  }
+
+  test("buildExp ≡ build on the schema-derived grid plus the zero bucket") {
+    val df = values.map(("a", _)).toDF("g", "v")
+    val exp = buildExp(df, Seq(col("g")), col("v"),
+      schema = 0, minExp = 0, maxExp = 7)
+    val manual = build(df, Seq(col("g")), col("v"),
+      0.0 +: (0 to 7).map(i => math.pow(2.0, i)))
+    val (a, b) = (exp.select(col("hist")).head(), manual.select(col("hist")).head())
+    assert(a == b)
+    // spot semantics: zero bucket empty, (4,8]={5,7}, (64,128]={100},
+    // +Inf overflow empty (max value 100 ≤ 128)
+    val counts = exp.select(col("hist.counts")).as[Seq[Double]].head()
+    assert(counts.head == 0.0 && counts(4) == 2.0 &&
+      counts(8) == 1.0 && counts.last == 0.0)
+  }
+
+  test("histAdd and merge refuse mismatched bucket layouts instead of truncating") {
+    val h2 = build(values.map(("a", _)).toDF("g", "v"),
+      Seq(col("g")), col("v"), Seq(10.0, 20.0))
+    val h3 = build(values.map(("b", _)).toDF("g", "v"),
+      Seq(col("g")), col("v"), Seq(10.0, 20.0, 30.0))
+    val pair = h2.select(col("hist").as("ha"))
+      .crossJoin(h3.select(col("hist").as("hb")))
+    val addErr = intercept[Exception] {
+      pair.select(histAdd(col("ha"), col("hb")).as("h"))
+        .select(col("h.counts")).collect()
+    }
+    assert(addErr.getMessage.contains("incompatible bucket layouts") ||
+      Option(addErr.getCause).exists(_.getMessage.contains("incompatible bucket layouts")))
+    val mixed = h2.unionByName(h3)
+    val mergeErr = intercept[Exception] {
+      merge(mixed, Seq(lit("all").as("g")), nBoundaries = 2)
+        .select(col("hist.counts")).collect()
+    }
+    assert(mergeErr.getMessage.contains("incompatible bucket layouts") ||
+      Option(mergeErr.getCause).exists(_.getMessage.contains("incompatible bucket layouts")))
+  }
+
   test("native quantile equals the classic le-series path on the same binning") {
     // classic: explode the same observations into cumulative le series
     val obs = values.map(("a", _)).toDF("g", "v")
