@@ -69,13 +69,21 @@ object Sketches {
     * Heavy-hitter retrieval joins CANDIDATES against the broadcast
     * sketch (depth·width rows — always broadcastable). Candidates here
     * are the column's distinct values, which keeps the final top-k
-    * deterministic and oracle-checkable; at 100 TB substitute a bounded
-    * candidate pre-pass (per-partition top-n, or the keys of a sampled
-    * count) — the sketch and estimate math are unchanged, and the
-    * sketch is the part that must stay small and mergeable. */
+    * deterministic and oracle-checkable — and `minSupport` keeps the
+    * candidate FLOW heavy-hitter-sized rather than distinct-sized:
+    * cells lighter than `minSupport·N` are dropped from the broadcast
+    * sketch BEFORE the join, so a light candidate dies map-side inside
+    * the broadcast hash join (its cell has no match) and the only
+    * shuffle after the join carries ~heavy rows. Because the estimate
+    * is the MIN over rows, `est(v) ≥ φN` requires every row's cell
+    * ≥ φN — enforced exactly by requiring all `depth` join hits.
+    * (φ = 0 keeps the classic unpruned enumeration.) */
   def countMinTopK(df: DataFrame, valueCol: Column, k: Int,
-                   depth: Int = 4, width: Int = 512): DataFrame = {
+                   depth: Int = 4, width: Int = 512,
+                   minSupport: Double = 0.0): DataFrame = {
     require(depth >= 1 && width >= 1, s"bad sketch dims: $depth x $width")
+    require(minSupport >= 0.0 && minSupport < 1.0,
+      s"minSupport is a fraction of total observations: $minSupport")
     def rowCells = explode(array((0 until depth).map(i =>
       struct(lit(i).as("i"),
         pmod(Hashing.hash64(col("_v"), i), lit(width.toLong)).as("cell"))): _*))
@@ -83,36 +91,58 @@ object Sketches {
     val cells = src.select(rowCells.as("rc"))
       .groupBy(col("rc.i").as("i"), col("rc.cell").as("cell"))
       .agg(count(lit(1)).as("cnt"))
-    src.distinct()
+    val sketch =
+      if (minSupport == 0.0) cells
+      else {
+        // N = Σ cnt over hash row 0; the window runs over the counter
+        // table itself (≤ depth·width rows, KBs) before it broadcasts
+        val w = org.apache.spark.sql.expressions.Window.partitionBy()
+          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+            org.apache.spark.sql.expressions.Window.unboundedFollowing)
+        cells
+          .withColumn("_tot", sum(when(col("i") === 0, col("cnt"))).over(w))
+          .where(col("cnt") >= lit(minSupport) * col("_tot"))
+          .drop("_tot")
+      }
+    val est = src.distinct()
       .select(col("_v"), rowCells.as("rc"))
-      .join(broadcast(cells),
+      .join(broadcast(sketch),
         col("rc.i") === col("i") && col("rc.cell") === col("cell"))
       .groupBy(col("_v"))
-      .agg(min(col("cnt")).as("est_n"))
+      .agg(min(col("cnt")).as("est_n"), count(lit(1)).as("_cm_hits"))
+    val kept =
+      if (minSupport == 0.0) est
+      else est.where(col("_cm_hits") === depth)
+    kept
       .orderBy(col("est_n").desc, col("_v").asc)
       .limit(k)
       .select(col("_v").as("value"), col("est_n"))
   }
 
   /** The DuckDB replica of [[countMinTopK]]: same cells, same min-over-
-    * rows estimate, same deterministic tie-break. `srcSql` must yield a
-    * single VARCHAR column `v`. */
+    * rows estimate, same support pruning, same deterministic tie-break.
+    * `srcSql` must yield a single VARCHAR column `v`. */
   def duckCountMinSql(srcSql: String, k: Int,
-                      depth: Int = 4, width: Int = 512): String = {
+                      depth: Int = 4, width: Int = 512,
+                      minSupport: Double = 0.0): String = {
     val hashCell = (vExpr: String, i: Int) =>
       s"(${Hashing.duckHash64(vExpr, i)} % $width)"
     val rowSelects = (0 until depth).map(i =>
       s"SELECT $i AS i, ${hashCell("v", i)} AS cell FROM src_cm").mkString("\nUNION ALL ")
     val candSelects = (0 until depth).map(i =>
       s"SELECT v, $i AS i, ${hashCell("v", i)} AS cell FROM cand").mkString("\nUNION ALL ")
+    val support = if (minSupport == 0.0) "" else
+      s" WHERE cnt >= $minSupport * (SELECT sum(cnt) FROM cells WHERE i = 0)"
+    val hitsFilter = if (minSupport == 0.0) "" else s" WHERE hits = $depth"
     s"""WITH src_cm AS ($srcSql),
        |inc AS ($rowSelects),
        |cells AS (SELECT i, cell, count(*) AS cnt FROM inc GROUP BY 1, 2),
+       |sk AS (SELECT i, cell, cnt FROM cells$support),
        |cand AS (SELECT DISTINCT v FROM src_cm),
        |cand_cells AS ($candSelects),
-       |est AS (SELECT v, min(cnt) AS est_n
-       |  FROM cand_cells JOIN cells USING (i, cell) GROUP BY 1)
-       |SELECT v AS value, est_n FROM est
+       |est AS (SELECT v, min(cnt) AS est_n, count(*) AS hits
+       |  FROM cand_cells JOIN sk USING (i, cell) GROUP BY 1)
+       |SELECT v AS value, est_n FROM est$hitsFilter
        |ORDER BY est_n DESC, v ASC LIMIT $k""".stripMargin
   }
 

@@ -278,7 +278,7 @@ object PipelineQueries {
         load(s, dir, "documents")
           .select(explode(regexp_extract_all(dirty,
             lit("https?://([A-Za-z0-9.-]+)"), lit(1))).as("domain")),
-        col("domain"), k = 10)
+        col("domain"), k = 10, minSupport = 0.02)
     }),
 
     // stratified sampling via the portable hash: per-language rates
@@ -1010,7 +1010,7 @@ object PipelineQueries {
           " || ' and http://cdn' || CAST(doc_id % 5 AS VARCHAR)" +
           " || '.example.net/x', 'https?://([A-Za-z0-9.-]+)', 1)) AS v" +
           " FROM documents",
-        k = 10),
+        k = 10, minSupport = 0.02),
     "pipe_q26_contamination" ->
       s"""WITH sh AS (SELECT doc_id,
          |  unnest(list_distinct(${duckShingles(ShingleK)})) AS shingle

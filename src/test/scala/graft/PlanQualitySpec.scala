@@ -224,6 +224,14 @@ class PlanQualitySpec extends SparkSpec {
       s"the depth x width sketch must broadcast, never shuffle-join:\n$plan")
     assert(plan.contains("TakeOrderedAndProject"),
       s"top-k by estimate should plan per-partition k-heaps:\n$plan")
+    // support pruning: light cells are filtered OUT OF the broadcast
+    // sketch (a Filter on cnt against the support threshold below the
+    // broadcast exchange), so non-heavy candidates die map-side in the
+    // join instead of flowing distinct-sized into the final agg
+    assert(plan.matches("(?s).*Filter.*cnt#\\d+L( as double\\))? >= .*"),
+      s"the broadcast sketch side must carry the support filter:\n$plan")
+    assert(plan.matches("(?s).*Filter \\(_cm_hits#\\d+L? = 4\\).*"),
+      s"all-rows-survive (hits = depth) must gate the candidates:\n$plan")
   }
 
   test("metadata API: matcher + time prefilter reach the parquet scan") {

@@ -43,6 +43,23 @@ class SketchesSpec extends SparkSpec {
       s"heavy hitters out of order: ${top.toSeq}")
   }
 
+  test("count-min support pruning: heavy hitters kept, tail dropped, same ests") {
+    import spark.implicits._
+    // N=1000: two heavy values (30%/20%) over a 500-value tail
+    val data = (Seq.fill(300)("hot1") ++ Seq.fill(200)("hot2") ++
+      (1 to 500).map(i => s"tail$i")).toDF("v")
+    val pruned = Sketches.countMinTopK(data, col("v"), k = 5, minSupport = 0.1)
+      .as[(String, Long)].collect().toSeq
+    // pruned output ≡ unpruned output filtered at the same φN threshold
+    // (est ≥ φN ⟺ every row's cell ≥ φN — min over rows)
+    val full = Sketches.countMinTopK(data, col("v"), k = 600)
+      .as[(String, Long)].collect().toSeq
+    val expected = full.filter(_._2 >= 0.1 * 1000.0).take(5)
+    assert(pruned == expected, s"pruned=$pruned expected=$expected")
+    assert(pruned.map(_._1) == Seq("hot1", "hot2"),
+      s"only the heavy values clear 10% support: $pruned")
+  }
+
   test("count-min estimate is invariant to partitioning (mergeable cells)") {
     import spark.implicits._
     val data = (1 to 500).map(i => s"k${i % 37}").toDF("v")
