@@ -153,11 +153,128 @@ object Multimodal {
     } catch { case _: java.io.IOException => None }
   }
 
-  /** ======== STUB decode kernel (audio/video ONLY) ========
-    * The JDK ships no audio/video codecs; a real deployment plugs
-    * opus/h264/... here. The stub derives `featureDim` deterministic
-    * floats from payload bytes so tests are stable. Image rows never
-    * reach this — they get the real ImageIO kernel above. */
+  // ======== REAL audio decode (javax.sound.sampled — JDK-only) ========
+
+  /** Deterministic test-audio PCM formula: 16-bit sample value at frame
+    * `s`, channel `c` of audio `id`. Integer arithmetic so a SQL oracle
+    * replays the decoded samples exactly (the audio analogue of
+    * pixelR/G/B). */
+  @inline def pcmSample(id: Long, c: Int, s: Long): Int =
+    (((31L * id + 17L * c + 7L * s) % 65536L) - 32768L).toInt
+
+  /** The deterministic per-id audio parameters (pure id functions, SQL-
+    * replayable): 1-2 channels, 256-640 frames, 8/12/16 kHz. */
+  @inline def audioChannels(id: Long): Int = (1 + id % 2).toInt
+  @inline def audioFrames(id: Long): Long = 256 + (id % 7) * 64
+  @inline def audioRate(id: Long): Int = (8000 + (id % 3) * 4000).toInt
+
+  /** Encode the deterministic test signal for `id` as a REAL WAV file
+    * (RIFF container, PCM_SIGNED 16-bit little-endian, interleaved)
+    * through `javax.sound.sampled.AudioSystem` — decode reads it back
+    * sample-exactly. */
+  def makeWav(id: Long): Array[Byte] = {
+    import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
+    val ch = audioChannels(id)
+    val n = audioFrames(id)
+    val rate = audioRate(id)
+    val pcm = new Array[Byte](n.toInt * ch * 2)
+    var s = 0L
+    var i = 0
+    while (s < n) {
+      var c = 0
+      while (c < ch) {
+        val v = pcmSample(id, c, s)
+        pcm(i) = (v & 0xff).toByte
+        pcm(i + 1) = ((v >> 8) & 0xff).toByte
+        c += 1; i += 2
+      }
+      s += 1
+    }
+    val fmt = new AudioFormat(rate.toFloat, 16, ch, true, false)
+    val ais = new AudioInputStream(new ByteArrayInputStream(pcm), fmt, n)
+    val baos = new ByteArrayOutputStream()
+    AudioSystem.write(ais, AudioFileFormat.Type.WAVE, baos)
+    baos.toByteArray
+  }
+
+  /** Replace the payload of `audio` rows with real WAV bytes for the
+    * deterministic test signal. Map-side; other kinds pass through. */
+  def withAudioPayloads(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.as[Media].mapPartitions { it =>
+      it.map { m =>
+        if (m.kind == "audio")
+          m.copy(payload = makeWav(m.media_id),
+            meta = m.meta.copy(sample_rate = Some(audioRate(m.media_id)),
+              mime = Some("audio/wav")))
+        else m
+      }
+    }.toDF()
+  }
+
+  /** Exact per-audio decode stats — everything an SQL oracle can replay
+    * from the PCM formula: header-derived rate/channels, frame count,
+    * integer sample sum / peak, and the RMS derived from the integer
+    * sum of squares. */
+  final case class AudioStats(media_id: Long, sample_rate: Int, channels: Int,
+                              n_samples: Long, duration_ms: Long,
+                              pcm_sum: Long, pcm_peak: Long, rms: Double)
+
+  /** REAL audio decode via `javax.sound.sampled` (WAV/AIFF PCM — the
+    * formats the bare JDK ships readers for; lossy codecs would plug in
+    * here). Format comes from the CONTAINER header, samples from the
+    * stream; returns None for undecodable payloads or non-16-bit PCM. */
+  def decodeAudio(payload: Array[Byte]): Option[AudioStats] = {
+    import javax.sound.sampled.AudioSystem
+    if (payload == null) return None
+    try {
+      val ais = AudioSystem.getAudioInputStream(new ByteArrayInputStream(payload))
+      val fmt = ais.getFormat
+      if (fmt.getSampleSizeInBits != 16) return None
+      val ch = fmt.getChannels
+      val rate = fmt.getSampleRate.toInt
+      val bytes = ais.readAllBytes()
+      val nFrames = bytes.length / fmt.getFrameSize
+      var sum = 0L; var sumSq = 0L; var peak = 0L
+      var i = 0
+      while (i + 1 < bytes.length) {
+        // PCM_SIGNED 16-bit little-endian
+        val v0 = (bytes(i) & 0xff) | ((bytes(i + 1) & 0xff) << 8)
+        val v = v0.toShort.toInt
+        sum += v
+        sumSq += v.toLong * v
+        val a = math.abs(v).toLong
+        if (a > peak) peak = a
+        i += 2
+      }
+      Some(AudioStats(0L, rate, ch, nFrames,
+        nFrames * 1000L / rate, sum, peak,
+        math.sqrt(sumSq.toDouble / (nFrames.toLong * ch))))
+    } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
+  /** Decode every `audio` row's payload per partition (payloads never
+    * shuffle; only the fixed-width stats move downstream). Undecodable
+    * rows are dropped — the filter-then-decode contract. */
+  def audioFeatures(media: DataFrame): Dataset[AudioStats] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.where(col("kind") === "audio")
+      .select(col("media_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.flatMap { case (id, payload) =>
+          decodeAudio(payload).map(_.copy(media_id = id))
+        }
+      }
+  }
+
+  /** ======== STUB decode kernel (video ONLY, since round 10) ========
+    * The JDK ships no video codecs; a real deployment plugs h264/vp9/...
+    * here. The stub derives `featureDim` deterministic floats from
+    * payload bytes so tests are stable. Image rows get the real ImageIO
+    * kernel, audio rows the real javax.sound kernel above. */
   def stubDecodeFeatures(payload: Array[Byte], featureDim: Int): Array[Float] = {
     val out = new Array[Float](featureDim)
     if (payload != null) {

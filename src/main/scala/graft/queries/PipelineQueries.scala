@@ -476,6 +476,20 @@ object PipelineQueries {
           col("width"), col("height"), col("channels"),
           col("px_sum_r"), col("px_sum_g"), col("px_sum_b"),
           size(col("features")).cast("long").as("n_features"))),
+    // REAL audio decode via javax.sound.sampled (the round-9 ImageIO
+    // move, one modality later): audio rows carry genuine WAV payloads
+    // (RIFF, PCM_SIGNED 16-bit LE) encoding a deterministic integer
+    // signal; decode reads format from the CONTAINER HEADER and the
+    // samples from the stream, and the oracle replays every decoded
+    // stat — rate/channels/frames/sum/peak/RMS — arithmetically from
+    // the same formula. Payloads never shuffle; only fixed-width stats
+    // leave the map side. Video is the one remaining declared stub.
+    "pipe_q40_audio" -> ((s, dir) =>
+      Multimodal.audioFeatures(
+        Multimodal.withAudioPayloads(
+          Multimodal.synthesize(load(s, dir, "documents"), "doc_id", "text")))
+        .toDF()
+        .withColumn("rms", round(col("rms"), 6))),
     // frame sampling is deterministic byte-slicing of the synthesized
     // payload; hex() the slice so the oracle compares strings, not blobs
     // resize = real decode → exact nearest-neighbor (floor mapping) →
@@ -788,6 +802,28 @@ object PipelineQueries {
       s"""SELECT sh AS shingle, count(*) AS n
          |FROM (SELECT unnest(${duckShingles(ShingleK)}) AS sh FROM documents)
          |GROUP BY 1 HAVING count(*) >= 5""".stripMargin,
+    // replays the REAL javax.sound decode arithmetically: the WAVs are
+    // lossless 16-bit PCM of v(id,c,s) = ((31id+17c+7s) % 65536) - 32768
+    // at ch=(id%2)+1, frames=256+(id%7)*64, rate=8000+(id%3)*4000; the
+    // decoded header fields and integer sample stats equal the formula
+    "pipe_q40_audio" ->
+      """WITH a AS (SELECT CAST(doc_id AS BIGINT) AS media_id,
+        |    CAST(8000 + (doc_id % 3) * 4000 AS INTEGER) AS sample_rate,
+        |    CAST(1 + doc_id % 2 AS INTEGER) AS channels,
+        |    CAST(256 + (doc_id % 7) * 64 AS BIGINT) AS n_samples
+        |  FROM documents WHERE doc_id % 3 = 1),
+        |sidx AS (SELECT *, unnest(range(0, n_samples)) AS s FROM a),
+        |v AS (SELECT media_id, sample_rate, channels, n_samples, s,
+        |    ((31 * media_id + 17 * unnest(range(0, channels)) + 7 * s) % 65536)
+        |      - 32768 AS val
+        |  FROM sidx)
+        |SELECT media_id, sample_rate, channels, n_samples,
+        |  n_samples * 1000 // sample_rate AS duration_ms,
+        |  CAST(sum(val) AS BIGINT) AS pcm_sum,
+        |  CAST(max(abs(val)) AS BIGINT) AS pcm_peak,
+        |  round(sqrt(CAST(sum(val * val) AS DOUBLE)
+        |    / (n_samples * channels)), 6) AS rms
+        |FROM v GROUP BY 1, 2, 3, 4""".stripMargin,
     // replays the REAL ImageIO decode arithmetically: the test images
     // encode channel formulas r=(id+7x+13y)%256, g=(3id+5x+11y)%256,
     // b=(5id+3x+17y)%256 at w=(id%13)+4, h=(id%11)+4 — PNG is lossless,

@@ -172,6 +172,38 @@ class MultimodalSpec extends SparkSpec {
     assert(av.forall(r => r.getInt(0) == 8 && r.getInt(1) == 6))
   }
 
+  test("WAV round trip: javax.sound decode returns the formula samples exactly") {
+    for (id <- Seq(1L, 4L, 7L, 10L)) {
+      val st = Multimodal.decodeAudio(Multimodal.makeWav(id)).get
+      val (ch, n, rate) = (Multimodal.audioChannels(id),
+        Multimodal.audioFrames(id), Multimodal.audioRate(id))
+      // format fields come from the RIFF header, not any side channel
+      assert(st.sample_rate == rate && st.channels == ch && st.n_samples == n)
+      assert(st.duration_ms == n * 1000L / rate)
+      val vals = for (s <- 0L until n; c <- 0 until ch) yield
+        Multimodal.pcmSample(id, c, s).toLong
+      assert(st.pcm_sum == vals.sum)
+      assert(st.pcm_peak == vals.map(math.abs).max)
+      val wantRms = math.sqrt(vals.map(v => v.toDouble * v).sum / (n * ch))
+      assert(math.abs(st.rms - wantRms) < 1e-9, s"id=$id rms=${st.rms} want=$wantRms")
+    }
+    assert(Multimodal.decodeAudio("not a wav".getBytes) == None)
+    assert(Multimodal.decodeAudio(null) == None)
+  }
+
+  test("audioFeatures decodes audio rows only, map-side, payload dropped") {
+    val media = Multimodal.withAudioPayloads(
+      Multimodal.synthesize(docs, "doc_id", "text"))
+    val stats = Multimodal.audioFeatures(media).collect()
+    // only 'audio' rows (doc_id % 3 == 1) decode
+    assert(stats.map(_.media_id).toSet == Set(1L))
+    assert(stats.head.sample_rate == Multimodal.audioRate(1L))
+    // the audio kind's mime was stamped by the payload writer
+    val mimes = media.where($"kind" === "audio")
+      .select($"meta.mime").as[String].collect().toSet
+    assert(mimes == Set("audio/wav"))
+  }
+
   test("frame sampling strides over n_frames") {
     val media = Multimodal.synthesize(docs, "doc_id", "text")
     val frames = Multimodal.sampleFrames(media, stride = 10)
