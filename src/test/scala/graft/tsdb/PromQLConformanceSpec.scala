@@ -27,7 +27,7 @@ class PromQLConformanceSpec extends SparkSpec {
   // ---- corpus ----
 
   private case class C(at: String, query: String, expected: String,
-                       skip: String = "")
+                       skip: String = "", ordered: Boolean = false)
   private case class B(name: String, step: String, series: Seq[String],
                        cases: Seq[C], upstream: Boolean = false)
 
@@ -84,9 +84,27 @@ class PromQLConformanceSpec extends SparkSpec {
     C("50m", """topk by (group) (1, http_requests{job="api-server"})""",
       """http_requests{group="canary", instance="1", job="api-server"} 400
         |http_requests{group="production", instance="1", job="api-server"} 200"""),
-    C("50m", """sort(http_requests)""", "",
-      skip = "presentation ordering — the set-based comparator cannot " +
-        "observe row order")))
+    // upstream's eval_ordered mode: rows compared IN ORDER
+    C("50m", """sort(http_requests)""",
+      """http_requests{group="production", instance="0", job="api-server"} 100
+        |http_requests{group="production", instance="1", job="api-server"} 200
+        |http_requests{group="canary", instance="0", job="api-server"} 300
+        |http_requests{group="canary", instance="1", job="api-server"} 400
+        |http_requests{group="production", instance="0", job="app-server"} 500
+        |http_requests{group="production", instance="1", job="app-server"} 600
+        |http_requests{group="canary", instance="0", job="app-server"} 700
+        |http_requests{group="canary", instance="1", job="app-server"} 800""",
+      ordered = true),
+    C("50m", """sort_desc(http_requests)""",
+      """http_requests{group="canary", instance="1", job="app-server"} 800
+        |http_requests{group="canary", instance="0", job="app-server"} 700
+        |http_requests{group="production", instance="1", job="app-server"} 600
+        |http_requests{group="production", instance="0", job="app-server"} 500
+        |http_requests{group="canary", instance="1", job="api-server"} 400
+        |http_requests{group="canary", instance="0", job="api-server"} 300
+        |http_requests{group="production", instance="1", job="api-server"} 200
+        |http_requests{group="production", instance="0", job="api-server"} 100""",
+      ordered = true)))
 
   private val operators = B("operators", "5m", httpLoad, Seq(
     C("50m", """sum(http_requests{job="api-server"}) + sum(http_requests{job="app-server"})""",
@@ -571,10 +589,17 @@ class PromQLConformanceSpec extends SparkSpec {
         catch { case e: Exception =>
           return Seq(s"[${b.name}] ${c.query} at ${c.at}: threw $e")
         }
-      val gm = got.toMap
-      val missing = want.filter { case (ls, v) =>
-        !gm.get(ls).exists(valueEq(_, v)) }
-      if (got.size != want.size || missing.nonEmpty)
+      val ok =
+        if (c.ordered)
+          // upstream eval_ordered: position-sensitive comparison
+          got.size == want.size && got.zip(want).forall {
+            case ((gl, gv), (wl, wv)) => gl == wl && valueEq(gv, wv) }
+        else {
+          val gm = got.toMap
+          got.size == want.size && want.forall { case (ls, v) =>
+            gm.get(ls).exists(valueEq(_, v)) }
+        }
+      if (!ok)
         Some(s"[${b.name}] ${c.query} at ${c.at}:\n  want ${want.toSet}" +
           s"\n  got  ${got.toSet}")
       else None
@@ -597,9 +622,9 @@ class PromQLConformanceSpec extends SparkSpec {
     // cases are added, never by deleting failing cases. `ported` counts
     // cases re-typed from Prometheus's own promqltest corpus, reported
     // separately from the handwritten sweep.
-    assert(own === 116)
+    assert(own === 118)
     assert(ported === 32)
-    assert(skips.size === 3)
+    assert(skips.size === 2)
     // every skip names its documented deviation
     assert(skips.forall(_.skip.nonEmpty))
   }
