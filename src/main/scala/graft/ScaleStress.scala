@@ -96,6 +96,51 @@ object ScaleStress {
         graft.tsdb.PromQL.parse("""xrate({name="purchase"}[7d])"""),
         t.df, start = Tables.RangeStart, end = Tables.RangeEnd,
         stepMs = 86400000L, lookbackMs = 86400000L).count())
+    // native-histogram tier at Nx: build is ONE partial-agg groupBy whose
+    // shuffle carries |series| structs (~8 doubles each), never samples;
+    // merge exchanges merged structs; the rate composition adds one lag
+    // window over (series, day) rows — all invariant to sample count
+    // beyond the scan itself
+    val nhBounds = (1 to 8).map(_ * 50.0)
+    time(s"native hist build ${factor}x")(
+      graft.tsdb.NativeHistogram.build(
+        t.select(Tables.RangeStart, Tables.RangeEnd, Nil).toDF(),
+        Seq(col("`labels.name`").as("name"), col("`labels.user`").as("user")),
+        col("value"), nhBounds).count())
+    time(s"native hist merge ${factor}x") {
+      val per = graft.tsdb.NativeHistogram.build(
+        t.select(Tables.RangeStart, Tables.RangeEnd, Nil).toDF(),
+        Seq(col("`labels.name`").as("name"), col("`labels.user`").as("user")),
+        col("value"), nhBounds)
+      graft.tsdb.NativeHistogram.merge(per, Seq(col("name")), nhBounds.size)
+        .select(col("hist.counts")).count()
+    }
+    time(s"native hist rate ${factor}x") {
+      import graft.tsdb.NativeHistogram._
+      val daily = build(
+        t.select(Tables.RangeStart, Tables.RangeEnd, Nil).toDF()
+          .withColumn("day", floor(col("time") / lit(86400000.0)).cast("long")),
+        Seq(col("`labels.name`").as("name"), col("`labels.user`").as("user"),
+          col("day")),
+        col("value"), nhBounds)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("name"), col("user")).orderBy(col("day"))
+      daily.withColumn("prev", lag(col("hist"), 1).over(w))
+        .where(col("prev").isNotNull)
+        .select(element_at(
+          histAdd(col("hist"), col("prev")).getField("counts"), 1)).count()
+    }
+    // metadata API at Nx series (the label universe grows with factor):
+    // each endpoint is a pruned scan + an aggregation bounded by the
+    // label universe, never by sample count
+    time(s"metadata labels+values+series ${factor}x") {
+      graft.tsdb.TsdbMeta.labelNames(t, Tables.RangeStart, Tables.RangeEnd,
+        Seq(Matcher.Re("user", "1.*"))).count()
+      graft.tsdb.TsdbMeta.labelValues(t, "user", Tables.RangeStart,
+        Tables.RangeEnd, Seq(Matcher.Eq("name", "click"))).count()
+      graft.tsdb.TsdbMeta.series(t, Tables.RangeStart, Tables.RangeEnd,
+        Seq(Matcher.Re("name", "p.*"))).count()
+    }
     // ANN at (10·N)x corpus: IVF nProbe=2 must stay cell-keyed — cost
     // is Σ probes × |probed cells|, never |corpus| × probes. Replicate
     // via ONE explode, not an N-way union: the per-row cell-argmax
@@ -200,6 +245,26 @@ object ScaleStress {
       // replicas contribute zero new distinct chunks
       println(s"[scale] chunk dedup: kept=$keptChunks of ${factor}x corpus")
     }
+    // count-min heavy hitters at Nx: the sketch is depth×width counters
+    // regardless of rows, and support pruning keeps the candidate flow
+    // heavy-hitter-sized as the distinct-domain tail grows with the corpus
+    time(s"count-min heavy hitters ${factor}x") {
+      val dirty = concat(col("text"),
+        lit(" see https://site"), pmod(col("doc_id"), lit(20)).cast("string"),
+        lit(".example.org/p/"), col("doc_id").cast("string"),
+        lit(" and http://cdn"), pmod(col("doc_id"), lit(5)).cast("string"),
+        lit(".example.net/x"))
+      graft.functions.Sketches.countMinTopK(
+        docsXN.select(explode(regexp_extract_all(dirty,
+          lit("https?://([A-Za-z0-9.-]+)"), lit(1))).as("domain")),
+        col("domain"), k = 10, minSupport = 0.02).count()
+    }
+    // unigram LM-proxy at Nx: the vocab aggregate is bounded by distinct
+    // tokens (unchanged under replication), the scoring pass is a
+    // vocab-keyed join + per-doc fold — linear in rows
+    time(s"unigram logprob ${factor}x")(
+      graft.operators.TextPipeline.unigramLogProb(
+        docsXN, "doc_id", "text").count())
     docsXN.unpersist()
 
     // k-means at Nx vectors: assignment is a broadcast-centroid map pass
