@@ -168,15 +168,24 @@ object Multimodal {
   @inline def audioFrames(id: Long): Long = 256 + (id % 7) * 64
   @inline def audioRate(id: Long): Int = (8000 + (id % 3) * 4000).toInt
 
-  /** Encode the deterministic test signal for `id` as a REAL WAV file
-    * (RIFF container, PCM_SIGNED 16-bit little-endian, interleaved)
-    * through `javax.sound.sampled.AudioSystem` — decode reads it back
-    * sample-exactly. */
-  def makeWav(id: Long): Array[Byte] = {
+  /** Wrap interleaved PCM_SIGNED 16-bit little-endian frames in a REAL
+    * WAV (RIFF) container via `javax.sound.sampled.AudioSystem`. */
+  private def encodeWav(pcm: Array[Byte], rate: Int, ch: Int): Array[Byte] = {
     import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
+    val fmt = new AudioFormat(rate.toFloat, 16, ch, true, false)
+    val ais = new AudioInputStream(
+      new ByteArrayInputStream(pcm), fmt, pcm.length / (ch * 2))
+    val baos = new ByteArrayOutputStream()
+    AudioSystem.write(ais, AudioFileFormat.Type.WAVE, baos)
+    baos.toByteArray
+  }
+
+  /** Encode the deterministic test signal for `id` as a REAL WAV file
+    * (RIFF container, PCM_SIGNED 16-bit little-endian, interleaved) —
+    * decode reads it back sample-exactly. */
+  def makeWav(id: Long): Array[Byte] = {
     val ch = audioChannels(id)
     val n = audioFrames(id)
-    val rate = audioRate(id)
     val pcm = new Array[Byte](n.toInt * ch * 2)
     var s = 0L
     var i = 0
@@ -190,11 +199,49 @@ object Multimodal {
       }
       s += 1
     }
-    val fmt = new AudioFormat(rate.toFloat, 16, ch, true, false)
-    val ais = new AudioInputStream(new ByteArrayInputStream(pcm), fmt, n)
-    val baos = new ByteArrayOutputStream()
-    AudioSystem.write(ais, AudioFileFormat.Type.WAVE, baos)
-    baos.toByteArray
+    encodeWav(pcm, audioRate(id), ch)
+  }
+
+  /** Downsample audio rows by integer frame DECIMATION (keep every
+    * `factor`-th frame, all channels; output rate = rate/factor) — the
+    * audio analogue of [[resize]]: real decode → integer-exact resample
+    * → WAV re-encode as the new payload. Kept samples are bit-identical
+    * to the input's (no filtering/interpolation), so an arithmetic
+    * oracle replays the re-encoded stream exactly. Non-audio rows and
+    * undecodable payloads pass through untouched. Map-side. */
+  def downsampleAudio(media: DataFrame, factor: Int): DataFrame = {
+    require(factor >= 1, s"decimation factor must be >= 1: $factor")
+    import javax.sound.sampled.AudioSystem
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.as[Media].mapPartitions { it =>
+      it.map { m =>
+        if (m.kind != "audio" || m.payload == null) m
+        else try {
+          val ais = AudioSystem.getAudioInputStream(
+            new ByteArrayInputStream(m.payload))
+          val fmt = ais.getFormat
+          if (fmt.getSampleSizeInBits != 16) m
+          else {
+            val ch = fmt.getChannels
+            val frameSize = fmt.getFrameSize
+            val bytes = ais.readAllBytes()
+            val nFrames = bytes.length / frameSize
+            val kept = (nFrames + factor - 1) / factor
+            val out = new Array[Byte](kept * frameSize)
+            var f = 0; var o = 0
+            while (f < nFrames) {
+              System.arraycopy(bytes, f * frameSize, out, o * frameSize, frameSize)
+              f += factor; o += 1
+            }
+            val newRate = fmt.getSampleRate.toInt / factor
+            m.copy(payload = encodeWav(out, newRate, ch),
+              meta = m.meta.copy(sample_rate = Some(newRate),
+                mime = Some("audio/wav")))
+          }
+        } catch { case scala.util.control.NonFatal(_) => m }
+      }
+    }.toDF()
   }
 
   /** Replace the payload of `audio` rows with real WAV bytes for the

@@ -490,6 +490,19 @@ object PipelineQueries {
           Multimodal.synthesize(load(s, dir, "documents"), "doc_id", "text")))
         .toDF()
         .withColumn("rms", round(col("rms"), 6))),
+    // audio downsample = the resize of the audio path: real decode →
+    // integer frame decimation (every 2nd frame, rate halved) → WAV
+    // re-encode, then the re-encoded payload is REALLY re-decoded by
+    // audioFeatures — proving the round trip — and the oracle replays
+    // the kept samples arithmetically (decimation keeps bits exact)
+    "pipe_q41_audio_resample" -> ((s, dir) =>
+      Multimodal.audioFeatures(
+        Multimodal.downsampleAudio(
+          Multimodal.withAudioPayloads(
+            Multimodal.synthesize(load(s, dir, "documents"), "doc_id", "text")),
+          factor = 2))
+        .toDF()
+        .withColumn("rms", round(col("rms"), 6))),
     // frame sampling is deterministic byte-slicing of the synthesized
     // payload; hex() the slice so the oracle compares strings, not blobs
     // resize = real decode → exact nearest-neighbor (floor mapping) →
@@ -824,6 +837,28 @@ object PipelineQueries {
         |  round(sqrt(CAST(sum(val * val) AS DOUBLE)
         |    / (n_samples * channels)), 6) AS rms
         |FROM v GROUP BY 1, 2, 3, 4""".stripMargin,
+    // decimation by 2: kept frames s ∈ {0,2,4,…}, rate halved — the
+    // same PCM formula over the kept frames replays the re-encoded WAV
+    "pipe_q41_audio_resample" ->
+      """WITH a AS (SELECT CAST(doc_id AS BIGINT) AS media_id,
+        |    CAST((8000 + (doc_id % 3) * 4000) // 2 AS INTEGER) AS sample_rate,
+        |    CAST(1 + doc_id % 2 AS INTEGER) AS channels,
+        |    CAST(256 + (doc_id % 7) * 64 AS BIGINT) AS n_in
+        |  FROM documents WHERE doc_id % 3 = 1),
+        |sidx AS (SELECT *, unnest(range(0, n_in)) AS s FROM a),
+        |k AS (SELECT * FROM sidx WHERE s % 2 = 0),
+        |v AS (SELECT media_id, sample_rate, channels, n_in, s,
+        |    ((31 * media_id + 17 * unnest(range(0, channels)) + 7 * s) % 65536)
+        |      - 32768 AS val
+        |  FROM k)
+        |SELECT media_id, sample_rate, channels,
+        |  (n_in + 1) // 2 AS n_samples,
+        |  ((n_in + 1) // 2) * 1000 // sample_rate AS duration_ms,
+        |  CAST(sum(val) AS BIGINT) AS pcm_sum,
+        |  CAST(max(abs(val)) AS BIGINT) AS pcm_peak,
+        |  round(sqrt(CAST(sum(val * val) AS DOUBLE)
+        |    / (((n_in + 1) // 2) * channels)), 6) AS rms
+        |FROM v GROUP BY 1, 2, 3, n_in""".stripMargin,
     // replays the REAL ImageIO decode arithmetically: the test images
     // encode channel formulas r=(id+7x+13y)%256, g=(3id+5x+11y)%256,
     // b=(5id+3x+17y)%256 at w=(id%13)+4, h=(id%11)+4 — PNG is lossless,

@@ -204,6 +204,26 @@ class MultimodalSpec extends SparkSpec {
     assert(mimes == Set("audio/wav"))
   }
 
+  test("downsample: decimated WAV re-decodes to exactly the kept frames") {
+    val media = Multimodal.withAudioPayloads(
+      Multimodal.synthesize(docs, "doc_id", "text"))
+    val out = Multimodal.downsampleAudio(media, factor = 2)
+    val stats = Multimodal.audioFeatures(out).collect()
+    assert(stats.map(_.media_id).toSet == Set(1L))
+    val st = stats.head
+    val id = 1L
+    val (ch, n, rate) = (Multimodal.audioChannels(id),
+      Multimodal.audioFrames(id), Multimodal.audioRate(id))
+    assert(st.sample_rate == rate / 2 && st.n_samples == (n + 1) / 2)
+    val vals = for (s <- 0L until n if s % 2 == 0; c <- 0 until ch) yield
+      Multimodal.pcmSample(id, c, s).toLong
+    assert(st.pcm_sum == vals.sum && st.pcm_peak == vals.map(math.abs).max)
+    // non-audio rows pass through untouched
+    val others = out.where($"kind" =!= "audio")
+      .select($"meta.sample_rate").distinct().as[Int].collect().toSet
+    assert(others == Set(16000))
+  }
+
   test("frame sampling strides over n_frames") {
     val media = Multimodal.synthesize(docs, "doc_id", "text")
     val frames = Multimodal.sampleFrames(media, stride = 10)
