@@ -37,7 +37,13 @@ object Bench {
     "tsdb_q69_promql_topk_by", "tsdb_q74_promql_strict_rate",
     "tsdb_q75_promql_xrate",
     "pipe_q30_packing", "pipe_q31_chunk_dedup", "pipe_q32_kmeans",
-    "pipe_q33_semantic_dedup")
+    "pipe_q33_semantic_dedup",
+    // round-9/10 operator families (added round 10 — cross-round totals
+    // remain comparable over the common prefix above)
+    "tsdb_q80_native_hist", "tsdb_q88_native_hist_rate",
+    "tsdb_q89_native_hist_exp", "tsdb_q86_label_values",
+    "pipe_q38_cm_heavy_hitters", "pipe_q39_unigram_logprob",
+    "pipe_q40_audio")
 
   /** 1/5/15-minute fields of /proc/loadavg (empty off-Linux). */
   private def loadavg(): Seq[Double] =

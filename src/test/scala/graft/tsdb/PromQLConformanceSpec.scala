@@ -443,6 +443,16 @@ class PromQLConformanceSpec extends SparkSpec {
       """{version="6"} 3
         |{version="7"} 2""")), upstream = true)
 
+  private val upstreamFunctions = B("upstream functions.test", "5m",
+    httpLoad, Seq(
+    // least-squares kernels — exact on the linear canary series
+    // regardless of window boundary handling
+    C("50m", """deriv(http_requests{group="canary", instance="1", job="app-server"}[50m])""",
+      """{group="canary", instance="1", job="app-server"} 0.26666666666666666"""),
+    C("50m", """predict_linear(http_requests{group="canary", instance="1", job="app-server"}[50m], 3600)""",
+      """{group="canary", instance="1", job="app-server"} 1760""")),
+    upstream = true)
+
   private val upstreamStaleness = B("upstream staleness.test", "10s", Seq(
     """metric 0 1 stale 2"""), Seq(
     C("10s", """metric""", """metric 1"""),
@@ -476,7 +486,7 @@ class PromQLConformanceSpec extends SparkSpec {
   private val blocks = Seq(aggregators, operators, binops, functions,
     functions2, histograms, countValues, staleness, labelFns,
     upstreamOperators, upstreamGroupLeft, upstreamAggregators,
-    upstreamStaleness, upstreamDocsMatching)
+    upstreamFunctions, upstreamStaleness, upstreamDocsMatching)
 
   // ---- harness ----
 
@@ -623,7 +633,7 @@ class PromQLConformanceSpec extends SparkSpec {
     // cases re-typed from Prometheus's own promqltest corpus, reported
     // separately from the handwritten sweep.
     assert(own === 118)
-    assert(ported === 32)
+    assert(ported === 34)
     assert(skips.size === 2)
     // every skip names its documented deviation
     assert(skips.forall(_.skip.nonEmpty))
