@@ -21,7 +21,11 @@ import scala.util.control.NonFatal
   */
 object Bench {
   // Scan/join/agg/window/dedup/ANN mix — the queries whose plans carry
-  // the 100 TB design decisions.
+  // the 100 TB design decisions. The first `CommonPrefix` entries are
+  // the rounds-7–9 comparable set; the JSON also emits their total as
+  // `total_r7_common` so cross-round comparisons don't misread the
+  // round-10 additions as a slowdown.
+  private val CommonPrefix = 34
   private val headline = Seq(
     "tsdb_q1_scan", "tsdb_q2_range", "tsdb_q4_regroup",
     "tsdb_q7_range_vectors", "tsdb_q8_instant", "tsdb_q11_increase",
@@ -153,6 +157,9 @@ object Bench {
       attempts :+= ((timedAttempt(), loadavg()))
     }
     val (best, _) = attempts.minBy { case (a, _) => totalOf(a) }
+    val commonSet = headline.take(CommonPrefix).toSet
+    val commonTotal = ingestSec +
+      best.filter(r => commonSet(r._1)).map(_._2.min).sum
 
     val results = ("tsdb_ingest", Seq(ingestSec), 0L) +: best
     val qs = results.map { case (k, ps, _) => s""""$k":${ps.min}""" }
@@ -166,6 +173,7 @@ object Bench {
       s""","loadavg_before":${jsonArr(loadBefore)}""" +
       s""","loadavg_after":${jsonArr(attempts.last._2)}""" +
       s""","attempt_totals":${jsonArr(attempts.map(a => totalOf(a._1)))}""" +
+      s""","total_r7_common":$commonTotal""" +
       s""","noise_floor_sec":$floorSec,"load_flagged":$loadFlagged}"""
     println(line)
     // side artifact in case stdout is swallowed by a wrapper
