@@ -13,14 +13,21 @@ import org.apache.spark.sql.types._
   * BINARY columns with typed metadata, processed batch-wise per
   * partition.
   *
-  * The IMAGE path is a real codec kernel: payloads are genuine PNG
-  * bytes, decoded with the JDK's `javax.imageio.ImageIO` (no external
-  * dependency) into exact dimensions, per-channel pixel sums and a
-  * luminance-ish histogram feature vector; `resize` is decode →
-  * exact nearest-neighbor resample → PNG re-encode. AUDIO/VIDEO decode
-  * remains a clearly-marked deterministic stub (the container ships no
-  * audio/video codecs and the JDK has none); the plumbing around it is
-  * identical to the image path.
+  * All three modalities now run REAL codec kernels on the bare JDK:
+  *   - IMAGE: genuine PNG bytes decoded with `javax.imageio.ImageIO`
+  *     into exact dimensions, per-channel pixel sums and a histogram
+  *     feature vector; `resize` is decode → exact nearest-neighbor
+  *     resample → PNG re-encode.
+  *   - AUDIO: genuine WAV (RIFF) containers decoded with
+  *     `javax.sound.sampled` — format from the header, 16-bit PCM
+  *     samples from the stream; `downsampleAudio` is the audio resize.
+  *   - VIDEO: genuine AVI (RIFF) containers parsed from scratch
+  *     (avih/strh/strf headers, movi frame chunks, idx1) with two
+  *     frame codecs: uncompressed DIB (BI_RGB 24-bit, bit-exact) and
+  *     MJPEG (each frame a real JPEG, decoded via ImageIO).
+  *     Inter-frame-compressed codecs (h264/vp9/…) are the one thing a
+  *     bare JDK cannot decode — those fall through to the clearly
+  *     marked deterministic stub kernel; the plumbing is identical.
   *
   * 100 TB design properties (both paths):
   *   - payloads NEVER pass through a shuffle: featurize/resize/sample
@@ -317,11 +324,400 @@ object Multimodal {
       }
   }
 
-  /** ======== STUB decode kernel (video ONLY, since round 10) ========
-    * The JDK ships no video codecs; a real deployment plugs h264/vp9/...
-    * here. The stub derives `featureDim` deterministic floats from
-    * payload bytes so tests are stable. Image rows get the real ImageIO
-    * kernel, audio rows the real javax.sound kernel above. */
+  // ======== REAL video decode (AVI/RIFF container — JDK-only) ========
+
+  /** Deterministic test-video pixel formulas: channel value of pixel
+    * (x, y) in frame `f` of video `id` — the frame-indexed extension of
+    * pixelR/G/B, chosen so a SQL oracle replays the decoded values with
+    * integer arithmetic. */
+  @inline def vpxR(id: Long, f: Int, x: Int, y: Int): Int =
+    ((id + 19L * f + 7L * x + 13L * y) % 256).toInt
+  @inline def vpxG(id: Long, f: Int, x: Int, y: Int): Int =
+    ((3L * id + 23L * f + 5L * x + 11L * y) % 256).toInt
+  @inline def vpxB(id: Long, f: Int, x: Int, y: Int): Int =
+    ((5L * id + 29L * f + 3L * x + 17L * y) % 256).toInt
+
+  /** Deterministic per-id video parameters (pure id functions, SQL-
+    * replayable): 4-10 × 4-8 px, 2-7 frames, 5/10/15 fps. */
+  @inline def videoW(id: Long): Int = (id % 7 + 4).toInt
+  @inline def videoH(id: Long): Int = (id % 5 + 4).toInt
+  @inline def videoFrameCount(id: Long): Int = (id % 6 + 2).toInt
+  @inline def videoFps(id: Long): Int = (5 + (id % 3) * 5).toInt
+
+  /** Little-endian RIFF chunk writer helpers. */
+  private final class RiffOut {
+    val buf = new ByteArrayOutputStream()
+    def u16(v: Int): Unit = { buf.write(v & 0xff); buf.write((v >> 8) & 0xff) }
+    def u32(v: Int): Unit = { u16(v & 0xffff); u16((v >>> 16) & 0xffff) }
+    def fourcc(s: String): Unit = buf.write(s.getBytes("US-ASCII"), 0, 4)
+    def bytes(b: Array[Byte]): Unit = buf.write(b, 0, b.length)
+    def chunk(id: String, body: Array[Byte]): Unit = {
+      fourcc(id); u32(body.length); bytes(body)
+      if ((body.length & 1) == 1) buf.write(0) // RIFF chunks pad to even
+    }
+  }
+
+  /** One uncompressed DIB frame: BGR byte order, bottom-up row order,
+    * rows padded to 4-byte boundaries — the BI_RGB 24-bit layout every
+    * AVI tool writes. */
+  private def dibFrame(id: Long, f: Int, w: Int, h: Int): Array[Byte] = {
+    val rowBytes = (w * 3 + 3) & ~3
+    val out = new Array[Byte](rowBytes * h)
+    var y = 0
+    while (y < h) {
+      val base = (h - 1 - y) * rowBytes // bottom-up
+      var x = 0
+      while (x < w) {
+        out(base + x * 3) = vpxB(id, f, x, y).toByte
+        out(base + x * 3 + 1) = vpxG(id, f, x, y).toByte
+        out(base + x * 3 + 2) = vpxR(id, f, x, y).toByte
+        x += 1
+      }
+      y += 1
+    }
+    out
+  }
+
+  /** One MJPEG frame: the formula frame as a real JPEG via ImageIO
+    * (lossy — decode is close to, not equal to, the formula values). */
+  private def jpegFrame(id: Long, f: Int, w: Int, h: Int): Array[Byte] = {
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        img.setRGB(x, y,
+          (vpxR(id, f, x, y) << 16) | (vpxG(id, f, x, y) << 8) | vpxB(id, f, x, y))
+        x += 1
+      }
+      y += 1
+    }
+    val baos = new ByteArrayOutputStream()
+    ImageIO.write(img, "jpg", baos)
+    baos.toByteArray
+  }
+
+  /** Encode the deterministic test video for `id` as a REAL AVI file:
+    * RIFF('AVI ') → LIST(hdrl){avih, LIST(strl){strh, strf}} →
+    * LIST(movi){00db|00dc × frames} → idx1. `codec` is `"DIB "`
+    * (uncompressed BI_RGB 24-bit, decode returns the formula values
+    * exactly) or `"MJPG"` (each frame a real JPEG). */
+  def makeAvi(id: Long, codec: String = "DIB "): Array[Byte] = {
+    require(codec == "DIB " || codec == "MJPG", s"unsupported codec: $codec")
+    val w = videoW(id); val h = videoH(id)
+    val n = videoFrameCount(id); val fps = videoFps(id)
+    val mjpeg = codec == "MJPG"
+    val frames = (0 until n).map { f =>
+      if (mjpeg) jpegFrame(id, f, w, h) else dibFrame(id, f, w, h)
+    }
+    val maxFrame = frames.map(_.length).max
+
+    val strh = new RiffOut()
+    strh.fourcc("vids"); strh.fourcc(codec)
+    strh.u32(0); strh.u16(0); strh.u16(0) // flags, priority, language
+    strh.u32(0) // initial frames
+    strh.u32(1); strh.u32(fps) // scale, rate → fps frames/sec
+    strh.u32(0); strh.u32(n) // start, length
+    strh.u32(maxFrame); strh.u32(-1) // buffer size, quality (default)
+    strh.u32(0) // sample size
+    strh.u16(0); strh.u16(0); strh.u16(w); strh.u16(h) // rcFrame
+
+    val strf = new RiffOut() // BITMAPINFOHEADER
+    strf.u32(40); strf.u32(w); strf.u32(h)
+    strf.u16(1); strf.u16(24) // planes, bit count
+    if (mjpeg) strf.fourcc("MJPG") else strf.u32(0) // biCompression
+    strf.u32(maxFrame); strf.u32(0); strf.u32(0); strf.u32(0); strf.u32(0)
+
+    val strl = new RiffOut()
+    strl.fourcc("strl")
+    strl.chunk("strh", strh.buf.toByteArray)
+    strl.chunk("strf", strf.buf.toByteArray)
+
+    val avih = new RiffOut()
+    avih.u32(1000000 / fps) // microseconds per frame
+    avih.u32(maxFrame * fps) // max bytes/sec
+    avih.u32(0); avih.u32(0x10) // padding granularity; AVIF_HASINDEX
+    avih.u32(n); avih.u32(0); avih.u32(1) // total frames, initial, streams
+    avih.u32(maxFrame); avih.u32(w); avih.u32(h)
+    avih.u32(0); avih.u32(0); avih.u32(0); avih.u32(0) // reserved
+
+    val hdrl = new RiffOut()
+    hdrl.fourcc("hdrl")
+    hdrl.chunk("avih", avih.buf.toByteArray)
+    hdrl.chunk("LIST", strl.buf.toByteArray)
+
+    val movi = new RiffOut()
+    movi.fourcc("movi")
+    val ckid = if (mjpeg) "00dc" else "00db"
+    val offsets = frames.map { fr =>
+      val off = movi.buf.size() // offset within movi, before the ckid
+      movi.chunk(ckid, fr)
+      off
+    }
+
+    val idx1 = new RiffOut()
+    offsets.zip(frames).foreach { case (off, fr) =>
+      idx1.fourcc(ckid); idx1.u32(0x10) // AVIIF_KEYFRAME
+      idx1.u32(off); idx1.u32(fr.length)
+    }
+
+    val riffBody = new RiffOut()
+    riffBody.fourcc("AVI ")
+    riffBody.chunk("LIST", hdrl.buf.toByteArray)
+    riffBody.chunk("LIST", movi.buf.toByteArray)
+    riffBody.chunk("idx1", idx1.buf.toByteArray)
+
+    val out = new RiffOut()
+    out.chunk("RIFF", riffBody.buf.toByteArray)
+    out.buf.toByteArray
+  }
+
+  /** A parsed AVI: header fields + the raw bytes of each video frame
+    * chunk, in stream order. */
+  private final case class ParsedAvi(width: Int, height: Int, fps: Int,
+                                     bitCount: Int, compression: Int,
+                                     frames: Vector[Array[Byte]])
+
+  private def le16(b: Array[Byte], o: Int): Int =
+    (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8)
+  private def le32(b: Array[Byte], o: Int): Int =
+    le16(b, o) | (le16(b, o + 2) << 16)
+  private def fourccAt(b: Array[Byte], o: Int): String =
+    new String(b, o, 4, "US-ASCII")
+
+  /** Walk the RIFF tree of an AVI payload: header dims/rate from
+    * avih/strh/strf of the FIRST `vids` stream, frame bytes from the
+    * movi list's `NNdb`/`NNdc` chunks for that stream. Returns None for
+    * anything that is not a well-formed AVI. */
+  private def parseAvi(payload: Array[Byte]): Option[ParsedAvi] = {
+    if (payload == null || payload.length < 12) return None
+    if (fourccAt(payload, 0) != "RIFF" || fourccAt(payload, 8) != "AVI ") return None
+    var w = 0; var h = 0; var fps = 0; var bitCount = 0; var compression = 0
+    var videoStream = -1 // index of the first vids stream
+    var streamIdx = -1 // index of the stream the current strl describes
+    var sawStrhForStream = false
+    val frames = Vector.newBuilder[Array[Byte]]
+
+    def walk(start: Int, end: Int, inMovi: Boolean): Unit = {
+      var p = start
+      while (p + 8 <= end) {
+        val ckid = fourccAt(payload, p)
+        val size = le32(payload, p + 4)
+        val body = p + 8
+        if (size < 0 || body + size > end) return // torn chunk: stop
+        ckid match {
+          case "LIST" =>
+            if (size >= 4) {
+              val listType = fourccAt(payload, body)
+              if (listType == "strl") { streamIdx += 1; sawStrhForStream = false }
+              walk(body + 4, body + size, inMovi || listType == "movi")
+            }
+          case "strh" if size >= 32 =>
+            sawStrhForStream = fourccAt(payload, body) == "vids"
+            if (sawStrhForStream && videoStream < 0) {
+              videoStream = streamIdx
+              val scale = le32(payload, body + 20)
+              val rate = le32(payload, body + 24)
+              if (scale > 0) fps = rate / scale
+            }
+          case "strf" if size >= 40 && sawStrhForStream && streamIdx == videoStream =>
+            w = le32(payload, body + 4)
+            h = le32(payload, body + 8)
+            bitCount = le16(payload, body + 14)
+            compression = le32(payload, body + 16)
+          case _ if inMovi && ckid.length == 4 &&
+              ckid(0).isDigit && ckid(1).isDigit &&
+              (ckid.substring(2) == "db" || ckid.substring(2) == "dc") =>
+            val sid = (ckid(0) - '0') * 10 + (ckid(1) - '0')
+            if (sid == math.max(videoStream, 0))
+              frames += java.util.Arrays.copyOfRange(payload, body, body + size)
+          case _ => () // unknown chunk: skip
+        }
+        p = body + size + (size & 1) // chunks pad to even
+      }
+    }
+
+    walk(12, payload.length, inMovi = false)
+    val fs = frames.result()
+    if (w <= 0 || h <= 0 || fps <= 0 || fs.isEmpty) None
+    else Some(ParsedAvi(w, h, fps, bitCount, compression, fs))
+  }
+
+  /** Decode ONE video frame chunk to (sumR, sumG, sumB) over its
+    * pixels: BI_RGB 24-bit DIB parsed directly (bottom-up BGR, padded
+    * rows); MJPG (or any biCompression ≠ 0) handed to ImageIO — MJPEG
+    * frames are plain JPEGs. Returns None if undecodable. */
+  private def decodeFrameSums(p: ParsedAvi, frame: Array[Byte]): Option[(Long, Long, Long)] = {
+    if (p.compression == 0 && p.bitCount == 24) {
+      val rowBytes = (p.width * 3 + 3) & ~3
+      if (frame.length < rowBytes * p.height) return None
+      var sr = 0L; var sg = 0L; var sb = 0L
+      var y = 0
+      while (y < p.height) {
+        val base = (p.height - 1 - y) * rowBytes
+        var x = 0
+        while (x < p.width) {
+          sb += frame(base + x * 3) & 0xff
+          sg += frame(base + x * 3 + 1) & 0xff
+          sr += frame(base + x * 3 + 2) & 0xff
+          x += 1
+        }
+        y += 1
+      }
+      Some((sr, sg, sb))
+    } else {
+      decodeImage(frame).map(st => (st.sumR, st.sumG, st.sumB))
+    }
+  }
+
+  /** Exact per-video decode stats — header-derived dims/fps, frame
+    * count from the movi chunks, per-channel pixel sums over ALL
+    * frames. For DIB payloads the sums are bit-exact (SQL-replayable);
+    * for MJPEG they are real-JPEG-decode values (spec-checked within
+    * tolerance; the header fields stay exact either way). */
+  final case class VideoStats(media_id: Long, width: Int, height: Int,
+                              fps: Int, n_frames: Int, duration_ms: Long,
+                              sum_r: Long, sum_g: Long, sum_b: Long)
+
+  /** REAL video decode: AVI/RIFF container parsed from scratch, frames
+    * decoded per [[decodeFrameSums]]. Returns None for undecodable
+    * payloads (including codecs the JDK cannot decode — those are what
+    * [[stubDecodeFeatures]] remains for). */
+  def decodeVideo(payload: Array[Byte]): Option[VideoStats] =
+    try parseAvi(payload).flatMap { p =>
+      var sr = 0L; var sg = 0L; var sb = 0L
+      var ok = true
+      p.frames.foreach { fr =>
+        decodeFrameSums(p, fr) match {
+          case Some((r, g, b)) => sr += r; sg += g; sb += b
+          case None => ok = false
+        }
+      }
+      if (!ok) None
+      else Some(VideoStats(0L, p.width, p.height, p.fps, p.frames.size,
+        p.frames.size * 1000L / p.fps, sr, sg, sb))
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** Replace the payload of `video` rows with real AVI bytes for the
+    * deterministic test video. Map-side; other kinds pass through. */
+  def withVideoPayloads(media: DataFrame, codec: String = "DIB "): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.as[Media].mapPartitions { it =>
+      codecInit()
+      it.map { m =>
+        if (m.kind == "video")
+          m.copy(payload = makeAvi(m.media_id, codec),
+            meta = m.meta.copy(
+              width = Some(videoW(m.media_id)), height = Some(videoH(m.media_id)),
+              n_frames = Some(videoFrameCount(m.media_id)),
+              mime = Some("video/avi")))
+        else m
+      }
+    }.toDF()
+  }
+
+  /** Decode every `video` row's payload per partition (payloads never
+    * shuffle; only fixed-width stats move downstream). Undecodable
+    * rows are dropped — the filter-then-decode contract. */
+  def videoFeatures(media: DataFrame): Dataset[VideoStats] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.where(col("kind") === "video")
+      .select(col("media_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        codecInit()
+        it.flatMap { case (id, payload) =>
+          decodeVideo(payload).map(_.copy(media_id = id))
+        }
+      }
+  }
+
+  /** One REALLY-decoded sampled frame: exact per-channel sums plus the
+    * frame re-encoded as (lossless) PNG — the downstream-trainable
+    * artifact of the frame-sampling pass. */
+  final case class SampledFrame(media_id: Long, frame_idx: Int,
+                                width: Int, height: Int,
+                                sum_r: Long, sum_g: Long, sum_b: Long,
+                                frame_png: Array[Byte])
+
+  /** REAL frame sampling: parse the AVI container, keep every
+    * `stride`-th frame, decode it (DIB directly / MJPEG via ImageIO)
+    * and emit per-frame stats + a PNG re-encode of the frame. Rows
+    * explode map-side (generator-shaped, no shuffle); undecodable
+    * payloads/frames are dropped. Supersedes the byte-slice
+    * [[sampleFrames]] contract with decoded output. */
+  def sampleFramesDecoded(media: DataFrame, stride: Int = 2): Dataset[SampledFrame] = {
+    require(stride >= 1, s"stride must be >= 1: $stride")
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.where(col("kind") === "video")
+      .select(col("media_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        codecInit()
+        it.flatMap { case (id, payload) =>
+          parseAvi(payload).toSeq.flatMap { p =>
+            p.frames.zipWithIndex
+              .filter { case (_, f) => f % stride == 0 }
+              .flatMap { case (fr, f) =>
+                frameToImage(p, fr).map { img =>
+                  var sr = 0L; var sg = 0L; var sb = 0L
+                  var y = 0
+                  while (y < p.height) {
+                    var x = 0
+                    while (x < p.width) {
+                      val rgb = img.getRGB(x, y)
+                      sr += (rgb >> 16) & 0xff; sg += (rgb >> 8) & 0xff; sb += rgb & 0xff
+                      x += 1
+                    }
+                    y += 1
+                  }
+                  val baos = new ByteArrayOutputStream()
+                  ImageIO.write(img, "png", baos)
+                  SampledFrame(id, f, p.width, p.height, sr, sg, sb, baos.toByteArray)
+                }
+              }
+          }
+        }
+      }
+  }
+
+  /** Decode one frame chunk to a BufferedImage (DIB direct / JPEG via
+    * ImageIO). */
+  private def frameToImage(p: ParsedAvi, frame: Array[Byte]): Option[BufferedImage] = {
+    if (p.compression == 0 && p.bitCount == 24) {
+      val rowBytes = (p.width * 3 + 3) & ~3
+      if (frame.length < rowBytes * p.height) return None
+      val img = new BufferedImage(p.width, p.height, BufferedImage.TYPE_INT_RGB)
+      var y = 0
+      while (y < p.height) {
+        val base = (p.height - 1 - y) * rowBytes
+        var x = 0
+        while (x < p.width) {
+          img.setRGB(x, y,
+            ((frame(base + x * 3 + 2) & 0xff) << 16) |
+            ((frame(base + x * 3 + 1) & 0xff) << 8) |
+            (frame(base + x * 3) & 0xff))
+          x += 1
+        }
+        y += 1
+      }
+      Some(img)
+    } else {
+      try Option(ImageIO.read(new ByteArrayInputStream(frame)))
+      catch { case _: java.io.IOException => None }
+    }
+  }
+
+  /** ======== STUB decode kernel (inter-frame codecs ONLY) ========
+    * Image (ImageIO), audio (javax.sound) and video (AVI: DIB + MJPEG,
+    * above) all decode for REAL on the bare JDK; what remains here is
+    * inter-frame-compressed video (h264/vp9/…), which no JDK API can
+    * decode — a real deployment plugs those codecs into
+    * [[decodeFrameSums]]. The stub derives `featureDim` deterministic
+    * floats from payload bytes so plumbing tests stay stable. */
   def stubDecodeFeatures(payload: Array[Byte], featureDim: Int): Array[Float] = {
     val out = new Array[Float](featureDim)
     if (payload != null) {
@@ -376,8 +772,9 @@ object Multimodal {
   }
 
   /** Frame sampling for video rows: emit every `stride`-th frame index
-    * with a byte-slice "frame" (stub slicing; real impl seeks the
-    * container). Generator-shaped: rows explode map-side, no shuffle. */
+    * with a byte-slice "frame" — the declarative generator shape (rows
+    * explode map-side, no shuffle) kept for payloads that are NOT AVI
+    * containers; [[sampleFramesDecoded]] is the real-decode version. */
   def sampleFrames(media: DataFrame, stride: Int = 10): DataFrame =
     media.where(col("kind") === "video")
       .select(col("media_id"), col("meta.n_frames").as("n_frames"),

@@ -503,6 +503,43 @@ object PipelineQueries {
           factor = 2))
         .toDF()
         .withColumn("rms", round(col("rms"), 6))),
+    // REAL video decode (the last modality): video rows carry genuine
+    // AVI containers (RIFF: avih/strh/strf headers, movi frame chunks,
+    // idx1) with uncompressed BI_RGB 24-bit DIB frames encoding the
+    // deterministic frame formulas; decodeVideo parses the container
+    // from scratch — dims/fps from the headers, frame count from movi,
+    // per-channel pixel sums from the DIB rows (bottom-up BGR, padded)
+    // — and the oracle replays every stat arithmetically. Payloads
+    // never shuffle; only fixed-width stats leave the map side.
+    "pipe_q42_video" -> ((s, dir) =>
+      Multimodal.videoFeatures(
+        Multimodal.withVideoPayloads(
+          Multimodal.synthesize(load(s, dir, "documents"), "doc_id", "text")))
+        .toDF()),
+    // the same container with MJPEG frames: every frame a REAL JPEG,
+    // decoded via JDK ImageIO. JPEG is lossy, so the pixel sums are
+    // spec-checked within tolerance instead of oracled; the header-
+    // derived fields (dims/fps/frame count/duration) are exact and
+    // replayed here — proving the JPEG path decodes end-to-end
+    "pipe_q43_video_mjpeg" -> ((s, dir) =>
+      Multimodal.videoFeatures(
+        Multimodal.withVideoPayloads(
+          Multimodal.synthesize(load(s, dir, "documents"), "doc_id", "text"),
+          codec = "MJPG"))
+        .toDF()
+        .select(col("media_id"), col("width"), col("height"), col("fps"),
+          col("n_frames"), col("duration_ms"))),
+    // REAL frame sampling: parse the AVI, keep every 2nd frame, decode
+    // it and emit exact per-frame channel sums (the PNG re-encode of
+    // each frame is spec-checked — PNG bytes are encoder-specific)
+    "pipe_q44_video_frames" -> ((s, dir) =>
+      Multimodal.sampleFramesDecoded(
+        Multimodal.withVideoPayloads(
+          Multimodal.synthesize(load(s, dir, "documents"), "doc_id", "text")),
+        stride = 2)
+        .toDF()
+        .select(col("media_id"), col("frame_idx"), col("width"), col("height"),
+          col("sum_r"), col("sum_g"), col("sum_b"))),
     // frame sampling is deterministic byte-slicing of the synthesized
     // payload; hex() the slice so the oracle compares strings, not blobs
     // resize = real decode → exact nearest-neighbor (floor mapping) →
@@ -859,6 +896,64 @@ object PipelineQueries {
         |  round(sqrt(CAST(sum(val * val) AS DOUBLE)
         |    / (((n_in + 1) // 2) * channels)), 6) AS rms
         |FROM v GROUP BY 1, 2, 3, n_in""".stripMargin,
+    // replays the REAL AVI/DIB decode arithmetically: the containers are
+    // lossless BI_RGB frames of r=(id+19f+7x+13y)%256, g=(3id+23f+5x+
+    // 11y)%256, b=(5id+29f+3x+17y)%256 at w=(id%7)+4, h=(id%5)+4,
+    // frames=(id%6)+2, fps=5+(id%3)*5 — the decoded header fields and
+    // per-channel sums over all frames equal the formula sums exactly
+    "pipe_q42_video" ->
+      """WITH v AS (SELECT CAST(doc_id AS BIGINT) AS media_id,
+        |    CAST(doc_id % 7 + 4 AS INTEGER) AS width,
+        |    CAST(doc_id % 5 + 4 AS INTEGER) AS height,
+        |    CAST(5 + (doc_id % 3) * 5 AS INTEGER) AS fps,
+        |    CAST(doc_id % 6 + 2 AS INTEGER) AS n_frames
+        |  FROM documents WHERE doc_id % 3 = 2),
+        |px AS (SELECT media_id, width, height,
+        |    p % width AS x, (p // width) % height AS y,
+        |    p // (CAST(width AS BIGINT) * height) AS f
+        |  FROM (SELECT *,
+        |          unnest(range(0, CAST(n_frames AS BIGINT) * width * height)) AS p
+        |        FROM v)),
+        |s AS (SELECT media_id,
+        |    CAST(sum((media_id + 19 * f + 7 * x + 13 * y) % 256) AS BIGINT) AS sum_r,
+        |    CAST(sum((3 * media_id + 23 * f + 5 * x + 11 * y) % 256) AS BIGINT) AS sum_g,
+        |    CAST(sum((5 * media_id + 29 * f + 3 * x + 17 * y) % 256) AS BIGINT) AS sum_b
+        |  FROM px GROUP BY 1)
+        |SELECT media_id, width, height, fps, n_frames,
+        |  CAST(n_frames AS BIGINT) * 1000 // fps AS duration_ms,
+        |  sum_r, sum_g, sum_b
+        |FROM v JOIN s USING (media_id)""".stripMargin,
+    // MJPEG path: the header-derived fields are lossless (only the
+    // JPEG pixel payload is lossy) — replay them from the id formulas
+    "pipe_q43_video_mjpeg" ->
+      """SELECT CAST(doc_id AS BIGINT) AS media_id,
+        |  CAST(doc_id % 7 + 4 AS INTEGER) AS width,
+        |  CAST(doc_id % 5 + 4 AS INTEGER) AS height,
+        |  CAST(5 + (doc_id % 3) * 5 AS INTEGER) AS fps,
+        |  CAST(doc_id % 6 + 2 AS INTEGER) AS n_frames,
+        |  CAST(doc_id % 6 + 2 AS BIGINT) * 1000 // (5 + (doc_id % 3) * 5)
+        |    AS duration_ms
+        |FROM documents WHERE doc_id % 3 = 2""".stripMargin,
+    // sampled-frame decode: frames f ∈ {0,2,4,…} of each video, exact
+    // per-frame channel sums from the same formulas
+    "pipe_q44_video_frames" ->
+      """WITH v AS (SELECT CAST(doc_id AS BIGINT) AS media_id,
+        |    CAST(doc_id % 7 + 4 AS INTEGER) AS width,
+        |    CAST(doc_id % 5 + 4 AS INTEGER) AS height,
+        |    CAST(doc_id % 6 + 2 AS INTEGER) AS n_frames
+        |  FROM documents WHERE doc_id % 3 = 2),
+        |fr AS (SELECT *, CAST(unnest(range(0, n_frames, 2)) AS INTEGER) AS f
+        |  FROM v),
+        |px AS (SELECT media_id, width, height, f,
+        |    p % width AS x, p // width AS y
+        |  FROM (SELECT *,
+        |          unnest(range(0, CAST(width AS BIGINT) * height)) AS p
+        |        FROM fr))
+        |SELECT media_id, f AS frame_idx, width, height,
+        |  CAST(sum((media_id + 19 * f + 7 * x + 13 * y) % 256) AS BIGINT) AS sum_r,
+        |  CAST(sum((3 * media_id + 23 * f + 5 * x + 11 * y) % 256) AS BIGINT) AS sum_g,
+        |  CAST(sum((5 * media_id + 29 * f + 3 * x + 17 * y) % 256) AS BIGINT) AS sum_b
+        |FROM px GROUP BY 1, 2, 3, 4""".stripMargin,
     // replays the REAL ImageIO decode arithmetically: the test images
     // encode channel formulas r=(id+7x+13y)%256, g=(3id+5x+11y)%256,
     // b=(5id+3x+17y)%256 at w=(id%13)+4, h=(id%11)+4 — PNG is lossless,

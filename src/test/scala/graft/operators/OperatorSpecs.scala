@@ -231,6 +231,68 @@ class MultimodalSpec extends SparkSpec {
     // only 'video' rows (doc_id % 3 == 2) produce frames
     assert(byId.keySet == Set(2L))
   }
+
+  test("AVI/DIB round trip: container parse + frame decode return the formula exactly") {
+    for (id <- Seq(2L, 5L, 8L, 11L, 23L)) {
+      val st = Multimodal.decodeVideo(Multimodal.makeAvi(id)).get
+      val (w, h, n, fps) = (Multimodal.videoW(id), Multimodal.videoH(id),
+        Multimodal.videoFrameCount(id), Multimodal.videoFps(id))
+      // dims/fps come from the avih/strh/strf headers, count from movi
+      assert(st.width == w && st.height == h && st.fps == fps && st.n_frames == n)
+      assert(st.duration_ms == n * 1000L / fps)
+      val px = for (f <- 0 until n; y <- 0 until h; x <- 0 until w) yield (f, x, y)
+      assert(st.sum_r == px.map { case (f, x, y) => Multimodal.vpxR(id, f, x, y).toLong }.sum)
+      assert(st.sum_g == px.map { case (f, x, y) => Multimodal.vpxG(id, f, x, y).toLong }.sum)
+      assert(st.sum_b == px.map { case (f, x, y) => Multimodal.vpxB(id, f, x, y).toLong }.sum)
+    }
+    assert(Multimodal.decodeVideo("not an avi".getBytes) == None)
+    assert(Multimodal.decodeVideo(null) == None)
+    // torn container: truncating mid-movi must not throw
+    val whole = Multimodal.makeAvi(3L)
+    assert(Multimodal.decodeVideo(java.util.Arrays.copyOf(whole, whole.length / 2)) == None)
+  }
+
+  test("AVI/MJPEG: headers exact, frames really JPEG-decoded within tolerance") {
+    for (id <- Seq(2L, 8L, 14L)) {
+      val st = Multimodal.decodeVideo(Multimodal.makeAvi(id, codec = "MJPG")).get
+      val (w, h, n, fps) = (Multimodal.videoW(id), Multimodal.videoH(id),
+        Multimodal.videoFrameCount(id), Multimodal.videoFps(id))
+      assert(st.width == w && st.height == h && st.fps == fps && st.n_frames == n)
+      // JPEG is lossy: per-pixel mean must land near the formula mean
+      val nPx = n.toLong * w * h
+      val exact = Multimodal.decodeVideo(Multimodal.makeAvi(id)).get
+      assert(math.abs(st.sum_r - exact.sum_r).toDouble / nPx < 32.0,
+        s"id=$id mjpeg sum_r=${st.sum_r} dib=${exact.sum_r}")
+      assert(math.abs(st.sum_g - exact.sum_g).toDouble / nPx < 32.0)
+      assert(math.abs(st.sum_b - exact.sum_b).toDouble / nPx < 32.0)
+    }
+  }
+
+  test("videoFeatures decodes video rows only; sampled frames re-decode from PNG") {
+    val media = Multimodal.withVideoPayloads(
+      Multimodal.synthesize(docs, "doc_id", "text"))
+    val stats = Multimodal.videoFeatures(media).collect()
+    // only 'video' rows (doc_id % 3 == 2) decode
+    assert(stats.map(_.media_id).toSet == Set(2L))
+    assert(stats.head.fps == Multimodal.videoFps(2L))
+    val mimes = media.where($"kind" === "video")
+      .select($"meta.mime").as[String].collect().toSet
+    assert(mimes == Set("video/avi"))
+
+    val frames = Multimodal.sampleFramesDecoded(media, stride = 2).collect()
+      .sortBy(_.frame_idx)
+    val n = Multimodal.videoFrameCount(2L)
+    assert(frames.map(_.frame_idx).toSeq == (0 until n by 2).toSeq)
+    frames.foreach { fr =>
+      // the PNG re-encode decodes back to the exact frame pixels
+      val img = Multimodal.decodeImage(fr.frame_png).get
+      assert(img.width == fr.width && img.height == fr.height)
+      assert(img.sumR == fr.sum_r && img.sumG == fr.sum_g && img.sumB == fr.sum_b)
+      val want = (for (y <- 0 until fr.height; x <- 0 until fr.width) yield
+        Multimodal.vpxR(2L, fr.frame_idx, x, y).toLong).sum
+      assert(fr.sum_r == want)
+    }
+  }
 }
 
 class SkewJoinSpec extends SparkSpec {
