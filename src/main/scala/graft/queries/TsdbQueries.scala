@@ -23,6 +23,32 @@ object TsdbQueries {
   // le-series, so the two paths are directly comparable
   private val NhBounds: Seq[Double] = (1 to 8).map(_ * 50.0)
 
+  // staleness lookback for the PromQL-over-histograms queries (Q90-Q93):
+  // wide enough that every series' latest DAILY snapshot is in window
+  private val HistLookbackMs: Long = 3L * 86400000L
+
+  /** The per-(series, day) native-histogram SERIES for the PromQL
+    * histogram tier (Q90-Q93): one `{count,sum,les,counts}` struct per
+    * (name, user, day), snapshot time = day start — Q88's daily frame
+    * in [[graft.tsdb.PromQLHist]]'s input shape (wide label columns +
+    * `time` + `hist`). */
+  private def histDaily(s: SparkSession, dir: String): DataFrame =
+    graft.tsdb.NativeHistogram.build(
+      table(s, dir).select(RangeStart, RangeEnd, Nil).toDF()
+        .withColumn("day", floor(col("time") / lit(86400000.0)).cast("long")),
+      Seq(col("`labels.name`"), col("`labels.user`"), col("day")),
+      col("value"), NhBounds)
+      .withColumn("time", col("day") * 86400000L)
+      .drop("day")
+
+  /** [[histDaily]] accumulated into the monotone COUNTER shape
+    * (running element-wise sums per series) — what rate() consumes. */
+  private def histDailyCum(s: SparkSession, dir: String): DataFrame =
+    graft.tsdb.NativeHistogram.cumulate(
+      histDaily(s, dir),
+      Seq(col("`labels.name`"), col("`labels.user`")), col("time"),
+      nLes = NhBounds.size + 1)
+
   private def proj(df: DataFrame): DataFrame =
     df.select(labelsTimeValue.map(col): _*)
 
@@ -690,6 +716,56 @@ object TsdbQueries {
           element_at(h.getField("counts"), 12).cast("long").as("c_inf"),
           round(histQuantile(h, 0.5), 6).as("phi"))
     }),
+    // Q90-Q93: PromQL TEXT over NATIVE-HISTOGRAM series
+    // ([[graft.tsdb.PromQLHist]] — same parser/AST as the float tier,
+    // evaluated over a frame of whole-histogram structs). The frame is
+    // the per-(series, day) histogram series of Q88 (snapshot time =
+    // day start); Q91 consumes its CUMULATIVE form
+    // ([[graft.tsdb.NativeHistogram.cumulate]]) — the monotone counter
+    // shape a Prometheus scrape exposes.
+    // Q90: the canonical dashboard composition parsed from text —
+    // sum-merge the matched series' latest histograms, then quantile.
+    "tsdb_q90_promql_hist_quantile" -> ((s, dir) =>
+      graft.tsdb.PromQLHist.eval(
+        graft.tsdb.PromQL.parse(
+          """histogram_quantile(0.5, sum by (name) ({user=~"1.*"}))"""),
+        histDaily(s, dir), at = RangeEnd, lookbackMs = HistLookbackMs,
+        start = RangeStart, end = RangeEnd, nLes = NhBounds.size + 1)
+        .select(col("name"), round(col("value"), 6).as("phi"))),
+    // Q91: rate over a native-histogram COUNTER series from text —
+    // tumbling 2d buckets, per-pair reset-aware deltas (monotone input:
+    // deltas telescope to last − first), per-second scaling, then the
+    // count component. One window pass + one partial-agg groupBy.
+    "tsdb_q91_promql_hist_rate" -> ((s, dir) =>
+      graft.tsdb.PromQLHist.eval(
+        graft.tsdb.PromQL.parse(
+          """histogram_count(rate({name="purchase"}[2d]))"""),
+        histDailyCum(s, dir), at = RangeEnd, lookbackMs = HistLookbackMs,
+        start = RangeStart, end = RangeEnd, nLes = NhBounds.size + 1)
+        .select(col("`labels.name`").as("name"),
+          col("`labels.user`").as("user"), col("bucket"),
+          round(col("value"), 8).as("rate_total"))),
+    // Q92: histogram_fraction from text (TWO leading scalar params) —
+    // boundary-exact on the (100, 300] bucket edges.
+    "tsdb_q92_promql_hist_fraction" -> ((s, dir) =>
+      graft.tsdb.PromQLHist.eval(
+        graft.tsdb.PromQL.parse(
+          """histogram_fraction(100, 300, {name="purchase"})"""),
+        histDaily(s, dir), at = RangeEnd, lookbackMs = HistLookbackMs,
+        start = RangeStart, end = RangeEnd, nLes = NhBounds.size + 1)
+        .select(col("`labels.name`").as("name"),
+          col("`labels.user`").as("user"),
+          round(col("value"), 6).as("frac"))),
+    // Q93: avg-merge aggregation from text — the scaled merge, read
+    // back through histogram_count (mean latest-day observations per
+    // series within each name).
+    "tsdb_q93_promql_hist_avg" -> ((s, dir) =>
+      graft.tsdb.PromQLHist.eval(
+        graft.tsdb.PromQL.parse(
+          """histogram_count(avg by (name) ({name=~".+"}))"""),
+        histDaily(s, dir), at = RangeEnd, lookbackMs = HistLookbackMs,
+        start = RangeStart, end = RangeEnd, nLes = NhBounds.size + 1)
+        .select(col("name"), round(col("value"), 6).as("mean_n"))),
     // Q85-Q87: the METADATA API ([[graft.tsdb.TsdbMeta]]) — Prometheus's
     // /api/v1/labels, /label/<name>/values and /series endpoints, the
     // surface dashboard variable queries hit constantly. Each is one
@@ -1801,6 +1877,114 @@ object TsdbQueries {
          |  round((c1 + pc1) / 172800.0, 8) AS rate_le50,
          |  round((c9 + pc9) / 172800.0, 8) AS rate_inf
          |FROM p WHERE pn IS NOT NULL""".stripMargin,
+    // Q90-Q93 replay [[graft.tsdb.PromQLHist]] text evaluation: daily
+    // histograms are count-filters over the day's raw samples, the
+    // instant selector is each series' LATEST daily snapshot inside the
+    // 3d lookback (snapshot time = day start), merges are sample-set
+    // unions, and the quantile fold reuses the q82/q83 construction.
+    "tsdb_q90_promql_hist_quantile" ->
+      s"""$duckTsdbCte,
+         |f0 AS (SELECT "labels.name" AS name, "labels.user" AS "user",
+         |  CAST(floor(time / 86400000.0) AS BIGINT) AS day, value FROM t
+         |  WHERE time > $RangeStart AND time < $RangeEnd
+         |    AND regexp_matches("labels.user", '1.*')),
+         |ld AS (SELECT name, "user", max(day) AS day FROM f0
+         |  WHERE day * 86400000 > ${RangeEnd - HistLookbackMs}
+         |    AND day * 86400000 <= $RangeEnd
+         |  GROUP BY 1, 2),
+         |f AS (SELECT f0.name, f0.value FROM f0
+         |  JOIN ld ON f0.name = ld.name AND f0."user" = ld."user"
+         |         AND f0.day = ld.day),
+         |les AS (SELECT unnest([50.0,100.0,150.0,200.0,250.0,300.0,350.0,400.0,
+         |  CAST('infinity' AS DOUBLE)]) AS le),
+         |b AS (SELECT name, le,
+         |  (SELECT count(*) FROM f f2 WHERE f2.name = k.name
+         |    AND f2.value <= le
+         |    AND (le = 50.0 OR f2.value >
+         |      (CASE WHEN le = CAST('infinity' AS DOUBLE) THEN 400.0
+         |            ELSE le - 50.0 END))) AS cnt
+         |  FROM (SELECT DISTINCT name FROM f) k CROSS JOIN les),
+         |c AS (SELECT *, CAST(sum(cnt) OVER (PARTITION BY name ORDER BY le
+         |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS cum FROM b),
+         |w1 AS (SELECT *, max(cum) OVER (PARTITION BY name) AS total FROM c),
+         |w2 AS (SELECT *, 0.5 * total AS rk FROM w1),
+         |w3 AS (SELECT *,
+         |  min(CASE WHEN cum >= rk THEN le END) OVER (PARTITION BY name) AS chosen_le,
+         |  max(CASE WHEN le <> CAST('infinity' AS DOUBLE) THEN le END)
+         |    OVER (PARTITION BY name) AS max_finite_le
+         |  FROM w2),
+         |w4 AS (SELECT *,
+         |  max(CASE WHEN le < chosen_le THEN cum END)
+         |    OVER (PARTITION BY name) AS cum_below,
+         |  max(CASE WHEN le < chosen_le THEN le END)
+         |    OVER (PARTITION BY name) AS le_below
+         |  FROM w3)
+         |SELECT name,
+         |  round(CASE WHEN chosen_le = CAST('infinity' AS DOUBLE) THEN max_finite_le
+         |    ELSE coalesce(le_below, 0.0) + (chosen_le - coalesce(le_below, 0.0)) *
+         |      (rk - coalesce(cum_below, 0.0)) / (cum - coalesce(cum_below, 0.0))
+         |    END, 6) AS phi
+         |FROM w4 WHERE le = chosen_le""".stripMargin,
+    // monotone cumulative series: per-pair reset-aware deltas telescope
+    // to last − first per 2d bucket; rate = delta × (1/span), the
+    // engine's histScale arithmetic
+    "tsdb_q91_promql_hist_rate" ->
+      s"""$duckTsdbCte,
+         |d AS (SELECT "labels.user" AS "user",
+         |  CAST(floor(time / 86400000.0) AS BIGINT) AS day, count(*) AS n
+         |  FROM t WHERE "labels.name" = 'purchase'
+         |    AND time > $RangeStart AND time < $RangeEnd
+         |  GROUP BY 1, 2),
+         |cum AS (SELECT *, CAST(sum(n) OVER (PARTITION BY "user" ORDER BY day
+         |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS cn
+         |  FROM d),
+         |sel AS (SELECT *, day * 86400000 AS st FROM cum
+         |  WHERE day * 86400000 > $RangeStart AND day * 86400000 < $RangeEnd),
+         |g AS (SELECT "user",
+         |  (st // 172800000) * 172800000 AS bucket,
+         |  count(*) AS snaps,
+         |  arg_min(cn, st) AS first_cn, arg_max(cn, st) AS last_cn,
+         |  (max(st) - min(st)) / 1000.0 AS span_sec
+         |  FROM sel GROUP BY 1, 2 HAVING count(*) >= 2)
+         |SELECT 'purchase' AS name, "user", bucket,
+         |  round((last_cn - first_cn) * (1.0 / span_sec), 8) AS rate_total
+         |FROM g""".stripMargin,
+    // (100, 300] sits on bucket boundaries, so the interpolated
+    // fraction reduces to an exact count ratio over the latest snapshot
+    "tsdb_q92_promql_hist_fraction" ->
+      s"""$duckTsdbCte,
+         |f0 AS (SELECT "labels.user" AS "user",
+         |  CAST(floor(time / 86400000.0) AS BIGINT) AS day, value FROM t
+         |  WHERE "labels.name" = 'purchase'
+         |    AND time > $RangeStart AND time < $RangeEnd),
+         |ld AS (SELECT "user", max(day) AS day FROM f0
+         |  WHERE day * 86400000 > ${RangeEnd - HistLookbackMs}
+         |    AND day * 86400000 <= $RangeEnd
+         |  GROUP BY 1)
+         |SELECT 'purchase' AS name, f0."user",
+         |  round((count(*) FILTER (value > 100.0 AND value <= 300.0))
+         |    / CAST(count(*) AS DOUBLE), 6) AS frac
+         |FROM f0 JOIN ld ON f0."user" = ld."user" AND f0.day = ld.day
+         |GROUP BY 1, 2""".stripMargin,
+    // avg-merge = merged histogram scaled by 1/series-count; its count
+    // component is the mean latest-day observations per series
+    "tsdb_q93_promql_hist_avg" ->
+      s"""$duckTsdbCte,
+         |f0 AS (SELECT "labels.name" AS name, "labels.user" AS "user",
+         |  CAST(floor(time / 86400000.0) AS BIGINT) AS day, value FROM t
+         |  WHERE regexp_matches("labels.name", '.+')
+         |    AND time > $RangeStart AND time < $RangeEnd),
+         |ld AS (SELECT name, "user", max(day) AS day FROM f0
+         |  WHERE day * 86400000 > ${RangeEnd - HistLookbackMs}
+         |    AND day * 86400000 <= $RangeEnd
+         |  GROUP BY 1, 2),
+         |per_series AS (SELECT f0.name, f0."user", count(*) AS cnt
+         |  FROM f0 JOIN ld ON f0.name = ld.name AND f0."user" = ld."user"
+         |         AND f0.day = ld.day
+         |  GROUP BY 1, 2)
+         |SELECT name,
+         |  round(sum(cnt) * (1.0 / count(*)), 6) AS mean_n
+         |FROM per_series GROUP BY 1""".stripMargin,
     "tsdb_q85_label_names" ->
       s"""$duckTsdbCte,
          |f AS (SELECT * FROM t WHERE time > $RangeStart AND time < $RangeEnd

@@ -135,6 +135,29 @@ object NativeHistogram {
           (x, y) => x + y)).as("counts"))
   }
 
+  /** Turn per-window OBSERVATION histograms into a CUMULATIVE COUNTER
+    * histogram series — the shape a Prometheus scrape exposes (each
+    * scrape reports totals since process start), and what
+    * [[PromQLHist]]'s `rate()`/`increase()` consume with counter
+    * semantics (monotone by construction, so resets never fire). One
+    * running-window pass per series: count, sum and each of the `nLes`
+    * bucket counts accumulate element-wise (static per-index unroll —
+    * no array shuffling). */
+  def cumulate(df: DataFrame, partitionCols: Seq[Column], orderCol: Column,
+               nLes: Int, h: Column = col("hist")): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(partitionCols: _*).orderBy(orderCol)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val cumCounts = (1 to nLes).map(i =>
+      sum(element_at(h.getField("counts"), i)).over(w))
+    df.withColumn("hist", struct(
+      sum(h.getField("count")).over(w).as("count"),
+      sum(h.getField("sum")).over(w).as("sum"),
+      h.getField("les").as("les"),
+      array(cumCounts: _*).as("counts")))
+  }
+
   /** `histogram_count(h)` — observation count. */
   def histCount(h: Column): Column = h.getField("count")
 

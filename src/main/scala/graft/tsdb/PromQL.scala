@@ -79,12 +79,13 @@ import graft.model.Matcher
   * series at a marker ([[RangeVectors.instant]]); range selections skip
   * markers entirely ([[PromQL.live]]), both per Prometheus 3.
   *
-  * Native histograms: the float-sample PromQL tier (this file) does not
-  * carry histogram-typed samples — the reference is ValFloat-only too
-  * (hello.go:490). The `histogram_count/sum/avg/fraction/quantile`
-  * family and histogram `sum()` merging ARE available at the DataFrame
-  * tier over struct-valued histogram columns ([[NativeHistogram]],
-  * oracle-checked as tsdb_q80-q83).
+  * Native histograms: the float-sample tier (this file) does not carry
+  * histogram-typed samples — the reference is ValFloat-only too
+  * (hello.go:490). Histogram-valued QUERIES evaluate in [[PromQLHist]]
+  * (same parser, same AST): selector / rate / sum-avg-count aggregation
+  * / the `histogram_*` scalar family over a frame of whole-histogram
+  * structs ([[NativeHistogram]]); this tier rejects the `histogram_*`
+  * names with a pointer there.
   */
 object PromQL {
 
@@ -189,6 +190,8 @@ object PromQL {
       s"$name$braces$r$o${atText(atm)}"
     case Fn(name, arg, Seq(q)) if LeadingParamFns(name) =>
       s"$name($q, ${render(arg)})"
+    case Fn("histogram_fraction", arg, Seq(lo, hi)) =>
+      s"histogram_fraction($lo, $hi, ${render(arg)})"
     case Fn(name, arg, params) =>
       (s"$name(${render(arg)}" +: params.map(_.toString)).mkString(", ") + ")"
     case CountValues(lbl, arg, Seq(), Seq()) =>
@@ -388,6 +391,14 @@ object PromQL {
   private val StrFns = Set("label_replace", "label_join",
     "sort_by_label", "sort_by_label_desc")
   private val LeadingParamFns = Set("quantile_over_time", "histogram_quantile")
+  /** The native-histogram scalar family ([[PromQLHist]]'s terminal
+    * functions). Parsed HERE so one grammar serves both tiers; the
+    * float-sample evaluators reject them with a pointer to the
+    * histogram tier. `histogram_quantile` is absent — it already has a
+    * float-tier meaning (classic le-bucket series). */
+  private[tsdb] val HistScalarFns = Set("histogram_count", "histogram_sum",
+    "histogram_avg", "histogram_stddev", "histogram_stdvar",
+    "histogram_fraction")
   /** Range-vector functions a SUBQUERY supports as its consumer: the
     * single-value statistics plus the pair/fold family, each evaluated
     * over the subquery's grid points (the grid timestamp `t` is the
@@ -678,7 +689,8 @@ object PromQL {
       val arg = parseExpr(p)
       p.expect(')')
       LimitRatio(r, arg)
-    } else if ((RangeFns(name) || InstantFns(name)) && p.peek('(')) {
+    } else if ((RangeFns(name) || InstantFns(name) || HistScalarFns(name)) &&
+               p.peek('(')) {
       p.expect('(')
       // Prometheus defaults a wall-clock fn's missing argument to
       // vector(time()): `hour()` ≡ `hour(vector(time()))`
@@ -686,6 +698,16 @@ object PromQL {
         return Fn(name, Fn("vector", TimeLit, Nil), Nil)
       // leading numeric param (quantile_over_time(0.9, v) / histogram_quantile)
       val pre = if (LeadingParamFns(name)) { val q = p.number(); p.expect(','); Seq(q) }
+                else if (name == "histogram_fraction") {
+                  // TWO leading scalars: histogram_fraction(lo, hi, v);
+                  // either bound may be negative (number() is unsigned —
+                  // unary minus is an expression operator elsewhere)
+                  def signed(): Double =
+                    (if (p.opt('-')) -1 else 1) * p.number()
+                  val lo = signed(); p.expect(',')
+                  val hi = signed(); p.expect(',')
+                  Seq(lo, hi)
+                }
                 else Seq.empty[Double]
       val arg = parseExpr(p)
       // trailing numeric params (holt_winters(v, sf, tf))
@@ -928,6 +950,11 @@ object PromQL {
     case Fn(name, arg, params) if InstantFns(name) =>
       instantFn(name, eval(arg, wide, at, lookbackMs, start, end),
         params, at)
+    case Fn(name, _, _) if HistScalarFns(name) =>
+      throw new IllegalArgumentException(
+        s"$name consumes a NATIVE-histogram vector — evaluate with " +
+          "PromQLHist.eval over a histogram-valued frame (this float-" +
+          "sample tier carries no histogram-typed values)")
     case Fn(name, _, _) =>
       throw new IllegalArgumentException(
         s"$name needs a range selector argument (v[duration])")
@@ -1777,6 +1804,11 @@ object PromQL {
       // value maps don't touch the grid column — per-step for free
       instantFn(name, evalRange(arg, wide, start, end, stepMs, lookbackMs),
         params, at = end)
+    case Fn(name, _, _) if HistScalarFns(name) =>
+      throw new IllegalArgumentException(
+        s"$name consumes a NATIVE-histogram vector — evaluate with " +
+          "PromQLHist.eval over a histogram-valued frame (this float-" +
+          "sample tier carries no histogram-typed values)")
     case CountValues(lbl, arg, by, without) =>
       // per-step count_values: how many series report each value AT
       // each grid timestamp — `t` joins the grouping like every other

@@ -1,0 +1,319 @@
+package graft.tsdb
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import PromQL.{AggBy, AggWithout, AtAnchor, AtEnd, AtMs, AtStart, Expr, Fn,
+  Selector}
+
+/** PromQL over NATIVE-HISTOGRAM series — the text front end for the
+  * [[NativeHistogram]] struct tier, closing the loop the scaladoc of
+  * [[PromQL]] documents: the float tier never carries histogram-typed
+  * samples (the reference is ValFloat-only, hello.go:490), so
+  * histogram-valued queries evaluate HERE, over a frame of whole
+  * histograms.
+  *
+  * Input frame: wide label columns (`labels.<k>`) + `time` (epoch ms)
+  * + `hist` (the `{count, sum, les, counts}` struct one
+  * [[NativeHistogram.build]]/`buildExp` row carries) — a
+  * native-histogram TIME SERIES, one snapshot per (series, time).
+  * `nLes` is the frame's bucket-array length (les size, +Inf included),
+  * fixed per frame by construction — it lets every element-wise merge
+  * unroll to partial-aggregatable per-index sums instead of shuffling
+  * whole arrays.
+  *
+  * Supported grammar (the canonical Prometheus dashboard shape
+  * `histogram_quantile(0.9, sum by (le-less labels) (rate(m[5m])))`):
+  *   - instant selector `m{...}` (offset/@ respected, staleness-free
+  *     lookback) → latest histogram per series;
+  *   - `rate(sel[d])` / `increase(sel[d])` — tumbling `[d]` buckets,
+  *     per-pair reset-aware histogram deltas (a decrease in ANY bucket
+  *     or in count marks a counter reset, and the pair contributes the
+  *     post-reset histogram — Prometheus's detectReset over every
+  *     consecutive pair, not just window endpoints), summed per bucket;
+  *     rate divides by the observed span (the engine's documented
+  *     rate definition; same contract as [[RangeVectors.rate]]);
+  *   - `sum [by|without (...)] (v)` — histogram merge
+  *     (element-wise bucket sums, partial-aggregated);
+  *     `avg [by|without (...)] (v)` — merge scaled by series count;
+  *     `count [by|without (...)] (v)` — a FLOAT vector (series count);
+  *   - terminal scalar functions producing float vectors:
+  *     `histogram_quantile(q, v)`, `histogram_fraction(lo, hi, v)`,
+  *     `histogram_count/sum/avg/stddev/stdvar(v)`.
+  *
+  * `__name__` flows as in Prometheus: selectors keep it; rate/increase,
+  * aggregation and the histogram_* functions drop it.
+  *
+  * Unsupported composition (binary ops between histograms, rank/sort,
+  * subqueries) raises a clear error instead of silently treating the
+  * struct as a float.
+  *
+  * Scale shape: the selector is a pruned scan; rate is ONE window pass
+  * (lag over series-partitioned, time-ordered snapshots) + ONE
+  * partial-aggregatable groupBy whose exchange carries (series ×
+  * buckets) structs, never samples; merges are single aggregations over
+  * fixed-width arrays; the scalar functions are per-row folds over a
+  * ≤ few-dozen-element array. No joins anywhere.
+  */
+object PromQLHist {
+  import TsdbSchema.{TimeCol, labelCol, labelColName}
+
+  /** The histogram struct column every frame carries. */
+  val HistCol = "hist"
+
+  /** Terminal functions: histogram vector in, FLOAT vector out. */
+  val ScalarFns: Set[String] = Set(
+    "histogram_quantile", "histogram_fraction", "histogram_count",
+    "histogram_sum", "histogram_avg", "histogram_stddev",
+    "histogram_stdvar")
+
+  /** Evaluate a parsed expression against a native-histogram frame.
+    *
+    * @param at         evaluation instant (epoch ms) for instant vectors
+    * @param lookbackMs staleness lookback for instant vectors
+    * @param start/end  exclusive window rate/increase bucket over
+    * @param nLes       bucket-array length of the frame's histograms
+    *                   (les size, +Inf included)
+    * @return a float vector frame (labels [+bucket] + `value`) for the
+    *         terminal scalar functions and `count`; a histogram vector
+    *         frame (labels [+bucket] + `hist`) otherwise
+    */
+  def eval(expr: Expr, hists: DataFrame, at: Long, lookbackMs: Long,
+           start: Long, end: Long, nLes: Int): DataFrame = expr match {
+    case Fn("histogram_quantile", arg, params) =>
+      scalarize(evalH(arg, hists, at, lookbackMs, start, end, nLes),
+        h => NativeHistogram.histQuantile(h, params.head))
+    case Fn("histogram_fraction", arg, Seq(lo, hi)) =>
+      scalarize(evalH(arg, hists, at, lookbackMs, start, end, nLes),
+        h => NativeHistogram.histFraction(h, lit(lo), lit(hi)))
+    case Fn("histogram_count", arg, _) =>
+      scalarize(evalH(arg, hists, at, lookbackMs, start, end, nLes),
+        NativeHistogram.histCount)
+    case Fn("histogram_sum", arg, _) =>
+      scalarize(evalH(arg, hists, at, lookbackMs, start, end, nLes),
+        NativeHistogram.histSum)
+    case Fn("histogram_avg", arg, _) =>
+      scalarize(evalH(arg, hists, at, lookbackMs, start, end, nLes),
+        NativeHistogram.histAvg)
+    case Fn("histogram_stddev", arg, _) =>
+      scalarize(evalH(arg, hists, at, lookbackMs, start, end, nLes),
+        NativeHistogram.histStddev)
+    case Fn("histogram_stdvar", arg, _) =>
+      scalarize(evalH(arg, hists, at, lookbackMs, start, end, nLes),
+        NativeHistogram.histStdvar)
+    case AggBy("count", by, arg, None) =>
+      countSeries(evalH(arg, hists, at, lookbackMs, start, end, nLes),
+        byKeys(_, by))
+    case AggWithout("count", w, arg, None) =>
+      countSeries(evalH(arg, hists, at, lookbackMs, start, end, nLes),
+        withoutKeys(_, w))
+    case other => evalH(other, hists, at, lookbackMs, start, end, nLes)
+  }
+
+  // ---- histogram-vector evaluation ----
+
+  private def evalH(expr: Expr, hists: DataFrame, at: Long, lookbackMs: Long,
+                    start: Long, end: Long, nLes: Int): DataFrame = expr match {
+    case Selector(ms, None, off, atm) =>
+      val t = resolveAt(atm, at, start, end) - off
+      val known = TsdbSchema.labelColumns(hists)
+        .map(_.stripPrefix(TsdbSchema.LabelPrefix)).toSet
+      val labels = TsdbSchema.dynCols(hists)
+      hists
+        .where(MatcherCompiler.compileAll(ms, known) &&
+          col(TimeCol) > t - lookbackMs && col(TimeCol) <= t)
+        .groupBy(labels: _*)
+        .agg(max_by(col(HistCol), col(TimeCol)).as(HistCol))
+    case Selector(_, Some(_), _, _) =>
+      throw new IllegalArgumentException(
+        "range selector must be wrapped in rate() or increase()")
+    case Fn(name @ ("rate" | "increase"),
+            Selector(ms, Some(rangeMs), off, atm), _) =>
+      val known = TsdbSchema.labelColumns(hists)
+        .map(_.stripPrefix(TsdbSchema.LabelPrefix)).toSet
+      // @-anchored range: one window (anchor − off − range, anchor − off]
+      // ≡ a tumbling grid aligned to the anchor, restricted to one bucket
+      val (s0, e0) = atm match {
+        case Some(a) =>
+          val t0 = resolveAt(atm, at, start, end) - off
+          (t0 - rangeMs, t0 + 1)
+        case None => (start - off, end - off)
+      }
+      val sel = hists.where(MatcherCompiler.compileAll(ms, known) &&
+        col(TimeCol) > s0 && col(TimeCol) < e0)
+      dropName(histRate(sel, rangeMs, nLes, asRate = name == "rate"))
+    case Fn(name @ ("rate" | "increase"), _, _) =>
+      throw new IllegalArgumentException(
+        s"$name over histograms needs a range selector argument (m[duration])")
+    case AggBy("sum", by, arg, None) =>
+      mergeH(evalH(arg, hists, at, lookbackMs, start, end, nLes),
+        byKeys(_, by), nLes, scaleByN = false)
+    case AggWithout("sum", w, arg, None) =>
+      mergeH(evalH(arg, hists, at, lookbackMs, start, end, nLes),
+        withoutKeys(_, w), nLes, scaleByN = false)
+    case AggBy("avg", by, arg, None) =>
+      mergeH(evalH(arg, hists, at, lookbackMs, start, end, nLes),
+        byKeys(_, by), nLes, scaleByN = true)
+    case AggWithout("avg", w, arg, None) =>
+      mergeH(evalH(arg, hists, at, lookbackMs, start, end, nLes),
+        withoutKeys(_, w), nLes, scaleByN = true)
+    case other =>
+      throw new IllegalArgumentException(
+        "unsupported over native histograms: " + PromQL.render(other) +
+          " (supported: selector, rate/increase, sum/avg/count " +
+          "aggregation, histogram_* scalar functions)")
+  }
+
+  // ---- kernels ----
+
+  /** Tumbling-bucket histogram rate/increase: every consecutive
+    * snapshot pair inside a (series, bucket) contributes its
+    * reset-aware delta histogram — element-wise `cur − prev`, or `cur`
+    * whole when ANY bucket (or the count) decreased, Prometheus's
+    * detectReset — and the deltas sum per bucket through statically
+    * unrolled per-index aggregation (nLes scalar sums, all
+    * partial-aggregatable). Buckets need ≥ 2 snapshots (a rate needs a
+    * pair); rate additionally divides by the observed span in seconds. */
+  private def histRate(sel: DataFrame, rangeMs: Long, nLes: Int,
+                       asRate: Boolean): DataFrame = {
+    val labels = TsdbSchema.dynCols(sel)
+    val bucket = (floor(col(TimeCol) / rangeMs.toDouble) * rangeMs)
+      .cast("long").as("bucket")
+    val b = sel.withColumn("bucket", bucket)
+    val w = Window.partitionBy(labels :+ col("bucket"): _*)
+      .orderBy(col(TimeCol).asc)
+    val cur = col(HistCol)
+    val prev = lag(col(HistCol), 1).over(w)
+    val reset = cur.getField("count") < prev.getField("count") ||
+      exists(zip_with(cur.getField("counts"), prev.getField("counts"),
+        (a, p) => a < p), x => x)
+    val delta = when(prev.isNull,
+        // first snapshot of a bucket: zero delta, layout preserved
+        struct(lit(0.0).as("count"), lit(0.0).as("sum"),
+          cur.getField("les").as("les"),
+          transform(cur.getField("counts"), _ => lit(0.0)).as("counts")))
+      .when(reset, cur)
+      .otherwise(struct(
+        (cur.getField("count") - prev.getField("count")).as("count"),
+        (cur.getField("sum") - prev.getField("sum")).as("sum"),
+        cur.getField("les").as("les"),
+        zip_with(cur.getField("counts"), prev.getField("counts"),
+          (a, p) => a - p).as("counts")))
+    val d = col("_delta")
+    val spanSec = (max(col(TimeCol)) - min(col(TimeCol))) / 1000.0
+    val perIndex = (1 to nLes).map(i => sum(element_at(d.getField("counts"), i)))
+    val layoutOk = assert_true(
+      min(size(d.getField("les"))) === max(size(d.getField("les"))),
+      lit("PromQLHist.histRate: incompatible bucket layouts in window"))
+    val agg = b.withColumn("_delta", delta)
+      .groupBy(labels :+ col("bucket"): _*)
+      .agg(count(lit(1)).as("_n"), spanSec.as("_span_sec"),
+        struct(
+          sum(d.getField("count")).as("count"),
+          sum(d.getField("sum")).as("sum"),
+          when(layoutOk.isNull, first(d.getField("les"))).as("les"),
+          when(layoutOk.isNull, array(perIndex: _*)).as("counts"))
+          .as(HistCol))
+      .where(col("_n") >= 2)
+    val out =
+      if (asRate)
+        agg.withColumn(HistCol,
+          histScale(col(HistCol), lit(1.0) / nullif(col("_span_sec"), lit(0.0))))
+      else agg
+    out.drop("_n", "_span_sec")
+  }
+
+  /** Scale every additive component of a histogram (count, sum, bucket
+    * counts) by `f` — rate's per-second division, avg's 1/n. */
+  private def histScale(h: Column, f: Column): Column = struct(
+    (h.getField("count") * f).as("count"),
+    (h.getField("sum") * f).as("sum"),
+    h.getField("les").as("les"),
+    transform(h.getField("counts"), c => c * f).as("counts"))
+
+  /** `sum/avg [by|without] (v)` — histogram merge under the grouping,
+    * same layout guard + static per-index unroll as
+    * [[NativeHistogram.merge]]; avg scales the merged histogram by the
+    * group's series count. Aggregations drop `__name__` (Prometheus)
+    * unless it is an explicit `by` key. */
+  private def mergeH(hv: DataFrame, keysOf: DataFrame => Seq[Column],
+                     nLes: Int, scaleByN: Boolean): DataFrame = {
+    val h = col(HistCol)
+    val perIndex = (1 to nLes).map(i => sum(element_at(h.getField("counts"), i)))
+    val layoutOk = assert_true(
+      min(size(h.getField("les"))) === max(size(h.getField("les"))),
+      lit("PromQLHist: incompatible bucket layouts in group"))
+    val merged = hv.groupBy(keysOf(hv): _*)
+      .agg(count(lit(1)).as("_n"),
+        struct(
+          sum(h.getField("count")).as("count"),
+          sum(h.getField("sum")).as("sum"),
+          when(layoutOk.isNull, first(h.getField("les"))).as("les"),
+          when(layoutOk.isNull, array(perIndex: _*)).as("counts"))
+          .as(HistCol))
+    (if (scaleByN)
+       merged.withColumn(HistCol,
+         histScale(col(HistCol), lit(1.0) / col("_n")))
+     else merged).drop("_n")
+  }
+
+  /** `count [by|without] (v)` — series count per group, a FLOAT vector. */
+  private def countSeries(hv: DataFrame,
+                          keysOf: DataFrame => Seq[Column]): DataFrame =
+    hv.groupBy(keysOf(hv): _*)
+      .agg(count(lit(1)).cast("double").as(TsdbSchema.ValueCol))
+
+  /** Project a histogram vector to labels + a scalar of the histogram —
+    * the terminal float-vector shape. Drops `__name__` (Prometheus:
+    * histogram_* functions transform the value). */
+  private def scalarize(hv: DataFrame, f: Column => Column): DataFrame = {
+    val keep = hv.columns.filter(_ != HistCol)
+      .map(c => col(s"`$c`")).toSeq
+    dropName(hv.select(keep :+
+      f(col(HistCol)).cast("double").as(TsdbSchema.ValueCol): _*))
+  }
+
+  // ---- grouping-key resolution (mirrors the float tier's contract) ----
+
+  /** `by (...)` keys: each label resolved as `labels.<n>` (selector
+    * output) or bare `<n>` (aggregation output), aliased bare; plus any
+    * implicit `bucket` grid column. */
+  private def byKeys(df: DataFrame, by: Seq[String]): Seq[Column] =
+    by.map { n =>
+      if (df.columns.contains(labelColName(n))) labelCol(n).as(n)
+      else if (df.columns.contains(n)) col(s"`$n`").as(n)
+      else lit(null).cast("string").as(n)
+    } ++ gridKeys(df)
+
+  /** `without (...)` keys: every label column EXCEPT the named ones and
+    * `__name__` (Prometheus drops the name in without() grouping). */
+  private def withoutKeys(df: DataFrame, w: Seq[String]): Seq[Column] = {
+    val excluded = w.toSet ++ Set("__name__")
+    df.columns.toSeq.filter { c =>
+      val bare = c.stripPrefix(TsdbSchema.LabelPrefix)
+      (c.startsWith(TsdbSchema.LabelPrefix) || isBareLabel(df, c)) &&
+        !excluded.contains(bare)
+    }.map(c => col(s"`$c`").as(c.stripPrefix(TsdbSchema.LabelPrefix))) ++
+      gridKeys(df)
+  }
+
+  /** A bare (post-aggregation) label column: anything that is not the
+    * histogram, the grid key, or the time axis. */
+  private def isBareLabel(df: DataFrame, c: String): Boolean =
+    c != HistCol && c != "bucket" && c != TimeCol
+
+  private def gridKeys(df: DataFrame): Seq[Column] =
+    if (df.columns.contains("bucket")) Seq(col("bucket")) else Nil
+
+  private def dropName(df: DataFrame): DataFrame =
+    df.drop(labelColName("__name__")).drop("__name__")
+
+  private def resolveAt(atm: Option[AtAnchor], default: Long,
+                        start: Long, end: Long): Long = atm match {
+    case None => default
+    case Some(AtMs(t)) => t
+    case Some(AtStart) => start
+    case Some(AtEnd) => end
+  }
+}

@@ -1,0 +1,156 @@
+package graft.tsdb
+
+import graft.SparkSpec
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** The PromQL histogram tier: text-parsed evaluation over
+  * native-histogram series ≡ the direct [[NativeHistogram]] kernels,
+  * plus the grammar additions (histogram_fraction's two leading
+  * scalars) and the float tier's explicit rejection of the family. */
+class PromQLHistSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val Bounds = Seq(10.0, 20.0)
+  private val NLes = Bounds.size + 1
+
+  /** Samples → per-(series, snapshot-time) histograms in the tier's
+    * frame shape: `labels.job` + `labels.inst` + time + hist. */
+  private def series(rows: Seq[(String, String, Long, Double)]): DataFrame =
+    NativeHistogram.build(
+      rows.toDF("labels.job", "labels.inst", "time", "v"),
+      Seq(col("`labels.job`"), col("`labels.inst`"), col("time")),
+      col("v"), Bounds)
+
+  // two series, two snapshots each (t=1000, 2000)
+  private lazy val hists = series(Seq(
+    ("api", "a", 1000L, 5.0), ("api", "a", 1000L, 15.0),
+    ("api", "a", 2000L, 5.0), ("api", "a", 2000L, 25.0), ("api", "a", 2000L, 25.0),
+    ("api", "b", 1000L, 15.0),
+    ("api", "b", 2000L, 15.0), ("api", "b", 2000L, 30.0)))
+
+  private def evalText(q: String, frame: DataFrame = hists,
+                       at: Long = 2500L, lookback: Long = 1000L,
+                       start: Long = 0L, end: Long = 2500L): DataFrame =
+    PromQLHist.eval(PromQL.parse(q), frame, at, lookback, start, end, NLes)
+
+  test("histogram_fraction parses TWO leading scalars and round-trips") {
+    val e = PromQL.parse("""histogram_fraction(0.1, 0.9, m{job="x"})""")
+    e match {
+      case PromQL.Fn("histogram_fraction", _, params) =>
+        assert(params == Seq(0.1, 0.9))
+      case other => fail(s"unexpected AST: $other")
+    }
+    assert(PromQL.parse(PromQL.render(e)) == e)
+    // negative bounds (number() is unsigned; the fn accepts a sign)
+    val n = PromQL.parse("histogram_fraction(-1, 0, m)")
+    n match {
+      case PromQL.Fn("histogram_fraction", _, params) =>
+        assert(params == Seq(-1.0, 0.0))
+      case other => fail(s"unexpected AST: $other")
+    }
+  }
+
+  test("instant selector: latest snapshot per series inside the lookback") {
+    val got = evalText("""{job="api"}""")
+      .select(col("`labels.inst`"), col("hist.count"))
+      .as[(String, Double)].collect().toMap
+    // at=2500, lookback 1000 → only the t=2000 snapshots qualify
+    assert(got == Map("a" -> 3.0, "b" -> 2.0))
+    // a tighter lookback excludes everything
+    assert(evalText("""{job="api"}""", lookback = 400L).count() == 0)
+    // matchers prune series
+    assert(evalText("""{job="api",inst="b"}""").count() == 1)
+  }
+
+  test("histogram_quantile(sum by (...)) from text ≡ direct merge + kernel") {
+    val got = evalText("""histogram_quantile(0.5, sum by (job) ({job="api"}))""")
+      .select(col("job"), col("value")).as[(String, Double)].head()
+    val latest = hists.where(col("time") === 2000L)
+    val direct = NativeHistogram.merge(latest, Seq(col("`labels.job`")), Bounds.size)
+      .select(NativeHistogram.histQuantile(col("hist"), 0.5)).as[Double].head()
+    assert(got._1 == "api" && got._2 == direct)
+  }
+
+  test("histogram_fraction / count / sum / avg / stddev from text ≡ kernels") {
+    def one(q: String): Double =
+      evalText(q.replace("%", """{job="api",inst="a"}"""))
+        .select(col("value")).as[Double].head()
+    val h = hists.where(col("time") === 2000L && col("`labels.inst`") === "a")
+    def direct(f: org.apache.spark.sql.Column => org.apache.spark.sql.Column) =
+      h.select(f(col("hist")).cast("double")).as[Double].head()
+    assert(one("histogram_count(%)") == direct(NativeHistogram.histCount))
+    assert(one("histogram_sum(%)") == direct(NativeHistogram.histSum))
+    assert(one("histogram_avg(%)") == direct(NativeHistogram.histAvg))
+    assert(one("histogram_stddev(%)") == direct(NativeHistogram.histStddev))
+    assert(one("histogram_fraction(0, 10, %)") ==
+      direct(NativeHistogram.histFraction(_, lit(0.0), lit(10.0))))
+  }
+
+  test("count by (...) over histograms returns a FLOAT series count") {
+    val got = evalText("""count by (job) ({job="api"})""")
+      .select(col("job"), col("value")).as[(String, Double)].collect()
+    assert(got.toSeq == Seq(("api", 2.0)))
+  }
+
+  test("avg by: merged histogram scaled by the series count") {
+    val avg = evalText("""histogram_count(avg by (job) ({job="api"}))""")
+      .select(col("value")).as[Double].head()
+    assert(avg == (3.0 + 2.0) / 2) // mean latest-snapshot count across a, b
+  }
+
+  test("increase on a monotone counter series telescopes to last − first") {
+    // cumulate makes the series monotone → no resets; one [3s] bucket
+    // covers both snapshots
+    val cum = NativeHistogram.cumulate(hists,
+      Seq(col("`labels.job`"), col("`labels.inst`")), col("time"), NLes)
+    val got = evalText("""histogram_count(increase({inst="a"}[3s]))""",
+        frame = cum, start = 500L, end = 2500L)
+      .select(col("value")).as[Double].head()
+    // counter count goes 2 → 5 (cumulative): increase = 3
+    assert(got == 3.0)
+  }
+
+  test("rate detects a bucket-level reset and keeps the post-reset histogram") {
+    // one series, non-cumulative: t=2000 has FEWER (0,10] observations
+    // than t=1000 → reset → the pair contributes the t=2000 histogram
+    val h2 = series(Seq(
+      ("api", "a", 1000L, 5.0), ("api", "a", 1000L, 6.0), ("api", "a", 1000L, 15.0),
+      ("api", "a", 2000L, 7.0), ("api", "a", 2000L, 25.0)))
+    val got = evalText("""histogram_count(increase({job="api"}[3s]))""",
+        frame = h2, start = 500L, end = 2500L)
+      .select(col("value")).as[Double].head()
+    assert(got == 2.0) // post-reset count, not 2 − 3 = −1
+  }
+
+  test("rate divides the summed deltas by the observed span") {
+    val cum = NativeHistogram.cumulate(hists,
+      Seq(col("`labels.job`"), col("`labels.inst`")), col("time"), NLes)
+    val got = evalText("""histogram_count(rate({inst="a"}[3s]))""",
+        frame = cum, start = 500L, end = 2500L)
+      .select(col("value")).as[Double].head()
+    assert(got == 3.0 * (1.0 / 1.0)) // span 1000 ms = 1 s
+  }
+
+  test("single-snapshot buckets drop out of rate (a pair is required)") {
+    val got = evalText("""histogram_count(rate({job="api"}[1s]))""",
+        start = 500L, end = 2500L)
+    // [1s] buckets isolate each snapshot → no pairs anywhere
+    assert(got.count() == 0)
+  }
+
+  test("the float tier rejects histogram_* with a pointer to this tier") {
+    val wide = Seq(("x", 1000L, 1.0)).toDF("labels.name", "time", "value")
+    val e = intercept[IllegalArgumentException] {
+      PromQL.eval(PromQL.parse("histogram_count(m)"), wide, 1000L, 1000L, 0L, 2000L)
+    }
+    assert(e.getMessage.contains("PromQLHist"))
+  }
+
+  test("unsupported histogram composition raises a clear error") {
+    val e = intercept[IllegalArgumentException] {
+      evalText("""topk(3, {job="api"})""")
+    }
+    assert(e.getMessage.contains("unsupported over native histograms"))
+  }
+}
