@@ -47,7 +47,10 @@ object Bench {
     "tsdb_q80_native_hist", "tsdb_q88_native_hist_rate",
     "tsdb_q89_native_hist_exp", "tsdb_q86_label_values",
     "pipe_q38_cm_heavy_hitters", "pipe_q39_unigram_logprob",
-    "pipe_q40_audio")
+    "pipe_q40_audio",
+    // round-10 additions: PromQL-over-histograms text tier, real video
+    "tsdb_q90_promql_hist_quantile", "tsdb_q91_promql_hist_rate",
+    "pipe_q42_video", "pipe_q44_video_frames")
 
   /** 1/5/15-minute fields of /proc/loadavg (empty off-Linux). */
   private def loadavg(): Seq[Double] =

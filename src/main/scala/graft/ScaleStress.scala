@@ -141,6 +141,61 @@ object ScaleStress {
       graft.tsdb.TsdbMeta.series(t, Tables.RangeStart, Tables.RangeEnd,
         Seq(Matcher.Re("name", "p.*"))).count()
     }
+    // PromQL HISTOGRAM tier at Nx series (the text front end over the
+    // same kernels): rate = one lag window + one statically-unrolled
+    // partial-agg groupBy; merge+quantile = one aggregation + a per-row
+    // fold — shapes identical to the direct-kernel rows above, so the
+    // text tier must cost the same, not re-plan per series
+    time(s"promql hist rate ${factor}x") {
+      val daily = graft.tsdb.NativeHistogram.build(
+        t.select(Tables.RangeStart, Tables.RangeEnd, Nil).toDF()
+          .withColumn("day", floor(col("time") / lit(86400000.0)).cast("long")),
+        Seq(col("`labels.name`"), col("`labels.user`"), col("day")),
+        col("value"), nhBounds)
+        .withColumn("time", col("day") * 86400000L).drop("day")
+      val cum = graft.tsdb.NativeHistogram.cumulate(daily,
+        Seq(col("`labels.name`"), col("`labels.user`")), col("time"),
+        nhBounds.size + 1)
+      graft.tsdb.PromQLHist.eval(
+        graft.tsdb.PromQL.parse(
+          """histogram_count(rate({name="purchase"}[2d]))"""),
+        cum, at = Tables.RangeEnd, lookbackMs = 3L * 86400000L,
+        start = Tables.RangeStart, end = Tables.RangeEnd,
+        nLes = nhBounds.size + 1).count()
+    }
+    time(s"promql hist merge+quantile ${factor}x") {
+      val daily = graft.tsdb.NativeHistogram.build(
+        t.select(Tables.RangeStart, Tables.RangeEnd, Nil).toDF()
+          .withColumn("day", floor(col("time") / lit(86400000.0)).cast("long")),
+        Seq(col("`labels.name`"), col("`labels.user`"), col("day")),
+        col("value"), nhBounds)
+        .withColumn("time", col("day") * 86400000L).drop("day")
+      graft.tsdb.PromQLHist.eval(
+        graft.tsdb.PromQL.parse(
+          """histogram_quantile(0.5, sum by (name) ({user=~"1.*"}))"""),
+        daily, at = Tables.RangeEnd, lookbackMs = 3L * 86400000L,
+        start = Tables.RangeStart, end = Tables.RangeEnd,
+        nLes = nhBounds.size + 1).count()
+    }
+    // multimodal codec kernels at Nx docs: encode+decode are map-side
+    // mapPartitions (payloads never shuffle; only fixed-width stats
+    // leave the task) — cost must scale linearly in rows with zero
+    // exchange growth
+    val docsBase = Tables.load(spark, sfDir, "documents")
+    val docsN = docsBase
+      .withColumn("_r", explode(sequence(lit(0), lit(factor - 1))))
+      .withColumn("doc_id", col("doc_id") + col("_r") * lit(10000000L))
+      .drop("_r")
+    time(s"audio decode ${factor}x docs")(
+      graft.operators.Multimodal.audioFeatures(
+        graft.operators.Multimodal.withAudioPayloads(
+          graft.operators.Multimodal.synthesize(docsN, "doc_id", "text")))
+        .count())
+    time(s"video decode ${factor}x docs")(
+      graft.operators.Multimodal.videoFeatures(
+        graft.operators.Multimodal.withVideoPayloads(
+          graft.operators.Multimodal.synthesize(docsN, "doc_id", "text")))
+        .count())
     // ANN at (10·N)x corpus: IVF nProbe=2 must stay cell-keyed — cost
     // is Σ probes × |probed cells|, never |corpus| × probes. Replicate
     // via ONE explode, not an N-way union: the per-row cell-argmax

@@ -261,4 +261,27 @@ class PlanQualitySpec extends SparkSpec {
         s"$q must stay a per-row fold over the bucket array:\n$p")
     }
   }
+
+  test("PromQL hist tier: text evaluation keeps the direct-kernel plan shapes") {
+    // rate from text = ONE lag window + ONE statically-unrolled groupBy
+    // over the SAME keys — the groupBy must reuse the window's
+    // partitioning, and the matcher must prefilter before the window;
+    // no join may appear anywhere in the tier
+    val rate = planOf("tsdb_q91_promql_hist_rate")
+    assert(rate.contains("Window"), s"rate needs the lag window:\n$rate")
+    assert(!rate.contains("Join"),
+      s"the histogram tier must stay join-free:\n$rate")
+    // merged quantile = aggregation + per-row fold, no window/join above
+    // the daily build
+    val q = planOf("tsdb_q90_promql_hist_quantile")
+    assert(!q.contains("Join"),
+      s"merge+quantile must stay join-free:\n$q")
+    assert(q.contains("partial_sum"),
+      s"merge must map-side combine:\n$q")
+    // the scalar functions are pure projections: the fraction query adds
+    // NOTHING but a project over the instant selector's aggregation
+    val f = planOf("tsdb_q92_promql_hist_fraction")
+    assert(!f.contains("Window") && !f.contains("Join"),
+      s"fraction must stay a per-row fold:\n$f")
+  }
 }

@@ -453,6 +453,45 @@ class PromQLConformanceSpec extends SparkSpec {
       """{group="canary", instance="1", job="app-server"} 1760""")),
     upstream = true)
 
+  private val upstreamAggregators2 = B("upstream aggregators.test part 2",
+    "5m", httpLoad, Seq(
+    C("50m", """sum without (instance) (http_requests)""",
+      """{group="production", job="api-server"} 300
+        |{group="canary", job="api-server"} 700
+        |{group="production", job="app-server"} 1100
+        |{group="canary", job="app-server"} 1500"""),
+    C("50m", """count by (group) (http_requests)""",
+      """{group="canary"} 4
+        |{group="production"} 4"""),
+    C("50m", """min(http_requests)""", """{} 100"""),
+    C("50m", """max(http_requests)""", """{} 800"""),
+    C("50m", """stddev(http_requests)""", """{} 229.12878474779198"""),
+    C("50m", """stdvar(http_requests)""", """{} 52500"""),
+    C("50m", """quantile(0.5, http_requests)""", """{} 450"""),
+    C("50m", """quantile by (job) (0.8, http_requests)""",
+      """{job="api-server"} 340
+        |{job="app-server"} 740"""),
+    C("50m", """topk by (group) (1, http_requests)""",
+      """http_requests{group="canary", instance="1", job="app-server"} 800
+        |http_requests{group="production", instance="1", job="app-server"} 600"""),
+    C("50m", """group(http_requests)""", """{} 1""")), upstream = true)
+
+  // functions.test's resets/changes load: range windows are LEFT-OPEN
+  // (Prometheus 3), so the t=0 sample sits outside [50m] at 50m
+  private val upstreamChangesResets = B("upstream functions.test resets",
+    "5m", Seq(
+      """http_requests{path="/foo"} 1 2 3 0 1 0 0 1 2 0""",
+      """http_requests{path="/bar"} 1 2 3 4 5 1 2 3 4 5""",
+      """http_requests{path="/biz"} 0 0 0 0 0 1 1 1 1 1"""), Seq(
+    C("50m", """resets(http_requests[50m])""",
+      """{path="/foo"} 3
+        |{path="/bar"} 1
+        |{path="/biz"} 0"""),
+    C("50m", """changes(http_requests[50m])""",
+      """{path="/foo"} 7
+        |{path="/bar"} 8
+        |{path="/biz"} 1""")), upstream = true)
+
   private val upstreamStaleness = B("upstream staleness.test", "10s", Seq(
     """metric 0 1 stale 2"""), Seq(
     C("10s", """metric""", """metric 1"""),
@@ -486,6 +525,7 @@ class PromQLConformanceSpec extends SparkSpec {
   private val blocks = Seq(aggregators, operators, binops, functions,
     functions2, histograms, countValues, staleness, labelFns,
     upstreamOperators, upstreamGroupLeft, upstreamAggregators,
+    upstreamAggregators2, upstreamChangesResets,
     upstreamFunctions, upstreamStaleness, upstreamDocsMatching)
 
   // ---- harness ----
@@ -633,7 +673,7 @@ class PromQLConformanceSpec extends SparkSpec {
     // cases re-typed from Prometheus's own promqltest corpus, reported
     // separately from the handwritten sweep.
     assert(own === 118)
-    assert(ported === 34)
+    assert(ported === 46)
     assert(skips.size === 2)
     // every skip names its documented deviation
     assert(skips.forall(_.skip.nonEmpty))
