@@ -766,6 +766,30 @@ object TsdbQueries {
         histDaily(s, dir), at = RangeEnd, lookbackMs = HistLookbackMs,
         start = RangeStart, end = RangeEnd, nLes = NhBounds.size + 1)
         .select(col("name"), round(col("value"), 6).as("mean_n"))),
+    // Q94/Q95: query_range over native histograms — the dashboard-panel
+    // shape. Per-step state fans out from one per-series pass (latest
+    // snapshot / pair deltas exploded to covering grid points), one
+    // partial-agg groupBy on (series, t) finishes — never a re-scan per
+    // step. Q94: per-step merged median across a 5d grid; Q95: sliding
+    // 4d-window histogram rate on a 2d step over the counter series.
+    "tsdb_q94_promql_hist_range" -> ((s, dir) =>
+      graft.tsdb.PromQLHist.evalRange(
+        graft.tsdb.PromQL.parse(
+          """histogram_quantile(0.5, sum by (name) ({user=~"1.*"}))"""),
+        histDaily(s, dir), start = RangeStart, end = RangeEnd,
+        stepMs = 5L * 86400000L, lookbackMs = HistLookbackMs,
+        nLes = NhBounds.size + 1)
+        .select(col("name"), col("t"), round(col("value"), 6).as("phi"))),
+    "tsdb_q95_promql_hist_sliding_rate" -> ((s, dir) =>
+      graft.tsdb.PromQLHist.evalRange(
+        graft.tsdb.PromQL.parse(
+          """histogram_count(rate({name="purchase"}[4d]))"""),
+        histDailyCum(s, dir), start = RangeStart, end = RangeEnd,
+        stepMs = 2L * 86400000L, lookbackMs = HistLookbackMs,
+        nLes = NhBounds.size + 1)
+        .select(col("`labels.name`").as("name"),
+          col("`labels.user`").as("user"), col("t"),
+          round(col("value"), 8).as("rate_total"))),
     // Q85-Q87: the METADATA API ([[graft.tsdb.TsdbMeta]]) — Prometheus's
     // /api/v1/labels, /label/<name>/values and /series endpoints, the
     // surface dashboard variable queries hit constantly. Each is one
@@ -1966,6 +1990,89 @@ object TsdbQueries {
          |    / CAST(count(*) AS DOUBLE), 6) AS frac
          |FROM f0 JOIN ld ON f0."user" = ld."user" AND f0.day = ld.day
          |GROUP BY 1, 2""".stripMargin,
+    // query_range replay: per grid step gt, each series' latest daily
+    // snapshot inside (gt − 3d, gt], merged per name, quantile fold
+    // partitioned by (name, gt) — q90's construction with the grid axis
+    "tsdb_q94_promql_hist_range" ->
+      s"""$duckTsdbCte,
+         |grid AS (SELECT CAST($RangeStart + unnest(range(0, 4)) * 432000000
+         |    AS BIGINT) AS gt),
+         |f0 AS (SELECT "labels.name" AS name, "labels.user" AS "user",
+         |  CAST(floor(time / 86400000.0) AS BIGINT) AS day, value FROM t
+         |  WHERE time > $RangeStart AND time < $RangeEnd
+         |    AND regexp_matches("labels.user", '1.*')),
+         |ld AS (SELECT gt, name, "user", max(day) AS day
+         |  FROM grid CROSS JOIN (SELECT DISTINCT name, "user", day FROM f0) dd
+         |  WHERE day * 86400000 > gt - $HistLookbackMs
+         |    AND day * 86400000 <= gt
+         |  GROUP BY 1, 2, 3),
+         |f AS (SELECT ld.gt, f0.name, f0.value FROM f0
+         |  JOIN ld ON f0.name = ld.name AND f0."user" = ld."user"
+         |         AND f0.day = ld.day),
+         |les AS (SELECT unnest([50.0,100.0,150.0,200.0,250.0,300.0,350.0,400.0,
+         |  CAST('infinity' AS DOUBLE)]) AS le),
+         |b AS (SELECT gt, name, le,
+         |  (SELECT count(*) FROM f f2 WHERE f2.gt = k.gt AND f2.name = k.name
+         |    AND f2.value <= le
+         |    AND (le = 50.0 OR f2.value >
+         |      (CASE WHEN le = CAST('infinity' AS DOUBLE) THEN 400.0
+         |            ELSE le - 50.0 END))) AS cnt
+         |  FROM (SELECT DISTINCT gt, name FROM f) k CROSS JOIN les),
+         |c AS (SELECT *, CAST(sum(cnt) OVER (PARTITION BY gt, name ORDER BY le
+         |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS cum FROM b),
+         |w1 AS (SELECT *, max(cum) OVER (PARTITION BY gt, name) AS total FROM c),
+         |w2 AS (SELECT *, 0.5 * total AS rk FROM w1),
+         |w3 AS (SELECT *,
+         |  min(CASE WHEN cum >= rk THEN le END)
+         |    OVER (PARTITION BY gt, name) AS chosen_le,
+         |  max(CASE WHEN le <> CAST('infinity' AS DOUBLE) THEN le END)
+         |    OVER (PARTITION BY gt, name) AS max_finite_le
+         |  FROM w2),
+         |w4 AS (SELECT *,
+         |  max(CASE WHEN le < chosen_le THEN cum END)
+         |    OVER (PARTITION BY gt, name) AS cum_below,
+         |  max(CASE WHEN le < chosen_le THEN le END)
+         |    OVER (PARTITION BY gt, name) AS le_below
+         |  FROM w3)
+         |SELECT name, gt AS t,
+         |  round(CASE WHEN chosen_le = CAST('infinity' AS DOUBLE) THEN max_finite_le
+         |    ELSE coalesce(le_below, 0.0) + (chosen_le - coalesce(le_below, 0.0)) *
+         |      (rk - coalesce(cum_below, 0.0)) / (cum - coalesce(cum_below, 0.0))
+         |    END, 6) AS phi
+         |FROM w4 WHERE le = chosen_le""".stripMargin,
+    // sliding histogram rate replay: consecutive-pair deltas of the
+    // cumulative series fan to the grid steps whose (gt − 4d, gt]
+    // window contains both endpoints (the engine's gridIdx arithmetic);
+    // per (user, gt): Σ deltas × (1 / Σ pair gaps)
+    "tsdb_q95_promql_hist_sliding_rate" ->
+      s"""$duckTsdbCte,
+         |d AS (SELECT "labels.user" AS "user",
+         |  CAST(floor(time / 86400000.0) AS BIGINT) AS day, count(*) AS n
+         |  FROM t WHERE "labels.name" = 'purchase'
+         |    AND time > $RangeStart AND time < $RangeEnd
+         |  GROUP BY 1, 2),
+         |cum AS (SELECT *, CAST(sum(n) OVER (PARTITION BY "user" ORDER BY day
+         |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS cn
+         |  FROM d),
+         |snap AS (SELECT "user", day * 86400000 AS st, cn FROM cum
+         |  WHERE day * 86400000 > $RangeStart - 345600000
+         |    AND day * 86400000 <= $RangeEnd),
+         |p AS (SELECT "user", st, cn, lag(st) OVER w AS pst, lag(cn) OVER w AS pcn
+         |  FROM snap WINDOW w AS (PARTITION BY "user" ORDER BY st)),
+         |pr AS (SELECT *, cn - pcn AS dd,
+         |  GREATEST(0, CAST(ceil((st - $RangeStart) / 172800000.0) AS BIGINT)) AS ilo,
+         |  LEAST(7, CAST(floor((pst + 345599999 - $RangeStart) / 172800000.0)
+         |    AS BIGINT)) AS ihi
+         |  FROM p WHERE pst IS NOT NULL),
+         |fan AS (SELECT "user", st, pst, dd,
+         |  unnest(range(ilo, ihi + 1)) AS i
+         |  FROM pr WHERE ilo <= ihi),
+         |g AS (SELECT "user", CAST($RangeStart + i * 172800000 AS BIGINT) AS t,
+         |  sum(dd) AS incr, sum(st - pst) / 1000.0 AS span
+         |  FROM fan GROUP BY 1, 2)
+         |SELECT 'purchase' AS name, "user", t,
+         |  round(incr * (1.0 / span), 8) AS rate_total
+         |FROM g""".stripMargin,
     // avg-merge = merged histogram scaled by 1/series-count; its count
     // component is the mean latest-day observations per series
     "tsdb_q93_promql_hist_avg" ->

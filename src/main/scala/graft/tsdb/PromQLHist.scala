@@ -111,6 +111,166 @@ object PromQLHist {
     case other => evalH(other, hists, at, lookbackMs, start, end, nLes)
   }
 
+  /** Prometheus `query_range` over native-histogram series: the
+    * expression re-evaluates at every grid timestamp `t_i = start +
+    * i·step` over its own window ending there (the dashboard-panel
+    * shape), using the float tier's fan-out decomposition — per-series
+    * state (latest snapshot / consecutive-pair deltas) is computed ONCE,
+    * each row fans to the ≤ ceil(range/step) grid points whose window
+    * covers it (an explode of small longs, never of structs), and one
+    * partial-agg groupBy on (series, t) finishes. Output frames carry
+    * the grid column `t`; aggregation and the scalar functions treat it
+    * as an implicit grouping key. Same grammar subset as [[eval]];
+    * `@`/offset anchoring inside range mode is limited to offsets
+    * (an `@` anchor pins a constant — use [[eval]] at the anchor). */
+  def evalRange(expr: Expr, hists: DataFrame, start: Long, end: Long,
+                stepMs: Long, lookbackMs: Long, nLes: Int): DataFrame =
+    expr match {
+      case Fn("histogram_quantile", arg, params) =>
+        scalarize(evalHR(arg, hists, start, end, stepMs, lookbackMs, nLes),
+          h => NativeHistogram.histQuantile(h, params.head))
+      case Fn("histogram_fraction", arg, Seq(lo, hi)) =>
+        scalarize(evalHR(arg, hists, start, end, stepMs, lookbackMs, nLes),
+          h => NativeHistogram.histFraction(h, lit(lo), lit(hi)))
+      case Fn("histogram_count", arg, _) =>
+        scalarize(evalHR(arg, hists, start, end, stepMs, lookbackMs, nLes),
+          NativeHistogram.histCount)
+      case Fn("histogram_sum", arg, _) =>
+        scalarize(evalHR(arg, hists, start, end, stepMs, lookbackMs, nLes),
+          NativeHistogram.histSum)
+      case Fn("histogram_avg", arg, _) =>
+        scalarize(evalHR(arg, hists, start, end, stepMs, lookbackMs, nLes),
+          NativeHistogram.histAvg)
+      case Fn("histogram_stddev", arg, _) =>
+        scalarize(evalHR(arg, hists, start, end, stepMs, lookbackMs, nLes),
+          NativeHistogram.histStddev)
+      case Fn("histogram_stdvar", arg, _) =>
+        scalarize(evalHR(arg, hists, start, end, stepMs, lookbackMs, nLes),
+          NativeHistogram.histStdvar)
+      case AggBy("count", by, arg, None) =>
+        countSeries(evalHR(arg, hists, start, end, stepMs, lookbackMs, nLes),
+          byKeys(_, by))
+      case AggWithout("count", w, arg, None) =>
+        countSeries(evalHR(arg, hists, start, end, stepMs, lookbackMs, nLes),
+          withoutKeys(_, w))
+      case other => evalHR(other, hists, start, end, stepMs, lookbackMs, nLes)
+    }
+
+  /** Range-mode histogram-vector evaluation (adds the grid column `t`). */
+  private def evalHR(expr: Expr, hists: DataFrame, start: Long, end: Long,
+                     stepMs: Long, lookbackMs: Long, nLes: Int): DataFrame =
+    expr match {
+      case Selector(ms, None, off, None) =>
+        // per-step instant: a snapshot at ts serves grid points t with
+        // t − off ∈ [ts, ts + lookback) — latest in-window wins
+        val known = TsdbSchema.labelColumns(hists)
+          .map(_.stripPrefix(TsdbSchema.LabelPrefix)).toSet
+        val labels = TsdbSchema.dynCols(hists)
+        val nSteps = (end - start) / stepMs
+        val (iLo, iHi) = RangeVectors.gridIdx(col(TimeCol) + off,
+          col(TimeCol) + off + (lookbackMs - 1), start, stepMs, nSteps)
+        hists
+          .where(MatcherCompiler.compileAll(ms, known) &&
+            col(TimeCol) > start - off - lookbackMs &&
+            col(TimeCol) <= end - off)
+          .withColumn("_ilo", iLo).withColumn("_ihi", iHi)
+          .where(col("_ilo") <= col("_ihi"))
+          .withColumn("_i", explode(sequence(col("_ilo"), col("_ihi"))))
+          .withColumn("t", lit(start) + col("_i") * stepMs)
+          .groupBy(labels :+ col("t"): _*)
+          .agg(max_by(col(HistCol), col(TimeCol)).as(HistCol))
+      case Selector(_, _, _, Some(_)) =>
+        throw new IllegalArgumentException(
+          "@-anchored selectors pin a constant — evaluate with eval() at " +
+            "the anchor instead of query_range")
+      case Fn(name @ ("rate" | "increase"),
+              Selector(ms, Some(rangeMs), off, None), _) =>
+        val known = TsdbSchema.labelColumns(hists)
+          .map(_.stripPrefix(TsdbSchema.LabelPrefix)).toSet
+        val sel = hists.where(MatcherCompiler.compileAll(ms, known) &&
+          col(TimeCol) > start - off - rangeMs && col(TimeCol) <= end - off)
+        dropName(histSlidingRate(sel, rangeMs, stepMs, start, end, off,
+          nLes, asRate = name == "rate"))
+      case Fn(name @ ("rate" | "increase"), _, _) =>
+        throw new IllegalArgumentException(
+          s"$name over histograms needs a range selector argument (m[duration])")
+      case AggBy("sum", by, arg, None) =>
+        mergeH(evalHR(arg, hists, start, end, stepMs, lookbackMs, nLes),
+          byKeys(_, by), nLes, scaleByN = false)
+      case AggWithout("sum", w, arg, None) =>
+        mergeH(evalHR(arg, hists, start, end, stepMs, lookbackMs, nLes),
+          withoutKeys(_, w), nLes, scaleByN = false)
+      case AggBy("avg", by, arg, None) =>
+        mergeH(evalHR(arg, hists, start, end, stepMs, lookbackMs, nLes),
+          byKeys(_, by), nLes, scaleByN = true)
+      case AggWithout("avg", w, arg, None) =>
+        mergeH(evalHR(arg, hists, start, end, stepMs, lookbackMs, nLes),
+          withoutKeys(_, w), nLes, scaleByN = true)
+      case other =>
+        throw new IllegalArgumentException(
+          "unsupported over native histograms: " + PromQL.render(other) +
+            " (supported: selector, rate/increase, sum/avg/count " +
+            "aggregation, histogram_* scalar functions)")
+    }
+
+  /** Sliding-window histogram rate/increase: consecutive-pair delta
+    * histograms are built ONCE per series (same reset rule as the
+    * tumbling kernel), then each pair fans to the grid points whose
+    * window (t − off − range, t − off] contains both endpoints; per
+    * (series, t) the deltas sum through the static per-index unroll and
+    * span = Σ pair gaps (in-window pairs chain contiguously). Windows
+    * with < 2 snapshots have no pair and drop out. */
+  private def histSlidingRate(sel: DataFrame, rangeMs: Long, stepMs: Long,
+                              start: Long, end: Long, off: Long, nLes: Int,
+                              asRate: Boolean): DataFrame = {
+    val labels = TsdbSchema.dynCols(sel)
+    val nSteps = (end - start) / stepMs
+    val w = Window.partitionBy(labels: _*).orderBy(col(TimeCol).asc)
+    val cur = col(HistCol)
+    val prev = lag(col(HistCol), 1).over(w)
+    val reset = cur.getField("count") < prev.getField("count") ||
+      exists(zip_with(cur.getField("counts"), prev.getField("counts"),
+        (a, p) => a < p), x => x)
+    val delta = when(reset, cur)
+      .otherwise(struct(
+        (cur.getField("count") - prev.getField("count")).as("count"),
+        (cur.getField("sum") - prev.getField("sum")).as("sum"),
+        cur.getField("les").as("les"),
+        zip_with(cur.getField("counts"), prev.getField("counts"),
+          (a, p) => a - p).as("counts")))
+    val pairs = sel
+      .withColumn("_prev_t", lag(col(TimeCol), 1).over(w))
+      .withColumn("_delta", delta)
+      .where(col("_prev_t").isNotNull)
+    val (iLo, iHi) = RangeVectors.gridIdx(col(TimeCol) + off,
+      col("_prev_t") + off + (rangeMs - 1), start, stepMs, nSteps)
+    val d = col("_delta")
+    val perIndex = (1 to nLes).map(i => sum(element_at(d.getField("counts"), i)))
+    val layoutOk = assert_true(
+      min(size(d.getField("les"))) === max(size(d.getField("les"))),
+      lit("PromQLHist.histSlidingRate: incompatible bucket layouts in window"))
+    val agg = pairs
+      .withColumn("_ilo", iLo).withColumn("_ihi", iHi)
+      .where(col("_ilo") <= col("_ihi"))
+      .withColumn("_i", explode(sequence(col("_ilo"), col("_ihi"))))
+      .withColumn("t", lit(start) + col("_i") * stepMs)
+      .groupBy(labels :+ col("t"): _*)
+      .agg(
+        (sum(col(TimeCol) - col("_prev_t")) / 1000.0).as("_span_sec"),
+        struct(
+          sum(d.getField("count")).as("count"),
+          sum(d.getField("sum")).as("sum"),
+          when(layoutOk.isNull, first(d.getField("les"))).as("les"),
+          when(layoutOk.isNull, array(perIndex: _*)).as("counts"))
+          .as(HistCol))
+    val out =
+      if (asRate)
+        agg.withColumn(HistCol,
+          histScale(col(HistCol), lit(1.0) / nullif(col("_span_sec"), lit(0.0))))
+      else agg
+    out.drop("_span_sec")
+  }
+
   // ---- histogram-vector evaluation ----
 
   private def evalH(expr: Expr, hists: DataFrame, at: Long, lookbackMs: Long,
@@ -299,12 +459,15 @@ object PromQLHist {
   }
 
   /** A bare (post-aggregation) label column: anything that is not the
-    * histogram, the grid key, or the time axis. */
+    * histogram, a grid key, or the time axis. */
   private def isBareLabel(df: DataFrame, c: String): Boolean =
-    c != HistCol && c != "bucket" && c != TimeCol
+    c != HistCol && c != "bucket" && c != "t" && c != TimeCol
 
+  /** Implicit grid columns: the tumbling `bucket` (instant-mode range
+    * functions) and the query_range step `t` — both stay grouping keys
+    * through every aggregation. */
   private def gridKeys(df: DataFrame): Seq[Column] =
-    if (df.columns.contains("bucket")) Seq(col("bucket")) else Nil
+    Seq("bucket", "t").filter(df.columns.contains).map(col)
 
   private def dropName(df: DataFrame): DataFrame =
     df.drop(labelColName("__name__")).drop("__name__")

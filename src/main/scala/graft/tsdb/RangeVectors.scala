@@ -325,8 +325,8 @@ object RangeVectors {
     * non-integer quotient sits ≥ 1/stepMs from the nearest integer,
     * orders of magnitude beyond one ulp — Spark and DuckDB round
     * identically. */
-  private def gridIdx(coverLo: Column, coverHi: Column, startMs: Long,
-                      stepMs: Long, nSteps: Long): (Column, Column) = {
+  private[tsdb] def gridIdx(coverLo: Column, coverHi: Column, startMs: Long,
+                            stepMs: Long, nSteps: Long): (Column, Column) = {
     val stepD = stepMs.toDouble
     (greatest(lit(0L), ceil((coverLo - startMs) / stepD).cast("long")),
       least(lit(nSteps), floor((coverHi - startMs) / stepD).cast("long")))

@@ -139,6 +139,61 @@ class PromQLHistSpec extends SparkSpec {
     assert(got.count() == 0)
   }
 
+  private def evalRangeText(q: String, frame: DataFrame = hists,
+                            start: Long = 1000L, end: Long = 3000L,
+                            step: Long = 1000L,
+                            lookback: Long = 1000L): DataFrame =
+    PromQLHist.evalRange(PromQL.parse(q), frame, start, end, step,
+      lookback, NLes)
+
+  test("evalRange selector: per-step latest snapshot, lookback-bounded") {
+    // grid t ∈ {1000, 2000, 3000}; snapshots at 1000, 2000 with 1s
+    // lookback → t=1000 sees the t1 snapshot, t=2000 sees t2, and at
+    // t=3000 the t2 snapshot has aged out (left-open (2000, 3000])
+    val got = evalRangeText("""{inst="a"}""")
+      .select(col("t"), col("hist.count")).as[(Long, Double)].collect().toMap
+    assert(got == Map(1000L -> 2.0, 2000L -> 3.0))
+  }
+
+  test("evalRange: per-step merged quantile ≡ instant eval at each step") {
+    val ranged = evalRangeText(
+      """histogram_quantile(0.5, sum by (job) ({job="api"}))""")
+      .select(col("t"), col("value")).as[(Long, Double)].collect().toMap
+    for (t <- Seq(1000L, 2000L)) {
+      val inst = evalText(
+        """histogram_quantile(0.5, sum by (job) ({job="api"}))""",
+        at = t, lookback = 1000L)
+        .select(col("value")).as[Double].head()
+      assert(ranged(t) == inst, s"step $t")
+    }
+    assert(!ranged.contains(3000L)) // both snapshots aged out
+  }
+
+  test("evalRange sliding rate: overlapping windows see different pair sets") {
+    // three snapshots (t=1000, 2000, 3000); [2s] windows on a 1s step,
+    // left-open: the t=3000 window (1000, 3000] EXCLUDES the 1000
+    // snapshot, so its only in-window pair is (2000, 3000)
+    val h3 = series(Seq(
+      ("api", "a", 1000L, 5.0),
+      ("api", "a", 2000L, 5.0), ("api", "a", 2000L, 15.0),
+      ("api", "a", 3000L, 5.0), ("api", "a", 3000L, 15.0), ("api", "a", 3000L, 25.0)))
+    val cum = NativeHistogram.cumulate(h3,
+      Seq(col("`labels.job`"), col("`labels.inst`")), col("time"), NLes)
+    val got = evalRangeText("""histogram_count(increase({job="api"}[2s]))""",
+        frame = cum, start = 1000L, end = 3000L, step = 1000L)
+      .select(col("t"), col("value")).as[(Long, Double)].collect().toMap
+    // cumulative counts: 1, 3, 6 — pair (1000,2000) serves t=2000 only
+    // (its window must contain BOTH endpoints), pair (2000,3000) t=3000
+    assert(got == Map(2000L -> 2.0, 3000L -> 3.0))
+  }
+
+  test("evalRange rejects @-anchored selectors with a pointer to eval()") {
+    val e = intercept[IllegalArgumentException] {
+      evalRangeText("""{job="api"} @ 2""")
+    }
+    assert(e.getMessage.contains("eval()"))
+  }
+
   test("the float tier rejects histogram_* with a pointer to this tier") {
     val wide = Seq(("x", 1000L, 1.0)).toDF("labels.name", "time", "value")
     val e = intercept[IllegalArgumentException] {
