@@ -25,7 +25,8 @@ import graft.model.Matcher
   * {{{
   *   expr     := or-level expression with Prometheus's precedence:
   *               or < and,unless < cmp < "+","-" < "*","/","%","atan2"
-  *               < "^" < unary "-"
+  *               = unary "-" < "^" (unary sits AT the mul level,
+  *               as in Prometheus's grammar: -1^2 = -(1^2))
   *   binop    := expr op ["bool"] [("on"|"ignoring") "(" names ")"]
   *               [("group_left"|"group_right") ["(" names ")"]] expr
   *   agg      := op ["by"|"without" "(" names ")"] "(" [num ","] expr ")"
@@ -461,40 +462,44 @@ object PromQL {
   /** `*` `/` `%` plus Prometheus's one KEYWORD arithmetic operator,
     * `atan2`, which shares this precedence level. */
   private def parseMul(p: P): Expr = {
-    var left = parsePow(p)
+    var left = parseUnary(p)
     var more = true
     while (more) p.sym("*", "/", "%") match {
       case Some(op) =>
         val m = parseModifiers(p, op)
-        left = BinOp(op, m.on, left, parsePow(p), m.bool, m.card,
+        left = BinOp(op, m.on, left, parseUnary(p), m.bool, m.card,
           m.ignoring, m.carry)
       case None if p.keyword("atan2") =>
         val m = parseModifiers(p, "atan2")
-        left = BinOp("atan2", m.on, left, parsePow(p), m.bool, m.card,
+        left = BinOp("atan2", m.on, left, parseUnary(p), m.bool, m.card,
           m.ignoring, m.carry)
       case None => more = false
     }
     left
   }
 
-  /** `^` is RIGHT-associative in PromQL: 2^3^2 = 2^(3^2) = 512. */
-  private def parsePow(p: P): Expr = {
-    val base = parseUnary(p)
-    if (p.sym("^").isDefined) {
-      val m = parseModifiers(p, "^")
-      BinOp("^", m.on, base, parsePow(p), m.bool, m.card, m.ignoring, m.carry)
-    } else base
-  }
-
   /** Unary minus: a negated scalar folds at parse time; a negated
     * vector desugars to `(-1) * v` (same value map, zero new eval
     * machinery — and `render ∘ parse` stays the identity because the
-    * desugared form reparses to itself). */
+    * desugared form reparses to itself). Prometheus places unary
+    * operators AT the `*`/`/` precedence level (promql's grammar gives
+    * unary_expr `%prec MUL`), so `^` binds TIGHTER: `-1 ^ 2` is
+    * `-(1 ^ 2)` = −1, not 1 — upstream literals.test pins this. */
   private def parseUnary(p: P): Expr =
     if (p.sym("-").isDefined) parseUnary(p) match {
       case ScalarLit(v) => ScalarLit(-v)
       case e => BinOp("*", Nil, ScalarLit(-1.0), e)
-    } else parseTerm(p)
+    } else parsePow(p)
+
+  /** `^` is RIGHT-associative in PromQL: 2^3^2 = 2^(3^2) = 512. Its
+    * right operand parses at the unary level, so `2 ^ -1` works. */
+  private def parsePow(p: P): Expr = {
+    val base = parseTerm(p)
+    if (p.sym("^").isDefined) {
+      val m = parseModifiers(p, "^")
+      BinOp("^", m.on, base, parseUnary(p), m.bool, m.card, m.ignoring, m.carry)
+    } else base
+  }
 
   private def binLevel(p: P, ops: Seq[String], next: P => Expr): Expr = {
     var left = next(p)

@@ -492,6 +492,20 @@ class PromQLConformanceSpec extends SparkSpec {
         |{path="/bar"} 8
         |{path="/biz"} 1""")), upstream = true)
 
+  // literals.test: scalar queries — constant-folded on the driver,
+  // rendered as the one-row (time, value) scalar frame
+  private val upstreamLiterals = B("upstream literals.test", "5m",
+    Seq("""dummy 1"""), Seq(
+    C("50m", """12.34e6""", """{} 12340000"""),
+    C("50m", """1 + 1""", """{} 2"""),
+    C("50m", """1 - 1""", """{} 0"""),
+    C("50m", """4 / 2""", """{} 2"""),
+    C("50m", """5 % 3""", """{} 2"""),
+    C("50m", """2 ^ 3""", """{} 8"""),
+    C("50m", """-1 ^ 2""", """{} -1"""),
+    C("50m", """1 >= bool 1""", """{} 1"""),
+    C("50m", """1 < bool 2""", """{} 1""")), upstream = true)
+
   private val upstreamStaleness = B("upstream staleness.test", "10s", Seq(
     """metric 0 1 stale 2"""), Seq(
     C("10s", """metric""", """metric 1"""),
@@ -525,7 +539,7 @@ class PromQLConformanceSpec extends SparkSpec {
   private val blocks = Seq(aggregators, operators, binops, functions,
     functions2, histograms, countValues, staleness, labelFns,
     upstreamOperators, upstreamGroupLeft, upstreamAggregators,
-    upstreamAggregators2, upstreamChangesResets,
+    upstreamAggregators2, upstreamChangesResets, upstreamLiterals,
     upstreamFunctions, upstreamStaleness, upstreamDocsMatching)
 
   // ---- harness ----
@@ -673,7 +687,7 @@ class PromQLConformanceSpec extends SparkSpec {
     // cases re-typed from Prometheus's own promqltest corpus, reported
     // separately from the handwritten sweep.
     assert(own === 118)
-    assert(ported === 46)
+    assert(ported === 55)
     assert(skips.size === 2)
     // every skip names its documented deviation
     assert(skips.forall(_.skip.nonEmpty))

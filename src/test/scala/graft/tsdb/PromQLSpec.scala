@@ -53,6 +53,12 @@ class PromQLSpec extends SparkSpec {
     // ^ tightest and RIGHT-associative: 2^3^2 = 2^(3^2) = 512
     assert(fold(parse("2 ^ 3 ^ 2")) === ScalarLit(512.0))
     assert(fold(parse("2 + 3 * 4 ^ 2")) === ScalarLit(50.0))
+    // unary minus sits AT the mul level (Prometheus %prec MUL): ^ binds
+    // tighter, so -1^2 = -(1^2); an explicit paren restores (-1)^2
+    assert(fold(parse("-1 ^ 2")) === ScalarLit(-1.0))
+    assert(fold(parse("(-1) ^ 2")) === ScalarLit(1.0))
+    assert(fold(parse("2 ^ -1")) === ScalarLit(0.5))
+    assert(fold(parse("-2 ^ -2 ^ 1")) === ScalarLit(-0.25))
     // left-associativity within a level: 8 / 4 / 2 = 1, 7 - 3 - 2 = 2
     assert(fold(parse("8 / 4 / 2")) === ScalarLit(1.0))
     assert(fold(parse("7 - 3 - 2")) === ScalarLit(2.0))
