@@ -790,6 +790,72 @@ object TsdbQueries {
         .select(col("`labels.name`").as("name"),
           col("`labels.user`").as("user"), col("t"),
           round(col("value"), 8).as("rate_total"))),
+    // Q96/Q97: EXEMPLARS ([[graft.tsdb.Exemplars]]) — Prometheus's
+    // fourth query API (/api/v1/query_exemplars), the metrics→tracing
+    // bridge. Derivation is a map-side filter (trace ids from the
+    // portable hash family); query is a pruned scan with the API's
+    // INCLUSIVE range; Q97 is the per-series response shape (sorted
+    // exemplar array, posexploded flat for the oracle).
+    "tsdb_q96_exemplars" -> ((s, dir) =>
+      graft.tsdb.Exemplars.query(
+        graft.tsdb.Exemplars.fromSamples(
+          table(s, dir).select(Nil).toDF(), threshold = 150.0),
+        Seq(Matcher.Eq("name", "purchase"), Matcher.Re("user", "1.*")),
+        RangeStart, RangeEnd)
+        .select(col("`labels.name`").as("name"),
+          col("`labels.user`").as("user"),
+          col("time"), col("value"), col("trace_id"))),
+    "tsdb_q97_exemplars_grouped" -> ((s, dir) =>
+      graft.tsdb.Exemplars.grouped(
+        graft.tsdb.Exemplars.query(
+          graft.tsdb.Exemplars.fromSamples(
+            table(s, dir).select(Nil).toDF(), threshold = 150.0),
+          Seq(Matcher.Eq("name", "purchase")), RangeStart, RangeEnd)
+          // response series identity here is (name, user): project the
+          // sparse k label away so the grouping matches the API shape
+          .drop("labels.k"))
+        .select(col("`labels.name`"), col("`labels.user`"),
+          posexplode(col("exemplars")).as(Seq("idx", "ex")))
+        .select(col("`labels.name`").as("name"),
+          col("`labels.user`").as("user"), col("idx"),
+          col("ex.time").as("time"), col("ex.value").as("value"),
+          col("ex.trace_id").as("trace_id"))),
+    // Q98: ALERTING-RULE evaluation ([[graft.tsdb.AlertRules]]) — the
+    // rules engine's pending→firing state machine over one evalRange
+    // pass: "more than one error per user per day, sustained a full
+    // day" — elements go pending on their first active step, firing
+    // once continuously active ≥ `for`, and reset on a skipped step.
+    "tsdb_q98_alert_rule" -> ((s, dir) =>
+      graft.tsdb.AlertRules.evaluate(
+        graft.tsdb.AlertRules.AlertRule("user_error_burst",
+          """sum by (user) (count_over_time({name="error"}[1d])) > 1""",
+          forMs = 86400000L),
+        eventsAsTsdbStored(s, dir), start = RangeStart, end = RangeEnd,
+        stepMs = 86400000L, lookbackMs = 86400000L)
+        .select(col("alertname"), col("user"), col("t"),
+          col("active_at"), col("alertstate"),
+          col("value").cast("long").as("n"))),
+    // Q99: RULE GROUP — ordered evaluation with Prometheus group
+    // semantics: the recording rule materializes `user_daily_errors`
+    // samples on the grid, and the alert rule's selector reads the
+    // RECORDED series (precompute-then-alert). With lookback = step the
+    // recorded path is equivalent to q98's inline expression — the
+    // oracle is the same state machine, independently cross-checking
+    // both paths.
+    "tsdb_q99_rule_group" -> ((s, dir) => {
+      import graft.tsdb.AlertRules._
+      val (_, alerts) = evaluateGroup(Seq(
+        RecordingRule("user_daily_errors",
+          """sum by (user) (count_over_time({name="error"}[1d]))"""),
+        AlertRule("user_error_burst_recorded",
+          """{name="user_daily_errors"} > 1""", forMs = 86400000L)),
+        eventsAsTsdbStored(s, dir), start = RangeStart, end = RangeEnd,
+        stepMs = 86400000L, lookbackMs = 86400000L)
+      alerts.get
+        .select(col("alertname"), col("`labels.user`").as("user"), col("t"),
+          col("active_at"), col("alertstate"),
+          col("value").cast("long").as("n"))
+    }),
     // Q85-Q87: the METADATA API ([[graft.tsdb.TsdbMeta]]) — Prometheus's
     // /api/v1/labels, /label/<name>/values and /series endpoints, the
     // surface dashboard variable queries hit constantly. Each is one
@@ -2092,6 +2158,81 @@ object TsdbQueries {
          |SELECT name,
          |  round(sum(cnt) * (1.0 / count(*)), 6) AS mean_n
          |FROM per_series GROUP BY 1""".stripMargin,
+    // exemplar derivation + query replay: threshold filter, INCLUSIVE
+    // range, trace ids through the identical md5 hash fragment
+    "tsdb_q96_exemplars" ->
+      s"""$duckTsdbCte
+         |SELECT "labels.name" AS name, "labels.user" AS "user",
+         |  time, value,
+         |  ${graft.tsdb.Exemplars.duckTraceId(
+                "\"labels.name\"", "\"labels.user\"", "time")} AS trace_id
+         |FROM t
+         |WHERE value > 150.0
+         |  AND "labels.name" = 'purchase'
+         |  AND regexp_matches("labels.user", '1.*')
+         |  AND time >= $RangeStart AND time <= $RangeEnd""".stripMargin,
+    "tsdb_q97_exemplars_grouped" ->
+      s"""$duckTsdbCte,
+         |e AS (SELECT "labels.name" AS name, "labels.user" AS "user",
+         |  time, value,
+         |  ${graft.tsdb.Exemplars.duckTraceId(
+                "\"labels.name\"", "\"labels.user\"", "time")} AS trace_id
+         |FROM t
+         |WHERE value > 150.0 AND "labels.name" = 'purchase'
+         |  AND time >= $RangeStart AND time <= $RangeEnd)
+         |SELECT name, "user",
+         |  CAST(row_number() OVER (PARTITION BY name, "user"
+         |    ORDER BY time, value, trace_id) - 1 AS INTEGER) AS idx,
+         |  time, value, trace_id
+         |FROM e""".stripMargin,
+    // alert-rule replay: per-step sliding counts from the FULL events
+    // table (windows at early steps reach before RangeStart), threshold
+    // filter, then the same run-length state machine in SQL windows
+    "tsdb_q98_alert_rule" ->
+      s"""$duckTsdbCte,
+         |grid AS (SELECT CAST($RangeStart + unnest(range(0, 16)) * 86400000
+         |    AS BIGINT) AS gt),
+         |act AS (SELECT gt, "labels.user" AS "user", count(*) AS n
+         |  FROM grid JOIN t ON t.time > gt - 86400000 AND t.time <= gt
+         |  WHERE "labels.name" = 'error'
+         |  GROUP BY 1, 2 HAVING count(*) > 1),
+         |runs AS (SELECT *, CASE WHEN lag(gt) OVER w IS NULL
+         |    OR lag(gt) OVER w <> gt - 86400000 THEN 1 ELSE 0 END AS nr
+         |  FROM act WINDOW w AS (PARTITION BY "user" ORDER BY gt)),
+         |rid AS (SELECT *, sum(nr) OVER (PARTITION BY "user" ORDER BY gt
+         |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run
+         |  FROM runs),
+         |st AS (SELECT *, min(gt) OVER (PARTITION BY "user", run) AS active_at
+         |  FROM rid)
+         |SELECT 'user_error_burst' AS alertname, "user", gt AS t, active_at,
+         |  CASE WHEN gt - active_at >= 86400000 THEN 'firing'
+         |       ELSE 'pending' END AS alertstate,
+         |  CAST(n AS BIGINT) AS n
+         |FROM st""".stripMargin,
+    // rule-group replay: identical state machine to q98 — the recorded
+    // intermediate is definitionally the same per-step counts
+    "tsdb_q99_rule_group" ->
+      s"""$duckTsdbCte,
+         |grid AS (SELECT CAST($RangeStart + unnest(range(0, 16)) * 86400000
+         |    AS BIGINT) AS gt),
+         |act AS (SELECT gt, "labels.user" AS "user", count(*) AS n
+         |  FROM grid JOIN t ON t.time > gt - 86400000 AND t.time <= gt
+         |  WHERE "labels.name" = 'error'
+         |  GROUP BY 1, 2 HAVING count(*) > 1),
+         |runs AS (SELECT *, CASE WHEN lag(gt) OVER w IS NULL
+         |    OR lag(gt) OVER w <> gt - 86400000 THEN 1 ELSE 0 END AS nr
+         |  FROM act WINDOW w AS (PARTITION BY "user" ORDER BY gt)),
+         |rid AS (SELECT *, sum(nr) OVER (PARTITION BY "user" ORDER BY gt
+         |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run
+         |  FROM runs),
+         |st AS (SELECT *, min(gt) OVER (PARTITION BY "user", run) AS active_at
+         |  FROM rid)
+         |SELECT 'user_error_burst_recorded' AS alertname, "user", gt AS t,
+         |  active_at,
+         |  CASE WHEN gt - active_at >= 86400000 THEN 'firing'
+         |       ELSE 'pending' END AS alertstate,
+         |  CAST(n AS BIGINT) AS n
+         |FROM st""".stripMargin,
     "tsdb_q85_label_names" ->
       s"""$duckTsdbCte,
          |f AS (SELECT * FROM t WHERE time > $RangeStart AND time < $RangeEnd

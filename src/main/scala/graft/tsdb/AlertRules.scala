@@ -1,0 +1,122 @@
+package graft.tsdb
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Alerting-rule evaluation — the Prometheus `rules` engine's batch
+  * semantics over this engine's PromQL front end. A rule's expression
+  * is an instant query; every element the query returns at an
+  * evaluation step is an ACTIVE alert for its label set, `pending`
+  * until it has been active CONTINUOUSLY for the rule's `for` duration
+  * and `firing` from then on; disappearing from one step resets the
+  * clock (Prometheus's resolved-alert rule — a later reappearance is a
+  * new pending alert). This synthesizes the `ALERTS{alertname=...,
+  * alertstate=pending|firing}` series Prometheus exposes.
+  *
+  * Batch shape: ONE [[PromQL.evalRange]] pass evaluates the expression
+  * at every step (never a loop over steps), then continuity is pure
+  * run-length analysis — a lag over (labels) detects run starts, a
+  * running sum numbers the runs, a min over (labels, run) yields each
+  * alert's `active_at`, and the state is a per-row comparison. Two
+  * window passes + the evalRange aggregation itself; everything
+  * partitions by the alert's label set, so a 1000-rule × 1M-series
+  * deployment parallelizes per (rule, series), no global sort.
+  */
+object AlertRules {
+
+  /** A rule-group member (rules files hold both kinds). */
+  sealed trait Rule
+
+  /** One alerting rule: `alert: <name>  expr: <promql>  for: <forMs>`. */
+  final case class AlertRule(name: String, expr: String,
+                             forMs: Long) extends Rule
+
+  /** One recording rule: `record: <series name>  expr: <promql>` — the
+    * expression's per-step elements materialize as NEW samples of the
+    * named series. */
+  final case class RecordingRule(record: String, expr: String) extends Rule
+
+  /** Evaluate a RULE GROUP in order (Prometheus group semantics: rules
+    * in one group run sequentially, so a recording rule's output is
+    * visible to every LATER rule in the group — the precompute-then-
+    * alert idiom). Recorded elements become wide samples: bare label
+    * columns re-prefix to `labels.<n>`, the grid step becomes `time`,
+    * and the rule's record name lands in the metric label `labels.name`
+    * (this table's metric-name column). Returns (recorded samples,
+    * alerts): one frame of every recorded sample and one of every
+    * ALERTS row.
+    *
+    * Scale shape: each rule is ONE evalRange pass; the union feeding
+    * later rules is a metadata-only plan union (no shuffle added —
+    * later selectors prune to the series they name). */
+  def evaluateGroup(rules: Seq[Rule], wide: DataFrame, start: Long,
+                    end: Long, stepMs: Long, lookbackMs: Long)
+      : (Option[DataFrame], Option[DataFrame]) = {
+    var view = wide
+    var recorded: Option[DataFrame] = None
+    var alerts: Option[DataFrame] = None
+    rules.foreach {
+      case RecordingRule(record, expr) =>
+        val iv = PromQL.evalRange(PromQL.parse(expr), wide = view,
+          start = start, end = end, stepMs = stepMs, lookbackMs = lookbackMs)
+        require(iv.columns.contains(TsdbSchema.ValueCol) &&
+          iv.columns.contains("t"),
+          "a recording rule's expression must yield per-step instant vectors")
+        // Prometheus recording semantics: the record name REPLACES the
+        // metric name (__name__); all other labels carry over
+        val labelCols = iv.columns.toSeq.filterNot(NonLabelCols)
+          .filterNot(c => c.stripPrefix(TsdbSchema.LabelPrefix) == "name")
+        val samples = iv.select(
+          lit(record).as(TsdbSchema.labelColName("name")) +:
+            labelCols.map(c =>
+              col(s"`$c`").as(TsdbSchema.labelColName(
+                c.stripPrefix(TsdbSchema.LabelPrefix)))) ++: Seq(
+            col("t").as(TsdbSchema.TimeCol),
+            col(TsdbSchema.ValueCol)): _*)
+        recorded = Some(recorded.fold(samples)(
+          _.unionByName(samples, allowMissingColumns = true)))
+        view = view.unionByName(samples, allowMissingColumns = true)
+      case a: AlertRule =>
+        val out = evaluate(a, view, start, end, stepMs, lookbackMs)
+        alerts = Some(alerts.fold(out)(
+          _.unionByName(out, allowMissingColumns = true)))
+    }
+    (recorded, alerts)
+  }
+
+  private val NonLabelCols = Set("t", TsdbSchema.ValueCol,
+    TsdbSchema.TimeCol, "bucket", "n")
+
+  /** Evaluate `rule` on the grid `start + k·step ∈ [start, end]`.
+    * Output: `alertname` + the element's label columns + `t` +
+    * `active_at` (the run's first active step) + `alertstate`
+    * (`pending`/`firing`) + the expression's `value`. */
+  def evaluate(rule: AlertRule, wide: DataFrame, start: Long, end: Long,
+               stepMs: Long, lookbackMs: Long): DataFrame = {
+    val iv = PromQL.evalRange(PromQL.parse(rule.expr), wide, start, end,
+      stepMs, lookbackMs)
+    require(iv.columns.contains(TsdbSchema.ValueCol) &&
+      iv.columns.contains("t"),
+      "an alerting rule's expression must yield per-step instant vectors")
+    val labels = iv.columns.toSeq.filterNot(NonLabelCols)
+      .map(c => col(s"`$c`"))
+    val series = Window.partitionBy(labels: _*).orderBy(col("t"))
+    // a run breaks wherever the element skipped the previous step
+    val newRun = when(lag(col("t"), 1).over(series).isNull ||
+      lag(col("t"), 1).over(series) =!= col("t") - stepMs, 1L).otherwise(0L)
+    val withRun = iv
+      .withColumn("_new_run", newRun)
+      .withColumn("_run",
+        sum(col("_new_run")).over(series.rowsBetween(Window.unboundedPreceding,
+          Window.currentRow)))
+    val run = Window.partitionBy(labels :+ col("_run"): _*)
+    withRun
+      .withColumn("active_at", min(col("t")).over(run))
+      .select(lit(rule.name).as("alertname") +: labels ++: Seq(
+        col("t"), col("active_at"),
+        when(col("t") - col("active_at") >= rule.forMs, "firing")
+          .otherwise("pending").as("alertstate"),
+        col(TsdbSchema.ValueCol)): _*)
+  }
+}

@@ -1,0 +1,106 @@
+package graft.tsdb
+
+import graft.SparkSpec
+import graft.model.Matcher
+import org.apache.spark.sql.functions._
+
+/** The alerting-rule state machine and the exemplar API. */
+class AlertExemplarSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("alert rule: pending on first active step, firing after `for`, reset on gap") {
+    // series active at t=1000, 2000, (gap), 4000, 5000 — values over the
+    // threshold; lookback = step so a skipped step really is a gap
+    val wide = Seq(
+      ("up", 1000L, 10.0), ("up", 2000L, 10.0),
+      ("up", 4000L, 10.0), ("up", 5000L, 10.0))
+      .toDF("labels.name", "time", "value")
+    val out = AlertRules.evaluate(
+      AlertRules.AlertRule("hot", """{name="up"} > 5""", forMs = 1000L),
+      wide, start = 1000L, end = 5000L, stepMs = 1000L, lookbackMs = 1000L)
+      .select(col("t"), col("active_at"), col("alertstate"))
+      .as[(Long, Long, String)].collect().sortBy(_._1)
+    assert(out.toSeq == Seq(
+      (1000L, 1000L, "pending"),
+      (2000L, 1000L, "firing"),
+      (4000L, 4000L, "pending"), // the gap at 3000 reset the clock
+      (5000L, 4000L, "firing")))
+  }
+
+  test("alert rule: a present-but-below-threshold step breaks the run") {
+    val wide = Seq(
+      ("up", 1000L, 10.0), ("up", 2000L, 1.0), ("up", 3000L, 10.0))
+      .toDF("labels.name", "time", "value")
+    val out = AlertRules.evaluate(
+      AlertRules.AlertRule("hot", """{name="up"} > 5""", forMs = 1000L),
+      wide, start = 1000L, end = 3000L, stepMs = 1000L, lookbackMs = 1000L)
+      .select(col("t"), col("alertstate")).as[(Long, String)].collect().sortBy(_._1)
+    assert(out.toSeq == Seq((1000L, "pending"), (3000L, "pending")))
+  }
+
+  test("alert rule: `for` = 0 fires immediately (Prometheus default)") {
+    val wide = Seq(("up", 1000L, 10.0)).toDF("labels.name", "time", "value")
+    val out = AlertRules.evaluate(
+      AlertRules.AlertRule("hot", """{name="up"} > 5""", forMs = 0L),
+      wide, start = 1000L, end = 1000L, stepMs = 1000L, lookbackMs = 1000L)
+      .select(col("alertstate")).as[String].collect()
+    assert(out.toSeq == Seq("firing"))
+  }
+
+  test("rule group: a recorded series is visible to LATER rules in the group") {
+    val wide = Seq(
+      ("up", 1000L, 10.0), ("up", 2000L, 20.0))
+      .toDF("labels.name", "time", "value")
+    val (recorded, alerts) = AlertRules.evaluateGroup(Seq(
+      AlertRules.RecordingRule("up_doubled", """{name="up"} * 2"""),
+      AlertRules.AlertRule("too_high", """{name="up_doubled"} > 30""",
+        forMs = 0L)),
+      wide, start = 1000L, end = 2000L, stepMs = 1000L, lookbackMs = 1000L)
+    // the recorded frame carries the new metric name on the grid
+    val rec = recorded.get
+      .select(col("`labels.name`"), col("time"), col("value"))
+      .as[(String, Long, Double)].collect().sortBy(_._2)
+    assert(rec.toSeq == Seq(("up_doubled", 1000L, 20.0), ("up_doubled", 2000L, 40.0)))
+    // the alert evaluated the RECORDED series: only the doubled 40
+    // crosses 30, immediately firing (for = 0)
+    val al = alerts.get.select(col("t"), col("alertstate"), col("value"))
+      .as[(Long, String, Double)].collect()
+    assert(al.toSeq == Seq((2000L, "firing", 40.0)))
+  }
+
+  private val samples = Seq(
+    ("api", "a", 1000L, 50.0), ("api", "a", 2000L, 500.0),
+    ("api", "b", 3000L, 900.0), ("web", "c", 2500L, 700.0))
+    .toDF("labels.name", "labels.user", "time", "value")
+
+  test("exemplars: threshold filter + portable trace ids") {
+    val ex = Exemplars.fromSamples(samples, threshold = 100.0)
+    val got = ex.select(col("`labels.user`"), col("trace_id"))
+      .as[(String, String)].collect().toMap
+    assert(got.keySet == Set("a", "b", "c")) // the 50.0 sample is no exemplar
+    // trace id replays from the driver-side constant hash
+    val want = java.lang.Long.toHexString(
+      graft.functions.Hashing.hash64Const("api:a:2000"))
+    assert(got("a") == want)
+  }
+
+  test("exemplar query: matchers + INCLUSIVE [start, end] range") {
+    val ex = Exemplars.fromSamples(samples, threshold = 100.0)
+    val got = Exemplars.query(ex, Seq(Matcher.Eq("name", "api")),
+        startMs = 2000L, endMs = 3000L)
+      .select(col("`labels.user`")).as[String].collect().toSet
+    assert(got == Set("a", "b")) // both boundary timestamps included
+    assert(Exemplars.query(ex, Seq(Matcher.Eq("name", "api")),
+      2001L, 2999L).count() == 0)
+  }
+
+  test("exemplars grouped: one row per series, time-sorted struct array") {
+    val ex = Exemplars.fromSamples(samples.union(
+      Seq(("api", "a", 1500L, 300.0)).toDF("labels.name", "labels.user", "time", "value")),
+      threshold = 100.0)
+    val g = Exemplars.grouped(ex)
+      .where(col("`labels.user`") === "a")
+      .select(col("exemplars.time")).as[Seq[Long]].head()
+    assert(g == Seq(1500L, 2000L))
+  }
+}
