@@ -141,6 +141,40 @@ object ScaleStress {
       graft.tsdb.TsdbMeta.series(t, Tables.RangeStart, Tables.RangeEnd,
         Seq(Matcher.Re("name", "p.*"))).count()
     }
+    // rules engine at Nx series: the expression is ONE evalRange pass
+    // (cost = the promql rows above), the state machine adds two window
+    // passes partitioned per alert label set — parallelism grows WITH
+    // the series count, never a global sort
+    time(s"alert rule eval ${factor}x")(
+      graft.tsdb.AlertRules.evaluate(
+        graft.tsdb.AlertRules.AlertRule("hot_purchases",
+          """sum by (user) (count_over_time({name="purchase"}[1d])) > 0""",
+          forMs = 86400000L),
+        t.df, start = Tables.RangeStart, end = Tables.RangeEnd,
+        stepMs = 86400000L, lookbackMs = 86400000L).count())
+    // rule group at Nx: recording output union is metadata-only; the
+    // later alert's selector prunes to the recorded series it names
+    time(s"rule group eval ${factor}x") {
+      import graft.tsdb.AlertRules._
+      val (_, alerts) = evaluateGroup(Seq(
+        RecordingRule("user_daily_purchases",
+          """sum by (user) (count_over_time({name="purchase"}[1d]))"""),
+        AlertRule("hot_recorded",
+          """{name="user_daily_purchases"} > 0""", forMs = 86400000L)),
+        t.df, start = Tables.RangeStart, end = Tables.RangeEnd,
+        stepMs = 86400000L, lookbackMs = 86400000L)
+      alerts.get.count()
+    }
+    // exemplars at Nx samples: derivation is a map-side filter (no
+    // shuffle), query a pruned scan, grouping one partial-agg groupBy
+    // bounded by exemplar volume (sparse by construction)
+    time(s"exemplar derive+query+group ${factor}x") {
+      val ex = graft.tsdb.Exemplars.fromSamples(t.df, threshold = 150.0)
+      graft.tsdb.Exemplars.grouped(
+        graft.tsdb.Exemplars.query(ex,
+          Seq(Matcher.Eq("name", "purchase"), Matcher.Re("user", "1.*")),
+          Tables.RangeStart, Tables.RangeEnd)).count()
+    }
     // PromQL HISTOGRAM tier at Nx series (the text front end over the
     // same kernels): rate = one lag window + one statically-unrolled
     // partial-agg groupBy; merge+quantile = one aggregation + a per-row

@@ -262,6 +262,36 @@ class PlanQualitySpec extends SparkSpec {
     }
   }
 
+  test("exemplars: threshold, matchers and range all reach the parquet scan") {
+    // derivation + query compose into ONE pruned scan — the value
+    // threshold, the Eq(name) matcher and the INCLUSIVE range must be
+    // scan-level filters (exemplar reads touch exemplar-sized slices,
+    // never the sample universe)
+    val plan = planOf("tsdb_q96_exemplars")
+    assert("PushedFilters: \\[[^\\]]*GreaterThan\\(value,150".r
+      .findFirstIn(plan).isDefined,
+      s"exemplar threshold not pushed to the scan:\n$plan")
+    assert("PushedFilters: \\[[^\\]]*EqualTo\\(`?labels\\.name`?,purchase".r
+      .findFirstIn(plan).isDefined,
+      s"name matcher not pushed to the scan:\n$plan")
+    assert("PushedFilters: \\[[^\\]]*GreaterThanOrEqual\\(time".r
+      .findFirstIn(plan).isDefined,
+      s"inclusive range not pushed to the scan:\n$plan")
+    assert(!plan.contains("Join"), s"exemplar query must stay scan-only:\n$plan")
+  }
+
+  test("alert rule: windows partition per alert label set, never one task") {
+    // the state machine is two window passes over (labels) — both must
+    // hashpartition on the label set (parallel across series); a
+    // single-partition window would serialize the whole rules engine
+    val plan = planOf("tsdb_q98_alert_rule")
+    assert(plan.contains("Window"), s"expected run-length windows:\n$plan")
+    assert(!plan.contains("Exchange SinglePartition"),
+      s"alert windows must never collapse to one task:\n$plan")
+    assert(!plan.contains("Join"),
+      s"continuity is window analysis, not a self-join:\n$plan")
+  }
+
   test("PromQL hist tier: text evaluation keeps the direct-kernel plan shapes") {
     // rate from text = ONE lag window + ONE statically-unrolled groupBy
     // over the SAME keys — the groupBy must reuse the window's
