@@ -597,6 +597,15 @@ object PipelineQueries {
           element_at(h.getField("counts"), 9).cast("long").as("c_inf"),
           round(histFraction(h, lit(100.0), lit(300.0)), 6).as("frac_mid"))
     }),
+    // streaming alerting rule (the live rules engine,
+    // [[graft.streaming.EventStreams.alertingRule]]): the run machine's
+    // transitions emit, final, as the watermark closes each window —
+    // the full pending→firing output hash-checks against the batch
+    // state machine over closed windows only
+    "stream_q14_alerting_rule" -> ((s, dir) =>
+      EventStreams.runToMemory(
+        EventStreams.alertingRule(EventStreams.readEvents(s, dir)).toDF(),
+        "stream_q14_alerting_rule", mode = "append")),
     "stream_q1_windowed" -> ((s, dir) =>
       EventStreams.runToMemory(
         EventStreams.windowedCounts(EventStreams.readEvents(s, dir)),
@@ -1382,6 +1391,32 @@ object PipelineQueries {
         |FROM events GROUP BY 1, 2
         |HAVING CAST(epoch_ms(date_trunc('hour', ts)) AS BIGINT) + 3600000 <=
         |  (SELECT CAST(epoch_ms(max(ts)) AS BIGINT) FROM events) - 3600000""".stripMargin,
+    // streaming alerting rule ≡ the batch run-length state machine over
+    // the windows the terminal watermark closed (window end ≤ mx − 1h):
+    // per-day counts > 1 are active, pending from the run's first active
+    // day, firing once continuously active ≥ 1d, reset on a skipped or
+    // inactive day
+    "stream_q14_alerting_rule" ->
+      """WITH e AS (SELECT event_type, user_id,
+        |  CAST(epoch_ms(ts) AS BIGINT) AS tms FROM events),
+        |m AS (SELECT CAST(epoch_ms(max(ts)) AS BIGINT) AS mx FROM events),
+        |act AS (SELECT event_type, user_id,
+        |    (tms // 86400000) * 86400000 AS w, count(*) AS n
+        |  FROM e GROUP BY 1, 2, 3 HAVING count(*) > 1),
+        |cl AS (SELECT act.* FROM act, m WHERE w + 86400000 <= mx - 3600000),
+        |runs AS (SELECT *, CASE WHEN lag(w) OVER win IS NULL
+        |    OR lag(w) OVER win <> w - 86400000 THEN 1 ELSE 0 END AS nr
+        |  FROM cl WINDOW win AS (PARTITION BY event_type, user_id ORDER BY w)),
+        |rid AS (SELECT *, sum(nr) OVER (PARTITION BY event_type, user_id
+        |    ORDER BY w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run
+        |  FROM runs),
+        |st AS (SELECT *, min(w) OVER (PARTITION BY event_type, user_id, run)
+        |    AS active_at FROM rid)
+        |SELECT 'hot_series' AS alertname, event_type, user_id,
+        |  w AS window_start, active_at,
+        |  CASE WHEN w - active_at >= 86400000 THEN 'firing'
+        |       ELSE 'pending' END AS alertstate, n
+        |FROM st""".stripMargin,
     // NB the terminal watermark is the MIN over both sides' own max event
     // times (Spark's multipleWatermarkPolicy=min), not the global max
     "stream_q8_outer_join" ->

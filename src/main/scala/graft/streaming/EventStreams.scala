@@ -192,6 +192,81 @@ object EventStreams {
       .select(col("window.start").as("window_start"), col("event_type"),
         col("hist"))
 
+  final case class AlertUpdate(alertname: String, event_type: String,
+                               user_id: Long, window_start: Long,
+                               active_at: Long, alertstate: String, n: Long)
+
+  /** Streaming alert state: per-key open tumbling-window counts plus the
+    * current run ((`runActiveAt`, `lastActive`), −1 = none). */
+  final case class AlertRunState(open: Map[Long, Long],
+                                 runActiveAt: Long, lastActive: Long)
+
+  /** Streaming ALERTING rule — the live counterpart of the batch rules
+    * engine ([[graft.tsdb.AlertRules]]): per (event_type, user) tumbling
+    * window, the element is ACTIVE when its window count exceeds
+    * `threshold`; an alert is `pending` from its run's first active
+    * window and `firing` once continuously active ≥ `forMs`; a skipped
+    * or inactive window resets the run. A window closes — and its state
+    * transition emits, final — when the event-time watermark passes its
+    * end (the same emission rule as the streaming windowed aggregates).
+    *
+    * State shape (the 100 TB/day requirement): per key, the open-window
+    * counts (∝ windows-in-flight, each one long) plus two longs for the
+    * live run; a key's state is EVICTED once the watermark proves no
+    * future window can close late (all windows closed) or extend the run
+    * (`wm ≥ lastActive + 2·window` — any later window is non-adjacent).
+    * The canonical custom-state operator: the windowed-aggregate →
+    * stateful-transition chain can't be expressed as built-in streaming
+    * aggregation because the run machine is ordered and cross-window. */
+  def alertingRule(events: DataFrame, alertname: String = "hot_series",
+                   threshold: Long = 1L, forMs: Long = 86400000L,
+                   windowMs: Long = 86400000L,
+                   watermark: String = "1 hour"): Dataset[AlertUpdate] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .withWatermark("ts", watermark)
+      .select(col("event_type"), col("user_id"), col("ts"))
+      .as[(String, Long, java.sql.Timestamp)]
+      .groupByKey(r => (r._1, r._2))
+      .flatMapGroupsWithState[AlertRunState, AlertUpdate](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (key: (String, Long), rows: Iterator[(String, Long, java.sql.Timestamp)],
+         state: GroupState[AlertRunState]) =>
+          val wm = state.getCurrentWatermarkMs()
+          var st = state.getOption.getOrElse(AlertRunState(Map.empty, -1L, -1L))
+          // bin arriving rows into still-open tumbling windows (a row
+          // whose window already closed is late beyond the watermark —
+          // dropped, the same contract as the built-in windowed aggs)
+          rows.foreach { r =>
+            val w = Math.floorDiv(r._3.getTime, windowMs) * windowMs
+            if (w + windowMs > wm)
+              st = st.copy(open = st.open.updated(w, st.open.getOrElse(w, 0L) + 1L))
+          }
+          // close every window the watermark passed, in event-time order,
+          // advancing the pending→firing run machine
+          val (closed, open) = st.open.partition { case (w, _) => w + windowMs <= wm }
+          val out = closed.toSeq.sortBy(_._1).flatMap { case (w, n) =>
+            if (n > threshold) {
+              val activeAt = if (st.lastActive == w - windowMs) st.runActiveAt else w
+              st = st.copy(runActiveAt = activeAt, lastActive = w)
+              Some(AlertUpdate(alertname, key._1, key._2, w, activeAt,
+                if (w - activeAt >= forMs) "firing" else "pending", n))
+            } else None
+          }
+          st = st.copy(open = open)
+          val runLive = st.lastActive >= 0L && wm < st.lastActive + 2 * windowMs
+          if (st.open.nonEmpty) {
+            state.update(st)
+            state.setTimeoutTimestamp(st.open.keys.min + windowMs)
+          } else if (runLive) {
+            state.update(st)
+            state.setTimeoutTimestamp(st.lastActive + 2 * windowMs)
+          } else state.remove()
+          out.iterator
+      }
+  }
+
   /** Run any of the above to completion against static files through the
     * streaming engine and return the materialized result (test/verify
     * harness — exercises the real incremental execution path). */

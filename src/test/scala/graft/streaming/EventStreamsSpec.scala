@@ -85,6 +85,71 @@ class EventStreamsSpec extends SparkSpec {
     assert(got.contains((1L, 1L, true)))
     assert(got.contains((2L, 1L, true)))
   }
+
+  private def alertInput() = {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(String, Long, java.sql.Timestamp)]
+    val df = input.toDF().toDF("event_type", "user_id", "ts")
+      .withColumn("event_id", lit(0L))
+      .withColumn("value", lit(0.0)).withColumn("props", lit("{}"))
+    (input, df)
+  }
+
+  test("streaming alert: pending at the run's first window, firing at `for`, reset on a gap") {
+    val (input, df) = alertInput()
+    val day = 86400000L
+    val d0 = 1700006400000L - (1700006400000L % day) // aligned window start
+    def ts(dayIdx: Int, k: Int) =
+      new java.sql.Timestamp(d0 + dayIdx * day + k * 60000L)
+    val alerts = EventStreams.alertingRule(df, threshold = 1L,
+      forMs = day, windowMs = day, watermark = "1 hour")
+    val q = alerts.toDF().writeStream.outputMode("append")
+      .format("memory").queryName("es_test_alerts").start()
+    // days 0,1 active (2 events each), day 2 quiet, day 3 active again
+    input.addData(("x", 1L, ts(0, 0)), ("x", 1L, ts(0, 1)),
+      ("x", 1L, ts(1, 0)), ("x", 1L, ts(1, 1)),
+      ("x", 1L, ts(3, 0)), ("x", 1L, ts(3, 1)))
+    q.processAllAvailable()
+    // push the watermark past day 3's end so every window closes
+    input.addData(("x", 9L, ts(5, 0)))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("es_test_alerts")
+      .select($"window_start", $"active_at", $"alertstate", $"n")
+      .as[(Long, Long, String, Long)].collect().sortBy(_._1).toSeq
+    assert(got === Seq(
+      (d0, d0, "pending", 2L),              // run 1 starts pending
+      (d0 + day, d0, "firing", 2L),         // continuously active 1d ⇒ firing
+      (d0 + 3 * day, d0 + 3 * day, "pending", 2L))) // gap reset ⇒ new pending run
+  }
+
+  test("streaming alert: windows emit only once the watermark closes them; late rows drop") {
+    val (input, df) = alertInput()
+    val day = 86400000L
+    val d0 = 1700006400000L - (1700006400000L % day)
+    def ts(dayIdx: Int, k: Int) =
+      new java.sql.Timestamp(d0 + dayIdx * day + k * 60000L)
+    val alerts = EventStreams.alertingRule(df, threshold = 1L,
+      forMs = day, windowMs = day, watermark = "1 hour")
+    val q = alerts.toDF().writeStream.outputMode("append")
+      .format("memory").queryName("es_test_alerts_wm").start()
+    input.addData(("x", 1L, ts(0, 0)), ("x", 1L, ts(0, 1)))
+    q.processAllAvailable()
+    // watermark still inside day 0 — nothing may emit yet
+    assert(spark.table("es_test_alerts_wm").isEmpty)
+    // advance the watermark past day 0, then send a day-0 straggler:
+    // the closed window must NOT re-emit or mutate
+    input.addData(("x", 9L, ts(2, 0)))
+    q.processAllAvailable()
+    input.addData(("x", 1L, ts(0, 2)))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("es_test_alerts_wm")
+      .select($"window_start", $"alertstate", $"n")
+      .as[(Long, String, Long)].collect().toSeq
+    assert(got === Seq((d0, "pending", 2L)))
+  }
 }
 
 class TsdbStreamIngestSpec extends graft.SparkSpec {
@@ -152,4 +217,5 @@ class TsdbStreamIngestSpec extends graft.SparkSpec {
     assert(streamed == batch)
     assert(streamed.nonEmpty)
   }
+
 }
