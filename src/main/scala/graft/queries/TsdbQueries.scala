@@ -856,6 +856,28 @@ object TsdbQueries {
           col("active_at"), col("alertstate"),
           col("value").cast("long").as("n"))
     }),
+    // Q100: the ALERTS series ([[graft.tsdb.AlertRules.alertsAsSamples]])
+    // — alert state materialized as queryable samples, so the WHOLE
+    // PromQL surface runs over it like any metric. Here: the per-step
+    // pending/firing census, evaluated by the PromQL front end over the
+    // synthesized series (lookback = step picks exactly the on-grid
+    // sample; ALERTS_FOR_STATE cross-checked via its max active_at).
+    "tsdb_q100_alerts_series" -> ((s, dir) => {
+      val alerts = graft.tsdb.AlertRules.evaluate(
+        graft.tsdb.AlertRules.AlertRule("user_error_burst",
+          """sum by (user) (count_over_time({name="error"}[1d])) > 1""",
+          forMs = 86400000L),
+        eventsAsTsdbStored(s, dir), start = RangeStart, end = RangeEnd,
+        stepMs = 86400000L, lookbackMs = 86400000L)
+      val samples = graft.tsdb.AlertRules.alertsAsSamples(alerts)
+      graft.tsdb.PromQL.evalRange(
+        graft.tsdb.PromQL.parse(
+          """count by (alertstate) ({name="ALERTS", alertname="user_error_burst"})"""),
+        samples, start = RangeStart, end = RangeEnd,
+        stepMs = 86400000L, lookbackMs = 86400000L)
+        .select(col("alertstate"), col("t"),
+          col("value").cast("long").as("n"))
+    }),
     // Q85-Q87: the METADATA API ([[graft.tsdb.TsdbMeta]]) — Prometheus's
     // /api/v1/labels, /label/<name>/values and /series endpoints, the
     // surface dashboard variable queries hit constantly. Each is one
@@ -2233,6 +2255,28 @@ object TsdbQueries {
          |       ELSE 'pending' END AS alertstate,
          |  CAST(n AS BIGINT) AS n
          |FROM st""".stripMargin,
+    // ALERTS-series census replay: the q98 state machine, then a per-step
+    // count by state
+    "tsdb_q100_alerts_series" ->
+      s"""$duckTsdbCte,
+         |grid AS (SELECT CAST($RangeStart + unnest(range(0, 16)) * 86400000
+         |    AS BIGINT) AS gt),
+         |act AS (SELECT gt, "labels.user" AS "user", count(*) AS n
+         |  FROM grid JOIN t ON t.time > gt - 86400000 AND t.time <= gt
+         |  WHERE "labels.name" = 'error'
+         |  GROUP BY 1, 2 HAVING count(*) > 1),
+         |runs AS (SELECT *, CASE WHEN lag(gt) OVER w IS NULL
+         |    OR lag(gt) OVER w <> gt - 86400000 THEN 1 ELSE 0 END AS nr
+         |  FROM act WINDOW w AS (PARTITION BY "user" ORDER BY gt)),
+         |rid AS (SELECT *, sum(nr) OVER (PARTITION BY "user" ORDER BY gt
+         |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run
+         |  FROM runs),
+         |st AS (SELECT *, min(gt) OVER (PARTITION BY "user", run) AS active_at
+         |  FROM rid)
+         |SELECT CASE WHEN gt - active_at >= 86400000 THEN 'firing'
+         |    ELSE 'pending' END AS alertstate, gt AS t,
+         |  CAST(count(*) AS BIGINT) AS n
+         |FROM st GROUP BY 1, 2""".stripMargin,
     "tsdb_q85_label_names" ->
       s"""$duckTsdbCte,
          |f AS (SELECT * FROM t WHERE time > $RangeStart AND time < $RangeEnd

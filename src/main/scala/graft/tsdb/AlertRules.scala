@@ -88,6 +88,36 @@ object AlertRules {
   private val NonLabelCols = Set("t", TsdbSchema.ValueCol,
     TsdbSchema.TimeCol, "bucket", "n")
 
+  /** Materialize [[evaluate]]'s output as the queryable `ALERTS` /
+    * `ALERTS_FOR_STATE` series Prometheus synthesizes: one wide sample
+    * per (alert element, step) — `ALERTS{alertname, alertstate, <labels>}
+    * = 1` and `ALERTS_FOR_STATE{alertname, <labels>} = active_at` (ms
+    * here; Prometheus uses seconds — this table's time unit). The whole
+    * PromQL surface then runs over alert state like over any metric
+    * (`ALERTS{alertstate="firing"}`, `count by (alertname) (ALERTS)`).
+    * Map-side projection + plan-metadata union — no shuffle added. */
+  def alertsAsSamples(alerts: DataFrame): DataFrame = {
+    val labelCols = alerts.columns.toSeq
+      .filterNot(Set("alertname", "t", "active_at", "alertstate",
+        TsdbSchema.ValueCol))
+      // `ALERTS` REPLACES the element's metric name (Prometheus keeps
+      // the alert's labels, but __name__ becomes ALERTS)
+      .filterNot(c => c.stripPrefix(TsdbSchema.LabelPrefix) == "name")
+      .map(c => col(s"`$c`").as(TsdbSchema.labelColName(
+        c.stripPrefix(TsdbSchema.LabelPrefix))))
+    val common = col("alertname").as(TsdbSchema.labelColName("alertname")) +:
+      labelCols
+    val active = alerts.select(
+      lit("ALERTS").as(TsdbSchema.labelColName("name")) +: common ++: Seq(
+        col("alertstate").as(TsdbSchema.labelColName("alertstate")),
+        col("t").as(TsdbSchema.TimeCol), lit(1.0).as(TsdbSchema.ValueCol)): _*)
+    val forState = alerts.select(
+      lit("ALERTS_FOR_STATE").as(TsdbSchema.labelColName("name")) +: common ++: Seq(
+        col("t").as(TsdbSchema.TimeCol),
+        col("active_at").cast("double").as(TsdbSchema.ValueCol)): _*)
+    active.unionByName(forState, allowMissingColumns = true)
+  }
+
   /** Evaluate `rule` on the grid `start + k·step ∈ [start, end]`.
     * Output: `alertname` + the element's label columns + `t` +
     * `active_at` (the run's first active step) + `alertstate`

@@ -47,6 +47,29 @@ class AlertExemplarSpec extends SparkSpec {
     assert(out.toSeq == Seq("firing"))
   }
 
+  test("ALERTS / ALERTS_FOR_STATE: alert state queryable through PromQL") {
+    val wide = Seq(
+      ("up", 1000L, 10.0), ("up", 2000L, 10.0))
+      .toDF("labels.name", "time", "value")
+    val alerts = AlertRules.evaluate(
+      AlertRules.AlertRule("hot", """{name="up"} > 5""", forMs = 1000L),
+      wide, start = 1000L, end = 2000L, stepMs = 1000L, lookbackMs = 1000L)
+    val samples = AlertRules.alertsAsSamples(alerts)
+    // the firing-only selector — the canonical dashboard query — runs
+    // through the ordinary PromQL front end over the synthesized series
+    val firing = PromQL.evalRange(
+      PromQL.parse("""{name="ALERTS", alertname="hot", alertstate="firing"}"""),
+      samples, start = 1000L, end = 2000L, stepMs = 1000L, lookbackMs = 1000L)
+      .select(col("t"), col("value")).as[(Long, Double)].collect().toSeq
+    assert(firing == Seq((2000L, 1.0)))
+    // ALERTS_FOR_STATE carries the run's active_at as the sample value
+    val forState = PromQL.evalRange(
+      PromQL.parse("""{name="ALERTS_FOR_STATE", alertname="hot"}"""),
+      samples, start = 1000L, end = 2000L, stepMs = 1000L, lookbackMs = 1000L)
+      .select(col("t"), col("value")).as[(Long, Double)].collect().sortBy(_._1).toSeq
+    assert(forState == Seq((1000L, 1000.0), (2000L, 1000.0)))
+  }
+
   test("rule group: a recorded series is visible to LATER rules in the group") {
     val wide = Seq(
       ("up", 1000L, 10.0), ("up", 2000L, 20.0))
