@@ -1058,7 +1058,9 @@ object TsdbQueries {
       graft.tsdb.PromQL.eval(
         graft.tsdb.PromQL.parse("""xrate({name="purchase"}[7d])"""),
         eventsAsTsdbStored(s, dir), at = RangeEnd, lookbackMs = 86400000L,
-        start = RangeStart, end = RangeEnd)),
+        start = RangeStart, end = RangeEnd)
+        // oracle-edge rounding (the kernel itself returns full precision)
+        .withColumn("value", round(col("value"), 6))),
     // Q76: ts_of_max_over_time — the TIMESTAMP (epoch seconds) of each
     // window's maximum sample (last max wins on ties, Prometheus's
     // scan order, order-free via lexicographic array extremes)
@@ -1551,7 +1553,7 @@ object TsdbQueries {
          |gi AS (SELECT name, u, kk, time, value,
          |    ${RangeStart - 604800000L} + i * 86400000 AS ug
          |  FROM s, LATERAL unnest(range(
-         |    greatest(0, CAST(ceil((time - ${RangeStart - 604800000L}) / 86400000.0) AS BIGINT)),
+         |    greatest(1, CAST(ceil((time - ${RangeStart - 604800000L}) / 86400000.0) AS BIGINT)),
          |    least(22, CAST(floor((time + 86399999 - ${RangeStart - 604800000L}) / 86400000.0) AS BIGINT)) + 1
          |  )) AS r(i)),
          |iv AS (SELECT u, ug, name, kk,
@@ -1562,7 +1564,7 @@ object TsdbQueries {
          |o AS (SELECT u, $RangeStart + k * 86400000 AS t, v
          |  FROM isum, LATERAL unnest(range(
          |    greatest(0, CAST(ceil((ug - $RangeStart) / 86400000.0) AS BIGINT)),
-         |    least(15, CAST(floor((ug + 604800000 - $RangeStart) / 86400000.0) AS BIGINT)) + 1
+         |    least(15, CAST(floor((ug + 604799999 - $RangeStart) / 86400000.0) AS BIGINT)) + 1
          |  )) AS r(k))
          |SELECT u AS "user", t, max(v) AS value FROM o GROUP BY 1, 2""".stripMargin,
     // replays the coercion pipeline: per-(series, 7d-bucket) rate with
@@ -1782,7 +1784,7 @@ object TsdbQueries {
          |gi AS (SELECT name, u, kk, time, value,
          |    ${RangeStart - 604800000L} + i * 86400000 AS ug
          |  FROM s, LATERAL unnest(range(
-         |    greatest(0, CAST(ceil((time - ${RangeStart - 604800000L}) / 86400000.0) AS BIGINT)),
+         |    greatest(1, CAST(ceil((time - ${RangeStart - 604800000L}) / 86400000.0) AS BIGINT)),
          |    least(22, CAST(floor((time + 86399999 - ${RangeStart - 604800000L}) / 86400000.0) AS BIGINT)) + 1
          |  )) AS r(i)),
          |iv AS (SELECT u, ug, name, kk,
@@ -1798,11 +1800,12 @@ object TsdbQueries {
          |o AS (SELECT u, $RangeStart + k * 86400000 AS t, d
          |  FROM pairs, LATERAL unnest(range(
          |    greatest(0, CAST(ceil((ug - $RangeStart) / 86400000.0) AS BIGINT)),
-         |    least(15, CAST(floor((pug + 604800000 - $RangeStart) / 86400000.0) AS BIGINT)) + 1
+         |    least(15, CAST(floor((pug + 604799999 - $RangeStart) / 86400000.0) AS BIGINT)) + 1
          |  )) AS r(k))
          |SELECT u AS "user", t, round(sum(d), 6) AS value
          |FROM o GROUP BY 1, 2""".stripMargin,
-    // replays the subquery grid (8 daily points, last sample per
+    // replays the subquery grid (7 daily points - LEFT-OPEN, the
+    // aligned point at RangeEnd-7d excluded; last sample per
     // series per point, summed per user) then the per-user lag fold of
     // reset-adjusted deltas over the grid axis
     "tsdb_q66_promql_subquery_increase" ->
@@ -1815,7 +1818,7 @@ object TsdbQueries {
          |gi AS (SELECT name, u, kk, time, value,
          |    ${RangeEnd - 604800000L} + i * 86400000 AS ug
          |  FROM s, LATERAL unnest(range(
-         |    greatest(0, CAST(ceil((time - ${RangeEnd - 604800000L}) / 86400000.0) AS BIGINT)),
+         |    greatest(1, CAST(ceil((time - ${RangeEnd - 604800000L}) / 86400000.0) AS BIGINT)),
          |    least(7, CAST(floor((time + 86399999 - ${RangeEnd - 604800000L}) / 86400000.0) AS BIGINT)) + 1
          |  )) AS r(i)),
          |iv AS (SELECT u, ug, name, kk,

@@ -58,11 +58,9 @@ import graft.model.Matcher
   * boundary extrapolation) — `xrate`/`xincrease` are the
   * Prometheus-NUMERICALLY-EXACT extrapolated variants
   * ([[RangeVectors.extrapolated]]), available everywhere the plain
-  * pair family is (tumbling, sliding, subqueries); subquery grids are
-  * closed on the LEFT — when the alignment lands a grid point at
-  * exactly `t − range`, that point is included (Prometheus 3 excludes
-  * it, making subquery windows left-open like raw-sample windows: a
-  * one-grid-point difference only for exactly-aligned ranges).
+  * pair family is (tumbling, sliding, subqueries); subquery windows
+  * are LEFT-OPEN `(t − range, t]` like raw-sample windows (Prometheus
+  * 3) — an exactly-aligned grid point at `t − range` is excluded.
   * Wall-clock functions (`hour`, `day_of_week`, ...) are computed with
   * pure epoch arithmetic, so Prometheus's UTC contract holds for ANY
   * session timezone. `__name__` handling matches Prometheus exactly
@@ -1154,8 +1152,13 @@ object PromQL {
                            stepMs: Long, sqEnd: Long, wide: DataFrame,
                            lookbackMs: Long,
                            params: Seq[Double]): DataFrame = {
-    val gridStart =
-      math.ceil((sqEnd - rangeMs).toDouble / stepMs).toLong * stepMs
+    // first grid point STRICTLY after sqEnd − range (Prometheus 3:
+    // subquery windows are left-open like raw-sample windows, so an
+    // exactly-aligned point at sqEnd − range is excluded)
+    val gridStart = {
+      val floored = Math.floorDiv(sqEnd - rangeMs, stepMs) * stepMs
+      if (floored <= sqEnd - rangeMs) floored + stepMs else floored
+    }
     val grid0 = evalRange(inner, wide, gridStart, sqEnd, stepMs, lookbackMs)
     val grid = innerValueShape(inner, grid0)
     require(grid.columns.contains(TsdbSchema.ValueCol),
@@ -1201,8 +1204,12 @@ object PromQL {
                                 start: Long, end: Long, stepMs: Long,
                                 lookbackMs: Long,
                                 params: Seq[Double]): DataFrame = {
-    val uStart =
-      math.ceil((start - off - rangeMs).toDouble / sqStep).toLong * sqStep
+    // earliest inner point any outer step can see: STRICTLY after
+    // start − off − range (left-open subquery windows, Prometheus 3)
+    val uStart = {
+      val floored = Math.floorDiv(start - off - rangeMs, sqStep) * sqStep
+      if (floored <= start - off - rangeMs) floored + sqStep else floored
+    }
     val uEnd = math.floor((end - off).toDouble / sqStep).toLong * sqStep
     val grid0 = evalRange(inner, wide, uStart, uEnd, sqStep, lookbackMs)
     val grid1 = innerValueShape(inner, grid0)
@@ -1226,9 +1233,10 @@ object PromQL {
         .withColumn("_i", explode(sequence(col("_ilo"), col("_ihi"))))
         .withColumn("t", lit(start) + col("_i") * stepMs)
     val v = col(TsdbSchema.ValueCol)
-    // an inner point u is in t's window iff t ∈ [u + off, u + off + range]
+    // an inner point u is in t's LEFT-OPEN window (t−off−range, t−off]
+    // iff t ∈ [u + off, u + off + range − 1] (integer ms)
     def sampleFanned: DataFrame =
-      fanned(grid, col("_ut") + off, col("_ut") + (off + rangeMs))
+      fanned(grid, col("_ut") + off, col("_ut") + (off + rangeMs - 1))
     def pairFanned: DataFrame = {
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy(keys: _*).orderBy(col("_ut").asc, v.asc)
@@ -1236,8 +1244,8 @@ object PromQL {
         .withColumn("_put", lag(col("_ut"), 1).over(w))
         .withColumn("prev_v", lag(v, 1).over(w))
         .where(col("_put").isNotNull)
-      // both endpoints in-window: t ∈ [u + off, prev_u + off + range]
-      fanned(pairs, col("_ut") + off, col("_put") + (off + rangeMs))
+      // both endpoints in-window: t ∈ [u + off, prev_u + off + range − 1]
+      fanned(pairs, col("_ut") + off, col("_put") + (off + rangeMs - 1))
     }
     val outKeys = keys :+ col("t")
     val folded = name match {

@@ -417,7 +417,10 @@ object RangeVectors {
     * otherwise, and never past the counter's zero point. All inputs are
     * per-window aggregates, so the formula is one deterministic scalar
     * expression replayable by the SQL oracle (incr arrives ROUNDED so
-    * both engines scale identical literals). */
+    * both engines scale identical literals). The result is NOT rounded
+    * here — Prometheus doesn't, and a caller multiplying the rate
+    * (e.g. `xrate(...)  * 25 * 60`) would amplify a kernel round into
+    * visible error; oracle-facing queries round at their edge. */
   private[tsdb] def extrapolated(incr: Column, pairs: Column,
                                  firstT: Column,
                                  lastT: Column, firstV: Column,
@@ -435,7 +438,7 @@ object RangeVectors {
     val de = when(de0 >= thresh, avg / 2.0).otherwise(de0)
     val factor0 = (sampled + ds + de) / sampled
     val factor = if (asRate) factor0 / (rangeMs / 1000.0) else factor0
-    round(incr * factor, 6)
+    incr * factor
   }
 
   /** The five per-window aggregates [[extrapolated]] consumes — ONE

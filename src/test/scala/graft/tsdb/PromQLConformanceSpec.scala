@@ -450,7 +450,34 @@ class PromQLConformanceSpec extends SparkSpec {
     C("50m", """deriv(http_requests{group="canary", instance="1", job="app-server"}[50m])""",
       """{group="canary", instance="1", job="app-server"} 0.26666666666666666"""),
     C("50m", """predict_linear(http_requests{group="canary", instance="1", job="app-server"}[50m], 3600)""",
-      """{group="canary", instance="1", job="app-server"} 1760""")),
+      """{group="canary", instance="1", job="app-server"} 1760"""),
+    // upstream's classic extrapolated-rate case, spelled
+    // `rate(http_requests[25m]) * 25 * 60` there — rate here is the
+    // observed-span estimator (the documented deviation above), so the
+    // Prometheus-exact kernel xrate asserts upstream's numbers: delta
+    // 4·step over (25m,50m], extrapolated 1200s→1500s ⇒ 5·step per 25m
+    C("50m", """xrate(http_requests[25m]) * 25 * 60""",
+      """{group="production", instance="0", job="api-server"} 50
+        |{group="production", instance="1", job="api-server"} 100
+        |{group="canary", instance="0", job="api-server"} 150
+        |{group="canary", instance="1", job="api-server"} 200
+        |{group="production", instance="0", job="app-server"} 250
+        |{group="production", instance="1", job="app-server"} 300
+        |{group="canary", instance="0", job="app-server"} 350
+        |{group="canary", instance="1", job="app-server"} 400""")),
+    upstream = true)
+
+  // subquery.test: inner evaluation points are ABSOLUTE-aligned to the
+  // subquery step inside the LEFT-OPEN (t-range, t], each point filled
+  // by the 5m lookback
+  private val upstreamSubquery = B("upstream subquery.test", "10s",
+    Seq("""metric 1 2"""), Seq(
+    // points -30..10 ∩ 10s-grid with samples: 0→1, 10→2
+    C("10s", """sum_over_time(metric[50s:10s])""", """{} 3"""),
+    // 5s-grid adds the lookback-filled point at 5→1
+    C("10s", """sum_over_time(metric[50s:5s])""", """{} 4"""),
+    // far from the samples every point lookback-fills to the last value
+    C("300s", """sum_over_time(metric[50s:10s])""", """{} 10""")),
     upstream = true)
 
   private val upstreamAggregators2 = B("upstream aggregators.test part 2",
@@ -540,7 +567,8 @@ class PromQLConformanceSpec extends SparkSpec {
     functions2, histograms, countValues, staleness, labelFns,
     upstreamOperators, upstreamGroupLeft, upstreamAggregators,
     upstreamAggregators2, upstreamChangesResets, upstreamLiterals,
-    upstreamFunctions, upstreamStaleness, upstreamDocsMatching)
+    upstreamFunctions, upstreamStaleness, upstreamDocsMatching,
+    upstreamSubquery)
 
   // ---- harness ----
 
@@ -687,7 +715,7 @@ class PromQLConformanceSpec extends SparkSpec {
     // cases re-typed from Prometheus's own promqltest corpus, reported
     // separately from the handwritten sweep.
     assert(own === 118)
-    assert(ported === 55)
+    assert(ported === 59)
     assert(skips.size === 2)
     // every skip names its documented deviation
     assert(skips.forall(_.skip.nonEmpty))

@@ -589,18 +589,20 @@ class PromQLSpec extends SparkSpec {
     // pairs → every series drops (PromQL's two-point rule)
     assert(evalQ("""increase({name="up"}[1d:5h] @ 7200)""").count() === 0L)
     // range mode: inner-pair fan-out — pairs land on the outer steps
-    // whose [t−1d, t] window contains BOTH endpoints; t=0 covers only
-    // the u=0 inner point (no pair) and drops out
+    // whose LEFT-OPEN (t−1d, t] window contains BOTH endpoints; t=0
+    // covers only the u=0 inner point (no pair) and drops out, and at
+    // t=1d the u=0 point is EXCLUDED (left-open), leaving the flat
+    // points 5h..20h — increase/changes 0
     def rm(q: String) = evalRange(parse(q), wide, start = 0L,
       end = 86400000L, stepMs = 43200000L, lookbackMs = 86400000L)
       .select(col("`labels.user`"), col("t"), col("value"))
       .as[(String, Long, Double)].collect().toSet
     assert(rm("""increase({name="up"}[1d:5h])""") === Set(
       ("a", 43200000L, 3.0), ("b", 43200000L, 6.0),
-      ("a", 86400000L, 3.0), ("b", 86400000L, 6.0)))
+      ("a", 86400000L, 0.0), ("b", 86400000L, 0.0)))
     assert(rm("""changes({name="up"}[1d:5h])""") === Set(
       ("a", 43200000L, 1.0), ("b", 43200000L, 1.0),
-      ("a", 86400000L, 1.0), ("b", 86400000L, 1.0)))
+      ("a", 86400000L, 0.0), ("b", 86400000L, 0.0)))
   }
 
   test("@ modifier pins subqueries to an anchor") {
@@ -712,12 +714,13 @@ class PromQLSpec extends SparkSpec {
       Subquery(AggBy("sum", Nil,
         Selector(Seq(Matcher.Eq("name", "up")), None, 0L)),
         86400000L, 60000L))
-    // 61 absolute-aligned minutes in [At−1h, At]; both series are live
-    // at every one of them (last samples within the 1d lookback)
+    // 60 absolute-aligned minutes in the LEFT-OPEN (At−1h, At]; both
+    // series are live at every one of them (last samples within the 1d
+    // lookback)
     val ct = evalQ("""count_over_time({name="up"}[1h:])""")
       .select(col("`labels.user`"), col("value"))
       .as[(String, Double)].collect().toMap
-    assert(ct === Map("a" -> 61.0, "b" -> 61.0))
+    assert(ct === Map("a" -> 60.0, "b" -> 60.0))
   }
 
   test("evalRange: subqueries fan inner grid points to outer steps") {
@@ -734,14 +737,15 @@ class PromQLSpec extends SparkSpec {
       ("a", 43200000L, 4.0), ("b", 43200000L, 8.0),
       ("a", 86400000L, 4.0), ("b", 86400000L, 8.0)))
     // inner aggregation: sum by (user) per inner point, then the
-    // window fold sums the points each outer window covers
+    // window fold sums the points each LEFT-OPEN outer window covers
+    // (at t=1d the u=0 point sits exactly at t−range and is excluded)
     val sm = rq("""sum_over_time(sum by (user) ({name="up"})[1d:12h])""")
       .select(col("user"), col("t"), col("value"))
       .as[(String, Long, Double)].collect().toSet
     assert(sm === Set(
       ("a", 0L, 1.0), ("b", 0L, 2.0),
       ("a", 43200000L, 5.0), ("b", 43200000L, 10.0),
-      ("a", 86400000L, 14.0), ("b", 86400000L, 18.0)))
+      ("a", 86400000L, 13.0), ("b", 86400000L, 16.0)))
     // rate under a subquery: the multi-stat frame re-projects to value;
     // outer steps whose windows cover no inner point drop out (t=0)
     val rr = rq("""max_over_time(rate({name="up"}[1d])[1d:12h])""")
