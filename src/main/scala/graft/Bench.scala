@@ -48,9 +48,12 @@ object Bench {
     "tsdb_q89_native_hist_exp", "tsdb_q86_label_values",
     "pipe_q38_cm_heavy_hitters", "pipe_q39_unigram_logprob",
     "pipe_q40_audio",
-    // round-10 additions: PromQL-over-histograms text tier, real video
+    // round-10 additions: PromQL-over-histograms text tier, real video,
+    // the rules engine and exemplars
     "tsdb_q90_promql_hist_quantile", "tsdb_q91_promql_hist_rate",
-    "pipe_q42_video", "pipe_q44_video_frames")
+    "pipe_q42_video", "pipe_q44_video_frames",
+    "tsdb_q98_alert_rule", "tsdb_q96_exemplars",
+    "tsdb_q100_alerts_series")
 
   /** 1/5/15-minute fields of /proc/loadavg (empty off-Linux). */
   private def loadavg(): Seq[Double] =
