@@ -175,6 +175,27 @@ object ScaleStress {
           Seq(Matcher.Eq("name", "purchase"), Matcher.Re("user", "1.*")),
           Tables.RangeStart, Tables.RangeEnd)).count()
     }
+    // STREAMING alert rule at Nx events through the real incremental
+    // engine (file source → watermark → flatMapGroupsWithState): state
+    // per key is open-window counts + two longs, so Nx events with Nx
+    // keys must scale linearly — a state design holding raw rows would
+    // blow up here, at 10x keys × windows-in-flight
+    time(s"streaming alert rule ${factor}x") {
+      val ev = Tables.load(spark, sfDir, "events")
+      val evN = ev
+        .withColumn("_r", explode(sequence(lit(0), lit(factor - 1))))
+        .withColumn("user_id", col("user_id") + col("_r") * lit(10000000L))
+        .drop("_r")
+      val streamDir = Tables.scratchDir("graft_scale_stream")
+      evN.write.mode("overwrite").parquet(streamDir)
+      val schema = spark.read.parquet(streamDir).schema
+      val alerts = graft.streaming.EventStreams.alertingRule(
+        Tables.normalizeTs(spark.readStream.schema(schema).parquet(streamDir)),
+        threshold = 1L)
+      val n = graft.streaming.EventStreams.runToMemory(
+        alerts.toDF(), "scale_stream_alerts", mode = "append").count()
+      println(s"[scale] streaming alerts emitted=$n")
+    }
     // PromQL HISTOGRAM tier at Nx series (the text front end over the
     // same kernels): rate = one lag window + one statically-unrolled
     // partial-agg groupBy; merge+quantile = one aggregation + a per-row
