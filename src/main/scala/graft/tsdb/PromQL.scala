@@ -294,22 +294,43 @@ object PromQL {
       if (i == start) throw ParseError("expected number", i)
       s.substring(start, i).toDouble
     }
+    /** Prometheus duration: one or more `<digits><unit>` components in
+      * strictly descending unit order (`1h30m`, `1w2d`), units
+      * y/w/d/h/m/s/ms (`ms` lexed greedily before `m`, as upstream). */
     def duration(): Long = {
       ws()
-      val start = i
-      while (i < s.length && s(i).isDigit) i += 1
-      if (i == start) throw ParseError("expected duration", i)
-      val n = s.substring(start, i).toLong
-      val unit = if (i < s.length) s(i) else ' '
-      i += 1
-      n * (unit match {
-        case 's' => 1000L
-        case 'm' => 60000L
-        case 'h' => 3600000L
-        case 'd' => 86400000L
-        case 'w' => 604800000L
-        case u => throw ParseError(s"unknown duration unit '$u'", i - 1)
-      })
+      var total = 0L
+      var lastRank = Int.MaxValue
+      var any = false
+      while (i < s.length && s(i).isDigit) {
+        val start = i
+        while (i < s.length && s(i).isDigit) i += 1
+        val n = s.substring(start, i).toLong
+        val (unitMs, rank) =
+          if (i < s.length && s(i) == 'm' && i + 1 < s.length &&
+              s(i + 1) == 's') { i += 2; (1L, 0) }
+          else {
+            val u = if (i < s.length) s(i) else ' '
+            i += 1
+            u match {
+              case 's' => (1000L, 1)
+              case 'm' => (60000L, 2)
+              case 'h' => (3600000L, 3)
+              case 'd' => (86400000L, 4)
+              case 'w' => (604800000L, 5)
+              case 'y' => (365L * 86400000L, 6)
+              case other =>
+                throw ParseError(s"unknown duration unit '$other'", i - 1)
+            }
+          }
+        if (rank >= lastRank)
+          throw ParseError("duration units must descend (e.g. 1h30m)", i - 1)
+        lastRank = rank
+        total += n * unitMs
+        any = true
+      }
+      if (!any) throw ParseError("expected duration", i)
+      total
     }
     def matcherOp(): String = {
       ws()

@@ -98,6 +98,22 @@ class PromQLSpec extends SparkSpec {
     intercept[ParseError](parse("""rate({j="a"}[5q])"""))  // bad unit
   }
 
+  test("durations: compound components, ms and y units, descending order") {
+    def rangeOf(q: String) =
+      parse(q).asInstanceOf[Fn].arg.asInstanceOf[Selector].rangeMs.get
+    assert(rangeOf("""rate({j="a"}[1h30m])""") === 5400000L)
+    assert(rangeOf("""rate({j="a"}[1w2d])""") === 777600000L)
+    assert(rangeOf("""rate({j="a"}[1500ms])""") === 1500L)
+    assert(rangeOf("""rate({j="a"}[1m30s])""") === 90000L)
+    assert(rangeOf("""rate({j="a"}[1y])""") === 365L * 86400000L)
+    // units must strictly descend (Prometheus rejects 30m1h and 1h1h)
+    intercept[ParseError](parse("""rate({j="a"}[30m1h])"""))
+    intercept[ParseError](parse("""rate({j="a"}[1h1h])"""))
+    // compound offsets too
+    assert(parse("""{j="a"} offset 1h30m""")
+      .asInstanceOf[Selector].offsetMs === 5400000L)
+  }
+
   // a tiny wide table: two series over two days
   private val wide = Seq(
     (0L, 1.0, "up", "a"), (3600000L, 4.0, "up", "a"),
