@@ -891,6 +891,13 @@ object TsdbQueries {
     "tsdb_q87_series" -> ((s, dir) =>
       graft.tsdb.TsdbMeta.series(table(s, dir), RangeStart, RangeEnd,
         Seq(Matcher.Re("name", "p.*")))),
+    // Q101: /api/v1/series with REPEATED match[] selectors — the API
+    // unions them; one OR-combined pruned scan ([[TsdbTable.selectAny]]),
+    // never |selectors| passes
+    "tsdb_q101_series_multi" -> ((s, dir) =>
+      graft.tsdb.TsdbMeta.seriesAny(table(s, dir), RangeStart, RangeEnd,
+        Seq(Seq(Matcher.Eq("name", "purchase"), Matcher.Re("user", "1.*")),
+          Seq(Matcher.Eq("name", "click"), Matcher.Eq("k", "7"))))),
     // Q60: time() + vector() through the PARSER — the grafana idiom
     // `sum(m) - vector(time())` (e.g. seconds-since-last-report):
     // time() resolves to the evaluation instant (scalar, const-folded),
@@ -2304,6 +2311,17 @@ object TsdbQueries {
          |FROM t
          |WHERE time > $RangeStart AND time < $RangeEnd
          |  AND regexp_matches("labels.name", 'p.*')""".stripMargin,
+    // repeated match[] ≡ OR of the selector conjunctions over one scan
+    "tsdb_q101_series_multi" ->
+      s"""$duckTsdbCte
+         |SELECT DISTINCT nullif("labels.k", '') AS k,
+         |  nullif("labels.name", '') AS name,
+         |  nullif("labels.user", '') AS "user"
+         |FROM t
+         |WHERE time > $RangeStart AND time < $RangeEnd
+         |  AND (("labels.name" = 'purchase'
+         |          AND regexp_matches("labels.user", '1.*'))
+         |    OR ("labels.name" = 'click' AND "labels.k" = '7'))""".stripMargin,
     "tsdb_q84_native_hist_stddev" ->
       s"""$duckTsdbCte,
          |f AS (SELECT "labels.name" AS name, "labels.user" AS "user", value FROM t

@@ -40,7 +40,8 @@ import graft.model.Matcher
   *   selector := [metric] "{" m ("," m)* "}" ["[" dur "]"]
   *               (["offset" ["-"] dur] | ["@" (epoch | "start()" | "end()")])*
   *   subquery := term "[" dur ":" [dur] "]"
-  *               (["offset" dur] | ["@" (epoch | "start()" | "end()")])*
+  *               (["offset" ["-"] dur] | ["@" (epoch | "start()" | "end()")])*
+  *   dur      := compound descending components (1h30m), units y/w/d/h/m/s/ms
   *               (consumed by an *_over_time function; omitted step =
   *               1m, the Prometheus default evaluation interval)
   *   m        := label ("=" | "!=" | "=~" | "!~") quoted

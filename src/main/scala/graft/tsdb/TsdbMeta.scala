@@ -24,8 +24,16 @@ object TsdbMeta {
     * the matched slice. One aggregation row (a non-null count per label
     * column), exploded to names — no shuffle wider than |labels|. */
   def labelNames(t: TsdbTable, start: Long, end: Long,
-                 matchers: Seq[Matcher]): DataFrame = {
-    val slice = t.select(start, end, matchers)
+                 matchers: Seq[Matcher]): DataFrame =
+    labelNamesOf(t.select(start, end, matchers))
+
+  /** Repeated `match[]` form: the UNION of the selectors (Prometheus's
+    * API contract), still one pruned scan ([[TsdbTable.selectAny]]). */
+  def labelNamesAny(t: TsdbTable, start: Long, end: Long,
+                    selectors: Seq[Seq[Matcher]]): DataFrame =
+    labelNamesOf(t.selectAny(start, end, selectors))
+
+  private def labelNamesOf(slice: DataFrame): DataFrame = {
     val labels = labelColumns(slice)
     val aggs = labels.map(c => count(nullif(col(s"`$c`"), lit(""))).as(c))
     slice.agg(aggs.head, aggs.tail: _*)
@@ -42,7 +50,15 @@ object TsdbMeta {
     * matcher columns plus THIS label only. */
   def labelValues(t: TsdbTable, label: String, start: Long, end: Long,
                   matchers: Seq[Matcher]): DataFrame =
-    t.select(start, end, matchers)
+    labelValuesOf(t.select(start, end, matchers), label)
+
+  /** Repeated `match[]` form — the union of the selectors. */
+  def labelValuesAny(t: TsdbTable, label: String, start: Long, end: Long,
+                     selectors: Seq[Seq[Matcher]]): DataFrame =
+    labelValuesOf(t.selectAny(start, end, selectors), label)
+
+  private def labelValuesOf(slice: DataFrame, label: String): DataFrame =
+    slice
       .select(nullif(labelCol(label), lit("")).as("value"))
       .where(col("value").isNotNull)
       .distinct()
@@ -53,8 +69,15 @@ object TsdbMeta {
     * (`""` normalized to NULL first, per the reference's label-hash
     * semantics). */
   def series(t: TsdbTable, start: Long, end: Long,
-             matchers: Seq[Matcher]): DataFrame = {
-    val slice = t.select(start, end, matchers)
+             matchers: Seq[Matcher]): DataFrame =
+    seriesOf(t.select(start, end, matchers))
+
+  /** Repeated `match[]` form — the union of the selectors' series. */
+  def seriesAny(t: TsdbTable, start: Long, end: Long,
+                selectors: Seq[Seq[Matcher]]): DataFrame =
+    seriesOf(t.selectAny(start, end, selectors))
+
+  private def seriesOf(slice: DataFrame): DataFrame = {
     val labels = labelColumns(slice)
     slice
       .select(labels.map(c => nullif(col(s"`$c`"), lit(""))

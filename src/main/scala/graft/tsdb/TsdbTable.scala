@@ -30,6 +30,21 @@ final case class TsdbTable(df: DataFrame) {
       .select(dynCols(df) :+ col(TimeCol) :+ col(ValueCol): _*)
   }
 
+  /** UNION of several matcher sets over ONE scan (the API's repeated
+    * `match[]` parameter — Prometheus unions the selectors): the sets
+    * compile to an OR of conjunctions, which still reaches the parquet
+    * scan (Or filters push down), so a multi-selector metadata query
+    * costs one pruned pass, never |selectors| scans. */
+  def selectAny(start: Long, end: Long,
+                selectors: Seq[Seq[Matcher]]): DataFrame = {
+    require(selectors.nonEmpty, "selectAny needs at least one matcher set")
+    val anyOf = selectors
+      .map(MatcherCompiler.compileAll(_, knownLabels)).reduce(_ || _)
+    val prune = selectors.map(partitionPrune).reduce(_ || _)
+    df.where(MatcherCompiler.timeRange(start, end) && anyOf && prune)
+      .select(dynCols(df) :+ col(TimeCol) :+ col(ValueCol): _*)
+  }
+
   /** Matchers only (no time bounds) — the `Select(MinInt64, MaxInt64, …)`
     * full-range form (hello.go:442-447). */
   def select(matchers: Seq[Matcher]): DataFrame =

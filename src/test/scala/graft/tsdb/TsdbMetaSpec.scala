@@ -34,4 +34,23 @@ class TsdbMetaSpec extends SparkSpec {
       .as[(String, Option[String])].collect().toSet
     assert(matched == Set(("x", None)))
   }
+
+  test("repeated match[] selectors union over ONE scan") {
+    // union semantics: the multi-selector result equals the distinct
+    // union of the per-selector results (Prometheus's API contract)
+    val multi = TsdbMeta.seriesAny(t, 0L, 100L,
+      Seq(Seq(Matcher.Eq("a", "x")), Seq(Matcher.Eq("a", "y"))))
+    assert(multi.as[(String, Option[String])].collect().toSet ==
+      Set(("x", None), ("y", None)))
+    // disjoint second selector contributes nothing
+    assert(TsdbMeta.labelValuesAny(t, "a", 0L, 100L,
+      Seq(Seq(Matcher.Eq("a", "x")), Seq(Matcher.Eq("a", "zzz"))))
+      .as[String].collect().toSeq == Seq("x"))
+    assert(TsdbMeta.labelNamesAny(t, 0L, 100L,
+      Seq(Seq(Matcher.Eq("a", "x")), Seq(Matcher.Eq("a", "y"))))
+      .as[String].collect().toSeq == Seq("a"))
+    // one scan, not |selectors| — no union node in the plan
+    val plan = multi.queryExecution.executedPlan.toString()
+    assert(!plan.contains("Union"), s"multi-selector must OR, not union:\n$plan")
+  }
 }
