@@ -898,6 +898,21 @@ object TsdbQueries {
       graft.tsdb.TsdbMeta.seriesAny(table(s, dir), RangeStart, RangeEnd,
         Seq(Seq(Matcher.Eq("name", "purchase"), Matcher.Re("user", "1.*")),
           Seq(Matcher.Eq("name", "click"), Matcher.Eq("k", "7"))))),
+    // Q102: /federate ([[graft.tsdb.Federate]]) — the hierarchy-scaling
+    // endpoint: current samples of the match[]-unioned series rendered
+    // as exposition text, here round-tripped through the engine's own
+    // OpenMetrics parser so the TEXT itself is under the oracle
+    "tsdb_q102_federate" -> ((s, dir) => {
+      val lines = graft.tsdb.Federate.federate(table(s, dir),
+        Seq(Seq(Matcher.Eq("name", "purchase"), Matcher.Re("user", "1.*")),
+          Seq(Matcher.Eq("name", "error"))),
+        at = RangeEnd, lookbackMs = 86400000L)
+      graft.tsdb.SampleReaders.fromOpenMetricsLines(lines)
+        .select(col("labels").getItem("__name__").as("name"),
+          col("labels").getItem("user").as("user"),
+          col("labels").getItem("k").as("k"),
+          col("time"), col("value"))
+    }),
     // Q60: time() + vector() through the PARSER — the grafana idiom
     // `sum(m) - vector(time())` (e.g. seconds-since-last-report):
     // time() resolves to the evaluation instant (scalar, const-folded),
@@ -2311,6 +2326,22 @@ object TsdbQueries {
          |FROM t
          |WHERE time > $RangeStart AND time < $RangeEnd
          |  AND regexp_matches("labels.name", 'p.*')""".stripMargin,
+    // federate ≡ instant vector of the unioned selectors (the exposition
+    // text round-trip is lossless: Java double→string→double recovers
+    // the exact value, times are integral)
+    "tsdb_q102_federate" ->
+      s"""$duckTsdbCte
+         |SELECT nullif("labels.name", '') AS name,
+         |  nullif("labels.user", '') AS "user",
+         |  nullif("labels.k", '') AS k,
+         |  max(time) AS time,
+         |  list_extract(max([CAST(time AS DOUBLE), value]), 2) AS value
+         |FROM t
+         |WHERE time > ${RangeEnd - 86400000L} AND time <= $RangeEnd
+         |  AND (("labels.name" = 'purchase'
+         |          AND regexp_matches("labels.user", '1.*'))
+         |    OR "labels.name" = 'error')
+         |GROUP BY 1, 2, 3""".stripMargin,
     // repeated match[] ≡ OR of the selector conjunctions over one scan
     "tsdb_q101_series_multi" ->
       s"""$duckTsdbCte

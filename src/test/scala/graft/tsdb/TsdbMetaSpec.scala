@@ -53,4 +53,25 @@ class TsdbMetaSpec extends SparkSpec {
     val plan = multi.queryExecution.executedPlan.toString()
     assert(!plan.contains("Union"), s"multi-selector must OR, not union:\n$plan")
   }
+
+  test("federate renders current samples as deterministic exposition lines") {
+    val ft = TsdbTable(Seq(
+      ("up", "a", 10L, 1.0), ("up", "a", 20L, 3.0), // newest wins
+      ("up", null, 20L, 7.0),                       // absent label drops
+      ("down", "b", 20L, 9.0))                      // unmatched series
+      .toDF("labels.name", "labels.user", "time", "value"))
+    val lines = Federate.federate(ft,
+      Seq(Seq(Matcher.Eq("name", "up"))), at = 25L, lookbackMs = 100L)
+      .as[String].collect().toSet
+    assert(lines == Set("up{user=\"a\"} 3.0 20", "up{} 7.0 20"))
+    // union of selectors picks up the second series too
+    val both = Federate.federate(ft,
+      Seq(Seq(Matcher.Eq("name", "up"), Matcher.Eq("user", "a")),
+        Seq(Matcher.Eq("name", "down"))),
+      at = 25L, lookbackMs = 100L).as[String].collect().toSet
+    assert(both == Set("up{user=\"a\"} 3.0 20", "down{user=\"b\"} 9.0 20"))
+    // out-of-lookback series federate as nothing (the staleness rule)
+    assert(Federate.federate(ft, Seq(Seq(Matcher.Eq("name", "up"))),
+      at = 500L, lookbackMs = 100L).count() == 0)
+  }
 }
