@@ -913,6 +913,42 @@ object TsdbQueries {
           col("labels").getItem("k").as("k"),
           col("time"), col("value"))
     }),
+    // Q103/Q104: the HTTP API's JSON result shapes ([[graft.tsdb.ApiJson]])
+    // — what /api/v1/query (vector) and /api/v1/query_range (matrix)
+    // actually serialize: per-series metric map + ["<sec>","<value>"]
+    // pairs. The rendered TEXT round-trips through from_json and the
+    // recovered samples hash-match the plain instant / range oracles.
+    "tsdb_q103_api_vector_json" -> ((s, dir) => {
+      val json = graft.tsdb.ApiJson.vectorJson(
+        graft.tsdb.RangeVectors.instant(
+          eventsAsTsdbStored(s, dir), at = RangeEnd, lookbackMs = 86400000L))
+      val schema = org.apache.spark.sql.types.StructType.fromDDL(
+        "metric MAP<STRING,STRING>, value ARRAY<STRING>")
+      json.select(from_json(col("json"), schema).as("r"))
+        .select(
+          col("r.metric").getItem("k").as("labels.k"),
+          col("r.metric").getItem("__name__").as("labels.name"),
+          col("r.metric").getItem("user").as("labels.user"),
+          (element_at(col("r.value"), 1).cast("double") * 1000)
+            .cast("long").as("time"),
+          element_at(col("r.value"), 2).cast("double").as("value"))
+    }),
+    "tsdb_q104_api_matrix_json" -> ((s, dir) => {
+      val json = graft.tsdb.ApiJson.matrixJson(
+        graft.tsdb.PromQL.evalRange(
+          graft.tsdb.PromQL.parse("""sum by (user) ({name="click"})"""),
+          eventsAsTsdbStored(s, dir), start = RangeStart, end = RangeEnd,
+          stepMs = 86400000L, lookbackMs = 86400000L))
+      val schema = org.apache.spark.sql.types.StructType.fromDDL(
+        "metric MAP<STRING,STRING>, values ARRAY<ARRAY<STRING>>")
+      json.select(from_json(col("json"), schema).as("r"))
+        .select(col("r.metric").getItem("user").as("user"),
+          explode(col("r.values")).as("pair"))
+        .select(col("user"),
+          (element_at(col("pair"), 1).cast("double") * 1000)
+            .cast("long").as("t"),
+          element_at(col("pair"), 2).cast("double").as("value"))
+    }),
     // Q60: time() + vector() through the PARSER — the grafana idiom
     // `sum(m) - vector(time())` (e.g. seconds-since-last-report):
     // time() resolves to the evaluation instant (scalar, const-folded),
@@ -2326,6 +2362,31 @@ object TsdbQueries {
          |FROM t
          |WHERE time > $RangeStart AND time < $RangeEnd
          |  AND regexp_matches("labels.name", 'p.*')""".stripMargin,
+    // API JSON round-trips: the recovered samples equal the plain
+    // instant / sliding-agg results (value→string→value is exact)
+    "tsdb_q103_api_vector_json" ->
+      s"""$duckTsdbCte
+         |SELECT "labels.k", "labels.name", "labels.user",
+         |  max(time) AS time,
+         |  list_extract(max([CAST(time AS DOUBLE), value]), 2) AS value
+         |FROM t
+         |WHERE time > ${RangeEnd - 86400000L} AND time <= $RangeEnd
+         |GROUP BY 1, 2, 3""".stripMargin,
+    "tsdb_q104_api_matrix_json" ->
+      s"""$duckTsdbCte,
+         |s AS (SELECT "labels.user" AS u, "labels.k" AS kk, time, value
+         |  FROM t WHERE "labels.name" = 'click'
+         |    AND time > ${RangeStart - 86400000L} AND time <= $RangeEnd),
+         |g AS (SELECT u, kk, time, value, $RangeStart + i * 86400000 AS tt
+         |  FROM s, LATERAL unnest(range(
+         |    greatest(0, CAST(ceil((time - $RangeStart) / 86400000.0) AS BIGINT)),
+         |    least(15, CAST(floor((time + 86399999 - $RangeStart) / 86400000.0) AS BIGINT)) + 1
+         |  )) AS r(i)),
+         |iv AS (SELECT u, kk, tt,
+         |    list_extract(max([CAST(time AS DOUBLE), value]), 2) AS value
+         |  FROM g GROUP BY 1, 2, 3)
+         |SELECT u AS "user", tt AS t, round(sum(value), 6) AS value
+         |FROM iv GROUP BY 1, 2""".stripMargin,
     // federate ≡ instant vector of the unioned selectors (the exposition
     // text round-trip is lossless: Java double→string→double recovers
     // the exact value, times are integral)

@@ -1,0 +1,71 @@
+package graft.tsdb
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** The HTTP API's JSON result shapes — what `/api/v1/query` and
+  * `/api/v1/query_range` actually serialize: a `vector` result is one
+  * `{"metric":{...},"value":[<ts sec>,"<value>"]}` object per series, a
+  * `matrix` result one `{"metric":{...},"values":[[t,"v"],...]}` object
+  * per series with its time-sorted sample pairs. Sample values are JSON
+  * STRINGS and timestamps epoch SECONDS, per the API contract.
+  *
+  * Rendering is map-side (`to_json` + concat over each row/group); the
+  * matrix grouping is one partial-agg groupBy bounded by series ×
+  * steps. Label keys render sorted, so the output is deterministic —
+  * which lets the oracle round-trip the TEXT through `from_json` and
+  * hash-compare the recovered samples.
+  */
+object ApiJson {
+
+  /** Instant-vector frame (wide labels + `time` + `value`) → one JSON
+    * object per series, the `result` array elements of a vector
+    * response. `labels.name` renders as `__name__`; absent labels drop. */
+  def vectorJson(iv: DataFrame): DataFrame =
+    jsonOf(iv, "value",
+      concat(lit("["), tsSec(col("time")), lit(",\""),
+        col(TsdbSchema.ValueCol).cast("string"), lit("\"]")))
+
+  /** Range-evaluation frame (labels + `t` + `value`, one row per series
+    * per step) → one JSON object per series with its sorted
+    * `values` pairs — the matrix response elements. */
+  def matrixJson(rv: DataFrame): DataFrame = {
+    val labels = rv.columns.toSeq
+      .filterNot(Set("t", TsdbSchema.TimeCol, TsdbSchema.ValueCol))
+    val pair = concat(lit("["), tsSec(col("t")), lit(",\""),
+      col(TsdbSchema.ValueCol).cast("string"), lit("\"]"))
+    val grouped = rv
+      .withColumn("_pair", struct(col("t"), pair.as("p")))
+      .groupBy(labels.map(c => col(s"`$c`")): _*)
+      .agg(array_sort(collect_list(col("_pair"))).as("_pairs"))
+    jsonOf(grouped, "values",
+      concat(lit("["),
+        concat_ws(",", transform(col("_pairs"), _.getField("p"))),
+        lit("]")))
+  }
+
+  private def tsSec(t: Column): Column =
+    // epoch seconds with millisecond precision, no scientific notation
+    concat((t / 1000).cast("long").cast("string"), lit("."),
+      lpad((t % 1000).cast("string"), 3, "0"))
+
+  /** `{"metric":<sorted label map>,"<field>":<rendered>}` per row. */
+  private def jsonOf(df: DataFrame, field: String,
+                     rendered: Column): DataFrame = {
+    val labelCols = df.columns.toSeq
+      .filterNot(Set("t", TsdbSchema.TimeCol, TsdbSchema.ValueCol,
+        "_pairs", field))
+    val entries = labelCols.map { c =>
+      val key = c.stripPrefix(TsdbSchema.LabelPrefix) match {
+        case "name" => "__name__"
+        case other  => other
+      }
+      struct(lit(key).as("key"), nullif(col(s"`$c`"), lit("")).as("value"))
+    }
+    val metric = map_from_entries(filter(array(entries: _*),
+      e => e.getField("value").isNotNull))
+    df.select(concat(
+      lit("""{"metric":"""), to_json(metric),
+      lit(s""","$field":"""), rendered, lit("}")).as("json"))
+  }
+}

@@ -74,4 +74,17 @@ class TsdbMetaSpec extends SparkSpec {
     assert(Federate.federate(ft, Seq(Seq(Matcher.Eq("name", "up"))),
       at = 500L, lookbackMs = 100L).count() == 0)
   }
+
+  test("API JSON shapes: vector value pair and matrix values array") {
+    val iv = Seq(("up", "a", 1500L, 2.5))
+      .toDF("labels.name", "labels.user", "time", "value")
+    assert(ApiJson.vectorJson(iv).as[String].collect().toSeq == Seq(
+      """{"metric":{"__name__":"up","user":"a"},"value":[1.500,"2.5"]}"""))
+    // matrix: per-series sorted pairs; timestamps epoch seconds with ms
+    val rv = Seq(("a", 2000L, 3.0), ("a", 1000L, 1.0), ("b", 1000L, 9.0))
+      .toDF("user", "t", "value")
+    assert(ApiJson.matrixJson(rv).as[String].collect().toSet == Set(
+      """{"metric":{"user":"a"},"values":[[1.000,"1.0"],[2.000,"3.0"]]}""",
+      """{"metric":{"user":"b"},"values":[[1.000,"9.0"]]}"""))
+  }
 }
