@@ -70,6 +70,26 @@ class AlertExemplarSpec extends SparkSpec {
     assert(forState == Seq((1000L, 1000.0), (2000L, 1000.0)))
   }
 
+  test("recorded rule output persists through the storage layer and queries back") {
+    // the real recording-rule lifecycle: evaluate → write the recorded
+    // samples as an ordinary ingested table → later queries read the
+    // STORED series through the standard scan path
+    val wide = Seq(
+      ("up", 1000L, 10.0), ("up", 2000L, 20.0))
+      .toDF("labels.name", "time", "value")
+    val (recorded, _) = AlertRules.evaluateGroup(Seq(
+      AlertRules.RecordingRule("up_doubled", """{name="up"} * 2""")),
+      wide, start = 1000L, end = 2000L, stepMs = 1000L, lookbackMs = 1000L)
+    val dir = graft.queries.Tables.scratchDir("graft_recorded")
+    TsdbIngest.write(recorded.get, dir, timePartitions = 1)
+    val stored = TsdbTable(TsdbIngest.read(spark, dir))
+    val back = PromQL.eval(
+      PromQL.parse("""{name="up_doubled"}"""),
+      stored.df, at = 2000L, lookbackMs = 1000L, start = 1000L, end = 2000L)
+      .select(col("time"), col("value")).as[(Long, Double)].collect().toSeq
+    assert(back == Seq((2000L, 40.0)))
+  }
+
   test("rule group: a recorded series is visible to LATER rules in the group") {
     val wide = Seq(
       ("up", 1000L, 10.0), ("up", 2000L, 20.0))
