@@ -2248,7 +2248,8 @@ object TsdbQueries {
          |SELECT "labels.name" AS name, "labels.user" AS "user",
          |  time, value,
          |  ${graft.tsdb.Exemplars.duckTraceId(
-                "\"labels.name\"", "\"labels.user\"", "time")} AS trace_id
+                Seq("\"labels.k\"", "\"labels.name\"", "\"labels.user\""),
+                "time")} AS trace_id
          |FROM t
          |WHERE value > 150.0
          |  AND "labels.name" = 'purchase'
@@ -2259,7 +2260,8 @@ object TsdbQueries {
          |e AS (SELECT "labels.name" AS name, "labels.user" AS "user",
          |  time, value,
          |  ${graft.tsdb.Exemplars.duckTraceId(
-                "\"labels.name\"", "\"labels.user\"", "time")} AS trace_id
+                Seq("\"labels.k\"", "\"labels.name\"", "\"labels.user\""),
+                "time")} AS trace_id
          |FROM t
          |WHERE value > 150.0 AND "labels.name" = 'purchase'
          |  AND time >= $RangeStart AND time <= $RangeEnd)

@@ -32,23 +32,26 @@ object Exemplars {
 
   /** Derive the exemplar table from a wide sample frame: every sample
     * with `value > threshold` becomes an exemplar whose `trace_id` is
-    * the hex of the portable 60-bit hash of (name, user, time) — the
+    * the hex of the portable 60-bit hash of the series' label values
+    * (name-sorted, absent → "") plus the sample time — the
     * deterministic stand-in for a scrape-attached trace id. Map-side
     * only. */
   def fromSamples(wide: DataFrame, threshold: Double): DataFrame = {
+    val labelParts = TsdbSchema.labelColumns(wide).sorted
+      .map(c => coalesce(col(s"`$c`"), lit("")))
     val key = concat_ws(":",
-      TsdbSchema.labelCol("name"), TsdbSchema.labelCol("user"),
-      col(TsdbSchema.TimeCol).cast("string"))
+      labelParts :+ col(TsdbSchema.TimeCol).cast("string"): _*)
     wide
       .where(col(TsdbSchema.ValueCol) > threshold)
       .withColumn("trace_id", lower(hex(Hashing.hash64(key))))
   }
 
   /** The DuckDB fragment replaying [[fromSamples]]'s trace id, for
-    * oracle SQL (`lower(hex(hash64(key)))`). */
-  def duckTraceId(nameExpr: String, userExpr: String,
-                  timeExpr: String): String = {
-    val key = s"$nameExpr || ':' || $userExpr || ':' || CAST($timeExpr AS VARCHAR)"
+    * oracle SQL (`lower(hex(hash64(key)))`): pass the label
+    * expressions in the SAME name-sorted order, coalesced to ''. */
+  def duckTraceId(labelExprs: Seq[String], timeExpr: String): String = {
+    val key = (labelExprs.map(e => s"coalesce($e, '')") :+
+      s"CAST($timeExpr AS VARCHAR)").mkString(" || ':' || ")
     s"lower(hex(${Hashing.duckHash64(key)}))"
   }
 

@@ -116,6 +116,28 @@ class AlertExemplarSpec extends SparkSpec {
     ("api", "b", 3000L, 900.0), ("web", "c", 2500L, 700.0))
     .toDF("labels.name", "labels.user", "time", "value")
 
+  test("exemplar store: the narrow table persists and queries with pushdown") {
+    // the deployment shape the scaladoc describes: exemplars live in
+    // their own sorted narrow table (TsdbIngest is generic over extra
+    // columns — trace_id rides along), and Exemplars.query over the
+    // STORED table still reaches the parquet scan
+    val wide = Seq(
+      ("up", 1000L, 200.0), ("up", 2000L, 10.0), ("down", 1500L, 300.0))
+      .toDF("labels.name", "time", "value")
+    val ex = Exemplars.fromSamples(wide, threshold = 100.0)
+    val dir = graft.queries.Tables.scratchDir("graft_exemplars")
+    TsdbIngest.write(ex, dir, timePartitions = 1)
+    val stored = TsdbIngest.read(spark, dir)
+    assert(stored.count() == 2) // only the over-threshold samples stored
+    val q = Exemplars.query(stored, Seq(Matcher.Eq("name", "up")), 0L, 5000L)
+    assert(q.select(col("time"), col("value"))
+      .as[(Long, Double)].collect().toSeq == Seq((1000L, 200.0)))
+    val plan = q.queryExecution.executedPlan.toString()
+    assert("PushedFilters: \\[[^\\]]*EqualTo\\(`?labels\\.name`?,up".r
+      .findFirstIn(plan).isDefined,
+      s"stored-exemplar matcher must reach the scan:\n$plan")
+  }
+
   test("exemplars: threshold filter + portable trace ids") {
     val ex = Exemplars.fromSamples(samples, threshold = 100.0)
     val got = ex.select(col("`labels.user`"), col("trace_id"))
