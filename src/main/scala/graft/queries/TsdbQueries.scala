@@ -913,6 +913,12 @@ object TsdbQueries {
           col("labels").getItem("k").as("k"),
           col("time"), col("value"))
     }),
+    // Q105: /api/v1/status/tsdb ([[graft.tsdb.TsdbStats]]) — the
+    // cardinality-statistics endpoint: corpus totals + three top-10
+    // families over ONE series-universe distinct, ranked per stat by a
+    // partitioned window
+    "tsdb_q105_status_tsdb" -> ((s, dir) =>
+      graft.tsdb.TsdbStats.headStats(table(s, dir), RangeStart, RangeEnd)),
     // Q103/Q104: the HTTP API's JSON result shapes ([[graft.tsdb.ApiJson]])
     // — what /api/v1/query (vector) and /api/v1/query_range (matrix)
     // actually serialize: per-series metric map + ["<sec>","<value>"]
@@ -2364,6 +2370,42 @@ object TsdbQueries {
          |FROM t
          |WHERE time > $RangeStart AND time < $RangeEnd
          |  AND regexp_matches("labels.name", 'p.*')""".stripMargin,
+    // cardinality stats ≡ the same distinct-series universe + per-stat
+    // rank replayed in SQL windows
+    "tsdb_q105_status_tsdb" ->
+      s"""$duckTsdbCte,
+         |f AS (SELECT * FROM t
+         |  WHERE time > $RangeStart AND time < $RangeEnd),
+         |ser AS (SELECT DISTINCT nullif("labels.k", '') AS k,
+         |  nullif("labels.name", '') AS name,
+         |  nullif("labels.user", '') AS "user" FROM f),
+         |pairs AS (
+         |  SELECT 'k' AS label, k AS value FROM ser WHERE k IS NOT NULL
+         |  UNION ALL SELECT 'name', name FROM ser WHERE name IS NOT NULL
+         |  UNION ALL SELECT 'user', "user" FROM ser WHERE "user" IS NOT NULL),
+         |tot AS (
+         |  SELECT 'totals' AS stat, 'num_series' AS key,
+         |    (SELECT count(*) FROM ser) AS n
+         |  UNION ALL SELECT 'totals', 'num_samples', (SELECT count(*) FROM f)
+         |  UNION ALL SELECT 'totals', 'min_time', (SELECT min(time) FROM f)
+         |  UNION ALL SELECT 'totals', 'max_time', (SELECT max(time) FROM f)),
+         |fam AS (
+         |  SELECT 'series_count_by_metric_name' AS stat, name AS key,
+         |    CAST(count(*) AS BIGINT) AS n
+         |  FROM ser WHERE name IS NOT NULL GROUP BY 2
+         |  UNION ALL
+         |  SELECT 'label_value_count_by_label_name', label,
+         |    count(DISTINCT value)
+         |  FROM pairs GROUP BY 2
+         |  UNION ALL
+         |  SELECT 'series_count_by_label_value_pair',
+         |    label || '=' || value, count(*)
+         |  FROM pairs GROUP BY 2),
+         |ranked AS (SELECT *, row_number() OVER (PARTITION BY stat
+         |    ORDER BY n DESC, key ASC) AS rk FROM fam)
+         |SELECT stat, key, CAST(n AS BIGINT) AS n FROM tot
+         |UNION ALL
+         |SELECT stat, key, n FROM ranked WHERE rk <= 10""".stripMargin,
     // API JSON round-trips: the recovered samples equal the plain
     // instant / sliding-agg results (value→string→value is exact)
     "tsdb_q103_api_vector_json" ->

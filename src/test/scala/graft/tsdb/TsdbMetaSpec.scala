@@ -75,6 +75,25 @@ class TsdbMetaSpec extends SparkSpec {
       at = 500L, lookbackMs = 100L).count() == 0)
   }
 
+  test("status/tsdb cardinality stats: series universe, top-k, absent-label drop") {
+    val st = TsdbTable(Seq(
+      ("m1", "a", 10L, 1.0), ("m1", "a", 20L, 2.0), // same series, 2 samples
+      ("m1", "b", 10L, 1.0),
+      ("m2", null, 10L, 1.0), ("m2", "", 30L, 1.0)) // ""≡absent ⇒ ONE series
+      .toDF("labels.name", "labels.user", "time", "value"))
+    val got = TsdbStats.headStats(st, 0L, 100L, k = 2)
+      .as[(String, String, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(r => r._2 -> r._3).toMap).toMap
+    assert(got("totals") == Map("num_series" -> 3L, "num_samples" -> 5L,
+      "min_time" -> 10L, "max_time" -> 30L))
+    assert(got("series_count_by_metric_name") == Map("m1" -> 2L, "m2" -> 1L))
+    assert(got("label_value_count_by_label_name") ==
+      Map("name" -> 2L, "user" -> 2L))
+    // k=2 keeps the two highest pairs; ties break by key ascending
+    assert(got("series_count_by_label_value_pair") ==
+      Map("name=m1" -> 2L, "name=m2" -> 1L))
+  }
+
   test("API JSON shapes: vector value pair and matrix values array") {
     val iv = Seq(("up", "a", 1500L, 2.5))
       .toDF("labels.name", "labels.user", "time", "value")
