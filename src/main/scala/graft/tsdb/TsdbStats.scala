@@ -27,10 +27,15 @@ object TsdbStats {
                 k: Int = 10): DataFrame = {
     val slice = t.select(start, end, Nil)
     val labels = TsdbSchema.labelColumns(slice)
+    // four statistic families branch off the series universe — persist
+    // it so the sample-sized distinct runs ONCE (without this the plan
+    // re-scans and re-distincts per family: 5 scans at 100 TB); the
+    // cached frame is series-sized, the cheap thing to hold
     val series = slice
       .select(labels.map(c =>
         nullif(col(s"`$c`"), lit("")).as(c.stripPrefix(TsdbSchema.LabelPrefix))): _*)
       .distinct()
+      .persist()
     val names = labels.map(_.stripPrefix(TsdbSchema.LabelPrefix))
     // (label, value) pairs of the series universe, absent labels dropped
     val pairs = series.select(explode(map_from_arrays(
