@@ -175,6 +175,21 @@ object ScaleStress {
           Seq(Matcher.Eq("name", "purchase"), Matcher.Re("user", "1.*")),
           Tables.RangeStart, Tables.RangeEnd)).count()
     }
+    // cardinality stats at Nx series (the universe itself grows 10×):
+    // one persisted sample-sized distinct, then series×labels-bounded
+    // aggs + per-stat windowed top-k — must scale in the distinct, not
+    // in families × samples
+    time(s"status/tsdb cardinality stats ${factor}x")(
+      graft.tsdb.TsdbStats.headStats(t, Tables.RangeStart, Tables.RangeEnd)
+        .count())
+    // federate at Nx series: one OR-combined pruned scan + the instant
+    // kernel + map-side text render — bounded by matched series
+    time(s"federate ${factor}x") {
+      graft.tsdb.Federate.federate(t,
+        Seq(Seq(Matcher.Eq("name", "purchase"), Matcher.Re("user", "1.*")),
+          Seq(Matcher.Eq("name", "error"))),
+        at = Tables.RangeEnd, lookbackMs = 86400000L).count()
+    }
     // STREAMING alert rule at Nx events through the real incremental
     // engine (file source → watermark → flatMapGroupsWithState): state
     // per key is open-window counts + two longs, so Nx events with Nx
