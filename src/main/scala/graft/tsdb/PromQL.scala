@@ -185,8 +185,8 @@ object PromQL {
         case Matcher.NotRe(n, v) => s"""$n!~"$v""""
       }.mkString(",")
       val braces = if (body.nonEmpty || name.isEmpty) s"{$body}" else ""
-      val r = range.fold("")(ms => s"[${ms / 1000}s]")
-      val o = if (off != 0L) s" offset ${off / 1000}s" else ""
+      val r = range.fold("")(ms => s"[${durText(ms)}]")
+      val o = if (off != 0L) s" offset ${durText(off)}" else ""
       s"$name$braces$r$o${atText(atm)}"
     case Fn(name, arg, Seq(q)) if LeadingParamFns(name) =>
       s"$name($q, ${render(arg)})"
@@ -219,8 +219,8 @@ object PromQL {
     case ScalarLit(v) => v.toString
     case TimeLit => "time()"
     case Subquery(arg, r, st, off, atm) =>
-      val o = if (off != 0L) s" offset ${off / 1000}s" else ""
-      s"(${render(arg)})[${r / 1000}s:${st / 1000}s]$o${atText(atm)}"
+      val o = if (off != 0L) s" offset ${durText(off)}" else ""
+      s"(${render(arg)})[${durText(r)}:${durText(st)}]$o${atText(atm)}"
     case BinOp(op, on, l, r, bool, card, ign, carry) =>
       val spec = matchSpecText(on, ign)
       val b = if (bool) "bool " else ""
@@ -237,10 +237,19 @@ object PromQL {
   }
 
   private def atText(atm: Option[AtAnchor]): String = atm.fold("") {
-    case AtMs(t) => s" @ ${t / 1000}"
+    case AtMs(t) =>
+      // exact decimal text (never float division): round-trips to the ms
+      if (t % 1000 == 0) s" @ ${t / 1000}"
+      else s" @ ${t / 1000}.${"%03d".format(t % 1000)}"
     case AtStart => " @ start()"
     case AtEnd => " @ end()"
   }
+
+  /** Canonical duration text: whole seconds as `Ns`, sub-second
+    * remainders as `Nms` — [[duration]] parses both, so render∘parse
+    * stays the identity down to the millisecond. */
+  private def durText(ms: Long): String =
+    if (ms % 1000 == 0) s"${ms / 1000}s" else s"${ms}ms"
 
   private def matchSpecText(on: Seq[String], ign: Seq[String]): String =
     if (on.nonEmpty) s"on(${on.mkString(", ")}) "
@@ -804,7 +813,7 @@ object PromQL {
         atm = Some(
           if (p.keyword("start")) { p.expect('('); p.expect(')'); AtStart }
           else if (p.keyword("end")) { p.expect('('); p.expect(')'); AtEnd }
-          else AtMs((p.number() * 1000).toLong))
+          else AtMs(Math.round(p.number() * 1000)))
       } else more = false
     }
     (off.getOrElse(0L), atm)

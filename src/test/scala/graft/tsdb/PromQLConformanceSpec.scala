@@ -467,6 +467,23 @@ class PromQLConformanceSpec extends SparkSpec {
         |{group="canary", instance="1", job="app-server"} 400""")),
     upstream = true)
 
+  // at_modifier.test: @ pins evaluation to the anchor regardless of the
+  // eval instant; offset composes in either order
+  private val upstreamAtModifier = B("upstream at_modifier.test", "10s",
+    Seq("""metric{job="1"} 0+1x1000""",
+      """metric{job="2"} 0+2x1000"""), Seq(
+    C("10s", """metric @ 100""",
+      """metric{job="1"} 10
+        |metric{job="2"} 20"""),
+    C("10s", """metric @ 100 offset 50s""",
+      """metric{job="1"} 5
+        |metric{job="2"} 10"""),
+    C("10s", """metric offset 50s @ 100""",
+      """metric{job="1"} 5
+        |metric{job="2"} 10"""),
+    C("25s", """sum_over_time(metric{job="1"}[100s] @ 100)""",
+      """{job="1"} 55""")), upstream = true)
+
   // subquery.test: inner evaluation points are ABSOLUTE-aligned to the
   // subquery step inside the LEFT-OPEN (t-range, t], each point filled
   // by the 5m lookback
@@ -568,7 +585,7 @@ class PromQLConformanceSpec extends SparkSpec {
     upstreamOperators, upstreamGroupLeft, upstreamAggregators,
     upstreamAggregators2, upstreamChangesResets, upstreamLiterals,
     upstreamFunctions, upstreamStaleness, upstreamDocsMatching,
-    upstreamSubquery)
+    upstreamSubquery, upstreamAtModifier)
 
   // ---- harness ----
 
@@ -715,7 +732,7 @@ class PromQLConformanceSpec extends SparkSpec {
     // cases re-typed from Prometheus's own promqltest corpus, reported
     // separately from the handwritten sweep.
     assert(own === 118)
-    assert(ported === 59)
+    assert(ported === 63)
     assert(skips.size === 2)
     // every skip names its documented deviation
     assert(skips.forall(_.skip.nonEmpty))

@@ -228,10 +228,13 @@ object TsdbProperties extends Properties("tsdb") {
     val selector = for {
       metric <- Gen.oneOf(None, Some("http_requests"), Some("up"))
       ms <- Gen.listOfN(2, matcher)
-      range <- Gen.oneOf(None, Some(60000L), Some(86400000L))
-      off <- Gen.oneOf(0L, 3600000L, -3600000L)
-      atm <- Gen.oneOf(None, Some(AtMs(1704412800000L)), Some(AtStart),
-        Some(AtEnd))
+      // ms-granular ranges/offsets and a sub-second @ anchor pin the
+      // renderer's exact duration/decimal text (1500ms must not
+      // canonicalize to "1s")
+      range <- Gen.oneOf(None, Some(60000L), Some(86400000L), Some(1500L))
+      off <- Gen.oneOf(0L, 3600000L, -3600000L, 2500L, -750L)
+      atm <- Gen.oneOf(None, Some(AtMs(1704412800000L)),
+        Some(AtMs(1704412800123L)), Some(AtStart), Some(AtEnd))
     } yield Selector(
       metric.map(m => Matcher.Eq("__name__", m)).toSeq ++ ms, range, off,
       // @ composes with instant AND range selectors (not subqueries)
@@ -276,9 +279,11 @@ object TsdbProperties extends Properties("tsdb") {
         Gen.lzy(for {
           fn <- Gen.oneOf("max_over_time", "avg_over_time",
             "count_over_time")
-          r <- Gen.choose(2L, 48L).map(_ * 3600000L)
-          st <- Gen.choose(1L, 12L).map(_ * 3600000L)
-          off <- Gen.oneOf(0L, 60000L, -60000L)
+          r <- Gen.oneOf(Gen.choose(2L, 48L).map(_ * 3600000L),
+            Gen.const(5500L))
+          st <- Gen.oneOf(Gen.choose(1L, 12L).map(_ * 3600000L),
+            Gen.const(250L))
+          off <- Gen.oneOf(0L, 60000L, -60000L, 1250L)
           atm <- Gen.oneOf(None, Some(AtMs(1704412800000L)),
             Some(AtStart), Some(AtEnd))
           a <- expr(depth - 1)
