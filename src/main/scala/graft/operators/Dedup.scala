@@ -217,6 +217,57 @@ object Dedup {
           size(array_union(col("a.sh"), col("b.sh"))).cast("double"), 6).as("jaccard"))
   }
 
+  /** INCREMENTAL dedup — filter a NEW batch against an EXISTING corpus
+    * (the daily-crawl shape: never re-deduplicate the stored corpus
+    * against itself — only new-vs-stored runs here; within-batch
+    * dedup composes separately via [[exact]]/[[lshDedupKeepers]] over
+    * the survivors). Two gates:
+    *
+    *   1. exact: drop any new doc whose text digest already exists in
+    *      the corpus — a digest-keyed LEFT ANTI join (broadcastable
+    *      when the corpus digest set is small; shuffle-partitioned on
+    *      the 8-byte digest otherwise, never on text);
+    *   2. near: drop any new doc whose MinHash band buckets collide
+    *      with a stored doc AND whose exact shingle Jaccard ≥
+    *      `threshold` — the [[minhashLshPairs]] candidate machinery
+    *      with the self-join replaced by a new×stored band join, so
+    *      cost is new-batch-sized, not corpus².
+    *
+    * At warehouse scale the stored side's signatures are a table
+    * written once per corpus version ([[minhashSignature]]) and reused
+    * across daily runs — only the new batch is shingled per run.
+    * Returns the surviving new docs (id + text columns as given). */
+  def incrementalDedup(newDocs: DataFrame, corpus: DataFrame,
+                       idCol: String, textCol: String,
+                       k: Int = 8, bands: Int = 4, shingleK: Int = 3,
+                       threshold: Double = 0.7): DataFrame = {
+    val rows = k / bands
+    val corpusDigests = corpus.select(md5(col(textCol)).as("text_md5")).distinct()
+    val exactSurvivors = newDocs
+      .join(corpusDigests,
+        md5(col(textCol)) === col("text_md5"), "left_anti")
+    def banded(df: DataFrame) = {
+      val sig = withSignature(df, idCol, textCol, k, shingleK)
+        .withColumnRenamed(idCol, "id")
+      sig.select(col("id"), col("sh"),
+        explode(array((0 until bands).map { b =>
+          hash64(concat_ws(",", lit(b.toString) +:
+            (0 until rows).map(r => col(s"mh${b * rows + r}").cast("string")): _*))
+        }: _*)).as("bucket"))
+    }
+    // near-dup candidates: new-side bands meet stored-side bands only
+    val hits = banded(exactSurvivors).as("n")
+      .join(banded(corpus).as("c"), col("n.bucket") === col("c.bucket"))
+      .withColumn("jaccard",
+        size(array_intersect(col("n.sh"), col("c.sh"))).cast("double") /
+          size(array_union(col("n.sh"), col("c.sh"))).cast("double"))
+      .where(col("jaccard") >= threshold)
+      .select(col("n.id").as("dup_id"))
+      .distinct()
+    exactSurvivors.join(hits,
+      col(idCol) === col("dup_id"), "left_anti")
+  }
+
   /** Embedding near-dup: cosine ≥ threshold via LSH-bucketed self-join
     * (scale path — brute force only within buckets). */
   def embeddingNearDups(emb: DataFrame, idCol: String, vecCol: String,

@@ -64,6 +64,21 @@ object PipelineQueries {
     "pipe_q8_simhash" -> ((s, dir) =>
       Dedup.simhash(load(s, dir, "documents"), "doc_id", "text")),
 
+    // INCREMENTAL dedup — a new batch (the odd docs + re-labeled exact
+    // copies of stored docs) filtered against the stored corpus (the
+    // even docs): exact anti-join gate, then new×stored LSH band join +
+    // jaccard verify — never corpus×corpus
+    "pipe_q45_incremental_dedup" -> ((s, dir) => {
+      val docs = load(s, dir, "documents")
+      val corpus = docs.where(col("doc_id") % 2 === 0)
+      val newBatch = docs.where(col("doc_id") % 2 === 1)
+        .unionByName(corpus.where(col("doc_id") % 10 === 0)
+          .withColumn("doc_id", col("doc_id") + 10000000L))
+      Dedup.incrementalDedup(newBatch, corpus, "doc_id", "text",
+        k = MinhashK, bands = 4, shingleK = ShingleK, threshold = 0.5)
+        .select(col("doc_id"))
+    }),
+
     // exact pairwise n-gram jaccard over a gated candidate set
     "pipe_q9_jaccard" -> ((s, dir) =>
       Dedup.ngramJaccardPairs(
@@ -753,6 +768,37 @@ object PipelineQueries {
          |    CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE) AS jac
          |  FROM cand JOIN sets a ON id_a = a.doc_id JOIN sets b ON id_b = b.doc_id)
          |WHERE jac >= 0.5""".stripMargin
+    },
+    // incremental dedup replay: text-equality exact gate (md5 equality ≡
+    // text equality), then the same banded-minhash machinery with the
+    // self-join replaced by the new×stored join
+    "pipe_q45_incremental_dedup" -> {
+      val bands = 4; val rows = MinhashK / bands
+      val bandExprs = (0 until bands).map { b =>
+        val tuple = (0 until rows).map(r => s"CAST(mh${b * rows + r} AS VARCHAR)").mkString(" || ',' || ")
+        duckHash64(s"'$b,' || $tuple")
+      }
+      s"""WITH corpus AS (SELECT doc_id, text FROM documents WHERE doc_id % 2 = 0),
+         |newb AS (SELECT doc_id, text FROM documents WHERE doc_id % 2 = 1
+         |  UNION ALL SELECT doc_id + 10000000, text FROM corpus WHERE doc_id % 10 = 0),
+         |ex AS (SELECT * FROM newb
+         |  WHERE text NOT IN (SELECT text FROM corpus)),
+         |sN AS (SELECT doc_id, ${duckShingles(ShingleK)} AS sh FROM ex),
+         |sigN AS (SELECT doc_id, list_distinct(sh) AS shd,
+         |  ${duckMinhashCols(MinhashK)} FROM sN),
+         |bN AS (SELECT doc_id, shd,
+         |  unnest([${bandExprs.mkString(", ")}]) AS bucket FROM sigN),
+         |sC AS (SELECT doc_id, ${duckShingles(ShingleK)} AS sh FROM corpus),
+         |sigC AS (SELECT doc_id, list_distinct(sh) AS shd,
+         |  ${duckMinhashCols(MinhashK)} FROM sC),
+         |bC AS (SELECT doc_id, shd,
+         |  unnest([${bandExprs.mkString(", ")}]) AS bucket FROM sigC),
+         |dups AS (SELECT DISTINCT n.doc_id FROM bN n JOIN bC c
+         |  ON n.bucket = c.bucket
+         |  WHERE CAST(len(list_filter(n.shd, x -> list_contains(c.shd, x))) AS DOUBLE) /
+         |        CAST(len(list_distinct(list_concat(n.shd, c.shd))) AS DOUBLE) >= 0.5)
+         |SELECT doc_id FROM ex
+         |WHERE doc_id NOT IN (SELECT doc_id FROM dups)""".stripMargin
     },
     "pipe_q29_components" -> {
       val bands = 4; val rows = MinhashK / bands

@@ -54,6 +54,20 @@ class DedupSpec extends SparkSpec {
     assert(!keys.exists(p => p._1 == 4L || p._2 == 4L))
   }
 
+  test("incremental dedup: new batch filtered against the corpus only") {
+    val corpus = docs.where($"doc_id" <= 2) // holds doc 1 + its exact dup 2
+    val newBatch = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog again and again today"), // exact copy of stored 1
+      (11L, "the quick brown fox jumps over the lazy cat again and again today"), // near dup of stored 1
+      (12L, "completely different words appear here nothing shared with others at all ok"), // genuinely new
+      (13L, "completely different words appear here nothing shared with others at all ok")  // dup WITHIN batch — kept (within-batch dedup composes separately)
+    ).toDF("doc_id", "text")
+    val kept = Dedup.incrementalDedup(newBatch, corpus, "doc_id", "text",
+        threshold = 0.3)
+      .select($"doc_id").as[Long].collect().toSet
+    assert(kept == Set(12L, 13L))
+  }
+
   test("simhash: identical docs equal; near dups within small hamming distance") {
     val sh = Dedup.simhash(docs, "doc_id", "text").collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
