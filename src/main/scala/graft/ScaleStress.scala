@@ -331,6 +331,17 @@ object ScaleStress {
     time(s"lsh keeper dedup ${factor}x")(
       graft.operators.Dedup.lshDedupKeepers(docsXN, "doc_id", "text",
         k = 8, bands = 4, shingleK = 3).where(col("kept")).count())
+    // incremental dedup at Nx: the 10× replicated batch arrives against
+    // the 1× stored corpus — every replica is an exact copy of a stored
+    // text, so the exact gate must drop ~everything via the anti-join,
+    // and cost scales in batch size (new×stored band join), never
+    // corpus²
+    time(s"incremental dedup ${factor}x batch vs 1x corpus") {
+      val kept = graft.operators.Dedup.incrementalDedup(
+        docsXN, docs, "doc_id", "text",
+        k = 8, bands = 4, shingleK = 3, threshold = 0.5).count()
+      assert(kept == 0, s"all replicas duplicate stored texts, kept=$kept")
+    }
     // connected-components dedup at Nx: every text's replicas share all
     // LSH buckets, so each text forms ONE N-node component — min-label
     // propagation must converge in O(log diameter) rounds with
