@@ -53,7 +53,9 @@ object Bench {
     "tsdb_q90_promql_hist_quantile", "tsdb_q91_promql_hist_rate",
     "pipe_q42_video", "pipe_q44_video_frames",
     "tsdb_q98_alert_rule", "tsdb_q96_exemplars",
-    "tsdb_q100_alerts_series")
+    "tsdb_q100_alerts_series",
+    // round-10: the remote-write wire codec (encode+decode round trip)
+    "tsdb_q101_remote_write")
 
   /** 1/5/15-minute fields of /proc/loadavg (empty off-Linux). */
   private def loadavg(): Seq[Double] =

@@ -190,6 +190,22 @@ object ScaleStress {
           Seq(Matcher.Eq("name", "error"))),
         at = Tables.RangeEnd, lookbackMs = 86400000L).count()
     }
+    // remote-write wire codec at Nx samples: decode is a map-side
+    // flatMap over payloads (zero shuffle); encode's only shuffle is
+    // the series groupBy — the same exchange wide ingest needs — so
+    // the full round trip must scale linearly in sample count
+    time(s"remote-write encode+decode ${factor}x") {
+      val ev = Tables.load(spark, sfDir, "events")
+      val evN = ev
+        .withColumn("_r", explode(sequence(lit(0), lit(factor - 1))))
+        .withColumn("user_id", col("user_id") + col("_r") * lit(10000000L))
+        .drop("_r")
+      val long = evN.select(unix_millis(col("ts")).as("time"), col("value"),
+        map(lit("__name__"), col("event_type"),
+          lit("user"), col("user_id").cast("string")).as("labels"))
+      graft.tsdb.RemoteWrite.decode(graft.tsdb.RemoteWrite.encode(long))
+        .count()
+    }
     // STREAMING alert rule at Nx events through the real incremental
     // engine (file source → watermark → flatMapGroupsWithState): state
     // per key is open-window counts + two longs, so Nx events with Nx

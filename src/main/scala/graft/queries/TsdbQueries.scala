@@ -716,6 +716,37 @@ object TsdbQueries {
           element_at(h.getField("counts"), 12).cast("long").as("c_inf"),
           round(histQuantile(h, 0.5), 6).as("phi"))
     }),
+    // Q106: native histograms THROUGH THE REMOTE-WRITE WIRE — the Q89
+    // exponential histograms converted dense→sparse, encoded as prompb
+    // Histogram messages (spans + packed counts, snappy-framed), decoded
+    // back and re-densified onto the same (schema, minExp, maxExp) grid.
+    // Output and oracle are exactly Q89's: a hash match proves the wire
+    // representation (spans/zigzag/fixed64/zero-bucket/overflow
+    // convention) is lossless for whole histograms, not just samples.
+    "tsdb_q106_remote_write_hist" -> ((s, dir) => {
+      import graft.tsdb.NativeHistogram._
+      val h = col("hist")
+      val dense = buildExp(table(s, dir).select(RangeStart, RangeEnd, Nil).toDF(),
+        Seq(col("`labels.name`").as("name"), col("`labels.user`").as("user")),
+        col("value"), schema = 0, minExp = 0, maxExp = 9)
+        .select(lit(RangeEnd).as("time"),
+          map(lit("name"), col("name"), lit("user"), col("user")).as("labels"),
+          col("hist"))
+      val wire = graft.tsdb.RemoteWrite.encodeHistRequests(
+        dense, schemaId = 0, minExp = 0, maxExp = 9)
+      val back = graft.tsdb.RemoteWrite.denseFromSparse(
+        graft.tsdb.RemoteWrite.decodeHistRequests(wire),
+        schemaId = 0, minExp = 0, maxExp = 9)
+      back.select(
+        col("labels").getItem("name").as("name"),
+        col("labels").getItem("user").as("user"),
+        histCount(h).cast("long").as("n"),
+        round(histSum(h), 4).as("sum_v"),
+        element_at(h.getField("counts"), 2).cast("long").as("c_le1"),
+        element_at(h.getField("counts"), 9).cast("long").as("c_64_128"),
+        element_at(h.getField("counts"), 12).cast("long").as("c_inf"),
+        round(histQuantile(h, 0.5), 6).as("phi"))
+    }),
     // Q90-Q93: PromQL TEXT over NATIVE-HISTOGRAM series
     // ([[graft.tsdb.PromQLHist]] — same parser/AST as the float tier,
     // evaluated over a frame of whole-histogram structs). The frame is
@@ -1219,10 +1250,74 @@ object TsdbQueries {
         .groupBy(col("labels").getItem("__name__").as("name"))
         .agg(count(lit(1)).as("n_samples"),
           min(col("time")).as("min_time"), max(col("time")).as("max_time"))),
+    // Q101: the remote-write on-wire surface — events encoded as
+    // snappy-compressed prompb WriteRequest payloads (the bytes a real
+    // Prometheus pushes to /api/v1/write) and parsed back with the
+    // hand-rolled proto codec. Identity oracle over events ⇒ the whole
+    // binary path (varint/length-delimited framing, fixed64 doubles,
+    // snappy, series grouping) is proven lossless against DuckDB.
+    "tsdb_q101_remote_write" -> ((s, dir) => {
+      val long = load(s, dir, "events").select(
+        unix_millis(col("ts")).as("time"), col("value"),
+        map(lit("__name__"), col("event_type"),
+          lit("user"), col("user_id").cast("string"),
+          lit("k"), regexp_extract(col("props"), "\"k\": (\\d+)", 1))
+          .as("labels"))
+      graft.tsdb.RemoteWrite.decode(graft.tsdb.RemoteWrite.encode(long))
+        .select(col("time"), col("value"),
+          col("labels").getItem("__name__").as("name"),
+          col("labels").getItem("user").as("user"),
+          col("labels").getItem("k").as("k"))
+    }),
   )
 
   private val projSql =
     """SELECT "labels.k", "labels.name", "labels.user", time, value FROM t"""
+
+  /** Q89's exponential-histogram grid replay — shared verbatim with
+    * Q106 (`tsdb_q106_remote_write_hist`): the wire round trip is
+    * lossless, so the same DuckDB replay is both queries' oracle. */
+  private val histExpOracle =
+    s"""$duckTsdbCte,
+       |f AS (SELECT "labels.name" AS name, "labels.user" AS "user", value FROM t
+       |  WHERE time > $RangeStart AND time < $RangeEnd),
+       |les AS (SELECT * FROM (VALUES (CAST(NULL AS DOUBLE), 0.0), (0.0, 1.0),
+       |  (1.0, 2.0), (2.0, 4.0), (4.0, 8.0), (8.0, 16.0), (16.0, 32.0),
+       |  (32.0, 64.0), (64.0, 128.0), (128.0, 256.0), (256.0, 512.0),
+       |  (512.0, CAST('infinity' AS DOUBLE))) AS v(lo, le)),
+       |b AS (SELECT name, "user", le,
+       |  (SELECT count(*) FROM f f2 WHERE f2.name = k.name AND f2."user" = k."user"
+       |    AND f2.value <= le AND (lo IS NULL OR f2.value > lo)) AS cnt
+       |  FROM (SELECT DISTINCT name, "user" FROM f) k CROSS JOIN les),
+       |c AS (SELECT *, CAST(sum(cnt) OVER (PARTITION BY name, "user" ORDER BY le
+       |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS cum FROM b),
+       |w1 AS (SELECT *, max(cum) OVER (PARTITION BY name, "user") AS total FROM c),
+       |w2 AS (SELECT *, 0.5 * total AS rk FROM w1),
+       |w3 AS (SELECT *,
+       |  min(CASE WHEN cum >= rk THEN le END)
+       |    OVER (PARTITION BY name, "user") AS chosen_le,
+       |  max(CASE WHEN le <> CAST('infinity' AS DOUBLE) THEN le END)
+       |    OVER (PARTITION BY name, "user") AS max_finite_le
+       |  FROM w2),
+       |w4 AS (SELECT *,
+       |  max(CASE WHEN le < chosen_le THEN cum END)
+       |    OVER (PARTITION BY name, "user") AS cum_below,
+       |  max(CASE WHEN le < chosen_le THEN le END)
+       |    OVER (PARTITION BY name, "user") AS le_below
+       |  FROM w3),
+       |agg AS (SELECT name, "user", count(*) AS n, round(sum(value), 4) AS sum_v,
+       |  count(*) FILTER (value > 0.0 AND value <= 1.0) AS c_le1,
+       |  count(*) FILTER (value > 64.0 AND value <= 128.0) AS c_64_128,
+       |  count(*) FILTER (value > 512.0) AS c_inf
+       |  FROM f GROUP BY 1, 2)
+       |SELECT agg.name, agg."user", agg.n, agg.sum_v, agg.c_le1, agg.c_64_128,
+       |  agg.c_inf,
+       |  round(CASE WHEN chosen_le = CAST('infinity' AS DOUBLE) THEN max_finite_le
+       |    ELSE coalesce(le_below, 0.0) + (chosen_le - coalesce(le_below, 0.0)) *
+       |      (rk - coalesce(cum_below, 0.0)) / (cum - coalesce(cum_below, 0.0))
+       |    END, 6) AS phi
+       |FROM w4 JOIN agg ON w4.name = agg.name AND w4."user" = agg."user"
+       |WHERE le = chosen_le""".stripMargin
 
   val oracles: Map[String, String] = Map(
     "tsdb_q32_setops" ->
@@ -2486,47 +2581,9 @@ object TsdbQueries {
     // Q89 exponential schema: same bucket-grid replay as q82, over the
     // schema-0 grid (zero bucket, 1,2,…,512, +Inf) with explicit
     // (lower, le] pairs — the lower of the zero bucket is NULL (-Inf)
-    "tsdb_q89_native_hist_exp" ->
-      s"""$duckTsdbCte,
-         |f AS (SELECT "labels.name" AS name, "labels.user" AS "user", value FROM t
-         |  WHERE time > $RangeStart AND time < $RangeEnd),
-         |les AS (SELECT * FROM (VALUES (CAST(NULL AS DOUBLE), 0.0), (0.0, 1.0),
-         |  (1.0, 2.0), (2.0, 4.0), (4.0, 8.0), (8.0, 16.0), (16.0, 32.0),
-         |  (32.0, 64.0), (64.0, 128.0), (128.0, 256.0), (256.0, 512.0),
-         |  (512.0, CAST('infinity' AS DOUBLE))) AS v(lo, le)),
-         |b AS (SELECT name, "user", le,
-         |  (SELECT count(*) FROM f f2 WHERE f2.name = k.name AND f2."user" = k."user"
-         |    AND f2.value <= le AND (lo IS NULL OR f2.value > lo)) AS cnt
-         |  FROM (SELECT DISTINCT name, "user" FROM f) k CROSS JOIN les),
-         |c AS (SELECT *, CAST(sum(cnt) OVER (PARTITION BY name, "user" ORDER BY le
-         |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS cum FROM b),
-         |w1 AS (SELECT *, max(cum) OVER (PARTITION BY name, "user") AS total FROM c),
-         |w2 AS (SELECT *, 0.5 * total AS rk FROM w1),
-         |w3 AS (SELECT *,
-         |  min(CASE WHEN cum >= rk THEN le END)
-         |    OVER (PARTITION BY name, "user") AS chosen_le,
-         |  max(CASE WHEN le <> CAST('infinity' AS DOUBLE) THEN le END)
-         |    OVER (PARTITION BY name, "user") AS max_finite_le
-         |  FROM w2),
-         |w4 AS (SELECT *,
-         |  max(CASE WHEN le < chosen_le THEN cum END)
-         |    OVER (PARTITION BY name, "user") AS cum_below,
-         |  max(CASE WHEN le < chosen_le THEN le END)
-         |    OVER (PARTITION BY name, "user") AS le_below
-         |  FROM w3),
-         |agg AS (SELECT name, "user", count(*) AS n, round(sum(value), 4) AS sum_v,
-         |  count(*) FILTER (value > 0.0 AND value <= 1.0) AS c_le1,
-         |  count(*) FILTER (value > 64.0 AND value <= 128.0) AS c_64_128,
-         |  count(*) FILTER (value > 512.0) AS c_inf
-         |  FROM f GROUP BY 1, 2)
-         |SELECT agg.name, agg."user", agg.n, agg.sum_v, agg.c_le1, agg.c_64_128,
-         |  agg.c_inf,
-         |  round(CASE WHEN chosen_le = CAST('infinity' AS DOUBLE) THEN max_finite_le
-         |    ELSE coalesce(le_below, 0.0) + (chosen_le - coalesce(le_below, 0.0)) *
-         |      (rk - coalesce(cum_below, 0.0)) / (cum - coalesce(cum_below, 0.0))
-         |    END, 6) AS phi
-         |FROM w4 JOIN agg ON w4.name = agg.name AND w4."user" = agg."user"
-         |WHERE le = chosen_le""".stripMargin,
+    "tsdb_q89_native_hist_exp" -> histExpOracle,
+    // the wire round trip is lossless, so its oracle IS Q89's
+    "tsdb_q106_remote_write_hist" -> histExpOracle,
     "tsdb_q60_promql_time_vector" ->
       s"""$duckTsdbCte,
          |iv AS (SELECT list_extract(max([CAST(time AS DOUBLE), value]), 2) AS value
@@ -2660,6 +2717,11 @@ object TsdbQueries {
         |  regexp_extract(props, '"k": (\d+)', 1) AS k
         |FROM events""".stripMargin,
     "tsdb_q39_jsonlines" ->
+      """SELECT CAST(epoch_ms(ts) AS BIGINT) AS time, value,
+        |  event_type AS name, CAST(user_id AS VARCHAR) AS "user",
+        |  regexp_extract(props, '"k": (\d+)', 1) AS k
+        |FROM events""".stripMargin,
+    "tsdb_q101_remote_write" ->
       """SELECT CAST(epoch_ms(ts) AS BIGINT) AS time, value,
         |  event_type AS name, CAST(user_id AS VARCHAR) AS "user",
         |  regexp_extract(props, '"k": (\d+)', 1) AS k

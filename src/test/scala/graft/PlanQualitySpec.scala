@@ -314,4 +314,17 @@ class PlanQualitySpec extends SparkSpec {
     assert(!f.contains("Window") && !f.contains("Join"),
       s"fraction must stay a per-row fold:\n$f")
   }
+
+  test("remote-write codec: one series shuffle on encode, map-side decode") {
+    // the encode→decode round trip may shuffle exactly ONCE — the
+    // groupBy that packs samples into TimeSeries (the same exchange wide
+    // ingest pays anyway). Decode is flatMap over payload bytes: any
+    // second exchange or join means payloads started moving between
+    // stages, which dies at 100 TB of captured requests
+    val plan = planOf("tsdb_q101_remote_write")
+    assert(shuffleExchanges(plan) == 1,
+      s"remote-write round trip must shuffle once (the series groupBy):\n$plan")
+    assert(!plan.contains("Join"),
+      s"the codec path must stay join-free:\n$plan")
+  }
 }

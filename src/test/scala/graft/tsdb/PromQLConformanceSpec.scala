@@ -580,12 +580,37 @@ class PromQLConformanceSpec extends SparkSpec {
         |{method="post", code="500"} 0.05
         |{method="post", code="404"} 0.175""")), upstream = true)
 
+  // functions.test's date-function family over vector(1454284800)
+  // (2016-02-01T00:00:00Z, a Monday in a leap February) and the trig
+  // section's atan2 binop — constants verbatim from upstream
+  private val upstreamDatesTrig = B("upstream functions.test dates & trig",
+    "5m", Seq(
+      """trigy 10""",
+      """trigx 20""",
+      """trigNaN NaN"""), Seq(
+    C("0m", """year(vector(1454284800))""", """{} 2016"""),
+    C("0m", """month(vector(1454284800))""", """{} 2"""),
+    C("0m", """day_of_month(vector(1454284800))""", """{} 1"""),
+    C("0m", """day_of_week(vector(1454284800))""", """{} 1"""),
+    C("0m", """day_of_year(vector(1454284800))""", """{} 32"""),
+    C("0m", """hour(vector(1454284800))""", """{} 0"""),
+    C("0m", """minute(vector(1454284800))""", """{} 0"""),
+    C("0m", """days_in_month(vector(1454284800))""", """{} 29"""),
+    C("0m", """days_in_month(vector(1485907200))""", """{} 28"""),
+    // upstream evals these at 5m over a 2-point load; with the single
+    // point here the eval sits AT the sample (the left-open 5m lookback
+    // excludes t=0 at t=5m) — the asserted values are upstream's
+    C("0m", """trigy atan2 trigx""", """{} 0.4636476090008061"""),
+    C("0m", """trigy atan2 trigNaN""", """{} NaN"""),
+    C("0m", """10 atan2 20""", """{} 0.4636476090008061""")),
+    upstream = true)
+
   private val blocks = Seq(aggregators, operators, binops, functions,
     functions2, histograms, countValues, staleness, labelFns,
     upstreamOperators, upstreamGroupLeft, upstreamAggregators,
     upstreamAggregators2, upstreamChangesResets, upstreamLiterals,
     upstreamFunctions, upstreamStaleness, upstreamDocsMatching,
-    upstreamSubquery, upstreamAtModifier)
+    upstreamSubquery, upstreamAtModifier, upstreamDatesTrig)
 
   // ---- harness ----
 
@@ -616,6 +641,7 @@ class PromQLConformanceSpec extends SparkSpec {
     val slots = values.trim.split("\\s+").toSeq.filter(_.nonEmpty).flatMap {
       case "_" => Seq(None)
       case "stale" => Seq(Some(None))
+      case "NaN" => Seq(Some(Some(Double.NaN)))
       case expand(a, d, n) if n != null =>
         val delta = Option(d).map(_.toDouble).getOrElse(0.0)
         (0 to n.toInt).map(k => Some(Some(a.toDouble + k * delta)))
@@ -732,7 +758,7 @@ class PromQLConformanceSpec extends SparkSpec {
     // cases re-typed from Prometheus's own promqltest corpus, reported
     // separately from the handwritten sweep.
     assert(own === 118)
-    assert(ported === 63)
+    assert(ported === 75)
     assert(skips.size === 2)
     // every skip names its documented deviation
     assert(skips.forall(_.skip.nonEmpty))
