@@ -207,6 +207,26 @@ object TsdbQueries {
           col("labels").getItem("user").as("user"),
           col("labels").getItem("k").as("k"))
     }),
+    // Q107: OTLP/JSON ingest surface — the OpenTelemetry metrics
+    // interchange format (ExportMetricsServiceRequest lines): events
+    // exported as single-gauge OTLP requests, parsed back through the
+    // nested resourceMetrics→scopeMetrics→metrics→dataPoints explode.
+    // Identity oracle ⇒ the exporter⇄parser pair is lossless, including
+    // the uint64-as-string timeUnixNano precision contract.
+    "tsdb_q107_otlp" -> ((s, dir) => {
+      val long = load(s, dir, "events").select(
+        unix_millis(col("ts")).as("time"), col("value"),
+        map(lit("__name__"), col("event_type"),
+          lit("user"), col("user_id").cast("string"),
+          lit("k"), regexp_extract(col("props"), "\"k\": (\\d+)", 1))
+          .as("labels"))
+      graft.tsdb.SampleReaders.fromOtlpJsonLines(
+          graft.tsdb.SampleReaders.toOtlpJsonLines(long))
+        .select(col("time"), col("value"),
+          col("labels").getItem("__name__").as("name"),
+          col("labels").getItem("user").as("user"),
+          col("labels").getItem("k").as("k"))
+    }),
     // Q13: PromQL topk() over the instant vector — the k series with the
     // highest current value (deterministic tie-break on the label set).
     // Global top-k is orderBy+limit, which Catalyst plans as
@@ -2722,6 +2742,11 @@ object TsdbQueries {
         |  regexp_extract(props, '"k": (\d+)', 1) AS k
         |FROM events""".stripMargin,
     "tsdb_q101_remote_write" ->
+      """SELECT CAST(epoch_ms(ts) AS BIGINT) AS time, value,
+        |  event_type AS name, CAST(user_id AS VARCHAR) AS "user",
+        |  regexp_extract(props, '"k": (\d+)', 1) AS k
+        |FROM events""".stripMargin,
+    "tsdb_q107_otlp" ->
       """SELECT CAST(epoch_ms(ts) AS BIGINT) AS time, value,
         |  event_type AS name, CAST(user_id AS VARCHAR) AS "user",
         |  regexp_extract(props, '"k": (\d+)', 1) AS k

@@ -90,6 +90,75 @@ object SampleReaders {
       col("time"), col("value"), sortedLabels.as("labels"))).as("line"))
   }
 
+  /** OTLP/JSON metrics (the OpenTelemetry protocol's JSON encoding —
+    * opentelemetry-proto `metrics.proto` mapped per the proto3 JSON
+    * spec): each line is one ExportMetricsServiceRequest. Gauge and Sum
+    * (counter) data points are read; attributes become labels and the
+    * metric name lands as `__name__`. `timeUnixNano` arrives as a
+    * string (uint64 per proto3-JSON) and converts to epoch ms. Built-in
+    * `from_json` + explodes — codegen'd, permissive (malformed lines
+    * drop), so an OTel-collector backfill parses at scan speed. */
+  def fromOtlpJsonLines(lines: DataFrame, lineCol: String = "line"): DataFrame = {
+    val attrType = ArrayType(StructType(Seq(
+      StructField("key", StringType),
+      StructField("value", StructType(Seq(
+        StructField("stringValue", StringType)))))))
+    val dataPointType = ArrayType(StructType(Seq(
+      StructField("timeUnixNano", StringType),
+      StructField("asDouble", DoubleType),
+      StructField("asInt", StringType), // int64 is a JSON string too
+      StructField("attributes", attrType))))
+    val schema = StructType(Seq(StructField("resourceMetrics", ArrayType(
+      StructType(Seq(StructField("scopeMetrics", ArrayType(StructType(Seq(
+        StructField("metrics", ArrayType(StructType(Seq(
+          StructField("name", StringType),
+          StructField("gauge", StructType(Seq(
+            StructField("dataPoints", dataPointType)))),
+          StructField("sum", StructType(Seq(
+            StructField("dataPoints", dataPointType))))))))))))))))))
+    lines
+      .select(from_json(col(lineCol), schema).as("r"))
+      .where(col("r").isNotNull)
+      .select(explode(col("r.resourceMetrics")).as("rm"))
+      .select(explode(col("rm.scopeMetrics")).as("sm"))
+      .select(explode(col("sm.metrics")).as("m"))
+      .select(col("m.name").as("name"),
+        explode(coalesce(col("m.gauge.dataPoints"), col("m.sum.dataPoints")))
+          .as("dp"))
+      .where(col("dp.timeUnixNano").isNotNull)
+      .select(
+        // integer DIV: nanos exceed 2^53, a double division would lose ms
+        expr("CAST(dp.timeUnixNano AS BIGINT) DIV 1000000").as("time"),
+        coalesce(col("dp.asDouble"), col("dp.asInt").cast("double")).as("value"),
+        map_concat(
+          map(lit("__name__"), col("name")),
+          map_from_entries(transform(
+            coalesce(col("dp.attributes"), array().cast(attrType)),
+            a => struct(a.getField("key"),
+              a.getField("value").getField("stringValue"))))).as("labels"))
+  }
+
+  /** The inverse — long-form rows to OTLP/JSON lines, one
+    * single-data-point gauge request per sample (a valid
+    * ExportMetricsServiceRequest each; sorted attribute keys make the
+    * encoding deterministic, pairing with [[fromOtlpJsonLines]] under
+    * the identity oracle). */
+  def toOtlpJsonLines(samples: DataFrame): DataFrame = {
+    val nonName = filter(
+      array_sort(map_keys(col("labels"))), k => k =!= "__name__")
+    val attrs = transform(nonName, k => struct(
+      k.as("key"),
+      struct(element_at(col("labels"), k).as("stringValue")).as("value")))
+    samples.select(to_json(struct(array(struct(array(struct(array(struct(
+      element_at(col("labels"), "__name__").as("name"),
+      struct(array(struct(
+        (col("time") * 1000000L).cast("string").as("timeUnixNano"),
+        col("value").as("asDouble"),
+        attrs.as("attributes"))).as("dataPoints")).as("gauge")))
+      .as("metrics"))).as("scopeMetrics"))).as("resourceMetrics")))
+      .as("line"))
+  }
+
   /** The inverse — long-form rows to exposition lines (a text exporter;
     * also the round-trip harness that puts the parser under the oracle). */
   def toOpenMetricsLines(samples: DataFrame): DataFrame = {

@@ -66,4 +66,38 @@ class SampleReadersSpec extends SparkSpec {
     // doubles (incl. scientific notation) round-trip exactly
     assert(got == good.toSet)
   }
+
+  test("OTLP/JSON reader parses collector-shaped gauge/sum requests") {
+    // a multi-metric, multi-data-point request as an OTel collector
+    // emits it: gauge + monotonic sum, int64-as-string values, nanos
+    // beyond 2^53 (precision must survive — no double division)
+    val line =
+      """{"resourceMetrics":[{"resource":{"attributes":[]},"scopeMetrics":[{
+        |"scope":{"name":"meter"},"metrics":[
+        |{"name":"temp","gauge":{"dataPoints":[
+        |  {"timeUnixNano":"1704067200123000000","asDouble":21.5,
+        |   "attributes":[{"key":"room","value":{"stringValue":"a"}}]},
+        |  {"timeUnixNano":"1704067260123000000","asDouble":22.5,
+        |   "attributes":[{"key":"room","value":{"stringValue":"b"}}]}]}},
+        |{"name":"requests","sum":{"isMonotonic":true,"aggregationTemporality":2,
+        |  "dataPoints":[{"timeUnixNano":"1704067200123000000","asInt":"41"}]}}
+        |]}]}]}""".stripMargin.replace("\n", "")
+    val got = SampleReaders.fromOtlpJsonLines(
+        (line +: Seq("not json", """{"resourceMetrics":[]}""")).toDF("line"))
+      .as[(Long, Double, Map[String, String])].collect().toSet
+    assert(got == Set(
+      (1704067200123L, 21.5, Map("__name__" -> "temp", "room" -> "a")),
+      (1704067260123L, 22.5, Map("__name__" -> "temp", "room" -> "b")),
+      (1704067200123L, 41.0, Map("__name__" -> "requests"))))
+  }
+
+  test("OTLP exporter ⇄ parser round-trips samples exactly") {
+    val good = Seq(
+      (1704067200123L, 2.5, Map("__name__" -> "up", "job" -> "prom")),
+      (200L, -1.25e-3, Map("__name__" -> "up")))
+    val got = SampleReaders.fromOtlpJsonLines(
+        SampleReaders.toOtlpJsonLines(good.toDF("time", "value", "labels")))
+      .as[(Long, Double, Map[String, String])].collect().toSet
+    assert(got == good.toSet)
+  }
 }
