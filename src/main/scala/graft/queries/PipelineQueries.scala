@@ -332,6 +332,30 @@ object PipelineQueries {
           col("score"), col("rank").cast("long").as("rank"))
     }),
 
+    // streaming remote-write ingest: snappy-framed prompb payloads land
+    // as files and are decoded CONTINUOUSLY (stateless map-side flatMap
+    // on the stream — the shape a receiving endpoint runs at 100 TB/day:
+    // decode scales with arrival rate, state only with the aggregation).
+    // Complete-mode counts hash-check against the raw events, so the
+    // streaming decode path is under the same oracle as batch q101.
+    "stream_q16_remote_write" -> ((s, dir) => {
+      val long = graft.queries.Tables.load(s, dir, "events").select(
+        unix_millis(col("ts")).as("time"), col("value"),
+        map(lit("__name__"), col("event_type"),
+          lit("user"), col("user_id").cast("string")).as("labels"))
+      val payloadDir = graft.queries.Tables.scratchDir("graft_sq16_rw")
+      graft.tsdb.RemoteWrite.encode(long).toDF("payload")
+        .write.mode("overwrite").parquet(payloadDir)
+      val schema = s.read.parquet(payloadDir).schema
+      val s_ = s; import s_.implicits._
+      val decoded = graft.tsdb.RemoteWrite.decode(
+        s.readStream.schema(schema).parquet(payloadDir)
+          .select(col("payload")).as[Array[Byte]])
+      EventStreams.runToMemory(
+        decoded.groupBy(col("labels").getItem("__name__").as("name"))
+          .agg(count(lit(1)).as("n"), round(sum(col("value")), 4).as("total")),
+        "stream_q16_remote_write", mode = "complete")
+    }),
     // sessionize: the streaming result IS batch gap-sessionization plus
     // the watermark emission rule (a session is emitted iff it was closed
     // by a gap, or the final watermark maxTs-1h passed its end+gap), so
@@ -1416,6 +1440,10 @@ object PipelineQueries {
          |  u AS "labels.user", t, round(sum(value), 6) AS value
          |FROM g GROUP BY 1, 2, 3, 4""".stripMargin,
     "stream_q5_ingest" ->
+      """SELECT event_type AS name, count(*) AS n,
+        |  round(sum(value), 4) AS total
+        |FROM events GROUP BY 1""".stripMargin,
+    "stream_q16_remote_write" ->
       """SELECT event_type AS name, count(*) AS n,
         |  round(sum(value), 4) AS total
         |FROM events GROUP BY 1""".stripMargin,
