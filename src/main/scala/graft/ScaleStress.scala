@@ -206,6 +206,25 @@ object ScaleStress {
       graft.tsdb.RemoteWrite.decode(graft.tsdb.RemoteWrite.encode(long))
         .count()
     }
+    // TSDB block write-out at Nx samples: one shuffle groups samples
+    // into (slice, series); each 2h slice assembles its block directory
+    // in one task (Gorilla encode + index build) — the compactor
+    // sharding model, so Nx data means more/larger blocks, never
+    // cross-task coordination
+    time(s"tsdb block write-out ${factor}x") {
+      val ev = Tables.load(spark, sfDir, "events")
+      val evN = ev
+        .withColumn("_r", explode(sequence(lit(0), lit(factor - 1))))
+        .withColumn("user_id", col("user_id") + col("_r") * lit(10000000L))
+        .drop("_r")
+      val long = evN.select(unix_millis(col("ts")).as("time"), col("value"),
+        map(lit("__name__"), col("event_type"),
+          lit("user"), col("user_id").cast("string")).as("labels"))
+      val root = Tables.scratchDir("graft_scale_blocks")
+      val names = graft.sources.tsdbblock.TsdbBlockWriter.write(
+        long, root, blockRangeMs = 86400000L)
+      println(s"[scale] blocks written=${names.size}")
+    }
     // STREAMING alert rule at Nx events through the real incremental
     // engine (file source → watermark → flatMapGroupsWithState): state
     // per key is open-window counts + two longs, so Nx events with Nx

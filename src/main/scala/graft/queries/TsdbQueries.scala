@@ -227,6 +227,32 @@ object TsdbQueries {
           col("labels").getItem("user").as("user"),
           col("labels").getItem("k").as("k"))
     }),
+    // Q108: TSDB block write-out — events written as real Prometheus
+    // block directories (Gorilla XOR chunks + index v2 with symbols/
+    // series/postings, 7d slices — one block per task, the compactor
+    // sharding model) and read back through the DataSource V2. Identity
+    // oracle ⇒ the full storage round trip (bit-level Gorilla encode,
+    // chunk segmentation, index symbol/series/ref encoding) is lossless;
+    // block compatibility with the reference's storage layer is
+    // BIDIRECTIONAL (the reader is pinned against the reference's own
+    // block, and TsdbBlockWriterSpec re-writes that block byte-true).
+    "tsdb_q108_block_roundtrip" -> ((s, dir) => {
+      val long = load(s, dir, "events").select(
+        unix_millis(col("ts")).as("time"), col("value"),
+        map(lit("__name__"), col("event_type"),
+          lit("user"), col("user_id").cast("string"),
+          lit("k"), regexp_extract(col("props"), "\"k\": (\\d+)", 1))
+          .as("labels"))
+      val root = Tables.scratchDir("graft_q108_blocks")
+      val names = graft.sources.tsdbblock.TsdbBlockWriter.write(
+        long, root, blockRangeMs = 7L * 86400000L)
+      names.map(n => s.read.format("tsdb-block").load(s"$root/$n"))
+        .reduce(_ unionByName _)
+        .select(col("time"), col("value"),
+          col("labels").getItem("__name__").as("name"),
+          col("labels").getItem("user").as("user"),
+          col("labels").getItem("k").as("k"))
+    }),
     // Q13: PromQL topk() over the instant vector — the k series with the
     // highest current value (deterministic tie-break on the label set).
     // Global top-k is orderBy+limit, which Catalyst plans as
@@ -2747,6 +2773,11 @@ object TsdbQueries {
         |  regexp_extract(props, '"k": (\d+)', 1) AS k
         |FROM events""".stripMargin,
     "tsdb_q107_otlp" ->
+      """SELECT CAST(epoch_ms(ts) AS BIGINT) AS time, value,
+        |  event_type AS name, CAST(user_id AS VARCHAR) AS "user",
+        |  regexp_extract(props, '"k": (\d+)', 1) AS k
+        |FROM events""".stripMargin,
+    "tsdb_q108_block_roundtrip" ->
       """SELECT CAST(epoch_ms(ts) AS BIGINT) AS time, value,
         |  event_type AS name, CAST(user_id AS VARCHAR) AS "user",
         |  regexp_extract(props, '"k": (\d+)', 1) AS k
