@@ -54,8 +54,10 @@ object Bench {
     "pipe_q42_video", "pipe_q44_video_frames",
     "tsdb_q98_alert_rule", "tsdb_q96_exemplars",
     "tsdb_q100_alerts_series",
-    // round-10: the remote-write wire codec (encode+decode round trip)
-    "tsdb_q101_remote_write")
+    // round-10: the remote-write wire codec (encode+decode round trip),
+    // OTLP ingest, and the block/WAL/data-dir storage round trips
+    "tsdb_q101_remote_write", "tsdb_q107_otlp",
+    "tsdb_q108_block_roundtrip", "tsdb_q109_datadir_roundtrip")
 
   /** 1/5/15-minute fields of /proc/loadavg (empty off-Linux). */
   private def loadavg(): Seq[Double] =

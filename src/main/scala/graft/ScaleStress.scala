@@ -225,6 +225,22 @@ object ScaleStress {
         long, root, blockRangeMs = 86400000L)
       println(s"[scale] blocks written=${names.size}")
     }
+    // WAL write-out at Nx samples: same one-shuffle series grouping,
+    // one self-contained wlog segment per task — page framing and
+    // snappy are per-record, so cost is linear in samples
+    time(s"tsdb wal write-out ${factor}x") {
+      val ev = Tables.load(spark, sfDir, "events")
+      val evN = ev
+        .withColumn("_r", explode(sequence(lit(0), lit(factor - 1))))
+        .withColumn("user_id", col("user_id") + col("_r") * lit(10000000L))
+        .drop("_r")
+      val long = evN.select(unix_millis(col("ts")).as("time"), col("value"),
+        map(lit("__name__"), col("event_type"),
+          lit("user"), col("user_id").cast("string")).as("labels"))
+      val n = graft.sources.tsdbblock.TsdbWalWriter.write(
+        long, Tables.scratchDir("graft_scale_wal"), partitions = 32)
+      println(s"[scale] wal segments written=$n")
+    }
     // STREAMING alert rule at Nx events through the real incremental
     // engine (file source → watermark → flatMapGroupsWithState): state
     // per key is open-window counts + two longs, so Nx events with Nx

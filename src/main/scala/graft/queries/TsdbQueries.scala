@@ -253,6 +253,36 @@ object TsdbQueries {
           col("labels").getItem("user").as("user"),
           col("labels").getItem("k").as("k"))
     }),
+    // Q109: FULL DATA-DIRECTORY round trip — the capstone of the
+    // bidirectional storage story: older samples written as real
+    // Prometheus blocks (Q108's writer), recent samples as a real WAL
+    // (wlog segments), then the whole directory read back through
+    // TsdbDb.read — the same blocks ∪ WAL merge the reference's
+    // DBReadOnly.Querier performs (hello.go:429-447). Identity oracle
+    // over events ⇒ a directory THIS engine wrote is a valid TSDB data
+    // dir for its own reference-pinned reader, with the block/WAL split
+    // invisible to queries.
+    "tsdb_q109_datadir_roundtrip" -> ((s, dir) => {
+      val long = load(s, dir, "events").select(
+        unix_millis(col("ts")).as("time"), col("value"),
+        map(lit("__name__"), col("event_type"),
+          lit("user"), col("user_id").cast("string"),
+          lit("k"), regexp_extract(col("props"), "\"k\": (\\d+)", 1))
+          .as("labels"))
+      val root = Tables.scratchDir("graft_q109_db")
+      // Jan-20 horizon: ~60% of samples land in blocks, the rest in the
+      // WAL head — the steady-state shape of a live Prometheus data dir
+      graft.sources.tsdbblock.TsdbBlockWriter.write(
+        long.where(col("time") < lit(RangeEnd)), root,
+        blockRangeMs = 7L * 86400000L)
+      graft.sources.tsdbblock.TsdbWalWriter.write(
+        long.where(col("time") >= lit(RangeEnd)), s"$root/wal")
+      graft.sources.tsdbblock.TsdbDb.read(s, root)
+        .select(col("time"), col("value"),
+          col("labels").getItem("__name__").as("name"),
+          col("labels").getItem("user").as("user"),
+          col("labels").getItem("k").as("k"))
+    }),
     // Q13: PromQL topk() over the instant vector — the k series with the
     // highest current value (deterministic tie-break on the label set).
     // Global top-k is orderBy+limit, which Catalyst plans as
@@ -2778,6 +2808,11 @@ object TsdbQueries {
         |  regexp_extract(props, '"k": (\d+)', 1) AS k
         |FROM events""".stripMargin,
     "tsdb_q108_block_roundtrip" ->
+      """SELECT CAST(epoch_ms(ts) AS BIGINT) AS time, value,
+        |  event_type AS name, CAST(user_id AS VARCHAR) AS "user",
+        |  regexp_extract(props, '"k": (\d+)', 1) AS k
+        |FROM events""".stripMargin,
+    "tsdb_q109_datadir_roundtrip" ->
       """SELECT CAST(epoch_ms(ts) AS BIGINT) AS time, value,
         |  event_type AS name, CAST(user_id AS VARCHAR) AS "user",
         |  regexp_extract(props, '"k": (\d+)', 1) AS k
