@@ -171,6 +171,15 @@ object PromQL {
   /** Canonical text for an AST — the inverse of [[parse]] (pinned by a
     * round-trip property: `parse(render(e)) == e`). Useful for logging
     * the normalized form of a query. */
+  /** Legacy (pre-UTF-8) name shapes; anything else renders QUOTED per
+    * the Prometheus 3 selector syntax. */
+  private val LegacyLabelRe = "[a-zA-Z_][a-zA-Z0-9_]*".r
+  private val LegacyMetricRe = "[a-zA-Z_:][a-zA-Z0-9_:]*".r
+  private def renderLabelName(n: String): String =
+    if (LegacyLabelRe.matches(n)) n else s""""$n""""
+  private def renderNames(ns: Seq[String]): String =
+    ns.map(renderLabelName).mkString(", ")
+
   def render(e: Expr): String = e match {
     case Selector(ms, range, off, atm) =>
       val (metric, rest) = ms.partition {
@@ -178,16 +187,21 @@ object PromQL {
         case _ => false
       }
       val name = metric.collectFirst { case Matcher.Eq(_, v) => v }.getOrElse("")
-      val body = rest.map {
-        case Matcher.Eq(n, v) => s"""$n="$v""""
-        case Matcher.NotEq(n, v) => s"""$n!="$v""""
-        case Matcher.Re(n, v) => s"""$n=~"$v""""
-        case Matcher.NotRe(n, v) => s"""$n!~"$v""""
-      }.mkString(",")
-      val braces = if (body.nonEmpty || name.isEmpty) s"{$body}" else ""
+      // a UTF-8 metric name cannot prefix the braces — it renders as the
+      // bare quoted first item, `{"my.metric", job="x"}`
+      val legacyName = name.isEmpty || LegacyMetricRe.matches(name)
+      val nameItem = if (legacyName) Nil else Seq(s""""$name"""")
+      val body = (nameItem ++ rest.map {
+        case Matcher.Eq(n, v) => s"""${renderLabelName(n)}="$v""""
+        case Matcher.NotEq(n, v) => s"""${renderLabelName(n)}!="$v""""
+        case Matcher.Re(n, v) => s"""${renderLabelName(n)}=~"$v""""
+        case Matcher.NotRe(n, v) => s"""${renderLabelName(n)}!~"$v""""
+      }).mkString(",")
+      val prefix = if (legacyName) name else ""
+      val braces = if (body.nonEmpty || prefix.isEmpty) s"{$body}" else ""
       val r = range.fold("")(ms => s"[${durText(ms)}]")
       val o = if (off != 0L) s" offset ${durText(off)}" else ""
-      s"$name$braces$r$o${atText(atm)}"
+      s"$prefix$braces$r$o${atText(atm)}"
     case Fn(name, arg, Seq(q)) if LeadingParamFns(name) =>
       s"$name($q, ${render(arg)})"
     case Fn("histogram_fraction", arg, Seq(lo, hi)) =>
@@ -197,24 +211,24 @@ object PromQL {
     case CountValues(lbl, arg, Seq(), Seq()) =>
       s"""count_values("$lbl", ${render(arg)})"""
     case CountValues(lbl, arg, by, Seq()) =>
-      s"""count_values by (${by.mkString(", ")}) ("$lbl", ${render(arg)})"""
+      s"""count_values by (${renderNames(by)}) ("$lbl", ${render(arg)})"""
     case CountValues(lbl, arg, _, w) =>
-      s"""count_values without (${w.mkString(", ")}) ("$lbl", ${render(arg)})"""
+      s"""count_values without (${renderNames(w)}) ("$lbl", ${render(arg)})"""
     case StrFn(name, arg, strs) =>
       s"$name(${render(arg)}${strs.map(v => s""", "$v"""").mkString})"
     case AggBy(op, Seq(), arg, param) =>
       s"$op(${param.fold("")(p => s"$p, ")}${render(arg)})"
     case AggBy(op, by, arg, param) =>
-      s"$op by (${by.mkString(", ")}) " +
+      s"$op by (${renderNames(by)}) " +
         s"(${param.fold("")(p => s"$p, ")}${render(arg)})"
     case AggWithout(op, names, arg, param) =>
-      s"$op without (${names.mkString(", ")}) " +
+      s"$op without (${renderNames(names)}) " +
         s"(${param.fold("")(p => s"$p, ")}${render(arg)})"
     case RankK(op, k, arg, Seq(), Seq()) => s"$op($k, ${render(arg)})"
     case RankK(op, k, arg, by, Seq()) =>
-      s"$op by (${by.mkString(", ")}) ($k, ${render(arg)})"
+      s"$op by (${renderNames(by)}) ($k, ${render(arg)})"
     case RankK(op, k, arg, _, w) =>
-      s"$op without (${w.mkString(", ")}) ($k, ${render(arg)})"
+      s"$op without (${renderNames(w)}) ($k, ${render(arg)})"
     case LimitRatio(r, arg) => s"limit_ratio($r, ${render(arg)})"
     case ScalarLit(v) => v.toString
     case TimeLit => "time()"
@@ -227,8 +241,8 @@ object PromQL {
       // an explicit (possibly empty) label list keeps the text
       // unambiguous: `group_left() (rhs)` cannot eat the rhs parens
       val c = card match {
-        case "left" => s"group_left(${carry.mkString(", ")}) "
-        case "right" => s"group_right(${carry.mkString(", ")}) "
+        case "left" => s"group_left(${renderNames(carry)}) "
+        case "right" => s"group_right(${renderNames(carry)}) "
         case _ => ""
       }
       s"(${render(l)}) $op $b$spec$c(${render(r)})"
@@ -252,8 +266,8 @@ object PromQL {
     if (ms % 1000 == 0) s"${ms / 1000}s" else s"${ms}ms"
 
   private def matchSpecText(on: Seq[String], ign: Seq[String]): String =
-    if (on.nonEmpty) s"on(${on.mkString(", ")}) "
-    else if (ign.nonEmpty) s"ignoring(${ign.mkString(", ")}) "
+    if (on.nonEmpty) s"on(${renderNames(on)}) "
+    else if (ign.nonEmpty) s"ignoring(${renderNames(ign)}) "
     else ""
 
   // ---- parser ----
@@ -348,6 +362,17 @@ object PromQL {
       if (two == "!=" || two == "=~" || two == "!~") { i += 2; two }
       else if (peek('=')) { i += 1; "=" }
       else throw ParseError("expected matcher operator", i)
+    }
+    def peekQuote: Boolean = {
+      ws(); i < s.length && (s(i) == '"' || s(i) == '\'')
+    }
+    /** A label name in a list position: legacy identifier, or (UTF-8
+      * names, Prometheus 3) any quoted string. */
+    def labelName(): String = if (peekQuote) quoted() else ident()
+    def peekMatcherOp: Boolean = {
+      ws()
+      i < s.length && (s(i) == '=' ||
+        (s(i) == '!' && i + 1 < s.length && (s(i + 1) == '=' || s(i + 1) == '~')))
     }
     def peekNumber: Boolean = {
       ws(); i < s.length && (s(i).isDigit || s(i) == '.')
@@ -587,8 +612,8 @@ object PromQL {
     def names(): Seq[String] = {
       p.expect('(')
       val b = Seq.newBuilder[String]
-      b += p.ident()
-      while (p.opt(',')) b += p.ident()
+      b += p.labelName()
+      while (p.opt(',')) b += p.labelName()
       p.expect(')')
       b.result()
     }
@@ -635,8 +660,8 @@ object PromQL {
     def names(): Seq[String] = {
       p.expect('(')
       val b = Seq.newBuilder[String]
-      b += p.ident()
-      while (p.opt(',')) b += p.ident()
+      b += p.labelName()
+      while (p.opt(',')) b += p.labelName()
       p.expect(')')
       b.result()
     }
@@ -756,20 +781,34 @@ object PromQL {
     val ms = Seq.newBuilder[Matcher]
     metric.foreach(m => ms += Matcher.Eq("__name__", m))
     if (p.opt('{')) {
+      // Prometheus 3 UTF-8 names: a label name may be a quoted string
+      // (`{"service.name"="api"}`), and a BARE quoted string is the
+      // metric name (`{"my.metric", job="x"}`) — at most one, and not
+      // on a selector that already has a prefix name
+      var nameSet = metric.isDefined
       if (!p.peek('}')) {
-        def one(): Unit = {
-          val label = p.ident()
-          val op = p.matcherOp()
-          val v = p.quoted()
-          ms += (op match {
-            case "=" => Matcher.Eq(label, v)
-            case "!=" => Matcher.NotEq(label, v)
-            case "=~" => Matcher.Re(label, v)
-            case "!~" => Matcher.NotRe(label, v)
-          })
+        def mk(op: String, label: String, v: String): Matcher = op match {
+          case "=" => Matcher.Eq(label, v)
+          case "!=" => Matcher.NotEq(label, v)
+          case "=~" => Matcher.Re(label, v)
+          case "!~" => Matcher.NotRe(label, v)
         }
-        one()
-        while (p.opt(',')) one()
+        def item(): Unit =
+          if (p.peekQuote) {
+            val s0 = p.quoted()
+            if (p.peekMatcherOp) ms += mk(p.matcherOp(), s0, p.quoted())
+            else {
+              if (nameSet)
+                throw ParseError("metric name must not be set twice", p.offset)
+              nameSet = true
+              ms += Matcher.Eq("__name__", s0)
+            }
+          } else {
+            val label = p.ident()
+            ms += mk(p.matcherOp(), label, p.quoted())
+          }
+        item()
+        while (p.opt(',')) item()
       }
       p.expect('}')
     }

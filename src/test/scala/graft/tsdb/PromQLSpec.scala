@@ -1289,4 +1289,40 @@ class PromQLSpec extends SparkSpec {
       .select(col("`labels.user`")).as[String].collect().toSeq
     assert(desc === Seq("b", "a"))
   }
+
+  test("UTF-8 names: quoted metric and label selectors (Prometheus 3)") {
+    // parse shapes
+    val s1 = parse("""{"http.requests.total", "service.name"="api"}""")
+      .asInstanceOf[Selector]
+    assert(s1.matchers === Seq(
+      graft.model.Matcher.Eq("__name__", "http.requests.total"),
+      graft.model.Matcher.Eq("service.name", "api")))
+    val s2 = parse("""{"service.name"!~"a.*", job="x"}""").asInstanceOf[Selector]
+    assert(s2.matchers === Seq(
+      graft.model.Matcher.NotRe("service.name", "a.*"),
+      graft.model.Matcher.Eq("job", "x")))
+    // bare quoted string after a prefix name, or twice, is an error
+    intercept[ParseError](parse("""foo{"bar"}"""))
+    intercept[ParseError](parse("""{"a", "b"}"""))
+
+    // evaluation over dotted label columns (backticked under the hood)
+    val w = Seq(
+      (0L, 1.0, "http.requests.total", "api"),
+      (0L, 2.0, "http.requests.total", "db"),
+      (0L, 7.0, "other", "api")
+    ).toDF("time", "value", "labels.__name__", "labels.service.name")
+    val got = eval(
+      parse("""sum by ("service.name") ({"http.requests.total"})"""),
+      w, at = 1000L, lookbackMs = 86400000L, start = -1L, end = 10000L)
+      .select(col("`service.name`"), col("value"))
+      .collect().map(r => (r.getString(0), r.getDouble(1))).toSet
+    assert(got === Set(("api", 1.0), ("db", 2.0)))
+
+    // render quotes non-legacy names and stays a parse fixed point
+    val q = """sum by ("service.name") ({"http.requests.total", job="x"})"""
+    val e = parse(q)
+    assert(render(e) ===
+      """sum by ("service.name") ({"http.requests.total",job="x"})""")
+    assert(parse(render(e)) === e)
+  }
 }
