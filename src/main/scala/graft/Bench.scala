@@ -55,9 +55,12 @@ object Bench {
     "tsdb_q98_alert_rule", "tsdb_q96_exemplars",
     "tsdb_q100_alerts_series",
     // round-10: the remote-write wire codec (encode+decode round trip),
-    // OTLP ingest, and the block/WAL/data-dir storage round trips
+    // OTLP ingest, and the block-storage round trip. q109 (data dir =
+    // blocks + WAL + merge) stays out of the bench: it re-runs q108's
+    // dominant work and would double-count ~7 s per pass; it remains
+    // fully oracle-verified in CORRECTNESS
     "tsdb_q101_remote_write", "tsdb_q107_otlp",
-    "tsdb_q108_block_roundtrip", "tsdb_q109_datadir_roundtrip")
+    "tsdb_q108_block_roundtrip")
 
   /** 1/5/15-minute fields of /proc/loadavg (empty off-Linux). */
   private def loadavg(): Seq[Double] =
@@ -155,21 +158,26 @@ object Bench {
       }
     def totalOf(a: Seq[(String, Seq[Double], Long)]): Double =
       ingestSec + a.map(_._2.min).sum
+    // the load flag compares against BENCHNOISE's floor, which was
+    // measured for the rounds-7–9 COMMON set — so it must be computed
+    // over that same set, or every round that ADDS queries would trip it
+    val commonSet = headline.take(CommonPrefix).toSet
+    def commonOf(a: Seq[(String, Seq[Double], Long)]): Double =
+      ingestSec + a.filter(r => commonSet(r._1)).map(_._2.min).sum
 
     val loadBefore = loadavg()
     var attempts = Vector((timedAttempt(), loadavg()))
-    val loadFlagged = totalOf(attempts.head._1) > 2 * floorSec
+    val loadFlagged = commonOf(attempts.head._1) > 2 * floorSec
     if (loadFlagged) {
       System.err.println(
-        f"[bench] total ${totalOf(attempts.head._1)}%.1f s > 2x noise floor " +
-        f"($floorSec%.1f s) — ambient load suspected; sleeping 30 s and rerunning")
+        f"[bench] common-set total ${commonOf(attempts.head._1)}%.1f s > 2x " +
+        f"noise floor ($floorSec%.1f s) — ambient load suspected; " +
+        "sleeping 30 s and rerunning")
       Thread.sleep(30000)
       attempts :+= ((timedAttempt(), loadavg()))
     }
     val (best, _) = attempts.minBy { case (a, _) => totalOf(a) }
-    val commonSet = headline.take(CommonPrefix).toSet
-    val commonTotal = ingestSec +
-      best.filter(r => commonSet(r._1)).map(_._2.min).sum
+    val commonTotal = commonOf(best)
 
     val results = ("tsdb_ingest", Seq(ingestSec), 0L) +: best
     val qs = results.map { case (k, ps, _) => s""""$k":${ps.min}""" }

@@ -49,10 +49,18 @@ object TsdbBlockWriter {
       nBits += 1
       if (nBits == 8) { buf.write(cur); cur = 0; nBits = 0 }
     }
-    /** n ≤ 64 bits of v, MSB first. */
+    /** n ≤ 64 bits of v, MSB first — byte-at-a-time (a per-bit loop
+      * costs ~8× on the 64-bit first-value and raw-dod paths). */
     def writeBits(v: Long, n: Int): Unit = {
-      var i = n - 1
-      while (i >= 0) { writeBit(((v >>> i) & 1L).toInt); i -= 1 }
+      var rem = n
+      while (rem > 0) {
+        val take = math.min(8 - nBits, rem)
+        val bits = ((v >>> (rem - take)) & ((1L << take) - 1)).toInt
+        cur = (cur << take) | bits
+        nBits += take
+        if (nBits == 8) { buf.write(cur); cur = 0; nBits = 0 }
+        rem -= take
+      }
     }
     def writeByte(b: Int): Unit = writeBits(b.toLong & 0xff, 8)
     def uvarint(v: Long): Unit = {
@@ -267,12 +275,24 @@ object TsdbBlockWriter {
       iw.be32(crc32c(body, 0, body.length))
     }
 
-    // label index section: one entry per label name listing its values
-    // (symbol refs); offsets recorded for the label offset table
-    val labelNames = series.flatMap(_.labels.map(_._1)).distinct.sorted
-    val valuesByName = labelNames.map { n =>
-      n -> series.flatMap(_.labels.collect { case (`n`, v) => v }).distinct.sorted
+    // ONE pass over series builds both inverted structures — per-name
+    // value sets and per-(name,value) posting lists. (A per-pair rescan
+    // of all series is O(pairs × series) and took minutes at 10k series
+    // × 10k values; this is O(Σ labels).)
+    val valueSets =
+      scala.collection.mutable.Map[String, scala.collection.mutable.Set[String]]()
+    val postingsByPair = scala.collection.mutable.Map[(String, String),
+      scala.collection.mutable.ArrayBuffer[Long]]()
+    series.zipWithIndex.foreach { case (s, si) =>
+      s.labels.foreach { kv =>
+        valueSets.getOrElseUpdate(kv._1,
+          scala.collection.mutable.Set[String]()) += kv._2
+        postingsByPair.getOrElseUpdate(kv,
+          scala.collection.mutable.ArrayBuffer[Long]()) += seriesRefs(si)
+      }
     }
+    val labelNames = valueSets.keys.toSeq.sorted
+    val valuesByName = labelNames.map(n => n -> valueSets(n).toSeq.sorted)
     pad16()
     val labelIndicesStart = iw.size
     val labelIndexOff = scala.collection.mutable.Map[String, Long]()
@@ -306,10 +326,8 @@ object TsdbBlockWriter {
     writePostings(("", ""), seriesRefs.toSeq) // all-postings first
     valuesByName.foreach { case (name, values) =>
       values.foreach { v =>
-        val refs = series.zipWithIndex.collect {
-          case (s, si) if s.labels.contains((name, v)) => seriesRefs(si)
-        }
-        writePostings((name, v), refs)
+        // refs are already ascending: series iterate in sorted order
+        writePostings((name, v), postingsByPair((name, v)).toSeq)
       }
     }
 
