@@ -283,6 +283,30 @@ object TsdbQueries {
           col("labels").getItem("user").as("user"),
           col("labels").getItem("k").as("k"))
     }),
+    // Q110: HEAD COMPACTION — events written as a WAL (the live head's
+    // on-disk form), compacted into real blocks by the WAL-reader ∘
+    // block-writer composition (exactly what Prometheus does when the
+    // head exceeds its window), then read back from the blocks alone.
+    // Identity oracle ⇒ compaction is lossless end to end.
+    "tsdb_q110_wal_compaction" -> ((s, dir) => {
+      val long = load(s, dir, "events").select(
+        unix_millis(col("ts")).as("time"), col("value"),
+        map(lit("__name__"), col("event_type"),
+          lit("user"), col("user_id").cast("string"),
+          lit("k"), regexp_extract(col("props"), "\"k\": (\\d+)", 1))
+          .as("labels"))
+      val walDir = Tables.scratchDir("graft_q110_wal")
+      graft.sources.tsdbblock.TsdbWalWriter.write(long, walDir)
+      val root = Tables.scratchDir("graft_q110_blocks")
+      val names = graft.sources.tsdbblock.TsdbBlockWriter.compactWal(
+        s, walDir, root, blockRangeMs = 14L * 86400000L)
+      names.map(n => s.read.format("tsdb-block").load(s"$root/$n"))
+        .reduce(_ unionByName _)
+        .select(col("time"), col("value"),
+          col("labels").getItem("__name__").as("name"),
+          col("labels").getItem("user").as("user"),
+          col("labels").getItem("k").as("k"))
+    }),
     // Q13: PromQL topk() over the instant vector — the k series with the
     // highest current value (deterministic tie-break on the label set).
     // Global top-k is orderBy+limit, which Catalyst plans as
@@ -2813,6 +2837,11 @@ object TsdbQueries {
         |  regexp_extract(props, '"k": (\d+)', 1) AS k
         |FROM events""".stripMargin,
     "tsdb_q109_datadir_roundtrip" ->
+      """SELECT CAST(epoch_ms(ts) AS BIGINT) AS time, value,
+        |  event_type AS name, CAST(user_id AS VARCHAR) AS "user",
+        |  regexp_extract(props, '"k": (\d+)', 1) AS k
+        |FROM events""".stripMargin,
+    "tsdb_q110_wal_compaction" ->
       """SELECT CAST(epoch_ms(ts) AS BIGINT) AS time, value,
         |  event_type AS name, CAST(user_id AS VARCHAR) AS "user",
         |  regexp_extract(props, '"k": (\d+)', 1) AS k

@@ -432,6 +432,16 @@ object TsdbBlockWriter {
 
   // ---- Spark orchestration ------------------------------------------
 
+  /** Prometheus HEAD COMPACTION: replay a WAL directory into block
+    * directories — the operation Prometheus runs when the head exceeds
+    * its window, here as WAL reader ∘ block writer. Duplicate
+    * (series, time) pairs (possible across overlapping WAL segments)
+    * pass through; [[TsdbDb.read]] dedupes at query time, as
+    * Prometheus's storage merge does. */
+  def compactWal(spark: SparkSession, walDir: String, destRoot: String,
+                 blockRangeMs: Long = 2L * 3600 * 1000): Seq[String] =
+    write(spark.read.format("tsdb-wal").load(walDir), destRoot, blockRangeMs)
+
   /** Write the long-form frame `(time LONG ms, value DOUBLE,
     * labels MAP)` as one or more TSDB block directories under `root`,
     * sliced by `blockRangeMs` (Prometheus's 2h default). ONE shuffle:

@@ -605,12 +605,37 @@ class PromQLConformanceSpec extends SparkSpec {
     C("0m", """10 atan2 20""", """{} 0.4636476090008061""")),
     upstream = true)
 
+  // operators.test's comparison-bool family over the same http fixture:
+  // sum by (job) gives api-server 1000 / app-server 2600, so every
+  // expected value is upstream's
+  private val upstreamBoolCmp = B("upstream operators.test bool", "5m",
+    httpLoad, Seq(
+    C("50m", """sum by (job) (http_requests) == bool 1000""",
+      """{job="api-server"} 1
+        |{job="app-server"} 0"""),
+    C("50m", """sum by (job) (http_requests) != bool 1000""",
+      """{job="api-server"} 0
+        |{job="app-server"} 1"""),
+    C("50m", """sum by (job) (http_requests) > bool 1000""",
+      """{job="api-server"} 0
+        |{job="app-server"} 1"""),
+    C("50m", """sum by (job) (http_requests) >= bool 1000""",
+      """{job="api-server"} 1
+        |{job="app-server"} 1"""),
+    C("50m", """sum by (job) (http_requests) <= bool 1000""",
+      """{job="api-server"} 1
+        |{job="app-server"} 0"""),
+    C("50m", """sum by (job) (http_requests) < bool 1000""",
+      """{job="api-server"} 0
+        |{job="app-server"} 0""")), upstream = true)
+
   private val blocks = Seq(aggregators, operators, binops, functions,
     functions2, histograms, countValues, staleness, labelFns,
     upstreamOperators, upstreamGroupLeft, upstreamAggregators,
     upstreamAggregators2, upstreamChangesResets, upstreamLiterals,
     upstreamFunctions, upstreamStaleness, upstreamDocsMatching,
-    upstreamSubquery, upstreamAtModifier, upstreamDatesTrig)
+    upstreamSubquery, upstreamAtModifier, upstreamDatesTrig,
+    upstreamBoolCmp)
 
   // ---- harness ----
 
@@ -758,7 +783,7 @@ class PromQLConformanceSpec extends SparkSpec {
     // cases re-typed from Prometheus's own promqltest corpus, reported
     // separately from the handwritten sweep.
     assert(own === 118)
-    assert(ported === 75)
+    assert(ported === 81)
     assert(skips.size === 2)
     // every skip names its documented deviation
     assert(skips.forall(_.skip.nonEmpty))
