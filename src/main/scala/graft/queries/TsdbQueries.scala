@@ -307,6 +307,67 @@ object TsdbQueries {
           col("labels").getItem("user").as("user"),
           col("labels").getItem("k").as("k"))
     }),
+    // Q111: DELETE SERIES (the admin Delete API) — events written as
+    // real blocks, then two tombstone writes per block: one windowed
+    // (clicks inside [RangeStart, RangeEnd] — partial chunk overlap ⇒
+    // per-sample masking) and one whole-series (errors — every chunk
+    // fully covered ⇒ pruned at planning, never fetched). Reading the
+    // blocks back must show exactly the surviving samples; the oracle
+    // replays the deletes as SQL predicates.
+    "tsdb_q111_delete_series" -> ((s, dir) => {
+      val long = load(s, dir, "events").select(
+        unix_millis(col("ts")).as("time"), col("value"),
+        map(lit("__name__"), col("event_type"),
+          lit("user"), col("user_id").cast("string"),
+          lit("k"), regexp_extract(col("props"), "\"k\": (\\d+)", 1))
+          .as("labels"))
+      val root = Tables.scratchDir("graft_q111_blocks")
+      val names = graft.sources.tsdbblock.TsdbBlockWriter.write(
+        long, root, blockRangeMs = 7L * 86400000L)
+      names.foreach { n =>
+        graft.tsdb.TsdbAdmin.deleteSeries(s"$root/$n",
+          Seq(Matcher.Eq("__name__", "click")), RangeStart, RangeEnd)
+        graft.tsdb.TsdbAdmin.deleteSeries(s"$root/$n",
+          Seq(Matcher.Eq("__name__", "error")))
+      }
+      names.map(n => s.read.format("tsdb-block").load(s"$root/$n"))
+        .reduce(_ unionByName _)
+        .select(col("time"), col("value"),
+          col("labels").getItem("__name__").as("name"),
+          col("labels").getItem("user").as("user"),
+          col("labels").getItem("k").as("k"))
+    }),
+    // Q112: CLEAN TOMBSTONES (the admin compaction that makes deletes
+    // physical) — Q111's tombstoned blocks rewritten without the deleted
+    // data, then read back from the CLEAN blocks alone. Same oracle as
+    // Q111 ⇒ the rewrite drops exactly the stoned samples and nothing
+    // else; the new blocks carry empty tombstones (pinned in the spec).
+    "tsdb_q112_clean_tombstones" -> ((s, dir) => {
+      val long = load(s, dir, "events").select(
+        unix_millis(col("ts")).as("time"), col("value"),
+        map(lit("__name__"), col("event_type"),
+          lit("user"), col("user_id").cast("string"),
+          lit("k"), regexp_extract(col("props"), "\"k\": (\\d+)", 1))
+          .as("labels"))
+      val root = Tables.scratchDir("graft_q112_blocks")
+      val names = graft.sources.tsdbblock.TsdbBlockWriter.write(
+        long, root, blockRangeMs = 7L * 86400000L)
+      val cleanRoot = Tables.scratchDir("graft_q112_clean")
+      val cleaned = names.flatMap { n =>
+        graft.tsdb.TsdbAdmin.deleteSeries(s"$root/$n",
+          Seq(Matcher.Eq("__name__", "click")), RangeStart, RangeEnd)
+        graft.tsdb.TsdbAdmin.deleteSeries(s"$root/$n",
+          Seq(Matcher.Eq("__name__", "error")))
+        graft.tsdb.TsdbAdmin.cleanTombstones(s, s"$root/$n", cleanRoot,
+          blockRangeMs = 7L * 86400000L)
+      }
+      cleaned.map(n => s.read.format("tsdb-block").load(s"$cleanRoot/$n"))
+        .reduce(_ unionByName _)
+        .select(col("time"), col("value"),
+          col("labels").getItem("__name__").as("name"),
+          col("labels").getItem("user").as("user"),
+          col("labels").getItem("k").as("k"))
+    }),
     // Q13: PromQL topk() over the instant vector — the k series with the
     // highest current value (deterministic tie-break on the label set).
     // Global top-k is orderBy+limit, which Catalyst plans as
@@ -2846,6 +2907,22 @@ object TsdbQueries {
         |  event_type AS name, CAST(user_id AS VARCHAR) AS "user",
         |  regexp_extract(props, '"k": (\d+)', 1) AS k
         |FROM events""".stripMargin,
+    "tsdb_q111_delete_series" ->
+      s"""SELECT CAST(epoch_ms(ts) AS BIGINT) AS time, value,
+         |  event_type AS name, CAST(user_id AS VARCHAR) AS "user",
+         |  regexp_extract(props, '"k": (\\d+)', 1) AS k
+         |FROM events
+         |WHERE NOT (event_type = 'click'
+         |           AND CAST(epoch_ms(ts) AS BIGINT) BETWEEN $RangeStart AND $RangeEnd)
+         |  AND event_type <> 'error'""".stripMargin,
+    "tsdb_q112_clean_tombstones" ->
+      s"""SELECT CAST(epoch_ms(ts) AS BIGINT) AS time, value,
+         |  event_type AS name, CAST(user_id AS VARCHAR) AS "user",
+         |  regexp_extract(props, '"k": (\\d+)', 1) AS k
+         |FROM events
+         |WHERE NOT (event_type = 'click'
+         |           AND CAST(epoch_ms(ts) AS BIGINT) BETWEEN $RangeStart AND $RangeEnd)
+         |  AND event_type <> 'error'""".stripMargin,
     "tsdb_q16_schema_evolution" ->
       s"""WITH t AS (SELECT CAST(epoch_ms(ts) AS BIGINT) AS time, value,
          |  event_type AS "labels.name",

@@ -16,7 +16,12 @@ import Binary.ByteReader
 object IndexReader {
 
   final case class ChunkRef(minTime: Long, maxTime: Long, segment: Int, offset: Long)
-  final case class SeriesEntry(labels: Map[String, String], chunks: Seq[ChunkRef])
+  /** One series: label set, chunk refs, its index ref (entry offset /
+    * 16 — the id tombstones key on), and any deleted intervals attached
+    * at planning time from the block's tombstones file. */
+  final case class SeriesEntry(labels: Map[String, String], chunks: Seq[ChunkRef],
+                               ref: Long = -1L,
+                               deleted: Seq[Tombstones.Interval] = Nil)
 
   private val Magic = 0xbaaad700L
 
@@ -88,7 +93,7 @@ object IndexReader {
             c += 1
           }
         }
-        out += SeriesEntry(labels, chunks.result())
+        out += SeriesEntry(labels, chunks.result(), ref = pos.toLong / 16)
         // entry = uvarint len | content | crc32(4); next entry 16-aligned
         pos = entryEnd + 4
         pos = (pos + 15) & ~15

@@ -137,10 +137,18 @@ final class TsdbBlockScan(path: String, partitions: Int,
     // labels are series constants), prune chunks against the pushed time
     // range, drop emptied series, then round-robin series into
     // partitions to balance sample counts.
+    // Tombstones (deletion markers awaiting compaction) attach here: a
+    // chunk fully inside a deleted interval is never scheduled — the
+    // same plan-time pruning as the pushed time range — and partial
+    // overlaps mask per-sample in the reader.
+    val stones = Tombstones.read(s"$path/tombstones")
     val all = IndexReader.read(s"$path/index")
       .filter(s => matchers.forall(_(s)))
+      .map(s => stones.get(s.ref).fold(s)(ivs => s.copy(deleted = ivs)))
     val prunedSeries = all.flatMap { s =>
       val keep = s.chunks.filter(c => c.maxTime > timeLo && c.minTime < timeHi)
+        .filterNot(c => s.deleted.exists(iv =>
+          iv.mint <= c.minTime && c.maxTime <= iv.maxt))
       if (keep.isEmpty) None else Some(s.copy(chunks = keep))
     }
     val n = math.max(1, math.min(partitions, prunedSeries.size))
@@ -175,6 +183,7 @@ final class TsdbPartitionReader(path: String, part: TsdbSeriesPartition,
   private val seriesIt = part.series.iterator
   private var chunkIt: Iterator[IndexReader.ChunkRef] = Iterator.empty
   private var labelsMap: ArrayBasedMapData = _
+  private var deleted: Seq[Tombstones.Interval] = Nil
   private var ts: Array[Long] = Array.emptyLongArray
   private var vs: Array[Double] = Array.emptyDoubleArray
   private var i = 0
@@ -217,15 +226,23 @@ final class TsdbPartitionReader(path: String, part: TsdbSeriesPartition,
           keys.map(k => UTF8String.fromString(s.labels(k)))))
     }
     chunkIt = s.chunks.iterator
+    deleted = s.deleted
     true
   }
 
   override def next(): Boolean = {
-    while (i >= ts.length) {
-      if (chunkIt.hasNext) loadChunk(chunkIt.next())
-      else if (!nextSeries()) return false
+    while (true) {
+      while (i >= ts.length) {
+        if (chunkIt.hasNext) loadChunk(chunkIt.next())
+        else if (!nextSeries()) return false
+      }
+      // tombstone masking: skip samples inside a deleted interval of a
+      // chunk that only PARTIALLY overlaps it (fully-covered chunks were
+      // already pruned at planning)
+      if (deleted.isEmpty || !Tombstones.deleted(deleted, ts(i))) return true
+      i += 1
     }
-    true
+    false
   }
 
   override def get(): InternalRow = {

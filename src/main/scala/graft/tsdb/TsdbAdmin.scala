@@ -1,0 +1,83 @@
+package graft.tsdb
+
+import java.nio.charset.StandardCharsets.UTF_8
+import java.nio.file.{Files, Paths}
+import org.apache.spark.sql.SparkSession
+import graft.model.Matcher
+import graft.sources.tsdbblock.{IndexReader, Tombstones, TsdbBlockWriter}
+
+/** Prometheus's admin surface over block directories: the Delete API
+  * (`POST /api/v1/admin/tsdb/delete_series`) writes tombstones; the
+  * Clean-Tombstones API rewrites the block without the deleted data.
+  * (The reference opens stock Prometheus blocks — hello.go:50-74 — whose
+  * lifecycle includes both; SURVEY.md §2.1 S1.)
+  *
+  * Scale model: a delete touches only index-sized metadata (one driver
+  * pass over the index, a few bytes of stones per series) — sample data
+  * is untouched until the next compaction, exactly Prometheus's design,
+  * so deleting from a 100 TB corpus is O(index), not O(samples). The
+  * clean is a normal distributed block write over the masked scan.
+  */
+object TsdbAdmin {
+
+  /** Write tombstones for every series matching `matchers` whose data
+    * intersects the INCLUSIVE [mint, maxt] window — the engine analogue
+    * of delete_series. Matcher semantics are the engine's throughout:
+    * absent label ≡ "" (hello.go:339-349), regex unanchored
+    * (hello.go:311). Stones union with any already present; meta.json's
+    * `numTombstones` is refreshed. Returns the number of series stoned
+    * by THIS call. */
+  def deleteSeries(blockDir: String, matchers: Seq[Matcher],
+                   mint: Long = Long.MinValue,
+                   maxt: Long = Long.MaxValue): Int = {
+    def matches(labels: Map[String, String], m: Matcher): Boolean = {
+      val v = labels.getOrElse(m.name, "")
+      m match {
+        case Matcher.Eq(_, x) => v == x
+        case Matcher.NotEq(_, x) => v != x
+        case Matcher.Re(_, p) =>
+          java.util.regex.Pattern.compile(p).matcher(v).find()
+        case Matcher.NotRe(_, p) =>
+          !java.util.regex.Pattern.compile(p).matcher(v).find()
+      }
+    }
+    val hit = IndexReader.read(s"$blockDir/index")
+      .filter(s => matchers.forall(m => matches(s.labels, m)))
+      .filter(s => s.chunks.exists(c => c.maxTime >= mint && c.minTime <= maxt))
+    val fresh = hit.map(s =>
+      s.ref -> Seq(Tombstones.Interval(mint, maxt))).toMap
+    val path = s"$blockDir/tombstones"
+    val merged = Tombstones.union(Tombstones.read(path), fresh)
+    Tombstones.write(path, merged)
+    refreshMetaTombstoneCount(blockDir,
+      merged.valuesIterator.map(_.size.toLong).sum)
+    fresh.size
+  }
+
+  /** Rewrite the block without its tombstoned data — clean_tombstones.
+    * The masked scan is the ordinary distributed block read (pruned
+    * chunks never fetched); the write is [[TsdbBlockWriter.write]]'s
+    * one-shuffle assembly. Returns the new block names under
+    * `destRoot`; the originals are left in place (the caller — like
+    * Prometheus's compactor — swaps directories once the write lands). */
+  def cleanTombstones(spark: SparkSession, blockDir: String, destRoot: String,
+                      blockRangeMs: Long = 2L * 3600 * 1000): Seq[String] =
+    TsdbBlockWriter.write(
+      spark.read.format("tsdb-block").load(blockDir), destRoot, blockRangeMs)
+
+  /** Patch (or insert) `stats.numTombstones` in meta.json, preserving
+    * everything else byte-for-byte — the file may be reference-written. */
+  private def refreshMetaTombstoneCount(blockDir: String, n: Long): Unit = {
+    val p = Paths.get(blockDir, "meta.json")
+    if (!Files.isRegularFile(p)) return
+    val text = new String(Files.readAllBytes(p), UTF_8)
+    val patched =
+      if (text.contains("\"numTombstones\""))
+        text.replaceAll("\"numTombstones\"\\s*:\\s*\\d+",
+          s""""numTombstones": $n""")
+      else
+        text.replaceFirst("(\"numChunks\"\\s*:\\s*\\d+)",
+          s"""$$1,\n\t\t"numTombstones": $n""")
+    Files.write(p, patched.getBytes(UTF_8))
+  }
+}
