@@ -307,6 +307,33 @@ object TsdbQueries {
           col("labels").getItem("user").as("user"),
           col("labels").getItem("k").as("k"))
     }),
+    // Q113: WAL CHECKPOINT + TRUNCATION — the head-GC twin of Q110's
+    // compaction: a first batch of segments is folded into a
+    // checkpoint.N directory (series records kept, samples before the
+    // keep horizon dropped, folded segments deleted), a second batch
+    // then APPENDS new segments past N, and the reader replays
+    // checkpoint-then-segments — the exact layout a long-running
+    // Prometheus leaves behind. Oracle: everything at/after the horizon.
+    "tsdb_q113_wal_checkpoint" -> ((s, dir) => {
+      val long = load(s, dir, "events").select(
+        unix_millis(col("ts")).as("time"), col("value"),
+        map(lit("__name__"), col("event_type"),
+          lit("user"), col("user_id").cast("string"),
+          lit("k"), regexp_extract(col("props"), "\"k\": (\\d+)", 1))
+          .as("labels"))
+      val walDir = Tables.scratchDir("graft_q113_wal")
+      graft.sources.tsdbblock.TsdbWalWriter.write(
+        long.where(col("time") < lit(RangeEnd)), walDir)
+      graft.sources.tsdbblock.TsdbWalWriter.checkpoint(
+        s, walDir, keepTime = RangeStart)
+      graft.sources.tsdbblock.TsdbWalWriter.write(
+        long.where(col("time") >= lit(RangeEnd)), walDir)
+      s.read.format("tsdb-wal").load(walDir)
+        .select(col("time"), col("value"),
+          col("labels").getItem("__name__").as("name"),
+          col("labels").getItem("user").as("user"),
+          col("labels").getItem("k").as("k"))
+    }),
     // Q111: DELETE SERIES (the admin Delete API) — events written as
     // real blocks, then two tombstone writes per block: one windowed
     // (clicks inside [RangeStart, RangeEnd] — partial chunk overlap ⇒
@@ -2907,6 +2934,12 @@ object TsdbQueries {
         |  event_type AS name, CAST(user_id AS VARCHAR) AS "user",
         |  regexp_extract(props, '"k": (\d+)', 1) AS k
         |FROM events""".stripMargin,
+    "tsdb_q113_wal_checkpoint" ->
+      s"""SELECT CAST(epoch_ms(ts) AS BIGINT) AS time, value,
+         |  event_type AS name, CAST(user_id AS VARCHAR) AS "user",
+         |  regexp_extract(props, '"k": (\\d+)', 1) AS k
+         |FROM events
+         |WHERE CAST(epoch_ms(ts) AS BIGINT) >= $RangeStart""".stripMargin,
     "tsdb_q111_delete_series" ->
       s"""SELECT CAST(epoch_ms(ts) AS BIGINT) AS time, value,
          |  event_type AS name, CAST(user_id AS VARCHAR) AS "user",

@@ -132,16 +132,32 @@ object TsdbWalWriter {
 
   private val SamplesPerRecord = 500
 
+  /** The next free segment index of a WAL dir: past both the live
+    * segments and the latest checkpoint (a fresh segment must never
+    * reuse an index a checkpoint already covers). */
+  private def nextSegmentIndex(walDir: String): Int = {
+    val files = Option(new java.io.File(walDir).listFiles())
+      .getOrElse(Array.empty)
+    val live = files.filter(f => f.isFile && f.getName.forall(_.isDigit))
+      .map(_.getName.toInt)
+    val cp = files.filter(f => f.isDirectory && f.getName.startsWith("checkpoint."))
+      .flatMap(_.getName.stripPrefix("checkpoint.").toIntOption)
+    ((live ++ cp) :+ -1).max + 1
+  }
+
   /** Write the long-form frame `(time LONG ms, value DOUBLE,
     * labels MAP)` as a WAL directory: ONE shuffle groups samples into
     * series; each task writes one self-contained segment (its series
-    * records, then time-ordered samples records). Segment names are the
-    * task's 8-digit index; refs fold the segment index into the high
-    * bits for global uniqueness. Returns the segment count. */
+    * records, then time-ordered samples records). Segment names continue
+    * the dir's numbering (append semantics — a second batch lands after
+    * existing segments and checkpoints); refs fold the segment index
+    * into the high bits for global uniqueness. Returns the segment
+    * count written by this call. */
   def write(df: DataFrame, walDir: String, partitions: Int = 4): Int = {
     val spark = df.sparkSession
     import spark.implicits._
     Files.createDirectories(Paths.get(walDir))
+    val base = nextSegmentIndex(walDir)
     val grouped = df
       .groupBy(array_sort(transform(map_entries(col("labels")),
           e => struct(e.getField("key").as("_1"), e.getField("value").as("_2"))))
@@ -151,12 +167,12 @@ object TsdbWalWriter {
       .repartition(partitions)
       .as[(Seq[(String, String)], Seq[(Long, Double)])]
     val segs = grouped.mapPartitions { it =>
-      val pid = org.apache.spark.TaskContext.getPartitionId()
+      val seg = base + org.apache.spark.TaskContext.getPartitionId()
       val series = it.toSeq
       if (series.isEmpty) Iterator.empty
       else {
         val withRefs = series.zipWithIndex.map { case ((labels, samples), i) =>
-          ((pid.toLong << 32) | (i.toLong + 1), labels, samples)
+          ((seg.toLong << 32) | (i.toLong + 1), labels, samples)
         }
         val seriesRecs = withRefs.grouped(1000).map(g =>
           seriesRecord(g.map(s => (s._1, s._2))))
@@ -164,11 +180,81 @@ object TsdbWalWriter {
           samples.grouped(SamplesPerRecord).map(g =>
             samplesRecord(g.map { case (t, v) => (ref, t, v) }))
         }
-        val path = f"$walDir/$pid%08d"
+        val path = f"$walDir/$seg%08d"
         writeSegment(path, seriesRecs ++ sampleRecs)
         Iterator.single(path)
       }
     }.collect()
     segs.length
+  }
+
+  // ---- checkpointing --------------------------------------------------
+
+  /** Prometheus WAL CHECKPOINTING (`tsdb/wlog.Checkpoint`): fold the
+    * segments with index ≤ `through` into a `checkpoint.<through>`
+    * directory, dropping samples older than `keepTime` and keeping every
+    * series record (Prometheus additionally drops series no longer live
+    * in the head — an optimization, not a correctness requirement; a
+    * read-path engine has no liveness oracle, and extra series records
+    * are invisible to replay). The folded segments are then deleted,
+    * exactly the truncation Prometheus performs after a successful
+    * checkpoint.
+    *
+    * Scale model: segments are independent — one Spark task filters one
+    * segment into one same-named file inside the checkpoint dir (replay
+    * order is preserved by the file numbering), so checkpointing a
+    * 100 TB WAL distributes with zero coordination. The dir is assembled
+    * under a `.tmp` name and renamed only when complete, Prometheus's
+    * own crash-safety protocol.
+    *
+    * Returns the number of segments folded (0 ⇒ nothing to do). */
+  def checkpoint(spark: org.apache.spark.sql.SparkSession, walDir: String,
+                 keepTime: Long, through: Int = Int.MaxValue): Int = {
+    val folded = WalReader.segments(walDir).filter { p =>
+      val f = new java.io.File(p)
+      // fold live segments ≤ through; a previous checkpoint's contents
+      // fold unconditionally (they are by definition older than any
+      // live segment being folded)
+      f.getParentFile.getName.startsWith("checkpoint.") ||
+        f.getName.toInt <= through
+    }
+    val live = folded.filterNot(p =>
+      new java.io.File(p).getParentFile.getName.startsWith("checkpoint."))
+    if (live.isEmpty) return 0 // nothing new to fold
+    val cpIndex = live.map(p => new java.io.File(p).getName.toInt).max
+    val tmpStr = Paths.get(walDir, f"checkpoint.$cpIndex%08d.tmp").toString
+    Files.createDirectories(Paths.get(tmpStr))
+    // one task per segment: decode records, keep series records whole,
+    // re-encode samples records without the pre-keepTime samples.
+    // Checkpoint-internal files keep their names but can collide with a
+    // live segment's (both start at 0) — prefix-disambiguate by source
+    // order, which is exactly replay order.
+    val indexed = folded.zipWithIndex
+    spark.sparkContext.parallelize(indexed, indexed.size).foreach {
+      case (seg, i) =>
+        val kept = WalReader.records(seg).flatMap { rec =>
+          if (rec.isEmpty) None
+          else if (rec(0) == 2) {
+            val samples = WalReader.samplesOfRecord(rec)
+              .filter(_.time >= keepTime)
+            if (samples.isEmpty) None
+            else Some(samplesRecord(samples.map(s => (s.ref, s.time, s.value))))
+          } else Some(rec) // series + unknown kinds pass through
+        }
+        writeSegment(f"$tmpStr/$i%08d", kept)
+    }
+    val tmp = Paths.get(tmpStr)
+    val finalDir = Paths.get(walDir, f"checkpoint.$cpIndex%08d")
+    Files.move(tmp, finalDir,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    // truncate: drop the folded segments (and any superseded checkpoint)
+    folded.foreach(p => Files.deleteIfExists(Paths.get(p)))
+    Option(new java.io.File(walDir).listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isDirectory && f.getName.startsWith("checkpoint.") &&
+        f.getName.stripPrefix("checkpoint.").toIntOption.exists(_ < cpIndex))
+      .foreach { d =>
+        d.listFiles().foreach(_.delete()); d.delete()
+      }
+    live.size
   }
 }

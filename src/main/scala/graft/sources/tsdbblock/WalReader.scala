@@ -28,11 +28,28 @@ object WalReader {
   private val SnappyFlag = 0x08
   private val ZstdFlag = 0x10 // Prometheus ≥2.50; we don't ship zstd — reject loudly
 
-  /** Segment file paths of a WAL directory, in replay order. */
+  /** Segment file paths of a WAL directory, in replay order — the
+    * Prometheus WAL replay contract: the LATEST `checkpoint.NNNNNNNN`
+    * directory first (it replaces every segment with index ≤ N; older
+    * checkpoint dirs are deletion leftovers and are ignored), then the
+    * live segments with index > N. */
   def segments(walDir: String): Seq[String] = {
     val dir = new java.io.File(walDir)
-    dir.listFiles()
-      .filter(f => f.isFile && f.getName.forall(_.isDigit))
+    val files = dir.listFiles()
+    val cp = files
+      .filter(f => f.isDirectory && f.getName.startsWith("checkpoint."))
+      .flatMap(f => f.getName.stripPrefix("checkpoint.").toIntOption
+        .map(_ -> f))
+      .sortBy(_._1).lastOption
+    val cpSegments = cp.toSeq.flatMap { case (_, d) =>
+      d.listFiles()
+        .filter(f => f.isFile && f.getName.forall(_.isDigit))
+        .sortBy(_.getName.toInt).map(_.getPath).toSeq
+    }
+    val after = cp.map(_._1).getOrElse(-1)
+    cpSegments ++ files
+      .filter(f => f.isFile && f.getName.forall(_.isDigit) &&
+        f.getName.toInt > after)
       .sortBy(_.getName.toInt)
       .map(_.getPath).toSeq
   }
@@ -129,24 +146,24 @@ object WalReader {
 
   /** Decode every float sample of one segment. */
   def samples(segmentPath: String): Iterator[WalSample] =
-    records(segmentPath).flatMap { rec =>
-      if (rec.isEmpty || rec(0) != 2) Iterator.empty
-      else {
-        val r = new ByteReader(rec, 1)
-        if (r.pos >= rec.length) Iterator.empty
-        else {
-          val baseRef = r.be64()
-          val baseTime = r.be64() // int64 BE
-          val out = mutable.ArrayBuffer.empty[WalSample]
-          while (r.pos < rec.length) {
-            val dref = r.varint()
-            val dtime = r.varint()
-            val vbits = r.be64()
-            out += WalSample(baseRef + dref, baseTime + dtime,
-              java.lang.Double.longBitsToDouble(vbits))
-          }
-          out.iterator
-        }
-      }
+    records(segmentPath).flatMap(samplesOfRecord(_).iterator)
+
+  /** The float samples of ONE reassembled record (empty for other
+    * record kinds). */
+  def samplesOfRecord(rec: Array[Byte]): Seq[WalSample] = {
+    if (rec.isEmpty || rec(0) != 2) return Nil
+    val r = new ByteReader(rec, 1)
+    if (r.pos >= rec.length) return Nil
+    val baseRef = r.be64()
+    val baseTime = r.be64() // int64 BE
+    val out = mutable.ArrayBuffer.empty[WalSample]
+    while (r.pos < rec.length) {
+      val dref = r.varint()
+      val dtime = r.varint()
+      val vbits = r.be64()
+      out += WalSample(baseRef + dref, baseTime + dtime,
+        java.lang.Double.longBitsToDouble(vbits))
     }
+    out.toSeq
+  }
 }
