@@ -334,6 +334,81 @@ object TsdbQueries {
           col("labels").getItem("user").as("user"),
           col("labels").getItem("k").as("k"))
     }),
+    // Q114: WAL EXEMPLARS (record kind 4) — samples written as a WAL,
+    // then the high-value samples appended as kind-4 exemplar records
+    // (trace ids from the portable hash family, refs resolved against
+    // the WAL's own series records), read back with series labels
+    // re-joined. Same derivation contract as Q96, THROUGH the on-disk
+    // wire format.
+    "tsdb_q114_wal_exemplars" -> ((s, dir) => {
+      val long = load(s, dir, "events").select(
+        unix_millis(col("ts")).as("time"), col("value"),
+        map(lit("__name__"), col("event_type"),
+          lit("user"), col("user_id").cast("string"),
+          lit("k"), regexp_extract(col("props"), "\"k\": (\\d+)", 1))
+          .as("labels"))
+      val walDir = Tables.scratchDir("graft_q114_wal")
+      graft.sources.tsdbblock.TsdbWalWriter.write(long, walDir)
+      // Q96's trace-id key (label values in label-NAME order k, name,
+      // user — the wide-schema sort — then the timestamp)
+      val key = concat_ws(":",
+        col("labels").getItem("k"), col("labels").getItem("__name__"),
+        col("labels").getItem("user"), col("time").cast("string"))
+      val ex = long.where(col("value") > 150.0)
+        .withColumn("exemplar",
+          map(lit("trace_id"), lower(hex(graft.functions.Hashing.hash64(key)))))
+      graft.sources.tsdbblock.TsdbWalWriter.writeExemplars(ex, walDir)
+      graft.sources.tsdbblock.TsdbWalRecords.readExemplars(s, walDir)
+        .select(col("time"), col("value"),
+          col("labels").getItem("__name__").as("name"),
+          col("labels").getItem("user").as("user"),
+          col("labels").getItem("k").as("k"),
+          col("exemplar").getItem("trace_id").as("trace_id"))
+    }),
+    // Q115: WAL METRIC METADATA (record kind 6) — type/unit/help
+    // attached to every series of each metric through the on-disk
+    // format, read back as the /api/v1/metadata view (distinct per
+    // metric). Metadata is label-universe-sized end to end.
+    "tsdb_q115_wal_metadata" -> ((s, dir) => {
+      val long = load(s, dir, "events").select(
+        unix_millis(col("ts")).as("time"), col("value"),
+        map(lit("__name__"), col("event_type"),
+          lit("user"), col("user_id").cast("string"))
+          .as("labels"))
+      val walDir = Tables.scratchDir("graft_q115_wal")
+      graft.sources.tsdbblock.TsdbWalWriter.write(long, walDir)
+      val metrics = long.select(col("labels").getItem("__name__"))
+        .distinct().collect().map(_.getString(0)) // bounded: metric universe
+      graft.sources.tsdbblock.TsdbWalWriter.writeMetadata(walDir,
+        metrics.map(n => n -> ((2, "events", s"Event metric $n"))).toMap)
+      graft.sources.tsdbblock.TsdbWalRecords.readMetadata(s, walDir)
+    }),
+    // Q116: WAL TOMBSTONES (record kind 3) — the head's delete path:
+    // kind-3 stones appended for error series (all time) and click
+    // series (the Q111 window), masking replay WITHOUT touching sample
+    // records. Same oracle as Q111 ⇒ head deletes ≡ block deletes.
+    "tsdb_q116_wal_delete" -> ((s, dir) => {
+      val long = load(s, dir, "events").select(
+        unix_millis(col("ts")).as("time"), col("value"),
+        map(lit("__name__"), col("event_type"),
+          lit("user"), col("user_id").cast("string"),
+          lit("k"), regexp_extract(col("props"), "\"k\": (\\d+)", 1))
+          .as("labels"))
+      val walDir = Tables.scratchDir("graft_q116_wal")
+      graft.sources.tsdbblock.TsdbWalWriter.write(long, walDir)
+      val dict = graft.sources.tsdbblock.WalReader.seriesDict(walDir)
+      val stones =
+        dict.collect { case (ref, l) if l.get("__name__").contains("error") =>
+          (ref, Long.MinValue, Long.MaxValue) }.toSeq ++
+        dict.collect { case (ref, l) if l.get("__name__").contains("click") =>
+          (ref, RangeStart, RangeEnd) }
+      graft.sources.tsdbblock.TsdbWalWriter.writeStones(walDir, stones)
+      s.read.format("tsdb-wal").load(walDir)
+        .select(col("time"), col("value"),
+          col("labels").getItem("__name__").as("name"),
+          col("labels").getItem("user").as("user"),
+          col("labels").getItem("k").as("k"))
+    }),
     // Q111: DELETE SERIES (the admin Delete API) — events written as
     // real blocks, then two tombstone writes per block: one windowed
     // (clicks inside [RangeStart, RangeEnd] — partial chunk overlap ⇒
@@ -2940,6 +3015,28 @@ object TsdbQueries {
          |  regexp_extract(props, '"k": (\\d+)', 1) AS k
          |FROM events
          |WHERE CAST(epoch_ms(ts) AS BIGINT) >= $RangeStart""".stripMargin,
+    "tsdb_q114_wal_exemplars" ->
+      s"""SELECT CAST(epoch_ms(ts) AS BIGINT) AS time, value,
+         |  event_type AS name, CAST(user_id AS VARCHAR) AS "user",
+         |  regexp_extract(props, '"k": (\\d+)', 1) AS k,
+         |  ${graft.tsdb.Exemplars.duckTraceId(
+              Seq("regexp_extract(props, '\"k\": (\\d+)', 1)", "event_type",
+                "CAST(user_id AS VARCHAR)"),
+              "CAST(epoch_ms(ts) AS BIGINT)")} AS trace_id
+         |FROM events
+         |WHERE value > 150.0""".stripMargin,
+    "tsdb_q115_wal_metadata" ->
+      """SELECT DISTINCT event_type AS metric, 'gauge' AS type,
+        |  'events' AS unit, 'Event metric ' || event_type AS help
+        |FROM events""".stripMargin,
+    "tsdb_q116_wal_delete" ->
+      s"""SELECT CAST(epoch_ms(ts) AS BIGINT) AS time, value,
+         |  event_type AS name, CAST(user_id AS VARCHAR) AS "user",
+         |  regexp_extract(props, '"k": (\\d+)', 1) AS k
+         |FROM events
+         |WHERE NOT (event_type = 'click'
+         |           AND CAST(epoch_ms(ts) AS BIGINT) BETWEEN $RangeStart AND $RangeEnd)
+         |  AND event_type <> 'error'""".stripMargin,
     "tsdb_q111_delete_series" ->
       s"""SELECT CAST(epoch_ms(ts) AS BIGINT) AS time, value,
          |  event_type AS name, CAST(user_id AS VARCHAR) AS "user",

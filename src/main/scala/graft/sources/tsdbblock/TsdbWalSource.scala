@@ -49,7 +49,8 @@ final class TsdbWalScanBuilder(path: String)
 }
 
 final case class TsdbWalPartition(
-    segment: String, dict: Map[Long, Map[String, String]]) extends InputPartition
+    segment: String, dict: Map[Long, Map[String, String]],
+    stones: Map[Long, Seq[Tombstones.Interval]]) extends InputPartition
 
 final class TsdbWalScan(path: String, required: StructType)
     extends Scan with Batch {
@@ -60,8 +61,11 @@ final class TsdbWalScan(path: String, required: StructType)
 
   override def planInputPartitions(): Array[InputPartition] = {
     val dict = WalReader.seriesDict(path)
+    // head tombstones (kind-3 records) mask replay — same driver-side
+    // metadata pass as the series dict
+    val stones = WalReader.stoneDict(path)
     WalReader.segments(path)
-      .map(seg => TsdbWalPartition(seg, dict): InputPartition).toArray
+      .map(seg => TsdbWalPartition(seg, dict, stones): InputPartition).toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory = {
@@ -74,6 +78,8 @@ final class TsdbWalScan(path: String, required: StructType)
           scala.collection.mutable.Map.empty[Long, ArrayBasedMapData]
         private val it = WalReader.samples(p.segment)
           .filter(s => p.dict.contains(s.ref)) // orphan refs: dropped
+          .filterNot(s => p.stones.get(s.ref)
+            .exists(Tombstones.deleted(_, s.time)))
         private var cur: WalReader.WalSample = _
 
         override def next(): Boolean = {
@@ -109,6 +115,56 @@ final class TsdbWalScan(path: String, required: StructType)
         override def close(): Unit = ()
       }
     }
+  }
+}
+
+/** Long-form views over a WAL's NON-sample record kinds — exemplars
+  * (kind 4) and metric metadata (kind 6). Same distribution model as
+  * the sample scan: the driver reads only the tiny series records for
+  * the ref→labels dictionary, one task decodes one segment. */
+object TsdbWalRecords {
+  import org.apache.spark.sql.{DataFrame, SparkSession}
+
+  /** Exemplars with their owning series' labels resolved:
+    * `(time LONG, value DOUBLE, labels MAP, exemplar MAP)` — the WAL
+    * twin of [[graft.tsdb.Exemplars]]' table. Orphan refs drop, as in
+    * the sample path. */
+  def readExemplars(spark: SparkSession, walDir: String): DataFrame = {
+    import spark.implicits._
+    val dictB = spark.sparkContext.broadcast(WalReader.seriesDict(walDir))
+    val segs = WalReader.segments(walDir)
+    spark.sparkContext.parallelize(segs, math.max(1, segs.size))
+      .flatMap { seg =>
+        val d = dictB.value
+        WalReader.exemplars(seg).flatMap(e =>
+          d.get(e.ref).map(lbls => (e.time, e.value, lbls, e.labels)))
+      }
+      .toDF("time", "value", "labels", "exemplar")
+  }
+
+  private val TypeNames = Array("unknown", "counter", "gauge", "histogram",
+    "gaugehistogram", "summary", "info", "stateset")
+
+  /** The `/api/v1/metadata` view: DISTINCT (metric, type, unit, help)
+    * resolved through the series dictionary. Metadata volume is
+    * label-universe-sized, so the per-segment decode is metadata-only
+    * work; the distinct is a tiny shuffle. */
+  def readMetadata(spark: SparkSession, walDir: String): DataFrame = {
+    import spark.implicits._
+    val dictB = spark.sparkContext.broadcast(WalReader.seriesDict(walDir))
+    val segs = WalReader.segments(walDir)
+    spark.sparkContext.parallelize(segs, math.max(1, segs.size))
+      .flatMap { seg =>
+        val d = dictB.value
+        WalReader.metadata(seg).flatMap(m =>
+          d.get(m.ref).map { lbls =>
+            (lbls.getOrElse("__name__", ""),
+              TypeNames.lift(m.metricType).getOrElse("unknown"),
+              m.fields.getOrElse("unit", ""), m.fields.getOrElse("help", ""))
+          })
+      }
+      .toDF("metric", "type", "unit", "help")
+      .distinct()
   }
 }
 

@@ -80,6 +80,80 @@ object TsdbWalWriter {
     b.toByteArray
   }
 
+  /** Tombstones record (kind 3): flat (ref BE64, mint/maxt varint)
+    * triples — inclusive intervals, the WAL twin of the tombstones
+    * file. */
+  def tombstonesRecord(stones: Seq[(Long, Long, Long)]): Array[Byte] = {
+    val b = new java.io.ByteArrayOutputStream()
+    def be64(v: Long): Unit = { var i = 56; while (i >= 0) { b.write(((v >>> i) & 0xff).toInt); i -= 8 } }
+    def uvarint(v: Long): Unit = {
+      var x = v
+      while ((x & ~0x7fL) != 0) { b.write(((x & 0x7f) | 0x80).toInt); x >>>= 7 }
+      b.write(x.toInt)
+    }
+    def varint(v: Long): Unit = uvarint((v << 1) ^ (v >> 63))
+    b.write(3)
+    stones.foreach { case (ref, mint, maxt) =>
+      be64(ref); varint(mint); varint(maxt)
+    }
+    b.toByteArray
+  }
+
+  /** Exemplars record (kind 4): the samples framing (base ref/time
+    * BE64, zigzag deltas, raw float bits) plus each exemplar's own
+    * label set (uvarint count, uvarint-len strings). */
+  def exemplarRecord(
+      exemplars: Seq[(Long, Long, Double, Seq[(String, String)])]): Array[Byte] = {
+    require(exemplars.nonEmpty, "empty exemplar record")
+    val b = new java.io.ByteArrayOutputStream()
+    def be64(v: Long): Unit = { var i = 56; while (i >= 0) { b.write(((v >>> i) & 0xff).toInt); i -= 8 } }
+    def uvarint(v: Long): Unit = {
+      var x = v
+      while ((x & ~0x7fL) != 0) { b.write(((x & 0x7f) | 0x80).toInt); x >>>= 7 }
+      b.write(x.toInt)
+    }
+    def varint(v: Long): Unit = uvarint((v << 1) ^ (v >> 63))
+    def str(s: String): Unit = {
+      val sb = s.getBytes(UTF_8)
+      uvarint(sb.length.toLong); b.write(sb, 0, sb.length)
+    }
+    b.write(4)
+    val (baseRef, baseTime, _, _) = exemplars.head
+    be64(baseRef); be64(baseTime)
+    exemplars.foreach { case (ref, t, v, labels) =>
+      varint(ref - baseRef)
+      varint(t - baseTime)
+      be64(java.lang.Double.doubleToLongBits(v))
+      uvarint(labels.size.toLong)
+      labels.foreach { case (k, value) => str(k); str(value) }
+    }
+    b.toByteArray
+  }
+
+  /** Metadata record (kind 6): repeated (series ref uvarint,
+    * metric-type byte, field count, k/v strings — conventionally
+    * `unit` and `help`). */
+  def metadataRecord(
+      entries: Seq[(Long, Int, Seq[(String, String)])]): Array[Byte] = {
+    val b = new java.io.ByteArrayOutputStream()
+    def uvarint(v: Long): Unit = {
+      var x = v
+      while ((x & ~0x7fL) != 0) { b.write(((x & 0x7f) | 0x80).toInt); x >>>= 7 }
+      b.write(x.toInt)
+    }
+    def str(s: String): Unit = {
+      val sb = s.getBytes(UTF_8)
+      uvarint(sb.length.toLong); b.write(sb, 0, sb.length)
+    }
+    b.write(6)
+    entries.foreach { case (ref, typ, fields) =>
+      uvarint(ref); b.write(typ & 0xff)
+      uvarint(fields.size.toLong)
+      fields.foreach { case (k, v) => str(k); str(v) }
+    }
+    b.toByteArray
+  }
+
   // ---- page/fragment framing ----------------------------------------
 
   /** Frame whole records into 32 KiB pages: fragments sized to the page
@@ -188,6 +262,81 @@ object TsdbWalWriter {
     segs.length
   }
 
+  /** Append EXEMPLARS to an existing WAL: each exemplar row
+    * `(time LONG, value DOUBLE, labels MAP, exemplar MAP)` is resolved
+    * to the ref of the series its `labels` name (from the WAL's own
+    * series records — driver-side dict, series-universe-sized, then
+    * broadcast) and encoded as kind-4 records in fresh segments, one
+    * per task. Exemplars whose series is absent from the WAL are
+    * dropped (an exemplar annotates an existing series by contract).
+    * Returns the number of exemplars written. */
+  def writeExemplars(df: DataFrame, walDir: String, partitions: Int = 2): Long = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val inv: Map[Seq[(String, String)], Long] =
+      WalReader.seriesDict(walDir).map { case (ref, labels) =>
+        labels.toSeq.sorted -> ref
+      }
+    val invB = spark.sparkContext.broadcast(inv)
+    val base = nextSegmentIndex(walDir)
+    val rows = df.select(
+      col("time"), col("value"),
+      array_sort(transform(map_entries(col("labels")),
+        e => struct(e.getField("key").as("_1"), e.getField("value").as("_2"))))
+        .as("labels"),
+      array_sort(transform(map_entries(col("exemplar")),
+        e => struct(e.getField("key").as("_1"), e.getField("value").as("_2"))))
+        .as("exemplar"))
+      .as[(Long, Double, Seq[(String, String)], Seq[(String, String)])]
+      .repartition(partitions)
+    val counts = rows.mapPartitions { it =>
+      val seg = base + org.apache.spark.TaskContext.getPartitionId()
+      val dict = invB.value
+      val resolved = it.flatMap { case (t, v, labels, ex) =>
+        dict.get(labels).map(ref => (ref, t, v, ex))
+      }.toSeq.sortBy(e => (e._1, e._2))
+      if (resolved.isEmpty) Iterator.empty
+      else {
+        writeSegment(f"$walDir/$seg%08d",
+          resolved.grouped(SamplesPerRecord).map(exemplarRecord))
+        Iterator.single(resolved.size.toLong)
+      }
+    }.collect()
+    counts.sum
+  }
+
+  /** Append metric METADATA (kind 6) to an existing WAL: one record
+    * attaching (type, unit, help) to every series ref of each metric
+    * name. Driver-side — metadata is label-universe-sized, the same
+    * class as the index walk. Returns the number of (ref, metadata)
+    * entries written. */
+  def writeMetadata(walDir: String,
+                    byMetric: Map[String, (Int, String, String)]): Int = {
+    val dict = WalReader.seriesDict(walDir)
+    val entries = dict.toSeq.sortBy(_._1).flatMap { case (ref, labels) =>
+      byMetric.get(labels.getOrElse("__name__", "")).map {
+        case (typ, unit, help) =>
+          (ref, typ, Seq("unit" -> unit, "help" -> help))
+      }
+    }
+    if (entries.isEmpty) return 0
+    val seg = nextSegmentIndex(walDir)
+    writeSegment(f"$walDir/$seg%08d",
+      entries.grouped(1000).map(metadataRecord))
+    entries.size
+  }
+
+  /** Append TOMBSTONES (kind 3) to an existing WAL — the head's delete
+    * path: stones reference series refs and mask replay immediately
+    * (the WAL source applies them), without touching sample records.
+    * Driver-side, metadata-sized. */
+  def writeStones(walDir: String, stones: Seq[(Long, Long, Long)]): Unit = {
+    if (stones.isEmpty) return
+    val seg = nextSegmentIndex(walDir)
+    writeSegment(f"$walDir/$seg%08d",
+      stones.grouped(1000).map(tombstonesRecord))
+  }
+
   // ---- checkpointing --------------------------------------------------
 
   /** Prometheus WAL CHECKPOINTING (`tsdb/wlog.Checkpoint`): fold the
@@ -234,12 +383,26 @@ object TsdbWalWriter {
       case (seg, i) =>
         val kept = WalReader.records(seg).flatMap { rec =>
           if (rec.isEmpty) None
-          else if (rec(0) == 2) {
-            val samples = WalReader.samplesOfRecord(rec)
-              .filter(_.time >= keepTime)
-            if (samples.isEmpty) None
-            else Some(samplesRecord(samples.map(s => (s.ref, s.time, s.value))))
-          } else Some(rec) // series + unknown kinds pass through
+          else rec(0) match {
+            case 2 =>
+              val samples = WalReader.samplesOfRecord(rec)
+                .filter(_.time >= keepTime)
+              if (samples.isEmpty) None
+              else Some(samplesRecord(samples.map(s => (s.ref, s.time, s.value))))
+            case 4 =>
+              val kept = WalReader.exemplarsOfRecord(rec)
+                .filter(_.time >= keepTime)
+              if (kept.isEmpty) None
+              else Some(exemplarRecord(kept.map(e =>
+                (e.ref, e.time, e.value, e.labels.toSeq.sorted))))
+            case 3 =>
+              // a stone wholly before the horizon masks nothing anymore
+              val kept = WalReader.stonesOfRecord(rec)
+                .filter(_.maxt >= keepTime)
+              if (kept.isEmpty) None
+              else Some(tombstonesRecord(kept.map(s => (s.ref, s.mint, s.maxt))))
+            case _ => Some(rec) // series, metadata, unknown: pass through
+          }
         }
         writeSegment(f"$tmpStr/$i%08d", kept)
     }

@@ -16,13 +16,24 @@ import Binary.ByteReader
   * payloads we decode: Series (=1): repeated (ref BE64, uvarint #labels,
   * uvarint-len name/value strings); Samples (=2): base (ref BE64,
   * time BE64) then repeated (ref delta varint, time delta varint,
-  * value BE64 float bits). Other kinds (tombstones, exemplars,
-  * histograms, metadata) are skipped.
+  * value BE64 float bits); Tombstones (=3): (ref BE64, mint/maxt
+  * varint) triples; Exemplars (=4): samples framing + per-exemplar
+  * label set; Metadata (=6): (ref uvarint, type byte, field strings).
+  * Native-histogram kinds (7/8) are skipped.
   */
 object WalReader {
 
   final case class WalSeries(ref: Long, labels: Map[String, String])
   final case class WalSample(ref: Long, time: Long, value: Double)
+  /** Exemplar (kind 4): a sample annotated with its own label set
+    * (conventionally `trace_id`), owned by series `ref`. */
+  final case class WalExemplar(ref: Long, time: Long, value: Double,
+                               labels: Map[String, String])
+  /** Tombstone (kind 3): delete series `ref` in INCLUSIVE [mint, maxt]. */
+  final case class WalStone(ref: Long, mint: Long, maxt: Long)
+  /** Metric metadata (kind 6): type byte + fields (unit/help). */
+  final case class WalMetadata(ref: Long, metricType: Int,
+                               fields: Map[String, String])
 
   private val PageSize = 32 * 1024
   private val SnappyFlag = 0x08
@@ -147,6 +158,80 @@ object WalReader {
   /** Decode every float sample of one segment. */
   def samples(segmentPath: String): Iterator[WalSample] =
     records(segmentPath).flatMap(samplesOfRecord(_).iterator)
+
+  private def readLabels(r: ByteReader): Map[String, String] = {
+    val n = r.uvarint().toInt
+    (0 until n).map { _ =>
+      val k = new String(r.bytes(r.uvarint().toInt), "UTF-8")
+      val v = new String(r.bytes(r.uvarint().toInt), "UTF-8")
+      k -> v
+    }.toMap
+  }
+
+  /** Exemplar records (kind 4) of one segment — framed like samples
+    * (base ref/time BE64, zigzag deltas) with a trailing label set per
+    * exemplar. */
+  def exemplars(segmentPath: String): Iterator[WalExemplar] =
+    records(segmentPath).flatMap(exemplarsOfRecord(_).iterator)
+
+  /** The exemplars of ONE reassembled record (empty for other kinds). */
+  def exemplarsOfRecord(rec: Array[Byte]): Seq[WalExemplar] = {
+    if (rec.isEmpty || rec(0) != 4) return Nil
+    val r = new ByteReader(rec, 1)
+    if (r.pos >= rec.length) return Nil
+    val baseRef = r.be64()
+    val baseTime = r.be64()
+    val out = mutable.ArrayBuffer.empty[WalExemplar]
+    while (r.pos < rec.length) {
+      val dref = r.varint()
+      val dtime = r.varint()
+      val vbits = r.be64()
+      out += WalExemplar(baseRef + dref, baseTime + dtime,
+        java.lang.Double.longBitsToDouble(vbits), readLabels(r))
+    }
+    out.toSeq
+  }
+
+  /** Tombstone records (kind 3) of one segment: flat
+    * (ref BE64, mint varint, maxt varint) triples. */
+  def stones(segmentPath: String): Iterator[WalStone] =
+    records(segmentPath).flatMap(stonesOfRecord(_).iterator)
+
+  /** The stones of ONE reassembled record (empty for other kinds). */
+  def stonesOfRecord(rec: Array[Byte]): Seq[WalStone] = {
+    if (rec.isEmpty || rec(0) != 3) return Nil
+    val r = new ByteReader(rec, 1)
+    val out = mutable.ArrayBuffer.empty[WalStone]
+    while (r.pos < rec.length)
+      out += WalStone(r.be64(), r.varint(), r.varint())
+    out.toSeq
+  }
+
+  /** All tombstones of a WAL, merged per series ref (driver-side pass,
+    * like [[seriesDict]] — stones are metadata-sized). */
+  def stoneDict(walDir: String): Map[Long, Seq[Tombstones.Interval]] =
+    segments(walDir).iterator.flatMap(stones)
+      .toSeq.groupBy(_.ref)
+      .view.mapValues(ss =>
+        Tombstones.merge(ss.map(s => Tombstones.Interval(s.mint, s.maxt))))
+      .toMap
+
+  /** Metadata records (kind 6) of one segment: repeated
+    * (ref uvarint, metric-type byte, field count, k/v strings). */
+  def metadata(segmentPath: String): Iterator[WalMetadata] =
+    records(segmentPath).flatMap { rec =>
+      if (rec.isEmpty || rec(0) != 6) Iterator.empty
+      else {
+        val r = new ByteReader(rec, 1)
+        val out = mutable.ArrayBuffer.empty[WalMetadata]
+        while (r.pos < rec.length) {
+          val ref = r.uvarint()
+          val typ = r.u8()
+          out += WalMetadata(ref, typ, readLabels(r))
+        }
+        out.iterator
+      }
+    }
 
   /** The float samples of ONE reassembled record (empty for other
     * record kinds). */

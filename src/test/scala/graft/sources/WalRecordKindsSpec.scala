@@ -1,0 +1,115 @@
+package graft.sources
+
+import graft.SparkSpec
+import graft.sources.tsdbblock.{TsdbWalRecords, TsdbWalWriter, WalReader}
+import org.apache.spark.sql.functions._
+
+/** The non-sample WAL record kinds: tombstones (3), exemplars (4),
+  * metadata (6) — codec round trips, replay masking, ref resolution,
+  * and how checkpointing filters each kind across the horizon. */
+class WalRecordKindsSpec extends SparkSpec {
+
+  private def longForm(times: Seq[Long]) = {
+    val s = spark
+    import s.implicits._
+    times.toDF("time")
+      .withColumn("value", col("time").cast("double"))
+      .withColumn("labels", map(
+        lit("__name__"), lit("m"),
+        lit("i"), (col("time") % 4).cast("string")))
+  }
+
+  test("exemplar records round-trip with labels; orphan refs drop") {
+    val rec = TsdbWalWriter.exemplarRecord(Seq(
+      (7L, 1000L, 1.5, Seq("trace_id" -> "abc")),
+      (9L, 900L, -2.0, Seq("span" -> "s1", "trace_id" -> "def")),
+      (7L, 1100L, Double.NaN, Nil)))
+    val back = WalReader.exemplarsOfRecord(rec)
+    assert(back.map(e => (e.ref, e.time)) ===
+      Seq((7L, 1000L), (9L, 900L), (7L, 1100L)))
+    assert(back(1).labels === Map("span" -> "s1", "trace_id" -> "def"))
+    assert(java.lang.Double.isNaN(back(2).value))
+    // other decoders ignore the kind
+    assert(WalReader.samplesOfRecord(rec).isEmpty)
+    assert(WalReader.stonesOfRecord(rec).isEmpty)
+  }
+
+  test("tombstone and metadata records round-trip") {
+    val st = TsdbWalWriter.tombstonesRecord(Seq(
+      (1L, -5L, 100L), (2L, Long.MinValue, Long.MaxValue)))
+    assert(WalReader.stonesOfRecord(st).map(s => (s.ref, s.mint, s.maxt)) ===
+      Seq((1L, -5L, 100L), (2L, Long.MinValue, Long.MaxValue)))
+    val md = TsdbWalWriter.metadataRecord(Seq(
+      (3L, 2, Seq("unit" -> "seconds", "help" -> "latency"))))
+    val one = {
+      // decode through a real segment file
+      val dir = tmpDir("graft_rk_md_")
+      TsdbWalWriter.writeSegment(s"$dir/00000000", Iterator(md))
+      WalReader.metadata(s"$dir/00000000").toSeq
+    }
+    assert(one.map(x => (x.ref, x.metricType, x.fields)) ===
+      Seq((3L, 2, Map("unit" -> "seconds", "help" -> "latency"))))
+  }
+
+  test("writeExemplars resolves refs; readExemplars re-joins labels") {
+    val dir = tmpDir("graft_rk_ex_")
+    TsdbWalWriter.write(longForm(0L until 100L), dir, partitions = 2)
+    val ex = longForm(0L until 100L)
+      .where(col("value") >= 90.0)
+      .withColumn("exemplar", map(lit("trace_id"),
+        concat(lit("t"), col("time").cast("string"))))
+    // plus one exemplar whose series does NOT exist in the WAL: dropped
+    val orphan = longForm(Seq(50L))
+      .withColumn("labels", map(lit("__name__"), lit("other")))
+      .withColumn("exemplar", map(lit("trace_id"), lit("orphan")))
+    val n = TsdbWalWriter.writeExemplars(ex.unionByName(orphan), dir)
+    assert(n === 10)
+    val back = TsdbWalRecords.readExemplars(spark, dir)
+      .select(col("time"), element_at(col("labels"), "i").as("i"),
+        element_at(col("exemplar"), "trace_id").as("tid"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    assert(back.length === 10)
+    assert(back.toSet === (90L until 100L).map(t =>
+      (t, (t % 4).toString, s"t$t")).toSet)
+  }
+
+  test("WAL stones mask replay; checkpoint drops expired stones") {
+    val dir = tmpDir("graft_rk_st_")
+    TsdbWalWriter.write(longForm(0L until 100L), dir, partitions = 1)
+    val dict = WalReader.seriesDict(dir)
+    // stone series i=1 over [0, 49] — masks its first half
+    val refs1 = dict.collect { case (r, l) if l("i") == "1" => r }.toSeq
+    TsdbWalWriter.writeStones(dir, refs1.map(r => (r, 0L, 49L)))
+    val times = spark.read.format("tsdb-wal").load(dir)
+      .where(element_at(col("labels"), "i") === "1")
+      .select(col("time")).collect().map(_.getLong(0)).toSet
+    assert(times === (0L until 100L).filter(t =>
+      t % 4 == 1 && t > 49).toSet)
+
+    // checkpoint with horizon 60: the [0,49] stone is wholly expired —
+    // it must not survive the fold
+    TsdbWalWriter.checkpoint(spark, dir, keepTime = 60L)
+    val survivingStones = WalReader.stoneDict(dir)
+    assert(survivingStones.isEmpty, "expired stones must be dropped")
+    // and a stone straddling the horizon survives (re-encoded intact)
+    TsdbWalWriter.write(longForm(100L until 120L), dir, partitions = 1)
+    val refs2 = dict.collect { case (r, l) if l("i") == "2" => r }.toSeq
+    TsdbWalWriter.writeStones(dir, refs2.map(r => (r, 50L, 110L)))
+    TsdbWalWriter.checkpoint(spark, dir, keepTime = 70L)
+    val after = WalReader.stoneDict(dir)
+    assert(after.nonEmpty && after.keySet === refs2.toSet)
+  }
+
+  test("checkpoint filters exemplars by the horizon") {
+    val dir = tmpDir("graft_rk_cpex_")
+    TsdbWalWriter.write(longForm(0L until 100L), dir, partitions = 1)
+    val ex = longForm(0L until 100L)
+      .withColumn("exemplar", map(lit("trace_id"),
+        col("time").cast("string")))
+    TsdbWalWriter.writeExemplars(ex, dir)
+    TsdbWalWriter.checkpoint(spark, dir, keepTime = 95L)
+    val back = TsdbWalRecords.readExemplars(spark, dir)
+      .select(col("time")).collect().map(_.getLong(0)).toSet
+    assert(back === (95L until 100L).toSet)
+  }
+}
