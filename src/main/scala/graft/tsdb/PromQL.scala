@@ -436,7 +436,7 @@ object PromQL {
     "hour", "minute", "day_of_week", "day_of_month", "day_of_year",
     "days_in_month", "month", "year",
     "sin", "cos", "tan", "asin", "acos", "atan",
-    "sinh", "cosh", "tanh", "deg", "rad",
+    "sinh", "cosh", "tanh", "asinh", "acosh", "atanh", "deg", "rad",
     // conversions — eval intercepts both before instantFn
     "vector",  // scalar → one-element no-label vector
     "scalar")  // vector → scalar: its value iff exactly 1 element, NaN else
@@ -2111,6 +2111,11 @@ object PromQL {
       case "sinh" => mapV(round(sinh(v), 6))
       case "cosh" => mapV(round(cosh(v), 6))
       case "tanh" => mapV(round(tanh(v), 6))
+      // inverse hyperbolics (Go math domain contracts for free: Spark's
+      // log-based kernels yield NaN for acosh(x<1) and atanh(|x|>1))
+      case "asinh" => mapV(round(asinh(v), 6))
+      case "acosh" => mapV(round(acosh(v), 6))
+      case "atanh" => mapV(round(atanh(v), 6))
       case "deg" => mapV(round(v * lit(180.0 / math.Pi), 6))
       case "rad" => mapV(round(v * lit(math.Pi / 180.0), 6))
       // "absent" never reaches here: eval/evalRange dispatch it to

@@ -629,8 +629,29 @@ class PromQLConformanceSpec extends SparkSpec {
       """{job="api-server"} 0
         |{job="app-server"} 0""")), upstream = true)
 
+  // inverse hyperbolics (the last of Prometheus's trig group): values
+  // from Go/IEEE math; domain edges yield NaN exactly as math.Acosh /
+  // math.Atanh do
+  private val invHyperbolic = B("inverse hyperbolic functions", "5m", Seq(
+      """t{l="ten"} 10""",
+      """t{l="neg"} -10""",
+      """t{l="half"} 0.5"""), Seq(
+    C("0m", """asinh(t)""",
+      """{l="ten"} 2.99822295029797
+        |{l="neg"} -2.99822295029797
+        |{l="half"} 0.48121182505960347"""),
+    C("0m", """acosh(t)""",
+      """{l="ten"} 2.993222846126381
+        |{l="neg"} NaN
+        |{l="half"} NaN"""),
+    C("0m", """atanh(t)""",
+      """{l="ten"} NaN
+        |{l="neg"} NaN
+        |{l="half"} 0.5493061443340548""")))
+
   private val blocks = Seq(aggregators, operators, binops, functions,
     functions2, histograms, countValues, staleness, labelFns,
+    invHyperbolic,
     upstreamOperators, upstreamGroupLeft, upstreamAggregators,
     upstreamAggregators2, upstreamChangesResets, upstreamLiterals,
     upstreamFunctions, upstreamStaleness, upstreamDocsMatching,
@@ -782,7 +803,7 @@ class PromQLConformanceSpec extends SparkSpec {
     // cases are added, never by deleting failing cases. `ported` counts
     // cases re-typed from Prometheus's own promqltest corpus, reported
     // separately from the handwritten sweep.
-    assert(own === 118)
+    assert(own === 121)
     assert(ported === 81)
     assert(skips.size === 2)
     // every skip names its documented deviation
