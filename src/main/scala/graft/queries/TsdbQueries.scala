@@ -1010,6 +1010,37 @@ object TsdbQueries {
         element_at(h.getField("counts"), 12).cast("long").as("c_inf"),
         round(histQuantile(h, 0.5), 6).as("phi"))
     }),
+    // Q117: NATIVE HISTOGRAMS THROUGH THE WAL (record kind 7) — Q106's
+    // exponential-grid histograms written as integer native-histogram
+    // WAL records (spans + delta-encoded buckets, the scraping head's
+    // on-disk form) and read back through the series dictionary into
+    // the dense grid. Same oracle as Q89/Q106 ⇒ the grid survives the
+    // sparse wire layout bit-true.
+    "tsdb_q117_wal_native_hist" -> ((s, dir) => {
+      import graft.tsdb.NativeHistogram._
+      val h = col("hist")
+      val dense = buildExp(table(s, dir).select(RangeStart, RangeEnd, Nil).toDF(),
+        Seq(col("`labels.name`").as("name"), col("`labels.user`").as("user")),
+        col("value"), schema = 0, minExp = 0, maxExp = 9)
+        .select(lit(RangeEnd).as("time"),
+          map(lit("name"), col("name"), lit("user"), col("user")).as("labels"),
+          col("hist"))
+      val walDir = Tables.scratchDir("graft_q117_wal")
+      graft.sources.tsdbblock.TsdbWalWriter.writeHistograms(dense, walDir,
+        schemaId = 0, minExp = 0, maxExp = 9, float = false)
+      val back = graft.tsdb.RemoteWrite.denseFromSparse(
+        graft.sources.tsdbblock.TsdbWalRecords.readHistograms(s, walDir),
+        schemaId = 0, minExp = 0, maxExp = 9)
+      back.select(
+        col("labels").getItem("name").as("name"),
+        col("labels").getItem("user").as("user"),
+        histCount(h).cast("long").as("n"),
+        round(histSum(h), 4).as("sum_v"),
+        element_at(h.getField("counts"), 2).cast("long").as("c_le1"),
+        element_at(h.getField("counts"), 9).cast("long").as("c_64_128"),
+        element_at(h.getField("counts"), 12).cast("long").as("c_inf"),
+        round(histQuantile(h, 0.5), 6).as("phi"))
+    }),
     // Q90-Q93: PromQL TEXT over NATIVE-HISTOGRAM series
     // ([[graft.tsdb.PromQLHist]] — same parser/AST as the float tier,
     // evaluated over a frame of whole-histogram structs). The frame is
@@ -2847,6 +2878,7 @@ object TsdbQueries {
     "tsdb_q89_native_hist_exp" -> histExpOracle,
     // the wire round trip is lossless, so its oracle IS Q89's
     "tsdb_q106_remote_write_hist" -> histExpOracle,
+    "tsdb_q117_wal_native_hist" -> histExpOracle,
     "tsdb_q60_promql_time_vector" ->
       s"""$duckTsdbCte,
          |iv AS (SELECT list_extract(max([CAST(time AS DOUBLE), value]), 2) AS value

@@ -142,6 +142,26 @@ object TsdbWalRecords {
       .toDF("time", "value", "labels", "exemplar")
   }
 
+  /** Native-histogram samples (kinds 7/8) with series labels resolved —
+    * a [[graft.tsdb.RemoteWrite.SparseHist]] frame, ready for
+    * [[graft.tsdb.RemoteWrite.denseFromSparse]] and every NHCB
+    * kernel. */
+  def readHistograms(spark: SparkSession, walDir: String)
+      : org.apache.spark.sql.Dataset[graft.tsdb.RemoteWrite.SparseHist] = {
+    import spark.implicits._
+    val dictB = spark.sparkContext.broadcast(WalReader.seriesDict(walDir))
+    val segs = WalReader.segments(walDir)
+    val rdd = spark.sparkContext.parallelize(segs, math.max(1, segs.size))
+      .flatMap { seg =>
+        val d = dictB.value
+        WalReader.histograms(seg).flatMap(h =>
+          d.get(h.ref).map(lbls => graft.tsdb.RemoteWrite.SparseHist(
+            h.time, lbls, h.count, h.sum, h.schema,
+            h.zeroThreshold, h.zeroCount, h.positive, h.negative)))
+      }
+    spark.createDataset(rdd)
+  }
+
   private val TypeNames = Array("unknown", "counter", "gauge", "histogram",
     "gaugehistogram", "summary", "info", "stateset")
 

@@ -154,6 +154,73 @@ object TsdbWalWriter {
     b.toByteArray
   }
 
+  /** Native-histogram record (kind 7 integer / kind 8 float) — the
+    * write twin of [[WalReader.histogramsOfRecord]]. Buckets come in as
+    * ABSOLUTE `(sparse index, count)` pairs; integer records re-derive
+    * the wire's delta encoding and REQUIRE integral counts. */
+  def histogramRecord(hists: Seq[WalReader.WalHistogram],
+                      float: Boolean): Array[Byte] = {
+    require(hists.nonEmpty, "empty histogram record")
+    val b = new java.io.ByteArrayOutputStream()
+    def be64(v: Long): Unit = { var i = 56; while (i >= 0) { b.write(((v >>> i) & 0xff).toInt); i -= 8 } }
+    def uvarint(v: Long): Unit = {
+      var x = v
+      while ((x & ~0x7fL) != 0) { b.write(((x & 0x7f) | 0x80).toInt); x >>>= 7 }
+      b.write(x.toInt)
+    }
+    def varint(v: Long): Unit = uvarint((v << 1) ^ (v >> 63))
+    def fbits(v: Double): Unit = be64(java.lang.Double.doubleToLongBits(v))
+    def integral(v: Double, what: String): Long = {
+      require(v == math.rint(v) && !v.isInfinite,
+        s"integer histogram record needs integral $what, got $v")
+      v.toLong
+    }
+    def writeSpans(spans: Seq[(Int, Int)]): Unit = {
+      uvarint(spans.size.toLong)
+      spans.foreach { case (off, len) =>
+        varint(off.toLong); uvarint(len.toLong)
+      }
+    }
+    def writeValues(values: Seq[Double]): Unit = {
+      uvarint(values.size.toLong)
+      if (float) values.foreach(fbits)
+      else { // absolute → delta
+        var prev = 0L
+        values.foreach { v =>
+          val c = integral(v, "bucket count")
+          varint(c - prev); prev = c
+        }
+      }
+    }
+    b.write(if (float) 8 else 7)
+    be64(hists.head.ref); be64(hists.head.time)
+    hists.foreach { h =>
+      varint(h.ref - hists.head.ref)
+      varint(h.time - hists.head.time)
+      b.write(h.counterResetHint & 0xff)
+      varint(h.schema.toLong)
+      fbits(h.zeroThreshold)
+      if (float) { fbits(h.zeroCount); fbits(h.count) }
+      else {
+        uvarint(integral(h.zeroCount, "zero count"))
+        uvarint(integral(h.count, "count"))
+      }
+      fbits(h.sum)
+      // Prometheus field order: both span lists, then both bucket lists
+      val (posSpans, posValues) = graft.tsdb.RemoteWrite.toSpans(h.positive)
+      val (negSpans, negValues) = graft.tsdb.RemoteWrite.toSpans(h.negative)
+      writeSpans(posSpans)
+      writeSpans(negSpans)
+      writeValues(posValues)
+      writeValues(negValues)
+      if (h.schema == -53) {
+        uvarint(h.customValues.size.toLong)
+        h.customValues.foreach(fbits)
+      }
+    }
+    b.toByteArray
+  }
+
   // ---- page/fragment framing ----------------------------------------
 
   /** Frame whole records into 32 KiB pages: fragments sized to the page
@@ -257,6 +324,66 @@ object TsdbWalWriter {
         val path = f"$walDir/$seg%08d"
         writeSegment(path, seriesRecs ++ sampleRecs)
         Iterator.single(path)
+      }
+    }.collect()
+    segs.length
+  }
+
+  /** Write a frame of DENSE engine histograms
+    * `(time LONG, labels MAP, hist STRUCT{count,sum,les,counts})` in
+    * the [[graft.tsdb.NativeHistogram.buildExp]] layout as a WAL of
+    * kind-7 (integer) or kind-8 (float) records — the on-disk form a
+    * scraping Prometheus writes for native-histogram series. The
+    * dense→sparse mapping is [[graft.tsdb.RemoteWrite.encodeHistRequests]]'s:
+    * counts(0) (the `(-Inf,0]` bucket) → zero count, dense position
+    * p ≥ 1 → sparse index `minExp + p − 1`, overflow rides as
+    * `maxExp + 1`. Same sharding as [[write]]: one self-contained
+    * segment per task. Returns the segment count. */
+  def writeHistograms(df: DataFrame, walDir: String, schemaId: Int,
+                      minExp: Int, maxExp: Int, float: Boolean,
+                      partitions: Int = 2): Int = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    Files.createDirectories(Paths.get(walDir))
+    val base = nextSegmentIndex(walDir)
+    val grouped = df
+      .groupBy(array_sort(transform(map_entries(col("labels")),
+          e => struct(e.getField("key").as("_1"), e.getField("value").as("_2"))))
+        .as("labels"))
+      .agg(array_sort(collect_list(struct(
+        col("time").as("_1"),
+        col("hist.count").as("_2"), col("hist.sum").as("_3"),
+        element_at(col("hist.counts"), 1).as("_4"),
+        slice(col("hist.counts"), 2, maxExp - minExp + 2).as("_5"))))
+        .as("hists"))
+      .repartition(partitions)
+      .as[(Seq[(String, String)],
+           Seq[(Long, Double, Double, Double, Seq[Double])])]
+    val segs = grouped.mapPartitions { it =>
+      val seg = base + org.apache.spark.TaskContext.getPartitionId()
+      val series = it.toSeq
+      if (series.isEmpty) Iterator.empty
+      else {
+        val withRefs = series.zipWithIndex.map { case ((labels, hists), i) =>
+          ((seg.toLong << 32) | (i.toLong + 1), labels, hists)
+        }
+        val seriesRecs = withRefs.grouped(1000).map(g =>
+          seriesRecord(g.map(s => (s._1, s._2))))
+        val histRecs = withRefs.iterator.flatMap { case (ref, _, hists) =>
+          hists.grouped(100).map { g =>
+            histogramRecord(g.map { case (t, cnt, sm, zero, buckets) =>
+              val sparse = buckets.zipWithIndex.collect {
+                case (c, i) if c != 0.0 => (minExp + i, c)
+              }
+              WalReader.WalHistogram(ref, t, counterResetHint = 0,
+                schema = schemaId, zeroThreshold = 0.0, zeroCount = zero,
+                count = cnt, sum = sm, positive = sparse, negative = Nil,
+                customValues = Nil, isFloat = float)
+            }, float)
+          }
+        }
+        writeSegment(f"$walDir/$seg%08d", seriesRecs ++ histRecs)
+        Iterator.single(seg)
       }
     }.collect()
     segs.length
@@ -401,6 +528,11 @@ object TsdbWalWriter {
                 .filter(_.maxt >= keepTime)
               if (kept.isEmpty) None
               else Some(tombstonesRecord(kept.map(s => (s.ref, s.mint, s.maxt))))
+            case 7 | 8 =>
+              val kept = WalReader.histogramsOfRecord(rec)
+                .filter(_.time >= keepTime)
+              if (kept.isEmpty) None
+              else Some(histogramRecord(kept, float = rec(0) == 8))
             case _ => Some(rec) // series, metadata, unknown: pass through
           }
         }

@@ -34,6 +34,14 @@ object WalReader {
   /** Metric metadata (kind 6): type byte + fields (unit/help). */
   final case class WalMetadata(ref: Long, metricType: Int,
                                fields: Map[String, String])
+  /** One native-histogram sample (kinds 7/8), buckets resolved to
+    * ABSOLUTE `(sparse index, count)` pairs (integer records arrive
+    * delta-encoded on the wire; the prefix sum is applied here). */
+  final case class WalHistogram(ref: Long, time: Long,
+      counterResetHint: Int, schema: Int, zeroThreshold: Double,
+      zeroCount: Double, count: Double, sum: Double,
+      positive: Seq[(Int, Double)], negative: Seq[(Int, Double)],
+      customValues: Seq[Double], isFloat: Boolean)
 
   private val PageSize = 32 * 1024
   private val SnappyFlag = 0x08
@@ -232,6 +240,66 @@ object WalReader {
         out.iterator
       }
     }
+
+  /** Native-histogram records (kind 7 integer / kind 8 float) of one
+    * segment — samples framing (base ref/time BE64, zigzag deltas)
+    * then one encoded histogram per sample: counter-reset-hint byte,
+    * schema varint, zero-threshold float bits, zero-count and count
+    * (uvarint for 7, float bits for 8), sum float bits,
+    * positive/negative span lists (offset varint, length uvarint) and
+    * bucket lists (varint DELTAS for 7, float bits ABSOLUTE for 8),
+    * plus custom values (float bits) when schema = −53 (NHCB). */
+  def histograms(segmentPath: String): Iterator[WalHistogram] =
+    records(segmentPath).flatMap(histogramsOfRecord(_).iterator)
+
+  /** The histogram samples of ONE reassembled record. */
+  def histogramsOfRecord(rec: Array[Byte]): Seq[WalHistogram] = {
+    if (rec.isEmpty || (rec(0) != 7 && rec(0) != 8)) return Nil
+    val isFloat = rec(0) == 8
+    val r = new ByteReader(rec, 1)
+    if (r.pos >= rec.length) return Nil
+    val baseRef = r.be64()
+    val baseTime = r.be64()
+    def float(): Double = java.lang.Double.longBitsToDouble(r.be64())
+    def spans(): Seq[(Int, Int)] = {
+      val n = r.uvarint().toInt
+      (0 until n).map(_ => (r.varint().toInt, r.uvarint().toInt))
+    }
+    def buckets(): Seq[Double] = {
+      val n = r.uvarint().toInt
+      if (isFloat) (0 until n).map(_ => float())
+      else { // delta-encoded integer counts → absolute
+        var acc = 0L
+        (0 until n).map { _ => acc += r.varint(); acc.toDouble }
+      }
+    }
+    val out = mutable.ArrayBuffer.empty[WalHistogram]
+    while (r.pos < rec.length) {
+      val dref = r.varint()
+      val dtime = r.varint()
+      val hint = r.u8()
+      val schema = r.varint().toInt
+      val zeroThreshold = float()
+      val zeroCount = if (isFloat) float() else r.uvarint().toDouble
+      val count = if (isFloat) float() else r.uvarint().toDouble
+      val sum = float()
+      val posSpans = spans()
+      val negSpans = spans()
+      val posBuckets = buckets()
+      val negBuckets = buckets()
+      val custom =
+        if (schema == -53) {
+          val n = r.uvarint().toInt
+          (0 until n).map(_ => float())
+        } else Nil
+      out += WalHistogram(baseRef + dref, baseTime + dtime, hint, schema,
+        zeroThreshold, zeroCount, count, sum,
+        graft.tsdb.RemoteWrite.resolveSpans(posSpans, posBuckets),
+        graft.tsdb.RemoteWrite.resolveSpans(negSpans, negBuckets),
+        custom, isFloat)
+    }
+    out.toSeq
+  }
 
   /** The float samples of ONE reassembled record (empty for other
     * record kinds). */

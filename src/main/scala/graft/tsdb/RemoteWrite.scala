@@ -244,7 +244,7 @@ object RemoteWrite {
   /** Span/bucket lists → absolute indices. First span's offset is the
     * starting index; each later span's offset is the gap from the end
     * of the previous span (the prompb BucketSpan contract). */
-  private def resolveSpans(spans: Seq[(Int, Int)], values: Seq[Double])
+  private[graft] def resolveSpans(spans: Seq[(Int, Int)], values: Seq[Double])
       : Seq[(Int, Double)] = {
     val out = Seq.newBuilder[(Int, Double)]
     var idx = 0; var vi = 0
@@ -258,7 +258,7 @@ object RemoteWrite {
 
   /** Absolute `(index, count)` pairs → (spans, counts) — consecutive
     * runs become one span; the inverse of [[resolveSpans]]. */
-  private def toSpans(buckets: Seq[(Int, Double)])
+  private[graft] def toSpans(buckets: Seq[(Int, Double)])
       : (Seq[(Int, Int)], Seq[Double]) = {
     val sorted = buckets.sortBy(_._1)
     val spans = Seq.newBuilder[(Int, Int)]

@@ -100,6 +100,75 @@ class WalRecordKindsSpec extends SparkSpec {
     assert(after.nonEmpty && after.keySet === refs2.toSet)
   }
 
+  test("histogram records round-trip: integer deltas, float, NHCB") {
+    import graft.sources.tsdbblock.WalReader.WalHistogram
+    // integer (kind 7): sparse buckets with gaps force multi-span
+    // encoding; deltas go negative between buckets
+    val hInt = WalHistogram(5L, 1000L, counterResetHint = 1, schema = 2,
+      zeroThreshold = 1e-128, zeroCount = 3, count = 10, sum = 55.5,
+      positive = Seq((0, 4.0), (1, 2.0), (7, 1.0)),
+      negative = Seq((-2, 3.0)), customValues = Nil, isFloat = false)
+    val recInt = TsdbWalWriter.histogramRecord(Seq(hInt), float = false)
+    assert(recInt(0) === 7)
+    assert(WalReader.histogramsOfRecord(recInt) === Seq(hInt))
+    // non-integral counts must refuse the integer form
+    intercept[IllegalArgumentException] {
+      TsdbWalWriter.histogramRecord(
+        Seq(hInt.copy(positive = Seq((0, 1.5)))), float = false)
+    }
+    // float (kind 8): fractional counts are the point
+    val hF = hInt.copy(zeroCount = 0.25, count = 2.75,
+      positive = Seq((3, 1.25), (4, 1.5)), negative = Nil, isFloat = true)
+    val recF = TsdbWalWriter.histogramRecord(Seq(hF), float = true)
+    assert(recF(0) === 8)
+    assert(WalReader.histogramsOfRecord(recF) === Seq(hF))
+    // NHCB (schema −53) carries custom boundaries
+    val hC = hInt.copy(schema = -53, customValues = Seq(0.1, 0.5, 2.5))
+    assert(WalReader.histogramsOfRecord(
+      TsdbWalWriter.histogramRecord(Seq(hC), float = false)) === Seq(hC))
+    // two samples share the base-ref/time framing
+    val pair = Seq(hInt, hInt.copy(ref = 9L, time = 2000L, sum = -1.0))
+    assert(WalReader.histogramsOfRecord(
+      TsdbWalWriter.histogramRecord(pair, float = false)) === pair)
+  }
+
+  test("writeHistograms → readHistograms resolves series; checkpoint filters") {
+    import org.apache.spark.sql.functions._
+    val s = spark
+    import s.implicits._
+    val dir = tmpDir("graft_rk_hist_")
+    // two series, two snapshot times, on the schema-0 grid [1,2,4,8]
+    val dense = Seq(
+      (1000L, Map("__name__" -> "lat", "job" -> "a"),
+        (6.0, 12.5, Seq(1.0, 2.0, 3.0, 0.0, 0.0, 0.0))),
+      (2000L, Map("__name__" -> "lat", "job" -> "a"),
+        (8.0, 20.0, Seq(1.0, 2.0, 4.0, 1.0, 0.0, 0.0))),
+      (2000L, Map("__name__" -> "lat", "job" -> "b"),
+        (2.0, 3.0, Seq(0.0, 1.0, 1.0, 0.0, 0.0, 0.0))))
+      .toDF("time", "labels", "h")
+      .select(col("time"), col("labels"), struct(
+        col("h._1").as("count"), col("h._2").as("sum"),
+        array(lit(0.0), lit(1.0), lit(2.0), lit(4.0), lit(8.0),
+          lit(Double.PositiveInfinity)).as("les"),
+        col("h._3").as("counts")).as("hist"))
+    val nSegs = TsdbWalWriter.writeHistograms(dense, dir,
+      schemaId = 0, minExp = 0, maxExp = 3, float = false)
+    assert(nSegs >= 1)
+    val back = graft.sources.tsdbblock.TsdbWalRecords
+      .readHistograms(spark, dir)
+    assert(back.count() === 3)
+    val one = back.collect()
+      .find(h => h.time == 2000L && h.labels("job") == "a").get
+    assert(one.count === 8.0 && one.sum === 20.0 && one.zeroCount === 1.0)
+    // dense positions 2..4 → sparse indices 0..3 (gap at zero counts)
+    assert(one.positive === Seq((0, 2.0), (1, 4.0), (2, 1.0)))
+    // checkpoint horizon drops the t=1000 snapshot
+    TsdbWalWriter.checkpoint(spark, dir, keepTime = 1500L)
+    val after = graft.sources.tsdbblock.TsdbWalRecords
+      .readHistograms(spark, dir).collect()
+    assert(after.length === 2 && after.forall(_.time == 2000L))
+  }
+
   test("checkpoint filters exemplars by the horizon") {
     val dir = tmpDir("graft_rk_cpex_")
     TsdbWalWriter.write(longForm(0L until 100L), dir, partitions = 1)
