@@ -60,7 +60,13 @@ object Bench {
     // dominant work and would double-count ~7 s per pass; it remains
     // fully oracle-verified in CORRECTNESS
     "tsdb_q101_remote_write", "tsdb_q107_otlp",
-    "tsdb_q108_block_roundtrip")
+    "tsdb_q108_block_roundtrip",
+    // round-10: tombstone deletes + masked reads, WAL checkpoint
+    // replay, and WAL native-histogram records. q110/q112/q116 stay
+    // out: each re-runs q108/q113's dominant write work and would
+    // double-count it; all remain oracle-verified in CORRECTNESS
+    "tsdb_q111_delete_series", "tsdb_q113_wal_checkpoint",
+    "tsdb_q117_wal_native_hist")
 
   /** 1/5/15-minute fields of /proc/loadavg (empty off-Linux). */
   private def loadavg(): Seq[Double] =

@@ -211,7 +211,8 @@ object ScaleStress {
     // in one task (Gorilla encode + index build) — the compactor
     // sharding model, so Nx data means more/larger blocks, never
     // cross-task coordination
-    time(s"tsdb block write-out ${factor}x") {
+    val blockRoot = Tables.scratchDir("graft_scale_blocks")
+    val blockNames = time(s"tsdb block write-out ${factor}x") {
       val ev = Tables.load(spark, sfDir, "events")
       val evN = ev
         .withColumn("_r", explode(sequence(lit(0), lit(factor - 1))))
@@ -220,14 +221,15 @@ object ScaleStress {
       val long = evN.select(unix_millis(col("ts")).as("time"), col("value"),
         map(lit("__name__"), col("event_type"),
           lit("user"), col("user_id").cast("string")).as("labels"))
-      val root = Tables.scratchDir("graft_scale_blocks")
       val names = graft.sources.tsdbblock.TsdbBlockWriter.write(
-        long, root, blockRangeMs = 86400000L)
+        long, blockRoot, blockRangeMs = 86400000L)
       println(s"[scale] blocks written=${names.size}")
+      names
     }
     // WAL write-out at Nx samples: same one-shuffle series grouping,
     // one self-contained wlog segment per task — page framing and
     // snappy are per-record, so cost is linear in samples
+    val scaleWal = Tables.scratchDir("graft_scale_wal")
     time(s"tsdb wal write-out ${factor}x") {
       val ev = Tables.load(spark, sfDir, "events")
       val evN = ev
@@ -238,8 +240,98 @@ object ScaleStress {
         map(lit("__name__"), col("event_type"),
           lit("user"), col("user_id").cast("string")).as("labels"))
       val n = graft.sources.tsdbblock.TsdbWalWriter.write(
-        long, Tables.scratchDir("graft_scale_wal"), partitions = 32)
+        long, scaleWal, partitions = 32)
       println(s"[scale] wal segments written=$n")
+    }
+    // DELETE SERIES at Nx: tombstone writes are O(index) driver passes
+    // per block — cost scales in series count, NEVER touches samples
+    time(s"delete series (tombstones) ${blockNames.size} blocks") {
+      blockNames.foreach { n =>
+        graft.tsdb.TsdbAdmin.deleteSeries(s"$blockRoot/$n",
+          Seq(Matcher.Eq("__name__", "error")))
+        graft.tsdb.TsdbAdmin.deleteSeries(s"$blockRoot/$n",
+          Seq(Matcher.Eq("__name__", "click")),
+          Tables.RangeStart, Tables.RangeEnd)
+      }
+    }
+    // masked read: fully-stoned series prune at PLANNING (chunks never
+    // fetched), partial stones mask per-sample in the reader
+    time(s"masked block read after delete ${factor}x") {
+      val n = blockNames.map(n =>
+        spark.read.format("tsdb-block").load(s"$blockRoot/$n"))
+        .reduce(_ unionByName _).count()
+      println(s"[scale] surviving samples=$n")
+    }
+    // CLEAN TOMBSTONES: the physical rewrite — ALL blocks' masked scans
+    // union into ONE one-shuffle block write (per-block sequential jobs
+    // pay ~30 shuffle setups and ran 80 s on this data; the single-job
+    // shape is the compactor model)
+    time(s"clean tombstones ${blockNames.size} blocks, one job") {
+      val cleanRoot = Tables.scratchDir("graft_scale_clean")
+      val cleaned = graft.tsdb.TsdbAdmin.cleanTombstones(spark,
+        blockNames.map(n => s"$blockRoot/$n"), cleanRoot,
+        blockRangeMs = 86400000L)
+      println(s"[scale] clean blocks=${cleaned.size}")
+    }
+    // WAL CHECKPOINT at Nx: one task per folded segment (filter +
+    // re-frame), zero coordination; then replay through the checkpoint
+    time(s"wal checkpoint+truncate ${factor}x") {
+      val folded = graft.sources.tsdbblock.TsdbWalWriter.checkpoint(
+        spark, scaleWal, keepTime = Tables.RangeStart)
+      println(s"[scale] segments folded=$folded")
+    }
+    time(s"wal replay after checkpoint ${factor}x") {
+      val n = spark.read.format("tsdb-wal").load(scaleWal).count()
+      println(s"[scale] checkpointed replay samples=$n")
+    }
+    // WAL EXEMPLARS at Nx: sparse by construction (value threshold);
+    // ref resolution is a broadcast dict probe, writes shard per task
+    time(s"wal exemplars write+read ${factor}x") {
+      val ev = Tables.load(spark, sfDir, "events")
+      val evN = ev
+        .withColumn("_r", explode(sequence(lit(0), lit(factor - 1))))
+        .withColumn("user_id", col("user_id") + col("_r") * lit(10000000L))
+        .drop("_r")
+      val long = evN.select(unix_millis(col("ts")).as("time"), col("value"),
+        map(lit("__name__"), col("event_type"),
+          lit("user"), col("user_id").cast("string")).as("labels"))
+      val exWal = Tables.scratchDir("graft_scale_exwal")
+      graft.sources.tsdbblock.TsdbWalWriter.write(long, exWal, partitions = 32)
+      val ex = long.where(col("value") > 150.0)
+        .withColumn("exemplar", map(lit("trace_id"),
+          concat_ws("-", element_at(col("labels"), "user"),
+            col("time").cast("string"))))
+      val n = graft.sources.tsdbblock.TsdbWalWriter.writeExemplars(
+        ex, exWal, partitions = 32)
+      val back = graft.sources.tsdbblock.TsdbWalRecords
+        .readExemplars(spark, exWal).count()
+      println(s"[scale] exemplars written=$n read=$back")
+    }
+    // WAL NATIVE HISTOGRAMS at Nx series: dense grid → sparse spans per
+    // (series, day) snapshot; record volume is series × days, not
+    // samples
+    time(s"wal native-histogram write+read ${factor}x") {
+      val ev = Tables.load(spark, sfDir, "events")
+      val evN = ev
+        .withColumn("_r", explode(sequence(lit(0), lit(factor - 1))))
+        .withColumn("user_id", col("user_id") + col("_r") * lit(10000000L))
+        .drop("_r")
+      val dense = graft.tsdb.NativeHistogram.buildExp(
+        evN.select(unix_millis(col("ts")).as("time"), col("value"),
+          col("event_type").as("labels.name"),
+          col("user_id").cast("string").as("labels.user")),
+        Seq(col("`labels.name`").as("name"), col("`labels.user`").as("user"),
+          floor(col("time") / lit(86400000L)).as("day")),
+        col("value"), schema = 0, minExp = 0, maxExp = 9)
+        .select((col("day") * 86400000L).as("time"),
+          map(lit("name"), col("name"), lit("user"), col("user")).as("labels"),
+          col("hist"))
+      val hWal = Tables.scratchDir("graft_scale_histwal")
+      graft.sources.tsdbblock.TsdbWalWriter.writeHistograms(dense, hWal,
+        schemaId = 0, minExp = 0, maxExp = 9, float = false, partitions = 32)
+      val back = graft.sources.tsdbblock.TsdbWalRecords
+        .readHistograms(spark, hWal).count()
+      println(s"[scale] histogram samples read=$back")
     }
     // STREAMING alert rule at Nx events through the real incremental
     // engine (file source → watermark → flatMapGroupsWithState): state

@@ -2178,8 +2178,14 @@ object PromQL {
     op match {
       case "sum" => round(sum(col("value")), 6).as("value")
       case "avg" => round(avg(col("value")), 6).as("value")
+      // Prometheus min/max SKIP NaN (NaN only when every value is NaN).
+      // Spark orders NaN greatest, so bare min already skips it; max
+      // needs the explicit guard or a single NaN would win the group.
       case "min" => min(col("value")).as("value")
-      case "max" => max(col("value")).as("value")
+      case "max" =>
+        coalesce(
+          max(when(isnan(col("value")), lit(null)).otherwise(col("value"))),
+          lit(Double.NaN)).as("value")
       case "count" => count(lit(1)).cast("double").as("value")
       case "group" => max(lit(1.0d)).as("value") // value 1 per group
       case "quantile" =>
@@ -2433,8 +2439,15 @@ object PromQL {
     * label-set order. */
   private def rankOrd(op: String, iv: DataFrame): Seq[Column] =
     op match {
-      case "topk" => Seq(col("value").desc, seriesKey(iv).asc)
-      case "bottomk" => Seq(col("value").asc, seriesKey(iv).asc)
+      // Prometheus ranks NaN BELOW every number in topk (its heap
+      // evicts NaN first) and above every number in bottomk; Spark's
+      // native ordering puts NaN greatest, so map it to the losing end
+      case "topk" => Seq(
+        when(isnan(col("value")), lit(Double.NegativeInfinity))
+          .otherwise(col("value")).desc, seriesKey(iv).asc)
+      case "bottomk" => Seq(
+        when(isnan(col("value")), lit(Double.PositiveInfinity))
+          .otherwise(col("value")).asc, seriesKey(iv).asc)
       case "limitk" => Seq(seriesKey(iv).asc)
     }
 

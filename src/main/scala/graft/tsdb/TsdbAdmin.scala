@@ -62,8 +62,21 @@ object TsdbAdmin {
     * Prometheus's compactor — swaps directories once the write lands). */
   def cleanTombstones(spark: SparkSession, blockDir: String, destRoot: String,
                       blockRangeMs: Long = 2L * 3600 * 1000): Seq[String] =
+    cleanTombstones(spark, Seq(blockDir), destRoot, blockRangeMs)
+
+  /** Clean MANY blocks in one Spark job — the masked scans union into a
+    * single one-shuffle block write, so a whole data directory cleans
+    * with the same plan shape as writing it (per-block sequential jobs
+    * would pay 30 shuffle setups for 30 blocks; this pays one). Block
+    * boundaries are re-derived from `blockRangeMs`, exactly what the
+    * Prometheus compactor does when it merges deletion-carrying
+    * blocks. */
+  def cleanTombstones(spark: SparkSession, blockDirs: Seq[String],
+                      destRoot: String, blockRangeMs: Long): Seq[String] =
     TsdbBlockWriter.write(
-      spark.read.format("tsdb-block").load(blockDir), destRoot, blockRangeMs)
+      blockDirs.map(d => spark.read.format("tsdb-block").load(d))
+        .reduce(_ unionByName _),
+      destRoot, blockRangeMs)
 
   /** Patch (or insert) `stats.numTombstones` in meta.json, preserving
     * everything else byte-for-byte — the file may be reference-written. */

@@ -57,7 +57,11 @@ object VectorOps {
     * interpolates linearly inside it —
     * `lower + (le - lower)·(rank - cumBelow)/(cum - cumBelow)` with
     * `lower = 0` for the first bucket (Prometheus's bucketQuantile). A
-    * rank landing in the +Inf bucket returns the highest finite `le`.
+    * rank landing in the +Inf bucket returns the highest finite `le`;
+    * a rank landing in a FIRST bucket whose upper bound ≤ 0 returns
+    * that bound outright (negative buckets have no known lower edge);
+    * q outside [0, 1] returns ∓Inf and NaN propagates — all exactly
+    * Prometheus's bucketQuantile edge contract.
     *
     * Execution: every window below shares the same partitioning keys, so
     * Catalyst plans ONE exchange on `groupCols`; with per-series bucket
@@ -70,6 +74,18 @@ object VectorOps {
     val w = Window.partitionBy(gs: _*)
     val le = col(s"`$leCol`")
     val cum = col(s"`$cumCol`").cast("double")
+    if (q.isNaN || q < 0 || q > 1) {
+      // Prometheus: quantile outside (0,1) short-circuits to ∓Inf (NaN
+      // propagates) — one representative row per group, no interpolation
+      val v = if (q < 0) Double.NegativeInfinity
+        else if (q > 1) Double.PositiveInfinity else Double.NaN
+      return buckets
+        .withColumn("total", max(cum).over(w))
+        .withColumn("_max_le", max(le).over(w))
+        .where(le === col("_max_le"))
+        .select(gs :+ col("total").cast("long").as("n") :+
+          lit(v).as("phi"): _*)
+    }
     buckets
       .withColumn("total", max(cum).over(w))
       .withColumn("rank", lit(q) * col("total"))
@@ -84,6 +100,10 @@ object VectorOps {
       .select(gs :+ col("total").cast("long").as("n") :+
         round(
           when(col("chosen_le") === Double.PositiveInfinity, col("max_finite_le"))
+            // first bucket with non-positive upper bound: the bound IS
+            // the answer (no zero lower edge to interpolate from)
+            .when(col("le_below").isNull && col("chosen_le") <= 0.0,
+              col("chosen_le"))
             .otherwise(
               coalesce(col("le_below"), lit(0.0)) +
                 (col("chosen_le") - coalesce(col("le_below"), lit(0.0))) *

@@ -629,6 +629,93 @@ class PromQLConformanceSpec extends SparkSpec {
       """{job="api-server"} 0
         |{job="app-server"} 0""")), upstream = true)
 
+  // histograms.test's classic-bucket family: the positive ladder
+  // interpolates from a zero lower edge, the NEGATIVE ladder exercises
+  // bucketQuantile's non-positive-first-bucket contract (return the
+  // bound, never interpolate toward 0), out-of-range q short-circuits
+  // to +Inf, and rate-composed ladders reuse the same quantiles
+  // (linear counters ⇒ proportional ladders)
+  private val upstreamHistograms = B("upstream histograms.test", "5m", Seq(
+    """testhistogram_bucket{le="0.1", start="positive"} 0+5x10""",
+    """testhistogram_bucket{le="0.2", start="positive"} 0+7x10""",
+    """testhistogram_bucket{le="1", start="positive"} 0+11x10""",
+    """testhistogram_bucket{le="+Inf", start="positive"} 0+12x10""",
+    """testhistogram_bucket{le="-0.2", start="negative"} 0+1x10""",
+    """testhistogram_bucket{le="-0.1", start="negative"} 0+2x10""",
+    """testhistogram_bucket{le="0.3", start="negative"} 0+2x10""",
+    """testhistogram_bucket{le="+Inf", start="negative"} 0+3x10"""), Seq(
+    C("50m", """histogram_quantile(0, testhistogram_bucket)""",
+      """{start="positive"} 0
+        |{start="negative"} -0.2"""),
+    C("50m", """histogram_quantile(0.25, testhistogram_bucket)""",
+      """{start="positive"} 0.06
+        |{start="negative"} -0.2"""),
+    C("50m", """histogram_quantile(0.5, testhistogram_bucket)""",
+      """{start="positive"} 0.15
+        |{start="negative"} -0.15"""),
+    C("50m", """histogram_quantile(0.75, testhistogram_bucket)""",
+      """{start="positive"} 0.6
+        |{start="negative"} 0.3"""),
+    C("50m", """histogram_quantile(1, testhistogram_bucket)""",
+      """{start="positive"} 1
+        |{start="negative"} 0.3"""),
+    C("50m", """histogram_quantile(1.001, testhistogram_bucket)""",
+      """{start="positive"} Inf
+        |{start="negative"} Inf"""),
+    C("50m", """histogram_quantile(0.5, rate(testhistogram_bucket[10m]))""",
+      """{start="positive"} 0.15
+        |{start="negative"} -0.15""")), upstream = true)
+
+  // sort_by_label/_desc (Prometheus 3's label-ordered presentation):
+  // primary order is the named label, ties fall back to the FULL label
+  // set comparison (labels.Compare), never value order
+  private val sortByLabel = B("sort_by_label", "5m", httpLoad, Seq(
+    C("50m", """sort_by_label(http_requests, "instance")""",
+      """http_requests{group="canary", instance="0", job="api-server"} 300
+        |http_requests{group="canary", instance="0", job="app-server"} 700
+        |http_requests{group="production", instance="0", job="api-server"} 100
+        |http_requests{group="production", instance="0", job="app-server"} 500
+        |http_requests{group="canary", instance="1", job="api-server"} 400
+        |http_requests{group="canary", instance="1", job="app-server"} 800
+        |http_requests{group="production", instance="1", job="api-server"} 200
+        |http_requests{group="production", instance="1", job="app-server"} 600""",
+      ordered = true),
+    C("50m", """sort_by_label_desc(http_requests, "job", "group")""",
+      """http_requests{group="production", instance="1", job="app-server"} 600
+        |http_requests{group="production", instance="0", job="app-server"} 500
+        |http_requests{group="canary", instance="1", job="app-server"} 800
+        |http_requests{group="canary", instance="0", job="app-server"} 700
+        |http_requests{group="production", instance="1", job="api-server"} 200
+        |http_requests{group="production", instance="0", job="api-server"} 100
+        |http_requests{group="canary", instance="1", job="api-server"} 400
+        |http_requests{group="canary", instance="0", job="api-server"} 300""",
+      ordered = true)))
+
+  // NaN contracts in the ranking/extremum family (Prometheus engine.go:
+  // min/max skip NaN unless the whole group is NaN; topk ranks NaN
+  // below every number, bottomk above)
+  private val nanAgg = B("NaN in min/max/topk/bottomk", "5m", Seq(
+    """v{l="nan"} NaN""",
+    """v{l="hi"} 100""",
+    """v{l="lo"} 50""",
+    """allnan{l="x"} NaN""",
+    """allnan{l="y"} NaN"""), Seq(
+    C("1m", """max(v)""", """{} 100"""),
+    C("1m", """min(v)""", """{} 50"""),
+    C("1m", """max(allnan)""", """{} NaN"""),
+    C("1m", """min(allnan)""", """{} NaN"""),
+    C("1m", """topk(2, v)""",
+      """v{l="hi"} 100
+        |v{l="lo"} 50""", ordered = true),
+    C("1m", """bottomk(2, v)""",
+      """v{l="lo"} 50
+        |v{l="hi"} 100""", ordered = true),
+    // k exceeding the non-NaN population: NaN series fill the tail
+    C("1m", """topk(3, v)""",
+      """v{l="hi"} 100
+        |v{l="lo"} 50
+        |v{l="nan"} NaN""", ordered = true)))
+
   // inverse hyperbolics (the last of Prometheus's trig group): values
   // from Go/IEEE math; domain edges yield NaN exactly as math.Acosh /
   // math.Atanh do
@@ -651,12 +738,12 @@ class PromQLConformanceSpec extends SparkSpec {
 
   private val blocks = Seq(aggregators, operators, binops, functions,
     functions2, histograms, countValues, staleness, labelFns,
-    invHyperbolic,
+    invHyperbolic, sortByLabel, nanAgg,
     upstreamOperators, upstreamGroupLeft, upstreamAggregators,
     upstreamAggregators2, upstreamChangesResets, upstreamLiterals,
     upstreamFunctions, upstreamStaleness, upstreamDocsMatching,
     upstreamSubquery, upstreamAtModifier, upstreamDatesTrig,
-    upstreamBoolCmp)
+    upstreamBoolCmp, upstreamHistograms)
 
   // ---- harness ----
 
@@ -803,8 +890,8 @@ class PromQLConformanceSpec extends SparkSpec {
     // cases are added, never by deleting failing cases. `ported` counts
     // cases re-typed from Prometheus's own promqltest corpus, reported
     // separately from the handwritten sweep.
-    assert(own === 121)
-    assert(ported === 81)
+    assert(own === 130)
+    assert(ported === 88)
     assert(skips.size === 2)
     // every skip names its documented deviation
     assert(skips.forall(_.skip.nonEmpty))
