@@ -402,6 +402,28 @@ object PipelineQueries {
       EventStreams.runToMemory(
         EventStreams.intervalJoin(EventStreams.readEvents(s, dir)),
         "stream_q4_join", mode = "append")),
+    // STREAMING sink into a REAL Prometheus WAL: micro-batches land as
+    // wlog segments with batch-derived indices (replay-idempotent),
+    // then the batch WAL source reads the directory back — identity
+    // oracle ⇒ continuous ingestion in the reference storage format is
+    // lossless, and the dir composes with checkpoint/compaction
+    "stream_q17_wal_sink" -> ((s, dir) => {
+      val long = EventStreams.readEvents(s, dir).select(
+        unix_millis(col("ts")).as("time"), col("value"),
+        map(lit("__name__"), col("event_type"),
+          lit("user"), col("user_id").cast("string"),
+          lit("k"), regexp_extract(col("props"), "\"k\": (\\d+)", 1))
+          .as("labels"))
+      val walDir = Tables.scratchDir("graft_sq17_wal")
+      val ck = Tables.scratchDir("graft_sq17_ck")
+      val q = graft.streaming.TsdbStreamIngest.startWalSink(long, walDir, ck)
+      q.processAllAvailable(); q.stop()
+      s.read.format("tsdb-wal").load(walDir)
+        .select(col("time"), col("value"),
+          col("labels").getItem("__name__").as("name"),
+          col("labels").getItem("user").as("user"),
+          col("labels").getItem("k").as("k"))
+    }),
     // continuous TSDB ingest end-to-end through the STREAMING engine:
     // micro-batch long→wide idempotent writes, then aggregate the
     // resulting wide table — the oracle computes the same from raw
@@ -1447,6 +1469,11 @@ object PipelineQueries {
       """SELECT event_type AS name, count(*) AS n,
         |  round(sum(value), 4) AS total
         |FROM events GROUP BY 1""".stripMargin,
+    "stream_q17_wal_sink" ->
+      """SELECT CAST(epoch_ms(ts) AS BIGINT) AS time, value,
+        |  event_type AS name, CAST(user_id AS VARCHAR) AS "user",
+        |  regexp_extract(props, '"k": (\d+)', 1) AS k
+        |FROM events""".stripMargin,
     "stream_q6_append_windows" ->
       """SELECT date_trunc('hour', ts) AS window_start, event_type,
         |  count(*) AS n, round(sum(value), 4) AS total_value

@@ -293,12 +293,19 @@ object TsdbWalWriter {
     * the dir's numbering (append semantics — a second batch lands after
     * existing segments and checkpoints); refs fold the segment index
     * into the high bits for global uniqueness. Returns the segment
-    * count written by this call. */
-  def write(df: DataFrame, walDir: String, partitions: Int = 4): Int = {
+    * count written by this call.
+    *
+    * `baseSegment` pins the first segment index instead of continuing
+    * the numbering — the IDEMPOTENCE hook for streaming sinks: a
+    * replayed micro-batch re-writes the SAME segment files (a segment
+    * is written whole by one task), so at-least-once replay never
+    * duplicates samples. */
+  def write(df: DataFrame, walDir: String, partitions: Int = 4,
+            baseSegment: Option[Int] = None): Int = {
     val spark = df.sparkSession
     import spark.implicits._
     Files.createDirectories(Paths.get(walDir))
-    val base = nextSegmentIndex(walDir)
+    val base = baseSegment.getOrElse(nextSegmentIndex(walDir))
     val grouped = df
       .groupBy(array_sort(transform(map_entries(col("labels")),
           e => struct(e.getField("key").as("_1"), e.getField("value").as("_2"))))

@@ -49,4 +49,28 @@ object TsdbStreamIngest {
         writeBatch(batch, path, batchId, timePartitions)
       }
       .start()
+
+  /** Continuous ingestion into a REAL Prometheus WAL — the sink a
+    * streaming remote-write receiver runs: each micro-batch lands as
+    * wlog segments whose indices derive from the batch id
+    * (`batchId × partitions + task`), so an at-least-once replay
+    * re-writes the same files instead of appending duplicates —
+    * idempotent like [[writeBatch]]'s partition-per-batch rule, but in
+    * the reference storage format. The head-GC lifecycle composes: a
+    * caller can `TsdbWalWriter.checkpoint` the dir between (not
+    * during) runs exactly as Prometheus truncates its head.
+    *
+    * Scale: per batch, ONE shuffle (the series groupBy inside
+    * [[TsdbWalWriter.write]]) and one self-contained segment per task
+    * — state-free, so throughput tracks arrival rate. */
+  def startWalSink(samples: DataFrame, walDir: String, checkpoint: String,
+                   partitions: Int = 4): StreamingQuery =
+    samples.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.sources.tsdbblock.TsdbWalWriter.write(
+          batch, walDir, partitions,
+          baseSegment = Some((batchId * partitions).toInt)): Unit
+      }
+      .start()
 }
