@@ -1041,6 +1041,34 @@ object TsdbQueries {
         element_at(h.getField("counts"), 12).cast("long").as("c_inf"),
         round(histQuantile(h, 0.5), 6).as("phi"))
     }),
+    // Q118: PromQL info() — the instant vector enriched with the data
+    // labels of its matching target_info series (joined on the
+    // identifying (instance, job) pair, BROADCAST — info metrics are
+    // target-universe-sized). The fixture derives a deterministic
+    // `dc` data label per instance so DuckDB replays the enrichment.
+    "tsdb_q118_promql_info" -> ((s, dir) => {
+      val base = Tables.eventsAsTsdb(s, dir)
+      val v = base.select(col("time"), col("value"),
+        col("`labels.name`").as("labels.__name__"),
+        col("`labels.user`").as("labels.instance"),
+        lit("events").as("labels.job"))
+      val info = base.select(col("`labels.user`").as("labels.instance"))
+        .distinct()
+        .select(lit(RangeEnd - 1L).as("time"), lit(1.0).as("value"),
+          lit("target_info").as("labels.__name__"),
+          col("`labels.instance`"), lit("events").as("labels.job"),
+          concat(lit("dc-"),
+            pmod(col("`labels.instance`").cast("long"), lit(3L))
+              .cast("string")).as("labels.dc"))
+      val wide = v.unionByName(info, allowMissingColumns = true)
+      graft.tsdb.PromQL.eval(
+        graft.tsdb.PromQL.parse("""info({__name__="purchase"})"""),
+        wide, at = RangeEnd, lookbackMs = 86400000L,
+        start = RangeStart, end = RangeEnd)
+        .select(col("`labels.instance`").as("instance"),
+          col("`labels.dc`").as("dc"),
+          round(col("value"), 6).as("value"))
+    }),
     // Q90-Q93: PromQL TEXT over NATIVE-HISTOGRAM series
     // ([[graft.tsdb.PromQLHist]] — same parser/AST as the float tier,
     // evaluated over a frame of whole-histogram structs). The frame is
@@ -2879,6 +2907,19 @@ object TsdbQueries {
     // the wire round trip is lossless, so its oracle IS Q89's
     "tsdb_q106_remote_write_hist" -> histExpOracle,
     "tsdb_q117_wal_native_hist" -> histExpOracle,
+    "tsdb_q118_promql_info" ->
+      s"""WITH iv AS (SELECT CAST(user_id AS VARCHAR) AS instance,
+         |  round(list_extract(max([CAST(epoch_ms(ts) AS DOUBLE), value]), 2), 6)
+         |    AS value
+         |  FROM events
+         |  WHERE event_type = 'purchase'
+         |    AND CAST(epoch_ms(ts) AS BIGINT) > ${RangeEnd - 86400000L}
+         |    AND CAST(epoch_ms(ts) AS BIGINT) <= $RangeEnd
+         |  GROUP BY 1)
+         |SELECT instance,
+         |  'dc-' || CAST(CAST(instance AS BIGINT) % 3 AS VARCHAR) AS dc,
+         |  value
+         |FROM iv""".stripMargin,
     "tsdb_q60_promql_time_vector" ->
       s"""$duckTsdbCte,
          |iv AS (SELECT list_extract(max([CAST(time AS DOUBLE), value]), 2) AS value

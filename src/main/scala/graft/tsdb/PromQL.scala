@@ -137,6 +137,15 @@ object PromQL {
     * (r < 0) — so `limit_ratio(0.2, v)` and `limit_ratio(-0.8, v)`
     * partition the vector exactly, per the Prometheus contract. */
   final case class LimitRatio(r: Double, arg: Expr) extends Expr
+  /** `info(v[, {data-label-selector}])` — Prometheus's experimental
+    * info function: enrich every sample of `v` with the DATA labels of
+    * the matching info metric (default `target_info`), matched on the
+    * identifying labels `(instance, job)`. The selector restricts AND
+    * selects: its matchers must hold on the info series, and when
+    * non-empty only the labels it NAMES are added (a `__name__` Eq
+    * matcher picks a different info metric). Samples with no matching
+    * info series pass through unchanged. */
+  final case class Info(arg: Expr, sel: Seq[Matcher] = Nil) extends Expr
   final case class ScalarLit(v: Double) extends Expr
   /** `time()` — the evaluation timestamp in epoch seconds: a scalar
     * (the instant `at`) in instant mode, the per-step grid time in
@@ -230,6 +239,9 @@ object PromQL {
     case RankK(op, k, arg, _, w) =>
       s"$op without (${renderNames(w)}) ($k, ${render(arg)})"
     case LimitRatio(r, arg) => s"limit_ratio($r, ${render(arg)})"
+    case Info(arg, Seq()) => s"info(${render(arg)})"
+    case Info(arg, sel) =>
+      s"info(${render(arg)}, ${render(Selector(sel, None, 0L))})"
     case ScalarLit(v) => v.toString
     case TimeLit => "time()"
     case Subquery(arg, r, st, off, atm) =>
@@ -738,6 +750,18 @@ object PromQL {
       val arg = parseExpr(p)
       p.expect(')')
       RankK(name, k, arg)
+    } else if (name == "info" && p.peek('(')) {
+      p.expect('(')
+      val arg = parseExpr(p)
+      val sel =
+        if (p.opt(',')) parseSelector(p, None) match {
+          case Selector(ms, None, 0L, None) => ms
+          case other => throw new IllegalArgumentException(
+            s"info(): the data-label selector must be a plain {matcher} " +
+              s"set, got ${render(other)}")
+        } else Nil
+      p.expect(')')
+      Info(arg, sel)
     } else if (name == "limit_ratio" && p.peek('(')) {
       p.expect('(')
       // the ratio may be negative (complement band) — number() itself
@@ -888,6 +912,7 @@ object PromQL {
     case AggWithout(o, w, a, q) => AggWithout(o, w, anchorRanges(a, atMs), q)
     case RankK(o, k, a, b, w) => RankK(o, k, anchorRanges(a, atMs), b, w)
     case LimitRatio(r, a) => LimitRatio(r, anchorRanges(a, atMs))
+    case Info(a, sel) => Info(anchorRanges(a, atMs), sel)
     case BinOp(op, on, l, r, b, c, i, cr) =>
       BinOp(op, on, anchorRanges(l, atMs), anchorRanges(r, atMs), b, c, i, cr)
     case SetOp(op, on, l, r, i) =>
@@ -1090,6 +1115,11 @@ object PromQL {
       require(iv.columns.contains(TsdbSchema.ValueCol),
         "limit_ratio(r, ...) needs an instant-vector argument")
       iv.where(ratioBand(iv, r))
+
+    case Info(arg, sel) =>
+      val iv = toValueShape(eval(arg, wide, at, lookbackMs, start, end))
+      val infoIv = eval(infoSelector(sel), wide, at, lookbackMs, start, end)
+      infoJoin(iv, infoIv, sel, extraKeys = Nil)
 
     case ScalarLit(v) =>
       // a scalar query evaluates to the Prometheus scalar result type:
@@ -1542,6 +1572,7 @@ object PromQL {
     case AggWithout(o, w, a, q) => AggWithout(o, w, substTime(a, atSec), q)
     case RankK(o, k, a, b, w) => RankK(o, k, substTime(a, atSec), b, w)
     case LimitRatio(r, a) => LimitRatio(r, substTime(a, atSec))
+    case Info(a, sel) => Info(substTime(a, atSec), sel)
     // a subquery's inner expression evaluates in range mode, where
     // time() is the per-step grid time — leave it unresolved
     case s: Subquery => s
@@ -1939,6 +1970,14 @@ object PromQL {
       require(iv.columns.contains(TsdbSchema.ValueCol),
         "limit_ratio(r, ...) needs per-step instant vectors")
       iv.where(ratioBand(iv, r))
+    case Info(arg, sel) =>
+      // per-step enrichment: the info vector is range-evaluated on the
+      // same grid and joined per (identifying labels, t) — info labels
+      // may legitimately change over the range (e.g. a redeploy)
+      val iv = toValueShape(evalRange(arg, wide, start, end, stepMs, lookbackMs))
+      val infoIv = evalRange(infoSelector(sel), wide, start, end, stepMs,
+        lookbackMs)
+      infoJoin(iv, infoIv, sel, extraKeys = Seq("t"))
     case BinOp(op, _, l, ScalarLit(s), bool, _, _, _) =>
       scalarOp(evalRange(l, wide, start, end, stepMs, lookbackMs), op,
         lit(s), flipped = false, bool = bool)
@@ -2285,6 +2324,7 @@ object PromQL {
     case AggWithout(o, w, a, q) => AggWithout(o, w, fold(a), q)
     case RankK(o, k, a, b, w) => RankK(o, k, fold(a), b, w)
     case LimitRatio(r, a) => LimitRatio(r, fold(a))
+    case Info(a, sel) => Info(fold(a), sel)
     case SetOp(o, on, l, r, ign) => SetOp(o, on, fold(l), fold(r), ign)
     case other => other
   }
@@ -2455,6 +2495,64 @@ object PromQL {
     * fraction ([[graft.functions.Hashing.hash64]] mod 1000 / 1000)
     * falls below r (r ≥ 0) or in the complement band (r < 0), so
     * `limit_ratio(r, v)` ∪ `limit_ratio(r − 1, v)` = v exactly. */
+  /** The selector for [[Info]]'s info metric: `target_info` unless the
+    * data-label selector carries a `__name__` Eq matcher, plus every
+    * non-name matcher as a row filter on the info series. */
+  private def infoSelector(sel: Seq[Matcher]): Selector = {
+    val name = sel.collectFirst {
+      case Matcher.Eq("__name__", n) => n
+    }.getOrElse("target_info")
+    Selector(Matcher.Eq("__name__", name) +:
+      sel.filterNot(_.name == "__name__"), None, 0L)
+  }
+
+  /** [[Info]]'s enrichment join: LEFT-join the info vector's DATA
+    * labels onto `iv` on the identifying labels `(instance, job)` (the
+    * OpenTelemetry resource identity) plus `extraKeys` (the grid `t`
+    * in range mode). When the data-label selector names labels, only
+    * those are added; otherwise every info label except the
+    * identifying ones and `__name__`. Labels already present on `iv`
+    * are never overwritten (Prometheus errors on a conflicting value;
+    * keeping the sample's own label is this engine's deterministic
+    * refinement). One info row per join key is enforced with a
+    * deterministic min-by-series-key window, and the info side is
+    * BROADCAST — info metrics are target-universe-sized, never
+    * sample-sized. */
+  private def infoJoin(iv: DataFrame, info: DataFrame, sel: Seq[Matcher],
+                       extraKeys: Seq[String]): DataFrame = {
+    val ids = Seq("instance", "job").map(TsdbSchema.labelColName)
+      .filter(c => iv.columns.contains(c) && info.columns.contains(c))
+    require(ids.nonEmpty,
+      "info(): the vector and the info metric share no identifying " +
+        "labels (instance, job)")
+    val named = sel.filterNot(_.name == "__name__")
+      .map(m => TsdbSchema.labelColName(m.name))
+    val dataCols0 = info.columns.toSeq.filter(c =>
+      c.startsWith(TsdbSchema.LabelPrefix) && !ids.contains(c) &&
+        c != TsdbSchema.labelColName("__name__"))
+    val dataCols = if (named.nonEmpty) dataCols0.filter(named.contains)
+      else dataCols0
+    val keys = ids ++ extraKeys.filter(info.columns.contains)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keys.map(c => col(s"`$c`")): _*)
+      .orderBy(seriesKey(info).asc)
+    val infoProj = info
+      .withColumn("_rn", row_number().over(w)).where(col("_rn") === 1)
+      .select((keys ++ dataCols).distinct.map(c => col(s"`$c`")): _*)
+    // wide-schema subtlety: "label already present" is VALUE-level, not
+    // column-level (absent ≡ NULL), so a shared data column merges with
+    // coalesce — the sample's own label wins over the info label
+    iv.as("l").join(broadcast(infoProj.as("r")),
+        keys.map(k => col(s"l.`$k`") <=> col(s"r.`$k`")).reduce(_ && _),
+        "left")
+      .select(iv.columns.toSeq.map(c =>
+          if (dataCols.contains(c))
+            coalesce(col(s"l.`$c`"), col(s"r.`$c`")).as(c)
+          else col(s"l.`$c`")) ++
+        dataCols.filterNot(iv.columns.contains)
+          .map(c => col(s"r.`$c`")): _*)
+  }
+
   private def ratioBand(iv: DataFrame, r: Double): Column = {
     val frac = pmod(graft.functions.Hashing.hash64(seriesKey(iv)),
       lit(1000L)).cast("double") / 1000.0

@@ -716,6 +716,35 @@ class PromQLConformanceSpec extends SparkSpec {
         |v{l="lo"} 50
         |v{l="nan"} NaN""", ordered = true)))
 
+  // info() (Prometheus 3 experimental): data labels of the matching
+  // target_info series join onto the vector on (instance, job); the
+  // optional selector restricts AND selects the labels added; samples
+  // without a matching info series pass through unchanged
+  private val infoFn = B("info function", "5m", Seq(
+    """http_server_requests{instance="1", job="api", path="/"} 10""",
+    """http_server_requests{instance="2", job="api", path="/x"} 20""",
+    """http_server_requests{instance="3", job="db"} 5""",
+    """target_info{instance="1", job="api", cluster="us", version="1.2"} 1""",
+    """target_info{instance="2", job="api", cluster="eu", version="1.3"} 1""",
+    """build_info{instance="1", job="api", sha="abc"} 1"""), Seq(
+    C("1m", """info(http_server_requests)""",
+      """http_server_requests{instance="1", job="api", path="/", cluster="us", version="1.2"} 10
+        |http_server_requests{instance="2", job="api", path="/x", cluster="eu", version="1.3"} 20
+        |http_server_requests{instance="3", job="db"} 5"""),
+    C("1m", """info(http_server_requests, {cluster=~".+"})""",
+      """http_server_requests{instance="1", job="api", path="/", cluster="us"} 10
+        |http_server_requests{instance="2", job="api", path="/x", cluster="eu"} 20
+        |http_server_requests{instance="3", job="db"} 5"""),
+    C("1m", """info(http_server_requests, {cluster="us"})""",
+      """http_server_requests{instance="1", job="api", path="/", cluster="us"} 10
+        |http_server_requests{instance="2", job="api", path="/x"} 20
+        |http_server_requests{instance="3", job="db"} 5"""),
+    // __name__ in the selector picks a different info metric
+    C("1m", """info(http_server_requests, {__name__="build_info"})""",
+      """http_server_requests{instance="1", job="api", path="/", sha="abc"} 10
+        |http_server_requests{instance="2", job="api", path="/x"} 20
+        |http_server_requests{instance="3", job="db"} 5""")))
+
   // inverse hyperbolics (the last of Prometheus's trig group): values
   // from Go/IEEE math; domain edges yield NaN exactly as math.Acosh /
   // math.Atanh do
@@ -738,7 +767,7 @@ class PromQLConformanceSpec extends SparkSpec {
 
   private val blocks = Seq(aggregators, operators, binops, functions,
     functions2, histograms, countValues, staleness, labelFns,
-    invHyperbolic, sortByLabel, nanAgg,
+    invHyperbolic, sortByLabel, nanAgg, infoFn,
     upstreamOperators, upstreamGroupLeft, upstreamAggregators,
     upstreamAggregators2, upstreamChangesResets, upstreamLiterals,
     upstreamFunctions, upstreamStaleness, upstreamDocsMatching,
@@ -890,7 +919,7 @@ class PromQLConformanceSpec extends SparkSpec {
     // cases are added, never by deleting failing cases. `ported` counts
     // cases re-typed from Prometheus's own promqltest corpus, reported
     // separately from the handwritten sweep.
-    assert(own === 130)
+    assert(own === 134)
     assert(ported === 88)
     assert(skips.size === 2)
     // every skip names its documented deviation
