@@ -409,6 +409,35 @@ object TsdbQueries {
           col("labels").getItem("user").as("user"),
           col("labels").getItem("k").as("k"))
     }),
+    // Q119: WHOLE-DB DELETE — the actual delete_series endpoint shape:
+    // a full data directory (blocks + WAL head, Q109's layout), one
+    // deleteSeriesDb call stoning every matching series in every block
+    // AND as kind-3 WAL records, then the blocks ∪ WAL merge read.
+    // Same oracle as Q111 ⇒ the delete is seamless across the
+    // block/head split.
+    "tsdb_q119_db_delete" -> ((s, dir) => {
+      val long = load(s, dir, "events").select(
+        unix_millis(col("ts")).as("time"), col("value"),
+        map(lit("__name__"), col("event_type"),
+          lit("user"), col("user_id").cast("string"),
+          lit("k"), regexp_extract(col("props"), "\"k\": (\\d+)", 1))
+          .as("labels"))
+      val root = Tables.scratchDir("graft_q119_db")
+      graft.sources.tsdbblock.TsdbBlockWriter.write(
+        long.where(col("time") < lit(RangeEnd)), root,
+        blockRangeMs = 7L * 86400000L)
+      graft.sources.tsdbblock.TsdbWalWriter.write(
+        long.where(col("time") >= lit(RangeEnd)), s"$root/wal")
+      graft.tsdb.TsdbAdmin.deleteSeriesDb(root,
+        Seq(Matcher.Eq("__name__", "click")), RangeStart, RangeEnd)
+      graft.tsdb.TsdbAdmin.deleteSeriesDb(root,
+        Seq(Matcher.Eq("__name__", "error")))
+      graft.sources.tsdbblock.TsdbDb.read(s, root)
+        .select(col("time"), col("value"),
+          col("labels").getItem("__name__").as("name"),
+          col("labels").getItem("user").as("user"),
+          col("labels").getItem("k").as("k"))
+    }),
     // Q111: DELETE SERIES (the admin Delete API) — events written as
     // real blocks, then two tombstone writes per block: one windowed
     // (clicks inside [RangeStart, RangeEnd] — partial chunk overlap ⇒
@@ -3111,6 +3140,14 @@ object TsdbQueries {
          |           AND CAST(epoch_ms(ts) AS BIGINT) BETWEEN $RangeStart AND $RangeEnd)
          |  AND event_type <> 'error'""".stripMargin,
     "tsdb_q111_delete_series" ->
+      s"""SELECT CAST(epoch_ms(ts) AS BIGINT) AS time, value,
+         |  event_type AS name, CAST(user_id AS VARCHAR) AS "user",
+         |  regexp_extract(props, '"k": (\\d+)', 1) AS k
+         |FROM events
+         |WHERE NOT (event_type = 'click'
+         |           AND CAST(epoch_ms(ts) AS BIGINT) BETWEEN $RangeStart AND $RangeEnd)
+         |  AND event_type <> 'error'""".stripMargin,
+    "tsdb_q119_db_delete" ->
       s"""SELECT CAST(epoch_ms(ts) AS BIGINT) AS time, value,
          |  event_type AS name, CAST(user_id AS VARCHAR) AS "user",
          |  regexp_extract(props, '"k": (\\d+)', 1) AS k

@@ -30,19 +30,8 @@ object TsdbAdmin {
   def deleteSeries(blockDir: String, matchers: Seq[Matcher],
                    mint: Long = Long.MinValue,
                    maxt: Long = Long.MaxValue): Int = {
-    def matches(labels: Map[String, String], m: Matcher): Boolean = {
-      val v = labels.getOrElse(m.name, "")
-      m match {
-        case Matcher.Eq(_, x) => v == x
-        case Matcher.NotEq(_, x) => v != x
-        case Matcher.Re(_, p) =>
-          java.util.regex.Pattern.compile(p).matcher(v).find()
-        case Matcher.NotRe(_, p) =>
-          !java.util.regex.Pattern.compile(p).matcher(v).find()
-      }
-    }
     val hit = IndexReader.read(s"$blockDir/index")
-      .filter(s => matchers.forall(m => matches(s.labels, m)))
+      .filter(s => matchers.forall(m => matcherHolds(s.labels, m)))
       .filter(s => s.chunks.exists(c => c.maxTime >= mint && c.minTime <= maxt))
     val fresh = hit.map(s =>
       s.ref -> Seq(Tombstones.Interval(mint, maxt))).toMap
@@ -77,6 +66,47 @@ object TsdbAdmin {
       blockDirs.map(d => spark.read.format("tsdb-block").load(d))
         .reduce(_ unionByName _),
       destRoot, blockRangeMs)
+
+  /** The WHOLE-DB Delete API — what
+    * `POST /api/v1/admin/tsdb/delete_series` actually does: tombstone
+    * every matching series in every block AND in the WAL head (kind-3
+    * stone records, which mask replay immediately). Still O(metadata):
+    * one index pass per block plus one series-record pass over the
+    * WAL. Returns the number of (block-or-WAL, series) pairs stoned. */
+  def deleteSeriesDb(dbDir: String, matchers: Seq[Matcher],
+                     mint: Long = Long.MinValue,
+                     maxt: Long = Long.MaxValue): Int = {
+    val root = new java.io.File(dbDir)
+    val blocks = Option(root.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isDirectory && new java.io.File(f, "index").isFile)
+      .map(_.getPath).sorted
+    val nBlocks = blocks.map(deleteSeries(_, matchers, mint, maxt)).sum
+    val walDir = new java.io.File(root, "wal")
+    val nWal =
+      if (!walDir.isDirectory) 0
+      else {
+        val hit = graft.sources.tsdbblock.WalReader.seriesDict(walDir.getPath)
+          .filter { case (_, labels) =>
+            matchers.forall(m => matcherHolds(labels, m))
+          }
+        graft.sources.tsdbblock.TsdbWalWriter.writeStones(walDir.getPath,
+          hit.keys.toSeq.sorted.map(ref => (ref, mint, maxt)))
+        hit.size
+      }
+    nBlocks + nWal
+  }
+
+  private def matcherHolds(labels: Map[String, String], m: Matcher): Boolean = {
+    val v = labels.getOrElse(m.name, "")
+    m match {
+      case Matcher.Eq(_, x) => v == x
+      case Matcher.NotEq(_, x) => v != x
+      case Matcher.Re(_, p) =>
+        java.util.regex.Pattern.compile(p).matcher(v).find()
+      case Matcher.NotRe(_, p) =>
+        !java.util.regex.Pattern.compile(p).matcher(v).find()
+    }
+  }
 
   /** Patch (or insert) `stats.numTombstones` in meta.json, preserving
     * everything else byte-for-byte — the file may be reference-written. */

@@ -120,6 +120,32 @@ class TombstonesSpec extends SparkSpec {
     assert(entries.size === 1 && entries.head.labels("job") == "api")
   }
 
+  test("deleteSeriesDb stones blocks AND the WAL head in one call") {
+    import graft.sources.tsdbblock.{TsdbDb, TsdbWalWriter, WalReader}
+    val db = tmpDir("graft_ts_db_")
+    writeBlock(s"$db/block1")
+    // head: the api series continues past the block
+    val s = spark
+    import org.apache.spark.sql.functions._
+    val sq = s
+    import sq.implicits._
+    val head = (300L until 400L).map(_ * 1000L).toDF("time")
+      .withColumn("value", lit(1.0))
+      .withColumn("labels", map(lit("__name__"), lit("up"),
+        lit("job"), lit("api")))
+    TsdbWalWriter.write(head, s"$db/wal", partitions = 1)
+    // windowed delete of api spans block tail AND head start
+    val stoned = TsdbAdmin.deleteSeriesDb(db,
+      Seq(Matcher.Eq("job", "api")), 250000L, 350000L)
+    assert(stoned === 2, "one block series + one WAL series")
+    val times = TsdbDb.read(spark, db)
+      .where(element_at(col("labels"), "job") === "api")
+      .select(col("time")).collect().map(_.getLong(0)).toSet
+    assert(times === ((0L until 250L) ++ (351L until 400L))
+      .map(_ * 1000L).toSet,
+      "the deletion window must vanish seamlessly across block and head")
+  }
+
   test("time-range pushdown composes with tombstone masking") {
     val dir = tmpDir("graft_ts_push_")
     writeBlock(dir)
