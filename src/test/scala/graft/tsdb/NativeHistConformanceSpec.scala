@@ -1,0 +1,146 @@
+package graft.tsdb
+
+import graft.SparkSpec
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Conformance sweep for the NATIVE-HISTOGRAM PromQL tier using
+  * promqltest-style histogram literals — the `{{schema:0 count:7
+  * sum:12 z_bucket:1 offset:0 buckets:[2 3 1]}}` syntax Prometheus's
+  * own test corpus loads native-histogram series with. Literals are
+  * parsed here, landed on the engine's dense exponential grid (the
+  * [[graft.tsdb.RemoteWrite.denseFromSparse]] index mapping), and the
+  * queries run through [[PromQLHist.eval]] — the same text front end
+  * as the float tier.
+  *
+  * Bucket-index convention (the prompb/native one the engine uses
+  * throughout): sparse index i covers `(base^(i−1), base^i]` with
+  * `base = 2^(2^−schema)`; `offset` is the index of the FIRST bucket
+  * in `buckets`, consecutive after that.
+  */
+class NativeHistConformanceSpec extends SparkSpec {
+
+  // grid every case lands on: schema 0, les = [0, 1, 2, 4, 8, +Inf]
+  private val Schema = 0
+  private val MinExp = 0
+  private val MaxExp = 3
+  private val Les: Seq[Double] =
+    (0.0 +: NativeHistogram.exponentialLes(Schema, MinExp, MaxExp)) :+
+      Double.PositiveInfinity
+
+  private case class HL(count: Double, sum: Double, zBucket: Double,
+                        offset: Int, buckets: Seq[Double])
+
+  /** `{{schema:0 count:7 sum:12 z_bucket:1 offset:0 buckets:[2 3 1]}}` */
+  private def parseLiteral(s: String): HL = {
+    def num(field: String): Option[Double] =
+      (field + """:(-?\d+(?:\.\d+)?)""").r.findFirstMatchIn(s)
+        .map(_.group(1).toDouble)
+    val buckets = """buckets:\[([^\]]*)\]""".r.findFirstMatchIn(s)
+      .map(_.group(1).trim.split("\\s+").toSeq.filter(_.nonEmpty)
+        .map(_.toDouble)).getOrElse(Nil)
+    require(num("schema").forall(_ == Schema),
+      s"this sweep's grid is schema $Schema only")
+    HL(num("count").getOrElse(buckets.sum + num("z_bucket").getOrElse(0.0)),
+      num("sum").getOrElse(0.0), num("z_bucket").getOrElse(0.0),
+      num("offset").map(_.toInt).getOrElse(0), buckets)
+  }
+
+  /** Sparse literal → the dense grid counts (denseFromSparse mapping:
+    * index i ≤ MinExp → position 1, i ∈ (MinExp, MaxExp] →
+    * i − MinExp + 1, i > MaxExp → the +Inf tail; z_bucket → 0). */
+  private def denseCounts(h: HL): Seq[Double] = {
+    val out = Array.fill(Les.size)(0.0)
+    out(0) = h.zBucket
+    h.buckets.zipWithIndex.foreach { case (c, j) =>
+      val i = h.offset + j
+      val p = if (i <= MinExp) 1
+        else if (i <= MaxExp) i - MinExp + 1
+        else Les.size - 1
+      out(p) += c
+    }
+    out.toSeq
+  }
+
+  /** One series line: `h{case="a"} {{...}} {{...}}` — slot k at
+    * time k·stepMs. */
+  private def frame(stepMs: Long, lines: Seq[String]): DataFrame = {
+    val litRe = """\{\{[^}]*\}\}""".r
+    val rows = lines.flatMap { line =>
+      val sel = line.substring(0, line.indexOf('}') + 1)
+      val name = "^[a-zA-Z_:][a-zA-Z0-9_:]*".r.findFirstIn(sel.trim)
+      val labels = """([a-zA-Z_][a-zA-Z0-9_]*)="([^"]*)"""".r
+        .findAllMatchIn(sel).map(m => m.group(1) -> m.group(2)).toMap ++
+        name.map("__name__" -> _)
+      litRe.findAllIn(line.substring(sel.length)).toSeq.zipWithIndex.map {
+        case (tok, slot) =>
+          val h = parseLiteral(tok)
+          Row(slot * stepMs, labels.get("__name__").orNull,
+            labels.get("case").orNull, h.count, h.sum,
+            denseCounts(h))
+      }
+    }
+    val schema = StructType(Seq(
+      StructField("time", LongType, nullable = false),
+      StructField("labels.__name__", StringType),
+      StructField("labels.case", StringType),
+      StructField("cnt", DoubleType), StructField("sm", DoubleType),
+      StructField("counts", ArrayType(DoubleType))))
+    spark.createDataFrame(
+        spark.sparkContext.parallelize(rows.toList, 2), schema)
+      .select(col("time"), col("`labels.__name__`"), col("`labels.case`"),
+        struct(col("cnt").as("count"), col("sm").as("sum"),
+          array(Les.map(lit(_)): _*).as("les"),
+          col("counts").as("counts")).as("hist"))
+  }
+
+  private val load = frame(300000L, Seq(
+    """h{case="a"} {{schema:0 count:7 sum:12 z_bucket:1 offset:0 buckets:[2 3 1]}}""",
+    """h{case="b"} {{schema:0 count:4 sum:10 offset:1 buckets:[4]}}"""))
+
+  private def run(q: String): Map[String, Double] =
+    PromQLHist.eval(PromQL.parse(q), load, at = 60000L,
+        lookbackMs = 300000L, start = 0L, end = 60000L,
+        nLes = Les.size)
+      .collect().map { r =>
+        val cols = r.schema.fieldNames
+        val key = cols.indexOf("labels.case") match {
+          case -1 => ""
+          case i => Option(r.get(i)).map(_.toString).getOrElse("")
+        }
+        key -> r.getDouble(cols.indexOf("value"))
+      }.toMap
+
+  private def near(got: Double, want: Double): Boolean =
+    math.abs(got - want) <= 1e-6 * math.max(1.0, math.abs(want))
+
+  test("histogram_count / _sum / _avg over literal-loaded series") {
+    assert(run("histogram_count(h)") === Map("a" -> 7.0, "b" -> 4.0))
+    assert(run("histogram_sum(h)") === Map("a" -> 12.0, "b" -> 10.0))
+    val avg = run("histogram_avg(h)")
+    assert(near(avg("a"), 12.0 / 7) && near(avg("b"), 2.5))
+  }
+
+  test("histogram_quantile interpolates on the exponential grid") {
+    val q = run("histogram_quantile(0.5, h)")
+    // a: cum [1, 3, 6, 7, 7]; rank 3.5 lands in (1,2] → 1 + 0.5/3
+    assert(near(q("a"), 1.0 + 0.5 / 3))
+    // b: all mass in (1,2]; rank 2 → 1 + 2/4
+    assert(near(q("b"), 1.5))
+  }
+
+  test("histogram_fraction is edge-exact on bucket boundaries") {
+    val f = run("histogram_fraction(1, 2, h)")
+    assert(near(f("a"), 3.0 / 7) && near(f("b"), 1.0))
+  }
+
+  test("sum-merge then scalar: histogram_count(sum(h))") {
+    val m = run("histogram_count(sum(h))")
+    assert(m.values.toSeq === Seq(11.0))
+  }
+
+  test("selector matchers apply to literal series") {
+    assert(run("""histogram_count(h{case="b"})""") === Map("b" -> 4.0))
+  }
+}
