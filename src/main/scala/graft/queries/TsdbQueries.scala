@@ -227,6 +227,23 @@ object TsdbQueries {
           col("labels").getItem("user").as("user"),
           col("labels").getItem("k").as("k"))
     }),
+    // Q120: REMOTE-WRITE 2.0 — Q101's identity THROUGH the v2 wire
+    // format (io.prometheus.write.v2.Request): symbol-interned labels,
+    // packed uint32 refs, per-request string table. Same one-shuffle
+    // encode / map-side decode plan as 1.0, smaller bytes.
+    "tsdb_q120_remote_write2" -> ((s, dir) => {
+      val long = load(s, dir, "events").select(
+        unix_millis(col("ts")).as("time"), col("value"),
+        map(lit("__name__"), col("event_type"),
+          lit("user"), col("user_id").cast("string"),
+          lit("k"), regexp_extract(col("props"), "\"k\": (\\d+)", 1))
+          .as("labels"))
+      graft.tsdb.RemoteWrite2.decode(graft.tsdb.RemoteWrite2.encode(long))
+        .select(col("time"), col("value"),
+          col("labels").getItem("__name__").as("name"),
+          col("labels").getItem("user").as("user"),
+          col("labels").getItem("k").as("k"))
+    }),
     // Q108: TSDB block write-out — events written as real Prometheus
     // block directories (Gorilla XOR chunks + index v2 with symbols/
     // series/postings, 7d slices — one block per task, the compactor
@@ -1028,6 +1045,33 @@ object TsdbQueries {
         dense, schemaId = 0, minExp = 0, maxExp = 9)
       val back = graft.tsdb.RemoteWrite.denseFromSparse(
         graft.tsdb.RemoteWrite.decodeHistRequests(wire),
+        schemaId = 0, minExp = 0, maxExp = 9)
+      back.select(
+        col("labels").getItem("name").as("name"),
+        col("labels").getItem("user").as("user"),
+        histCount(h).cast("long").as("n"),
+        round(histSum(h), 4).as("sum_v"),
+        element_at(h.getField("counts"), 2).cast("long").as("c_le1"),
+        element_at(h.getField("counts"), 9).cast("long").as("c_64_128"),
+        element_at(h.getField("counts"), 12).cast("long").as("c_inf"),
+        round(histQuantile(h, 0.5), 6).as("phi"))
+    }),
+    // Q121: NATIVE HISTOGRAMS through REMOTE-WRITE 2.0 — Q106's grid
+    // replay over the v2 framing (the Histogram message is shared with
+    // 1.0; the symbol-interned envelope is what changes).
+    "tsdb_q121_remote_write2_hist" -> ((s, dir) => {
+      import graft.tsdb.NativeHistogram._
+      val h = col("hist")
+      val dense = buildExp(table(s, dir).select(RangeStart, RangeEnd, Nil).toDF(),
+        Seq(col("`labels.name`").as("name"), col("`labels.user`").as("user")),
+        col("value"), schema = 0, minExp = 0, maxExp = 9)
+        .select(lit(RangeEnd).as("time"),
+          map(lit("name"), col("name"), lit("user"), col("user")).as("labels"),
+          col("hist"))
+      val wire = graft.tsdb.RemoteWrite2.encodeHistRequests(
+        dense, schemaId = 0, minExp = 0, maxExp = 9)
+      val back = graft.tsdb.RemoteWrite.denseFromSparse(
+        graft.tsdb.RemoteWrite2.decodeHistRequests(wire),
         schemaId = 0, minExp = 0, maxExp = 9)
       back.select(
         col("labels").getItem("name").as("name"),
@@ -2936,6 +2980,12 @@ object TsdbQueries {
     // the wire round trip is lossless, so its oracle IS Q89's
     "tsdb_q106_remote_write_hist" -> histExpOracle,
     "tsdb_q117_wal_native_hist" -> histExpOracle,
+    "tsdb_q121_remote_write2_hist" -> histExpOracle,
+    "tsdb_q120_remote_write2" ->
+      """SELECT CAST(epoch_ms(ts) AS BIGINT) AS time, value,
+        |  event_type AS name, CAST(user_id AS VARCHAR) AS "user",
+        |  regexp_extract(props, '"k": (\d+)', 1) AS k
+        |FROM events""".stripMargin,
     "tsdb_q118_promql_info" ->
       s"""WITH iv AS (SELECT CAST(user_id AS VARCHAR) AS instance,
          |  round(list_extract(max([CAST(epoch_ms(ts) AS DOUBLE), value]), 2), 6)

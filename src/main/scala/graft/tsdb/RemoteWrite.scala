@@ -40,7 +40,7 @@ object RemoteWrite {
 
   // ---- protobuf wire primitives -------------------------------------
 
-  private final class ProtoWriter {
+  private[tsdb] final class ProtoWriter {
     private val buf = new java.io.ByteArrayOutputStream()
     def varint(v: Long): Unit = {
       var x = v
@@ -62,7 +62,7 @@ object RemoteWrite {
     def toBytes: Array[Byte] = buf.toByteArray
   }
 
-  private final class ProtoReader(b: Array[Byte], from: Int, until: Int) {
+  private[tsdb] final class ProtoReader(b: Array[Byte], from: Int, until: Int) {
     private var pos = from
     def hasMore: Boolean = pos < until
     def varint(): Long = {
@@ -279,7 +279,7 @@ object RemoteWrite {
 
   /** One float-form `prompb.Histogram` message (the shape Prometheus
     * sends for float histograms; integer/delta form is decode-only). */
-  private def encodeHistogram(h: SparseHist): Array[Byte] = {
+  private[tsdb] def encodeHistogram(h: SparseHist): Array[Byte] = {
     val w = new ProtoWriter
     w.fixed64(2, java.lang.Double.doubleToLongBits(h.count)) // count_float
     w.fixed64(3, java.lang.Double.doubleToLongBits(h.sum))
@@ -310,7 +310,7 @@ object RemoteWrite {
   }
 
   /** Parse one Histogram message (both integer/delta and float forms). */
-  private def decodeHistogram(raw: Array[Byte], from: Int, until: Int,
+  private[tsdb] def decodeHistogram(raw: Array[Byte], from: Int, until: Int,
                               labels: Map[String, String]): SparseHist = {
     val r = new ProtoReader(raw, from, until)
     var count = 0.0; var sum = 0.0; var schema = 0
