@@ -184,8 +184,20 @@ object PromQL {
     * the Prometheus 3 selector syntax. */
   private val LegacyLabelRe = "[a-zA-Z_][a-zA-Z0-9_]*".r
   private val LegacyMetricRe = "[a-zA-Z_:][a-zA-Z0-9_:]*".r
+  /** A quoted PromQL string with Go escapes — the renderer-side twin of
+    * the parser's `quoted()` (round-trip pinned). */
+  private def q(s: String): String =
+    "\"" + s.flatMap {
+      case '\\' => "\\\\"
+      case '"' => "\\\""
+      case '\n' => "\\n"
+      case '\t' => "\\t"
+      case '\r' => "\\r"
+      case c => c.toString
+    } + "\""
+
   private def renderLabelName(n: String): String =
-    if (LegacyLabelRe.matches(n)) n else s""""$n""""
+    if (LegacyLabelRe.matches(n)) n else q(n)
   private def renderNames(ns: Seq[String]): String =
     ns.map(renderLabelName).mkString(", ")
 
@@ -199,12 +211,12 @@ object PromQL {
       // a UTF-8 metric name cannot prefix the braces — it renders as the
       // bare quoted first item, `{"my.metric", job="x"}`
       val legacyName = name.isEmpty || LegacyMetricRe.matches(name)
-      val nameItem = if (legacyName) Nil else Seq(s""""$name"""")
+      val nameItem = if (legacyName) Nil else Seq(q(name))
       val body = (nameItem ++ rest.map {
-        case Matcher.Eq(n, v) => s"""${renderLabelName(n)}="$v""""
-        case Matcher.NotEq(n, v) => s"""${renderLabelName(n)}!="$v""""
-        case Matcher.Re(n, v) => s"""${renderLabelName(n)}=~"$v""""
-        case Matcher.NotRe(n, v) => s"""${renderLabelName(n)}!~"$v""""
+        case Matcher.Eq(n, v) => s"${renderLabelName(n)}=${q(v)}"
+        case Matcher.NotEq(n, v) => s"${renderLabelName(n)}!=${q(v)}"
+        case Matcher.Re(n, v) => s"${renderLabelName(n)}=~${q(v)}"
+        case Matcher.NotRe(n, v) => s"${renderLabelName(n)}!~${q(v)}"
       }).mkString(",")
       val prefix = if (legacyName) name else ""
       val braces = if (body.nonEmpty || prefix.isEmpty) s"{$body}" else ""
@@ -218,13 +230,13 @@ object PromQL {
     case Fn(name, arg, params) =>
       (s"$name(${render(arg)}" +: params.map(_.toString)).mkString(", ") + ")"
     case CountValues(lbl, arg, Seq(), Seq()) =>
-      s"""count_values("$lbl", ${render(arg)})"""
+      s"""count_values(${q(lbl)}, ${render(arg)})"""
     case CountValues(lbl, arg, by, Seq()) =>
-      s"""count_values by (${renderNames(by)}) ("$lbl", ${render(arg)})"""
+      s"""count_values by (${renderNames(by)}) (${q(lbl)}, ${render(arg)})"""
     case CountValues(lbl, arg, _, w) =>
-      s"""count_values without (${renderNames(w)}) ("$lbl", ${render(arg)})"""
+      s"""count_values without (${renderNames(w)}) (${q(lbl)}, ${render(arg)})"""
     case StrFn(name, arg, strs) =>
-      s"$name(${render(arg)}${strs.map(v => s""", "$v"""").mkString})"
+      s"$name(${render(arg)}${strs.map(v => s", ${q(v)}").mkString})"
     case AggBy(op, Seq(), arg, param) =>
       s"$op(${param.fold("")(p => s"$p, ")}${render(arg)})"
     case AggBy(op, by, arg, param) =>
@@ -301,15 +313,37 @@ object PromQL {
       if (i == start) throw ParseError("expected identifier", i)
       s.substring(start, i)
     }
+    /** A PromQL string literal with Go escape sequences (`\\`, `\"`,
+      * `\'`, `\n`, `\t`, `\r`, and `\xNN`/`\uNNNN` code points) —
+      * promql/parser's unquote contract. */
     def quoted(): String = {
       ws()
       val q = if (i < s.length && (s(i) == '"' || s(i) == '\'')) s(i)
               else throw ParseError("expected quoted string", i)
       i += 1
-      val start = i
-      while (i < s.length && s(i) != q) i += 1
-      if (i >= s.length) throw ParseError("unterminated string", start)
-      val v = s.substring(start, i); i += 1; v
+      val out = new StringBuilder
+      while (i < s.length && s(i) != q) {
+        if (s(i) == '\\' && i + 1 < s.length) {
+          i += 1
+          s(i) match {
+            case 'n' => out += '\n'; i += 1
+            case 't' => out += '\t'; i += 1
+            case 'r' => out += '\r'; i += 1
+            case 'x' =>
+              if (i + 2 >= s.length) throw ParseError("bad \\x escape", i)
+              out += Integer.parseInt(s.substring(i + 1, i + 3), 16).toChar
+              i += 3
+            case 'u' =>
+              if (i + 4 >= s.length) throw ParseError("bad \\u escape", i)
+              out += Integer.parseInt(s.substring(i + 1, i + 5), 16).toChar
+              i += 5
+            case c => out += c; i += 1 // \\, \", \' and any other literal
+          }
+        } else { out += s(i); i += 1 }
+      }
+      if (i >= s.length) throw ParseError("unterminated string", i)
+      i += 1
+      out.result()
     }
     /** Standard float syntax only — digits, optional fraction, optional
       * signed exponent. A greedy scan over [+-.eE] would swallow binary
