@@ -206,6 +206,21 @@ object ScaleStress {
       graft.tsdb.RemoteWrite.decode(graft.tsdb.RemoteWrite.encode(long))
         .count()
     }
+    // Remote-write 2.0 at Nx: same plan shapes as 1.0 (one-shuffle
+    // encode, map-side decode) with per-request symbol interning — the
+    // interning is in-task string work, so cost stays linear in samples
+    time(s"remote-write v2 encode+decode ${factor}x") {
+      val ev = Tables.load(spark, sfDir, "events")
+      val evN = ev
+        .withColumn("_r", explode(sequence(lit(0), lit(factor - 1))))
+        .withColumn("user_id", col("user_id") + col("_r") * lit(10000000L))
+        .drop("_r")
+      val long = evN.select(unix_millis(col("ts")).as("time"), col("value"),
+        map(lit("__name__"), col("event_type"),
+          lit("user"), col("user_id").cast("string")).as("labels"))
+      graft.tsdb.RemoteWrite2.decode(graft.tsdb.RemoteWrite2.encode(long))
+        .count()
+    }
     // TSDB block write-out at Nx samples: one shuffle groups samples
     // into (slice, series); each 2h slice assembles its block directory
     // in one task (Gorilla encode + index build) — the compactor

@@ -227,6 +227,45 @@ object TsdbQueries {
           col("labels").getItem("user").as("user"),
           col("labels").getItem("k").as("k"))
     }),
+    // Q122: OpenMetrics METADATA lines — TYPE/UNIT/HELP comment triples
+    // exported per metric and pivoted back to the /api/v1/metadata view
+    // (the text-format twin of Q115's WAL metadata records).
+    "tsdb_q122_openmetrics_meta" -> ((s, dir) => {
+      val meta = load(s, dir, "events")
+        .select(col("event_type").as("metric")).distinct()
+        .select(col("metric"), lit("gauge").as("type"),
+          lit("events").as("unit"),
+          concat(lit("Event metric "), col("metric")).as("help"))
+      graft.tsdb.SampleReaders.fromOpenMetricsMeta(
+        graft.tsdb.SampleReaders.toOpenMetricsMetaLines(meta))
+    }),
+    // Q123: OpenMetrics EXEMPLARS — the ` # {trace_id="…"} v ts` tail
+    // on sample lines (Q96's derivation THROUGH the text format, the
+    // OpenMetrics twin of Q114's WAL exemplar records).
+    "tsdb_q123_openmetrics_exemplars" -> ((s, dir) => {
+      val long = load(s, dir, "events").select(
+        unix_millis(col("ts")).as("time"), col("value"),
+        map(lit("__name__"), col("event_type"),
+          lit("user"), col("user_id").cast("string"),
+          lit("k"), regexp_extract(col("props"), "\"k\": (\\d+)", 1))
+          .as("labels"))
+      val key = concat_ws(":",
+        col("labels").getItem("k"), col("labels").getItem("__name__"),
+        col("labels").getItem("user"), col("time").cast("string"))
+      val annotated = long.where(col("value") > 150.0)
+        .withColumn("exemplar",
+          map(lit("trace_id"), lower(hex(graft.functions.Hashing.hash64(key)))))
+        .withColumn("ex_value", col("value"))
+        .withColumn("ex_time", col("time"))
+      graft.tsdb.SampleReaders.fromOpenMetricsExemplars(
+          graft.tsdb.SampleReaders.toOpenMetricsExemplarLines(annotated))
+        .select(col("time"), col("value"),
+          col("labels").getItem("__name__").as("name"),
+          col("labels").getItem("user").as("user"),
+          col("labels").getItem("k").as("k"),
+          col("exemplar").getItem("trace_id").as("trace_id"),
+          col("ex_value"), col("ex_time"))
+    }),
     // Q120: REMOTE-WRITE 2.0 — Q101's identity THROUGH the v2 wire
     // format (io.prometheus.write.v2.Request): symbol-interned labels,
     // packed uint32 refs, per-request string table. Same one-shuffle
@@ -2986,6 +3025,21 @@ object TsdbQueries {
         |  event_type AS name, CAST(user_id AS VARCHAR) AS "user",
         |  regexp_extract(props, '"k": (\d+)', 1) AS k
         |FROM events""".stripMargin,
+    "tsdb_q122_openmetrics_meta" ->
+      """SELECT DISTINCT event_type AS metric, 'gauge' AS type,
+        |  'events' AS unit, 'Event metric ' || event_type AS help
+        |FROM events""".stripMargin,
+    "tsdb_q123_openmetrics_exemplars" ->
+      s"""SELECT CAST(epoch_ms(ts) AS BIGINT) AS time, value,
+         |  event_type AS name, CAST(user_id AS VARCHAR) AS "user",
+         |  regexp_extract(props, '"k": (\\d+)', 1) AS k,
+         |  ${graft.tsdb.Exemplars.duckTraceId(
+              Seq("regexp_extract(props, '\"k\": (\\d+)', 1)", "event_type",
+                "CAST(user_id AS VARCHAR)"),
+              "CAST(epoch_ms(ts) AS BIGINT)")} AS trace_id,
+         |  value AS ex_value, CAST(epoch_ms(ts) AS BIGINT) AS ex_time
+         |FROM events
+         |WHERE value > 150.0""".stripMargin,
     "tsdb_q118_promql_info" ->
       s"""WITH iv AS (SELECT CAST(user_id AS VARCHAR) AS instance,
          |  round(list_extract(max([CAST(epoch_ms(ts) AS DOUBLE), value]), 2), 6)

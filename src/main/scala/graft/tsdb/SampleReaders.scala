@@ -43,7 +43,9 @@ object SampleReaders {
     * commas or `=` (the reference's own fixture vocabulary is within
     * this subset). */
   def fromOpenMetricsLines(lines: DataFrame, lineCol: String = "line"): DataFrame = {
-    val l = trim(col(lineCol))
+    // an exemplar rides after ` # ` on a sample line (OpenMetrics) —
+    // strip it so the value/timestamp anchors see only the sample part
+    val l = trim(regexp_replace(trim(col(lineCol)), "\\s#\\s.*$", ""))
     val name = regexp_extract(l, "^([a-zA-Z_:][a-zA-Z0-9_:]*)", 1)
     val labelBlob = regexp_extract(l, "\\{(.*)\\}", 1)
     val value = regexp_extract(l, "[}\\s]\\s*([-+0-9.eE]+)\\s+[0-9]+\\s*$", 1)
@@ -58,6 +60,89 @@ object SampleReaders {
           when(labelBlob === "", map().cast("map<string,string>"))
             .otherwise(str_to_map(regexp_replace(labelBlob, "\"", ""),
               lit(","), lit("=")))).as("labels"))
+  }
+
+  /** OpenMetrics METADATA comment lines — `# TYPE <metric> <type>`,
+    * `# UNIT <metric> <unit>`, `# HELP <metric> <help>` — pivoted to
+    * one `(metric, type, unit, help)` row per metric: the text-format
+    * source of the `/api/v1/metadata` view. Metadata is
+    * metric-universe-sized; the pivot is one tiny groupBy. */
+  def fromOpenMetricsMeta(lines: DataFrame, lineCol: String = "line"): DataFrame = {
+    val l = trim(col(lineCol))
+    val kind = regexp_extract(l, "^# (TYPE|UNIT|HELP) ", 1)
+    val metric = regexp_extract(l, "^# (?:TYPE|UNIT|HELP) (\\S+)", 1)
+    val rest = regexp_extract(l, "^# (?:TYPE|UNIT|HELP) \\S+ (.*)$", 1)
+    lines
+      .where(kind =!= "")
+      .select(metric.as("metric"), kind.as("kind"), rest.as("rest"))
+      .groupBy(col("metric"))
+      .agg(
+        coalesce(max(when(col("kind") === "TYPE", col("rest"))), lit(""))
+          .as("type"),
+        coalesce(max(when(col("kind") === "UNIT", col("rest"))), lit(""))
+          .as("unit"),
+        coalesce(max(when(col("kind") === "HELP", col("rest"))), lit(""))
+          .as("help"))
+  }
+
+  /** The inverse — one TYPE/UNIT/HELP line triple per metric. */
+  def toOpenMetricsMetaLines(meta: DataFrame): DataFrame =
+    meta.select(explode(array(
+      concat(lit("# TYPE "), col("metric"), lit(" "), col("type")),
+      concat(lit("# UNIT "), col("metric"), lit(" "), col("unit")),
+      concat(lit("# HELP "), col("metric"), lit(" "), col("help"))))
+      .as("line"))
+
+  /** OpenMetrics EXEMPLARS — the ` # {trace_id="…"} <value> <ts>` tail
+    * a sample line may carry. Returns only annotated lines, as
+    * `(time, value, labels, exemplar MAP, ex_value, ex_time)`. */
+  def fromOpenMetricsExemplars(lines: DataFrame,
+                               lineCol: String = "line"): DataFrame = {
+    val l = trim(col(lineCol))
+    val tail = regexp_extract(l, "\\s#\\s(\\{.*)$", 1)
+    val exBlob = regexp_extract(tail, "^\\{(.*)\\}", 1)
+    val exValue = regexp_extract(tail, "^\\{.*\\}\\s+([-+0-9.eE]+)", 1)
+    val exTs = regexp_extract(tail, "^\\{.*\\}\\s+[-+0-9.eE]+\\s+([0-9]+)", 1)
+    val core = trim(regexp_replace(l, "\\s#\\s.*$", ""))
+    val name = regexp_extract(core, "^([a-zA-Z_:][a-zA-Z0-9_:]*)", 1)
+    val labelBlob = regexp_extract(core, "\\{(.*)\\}", 1)
+    val value = regexp_extract(core, "[}\\s]\\s*([-+0-9.eE]+)\\s+[0-9]+\\s*$", 1)
+    val ts = regexp_extract(core, "([0-9]+)\\s*$", 1)
+    lines
+      .where(tail =!= "" && !l.startsWith("#"))
+      .select(
+        ts.cast("long").as("time"),
+        value.cast("double").as("value"),
+        map_concat(
+          map(lit("__name__"), name),
+          when(labelBlob === "", map().cast("map<string,string>"))
+            .otherwise(str_to_map(regexp_replace(labelBlob, "\"", ""),
+              lit(","), lit("=")))).as("labels"),
+        when(exBlob === "", map().cast("map<string,string>"))
+          .otherwise(str_to_map(regexp_replace(exBlob, "\"", ""),
+            lit(","), lit("="))).as("exemplar"),
+        exValue.cast("double").as("ex_value"),
+        exTs.cast("long").as("ex_time"))
+  }
+
+  /** The inverse — sample lines with exemplar tails, from a frame
+    * `(time, value, labels MAP, exemplar MAP, ex_value, ex_time)`. */
+  def toOpenMetricsExemplarLines(rows: DataFrame): DataFrame = {
+    val pairs = transform(
+      array_sort(map_keys(col("labels"))),
+      k => concat(k, lit("=\""), element_at(col("labels"), k), lit("\"")))
+    val exPairs = transform(
+      array_sort(map_keys(col("exemplar"))),
+      k => concat(k, lit("=\""), element_at(col("exemplar"), k), lit("\"")))
+    rows.select(concat(
+      element_at(col("labels"), "__name__"),
+      lit("{"),
+      concat_ws(",", filter(pairs, p => !p.startsWith("__name__="))),
+      lit("} "),
+      col("value").cast("string"), lit(" "), col("time").cast("string"),
+      lit(" # {"), concat_ws(",", exPairs), lit("} "),
+      col("ex_value").cast("string"), lit(" "),
+      col("ex_time").cast("string")).as("line"))
   }
 
   /** [[fromOpenMetricsLines]] over text files. */

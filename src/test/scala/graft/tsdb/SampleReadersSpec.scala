@@ -100,4 +100,50 @@ class SampleReadersSpec extends SparkSpec {
       .as[(Long, Double, Map[String, String])].collect().toSet
     assert(got == good.toSet)
   }
+
+  test("OpenMetrics metadata lines pivot to the per-metric view") {
+    val lines = Seq(
+      "# TYPE http_requests counter",
+      "# UNIT http_requests requests",
+      "# HELP http_requests Total HTTP requests served",
+      "# TYPE queue_depth gauge", // no UNIT/HELP: empty fields
+      "http_requests{job=\"a\"} 1 1000", // sample lines are not metadata
+      "# EOF")
+    val got = SampleReaders.fromOpenMetricsMeta(lines.toDF("line"))
+      .as[(String, String, String, String)].collect().toSet
+    assert(got === Set(
+      ("http_requests", "counter", "requests", "Total HTTP requests served"),
+      ("queue_depth", "gauge", "", "")))
+    // exporter ⇄ parser identity
+    val meta = Seq(("m", "gauge", "seconds", "a help string"))
+      .toDF("metric", "type", "unit", "help")
+    assert(SampleReaders.fromOpenMetricsMeta(
+        SampleReaders.toOpenMetricsMetaLines(meta))
+      .as[(String, String, String, String)].collect().toSeq ===
+      Seq(("m", "gauge", "seconds", "a help string")))
+  }
+
+  test("OpenMetrics exemplar tails parse; the sample parser skips them") {
+    val lines = Seq(
+      """req_total{job="a"} 17 1000 # {trace_id="abc"} 0.5 900""",
+      """req_total{job="b"} 3 2000""", // no exemplar
+      "# TYPE req_total counter")
+    // exemplar view: annotated lines only
+    val ex = SampleReaders.fromOpenMetricsExemplars(lines.toDF("line"))
+      .collect()
+    assert(ex.length === 1)
+    val r = ex.head
+    assert(r.getAs[Long]("time") === 1000L &&
+      r.getAs[Double]("value") === 17.0)
+    assert(r.getAs[Map[String, String]]("exemplar") ===
+      Map("trace_id" -> "abc"))
+    assert(r.getAs[Double]("ex_value") === 0.5 &&
+      r.getAs[Long]("ex_time") === 900L)
+    // sample view: BOTH lines parse, exemplar tail invisible
+    val samples = SampleReaders.fromOpenMetricsLines(lines.toDF("line"))
+      .as[(Long, Double, Map[String, String])].collect().toSet
+    assert(samples === Set(
+      (1000L, 17.0, Map("__name__" -> "req_total", "job" -> "a")),
+      (2000L, 3.0, Map("__name__" -> "req_total", "job" -> "b"))))
+  }
 }
