@@ -711,10 +711,15 @@ object PromQL {
       p.expect(')')
       b.result()
     }
-    // quantile's leading φ parameter: `quantile by (u) (0.9, v)`
+    // quantile's leading φ parameter: `quantile by (u) (0.9, v)` —
+    // possibly negative (number() is unsigned; Prometheus maps φ < 0
+    // to -Inf rather than rejecting it)
     def aggParam(): Option[Double] =
-      if (name == "quantile") { val q = p.number(); p.expect(','); Some(q) }
-      else None
+      if (name == "quantile") {
+        val neg = p.opt('-')
+        val q = (if (neg) -1 else 1) * p.number()
+        p.expect(','); Some(q)
+      } else None
     if (AggOps(name) && p.keyword("by")) {
       val by = names()
       p.expect('(')
@@ -2263,10 +2268,15 @@ object PromQL {
       case "group" => max(lit(1.0d)).as("value") // value 1 per group
       case "quantile" =>
         // exact interpolated quantile across the group's series — the
-        // q36 kernel (Spark percentile ≡ SQL quantile_cont)
+        // q36 kernel (Spark percentile ≡ SQL quantile_cont). φ outside
+        // [0, 1] short-circuits to ∓Inf and NaN propagates, the
+        // Prometheus contract (Spark's percentile would throw).
         val q = param.getOrElse(throw new IllegalArgumentException(
           "quantile needs its φ parameter: quantile(0.9, v)"))
-        round(expr(s"percentile(value, $q)"), 6).as("value")
+        if (q.isNaN) max(lit(Double.NaN)).as("value")
+        else if (q < 0) max(lit(Double.NegativeInfinity)).as("value")
+        else if (q > 1) max(lit(Double.PositiveInfinity)).as("value")
+        else round(expr(s"percentile(value, $q)"), 6).as("value")
       case "stddev" => round(stddev_pop(col("value")), 6).as("value")
       case "stdvar" => round(var_pop(col("value")), 6).as("value")
     }

@@ -327,4 +327,25 @@ class PlanQualitySpec extends SparkSpec {
     assert(!plan.contains("Join"),
       s"the codec path must stay join-free:\n$plan")
   }
+
+  test("remote-write 2.0 keeps the 1.0 plan shape (one shuffle, join-free)") {
+    // symbol interning is in-task string work — it must not change the
+    // plan: same single series-groupBy exchange, no joins
+    val plan = planOf("tsdb_q120_remote_write2")
+    assert(shuffleExchanges(plan) == 1,
+      s"v2 round trip must shuffle once (the series groupBy):\n$plan")
+    assert(!plan.contains("Join"),
+      s"the v2 codec path must stay join-free:\n$plan")
+  }
+
+  test("info(): the target_info side joins BROADCAST, never shuffled") {
+    // info metrics are target-universe-sized; a shuffle join here would
+    // move the full sample-side vector for a metadata-sized enrichment
+    val plan = planOf("tsdb_q118_promql_info")
+    assert(plan.contains("BroadcastHashJoin") ||
+      plan.contains("BroadcastNestedLoopJoin"),
+      s"info() must broadcast the info vector:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"info() must not shuffle-join:\n$plan")
+  }
 }

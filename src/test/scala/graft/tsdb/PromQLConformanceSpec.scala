@@ -714,7 +714,11 @@ class PromQLConformanceSpec extends SparkSpec {
     C("1m", """topk(3, v)""",
       """v{l="hi"} 100
         |v{l="lo"} 50
-        |v{l="nan"} NaN""", ordered = true)))
+        |v{l="nan"} NaN""", ordered = true),
+    // quantile's φ edges: out-of-range short-circuits to ∓Inf
+    // (Prometheus warns and returns the infinity, never errors)
+    C("1m", """quantile(1.5, allnan)""", """{} Inf"""),
+    C("1m", """quantile(-0.5, allnan)""", """{} -Inf""")))
 
   // info() (Prometheus 3 experimental): data labels of the matching
   // target_info series join onto the vector on (instance, job); the
@@ -919,7 +923,7 @@ class PromQLConformanceSpec extends SparkSpec {
     // cases are added, never by deleting failing cases. `ported` counts
     // cases re-typed from Prometheus's own promqltest corpus, reported
     // separately from the handwritten sweep.
-    assert(own === 134)
+    assert(own === 136)
     assert(ported === 88)
     assert(skips.size === 2)
     // every skip names its documented deviation
