@@ -181,12 +181,24 @@ object TsdbBlockWriter {
 
   private final case class ChunkMeta(minT: Long, maxT: Long, ref: Long)
 
+  /** A parent block in meta.json's compaction section (Prometheus
+    * BlockDesc). */
+  final case class ParentDesc(ulid: String, minTime: Long, maxTime: Long)
+  /** meta.json's compaction lineage: level-1 blocks carry themselves as
+    * the only source; compacted blocks carry the max parent level + 1,
+    * the UNION of the parents' original sources, and the direct parent
+    * descriptors — exactly the Prometheus compactor's bookkeeping. */
+  final case class CompactionMeta(level: Int = 1,
+                                  sources: Seq[String] = Nil,
+                                  parents: Seq[ParentDesc] = Nil)
+
   /** Assemble one complete block directory from in-memory series (the
     * per-task unit — series of ONE time slice). Series are sorted by
     * label set and labels within a series by name, as the index format
     * requires, regardless of input order. Returns (numSeries,
     * numChunks, numSamples). */
-  def writeBlock(dir: String, seriesIn: Seq[SeriesData]): (Long, Long, Long) = {
+  def writeBlock(dir: String, seriesIn: Seq[SeriesData],
+                 compaction: CompactionMeta = CompactionMeta()): (Long, Long, Long) = {
     val series = seriesIn
       .map(s => s.copy(labels = s.labels.sortBy(_._1)))
       .sortBy(_.labels.map(p => p._1 + "\u0000" + p._2).mkString("\u0000"))
@@ -396,7 +408,23 @@ object TsdbBlockWriter {
     val numChunks = chunkMetas.map(_.size.toLong).sum
     val minT = if (series.isEmpty) 0L else series.map(_.ts.head).min
     val maxT = if (series.isEmpty) 0L else series.map(_.ts.last).max
-    val ulid = deterministicUlid(dir)
+    // Prometheus invariant: a block directory is NAMED by its ULID. If
+    // the caller already placed us in a ULID-named dir (the Spark write
+    // path), adopt it so meta.json matches the dir; otherwise derive one
+    // deterministically from the path (bare writeBlock to a tmp dir).
+    val base = Paths.get(dir).getFileName.toString
+    val ulid =
+      if (base.length == 26 && base.forall(c =>
+        "0123456789ABCDEFGHJKMNPQRSTVWXYZ".indexOf(c) >= 0)) base
+      else deterministicUlid(dir)
+    val sources =
+      (if (compaction.sources.nonEmpty) compaction.sources else Seq(ulid))
+        .map(s => s""""$s"""").mkString(", ")
+    val parentsJson =
+      if (compaction.parents.isEmpty) ""
+      else compaction.parents.map(p =>
+          s"""{"ulid": "${p.ulid}", "minTime": ${p.minTime}, "maxTime": ${p.maxTime}}""")
+        .mkString(",\n\t\t\"parents\": [\n\t\t\t", ",\n\t\t\t", "\n\t\t]")
     val meta =
       s"""{
          |\t"ulid": "$ulid",
@@ -408,8 +436,8 @@ object TsdbBlockWriter {
          |\t\t"numChunks": $numChunks
          |\t},
          |\t"compaction": {
-         |\t\t"level": 1,
-         |\t\t"sources": ["$ulid"]
+         |\t\t"level": ${compaction.level},
+         |\t\t"sources": [$sources]$parentsJson
          |\t},
          |\t"version": 1
          |}
@@ -442,6 +470,52 @@ object TsdbBlockWriter {
                  blockRangeMs: Long = 2L * 3600 * 1000): Seq[String] =
     write(spark.read.format("tsdb-wal").load(walDir), destRoot, blockRangeMs)
 
+  /** BLOCK COMPACTION — the Prometheus compactor's level-up step: read
+    * the parent blocks (tombstones APPLIED — deletions become physical
+    * here), re-slice into `blockRangeMs` windows, and record the
+    * lineage in meta.json: level = max parent level + 1, sources = the
+    * union of the parents' original level-1 sources, parents = the
+    * direct parent descriptors. One Spark job for any number of
+    * parents (the union scan feeds the one-shuffle writer).
+    * `deleteParents` then removes the source directories — the
+    * truncation Prometheus performs once the compacted block lands. */
+  def compactBlocks(spark: SparkSession, blockDirs: Seq[String],
+                    destRoot: String, blockRangeMs: Long,
+                    deleteParents: Boolean = false): Seq[String] = {
+    val metas = blockDirs.map { d =>
+      val meta = new String(Files.readAllBytes(Paths.get(d, "meta.json")), UTF_8)
+      // first occurrence = the block's own fields (ulid/minTime/maxTime/
+      // level/sources all precede any parents section in the layout)
+      def firstNum(k: String): Long =
+        (s""""$k"\\s*:\\s*(-?\\d+)""").r.findFirstMatchIn(meta)
+          .map(_.group(1).toLong).getOrElse(0L)
+      val ulid = """"ulid"\s*:\s*"([^"]+)"""".r.findFirstMatchIn(meta)
+        .map(_.group(1)).getOrElse("")
+      val sources = """"sources"\s*:\s*\[([^\]]*)\]""".r.findFirstMatchIn(meta)
+        .map(_.group(1)).getOrElse("")
+        .split(",").map(_.trim.stripPrefix("\"").stripSuffix("\""))
+        .filter(_.nonEmpty).toSeq
+      (ParentDesc(ulid, firstNum("minTime"), firstNum("maxTime")),
+        firstNum("level").toInt, sources)
+    }
+    val lineage = CompactionMeta(
+      level = metas.map(_._2).max + 1,
+      sources = metas.flatMap(_._3).distinct.sorted,
+      parents = metas.map(_._1))
+    val union = blockDirs
+      .map(d => spark.read.format("tsdb-block").load(d))
+      .reduce(_ unionByName _)
+    val names = write(union, destRoot, blockRangeMs, lineage)
+    if (deleteParents) blockDirs.foreach { d =>
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+        f.delete(): Unit
+      }
+      rm(new java.io.File(d))
+    }
+    names
+  }
+
   /** Write the long-form frame `(time LONG ms, value DOUBLE,
     * labels MAP)` as one or more TSDB block directories under `root`,
     * sliced by `blockRangeMs` (Prometheus's 2h default). ONE shuffle:
@@ -451,7 +525,8 @@ object TsdbBlockWriter {
     * compactor sharding model, no cross-task coordination. Returns the
     * block dir names written. */
   def write(df: DataFrame, root: String,
-            blockRangeMs: Long = 2L * 3600 * 1000): Seq[String] = {
+            blockRangeMs: Long = 2L * 3600 * 1000,
+            compaction: CompactionMeta = CompactionMeta()): Seq[String] = {
     val spark = df.sparkSession
     import spark.implicits._
     val grouped = df
@@ -470,7 +545,7 @@ object TsdbBlockWriter {
           SeriesData(labels, samples.map(_._1).toArray, samples.map(_._2).toArray)
         }
         val name = deterministicUlid(s"$root/$slice")
-        writeBlock(s"$root/$name", series)
+        writeBlock(s"$root/$name", series, compaction)
         name
       }
     }.collect().toSeq

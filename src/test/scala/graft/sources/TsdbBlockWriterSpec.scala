@@ -136,4 +136,66 @@ class TsdbBlockWriterSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getDouble(1), r.getString(2))).toSet
     assert(back === rows.map(r => (r._1, r._2, r._3("k"))).toSet)
   }
+
+  test("compactBlocks merges parents, applies tombstones, records lineage") {
+    val s = spark; import s.implicits._
+    val hour = 3600 * 1000L
+    def mk(root: String, t0: Long): String = {
+      val rows = (0 until 120).map { i =>
+        (t0 + i * 60000L, i.toDouble,
+          Map("__name__" -> "m", "job" -> (if (i % 2 == 0) "api" else "db")))
+      }
+      val names = TsdbBlockWriter.write(
+        rows.toDF("time", "value", "labels"), root, blockRangeMs = 2 * hour)
+      assert(names.size === 1)
+      s"$root/${names.head}"
+    }
+    val b1 = mk(tmpDir("graft_cmp_a_"), 0L)
+    val b2 = mk(tmpDir("graft_cmp_b_"), 2 * hour)
+    // delete job=db from the first parent: compaction must make the
+    // deletion physical (tombstones applied by the parent scan)
+    val stoned = graft.tsdb.TsdbAdmin.deleteSeries(
+      b1, Seq(graft.model.Matcher.Eq("job", "db")))
+    assert(stoned === 1)
+
+    val dest = tmpDir("graft_cmp_out_")
+    val out = TsdbBlockWriter.compactBlocks(
+      spark, Seq(b1, b2), dest, blockRangeMs = 4 * hour)
+    assert(out.size === 1)
+    val dir = s"$dest/${out.head}"
+
+    // samples: parent-1 keeps only job=api; parent-2 keeps all
+    val got = spark.read.format("tsdb-block").load(dir)
+      .select(col("time"), col("value"), col("labels")("job").as("job"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getString(2))).toSet
+    val want =
+      (0 until 120).filter(_ % 2 == 0)
+        .map(i => (i * 60000L, i.toDouble, "api")).toSet ++
+      (0 until 120).map(i =>
+        (2 * hour + i * 60000L, i.toDouble, if (i % 2 == 0) "api" else "db"))
+        .toSet
+    assert(got === want)
+
+    // lineage: level = max parent + 1 = 2; sources = both parent ULIDs
+    // (level-1 blocks are their own sources); parents = both descriptors
+    val meta = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(dir, "meta.json")), java.nio.charset.StandardCharsets.UTF_8)
+    assert(""""level"\s*:\s*2""".r.findFirstIn(meta).isDefined, meta)
+    val pUlids = Seq(b1, b2).map(_.split('/').last)
+    pUlids.foreach(u => assert(meta.contains(u), s"missing source/parent $u"))
+    assert(""""parents"\s*:""".r.findFirstIn(meta).isDefined, meta)
+    // fresh compacted tombstones file is empty (deletions now physical)
+    assert(graft.sources.tsdbblock.Tombstones.read(s"$dir/tombstones") === Map.empty)
+
+    // second level-up: compact the compacted block alone → level 3,
+    // sources preserved (union of ORIGINAL level-1 sources)
+    val dest2 = tmpDir("graft_cmp_out2_")
+    val out2 = TsdbBlockWriter.compactBlocks(
+      spark, Seq(dir), dest2, blockRangeMs = 4 * hour, deleteParents = true)
+    val meta2 = new String(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(
+      s"$dest2/${out2.head}", "meta.json")), java.nio.charset.StandardCharsets.UTF_8)
+    assert(""""level"\s*:\s*3""".r.findFirstIn(meta2).isDefined, meta2)
+    pUlids.foreach(u => assert(meta2.contains(u), "original sources must survive"))
+    assert(!new java.io.File(dir).exists, "deleteParents must remove the parent")
+  }
 }
