@@ -23,6 +23,16 @@ object TsdbQueries {
   // le-series, so the two paths are directly comparable
   private val NhBounds: Seq[Double] = (1 to 8).map(_ * 50.0)
 
+  // Q121's retention frame: 7-day block slices; the horizon lands
+  // EXACTLY on the first slice boundary past RangeStart, so "blocks
+  // wholly below the horizon" ≡ "samples below the horizon" and the
+  // oracle is a pure time predicate. `now` is any fixed instant past
+  // the data (determinism — never the wall clock).
+  private[queries] val RetentionSliceMs: Long = 7L * 86400000L
+  private[queries] val RetentionHorizonMs: Long =
+    (RangeStart / RetentionSliceMs + 1) * RetentionSliceMs
+  private[queries] val RetentionNowMs: Long = 1706659200000L // 2024-01-31
+
   // staleness lookback for the PromQL-over-histograms queries (Q90-Q93):
   // wide enough that every series' latest DAILY snapshot is in window
   private val HistLookbackMs: Long = 3L * 86400000L
@@ -550,6 +560,70 @@ object TsdbQueries {
       }
       cleaned.map(n => s.read.format("tsdb-block").load(s"$cleanRoot/$n"))
         .reduce(_ unionByName _)
+        .select(col("time"), col("value"),
+          col("labels").getItem("__name__").as("name"),
+          col("labels").getItem("user").as("user"),
+          col("labels").getItem("k").as("k"))
+    }),
+    // Q120: LEVELED COMPACTION driven by the PLANNER — events written
+    // as many 2-day level-1 blocks, Q111's tombstone deletes applied,
+    // then [[graft.tsdb.Compactor.compactDb]] runs the exponential
+    // ladder ([2d, 10d, 50d]) to quiescence: the planner picks the
+    // window groups, compactBlocks levels them up (deletions become
+    // PHYSICAL, parents truncated, meta.json carries
+    // level/sources/parents lineage), and the surviving directory is
+    // read back. Oracle: Q111's delete predicates ⇒ the whole
+    // plan→compact loop is lossless modulo exactly the deletes.
+    "tsdb_q120_block_compaction" -> ((s, dir) => {
+      val long = load(s, dir, "events").select(
+        unix_millis(col("ts")).as("time"), col("value"),
+        map(lit("__name__"), col("event_type"),
+          lit("user"), col("user_id").cast("string"),
+          lit("k"), regexp_extract(col("props"), "\"k\": (\\d+)", 1))
+          .as("labels"))
+      val root = Tables.scratchDir("graft_q120_db")
+      val day = 86400000L
+      val names = graft.sources.tsdbblock.TsdbBlockWriter.write(
+        long, root, blockRangeMs = 2 * day)
+      names.foreach { n =>
+        graft.tsdb.TsdbAdmin.deleteSeries(s"$root/$n",
+          Seq(Matcher.Eq("__name__", "click")), RangeStart, RangeEnd)
+        graft.tsdb.TsdbAdmin.deleteSeries(s"$root/$n",
+          Seq(Matcher.Eq("__name__", "error")))
+      }
+      graft.tsdb.Compactor.compactDb(s, root,
+        ranges = graft.tsdb.Compactor.exponentialRanges(2 * day, 3, 5))
+      graft.sources.tsdbblock.TsdbDb.read(s, root)
+        .select(col("time"), col("value"),
+          col("labels").getItem("__name__").as("name"),
+          col("labels").getItem("user").as("user"),
+          col("labels").getItem("k").as("k"))
+    }),
+    // Q121: TIME RETENTION over a full data dir — blocks (7-day
+    // slices) + WAL head, then [[graft.tsdb.Compactor.retainTime]]
+    // drops every block whose newest sample is beyond the horizon
+    // (whole directories, zero data I/O — Prometheus's
+    // beyondTimeRetention). The horizon is a slice boundary, so the
+    // oracle is a clean time predicate over events.
+    "tsdb_q121_db_retention" -> ((s, dir) => {
+      val long = load(s, dir, "events").select(
+        unix_millis(col("ts")).as("time"), col("value"),
+        map(lit("__name__"), col("event_type"),
+          lit("user"), col("user_id").cast("string"),
+          lit("k"), regexp_extract(col("props"), "\"k\": (\\d+)", 1))
+          .as("labels"))
+      val root = Tables.scratchDir("graft_q121_db")
+      graft.sources.tsdbblock.TsdbBlockWriter.write(
+        long.where(col("time") < lit(RangeEnd)), root,
+        blockRangeMs = RetentionSliceMs)
+      graft.sources.tsdbblock.TsdbWalWriter.write(
+        long.where(col("time") >= lit(RangeEnd)), s"$root/wal")
+      // drop iff block.maxTime (EXCLUSIVE slice ceiling) < now−retention;
+      // the −1 puts the boundary block (ceiling == horizon) below it
+      graft.tsdb.Compactor.retainTime(root,
+        retentionMs = RetentionNowMs - RetentionHorizonMs - 1,
+        nowMs = RetentionNowMs)
+      graft.sources.tsdbblock.TsdbDb.read(s, root)
         .select(col("time"), col("value"),
           col("labels").getItem("__name__").as("name"),
           col("labels").getItem("user").as("user"),
@@ -3267,6 +3341,20 @@ object TsdbQueries {
          |WHERE NOT (event_type = 'click'
          |           AND CAST(epoch_ms(ts) AS BIGINT) BETWEEN $RangeStart AND $RangeEnd)
          |  AND event_type <> 'error'""".stripMargin,
+    "tsdb_q120_block_compaction" ->
+      s"""SELECT CAST(epoch_ms(ts) AS BIGINT) AS time, value,
+         |  event_type AS name, CAST(user_id AS VARCHAR) AS "user",
+         |  regexp_extract(props, '"k": (\\d+)', 1) AS k
+         |FROM events
+         |WHERE NOT (event_type = 'click'
+         |           AND CAST(epoch_ms(ts) AS BIGINT) BETWEEN $RangeStart AND $RangeEnd)
+         |  AND event_type <> 'error'""".stripMargin,
+    "tsdb_q121_db_retention" ->
+      s"""SELECT CAST(epoch_ms(ts) AS BIGINT) AS time, value,
+         |  event_type AS name, CAST(user_id AS VARCHAR) AS "user",
+         |  regexp_extract(props, '"k": (\\d+)', 1) AS k
+         |FROM events
+         |WHERE CAST(epoch_ms(ts) AS BIGINT) >= $RetentionHorizonMs""".stripMargin,
     "tsdb_q16_schema_evolution" ->
       s"""WITH t AS (SELECT CAST(epoch_ms(ts) AS BIGINT) AS time, value,
          |  event_type AS "labels.name",

@@ -196,9 +196,15 @@ object TsdbBlockWriter {
     * per-task unit — series of ONE time slice). Series are sorted by
     * label set and labels within a series by name, as the index format
     * requires, regardless of input order. Returns (numSeries,
-    * numChunks, numSamples). */
+    * numChunks, numSamples).
+    *
+    * meta.json's maxTime is EXCLUSIVE (the Prometheus convention — the
+    * reference block's meta ends on a round 2h boundary): `maxTimeCeil`
+    * when given (the slice window end, what head compaction stamps),
+    * else max sample + 1. */
   def writeBlock(dir: String, seriesIn: Seq[SeriesData],
-                 compaction: CompactionMeta = CompactionMeta()): (Long, Long, Long) = {
+                 compaction: CompactionMeta = CompactionMeta(),
+                 maxTimeCeil: Option[Long] = None): (Long, Long, Long) = {
     val series = seriesIn
       .map(s => s.copy(labels = s.labels.sortBy(_._1)))
       .sortBy(_.labels.map(p => p._1 + "\u0000" + p._2).mkString("\u0000"))
@@ -429,7 +435,7 @@ object TsdbBlockWriter {
       s"""{
          |\t"ulid": "$ulid",
          |\t"minTime": $minT,
-         |\t"maxTime": ${maxT + 1},
+         |\t"maxTime": ${maxTimeCeil.filter(_ > maxT).getOrElse(maxT + 1)},
          |\t"stats": {
          |\t\t"numSamples": $numSamples,
          |\t\t"numSeries": ${series.size},
@@ -482,26 +488,12 @@ object TsdbBlockWriter {
   def compactBlocks(spark: SparkSession, blockDirs: Seq[String],
                     destRoot: String, blockRangeMs: Long,
                     deleteParents: Boolean = false): Seq[String] = {
-    val metas = blockDirs.map { d =>
-      val meta = new String(Files.readAllBytes(Paths.get(d, "meta.json")), UTF_8)
-      // first occurrence = the block's own fields (ulid/minTime/maxTime/
-      // level/sources all precede any parents section in the layout)
-      def firstNum(k: String): Long =
-        (s""""$k"\\s*:\\s*(-?\\d+)""").r.findFirstMatchIn(meta)
-          .map(_.group(1).toLong).getOrElse(0L)
-      val ulid = """"ulid"\s*:\s*"([^"]+)"""".r.findFirstMatchIn(meta)
-        .map(_.group(1)).getOrElse("")
-      val sources = """"sources"\s*:\s*\[([^\]]*)\]""".r.findFirstMatchIn(meta)
-        .map(_.group(1)).getOrElse("")
-        .split(",").map(_.trim.stripPrefix("\"").stripSuffix("\""))
-        .filter(_.nonEmpty).toSeq
-      (ParentDesc(ulid, firstNum("minTime"), firstNum("maxTime")),
-        firstNum("level").toInt, sources)
-    }
+    val metas = blockDirs.map(BlockMeta.read)
     val lineage = CompactionMeta(
-      level = metas.map(_._2).max + 1,
-      sources = metas.flatMap(_._3).distinct.sorted,
-      parents = metas.map(_._1))
+      level = metas.map(_.level).max + 1,
+      sources = metas.flatMap(m =>
+        if (m.sources.nonEmpty) m.sources else Seq(m.ulid)).distinct.sorted,
+      parents = metas.map(_.parentDesc))
     val union = blockDirs
       .map(d => spark.read.format("tsdb-block").load(d))
       .reduce(_ unionByName _)
@@ -544,8 +536,22 @@ object TsdbBlockWriter {
         val series = rows.map { case (_, labels, samples) =>
           SeriesData(labels, samples.map(_._1).toArray, samples.map(_._2).toArray)
         }
-        val name = deterministicUlid(s"$root/$slice")
-        writeBlock(s"$root/$name", series, compaction)
+        // name = ULID from (root, slice); if that dir already exists
+        // (same-root recompaction — e.g. leveling 5×2h blocks into the
+        // 10h block whose slice index collides with parent slice 0),
+        // salt deterministically until fresh so an existing block is
+        // never overwritten in place
+        var name = deterministicUlid(s"$root/$slice")
+        var salt = 0
+        while (new java.io.File(root, name).exists()) {
+          salt += 1
+          name = deterministicUlid(s"$root/$slice#$salt")
+        }
+        // maxTime ceiling = the slice window end, as Prometheus's head
+        // compaction stamps it — range-aligned so the planner's
+        // full-window test works on our own blocks
+        writeBlock(s"$root/$name", series, compaction,
+          maxTimeCeil = Some((slice + 1) * blockRangeMs))
         name
       }
     }.collect().toSeq
