@@ -451,9 +451,11 @@ object PromQL {
     "resets", "changes", "holt_winters", "double_exponential_smoothing",
     "quantile_over_time",
     "avg_over_time", "min_over_time", "max_over_time", "sum_over_time",
-    "count_over_time", "last_over_time", "present_over_time",
+    "count_over_time", "last_over_time", "first_over_time",
+    "present_over_time",
     "stddev_over_time", "stdvar_over_time", "mad_over_time",
-    "ts_of_last_over_time", "ts_of_max_over_time", "ts_of_min_over_time",
+    "ts_of_last_over_time", "ts_of_first_over_time",
+    "ts_of_max_over_time", "ts_of_min_over_time",
     "delta",
     "deriv", "predict_linear", "histogram_quantile", "absent_over_time")
   /** The single-value `*_over_time` family → [[RangeVectors.overTimeStat]]
@@ -462,11 +464,17 @@ object PromQL {
     "avg_over_time" -> "avg", "min_over_time" -> "min",
     "max_over_time" -> "max", "sum_over_time" -> "sum",
     "count_over_time" -> "count", "last_over_time" -> "last",
+    "first_over_time" -> "first",
     "present_over_time" -> "present", "stddev_over_time" -> "stddev",
     "stdvar_over_time" -> "stdvar", "delta" -> "delta",
     "mad_over_time" -> "mad", "ts_of_last_over_time" -> "ts_of_last",
+    "ts_of_first_over_time" -> "ts_of_first",
     "ts_of_max_over_time" -> "ts_of_max",
     "ts_of_min_over_time" -> "ts_of_min")
+  /** `last_over_time`/`first_over_time` return RAW sample values, so
+    * they keep `__name__` (Prometheus); every other over-time fold
+    * drops it. */
+  private val KeepNameOverTime = Set("last_over_time", "first_over_time")
   /** Instant-vector functions (value maps + `absent`); `clamp*` and
     * `round` take trailing scalar params. `timestamp` rewrites value ←
     * sample time (epoch seconds); the wall-clock family (`hour`,
@@ -1068,9 +1076,9 @@ object PromQL {
       }
       // Prometheus: range functions drop __name__ from the OUTPUT (the
       // per-series evaluation above still saw the name, so metrics that
-      // differ only by name never merge); last_over_time returns raw
-      // samples and keeps it
-      if (name == "last_over_time") r0 else dropName(r0)
+      // differ only by name never merge); last/first_over_time return
+      // raw samples and keep it
+      if (KeepNameOverTime(name)) r0 else dropName(r0)
     case Fn(name, Subquery(inner, rangeMs, stepMs, off, atm), params)
         if SubqueryFns(name) =>
       // subquery: the inner expression evaluated per grid step (one
@@ -1278,7 +1286,7 @@ object PromQL {
     }
     val r = df.select(TsdbSchema.dynCols(df) :+
       vc.cast("double").as(TsdbSchema.ValueCol): _*)
-    if (name == "last_over_time") r else dropName(r)
+    if (KeepNameOverTime(name)) r else dropName(r)
   }
 
   /** One subquery evaluation: the inner expression at every
@@ -1315,10 +1323,10 @@ object PromQL {
         else RangeVectors.statAgg(OverTimeStats(name), timeCol = "t")
           .as(TsdbSchema.ValueCol)
       val r = grid.groupBy(keys: _*).agg(aggc)
-      // the over-time fold drops __name__ (Prometheus); last_over_time
-      // keeps it — the fold's input name column was a grouping key, so
+      // the over-time fold drops __name__ (Prometheus); last/first
+      // keep it — the fold's input name column was a grouping key, so
       // dropping after the aggregation is exact
-      if (name == "last_over_time") r else dropName(r)
+      if (KeepNameOverTime(name)) r else dropName(r)
     } else dropName(subqueryRangeFn(name, grid.drop(TsdbSchema.TimeCol),
       keys, sqEnd, rangeMs, params))
   }
@@ -1459,9 +1467,9 @@ object PromQL {
           .agg(round(max_by(pick, struct(col("_ut"), v)), 6)
             .as(TsdbSchema.ValueCol))
     }
-    // the subquery fold drops __name__ (Prometheus); last_over_time
+    // the subquery fold drops __name__ (Prometheus); last/first
     // keeps it (name was a grouping key, so the drop is exact)
-    if (name == "last_over_time") folded else dropName(folded)
+    if (KeepNameOverTime(name)) folded else dropName(folded)
   }
 
   /** A subquery's inner rate/increase/holt_winters evaluation yields a
@@ -1941,8 +1949,8 @@ object PromQL {
           s"$other is not supported in range evaluation yet; use eval()")
       }
       // range functions drop __name__ from the output (Prometheus);
-      // last_over_time returns raw samples and keeps it
-      shiftGrid(if (name == "last_over_time") r else dropName(r), off)
+      // last/first_over_time return raw samples and keep it
+      shiftGrid(if (KeepNameOverTime(name)) r else dropName(r), off)
     case Fn("absent", arg, _) =>
       // per-step absent: a `{<synthesized>} 1` sample at every grid
       // timestamp where the argument vector is empty — grid anti-join

@@ -277,6 +277,7 @@ object RangeVectors {
       // reproduced order-free via lexicographic array extremes (the
       // -time trick flips the tie direction for min)
       case "ts_of_last" => max(tv).getItem(0) / 1000.0
+      case "ts_of_first" => min(tv).getItem(0) / 1000.0
       case "ts_of_max" =>
         max(array(v, col(timeCol).cast("double"))).getItem(1) / 1000.0
       case "ts_of_min" =>

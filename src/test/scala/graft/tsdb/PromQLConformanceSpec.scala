@@ -322,6 +322,20 @@ class PromQLConformanceSpec extends SparkSpec {
     // last_over_time KEEPS the metric name (selector-like semantics)
     C("50m", """last_over_time(http_requests{group="canary", instance="1", job="app-server"}[30m])""",
       """http_requests{group="canary", instance="1", job="app-server"} 800"""),
+    // first_over_time (experimental upstream twin): first sample in the
+    // left-open (20m,50m] window = the 25m one; name kept like last
+    C("50m", """first_over_time(http_requests{group="canary", instance="1", job="app-server"}[30m])""",
+      """http_requests{group="canary", instance="1", job="app-server"} 400"""),
+    // the ts_of_* family returns the sample's TIMESTAMP (epoch secs)
+    // and, being a derived value, drops the name
+    C("50m", """ts_of_first_over_time(http_requests{group="canary", instance="1", job="app-server"}[30m])""",
+      """{group="canary", instance="1", job="app-server"} 1500"""),
+    C("50m", """ts_of_last_over_time(http_requests{group="canary", instance="1", job="app-server"}[30m])""",
+      """{group="canary", instance="1", job="app-server"} 3000"""),
+    C("50m", """ts_of_max_over_time(http_requests{group="canary", instance="1", job="app-server"}[30m])""",
+      """{group="canary", instance="1", job="app-server"} 3000"""),
+    C("50m", """ts_of_min_over_time(http_requests{group="canary", instance="1", job="app-server"}[30m])""",
+      """{group="canary", instance="1", job="app-server"} 1500"""),
     C("25m", """changes(reset_counter[25m])""", """{} 4"""),
     C("25m", """resets(reset_counter[25m])""", """{} 1"""),
     C("25m", """quantile_over_time(0.5, reset_counter[25m])""", """{} 15"""),
@@ -923,7 +937,7 @@ class PromQLConformanceSpec extends SparkSpec {
     // cases are added, never by deleting failing cases. `ported` counts
     // cases re-typed from Prometheus's own promqltest corpus, reported
     // separately from the handwritten sweep.
-    assert(own === 136)
+    assert(own === 141)
     assert(ported === 88)
     assert(skips.size === 2)
     // every skip names its documented deviation
