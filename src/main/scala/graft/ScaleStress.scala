@@ -288,6 +288,43 @@ object ScaleStress {
         blockRangeMs = 86400000L)
       println(s"[scale] clean blocks=${cleaned.size}")
     }
+    // COMPACTION PLANNER + LEVEL-UP at Nx: the [1d, 5d, 25d] ladder
+    // over the 30 daily blocks — planning is O(#blocks) meta reads
+    // (zero data I/O); each executed step is ONE one-shuffle Spark job
+    // over just the chosen parents, deletions going physical en route.
+    // Cost ≈ one re-write of the data, independent of block count.
+    time(s"compactDb ladder [1d,5d,25d] ${blockNames.size} blocks") {
+      val produced = graft.tsdb.Compactor.compactDb(spark, blockRoot,
+        ranges = graft.tsdb.Compactor.exponentialRanges(86400000L, 3, 5))
+      val after = graft.sources.tsdbblock.BlockMeta.list(blockRoot)
+      println(s"[scale] compaction steps output=${produced.size} " +
+        s"blocks after=${after.size} maxLevel=${after.map(_.level).max}")
+    }
+    // STREAMED REMOTE READ at Nx: pruned scan → one-shuffle series
+    // grouping → map-side XOR encode + frame; decode is map-side. The
+    // response never materializes anywhere — frames stream end to end.
+    time(s"remote read streamed ${factor}x") {
+      val req = graft.tsdb.RemoteRead.encodeReadRequest(
+        graft.tsdb.RemoteRead.ReadRequest(
+          Seq(graft.tsdb.RemoteRead.ReadQuery(
+            Tables.RangeStart, Tables.RangeEnd,
+            Seq(Matcher.Eq("__name__", "click")))),
+          acceptedResponseTypes =
+            Seq(graft.tsdb.RemoteRead.ResponseStreamedXorChunks)))
+      val frames = graft.tsdb.RemoteRead.serveChunked(t, req)
+      val n = graft.tsdb.RemoteRead.decodeChunkedFrames(frames).count()
+      println(s"[scale] remote-read samples round-tripped=$n")
+    }
+    // RETENTION at Nx: both flavors are pure meta walks + whole-dir
+    // deletes — cost is #blocks, NEVER samples
+    time("retention time+size sweep") {
+      val t = graft.tsdb.Compactor.retainTime(blockRoot,
+        retentionMs = Tables.RangeEnd - Tables.RangeStart,
+        nowMs = Tables.RangeEnd)
+      val sz = graft.tsdb.Compactor.retainSize(blockRoot, maxBytes = 1L)
+      println(s"[scale] blocks dropped: time=${t.size} size=${sz.size} " +
+        s"remaining=${graft.sources.tsdbblock.BlockMeta.list(blockRoot).size}")
+    }
     // WAL CHECKPOINT at Nx: one task per folded segment (filter +
     // re-frame), zero coordination; then replay through the checkpoint
     time(s"wal checkpoint+truncate ${factor}x") {

@@ -629,6 +629,96 @@ object TsdbQueries {
           col("labels").getItem("user").as("user"),
           col("labels").getItem("k").as("k"))
     }),
+    // Q122: REMOTE READ (SAMPLED) — the protocol a live Prometheus
+    // speaks to long-term storage: a snappy prompb ReadRequest of two
+    // matcher queries (one windowed Eq, one full-range NotEq) served
+    // off the pushdown-pruned table scan, the snappy ReadResponse
+    // decoded back client-side. Oracle: each query's matcher+range
+    // predicate replayed in SQL with its query index.
+    "tsdb_q122_remote_read" -> ((s, dir) => {
+      import graft.tsdb.RemoteRead
+      val t = TsdbTable(eventsAsTsdbStored(s, dir))
+      val req = RemoteRead.encodeReadRequest(RemoteRead.ReadRequest(Seq(
+        RemoteRead.ReadQuery(RangeStart, RangeEnd,
+          Seq(Matcher.Eq("__name__", "click"))),
+        RemoteRead.ReadQuery(Long.MinValue, Long.MaxValue,
+          Seq(Matcher.NotEq("k", "5"))))))
+      val rows = RemoteRead.decodeReadResponse(RemoteRead.serve(t, req))
+      import s.implicits._
+      rows.toDF("qidx", "time", "value", "labels")
+        .select(col("qidx"), col("time"), col("value"),
+          col("labels").getItem("__name__").as("name"),
+          col("labels").getItem("user").as("user"),
+          col("labels").getItem("k").as("k"))
+    }),
+    // Q123: REMOTE READ (STREAMED_XOR_CHUNKS) — the scale form: one
+    // CRC32C-framed ChunkedReadResponse per series, samples
+    // Gorilla-XOR encoded with the block writer's own chunk encoder,
+    // decoded map-side from the frame Dataset (nothing response-sized
+    // on the driver). Same selection ⇒ same oracle shape.
+    "tsdb_q123_remote_read_chunked" -> ((s, dir) => {
+      import graft.tsdb.RemoteRead
+      val t = TsdbTable(eventsAsTsdbStored(s, dir))
+      val req = RemoteRead.encodeReadRequest(RemoteRead.ReadRequest(
+        Seq(RemoteRead.ReadQuery(RangeStart, RangeEnd,
+          Seq(Matcher.Eq("__name__", "click")))),
+        acceptedResponseTypes = Seq(RemoteRead.ResponseStreamedXorChunks)))
+      RemoteRead.decodeChunkedFrames(RemoteRead.serveChunked(t, req))
+        .select(col("time"), col("value"),
+          col("labels").getItem("__name__").as("name"),
+          col("labels").getItem("user").as("user"),
+          col("labels").getItem("k").as("k"))
+    }),
+    // Q124: OPENMETRICS BACKFILL (promtool `tsdb create-blocks-from
+    // openmetrics`) — events rendered as exposition text by the
+    // engine's own exporter, parsed back by the distributed text scan,
+    // and assembled into real block directories; identity oracle ⇒
+    // text → blocks is lossless, the full promtool round trip.
+    "tsdb_q124_backfill_openmetrics" -> ((s, dir) => {
+      val long = load(s, dir, "events").select(
+        unix_millis(col("ts")).as("time"), col("value"),
+        map(lit("__name__"), col("event_type"),
+          lit("user"), col("user_id").cast("string"),
+          lit("k"), regexp_extract(col("props"), "\"k\": (\\d+)", 1))
+          .as("labels"))
+      val text = Tables.scratchDir("graft_q124_text")
+      graft.tsdb.SampleReaders.toOpenMetricsLines(long)
+        .write.mode("overwrite").text(text)
+      val dest = Tables.scratchDir("graft_q124_blocks")
+      graft.tsdb.Backfill.openMetrics(s, text, dest,
+        blockRangeMs = 7L * 86400000L)
+      graft.sources.tsdbblock.TsdbDb.read(s, dest)
+        .select(col("time"), col("value"),
+          col("labels").getItem("__name__").as("name"),
+          col("labels").getItem("user").as("user"),
+          col("labels").getItem("k").as("k"))
+    }),
+    // Q125: SNAPSHOT admin API — a live-shaped data dir (blocks + WAL
+    // head) snapshotted: blocks hard-linked, head flushed as block(s),
+    // no wal/ in the result; reading the SNAPSHOT alone reproduces the
+    // full dataset. Identity oracle.
+    "tsdb_q125_snapshot" -> ((s, dir) => {
+      val long = load(s, dir, "events").select(
+        unix_millis(col("ts")).as("time"), col("value"),
+        map(lit("__name__"), col("event_type"),
+          lit("user"), col("user_id").cast("string"),
+          lit("k"), regexp_extract(col("props"), "\"k\": (\\d+)", 1))
+          .as("labels"))
+      val db = Tables.scratchDir("graft_q125_db")
+      graft.sources.tsdbblock.TsdbBlockWriter.write(
+        long.where(col("time") < lit(RangeEnd)), db,
+        blockRangeMs = 7L * 86400000L)
+      graft.sources.tsdbblock.TsdbWalWriter.write(
+        long.where(col("time") >= lit(RangeEnd)), s"$db/wal")
+      val snap = Tables.scratchDir("graft_q125_snap")
+      graft.tsdb.Backfill.snapshot(s, db, snap,
+        blockRangeMs = 7L * 86400000L)
+      graft.sources.tsdbblock.TsdbDb.read(s, snap)
+        .select(col("time"), col("value"),
+          col("labels").getItem("__name__").as("name"),
+          col("labels").getItem("user").as("user"),
+          col("labels").getItem("k").as("k"))
+    }),
     // Q13: PromQL topk() over the instant vector — the k series with the
     // highest current value (deterministic tie-break on the label set).
     // Global top-k is orderBy+limit, which Catalyst plans as
@@ -3355,6 +3445,38 @@ object TsdbQueries {
          |  regexp_extract(props, '"k": (\\d+)', 1) AS k
          |FROM events
          |WHERE CAST(epoch_ms(ts) AS BIGINT) >= $RetentionHorizonMs""".stripMargin,
+    "tsdb_q122_remote_read" ->
+      s"""SELECT CAST(0 AS INTEGER) AS qidx,
+         |  CAST(epoch_ms(ts) AS BIGINT) AS time, value,
+         |  event_type AS name, CAST(user_id AS VARCHAR) AS "user",
+         |  regexp_extract(props, '"k": (\\d+)', 1) AS k
+         |FROM events
+         |WHERE event_type = 'click'
+         |  AND CAST(epoch_ms(ts) AS BIGINT) BETWEEN $RangeStart AND $RangeEnd
+         |UNION ALL
+         |SELECT CAST(1 AS INTEGER),
+         |  CAST(epoch_ms(ts) AS BIGINT), value,
+         |  event_type, CAST(user_id AS VARCHAR),
+         |  regexp_extract(props, '"k": (\\d+)', 1)
+         |FROM events
+         |WHERE regexp_extract(props, '"k": (\\d+)', 1) <> '5'""".stripMargin,
+    "tsdb_q123_remote_read_chunked" ->
+      s"""SELECT CAST(epoch_ms(ts) AS BIGINT) AS time, value,
+         |  event_type AS name, CAST(user_id AS VARCHAR) AS "user",
+         |  regexp_extract(props, '"k": (\\d+)', 1) AS k
+         |FROM events
+         |WHERE event_type = 'click'
+         |  AND CAST(epoch_ms(ts) AS BIGINT) BETWEEN $RangeStart AND $RangeEnd""".stripMargin,
+    "tsdb_q124_backfill_openmetrics" ->
+      """SELECT CAST(epoch_ms(ts) AS BIGINT) AS time, value,
+        |  event_type AS name, CAST(user_id AS VARCHAR) AS "user",
+        |  regexp_extract(props, '"k": (\d+)', 1) AS k
+        |FROM events""".stripMargin,
+    "tsdb_q125_snapshot" ->
+      """SELECT CAST(epoch_ms(ts) AS BIGINT) AS time, value,
+        |  event_type AS name, CAST(user_id AS VARCHAR) AS "user",
+        |  regexp_extract(props, '"k": (\d+)', 1) AS k
+        |FROM events""".stripMargin,
     "tsdb_q16_schema_evolution" ->
       s"""WITH t AS (SELECT CAST(epoch_ms(ts) AS BIGINT) AS time, value,
          |  event_type AS "labels.name",

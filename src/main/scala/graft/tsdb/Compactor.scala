@@ -99,23 +99,59 @@ object Compactor {
     parts.result().filter(_.nonEmpty)
   }
 
-  /** Run the loop to quiescence: plan → compact (parents deleted as
-    * Prometheus truncates them) → re-plan, until no step applies.
-    * Returns the block names produced, in execution order. Each step
-    * is one Spark job over just the chosen parents. */
+  /** Every group selectable in one planning round: all overlap runs
+    * if any exist, else every selectable window part of the FIRST
+    * ladder range with a hit. Groups within a round are pairwise
+    * disjoint (splitByRange windows don't share blocks), so their
+    * compactions are independent jobs. Prometheus executes [[plan]]
+    * one group at a time on one thread; the round form exposes the
+    * same fixpoint with intra-round parallelism for a cluster. */
+  def planRound(blocks: Seq[BlockMeta],
+                ranges: Seq[Long]): Seq[(Seq[BlockMeta], Long)] = {
+    val sorted = blocks.sortBy(m => (m.minTime, m.ulid))
+    selectOverlapping(sorted) match {
+      case Some(g) => Seq((g, ranges.max))
+      case None =>
+        if (ranges.size < 2 || sorted.isEmpty) return Nil
+        val highTime = sorted.last.minTime
+        ranges.drop(1).foreach { iv =>
+          val hits = splitByRange(sorted, iv).filter { part =>
+            val mint = part.head.minTime
+            val maxt = part.last.maxTime
+            part.sizeIs > 1 && (maxt - mint == iv || maxt <= highTime)
+          }
+          if (hits.nonEmpty) return hits.map((_, iv))
+        }
+        Nil
+    }
+  }
+
+  /** Run the loop to quiescence: plan a round → compact every group
+    * (parents deleted as Prometheus truncates them) → re-plan, until
+    * no step applies. Groups of one round are disjoint, so they run
+    * as CONCURRENT Spark jobs (each is one job over just its parents —
+    * a single-task block assembly; round concurrency is what keeps a
+    * 30-parent backlog from paying 30 serial assemblies). Returns the
+    * block names produced. */
   def compactDb(spark: SparkSession, dbDir: String,
                 ranges: Seq[Long] = exponentialRanges(),
-                maxSteps: Int = 64): Seq[String] = {
+                maxRounds: Int = 64): Seq[String] = {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import scala.concurrent.duration.Duration
     val produced = Seq.newBuilder[String]
-    var step = 0
+    var round = 0
     var more = true
-    while (more && step < maxSteps) {
-      plan(BlockMeta.list(dbDir), ranges) match {
-        case Some((parents, iv)) =>
-          produced ++= TsdbBlockWriter.compactBlocks(
+    while (more && round < maxRounds) {
+      val groups = planRound(BlockMeta.list(dbDir), ranges)
+      if (groups.isEmpty) more = false
+      else {
+        val jobs = groups.map { case (parents, iv) => Future {
+          TsdbBlockWriter.compactBlocks(
             spark, parents.map(_.dir), dbDir, iv, deleteParents = true)
-          step += 1
-        case None => more = false
+        }}
+        jobs.foreach(j => produced ++= Await.result(j, Duration.Inf))
+        round += 1
       }
     }
     produced.result()

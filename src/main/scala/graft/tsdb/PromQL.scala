@@ -826,14 +826,15 @@ object PromQL {
       // vector(time()): `hour()` ≡ `hour(vector(time()))`
       if (ClockFns(name) && p.opt(')'))
         return Fn(name, Fn("vector", TimeLit, Nil), Nil)
+      // scalar params may carry a sign (clamp_min(v, -25)) — number()
+      // itself is unsigned; unary minus is an expression operator
+      // elsewhere
+      def signed(): Double =
+        (if (p.opt('-')) -1 else { p.opt('+'); 1 }) * p.number()
       // leading numeric param (quantile_over_time(0.9, v) / histogram_quantile)
-      val pre = if (LeadingParamFns(name)) { val q = p.number(); p.expect(','); Seq(q) }
+      val pre = if (LeadingParamFns(name)) { val q = signed(); p.expect(','); Seq(q) }
                 else if (name == "histogram_fraction") {
-                  // TWO leading scalars: histogram_fraction(lo, hi, v);
-                  // either bound may be negative (number() is unsigned —
-                  // unary minus is an expression operator elsewhere)
-                  def signed(): Double =
-                    (if (p.opt('-')) -1 else 1) * p.number()
+                  // TWO leading scalars: histogram_fraction(lo, hi, v)
                   val lo = signed(); p.expect(',')
                   val hi = signed(); p.expect(',')
                   Seq(lo, hi)
@@ -842,7 +843,7 @@ object PromQL {
       val arg = parseExpr(p)
       // trailing numeric params (holt_winters(v, sf, tf))
       val post = Seq.newBuilder[Double]
-      while (p.opt(',')) post += p.number()
+      while (p.opt(',')) post += signed()
       p.expect(')')
       Fn(name, arg, pre ++ post.result())
     } else parseSelector(p, Some(name).filter(_.nonEmpty))
@@ -2159,7 +2160,11 @@ object PromQL {
       case "ln" => mapV(round(log(v), 6))
       case "sqrt" => mapV(round(sqrt(v), 6))
       case "sgn" => mapV(signum(v))
-      case "clamp" => mapV(least(greatest(v, lit(params(0))), lit(params(1))))
+      case "clamp" =>
+        // Prometheus special case: min > max ⇒ EMPTY vector (not
+        // everything clamped to max, which least∘greatest would give)
+        if (params(0) > params(1)) mapV(v).where(lit(false))
+        else mapV(least(greatest(v, lit(params(0))), lit(params(1))))
       case "clamp_min" => mapV(greatest(v, lit(params(0))))
       case "clamp_max" => mapV(least(v, lit(params(0))))
       case "log2" => mapV(round(log(2.0, v), 6))

@@ -1,0 +1,429 @@
+package graft.tsdb
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.xerial.snappy.Snappy
+import graft.model.Matcher
+import graft.sources.tsdbblock.{TsdbBlockWriter, XorChunk}
+import RemoteWrite.{ProtoReader, ProtoWriter}
+
+/** The Prometheus REMOTE READ protocol — the read twin of the
+  * [[RemoteWrite]]/[[RemoteWrite2]] codecs (public spec:
+  * `prompb/remote.proto`): a snappy `ReadRequest` of label-matcher
+  * queries in, either a snappy `ReadResponse` of raw samples or the
+  * STREAMED_XOR_CHUNKS frame sequence out. This is the protocol
+  * Prometheus itself speaks to long-term storage — serving it makes
+  * the engine usable as a `remote_read` backend for a live Prometheus
+  * (reference adjacency: hello.go's commented server main at
+  * `hello.go:159-274` is exactly this remote-storage shape).
+  *
+  * Scale design: matcher selection is the pushdown-pruned
+  * [[TsdbTable.select]] scan; per-series sample grouping and protobuf
+  * encode run distributed (one shuffle, the same (series → sorted
+  * samples) shape the block writer uses). The SAMPLED response must
+  * be one HTTP body, so [[serve]] collects — bounded by the QUERY's
+  * selectivity, the protocol's own constraint (Prometheus fails such
+  * reads beyond `remote_read_sample_limit` for the same reason). The
+  * scale path is [[serveChunked]]: one self-framed
+  * `ChunkedReadResponse` per series, Gorilla-XOR encoded with the
+  * block writer's own chunk encoder, returned as a Dataset that
+  * streams straight out — nothing response-sized ever materializes on
+  * the driver, matching Prometheus's streamed remote read.
+  */
+object RemoteRead {
+
+  /** `prompb.ReadHints` — the query-shape hints a Prometheus frontend
+    * attaches (step/func/grouping); carried faithfully, unused by the
+    * scan (selection is exact, not hint-dependent). */
+  final case class ReadHints(stepMs: Long = 0L, func: String = "",
+                             startMs: Long = 0L, endMs: Long = 0L,
+                             grouping: Seq[String] = Nil, by: Boolean = false,
+                             rangeMs: Long = 0L)
+
+  /** One `prompb.Query`: INCLUSIVE [startMs, endMs] + matchers. */
+  final case class ReadQuery(startMs: Long, endMs: Long,
+                             matchers: Seq[Matcher],
+                             hints: Option[ReadHints] = None)
+
+  final case class ReadRequest(queries: Seq[ReadQuery],
+                               acceptedResponseTypes: Seq[Int] = Seq(0))
+
+  /** `ResponseType` enum values (remote.proto). */
+  val ResponseSamples = 0
+  val ResponseStreamedXorChunks = 1
+
+  // ---- request codec ------------------------------------------------
+
+  private def matcherTypeAndNv(m: Matcher): (Int, String, String) = m match {
+    case Matcher.Eq(n, v)    => (0, n, v)
+    case Matcher.NotEq(n, v) => (1, n, v)
+    case Matcher.Re(n, p)    => (2, n, p)
+    case Matcher.NotRe(n, p) => (3, n, p)
+  }
+
+  private def matcherOf(tpe: Int, n: String, v: String): Matcher = tpe match {
+    case 0 => Matcher.Eq(n, v)
+    case 1 => Matcher.NotEq(n, v)
+    case 2 => Matcher.Re(n, v)
+    case 3 => Matcher.NotRe(n, v)
+    case t => throw new IllegalArgumentException(s"unknown matcher type $t")
+  }
+
+  /** Snappy-compressed `ReadRequest` bytes (what a Prometheus
+    * `remote_read` client POSTs). */
+  def encodeReadRequest(req: ReadRequest): Array[Byte] = {
+    val w = new ProtoWriter
+    req.queries.foreach { q =>
+      val qw = new ProtoWriter
+      qw.int64(1, q.startMs)
+      qw.int64(2, q.endMs)
+      q.matchers.foreach { m =>
+        val (tpe, n, v) = matcherTypeAndNv(m)
+        val mw = new ProtoWriter
+        if (tpe != 0) mw.int64(1, tpe.toLong)
+        mw.string(2, n); mw.string(3, v)
+        qw.bytes(3, mw.toBytes)
+      }
+      q.hints.foreach { h =>
+        val hw = new ProtoWriter
+        if (h.stepMs != 0) hw.int64(1, h.stepMs)
+        if (h.func.nonEmpty) hw.string(2, h.func)
+        if (h.startMs != 0) hw.int64(3, h.startMs)
+        if (h.endMs != 0) hw.int64(4, h.endMs)
+        h.grouping.foreach(hw.string(5, _))
+        if (h.by) hw.int64(6, 1L)
+        if (h.rangeMs != 0) hw.int64(7, h.rangeMs)
+        qw.bytes(4, hw.toBytes)
+      }
+      w.bytes(1, qw.toBytes)
+    }
+    // accepted_response_types is packed (repeated enum)
+    if (req.acceptedResponseTypes.nonEmpty) {
+      val pw = new ProtoWriter
+      req.acceptedResponseTypes.foreach(t => pw.varint(t.toLong))
+      w.bytes(2, pw.toBytes)
+    }
+    Snappy.compress(w.toBytes)
+  }
+
+  def decodeReadRequest(payload: Array[Byte]): ReadRequest = {
+    val raw = Snappy.uncompress(payload)
+    val r = new ProtoReader(raw, 0, raw.length)
+    val queries = Seq.newBuilder[ReadQuery]
+    val accepted = Seq.newBuilder[Int]
+    while (r.hasMore) r.key() match {
+      case (1, 2) =>
+        val (qs, qe) = r.delimited()
+        queries += decodeQuery(raw, qs, qe)
+      case (2, 2) => // packed enums
+        val (ps, pe) = r.delimited()
+        val pr = new ProtoReader(raw, ps, pe)
+        while (pr.hasMore) accepted += pr.varint().toInt
+      case (2, 0) => accepted += r.varint().toInt // unpacked tolerance
+      case (_, w) => r.skip(w)
+    }
+    val acc = accepted.result()
+    ReadRequest(queries.result(),
+      if (acc.nonEmpty) acc else Seq(ResponseSamples))
+  }
+
+  private def decodeQuery(b: Array[Byte], from: Int, until: Int): ReadQuery = {
+    val r = new ProtoReader(b, from, until)
+    var start = 0L; var end = 0L
+    val ms = Seq.newBuilder[Matcher]
+    var hints: Option[ReadHints] = None
+    while (r.hasMore) r.key() match {
+      case (1, 0) => start = r.varint()
+      case (2, 0) => end = r.varint()
+      case (3, 2) =>
+        val (s, e) = r.delimited()
+        val mr = new ProtoReader(b, s, e)
+        var tpe = 0; var n = ""; var v = ""
+        while (mr.hasMore) mr.key() match {
+          case (1, 0) => tpe = mr.varint().toInt
+          case (2, 2) => n = mr.string()
+          case (3, 2) => v = mr.string()
+          case (_, w) => mr.skip(w)
+        }
+        ms += matcherOf(tpe, n, v)
+      case (4, 2) =>
+        val (s, e) = r.delimited()
+        val hr = new ProtoReader(b, s, e)
+        var h = ReadHints()
+        while (hr.hasMore) hr.key() match {
+          case (1, 0) => h = h.copy(stepMs = hr.varint())
+          case (2, 2) => h = h.copy(func = hr.string())
+          case (3, 0) => h = h.copy(startMs = hr.varint())
+          case (4, 0) => h = h.copy(endMs = hr.varint())
+          case (5, 2) => h = h.copy(grouping = h.grouping :+ hr.string())
+          case (6, 0) => h = h.copy(by = hr.varint() != 0)
+          case (7, 0) => h = h.copy(rangeMs = hr.varint())
+          case (_, w) => hr.skip(w)
+        }
+        hints = Some(h)
+      case (_, w) => r.skip(w)
+    }
+    ReadQuery(start, end, ms.result(), hints)
+  }
+
+  // ---- selection ----------------------------------------------------
+
+  /** One query's matched slice in the long `(time, value, labels)`
+    * form, name column mapped to `__name__`. [[TsdbTable.select]]'s
+    * range is EXCLUSIVE both ends (the reference's contract); remote
+    * read is INCLUSIVE, so the bounds widen by 1 (saturating). Wire
+    * matchers address `__name__`; storage calls that column `name`
+    * (the same mapping [[Federate.longForm]] applies outbound). */
+  private def slice(t: TsdbTable, q: ReadQuery): DataFrame = {
+    val lo = if (q.startMs == Long.MinValue) Long.MinValue else q.startMs - 1
+    val hi = if (q.endMs == Long.MaxValue) Long.MaxValue else q.endMs + 1
+    def st(n: String): String = if (n == "__name__") "name" else n
+    val ms = q.matchers.map {
+      case Matcher.Eq(n, v)    => Matcher.Eq(st(n), v)
+      case Matcher.NotEq(n, v) => Matcher.NotEq(st(n), v)
+      case Matcher.Re(n, p)    => Matcher.Re(st(n), p)
+      case Matcher.NotRe(n, p) => Matcher.NotRe(st(n), p)
+    }
+    Federate.longForm(t.select(lo, hi, ms))
+  }
+
+  /** Distributed per-series grouping: (sorted label entries, sorted
+    * samples) — the block writer's shape, one shuffle. */
+  private def grouped(sl: DataFrame)
+      : Dataset[(Seq[(String, String)], Seq[(Long, Double)])] = {
+    val s = sl.sparkSession
+    import s.implicits._
+    sl.select(
+        array_sort(map_entries(col("labels"))).as("entries"),
+        col("time"), col("value"))
+      .groupBy(col("entries"))
+      .agg(array_sort(collect_list(struct(col("time").as("_1"),
+        col("value").as("_2")))).as("samples"))
+      .as[(Seq[(String, String)], Seq[(Long, Double)])]
+  }
+
+  // ---- SAMPLED response (ResponseType 0) ----------------------------
+
+  /** Serve a `ReadRequest` as a snappy `ReadResponse` (SAMPLES type):
+    * one `QueryResult` per query, in order; series sorted by label
+    * set, samples by time — Prometheus's response invariants. The
+    * per-series encode runs distributed; only encoded bytes reach the
+    * driver. */
+  def serve(t: TsdbTable, requestBytes: Array[Byte]): Array[Byte] = {
+    val req = decodeReadRequest(requestBytes)
+    val sp = t.df.sparkSession
+    import sp.implicits._
+    val w = new ProtoWriter
+    req.queries.foreach { q =>
+      val series: Array[(String, Array[Byte])] = grouped(slice(t, q))
+        .mapPartitions(_.map { case (entries, samples) =>
+          val key = entries.map(e => e._1 + " " + e._2).mkString(" ")
+          (key, RemoteWrite.encodeSeries(entries, samples))
+        })
+        .collect()
+      val qw = new ProtoWriter
+      series.sortBy(_._1).foreach(s => qw.bytes(1, s._2))
+      w.bytes(1, qw.toBytes)
+    }
+    Snappy.compress(w.toBytes)
+  }
+
+  /** Decode a snappy `ReadResponse` to `(query_index, time, value,
+    * labels)` rows — the client side (and the oracle's replay path). */
+  def decodeReadResponse(payload: Array[Byte])
+      : Seq[(Int, Long, Double, Map[String, String])] = {
+    val raw = Snappy.uncompress(payload)
+    val r = new ProtoReader(raw, 0, raw.length)
+    val out = Seq.newBuilder[(Int, Long, Double, Map[String, String])]
+    var qidx = 0
+    while (r.hasMore) r.key() match {
+      case (1, 2) =>
+        val (qs, qe) = r.delimited()
+        val qr = new ProtoReader(raw, qs, qe)
+        while (qr.hasMore) qr.key() match {
+          case (1, 2) =>
+            val (ss, se) = qr.delimited()
+            decodeTimeSeries(raw, ss, se).foreach { case (tms, v, ls) =>
+              out += ((qidx, tms, v, ls))
+            }
+          case (_, w) => qr.skip(w)
+        }
+        qidx += 1
+      case (_, w) => r.skip(w)
+    }
+    out.result()
+  }
+
+  private def decodeTimeSeries(b: Array[Byte], from: Int, until: Int)
+      : Seq[(Long, Double, Map[String, String])] = {
+    val r = new ProtoReader(b, from, until)
+    val labels = Map.newBuilder[String, String]
+    val samples = Seq.newBuilder[(Long, Double)]
+    while (r.hasMore) r.key() match {
+      case (1, 2) =>
+        val (s, e) = r.delimited()
+        val lr = new ProtoReader(b, s, e)
+        var n = ""; var v = ""
+        while (lr.hasMore) lr.key() match {
+          case (1, 2) => n = lr.string()
+          case (2, 2) => v = lr.string()
+          case (_, w) => lr.skip(w)
+        }
+        labels += (n -> v)
+      case (2, 2) =>
+        val (s, e) = r.delimited()
+        val sr = new ProtoReader(b, s, e)
+        var value = 0.0; var ts = 0L
+        while (sr.hasMore) sr.key() match {
+          case (1, 1) => value = java.lang.Double.longBitsToDouble(sr.fixed64())
+          case (2, 0) => ts = sr.varint()
+          case (_, w) => sr.skip(w)
+        }
+        samples += ((ts, value))
+      case (_, w) => r.skip(w)
+    }
+    val ls = labels.result()
+    samples.result().map { case (ts, v) => (ts, v, ls) }
+  }
+
+  // ---- STREAMED_XOR_CHUNKS response (ResponseType 1) ----------------
+
+  /** Samples per XOR chunk — Prometheus's chunk fill target, the same
+    * split the block writer uses. */
+  private val SamplesPerChunk = 120
+
+  /** Serve a request as the STREAMED_XOR_CHUNKS frame sequence: one
+    * self-framed `ChunkedReadResponse` per series (uvarint length +
+    * big-endian CRC32-Castagnoli + message — Prometheus's
+    * `ChunkedWriter` framing), chunks Gorilla-encoded by the block
+    * writer's encoder. Fully distributed: the returned Dataset streams
+    * frame-by-frame; the driver never holds the response. */
+  def serveChunked(t: TsdbTable, requestBytes: Array[Byte]): Dataset[Array[Byte]] = {
+    val sp = t.df.sparkSession
+    import sp.implicits._
+    val req = decodeReadRequest(requestBytes)
+    val frames = req.queries.zipWithIndex.map { case (q, qi) =>
+      grouped(slice(t, q)).mapPartitions(_.map { case (entries, samples) =>
+        frame(encodeChunkedSeries(qi, entries, samples))
+      })
+    }
+    frames.reduce(_ union _)
+  }
+
+  private def encodeChunkedSeries(queryIndex: Int,
+                                  entries: Seq[(String, String)],
+                                  samples: Seq[(Long, Double)]): Array[Byte] = {
+    val sw = new ProtoWriter
+    entries.foreach { case (n, v) =>
+      val lw = new ProtoWriter
+      lw.string(1, n); lw.string(2, v)
+      sw.bytes(1, lw.toBytes)
+    }
+    samples.grouped(SamplesPerChunk).foreach { chunk =>
+      val ts = chunk.map(_._1).toArray
+      val vs = chunk.map(_._2).toArray
+      val cw = new ProtoWriter
+      cw.int64(1, ts.head)
+      cw.int64(2, ts.last)
+      cw.int64(3, 1L) // Encoding.XOR
+      cw.bytes(4, TsdbBlockWriter.encodeXorChunk(ts, vs))
+      sw.bytes(2, cw.toBytes)
+    }
+    val w = new ProtoWriter
+    w.bytes(1, sw.toBytes)
+    w.int64(2, queryIndex.toLong)
+    w.toBytes
+  }
+
+  /** Prometheus chunked-transport framing: uvarint(len) ++ BE
+    * crc32c(data) ++ data. */
+  private[tsdb] def frame(data: Array[Byte]): Array[Byte] = {
+    val w = new ProtoWriter
+    w.varint(data.length.toLong)
+    val crc = new java.util.zip.CRC32C
+    crc.update(data)
+    val c = crc.getValue
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(w.toBytes)
+    out.write(((c >>> 24) & 0xff).toInt); out.write(((c >>> 16) & 0xff).toInt)
+    out.write(((c >>> 8) & 0xff).toInt); out.write((c & 0xff).toInt)
+    out.write(data, 0, data.length)
+    out.toByteArray
+  }
+
+  /** Client-side decode of streamed frames → `(query_index, time,
+    * value, labels)` rows, CRC-verified, XOR chunks decoded with the
+    * block reader's decoder. Map-side only — no shuffle. */
+  def decodeChunkedFrames(frames: Dataset[Array[Byte]])
+      : DataFrame = {
+    val s = frames.sparkSession
+    import s.implicits._
+    frames.flatMap { f =>
+      val r = new ProtoReader(f, 0, f.length)
+      val len = r.varint().toInt
+      // frame = varint ++ crc32c(4) ++ data
+      val varintLen = {
+        var n = 1; var x = len.toLong
+        while ((x & ~0x7fL) != 0) { n += 1; x >>>= 7 }
+        n
+      }
+      val dataFrom = varintLen + 4
+      require(dataFrom + len == f.length, "bad frame length")
+      val crc = new java.util.zip.CRC32C
+      crc.update(f, dataFrom, len)
+      val want = ((f(varintLen) & 0xffL) << 24) | ((f(varintLen + 1) & 0xffL) << 16) |
+        ((f(varintLen + 2) & 0xffL) << 8) | (f(varintLen + 3) & 0xffL)
+      require(crc.getValue == want, "frame crc32c mismatch")
+      decodeChunkedResponse(f, dataFrom, dataFrom + len)
+    }.toDF("qidx", "time", "value", "labels")
+  }
+
+  private def decodeChunkedResponse(b: Array[Byte], from: Int, until: Int)
+      : Seq[(Int, Long, Double, Map[String, String])] = {
+    val r = new ProtoReader(b, from, until)
+    var qidx = 0
+    val series = Seq.newBuilder[(Map[String, String], Seq[(Long, Double)])]
+    while (r.hasMore) r.key() match {
+      case (1, 2) =>
+        val (ss, se) = r.delimited()
+        val sr = new ProtoReader(b, ss, se)
+        val labels = Map.newBuilder[String, String]
+        val samples = Seq.newBuilder[(Long, Double)]
+        while (sr.hasMore) sr.key() match {
+          case (1, 2) =>
+            val (ls, le) = sr.delimited()
+            val lr = new ProtoReader(b, ls, le)
+            var n = ""; var v = ""
+            while (lr.hasMore) lr.key() match {
+              case (1, 2) => n = lr.string()
+              case (2, 2) => v = lr.string()
+              case (_, w) => lr.skip(w)
+            }
+            labels += (n -> v)
+          case (2, 2) =>
+            val (cs, ce) = sr.delimited()
+            val cr = new ProtoReader(b, cs, ce)
+            var enc = 0L; var data: Array[Byte] = Array.empty
+            while (cr.hasMore) cr.key() match {
+              case (1, 0) => cr.varint(): Unit
+              case (2, 0) => cr.varint(): Unit
+              case (3, 0) => enc = cr.varint()
+              case (4, 2) =>
+                val (ds, de) = cr.delimited()
+                data = java.util.Arrays.copyOfRange(b, ds, de)
+              case (_, w) => cr.skip(w)
+            }
+            require(enc == 1L, s"unsupported chunk encoding $enc")
+            val (ts, vs) = XorChunk.decode(data)
+            samples ++= ts.zip(vs)
+          case (_, w) => sr.skip(w)
+        }
+        series += ((labels.result(), samples.result()))
+      case (2, 0) => qidx = r.varint().toInt
+      case (_, w) => r.skip(w)
+    }
+    series.result().flatMap { case (ls, ss) =>
+      ss.map { case (t, v) => (qidx, t, v, ls) }
+    }
+  }
+}

@@ -105,7 +105,7 @@ object RemoteWrite {
   // ---- prompb encode ------------------------------------------------
 
   /** One TimeSeries message: sorted labels + time-sorted samples. */
-  private def encodeSeries(labels: Seq[(String, String)],
+  private[tsdb] def encodeSeries(labels: Seq[(String, String)],
                            samples: Seq[(Long, Double)]): Array[Byte] = {
     val w = new ProtoWriter
     labels.sortBy(_._1).foreach { case (n, v) =>

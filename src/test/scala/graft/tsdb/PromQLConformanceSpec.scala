@@ -783,6 +783,90 @@ class PromQLConformanceSpec extends SparkSpec {
         |{l="neg"} NaN
         |{l="half"} 0.5493061443340548""")))
 
+  // functions.test label_replace section: ANCHORED full-string match,
+  // non-match leaves the vector untouched, empty replacement removes
+  // the label, absent src matches only regexes accepting ""
+  private val upstreamLabelReplace = B("upstream functions.test label_replace",
+    "5m", Seq(
+    """testmetric{src="source-value-10",dst="original-destination-value"} 0""",
+    """testmetric{src="source-value-20",dst="original-destination-value"} 1"""),
+    Seq(
+    C("0m", """label_replace(testmetric, "dst", "destination-value-$1", "src", "source-value-(.*)")""",
+      """testmetric{src="source-value-10",dst="destination-value-10"} 0
+        |testmetric{src="source-value-20",dst="destination-value-20"} 1"""),
+    C("0m", """label_replace(testmetric, "dst", "value-$1", "src", "non-matching-regex")""",
+      """testmetric{src="source-value-10",dst="original-destination-value"} 0
+        |testmetric{src="source-value-20",dst="original-destination-value"} 1"""),
+    // regex must match the WHOLE src value — a substring match is not
+    // enough (Prometheus anchors label_replace regexes)
+    C("0m", """label_replace(testmetric, "dst", "value-$1", "src", "value-(.*)")""",
+      """testmetric{src="source-value-10",dst="original-destination-value"} 0
+        |testmetric{src="source-value-20",dst="original-destination-value"} 1"""),
+    C("0m", """label_replace(testmetric, "dst", "", "dst", ".*")""",
+      """testmetric{src="source-value-10"} 0
+        |testmetric{src="source-value-20"} 1"""),
+    // absent src ≡ "": a regex that accepts "" fires, one that
+    // requires content does not
+    C("0m", """label_replace(testmetric, "dst", "value-$1", "nonexistent-src", "source-value-(.*)")""",
+      """testmetric{src="source-value-10",dst="original-destination-value"} 0
+        |testmetric{src="source-value-20",dst="original-destination-value"} 1"""),
+    C("0m", """label_replace(testmetric, "dst", "value-$1", "nonexistent-src", "(.*)")""",
+      """testmetric{src="source-value-10",dst="value-"} 0
+        |testmetric{src="source-value-20",dst="value-"} 1""")),
+    upstream = true)
+
+  // functions.test clamp section, incl. the min>max empty special case
+  private val upstreamClamp = B("upstream functions.test clamp", "5m", Seq(
+    """test_clamp{src="clamp-a"} -50""",
+    """test_clamp{src="clamp-b"} 0""",
+    """test_clamp{src="clamp-c"} 100"""), Seq(
+    C("0m", """clamp_max(test_clamp, 75)""",
+      """{src="clamp-a"} -50
+        |{src="clamp-b"} 0
+        |{src="clamp-c"} 75"""),
+    C("0m", """clamp_min(test_clamp, -25)""",
+      """{src="clamp-a"} -25
+        |{src="clamp-b"} 0
+        |{src="clamp-c"} 100"""),
+    C("0m", """clamp(test_clamp, -25, 75)""",
+      """{src="clamp-a"} -25
+        |{src="clamp-b"} 0
+        |{src="clamp-c"} 75"""),
+    C("0m", """clamp_max(clamp_min(test_clamp, -20), 70)""",
+      """{src="clamp-a"} -20
+        |{src="clamp-b"} 0
+        |{src="clamp-c"} 70"""),
+    // min > max ⇒ empty vector (Prometheus special case)
+    C("0m", """clamp(test_clamp, 75, -25)""", "")), upstream = true)
+
+  // functions.test absent section: synthesized labels from Eq matchers
+  private val upstreamAbsent = B("upstream functions.test absent", "5m",
+    httpLoad, Seq(
+    C("50m", """absent(nonexistent)""", """{} 1"""),
+    C("50m", """absent(nonexistent{job="myjob",instance="0"})""",
+      """{job="myjob", instance="0"} 1"""),
+    C("50m", """absent(http_requests)""", ""),
+    C("50m", """absent(sum(http_requests))""", ""),
+    // only Eq matchers contribute synthesized labels
+    C("50m", """absent(nonexistent{job=~"myjob"})""", """{} 1""")),
+    upstream = true)
+
+  // aggregators.test count_values section (incl. the without form)
+  private val upstreamCountValues = B("upstream aggregators.test count_values",
+    "5m", Seq(
+    """version{job="api-server", instance="0"} 6""",
+    """version{job="api-server", instance="1"} 6""",
+    """version{job="api-server", instance="2"} 7""",
+    """version{job="app-server", instance="0"} 7""",
+    """version{job="app-server", instance="1"} 7"""), Seq(
+    C("1m", """count_values("version", version)""",
+      """{version="6"} 2
+        |{version="7"} 3"""),
+    C("1m", """count_values without (instance) ("version", version)""",
+      """{job="api-server", version="6"} 2
+        |{job="api-server", version="7"} 1
+        |{job="app-server", version="7"} 2""")), upstream = true)
+
   private val blocks = Seq(aggregators, operators, binops, functions,
     functions2, histograms, countValues, staleness, labelFns,
     invHyperbolic, sortByLabel, nanAgg, infoFn,
@@ -790,7 +874,9 @@ class PromQLConformanceSpec extends SparkSpec {
     upstreamAggregators2, upstreamChangesResets, upstreamLiterals,
     upstreamFunctions, upstreamStaleness, upstreamDocsMatching,
     upstreamSubquery, upstreamAtModifier, upstreamDatesTrig,
-    upstreamBoolCmp, upstreamHistograms)
+    upstreamBoolCmp, upstreamHistograms,
+    upstreamLabelReplace, upstreamClamp, upstreamAbsent,
+    upstreamCountValues)
 
   // ---- harness ----
 
@@ -938,7 +1024,7 @@ class PromQLConformanceSpec extends SparkSpec {
     // cases re-typed from Prometheus's own promqltest corpus, reported
     // separately from the handwritten sweep.
     assert(own === 141)
-    assert(ported === 88)
+    assert(ported === 106)
     assert(skips.size === 2)
     // every skip names its documented deviation
     assert(skips.forall(_.skip.nonEmpty))

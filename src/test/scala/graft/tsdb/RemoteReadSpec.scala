@@ -1,0 +1,155 @@
+package graft.tsdb
+
+import graft.SparkSpec
+import graft.model.Matcher
+import org.apache.spark.sql.functions._
+import org.xerial.snappy.Snappy
+
+/** The remote-read protocol: request codec round trips (incl. hints
+  * and packed response types), serving SAMPLED and STREAMED_XOR_CHUNKS
+  * responses off the pushdown-pruned table scan, frame CRC integrity,
+  * and matcher/inclusive-bounds semantics agreeing with the query
+  * tier. */
+class RemoteReadSpec extends SparkSpec {
+  import RemoteRead._
+
+  // storage-form labels ("name" is the metric-name column; the
+  // protocol surface renames it __name__ via Federate.longForm)
+  private val fixture = Seq(
+    (1000L, 1.5, Map("name" -> "http_requests", "job" -> "api", "code" -> "200")),
+    (2000L, 2.5, Map("name" -> "http_requests", "job" -> "api", "code" -> "200")),
+    (3000L, 3.5, Map("name" -> "http_requests", "job" -> "api", "code" -> "200")),
+    (1000L, -0.25, Map("name" -> "http_requests", "job" -> "db", "code" -> "500")),
+    (1500L, 0.0, Map("name" -> "up", "job" -> "api")),
+    (2500L, 1.0, Map("name" -> "up", "job" -> "db")))
+
+  private def wire(ls: Map[String, String]): Map[String, String] =
+    ls.map { case ("name", v) => "__name__" -> v; case kv => kv }
+
+  private def table(): TsdbTable = {
+    val s = spark; import s.implicits._
+    TsdbTable(TsdbIngest.toWide(fixture.toDF("time", "value", "labels")))
+  }
+
+  test("ReadRequest codec round-trips queries, matchers, hints, types") {
+    val req = ReadRequest(
+      Seq(
+        ReadQuery(1000L, 5000L, Seq(
+          Matcher.Eq("__name__", "http_requests"),
+          Matcher.NotEq("code", "500"),
+          Matcher.Re("job", "a.*"),
+          Matcher.NotRe("job", "d.*")),
+          hints = Some(ReadHints(stepMs = 15000L, func = "rate",
+            grouping = Seq("job", "code"), by = true, rangeMs = 300000L))),
+        ReadQuery(0L, 9999L, Nil)),
+      acceptedResponseTypes = Seq(ResponseStreamedXorChunks, ResponseSamples))
+    assert(decodeReadRequest(encodeReadRequest(req)) === req)
+  }
+
+  test("serve: sampled response ≡ the table's own matcher selection") {
+    val t = table()
+    val req = encodeReadRequest(ReadRequest(Seq(
+      ReadQuery(1000L, 2000L, Seq(Matcher.Eq("__name__", "http_requests"))),
+      ReadQuery(Long.MinValue, Long.MaxValue, Seq(Matcher.Eq("job", "db"))))))
+    val got = decodeReadResponse(serve(t, req)).toSet
+    val want = Set(
+      // q0: INCLUSIVE [1000, 2000] — the 3000 sample is out
+      (0, 1000L, 1.5, Map("__name__" -> "http_requests", "job" -> "api", "code" -> "200")),
+      (0, 2000L, 2.5, Map("__name__" -> "http_requests", "job" -> "api", "code" -> "200")),
+      (0, 1000L, -0.25, Map("__name__" -> "http_requests", "job" -> "db", "code" -> "500")),
+      // q1: full range, job=db
+      (1, 1000L, -0.25, Map("__name__" -> "http_requests", "job" -> "db", "code" -> "500")),
+      (1, 2500L, 1.0, Map("__name__" -> "up", "job" -> "db")))
+    assert(got === want)
+  }
+
+  test("serve: series sorted by label set, samples by time") {
+    val t = table()
+    val req = encodeReadRequest(ReadRequest(Seq(
+      ReadQuery(Long.MinValue, Long.MaxValue, Nil))))
+    val raw = Snappy.uncompress(serve(t, req))
+    // walk the QueryResult: series label-key strings must be sorted
+    val r = new RemoteWrite.ProtoReader(raw, 0, raw.length)
+    val (qs, qe) = { r.key(); r.delimited() }
+    val qr = new RemoteWrite.ProtoReader(raw, qs, qe)
+    val keys = Seq.newBuilder[String]
+    while (qr.hasMore) {
+      qr.key()
+      val (ss, se) = qr.delimited()
+      val sr = new RemoteWrite.ProtoReader(raw, ss, se)
+      val labels = Seq.newBuilder[(String, String)]
+      var lastT = Long.MinValue
+      while (sr.hasMore) sr.key() match {
+        case (1, 2) =>
+          val (ls, le) = sr.delimited()
+          val lr = new RemoteWrite.ProtoReader(raw, ls, le)
+          var n = ""; var v = ""
+          while (lr.hasMore) lr.key() match {
+            case (1, 2) => n = lr.string()
+            case (2, 2) => v = lr.string()
+            case (_, w) => lr.skip(w)
+          }
+          labels += ((n, v))
+        case (2, 2) =>
+          val (ps, pe) = sr.delimited()
+          val pr = new RemoteWrite.ProtoReader(raw, ps, pe)
+          var t0 = 0L
+          while (pr.hasMore) pr.key() match {
+            case (2, 0) => t0 = pr.varint()
+            case (_, w) => pr.skip(w)
+          }
+          assert(t0 >= lastT, "samples must be time-sorted"); lastT = t0
+        case (_, w) => sr.skip(w)
+      }
+      val ls = labels.result()
+      assert(ls === ls.sortBy(_._1), "labels sorted within series")
+      keys += ls.map(p => p._1 + " " + p._2).mkString(" ")
+    }
+    val ks = keys.result()
+    assert(ks.size === 4)
+    assert(ks === ks.sorted, "series sorted by label set")
+  }
+
+  test("streamed XOR chunks round-trip, CRC-framed; corrupt frame refuses") {
+    val t = table()
+    val req = encodeReadRequest(ReadRequest(
+      Seq(ReadQuery(Long.MinValue, Long.MaxValue,
+        Seq(Matcher.Eq("__name__", "http_requests")))),
+      acceptedResponseTypes = Seq(ResponseStreamedXorChunks)))
+    val frames = serveChunked(t, req)
+    assert(frames.count() === 2) // one frame per matched series
+    val got = decodeChunkedFrames(frames)
+      .collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2),
+        r.getMap[String, String](3).toMap)).toSet
+    val want = fixture.filter(_._3("name") == "http_requests")
+      .map { case (tm, v, ls) => (0, tm, v, wire(ls)) }.toSet
+    assert(got === want)
+
+    // flip one payload byte → CRC must refuse
+    val s = spark; import s.implicits._
+    val bad = frames.collect().map { f =>
+      val g = f.clone(); g(g.length - 1) = (g(g.length - 1) ^ 0x01).toByte; g
+    }
+    intercept[org.apache.spark.SparkException] {
+      decodeChunkedFrames(s.createDataset(bad.toSeq)).collect()
+    }
+  }
+
+  test("long series split into 120-sample XOR chunks") {
+    val s = spark; import s.implicits._
+    val long = (0 until 300).map(i =>
+      (i.toLong * 1000L, i.toDouble, Map("name" -> "m")))
+      .toDF("time", "value", "labels")
+    val t = TsdbTable(TsdbIngest.toWide(long))
+    val req = encodeReadRequest(ReadRequest(
+      Seq(ReadQuery(Long.MinValue, Long.MaxValue, Nil)),
+      acceptedResponseTypes = Seq(ResponseStreamedXorChunks)))
+    val frames = serveChunked(t, req).collect()
+    assert(frames.length === 1)
+    val back = decodeChunkedFrames(s.createDataset(frames.toSeq))
+      .select(col("time"), col("value")).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSet
+    assert(back === (0 until 300).map(i => (i.toLong * 1000L, i.toDouble)).toSet)
+  }
+}
