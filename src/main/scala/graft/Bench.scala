@@ -69,11 +69,11 @@ object Bench {
     "tsdb_q117_wal_native_hist",
     // round-10: streamed remote read (the wire round trip of the
     // matched window). The other round-10 lifecycle queries stay out
-    // by the q110 rationale — q120/q124/q125 re-run q108's dominant
-    // block-assembly work (q120 THREE times over via the ladder) and
-    // q121/q122 re-run q113/q123's shapes; all stay oracle-verified
+    // by the q110 rationale — q126/q130/q131 re-run q108's dominant
+    // block-assembly work (q126 THREE times over via the ladder) and
+    // q127/q128 re-run q113/q129's shapes; all stay oracle-verified
     // in CORRECTNESS
-    "tsdb_q123_remote_read_chunked")
+    "tsdb_q129_remote_read_chunked")
 
   /** 1/5/15-minute fields of /proc/loadavg (empty off-Linux). */
   private def loadavg(): Seq[Double] =

@@ -565,7 +565,7 @@ object TsdbQueries {
           col("labels").getItem("user").as("user"),
           col("labels").getItem("k").as("k"))
     }),
-    // Q120: LEVELED COMPACTION driven by the PLANNER — events written
+    // Q126: LEVELED COMPACTION driven by the PLANNER — events written
     // as many 2-day level-1 blocks, Q111's tombstone deletes applied,
     // then [[graft.tsdb.Compactor.compactDb]] runs the exponential
     // ladder ([2d, 10d, 50d]) to quiescence: the planner picks the
@@ -574,14 +574,14 @@ object TsdbQueries {
     // level/sources/parents lineage), and the surviving directory is
     // read back. Oracle: Q111's delete predicates ⇒ the whole
     // plan→compact loop is lossless modulo exactly the deletes.
-    "tsdb_q120_block_compaction" -> ((s, dir) => {
+    "tsdb_q126_block_compaction" -> ((s, dir) => {
       val long = load(s, dir, "events").select(
         unix_millis(col("ts")).as("time"), col("value"),
         map(lit("__name__"), col("event_type"),
           lit("user"), col("user_id").cast("string"),
           lit("k"), regexp_extract(col("props"), "\"k\": (\\d+)", 1))
           .as("labels"))
-      val root = Tables.scratchDir("graft_q120_db")
+      val root = Tables.scratchDir("graft_q126_db")
       val day = 86400000L
       val names = graft.sources.tsdbblock.TsdbBlockWriter.write(
         long, root, blockRangeMs = 2 * day)
@@ -599,20 +599,20 @@ object TsdbQueries {
           col("labels").getItem("user").as("user"),
           col("labels").getItem("k").as("k"))
     }),
-    // Q121: TIME RETENTION over a full data dir — blocks (7-day
+    // Q127: TIME RETENTION over a full data dir — blocks (7-day
     // slices) + WAL head, then [[graft.tsdb.Compactor.retainTime]]
     // drops every block whose newest sample is beyond the horizon
     // (whole directories, zero data I/O — Prometheus's
     // beyondTimeRetention). The horizon is a slice boundary, so the
     // oracle is a clean time predicate over events.
-    "tsdb_q121_db_retention" -> ((s, dir) => {
+    "tsdb_q127_db_retention" -> ((s, dir) => {
       val long = load(s, dir, "events").select(
         unix_millis(col("ts")).as("time"), col("value"),
         map(lit("__name__"), col("event_type"),
           lit("user"), col("user_id").cast("string"),
           lit("k"), regexp_extract(col("props"), "\"k\": (\\d+)", 1))
           .as("labels"))
-      val root = Tables.scratchDir("graft_q121_db")
+      val root = Tables.scratchDir("graft_q127_db")
       graft.sources.tsdbblock.TsdbBlockWriter.write(
         long.where(col("time") < lit(RangeEnd)), root,
         blockRangeMs = RetentionSliceMs)
@@ -629,13 +629,13 @@ object TsdbQueries {
           col("labels").getItem("user").as("user"),
           col("labels").getItem("k").as("k"))
     }),
-    // Q122: REMOTE READ (SAMPLED) — the protocol a live Prometheus
+    // Q128: REMOTE READ (SAMPLED) — the protocol a live Prometheus
     // speaks to long-term storage: a snappy prompb ReadRequest of two
     // matcher queries (one windowed Eq, one full-range NotEq) served
     // off the pushdown-pruned table scan, the snappy ReadResponse
     // decoded back client-side. Oracle: each query's matcher+range
     // predicate replayed in SQL with its query index.
-    "tsdb_q122_remote_read" -> ((s, dir) => {
+    "tsdb_q128_remote_read" -> ((s, dir) => {
       import graft.tsdb.RemoteRead
       val t = TsdbTable(eventsAsTsdbStored(s, dir))
       val req = RemoteRead.encodeReadRequest(RemoteRead.ReadRequest(Seq(
@@ -651,12 +651,12 @@ object TsdbQueries {
           col("labels").getItem("user").as("user"),
           col("labels").getItem("k").as("k"))
     }),
-    // Q123: REMOTE READ (STREAMED_XOR_CHUNKS) — the scale form: one
+    // Q129: REMOTE READ (STREAMED_XOR_CHUNKS) — the scale form: one
     // CRC32C-framed ChunkedReadResponse per series, samples
     // Gorilla-XOR encoded with the block writer's own chunk encoder,
     // decoded map-side from the frame Dataset (nothing response-sized
     // on the driver). Same selection ⇒ same oracle shape.
-    "tsdb_q123_remote_read_chunked" -> ((s, dir) => {
+    "tsdb_q129_remote_read_chunked" -> ((s, dir) => {
       import graft.tsdb.RemoteRead
       val t = TsdbTable(eventsAsTsdbStored(s, dir))
       val req = RemoteRead.encodeReadRequest(RemoteRead.ReadRequest(
@@ -669,22 +669,22 @@ object TsdbQueries {
           col("labels").getItem("user").as("user"),
           col("labels").getItem("k").as("k"))
     }),
-    // Q124: OPENMETRICS BACKFILL (promtool `tsdb create-blocks-from
+    // Q130: OPENMETRICS BACKFILL (promtool `tsdb create-blocks-from
     // openmetrics`) — events rendered as exposition text by the
     // engine's own exporter, parsed back by the distributed text scan,
     // and assembled into real block directories; identity oracle ⇒
     // text → blocks is lossless, the full promtool round trip.
-    "tsdb_q124_backfill_openmetrics" -> ((s, dir) => {
+    "tsdb_q130_backfill_openmetrics" -> ((s, dir) => {
       val long = load(s, dir, "events").select(
         unix_millis(col("ts")).as("time"), col("value"),
         map(lit("__name__"), col("event_type"),
           lit("user"), col("user_id").cast("string"),
           lit("k"), regexp_extract(col("props"), "\"k\": (\\d+)", 1))
           .as("labels"))
-      val text = Tables.scratchDir("graft_q124_text")
+      val text = Tables.scratchDir("graft_q130_text")
       graft.tsdb.SampleReaders.toOpenMetricsLines(long)
         .write.mode("overwrite").text(text)
-      val dest = Tables.scratchDir("graft_q124_blocks")
+      val dest = Tables.scratchDir("graft_q130_blocks")
       graft.tsdb.Backfill.openMetrics(s, text, dest,
         blockRangeMs = 7L * 86400000L)
       graft.sources.tsdbblock.TsdbDb.read(s, dest)
@@ -693,24 +693,24 @@ object TsdbQueries {
           col("labels").getItem("user").as("user"),
           col("labels").getItem("k").as("k"))
     }),
-    // Q125: SNAPSHOT admin API — a live-shaped data dir (blocks + WAL
+    // Q131: SNAPSHOT admin API — a live-shaped data dir (blocks + WAL
     // head) snapshotted: blocks hard-linked, head flushed as block(s),
     // no wal/ in the result; reading the SNAPSHOT alone reproduces the
     // full dataset. Identity oracle.
-    "tsdb_q125_snapshot" -> ((s, dir) => {
+    "tsdb_q131_snapshot" -> ((s, dir) => {
       val long = load(s, dir, "events").select(
         unix_millis(col("ts")).as("time"), col("value"),
         map(lit("__name__"), col("event_type"),
           lit("user"), col("user_id").cast("string"),
           lit("k"), regexp_extract(col("props"), "\"k\": (\\d+)", 1))
           .as("labels"))
-      val db = Tables.scratchDir("graft_q125_db")
+      val db = Tables.scratchDir("graft_q131_db")
       graft.sources.tsdbblock.TsdbBlockWriter.write(
         long.where(col("time") < lit(RangeEnd)), db,
         blockRangeMs = 7L * 86400000L)
       graft.sources.tsdbblock.TsdbWalWriter.write(
         long.where(col("time") >= lit(RangeEnd)), s"$db/wal")
-      val snap = Tables.scratchDir("graft_q125_snap")
+      val snap = Tables.scratchDir("graft_q131_snap")
       graft.tsdb.Backfill.snapshot(s, db, snap,
         blockRangeMs = 7L * 86400000L)
       graft.sources.tsdbblock.TsdbDb.read(s, snap)
@@ -3431,7 +3431,7 @@ object TsdbQueries {
          |WHERE NOT (event_type = 'click'
          |           AND CAST(epoch_ms(ts) AS BIGINT) BETWEEN $RangeStart AND $RangeEnd)
          |  AND event_type <> 'error'""".stripMargin,
-    "tsdb_q120_block_compaction" ->
+    "tsdb_q126_block_compaction" ->
       s"""SELECT CAST(epoch_ms(ts) AS BIGINT) AS time, value,
          |  event_type AS name, CAST(user_id AS VARCHAR) AS "user",
          |  regexp_extract(props, '"k": (\\d+)', 1) AS k
@@ -3439,13 +3439,13 @@ object TsdbQueries {
          |WHERE NOT (event_type = 'click'
          |           AND CAST(epoch_ms(ts) AS BIGINT) BETWEEN $RangeStart AND $RangeEnd)
          |  AND event_type <> 'error'""".stripMargin,
-    "tsdb_q121_db_retention" ->
+    "tsdb_q127_db_retention" ->
       s"""SELECT CAST(epoch_ms(ts) AS BIGINT) AS time, value,
          |  event_type AS name, CAST(user_id AS VARCHAR) AS "user",
          |  regexp_extract(props, '"k": (\\d+)', 1) AS k
          |FROM events
          |WHERE CAST(epoch_ms(ts) AS BIGINT) >= $RetentionHorizonMs""".stripMargin,
-    "tsdb_q122_remote_read" ->
+    "tsdb_q128_remote_read" ->
       s"""SELECT CAST(0 AS INTEGER) AS qidx,
          |  CAST(epoch_ms(ts) AS BIGINT) AS time, value,
          |  event_type AS name, CAST(user_id AS VARCHAR) AS "user",
@@ -3460,19 +3460,19 @@ object TsdbQueries {
          |  regexp_extract(props, '"k": (\\d+)', 1)
          |FROM events
          |WHERE regexp_extract(props, '"k": (\\d+)', 1) <> '5'""".stripMargin,
-    "tsdb_q123_remote_read_chunked" ->
+    "tsdb_q129_remote_read_chunked" ->
       s"""SELECT CAST(epoch_ms(ts) AS BIGINT) AS time, value,
          |  event_type AS name, CAST(user_id AS VARCHAR) AS "user",
          |  regexp_extract(props, '"k": (\\d+)', 1) AS k
          |FROM events
          |WHERE event_type = 'click'
          |  AND CAST(epoch_ms(ts) AS BIGINT) BETWEEN $RangeStart AND $RangeEnd""".stripMargin,
-    "tsdb_q124_backfill_openmetrics" ->
+    "tsdb_q130_backfill_openmetrics" ->
       """SELECT CAST(epoch_ms(ts) AS BIGINT) AS time, value,
         |  event_type AS name, CAST(user_id AS VARCHAR) AS "user",
         |  regexp_extract(props, '"k": (\d+)', 1) AS k
         |FROM events""".stripMargin,
-    "tsdb_q125_snapshot" ->
+    "tsdb_q131_snapshot" ->
       """SELECT CAST(epoch_ms(ts) AS BIGINT) AS time, value,
         |  event_type AS name, CAST(user_id AS VARCHAR) AS "user",
         |  regexp_extract(props, '"k": (\d+)', 1) AS k

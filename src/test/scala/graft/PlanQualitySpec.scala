@@ -338,6 +338,25 @@ class PlanQualitySpec extends SparkSpec {
       s"the v2 codec path must stay join-free:\n$plan")
   }
 
+  test("streamed remote read: pushdown + one series shuffle, map-side frames") {
+    // the wire query's matcher and window must reach the parquet scan
+    // (the response is bounded by the QUERY, never a full pass), the
+    // per-series grouping is the single exchange, and frame encode +
+    // decode are map-side object transforms — a join or second shuffle
+    // means response bytes started moving between stages
+    val plan = planOf("tsdb_q129_remote_read_chunked")
+    assert("PushedFilters: \\[[^\\]]*EqualTo\\(`?labels\\.name`?,click".r
+      .findFirstIn(plan).isDefined,
+      s"wire matcher not pushed to the scan:\n$plan")
+    assert("PushedFilters: \\[[^\\]]*GreaterThan\\(time".r
+      .findFirstIn(plan).isDefined,
+      s"wire window not pushed to the scan:\n$plan")
+    assert(shuffleExchanges(plan) == 1,
+      s"remote read must shuffle once (the series groupBy):\n$plan")
+    assert(!plan.contains("Join"),
+      s"the remote-read path must stay join-free:\n$plan")
+  }
+
   test("info(): the target_info side joins BROADCAST, never shuffled") {
     // info metrics are target-universe-sized; a shuffle join here would
     // move the full sample-side vector for a metadata-sized enrichment
