@@ -2759,7 +2759,7 @@ object TsdbQueries {
          |f0 AS (SELECT "labels.name" AS name, "labels.user" AS "user",
          |  CAST(floor(time / 86400000.0) AS BIGINT) AS day, value FROM t
          |  WHERE time > $RangeStart AND time < $RangeEnd
-         |    AND regexp_matches("labels.user", '1.*')),
+         |    AND regexp_matches("labels.user", '^(?:1.*)$$')),
          |ld AS (SELECT name, "user", max(day) AS day FROM f0
          |  WHERE day * 86400000 > ${RangeEnd - HistLookbackMs}
          |    AND day * 86400000 <= $RangeEnd
@@ -2848,7 +2848,7 @@ object TsdbQueries {
          |f0 AS (SELECT "labels.name" AS name, "labels.user" AS "user",
          |  CAST(floor(time / 86400000.0) AS BIGINT) AS day, value FROM t
          |  WHERE time > $RangeStart AND time < $RangeEnd
-         |    AND regexp_matches("labels.user", '1.*')),
+         |    AND regexp_matches("labels.user", '^(?:1.*)$$')),
          |ld AS (SELECT gt, name, "user", max(day) AS day
          |  FROM grid CROSS JOIN (SELECT DISTINCT name, "user", day FROM f0) dd
          |  WHERE day * 86400000 > gt - $HistLookbackMs

@@ -19,6 +19,10 @@ import org.apache.spark.sql.functions._
   *   - Regex matchers are UNANCHORED: the reference passes the raw
   *     pattern to FrostDB's RegexMatch (hello.go:310-311), which does a
   *     substring search — `rlike` has the same unanchored contract.
+  *     (Prometheus-FACING surfaces — PromQL text, remote read — anchor
+  *     their patterns BEFORE reaching this compiler, via
+  *     [[PromQL.anchorMatchers]]; this layer is the engine API and
+  *     keeps the reference's raw-pattern contract.)
   *   - `=~` does NOT match absent labels unless the pattern matches ""
   *     (we keep the engine behavior: NULL fails rlike, and `=~""`-style
   *     patterns that accept empty also accept NULL via the empty-equiv

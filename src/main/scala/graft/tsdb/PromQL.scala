@@ -968,6 +968,39 @@ object PromQL {
     case other => other
   }
 
+  /** PROMETHEUS regex semantics for the text surface: PromQL anchors
+    * every regex matcher (`=~"a"` matches exactly "a", `^(?:a)$`),
+    * while the engine's programmatic [[graft.model.Matcher]] API keeps
+    * the reference's raw-pattern substring contract (hello.go:310-311
+    * hands the pattern to the engine unmodified). Applied to every
+    * selector at evaluation — idempotent, so the recursive eval paths
+    * may re-apply it freely; the AST itself keeps the raw pattern
+    * (parse_query / format_query round-trip the user's text). */
+  private[tsdb] def anchorPattern(p: String): String =
+    if (p.startsWith("^(?:") && p.endsWith(")$")) p else s"^(?:$p)$$"
+  private[tsdb] def anchorMatchers(ms: Seq[Matcher]): Seq[Matcher] = ms.map {
+    case Matcher.Re(n, p)    => Matcher.Re(n, anchorPattern(p))
+    case Matcher.NotRe(n, p) => Matcher.NotRe(n, anchorPattern(p))
+    case m => m
+  }
+  private[tsdb] def anchorSelectors(e: Expr): Expr = e match {
+    case s: Selector => s.copy(matchers = anchorMatchers(s.matchers))
+    case Fn(n, a, p) => Fn(n, anchorSelectors(a), p)
+    case StrFn(n, a, s) => StrFn(n, anchorSelectors(a), s)
+    case CountValues(l, a, b, w) => CountValues(l, anchorSelectors(a), b, w)
+    case AggBy(o, b, a, q) => AggBy(o, b, anchorSelectors(a), q)
+    case AggWithout(o, w, a, q) => AggWithout(o, w, anchorSelectors(a), q)
+    case RankK(o, k, a, b, w) => RankK(o, k, anchorSelectors(a), b, w)
+    case LimitRatio(r, a) => LimitRatio(r, anchorSelectors(a))
+    case Info(a, sel) => Info(anchorSelectors(a), anchorMatchers(sel))
+    case sq: Subquery => sq.copy(arg = anchorSelectors(sq.arg))
+    case BinOp(op, on, l, r, b, c, i, cr) =>
+      BinOp(op, on, anchorSelectors(l), anchorSelectors(r), b, c, i, cr)
+    case SetOp(op, on, l, r, i) =>
+      SetOp(op, on, anchorSelectors(l), anchorSelectors(r), i)
+    case other => other
+  }
+
   /** Evaluate a parsed expression against the wide table.
     *
     * @param at         evaluation instant (epoch ms) for instant vectors
@@ -977,7 +1010,7 @@ object PromQL {
     */
   def eval(expr: Expr, wide: DataFrame, at: Long, lookbackMs: Long,
            start: Long, end: Long): DataFrame =
-    fold(substTime(expr, at / 1000.0)) match {
+    fold(substTime(anchorSelectors(expr), at / 1000.0)) match {
     case Selector(ms, None, off, atm) =>
       RangeVectors.instant(TsdbTable(wide).select(ms),
         resolveAt(atm, at, start, end) - off, lookbackMs)
@@ -1127,7 +1160,7 @@ object PromQL {
           "a single-value *_over_time function), not a multi-stat " +
           "range-vector frame")
       val keys = by.map(labelKey(iv, _)) ++ gridKeys(iv)
-      iv.groupBy(keys: _*).agg(aggValue(op, param))
+      aggVector(iv, keys, op, param)
     case AggWithout(op, without, arg, param) =>
       val iv = toValueShape(eval(arg, wide, at, lookbackMs, start, end))
       require(iv.columns.contains(TsdbSchema.ValueCol),
@@ -1136,7 +1169,7 @@ object PromQL {
       // `labels.x` AND bare aggregation-output/carried labels) — the
       // output keeps the input names, so it is still a valid vector
       val keys = withoutGroupCols(iv, without) ++ gridKeys(iv)
-      iv.groupBy(keys: _*).agg(aggValue(op, param))
+      aggVector(iv, keys, op, param)
     case RankK(op, k, arg, by, without) =>
       val iv = toValueShape(eval(arg, wide, at, lookbackMs, start, end))
       require(iv.columns.contains(TsdbSchema.ValueCol),
@@ -1823,7 +1856,8 @@ object PromQL {
     * overlapping window; and subqueries under any range-vector
     * function (ONE inner pass + fan-out, see [[subqueryFoldRange]]). */
   def evalRange(expr: Expr, wide: DataFrame, start: Long, end: Long,
-                stepMs: Long, lookbackMs: Long): DataFrame = fold(expr) match {
+                stepMs: Long, lookbackMs: Long): DataFrame =
+    fold(anchorSelectors(expr)) match {
     case Selector(ms, None, off, None) =>
       shiftGrid(RangeVectors.slidingInstant(TsdbTable(wide).select(ms),
         lookbackMs, stepMs, start - off, end - off), off)
@@ -2265,6 +2299,18 @@ object PromQL {
     * rounded so the oracle replays identical literals). stddev/stdvar
     * are POPULATION moments, as in Prometheus (a single-series group
     * yields 0, not NULL/NaN). */
+  /** Aggregate with the Prometheus empty-vector contract: a GLOBAL
+    * aggregation (no grouping keys) over an EMPTY vector is the empty
+    * vector — `sum(nonexistent)` has no result — where a bare
+    * `groupBy().agg` would emit one null (or, for count, zero) row.
+    * Grouped aggregations get the contract for free from groupBy. */
+  private def aggVector(iv: DataFrame, keys: Seq[Column], op: String,
+                        param: Option[Double]): DataFrame =
+    if (keys.nonEmpty) iv.groupBy(keys: _*).agg(aggValue(op, param))
+    else iv.groupBy()
+      .agg(aggValue(op, param), count(lit(1)).as("_nin_"))
+      .where(col("_nin_") > 0).drop("_nin_")
+
   private def aggValue(op: String, param: Option[Double] = None): Column =
     op match {
       case "sum" => round(sum(col("value")), 6).as("value")

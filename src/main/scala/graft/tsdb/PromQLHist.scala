@@ -79,8 +79,11 @@ object PromQLHist {
     *         terminal scalar functions and `count`; a histogram vector
     *         frame (labels [+bucket] + `hist`) otherwise
     */
-  def eval(expr: Expr, hists: DataFrame, at: Long, lookbackMs: Long,
-           start: Long, end: Long, nLes: Int): DataFrame = expr match {
+  def eval(expr0: Expr, hists: DataFrame, at: Long, lookbackMs: Long,
+           start: Long, end: Long, nLes: Int): DataFrame = {
+    // Prometheus text-surface regex semantics (see PromQL.anchorSelectors)
+    val expr = PromQL.anchorSelectors(expr0)
+    expr match {
     case Fn("histogram_quantile", arg, params) =>
       scalarize(evalH(arg, hists, at, lookbackMs, start, end, nLes),
         h => NativeHistogram.histQuantile(h, params.head))
@@ -110,6 +113,7 @@ object PromQLHist {
         withoutKeys(_, w))
     case other => evalH(other, hists, at, lookbackMs, start, end, nLes)
   }
+  }
 
   /** Prometheus `query_range` over native-histogram series: the
     * expression re-evaluates at every grid timestamp `t_i = start +
@@ -123,8 +127,9 @@ object PromQLHist {
     * as an implicit grouping key. Same grammar subset as [[eval]];
     * `@`/offset anchoring inside range mode is limited to offsets
     * (an `@` anchor pins a constant — use [[eval]] at the anchor). */
-  def evalRange(expr: Expr, hists: DataFrame, start: Long, end: Long,
-                stepMs: Long, lookbackMs: Long, nLes: Int): DataFrame =
+  def evalRange(expr0: Expr, hists: DataFrame, start: Long, end: Long,
+                stepMs: Long, lookbackMs: Long, nLes: Int): DataFrame = {
+    val expr = PromQL.anchorSelectors(expr0)
     expr match {
       case Fn("histogram_quantile", arg, params) =>
         scalarize(evalHR(arg, hists, start, end, stepMs, lookbackMs, nLes),
@@ -155,6 +160,7 @@ object PromQLHist {
           withoutKeys(_, w))
       case other => evalHR(other, hists, start, end, stepMs, lookbackMs, nLes)
     }
+  }
 
   /** Range-mode histogram-vector evaluation (adds the grid column `t`). */
   private def evalHR(expr: Expr, hists: DataFrame, start: Long, end: Long,

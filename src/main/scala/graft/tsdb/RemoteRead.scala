@@ -178,12 +178,14 @@ object RemoteRead {
     val lo = if (q.startMs == Long.MinValue) Long.MinValue else q.startMs - 1
     val hi = if (q.endMs == Long.MaxValue) Long.MaxValue else q.endMs + 1
     def st(n: String): String = if (n == "__name__") "name" else n
-    val ms = q.matchers.map {
+    // wire matchers carry Prometheus regex semantics: fully ANCHORED
+    // (PromQL.anchorMatchers), unlike the engine's raw-pattern API
+    val ms = PromQL.anchorMatchers(q.matchers.map {
       case Matcher.Eq(n, v)    => Matcher.Eq(st(n), v)
       case Matcher.NotEq(n, v) => Matcher.NotEq(st(n), v)
       case Matcher.Re(n, p)    => Matcher.Re(st(n), p)
       case Matcher.NotRe(n, p) => Matcher.NotRe(st(n), p)
-    }
+    })
     Federate.longForm(t.select(lo, hi, ms))
   }
 

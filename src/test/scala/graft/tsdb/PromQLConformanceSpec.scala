@@ -867,9 +867,22 @@ class PromQLConformanceSpec extends SparkSpec {
         |{job="api-server", version="7"} 1
         |{job="app-server", version="7"} 2""")), upstream = true)
 
+  // PromQL regex matchers are fully ANCHORED (Prometheus semantics) —
+  // the engine's programmatic Matcher API keeps the reference's
+  // unanchored substring contract, but text queries must not
+  private val regexAnchoring = B("regex matchers anchored on the text surface",
+    "5m", httpLoad, Seq(
+    // substring of the value is NOT a match
+    C("50m", """http_requests{job=~"api"}""", ""),
+    C("50m", """sum(http_requests{job=~"api-.*"})""", """{} 1000"""),
+    // negation of a never-whole-matching pattern keeps everything
+    C("50m", """sum(http_requests{job!~"api"})""", """{} 3600"""),
+    C("50m", """sum(http_requests{job=~".*server"})""", """{} 3600"""),
+    C("50m", """sum(http_requests{job=~"server"})""", "")))
+
   private val blocks = Seq(aggregators, operators, binops, functions,
     functions2, histograms, countValues, staleness, labelFns,
-    invHyperbolic, sortByLabel, nanAgg, infoFn,
+    invHyperbolic, sortByLabel, nanAgg, infoFn, regexAnchoring,
     upstreamOperators, upstreamGroupLeft, upstreamAggregators,
     upstreamAggregators2, upstreamChangesResets, upstreamLiterals,
     upstreamFunctions, upstreamStaleness, upstreamDocsMatching,
@@ -1023,7 +1036,7 @@ class PromQLConformanceSpec extends SparkSpec {
     // cases are added, never by deleting failing cases. `ported` counts
     // cases re-typed from Prometheus's own promqltest corpus, reported
     // separately from the handwritten sweep.
-    assert(own === 141)
+    assert(own === 146)
     assert(ported === 106)
     assert(skips.size === 2)
     // every skip names its documented deviation
