@@ -1429,7 +1429,8 @@ object TsdbQueries {
       graft.tsdb.Exemplars.query(
         graft.tsdb.Exemplars.fromSamples(
           table(s, dir).select(Nil).toDF(), threshold = 150.0),
-        Seq(Matcher.Eq("name", "purchase"), Matcher.Re("user", "1.*")),
+        // /api/v1/query_exemplars takes selector TEXT — anchored regexes
+        graft.tsdb.PromQL.parseMatchers("""{name="purchase",user=~"1.*"}"""),
         RangeStart, RangeEnd)
         .select(col("`labels.name`").as("name"),
           col("`labels.user`").as("user"),
@@ -1510,31 +1511,33 @@ object TsdbQueries {
     // Q85-Q87: the METADATA API ([[graft.tsdb.TsdbMeta]]) — Prometheus's
     // /api/v1/labels, /label/<name>/values and /series endpoints, the
     // surface dashboard variable queries hit constantly. Each is one
-    // pruned scan + a label-universe-bounded aggregation.
+    // pruned scan + a label-universe-bounded aggregation. Selectors
+    // arrive as the wire's match[] TEXT ([[graft.tsdb.PromQL.parseMatchers]])
+    // — regexes anchored, exactly what Prometheus does with the param.
     "tsdb_q85_label_names" -> ((s, dir) =>
       graft.tsdb.TsdbMeta.labelNames(table(s, dir), RangeStart, RangeEnd,
-        Seq(Matcher.Re("user", "1.*")))),
+        graft.tsdb.PromQL.parseMatchers("""{user=~"1.*"}"""))),
     "tsdb_q86_label_values" -> ((s, dir) =>
       graft.tsdb.TsdbMeta.labelValues(table(s, dir), "k", RangeStart, RangeEnd,
-        Seq(Matcher.Eq("name", "click")))),
+        graft.tsdb.PromQL.parseMatchers("""{name="click"}"""))),
     "tsdb_q87_series" -> ((s, dir) =>
       graft.tsdb.TsdbMeta.series(table(s, dir), RangeStart, RangeEnd,
-        Seq(Matcher.Re("name", "p.*")))),
+        graft.tsdb.PromQL.parseMatchers("""{name=~"p.*"}"""))),
     // Q101: /api/v1/series with REPEATED match[] selectors — the API
     // unions them; one OR-combined pruned scan ([[TsdbTable.selectAny]]),
     // never |selectors| passes
     "tsdb_q101_series_multi" -> ((s, dir) =>
       graft.tsdb.TsdbMeta.seriesAny(table(s, dir), RangeStart, RangeEnd,
-        Seq(Seq(Matcher.Eq("name", "purchase"), Matcher.Re("user", "1.*")),
-          Seq(Matcher.Eq("name", "click"), Matcher.Eq("k", "7"))))),
+        Seq("""{name="purchase",user=~"1.*"}""", """{name="click",k="7"}""")
+          .map(graft.tsdb.PromQL.parseMatchers))),
     // Q102: /federate ([[graft.tsdb.Federate]]) — the hierarchy-scaling
     // endpoint: current samples of the match[]-unioned series rendered
     // as exposition text, here round-tripped through the engine's own
     // OpenMetrics parser so the TEXT itself is under the oracle
     "tsdb_q102_federate" -> ((s, dir) => {
       val lines = graft.tsdb.Federate.federate(table(s, dir),
-        Seq(Seq(Matcher.Eq("name", "purchase"), Matcher.Re("user", "1.*")),
-          Seq(Matcher.Eq("name", "error"))),
+        Seq("""{name="purchase",user=~"1.*"}""", """{name="error"}""")
+          .map(graft.tsdb.PromQL.parseMatchers),
         at = RangeEnd, lookbackMs = 86400000L)
       graft.tsdb.SampleReaders.fromOpenMetricsLines(lines)
         .select(col("labels").getItem("__name__").as("name"),
@@ -2633,7 +2636,7 @@ object TsdbQueries {
          |  CAST(1.0 AS DOUBLE) AS value
          |WHERE (SELECT count(*) FROM t
          |  WHERE "labels.name" = 'no_such_metric' AND "labels.user" = 'u1'
-         |    AND regexp_matches("labels.k", 'x.*')
+         |    AND regexp_matches("labels.k", '^(?:x.*)$$')
          |    AND time > ${RangeEnd - 86400000L} AND time <= $RangeEnd) = 0""".stripMargin,
     // Q80-Q83 native histograms: counts/sums/avg replay directly from the
     // raw values; quantiles replay the bucket walk over the FULL bucket
@@ -2952,7 +2955,7 @@ object TsdbQueries {
          |FROM t
          |WHERE value > 150.0
          |  AND "labels.name" = 'purchase'
-         |  AND regexp_matches("labels.user", '1.*')
+         |  AND regexp_matches("labels.user", '^(?:1.*)$$')
          |  AND time >= $RangeStart AND time <= $RangeEnd""".stripMargin,
     "tsdb_q97_exemplars_grouped" ->
       s"""$duckTsdbCte,
@@ -3042,7 +3045,7 @@ object TsdbQueries {
     "tsdb_q85_label_names" ->
       s"""$duckTsdbCte,
          |f AS (SELECT * FROM t WHERE time > $RangeStart AND time < $RangeEnd
-         |  AND regexp_matches("labels.user", '1.*')),
+         |  AND regexp_matches("labels.user", '^(?:1.*)$$')),
          |u AS (
          |  SELECT 'k' AS label, count(nullif("labels.k", '')) AS c FROM f
          |  UNION ALL SELECT 'name', count(nullif("labels.name", '')) FROM f
@@ -3062,7 +3065,7 @@ object TsdbQueries {
          |  nullif("labels.user", '') AS "user"
          |FROM t
          |WHERE time > $RangeStart AND time < $RangeEnd
-         |  AND regexp_matches("labels.name", 'p.*')""".stripMargin,
+         |  AND regexp_matches("labels.name", '^(?:p.*)$$')""".stripMargin,
     // cardinality stats ≡ the same distinct-series universe + per-stat
     // rank replayed in SQL windows
     "tsdb_q105_status_tsdb" ->
@@ -3137,7 +3140,7 @@ object TsdbQueries {
          |FROM t
          |WHERE time > ${RangeEnd - 86400000L} AND time <= $RangeEnd
          |  AND (("labels.name" = 'purchase'
-         |          AND regexp_matches("labels.user", '1.*'))
+         |          AND regexp_matches("labels.user", '^(?:1.*)$$'))
          |    OR "labels.name" = 'error')
          |GROUP BY 1, 2, 3""".stripMargin,
     // repeated match[] ≡ OR of the selector conjunctions over one scan
@@ -3149,7 +3152,7 @@ object TsdbQueries {
          |FROM t
          |WHERE time > $RangeStart AND time < $RangeEnd
          |  AND (("labels.name" = 'purchase'
-         |          AND regexp_matches("labels.user", '1.*'))
+         |          AND regexp_matches("labels.user", '^(?:1.*)$$'))
          |    OR ("labels.name" = 'click' AND "labels.k" = '7'))""".stripMargin,
     "tsdb_q84_native_hist_stddev" ->
       s"""$duckTsdbCte,

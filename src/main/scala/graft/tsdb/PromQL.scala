@@ -1001,6 +1001,24 @@ object PromQL {
     case other => other
   }
 
+  /** Parse an HTTP API `match[]` series selector — the TEXT form the
+    * metadata/federate/exemplar endpoints receive (`/api/v1/series?
+    * match[]={name=~"p.*"}`). Prometheus parses the parameter with the
+    * PromQL parser, REQUIRES a bare instant-vector selector (no range,
+    * no offset, no `@`), and regex matchers get the text surface's full
+    * anchoring. The programmatic [[graft.model.Matcher]] API stays raw
+    * (the reference's substring contract, hello.go:310-311) — this is
+    * the bridge from wire text onto it. */
+  def parseMatchers(sel: String): Seq[Matcher] = parse(sel) match {
+    case Selector(ms, None, 0L, None) if ms.nonEmpty => anchorMatchers(ms)
+    case Selector(ms, None, 0L, None) if ms.isEmpty => throw ParseError(
+      s"match[] must contain at least one matcher: $sel", 0)
+    case Selector(_, _, _, _) => throw ParseError(
+      s"match[] must be a bare series selector (no range/offset/@): $sel", 0)
+    case _ => throw ParseError(
+      s"match[] must be a series selector, got an expression: $sel", 0)
+  }
+
   /** Evaluate a parsed expression against the wide table.
     *
     * @param at         evaluation instant (epoch ms) for instant vectors

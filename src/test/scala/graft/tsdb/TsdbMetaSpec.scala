@@ -94,6 +94,29 @@ class TsdbMetaSpec extends SparkSpec {
       Map("name=m1" -> 2L, "name=m2" -> 1L))
   }
 
+  test("parseMatchers: match[] text form — anchored regexes, bare selector") {
+    // Prometheus parses the match[] param with the PromQL parser and
+    // anchors regex matchers; Eq/NotEq pass through untouched
+    assert(PromQL.parseMatchers("""{a="x",b=~"y.*",c!~"z"}""") == Seq(
+      Matcher.Eq("a", "x"), Matcher.Re("b", "^(?:y.*)$"),
+      Matcher.NotRe("c", "^(?:z)$")))
+    // a bare metric name is the __name__ selector
+    assert(PromQL.parseMatchers("up") == Seq(Matcher.Eq("__name__", "up")))
+    assert(PromQL.parseMatchers("""up{job!="api"}""") == Seq(
+      Matcher.Eq("__name__", "up"), Matcher.NotEq("job", "api")))
+    // anchored text ≡ the anchored engine matcher on real data
+    val re = TsdbMeta.series(t, 0L, 100L,
+      PromQL.parseMatchers("""{a=~"x"}"""))
+    assert(re.as[(String, Option[String])].collect().toSet ==
+      Set(("x", None))) // whole-string match only, never substring
+    // NOT bare selectors: range, offset, @, expressions
+    intercept[PromQL.ParseError](PromQL.parseMatchers("up[5m]"))
+    intercept[PromQL.ParseError](PromQL.parseMatchers("up offset 5m"))
+    intercept[PromQL.ParseError](PromQL.parseMatchers("up @ 100"))
+    intercept[PromQL.ParseError](PromQL.parseMatchers("sum(up)"))
+    intercept[PromQL.ParseError](PromQL.parseMatchers("{}"))
+  }
+
   test("API JSON shapes: vector value pair and matrix values array") {
     val iv = Seq(("up", "a", 1500L, 2.5))
       .toDF("labels.name", "labels.user", "time", "value")
