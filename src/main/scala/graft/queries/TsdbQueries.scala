@@ -1103,6 +1103,16 @@ object TsdbQueries {
           """absent({name="no_such_metric",user="u1",k=~"x.*"})"""),
         eventsAsTsdbStored(s, dir), at = RangeEnd, lookbackMs = 86400000L,
         start = RangeStart, end = RangeEnd)),
+    // Q132: absent_over_time in RANGE mode — the alerting panel "which
+    // days did this series go dark": one sliding presence pass
+    // anti-joined against the grid (never a per-step scan); this
+    // series is live 8 of the 16 grid days
+    "tsdb_q132_promql_absent_range" -> ((s, dir) =>
+      graft.tsdb.PromQL.evalRange(
+        graft.tsdb.PromQL.parse(
+          """absent_over_time({name="purchase",user="7"}[1d])"""),
+        eventsAsTsdbStored(s, dir), start = RangeStart, end = RangeEnd,
+        stepMs = 86400000L, lookbackMs = 86400000L)),
     // Q80-Q83: the NATIVE-HISTOGRAM family ([[graft.tsdb.NativeHistogram]])
     // — whole histograms as single struct values (Prometheus NHCB), the
     // feature the reference scopes out (hello.go:490 is ValFloat-only).
@@ -2638,6 +2648,18 @@ object TsdbQueries {
          |  WHERE "labels.name" = 'no_such_metric' AND "labels.user" = 'u1'
          |    AND regexp_matches("labels.k", '^(?:x.*)$$')
          |    AND time > ${RangeEnd - 86400000L} AND time <= $RangeEnd) = 0""".stripMargin,
+    // range-mode absent_over_time ≡ the grid rows with NO sample in
+    // (t-1d, t], labels synthesized from the Eq matchers
+    "tsdb_q132_promql_absent_range" ->
+      s"""$duckTsdbCte,
+         |grid AS (SELECT $RangeStart + i * 86400000 AS gt
+         |  FROM range(0, 16) r(i))
+         |SELECT gt AS t, 'purchase' AS name, '7' AS "user",
+         |  CAST(1.0 AS DOUBLE) AS value
+         |FROM grid g
+         |WHERE NOT EXISTS (SELECT 1 FROM t
+         |  WHERE "labels.name" = 'purchase' AND "labels.user" = '7'
+         |    AND time > g.gt - 86400000 AND time <= g.gt)""".stripMargin,
     // Q80-Q83 native histograms: counts/sums/avg replay directly from the
     // raw values; quantiles replay the bucket walk over the FULL bucket
     // grid (every configured bound present, zero-count buckets included —

@@ -1966,6 +1966,21 @@ object PromQL {
       val grid = wide.sparkSession.range((end - start) / stepMs + 1)
         .select((lit(start) + col("id") * stepMs).as("t"))
       one.crossJoin(broadcast(grid))
+    case Fn("absent_over_time", sel @ Selector(ms, Some(rangeMs), off, None),
+            _) =>
+      // per-step absent_over_time: a `{<synthesized>} 1` sample at every
+      // grid step whose window (t−range, t] matched NOTHING — one sliding
+      // presence pass (pruned scan, same kernel as present_over_time)
+      // anti-joined against the broadcast grid; labels from Eq matchers
+      val present = RangeVectors.slidingStat(
+        live(TsdbTable(wide).select(ms)), rangeMs, stepMs,
+        start - off, end - off, "present")
+      wide.sparkSession.range((end - start) / stepMs + 1)
+        .select((lit(start) + col("id") * stepMs).as("t"))
+        .join(shiftGrid(present, off).select(col("t")).distinct(),
+          Seq("t"), "left_anti")
+        .select(col("t") +: absentLabelCols(sel) :+
+          lit(1.0).as(TsdbSchema.ValueCol): _*)
     case Fn(name, Selector(ms, Some(rangeMs), off, None), params)
         if RangeFns(name) =>
       // the sliding kernels prefilter to (start - range, end] themselves

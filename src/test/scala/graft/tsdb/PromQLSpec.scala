@@ -915,9 +915,25 @@ class PromQLSpec extends SparkSpec {
     assert(r === Set(
       ("a", 43200000L, 3.0, 2L), ("b", 43200000L, 6.0, 2L),
       ("a", 86400000L, 5.0, 2L)))
-    // unsupported shapes point the caller at eval()
-    intercept[IllegalArgumentException](
-      rangeQ("""absent_over_time({name="up"}[1d])""").collect())
+    // per-step absent_over_time fires exactly at the steps whose
+    // window (t−range, t] matched nothing: `down` exists only at 0h,
+    // so [1h] fires at 12h/24h but not at 0h
+    val ab = rangeQ("""absent_over_time({name="down"}[1h])""")
+      .select(col("name"), col("t"), col("value"))
+      .as[(String, Long, Double)].collect().toSet
+    assert(ab === Set(("down", 43200000L, 1.0), ("down", 86400000L, 1.0)))
+    // never-matching selector: every step fires, Eq labels synthesized
+    assert(rangeQ("""absent_over_time({name="up",user="zzz"}[1d])""")
+      .select(col("name"), col("user")).distinct().collect().map(_.toSeq)
+      .toSeq === Seq(Seq("up", "zzz")))
+    assert(rangeQ("""absent_over_time({name="up",user="zzz"}[1d])""")
+      .count() === 3L)
+    // present at every step ⇒ the empty vector
+    assert(rangeQ("""absent_over_time({name="up"}[1d])""").count() === 0L)
+    // offset shifts each window: (t−12h−1h, t−12h] sees down@0h at t=12h
+    assert(rangeQ("""absent_over_time({name="down"}[1h] offset 12h)""")
+      .select(col("t")).as[Long].collect().toSet ===
+      Set(0L, 86400000L))
   }
 
   test("evalRange: sliding *_over_time / pair / regression battery") {
