@@ -349,6 +349,34 @@ object TsdbQueries {
           col("labels").getItem("user").as("user"),
           col("labels").getItem("k").as("k"))
     }),
+    // Q134: PromQL TEXT over an engine-written DATA DIR — the capstone
+    // end-to-end: events → real Prometheus blocks + WAL (this engine's
+    // writers) → TsdbDb.read (the blocks ∪ WAL merge) → wide pivot →
+    // the parsed, anchored text query. The 1d window straddles the
+    // Jan-20 block/WAL horizon, so the instant vector is correct ONLY
+    // if the storage merge is seamless; the bare metric name exercises
+    // `__name__` selection and the regex gets text-surface anchoring.
+    "tsdb_q134_promql_over_datadir" -> ((s, dir) => {
+      val long = load(s, dir, "events").select(
+        unix_millis(col("ts")).as("time"), col("value"),
+        map(lit("__name__"), col("event_type"),
+          lit("user"), col("user_id").cast("string"),
+          lit("k"), regexp_extract(col("props"), "\"k\": (\\d+)", 1))
+          .as("labels"))
+      val root = Tables.scratchDir("graft_q134_db")
+      graft.sources.tsdbblock.TsdbBlockWriter.write(
+        long.where(col("time") < lit(RangeEnd)), root,
+        blockRangeMs = 7L * 86400000L)
+      graft.sources.tsdbblock.TsdbWalWriter.write(
+        long.where(col("time") >= lit(RangeEnd)), s"$root/wal")
+      val wide = graft.tsdb.TsdbIngest.toWide(
+        graft.sources.tsdbblock.TsdbDb.read(s, root),
+        Seq("__name__", "user", "k"))
+      graft.tsdb.PromQL.eval(
+        graft.tsdb.PromQL.parse("""sum by (user) (purchase{user=~"1.*"})"""),
+        wide, at = RangeEnd + 43200000L, lookbackMs = 86400000L,
+        start = RangeStart, end = RangeEnd + 43200000L)
+    }),
     // Q110: HEAD COMPACTION — events written as a WAL (the live head's
     // on-disk form), compacted into real blocks by the WAL-reader ∘
     // block-writer composition (exactly what Prometheus does when the
@@ -1767,6 +1795,15 @@ object TsdbQueries {
         start = RangeStart, end = RangeEnd)
         // oracle-edge rounding (the kernel itself returns full precision)
         .withColumn("value", round(col("value"), 6))),
+    // Q133: xdelta — Prometheus's extrapolated delta (gauge form of the
+    // xrate family: raw pair diffs, no counter-reset folding, no
+    // zero-floor clamp), conformance-pinned against promql's value
+    "tsdb_q133_promql_xdelta" -> ((s, dir) =>
+      graft.tsdb.PromQL.eval(
+        graft.tsdb.PromQL.parse("""xdelta({name="view"}[7d])"""),
+        eventsAsTsdbStored(s, dir), at = RangeEnd, lookbackMs = 86400000L,
+        start = RangeStart, end = RangeEnd)
+        .withColumn("value", round(col("value"), 6))),
     // Q76: ts_of_max_over_time — the TIMESTAMP (epoch seconds) of each
     // window's maximum sample (last max wins on ties, Prometheus's
     // scan order, order-free via lexicographic array extremes)
@@ -2517,6 +2554,37 @@ object TsdbQueries {
          |  kk AS "labels.k", bucket,
          |  round(incr * (((sampled + ds + de) / sampled) / 604800.0), 6)
          |    AS value
+         |FROM i""".stripMargin,
+    // xdelta ≡ the same extrapolation replay with raw pair diffs (no
+    // reset folding), no zero-floor clamp (ds = ds1), no rate division
+    "tsdb_q133_promql_xdelta" ->
+      s"""$duckTsdbCte,
+         |s AS (SELECT "labels.name" AS name, "labels.user" AS u,
+         |  "labels.k" AS kk, time, value FROM t
+         |  WHERE "labels.name" = 'view'
+         |    AND time >= $RangeStart AND time < $RangeEnd),
+         |b AS (SELECT *, CAST(floor(time / 604800000.0) * 604800000
+         |    AS BIGINT) AS bucket FROM s),
+         |p AS (SELECT *, lag(value) OVER w AS pv, lag(time) OVER w AS pt
+         |  FROM b WINDOW w AS (PARTITION BY name, u, kk, bucket
+         |                      ORDER BY time, value)),
+         |a AS (SELECT name, u, kk, bucket, count(*) AS pairs,
+         |    round(sum(value - pv), 6) AS incr,
+         |    min(pt) AS first_t, max(time) AS last_t
+         |  FROM p WHERE pt IS NOT NULL GROUP BY 1, 2, 3, 4),
+         |f AS (SELECT *, nullif(CAST(last_t - first_t AS DOUBLE), 0.0)
+         |    AS sampled FROM a),
+         |g AS (SELECT *, sampled / pairs AS avg_gap,
+         |    sampled / pairs * 1.1 AS thresh,
+         |    CAST(first_t - bucket AS DOUBLE) AS ds0,
+         |    CAST(bucket + 604800000 - last_t AS DOUBLE) AS de0 FROM f),
+         |i AS (SELECT *, CASE WHEN ds0 >= thresh THEN avg_gap / 2.0
+         |    ELSE ds0 END AS ds,
+         |    CASE WHEN de0 >= thresh THEN avg_gap / 2.0 ELSE de0 END
+         |      AS de FROM g)
+         |SELECT name AS "labels.name", u AS "labels.user",
+         |  kk AS "labels.k", bucket,
+         |  round(incr * ((sampled + ds + de) / sampled), 6) AS value
          |FROM i""".stripMargin,
     // replays the lexicographic-extreme timestamp: list-max of
     // [value, time] → the last max's time, in epoch seconds
@@ -3404,6 +3472,20 @@ object TsdbQueries {
         |  event_type AS name, CAST(user_id AS VARCHAR) AS "user",
         |  regexp_extract(props, '"k": (\d+)', 1) AS k
         |FROM events""".stripMargin,
+    // PromQL over the data dir ≡ the same instant-vector replay as q40,
+    // shifted 12h past the block/WAL horizon and regex-filtered (the
+    // anchored text-surface pattern) — DuckDB reads the RAW events, so
+    // a match proves the storage round trip AND the query stack at once
+    "tsdb_q134_promql_over_datadir" ->
+      s"""$duckTsdbCte,
+         |iv AS (SELECT "labels.user" AS "user",
+         |  list_extract(max([CAST(time AS DOUBLE), value]), 2) AS value
+         |  FROM t WHERE time > ${RangeEnd - 43200000L}
+         |    AND time <= ${RangeEnd + 43200000L}
+         |    AND "labels.name" = 'purchase'
+         |    AND regexp_matches("labels.user", '^(?:1.*)$$')
+         |  GROUP BY 1, "labels.name", "labels.k")
+         |SELECT "user", round(sum(value), 6) AS value FROM iv GROUP BY 1""".stripMargin,
     "tsdb_q113_wal_checkpoint" ->
       s"""SELECT CAST(epoch_ms(ts) AS BIGINT) AS time, value,
          |  event_type AS name, CAST(user_id AS VARCHAR) AS "user",

@@ -56,9 +56,10 @@ import graft.model.Matcher
   * [[eval]] above; [[evalStrict]] gives Prometheus-exact one-window
   * instant semantics); `rate`/`increase` use the engine's documented
   * observed-span definition (reset-adjusted Σdelta / observed span, no
-  * boundary extrapolation) — `xrate`/`xincrease` are the
+  * boundary extrapolation) — `xrate`/`xincrease`/`xdelta` are the
   * Prometheus-NUMERICALLY-EXACT extrapolated variants
-  * ([[RangeVectors.extrapolated]]), available everywhere the plain
+  * ([[RangeVectors.extrapolated]]; `xdelta` is the gauge form — raw
+  * pair diffs, no zero-floor clamp), available everywhere the plain
   * pair family is (tumbling, sliding, subqueries); subquery windows
   * are LEFT-OPEN `(t − range, t]` like raw-sample windows (Prometheus
   * 3) — an exactly-aligned grid point at `t − range` is excluded.
@@ -447,7 +448,7 @@ object PromQL {
     "stddev", "stdvar", "group", "quantile")
   private val RankOps = Set("topk", "bottomk", "limitk")
   private val RangeFns = Set("rate", "increase", "xrate", "xincrease",
-    "irate", "idelta",
+    "xdelta", "irate", "idelta",
     "resets", "changes", "holt_winters", "double_exponential_smoothing",
     "quantile_over_time",
     "avg_over_time", "min_over_time", "max_over_time", "sum_over_time",
@@ -514,7 +515,7 @@ object PromQL {
     * time axis). */
   private val SubqueryFns: Set[String] =
     OverTimeStats.keySet ++ Set("quantile_over_time", "rate", "increase",
-      "xrate", "xincrease",
+      "xrate", "xincrease", "xdelta",
       "irate", "idelta", "changes", "resets", "deriv", "predict_linear",
       "holt_winters", "double_exponential_smoothing")
 
@@ -1103,11 +1104,13 @@ object PromQL {
         case "rate" => RangeVectors.rate(sel, stepMs)
         case "increase" => RangeVectors.increase(sel)
         // Prometheus-EXACT boundary-extrapolated variants (the engine's
-        // default rate/increase use the documented observed-span
-        // definition; xrate/xincrease reproduce promql's
-        // extrapolatedRate numerically)
-        case "xrate" | "xincrease" =>
-          RangeVectors.xRate(sel, stepMs, asRate = name == "xrate")
+        // default rate/increase/delta use the documented observed-span
+        // definition; xrate/xincrease/xdelta reproduce promql's
+        // extrapolatedRate numerically — xdelta is the gauge form: no
+        // counter-reset folding, no zero-floor clamp)
+        case "xrate" | "xincrease" | "xdelta" =>
+          RangeVectors.xRate(sel, stepMs, asRate = name == "xrate",
+            counter = name != "xdelta")
         case "irate" => RangeVectors.irate(sel, stepMs)
         case "idelta" => asValue(RangeVectors.irate(sel, stepMs), "idelta")
         case "resets" | "changes" =>
@@ -1488,12 +1491,13 @@ object PromQL {
           if (name == "increase") col("_inc")
           else round(col("_inc") / nullif(col("_span"), lit(0.0)), 6)
         agg.select(outKeys :+ out.cast("double").as(TsdbSchema.ValueCol): _*)
-      case "xrate" | "xincrease" =>
+      case "xrate" | "xincrease" | "xdelta" =>
         // boundary extrapolation per outer step: the window is
         // [t − off − range, t − off] on the inner-grid axis
         val d0 = v - col("prev_v")
         val agg = pairFanned
-          .withColumn("d", when(d0 < 0, v).otherwise(d0))
+          .withColumn("d",
+            if (name == "xdelta") d0 else when(d0 < 0, v).otherwise(d0))
           .groupBy(outKeys: _*)
           .agg(RangeVectors.xRateAggs(col("_put"), col("_ut"),
             col("prev_v"), col("d")).head,
@@ -1502,7 +1506,7 @@ object PromQL {
         agg.select(outKeys :+ RangeVectors.extrapolated(col("_incr"),
           col("_pairs"), col("_first_t"), col("_last_t"),
           col("_first_v"), col("t") - (off + rangeMs), col("t") - off,
-          rangeMs, asRate = name == "xrate")
+          rangeMs, asRate = name == "xrate", counter = name != "xdelta")
             .as(TsdbSchema.ValueCol): _*)
       case "changes" | "resets" =>
         val hit =
@@ -1575,16 +1579,19 @@ object PromQL {
           if (name == "increase") col("_inc")
           else round(col("_inc") / nullif(col("_span"), lit(0.0)), 6)
         agg.select(keys :+ out.cast("double").as(TsdbSchema.ValueCol): _*)
-      case "xrate" | "xincrease" =>
+      case "xrate" | "xincrease" | "xdelta" =>
         // Prometheus boundary extrapolation over the subquery's grid
-        // axis — the window is [sqEnd − range, sqEnd]
+        // axis — the window is [sqEnd − range, sqEnd]; xdelta folds the
+        // RAW pair diffs (no counter-reset floor)
         val aggs = RangeVectors.xRateAggs(col("prev_t"), col("t"),
-          col("prev_v"), col("d"))
+          col("prev_v"),
+          if (name == "xdelta") v - col("prev_v") else col("d"))
         val agg = pairs.groupBy(keys: _*).agg(aggs.head, aggs.tail: _*)
         agg.select(keys :+ RangeVectors.extrapolated(col("_incr"),
           col("_pairs"), col("_first_t"), col("_last_t"),
           col("_first_v"), lit(sqEnd - rangeMs), lit(sqEnd), rangeMs,
-          asRate = name == "xrate").as(TsdbSchema.ValueCol): _*)
+          asRate = name == "xrate", counter = name != "xdelta")
+          .as(TsdbSchema.ValueCol): _*)
       case "changes" | "resets" =>
         val hit =
           if (name == "changes") v =!= col("prev_v") else v < col("prev_v")
@@ -1990,9 +1997,9 @@ object PromQL {
       val r = name match {
         case "rate" | "increase" =>
           RangeVectors.slidingRate(sel, rangeMs, stepMs, s0, e0)
-        case "xrate" | "xincrease" =>
+        case "xrate" | "xincrease" | "xdelta" =>
           RangeVectors.slidingXRate(sel, rangeMs, stepMs, s0, e0,
-            asRate = name == "xrate")
+            asRate = name == "xrate", counter = name != "xdelta")
         case n if OverTimeStats.contains(n) =>
           RangeVectors.slidingStat(sel, rangeMs, stepMs, s0, e0,
             OverTimeStats(n))

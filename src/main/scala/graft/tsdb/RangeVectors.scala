@@ -426,16 +426,21 @@ object RangeVectors {
                                  firstT: Column,
                                  lastT: Column, firstV: Column,
                                  rangeStart: Column, rangeEnd: Column,
-                                 rangeMs: Long, asRate: Boolean): Column = {
+                                 rangeMs: Long, asRate: Boolean,
+                                 counter: Boolean = true): Column = {
     val sampled = nullif((lastT - firstT).cast("double"), lit(0.0))
     val avg = sampled / pairs
     val thresh = avg * 1.1
     val ds0 = (firstT - rangeStart).cast("double")
     val de0 = (rangeEnd - lastT).cast("double")
     val ds1 = when(ds0 >= thresh, avg / 2.0).otherwise(ds0)
-    // a counter that started at firstV cannot extrapolate below zero
+    // a counter that started at firstV cannot extrapolate below zero —
+    // gauges (xdelta) skip the clamp, exactly as promql's
+    // extrapolatedRate gates it on isCounter
     val dz = sampled * (firstV / incr)
-    val ds = when(incr > 0.0 && firstV >= 0.0 && dz < ds1, dz).otherwise(ds1)
+    val ds =
+      if (!counter) ds1
+      else when(incr > 0.0 && firstV >= 0.0 && dz < ds1, dz).otherwise(ds1)
     val de = when(de0 >= thresh, avg / 2.0).otherwise(de0)
     val factor0 = (sampled + ds + de) / sampled
     val factor = if (asRate) factor0 / (rangeMs / 1000.0) else factor0
@@ -459,7 +464,8 @@ object RangeVectors {
     * handled pairwise, then [[extrapolated]] scales to the bucket edges
     * [bucket, bucket + range). One window pass for the pairs + one
     * partial-aggregated groupBy, the same shape as the plain kernels. */
-  def xRate(wide: DataFrame, stepMs: Long, asRate: Boolean): DataFrame = {
+  def xRate(wide: DataFrame, stepMs: Long, asRate: Boolean,
+            counter: Boolean = true): DataFrame = {
     val labels = TsdbSchema.dynCols(wide)
     val v = col(TsdbSchema.ValueCol)
     // bucket is materialized as an ATTRIBUTE before the window so the
@@ -476,7 +482,7 @@ object RangeVectors {
       .select(withB.columns.map(c => col(s"`$c`")) ++ Seq(
         lag(col(TsdbSchema.TimeCol), 1).over(w).as("prev_t"),
         lag(v, 1).over(w).as("prev_v")): _*)
-      .withColumn("d", when(d0 < 0, v).otherwise(d0))
+      .withColumn("d", if (counter) when(d0 < 0, v).otherwise(d0) else d0)
       .where(col("prev_t").isNotNull)
       .groupBy(labels :+ col("bucket"): _*)
       .agg(xRateAggs(col("prev_t"), col(TsdbSchema.TimeCol),
@@ -486,7 +492,7 @@ object RangeVectors {
     agg
       .withColumn(TsdbSchema.ValueCol, extrapolated(col("_incr"),
         col("_pairs"), col("_first_t"), col("_last_t"), col("_first_v"),
-        col("bucket"), col("bucket") + stepMs, stepMs, asRate))
+        col("bucket"), col("bucket") + stepMs, stepMs, asRate, counter))
       .select(labels ++ Seq(col("bucket"), col(TsdbSchema.ValueCol)): _*)
   }
 
@@ -495,12 +501,13 @@ object RangeVectors {
     * [[pairFanOut]] decomposition (pairs built once, fanned to covering
     * grid points), one (series, t) aggregation. */
   def slidingXRate(wide: DataFrame, rangeMs: Long, stepMs: Long,
-                   startMs: Long, endMs: Long, asRate: Boolean): DataFrame = {
+                   startMs: Long, endMs: Long, asRate: Boolean,
+                   counter: Boolean = true): DataFrame = {
     val labels = TsdbSchema.dynCols(wide)
     val v = col(TsdbSchema.ValueCol)
     val d0 = v - col("prev_v")
     val agg = pairFanOut(wide, rangeMs, stepMs, startMs, endMs)
-      .withColumn("d", when(d0 < 0, v).otherwise(d0))
+      .withColumn("d", if (counter) when(d0 < 0, v).otherwise(d0) else d0)
       .groupBy(labels :+ col("t"): _*)
       .agg(xRateAggs(col("prev_t"), col(TsdbSchema.TimeCol),
         col("prev_v"), col("d")).head,
@@ -509,7 +516,7 @@ object RangeVectors {
     agg
       .withColumn(TsdbSchema.ValueCol, extrapolated(col("_incr"),
         col("_pairs"), col("_first_t"), col("_last_t"), col("_first_v"),
-        col("t") - rangeMs, col("t"), rangeMs, asRate))
+        col("t") - rangeMs, col("t"), rangeMs, asRate, counter))
       .select(labels ++ Seq(col("t"), col(TsdbSchema.ValueCol)): _*)
   }
 

@@ -232,7 +232,12 @@ class PromQLConformanceSpec extends SparkSpec {
     C("50m", """predict_linear(linear[50m], 3600)""", """{} 220"""),
     C("50m", """delta(linear[50m])""",
       "", skip = "documented deviation: delta is last-minus-first over " +
-        "observed samples, not boundary-extrapolated"),
+        "observed samples, not boundary-extrapolated; xdelta is the " +
+        "Prometheus-exact extrapolated variant (next case)"),
+    // Prometheus's delta(linear[50m]): raw diff 90 over the sampled
+    // 45m span, extrapolated to the full 50m window (gauge form — no
+    // counter-reset folding, no zero-floor clamp) = 100
+    C("50m", """xdelta(linear[50m])""", """{} 100"""),
     C("50m", """max_over_time(http_requests{group="canary", instance="1", job="app-server"}[30m])""",
       """{group="canary", instance="1", job="app-server"} 800"""),
     C("50m", """min_over_time(http_requests{group="canary", instance="1", job="app-server"}[30m])""",
@@ -1036,7 +1041,7 @@ class PromQLConformanceSpec extends SparkSpec {
     // cases are added, never by deleting failing cases. `ported` counts
     // cases re-typed from Prometheus's own promqltest corpus, reported
     // separately from the handwritten sweep.
-    assert(own === 146)
+    assert(own === 147)
     assert(ported === 106)
     assert(skips.size === 2)
     // every skip names its documented deviation
