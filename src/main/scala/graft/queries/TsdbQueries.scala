@@ -1524,6 +1524,36 @@ object TsdbQueries {
           col("active_at"), col("alertstate"),
           col("value").cast("long").as("n"))
     }),
+    // Q135: the RULE FILE wire form — q99's group re-expressed as the
+    // YAML document a real Prometheus deployment ships
+    // ([[graft.tsdb.RuleFiles]]): parse → ordered group evaluation on
+    // the group's OWN interval, rule labels attached to the alert
+    // elements. Same oracle state machine as q99 plus the literal
+    // severity label — the file parser and the engine verified in one
+    // hash.
+    "tsdb_q135_rules_from_yaml" -> ((s, dir) => {
+      val (_, alerts) = graft.tsdb.RuleFiles.evaluate(
+        """groups:
+          |  - name: errors
+          |    interval: 1d
+          |    rules:
+          |      - record: user_daily_errors
+          |        expr: sum by (user) (count_over_time({name="error"}[1d]))
+          |      - alert: user_error_burst_yaml
+          |        expr: '{name="user_daily_errors"} > 1'
+          |        for: 1d
+          |        labels:
+          |          severity: page
+          |        annotations:
+          |          summary: sustained error burst
+          |""".stripMargin,
+        eventsAsTsdbStored(s, dir), start = RangeStart, end = RangeEnd,
+        defaultStepMs = 1L, lookbackMs = 86400000L)
+      alerts.get
+        .select(col("alertname"), col("`labels.user`").as("user"),
+          col("severity"), col("t"), col("active_at"), col("alertstate"),
+          col("value").cast("long").as("n"))
+    }),
     // Q100: the ALERTS series ([[graft.tsdb.AlertRules.alertsAsSamples]])
     // — alert state materialized as queryable samples, so the WHOLE
     // PromQL surface runs over it like any metric. Here: the per-step
@@ -3106,6 +3136,29 @@ object TsdbQueries {
          |  FROM rid)
          |SELECT 'user_error_burst_recorded' AS alertname, "user", gt AS t,
          |  active_at,
+         |  CASE WHEN gt - active_at >= 86400000 THEN 'firing'
+         |       ELSE 'pending' END AS alertstate,
+         |  CAST(n AS BIGINT) AS n
+         |FROM st""".stripMargin,
+    // rule-FILE replay ≡ q99's state machine + the literal rule label
+    "tsdb_q135_rules_from_yaml" ->
+      s"""$duckTsdbCte,
+         |grid AS (SELECT CAST($RangeStart + unnest(range(0, 16)) * 86400000
+         |    AS BIGINT) AS gt),
+         |act AS (SELECT gt, "labels.user" AS "user", count(*) AS n
+         |  FROM grid JOIN t ON t.time > gt - 86400000 AND t.time <= gt
+         |  WHERE "labels.name" = 'error'
+         |  GROUP BY 1, 2 HAVING count(*) > 1),
+         |runs AS (SELECT *, CASE WHEN lag(gt) OVER w IS NULL
+         |    OR lag(gt) OVER w <> gt - 86400000 THEN 1 ELSE 0 END AS nr
+         |  FROM act WINDOW w AS (PARTITION BY "user" ORDER BY gt)),
+         |rid AS (SELECT *, sum(nr) OVER (PARTITION BY "user" ORDER BY gt
+         |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run
+         |  FROM runs),
+         |st AS (SELECT *, min(gt) OVER (PARTITION BY "user", run) AS active_at
+         |  FROM rid)
+         |SELECT 'user_error_burst_yaml' AS alertname, "user",
+         |  'page' AS severity, gt AS t, active_at,
          |  CASE WHEN gt - active_at >= 86400000 THEN 'firing'
          |       ELSE 'pending' END AS alertstate,
          |  CAST(n AS BIGINT) AS n

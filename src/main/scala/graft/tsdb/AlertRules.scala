@@ -28,14 +28,35 @@ object AlertRules {
   /** A rule-group member (rules files hold both kinds). */
   sealed trait Rule
 
-  /** One alerting rule: `alert: <name>  expr: <promql>  for: <forMs>`. */
+  /** One alerting rule: `alert: <name>  expr: <promql>  for: <forMs>`.
+    * `labels` are the rule's extra labels — attached to every alert
+    * element, OVERRIDING element labels on conflict (Prometheus rule
+    * semantics); `annotations` are notification-template strings,
+    * carried verbatim (templating happens at the notifier, not here). */
   final case class AlertRule(name: String, expr: String,
-                             forMs: Long) extends Rule
+                             forMs: Long,
+                             labels: Map[String, String] = Map.empty,
+                             annotations: Map[String, String] = Map.empty)
+      extends Rule
 
   /** One recording rule: `record: <series name>  expr: <promql>` — the
     * expression's per-step elements materialize as NEW samples of the
-    * named series. */
-  final case class RecordingRule(record: String, expr: String) extends Rule
+    * named series, with the rule's `labels` attached (overriding
+    * element labels on conflict, as Prometheus does). */
+  final case class RecordingRule(record: String, expr: String,
+                                 labels: Map[String, String] = Map.empty)
+      extends Rule
+
+  /** Attach a rule's literal labels, overriding same-named element
+    * labels (bare or `labels.`-prefixed — evalRange emits both shapes
+    * depending on the aggregation). Map-side projection only. */
+  private def withRuleLabels(df: DataFrame,
+                             labels: Map[String, String]): DataFrame =
+    labels.foldLeft(df) { case (d, (k, v)) =>
+      val pref = TsdbSchema.labelColName(k)
+      val name = if (d.columns.contains(pref)) pref else k
+      d.withColumn(name, lit(v))
+    }
 
   /** Evaluate a RULE GROUP in order (Prometheus group semantics: rules
     * in one group run sequentially, so a recording rule's output is
@@ -57,9 +78,11 @@ object AlertRules {
     var recorded: Option[DataFrame] = None
     var alerts: Option[DataFrame] = None
     rules.foreach {
-      case RecordingRule(record, expr) =>
-        val iv = PromQL.evalRange(PromQL.parse(expr), wide = view,
-          start = start, end = end, stepMs = stepMs, lookbackMs = lookbackMs)
+      case RecordingRule(record, expr, ruleLabels) =>
+        val iv = withRuleLabels(
+          PromQL.evalRange(PromQL.parse(expr), wide = view,
+            start = start, end = end, stepMs = stepMs,
+            lookbackMs = lookbackMs), ruleLabels)
         require(iv.columns.contains(TsdbSchema.ValueCol) &&
           iv.columns.contains("t"),
           "a recording rule's expression must yield per-step instant vectors")
@@ -124,8 +147,9 @@ object AlertRules {
     * (`pending`/`firing`) + the expression's `value`. */
   def evaluate(rule: AlertRule, wide: DataFrame, start: Long, end: Long,
                stepMs: Long, lookbackMs: Long): DataFrame = {
-    val iv = PromQL.evalRange(PromQL.parse(rule.expr), wide, start, end,
-      stepMs, lookbackMs)
+    val iv = withRuleLabels(
+      PromQL.evalRange(PromQL.parse(rule.expr), wide, start, end,
+        stepMs, lookbackMs), rule.labels)
     require(iv.columns.contains(TsdbSchema.ValueCol) &&
       iv.columns.contains("t"),
       "an alerting rule's expression must yield per-step instant vectors")

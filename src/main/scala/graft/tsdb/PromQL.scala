@@ -532,6 +532,18 @@ object PromQL {
     e
   }
 
+  /** Parse a bare Prometheus duration string (`30s`, `10m`, `1h30m`,
+    * `90`…) to milliseconds — the form rule files and HTTP params
+    * carry. Bare numbers are SECONDS, as Prometheus reads them. */
+  def parseDuration(d: String): Long = {
+    val t = d.trim
+    if (t.nonEmpty && t.forall(_.isDigit)) return t.toLong * 1000L
+    val p = new P(t)
+    val ms = p.duration()
+    if (!p.eof) throw ParseError("trailing input after duration", p.offset)
+    ms
+  }
+
   /** Prometheus's precedence ladder, loosest to tightest (each level
     * left-associative except `^`):
     * {{{
