@@ -190,6 +190,9 @@ object RuleFiles {
               "rule file: empty list item")
           val (n, next) = parseNode(ls, pos + 1, ls(pos + 1).indent)
           items += n; pos = next
+        } else if (keyColonOpt(inline).isEmpty) {
+          // `- alerts.yml`: a bare scalar list item
+          items += S(unquote(inline)); pos += 1
         } else {
           // `- key: …` starts a map whose first entry sits on this line
           // at virtual indent (indent + 2); splice it in
@@ -216,7 +219,13 @@ object RuleFiles {
           entries += key -> S(s); pos = next
         } else if (rest.nonEmpty) {
           entries += key -> S(unquote(rest)); pos += 1
-        } else if (pos + 1 < ls.length && ls(pos + 1).indent > indent) {
+        } else if (pos + 1 < ls.length && (ls(pos + 1).indent > indent ||
+            // YAML allows a list at the SAME indent as its parent key
+            // (`groups:` then flush-left `- name: …`) — unambiguous,
+            // since map entries never start with `-`
+            (ls(pos + 1).indent == indent &&
+              (ls(pos + 1).text.startsWith("- ") ||
+                ls(pos + 1).text == "-")))) {
           val (n, next) = parseNode(ls, pos + 1, ls(pos + 1).indent)
           entries += key -> n; pos = next
         } else {
@@ -244,7 +253,7 @@ object RuleFiles {
 
     /** Find the `:` that ends the key (the first one outside quotes
       * followed by space/EOL). */
-    private def keyColon(t: String): Int = {
+    private def keyColonOpt(t: String): Option[Int] = {
       var inS = false; var inD = false
       var j = 0
       while (j < t.length) {
@@ -252,12 +261,15 @@ object RuleFiles {
         if (c == '\'' && !inD) inS = !inS
         else if (c == '"' && !inS) inD = !inD
         else if (c == ':' && !inS && !inD &&
-                 (j + 1 == t.length || t(j + 1) == ' ')) return j
+                 (j + 1 == t.length || t(j + 1) == ' ')) return Some(j)
         j += 1
       }
-      throw new IllegalArgumentException(
-        s"rule file: expected `key: value`, got: $t")
+      None
     }
+
+    private def keyColon(t: String): Int = keyColonOpt(t).getOrElse(
+      throw new IllegalArgumentException(
+        s"rule file: expected `key: value`, got: $t"))
 
     /** Double quotes honor \\ \" \n \t escapes; single quotes are
       * literal with `''` → `'`; bare scalars pass through trimmed. */

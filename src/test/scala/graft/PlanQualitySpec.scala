@@ -357,6 +357,18 @@ class PlanQualitySpec extends SparkSpec {
       s"the remote-read path must stay join-free:\n$plan")
   }
 
+  test("range absent_over_time: ONE presence pass, grid anti-join broadcasts") {
+    // the per-step absent check must not re-scan per grid step, and the
+    // anti-join's build side is the DISTINCT present steps — bounded by
+    // the grid size, so it must broadcast at any data scale
+    val plan = planOf("tsdb_q132_promql_absent_range")
+    assert(plan.sliding("Scan parquet".length).count(_ == "Scan parquet") == 1,
+      s"absent_over_time must scan once, not per step:\n$plan")
+    assert(plan.contains("BroadcastHashJoin") &&
+      plan.contains("LeftAnti"),
+      s"the grid anti-join must broadcast the step set:\n$plan")
+  }
+
   test("info(): the target_info side joins BROADCAST, never shuffled") {
     // info metrics are target-universe-sized; a shuffle join here would
     // move the full sample-side vector for a metadata-sized enrichment
