@@ -872,6 +872,27 @@ class PromQLConformanceSpec extends SparkSpec {
         |{job="api-server", version="7"} 1
         |{job="app-server", version="7"} 2""")), upstream = true)
 
+  // upstream limit.test (limitk / limit_ratio are count-shape-tested —
+  // upstream treats WHICH k series come back as unspecified, so every
+  // assertion is a count/sum over the sampled set)
+  private val upstreamLimit = B("upstream limit.test", "5m", httpLoad, Seq(
+    C("50m", """count(limitk by (group) (0, http_requests))""", ""),
+    C("50m", """count(limitk by (group) (1, http_requests))""", """{} 2"""),
+    C("50m", """count(limitk by (group) (2, http_requests))""", """{} 4"""),
+    C("50m", """count(limitk by (group) (3, http_requests))""", """{} 6"""),
+    C("50m", """count(limitk(5, http_requests))""", """{} 5"""),
+    // k beyond the vector size returns the whole vector
+    C("50m", """count(limitk(100, http_requests))""", """{} 8"""),
+    C("50m", """sum(limitk(100, http_requests))""", """{} 3600"""),
+    C("50m", """count(limit_ratio(1.0, http_requests))""", """{} 8"""),
+    C("50m", """count(limit_ratio(0.0, http_requests))""", ""),
+    // r and -(1-r) PARTITION the vector exactly (the upstream contract)
+    C("50m",
+      """count(limit_ratio(0.5, http_requests) or limit_ratio(-0.5, http_requests))""",
+      """{} 8"""),
+    C("50m", """count(limit_ratio(-1.0, http_requests))""", """{} 8""")),
+    upstream = true)
+
   // PromQL regex matchers are fully ANCHORED (Prometheus semantics) —
   // the engine's programmatic Matcher API keeps the reference's
   // unanchored substring contract, but text queries must not
@@ -888,6 +909,7 @@ class PromQLConformanceSpec extends SparkSpec {
   private val blocks = Seq(aggregators, operators, binops, functions,
     functions2, histograms, countValues, staleness, labelFns,
     invHyperbolic, sortByLabel, nanAgg, infoFn, regexAnchoring,
+    upstreamLimit,
     upstreamOperators, upstreamGroupLeft, upstreamAggregators,
     upstreamAggregators2, upstreamChangesResets, upstreamLiterals,
     upstreamFunctions, upstreamStaleness, upstreamDocsMatching,
@@ -1042,7 +1064,7 @@ class PromQLConformanceSpec extends SparkSpec {
     // cases re-typed from Prometheus's own promqltest corpus, reported
     // separately from the handwritten sweep.
     assert(own === 147)
-    assert(ported === 106)
+    assert(ported === 117)
     assert(skips.size === 2)
     // every skip names its documented deviation
     assert(skips.forall(_.skip.nonEmpty))
