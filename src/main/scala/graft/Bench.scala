@@ -73,7 +73,13 @@ object Bench {
     // block-assembly work (q126 THREE times over via the ladder) and
     // q127/q128 re-run q113/q129's shapes; all stay oracle-verified
     // in CORRECTNESS
-    "tsdb_q129_remote_read_chunked")
+    "tsdb_q129_remote_read_chunked",
+    // round-10 late: range-mode absent_over_time (presence anti-join),
+    // xdelta (gauge extrapolation), and the YAML rule-file group
+    // (parse + recording + alert state machine). q134 stays out — it
+    // re-runs q108's block write
+    "tsdb_q132_promql_absent_range", "tsdb_q133_promql_xdelta",
+    "tsdb_q135_rules_from_yaml")
 
   /** 1/5/15-minute fields of /proc/loadavg (empty off-Linux). */
   private def loadavg(): Seq[Double] =
