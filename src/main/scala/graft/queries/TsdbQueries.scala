@@ -1473,6 +1473,20 @@ object TsdbQueries {
         .select(col("`labels.name`").as("name"),
           col("`labels.user`").as("user"),
           col("time"), col("value"), col("trace_id"))),
+    // Q136: query_exemplars with its REAL parameter — a full PromQL
+    // expression: Prometheus extracts EVERY vector selector from the
+    // query and unions their exemplars; one OR-combined pass, text
+    // anchoring on the regex
+    "tsdb_q136_exemplars_expr" -> ((s, dir) =>
+      graft.tsdb.Exemplars.queryExpr(
+        graft.tsdb.Exemplars.fromSamples(
+          table(s, dir).select(Nil).toDF(), threshold = 150.0),
+        """sum by (user) (rate({name="purchase",user=~"1.*"}[1d]))""" +
+          """ / scalar(sum({name="error"}))""",
+        RangeStart, RangeEnd)
+        .select(col("`labels.name`").as("name"),
+          col("`labels.user`").as("user"),
+          col("time"), col("value"), col("trace_id"))),
     "tsdb_q97_exemplars_grouped" -> ((s, dir) =>
       graft.tsdb.Exemplars.grouped(
         graft.tsdb.Exemplars.query(
@@ -3076,6 +3090,20 @@ object TsdbQueries {
          |WHERE value > 150.0
          |  AND "labels.name" = 'purchase'
          |  AND regexp_matches("labels.user", '^(?:1.*)$$')
+         |  AND time >= $RangeStart AND time <= $RangeEnd""".stripMargin,
+    // expression form ≡ the union of the selectors' exemplar replays
+    "tsdb_q136_exemplars_expr" ->
+      s"""$duckTsdbCte
+         |SELECT "labels.name" AS name, "labels.user" AS "user",
+         |  time, value,
+         |  ${graft.tsdb.Exemplars.duckTraceId(
+                Seq("\"labels.k\"", "\"labels.name\"", "\"labels.user\""),
+                "time")} AS trace_id
+         |FROM t
+         |WHERE value > 150.0
+         |  AND (("labels.name" = 'purchase'
+         |          AND regexp_matches("labels.user", '^(?:1.*)$$'))
+         |    OR "labels.name" = 'error')
          |  AND time >= $RangeStart AND time <= $RangeEnd""".stripMargin,
     "tsdb_q97_exemplars_grouped" ->
       s"""$duckTsdbCte,

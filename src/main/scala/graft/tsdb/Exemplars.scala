@@ -68,6 +68,22 @@ object Exemplars {
         col(TsdbSchema.TimeCol) >= startMs && col(TsdbSchema.TimeCol) <= endMs)
   }
 
+  /** `/api/v1/query_exemplars` with its REAL parameter — a full PromQL
+    * expression: Prometheus extracts every vector selector from the
+    * query and unions their exemplars. One OR-combined pruned pass
+    * (never a scan per selector), matchers text-anchored. */
+  def queryExpr(exemplars: DataFrame, query: String,
+                startMs: Long, endMs: Long): DataFrame = {
+    val sels = PromQL.selectorsOf(PromQL.parse(query))
+    require(sels.nonEmpty,
+      s"query_exemplars: no vector selectors in: $query")
+    val known = TsdbSchema.labelColumns(exemplars)
+      .map(_.stripPrefix(TsdbSchema.LabelPrefix)).toSet
+    val anyOf = sels.map(MatcherCompiler.compileAll(_, known)).reduce(_ || _)
+    exemplars.where(anyOf &&
+      col(TsdbSchema.TimeCol) >= startMs && col(TsdbSchema.TimeCol) <= endMs)
+  }
+
   /** The API response shape: one row per series with its exemplars as a
     * time-sorted array of (time, value, trace_id) structs — what the
     * JSON layer would serialize. One partial-agg groupBy; array size is

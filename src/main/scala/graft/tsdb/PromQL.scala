@@ -1022,6 +1022,27 @@ object PromQL {
     * anchoring. The programmatic [[graft.model.Matcher]] API stays raw
     * (the reference's substring contract, hello.go:310-311) — this is
     * the bridge from wire text onto it. */
+  /** Every vector selector's matcher set inside `e`, text-anchored —
+    * what `/api/v1/query_exemplars` extracts from its query EXPRESSION
+    * (Prometheus walks the AST and unions the selectors' exemplars:
+    * `sum(rate(m[5m])) / scalar(n)` pulls exemplars of both m and n). */
+  def selectorsOf(e: Expr): Seq[Seq[Matcher]] = (e match {
+    case Selector(ms, _, _, _) => Seq(anchorMatchers(ms))
+    case Fn(_, a, _) => selectorsOf(a)
+    case StrFn(_, a, _) => selectorsOf(a)
+    case CountValues(_, a, b, w) => selectorsOf(a)
+    case AggBy(_, _, a, _) => selectorsOf(a)
+    case AggWithout(_, _, a, _) => selectorsOf(a)
+    case RankK(_, _, a, _, _) => selectorsOf(a)
+    case LimitRatio(_, a) => selectorsOf(a)
+    case Info(a, sel) =>
+      selectorsOf(a) ++ (if (sel.nonEmpty) Seq(anchorMatchers(sel)) else Nil)
+    case sq: Subquery => selectorsOf(sq.arg)
+    case BinOp(_, _, l, r, _, _, _, _) => selectorsOf(l) ++ selectorsOf(r)
+    case SetOp(_, _, l, r, _) => selectorsOf(l) ++ selectorsOf(r)
+    case _ => Nil
+  }).filter(_.nonEmpty).distinct
+
   def parseMatchers(sel: String): Seq[Matcher] = parse(sel) match {
     case Selector(ms, None, 0L, None) if ms.nonEmpty => anchorMatchers(ms)
     case Selector(ms, None, 0L, None) if ms.isEmpty => throw ParseError(

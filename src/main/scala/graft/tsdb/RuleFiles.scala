@@ -67,6 +67,47 @@ object RuleFiles {
     }
   }
 
+  /** `promtool check rules` analog: every problem in the file, not
+    * just the first — structural/YAML errors, unparseable PromQL
+    * expressions (named per rule), duplicate group names, and
+    * duplicate rules (same name + same labels) within a group, which
+    * Prometheus warns about because they emit colliding series. An
+    * empty result = the file is valid. */
+  def check(text: String): Seq[String] = {
+    val groups =
+      try parse(text)
+      catch { case e: IllegalArgumentException => return Seq(e.getMessage) }
+    val dupGroups = groups.groupBy(_.name).filter(_._2.size > 1).keys.toSeq
+      .sorted.map(n => s"group $n is defined more than once")
+    val perRule = groups.flatMap { g =>
+      g.rules.flatMap { r =>
+        val (kind, rname, expr, labels) = r match {
+          case AlertRule(n, e, _, ls, _) => ("alert", n, e, ls)
+          case RecordingRule(n, e, ls) => ("record", n, e, ls)
+        }
+        val exprErr =
+          try { PromQL.parse(expr); None }
+          catch { case e: Exception => Some(
+            s"group ${g.name}, $kind $rname: invalid expr: ${e.getMessage}") }
+        val recordErr = r match {
+          case RecordingRule(n, _, _)
+              if !n.matches("[a-zA-Z_:][a-zA-Z0-9_:]*") => Some(
+            s"group ${g.name}: invalid recording rule name: $n")
+          case _ => None
+        }
+        exprErr.toSeq ++ recordErr.toSeq
+      } ++
+        g.rules.groupBy {
+          case AlertRule(n, _, _, ls, _) => ("alert", n, ls)
+          case RecordingRule(n, _, ls) => ("record", n, ls)
+        }.filter(_._2.size > 1).keys.toSeq.sortBy(_._2).map {
+          case (k, n, _) =>
+            s"group ${g.name}: duplicate $k $n (same name and labels)"
+        }
+    }
+    dupGroups ++ perRule
+  }
+
   /** Parse + evaluate in one step: each group runs on ITS interval
     * (falling back to `defaultStepMs`), groups' outputs unioned.
     * Returns (recorded samples, alerts) like

@@ -159,6 +159,25 @@ class AlertExemplarSpec extends SparkSpec {
       2001L, 2999L).count() == 0)
   }
 
+  test("query_exemplars by EXPRESSION: every selector's exemplars union") {
+    val ex = Exemplars.fromSamples(samples, threshold = 100.0)
+    // the real API parameter is a full query — both selectors' exemplars
+    // come back, through one OR-combined pass
+    val got = Exemplars.queryExpr(ex,
+      """sum by (user) (rate({name="api"}[5m])) / scalar(sum({name="web"}))""",
+      0L, 5000L)
+    assert(got.select(col("`labels.user`")).as[String].collect().toSet ==
+      Set("a", "b", "c"))
+    assert(!got.queryExecution.executedPlan.toString().contains("Union"),
+      "multi-selector exemplar query must OR over one pass, not union")
+    // regexes from the text surface are ANCHORED: 'a' must not match 'api'
+    assert(Exemplars.queryExpr(ex, """{name=~"a"}""", 0L, 5000L).count() == 0)
+    assert(Exemplars.queryExpr(ex, """{name=~"a.*"}""", 0L, 5000L)
+      .count() == 2)
+    intercept[IllegalArgumentException](
+      Exemplars.queryExpr(ex, "1 + 2", 0L, 5000L))
+  }
+
   test("exemplars grouped: one row per series, time-sorted struct array") {
     val ex = Exemplars.fromSamples(samples.union(
       Seq(("api", "a", 1500L, 300.0)).toDF("labels.name", "labels.user", "time", "value")),

@@ -108,6 +108,41 @@ class RuleFilesSpec extends SparkSpec {
         |""".stripMargin).contains("must not carry"))
   }
 
+  test("check: every problem reported, valid files come back clean") {
+    assert(RuleFiles.check(
+      """groups:
+        |  - name: g
+        |    rules:
+        |      - alert: a
+        |        expr: sum by (user) (up) > 1
+        |        for: 5m
+        |""".stripMargin) === Nil)
+    val problems = RuleFiles.check(
+      """groups:
+        |  - name: g
+        |    rules:
+        |      - alert: a
+        |        expr: sum by ((up)
+        |      - record: 0bad
+        |        expr: up
+        |      - alert: b
+        |        expr: up
+        |      - alert: b
+        |        expr: up == 0
+        |  - name: g
+        |    rules:
+        |      - record: r
+        |        expr: up
+        |""".stripMargin)
+    assert(problems.exists(_.contains("invalid expr")), problems)
+    assert(problems.exists(_.contains("invalid recording rule name: 0bad")))
+    assert(problems.exists(_.contains("duplicate alert b")))
+    assert(problems.exists(_.contains("defined more than once")))
+    // structural errors come back as a message, not an exception
+    assert(RuleFiles.check("rules:\n  - alert: a\n").exists(
+      _.contains("groups")))
+  }
+
   test("parse + evaluate ≡ the programmatic group, rule labels attached") {
     val wide = Seq(
       (0L, 5.0, "err", "a"), (0L, 1.0, "err", "b"),
