@@ -1538,6 +1538,29 @@ object TsdbQueries {
           col("active_at"), col("alertstate"),
           col("value").cast("long").as("n"))
     }),
+    // Q137: the HTTP API layer under the oracle — a REAL loopback HTTP
+    // request to /api/v1/query ([[graft.tsdb.PromHttpServer]]), its
+    // JSON vector response parsed back into rows. Same aggregation as
+    // q40, so a hash match proves the whole HTTP adapter (param
+    // parsing, text eval, the API's JSON contract) end to end.
+    "tsdb_q137_http_api" -> ((s, dir) => {
+      val srv = new graft.tsdb.PromHttpServer(s, eventsAsTsdbStored(s, dir),
+        lookbackMs = 86400000L)
+      val port = srv.start()
+      try {
+        val url = s"http://127.0.0.1:$port/api/v1/query?query=" +
+          java.net.URLEncoder.encode(
+            """sum by (user) ({name="purchase"})""", "UTF-8") +
+          s"&time=${RangeEnd / 1000}"
+        val body = new String(
+          new java.net.URI(url).toURL.openStream().readAllBytes(), "UTF-8")
+        import s.implicits._
+        s.read.json(Seq(body).toDS())
+          .select(explode(col("data.result")).as("r"))
+          .select(col("r.metric.user").as("user"),
+            element_at(col("r.value"), 2).cast("double").as("value"))
+      } finally srv.stop()
+    }),
     // Q135: the RULE FILE wire form — q99's group re-expressed as the
     // YAML document a real Prometheus deployment ships
     // ([[graft.tsdb.RuleFiles]]): parse → ordered group evaluation on
@@ -3168,6 +3191,16 @@ object TsdbQueries {
          |       ELSE 'pending' END AS alertstate,
          |  CAST(n AS BIGINT) AS n
          |FROM st""".stripMargin,
+    // HTTP round trip ≡ q40's instant-vector replay (the response JSON
+    // recovers the exact doubles — Java double→string→double identity)
+    "tsdb_q137_http_api" ->
+      s"""$duckTsdbCte,
+         |iv AS (SELECT "labels.user" AS "user",
+         |  list_extract(max([CAST(time AS DOUBLE), value]), 2) AS value
+         |  FROM t WHERE time > ${RangeEnd - 86400000L} AND time <= $RangeEnd
+         |    AND "labels.name" = 'purchase'
+         |  GROUP BY 1, "labels.name", "labels.k")
+         |SELECT "user", round(sum(value), 6) AS value FROM iv GROUP BY 1""".stripMargin,
     // rule-FILE replay ≡ q99's state machine + the literal rule label
     "tsdb_q135_rules_from_yaml" ->
       s"""$duckTsdbCte,

@@ -1,0 +1,345 @@
+package graft.tsdb
+
+import java.net.InetSocketAddress
+import java.net.URLDecoder
+import java.nio.charset.StandardCharsets.UTF_8
+
+import com.sun.net.httpserver.{HttpExchange, HttpServer}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import scala.util.control.NonFatal
+
+/** A Prometheus-API-compatible HTTP SERVER over the engine — the
+  * loopback JDK `com.sun.net.httpserver` wired to the library surfaces,
+  * so a Grafana / promtool / remote-write client can speak to a Spark
+  * cluster exactly as it would to a Prometheus:
+  *
+  *   - `/api/v1/query` (instant; vector and scalar result types) and
+  *     `/api/v1/query_range` (matrix) — the full PromQL text front end,
+  *     times as unix seconds (fractional ok) or RFC3339.
+  *   - `/api/v1/labels`, `/api/v1/label/<n>/values`, `/api/v1/series` —
+  *     repeated `match[]` selector TEXT ([[PromQL.parseMatchers]]:
+  *     anchored regexes, bare-selector requirement); series REQUIRES at
+  *     least one selector, as Prometheus does.
+  *   - `/api/v1/query_exemplars` — the full-expression parameter
+  *     ([[Exemplars.queryExpr]]), response grouped per series.
+  *   - `/api/v1/status/tsdb` — cardinality statistics.
+  *   - `/api/v1/format_query` / `/api/v1/parse_query` — [[QueryApi]].
+  *   - `/federate` — text exposition of the matched current samples.
+  *   - `/api/v1/write` (POST) — a REMOTE-WRITE RECEIVER: snappy prompb
+  *     WriteRequests decode ([[RemoteWrite.decodeRequest]]) and append
+  *     to the served table (schema evolution via union-by-name, so new
+  *     label names widen the head exactly like the ingest path).
+  *   - `/api/v1/read` (POST) — the remote-read SAMPLED responder
+  *     ([[RemoteRead.serve]]).
+  *
+  * Responses use the API envelope (`{"status":"success","data":…}`,
+  * errors as `bad_data` with HTTP 400). The server binds loopback only;
+  * queries evaluate on the caller's SparkSession — the HTTP layer is a
+  * thin adapter, every data-sized operation stays a Spark plan (the
+  * driver only collects API-response-sized results, exactly what any
+  * Prometheus HTTP layer materializes).
+  */
+final class PromHttpServer(spark: SparkSession, initial: DataFrame,
+                           exemplars: Option[DataFrame] = None,
+                           lookbackMs: Long = 300000L) {
+
+  @volatile private var wide: DataFrame = initial
+  private var server: HttpServer = _
+
+  /** The served head (base table + every remote-write append). */
+  def table: DataFrame = wide
+
+  /** Bind 127.0.0.1:`port` (0 = ephemeral) and serve; returns the
+    * bound port. */
+  def start(port: Int = 0): Int = synchronized {
+    require(server == null, "server already started")
+    server = HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
+    server.createContext("/", (ex: HttpExchange) => handle(ex))
+    server.start()
+    server.getAddress.getPort
+  }
+
+  def stop(): Unit = synchronized {
+    if (server != null) { server.stop(0); server = null }
+  }
+
+  // ---- dispatch ------------------------------------------------------
+
+  private def handle(ex: HttpExchange): Unit = {
+    try {
+      val path = ex.getRequestURI.getPath
+      val body = ex.getRequestBody.readAllBytes()
+      val params = parseParams(Option(ex.getRequestURI.getRawQuery),
+        if (path == "/api/v1/write" || path == "/api/v1/read") None
+        else Some(new String(body, UTF_8)))
+      path match {
+        case "/api/v1/query" => query(ex, params)
+        case "/api/v1/query_range" => queryRange(ex, params)
+        case "/api/v1/labels" => labels(ex, params)
+        case p if p.startsWith("/api/v1/label/") && p.endsWith("/values") =>
+          labelValues(ex, params,
+            p.stripPrefix("/api/v1/label/").stripSuffix("/values"))
+        case "/api/v1/series" => series(ex, params)
+        case "/api/v1/query_exemplars" => queryExemplars(ex, params)
+        case "/api/v1/status/tsdb" => statusTsdb(ex)
+        case "/api/v1/format_query" =>
+          ok(ex, jstr(QueryApi.formatQuery(required(params, "query"))))
+        case "/api/v1/parse_query" =>
+          ok(ex, QueryApi.parseQuery(required(params, "query")))
+        case "/federate" => federate(ex, params)
+        case "/api/v1/write" => write(ex, body)
+        case "/api/v1/read" => read(ex, body)
+        case "/-/healthy" | "/-/ready" => text(ex, 200, "OK")
+        case _ => err(ex, 404, "not_found", s"unknown path: $path")
+      }
+    } catch {
+      case e: PromQL.ParseError => err(ex, 400, "bad_data", e.toString)
+      case e: IllegalArgumentException =>
+        err(ex, 400, "bad_data", String.valueOf(e.getMessage))
+      case NonFatal(e) => err(ex, 422, "execution", String.valueOf(e))
+    } finally ex.close()
+  }
+
+  // ---- endpoints -----------------------------------------------------
+
+  private def query(ex: HttpExchange, p: Params): Unit = {
+    val q = required(p, "query")
+    val at = p.first("time").map(parseTime)
+      .getOrElse(System.currentTimeMillis())
+    val df = PromQL.evalStrict(PromQL.parse(q), wide, at, lookbackMs,
+      start = at, end = at)
+    if (df.columns.toSeq == Seq(TsdbSchema.TimeCol, TsdbSchema.ValueCol)) {
+      // scalar result type: one (time, value) row
+      val r = df.collect()
+      val v = if (r.isEmpty) "NaN" else fmt(r.head.getDouble(1))
+      ok(ex, s"""{"resultType":"scalar","result":[${sec(at)},"$v"]}""")
+    } else {
+      import spark.implicits._
+      // an instant vector reports the EVALUATION time, not the sample
+      // time (the API contract) — stamp it over whatever the frame has
+      val iv = df.withColumn(TsdbSchema.TimeCol, lit(at))
+      val rows = ApiJson.vectorJson(iv).as[String].collect()
+      ok(ex, s"""{"resultType":"vector","result":[${rows.mkString(",")}]}""")
+    }
+  }
+
+  private def queryRange(ex: HttpExchange, p: Params): Unit = {
+    import spark.implicits._
+    val q = required(p, "query")
+    val start = parseTime(required(p, "start"))
+    val end = parseTime(required(p, "end"))
+    val step = parseStep(required(p, "step"))
+    require(end >= start, "end must be >= start")
+    require(step > 0, "step must be positive")
+    val df = PromQL.evalRange(PromQL.parse(q), wide, start, end, step,
+      lookbackMs)
+    val rows = ApiJson.matrixJson(df).as[String].collect()
+    ok(ex, s"""{"resultType":"matrix","result":[${rows.mkString(",")}]}""")
+  }
+
+  private def labels(ex: HttpExchange, p: Params): Unit = {
+    import spark.implicits._
+    val (s, e) = window(p)
+    val t = TsdbTable(wide)
+    val sels = p.all("match[]").map(PromQL.parseMatchers)
+    val names =
+      if (sels.isEmpty) TsdbMeta.labelNames(t, s, e, Nil)
+      else TsdbMeta.labelNamesAny(t, s, e, sels)
+    ok(ex, names.as[String].collect().map(jstr).mkString("[", ",", "]"))
+  }
+
+  private def labelValues(ex: HttpExchange, p: Params, label: String): Unit = {
+    import spark.implicits._
+    val (s, e) = window(p)
+    val t = TsdbTable(wide)
+    val sels = p.all("match[]").map(PromQL.parseMatchers)
+    val vs =
+      if (sels.isEmpty) TsdbMeta.labelValues(t, label, s, e, Nil)
+      else TsdbMeta.labelValuesAny(t, label, s, e, sels)
+    ok(ex, vs.as[String].collect().map(jstr).mkString("[", ",", "]"))
+  }
+
+  private def series(ex: HttpExchange, p: Params): Unit = {
+    val (s, e) = window(p)
+    val sels = p.all("match[]").map(PromQL.parseMatchers)
+    require(sels.nonEmpty, "no match[] parameter provided")
+    val rows = TsdbMeta.seriesAny(TsdbTable(wide), s, e, sels)
+    val cols = rows.columns
+    val out = rows.collect().map { r =>
+      cols.zipWithIndex.flatMap { case (c, i) =>
+        Option(r.get(i)).map(v => jstr(apiLabel(c)) + ":" + jstr(v.toString))
+      }.sorted.mkString("{", ",", "}")
+    }
+    ok(ex, out.mkString("[", ",", "]"))
+  }
+
+  private def queryExemplars(ex: HttpExchange, p: Params): Unit = {
+    val store = exemplars.getOrElse(
+      throw new IllegalArgumentException("exemplar storage is not enabled"))
+    val q = required(p, "query")
+    val (s, e) = window(p)
+    val flat = Exemplars.queryExpr(store, q, s, e)
+    val labelCols = flat.columns.filter(_.startsWith(TsdbSchema.LabelPrefix))
+    val rows = flat.collect().map { r =>
+      val ls = labelCols.flatMap(c => Option(r.getAs[String](c))
+        .filter(_.nonEmpty).map(v => apiLabel(c) -> v)).toSeq
+      val t = r.getAs[Long](TsdbSchema.TimeCol)
+      val v = r.getAs[Double](TsdbSchema.ValueCol)
+      val tid = r.getAs[String]("trace_id")
+      (ls, (t, v, tid))
+    }
+    val bySeries = rows.groupBy(_._1).toSeq.sortBy(_._1.mkString(","))
+    val out = bySeries.map { case (ls, exs) =>
+      val lj = ls.sortBy(_._1)
+        .map { case (k, v) => jstr(k) + ":" + jstr(v) }
+        .mkString("{", ",", "}")
+      val ej = exs.map(_._2).sortBy(_._1).map { case (t, v, tid) =>
+        s"""{"labels":{"trace_id":${jstr(tid)}},""" +
+          s""""value":"${fmt(v)}","timestamp":${sec(t)}}"""
+      }.mkString("[", ",", "]")
+      s"""{"seriesLabels":$lj,"exemplars":$ej}"""
+    }
+    ok(ex, out.mkString("[", ",", "]"))
+  }
+
+  private def statusTsdb(ex: HttpExchange): Unit = {
+    val stats = TsdbStats.headStats(TsdbTable(wide), Long.MinValue,
+      Long.MaxValue, k = 10).collect()
+    def section(stat: String): Map[String, Long] = stats
+      .filter(_.getString(0) == stat)
+      .map(r => r.getString(1) -> r.getLong(2)).toMap
+    val tot = section("totals")
+    def pairs(stat: String): String = stats
+      .filter(_.getString(0) == stat)
+      .sortBy(r => (-r.getLong(2), r.getString(1)))
+      .map(r => s"""{"name":${jstr(r.getString(1))},"value":${r.getLong(2)}}""")
+      .mkString("[", ",", "]")
+    ok(ex,
+      s"""{"headStats":{"numSeries":${tot.getOrElse("num_series", 0L)},""" +
+        s""""numLabelPairs":0,"chunkCount":0,""" +
+        s""""minTime":${tot.getOrElse("min_time", 0L)},""" +
+        s""""maxTime":${tot.getOrElse("max_time", 0L)}},""" +
+        s""""seriesCountByMetricName":${pairs("series_count_by_metric_name")},""" +
+        s""""labelValueCountByLabelName":${pairs("label_value_count_by_label_name")},""" +
+        s""""seriesCountByLabelValuePair":${pairs("series_count_by_label_value_pair")},""" +
+        s""""memoryInBytesByLabelName":[]}""")
+  }
+
+  private def federate(ex: HttpExchange, p: Params): Unit = {
+    import spark.implicits._
+    val sels = p.all("match[]").map(PromQL.parseMatchers)
+    require(sels.nonEmpty, "no match[] parameter provided")
+    val at = p.first("time").map(parseTime)
+      .getOrElse(System.currentTimeMillis())
+    val lines = Federate.federate(TsdbTable(wide), sels, at, lookbackMs)
+    text(ex, 200, lines.as[String].collect().mkString("", "\n", "\n"),
+      contentType = "text/plain; version=0.0.4")
+  }
+
+  private def write(ex: HttpExchange, body: Array[Byte]): Unit = {
+    // wire labels carry `__name__`; this table's metric column is
+    // `name` — the same mapping RemoteRead.serve applies on its side
+    val decoded = RemoteWrite.decodeRequest(body).map { case (t, v, ls) =>
+      (t, v, ls.map { case (k, vv) =>
+        (if (k == "__name__") "name" else k) -> vv })
+    }
+    if (decoded.nonEmpty) {
+      import spark.implicits._
+      val longForm = decoded.toDF("time", "value", "labels")
+      val batch = TsdbIngest.toWide(longForm)
+      synchronized { wide = wide.unionByName(batch,
+        allowMissingColumns = true) }
+    }
+    ex.sendResponseHeaders(204, -1)
+  }
+
+  private def read(ex: HttpExchange, body: Array[Byte]): Unit = {
+    val resp = RemoteRead.serve(TsdbTable(wide), body)
+    ex.getResponseHeaders.set("Content-Type", "application/x-protobuf")
+    ex.getResponseHeaders.set("Content-Encoding", "snappy")
+    ex.sendResponseHeaders(200, resp.length)
+    ex.getResponseBody.write(resp)
+  }
+
+  // ---- plumbing ------------------------------------------------------
+
+  private final case class Params(m: Map[String, Seq[String]]) {
+    def first(k: String): Option[String] = m.get(k).flatMap(_.headOption)
+    def all(k: String): Seq[String] = m.getOrElse(k, Nil)
+  }
+
+  private def required(p: Params, k: String): String =
+    p.first(k).getOrElse(
+      throw new IllegalArgumentException(s"missing parameter: $k"))
+
+  /** Merge the URL query string and an x-www-form-urlencoded body —
+    * Prometheus accepts both on every endpoint. */
+  private def parseParams(rawQuery: Option[String],
+                          body: Option[String]): Params = {
+    val raw = Seq(rawQuery, body.filter(_.nonEmpty)).flatten.mkString("&")
+    val pairs = raw.split("&").toSeq.filter(_.nonEmpty).map { kv =>
+      val i = kv.indexOf('=')
+      if (i < 0) (dec(kv), "")
+      else (dec(kv.take(i)), dec(kv.drop(i + 1)))
+    }
+    Params(pairs.groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2) })
+  }
+
+  private def dec(s: String): String = URLDecoder.decode(s, UTF_8)
+
+  /** Unix seconds (fractional ok) or RFC3339 → epoch ms. */
+  private def parseTime(s: String): Long =
+    if (s.matches("-?\\d+(\\.\\d+)?")) math.round(s.toDouble * 1000)
+    else java.time.Instant.parse(s).toEpochMilli
+
+  /** Step: float seconds or a Prometheus duration string. */
+  private def parseStep(s: String): Long =
+    if (s.matches("\\d+(\\.\\d+)?")) math.round(s.toDouble * 1000)
+    else PromQL.parseDuration(s)
+
+  /** Metadata window: absent bounds = the full range (exclusive scan
+    * bounds, so widen by one). */
+  private def window(p: Params): (Long, Long) = (
+    p.first("start").map(parseTime(_) - 1).getOrElse(Long.MinValue),
+    p.first("end").map(parseTime(_) + 1).getOrElse(Long.MaxValue))
+
+  private def apiLabel(col: String): String = {
+    val n = col.stripPrefix(TsdbSchema.LabelPrefix)
+    if (n == "name") "__name__" else n
+  }
+
+  private def sec(ms: Long): String = f"${ms / 1000.0}%.3f"
+
+  private def fmt(v: Double): String =
+    if (v == v.toLong.toDouble && math.abs(v) < 1e15) v.toLong.toString
+    else v.toString
+
+  private def jstr(s: String): String =
+    "\"" + s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case '\n' => "\\n"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
+
+  private def ok(ex: HttpExchange, dataJson: String): Unit =
+    text(ex, 200, s"""{"status":"success","data":$dataJson}""",
+      contentType = "application/json")
+
+  private def err(ex: HttpExchange, code: Int, typ: String,
+                  msg: String): Unit =
+    text(ex, code,
+      s"""{"status":"error","errorType":${jstr(typ)},"error":${jstr(msg)}}""",
+      contentType = "application/json")
+
+  private def text(ex: HttpExchange, code: Int, body: String,
+                   contentType: String = "text/plain"): Unit = {
+    val bytes = body.getBytes(UTF_8)
+    ex.getResponseHeaders.set("Content-Type", contentType)
+    ex.sendResponseHeaders(code, bytes.length)
+    ex.getResponseBody.write(bytes)
+  }
+}

@@ -1,0 +1,130 @@
+package graft.tsdb
+
+import java.net.URI
+import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+import java.nio.charset.StandardCharsets.UTF_8
+
+import graft.SparkSpec
+import graft.model.Matcher
+
+/** The HTTP layer drives every wired surface over REAL loopback HTTP —
+  * a client that speaks Prometheus (query/query_range/metadata/
+  * federate/remote-write/remote-read) gets Prometheus-shaped answers
+  * from the Spark engine. */
+class PromHttpServerSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val wide = Seq(
+    (1000L, 1.0, "up", "a"), (2000L, 3.0, "up", "a"),
+    (1000L, 2.0, "up", "b"),
+    (1500L, 700.0, "lat", "a"))
+    .toDF("time", "value", "labels.name", "labels.user")
+
+  private lazy val server = new PromHttpServer(spark, wide,
+    exemplars = Some(Exemplars.fromSamples(wide, threshold = 100.0)))
+  private lazy val port = server.start()
+  private val client = HttpClient.newHttpClient()
+
+  private def get(pathQ: String): (Int, String) = {
+    val r = client.send(
+      HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:$port$pathQ"))
+        .GET().build(),
+      HttpResponse.BodyHandlers.ofString())
+    (r.statusCode(), r.body())
+  }
+
+  private def post(path: String, body: Array[Byte]): (Int, Array[Byte]) = {
+    val r = client.send(
+      HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:$port$path"))
+        .POST(HttpRequest.BodyPublishers.ofByteArray(body)).build(),
+      HttpResponse.BodyHandlers.ofByteArray())
+    (r.statusCode(), r.body())
+  }
+
+  test("instant query: vector and scalar result types over HTTP") {
+    val (c, b) = get("/api/v1/query?query=" +
+      java.net.URLEncoder.encode("""sum by (user) ({name="up"})""", UTF_8) +
+      "&time=2")
+    assert(c == 200, b)
+    assert(b.contains(""""status":"success""""))
+    assert(b.contains(""""resultType":"vector""""))
+    assert(b.contains("""{"metric":{"user":"a"},"value":[2.000,"3.0"]}"""))
+    assert(b.contains("""{"metric":{"user":"b"},"value":[2.000,"2.0"]}"""))
+    val (c2, b2) = get("/api/v1/query?query=1%2B2&time=2")
+    assert(c2 == 200 &&
+      b2.contains(""""resultType":"scalar","result":[2.000,"3"]"""), b2)
+  }
+
+  test("query_range: matrix result over HTTP, step as duration or seconds") {
+    val (c, b) = get("/api/v1/query_range?query=" +
+      java.net.URLEncoder.encode("""sum by (user) ({name="up"})""", UTF_8) +
+      "&start=1&end=2&step=1s")
+    assert(c == 200, b)
+    assert(b.contains(""""resultType":"matrix""""))
+    assert(b.contains(
+      """{"metric":{"user":"a"},"values":[[1.000,"1.0"],[2.000,"3.0"]]}"""))
+  }
+
+  test("metadata endpoints: labels, values, series with match[] text") {
+    assert(get("/api/v1/labels")._2.contains("""["name","user"]"""))
+    assert(get("/api/v1/label/user/values")._2.contains("""["a","b"]"""))
+    val (c, b) = get("/api/v1/series?match[]=" +
+      java.net.URLEncoder.encode("""{name=~"u.*"}""", UTF_8))
+    assert(c == 200, b)
+    assert(b.contains(""""__name__":"up"""") && b.contains(""""user":"b""""))
+    assert(!b.contains("lat")) // anchored: u.* does not match lat
+    // series REQUIRES a selector (Prometheus contract)
+    assert(get("/api/v1/series")._1 == 400)
+  }
+
+  test("federate: exposition text of the matched current samples") {
+    val (c, b) = get("/federate?match[]=" +
+      java.net.URLEncoder.encode("""{name="up"}""", UTF_8) + "&time=3")
+    assert(c == 200, b)
+    assert(b.contains("""up{user="a"} 3.0 2000""") ||
+      b.contains("""up{user="a"} 3 2000"""), b)
+  }
+
+  test("remote-write receiver: pushed samples become queryable") {
+    val payload = RemoteWrite.encodeRequest(Seq(RemoteWrite.encodeSeries(
+      Seq("__name__" -> "pushed", "user" -> "z"), Seq(5000L -> 42.0))))
+    assert(post("/api/v1/write", payload)._1 == 204)
+    val (c, b) = get("/api/v1/query?query=" +
+      java.net.URLEncoder.encode("""{name="pushed"}""", UTF_8) + "&time=6")
+    assert(c == 200, b)
+    assert(b.contains(""""user":"z"""") && b.contains("""[6.000,"42.0"]"""), b)
+  }
+
+  test("remote-read responder: the SAMPLED protocol round-trips") {
+    val req = RemoteRead.encodeReadRequest(RemoteRead.ReadRequest(Seq(
+      RemoteRead.ReadQuery(0L, 10000L, Seq(Matcher.Eq("__name__", "up"),
+        Matcher.Eq("user", "a"))))))
+    val (c, resp) = post("/api/v1/read", req)
+    assert(c == 200)
+    val got = RemoteRead.decodeReadResponse(resp)
+    assert(got.map { case (_, t, v, ls) => (ls("user"), t, v) }.toSet ==
+      Set(("a", 1000L, 1.0), ("a", 2000L, 3.0)))
+  }
+
+  test("exemplars, status, parse/format, health and errors") {
+    val (c, b) = get("/api/v1/query_exemplars?query=" +
+      java.net.URLEncoder.encode("""{name="lat"}""", UTF_8) +
+      "&start=0&end=10")
+    assert(c == 200, b)
+    assert(b.contains(""""seriesLabels":{"__name__":"lat","user":"a"}"""), b)
+    assert(b.contains(""""value":"700""""))
+    // the remote-write test already pushed a 4th series by the time
+    // this runs (suite order) — the stats see the widened head
+    val (cs, bs) = get("/api/v1/status/tsdb")
+    assert(cs == 200 && bs.contains(""""numSeries":4"""), bs)
+    assert(bs.contains("""{"name":"up","value":2}"""))
+    assert(get("/api/v1/format_query?query=sum((up))")._2
+      .contains(""""data":"sum(up)""""))
+    assert(get("/api/v1/parse_query?query=up")._2
+      .contains(""""type":"vectorSelector""""))
+    assert(get("/-/healthy")._1 == 200)
+    val (ce, be) = get("/api/v1/query?query=sum((")
+    assert(ce == 400 && be.contains(""""errorType":"bad_data""""), be)
+    assert(get("/api/v1/nope")._1 == 404)
+  }
+}
