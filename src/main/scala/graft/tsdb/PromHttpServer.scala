@@ -43,7 +43,10 @@ import scala.util.control.NonFatal
   */
 final class PromHttpServer(spark: SparkSession, initial: DataFrame,
                            exemplars: Option[DataFrame] = None,
-                           lookbackMs: Long = 300000L) {
+                           lookbackMs: Long = 300000L,
+                           rules: Option[String] = None,
+                           rulesIntervalMs: Long = 60000L,
+                           rulesHorizonMs: Long = 86400000L) {
 
   @volatile private var wide: DataFrame = initial
   private var server: HttpServer = _
@@ -83,6 +86,8 @@ final class PromHttpServer(spark: SparkSession, initial: DataFrame,
             p.stripPrefix("/api/v1/label/").stripSuffix("/values"))
         case "/api/v1/series" => series(ex, params)
         case "/api/v1/query_exemplars" => queryExemplars(ex, params)
+        case "/api/v1/rules" => rulesEndpoint(ex, params, alertsOnly = false)
+        case "/api/v1/alerts" => rulesEndpoint(ex, params, alertsOnly = true)
         case "/api/v1/status/tsdb" => statusTsdb(ex)
         case "/api/v1/format_query" =>
           ok(ex, jstr(QueryApi.formatQuery(required(params, "query"))))
@@ -203,6 +208,103 @@ final class PromHttpServer(spark: SparkSession, initial: DataFrame,
     }
     ok(ex, out.mkString("[", ",", "]"))
   }
+
+  /** `/api/v1/rules` and `/api/v1/alerts` — the rules engine's live
+    * state over the served head: each configured group re-evaluates on
+    * its interval grid over the trailing `rulesHorizonMs`, and the
+    * state at the last tick ≤ `time` (a param for determinism, else
+    * now) renders in the API's shape — per-rule `state` =
+    * firing > pending > inactive, per-element `alerts` with
+    * `activeAt`/`value`. Each rule is ONE evalRange pass. */
+  private def rulesEndpoint(ex: HttpExchange, p: Params,
+                            alertsOnly: Boolean): Unit = {
+    val yaml = rules.getOrElse(
+      throw new IllegalArgumentException("no rule files configured"))
+    val at = p.first("time").map(parseTime)
+      .getOrElse(System.currentTimeMillis())
+    import AlertRules.{AlertRule, RecordingRule}
+    val groupsJson = RuleFiles.parse(yaml).map { g =>
+      val interval = g.intervalMs.getOrElse(rulesIntervalMs)
+      val lastTick = (at / interval) * interval
+      val (_, alertsDf) = AlertRules.evaluateGroup(g.rules, wide,
+        start = lastTick - (rulesHorizonMs / interval) * interval,
+        end = lastTick, stepMs = interval, lookbackMs = lookbackMs)
+      val active: Seq[(String, Seq[(String, String)], Long, Double,
+          String)] = alertsDf match {
+        case None => Nil
+        case Some(df) =>
+          val rows = df.where(col("t") === lastTick)
+          val cols = rows.columns
+          val skip = Set("alertname", "t", "active_at", "alertstate",
+            TsdbSchema.ValueCol)
+          rows.collect().toSeq.map { r =>
+            val ls = cols.zipWithIndex.flatMap { case (cn, ix) =>
+              if (skip(cn)) None
+              else Option(r.get(ix)).map(v => apiLabel(cn) -> v.toString)
+            }.toSeq.filter(_._1 != "__name__")
+            (r.getAs[String]("alertname"), ls, r.getAs[Long]("active_at"),
+              r.getAs[Double](TsdbSchema.ValueCol),
+              r.getAs[String]("alertstate"))
+          }
+      }
+      def alertJson(name: String, rl: Map[String, String],
+                    anns: Map[String, String]): (String, String) = {
+        val mine = active.filter(_._1 == name)
+        val state =
+          if (mine.exists(_._5 == "firing")) "firing"
+          else if (mine.nonEmpty) "pending" else "inactive"
+        val items = mine.sortBy(_._2.mkString(",")).map {
+          case (_, ls, activeAt, v, st) =>
+            val lj = (ls ++ rl.toSeq :+ ("alertname" -> name))
+              .distinct.sortBy(_._1)
+              .map { case (k, vv) => jstr(k) + ":" + jstr(vv) }
+              .mkString("{", ",", "}")
+            s"""{"labels":$lj,"annotations":${mapJson(anns)},""" +
+              s""""state":${jstr(st)},"activeAt":${jstr(rfc3339(activeAt))},""" +
+              s""""value":${jstr(fmt(v))}}"""
+        }
+        (state, items.mkString("[", ",", "]"))
+      }
+      val rulesJson = g.rules.map {
+        case AlertRule(n, e, forMs, rl, anns) =>
+          val (state, items) = alertJson(n, rl, anns)
+          s"""{"type":"alerting","name":${jstr(n)},"query":${jstr(e)},""" +
+            s""""duration":${forMs / 1000},"labels":${mapJson(rl)},""" +
+            s""""annotations":${mapJson(anns)},"state":${jstr(state)},""" +
+            s""""alerts":$items,"health":"ok"}"""
+        case RecordingRule(n, e, rl) =>
+          s"""{"type":"recording","name":${jstr(n)},"query":${jstr(e)},""" +
+            s""""labels":${mapJson(rl)},"health":"ok"}"""
+      }
+      (s"""{"name":${jstr(g.name)},"file":"<inline>",""" +
+        s""""interval":${interval / 1000},""" +
+        s""""rules":${rulesJson.mkString("[", ",", "]")}}""",
+        active)
+    }
+    if (alertsOnly) {
+      // /api/v1/alerts: the flat active-alert list across every group
+      val items = groupsJson.flatMap(_._2)
+        .sortBy { case (n, ls, _, _, _) => (n, ls.mkString(",")) }
+        .map { case (n, ls, activeAt, v, st) =>
+          val lj = (ls :+ ("alertname" -> n)).distinct.sortBy(_._1)
+            .map { case (k, vv) => jstr(k) + ":" + jstr(vv) }
+            .mkString("{", ",", "}")
+          s"""{"labels":$lj,"annotations":{},"state":${jstr(st)},""" +
+            s""""activeAt":${jstr(rfc3339(activeAt))},""" +
+            s""""value":${jstr(fmt(v))}}"""
+        }
+      ok(ex, s"""{"alerts":${items.mkString("[", ",", "]")}}""")
+    } else
+      ok(ex, s"""{"groups":${groupsJson.map(_._1).mkString("[", ",", "]")}}""")
+  }
+
+  private def mapJson(m: Map[String, String]): String =
+    m.toSeq.sortBy(_._1)
+      .map { case (k, v) => jstr(k) + ":" + jstr(v) }
+      .mkString("{", ",", "}")
+
+  private def rfc3339(ms: Long): String =
+    java.time.Instant.ofEpochMilli(ms).toString
 
   private def statusTsdb(ex: HttpExchange): Unit = {
     val stats = TsdbStats.headStats(TsdbTable(wide), Long.MinValue,

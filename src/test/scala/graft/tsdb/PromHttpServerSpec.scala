@@ -25,9 +25,11 @@ class PromHttpServerSpec extends SparkSpec {
   private lazy val port = server.start()
   private val client = HttpClient.newHttpClient()
 
-  private def get(pathQ: String): (Int, String) = {
+  private def get(pathQ: String): (Int, String) = getAt(port, pathQ)
+
+  private def getAt(p: Int, pathQ: String): (Int, String) = {
     val r = client.send(
-      HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:$port$pathQ"))
+      HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:$p$pathQ"))
         .GET().build(),
       HttpResponse.BodyHandlers.ofString())
     (r.statusCode(), r.body())
@@ -104,6 +106,38 @@ class PromHttpServerSpec extends SparkSpec {
     val got = RemoteRead.decodeReadResponse(resp)
     assert(got.map { case (_, t, v, ls) => (ls("user"), t, v) }.toSet ==
       Set(("a", 1000L, 1.0), ("a", 2000L, 3.0)))
+  }
+
+  test("rules and alerts endpoints: live rule-file state in the API shape") {
+    val srv2 = new PromHttpServer(spark, wide,
+      rules = Some(
+        """groups:
+          |  - name: g
+          |    interval: 1s
+          |    rules:
+          |      - record: up_sum
+          |        expr: sum by (user) ({name="up"})
+          |      - alert: up_hot
+          |        expr: '{name="up"} > 2'
+          |        labels:
+          |          severity: page
+          |""".stripMargin),
+      rulesHorizonMs = 5000L)
+    val p2 = srv2.start()
+    try {
+      val (c, b) = getAt(p2, "/api/v1/rules?time=2")
+      assert(c == 200, b)
+      assert(b.contains(""""type":"recording","name":"up_sum""""), b)
+      assert(b.contains(""""type":"alerting","name":"up_hot""""))
+      assert(b.contains(""""state":"firing"""")) // for: absent = 0s
+      assert(b.contains(""""severity":"page"""") &&
+        b.contains(""""user":"a"""") && !b.contains("__name__"), b)
+      assert(b.contains(""""value":"3""""))
+      val (ca, ba) = getAt(p2, "/api/v1/alerts?time=2")
+      assert(ca == 200 && ba.contains(""""alertname":"up_hot""""), ba)
+      // no rule files on the main server
+      assert(get("/api/v1/rules")._1 == 400)
+    } finally srv2.stop()
   }
 
   test("exemplars, status, parse/format, health and errors") {
