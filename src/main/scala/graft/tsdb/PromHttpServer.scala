@@ -43,6 +43,7 @@ import scala.util.control.NonFatal
   */
 final class PromHttpServer(spark: SparkSession, initial: DataFrame,
                            exemplars: Option[DataFrame] = None,
+                           metadata: Option[DataFrame] = None,
                            lookbackMs: Long = 300000L,
                            rules: Option[String] = None,
                            rulesIntervalMs: Long = 60000L,
@@ -88,6 +89,7 @@ final class PromHttpServer(spark: SparkSession, initial: DataFrame,
         case "/api/v1/query_exemplars" => queryExemplars(ex, params)
         case "/api/v1/rules" => rulesEndpoint(ex, params, alertsOnly = false)
         case "/api/v1/alerts" => rulesEndpoint(ex, params, alertsOnly = true)
+        case "/api/v1/metadata" => metadataEndpoint(ex, params)
         case "/api/v1/status/tsdb" => statusTsdb(ex)
         case "/api/v1/format_query" =>
           ok(ex, jstr(QueryApi.formatQuery(required(params, "query"))))
@@ -305,6 +307,26 @@ final class PromHttpServer(spark: SparkSession, initial: DataFrame,
 
   private def rfc3339(ms: Long): String =
     java.time.Instant.ofEpochMilli(ms).toString
+
+  /** `/api/v1/metadata` — metric metadata (type/unit/help) from the
+    * configured view (OpenMetrics `# TYPE/UNIT/HELP` triples or WAL
+    * kind-6 records), optionally filtered by `metric` and truncated by
+    * `limit`. */
+  private def metadataEndpoint(ex: HttpExchange, p: Params): Unit = {
+    val view = metadata.getOrElse(
+      throw new IllegalArgumentException("no metric metadata available"))
+    val filtered = p.first("metric")
+      .fold(view)(m => view.where(col("metric") === m))
+    val limit = p.first("limit").map(_.toInt)
+    val rows0 = filtered.collect().toSeq.sortBy(_.getString(0))
+    val rows = limit.fold(rows0)(rows0.take)
+    val out = rows.map { r =>
+      jstr(r.getString(0)) + ":[" +
+        s"""{"type":${jstr(r.getString(1))},"unit":${jstr(r.getString(2))},""" +
+        s""""help":${jstr(r.getString(3))}}]"""
+    }
+    ok(ex, out.mkString("{", ",", "}"))
+  }
 
   private def statusTsdb(ex: HttpExchange): Unit = {
     val stats = TsdbStats.headStats(TsdbTable(wide), Long.MinValue,

@@ -21,7 +21,10 @@ class PromHttpServerSpec extends SparkSpec {
     .toDF("time", "value", "labels.name", "labels.user")
 
   private lazy val server = new PromHttpServer(spark, wide,
-    exemplars = Some(Exemplars.fromSamples(wide, threshold = 100.0)))
+    exemplars = Some(Exemplars.fromSamples(wide, threshold = 100.0)),
+    metadata = Some(Seq(("up", "gauge", "", "liveness"),
+        ("lat", "histogram", "seconds", "latency"))
+      .toDF("metric", "type", "unit", "help")))
   private lazy val port = server.start()
   private val client = HttpClient.newHttpClient()
 
@@ -157,6 +160,11 @@ class PromHttpServerSpec extends SparkSpec {
     assert(get("/api/v1/parse_query?query=up")._2
       .contains(""""type":"vectorSelector""""))
     assert(get("/-/healthy")._1 == 200)
+    val (cm, bm) = get("/api/v1/metadata?metric=lat")
+    assert(cm == 200 && bm.contains(
+      """"lat":[{"type":"histogram","unit":"seconds","help":"latency"}]"""),
+      bm)
+    assert(get("/api/v1/metadata")._2.contains(""""up":[{"type":"gauge""""))
     val (ce, be) = get("/api/v1/query?query=sum((")
     assert(ce == 400 && be.contains(""""errorType":"bad_data""""), be)
     assert(get("/api/v1/nope")._1 == 404)
