@@ -28,12 +28,28 @@ object Federate {
     * matching ANY of `selectors`, at scrape instant `at`. The table's
     * metric-name label (`labels.name`) renders as the metric name;
     * every other non-absent label renders inside the braces, keys
-    * sorted (deterministic output, as the exporter contract). */
+    * sorted (deterministic output, as the exporter contract).
+    *
+    * `externalLabels` reproduce Prometheus's federation contract: each
+    * configured external label is added to every exported series that
+    * does NOT already carry that label name — the series' own value
+    * always wins (the hierarchical-federation dedup mechanism). */
   def federate(t: TsdbTable, selectors: Seq[Seq[Matcher]],
-               at: Long, lookbackMs: Long): DataFrame = {
+               at: Long, lookbackMs: Long,
+               externalLabels: Seq[(String, String)] = Nil): DataFrame = {
     val slice = t.selectAny(Long.MinValue, Long.MaxValue, selectors)
     val iv = RangeVectors.instant(slice, at, lookbackMs)
-    SampleReaders.toOpenMetricsLines(longForm(iv))
+    val lf = longForm(iv)
+    val withExt =
+      if (externalLabels.isEmpty) lf
+      else {
+        val ext = map(externalLabels.flatMap { case (k, v) =>
+          Seq(lit(k), lit(v)) }: _*)
+        lf.withColumn("labels", map_concat(
+          map_filter(ext, (k, _) => !map_contains_key(col("labels"), k)),
+          col("labels")))
+      }
+    SampleReaders.toOpenMetricsLines(withExt)
   }
 
   /** Wide instant-vector rows → the long `(time, value, labels MAP)`

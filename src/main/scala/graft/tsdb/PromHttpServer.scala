@@ -47,7 +47,8 @@ final class PromHttpServer(spark: SparkSession, initial: DataFrame,
                            lookbackMs: Long = 300000L,
                            rules: Option[String] = None,
                            rulesIntervalMs: Long = 60000L,
-                           rulesHorizonMs: Long = 86400000L) {
+                           rulesHorizonMs: Long = 86400000L,
+                           externalLabels: Seq[(String, String)] = Nil) {
 
   @volatile private var wide: DataFrame = initial
   private var server: HttpServer = _
@@ -357,7 +358,8 @@ final class PromHttpServer(spark: SparkSession, initial: DataFrame,
     require(sels.nonEmpty, "no match[] parameter provided")
     val at = p.first("time").map(parseTime)
       .getOrElse(System.currentTimeMillis())
-    val lines = Federate.federate(TsdbTable(wide), sels, at, lookbackMs)
+    val lines = Federate.federate(TsdbTable(wide), sels, at, lookbackMs,
+      externalLabels)
     text(ex, 200, lines.as[String].collect().mkString("", "\n", "\n"),
       contentType = "text/plain; version=0.0.4")
   }

@@ -73,6 +73,15 @@ class TsdbMetaSpec extends SparkSpec {
     // out-of-lookback series federate as nothing (the staleness rule)
     assert(Federate.federate(ft, Seq(Seq(Matcher.Eq("name", "up"))),
       at = 500L, lookbackMs = 100L).count() == 0)
+    // external labels (the federation-hierarchy contract): added where
+    // the series lacks the label, the series' OWN value always wins
+    val ext = Federate.federate(ft, Seq(Seq(Matcher.Eq("name", "up"))),
+      at = 25L, lookbackMs = 100L,
+      externalLabels = Seq("cluster" -> "c1", "user" -> "EXT"))
+      .as[String].collect().toSet
+    assert(ext == Set(
+      "up{cluster=\"c1\",user=\"a\"} 3.0 20",   // user=a wins over EXT
+      "up{cluster=\"c1\",user=\"EXT\"} 7.0 20")) // absent user gets EXT
   }
 
   test("status/tsdb cardinality stats: series universe, top-k, absent-label drop") {
