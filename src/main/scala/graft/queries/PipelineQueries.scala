@@ -507,6 +507,17 @@ object PipelineQueries {
       Similarity.ivfKnn(emb, emb.where(col("vec_id") < 5),
         "vec_id", "embedding", dim = 64, k = 3, nCells = 8)
     }),
+    // Q46: PRODUCT-QUANTIZATION ANN (PQ + ADC) — the compressed-vector
+    // scale path: 2 subspaces × 4 trained codewords (deterministic
+    // Lloyd per subspace), corpus scored by per-probe distance-table
+    // lookups. The oracle replays the ENTIRE pipeline — bootstrap,
+    // per-subspace update, encoding, ADC tables, rank — in SQL.
+    "pipe_q46_pq_knn" -> ((s, dir) => {
+      val emb = load(s, dir, "embeddings")
+      Similarity.pqKnn(emb, emb.where(col("vec_id") < 3),
+        "vec_id", "embedding", dim = 64, m = 2, kCodes = 4, iters = 1,
+        topK = 5)
+    }),
     // IVF with the recall knob: each probe searches its 2 nearest
     // cells (candidates = union of cell-keyed joins, never a cross
     // product) — the nProbe > 1 shape a 100 TB ANN deployment runs
@@ -747,7 +758,66 @@ object PipelineQueries {
       .stripMargin
   }
 
+  /** The PQ/ADC replay: per-subspace bootstrap + one Lloyd update +
+    * encoding + probe distance tables + rank, all in SQL. Mirrors
+    * [[duckKmeansCtes]]'s fragments per subspace. */
+  private val duckPqCtes: String = {
+    val k = 4; val sub = 32; val probeMax = 3
+    def dist(vExpr: String, o: Int, c: String) =
+      s"""list_sum(list_transform(range(1, ${sub + 1}), i ->
+         |      ($vExpr[$o+i] - $c[i]) * ($vExpr[$o+i] - $c[i])))""".stripMargin
+    val perSub = (0 until 2).map { j =>
+      val o = j * sub
+      s"""c0_$j AS (SELECT cluster,
+         |    list_transform(range(1, ${sub + 1}), i -> v[$o+i]) AS cv
+         |  FROM boot),
+         |a1_$j AS (SELECT id, cluster FROM (
+         |    SELECT e.id, c0_$j.cluster, ${dist("e.v", o, s"c0_$j.cv")} AS d
+         |    FROM e, c0_$j)
+         |  QUALIFY row_number() OVER (PARTITION BY id ORDER BY d, cluster) = 1),
+         |m1_$j AS (SELECT a1_$j.cluster, t.i, round(avg(e.v[$o+t.i]), 6) AS mu
+         |  FROM a1_$j JOIN e USING (id), unnest(range(1, ${sub + 1})) AS t(i)
+         |  GROUP BY 1, 2),
+         |g_$j AS (SELECT cluster, cv, unnest(range(1, ${sub + 1})) AS i FROM c0_$j),
+         |c1_$j AS (SELECT g_$j.cluster,
+         |    list(coalesce(m1_$j.mu, g_$j.cv[g_$j.i]) ORDER BY g_$j.i) AS cv
+         |  FROM g_$j LEFT JOIN m1_$j
+         |    ON m1_$j.cluster = g_$j.cluster AND m1_$j.i = g_$j.i
+         |  GROUP BY 1),
+         |code_$j AS (SELECT id, cluster AS code FROM (
+         |    SELECT e.id, c1_$j.cluster, ${dist("e.v", o, s"c1_$j.cv")} AS d
+         |    FROM e, c1_$j)
+         |  QUALIFY row_number() OVER (PARTITION BY id ORDER BY d, cluster) = 1),
+         |tab_$j AS (SELECT p.id AS probe_id, c1_$j.cluster,
+         |    ${dist("p.v", o, s"c1_$j.cv")} AS d
+         |  FROM (SELECT * FROM e WHERE id < $probeMax) p, c1_$j)"""
+        .stripMargin
+    }.mkString(",\n")
+    s"""WITH e AS (SELECT vec_id AS id,
+       |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |  FROM embeddings),
+       |boot AS (SELECT CAST(row_number() OVER (ORDER BY h, id) - 1
+       |      AS INTEGER) AS cluster, v
+       |  FROM (SELECT id, v, ${Hashing.duckHash64("CAST(id AS VARCHAR)")} AS h FROM e)
+       |  QUALIFY row_number() OVER (ORDER BY h, id) <= $k),
+       |$perSub,
+       |adist AS (SELECT tab_0.probe_id, code_0.id AS nn_id,
+       |    tab_0.d + tab_1.d AS adist
+       |  FROM code_0 JOIN code_1 USING (id)
+       |  JOIN tab_0 ON tab_0.cluster = code_0.code
+       |  JOIN tab_1 ON tab_1.cluster = code_1.code
+       |    AND tab_1.probe_id = tab_0.probe_id
+       |  WHERE code_0.id <> tab_0.probe_id),
+       |ranked AS (SELECT *, row_number() OVER (PARTITION BY probe_id
+       |    ORDER BY adist, nn_id) AS rank FROM adist)""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
+    "pipe_q46_pq_knn" ->
+      s"""$duckPqCtes
+         |SELECT probe_id, nn_id, round(adist, 6) AS adist,
+         |  CAST(rank AS BIGINT) AS rank
+         |FROM ranked WHERE rank <= 5""".stripMargin,
     "pipe_q1_exact_dedup" ->
       """SELECT md5(text) AS text_md5, min(doc_id) AS keeper_id,
         |  count(*) AS n_copies

@@ -118,6 +118,26 @@ class SimilaritySpec extends SparkSpec {
       dim = 4, k = 3, nCells = 2)
     assert(got.count() >= 1)
   }
+
+  test("pq knn: ADC ranks the obvious geometry, deterministically") {
+    // 2 subspaces of 2 dims, 2 codewords each: quantization groups the
+    // x-axis family apart from the orthogonal/opposite vectors, so the
+    // clear nearest neighbour (1) must rank above the opposite (4)
+    def run() = Similarity.pqKnn(emb, emb.where($"vec_id" === 0),
+      "vec_id", "embedding", dim = 4, m = 2, kCodes = 2, iters = 1,
+      topK = 4)
+      .orderBy($"rank").select($"nn_id", $"adist").as[(Long, Double)]
+      .collect().toSeq
+    val got = run()
+    assert(got.map(_._1).indexOf(1L) < got.map(_._1).indexOf(4L), got)
+    // approximate distances are non-negative and non-decreasing in rank
+    assert(got.map(_._2).forall(_ >= 0.0))
+    assert(got.map(_._2) == got.map(_._2).sorted)
+    // deterministic end to end (bootstrap, means, ties, tables)
+    assert(run() == got)
+    // self-match excluded
+    assert(!got.map(_._1).contains(0L))
+  }
 }
 
 class MultimodalSpec extends SparkSpec {
