@@ -475,6 +475,13 @@ object ScaleStress {
       graft.operators.Similarity.ivfKnn(embAnnN,
         embAnn.where(col("vec_id") < 50), "vec_id", "embedding",
         dim = 64, k = 10, nCells = 16, nProbe = 2).count())
+    // PQ/ADC at the same (10·N)x corpus: training collects stay
+    // codebook-sized, encoding + table-lookup scoring are map passes —
+    // the compressed-vector path must scale like a scan, not like FLOPs
+    time(s"pq knn ${factor * 10}x corpus")(
+      graft.operators.Similarity.pqKnn(embAnnN,
+        embAnn.where(col("vec_id") < 50), "vec_id", "embedding",
+        dim = 64, m = 2, kCodes = 4, iters = 1, topK = 10).count())
 
     // lifecycle tier at Nx: compaction must scale in bytes (one range
     // shuffle), retention in TOUCHED bytes only — the footer triage must
