@@ -172,56 +172,9 @@ object Similarity {
     val sub = dim / m
     val base = corpus.select(col(idCol).cast("long").as("id"),
       col(vecCol).cast("array<double>").as("v")).persist()
-
-    // deterministic bootstrap: the same portable-hash-ordered kCodes
-    // rows for every subspace (ONE kCodes·dim collect), sliced
-    val boot: IndexedSeq[IndexedSeq[Double]] = base
-      .withColumn("h", graft.functions.Hashing.hash64(col("id").cast("string")))
-      .orderBy(col("h").asc, col("id").asc)
-      .limit(kCodes)
-      .select(col("v")).collect()
-      .map(_.getSeq[Double](0).toIndexedSeq).toIndexedSeq
-    require(boot.size == kCodes, "pq: corpus smaller than the codebook")
-
-    def vSub(j: Int): Column = slice(col("v"), j * sub + 1, sub)
-
-    // per-subspace Lloyd — each iteration one posexplode aggregation
-    // over the subspace slice (k·sub result rows, partial-agg'd)
-    val codebooks: IndexedSeq[IndexedSeq[IndexedSeq[Double]]] =
-      (0 until m).map { j =>
-        var cents: IndexedSeq[IndexedSeq[Double]] =
-          boot.map(_.slice(j * sub, (j + 1) * sub))
-        (1 to iters).foreach { _ =>
-          val dists = cents.map(c => sqDistNative(vSub(j),
-            array(c.map(lit): _*)))
-          val mind = dists.reduce(least(_, _))
-          val cl = dists.zipWithIndex.tail.foldLeft(
-            when(dists.head === mind, lit(0))) { case (acc, (d, i)) =>
-            acc.when(d === mind, lit(i)) }
-          val means = base.withColumn("c", cl)
-            .select(col("c"), posexplode(vSub(j)).as(Seq("i", "x")))
-            .groupBy(col("c"), col("i"))
-            .agg(round(avg(col("x")), 6).as("mu"))
-            .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getDouble(2))
-            .toMap
-          cents = cents.zipWithIndex.map { case (old, c) =>
-            old.indices.map(i => means.getOrElse((c, i), old(i)))
-          }
-        }
-        cents
-      }
-
-    // encode: the corpus as m codes (map pass, first-match tie rule)
-    val codeCols = (0 until m).map { j =>
-      val dists = codebooks(j).map(c => sqDistNative(vSub(j),
-        array(c.map(lit): _*)))
-      val mind = dists.reduce(least(_, _))
-      dists.zipWithIndex.tail.foldLeft(
-        when(dists.head === mind, lit(0))) { case (acc, (d, i)) =>
-        acc.when(d === mind, lit(i)) }
-    }
+    val codebooks = trainCodebooks(base, dim, m, kCodes, iters)
     val encoded = base.select(col("id").as("nn_id"),
-      array(codeCols: _*).as("codes"))
+      array(pqCodeCols(codebooks, sub): _*).as("codes"))
 
     // ADC tables: per probe, the m·kCodes distances to every codeword,
     // computed on the DRIVER with the same left-to-right fold as the
@@ -230,17 +183,7 @@ object Similarity {
       col(vecCol).cast("array<double>")).collect()
       .map(r => (r.getLong(0), r.getSeq[Double](1).toIndexedSeq))
       .sortBy(_._1)
-    def sq(a: Seq[Double], b: Seq[Double]): Double = {
-      var acc = 0.0; var i = 0
-      while (i < a.length) { val d = a(i) - b(i); acc += d * d; i += 1 }
-      acc
-    }
-    val tabs = probeRows.map { case (_, pv) =>
-      (0 until m).flatMap { j =>
-        val pj = pv.slice(j * sub, (j + 1) * sub)
-        codebooks(j).map(c => sq(pj, c))
-      }
-    }
+    val tabs = probeRows.map(p => adcTable(codebooks, sub, p._2))
     val tabsLit = array(tabs.map(t => array(t.map(lit): _*)): _*)
     val pidsLit = array(probeRows.map(p => lit(p._1)): _*)
 
@@ -263,6 +206,141 @@ object Similarity {
       .select(col("probe_id"), col("nn_id"),
         round(col("adist"), 6).as("adist"), col("rank").cast("long").as("rank"))
   }
+
+  /** IVF + PQ — the COMPOSITION a production vector store runs at
+    * billion-vector scale: the IVF coarse quantizer prunes candidates
+    * (each corpus vector lives in one of `nCells` cells; a probe
+    * searches its `nProbe` nearest cells), and PQ compresses what gets
+    * scored (candidates cost m table lookups each, never vector math).
+    * Global codebooks over the raw vectors (the simple IVF-PQ variant;
+    * classic residual-PQ refines per cell — same plumbing, different
+    * training input). One cell-keyed broadcast equi-join carries the
+    * per-probe ADC tables — candidates are Σ probes × |probed cells|,
+    * never corpus × probes. */
+  def ivfPqKnn(corpus: DataFrame, probes: DataFrame,
+               idCol: String, vecCol: String, dim: Int, nCells: Int,
+               nProbe: Int, m: Int, kCodes: Int, iters: Int,
+               topK: Int): DataFrame = {
+    require(dim % m == 0, s"dim $dim must split into $m equal subspaces")
+    val sub = dim / m
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val base = corpus.select(col(idCol).cast("long").as("id"),
+      col(vecCol).cast("array<double>").as("v")).persist()
+    val codebooks = trainCodebooks(base, dim, m, kCodes, iters)
+
+    // cell argmax — the ivfKnn rule (lexicographic struct max: ties
+    // pick the LARGEST cell index)
+    val simArr = array((0 until nCells).map(c =>
+      dotNative(col("v"), centroid(c, dim))): _*)
+    val cellCol = array_max(zip_with(simArr,
+      sequence(lit(0), lit(nCells - 1)),
+      (s, i) => struct(s.as("s"), i.as("i"))))("i").cast("int")
+    val encoded = base.select(col("id").as("nn_id"), cellCol.as("cell"),
+      array(pqCodeCols(codebooks, sub): _*).as("codes"))
+
+    // probes on the driver: nProbe nearest cells by (dot desc, cell
+    // desc — the same last-max tie rule) + the ADC table, shipped as a
+    // tiny broadcast frame keyed on cell
+    val probeRows = probes.select(col(idCol).cast("long"),
+      col(vecCol).cast("array<double>")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toIndexedSeq))
+      .sortBy(_._1)
+    def dot(a: Seq[Double], c: Int): Double = {
+      var acc = 0.0; var j = 0
+      while (j < a.length) { acc += a(j) * unitVal(s"cell$c,$j"); j += 1 }
+      acc
+    }
+    val probePairs = probeRows.toSeq.flatMap { case (pid, pv) =>
+      val cells = (0 until nCells).map(c => (dot(pv, c), c))
+        .sortBy { case (s, c) => (-s, -c) }.take(nProbe).map(_._2)
+      val tab = adcTable(codebooks, sub, pv)
+      cells.map(c => (pid, c, tab))
+    }
+    val probeDf = probePairs.toDF("probe_id", "cell", "tab")
+
+    val adist = (0 until m).map { j =>
+      element_at(col("tab"),
+        lit(j * kCodes + 1) + element_at(col("codes"), j + 1))
+    }.reduce(_ + _)
+    val w = Window.partitionBy(col("probe_id"))
+      .orderBy(col("adist").asc, col("nn_id").asc)
+    encoded.join(broadcast(probeDf), Seq("cell"))
+      .where(col("nn_id") =!= col("probe_id"))
+      .withColumn("adist", adist)
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= topK)
+      .select(col("probe_id"), col("nn_id"),
+        round(col("adist"), 6).as("adist"), col("rank").cast("long").as("rank"))
+  }
+
+  /** Deterministic per-subspace Lloyd: portable-hash bootstrap (ONE
+    * kCodes·dim collect, sliced per subspace), 6dp-rounded means each
+    * iteration, first-match argmin ties — [[graft.operators.Clustering]]'s
+    * recipe applied m times over `slice(v)`. */
+  private def trainCodebooks(base: DataFrame, dim: Int, m: Int,
+                             kCodes: Int, iters: Int)
+      : IndexedSeq[IndexedSeq[IndexedSeq[Double]]] = {
+    val sub = dim / m
+    val boot: IndexedSeq[IndexedSeq[Double]] = base
+      .withColumn("h", graft.functions.Hashing.hash64(col("id").cast("string")))
+      .orderBy(col("h").asc, col("id").asc)
+      .limit(kCodes)
+      .select(col("v")).collect()
+      .map(_.getSeq[Double](0).toIndexedSeq).toIndexedSeq
+    require(boot.size == kCodes, "pq: corpus smaller than the codebook")
+    def vSub(j: Int): Column = slice(col("v"), j * sub + 1, sub)
+    (0 until m).map { j =>
+      var cents: IndexedSeq[IndexedSeq[Double]] =
+        boot.map(_.slice(j * sub, (j + 1) * sub))
+      (1 to iters).foreach { _ =>
+        val dists = cents.map(c => sqDistNative(vSub(j),
+          array(c.map(lit): _*)))
+        val mind = dists.reduce(least(_, _))
+        val cl = dists.zipWithIndex.tail.foldLeft(
+          when(dists.head === mind, lit(0))) { case (acc, (d, i)) =>
+          acc.when(d === mind, lit(i)) }
+        val means = base.withColumn("c", cl)
+          .select(col("c"), posexplode(vSub(j)).as(Seq("i", "x")))
+          .groupBy(col("c"), col("i"))
+          .agg(round(avg(col("x")), 6).as("mu"))
+          .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getDouble(2))
+          .toMap
+        cents = cents.zipWithIndex.map { case (old, c) =>
+          old.indices.map(i => means.getOrElse((c, i), old(i)))
+        }
+      }
+      cents
+    }
+  }
+
+  /** The m argmin-code columns over `col("v")` (map pass, first-match
+    * tie rule). */
+  private def pqCodeCols(codebooks: IndexedSeq[IndexedSeq[IndexedSeq[Double]]],
+                         sub: Int): Seq[Column] =
+    codebooks.indices.map { j =>
+      val vj = slice(col("v"), j * sub + 1, sub)
+      val dists = codebooks(j).map(c => sqDistNative(vj,
+        array(c.map(lit): _*)))
+      val mind = dists.reduce(least(_, _))
+      dists.zipWithIndex.tail.foldLeft(
+        when(dists.head === mind, lit(0))) { case (acc, (d, i)) =>
+        acc.when(d === mind, lit(i)) }
+    }
+
+  /** A probe's flattened ADC table (j-major, m·kCodes entries) — the
+    * same left-to-right squared-distance fold as the SQL oracle's
+    * list_sum. */
+  private def adcTable(codebooks: IndexedSeq[IndexedSeq[IndexedSeq[Double]]],
+                       sub: Int, pv: IndexedSeq[Double]): IndexedSeq[Double] =
+    codebooks.indices.flatMap { j =>
+      val pj = pv.slice(j * sub, (j + 1) * sub)
+      codebooks(j).map { c =>
+        var acc = 0.0; var i = 0
+        while (i < pj.length) { val d = pj(i) - c(i); acc += d * d; i += 1 }
+        acc
+      }
+    }
 
   /** lshBucket with a seed offset so multiple tables use independent
     * plane families; plane coordinates are literal arrays (see

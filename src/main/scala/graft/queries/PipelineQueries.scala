@@ -518,6 +518,16 @@ object PipelineQueries {
         "vec_id", "embedding", dim = 64, m = 2, kCodes = 4, iters = 1,
         topK = 5)
     }),
+    // Q47: IVF + PQ — the production vector-store COMPOSITION: the IVF
+    // coarse quantizer prunes (each probe searches its 2 nearest of 8
+    // cells), PQ compresses what gets scored (ADC lookups). One
+    // cell-keyed broadcast join; candidates = Σ probes × probed cells.
+    "pipe_q47_ivfpq_knn" -> ((s, dir) => {
+      val emb = load(s, dir, "embeddings")
+      Similarity.ivfPqKnn(emb, emb.where(col("vec_id") < 3),
+        "vec_id", "embedding", dim = 64, nCells = 8, nProbe = 2,
+        m = 2, kCodes = 4, iters = 1, topK = 5)
+    }),
     // IVF with the recall knob: each probe searches its 2 nearest
     // cells (candidates = union of cell-keyed joins, never a cross
     // product) — the nProbe > 1 shape a 100 TB ANN deployment runs
@@ -758,11 +768,12 @@ object PipelineQueries {
       .stripMargin
   }
 
-  /** The PQ/ADC replay: per-subspace bootstrap + one Lloyd update +
-    * encoding + probe distance tables + rank, all in SQL. Mirrors
+  /** The PQ/ADC training replay: per-subspace bootstrap + one Lloyd
+    * update + encoding + probe distance tables, all in SQL — the
+    * shared prefix of the PQ and IVF-PQ oracles. Mirrors
     * [[duckKmeansCtes]]'s fragments per subspace. */
-  private val duckPqCtes: String = {
-    val k = 4; val sub = 32; val probeMax = 3
+  private def duckPqTrain(probeMax: Int): String = {
+    val k = 4; val sub = 32
     def dist(vExpr: String, o: Int, c: String) =
       s"""list_sum(list_transform(range(1, ${sub + 1}), i ->
          |      ($vExpr[$o+i] - $c[i]) * ($vExpr[$o+i] - $c[i])))""".stripMargin
@@ -800,24 +811,63 @@ object PipelineQueries {
        |      AS INTEGER) AS cluster, v
        |  FROM (SELECT id, v, ${Hashing.duckHash64("CAST(id AS VARCHAR)")} AS h FROM e)
        |  QUALIFY row_number() OVER (ORDER BY h, id) <= $k),
-       |$perSub,
-       |adist AS (SELECT tab_0.probe_id, code_0.id AS nn_id,
-       |    tab_0.d + tab_1.d AS adist
-       |  FROM code_0 JOIN code_1 USING (id)
-       |  JOIN tab_0 ON tab_0.cluster = code_0.code
-       |  JOIN tab_1 ON tab_1.cluster = code_1.code
-       |    AND tab_1.probe_id = tab_0.probe_id
-       |  WHERE code_0.id <> tab_0.probe_id),
-       |ranked AS (SELECT *, row_number() OVER (PARTITION BY probe_id
-       |    ORDER BY adist, nn_id) AS rank FROM adist)""".stripMargin
+       |$perSub""".stripMargin
   }
+
+  /** The per-(probe, candidate) ADC sum + rank over a candidate CTE
+    * named `cand(probe_id, nn_id)`. */
+  private val duckAdcRankTail: String =
+    """,
+      |adist AS (SELECT cand.probe_id, cand.nn_id,
+      |    tab_0.d + tab_1.d AS adist
+      |  FROM cand
+      |  JOIN code_0 ON code_0.id = cand.nn_id
+      |  JOIN code_1 ON code_1.id = cand.nn_id
+      |  JOIN tab_0 ON tab_0.cluster = code_0.code
+      |    AND tab_0.probe_id = cand.probe_id
+      |  JOIN tab_1 ON tab_1.cluster = code_1.code
+      |    AND tab_1.probe_id = cand.probe_id),
+      |ranked AS (SELECT *, row_number() OVER (PARTITION BY probe_id
+      |    ORDER BY adist, nn_id) AS rank FROM adist)""".stripMargin
 
   val oracles: Map[String, String] = Map(
     "pipe_q46_pq_knn" ->
-      s"""$duckPqCtes
+      s"""${duckPqTrain(3)},
+         |cand AS (SELECT p.id AS probe_id, e.id AS nn_id
+         |  FROM e, (SELECT id FROM e WHERE id < 3) p
+         |  WHERE e.id <> p.id)${duckAdcRankTail}
          |SELECT probe_id, nn_id, round(adist, 6) AS adist,
          |  CAST(rank AS BIGINT) AS rank
          |FROM ranked WHERE rank <= 5""".stripMargin,
+    // IVF+PQ: candidates pruned to the probe's 2 nearest of 8 cells
+    // (corpus argmax cell = q13's list_position replay; probe cell rank
+    // by (sim DESC, cell DESC) — the same last-max tie rule), then the
+    // identical ADC sum + rank over the pruned candidate set
+    "pipe_q47_ivfpq_knn" -> {
+      val nCells = 8
+      val sims = (0 until nCells).map(c => duckCentroidDot(c, "v")).mkString(", ")
+      val varDot =
+        s"""list_sum(list_transform(range(1, 65), j -> p.v[j] *
+           |      (CAST(${Hashing.duckHash64(
+                    "'cell' || CAST(cl.c AS VARCHAR) || ',' || CAST(j - 1 AS VARCHAR)")}
+           |        % 2001 - 1000 AS DOUBLE) / 1000.0)))""".stripMargin
+      s"""${duckPqTrain(3)},
+         |cells AS (SELECT id, v,
+         |  $nCells - list_position(list_reverse([$sims]), list_max([$sims])) AS cell
+         |  FROM e),
+         |psims AS (SELECT p.id AS probe_id, cl.c AS cell, $varDot AS sim
+         |  FROM (SELECT * FROM e WHERE id < 3) p, range(0, $nCells) cl(c)),
+         |pcells AS (SELECT probe_id, cell FROM (SELECT *,
+         |    row_number() OVER (PARTITION BY probe_id
+         |      ORDER BY sim DESC, cell DESC) AS rk FROM psims)
+         |  WHERE rk <= 2),
+         |cand AS (SELECT pc.probe_id, cells.id AS nn_id
+         |  FROM cells JOIN pcells pc ON cells.cell = pc.cell
+         |  WHERE cells.id <> pc.probe_id)${duckAdcRankTail}
+         |SELECT probe_id, nn_id, round(adist, 6) AS adist,
+         |  CAST(rank AS BIGINT) AS rank
+         |FROM ranked WHERE rank <= 5""".stripMargin
+    },
     "pipe_q1_exact_dedup" ->
       """SELECT md5(text) AS text_md5, min(doc_id) AS keeper_id,
         |  count(*) AS n_copies

@@ -138,6 +138,26 @@ class SimilaritySpec extends SparkSpec {
     // self-match excluded
     assert(!got.map(_._1).contains(0L))
   }
+
+  test("ivf+pq: cell pruning composes with ADC, candidates stay pruned") {
+    val got = Similarity.ivfPqKnn(emb, emb.where($"vec_id" === 0),
+      "vec_id", "embedding", dim = 4, nCells = 2, nProbe = 1,
+      m = 2, kCodes = 2, iters = 1, topK = 4)
+      .select($"nn_id", $"adist").as[(Long, Double)].collect().toSeq
+    // searching ONE of two cells cannot return the whole corpus
+    assert(got.nonEmpty && got.size < 4, got)
+    assert(got.map(_._2).forall(_ >= 0.0))
+    // nProbe = nCells degrades to full-corpus PQ (same candidate set)
+    val full = Similarity.ivfPqKnn(emb, emb.where($"vec_id" === 0),
+      "vec_id", "embedding", dim = 4, nCells = 2, nProbe = 2,
+      m = 2, kCodes = 2, iters = 1, topK = 4)
+      .select($"nn_id", $"adist").as[(Long, Double)].collect().toSet
+    val pq = Similarity.pqKnn(emb, emb.where($"vec_id" === 0),
+      "vec_id", "embedding", dim = 4, m = 2, kCodes = 2, iters = 1,
+      topK = 4)
+      .select($"nn_id", $"adist").as[(Long, Double)].collect().toSet
+    assert(full == pq)
+  }
 }
 
 class MultimodalSpec extends SparkSpec {
