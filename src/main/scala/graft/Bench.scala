@@ -79,7 +79,7 @@ object Bench {
     // (parse + recording + alert state machine). q134 stays out — it
     // re-runs q108's block write
     "tsdb_q132_promql_absent_range", "tsdb_q133_promql_xdelta",
-    "tsdb_q135_rules_from_yaml", "pipe_q46_pq_knn")
+    "tsdb_q135_rules_from_yaml", "pipe_q46_pq_knn", "pipe_q47_ivfpq_knn")
 
   /** 1/5/15-minute fields of /proc/loadavg (empty off-Linux). */
   private def loadavg(): Seq[Double] =
