@@ -1561,6 +1561,32 @@ object TsdbQueries {
             element_at(col("r.value"), 2).cast("double").as("value"))
       } finally srv.stop()
     }),
+    // Q138: query_range over the HTTP layer — the matrix JSON contract
+    // (per-series sorted [t,"v"] pairs, epoch-second timestamps,
+    // string sample values) parsed back and hash-matched, completing
+    // q137's instant-vector pin with the dashboard-panel shape.
+    "tsdb_q138_http_query_range" -> ((s, dir) => {
+      val srv = new graft.tsdb.PromHttpServer(s, eventsAsTsdbStored(s, dir),
+        lookbackMs = 86400000L)
+      val port = srv.start()
+      try {
+        val url = s"http://127.0.0.1:$port/api/v1/query_range?query=" +
+          java.net.URLEncoder.encode(
+            """sum by (user) ({name="purchase"})""", "UTF-8") +
+          s"&start=${RangeStart / 1000}&end=${RangeEnd / 1000}&step=1d"
+        val body = new String(
+          new java.net.URI(url).toURL.openStream().readAllBytes(), "UTF-8")
+        import s.implicits._
+        s.read.json(Seq(body).toDS())
+          .select(explode(col("data.result")).as("r"))
+          .select(col("r.metric.user").as("user"),
+            explode(col("r.values")).as("p"))
+          .select(col("user"),
+            (element_at(col("p"), 1).cast("double") * 1000)
+              .cast("long").as("t"),
+            element_at(col("p"), 2).cast("double").as("value"))
+      } finally srv.stop()
+    }),
     // Q135: the RULE FILE wire form — q99's group re-expressed as the
     // YAML document a real Prometheus deployment ships
     // ([[graft.tsdb.RuleFiles]]): parse → ordered group evaluation on
@@ -3201,6 +3227,19 @@ object TsdbQueries {
          |    AND "labels.name" = 'purchase'
          |  GROUP BY 1, "labels.name", "labels.k")
          |SELECT "user", round(sum(value), 6) AS value FROM iv GROUP BY 1""".stripMargin,
+    // HTTP matrix ≡ the per-step instant sum over the grid (seconds →
+    // ms and string values recover exactly through the JSON contract)
+    "tsdb_q138_http_query_range" ->
+      s"""$duckTsdbCte,
+         |grid AS (SELECT CAST($RangeStart + unnest(range(0, 16)) * 86400000
+         |    AS BIGINT) AS gt),
+         |iv AS (SELECT gt, "labels.user" AS "user",
+         |  list_extract(max([CAST(time AS DOUBLE), value]), 2) AS value
+         |  FROM grid JOIN t ON t.time > gt - 86400000 AND t.time <= gt
+         |  WHERE "labels.name" = 'purchase'
+         |  GROUP BY gt, "labels.user", "labels.name", "labels.k")
+         |SELECT "user", gt AS t, round(sum(value), 6) AS value
+         |FROM iv GROUP BY 1, 2""".stripMargin,
     // rule-FILE replay ≡ q99's state machine + the literal rule label
     "tsdb_q135_rules_from_yaml" ->
       s"""$duckTsdbCte,

@@ -369,6 +369,17 @@ class PlanQualitySpec extends SparkSpec {
       s"the grid anti-join must broadcast the step set:\n$plan")
   }
 
+  test("ivf+pq: probe tables join BROADCAST on cell, corpus never shuffles for candidates") {
+    // the candidate join must broadcast the (probes × nProbe)-row table
+    // side — a shuffle here would move the whole encoded corpus to
+    // score a handful of probes
+    val plan = planOf("pipe_q47_ivfpq_knn")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"the probe-table join must broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"the candidate join must not shuffle-join:\n$plan")
+  }
+
   test("info(): the target_info side joins BROADCAST, never shuffled") {
     // info metrics are target-universe-sized; a shuffle join here would
     // move the full sample-side vector for a metadata-sized enrichment
