@@ -1561,6 +1561,30 @@ object TsdbQueries {
             element_at(col("r.value"), 2).cast("double").as("value"))
       } finally srv.stop()
     }),
+    // Q139: `promtool tsdb create-blocks-from rules` — a recording
+    // rule evaluated over the historical range and landed as REAL
+    // blocks ([[graft.tsdb.Backfill.fromRules]]), read back through
+    // the reference-pinned block reader. Identity with the per-step
+    // SQL replay proves rules × evalRange × block writer in one hash.
+    "tsdb_q139_rules_backfill" -> ((s, dir) => {
+      val root = Tables.scratchDir("graft_q139_rules")
+      val names = graft.tsdb.Backfill.fromRules(
+        """groups:
+          |  - name: backfill
+          |    interval: 1d
+          |    rules:
+          |      - record: user_daily_errors
+          |        expr: sum by (user) (count_over_time({name="error"}[1d]))
+          |""".stripMargin,
+        eventsAsTsdbStored(s, dir), start = RangeStart, end = RangeEnd,
+        defaultStepMs = 86400000L, lookbackMs = 86400000L, root,
+        blockRangeMs = 7L * 86400000L)
+      names.map(n => s.read.format("tsdb-block").load(s"$root/$n"))
+        .reduce(_ unionByName _)
+        .select(col("labels").getItem("__name__").as("name"),
+          col("labels").getItem("user").as("user"),
+          col("time"), col("value"))
+    }),
     // Q138: query_range over the HTTP layer — the matrix JSON contract
     // (per-series sorted [t,"v"] pairs, epoch-second timestamps,
     // string sample values) parsed back and hash-matched, completing
@@ -3227,6 +3251,17 @@ object TsdbQueries {
          |    AND "labels.name" = 'purchase'
          |  GROUP BY 1, "labels.name", "labels.k")
          |SELECT "user", round(sum(value), 6) AS value FROM iv GROUP BY 1""".stripMargin,
+    // rules backfill ≡ the recorded samples replayed per grid step
+    // (empty groups record nothing — the join drops them)
+    "tsdb_q139_rules_backfill" ->
+      s"""$duckTsdbCte,
+         |grid AS (SELECT CAST($RangeStart + unnest(range(0, 16)) * 86400000
+         |    AS BIGINT) AS gt)
+         |SELECT 'user_daily_errors' AS name, "labels.user" AS "user",
+         |  gt AS time, CAST(count(*) AS DOUBLE) AS value
+         |FROM grid JOIN t ON t.time > gt - 86400000 AND t.time <= gt
+         |WHERE "labels.name" = 'error'
+         |GROUP BY 2, gt""".stripMargin,
     // HTTP matrix ≡ the per-step instant sum over the grid (seconds →
     // ms and string values recover exactly through the JSON contract)
     "tsdb_q138_http_query_range" ->

@@ -37,6 +37,25 @@ object Backfill {
                   blockRangeMs: Long = 2L * 3600 * 1000): Seq[String] =
     TsdbBlockWriter.write(samples, destRoot, blockRangeMs)
 
+  /** `promtool tsdb create-blocks-from rules` — evaluate a rule FILE's
+    * recording rules over a historical range and land the recorded
+    * series as real TSDB blocks: [[RuleFiles.evaluate]] (each group on
+    * its own interval, rule labels attached) ∘ the one-shuffle block
+    * assembly. The promtool workflow for "I wish this recording rule
+    * had existed months ago" — here the historical evaluation is ONE
+    * evalRange pass per rule instead of promtool's step-by-step
+    * re-query loop. Alerting rules in the file are ignored, exactly as
+    * promtool does. */
+  def fromRules(rulesYaml: String, wide: DataFrame, start: Long, end: Long,
+                defaultStepMs: Long, lookbackMs: Long, destRoot: String,
+                blockRangeMs: Long = 2L * 3600 * 1000): Seq[String] = {
+    val (recorded, _) = RuleFiles.evaluate(rulesYaml, wide, start, end,
+      defaultStepMs, lookbackMs)
+    val rec = recorded.getOrElse(throw new IllegalArgumentException(
+      "create-blocks-from rules: the file has no recording rules"))
+    fromSamples(Federate.longForm(rec), destRoot, blockRangeMs)
+  }
+
   /** `/api/v1/admin/tsdb/snapshot`: materialize a consistent copy of
     * the data dir under `destDir` — every block hard-linked file by
     * file (copy when the link fails, e.g. across filesystems), the WAL
