@@ -63,4 +63,37 @@ class BackfillSpec extends SparkSpec {
     assert(canon(snap) === rows.map(r =>
       (r._1, r._2, r._3("__name__"), r._3("job"))).toSet)
   }
+
+  test("rules backfill: recorded series land as blocks; alert-only files refuse") {
+    import spark.implicits._
+    val wide = Seq(
+      (0L, 2.0, "err", "a"), (43200000L, 3.0, "err", "a"),
+      (43200000L, 5.0, "err", "b"))
+      .toDF("time", "value", "labels.name", "labels.user")
+    val dest = tmpDir("rules_backfill")
+    val names = Backfill.fromRules(
+      """groups:
+        |  - name: g
+        |    interval: 12h
+        |    rules:
+        |      - record: user_err
+        |        expr: sum by (user) ({name="err"})
+        |""".stripMargin,
+      wide, start = 0L, end = 43200000L, defaultStepMs = 1L,
+      lookbackMs = 43200000L, dest, blockRangeMs = 86400000L)
+    assert(names.nonEmpty)
+    val back = names.map(n => spark.read.format("tsdb-block")
+        .load(s"$dest/$n")).reduce(_ unionByName _)
+      .select(col("labels").getItem("__name__"),
+        col("labels").getItem("user"), col("time"), col("value"))
+      .as[(String, String, Long, Double)].collect().toSet
+    assert(back === Set(
+      ("user_err", "a", 0L, 2.0),
+      ("user_err", "a", 43200000L, 3.0),
+      ("user_err", "b", 43200000L, 5.0)))
+    // a file with no recording rules cannot backfill
+    intercept[IllegalArgumentException](Backfill.fromRules(
+      "groups:\n  - name: g\n    rules:\n      - alert: a\n        expr: up\n",
+      wide, 0L, 1L, 1L, 1L, tmpDir("rules_backfill_bad")))
+  }
 }
