@@ -92,6 +92,12 @@ final class PromHttpServer(spark: SparkSession, initial: DataFrame,
         case "/api/v1/alerts" => rulesEndpoint(ex, params, alertsOnly = true)
         case "/api/v1/metadata" => metadataEndpoint(ex, params)
         case "/api/v1/status/tsdb" => statusTsdb(ex)
+        case "/api/v1/status/buildinfo" =>
+          // the probe Grafana sends first to detect server features
+          ok(ex, """{"version":"3.0.0","revision":"graft",""" +
+            """"branch":"main","buildUser":"","buildDate":"",""" +
+            """"goVersion":"","features":{}}""")
+        case "/api/v1/status/flags" => ok(ex, "{}")
         case "/api/v1/format_query" =>
           ok(ex, jstr(QueryApi.formatQuery(required(params, "query"))))
         case "/api/v1/parse_query" =>

@@ -160,6 +160,9 @@ class PromHttpServerSpec extends SparkSpec {
     assert(get("/api/v1/parse_query?query=up")._2
       .contains(""""type":"vectorSelector""""))
     assert(get("/-/healthy")._1 == 200)
+    // Grafana's feature-detection probe
+    assert(get("/api/v1/status/buildinfo")._2.contains(""""version":"3.0.0""""))
+    assert(get("/api/v1/status/flags")._1 == 200)
     val (cm, bm) = get("/api/v1/metadata?metric=lat")
     assert(cm == 200 && bm.contains(
       """"lat":[{"type":"histogram","unit":"seconds","help":"latency"}]"""),
