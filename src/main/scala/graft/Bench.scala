@@ -204,7 +204,12 @@ object Bench {
     val passes = results.map { case (k, ps, _) => s""""$k":${jsonArr(ps)}""" }
       .mkString("{", ",", "}")
     val total = totalOf(best)
-    val line = s"""{"metric":"total","value":$total,"unit":"sec",""" +
+    // The FULL record — per-pass times, loadavg triples, attempt totals —
+    // goes to bench_out.json ONLY. Round 10's lesson: the driver captures
+    // just the last ~2 KB of stdout, and the enriched line (~5.3 KB)
+    // overflowed it, leaving the round record unparseable ("parsed": null
+    // in BENCH_r10.json) even though the data was fine.
+    val rich = s"""{"metric":"total","value":$total,"unit":"sec",""" +
       s""""queries":$qs,"sf":"$sfDir"""" +
       s""","passes":$passes""" +
       s""","loadavg_before":${jsonArr(loadBefore)}""" +
@@ -212,10 +217,30 @@ object Bench {
       s""","attempt_totals":${jsonArr(attempts.map(a => totalOf(a._1)))}""" +
       s""","total_r7_common":$commonTotal""" +
       s""","noise_floor_sec":$floorSec,"load_flagged":$loadFlagged}"""
-    println(line)
-    // side artifact in case stdout is swallowed by a wrapper
     java.nio.file.Files.write(java.nio.file.Paths.get("bench_out.json"),
-      (line + "\n").getBytes("UTF-8"))
+      (rich + "\n").getBytes("UTF-8"))
+    // The LAST stdout line is a COMPACT machine-readable record sized well
+    // under the 2 KB tail: query keys abbreviated to their unique
+    // family_qN prefix (e.g. tsdb_q67_promql_range_subquery_increase →
+    // tsdb_q67), values rounded to ms, loadavg trimmed to the 1-min field.
+    def f3(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+    def abbrev(k: String): String = {
+      val m = java.util.regex.Pattern
+        .compile("^([a-z]+_q\\d+)").matcher(k)
+      if (m.find()) m.group(1) else k
+    }
+    val qsCompact = results
+      .map { case (k, ps, _) => s""""${abbrev(k)}":${f3(ps.min)}""" }
+      .mkString("{", ",", "}")
+    val la1 = (xs: Seq[Double]) => if (xs.isEmpty) "null" else f3(xs.head)
+    val compact = s"""{"metric":"total","value":${f3(total)},""" +
+      s""""unit":"sec","queries":$qsCompact,"sf":"$sfDir"""" +
+      s""","total_r7_common":${f3(commonTotal)}""" +
+      s""","loadavg_before":${la1(loadBefore)}""" +
+      s""","loadavg_after":${la1(attempts.last._2)}""" +
+      s""","load_flagged":$loadFlagged,"detail":"bench_out.json"}"""
+    println(compact)
     spark.stop()
   }
 }

@@ -456,12 +456,23 @@ object TsdbBlockWriter {
 
   /** A valid 26-char Crockford-base32 ULID, derived deterministically
     * from the directory name (no wall clock — block identity must be
-    * reproducible for the driver's repeated runs). */
+    * reproducible for the driver's repeated runs).
+    *
+    * The FIRST character is constrained to '0'-'7': 26 base32 chars
+    * encode 130 bits but a ULID is 128 bits, so the top char carries
+    * only 3 bits. oklog/ulid.Parse (what Prometheus's blockDirs uses)
+    * returns ErrOverflow for first chars above '7' and the directory is
+    * then silently skipped — an unconstrained first char would make
+    * ~75% of written blocks invisible to tsdb.OpenDBReadOnly
+    * (reference hello.go:51). */
   private[tsdbblock] def deterministicUlid(seed: String): String = {
     val alphabet = "0123456789ABCDEFGHJKMNPQRSTVWXYZ"
     val md = java.security.MessageDigest.getInstance("SHA-256")
       .digest(seed.getBytes(UTF_8))
-    (0 until 26).map(i => alphabet((md(i % md.length) & 0x7f) % 32)).mkString
+    val head = alphabet((md(0) & 0x7f) % 8)
+    val tail = (1 until 26)
+      .map(i => alphabet((md(i % md.length) & 0x7f) % 32)).mkString
+    s"$head$tail"
   }
 
   // ---- Spark orchestration ------------------------------------------

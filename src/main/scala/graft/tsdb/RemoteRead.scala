@@ -189,6 +189,14 @@ object RemoteRead {
     Federate.longForm(t.select(lo, hi, ms))
   }
 
+  /** NUL-joined label-set sort key: lexicographic comparison of
+    * `name\0value\0name\0value…` orders exactly as Prometheus's
+    * `labels.Compare` (pairwise name, then value) because NUL sorts
+    * below every legal label byte — a space separator would mis-order
+    * values that themselves contain spaces. */
+  private def labelSortKey(entries: Seq[(String, String)]): String =
+    entries.map(e => e._1 + "\u0000" + e._2).mkString("\u0000")
+
   /** Distributed per-series grouping: (sorted label entries, sorted
     * samples) — the block writer's shape, one shuffle. */
   private def grouped(sl: DataFrame)
@@ -219,8 +227,7 @@ object RemoteRead {
     req.queries.foreach { q =>
       val series: Array[(String, Array[Byte])] = grouped(slice(t, q))
         .mapPartitions(_.map { case (entries, samples) =>
-          val key = entries.map(e => e._1 + " " + e._2).mkString(" ")
-          (key, RemoteWrite.encodeSeries(entries, samples))
+          (labelSortKey(entries), RemoteWrite.encodeSeries(entries, samples))
         })
         .collect()
       val qw = new ProtoWriter
@@ -299,17 +306,49 @@ object RemoteRead {
     * big-endian CRC32-Castagnoli + message — Prometheus's
     * `ChunkedWriter` framing), chunks Gorilla-encoded by the block
     * writer's encoder. Fully distributed: the returned Dataset streams
-    * frame-by-frame; the driver never holds the response. */
+    * frame-by-frame; the driver never holds the response.
+    *
+    * Frame ORDER is part of the protocol: Prometheus's server selects
+    * with `sortSeries=true` and its streaming client/merge queriers
+    * assume series sorted by label set — they cannot re-sort a stream.
+    * So the per-series shuffle here is a RANGE exchange on
+    * (query, label-set key): one exchange both co-locates each series
+    * and globally orders the stream; grouping is then by contiguity
+    * within the sorted partitions (no second shuffle), and the output
+    * Dataset's partition order IS `labels.Compare` order. */
   def serveChunked(t: TsdbTable, requestBytes: Array[Byte]): Dataset[Array[Byte]] = {
     val sp = t.df.sparkSession
     import sp.implicits._
     val req = decodeReadRequest(requestBytes)
-    val frames = req.queries.zipWithIndex.map { case (q, qi) =>
-      grouped(slice(t, q)).mapPartitions(_.map { case (entries, samples) =>
-        frame(encodeChunkedSeries(qi, entries, samples))
-      })
-    }
-    frames.reduce(_ union _)
+    val keyed = req.queries.zipWithIndex.map { case (q, qi) =>
+      slice(t, q).select(
+        lit(qi).as("qi"),
+        array_sort(map_entries(col("labels"))).as("entries"),
+        col("time"), col("value"))
+    }.reduce(_ unionByName _)
+    keyed
+      .withColumn("skey", concat_ws("\u0000",
+        flatten(transform(col("entries"),
+          e => array(e.getField("key"), e.getField("value"))))))
+      .repartitionByRange(col("qi"), col("skey"))
+      .sortWithinPartitions(col("qi"), col("skey"), col("time"))
+      .select(col("qi"), col("skey"), col("entries"),
+        col("time"), col("value"))
+      .as[(Int, String, Seq[(String, String)], Long, Double)]
+      .mapPartitions { it =>
+        val buf = it.buffered
+        new Iterator[Array[Byte]] {
+          def hasNext: Boolean = buf.hasNext
+          def next(): Array[Byte] = {
+            val (qi, skey, entries, _, _) = buf.head
+            val samples = Seq.newBuilder[(Long, Double)]
+            while (buf.hasNext && buf.head._1 == qi && buf.head._2 == skey) {
+              val r = buf.next(); samples += ((r._4, r._5))
+            }
+            frame(encodeChunkedSeries(qi, entries, samples.result()))
+          }
+        }
+      }
   }
 
   private def encodeChunkedSeries(queryIndex: Int,

@@ -198,4 +198,37 @@ class TsdbBlockWriterSpec extends SparkSpec {
     pUlids.foreach(u => assert(meta2.contains(u), "original sources must survive"))
     assert(!new java.io.File(dir).exists, "deleteParents must remove the parent")
   }
+
+  test("generated block names are PARSEABLE ULIDs (first char 0-7)") {
+    // oklog/ulid.Parse — what Prometheus's blockDirs walks with —
+    // returns ErrOverflow when the first base32 char exceeds '7' (26
+    // chars encode 130 bits for a 128-bit value), and the block dir is
+    // then silently SKIPPED by tsdb.OpenDBReadOnly (hello.go:51). Every
+    // name we emit, including the salted-collision recompaction path,
+    // must stay in the parseable range or written blocks become
+    // invisible to the reference.
+    def assertUlid(u: String): Unit = {
+      assert(u.length === 26, u)
+      assert(u.forall("0123456789ABCDEFGHJKMNPQRSTVWXYZ".contains(_)), u)
+      assert(u.head <= '7', s"first char '${u.head}' overflows 128 bits: $u")
+    }
+    // direct derivation over many seeds: uniform draws would land ~75%
+    // of first chars above '7', so 64 seeds make a regression certain
+    (0 until 64).foreach { i =>
+      assertUlid(TsdbBlockWriter.deterministicUlid(s"/some/root/$i"))
+    }
+    // the salted recompaction path: force a collision so write() walks
+    // the `#salt` branch, then check every emitted name
+    val sqlc = spark
+    import sqlc.implicits._
+    val root = tmpDir("graft_ulid_")
+    val df = (0 until 10)
+      .map(i => (i * 1000L, i.toDouble, Map("__name__" -> "m", "i" -> "x")))
+      .toDF("time", "value", "labels")
+    val first = TsdbBlockWriter.write(df, root, blockRangeMs = 3600000L)
+    val second = TsdbBlockWriter.write(df, root, blockRangeMs = 3600000L)
+    (first ++ second).foreach(assertUlid)
+    assert(first.toSet.intersect(second.toSet).isEmpty,
+      "salting must produce fresh names on collision")
+  }
 }

@@ -152,4 +152,36 @@ class RemoteReadSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getDouble(1))).toSet
     assert(back === (0 until 300).map(i => (i.toLong * 1000L, i.toDouble)).toSet)
   }
+
+  test("series order is labels.Compare, not space-joined-key order") {
+    // {x="a"} must sort BEFORE {x="a b"} (pairwise value compare:
+    // "a" < "a b"); a space-joined key would compare "... x a y b"
+    // against "... x a b" and invert them. Prometheus's streaming
+    // client cannot re-sort, so wire order IS the contract.
+    val s = spark; import s.implicits._
+    val rows = Seq(
+      (1000L, 1.0, Map("name" -> "m", "x" -> "a b")),
+      (1000L, 2.0, Map("name" -> "m", "x" -> "a", "y" -> "b")))
+    val t = TsdbTable(TsdbIngest.toWide(rows.toDF("time", "value", "labels")))
+    val wantOrder = Seq(
+      Map("__name__" -> "m", "x" -> "a", "y" -> "b"), // first
+      Map("__name__" -> "m", "x" -> "a b"))           // second
+
+    // SAMPLED response: rows come back in wire order
+    val sampled = decodeReadResponse(serve(t, encodeReadRequest(ReadRequest(
+      Seq(ReadQuery(Long.MinValue, Long.MaxValue, Nil))))))
+    assert(sampled.map(_._4) === wantOrder)
+
+    // STREAMED_XOR_CHUNKS: frame order (collect preserves the range-
+    // partitioned order) must be the same
+    val frames = serveChunked(t, encodeReadRequest(ReadRequest(
+      Seq(ReadQuery(Long.MinValue, Long.MaxValue, Nil)),
+      acceptedResponseTypes = Seq(ResponseStreamedXorChunks)))).collect()
+    assert(frames.length === 2)
+    val frameLabels = frames.toSeq.map { f =>
+      decodeChunkedFrames(s.createDataset(Seq(f)))
+        .select(col("labels")).head().getMap[String, String](0).toMap
+    }
+    assert(frameLabels === wantOrder)
+  }
 }
