@@ -20,6 +20,21 @@ import scala.util.control.NonFatal
   * engine regression without rerunning anything.
   */
 object Bench {
+
+  /** Abbreviate a benched query key to its `family_qN` prefix for the
+    * compact stdout record — but only when the prefix is UNIQUE within
+    * this run's key set. Duplicate JSON keys silently shadow a timing
+    * in most parsers (e.g. `tsdb_q3_eq`/`tsdb_q3_neq` would both emit
+    * `tsdb_q3`), so colliding keys fall back to their full name. */
+  private[graft] def abbrevAll(keys: Seq[String]): Map[String, String] = {
+    def prefix(k: String): String = {
+      val m = java.util.regex.Pattern.compile("^([a-z]+_q\\d+)").matcher(k)
+      if (m.find()) m.group(1) else k
+    }
+    val counts = keys.groupBy(prefix).view.mapValues(_.size).toMap
+    keys.map(k => k -> { val p = prefix(k); if (counts(p) > 1) k else p })
+      .toMap
+  }
   // Scan/join/agg/window/dedup/ANN mix — the queries whose plans carry
   // the 100 TB design decisions. The first `CommonPrefix` entries are
   // the rounds-7–9 comparable set; the JSON also emits their total as
@@ -225,14 +240,12 @@ object Bench {
     // tsdb_q67), values rounded to ms, loadavg trimmed to the 1-min field.
     def f3(v: Double): String =
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
-    def abbrev(k: String): String = {
-      val m = java.util.regex.Pattern
-        .compile("^([a-z]+_q\\d+)").matcher(k)
-      if (m.find()) m.group(1) else k
+    val qsCompact = {
+      val keys = results.map(_._1)
+      val short = Bench.abbrevAll(keys)
+      results.map { case (k, ps, _) => s""""${short(k)}":${f3(ps.min)}""" }
+        .mkString("{", ",", "}")
     }
-    val qsCompact = results
-      .map { case (k, ps, _) => s""""${abbrev(k)}":${f3(ps.min)}""" }
-      .mkString("{", ",", "}")
     val la1 = (xs: Seq[Double]) => if (xs.isEmpty) "null" else f3(xs.head)
     val compact = s"""{"metric":"total","value":${f3(total)},""" +
       s""""unit":"sec","queries":$qsCompact,"sf":"$sfDir"""" +

@@ -616,6 +616,24 @@ object ScaleStress {
     time(s"kmeans 2 iters ${factor}x")(
       graft.operators.Clustering.kmeansAssign(
         embXN, "vec_id", "embedding", k = 8, iters = 2).count())
+    // TRAIN-ONLY at Nx with a binding sample: the Lloyd aggregation
+    // passes see at most `trainSample` rows whatever the corpus size —
+    // the one linear cost is the single bottom-k selection scan, so
+    // this row stays FLAT 10x→100x while the corpus grows 10x
+    time(s"kmeans train-only sample=2k ${factor}x") {
+      val pre = embXN.select(col("vec_id").as("id"),
+        col("embedding").cast("array<double>").as("v"))
+      graft.operators.Clustering.trainCentroids(pre, k = 8, iters = 2,
+        trainSample = 2000).size
+    }
+    time(s"pq train-only sample=2k ${factor}x") {
+      val pre = embXN.select(col("vec_id").cast("long").as("id"),
+        col("embedding").cast("array<double>").as("v")).persist()
+      pre.count()
+      val r = graft.operators.Similarity.trainCodebooks(pre, dim = 64,
+        m = 2, kCodes = 4, iters = 2, trainSample = 2000).size
+      pre.unpersist(); r
+    }
     embXN.unpersist()
 
     // extreme-skew join: ONE hot part key owns `factor`/11 of the fact

@@ -26,6 +26,16 @@ import graft.functions.Hashing
   */
 object Clustering {
 
+  /** Default bounded training-sample size: max(50k, 1000·k) rows.
+    * Lloyd's update pass aggregates the TRAINING set once per
+    * iteration — at 100 TB an unbounded loop makes training the
+    * dominant pipeline cost, while a 50k-row uniform sample already
+    * estimates k·dim means to ~1/√(50k/k) relative error. The sample
+    * is the deterministic bottom-`n` rows by (portable hash, id), the
+    * same ordering the bootstrap uses, so selection is seedless and
+    * oracle-replayable. */
+  def defaultTrainSample(k: Int): Int = math.max(50000, 1000 * k)
+
   /** Squared L2 distance between the vector column and a centroid given
     * as per-component literals — the native codegen'd kernel
     * ([[graft.functions.SquaredDistance]]), same left-to-right fold
@@ -41,20 +51,58 @@ object Clustering {
     * assignment as ONE map pass instead of joining assignments back to
     * vectors on id (which would shuffle the whole corpus twice). */
   private def assignFull(emb: DataFrame, idCol: String, vecCol: String,
-                         k: Int, iters: Int): DataFrame = {
-    // Each Lloyd iteration and the final assignment re-scan `base`
-    // (iters+1 passes) — persist the projected (id, v) slice once so at
-    // 100 TB those passes hit cached columnar batches, not the source
-    // parquet every round (the write-once projection a warehouse job
-    // would materialize before iterating).
+                         k: Int, iters: Int,
+                         trainSample: Int = 0): DataFrame = {
+    // Each Lloyd iteration re-scans the TRAINING SAMPLE and the final
+    // assignment re-scans `base` — persist both projected slices once
+    // so at 100 TB those passes hit cached columnar batches, not the
+    // source parquet every round (the write-once projection a
+    // warehouse job would materialize before iterating).
     val base = emb.select(col(idCol).as("id"),
       col(vecCol).cast("array<double>").as("v"))
       .persist()
 
-    // deterministic bootstrap: k rows to the driver (k·dim doubles —
-    // the standard k-means centroid exchange, not a data collect)
-    var centroids: IndexedSeq[Seq[Double]] = base
+    val centroids = trainCentroids(base, k, iters, trainSample)
+
+    val dists = centroids.map(c => sqDist(col("v"), c))
+    val mind = dists.reduce(least(_, _))
+    // first-match-wins when-chain ⇒ ties pick the smallest index
+    val cluster = dists.zipWithIndex.tail.foldLeft(
+      when(dists.head === mind, lit(0))) { case (acc, (d, i)) =>
+      acc.when(d === mind, lit(i))
+    }
+    // the chosen cluster is the argmin, so its distance IS the min
+    base.withColumn("cluster", cluster).withColumn("dist", mind)
+  }
+
+  /** The training half alone: Lloyd's loop over the deterministic
+    * bounded sample, centroids out. `trainSample <= 0` picks
+    * [[defaultTrainSample]]; an explicit positive value is used as-is
+    * (the bootstrap needs at least k rows, so it is clamped to k).
+    * Cost model at 100 TB: ONE linear bottom-k scan selects the
+    * sample, then every per-iteration aggregation touches only the
+    * sample — training cost is FLAT in corpus size. `pre` must carry
+    * (id, v: array<double>). */
+  private[graft] def trainCentroids(pre: DataFrame, k: Int, iters: Int,
+                                        trainSample: Int)
+      : IndexedSeq[Seq[Double]] = {
+    val n = math.max(if (trainSample > 0) trainSample
+                     else defaultTrainSample(k), k)
+    // bottom-n by (portable hash, id): Spark plans orderBy+limit as
+    // TakeOrderedAndProject — per-partition top-n then a single merge,
+    // never a full sort. Re-spread the sample so iteration scans
+    // parallelize, and persist it: iters passes re-read it.
+    val sp = pre.sparkSession
+    val samp = pre
       .withColumn("h", Hashing.hash64(col("id").cast("string")))
+      .orderBy(col("h").asc, col("id").asc)
+      .limit(n)
+      .repartition(sp.conf.get("spark.sql.shuffle.partitions", "32").toInt)
+      .persist()
+
+    // deterministic bootstrap: the sample's own (h, id) prefix — k rows
+    // to the driver (k·dim doubles, the standard centroid exchange)
+    var centroids: IndexedSeq[Seq[Double]] = samp
       .orderBy(col("h").asc, col("id").asc)
       .limit(k)
       .select(col("v"))
@@ -63,21 +111,17 @@ object Clustering {
       .toIndexedSeq
     require(centroids.nonEmpty, "kmeans over an empty corpus")
 
-    def assigned: DataFrame = {
+    (1 to iters).foreach { _ =>
       val dists = centroids.map(c => sqDist(col("v"), c))
       val mind = dists.reduce(least(_, _))
-      // first-match-wins when-chain ⇒ ties pick the smallest index
       val cluster = dists.zipWithIndex.tail.foldLeft(
         when(dists.head === mind, lit(0))) { case (acc, (d, i)) =>
         acc.when(d === mind, lit(i))
       }
-      // the chosen cluster is the argmin, so its distance IS the min
-      base.withColumn("cluster", cluster).withColumn("dist", mind)
-    }
-
-    (1 to iters).foreach { _ =>
-      // per-(cluster, component) means: k·dim result rows, partial-agg'd
-      val means = assigned
+      // per-(cluster, component) means over the SAMPLE: k·dim result
+      // rows, partial-agg'd
+      val means = samp
+        .withColumn("cluster", cluster)
         .select(col("cluster"), posexplode(col("v")).as(Seq("j", "x")))
         .groupBy(col("cluster"), col("j"))
         .agg(round(avg(col("x")), 6).as("m"))
@@ -89,22 +133,22 @@ object Clustering {
         old.indices.map(j => means.getOrElse((c, j), old(j)))
       }
     }
-
-    assigned
+    samp.unpersist()
+    centroids
   }
 
   /** `iters` rounds of Lloyd's algorithm with `k` clusters; returns one
     * row per input vector: (id, cluster, round(dist², 6)). */
   def kmeansAssign(emb: DataFrame, idCol: String, vecCol: String,
-                   k: Int, iters: Int): DataFrame =
-    assignFull(emb, idCol, vecCol, k, iters)
+                   k: Int, iters: Int, trainSample: Int = 0): DataFrame =
+    assignFull(emb, idCol, vecCol, k, iters, trainSample)
       .select(col("id").as(idCol), col("cluster").cast("long").as("cluster"),
         round(col("dist"), 6).as("dist"))
 
   /** Cluster summary: member count and total (rounded) distortion. */
   def kmeansStats(emb: DataFrame, idCol: String, vecCol: String,
-                  k: Int, iters: Int): DataFrame =
-    kmeansAssign(emb, idCol, vecCol, k, iters)
+                  k: Int, iters: Int, trainSample: Int = 0): DataFrame =
+    kmeansAssign(emb, idCol, vecCol, k, iters, trainSample)
       .groupBy(col("cluster"))
       .agg(count(lit(1)).as("n"),
         round(sum(col("dist")), 4).as("distortion"))
@@ -118,8 +162,9 @@ object Clustering {
     * map pass, no id join-back), so the ONLY shuffle is the same-cell
     * hash join; cosine is the exact codegen'd kernel. */
   def semanticNearDups(emb: DataFrame, idCol: String, vecCol: String,
-                       k: Int, iters: Int, threshold: Double): DataFrame = {
-    val b = assignFull(emb, idCol, vecCol, k, iters)
+                       k: Int, iters: Int, threshold: Double,
+                       trainSample: Int = 0): DataFrame = {
+    val b = assignFull(emb, idCol, vecCol, k, iters, trainSample)
       .select(col("id"), col("v"), col("cluster").cast("long").as("cluster"))
       // the self-join evaluates each side once — persist so the k·dim
       // distance when-chain runs ONE pass over the corpus, not two

@@ -167,12 +167,13 @@ object Similarity {
     * ties on (adist, nn_id), self-matches excluded. */
   def pqKnn(corpus: DataFrame, probes: DataFrame,
             idCol: String, vecCol: String, dim: Int, m: Int,
-            kCodes: Int, iters: Int, topK: Int): DataFrame = {
+            kCodes: Int, iters: Int, topK: Int,
+            trainSample: Int = 0): DataFrame = {
     require(dim % m == 0, s"dim $dim must split into $m equal subspaces")
     val sub = dim / m
     val base = corpus.select(col(idCol).cast("long").as("id"),
       col(vecCol).cast("array<double>").as("v")).persist()
-    val codebooks = trainCodebooks(base, dim, m, kCodes, iters)
+    val codebooks = trainCodebooks(base, dim, m, kCodes, iters, trainSample)
     val encoded = base.select(col("id").as("nn_id"),
       array(pqCodeCols(codebooks, sub): _*).as("codes"))
 
@@ -220,14 +221,14 @@ object Similarity {
   def ivfPqKnn(corpus: DataFrame, probes: DataFrame,
                idCol: String, vecCol: String, dim: Int, nCells: Int,
                nProbe: Int, m: Int, kCodes: Int, iters: Int,
-               topK: Int): DataFrame = {
+               topK: Int, trainSample: Int = 0): DataFrame = {
     require(dim % m == 0, s"dim $dim must split into $m equal subspaces")
     val sub = dim / m
     val spark = corpus.sparkSession
     import spark.implicits._
     val base = corpus.select(col(idCol).cast("long").as("id"),
       col(vecCol).cast("array<double>").as("v")).persist()
-    val codebooks = trainCodebooks(base, dim, m, kCodes, iters)
+    val codebooks = trainCodebooks(base, dim, m, kCodes, iters, trainSample)
 
     // cell argmax — the ivfKnn rule (lexicographic struct max: ties
     // pick the LARGEST cell index)
@@ -274,23 +275,38 @@ object Similarity {
         round(col("adist"), 6).as("adist"), col("rank").cast("long").as("rank"))
   }
 
-  /** Deterministic per-subspace Lloyd: portable-hash bootstrap (ONE
-    * kCodes·dim collect, sliced per subspace), 6dp-rounded means each
-    * iteration, first-match argmin ties — [[graft.operators.Clustering]]'s
-    * recipe applied m times over `slice(v)`. */
-  private def trainCodebooks(base: DataFrame, dim: Int, m: Int,
-                             kCodes: Int, iters: Int)
+  /** Deterministic per-subspace Lloyd over a BOUNDED training sample:
+    * portable-hash bootstrap (ONE kCodes·dim collect, sliced per
+    * subspace), 6dp-rounded means each iteration, first-match argmin
+    * ties — [[graft.operators.Clustering]]'s recipe applied m times
+    * over `slice(v)`. The m × iters mean-aggregation passes scan only
+    * the deterministic bottom-`trainSample` rows by (portable hash,
+    * id) — [[Clustering.defaultTrainSample]] when `trainSample <= 0` —
+    * so at 100 TB training cost is FLAT in corpus size (one linear
+    * bottom-k scan selects the sample; everything after is
+    * sample-sized). The bootstrap is the sample's own (h, id) prefix. */
+  private[graft] def trainCodebooks(base: DataFrame, dim: Int, m: Int,
+                             kCodes: Int, iters: Int,
+                             trainSample: Int = 0)
       : IndexedSeq[IndexedSeq[IndexedSeq[Double]]] = {
     val sub = dim / m
-    val boot: IndexedSeq[IndexedSeq[Double]] = base
+    val n = math.max(if (trainSample > 0) trainSample
+                     else Clustering.defaultTrainSample(kCodes), kCodes)
+    val sp = base.sparkSession
+    val samp = base
       .withColumn("h", graft.functions.Hashing.hash64(col("id").cast("string")))
+      .orderBy(col("h").asc, col("id").asc)
+      .limit(n)
+      .repartition(sp.conf.get("spark.sql.shuffle.partitions", "32").toInt)
+      .persist()
+    val boot: IndexedSeq[IndexedSeq[Double]] = samp
       .orderBy(col("h").asc, col("id").asc)
       .limit(kCodes)
       .select(col("v")).collect()
       .map(_.getSeq[Double](0).toIndexedSeq).toIndexedSeq
     require(boot.size == kCodes, "pq: corpus smaller than the codebook")
     def vSub(j: Int): Column = slice(col("v"), j * sub + 1, sub)
-    (0 until m).map { j =>
+    val out = (0 until m).map { j =>
       var cents: IndexedSeq[IndexedSeq[Double]] =
         boot.map(_.slice(j * sub, (j + 1) * sub))
       (1 to iters).foreach { _ =>
@@ -300,7 +316,7 @@ object Similarity {
         val cl = dists.zipWithIndex.tail.foldLeft(
           when(dists.head === mind, lit(0))) { case (acc, (d, i)) =>
           acc.when(d === mind, lit(i)) }
-        val means = base.withColumn("c", cl)
+        val means = samp.withColumn("c", cl)
           .select(col("c"), posexplode(vSub(j)).as(Seq("i", "x")))
           .groupBy(col("c"), col("i"))
           .agg(round(avg(col("x")), 6).as("mu"))
@@ -312,6 +328,8 @@ object Similarity {
       }
       cents
     }
+    samp.unpersist()
+    out
   }
 
   /** The m argmin-code columns over `col("v")` (map pass, first-match

@@ -518,6 +518,21 @@ object PipelineQueries {
         "vec_id", "embedding", dim = 64, m = 2, kCodes = 4, iters = 1,
         topK = 5)
     }),
+    // Q48/Q49: the BOUNDED-SAMPLE training path exercised where it
+    // BINDS (sample 200 < the 500-vector corpus): Lloyd's updates see
+    // only the bottom-200 rows by (portable hash, id) while the final
+    // assignment / encoding covers the full corpus — the 100 TB
+    // training shape, hash-verified end to end
+    "pipe_q48_kmeans_sampled" -> ((s, dir) =>
+      graft.operators.Clustering.kmeansStats(
+        load(s, dir, "embeddings"), "vec_id", "embedding",
+        k = 8, iters = 1, trainSample = 200)),
+    "pipe_q49_pq_knn_sampled" -> ((s, dir) => {
+      val emb = load(s, dir, "embeddings")
+      Similarity.pqKnn(emb, emb.where(col("vec_id") < 3),
+        "vec_id", "embedding", dim = 64, m = 2, kCodes = 4, iters = 1,
+        topK = 5, trainSample = 200)
+    }),
     // Q47: IVF + PQ — the production vector-store COMPOSITION: the IVF
     // coarse quantizer prunes (each probe searches its 2 nearest of 8
     // cells), PQ compresses what gets scored (ADC lookups). One
@@ -739,24 +754,29 @@ object PipelineQueries {
       .mkString(",\n  ")
 
   /** Shared DuckDB replica of [[graft.operators.Clustering.kmeansAssign]]
-    * with k=8, iters=1: hash bootstrap (c0) → assignment (a1) → rounded
-    * per-component means (m1/c1, empty cells keep their old centroid) →
-    * final assignment (a2). */
-  private val duckKmeansCtes: String = {
+    * with k=8, iters=1: hash bootstrap (c0) → TRAINING-SAMPLE
+    * assignment (a1, the bottom-`sampleN` rows by (hash, id) — the
+    * engine's bounded Lloyd input) → rounded per-component means
+    * (m1/c1, empty cells keep their old centroid) → final FULL-corpus
+    * assignment (a2). */
+  private def duckKmeansCtes(sampleN: Int = 50000): String = {
     def dist(v: String, c: String) =
       s"""list_sum(list_transform(range(1, ${Dim + 1}), i ->
          |    (CAST($v[i] AS DOUBLE) - $c[i]) * (CAST($v[i] AS DOUBLE) - $c[i])))"""
         .stripMargin
     s"""WITH e AS (SELECT vec_id AS id, embedding AS v FROM embeddings),
+       |eh AS (SELECT id, v, ${Hashing.duckHash64("CAST(id AS VARCHAR)")} AS h FROM e),
+       |samp AS (SELECT id, v FROM eh
+       |  QUALIFY row_number() OVER (ORDER BY h, id) <= $sampleN),
        |c0 AS (SELECT CAST(row_number() OVER (ORDER BY h, id) - 1 AS INTEGER) AS cluster,
        |    list_transform(v, x -> CAST(x AS DOUBLE)) AS cv
-       |  FROM (SELECT id, v, ${Hashing.duckHash64("CAST(id AS VARCHAR)")} AS h FROM e)
+       |  FROM eh
        |  QUALIFY row_number() OVER (ORDER BY h, id) <= 8),
        |a1 AS (SELECT id, cluster, d FROM (
-       |    SELECT e.id, c0.cluster, ${dist("e.v", "c0.cv")} AS d FROM e, c0)
+       |    SELECT samp.id, c0.cluster, ${dist("samp.v", "c0.cv")} AS d FROM samp, c0)
        |  QUALIFY row_number() OVER (PARTITION BY id ORDER BY d, cluster) = 1),
-       |m1 AS (SELECT a1.cluster, t.j, round(avg(CAST(e.v[t.j] AS DOUBLE)), 6) AS m
-       |  FROM a1 JOIN e USING (id), unnest(range(1, ${Dim + 1})) AS t(j)
+       |m1 AS (SELECT a1.cluster, t.j, round(avg(CAST(samp.v[t.j] AS DOUBLE)), 6) AS m
+       |  FROM a1 JOIN samp USING (id), unnest(range(1, ${Dim + 1})) AS t(j)
        |  GROUP BY 1, 2),
        |g AS (SELECT cluster, cv, unnest(range(1, ${Dim + 1})) AS j FROM c0),
        |c1 AS (SELECT g.cluster, list(coalesce(m1.m, g.cv[g.j]) ORDER BY g.j) AS cv
@@ -772,7 +792,7 @@ object PipelineQueries {
     * update + encoding + probe distance tables, all in SQL — the
     * shared prefix of the PQ and IVF-PQ oracles. Mirrors
     * [[duckKmeansCtes]]'s fragments per subspace. */
-  private def duckPqTrain(probeMax: Int): String = {
+  private def duckPqTrain(probeMax: Int, sampleN: Int = 50000): String = {
     val k = 4; val sub = 32
     def dist(vExpr: String, o: Int, c: String) =
       s"""list_sum(list_transform(range(1, ${sub + 1}), i ->
@@ -783,11 +803,11 @@ object PipelineQueries {
          |    list_transform(range(1, ${sub + 1}), i -> v[$o+i]) AS cv
          |  FROM boot),
          |a1_$j AS (SELECT id, cluster FROM (
-         |    SELECT e.id, c0_$j.cluster, ${dist("e.v", o, s"c0_$j.cv")} AS d
-         |    FROM e, c0_$j)
+         |    SELECT samp.id, c0_$j.cluster, ${dist("samp.v", o, s"c0_$j.cv")} AS d
+         |    FROM samp, c0_$j)
          |  QUALIFY row_number() OVER (PARTITION BY id ORDER BY d, cluster) = 1),
-         |m1_$j AS (SELECT a1_$j.cluster, t.i, round(avg(e.v[$o+t.i]), 6) AS mu
-         |  FROM a1_$j JOIN e USING (id), unnest(range(1, ${sub + 1})) AS t(i)
+         |m1_$j AS (SELECT a1_$j.cluster, t.i, round(avg(samp.v[$o+t.i]), 6) AS mu
+         |  FROM a1_$j JOIN samp USING (id), unnest(range(1, ${sub + 1})) AS t(i)
          |  GROUP BY 1, 2),
          |g_$j AS (SELECT cluster, cv, unnest(range(1, ${sub + 1})) AS i FROM c0_$j),
          |c1_$j AS (SELECT g_$j.cluster,
@@ -807,9 +827,12 @@ object PipelineQueries {
     s"""WITH e AS (SELECT vec_id AS id,
        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
        |  FROM embeddings),
+       |eh AS (SELECT id, v, ${Hashing.duckHash64("CAST(id AS VARCHAR)")} AS h FROM e),
+       |samp AS (SELECT id, v FROM eh
+       |  QUALIFY row_number() OVER (ORDER BY h, id) <= $sampleN),
        |boot AS (SELECT CAST(row_number() OVER (ORDER BY h, id) - 1
        |      AS INTEGER) AS cluster, v
-       |  FROM (SELECT id, v, ${Hashing.duckHash64("CAST(id AS VARCHAR)")} AS h FROM e)
+       |  FROM eh
        |  QUALIFY row_number() OVER (ORDER BY h, id) <= $k),
        |$perSub""".stripMargin
   }
@@ -833,6 +856,14 @@ object PipelineQueries {
   val oracles: Map[String, String] = Map(
     "pipe_q46_pq_knn" ->
       s"""${duckPqTrain(3)},
+         |cand AS (SELECT p.id AS probe_id, e.id AS nn_id
+         |  FROM e, (SELECT id FROM e WHERE id < 3) p
+         |  WHERE e.id <> p.id)${duckAdcRankTail}
+         |SELECT probe_id, nn_id, round(adist, 6) AS adist,
+         |  CAST(rank AS BIGINT) AS rank
+         |FROM ranked WHERE rank <= 5""".stripMargin,
+    "pipe_q49_pq_knn_sampled" ->
+      s"""${duckPqTrain(3, 200)},
          |cand AS (SELECT p.id AS probe_id, e.id AS nn_id
          |  FROM e, (SELECT id FROM e WHERE id < 3) p
          |  WHERE e.id <> p.id)${duckAdcRankTail}
@@ -1509,11 +1540,15 @@ object PipelineQueries {
         |    '') AS dedup_text
         |FROM f GROUP BY 1""".stripMargin,
     "pipe_q32_kmeans" ->
-      s"""$duckKmeansCtes
+      s"""${duckKmeansCtes()}
+         |SELECT cluster, count(*) AS n, round(sum(round(d, 6)), 4) AS distortion
+         |FROM a2 GROUP BY 1""".stripMargin,
+    "pipe_q48_kmeans_sampled" ->
+      s"""${duckKmeansCtes(200)}
          |SELECT cluster, count(*) AS n, round(sum(round(d, 6)), 4) AS distortion
          |FROM a2 GROUP BY 1""".stripMargin,
     "pipe_q33_semantic_dedup" ->
-      s"""$duckKmeansCtes,
+      s"""${duckKmeansCtes()},
          |ed AS (SELECT id, CAST(v AS DOUBLE[]) AS v FROM e),
          |p AS (SELECT a2.id, a2.cluster, ed.v FROM a2 JOIN ed USING (id))
          |SELECT l.id AS id_a, r.id AS id_b, CAST(l.cluster AS BIGINT) AS cluster,

@@ -1187,6 +1187,68 @@ object TsdbQueries {
           histCount(h).cast("long").as("n"),
           round(histQuantile(h, 0.5), 6).as("phi"))
     }),
+    // Q141: NATIVE HISTOGRAMS through OTLP — q106's grid replay over
+    // the OTLP/JSON exponential-histogram framing (ExportMetricsService
+    // Request lines): dense → OTLP exp-hist JSON → SparseHist →
+    // re-densified. A hash match against the SAME oracle proves the
+    // OTLP index convention (prom j = otlp offset + i + 1), the
+    // uint64-as-string fields, and the +Inf-overflow ride are lossless
+    // — the last wire format whose histogram path stopped short.
+    "tsdb_q141_otlp_exp_hist" -> ((s, dir) => {
+      import graft.tsdb.NativeHistogram._
+      val h = col("hist")
+      val dense = buildExp(table(s, dir).select(RangeStart, RangeEnd, Nil).toDF(),
+        Seq(col("`labels.name`").as("name"), col("`labels.user`").as("user")),
+        col("value"), schema = 0, minExp = 0, maxExp = 9)
+        .select(lit(RangeEnd).as("time"),
+          map(lit("__name__"), col("name"), lit("user"), col("user"))
+            .as("labels"),
+          col("hist"))
+      val lines = graft.tsdb.SampleReaders.toOtlpExpHistJsonLines(
+        dense, schemaId = 0, minExp = 0, maxExp = 9)
+      val back = graft.tsdb.RemoteWrite.denseFromSparse(
+        graft.tsdb.SampleReaders.fromOtlpExpHistJsonLines(lines),
+        schemaId = 0, minExp = 0, maxExp = 9)
+      back.select(
+        col("labels").getItem("__name__").as("name"),
+        col("labels").getItem("user").as("user"),
+        histCount(h).cast("long").as("n"),
+        round(histSum(h), 4).as("sum_v"),
+        element_at(h.getField("counts"), 2).cast("long").as("c_le1"),
+        element_at(h.getField("counts"), 9).cast("long").as("c_64_128"),
+        element_at(h.getField("counts"), 12).cast("long").as("c_inf"),
+        round(histQuantile(h, 0.5), 6).as("phi"))
+    }),
+    // Q142: OTLP EXPLICIT-BOUNDS histograms → the classic Prometheus
+    // mapping (the OTel collector's): per-interval bucketCounts become
+    // CUMULATIVE `_bucket{le=...}` series plus `_bucket{le="+Inf"}`,
+    // `_count`, `_sum` — parsed back long-form and compared against
+    // the bucket arithmetic replayed directly over events.
+    "tsdb_q142_otlp_classic_hist" -> ((s, dir) => {
+      import graft.tsdb.NativeHistogram._
+      val dense = buildExp(table(s, dir).select(RangeStart, RangeEnd, Nil).toDF(),
+        Seq(col("`labels.name`").as("name"), col("`labels.user`").as("user")),
+        col("value"), schema = 0, minExp = 0, maxExp = 9)
+      val c = col("hist.counts")
+      // dense grid → OTLP per-interval buckets: (-inf,1] folds the zero
+      // bucket into the first bound, the +Inf overflow is the extra
+      // trailing bucketCounts entry (the OTLP contract)
+      val bc = array((element_at(c, 1) + element_at(c, 2)) +:
+        (3 to 12).map(i => element_at(c, i)): _*)
+      val bounds = array((0 to 9).map(e => lit(math.pow(2.0, e))): _*)
+      val rows = dense.select(lit(RangeEnd).as("time"),
+        map(lit("__name__"), col("name"), lit("user"), col("user"))
+          .as("labels"),
+        col("hist.count").as("count"), col("hist.sum").as("sum"),
+        bounds.as("bounds"), bc.as("bucketCounts"))
+      graft.tsdb.SampleReaders.fromOtlpHistogramJsonLines(
+          graft.tsdb.SampleReaders.toOtlpHistogramJsonLines(rows))
+        .select(
+          col("labels").getItem("__name__").as("series"),
+          col("labels").getItem("user").as("user"),
+          col("labels").getItem("le").as("le"),
+          round(col("value"), 4).as("value"))
+    }),
     // Q83: vector sum(h) — merge per-series histograms across users into
     // per-name histograms (element-wise bucket sums, partial-aggregated)
     // and quantile the MERGED histogram
@@ -1512,6 +1574,24 @@ object TsdbQueries {
         graft.tsdb.AlertRules.AlertRule("user_error_burst",
           """sum by (user) (count_over_time({name="error"}[1d])) > 1""",
           forMs = 86400000L),
+        eventsAsTsdbStored(s, dir), start = RangeStart, end = RangeEnd,
+        stepMs = 86400000L, lookbackMs = 86400000L)
+        .select(col("alertname"), col("user"), col("t"),
+          col("active_at"), col("alertstate"),
+          col("value").cast("long").as("n"))),
+    // Q140: `keep_firing_for` (Prometheus 2.42+) — q98's rule with a
+    // 2-day keep-firing window: a FIRING element whose condition clears
+    // keeps emitting firing rows (carrying its last true value and its
+    // ORIGINAL active_at) at each missed eval while
+    // `t - firstMiss < keep_firing_for`; if the condition returns
+    // inside the window the run continues (active_at survives the
+    // bridged gap), else it resolves. The oracle replays the
+    // sequential machine with a recursive CTE walking the grid per user.
+    "tsdb_q140_keep_firing_for" -> ((s, dir) =>
+      graft.tsdb.AlertRules.evaluate(
+        graft.tsdb.AlertRules.AlertRule("user_error_burst_keep",
+          """sum by (user) (count_over_time({name="error"}[1d])) > 1""",
+          forMs = 86400000L, keepFiringForMs = 172800000L),
         eventsAsTsdbStored(s, dir), start = RangeStart, end = RangeEnd,
         stepMs = 86400000L, lookbackMs = 86400000L)
         .select(col("alertname"), col("user"), col("t"),
@@ -3193,6 +3273,61 @@ object TsdbQueries {
          |    ORDER BY time, value, trace_id) - 1 AS INTEGER) AS idx,
          |  time, value, trace_id
          |FROM e""".stripMargin,
+    // keep_firing_for replay: the state machine is SEQUENTIAL (a gap
+    // bridges only if the alert was firing at the previous step, which
+    // depends on earlier bridges), so the oracle walks the grid per
+    // user with a RECURSIVE CTE carrying (state, active_at, keep_since,
+    // last value) — exactly the engine's flatMapGroups machine
+    "tsdb_q140_keep_firing_for" ->
+      s"""${duckTsdbCte.replaceFirst("WITH ", "WITH RECURSIVE ")},
+         |act AS (SELECT CAST(g.i AS BIGINT) AS i,
+         |    "labels.user" AS "user", count(*) AS n
+         |  FROM (SELECT unnest(range(0, 16)) AS i) g
+         |  JOIN t ON t.time > $RangeStart + g.i * 86400000 - 86400000
+         |    AND t.time <= $RangeStart + g.i * 86400000
+         |  WHERE "labels.name" = 'error'
+         |  GROUP BY 1, 2 HAVING count(*) > 1),
+         |users AS (SELECT DISTINCT "user" FROM act),
+         |walk AS (
+         |  SELECT "user", CAST(-1 AS BIGINT) AS i,
+         |    'inactive' AS state,
+         |    CAST(NULL AS BIGINT) AS active_at,
+         |    CAST(NULL AS BIGINT) AS keep_since,
+         |    CAST(NULL AS BIGINT) AS last_n,
+         |    FALSE AS emit, CAST(NULL AS BIGINT) AS n
+         |  FROM users
+         |  UNION ALL
+         |  -- FRESH alias names throughout: DuckDB resolves a lateral
+         |  -- alias only when no table column shadows it, so reusing
+         |  -- `state`/`active_at` here would silently read w.* instead
+         |  SELECT "user", i2, st, aa2, ks2, ln2, em, ln2
+         |  FROM (
+         |    SELECT w."user", w.i + 1 AS i2,
+         |      CAST($RangeStart AS BIGINT) + (w.i + 1) * 86400000 AS gt,
+         |      a.n IS NOT NULL AS pres,
+         |      CASE WHEN pres AND w.state IN ('pending', 'firing')
+         |             THEN w.active_at
+         |           WHEN pres THEN gt END AS aa,
+         |      CASE WHEN pres THEN
+         |             CASE WHEN gt - aa >= 86400000
+         |               THEN 'firing' ELSE 'pending' END
+         |           WHEN w.state = 'firing'
+         |             AND gt - coalesce(w.keep_since, gt) < 172800000
+         |             THEN 'firing'
+         |           ELSE 'inactive' END AS st,
+         |      CASE WHEN pres THEN aa
+         |           WHEN st = 'firing' THEN w.active_at END AS aa2,
+         |      CASE WHEN NOT pres AND st = 'firing'
+         |             THEN coalesce(w.keep_since, gt) END AS ks2,
+         |      CASE WHEN pres THEN a.n ELSE w.last_n END AS ln2,
+         |      (pres OR st = 'firing') AS em
+         |    FROM walk w LEFT JOIN act a
+         |      ON a."user" = w."user" AND a.i = w.i + 1
+         |    WHERE w.i < 15))
+         |SELECT 'user_error_burst_keep' AS alertname, "user",
+         |  CAST($RangeStart AS BIGINT) + i * 86400000 AS t, active_at,
+         |  state AS alertstate, CAST(n AS BIGINT) AS n
+         |FROM walk WHERE emit""".stripMargin,
     // alert-rule replay: per-step sliding counts from the FULL events
     // table (windows at early steps reach before RangeStart), threshold
     // filter, then the same run-length state machine in SQL windows
@@ -3463,6 +3598,35 @@ object TsdbQueries {
     "tsdb_q89_native_hist_exp" -> histExpOracle,
     // the wire round trip is lossless, so its oracle IS Q89's
     "tsdb_q106_remote_write_hist" -> histExpOracle,
+    "tsdb_q141_otlp_exp_hist" -> histExpOracle,
+    // classic-histogram replay: cumulative counts per bound directly
+    // from the sample values (value <= le includes the zero bucket
+    // folded into the first bound), +Inf/count = row count, sum 4dp
+    "tsdb_q142_otlp_classic_hist" ->
+      s"""$duckTsdbCte,
+         |f AS (SELECT "labels.name" AS name, "labels.user" AS "user", value
+         |  FROM t WHERE time > $RangeStart AND time < $RangeEnd),
+         |k AS (SELECT DISTINCT name, "user" FROM f),
+         |les AS (SELECT CAST(le AS DOUBLE) AS le FROM (VALUES (1.0), (2.0),
+         |  (4.0), (8.0), (16.0), (32.0), (64.0), (128.0), (256.0), (512.0))
+         |  AS v(le)),
+         |buckets AS (SELECT k.name || '_bucket' AS series, k."user",
+         |    CAST(les.le AS VARCHAR) AS le,
+         |    CAST((SELECT count(*) FROM f WHERE f.name = k.name
+         |      AND f."user" = k."user" AND f.value <= les.le) AS DOUBLE)
+         |      AS value
+         |  FROM k CROSS JOIN les),
+         |infb AS (SELECT name || '_bucket' AS series, "user",
+         |    '+Inf' AS le, CAST(count(*) AS DOUBLE) AS value
+         |  FROM f GROUP BY 1, 2),
+         |cnt AS (SELECT name || '_count' AS series, "user",
+         |    CAST(NULL AS VARCHAR) AS le, CAST(count(*) AS DOUBLE) AS value
+         |  FROM f GROUP BY 1, 2),
+         |sm AS (SELECT name || '_sum' AS series, "user",
+         |    CAST(NULL AS VARCHAR) AS le, round(sum(value), 4) AS value
+         |  FROM f GROUP BY 1, 2)
+         |SELECT * FROM buckets UNION ALL SELECT * FROM infb
+         |UNION ALL SELECT * FROM cnt UNION ALL SELECT * FROM sm""".stripMargin,
     "tsdb_q117_wal_native_hist" -> histExpOracle,
     "tsdb_q121_remote_write2_hist" -> histExpOracle,
     "tsdb_q120_remote_write2" ->

@@ -465,7 +465,7 @@ object TsdbBlockWriter {
     * then silently skipped — an unconstrained first char would make
     * ~75% of written blocks invisible to tsdb.OpenDBReadOnly
     * (reference hello.go:51). */
-  private[tsdbblock] def deterministicUlid(seed: String): String = {
+  private[sources] def deterministicUlid(seed: String): String = {
     val alphabet = "0123456789ABCDEFGHJKMNPQRSTVWXYZ"
     val md = java.security.MessageDigest.getInstance("SHA-256")
       .digest(seed.getBytes(UTF_8))

@@ -28,13 +28,21 @@ object AlertRules {
   /** A rule-group member (rules files hold both kinds). */
   sealed trait Rule
 
-  /** One alerting rule: `alert: <name>  expr: <promql>  for: <forMs>`.
+  /** One alerting rule: `alert: <name>  expr: <promql>  for: <forMs>
+    * keep_firing_for: <keepFiringForMs>`.
     * `labels` are the rule's extra labels — attached to every alert
     * element, OVERRIDING element labels on conflict (Prometheus rule
     * semantics); `annotations` are notification-template strings,
-    * carried verbatim (templating happens at the notifier, not here). */
+    * carried verbatim (templating happens at the notifier, not here).
+    * `keepFiringForMs` (Prometheus 2.42+): a FIRING element whose
+    * condition clears keeps firing — with its original `active_at` —
+    * at each evaluation `t` while `t - firstMissedEval <
+    * keepFiringForMs`; if the condition returns inside that window the
+    * run continues unbroken, else the alert resolves. Pending elements
+    * still resolve immediately. */
   final case class AlertRule(name: String, expr: String,
                              forMs: Long,
+                             keepFiringForMs: Long = 0L,
                              labels: Map[String, String] = Map.empty,
                              annotations: Map[String, String] = Map.empty)
       extends Rule
@@ -153,6 +161,8 @@ object AlertRules {
     require(iv.columns.contains(TsdbSchema.ValueCol) &&
       iv.columns.contains("t"),
       "an alerting rule's expression must yield per-step instant vectors")
+    if (rule.keepFiringForMs > 0L)
+      return evaluateKeepFiring(rule, iv, end, stepMs)
     val labels = iv.columns.toSeq.filterNot(NonLabelCols)
       .map(c => col(s"`$c`"))
     val series = Window.partitionBy(labels: _*).orderBy(col("t"))
@@ -171,6 +181,67 @@ object AlertRules {
         col("t"), col("active_at"),
         when(col("t") - col("active_at") >= rule.forMs, "firing")
           .otherwise("pending").as("alertstate"),
+        col(TsdbSchema.ValueCol)): _*)
+  }
+
+  /** The `keep_firing_for` machine. Unlike the plain run-length shape,
+    * keep-firing state is genuinely SEQUENTIAL per element: whether a
+    * gap bridges depends on the state at the previous step, which
+    * depends on runs merged by earlier bridges — window functions
+    * cannot carry that (the classic conditional-reset recurrence), so
+    * each element walks its grid in a typed `flatMapGroups` (the batch
+    * analog of Structured Streaming's `mapGroupsWithState`, and the
+    * same shape Prometheus's own `rules/alerting.go` eval loop has).
+    * Scale: ONE shuffle keyed by label set — identical movement to the
+    * window path — and per-group work is grid-bounded; emitted gap
+    * rows carry the last true-eval value, `active_at` survives bridged
+    * gaps (Prometheus keeps `ActiveAt` and resets `KeepFiringSince`
+    * when the element returns). */
+  private def evaluateKeepFiring(rule: AlertRule, iv: DataFrame,
+                                 end: Long, stepMs: Long): DataFrame = {
+    val sp = iv.sparkSession
+    import sp.implicits._
+    val labelNames = iv.columns.toSeq.filterNot(NonLabelCols)
+    val slim = iv.select(
+      array(labelNames.map(c => col(s"`$c`").cast("string")): _*).as("lv"),
+      col("t"), col(TsdbSchema.ValueCol).cast("double").as("v"))
+      .as[(Seq[String], Long, Double)]
+    val forMs = rule.forMs; val kff = rule.keepFiringForMs
+    val walked: org.apache.spark.sql.Dataset[
+        (Seq[String], Long, Long, String, Double)] =
+      slim.groupByKey(_._1).flatMapGroups { (lv, it) =>
+        val present = it.map(r => r._2 -> r._3).toMap
+        val lastPresent = present.keys.max
+        val out = Seq.newBuilder[(Seq[String], Long, Long, String, Double)]
+        var state = 0 // 0 inactive, 1 pending, 2 firing
+        var activeAt = 0L; var keepSince = -1L; var lastV = 0.0
+        var t = present.keys.min
+        while (t <= end && (t <= lastPresent || state == 2)) {
+          present.get(t) match {
+            case Some(v) =>
+              if (state == 0) activeAt = t
+              keepSince = -1L
+              state = if (t - activeAt >= forMs) 2 else 1
+              lastV = v
+              out += ((lv, t, activeAt,
+                if (state == 2) "firing" else "pending", v))
+            case None =>
+              if (state == 2) {
+                if (keepSince < 0L) keepSince = t
+                if (t - keepSince < kff)
+                  out += ((lv, t, activeAt, "firing", lastV))
+                else { state = 0; keepSince = -1L }
+              } else state = 0
+          }
+          t += stepMs
+        }
+        out.result().iterator
+      }
+    walked.toDF("lv", "t", "active_at", "alertstate", TsdbSchema.ValueCol)
+      .select(lit(rule.name).as("alertname") +:
+        labelNames.zipWithIndex.map { case (c, i) =>
+          element_at(col("lv"), i + 1).as(c) } ++: Seq(
+        col("t"), col("active_at"), col("alertstate"),
         col(TsdbSchema.ValueCol)): _*)
   }
 }

@@ -62,10 +62,14 @@ object ApiJson {
       }
       struct(lit(key).as("key"), nullif(col(s"`$c`"), lit("")).as("value"))
     }
-    val metric = map_from_entries(filter(array(entries: _*),
-      e => e.getField("value").isNotNull))
+    // zero label columns (e.g. `vector(1)`): `array()` of no args has
+    // no element type for `filter` — emit the empty metric map directly
+    val metric =
+      if (entries.isEmpty) lit("{}")
+      else to_json(map_from_entries(filter(array(entries: _*),
+        e => e.getField("value").isNotNull)))
     df.select(concat(
-      lit("""{"metric":"""), to_json(metric),
+      lit("""{"metric":"""), metric,
       lit(s""","$field":"""), rendered, lit("}")).as("json"))
   }
 }

@@ -122,9 +122,13 @@ final class PromHttpServer(spark: SparkSession, initial: DataFrame,
     val q = required(p, "query")
     val at = p.first("time").map(parseTime)
       .getOrElse(System.currentTimeMillis())
-    val df = PromQL.evalStrict(PromQL.parse(q), wide, at, lookbackMs,
+    val ast = PromQL.parse(q)
+    val df = PromQL.evalStrict(ast, wide, at, lookbackMs,
       start = at, end = at)
-    if (df.columns.toSeq == Seq(TsdbSchema.TimeCol, TsdbSchema.ValueCol)) {
+    // resultType comes from the AST's STATIC type, not the frame's
+    // column shape: a no-label one-element vector (e.g. `vector(1)`)
+    // evaluates to a (time, value)-only frame yet is a vector
+    if (PromQL.isScalarTyped(ast)) {
       // scalar result type: one (time, value) row
       val r = df.collect()
       val v = if (r.isEmpty) "NaN" else fmt(r.head.getDouble(1))
@@ -275,10 +279,11 @@ final class PromHttpServer(spark: SparkSession, initial: DataFrame,
         (state, items.mkString("[", ",", "]"))
       }
       val rulesJson = g.rules.map {
-        case AlertRule(n, e, forMs, rl, anns) =>
+        case AlertRule(n, e, forMs, kffMs, rl, anns) =>
           val (state, items) = alertJson(n, rl, anns)
           s"""{"type":"alerting","name":${jstr(n)},"query":${jstr(e)},""" +
-            s""""duration":${forMs / 1000},"labels":${mapJson(rl)},""" +
+            s""""duration":${forMs / 1000},""" +
+            s""""keepFiringFor":${kffMs / 1000},"labels":${mapJson(rl)},""" +
             s""""annotations":${mapJson(anns)},"state":${jstr(state)},""" +
             s""""alerts":$items,"health":"ok"}"""
         case RecordingRule(n, e, rl) =>
@@ -442,7 +447,10 @@ final class PromHttpServer(spark: SparkSession, initial: DataFrame,
     if (n == "name") "__name__" else n
   }
 
-  private def sec(ms: Long): String = f"${ms / 1000.0}%.3f"
+  private def sec(ms: Long): String =
+    // Locale.ROOT: the f-interpolator uses the default locale, which
+    // renders a comma decimal on e.g. de_DE JVMs — invalid JSON
+    String.format(java.util.Locale.ROOT, "%.3f", ms / 1000.0)
 
   private def fmt(v: Double): String =
     if (v == v.toLong.toDouble && math.abs(v) < 1e15) v.toLong.toString

@@ -189,13 +189,37 @@ object RemoteRead {
     Federate.longForm(t.select(lo, hi, ms))
   }
 
-  /** NUL-joined label-set sort key: lexicographic comparison of
-    * `name\0value\0name\0value…` orders exactly as Prometheus's
-    * `labels.Compare` (pairwise name, then value) because NUL sorts
-    * below every legal label byte — a space separator would mis-order
-    * values that themselves contain spaces. */
-  private def labelSortKey(entries: Seq[(String, String)]): String =
-    entries.map(e => e._1 + "\u0000" + e._2).mkString("\u0000")
+  /** NUL-escaped label-set sort key: lexicographic comparison of the
+    * UTF-8 bytes of `esc(name)\0\0esc(value)\0\0…` orders exactly as
+    * Prometheus's `labels.Compare` (pairwise name, then value; fewer
+    * labels first). A bare single-NUL join would not be INJECTIVE —
+    * NUL is a legal byte inside label values, so `{a="b\0c\0d"}` and
+    * `{a="b", c="d"}` would collide (and merge into one frame in
+    * [[serveChunked]]'s contiguity grouping). Escaping each embedded
+    * NUL to `\0\1` and separating fields with `\0\0` is unambiguous
+    * (decode: `\0\0` = boundary, `\0\1` = literal NUL) and still
+    * order-preserving bytewise: at the first divergence either both
+    * originals differ (their escaped first bytes differ the same way)
+    * or one field ends (its `\0\0` terminator sorts below both any
+    * non-NUL byte and the `\0\1` escape — prefix sorts first, as in
+    * Go string compare). */
+  private[tsdb] def labelSortKey(entries: Seq[(String, String)]): String =
+    entries.iterator
+      .flatMap(e => Iterator(e._1, e._2))
+      .map(_.replace("\u0000", "\u0000\u0001"))
+      .mkString("\u0000\u0000")
+
+  /** Unsigned UTF-8 byte order of [[labelSortKey]]s — what Spark's
+    * `UTF8String` range sort in [[serveChunked]] and Go's string
+    * compare in `labels.Compare` both use. Java `String` order
+    * (UTF-16 code units) DIFFERS above the BMP: U+10000+ encode as
+    * surrogates 0xD800–0xDFFF, sorting below U+E000–U+FFFF in UTF-16
+    * but above them in UTF-8. */
+  private[tsdb] val utf8ByteOrder: Ordering[String] =
+    (a: String, b: String) =>
+      java.util.Arrays.compareUnsigned(
+        a.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+        b.getBytes(java.nio.charset.StandardCharsets.UTF_8))
 
   /** Distributed per-series grouping: (sorted label entries, sorted
     * samples) — the block writer's shape, one shuffle. */
@@ -231,7 +255,7 @@ object RemoteRead {
         })
         .collect()
       val qw = new ProtoWriter
-      series.sortBy(_._1).foreach(s => qw.bytes(1, s._2))
+      series.sortBy(_._1)(utf8ByteOrder).foreach(s => qw.bytes(1, s._2))
       w.bytes(1, qw.toBytes)
     }
     Snappy.compress(w.toBytes)
@@ -320,6 +344,8 @@ object RemoteRead {
     val sp = t.df.sparkSession
     import sp.implicits._
     val req = decodeReadRequest(requestBytes)
+    // a wire-legal ReadRequest may carry zero queries: empty stream out
+    if (req.queries.isEmpty) return sp.emptyDataset[Array[Byte]]
     val keyed = req.queries.zipWithIndex.map { case (q, qi) =>
       slice(t, q).select(
         lit(qi).as("qi"),
@@ -327,9 +353,12 @@ object RemoteRead {
         col("time"), col("value"))
     }.reduce(_ unionByName _)
     keyed
-      .withColumn("skey", concat_ws("\u0000",
-        flatten(transform(col("entries"),
-          e => array(e.getField("key"), e.getField("value"))))))
+      .withColumn("skey", array_join(
+        transform(
+          flatten(transform(col("entries"),
+            e => array(e.getField("key"), e.getField("value")))),
+          f => replace(f, lit("\u0000"), lit("\u0000\u0001"))),
+        "\u0000\u0000"))
       .repartitionByRange(col("qi"), col("skey"))
       .sortWithinPartitions(col("qi"), col("skey"), col("time"))
       .select(col("qi"), col("skey"), col("entries"),

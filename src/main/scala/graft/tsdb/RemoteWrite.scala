@@ -317,6 +317,11 @@ object RemoteWrite {
     var zeroThreshold = 0.0; var zeroCount = 0.0; var time = 0L
     var negSpans = Seq.empty[(Int, Int)]; var posSpans = Seq.empty[(Int, Int)]
     var negVals = Seq.empty[Double]; var posVals = Seq.empty[Double]
+    // packed repeated fields may legally be SPLIT across several
+    // occurrences of the same field number (proto3 merge rule) — so
+    // each chunk APPENDS, and the delta prefix-sum accumulator for the
+    // int form threads across chunks instead of restarting at 0
+    var negAcc = 0L; var posAcc = 0L
     def readSpan(s: Int, e: Int): (Int, Int) = {
       val sr = new ProtoReader(raw, s, e)
       var off = 0; var len = 0
@@ -328,12 +333,12 @@ object RemoteWrite {
       }
       (off, len)
     }
-    def readPackedDeltas(s: Int, e: Int): Seq[Double] = {
+    def readPackedDeltas(s: Int, e: Int, acc0: Long): (Seq[Double], Long) = {
       val sr = new ProtoReader(raw, s, e)
       val out = Seq.newBuilder[Double]
-      var acc = 0L
+      var acc = acc0
       while (sr.hasMore) { acc += unzigzag(sr.varint()); out += acc.toDouble }
-      out.result()
+      (out.result(), acc)
     }
     def readPackedDoubles(s: Int, e: Int): Seq[Double] = {
       val sr = new ProtoReader(raw, s, e)
@@ -352,11 +357,17 @@ object RemoteWrite {
         case (6, 0) => zeroCount = r.varint().toDouble // zero_count_int
         case (7, 1) => zeroCount = java.lang.Double.longBitsToDouble(r.fixed64())
         case (8, 2) => val (s, e) = r.delimited(); negSpans :+= readSpan(s, e)
-        case (9, 2) => val (s, e) = r.delimited(); negVals = readPackedDeltas(s, e)
-        case (10, 2) => val (s, e) = r.delimited(); negVals = readPackedDoubles(s, e)
+        case (9, 2) =>
+          val (s, e) = r.delimited()
+          val (vs, acc) = readPackedDeltas(s, e, negAcc)
+          negVals ++= vs; negAcc = acc
+        case (10, 2) => val (s, e) = r.delimited(); negVals ++= readPackedDoubles(s, e)
         case (11, 2) => val (s, e) = r.delimited(); posSpans :+= readSpan(s, e)
-        case (12, 2) => val (s, e) = r.delimited(); posVals = readPackedDeltas(s, e)
-        case (13, 2) => val (s, e) = r.delimited(); posVals = readPackedDoubles(s, e)
+        case (12, 2) =>
+          val (s, e) = r.delimited()
+          val (vs, acc) = readPackedDeltas(s, e, posAcc)
+          posVals ++= vs; posAcc = acc
+        case (13, 2) => val (s, e) = r.delimited(); posVals ++= readPackedDoubles(s, e)
         case (15, 0) => time = r.varint()
         case (_, wire) => r.skip(wire)
       }

@@ -82,7 +82,7 @@ object RuleFiles {
     val perRule = groups.flatMap { g =>
       g.rules.flatMap { r =>
         val (kind, rname, expr, labels) = r match {
-          case AlertRule(n, e, _, ls, _) => ("alert", n, e, ls)
+          case AlertRule(n, e, _, _, ls, _) => ("alert", n, e, ls)
           case RecordingRule(n, e, ls) => ("record", n, e, ls)
         }
         val exprErr =
@@ -98,7 +98,7 @@ object RuleFiles {
         exprErr.toSeq ++ recordErr.toSeq
       } ++
         g.rules.groupBy {
-          case AlertRule(n, _, _, ls, _) => ("alert", n, ls)
+          case AlertRule(n, _, _, _, ls, _) => ("alert", n, ls)
           case RecordingRule(n, _, ls) => ("record", n, ls)
         }.filter(_._2.size > 1).keys.toSeq.sortBy(_._2).map {
           case (k, n, _) =>
@@ -127,21 +127,21 @@ object RuleFiles {
   private def rule(group: String, y: Yaml.Node): Rule = y match {
     case Yaml.M(es) =>
       val m = es.toMap
-      if (m.contains("keep_firing_for")) fail(
-        s"group $group: keep_firing_for is not supported by this engine's " +
-          "rules evaluator (alerts resolve as soon as the element clears)")
       val expr = str(m.getOrElse("expr", fail(s"group $group: rule without `expr:`")))
       val labels = strMap(m.get("labels"), s"group $group: labels")
       (m.get("record"), m.get("alert")) match {
         case (Some(r), None) =>
-          if (m.contains("for") || m.contains("annotations")) fail(
+          if (m.contains("for") || m.contains("annotations") ||
+              m.contains("keep_firing_for")) fail(
             s"group $group: recording rule ${str(r)} must not carry " +
-              "`for:`/`annotations:`")
+              "`for:`/`keep_firing_for:`/`annotations:`")
           RecordingRule(str(r), expr, labels)
         case (None, Some(a)) =>
           AlertRule(str(a), expr,
             forMs = m.get("for").map(v => PromQL.parseDuration(str(v)))
               .getOrElse(0L),
+            keepFiringForMs = m.get("keep_firing_for")
+              .map(v => PromQL.parseDuration(str(v))).getOrElse(0L),
             labels = labels,
             annotations = strMap(m.get("annotations"),
               s"group $group: annotations"))

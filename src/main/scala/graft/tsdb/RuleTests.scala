@@ -146,7 +146,7 @@ object RuleTests {
         val lastTick = (at / interval) * interval
         val rules = groups.flatMap(_.rules)
         val anns = rules.collect {
-          case AlertRule(n, _, _, _, a) if n == alertname => a
+          case AlertRule(n, _, _, _, _, a) if n == alertname => a
         }.headOption.getOrElse(Map.empty)
         val (_, alerts) = AlertRules.evaluateGroup(rules, wide,
           start = 0L, end = lastTick, stepMs = interval,

@@ -223,6 +223,220 @@ object SampleReaders {
               a.getField("value").getField("stringValue"))))).as("labels"))
   }
 
+  /** OTLP EXPONENTIAL-HISTOGRAM data points → the wire-sparse
+    * [[RemoteWrite.SparseHist]] rows [[RemoteWrite.denseFromSparse]]
+    * densifies — the OTLP twin of [[RemoteWrite.decodeHistRequests]],
+    * closing the one wire format whose native-histogram path stopped
+    * short. Index convention: OTLP bucket `i` of a `(offset,
+    * bucketCounts)` pair covers `(base^(offset+i), base^(offset+i+1)]`
+    * while a Prometheus sparse index `j` covers `(base^(j-1), base^j]`,
+    * so `j = offset + i + 1` (the same shift the OTel collector's
+    * Prometheus translator applies); `scale` is Prometheus `schema`
+    * verbatim. uint64/fixed64 fields (`count`, `zeroCount`,
+    * `bucketCounts`, `timeUnixNano`) arrive as proto3-JSON strings.
+    * Built-in expressions only — map-side, codegen'd. */
+  def fromOtlpExpHistJsonLines(lines: DataFrame, lineCol: String = "line")
+      : org.apache.spark.sql.Dataset[RemoteWrite.SparseHist] = {
+    val sp = lines.sparkSession
+    import sp.implicits._
+    val attrType = ArrayType(StructType(Seq(
+      StructField("key", StringType),
+      StructField("value", StructType(Seq(
+        StructField("stringValue", StringType)))))))
+    val bucketsType = StructType(Seq(
+      StructField("offset", IntegerType),
+      StructField("bucketCounts", ArrayType(StringType))))
+    val dpType = ArrayType(StructType(Seq(
+      StructField("timeUnixNano", StringType),
+      StructField("count", StringType),
+      StructField("sum", DoubleType),
+      StructField("scale", IntegerType),
+      StructField("zeroCount", StringType),
+      StructField("zeroThreshold", DoubleType),
+      StructField("positive", bucketsType),
+      StructField("negative", bucketsType),
+      StructField("attributes", attrType))))
+    val schema = StructType(Seq(StructField("resourceMetrics", ArrayType(
+      StructType(Seq(StructField("scopeMetrics", ArrayType(StructType(Seq(
+        StructField("metrics", ArrayType(StructType(Seq(
+          StructField("name", StringType),
+          StructField("exponentialHistogram", StructType(Seq(
+            StructField("dataPoints", dpType))))))))))))))))))
+    def side(b: org.apache.spark.sql.Column) = {
+      val bc = coalesce(b.getField("bucketCounts"),
+        array().cast(ArrayType(StringType)))
+      // (count, position) → (promIndex = offset + pos + 1, count)
+      zip_with(bc, sequence(lit(0), greatest(size(bc) - 1, lit(0))),
+        (c, i) => struct(
+          (coalesce(b.getField("offset"), lit(0)) + i + 1).as("_1"),
+          c.cast("double").as("_2")))
+    }
+    lines
+      .select(from_json(col(lineCol), schema).as("r"))
+      .where(col("r").isNotNull)
+      .select(explode(col("r.resourceMetrics")).as("rm"))
+      .select(explode(col("rm.scopeMetrics")).as("sm"))
+      .select(explode(col("sm.metrics")).as("m"))
+      .where(col("m.exponentialHistogram").isNotNull)
+      .select(col("m.name").as("name"),
+        explode(col("m.exponentialHistogram.dataPoints")).as("dp"))
+      .where(col("dp.timeUnixNano").isNotNull)
+      .select(
+        expr("CAST(dp.timeUnixNano AS BIGINT) DIV 1000000").as("time"),
+        map_concat(
+          map(lit("__name__"), col("name")),
+          map_from_entries(transform(
+            coalesce(col("dp.attributes"), array().cast(attrType)),
+            a => struct(a.getField("key"),
+              a.getField("value").getField("stringValue"))))).as("labels"),
+        coalesce(col("dp.count").cast("double"), lit(0.0)).as("count"),
+        coalesce(col("dp.sum"), lit(0.0)).as("sum"),
+        coalesce(col("dp.scale"), lit(0)).as("schema"),
+        coalesce(col("dp.zeroThreshold"), lit(0.0)).as("zeroThreshold"),
+        coalesce(col("dp.zeroCount").cast("double"), lit(0.0)).as("zeroCount"),
+        filter(side(col("dp.positive")),
+          e => e.getField("_2") =!= 0.0).as("positive"),
+        filter(side(col("dp.negative")),
+          e => e.getField("_2") =!= 0.0).as("negative"))
+      .as[RemoteWrite.SparseHist]
+  }
+
+  /** The inverse — dense [[NativeHistogram]] frames (the
+    * `(time, labels, hist)` shape [[RemoteWrite.encodeHistRequests]]
+    * takes, labels keyed with `__name__`) to OTLP/JSON
+    * exponential-histogram lines, one single-data-point request per
+    * row. The dense grid maps to one contiguous positive run:
+    * `offset = minExp − 1`, `bucketCounts` = the grid buckets plus the
+    * +Inf overflow riding as the last entry (index `maxExp + 1` — the
+    * same documented convention as the remote-write codec, which
+    * [[RemoteWrite.denseFromSparse]] inverts exactly). */
+  def toOtlpExpHistJsonLines(df: DataFrame, schemaId: Int, minExp: Int,
+                             maxExp: Int): DataFrame = {
+    val nonName = filter(
+      array_sort(map_keys(col("labels"))), k => k =!= "__name__")
+    val attrs = transform(nonName, k => struct(
+      k.as("key"),
+      struct(element_at(col("labels"), k).as("stringValue")).as("value")))
+    val gridAndInf = transform(
+      slice(col("hist.counts"), 2, maxExp - minExp + 2),
+      c => c.cast("long").cast("string"))
+    df.select(to_json(struct(array(struct(array(struct(array(struct(
+      element_at(col("labels"), "__name__").as("name"),
+      struct(array(struct(
+        (col("time") * 1000000L).cast("string").as("timeUnixNano"),
+        col("hist.count").cast("long").cast("string").as("count"),
+        col("hist.sum").as("sum"),
+        lit(schemaId).as("scale"),
+        element_at(col("hist.counts"), 1).cast("long").cast("string")
+          .as("zeroCount"),
+        struct(lit(minExp - 1).as("offset"),
+          gridAndInf.as("bucketCounts")).as("positive"),
+        attrs.as("attributes"))).as("dataPoints"))
+        .as("exponentialHistogram")))
+      .as("metrics"))).as("scopeMetrics"))).as("resourceMetrics")))
+      .as("line"))
+  }
+
+  /** OTLP EXPLICIT-BOUNDS histogram data points → classic Prometheus
+    * series, exactly the OTel collector's Prometheus mapping:
+    * `<name>_bucket{le=<bound>}` with CUMULATIVE counts (OTLP buckets
+    * are per-interval), `<name>_bucket{le="+Inf"}` = count,
+    * `<name>_count` and `<name>_sum`. Long-form output, ready for
+    * [[TsdbIngest]] and the `histogram_quantile` text tier. */
+  def fromOtlpHistogramJsonLines(lines: DataFrame,
+                                 lineCol: String = "line"): DataFrame = {
+    val attrType = ArrayType(StructType(Seq(
+      StructField("key", StringType),
+      StructField("value", StructType(Seq(
+        StructField("stringValue", StringType)))))))
+    val dpType = ArrayType(StructType(Seq(
+      StructField("timeUnixNano", StringType),
+      StructField("count", StringType),
+      StructField("sum", DoubleType),
+      StructField("bucketCounts", ArrayType(StringType)),
+      StructField("explicitBounds", ArrayType(DoubleType)),
+      StructField("attributes", attrType))))
+    val schema = StructType(Seq(StructField("resourceMetrics", ArrayType(
+      StructType(Seq(StructField("scopeMetrics", ArrayType(StructType(Seq(
+        StructField("metrics", ArrayType(StructType(Seq(
+          StructField("name", StringType),
+          StructField("histogram", StructType(Seq(
+            StructField("dataPoints", dpType))))))))))))))))))
+    val base = lines
+      .select(from_json(col(lineCol), schema).as("r"))
+      .where(col("r").isNotNull)
+      .select(explode(col("r.resourceMetrics")).as("rm"))
+      .select(explode(col("rm.scopeMetrics")).as("sm"))
+      .select(explode(col("sm.metrics")).as("m"))
+      .where(col("m.histogram").isNotNull)
+      .select(col("m.name").as("name"),
+        explode(col("m.histogram.dataPoints")).as("dp"))
+      .where(col("dp.timeUnixNano").isNotNull)
+      .select(col("name"),
+        expr("CAST(dp.timeUnixNano AS BIGINT) DIV 1000000").as("time"),
+        col("dp.count").cast("double").as("count"),
+        col("dp.sum").as("sum"),
+        transform(coalesce(col("dp.bucketCounts"),
+          array().cast(ArrayType(StringType))), c => c.cast("double"))
+          .as("bc"),
+        coalesce(col("dp.explicitBounds"), array().cast(ArrayType(DoubleType)))
+          .as("bounds"),
+        map_from_entries(transform(
+          coalesce(col("dp.attributes"), array().cast(attrType)),
+          a => struct(a.getField("key"),
+            a.getField("value").getField("stringValue")))).as("attrs"))
+    def withName(suffix: org.apache.spark.sql.Column) = map_concat(
+      map(lit("__name__"), concat(col("name"), suffix)), col("attrs"))
+    // cumulative finite buckets: one row per explicit bound
+    val buckets = base.select(col("time"),
+      // aggregate folds left-to-right — the running total per bound
+      explode(zip_with(col("bounds"),
+        transform(sequence(lit(1), greatest(size(col("bounds")), lit(1))),
+          i => aggregate(slice(col("bc"), lit(1), i), lit(0.0), (a, x) => a + x)),
+        (le, cum) => struct(le.as("le"), cum.as("cum")))).as("b"),
+      col("name"), col("attrs"))
+      .select(col("time"), col("b.cum").as("value"),
+        map_concat(
+          map(lit("__name__"), concat(col("name"), lit("_bucket")),
+            lit("le"), col("b.le").cast("string")),
+          col("attrs")).as("labels"))
+    val infBucket = base.select(col("time"), col("count").as("value"),
+      map_concat(
+        map(lit("__name__"), concat(col("name"), lit("_bucket")),
+          lit("le"), lit("+Inf")),
+        col("attrs")).as("labels"))
+    val countRow = base.select(col("time"), col("count").as("value"),
+      withName(lit("_count")).as("labels"))
+    val sumRow = base.select(col("time"), col("sum").as("value"),
+      withName(lit("_sum")).as("labels"))
+    buckets.unionByName(infBucket).unionByName(countRow).unionByName(sumRow)
+  }
+
+  /** The explicit-bounds exporter — classic `(time, labels with
+    * `__name__`, count, sum, bounds, bucketCounts)` rows to OTLP/JSON
+    * histogram lines, the round-trip twin of
+    * [[fromOtlpHistogramJsonLines]]. `bucketCounts` are PER-INTERVAL
+    * (the OTLP contract), one more entry than `bounds` (overflow last). */
+  def toOtlpHistogramJsonLines(df: DataFrame): DataFrame = {
+    val nonName = filter(
+      array_sort(map_keys(col("labels"))), k => k =!= "__name__")
+    val attrs = transform(nonName, k => struct(
+      k.as("key"),
+      struct(element_at(col("labels"), k).as("stringValue")).as("value")))
+    df.select(to_json(struct(array(struct(array(struct(array(struct(
+      element_at(col("labels"), "__name__").as("name"),
+      struct(array(struct(
+        (col("time") * 1000000L).cast("string").as("timeUnixNano"),
+        col("count").cast("long").cast("string").as("count"),
+        col("sum").as("sum"),
+        transform(col("bucketCounts"),
+          c => c.cast("long").cast("string")).as("bucketCounts"),
+        col("bounds").as("explicitBounds"),
+        attrs.as("attributes"))).as("dataPoints")).as("histogram")))
+      .as("metrics"))).as("scopeMetrics"))).as("resourceMetrics")))
+      .as("line"))
+  }
+
   /** The inverse — long-form rows to OTLP/JSON lines, one
     * single-data-point gauge request per sample (a valid
     * ExportMetricsServiceRequest each; sorted attribute keys make the

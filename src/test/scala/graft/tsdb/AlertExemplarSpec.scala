@@ -47,6 +47,67 @@ class AlertExemplarSpec extends SparkSpec {
     assert(out.toSeq == Seq("firing"))
   }
 
+  test("keep_firing_for: gap rows fire with last value, runs bridge") {
+    // present at 1000,2000 (firing at 2000 with for=1s), absent 3000,
+    // present 4000,5000; keep_firing_for=2s → the 3000 miss emits a
+    // firing row with the LAST true value and the run's active_at
+    // survives the bridged gap (Prometheus keeps ActiveAt and resets
+    // KeepFiringSince when the element returns)
+    val wide = Seq(
+      ("up", 1000L, 10.0), ("up", 2000L, 12.0),
+      ("up", 4000L, 14.0), ("up", 5000L, 16.0))
+      .toDF("labels.name", "time", "value")
+    val out = AlertRules.evaluate(
+      AlertRules.AlertRule("hot", """{name="up"} > 5""", forMs = 1000L,
+        keepFiringForMs = 2000L),
+      wide, start = 1000L, end = 5000L, stepMs = 1000L, lookbackMs = 1000L)
+      .select(col("t"), col("active_at"), col("alertstate"), col("value"))
+      .as[(Long, Long, String, Double)].collect().sortBy(_._1)
+    assert(out.toSeq == Seq(
+      (1000L, 1000L, "pending", 10.0),
+      (2000L, 1000L, "firing", 12.0),
+      (3000L, 1000L, "firing", 12.0), // gap row: last value, same run
+      (4000L, 1000L, "firing", 14.0), // bridged: active_at survives
+      (5000L, 1000L, "firing", 16.0)))
+  }
+
+  test("keep_firing_for: window expires; a later return starts a NEW run") {
+    // present 1000,2000 then gone; keep window = 2s → firing gap rows
+    // at 3000 and 4000 (t - firstMiss < 2s), resolved at 5000; the
+    // element returning at 6000 is a FRESH pending run
+    val wide = Seq(
+      ("up", 1000L, 10.0), ("up", 2000L, 10.0), ("up", 6000L, 10.0))
+      .toDF("labels.name", "time", "value")
+    val out = AlertRules.evaluate(
+      AlertRules.AlertRule("hot", """{name="up"} > 5""", forMs = 1000L,
+        keepFiringForMs = 2000L),
+      wide, start = 1000L, end = 6000L, stepMs = 1000L, lookbackMs = 1000L)
+      .select(col("t"), col("active_at"), col("alertstate"))
+      .as[(Long, Long, String)].collect().sortBy(_._1)
+    assert(out.toSeq == Seq(
+      (1000L, 1000L, "pending"),
+      (2000L, 1000L, "firing"),
+      (3000L, 1000L, "firing"),
+      (4000L, 1000L, "firing"),
+      // 5000: firstMiss=3000, 5000-3000 >= 2000 → resolved, no row
+      (6000L, 6000L, "pending")))
+  }
+
+  test("keep_firing_for: a PENDING element still resolves immediately") {
+    val wide = Seq(("up", 1000L, 10.0), ("up", 4000L, 10.0))
+      .toDF("labels.name", "time", "value")
+    val out = AlertRules.evaluate(
+      AlertRules.AlertRule("hot", """{name="up"} > 5""", forMs = 5000L,
+        keepFiringForMs = 60000L),
+      wide, start = 1000L, end = 4000L, stepMs = 1000L, lookbackMs = 1000L)
+      .select(col("t"), col("active_at"), col("alertstate"))
+      .as[(Long, Long, String)].collect().sortBy(_._1)
+    // pending at 1000 clears at 2000 with NO keep-firing (only firing
+    // alerts keep); 4000 is a new pending run
+    assert(out.toSeq == Seq(
+      (1000L, 1000L, "pending"), (4000L, 4000L, "pending")))
+  }
+
   test("ALERTS / ALERTS_FOR_STATE: alert state queryable through PromQL") {
     val wide = Seq(
       ("up", 1000L, 10.0), ("up", 2000L, 10.0))

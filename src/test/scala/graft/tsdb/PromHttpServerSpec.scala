@@ -172,4 +172,19 @@ class PromHttpServerSpec extends SparkSpec {
     assert(ce == 400 && be.contains(""""errorType":"bad_data""""), be)
     assert(get("/api/v1/nope")._1 == 404)
   }
+
+  test("resultType is typed from the AST: vector(1) is a vector") {
+    // vector(1) evaluates to a no-label (time, value) frame — shape
+    // inference used to misreport it as "scalar"; the static PromQL
+    // type says vector, with an EMPTY metric object
+    val (c, b) = get("/api/v1/query?query=vector(1)&time=2")
+    assert(c == 200, b)
+    assert(b.contains(""""resultType":"vector""""), b)
+    assert(b.contains("""{"metric":{},"value":[2.000,"1.0"]}"""), b)
+    // and scalar() of a vector is typed scalar
+    val (c2, b2) = get("/api/v1/query?query=" +
+      java.net.URLEncoder.encode("""scalar({name="up",user="a"})""", UTF_8) +
+      "&time=2")
+    assert(c2 == 200 && b2.contains(""""resultType":"scalar""""), b2)
+  }
 }

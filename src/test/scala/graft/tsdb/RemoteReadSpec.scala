@@ -184,4 +184,68 @@ class RemoteReadSpec extends SparkSpec {
     }
     assert(frameLabels === wantOrder)
   }
+
+  test("label sort key is injective: embedded NULs cannot merge series") {
+    // {a="b\0c\0d"} and {a="b", c="d"} collide under a bare single-NUL
+    // join (NUL is a legal label-value byte); the escaped key must keep
+    // them apart — two frames, not one merged under the first labels
+    val s = spark; import s.implicits._
+    val rows = Seq(
+      (1000L, 1.0, Map("name" -> "m", "a" -> "b\u0000c\u0000d")),
+      (1000L, 2.0, Map("name" -> "m", "a" -> "b", "c" -> "d")))
+    val t = TsdbTable(TsdbIngest.toWide(rows.toDF("time", "value", "labels")))
+    val frames = serveChunked(t, encodeReadRequest(ReadRequest(
+      Seq(ReadQuery(Long.MinValue, Long.MaxValue, Nil)),
+      acceptedResponseTypes = Seq(ResponseStreamedXorChunks)))).collect()
+    assert(frames.length === 2)
+    val got = frames.toSeq.map { f =>
+      val r = decodeChunkedFrames(s.createDataset(Seq(f)))
+        .select(col("labels"), col("value")).head()
+      (r.getMap[String, String](0).toMap, r.getDouble(1))
+    }
+    // and order is labels.Compare: value "b" is a prefix of
+    // "b\0c\0d", so {a="b",c="d"} sorts FIRST
+    assert(got === Seq(
+      (Map("__name__" -> "m", "a" -> "b", "c" -> "d"), 2.0),
+      (Map("__name__" -> "m", "a" -> "b\u0000c\u0000d"), 1.0)))
+    // the SAMPLED (driver-sorted) path agrees
+    val sampled = decodeReadResponse(serve(t, encodeReadRequest(ReadRequest(
+      Seq(ReadQuery(Long.MinValue, Long.MaxValue, Nil))))))
+    assert(sampled.map(_._4) === got.map(_._1))
+  }
+
+  test("driver series sort is UTF-8 byte order, matching labels.Compare") {
+    // U+E000 encodes as UTF-8 EE 80 80; U+10000 as F0 90 80 80 — so
+    // U+E000 < U+10000 bytewise. In UTF-16 U+10000 is the surrogate
+    // pair D800 DC00, which sorts BELOW E000 — Java String order
+    // would invert the pair vs labels.Compare and the chunked path.
+    val e000 = "\ue000"; val u10000 = "\ud800\udc00"
+    assert(utf8ByteOrder.compare(e000, u10000) < 0)
+    assert(Ordering.String.compare(e000, u10000) > 0) // the trap
+    val s = spark; import s.implicits._
+    val rows = Seq(
+      (1000L, 1.0, Map("name" -> "m", "x" -> u10000)),
+      (1000L, 2.0, Map("name" -> "m", "x" -> e000)))
+    val t = TsdbTable(TsdbIngest.toWide(rows.toDF("time", "value", "labels")))
+    val sampled = decodeReadResponse(serve(t, encodeReadRequest(ReadRequest(
+      Seq(ReadQuery(Long.MinValue, Long.MaxValue, Nil))))))
+    assert(sampled.map(_._4("x")) === Seq(e000, u10000))
+    // and the Spark range-sorted chunked stream has the same order
+    val frames = serveChunked(t, encodeReadRequest(ReadRequest(
+      Seq(ReadQuery(Long.MinValue, Long.MaxValue, Nil)),
+      acceptedResponseTypes = Seq(ResponseStreamedXorChunks)))).collect()
+    val order = frames.toSeq.map(f =>
+      decodeChunkedFrames(s.createDataset(Seq(f)))
+        .select(col("labels")).head().getMap[String, String](0)("x"))
+    assert(order === Seq(e000, u10000))
+  }
+
+  test("zero-query ReadRequest: empty stream and empty response, no crash") {
+    val t = table()
+    val frames = serveChunked(t, encodeReadRequest(ReadRequest(Nil,
+      acceptedResponseTypes = Seq(ResponseStreamedXorChunks))))
+    assert(frames.count() === 0)
+    val resp = decodeReadResponse(serve(t, encodeReadRequest(ReadRequest(Nil))))
+    assert(resp.isEmpty)
+  }
 }

@@ -204,4 +204,61 @@ class RemoteWriteSpec extends SparkSpec {
     assert(samples === Seq((100L, 0.5,
       Map("__name__" -> "latency", "job" -> "api"))))
   }
+
+  test("packed histogram fields split across field occurrences decode as one") {
+    // proto3 merge rule: a packed repeated field may legally arrive as
+    // SEVERAL occurrences of the same field number — chunks concatenate,
+    // and for the sint64 delta form the prefix-sum accumulator threads
+    // across chunks instead of restarting at zero
+    import RemoteWrite._
+    def zz(v: Long): Long = (v << 1) ^ (v >> 63)
+    def span(w: ProtoWriter, field: Int, off: Int, len: Int): Unit = {
+      val sw = new ProtoWriter
+      sw.key(1, 0); sw.varint(zz(off.toLong)); sw.int64(2, len.toLong)
+      w.bytes(field, sw.toBytes)
+    }
+    def packedDeltas(deltas: Seq[Long]): Array[Byte] = {
+      val pw = new ProtoWriter; deltas.foreach(d => pw.varint(zz(d))); pw.toBytes
+    }
+    def packedDoubles(vs: Seq[Double]): Array[Byte] = {
+      val out = new java.io.ByteArrayOutputStream()
+      vs.foreach { v =>
+        var x = java.lang.Double.doubleToLongBits(v); var i = 0
+        while (i < 8) { out.write((x & 0xff).toInt); x >>>= 8; i += 1 }
+      }
+      out.toByteArray
+    }
+
+    // int/delta form: positive deltas (2,+1,+2,-1) split 2|2, and an
+    // independent negative run split 1|1 — separate accumulators
+    val w = new ProtoWriter
+    w.int64(1, 17)                                     // count_int
+    w.fixed64(3, java.lang.Double.doubleToLongBits(1.5)) // sum
+    w.key(4, 0); w.varint(zz(0))                       // schema
+    span(w, 8, 0, 2)                                   // negative span
+    w.bytes(9, packedDeltas(Seq(2L)))                  // neg chunk 1
+    w.bytes(9, packedDeltas(Seq(1L)))                  // neg chunk 2
+    span(w, 11, 0, 4)                                  // positive span
+    w.bytes(12, packedDeltas(Seq(2L, 1L)))             // pos chunk 1
+    w.bytes(12, packedDeltas(Seq(2L, -1L)))            // pos chunk 2
+    w.int64(15, 1234)
+    val raw = w.toBytes
+    val h = RemoteWrite.decodeHistogram(raw, 0, raw.length, Map("x" -> "y"))
+    assert(h.positive === Seq((0, 2.0), (1, 3.0), (2, 5.0), (3, 4.0)))
+    assert(h.negative === Seq((0, 2.0), (1, 3.0)))
+    assert(h.count === 17.0 && h.time === 1234L && h.labels === Map("x" -> "y"))
+
+    // float form (packed fixed64): chunks concatenate, no delta state
+    val wf = new ProtoWriter
+    wf.fixed64(2, java.lang.Double.doubleToLongBits(14.0)) // count_float
+    wf.fixed64(3, java.lang.Double.doubleToLongBits(1.5))
+    wf.key(4, 0); wf.varint(zz(0))
+    span(wf, 11, 0, 4)
+    wf.bytes(13, packedDoubles(Seq(2.0, 3.0)))
+    wf.bytes(13, packedDoubles(Seq(5.0, 4.0)))
+    wf.int64(15, 99)
+    val rawF = wf.toBytes
+    val hf = RemoteWrite.decodeHistogram(rawF, 0, rawF.length, Map.empty)
+    assert(hf.positive === Seq((0, 2.0), (1, 3.0), (2, 5.0), (3, 4.0)))
+  }
 }

@@ -70,17 +70,37 @@ class RuleFilesSpec extends SparkSpec {
     assert(gs(1).rules.head.asInstanceOf[RecordingRule].expr === "sum (m)")
   }
 
-  test("loud failures: keep_firing_for, missing expr, both kinds, junk") {
-    def bad(t: String): String =
-      intercept[IllegalArgumentException](RuleFiles.parse(t)).getMessage
-    assert(bad(
+  test("keep_firing_for parses into the alert rule (Prometheus 2.42+)") {
+    val gs = RuleFiles.parse(
       """groups:
         |  - name: g
         |    rules:
         |      - alert: a
         |        expr: up
+        |        for: 2m
         |        keep_firing_for: 5m
-        |""".stripMargin).contains("keep_firing_for"))
+        |      - alert: b
+        |        expr: up
+        |""".stripMargin)
+    val a = gs.head.rules.head.asInstanceOf[AlertRule]
+    assert(a.forMs === 120000L && a.keepFiringForMs === 300000L)
+    // absent field = 0 (resolve immediately — the pre-2.42 behavior)
+    assert(gs.head.rules(1).asInstanceOf[AlertRule].keepFiringForMs === 0L)
+    // a RECORDING rule cannot carry it
+    val msg = intercept[IllegalArgumentException](RuleFiles.parse(
+      """groups:
+        |  - name: g
+        |    rules:
+        |      - record: r
+        |        expr: up
+        |        keep_firing_for: 5m
+        |""".stripMargin)).getMessage
+    assert(msg.contains("must not carry"))
+  }
+
+  test("loud failures: missing expr, both kinds, junk") {
+    def bad(t: String): String =
+      intercept[IllegalArgumentException](RuleFiles.parse(t)).getMessage
     assert(bad(
       """groups:
         |  - name: g

@@ -53,6 +53,47 @@ class RuleTestsSpec extends SparkSpec {
     assert(fails.isEmpty, fails.mkString("\n"))
   }
 
+  test("keep_firing_for holds an alert firing through a unit test's gap") {
+    // up == 0 for 3 ticks (fires at 2m with for: 2m), recovers at 3m.
+    // With keep_firing_for: 3m the alert is STILL firing at 4m (first
+    // miss 3m, 4m - 3m < 3m) and resolved by 6m (6m - 3m >= 3m).
+    val yml =
+      """groups:
+        |- name: g
+        |  rules:
+        |  - alert: StillDown
+        |    expr: up == 0
+        |    for: 2m
+        |    keep_firing_for: 3m
+        |""".stripMargin
+    val fails = RuleTests.run(spark,
+      """rule_files:
+        |    - a.yml
+        |evaluation_interval: 1m
+        |tests:
+        |    - interval: 1m
+        |      input_series:
+        |          - series: 'up{job="p"}'
+        |            values: '0 0 0 1 1 1 1 1'
+        |      alert_rule_test:
+        |          - eval_time: 2m
+        |            alertname: StillDown
+        |            exp_alerts:
+        |                - exp_labels:
+        |                      job: p
+        |          - eval_time: 4m
+        |            alertname: StillDown
+        |            exp_alerts:
+        |                - exp_labels:
+        |                      job: p
+        |          - eval_time: 6m
+        |            alertname: StillDown
+        |            exp_alerts: []
+        |""".stripMargin,
+      Map("a.yml" -> yml))
+    assert(fails.isEmpty, fails.mkString("; "))
+  }
+
   test("not yet firing / wrong labels / wrong value all fail precisely") {
     def runAt(evalTime: String, expAlerts: String): Seq[RuleTests.Failure] =
       RuleTests.run(spark,

@@ -146,4 +146,51 @@ class SampleReadersSpec extends SparkSpec {
       (1000L, 17.0, Map("__name__" -> "req_total", "job" -> "a")),
       (2000L, 3.0, Map("__name__" -> "req_total", "job" -> "b"))))
   }
+
+  test("OTLP exponential-histogram points parse with the index shift") {
+    // a collector-shaped exp-hist data point: scale 0, zero bucket,
+    // positive run at offset -1 → Prometheus indices 0,1,2 (j = off+i+1),
+    // uint64 fields as strings; zero-count buckets drop from the sparse
+    // form, a negative run keeps its own accumulator
+    val line =
+      """{"resourceMetrics":[{"scopeMetrics":[{"metrics":[
+        |{"name":"lat","exponentialHistogram":{"aggregationTemporality":2,
+        |  "dataPoints":[{"timeUnixNano":"1704067200123000000",
+        |   "count":"11","sum":12.5,"scale":0,"zeroCount":"2",
+        |   "positive":{"offset":-1,"bucketCounts":["3","0","4"]},
+        |   "negative":{"offset":0,"bucketCounts":["2"]},
+        |   "attributes":[{"key":"job","value":{"stringValue":"a"}}]}]}}
+        |]}]}]}""".stripMargin.replace("\n", "")
+    val got = SampleReaders.fromOtlpExpHistJsonLines(
+      Seq(line, "junk").toDF("line")).collect()
+    assert(got.length === 1)
+    val h = got.head
+    assert(h.time === 1704067200123L)
+    assert(h.labels === Map("__name__" -> "lat", "job" -> "a"))
+    assert(h.count === 11.0 && h.sum === 12.5 && h.schema === 0)
+    assert(h.zeroCount === 2.0)
+    assert(h.positive === Seq((0, 3.0), (2, 4.0))) // zero bucket dropped
+    assert(h.negative === Seq((1, 2.0)))
+  }
+
+  test("OTLP explicit-bounds histogram maps to classic _bucket/_count/_sum") {
+    // per-interval bucketCounts [2,3,5] over bounds [1,4] → cumulative
+    // _bucket{le="1.0"}=2, {le="4.0"}=5, {le="+Inf"}=10=count
+    val line =
+      """{"resourceMetrics":[{"scopeMetrics":[{"metrics":[
+        |{"name":"size","histogram":{"aggregationTemporality":2,
+        |  "dataPoints":[{"timeUnixNano":"1704067200123000000",
+        |   "count":"10","sum":33.25,
+        |   "bucketCounts":["2","3","5"],"explicitBounds":[1.0,4.0],
+        |   "attributes":[{"key":"job","value":{"stringValue":"a"}}]}]}}
+        |]}]}]}""".stripMargin.replace("\n", "")
+    val got = SampleReaders.fromOtlpHistogramJsonLines(Seq(line).toDF("line"))
+      .as[(Long, Double, Map[String, String])].collect().toSet
+    assert(got === Set(
+      (1704067200123L, 2.0, Map("__name__" -> "size_bucket", "le" -> "1.0", "job" -> "a")),
+      (1704067200123L, 5.0, Map("__name__" -> "size_bucket", "le" -> "4.0", "job" -> "a")),
+      (1704067200123L, 10.0, Map("__name__" -> "size_bucket", "le" -> "+Inf", "job" -> "a")),
+      (1704067200123L, 10.0, Map("__name__" -> "size_count", "job" -> "a")),
+      (1704067200123L, 33.25, Map("__name__" -> "size_sum", "job" -> "a"))))
+  }
 }
