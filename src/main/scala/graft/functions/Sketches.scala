@@ -25,6 +25,11 @@ import org.apache.spark.sql.functions._
   */
 object Sketches {
 
+  /** Sentinel: derive the count-min support threshold from the sketch
+    * itself (1/width — the collision noise floor). The default for
+    * [[countMinTopK]] / [[duckCountMinSql]]. */
+  val AutoSupport: Double = -1.0
+
   /** Per-group deterministic-HLL estimate of `count(distinct valueCol)`.
     * Output: keys :+ `est_distinct` (double, rounded to 2 — absorbs
     * summation-order ulps across engines). */
@@ -77,12 +82,20 @@ object Sketches {
     * shuffle after the join carries ~heavy rows. Because the estimate
     * is the MIN over rows, `est(v) ≥ φN` requires every row's cell
     * ≥ φN — enforced exactly by requiring all `depth` join hits.
-    * (φ = 0 keeps the classic unpruned enumeration.) */
+    *
+    * DEFAULT ([[AutoSupport]]): φ = 1/width, the sketch's own collision
+    * noise floor — a cell's expected collision mass is N/width, so a
+    * value with support below it is below CM's RESOLUTION (its estimate
+    * is dominated by other values' counts) whatever the threshold.
+    * Pruning there keeps the candidate flow heavy-hitter-sized by
+    * default at no resolution cost; pass φ = 0 EXPLICITLY for the
+    * classic exhaustive enumeration. */
   def countMinTopK(df: DataFrame, valueCol: Column, k: Int,
                    depth: Int = 4, width: Int = 512,
-                   minSupport: Double = 0.0): DataFrame = {
+                   minSupport: Double = AutoSupport): DataFrame = {
     require(depth >= 1 && width >= 1, s"bad sketch dims: $depth x $width")
-    require(minSupport >= 0.0 && minSupport < 1.0,
+    val support = if (minSupport < 0.0) 1.0 / width else minSupport
+    require(support < 1.0,
       s"minSupport is a fraction of total observations: $minSupport")
     def rowCells = explode(array((0 until depth).map(i =>
       struct(lit(i).as("i"),
@@ -92,7 +105,7 @@ object Sketches {
       .groupBy(col("rc.i").as("i"), col("rc.cell").as("cell"))
       .agg(count(lit(1)).as("cnt"))
     val sketch =
-      if (minSupport == 0.0) cells
+      if (support == 0.0) cells
       else {
         // N = Σ cnt over hash row 0; the window runs over the counter
         // table itself (≤ depth·width rows, KBs) before it broadcasts
@@ -101,7 +114,7 @@ object Sketches {
             org.apache.spark.sql.expressions.Window.unboundedFollowing)
         cells
           .withColumn("_tot", sum(when(col("i") === 0, col("cnt"))).over(w))
-          .where(col("cnt") >= lit(minSupport) * col("_tot"))
+          .where(col("cnt") >= lit(support) * col("_tot"))
           .drop("_tot")
       }
     val est = src.distinct()
@@ -111,7 +124,7 @@ object Sketches {
       .groupBy(col("_v"))
       .agg(min(col("cnt")).as("est_n"), count(lit(1)).as("_cm_hits"))
     val kept =
-      if (minSupport == 0.0) est
+      if (support == 0.0) est
       else est.where(col("_cm_hits") === depth)
     kept
       .orderBy(col("est_n").desc, col("_v").asc)
@@ -124,20 +137,21 @@ object Sketches {
     * `srcSql` must yield a single VARCHAR column `v`. */
   def duckCountMinSql(srcSql: String, k: Int,
                       depth: Int = 4, width: Int = 512,
-                      minSupport: Double = 0.0): String = {
+                      minSupport: Double = AutoSupport): String = {
+    val support = if (minSupport < 0.0) 1.0 / width else minSupport
     val hashCell = (vExpr: String, i: Int) =>
       s"(${Hashing.duckHash64(vExpr, i)} % $width)"
     val rowSelects = (0 until depth).map(i =>
       s"SELECT $i AS i, ${hashCell("v", i)} AS cell FROM src_cm").mkString("\nUNION ALL ")
     val candSelects = (0 until depth).map(i =>
       s"SELECT v, $i AS i, ${hashCell("v", i)} AS cell FROM cand").mkString("\nUNION ALL ")
-    val support = if (minSupport == 0.0) "" else
-      s" WHERE cnt >= $minSupport * (SELECT sum(cnt) FROM cells WHERE i = 0)"
-    val hitsFilter = if (minSupport == 0.0) "" else s" WHERE hits = $depth"
+    val supportSql = if (support == 0.0) "" else
+      s" WHERE cnt >= $support * (SELECT sum(cnt) FROM cells WHERE i = 0)"
+    val hitsFilter = if (support == 0.0) "" else s" WHERE hits = $depth"
     s"""WITH src_cm AS ($srcSql),
        |inc AS ($rowSelects),
        |cells AS (SELECT i, cell, count(*) AS cnt FROM inc GROUP BY 1, 2),
-       |sk AS (SELECT i, cell, cnt FROM cells$support),
+       |sk AS (SELECT i, cell, cnt FROM cells$supportSql),
        |cand AS (SELECT DISTINCT v FROM src_cm),
        |cand_cells AS ($candSelects),
        |est AS (SELECT v, min(cnt) AS est_n, count(*) AS hits

@@ -275,6 +275,87 @@ object Similarity {
         round(col("adist"), 6).as("adist"), col("rank").cast("long").as("rank"))
   }
 
+  /** IVFADC with RESIDUAL encoding — the classic composition of
+    * Jégou/Douze/Schmid's "Product Quantization for Nearest Neighbor
+    * Search" (TPAMI 2011, §IV-A): each vector is PQ-coded on its
+    * RESIDUAL `v − c(cell)` rather than on `v` itself, and a probe's
+    * ADC table is computed PER PROBED CELL on the probe's own residual
+    * `q − c(cell)`. Residuals concentrate around the origin (the cell
+    * centroid absorbs the coarse geometry), so the same kCodes
+    * codewords quantize a much tighter distribution — the recall gain
+    * residual coding is for. The residual codebook is SHARED across
+    * cells (the paper's memory-efficient choice; per-cell codebooks
+    * are the locally-optimized variant — same plumbing, nCells× the
+    * training). Scale shape is [[ivfPqKnn]]'s: encoding is one map
+    * pass (the centroid subtraction is a literal-array `zip_with`),
+    * training is sample-bounded over residuals, candidates are one
+    * cell-keyed broadcast equi-join carrying probe-residual tables —
+    * Σ probes × nProbe cells, never corpus × probes. */
+  def ivfPqResidualKnn(corpus: DataFrame, probes: DataFrame,
+                       idCol: String, vecCol: String, dim: Int,
+                       nCells: Int, nProbe: Int, m: Int, kCodes: Int,
+                       iters: Int, topK: Int,
+                       trainSample: Int = 0): DataFrame = {
+    require(dim % m == 0, s"dim $dim must split into $m equal subspaces")
+    val sub = dim / m
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val cents = array((0 until nCells).map(c => centroid(c, dim)): _*)
+    val raw = corpus.select(col(idCol).cast("long").as("id"),
+      col(vecCol).cast("array<double>").as("v"))
+    val simArr = array((0 until nCells).map(c =>
+      dotNative(col("v"), centroid(c, dim))): _*)
+    val cellCol = array_max(zip_with(simArr,
+      sequence(lit(0), lit(nCells - 1)),
+      (s, i) => struct(s.as("s"), i.as("i"))))("i").cast("int")
+    // residual base: one map pass, centroids are literal arrays
+    val resid = raw.withColumn("cell", cellCol)
+      .select(col("id"), col("cell"),
+        zip_with(col("v"), element_at(cents, col("cell") + 1),
+          (x, c) => x - c).as("v"))
+      .persist()
+    val codebooks =
+      trainCodebooks(resid.select(col("id"), col("v")), dim, m, kCodes,
+        iters, trainSample)
+    val encoded = resid.select(col("id").as("nn_id"), col("cell"),
+      array(pqCodeCols(codebooks, sub): _*).as("codes"))
+
+    val probeRows = probes.select(col(idCol).cast("long"),
+      col(vecCol).cast("array<double>")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toIndexedSeq))
+      .sortBy(_._1)
+    def dot(a: Seq[Double], c: Int): Double = {
+      var acc = 0.0; var j = 0
+      while (j < a.length) { acc += a(j) * unitVal(s"cell$c,$j"); j += 1 }
+      acc
+    }
+    // one ADC table PER (probe, probed cell), over the probe's residual
+    val probePairs = probeRows.toSeq.flatMap { case (pid, pv) =>
+      val cells = (0 until nCells).map(c => (dot(pv, c), c))
+        .sortBy { case (sim, c) => (-sim, -c) }.take(nProbe).map(_._2)
+      cells.map { c =>
+        val pr = pv.indices.map(j => pv(j) - unitVal(s"cell$c,$j"))
+          .toIndexedSeq
+        (pid, c, adcTable(codebooks, sub, pr))
+      }
+    }
+    val probeDf = probePairs.toDF("probe_id", "cell", "tab")
+
+    val adist = (0 until m).map { j =>
+      element_at(col("tab"),
+        lit(j * kCodes + 1) + element_at(col("codes"), j + 1))
+    }.reduce(_ + _)
+    val w = Window.partitionBy(col("probe_id"))
+      .orderBy(col("adist").asc, col("nn_id").asc)
+    encoded.join(broadcast(probeDf), Seq("cell"))
+      .where(col("nn_id") =!= col("probe_id"))
+      .withColumn("adist", adist)
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= topK)
+      .select(col("probe_id"), col("nn_id"),
+        round(col("adist"), 6).as("adist"), col("rank").cast("long").as("rank"))
+  }
+
   /** Deterministic per-subspace Lloyd over a BOUNDED training sample:
     * portable-hash bootstrap (ONE kCodes·dim collect, sliced per
     * subspace), 6dp-rounded means each iteration, first-match argmin

@@ -533,6 +533,19 @@ object PipelineQueries {
         "vec_id", "embedding", dim = 64, m = 2, kCodes = 4, iters = 1,
         topK = 5, trainSample = 200)
     }),
+    // Q50: RESIDUAL IVF+PQ — classic IVFADC (Jégou §IV-A): vectors
+    // PQ-coded on v − c(cell), the probe's ADC table computed per
+    // probed cell on the probe's own residual; shared residual
+    // codebook, sample-bounded training. The oracle replays the ENTIRE
+    // residual pipeline — cell assign, residual, per-subspace Lloyd
+    // over the sampled residuals, encoding, per-(probe, cell) tables,
+    // rank — in SQL.
+    "pipe_q50_ivfpq_residual" -> ((s, dir) => {
+      val emb = load(s, dir, "embeddings")
+      Similarity.ivfPqResidualKnn(emb, emb.where(col("vec_id") < 3),
+        "vec_id", "embedding", dim = 64, nCells = 8, nProbe = 2,
+        m = 2, kCodes = 4, iters = 1, topK = 5, trainSample = 200)
+    }),
     // Q47: IVF + PQ — the production vector-store COMPOSITION: the IVF
     // coarse quantizer prunes (each probe searches its 2 nearest of 8
     // cells), PQ compresses what gets scored (ADC lookups). One
@@ -862,6 +875,96 @@ object PipelineQueries {
          |SELECT probe_id, nn_id, round(adist, 6) AS adist,
          |  CAST(rank AS BIGINT) AS rank
          |FROM ranked WHERE rank <= 5""".stripMargin,
+    // residual-IVFADC replay: cell assign on raw vectors, residual
+    // v − c(cell), per-subspace Lloyd over the SAMPLED residuals,
+    // residual encoding, per-(probe, probed-cell) ADC tables on the
+    // probe's residual, same rank
+    "pipe_q50_ivfpq_residual" -> {
+      val nCells = 8; val k = 4; val sub = 32; val sampleN = 200
+      val sims = (0 until nCells).map(c => duckCentroidDot(c, "v")).mkString(", ")
+      def cent(cellExpr: String) =
+        s"""(CAST(${Hashing.duckHash64(
+              s"'cell' || CAST($cellExpr AS VARCHAR) || ',' || CAST(j - 1 AS VARCHAR)")}
+           |      % 2001 - 1000 AS DOUBLE) / 1000.0)""".stripMargin
+      def dist(vExpr: String, o: Int, c: String) =
+        s"""list_sum(list_transform(range(1, ${sub + 1}), i ->
+           |      ($vExpr[$o+i] - $c[i]) * ($vExpr[$o+i] - $c[i])))""".stripMargin
+      val varDot =
+        s"""list_sum(list_transform(range(1, 65), j -> p.v[j] *
+           |      (CAST(${Hashing.duckHash64(
+                    "'cell' || CAST(cl.c AS VARCHAR) || ',' || CAST(j - 1 AS VARCHAR)")}
+           |        % 2001 - 1000 AS DOUBLE) / 1000.0)))""".stripMargin
+      val perSub = (0 until 2).map { j =>
+        val o = j * sub
+        s"""c0_$j AS (SELECT cluster,
+           |    list_transform(range(1, ${sub + 1}), i -> v[$o+i]) AS cv
+           |  FROM boot),
+           |a1_$j AS (SELECT id, cluster FROM (
+           |    SELECT samp.id, c0_$j.cluster, ${dist("samp.v", o, s"c0_$j.cv")} AS d
+           |    FROM samp, c0_$j)
+           |  QUALIFY row_number() OVER (PARTITION BY id ORDER BY d, cluster) = 1),
+           |m1_$j AS (SELECT a1_$j.cluster, t.i, round(avg(samp.v[$o+t.i]), 6) AS mu
+           |  FROM a1_$j JOIN samp USING (id), unnest(range(1, ${sub + 1})) AS t(i)
+           |  GROUP BY 1, 2),
+           |g_$j AS (SELECT cluster, cv, unnest(range(1, ${sub + 1})) AS i FROM c0_$j),
+           |c1_$j AS (SELECT g_$j.cluster,
+           |    list(coalesce(m1_$j.mu, g_$j.cv[g_$j.i]) ORDER BY g_$j.i) AS cv
+           |  FROM g_$j LEFT JOIN m1_$j
+           |    ON m1_$j.cluster = g_$j.cluster AND m1_$j.i = g_$j.i
+           |  GROUP BY 1),
+           |code_$j AS (SELECT id, cluster AS code FROM (
+           |    SELECT er.id, c1_$j.cluster, ${dist("er.v", o, s"c1_$j.cv")} AS d
+           |    FROM er, c1_$j)
+           |  QUALIFY row_number() OVER (PARTITION BY id ORDER BY d, cluster) = 1),
+           |tab_$j AS (SELECT pr.probe_id, pr.cell, c1_$j.cluster,
+           |    ${dist("pr.v", o, s"c1_$j.cv")} AS d
+           |  FROM pr, c1_$j)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH e AS (SELECT vec_id AS id,
+         |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+         |  FROM embeddings),
+         |cells AS (SELECT id, v,
+         |  $nCells - list_position(list_reverse([$sims]), list_max([$sims])) AS cell
+         |  FROM e),
+         |er AS (SELECT id, cell,
+         |    list_transform(range(1, 65), j -> v[j] - ${cent("cell")}) AS v
+         |  FROM cells),
+         |erh AS (SELECT id, cell, v,
+         |    ${Hashing.duckHash64("CAST(id AS VARCHAR)")} AS h FROM er),
+         |samp AS (SELECT id, v FROM erh
+         |  QUALIFY row_number() OVER (ORDER BY h, id) <= $sampleN),
+         |boot AS (SELECT CAST(row_number() OVER (ORDER BY h, id) - 1
+         |      AS INTEGER) AS cluster, v
+         |  FROM erh
+         |  QUALIFY row_number() OVER (ORDER BY h, id) <= $k),
+         |psims AS (SELECT p.id AS probe_id, cl.c AS cell, $varDot AS sim
+         |  FROM (SELECT * FROM e WHERE id < 3) p, range(0, $nCells) cl(c)),
+         |pcells AS (SELECT probe_id, cell FROM (SELECT *,
+         |    row_number() OVER (PARTITION BY probe_id
+         |      ORDER BY sim DESC, cell DESC) AS rk FROM psims)
+         |  WHERE rk <= 2),
+         |pr AS (SELECT pc.probe_id, pc.cell,
+         |    list_transform(range(1, 65), j -> p.v[j] - ${cent("pc.cell")}) AS v
+         |  FROM pcells pc JOIN e p ON p.id = pc.probe_id),
+         |$perSub,
+         |cand AS (SELECT pc.probe_id, er.id AS nn_id, er.cell
+         |  FROM er JOIN pcells pc ON er.cell = pc.cell
+         |  WHERE er.id <> pc.probe_id),
+         |adist AS (SELECT cand.probe_id, cand.nn_id,
+         |    tab_0.d + tab_1.d AS adist
+         |  FROM cand
+         |  JOIN code_0 ON code_0.id = cand.nn_id
+         |  JOIN code_1 ON code_1.id = cand.nn_id
+         |  JOIN tab_0 ON tab_0.cluster = code_0.code
+         |    AND tab_0.probe_id = cand.probe_id AND tab_0.cell = cand.cell
+         |  JOIN tab_1 ON tab_1.cluster = code_1.code
+         |    AND tab_1.probe_id = cand.probe_id AND tab_1.cell = cand.cell),
+         |ranked AS (SELECT *, row_number() OVER (PARTITION BY probe_id
+         |    ORDER BY adist, nn_id) AS rank FROM adist)
+         |SELECT probe_id, nn_id, round(adist, 6) AS adist,
+         |  CAST(rank AS BIGINT) AS rank
+         |FROM ranked WHERE rank <= 5""".stripMargin
+    },
     "pipe_q49_pq_knn_sampled" ->
       s"""${duckPqTrain(3, 200)},
          |cand AS (SELECT p.id AS probe_id, e.id AS nn_id

@@ -299,7 +299,18 @@ object TsdbWalWriter {
     * the numbering — the IDEMPOTENCE hook for streaming sinks: a
     * replayed micro-batch re-writes the SAME segment files (a segment
     * is written whole by one task), so at-least-once replay never
-    * duplicates samples. */
+    * duplicates samples.
+    *
+    * MEMORY CONTRACT: each task MATERIALIZES its whole segment
+    * (`it.toSeq`) before writing — series refs are assigned positionally
+    * within the segment, and the record stream interleaves series and
+    * sample records, so the segment cannot stream out one group at a
+    * time. `partitions` is therefore a TASK-MEMORY knob, not (only) a
+    * parallelism knob: per-task heap ≈ input bytes / partitions, and
+    * the right setting keeps each segment near Prometheus's own 128 MB
+    * segment target — size it with [[partitionsForBytes]]. At 100 TB
+    * the WAL path is for micro-batch tails (the block writer is the
+    * bulk path), so segments stay batch-sized by construction. */
   def write(df: DataFrame, walDir: String, partitions: Int = 4,
             baseSegment: Option[Int] = None): Int = {
     val spark = df.sparkSession
@@ -335,6 +346,18 @@ object TsdbWalWriter {
     }.collect()
     segs.length
   }
+
+  /** [[write]]'s partition-sizing helper: the partition count that
+    * keeps each task's materialized segment near `targetSegmentBytes`
+    * (default 128 MB — Prometheus's own `wlog` segment size, and a
+    * comfortable per-task heap slice on any executor profile).
+    * `estimatedBytes` is the caller's estimate of the encoded payload
+    * (long-form input bytes are a safe upper bound: WAL records varint-
+    * and delta-compress below raw size). */
+  def partitionsForBytes(estimatedBytes: Long,
+                         targetSegmentBytes: Long = 128L << 20): Int =
+    math.max(1, math.ceil(
+      estimatedBytes.toDouble / targetSegmentBytes.toDouble).toInt)
 
   /** Write a frame of DENSE engine histograms
     * `(time LONG, labels MAP, hist STRUCT{count,sum,les,counts})` in

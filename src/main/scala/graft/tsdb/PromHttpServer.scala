@@ -52,6 +52,22 @@ final class PromHttpServer(spark: SparkSession, initial: DataFrame,
 
   @volatile private var wide: DataFrame = initial
   private var server: HttpServer = _
+  private val startedAt: Long = System.currentTimeMillis()
+
+  /** The engine's effective configuration, rendered as the YAML
+    * `/api/v1/status/config` returns (Prometheus returns its loaded
+    * config file; this server's config IS its constructor state). */
+  private def configYaml: String = {
+    val ext =
+      if (externalLabels.isEmpty) ""
+      else externalLabels.sortBy(_._1)
+        .map { case (k, v) => s"    $k: $v" }
+        .mkString("  external_labels:\n", "\n", "\n")
+    val ruleFiles = if (rules.isEmpty) "" else "rule_files:\n  - <inline>\n"
+    "global:\n" +
+      s"  evaluation_interval: ${rulesIntervalMs / 1000}s\n" +
+      ext + ruleFiles
+  }
 
   /** The served head (base table + every remote-write append). */
   def table: DataFrame = wide
@@ -98,6 +114,24 @@ final class PromHttpServer(spark: SparkSession, initial: DataFrame,
             """"branch":"main","buildUser":"","buildDate":"",""" +
             """"goVersion":"","features":{}}""")
         case "/api/v1/status/flags" => ok(ex, "{}")
+        case "/api/v1/status/config" =>
+          // the loaded-config probe (promtool / Grafana admin): the
+          // engine's "config" is its constructor state — render it as
+          // the YAML Prometheus would return
+          ok(ex, s"""{"yaml":${jstr(configYaml)}}""")
+        case "/api/v1/status/runtimeinfo" =>
+          ok(ex, s"""{"startTime":${jstr(rfc3339(startedAt))},""" +
+            s""""CWD":${jstr(System.getProperty("user.dir", "/"))},""" +
+            """"reloadConfigSuccess":true,""" +
+            s""""lastConfigTime":${jstr(rfc3339(startedAt))},""" +
+            """"corruptionCount":0,"goroutineCount":0,""" +
+            """"GOMAXPROCS":0,"GOGC":"","GODEBUG":"",""" +
+            """"storageRetention":"0s"}""")
+        case "/api/v1/targets" =>
+          // no scrape manager — data arrives via remote-write/ingest;
+          // the dashboard probe gets the well-formed EMPTY answer
+          // (exactly what an agentless Prometheus reports)
+          ok(ex, """{"activeTargets":[],"droppedTargets":[]}""")
         case "/api/v1/format_query" =>
           ok(ex, jstr(QueryApi.formatQuery(required(params, "query"))))
         case "/api/v1/parse_query" =>

@@ -68,4 +68,28 @@ class SketchesSpec extends SparkSpec {
         .as[(String, Long)].collect().toSeq
     assert(run(data.repartition(1)) == run(data.repartition(13)))
   }
+
+  test("count-min DEFAULT prunes at the sketch noise floor (1/width)") {
+    import spark.implicits._
+    // N=1000 over a long tail: the default (AutoSupport) must equal an
+    // EXPLICIT minSupport = 1/width run — the threshold is derived
+    // from the sketch, not hardcoded zero
+    val data = (Seq.fill(300)("hot1") ++ Seq.fill(200)("hot2") ++
+      (1 to 500).map(i => s"tail$i")).toDF("v")
+    def run(ms: Double) = Sketches.countMinTopK(data, col("v"), k = 600,
+        minSupport = ms).as[(String, Long)].collect().toSeq
+    val auto = run(Sketches.AutoSupport)
+    assert(auto == run(1.0 / 512))
+    // the floor binds: sub-noise tail cells (count < N/width ~ 1.95)
+    // are gone from the candidate flow, heavy hitters stay in order
+    assert(auto.size < run(0.0).size)
+    assert(auto.take(2).map(_._1) == Seq("hot1", "hot2"))
+    // the pruning is PUSHED: the sketch filter sits under the broadcast
+    // join, so light candidates die map-side inside the join
+    val plan = Sketches.countMinTopK(data, col("v"), k = 5)
+      .queryExecution.executedPlan.toString()
+    assert(plan.contains("BroadcastHashJoin"), plan.take(2000))
+    assert(plan.contains("(cnt#") && plan.contains(">="),
+      s"sketch support filter not in the plan:\n${plan.take(2000)}")
+  }
 }

@@ -158,6 +158,48 @@ class SimilaritySpec extends SparkSpec {
       .select($"nn_id", $"adist").as[(Long, Double)].collect().toSet
     assert(full == pq)
   }
+
+  test("residual IVFADC: recall@5 beats-or-ties the global-codebook variant") {
+    // a deterministic clustered corpus — residual coding's home turf:
+    // the cell centroid absorbs the coarse geometry, the shared
+    // codebook only has to quantize the tight within-cluster residuals
+    val n = 150; val dim = 64; val probes = 5
+    val rows = (0L until n.toLong).map { i =>
+      val cl = (i % 5).toInt
+      (i, Array.tabulate(dim) { j =>
+        (math.sin(cl * 97 + j) * 2.0 +
+          math.cos((i * 31 + j * 7).toDouble) * 0.12).toFloat
+      })
+    }
+    val emb = rows.toDF("vec_id", "embedding")
+    val probeDf = emb.where($"vec_id" < probes)
+    // exact top-5 by squared L2, self excluded — the recall ground truth
+    val vecs = rows.toMap.map { case (i, a) => i -> a.map(_.toDouble) }
+    def sq(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var j = 0
+      while (j < a.length) { val d = a(j) - b(j); s += d * d; j += 1 }
+      s
+    }
+    val exact = (0L until probes.toLong).map { p =>
+      p -> vecs.collect { case (i, v) if i != p => (sq(vecs(p), v), i) }
+        .toSeq.sorted.take(5).map(_._2).toSet
+    }.toMap
+    def recallOf(df: org.apache.spark.sql.DataFrame): Double = {
+      val got = df.select($"probe_id", $"nn_id").as[(Long, Long)]
+        .collect().groupBy(_._1).map { case (p, xs) => p -> xs.map(_._2).toSet }
+      (0L until probes.toLong).map { p =>
+        got.getOrElse(p, Set.empty).intersect(exact(p)).size / 5.0
+      }.sum / probes
+    }
+    val glob = recallOf(Similarity.ivfPqKnn(emb, probeDf,
+      "vec_id", "embedding", dim = dim, nCells = 8, nProbe = 2,
+      m = 2, kCodes = 4, iters = 1, topK = 5))
+    val res = recallOf(Similarity.ivfPqResidualKnn(emb, probeDf,
+      "vec_id", "embedding", dim = dim, nCells = 8, nProbe = 2,
+      m = 2, kCodes = 4, iters = 1, topK = 5))
+    assert(res >= glob, s"residual recall $res < global-codebook $glob")
+    assert(res > 0.0, s"residual recall degenerate: $res")
+  }
 }
 
 class MultimodalSpec extends SparkSpec {

@@ -85,4 +85,18 @@ class TsdbWalWriterSpec extends SparkSpec {
         .collect().head
     assert(digest(canon(walDir)) === digest(orig))
   }
+
+  test("partitionsForBytes sizes segments to the 128 MB target") {
+    import graft.sources.tsdbblock.TsdbWalWriter.partitionsForBytes
+    assert(partitionsForBytes(0L) === 1)                    // floor: 1 task
+    assert(partitionsForBytes(1L) === 1)
+    assert(partitionsForBytes(128L << 20) === 1)            // exactly one segment
+    assert(partitionsForBytes((128L << 20) + 1) === 2)      // spill to a second
+    assert(partitionsForBytes(10L * (128L << 20)) === 10)
+    assert(partitionsForBytes(1L << 40, targetSegmentBytes = 1L << 30) === 1024)
+    // the memory contract: per-task heap ~ input/partitions — a 1 TB
+    // backfill at the default target runs 8192 segment tasks, each
+    // materializing ~128 MB, never the whole input
+    assert(partitionsForBytes(1L << 40) === 8192)
+  }
 }

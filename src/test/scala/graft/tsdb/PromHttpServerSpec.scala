@@ -187,4 +187,18 @@ class PromHttpServerSpec extends SparkSpec {
       "&time=2")
     assert(c2 == 200 && b2.contains(""""resultType":"scalar""""), b2)
   }
+
+  test("ops/status endpoints: targets, config, runtimeinfo") {
+    val (c1, b1) = get("/api/v1/targets")
+    assert(c1 == 200 &&
+      b1.contains(""""activeTargets":[]""") &&
+      b1.contains(""""droppedTargets":[]"""), b1)
+    val (c2, b2) = get("/api/v1/status/config")
+    assert(c2 == 200 && b2.contains(""""yaml":"""), b2)
+    assert(b2.contains("evaluation_interval"), b2)
+    val (c3, b3) = get("/api/v1/status/runtimeinfo")
+    assert(c3 == 200, b3)
+    assert(b3.contains(""""reloadConfigSuccess":true"""), b3)
+    assert(b3.contains(""""startTime":""") && b3.contains(""""CWD":"""), b3)
+  }
 }
