@@ -94,7 +94,12 @@ object Bench {
     // (parse + recording + alert state machine). q134 stays out — it
     // re-runs q108's block write
     "tsdb_q132_promql_absent_range", "tsdb_q133_promql_xdelta",
-    "tsdb_q135_rules_from_yaml", "pipe_q46_pq_knn", "pipe_q47_ivfpq_knn")
+    "tsdb_q135_rules_from_yaml", "pipe_q46_pq_knn", "pipe_q47_ivfpq_knn",
+    // round 12: keep_firing_for walk, OTLP histogram framings, sampled
+    // training (binding), residual IVFADC
+    "tsdb_q140_keep_firing_for", "tsdb_q141_otlp_exp_hist",
+    "tsdb_q142_otlp_classic_hist", "pipe_q48_kmeans_sampled",
+    "pipe_q50_ivfpq_residual")
 
   /** 1/5/15-minute fields of /proc/loadavg (empty off-Linux). */
   private def loadavg(): Seq[Double] =

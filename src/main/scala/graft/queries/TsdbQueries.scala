@@ -237,6 +237,53 @@ object TsdbQueries {
           col("labels").getItem("user").as("user"),
           col("labels").getItem("k").as("k"))
     }),
+    // Q143: OTLP **binary protobuf** round trip — the encoding an OTel
+    // collector actually sends (q107 is the JSON mapping): events as
+    // single-gauge ExportMetricsServiceRequests, decoded back map-side.
+    // Identity oracle ⇒ field numbering, fixed64 nanos and the
+    // attribute mapping are lossless.
+    "tsdb_q143_otlp_proto" -> ((s, dir) => {
+      val long = load(s, dir, "events").select(
+        unix_millis(col("ts")).as("time"), col("value"),
+        map(lit("__name__"), col("event_type"),
+          lit("user"), col("user_id").cast("string"),
+          lit("k"), regexp_extract(col("props"), "\"k\": (\\d+)", 1))
+          .as("labels"))
+      graft.tsdb.OtlpProto.decodeRequests(
+          graft.tsdb.OtlpProto.encodeRequests(long))
+        .select(col("time"), col("value"),
+          col("labels").getItem("__name__").as("name"),
+          col("labels").getItem("user").as("user"),
+          col("labels").getItem("k").as("k"))
+    }),
+    // Q144: NATIVE HISTOGRAMS through binary-protobuf OTLP — q106's
+    // grid replay over the third wire framing (remote-write protobuf,
+    // OTLP/JSON, now OTLP/protobuf), same oracle verbatim.
+    "tsdb_q144_otlp_proto_hist" -> ((s, dir) => {
+      import graft.tsdb.NativeHistogram._
+      val h = col("hist")
+      val dense = buildExp(table(s, dir).select(RangeStart, RangeEnd, Nil).toDF(),
+        Seq(col("`labels.name`").as("name"), col("`labels.user`").as("user")),
+        col("value"), schema = 0, minExp = 0, maxExp = 9)
+        .select(lit(RangeEnd).as("time"),
+          map(lit("__name__"), col("name"), lit("user"), col("user"))
+            .as("labels"),
+          col("hist"))
+      val wire = graft.tsdb.OtlpProto.encodeHistRequests(
+        dense, schemaId = 0, minExp = 0, maxExp = 9)
+      val back = graft.tsdb.RemoteWrite.denseFromSparse(
+        graft.tsdb.OtlpProto.decodeHistRequests(wire),
+        schemaId = 0, minExp = 0, maxExp = 9)
+      back.select(
+        col("labels").getItem("__name__").as("name"),
+        col("labels").getItem("user").as("user"),
+        histCount(h).cast("long").as("n"),
+        round(histSum(h), 4).as("sum_v"),
+        element_at(h.getField("counts"), 2).cast("long").as("c_le1"),
+        element_at(h.getField("counts"), 9).cast("long").as("c_64_128"),
+        element_at(h.getField("counts"), 12).cast("long").as("c_inf"),
+        round(histQuantile(h, 0.5), 6).as("phi"))
+    }),
     // Q122: OpenMetrics METADATA lines — TYPE/UNIT/HELP comment triples
     // exported per metric and pivoted back to the /api/v1/metadata view
     // (the text-format twin of Q115's WAL metadata records).
@@ -3599,6 +3646,7 @@ object TsdbQueries {
     // the wire round trip is lossless, so its oracle IS Q89's
     "tsdb_q106_remote_write_hist" -> histExpOracle,
     "tsdb_q141_otlp_exp_hist" -> histExpOracle,
+    "tsdb_q144_otlp_proto_hist" -> histExpOracle,
     // classic-histogram replay: cumulative counts per bound directly
     // from the sample values (value <= le includes the zero bucket
     // folded into the first bound), +Inf/count = row count, sum 4dp
@@ -3800,6 +3848,11 @@ object TsdbQueries {
         |  regexp_extract(props, '"k": (\d+)', 1) AS k
         |FROM events""".stripMargin,
     "tsdb_q101_remote_write" ->
+      """SELECT CAST(epoch_ms(ts) AS BIGINT) AS time, value,
+        |  event_type AS name, CAST(user_id AS VARCHAR) AS "user",
+        |  regexp_extract(props, '"k": (\d+)', 1) AS k
+        |FROM events""".stripMargin,
+    "tsdb_q143_otlp_proto" ->
       """SELECT CAST(epoch_ms(ts) AS BIGINT) AS time, value,
         |  event_type AS name, CAST(user_id AS VARCHAR) AS "user",
         |  regexp_extract(props, '"k": (\d+)', 1) AS k

@@ -1,0 +1,300 @@
+package graft.tsdb
+
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
+import org.apache.spark.sql.functions._
+import RemoteWrite.{ProtoReader, ProtoWriter, SparseHist}
+
+/** OTLP/HTTP **binary protobuf** metrics — the encoding an OTel
+  * collector's `otlphttp` exporter actually sends, and the one
+  * Prometheus's own OTLP receiver (`/api/v1/otlp/v1/metrics`,
+  * Prometheus ≥ 2.47) accepts. Field numbers follow the public
+  * `opentelemetry-proto` `metrics.proto`:
+  * ExportMetricsServiceRequest.resource_metrics = 1;
+  * ResourceMetrics{resource = 1, scope_metrics = 2};
+  * ScopeMetrics{scope = 1, metrics = 2};
+  * Metric{name = 1, gauge = 5, sum = 7, histogram = 9,
+  * exponential_histogram = 10};
+  * NumberDataPoint{time_unix_nano = 3 fixed64, as_double = 4,
+  * as_int = 6 sfixed64, attributes = 7};
+  * ExponentialHistogramDataPoint{attributes = 1, time = 3, count = 4
+  * fixed64, sum = 5, scale = 6 sint32, zero_count = 7 fixed64,
+  * positive = 8, negative = 9, zero_threshold = 14} with
+  * Buckets{offset = 1 sint32, bucket_counts = 2 packed uint64};
+  * KeyValue{key = 1, value = 2} / AnyValue{string_value = 1}.
+  *
+  * This is the JSON tier's ([[SampleReaders.fromOtlpJsonLines]] et al.)
+  * binary twin, sharing the SAME semantics: metric-point attributes
+  * become labels, the metric name lands as `__name__`, exp-hist bucket
+  * index `j = offset + i + 1` (the OTel→Prometheus shift), packed
+  * repeated fields accumulate across occurrences (proto3 merge rule —
+  * the same contract [[RemoteWrite.decodeHistogram]] honors). Resource
+  * attributes are NOT merged into series labels — Prometheus routes
+  * them to `target_info` (served by the PromQL `info()` tier), not
+  * onto every series.
+  *
+  * Scale shape: decode is a map-side flatMap over payload byte arrays
+  * (no shuffle — the [[RemoteWrite.decode]] shape); encode is one
+  * request per row, map-side. */
+object OtlpProto {
+
+  // ---- decode ---------------------------------------------------------
+
+  /** Gauge + Sum data points of every request → long-form samples
+    * `(time ms, value, labels)` — map-side. */
+  def decodeRequests(payloads: Dataset[Array[Byte]]): DataFrame = {
+    val spark = payloads.sparkSession
+    import spark.implicits._
+    payloads.flatMap(decodeSamples _)
+      .toDF("time", "value", "labels")
+  }
+
+  /** Exponential-histogram data points of every request → the
+    * wire-sparse [[RemoteWrite.SparseHist]] rows
+    * [[RemoteWrite.denseFromSparse]] densifies — map-side. */
+  def decodeHistRequests(payloads: Dataset[Array[Byte]]): Dataset[SparseHist] = {
+    val spark = payloads.sparkSession
+    import spark.implicits._
+    payloads.flatMap(decodeHists _)
+  }
+
+  private[tsdb] def decodeSamples(raw: Array[Byte])
+      : Seq[(Long, Double, Map[String, String])] = {
+    val out = Seq.newBuilder[(Long, Double, Map[String, String])]
+    foreachMetric(raw) { (name, field, s, e) =>
+      if (field == 5 || field == 7) { // gauge / sum
+        val g = new ProtoReader(raw, s, e)
+        while (g.hasMore) g.key() match {
+          case (1, 2) => // data_points
+            val (ds, de) = g.delimited()
+            val dp = new ProtoReader(raw, ds, de)
+            var t = 0L; var v = 0.0; var has = false
+            var labels = Map("__name__" -> name)
+            while (dp.hasMore) dp.key() match {
+              case (3, 1) => t = dp.fixed64()
+              case (4, 1) =>
+                v = java.lang.Double.longBitsToDouble(dp.fixed64()); has = true
+              case (6, 1) => v = dp.fixed64().toDouble; has = true
+              case (7, 2) =>
+                val (as, ae) = dp.delimited()
+                readAttr(raw, as, ae).foreach(kv => labels += kv)
+              case (_, w) => dp.skip(w)
+            }
+            if (has) out += ((divNsToMs(t), v, labels))
+          case (_, w) => g.skip(w)
+        }
+      }
+    }
+    out.result()
+  }
+
+  private[tsdb] def decodeHists(raw: Array[Byte]): Seq[SparseHist] = {
+    val out = Seq.newBuilder[SparseHist]
+    foreachMetric(raw) { (name, field, s, e) =>
+      if (field == 10) { // exponential_histogram
+        val g = new ProtoReader(raw, s, e)
+        while (g.hasMore) g.key() match {
+          case (1, 2) =>
+            val (ds, de) = g.delimited()
+            out += decodeExpPoint(raw, ds, de, name)
+          case (_, w) => g.skip(w)
+        }
+      }
+    }
+    out.result()
+  }
+
+  private def decodeExpPoint(raw: Array[Byte], from: Int, until: Int,
+                             name: String): SparseHist = {
+    val dp = new ProtoReader(raw, from, until)
+    var t = 0L; var count = 0.0; var sum = 0.0; var scale = 0
+    var zeroCount = 0.0; var zeroThreshold = 0.0
+    var labels = Map("__name__" -> name)
+    var pos = Seq.empty[(Int, Double)]; var neg = Seq.empty[(Int, Double)]
+    def readBuckets(s: Int, e: Int): Seq[(Int, Double)] = {
+      val b = new ProtoReader(raw, s, e)
+      var offset = 0
+      val counts = Seq.newBuilder[Double]
+      while (b.hasMore) b.key() match {
+        case (1, 0) => offset = unzigzag(b.varint()).toInt
+        case (2, 2) => // packed uint64 — chunks accumulate (merge rule)
+          val (ps, pe) = b.delimited()
+          val pr = new ProtoReader(raw, ps, pe)
+          while (pr.hasMore) counts += pr.varint().toDouble
+        case (2, 0) => counts += b.varint().toDouble // unpacked form
+        case (_, w) => b.skip(w)
+      }
+      // prom index j = otlp offset + i + 1; zero-count buckets drop
+      counts.result().zipWithIndex.collect {
+        case (c, i) if c != 0.0 => (offset + i + 1, c)
+      }
+    }
+    while (dp.hasMore) dp.key() match {
+      case (3, 1) => t = dp.fixed64()
+      case (4, 1) => count = dp.fixed64().toDouble
+      case (5, 1) => sum = java.lang.Double.longBitsToDouble(dp.fixed64())
+      case (6, 0) => scale = unzigzag(dp.varint()).toInt
+      case (7, 1) => zeroCount = dp.fixed64().toDouble
+      case (8, 2) => val (s, e) = dp.delimited(); pos ++= readBuckets(s, e)
+      case (9, 2) => val (s, e) = dp.delimited(); neg ++= readBuckets(s, e)
+      case (14, 1) =>
+        zeroThreshold = java.lang.Double.longBitsToDouble(dp.fixed64())
+      case (1, 2) =>
+        val (as, ae) = dp.delimited()
+        readAttr(raw, as, ae).foreach(kv => labels += kv)
+      case (_, w) => dp.skip(w)
+    }
+    SparseHist(divNsToMs(t), labels, count, sum, scale, zeroThreshold,
+      zeroCount, pos, neg)
+  }
+
+  /** Walk request → resource_metrics → scope_metrics → metrics and hand
+    * each metric's data oneof (field 5/7/9/10, delimited span) to `f`. */
+  private def foreachMetric(raw: Array[Byte])
+                           (f: (String, Int, Int, Int) => Unit): Unit = {
+    val req = new ProtoReader(raw, 0, raw.length)
+    while (req.hasMore) req.key() match {
+      case (1, 2) =>
+        val (rs, re) = req.delimited()
+        val rm = new ProtoReader(raw, rs, re)
+        while (rm.hasMore) rm.key() match {
+          case (2, 2) =>
+            val (ss, se) = rm.delimited()
+            val sm = new ProtoReader(raw, ss, se)
+            while (sm.hasMore) sm.key() match {
+              case (2, 2) =>
+                val (ms, me) = sm.delimited()
+                val m = new ProtoReader(raw, ms, me)
+                var name = ""
+                val spans = Seq.newBuilder[(Int, Int, Int)]
+                while (m.hasMore) m.key() match {
+                  case (1, 2) => name = m.string()
+                  case (fld, 2) if fld == 5 || fld == 7 ||
+                      fld == 9 || fld == 10 =>
+                    val (s, e) = m.delimited(); spans += ((fld, s, e))
+                  case (_, w) => m.skip(w)
+                }
+                spans.result().foreach { case (fld, s, e) =>
+                  f(name, fld, s, e) }
+              case (_, w) => sm.skip(w)
+            }
+          case (_, w) => rm.skip(w)
+        }
+      case (_, w) => req.skip(w)
+    }
+  }
+
+  private def readAttr(raw: Array[Byte], from: Int,
+                       until: Int): Option[(String, String)] = {
+    val kv = new ProtoReader(raw, from, until)
+    var k = ""; var v: Option[String] = None
+    while (kv.hasMore) kv.key() match {
+      case (1, 2) => k = kv.string()
+      case (2, 2) =>
+        val (as, ae) = kv.delimited()
+        val any = new ProtoReader(raw, as, ae)
+        while (any.hasMore) any.key() match {
+          case (1, 2) => v = Some(any.string())
+          case (_, w) => any.skip(w)
+        }
+      case (_, w) => kv.skip(w)
+    }
+    v.map(k -> _)
+  }
+
+  // ---- encode ---------------------------------------------------------
+
+  /** Long-form samples → one single-gauge request per row, map-side —
+    * the binary twin of [[SampleReaders.toOtlpJsonLines]] (and the
+    * round-trip harness that puts the decoder under the oracle). */
+  def encodeRequests(samples: DataFrame): Dataset[Array[Byte]] = {
+    val spark = samples.sparkSession
+    import spark.implicits._
+    samples
+      .select(col("time").cast("long"), col("value").cast("double"),
+        col("labels"))
+      .as[(Long, Double, Map[String, String])]
+      .mapPartitions(_.map { case (t, v, labels) =>
+        encodeGauge(t, v, labels)
+      })(Encoders.BINARY)
+  }
+
+  /** The dense-histogram twin: `(time, labels, hist)` frames in the
+    * [[NativeHistogram.buildExp]] layout → one single-exp-hist request
+    * per row, the grid mapped exactly as
+    * [[SampleReaders.toOtlpExpHistJsonLines]] (offset = minExp − 1,
+    * +Inf overflow riding as the last bucket). */
+  def encodeHistRequests(df: DataFrame, schemaId: Int, minExp: Int,
+                         maxExp: Int): Dataset[Array[Byte]] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col("time").cast("long"), col("labels"),
+        col("hist.count").cast("double"), col("hist.sum").cast("double"),
+        col("hist.counts").cast("array<double>"))
+      .as[(Long, Map[String, String], Double, Double, Seq[Double])]
+      .mapPartitions(_.map { case (t, labels, count, sum, counts) =>
+        encodeExpHist(t, labels, count, sum, counts, schemaId, minExp, maxExp)
+      })(Encoders.BINARY)
+  }
+
+  private[tsdb] def encodeGauge(t: Long, v: Double,
+                                labels: Map[String, String]): Array[Byte] = {
+    val dp = new ProtoWriter
+    dp.fixed64(3, t * 1000000L)
+    dp.fixed64(4, java.lang.Double.doubleToLongBits(v))
+    attrBytes(labels).foreach(a => dp.bytes(7, a))
+    val gauge = new ProtoWriter
+    gauge.bytes(1, dp.toBytes)
+    wrapMetric(labels.getOrElse("__name__", ""), 5, gauge.toBytes)
+  }
+
+  private[tsdb] def encodeExpHist(t: Long, labels: Map[String, String],
+                                  count: Double, sum: Double,
+                                  counts: Seq[Double], schemaId: Int,
+                                  minExp: Int, maxExp: Int): Array[Byte] = {
+    val dp = new ProtoWriter
+    attrBytes(labels).foreach(a => dp.bytes(1, a))
+    dp.fixed64(3, t * 1000000L)
+    dp.fixed64(4, count.toLong)
+    dp.fixed64(5, java.lang.Double.doubleToLongBits(sum))
+    dp.key(6, 0); dp.varint(zigzag(schemaId.toLong))
+    dp.fixed64(7, counts.head.toLong) // zero bucket
+    val pos = new ProtoWriter
+    pos.key(1, 0); pos.varint(zigzag((minExp - 1).toLong))
+    val packed = new ProtoWriter
+    // grid buckets + the +Inf overflow as the trailing entry
+    counts.slice(1, maxExp - minExp + 3).foreach(c => packed.varint(c.toLong))
+    pos.bytes(2, packed.toBytes)
+    dp.bytes(8, pos.toBytes)
+    val hist = new ProtoWriter
+    hist.bytes(1, dp.toBytes)
+    wrapMetric(labels.getOrElse("__name__", ""), 10, hist.toBytes)
+  }
+
+  private def wrapMetric(name: String, dataField: Int,
+                         dataBytes: Array[Byte]): Array[Byte] = {
+    val m = new ProtoWriter
+    m.string(1, name)
+    m.bytes(dataField, dataBytes)
+    val sm = new ProtoWriter
+    sm.bytes(2, m.toBytes)
+    val rm = new ProtoWriter
+    rm.bytes(2, sm.toBytes)
+    val req = new ProtoWriter
+    req.bytes(1, rm.toBytes)
+    req.toBytes
+  }
+
+  private def attrBytes(labels: Map[String, String]): Seq[Array[Byte]] =
+    labels.toSeq.filter(_._1 != "__name__").sortBy(_._1).map { case (k, v) =>
+      val any = new ProtoWriter
+      any.string(1, v)
+      val kv = new ProtoWriter
+      kv.string(1, k); kv.bytes(2, any.toBytes)
+      kv.toBytes
+    }
+
+  private def divNsToMs(ns: Long): Long = ns / 1000000L
+
+  private def zigzag(v: Long): Long = (v << 1) ^ (v >> 63)
+  private def unzigzag(v: Long): Long = (v >>> 1) ^ -(v & 1)
+}

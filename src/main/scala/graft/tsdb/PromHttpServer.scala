@@ -138,6 +138,7 @@ final class PromHttpServer(spark: SparkSession, initial: DataFrame,
           ok(ex, QueryApi.parseQuery(required(params, "query")))
         case "/federate" => federate(ex, params)
         case "/api/v1/write" => write(ex, body)
+        case "/api/v1/otlp/v1/metrics" => otlpWrite(ex, body)
         case "/api/v1/read" => read(ex, body)
         case "/-/healthy" | "/-/ready" => text(ex, 200, "OK")
         case _ => err(ex, 404, "not_found", s"unknown path: $path")
@@ -424,6 +425,27 @@ final class PromHttpServer(spark: SparkSession, initial: DataFrame,
         allowMissingColumns = true) }
     }
     ex.sendResponseHeaders(204, -1)
+  }
+
+  /** Prometheus's OTLP receiver (`/api/v1/otlp/v1/metrics`, ≥ 2.47):
+    * binary-protobuf ExportMetricsServiceRequest in, gauge/sum points
+    * appended to the served table exactly like remote-write. Responds
+    * with an empty ExportMetricsServiceResponse (a zero-byte proto
+    * message), the OTLP/HTTP success contract. */
+  private def otlpWrite(ex: HttpExchange, body: Array[Byte]): Unit = {
+    val decoded = OtlpProto.decodeSamples(body).map { case (t, v, ls) =>
+      (t, v, ls.map { case (k, vv) =>
+        (if (k == "__name__") "name" else k) -> vv })
+    }
+    if (decoded.nonEmpty) {
+      import spark.implicits._
+      val longForm = decoded.toDF("time", "value", "labels")
+      val batch = TsdbIngest.toWide(longForm)
+      synchronized { wide = wide.unionByName(batch,
+        allowMissingColumns = true) }
+    }
+    ex.getResponseHeaders.set("Content-Type", "application/x-protobuf")
+    ex.sendResponseHeaders(200, -1)
   }
 
   private def read(ex: HttpExchange, body: Array[Byte]): Unit = {

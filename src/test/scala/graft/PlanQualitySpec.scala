@@ -390,4 +390,55 @@ class PlanQualitySpec extends SparkSpec {
     assert(!plan.contains("SortMergeJoin"),
       s"info() must not shuffle-join:\n$plan")
   }
+
+  test("keep_firing_for: one label-set shuffle, map-side grid walk") {
+    // the sequential machine costs exactly the window path's data
+    // movement: ONE hash exchange keyed by label set feeding the
+    // flatMapGroups walk — no join, no single-partition collapse
+    val plan = planOf("tsdb_q140_keep_firing_for")
+    assert(!plan.contains("Exchange SinglePartition"),
+      s"the grid walk must parallelize across elements:\n$plan")
+    assert(!plan.contains("Join"),
+      s"keep-firing continuity is per-group state, not a join:\n$plan")
+  }
+
+  test("residual IVFADC keeps ivf+pq's broadcast candidate join") {
+    // residual encoding adds a literal-array zip_with to the map side;
+    // the candidate join must still broadcast the per-(probe, cell)
+    // table frame — the corpus never shuffles to be scored
+    val plan = planOf("pipe_q50_ivfpq_residual")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"the probe-table join must broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"the candidate join must not shuffle-join:\n$plan")
+  }
+
+  test("OTLP histogram paths stay join-free and map-side") {
+    // encode is one groupBy-free projection chain (to_json of literal
+    // structure); decode is from_json + explodes — neither may join,
+    // and the exp-hist densify must not collapse to one task
+    for (q <- Seq("tsdb_q141_otlp_exp_hist", "tsdb_q142_otlp_classic_hist")) {
+      val plan = planOf(q)
+      assert(!plan.contains("SortMergeJoin") &&
+        !plan.contains("BroadcastHashJoin"),
+        s"$q: the OTLP codec path must be join-free:\n$plan")
+    }
+  }
+
+  test("sampled training: the bottom-k sample selection is a TakeOrdered, not a sort") {
+    // the ONLY linear cost left in training must plan as per-partition
+    // top-n + merge; a global Sort+Limit would shuffle the corpus
+    val pre = queries.Tables.load(spark, Sf0001, "embeddings")
+      .select(org.apache.spark.sql.functions.col("vec_id").as("id"),
+        org.apache.spark.sql.functions.col("embedding")
+          .cast("array<double>").as("v"))
+      .withColumn("h", functions.Hashing.hash64(
+        org.apache.spark.sql.functions.col("id").cast("string")))
+      .orderBy(org.apache.spark.sql.functions.col("h").asc,
+        org.apache.spark.sql.functions.col("id").asc)
+      .limit(200)
+    val plan = pre.queryExecution.executedPlan.toString()
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"sample selection must be a bounded top-n:\n$plan")
+  }
 }

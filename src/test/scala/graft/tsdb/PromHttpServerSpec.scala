@@ -201,4 +201,19 @@ class PromHttpServerSpec extends SparkSpec {
     assert(b3.contains(""""reloadConfigSuccess":true"""), b3)
     assert(b3.contains(""""startTime":""") && b3.contains(""""CWD":"""), b3)
   }
+
+  test("OTLP receiver: binary-protobuf pushed samples become queryable") {
+    // the OTel-collector path: POST a binary ExportMetricsServiceRequest
+    // to /api/v1/otlp/v1/metrics, then read the sample back over PromQL
+    val payload = OtlpProto.encodeGauge(1500L, 42.5,
+      Map("__name__" -> "otlp_pushed", "user" -> "z"))
+    val (c, resp) = post("/api/v1/otlp/v1/metrics", payload)
+    assert(c == 200 && resp.isEmpty, s"$c ${resp.length}")
+    val (c2, b2) = get("/api/v1/query?query=" +
+      java.net.URLEncoder.encode("""{name="otlp_pushed"}""", UTF_8) +
+      "&time=2")
+    assert(c2 == 200, b2)
+    assert(b2.contains(""""value":[2.000,"42.5"]"""), b2)
+    assert(b2.contains(""""user":"z""""), b2)
+  }
 }

