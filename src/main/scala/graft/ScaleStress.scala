@@ -182,6 +182,30 @@ object ScaleStress {
     time(s"status/tsdb cardinality stats ${factor}x")(
       graft.tsdb.TsdbStats.headStats(t, Tables.RangeStart, Tables.RangeEnd)
         .count())
+
+    // keep_firing_for at Nx series: the sequential per-element walk
+    // shuffles ONCE by label set (the window machine's movement) and
+    // parallelizes across elements — grid length is the only per-group
+    // cost, invariant to the series count
+    time(s"alert rule keep_firing_for ${factor}x")(
+      graft.tsdb.AlertRules.evaluate(
+        graft.tsdb.AlertRules.AlertRule("hot_keep",
+          """sum by (user) (count_over_time({name="purchase"}[1d])) > 1""",
+          forMs = 86400000L, keepFiringForMs = 172800000L),
+        t.df, start = Tables.RangeStart, end = Tables.RangeEnd,
+        stepMs = 86400000L, lookbackMs = 86400000L).count())
+
+    // binary OTLP codec at Nx samples: encode and decode are both
+    // map-side byte work (one request per row, flatMap back) — scan
+    // speed, no shuffle anywhere
+    time(s"otlp proto encode+decode ${factor}x") {
+      val long = t.df.select(col("time"), col("value"),
+        map(lit("__name__"), col("`labels.name`"),
+          lit("user"), col("`labels.user`")).as("labels"))
+      graft.tsdb.OtlpProto.decodeRequests(
+        graft.tsdb.OtlpProto.encodeRequests(long)).count()
+    }
+
     // federate at Nx series: one OR-combined pruned scan + the instant
     // kernel + map-side text render — bounded by matched series
     time(s"federate ${factor}x") {
@@ -482,6 +506,15 @@ object ScaleStress {
       graft.operators.Similarity.pqKnn(embAnnN,
         embAnn.where(col("vec_id") < 50), "vec_id", "embedding",
         dim = 64, m = 2, kCodes = 4, iters = 1, topK = 10).count())
+    // residual IVFADC at the same corpus: the centroid subtraction is a
+    // literal-array zip_with on the map side, candidates still one
+    // cell-keyed broadcast join, training sample-bounded — must price
+    // like ivf+pq, not like a second training regime
+    time(s"residual ivfadc ${factor * 10}x corpus")(
+      graft.operators.Similarity.ivfPqResidualKnn(embAnnN,
+        embAnn.where(col("vec_id") < 50), "vec_id", "embedding",
+        dim = 64, nCells = 16, nProbe = 2, m = 2, kCodes = 4, iters = 1,
+        topK = 10, trainSample = 2000).count())
 
     // lifecycle tier at Nx: compaction must scale in bytes (one range
     // shuffle), retention in TOUCHED bytes only — the footer triage must

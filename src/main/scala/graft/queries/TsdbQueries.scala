@@ -237,6 +237,32 @@ object TsdbQueries {
           col("labels").getItem("user").as("user"),
           col("labels").getItem("k").as("k"))
     }),
+    // Q145: explicit-bounds histograms through BINARY OTLP — q142's
+    // classic _bucket/_count/_sum mapping over the protobuf framing
+    // (packed fixed64 bucket_counts, packed double explicit_bounds),
+    // same oracle verbatim.
+    "tsdb_q145_otlp_proto_classic_hist" -> ((s, dir) => {
+      import graft.tsdb.NativeHistogram._
+      val dense = buildExp(table(s, dir).select(RangeStart, RangeEnd, Nil).toDF(),
+        Seq(col("`labels.name`").as("name"), col("`labels.user`").as("user")),
+        col("value"), schema = 0, minExp = 0, maxExp = 9)
+      val c = col("hist.counts")
+      val bc = array((element_at(c, 1) + element_at(c, 2)) +:
+        (3 to 12).map(i => element_at(c, i)): _*)
+      val bounds = array((0 to 9).map(e => lit(math.pow(2.0, e))): _*)
+      val rows = dense.select(lit(RangeEnd).as("time"),
+        map(lit("__name__"), col("name"), lit("user"), col("user"))
+          .as("labels"),
+        col("hist.count").as("count"), col("hist.sum").as("sum"),
+        bounds.as("bounds"), bc.as("bucketCounts"))
+      graft.tsdb.OtlpProto.decodeClassicHistRequests(
+          graft.tsdb.OtlpProto.encodeClassicHistRequests(rows))
+        .select(
+          col("labels").getItem("__name__").as("series"),
+          col("labels").getItem("user").as("user"),
+          col("labels").getItem("le").as("le"),
+          round(col("value"), 4).as("value"))
+    }),
     // Q143: OTLP **binary protobuf** round trip — the encoding an OTel
     // collector actually sends (q107 is the JSON mapping): events as
     // single-gauge ExportMetricsServiceRequests, decoded back map-side.
@@ -2169,6 +2195,36 @@ object TsdbQueries {
   /** Q89's exponential-histogram grid replay — shared verbatim with
     * Q106 (`tsdb_q106_remote_write_hist`): the wire round trip is
     * lossless, so the same DuckDB replay is both queries' oracle. */
+  /** Q142/Q145's classic-histogram replay: cumulative counts per bound
+    * directly from the sample values (value <= le folds the zero bucket
+    * into the first bound), +Inf/count = row count, sum 4dp — shared by
+    * the JSON and binary OTLP framings. */
+  private val histClassicOracle =
+      s"""$duckTsdbCte,
+         |f AS (SELECT "labels.name" AS name, "labels.user" AS "user", value
+         |  FROM t WHERE time > $RangeStart AND time < $RangeEnd),
+         |k AS (SELECT DISTINCT name, "user" FROM f),
+         |les AS (SELECT CAST(le AS DOUBLE) AS le FROM (VALUES (1.0), (2.0),
+         |  (4.0), (8.0), (16.0), (32.0), (64.0), (128.0), (256.0), (512.0))
+         |  AS v(le)),
+         |buckets AS (SELECT k.name || '_bucket' AS series, k."user",
+         |    CAST(les.le AS VARCHAR) AS le,
+         |    CAST((SELECT count(*) FROM f WHERE f.name = k.name
+         |      AND f."user" = k."user" AND f.value <= les.le) AS DOUBLE)
+         |      AS value
+         |  FROM k CROSS JOIN les),
+         |infb AS (SELECT name || '_bucket' AS series, "user",
+         |    '+Inf' AS le, CAST(count(*) AS DOUBLE) AS value
+         |  FROM f GROUP BY 1, 2),
+         |cnt AS (SELECT name || '_count' AS series, "user",
+         |    CAST(NULL AS VARCHAR) AS le, CAST(count(*) AS DOUBLE) AS value
+         |  FROM f GROUP BY 1, 2),
+         |sm AS (SELECT name || '_sum' AS series, "user",
+         |    CAST(NULL AS VARCHAR) AS le, round(sum(value), 4) AS value
+         |  FROM f GROUP BY 1, 2)
+         |SELECT * FROM buckets UNION ALL SELECT * FROM infb
+         |UNION ALL SELECT * FROM cnt UNION ALL SELECT * FROM sm""".stripMargin
+
   private val histExpOracle =
     s"""$duckTsdbCte,
        |f AS (SELECT "labels.name" AS name, "labels.user" AS "user", value FROM t
@@ -3650,31 +3706,8 @@ object TsdbQueries {
     // classic-histogram replay: cumulative counts per bound directly
     // from the sample values (value <= le includes the zero bucket
     // folded into the first bound), +Inf/count = row count, sum 4dp
-    "tsdb_q142_otlp_classic_hist" ->
-      s"""$duckTsdbCte,
-         |f AS (SELECT "labels.name" AS name, "labels.user" AS "user", value
-         |  FROM t WHERE time > $RangeStart AND time < $RangeEnd),
-         |k AS (SELECT DISTINCT name, "user" FROM f),
-         |les AS (SELECT CAST(le AS DOUBLE) AS le FROM (VALUES (1.0), (2.0),
-         |  (4.0), (8.0), (16.0), (32.0), (64.0), (128.0), (256.0), (512.0))
-         |  AS v(le)),
-         |buckets AS (SELECT k.name || '_bucket' AS series, k."user",
-         |    CAST(les.le AS VARCHAR) AS le,
-         |    CAST((SELECT count(*) FROM f WHERE f.name = k.name
-         |      AND f."user" = k."user" AND f.value <= les.le) AS DOUBLE)
-         |      AS value
-         |  FROM k CROSS JOIN les),
-         |infb AS (SELECT name || '_bucket' AS series, "user",
-         |    '+Inf' AS le, CAST(count(*) AS DOUBLE) AS value
-         |  FROM f GROUP BY 1, 2),
-         |cnt AS (SELECT name || '_count' AS series, "user",
-         |    CAST(NULL AS VARCHAR) AS le, CAST(count(*) AS DOUBLE) AS value
-         |  FROM f GROUP BY 1, 2),
-         |sm AS (SELECT name || '_sum' AS series, "user",
-         |    CAST(NULL AS VARCHAR) AS le, round(sum(value), 4) AS value
-         |  FROM f GROUP BY 1, 2)
-         |SELECT * FROM buckets UNION ALL SELECT * FROM infb
-         |UNION ALL SELECT * FROM cnt UNION ALL SELECT * FROM sm""".stripMargin,
+    "tsdb_q142_otlp_classic_hist" -> histClassicOracle,
+    "tsdb_q145_otlp_proto_classic_hist" -> histClassicOracle,
     "tsdb_q117_wal_native_hist" -> histExpOracle,
     "tsdb_q121_remote_write2_hist" -> histExpOracle,
     "tsdb_q120_remote_write2" ->

@@ -103,6 +103,77 @@ object OtlpProto {
     out.result()
   }
 
+  /** EXPLICIT-BOUNDS histogram data points of every request → classic
+    * Prometheus series — exactly
+    * [[SampleReaders.fromOtlpHistogramJsonLines]]'s mapping over the
+    * binary framing: cumulative `<name>_bucket{le=<bound>}`,
+    * `_bucket{le="+Inf"}` = count, `_count`, `_sum`. Map-side.
+    * HistogramDataPoint{attributes = 1, time_unix_nano = 3 fixed64,
+    * count = 4 fixed64, sum = 5, bucket_counts = 6 packed fixed64,
+    * explicit_bounds = 7 packed double}. */
+  def decodeClassicHistRequests(payloads: Dataset[Array[Byte]]): DataFrame = {
+    val spark = payloads.sparkSession
+    import spark.implicits._
+    payloads.flatMap(decodeClassicHists _)
+      .toDF("time", "value", "labels")
+  }
+
+  private[tsdb] def decodeClassicHists(raw: Array[Byte])
+      : Seq[(Long, Double, Map[String, String])] = {
+    val out = Seq.newBuilder[(Long, Double, Map[String, String])]
+    foreachMetric(raw) { (name, field, s, e) =>
+      if (field == 9) { // histogram
+        val g = new ProtoReader(raw, s, e)
+        while (g.hasMore) g.key() match {
+          case (1, 2) =>
+            val (ds, de) = g.delimited()
+            val dp = new ProtoReader(raw, ds, de)
+            var t = 0L; var count = 0.0; var sum = 0.0
+            var attrs = Map.empty[String, String]
+            val bc = Seq.newBuilder[Double]
+            val bounds = Seq.newBuilder[Double]
+            while (dp.hasMore) dp.key() match {
+              case (3, 1) => t = dp.fixed64()
+              case (4, 1) => count = dp.fixed64().toDouble
+              case (5, 1) =>
+                sum = java.lang.Double.longBitsToDouble(dp.fixed64())
+              case (6, 2) => // packed fixed64 bucket_counts (merge rule)
+                val (ps, pe) = dp.delimited()
+                val pr = new ProtoReader(raw, ps, pe)
+                while (pr.hasMore) bc += pr.fixed64().toDouble
+              case (6, 1) => bc += dp.fixed64().toDouble // unpacked
+              case (7, 2) => // packed double explicit_bounds
+                val (ps, pe) = dp.delimited()
+                val pr = new ProtoReader(raw, ps, pe)
+                while (pr.hasMore)
+                  bounds += java.lang.Double.longBitsToDouble(pr.fixed64())
+              case (7, 1) =>
+                bounds += java.lang.Double.longBitsToDouble(dp.fixed64())
+              case (1, 2) =>
+                val (as, ae) = dp.delimited()
+                readAttr(raw, as, ae).foreach(kv => attrs += kv)
+              case (_, w) => dp.skip(w)
+            }
+            val ms = divNsToMs(t)
+            val bs = bounds.result(); val cs = bc.result()
+            var cum = 0.0
+            bs.indices.foreach { i =>
+              cum += (if (i < cs.length) cs(i) else 0.0)
+              out += ((ms, cum, attrs ++ Map(
+                "__name__" -> (name + "_bucket"),
+                "le" -> bs(i).toString)))
+            }
+            out += ((ms, count, attrs ++ Map(
+              "__name__" -> (name + "_bucket"), "le" -> "+Inf")))
+            out += ((ms, count, attrs + ("__name__" -> (name + "_count"))))
+            out += ((ms, sum, attrs + ("__name__" -> (name + "_sum"))))
+          case (_, w) => g.skip(w)
+        }
+      }
+    }
+    out.result()
+  }
+
   private def decodeExpPoint(raw: Array[Byte], from: Int, until: Int,
                              name: String): SparseHist = {
     val dp = new ProtoReader(raw, from, until)
@@ -268,6 +339,41 @@ object OtlpProto {
     val hist = new ProtoWriter
     hist.bytes(1, dp.toBytes)
     wrapMetric(labels.getOrElse("__name__", ""), 10, hist.toBytes)
+  }
+
+  /** The explicit-bounds encoder twin: `(time, labels with `__name__`,
+    * count, sum, bounds, bucketCounts per-interval)` rows to one
+    * single-point histogram request each, map-side. */
+  def encodeClassicHistRequests(df: DataFrame): Dataset[Array[Byte]] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col("time").cast("long"), col("labels"),
+        col("count").cast("double"), col("sum").cast("double"),
+        col("bounds").cast("array<double>"),
+        col("bucketCounts").cast("array<double>"))
+      .as[(Long, Map[String, String], Double, Double, Seq[Double], Seq[Double])]
+      .mapPartitions(_.map { case (t, labels, count, sum, bounds, bc) =>
+        val dp = new ProtoWriter
+        attrBytes(labels).foreach(a => dp.bytes(1, a))
+        dp.fixed64(3, t * 1000000L)
+        dp.fixed64(4, count.toLong)
+        dp.fixed64(5, java.lang.Double.doubleToLongBits(sum))
+        val packedC = new java.io.ByteArrayOutputStream()
+        bc.foreach { c =>
+          var x = c.toLong; var i = 0
+          while (i < 8) { packedC.write((x & 0xff).toInt); x >>>= 8; i += 1 }
+        }
+        dp.bytes(6, packedC.toByteArray)
+        val packedB = new java.io.ByteArrayOutputStream()
+        bounds.foreach { b =>
+          var x = java.lang.Double.doubleToLongBits(b); var i = 0
+          while (i < 8) { packedB.write((x & 0xff).toInt); x >>>= 8; i += 1 }
+        }
+        dp.bytes(7, packedB.toByteArray)
+        val hist = new ProtoWriter
+        hist.bytes(1, dp.toBytes)
+        wrapMetric(labels.getOrElse("__name__", ""), 9, hist.toBytes)
+      })(Encoders.BINARY)
   }
 
   private def wrapMetric(name: String, dataField: Int,

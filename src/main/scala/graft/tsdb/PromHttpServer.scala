@@ -433,7 +433,12 @@ final class PromHttpServer(spark: SparkSession, initial: DataFrame,
     * with an empty ExportMetricsServiceResponse (a zero-byte proto
     * message), the OTLP/HTTP success contract. */
   private def otlpWrite(ex: HttpExchange, body: Array[Byte]): Unit = {
-    val decoded = OtlpProto.decodeSamples(body).map { case (t, v, ls) =>
+    // malformed protobuf is the CLIENT's error: surface 400 bad_data
+    // (the generic NonFatal handler would report it as a 422)
+    val decoded = (try OtlpProto.decodeSamples(body) catch {
+      case scala.util.control.NonFatal(e) => throw new IllegalArgumentException(
+        s"malformed OTLP protobuf payload: $e")
+    }).map { case (t, v, ls) =>
       (t, v, ls.map { case (k, vv) =>
         (if (k == "__name__") "name" else k) -> vv })
     }

@@ -108,6 +108,28 @@ class AlertExemplarSpec extends SparkSpec {
       (1000L, 1000L, "pending"), (4000L, 4000L, "pending")))
   }
 
+  test("ALERTS series include keep-firing gap evals with the run's active_at") {
+    // the synthesized ALERTS/ALERTS_FOR_STATE series must carry the
+    // keep-firing rows too — a dashboard reading ALERTS{alertstate=
+    // "firing"} sees the alert as firing THROUGH the gap
+    val wide = Seq(("up", 1000L, 10.0), ("up", 2000L, 10.0))
+      .toDF("labels.name", "time", "value")
+    val alerts = AlertRules.evaluate(
+      AlertRules.AlertRule("hot", """{name="up"} > 5""", forMs = 1000L,
+        keepFiringForMs = 2000L),
+      wide, start = 1000L, end = 4000L, stepMs = 1000L, lookbackMs = 1000L)
+    val samples = AlertRules.alertsAsSamples(alerts)
+    val firing = samples
+      .where(col("`labels.name`") === "ALERTS" &&
+        col("`labels.alertstate`") === "firing")
+      .select(col("time")).as[Long].collect().sorted
+    assert(firing.toSeq === Seq(2000L, 3000L, 4000L)) // gap rows 3s, 4s
+    val forState = samples
+      .where(col("`labels.name`") === "ALERTS_FOR_STATE")
+      .select(col("time"), col("value")).as[(Long, Double)].collect().toMap
+    assert(forState(3000L) === 1000.0) // active_at survives the gap
+  }
+
   test("ALERTS / ALERTS_FOR_STATE: alert state queryable through PromQL") {
     val wide = Seq(
       ("up", 1000L, 10.0), ("up", 2000L, 10.0))

@@ -215,5 +215,9 @@ class PromHttpServerSpec extends SparkSpec {
     assert(c2 == 200, b2)
     assert(b2.contains(""""value":[2.000,"42.5"]"""), b2)
     assert(b2.contains(""""user":"z""""), b2)
+    // malformed protobuf is the client's error: 400 bad_data, not 422
+    val (cBad, respBad) = post("/api/v1/otlp/v1/metrics",
+      Array[Byte](0x0a, 0x7f, 0x01)) // length overruns the buffer
+    assert(cBad == 400, s"$cBad ${new String(respBad, UTF_8)}")
   }
 }
