@@ -93,7 +93,8 @@ final class PromHttpServer(spark: SparkSession, initial: DataFrame,
       val path = ex.getRequestURI.getPath
       val body = ex.getRequestBody.readAllBytes()
       val params = parseParams(Option(ex.getRequestURI.getRawQuery),
-        if (path == "/api/v1/write" || path == "/api/v1/read") None
+        if (path == "/api/v1/write" || path == "/api/v1/read" ||
+            path == "/api/v1/otlp/v1/metrics") None // binary bodies
         else Some(new String(body, UTF_8)))
       path match {
         case "/api/v1/query" => query(ex, params)
@@ -433,9 +434,19 @@ final class PromHttpServer(spark: SparkSession, initial: DataFrame,
     * with an empty ExportMetricsServiceResponse (a zero-byte proto
     * message), the OTLP/HTTP success contract. */
   private def otlpWrite(ex: HttpExchange, body: Array[Byte]): Unit = {
+    // gzip is the OTLP/HTTP default transport compression — honor the
+    // Content-Encoding header like Prometheus's receiver does
+    val raw =
+      if (Option(ex.getRequestHeaders.getFirst("Content-Encoding"))
+            .exists(_.equalsIgnoreCase("gzip")))
+        try new java.util.zip.GZIPInputStream(
+          new java.io.ByteArrayInputStream(body)).readAllBytes()
+        catch { case scala.util.control.NonFatal(e) =>
+          throw new IllegalArgumentException(s"bad gzip body: $e") }
+      else body
     // malformed protobuf is the CLIENT's error: surface 400 bad_data
     // (the generic NonFatal handler would report it as a 422)
-    val decoded = (try OtlpProto.decodeSamples(body) catch {
+    val decoded = (try OtlpProto.decodeSamples(raw) catch {
       case scala.util.control.NonFatal(e) => throw new IllegalArgumentException(
         s"malformed OTLP protobuf payload: $e")
     }).map { case (t, v, ls) =>

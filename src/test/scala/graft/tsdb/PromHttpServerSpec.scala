@@ -219,5 +219,21 @@ class PromHttpServerSpec extends SparkSpec {
     val (cBad, respBad) = post("/api/v1/otlp/v1/metrics",
       Array[Byte](0x0a, 0x7f, 0x01)) // length overruns the buffer
     assert(cBad == 400, s"$cBad ${new String(respBad, UTF_8)}")
+    // gzip Content-Encoding (the collector's default) is honored
+    val gz = new java.io.ByteArrayOutputStream()
+    val go = new java.util.zip.GZIPOutputStream(gz)
+    go.write(OtlpProto.encodeGauge(2500L, 7.25,
+      Map("__name__" -> "otlp_gz", "user" -> "g")))
+    go.close()
+    val r3 = client.send(
+      HttpRequest.newBuilder(
+        URI.create(s"http://127.0.0.1:$port/api/v1/otlp/v1/metrics"))
+        .header("Content-Encoding", "gzip")
+        .POST(HttpRequest.BodyPublishers.ofByteArray(gz.toByteArray)).build(),
+      HttpResponse.BodyHandlers.ofByteArray())
+    assert(r3.statusCode() == 200)
+    val (c4, b4) = get("/api/v1/query?query=" +
+      java.net.URLEncoder.encode("""{name="otlp_gz"}""", UTF_8) + "&time=3")
+    assert(c4 == 200 && b4.contains(""""value":[3.000,"7.25"]"""), b4)
   }
 }

@@ -906,6 +906,76 @@ class PromQLConformanceSpec extends SparkSpec {
     C("50m", """sum(http_requests{job=~".*server"})""", """{} 3600"""),
     C("50m", """sum(http_requests{job=~"server"})""", "")))
 
+  private val upstreamDeriv = B("upstream functions.test deriv/predict_linear",
+    "5m", Seq(
+    """testcounter_reset_middle 0+10x4 0+10x5""",
+    """http_requests{job="app-server", instance="1", group="canary"} 0+80x10"""),
+    Seq(
+    // deriv should return the same as rate in simple cases
+    C("50m",
+      """deriv(http_requests{group="canary", instance="1", job="app-server"}[50m])""",
+      """{group="canary", instance="1", job="app-server"} 0.26666666666666666"""),
+    // deriv across the mid-series counter reset: least-squares slope,
+    // NOT a rate — the reset is data to the regression
+    C("50m", """deriv(testcounter_reset_middle[100m])""",
+      """{} 0.010606060606060607"""),
+    // predict_linear extrapolates the regression 1h past the eval time
+    C("50m", """predict_linear(testcounter_reset_middle[50m], 3600)""",
+      """{} 70""")), upstream = true)
+
+  private val upstreamQuantileOverTime = B(
+    "upstream functions.test quantile_over_time", "10s", Seq(
+    """data{test="two samples"} 0 1""",
+    """data{test="three samples"} 0 1 2""",
+    """data{test="uneven samples"} 0 1 4"""),
+    Seq(
+    C("1m", """quantile_over_time(0, data[2m])""",
+      """{test="two samples"} 0
+        |{test="three samples"} 0
+        |{test="uneven samples"} 0"""),
+    C("1m", """quantile_over_time(0.5, data[2m])""",
+      """{test="two samples"} 0.5
+        |{test="three samples"} 1
+        |{test="uneven samples"} 1"""),
+    C("1m", """quantile_over_time(0.75, data[2m])""",
+      """{test="two samples"} 0.75
+        |{test="three samples"} 1.5
+        |{test="uneven samples"} 2.5"""),
+    C("1m", """quantile_over_time(1, data[2m])""",
+      """{test="two samples"} 1
+        |{test="three samples"} 2
+        |{test="uneven samples"} 4""")), upstream = true)
+
+  private val upstreamSortGroup = B("upstream functions.test sort + group",
+    "5m", httpLoad, Seq(
+    // eval_ordered: sort ranks the full vector ascending by value
+    C("50m", """sort(http_requests)""",
+      """http_requests{group="production", instance="0", job="api-server"} 100
+        |http_requests{group="production", instance="1", job="api-server"} 200
+        |http_requests{group="canary", instance="0", job="api-server"} 300
+        |http_requests{group="canary", instance="1", job="api-server"} 400
+        |http_requests{group="production", instance="0", job="app-server"} 500
+        |http_requests{group="production", instance="1", job="app-server"} 600
+        |http_requests{group="canary", instance="0", job="app-server"} 700
+        |http_requests{group="canary", instance="1", job="app-server"} 800""",
+      ordered = true),
+    C("50m", """sort_desc(http_requests)""",
+      """http_requests{group="canary", instance="1", job="app-server"} 800
+        |http_requests{group="canary", instance="0", job="app-server"} 700
+        |http_requests{group="production", instance="1", job="app-server"} 600
+        |http_requests{group="production", instance="0", job="app-server"} 500
+        |http_requests{group="canary", instance="1", job="api-server"} 400
+        |http_requests{group="canary", instance="0", job="api-server"} 300
+        |http_requests{group="production", instance="1", job="api-server"} 200
+        |http_requests{group="production", instance="0", job="api-server"} 100""",
+      ordered = true),
+    // the `group` aggregator: 1 per output group whatever the inputs
+    C("50m", """group by (job) (http_requests)""",
+      """{job="api-server"} 1
+        |{job="app-server"} 1"""),
+    C("50m", """group(http_requests{group="production"})""",
+      """{} 1""")), upstream = true)
+
   private val blocks = Seq(aggregators, operators, binops, functions,
     functions2, histograms, countValues, staleness, labelFns,
     invHyperbolic, sortByLabel, nanAgg, infoFn, regexAnchoring,
@@ -916,7 +986,8 @@ class PromQLConformanceSpec extends SparkSpec {
     upstreamSubquery, upstreamAtModifier, upstreamDatesTrig,
     upstreamBoolCmp, upstreamHistograms,
     upstreamLabelReplace, upstreamClamp, upstreamAbsent,
-    upstreamCountValues)
+    upstreamCountValues, upstreamDeriv, upstreamQuantileOverTime,
+    upstreamSortGroup)
 
   // ---- harness ----
 
@@ -1064,7 +1135,7 @@ class PromQLConformanceSpec extends SparkSpec {
     // cases re-typed from Prometheus's own promqltest corpus, reported
     // separately from the handwritten sweep.
     assert(own === 147)
-    assert(ported === 117)
+    assert(ported === 128)
     assert(skips.size === 2)
     // every skip names its documented deviation
     assert(skips.forall(_.skip.nonEmpty))

@@ -220,4 +220,23 @@ class SampleReadersSpec extends SparkSpec {
     // grid: offset = minExp-1 = -1 → indices 0 (le 1) and 1 (+Inf ride)
     assert(h.positive === Seq((0, 3.0), (1, 4.0)))
   }
+
+  test("binary OTLP decode: every truncation terminates — parse or throw") {
+    // a receiver fed a cut-off body must fail FAST (400 upstream),
+    // never hang or fabricate rows: walk every prefix of a valid
+    // request through all three decoders
+    val full = OtlpProto.encodeGauge(1000L, 1.5,
+      Map("__name__" -> "m", "a" -> "b"))
+    (0 until full.length).foreach { n =>
+      val cut = full.take(n)
+      scala.util.Try(OtlpProto.decodeSamples(cut)).foreach { rows =>
+        // a prefix that still parses may only yield the true sample
+        // or nothing — never a corrupted row
+        assert(rows.forall(r => r == ((1000L, 1.5,
+          Map("__name__" -> "m", "a" -> "b")))), s"prefix $n: $rows")
+      }
+      scala.util.Try(OtlpProto.decodeHists(cut))        // must terminate
+      scala.util.Try(OtlpProto.decodeClassicHists(cut)) // must terminate
+    }
+  }
 }
