@@ -201,7 +201,10 @@ final class PromHttpServer(spark: SparkSession, initial: DataFrame,
     val names =
       if (sels.isEmpty) TsdbMeta.labelNames(t, s, e, Nil)
       else TsdbMeta.labelNamesAny(t, s, e, sels)
-    ok(ex, names.as[String].collect().map(jstr).mkString("[", ",", "]"))
+    // `limit` (Prometheus 2.55+) truncates INSIDE the plan — the
+    // collect stays limit-bounded, not universe-bounded
+    ok(ex, capped(names, p).as[String].collect()
+      .map(jstr).mkString("[", ",", "]"))
   }
 
   private def labelValues(ex: HttpExchange, p: Params, label: String): Unit = {
@@ -212,14 +215,15 @@ final class PromHttpServer(spark: SparkSession, initial: DataFrame,
     val vs =
       if (sels.isEmpty) TsdbMeta.labelValues(t, label, s, e, Nil)
       else TsdbMeta.labelValuesAny(t, label, s, e, sels)
-    ok(ex, vs.as[String].collect().map(jstr).mkString("[", ",", "]"))
+    ok(ex, capped(vs, p).as[String].collect()
+      .map(jstr).mkString("[", ",", "]"))
   }
 
   private def series(ex: HttpExchange, p: Params): Unit = {
     val (s, e) = window(p)
     val sels = p.all("match[]").map(PromQL.parseMatchers)
     require(sels.nonEmpty, "no match[] parameter provided")
-    val rows = TsdbMeta.seriesAny(TsdbTable(wide), s, e, sels)
+    val rows = capped(TsdbMeta.seriesAny(TsdbTable(wide), s, e, sels), p)
     val cols = rows.columns
     val out = rows.collect().map { r =>
       cols.zipWithIndex.flatMap { case (c, i) =>
@@ -412,9 +416,20 @@ final class PromHttpServer(spark: SparkSession, initial: DataFrame,
   }
 
   private def write(ex: HttpExchange, body: Array[Byte]): Unit = {
-    // wire labels carry `__name__`; this table's metric column is
-    // `name` — the same mapping RemoteRead.serve applies on its side
-    val decoded = RemoteWrite.decodeRequest(body).map { case (t, v, ls) =>
+    // CONTENT NEGOTIATION (Remote-Write 2.0 spec): a v2 sender marks
+    // the body `application/x-protobuf;proto=io.prometheus.write.v2
+    // .Request` — decode with the symbol-table codec; anything else is
+    // the v1 WriteRequest. Wire labels carry `__name__`; this table's
+    // metric column is `name` — the same mapping RemoteRead.serve
+    // applies on its side.
+    val isV2 = Option(ex.getRequestHeaders.getFirst("Content-Type"))
+      .exists(_.contains("io.prometheus.write.v2.Request"))
+    val raw: Seq[(Long, Double, Map[String, String])] =
+      if (isV2) RemoteWrite2.decodeRequest(body).flatMap { sr =>
+        sr.samples.map { case (t, v) => (t, v, sr.labels.toMap) }
+      }
+      else RemoteWrite.decodeRequest(body)
+    val decoded = raw.map { case (t, v, ls) =>
       (t, v, ls.map { case (k, vv) =>
         (if (k == "__name__") "name" else k) -> vv })
     }
@@ -424,6 +439,15 @@ final class PromHttpServer(spark: SparkSession, initial: DataFrame,
       val batch = TsdbIngest.toWide(longForm)
       synchronized { wide = wide.unionByName(batch,
         allowMissingColumns = true) }
+    }
+    if (isV2) {
+      // v2 receivers MUST report written counts (the spec's
+      // partial-write contract)
+      val h = ex.getResponseHeaders
+      h.set("X-Prometheus-Remote-Write-Samples-Written",
+        decoded.size.toString)
+      h.set("X-Prometheus-Remote-Write-Histograms-Written", "0")
+      h.set("X-Prometheus-Remote-Write-Exemplars-Written", "0")
     }
     ex.sendResponseHeaders(204, -1)
   }
@@ -513,6 +537,13 @@ final class PromHttpServer(spark: SparkSession, initial: DataFrame,
   private def window(p: Params): (Long, Long) = (
     p.first("start").map(parseTime(_) - 1).getOrElse(Long.MinValue),
     p.first("end").map(parseTime(_) + 1).getOrElse(Long.MaxValue))
+
+  /** `limit` parameter (Prometheus 2.55+ on the metadata APIs): cap
+    * the result INSIDE the plan so the driver collect is bounded by
+    * the caller's budget, not by label/series cardinality. */
+  private def capped[T](ds: org.apache.spark.sql.Dataset[T],
+                        p: Params): org.apache.spark.sql.Dataset[T] =
+    p.first("limit").map(_.toInt).filter(_ > 0).fold(ds)(ds.limit)
 
   private def apiLabel(col: String): String = {
     val n = col.stripPrefix(TsdbSchema.LabelPrefix)

@@ -202,6 +202,42 @@ class PromHttpServerSpec extends SparkSpec {
     assert(b3.contains(""""startTime":""") && b3.contains(""""CWD":"""), b3)
   }
 
+  test("limit parameter caps labels, values and series (2.55+ API)") {
+    val (c1, b1) = get("/api/v1/labels?limit=1")
+    assert(c1 == 200, b1)
+    // exactly one element in the data array
+    assert(b1.matches(""".*"data":\["[^"]+"\].*"""), b1)
+    val (c2, b2) = get("/api/v1/label/user/values?limit=1")
+    assert(c2 == 200 && b2.matches(""".*"data":\["[^"]+"\].*"""), b2)
+    val (c3, b3) = get("/api/v1/series?limit=1&match[]=" +
+      java.net.URLEncoder.encode("""{name="up"}""", UTF_8))
+    assert(c3 == 200, b3)
+    assert(b3.count(_ == '{') == 2, b3) // envelope + ONE series object
+  }
+
+  test("remote-write receiver negotiates v2 by Content-Type") {
+    // a Remote-Write 2.0 sender marks the symbol-table codec in the
+    // Content-Type; the receiver must decode it AND report written
+    // counts (the spec's partial-write contract)
+    val req = RemoteWrite2.encodeRequest(Seq(RemoteWrite2.Rw2Series(
+      labels = Seq("__name__" -> "rw2_pushed", "user" -> "v"),
+      samples = Seq((1800L, 9.5)))))
+    val r = client.send(
+      HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:$port/api/v1/write"))
+        .header("Content-Type",
+          "application/x-protobuf;proto=io.prometheus.write.v2.Request")
+        .header("Content-Encoding", "snappy")
+        .POST(HttpRequest.BodyPublishers.ofByteArray(req)).build(),
+      HttpResponse.BodyHandlers.ofByteArray())
+    assert(r.statusCode() == 204, r.statusCode().toString)
+    assert(r.headers().firstValue(
+      "X-Prometheus-Remote-Write-Samples-Written").orElse("") == "1")
+    val (c2, b2) = get("/api/v1/query?query=" +
+      java.net.URLEncoder.encode("""{name="rw2_pushed"}""", UTF_8) +
+      "&time=2")
+    assert(c2 == 200 && b2.contains(""""value":[2.000,"9.5"]"""), b2)
+  }
+
   test("OTLP receiver: binary-protobuf pushed samples become queryable") {
     // the OTel-collector path: POST a binary ExportMetricsServiceRequest
     // to /api/v1/otlp/v1/metrics, then read the sample back over PromQL
