@@ -48,11 +48,43 @@ final class PromHttpServer(spark: SparkSession, initial: DataFrame,
                            rules: Option[String] = None,
                            rulesIntervalMs: Long = 60000L,
                            rulesHorizonMs: Long = 86400000L,
-                           externalLabels: Seq[(String, String)] = Nil) {
+                           externalLabels: Seq[(String, String)] = Nil,
+                           histSchemaId: Int = 0, histMinExp: Int = 0,
+                           histMaxExp: Int = 9) {
 
   @volatile private var wide: DataFrame = initial
   private var server: HttpServer = _
   private val startedAt: Long = System.currentTimeMillis()
+
+  /** NATIVE HISTOGRAMS pushed over remote-write 2.0 or OTLP land in a
+    * second head: dense frames on the server's (schema, minExp,
+    * maxExp) grid, queryable through the `histogram_*` scalar family
+    * (quantile/count/sum/avg/fraction/stddev/stdvar) — the functions
+    * whose results are FLOAT vectors and therefore fit the standard
+    * API response shape. */
+  @volatile private var histHead: Option[DataFrame] = None
+
+  /** Queryable pushed-histogram head (dense frames), if any arrived. */
+  def histTable: Option[DataFrame] = histHead
+
+  private def histNLes: Int = histMaxExp - histMinExp + 3 // zero+grid+Inf
+
+  private def appendHists(sparse: Seq[RemoteWrite.SparseHist]): Int = {
+    if (sparse.nonEmpty) {
+      import spark.implicits._
+      val dense = RemoteWrite.denseFromSparse(
+        spark.createDataset(sparse), histSchemaId, histMinExp, histMaxExp)
+      val names = sparse.flatMap(_.labels.keys).distinct.sorted
+      val labelCols = names.map(n => col("labels").getItem(n)
+        .as(TsdbSchema.labelColName(if (n == "__name__") "name" else n)))
+      val wideH = dense.select(col("time") +: labelCols :+ col("hist"): _*)
+      synchronized {
+        histHead = Some(histHead.fold(wideH)(
+          _.unionByName(wideH, allowMissingColumns = true)))
+      }
+    }
+    sparse.size
+  }
 
   /** The engine's effective configuration, rendered as the YAML
     * `/api/v1/status/config` returns (Prometheus returns its loaded
@@ -159,6 +191,23 @@ final class PromHttpServer(spark: SparkSession, initial: DataFrame,
     val at = p.first("time").map(parseTime)
       .getOrElse(System.currentTimeMillis())
     val ast = PromQL.parse(q)
+    ast match {
+      // the histogram_* scalar family evaluates over the PUSHED
+      // native-histogram head when one exists (Prometheus prefers the
+      // native histogram over classic buckets when both are present);
+      // these functions return FLOAT vectors, so the response shape is
+      // the standard one
+      case f: PromQL.Fn
+          if PromQLHist.ScalarFns(f.name) && histHead.nonEmpty =>
+        import spark.implicits._
+        val hv = PromQLHist.eval(ast, histHead.get, at, lookbackMs,
+          start = at, end = at, nLes = histNLes)
+          .withColumn(TsdbSchema.TimeCol, lit(at))
+        val rows = ApiJson.vectorJson(hv).as[String].collect()
+        ok(ex, s"""{"resultType":"vector","result":[${rows.mkString(",")}]}""")
+        return
+      case _ =>
+    }
     val df = PromQL.evalStrict(ast, wide, at, lookbackMs,
       start = at, end = at)
     // resultType comes from the AST's STATIC type, not the frame's
@@ -424,9 +473,15 @@ final class PromHttpServer(spark: SparkSession, initial: DataFrame,
     // applies on its side.
     val isV2 = Option(ex.getRequestHeaders.getFirst("Content-Type"))
       .exists(_.contains("io.prometheus.write.v2.Request"))
+    var histsWritten = 0
     val raw: Seq[(Long, Double, Map[String, String])] =
-      if (isV2) RemoteWrite2.decodeRequest(body).flatMap { sr =>
-        sr.samples.map { case (t, v) => (t, v, sr.labels.toMap) }
+      if (isV2) {
+        val series = RemoteWrite2.decodeRequest(body)
+        histsWritten = appendHists(series.flatMap(sr =>
+          sr.histograms.map(_.copy(labels = sr.labels.toMap))))
+        series.flatMap { sr =>
+          sr.samples.map { case (t, v) => (t, v, sr.labels.toMap) }
+        }
       }
       else RemoteWrite.decodeRequest(body)
     val decoded = raw.map { case (t, v, ls) =>
@@ -446,7 +501,8 @@ final class PromHttpServer(spark: SparkSession, initial: DataFrame,
       val h = ex.getResponseHeaders
       h.set("X-Prometheus-Remote-Write-Samples-Written",
         decoded.size.toString)
-      h.set("X-Prometheus-Remote-Write-Histograms-Written", "0")
+      h.set("X-Prometheus-Remote-Write-Histograms-Written",
+        histsWritten.toString)
       h.set("X-Prometheus-Remote-Write-Exemplars-Written", "0")
     }
     ex.sendResponseHeaders(204, -1)
@@ -470,6 +526,10 @@ final class PromHttpServer(spark: SparkSession, initial: DataFrame,
       else body
     // malformed protobuf is the CLIENT's error: surface 400 bad_data
     // (the generic NonFatal handler would report it as a 422)
+    appendHists(try OtlpProto.decodeHists(raw) catch {
+      case scala.util.control.NonFatal(e) => throw new IllegalArgumentException(
+        s"malformed OTLP protobuf payload: $e")
+    })
     val decoded = (try OtlpProto.decodeSamples(raw) catch {
       case scala.util.control.NonFatal(e) => throw new IllegalArgumentException(
         s"malformed OTLP protobuf payload: $e")

@@ -202,6 +202,53 @@ class PromHttpServerSpec extends SparkSpec {
     assert(b3.contains(""""startTime":""") && b3.contains(""""CWD":"""), b3)
   }
 
+  test("pushed native histograms are queryable via histogram_* functions") {
+    // a v2 request carrying a native histogram: 4 observations, two in
+    // (1,2] and two in (2,4] on the schema-0 grid — φ=0.5 lands exactly
+    // on the upper edge of (1,2]
+    val h = RemoteWrite.SparseHist(
+      time = 1700L, labels = Map.empty, count = 4.0, sum = 10.0,
+      schema = 0, zeroThreshold = 0.0, zeroCount = 0.0,
+      positive = Seq((1, 2.0), (2, 2.0)), negative = Nil)
+    val req = RemoteWrite2.encodeRequest(Seq(RemoteWrite2.Rw2Series(
+      labels = Seq("__name__" -> "hpush", "user" -> "h"),
+      histograms = Seq(h))))
+    val r = client.send(
+      HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:$port/api/v1/write"))
+        .header("Content-Type",
+          "application/x-protobuf;proto=io.prometheus.write.v2.Request")
+        .POST(HttpRequest.BodyPublishers.ofByteArray(req)).build(),
+      HttpResponse.BodyHandlers.ofByteArray())
+    assert(r.statusCode() == 204)
+    assert(r.headers().firstValue(
+      "X-Prometheus-Remote-Write-Histograms-Written").orElse("") == "1")
+    val (c2, b2) = get("/api/v1/query?query=" +
+      java.net.URLEncoder.encode("""histogram_quantile(0.5, {name="hpush"})""",
+        UTF_8) + "&time=2")
+    assert(c2 == 200, b2)
+    assert(b2.contains(""""resultType":"vector""""), b2)
+    assert(b2.contains(""""value":[2.000,"2.0"]"""), b2)
+    assert(b2.contains(""""user":"h""""), b2)
+    // count and sum come back through the same routed tier
+    val (c3, b3) = get("/api/v1/query?query=" +
+      java.net.URLEncoder.encode("""histogram_count({name="hpush"})""",
+        UTF_8) + "&time=2")
+    assert(c3 == 200 && b3.contains(""""value":[2.000,"4.0"]"""), b3)
+
+    // an OTLP exponential-histogram push lands in the SAME head
+    val otlp = OtlpProto.encodeExpHist(1800L,
+      Map("__name__" -> "hotlp", "user" -> "o"),
+      count = 2.0, sum = 3.0,
+      counts = Seq(0.0, 2.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0),
+      schemaId = 0, minExp = 0, maxExp = 9)
+    val (c4, _) = post("/api/v1/otlp/v1/metrics", otlp)
+    assert(c4 == 200)
+    val (c5, b5) = get("/api/v1/query?query=" +
+      java.net.URLEncoder.encode("""histogram_sum({name="hotlp"})""",
+        UTF_8) + "&time=2")
+    assert(c5 == 200 && b5.contains(""""value":[2.000,"3.0"]"""), b5)
+  }
+
   test("limit parameter caps labels, values and series (2.55+ API)") {
     val (c1, b1) = get("/api/v1/labels?limit=1")
     assert(c1 == 200, b1)
