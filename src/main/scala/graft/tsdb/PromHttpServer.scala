@@ -236,8 +236,18 @@ final class PromHttpServer(spark: SparkSession, initial: DataFrame,
     val step = parseStep(required(p, "step"))
     require(end >= start, "end must be >= start")
     require(step > 0, "step must be positive")
-    val df = PromQL.evalRange(PromQL.parse(q), wide, start, end, step,
-      lookbackMs)
+    val ast = PromQL.parse(q)
+    // pushed-native-histogram routing, same rule as the instant API:
+    // the histogram_* scalar family evaluates over the hist head (its
+    // range output carries the grid column `t` — matrix-ready)
+    val df = ast match {
+      case f: PromQL.Fn
+          if PromQLHist.ScalarFns(f.name) && histHead.nonEmpty =>
+        PromQLHist.evalRange(ast, histHead.get, start, end, step,
+          lookbackMs, nLes = histNLes)
+      case _ =>
+        PromQL.evalRange(ast, wide, start, end, step, lookbackMs)
+    }
     val rows = ApiJson.matrixJson(df).as[String].collect()
     ok(ex, s"""{"resultType":"matrix","result":[${rows.mkString(",")}]}""")
   }

@@ -247,6 +247,13 @@ class PromHttpServerSpec extends SparkSpec {
       java.net.URLEncoder.encode("""histogram_sum({name="hotlp"})""",
         UTF_8) + "&time=2")
     assert(c5 == 200 && b5.contains(""""value":[2.000,"3.0"]"""), b5)
+    // and query_range routes the same family over the grid
+    val (c6, b6) = get("/api/v1/query_range?query=" +
+      java.net.URLEncoder.encode("""histogram_count({name="hpush"})""",
+        UTF_8) + "&start=2&end=4&step=1")
+    assert(c6 == 200, b6)
+    assert(b6.contains(""""resultType":"matrix""""), b6)
+    assert(b6.contains(""""values":[[2.000,"4.0"],[3.000,"4.0"],[4.000,"4.0"]]"""), b6)
   }
 
   test("limit parameter caps labels, values and series (2.55+ API)") {
