@@ -185,6 +185,43 @@ object TextPipeline {
     * the identical fold (summation-order-dependent float totals would
     * otherwise diverge across engines).
     */
+  /** Model-based QUALITY-CLASSIFIER scoring — the FineWeb / DCLM-style
+    * curation step: a linear classifier over HASHED n-gram features
+    * (the fastText "hashing trick"), sigmoid'd into a [0,1] quality
+    * score, thresholded into a keep gate. The Spark shape is the whole
+    * point: features never materialize as a vocabulary — each gram
+    * hashes straight to its weight (portable md5-derived), the score
+    * is one sequential fold per doc, and the entire pass is map-side
+    * codegen'd expressions (zero shuffles, zero UDFs, linear at
+    * 100 TB). Weights here derive deterministically from the portable
+    * hash (the same stand-in policy as the multimodal stub: the real
+    * artifact — a trained weight table — is not in this container, but
+    * every piece of the plumbing is real: tokenization, uni+bigram
+    * hashing, weight lookup, mean-pooled linear score, sigmoid,
+    * threshold) and the oracle replays the arithmetic bit-for-bit.
+    *
+    * Output: (id, n_feats, round(score, 6), keep). */
+  def classifierScore(docs: DataFrame, idCol: String, textCol: String,
+                      threshold: Double = 0.5): DataFrame = {
+    val toks = graft.functions.TextFunctions.tokens(col(textCol))
+    // uni + bigram feature grams, in document order
+    val bigrams = zip_with(slice(toks, lit(1), greatest(size(toks) - 1, lit(0))),
+      slice(toks, lit(2), greatest(size(toks) - 1, lit(0))),
+      (a, b) => concat(a, lit(" "), b))
+    val grams = concat(toks, bigrams)
+    // hashing trick: gram → md5-derived weight in [-1, 1] (no vocab)
+    def w(g: Column): Column =
+      (pmod(graft.functions.Hashing.hash64(g), lit(2001L)) - lit(1000L))
+        .cast("double") / lit(1000.0)
+    val lin = aggregate(grams, lit(0.0), (acc, g) => acc + w(g)) /
+      greatest(size(grams), lit(1)).cast("double")
+    val score = lit(1.0) / (lit(1.0) + exp(-lin * lit(8.0))) // sigmoid, gain 8
+    docs.select(col(idCol),
+        size(grams).cast("long").as("n_feats"),
+        round(score, 6).as("score"))
+      .withColumn("keep", col("score") >= threshold)
+  }
+
   def unigramLogProb(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val toks = docs.select(col(idCol),
       posexplode(graft.functions.TextFunctions.tokens(col(textCol)))

@@ -278,6 +278,12 @@ object PipelineQueries {
     "pipe_q39_unigram_logprob" -> ((s, dir) =>
       graft.operators.TextPipeline.unigramLogProb(
         load(s, dir, "documents"), "doc_id", "text")),
+    // model-based quality-classifier gate (FineWeb/DCLM curation step):
+    // hashed uni+bigram features -> md5-derived weights -> mean-pooled
+    // linear score -> sigmoid -> threshold; one map pass, no vocabulary
+    "pipe_q51_classifier_score" -> ((s, dir) =>
+      graft.operators.TextPipeline.classifierScore(
+        load(s, dir, "documents"), "doc_id", "text", threshold = 0.5)),
     // count-min heavy hitters over the same domain stream: the sketch is
     // depth×width counters built in ONE partial-aggregated pass (a few
     // KB shuffled regardless of input size — the bounded-memory answer
@@ -1506,6 +1512,20 @@ object PipelineQueries {
         |SELECT domain, count(*) AS n FROM u GROUP BY 1""".stripMargin,
     // identical sequential fold: 0.0-seeded left fold over the
     // position-sorted log-probs, so float totals match bit-for-bit
+    "pipe_q51_classifier_score" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |g AS (SELECT doc_id, list_concat(t,
+        |    list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i + 1]))
+        |    AS grams FROM d),
+        |sc AS (SELECT doc_id, len(grams) AS n_feats,
+        |  list_sum(list_transform(grams, x ->
+        |    (CAST(CAST(('0x' || substr(md5(x), 1, 15)) AS BIGINT) % 2001 - 1000 AS DOUBLE) / 1000.0))) /
+        |    greatest(len(grams), 1) AS lin
+        |  FROM g)
+        |SELECT doc_id, CAST(n_feats AS BIGINT) AS n_feats,
+        |  round(1.0 / (1.0 + exp(-lin * 8.0)), 6) AS score,
+        |  (round(1.0 / (1.0 + exp(-lin * 8.0)), 6) >= 0.5) AS keep
+        |FROM sc""".stripMargin,
     "pipe_q39_unigram_logprob" ->
       """WITH d AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
         |tk AS (SELECT doc_id, unnest(ts) AS tok,

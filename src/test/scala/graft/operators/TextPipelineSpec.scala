@@ -94,4 +94,27 @@ class TextPipelineSpec extends SparkSpec {
       (1L, 4L, 1L, 4L, 1.0, 0.25),
       (2L, 4L, 4L, 1L, 0.25, 1.0)))
   }
+
+  test("classifier score: hashed uni+bigram features, sigmoid gate") {
+    import spark.implicits._
+    val docs = Seq((1L, "a b c"), (2L, "a"), (3L, "a b c")).toDF("doc_id", "text")
+    val out = TextPipeline.classifierScore(docs, "doc_id", "text")
+      .as[(Long, Long, Double, Boolean)].collect().sortBy(_._1)
+    // "a b c": 3 unigrams + 2 bigrams; "a": 1 unigram, no bigrams
+    assert(out.map(r => (r._1, r._2)).toSeq ===
+      Seq((1L, 5L), (2L, 1L), (3L, 5L)))
+    // deterministic: identical text, identical score; bounded in (0,1)
+    assert(out(0)._3 === out(2)._3)
+    assert(out.forall(r => r._3 > 0.0 && r._3 < 1.0))
+    // keep is exactly the thresholded (rounded) score
+    assert(out.forall(r => r._4 === (r._3 >= 0.5)))
+    // the score is the mean-pooled hashed-weight sigmoid: recompute one
+    def w(g: String): Double =
+      ((graft.functions.Hashing.hash64Const(g) % 2001L + 2001L) % 2001L
+        - 1000L).toDouble / 1000.0
+    val lin = Seq("a", "b", "c", "a b", "b c").map(w).sum / 5.0
+    val want = BigDecimal(1.0 / (1.0 + math.exp(-lin * 8.0)))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(math.abs(out(0)._3 - want) < 1e-9, s"${out(0)._3} vs $want")
+  }
 }
