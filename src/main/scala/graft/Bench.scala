@@ -114,11 +114,17 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    // Idle-machine noise-floor ceiling for the 35-query total at sf0.1
-    // (BENCHNOISE.md three-run spread 12.1–15.5 s). Totals above
-    // 2× this trigger one sleep-and-rerun; both attempts are recorded.
-    val floorSec =
-      sys.env.getOrElse("SPARK_GRAFT_BENCH_FLOOR_SEC", "15.5").toDouble
+    // Idle-box ANCHOR for the rounds-7–9 common-set total at sf0.1
+    // (BENCHNOISE.md round-12 note: four same-day idle reruns measured
+    // 10.83–11.08 s). A common-set total above 1.5× the anchor triggers
+    // one sleep-and-rerun; both attempts are recorded. Round-12 lesson:
+    // the old trigger (2× a 15.5 s ceiling = 31 s) let a 21.96 s record
+    // — itself a face-value breach of the round's own 2× criterion —
+    // sail through unflagged. Keyed at 1.5× the idle anchor (≈16.5 s),
+    // any criterion-breaching total earns the flag and the second try.
+    val anchorSec =
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_ANCHOR_SEC", "11.0").toDouble
+    val flagTriggerSec = 1.5 * anchorSec
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -206,17 +212,19 @@ object Bench {
 
     val loadBefore = loadavg()
     var attempts = Vector((timedAttempt(), loadavg()))
-    val loadFlagged = commonOf(attempts.head._1) > 2 * floorSec
-    if (loadFlagged) {
+    if (commonOf(attempts.head._1) > flagTriggerSec) {
       System.err.println(
-        f"[bench] common-set total ${commonOf(attempts.head._1)}%.1f s > 2x " +
-        f"noise floor ($floorSec%.1f s) — ambient load suspected; " +
-        "sleeping 30 s and rerunning")
+        f"[bench] common-set total ${commonOf(attempts.head._1)}%.1f s > " +
+        f"1.5x idle anchor ($anchorSec%.1f s → trigger $flagTriggerSec%.1f " +
+        "s) — ambient load suspected; sleeping 30 s and rerunning")
       Thread.sleep(30000)
       attempts :+= ((timedAttempt(), loadavg()))
     }
     val (best, _) = attempts.minBy { case (a, _) => totalOf(a) }
     val commonTotal = commonOf(best)
+    // flag the ARTIFACT when even the best attempt breaches the trigger —
+    // a true record never needs the caveat, an inflated one always gets it
+    val loadFlagged = commonTotal > flagTriggerSec
 
     val results = ("tsdb_ingest", Seq(ingestSec), 0L) +: best
     val qs = results.map { case (k, ps, _) => s""""$k":${ps.min}""" }
@@ -236,7 +244,8 @@ object Bench {
       s""","loadavg_after":${jsonArr(attempts.last._2)}""" +
       s""","attempt_totals":${jsonArr(attempts.map(a => totalOf(a._1)))}""" +
       s""","total_r7_common":$commonTotal""" +
-      s""","noise_floor_sec":$floorSec,"load_flagged":$loadFlagged}"""
+      s""","idle_anchor_sec":$anchorSec,"flag_trigger_sec":$flagTriggerSec""" +
+      s""","load_flagged":$loadFlagged}"""
     java.nio.file.Files.write(java.nio.file.Paths.get("bench_out.json"),
       (rich + "\n").getBytes("UTF-8"))
     // The LAST stdout line is a COMPACT machine-readable record sized well

@@ -228,7 +228,10 @@ object AlertRules {
             case None =>
               if (state == 2) {
                 if (keepSince < 0L) keepSince = t
-                if (t - keepSince < kff)
+                // Prometheus resolves only when ts.Sub(KeepFiringSince)
+                // EXCEEDS keepFiringFor (rules/alerting.go) — the alert
+                // still fires at the boundary step, resolving on the next
+                if (t - keepSince <= kff)
                   out += ((lv, t, activeAt, "firing", lastV))
                 else { state = 0; keepSince = -1L }
               } else state = 0

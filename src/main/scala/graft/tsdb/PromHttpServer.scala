@@ -69,8 +69,28 @@ final class PromHttpServer(spark: SparkSession, initial: DataFrame,
 
   private def histNLes: Int = histMaxExp - histMinExp + 3 // zero+grid+Inf
 
+  /** Metric names the pushed-histogram head stores — maintained
+    * driver-side under the head's lock (exact, no Spark job). Gates the
+    * per-selector native-vs-classic routing in the query endpoints. */
+  private var histMetricNames = Set.empty[String]
+
   private def appendHists(sparse: Seq[RemoteWrite.SparseHist]): Int = {
     if (sparse.nonEmpty) {
+      // A wire histogram's OWN schema field defines its bucket
+      // boundaries; densifying a schema-k histogram onto the server's
+      // schema-j grid reinterprets the indices on the wrong boundaries
+      // — silently wrong quantiles/fractions. Prometheus down-converts
+      // only across its own supported resolutions (by merging bucket
+      // pairs); this receiver rejects the mismatch as bad_data (400)
+      // so a schema-3 Prometheus or scale-20 OTel SDK fails LOUDLY.
+      sparse.find(_.schema != histSchemaId).foreach { h =>
+        throw new IllegalArgumentException(
+          s"native histogram schema ${h.schema} (metric " +
+          s"${h.labels.getOrElse("__name__", "?")}) does not match the " +
+          s"receiver's grid schema $histSchemaId; re-send at the " +
+          "receiver's resolution or start the server with histSchemaId" +
+          s" = ${h.schema}")
+      }
       import spark.implicits._
       val dense = RemoteWrite.denseFromSparse(
         spark.createDataset(sparse), histSchemaId, histMinExp, histMaxExp)
@@ -81,9 +101,48 @@ final class PromHttpServer(spark: SparkSession, initial: DataFrame,
       synchronized {
         histHead = Some(histHead.fold(wideH)(
           _.unionByName(wideH, allowMissingColumns = true)))
+        histMetricNames ++= sparse.flatMap(_.labels.get("__name__"))
       }
     }
     sparse.size
+  }
+
+  /** Per-SELECTOR native-vs-classic preference: Prometheus resolves
+    * native-over-classic when the SELECTOR's metric has both forms —
+    * not globally per function name — so a `histogram_*` call routes
+    * to the pushed-native head only when a selector inside it names a
+    * metric that head actually stores. Without this gate, one pushed
+    * native histogram silently turned every classic-bucket query
+    * (`histogram_quantile(0.9, rate(m_bucket[5m]))`) into an empty
+    * hist-head evaluation. Nameless selectors (`{job="x"}`) keep the
+    * head routing — under a histogram_* function they have no classic
+    * float-tier reading. The metric matcher may be spelled either way:
+    * `__name__` (the bare-prefix form `m{...}` and wire matchers) or
+    * `name` (this engine's storage metric label, which the text
+    * surface addresses directly — `{name="m"}`). */
+  private def routesToHistHead(ast: PromQL.Expr): Boolean =
+    histHead.nonEmpty && {
+      val selNameMs = PromQL.selectorsOf(ast)
+        .map(_.filter(m => m.name == "__name__" || m.name == "name"))
+        .filter(_.nonEmpty)
+      val stored = synchronized(histMetricNames)
+      selNameMs.isEmpty || selNameMs.exists(ms =>
+        stored.exists(m => ms.forall(matchesMetric(_, m))))
+    }
+
+  /** Driver-side matcher application for the routing gate — the stored
+    * name set is API-sized, and [[PromQL.selectorsOf]] returns
+    * TEXT-anchored regexes, so `find()` is a full match. */
+  private def matchesMetric(m: graft.model.Matcher, metric: String): Boolean = {
+    import graft.model.Matcher._
+    m match {
+      case Eq(_, v)     => metric == v
+      case NotEq(_, v)  => metric != v
+      case Re(_, p)     =>
+        java.util.regex.Pattern.compile(p).matcher(metric).find()
+      case NotRe(_, p)  =>
+        !java.util.regex.Pattern.compile(p).matcher(metric).find()
+    }
   }
 
   /** The engine's effective configuration, rendered as the YAML
@@ -198,7 +257,7 @@ final class PromHttpServer(spark: SparkSession, initial: DataFrame,
       // these functions return FLOAT vectors, so the response shape is
       // the standard one
       case f: PromQL.Fn
-          if PromQLHist.ScalarFns(f.name) && histHead.nonEmpty =>
+          if PromQLHist.ScalarFns(f.name) && routesToHistHead(f) =>
         import spark.implicits._
         val hv = PromQLHist.eval(ast, histHead.get, at, lookbackMs,
           start = at, end = at, nLes = histNLes)
@@ -242,7 +301,7 @@ final class PromHttpServer(spark: SparkSession, initial: DataFrame,
     // range output carries the grid column `t` — matrix-ready)
     val df = ast match {
       case f: PromQL.Fn
-          if PromQLHist.ScalarFns(f.name) && histHead.nonEmpty =>
+          if PromQLHist.ScalarFns(f.name) && routesToHistHead(f) =>
         PromQLHist.evalRange(ast, histHead.get, start, end, step,
           lookbackMs, nLes = histNLes)
       case _ =>
@@ -540,7 +599,13 @@ final class PromHttpServer(spark: SparkSession, initial: DataFrame,
       case scala.util.control.NonFatal(e) => throw new IllegalArgumentException(
         s"malformed OTLP protobuf payload: $e")
     })
-    val decoded = (try OtlpProto.decodeSamples(raw) catch {
+    // gauge/sum points PLUS explicit-bounds histograms — Prometheus's
+    // OTLP endpoint translates the latter into classic _bucket/_count/
+    // _sum series; dropping them would 200-ack a standard collector
+    // pipeline while losing all its histogram data
+    val decoded = (try
+      OtlpProto.decodeSamples(raw) ++ OtlpProto.decodeClassicHists(raw)
+    catch {
       case scala.util.control.NonFatal(e) => throw new IllegalArgumentException(
         s"malformed OTLP protobuf payload: $e")
     }).map { case (t, v, ls) =>

@@ -387,11 +387,15 @@ object SampleReaders {
             a.getField("value").getField("stringValue")))).as("attrs"))
     def withName(suffix: org.apache.spark.sql.Column) = map_concat(
       map(lit("__name__"), concat(col("name"), suffix)), col("attrs"))
-    // cumulative finite buckets: one row per explicit bound
-    val buckets = base.select(col("time"),
+    // cumulative finite buckets: one row per explicit bound. Bound-less
+    // points (legal OTLP: only count/sum observed) are filtered out here —
+    // without the guard, sequence() needs a ≥1 upper bound and zip_with
+    // null-pads the empty bounds array, emitting a spurious `le=null` row;
+    // such points still produce their +Inf/_count/_sum rows below.
+    val buckets = base.where(size(col("bounds")) > 0).select(col("time"),
       // aggregate folds left-to-right — the running total per bound
       explode(zip_with(col("bounds"),
-        transform(sequence(lit(1), greatest(size(col("bounds")), lit(1))),
+        transform(sequence(lit(1), size(col("bounds"))),
           i => aggregate(slice(col("bc"), lit(1), i), lit(0.0), (a, x) => a + x)),
         (le, cum) => struct(le.as("le"), cum.as("cum")))).as("b"),
       col("name"), col("attrs"))

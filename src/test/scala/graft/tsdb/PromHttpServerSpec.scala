@@ -256,6 +256,90 @@ class PromHttpServerSpec extends SparkSpec {
     assert(b6.contains(""""values":[[2.000,"4.0"],[3.000,"4.0"],[4.000,"4.0"]]"""), b6)
   }
 
+  test("classic-bucket queries keep the float tier after a native push " +
+      "(per-selector native-vs-classic routing)") {
+    // make the hist head non-empty regardless of test ordering
+    val h = RemoteWrite.SparseHist(
+      time = 1700L, labels = Map.empty, count = 4.0, sum = 10.0,
+      schema = 0, zeroThreshold = 0.0, zeroCount = 0.0,
+      positive = Seq((1, 2.0), (2, 2.0)), negative = Nil)
+    val vreq = RemoteWrite2.encodeRequest(Seq(RemoteWrite2.Rw2Series(
+      labels = Seq("__name__" -> "hroute"), histograms = Seq(h))))
+    val r = client.send(
+      HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:$port/api/v1/write"))
+        .header("Content-Type",
+          "application/x-protobuf;proto=io.prometheus.write.v2.Request")
+        .POST(HttpRequest.BodyPublishers.ofByteArray(vreq)).build(),
+      HttpResponse.BodyHandlers.ofByteArray())
+    assert(r.statusCode() == 204)
+    // CLASSIC buckets for a DIFFERENT metric arrive over v1
+    val classic = RemoteWrite.encodeRequest(Seq(
+      RemoteWrite.encodeSeries(
+        Seq("__name__" -> "creq_bucket", "le" -> "1.0"), Seq(5000L -> 2.0)),
+      RemoteWrite.encodeSeries(
+        Seq("__name__" -> "creq_bucket", "le" -> "+Inf"), Seq(5000L -> 4.0))))
+    assert(post("/api/v1/write", classic)._1 == 204)
+    // Prometheus prefers native over classic PER SELECTOR, not globally
+    // per function name: with a native histogram in the head, a
+    // classic-bucket quantile must still evaluate on the float tier
+    // (before the gate this silently returned an empty vector)
+    val (cq, bq) = get("/api/v1/query?query=" +
+      java.net.URLEncoder.encode(
+        """histogram_quantile(0.5, {name="creq_bucket"})""", UTF_8) +
+      "&time=6")
+    assert(cq == 200, bq)
+    // rank 2 of 4 falls on the upper edge of the first bucket (0,1]
+    assert(bq.contains(""""value":[6.000,"1.0"]"""), bq)
+    // while the natively-stored metric still routes to the hist head
+    val (cn, bn) = get("/api/v1/query?query=" +
+      java.net.URLEncoder.encode("""histogram_count({name="hroute"})""",
+        UTF_8) + "&time=2")
+    assert(cn == 200 && bn.contains(""""value":[2.000,"4.0"]"""), bn)
+  }
+
+  test("v2 native histogram on a different schema is rejected as bad_data") {
+    // the wire histogram's OWN schema defines its bucket boundaries;
+    // densifying schema-3 indices on the schema-0 grid would silently
+    // produce wrong quantiles — the receiver must refuse, not guess
+    val h = RemoteWrite.SparseHist(
+      time = 1700L, labels = Map.empty, count = 1.0, sum = 1.0,
+      schema = 3, zeroThreshold = 0.0, zeroCount = 0.0,
+      positive = Seq((1, 1.0)), negative = Nil)
+    val req = RemoteWrite2.encodeRequest(Seq(RemoteWrite2.Rw2Series(
+      labels = Seq("__name__" -> "hbad"), histograms = Seq(h))))
+    val r = client.send(
+      HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:$port/api/v1/write"))
+        .header("Content-Type",
+          "application/x-protobuf;proto=io.prometheus.write.v2.Request")
+        .POST(HttpRequest.BodyPublishers.ofByteArray(req)).build(),
+      HttpResponse.BodyHandlers.ofString())
+    assert(r.statusCode() == 400, r.body())
+    assert(r.body().contains("schema 3") && r.body().contains("hbad"),
+      r.body())
+  }
+
+  test("OTLP explicit-bounds histograms land as classic series") {
+    // Prometheus's OTLP endpoint translates explicit-bounds histograms
+    // into classic _bucket/_count/_sum series — a collector pushing
+    // them must not get a 200 that silently drops the data
+    val payload = OtlpProto.encodeClassicHistRequests(Seq(
+      (7000L, Map("__name__" -> "oreq", "user" -> "q"),
+        3.0, 6.0, Seq(1.0), Seq(2.0, 1.0)))
+      .toDF("time", "labels", "count", "sum", "bounds", "bucketCounts"))
+      .head()
+    assert(post("/api/v1/otlp/v1/metrics", payload)._1 == 200)
+    val (cc, bc) = get("/api/v1/query?query=" +
+      java.net.URLEncoder.encode("""{name="oreq_count",user="q"}""",
+        UTF_8) + "&time=8")
+    assert(cc == 200 && bc.contains(""""value":[8.000,"3.0"]"""), bc)
+    val (cb, bb) = get("/api/v1/query?query=" +
+      java.net.URLEncoder.encode(
+        """histogram_quantile(0.5, {name="oreq_bucket",user="q"})""",
+        UTF_8) + "&time=8")
+    // 2 of 3 observations in (0,1]: rank 1.5 interpolates to 0.75
+    assert(cb == 200 && bb.contains(""""value":[8.000,"0.75"]"""), bb)
+  }
+
   test("limit parameter caps labels, values and series (2.55+ API)") {
     val (c1, b1) = get("/api/v1/labels?limit=1")
     assert(c1 == 200, b1)
