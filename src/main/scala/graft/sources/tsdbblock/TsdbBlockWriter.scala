@@ -37,44 +37,9 @@ import org.apache.spark.sql.functions._
   */
 object TsdbBlockWriter {
 
-  // ---- bit-level writer (inverse of Binary.BitReader) ---------------
-
-  private final class BitWriter {
-    private val buf = new java.io.ByteArrayOutputStream()
-    private var cur = 0
-    private var nBits = 0 // bits used in cur, 0..7
-
-    def writeBit(b: Int): Unit = {
-      cur = (cur << 1) | (b & 1)
-      nBits += 1
-      if (nBits == 8) { buf.write(cur); cur = 0; nBits = 0 }
-    }
-    /** n ≤ 64 bits of v, MSB first — byte-at-a-time (a per-bit loop
-      * costs ~8× on the 64-bit first-value and raw-dod paths). */
-    def writeBits(v: Long, n: Int): Unit = {
-      var rem = n
-      while (rem > 0) {
-        val take = math.min(8 - nBits, rem)
-        val bits = ((v >>> (rem - take)) & ((1L << take) - 1)).toInt
-        cur = (cur << take) | bits
-        nBits += take
-        if (nBits == 8) { buf.write(cur); cur = 0; nBits = 0 }
-        rem -= take
-      }
-    }
-    def writeByte(b: Int): Unit = writeBits(b.toLong & 0xff, 8)
-    def uvarint(v: Long): Unit = {
-      var x = v
-      while ((x & ~0x7fL) != 0) { writeByte(((x & 0x7f) | 0x80).toInt); x >>>= 7 }
-      writeByte(x.toInt)
-    }
-    def varint(v: Long): Unit = uvarint((v << 1) ^ (v >> 63))
-    /** Flush a partial byte (zero-padded low bits) and return contents. */
-    def toBytes: Array[Byte] = {
-      if (nBits > 0) { buf.write(cur << (8 - nBits)); cur = 0; nBits = 0 }
-      buf.toByteArray
-    }
-  }
+  // ---- bit-level writer: [[Binary.BitWriter]] (shared with the
+  // histogram chunk codec in [[HistChunk]]) --------------------------
+  private type BitWriter = Binary.BitWriter
 
   // ---- Gorilla XOR chunk encoder (inverse of XorChunk.decode) --------
 
