@@ -202,6 +202,14 @@ final class TsdbPartitionReader(path: String, part: TsdbSeriesPartition,
     val hr = new ByteReader(head, 0)
     val len = hr.uvarint().toInt
     val enc = hr.u8()
+    // histogram chunks (encodings 2/3) carry a different value type —
+    // the float scan skips them without reading the payload, exactly as
+    // the WAL sample scan ignores kinds 7/8 (TsdbBlockRecords reads
+    // them); anything else is corruption and fails loudly
+    if (enc == HistChunk.EncHistogram || enc == HistChunk.EncFloatHistogram) {
+      ts = Array.emptyLongArray; vs = Array.emptyDoubleArray; i = 0
+      return
+    }
     require(enc == 1, s"unsupported chunk encoding $enc (only XOR=1)")
     val data = new Array[Byte](len)
     val fromHead = math.min(len, head.length - hr.pos)

@@ -2,7 +2,7 @@ package graft.sources.tsdbblock
 
 import java.nio.charset.StandardCharsets.UTF_8
 import java.nio.file.{Files, Paths}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Writer for raw Prometheus TSDB block directories — the write twin of
@@ -138,9 +138,17 @@ object TsdbBlockWriter {
 
   // ---- block assembly -----------------------------------------------
 
-  /** One series to be written: sorted label pairs + time-sorted samples. */
+  /** One series to be written: sorted label pairs + time-sorted float
+    * samples, plus any NATIVE-HISTOGRAM samples (encoded as histogram
+    * chunks, encodings 2/3 — [[HistChunk]]). A series may carry both
+    * kinds, but their chunks must not interleave in time (the index
+    * format delta-encodes chunk metas as non-overlapping, exactly the
+    * invariant Prometheus's head keeps by cutting a chunk on every
+    * sample-type change) — violated input fails loudly, never silently
+    * drops. */
   final case class SeriesData(labels: Seq[(String, String)],
-                              ts: Array[Long], vs: Array[Double])
+                              ts: Array[Long], vs: Array[Double],
+                              hists: Seq[WalReader.WalHistogram] = Nil)
 
   private val MaxSamplesPerChunk = 120
 
@@ -179,6 +187,17 @@ object TsdbBlockWriter {
     // ref>>>32 is zero-based, file names are one-based) ----
     val cw = new ByteWriter
     cw.be32(0x85bd40ddL); cw.u8(1); cw.u8(0); cw.u8(0); cw.u8(0)
+    def putChunk(encoding: Int, data: Array[Byte]): Long = {
+      val ref = cw.size.toLong // segment 0 in the high 32 bits
+      // CRC (Castagnoli) covers encoding byte + data
+      val body = new Array[Byte](1 + data.length)
+      body(0) = encoding.toByte
+      System.arraycopy(data, 0, body, 1, data.length)
+      cw.uvarint(data.length.toLong)
+      cw.bytes(body)
+      cw.be32(crc32c(body, 0, body.length))
+      ref
+    }
     val chunkMetas = series.map { s =>
       val metas = Seq.newBuilder[ChunkMeta]
       var off = 0
@@ -186,19 +205,29 @@ object TsdbBlockWriter {
         val n = math.min(MaxSamplesPerChunk, s.ts.length - off)
         val cts = java.util.Arrays.copyOfRange(s.ts, off, off + n)
         val cvs = java.util.Arrays.copyOfRange(s.vs, off, off + n)
-        val data = encodeXorChunk(cts, cvs)
-        val ref = cw.size.toLong // segment 0 in the high 32 bits
-        // CRC (Castagnoli) covers encoding byte + data
-        val body = new Array[Byte](1 + data.length)
-        body(0) = 1 // encoding: XOR
-        System.arraycopy(data, 0, body, 1, data.length)
-        cw.uvarint(data.length.toLong)
-        cw.bytes(body)
-        cw.be32(crc32c(body, 0, body.length))
+        val ref = putChunk(1, encodeXorChunk(cts, cvs)) // encoding: XOR
         metas += ChunkMeta(cts(0), cts(n - 1), ref)
         off += n
       }
-      metas.result()
+      // native-histogram chunks (encodings 2/3), cut per layout change
+      HistChunk.chunkBatches(s.hists.sortBy(_.time),
+          maxPerChunk = MaxSamplesPerChunk).foreach { batch =>
+        val enc = if (batch.head.isFloat) HistChunk.EncFloatHistogram
+                  else HistChunk.EncHistogram
+        val ref = putChunk(enc, HistChunk.encode(batch, batch.head.isFloat))
+        metas += ChunkMeta(batch.head.time, batch.last.time, ref)
+      }
+      // the index delta-encodes chunk metas as a non-overlapping,
+      // time-ascending sequence — enforce it across the float/histogram
+      // mix rather than write an unreadable entry
+      val sorted = metas.result().sortBy(m => (m.minT, m.maxT))
+      sorted.iterator.zip(sorted.iterator.drop(1)).foreach { case (a, b) =>
+        require(b.minT >= a.maxT,
+          s"series ${s.labels}: float and histogram samples interleave in " +
+            s"time (chunk [${a.minT},${a.maxT}] overlaps [${b.minT},${b.maxT}])" +
+            " — Prometheus series change sample type only across chunks")
+      }
+      sorted
     }
     Files.write(Paths.get(dir, "chunks", "000001"), cw.toBytes)
 
@@ -375,10 +404,12 @@ object TsdbBlockWriter {
       Files.write(Paths.get(dir, "tombstones"), out.toBytes)
     }
 
-    val numSamples = series.map(_.ts.length.toLong).sum
+    val numSamples = series.map(s => s.ts.length.toLong + s.hists.size).sum
     val numChunks = chunkMetas.map(_.size.toLong).sum
-    val minT = if (series.isEmpty) 0L else series.map(_.ts.head).min
-    val maxT = if (series.isEmpty) 0L else series.map(_.ts.last).max
+    // min/max over the CHUNK metas — covers float and histogram samples
+    val allMetas = chunkMetas.flatten
+    val minT = if (allMetas.isEmpty) 0L else allMetas.map(_.minT).min
+    val maxT = if (allMetas.isEmpty) 0L else allMetas.map(_.maxT).max
     // Prometheus invariant: a block directory is NAMED by its ULID. If
     // the caller already placed us in a ULID-named dir (the Spark write
     // path), adopt it so meta.json matches the dir; otherwise derive one
@@ -450,7 +481,10 @@ object TsdbBlockWriter {
     * Prometheus's storage merge does. */
   def compactWal(spark: SparkSession, walDir: String, destRoot: String,
                  blockRangeMs: Long = 2L * 3600 * 1000): Seq[String] =
-    write(spark.read.format("tsdb-wal").load(walDir), destRoot, blockRangeMs)
+    write(spark.read.format("tsdb-wal").load(walDir), destRoot, blockRangeMs,
+      // histogram records (kinds 7/8) flush into histogram chunks —
+      // head compaction must carry every sample kind the WAL holds
+      hists = Some(TsdbWalRecords.readHistogramsFull(spark, walDir)))
 
   /** BLOCK COMPACTION — the Prometheus compactor's level-up step: read
     * the parent blocks (tombstones APPLIED — deletions become physical
@@ -473,7 +507,13 @@ object TsdbBlockWriter {
     val union = blockDirs
       .map(d => spark.read.format("tsdb-block").load(d))
       .reduce(_ unionByName _)
-    val names = write(union, destRoot, blockRangeMs, lineage)
+    // histogram chunks level up alongside the float chunks (tombstones
+    // applied inside the reader, same as the float scan)
+    val histUnion = blockDirs
+      .map(d => TsdbBlockRecords.readHistograms(spark, d))
+      .reduce(_ union _)
+    val names = write(union, destRoot, blockRangeMs, lineage,
+      hists = Some(histUnion))
     if (deleteParents) blockDirs.foreach { d =>
       def rm(f: java.io.File): Unit = {
         Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
@@ -494,23 +534,49 @@ object TsdbBlockWriter {
     * block dir names written. */
   def write(df: DataFrame, root: String,
             blockRangeMs: Long = 2L * 3600 * 1000,
-            compaction: CompactionMeta = CompactionMeta()): Seq[String] = {
+            compaction: CompactionMeta = CompactionMeta(),
+            hists: Option[Dataset[(Map[String, String],
+              WalReader.WalHistogram)]] = None): Seq[String] = {
     val spark = df.sparkSession
     import spark.implicits._
-    val grouped = df
-      .withColumn("slice", floor(col("time") / lit(blockRangeMs.toDouble)).cast("long"))
-      .groupBy(col("slice"), array_sort(transform(map_entries(col("labels")),
-          e => struct(e.getField("key").as("_1"), e.getField("value").as("_2"))))
-        .as("labels"))
-      .agg(array_sort(collect_list(struct(col("time").as("_1"),
-        col("value").as("_2")))).as("samples"))
+    def sliceOf(time: Column): Column =
+      floor(time / lit(blockRangeMs.toDouble)).cast("long")
+    def sortedLabels(labels: Column): Column =
+      array_sort(transform(map_entries(labels),
+        e => struct(e.getField("key").as("_1"), e.getField("value").as("_2"))))
+    val histType = org.apache.spark.sql.Encoders
+      .product[WalReader.WalHistogram].schema
+    val floatLong = df.select(
+      sliceOf(col("time")).as("slice"),
+      sortedLabels(col("labels")).as("labels"),
+      struct(col("time").as("_1"), col("value").as("_2")).as("fs"),
+      lit(null).cast(histType).as("hs"))
+    // histogram samples ride the SAME grouping shuffle as the float
+    // samples (one union, one groupBy) — collect_list drops the null
+    // struct of the other kind, so each (slice, series) group lands with
+    // its float run and its histogram run side by side
+    val unioned = hists.fold(floatLong) { h =>
+      floatLong.unionByName(h.toDF("hlabels", "hist").select(
+        sliceOf(col("hist.time")).as("slice"),
+        sortedLabels(col("hlabels")).as("labels"),
+        lit(null).cast("struct<_1: long, _2: double>").as("fs"),
+        col("hist").as("hs")))
+    }
+    val grouped = unioned
+      .groupBy(col("slice"), col("labels"))
+      // struct sort = field-by-field: fs by time; hs by (ref, time) —
+      // ref is constant within a series, so both land time-ascending
+      .agg(array_sort(collect_list(col("fs"))).as("samples"),
+        array_sort(collect_list(col("hs"))).as("hists"))
       .repartition(col("slice"))
-      .as[(Long, Seq[(String, String)], Seq[(Long, Double)])]
+      .as[(Long, Seq[(String, String)], Seq[(Long, Double)],
+           Seq[WalReader.WalHistogram])]
     val names = grouped.mapPartitions { it =>
       val bySlice = it.toSeq.groupBy(_._1)
       bySlice.iterator.map { case (slice, rows) =>
-        val series = rows.map { case (_, labels, samples) =>
-          SeriesData(labels, samples.map(_._1).toArray, samples.map(_._2).toArray)
+        val series = rows.map { case (_, labels, samples, hs) =>
+          SeriesData(labels, samples.map(_._1).toArray,
+            samples.map(_._2).toArray, hs)
         }
         // name = ULID from (root, slice); if that dir already exists
         // (same-root recompaction — e.g. leveling 5×2h blocks into the

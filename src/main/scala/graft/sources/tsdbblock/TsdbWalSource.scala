@@ -149,15 +149,33 @@ object TsdbWalRecords {
   def readHistograms(spark: SparkSession, walDir: String)
       : org.apache.spark.sql.Dataset[graft.tsdb.RemoteWrite.SparseHist] = {
     import spark.implicits._
+    readHistogramsFull(spark, walDir).map { case (lbls, h) =>
+      graft.tsdb.RemoteWrite.SparseHist(
+        h.time, lbls, h.count, h.sum, h.schema,
+        h.zeroThreshold, h.zeroCount, h.positive, h.negative)
+    }
+  }
+
+  /** FULL-fidelity histogram samples — every [[WalReader.WalHistogram]]
+    * field (counter-reset hint, NHCB custom values, float-ness), the
+    * form [[TsdbBlockWriter]] re-encodes as histogram chunks during
+    * head compaction. Head tombstones mask, orphan refs drop — the same
+    * contract as the float sample scan. */
+  def readHistogramsFull(spark: SparkSession, walDir: String)
+      : org.apache.spark.sql.Dataset[(Map[String, String],
+          WalReader.WalHistogram)] = {
+    import spark.implicits._
     val dictB = spark.sparkContext.broadcast(WalReader.seriesDict(walDir))
+    val stonesB = spark.sparkContext.broadcast(WalReader.stoneDict(walDir))
     val segs = WalReader.segments(walDir)
     val rdd = spark.sparkContext.parallelize(segs, math.max(1, segs.size))
       .flatMap { seg =>
         val d = dictB.value
-        WalReader.histograms(seg).flatMap(h =>
-          d.get(h.ref).map(lbls => graft.tsdb.RemoteWrite.SparseHist(
-            h.time, lbls, h.count, h.sum, h.schema,
-            h.zeroThreshold, h.zeroCount, h.positive, h.negative)))
+        val stones = stonesB.value
+        WalReader.histograms(seg)
+          .filterNot(h => stones.get(h.ref)
+            .exists(Tombstones.deleted(_, h.time)))
+          .flatMap(h => d.get(h.ref).map(lbls => (lbls, h)))
       }
     spark.createDataset(rdd)
   }
@@ -252,5 +270,38 @@ object TsdbDb {
       .where(col("_rn") === 1)
       .select(col("time"), col("value"),
         map_from_entries(col("_entries")).as("labels"))
+  }
+
+  /** The whole-DB NATIVE-HISTOGRAM view — the histogram twin of [[read]]:
+    * every block's histogram chunks ([[TsdbBlockRecords]]) ∪ the WAL's
+    * kind-7/8 records ([[TsdbWalRecords.readHistogramsFull]]), deduped
+    * on (series, time) as the storage merge keeps one sample per
+    * series-timestamp across overlapping sources. */
+  def readHistograms(spark: SparkSession, dbDir: String)
+      : org.apache.spark.sql.Dataset[(Map[String, String],
+          WalReader.WalHistogram)] = {
+    import spark.implicits._
+    val root = new java.io.File(dbDir)
+    val blockDirs = root.listFiles()
+      .filter(f => f.isDirectory && new java.io.File(f, "index").isFile)
+      .map(_.getPath).sorted
+    val parts =
+      blockDirs.toSeq.map(d => TsdbBlockRecords.readHistograms(spark, d)) ++
+        (if (new java.io.File(root, "wal").isDirectory)
+          Seq(TsdbWalRecords.readHistogramsFull(spark, s"$dbDir/wal"))
+        else Nil)
+    if (parts.isEmpty)
+      return spark.emptyDataset[(Map[String, String], WalReader.WalHistogram)]
+    parts.reduce(_ union _)
+      .groupByKey { case (lbls, h) => (lbls.toSeq.sorted, h.time) }
+      // duplicates across overlapping sources are replays of the same
+      // sample; pick the (count, sum, zeroCount)-least deterministically
+      .reduceGroups { (a, b) =>
+        val ka = (a._2.count, a._2.sum, a._2.zeroCount)
+        val kb = (b._2.count, b._2.sum, b._2.zeroCount)
+        if (implicitly[Ordering[(Double, Double, Double)]].lteq(ka, kb)) a
+        else b
+      }
+      .map(_._2)
   }
 }
