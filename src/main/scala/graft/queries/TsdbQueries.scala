@@ -263,6 +263,97 @@ object TsdbQueries {
           col("labels").getItem("le").as("le"),
           round(col("value"), 4).as("value"))
     }),
+    // Q146: NATIVE HISTOGRAMS THROUGH A WRITTEN BLOCK — Q117's grid
+    // pushed one tier further down the lifecycle: the exponential
+    // histograms land in the WAL (kind-7 records), HEAD COMPACTION
+    // flushes them into a real block (histogram chunks, encodings 2/3 —
+    // [[graft.sources.tsdbblock.HistChunk]]), and the block's histogram
+    // scan reads them back onto the dense grid. Same oracle as
+    // Q89/Q106/Q117 ⇒ the on-disk chunk form (layout union, spans,
+    // varbit delta chains) is lossless.
+    "tsdb_q146_block_native_hist" -> ((s, dir) => {
+      import graft.tsdb.NativeHistogram._
+      val h = col("hist")
+      val dense = buildExp(table(s, dir).select(RangeStart, RangeEnd, Nil).toDF(),
+        Seq(col("`labels.name`").as("name"), col("`labels.user`").as("user")),
+        col("value"), schema = 0, minExp = 0, maxExp = 9)
+        .select(lit(RangeEnd).as("time"),
+          map(lit("name"), col("name"), lit("user"), col("user")).as("labels"),
+          col("hist"))
+      val walDir = Tables.scratchDir("graft_q146_wal")
+      graft.sources.tsdbblock.TsdbWalWriter.writeHistograms(dense, walDir,
+        schemaId = 0, minExp = 0, maxExp = 9, float = false)
+      val blockRoot = Tables.scratchDir("graft_q146_blocks")
+      val names = graft.sources.tsdbblock.TsdbBlockWriter
+        .compactWal(s, walDir, blockRoot)
+      val sparse = names.map(n => graft.sources.tsdbblock.TsdbBlockRecords
+        .readHistogramsSparse(s, s"$blockRoot/$n")).reduce(_ union _)
+      val back = graft.tsdb.RemoteWrite.denseFromSparse(sparse,
+        schemaId = 0, minExp = 0, maxExp = 9)
+      back.select(
+        col("labels").getItem("name").as("name"),
+        col("labels").getItem("user").as("user"),
+        histCount(h).cast("long").as("n"),
+        round(histSum(h), 4).as("sum_v"),
+        element_at(h.getField("counts"), 2).cast("long").as("c_le1"),
+        element_at(h.getField("counts"), 9).cast("long").as("c_64_128"),
+        element_at(h.getField("counts"), 12).cast("long").as("c_inf"),
+        round(histQuantile(h, 0.5), 6).as("phi"))
+    }),
+    // Q147: HISTOGRAM CHUNKS THROUGH COMPACTION — per-DAY exponential
+    // histograms flushed as one block per day, LEVELED UP by the real
+    // compactor (ladder 1d→5d, parents deleted), read back from the
+    // compacted dir and re-merged across days. Daily histograms on one
+    // grid add exactly (count/sum/counts are all additive), so the
+    // merged result must hash-match the full-range Q89 oracle — any
+    // sample a compaction round dropped or mutated shifts it.
+    "tsdb_q147_hist_compaction" -> ((s, dir) => {
+      import graft.tsdb.NativeHistogram._
+      val day = 86400000L
+      val daily = buildExp(
+        table(s, dir).select(RangeStart, RangeEnd, Nil).toDF()
+          .withColumn("day", floor(col("time") / lit(day.toDouble)).cast("long")),
+        Seq(col("`labels.name`").as("name"), col("`labels.user`").as("user"),
+          col("day")),
+        col("value"), schema = 0, minExp = 0, maxExp = 9)
+        .select((col("day") * day + day / 2).as("time"),
+          map(lit("name"), col("name"), lit("user"), col("user")).as("labels"),
+          col("hist"))
+      val walDir = Tables.scratchDir("graft_q147_wal")
+      graft.sources.tsdbblock.TsdbWalWriter.writeHistograms(daily, walDir,
+        schemaId = 0, minExp = 0, maxExp = 9, float = false)
+      val dbDir = Tables.scratchDir("graft_q147_db")
+      graft.sources.tsdbblock.TsdbBlockWriter
+        .compactWal(s, walDir, dbDir, blockRangeMs = day)
+      graft.tsdb.Compactor.compactDb(s, dbDir,
+        ranges = Seq(day, 5 * day))
+      val sparse = graft.sources.tsdbblock.TsdbBlockRecords.sparseView(
+        graft.sources.tsdbblock.TsdbDb.readHistograms(s, dbDir))
+      val back = graft.tsdb.RemoteWrite.denseFromSparse(sparse,
+        schemaId = 0, minExp = 0, maxExp = 9)
+      val h = col("hist")
+      val les = 0.0 +: exponentialLes(0, 0, 9) :+ Double.PositiveInfinity
+      val merged = back
+        .select(col("labels").getItem("name").as("name"),
+          col("labels").getItem("user").as("user"), col("hist"))
+        .groupBy(col("name"), col("user"))
+        .agg(sum(h.getField("count")).as("cnt"),
+          sum(h.getField("sum")).as("sm"),
+          array((1 to les.size).map(i =>
+            sum(element_at(h.getField("counts"), i))): _*).as("cs"))
+        .select(col("name"), col("user"),
+          struct(col("cnt").as("count"), col("sm").as("sum"),
+            array(les.map(lit(_)): _*).as("les"),
+            col("cs").as("counts")).as("hist"))
+      merged.select(
+        col("name"), col("user"),
+        histCount(h).cast("long").as("n"),
+        round(histSum(h), 4).as("sum_v"),
+        element_at(h.getField("counts"), 2).cast("long").as("c_le1"),
+        element_at(h.getField("counts"), 9).cast("long").as("c_64_128"),
+        element_at(h.getField("counts"), 12).cast("long").as("c_inf"),
+        round(histQuantile(h, 0.5), 6).as("phi"))
+    }),
     // Q143: OTLP **binary protobuf** round trip — the encoding an OTel
     // collector actually sends (q107 is the JSON mapping): events as
     // single-gauge ExportMetricsServiceRequests, decoded back map-side.
@@ -3710,6 +3801,10 @@ object TsdbQueries {
     "tsdb_q142_otlp_classic_hist" -> histClassicOracle,
     "tsdb_q145_otlp_proto_classic_hist" -> histClassicOracle,
     "tsdb_q117_wal_native_hist" -> histExpOracle,
+    // same grid, one tier further down: through a written block / the
+    // compactor — losslessness IS the assertion
+    "tsdb_q146_block_native_hist" -> histExpOracle,
+    "tsdb_q147_hist_compaction" -> histExpOracle,
     "tsdb_q121_remote_write2_hist" -> histExpOracle,
     "tsdb_q120_remote_write2" ->
       """SELECT CAST(epoch_ms(ts) AS BIGINT) AS time, value,

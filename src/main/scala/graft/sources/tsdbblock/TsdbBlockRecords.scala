@@ -82,9 +82,17 @@ object TsdbBlockRecords {
     * query tier consume. */
   def readHistogramsSparse(spark: SparkSession, blockDir: String,
                            partitions: Int = 16)
+      : Dataset[graft.tsdb.RemoteWrite.SparseHist] =
+    sparseView(readHistograms(spark, blockDir, partitions))
+
+  /** Project a full-fidelity histogram frame (this scan's,
+    * [[TsdbDb.readHistograms]]', or the WAL's) down to the query tier's
+    * [[graft.tsdb.RemoteWrite.SparseHist]] shape. */
+  def sparseView(ds: Dataset[(Map[String, String], WalReader.WalHistogram)])
       : Dataset[graft.tsdb.RemoteWrite.SparseHist] = {
+    val spark = ds.sparkSession
     import spark.implicits._
-    readHistograms(spark, blockDir, partitions).map { case (lbls, h) =>
+    ds.map { case (lbls, h) =>
       graft.tsdb.RemoteWrite.SparseHist(
         h.time, lbls, h.count, h.sum, h.schema,
         h.zeroThreshold, h.zeroCount, h.positive, h.negative)
