@@ -62,10 +62,12 @@ object Backfill {
     * head flushed as real block(s) via head compaction. The original
     * dir is untouched; the snapshot contains no `wal/` (its content
     * now lives in the flushed block), so it reads back identically
-    * through [[graft.sources.tsdbblock.TsdbDb.read]]. Returns the
-    * snapshot's block names. */
+    * through [[graft.sources.tsdbblock.TsdbDb.read]]. `skipHead` is the
+    * admin API's `skip_head` parameter: blocks only, the WAL head left
+    * out. Returns the snapshot's block names. */
   def snapshot(spark: SparkSession, dbDir: String, destDir: String,
-               blockRangeMs: Long = 2L * 3600 * 1000): Seq[String] = {
+               blockRangeMs: Long = 2L * 3600 * 1000,
+               skipHead: Boolean = false): Seq[String] = {
     Files.createDirectories(Paths.get(destDir))
     val blocks = BlockMeta.list(dbDir)
     blocks.foreach { m =>
@@ -74,7 +76,7 @@ object Backfill {
     }
     val wal = Paths.get(dbDir, "wal")
     val headNames =
-      if (Files.isDirectory(wal))
+      if (!skipHead && Files.isDirectory(wal))
         TsdbBlockWriter.compactWal(spark, wal.toString, destDir, blockRangeMs)
       else Nil
     blocks.map(m => Paths.get(m.dir).getFileName.toString) ++ headNames

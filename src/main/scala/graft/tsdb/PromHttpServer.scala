@@ -50,11 +50,41 @@ final class PromHttpServer(spark: SparkSession, initial: DataFrame,
                            rulesHorizonMs: Long = 86400000L,
                            externalLabels: Seq[(String, String)] = Nil,
                            histSchemaId: Int = 0, histMinExp: Int = 0,
-                           histMaxExp: Int = 9) {
+                           histMaxExp: Int = 9,
+                           dataDir: Option[String] = None,
+                           adminApi: Boolean = false) {
 
   @volatile private var wide: DataFrame = initial
   private var server: HttpServer = _
   private val startedAt: Long = System.currentTimeMillis()
+
+  /** RECEIVER LINEAGE CONTROL. Every push appends one `Union` node to
+    * the head's logical plan; left unchecked, a long-running receiver's
+    * plan grows one node per request — analysis cost and driver memory
+    * grow linearly and every query re-plans the whole chain. So every
+    * [[ConsolidateEvery]] appends the head is `localCheckpoint`ed
+    * (eager): the union materializes into block-manager storage and the
+    * logical plan collapses to a single leaf — the same shape as
+    * Prometheus's own head, whose samples live in memory until flushed.
+    * Superseded checkpoint RDDs are unreferenced afterwards and the
+    * ContextCleaner evicts them. Queries between consolidations see at
+    * most `ConsolidateEvery` unions. */
+  private val ConsolidateEvery = 32
+  private var wideAppends = 0
+  private var histAppends = 0
+  private var exemplarAppends = 0
+
+  private def boundLineage(df: DataFrame, appends: Int): DataFrame =
+    if (appends % ConsolidateEvery == 0) df.localCheckpoint(true) else df
+
+  private def appendWide(batch: DataFrame): Unit = synchronized {
+    wideAppends += 1
+    wide = boundLineage(
+      wide.unionByName(batch, allowMissingColumns = true), wideAppends)
+  }
+
+  /** The served head (test hook: lineage-bound plan assertions). */
+  private[tsdb] def headTable: DataFrame = wide
 
   /** NATIVE HISTOGRAMS pushed over remote-write 2.0 or OTLP land in a
     * second head: dense frames on the server's (schema, minExp,
@@ -66,6 +96,11 @@ final class PromHttpServer(spark: SparkSession, initial: DataFrame,
 
   /** Queryable pushed-histogram head (dense frames), if any arrived. */
   def histTable: Option[DataFrame] = histHead
+
+  /** EXEMPLARS: the constructor-provided store plus every exemplar
+    * pushed over remote-write 2.0, in the [[Exemplars]] wide shape —
+    * what `/api/v1/query_exemplars` serves. */
+  @volatile private var exemplarHead: Option[DataFrame] = exemplars
 
   private def histNLes: Int = histMaxExp - histMinExp + 3 // zero+grid+Inf
 
@@ -99,8 +134,9 @@ final class PromHttpServer(spark: SparkSession, initial: DataFrame,
         .as(TsdbSchema.labelColName(if (n == "__name__") "name" else n)))
       val wideH = dense.select(col("time") +: labelCols :+ col("hist"): _*)
       synchronized {
-        histHead = Some(histHead.fold(wideH)(
-          _.unionByName(wideH, allowMissingColumns = true)))
+        histAppends += 1
+        histHead = Some(boundLineage(histHead.fold(wideH)(
+          _.unionByName(wideH, allowMissingColumns = true)), histAppends))
         histMetricNames ++= sparse.flatMap(_.labels.get("__name__"))
       }
     }
@@ -224,6 +260,16 @@ final class PromHttpServer(spark: SparkSession, initial: DataFrame,
           // the dashboard probe gets the well-formed EMPTY answer
           // (exactly what an agentless Prometheus reports)
           ok(ex, """{"activeTargets":[],"droppedTargets":[]}""")
+        case "/api/v1/alertmanagers" =>
+          // no notifier configured — the well-formed empty discovery
+          // answer, same contract as /api/v1/targets
+          ok(ex, """{"activeAlertmanagers":[],"droppedAlertmanagers":[]}""")
+        case "/api/v1/targets/metadata" => targetsMetadata(ex, params)
+        case "/api/v1/admin/tsdb/snapshot" => adminSnapshot(ex, params)
+        case "/api/v1/admin/tsdb/delete_series" =>
+          adminDeleteSeries(ex, params)
+        case "/api/v1/admin/tsdb/clean_tombstones" =>
+          adminCleanTombstones(ex)
         case "/api/v1/format_query" =>
           ok(ex, jstr(QueryApi.formatQuery(required(params, "query"))))
         case "/api/v1/parse_query" =>
@@ -237,10 +283,100 @@ final class PromHttpServer(spark: SparkSession, initial: DataFrame,
       }
     } catch {
       case e: PromQL.ParseError => err(ex, 400, "bad_data", e.toString)
+      case e: PromHttpServer.Unavailable =>
+        err(ex, 503, "unavailable", e.getMessage)
       case e: IllegalArgumentException =>
         err(ex, 400, "bad_data", String.valueOf(e.getMessage))
       case NonFatal(e) => err(ex, 422, "execution", String.valueOf(e))
     } finally ex.close()
+  }
+
+  // ---- admin API (`--web.enable-admin-api`) --------------------------
+
+  /** Gate + data-dir resolution shared by the three admin endpoints.
+    * Disabled → 503 `unavailable` "admin APIs disabled", exactly
+    * Prometheus's `errorUnavailable` path; enabled without a data dir
+    * is a caller configuration error (400). */
+  private def adminDir: String = {
+    if (!adminApi)
+      throw new PromHttpServer.Unavailable("admin APIs disabled")
+    dataDir.getOrElse(throw new IllegalArgumentException(
+      "admin APIs need a data directory (dataDir)"))
+  }
+
+  /** `/api/v1/admin/tsdb/snapshot?skip_head=` — materialize the data
+    * dir under `<dataDir>/snapshots/<name>` ([[Backfill.snapshot]]:
+    * blocks hard-link, the WAL head flushes as real blocks unless
+    * `skip_head`). Returns the snapshot name in Prometheus's
+    * `<yyyyMMddTHHmmssZ>-<hex>` shape. */
+  private def adminSnapshot(ex: HttpExchange, p: Params): Unit = {
+    val dir = adminDir
+    val skipHead = p.first("skip_head").exists(_.toBoolean)
+    val stamp = java.time.format.DateTimeFormatter
+      .ofPattern("yyyyMMdd'T'HHmmss'Z'")
+      .withZone(java.time.ZoneOffset.UTC)
+      .format(java.time.Instant.now())
+    val name = f"$stamp-${System.nanoTime() & 0xffffffffffffL}%012x"
+    Backfill.snapshot(spark, dir, s"$dir/snapshots/$name",
+      skipHead = skipHead)
+    ok(ex, s"""{"name":${jstr(name)}}""")
+  }
+
+  /** `/api/v1/admin/tsdb/delete_series?match[]=…&start=…&end=…` —
+    * tombstone every series matching ANY selector in the inclusive
+    * window, across every block and the WAL head
+    * ([[TsdbAdmin.deleteSeriesDb]], O(metadata)). 204 on success. */
+  private def adminDeleteSeries(ex: HttpExchange, p: Params): Unit = {
+    val dir = adminDir
+    val sels = p.all("match[]").map(PromQL.parseMatchers)
+    if (sels.isEmpty)
+      throw new IllegalArgumentException("no match[] parameter provided")
+    val mint = p.first("start").map(parseTime).getOrElse(Long.MinValue)
+    val maxt = p.first("end").map(parseTime).getOrElse(Long.MaxValue)
+    sels.foreach(ms => TsdbAdmin.deleteSeriesDb(dir, ms, mint, maxt))
+    ex.sendResponseHeaders(204, -1)
+  }
+
+  /** `/api/v1/admin/tsdb/clean_tombstones` — rewrite every
+    * tombstone-carrying block without its deleted data (new ULID in
+    * place, parent removed; a block whose every sample is deleted
+    * disappears, as Prometheus's compactor drops empty results).
+    * 204 on success. */
+  private def adminCleanTombstones(ex: HttpExchange): Unit = {
+    val dir = adminDir
+    val stoned = graft.sources.tsdbblock.BlockMeta.list(dir).filter(m =>
+      graft.sources.tsdbblock.Tombstones.read(s"${m.dir}/tombstones").nonEmpty)
+    stoned.foreach { m =>
+      // range = the parent's own exclusive maxTime keeps the cleaned
+      // data in ONE block stamped with the same window end
+      TsdbAdmin.cleanTombstones(spark, Seq(m.dir), dir,
+        blockRangeMs = m.maxTime)
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+        f.delete(): Unit
+      }
+      rm(new java.io.File(m.dir))
+    }
+    ex.sendResponseHeaders(204, -1)
+  }
+
+  /** `/api/v1/targets/metadata` — per-target metric metadata. With no
+    * scrape manager the target label set is empty; entries come from
+    * the metadata store (the same source as `/api/v1/metadata`),
+    * filtered by `metric` and capped by `limit`. Without a store: the
+    * well-formed empty array. */
+  private def targetsMetadata(ex: HttpExchange, p: Params): Unit = {
+    val rows0 = metadata.fold(Seq.empty[org.apache.spark.sql.Row]) { view =>
+      p.first("metric").fold(view)(m => view.where(col("metric") === m))
+        .collect().toSeq.sortBy(_.getString(0))
+    }
+    val rows = p.first("limit").map(_.toInt).fold(rows0)(rows0.take)
+    val out = rows.map { r =>
+      s"""{"target":{},"metric":${jstr(r.getString(0))},""" +
+        s""""type":${jstr(r.getString(1))},"unit":${jstr(r.getString(2))},""" +
+        s""""help":${jstr(r.getString(3))}}"""
+    }
+    ok(ex, out.mkString("[", ",", "]"))
   }
 
   // ---- endpoints -----------------------------------------------------
@@ -352,7 +488,7 @@ final class PromHttpServer(spark: SparkSession, initial: DataFrame,
   }
 
   private def queryExemplars(ex: HttpExchange, p: Params): Unit = {
-    val store = exemplars.getOrElse(
+    val store = exemplarHead.getOrElse(
       throw new IllegalArgumentException("exemplar storage is not enabled"))
     val q = required(p, "query")
     val (s, e) = window(p)
@@ -543,11 +679,13 @@ final class PromHttpServer(spark: SparkSession, initial: DataFrame,
     val isV2 = Option(ex.getRequestHeaders.getFirst("Content-Type"))
       .exists(_.contains("io.prometheus.write.v2.Request"))
     var histsWritten = 0
+    var exemplarsWritten = 0
     val raw: Seq[(Long, Double, Map[String, String])] =
       if (isV2) {
         val series = RemoteWrite2.decodeRequest(body)
         histsWritten = appendHists(series.flatMap(sr =>
           sr.histograms.map(_.copy(labels = sr.labels.toMap))))
+        exemplarsWritten = appendExemplars(series)
         series.flatMap { sr =>
           sr.samples.map { case (t, v) => (t, v, sr.labels.toMap) }
         }
@@ -560,9 +698,7 @@ final class PromHttpServer(spark: SparkSession, initial: DataFrame,
     if (decoded.nonEmpty) {
       import spark.implicits._
       val longForm = decoded.toDF("time", "value", "labels")
-      val batch = TsdbIngest.toWide(longForm)
-      synchronized { wide = wide.unionByName(batch,
-        allowMissingColumns = true) }
+      appendWide(TsdbIngest.toWide(longForm))
     }
     if (isV2) {
       // v2 receivers MUST report written counts (the spec's
@@ -572,9 +708,45 @@ final class PromHttpServer(spark: SparkSession, initial: DataFrame,
         decoded.size.toString)
       h.set("X-Prometheus-Remote-Write-Histograms-Written",
         histsWritten.toString)
-      h.set("X-Prometheus-Remote-Write-Exemplars-Written", "0")
+      h.set("X-Prometheus-Remote-Write-Exemplars-Written",
+        exemplarsWritten.toString)
     }
     ex.sendResponseHeaders(204, -1)
+  }
+
+  /** Land a v2 request's EXEMPLARS in the queryable store (the
+    * [[Exemplars]] wide shape: owning series' label columns + time +
+    * value + trace_id) — `/api/v1/query_exemplars` serves them back.
+    * The trace id is the exemplar's `trace_id` label (Prometheus's
+    * convention); exemplars without one keep their first label value,
+    * and label-less exemplars land with an empty id. Returns the count
+    * written. */
+  private def appendExemplars(series: Seq[RemoteWrite2.Rw2Series]): Int = {
+    val rows = series.flatMap { sr =>
+      val lbls = sr.labels.toMap.map { case (k, v) =>
+        (if (k == "__name__") "name" else k) -> v }
+      sr.exemplars.map { case (elbls, v, t) =>
+        val traceId = elbls.toMap.getOrElse("trace_id",
+          elbls.sortBy(_._1).headOption.fold("")(_._2))
+        (t, v, lbls, traceId)
+      }
+    }
+    if (rows.nonEmpty) {
+      import spark.implicits._
+      val names = rows.flatMap(_._3.keys).distinct.sorted
+      val labelCols = names.map(n =>
+        col("labels").getItem(n).as(TsdbSchema.labelColName(n)))
+      val batch = rows.toDF("time", "value", "labels", "trace_id")
+        .select(col("time") +: col("value") +: labelCols :+
+          col("trace_id"): _*)
+      synchronized {
+        exemplarAppends += 1
+        exemplarHead = Some(boundLineage(exemplarHead.fold(batch)(
+          _.unionByName(batch, allowMissingColumns = true)),
+          exemplarAppends))
+      }
+    }
+    rows.size
   }
 
   /** Prometheus's OTLP receiver (`/api/v1/otlp/v1/metrics`, ≥ 2.47):
@@ -615,9 +787,7 @@ final class PromHttpServer(spark: SparkSession, initial: DataFrame,
     if (decoded.nonEmpty) {
       import spark.implicits._
       val longForm = decoded.toDF("time", "value", "labels")
-      val batch = TsdbIngest.toWide(longForm)
-      synchronized { wide = wide.unionByName(batch,
-        allowMissingColumns = true) }
+      appendWide(TsdbIngest.toWide(longForm))
     }
     ex.getResponseHeaders.set("Content-Type", "application/x-protobuf")
     ex.sendResponseHeaders(200, -1)
@@ -720,4 +890,12 @@ final class PromHttpServer(spark: SparkSession, initial: DataFrame,
     ex.sendResponseHeaders(code, bytes.length)
     ex.getResponseBody.write(bytes)
   }
+}
+
+object PromHttpServer {
+  /** Maps to the API's 503 `unavailable` error — Prometheus's
+    * `errorUnavailable`, e.g. the admin endpoints when
+    * `--web.enable-admin-api` is off. */
+  private[tsdb] final class Unavailable(msg: String)
+    extends RuntimeException(msg)
 }

@@ -65,7 +65,13 @@ object TsdbAdmin {
     TsdbBlockWriter.write(
       blockDirs.map(d => spark.read.format("tsdb-block").load(d))
         .reduce(_ unionByName _),
-      destRoot, blockRangeMs)
+      destRoot, blockRangeMs,
+      // histogram chunks survive the clean too (their reader applies
+      // the same tombstone pruning/masking as the float scan)
+      hists = Some(blockDirs
+        .map(d => graft.sources.tsdbblock.TsdbBlockRecords
+          .readHistograms(spark, d))
+        .reduce(_ union _)))
 
   /** The WHOLE-DB Delete API — what
     * `POST /api/v1/admin/tsdb/delete_series` actually does: tombstone

@@ -410,4 +410,147 @@ class PromHttpServerSpec extends SparkSpec {
       java.net.URLEncoder.encode("""{name="otlp_gz"}""", UTF_8) + "&time=3")
     assert(c4 == 200 && b4.contains(""""value":[3.000,"7.25"]"""), b4)
   }
+
+  test("receiver head lineage stays bounded across many pushes") {
+    val srv = new PromHttpServer(spark, wide)
+    val p = srv.start()
+    try {
+      (0 until 70).foreach { i =>
+        val payload = RemoteWrite.encodeRequest(Seq(RemoteWrite.encodeSeries(
+          Seq("__name__" -> "bulk", "user" -> s"u$i"),
+          Seq((1000L + i) -> i.toDouble))))
+        val r = client.send(
+          HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:$p/api/v1/write"))
+            .POST(HttpRequest.BodyPublishers.ofByteArray(payload)).build(),
+          HttpResponse.BodyHandlers.ofByteArray())
+        assert(r.statusCode() == 204)
+      }
+      // 70 pushes, consolidation every 32 → the analyzed plan holds at
+      // most one partial window of unions, never the full chain
+      val unions = srv.headTable.queryExecution.analyzed.collect {
+        case u: org.apache.spark.sql.catalyst.plans.logical.Union => u
+      }.size
+      assert(unions < 32, s"lineage grew unbounded: $unions union nodes")
+      // and nothing was lost along the consolidations
+      val (c, b) = getAt(p, "/api/v1/query?query=" +
+        java.net.URLEncoder.encode("""count({name="bulk"})""", UTF_8) +
+        "&time=2")
+      assert(c == 200 && b.contains(""""value":[2.000,"70.0"]"""), b)
+    } finally srv.stop()
+  }
+
+  test("v2 exemplars land in the store and serve via query_exemplars") {
+    val req = RemoteWrite2.encodeRequest(Seq(RemoteWrite2.Rw2Series(
+      labels = Seq("__name__" -> "exm", "user" -> "e"),
+      samples = Seq((1500L, 800.0)),
+      exemplars = Seq((Seq("trace_id" -> "abc123"), 800.0, 1500L)))))
+    val r = client.send(
+      HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:$port/api/v1/write"))
+        .header("Content-Type",
+          "application/x-protobuf;proto=io.prometheus.write.v2.Request")
+        .POST(HttpRequest.BodyPublishers.ofByteArray(req)).build(),
+      HttpResponse.BodyHandlers.ofByteArray())
+    assert(r.statusCode() == 204)
+    assert(r.headers().firstValue(
+      "X-Prometheus-Remote-Write-Exemplars-Written").orElse("") == "1")
+    val (c, b) = get("/api/v1/query_exemplars?query=" +
+      java.net.URLEncoder.encode("""{name="exm"}""", UTF_8) +
+      "&start=1&end=2")
+    assert(c == 200, b)
+    assert(b.contains(""""trace_id":"abc123""""), b)
+    assert(b.contains(""""user":"e""""), b)
+    assert(b.contains(""""value":"800""""), b)
+  }
+
+  test("alertmanagers and targets/metadata probes get well-formed answers") {
+    val (c, b) = get("/api/v1/alertmanagers")
+    assert(c == 200 &&
+      b.contains(""""activeAlertmanagers":[]""") &&
+      b.contains(""""droppedAlertmanagers":[]"""), b)
+    val (c2, b2) = get("/api/v1/targets/metadata?metric=up")
+    assert(c2 == 200, b2)
+    assert(b2.contains(
+      """{"target":{},"metric":"up","type":"gauge","unit":"","help":"liveness"}"""),
+      b2)
+    assert(!b2.contains(""""metric":"lat""""), b2)
+    val (c3, b3) = get("/api/v1/targets/metadata?limit=1")
+    assert(c3 == 200 && b3.split("\"metric\"").length == 2, b3)
+  }
+
+  test("admin API: snapshot / delete_series / clean_tombstones over HTTP") {
+    import graft.sources.tsdbblock.{BlockMeta, Tombstones, TsdbBlockWriter,
+      TsdbDb, TsdbWalWriter}
+    val db = tmpDir("graft_admin_db_")
+    val blockRows = Seq(
+      (1000L, 1.0, Map("__name__" -> "up", "job" -> "a")),
+      (2000L, 2.0, Map("__name__" -> "up", "job" -> "a")),
+      (1500L, 5.0, Map("__name__" -> "up", "job" -> "b")))
+      .toDF("time", "value", "labels")
+    TsdbBlockWriter.write(blockRows, db)
+    val walRows = Seq((3000L, 7.0, Map("__name__" -> "up", "job" -> "c")))
+      .toDF("time", "value", "labels")
+    TsdbWalWriter.write(walRows, s"$db/wal", partitions = 1)
+
+    // admin disabled (the default): 503 unavailable, Prometheus's shape
+    val off = new PromHttpServer(spark, wide, dataDir = Some(db))
+    val pOff = off.start()
+    try {
+      val r = client.send(
+        HttpRequest.newBuilder(
+          URI.create(s"http://127.0.0.1:$pOff/api/v1/admin/tsdb/snapshot"))
+          .POST(HttpRequest.BodyPublishers.noBody()).build(),
+        HttpResponse.BodyHandlers.ofString())
+      assert(r.statusCode() == 503 && r.body().contains("admin APIs disabled"),
+        r.body())
+    } finally off.stop()
+
+    val srv = new PromHttpServer(spark, wide, dataDir = Some(db),
+      adminApi = true)
+    val p = srv.start()
+    def postAdmin(pathQ: String): (Int, String) = {
+      val r = client.send(
+        HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:$p$pathQ"))
+          .POST(HttpRequest.BodyPublishers.noBody()).build(),
+        HttpResponse.BodyHandlers.ofString())
+      (r.statusCode(), r.body())
+    }
+    try {
+      // snapshot: blocks hard-link, the WAL head flushes as a block —
+      // the snapshot reads back identically to the live DB
+      val (cs, bs) = postAdmin("/api/v1/admin/tsdb/snapshot")
+      assert(cs == 200 && bs.contains(""""name":""""), bs)
+      val name = """"name":"([^"]+)"""".r.findFirstMatchIn(bs).get.group(1)
+      val snapDir = s"$db/snapshots/$name"
+      assert(TsdbDb.read(spark, snapDir).count() ==
+        TsdbDb.read(spark, db).count())
+      assert(!new java.io.File(snapDir, "wal").exists())
+      // skip_head: blocks only, the WAL's job=c sample stays out
+      val (cs2, bs2) = postAdmin("/api/v1/admin/tsdb/snapshot?skip_head=true")
+      val name2 = """"name":"([^"]+)"""".r.findFirstMatchIn(bs2).get.group(1)
+      assert(cs2 == 200)
+      assert(TsdbDb.read(spark, s"$db/snapshots/$name2").count() == 3)
+
+      // delete_series: tombstones in every block AND the WAL head
+      val (cd, _) = postAdmin("/api/v1/admin/tsdb/delete_series?match[]=" +
+        java.net.URLEncoder.encode("""{job="a"}""", UTF_8))
+      assert(cd == 204)
+      val left = TsdbDb.read(spark, db).collect()
+        .map(r => r.getAs[Map[String, String]]("labels")("job")).toSet
+      assert(left == Set("b", "c"))
+      // no match[] is the caller's error
+      assert(postAdmin("/api/v1/admin/tsdb/delete_series")._1 == 400)
+
+      // clean_tombstones: the stoned block rewrites without job=a and
+      // the tombstone files come back empty
+      val (cc, _) = postAdmin("/api/v1/admin/tsdb/clean_tombstones")
+      assert(cc == 204)
+      val blocks = BlockMeta.list(db)
+      assert(blocks.nonEmpty)
+      assert(blocks.forall(m =>
+        Tombstones.read(s"${m.dir}/tombstones").isEmpty))
+      val after = TsdbDb.read(spark, db).collect()
+        .map(r => r.getAs[Map[String, String]]("labels")("job")).toSet
+      assert(after == Set("b", "c"))
+    } finally srv.stop()
+  }
 }
