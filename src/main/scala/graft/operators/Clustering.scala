@@ -53,14 +53,15 @@ object Clustering {
   private def assignFull(emb: DataFrame, idCol: String, vecCol: String,
                          k: Int, iters: Int,
                          trainSample: Int = 0): DataFrame = {
-    // Each Lloyd iteration re-scans the TRAINING SAMPLE and the final
-    // assignment re-scans `base` — persist both projected slices once
-    // so at 100 TB those passes hit cached columnar batches, not the
-    // source parquet every round (the write-once projection a
-    // warehouse job would materialize before iterating).
+    // Each Lloyd iteration re-scans only the TRAINING SAMPLE (persisted
+    // and unpersisted inside trainCentroids); `base` itself is a cheap
+    // projection read twice lazily (bottom-k scan + final assignment) —
+    // NOT persisted: a corpus-sized block-manager entry nobody
+    // unpersists leaks across calls in a long-lived session, and at
+    // 100 TB "cache the corpus" is not a default anyone can run.
+    // Callers wanting the write-once materialization persist upstream.
     val base = emb.select(col(idCol).as("id"),
       col(vecCol).cast("array<double>").as("v"))
-      .persist()
 
     val centroids = trainCentroids(base, k, iters, trainSample)
 
@@ -166,11 +167,13 @@ object Clustering {
                        trainSample: Int = 0): DataFrame = {
     val b = assignFull(emb, idCol, vecCol, k, iters, trainSample)
       .select(col("id"), col("v"), col("cluster").cast("long").as("cluster"))
-      // the self-join evaluates each side once — persist so the k·dim
-      // distance when-chain runs ONE pass over the corpus, not two
-      // (write-once assignment table at warehouse scale, like Dedup's
-      // persisted signatures)
-      .persist()
+      // NOT persisted: the self-join's two sides each re-run the
+      // map-side k·dim when-chain — two shuffle-free passes beat a
+      // corpus-sized cache entry with no owner to unpersist it (the
+      // result plan references the frame forever, so an in-operator
+      // unpersist would be a no-op persist). Callers materializing the
+      // assignment table as a write-once warehouse artifact persist or
+      // save it themselves.
     b.as("l").join(b.as("r"),
         col("l.cluster") === col("r.cluster") && col("l.id") < col("r.id"))
       .withColumn("cos",

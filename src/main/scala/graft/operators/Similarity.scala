@@ -171,8 +171,14 @@ object Similarity {
             trainSample: Int = 0): DataFrame = {
     require(dim % m == 0, s"dim $dim must split into $m equal subspaces")
     val sub = dim / m
+    // NOT persisted: training is sample-bounded (its own bounded
+    // persist lives inside trainCodebooks), so the projection is read
+    // lazily twice (bottom-k scan + encode) — two cheap map passes beat
+    // pinning a corpus-sized frame in the block manager with no owner
+    // to unpersist it. Callers wanting the write-once materialization
+    // persist the corpus themselves.
     val base = corpus.select(col(idCol).cast("long").as("id"),
-      col(vecCol).cast("array<double>").as("v")).persist()
+      col(vecCol).cast("array<double>").as("v"))
     val codebooks = trainCodebooks(base, dim, m, kCodes, iters, trainSample)
     val encoded = base.select(col("id").as("nn_id"),
       array(pqCodeCols(codebooks, sub): _*).as("codes"))
@@ -226,8 +232,11 @@ object Similarity {
     val sub = dim / m
     val spark = corpus.sparkSession
     import spark.implicits._
+    // not persisted — see pqKnn: sample-bounded training owns its own
+    // cache; a leaked corpus-sized block-manager entry is the wrong
+    // default at any scale
     val base = corpus.select(col(idCol).cast("long").as("id"),
-      col(vecCol).cast("array<double>").as("v")).persist()
+      col(vecCol).cast("array<double>").as("v"))
     val codebooks = trainCodebooks(base, dim, m, kCodes, iters, trainSample)
 
     // cell argmax — the ivfKnn rule (lexicographic struct max: ties
@@ -308,12 +317,13 @@ object Similarity {
     val cellCol = array_max(zip_with(simArr,
       sequence(lit(0), lit(nCells - 1)),
       (s, i) => struct(s.as("s"), i.as("i"))))("i").cast("int")
-    // residual base: one map pass, centroids are literal arrays
+    // residual base: one map pass, centroids are literal arrays; not
+    // persisted (see pqKnn) — recomputing the subtraction on the encode
+    // scan beats an unowned corpus-sized cache entry
     val resid = raw.withColumn("cell", cellCol)
       .select(col("id"), col("cell"),
         zip_with(col("v"), element_at(cents, col("cell") + 1),
           (x, c) => x - c).as("v"))
-      .persist()
     val codebooks =
       trainCodebooks(resid.select(col("id"), col("v")), dim, m, kCodes,
         iters, trainSample)
