@@ -354,6 +354,64 @@ object TsdbQueries {
         element_at(h.getField("counts"), 12).cast("long").as("c_inf"),
         round(histQuantile(h, 0.5), 6).as("phi"))
     }),
+    // Q148: STREAMED REMOTE-READ HISTOGRAM FRAMES — the per-day
+    // exponential histograms served over the chunked remote-read wire
+    // (prompb Encoding HISTOGRAM chunks, whose payload is the block
+    // tier's histogram chunk format), decoded back and re-merged across
+    // days. Mirrors q129's float chunk round trip; same oracle as
+    // Q89/Q117/Q146/Q147 ⇒ the wire chunk framing is lossless.
+    "tsdb_q148_remote_read_hist_chunked" -> ((s, dir) => {
+      import graft.tsdb.NativeHistogram._
+      val day = 86400000L
+      val daily = buildExp(
+        table(s, dir).select(RangeStart, RangeEnd, Nil).toDF()
+          .withColumn("day", floor(col("time") / lit(day.toDouble)).cast("long")),
+        Seq(col("`labels.name`").as("name"), col("`labels.user`").as("user"),
+          col("day")),
+        col("value"), schema = 0, minExp = 0, maxExp = 9)
+        .select((col("day") * day + day / 2).as("time"),
+          map(lit("name"), col("name"), lit("user"), col("user")).as("labels"),
+          col("hist"))
+      val walDir = Tables.scratchDir("graft_q148_wal")
+      graft.sources.tsdbblock.TsdbWalWriter.writeHistograms(daily, walDir,
+        schemaId = 0, minExp = 0, maxExp = 9, float = false)
+      val hs = graft.sources.tsdbblock.TsdbWalRecords
+        .readHistogramsFull(s, walDir)
+      val req = graft.tsdb.RemoteRead.encodeReadRequest(
+        graft.tsdb.RemoteRead.ReadRequest(
+          Seq(graft.tsdb.RemoteRead.ReadQuery(RangeStart, RangeEnd,
+            Seq(graft.model.Matcher.Re("user", ".+")))),
+          acceptedResponseTypes =
+            Seq(graft.tsdb.RemoteRead.ResponseStreamedXorChunks)))
+      import s.implicits._
+      val back = graft.tsdb.RemoteRead.decodeChunkedHistFrames(
+        graft.tsdb.RemoteRead.serveChunkedHists(hs, req))
+        .map { case (_, lbls, h) => (lbls, h) }
+      val sparse = graft.sources.tsdbblock.TsdbBlockRecords.sparseView(back)
+      val dense = graft.tsdb.RemoteWrite.denseFromSparse(sparse,
+        schemaId = 0, minExp = 0, maxExp = 9)
+      val h = col("hist")
+      val les = 0.0 +: exponentialLes(0, 0, 9) :+ Double.PositiveInfinity
+      dense
+        .select(col("labels").getItem("name").as("name"),
+          col("labels").getItem("user").as("user"), col("hist"))
+        .groupBy(col("name"), col("user"))
+        .agg(sum(h.getField("count")).as("cnt"),
+          sum(h.getField("sum")).as("sm"),
+          array((1 to les.size).map(i =>
+            sum(element_at(h.getField("counts"), i))): _*).as("cs"))
+        .select(col("name"), col("user"),
+          struct(col("cnt").as("count"), col("sm").as("sum"),
+            array(les.map(lit(_)): _*).as("les"),
+            col("cs").as("counts")).as("hist"))
+        .select(col("name"), col("user"),
+          histCount(h).cast("long").as("n"),
+          round(histSum(h), 4).as("sum_v"),
+          element_at(h.getField("counts"), 2).cast("long").as("c_le1"),
+          element_at(h.getField("counts"), 9).cast("long").as("c_64_128"),
+          element_at(h.getField("counts"), 12).cast("long").as("c_inf"),
+          round(histQuantile(h, 0.5), 6).as("phi"))
+    }),
     // Q143: OTLP **binary protobuf** round trip — the encoding an OTel
     // collector actually sends (q107 is the JSON mapping): events as
     // single-gauge ExportMetricsServiceRequests, decoded back map-side.
@@ -3805,6 +3863,7 @@ object TsdbQueries {
     // compactor — losslessness IS the assertion
     "tsdb_q146_block_native_hist" -> histExpOracle,
     "tsdb_q147_hist_compaction" -> histExpOracle,
+    "tsdb_q148_remote_read_hist_chunked" -> histExpOracle,
     "tsdb_q121_remote_write2_hist" -> histExpOracle,
     "tsdb_q120_remote_write2" ->
       """SELECT CAST(epoch_ms(ts) AS BIGINT) AS time, value,

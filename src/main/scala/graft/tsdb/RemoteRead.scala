@@ -380,6 +380,176 @@ object RemoteRead {
       }
   }
 
+  /** STREAMED frames for NATIVE-HISTOGRAM series — the histogram twin
+    * of [[serveChunked]]: the same framed `ChunkedReadResponse`
+    * sequence, chunks carrying prompb `Encoding.HISTOGRAM` (2) /
+    * `FLOAT_HISTOGRAM` (3) whose payload IS the block tier's histogram
+    * chunk format ([[graft.sources.tsdbblock.HistChunk]]) — exactly how
+    * Prometheus streams its own chunk bytes unre-encoded. Input is the
+    * full-fidelity `(labels, sample)` frame the WAL/block histogram
+    * scans produce; its label KEYS are matched verbatim (this frame
+    * was never renamed on ingest, unlike the stored wide tables
+    * [[serveChunked]] maps `__name__` onto). Wire matchers are
+    * ANCHORED, absent label ≡ "". Same range exchange as the float
+    * path: one shuffle co-locates each series and globally orders the
+    * stream in `labels.Compare` order; chunks cut per layout change /
+    * 120 samples. */
+  def serveChunkedHists(
+      hs: Dataset[(Map[String, String],
+        graft.sources.tsdbblock.WalReader.WalHistogram)],
+      requestBytes: Array[Byte]): Dataset[Array[Byte]] = {
+    import graft.sources.tsdbblock.{HistChunk, WalReader}
+    val sp = hs.sparkSession
+    import sp.implicits._
+    val req = decodeReadRequest(requestBytes)
+    if (req.queries.isEmpty) return sp.emptyDataset[Array[Byte]]
+    val keyed = req.queries.zipWithIndex.map { case (q, qi) =>
+      val lo = if (q.startMs == Long.MinValue) Long.MinValue else q.startMs - 1
+      val hi = if (q.endMs == Long.MaxValue) Long.MaxValue else q.endMs + 1
+      def lcol(n: String) =
+        coalesce(element_at(col("_1"), n), lit(""))
+      val residual = PromQL.anchorMatchers(q.matchers).map {
+        case Matcher.Eq(n, v)    => lcol(n) === v
+        case Matcher.NotEq(n, v) => lcol(n) =!= v
+        case Matcher.Re(n, p)    => lcol(n).rlike(p)
+        case Matcher.NotRe(n, p) => !lcol(n).rlike(p)
+      }.foldLeft(lit(true))(_ && _)
+      hs.toDF()
+        .where(residual && col("_2.time") > lo && col("_2.time") < hi)
+        .select(lit(qi).as("qi"),
+          array_sort(map_entries(col("_1"))).as("entries"),
+          col("_2").as("hist"))
+    }.reduce(_ unionByName _)
+    keyed
+      .withColumn("skey", array_join(
+        transform(
+          flatten(transform(col("entries"),
+            e => array(e.getField("key"), e.getField("value")))),
+          f => replace(f, lit("\u0000"), lit("\u0000\u0001"))),
+        "\u0000\u0000"))
+      .repartitionByRange(col("qi"), col("skey"))
+      .sortWithinPartitions(col("qi"), col("skey"), col("hist.time"))
+      .select(col("qi"), col("skey"), col("entries"), col("hist"))
+      .as[(Int, String, Seq[(String, String)], WalReader.WalHistogram)]
+      .mapPartitions { it =>
+        val buf = it.buffered
+        new Iterator[Array[Byte]] {
+          def hasNext: Boolean = buf.hasNext
+          def next(): Array[Byte] = {
+            val (qi, skey, entries, _) = buf.head
+            val hists = Seq.newBuilder[WalReader.WalHistogram]
+            while (buf.hasNext && buf.head._1 == qi && buf.head._2 == skey) {
+              hists += buf.next()._4
+            }
+            val sw = new ProtoWriter
+            entries.foreach { case (n, v) =>
+              val lw = new ProtoWriter
+              lw.string(1, n); lw.string(2, v)
+              sw.bytes(1, lw.toBytes)
+            }
+            HistChunk.chunkBatches(hists.result(),
+                maxPerChunk = SamplesPerChunk).foreach { batch =>
+              val cw = new ProtoWriter
+              cw.int64(1, batch.head.time)
+              cw.int64(2, batch.last.time)
+              cw.int64(3,
+                (if (batch.head.isFloat) HistChunk.EncFloatHistogram
+                 else HistChunk.EncHistogram).toLong)
+              cw.bytes(4, HistChunk.encode(batch, batch.head.isFloat))
+              sw.bytes(2, cw.toBytes)
+            }
+            val w = new ProtoWriter
+            w.bytes(1, sw.toBytes)
+            w.int64(2, qi.toLong)
+            frame(w.toBytes)
+          }
+        }
+      }
+  }
+
+  /** Client-side decode of streamed HISTOGRAM frames → one row per
+    * `(query_index, labels, sample)`, CRC-verified, chunks decoded with
+    * the block reader's histogram codec. Map-side only. */
+  def decodeChunkedHistFrames(frames: Dataset[Array[Byte]])
+      : Dataset[(Int, Map[String, String],
+          graft.sources.tsdbblock.WalReader.WalHistogram)] = {
+    import graft.sources.tsdbblock.{HistChunk, WalReader}
+    val s = frames.sparkSession
+    import s.implicits._
+    frames.flatMap { f =>
+      val (from, until) = unframe(f)
+      val r = new ProtoReader(f, from, until)
+      var qidx = 0
+      val series = Seq.newBuilder[(Map[String, String],
+        Seq[WalReader.WalHistogram])]
+      while (r.hasMore) r.key() match {
+        case (1, 2) =>
+          val (ss, se) = r.delimited()
+          val sr = new ProtoReader(f, ss, se)
+          val labels = Map.newBuilder[String, String]
+          val hists = Seq.newBuilder[WalReader.WalHistogram]
+          while (sr.hasMore) sr.key() match {
+            case (1, 2) =>
+              val (ls, le) = sr.delimited()
+              val lr = new ProtoReader(f, ls, le)
+              var n = ""; var v = ""
+              while (lr.hasMore) lr.key() match {
+                case (1, 2) => n = lr.string()
+                case (2, 2) => v = lr.string()
+                case (_, w) => lr.skip(w)
+              }
+              labels += (n -> v)
+            case (2, 2) =>
+              val (cs, ce) = sr.delimited()
+              val cr = new ProtoReader(f, cs, ce)
+              var enc = 0L; var data: Array[Byte] = Array.empty
+              while (cr.hasMore) cr.key() match {
+                case (1, 0) => cr.varint(): Unit
+                case (2, 0) => cr.varint(): Unit
+                case (3, 0) => enc = cr.varint()
+                case (4, 2) =>
+                  val (ds, de) = cr.delimited()
+                  data = java.util.Arrays.copyOfRange(f, ds, de)
+                case (_, w) => cr.skip(w)
+              }
+              require(enc == HistChunk.EncHistogram.toLong ||
+                  enc == HistChunk.EncFloatHistogram.toLong,
+                s"unsupported histogram chunk encoding $enc")
+              hists ++= HistChunk.decode(data,
+                enc == HistChunk.EncFloatHistogram.toLong)
+            case (_, w) => sr.skip(w)
+          }
+          series += ((labels.result(), hists.result()))
+        case (2, 0) => qidx = r.varint().toInt
+        case (_, w) => r.skip(w)
+      }
+      series.result().flatMap { case (ls, hsRows) =>
+        hsRows.map(h => (qidx, ls, h))
+      }
+    }
+  }
+
+  /** Verify a streamed frame (uvarint len ++ BE crc32c ++ data) and
+    * return the data range. */
+  private def unframe(f: Array[Byte]): (Int, Int) = {
+    val r = new ProtoReader(f, 0, f.length)
+    val len = r.varint().toInt
+    val varintLen = {
+      var n = 1; var x = len.toLong
+      while ((x & ~0x7fL) != 0) { n += 1; x >>>= 7 }
+      n
+    }
+    val dataFrom = varintLen + 4
+    require(dataFrom + len == f.length, "bad frame length")
+    val crc = new java.util.zip.CRC32C
+    crc.update(f, dataFrom, len)
+    val want = ((f(varintLen) & 0xffL) << 24) |
+      ((f(varintLen + 1) & 0xffL) << 16) |
+      ((f(varintLen + 2) & 0xffL) << 8) | (f(varintLen + 3) & 0xffL)
+    require(crc.getValue == want, "frame crc32c mismatch")
+    (dataFrom, dataFrom + len)
+  }
+
   private def encodeChunkedSeries(queryIndex: Int,
                                   entries: Seq[(String, String)],
                                   samples: Seq[(Long, Double)]): Array[Byte] = {

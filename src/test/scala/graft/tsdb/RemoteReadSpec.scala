@@ -248,4 +248,44 @@ class RemoteReadSpec extends SparkSpec {
     val resp = decodeReadResponse(serve(t, encodeReadRequest(ReadRequest(Nil))))
     assert(resp.isEmpty)
   }
+
+  test("streamed HISTOGRAM frames round-trip both encodings with matchers") {
+    import graft.sources.tsdbblock.WalReader.WalHistogram
+    val s = spark; import s.implicits._
+    def mk(time: Long, cnt: Double, pos: Seq[(Int, Double)],
+           float: Boolean = false): WalHistogram =
+      WalHistogram(0L, time, 2, 0, 0.0, 0.0, cnt, cnt / 2,
+        pos, Nil, Nil, float)
+    val apiHs = (0 until 130).map(i => // > 120 ⇒ two chunks in one frame
+      mk(1000L + i * 1000L, 3.0 + i, Seq((0, 1.0 + i), (2, 2.0))))
+    val dbHs = (0 until 3).map(i =>
+      mk(1500L + i * 1000L, 1.25 * i + 1, Seq((1, 0.5 + i)), float = true))
+    val hs = s.createDataset(
+      apiHs.map(h => (Map("name" -> "rpc", "job" -> "api"), h)) ++
+        dbHs.map(h => (Map("name" -> "rpc", "job" -> "db"), h)))
+
+    val req = encodeReadRequest(ReadRequest(
+      Seq(ReadQuery(0L, Long.MaxValue - 1, Seq(Matcher.Eq("name", "rpc")))),
+      acceptedResponseTypes = Seq(ResponseStreamedXorChunks)))
+    val frames = serveChunkedHists(hs, req).collect()
+    assert(frames.length === 2) // one frame per series, labels.Compare order
+    val back = decodeChunkedHistFrames(s.createDataset(frames.toSeq))
+      .collect().toSeq
+    def key(h: WalHistogram) =
+      (h.time, h.count, h.sum, h.positive.filter(_._2 != 0.0), h.isFloat,
+        h.counterResetHint)
+    val byJob = back.groupBy(_._2("job"))
+      .view.mapValues(_.map(t => key(t._3)).sortBy(_._1)).toMap
+    assert(byJob("api") === apiHs.map(key))
+    assert(byJob("db") === dbHs.map(key))
+
+    // matchers select series; the time range slices samples (inclusive)
+    val req2 = encodeReadRequest(ReadRequest(
+      Seq(ReadQuery(1500L, 2500L, Seq(Matcher.Eq("job", "db")))),
+      acceptedResponseTypes = Seq(ResponseStreamedXorChunks)))
+    val back2 = decodeChunkedHistFrames(serveChunkedHists(hs, req2))
+      .collect().toSeq
+    assert(back2.map(_._3.time).sorted === Seq(1500L, 2500L))
+    assert(back2.forall(_._2("job") == "db"))
+  }
 }
