@@ -1805,8 +1805,9 @@ object TsdbQueries {
     // 2-day keep-firing window: a FIRING element whose condition clears
     // keeps emitting firing rows (carrying its last true value and its
     // ORIGINAL active_at) at each missed eval while
-    // `t - firstMiss <= keep_firing_for` (Prometheus keeps firing
-    // at equality, resolving only strictly past it); if the condition returns
+    // `t - firstMiss < keep_firing_for` (STRICT — rules/alerting.go
+    // resolves at the boundary step, so the extra firing lasts exactly
+    // the configured window); if the condition returns
     // inside the window the run continues (active_at survives the
     // bridged gap), else it resolves. The oracle replays the
     // sequential machine with a recursive CTE walking the grid per user.
@@ -3565,7 +3566,7 @@ object TsdbQueries {
          |             CASE WHEN gt - aa >= 86400000
          |               THEN 'firing' ELSE 'pending' END
          |           WHEN w.state = 'firing'
-         |             AND gt - coalesce(w.keep_since, gt) <= 172800000
+         |             AND gt - coalesce(w.keep_since, gt) < 172800000
          |             THEN 'firing'
          |           ELSE 'inactive' END AS st,
          |      CASE WHEN pres THEN aa

@@ -228,10 +228,12 @@ object AlertRules {
             case None =>
               if (state == 2) {
                 if (keepSince < 0L) keepSince = t
-                // Prometheus resolves only when ts.Sub(KeepFiringSince)
-                // EXCEEDS keepFiringFor (rules/alerting.go) — the alert
-                // still fires at the boundary step, resolving on the next
-                if (t - keepSince <= kff)
+                // rules/alerting.go keeps firing while
+                // ts.Sub(KeepFiringSince) < keepFiringFor — STRICT: the
+                // boundary step (elapsed == keep_firing_for) resolves,
+                // so the extra firing lasts exactly the configured
+                // window (AlertExemplarSpec pins the expiry step)
+                if (t - keepSince < kff)
                   out += ((lv, t, activeAt, "firing", lastV))
                 else { state = 0; keepSince = -1L }
               } else state = 0

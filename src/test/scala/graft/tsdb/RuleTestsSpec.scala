@@ -56,8 +56,9 @@ class RuleTestsSpec extends SparkSpec {
   test("keep_firing_for holds an alert firing through a unit test's gap") {
     // up == 0 for 3 ticks (fires at 2m with for: 2m), recovers at 3m.
     // With keep_firing_for: 3m the alert is STILL firing at 4m (first
-    // miss 3m, 4m - 3m < 3m) and AT the 6m boundary (6m - 3m == 3m —
-    // Prometheus keeps firing at equality), resolving at 7m (> 3m).
+    // miss 3m, 4m - 3m < 3m) and resolved AT the 6m boundary
+    // (6m - 3m == 3m — rules/alerting.go keeps firing only while the
+    // elapsed time is STRICTLY under keep_firing_for).
     val yml =
       """groups:
         |- name: g
@@ -88,11 +89,6 @@ class RuleTestsSpec extends SparkSpec {
         |                - exp_labels:
         |                      job: p
         |          - eval_time: 6m
-        |            alertname: StillDown
-        |            exp_alerts:
-        |                - exp_labels:
-        |                      job: p
-        |          - eval_time: 7m
         |            alertname: StillDown
         |            exp_alerts: []
         |""".stripMargin,
