@@ -793,12 +793,32 @@ final class PromHttpServer(spark: SparkSession, initial: DataFrame,
     ex.sendResponseHeaders(200, -1)
   }
 
+  /** `/api/v1/read` with RESPONSE-TYPE NEGOTIATION: when the request's
+    * `accepted_response_types` includes STREAMED_XOR_CHUNKS, frames
+    * stream out under chunked transfer encoding (Content-Type
+    * `application/x-streamed-protobuf; proto=prometheus.ChunkedReadResponse`,
+    * Prometheus's negotiation contract) via `toLocalIterator` — one
+    * frame in driver memory at a time, never the response. Otherwise
+    * the SAMPLED body, as before. */
   private def read(ex: HttpExchange, body: Array[Byte]): Unit = {
-    val resp = RemoteRead.serve(TsdbTable(wide), body)
-    ex.getResponseHeaders.set("Content-Type", "application/x-protobuf")
-    ex.getResponseHeaders.set("Content-Encoding", "snappy")
-    ex.sendResponseHeaders(200, resp.length)
-    ex.getResponseBody.write(resp)
+    val wantsChunks = RemoteRead.decodeReadRequest(body)
+      .acceptedResponseTypes.contains(RemoteRead.ResponseStreamedXorChunks)
+    if (wantsChunks) {
+      ex.getResponseHeaders.set("Content-Type",
+        "application/x-streamed-protobuf; proto=prometheus.ChunkedReadResponse")
+      ex.sendResponseHeaders(200, 0) // 0 = chunked transfer encoding
+      val out = ex.getResponseBody
+      val frames = RemoteRead.serveChunked(TsdbTable(wide), body)
+        .toLocalIterator()
+      while (frames.hasNext) out.write(frames.next())
+      out.flush()
+    } else {
+      val resp = RemoteRead.serve(TsdbTable(wide), body)
+      ex.getResponseHeaders.set("Content-Type", "application/x-protobuf")
+      ex.getResponseHeaders.set("Content-Encoding", "snappy")
+      ex.sendResponseHeaders(200, resp.length)
+      ex.getResponseBody.write(resp)
+    }
   }
 
   // ---- plumbing ------------------------------------------------------

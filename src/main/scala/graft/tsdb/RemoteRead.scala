@@ -529,6 +529,26 @@ object RemoteRead {
     }
   }
 
+  /** Split a streamed HTTP response body — the CONCATENATION of frames
+    * a chunked `/api/v1/read` writes — back into individual frames (the
+    * client-side transport inverse; each frame then decodes via
+    * [[decodeChunkedFrames]]/[[decodeChunkedHistFrames]]). */
+  def splitFrames(body: Array[Byte]): Seq[Array[Byte]] = {
+    val out = Seq.newBuilder[Array[Byte]]
+    var pos = 0
+    while (pos < body.length) {
+      var len = 0L; var shift = 0; var p = pos; var b = 0
+      do {
+        b = body(p) & 0xff; len |= (b & 0x7fL) << shift; shift += 7; p += 1
+      } while ((b & 0x80) != 0)
+      val end = p + 4 + len.toInt
+      require(end <= body.length, "truncated frame stream")
+      out += java.util.Arrays.copyOfRange(body, pos, end)
+      pos = end
+    }
+    out.result()
+  }
+
   /** Verify a streamed frame (uvarint len ++ BE crc32c ++ data) and
     * return the data range. */
   private def unframe(f: Array[Byte]): (Int, Int) = {

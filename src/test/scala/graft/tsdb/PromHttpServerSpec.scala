@@ -411,6 +411,26 @@ class PromHttpServerSpec extends SparkSpec {
     assert(c4 == 200 && b4.contains(""""value":[3.000,"7.25"]"""), b4)
   }
 
+  test("remote read negotiates STREAMED_XOR_CHUNKS over HTTP") {
+    val req = RemoteRead.encodeReadRequest(RemoteRead.ReadRequest(Seq(
+      RemoteRead.ReadQuery(0L, 10000L, Seq(Matcher.Eq("__name__", "up")))),
+      acceptedResponseTypes = Seq(RemoteRead.ResponseStreamedXorChunks)))
+    val r = client.send(
+      HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:$port/api/v1/read"))
+        .POST(HttpRequest.BodyPublishers.ofByteArray(req)).build(),
+      HttpResponse.BodyHandlers.ofByteArray())
+    assert(r.statusCode() == 200)
+    assert(r.headers().firstValue("Content-Type").orElse("").contains(
+      "application/x-streamed-protobuf"), r.headers().toString)
+    import spark.implicits._
+    val frames = RemoteRead.splitFrames(r.body())
+    assert(frames.size == 2) // one frame per matched series (user a, b)
+    val got = RemoteRead.decodeChunkedFrames(spark.createDataset(frames))
+      .collect().map(row => (row.getAs[Map[String, String]]("labels")("user"),
+        row.getAs[Long]("time"), row.getAs[Double]("value"))).toSet
+    assert(got == Set(("a", 1000L, 1.0), ("a", 2000L, 3.0), ("b", 1000L, 2.0)))
+  }
+
   test("receiver head lineage stays bounded across many pushes") {
     val srv = new PromHttpServer(spark, wide)
     val p = srv.start()
