@@ -409,6 +409,39 @@ object ScaleStress {
         .readHistograms(spark, hWal).count()
       println(s"[scale] histogram samples read=$back")
     }
+    // BLOCK NATIVE-HISTOGRAM chunks at Nx series: head compaction
+    // flushes the WAL's kind-7 records into encoding-2 chunks (the
+    // histogram samples ride the SAME single grouping shuffle as the
+    // float write path; one block per slice), then the chunked scan
+    // decodes them back. Chunk count is series × layout-runs; float
+    // chunks in mixed blocks are skipped from the 8-byte header alone.
+    time(s"block native-histogram flush+scan ${factor}x") {
+      val ev = Tables.load(spark, sfDir, "events")
+      val evN = ev
+        .withColumn("_r", explode(sequence(lit(0), lit(factor - 1))))
+        .withColumn("user_id", col("user_id") + col("_r") * lit(10000000L))
+        .drop("_r")
+      val dense = graft.tsdb.NativeHistogram.buildExp(
+        evN.select(unix_millis(col("ts")).as("time"), col("value"),
+          col("event_type").as("labels.name"),
+          col("user_id").cast("string").as("labels.user")),
+        Seq(col("`labels.name`").as("name"), col("`labels.user`").as("user"),
+          floor(col("time") / lit(86400000L)).as("day")),
+        col("value"), schema = 0, minExp = 0, maxExp = 9)
+        .select((col("day") * 86400000L).as("time"),
+          map(lit("name"), col("name"), lit("user"), col("user")).as("labels"),
+          col("hist"))
+      val hWal = Tables.scratchDir("graft_scale_histwal_blk")
+      graft.sources.tsdbblock.TsdbWalWriter.writeHistograms(dense, hWal,
+        schemaId = 0, minExp = 0, maxExp = 9, float = false, partitions = 32)
+      val dest = Tables.scratchDir("graft_scale_histblocks")
+      val names = graft.sources.tsdbblock.TsdbBlockWriter.compactWal(
+        spark, hWal, dest, blockRangeMs = 4L * 86400000L)
+      val back = names.map(n => graft.sources.tsdbblock.TsdbBlockRecords
+          .readHistograms(spark, s"$dest/$n"))
+        .reduce(_ union _).count()
+      println(s"[scale] hist blocks=${names.size} chunk samples read=$back")
+    }
     // STREAMING alert rule at Nx events through the real incremental
     // engine (file source → watermark → flatMapGroupsWithState): state
     // per key is open-window counts + two longs, so Nx events with Nx

@@ -178,7 +178,12 @@ object TsdbBlockWriter {
   def writeBlock(dir: String, seriesIn: Seq[SeriesData],
                  compaction: CompactionMeta = CompactionMeta(),
                  maxTimeCeil: Option[Long] = None): (Long, Long, Long) = {
-    val series = seriesIn
+    // INDEXED: the series and per-series chunk-meta sequences are
+    // random-accessed by position below (`chunkMetas(si)`); a
+    // List-backed Seq (what `Iterator.toSeq` hands the Spark path)
+    // turns that into O(series²) list hops — at 67k series that was
+    // ~100 s of pure `List.drop` before this toIndexedSeq
+    val series = seriesIn.toIndexedSeq
       .map(s => s.copy(labels = s.labels.sortBy(_._1)))
       .sortBy(_.labels.map(p => p._1 + "\u0000" + p._2).mkString("\u0000"))
     Files.createDirectories(Paths.get(dir, "chunks"))
