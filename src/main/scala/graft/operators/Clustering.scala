@@ -167,19 +167,25 @@ object Clustering {
                        trainSample: Int = 0): DataFrame = {
     val b = assignFull(emb, idCol, vecCol, k, iters, trainSample)
       .select(col("id"), col("v"), col("cluster").cast("long").as("cluster"))
-      // NOT persisted: the self-join's two sides each re-run the
-      // map-side k·dim when-chain — two shuffle-free passes beat a
-      // corpus-sized cache entry with no owner to unpersist it (the
-      // result plan references the frame forever, so an in-operator
-      // unpersist would be a no-op persist). Callers materializing the
-      // assignment table as a write-once warehouse artifact persist or
-      // save it themselves.
-    b.as("l").join(b.as("r"),
+      // persisted ONLY for the duration of this call: the self-join
+      // reads the assignment twice, so the k·dim distance when-chain
+      // runs one pass over the corpus, not two
+      .persist()
+    val pairs = b.as("l").join(b.as("r"),
         col("l.cluster") === col("r.cluster") && col("l.id") < col("r.id"))
       .withColumn("cos",
         graft.functions.VectorFunctions.cosineNative(col("l.v"), col("r.v")))
       .where(col("cos") >= threshold)
       .select(col("l.id").as("id_a"), col("r.id").as("id_b"),
         col("l.cluster").as("cluster"), round(col("cos"), 6).as("cosine"))
+      // materialize the OUTPUT-sized pair set eagerly while the
+      // assignment is cached, then release the corpus-sized cache — the
+      // returned frame references only its own checkpoint blocks, which
+      // the ContextCleaner reclaims with the frame (a cache-manager
+      // persist, by contrast, holds a strong ref and leaks until
+      // someone calls unpersist — the failure mode this avoids)
+      .localCheckpoint(true)
+    b.unpersist(false)
+    pairs
   }
 }

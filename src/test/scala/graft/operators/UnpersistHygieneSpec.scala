@@ -60,10 +60,25 @@ class UnpersistHygieneSpec extends SparkSpec {
     }
   }
 
-  test("semanticNearDups leaves no persisted frames behind") {
-    assertNoResidentCache("semanticNearDups") {
-      Clustering.semanticNearDups(emb, "vec_id", "embedding",
-        k = 3, iters = 2, threshold = 0.5, trainSample = 40)
+  test("semanticNearDups leaves only its result's own checkpoint blocks") {
+    // the operator persists the assignment for its self-join, then
+    // eagerly checkpoints the OUTPUT-sized pair set and unpersists —
+    // the only block-manager residue is the returned frame's own
+    // checkpoint RDD, which dies with the frame (no cache-manager
+    // entry, the class that leaks)
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val out = Clustering.semanticNearDups(emb, "vec_id", "embedding",
+      k = 3, iters = 2, threshold = 0.5, trainSample = 40)
+    out.collect()
+    val ownRdds = out.queryExecution.analyzed.collect {
+      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
     }
+    val leaked =
+      spark.sparkContext.getPersistentRDDs.keySet -- before --
+        ownRdds.map(_.id)
+    assert(leaked.isEmpty,
+      s"semanticNearDups leaked beyond its result: $leaked")
+    ownRdds.foreach(_.unpersist(false)) // caller-side release
+    assert((spark.sparkContext.getPersistentRDDs.keySet -- before).isEmpty)
   }
 }
