@@ -52,7 +52,8 @@ final class PromHttpServer(spark: SparkSession, initial: DataFrame,
                            histSchemaId: Int = 0, histMinExp: Int = 0,
                            histMaxExp: Int = 9,
                            dataDir: Option[String] = None,
-                           adminApi: Boolean = false) {
+                           adminApi: Boolean = false,
+                           alertmanagers: Seq[String] = Nil) {
 
   @volatile private var wide: DataFrame = initial
   private var server: HttpServer = _
@@ -206,12 +207,28 @@ final class PromHttpServer(spark: SparkSession, initial: DataFrame,
     server = HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
     server.createContext("/", (ex: HttpExchange) => handle(ex))
     server.start()
+    if (alertmanagers.nonEmpty && rules.nonEmpty) {
+      // the notifier loop: evaluate + push firing alerts every rule
+      // interval, exactly a Prometheus rule manager's cadence. A dead
+      // Alertmanager must never take the server down — errors log and
+      // the next tick retries.
+      notifier = new java.util.Timer("graft-notifier", true)
+      notifier.scheduleAtFixedRate(new java.util.TimerTask {
+        override def run(): Unit =
+          try { notifyNow(); () }
+          catch { case scala.util.control.NonFatal(e) =>
+            System.err.println(s"alertmanager notify failed: $e") }
+      }, rulesIntervalMs, rulesIntervalMs)
+    }
     server.getAddress.getPort
   }
 
   def stop(): Unit = synchronized {
+    if (notifier != null) { notifier.cancel(); notifier = null }
     if (server != null) { server.stop(0); server = null }
   }
+
+  private var notifier: java.util.Timer = _
 
   // ---- dispatch ------------------------------------------------------
 
@@ -261,9 +278,13 @@ final class PromHttpServer(spark: SparkSession, initial: DataFrame,
           // (exactly what an agentless Prometheus reports)
           ok(ex, """{"activeTargets":[],"droppedTargets":[]}""")
         case "/api/v1/alertmanagers" =>
-          // no notifier configured — the well-formed empty discovery
-          // answer, same contract as /api/v1/targets
-          ok(ex, """{"activeAlertmanagers":[],"droppedAlertmanagers":[]}""")
+          // the configured notifier targets (empty when none — the
+          // well-formed agent-style answer, same contract as targets)
+          val ams = alertmanagers
+            .map(u => s"""{"url":${jstr(s"$u/api/v2/alerts")}}""")
+            .mkString("[", ",", "]")
+          ok(ex,
+            s"""{"activeAlertmanagers":$ams,"droppedAlertmanagers":[]}""")
         case "/api/v1/targets/metadata" => targetsMetadata(ex, params)
         case "/api/v1/admin/tsdb/snapshot" => adminSnapshot(ex, params)
         case "/api/v1/admin/tsdb/delete_series" =>
@@ -523,6 +544,68 @@ final class PromHttpServer(spark: SparkSession, initial: DataFrame,
     * now) renders in the API's shape — per-rule `state` =
     * firing > pending > inactive, per-element `alerts` with
     * `activeAt`/`value`. Each rule is ONE evalRange pass. */
+  /** One rule group's ACTIVE alert elements at the last tick ≤ `at`:
+    * (rule name, element labels, activeAt, value, state). Shared by the
+    * rules/alerts endpoints and the Alertmanager notifier. */
+  private def groupActive(g: RuleFiles.Group, at: Long)
+      : Seq[(String, Seq[(String, String)], Long, Double, String)] = {
+    val interval = g.intervalMs.getOrElse(rulesIntervalMs)
+    val lastTick = (at / interval) * interval
+    val (_, alertsDf) = AlertRules.evaluateGroup(g.rules, wide,
+      start = lastTick - (rulesHorizonMs / interval) * interval,
+      end = lastTick, stepMs = interval, lookbackMs = lookbackMs)
+    alertsDf match {
+      case None => Nil
+      case Some(df) =>
+        val rows = df.where(col("t") === lastTick)
+        val cols = rows.columns
+        val skip = Set("alertname", "t", "active_at", "alertstate",
+          TsdbSchema.ValueCol)
+        rows.collect().toSeq.map { r =>
+          val ls = cols.zipWithIndex.flatMap { case (cn, ix) =>
+            if (skip(cn)) None
+            else Option(r.get(ix)).map(v => apiLabel(cn) -> v.toString)
+          }.toSeq.filter(_._1 != "__name__")
+          (r.getAs[String]("alertname"), ls, r.getAs[Long]("active_at"),
+            r.getAs[Double](TsdbSchema.ValueCol),
+            r.getAs[String]("alertstate"))
+        }
+    }
+  }
+
+  /** The NOTIFIER — the last hop of the alerting story: evaluate every
+    * rule group at the tick ≤ `at` and POST the FIRING elements to each
+    * configured Alertmanager's `/api/v2/alerts` (labels = element ∪
+    * rule ∪ alertname ∪ external labels; annotations from the rule;
+    * `startsAt` = the run's activeAt; `endsAt` = at + 4 × the group
+    * interval, Prometheus's resend-validity convention so an AM expires
+    * the alert if this sender dies). Returns url → HTTP status. Also
+    * runs on the rule interval from a daemon scheduler while the server
+    * is started (errors logged to stderr, never fatal — exactly how a
+    * Prometheus keeps scraping when its Alertmanager is down). */
+  def notifyNow(at: Long = System.currentTimeMillis()): Map[String, Int] = {
+    val yaml = rules.getOrElse(return Map.empty)
+    if (alertmanagers.isEmpty) return Map.empty
+    val payload = RuleFiles.parse(yaml).flatMap { g =>
+      val interval = g.intervalMs.getOrElse(rulesIntervalMs)
+      val byRule = g.rules.collect {
+        case r: AlertRules.AlertRule => r.name -> r
+      }.toMap
+      groupActive(g, at).collect {
+        case (name, ls, activeAt, _, "firing") =>
+          val rule = byRule(name)
+          AlertNotifier.AmAlert(
+            labels = (ls ++ rule.labels.toSeq ++ externalLabels :+
+              ("alertname" -> name)).toMap,
+            annotations = rule.annotations,
+            startsAtMs = activeAt,
+            endsAtMs = at + 4 * interval)
+      }
+    }
+    if (payload.isEmpty) Map.empty
+    else alertmanagers.map(u => u -> AlertNotifier.post(u, payload)).toMap
+  }
+
   private def rulesEndpoint(ex: HttpExchange, p: Params,
                             alertsOnly: Boolean): Unit = {
     val yaml = rules.getOrElse(
@@ -532,28 +615,7 @@ final class PromHttpServer(spark: SparkSession, initial: DataFrame,
     import AlertRules.{AlertRule, RecordingRule}
     val groupsJson = RuleFiles.parse(yaml).map { g =>
       val interval = g.intervalMs.getOrElse(rulesIntervalMs)
-      val lastTick = (at / interval) * interval
-      val (_, alertsDf) = AlertRules.evaluateGroup(g.rules, wide,
-        start = lastTick - (rulesHorizonMs / interval) * interval,
-        end = lastTick, stepMs = interval, lookbackMs = lookbackMs)
-      val active: Seq[(String, Seq[(String, String)], Long, Double,
-          String)] = alertsDf match {
-        case None => Nil
-        case Some(df) =>
-          val rows = df.where(col("t") === lastTick)
-          val cols = rows.columns
-          val skip = Set("alertname", "t", "active_at", "alertstate",
-            TsdbSchema.ValueCol)
-          rows.collect().toSeq.map { r =>
-            val ls = cols.zipWithIndex.flatMap { case (cn, ix) =>
-              if (skip(cn)) None
-              else Option(r.get(ix)).map(v => apiLabel(cn) -> v.toString)
-            }.toSeq.filter(_._1 != "__name__")
-            (r.getAs[String]("alertname"), ls, r.getAs[Long]("active_at"),
-              r.getAs[Double](TsdbSchema.ValueCol),
-              r.getAs[String]("alertstate"))
-          }
-      }
+      val active = groupActive(g, at)
       def alertJson(name: String, rl: Map[String, String],
                     anns: Map[String, String]): (String, String) = {
         val mine = active.filter(_._1 == name)

@@ -497,6 +497,55 @@ class PromHttpServerSpec extends SparkSpec {
     assert(c3 == 200 && b3.split("\"metric\"").length == 2, b3)
   }
 
+  test("notifier POSTs firing alerts to a real Alertmanager endpoint") {
+    // a fake Alertmanager capturing /api/v2/alerts bodies
+    val captured = new java.util.concurrent.LinkedBlockingQueue[String]()
+    val am = com.sun.net.httpserver.HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    am.createContext("/api/v2/alerts",
+      (ex: com.sun.net.httpserver.HttpExchange) => {
+        captured.put(new String(ex.getRequestBody.readAllBytes(), UTF_8))
+        ex.sendResponseHeaders(200, -1)
+        ex.close()
+      })
+    am.start()
+    val amUrl = s"http://127.0.0.1:${am.getAddress.getPort}"
+    val srv = new PromHttpServer(spark, wide,
+      rules = Some(
+        """groups:
+          |  - name: g
+          |    interval: 1s
+          |    rules:
+          |      - alert: up_hot
+          |        expr: '{name="up"} > 2'
+          |        labels:
+          |          severity: page
+          |        annotations:
+          |          summary: it is hot
+          |""".stripMargin),
+      rulesHorizonMs = 5000L,
+      externalLabels = Seq("cluster" -> "c1"),
+      alertmanagers = Seq(amUrl))
+    val p = srv.start()
+    try {
+      // discovery lists the configured target
+      val (c, b) = getAt(p, "/api/v1/alertmanagers")
+      assert(c == 200 && b.contains(s""""url":"$amUrl/api/v2/alerts""""), b)
+      // deterministic push at t=2s: {name="up"} > 2 fires for user a
+      val statuses = srv.notifyNow(at = 2000L)
+      assert(statuses == Map(amUrl -> 200), statuses.toString)
+      val body = captured.poll(5, java.util.concurrent.TimeUnit.SECONDS)
+      assert(body != null, "fake Alertmanager got no POST")
+      assert(body.contains(""""alertname":"up_hot""""), body)
+      assert(body.contains(""""severity":"page"""") &&
+        body.contains(""""user":"a"""") &&
+        body.contains(""""cluster":"c1""""), body)
+      assert(body.contains(""""summary":"it is hot""""), body)
+      assert(body.contains(""""startsAt":"1970-01-01T00:00:02Z""""), body)
+      assert(!body.contains(""""user":"b"""")) // value 2.0 is NOT > 2
+    } finally { srv.stop(); am.stop(0) }
+  }
+
   test("admin API: snapshot / delete_series / clean_tombstones over HTTP") {
     import graft.sources.tsdbblock.{BlockMeta, Tombstones, TsdbBlockWriter,
       TsdbDb, TsdbWalWriter}
