@@ -357,6 +357,35 @@ class PlanQualitySpec extends SparkSpec {
       s"the remote-read path must stay join-free:\n$plan")
   }
 
+  test("streamed HISTOGRAM remote read: one range exchange, map-side frames") {
+    // the histogram twin of the float stream: the per-series range
+    // exchange is the ONLY shuffle (it both co-locates a series and
+    // globally orders the stream in labels.Compare order); chunk encode
+    // is a map-side object transform — any join or extra exchange means
+    // whole histograms started moving between stages
+    import spark.implicits._
+    import graft.sources.tsdbblock.WalReader.WalHistogram
+    val hs = spark.createDataset((0 until 16).map { i =>
+      (Map("name" -> "m", "u" -> s"u${i % 4}"),
+        WalHistogram(0L, 1000L * i, 0, 0, 0.0, 0.0, 1.0 + i, 0.5 * i,
+          Seq((0, 1.0 + i)), Nil, Nil, isFloat = false))
+    })
+    val req = graft.tsdb.RemoteRead.encodeReadRequest(
+      graft.tsdb.RemoteRead.ReadRequest(
+        Seq(graft.tsdb.RemoteRead.ReadQuery(0L, Long.MaxValue - 1,
+          Seq(graft.model.Matcher.Eq("name", "m")))),
+        acceptedResponseTypes =
+          Seq(graft.tsdb.RemoteRead.ResponseStreamedXorChunks)))
+    val plan = graft.tsdb.RemoteRead.serveChunkedHists(hs, req)
+      .queryExecution.executedPlan.toString()
+    assert(shuffleExchanges(plan) == 1,
+      s"hist remote read must shuffle once (the series range exchange):\n$plan")
+    assert(plan.toLowerCase.contains("rangepartitioning"),
+      s"the one exchange must be the ordering RANGE exchange:\n$plan")
+    assert(!plan.contains("Join"),
+      s"the hist remote-read path must stay join-free:\n$plan")
+  }
+
   test("range absent_over_time: ONE presence pass, grid anti-join broadcasts") {
     // the per-step absent check must not re-scan per grid step, and the
     // anti-join's build side is the DISTINCT present steps — bounded by
