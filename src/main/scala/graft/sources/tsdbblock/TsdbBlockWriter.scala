@@ -183,9 +183,15 @@ object TsdbBlockWriter {
     // List-backed Seq (what `Iterator.toSeq` hands the Spark path)
     // turns that into O(series²) list hops — at 67k series that was
     // ~100 s of pure `List.drop` before this toIndexedSeq
+    // series order = Prometheus labels.Compare (pairwise name/value in
+    // UTF-8 BYTE order, fewer labels first): the injective NUL-escaped
+    // key under unsigned-byte ordering — a bare-NUL join is ambiguous
+    // for NUL-bearing values, and Java String order (UTF-16 units)
+    // diverges from Go's byte order above the BMP
     val series = seriesIn.toIndexedSeq
       .map(s => s.copy(labels = s.labels.sortBy(_._1)))
-      .sortBy(_.labels.map(p => p._1 + "\u0000" + p._2).mkString("\u0000"))
+      .sortBy(s => graft.tsdb.RemoteRead.labelSortKey(s.labels))(
+        graft.tsdb.RemoteRead.utf8ByteOrder)
     Files.createDirectories(Paths.get(dir, "chunks"))
 
     // ---- chunks segment 000001 (chunk refs carry segment INDEX 0:

@@ -203,7 +203,7 @@ object RemoteRead {
     * or one field ends (its `\0\0` terminator sorts below both any
     * non-NUL byte and the `\0\1` escape — prefix sorts first, as in
     * Go string compare). */
-  private[tsdb] def labelSortKey(entries: Seq[(String, String)]): String =
+  private[graft] def labelSortKey(entries: Seq[(String, String)]): String =
     entries.iterator
       .flatMap(e => Iterator(e._1, e._2))
       .map(_.replace("\u0000", "\u0000\u0001"))
@@ -215,7 +215,7 @@ object RemoteRead {
     * (UTF-16 code units) DIFFERS above the BMP: U+10000+ encode as
     * surrogates 0xD800–0xDFFF, sorting below U+E000–U+FFFF in UTF-16
     * but above them in UTF-8. */
-  private[tsdb] val utf8ByteOrder: Ordering[String] =
+  private[graft] val utf8ByteOrder: Ordering[String] =
     (a: String, b: String) =>
       java.util.Arrays.compareUnsigned(
         a.getBytes(java.nio.charset.StandardCharsets.UTF_8),
