@@ -103,6 +103,14 @@ final class PromHttpServer(spark: SparkSession, initial: DataFrame,
     * what `/api/v1/query_exemplars` serves. */
   @volatile private var exemplarHead: Option[DataFrame] = exemplars
 
+  /** The pushed histograms in FULL-fidelity sparse form — what the
+    * chunked remote-read responder streams back as histogram chunks
+    * (the dense [[histHead]] serves the PromQL tier; this head serves
+    * the wire). */
+  @volatile private var histSparseHead
+      : Option[org.apache.spark.sql.Dataset[(Map[String, String],
+          graft.sources.tsdbblock.WalReader.WalHistogram)]] = None
+
   private def histNLes: Int = histMaxExp - histMinExp + 3 // zero+grid+Inf
 
   /** Metric names the pushed-histogram head stores — maintained
@@ -134,10 +142,20 @@ final class PromHttpServer(spark: SparkSession, initial: DataFrame,
       val labelCols = names.map(n => col("labels").getItem(n)
         .as(TsdbSchema.labelColName(if (n == "__name__") "name" else n)))
       val wideH = dense.select(col("time") +: labelCols :+ col("hist"): _*)
+      // the wire-serving twin: full sparse samples, same lineage bound
+      val sparseRows = spark.createDataset(sparse.map(h =>
+        (h.labels, graft.sources.tsdbblock.WalReader.WalHistogram(
+          0L, h.time, 0, h.schema, h.zeroThreshold, h.zeroCount,
+          h.count, h.sum, h.positive, h.negative, Nil, isFloat = false))))
       synchronized {
         histAppends += 1
         histHead = Some(boundLineage(histHead.fold(wideH)(
           _.unionByName(wideH, allowMissingColumns = true)), histAppends))
+        histSparseHead = Some(boundLineage(histSparseHead.map(_.toDF())
+            .fold(sparseRows.toDF())(_.unionByName(sparseRows.toDF())),
+            histAppends)
+          .as[(Map[String, String],
+            graft.sources.tsdbblock.WalReader.WalHistogram)])
         histMetricNames ++= sparse.flatMap(_.labels.get("__name__"))
       }
     }
@@ -863,15 +881,36 @@ final class PromHttpServer(spark: SparkSession, initial: DataFrame,
     * frame in driver memory at a time, never the response. Otherwise
     * the SAMPLED body, as before. */
   private def read(ex: HttpExchange, body: Array[Byte]): Unit = {
-    val wantsChunks = RemoteRead.decodeReadRequest(body)
-      .acceptedResponseTypes.contains(RemoteRead.ResponseStreamedXorChunks)
+    val req = RemoteRead.decodeReadRequest(body)
+    val wantsChunks = req.acceptedResponseTypes
+      .contains(RemoteRead.ResponseStreamedXorChunks)
     if (wantsChunks) {
       ex.getResponseHeaders.set("Content-Type",
         "application/x-streamed-protobuf; proto=prometheus.ChunkedReadResponse")
       ex.sendResponseHeaders(200, 0) // 0 = chunked transfer encoding
       val out = ex.getResponseBody
-      val frames = RemoteRead.serveChunked(TsdbTable(wide), body)
-        .toLocalIterator()
+      // per-REQUEST native-vs-float routing, the remote-read analogue
+      // of the query endpoints' per-selector rule: when every query's
+      // metric matcher names a pushed-native metric, the stream carries
+      // HISTOGRAM chunks from the sparse head; otherwise the float
+      // stream serves as before (a mixed request reads the float tier —
+      // the two streams cannot interleave and stay labels.Compare
+      // sorted)
+      val allHist = histSparseHead.nonEmpty && req.queries.nonEmpty &&
+        req.queries.forall { q =>
+          // wire matchers carry raw patterns; the gate (like the serve
+          // path) applies Prometheus's anchored semantics
+          val nameMs = PromQL.anchorMatchers(q.matchers).filter(m =>
+            m.name == "__name__" || m.name == "name")
+          val stored = synchronized(histMetricNames)
+          nameMs.nonEmpty &&
+            stored.exists(m => nameMs.forall(matchesMetric(_, m)))
+        }
+      val frames =
+        (if (allHist)
+          RemoteRead.serveChunkedHists(histSparseHead.get, body)
+        else RemoteRead.serveChunked(TsdbTable(wide), body))
+          .toLocalIterator()
       while (frames.hasNext) out.write(frames.next())
       out.flush()
     } else {

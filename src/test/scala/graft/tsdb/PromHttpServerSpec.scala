@@ -497,6 +497,61 @@ class PromHttpServerSpec extends SparkSpec {
     assert(c3 == 200 && b3.split("\"metric\"").length == 2, b3)
   }
 
+  test("pushed native histograms stream back over chunked remote read") {
+    val srv = new PromHttpServer(spark, wide)
+    val p = srv.start()
+    try {
+      val h = RemoteWrite.SparseHist(
+        time = 1700L, labels = Map("__name__" -> "hrr", "user" -> "q"),
+        count = 4.0, sum = 10.0, schema = 0, zeroThreshold = 0.0,
+        zeroCount = 1.0, positive = Seq((1, 1.0), (2, 2.0)), negative = Nil)
+      val wreq = RemoteWrite2.encodeRequest(Seq(RemoteWrite2.Rw2Series(
+        labels = Seq("__name__" -> "hrr", "user" -> "q"),
+        histograms = Seq(h))))
+      val wr = client.send(
+        HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:$p/api/v1/write"))
+          .header("Content-Type",
+            "application/x-protobuf;proto=io.prometheus.write.v2.Request")
+          .POST(HttpRequest.BodyPublishers.ofByteArray(wreq)).build(),
+        HttpResponse.BodyHandlers.ofByteArray())
+      assert(wr.statusCode() == 204)
+
+      val rreq = RemoteRead.encodeReadRequest(RemoteRead.ReadRequest(Seq(
+        RemoteRead.ReadQuery(0L, 10000L,
+          Seq(Matcher.Eq("__name__", "hrr")))),
+        acceptedResponseTypes = Seq(RemoteRead.ResponseStreamedXorChunks)))
+      val rr = client.send(
+        HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:$p/api/v1/read"))
+          .POST(HttpRequest.BodyPublishers.ofByteArray(rreq)).build(),
+        HttpResponse.BodyHandlers.ofByteArray())
+      assert(rr.statusCode() == 200)
+      import spark.implicits._
+      val back = RemoteRead.decodeChunkedHistFrames(
+        spark.createDataset(RemoteRead.splitFrames(rr.body()))).collect()
+      assert(back.length == 1, back.toSeq.toString)
+      val (_, lbls, got) = back.head
+      assert(lbls == Map("__name__" -> "hrr", "user" -> "q"))
+      assert((got.time, got.count, got.sum, got.zeroCount,
+        got.positive.filter(_._2 != 0.0)) ===
+        ((1700L, 4.0, 10.0, 1.0, Seq((1, 1.0), (2, 2.0)))))
+
+      // a float-metric request on the same server keeps the XOR stream
+      val freq = RemoteRead.encodeReadRequest(RemoteRead.ReadRequest(Seq(
+        RemoteRead.ReadQuery(0L, 10000L,
+          Seq(Matcher.Eq("__name__", "up"), Matcher.Eq("user", "a")))),
+        acceptedResponseTypes = Seq(RemoteRead.ResponseStreamedXorChunks)))
+      val fr = client.send(
+        HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:$p/api/v1/read"))
+          .POST(HttpRequest.BodyPublishers.ofByteArray(freq)).build(),
+        HttpResponse.BodyHandlers.ofByteArray())
+      val fGot = RemoteRead.decodeChunkedFrames(
+        spark.createDataset(RemoteRead.splitFrames(fr.body())))
+        .collect().map(r => (r.getAs[Long]("time"),
+          r.getAs[Double]("value"))).toSet
+      assert(fGot == Set((1000L, 1.0), (2000L, 3.0)))
+    } finally srv.stop()
+  }
+
   test("notifier POSTs firing alerts to a real Alertmanager endpoint") {
     // a fake Alertmanager capturing /api/v2/alerts bodies
     val captured = new java.util.concurrent.LinkedBlockingQueue[String]()
