@@ -412,6 +412,32 @@ object TsdbQueries {
           element_at(h.getField("counts"), 12).cast("long").as("c_inf"),
           round(histQuantile(h, 0.5), 6).as("phi"))
     }),
+    // Q149: `promtool tsdb list` — the per-block inventory an operator
+    // prints before any data-dir surgery: ULID, window, duration and
+    // the meta.json stats of every block. Blocks are written to a FIXED
+    // path (ULIDs are deterministic from (path, slice)) so the DuckDB
+    // oracle reads the very same meta.json files with read_json — the
+    // engine's meta writer and parser are pinned against an independent
+    // JSON reader, field by field.
+    "tsdb_q149_block_list" -> ((s, dir) => {
+      val long = load(s, dir, "events").select(
+        unix_millis(col("ts")).as("time"), col("value"),
+        map(lit("__name__"), col("event_type"),
+          lit("user"), col("user_id").cast("string")).as("labels"))
+      val root = "/tmp/graft_q149_blocks"
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+        f.delete(): Unit
+      }
+      rm(new java.io.File(root))
+      graft.sources.tsdbblock.TsdbBlockWriter.write(long, root)
+      val s_ = s; import s_.implicits._
+      graft.sources.tsdbblock.BlockMeta.list(root)
+        .map(m => (m.ulid, m.minTime, m.maxTime, m.maxTime - m.minTime,
+          m.numSamples, m.numSeries, m.numChunks, m.level.toLong))
+        .toDF("ulid", "min_time", "max_time", "duration_ms",
+          "num_samples", "num_series", "num_chunks", "level")
+    }),
     // Q143: OTLP **binary protobuf** round trip — the encoding an OTel
     // collector actually sends (q107 is the JSON mapping): events as
     // single-gauge ExportMetricsServiceRequests, decoded back map-side.
@@ -3865,6 +3891,14 @@ object TsdbQueries {
     "tsdb_q146_block_native_hist" -> histExpOracle,
     "tsdb_q147_hist_compaction" -> histExpOracle,
     "tsdb_q148_remote_read_hist_chunked" -> histExpOracle,
+    // the engine wrote these meta.json files at a fixed path; the
+    // oracle re-reads them with an independent JSON parser
+    "tsdb_q149_block_list" ->
+      """SELECT ulid, minTime AS min_time, maxTime AS max_time,
+        |  maxTime - minTime AS duration_ms,
+        |  stats.numSamples AS num_samples, stats.numSeries AS num_series,
+        |  stats.numChunks AS num_chunks, compaction.level AS level
+        |FROM read_json_auto('/tmp/graft_q149_blocks/*/meta.json')""".stripMargin,
     "tsdb_q121_remote_write2_hist" -> histExpOracle,
     "tsdb_q120_remote_write2" ->
       """SELECT CAST(epoch_ms(ts) AS BIGINT) AS time, value,

@@ -16,7 +16,8 @@ import java.nio.file.{Files, Paths}
   */
 final case class BlockMeta(
     dir: String, ulid: String, minTime: Long, maxTime: Long,
-    level: Int, sources: Seq[String]) {
+    level: Int, sources: Seq[String],
+    numSamples: Long = 0L, numSeries: Long = 0L, numChunks: Long = 0L) {
   /** Parents descriptor for a compaction that consumes this block. */
   def parentDesc: TsdbBlockWriter.ParentDesc =
     TsdbBlockWriter.ParentDesc(ulid, minTime, maxTime)
@@ -41,7 +42,10 @@ object BlockMeta {
       .split(",").map(_.trim.stripPrefix("\"").stripSuffix("\""))
       .filter(_.nonEmpty).toSeq
     BlockMeta(dir, ulid, firstNum("minTime"), firstNum("maxTime"),
-      firstNum("level").toInt, sources)
+      firstNum("level").toInt, sources,
+      numSamples = firstNum("numSamples"),
+      numSeries = firstNum("numSeries"),
+      numChunks = firstNum("numChunks"))
   }
 
   /** The block directories of a data dir (subdirs carrying an index +
