@@ -222,6 +222,54 @@ object TextPipeline {
       .withColumn("keep", col("score") >= threshold)
   }
 
+  /** Cross-document DUPLICATE-SPAN detection — the substring-level
+    * dedup of Lee et al., "Deduplicating Training Data Makes Language
+    * Models Better" (the suffix-array pass that removes verbatim spans
+    * repeated across documents), re-expressed as shingle coverage: a
+    * token position is DUPLICATED when its `k`-token shingle appears in
+    * ≥ 2 distinct documents; overlapping duplicated windows merge into
+    * maximal spans, and spans shorter than `minSpanTokens` drop. One
+    * row per (doc, span): `(idCol, span_start, span_end, span_tokens)`
+    * on 0-based token positions, `span_end` exclusive (the last
+    * duplicated window's start + k).
+    *
+    * Scale shape: the shingle frame is corpus-token-sized by necessity
+    * (so is a suffix array); everything else is bounded — the
+    * distinct-doc count aggregates partial on 8-byte hash keys, the
+    * mark-back is a hash equi-join on the same keys, and the span merge
+    * is ONE per-document window (both window functions share the
+    * exchange). No self-joins, no driver collects. */
+  def duplicateSpans(docs: DataFrame, idCol: String, textCol: String,
+                     k: Int = 8, minSpanTokens: Int = 16): DataFrame = {
+    val sh = docs.select(col(idCol).as("id"),
+      posexplode(TextFunctions.shingles(col(textCol), k))
+        .as(Seq("pos", "s")))
+      .select(col("id"), col("pos"),
+        graft.functions.Hashing.hash64(col("s")).as("h"))
+    val dup = sh.groupBy(col("h"))
+      .agg(countDistinct(col("id")).as("nd"))
+      .where(col("nd") >= 2)
+      .select(col("h"))
+    val marked = sh.join(dup, Seq("h"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("id")).orderBy(col("pos"))
+    // gaps-and-islands: a window starts a NEW span when it begins past
+    // the running farthest end of everything before it
+    val prevMax = max(col("pos") + lit(k)).over(w.rowsBetween(
+      org.apache.spark.sql.expressions.Window.unboundedPreceding, -1))
+    marked
+      .withColumn("ns",
+        when(prevMax.isNull || col("pos") > prevMax, 1).otherwise(0))
+      .withColumn("span", sum(col("ns")).over(w))
+      .groupBy(col("id"), col("span"))
+      .agg(min(col("pos")).as("s0"), (max(col("pos")) + lit(k)).as("e0"))
+      .where(col("e0") - col("s0") >= minSpanTokens)
+      .select(col("id").as(idCol),
+        col("s0").cast("long").as("span_start"),
+        col("e0").cast("long").as("span_end"),
+        (col("e0") - col("s0")).cast("long").as("span_tokens"))
+  }
+
   def unigramLogProb(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val toks = docs.select(col(idCol),
       posexplode(graft.functions.TextFunctions.tokens(col(textCol)))

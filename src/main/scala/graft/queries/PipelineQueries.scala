@@ -284,6 +284,15 @@ object PipelineQueries {
     "pipe_q51_classifier_score" -> ((s, dir) =>
       graft.operators.TextPipeline.classifierScore(
         load(s, dir, "documents"), "doc_id", "text", threshold = 0.5)),
+    // SUBSTRING-level dedup (Lee et al.): token positions whose 8-token
+    // shingle appears in >= 2 distinct docs, merged into maximal spans
+    // >= 12 tokens — the verbatim-repeat remover that document-level
+    // dedup misses. The oracle replays shingle coverage + the
+    // gaps-and-islands merge in SQL windows.
+    "pipe_q52_dup_spans" -> ((s, dir) =>
+      graft.operators.TextPipeline.duplicateSpans(
+        load(s, dir, "documents"), "doc_id", "text",
+        k = 8, minSpanTokens = 12)),
     // count-min heavy hitters over the same domain stream: the sketch is
     // depth×width counters built in ONE partial-aggregated pass (a few
     // KB shuffled regardless of input size — the bounded-memory answer
@@ -1526,6 +1535,29 @@ object PipelineQueries {
         |  round(1.0 / (1.0 + exp(-lin * 8.0)), 6) AS score,
         |  (round(1.0 / (1.0 + exp(-lin * 8.0)), 6) >= 0.5) AS keep
         |FROM sc""".stripMargin,
+    // shingle coverage + gaps-and-islands span merge, same 60-bit hash
+    // keyspace as the engine's shuffle key (collisions included)
+    "pipe_q52_dup_spans" ->
+      s"""WITH shl AS (SELECT doc_id, ${duckShingles(8)} AS l FROM documents),
+         |sh0 AS (SELECT doc_id, unnest(range(0, len(l))) AS pos,
+         |  unnest(l) AS s FROM shl),
+         |sh AS (SELECT doc_id, pos,
+         |  ${graft.functions.Hashing.duckHash64("s")} AS h FROM sh0),
+         |dup AS (SELECT h FROM sh GROUP BY h
+         |  HAVING count(DISTINCT doc_id) >= 2),
+         |m AS (SELECT doc_id, pos FROM sh JOIN dup USING (h)),
+         |g AS (SELECT doc_id, pos, max(pos + 8) OVER (PARTITION BY doc_id
+         |    ORDER BY pos ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+         |    AS prev_max FROM m),
+         |s2 AS (SELECT doc_id, pos, CASE WHEN prev_max IS NULL
+         |    OR pos > prev_max THEN 1 ELSE 0 END AS ns FROM g),
+         |s3 AS (SELECT doc_id, pos, sum(ns) OVER (PARTITION BY doc_id
+         |    ORDER BY pos) AS span FROM s2)
+         |SELECT doc_id, CAST(min(pos) AS BIGINT) AS span_start,
+         |  CAST(max(pos) + 8 AS BIGINT) AS span_end,
+         |  CAST(max(pos) + 8 - min(pos) AS BIGINT) AS span_tokens
+         |FROM s3 GROUP BY doc_id, span
+         |HAVING max(pos) + 8 - min(pos) >= 12""".stripMargin,
     "pipe_q39_unigram_logprob" ->
       """WITH d AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
         |tk AS (SELECT doc_id, unnest(ts) AS tok,
