@@ -270,6 +270,38 @@ object TextPipeline {
         (col("e0") - col("s0")).cast("long").as("span_tokens"))
   }
 
+  /** The ACTIONABLE half of [[duplicateSpans]]: cut the duplicated
+    * spans out and return the scrubbed text — one row per input doc:
+    * `(idCol, clean_text, removed_tokens)`. Docs without spans keep
+    * their text byte-identical; scrubbed docs re-join surviving tokens
+    * with single spaces (the corpus is already whitespace-normalized by
+    * the time span dedup runs — see [[TextFunctions.normalize]]).
+    * Span removal is a LEFT join of docs to their collected span lists
+    * (span count per doc is text-bounded) + a map-side indexed filter —
+    * no extra shuffle beyond [[duplicateSpans]]' own. */
+  def removeDuplicateSpans(docs: DataFrame, idCol: String, textCol: String,
+                           k: Int = 8, minSpanTokens: Int = 16): DataFrame = {
+    val spans = duplicateSpans(docs, idCol, textCol, k, minSpanTokens)
+      .groupBy(col(idCol))
+      .agg(collect_list(struct(col("span_start"), col("span_end")))
+        .as("spans"))
+    val toks = TextFunctions.tokens(col(textCol))
+    val indexed = zip_with(toks,
+      sequence(lit(0L), size(toks).cast("long") - 1L),
+      (t, i) => struct(t.as("t"), i.as("i")))
+    val kept = filter(indexed, x => !exists(col("spans"), s =>
+      x.getField("i") >= s.getField("span_start") &&
+        x.getField("i") < s.getField("span_end")))
+    docs.join(spans, Seq(idCol), "left")
+      .select(col(idCol),
+        when(col("spans").isNull, col(textCol))
+          .otherwise(array_join(transform(kept, _.getField("t")), " "))
+          .as("clean_text"),
+        coalesce(aggregate(col("spans"), lit(0L), (acc, s) =>
+          acc + s.getField("span_end") - s.getField("span_start")), lit(0L))
+          .as("removed_tokens"))
+  }
+
   def unigramLogProb(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val toks = docs.select(col(idCol),
       posexplode(graft.functions.TextFunctions.tokens(col(textCol)))

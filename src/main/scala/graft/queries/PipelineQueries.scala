@@ -293,6 +293,13 @@ object PipelineQueries {
       graft.operators.TextPipeline.duplicateSpans(
         load(s, dir, "documents"), "doc_id", "text",
         k = 8, minSpanTokens = 12)),
+    // the actionable half: spans cut out, scrubbed text back — docs
+    // without spans stay byte-identical, scrubbed docs re-join their
+    // surviving tokens
+    "pipe_q53_span_scrub" -> ((s, dir) =>
+      graft.operators.TextPipeline.removeDuplicateSpans(
+        load(s, dir, "documents"), "doc_id", "text",
+        k = 8, minSpanTokens = 12)),
     // count-min heavy hitters over the same domain stream: the sketch is
     // depth×width counters built in ONE partial-aggregated pass (a few
     // KB shuffled regardless of input size — the bounded-memory answer
@@ -1558,6 +1565,44 @@ object PipelineQueries {
          |  CAST(max(pos) + 8 - min(pos) AS BIGINT) AS span_tokens
          |FROM s3 GROUP BY doc_id, span
          |HAVING max(pos) + 8 - min(pos) >= 12""".stripMargin,
+    // q52's span CTEs + token-level anti-filter; fully-covered docs
+    // scrub to the empty string, span-free docs keep their text
+    "pipe_q53_span_scrub" ->
+      s"""WITH shl AS (SELECT doc_id, ${duckShingles(8)} AS l FROM documents),
+         |sh0 AS (SELECT doc_id, unnest(range(0, len(l))) AS pos,
+         |  unnest(l) AS s FROM shl),
+         |sh AS (SELECT doc_id, pos,
+         |  ${graft.functions.Hashing.duckHash64("s")} AS h FROM sh0),
+         |dup AS (SELECT h FROM sh GROUP BY h
+         |  HAVING count(DISTINCT doc_id) >= 2),
+         |m AS (SELECT doc_id, pos FROM sh JOIN dup USING (h)),
+         |g AS (SELECT doc_id, pos, max(pos + 8) OVER (PARTITION BY doc_id
+         |    ORDER BY pos ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+         |    AS prev_max FROM m),
+         |s2 AS (SELECT doc_id, pos, CASE WHEN prev_max IS NULL
+         |    OR pos > prev_max THEN 1 ELSE 0 END AS ns FROM g),
+         |s3 AS (SELECT doc_id, pos, sum(ns) OVER (PARTITION BY doc_id
+         |    ORDER BY pos) AS span FROM s2),
+         |sp AS (SELECT doc_id, min(pos) AS span_start,
+         |    max(pos) + 8 AS span_end FROM s3 GROUP BY doc_id, span
+         |  HAVING max(pos) + 8 - min(pos) >= 12),
+         |tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+         |tk AS (SELECT doc_id, unnest(range(0, len(t))) AS i,
+         |  unnest(t) AS w FROM tok),
+         |kt AS (SELECT tk.doc_id, tk.i, tk.w FROM tk
+         |  WHERE NOT EXISTS (SELECT 1 FROM sp WHERE sp.doc_id = tk.doc_id
+         |    AND tk.i >= sp.span_start AND tk.i < sp.span_end)),
+         |ct AS (SELECT doc_id, array_to_string(list(w ORDER BY i), ' ')
+         |    AS clean FROM kt GROUP BY doc_id),
+         |rem AS (SELECT doc_id, sum(span_end - span_start) AS r
+         |  FROM sp GROUP BY doc_id)
+         |SELECT d.doc_id,
+         |  CASE WHEN rem.doc_id IS NULL THEN d.text
+         |    ELSE coalesce(ct.clean, '') END AS clean_text,
+         |  CAST(coalesce(rem.r, 0) AS BIGINT) AS removed_tokens
+         |FROM documents d
+         |LEFT JOIN ct ON ct.doc_id = d.doc_id
+         |LEFT JOIN rem ON rem.doc_id = d.doc_id""".stripMargin,
     "pipe_q39_unigram_logprob" ->
       """WITH d AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
         |tk AS (SELECT doc_id, unnest(ts) AS tok,
