@@ -54,6 +54,29 @@ class BlockHistSpec extends SparkSpec {
     assert(back("db").map(sparse).toSeq === floatHist.map(sparse))
   }
 
+  test("NHCB (schema -53) histograms round-trip through a block with layout cuts") {
+    val dir = tmpDir("graft_blockhist_nhcb_")
+    def nhcb(time: Long, cnt: Double, custom: Seq[Double]) =
+      WalReader.WalHistogram(0L, time, 0, -53, 0.0, 0.0, cnt, cnt / 2,
+        Seq((0, 1.0), (1, cnt - 1.0)), Nil, custom, isFloat = false)
+    // a custom-bounds change mid-series must cut a NEW chunk (one chunk
+    // = one layout), exactly as the Prometheus appender refuses
+    // non-appendable histograms
+    val hists = Seq(
+      nhcb(1000L, 3.0, Seq(0.1, 2.5)), nhcb(2000L, 5.0, Seq(0.1, 2.5)),
+      nhcb(3000L, 7.0, Seq(0.25, 1.0, 4.0)))
+    val series = Seq(TsdbBlockWriter.SeriesData(
+      Seq("__name__" -> "nhcb"), Array.emptyLongArray,
+      Array.emptyDoubleArray, hists))
+    val (_, nChunks, nSamples) = TsdbBlockWriter.writeBlock(dir, series)
+    assert((nChunks, nSamples) === ((2L, 3L)))
+    val back = TsdbBlockRecords.readHistograms(spark, dir).collect()
+      .map(_._2).sortBy(_.time)
+    assert(back.map(h => (h.time, h.schema, h.customValues,
+      h.positive.filter(_._2 != 0.0))).toSeq ===
+      hists.map(h => (h.time, h.schema, h.customValues, h.positive)))
+  }
+
   test("interleaved float/histogram samples in one series fail loudly") {
     val dir = tmpDir("graft_blockhist_mix_")
     val s = TsdbBlockWriter.SeriesData(Seq("__name__" -> "x"),
