@@ -263,6 +263,37 @@ object TsdbQueries {
           col("labels").getItem("le").as("le"),
           round(col("value"), 4).as("value"))
     }),
+    // Q150: OTLP SUMMARY data points (Metric oneof field 11) — the
+    // shape a client-library latency metric reaches the collector in:
+    // per-(name, user) count/sum plus exact interpolated quantiles
+    // (what a client SDK's sketch reports), encoded through the binary
+    // summary framing and translated back per Prometheus's
+    // otlptranslator — {name}{quantile="φ"}, {name}_sum, {name}_count.
+    // Oracle: DuckDB quantile_cont/count/sum replayed over the events.
+    "tsdb_q150_otlp_summary" -> ((s, dir) => {
+      val phis = Seq(0.5, 0.9, 0.99)
+      val rows = table(s, dir).select(RangeStart, RangeEnd, Nil).toDF()
+        .groupBy(col("`labels.name`").as("name"),
+          col("`labels.user`").as("user"))
+        .agg(count(lit(1)).cast("double").as("count"),
+          sum(col("value")).as("sum"),
+          percentile(col("value"),
+            array(phis.map(lit(_)): _*)).as("qv"))
+        .select(lit(RangeEnd).as("time"),
+          map(lit("__name__"), col("name"), lit("user"), col("user"))
+            .as("labels"),
+          col("count"), col("sum"),
+          array(phis.zipWithIndex.map { case (p, i) =>
+            struct(lit(p).as("q"), element_at(col("qv"), i + 1).as("v"))
+          }: _*).as("quantiles"))
+      graft.tsdb.OtlpProto.decodeSummaryRequests(
+          graft.tsdb.OtlpProto.encodeSummaryRequests(rows))
+        .select(
+          col("labels").getItem("__name__").as("series"),
+          col("labels").getItem("user").as("user"),
+          col("labels").getItem("quantile").as("quantile"),
+          round(col("value"), 4).as("value"))
+    }),
     // Q146: NATIVE HISTOGRAMS THROUGH A WRITTEN BLOCK — Q117's grid
     // pushed one tier further down the lifecycle: the exponential
     // histograms land in the WAL (kind-7 records), HEAD COMPACTION
@@ -411,6 +442,55 @@ object TsdbQueries {
           element_at(h.getField("counts"), 9).cast("long").as("c_64_128"),
           element_at(h.getField("counts"), 12).cast("long").as("c_inf"),
           round(histQuantile(h, 0.5), 6).as("phi"))
+    }),
+    // Q151: NATIVE HISTOGRAMS in SAMPLED remote-read responses — the
+    // prompb `TimeSeries.histograms` field (types.proto field 4), what
+    // a client that does NOT negotiate STREAMED_XOR_CHUNKS reads. Two
+    // matcher queries (one name-Eq full range, one day-windowed
+    // user-regex) served off the WAL's full-fidelity hist frame,
+    // decoded back client-side, densified and merged per (query,
+    // series). Oracle: each query's matcher + day-window predicate
+    // replayed as bucket arithmetic over the raw events.
+    "tsdb_q151_remote_read_hist_sampled" -> ((s, dir) => {
+      import graft.tsdb.NativeHistogram._
+      import graft.tsdb.RemoteRead
+      val day = 86400000L
+      val daily = buildExp(
+        table(s, dir).select(RangeStart, RangeEnd, Nil).toDF()
+          .withColumn("day", floor(col("time") / lit(day.toDouble)).cast("long")),
+        Seq(col("`labels.name`").as("name"), col("`labels.user`").as("user"),
+          col("day")),
+        col("value"), schema = 0, minExp = 0, maxExp = 9)
+        .select((col("day") * day + day / 2).as("time"),
+          map(lit("name"), col("name"), lit("user"), col("user")).as("labels"),
+          col("hist"))
+      val walDir = Tables.scratchDir("graft_q151_wal")
+      graft.sources.tsdbblock.TsdbWalWriter.writeHistograms(daily, walDir,
+        schemaId = 0, minExp = 0, maxExp = 9, float = false)
+      val hs = graft.sources.tsdbblock.TsdbWalRecords
+        .readHistogramsFull(s, walDir)
+      val req = RemoteRead.encodeReadRequest(RemoteRead.ReadRequest(Seq(
+        RemoteRead.ReadQuery(Long.MinValue, Long.MaxValue,
+          Seq(graft.model.Matcher.Eq("name", "click"))),
+        RemoteRead.ReadQuery(RangeStart, RangeStart + 10 * day,
+          Seq(graft.model.Matcher.Re("user", "1.*"))))))
+      val rows = RemoteRead.decodeReadResponseHists(
+        RemoteRead.serveHists(hs, req))
+      import s.implicits._
+      // thread the query index through densify inside the label set
+      val sparse = s.createDataset(rows.map { case (qi, h) =>
+        h.copy(labels = h.labels + ("__q" -> qi.toString)) })
+      graft.tsdb.RemoteWrite.denseFromSparse(sparse,
+          schemaId = 0, minExp = 0, maxExp = 9)
+        .select(col("labels").getItem("__q").cast("int").as("qidx"),
+          col("labels").getItem("name").as("name"),
+          col("labels").getItem("user").as("user"), col("hist"))
+        .groupBy(col("qidx"), col("name"), col("user"))
+        .agg(sum(col("hist.count")).cast("long").as("n"),
+          round(sum(col("hist.sum")), 4).as("sum_v"),
+          sum(element_at(col("hist.counts"), 2)).cast("long").as("c_le1"),
+          sum(element_at(col("hist.counts"), 9)).cast("long").as("c_64_128"),
+          sum(element_at(col("hist.counts"), 12)).cast("long").as("c_inf"))
     }),
     // Q149: `promtool tsdb list` — the per-block inventory an operator
     // prints before any data-dir surgery: ULID, window, duration and
@@ -3885,12 +3965,60 @@ object TsdbQueries {
     // folded into the first bound), +Inf/count = row count, sum 4dp
     "tsdb_q142_otlp_classic_hist" -> histClassicOracle,
     "tsdb_q145_otlp_proto_classic_hist" -> histClassicOracle,
+    // summary replay: exact interpolated quantiles (quantile_cont and
+    // Spark's percentile share the (n-1)·φ linear-interpolation
+    // definition), count and sum per (name, user) — the wire round trip
+    // through the summary framing is lossless (fixed64 double bits)
+    "tsdb_q150_otlp_summary" ->
+      s"""$duckTsdbCte,
+         |f AS (SELECT "labels.name" AS name, "labels.user" AS "user", value
+         |  FROM t WHERE time > $RangeStart AND time < $RangeEnd),
+         |g AS (SELECT name, "user", count(*) AS n, sum(value) AS sv,
+         |  quantile_cont(value, 0.5) AS q50, quantile_cont(value, 0.9) AS q90,
+         |  quantile_cont(value, 0.99) AS q99 FROM f GROUP BY 1, 2),
+         |qs AS (
+         |  SELECT name AS series, "user", '0.5' AS quantile,
+         |    round(q50, 4) AS value FROM g
+         |  UNION ALL SELECT name, "user", '0.9', round(q90, 4) FROM g
+         |  UNION ALL SELECT name, "user", '0.99', round(q99, 4) FROM g),
+         |cs AS (SELECT name || '_count' AS series, "user",
+         |  CAST(NULL AS VARCHAR) AS quantile, CAST(n AS DOUBLE) AS value
+         |  FROM g),
+         |ss AS (SELECT name || '_sum' AS series, "user",
+         |  CAST(NULL AS VARCHAR) AS quantile, round(sv, 4) AS value FROM g)
+         |SELECT * FROM qs UNION ALL SELECT * FROM cs
+         |UNION ALL SELECT * FROM ss""".stripMargin,
     "tsdb_q117_wal_native_hist" -> histExpOracle,
     // same grid, one tier further down: through a written block / the
     // compactor — losslessness IS the assertion
     "tsdb_q146_block_native_hist" -> histExpOracle,
     "tsdb_q147_hist_compaction" -> histExpOracle,
     "tsdb_q148_remote_read_hist_chunked" -> histExpOracle,
+    // SAMPLED histogram remote read: per-query matcher + day-window
+    // predicates replayed as bucket arithmetic over the raw events
+    // (daily snapshots at d·day + day/2 ⇒ a [RangeStart, RangeStart +
+    // 10d] snapshot window ≡ an event-time window of the same 10 days)
+    "tsdb_q151_remote_read_hist_sampled" ->
+      s"""$duckTsdbCte,
+         |f AS (SELECT "labels.name" AS name, "labels.user" AS "user",
+         |    time, value
+         |  FROM t WHERE time > $RangeStart AND time < $RangeEnd),
+         |sel AS (
+         |  SELECT 0 AS qidx, name, "user", value FROM f
+         |  WHERE name = 'click'
+         |  UNION ALL
+         |  SELECT 1, name, "user", value FROM f
+         |  WHERE regexp_matches("user", '^(?:1.*)$$')
+         |    AND time < ${RangeStart + 10L * 86400000L})
+         |SELECT qidx, name, "user", count(*) AS n,
+         |  round(sum(value), 4) AS sum_v,
+         |  CAST(sum(CASE WHEN value > 0 AND value <= 1 THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS c_le1,
+         |  CAST(sum(CASE WHEN value > 64 AND value <= 128 THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS c_64_128,
+         |  CAST(sum(CASE WHEN value > 512 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS c_inf
+         |FROM sel GROUP BY 1, 2, 3""".stripMargin,
     // the engine wrote these meta.json files at a fixed path; the
     // oracle re-reads them with an independent JSON parser
     "tsdb_q149_block_list" ->

@@ -13,9 +13,12 @@ import RemoteWrite.{ProtoReader, ProtoWriter, SparseHist}
   * ResourceMetrics{resource = 1, scope_metrics = 2};
   * ScopeMetrics{scope = 1, metrics = 2};
   * Metric{name = 1, gauge = 5, sum = 7, histogram = 9,
-  * exponential_histogram = 10};
+  * exponential_histogram = 10, summary = 11};
   * NumberDataPoint{time_unix_nano = 3 fixed64, as_double = 4,
   * as_int = 6 sfixed64, attributes = 7};
+  * SummaryDataPoint{time_unix_nano = 3 fixed64, count = 4 fixed64,
+  * sum = 5, quantile_values = 6 {quantile = 1, value = 2},
+  * attributes = 7};
   * ExponentialHistogramDataPoint{attributes = 1, time = 3, count = 4
   * fixed64, sum = 5, scale = 6 sint32, zero_count = 7 fixed64,
   * positive = 8, negative = 9, zero_threshold = 14} with
@@ -108,9 +111,10 @@ object OtlpProto {
     * [[SampleReaders.fromOtlpHistogramJsonLines]]'s mapping over the
     * binary framing: cumulative `<name>_bucket{le=<bound>}`,
     * `_bucket{le="+Inf"}` = count, `_count`, `_sum`. Map-side.
-    * HistogramDataPoint{attributes = 1, time_unix_nano = 3 fixed64,
-    * count = 4 fixed64, sum = 5, bucket_counts = 6 packed fixed64,
-    * explicit_bounds = 7 packed double}. */
+    * HistogramDataPoint{time_unix_nano = 3 fixed64, count = 4 fixed64,
+    * sum = 5, bucket_counts = 6 packed fixed64, explicit_bounds = 7
+    * packed double, attributes = 9 — field 1 is `reserved` (the removed
+    * v0.x StringKeyValue labels), NOT attributes}. */
   def decodeClassicHistRequests(payloads: Dataset[Array[Byte]]): DataFrame = {
     val spark = payloads.sparkSession
     import spark.implicits._
@@ -149,7 +153,7 @@ object OtlpProto {
                   bounds += java.lang.Double.longBitsToDouble(pr.fixed64())
               case (7, 1) =>
                 bounds += java.lang.Double.longBitsToDouble(dp.fixed64())
-              case (1, 2) =>
+              case (9, 2) =>
                 val (as, ae) = dp.delimited()
                 readAttr(raw, as, ae).foreach(kv => attrs += kv)
               case (_, w) => dp.skip(w)
@@ -172,6 +176,79 @@ object OtlpProto {
       }
     }
     out.result()
+  }
+
+  /** SUMMARY data points of every request → classic Prometheus series,
+    * per the otlptranslator mapping (`prometheus/storage/remote/
+    * otlptranslator`, `addSummary`): each quantile value becomes
+    * `{name}{quantile="φ"}` (φ rendered like Go's
+    * `strconv.FormatFloat(q, 'f', -1, 64)`), plus `{name}_count` and
+    * `{name}_sum`. Field 11 of the Metric oneof — the one a
+    * client-library latency metric exported through an OTel collector
+    * lands on; dropping it would 200-ack the push and lose the data
+    * (the exact failure class the explicit-bounds path closed). */
+  def decodeSummaryRequests(payloads: Dataset[Array[Byte]]): DataFrame = {
+    val spark = payloads.sparkSession
+    import spark.implicits._
+    payloads.flatMap(decodeSummaries _)
+      .toDF("time", "value", "labels")
+  }
+
+  private[tsdb] def decodeSummaries(raw: Array[Byte])
+      : Seq[(Long, Double, Map[String, String])] = {
+    val out = Seq.newBuilder[(Long, Double, Map[String, String])]
+    foreachMetric(raw) { (name, field, s, e) =>
+      if (field == 11) { // summary
+        val g = new ProtoReader(raw, s, e)
+        while (g.hasMore) g.key() match {
+          case (1, 2) => // data_points
+            val (ds, de) = g.delimited()
+            val dp = new ProtoReader(raw, ds, de)
+            var t = 0L; var count = 0.0; var sum = 0.0
+            var attrs = Map.empty[String, String]
+            val qs = Seq.newBuilder[(Double, Double)]
+            while (dp.hasMore) dp.key() match {
+              case (3, 1) => t = dp.fixed64()
+              case (4, 1) => count = dp.fixed64().toDouble
+              case (5, 1) =>
+                sum = java.lang.Double.longBitsToDouble(dp.fixed64())
+              case (6, 2) => // ValueAtQuantile
+                val (vs, ve) = dp.delimited()
+                val vr = new ProtoReader(raw, vs, ve)
+                var q = 0.0; var v = 0.0
+                while (vr.hasMore) vr.key() match {
+                  case (1, 1) =>
+                    q = java.lang.Double.longBitsToDouble(vr.fixed64())
+                  case (2, 1) =>
+                    v = java.lang.Double.longBitsToDouble(vr.fixed64())
+                  case (_, w) => vr.skip(w)
+                }
+                qs += ((q, v))
+              case (7, 2) =>
+                val (as, ae) = dp.delimited()
+                readAttr(raw, as, ae).foreach(kv => attrs += kv)
+              case (_, w) => dp.skip(w)
+            }
+            val ms = divNsToMs(t)
+            qs.result().foreach { case (q, v) =>
+              out += ((ms, v, attrs ++ Map(
+                "__name__" -> name, "quantile" -> fmtQuantile(q))))
+            }
+            out += ((ms, count, attrs + ("__name__" -> (name + "_count"))))
+            out += ((ms, sum, attrs + ("__name__" -> (name + "_sum"))))
+          case (_, w) => g.skip(w)
+        }
+      }
+    }
+    out.result()
+  }
+
+  /** Go `strconv.FormatFloat(q, 'f', -1, 64)` for the quantile label:
+    * shortest plain-decimal form — 0.5 → "0.5", 1 → "1", 0.99 → "0.99"
+    * (Java's `Double.toString` would render 1.0 as "1.0"). */
+  private[tsdb] def fmtQuantile(q: Double): String = {
+    val bd = java.math.BigDecimal.valueOf(q).stripTrailingZeros()
+    bd.toPlainString
   }
 
   private def decodeExpPoint(raw: Array[Byte], from: Int, until: Int,
@@ -240,7 +317,7 @@ object OtlpProto {
                 while (m.hasMore) m.key() match {
                   case (1, 2) => name = m.string()
                   case (fld, 2) if fld == 5 || fld == 7 ||
-                      fld == 9 || fld == 10 =>
+                      fld == 9 || fld == 10 || fld == 11 =>
                     val (s, e) = m.delimited(); spans += ((fld, s, e))
                   case (_, w) => m.skip(w)
                 }
@@ -354,7 +431,7 @@ object OtlpProto {
       .as[(Long, Map[String, String], Double, Double, Seq[Double], Seq[Double])]
       .mapPartitions(_.map { case (t, labels, count, sum, bounds, bc) =>
         val dp = new ProtoWriter
-        attrBytes(labels).foreach(a => dp.bytes(1, a))
+        attrBytes(labels).foreach(a => dp.bytes(9, a))
         dp.fixed64(3, t * 1000000L)
         dp.fixed64(4, count.toLong)
         dp.fixed64(5, java.lang.Double.doubleToLongBits(sum))
@@ -373,6 +450,34 @@ object OtlpProto {
         val hist = new ProtoWriter
         hist.bytes(1, dp.toBytes)
         wrapMetric(labels.getOrElse("__name__", ""), 9, hist.toBytes)
+      })(Encoders.BINARY)
+  }
+
+  /** The summary encoder twin: `(time, labels with `__name__`, count,
+    * sum, quantiles array<struct<q,v>>)` rows to one single-point
+    * summary request each (Metric oneof field 11), map-side. */
+  def encodeSummaryRequests(df: DataFrame): Dataset[Array[Byte]] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col("time").cast("long"), col("labels"),
+        col("count").cast("double"), col("sum").cast("double"),
+        col("quantiles").cast("array<struct<q:double,v:double>>"))
+      .as[(Long, Map[String, String], Double, Double, Seq[(Double, Double)])]
+      .mapPartitions(_.map { case (t, labels, count, sum, quantiles) =>
+        val dp = new ProtoWriter
+        dp.fixed64(3, t * 1000000L)
+        dp.fixed64(4, count.toLong)
+        dp.fixed64(5, java.lang.Double.doubleToLongBits(sum))
+        quantiles.foreach { case (q, v) =>
+          val vq = new ProtoWriter
+          vq.fixed64(1, java.lang.Double.doubleToLongBits(q))
+          vq.fixed64(2, java.lang.Double.doubleToLongBits(v))
+          dp.bytes(6, vq.toBytes)
+        }
+        attrBytes(labels).foreach(a => dp.bytes(7, a))
+        val summary = new ProtoWriter
+        summary.bytes(1, dp.toBytes)
+        wrapMetric(labels.getOrElse("__name__", ""), 11, summary.toBytes)
       })(Encoders.BINARY)
   }
 

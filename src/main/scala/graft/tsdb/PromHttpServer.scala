@@ -851,12 +851,14 @@ final class PromHttpServer(spark: SparkSession, initial: DataFrame,
       case scala.util.control.NonFatal(e) => throw new IllegalArgumentException(
         s"malformed OTLP protobuf payload: $e")
     })
-    // gauge/sum points PLUS explicit-bounds histograms — Prometheus's
-    // OTLP endpoint translates the latter into classic _bucket/_count/
-    // _sum series; dropping them would 200-ack a standard collector
-    // pipeline while losing all its histogram data
+    // gauge/sum points PLUS explicit-bounds histograms PLUS summaries —
+    // Prometheus's OTLP endpoint translates the former into classic
+    // _bucket/_count/_sum series and the latter into
+    // {name}{quantile}/_sum/_count series; dropping either would
+    // 200-ack a standard collector pipeline while losing its data
     val decoded = (try
-      OtlpProto.decodeSamples(raw) ++ OtlpProto.decodeClassicHists(raw)
+      OtlpProto.decodeSamples(raw) ++ OtlpProto.decodeClassicHists(raw) ++
+        OtlpProto.decodeSummaries(raw)
     catch {
       case scala.util.control.NonFatal(e) => throw new IllegalArgumentException(
         s"malformed OTLP protobuf payload: $e")
@@ -884,28 +886,30 @@ final class PromHttpServer(spark: SparkSession, initial: DataFrame,
     val req = RemoteRead.decodeReadRequest(body)
     val wantsChunks = req.acceptedResponseTypes
       .contains(RemoteRead.ResponseStreamedXorChunks)
+    // per-REQUEST native-vs-float routing, the remote-read analogue of
+    // the query endpoints' per-selector rule: when every query's metric
+    // matcher names a pushed-native metric, the response carries
+    // HISTOGRAMS from the sparse head — in BOTH negotiated forms
+    // (chunked frames AND the SAMPLED prompb `TimeSeries.histograms`
+    // field; a client that does not negotiate STREAMED_XOR_CHUNKS must
+    // not silently see float-less series). Otherwise the float tier
+    // serves as before (a mixed request reads the float tier — the two
+    // streams cannot interleave and stay labels.Compare sorted).
+    val allHist = histSparseHead.nonEmpty && req.queries.nonEmpty &&
+      req.queries.forall { q =>
+        // wire matchers carry raw patterns; the gate (like the serve
+        // path) applies Prometheus's anchored semantics
+        val nameMs = PromQL.anchorMatchers(q.matchers).filter(m =>
+          m.name == "__name__" || m.name == "name")
+        val stored = synchronized(histMetricNames)
+        nameMs.nonEmpty &&
+          stored.exists(m => nameMs.forall(matchesMetric(_, m)))
+      }
     if (wantsChunks) {
       ex.getResponseHeaders.set("Content-Type",
         "application/x-streamed-protobuf; proto=prometheus.ChunkedReadResponse")
       ex.sendResponseHeaders(200, 0) // 0 = chunked transfer encoding
       val out = ex.getResponseBody
-      // per-REQUEST native-vs-float routing, the remote-read analogue
-      // of the query endpoints' per-selector rule: when every query's
-      // metric matcher names a pushed-native metric, the stream carries
-      // HISTOGRAM chunks from the sparse head; otherwise the float
-      // stream serves as before (a mixed request reads the float tier —
-      // the two streams cannot interleave and stay labels.Compare
-      // sorted)
-      val allHist = histSparseHead.nonEmpty && req.queries.nonEmpty &&
-        req.queries.forall { q =>
-          // wire matchers carry raw patterns; the gate (like the serve
-          // path) applies Prometheus's anchored semantics
-          val nameMs = PromQL.anchorMatchers(q.matchers).filter(m =>
-            m.name == "__name__" || m.name == "name")
-          val stored = synchronized(histMetricNames)
-          nameMs.nonEmpty &&
-            stored.exists(m => nameMs.forall(matchesMetric(_, m)))
-        }
       val frames =
         (if (allHist)
           RemoteRead.serveChunkedHists(histSparseHead.get, body)
@@ -914,7 +918,9 @@ final class PromHttpServer(spark: SparkSession, initial: DataFrame,
       while (frames.hasNext) out.write(frames.next())
       out.flush()
     } else {
-      val resp = RemoteRead.serve(TsdbTable(wide), body)
+      val resp =
+        if (allHist) RemoteRead.serveHists(histSparseHead.get, body)
+        else RemoteRead.serve(TsdbTable(wide), body)
       ex.getResponseHeaders.set("Content-Type", "application/x-protobuf")
       ex.getResponseHeaders.set("Content-Encoding", "snappy")
       ex.sendResponseHeaders(200, resp.length)

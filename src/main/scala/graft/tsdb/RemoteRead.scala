@@ -319,6 +319,126 @@ object RemoteRead {
     samples.result().map { case (ts, v) => (ts, v, ls) }
   }
 
+  /** One query's matched slice of a FULL-fidelity histogram frame
+    * (`(labels, WalHistogram)` — the WAL/block scans' shape): label
+    * keys matched verbatim (this frame was never renamed on ingest),
+    * wire matchers ANCHORED, absent label ≡ "", range inclusive. The
+    * shared selection of [[serveHists]] and [[serveChunkedHists]]. */
+  private def histSlice(
+      hs: Dataset[(Map[String, String],
+        graft.sources.tsdbblock.WalReader.WalHistogram)],
+      q: ReadQuery): DataFrame = {
+    val lo = if (q.startMs == Long.MinValue) Long.MinValue else q.startMs - 1
+    val hi = if (q.endMs == Long.MaxValue) Long.MaxValue else q.endMs + 1
+    def lcol(n: String) =
+      coalesce(element_at(col("_1"), n), lit(""))
+    val residual = PromQL.anchorMatchers(q.matchers).map {
+      case Matcher.Eq(n, v)    => lcol(n) === v
+      case Matcher.NotEq(n, v) => lcol(n) =!= v
+      case Matcher.Re(n, p)    => lcol(n).rlike(p)
+      case Matcher.NotRe(n, p) => !lcol(n).rlike(p)
+    }.foldLeft(lit(true))(_ && _)
+    hs.toDF()
+      .where(residual && col("_2.time") > lo && col("_2.time") < hi)
+  }
+
+  /** SAMPLED responses for NATIVE-HISTOGRAM series: the snappy
+    * `ReadResponse` whose `TimeSeries.histograms` (prompb field 4)
+    * carries the pushed histograms — what a client that does NOT
+    * negotiate STREAMED_XOR_CHUNKS reads; filling only `samples` would
+    * silently show such a client float-less series. Histograms ride in
+    * the float prompb form (every field is carried exactly; Prometheus
+    * itself serves float-form conversions of integer histograms). Same
+    * input frame and matcher semantics as [[serveChunkedHists]];
+    * per-series encode runs distributed, series sorted labels.Compare
+    * on the driver (one HTTP body — the SAMPLED protocol's own
+    * constraint, bounded by the query's selectivity). */
+  def serveHists(
+      hs: Dataset[(Map[String, String],
+        graft.sources.tsdbblock.WalReader.WalHistogram)],
+      requestBytes: Array[Byte]): Array[Byte] = {
+    import graft.sources.tsdbblock.WalReader
+    val sp = hs.sparkSession
+    import sp.implicits._
+    val req = decodeReadRequest(requestBytes)
+    val w = new ProtoWriter
+    req.queries.foreach { q =>
+      val series: Array[(String, Array[Byte])] = histSlice(hs, q)
+        .select(array_sort(map_entries(col("_1"))).as("entries"),
+          col("_2").as("hist"))
+        .groupBy(col("entries"))
+        .agg(collect_list(col("hist")).as("hists"))
+        .as[(Seq[(String, String)], Seq[WalReader.WalHistogram])]
+        .mapPartitions(_.map { case (entries, hists) =>
+          val sw = new ProtoWriter
+          entries.foreach { case (n, v) =>
+            val lw = new ProtoWriter
+            lw.string(1, n); lw.string(2, v)
+            sw.bytes(1, lw.toBytes)
+          }
+          hists.sortBy(_.time).foreach { h =>
+            sw.bytes(4, RemoteWrite.encodeHistogram(RemoteWrite.SparseHist(
+              h.time, Map.empty, h.count, h.sum, h.schema,
+              h.zeroThreshold, h.zeroCount, h.positive, h.negative)))
+          }
+          (labelSortKey(entries), sw.toBytes)
+        })
+        .collect()
+      val qw = new ProtoWriter
+      series.sortBy(_._1)(utf8ByteOrder).foreach(s => qw.bytes(1, s._2))
+      w.bytes(1, qw.toBytes)
+    }
+    Snappy.compress(w.toBytes)
+  }
+
+  /** Decode a snappy `ReadResponse`'s HISTOGRAM series — one
+    * `(query_index, SparseHist)` per histogram, labels attached — the
+    * client side of [[serveHists]] (and the oracle's replay path). */
+  def decodeReadResponseHists(payload: Array[Byte])
+      : Seq[(Int, RemoteWrite.SparseHist)] = {
+    val raw = Snappy.uncompress(payload)
+    val r = new ProtoReader(raw, 0, raw.length)
+    val out = Seq.newBuilder[(Int, RemoteWrite.SparseHist)]
+    var qidx = 0
+    while (r.hasMore) r.key() match {
+      case (1, 2) =>
+        val (qs, qe) = r.delimited()
+        val qr = new ProtoReader(raw, qs, qe)
+        while (qr.hasMore) qr.key() match {
+          case (1, 2) =>
+            val (ss, se) = qr.delimited()
+            val sr = new ProtoReader(raw, ss, se)
+            val labels = Map.newBuilder[String, String]
+            val spans = Seq.newBuilder[(Int, Int)]
+            while (sr.hasMore) sr.key() match {
+              case (1, 2) =>
+                val (ls, le) = sr.delimited()
+                val lr = new ProtoReader(raw, ls, le)
+                var n = ""; var v = ""
+                while (lr.hasMore) lr.key() match {
+                  case (1, 2) => n = lr.string()
+                  case (2, 2) => v = lr.string()
+                  case (_, w) => lr.skip(w)
+                }
+                labels += (n -> v)
+              case (4, 2) =>
+                val (hs, he) = sr.delimited()
+                spans += ((hs, he))
+              case (_, w) => sr.skip(w)
+            }
+            // labels may wire-legally follow histograms: decode after
+            val ls = labels.result()
+            spans.result().foreach { case (hs, he) =>
+              out += ((qidx, RemoteWrite.decodeHistogram(raw, hs, he, ls)))
+            }
+          case (_, w) => qr.skip(w)
+        }
+        qidx += 1
+      case (_, w) => r.skip(w)
+    }
+    out.result()
+  }
+
   // ---- STREAMED_XOR_CHUNKS response (ResponseType 1) ----------------
 
   /** Samples per XOR chunk — Prometheus's chunk fill target, the same
@@ -404,18 +524,7 @@ object RemoteRead {
     val req = decodeReadRequest(requestBytes)
     if (req.queries.isEmpty) return sp.emptyDataset[Array[Byte]]
     val keyed = req.queries.zipWithIndex.map { case (q, qi) =>
-      val lo = if (q.startMs == Long.MinValue) Long.MinValue else q.startMs - 1
-      val hi = if (q.endMs == Long.MaxValue) Long.MaxValue else q.endMs + 1
-      def lcol(n: String) =
-        coalesce(element_at(col("_1"), n), lit(""))
-      val residual = PromQL.anchorMatchers(q.matchers).map {
-        case Matcher.Eq(n, v)    => lcol(n) === v
-        case Matcher.NotEq(n, v) => lcol(n) =!= v
-        case Matcher.Re(n, p)    => lcol(n).rlike(p)
-        case Matcher.NotRe(n, p) => !lcol(n).rlike(p)
-      }.foldLeft(lit(true))(_ && _)
-      hs.toDF()
-        .where(residual && col("_2.time") > lo && col("_2.time") < hi)
+      histSlice(hs, q)
         .select(lit(qi).as("qi"),
           array_sort(map_entries(col("_1"))).as("entries"),
           col("_2").as("hist"))

@@ -340,6 +340,31 @@ class PromHttpServerSpec extends SparkSpec {
     assert(cb == 200 && bb.contains(""""value":[8.000,"0.75"]"""), bb)
   }
 
+  test("OTLP summary data points land as quantile/_sum/_count series") {
+    // Metric oneof field 11 — the shape client-library latency metrics
+    // reach a collector in; Prometheus's otlptranslator maps each
+    // quantile value to {name}{quantile="φ"} plus _sum/_count series.
+    // A receiver that 200-acks while dropping them loses the data.
+    val payload = OtlpProto.encodeSummaryRequests(Seq(
+      (9000L, Map("__name__" -> "osum", "user" -> "s"),
+        4.0, 10.0, Seq((0.5, 2.5), (0.99, 7.25))))
+      .toDF("time", "labels", "count", "sum", "quantiles"))
+      .head()
+    assert(post("/api/v1/otlp/v1/metrics", payload)._1 == 200)
+    val (cq, bq) = get("/api/v1/query?query=" +
+      java.net.URLEncoder.encode("""{name="osum",quantile="0.99"}""",
+        UTF_8) + "&time=10")
+    assert(cq == 200 && bq.contains(""""value":[10.000,"7.25"]"""), bq)
+    val (cc, bc) = get("/api/v1/query?query=" +
+      java.net.URLEncoder.encode("""{name="osum_count",user="s"}""",
+        UTF_8) + "&time=10")
+    assert(cc == 200 && bc.contains(""""value":[10.000,"4.0"]"""), bc)
+    val (cs, bs) = get("/api/v1/query?query=" +
+      java.net.URLEncoder.encode("""{name="osum_sum",user="s"}""",
+        UTF_8) + "&time=10")
+    assert(cs == 200 && bs.contains(""""value":[10.000,"10.0"]"""), bs)
+  }
+
   test("limit parameter caps labels, values and series (2.55+ API)") {
     val (c1, b1) = get("/api/v1/labels?limit=1")
     assert(c1 == 200, b1)
