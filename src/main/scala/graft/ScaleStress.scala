@@ -649,6 +649,26 @@ object ScaleStress {
       // replicas contribute zero new distinct chunks
       println(s"[scale] chunk dedup: kept=$keptChunks of ${factor}x corpus")
     }
+    // duplicate-SPAN detection under adversarial replication: every
+    // shingle now appears in `factor` documents, so the mark-back join
+    // returns the ENTIRE corpus-token-sized shingle frame (the worst
+    // case by construction — the frame is corpus-token-sized by
+    // necessity, a suffix array pays the same) and the per-doc span
+    // merge window sees every position. Cost must stay one count-agg +
+    // one hash equi-join + ONE window exchange — nothing doc×doc.
+    time(s"duplicate spans ${factor}x") {
+      val spans = graft.operators.TextPipeline.duplicateSpans(
+        docsXN, "doc_id", "text", k = 8, minSpanTokens = 16)
+      println(s"[scale] duplicate span rows=${spans.count()}")
+    }
+    // span scrub at Nx: duplicateSpans' shuffles + a left join of docs
+    // to their collected span lists + a map-side indexed filter
+    time(s"span scrub ${factor}x") {
+      val cleaned = graft.operators.TextPipeline.removeDuplicateSpans(
+        docsXN, "doc_id", "text", k = 8, minSpanTokens = 16)
+      val removed = cleaned.agg(sum(col("removed_tokens"))).head.getLong(0)
+      println(s"[scale] span scrub removed_tokens=$removed")
+    }
     // count-min heavy hitters at Nx: the sketch is depth×width counters
     // regardless of rows, and support pruning keeps the candidate flow
     // heavy-hitter-sized as the distinct-domain tail grows with the corpus

@@ -65,8 +65,11 @@ object Dedup {
                       threshold: Double = 0.7): DataFrame = {
     val rows = k / bands
     // Signatures are consumed 4× (both self-join sides + both verify
-    // probes): persist them — at warehouse scale this materialization is
-    // a signatures table you'd write once and reuse across dedup runs.
+    // probes): persist them while the pair enumeration runs — at
+    // warehouse scale this materialization is a signatures table you'd
+    // write once and reuse across dedup runs. The persist is RELEASED
+    // before returning (see the output checkpoint below): a cache-
+    // manager entry holds its blocks for the whole session otherwise.
     val sig = withSignature(docs, idCol, textCol, k, shingleK)
       .withColumnRenamed(idCol, "id")
       .persist()
@@ -86,7 +89,7 @@ object Dedup {
       .select(col("l.id").as("id_a"), col("r.id").as("id_b"))
       .distinct()
     val sh = sig.select(col("id"), col("sh"))
-    cand
+    val pairs = cand
       .join(sh.withColumnRenamed("sh", "sh_a"), col("id_a") === col("id"))
       .drop("id")
       .join(sh.withColumnRenamed("sh", "sh_b"), col("id_b") === col("id"))
@@ -96,6 +99,14 @@ object Dedup {
           size(array_union(col("sh_a"), col("sh_b"))).cast("double"))
       .where(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+    // OUTPUT-sized materialization (the verified pair list — tiny next
+    // to the corpus), then release the signature frame: the returned
+    // plan no longer references `sig`, so the persist does not outlive
+    // the call (the semanticNearDups treatment; UnpersistHygieneSpec
+    // pins baseline-relative storage).
+    val out = pairs.localCheckpoint(true)
+    sig.unpersist()
+    out
   }
 
   /** LSH keeper selection — the LINEAR dedup path: every doc's keeper is

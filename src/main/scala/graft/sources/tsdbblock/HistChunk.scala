@@ -25,7 +25,10 @@ import WalReader.WalHistogram
   *       float bits), varbit-int schema, positive then negative span
   *       lists (varbit-uint count; per span varbit-uint length,
   *       varbit-int offset), custom values when schema = −53 (NHCB:
-  *       varbit-uint count + raw 64-bit bounds); then count and
+  *       varbit-uint count, then each bound in histogram_meta.go's
+  *       compact form — 25-bit `bound·2` for 0.5-multiples in
+  *       [0, 2^25−2], the all-ones sentinel + raw float64 otherwise);
+  *       then count and
   *       zeroCount (varbit-uint for integer chunks, raw 64 float bits
   *       for float chunks), sum as raw 64 float bits, and the bucket
   *       values on the span layout — integer chunks store the
@@ -92,6 +95,28 @@ object HistChunk {
       case 255 => java.lang.Double.longBitsToDouble(r.readBits(64))
       case b => Math.scalb(0.5, b - 243)
     }
+
+  // ---- NHCB custom-bound compact encoding (histogram_meta.go) -------
+
+  /** `putCustomBound`: real-world NHCB bounds are overwhelmingly small
+    * multiples of 0.5 (classic `le` values), so a bound `b` with `b·2`
+    * integral in [0, 2^25−2] is stored as the 25-bit value `b·2`;
+    * anything else (negative, too large, not a 0.5-multiple, NaN)
+    * escapes as the all-ones 25-bit sentinel (2^25−1 = 33554431)
+    * followed by the raw float64 bits. */
+  private def putCustomBound(w: BitWriter, b: Double): Unit = {
+    val tf = b * 2
+    if (tf < 0 || tf > 33554430.0 || tf != Math.floor(tf))
+      { w.writeBits(33554431L, 25); w.writeBits(
+        java.lang.Double.doubleToLongBits(b), 64) }
+    else w.writeBits(tf.toLong, 25)
+  }
+
+  private def readCustomBound(r: BitReader): Double = {
+    val v = r.readBits(25)
+    if (v == 33554431L) java.lang.Double.longBitsToDouble(r.readBits(64))
+    else v / 2.0
+  }
 
   // ---- span lists ----------------------------------------------------
 
@@ -173,9 +198,10 @@ object HistChunk {
     * — [[chunkBatches]] groups arbitrary sample runs accordingly.
     * Integer chunks (`float = false`) REQUIRE integral counts. The
     * counter-reset hint is CHUNK-level (byte 2 describes the first
-    * sample; in-chunk samples are appendable by construction, hence
-    * never resets) — the head sample's hint is stored, and [[decode]]
-    * reports it on every sample of the chunk. */
+    * sample) — the head sample's hint is stored, and [[decode]]
+    * reports it on every sample of the chunk; [[chunkBatches]] cuts on
+    * hint changes and counter regressions, so one chunk = one hint and
+    * a mid-run reset marker survives compaction re-encode. */
   def encode(points: Seq[WalHistogram], float: Boolean): Array[Byte] = {
     require(points.nonEmpty && points.size <= 0xffff,
       s"bad chunk size ${points.size}")
@@ -208,8 +234,7 @@ object HistChunk {
     putSpans(w, negSpans)
     if (head.schema == -53) {
       w.varbitUint(head.customValues.size.toLong)
-      head.customValues.foreach(c =>
-        w.writeBits(java.lang.Double.doubleToLongBits(c), 64))
+      head.customValues.foreach(c => putCustomBound(w, c))
     }
 
     val nPos = posIdx.size; val nNeg = negIdx.size
@@ -330,8 +355,7 @@ object HistChunk {
     val custom =
       if (schema == -53) {
         val n = r.varbitUint().toInt
-        (0 until n).map(_ =>
-          java.lang.Double.longBitsToDouble(r.readBits(64)))
+        (0 until n).map(_ => readCustomBound(r))
       } else Nil
     val posIdx = graft.tsdb.RemoteWrite
       .resolveSpans(posSpans, Seq.fill(countOf(posSpans))(0.0)).map(_._1)
@@ -433,19 +457,41 @@ object HistChunk {
 
   /** Split a time-sorted sample run into chunk batches: a new chunk
     * starts on a layout-key change (schema, zeroThreshold,
-    * customValues, float-ness) or at 120 samples (the Prometheus head
-    * chunk cap [[TsdbBlockWriter]] also applies to XOR chunks). */
+    * customValues, float-ness), at 120 samples (the Prometheus head
+    * chunk cap [[TsdbBlockWriter]] also applies to XOR chunks), on a
+    * counter-reset-hint change (the header is CHUNK-level — byte 2
+    * describes the first sample, so one chunk = one hint and the hint
+    * round-trips losslessly through compaction), or on an ACTUAL
+    * counter regression (count / zeroCount / any bucket decreasing on
+    * a non-gauge histogram — Prometheus's non-appendable rule: the
+    * appender refuses such a histogram and opens a new chunk). */
   def chunkBatches(points: Seq[WalHistogram],
                    maxPerChunk: Int = 120): Seq[Seq[WalHistogram]] = {
     val out = Seq.newBuilder[Seq[WalHistogram]]
     var batch = List.empty[WalHistogram]
+    var headHint = 0
     def flush(): Unit = if (batch.nonEmpty) { out += batch.reverse; batch = Nil }
-    points.foreach { p =>
-      batch.headOption.foreach { h =>
-        if (h.schema != p.schema || h.zeroThreshold != p.zeroThreshold ||
-            h.customValues != p.customValues || h.isFloat != p.isFloat ||
-            batch.size >= maxPerChunk) flush()
+    // counter regression: count/zeroCount down, or any bucket's count
+    // down (a vanished bucket with a previously-positive count counts)
+    def regressed(prev: WalHistogram, p: WalHistogram): Boolean = {
+      def bucketDown(was: Seq[(Int, Double)], is: Seq[(Int, Double)]) = {
+        val now = is.toMap
+        was.exists { case (i, c) => now.getOrElse(i, 0.0) < c }
       }
+      p.count < prev.count || p.zeroCount < prev.zeroCount ||
+        bucketDown(prev.positive, p.positive) ||
+        bucketDown(prev.negative, p.negative)
+    }
+    points.foreach { p =>
+      batch.headOption.foreach { prev =>
+        if (prev.schema != p.schema || prev.zeroThreshold != p.zeroThreshold ||
+            prev.customValues != p.customValues || prev.isFloat != p.isFloat ||
+            batch.size >= maxPerChunk ||
+            p.counterResetHint != headHint ||
+            p.counterResetHint == 1 || // an explicit reset heads its chunk
+            (p.counterResetHint != 3 && regressed(prev, p))) flush()
+      }
+      if (batch.isEmpty) headHint = p.counterResetHint
       batch ::= p
     }
     flush()

@@ -174,14 +174,24 @@ final class PromHttpServer(spark: SparkSession, initial: DataFrame,
     * float-tier reading. The metric matcher may be spelled either way:
     * `__name__` (the bare-prefix form `m{...}` and wire matchers) or
     * `name` (this engine's storage metric label, which the text
-    * surface addresses directly — `{name="m"}`). */
+    * surface addresses directly — `{name="m"}`).
+    *
+    * Routing granularity is the WHOLE expression: it routes to the
+    * hist head only when EVERY name-bearing selector resolves to a
+    * stored native metric (`forall`, not `exists` — an expression
+    * mixing a native and a classic-bucket selector, e.g. a BinOp of
+    * two `histogram_quantile` calls, evaluates on the classic float
+    * tier, where the `_bucket` side has real readings; under `exists`
+    * the classic selector would silently read the hist head and come
+    * back empty). A per-selector split evaluation would need a mixed
+    * vector merge the response shape doesn't carry. */
   private def routesToHistHead(ast: PromQL.Expr): Boolean =
     histHead.nonEmpty && {
       val selNameMs = PromQL.selectorsOf(ast)
         .map(_.filter(m => m.name == "__name__" || m.name == "name"))
         .filter(_.nonEmpty)
       val stored = synchronized(histMetricNames)
-      selNameMs.isEmpty || selNameMs.exists(ms =>
+      selNameMs.forall(ms =>
         stored.exists(m => ms.forall(matchesMetric(_, m))))
     }
 
@@ -591,34 +601,63 @@ final class PromHttpServer(spark: SparkSession, initial: DataFrame,
     }
   }
 
+  /** The notifier's RESOLVED-detection state: the firing elements of
+    * the last notify run, full label set → (activeAt, annotations).
+    * An element here that is no longer firing at the next run has
+    * RESOLVED — Prometheus posts it once more with `endsAt` = the
+    * resolution time (rules/alerting.go keeps resolved alerts in the
+    * active map and the notifier sends them with EndsAt = ResolvedAt)
+    * so the Alertmanager closes the incident immediately instead of
+    * waiting out the 4×interval validity horizon. */
+  private var lastFiring =
+    Map.empty[Map[String, String], (Long, Map[String, String])]
+
   /** The NOTIFIER — the last hop of the alerting story: evaluate every
-    * rule group at the tick ≤ `at` and POST the FIRING elements to each
-    * configured Alertmanager's `/api/v2/alerts` (labels = element ∪
-    * rule ∪ alertname ∪ external labels; annotations from the rule;
-    * `startsAt` = the run's activeAt; `endsAt` = at + 4 × the group
-    * interval, Prometheus's resend-validity convention so an AM expires
-    * the alert if this sender dies). Returns url → HTTP status. Also
-    * runs on the rule interval from a daemon scheduler while the server
-    * is started (errors logged to stderr, never fatal — exactly how a
-    * Prometheus keeps scraping when its Alertmanager is down). */
+    * rule group at the tick ≤ `at` and POST to each configured
+    * Alertmanager's `/api/v2/alerts` (labels = element ∪ rule ∪
+    * alertname ∪ external labels; annotations from the rule):
+    *
+    *   - every FIRING element, `startsAt` = the run's activeAt and
+    *     `endsAt` = at + 4 × the group interval (Prometheus's
+    *     resend-validity convention so an AM expires the alert if the
+    *     sender dies);
+    *   - every element firing LAST run but not this one, as an explicit
+    *     RESOLVED notification — same labels, `endsAt` = `at` (the
+    *     resolution time; an endsAt in the past is how the v2 API
+    *     marks an alert resolved).
+    *
+    * Returns url → HTTP status. Also runs on the rule interval from a
+    * daemon scheduler while the server is started (errors logged to
+    * stderr, never fatal — exactly how a Prometheus keeps scraping
+    * when its Alertmanager is down). */
   def notifyNow(at: Long = System.currentTimeMillis()): Map[String, Int] = {
     val yaml = rules.getOrElse(return Map.empty)
     if (alertmanagers.isEmpty) return Map.empty
-    val payload = RuleFiles.parse(yaml).flatMap { g =>
-      val interval = g.intervalMs.getOrElse(rulesIntervalMs)
+    val firingNow = RuleFiles.parse(yaml).flatMap { g =>
       val byRule = g.rules.collect {
         case r: AlertRules.AlertRule => r.name -> r
       }.toMap
       groupActive(g, at).collect {
         case (name, ls, activeAt, _, "firing") =>
           val rule = byRule(name)
-          AlertNotifier.AmAlert(
-            labels = (ls ++ rule.labels.toSeq ++ externalLabels :+
-              ("alertname" -> name)).toMap,
-            annotations = rule.annotations,
-            startsAtMs = activeAt,
-            endsAtMs = at + 4 * interval)
+          val labels = (ls ++ rule.labels.toSeq ++ externalLabels :+
+            ("alertname" -> name)).toMap
+          val interval = g.intervalMs.getOrElse(rulesIntervalMs)
+          (labels, activeAt, rule.annotations, interval)
       }
+    }
+    val payload = firingNow.map { case (labels, activeAt, anns, interval) =>
+      AlertNotifier.AmAlert(labels, anns,
+        startsAtMs = activeAt, endsAtMs = at + 4 * interval)
+    } ++ synchronized {
+      val nowKeys = firingNow.map(_._1).toSet
+      val resolved = (lastFiring -- nowKeys).toSeq.map {
+        case (labels, (activeAt, anns)) =>
+          AlertNotifier.AmAlert(labels, anns,
+            startsAtMs = activeAt, endsAtMs = at)
+      }
+      lastFiring = firingNow.map { case (l, a, an, _) => l -> (a, an) }.toMap
+      resolved
     }
     if (payload.isEmpty) Map.empty
     else alertmanagers.map(u => u -> AlertNotifier.post(u, payload)).toMap

@@ -442,6 +442,34 @@ class PlanQualitySpec extends SparkSpec {
       s"the candidate join must not shuffle-join:\n$plan")
   }
 
+  test("pq family: no all-pairs scoring, ONE rank window per query") {
+    // pipe_q46/q47/q50 are among the most expensive pipeline queries
+    // and drifted upward two bench rounds with no pinned shape — these
+    // assertions make any future drift attributable to load, not to a
+    // silent plan regression. The ADC distance tables are DRIVER-built
+    // literals riding inside expressions: scoring must never join a
+    // codeword table against the encoded corpus (no cartesian / nested-
+    // loop), and the per-probe top-k must be exactly one Window pass.
+    for (q <- Seq("pipe_q46_pq_knn", "pipe_q47_ivfpq_knn",
+        "pipe_q50_ivfpq_residual")) {
+      val plan = planOf(q)
+      assert(!plan.contains("CartesianProduct") &&
+        !plan.contains("BroadcastNestedLoopJoin"),
+        s"$q: scoring must stay keyed, never all-pairs:\n$plan")
+      // `Window [` is the window-function node; WindowGroupLimit nodes
+      // are the rank-pushdown k-heap (wanted, not counted)
+      val windows = "(?m)^[\\s:+*-]*Window \\[".r.findAllIn(plan).size
+      assert(windows == 1,
+        s"$q: expected exactly ONE rank window, got $windows:\n$plan")
+      // the brute-force pq path (q46) is join-free outright: the probe
+      // tables ride as literals, the corpus is scored map-side
+      if (q == "pipe_q46_pq_knn")
+        assert(!plan.contains("SortMergeJoin") &&
+          !plan.contains("BroadcastHashJoin"),
+          s"$q: ADC tables must be literals, not a join side:\n$plan")
+    }
+  }
+
   test("OTLP histogram paths stay join-free and map-side") {
     // encode is one groupBy-free projection chain (to_json of literal
     // structure); decode is from_json + explodes — neither may join,

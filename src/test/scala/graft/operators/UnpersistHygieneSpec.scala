@@ -81,4 +81,28 @@ class UnpersistHygieneSpec extends SparkSpec {
     ownRdds.foreach(_.unpersist(false)) // caller-side release
     assert((spark.sparkContext.getPersistentRDDs.keySet -- before).isEmpty)
   }
+
+  test("minhashLshPairs leaves only its result's own checkpoint blocks") {
+    // the signature frame is persisted for the 4-way reuse (self-join
+    // sides + verify probes), then the OUTPUT-sized verified pair set
+    // is eagerly checkpointed and the signatures unpersisted — the
+    // last unbalanced persist in the repo, closed round 14
+    val docs = (0 until 40).map { i =>
+      (i.toLong, s"alpha beta gamma delta ${"epsilon " * (i % 3)} ${i / 8}")
+    }.toDF("doc_id", "text")
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val out = Dedup.minhashLshPairs(docs, "doc_id", "text",
+      k = 8, bands = 4, shingleK = 2, threshold = 0.3)
+    out.collect()
+    val ownRdds = out.queryExecution.analyzed.collect {
+      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
+    }
+    val leaked =
+      spark.sparkContext.getPersistentRDDs.keySet -- before --
+        ownRdds.map(_.id)
+    assert(leaked.isEmpty,
+      s"minhashLshPairs leaked beyond its result: $leaked")
+    ownRdds.foreach(_.unpersist(false)) // caller-side release
+    assert((spark.sparkContext.getPersistentRDDs.keySet -- before).isEmpty)
+  }
 }

@@ -93,6 +93,51 @@ class HistChunkSpec extends AnyFunSuite {
     assert(HistChunk.chunkBatches(Seq(a, a, a)).map(_.size) == Seq(3))
   }
 
+  test("chunkBatches cuts on hint changes, explicit resets, regressions") {
+    def h(t: Long, cnt: Double, hint: Int = 0,
+          pos: Seq[(Int, Double)] = Seq((0, 1.0))) =
+      mk(t, cnt, cnt, pos = pos, hint = hint)
+    // mid-run reset MARKER: survives the chunk tier because the reset
+    // sample heads its own chunk (one chunk = one header hint) — a
+    // compaction re-encode is lossless for the hint too
+    val run = Seq(h(0, 5.0, hint = 2), h(1, 6.0, hint = 2),
+      h(2, 1.0, hint = 1), h(3, 2.0, hint = 2))
+    val batches = HistChunk.chunkBatches(run)
+    assert(batches.map(_.size) == Seq(2, 1, 1))
+    val back = batches.flatMap(b =>
+      HistChunk.decode(HistChunk.encode(b, float = false), float = false))
+    assert(back.map(_.counterResetHint) == Seq(2, 2, 1, 2))
+    // ACTUAL count regression on an unknown-hint run: non-appendable,
+    // the new chunk starts at the reset (Prometheus's appender rule)
+    assert(HistChunk.chunkBatches(Seq(h(0, 5.0), h(1, 3.0)))
+      .map(_.size) == Seq(1, 1))
+    // bucket-level regression with equal total count also cuts
+    assert(HistChunk.chunkBatches(Seq(
+      h(0, 2.0, pos = Seq((0, 2.0))),
+      h(1, 2.0, pos = Seq((1, 2.0))))).map(_.size) == Seq(1, 1))
+    // GAUGE histograms fluctuate freely — no regression cuts
+    assert(HistChunk.chunkBatches(Seq(h(0, 5.0, hint = 3),
+      h(1, 3.0, hint = 3))).map(_.size) == Seq(2))
+  }
+
+  test("NHCB bounds use the compact 25-bit form; escapes round-trip") {
+    // histogram_meta.go putCustomBound: 0.5-multiples in [0, 2^25−2]
+    // take 25 bits; anything else escapes to the all-ones sentinel +
+    // raw float64 (89 bits). Same chunk, compact vs escaped bounds:
+    def chunk(bounds: Seq[Double]) = HistChunk.encode(Seq(
+      mk(0L, 2.0, 3.0, pos = Seq((0, 2.0)), schema = -53,
+        custom = bounds)), float = false)
+    val compact = chunk(Seq(0.5, 1.0, 2.5, 10.0))
+    val escaped = chunk(Seq(1.0 / 3, 0.1, -2.5, 1e9))
+    assert(compact.length < escaped.length,
+      s"compact=${compact.length}B escaped=${escaped.length}B")
+    // escape values (incl. the compact-range boundary 2^24−0.5·1)
+    // round-trip bit-exactly
+    val bs = Seq(1.0 / 3, 0.1, -2.5, 1e9, 16777215.0)
+    val b2 = HistChunk.decode(chunk(bs), float = false)
+    assert(b2.head.customValues == bs)
+  }
+
   test("integer chunk rejects fractional counts loudly") {
     val e = intercept[IllegalArgumentException] {
       HistChunk.encode(Seq(mk(0L, 1.5, 1.0, pos = Seq((0, 1.5)))),

@@ -100,6 +100,47 @@ class WalRecordKindsSpec extends SparkSpec {
     assert(after.nonEmpty && after.keySet === refs2.toSet)
   }
 
+  test("unknown record kinds (e.g. kind 5 mmap-markers) are skipped") {
+    // a data dir written by a REAL Prometheus contains record kinds
+    // this engine never writes — kind 5 (memory-mapped chunk markers)
+    // on every head flush. Forward compatibility = replay ignores
+    // them; a reader that errors on an unknown kind cannot open a
+    // real Prometheus WAL. The readers skip by the kind byte; this
+    // pins it against a synthetic kind-5 record in a live segment.
+    val dir = tmpDir("graft_rk_unk_")
+    TsdbWalWriter.write(longForm(0L until 50L), dir, partitions = 1)
+    val baseline = spark.read.format("tsdb-wal").load(dir)
+      .select(col("time")).collect().map(_.getLong(0)).sorted
+    // kind-5 record: [kind byte | be64 series ref | be64 mmap offset]
+    val mmapMarker = {
+      val b = java.nio.ByteBuffer.allocate(17)
+      b.put(5.toByte); b.putLong(1L); b.putLong(0x4000L)
+      b.array()
+    }
+    // and a kind from the FUTURE (never assigned) in the same segment
+    val futureKind = Array[Byte](42, 1, 2, 3)
+    val segs = new java.io.File(dir).listFiles().map(_.getName).sorted
+    val next = f"${segs.last.toInt + 1}%08d"
+    TsdbWalWriter.writeSegment(s"$dir/$next",
+      Iterator(mmapMarker, futureKind))
+    // replay: identical samples, no error
+    val after = spark.read.format("tsdb-wal").load(dir)
+      .select(col("time")).collect().map(_.getLong(0)).sorted
+    assert(after === baseline)
+    // every typed accessor ignores the foreign kinds
+    Seq(mmapMarker, futureKind).foreach { rec =>
+      assert(WalReader.samplesOfRecord(rec).isEmpty)
+      assert(WalReader.stonesOfRecord(rec).isEmpty)
+      assert(WalReader.exemplarsOfRecord(rec).isEmpty)
+      assert(WalReader.histogramsOfRecord(rec).isEmpty)
+    }
+    // and the checkpoint fold carries the WAL past them without error
+    TsdbWalWriter.checkpoint(spark, dir, keepTime = 0L)
+    val post = spark.read.format("tsdb-wal").load(dir)
+      .select(col("time")).collect().map(_.getLong(0)).sorted
+    assert(post === baseline)
+  }
+
   test("histogram records round-trip: integer deltas, float, NHCB") {
     import graft.sources.tsdbblock.WalReader.WalHistogram
     // integer (kind 7): sparse buckets with gaps force multi-span

@@ -295,6 +295,19 @@ class PromHttpServerSpec extends SparkSpec {
       java.net.URLEncoder.encode("""histogram_count({name="hroute"})""",
         UTF_8) + "&time=2")
     assert(cn == 200 && bn.contains(""""value":[2.000,"4.0"]"""), bn)
+    // a MIXED expression (one native selector, one classic-bucket
+    // selector) routes whole to the classic tier — the routing gate is
+    // `forall`, not `exists`: under `exists` the classic side would
+    // read the hist head, silently come back empty, and this `or`
+    // would answer with the native side only; on the classic tier the
+    // left side has real readings and wins (rank 2 of 4 → le edge 1.0)
+    val (cm, bm) = get("/api/v1/query?query=" +
+      java.net.URLEncoder.encode(
+        """histogram_quantile(0.5, {name="creq_bucket"}) or """ +
+          """histogram_quantile(0.5, {name="hroute"})""", UTF_8) +
+      "&time=6")
+    assert(cm == 200, bm)
+    assert(bm.contains(""""value":[6.000,"1.0"]"""), bm)
   }
 
   test("v2 native histogram on a different schema is rejected as bad_data") {
@@ -624,6 +637,64 @@ class PromHttpServerSpec extends SparkSpec {
       assert(body.contains(""""startsAt":"1970-01-01T00:00:02Z""""), body)
       assert(!body.contains(""""user":"b"""")) // value 2.0 is NOT > 2
     } finally { srv.stop(); am.stop(0) }
+  }
+
+  test("notifier sends explicit RESOLVED alerts when a firing run ends") {
+    // Prometheus does not leave incident closure to the validity
+    // horizon: when an alert stops firing, the notifier posts it once
+    // more with endsAt = the resolution time, and the Alertmanager
+    // closes the incident immediately (send_resolved behavior).
+    val captured = new java.util.concurrent.LinkedBlockingQueue[String]()
+    val am = com.sun.net.httpserver.HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    am.createContext("/api/v2/alerts",
+      (ex: com.sun.net.httpserver.HttpExchange) => {
+        captured.put(new String(ex.getRequestBody.readAllBytes(), UTF_8))
+        ex.sendResponseHeaders(200, -1)
+        ex.close()
+      })
+    am.start()
+    val amUrl = s"http://127.0.0.1:${am.getAddress.getPort}"
+    // short lookback so the 2s sample goes stale by t=4s and the
+    // alert actually RESOLVES (the server is never start()ed — only
+    // the explicit notifyNow calls below post)
+    val srv = new PromHttpServer(spark, wide,
+      lookbackMs = 1500L,
+      rules = Some(
+        """groups:
+          |  - name: g
+          |    interval: 1s
+          |    rules:
+          |      - alert: up_hot
+          |        expr: '{name="up"} > 2'
+          |        labels:
+          |          severity: page
+          |""".stripMargin),
+      rulesHorizonMs = 5000L,
+      alertmanagers = Seq(amUrl))
+    try {
+      // t=2s: up/a = 3.0 > 2 fires — endsAt = the 4×interval horizon
+      assert(srv.notifyNow(at = 2000L) == Map(amUrl -> 200))
+      val firing = captured.poll(5, java.util.concurrent.TimeUnit.SECONDS)
+      assert(firing != null && firing.contains(""""alertname":"up_hot""""),
+        firing)
+      assert(firing.contains(""""endsAt":"1970-01-01T00:00:06Z""""), firing)
+      // t=4s: the sample is past the lookback — the run has ended; an
+      // explicit resolved notification posts with endsAt = NOW (4s),
+      // startsAt preserved from the firing run
+      assert(srv.notifyNow(at = 4000L) == Map(amUrl -> 200))
+      val resolved = captured.poll(5, java.util.concurrent.TimeUnit.SECONDS)
+      assert(resolved != null &&
+        resolved.contains(""""alertname":"up_hot""""), resolved)
+      assert(resolved.contains(""""endsAt":"1970-01-01T00:00:04Z""""),
+        resolved)
+      assert(resolved.contains(""""startsAt":"1970-01-01T00:00:02Z""""),
+        resolved)
+      // t=5s: nothing firing, nothing newly resolved — no POST at all
+      assert(srv.notifyNow(at = 5000L) == Map.empty)
+      assert(captured.poll(1, java.util.concurrent.TimeUnit.SECONDS) == null,
+        "a quiet run must not re-post resolved alerts")
+    } finally am.stop(0)
   }
 
   test("admin API: snapshot / delete_series / clean_tombstones over HTTP") {

@@ -238,6 +238,29 @@ class RemoteReadSpec extends SparkSpec {
       decodeChunkedFrames(s.createDataset(Seq(f)))
         .select(col("labels")).head().getMap[String, String](0)("x"))
     assert(order === Seq(e000, u10000))
+    // the HISTOGRAM stream shares the skey machinery and sorts the
+    // same way. (A round-14 advisory claimed Spark's string sort is
+    // UTF-16 code-unit order and would invert this pair; Spark's
+    // default UTF8_BINARY collation compares UTF-8 BYTES, so the
+    // stream is labels.Compare-ordered as documented — this case pins
+    // the adjudication empirically rather than softening the claim.)
+    import graft.sources.tsdbblock.WalReader.WalHistogram
+    def wh(cnt: Double) = WalHistogram(0L, 1000L, 2, 0, 0.0, 0.0,
+      cnt, cnt / 2, Seq((0, cnt)), Nil, Nil, false)
+    val hs = s.createDataset(Seq(
+      (Map("name" -> "m", "x" -> u10000), wh(1.0)),
+      (Map("name" -> "m", "x" -> e000), wh(2.0))))
+    val horder = serveChunkedHists(hs, encodeReadRequest(ReadRequest(
+        Seq(ReadQuery(Long.MinValue, Long.MaxValue, Nil)),
+        acceptedResponseTypes = Seq(ResponseStreamedXorChunks))))
+      .collect().toSeq.map(f =>
+        decodeChunkedHistFrames(s.createDataset(Seq(f)))
+          .collect().head._2("x"))
+    assert(horder === Seq(e000, u10000))
+    // and the SAMPLED histogram response sorts the same way
+    val hsamp = decodeReadResponseHists(serveHists(hs, encodeReadRequest(
+      ReadRequest(Seq(ReadQuery(Long.MinValue, Long.MaxValue, Nil))))))
+    assert(hsamp.map(_._2.labels("x")) === Seq(e000, u10000))
   }
 
   test("zero-query ReadRequest: empty stream and empty response, no crash") {
@@ -247,6 +270,40 @@ class RemoteReadSpec extends SparkSpec {
     assert(frames.count() === 0)
     val resp = decodeReadResponse(serve(t, encodeReadRequest(ReadRequest(Nil))))
     assert(resp.isEmpty)
+  }
+
+  test("SAMPLED histogram responses carry prompb TimeSeries.histograms") {
+    import graft.sources.tsdbblock.WalReader.WalHistogram
+    val s = spark; import s.implicits._
+    def mk(time: Long, cnt: Double, pos: Seq[(Int, Double)]) =
+      WalHistogram(0L, time, 0, 0, 0.0, 0.0, cnt, cnt / 2, pos, Nil,
+        Nil, isFloat = false)
+    val apiHs = (0 until 5).map(i =>
+      mk(1000L + i * 1000L, 3.0 + i, Seq((0, 1.0 + i), (2, 2.0))))
+    val dbHs = (0 until 3).map(i =>
+      mk(1500L + i * 1000L, 2.0 + i, Seq((1, 1.5 + i))))
+    val hs = s.createDataset(
+      apiHs.map(h => (Map("name" -> "rpc", "job" -> "api"), h)) ++
+        dbHs.map(h => (Map("name" -> "rpc", "job" -> "db"), h)))
+    // two queries: per-query grouping, matcher select, inclusive range
+    val back = decodeReadResponseHists(serveHists(hs,
+      encodeReadRequest(ReadRequest(Seq(
+        ReadQuery(0L, Long.MaxValue - 1, Seq(Matcher.Eq("name", "rpc"))),
+        ReadQuery(1500L, 2500L, Seq(Matcher.Eq("job", "db"))))))))
+    val q0 = back.filter(_._1 == 0).map(_._2)
+    assert(q0.size === 8)
+    // series sorted by label set, samples by time within each
+    assert(q0.map(_.labels("job")) ===
+      Seq.fill(5)("api") ++ Seq.fill(3)("db"))
+    assert(q0.filter(_.labels("job") == "api").map(_.time) ===
+      apiHs.map(_.time))
+    // full fidelity: counts/sums/buckets survive the prompb float form
+    assert(q0.filter(_.labels("job") == "api")
+        .map(h => (h.count, h.sum, h.positive)) ===
+      apiHs.map(h => (h.count, h.sum, h.positive)))
+    val q1 = back.filter(_._1 == 1).map(_._2)
+    assert(q1.map(_.time) === Seq(1500L, 2500L))
+    assert(q1.forall(_.labels("job") == "db"))
   }
 
   test("streamed HISTOGRAM frames round-trip both encodings with matchers") {
