@@ -1,7 +1,7 @@
 package graft.sources
 
 import graft.SparkSpec
-import graft.sources.tsdbblock.{IndexReader, TsdbBlockWriter, XorChunk}
+import graft.sources.tsdbblock.{IndexReader, TsdbBlockWriter, WalReader, XorChunk}
 import org.apache.spark.sql.functions._
 
 /** The block writer against the block reader: Gorilla chunk round
@@ -73,6 +73,40 @@ class TsdbBlockWriterSpec extends SparkSpec {
     val ref = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(
       "/root/reference/01GW1T7K3E9F9R361GDPVH8NZF/tombstones"))
     assert(tomb.toSeq === ref.toSeq)
+  }
+
+  test("UTF-8 metric and label NAMES round-trip block and WAL storage") {
+    // Prometheus 3 UTF-8 names: the index/WAL formats carry label
+    // names as length-prefixed bytes, so dotted and non-ASCII NAMES
+    // (not just values) must survive both tiers — the storage half of
+    // the quoted-selector syntax ({"my.metric", "service.name"="api"}).
+    val s = spark
+    val labels = Map("__name__" -> "http.requests.总数",
+      "service.name" -> "api", "data.center" -> "dc1")
+    val dir = tmpDir("graft_utf8n_")
+    TsdbBlockWriter.writeBlock(dir, Seq(TsdbBlockWriter.SeriesData(
+      labels.toSeq, Array(1000L, 2000L), Array(1.0, 2.0))))
+    val entries = IndexReader.read(s"$dir/index")
+    assert(entries.map(_.labels) === Seq(labels))
+    val back = s.read.format("tsdb-block").load(dir)
+      .select(col("time"),
+        element_at(col("labels"), "service.name").as("sn"),
+        element_at(col("labels"), "__name__").as("n"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    assert(back.toSet === Set((1000L, "api", "http.requests.总数"),
+      (2000L, "api", "http.requests.总数")))
+    // WAL tier: series records carry the same byte-faithful names
+    val walDir = tmpDir("graft_utf8w_")
+    import s.implicits._
+    val long = Seq((1000L, 1.0, labels), (2000L, 2.0, labels))
+      .toDF("time", "value", "labels")
+    graft.sources.tsdbblock.TsdbWalWriter.write(long, walDir, partitions = 1)
+    assert(WalReader.seriesDict(walDir).values.toSeq === Seq(labels))
+    val wback = s.read.format("tsdb-wal").load(walDir)
+      .select(col("time"),
+        element_at(col("labels"), "data.center").as("dc"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(wback === Set((1000L, "dc1"), (2000L, "dc1")))
   }
 
   test("re-writing the reference block reproduces every sample") {

@@ -976,9 +976,34 @@ class PromQLConformanceSpec extends SparkSpec {
     C("50m", """group(http_requests{group="production"})""",
       """{} 1""")), upstream = true)
 
+  // Prometheus 3 UTF-8 names: quoted metric and label names
+  // ({"my.metric", "dotted.label"="v"}) flow through selection,
+  // matchers (incl. regex), grouping lists and vector matching — the
+  // quoted-selector syntax of the Prometheus 3 UTF-8 names proposal.
+  private val utf8Names = B("utf8-names", "5m", Seq(
+    """{"service.name", host="h1", "data.center"="dc1"} 0+10x10""",
+    """{"service.name", host="h2", "data.center"="dc2"} 0+20x10""",
+    """legacy_total{host="h1"} 0+5x10"""), Seq(
+    C("50m", """{"service.name"}""",
+      """{"__name__"="service.name", host="h1", "data.center"="dc1"} 100
+        |{"__name__"="service.name", host="h2", "data.center"="dc2"} 200"""),
+    C("50m", """{"service.name", "data.center"="dc1"}""",
+      """{"__name__"="service.name", host="h1", "data.center"="dc1"} 100"""),
+    C("50m", """{"service.name", "data.center"=~"dc.*"}""",
+      """{"__name__"="service.name", host="h1", "data.center"="dc1"} 100
+        |{"__name__"="service.name", host="h2", "data.center"="dc2"} 200"""),
+    C("50m", """sum by ("data.center") ({"service.name"})""",
+      """{"data.center"="dc1"} 100
+        |{"data.center"="dc2"} 200"""),
+    C("50m", """sum without ("data.center", host) ({"service.name"})""",
+      """{} 300"""),
+    C("50m", """{"service.name"} + on(host) legacy_total""",
+      """{host="h1"} 150""")))
+
   private val blocks = Seq(aggregators, operators, binops, functions,
     functions2, histograms, countValues, staleness, labelFns,
     invHyperbolic, sortByLabel, nanAgg, infoFn, regexAnchoring,
+    utf8Names,
     upstreamLimit,
     upstreamOperators, upstreamGroupLeft, upstreamAggregators,
     upstreamAggregators2, upstreamChangesResets, upstreamLiterals,
@@ -1000,6 +1025,25 @@ class PromQLConformanceSpec extends SparkSpec {
         case "h" => 3600000L; case "d" => 86400000L })
     }.sum
 
+  /** Selector-ish label text → full label map (incl. `__name__` when a
+    * metric name is present). Accepts the legacy notation AND
+    * Prometheus 3's quoted UTF-8 names: a bare quoted string right
+    * after `{` is the metric name; `"quoted.name"="v"` pairs are
+    * labels. The legacy ident regex anchors on `{`/`,`/space so a
+    * dotted quoted name never half-matches via its suffix
+    * (`"data.center"` must not read as label `center`). */
+  private def parseLabelSet(sel: String): Map[String, String] = {
+    val t = sel.trim
+    val name = "^[a-zA-Z_:][a-zA-Z0-9_:]*".r.findFirstIn(t)
+      .orElse("""^\{\s*"([^"]+)"\s*[,}]""".r.findFirstMatchIn(t)
+        .map(_.group(1)))
+    """(?<=[{,\s(])([a-zA-Z_][a-zA-Z0-9_]*)="([^"]*)"""".r
+      .findAllMatchIn(sel).map(m => m.group(1) -> m.group(2)).toMap ++
+      """"([^"]+)"\s*=\s*"([^"]*)"""".r.findAllMatchIn(sel)
+        .map(m => m.group(1) -> m.group(2)).toMap ++
+      name.map("__name__" -> _)
+  }
+
   /** Series line → (labels incl __name__, per-slot samples): a slot is
     * None (missed scrape `_`), Some(None) (stale marker) or
     * Some(Some(v)); `a+bxN` / `a-bxN` / `axN` expand per upstream. */
@@ -1009,10 +1053,7 @@ class PromQLConformanceSpec extends SparkSpec {
       case -1 => val i = line.indexOf(' '); (line.take(i), line.drop(i))
       case i => (line.take(i + 1), line.drop(i + 1))
     }
-    val name = "^[a-zA-Z_:][a-zA-Z0-9_:]*".r.findFirstIn(sel.trim)
-    val labels = """([a-zA-Z_][a-zA-Z0-9_]*)="([^"]*)"""".r
-      .findAllMatchIn(sel).map(m => m.group(1) -> m.group(2)).toMap ++
-      name.map("__name__" -> _)
+    val labels = parseLabelSet(sel)
     val num = """-?\d+(?:\.\d+)?(?:[eE]-?\d+)?"""
     val expand = s"^($num)(?:([+-]$num)?x(\\d+))?$$".r
     val slots = values.trim.split("\\s+").toSeq.filter(_.nonEmpty).flatMap {
@@ -1058,11 +1099,7 @@ class PromQLConformanceSpec extends SparkSpec {
       line =>
         val i = line.lastIndexOf(' ')
         val (sel, v) = (line.take(i).trim, line.drop(i).trim)
-        val name = "^[a-zA-Z_:][a-zA-Z0-9_:]*".r.findFirstIn(sel)
-        val labels = """([a-zA-Z_][a-zA-Z0-9_]*)="([^"]*)"""".r
-          .findAllMatchIn(sel).map(m => m.group(1) -> m.group(2)).toMap ++
-          name.map("__name__" -> _)
-        (labels, parseValue(v))
+        (parseLabelSet(sel), parseValue(v))
     }
 
   private val NonLabelCols =
@@ -1134,7 +1171,7 @@ class PromQLConformanceSpec extends SparkSpec {
     // cases are added, never by deleting failing cases. `ported` counts
     // cases re-typed from Prometheus's own promqltest corpus, reported
     // separately from the handwritten sweep.
-    assert(own === 147)
+    assert(own === 153)
     assert(ported === 128)
     assert(skips.size === 2)
     // every skip names its documented deviation
