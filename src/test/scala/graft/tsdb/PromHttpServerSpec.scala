@@ -573,6 +573,26 @@ class PromHttpServerSpec extends SparkSpec {
         got.positive.filter(_._2 != 0.0)) ===
         ((1700L, 4.0, 10.0, 1.0, Seq((1, 1.0), (2, 2.0)))))
 
+      // the SAMPLED form (no chunked negotiation) must carry the same
+      // histograms in prompb TimeSeries.histograms — a client that
+      // does not negotiate STREAMED_XOR_CHUNKS must not silently see
+      // float-less series
+      val sreq = RemoteRead.encodeReadRequest(RemoteRead.ReadRequest(Seq(
+        RemoteRead.ReadQuery(0L, 10000L,
+          Seq(Matcher.Eq("__name__", "hrr"))))))
+      val sr = client.send(
+        HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:$p/api/v1/read"))
+          .POST(HttpRequest.BodyPublishers.ofByteArray(sreq)).build(),
+        HttpResponse.BodyHandlers.ofByteArray())
+      assert(sr.statusCode() == 200)
+      val sback = RemoteRead.decodeReadResponseHists(sr.body())
+      assert(sback.length == 1, sback.toString)
+      val (sqi, sh) = sback.head
+      assert(sqi == 0 &&
+        sh.labels == Map("__name__" -> "hrr", "user" -> "q"))
+      assert((sh.time, sh.count, sh.sum, sh.zeroCount, sh.positive) ===
+        ((1700L, 4.0, 10.0, 1.0, Seq((1, 1.0), (2, 2.0)))))
+
       // a float-metric request on the same server keeps the XOR stream
       val freq = RemoteRead.encodeReadRequest(RemoteRead.ReadRequest(Seq(
         RemoteRead.ReadQuery(0L, 10000L,
