@@ -270,30 +270,17 @@ object TsdbQueries {
     // summary framing and translated back per Prometheus's
     // otlptranslator — {name}{quantile="φ"}, {name}_sum, {name}_count.
     // Oracle: DuckDB quantile_cont/count/sum replayed over the events.
-    "tsdb_q150_otlp_summary" -> ((s, dir) => {
-      val phis = Seq(0.5, 0.9, 0.99)
-      val rows = table(s, dir).select(RangeStart, RangeEnd, Nil).toDF()
-        .groupBy(col("`labels.name`").as("name"),
-          col("`labels.user`").as("user"))
-        .agg(count(lit(1)).cast("double").as("count"),
-          sum(col("value")).as("sum"),
-          percentile(col("value"),
-            array(phis.map(lit(_)): _*)).as("qv"))
-        .select(lit(RangeEnd).as("time"),
-          map(lit("__name__"), col("name"), lit("user"), col("user"))
-            .as("labels"),
-          col("count"), col("sum"),
-          array(phis.zipWithIndex.map { case (p, i) =>
-            struct(lit(p).as("q"), element_at(col("qv"), i + 1).as("v"))
-          }: _*).as("quantiles"))
-      graft.tsdb.OtlpProto.decodeSummaryRequests(
-          graft.tsdb.OtlpProto.encodeSummaryRequests(rows))
-        .select(
-          col("labels").getItem("__name__").as("series"),
-          col("labels").getItem("user").as("user"),
-          col("labels").getItem("quantile").as("quantile"),
-          round(col("value"), 4).as("value"))
-    }),
+    "tsdb_q150_otlp_summary" -> ((s, dir) =>
+      summaryView(graft.tsdb.OtlpProto.decodeSummaryRequests(
+        graft.tsdb.OtlpProto.encodeSummaryRequests(summaryRows(s, dir))))),
+    // Q152: the SAME summary points through the OTLP/**JSON** framing
+    // (the collector's json encoder) — completing the wire matrix the
+    // gauge (q107/q143) and classic-histogram (q142/q145) families
+    // already have. Same oracle verbatim.
+    "tsdb_q152_otlp_summary_json" -> ((s, dir) =>
+      summaryView(graft.tsdb.SampleReaders.fromOtlpSummaryJsonLines(
+        graft.tsdb.SampleReaders.toOtlpSummaryJsonLines(
+          summaryRows(s, dir))))),
     // Q146: NATIVE HISTOGRAMS THROUGH A WRITTEN BLOCK — Q117's grid
     // pushed one tier further down the lifecycle: the exponential
     // histograms land in the WAL (kind-7 records), HEAD COMPACTION
@@ -2456,6 +2443,59 @@ object TsdbQueries {
     * directly from the sample values (value <= le folds the zero bucket
     * into the first bound), +Inf/count = row count, sum 4dp — shared by
     * the JSON and binary OTLP framings. */
+  /** Q150/Q152's summary input: per-(name, user) count/sum + exact
+    * interpolated quantiles {0.5, 0.9, 0.99} (what a client SDK's
+    * summary sketch reports) in the summary encoders' shape —
+    * `(time, labels, count, sum, quantiles array<struct<q,v>>)`. */
+  private def summaryRows(s: SparkSession, dir: String): DataFrame = {
+    val phis = Seq(0.5, 0.9, 0.99)
+    table(s, dir).select(RangeStart, RangeEnd, Nil).toDF()
+      .groupBy(col("`labels.name`").as("name"),
+        col("`labels.user`").as("user"))
+      .agg(count(lit(1)).cast("double").as("count"),
+        sum(col("value")).as("sum"),
+        percentile(col("value"),
+          array(phis.map(lit(_)): _*)).as("qv"))
+      .select(lit(RangeEnd).as("time"),
+        map(lit("__name__"), col("name"), lit("user"), col("user"))
+          .as("labels"),
+        col("count"), col("sum"),
+        array(phis.zipWithIndex.map { case (p, i) =>
+          struct(lit(p).as("q"), element_at(col("qv"), i + 1).as("v"))
+        }: _*).as("quantiles"))
+  }
+
+  /** Decoded summary series → the oracle's comparison shape. */
+  private def summaryView(decoded: DataFrame): DataFrame =
+    decoded.select(
+      col("labels").getItem("__name__").as("series"),
+      col("labels").getItem("user").as("user"),
+      col("labels").getItem("quantile").as("quantile"),
+      round(col("value"), 4).as("value"))
+
+  /** Q150/Q152's shared replay: exact interpolated quantiles
+    * (quantile_cont and Spark's percentile share the (n−1)·φ linear
+    * interpolation), count and sum per (name, user). */
+  private val summaryOracle =
+    s"""$duckTsdbCte,
+       |f AS (SELECT "labels.name" AS name, "labels.user" AS "user", value
+       |  FROM t WHERE time > $RangeStart AND time < $RangeEnd),
+       |g AS (SELECT name, "user", count(*) AS n, sum(value) AS sv,
+       |  quantile_cont(value, 0.5) AS q50, quantile_cont(value, 0.9) AS q90,
+       |  quantile_cont(value, 0.99) AS q99 FROM f GROUP BY 1, 2),
+       |qs AS (
+       |  SELECT name AS series, "user", '0.5' AS quantile,
+       |    round(q50, 4) AS value FROM g
+       |  UNION ALL SELECT name, "user", '0.9', round(q90, 4) FROM g
+       |  UNION ALL SELECT name, "user", '0.99', round(q99, 4) FROM g),
+       |cs AS (SELECT name || '_count' AS series, "user",
+       |  CAST(NULL AS VARCHAR) AS quantile, CAST(n AS DOUBLE) AS value
+       |  FROM g),
+       |ss AS (SELECT name || '_sum' AS series, "user",
+       |  CAST(NULL AS VARCHAR) AS quantile, round(sv, 4) AS value FROM g)
+       |SELECT * FROM qs UNION ALL SELECT * FROM cs
+       |UNION ALL SELECT * FROM ss""".stripMargin
+
   private val histClassicOracle =
       s"""$duckTsdbCte,
          |f AS (SELECT "labels.name" AS name, "labels.user" AS "user", value
@@ -3968,26 +4008,10 @@ object TsdbQueries {
     // summary replay: exact interpolated quantiles (quantile_cont and
     // Spark's percentile share the (n-1)·φ linear-interpolation
     // definition), count and sum per (name, user) — the wire round trip
-    // through the summary framing is lossless (fixed64 double bits)
-    "tsdb_q150_otlp_summary" ->
-      s"""$duckTsdbCte,
-         |f AS (SELECT "labels.name" AS name, "labels.user" AS "user", value
-         |  FROM t WHERE time > $RangeStart AND time < $RangeEnd),
-         |g AS (SELECT name, "user", count(*) AS n, sum(value) AS sv,
-         |  quantile_cont(value, 0.5) AS q50, quantile_cont(value, 0.9) AS q90,
-         |  quantile_cont(value, 0.99) AS q99 FROM f GROUP BY 1, 2),
-         |qs AS (
-         |  SELECT name AS series, "user", '0.5' AS quantile,
-         |    round(q50, 4) AS value FROM g
-         |  UNION ALL SELECT name, "user", '0.9', round(q90, 4) FROM g
-         |  UNION ALL SELECT name, "user", '0.99', round(q99, 4) FROM g),
-         |cs AS (SELECT name || '_count' AS series, "user",
-         |  CAST(NULL AS VARCHAR) AS quantile, CAST(n AS DOUBLE) AS value
-         |  FROM g),
-         |ss AS (SELECT name || '_sum' AS series, "user",
-         |  CAST(NULL AS VARCHAR) AS quantile, round(sv, 4) AS value FROM g)
-         |SELECT * FROM qs UNION ALL SELECT * FROM cs
-         |UNION ALL SELECT * FROM ss""".stripMargin,
+    // through both summary framings is lossless (binary: fixed64 double
+    // bits; JSON: shortest-double render + permissive from_json)
+    "tsdb_q150_otlp_summary" -> summaryOracle,
+    "tsdb_q152_otlp_summary_json" -> summaryOracle,
     "tsdb_q117_wal_native_hist" -> histExpOracle,
     // same grid, one tier further down: through a written block / the
     // compactor — losslessness IS the assertion

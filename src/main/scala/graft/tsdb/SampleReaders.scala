@@ -441,6 +441,98 @@ object SampleReaders {
       .as("line"))
   }
 
+  /** SUMMARY data points from OTLP/JSON lines → classic Prometheus
+    * series per the otlptranslator mapping — `{name}{quantile="φ"}`
+    * per quantile value plus `{name}_count` / `{name}_sum` — the JSON
+    * twin of [[OtlpProto.decodeSummaries]] (field 11 of the Metric
+    * oneof; proto-JSON camelCase: `summary.dataPoints[].quantileValues`
+    * with `quantile`/`value` doubles, uint64 `count` as a string).
+    * Distributed from_json + explodes, map-side. */
+  def fromOtlpSummaryJsonLines(lines: DataFrame,
+                               lineCol: String = "line"): DataFrame = {
+    val attrType = ArrayType(StructType(Seq(
+      StructField("key", StringType),
+      StructField("value", StructType(Seq(
+        StructField("stringValue", StringType)))))))
+    val qvType = ArrayType(StructType(Seq(
+      StructField("quantile", DoubleType),
+      StructField("value", DoubleType))))
+    val dpType = ArrayType(StructType(Seq(
+      StructField("timeUnixNano", StringType),
+      StructField("count", StringType),
+      StructField("sum", DoubleType),
+      StructField("quantileValues", qvType),
+      StructField("attributes", attrType))))
+    val schema = StructType(Seq(StructField("resourceMetrics", ArrayType(
+      StructType(Seq(StructField("scopeMetrics", ArrayType(StructType(Seq(
+        StructField("metrics", ArrayType(StructType(Seq(
+          StructField("name", StringType),
+          StructField("summary", StructType(Seq(
+            StructField("dataPoints", dpType))))))))))))))))))
+    val base = lines
+      .select(from_json(col(lineCol), schema).as("r"))
+      .where(col("r").isNotNull)
+      .select(explode(col("r.resourceMetrics")).as("rm"))
+      .select(explode(col("rm.scopeMetrics")).as("sm"))
+      .select(explode(col("sm.metrics")).as("m"))
+      .where(col("m.summary").isNotNull)
+      .select(col("m.name").as("name"),
+        explode(col("m.summary.dataPoints")).as("dp"))
+      .where(col("dp.timeUnixNano").isNotNull)
+      .select(col("name"),
+        expr("CAST(dp.timeUnixNano AS BIGINT) DIV 1000000").as("time"),
+        col("dp.count").cast("double").as("count"),
+        col("dp.sum").as("sum"),
+        coalesce(col("dp.quantileValues"), array().cast(qvType)).as("qv"),
+        map_from_entries(transform(
+          coalesce(col("dp.attributes"), array().cast(attrType)),
+          a => struct(a.getField("key"),
+            a.getField("value").getField("stringValue")))).as("attrs"))
+    def withName(suffix: org.apache.spark.sql.Column) = map_concat(
+      map(lit("__name__"), concat(col("name"), suffix)), col("attrs"))
+    // Go-shortest quantile label for the common case: integral doubles
+    // drop the ".0" (strconv.FormatFloat(q,'f',-1,64) renders 1 as "1")
+    def qstr(q: org.apache.spark.sql.Column) =
+      when(q === q.cast("long").cast("double"),
+        q.cast("long").cast("string")).otherwise(q.cast("string"))
+    val quantiles = base.select(col("time"),
+      explode(col("qv")).as("q"), col("name"), col("attrs"))
+      .select(col("time"), col("q.value").as("value"),
+        map_concat(
+          map(lit("__name__"), col("name"),
+            lit("quantile"), qstr(col("q.quantile"))),
+          col("attrs")).as("labels"))
+    val countRow = base.select(col("time"), col("count").as("value"),
+      withName(lit("_count")).as("labels"))
+    val sumRow = base.select(col("time"), col("sum").as("value"),
+      withName(lit("_sum")).as("labels"))
+    quantiles.unionByName(countRow).unionByName(sumRow)
+  }
+
+  /** The summary exporter — `(time, labels with `__name__`, count,
+    * sum, quantiles array<struct<q,v>>)` rows to OTLP/JSON summary
+    * lines, the round-trip twin of [[fromOtlpSummaryJsonLines]] (and
+    * [[OtlpProto.encodeSummaryRequests]]'s JSON sibling). */
+  def toOtlpSummaryJsonLines(df: DataFrame): DataFrame = {
+    val nonName = filter(
+      array_sort(map_keys(col("labels"))), k => k =!= "__name__")
+    val attrs = transform(nonName, k => struct(
+      k.as("key"),
+      struct(element_at(col("labels"), k).as("stringValue")).as("value")))
+    df.select(to_json(struct(array(struct(array(struct(array(struct(
+      element_at(col("labels"), "__name__").as("name"),
+      struct(array(struct(
+        (col("time") * 1000000L).cast("string").as("timeUnixNano"),
+        col("count").cast("long").cast("string").as("count"),
+        col("sum").as("sum"),
+        transform(col("quantiles"), s => struct(
+          s.getField("q").as("quantile"),
+          s.getField("v").as("value"))).as("quantileValues"),
+        attrs.as("attributes"))).as("dataPoints")).as("summary")))
+      .as("metrics"))).as("scopeMetrics"))).as("resourceMetrics")))
+      .as("line"))
+  }
+
   /** The inverse — long-form rows to OTLP/JSON lines, one
     * single-data-point gauge request per sample (a valid
     * ExportMetricsServiceRequest each; sorted attribute keys make the
