@@ -61,11 +61,25 @@ object OtlpProto {
   }
 
   private[tsdb] def decodeSamples(raw: Array[Byte])
-      : Seq[(Long, Double, Map[String, String])] = {
-    val out = Seq.newBuilder[(Long, Double, Map[String, String])]
+      : Seq[(Long, Double, Map[String, String])] =
+    decodeSamplesFull(raw).map { case (t, v, ls, _) => (t, v, ls) }
+
+  /** Point KINDS the receiver's translation strategy needs:
+    * Gauge; Sum split by `aggregation_temporality` (field 2 enum:
+    * 1 = DELTA, 2 = CUMULATIVE) and `is_monotonic` (field 3). */
+  private[tsdb] val KindGauge = 0
+  private[tsdb] val KindCounter = 1 // cumulative monotonic sum
+  private[tsdb] val KindSum = 2     // cumulative non-monotonic sum
+  private[tsdb] val KindDeltaSum = 3
+
+  private[tsdb] def decodeSamplesFull(raw: Array[Byte])
+      : Seq[(Long, Double, Map[String, String], Int)] = {
+    val out = Seq.newBuilder[(Long, Double, Map[String, String], Int)]
     foreachMetric(raw) { (name, field, s, e) =>
       if (field == 5 || field == 7) { // gauge / sum
         val g = new ProtoReader(raw, s, e)
+        var temporality = 0; var monotonic = false
+        val points = Seq.newBuilder[(Long, Double, Map[String, String])]
         while (g.hasMore) g.key() match {
           case (1, 2) => // data_points
             val (ds, de) = g.delimited()
@@ -82,9 +96,18 @@ object OtlpProto {
                 readAttr(raw, as, ae).foreach(kv => labels += kv)
               case (_, w) => dp.skip(w)
             }
-            if (has) out += ((divNsToMs(t), v, labels))
+            if (has) points += ((divNsToMs(t), v, labels))
+          case (2, 0) => temporality = g.varint().toInt // Sum only
+          case (3, 0) => monotonic = g.varint() != 0L   // Sum only
           case (_, w) => g.skip(w)
         }
+        val kind =
+          if (field == 5) KindGauge
+          else if (temporality == 1) KindDeltaSum
+          else if (monotonic) KindCounter
+          else KindSum
+        points.result().foreach { case (t, v, ls) =>
+          out += ((t, v, ls, kind)) }
       }
     }
     out.result()
@@ -393,6 +416,25 @@ object OtlpProto {
     val gauge = new ProtoWriter
     gauge.bytes(1, dp.toBytes)
     wrapMetric(labels.getOrElse("__name__", ""), 5, gauge.toBytes)
+  }
+
+  /** One single-point SUM request — the counter/up-down-counter shape
+    * (`Sum{data_points = 1, aggregation_temporality = 2,
+    * is_monotonic = 3}`); the receiver-side translation-strategy spec
+    * harness. */
+  private[tsdb] def encodeSum(t: Long, v: Double,
+                              labels: Map[String, String],
+                              monotonic: Boolean,
+                              delta: Boolean = false): Array[Byte] = {
+    val dp = new ProtoWriter
+    dp.fixed64(3, t * 1000000L)
+    dp.fixed64(4, java.lang.Double.doubleToLongBits(v))
+    attrBytes(labels).foreach(a => dp.bytes(7, a))
+    val sum = new ProtoWriter
+    sum.bytes(1, dp.toBytes)
+    sum.int64(2, if (delta) 1L else 2L)
+    if (monotonic) sum.int64(3, 1L)
+    wrapMetric(labels.getOrElse("__name__", ""), 7, sum.toBytes)
   }
 
   private[tsdb] def encodeExpHist(t: Long, labels: Map[String, String],

@@ -891,12 +891,33 @@ final class PromHttpServer(spark: SparkSession, initial: DataFrame,
         s"malformed OTLP protobuf payload: $e")
     })
     // gauge/sum points PLUS explicit-bounds histograms PLUS summaries —
-    // Prometheus's OTLP endpoint translates the former into classic
-    // _bucket/_count/_sum series and the latter into
+    // Prometheus's OTLP endpoint translates classic histograms into
+    // _bucket/_count/_sum series and summaries into
     // {name}{quantile}/_sum/_count series; dropping either would
-    // 200-ack a standard collector pipeline while losing its data
+    // 200-ack a standard collector pipeline while losing its data.
+    // Sums follow the default translation strategy
+    // (UnderscoreEscapingWithSuffixes): a CUMULATIVE MONOTONIC sum is a
+    // counter and lands as {name}_total (suffix skipped when already
+    // present); DELTA-temporality sums are REJECTED loudly — a
+    // cumulative store cannot ingest deltas, and a 200 that dropped
+    // them would be the summary bug's failure class all over again.
+    val samples = (try OtlpProto.decodeSamplesFull(raw) catch {
+      case scala.util.control.NonFatal(e) => throw new IllegalArgumentException(
+        s"malformed OTLP protobuf payload: $e")
+    }).map {
+      case (_, _, ls, OtlpProto.KindDeltaSum) =>
+        throw new IllegalArgumentException(
+          s"delta-temporality sum (metric ${ls.getOrElse("__name__", "?")})" +
+            " is not ingestible by a cumulative store; re-export with" +
+            " cumulative temporality")
+      case (t, v, ls, OtlpProto.KindCounter) =>
+        val n = ls.getOrElse("__name__", "")
+        (t, v, if (n.endsWith("_total")) ls
+               else ls + ("__name__" -> (n + "_total")))
+      case (t, v, ls, _) => (t, v, ls)
+    }
     val decoded = (try
-      OtlpProto.decodeSamples(raw) ++ OtlpProto.decodeClassicHists(raw) ++
+      samples ++ OtlpProto.decodeClassicHists(raw) ++
         OtlpProto.decodeSummaries(raw)
     catch {
       case scala.util.control.NonFatal(e) => throw new IllegalArgumentException(

@@ -353,6 +353,44 @@ class PromHttpServerSpec extends SparkSpec {
     assert(cb == 200 && bb.contains(""""value":[8.000,"0.75"]"""), bb)
   }
 
+  test("OTLP sums: counters gain _total, delta temporality rejects") {
+    // Prometheus's default OTLP translation strategy
+    // (UnderscoreEscapingWithSuffixes) renders a cumulative monotonic
+    // sum as {name}_total; an up-down counter (non-monotonic) keeps
+    // its bare name; delta temporality cannot enter a cumulative
+    // store and must fail LOUDLY, not 200-and-drop.
+    val counter = OtlpProto.encodeSum(3500L, 12.0,
+      Map("__name__" -> "reqs", "user" -> "t"), monotonic = true)
+    assert(post("/api/v1/otlp/v1/metrics", counter)._1 == 200)
+    val (cc, bc) = get("/api/v1/query?query=" +
+      java.net.URLEncoder.encode("""{name="reqs_total",user="t"}""",
+        UTF_8) + "&time=4")
+    assert(cc == 200 && bc.contains(""""value":[4.000,"12.0"]"""), bc)
+    // already-suffixed counters do not double-suffix
+    val suffixed = OtlpProto.encodeSum(3500L, 5.0,
+      Map("__name__" -> "hits_total", "user" -> "t"), monotonic = true)
+    assert(post("/api/v1/otlp/v1/metrics", suffixed)._1 == 200)
+    val (cs, bs) = get("/api/v1/query?query=" +
+      java.net.URLEncoder.encode("""{name="hits_total",user="t"}""",
+        UTF_8) + "&time=4")
+    assert(cs == 200 && bs.contains(""""value":[4.000,"5.0"]"""), bs)
+    // non-monotonic (UpDownCounter): bare name
+    val updown = OtlpProto.encodeSum(3500L, -2.5,
+      Map("__name__" -> "inflight", "user" -> "t"), monotonic = false)
+    assert(post("/api/v1/otlp/v1/metrics", updown)._1 == 200)
+    val (cu, bu) = get("/api/v1/query?query=" +
+      java.net.URLEncoder.encode("""{name="inflight",user="t"}""",
+        UTF_8) + "&time=4")
+    assert(cu == 200 && bu.contains(""""value":[4.000,"-2.5"]"""), bu)
+    // delta: 400 bad_data naming the metric
+    val delta = OtlpProto.encodeSum(3500L, 1.0,
+      Map("__name__" -> "dsum", "user" -> "t"),
+      monotonic = true, delta = true)
+    val (cd, bd) = post("/api/v1/otlp/v1/metrics", delta)
+    assert(cd == 400, s"$cd ${new String(bd, UTF_8)}")
+    assert(new String(bd, UTF_8).contains("dsum"), new String(bd, UTF_8))
+  }
+
   test("OTLP summary data points land as quantile/_sum/_count series") {
     // Metric oneof field 11 — the shape client-library latency metrics
     // reach a collector in; Prometheus's otlptranslator maps each
