@@ -266,6 +266,76 @@ object OtlpProto {
     out.result()
   }
 
+  /** EXEMPLARS attached to any data point (`NumberDataPoint.exemplars
+    * = 5`, `HistogramDataPoint.exemplars = 8`,
+    * `ExponentialHistogramDataPoint.exemplars = 11`; Exemplar
+    * {time_unix_nano = 2 fixed64, as_double = 3, span_id = 4 bytes,
+    * trace_id = 5 bytes, as_int = 6 sfixed64, filtered_attributes =
+    * 7}) → `(time ms, value, owning-series labels, exemplar labels)`.
+    * Filtered attributes become exemplar labels; trace/span ids render
+    * as lowercase hex — Prometheus's OTLP exemplar mapping. */
+  def decodeExemplarRows(raw: Array[Byte])
+      : Seq[(Long, Double, Map[String, String], Map[String, String])] = {
+    val out = Seq.newBuilder[
+      (Long, Double, Map[String, String], Map[String, String])]
+    foreachMetric(raw) { (name, field, s, e) =>
+      // per-kind field numbers inside the data point
+      val (attrField, exField) = field match {
+        case 5 | 7 => (7, 5) // NumberDataPoint
+        case 9 => (9, 8)     // HistogramDataPoint
+        case 10 => (1, 11)   // ExponentialHistogramDataPoint
+        case _ => (-1, -1)
+      }
+      if (exField > 0) {
+        val g = new ProtoReader(raw, s, e)
+        while (g.hasMore) g.key() match {
+          case (1, 2) => // data_points
+            val (ds, de) = g.delimited()
+            val dp = new ProtoReader(raw, ds, de)
+            var attrs = Map("__name__" -> name)
+            val exSpans = Seq.newBuilder[(Int, Int)]
+            while (dp.hasMore) dp.key() match {
+              case (f, 2) if f == attrField =>
+                val (as, ae) = dp.delimited()
+                readAttr(raw, as, ae).foreach(kv => attrs += kv)
+              case (f, 2) if f == exField =>
+                val (es, ee) = dp.delimited(); exSpans += ((es, ee))
+              case (_, w) => dp.skip(w)
+            }
+            exSpans.result().foreach { case (es, ee) =>
+              out += decodeExemplar(raw, es, ee, attrs)
+            }
+          case (_, w) => g.skip(w)
+        }
+      }
+    }
+    out.result()
+  }
+
+  private def decodeExemplar(raw: Array[Byte], from: Int, until: Int,
+      series: Map[String, String])
+      : (Long, Double, Map[String, String], Map[String, String]) = {
+    def hex(s: Int, e: Int): String =
+      raw.slice(s, e).map(b => f"${b & 0xff}%02x").mkString
+    val r = new ProtoReader(raw, from, until)
+    var t = 0L; var v = 0.0
+    var labels = Map.empty[String, String]
+    while (r.hasMore) r.key() match {
+      case (2, 1) => t = r.fixed64()
+      case (3, 1) => v = java.lang.Double.longBitsToDouble(r.fixed64())
+      case (6, 1) => v = r.fixed64().toDouble
+      case (4, 2) =>
+        val (s, e) = r.delimited(); labels += ("span_id" -> hex(s, e))
+      case (5, 2) =>
+        val (s, e) = r.delimited(); labels += ("trace_id" -> hex(s, e))
+      case (7, 2) =>
+        val (s, e) = r.delimited()
+        readAttr(raw, s, e).foreach(kv => labels += kv)
+      case (_, w) => r.skip(w)
+    }
+    (divNsToMs(t), v, series, labels)
+  }
+
   /** Go `strconv.FormatFloat(q, 'f', -1, 64)` for the quantile label:
     * shortest plain-decimal form — 0.5 → "0.5", 1 → "1", 0.99 → "0.99"
     * (Java's `Double.toString` would render 1.0 as "1.0"). */
@@ -408,10 +478,28 @@ object OtlpProto {
   }
 
   private[tsdb] def encodeGauge(t: Long, v: Double,
-                                labels: Map[String, String]): Array[Byte] = {
+                                labels: Map[String, String]): Array[Byte] =
+    encodeGaugeWithExemplars(t, v, labels, Nil)
+
+  /** Gauge point + attached exemplars — `(time ms, value, trace_id
+    * bytes, span_id bytes, filtered attributes)` each. The spec-side
+    * harness for [[decodeExemplarRows]]. */
+  private[tsdb] def encodeGaugeWithExemplars(t: Long, v: Double,
+      labels: Map[String, String],
+      exemplars: Seq[(Long, Double, Array[Byte], Array[Byte],
+        Map[String, String])]): Array[Byte] = {
     val dp = new ProtoWriter
     dp.fixed64(3, t * 1000000L)
     dp.fixed64(4, java.lang.Double.doubleToLongBits(v))
+    exemplars.foreach { case (et, ev, traceId, spanId, attrs) =>
+      val ew = new ProtoWriter
+      ew.fixed64(2, et * 1000000L)
+      ew.fixed64(3, java.lang.Double.doubleToLongBits(ev))
+      if (spanId.nonEmpty) ew.bytes(4, spanId)
+      if (traceId.nonEmpty) ew.bytes(5, traceId)
+      attrBytes(attrs).foreach(a => ew.bytes(7, a))
+      dp.bytes(5, ew.toBytes)
+    }
     attrBytes(labels).foreach(a => dp.bytes(7, a))
     val gauge = new ProtoWriter
     gauge.bytes(1, dp.toBytes)

@@ -840,8 +840,8 @@ final class PromHttpServer(spark: SparkSession, initial: DataFrame,
     * convention); exemplars without one keep their first label value,
     * and label-less exemplars land with an empty id. Returns the count
     * written. */
-  private def appendExemplars(series: Seq[RemoteWrite2.Rw2Series]): Int = {
-    val rows = series.flatMap { sr =>
+  private def appendExemplars(series: Seq[RemoteWrite2.Rw2Series]): Int =
+    appendExemplarRows(series.flatMap { sr =>
       val lbls = sr.labels.toMap.map { case (k, v) =>
         (if (k == "__name__") "name" else k) -> v }
       sr.exemplars.map { case (elbls, v, t) =>
@@ -849,7 +849,10 @@ final class PromHttpServer(spark: SparkSession, initial: DataFrame,
           elbls.sortBy(_._1).headOption.fold("")(_._2))
         (t, v, lbls, traceId)
       }
-    }
+    })
+
+  private def appendExemplarRows(
+      rows: Seq[(Long, Double, Map[String, String], String)]): Int = {
     if (rows.nonEmpty) {
       import spark.implicits._
       val names = rows.flatMap(_._3.keys).distinct.sorted
@@ -931,6 +934,21 @@ final class PromHttpServer(spark: SparkSession, initial: DataFrame,
       val longForm = decoded.toDF("time", "value", "labels")
       appendWide(TsdbIngest.toWide(longForm))
     }
+    // exemplars attached to any data point land in the queryable store
+    // exactly like remote-write 2.0's (Prometheus's OTLP receiver
+    // does the same): trace id = the decoded trace_id hex, owning
+    // series = metric name + point attributes
+    appendExemplarRows((try OtlpProto.decodeExemplarRows(raw) catch {
+      case scala.util.control.NonFatal(e) => throw new IllegalArgumentException(
+        s"malformed OTLP protobuf payload: $e")
+    }).map {
+      case (t, v, series, elbls) =>
+        val lbls = series.map { case (k, vv) =>
+          (if (k == "__name__") "name" else k) -> vv }
+        val traceId = elbls.getOrElse("trace_id",
+          elbls.toSeq.sortBy(_._1).headOption.fold("")(_._2))
+        (t, v, lbls, traceId)
+    })
     ex.getResponseHeaders.set("Content-Type", "application/x-protobuf")
     ex.sendResponseHeaders(200, -1)
   }

@@ -353,6 +353,26 @@ class PromHttpServerSpec extends SparkSpec {
     assert(cb == 200 && bb.contains(""""value":[8.000,"0.75"]"""), bb)
   }
 
+  test("OTLP exemplars land in the store and serve via query_exemplars") {
+    // exemplars ride on the data points themselves (NumberDataPoint
+    // field 5); Prometheus's OTLP receiver routes them to the exemplar
+    // store with trace/span ids rendered as hex labels
+    val payload = OtlpProto.encodeGaugeWithExemplars(4500L, 900.0,
+      Map("__name__" -> "oex", "user" -> "x"),
+      exemplars = Seq((4400L, 877.0,
+        Array[Byte](0x0a, 0x1b, 0x2c, 0x3d),
+        Array[Byte](0x4e, 0x5f),
+        Map("client" -> "ios"))))
+    assert(post("/api/v1/otlp/v1/metrics", payload)._1 == 200)
+    val (c, b) = get("/api/v1/query_exemplars?query=" +
+      java.net.URLEncoder.encode("""{name="oex"}""", UTF_8) +
+      "&start=4&end=5")
+    assert(c == 200, b)
+    assert(b.contains(""""trace_id":"0a1b2c3d""""), b)
+    assert(b.contains(""""value":"877""""), b)
+    assert(b.contains(""""user":"x""""), b)
+  }
+
   test("OTLP sums: counters gain _total, delta temporality rejects") {
     // Prometheus's default OTLP translation strategy
     // (UnderscoreEscapingWithSuffixes) renders a cumulative monotonic
