@@ -30,10 +30,12 @@ import RemoteWrite.{ProtoReader, ProtoWriter, SparseHist}
   * become labels, the metric name lands as `__name__`, exp-hist bucket
   * index `j = offset + i + 1` (the OTel→Prometheus shift), packed
   * repeated fields accumulate across occurrences (proto3 merge rule —
-  * the same contract [[RemoteWrite.decodeHistogram]] honors). Resource
-  * attributes are NOT merged into series labels — Prometheus routes
-  * them to `target_info` (served by the PromQL `info()` tier), not
-  * onto every series.
+  * the same contract [[RemoteWrite.decodeHistogram]] honors). RESOURCE
+  * attributes follow Prometheus's translation: the identifying trio
+  * (`service.name`/`service.namespace`/`service.instance.id`) promotes
+  * to `job`/`instance` on every series, and the remaining attributes
+  * route to `target_info` ([[decodeTargetInfo]], served by the PromQL
+  * `info()` tier) — never onto every series.
   *
   * Scale shape: decode is a map-side flatMap over payload byte arrays
   * (no shuffle — the [[RemoteWrite.decode]] shape); encode is one
@@ -75,7 +77,7 @@ object OtlpProto {
   private[tsdb] def decodeSamplesFull(raw: Array[Byte])
       : Seq[(Long, Double, Map[String, String], Int)] = {
     val out = Seq.newBuilder[(Long, Double, Map[String, String], Int)]
-    foreachMetric(raw) { (name, field, s, e) =>
+    foreachMetricWithResource(raw) { (res, name, field, s, e) =>
       if (field == 5 || field == 7) { // gauge / sum
         val g = new ProtoReader(raw, s, e)
         var temporality = 0; var monotonic = false
@@ -106,8 +108,12 @@ object OtlpProto {
           else if (temporality == 1) KindDeltaSum
           else if (monotonic) KindCounter
           else KindSum
+        // resource-identifying attributes promote to job/instance on
+        // every series (Prometheus's OTLP translation), overriding
+        // same-named point attributes
+        val promo = jobInstance(res)
         points.result().foreach { case (t, v, ls) =>
-          out += ((t, v, ls, kind)) }
+          out += ((t, v, ls ++ promo, kind)) }
       }
     }
     out.result()
@@ -115,13 +121,15 @@ object OtlpProto {
 
   private[tsdb] def decodeHists(raw: Array[Byte]): Seq[SparseHist] = {
     val out = Seq.newBuilder[SparseHist]
-    foreachMetric(raw) { (name, field, s, e) =>
+    foreachMetricWithResource(raw) { (res, name, field, s, e) =>
       if (field == 10) { // exponential_histogram
+        val promo = jobInstance(res)
         val g = new ProtoReader(raw, s, e)
         while (g.hasMore) g.key() match {
           case (1, 2) =>
             val (ds, de) = g.delimited()
-            out += decodeExpPoint(raw, ds, de, name)
+            val p = decodeExpPoint(raw, ds, de, name)
+            out += p.copy(labels = p.labels ++ promo)
           case (_, w) => g.skip(w)
         }
       }
@@ -148,7 +156,7 @@ object OtlpProto {
   private[tsdb] def decodeClassicHists(raw: Array[Byte])
       : Seq[(Long, Double, Map[String, String])] = {
     val out = Seq.newBuilder[(Long, Double, Map[String, String])]
-    foreachMetric(raw) { (name, field, s, e) =>
+    foreachMetricWithResource(raw) { (res, name, field, s, e) =>
       if (field == 9) { // histogram
         val g = new ProtoReader(raw, s, e)
         while (g.hasMore) g.key() match {
@@ -181,6 +189,7 @@ object OtlpProto {
                 readAttr(raw, as, ae).foreach(kv => attrs += kv)
               case (_, w) => dp.skip(w)
             }
+            attrs = attrs ++ jobInstance(res) // resource promotion
             val ms = divNsToMs(t)
             val bs = bounds.result(); val cs = bc.result()
             var cum = 0.0
@@ -220,7 +229,7 @@ object OtlpProto {
   private[tsdb] def decodeSummaries(raw: Array[Byte])
       : Seq[(Long, Double, Map[String, String])] = {
     val out = Seq.newBuilder[(Long, Double, Map[String, String])]
-    foreachMetric(raw) { (name, field, s, e) =>
+    foreachMetricWithResource(raw) { (res, name, field, s, e) =>
       if (field == 11) { // summary
         val g = new ProtoReader(raw, s, e)
         while (g.hasMore) g.key() match {
@@ -252,6 +261,7 @@ object OtlpProto {
                 readAttr(raw, as, ae).foreach(kv => attrs += kv)
               case (_, w) => dp.skip(w)
             }
+            attrs = attrs ++ jobInstance(res) // resource promotion
             val ms = divNsToMs(t)
             qs.result().foreach { case (q, v) =>
               out += ((ms, v, attrs ++ Map(
@@ -389,39 +399,130 @@ object OtlpProto {
   }
 
   /** Walk request → resource_metrics → scope_metrics → metrics and hand
-    * each metric's data oneof (field 5/7/9/10, delimited span) to `f`. */
+    * each metric's data oneof (field 5/7/9/10/11, delimited span) to `f`. */
   private def foreachMetric(raw: Array[Byte])
-                           (f: (String, Int, Int, Int) => Unit): Unit = {
+                           (f: (String, Int, Int, Int) => Unit): Unit =
+    foreachMetricWithResource(raw)((_, name, fld, s, e) => f(name, fld, s, e))
+
+  /** [[foreachMetric]] plus each metric's RESOURCE attributes
+    * (`ResourceMetrics.resource = 1` → `Resource.attributes = 1`) —
+    * scanned in a first pass over the ResourceMetrics span because
+    * proto field order is not guaranteed. */
+  private def foreachMetricWithResource(raw: Array[Byte])
+      (f: (Map[String, String], String, Int, Int, Int) => Unit): Unit = {
     val req = new ProtoReader(raw, 0, raw.length)
     while (req.hasMore) req.key() match {
       case (1, 2) =>
         val (rs, re) = req.delimited()
         val rm = new ProtoReader(raw, rs, re)
+        var resAttrs = Map.empty[String, String]
+        val smSpans = Seq.newBuilder[(Int, Int)]
         while (rm.hasMore) rm.key() match {
-          case (2, 2) =>
-            val (ss, se) = rm.delimited()
-            val sm = new ProtoReader(raw, ss, se)
-            while (sm.hasMore) sm.key() match {
-              case (2, 2) =>
-                val (ms, me) = sm.delimited()
-                val m = new ProtoReader(raw, ms, me)
-                var name = ""
-                val spans = Seq.newBuilder[(Int, Int, Int)]
-                while (m.hasMore) m.key() match {
-                  case (1, 2) => name = m.string()
-                  case (fld, 2) if fld == 5 || fld == 7 ||
-                      fld == 9 || fld == 10 || fld == 11 =>
-                    val (s, e) = m.delimited(); spans += ((fld, s, e))
-                  case (_, w) => m.skip(w)
-                }
-                spans.result().foreach { case (fld, s, e) =>
-                  f(name, fld, s, e) }
-              case (_, w) => sm.skip(w)
+          case (1, 2) => // resource
+            val (s, e) = rm.delimited()
+            val rr = new ProtoReader(raw, s, e)
+            while (rr.hasMore) rr.key() match {
+              case (1, 2) =>
+                val (as, ae) = rr.delimited()
+                readAttr(raw, as, ae).foreach(kv => resAttrs += kv)
+              case (_, w) => rr.skip(w)
             }
+          case (2, 2) =>
+            val (s, e) = rm.delimited(); smSpans += ((s, e))
           case (_, w) => rm.skip(w)
+        }
+        smSpans.result().foreach { case (ss, se) =>
+          val sm = new ProtoReader(raw, ss, se)
+          while (sm.hasMore) sm.key() match {
+            case (2, 2) =>
+              val (ms, me) = sm.delimited()
+              val m = new ProtoReader(raw, ms, me)
+              var name = ""
+              val spans = Seq.newBuilder[(Int, Int, Int)]
+              while (m.hasMore) m.key() match {
+                case (1, 2) => name = m.string()
+                case (fld, 2) if fld == 5 || fld == 7 ||
+                    fld == 9 || fld == 10 || fld == 11 =>
+                  val (s, e) = m.delimited(); spans += ((fld, s, e))
+                case (_, w) => m.skip(w)
+              }
+              spans.result().foreach { case (fld, s, e) =>
+                f(resAttrs, name, fld, s, e) }
+            case (_, w) => sm.skip(w)
+          }
         }
       case (_, w) => req.skip(w)
     }
+  }
+
+  /** Prometheus's OTLP identifying-attribute mapping: `service.name`
+    * (prefixed by `service.namespace` when present) → `job`;
+    * `service.instance.id` → `instance`. */
+  private[tsdb] def jobInstance(res: Map[String, String])
+      : Map[String, String] =
+    (res.get("service.name").map(n =>
+      "job" -> res.get("service.namespace").fold(n)(ns => s"$ns/$n")) ++
+      res.get("service.instance.id").map("instance" -> _)).toMap
+
+  /** One `target_info` row per RESOURCE carrying identifying service
+    * attributes — value 1 at the resource's latest point timestamp,
+    * labels = the non-identifying resource attributes plus the
+    * promoted job/instance. Prometheus's OTLP endpoint writes exactly
+    * this series (the `info()` tier's data source); resources without
+    * extra attributes are skipped (an attr-less target_info carries
+    * no information). Label names keep their dotted OTel form — this
+    * engine stores UTF-8 label names (Prometheus 3). */
+  def decodeTargetInfo(raw: Array[Byte])
+      : Seq[(Long, Double, Map[String, String])] = {
+    val latest =
+      scala.collection.mutable.LinkedHashMap.empty[Map[String, String], Long]
+    foreachMetricWithResource(raw) { (res, _, _, s, e) =>
+      if (res.contains("service.name")) {
+        val g = new ProtoReader(raw, s, e)
+        while (g.hasMore) g.key() match {
+          case (1, 2) => // data_points: time_unix_nano = 3 on every kind
+            val (ds, de) = g.delimited()
+            val dp = new ProtoReader(raw, ds, de)
+            while (dp.hasMore) dp.key() match {
+              case (3, 1) =>
+                val t = divNsToMs(dp.fixed64())
+                if (t > latest.getOrElse(res, Long.MinValue)) latest(res) = t
+              case (_, w) => dp.skip(w)
+            }
+          case (_, w) => g.skip(w)
+        }
+      }
+    }
+    val ident =
+      Set("service.name", "service.namespace", "service.instance.id")
+    latest.toSeq.flatMap { case (res, t) =>
+      val extra = res.filterNot(kv => ident(kv._1))
+      if (extra.isEmpty) None
+      else Some((t, 1.0,
+        extra ++ jobInstance(res) + ("__name__" -> "target_info")))
+    }
+  }
+
+  /** Wrap an encoded request's ResourceMetrics with RESOURCE
+    * attributes (the collector always sends them; [[wrapMetric]]'s
+    * single-metric requests carry none) — the spec-side harness for
+    * the resource tier. */
+  private[tsdb] def addResource(request: Array[Byte],
+                                attrs: Map[String, String]): Array[Byte] = {
+    val r = new ProtoReader(request, 0, request.length)
+    val out = new ProtoWriter
+    while (r.hasMore) r.key() match {
+      case (1, 2) =>
+        val (s, e) = r.delimited()
+        val res = new ProtoWriter
+        attrBytes(attrs).foreach(a => res.bytes(1, a))
+        val header = new ProtoWriter
+        header.bytes(1, res.toBytes)
+        out.bytes(1, header.toBytes ++
+          java.util.Arrays.copyOfRange(request, s, e))
+      case (_, w) => r.skip(w)
+    }
+    out.toBytes
   }
 
   private def readAttr(raw: Array[Byte], from: Int,

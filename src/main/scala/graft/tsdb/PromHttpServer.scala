@@ -919,9 +919,13 @@ final class PromHttpServer(spark: SparkSession, initial: DataFrame,
                else ls + ("__name__" -> (n + "_total")))
       case (t, v, ls, _) => (t, v, ls)
     }
+    // resource attributes: service.name/namespace/instance.id promote
+    // to job/instance on every series (inside the decoders), and the
+    // remaining resource attributes land as a `target_info` row — the
+    // PromQL info() tier's data source, exactly Prometheus's mapping
     val decoded = (try
       samples ++ OtlpProto.decodeClassicHists(raw) ++
-        OtlpProto.decodeSummaries(raw)
+        OtlpProto.decodeSummaries(raw) ++ OtlpProto.decodeTargetInfo(raw)
     catch {
       case scala.util.control.NonFatal(e) => throw new IllegalArgumentException(
         s"malformed OTLP protobuf payload: $e")

@@ -353,6 +353,42 @@ class PromHttpServerSpec extends SparkSpec {
     assert(cb == 200 && bb.contains(""""value":[8.000,"0.75"]"""), bb)
   }
 
+  test("OTLP resource attrs: job/instance promotion + target_info") {
+    // Prometheus's OTLP translation: the identifying service trio
+    // becomes job (namespace/name) and instance on EVERY series, and
+    // the remaining resource attributes land as target_info — the
+    // info() tier's data source
+    val payload = OtlpProto.addResource(
+      OtlpProto.encodeGauge(5500L, 3.5,
+        Map("__name__" -> "ores", "user" -> "r")),
+      Map("service.name" -> "checkout", "service.namespace" -> "shop",
+        "service.instance.id" -> "i-1", "host.name" -> "h9"))
+    assert(post("/api/v1/otlp/v1/metrics", payload)._1 == 200)
+    val (c, b) = get("/api/v1/query?query=" +
+      java.net.URLEncoder.encode("""{name="ores"}""", UTF_8) + "&time=6")
+    assert(c == 200, b)
+    assert(b.contains(""""job":"shop/checkout"""") &&
+      b.contains(""""instance":"i-1"""") &&
+      b.contains(""""user":"r""""), b)
+    val (c2, b2) = get("/api/v1/query?query=" +
+      java.net.URLEncoder.encode("""{name="target_info"}""", UTF_8) +
+      "&time=6")
+    assert(c2 == 200, b2)
+    assert(b2.contains(""""host.name":"h9"""") &&
+      b2.contains(""""job":"shop/checkout"""") &&
+      b2.contains(""""value":[6.000,"1.0"]"""), b2)
+    // identifying attrs alone produce NO target_info (carries nothing)
+    val bare = OtlpProto.addResource(
+      OtlpProto.encodeGauge(5600L, 1.0,
+        Map("__name__" -> "ores2", "user" -> "r")),
+      Map("service.name" -> "noinfo"))
+    assert(post("/api/v1/otlp/v1/metrics", bare)._1 == 200)
+    val (c3, b3) = get("/api/v1/query?query=" +
+      java.net.URLEncoder.encode(
+        """{name="target_info",job="noinfo"}""", UTF_8) + "&time=6")
+    assert(c3 == 200 && !b3.contains("noinfo"), b3)
+  }
+
   test("OTLP exemplars land in the store and serve via query_exemplars") {
     // exemplars ride on the data points themselves (NumberDataPoint
     // field 5); Prometheus's OTLP receiver routes them to the exemplar
