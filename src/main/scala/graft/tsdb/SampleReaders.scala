@@ -46,8 +46,18 @@ object SampleReaders {
     // an exemplar rides after ` # ` on a sample line (OpenMetrics) —
     // strip it so the value/timestamp anchors see only the sample part
     val l = trim(regexp_replace(trim(col(lineCol)), "\\s#\\s.*$", ""))
-    val name = regexp_extract(l, "^([a-zA-Z_:][a-zA-Z0-9_:]*)", 1)
-    val labelBlob = regexp_extract(l, "\\{(.*)\\}", 1)
+    // Prometheus 3 UTF-8 names: a non-legacy metric name moves INSIDE
+    // the braces as a bare leading quoted string —
+    // `{"my.metric",code="200"} 5 1704…` — and quoted label names
+    // (`"my.label"="v"`) parse via the same quote-strip the legacy
+    // form uses
+    val legacyName = regexp_extract(l, "^([a-zA-Z_:][a-zA-Z0-9_:]*)", 1)
+    val quotedName = regexp_extract(l, "^\\{\"([^\"]+)\"", 1)
+    val name = when(quotedName =!= "", quotedName).otherwise(legacyName)
+    val labelBlob0 = regexp_extract(l, "\\{(.*)\\}", 1)
+    val labelBlob = when(quotedName =!= "",
+      regexp_replace(labelBlob0, "^\"[^\"]+\"\\s*,?\\s*", ""))
+      .otherwise(labelBlob0)
     val value = regexp_extract(l, "[}\\s]\\s*([-+0-9.eE]+)\\s+[0-9]+\\s*$", 1)
     val ts = regexp_extract(l, "([0-9]+)\\s*$", 1)
     lines
@@ -555,17 +565,27 @@ object SampleReaders {
   }
 
   /** The inverse — long-form rows to exposition lines (a text exporter;
-    * also the round-trip harness that puts the parser under the oracle). */
+    * also the round-trip harness that puts the parser under the
+    * oracle). Legacy names render classic; non-legacy metric names use
+    * Prometheus 3's quoted form (`{"my.metric",code="200"} …`) and
+    * non-legacy LABEL names quote in place (`{"my.label"="v"}`) — a
+    * classic renderer would emit unparseable text for them. */
   def toOpenMetricsLines(samples: DataFrame): DataFrame = {
+    val legacy = "^[a-zA-Z_:][a-zA-Z0-9_:]*$"
+    val nameCol = element_at(col("labels"), "__name__")
     val pairs = transform(
-      array_sort(map_keys(col("labels"))),
-      k => concat(k, lit("=\""), element_at(col("labels"), k), lit("\"")))
-    samples.select(concat(
-      element_at(col("labels"), "__name__"),
-      lit("{"),
-      concat_ws(",", filter(pairs, p => !p.startsWith("__name__="))),
-      lit("} "),
-      col("value").cast("string"), lit(" "),
-      col("time").cast("string")).as("line"))
+      filter(array_sort(map_keys(col("labels"))), k => k =!= "__name__"),
+      k => concat(
+        when(k.rlike(legacy), k).otherwise(concat(lit("\""), k, lit("\""))),
+        lit("=\""), element_at(col("labels"), k), lit("\"")))
+    val tail = concat(lit("} "),
+      col("value").cast("string"), lit(" "), col("time").cast("string"))
+    val classic = concat(nameCol, lit("{"), concat_ws(",", pairs), tail)
+    val quoted = concat(lit("{\""), nameCol, lit("\""),
+      when(size(pairs) > 0, concat(lit(","), concat_ws(",", pairs)))
+        .otherwise(lit("")),
+      tail)
+    samples.select(
+      when(nameCol.rlike(legacy), classic).otherwise(quoted).as("line"))
   }
 }

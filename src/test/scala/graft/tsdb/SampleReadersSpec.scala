@@ -41,6 +41,33 @@ class SampleReadersSpec extends SparkSpec {
     assert(back == in.as[(Long, Double, Map[String, String])].collect().toSet)
   }
 
+  test("UTF-8 names use Prometheus 3's quoted exposition form") {
+    // non-legacy metric names move inside the braces as a leading
+    // quoted string; non-legacy label names quote in place — and both
+    // round-trip through the parser (a classic renderer would emit
+    // unparseable `my.metric{...}` text)
+    val in = Seq(
+      (1000L, 2.5, Map("__name__" -> "http.requests.总数",
+        "user" -> "a", "data.center" -> "dc1")),
+      (2000L, 1.0, Map("__name__" -> "service.latency")),
+      (3000L, 4.0, Map("__name__" -> "legacy_ok", "a.b" -> "v")))
+      .toDF("time", "value", "labels")
+    val lines = SampleReaders.toOpenMetricsLines(in)
+      .as[String].collect().sorted
+    assert(lines(0) == """legacy_ok{"a.b"="v"} 4.0 3000""",
+      lines.mkString("\n"))
+    assert(lines(1) ==
+      """{"http.requests.总数","data.center"="dc1",user="a"} 2.5 1000""",
+      lines.mkString("\n"))
+    assert(lines(2) == """{"service.latency"} 1.0 2000""",
+      lines.mkString("\n"))
+    val back = SampleReaders.fromOpenMetricsLines(
+        SampleReaders.toOpenMetricsLines(in))
+      .as[(Long, Double, Map[String, String])].collect().toSet
+    assert(back == in.as[(Long, Double, Map[String, String])]
+      .collect().toSet)
+  }
+
   test("CSV long-form reader parses k=v;k=v label encoding") {
     val dir = tmpDir("graft_csv")
     java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$dir/s.csv"),
