@@ -479,6 +479,30 @@ object TsdbQueries {
           sum(element_at(col("hist.counts"), 9)).cast("long").as("c_64_128"),
           sum(element_at(col("hist.counts"), 12)).cast("long").as("c_inf"))
     }),
+    // Q153: UTF-8 metric/label NAMES end-to-end under the oracle
+    // (Prometheus 3 quoted names): events re-labeled onto dotted names,
+    // rendered through the quoted exposition form, parsed back, stored
+    // wide (dotted physical columns), and selected with the engine's
+    // matcher API over the dotted names — count/sum per series replayed
+    // in DuckDB. Engine matchers carry the reference's raw-substring
+    // regex contract, so the oracle regexes are unanchored.
+    "tsdb_q153_utf8_names" -> ((s, dir) => {
+      val long = load(s, dir, "events").select(
+        unix_millis(col("ts")).as("time"), col("value"),
+        map(lit("__name__"), concat(lit("event."), col("event_type")),
+          lit("service.user"), col("user_id").cast("string"))
+          .as("labels"))
+      val back = graft.tsdb.SampleReaders.fromOpenMetricsLines(
+        graft.tsdb.SampleReaders.toOpenMetricsLines(long))
+      val t = TsdbTable(graft.tsdb.TsdbIngest.toWide(back))
+      t.select(Long.MinValue, Long.MaxValue, Seq(
+          Matcher.Re("__name__", "event\\..*"),
+          Matcher.Re("service.user", "1.*")))
+        .groupBy(col("`labels.__name__`").as("metric"),
+          col("`labels.service.user`").as("user"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("value")), 4).as("sum_v"))
+    }),
     // Q149: `promtool tsdb list` — the per-block inventory an operator
     // prints before any data-dir surgery: ULID, window, duration and
     // the meta.json stats of every block. Blocks are written to a FIXED
@@ -4012,6 +4036,17 @@ object TsdbQueries {
     // bits; JSON: shortest-double render + permissive from_json)
     "tsdb_q150_otlp_summary" -> summaryOracle,
     "tsdb_q152_otlp_summary_json" -> summaryOracle,
+    // UTF-8 names: the dotted relabeling + raw-substring matcher
+    // predicates replayed over the raw events (the exposition round
+    // trip and wide storage are lossless; values/times integral-exact)
+    "tsdb_q153_utf8_names" ->
+      """SELECT 'event.' || event_type AS metric,
+        |  CAST(user_id AS VARCHAR) AS "user",
+        |  count(*) AS n, round(sum(value), 4) AS sum_v
+        |FROM events
+        |WHERE regexp_matches('event.' || event_type, 'event\..*')
+        |  AND regexp_matches(CAST(user_id AS VARCHAR), '1.*')
+        |GROUP BY 1, 2""".stripMargin,
     "tsdb_q117_wal_native_hist" -> histExpOracle,
     // same grid, one tier further down: through a written block / the
     // compactor — losslessness IS the assertion
