@@ -99,7 +99,14 @@ object Bench {
     // training (binding), residual IVFADC
     "tsdb_q140_keep_firing_for", "tsdb_q141_otlp_exp_hist",
     "tsdb_q142_otlp_classic_hist", "pipe_q48_kmeans_sampled",
-    "pipe_q50_ivfpq_residual")
+    "pipe_q50_ivfpq_residual",
+    // round 13/14: substring-level span dedup (the largest new frame),
+    // OTLP summaries (binary framing; q152's JSON twin stays out — it
+    // re-runs the same aggregation work per the q110 rationale),
+    // SAMPLED histogram remote read, UTF-8 names end-to-end
+    "pipe_q52_dup_spans", "pipe_q53_span_scrub",
+    "tsdb_q150_otlp_summary", "tsdb_q151_remote_read_hist_sampled",
+    "tsdb_q153_utf8_names")
 
   /** 1/5/15-minute fields of /proc/loadavg (empty off-Linux). */
   private def loadavg(): Seq[Double] =

@@ -494,7 +494,11 @@ object TsdbQueries {
           .as("labels"))
       val back = graft.tsdb.SampleReaders.fromOpenMetricsLines(
         graft.tsdb.SampleReaders.toOpenMetricsLines(long))
-      val t = TsdbTable(graft.tsdb.TsdbIngest.toWide(back))
+      // explicit label-name list: the two-pass union scan would re-run
+      // the exposition parse a second time just to discover names this
+      // relabeling fixed by construction
+      val t = TsdbTable(graft.tsdb.TsdbIngest.toWide(back,
+        Seq("__name__", "service.user")))
       t.select(Long.MinValue, Long.MaxValue, Seq(
           Matcher.Re("__name__", "event\\..*"),
           Matcher.Re("service.user", "1.*")))
