@@ -53,7 +53,8 @@ final class PromHttpServer(spark: SparkSession, initial: DataFrame,
                            histMaxExp: Int = 9,
                            dataDir: Option[String] = None,
                            adminApi: Boolean = false,
-                           alertmanagers: Seq[String] = Nil) {
+                           alertmanagers: Seq[String] = Nil,
+                           resolvedRetentionMs: Long = 900000L) {
 
   @volatile private var wide: DataFrame = initial
   private var server: HttpServer = _
@@ -604,13 +605,22 @@ final class PromHttpServer(spark: SparkSession, initial: DataFrame,
   /** The notifier's RESOLVED-detection state: the firing elements of
     * the last notify run, full label set → (activeAt, annotations).
     * An element here that is no longer firing at the next run has
-    * RESOLVED — Prometheus posts it once more with `endsAt` = the
-    * resolution time (rules/alerting.go keeps resolved alerts in the
-    * active map and the notifier sends them with EndsAt = ResolvedAt)
-    * so the Alertmanager closes the incident immediately instead of
-    * waiting out the 4×interval validity horizon. */
+    * RESOLVED — Prometheus posts it with `endsAt` = the resolution
+    * time (rules/alerting.go keeps resolved alerts in the active map
+    * and the notifier sends them with EndsAt = ResolvedAt) so the
+    * Alertmanager closes the incident immediately instead of waiting
+    * out the 4×interval validity horizon. */
   private var lastFiring =
     Map.empty[Map[String, String], (Long, Map[String, String])]
+
+  /** Resolved-but-RETAINED alerts: label set → (activeAt, annotations,
+    * resolvedAt). Re-sent on every notifier run until
+    * `resolvedRetentionMs` elapses (Prometheus keeps resolved alerts
+    * active for 15m and `needsSending` re-sends them past the resend
+    * delay — a restarted or flaky Alertmanager still learns of the
+    * resolution); an element that re-fires leaves this map. */
+  private var resolvedRetained =
+    Map.empty[Map[String, String], (Long, Map[String, String], Long)]
 
   /** The NOTIFIER — the last hop of the alerting story: evaluate every
     * rule group at the tick ≤ `at` and POST to each configured
@@ -622,9 +632,11 @@ final class PromHttpServer(spark: SparkSession, initial: DataFrame,
     *     resend-validity convention so an AM expires the alert if the
     *     sender dies);
     *   - every element firing LAST run but not this one, as an explicit
-    *     RESOLVED notification — same labels, `endsAt` = `at` (the
-    *     resolution time; an endsAt in the past is how the v2 API
-    *     marks an alert resolved).
+    *     RESOLVED notification — same labels, `endsAt` = the resolution
+    *     time (an endsAt in the past is how the v2 API marks an alert
+    *     resolved) — RE-SENT on each subsequent run until
+    *     `resolvedRetentionMs` elapses, per Prometheus's
+    *     resolved-retention behavior.
     *
     * Returns url → HTTP status. Also runs on the rule interval from a
     * daemon scheduler while the server is started (errors logged to
@@ -651,13 +663,18 @@ final class PromHttpServer(spark: SparkSession, initial: DataFrame,
         startsAtMs = activeAt, endsAtMs = at + 4 * interval)
     } ++ synchronized {
       val nowKeys = firingNow.map(_._1).toSet
-      val resolved = (lastFiring -- nowKeys).toSeq.map {
-        case (labels, (activeAt, anns)) =>
-          AlertNotifier.AmAlert(labels, anns,
-            startsAtMs = activeAt, endsAtMs = at)
+      val newlyResolved = (lastFiring -- nowKeys).map {
+        case (labels, (activeAt, anns)) => labels -> (activeAt, anns, at)
       }
+      // re-fired elements leave retention; expired entries drop
+      resolvedRetained = ((resolvedRetained -- nowKeys) ++ newlyResolved)
+        .filter { case (_, (_, _, rAt)) =>
+          at >= rAt && at - rAt <= resolvedRetentionMs }
       lastFiring = firingNow.map { case (l, a, an, _) => l -> (a, an) }.toMap
-      resolved
+      resolvedRetained.toSeq.map { case (labels, (activeAt, anns, rAt)) =>
+        AlertNotifier.AmAlert(labels, anns,
+          startsAtMs = activeAt, endsAtMs = rAt)
+      }
     }
     if (payload.isEmpty) Map.empty
     else alertmanagers.map(u => u -> AlertNotifier.post(u, payload)).toMap

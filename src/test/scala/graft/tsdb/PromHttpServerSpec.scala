@@ -785,7 +785,8 @@ class PromHttpServerSpec extends SparkSpec {
           |          severity: page
           |""".stripMargin),
       rulesHorizonMs = 5000L,
-      alertmanagers = Seq(amUrl))
+      alertmanagers = Seq(amUrl),
+      resolvedRetentionMs = 2000L)
     try {
       // t=2s: up/a = 3.0 > 2 fires — endsAt = the 4×interval horizon
       assert(srv.notifyNow(at = 2000L) == Map(amUrl -> 200))
@@ -804,10 +805,17 @@ class PromHttpServerSpec extends SparkSpec {
         resolved)
       assert(resolved.contains(""""startsAt":"1970-01-01T00:00:02Z""""),
         resolved)
-      // t=5s: nothing firing, nothing newly resolved — no POST at all
-      assert(srv.notifyNow(at = 5000L) == Map.empty)
+      // t=5s: within resolvedRetention — the resolved alert RE-SENDS
+      // with the SAME endsAt (Prometheus keeps resolved alerts active
+      // and re-sends, so a flaky Alertmanager still learns)
+      assert(srv.notifyNow(at = 5000L) == Map(amUrl -> 200))
+      val resend = captured.poll(5, java.util.concurrent.TimeUnit.SECONDS)
+      assert(resend != null &&
+        resend.contains(""""endsAt":"1970-01-01T00:00:04Z""""), resend)
+      // t=7s: retention (2 s) has elapsed — nothing to send at all
+      assert(srv.notifyNow(at = 7000L) == Map.empty)
       assert(captured.poll(1, java.util.concurrent.TimeUnit.SECONDS) == null,
-        "a quiet run must not re-post resolved alerts")
+        "retention-expired resolved alerts must not re-post")
     } finally am.stop(0)
   }
 
