@@ -894,6 +894,23 @@ final class PromHttpServer(spark: SparkSession, initial: DataFrame,
     * with an empty ExportMetricsServiceResponse (a zero-byte proto
     * message), the OTLP/HTTP success contract. */
   private def otlpWrite(ex: HttpExchange, body: Array[Byte]): Unit = {
+    // this receiver speaks OTLP/HTTP **binary protobuf** (the
+    // collector's default and what Prometheus's endpoint unmarshals);
+    // an OTLP/JSON body would mis-decode as protobuf garbage — refuse
+    // it LOUDLY with 415 and say what to send instead, rather than
+    // 400-ing on a confusing "malformed protobuf" message
+    Option(ex.getRequestHeaders.getFirst("Content-Type"))
+      .filter(ct => ct.nonEmpty && !ct.contains("application/x-protobuf"))
+      .foreach { ct =>
+        val msg = ("{\"status\":\"error\",\"errorType\":\"bad_data\"," +
+          "\"error\":\"unsupported OTLP content type " + ct +
+          "; send application/x-protobuf (the otlphttp exporter's " +
+          "default encoding)\"}").getBytes("UTF-8")
+        ex.getResponseHeaders.set("Content-Type", "application/json")
+        ex.sendResponseHeaders(415, msg.length)
+        ex.getResponseBody.write(msg)
+        return
+      }
     // gzip is the OTLP/HTTP default transport compression — honor the
     // Content-Encoding header like Prometheus's receiver does
     val raw =

@@ -525,6 +525,17 @@ class PromHttpServerSpec extends SparkSpec {
     val (cBad, respBad) = post("/api/v1/otlp/v1/metrics",
       Array[Byte](0x0a, 0x7f, 0x01)) // length overruns the buffer
     assert(cBad == 400, s"$cBad ${new String(respBad, UTF_8)}")
+    // an OTLP/JSON body must be refused 415 with guidance — decoding
+    // JSON bytes as protobuf would produce a confusing 400 (or worse,
+    // a silent no-op 200)
+    val rj = client.send(
+      HttpRequest.newBuilder(
+        URI.create(s"http://127.0.0.1:$port/api/v1/otlp/v1/metrics"))
+        .header("Content-Type", "application/json")
+        .POST(HttpRequest.BodyPublishers.ofString("{}")).build(),
+      HttpResponse.BodyHandlers.ofString())
+    assert(rj.statusCode() == 415, s"${rj.statusCode()} ${rj.body()}")
+    assert(rj.body().contains("x-protobuf"), rj.body())
     // gzip Content-Encoding (the collector's default) is honored
     val gz = new java.io.ByteArrayOutputStream()
     val go = new java.util.zip.GZIPOutputStream(gz)
