@@ -826,7 +826,23 @@ final class PromHttpServer(spark: SparkSession, initial: DataFrame,
           sr.samples.map { case (t, v) => (t, v, sr.labels.toMap) }
         }
       }
-      else RemoteWrite.decodeRequest(body)
+      else {
+        // v1 senders ALSO carry native histograms (send_native_
+        // histograms, Prometheus ≥ 2.40) and exemplars (send_exemplars)
+        // — a receiver that decodes only samples 204-acks the push
+        // while silently losing both (the OTLP-summary failure class)
+        histsWritten = appendHists(RemoteWrite.decodeHistsOfRequest(body))
+        exemplarsWritten = appendExemplarRows(
+          RemoteWrite.decodeExemplarsOfRequest(body).map {
+            case (lm, el, v, t) =>
+              val lbls = lm.map { case (k, vv) =>
+                (if (k == "__name__") "name" else k) -> vv }
+              val traceId = el.getOrElse("trace_id",
+                el.toSeq.sortBy(_._1).headOption.fold("")(_._2))
+              (t, v, lbls, traceId)
+          })
+        RemoteWrite.decodeRequest(body)
+      }
     val decoded = raw.map { case (t, v, ls) =>
       (t, v, ls.map { case (k, vv) =>
         (if (k == "__name__") "name" else k) -> vv })

@@ -382,7 +382,16 @@ object RemoteWrite {
   def decodeHistRequests(payloads: Dataset[Array[Byte]]): Dataset[SparseHist] = {
     val spark = payloads.sparkSession
     import spark.implicits._
-    payloads.flatMap { p =>
+    payloads.flatMap(decodeHistsOfRequest _)
+  }
+
+  /** One payload's native histograms, driver-side — the unit the HTTP
+    * receiver's V1 branch ingests: a v1 sender with
+    * `send_native_histograms` (Prometheus ≥ 2.40) carries them in
+    * `TimeSeries.histograms` (field 4), and a receiver that decodes
+    * only samples 204-acks the push while losing every histogram. */
+  private[tsdb] def decodeHistsOfRequest(p: Array[Byte]): Seq[SparseHist] = {
+    {
       val raw = Snappy.uncompress(p)
       val out = Seq.newBuilder[SparseHist]
       val req = new ProtoReader(raw, 0, raw.length)
@@ -511,7 +520,16 @@ object RemoteWrite {
   def decodeExemplars(payloads: Dataset[Array[Byte]]): DataFrame = {
     val spark = payloads.sparkSession
     import spark.implicits._
-    payloads.flatMap { p =>
+    payloads.flatMap(decodeExemplarsOfRequest _)
+      .toDF("labels", "exemplar_labels", "value", "time")
+  }
+
+  /** One payload's exemplars, driver-side — the unit the HTTP
+    * receiver's V1 branch ingests (a v1 sender with `send_exemplars`
+    * carries them in `TimeSeries.exemplars`, field 3). */
+  private[tsdb] def decodeExemplarsOfRequest(p: Array[Byte])
+      : Seq[(Map[String, String], Map[String, String], Double, Long)] = {
+    {
       val raw = Snappy.uncompress(p)
       val out = Seq.newBuilder[(Map[String, String], Map[String, String], Double, Long)]
       def readLabel(s: Int, e: Int): (String, String) = {
@@ -556,7 +574,21 @@ object RemoteWrite {
         } else req.skip(wire)
       }
       out.result()
-    }.toDF("labels", "exemplar_labels", "value", "time")
+    }
+  }
+
+  /** Spec/fixture helper: one TimeSeries carrying NATIVE HISTOGRAMS
+    * (field 4) — the v1 encoder twin of [[decodeHistsOfRequest]]. */
+  def encodeSeriesWithHistograms(labels: Seq[(String, String)],
+                                 hists: Seq[SparseHist]): Array[Byte] = {
+    val w = new ProtoWriter
+    labels.sortBy(_._1).foreach { case (n, v) =>
+      val lw = new ProtoWriter
+      lw.string(1, n); lw.string(2, v)
+      w.bytes(1, lw.toBytes)
+    }
+    hists.foreach(h => w.bytes(4, encodeHistogram(h)))
+    w.toBytes
   }
 
   /** Spec/fixture helper: one TimeSeries carrying exemplars (field 3)

@@ -602,6 +602,33 @@ class PromHttpServerSpec extends SparkSpec {
     } finally srv.stop()
   }
 
+  test("v1 remote-write: native histograms and exemplars are ingested") {
+    // Prometheus v1 senders carry native histograms
+    // (send_native_histograms, >= 2.40) and exemplars (send_exemplars)
+    // in the SAME WriteRequest; decoding only samples would 204-ack
+    // away both — the OTLP-summary silent-loss class on the v1 path
+    val h = RemoteWrite.SparseHist(
+      time = 1800L, labels = Map.empty, count = 3.0, sum = 6.0,
+      schema = 0, zeroThreshold = 0.0, zeroCount = 0.0,
+      positive = Seq((1, 1.0), (2, 2.0)), negative = Nil)
+    val req = RemoteWrite.encodeRequest(Seq(
+      RemoteWrite.encodeSeriesWithHistograms(
+        Seq("__name__" -> "v1h", "user" -> "w"), Seq(h)),
+      RemoteWrite.encodeSeriesWithExemplars(
+        Seq("__name__" -> "v1e", "user" -> "w"),
+        samples = Seq((1800L, 900.0)),
+        exemplars = Seq((Seq("trace_id" -> "t1x"), 900.0, 1800L)))))
+    assert(post("/api/v1/write", req)._1 == 204)
+    val (c, b) = get("/api/v1/query?query=" +
+      java.net.URLEncoder.encode("""histogram_count({name="v1h"})""",
+        UTF_8) + "&time=2")
+    assert(c == 200 && b.contains(""""value":[2.000,"3.0"]"""), b)
+    val (c2, b2) = get("/api/v1/query_exemplars?query=" +
+      java.net.URLEncoder.encode("""{name="v1e"}""", UTF_8) +
+      "&start=1&end=2")
+    assert(c2 == 200 && b2.contains(""""trace_id":"t1x""""), b2)
+  }
+
   test("v2 exemplars land in the store and serve via query_exemplars") {
     val req = RemoteWrite2.encodeRequest(Seq(RemoteWrite2.Rw2Series(
       labels = Seq("__name__" -> "exm", "user" -> "e"),
