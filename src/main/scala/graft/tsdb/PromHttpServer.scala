@@ -410,21 +410,39 @@ final class PromHttpServer(spark: SparkSession, initial: DataFrame,
     ex.sendResponseHeaders(204, -1)
   }
 
+  /** Metric metadata pushed over remote-write 2.0 (the Metadata
+    * sub-message, field 5): metric → (type, unit, help), overriding the
+    * configured view's row for the same metric — Prometheus's v2
+    * receiver stores pushed metadata exactly like this. Driver-sized
+    * (the metric universe). */
+  private var pushedMeta = Map.empty[String, (String, String, String)]
+
+  /** The served metadata universe: the configured view (OpenMetrics
+    * triples / WAL kind-6 records) overridden by v2-pushed entries,
+    * optionally filtered to one metric, sorted by metric. */
+  private def metaRows(metricFilter: Option[String])
+      : Seq[(String, (String, String, String))] = {
+    val base = metadata.map(_.collect().toSeq.map(r =>
+        r.getString(0) -> ((r.getString(1), r.getString(2), r.getString(3))))
+        .toMap)
+      .getOrElse(Map.empty[String, (String, String, String)])
+    val all = base ++ synchronized(pushedMeta)
+    metricFilter.fold(all)(m => all.filter(_._1 == m))
+      .toSeq.sortBy(_._1)
+  }
+
   /** `/api/v1/targets/metadata` — per-target metric metadata. With no
     * scrape manager the target label set is empty; entries come from
     * the metadata store (the same source as `/api/v1/metadata`),
     * filtered by `metric` and capped by `limit`. Without a store: the
     * well-formed empty array. */
   private def targetsMetadata(ex: HttpExchange, p: Params): Unit = {
-    val rows0 = metadata.fold(Seq.empty[org.apache.spark.sql.Row]) { view =>
-      p.first("metric").fold(view)(m => view.where(col("metric") === m))
-        .collect().toSeq.sortBy(_.getString(0))
-    }
+    val rows0 = metaRows(p.first("metric"))
     val rows = p.first("limit").map(_.toInt).fold(rows0)(rows0.take)
-    val out = rows.map { r =>
-      s"""{"target":{},"metric":${jstr(r.getString(0))},""" +
-        s""""type":${jstr(r.getString(1))},"unit":${jstr(r.getString(2))},""" +
-        s""""help":${jstr(r.getString(3))}}"""
+    val out = rows.map { case (m, (t, u, h)) =>
+      s"""{"target":{},"metric":${jstr(m)},""" +
+        s""""type":${jstr(t)},"unit":${jstr(u)},""" +
+        s""""help":${jstr(h)}}"""
     }
     ok(ex, out.mkString("[", ",", "]"))
   }
@@ -755,17 +773,14 @@ final class PromHttpServer(spark: SparkSession, initial: DataFrame,
     * kind-6 records), optionally filtered by `metric` and truncated by
     * `limit`. */
   private def metadataEndpoint(ex: HttpExchange, p: Params): Unit = {
-    val view = metadata.getOrElse(
-      throw new IllegalArgumentException("no metric metadata available"))
-    val filtered = p.first("metric")
-      .fold(view)(m => view.where(col("metric") === m))
-    val limit = p.first("limit").map(_.toInt)
-    val rows0 = filtered.collect().toSeq.sortBy(_.getString(0))
-    val rows = limit.fold(rows0)(rows0.take)
-    val out = rows.map { r =>
-      jstr(r.getString(0)) + ":[" +
-        s"""{"type":${jstr(r.getString(1))},"unit":${jstr(r.getString(2))},""" +
-        s""""help":${jstr(r.getString(3))}}]"""
+    if (metadata.isEmpty && synchronized(pushedMeta).isEmpty)
+      throw new IllegalArgumentException("no metric metadata available")
+    val rows0 = metaRows(p.first("metric"))
+    val rows = p.first("limit").map(_.toInt).fold(rows0)(rows0.take)
+    val out = rows.map { case (m, (t, u, h)) =>
+      jstr(m) + ":[" +
+        s"""{"type":${jstr(t)},"unit":${jstr(u)},""" +
+        s""""help":${jstr(h)}}]"""
     }
     ok(ex, out.mkString("{", ",", "}"))
   }
@@ -822,6 +837,20 @@ final class PromHttpServer(spark: SparkSession, initial: DataFrame,
         histsWritten = appendHists(series.flatMap(sr =>
           sr.histograms.map(_.copy(labels = sr.labels.toMap))))
         exemplarsWritten = appendExemplars(series)
+        // v2 METADATA (field 5: type/unit/help per series) lands in the
+        // served metadata view — Prometheus's v2 receiver stores it;
+        // dropping it would leave /api/v1/metadata blind to pushed
+        // metrics (the same silent-loss class as dropped histograms)
+        synchronized {
+          series.foreach { sr =>
+            if (sr.metricType != 0 || sr.unit.nonEmpty || sr.help.nonEmpty)
+              sr.labels.toMap.get("__name__").foreach { m =>
+                pushedMeta += m -> ((
+                  RemoteWrite2.TypeNames.lift(sr.metricType)
+                    .getOrElse("unspecified"), sr.unit, sr.help))
+              }
+          }
+        }
         series.flatMap { sr =>
           sr.samples.map { case (t, v) => (t, v, sr.labels.toMap) }
         }

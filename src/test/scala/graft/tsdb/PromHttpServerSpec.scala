@@ -629,6 +629,33 @@ class PromHttpServerSpec extends SparkSpec {
     assert(c2 == 200 && b2.contains(""""trace_id":"t1x""""), b2)
   }
 
+  test("v2 pushed metadata lands in /api/v1/metadata and targets view") {
+    // the v2 Metadata sub-message (type/unit/help per series) must
+    // reach the served metadata view — a sender's only channel for it
+    val req = RemoteWrite2.encodeRequest(Seq(RemoteWrite2.Rw2Series(
+      labels = Seq("__name__" -> "v2meta", "user" -> "m"),
+      samples = Seq((1800L, 1.0)),
+      metricType = 1, unit = "seconds", help = "pushed help text")))
+    val r = client.send(
+      HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:$port/api/v1/write"))
+        .header("Content-Type",
+          "application/x-protobuf;proto=io.prometheus.write.v2.Request")
+        .POST(HttpRequest.BodyPublishers.ofByteArray(req)).build(),
+      HttpResponse.BodyHandlers.ofByteArray())
+    assert(r.statusCode() == 204)
+    val (c, b) = get("/api/v1/metadata?metric=v2meta")
+    assert(c == 200, b)
+    assert(b.contains(
+      """"v2meta":[{"type":"counter","unit":"seconds","help":"pushed help text"}]"""),
+      b)
+    // the configured view's entries survive alongside
+    val (c2, b2) = get("/api/v1/metadata?metric=up")
+    assert(c2 == 200 && b2.contains(""""type":"gauge""""), b2)
+    // and the per-target view serves the pushed entry too
+    val (c3, b3) = get("/api/v1/targets/metadata?metric=v2meta")
+    assert(c3 == 200 && b3.contains(""""help":"pushed help text""""), b3)
+  }
+
   test("v2 exemplars land in the store and serve via query_exemplars") {
     val req = RemoteWrite2.encodeRequest(Seq(RemoteWrite2.Rw2Series(
       labels = Seq("__name__" -> "exm", "user" -> "e"),
