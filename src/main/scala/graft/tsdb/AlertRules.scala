@@ -78,9 +78,16 @@ object AlertRules {
     *
     * Scale shape: each rule is ONE evalRange pass; the union feeding
     * later rules is a metadata-only plan union (no shuffle added —
-    * later selectors prune to the series they name). */
+    * later selectors prune to the series they name).
+    *
+    * `evalRangeFn` is the grid evaluator — [[PromQL.evalRange]] by
+    * default; a server with a pushed-native-histogram head passes a
+    * per-expression router so a rule over a native metric evaluates on
+    * the hist tier instead of silently reading the float tier empty. */
   def evaluateGroup(rules: Seq[Rule], wide: DataFrame, start: Long,
-                    end: Long, stepMs: Long, lookbackMs: Long)
+                    end: Long, stepMs: Long, lookbackMs: Long,
+                    evalRangeFn: (PromQL.Expr, DataFrame, Long, Long, Long,
+                      Long) => DataFrame = PromQL.evalRange)
       : (Option[DataFrame], Option[DataFrame]) = {
     var view = wide
     var recorded: Option[DataFrame] = None
@@ -88,9 +95,8 @@ object AlertRules {
     rules.foreach {
       case RecordingRule(record, expr, ruleLabels) =>
         val iv = withRuleLabels(
-          PromQL.evalRange(PromQL.parse(expr), wide = view,
-            start = start, end = end, stepMs = stepMs,
-            lookbackMs = lookbackMs), ruleLabels)
+          evalRangeFn(PromQL.parse(expr), view,
+            start, end, stepMs, lookbackMs), ruleLabels)
         require(iv.columns.contains(TsdbSchema.ValueCol) &&
           iv.columns.contains("t"),
           "a recording rule's expression must yield per-step instant vectors")
@@ -109,7 +115,8 @@ object AlertRules {
           _.unionByName(samples, allowMissingColumns = true)))
         view = view.unionByName(samples, allowMissingColumns = true)
       case a: AlertRule =>
-        val out = evaluate(a, view, start, end, stepMs, lookbackMs)
+        val out = evaluate(a, view, start, end, stepMs, lookbackMs,
+          evalRangeFn)
         alerts = Some(alerts.fold(out)(
           _.unionByName(out, allowMissingColumns = true)))
     }
@@ -154,9 +161,11 @@ object AlertRules {
     * `active_at` (the run's first active step) + `alertstate`
     * (`pending`/`firing`) + the expression's `value`. */
   def evaluate(rule: AlertRule, wide: DataFrame, start: Long, end: Long,
-               stepMs: Long, lookbackMs: Long): DataFrame = {
+               stepMs: Long, lookbackMs: Long,
+               evalRangeFn: (PromQL.Expr, DataFrame, Long, Long, Long,
+                 Long) => DataFrame = PromQL.evalRange): DataFrame = {
     val iv = withRuleLabels(
-      PromQL.evalRange(PromQL.parse(rule.expr), wide, start, end,
+      evalRangeFn(PromQL.parse(rule.expr), wide, start, end,
         stepMs, lookbackMs), rule.labels)
     require(iv.columns.contains(TsdbSchema.ValueCol) &&
       iv.columns.contains("t"),

@@ -186,15 +186,26 @@ final class PromHttpServer(spark: SparkSession, initial: DataFrame,
     * the classic selector would silently read the hist head and come
     * back empty). A per-selector split evaluation would need a mixed
     * vector merge the response shape doesn't carry. */
-  private def routesToHistHead(ast: PromQL.Expr): Boolean =
+  private def routesToHistHead(ast: PromQL.Expr,
+                               allowNameless: Boolean = true): Boolean =
     histHead.nonEmpty && {
       val selNameMs = PromQL.selectorsOf(ast)
         .map(_.filter(m => m.name == "__name__" || m.name == "name"))
         .filter(_.nonEmpty)
-      val stored = synchronized(histMetricNames)
-      selNameMs.forall(ms =>
-        stored.exists(m => ms.forall(matchesMetric(_, m))))
+      // `allowNameless = false` (the RULES tier): a fully nameless
+      // expression stays on the float tier — a generic `{job="x"} > 5`
+      // rule must not flip tiers just because a native metric was ever
+      // pushed (query endpoints keep the nameless head routing: under
+      // a histogram_* function a nameless selector has no classic
+      // float-tier reading)
+      (allowNameless || selNameMs.nonEmpty) &&
+        selNameMs.forall(ms =>
+          stored(ms).nonEmpty)
     }
+
+  private def stored(ms: Seq[graft.model.Matcher]): Set[String] =
+    synchronized(histMetricNames)
+      .filter(m => ms.forall(matchesMetric(_, m)))
 
   /** Driver-side matcher application for the routing gate — the stored
     * name set is API-sized, and [[PromQL.selectorsOf]] returns
@@ -455,13 +466,18 @@ final class PromHttpServer(spark: SparkSession, initial: DataFrame,
       .getOrElse(System.currentTimeMillis())
     val ast = PromQL.parse(q)
     ast match {
-      // the histogram_* scalar family evaluates over the PUSHED
+      // hist-tier float-evaluable shapes (the histogram_* scalar
+      // family, count aggregations, and vector-scalar ops over them —
+      // every histogram alert's shape) evaluate over the PUSHED
       // native-histogram head when one exists (Prometheus prefers the
       // native histogram over classic buckets when both are present);
-      // these functions return FLOAT vectors, so the response shape is
-      // the standard one
-      case f: PromQL.Fn
-          if PromQLHist.ScalarFns(f.name) && routesToHistHead(f) =>
+      // the results are FLOAT vectors, so the response shape is the
+      // standard one
+      // nameless selectors keep the head routing ONLY under a bare
+      // histogram_* function (no classic float-tier reading there); a
+      // nameless count/comparison has one and stays on the float tier
+      case e if PromQLHist.floatEvaluable(e) && routesToHistHead(e,
+          allowNameless = e.isInstanceOf[PromQL.Fn]) =>
         import spark.implicits._
         val hv = PromQLHist.eval(ast, histHead.get, at, lookbackMs,
           start = at, end = at, nLes = histNLes)
@@ -504,8 +520,8 @@ final class PromHttpServer(spark: SparkSession, initial: DataFrame,
     // the histogram_* scalar family evaluates over the hist head (its
     // range output carries the grid column `t` — matrix-ready)
     val df = ast match {
-      case f: PromQL.Fn
-          if PromQLHist.ScalarFns(f.name) && routesToHistHead(f) =>
+      case e if PromQLHist.floatEvaluable(e) && routesToHistHead(e,
+          allowNameless = e.isInstanceOf[PromQL.Fn]) =>
         PromQLHist.evalRange(ast, histHead.get, start, end, step,
           lookbackMs, nLes = histNLes)
       case _ =>
@@ -598,9 +614,19 @@ final class PromHttpServer(spark: SparkSession, initial: DataFrame,
       : Seq[(String, Seq[(String, String)], Long, Double, String)] = {
     val interval = g.intervalMs.getOrElse(rulesIntervalMs)
     val lastTick = (at / interval) * interval
+    // per-RULE tier routing: a rule whose every name-bearing selector
+    // resolves to the pushed-native head evaluates on the hist tier —
+    // previously `histogram_count({name=native}) > k` silently read
+    // the float tier empty and the alert could never fire
+    def routedEvalRange(ast: PromQL.Expr, view: DataFrame, s: Long,
+                        e: Long, step: Long, lb: Long): DataFrame =
+      if (routesToHistHead(ast, allowNameless = false))
+        PromQLHist.evalRange(ast, histHead.get, s, e, step, lb, histNLes)
+      else PromQL.evalRange(ast, view, s, e, step, lb)
     val (_, alertsDf) = AlertRules.evaluateGroup(g.rules, wide,
       start = lastTick - (rulesHorizonMs / interval) * interval,
-      end = lastTick, stepMs = interval, lookbackMs = lookbackMs)
+      end = lastTick, stepMs = interval, lookbackMs = lookbackMs,
+      evalRangeFn = routedEvalRange)
     alertsDf match {
       case None => Nil
       case Some(df) =>

@@ -2527,8 +2527,8 @@ object PromQL {
     * `flipped` = scalar was the left operand. Arithmetic and `bool`
     * drop `__name__` (the value changed); the filter keeps the rows
     * UNCHANGED, name included — all as in Prometheus. */
-  private def scalarOp(iv0: DataFrame, op: String, s: Column,
-                       flipped: Boolean, bool: Boolean = false): DataFrame = {
+  private[tsdb] def scalarOp(iv0: DataFrame, op: String, s: Column,
+                             flipped: Boolean, bool: Boolean = false): DataFrame = {
     val iv = toValueShape(iv0)
     require(iv.columns.contains(TsdbSchema.ValueCol),
       s"'$op' needs an instant-vector operand")

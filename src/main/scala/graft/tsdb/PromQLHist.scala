@@ -4,8 +4,8 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import PromQL.{AggBy, AggWithout, AtAnchor, AtEnd, AtMs, AtStart, Expr, Fn,
-  Selector}
+import PromQL.{AggBy, AggWithout, AtAnchor, AtEnd, AtMs, AtStart, BinOp,
+  Expr, Fn, ScalarLit, Selector}
 
 /** PromQL over NATIVE-HISTOGRAM series — the text front end for the
   * [[NativeHistogram]] struct tier, closing the loop the scaladoc of
@@ -68,6 +68,22 @@ object PromQLHist {
     "histogram_sum", "histogram_avg", "histogram_stddev",
     "histogram_stdvar")
 
+  /** Whether this tier evaluates `e` to a FLOAT vector (the response
+    * shape the standard endpoints carry): a terminal scalar function, a
+    * count aggregation, or vector-scalar arithmetic/comparison over
+    * such a result — the shape of every histogram ALERT
+    * (`histogram_quantile(0.99, rate(h[5m])) > 0.5`). The HTTP routing
+    * gate (and the rules tier) pairs this with the per-selector
+    * native-metric check. */
+  def floatEvaluable(e: Expr): Boolean = e match {
+    case f: Fn if ScalarFns(f.name) => true
+    case AggBy("count", _, _, None) => true
+    case AggWithout("count", _, _, None) => true
+    case BinOp(_, _, l, ScalarLit(_), _, _, _, _) => floatEvaluable(l)
+    case BinOp(_, _, ScalarLit(_), r, _, _, _, _) => floatEvaluable(r)
+    case _ => false
+  }
+
   /** Evaluate a parsed expression against a native-histogram frame.
     *
     * @param at         evaluation instant (epoch ms) for instant vectors
@@ -111,6 +127,17 @@ object PromQLHist {
     case AggWithout("count", w, arg, None) =>
       countSeries(evalH(arg, hists, at, lookbackMs, start, end, nLes),
         withoutKeys(_, w))
+    // vector-scalar arithmetic/comparisons over a FLOAT result (the
+    // shape of every alert on a native-histogram metric —
+    // `histogram_quantile(0.99, rate(h[5m])) > 0.5`): the hist tier's
+    // terminal functions yield float vectors, so the float tier's own
+    // scalarOp applies verbatim (filter / bool / arithmetic semantics)
+    case BinOp(op, _, l, ScalarLit(s), bool, _, _, _) =>
+      PromQL.scalarOp(eval(l, hists, at, lookbackMs, start, end, nLes),
+        op, lit(s), flipped = false, bool = bool)
+    case BinOp(op, _, ScalarLit(s), r, bool, _, _, _) =>
+      PromQL.scalarOp(eval(r, hists, at, lookbackMs, start, end, nLes),
+        op, lit(s), flipped = true, bool = bool)
     case other => evalH(other, hists, at, lookbackMs, start, end, nLes)
   }
   }
@@ -152,6 +179,16 @@ object PromQLHist {
       case Fn("histogram_stdvar", arg, _) =>
         scalarize(evalHR(arg, hists, start, end, stepMs, lookbackMs, nLes),
           NativeHistogram.histStdvar)
+      // vector-scalar over the float result — the range-mode twin of
+      // [[eval]]'s cases (alert rules evaluate on this grid)
+      case BinOp(op, _, l, ScalarLit(s), bool, _, _, _) =>
+        PromQL.scalarOp(
+          evalRange(l, hists, start, end, stepMs, lookbackMs, nLes),
+          op, lit(s), flipped = false, bool = bool)
+      case BinOp(op, _, ScalarLit(s), r, bool, _, _, _) =>
+        PromQL.scalarOp(
+          evalRange(r, hists, start, end, stepMs, lookbackMs, nLes),
+          op, lit(s), flipped = true, bool = bool)
       case AggBy("count", by, arg, None) =>
         countSeries(evalHR(arg, hists, start, end, stepMs, lookbackMs, nLes),
           byKeys(_, by))

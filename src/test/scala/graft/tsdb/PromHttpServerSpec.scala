@@ -295,6 +295,16 @@ class PromHttpServerSpec extends SparkSpec {
       java.net.URLEncoder.encode("""histogram_count({name="hroute"})""",
         UTF_8) + "&time=2")
     assert(cn == 200 && bn.contains(""""value":[2.000,"4.0"]"""), bn)
+    // vector-scalar comparison over the hist tier (every alert's
+    // shape): filter semantics keep the 4.0-count series
+    val (cf, bf) = get("/api/v1/query?query=" +
+      java.net.URLEncoder.encode(
+        """histogram_count({name="hroute"}) > 3""", UTF_8) + "&time=2")
+    assert(cf == 200 && bf.contains(""""value":[2.000,"4.0"]"""), bf)
+    val (cf2, bf2) = get("/api/v1/query?query=" +
+      java.net.URLEncoder.encode(
+        """histogram_count({name="hroute"}) > 9""", UTF_8) + "&time=2")
+    assert(cf2 == 200 && bf2.contains(""""result":[]"""), bf2)
     // a MIXED expression (one native selector, one classic-bucket
     // selector) routes whole to the classic tier — the routing gate is
     // `forall`, not `exists`: under `exists` the classic side would
@@ -599,6 +609,45 @@ class PromHttpServerSpec extends SparkSpec {
         java.net.URLEncoder.encode("""count({name="bulk"})""", UTF_8) +
         "&time=2")
       assert(c == 200 && b.contains(""""value":[2.000,"70.0"]"""), b)
+    } finally srv.stop()
+  }
+
+  test("alert rules over pushed native histograms route to the hist tier") {
+    // a rule whose selector names a pushed-native metric must evaluate
+    // on the hist tier; previously it read the float tier (no such
+    // series there) and the alert could silently never fire. Also
+    // exercises the hist tier's new vector-scalar comparison support —
+    // the shape every histogram alert has.
+    val srv = new PromHttpServer(spark, wide,
+      rules = Some(
+        """groups:
+          |  - name: g
+          |    interval: 1s
+          |    rules:
+          |      - alert: hist_hot
+          |        expr: 'histogram_count({name="halert"}) > 3'
+          |""".stripMargin),
+      rulesHorizonMs = 5000L)
+    val p = srv.start()
+    try {
+      val h = RemoteWrite.SparseHist(
+        time = 1700L, labels = Map.empty, count = 4.0, sum = 10.0,
+        schema = 0, zeroThreshold = 0.0, zeroCount = 0.0,
+        positive = Seq((1, 2.0), (2, 2.0)), negative = Nil)
+      val wreq = RemoteWrite2.encodeRequest(Seq(RemoteWrite2.Rw2Series(
+        labels = Seq("__name__" -> "halert"), histograms = Seq(h))))
+      val wr = client.send(
+        HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:$p/api/v1/write"))
+          .header("Content-Type",
+            "application/x-protobuf;proto=io.prometheus.write.v2.Request")
+          .POST(HttpRequest.BodyPublishers.ofByteArray(wreq)).build(),
+        HttpResponse.BodyHandlers.ofByteArray())
+      assert(wr.statusCode() == 204)
+      // histogram_count = 4 > 3 on the hist tier → the alert fires
+      val (c, b) = getAt(p, "/api/v1/alerts?time=2")
+      assert(c == 200, b)
+      assert(b.contains("hist_hot"), b)
+      assert(b.contains(""""state":"firing""""), b)
     } finally srv.stop()
   }
 
