@@ -86,7 +86,7 @@ object OtlpProto {
           case (1, 2) => // data_points
             val (ds, de) = g.delimited()
             val dp = new ProtoReader(raw, ds, de)
-            var t = 0L; var v = 0.0; var has = false
+            var t = 0L; var v = 0.0; var has = false; var flags = 0L
             var labels = Map("__name__" -> name)
             while (dp.hasMore) dp.key() match {
               case (3, 1) => t = dp.fixed64()
@@ -96,9 +96,16 @@ object OtlpProto {
               case (7, 2) =>
                 val (as, ae) = dp.delimited()
                 readAttr(raw, as, ae).foreach(kv => labels += kv)
+              case (8, 0) => flags = dp.varint() // DataPointFlags
               case (_, w) => dp.skip(w)
             }
-            if (has) points += ((divNsToMs(t), v, labels))
+            // FLAG_NO_RECORDED_VALUE (bit 0) is OTel's staleness signal:
+            // the point becomes a StaleNaN sample (Prometheus's OTLP
+            // translation), which the receiver maps to the engine's
+            // NULL-value staleness row — the instant kernel then ends
+            // the series at it. Such points legally omit the value.
+            if (noRecorded(flags)) points += ((divNsToMs(t), StaleNaN, labels))
+            else if (has) points += ((divNsToMs(t), v, labels))
           case (2, 0) => temporality = g.varint().toInt // Sum only
           case (3, 0) => monotonic = g.varint() != 0L   // Sum only
           case (_, w) => g.skip(w)
@@ -125,13 +132,21 @@ object OtlpProto {
       if (field == 10) { // exponential_histogram
         val promo = jobInstance(res)
         val g = new ProtoReader(raw, s, e)
+        // ExponentialHistogram.aggregation_temporality (field 2):
+        // DELTA rejects loudly, like the Sum and classic-hist paths —
+        // buffered flush because field order is not guaranteed
+        var temporality = 0
+        val pending = Seq.newBuilder[SparseHist]
         while (g.hasMore) g.key() match {
+          case (2, 0) => temporality = g.varint().toInt
           case (1, 2) =>
             val (ds, de) = g.delimited()
             val p = decodeExpPoint(raw, ds, de, name)
-            out += p.copy(labels = p.labels ++ promo)
+            pending += p.copy(labels = p.labels ++ promo)
           case (_, w) => g.skip(w)
         }
+        requireCumulative(temporality, name, "exponential histogram")
+        out ++= pending.result()
       }
     }
     out.result()
@@ -159,11 +174,18 @@ object OtlpProto {
     foreachMetricWithResource(raw) { (res, name, field, s, e) =>
       if (field == 9) { // histogram
         val g = new ProtoReader(raw, s, e)
+        // Histogram.aggregation_temporality (field 2) splits the same
+        // way the Sum path's does — and a cumulative store must reject
+        // DELTA loudly: proto field order is not guaranteed, so points
+        // buffer locally and flush only after the whole message is read
+        var temporality = 0
+        val pending = Seq.newBuilder[(Long, Double, Map[String, String])]
         while (g.hasMore) g.key() match {
+          case (2, 0) => temporality = g.varint().toInt
           case (1, 2) =>
             val (ds, de) = g.delimited()
             val dp = new ProtoReader(raw, ds, de)
-            var t = 0L; var count = 0.0; var sum = 0.0
+            var t = 0L; var count = 0.0; var sum = 0.0; var flags = 0L
             var attrs = Map.empty[String, String]
             val bc = Seq.newBuilder[Double]
             val bounds = Seq.newBuilder[Double]
@@ -187,28 +209,60 @@ object OtlpProto {
               case (9, 2) =>
                 val (as, ae) = dp.delimited()
                 readAttr(raw, as, ae).foreach(kv => attrs += kv)
+              case (10, 0) => flags = dp.varint() // DataPointFlags
               case (_, w) => dp.skip(w)
             }
             attrs = attrs ++ jobInstance(res) // resource promotion
             val ms = divNsToMs(t)
             val bs = bounds.result(); val cs = bc.result()
+            // FLAG_NO_RECORDED_VALUE: EVERY derived series gets the
+            // staleness marker at this timestamp (Prometheus's OTLP
+            // translation does the same per series)
+            val staleAll = noRecorded(flags)
             var cum = 0.0
             bs.indices.foreach { i =>
               cum += (if (i < cs.length) cs(i) else 0.0)
-              out += ((ms, cum, attrs ++ Map(
+              pending += ((ms, if (staleAll) StaleNaN else cum, attrs ++ Map(
                 "__name__" -> (name + "_bucket"),
                 "le" -> bs(i).toString)))
             }
-            out += ((ms, count, attrs ++ Map(
+            val countV = if (staleAll) StaleNaN else count
+            pending += ((ms, countV, attrs ++ Map(
               "__name__" -> (name + "_bucket"), "le" -> "+Inf")))
-            out += ((ms, count, attrs + ("__name__" -> (name + "_count"))))
-            out += ((ms, sum, attrs + ("__name__" -> (name + "_sum"))))
+            pending += ((ms, countV, attrs + ("__name__" -> (name + "_count"))))
+            pending += ((ms, if (staleAll) StaleNaN else sum,
+              attrs + ("__name__" -> (name + "_sum"))))
           case (_, w) => g.skip(w)
         }
+        requireCumulative(temporality, name, "histogram")
+        out ++= pending.result()
       }
     }
     out.result()
   }
+
+  /** Prometheus's staleness-marker double (exact bit pattern) — what
+    * every `FLAG_NO_RECORDED_VALUE` point decodes to. */
+  private val StaleNaN =
+    java.lang.Double.longBitsToDouble(TsdbSchema.StaleNaNBits)
+
+  /** `DataPointFlags` bit 0 (`FLAG_NO_RECORDED_VALUE`, metrics.proto):
+    * the producer recorded no value at this timestamp — OTel's
+    * staleness signal. */
+  private def noRecorded(flags: Long): Boolean = (flags & 1L) != 0L
+
+  /** The Sum path 400-rejects delta temporality; the histogram paths
+    * must too — a delta-configured collector's histograms ingested as
+    * if cumulative silently corrupt every `rate()` /
+    * `histogram_quantile()` over them, with no failing query to show
+    * for it. AGGREGATION_TEMPORALITY_DELTA = 1 (enum in the public
+    * metrics.proto). */
+  private def requireCumulative(temporality: Int, metric: String,
+                                kind: String): Unit =
+    if (temporality == 1)
+      throw new IllegalArgumentException(
+        s"delta-temporality $kind (metric $metric) is not ingestible by" +
+          " a cumulative store; re-export with cumulative temporality")
 
   /** SUMMARY data points of every request → classic Prometheus series,
     * per the otlptranslator mapping (`prometheus/storage/remote/
@@ -236,7 +290,7 @@ object OtlpProto {
           case (1, 2) => // data_points
             val (ds, de) = g.delimited()
             val dp = new ProtoReader(raw, ds, de)
-            var t = 0L; var count = 0.0; var sum = 0.0
+            var t = 0L; var count = 0.0; var sum = 0.0; var flags = 0L
             var attrs = Map.empty[String, String]
             val qs = Seq.newBuilder[(Double, Double)]
             while (dp.hasMore) dp.key() match {
@@ -259,16 +313,20 @@ object OtlpProto {
               case (7, 2) =>
                 val (as, ae) = dp.delimited()
                 readAttr(raw, as, ae).foreach(kv => attrs += kv)
+              case (8, 0) => flags = dp.varint() // DataPointFlags
               case (_, w) => dp.skip(w)
             }
             attrs = attrs ++ jobInstance(res) // resource promotion
             val ms = divNsToMs(t)
+            val staleAll = noRecorded(flags) // stale on every series
             qs.result().foreach { case (q, v) =>
-              out += ((ms, v, attrs ++ Map(
+              out += ((ms, if (staleAll) StaleNaN else v, attrs ++ Map(
                 "__name__" -> name, "quantile" -> fmtQuantile(q))))
             }
-            out += ((ms, count, attrs + ("__name__" -> (name + "_count"))))
-            out += ((ms, sum, attrs + ("__name__" -> (name + "_sum"))))
+            out += ((ms, if (staleAll) StaleNaN else count,
+              attrs + ("__name__" -> (name + "_count"))))
+            out += ((ms, if (staleAll) StaleNaN else sum,
+              attrs + ("__name__" -> (name + "_sum"))))
           case (_, w) => g.skip(w)
         }
       }
@@ -288,7 +346,7 @@ object OtlpProto {
       : Seq[(Long, Double, Map[String, String], Map[String, String])] = {
     val out = Seq.newBuilder[
       (Long, Double, Map[String, String], Map[String, String])]
-    foreachMetric(raw) { (name, field, s, e) =>
+    foreachMetricWithResource(raw) { (res, name, field, s, e) =>
       // per-kind field numbers inside the data point
       val (attrField, exField) = field match {
         case 5 | 7 => (7, 5) // NumberDataPoint
@@ -297,6 +355,12 @@ object OtlpProto {
         case _ => (-1, -1)
       }
       if (exField > 0) {
+        // the owning-series labels get the SAME job/instance resource
+        // promotion the sample decoders apply — otherwise an exemplar
+        // pushed with resource attributes lands with a label set that
+        // matches no stored series, and query_exemplars' series
+        // matching can never find it
+        val promo = jobInstance(res)
         val g = new ProtoReader(raw, s, e)
         while (g.hasMore) g.key() match {
           case (1, 2) => // data_points
@@ -313,7 +377,7 @@ object OtlpProto {
               case (_, w) => dp.skip(w)
             }
             exSpans.result().foreach { case (es, ee) =>
-              out += decodeExemplar(raw, es, ee, attrs)
+              out += decodeExemplar(raw, es, ee, attrs ++ promo)
             }
           case (_, w) => g.skip(w)
         }
@@ -379,6 +443,7 @@ object OtlpProto {
         case (c, i) if c != 0.0 => (offset + i + 1, c)
       }
     }
+    var flags = 0L
     while (dp.hasMore) dp.key() match {
       case (3, 1) => t = dp.fixed64()
       case (4, 1) => count = dp.fixed64().toDouble
@@ -387,6 +452,7 @@ object OtlpProto {
       case (7, 1) => zeroCount = dp.fixed64().toDouble
       case (8, 2) => val (s, e) = dp.delimited(); pos ++= readBuckets(s, e)
       case (9, 2) => val (s, e) = dp.delimited(); neg ++= readBuckets(s, e)
+      case (10, 0) => flags = dp.varint() // DataPointFlags
       case (14, 1) =>
         zeroThreshold = java.lang.Double.longBitsToDouble(dp.fixed64())
       case (1, 2) =>
@@ -394,17 +460,20 @@ object OtlpProto {
         readAttr(raw, as, ae).foreach(kv => labels += kv)
       case (_, w) => dp.skip(w)
     }
-    SparseHist(divNsToMs(t), labels, count, sum, scale, zeroThreshold,
-      zeroCount, pos, neg)
+    // FLAG_NO_RECORDED_VALUE: a stale native histogram carries the
+    // StaleNaN marker in its sum (Prometheus's otlptranslator sets
+    // exactly that); the receiver's append detects the bit pattern and
+    // lands a NULL-hist staleness row in the dense head
+    if (noRecorded(flags))
+      SparseHist(divNsToMs(t), labels, 0.0, StaleNaN, scale, 0.0, 0.0,
+        Nil, Nil)
+    else
+      SparseHist(divNsToMs(t), labels, count, sum, scale, zeroThreshold,
+        zeroCount, pos, neg)
   }
 
   /** Walk request → resource_metrics → scope_metrics → metrics and hand
-    * each metric's data oneof (field 5/7/9/10/11, delimited span) to `f`. */
-  private def foreachMetric(raw: Array[Byte])
-                           (f: (String, Int, Int, Int) => Unit): Unit =
-    foreachMetricWithResource(raw)((_, name, fld, s, e) => f(name, fld, s, e))
-
-  /** [[foreachMetric]] plus each metric's RESOURCE attributes
+    * each metric's data oneof plus each metric's RESOURCE attributes
     * (`ResourceMetrics.resource = 1` → `Resource.attributes = 1`) —
     * scanned in a first pass over the ResourceMetrics span because
     * proto field order is not guaranteed. */
@@ -582,6 +651,20 @@ object OtlpProto {
                                 labels: Map[String, String]): Array[Byte] =
     encodeGaugeWithExemplars(t, v, labels, Nil)
 
+  /** A no-recorded-value gauge point (`DataPointFlags` bit 0 set, no
+    * value fields — the legal staleness shape) — the spec harness for
+    * the FLAG_NO_RECORDED_VALUE decode path. */
+  private[tsdb] def encodeStaleGauge(t: Long,
+      labels: Map[String, String]): Array[Byte] = {
+    val dp = new ProtoWriter
+    dp.fixed64(3, t * 1000000L)
+    attrBytes(labels).foreach(a => dp.bytes(7, a))
+    dp.int64(8, 1L) // FLAG_NO_RECORDED_VALUE
+    val gauge = new ProtoWriter
+    gauge.bytes(1, dp.toBytes)
+    wrapMetric(labels.getOrElse("__name__", ""), 5, gauge.toBytes)
+  }
+
   /** Gauge point + attached exemplars — `(time ms, value, trace_id
     * bytes, span_id bytes, filtered attributes)` each. The spec-side
     * harness for [[decodeExemplarRows]]. */
@@ -629,9 +712,12 @@ object OtlpProto {
   private[tsdb] def encodeExpHist(t: Long, labels: Map[String, String],
                                   count: Double, sum: Double,
                                   counts: Seq[Double], schemaId: Int,
-                                  minExp: Int, maxExp: Int): Array[Byte] = {
+                                  minExp: Int, maxExp: Int,
+                                  delta: Boolean = false,
+                                  stale: Boolean = false): Array[Byte] = {
     val dp = new ProtoWriter
     attrBytes(labels).foreach(a => dp.bytes(1, a))
+    if (stale) dp.int64(10, 1L) // FLAG_NO_RECORDED_VALUE
     dp.fixed64(3, t * 1000000L)
     dp.fixed64(4, count.toLong)
     dp.fixed64(5, java.lang.Double.doubleToLongBits(sum))
@@ -646,6 +732,9 @@ object OtlpProto {
     dp.bytes(8, pos.toBytes)
     val hist = new ProtoWriter
     hist.bytes(1, dp.toBytes)
+    // aggregation_temporality (field 2) — what a real exporter always
+    // stamps; cumulative = 2, delta = 1 (the receiver rejects 1)
+    hist.int64(2, if (delta) 1L else 2L)
     wrapMetric(labels.getOrElse("__name__", ""), 10, hist.toBytes)
   }
 
@@ -661,27 +750,36 @@ object OtlpProto {
         col("bucketCounts").cast("array<double>"))
       .as[(Long, Map[String, String], Double, Double, Seq[Double], Seq[Double])]
       .mapPartitions(_.map { case (t, labels, count, sum, bounds, bc) =>
-        val dp = new ProtoWriter
-        attrBytes(labels).foreach(a => dp.bytes(9, a))
-        dp.fixed64(3, t * 1000000L)
-        dp.fixed64(4, count.toLong)
-        dp.fixed64(5, java.lang.Double.doubleToLongBits(sum))
-        val packedC = new java.io.ByteArrayOutputStream()
-        bc.foreach { c =>
-          var x = c.toLong; var i = 0
-          while (i < 8) { packedC.write((x & 0xff).toInt); x >>>= 8; i += 1 }
-        }
-        dp.bytes(6, packedC.toByteArray)
-        val packedB = new java.io.ByteArrayOutputStream()
-        bounds.foreach { b =>
-          var x = java.lang.Double.doubleToLongBits(b); var i = 0
-          while (i < 8) { packedB.write((x & 0xff).toInt); x >>>= 8; i += 1 }
-        }
-        dp.bytes(7, packedB.toByteArray)
-        val hist = new ProtoWriter
-        hist.bytes(1, dp.toBytes)
-        wrapMetric(labels.getOrElse("__name__", ""), 9, hist.toBytes)
+        encodeClassicHist(t, labels, count, sum, bounds, bc)
       })(Encoders.BINARY)
+  }
+
+  private[tsdb] def encodeClassicHist(t: Long, labels: Map[String, String],
+      count: Double, sum: Double, bounds: Seq[Double], bc: Seq[Double],
+      delta: Boolean = false, stale: Boolean = false): Array[Byte] = {
+    val dp = new ProtoWriter
+    attrBytes(labels).foreach(a => dp.bytes(9, a))
+    if (stale) dp.int64(10, 1L) // FLAG_NO_RECORDED_VALUE
+    dp.fixed64(3, t * 1000000L)
+    dp.fixed64(4, count.toLong)
+    dp.fixed64(5, java.lang.Double.doubleToLongBits(sum))
+    val packedC = new java.io.ByteArrayOutputStream()
+    bc.foreach { c =>
+      var x = c.toLong; var i = 0
+      while (i < 8) { packedC.write((x & 0xff).toInt); x >>>= 8; i += 1 }
+    }
+    dp.bytes(6, packedC.toByteArray)
+    val packedB = new java.io.ByteArrayOutputStream()
+    bounds.foreach { b =>
+      var x = java.lang.Double.doubleToLongBits(b); var i = 0
+      while (i < 8) { packedB.write((x & 0xff).toInt); x >>>= 8; i += 1 }
+    }
+    dp.bytes(7, packedB.toByteArray)
+    val hist = new ProtoWriter
+    hist.bytes(1, dp.toBytes)
+    // aggregation_temporality (field 2): cumulative = 2, delta = 1
+    hist.int64(2, if (delta) 1L else 2L)
+    wrapMetric(labels.getOrElse("__name__", ""), 9, hist.toBytes)
   }
 
   /** The summary encoder twin: `(time, labels with `__name__`, count,
@@ -695,21 +793,28 @@ object OtlpProto {
         col("quantiles").cast("array<struct<q:double,v:double>>"))
       .as[(Long, Map[String, String], Double, Double, Seq[(Double, Double)])]
       .mapPartitions(_.map { case (t, labels, count, sum, quantiles) =>
-        val dp = new ProtoWriter
-        dp.fixed64(3, t * 1000000L)
-        dp.fixed64(4, count.toLong)
-        dp.fixed64(5, java.lang.Double.doubleToLongBits(sum))
-        quantiles.foreach { case (q, v) =>
-          val vq = new ProtoWriter
-          vq.fixed64(1, java.lang.Double.doubleToLongBits(q))
-          vq.fixed64(2, java.lang.Double.doubleToLongBits(v))
-          dp.bytes(6, vq.toBytes)
-        }
-        attrBytes(labels).foreach(a => dp.bytes(7, a))
-        val summary = new ProtoWriter
-        summary.bytes(1, dp.toBytes)
-        wrapMetric(labels.getOrElse("__name__", ""), 11, summary.toBytes)
+        encodeSummary(t, labels, count, sum, quantiles)
       })(Encoders.BINARY)
+  }
+
+  private[tsdb] def encodeSummary(t: Long, labels: Map[String, String],
+      count: Double, sum: Double, quantiles: Seq[(Double, Double)],
+      stale: Boolean = false): Array[Byte] = {
+    val dp = new ProtoWriter
+    dp.fixed64(3, t * 1000000L)
+    dp.fixed64(4, count.toLong)
+    dp.fixed64(5, java.lang.Double.doubleToLongBits(sum))
+    quantiles.foreach { case (q, v) =>
+      val vq = new ProtoWriter
+      vq.fixed64(1, java.lang.Double.doubleToLongBits(q))
+      vq.fixed64(2, java.lang.Double.doubleToLongBits(v))
+      dp.bytes(6, vq.toBytes)
+    }
+    attrBytes(labels).foreach(a => dp.bytes(7, a))
+    if (stale) dp.int64(8, 1L) // FLAG_NO_RECORDED_VALUE
+    val summary = new ProtoWriter
+    summary.bytes(1, dp.toBytes)
+    wrapMetric(labels.getOrElse("__name__", ""), 11, summary.toBytes)
   }
 
   private def wrapMetric(name: String, dataField: Int,

@@ -119,8 +119,34 @@ final class PromHttpServer(spark: SparkSession, initial: DataFrame,
     * per-selector native-vs-classic routing in the query endpoints. */
   private var histMetricNames = Set.empty[String]
 
+  /** Long-form decoded rows → the served wide head. STALENESS markers
+    * (the StaleNaN bit pattern, which Prometheus forwards over remote
+    * write and the OTLP decoders emit for no-recorded-value points)
+    * become NULL-`value` rows — the engine's staleness representation
+    * ([[TsdbSchema.StaleNaNBits]]): detected HERE, the last place the
+    * raw bits exist before Spark canonicalizes NaN payloads. */
+  private def appendLongRows(
+      rows: Seq[(Long, Double, Map[String, String])]): Unit =
+    if (rows.nonEmpty) {
+      import spark.implicits._
+      val longForm = rows.map { case (t, v, ls) =>
+        (t, if (TsdbSchema.isStaleMarker(v)) None else Some(v), ls)
+      }.toDF("time", "value", "labels")
+      appendWide(TsdbIngest.toWide(longForm))
+    }
+
   private def appendHists(sparse: Seq[RemoteWrite.SparseHist]): Int = {
     if (sparse.nonEmpty) {
+      // STALENESS markers (sum carries the StaleNaN bit pattern — what
+      // Prometheus forwards over remote write and what the OTLP
+      // decoders emit for FLAG_NO_RECORDED_VALUE points) land in the
+      // dense head as NULL-hist rows: the hist tier's instant lookback
+      // ends the series at them and its range selections skip them
+      // (the float tier's NULL-value contract). Detected HERE — the
+      // last place the raw bits exist before Spark canonicalizes NaN
+      // payloads inside UnsafeRow.
+      val (stale, live) =
+        sparse.partition(h => TsdbSchema.isStaleMarker(h.sum))
       // A wire histogram's OWN schema field defines its bucket
       // boundaries; densifying a schema-k histogram onto the server's
       // schema-j grid reinterprets the indices on the wrong boundaries
@@ -128,7 +154,8 @@ final class PromHttpServer(spark: SparkSession, initial: DataFrame,
       // only across its own supported resolutions (by merging bucket
       // pairs); this receiver rejects the mismatch as bad_data (400)
       // so a schema-3 Prometheus or scale-20 OTel SDK fails LOUDLY.
-      sparse.find(_.schema != histSchemaId).foreach { h =>
+      // (Stale markers are exempt: they carry no bucket data.)
+      live.find(_.schema != histSchemaId).foreach { h =>
         throw new IllegalArgumentException(
           s"native histogram schema ${h.schema} (metric " +
           s"${h.labels.getOrElse("__name__", "?")}) does not match the " +
@@ -137,14 +164,22 @@ final class PromHttpServer(spark: SparkSession, initial: DataFrame,
           s" = ${h.schema}")
       }
       import spark.implicits._
-      val dense = RemoteWrite.denseFromSparse(
-        spark.createDataset(sparse), histSchemaId, histMinExp, histMaxExp)
+      val denseLive = RemoteWrite.denseFromSparse(
+        spark.createDataset(live), histSchemaId, histMinExp, histMaxExp)
+      val dense =
+        if (stale.isEmpty) denseLive
+        else denseLive.unionByName(spark.createDataset(stale).toDF()
+          .select(col("time"), col("labels"),
+            lit(null).cast(denseLive.schema("hist").dataType).as("hist")))
       val names = sparse.flatMap(_.labels.keys).distinct.sorted
       val labelCols = names.map(n => col("labels").getItem(n)
         .as(TsdbSchema.labelColName(if (n == "__name__") "name" else n)))
       val wideH = dense.select(col("time") +: labelCols :+ col("hist"): _*)
-      // the wire-serving twin: full sparse samples, same lineage bound
-      val sparseRows = spark.createDataset(sparse.map(h =>
+      // the wire-serving twin: full sparse samples, same lineage bound.
+      // Stale markers stay OUT of the sparse head: the NaN payload
+      // cannot survive a shuffle, and the chunked/sampled responders
+      // serve observed data, not staleness signals.
+      val sparseRows = spark.createDataset(live.map(h =>
         (h.labels, graft.sources.tsdbblock.WalReader.WalHistogram(
           0L, h.time, 0, h.schema, h.zeroThreshold, h.zeroCount,
           h.count, h.sum, h.positive, h.negative, Nil, isFloat = false))))
@@ -887,6 +922,17 @@ final class PromHttpServer(spark: SparkSession, initial: DataFrame,
         // — a receiver that decodes only samples 204-acks the push
         // while silently losing both (the OTLP-summary failure class)
         histsWritten = appendHists(RemoteWrite.decodeHistsOfRequest(body))
+        // v1 METADATA (WriteRequest.metadata, field 3) — which
+        // Prometheus sends by default (metadata_config.send, on since
+        // 2.23) — feeds the same served view as the v2 branch's
+        // per-series Metadata; dropping it would leave
+        // /api/v1/metadata blind to every default-configured v1 sender
+        synchronized {
+          RemoteWrite.decodeMetadataOfRequest(body).foreach {
+            case (fam, tpe, unit, help) =>
+              pushedMeta += fam -> ((tpe, unit, help))
+          }
+        }
         exemplarsWritten = appendExemplarRows(
           RemoteWrite.decodeExemplarsOfRequest(body).map {
             case (lm, el, v, t) =>
@@ -902,11 +948,7 @@ final class PromHttpServer(spark: SparkSession, initial: DataFrame,
       (t, v, ls.map { case (k, vv) =>
         (if (k == "__name__") "name" else k) -> vv })
     }
-    if (decoded.nonEmpty) {
-      import spark.implicits._
-      val longForm = decoded.toDF("time", "value", "labels")
-      appendWide(TsdbIngest.toWide(longForm))
-    }
+    appendLongRows(decoded)
     if (isV2) {
       // v2 receivers MUST report written counts (the spec's
       // partial-write contract)
@@ -993,11 +1035,20 @@ final class PromHttpServer(spark: SparkSession, initial: DataFrame,
           throw new IllegalArgumentException(s"bad gzip body: $e") }
       else body
     // malformed protobuf is the CLIENT's error: surface 400 bad_data
-    // (the generic NonFatal handler would report it as a 422)
-    appendHists(try OtlpProto.decodeHists(raw) catch {
+    // (the generic NonFatal handler would report it as a 422). A
+    // validation failure (delta temporality, bad framing) raises an
+    // IllegalArgumentException of its own — pass it through verbatim
+    // rather than relabeling it "malformed".
+    def dec[T](f: => T): T = try f catch {
+      case e: IllegalArgumentException => throw e
       case scala.util.control.NonFatal(e) => throw new IllegalArgumentException(
         s"malformed OTLP protobuf payload: $e")
-    })
+    }
+    // EVERY section decodes and validates BEFORE the first append — a
+    // request that 400s must ingest NOTHING (appending exp-histograms
+    // first and then rejecting a delta sum would leave a partial write
+    // behind an error status)
+    val expHists = dec(OtlpProto.decodeHists(raw))
     // gauge/sum points PLUS explicit-bounds histograms PLUS summaries —
     // Prometheus's OTLP endpoint translates classic histograms into
     // _bucket/_count/_sum series and summaries into
@@ -1009,10 +1060,7 @@ final class PromHttpServer(spark: SparkSession, initial: DataFrame,
     // present); DELTA-temporality sums are REJECTED loudly — a
     // cumulative store cannot ingest deltas, and a 200 that dropped
     // them would be the summary bug's failure class all over again.
-    val samples = (try OtlpProto.decodeSamplesFull(raw) catch {
-      case scala.util.control.NonFatal(e) => throw new IllegalArgumentException(
-        s"malformed OTLP protobuf payload: $e")
-    }).map {
+    val samples = dec(OtlpProto.decodeSamplesFull(raw)).map {
       case (_, _, ls, OtlpProto.KindDeltaSum) =>
         throw new IllegalArgumentException(
           s"delta-temporality sum (metric ${ls.getOrElse("__name__", "?")})" +
@@ -1028,36 +1076,29 @@ final class PromHttpServer(spark: SparkSession, initial: DataFrame,
     // to job/instance on every series (inside the decoders), and the
     // remaining resource attributes land as a `target_info` row — the
     // PromQL info() tier's data source, exactly Prometheus's mapping
-    val decoded = (try
+    val decoded = dec(
       samples ++ OtlpProto.decodeClassicHists(raw) ++
         OtlpProto.decodeSummaries(raw) ++ OtlpProto.decodeTargetInfo(raw)
-    catch {
-      case scala.util.control.NonFatal(e) => throw new IllegalArgumentException(
-        s"malformed OTLP protobuf payload: $e")
-    }).map { case (t, v, ls) =>
+    ).map { case (t, v, ls) =>
       (t, v, ls.map { case (k, vv) =>
         (if (k == "__name__") "name" else k) -> vv })
-    }
-    if (decoded.nonEmpty) {
-      import spark.implicits._
-      val longForm = decoded.toDF("time", "value", "labels")
-      appendWide(TsdbIngest.toWide(longForm))
     }
     // exemplars attached to any data point land in the queryable store
     // exactly like remote-write 2.0's (Prometheus's OTLP receiver
     // does the same): trace id = the decoded trace_id hex, owning
     // series = metric name + point attributes
-    appendExemplarRows((try OtlpProto.decodeExemplarRows(raw) catch {
-      case scala.util.control.NonFatal(e) => throw new IllegalArgumentException(
-        s"malformed OTLP protobuf payload: $e")
-    }).map {
+    val exemplarRows = dec(OtlpProto.decodeExemplarRows(raw)).map {
       case (t, v, series, elbls) =>
         val lbls = series.map { case (k, vv) =>
           (if (k == "__name__") "name" else k) -> vv }
         val traceId = elbls.getOrElse("trace_id",
           elbls.toSeq.sortBy(_._1).headOption.fold("")(_._2))
         (t, v, lbls, traceId)
-    })
+    }
+    // every section validated — appends start here
+    appendHists(expHists)
+    appendLongRows(decoded)
+    appendExemplarRows(exemplarRows)
     ex.getResponseHeaders.set("Content-Type", "application/x-protobuf")
     ex.sendResponseHeaders(200, -1)
   }

@@ -25,8 +25,11 @@ import PromQL.{AggBy, AggWithout, AtAnchor, AtEnd, AtMs, AtStart, BinOp,
   *
   * Supported grammar (the canonical Prometheus dashboard shape
   * `histogram_quantile(0.9, sum by (le-less labels) (rate(m[5m])))`):
-  *   - instant selector `m{...}` (offset/@ respected, staleness-free
-  *     lookback) → latest histogram per series;
+  *   - instant selector `m{...}` (offset/@ respected) → latest
+  *     histogram per series. STALENESS follows the float tier's
+  *     contract (`TsdbSchema`): a NULL `hist` struct ≡ the staleness
+  *     marker — instant lookback ENDS a series at it (latest-in-window
+  *     NULL excludes the series), rate/increase selections skip it;
   *   - `rate(sel[d])` / `increase(sel[d])` — tumbling `[d]` buckets,
   *     per-pair reset-aware histogram deltas (a decrease in ANY bucket
   *     or in count marks a counter reset, and the pair contributes the
@@ -222,6 +225,9 @@ object PromQLHist {
           .withColumn("t", lit(start) + col("_i") * stepMs)
           .groupBy(labels :+ col("t"): _*)
           .agg(max_by(col(HistCol), col(TimeCol)).as(HistCol))
+          // latest-in-window NULL = staleness marker: series excluded
+          // at this grid point (the float tier's lookback contract)
+          .where(col(HistCol).isNotNull)
       case Selector(_, _, _, Some(_)) =>
         throw new IllegalArgumentException(
           "@-anchored selectors pin a constant — evaluate with eval() at " +
@@ -231,7 +237,8 @@ object PromQLHist {
         val known = TsdbSchema.labelColumns(hists)
           .map(_.stripPrefix(TsdbSchema.LabelPrefix)).toSet
         val sel = hists.where(MatcherCompiler.compileAll(ms, known) &&
-          col(TimeCol) > start - off - rangeMs && col(TimeCol) <= end - off)
+          col(TimeCol) > start - off - rangeMs && col(TimeCol) <= end - off &&
+          col(HistCol).isNotNull) // range selections skip stale markers
         dropName(histSlidingRate(sel, rangeMs, stepMs, start, end, off,
           nLes, asRate = name == "rate"))
       case Fn(name @ ("rate" | "increase"), _, _) =>
@@ -328,6 +335,8 @@ object PromQLHist {
           col(TimeCol) > t - lookbackMs && col(TimeCol) <= t)
         .groupBy(labels: _*)
         .agg(max_by(col(HistCol), col(TimeCol)).as(HistCol))
+        // latest-in-window NULL = staleness marker: series excluded
+        .where(col(HistCol).isNotNull)
     case Selector(_, Some(_), _, _) =>
       throw new IllegalArgumentException(
         "range selector must be wrapped in rate() or increase()")
@@ -344,7 +353,8 @@ object PromQLHist {
         case None => (start - off, end - off)
       }
       val sel = hists.where(MatcherCompiler.compileAll(ms, known) &&
-        col(TimeCol) > s0 && col(TimeCol) < e0)
+        col(TimeCol) > s0 && col(TimeCol) < e0 &&
+        col(HistCol).isNotNull) // range selections skip stale markers
       dropName(histRate(sel, rangeMs, nLes, asRate = name == "rate"))
     case Fn(name @ ("rate" | "increase"), _, _) =>
       throw new IllegalArgumentException(

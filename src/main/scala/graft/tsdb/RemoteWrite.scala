@@ -228,6 +228,67 @@ object RemoteWrite {
       .select(col("content")).as[Array[Byte]])
   }
 
+  // ---- metric metadata (prompb WriteRequest field 3) -----------------
+
+  /** Metric types by wire enum value (prompb `MetricMetadata.MetricType`)
+    * — the v1 twin of [[RemoteWrite2.TypeNames]] (same order; the v1
+    * enum calls value 0 UNKNOWN where v2 says unspecified). */
+  val MetaTypeNames: Seq[String] = Seq("unknown", "counter", "gauge",
+    "histogram", "gaugehistogram", "summary", "info", "stateset")
+
+  /** One payload's pushed METRIC METADATA — `WriteRequest.metadata`
+    * (field 3, repeated `MetricMetadata{type = 1 enum,
+    * metric_family_name = 2, help = 4, unit = 5}`), which Prometheus
+    * sends by default (`metadata_config.send`, on since 2.23). Returns
+    * `(metric family name, type name, unit, help)` rows — the served
+    * metadata view's shape. A receiver that decodes only samples
+    * 204-acks the push while leaving `/api/v1/metadata` blind to every
+    * v1 sender (the decoded-but-never-stored class the v2 branch
+    * already closes). */
+  private[tsdb] def decodeMetadataOfRequest(p: Array[Byte])
+      : Seq[(String, String, String, String)] = {
+    val raw = Snappy.uncompress(p)
+    val out = Seq.newBuilder[(String, String, String, String)]
+    val req = new ProtoReader(raw, 0, raw.length)
+    while (req.hasMore) {
+      val (field, wire) = req.key()
+      if (field == 3 && wire == 2) {
+        val (s, e) = req.delimited()
+        val mr = new ProtoReader(raw, s, e)
+        var tpe = 0; var fam = ""; var help = ""; var unit = ""
+        while (mr.hasMore) mr.key() match {
+          case (1, 0) => tpe = mr.varint().toInt
+          case (2, 2) => fam = mr.string()
+          case (4, 2) => help = mr.string()
+          case (5, 2) => unit = mr.string()
+          case (_, w) => mr.skip(w)
+        }
+        if (fam.nonEmpty)
+          out += ((fam, MetaTypeNames.lift(tpe).getOrElse("unknown"),
+            unit, help))
+      } else req.skip(wire)
+    }
+    out.result()
+  }
+
+  /** Spec/fixture helper: a WriteRequest carrying METADATA entries
+    * `(type enum, metric family name, help, unit)` alongside its
+    * series — the encoder twin of [[decodeMetadataOfRequest]]. */
+  def encodeRequestWithMetadata(series: Seq[Array[Byte]],
+      metadata: Seq[(Int, String, String, String)]): Array[Byte] = {
+    val w = new ProtoWriter
+    series.foreach(w.bytes(1, _))
+    metadata.foreach { case (tpe, fam, help, unit) =>
+      val mw = new ProtoWriter
+      if (tpe != 0) mw.int64(1, tpe.toLong)
+      mw.string(2, fam)
+      if (help.nonEmpty) mw.string(4, help)
+      if (unit.nonEmpty) mw.string(5, unit)
+      w.bytes(3, mw.toBytes)
+    }
+    Snappy.compress(w.toBytes)
+  }
+
   // ---- native histograms (prompb TimeSeries field 4) ----------------
 
   /** One decoded `prompb.Histogram`, sparse — exactly what the wire

@@ -457,6 +457,140 @@ class PromHttpServerSpec extends SparkSpec {
     assert(new String(bd, UTF_8).contains("dsum"), new String(bd, UTF_8))
   }
 
+  test("OTLP delta-temporality histograms reject loudly and atomically") {
+    // the Sum path already 400-rejects delta; the histogram paths must
+    // too — a delta-configured collector's histograms ingested as if
+    // cumulative silently corrupt every rate()/histogram_quantile()
+    val deltaClassic = OtlpProto.encodeClassicHist(7100L,
+      Map("__name__" -> "dch", "user" -> "d"),
+      count = 2.0, sum = 3.0, bounds = Seq(1.0), bc = Seq(1.0, 1.0),
+      delta = true)
+    val (c1, b1) = post("/api/v1/otlp/v1/metrics", deltaClassic)
+    assert(c1 == 400, s"$c1 ${new String(b1, UTF_8)}")
+    assert(new String(b1, UTF_8).contains("dch"), new String(b1, UTF_8))
+    val deltaExp = OtlpProto.encodeExpHist(7100L,
+      Map("__name__" -> "deh", "user" -> "d"),
+      count = 1.0, sum = 1.0,
+      counts = Seq(0.0, 1.0) ++ Seq.fill(10)(0.0),
+      schemaId = 0, minExp = 0, maxExp = 9, delta = true)
+    val (c2, b2) = post("/api/v1/otlp/v1/metrics", deltaExp)
+    assert(c2 == 400, s"$c2 ${new String(b2, UTF_8)}")
+    assert(new String(b2, UTF_8).contains("deh"), new String(b2, UTF_8))
+    // cumulative temporality (what the encoders stamp by default) is
+    // unaffected — the existing classic/exp-hist tests above prove it.
+    // ATOMICITY: a request mixing a VALID exp-histogram with a delta
+    // sum 400s AND ingests nothing — appending the histograms before
+    // validating the sums would leave a partial write behind the error
+    val mixed = OtlpProto.encodeExpHist(7200L,
+      Map("__name__" -> "hatomic", "user" -> "d"),
+      count = 1.0, sum = 1.0,
+      counts = Seq(0.0, 1.0) ++ Seq.fill(10)(0.0),
+      schemaId = 0, minExp = 0, maxExp = 9) ++
+      OtlpProto.encodeSum(7200L, 1.0,
+        Map("__name__" -> "datomic", "user" -> "d"),
+        monotonic = true, delta = true)
+    val (c3, _) = post("/api/v1/otlp/v1/metrics", mixed)
+    assert(c3 == 400)
+    // had the histogram been ingested before the delta sum failed the
+    // request, hatomic would be a REGISTERED native metric and this
+    // query would route to the hist head and answer 200/"1.0"; an
+    // unregistered name stays on the float tier, whose histogram_count
+    // rejects — the observable proof nothing was ingested
+    val (c4, b4) = get("/api/v1/query?query=" +
+      java.net.URLEncoder.encode("""histogram_count({name="hatomic"})""",
+        UTF_8) + "&time=8")
+    assert(c4 == 400 && b4.contains("NATIVE-histogram"), s"$c4 $b4")
+    // ...and the rejected sum itself never landed either
+    val (c5, b5) = get("/api/v1/query?query=" +
+      java.net.URLEncoder.encode("""{name="datomic_total"}""", UTF_8) +
+      "&time=8")
+    assert(c5 == 200 && b5.contains(""""result":[]"""), b5)
+  }
+
+  test("OTLP staleness: no-recorded-value points end the series") {
+    val srv = new PromHttpServer(spark, wide)
+    val p = srv.start()
+    def postAt(path: String, body: Array[Byte]): Int = client.send(
+      HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:$p$path"))
+        .POST(HttpRequest.BodyPublishers.ofByteArray(body)).build(),
+      HttpResponse.BodyHandlers.ofString()).statusCode()
+    try {
+      // FLOAT: a live gauge then a FLAG_NO_RECORDED_VALUE point — the
+      // staleness marker becomes a NULL-value row, and the instant
+      // kernel's lookback ends the series at it (StalenessSpec's
+      // contract, now fed from the OTLP wire)
+      assert(postAt("/api/v1/otlp/v1/metrics", OtlpProto.encodeGauge(
+        1000L, 7.0, Map("__name__" -> "stal", "user" -> "s"))) == 200)
+      val (ca, ba) = getAt(p, "/api/v1/query?query=" +
+        java.net.URLEncoder.encode("""{name="stal"}""", UTF_8) + "&time=1.2")
+      assert(ca == 200 && ba.contains(""""value":[1.200,"7.0"]"""), ba)
+      assert(postAt("/api/v1/otlp/v1/metrics", OtlpProto.encodeStaleGauge(
+        1500L, Map("__name__" -> "stal", "user" -> "s"))) == 200)
+      val (cb, bb) = getAt(p, "/api/v1/query?query=" +
+        java.net.URLEncoder.encode("""{name="stal"}""", UTF_8) + "&time=2")
+      assert(cb == 200 && bb.contains(""""result":[]"""), bb)
+      // NATIVE HISTOGRAM: same sequence on the hist tier — the stale
+      // point lands as a NULL-hist row and instant lookback ends there
+      assert(postAt("/api/v1/otlp/v1/metrics", OtlpProto.encodeExpHist(
+        1000L, Map("__name__" -> "hstal", "user" -> "s"),
+        count = 4.0, sum = 9.0,
+        counts = Seq(0.0, 4.0) ++ Seq.fill(10)(0.0),
+        schemaId = 0, minExp = 0, maxExp = 9)) == 200)
+      val (cc, bc) = getAt(p, "/api/v1/query?query=" +
+        java.net.URLEncoder.encode("""histogram_count({name="hstal"})""",
+          UTF_8) + "&time=1.2")
+      assert(cc == 200 && bc.contains(""""value":[1.200,"4.0"]"""), bc)
+      assert(postAt("/api/v1/otlp/v1/metrics", OtlpProto.encodeExpHist(
+        1500L, Map("__name__" -> "hstal", "user" -> "s"),
+        count = 0.0, sum = 0.0, counts = Seq.fill(12)(0.0),
+        schemaId = 0, minExp = 0, maxExp = 9, stale = true)) == 200)
+      val (cd, bd) = getAt(p, "/api/v1/query?query=" +
+        java.net.URLEncoder.encode("""histogram_count({name="hstal"})""",
+          UTF_8) + "&time=2")
+      assert(cd == 200 && bd.contains(""""result":[]"""), bd)
+    } finally srv.stop()
+    // CLASSIC HIST + SUMMARY: the decoders emit the StaleNaN marker on
+    // EVERY derived series (Prometheus's per-series translation)
+    val stale = java.lang.Double.longBitsToDouble(TsdbSchema.StaleNaNBits)
+    def allStale(rows: Seq[(Long, Double, Map[String, String])]): Boolean =
+      rows.nonEmpty && rows.forall(r => TsdbSchema.isStaleMarker(r._2))
+    assert(allStale(OtlpProto.decodeClassicHists(OtlpProto.encodeClassicHist(
+      1500L, Map("__name__" -> "ch"), count = 2.0, sum = 3.0,
+      bounds = Seq(1.0), bc = Seq(1.0, 1.0), stale = true))))
+    assert(allStale(OtlpProto.decodeSummaries(OtlpProto.encodeSummary(
+      1500L, Map("__name__" -> "sm"), count = 2.0, sum = 3.0,
+      quantiles = Seq((0.5, 1.0)), stale = true))))
+    // ...and a stale exp-hist point decodes with the marker in its sum
+    val hs = OtlpProto.decodeHists(OtlpProto.encodeExpHist(
+      1500L, Map("__name__" -> "eh"), count = 0.0, sum = 0.0,
+      counts = Seq.fill(12)(0.0), schemaId = 0, minExp = 0, maxExp = 9,
+      stale = true))
+    assert(hs.size == 1 && TsdbSchema.isStaleMarker(hs.head.sum), hs)
+    assert(!TsdbSchema.isStaleMarker(stale + 0.0) ||
+      TsdbSchema.isStaleMarker(stale)) // bit-pattern sanity
+  }
+
+  test("OTLP exemplar owning series gets the job/instance promotion") {
+    // without the resource promotion the exemplar's owning-series
+    // label set matches no stored series — query_exemplars' series
+    // matching could never find it
+    val payload = OtlpProto.addResource(
+      OtlpProto.encodeGaugeWithExemplars(4500L, 910.0,
+        Map("__name__" -> "oex2", "user" -> "y"),
+        exemplars = Seq((4400L, 905.0,
+          Array[Byte](0x11, 0x22), Array.empty[Byte],
+          Map.empty[String, String]))),
+      Map("service.name" -> "exsvc", "service.instance.id" -> "i-2"))
+    assert(post("/api/v1/otlp/v1/metrics", payload)._1 == 200)
+    val (c, b) = get("/api/v1/query_exemplars?query=" +
+      java.net.URLEncoder.encode("""{name="oex2",job="exsvc"}""", UTF_8) +
+      "&start=4&end=5")
+    assert(c == 200, b)
+    assert(b.contains(""""trace_id":"1122""""), b)
+    assert(b.contains(""""job":"exsvc"""") && b.contains(""""instance":"i-2""""),
+      b)
+  }
+
   test("OTLP summary data points land as quantile/_sum/_count series") {
     // Metric oneof field 11 — the shape client-library latency metrics
     // reach a collector in; Prometheus's otlptranslator maps each
@@ -703,6 +837,30 @@ class PromHttpServerSpec extends SparkSpec {
     // and the per-target view serves the pushed entry too
     val (c3, b3) = get("/api/v1/targets/metadata?metric=v2meta")
     assert(c3 == 200 && b3.contains(""""help":"pushed help text""""), b3)
+  }
+
+  test("v1 pushed metadata lands in /api/v1/metadata and targets view") {
+    // prompb WriteRequest.metadata (field 3) — sent BY DEFAULT by every
+    // v1 Prometheus since 2.23 (metadata_config.send); the receiver
+    // must store it exactly like the v2 branch stores its per-series
+    // Metadata, or /api/v1/metadata stays blind to v1 senders
+    val req = RemoteWrite.encodeRequestWithMetadata(
+      series = Seq(RemoteWrite.encodeSeries(
+        Seq("__name__" -> "v1meta", "user" -> "m"), Seq(1800L -> 2.0))),
+      metadata = Seq((5, "v1meta", "v1 pushed help", "bytes")))
+    assert(post("/api/v1/write", req)._1 == 204)
+    val (c, b) = get("/api/v1/metadata?metric=v1meta")
+    assert(c == 200, b)
+    assert(b.contains(
+      """"v1meta":[{"type":"summary","unit":"bytes","help":"v1 pushed help"}]"""),
+      b)
+    // the per-target view serves the pushed entry too
+    val (c2, b2) = get("/api/v1/targets/metadata?metric=v1meta")
+    assert(c2 == 200 && b2.contains(""""help":"v1 pushed help""""), b2)
+    // and the samples in the same request still land
+    val (c3, b3) = get("/api/v1/query?query=" +
+      java.net.URLEncoder.encode("""{name="v1meta"}""", UTF_8) + "&time=2")
+    assert(c3 == 200 && b3.contains(""""user":"m""""), b3)
   }
 
   test("v2 exemplars land in the store and serve via query_exemplars") {

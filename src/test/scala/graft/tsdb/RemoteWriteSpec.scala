@@ -80,6 +80,26 @@ class RemoteWriteSpec extends SparkSpec {
       Seq((5L, 1.0, Map("__name__" -> "up"))))
   }
 
+  test("metadata round-trips: WriteRequest.metadata decodes per prompb") {
+    val req = RemoteWrite.encodeRequestWithMetadata(
+      series = Seq(RemoteWrite.encodeSeries(
+        Seq("__name__" -> "m1"), Seq(1L -> 1.0))),
+      metadata = Seq(
+        (1, "m1", "a counter", "seconds"),
+        (0, "m2", "", ""),          // UNKNOWN type, no help/unit
+        (3, "m3", "buckets", "")))
+    assert(RemoteWrite.decodeMetadataOfRequest(req) === Seq(
+      ("m1", "counter", "seconds", "a counter"),
+      ("m2", "unknown", "", ""),
+      ("m3", "histogram", "", "buckets")))
+    // samples in the same request still decode
+    assert(RemoteWrite.decodeRequest(req) ===
+      Seq((1L, 1.0, Map("__name__" -> "m1"))))
+    // a metadata-free request decodes to no metadata
+    assert(RemoteWrite.decodeMetadataOfRequest(
+      RemoteWrite.encodeRequest(Seq.empty)) === Seq.empty)
+  }
+
   test("payload-file backfill: fromPayloadFiles over captured requests") {
     val dir = tmpDir("graft_rw_")
     val payloads = RemoteWrite.encode(longForm(fixture), seriesPerRequest = 2)
