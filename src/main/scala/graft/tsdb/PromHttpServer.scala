@@ -54,7 +54,10 @@ final class PromHttpServer(spark: SparkSession, initial: DataFrame,
                            dataDir: Option[String] = None,
                            adminApi: Boolean = false,
                            alertmanagers: Seq[String] = Nil,
-                           resolvedRetentionMs: Long = 900000L) {
+                           resolvedRetentionMs: Long = 900000L,
+                           // Prometheus's remote_read_sample_limit
+                           // default (5e7); 0 = unlimited
+                           remoteReadSampleLimit: Long = 50000000L) {
 
   @volatile private var wide: DataFrame = initial
   private var server: HttpServer = _
@@ -181,8 +184,9 @@ final class PromHttpServer(spark: SparkSession, initial: DataFrame,
       // serve observed data, not staleness signals.
       val sparseRows = spark.createDataset(live.map(h =>
         (h.labels, graft.sources.tsdbblock.WalReader.WalHistogram(
-          0L, h.time, 0, h.schema, h.zeroThreshold, h.zeroCount,
-          h.count, h.sum, h.positive, h.negative, Nil, isFloat = false))))
+          0L, h.time, h.resetHint, h.schema, h.zeroThreshold, h.zeroCount,
+          h.count, h.sum, h.positive, h.negative, h.customValues,
+          isFloat = false))))
       synchronized {
         histAppends += 1
         histHead = Some(boundLineage(histHead.fold(wideH)(
@@ -241,6 +245,24 @@ final class PromHttpServer(spark: SparkSession, initial: DataFrame,
   private def stored(ms: Seq[graft.model.Matcher]): Set[String] =
     synchronized(histMetricNames)
       .filter(m => ms.forall(matchesMetric(_, m)))
+
+  /** Whether a fully NAMELESS expression may still route to the hist
+    * head: only when its vector operand bottoms out in a histogram_*
+    * call — there is no classic float-tier reading of a nameless
+    * histogram_* application. Recurses through vector-scalar BinOps so
+    * `histogram_count({job="x"}) > 3` routes like the bare call
+    * (previously only the TOP-level node was inspected, and wrapping a
+    * working nameless hist query in a comparison silently returned
+    * empty). A nameless count aggregation or bare selector has a float
+    * reading and stays there. */
+  private def namelessHistOk(e: PromQL.Expr): Boolean = e match {
+    case PromQL.Fn(name, _, _) => PromQLHist.ScalarFns(name)
+    case PromQL.BinOp(_, _, l, PromQL.ScalarLit(_), _, _, _, _) =>
+      namelessHistOk(l)
+    case PromQL.BinOp(_, _, PromQL.ScalarLit(_), r, _, _, _, _) =>
+      namelessHistOk(r)
+    case _ => false
+  }
 
   /** Driver-side matcher application for the routing gate — the stored
     * name set is API-sized, and [[PromQL.selectorsOf]] returns
@@ -508,11 +530,12 @@ final class PromHttpServer(spark: SparkSession, initial: DataFrame,
       // native histogram over classic buckets when both are present);
       // the results are FLOAT vectors, so the response shape is the
       // standard one
-      // nameless selectors keep the head routing ONLY under a bare
-      // histogram_* function (no classic float-tier reading there); a
-      // nameless count/comparison has one and stays on the float tier
+      // nameless selectors keep the head routing only when the
+      // expression BOTTOMS OUT in a histogram_* call — including
+      // through vector-scalar ops (namelessHistOk); a nameless count
+      // or bare selector has a float reading and stays there
       case e if PromQLHist.floatEvaluable(e) && routesToHistHead(e,
-          allowNameless = e.isInstanceOf[PromQL.Fn]) =>
+          allowNameless = namelessHistOk(e)) =>
         import spark.implicits._
         val hv = PromQLHist.eval(ast, histHead.get, at, lookbackMs,
           start = at, end = at, nLes = histNLes)
@@ -556,7 +579,7 @@ final class PromHttpServer(spark: SparkSession, initial: DataFrame,
     // range output carries the grid column `t` — matrix-ready)
     val df = ast match {
       case e if PromQLHist.floatEvaluable(e) && routesToHistHead(e,
-          allowNameless = e.isInstanceOf[PromQL.Fn]) =>
+          allowNameless = namelessHistOk(e)) =>
         PromQLHist.evalRange(ast, histHead.get, start, end, step,
           lookbackMs, nLes = histNLes)
       case _ =>
@@ -652,11 +675,21 @@ final class PromHttpServer(spark: SparkSession, initial: DataFrame,
     // per-RULE tier routing: a rule whose every name-bearing selector
     // resolves to the pushed-native head evaluates on the hist tier —
     // previously `histogram_count({name=native}) > k` silently read
-    // the float tier empty and the alert could never fire
+    // the float tier empty and the alert could never fire. The routing
+    // is gated on the SAME floatEvaluable shape check the query
+    // endpoints use: the hist tier speaks a narrow grammar, and an
+    // unsupported shape (avg_over_time, vector-vector binops, …) must
+    // fall back to the float tier rather than throw and fail the WHOLE
+    // group's evaluation for /api/v1/rules, /api/v1/alerts and the
+    // notifier. A shape that passes the gate but still fails hist-tier
+    // PLAN BUILD falls back per rule, for the same reason.
     def routedEvalRange(ast: PromQL.Expr, view: DataFrame, s: Long,
                         e: Long, step: Long, lb: Long): DataFrame =
-      if (routesToHistHead(ast, allowNameless = false))
-        PromQLHist.evalRange(ast, histHead.get, s, e, step, lb, histNLes)
+      if (PromQLHist.floatEvaluable(ast) &&
+          routesToHistHead(ast, allowNameless = false))
+        try PromQLHist.evalRange(ast, histHead.get, s, e, step, lb, histNLes)
+        catch { case _: IllegalArgumentException =>
+          PromQL.evalRange(ast, view, s, e, step, lb) }
       else PromQL.evalRange(ast, view, s, e, step, lb)
     val (_, alertsDf) = AlertRules.evaluateGroup(g.rules, wide,
       start = lastTick - (rulesHorizonMs / interval) * interval,
@@ -1147,8 +1180,9 @@ final class PromHttpServer(spark: SparkSession, initial: DataFrame,
       out.flush()
     } else {
       val resp =
-        if (allHist) RemoteRead.serveHists(histSparseHead.get, body)
-        else RemoteRead.serve(TsdbTable(wide), body)
+        if (allHist) RemoteRead.serveHists(histSparseHead.get, body,
+          remoteReadSampleLimit)
+        else RemoteRead.serve(TsdbTable(wide), body, remoteReadSampleLimit)
       ex.getResponseHeaders.set("Content-Type", "application/x-protobuf")
       ex.getResponseHeaders.set("Content-Encoding", "snappy")
       ex.sendResponseHeaders(200, resp.length)

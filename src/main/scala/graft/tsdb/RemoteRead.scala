@@ -21,9 +21,10 @@ import RemoteWrite.{ProtoReader, ProtoWriter}
   * [[TsdbTable.select]] scan; per-series sample grouping and protobuf
   * encode run distributed (one shuffle, the same (series → sorted
   * samples) shape the block writer uses). The SAMPLED response must
-  * be one HTTP body, so [[serve]] collects — bounded by the QUERY's
-  * selectivity, the protocol's own constraint (Prometheus fails such
-  * reads beyond `remote_read_sample_limit` for the same reason). The
+  * be one HTTP body, so [[serve]] collects — and ENFORCES a sample
+  * limit inside the plan before collecting (the guard rail Prometheus
+  * ships as `remote_read_sample_limit`: an over-limit request fails
+  * loudly, pointing clients at the streamed response type). The
   * scale path is [[serveChunked]]: one self-framed
   * `ChunkedReadResponse` per series, Gorilla-XOR encoded with the
   * block writer's own chunk encoder, returned as a Dataset that
@@ -238,17 +239,38 @@ object RemoteRead {
 
   // ---- SAMPLED response (ResponseType 0) ----------------------------
 
+  /** The SAMPLED response is one HTTP body collected on the driver, so
+    * it needs the guard rail Prometheus enforces as
+    * `remote_read_sample_limit`: a cheap `limit(n+1)` count probe
+    * INSIDE the plan (Spark executes CollectLimit incrementally — the
+    * probe scans only until it finds n+1 rows, never the full match)
+    * fails the request loudly BEFORE anything response-sized
+    * materializes. `0` = unlimited (Prometheus's convention). The
+    * streamed path needs no limit — it never materializes the
+    * response. */
+  private def enforceSampleLimit(rows: DataFrame, sampleLimit: Long,
+                                 what: String): Unit =
+    if (sampleLimit > 0 && sampleLimit < Int.MaxValue &&
+        rows.limit(sampleLimit.toInt + 1).count() > sampleLimit)
+      throw new IllegalArgumentException(
+        s"exceeded sample limit ($sampleLimit) for the SAMPLED " +
+          s"remote-read response ($what); narrow the query's matchers/" +
+          "time range or negotiate STREAMED_XOR_CHUNKS " +
+          "(accepted_response_types), which streams without a limit")
+
   /** Serve a `ReadRequest` as a snappy `ReadResponse` (SAMPLES type):
     * one `QueryResult` per query, in order; series sorted by label
     * set, samples by time — Prometheus's response invariants. The
     * per-series encode runs distributed; only encoded bytes reach the
-    * driver. */
-  def serve(t: TsdbTable, requestBytes: Array[Byte]): Array[Byte] = {
+    * driver — capped by `sampleLimit` (see [[enforceSampleLimit]]). */
+  def serve(t: TsdbTable, requestBytes: Array[Byte],
+            sampleLimit: Long = 0L): Array[Byte] = {
     val req = decodeReadRequest(requestBytes)
     val sp = t.df.sparkSession
     import sp.implicits._
     val w = new ProtoWriter
     req.queries.foreach { q =>
+      enforceSampleLimit(slice(t, q), sampleLimit, "float samples")
       val series: Array[(String, Array[Byte])] = grouped(slice(t, q))
         .mapPartitions(_.map { case (entries, samples) =>
           (labelSortKey(entries), RemoteWrite.encodeSeries(entries, samples))
@@ -356,13 +378,14 @@ object RemoteRead {
   def serveHists(
       hs: Dataset[(Map[String, String],
         graft.sources.tsdbblock.WalReader.WalHistogram)],
-      requestBytes: Array[Byte]): Array[Byte] = {
+      requestBytes: Array[Byte], sampleLimit: Long = 0L): Array[Byte] = {
     import graft.sources.tsdbblock.WalReader
     val sp = hs.sparkSession
     import sp.implicits._
     val req = decodeReadRequest(requestBytes)
     val w = new ProtoWriter
     req.queries.foreach { q =>
+      enforceSampleLimit(histSlice(hs, q), sampleLimit, "histogram samples")
       val series: Array[(String, Array[Byte])] = histSlice(hs, q)
         .select(array_sort(map_entries(col("_1"))).as("entries"),
           col("_2").as("hist"))
@@ -377,9 +400,14 @@ object RemoteRead {
             sw.bytes(1, lw.toBytes)
           }
           hists.sortBy(_.time).foreach { h =>
+            // customValues/resetHint ride along: an NHCB (schema -53)
+            // histogram served from a WAL frame keeps its bucket
+            // BOUNDS in the sampled form, exactly as the chunked
+            // path's HistChunk payload does
             sw.bytes(4, RemoteWrite.encodeHistogram(RemoteWrite.SparseHist(
               h.time, Map.empty, h.count, h.sum, h.schema,
-              h.zeroThreshold, h.zeroCount, h.positive, h.negative)))
+              h.zeroThreshold, h.zeroCount, h.positive, h.negative,
+              h.customValues, h.counterResetHint)))
           }
           (labelSortKey(entries), sw.toBytes)
         })

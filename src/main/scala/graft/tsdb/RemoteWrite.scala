@@ -295,12 +295,17 @@ object RemoteWrite {
     * carries: bucket i covers `(base^(i−1), base^i]` with
     * `base = 2^(2^−schema)`; spans+deltas (integer histograms) or
     * spans+counts (float histograms) are already resolved to absolute
-    * `(index, count)` pairs. */
+    * `(index, count)` pairs. `customValues` carries the NHCB bucket
+    * bounds when `schema = -53` (custom-bounds histograms, prompb
+    * field 16 — without them the positive indices are meaningless);
+    * `resetHint` is the counter-reset hint enum (field 14: 0 UNKNOWN,
+    * 1 YES, 2 NO, 3 GAUGE). */
   final case class SparseHist(
       time: Long, labels: Map[String, String],
       count: Double, sum: Double, schema: Int,
       zeroThreshold: Double, zeroCount: Double,
-      positive: Seq[(Int, Double)], negative: Seq[(Int, Double)])
+      positive: Seq[(Int, Double)], negative: Seq[(Int, Double)],
+      customValues: Seq[Double] = Nil, resetHint: Int = 0)
 
   /** Span/bucket lists → absolute indices. First span's offset is the
     * starting index; each later span's offset is the gap from the end
@@ -366,7 +371,16 @@ object RemoteWrite {
     }
     spansAndCounts(h.negative, 8, 10)
     spansAndCounts(h.positive, 11, 13)
+    if (h.resetHint != 0) w.int64(14, h.resetHint.toLong) // ResetHint enum
     w.int64(15, h.time)
+    if (h.customValues.nonEmpty) { // NHCB bounds: packed doubles
+      val packed = new java.io.ByteArrayOutputStream()
+      h.customValues.foreach { c =>
+        var x = java.lang.Double.doubleToLongBits(c); var i = 0
+        while (i < 8) { packed.write((x & 0xff).toInt); x >>>= 8; i += 1 }
+      }
+      w.bytes(16, packed.toByteArray)
+    }
     w.toBytes
   }
 
@@ -376,6 +390,7 @@ object RemoteWrite {
     val r = new ProtoReader(raw, from, until)
     var count = 0.0; var sum = 0.0; var schema = 0
     var zeroThreshold = 0.0; var zeroCount = 0.0; var time = 0L
+    var resetHint = 0; var customValues = Seq.empty[Double]
     var negSpans = Seq.empty[(Int, Int)]; var posSpans = Seq.empty[(Int, Int)]
     var negVals = Seq.empty[Double]; var posVals = Seq.empty[Double]
     // packed repeated fields may legally be SPLIT across several
@@ -429,12 +444,18 @@ object RemoteWrite {
           val (vs, acc) = readPackedDeltas(s, e, posAcc)
           posVals ++= vs; posAcc = acc
         case (13, 2) => val (s, e) = r.delimited(); posVals ++= readPackedDoubles(s, e)
+        case (14, 0) => resetHint = r.varint().toInt
         case (15, 0) => time = r.varint()
+        case (16, 2) =>
+          val (s, e) = r.delimited(); customValues ++= readPackedDoubles(s, e)
+        case (16, 1) =>
+          customValues :+= java.lang.Double.longBitsToDouble(r.fixed64())
         case (_, wire) => r.skip(wire)
       }
     }
     SparseHist(time, labels, count, sum, schema, zeroThreshold, zeroCount,
-      resolveSpans(posSpans, posVals), resolveSpans(negSpans, negVals))
+      resolveSpans(posSpans, posVals), resolveSpans(negSpans, negVals),
+      customValues, resetHint)
   }
 
   /** Decoded native histograms of every TimeSeries in the payloads —

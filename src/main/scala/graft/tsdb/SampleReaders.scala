@@ -307,7 +307,10 @@ object SampleReaders {
         filter(side(col("dp.positive")),
           e => e.getField("_2") =!= 0.0).as("positive"),
         filter(side(col("dp.negative")),
-          e => e.getField("_2") =!= 0.0).as("negative"))
+          e => e.getField("_2") =!= 0.0).as("negative"),
+        // exp-hist JSON points carry no NHCB bounds / reset hint
+        array().cast("array<double>").as("customValues"),
+        lit(0).as("resetHint"))
       .as[RemoteWrite.SparseHist]
   }
 

@@ -111,6 +111,36 @@ class PromHttpServerSpec extends SparkSpec {
       Set(("a", 1000L, 1.0), ("a", 2000L, 3.0)))
   }
 
+  test("remote read over the sample limit fails loudly as bad_data") {
+    // Prometheus's remote_read_sample_limit guard rail on the SAMPLED
+    // path: a full-range matcher over a big corpus must not OOM the
+    // driver behind a 200 — it 400s, pointing at the streamed type
+    val srv = new PromHttpServer(spark, wide, remoteReadSampleLimit = 2L)
+    val p = srv.start()
+    try {
+      val req = RemoteRead.encodeReadRequest(RemoteRead.ReadRequest(Seq(
+        RemoteRead.ReadQuery(0L, 10000L,
+          Seq(Matcher.Eq("__name__", "up")))))) // 3 samples match
+      val r = client.send(
+        HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:$p/api/v1/read"))
+          .POST(HttpRequest.BodyPublishers.ofByteArray(req)).build(),
+        HttpResponse.BodyHandlers.ofString())
+      assert(r.statusCode() == 400, r.body())
+      assert(r.body().contains("exceeded sample limit"), r.body())
+      // negotiating STREAMED_XOR_CHUNKS sidesteps the limit entirely
+      val sreq = RemoteRead.encodeReadRequest(RemoteRead.ReadRequest(Seq(
+        RemoteRead.ReadQuery(0L, 10000L,
+          Seq(Matcher.Eq("__name__", "up")))),
+        acceptedResponseTypes = Seq(RemoteRead.ResponseStreamedXorChunks)))
+      val r2 = client.send(
+        HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:$p/api/v1/read"))
+          .POST(HttpRequest.BodyPublishers.ofByteArray(sreq)).build(),
+        HttpResponse.BodyHandlers.ofByteArray())
+      assert(r2.statusCode() == 200)
+      assert(RemoteRead.splitFrames(r2.body()).nonEmpty)
+    } finally srv.stop()
+  }
+
   test("rules and alerts endpoints: live rule-file state in the API shape") {
     val srv2 = new PromHttpServer(spark, wide,
       rules = Some(
@@ -782,6 +812,86 @@ class PromHttpServerSpec extends SparkSpec {
       assert(c == 200, b)
       assert(b.contains("hist_hot"), b)
       assert(b.contains(""""state":"firing""""), b)
+    } finally srv.stop()
+  }
+
+  test("hist-routed rule groups: unsupported shapes fall back per rule") {
+    // the rules tier routes name-matching rules to the hist tier ONLY
+    // when the shape is hist-evaluable; a rule the hist grammar cannot
+    // express (avg_over_time over a native metric) must fall back to
+    // the float tier (evaluating empty there) instead of throwing and
+    // failing the WHOLE group for /api/v1/rules, /api/v1/alerts and
+    // the notifier
+    val srv = new PromHttpServer(spark, wide,
+      rules = Some(
+        """groups:
+          |  - name: g
+          |    interval: 1s
+          |    rules:
+          |      - alert: unsupported_shape
+          |        expr: 'avg_over_time({name="hmix"}[5s]) > 0'
+          |      - alert: hist_shape
+          |        expr: 'histogram_count({name="hmix"}) > 3'
+          |""".stripMargin),
+      rulesHorizonMs = 5000L)
+    val p = srv.start()
+    try {
+      val h = RemoteWrite.SparseHist(
+        time = 1700L, labels = Map.empty, count = 4.0, sum = 10.0,
+        schema = 0, zeroThreshold = 0.0, zeroCount = 0.0,
+        positive = Seq((1, 2.0), (2, 2.0)), negative = Nil)
+      val wreq = RemoteWrite2.encodeRequest(Seq(RemoteWrite2.Rw2Series(
+        labels = Seq("__name__" -> "hmix"), histograms = Seq(h))))
+      val wr = client.send(
+        HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:$p/api/v1/write"))
+          .header("Content-Type",
+            "application/x-protobuf;proto=io.prometheus.write.v2.Request")
+          .POST(HttpRequest.BodyPublishers.ofByteArray(wreq)).build(),
+        HttpResponse.BodyHandlers.ofByteArray())
+      assert(wr.statusCode() == 204)
+      // the group still evaluates: the hist-shaped rule fires, the
+      // unsupported one quietly evaluates (empty) on the float tier
+      val (c, b) = getAt(p, "/api/v1/alerts?time=2")
+      assert(c == 200, b)
+      assert(b.contains("hist_shape"), b)
+      assert(b.contains(""""state":"firing""""), b)
+      val (c2, b2) = getAt(p, "/api/v1/rules?time=2")
+      assert(c2 == 200, b2)
+      assert(b2.contains("unsupported_shape"), b2)
+    } finally srv.stop()
+  }
+
+  test("nameless comparisons over histogram_* route to the hist head") {
+    // allowNameless recurses through vector-scalar BinOps: wrapping a
+    // working nameless histogram_* query in a comparison must not
+    // silently flip it to the float tier (where it has no reading)
+    val srv = new PromHttpServer(spark, wide)
+    val p = srv.start()
+    try {
+      val h = RemoteWrite.SparseHist(
+        time = 1700L, labels = Map("__name__" -> "hnl", "user" -> "nl"),
+        count = 4.0, sum = 10.0, schema = 0, zeroThreshold = 0.0,
+        zeroCount = 0.0, positive = Seq((1, 2.0), (2, 2.0)), negative = Nil)
+      val wreq = RemoteWrite2.encodeRequest(Seq(RemoteWrite2.Rw2Series(
+        labels = Seq("__name__" -> "hnl", "user" -> "nl"),
+        histograms = Seq(h))))
+      val wr = client.send(
+        HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:$p/api/v1/write"))
+          .header("Content-Type",
+            "application/x-protobuf;proto=io.prometheus.write.v2.Request")
+          .POST(HttpRequest.BodyPublishers.ofByteArray(wreq)).build(),
+        HttpResponse.BodyHandlers.ofByteArray())
+      assert(wr.statusCode() == 204)
+      // NAMELESS selector, bare call: routes to the hist head
+      val (c1, b1) = getAt(p, "/api/v1/query?query=" +
+        java.net.URLEncoder.encode("""histogram_count({user="nl"})""",
+          UTF_8) + "&time=2")
+      assert(c1 == 200 && b1.contains(""""value":[2.000,"4.0"]"""), b1)
+      // ...and the comparison over it routes the SAME way
+      val (c2, b2) = getAt(p, "/api/v1/query?query=" +
+        java.net.URLEncoder.encode("""histogram_count({user="nl"}) > 3""",
+          UTF_8) + "&time=2")
+      assert(c2 == 200 && b2.contains(""""value":[2.000,"4.0"]"""), b2)
     } finally srv.stop()
   }
 

@@ -306,6 +306,65 @@ class RemoteReadSpec extends SparkSpec {
     assert(q1.forall(_.labels("job") == "db"))
   }
 
+  test("sampled responses enforce the sample limit; streamed path exempt") {
+    // Prometheus's remote_read_sample_limit: the SAMPLED response
+    // collects on the driver, so an over-limit request must fail
+    // loudly (pointing at STREAMED_XOR_CHUNKS) instead of OOM-ing the
+    // driver; an under-limit request and the streamed path are
+    // unaffected. The probe is limit(n+1) inside the plan — it never
+    // scans past n+1 rows.
+    val t = table()
+    val req = encodeReadRequest(ReadRequest(Seq(
+      ReadQuery(0L, Long.MaxValue - 1,
+        Seq(Matcher.Eq("__name__", "http_requests")))))) // 4 samples match
+    val e = intercept[IllegalArgumentException](serve(t, req, sampleLimit = 3))
+    assert(e.getMessage.contains("exceeded sample limit (3)"), e.getMessage)
+    assert(e.getMessage.contains("STREAMED_XOR_CHUNKS"), e.getMessage)
+    // at the limit exactly: allowed
+    assert(decodeReadResponse(serve(t, req, sampleLimit = 4)).size === 4)
+    // 0 = unlimited (Prometheus's convention)
+    assert(decodeReadResponse(serve(t, req, sampleLimit = 0)).size === 4)
+    // the streamed path has no limit — it never materializes
+    val chunkedReq = encodeReadRequest(ReadRequest(Seq(
+      ReadQuery(0L, Long.MaxValue - 1,
+        Seq(Matcher.Eq("__name__", "http_requests")))),
+      acceptedResponseTypes = Seq(ResponseStreamedXorChunks)))
+    assert(serveChunked(t, chunkedReq).collect().nonEmpty)
+    // the histogram twin enforces the same limit
+    import graft.sources.tsdbblock.WalReader.WalHistogram
+    val s = spark; import s.implicits._
+    val hs = s.createDataset((0 until 4).map(i =>
+      (Map("name" -> "hrl"), WalHistogram(0L, 1000L + i, 0, 0, 0.0, 0.0,
+        1.0, 0.5, Seq((0, 1.0)), Nil, Nil, isFloat = false))))
+    val hreq = encodeReadRequest(ReadRequest(Seq(
+      ReadQuery(0L, Long.MaxValue - 1, Seq(Matcher.Eq("name", "hrl"))))))
+    val eh = intercept[IllegalArgumentException](
+      serveHists(hs, hreq, sampleLimit = 3))
+    assert(eh.getMessage.contains("exceeded sample limit"), eh.getMessage)
+    assert(decodeReadResponseHists(
+      serveHists(hs, hreq, sampleLimit = 4)).size === 4)
+  }
+
+  test("NHCB custom bounds and reset hints survive the SAMPLED form") {
+    // an NHCB (schema -53) histogram's positive indices are
+    // meaningless without custom_values; the sampled responder must
+    // carry them (and the reset hint) exactly as the chunked path does
+    import graft.sources.tsdbblock.WalReader.WalHistogram
+    val s = spark; import s.implicits._
+    val h = WalHistogram(0L, 1000L, 2, -53, 0.0, 0.0, 6.0, 9.5,
+      Seq((1, 4.0), (2, 2.0)), Nil, customValues = Seq(0.1, 0.5, 2.5),
+      isFloat = false)
+    val hs = s.createDataset(Seq((Map("name" -> "nhcb"), h)))
+    val back = decodeReadResponseHists(serveHists(hs,
+      encodeReadRequest(ReadRequest(Seq(
+        ReadQuery(0L, Long.MaxValue - 1, Seq(Matcher.Eq("name", "nhcb"))))))))
+    assert(back.size === 1)
+    val got = back.head._2
+    assert(got.customValues === Seq(0.1, 0.5, 2.5))
+    assert(got.resetHint === 2)
+    assert(got.schema === -53 && got.positive === h.positive)
+  }
+
   test("streamed HISTOGRAM frames round-trip both encodings with matchers") {
     import graft.sources.tsdbblock.WalReader.WalHistogram
     val s = spark; import s.implicits._
