@@ -9,15 +9,19 @@ import scala.util.control.NonFatal
   * of payload to the driver). A warmup pass on the smallest table
   * absorbs JVM/codegen startup so numbers reflect steady-state.
   *
-  * The artifact is load-proofed: ambient machine load once inflated a
-  * round record 4× (BENCH_r09: 54.7 s recorded where an idle rerun
-  * measured 13.5 s). So the JSON now carries /proc/loadavg before and
-  * after, BOTH per-pass times for every query, and — when the total
-  * lands above 2× the measured idle-noise floor (BENCHNOISE.md:
-  * 12.1–15.5 s over identical sf0.1 runs) — the whole timed loop
-  * sleeps and reruns once, emitting both attempts and headlining the
-  * better one. A reader can always tell a loaded-box artifact from an
-  * engine regression without rerunning anything.
+  * The artifact is load-proofed, in layers (each added after a round
+  * record was contaminated by ambient load):
+  *   - the run WAITS for an idle box up front (bounded /proc/loadavg
+  *     poll, ≤5 min by default) — the only mitigation that works
+  *     against load that persists for minutes;
+  *   - the JSON carries /proc/loadavg before/after, BOTH per-pass
+  *     times per query, and the idle-wait outcome;
+  *   - a common-set total above 1.5× the idle anchor triggers one
+  *     sleep-and-rerun, emitting both attempts;
+  *   - if even the best attempt breaches the trigger, the record says
+  *     `headline_unusable: true` — per-query passes remain for
+  *     diagnosis, but the headline never again poses as a measurement
+  *     (round 14's flagged-but-numeric record misled at face value).
   */
 object Bench {
 
@@ -107,6 +111,9 @@ object Bench {
     "pipe_q52_dup_spans", "pipe_q53_span_scrub",
     "tsdb_q150_otlp_summary", "tsdb_q151_remote_read_hist_sampled",
     "tsdb_q153_utf8_names")
+  // round 15: tsdb_q154_tsdb_dump stays out by the q110 rationale — it
+  // re-runs q108's dominant block-write work (plus q130's parse);
+  // it remains fully oracle-verified in CORRECTNESS
 
   /** 1/5/15-minute fields of /proc/loadavg (empty off-Linux). */
   private def loadavg(): Seq[Double] =
@@ -114,6 +121,31 @@ object Bench {
           java.nio.file.Paths.get("/proc/loadavg")), "UTF-8")
           .trim.split("\\s+").take(3).toSeq.map(_.toDouble)
     catch { case NonFatal(_) => Seq.empty }
+
+  /** Wait (bounded) for the BOX to go idle before any work starts:
+    * poll the 1-minute loadavg until it drops below `threshold` or
+    * `maxWaitSec` elapses. Returns (seconds waited, went idle?).
+    *
+    * This runs BEFORE the SparkSession exists — once warmup starts,
+    * this process's own load dominates the 1-minute average and the
+    * signal is gone. Round-14 lesson: the sleep-30s-rerun-once
+    * mitigation cannot outwait minutes of ambient load (both attempts
+    * ran loaded and the record's headline numbers were artifacts); a
+    * bounded pre-run wait either starts from a clean box or lets the
+    * record declare its headline unusable up front. */
+  private def waitForIdle(threshold: Double, maxWaitSec: Int)
+      : (Int, Boolean) = {
+    var waited = 0
+    while (waited < maxWaitSec) {
+      val la = loadavg()
+      if (la.isEmpty || la.head < threshold) return (waited, true)
+      System.err.println(f"[bench] 1-min load ${la.head}%.2f >= " +
+        f"$threshold%.2f — waiting for idle (${waited}s/${maxWaitSec}s)")
+      Thread.sleep(10000)
+      waited += 10
+    }
+    (waited, loadavg().headOption.forall(_ < threshold))
+  }
 
   private def jsonArr(xs: Seq[Double]): String =
     xs.mkString("[", ",", "]")
@@ -132,6 +164,15 @@ object Bench {
     val anchorSec =
       sys.env.getOrElse("SPARK_GRAFT_BENCH_ANCHOR_SEC", "11.0").toDouble
     val flagTriggerSec = 1.5 * anchorSec
+    // idle gate: ambient 1-min load below this before the run starts
+    // (idle box measures ~0.2; the round-14 contaminated record started
+    // at 3.2). Bounded wait — a box that never goes idle still runs,
+    // but the record marks its headline unusable if the flag trips.
+    val idleLoad =
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_IDLE_LOAD", "1.0").toDouble
+    val idleWaitMax =
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_IDLE_WAIT_SEC", "300").toInt
+    val (idleWaitedSec, idleAtStart) = waitForIdle(idleLoad, idleWaitMax)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -230,8 +271,14 @@ object Bench {
     val (best, _) = attempts.minBy { case (a, _) => totalOf(a) }
     val commonTotal = commonOf(best)
     // flag the ARTIFACT when even the best attempt breaches the trigger —
-    // a true record never needs the caveat, an inflated one always gets it
+    // a true record never needs the caveat, an inflated one always gets it.
+    // A flagged record's HEADLINE is declared unusable outright: round 14
+    // emitted a flagged-but-numeric record and its headline values were
+    // pure load artifacts (idle rerun: 32.9 s → 16.0 s common-set with
+    // zero code change). Per-query passes stay in the artifact for
+    // diagnosis; the headline does not pretend to be a measurement.
     val loadFlagged = commonTotal > flagTriggerSec
+    val headlineUnusable = loadFlagged
 
     val results = ("tsdb_ingest", Seq(ingestSec), 0L) +: best
     val qs = results.map { case (k, ps, _) => s""""$k":${ps.min}""" }
@@ -252,7 +299,9 @@ object Bench {
       s""","attempt_totals":${jsonArr(attempts.map(a => totalOf(a._1)))}""" +
       s""","total_r7_common":$commonTotal""" +
       s""","idle_anchor_sec":$anchorSec,"flag_trigger_sec":$flagTriggerSec""" +
-      s""","load_flagged":$loadFlagged}"""
+      s""","idle_wait_sec":$idleWaitedSec,"idle_at_start":$idleAtStart""" +
+      s""","load_flagged":$loadFlagged""" +
+      s""","headline_unusable":$headlineUnusable}"""
     java.nio.file.Files.write(java.nio.file.Paths.get("bench_out.json"),
       (rich + "\n").getBytes("UTF-8"))
     // The LAST stdout line is a COMPACT machine-readable record sized well
@@ -273,7 +322,8 @@ object Bench {
       s""","total_r7_common":${f3(commonTotal)}""" +
       s""","loadavg_before":${la1(loadBefore)}""" +
       s""","loadavg_after":${la1(attempts.last._2)}""" +
-      s""","load_flagged":$loadFlagged,"detail":"bench_out.json"}"""
+      s""","load_flagged":$loadFlagged""" +
+      s""","headline_unusable":$headlineUnusable,"detail":"bench_out.json"}"""
     println(compact)
     spark.stop()
   }

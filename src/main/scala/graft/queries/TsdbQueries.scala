@@ -1090,6 +1090,34 @@ object TsdbQueries {
           col("labels").getItem("user").as("user"),
           col("labels").getItem("k").as("k"))
     }),
+    // Q154: `promtool tsdb dump` analog — the operator escape hatch:
+    // an engine-written data dir (blocks + WAL head, the q131 shape)
+    // dumped to OpenMetrics text and RE-PARSED must reproduce the
+    // events exactly — `parse(dump(db)) ≡ events`, the inverse of
+    // q130's `read(backfill(text)) ≡ events`. Matchers/time flags are
+    // spec-covered; the oracle pins the full-dump identity.
+    "tsdb_q154_tsdb_dump" -> ((s, dir) => {
+      val long = load(s, dir, "events").select(
+        unix_millis(col("ts")).as("time"), col("value"),
+        map(lit("__name__"), col("event_type"),
+          lit("user"), col("user_id").cast("string"),
+          lit("k"), regexp_extract(col("props"), "\"k\": (\\d+)", 1))
+          .as("labels"))
+      val db = Tables.scratchDir("graft_q154_db")
+      graft.sources.tsdbblock.TsdbBlockWriter.write(
+        long.where(col("time") < lit(RangeEnd)), db,
+        blockRangeMs = 7L * 86400000L)
+      graft.sources.tsdbblock.TsdbWalWriter.write(
+        long.where(col("time") >= lit(RangeEnd)), s"$db/wal")
+      val text = Tables.scratchDir("graft_q154_text")
+      graft.tsdb.TsdbDump.dumpOpenMetrics(s, db)
+        .write.mode("overwrite").text(text)
+      graft.tsdb.SampleReaders.fromOpenMetricsText(s, text)
+        .select(col("time"), col("value"),
+          col("labels").getItem("__name__").as("name"),
+          col("labels").getItem("user").as("user"),
+          col("labels").getItem("k").as("k"))
+    }),
     // Q13: PromQL topk() over the instant vector — the k series with the
     // highest current value (deterministic tie-break on the label set).
     // Global top-k is orderBy+limit, which Catalyst plans as
@@ -4399,6 +4427,11 @@ object TsdbQueries {
         |  regexp_extract(props, '"k": (\d+)', 1) AS k
         |FROM events""".stripMargin,
     "tsdb_q131_snapshot" ->
+      """SELECT CAST(epoch_ms(ts) AS BIGINT) AS time, value,
+        |  event_type AS name, CAST(user_id AS VARCHAR) AS "user",
+        |  regexp_extract(props, '"k": (\d+)', 1) AS k
+        |FROM events""".stripMargin,
+    "tsdb_q154_tsdb_dump" ->
       """SELECT CAST(epoch_ms(ts) AS BIGINT) AS time, value,
         |  event_type AS name, CAST(user_id AS VARCHAR) AS "user",
         |  regexp_extract(props, '"k": (\d+)', 1) AS k

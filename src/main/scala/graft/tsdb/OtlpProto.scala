@@ -64,7 +64,7 @@ object OtlpProto {
 
   private[tsdb] def decodeSamples(raw: Array[Byte])
       : Seq[(Long, Double, Map[String, String])] =
-    decodeSamplesFull(raw).map { case (t, v, ls, _) => (t, v, ls) }
+    decodeSamplesFull(raw).map { case (t, v, ls, _, _) => (t, v, ls) }
 
   /** Point KINDS the receiver's translation strategy needs:
     * Gauge; Sum split by `aggregation_temporality` (field 2 enum:
@@ -74,21 +74,29 @@ object OtlpProto {
   private[tsdb] val KindSum = 2     // cumulative non-monotonic sum
   private[tsdb] val KindDeltaSum = 3
 
+  /** Full-fidelity gauge/sum decode: `(time ms, value, labels, kind,
+    * start time ms)`. The START TIME (`start_time_unix_nano`, field 2
+    * — OTel's created/reset timestamp) rides along so the receiver can
+    * implement Prometheus's `created-timestamp-zero-ingestion` (a zero
+    * sample at the start time seeds counter-reset detection); 0 when
+    * the producer sent none. */
   private[tsdb] def decodeSamplesFull(raw: Array[Byte])
-      : Seq[(Long, Double, Map[String, String], Int)] = {
-    val out = Seq.newBuilder[(Long, Double, Map[String, String], Int)]
+      : Seq[(Long, Double, Map[String, String], Int, Long)] = {
+    val out = Seq.newBuilder[(Long, Double, Map[String, String], Int, Long)]
     foreachMetricWithResource(raw) { (res, name, field, s, e) =>
       if (field == 5 || field == 7) { // gauge / sum
         val g = new ProtoReader(raw, s, e)
         var temporality = 0; var monotonic = false
-        val points = Seq.newBuilder[(Long, Double, Map[String, String])]
+        val points = Seq.newBuilder[(Long, Double, Map[String, String], Long)]
         while (g.hasMore) g.key() match {
           case (1, 2) => // data_points
             val (ds, de) = g.delimited()
             val dp = new ProtoReader(raw, ds, de)
             var t = 0L; var v = 0.0; var has = false; var flags = 0L
+            var start = 0L
             var labels = Map("__name__" -> name)
             while (dp.hasMore) dp.key() match {
+              case (2, 1) => start = dp.fixed64() // start_time_unix_nano
               case (3, 1) => t = dp.fixed64()
               case (4, 1) =>
                 v = java.lang.Double.longBitsToDouble(dp.fixed64()); has = true
@@ -104,8 +112,10 @@ object OtlpProto {
             // translation), which the receiver maps to the engine's
             // NULL-value staleness row — the instant kernel then ends
             // the series at it. Such points legally omit the value.
-            if (noRecorded(flags)) points += ((divNsToMs(t), StaleNaN, labels))
-            else if (has) points += ((divNsToMs(t), v, labels))
+            if (noRecorded(flags))
+              points += ((divNsToMs(t), StaleNaN, labels, divNsToMs(start)))
+            else if (has)
+              points += ((divNsToMs(t), v, labels, divNsToMs(start)))
           case (2, 0) => temporality = g.varint().toInt // Sum only
           case (3, 0) => monotonic = g.varint() != 0L   // Sum only
           case (_, w) => g.skip(w)
@@ -119,8 +129,8 @@ object OtlpProto {
         // every series (Prometheus's OTLP translation), overriding
         // same-named point attributes
         val promo = jobInstance(res)
-        points.result().foreach { case (t, v, ls) =>
-          out += ((t, v, ls ++ promo, kind)) }
+        points.result().foreach { case (t, v, ls, st) =>
+          out += ((t, v, ls ++ promo, kind, st)) }
       }
     }
     out.result()
@@ -697,8 +707,10 @@ object OtlpProto {
   private[tsdb] def encodeSum(t: Long, v: Double,
                               labels: Map[String, String],
                               monotonic: Boolean,
-                              delta: Boolean = false): Array[Byte] = {
+                              delta: Boolean = false,
+                              startTimeMs: Long = 0L): Array[Byte] = {
     val dp = new ProtoWriter
+    if (startTimeMs != 0L) dp.fixed64(2, startTimeMs * 1000000L)
     dp.fixed64(3, t * 1000000L)
     dp.fixed64(4, java.lang.Double.doubleToLongBits(v))
     attrBytes(labels).foreach(a => dp.bytes(7, a))

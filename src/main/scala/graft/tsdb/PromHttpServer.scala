@@ -57,7 +57,13 @@ final class PromHttpServer(spark: SparkSession, initial: DataFrame,
                            resolvedRetentionMs: Long = 900000L,
                            // Prometheus's remote_read_sample_limit
                            // default (5e7); 0 = unlimited
-                           remoteReadSampleLimit: Long = 50000000L) {
+                           remoteReadSampleLimit: Long = 50000000L,
+                           // Prometheus's created-timestamp-zero-
+                           // ingestion feature flag (default off, as
+                           // there): inject a 0 sample at an OTLP
+                           // counter's start_time_unix_nano so
+                           // counter-reset detection sees the reset
+                           otlpCreatedZeroIngestion: Boolean = false) {
 
   @volatile private var wide: DataFrame = initial
   private var server: HttpServer = _
@@ -484,6 +490,12 @@ final class PromHttpServer(spark: SparkSession, initial: DataFrame,
     * receiver stores pushed metadata exactly like this. Driver-sized
     * (the metric universe). */
   private var pushedMeta = Map.empty[String, (String, String, String)]
+
+  /** Created-timestamp zeros already injected, per (series labels,
+    * start time) — series-count-sized driver state keeping repeated
+    * pushes of the same (series, start) from piling duplicate zero
+    * rows into the head. */
+  private var ctZeroSeen = Set.empty[(Map[String, String], Long)]
 
   /** The served metadata universe: the configured view (OpenMetrics
     * triples / WAL kind-6 records) overridden by v2-pushed entries,
@@ -1093,18 +1105,39 @@ final class PromHttpServer(spark: SparkSession, initial: DataFrame,
     // present); DELTA-temporality sums are REJECTED loudly — a
     // cumulative store cannot ingest deltas, and a 200 that dropped
     // them would be the summary bug's failure class all over again.
-    val samples = dec(OtlpProto.decodeSamplesFull(raw)).map {
-      case (_, _, ls, OtlpProto.KindDeltaSum) =>
+    val samplesFull = dec(OtlpProto.decodeSamplesFull(raw)).map {
+      case (_, _, ls, OtlpProto.KindDeltaSum, _) =>
         throw new IllegalArgumentException(
           s"delta-temporality sum (metric ${ls.getOrElse("__name__", "?")})" +
             " is not ingestible by a cumulative store; re-export with" +
             " cumulative temporality")
-      case (t, v, ls, OtlpProto.KindCounter) =>
+      case (t, v, ls, OtlpProto.KindCounter, st) =>
         val n = ls.getOrElse("__name__", "")
         (t, v, if (n.endsWith("_total")) ls
-               else ls + ("__name__" -> (n + "_total")))
-      case (t, v, ls, _) => (t, v, ls)
+               else ls + ("__name__" -> (n + "_total")), st, true)
+      case (t, v, ls, _, st) => (t, v, ls, st, false)
     }
+    // created-timestamp zero ingestion (Prometheus's feature flag of
+    // the same name, default OFF like there — the default semantics
+    // are decode-and-ignore, relying on value-drop reset detection):
+    // a counter point whose start_time_unix_nano precedes its sample
+    // seeds a 0 sample at the start time, ON ITS FINAL SERIES NAME
+    // (after _total suffixing), once per (series, start time) — so a
+    // reset that moves the start time lands a fresh zero and rate()/
+    // increase() see the reset even when the post-reset value did not
+    // drop below the pre-reset one.
+    val ctZeros =
+      if (!otlpCreatedZeroIngestion) Nil
+      else synchronized {
+        val fresh = samplesFull.collect {
+          case (t, _, ls, st, true)
+              if st > 0 && st < t && !ctZeroSeen((ls, st)) => (st, ls)
+        }.distinct
+        ctZeroSeen ++= fresh.map { case (st, ls) => (ls, st) }
+        fresh.map { case (st, ls) => (st, 0.0, ls) }
+      }
+    val samples =
+      samplesFull.map { case (t, v, ls, _, _) => (t, v, ls) } ++ ctZeros
     // resource attributes: service.name/namespace/instance.id promote
     // to job/instance on every series (inside the decoders), and the
     // remaining resource attributes land as a `target_info` row — the

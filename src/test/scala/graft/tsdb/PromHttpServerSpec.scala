@@ -621,6 +621,71 @@ class PromHttpServerSpec extends SparkSpec {
       b)
   }
 
+  test("OTLP created timestamps: zero ingestion pins reset behavior") {
+    // Prometheus's created-timestamp-zero-ingestion (feature-flagged,
+    // default OFF there and here): an OTLP counter's
+    // start_time_unix_nano seeds a 0 sample at the start time on the
+    // FINAL series name, once per (series, start) — so a reset that
+    // moves the start time is visible to increase() even when the
+    // post-reset value never drops below the pre-reset one
+    val srv = new PromHttpServer(spark, wide, otlpCreatedZeroIngestion = true)
+    val p = srv.start()
+    def postAt(body: Array[Byte]): Int = client.send(
+      HttpRequest.newBuilder(
+        URI.create(s"http://127.0.0.1:$p/api/v1/otlp/v1/metrics"))
+        .POST(HttpRequest.BodyPublishers.ofByteArray(body)).build(),
+      HttpResponse.BodyHandlers.ofString()).statusCode()
+    def q(expr: String, at: String): (Int, String) =
+      getAt(p, "/api/v1/query?query=" +
+        java.net.URLEncoder.encode(expr, UTF_8) + s"&time=$at")
+    try {
+      // segment 1: started at t=1000, observed 5 by t=3000
+      assert(postAt(OtlpProto.encodeSum(3000L, 5.0,
+        Map("__name__" -> "ctr", "user" -> "c"), monotonic = true,
+        startTimeMs = 1000L)) == 200)
+      // the injected zero is queryable at the start time
+      val (c1, b1) = q("""{name="ctr_total"}""", "1")
+      assert(c1 == 200 && b1.contains(""""value":[1.000,"0.0"]"""), b1)
+      // re-pushing the same (series, start) injects NO second zero:
+      // increase over the first segment stays the observed 5
+      assert(postAt(OtlpProto.encodeSum(3500L, 5.0,
+        Map("__name__" -> "ctr", "user" -> "c"), monotonic = true,
+        startTimeMs = 1000L)) == 200)
+      // segment 2: RESET at t=4000 (new start time), counter re-grows
+      // to 6 — NOT below the pre-reset 5, so value-drop detection alone
+      // would miss it without the new zero at t=4000
+      assert(postAt(OtlpProto.encodeSum(5000L, 6.0,
+        Map("__name__" -> "ctr", "user" -> "c"), monotonic = true,
+        startTimeMs = 4000L)) == 200)
+      val (c2, b2) = q("""{name="ctr_total"}""", "4")
+      assert(c2 == 200 && b2.contains(""""value":[4.000,"0.0"]"""), b2)
+      // increase over the whole window sees both segments: 5 + 6
+      val (c3, b3) = q("""increase({name="ctr_total"}[5s])""", "5")
+      assert(c3 == 200, b3)
+      assert(b3.contains(""""11""") || b3.contains("\"11.0\"") ||
+        b3.contains("11."), b3)
+    } finally srv.stop()
+    // default semantics (flag OFF, Prometheus's default): the start
+    // time decodes but injects nothing
+    val srv2 = new PromHttpServer(spark, wide)
+    val p2 = srv2.start()
+    try {
+      val r = client.send(
+        HttpRequest.newBuilder(
+          URI.create(s"http://127.0.0.1:$p2/api/v1/otlp/v1/metrics"))
+          .POST(HttpRequest.BodyPublishers.ofByteArray(
+            OtlpProto.encodeSum(3000L, 5.0,
+              Map("__name__" -> "ctr2", "user" -> "c"), monotonic = true,
+              startTimeMs = 1000L))).build(),
+        HttpResponse.BodyHandlers.ofString())
+      assert(r.statusCode() == 200)
+      val (c4, b4) = getAt(p2, "/api/v1/query?query=" +
+        java.net.URLEncoder.encode("""{name="ctr2_total"}""", UTF_8) +
+        "&time=1")
+      assert(c4 == 200 && b4.contains(""""result":[]"""), b4)
+    } finally srv2.stop()
+  }
+
   test("OTLP summary data points land as quantile/_sum/_count series") {
     // Metric oneof field 11 — the shape client-library latency metrics
     // reach a collector in; Prometheus's otlptranslator maps each
