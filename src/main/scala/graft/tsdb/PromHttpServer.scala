@@ -60,10 +60,12 @@ final class PromHttpServer(spark: SparkSession, initial: DataFrame,
                            remoteReadSampleLimit: Long = 50000000L,
                            // Prometheus's created-timestamp-zero-
                            // ingestion feature flag (default off, as
-                           // there): inject a 0 sample at an OTLP
-                           // counter's start_time_unix_nano so
-                           // counter-reset detection sees the reset
-                           otlpCreatedZeroIngestion: Boolean = false) {
+                           // there): inject a 0 sample at a series'
+                           // created/start time — OTLP counters'
+                           // start_time_unix_nano AND remote-write
+                           // 2.0's created_timestamp — so counter-
+                           // reset detection sees the reset
+                           createdZeroIngestion: Boolean = false) {
 
   @volatile private var wide: DataFrame = initial
   private var server: HttpServer = _
@@ -957,9 +959,25 @@ final class PromHttpServer(spark: SparkSession, initial: DataFrame,
               }
           }
         }
+        // created-timestamp zero ingestion, v2 form: TimeSeries.
+        // created_timestamp (field 6) is the series' created/reset
+        // time — the same flag-gated zero injection as the OTLP
+        // receiver's start_time_unix_nano, once per (series, created)
+        val ctZeros =
+          if (!createdZeroIngestion) Nil
+          else synchronized {
+            val fresh = series.collect {
+              case sr if sr.createdTimestamp > 0 && sr.samples.nonEmpty &&
+                  sr.createdTimestamp < sr.samples.map(_._1).min &&
+                  !ctZeroSeen((sr.labels.toMap, sr.createdTimestamp)) =>
+                (sr.createdTimestamp, sr.labels.toMap)
+            }.distinct
+            ctZeroSeen ++= fresh.map { case (st, ls) => (ls, st) }
+            fresh.map { case (st, ls) => (st, 0.0, ls) }
+          }
         series.flatMap { sr =>
           sr.samples.map { case (t, v) => (t, v, sr.labels.toMap) }
-        }
+        } ++ ctZeros
       }
       else {
         // v1 senders ALSO carry native histograms (send_native_
@@ -1127,7 +1145,7 @@ final class PromHttpServer(spark: SparkSession, initial: DataFrame,
     // increase() see the reset even when the post-reset value did not
     // drop below the pre-reset one.
     val ctZeros =
-      if (!otlpCreatedZeroIngestion) Nil
+      if (!createdZeroIngestion) Nil
       else synchronized {
         val fresh = samplesFull.collect {
           case (t, _, ls, st, true)

@@ -222,10 +222,21 @@ object RemoteRead {
         a.getBytes(java.nio.charset.StandardCharsets.UTF_8),
         b.getBytes(java.nio.charset.StandardCharsets.UTF_8))
 
+  /** Prometheus's staleness marker, materialized INSIDE an encode
+    * kernel (never before — the engine stores staleness as NULL
+    * `value` because NaN payloads cannot survive a shuffle,
+    * [[TsdbSchema.StaleNaNBits]]): the wire form a served stale sample
+    * must carry, exactly as Prometheus serves it over remote read. */
+  private val StaleNaN =
+    java.lang.Double.longBitsToDouble(graft.tsdb.TsdbSchema.StaleNaNBits)
+
   /** Distributed per-series grouping: (sorted label entries, sorted
-    * samples) — the block writer's shape, one shuffle. */
+    * samples) — the block writer's shape, one shuffle. `value` is an
+    * Option: the served table's NULL-value rows ARE staleness markers
+    * (block/WAL decode and the push receivers store them that way) and
+    * must reach the encode kernel, not NPE the deserializer. */
   private def grouped(sl: DataFrame)
-      : Dataset[(Seq[(String, String)], Seq[(Long, Double)])] = {
+      : Dataset[(Seq[(String, String)], Seq[(Long, Option[Double])])] = {
     val s = sl.sparkSession
     import s.implicits._
     sl.select(
@@ -234,7 +245,7 @@ object RemoteRead {
       .groupBy(col("entries"))
       .agg(array_sort(collect_list(struct(col("time").as("_1"),
         col("value").as("_2")))).as("samples"))
-      .as[(Seq[(String, String)], Seq[(Long, Double)])]
+      .as[(Seq[(String, String)], Seq[(Long, Option[Double])])]
   }
 
   // ---- SAMPLED response (ResponseType 0) ----------------------------
@@ -273,7 +284,11 @@ object RemoteRead {
       enforceSampleLimit(slice(t, q), sampleLimit, "float samples")
       val series: Array[(String, Array[Byte])] = grouped(slice(t, q))
         .mapPartitions(_.map { case (entries, samples) =>
-          (labelSortKey(entries), RemoteWrite.encodeSeries(entries, samples))
+          // NULL value → StaleNaN on the wire (Prometheus serves
+          // staleness markers over remote read; the bits are exact
+          // here — no shuffle between this assignment and the encode)
+          (labelSortKey(entries), RemoteWrite.encodeSeries(entries,
+            samples.map { case (ts, v) => (ts, v.getOrElse(StaleNaN)) }))
         })
         .collect()
       val qw = new ProtoWriter
@@ -511,7 +526,7 @@ object RemoteRead {
       .sortWithinPartitions(col("qi"), col("skey"), col("time"))
       .select(col("qi"), col("skey"), col("entries"),
         col("time"), col("value"))
-      .as[(Int, String, Seq[(String, String)], Long, Double)]
+      .as[(Int, String, Seq[(String, String)], Long, Option[Double])]
       .mapPartitions { it =>
         val buf = it.buffered
         new Iterator[Array[Byte]] {
@@ -520,7 +535,11 @@ object RemoteRead {
             val (qi, skey, entries, _, _) = buf.head
             val samples = Seq.newBuilder[(Long, Double)]
             while (buf.hasNext && buf.head._1 == qi && buf.head._2 == skey) {
-              val r = buf.next(); samples += ((r._4, r._5))
+              // NULL value → StaleNaN in the XOR chunk bytes (exact
+              // bits — Gorilla XOR encodes the raw pattern, and no
+              // shuffle sits between here and the chunk encoder)
+              val r = buf.next()
+              samples += ((r._4, r._5.getOrElse(StaleNaN)))
             }
             frame(encodeChunkedSeries(qi, entries, samples.result()))
           }

@@ -115,7 +115,7 @@ object RemoteWrite {
     }
     samples.sortBy(_._1).foreach { case (t, v) =>
       val sw = new ProtoWriter
-      sw.fixed64(1, java.lang.Double.doubleToLongBits(v)); sw.int64(2, t)
+      sw.fixed64(1, java.lang.Double.doubleToRawLongBits(v)); sw.int64(2, t)
       w.bytes(2, sw.toBytes)
     }
     w.toBytes
@@ -347,11 +347,11 @@ object RemoteWrite {
     * sends for float histograms; integer/delta form is decode-only). */
   private[tsdb] def encodeHistogram(h: SparseHist): Array[Byte] = {
     val w = new ProtoWriter
-    w.fixed64(2, java.lang.Double.doubleToLongBits(h.count)) // count_float
-    w.fixed64(3, java.lang.Double.doubleToLongBits(h.sum))
+    w.fixed64(2, java.lang.Double.doubleToRawLongBits(h.count)) // count_float
+    w.fixed64(3, java.lang.Double.doubleToRawLongBits(h.sum))
     w.key(4, 0); w.varint(zigzag(h.schema.toLong)) // sint64 schema
-    w.fixed64(5, java.lang.Double.doubleToLongBits(h.zeroThreshold))
-    w.fixed64(7, java.lang.Double.doubleToLongBits(h.zeroCount)) // zero_count_float
+    w.fixed64(5, java.lang.Double.doubleToRawLongBits(h.zeroThreshold))
+    w.fixed64(7, java.lang.Double.doubleToRawLongBits(h.zeroCount)) // zero_count_float
     def spansAndCounts(buckets: Seq[(Int, Double)], spanField: Int,
                        countField: Int): Unit = {
       val (spans, counts) = toSpans(buckets)
@@ -363,7 +363,7 @@ object RemoteWrite {
       if (counts.nonEmpty) { // packed little-endian doubles (proto3 packed)
         val packed = new java.io.ByteArrayOutputStream()
         counts.foreach { c =>
-          var x = java.lang.Double.doubleToLongBits(c); var i = 0
+          var x = java.lang.Double.doubleToRawLongBits(c); var i = 0
           while (i < 8) { packed.write((x & 0xff).toInt); x >>>= 8; i += 1 }
         }
         w.bytes(countField, packed.toByteArray)
@@ -376,7 +376,7 @@ object RemoteWrite {
     if (h.customValues.nonEmpty) { // NHCB bounds: packed doubles
       val packed = new java.io.ByteArrayOutputStream()
       h.customValues.foreach { c =>
-        var x = java.lang.Double.doubleToLongBits(c); var i = 0
+        var x = java.lang.Double.doubleToRawLongBits(c); var i = 0
         while (i < 8) { packed.write((x & 0xff).toInt); x >>>= 8; i += 1 }
       }
       w.bytes(16, packed.toByteArray)
@@ -686,7 +686,7 @@ object RemoteWrite {
     }
     samples.sortBy(_._1).foreach { case (t, v) =>
       val sw = new ProtoWriter
-      sw.fixed64(1, java.lang.Double.doubleToLongBits(v)); sw.int64(2, t)
+      sw.fixed64(1, java.lang.Double.doubleToRawLongBits(v)); sw.int64(2, t)
       w.bytes(2, sw.toBytes)
     }
     exemplars.foreach { case (exLabels, v, t) =>
@@ -696,7 +696,7 @@ object RemoteWrite {
         lw.string(1, n); lw.string(2, lv)
         ew.bytes(1, lw.toBytes)
       }
-      ew.fixed64(2, java.lang.Double.doubleToLongBits(v))
+      ew.fixed64(2, java.lang.Double.doubleToRawLongBits(v))
       ew.int64(3, t)
       w.bytes(3, ew.toBytes)
     }

@@ -68,13 +68,16 @@ object RemoteWrite2 {
     w.bytes(field, pw.toBytes)
   }
 
-  /** One series' worth of RW2 payload content. */
+  /** One series' worth of RW2 payload content. `createdTimestamp`
+    * (field 6, ms) is the series' created/reset time — the v2 twin of
+    * OTLP's `start_time_unix_nano`; 0 = not sent. */
   final case class Rw2Series(
       labels: Seq[(String, String)],
       samples: Seq[(Long, Double)] = Nil,
       exemplars: Seq[(Seq[(String, String)], Double, Long)] = Nil,
       histograms: Seq[SparseHist] = Nil,
-      metricType: Int = 0, unit: String = "", help: String = "")
+      metricType: Int = 0, unit: String = "", help: String = "",
+      createdTimestamp: Long = 0L)
 
   /** A snappy-compressed v2 Request from whole series. */
   def encodeRequest(series: Seq[Rw2Series]): Array[Byte] = {
@@ -92,14 +95,14 @@ object RemoteWrite2 {
         .flatMap(p => Seq(ref(p._1), ref(p._2))))
       s.samples.sortBy(_._1).foreach { case (t, v) =>
         val sw = new ProtoWriter
-        sw.fixed64(1, java.lang.Double.doubleToLongBits(v)); sw.int64(2, t)
+        sw.fixed64(1, java.lang.Double.doubleToRawLongBits(v)); sw.int64(2, t)
         tw.bytes(2, sw.toBytes)
       }
       s.exemplars.foreach { case (lbls, v, t) =>
         val ew = new ProtoWriter
         packedRefs(ew, 1, lbls.sortBy(_._1)
           .flatMap(p => Seq(ref(p._1), ref(p._2))))
-        ew.fixed64(2, java.lang.Double.doubleToLongBits(v))
+        ew.fixed64(2, java.lang.Double.doubleToRawLongBits(v))
         ew.int64(3, t)
         tw.bytes(3, ew.toBytes)
       }
@@ -111,6 +114,7 @@ object RemoteWrite2 {
         if (s.unit.nonEmpty) mw.int64(4, ref(s.unit).toLong)
         tw.bytes(5, mw.toBytes)
       }
+      if (s.createdTimestamp != 0L) tw.int64(6, s.createdTimestamp)
       w.bytes(5, tw.toBytes)
     }
     Snappy.compress(w.toBytes)
@@ -153,6 +157,7 @@ object RemoteWrite2 {
       val exemplars = Seq.newBuilder[(Seq[(String, String)], Double, Long)]
       val hists = Seq.newBuilder[SparseHist]
       var mType = 0; var unit = ""; var help = ""
+      var created = 0L
       while (ts.hasMore) {
         val (f, w) = ts.key()
         (f, w) match {
@@ -200,13 +205,14 @@ object RemoteWrite2 {
               else if (mf == 4 && mw == 0) unit = symbols(mr.varint().toInt)
               else mr.skip(mw)
             }
+          case (6, 0) => created = ts.varint() // created_timestamp
           case (_, wire) => ts.skip(wire)
         }
       }
       val labels = toLabels(labelRefs.result())
       Rw2Series(labels, samples.result(), exemplars.result(),
         hists.result().map(h => h.copy(labels = labels.toMap)),
-        mType, unit, help)
+        mType, unit, help, created)
     }
   }
 

@@ -100,6 +100,38 @@ class PromHttpServerSpec extends SparkSpec {
     assert(b.contains(""""user":"z"""") && b.contains("""[6.000,"42.0"]"""), b)
   }
 
+  test("remote-write staleness markers end the pushed series") {
+    // Prometheus FORWARDS staleness markers over remote write (a
+    // target that disappears sends StaleNaN); the receiver must map
+    // them to the engine's NULL-value rows at the decode boundary —
+    // the raw NaN bits cannot survive a shuffle
+    val stale = java.lang.Double.longBitsToDouble(TsdbSchema.StaleNaNBits)
+    val srv = new PromHttpServer(spark, wide)
+    val p = srv.start()
+    try {
+      def push(t: Long, v: Double): Unit = {
+        val payload = RemoteWrite.encodeRequest(Seq(RemoteWrite.encodeSeries(
+          Seq("__name__" -> "rwstale", "user" -> "z"), Seq(t -> v))))
+        val r = client.send(
+          HttpRequest.newBuilder(
+            URI.create(s"http://127.0.0.1:$p/api/v1/write"))
+            .POST(HttpRequest.BodyPublishers.ofByteArray(payload)).build(),
+          HttpResponse.BodyHandlers.ofString())
+        assert(r.statusCode() == 204)
+      }
+      push(1000L, 42.0)
+      val (c1, b1) = getAt(p, "/api/v1/query?query=" +
+        java.net.URLEncoder.encode("""{name="rwstale"}""", UTF_8) +
+        "&time=1.2")
+      assert(c1 == 200 && b1.contains(""""value":[1.200,"42.0"]"""), b1)
+      push(1500L, stale)
+      val (c2, b2) = getAt(p, "/api/v1/query?query=" +
+        java.net.URLEncoder.encode("""{name="rwstale"}""", UTF_8) +
+        "&time=2")
+      assert(c2 == 200 && b2.contains(""""result":[]"""), b2)
+    } finally srv.stop()
+  }
+
   test("remote-read responder: the SAMPLED protocol round-trips") {
     val req = RemoteRead.encodeReadRequest(RemoteRead.ReadRequest(Seq(
       RemoteRead.ReadQuery(0L, 10000L, Seq(Matcher.Eq("__name__", "up"),
@@ -628,7 +660,7 @@ class PromHttpServerSpec extends SparkSpec {
     // FINAL series name, once per (series, start) — so a reset that
     // moves the start time is visible to increase() even when the
     // post-reset value never drops below the pre-reset one
-    val srv = new PromHttpServer(spark, wide, otlpCreatedZeroIngestion = true)
+    val srv = new PromHttpServer(spark, wide, createdZeroIngestion = true)
     val p = srv.start()
     def postAt(body: Array[Byte]): Int = client.send(
       HttpRequest.newBuilder(
@@ -664,6 +696,20 @@ class PromHttpServerSpec extends SparkSpec {
       assert(c3 == 200, b3)
       assert(b3.contains(""""11""") || b3.contains("\"11.0\"") ||
         b3.contains("11."), b3)
+      // remote-write 2.0's created_timestamp (field 6) is the same
+      // signal on the other wire — same flag, same injection
+      val v2 = RemoteWrite2.encodeRequest(Seq(RemoteWrite2.Rw2Series(
+        labels = Seq("__name__" -> "ctr_v2", "user" -> "c"),
+        samples = Seq((3000L, 8.0)), createdTimestamp = 2000L)))
+      val rv2 = client.send(
+        HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:$p/api/v1/write"))
+          .header("Content-Type",
+            "application/x-protobuf;proto=io.prometheus.write.v2.Request")
+          .POST(HttpRequest.BodyPublishers.ofByteArray(v2)).build(),
+        HttpResponse.BodyHandlers.ofString())
+      assert(rv2.statusCode() == 204)
+      val (c5, b5) = q("""{name="ctr_v2"}""", "2")
+      assert(c5 == 200 && b5.contains(""""value":[2.000,"0.0"]"""), b5)
     } finally srv.stop()
     // default semantics (flag OFF, Prometheus's default): the start
     // time decodes but injects nothing

@@ -345,6 +345,39 @@ class RemoteReadSpec extends SparkSpec {
       serveHists(hs, hreq, sampleLimit = 4)).size === 4)
   }
 
+  test("stale (NULL-value) rows serve as StaleNaN samples on the wire") {
+    // the engine stores staleness as NULL `value` (NaN payloads cannot
+    // survive a shuffle); Prometheus serves staleness markers over
+    // remote read as StaleNaN samples — so the encode kernels must map
+    // NULL back to the exact marker bits, not NPE the deserializer
+    val s = spark; import s.implicits._
+    val t = TsdbTable(TsdbIngest.toWide(Seq(
+      (1000L, Some(1.5), Map("name" -> "st", "job" -> "a")),
+      (2000L, None: Option[Double], Map("name" -> "st", "job" -> "a")))
+      .toDF("time", "value", "labels")))
+    val req = encodeReadRequest(ReadRequest(Seq(
+      ReadQuery(0L, 10000L, Seq(Matcher.Eq("__name__", "st"))))))
+    val got = decodeReadResponse(serve(t, req)).sortBy(_._2)
+    assert(got.size === 2)
+    assert(got.head._3 === 1.5)
+    assert(graft.tsdb.TsdbSchema.isStaleMarker(got(1)._3),
+      f"expected exact StaleNaN bits, got 0x${
+        java.lang.Double.doubleToRawLongBits(got(1)._3)}%016x")
+    // chunked form: the marker rides inside the XOR chunk bytes (the
+    // DataFrame-shaped client decode canonicalizes NaN payloads, so
+    // assert NaN-ness + timestamp there; the wire bytes carry the
+    // exact bits by the same no-shuffle argument as the sampled path)
+    val chunkedReq = encodeReadRequest(ReadRequest(Seq(
+      ReadQuery(0L, 10000L, Seq(Matcher.Eq("__name__", "st")))),
+      acceptedResponseTypes = Seq(ResponseStreamedXorChunks)))
+    val back = decodeChunkedFrames(serveChunked(t, chunkedReq))
+      .collect().sortBy(_.getLong(1))
+    assert(back.length === 2)
+    assert(back(0).getDouble(2) === 1.5)
+    assert(back(1).getLong(1) === 2000L &&
+      back(1).getDouble(2).isNaN)
+  }
+
   test("NHCB custom bounds and reset hints survive the SAMPLED form") {
     // an NHCB (schema -53) histogram's positive indices are
     // meaningless without custom_values; the sampled responder must

@@ -17,7 +17,8 @@ class RemoteWrite2Spec extends SparkSpec {
     exemplars = Seq((Seq("trace_id" -> "abc"), 9.9, 1500L)),
     histograms = Seq(SparseHist(3000L, Map.empty, 4.0, 10.0, 0, 0.0, 1.0,
       Seq((0, 2.0), (2, 1.0)), Nil)),
-    metricType = 1, unit = "requests", help = "total requests")
+    metricType = 1, unit = "requests", help = "total requests",
+    createdTimestamp = 500L)
 
   test("round trip preserves every content kind") {
     val back = RemoteWrite2.decodeRequest(
@@ -34,6 +35,7 @@ class RemoteWrite2Spec extends SparkSpec {
     assert(h.labels === s.labels.toMap,
       "decoded histograms carry their series labels")
     assert((s.metricType, s.unit, s.help) === ((1, "requests", "total requests")))
+    assert(s.createdTimestamp === 500L) // field 6, the v2 created time
   }
 
   test("symbol table: empty string first, deduped, shared across series") {
