@@ -983,29 +983,35 @@ final class PromHttpServer(spark: SparkSession, initial: DataFrame,
         // v1 senders ALSO carry native histograms (send_native_
         // histograms, Prometheus ≥ 2.40) and exemplars (send_exemplars)
         // — a receiver that decodes only samples 204-acks the push
-        // while silently losing both (the OTLP-summary failure class)
-        histsWritten = appendHists(RemoteWrite.decodeHistsOfRequest(body))
+        // while silently losing both (the OTLP-summary failure class).
+        // EVERY section decodes BEFORE the first append — a request
+        // whose samples are malformed (but whose other sections parse)
+        // must ingest NOTHING behind its error, the same atomicity
+        // contract as the OTLP receiver's.
+        val hists = RemoteWrite.decodeHistsOfRequest(body)
+        val meta = RemoteWrite.decodeMetadataOfRequest(body)
+        val exRows = RemoteWrite.decodeExemplarsOfRequest(body).map {
+          case (lm, el, v, t) =>
+            val lbls = lm.map { case (k, vv) =>
+              (if (k == "__name__") "name" else k) -> vv }
+            val traceId = el.getOrElse("trace_id",
+              el.toSeq.sortBy(_._1).headOption.fold("")(_._2))
+            (t, v, lbls, traceId)
+        }
+        val samples = RemoteWrite.decodeRequest(body)
+        histsWritten = appendHists(hists)
         // v1 METADATA (WriteRequest.metadata, field 3) — which
         // Prometheus sends by default (metadata_config.send, on since
         // 2.23) — feeds the same served view as the v2 branch's
         // per-series Metadata; dropping it would leave
         // /api/v1/metadata blind to every default-configured v1 sender
         synchronized {
-          RemoteWrite.decodeMetadataOfRequest(body).foreach {
-            case (fam, tpe, unit, help) =>
-              pushedMeta += fam -> ((tpe, unit, help))
+          meta.foreach { case (fam, tpe, unit, help) =>
+            pushedMeta += fam -> ((tpe, unit, help))
           }
         }
-        exemplarsWritten = appendExemplarRows(
-          RemoteWrite.decodeExemplarsOfRequest(body).map {
-            case (lm, el, v, t) =>
-              val lbls = lm.map { case (k, vv) =>
-                (if (k == "__name__") "name" else k) -> vv }
-              val traceId = el.getOrElse("trace_id",
-                el.toSeq.sortBy(_._1).headOption.fold("")(_._2))
-              (t, v, lbls, traceId)
-          })
-        RemoteWrite.decodeRequest(body)
+        exemplarsWritten = appendExemplarRows(exRows)
+        samples
       }
     val decoded = raw.map { case (t, v, ls) =>
       (t, v, ls.map { case (k, vv) =>

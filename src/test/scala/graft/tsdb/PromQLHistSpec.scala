@@ -51,6 +51,40 @@ class PromQLHistSpec extends SparkSpec {
     }
   }
 
+  test("NULL hist = staleness marker: instant ends the series, rate skips") {
+    // the float tier's staleness contract on the hist frame: a NULL
+    // `hist` row is the marker — latest-in-window NULL excludes the
+    // series from instant vectors; range selections (rate/increase)
+    // skip the marker rows rather than choking on them
+    val nullableSchema = org.apache.spark.sql.types.StructType(
+      hists.schema.fields.map(f =>
+        if (f.name == "hist") f.copy(nullable = true) else f))
+    val staleAt = (t: Long, inst: String) => hists.sparkSession
+      .createDataFrame(java.util.List.of(
+        org.apache.spark.sql.Row("api", inst, t, null)),
+        nullableSchema)
+    val frame = hists.unionByName(staleAt(2200L, "a"))
+    // instant at 2500 (lookback 1000): series a's latest row is the
+    // t=2200 marker → excluded; series b unaffected
+    val got = evalText("""{job="api"}""", frame)
+      .select(col("`labels.inst`"), col("hist.count"))
+      .as[(String, Double)].collect().toMap
+    assert(got == Map("b" -> 2.0), got)
+    // count aggregation over the same selector sees ONE live series
+    val n = evalText("""count({job="api"})""", frame)
+      .select(col("value")).as[Double].collect()
+    assert(n.toSeq == Seq(1.0))
+    // rate over the window still uses a's two LIVE snapshots — the
+    // marker row is skipped, not treated as a zero histogram
+    val r = evalText("""increase({job="api"}[2500ms])""", frame)
+      .select(col("`labels.inst`"), col("hist.count"))
+      .as[(String, Double)].collect().toMap
+    val rLive = evalText("""increase({job="api"}[2500ms])""", hists)
+      .select(col("`labels.inst`"), col("hist.count"))
+      .as[(String, Double)].collect().toMap
+    assert(r == rLive, s"marker changed rate: $r vs $rLive")
+  }
+
   test("instant selector: latest snapshot per series inside the lookback") {
     val got = evalText("""{job="api"}""")
       .select(col("`labels.inst`"), col("hist.count"))
