@@ -1013,6 +1013,22 @@ final class PromHttpServer(spark: SparkSession, initial: DataFrame,
         exemplarsWritten = appendExemplarRows(exRows)
         samples
       }
+    // Prometheus appends staleness markers as FLOAT samples even for
+    // native-histogram series (one unified store there); this engine's
+    // stores are split, so a pushed marker whose metric lives in the
+    // hist head must ALSO end the HIST series — otherwise the float
+    // marker lands in a store with no live series and the histogram
+    // keeps serving past its death
+    val staleHistMarkers = {
+      val histNames = synchronized(histMetricNames)
+      raw.collect {
+        case (t, v, ls) if TsdbSchema.isStaleMarker(v) &&
+            ls.get("__name__").exists(histNames) =>
+          RemoteWrite.SparseHist(t, ls, 0.0, v, histSchemaId, 0.0, 0.0,
+            Nil, Nil)
+      }
+    }
+    if (staleHistMarkers.nonEmpty) { appendHists(staleHistMarkers); () }
     val decoded = raw.map { case (t, v, ls) =>
       (t, v, ls.map { case (k, vv) =>
         (if (k == "__name__") "name" else k) -> vv })

@@ -252,13 +252,14 @@ object RemoteRead {
 
   /** The SAMPLED response is one HTTP body collected on the driver, so
     * it needs the guard rail Prometheus enforces as
-    * `remote_read_sample_limit`: a cheap `limit(n+1)` count probe
-    * INSIDE the plan (Spark executes CollectLimit incrementally — the
-    * probe scans only until it finds n+1 rows, never the full match)
-    * fails the request loudly BEFORE anything response-sized
-    * materializes. `0` = unlimited (Prometheus's convention). The
-    * streamed path needs no limit — it never materializes the
-    * response. */
+    * `remote_read_sample_limit`: a `limit(n+1)` count probe INSIDE the
+    * plan fails the request loudly BEFORE anything response-sized
+    * materializes. Cost shape: LocalLimit caps every partition's scan
+    * at n+1 rows and the count is a row count over at most n+1 of
+    * them — bounded by the limit, never by the match, and nothing but
+    * a count reaches the driver. `0` = unlimited (Prometheus's
+    * convention). The streamed path needs no limit — it never
+    * materializes the response. */
   private def enforceSampleLimit(rows: DataFrame, sampleLimit: Long,
                                  what: String): Unit =
     if (sampleLimit > 0 && sampleLimit < Int.MaxValue &&

@@ -132,6 +132,49 @@ class PromHttpServerSpec extends SparkSpec {
     } finally srv.stop()
   }
 
+  test("float staleness markers end pushed NATIVE-HISTOGRAM series too") {
+    // Prometheus's store is unified: stale markers are float samples
+    // even for native-histogram series. This engine's stores are
+    // split, so a pushed float marker naming a hist-head metric must
+    // end the HIST series — not land inert in the float store
+    val srv = new PromHttpServer(spark, wide)
+    val p = srv.start()
+    try {
+      val h = RemoteWrite.SparseHist(
+        time = 1000L, labels = Map.empty, count = 4.0, sum = 10.0,
+        schema = 0, zeroThreshold = 0.0, zeroCount = 0.0,
+        positive = Seq((1, 2.0), (2, 2.0)), negative = Nil)
+      val wreq = RemoteWrite2.encodeRequest(Seq(RemoteWrite2.Rw2Series(
+        labels = Seq("__name__" -> "hstale", "user" -> "q"),
+        histograms = Seq(h))))
+      val wr = client.send(
+        HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:$p/api/v1/write"))
+          .header("Content-Type",
+            "application/x-protobuf;proto=io.prometheus.write.v2.Request")
+          .POST(HttpRequest.BodyPublishers.ofByteArray(wreq)).build(),
+        HttpResponse.BodyHandlers.ofByteArray())
+      assert(wr.statusCode() == 204)
+      val (c1, b1) = getAt(p, "/api/v1/query?query=" +
+        java.net.URLEncoder.encode("""histogram_count({name="hstale"})""",
+          UTF_8) + "&time=1.2")
+      assert(c1 == 200 && b1.contains(""""value":[1.200,"4.0"]"""), b1)
+      // the stale marker arrives as a v1 FLOAT sample (what a
+      // federating Prometheus forwards when the target disappears)
+      val stale = java.lang.Double.longBitsToDouble(TsdbSchema.StaleNaNBits)
+      val marker = RemoteWrite.encodeRequest(Seq(RemoteWrite.encodeSeries(
+        Seq("__name__" -> "hstale", "user" -> "q"), Seq(1500L -> stale))))
+      val mr = client.send(
+        HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:$p/api/v1/write"))
+          .POST(HttpRequest.BodyPublishers.ofByteArray(marker)).build(),
+        HttpResponse.BodyHandlers.ofString())
+      assert(mr.statusCode() == 204)
+      val (c2, b2) = getAt(p, "/api/v1/query?query=" +
+        java.net.URLEncoder.encode("""histogram_count({name="hstale"})""",
+          UTF_8) + "&time=2")
+      assert(c2 == 200 && b2.contains(""""result":[]"""), b2)
+    } finally srv.stop()
+  }
+
   test("remote-read responder: the SAMPLED protocol round-trips") {
     val req = RemoteRead.encodeReadRequest(RemoteRead.ReadRequest(Seq(
       RemoteRead.ReadQuery(0L, 10000L, Seq(Matcher.Eq("__name__", "up"),
