@@ -44,6 +44,57 @@ object ApiJson {
         lit("]")))
   }
 
+  /** One dense engine histogram (`{count,sum,les,counts}` over
+    * `les = [0, grid…, +Inf]`) rendered in the API's native-histogram
+    * shape: `{"count":"…","sum":"…","buckets":[[0,"lo","hi","cnt"],…]}`
+    * — boundary rule 0 = open-left `(lo, hi]`, exactly the exponential
+    * buckets' semantics; zero-count buckets drop (Prometheus sends
+    * only populated buckets); dense position 0 renders as
+    * `(-Inf, 0]` (the grid's zero+negative mass) and the overflow's
+    * upper bound as `+Inf`. Values are strings, as everywhere in the
+    * API. */
+  private def histJson(h: Column): Column = {
+    val les = h.getField("les"); val counts = h.getField("counts")
+    def bound(v: Column): Column =
+      when(v === lit(Double.PositiveInfinity), lit("+Inf"))
+        .otherwise(v.cast("string"))
+    val buckets = transform(
+      filter(sequence(lit(0), size(counts) - 1),
+        i => element_at(counts, i + 1) =!= 0.0),
+      i => concat(lit("[0,\""),
+        when(i === 0, lit("-Inf"))
+          .otherwise(bound(element_at(les, i))), lit("\",\""),
+        bound(element_at(les, i + 1)), lit("\",\""),
+        element_at(counts, i + 1).cast("string"), lit("\"]")))
+    concat(lit("{\"count\":\""), h.getField("count").cast("string"),
+      lit("\",\"sum\":\""), h.getField("sum").cast("string"),
+      lit("\",\"buckets\":["), concat_ws(",", buckets), lit("]}"))
+  }
+
+  /** Instant HISTOGRAM-vector frame (wide labels + `time` + `hist`) →
+    * the vector response elements with the `histogram` field —
+    * Prometheus's native-histogram API shape. Map-side. */
+  def histVectorJson(hv: DataFrame): DataFrame =
+    jsonOf(hv, "histogram",
+      concat(lit("["), tsSec(col("time")), lit(","),
+        histJson(col("hist")), lit("]")))
+
+  /** Range HISTOGRAM frame (labels + `t` + `hist`, one row per series
+    * per step) → matrix elements with the `histograms` pair list. */
+  def histMatrixJson(rv: DataFrame): DataFrame = {
+    val labels = rv.columns.toSeq.filterNot(Set("t", "hist"))
+    val pair = concat(lit("["), tsSec(col("t")), lit(","),
+      histJson(col("hist")), lit("]"))
+    val grouped = rv
+      .withColumn("_pair", struct(col("t"), pair.as("p")))
+      .groupBy(labels.map(c => col(s"`$c`")): _*)
+      .agg(array_sort(collect_list(col("_pair"))).as("_pairs"))
+    jsonOf(grouped, "histograms",
+      concat(lit("["),
+        concat_ws(",", transform(col("_pairs"), _.getField("p"))),
+        lit("]")))
+  }
+
   private def tsSec(t: Column): Column =
     // epoch seconds with millisecond precision, no scientific notation
     concat((t / 1000).cast("long").cast("string"), lit("."),
@@ -54,7 +105,7 @@ object ApiJson {
                      rendered: Column): DataFrame = {
     val labelCols = df.columns.toSeq
       .filterNot(Set("t", TsdbSchema.TimeCol, TsdbSchema.ValueCol,
-        "_pairs", field))
+        "hist", "_pairs", field))
     val entries = labelCols.map { c =>
       val key = c.stripPrefix(TsdbSchema.LabelPrefix) match {
         case "name" => "__name__"

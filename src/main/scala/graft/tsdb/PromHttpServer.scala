@@ -557,6 +557,22 @@ final class PromHttpServer(spark: SparkSession, initial: DataFrame,
         val rows = ApiJson.vectorJson(hv).as[String].collect()
         ok(ex, s"""{"resultType":"vector","result":[${rows.mkString(",")}]}""")
         return
+      // HISTOGRAM-valued shapes (bare selector / rate / sum / avg over
+      // a pushed-native metric) answer with the API's native-histogram
+      // form — `"histogram": [ts, {count, sum, buckets}]` — exactly
+      // Prometheus's response for such queries; previously these
+      // shapes fell to the float tier and silently returned empty.
+      // Name-bearing selectors only (a nameless bare selector has a
+      // real float-tier reading and stays there).
+      case e if PromQLHist.histEvaluable(e) && routesToHistHead(e,
+          allowNameless = false) =>
+        import spark.implicits._
+        val hv = PromQLHist.eval(ast, histHead.get, at, lookbackMs,
+          start = at, end = at, nLes = histNLes)
+          .withColumn(TsdbSchema.TimeCol, lit(at))
+        val rows = ApiJson.histVectorJson(hv).as[String].collect()
+        ok(ex, s"""{"resultType":"vector","result":[${rows.mkString(",")}]}""")
+        return
       case _ =>
     }
     val df = PromQL.evalStrict(ast, wide, at, lookbackMs,
@@ -596,6 +612,16 @@ final class PromHttpServer(spark: SparkSession, initial: DataFrame,
           allowNameless = namelessHistOk(e)) =>
         PromQLHist.evalRange(ast, histHead.get, start, end, step,
           lookbackMs, nLes = histNLes)
+      // histogram-valued range shapes: the matrix response carries
+      // the `histograms` pair list (Prometheus's native form)
+      case e if PromQLHist.histEvaluable(e) && routesToHistHead(e,
+          allowNameless = false) =>
+        val hm = PromQLHist.evalRange(ast, histHead.get, start, end, step,
+          lookbackMs, nLes = histNLes)
+        val rows = ApiJson.histMatrixJson(hm).as[String].collect()
+        ok(ex,
+          s"""{"resultType":"matrix","result":[${rows.mkString(",")}]}""")
+        return
       case _ =>
         PromQL.evalRange(ast, wide, start, end, step, lookbackMs)
     }

@@ -78,6 +78,21 @@ object PromQLHist {
     * (`histogram_quantile(0.99, rate(h[5m])) > 0.5`). The HTTP routing
     * gate (and the rules tier) pairs this with the per-selector
     * native-metric check. */
+  /** Whether this tier evaluates `e` to a HISTOGRAM vector (the shape
+    * the API's `histogram`/`histograms` result fields carry): a bare
+    * instant selector, rate/increase over a range selector, or sum/avg
+    * aggregation of such — every shape [[eval]]/[[evalRange]] answers
+    * with a `hist`-column frame. The HTTP layer pairs this with the
+    * per-selector native-metric routing gate, exactly like
+    * [[floatEvaluable]]. */
+  def histEvaluable(e: Expr): Boolean = e match {
+    case Selector(_, None, _, _) => true
+    case Fn("rate" | "increase", Selector(_, Some(_), _, _), _) => true
+    case AggBy("sum" | "avg", _, arg, None) => histEvaluable(arg)
+    case AggWithout("sum" | "avg", _, arg, None) => histEvaluable(arg)
+    case _ => false
+  }
+
   def floatEvaluable(e: Expr): Boolean = e match {
     case f: Fn if ScalarFns(f.name) => true
     case AggBy("count", _, _, None) => true

@@ -1049,6 +1049,59 @@ class PromHttpServerSpec extends SparkSpec {
     } finally srv.stop()
   }
 
+  test("histogram-valued queries answer in the API's native form") {
+    // a bare selector / sum / rate over a pushed-native metric is a
+    // HISTOGRAM vector — Prometheus renders it as
+    // `"histogram": [ts, {count, sum, buckets}]` (matrix:
+    // `"histograms"`); previously these shapes fell to the float tier
+    // and silently returned empty
+    val srv = new PromHttpServer(spark, wide)
+    val p = srv.start()
+    try {
+      val h = RemoteWrite.SparseHist(
+        time = 1700L, labels = Map.empty, count = 4.0, sum = 10.0,
+        schema = 0, zeroThreshold = 0.0, zeroCount = 0.0,
+        positive = Seq((1, 2.0), (2, 2.0)), negative = Nil)
+      val wreq = RemoteWrite2.encodeRequest(Seq(RemoteWrite2.Rw2Series(
+        labels = Seq("__name__" -> "hv", "user" -> "q"),
+        histograms = Seq(h))))
+      val wr = client.send(
+        HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:$p/api/v1/write"))
+          .header("Content-Type",
+            "application/x-protobuf;proto=io.prometheus.write.v2.Request")
+          .POST(HttpRequest.BodyPublishers.ofByteArray(wreq)).build(),
+        HttpResponse.BodyHandlers.ofByteArray())
+      assert(wr.statusCode() == 204)
+      // instant: bare selector → histogram field with populated
+      // buckets only, open-left boundary rule, string-rendered values
+      val (c1, b1) = getAt(p, "/api/v1/query?query=" +
+        java.net.URLEncoder.encode("""{name="hv"}""", UTF_8) + "&time=2")
+      assert(c1 == 200, b1)
+      assert(b1.contains(""""histogram":[2.000,{"count":"4.0","sum":"10.0","buckets":["""),
+        b1)
+      assert(b1.contains("""[0,"1.0","2.0","2.0"]""") &&
+        b1.contains("""[0,"2.0","4.0","2.0"]"""), b1)
+      assert(b1.contains(""""user":"q""""), b1)
+      // sum by (user) keeps the histogram shape
+      val (c2, b2) = getAt(p, "/api/v1/query?query=" +
+        java.net.URLEncoder.encode("""sum by (user) ({name="hv"})""",
+          UTF_8) + "&time=2")
+      assert(c2 == 200 && b2.contains(""""histogram":[2.000,"""), b2)
+      // range: the matrix carries the histograms pair list
+      val (c3, b3) = getAt(p, "/api/v1/query_range?query=" +
+        java.net.URLEncoder.encode("""{name="hv"}""", UTF_8) +
+        "&start=2&end=3&step=1s")
+      assert(c3 == 200, b3)
+      assert(b3.contains(""""resultType":"matrix""""), b3)
+      assert(b3.contains(""""histograms":[[2.000,{"count":"4.0""""), b3)
+      // a float metric of the same shape still answers with "value"
+      val (c4, b4) = getAt(p, "/api/v1/query?query=" +
+        java.net.URLEncoder.encode("""{name="up",user="a"}""", UTF_8) +
+        "&time=2")
+      assert(c4 == 200 && b4.contains(""""value":[2.000,"3.0"]"""), b4)
+    } finally srv.stop()
+  }
+
   test("v1 remote-write: native histograms and exemplars are ingested") {
     // Prometheus v1 senders carry native histograms
     // (send_native_histograms, >= 2.40) and exemplars (send_exemplars)
