@@ -629,10 +629,26 @@ final class PromHttpServer(spark: SparkSession, initial: DataFrame,
     ok(ex, s"""{"resultType":"matrix","result":[${rows.mkString(",")}]}""")
   }
 
+  /** The SERIES-METADATA view: the float head UNIONED with the pushed
+    * native-histogram head as label-only rows — Prometheus's series/
+    * labels/label-values APIs list native-histogram series like any
+    * other; reading only the float store would leave pushed-native
+    * metrics invisible to `/api/v1/series`, `/api/v1/labels` and
+    * `/api/v1/label/.../values`. The hist rows' `value` is a dummy 1.0
+    * (these APIs never read values — selection is labels + time). */
+  private def metaView: DataFrame = histHead match {
+    case None => wide
+    case Some(h) =>
+      wide.unionByName(
+        h.drop(PromQLHist.HistCol)
+          .withColumn(TsdbSchema.ValueCol, lit(1.0)),
+        allowMissingColumns = true)
+  }
+
   private def labels(ex: HttpExchange, p: Params): Unit = {
     import spark.implicits._
     val (s, e) = window(p)
-    val t = TsdbTable(wide)
+    val t = TsdbTable(metaView)
     val sels = p.all("match[]").map(PromQL.parseMatchers)
     val names =
       if (sels.isEmpty) TsdbMeta.labelNames(t, s, e, Nil)
@@ -646,7 +662,7 @@ final class PromHttpServer(spark: SparkSession, initial: DataFrame,
   private def labelValues(ex: HttpExchange, p: Params, label: String): Unit = {
     import spark.implicits._
     val (s, e) = window(p)
-    val t = TsdbTable(wide)
+    val t = TsdbTable(metaView)
     val sels = p.all("match[]").map(PromQL.parseMatchers)
     val vs =
       if (sels.isEmpty) TsdbMeta.labelValues(t, label, s, e, Nil)
@@ -659,7 +675,7 @@ final class PromHttpServer(spark: SparkSession, initial: DataFrame,
     val (s, e) = window(p)
     val sels = p.all("match[]").map(PromQL.parseMatchers)
     require(sels.nonEmpty, "no match[] parameter provided")
-    val rows = capped(TsdbMeta.seriesAny(TsdbTable(wide), s, e, sels), p)
+    val rows = capped(TsdbMeta.seriesAny(TsdbTable(metaView), s, e, sels), p)
     val cols = rows.columns
     val out = rows.collect().map { r =>
       cols.zipWithIndex.flatMap { case (c, i) =>

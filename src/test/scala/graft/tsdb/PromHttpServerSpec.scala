@@ -1102,6 +1102,43 @@ class PromHttpServerSpec extends SparkSpec {
     } finally srv.stop()
   }
 
+  test("pushed-native metrics are visible to the series/labels APIs") {
+    // Prometheus lists native-histogram series like any other in
+    // /api/v1/series, /api/v1/labels and /api/v1/label/.../values;
+    // reading only the float store left pushed-native metrics
+    // invisible there
+    val srv = new PromHttpServer(spark, wide)
+    val p = srv.start()
+    try {
+      val h = RemoteWrite.SparseHist(
+        time = 1700L, labels = Map.empty, count = 1.0, sum = 1.0,
+        schema = 0, zeroThreshold = 0.0, zeroCount = 0.0,
+        positive = Seq((1, 1.0)), negative = Nil)
+      val wreq = RemoteWrite2.encodeRequest(Seq(RemoteWrite2.Rw2Series(
+        labels = Seq("__name__" -> "hmeta", "zone" -> "eu"),
+        histograms = Seq(h))))
+      val wr = client.send(
+        HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:$p/api/v1/write"))
+          .header("Content-Type",
+            "application/x-protobuf;proto=io.prometheus.write.v2.Request")
+          .POST(HttpRequest.BodyPublishers.ofByteArray(wreq)).build(),
+        HttpResponse.BodyHandlers.ofByteArray())
+      assert(wr.statusCode() == 204)
+      val (c1, b1) = getAt(p, "/api/v1/series?match[]=" +
+        java.net.URLEncoder.encode("""{name="hmeta"}""", UTF_8))
+      assert(c1 == 200, b1)
+      assert(b1.contains(""""__name__":"hmeta"""") &&
+        b1.contains(""""zone":"eu""""), b1)
+      // the hist-only label NAME and its VALUE list too
+      assert(getAt(p, "/api/v1/labels")._2.contains("\"zone\""))
+      assert(getAt(p, "/api/v1/label/zone/values")._2.contains("\"eu\""))
+      // ...and the float store's series still list alongside
+      val (c2, b2) = getAt(p, "/api/v1/series?match[]=" +
+        java.net.URLEncoder.encode("""{name="up"}""", UTF_8))
+      assert(c2 == 200 && b2.contains(""""__name__":"up""""), b2)
+    } finally srv.stop()
+  }
+
   test("v1 remote-write: native histograms and exemplars are ingested") {
     // Prometheus v1 senders carry native histograms
     // (send_native_histograms, >= 2.40) and exemplars (send_exemplars)
