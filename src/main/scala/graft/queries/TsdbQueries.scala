@@ -2195,6 +2195,39 @@ object TsdbQueries {
             .cast("long").as("t"),
           element_at(col("pair"), 2).cast("double").as("value"))
     }),
+    // Q155: the API's NATIVE-HISTOGRAM result shape
+    // ([[graft.tsdb.ApiJson.histVectorJson]]) — what /api/v1/query
+    // serializes for histogram-valued expressions: per-series metric
+    // map + `histogram: [ts, {count, sum, buckets}]` with populated
+    // buckets only, open-left rule, string values. The rendered TEXT
+    // re-parses (get_json_object + from_json) and the recovered
+    // (series, bucket bounds, bucket count, count, sum) rows
+    // hash-match DuckDB's replay of the same daily-latest histogram
+    // construction (the q90 family's instant selector).
+    "tsdb_q155_api_hist_json" -> ((s, dir) => {
+      import org.apache.spark.sql.types.{ArrayType, StringType}
+      val json = graft.tsdb.ApiJson.histVectorJson(
+        graft.tsdb.PromQLHist.eval(
+          graft.tsdb.PromQL.parse("""{user=~"1.*"}"""),
+          histDaily(s, dir), at = RangeEnd, lookbackMs = HistLookbackMs,
+          start = RangeStart, end = RangeEnd, nLes = NhBounds.size + 1)
+          .withColumn("time", lit(RangeEnd)))
+      json.select(
+          get_json_object(col("json"), "$.metric.__name__").as("name"),
+          get_json_object(col("json"), "$.metric.user").as("user"),
+          get_json_object(col("json"), "$.histogram[1].count")
+            .cast("double").as("count"),
+          round(get_json_object(col("json"), "$.histogram[1].sum")
+            .cast("double"), 4).as("sum"),
+          explode(from_json(
+            get_json_object(col("json"), "$.histogram[1].buckets"),
+            ArrayType(ArrayType(StringType)))).as("b"))
+        .select(col("name"), col("user"),
+          element_at(col("b"), 2).as("lo"),
+          element_at(col("b"), 3).as("hi"),
+          element_at(col("b"), 4).cast("double").as("cnt"),
+          col("count"), col("sum"))
+    }),
     // Q60: time() + vector() through the PARSER — the grafana idiom
     // `sum(m) - vector(time())` (e.g. seconds-since-last-report):
     // time() resolves to the evaluation instant (scalar, const-folded),
@@ -4436,6 +4469,39 @@ object TsdbQueries {
         |  event_type AS name, CAST(user_id AS VARCHAR) AS "user",
         |  regexp_extract(props, '"k": (\d+)', 1) AS k
         |FROM events""".stripMargin,
+    "tsdb_q155_api_hist_json" ->
+      s"""$duckTsdbCte,
+         |f0 AS (SELECT "labels.name" AS name, "labels.user" AS "user",
+         |  CAST(floor(time / 86400000.0) AS BIGINT) AS day, value FROM t
+         |  WHERE time > $RangeStart AND time < $RangeEnd
+         |    AND regexp_matches("labels.user", '^(?:1.*)$$')),
+         |ld AS (SELECT name, "user", max(day) AS day FROM f0
+         |  WHERE day * 86400000 > ${RangeEnd - HistLookbackMs}
+         |    AND day * 86400000 <= $RangeEnd
+         |  GROUP BY 1, 2),
+         |s AS (SELECT f0.name, f0."user", f0.value FROM f0
+         |  JOIN ld ON f0.name = ld.name AND f0."user" = ld."user"
+         |    AND f0.day = ld.day),
+         |edges AS (SELECT * FROM (VALUES
+         |  ('-Inf', '50.0', CAST('-infinity' AS DOUBLE), 50.0),
+         |  ('50.0', '100.0', 50.0, 100.0),
+         |  ('100.0', '150.0', 100.0, 150.0),
+         |  ('150.0', '200.0', 150.0, 200.0),
+         |  ('200.0', '250.0', 200.0, 250.0),
+         |  ('250.0', '300.0', 250.0, 300.0),
+         |  ('300.0', '350.0', 300.0, 350.0),
+         |  ('350.0', '400.0', 350.0, 400.0),
+         |  ('400.0', '+Inf', 400.0, CAST('infinity' AS DOUBLE)))
+         |  e(lo_s, hi_s, lo, hi)),
+         |b AS (SELECT s.name, s."user", e.lo_s AS lo, e.hi_s AS hi,
+         |  CAST(COUNT(*) AS DOUBLE) AS cnt
+         |  FROM s JOIN edges e ON s.value > e.lo AND s.value <= e.hi
+         |  GROUP BY 1, 2, 3, 4),
+         |tot AS (SELECT name, "user", CAST(COUNT(*) AS DOUBLE) AS count,
+         |  round(SUM(value), 4) AS sum FROM s GROUP BY 1, 2)
+         |SELECT b.name, b."user", b.lo, b.hi, b.cnt, tot.count, tot.sum
+         |FROM b JOIN tot ON b.name = tot.name AND b."user" = tot."user"
+         |""".stripMargin,
     "tsdb_q16_schema_evolution" ->
       s"""WITH t AS (SELECT CAST(epoch_ms(ts) AS BIGINT) AS time, value,
          |  event_type AS "labels.name",
