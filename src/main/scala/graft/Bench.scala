@@ -112,8 +112,9 @@ object Bench {
     "tsdb_q150_otlp_summary", "tsdb_q151_remote_read_hist_sampled",
     "tsdb_q153_utf8_names")
   // round 15: tsdb_q154_tsdb_dump stays out by the q110 rationale — it
-  // re-runs q108's dominant block-write work (plus q130's parse);
-  // it remains fully oracle-verified in CORRECTNESS
+  // re-runs q108's dominant block-write work (plus q130's parse) —
+  // and tsdb_q155_api_hist_json re-runs q90's dominant daily-histogram
+  // build; both remain fully oracle-verified in CORRECTNESS
 
   /** 1/5/15-minute fields of /proc/loadavg (empty off-Linux). */
   private def loadavg(): Seq[Double] =

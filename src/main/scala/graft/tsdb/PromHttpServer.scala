@@ -936,7 +936,9 @@ final class PromHttpServer(spark: SparkSession, initial: DataFrame,
   }
 
   private def statusTsdb(ex: HttpExchange): Unit = {
-    val stats = TsdbStats.headStats(TsdbTable(wide), Long.MinValue,
+    // head stats count EVERY stored series — Prometheus's head is
+    // unified, so pushed native-histogram series count too (metaView)
+    val stats = TsdbStats.headStats(TsdbTable(metaView), Long.MinValue,
       Long.MaxValue, k = 10).collect()
     def section(stat: String): Map[String, Long] = stats
       .filter(_.getString(0) == stat)
@@ -979,6 +981,18 @@ final class PromHttpServer(spark: SparkSession, initial: DataFrame,
     // applies on its side.
     val isV2 = Option(ex.getRequestHeaders.getFirst("Content-Type"))
       .exists(_.contains("io.prometheus.write.v2.Request"))
+    if (isV2) {
+      // the v2 spec's partial-write contract applies to ERROR
+      // responses too: a sender reads the written-count headers to
+      // decide what to retry. This receiver is atomic (everything
+      // decodes and validates before the first append), so an error
+      // response truthfully reports zero — set up front, overwritten
+      // with the real counts on success.
+      val h = ex.getResponseHeaders
+      h.set("X-Prometheus-Remote-Write-Samples-Written", "0")
+      h.set("X-Prometheus-Remote-Write-Histograms-Written", "0")
+      h.set("X-Prometheus-Remote-Write-Exemplars-Written", "0")
+    }
     var histsWritten = 0
     var exemplarsWritten = 0
     val raw: Seq[(Long, Double, Map[String, String])] =

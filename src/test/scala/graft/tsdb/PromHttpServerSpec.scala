@@ -444,6 +444,12 @@ class PromHttpServerSpec extends SparkSpec {
     assert(r.statusCode() == 400, r.body())
     assert(r.body().contains("schema 3") && r.body().contains("hbad"),
       r.body())
+    // the v2 partial-write contract on ERRORS: written-count headers
+    // present and truthfully zero (the receiver is atomic)
+    assert(r.headers().firstValue(
+      "X-Prometheus-Remote-Write-Histograms-Written").orElse("") == "0")
+    assert(r.headers().firstValue(
+      "X-Prometheus-Remote-Write-Samples-Written").orElse("") == "0")
   }
 
   test("OTLP explicit-bounds histograms land as classic series") {
