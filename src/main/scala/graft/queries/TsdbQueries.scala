@@ -2228,6 +2228,119 @@ object TsdbQueries {
           element_at(col("b"), 4).cast("double").as("cnt"),
           col("count"), col("sum"))
     }),
+    // Q156-Q162: HISTOGRAM ARITHMETIC + over-time folds on the hist
+    // tier — the shapes Prometheus evaluates over native-histogram
+    // series that previously raised "unsupported" (library) or fell to
+    // an empty float-tier answer (router): hist ± hist under default
+    // one-to-one matching, scalar scaling, sum/avg/last_over_time, and
+    // the @-pinned range grid. Each is a grid replay in the q89/q106
+    // style: the oracle reconstructs the same histogram math from raw
+    // events in SQL.
+    // Q156: `p + c` — element-wise histogram add, matched per user
+    // (default matching drops the metric name): each side's latest
+    // daily snapshot within lookback, counts/sum/buckets summed.
+    "tsdb_q156_promql_hist_add" -> ((s, dir) =>
+      graft.tsdb.PromQLHist.eval(
+        graft.tsdb.PromQL.parse(
+          """{name="purchase"} + {name="click"}"""),
+        histDaily(s, dir), at = RangeEnd, lookbackMs = HistLookbackMs,
+        start = RangeStart, end = RangeEnd, nLes = NhBounds.size + 1)
+        .select(col("user"),
+          col("hist").getField("count").cast("long").as("n"),
+          round(col("hist").getField("sum"), 4).as("sum_v"),
+          element_at(col("hist").getField("counts"), 2)
+            .cast("long").as("c2"),
+          element_at(col("hist").getField("counts"), 9)
+            .cast("long").as("cinf"))),
+    // Q157: `p - c` — the subtract twin (bucket counts may go
+    // negative, as in Prometheus).
+    "tsdb_q157_promql_hist_sub" -> ((s, dir) =>
+      graft.tsdb.PromQLHist.eval(
+        graft.tsdb.PromQL.parse(
+          """{name="purchase"} - {name="click"}"""),
+        histDaily(s, dir), at = RangeEnd, lookbackMs = HistLookbackMs,
+        start = RangeStart, end = RangeEnd, nLes = NhBounds.size + 1)
+        .select(col("user"),
+          col("hist").getField("count").cast("long").as("n"),
+          round(col("hist").getField("sum"), 4).as("sum_v"),
+          element_at(col("hist").getField("counts"), 2)
+            .cast("long").as("c2"),
+          element_at(col("hist").getField("counts"), 9)
+            .cast("long").as("cinf"))),
+    // Q158: `2 * p / 4` — scalar scaling composed through both
+    // operators (left-scalar multiply, then divide): every additive
+    // component × 0.5, exact in binary floating point on both sides.
+    "tsdb_q158_promql_hist_scale" -> ((s, dir) =>
+      graft.tsdb.PromQLHist.eval(
+        graft.tsdb.PromQL.parse(
+          """2 * {name="purchase"} / 4"""),
+        histDaily(s, dir), at = RangeEnd, lookbackMs = HistLookbackMs,
+        start = RangeStart, end = RangeEnd, nLes = NhBounds.size + 1)
+        .select(col("`labels.user`").as("user"),
+          col("hist").getField("count").as("n"),
+          round(col("hist").getField("sum"), 4).as("sum_v"),
+          element_at(col("hist").getField("counts"), 2).as("c2"),
+          element_at(col("hist").getField("counts"), 9).as("cinf"))),
+    // Q159: `sum_over_time(p[5d])` — tumbling 5d buckets of whole
+    // daily histograms merged element-wise: since daily histograms
+    // partition the raw samples, the merged histogram ≡ the histogram
+    // of every sample in the bucket — which is exactly what the SQL
+    // replay counts.
+    "tsdb_q159_promql_hist_sum_over_time" -> ((s, dir) =>
+      graft.tsdb.PromQLHist.eval(
+        graft.tsdb.PromQL.parse(
+          """sum_over_time({name="purchase"}[5d])"""),
+        histDaily(s, dir), at = RangeEnd, lookbackMs = HistLookbackMs,
+        start = RangeStart, end = RangeEnd, nLes = NhBounds.size + 1)
+        .select(col("`labels.user`").as("user"), col("bucket"),
+          col("hist").getField("count").cast("long").as("n"),
+          round(col("hist").getField("sum"), 4).as("sum_v"),
+          element_at(col("hist").getField("counts"), 2)
+            .cast("long").as("c2"),
+          element_at(col("hist").getField("counts"), 9)
+            .cast("long").as("cinf"))),
+    // Q160: `avg_over_time(p[5d])` — the merge scaled by the window's
+    // snapshot count (days with data in the bucket).
+    "tsdb_q160_promql_hist_avg_over_time" -> ((s, dir) =>
+      graft.tsdb.PromQLHist.eval(
+        graft.tsdb.PromQL.parse(
+          """avg_over_time({name="purchase"}[5d])"""),
+        histDaily(s, dir), at = RangeEnd, lookbackMs = HistLookbackMs,
+        start = RangeStart, end = RangeEnd, nLes = NhBounds.size + 1)
+        .select(col("`labels.user`").as("user"), col("bucket"),
+          round(col("hist").getField("count"), 6).as("n"),
+          round(col("hist").getField("sum"), 6).as("sum_v"),
+          round(element_at(col("hist").getField("counts"), 2), 6)
+            .as("c2"))),
+    // Q161: `last_over_time(p[2d])` in RANGE mode — per grid step, the
+    // latest daily snapshot inside (t − 2d, t]; last_over_time KEEPS
+    // the metric name (raw samples), so `name` survives to the output.
+    "tsdb_q161_promql_hist_last_over_time" -> ((s, dir) =>
+      graft.tsdb.PromQLHist.evalRange(
+        graft.tsdb.PromQL.parse(
+          """last_over_time({name="purchase"}[2d])"""),
+        histDaily(s, dir), start = RangeStart, end = RangeEnd,
+        stepMs = 5L * 86400000L, lookbackMs = HistLookbackMs,
+        nLes = NhBounds.size + 1)
+        .select(col("`labels.name`").as("name"),
+          col("`labels.user`").as("user"), col("t"),
+          col("hist").getField("count").cast("long").as("n"),
+          round(col("hist").getField("sum"), 4).as("sum_v"))),
+    // Q162: `p @ end()` in RANGE mode — the @-anchor pins ONE instant
+    // evaluation (latest snapshot at the range end) repeated across
+    // the grid: one evaluation + an explode of grid longs, never a
+    // per-step re-scan (previously this shape was rejected).
+    "tsdb_q162_promql_hist_at_range" -> ((s, dir) =>
+      graft.tsdb.PromQLHist.evalRange(
+        graft.tsdb.PromQL.parse(
+          """{name="purchase"} @ end()"""),
+        histDaily(s, dir), start = RangeStart, end = RangeEnd,
+        stepMs = 5L * 86400000L, lookbackMs = HistLookbackMs,
+        nLes = NhBounds.size + 1)
+        .select(col("`labels.name`").as("name"),
+          col("`labels.user`").as("user"), col("t"),
+          col("hist").getField("count").cast("long").as("n"),
+          round(col("hist").getField("sum"), 4).as("sum_v"))),
     // Q60: time() + vector() through the PARSER — the grafana idiom
     // `sum(m) - vector(time())` (e.g. seconds-since-last-report):
     // time() resolves to the evaluation instant (scalar, const-folded),
@@ -2611,7 +2724,7 @@ object TsdbQueries {
          |SELECT * FROM buckets UNION ALL SELECT * FROM infb
          |UNION ALL SELECT * FROM cnt UNION ALL SELECT * FROM sm""".stripMargin
 
-  private val histExpOracle =
+  private[queries] val histExpOracle =
     s"""$duckTsdbCte,
        |f AS (SELECT "labels.name" AS name, "labels.user" AS "user", value FROM t
        |  WHERE time > $RangeStart AND time < $RangeEnd),
@@ -4502,6 +4615,154 @@ object TsdbQueries {
          |SELECT b.name, b."user", b.lo, b.hi, b.cnt, tot.count, tot.sum
          |FROM b JOIN tot ON b.name = tot.name AND b."user" = tot."user"
          |""".stripMargin,
+    // Q156/Q157 replay: each side's latest daily snapshot within
+    // lookback (the q90-family instant construction), count/sum/bucket
+    // components added (subtracted) per user — one-to-one matching on
+    // the sole non-name label.
+    "tsdb_q156_promql_hist_add" ->
+      s"""$duckTsdbCte,
+         |f0 AS (SELECT "labels.name" AS name, "labels.user" AS "user",
+         |  CAST(floor(time / 86400000.0) AS BIGINT) AS day, value FROM t
+         |  WHERE time > $RangeStart AND time < $RangeEnd
+         |    AND "labels.name" IN ('purchase', 'click')),
+         |ld AS (SELECT name, "user", max(day) AS day FROM f0
+         |  WHERE day * 86400000 > ${RangeEnd - HistLookbackMs}
+         |    AND day * 86400000 <= $RangeEnd
+         |  GROUP BY 1, 2),
+         |f AS (SELECT f0.name, f0."user", f0.value FROM f0
+         |  JOIN ld ON f0.name = ld.name AND f0."user" = ld."user"
+         |    AND f0.day = ld.day),
+         |p AS (SELECT "user", count(*) AS n, sum(value) AS s,
+         |  count(*) FILTER (value > 50 AND value <= 100) AS c2,
+         |  count(*) FILTER (value > 400) AS cinf
+         |  FROM f WHERE name = 'purchase' GROUP BY 1),
+         |c AS (SELECT "user", count(*) AS n, sum(value) AS s,
+         |  count(*) FILTER (value > 50 AND value <= 100) AS c2,
+         |  count(*) FILTER (value > 400) AS cinf
+         |  FROM f WHERE name = 'click' GROUP BY 1)
+         |SELECT p."user", p.n + c.n AS n, round(p.s + c.s, 4) AS sum_v,
+         |  p.c2 + c.c2 AS c2, p.cinf + c.cinf AS cinf
+         |FROM p JOIN c ON p."user" = c."user"""".stripMargin,
+    "tsdb_q157_promql_hist_sub" ->
+      s"""$duckTsdbCte,
+         |f0 AS (SELECT "labels.name" AS name, "labels.user" AS "user",
+         |  CAST(floor(time / 86400000.0) AS BIGINT) AS day, value FROM t
+         |  WHERE time > $RangeStart AND time < $RangeEnd
+         |    AND "labels.name" IN ('purchase', 'click')),
+         |ld AS (SELECT name, "user", max(day) AS day FROM f0
+         |  WHERE day * 86400000 > ${RangeEnd - HistLookbackMs}
+         |    AND day * 86400000 <= $RangeEnd
+         |  GROUP BY 1, 2),
+         |f AS (SELECT f0.name, f0."user", f0.value FROM f0
+         |  JOIN ld ON f0.name = ld.name AND f0."user" = ld."user"
+         |    AND f0.day = ld.day),
+         |p AS (SELECT "user", count(*) AS n, sum(value) AS s,
+         |  count(*) FILTER (value > 50 AND value <= 100) AS c2,
+         |  count(*) FILTER (value > 400) AS cinf
+         |  FROM f WHERE name = 'purchase' GROUP BY 1),
+         |c AS (SELECT "user", count(*) AS n, sum(value) AS s,
+         |  count(*) FILTER (value > 50 AND value <= 100) AS c2,
+         |  count(*) FILTER (value > 400) AS cinf
+         |  FROM f WHERE name = 'click' GROUP BY 1)
+         |SELECT p."user", p.n - c.n AS n, round(p.s - c.s, 4) AS sum_v,
+         |  p.c2 - c.c2 AS c2, p.cinf - c.cinf AS cinf
+         |FROM p JOIN c ON p."user" = c."user"""".stripMargin,
+    // Q158 replay: the latest purchase snapshot scaled by 2/4 = 0.5 —
+    // exact in binary floating point on both engines.
+    "tsdb_q158_promql_hist_scale" ->
+      s"""$duckTsdbCte,
+         |f0 AS (SELECT "labels.user" AS "user",
+         |  CAST(floor(time / 86400000.0) AS BIGINT) AS day, value FROM t
+         |  WHERE "labels.name" = 'purchase'
+         |    AND time > $RangeStart AND time < $RangeEnd),
+         |ld AS (SELECT "user", max(day) AS day FROM f0
+         |  WHERE day * 86400000 > ${RangeEnd - HistLookbackMs}
+         |    AND day * 86400000 <= $RangeEnd
+         |  GROUP BY 1),
+         |f AS (SELECT f0."user", f0.value FROM f0
+         |  JOIN ld ON f0."user" = ld."user" AND f0.day = ld.day)
+         |SELECT "user", CAST(count(*) AS DOUBLE) * 0.5 AS n,
+         |  round(sum(value) * 0.5, 4) AS sum_v,
+         |  CAST(count(*) FILTER (value > 50 AND value <= 100)
+         |    AS DOUBLE) * 0.5 AS c2,
+         |  CAST(count(*) FILTER (value > 400) AS DOUBLE) * 0.5 AS cinf
+         |FROM f GROUP BY 1""".stripMargin,
+    // Q159 replay: daily histograms partition the raw samples, so the
+    // 5d tumbling merge ≡ counting every sample whose DAY falls in the
+    // bucket (day-start time is what the hist series carries).
+    "tsdb_q159_promql_hist_sum_over_time" ->
+      s"""$duckTsdbCte,
+         |f0 AS (SELECT "labels.user" AS "user",
+         |  CAST(floor(time / 86400000.0) AS BIGINT) AS day, value FROM t
+         |  WHERE "labels.name" = 'purchase'
+         |    AND time > $RangeStart AND time < $RangeEnd),
+         |f AS (SELECT * FROM f0 WHERE day * 86400000 > $RangeStart
+         |  AND day * 86400000 < $RangeEnd)
+         |SELECT "user",
+         |  CAST(floor(day * 86400000 / 432000000.0) * 432000000
+         |    AS BIGINT) AS bucket,
+         |  count(*) AS n, round(sum(value), 4) AS sum_v,
+         |  count(*) FILTER (value > 50 AND value <= 100) AS c2,
+         |  count(*) FILTER (value > 400) AS cinf
+         |FROM f GROUP BY 1, 2""".stripMargin,
+    // Q160 replay: the Q159 merge scaled by the bucket's day count.
+    "tsdb_q160_promql_hist_avg_over_time" ->
+      s"""$duckTsdbCte,
+         |f0 AS (SELECT "labels.user" AS "user",
+         |  CAST(floor(time / 86400000.0) AS BIGINT) AS day, value FROM t
+         |  WHERE "labels.name" = 'purchase'
+         |    AND time > $RangeStart AND time < $RangeEnd),
+         |f AS (SELECT * FROM f0 WHERE day * 86400000 > $RangeStart
+         |  AND day * 86400000 < $RangeEnd)
+         |SELECT "user",
+         |  CAST(floor(day * 86400000 / 432000000.0) * 432000000
+         |    AS BIGINT) AS bucket,
+         |  round(CAST(count(*) AS DOUBLE)
+         |    * (1.0 / count(DISTINCT day)), 6) AS n,
+         |  round(sum(value) * (1.0 / count(DISTINCT day)), 6) AS sum_v,
+         |  round(CAST(count(*) FILTER (value > 50 AND value <= 100)
+         |    AS DOUBLE) * (1.0 / count(DISTINCT day)), 6) AS c2
+         |FROM f GROUP BY 1, 2""".stripMargin,
+    // Q161 replay: per grid step, the latest day inside (t − 2d, t]
+    // (the sliding last_over_time window) joined back to that day's
+    // sample stats.
+    "tsdb_q161_promql_hist_last_over_time" ->
+      s"""$duckTsdbCte,
+         |grid AS (SELECT CAST($RangeStart + unnest(range(0, 4))
+         |    * 432000000 AS BIGINT) AS gt),
+         |f0 AS (SELECT "labels.user" AS "user",
+         |  CAST(floor(time / 86400000.0) AS BIGINT) AS day, value FROM t
+         |  WHERE "labels.name" = 'purchase'
+         |    AND time > $RangeStart AND time < $RangeEnd),
+         |ld AS (SELECT gt, "user", max(day) AS day
+         |  FROM grid CROSS JOIN (SELECT DISTINCT "user", day FROM f0) dd
+         |  WHERE day * 86400000 > gt - ${2L * 86400000L}
+         |    AND day * 86400000 <= gt
+         |  GROUP BY 1, 2)
+         |SELECT 'purchase' AS name, f0."user", ld.gt AS t,
+         |  count(*) AS n, round(sum(f0.value), 4) AS sum_v
+         |FROM f0 JOIN ld ON f0."user" = ld."user" AND f0.day = ld.day
+         |GROUP BY 1, 2, 3""".stripMargin,
+    // Q162 replay: ONE pinned instant evaluation (latest snapshot at
+    // the range end) cross-joined with the grid — the @-anchor's
+    // repeated-constant contract.
+    "tsdb_q162_promql_hist_at_range" ->
+      s"""$duckTsdbCte,
+         |grid AS (SELECT CAST($RangeStart + unnest(range(0, 4))
+         |    * 432000000 AS BIGINT) AS gt),
+         |f0 AS (SELECT "labels.user" AS "user",
+         |  CAST(floor(time / 86400000.0) AS BIGINT) AS day, value FROM t
+         |  WHERE "labels.name" = 'purchase'
+         |    AND time > $RangeStart AND time < $RangeEnd),
+         |ld AS (SELECT "user", max(day) AS day FROM f0
+         |  WHERE day * 86400000 > ${RangeEnd - HistLookbackMs}
+         |    AND day * 86400000 <= $RangeEnd
+         |  GROUP BY 1)
+         |SELECT 'purchase' AS name, f0."user", g.gt AS t,
+         |  count(*) AS n, round(sum(f0.value), 4) AS sum_v
+         |FROM f0 JOIN ld ON f0."user" = ld."user" AND f0.day = ld.day
+         |CROSS JOIN grid g
+         |GROUP BY 1, 2, 3""".stripMargin,
     "tsdb_q16_schema_evolution" ->
       s"""WITH t AS (SELECT CAST(epoch_ms(ts) AS BIGINT) AS time, value,
          |  event_type AS "labels.name",

@@ -411,6 +411,8 @@ final class PromHttpServer(spark: SparkSession, initial: DataFrame,
       case e: PromQL.ParseError => err(ex, 400, "bad_data", e.toString)
       case e: PromHttpServer.Unavailable =>
         err(ex, 503, "unavailable", e.getMessage)
+      case e: PromHttpServer.UnsupportedHistExpr =>
+        err(ex, 422, "execution", e.getMessage)
       case e: IllegalArgumentException =>
         err(ex, 400, "bad_data", String.valueOf(e.getMessage))
       case NonFatal(e) => err(ex, 422, "execution", String.valueOf(e))
@@ -551,8 +553,12 @@ final class PromHttpServer(spark: SparkSession, initial: DataFrame,
       case e if PromQLHist.floatEvaluable(e) && routesToHistHead(e,
           allowNameless = namelessHistOk(e)) =>
         import spark.implicits._
-        val hv = PromQLHist.eval(ast, histHead.get, at, lookbackMs,
-          start = at, end = at, nLes = histNLes)
+        // evalStrict, not eval: the instant endpoint has no data
+        // window, so un-anchored range selectors pin @ at (otherwise
+        // rate/…_over_time select over the empty (at, at) range and
+        // silently answer nothing — the float tier's evalStrict fix)
+        val hv = PromQLHist.evalStrict(ast, histHead.get, at, lookbackMs,
+          nLes = histNLes)
           .withColumn(TsdbSchema.TimeCol, lit(at))
         val rows = ApiJson.vectorJson(hv).as[String].collect()
         ok(ex, s"""{"resultType":"vector","result":[${rows.mkString(",")}]}""")
@@ -567,12 +573,19 @@ final class PromHttpServer(spark: SparkSession, initial: DataFrame,
       case e if PromQLHist.histEvaluable(e) && routesToHistHead(e,
           allowNameless = false) =>
         import spark.implicits._
-        val hv = PromQLHist.eval(ast, histHead.get, at, lookbackMs,
-          start = at, end = at, nLes = histNLes)
+        val hv = PromQLHist.evalStrict(ast, histHead.get, at, lookbackMs,
+          nLes = histNLes)
           .withColumn(TsdbSchema.TimeCol, lit(at))
         val rows = ApiJson.histVectorJson(hv).as[String].collect()
         ok(ex, s"""{"resultType":"vector","result":[${rows.mkString(",")}]}""")
         return
+      // every name-bearing selector resolves to the hist head but
+      // NEITHER gate accepts the shape: the float tier has no series
+      // for the metric, so evaluating there would answer an empty 200
+      // where Prometheus returns data or an error — reject LOUDLY
+      // (Prometheus's 422 `execution` class) and name the shape
+      case e if routesToHistHead(e, allowNameless = false) =>
+        throw new PromHttpServer.UnsupportedHistExpr(q)
       case _ =>
     }
     val df = PromQL.evalStrict(ast, wide, at, lookbackMs,
@@ -622,6 +635,11 @@ final class PromHttpServer(spark: SparkSession, initial: DataFrame,
         ok(ex,
           s"""{"resultType":"matrix","result":[${rows.mkString(",")}]}""")
         return
+      // the instant endpoint's loud-fallthrough twin: a hist-head
+      // expression neither gate accepts must never evaluate the empty
+      // float tier into a silent 200
+      case e if routesToHistHead(e, allowNameless = false) =>
+        throw new PromHttpServer.UnsupportedHistExpr(q)
       case _ =>
         PromQL.evalRange(ast, wide, start, end, step, lookbackMs)
     }
@@ -1416,4 +1434,17 @@ object PromHttpServer {
     * `--web.enable-admin-api` is off. */
   private[tsdb] final class Unavailable(msg: String)
     extends RuntimeException(msg)
+
+  /** Maps to the API's 422 `execution` error: the query's selectors
+    * all resolve to pushed-native-histogram series, but the shape is
+    * one the hist tier cannot evaluate — answering from the float tier
+    * would be a silently EMPTY 200 (the metric has no float series),
+    * so the router rejects loudly instead. */
+  private[tsdb] final class UnsupportedHistExpr(query: String)
+    extends RuntimeException(
+      "unsupported expression over native-histogram series: " + query +
+        " (supported: selector, rate/increase, sum/avg/count " +
+        "aggregation, histogram_* functions, +/- between histograms " +
+        "under default matching, * and / by a scalar, " +
+        "sum/avg/last_over_time)")
 }

@@ -961,8 +961,9 @@ object PromQL {
   /** Pin every un-anchored range selector to `@ atMs`. Does NOT
     * descend into [[Subquery]] — the inner expression evaluates per
     * grid step in range mode, where anchoring to the outer instant
-    * would be wrong. */
-  private def anchorRanges(e: Expr, atMs: Long): Expr = e match {
+    * would be wrong. (`private[tsdb]`: [[PromQLHist.evalStrict]] is
+    * the hist tier's twin of [[evalStrict]] and shares the rewrite.) */
+  private[tsdb] def anchorRanges(e: Expr, atMs: Long): Expr = e match {
     case s @ Selector(_, Some(_), _, None) => s.copy(atMod = Some(AtMs(atMs)))
     case s: Selector => s
     case sq: Subquery => sq

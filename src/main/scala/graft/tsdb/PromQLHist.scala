@@ -41,16 +41,28 @@ import PromQL.{AggBy, AggWithout, AtAnchor, AtEnd, AtMs, AtStart, BinOp,
   *     (element-wise bucket sums, partial-aggregated);
   *     `avg [by|without (...)] (v)` — merge scaled by series count;
   *     `count [by|without (...)] (v)` — a FLOAT vector (series count);
+  *   - `sum_over_time/avg_over_time/last_over_time(sel[d])` — the
+  *     range folds over whole histograms: merge / scaled merge /
+  *     latest snapshot, on the same tumbling (instant) or sliding
+  *     (range-mode) window contract as rate;
+  *   - `v + v` / `v - v` — element-wise histogram add/subtract under
+  *     PromQL DEFAULT one-to-one matching (full label sets minus the
+  *     metric name; `on`/`ignoring`/`group_*` modifiers are
+  *     unsupported and error loudly);
+  *   - `v * s`, `s * v`, `v / s` — scalar scaling of every additive
+  *     component;
   *   - terminal scalar functions producing float vectors:
   *     `histogram_quantile(q, v)`, `histogram_fraction(lo, hi, v)`,
   *     `histogram_count/sum/avg/stddev/stdvar(v)`.
   *
-  * `__name__` flows as in Prometheus: selectors keep it; rate/increase,
+  * `__name__` flows as in Prometheus: selectors and `last_over_time`
+  * keep it; rate/increase, the other over-time folds, arithmetic,
   * aggregation and the histogram_* functions drop it.
   *
-  * Unsupported composition (binary ops between histograms, rank/sort,
-  * subqueries) raises a clear error instead of silently treating the
-  * struct as a float.
+  * Unsupported composition (modified matching between histograms,
+  * rank/sort, subqueries) raises a clear error instead of silently
+  * treating the struct as a float; the HTTP router surfaces it as a
+  * 422, never an empty 200.
   *
   * Scale shape: the selector is a pruned scan; rate is ONE window pass
   * (lag over series-partitioned, time-ordered snapshots) + ONE
@@ -88,8 +100,23 @@ object PromQLHist {
   def histEvaluable(e: Expr): Boolean = e match {
     case Selector(_, None, _, _) => true
     case Fn("rate" | "increase", Selector(_, Some(_), _, _), _) => true
+    // range folds over whole histograms (Prometheus: sum_over_time
+    // merges, avg_over_time merges and scales, last_over_time picks)
+    case Fn("sum_over_time" | "avg_over_time" | "last_over_time",
+            Selector(_, Some(_), _, _), _) => true
     case AggBy("sum" | "avg", _, arg, None) => histEvaluable(arg)
     case AggWithout("sum" | "avg", _, arg, None) => histEvaluable(arg)
+    // hist ± hist under DEFAULT one-to-one matching only — an explicit
+    // on()/ignoring()/group_* modifier between histograms is routed to
+    // the caller's unsupported-shape error, never a silent empty
+    case BinOp("+" | "-", Seq(), l, r, false, "", Seq(), Seq())
+        if !l.isInstanceOf[ScalarLit] && !r.isInstanceOf[ScalarLit] =>
+      histEvaluable(l) && histEvaluable(r)
+    // hist × scalar / hist ÷ scalar (scalar ÷ hist is not a histogram
+    // in Prometheus either — excluded)
+    case BinOp("*", _, l, ScalarLit(_), false, _, _, _) => histEvaluable(l)
+    case BinOp("*", _, ScalarLit(_), r, false, _, _, _) => histEvaluable(r)
+    case BinOp("/", _, l, ScalarLit(_), false, _, _, _) => histEvaluable(l)
     case _ => false
   }
 
@@ -101,6 +128,19 @@ object PromQLHist {
     case BinOp(_, _, ScalarLit(_), r, _, _, _, _) => floatEvaluable(r)
     case _ => false
   }
+
+  /** Prometheus-EXACT instant evaluation over a native-histogram frame
+    * (the `query` API's hist-tier entry): every un-anchored range
+    * selector pins `@ at`, so each range function evaluates ONE window
+    * `(at − offset − range, at − offset]` per series — the twin of
+    * [[PromQL.evalStrict]]. Without the rewrite, an instant-endpoint
+    * `rate(native[5m])` would select over the empty `(at, at)` data
+    * window and silently answer nothing. [[eval]] remains the
+    * batch-report path (explicit data window, tumbling buckets). */
+  def evalStrict(expr: Expr, hists: DataFrame, at: Long, lookbackMs: Long,
+                 nLes: Int): DataFrame =
+    eval(PromQL.anchorRanges(expr, at), hists, at, lookbackMs,
+      start = at, end = at, nLes = nLes)
 
   /** Evaluate a parsed expression against a native-histogram frame.
     *
@@ -149,11 +189,15 @@ object PromQLHist {
     // shape of every alert on a native-histogram metric —
     // `histogram_quantile(0.99, rate(h[5m])) > 0.5`): the hist tier's
     // terminal functions yield float vectors, so the float tier's own
-    // scalarOp applies verbatim (filter / bool / arithmetic semantics)
-    case BinOp(op, _, l, ScalarLit(s), bool, _, _, _) =>
+    // scalarOp applies verbatim (filter / bool / arithmetic semantics).
+    // Guarded on floatEvaluable: a HIST-valued operand (`native * 2`)
+    // falls through to evalH's histogram-scaling cases instead.
+    case BinOp(op, _, l, ScalarLit(s), bool, _, _, _)
+        if floatEvaluable(l) =>
       PromQL.scalarOp(eval(l, hists, at, lookbackMs, start, end, nLes),
         op, lit(s), flipped = false, bool = bool)
-    case BinOp(op, _, ScalarLit(s), r, bool, _, _, _) =>
+    case BinOp(op, _, ScalarLit(s), r, bool, _, _, _)
+        if floatEvaluable(r) =>
       PromQL.scalarOp(eval(r, hists, at, lookbackMs, start, end, nLes),
         op, lit(s), flipped = true, bool = bool)
     case other => evalH(other, hists, at, lookbackMs, start, end, nLes)
@@ -198,12 +242,16 @@ object PromQLHist {
         scalarize(evalHR(arg, hists, start, end, stepMs, lookbackMs, nLes),
           NativeHistogram.histStdvar)
       // vector-scalar over the float result — the range-mode twin of
-      // [[eval]]'s cases (alert rules evaluate on this grid)
-      case BinOp(op, _, l, ScalarLit(s), bool, _, _, _) =>
+      // [[eval]]'s cases (alert rules evaluate on this grid); the
+      // floatEvaluable guard routes HIST-valued operands to evalHR's
+      // histogram-scaling cases
+      case BinOp(op, _, l, ScalarLit(s), bool, _, _, _)
+          if floatEvaluable(l) =>
         PromQL.scalarOp(
           evalRange(l, hists, start, end, stepMs, lookbackMs, nLes),
           op, lit(s), flipped = false, bool = bool)
-      case BinOp(op, _, ScalarLit(s), r, bool, _, _, _) =>
+      case BinOp(op, _, ScalarLit(s), r, bool, _, _, _)
+          if floatEvaluable(r) =>
         PromQL.scalarOp(
           evalRange(r, hists, start, end, stepMs, lookbackMs, nLes),
           op, lit(s), flipped = true, bool = bool)
@@ -243,10 +291,13 @@ object PromQLHist {
           // latest-in-window NULL = staleness marker: series excluded
           // at this grid point (the float tier's lookback contract)
           .where(col(HistCol).isNotNull)
-      case Selector(_, _, _, Some(_)) =>
-        throw new IllegalArgumentException(
-          "@-anchored selectors pin a constant — evaluate with eval() at " +
-            "the anchor instead of query_range")
+      case s @ Selector(_, None, _, Some(_)) =>
+        // @-anchored instant selector on a grid: the anchor pins ONE
+        // instant evaluation which repeats at every step (Prometheus
+        // returns the pinned value across the grid) — evaluate once,
+        // fan the constant out; never a per-step re-evaluation
+        pinToGrid(evalH(s, hists, end, lookbackMs, start, end, nLes),
+          start, end, stepMs)
       case Fn(name @ ("rate" | "increase"),
               Selector(ms, Some(rangeMs), off, None), _) =>
         val known = TsdbSchema.labelColumns(hists)
@@ -256,6 +307,14 @@ object PromQLHist {
           col(HistCol).isNotNull) // range selections skip stale markers
         dropName(histSlidingRate(sel, rangeMs, stepMs, start, end, off,
           nLes, asRate = name == "rate"))
+      // @-anchored range function on a grid: the pinned window is a
+      // constant — one single-point-grid evaluation (evalH's anchored
+      // case) exploded to every step, like the anchored bare selector
+      case f @ Fn("rate" | "increase" | "sum_over_time" |
+                  "avg_over_time" | "last_over_time",
+                  Selector(_, Some(_), _, Some(_)), _) =>
+        pinToGrid(evalH(f, hists, end, lookbackMs, start, end, nLes),
+          start, end, stepMs)
       case Fn(name @ ("rate" | "increase"), _, _) =>
         throw new IllegalArgumentException(
           s"$name over histograms needs a range selector argument (m[duration])")
@@ -271,11 +330,48 @@ object PromQLHist {
       case AggWithout("avg", w, arg, None) =>
         mergeH(evalHR(arg, hists, start, end, stepMs, lookbackMs, nLes),
           withoutKeys(_, w), nLes, scaleByN = true)
+      // sliding-window histogram folds: same fan-out decomposition as
+      // the rate kernel — each snapshot explodes to the ≤
+      // ceil(range/step) grid points whose window covers it, one
+      // partial-agg groupBy on (series, t) merges (sum), merges and
+      // scales by the window's snapshot count (avg), or picks the
+      // latest snapshot (last)
+      case Fn(name @ ("sum_over_time" | "avg_over_time" |
+                      "last_over_time"),
+              Selector(ms, Some(rangeMs), off, None), _) =>
+        val known = TsdbSchema.labelColumns(hists)
+          .map(_.stripPrefix(TsdbSchema.LabelPrefix)).toSet
+        val sel = hists.where(MatcherCompiler.compileAll(ms, known) &&
+          col(TimeCol) > start - off - rangeMs && col(TimeCol) <= end - off &&
+          col(HistCol).isNotNull) // range selections skip stale markers
+        val folded = histSlidingOverTime(sel, rangeMs, stepMs, start, end,
+          off, nLes, name)
+        if (name == "last_over_time") folded else dropMetric(folded)
+      // hist ± hist / hist × scalar / hist ÷ scalar, range mode — each
+      // operand evaluates on the shared grid, so `t` joins the match
+      // keys (histArith) or simply rides along (scaling)
+      case BinOp(op @ ("+" | "-"), Seq(), l, r, false, "", Seq(), Seq())
+          if !l.isInstanceOf[ScalarLit] && !r.isInstanceOf[ScalarLit] =>
+        histArith(
+          evalHR(l, hists, start, end, stepMs, lookbackMs, nLes),
+          evalHR(r, hists, start, end, stepMs, lookbackMs, nLes),
+          subtract = op == "-")
+      case BinOp("*", _, l, ScalarLit(s), false, _, _, _) =>
+        dropMetric(evalHR(l, hists, start, end, stepMs, lookbackMs, nLes))
+          .withColumn(HistCol, histScale(col(HistCol), lit(s)))
+      case BinOp("*", _, ScalarLit(s), r, false, _, _, _) =>
+        dropMetric(evalHR(r, hists, start, end, stepMs, lookbackMs, nLes))
+          .withColumn(HistCol, histScale(col(HistCol), lit(s)))
+      case BinOp("/", _, l, ScalarLit(s), false, _, _, _) =>
+        dropMetric(evalHR(l, hists, start, end, stepMs, lookbackMs, nLes))
+          .withColumn(HistCol, histScale(col(HistCol), lit(1.0 / s)))
       case other =>
         throw new IllegalArgumentException(
           "unsupported over native histograms: " + PromQL.render(other) +
             " (supported: selector, rate/increase, sum/avg/count " +
-            "aggregation, histogram_* scalar functions)")
+            "aggregation, histogram_* scalar functions, +/- between " +
+            "histograms, * and / by a scalar, " +
+            "sum/avg/last_over_time)")
     }
 
   /** Sliding-window histogram rate/increase: consecutive-pair delta
@@ -355,20 +451,25 @@ object PromQLHist {
     case Selector(_, Some(_), _, _) =>
       throw new IllegalArgumentException(
         "range selector must be wrapped in rate() or increase()")
+    // @-anchored range selector under ANY range function: Prometheus
+    // pins the window to (anchor − off − range, anchor − off]
+    // regardless of the evaluation instant — ONE window per series ≡
+    // the sliding kernel on a single-point grid (the float tier's
+    // asAnchoredVector decomposition; a tumbling evaluation would
+    // split the pinned window on epoch-aligned bucket edges)
+    case Fn(name @ ("rate" | "increase" | "sum_over_time" |
+                    "avg_over_time" | "last_over_time"),
+            Selector(ms, Some(rangeMs), off, atm @ Some(_)), params) =>
+      val t0 = resolveAt(atm, at, start, end)
+      evalHR(Fn(name, Selector(ms, Some(rangeMs), off, None), params),
+        hists, t0, t0, stepMs = rangeMs, lookbackMs = lookbackMs,
+        nLes = nLes).drop("t")
     case Fn(name @ ("rate" | "increase"),
-            Selector(ms, Some(rangeMs), off, atm), _) =>
+            Selector(ms, Some(rangeMs), off, None), _) =>
       val known = TsdbSchema.labelColumns(hists)
         .map(_.stripPrefix(TsdbSchema.LabelPrefix)).toSet
-      // @-anchored range: one window (anchor − off − range, anchor − off]
-      // ≡ a tumbling grid aligned to the anchor, restricted to one bucket
-      val (s0, e0) = atm match {
-        case Some(a) =>
-          val t0 = resolveAt(atm, at, start, end) - off
-          (t0 - rangeMs, t0 + 1)
-        case None => (start - off, end - off)
-      }
       val sel = hists.where(MatcherCompiler.compileAll(ms, known) &&
-        col(TimeCol) > s0 && col(TimeCol) < e0 &&
+        col(TimeCol) > start - off && col(TimeCol) < end - off &&
         col(HistCol).isNotNull) // range selections skip stale markers
       dropName(histRate(sel, rangeMs, nLes, asRate = name == "rate"))
     case Fn(name @ ("rate" | "increase"), _, _) =>
@@ -386,11 +487,48 @@ object PromQLHist {
     case AggWithout("avg", w, arg, None) =>
       mergeH(evalH(arg, hists, at, lookbackMs, start, end, nLes),
         withoutKeys(_, w), nLes, scaleByN = true)
+    // range folds over whole histograms — same tumbling-[d]-bucket
+    // contract and stale-marker skip as the rate kernel; sum merges,
+    // avg merges and scales by the window's snapshot count, last picks
+    // the latest snapshot. last_over_time KEEPS the metric name
+    // (Prometheus: it returns raw samples); the folds drop it.
+    case Fn(name @ ("sum_over_time" | "avg_over_time" | "last_over_time"),
+            Selector(ms, Some(rangeMs), off, None), _) =>
+      val known = TsdbSchema.labelColumns(hists)
+        .map(_.stripPrefix(TsdbSchema.LabelPrefix)).toSet
+      val sel = hists.where(MatcherCompiler.compileAll(ms, known) &&
+        col(TimeCol) > start - off && col(TimeCol) < end - off &&
+        col(HistCol).isNotNull) // range selections skip stale markers
+      val folded = histOverTime(sel, rangeMs, nLes, name)
+      if (name == "last_over_time") folded else dropMetric(folded)
+    // hist ± hist: one-to-one vector matching on the full label sets
+    // minus the metric name (Prometheus default matching), element-wise
+    // bucket add/subtract. Modified matching (on/ignoring/group_*)
+    // raises the unsupported error below.
+    case BinOp(op @ ("+" | "-"), Seq(), l, r, false, "", Seq(), Seq())
+        if !l.isInstanceOf[ScalarLit] && !r.isInstanceOf[ScalarLit] =>
+      histArith(
+        evalH(l, hists, at, lookbackMs, start, end, nLes),
+        evalH(r, hists, at, lookbackMs, start, end, nLes),
+        subtract = op == "-")
+    // hist × scalar / hist ÷ scalar: every additive component scales
+    // (Prometheus's histogram-scalar multiplication); arithmetic drops
+    // the metric name
+    case BinOp("*", _, l, ScalarLit(s), false, _, _, _) =>
+      dropMetric(evalH(l, hists, at, lookbackMs, start, end, nLes))
+        .withColumn(HistCol, histScale(col(HistCol), lit(s)))
+    case BinOp("*", _, ScalarLit(s), r, false, _, _, _) =>
+      dropMetric(evalH(r, hists, at, lookbackMs, start, end, nLes))
+        .withColumn(HistCol, histScale(col(HistCol), lit(s)))
+    case BinOp("/", _, l, ScalarLit(s), false, _, _, _) =>
+      dropMetric(evalH(l, hists, at, lookbackMs, start, end, nLes))
+        .withColumn(HistCol, histScale(col(HistCol), lit(1.0 / s)))
     case other =>
       throw new IllegalArgumentException(
         "unsupported over native histograms: " + PromQL.render(other) +
           " (supported: selector, rate/increase, sum/avg/count " +
-          "aggregation, histogram_* scalar functions)")
+          "aggregation, histogram_* scalar functions, +/- between " +
+          "histograms, * and / by a scalar, sum/avg/last_over_time)")
   }
 
   // ---- kernels ----
@@ -459,6 +597,168 @@ object PromQLHist {
     (h.getField("sum") * f).as("sum"),
     h.getField("les").as("les"),
     transform(h.getField("counts"), c => c * f).as("counts"))
+
+  /** Tumbling-bucket `sum/avg/last_over_time` over whole histograms:
+    * snapshots group into epoch-aligned `[d]` buckets (the instant-mode
+    * grid contract shared with [[histRate]]); `sum` merges through the
+    * static per-index unroll (partial-aggregatable — the exchange
+    * carries merged structs), `avg` scales the merge by the window's
+    * snapshot count, `last` is a single `max_by`. Unlike rate, one
+    * snapshot suffices (no pair needed). */
+  private def histOverTime(sel: DataFrame, rangeMs: Long, nLes: Int,
+                           fn: String): DataFrame = {
+    val labels = TsdbSchema.dynCols(sel)
+    val bucket = (floor(col(TimeCol) / rangeMs.toDouble) * rangeMs)
+      .cast("long").as("bucket")
+    foldOverTime(sel.withColumn("bucket", bucket),
+      labels :+ col("bucket"), nLes, fn)
+  }
+
+  /** Sliding-window `sum/avg/last_over_time` on the query_range grid —
+    * the fan-out decomposition: a snapshot at ts covers the grid points
+    * t with t − off ∈ [ts, ts + range), exploded as small longs, then
+    * ONE partial-agg groupBy on (series, t) folds. */
+  private def histSlidingOverTime(sel: DataFrame, rangeMs: Long,
+                                  stepMs: Long, start: Long, end: Long,
+                                  off: Long, nLes: Int,
+                                  fn: String): DataFrame = {
+    val labels = TsdbSchema.dynCols(sel)
+    val nSteps = (end - start) / stepMs
+    val (iLo, iHi) = RangeVectors.gridIdx(col(TimeCol) + off,
+      col(TimeCol) + off + (rangeMs - 1), start, stepMs, nSteps)
+    val fanned = sel
+      .withColumn("_ilo", iLo).withColumn("_ihi", iHi)
+      .where(col("_ilo") <= col("_ihi"))
+      .withColumn("_i", explode(sequence(col("_ilo"), col("_ihi"))))
+      .withColumn("t", lit(start) + col("_i") * stepMs)
+    foldOverTime(fanned, labels :+ col("t"), nLes, fn)
+  }
+
+  /** The shared over-time fold under an arbitrary grouping (tumbling
+    * bucket or grid step): histogram merge (`sum`), scaled merge
+    * (`avg`), or latest snapshot (`last`). */
+  private def foldOverTime(df: DataFrame, keys: Seq[Column], nLes: Int,
+                           fn: String): DataFrame = {
+    val h = col(HistCol)
+    fn match {
+      case "last_over_time" =>
+        df.groupBy(keys: _*).agg(max_by(h, col(TimeCol)).as(HistCol))
+      case _ =>
+        val perIndex = (1 to nLes).map(i =>
+          sum(element_at(h.getField("counts"), i)))
+        val layoutOk = assert_true(
+          min(size(h.getField("les"))) === max(size(h.getField("les"))),
+          lit("PromQLHist.foldOverTime: incompatible bucket layouts " +
+            "in window"))
+        val agg = df.groupBy(keys: _*)
+          .agg(count(lit(1)).as("_n"),
+            struct(
+              sum(h.getField("count")).as("count"),
+              sum(h.getField("sum")).as("sum"),
+              when(layoutOk.isNull, first(h.getField("les"))).as("les"),
+              when(layoutOk.isNull, array(perIndex: _*)).as("counts"))
+              .as(HistCol))
+        (if (fn == "avg_over_time")
+           agg.withColumn(HistCol,
+             histScale(col(HistCol), lit(1.0) / col("_n")))
+         else agg).drop("_n")
+    }
+  }
+
+  /** `histA ± histB` — PromQL one-to-one vector matching between two
+    * histogram vectors: the full label sets minus the metric name must
+    * be identical, which over the wide/bare schemas is a null-safe
+    * inner join on the UNION of both sides' label names (absent ≡ "",
+    * the engine's P3 rule), each side projected to bare keys first.
+    * The combine is an element-wise struct add/subtract under the same
+    * bucket-layout guard as [[NativeHistogram.histAdd]]. Duplicate
+    * series per match group on either side are Prometheus's
+    * many-to-many error — detected by a window count over the match
+    * keys (the same keys the join shuffles on). Grid columns
+    * (`bucket`/`t`) present on BOTH sides join; a one-sided grid
+    * column rides along from its side. Scale shape: both sides are
+    * series-count-sized vectors (× grid steps) — the join is an
+    * equi-join on those keys, never data-sized. */
+  private def histArith(l0: DataFrame, r0: DataFrame,
+                        subtract: Boolean): DataFrame = {
+    val keys = arithKeys(l0, r0)
+    val lg = Seq("bucket", "t").filter(l0.columns.contains)
+    val rg = Seq("bucket", "t").filter(r0.columns.contains)
+    val shared = lg.intersect(rg)
+    val la = oneToOneGuard(keyedH(l0, keys, HistCol, lg), HistCol, "left")
+      .as("l")
+    val ra = oneToOneGuard(keyedH(r0, keys, "_rh", rg), "_rh", "right")
+      .as("r")
+    val cond = (keys ++ shared)
+      .map(k => col(s"l.`$k`") <=> col(s"r.`$k`"))
+      .reduceOption(_ && _).getOrElse(lit(true))
+    val sign = if (subtract) -1.0 else 1.0
+    val a = col(s"l.`$HistCol`"); val b = col("r._rh")
+    val layoutOk = assert_true(
+      size(a.getField("les")) === size(b.getField("les")),
+      lit("PromQLHist.histArith: incompatible bucket layouts between " +
+        "operands"))
+    val combined = struct(
+      (a.getField("count") + lit(sign) * b.getField("count")).as("count"),
+      (a.getField("sum") + lit(sign) * b.getField("sum")).as("sum"),
+      when(layoutOk.isNull, a.getField("les")).as("les"),
+      when(layoutOk.isNull,
+        zip_with(a.getField("counts"), b.getField("counts"),
+          (x, y) => x + lit(sign) * y)).as("counts"))
+    la.join(ra, cond).select(
+      keys.map(k => col(s"l.`$k`").as(k)) ++
+        lg.map(g => col(s"l.`$g`").as(g)) ++
+        rg.filterNot(lg.contains).map(g => col(s"r.`$g`").as(g)) :+
+        combined.as(HistCol): _*)
+  }
+
+  /** Default-matching key set between two histogram vectors: the union
+    * of both sides' bare label names, metric-name labels excluded. */
+  private def arithKeys(l: DataFrame, r: DataFrame): Seq[String] = {
+    def names(df: DataFrame): Seq[String] = df.columns.toSeq
+      .filterNot(Seq(HistCol, TimeCol, "t", "bucket").contains(_))
+      .map(_.stripPrefix(TsdbSchema.LabelPrefix))
+      .filterNot(NameLabels.contains)
+    val ln = names(l)
+    ln ++ names(r).filterNot(ln.contains(_))
+  }
+
+  /** Project a histogram vector to bare match-key columns (+ its grid
+    * columns) + the histogram aliased `as` — the [[PromQL]] `keyed`
+    * normalization: each key resolves wide (`labels.k`), bare (`k`,
+    * an aggregation output), or NULL when absent. */
+  private def keyedH(hv: DataFrame, keys: Seq[String], as: String,
+                     grid: Seq[String]): DataFrame =
+    hv.select(keys.map { k =>
+      if (hv.columns.contains(labelColName(k))) labelCol(k).as(k)
+      else if (hv.columns.contains(k)) col(s"`$k`").as(k)
+      else lit(null).cast("string").as(k)
+    } ++ grid.map(col) :+ col(HistCol).as(as): _*)
+
+  /** Prometheus's one-to-one matching guard: more than one series per
+    * match-group key tuple on a side is an error, never a silent cross
+    * product. The window shuffles on the same keys the join does. */
+  private def oneToOneGuard(df: DataFrame, histAs: String,
+                            side: String): DataFrame = {
+    val w = Window.partitionBy(
+      df.columns.filterNot(_ == histAs).map(c => col(s"`$c`")): _*)
+    df.withColumn("_n1", count(lit(1)).over(w))
+      .withColumn(histAs,
+        when(assert_true(col("_n1") === 1,
+          lit("PromQLHist: many-to-many matching — duplicate series " +
+            s"per match group on the $side side")).isNull,
+          col(s"`$histAs`")))
+      .drop("_n1")
+  }
+
+  /** Fan one pinned instant evaluation out to every grid step — the
+    * `@`-anchored selector's range-mode contract (the anchored value
+    * repeats across the grid). An explode of grid longs over a
+    * series-sized frame; never a per-step re-evaluation. */
+  private def pinToGrid(iv: DataFrame, start: Long, end: Long,
+                        stepMs: Long): DataFrame =
+    iv.withColumn("t",
+      explode(sequence(lit(start), lit(end), lit(stepMs))))
 
   /** `sum/avg [by|without] (v)` — histogram merge under the grouping,
     * same layout guard + static per-index unroll as
@@ -539,6 +839,18 @@ object PromQLHist {
 
   private def dropName(df: DataFrame): DataFrame =
     df.drop(labelColName("__name__")).drop("__name__")
+
+  /** The hist tier's metric-name labels: the receivers store the
+    * wire's `__name__` as the `name` label
+    * ([[PromHttpServer.appendHists]]), and the text surface addresses
+    * it as `{name="m"}` — both spellings are the metric name here. */
+  private val NameLabels: Set[String] = Set("name", "__name__")
+
+  /** Drop the metric-name label (both spellings) — arithmetic and the
+    * over-time folds transform the value, so Prometheus drops
+    * `__name__` from their outputs. */
+  private def dropMetric(df: DataFrame): DataFrame =
+    NameLabels.foldLeft(df)((d, n) => d.drop(labelColName(n)).drop(n))
 
   private def resolveAt(atm: Option[AtAnchor], default: Long,
                         start: Long, end: Long): Long = atm match {

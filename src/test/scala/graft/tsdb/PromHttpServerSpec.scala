@@ -1527,4 +1527,84 @@ class PromHttpServerSpec extends SparkSpec {
       assert(after == Set("b", "c"))
     } finally srv.stop()
   }
+
+  test("histogram arithmetic evaluates on the hist tier; unsupported " +
+      "shapes answer 422, never an empty 200") {
+    val srv = new PromHttpServer(spark, wide)
+    val p = srv.start()
+    try {
+      // two native metrics sharing the user label: na (latest snapshot
+      // 2 obs in (1,2], with an EARLIER snapshot so the rate family has
+      // a pair), nb (1 obs in (2,4]) — one-to-one matching pairs them
+      // per user
+      def hist(t: Long, positive: Seq[(Int, Double)], count: Double,
+               sum: Double) =
+        RemoteWrite.SparseHist(time = t, labels = Map.empty,
+          count = count, sum = sum, schema = 0, zeroThreshold = 0.0,
+          zeroCount = 0.0, positive = positive, negative = Nil)
+      val wreq = RemoteWrite2.encodeRequest(Seq(
+        RemoteWrite2.Rw2Series(
+          labels = Seq("__name__" -> "na", "user" -> "u1"),
+          histograms = Seq(hist(1000L, Seq((1, 1.0)), 1.0, 1.5),
+            hist(1700L, Seq((1, 2.0)), 2.0, 3.0))),
+        RemoteWrite2.Rw2Series(
+          labels = Seq("__name__" -> "nb", "user" -> "u1"),
+          histograms = Seq(hist(1700L, Seq((2, 1.0)), 1.0, 3.0)))))
+      val wr = client.send(
+        HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:$p/api/v1/write"))
+          .header("Content-Type",
+            "application/x-protobuf;proto=io.prometheus.write.v2.Request")
+          .POST(HttpRequest.BodyPublishers.ofByteArray(wreq)).build(),
+        HttpResponse.BodyHandlers.ofByteArray())
+      assert(wr.statusCode() == 204)
+      def q(expr: String, extra: String = "&time=2"): (Int, String) =
+        getAt(p, "/api/v1/query?query=" +
+          java.net.URLEncoder.encode(expr, UTF_8) + extra)
+      // hist + hist: count 3, buckets (1,2]:2 and (2,4]:1
+      val (ca, ba) = q("""{name="na"} + {name="nb"}""")
+      assert(ca == 200, ba)
+      assert(ba.contains(""""histogram":[2.000,{"count":"3.0","sum":"6.0""""),
+        ba)
+      assert(ba.contains("""[0,"1.0","2.0","2.0"]""") &&
+        ba.contains("""[0,"2.0","4.0","1.0"]"""), ba)
+      // hist * scalar
+      val (cs, bs) = q("""{name="na"} * 2""")
+      assert(cs == 200 && bs.contains(""""count":"4.0""""), bs)
+      // sum_over_time over the native metric (both snapshots merge)
+      val (co, bo) = q("""sum_over_time({name="na"}[5m])""")
+      assert(co == 200 && bo.contains(""""count":"3.0""""), bo)
+      // instant-endpoint increase: the un-anchored range selector pins
+      // @ at (evalStrict) — one (at−5m, at] window sees the snapshot
+      // pair; before the fix this selected over the empty (at, at)
+      // window and silently answered []
+      val (ci, bi) = q("""histogram_count(increase({name="na"}[5m]))""")
+      assert(ci == 200 && bi.contains(""""value":[2.000,"1.0"]"""), bi)
+      // histogram_quantile COMPOSES over the arithmetic result
+      val (cq, bq) = q("""histogram_quantile(0.5, {name="na"} + {name="nb"})""")
+      assert(cq == 200 && bq.contains(""""value":[2.000,"1.75"]"""), bq)
+      // @-anchored selector on the range grid: the pinned value repeats
+      val (cr, br) = getAt(p, "/api/v1/query_range?query=" +
+        java.net.URLEncoder.encode("""{name="na"} @ 2""", UTF_8) +
+        "&start=2&end=4&step=1")
+      assert(cr == 200, br)
+      assert(br.contains(""""histograms":[[2.000,""") &&
+        br.contains("""[3.000,""") && br.contains("""[4.000,"""), br)
+      // STILL-unsupported shapes over the hist head answer 422 with the
+      // shape named — previously an empty 200 from the float tier
+      val (cu, bu) = q("""{name="na"} + on(user) {name="nb"}""")
+      assert(cu == 422, s"$cu $bu")
+      assert(bu.contains(""""errorType":"execution"""") &&
+        bu.contains("unsupported expression over native-histogram"), bu)
+      val (ct, bt) = q("""topk(3, {name="na"})""")
+      assert(ct == 422, s"$ct $bt")
+      // ...and on query_range too
+      val (cu2, bu2) = getAt(p, "/api/v1/query_range?query=" +
+        java.net.URLEncoder.encode("""{name="na"} % 2""", UTF_8) +
+        "&start=2&end=4&step=1")
+      assert(cu2 == 422, s"$cu2 $bu2")
+      // a float-metric query is untouched by the gate
+      val (cf, bf) = q("""{name="up",user="a"}""")
+      assert(cf == 200 && bf.contains(""""value":"""), bf)
+    } finally srv.stop()
+  }
 }

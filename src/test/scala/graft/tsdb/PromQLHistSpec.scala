@@ -221,11 +221,14 @@ class PromQLHistSpec extends SparkSpec {
     assert(got == Map(2000L -> 2.0, 3000L -> 3.0))
   }
 
-  test("evalRange rejects @-anchored selectors with a pointer to eval()") {
-    val e = intercept[IllegalArgumentException] {
-      evalRangeText("""{job="api"} @ 2""")
-    }
-    assert(e.getMessage.contains("eval()"))
+  test("evalRange pins an @-anchored selector's value across the grid") {
+    // `m @ 2` on a 1000..3000/1s grid: ONE instant evaluation at the
+    // anchor (t=2000 → the t2 snapshots), repeated at every grid step
+    // — Prometheus's pinned-constant contract (previously rejected)
+    val got = evalRangeText("""{inst="a"} @ 2""")
+      .select(col("t"), col("hist.count")).as[(Long, Double)]
+      .collect().toMap
+    assert(got == Map(1000L -> 3.0, 2000L -> 3.0, 3000L -> 3.0), got)
   }
 
   test("the float tier rejects histogram_* with a pointer to this tier") {
@@ -241,5 +244,113 @@ class PromQLHistSpec extends SparkSpec {
       evalText("""topk(3, {job="api"})""")
     }
     assert(e.getMessage.contains("unsupported over native histograms"))
+  }
+
+  // ---- arithmetic + over-time folds ----------------------------------
+
+  /** Two metrics (the `name` label — the hist tier's metric-name
+    * spelling) sharing the `inst` label: default matching pairs them
+    * per inst, name excluded. */
+  private def named(rows: Seq[(String, String, Long, Double)]): DataFrame =
+    NativeHistogram.build(
+      rows.toDF("labels.name", "labels.inst", "time", "v"),
+      Seq(col("`labels.name`"), col("`labels.inst`"), col("time")),
+      col("v"), Bounds)
+
+  private lazy val two = named(Seq(
+    ("ha", "x", 2000L, 5.0), ("ha", "x", 2000L, 15.0),
+    ("ha", "y", 2000L, 5.0),
+    ("hb", "x", 2000L, 25.0), ("hb", "x", 2000L, 15.0)))
+
+  test("hist + hist: element-wise add under default matching, name dropped") {
+    val got = evalText("""{name="ha"} + {name="hb"}""", frame = two)
+    // the metric name is excluded from matching AND from the output
+    assert(!got.columns.exists(c => c == "labels.name" || c == "name"))
+    val rows = got.select(col("inst"), col("hist.count"), col("hist.sum"),
+        col("hist.counts")).as[(String, Double, Double, Seq[Double])]
+      .collect()
+    // inst=y exists on ha only → one-to-one inner matching drops it
+    assert(rows.map(_._1).toSeq == Seq("x"))
+    val (_, n, s, counts) = rows.head
+    assert(n == 4.0 && s == 60.0)
+    assert(counts == Seq(1.0, 2.0, 1.0)) // (0,10]:1, (10,20]:1+1, +Inf:1
+  }
+
+  test("hist - hist: the subtract twin (components may go negative)") {
+    val (n, s, counts) = evalText("""{name="ha"} - {name="hb"}""",
+        frame = two)
+      .select(col("hist.count"), col("hist.sum"), col("hist.counts"))
+      .as[(Double, Double, Seq[Double])].head()
+    assert(n == 0.0 && s == -20.0)
+    assert(counts == Seq(1.0, 0.0, -1.0))
+  }
+
+  test("hist × scalar / scalar × hist / hist ÷ scalar scale every component") {
+    // scaling keeps the selector's WIDE label shape (unlike histArith,
+    // which projects to bare match keys)
+    def count(q: String): Double =
+      evalText(q, frame = two).where(col("`labels.inst`") === "x")
+        .select(col("hist.count")).as[Double].head()
+    assert(count("""{name="ha"} * 2""") == 4.0)
+    assert(count("""2 * {name="ha"}""") == 4.0)
+    assert(count("""{name="ha"} / 2""") == 1.0)
+    // arithmetic drops the metric name from the output
+    assert(!evalText("""{name="ha"} * 2""", frame = two)
+      .columns.exists(c => c == "labels.name" || c == "name"))
+    // composition: (2 * h) / 4 = h × 0.5
+    assert(count("""2 * {name="ha"} / 4""") == 1.0)
+  }
+
+  test("many-to-many matching raises, never a silent cross product") {
+    // left selector {inst="x"} matches BOTH metrics → two rows share
+    // the match-group key (inst=x) → Prometheus's many-to-many error
+    val e = intercept[Exception] {
+      evalText("""{inst="x"} + {name="hb"}""", frame = two)
+        .select(col("hist.count")).collect()
+    }
+    def msg(t: Throwable): Boolean = t != null &&
+      (String.valueOf(t.getMessage).contains("many-to-many") ||
+        msg(t.getCause))
+    assert(msg(e), e)
+  }
+
+  test("modified matching between histograms raises unsupported") {
+    val e = intercept[IllegalArgumentException] {
+      evalText("""{name="ha"} + on(inst) {name="hb"}""", frame = two)
+    }
+    assert(e.getMessage.contains("unsupported over native histograms"))
+  }
+
+  test("sum/avg/last_over_time fold whole histograms per tumbling window") {
+    // series a: t1 count 2, t2 count 3 — one [3s] bucket covers both
+    def fold(fn: String): DataFrame =
+      evalText(s"""$fn({inst="a"}[3s])""", start = 500L, end = 2500L)
+    assert(fold("sum_over_time").select(col("hist.count"))
+      .as[Double].head() == 5.0)
+    assert(fold("avg_over_time").select(col("hist.count"))
+      .as[Double].head() == 2.5)
+    assert(fold("last_over_time").select(col("hist.count"))
+      .as[Double].head() == 3.0)
+    // last_over_time KEEPS labels (raw samples); the folds drop the
+    // metric name — exercised on the named frame
+    val lastNamed = evalText("""last_over_time({name="ha"}[3s])""",
+      frame = two, start = 500L, end = 2500L)
+    assert(lastNamed.columns.contains("labels.name"))
+    val sumNamed = evalText("""sum_over_time({name="ha"}[3s])""",
+      frame = two, start = 500L, end = 2500L)
+    assert(!sumNamed.columns.contains("labels.name"))
+  }
+
+  test("evalRange sliding over-time folds: per-window snapshot sets") {
+    // [2s] windows, 1s steps, left-open: t=1000 sees {t1}, t=2000
+    // {t1, t2}, t=3000 {t2} only
+    val got = evalRangeText("""sum_over_time({inst="a"}[2s])""")
+      .select(col("t"), col("hist.count")).as[(Long, Double)]
+      .collect().toMap
+    assert(got == Map(1000L -> 2.0, 2000L -> 5.0, 3000L -> 3.0), got)
+    val last = evalRangeText("""last_over_time({inst="a"}[2s])""")
+      .select(col("t"), col("hist.count")).as[(Long, Double)]
+      .collect().toMap
+    assert(last == Map(1000L -> 2.0, 2000L -> 3.0, 3000L -> 3.0), last)
   }
 }
