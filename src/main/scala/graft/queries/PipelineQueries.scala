@@ -424,6 +424,45 @@ object PipelineQueries {
       EventStreams.runToMemory(
         EventStreams.intervalJoin(EventStreams.readEvents(s, dir)),
         "stream_q4_join", mode = "append")),
+    // NATIVE HISTOGRAMS through the STREAMING WAL tail — q117's grid
+    // replay with the batch reader swapped for
+    // `.option("kind", "histograms")`: exponential-grid histograms
+    // written as kind-7 WAL records, tailed incrementally in the
+    // sparse wire shape, re-densified, and pinned by the SAME
+    // exponential-grid oracle as q89/q106/q117 ⇒ a head pushing native
+    // histograms is no longer invisible to the streaming view.
+    "stream_q18_wal_hist_tail" -> ((s, dir) => {
+      import graft.tsdb.NativeHistogram._
+      val h = col("hist")
+      val dense = buildExp(
+        graft.tsdb.TsdbTable(Tables.eventsAsTsdbStored(s, dir))
+          .select(Tables.RangeStart, Tables.RangeEnd, Nil).toDF(),
+        Seq(col("`labels.name`").as("name"), col("`labels.user`").as("user")),
+        col("value"), schema = 0, minExp = 0, maxExp = 9)
+        .select(lit(Tables.RangeEnd).as("time"),
+          map(lit("name"), col("name"), lit("user"), col("user")).as("labels"),
+          col("hist"))
+      val walDir = Tables.scratchDir("graft_sq18_wal")
+      graft.sources.tsdbblock.TsdbWalWriter.writeHistograms(dense, walDir,
+        schemaId = 0, minExp = 0, maxExp = 9, float = false)
+      val streamed = EventStreams.runToMemory(
+        s.readStream.format("tsdb-wal-stream")
+          .option("kind", "histograms").load(walDir),
+        "stream_q18_wal_hist_tail", mode = "append")
+      val s_ = s; import s_.implicits._
+      val back = graft.tsdb.RemoteWrite.denseFromSparse(
+        streamed.drop("isFloat").as[graft.tsdb.RemoteWrite.SparseHist],
+        schemaId = 0, minExp = 0, maxExp = 9)
+      back.select(
+        col("labels").getItem("name").as("name"),
+        col("labels").getItem("user").as("user"),
+        histCount(h).cast("long").as("n"),
+        round(histSum(h), 4).as("sum_v"),
+        element_at(h.getField("counts"), 2).cast("long").as("c_le1"),
+        element_at(h.getField("counts"), 9).cast("long").as("c_64_128"),
+        element_at(h.getField("counts"), 12).cast("long").as("c_inf"),
+        round(histQuantile(h, 0.5), 6).as("phi"))
+    }),
     // STREAMING sink into a REAL Prometheus WAL: micro-batches land as
     // wlog segments with batch-derived indices (replay-idempotent),
     // then the batch WAL source reads the directory back — identity
@@ -1786,6 +1825,11 @@ object PipelineQueries {
          |FROM t WHERE "labels.name" = 'purchase'
          |  AND time >= ${Tables.RangeStart} AND time < ${Tables.RangeEnd}
          |GROUP BY 1, 2, 3, 4""".stripMargin,
+    // the streaming WAL histogram tail lands on the SAME
+    // exponential-grid replay as the batch q89/q106/q117 family — a
+    // hash match proves the stream delivered every kind-7 record
+    // bit-true
+    "stream_q18_wal_hist_tail" -> TsdbQueries.histExpOracle,
     "stream_q11_promql_mad" ->
       s"""${Tables.duckTsdbCte},
          |s AS (SELECT * FROM t WHERE "labels.name" = 'purchase'

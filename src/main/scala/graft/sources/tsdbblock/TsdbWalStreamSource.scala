@@ -2,13 +2,14 @@ package graft.sources.tsdbblock
 
 import java.util
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.util.{ArrayBasedMapData, ArrayData}
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.catalyst.util.{ArrayBasedMapData, ArrayData, GenericArrayData}
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
 import org.apache.spark.sql.sources.DataSourceRegister
-import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -19,14 +20,22 @@ import org.apache.spark.unsafe.types.UTF8String
   * samples land. `spark.readStream.format("tsdb-wal-stream").load(dir)`
   * delivers exactly the batch source's rows, incrementally.
   *
-  * Offsets are per-segment RAW sample counts. Each trigger re-decodes
-  * segment bytes and skips already-delivered samples — O(segment) per
-  * trigger, which is bounded (Prometheus caps segments at 128 MiB) and
-  * correct under both growth modes: a torn tail parses up to the last
-  * complete record and the next trigger resumes past it; new segments
-  * appear as new offset keys. (A production source would checkpoint
-  * page-aligned byte positions to skip the re-decode; count offsets keep
-  * the prototype obviously correct.)
+  * RECORD KINDS. The default stream carries float samples (kind 2/9 —
+  * the batch source's rows). `.option("kind", "histograms")` tails the
+  * NATIVE-HISTOGRAM records instead (kinds 7/8), in the sparse wire
+  * shape [[graft.tsdb.RemoteWrite.SparseHist]] carries (+ `isFloat`
+  * for the kind-8 distinction) — a head scraping native histograms is
+  * no longer a silently float-only view: tail both kinds as two
+  * streams, or pick one. Any other kind value is rejected loudly.
+  *
+  * Offsets are per-segment RAW record counts OF THE SELECTED KIND. Each
+  * trigger re-decodes segment bytes and skips already-delivered rows —
+  * O(segment) per trigger, which is bounded (Prometheus caps segments
+  * at 128 MiB) and correct under both growth modes: a torn tail parses
+  * up to the last complete record and the next trigger resumes past it;
+  * new segments appear as new offset keys. (A production source would
+  * checkpoint page-aligned byte positions to skip the re-decode; count
+  * offsets keep the prototype obviously correct.)
   *
   * The ref→labels dictionary is rebuilt from the Series records of ALL
   * current segments at each planning step (series records are a tiny
@@ -36,23 +45,66 @@ import org.apache.spark.unsafe.types.UTF8String
 class TsdbWalStreamSource extends TableProvider with DataSourceRegister {
   override def shortName(): String = "tsdb-wal-stream"
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
-    TsdbBlockSource.schema
+    TsdbWalStreamSource.schemaFor(options.get("kind"))
   override def getTable(schema: StructType, partitioning: Array[Transform],
                         properties: util.Map[String, String]): Table =
-    new TsdbWalStreamTable(properties.get("path"))
+    new TsdbWalStreamTable(properties.get("path"),
+      TsdbWalStreamSource.kindOf(properties.get("kind")))
 }
 
-final class TsdbWalStreamTable(path: String) extends Table with SupportsRead {
+object TsdbWalStreamSource {
+  /** The histogram stream's row shape: the sparse wire form
+    * ([[graft.tsdb.RemoteWrite.SparseHist]]'s fields, so the stream
+    * `.as[SparseHist]` composes directly with `denseFromSparse` and
+    * every NHCB kernel) + `isFloat` (kind 8 vs 7). */
+  val HistSchema: StructType = {
+    val pairs = ArrayType(StructType(Seq(
+      StructField("_1", IntegerType, nullable = false),
+      StructField("_2", DoubleType, nullable = false))),
+      containsNull = false)
+    StructType(Seq(
+      StructField("time", LongType, nullable = false),
+      StructField("labels", MapType(StringType, StringType),
+        nullable = false),
+      StructField("count", DoubleType, nullable = false),
+      StructField("sum", DoubleType, nullable = false),
+      StructField("schema", IntegerType, nullable = false),
+      StructField("zeroThreshold", DoubleType, nullable = false),
+      StructField("zeroCount", DoubleType, nullable = false),
+      StructField("positive", pairs, nullable = false),
+      StructField("negative", pairs, nullable = false),
+      StructField("customValues", ArrayType(DoubleType,
+        containsNull = false), nullable = false),
+      StructField("resetHint", IntegerType, nullable = false),
+      StructField("isFloat", BooleanType, nullable = false)))
+  }
+
+  private[tsdbblock] def kindOf(raw: String): String = raw match {
+    case null | "samples" => "samples"
+    case "histograms" => "histograms"
+    case other => throw new IllegalArgumentException(
+      s"tsdb-wal-stream kind '$other' (supported: samples, histograms)")
+  }
+
+  private[tsdbblock] def schemaFor(raw: String): StructType =
+    if (kindOf(raw) == "histograms") HistSchema else TsdbBlockSource.schema
+}
+
+final class TsdbWalStreamTable(path: String, kind: String)
+    extends Table with SupportsRead {
   require(path != null, "tsdb-wal-stream requires a WAL directory path")
-  override def name(): String = s"tsdb-wal-stream($path)"
-  override def schema(): StructType = TsdbBlockSource.schema
+  override def name(): String = s"tsdb-wal-stream($path, $kind)"
+  override def schema(): StructType =
+    if (kind == "histograms") TsdbWalStreamSource.HistSchema
+    else TsdbBlockSource.schema
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    () => new TsdbWalStreamScan(path)
+    () => new TsdbWalStreamScan(path, kind)
 }
 
-/** Offset: segment file name → raw samples delivered so far. */
+/** Offset: segment file name → raw records (of the stream's kind)
+  * delivered so far. */
 final case class WalOffset(counts: Map[String, Long]) extends Offset {
   // stable, library-free encoding: "name:count" pairs, sorted
   override def json(): String =
@@ -67,21 +119,27 @@ object WalOffset {
     }.toMap)
 }
 
-final class TsdbWalStreamScan(path: String) extends Scan {
-  override def readSchema(): StructType = TsdbBlockSource.schema
-  override def description(): String = s"tsdb-wal-stream $path"
+final class TsdbWalStreamScan(path: String, kind: String) extends Scan {
+  override def readSchema(): StructType =
+    if (kind == "histograms") TsdbWalStreamSource.HistSchema
+    else TsdbBlockSource.schema
+  override def description(): String = s"tsdb-wal-stream $path ($kind)"
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-    new TsdbWalMicroBatchStream(path)
+    new TsdbWalMicroBatchStream(path, kind)
 }
 
-final class TsdbWalMicroBatchStream(path: String) extends MicroBatchStream {
+final class TsdbWalMicroBatchStream(path: String, kind: String)
+    extends MicroBatchStream {
+
+  private def countOf(seg: String): Long =
+    if (kind == "histograms") WalReader.histograms(seg).size.toLong
+    else WalReader.samples(seg).size.toLong
 
   override def initialOffset(): Offset = WalOffset(Map.empty)
 
   override def latestOffset(): Offset = WalOffset(
     WalReader.segments(path).map { seg =>
-      val name = new java.io.File(seg).getName
-      name -> WalReader.samples(seg).size.toLong
+      new java.io.File(seg).getName -> countOf(seg)
     }.toMap)
 
   override def deserializeOffset(json: String): Offset = WalOffset.parse(json)
@@ -95,7 +153,8 @@ final class TsdbWalMicroBatchStream(path: String) extends MicroBatchStream {
     to.toSeq.sorted.flatMap { case (name, hi) =>
       val lo = from.getOrElse(name, 0L)
       if (hi > lo)
-        Some(TsdbWalSlicePartition(s"$path/$name", lo, hi, dict): InputPartition)
+        Some(TsdbWalSlicePartition(s"$path/$name", lo, hi, dict,
+          kind): InputPartition)
       else None
     }.toArray
   }
@@ -103,37 +162,84 @@ final class TsdbWalMicroBatchStream(path: String) extends MicroBatchStream {
   override def createReaderFactory(): PartitionReaderFactory =
     (partition: InputPartition) => {
       val p = partition.asInstanceOf[TsdbWalSlicePartition]
-      new PartitionReader[InternalRow] {
-        private val mapCache =
-          scala.collection.mutable.Map.empty[Long, ArrayBasedMapData]
-        private val it = WalReader.samples(p.segment)
-          .slice(p.from.toInt, p.until.toInt)
-          .filter(s => p.dict.contains(s.ref)) // orphan refs: dropped
-        private var cur: WalReader.WalSample = _
+      // readers live in a standalone object — the factory lambda must
+      // not capture this (non-serializable) stream instance
+      if (p.kind == "histograms") TsdbWalStreamReaders.histReader(p)
+      else TsdbWalStreamReaders.sampleReader(p)
+    }
+}
 
-        override def next(): Boolean =
-          if (it.hasNext) { cur = it.next(); true } else false
+/** Executor-side partition readers (standalone so the reader factory
+  * serializes without the driver-side stream object). */
+private[tsdbblock] object TsdbWalStreamReaders {
 
-        override def get(): InternalRow = {
-          val labels = mapCache.getOrElseUpdate(cur.ref, {
-            val m = p.dict(cur.ref)
-            val keys = m.keys.toArray.sorted
-            new ArrayBasedMapData(
-              ArrayData.toArrayData(keys.map(UTF8String.fromString)),
-              ArrayData.toArrayData(keys.map(k => UTF8String.fromString(m(k)))))
-          })
-          // staleness markers → NULL (TsdbSchema contract, ≡ batch source)
-          val v: Any =
-            if (graft.tsdb.TsdbSchema.isStaleMarker(cur.value)) null
-            else cur.value
-          new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
-            Array[Any](cur.time, v, labels))
-        }
-        override def close(): Unit = ()
+  /** Shared per-partition label-map cache keyed by series ref. */
+  private def labelCache(p: TsdbWalSlicePartition)
+      : Long => ArrayBasedMapData = {
+    val cache = scala.collection.mutable.Map.empty[Long, ArrayBasedMapData]
+    ref => cache.getOrElseUpdate(ref, {
+      val m = p.dict(ref)
+      val keys = m.keys.toArray.sorted
+      new ArrayBasedMapData(
+        ArrayData.toArrayData(keys.map(UTF8String.fromString)),
+        ArrayData.toArrayData(keys.map(k => UTF8String.fromString(m(k)))))
+    })
+  }
+
+  private[tsdbblock] def sampleReader(p: TsdbWalSlicePartition)
+      : PartitionReader[InternalRow] =
+    new PartitionReader[InternalRow] {
+      private val labels = labelCache(p)
+      private val it = WalReader.samples(p.segment)
+        .slice(p.from.toInt, p.until.toInt)
+        .filter(s => p.dict.contains(s.ref)) // orphan refs: dropped
+      private var cur: WalReader.WalSample = _
+
+      override def next(): Boolean =
+        if (it.hasNext) { cur = it.next(); true } else false
+
+      override def get(): InternalRow = {
+        // staleness markers → NULL (TsdbSchema contract, ≡ batch source)
+        val v: Any =
+          if (graft.tsdb.TsdbSchema.isStaleMarker(cur.value)) null
+          else cur.value
+        new GenericInternalRow(Array[Any](cur.time, v, labels(cur.ref)))
       }
+      override def close(): Unit = ()
+    }
+
+  /** Kind-7/8 records in the sparse wire shape — FULL fidelity (reset
+    * hint, NHCB custom values, float-ness); stale markers pass through
+    * as-is (the consumer's boundary decides, exactly like the batch
+    * `readHistogramsFull`). */
+  private[tsdbblock] def histReader(p: TsdbWalSlicePartition)
+      : PartitionReader[InternalRow] =
+    new PartitionReader[InternalRow] {
+      private val labels = labelCache(p)
+      private val it = WalReader.histograms(p.segment)
+        .slice(p.from.toInt, p.until.toInt)
+        .filter(h => p.dict.contains(h.ref)) // orphan refs: dropped
+      private var cur: WalReader.WalHistogram = _
+
+      override def next(): Boolean =
+        if (it.hasNext) { cur = it.next(); true } else false
+
+      private def pairs(xs: Seq[(Int, Double)]): GenericArrayData =
+        new GenericArrayData(xs.map(x =>
+          new GenericInternalRow(Array[Any](x._1, x._2))).toArray[Any])
+
+      override def get(): InternalRow =
+        new GenericInternalRow(Array[Any](
+          cur.time, labels(cur.ref), cur.count, cur.sum, cur.schema,
+          cur.zeroThreshold, cur.zeroCount,
+          pairs(cur.positive), pairs(cur.negative),
+          ArrayData.toArrayData(cur.customValues.toArray),
+          cur.counterResetHint, cur.isFloat))
+      override def close(): Unit = ()
     }
 }
 
 final case class TsdbWalSlicePartition(
     segment: String, from: Long, until: Long,
-    dict: Map[Long, Map[String, String]]) extends InputPartition
+    dict: Map[Long, Map[String, String]],
+    kind: String = "samples") extends InputPartition

@@ -138,6 +138,83 @@ class TsdbWalSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming WAL histogram tail: kind=histograms ≡ batch reader, " +
+      "torn-tail safe; bad kind rejected") {
+    import graft.tsdb.NativeHistogram
+    import graft.sources.tsdbblock.{TsdbWalWriter, TsdbWalRecords}
+    import spark.implicits._
+    // 2 series × 2 snapshot times on the schema-0 grid
+    val rows = Seq(
+      ("a", 1000L, 2.0), ("a", 1000L, 3.0),
+      ("b", 1000L, 5.0),
+      ("a", 2000L, 9.0), ("b", 2000L, 17.0), ("b", 2000L, 33.0))
+    val dense = NativeHistogram.buildExp(
+      rows.toDF("inst", "time", "v"),
+      Seq(col("inst"), col("time")), col("v"),
+      schema = 0, minExp = 0, maxExp = 9)
+      .select(col("time"),
+        map(lit("__name__"), lit("h"), lit("inst"), col("inst")).as("labels"),
+        col("hist"))
+    val src = java.nio.file.Files.createTempDirectory("walhist_src")
+    TsdbWalWriter.writeHistograms(dense, src.toString,
+      schemaId = 0, minExp = 0, maxExp = 9, float = false)
+    val segs = WalReader.segments(src.toString)
+    assert(segs.nonEmpty)
+    // live-WAL staging dir: torn first segment, then completed, then
+    // the rest (same atomic-replace discipline as the float tail test)
+    val dir = java.nio.file.Files.createTempDirectory("walhist_tail")
+    def put(name: String, bytes: Array[Byte]): Unit = {
+      val tmp = dir.resolve(name + ".tmp")
+      java.nio.file.Files.write(tmp, bytes)
+      java.nio.file.Files.move(tmp, dir.resolve(name),
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    }
+    val names = segs.map(s => new java.io.File(s).getName)
+    val bytes = segs.map(s =>
+      java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(s)))
+    put(names.head, bytes.head.take(bytes.head.length / 2)) // torn
+    val q = spark.readStream.format("tsdb-wal-stream")
+      .option("kind", "histograms").load(dir.toString)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("wal_hist_tail_test").start()
+    try {
+      q.processAllAvailable()
+      val n1 = spark.table("wal_hist_tail_test").count() // no exception
+      assert(n1 <= 4, "torn prefix must not invent records")
+      names.zip(bytes).foreach { case (n, b) => put(n, b) } // complete
+      q.processAllAvailable()
+      val streamed = spark.table("wal_hist_tail_test")
+      assert(streamed.count() == 4) // one record per (series, time)
+      // content ≡ the batch histogram reader over the same directory
+      val a = streamed.select(
+        element_at(col("labels"), "inst").as("inst"),
+        col("time"), col("count"), col("sum"))
+      val b = TsdbWalRecords.readHistogramsFull(spark, dir.toString)
+        .toDF("labels", "h")
+        .select(col("labels").getItem("inst").as("inst"),
+          col("h.time").as("time"), col("h.count").as("count"),
+          col("h.sum").as("sum"))
+      assert(a.except(b).isEmpty && b.except(a).isEmpty)
+      // the sparse shape round-trips into the dense NHCB tier
+      val back = graft.tsdb.RemoteWrite.denseFromSparse(
+        streamed.drop("isFloat").as[graft.tsdb.RemoteWrite.SparseHist],
+        schemaId = 0, minExp = 0, maxExp = 9)
+      assert(back.where(col("time") === 1000L &&
+          col("labels").getItem("inst") === "a")
+        .select(col("hist.count")).as[Double].head() == 2.0)
+    } finally q.stop()
+    // an unknown kind is a loud caller error, never a silent default
+    val e = intercept[Exception] {
+      spark.readStream.format("tsdb-wal-stream").option("kind", "bogus")
+        .load(dir.toString)
+    }
+    def msg(t: Throwable): Boolean = t != null &&
+      (String.valueOf(t.getMessage).contains("tsdb-wal-stream kind") ||
+        msg(t.getCause))
+    assert(msg(e), e)
+  }
+
   test("stream_q7_wal_tail digest column ≡ batch source per-name digest") {
     // the driver's rows-only check now carries a content commitment:
     // the streaming query's per-name digest must equal the same fold
