@@ -2341,6 +2341,31 @@ object TsdbQueries {
           col("`labels.user`").as("user"), col("t"),
           col("hist").getField("count").cast("long").as("n"),
           round(col("hist").getField("sum"), 4).as("sum_v"))),
+    // Q163: `promtool tsdb analyze` — the per-block CARDINALITY
+    // analysis an operator runs before data-dir surgery (which metrics
+    // / label names / label-value pairs explode the series universe),
+    // over a block the ENGINE wrote: events → one block (single slice),
+    // index-driven series stats + distributed sample counts. The chunk
+    // columns are not SQL-visible (chunking is the writer's layout) —
+    // the oracle replays sections metric/label/pair + samples from raw
+    // events.
+    "tsdb_q163_block_analyze" -> ((s, dir) => {
+      val long = load(s, dir, "events").select(
+        unix_millis(col("ts")).as("time"), col("value"),
+        map(lit("__name__"), col("event_type"),
+          lit("user"), col("user_id").cast("string")).as("labels"))
+      val root = "/tmp/graft_q163_blocks"
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+        f.delete(): Unit
+      }
+      rm(new java.io.File(root))
+      val dirs = graft.sources.tsdbblock.TsdbBlockWriter.write(long, root,
+        blockRangeMs = 1L << 42) // one slice → the whole corpus, ONE block
+      graft.tsdb.TsdbAnalyze.analyze(s, s"$root/${dirs.head}")
+        .select(col("section"), col("key"), col("n_series"),
+          col("n_values"), col("n_samples"))
+    }),
     // Q60: time() + vector() through the PARSER — the grafana idiom
     // `sum(m) - vector(time())` (e.g. seconds-since-last-report):
     // time() resolves to the evaluation instant (scalar, const-folded),
@@ -4763,6 +4788,32 @@ object TsdbQueries {
          |FROM f0 JOIN ld ON f0."user" = ld."user" AND f0.day = ld.day
          |CROSS JOIN grid g
          |GROUP BY 1, 2, 3""".stripMargin,
+    // Q163 replay: series = distinct (metric, user) label sets; the
+    // three promtool sections recomputed from raw events.
+    "tsdb_q163_block_analyze" ->
+      """WITH e AS (SELECT event_type AS m, CAST(user_id AS VARCHAR) AS u
+        |  FROM events),
+        |s AS (SELECT m, u, count(*) AS n FROM e GROUP BY 1, 2),
+        |metric AS (SELECT 'metric' AS section, m AS key,
+        |  count(*) AS n_series, CAST(0 AS BIGINT) AS n_values,
+        |  CAST(sum(n) AS BIGINT) AS n_samples FROM s GROUP BY 2),
+        |lab AS (
+        |  SELECT 'label' AS section, '__name__' AS key,
+        |    (SELECT count(*) FROM s) AS n_series,
+        |    (SELECT count(DISTINCT m) FROM s) AS n_values,
+        |    CAST(0 AS BIGINT) AS n_samples
+        |  UNION ALL
+        |  SELECT 'label', 'user', (SELECT count(*) FROM s),
+        |    (SELECT count(DISTINCT u) FROM s), CAST(0 AS BIGINT)),
+        |pairs AS (
+        |  SELECT 'pair' AS section, '__name__=' || m AS key,
+        |    count(*) AS n_series, CAST(0 AS BIGINT) AS n_values,
+        |    CAST(0 AS BIGINT) AS n_samples FROM s GROUP BY 2
+        |  UNION ALL
+        |  SELECT 'pair', 'user=' || u, count(*), CAST(0 AS BIGINT),
+        |    CAST(0 AS BIGINT) FROM s GROUP BY 2)
+        |SELECT * FROM metric UNION ALL SELECT * FROM lab
+        |UNION ALL SELECT * FROM pairs""".stripMargin,
     "tsdb_q16_schema_evolution" ->
       s"""WITH t AS (SELECT CAST(epoch_ms(ts) AS BIGINT) AS time, value,
          |  event_type AS "labels.name",

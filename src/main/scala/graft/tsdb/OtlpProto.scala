@@ -136,8 +136,18 @@ object OtlpProto {
     out.result()
   }
 
-  private[tsdb] def decodeHists(raw: Array[Byte]): Seq[SparseHist] = {
-    val out = Seq.newBuilder[SparseHist]
+  private[tsdb] def decodeHists(raw: Array[Byte]): Seq[SparseHist] =
+    decodeHistsFull(raw).map(_._1)
+
+  /** Full-fidelity exponential-histogram decode: each point plus its
+    * START TIME (`start_time_unix_nano`, field 2 — OTel's created/reset
+    * timestamp, 0 when the producer sent none), the histogram twin of
+    * [[decodeSamplesFull]]'s fifth element: the receiver's
+    * created-timestamp-zero ingestion seeds an EMPTY histogram at the
+    * start time so hist-tier rate/increase see the reset. */
+  private[tsdb] def decodeHistsFull(raw: Array[Byte])
+      : Seq[(SparseHist, Long)] = {
+    val out = Seq.newBuilder[(SparseHist, Long)]
     foreachMetricWithResource(raw) { (res, name, field, s, e) =>
       if (field == 10) { // exponential_histogram
         val promo = jobInstance(res)
@@ -146,13 +156,13 @@ object OtlpProto {
         // DELTA rejects loudly, like the Sum and classic-hist paths —
         // buffered flush because field order is not guaranteed
         var temporality = 0
-        val pending = Seq.newBuilder[SparseHist]
+        val pending = Seq.newBuilder[(SparseHist, Long)]
         while (g.hasMore) g.key() match {
           case (2, 0) => temporality = g.varint().toInt
           case (1, 2) =>
             val (ds, de) = g.delimited()
-            val p = decodeExpPoint(raw, ds, de, name)
-            pending += p.copy(labels = p.labels ++ promo)
+            val (p, st) = decodeExpPoint(raw, ds, de, name)
+            pending += ((p.copy(labels = p.labels ++ promo), st))
           case (_, w) => g.skip(w)
         }
         requireCumulative(temporality, name, "exponential histogram")
@@ -429,9 +439,10 @@ object OtlpProto {
   }
 
   private def decodeExpPoint(raw: Array[Byte], from: Int, until: Int,
-                             name: String): SparseHist = {
+                             name: String): (SparseHist, Long) = {
     val dp = new ProtoReader(raw, from, until)
     var t = 0L; var count = 0.0; var sum = 0.0; var scale = 0
+    var start = 0L
     var zeroCount = 0.0; var zeroThreshold = 0.0
     var labels = Map("__name__" -> name)
     var pos = Seq.empty[(Int, Double)]; var neg = Seq.empty[(Int, Double)]
@@ -455,6 +466,7 @@ object OtlpProto {
     }
     var flags = 0L
     while (dp.hasMore) dp.key() match {
+      case (2, 1) => start = dp.fixed64() // start_time_unix_nano
       case (3, 1) => t = dp.fixed64()
       case (4, 1) => count = dp.fixed64().toDouble
       case (5, 1) => sum = java.lang.Double.longBitsToDouble(dp.fixed64())
@@ -475,11 +487,11 @@ object OtlpProto {
     // exactly that); the receiver's append detects the bit pattern and
     // lands a NULL-hist staleness row in the dense head
     if (noRecorded(flags))
-      SparseHist(divNsToMs(t), labels, 0.0, StaleNaN, scale, 0.0, 0.0,
-        Nil, Nil)
+      (SparseHist(divNsToMs(t), labels, 0.0, StaleNaN, scale, 0.0, 0.0,
+        Nil, Nil), divNsToMs(start))
     else
-      SparseHist(divNsToMs(t), labels, count, sum, scale, zeroThreshold,
-        zeroCount, pos, neg)
+      (SparseHist(divNsToMs(t), labels, count, sum, scale, zeroThreshold,
+        zeroCount, pos, neg), divNsToMs(start))
   }
 
   /** Walk request → resource_metrics → scope_metrics → metrics and hand
@@ -726,10 +738,12 @@ object OtlpProto {
                                   counts: Seq[Double], schemaId: Int,
                                   minExp: Int, maxExp: Int,
                                   delta: Boolean = false,
-                                  stale: Boolean = false): Array[Byte] = {
+                                  stale: Boolean = false,
+                                  startTimeMs: Long = 0L): Array[Byte] = {
     val dp = new ProtoWriter
     attrBytes(labels).foreach(a => dp.bytes(1, a))
     if (stale) dp.int64(10, 1L) // FLAG_NO_RECORDED_VALUE
+    if (startTimeMs != 0L) dp.fixed64(2, startTimeMs * 1000000L)
     dp.fixed64(3, t * 1000000L)
     dp.fixed64(4, count.toLong)
     dp.fixed64(5, java.lang.Double.doubleToLongBits(sum))

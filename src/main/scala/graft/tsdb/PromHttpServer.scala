@@ -495,11 +495,46 @@ final class PromHttpServer(spark: SparkSession, initial: DataFrame,
     * (the metric universe). */
   private var pushedMeta = Map.empty[String, (String, String, String)]
 
-  /** Created-timestamp zeros already injected, per (series labels,
-    * start time) — series-count-sized driver state keeping repeated
-    * pushes of the same (series, start) from piling duplicate zero
-    * rows into the head. */
-  private var ctZeroSeen = Set.empty[(Map[String, String], Long)]
+  /** Created-timestamp zeros already injected: per-SERIES watermark of
+    * the newest start time seen, keyed by a 64-bit hash of the sorted
+    * label set — the map's size tracks LIVE series (one entry each),
+    * never reset history, and no label map is retained (previously a
+    * Set of (full label map, start) grew one entry per reset for the
+    * server's lifetime). A start at or before the watermark is
+    * history — a retransmit or a superseded reset — and injects
+    * nothing; only a NEWER start advances it and lands a zero. A hash
+    * collision merely suppresses one injection (reset detection then
+    * falls back to the value drop) — it can never corrupt data. */
+  private var ctZeroSeen = Map.empty[Long, Long]
+
+  private def seriesHash(ls: Map[String, String]): Long = {
+    val sorted = ls.toSeq.sorted
+    val h1 = scala.util.hashing.MurmurHash3.orderedHash(sorted, 0x9747b28c)
+    val h2 = scala.util.hashing.MurmurHash3.orderedHash(sorted, 0x5bd1e995)
+    (h1.toLong << 32) | (h2.toLong & 0xffffffffL)
+  }
+
+  /** Flag-gated created-timestamp bookkeeping shared by every receiver
+    * path (v2 samples, OTLP counters, v2/OTLP native histograms):
+    * returns the (start, labels) pairs whose start is NEWER than the
+    * series' watermark, advancing it. Caller builds the zero rows. */
+  private def freshCtZeros(cands: Seq[(Long, Map[String, String])])
+      : Seq[(Long, Map[String, String])] = synchronized {
+    val fresh = cands.distinct.filter { case (st, ls) =>
+      ctZeroSeen.get(seriesHash(ls)).forall(_ < st) }
+    ctZeroSeen ++= fresh.map { case (st, ls) => seriesHash(ls) -> st }
+    fresh
+  }
+
+  /** Test hook: the CT bookkeeping's size (must track live series). */
+  private[tsdb] def ctZeroSeenSize: Int = synchronized(ctZeroSeen.size)
+
+  /** An EMPTY histogram on the receiver grid at a series' created/start
+    * time — what Prometheus's CT ingestion appends for native-histogram
+    * series so hist-tier rate/increase see the reset. */
+  private def emptyHistAt(st: Long, ls: Map[String, String]) =
+    RemoteWrite.SparseHist(st, ls, 0.0, 0.0, histSchemaId, 0.0, 0.0,
+      Nil, Nil)
 
   /** The served metadata universe: the configured view (OpenMetrics
     * triples / WAL kind-6 records) overridden by v2-pushed entries,
@@ -765,7 +800,13 @@ final class PromHttpServer(spark: SparkSession, initial: DataFrame,
         catch { case _: IllegalArgumentException =>
           PromQL.evalRange(ast, view, s, e, step, lb) }
       else PromQL.evalRange(ast, view, s, e, step, lb)
-    val (_, alertsDf) = AlertRules.evaluateGroup(g.rules, wide,
+    // hist-head rules with NO float-evaluable reading are excluded
+    // from evaluation entirely: the float fallback would read a store
+    // with no series for the metric and render the rule forever
+    // inactive — they surface health=err + lastError in /api/v1/rules
+    // instead (the router's 422, in the rules tier's error channel)
+    val evaluable = g.rules.filter(r => ruleHistError(exprOf(r)).isEmpty)
+    val (_, alertsDf) = AlertRules.evaluateGroup(evaluable, wide,
       start = lastTick - (rulesHorizonMs / interval) * interval,
       end = lastTick, stepMs = interval, lookbackMs = lookbackMs,
       evalRangeFn = routedEvalRange)
@@ -866,6 +907,29 @@ final class PromHttpServer(spark: SparkSession, initial: DataFrame,
     else alertmanagers.map(u => u -> AlertNotifier.post(u, payload)).toMap
   }
 
+  private def exprOf(r: AlertRules.Rule): String = r match {
+    case AlertRules.AlertRule(_, e, _, _, _, _) => e
+    case AlertRules.RecordingRule(_, e, _) => e
+  }
+
+  /** The RULES tier's twin of the router's 422 fallthrough: a rule
+    * whose every name-bearing selector resolves to the pushed-native
+    * head but whose shape has no float-evaluable hist-tier reading
+    * cannot evaluate meaningfully on EITHER tier — the float fallback
+    * is silently empty (the metric has no float series), rendering the
+    * rule forever inactive/"ok". Prometheus surfaces such rules as
+    * `health: err` with `lastError`; so does this. Parse errors are
+    * not this check's business (they surface at rule load). */
+  private def ruleHistError(expr: String): Option[String] =
+    try {
+      val ast = PromQL.parse(expr)
+      if (routesToHistHead(ast, allowNameless = false) &&
+          !PromQLHist.floatEvaluable(ast))
+        Some("unsupported expression over native-histogram series: " +
+          expr + " (no float-evaluable hist-tier reading)")
+      else None
+    } catch { case scala.util.control.NonFatal(_) => None }
+
   private def rulesEndpoint(ex: HttpExchange, p: Params,
                             alertsOnly: Boolean): Unit = {
     val yaml = rules.getOrElse(
@@ -894,6 +958,13 @@ final class PromHttpServer(spark: SparkSession, initial: DataFrame,
         }
         (state, items.mkString("[", ",", "]"))
       }
+      // health per rule: a hist-head rule with no evaluable reading
+      // renders err + lastError (excluded from evaluation above) —
+      // Prometheus's rule-error contract, never a silently-inactive ok
+      def health(e: String): String = ruleHistError(e) match {
+        case Some(msg) => s""""health":"err","lastError":${jstr(msg)}}"""
+        case None => """"health":"ok"}"""
+      }
       val rulesJson = g.rules.map {
         case AlertRule(n, e, forMs, kffMs, rl, anns) =>
           val (state, items) = alertJson(n, rl, anns)
@@ -901,10 +972,10 @@ final class PromHttpServer(spark: SparkSession, initial: DataFrame,
             s""""duration":${forMs / 1000},""" +
             s""""keepFiringFor":${kffMs / 1000},"labels":${mapJson(rl)},""" +
             s""""annotations":${mapJson(anns)},"state":${jstr(state)},""" +
-            s""""alerts":$items,"health":"ok"}"""
+            s""""alerts":$items,""" + health(e)
         case RecordingRule(n, e, rl) =>
           s"""{"type":"recording","name":${jstr(n)},"query":${jstr(e)},""" +
-            s""""labels":${mapJson(rl)},"health":"ok"}"""
+            s""""labels":${mapJson(rl)},""" + health(e)
       }
       (s"""{"name":${jstr(g.name)},"file":"<inline>",""" +
         s""""interval":${interval / 1000},""" +
@@ -986,7 +1057,16 @@ final class PromHttpServer(spark: SparkSession, initial: DataFrame,
       .getOrElse(System.currentTimeMillis())
     val lines = Federate.federate(TsdbTable(wide), sels, at, lookbackMs,
       externalLabels)
-    text(ex, 200, lines.as[String].collect().mkString("", "\n", "\n"),
+    // pushed-native-histogram series federate classic-style (_bucket/
+    // _count/_sum from the dense grid) — text exposition cannot carry
+    // native histograms, and dropping the series silently breaks a
+    // federation hierarchy (they matched, then vanished)
+    val all = histHead match {
+      case Some(hh) => lines.unionByName(
+        Federate.federateHists(hh, sels, at, lookbackMs, externalLabels))
+      case None => lines
+    }
+    text(ex, 200, all.as[String].collect().mkString("", "\n", "\n"),
       contentType = "text/plain; version=0.0.4")
   }
 
@@ -1036,19 +1116,28 @@ final class PromHttpServer(spark: SparkSession, initial: DataFrame,
         // created-timestamp zero ingestion, v2 form: TimeSeries.
         // created_timestamp (field 6) is the series' created/reset
         // time — the same flag-gated zero injection as the OTLP
-        // receiver's start_time_unix_nano, once per (series, created)
+        // receiver's start_time_unix_nano, once per (series, created).
+        // HISTOGRAM-bearing v2 series get the analogous EMPTY histogram
+        // at the created time (Prometheus's CT ingestion appends one so
+        // hist-tier rate/increase see the reset; previously only float
+        // samples seeded zeros and hist series silently missed theirs).
         val ctZeros =
           if (!createdZeroIngestion) Nil
-          else synchronized {
-            val fresh = series.collect {
-              case sr if sr.createdTimestamp > 0 && sr.samples.nonEmpty &&
-                  sr.createdTimestamp < sr.samples.map(_._1).min &&
-                  !ctZeroSeen((sr.labels.toMap, sr.createdTimestamp)) =>
-                (sr.createdTimestamp, sr.labels.toMap)
-            }.distinct
-            ctZeroSeen ++= fresh.map { case (st, ls) => (ls, st) }
-            fresh.map { case (st, ls) => (st, 0.0, ls) }
-          }
+          else freshCtZeros(series.collect {
+            case sr if sr.createdTimestamp > 0 && sr.samples.nonEmpty &&
+                sr.createdTimestamp < sr.samples.map(_._1).min =>
+              (sr.createdTimestamp, sr.labels.toMap)
+          }).map { case (st, ls) => (st, 0.0, ls) }
+        if (createdZeroIngestion) {
+          val histZeros = freshCtZeros(series.collect {
+            case sr if sr.createdTimestamp > 0 && sr.histograms.nonEmpty &&
+                sr.createdTimestamp < sr.histograms.map(_.time).min =>
+              (sr.createdTimestamp, sr.labels.toMap)
+          }).map { case (st, ls) => emptyHistAt(st, ls) }
+          // synthetic rows: appended, but NOT counted in the response's
+          // Written headers (those report the request's own payload)
+          if (histZeros.nonEmpty) { appendHists(histZeros); () }
+        }
         series.flatMap { sr =>
           sr.samples.map { case (t, v) => (t, v, sr.labels.toMap) }
         } ++ ctZeros
@@ -1207,7 +1296,8 @@ final class PromHttpServer(spark: SparkSession, initial: DataFrame,
     // request that 400s must ingest NOTHING (appending exp-histograms
     // first and then rejecting a delta sum would leave a partial write
     // behind an error status)
-    val expHists = dec(OtlpProto.decodeHists(raw))
+    val expHistsFull = dec(OtlpProto.decodeHistsFull(raw))
+    val expHists = expHistsFull.map(_._1)
     // gauge/sum points PLUS explicit-bounds histograms PLUS summaries —
     // Prometheus's OTLP endpoint translates classic histograms into
     // _bucket/_count/_sum series and summaries into
@@ -1242,14 +1332,20 @@ final class PromHttpServer(spark: SparkSession, initial: DataFrame,
     // drop below the pre-reset one.
     val ctZeros =
       if (!createdZeroIngestion) Nil
-      else synchronized {
-        val fresh = samplesFull.collect {
-          case (t, _, ls, st, true)
-              if st > 0 && st < t && !ctZeroSeen((ls, st)) => (st, ls)
-        }.distinct
-        ctZeroSeen ++= fresh.map { case (st, ls) => (ls, st) }
-        fresh.map { case (st, ls) => (st, 0.0, ls) }
-      }
+      else freshCtZeros(samplesFull.collect {
+        case (t, _, ls, st, true) if st > 0 && st < t => (st, ls)
+      }).map { case (st, ls) => (st, 0.0, ls) }
+    // ...and the native-histogram analogue: an exponential-histogram
+    // point whose start_time_unix_nano precedes its sample seeds an
+    // EMPTY histogram at the start time (once per series reset), so
+    // hist-tier rate/increase see the reset — previously only float
+    // counters got zeros and exp-hist resets were decode-and-ignored
+    val histCtZeros =
+      if (!createdZeroIngestion) Nil
+      else freshCtZeros(expHistsFull.collect {
+        case (h, st) if st > 0 && st < h.time &&
+            !TsdbSchema.isStaleMarker(h.sum) => (st, h.labels)
+      }).map { case (st, ls) => emptyHistAt(st, ls) }
     val samples =
       samplesFull.map { case (t, v, ls, _, _) => (t, v, ls) } ++ ctZeros
     // resource attributes: service.name/namespace/instance.id promote
@@ -1276,7 +1372,7 @@ final class PromHttpServer(spark: SparkSession, initial: DataFrame,
         (t, v, lbls, traceId)
     }
     // every section validated — appends start here
-    appendHists(expHists)
+    appendHists(expHists ++ histCtZeros)
     appendLongRows(decoded)
     appendExemplarRows(exemplarRows)
     ex.getResponseHeaders.set("Content-Type", "application/x-protobuf")

@@ -252,23 +252,40 @@ object RemoteRead {
 
   /** The SAMPLED response is one HTTP body collected on the driver, so
     * it needs the guard rail Prometheus enforces as
-    * `remote_read_sample_limit`: a `limit(n+1)` count probe INSIDE the
-    * plan fails the request loudly BEFORE anything response-sized
-    * materializes. Cost shape: LocalLimit caps every partition's scan
-    * at n+1 rows and the count is a row count over at most n+1 of
-    * them — bounded by the limit, never by the match, and nothing but
-    * a count reaches the driver. `0` = unlimited (Prometheus's
-    * convention). The streamed path needs no limit — it never
-    * materializes the response. */
-  private def enforceSampleLimit(rows: DataFrame, sampleLimit: Long,
-                                 what: String): Unit =
-    if (sampleLimit > 0 && sampleLimit < Int.MaxValue &&
-        rows.limit(sampleLimit.toInt + 1).count() > sampleLimit)
-      throw new IllegalArgumentException(
-        s"exceeded sample limit ($sampleLimit) for the SAMPLED " +
-          s"remote-read response ($what); narrow the query's matchers/" +
-          "time range or negotiate STREAMED_XOR_CHUNKS " +
-          "(accepted_response_types), which streams without a limit")
+    * `remote_read_sample_limit` — in ONE pass: per-series sample
+    * counts ride the encode projection, the driver drains result
+    * partitions incrementally (`toLocalIterator` — one partition
+    * resident at a time, shuffle computed once) and fails LOUDLY the
+    * moment the running count exceeds the limit, before the over-limit
+    * remainder materializes. (The previous `limit(n+1)` pre-probe read
+    * the matched slice a SECOND time ahead of the serving scan, and
+    * silently became a no-op for limits >= Int.MaxValue; Long limits
+    * now enforce exactly.) `0` = unlimited (Prometheus's convention).
+    * The streamed path needs no limit — it never materializes the
+    * response. */
+  private def collectLimited(
+      series: Dataset[(String, Long, Array[Byte])],
+      sampleLimit: Long, what: String): Array[(String, Array[Byte])] =
+    if (sampleLimit <= 0) {
+      series.collect().map { case (k, _, b) => (k, b) }
+    } else {
+      val buf =
+        scala.collection.mutable.ArrayBuffer.empty[(String, Array[Byte])]
+      var n = 0L
+      val it = series.toLocalIterator()
+      while (it.hasNext) {
+        val (k, cnt, bytes) = it.next()
+        n += cnt
+        if (n > sampleLimit)
+          throw new IllegalArgumentException(
+            s"exceeded sample limit ($sampleLimit) for the SAMPLED " +
+              s"remote-read response ($what); narrow the query's matchers/" +
+              "time range or negotiate STREAMED_XOR_CHUNKS " +
+              "(accepted_response_types), which streams without a limit")
+        buf += ((k, bytes))
+      }
+      buf.toArray
+    }
 
   /** Serve a `ReadRequest` as a snappy `ReadResponse` (SAMPLES type):
     * one `QueryResult` per query, in order; series sorted by label
@@ -282,16 +299,16 @@ object RemoteRead {
     import sp.implicits._
     val w = new ProtoWriter
     req.queries.foreach { q =>
-      enforceSampleLimit(slice(t, q), sampleLimit, "float samples")
-      val series: Array[(String, Array[Byte])] = grouped(slice(t, q))
-        .mapPartitions(_.map { case (entries, samples) =>
-          // NULL value → StaleNaN on the wire (Prometheus serves
-          // staleness markers over remote read; the bits are exact
-          // here — no shuffle between this assignment and the encode)
-          (labelSortKey(entries), RemoteWrite.encodeSeries(entries,
-            samples.map { case (ts, v) => (ts, v.getOrElse(StaleNaN)) }))
-        })
-        .collect()
+      val series: Array[(String, Array[Byte])] = collectLimited(
+        grouped(slice(t, q)).mapPartitions(_.map {
+          case (entries, samples) =>
+            // NULL value → StaleNaN on the wire (Prometheus serves
+            // staleness markers over remote read; the bits are exact
+            // here — no shuffle between this assignment and the encode)
+            (labelSortKey(entries), samples.size.toLong,
+              RemoteWrite.encodeSeries(entries,
+                samples.map { case (ts, v) => (ts, v.getOrElse(StaleNaN)) }))
+        }), sampleLimit, "float samples")
       val qw = new ProtoWriter
       series.sortBy(_._1)(utf8ByteOrder).foreach(s => qw.bytes(1, s._2))
       w.bytes(1, qw.toBytes)
@@ -401,33 +418,32 @@ object RemoteRead {
     val req = decodeReadRequest(requestBytes)
     val w = new ProtoWriter
     req.queries.foreach { q =>
-      enforceSampleLimit(histSlice(hs, q), sampleLimit, "histogram samples")
-      val series: Array[(String, Array[Byte])] = histSlice(hs, q)
-        .select(array_sort(map_entries(col("_1"))).as("entries"),
-          col("_2").as("hist"))
-        .groupBy(col("entries"))
-        .agg(collect_list(col("hist")).as("hists"))
-        .as[(Seq[(String, String)], Seq[WalReader.WalHistogram])]
-        .mapPartitions(_.map { case (entries, hists) =>
-          val sw = new ProtoWriter
-          entries.foreach { case (n, v) =>
-            val lw = new ProtoWriter
-            lw.string(1, n); lw.string(2, v)
-            sw.bytes(1, lw.toBytes)
-          }
-          hists.sortBy(_.time).foreach { h =>
-            // customValues/resetHint ride along: an NHCB (schema -53)
-            // histogram served from a WAL frame keeps its bucket
-            // BOUNDS in the sampled form, exactly as the chunked
-            // path's HistChunk payload does
-            sw.bytes(4, RemoteWrite.encodeHistogram(RemoteWrite.SparseHist(
-              h.time, Map.empty, h.count, h.sum, h.schema,
-              h.zeroThreshold, h.zeroCount, h.positive, h.negative,
-              h.customValues, h.counterResetHint)))
-          }
-          (labelSortKey(entries), sw.toBytes)
-        })
-        .collect()
+      val series: Array[(String, Array[Byte])] = collectLimited(
+        histSlice(hs, q)
+          .select(array_sort(map_entries(col("_1"))).as("entries"),
+            col("_2").as("hist"))
+          .groupBy(col("entries"))
+          .agg(collect_list(col("hist")).as("hists"))
+          .as[(Seq[(String, String)], Seq[WalReader.WalHistogram])]
+          .mapPartitions(_.map { case (entries, hists) =>
+            val sw = new ProtoWriter
+            entries.foreach { case (n, v) =>
+              val lw = new ProtoWriter
+              lw.string(1, n); lw.string(2, v)
+              sw.bytes(1, lw.toBytes)
+            }
+            hists.sortBy(_.time).foreach { h =>
+              // customValues/resetHint ride along: an NHCB (schema -53)
+              // histogram served from a WAL frame keeps its bucket
+              // BOUNDS in the sampled form, exactly as the chunked
+              // path's HistChunk payload does
+              sw.bytes(4, RemoteWrite.encodeHistogram(RemoteWrite.SparseHist(
+                h.time, Map.empty, h.count, h.sum, h.schema,
+                h.zeroThreshold, h.zeroCount, h.positive, h.negative,
+                h.customValues, h.counterResetHint)))
+            }
+            (labelSortKey(entries), hists.size.toLong, sw.toBytes)
+          }), sampleLimit, "histogram samples")
       val qw = new ProtoWriter
       series.sortBy(_._1)(utf8ByteOrder).foreach(s => qw.bytes(1, s._2))
       w.bytes(1, qw.toBytes)

@@ -781,6 +781,139 @@ class PromHttpServerSpec extends SparkSpec {
     } finally srv2.stop()
   }
 
+  test("created-timestamp zeros for NATIVE HISTOGRAMS pin hist-tier " +
+      "resets; CT bookkeeping stays series-bounded") {
+    // OTLP exponential histograms' start_time_unix_nano and v2
+    // histogram series' created_timestamp now seed an EMPTY histogram
+    // at the start time (flag-gated, like float counters) — so
+    // hist-tier increase sees a reset whose post-reset count never
+    // drops below the pre-reset one
+    val srv = new PromHttpServer(spark, wide, createdZeroIngestion = true)
+    val p = srv.start()
+    def postAt(body: Array[Byte]): Int = client.send(
+      HttpRequest.newBuilder(
+        URI.create(s"http://127.0.0.1:$p/api/v1/otlp/v1/metrics"))
+        .POST(HttpRequest.BodyPublishers.ofByteArray(body)).build(),
+      HttpResponse.BodyHandlers.ofString()).statusCode()
+    def q(expr: String, at: String): (Int, String) =
+      getAt(p, "/api/v1/query?query=" +
+        java.net.URLEncoder.encode(expr, UTF_8) + s"&time=$at")
+    def grid(c1: Double): Seq[Double] =
+      0.0 +: c1 +: Seq.fill(10)(0.0) // zero + (1,2] + 9 empty + Inf
+    try {
+      // segment 1: started t=1000, 5 obs in (1,2] by t=3000
+      assert(postAt(OtlpProto.encodeExpHist(3000L,
+        Map("__name__" -> "hctr", "user" -> "h"), count = 5.0, sum = 7.5,
+        counts = grid(5.0), schemaId = 0, minExp = 0, maxExp = 9,
+        startTimeMs = 1000L)) == 200)
+      // the injected zero is an EMPTY histogram at the start time
+      val (c1, b1) = q("""{name="hctr"}""", "1")
+      assert(c1 == 200 &&
+        b1.contains(""""histogram":[1.000,{"count":"0.0"""), b1)
+      // segment 2: RESET at t=4000, regrows to 6 — NOT below 5, so
+      // only the injected zero makes the reset visible
+      assert(postAt(OtlpProto.encodeExpHist(5000L,
+        Map("__name__" -> "hctr", "user" -> "h"), count = 6.0, sum = 9.0,
+        counts = grid(6.0), schemaId = 0, minExp = 0, maxExp = 9,
+        startTimeMs = 4000L)) == 200)
+      val (c2, b2) = q("""histogram_count(increase({name="hctr"}[5s]))""",
+        "5")
+      assert(c2 == 200 && b2.contains(""""value":[5.000,"11.0"]"""), b2)
+      // v2 histogram series' created_timestamp: same signal, other wire
+      val h = RemoteWrite.SparseHist(
+        time = 3000L, labels = Map.empty, count = 2.0, sum = 3.0,
+        schema = 0, zeroThreshold = 0.0, zeroCount = 0.0,
+        positive = Seq((1, 2.0)), negative = Nil)
+      val v2 = RemoteWrite2.encodeRequest(Seq(RemoteWrite2.Rw2Series(
+        labels = Seq("__name__" -> "hv2", "user" -> "h"),
+        histograms = Seq(h), createdTimestamp = 1500L)))
+      val rv2 = client.send(
+        HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:$p/api/v1/write"))
+          .header("Content-Type",
+            "application/x-protobuf;proto=io.prometheus.write.v2.Request")
+          .POST(HttpRequest.BodyPublishers.ofByteArray(v2)).build(),
+        HttpResponse.BodyHandlers.ofString())
+      assert(rv2.statusCode() == 204)
+      val (c3, b3) = q("""{name="hv2"}""", "2")
+      assert(c3 == 200 &&
+        b3.contains(""""histogram":[2.000,{"count":"0.0"""), b3)
+      // the CT bookkeeping holds ONE watermark per live series — more
+      // resets of the same series must not grow it (previously one
+      // full-label-map entry accrued per (series, reset) forever)
+      assert(srv.ctZeroSeenSize == 2, srv.ctZeroSeenSize)
+      for (i <- 0 until 3)
+        assert(postAt(OtlpProto.encodeExpHist(9000L + i * 100,
+          Map("__name__" -> "hctr", "user" -> "h"),
+          count = 1.0, sum = 1.5, counts = grid(1.0),
+          schemaId = 0, minExp = 0, maxExp = 9,
+          startTimeMs = 6000L + i * 1000)) == 200)
+      assert(srv.ctZeroSeenSize == 2, srv.ctZeroSeenSize)
+    } finally srv.stop()
+    // flag OFF (the default): start times decode but inject nothing —
+    // the same reset is MISSED (increase sees only 5 → 6)
+    val srv2 = new PromHttpServer(spark, wide)
+    val p2 = srv2.start()
+    try {
+      def post2(body: Array[Byte]): Int = client.send(
+        HttpRequest.newBuilder(
+          URI.create(s"http://127.0.0.1:$p2/api/v1/otlp/v1/metrics"))
+          .POST(HttpRequest.BodyPublishers.ofByteArray(body)).build(),
+        HttpResponse.BodyHandlers.ofString()).statusCode()
+      assert(post2(OtlpProto.encodeExpHist(3000L,
+        Map("__name__" -> "hctr2", "user" -> "h"), count = 5.0, sum = 7.5,
+        counts = grid(5.0), schemaId = 0, minExp = 0, maxExp = 9,
+        startTimeMs = 1000L)) == 200)
+      assert(post2(OtlpProto.encodeExpHist(5000L,
+        Map("__name__" -> "hctr2", "user" -> "h"), count = 6.0, sum = 9.0,
+        counts = grid(6.0), schemaId = 0, minExp = 0, maxExp = 9,
+        startTimeMs = 4000L)) == 200)
+      val (c4, b4) = getAt(p2, "/api/v1/query?query=" +
+        java.net.URLEncoder.encode(
+          """histogram_count(increase({name="hctr2"}[5s]))""", UTF_8) +
+        "&time=5")
+      assert(c4 == 200 && b4.contains(""""value":[5.000,"1.0"]"""), b4)
+    } finally srv2.stop()
+  }
+
+  test("/federate serves pushed-native-histogram series classic-style") {
+    // text exposition cannot carry native histograms — the hist head's
+    // matched series federate as cumulative _bucket/_count/_sum series
+    // (previously they matched, then silently vanished from the body)
+    val srv = new PromHttpServer(spark, wide)
+    val p = srv.start()
+    try {
+      val h = RemoteWrite.SparseHist(
+        time = 1700L, labels = Map.empty, count = 3.0, sum = 8.0,
+        schema = 0, zeroThreshold = 0.0, zeroCount = 0.0,
+        positive = Seq((1, 2.0), (2, 1.0)), negative = Nil)
+      val wreq = RemoteWrite2.encodeRequest(Seq(RemoteWrite2.Rw2Series(
+        labels = Seq("__name__" -> "hfed", "user" -> "f"),
+        histograms = Seq(h))))
+      val wr = client.send(
+        HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:$p/api/v1/write"))
+          .header("Content-Type",
+            "application/x-protobuf;proto=io.prometheus.write.v2.Request")
+          .POST(HttpRequest.BodyPublishers.ofByteArray(wreq)).build(),
+        HttpResponse.BodyHandlers.ofByteArray())
+      assert(wr.statusCode() == 204)
+      val (c, b) = getAt(p, "/federate?match[]=" +
+        java.net.URLEncoder.encode("""{name="hfed"}""", UTF_8) +
+        "&match[]=" +
+        java.net.URLEncoder.encode("""{name="up",user="a"}""", UTF_8) +
+        "&time=2")
+      assert(c == 200, b)
+      // cumulative classic buckets from the dense grid: 2 in (1,2],
+      // 1 in (2,4] → le=2.0 cum 2, le=4.0 cum 3, +Inf cum 3
+      assert(b.contains("""hfed_bucket{le="2.0",user="f"} 2.0 2000"""), b)
+      assert(b.contains("""hfed_bucket{le="4.0",user="f"} 3.0 2000"""), b)
+      assert(b.contains("""hfed_bucket{le="+Inf",user="f"} 3.0 2000"""), b)
+      assert(b.contains("""hfed_count{user="f"} 3.0 2000"""), b)
+      assert(b.contains("""hfed_sum{user="f"} 8.0 2000"""), b)
+      // float series still federate alongside
+      assert(b.contains("up{"), b)
+    } finally srv.stop()
+  }
+
   test("OTLP summary data points land as quantile/_sum/_count series") {
     // Metric oneof field 11 — the shape client-library latency metrics
     // reach a collector in; Prometheus's otlptranslator maps each
@@ -977,10 +1110,12 @@ class PromHttpServerSpec extends SparkSpec {
 
   test("hist-routed rule groups: unsupported shapes fall back per rule") {
     // the rules tier routes name-matching rules to the hist tier ONLY
-    // when the shape is hist-evaluable; a rule the hist grammar cannot
-    // express (avg_over_time over a native metric) must fall back to
-    // the float tier (evaluating empty there) instead of throwing and
-    // failing the WHOLE group for /api/v1/rules, /api/v1/alerts and
+    // when the shape is float-evaluable there; a hist-head rule with no
+    // such reading (avg_over_time(native) > 0 — histogram-valued left
+    // side) renders health=err + lastError and is EXCLUDED from
+    // evaluation (the float fallback would read a store with no series
+    // and render the rule forever inactive/"ok"), while the rest of
+    // the group still evaluates for /api/v1/rules, /api/v1/alerts and
     // the notifier
     val srv = new PromHttpServer(spark, wide,
       rules = Some(
@@ -1009,8 +1144,8 @@ class PromHttpServerSpec extends SparkSpec {
           .POST(HttpRequest.BodyPublishers.ofByteArray(wreq)).build(),
         HttpResponse.BodyHandlers.ofByteArray())
       assert(wr.statusCode() == 204)
-      // the group still evaluates: the hist-shaped rule fires, the
-      // unsupported one quietly evaluates (empty) on the float tier
+      // the group still evaluates: the hist-shaped rule fires; the
+      // unsupported one is excluded and surfaces health=err
       val (c, b) = getAt(p, "/api/v1/alerts?time=2")
       assert(c == 200, b)
       assert(b.contains("hist_shape"), b)
@@ -1018,6 +1153,12 @@ class PromHttpServerSpec extends SparkSpec {
       val (c2, b2) = getAt(p, "/api/v1/rules?time=2")
       assert(c2 == 200, b2)
       assert(b2.contains("unsupported_shape"), b2)
+      assert(b2.contains(""""health":"err""""), b2)
+      assert(b2.contains(""""lastError""""), b2)
+      assert(b2.contains("unsupported expression over native-histogram"),
+        b2)
+      // the evaluable rule keeps health ok
+      assert(b2.contains(""""health":"ok""""), b2)
     } finally srv.stop()
   }
 

@@ -311,8 +311,9 @@ class RemoteReadSpec extends SparkSpec {
     // collects on the driver, so an over-limit request must fail
     // loudly (pointing at STREAMED_XOR_CHUNKS) instead of OOM-ing the
     // driver; an under-limit request and the streamed path are
-    // unaffected. The probe is limit(n+1) inside the plan — it never
-    // scans past n+1 rows.
+    // unaffected. The check is a ONE-pass incremental drain: per-series
+    // counts ride the encode, the driver stops at the first over-limit
+    // partition — the matched slice is read exactly once.
     val t = table()
     val req = encodeReadRequest(ReadRequest(Seq(
       ReadQuery(0L, Long.MaxValue - 1,
@@ -324,6 +325,10 @@ class RemoteReadSpec extends SparkSpec {
     assert(decodeReadResponse(serve(t, req, sampleLimit = 4)).size === 4)
     // 0 = unlimited (Prometheus's convention)
     assert(decodeReadResponse(serve(t, req, sampleLimit = 0)).size === 4)
+    // limits beyond Int.MaxValue enforce as real Long limits now
+    // (previously a silent no-op — the probe needed an Int cast)
+    assert(decodeReadResponse(
+      serve(t, req, sampleLimit = Int.MaxValue.toLong + 10)).size === 4)
     // the streamed path has no limit — it never materializes
     val chunkedReq = encodeReadRequest(ReadRequest(Seq(
       ReadQuery(0L, Long.MaxValue - 1,
