@@ -110,11 +110,19 @@ object Bench {
     // SAMPLED histogram remote read, UTF-8 names end-to-end
     "pipe_q52_dup_spans", "pipe_q53_span_scrub",
     "tsdb_q150_otlp_summary", "tsdb_q151_remote_read_hist_sampled",
-    "tsdb_q153_utf8_names")
+    "tsdb_q153_utf8_names",
+    // round 16: histogram arithmetic (one-to-one matched add — the new
+    // join kernel) and the over-time fold family (sum_over_time as the
+    // representative; avg/last share its fan-out/groupBy shape)
+    "tsdb_q156_promql_hist_add", "tsdb_q159_promql_hist_sum_over_time")
   // round 15: tsdb_q154_tsdb_dump stays out by the q110 rationale — it
   // re-runs q108's dominant block-write work (plus q130's parse) —
   // and tsdb_q155_api_hist_json re-runs q90's dominant daily-histogram
-  // build; both remain fully oracle-verified in CORRECTNESS
+  // build; both remain fully oracle-verified in CORRECTNESS.
+  // Round 16: q157/q158/q160-q162 re-run q156/q159's kernels;
+  // stream_q18 and tsdb_q163 re-run q117's WAL-write / q108's
+  // block-write dominant work — all stay oracle-verified in
+  // CORRECTNESS, out of the bench by the same double-count rationale.
 
   /** 1/5/15-minute fields of /proc/loadavg (empty off-Linux). */
   private def loadavg(): Seq[Double] =

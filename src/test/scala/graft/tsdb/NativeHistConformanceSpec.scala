@@ -143,4 +143,68 @@ class NativeHistConformanceSpec extends SparkSpec {
   test("selector matchers apply to literal series") {
     assert(run("""histogram_count(h{case="b"})""") === Map("b" -> 4.0))
   }
+
+  // ---- arithmetic + over-time forms (promqltest histograms.test
+  // shapes: `hist_a + hist_b`, scalar scaling, range folds) ----------
+
+  // two METRICS sharing the `case` label — default matching pairs them
+  // per case, the metric name excluded
+  private val pair = frame(300000L, Seq(
+    """ha{case="x"} {{schema:0 count:7 sum:12 z_bucket:1 offset:0 buckets:[2 3 1]}}""",
+    """hb{case="x"} {{schema:0 count:4 sum:10 offset:1 buckets:[4]}}"""))
+
+  private def runOn(f: DataFrame, q: String): Map[String, Double] =
+    PromQLHist.eval(PromQL.parse(q), f, at = 60000L,
+        lookbackMs = 300000L, start = 0L, end = 60000L, nLes = Les.size)
+      .collect().map { r =>
+        val cols = r.schema.fieldNames
+        val key = cols.indexOf("labels.case") match {
+          case -1 => cols.indexOf("case") match {
+            case -1 => ""
+            case i => Option(r.get(i)).map(_.toString).getOrElse("")
+          }
+          case i => Option(r.get(i)).map(_.toString).getOrElse("")
+        }
+        key -> r.getDouble(cols.indexOf("value"))
+      }.toMap
+
+  test("hist + hist / hist - hist under default matching (literals)") {
+    assert(runOn(pair, "histogram_count(ha + hb)") === Map("x" -> 11.0))
+    assert(runOn(pair, "histogram_sum(ha + hb)") === Map("x" -> 22.0))
+    assert(runOn(pair, "histogram_count(ha - hb)") === Map("x" -> 3.0))
+    assert(runOn(pair, "histogram_sum(ha - hb)") === Map("x" -> 2.0))
+    // merged dense counts [1,2,7,1,0,0], count 11 → rank 5.5 lands in
+    // (1,2] after cum 3 → 1 + 2.5/7
+    val q = runOn(pair, "histogram_quantile(0.5, ha + hb)")
+    assert(near(q("x"), 1.0 + 2.5 / 7))
+  }
+
+  test("hist × scalar / hist ÷ scalar (literals)") {
+    assert(run("histogram_count(h * 2)") === Map("a" -> 14.0, "b" -> 8.0))
+    assert(run("histogram_sum(h / 2)") === Map("a" -> 6.0, "b" -> 5.0))
+    assert(run("histogram_count(2 * h)") === Map("a" -> 14.0, "b" -> 8.0))
+  }
+
+  test("sum/avg/last_over_time fold literal snapshot series") {
+    // two snapshots of one series (slots 0 and 1 → t = 0, 300000)
+    val series = frame(300000L, Seq(
+      """hs{case="a"} {{schema:0 count:2 sum:2 offset:1 buckets:[2]}} {{schema:0 count:4 sum:5 offset:1 buckets:[4]}}"""))
+    def fold(q: String): Map[String, Double] =
+      PromQLHist.eval(PromQL.parse(q), series, at = 600000L,
+          lookbackMs = 300000L, start = -1L, end = 600000L,
+          nLes = Les.size)
+        .collect().map { r =>
+          val cols = r.schema.fieldNames
+          Option(r.get(cols.indexOf("labels.case"))).map(_.toString)
+            .getOrElse("") -> r.getDouble(cols.indexOf("value"))
+        }.toMap
+    assert(fold("histogram_count(sum_over_time(hs[10m]))") ===
+      Map("a" -> 6.0))
+    assert(fold("histogram_sum(sum_over_time(hs[10m]))") ===
+      Map("a" -> 7.0))
+    assert(fold("histogram_count(avg_over_time(hs[10m]))") ===
+      Map("a" -> 3.0))
+    assert(fold("histogram_count(last_over_time(hs[10m]))") ===
+      Map("a" -> 4.0))
+  }
 }
