@@ -2341,6 +2341,91 @@ object TsdbQueries {
           col("`labels.user`").as("user"), col("t"),
           col("hist").getField("count").cast("long").as("n"),
           round(col("hist").getField("sum"), 4).as("sum_v"))),
+    // Q169/Q170: the presence primitives over native-histogram series.
+    // absent synthesizes `{Eq-matcher labels} 1` exactly when the hist
+    // vector is empty (here: a user label no series carries); routing
+    // matters doubly — the float tier would answer absent(native) = 1
+    // for metrics that EXIST. present_over_time marks each (series,
+    // window) with data.
+    "tsdb_q169_promql_hist_absent" -> ((s, dir) =>
+      graft.tsdb.PromQLHist.eval(
+        graft.tsdb.PromQL.parse(
+          """absent({name="purchase",user="zzz"})"""),
+        histDaily(s, dir), at = RangeEnd, lookbackMs = HistLookbackMs,
+        start = RangeStart, end = RangeEnd, nLes = NhBounds.size + 1)
+        .select(col("name"), col("user"), col("value"))),
+    "tsdb_q170_promql_hist_present_over_time" -> ((s, dir) =>
+      graft.tsdb.PromQLHist.eval(
+        graft.tsdb.PromQL.parse(
+          """present_over_time({name="purchase"}[5d])"""),
+        histDaily(s, dir), at = RangeEnd, lookbackMs = HistLookbackMs,
+        start = RangeStart, end = RangeEnd, nLes = NhBounds.size + 1)
+        .select(col("`labels.user`").as("user"), col("bucket"),
+          col("value"))),
+    // Q167/Q168: FLOAT aggregation / rank over hist-tier float results
+    // — the natural dashboard compositions `sum(histogram_count(m))`
+    // and `topk(3, histogram_count(m))` re-enter the float tier's own
+    // aggregation/rank kernels on the pre-evaluated vector (previously
+    // these shapes raised unsupported / 422).
+    "tsdb_q167_promql_hist_agg" -> ((s, dir) =>
+      graft.tsdb.PromQLHist.eval(
+        graft.tsdb.PromQL.parse(
+          """sum(histogram_count({name="purchase"}))"""),
+        histDaily(s, dir), at = RangeEnd, lookbackMs = HistLookbackMs,
+        start = RangeStart, end = RangeEnd, nLes = NhBounds.size + 1)
+        .select(col("value"))),
+    "tsdb_q168_promql_hist_topk" -> ((s, dir) =>
+      graft.tsdb.PromQLHist.eval(
+        graft.tsdb.PromQL.parse(
+          """topk(3, histogram_count({name="purchase"}))"""),
+        histDaily(s, dir), at = RangeEnd, lookbackMs = HistLookbackMs,
+        start = RangeStart, end = RangeEnd, nLes = NhBounds.size + 1)
+        .select(col("`labels.name`").as("name"),
+          col("`labels.user`").as("user"), col("value"))),
+    // Q166: `delta` over GAUGE-histogram series — element-wise
+    // last − first per tumbling 5d window (no reset fold, no monotone
+    // clamp: the Prometheus delta contract for gauges); windows with
+    // one snapshot drop. Components may go negative.
+    "tsdb_q166_promql_hist_delta" -> ((s, dir) =>
+      graft.tsdb.PromQLHist.eval(
+        graft.tsdb.PromQL.parse(
+          """delta({name="purchase"}[5d])"""),
+        histDaily(s, dir), at = RangeEnd, lookbackMs = HistLookbackMs,
+        start = RangeStart, end = RangeEnd, nLes = NhBounds.size + 1)
+        .select(col("`labels.user`").as("user"), col("bucket"),
+          col("hist").getField("count").cast("long").as("n"),
+          round(col("hist").getField("sum"), 4).as("sum_v"),
+          element_at(col("hist").getField("counts"), 2)
+            .cast("long").as("c2"))),
+    // Q164: `count_over_time` over native-histogram series — snapshots
+    // per tumbling 5d window, a FLOAT vector (one row per series per
+    // bucket; the metric name drops). The oracle counts distinct days
+    // per window — daily snapshots exist exactly for days with data.
+    "tsdb_q164_promql_hist_count_over_time" -> ((s, dir) =>
+      graft.tsdb.PromQLHist.eval(
+        graft.tsdb.PromQL.parse(
+          """count_over_time({name="purchase"}[5d])"""),
+        histDaily(s, dir), at = RangeEnd, lookbackMs = HistLookbackMs,
+        start = RangeStart, end = RangeEnd, nLes = NhBounds.size + 1)
+        .select(col("`labels.user`").as("user"), col("bucket"),
+          col("value"))),
+    // Q165: hist + hist under EXPLICIT on() matching — on(user) names
+    // the one shared non-name label, so the result ≡ Q156's default
+    // matching (which is exactly what Prometheus's on() contract says
+    // here); the hash match pins the explicit-key join path.
+    "tsdb_q165_promql_hist_add_on" -> ((s, dir) =>
+      graft.tsdb.PromQLHist.eval(
+        graft.tsdb.PromQL.parse(
+          """{name="purchase"} + on(user) {name="click"}"""),
+        histDaily(s, dir), at = RangeEnd, lookbackMs = HistLookbackMs,
+        start = RangeStart, end = RangeEnd, nLes = NhBounds.size + 1)
+        .select(col("user"),
+          col("hist").getField("count").cast("long").as("n"),
+          round(col("hist").getField("sum"), 4).as("sum_v"),
+          element_at(col("hist").getField("counts"), 2)
+            .cast("long").as("c2"),
+          element_at(col("hist").getField("counts"), 9)
+            .cast("long").as("cinf"))),
     // Q163: `promtool tsdb analyze` — the per-block CARDINALITY
     // analysis an operator runs before data-dir surgery (which metrics
     // / label names / label-value pairs explode the series universe),
@@ -4788,6 +4873,128 @@ object TsdbQueries {
          |FROM f0 JOIN ld ON f0."user" = ld."user" AND f0.day = ld.day
          |CROSS JOIN grid g
          |GROUP BY 1, 2, 3""".stripMargin,
+    // Q169 replay: the synthesized labels, one row (no user "zzz"
+    // exists). Q170: each (user, 5d window) with ≥ 1 data day → 1.
+    "tsdb_q169_promql_hist_absent" ->
+      """SELECT 'purchase' AS name, 'zzz' AS "user",
+        |  CAST(1.0 AS DOUBLE) AS value""".stripMargin,
+    "tsdb_q170_promql_hist_present_over_time" ->
+      s"""$duckTsdbCte,
+         |f0 AS (SELECT "labels.user" AS "user",
+         |  CAST(floor(time / 86400000.0) AS BIGINT) AS day FROM t
+         |  WHERE "labels.name" = 'purchase'
+         |    AND time > $RangeStart AND time < $RangeEnd),
+         |f AS (SELECT DISTINCT "user", day FROM f0
+         |  WHERE day * 86400000 > $RangeStart
+         |    AND day * 86400000 < $RangeEnd)
+         |SELECT DISTINCT "user",
+         |  CAST(floor(day * 86400000 / 432000000.0) * 432000000
+         |    AS BIGINT) AS bucket,
+         |  CAST(1.0 AS DOUBLE) AS value
+         |FROM f""".stripMargin,
+    // Q167/Q168 replay: latest-day purchase sample counts per user —
+    // summed globally / top-3 with the engine's deterministic
+    // (value DESC, series ASC) tie-break.
+    "tsdb_q167_promql_hist_agg" ->
+      s"""$duckTsdbCte,
+         |f0 AS (SELECT "labels.user" AS "user",
+         |  CAST(floor(time / 86400000.0) AS BIGINT) AS day FROM t
+         |  WHERE "labels.name" = 'purchase'
+         |    AND time > $RangeStart AND time < $RangeEnd),
+         |ld AS (SELECT "user", max(day) AS day FROM f0
+         |  WHERE day * 86400000 > ${RangeEnd - HistLookbackMs}
+         |    AND day * 86400000 <= $RangeEnd
+         |  GROUP BY 1)
+         |SELECT CAST(count(*) AS DOUBLE) AS value
+         |FROM f0 JOIN ld ON f0."user" = ld."user" AND f0.day = ld.day
+         |""".stripMargin,
+    "tsdb_q168_promql_hist_topk" ->
+      s"""$duckTsdbCte,
+         |f0 AS (SELECT "labels.user" AS "user",
+         |  CAST(floor(time / 86400000.0) AS BIGINT) AS day FROM t
+         |  WHERE "labels.name" = 'purchase'
+         |    AND time > $RangeStart AND time < $RangeEnd),
+         |ld AS (SELECT "user", max(day) AS day FROM f0
+         |  WHERE day * 86400000 > ${RangeEnd - HistLookbackMs}
+         |    AND day * 86400000 <= $RangeEnd
+         |  GROUP BY 1),
+         |cnt AS (SELECT f0."user", CAST(count(*) AS DOUBLE) AS value
+         |  FROM f0 JOIN ld ON f0."user" = ld."user" AND f0.day = ld.day
+         |  GROUP BY 1),
+         |r AS (SELECT *, row_number() OVER (ORDER BY value DESC,
+         |  "user" ASC) AS rk FROM cnt)
+         |SELECT 'purchase' AS name, "user", value FROM r
+         |WHERE rk <= 3""".stripMargin,
+    // Q166 replay: per (user, 5d window) with ≥ 2 data days — the
+    // last day's sample stats minus the first day's.
+    "tsdb_q166_promql_hist_delta" ->
+      s"""$duckTsdbCte,
+         |f0 AS (SELECT "labels.user" AS "user",
+         |  CAST(floor(time / 86400000.0) AS BIGINT) AS day, value FROM t
+         |  WHERE "labels.name" = 'purchase'
+         |    AND time > $RangeStart AND time < $RangeEnd),
+         |f AS (SELECT "user", day,
+         |  CAST(floor(day * 86400000 / 432000000.0) * 432000000
+         |    AS BIGINT) AS bucket, value FROM f0
+         |  WHERE day * 86400000 > $RangeStart
+         |    AND day * 86400000 < $RangeEnd),
+         |lf AS (SELECT "user", bucket, max(day) AS ld, min(day) AS fd,
+         |  count(DISTINCT day) AS nd FROM f GROUP BY 1, 2)
+         |SELECT f."user", f.bucket,
+         |  count(*) FILTER (f.day = lf.ld)
+         |    - count(*) FILTER (f.day = lf.fd) AS n,
+         |  round(coalesce(sum(value) FILTER (f.day = lf.ld), 0)
+         |    - coalesce(sum(value) FILTER (f.day = lf.fd), 0), 4)
+         |    AS sum_v,
+         |  count(*) FILTER (f.day = lf.ld AND value > 50
+         |      AND value <= 100)
+         |    - count(*) FILTER (f.day = lf.fd AND value > 50
+         |      AND value <= 100) AS c2
+         |FROM f JOIN lf ON f."user" = lf."user" AND f.bucket = lf.bucket
+         |WHERE lf.nd >= 2
+         |GROUP BY 1, 2""".stripMargin,
+    // Q164 replay: snapshots per (user, 5d window) = distinct data
+    // days in the window.
+    "tsdb_q164_promql_hist_count_over_time" ->
+      s"""$duckTsdbCte,
+         |f0 AS (SELECT "labels.user" AS "user",
+         |  CAST(floor(time / 86400000.0) AS BIGINT) AS day FROM t
+         |  WHERE "labels.name" = 'purchase'
+         |    AND time > $RangeStart AND time < $RangeEnd),
+         |f AS (SELECT DISTINCT "user", day FROM f0
+         |  WHERE day * 86400000 > $RangeStart
+         |    AND day * 86400000 < $RangeEnd)
+         |SELECT "user",
+         |  CAST(floor(day * 86400000 / 432000000.0) * 432000000
+         |    AS BIGINT) AS bucket,
+         |  CAST(count(*) AS DOUBLE) AS value
+         |FROM f GROUP BY 1, 2""".stripMargin,
+    // Q165 replay: identical to Q156's — on(user) is the default key
+    // set spelled explicitly.
+    "tsdb_q165_promql_hist_add_on" ->
+      s"""$duckTsdbCte,
+         |f0 AS (SELECT "labels.name" AS name, "labels.user" AS "user",
+         |  CAST(floor(time / 86400000.0) AS BIGINT) AS day, value FROM t
+         |  WHERE time > $RangeStart AND time < $RangeEnd
+         |    AND "labels.name" IN ('purchase', 'click')),
+         |ld AS (SELECT name, "user", max(day) AS day FROM f0
+         |  WHERE day * 86400000 > ${RangeEnd - HistLookbackMs}
+         |    AND day * 86400000 <= $RangeEnd
+         |  GROUP BY 1, 2),
+         |f AS (SELECT f0.name, f0."user", f0.value FROM f0
+         |  JOIN ld ON f0.name = ld.name AND f0."user" = ld."user"
+         |    AND f0.day = ld.day),
+         |p AS (SELECT "user", count(*) AS n, sum(value) AS s,
+         |  count(*) FILTER (value > 50 AND value <= 100) AS c2,
+         |  count(*) FILTER (value > 400) AS cinf
+         |  FROM f WHERE name = 'purchase' GROUP BY 1),
+         |c AS (SELECT "user", count(*) AS n, sum(value) AS s,
+         |  count(*) FILTER (value > 50 AND value <= 100) AS c2,
+         |  count(*) FILTER (value > 400) AS cinf
+         |  FROM f WHERE name = 'click' GROUP BY 1)
+         |SELECT p."user", p.n + c.n AS n, round(p.s + c.s, 4) AS sum_v,
+         |  p.c2 + c.c2 AS c2, p.cinf + c.cinf AS cinf
+         |FROM p JOIN c ON p."user" = c."user"""".stripMargin,
     // Q163 replay: series = distinct (metric, user) label sets; the
     // three promtool sections recomputed from raw events.
     "tsdb_q163_block_analyze" ->

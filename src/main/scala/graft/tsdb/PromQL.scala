@@ -2330,7 +2330,7 @@ object PromQL {
     * or a repeated name — removes the name. Non-selector arguments
     * synthesize no labels. Emitted as bare columns, like aggregation
     * outputs. */
-  private def absentLabelCols(arg: Expr): Seq[Column] = {
+  private[tsdb] def absentLabelCols(arg: Expr): Seq[Column] = {
     val ms = arg match {
       case Selector(m, _, _, _) => m
       case _ => Seq.empty
@@ -2378,6 +2378,52 @@ object PromQL {
     * vector — `sum(nonexistent)` has no result — where a bare
     * `groupBy().agg` would emit one null (or, for count, zero) row.
     * Grouped aggregations get the contract for free from groupBy. */
+  /** Aggregate a PRE-EVALUATED float vector/matrix frame under PromQL
+    * `by`/`without` grouping — the re-entry point for results computed
+    * outside this evaluator (the hist tier's terminal float vectors:
+    * `sum(histogram_count(native))`, `max by (job) (histogram_quantile
+    * (0.9, rate(native[5m])))`, …). Grid keys (`bucket`/`t`) stay
+    * implicit grouping keys, exactly as in [[eval]]'s own cases. */
+  private[tsdb] def aggFrame(iv0: DataFrame, op: String,
+                             by: Option[Seq[String]],
+                             without: Option[Seq[String]],
+                             param: Option[Double]): DataFrame = {
+    val iv = toValueShape(iv0)
+    require(iv.columns.contains(TsdbSchema.ValueCol),
+      s"$op needs an instant-vector argument")
+    // BOTH implicit grid keys: the tumbling `bucket` (gridKeys) and
+    // the range-mode step `t` (which [[eval]]'s own cases never see —
+    // their range twins handle it — but a pre-evaluated frame carries)
+    val grid = Seq("bucket", "t").filter(iv.columns.contains(_))
+      .map(n => col(n))
+    val keys = (by match {
+      case Some(b) => b.map(labelKey(iv, _))
+      case None => withoutGroupCols(iv, without.getOrElse(Nil))
+    }) ++ grid
+    aggVector(iv, keys, op, param)
+  }
+
+  /** Rank a PRE-EVALUATED float vector (`topk`/`bottomk`/`limitk`) —
+    * the [[aggFrame]] twin for the rank family: partitioned window
+    * under `by`/grid keys, else the global TakeOrdered k-heap shape. */
+  private[tsdb] def rankFrame(iv0: DataFrame, op: String, k: Int,
+                              by: Seq[String],
+                              without: Seq[String]): DataFrame = {
+    val iv = toValueShape(iv0)
+    require(iv.columns.contains(TsdbSchema.ValueCol),
+      s"$op(k, ...) needs an instant-vector argument")
+    val parts = rankParts(iv, by, without) ++
+      Seq("bucket", "t").filter(iv.columns.contains(_)).map(n => col(n))
+    if (parts.nonEmpty)
+      iv.withColumn("_rk", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy(parts: _*).orderBy(rankOrd(op, iv): _*)))
+        .where(col("_rk") <= k)
+        .drop("_rk")
+    else
+      iv.orderBy(rankOrd(op, iv): _*).limit(k)
+  }
+
   private def aggVector(iv: DataFrame, keys: Seq[Column], op: String,
                         param: Option[Double]): DataFrame =
     if (keys.nonEmpty) iv.groupBy(keys: _*).agg(aggValue(op, param))

@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import PromQL.{AggBy, AggWithout, AtAnchor, AtEnd, AtMs, AtStart, BinOp,
-  Expr, Fn, ScalarLit, Selector}
+  Expr, Fn, RankK, ScalarLit, Selector}
 
 /** PromQL over NATIVE-HISTOGRAM series — the text front end for the
   * [[NativeHistogram]] struct tier, closing the loop the scaladoc of
@@ -46,23 +46,31 @@ import PromQL.{AggBy, AggWithout, AtAnchor, AtEnd, AtMs, AtStart, BinOp,
   *     latest snapshot, on the same tumbling (instant) or sliding
   *     (range-mode) window contract as rate;
   *   - `v + v` / `v - v` — element-wise histogram add/subtract under
-  *     PromQL DEFAULT one-to-one matching (full label sets minus the
-  *     metric name; `on`/`ignoring`/`group_*` modifiers are
-  *     unsupported and error loudly);
+  *     PromQL one-to-one matching: default (full label sets minus the
+  *     metric name), `on(keys)` or `ignoring(keys)`; `group_*`
+  *     modifiers between histograms are unsupported and error loudly;
+  *   - `count_over_time(sel[d])` — snapshots per window, a FLOAT
+  *     vector;
   *   - `v * s`, `s * v`, `v / s` — scalar scaling of every additive
   *     component;
   *   - terminal scalar functions producing float vectors:
   *     `histogram_quantile(q, v)`, `histogram_fraction(lo, hi, v)`,
   *     `histogram_count/sum/avg/stddev/stdvar(v)`.
   *
+  * Float RESULTS re-enter the float tier's own kernels: `sum/max/…
+  * by|without (…)` and `topk/bottomk/limitk` over any float-evaluable
+  * shape ([[PromQL.aggFrame]]/[[PromQL.rankFrame]]), plus the presence
+  * primitives `absent`/`absent_over_time`/`present_over_time` and
+  * `count_over_time`/`delta`.
+  *
   * `__name__` flows as in Prometheus: selectors and `last_over_time`
   * keep it; rate/increase, the other over-time folds, arithmetic,
   * aggregation and the histogram_* functions drop it.
   *
-  * Unsupported composition (modified matching between histograms,
-  * rank/sort, subqueries) raises a clear error instead of silently
-  * treating the struct as a float; the HTTP router surfaces it as a
-  * 422, never an empty 200.
+  * Unsupported composition (grouped group_left/group_right matching
+  * between histograms, rank over HISTOGRAM vectors, subqueries) raises
+  * a clear error instead of silently treating the struct as a float;
+  * the HTTP router surfaces it as a 422, never an empty 200.
   *
   * Scale shape: the selector is a pruned scan; rate is ONE window pass
   * (lag over series-partitioned, time-ordered snapshots) + ONE
@@ -101,15 +109,17 @@ object PromQLHist {
     case Selector(_, None, _, _) => true
     case Fn("rate" | "increase", Selector(_, Some(_), _, _), _) => true
     // range folds over whole histograms (Prometheus: sum_over_time
-    // merges, avg_over_time merges and scales, last_over_time picks)
-    case Fn("sum_over_time" | "avg_over_time" | "last_over_time",
-            Selector(_, Some(_), _, _), _) => true
+    // merges, avg_over_time merges and scales, last_over_time picks,
+    // delta is the GAUGE-histogram form — last − first, no reset fold)
+    case Fn("sum_over_time" | "avg_over_time" | "last_over_time" |
+            "delta", Selector(_, Some(_), _, _), _) => true
     case AggBy("sum" | "avg", _, arg, None) => histEvaluable(arg)
     case AggWithout("sum" | "avg", _, arg, None) => histEvaluable(arg)
-    // hist ± hist under DEFAULT one-to-one matching only — an explicit
-    // on()/ignoring()/group_* modifier between histograms is routed to
-    // the caller's unsupported-shape error, never a silent empty
-    case BinOp("+" | "-", Seq(), l, r, false, "", Seq(), Seq())
+    // hist ± hist under one-to-one matching — default, `on(keys)` or
+    // `ignoring(keys)`; a group_left/group_right modifier between
+    // histograms is routed to the caller's unsupported-shape error,
+    // never a silent empty
+    case BinOp("+" | "-", _, l, r, false, "", _, Seq())
         if !l.isInstanceOf[ScalarLit] && !r.isInstanceOf[ScalarLit] =>
       histEvaluable(l) && histEvaluable(r)
     // hist × scalar / hist ÷ scalar (scalar ÷ hist is not a histogram
@@ -122,8 +132,26 @@ object PromQLHist {
 
   def floatEvaluable(e: Expr): Boolean = e match {
     case f: Fn if ScalarFns(f.name) => true
-    case AggBy("count", _, _, None) => true
-    case AggWithout("count", _, _, None) => true
+    // count_over_time over histogram series counts SNAPSHOTS — a float
+    // vector (Prometheus's semantics over native-histogram series)
+    case Fn("count_over_time", Selector(_, Some(_), _, _), _) => true
+    // the alerting primitives: absent/absent_over_time synthesize a
+    // `{…} 1` row exactly when the hist head matched nothing;
+    // present_over_time is per-series window presence. Routing these
+    // here matters doubly: the float tier would answer absent(native)
+    // = 1 for a metric that EXISTS (its store has no series for it)
+    case Fn("absent", arg, _) => histEvaluable(arg)
+    case Fn("absent_over_time" | "present_over_time",
+            Selector(_, Some(_), _, _), _) => true
+    // count of a HISTOGRAM vector = series count (a float vector)...
+    case AggBy("count", _, arg, None) if histEvaluable(arg) => true
+    case AggWithout("count", _, arg, None) if histEvaluable(arg) => true
+    // ...and any float aggregation / rank over a FLOAT result re-enters
+    // the float tier's own kernels: `sum(histogram_count(native))`,
+    // `topk(3, histogram_quantile(0.9, rate(native[5m])))`, …
+    case AggBy(_, _, arg, _) => floatEvaluable(arg)
+    case AggWithout(_, _, arg, _) => floatEvaluable(arg)
+    case RankK(_, _, arg, _, _) => floatEvaluable(arg)
     case BinOp(_, _, l, ScalarLit(_), _, _, _, _) => floatEvaluable(l)
     case BinOp(_, _, ScalarLit(_), r, _, _, _, _) => floatEvaluable(r)
     case _ => false
@@ -179,12 +207,75 @@ object PromQLHist {
     case Fn("histogram_stdvar", arg, _) =>
       scalarize(evalH(arg, hists, at, lookbackMs, start, end, nLes),
         NativeHistogram.histStdvar)
-    case AggBy("count", by, arg, None) =>
+    case AggBy("count", by, arg, None) if histEvaluable(arg) =>
       countSeries(evalH(arg, hists, at, lookbackMs, start, end, nLes),
         byKeys(_, by))
-    case AggWithout("count", w, arg, None) =>
+    case AggWithout("count", w, arg, None) if histEvaluable(arg) =>
       countSeries(evalH(arg, hists, at, lookbackMs, start, end, nLes),
         withoutKeys(_, w))
+    // float aggregations / rank over a FLOAT result re-enter the float
+    // tier's own kernels on the pre-evaluated frame
+    case AggBy(op, by, arg, param) if floatEvaluable(arg) =>
+      PromQL.aggFrame(eval(arg, hists, at, lookbackMs, start, end, nLes),
+        op, Some(by), None, param)
+    case AggWithout(op, w, arg, param) if floatEvaluable(arg) =>
+      PromQL.aggFrame(eval(arg, hists, at, lookbackMs, start, end, nLes),
+        op, None, Some(w), param)
+    case RankK(op, k, arg, by, w) if floatEvaluable(arg) =>
+      PromQL.rankFrame(eval(arg, hists, at, lookbackMs, start, end, nLes),
+        op, k, by, w)
+    // absent: one `{<synthesized>} 1` row exactly when the hist-vector
+    // argument is EMPTY at the instant (labels from the selector's Eq
+    // matchers — the float tier's createLabelsForAbsentFunction shape)
+    case Fn("absent", arg, _) if histEvaluable(arg) =>
+      evalH(arg, hists, at, lookbackMs, start, end, nLes)
+        .agg(count(lit(1)).as("_n")).where(col("_n") === 0)
+        .select(lit(at).as(TimeCol) +: PromQL.absentLabelCols(arg) :+
+          lit(1.0d).as(TsdbSchema.ValueCol): _*)
+    // absent_over_time: nothing matched in (at − range, at]
+    case Fn("absent_over_time",
+            sel @ Selector(ms, Some(rangeMs), off, atm), _) =>
+      val known = TsdbSchema.labelColumns(hists)
+        .map(_.stripPrefix(TsdbSchema.LabelPrefix)).toSet
+      val t0 = resolveAt(atm, at, start, end) - off
+      hists.where(MatcherCompiler.compileAll(ms, known) &&
+          col(TimeCol) > t0 - rangeMs && col(TimeCol) <= t0 &&
+          col(HistCol).isNotNull)
+        .agg(count(lit(1)).as("_n")).where(col("_n") === 0)
+        .select(lit(at).as(TimeCol) +: PromQL.absentLabelCols(sel) :+
+          lit(1.0d).as(TsdbSchema.ValueCol): _*)
+    // present_over_time: count_over_time's windows clamped to 1
+    case Fn("present_over_time", s @ Selector(_, Some(_), _, _), p) =>
+      eval(Fn("count_over_time", s, p), hists, at, lookbackMs,
+        start, end, nLes)
+        .withColumn(TsdbSchema.ValueCol, lit(1.0d))
+    // count_over_time: snapshots per window, a FLOAT vector — tumbling
+    // buckets un-anchored, ONE pinned window under @ (the evalStrict
+    // instant shape); stale markers are not samples and don't count
+    case Fn("count_over_time", Selector(ms, Some(rangeMs), off, atm), _) =>
+      val known = TsdbSchema.labelColumns(hists)
+        .map(_.stripPrefix(TsdbSchema.LabelPrefix)).toSet
+      val labels = TsdbSchema.dynCols(hists)
+      atm match {
+        case Some(_) =>
+          val t0 = resolveAt(atm, at, start, end) - off
+          dropMetric(hists
+            .where(MatcherCompiler.compileAll(ms, known) &&
+              col(TimeCol) > t0 - rangeMs && col(TimeCol) <= t0 &&
+              col(HistCol).isNotNull)
+            .groupBy(labels: _*)
+            .agg(count(lit(1)).cast("double").as(TsdbSchema.ValueCol)))
+        case None =>
+          val bucket = (floor(col(TimeCol) / rangeMs.toDouble) * rangeMs)
+            .cast("long").as("bucket")
+          dropMetric(hists
+            .where(MatcherCompiler.compileAll(ms, known) &&
+              col(TimeCol) > start - off && col(TimeCol) < end - off &&
+              col(HistCol).isNotNull)
+            .withColumn("bucket", bucket)
+            .groupBy(labels :+ col("bucket"): _*)
+            .agg(count(lit(1)).cast("double").as(TsdbSchema.ValueCol)))
+      }
     // vector-scalar arithmetic/comparisons over a FLOAT result (the
     // shape of every alert on a native-histogram metric —
     // `histogram_quantile(0.99, rate(h[5m])) > 0.5`): the hist tier's
@@ -255,12 +346,75 @@ object PromQLHist {
         PromQL.scalarOp(
           evalRange(r, hists, start, end, stepMs, lookbackMs, nLes),
           op, lit(s), flipped = true, bool = bool)
-      case AggBy("count", by, arg, None) =>
+      case AggBy("count", by, arg, None) if histEvaluable(arg) =>
         countSeries(evalHR(arg, hists, start, end, stepMs, lookbackMs, nLes),
           byKeys(_, by))
-      case AggWithout("count", w, arg, None) =>
+      case AggWithout("count", w, arg, None) if histEvaluable(arg) =>
         countSeries(evalHR(arg, hists, start, end, stepMs, lookbackMs, nLes),
           withoutKeys(_, w))
+      // float aggregations / rank over a FLOAT result — the float
+      // tier's kernels on the pre-evaluated grid frame (`t` stays an
+      // implicit grouping key through aggFrame/rankFrame's gridKeys)
+      case AggBy(op, by, arg, param) if floatEvaluable(arg) =>
+        PromQL.aggFrame(
+          evalRange(arg, hists, start, end, stepMs, lookbackMs, nLes),
+          op, Some(by), None, param)
+      case AggWithout(op, w, arg, param) if floatEvaluable(arg) =>
+        PromQL.aggFrame(
+          evalRange(arg, hists, start, end, stepMs, lookbackMs, nLes),
+          op, None, Some(w), param)
+      case RankK(op, k, arg, by, w) if floatEvaluable(arg) =>
+        PromQL.rankFrame(
+          evalRange(arg, hists, start, end, stepMs, lookbackMs, nLes),
+          op, k, by, w)
+      // per-step absent: a `{<synthesized>} 1` row at every grid step
+      // where the hist-vector argument is empty — grid anti-join
+      // against the present steps (the float tier's kernel shape)
+      case Fn("absent", arg, _) if histEvaluable(arg) =>
+        val hv = evalRange(arg, hists, start, end, stepMs, lookbackMs, nLes)
+        hists.sparkSession.range((end - start) / stepMs + 1)
+          .select((lit(start) + col("id") * stepMs).as("t"))
+          .join(hv.select(col("t")).distinct(), Seq("t"), "left_anti")
+          .select(col("t") +: PromQL.absentLabelCols(arg) :+
+            lit(1.0d).as(TsdbSchema.ValueCol): _*)
+      // per-step absent_over_time: steps whose window matched nothing —
+      // the sliding count kernel's present steps, anti-joined
+      case Fn("absent_over_time",
+              sel @ Selector(_, Some(_), _, None), _) =>
+        val present = evalRange(Fn("count_over_time", sel, Nil), hists,
+          start, end, stepMs, lookbackMs, nLes)
+        hists.sparkSession.range((end - start) / stepMs + 1)
+          .select((lit(start) + col("id") * stepMs).as("t"))
+          .join(present.select(col("t")).distinct(), Seq("t"), "left_anti")
+          .select(col("t") +: PromQL.absentLabelCols(sel) :+
+            lit(1.0d).as(TsdbSchema.ValueCol): _*)
+      case Fn("present_over_time", s @ Selector(_, Some(_), _, None), p) =>
+        evalRange(Fn("count_over_time", s, p), hists, start, end, stepMs,
+          lookbackMs, nLes)
+          .withColumn(TsdbSchema.ValueCol, lit(1.0d))
+      // sliding count_over_time: snapshots fan to covering grid steps,
+      // one partial-agg count per (series, t) — a float matrix
+      case Fn("count_over_time", Selector(ms, Some(rangeMs), off, None), _) =>
+        val known = TsdbSchema.labelColumns(hists)
+          .map(_.stripPrefix(TsdbSchema.LabelPrefix)).toSet
+        val labels = TsdbSchema.dynCols(hists)
+        val nSteps = (end - start) / stepMs
+        val (iLo, iHi) = RangeVectors.gridIdx(col(TimeCol) + off,
+          col(TimeCol) + off + (rangeMs - 1), start, stepMs, nSteps)
+        dropMetric(hists
+          .where(MatcherCompiler.compileAll(ms, known) &&
+            col(TimeCol) > start - off - rangeMs &&
+            col(TimeCol) <= end - off && col(HistCol).isNotNull)
+          .withColumn("_ilo", iLo).withColumn("_ihi", iHi)
+          .where(col("_ilo") <= col("_ihi"))
+          .withColumn("_i", explode(sequence(col("_ilo"), col("_ihi"))))
+          .withColumn("t", lit(start) + col("_i") * stepMs)
+          .groupBy(labels :+ col("t"): _*)
+          .agg(count(lit(1)).cast("double").as(TsdbSchema.ValueCol)))
+      case f @ Fn("count_over_time", Selector(_, Some(_), _, Some(_)), _) =>
+        // @-anchored: one pinned count repeated across the grid
+        pinToGrid(eval(f, hists, end, lookbackMs, start, end, nLes),
+          start, end, stepMs)
       case other => evalHR(other, hists, start, end, stepMs, lookbackMs, nLes)
     }
   }
@@ -311,7 +465,7 @@ object PromQLHist {
       // constant — one single-point-grid evaluation (evalH's anchored
       // case) exploded to every step, like the anchored bare selector
       case f @ Fn("rate" | "increase" | "sum_over_time" |
-                  "avg_over_time" | "last_over_time",
+                  "avg_over_time" | "last_over_time" | "delta",
                   Selector(_, Some(_), _, Some(_)), _) =>
         pinToGrid(evalH(f, hists, end, lookbackMs, start, end, nLes),
           start, end, stepMs)
@@ -337,7 +491,7 @@ object PromQLHist {
       // scales by the window's snapshot count (avg), or picks the
       // latest snapshot (last)
       case Fn(name @ ("sum_over_time" | "avg_over_time" |
-                      "last_over_time"),
+                      "last_over_time" | "delta"),
               Selector(ms, Some(rangeMs), off, None), _) =>
         val known = TsdbSchema.labelColumns(hists)
           .map(_.stripPrefix(TsdbSchema.LabelPrefix)).toSet
@@ -350,12 +504,12 @@ object PromQLHist {
       // hist ± hist / hist × scalar / hist ÷ scalar, range mode — each
       // operand evaluates on the shared grid, so `t` joins the match
       // keys (histArith) or simply rides along (scaling)
-      case BinOp(op @ ("+" | "-"), Seq(), l, r, false, "", Seq(), Seq())
+      case BinOp(op @ ("+" | "-"), on, l, r, false, "", ign, Seq())
           if !l.isInstanceOf[ScalarLit] && !r.isInstanceOf[ScalarLit] =>
         histArith(
           evalHR(l, hists, start, end, stepMs, lookbackMs, nLes),
           evalHR(r, hists, start, end, stepMs, lookbackMs, nLes),
-          subtract = op == "-")
+          subtract = op == "-", on = on, ignoring = ign)
       case BinOp("*", _, l, ScalarLit(s), false, _, _, _) =>
         dropMetric(evalHR(l, hists, start, end, stepMs, lookbackMs, nLes))
           .withColumn(HistCol, histScale(col(HistCol), lit(s)))
@@ -458,7 +612,7 @@ object PromQLHist {
     // asAnchoredVector decomposition; a tumbling evaluation would
     // split the pinned window on epoch-aligned bucket edges)
     case Fn(name @ ("rate" | "increase" | "sum_over_time" |
-                    "avg_over_time" | "last_over_time"),
+                    "avg_over_time" | "last_over_time" | "delta"),
             Selector(ms, Some(rangeMs), off, atm @ Some(_)), params) =>
       val t0 = resolveAt(atm, at, start, end)
       evalHR(Fn(name, Selector(ms, Some(rangeMs), off, None), params),
@@ -492,7 +646,8 @@ object PromQLHist {
     // avg merges and scales by the window's snapshot count, last picks
     // the latest snapshot. last_over_time KEEPS the metric name
     // (Prometheus: it returns raw samples); the folds drop it.
-    case Fn(name @ ("sum_over_time" | "avg_over_time" | "last_over_time"),
+    case Fn(name @ ("sum_over_time" | "avg_over_time" | "last_over_time" |
+                    "delta"),
             Selector(ms, Some(rangeMs), off, None), _) =>
       val known = TsdbSchema.labelColumns(hists)
         .map(_.stripPrefix(TsdbSchema.LabelPrefix)).toSet
@@ -501,16 +656,17 @@ object PromQLHist {
         col(HistCol).isNotNull) // range selections skip stale markers
       val folded = histOverTime(sel, rangeMs, nLes, name)
       if (name == "last_over_time") folded else dropMetric(folded)
-    // hist ± hist: one-to-one vector matching on the full label sets
-    // minus the metric name (Prometheus default matching), element-wise
-    // bucket add/subtract. Modified matching (on/ignoring/group_*)
-    // raises the unsupported error below.
-    case BinOp(op @ ("+" | "-"), Seq(), l, r, false, "", Seq(), Seq())
+    // hist ± hist: one-to-one vector matching — `on(keys)` when given,
+    // else the full label sets minus the metric name and any
+    // `ignoring(keys)` (Prometheus matching), element-wise bucket
+    // add/subtract. group_left/group_right between histograms raises
+    // the unsupported error below.
+    case BinOp(op @ ("+" | "-"), on, l, r, false, "", ign, Seq())
         if !l.isInstanceOf[ScalarLit] && !r.isInstanceOf[ScalarLit] =>
       histArith(
         evalH(l, hists, at, lookbackMs, start, end, nLes),
         evalH(r, hists, at, lookbackMs, start, end, nLes),
-        subtract = op == "-")
+        subtract = op == "-", on = on, ignoring = ign)
     // hist × scalar / hist ÷ scalar: every additive component scales
     // (Prometheus's histogram-scalar multiplication); arithmetic drops
     // the metric name
@@ -643,6 +799,28 @@ object PromQLHist {
     fn match {
       case "last_over_time" =>
         df.groupBy(keys: _*).agg(max_by(h, col(TimeCol)).as(HistCol))
+      case "delta" =>
+        // GAUGE-histogram delta: element-wise last − first inside the
+        // window — no reset fold, no monotone clamp (Prometheus's
+        // delta contract for gauges); a window needs ≥ 2 snapshots
+        val a = col("_l"); val b = col("_f")
+        val layoutOk = assert_true(
+          size(a.getField("les")) === size(b.getField("les")),
+          lit("PromQLHist.foldOverTime: incompatible bucket layouts " +
+            "in window"))
+        df.groupBy(keys: _*)
+          .agg(count(lit(1)).as("_n"),
+            max_by(h, col(TimeCol)).as("_l"),
+            min_by(h, col(TimeCol)).as("_f"))
+          .where(col("_n") >= 2)
+          .withColumn(HistCol, struct(
+            (a.getField("count") - b.getField("count")).as("count"),
+            (a.getField("sum") - b.getField("sum")).as("sum"),
+            when(layoutOk.isNull, a.getField("les")).as("les"),
+            when(layoutOk.isNull,
+              zip_with(a.getField("counts"), b.getField("counts"),
+                (x, y) => x - y)).as("counts")))
+          .drop("_n", "_l", "_f")
       case _ =>
         val perIndex = (1 to nLes).map(i =>
           sum(element_at(h.getField("counts"), i)))
@@ -680,8 +858,13 @@ object PromQLHist {
     * series-count-sized vectors (× grid steps) — the join is an
     * equi-join on those keys, never data-sized. */
   private def histArith(l0: DataFrame, r0: DataFrame,
-                        subtract: Boolean): DataFrame = {
-    val keys = arithKeys(l0, r0)
+                        subtract: Boolean, on: Seq[String] = Nil,
+                        ignoring: Seq[String] = Nil): DataFrame = {
+    // `on(keys)` replaces the default key set outright (result labels
+    // = the on keys, as in Prometheus); `ignoring(keys)` subtracts
+    val keys =
+      if (on.nonEmpty) on
+      else arithKeys(l0, r0).filterNot(ignoring.contains(_))
     val lg = Seq("bucket", "t").filter(l0.columns.contains)
     val rg = Seq("bucket", "t").filter(r0.columns.contains)
     val shared = lg.intersect(rg)

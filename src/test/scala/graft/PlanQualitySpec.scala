@@ -498,4 +498,19 @@ class PlanQualitySpec extends SparkSpec {
     assert(plan.contains("TakeOrderedAndProject"),
       s"sample selection must be a bounded top-n:\n$plan")
   }
+
+  test("hist ± hist: a hash-keyed equi-join, never a nested loop") {
+    // histogram arithmetic matches on null-safe label keys — both
+    // operands are series-count vectors, so the planner must keep a
+    // hash-keyed join (broadcast or SMJ); a BNLJ/cartesian here means
+    // the null-safe keys stopped being join keys and the plan degrades
+    // to all-pairs at scale
+    val plan = planOf("tsdb_q156_promql_hist_add")
+    assert(plan.contains("BroadcastHashJoin") ||
+      plan.contains("SortMergeJoin") ||
+      plan.contains("ShuffledHashJoin"), s"no equi-join:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"),
+      s"histArith degraded to all-pairs:\n$plan")
+  }
 }

@@ -206,5 +206,10 @@ class NativeHistConformanceSpec extends SparkSpec {
       Map("a" -> 3.0))
     assert(fold("histogram_count(last_over_time(hs[10m]))") ===
       Map("a" -> 4.0))
+    // gauge delta: last − first (counts 2 → 4, sums 2 → 5)
+    assert(fold("histogram_count(delta(hs[10m]))") === Map("a" -> 2.0))
+    assert(fold("histogram_sum(delta(hs[10m]))") === Map("a" -> 3.0))
+    // count_over_time: snapshots per window, a float vector
+    assert(fold("count_over_time(hs[10m])") === Map("a" -> 2.0))
   }
 }

@@ -1730,9 +1730,19 @@ class PromHttpServerSpec extends SparkSpec {
       assert(cr == 200, br)
       assert(br.contains(""""histograms":[[2.000,""") &&
         br.contains("""[3.000,""") && br.contains("""[4.000,"""), br)
+      // on() matching evaluates too (count 2 + 1 per user)
+      val (con, bon) = q("""{name="na"} + on(user) {name="nb"}""")
+      assert(con == 200 && bon.contains(""""count":"3.0""""), bon)
+      // count_over_time over the native metric: snapshots in window
+      val (cct, bct) = q("""count_over_time({name="na"}[5m])""")
+      assert(cct == 200 && bct.contains(""""value":[2.000,"2.0"]"""), bct)
+      // float aggregation over a hist-tier float result (the natural
+      // dashboard composition) routes too: na count 2 + nb count 1
+      val (cag, bag) = q("""sum(histogram_count({name=~"n."}))""")
+      assert(cag == 200 && bag.contains(""""value":[2.000,"3.0"]"""), bag)
       // STILL-unsupported shapes over the hist head answer 422 with the
       // shape named — previously an empty 200 from the float tier
-      val (cu, bu) = q("""{name="na"} + on(user) {name="nb"}""")
+      val (cu, bu) = q("""{name="na"} + on(user) group_left {name="nb"}""")
       assert(cu == 422, s"$cu $bu")
       assert(bu.contains(""""errorType":"execution"""") &&
         bu.contains("unsupported expression over native-histogram"), bu)

@@ -314,9 +314,23 @@ class PromQLHistSpec extends SparkSpec {
     assert(msg(e), e)
   }
 
-  test("modified matching between histograms raises unsupported") {
+  test("on()/ignoring() matching between histograms; group_* raises") {
+    // on(inst) ≡ default matching here (inst is the only non-name
+    // label) — the explicit form must evaluate, not error
+    val got = evalText("""{name="ha"} + on(inst) {name="hb"}""",
+        frame = two)
+      .select(col("inst"), col("hist.count")).as[(String, Double)]
+      .collect().toMap
+    assert(got == Map("x" -> 4.0), got)
+    // ignoring a label that isn't a key is a no-op on the key set
+    val ig = evalText("""{name="ha"} - ignoring(nosuch) {name="hb"}""",
+        frame = two)
+      .select(col("hist.count")).as[Double].head()
+    assert(ig == 0.0)
+    // grouped (many-to-one) matching between histograms stays an error
     val e = intercept[IllegalArgumentException] {
-      evalText("""{name="ha"} + on(inst) {name="hb"}""", frame = two)
+      evalText("""{name="ha"} + on(inst) group_left {name="hb"}""",
+        frame = two)
     }
     assert(e.getMessage.contains("unsupported over native histograms"))
   }
@@ -339,6 +353,49 @@ class PromQLHistSpec extends SparkSpec {
     val sumNamed = evalText("""sum_over_time({name="ha"}[3s])""",
       frame = two, start = 500L, end = 2500L)
     assert(!sumNamed.columns.contains("labels.name"))
+  }
+
+  test("float aggregation / rank re-enter over hist-tier float results") {
+    // sum(histogram_count(...)): global float agg over the scalarized
+    // vector — latest counts a=3, b=2
+    val s = evalText("""sum(histogram_count({job="api"}))""")
+      .select(col("value")).as[Double].collect().toSeq
+    assert(s == Seq(5.0), s)
+    val m = evalText("""max by (job) (histogram_count({job="api"}))""")
+      .select(col("job"), col("value")).as[(String, Double)].collect().toSeq
+    assert(m == Seq(("api", 3.0)), m)
+    val t = evalText("""topk(1, histogram_count({job="api"}))""")
+      .select(col("`labels.inst`"), col("value")).as[(String, Double)]
+      .collect().toSeq
+    assert(t == Seq(("a", 3.0)), t)
+    // range mode: the grid key stays an implicit grouping key
+    val r = evalRangeText("""sum(histogram_count({job="api"}))""")
+      .select(col("t"), col("value")).as[(Long, Double)].collect().toMap
+    assert(r == Map(1000L -> 3.0, 2000L -> 5.0), r)
+  }
+
+  test("absent / absent_over_time / present_over_time over the hist frame") {
+    // absent of a PRESENT vector: empty; of an absent one: the
+    // synthesized `{Eq labels} 1` row
+    assert(evalText("""absent({job="api"})""").count() == 0)
+    val a = evalText("""absent({job="api",inst="zz"})""")
+      .select(col("job"), col("inst"), col("value"))
+      .as[(String, String, Double)].collect().toSeq
+    assert(a == Seq(("api", "zz", 1.0)), a)
+    // absent_over_time: the (at − range, at] window
+    assert(evalText("""absent_over_time({job="api"}[3s])""").count() == 0)
+    assert(evalText("""absent_over_time({job="api"}[100ms])""")
+      .select(col("value")).as[Double].collect().toSeq == Seq(1.0))
+    // present_over_time: per-series window presence, value 1
+    val p = evalText("""present_over_time({inst="a"}[3s])""",
+        start = 500L, end = 2500L)
+      .select(col("`labels.inst`"), col("value")).as[(String, Double)]
+      .collect().toSeq
+    assert(p == Seq(("a", 1.0)), p)
+    // range mode: absent anti-joins the grid (t=3000 has aged out)
+    val r = evalRangeText("""absent({inst="a"})""")
+      .select(col("t"), col("value")).as[(Long, Double)].collect().toMap
+    assert(r == Map(3000L -> 1.0), r)
   }
 
   test("evalRange sliding over-time folds: per-window snapshot sets") {
