@@ -399,6 +399,111 @@ object TsdbProperties extends Properties("tsdb") {
     }
   }
 
+  // the HIST tier's analyzability twin: random expressions over the
+  // native-histogram grammar (selectors, rate/folds, ± with
+  // default/on() matching, scalar scaling, the histogram_* family,
+  // float-agg/rank re-entry, presence primitives) must either analyze
+  // in BOTH modes or raise the engine's IllegalArgumentException —
+  // never a MatchError (missed dispatch case) or AnalysisException
+  // (broken column plumbing)
+  private object HistGen {
+    import PromQL._
+    val label = Gen.oneOf("job", "inst")
+    val matcher = for {
+      n <- label; v <- Gen.oneOf("api", "a", "b")
+    } yield Matcher.Eq(n, v): Matcher
+    val instant: Gen[Selector] = for {
+      ms <- Gen.listOfN(1, matcher)
+      off <- Gen.oneOf(0L, 500L)
+      atm <- Gen.oneOf(None, Some(AtMs(2000L)), Some(AtEnd))
+    } yield Selector(ms, None, off, atm)
+    val ranged: Gen[Selector] = for {
+      s <- instant
+      r <- Gen.oneOf(2000L, 3000L)
+    } yield s.copy(rangeMs = Some(r))
+    def histExpr(depth: Int): Gen[Expr] =
+      if (depth == 0) instant
+      else Gen.oneOf[Expr](
+        instant,
+        for {
+          n <- Gen.oneOf("rate", "increase", "sum_over_time",
+            "avg_over_time", "last_over_time", "delta")
+          r <- ranged
+        } yield Fn(n, r, Nil),
+        Gen.lzy(for {
+          op <- Gen.oneOf("sum", "avg")
+          by <- Gen.listOf(label).map(_.distinct)
+          a <- histExpr(depth - 1)
+        } yield AggBy(op, by, a)),
+        Gen.lzy(for {
+          op <- Gen.oneOf("+", "-")
+          on <- Gen.oneOf(Seq.empty[String], Seq("inst"))
+          a <- histExpr(depth - 1); b <- histExpr(depth - 1)
+        } yield BinOp(op, on, a, b)),
+        Gen.lzy(histExpr(depth - 1).map(a =>
+          BinOp("*", Nil, a, ScalarLit(2.0)))),
+        Gen.lzy(histExpr(depth - 1).map(a =>
+          BinOp("/", Nil, a, ScalarLit(4.0)))))
+    def floatExpr(depth: Int): Gen[Expr] = Gen.oneOf[Expr](
+      Gen.lzy(histExpr(depth).map(a =>
+        Fn("histogram_quantile", a, Seq(0.9)))),
+      Gen.lzy(for {
+        n <- Gen.oneOf("histogram_count", "histogram_sum",
+          "histogram_avg", "histogram_stddev")
+        a <- histExpr(depth)
+      } yield Fn(n, a, Nil)),
+      ranged.map(Fn("count_over_time", _, Nil)),
+      ranged.map(Fn("present_over_time", _, Nil)),
+      ranged.map(Fn("absent_over_time", _, Nil)),
+      instant.map(Fn("absent", _, Nil)),
+      Gen.lzy(for {
+        by <- Gen.listOf(label).map(_.distinct)
+        a <- histExpr(depth)
+      } yield AggBy("count", by, a)),
+      Gen.lzy(for {
+        op <- Gen.oneOf("sum", "max", "avg")
+        by <- Gen.listOf(label).map(_.distinct)
+        a <- floatExpr(math.max(0, depth - 1))
+      } yield AggBy(op, by, a)),
+      Gen.lzy(for {
+        k <- Gen.choose(1, 3)
+        a <- floatExpr(math.max(0, depth - 1))
+      } yield RankK("topk", k, a, Nil, Nil)),
+      Gen.lzy(for {
+        op <- Gen.oneOf(">", "<", "+", "*")
+        bool <- if (Set(">", "<").contains(op)) Gen.oneOf(true, false)
+                else Gen.const(false)
+        a <- floatExpr(math.max(0, depth - 1))
+      } yield BinOp(op, Nil, a, ScalarLit(0.5), bool)))
+  }
+
+  property("hist-tier eval analyzes every generated AST or rejects it") = {
+    val hists = NativeHistogram.build(
+      Seq(("api", "a", 1000L, 5.0), ("api", "a", 2000L, 15.0),
+        ("api", "b", 1000L, 15.0), ("api", "b", 2000L, 30.0))
+        .toDF("labels.job", "labels.inst", "time", "v"),
+      Seq(col("`labels.job`"), col("`labels.inst`"), col("time")),
+      col("v"), Seq(10.0, 20.0))
+    val gen = Gen.oneOf(HistGen.histExpr(2), HistGen.floatExpr(2))
+    Prop.forAll(gen) { e =>
+      def ok(label: String)(f: => org.apache.spark.sql.DataFrame): Boolean =
+        try { f.queryExecution.analyzed; true }
+        catch {
+          case _: IllegalArgumentException => true
+          case t: Throwable =>
+            println(s"$label: ${PromQL.render(e)}\n  " +
+              s"${t.getClass.getName}: ${t.getMessage}")
+            false
+        }
+      ok("eval")(PromQLHist.eval(e, hists, at = 2500L,
+        lookbackMs = 2000L, start = 0L, end = 2500L, nLes = 3)) &&
+      ok("evalStrict")(PromQLHist.evalStrict(e, hists, at = 2500L,
+        lookbackMs = 2000L, nLes = 3)) &&
+      ok("evalRange")(PromQLHist.evalRange(e, hists, start = 1000L,
+        end = 3000L, stepMs = 1000L, lookbackMs = 2000L, nLes = 3))
+    }
+  }
+
   property("histogram_quantile ≡ bucket-interpolation model") = {
     // random non-cumulative bucket counts over a fixed finite le ladder
     // plus +Inf, random q — the engine (fed only the OBSERVED buckets,
