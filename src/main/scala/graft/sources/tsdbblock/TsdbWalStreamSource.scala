@@ -21,12 +21,17 @@ import org.apache.spark.unsafe.types.UTF8String
   * delivers exactly the batch source's rows, incrementally.
   *
   * RECORD KINDS. The default stream carries float samples (kind 2/9 —
-  * the batch source's rows). `.option("kind", "histograms")` tails the
-  * NATIVE-HISTOGRAM records instead (kinds 7/8), in the sparse wire
-  * shape [[graft.tsdb.RemoteWrite.SparseHist]] carries (+ `isFloat`
-  * for the kind-8 distinction) — a head scraping native histograms is
-  * no longer a silently float-only view: tail both kinds as two
-  * streams, or pick one. Any other kind value is rejected loudly.
+  * the batch source's rows). `.option("kind", ...)` selects another
+  * record family, so EVERY data-bearing WAL kind is tailable and no
+  * live view is silently partial:
+  *   - `histograms` — kinds 7/8 in the sparse wire shape
+  *     ([[graft.tsdb.RemoteWrite.SparseHist]]'s fields + `isFloat`);
+  *   - `exemplars` — kind 4 with owning-series labels resolved
+  *     (the [[TsdbWalRecords.readExemplars]] row shape);
+  *   - `metadata` — kind 6 resolved to (metric, type, unit, help)
+  *     (the `/api/v1/metadata` row shape, raw records — callers
+  *     de-duplicate).
+  * Any other kind value is rejected loudly.
   *
   * Offsets are per-segment RAW record counts OF THE SELECTED KIND. Each
   * trigger re-decodes segment bytes and skips already-delivered rows —
@@ -79,24 +84,46 @@ object TsdbWalStreamSource {
       StructField("isFloat", BooleanType, nullable = false)))
   }
 
+  /** Kind-4 rows: owning-series labels + the exemplar's own labels. */
+  val ExemplarSchema: StructType = StructType(Seq(
+    StructField("time", LongType, nullable = false),
+    StructField("value", DoubleType, nullable = false),
+    StructField("labels", MapType(StringType, StringType),
+      nullable = false),
+    StructField("exemplar", MapType(StringType, StringType),
+      nullable = false)))
+
+  /** Kind-6 rows, resolved through the series dictionary. */
+  val MetadataSchema: StructType = StructType(Seq(
+    StructField("metric", StringType, nullable = false),
+    StructField("type", StringType, nullable = false),
+    StructField("unit", StringType, nullable = false),
+    StructField("help", StringType, nullable = false)))
+
   private[tsdbblock] def kindOf(raw: String): String = raw match {
     case null | "samples" => "samples"
-    case "histograms" => "histograms"
+    case "histograms" | "exemplars" | "metadata" => raw
     case other => throw new IllegalArgumentException(
-      s"tsdb-wal-stream kind '$other' (supported: samples, histograms)")
+      s"tsdb-wal-stream kind '$other' (supported: samples, histograms, " +
+        "exemplars, metadata)")
+  }
+
+  private[tsdbblock] def schemaOf(kind: String): StructType = kind match {
+    case "histograms" => HistSchema
+    case "exemplars" => ExemplarSchema
+    case "metadata" => MetadataSchema
+    case _ => TsdbBlockSource.schema
   }
 
   private[tsdbblock] def schemaFor(raw: String): StructType =
-    if (kindOf(raw) == "histograms") HistSchema else TsdbBlockSource.schema
+    schemaOf(kindOf(raw))
 }
 
 final class TsdbWalStreamTable(path: String, kind: String)
     extends Table with SupportsRead {
   require(path != null, "tsdb-wal-stream requires a WAL directory path")
   override def name(): String = s"tsdb-wal-stream($path, $kind)"
-  override def schema(): StructType =
-    if (kind == "histograms") TsdbWalStreamSource.HistSchema
-    else TsdbBlockSource.schema
+  override def schema(): StructType = TsdbWalStreamSource.schemaOf(kind)
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
@@ -120,9 +147,7 @@ object WalOffset {
 }
 
 final class TsdbWalStreamScan(path: String, kind: String) extends Scan {
-  override def readSchema(): StructType =
-    if (kind == "histograms") TsdbWalStreamSource.HistSchema
-    else TsdbBlockSource.schema
+  override def readSchema(): StructType = TsdbWalStreamSource.schemaOf(kind)
   override def description(): String = s"tsdb-wal-stream $path ($kind)"
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
     new TsdbWalMicroBatchStream(path, kind)
@@ -131,9 +156,12 @@ final class TsdbWalStreamScan(path: String, kind: String) extends Scan {
 final class TsdbWalMicroBatchStream(path: String, kind: String)
     extends MicroBatchStream {
 
-  private def countOf(seg: String): Long =
-    if (kind == "histograms") WalReader.histograms(seg).size.toLong
-    else WalReader.samples(seg).size.toLong
+  private def countOf(seg: String): Long = kind match {
+    case "histograms" => WalReader.histograms(seg).size.toLong
+    case "exemplars" => WalReader.exemplars(seg).size.toLong
+    case "metadata" => WalReader.metadata(seg).size.toLong
+    case _ => WalReader.samples(seg).size.toLong
+  }
 
   override def initialOffset(): Offset = WalOffset(Map.empty)
 
@@ -164,8 +192,12 @@ final class TsdbWalMicroBatchStream(path: String, kind: String)
       val p = partition.asInstanceOf[TsdbWalSlicePartition]
       // readers live in a standalone object — the factory lambda must
       // not capture this (non-serializable) stream instance
-      if (p.kind == "histograms") TsdbWalStreamReaders.histReader(p)
-      else TsdbWalStreamReaders.sampleReader(p)
+      p.kind match {
+        case "histograms" => TsdbWalStreamReaders.histReader(p)
+        case "exemplars" => TsdbWalStreamReaders.exemplarReader(p)
+        case "metadata" => TsdbWalStreamReaders.metadataReader(p)
+        case _ => TsdbWalStreamReaders.sampleReader(p)
+      }
     }
 }
 
@@ -204,6 +236,62 @@ private[tsdbblock] object TsdbWalStreamReaders {
           if (graft.tsdb.TsdbSchema.isStaleMarker(cur.value)) null
           else cur.value
         new GenericInternalRow(Array[Any](cur.time, v, labels(cur.ref)))
+      }
+      override def close(): Unit = ()
+    }
+
+  /** Kind-4 exemplar records with owning-series labels resolved —
+    * the batch [[TsdbWalRecords.readExemplars]] row shape. */
+  private[tsdbblock] def exemplarReader(p: TsdbWalSlicePartition)
+      : PartitionReader[InternalRow] =
+    new PartitionReader[InternalRow] {
+      private val labels = labelCache(p)
+      private val it = WalReader.exemplars(p.segment)
+        .slice(p.from.toInt, p.until.toInt)
+        .filter(e => p.dict.contains(e.ref)) // orphan refs: dropped
+      private var cur: WalReader.WalExemplar = _
+
+      override def next(): Boolean =
+        if (it.hasNext) { cur = it.next(); true } else false
+
+      private def strMap(m: Map[String, String]): ArrayBasedMapData = {
+        val keys = m.keys.toArray.sorted
+        new ArrayBasedMapData(
+          ArrayData.toArrayData(keys.map(UTF8String.fromString)),
+          ArrayData.toArrayData(keys.map(k =>
+            UTF8String.fromString(m(k)))))
+      }
+
+      override def get(): InternalRow =
+        new GenericInternalRow(Array[Any](
+          cur.time, cur.value, labels(cur.ref), strMap(cur.labels)))
+      override def close(): Unit = ()
+    }
+
+  private val TypeNames = Array("unknown", "counter", "gauge",
+    "histogram", "gaugehistogram", "summary", "info", "stateset")
+
+  /** Kind-6 metadata records resolved to (metric, type, unit, help) —
+    * RAW records (the API view de-duplicates downstream). */
+  private[tsdbblock] def metadataReader(p: TsdbWalSlicePartition)
+      : PartitionReader[InternalRow] =
+    new PartitionReader[InternalRow] {
+      private val it = WalReader.metadata(p.segment)
+        .slice(p.from.toInt, p.until.toInt)
+        .filter(m => p.dict.contains(m.ref)) // orphan refs: dropped
+      private var cur: WalReader.WalMetadata = _
+
+      override def next(): Boolean =
+        if (it.hasNext) { cur = it.next(); true } else false
+
+      override def get(): InternalRow = {
+        val metric = p.dict(cur.ref).getOrElse("__name__", "")
+        new GenericInternalRow(Array[Any](
+          UTF8String.fromString(metric),
+          UTF8String.fromString(TypeNames.lift(cur.metricType)
+            .getOrElse("unknown")),
+          UTF8String.fromString(cur.fields.getOrElse("unit", "")),
+          UTF8String.fromString(cur.fields.getOrElse("help", ""))))
       }
       override def close(): Unit = ()
     }

@@ -215,6 +215,61 @@ class TsdbWalSpec extends SparkSpec {
     assert(msg(e), e)
   }
 
+  test("streaming WAL exemplar/metadata tails ≡ batch readers") {
+    // every data-bearing record kind is now tailable — a live view of
+    // a head writing exemplars (kind 4) or metadata (kind 6) must not
+    // be silently partial either
+    import graft.sources.tsdbblock.{TsdbWalWriter, TsdbWalRecords}
+    import spark.implicits._
+    val long = Seq(
+      (1000L, 1.0, Map("__name__" -> "up", "job" -> "a")),
+      (2000L, 2.0, Map("__name__" -> "up", "job" -> "b")),
+      (3000L, 3.0, Map("__name__" -> "lat", "job" -> "a")))
+      .toDF("time", "value", "labels")
+    val dir = graft.queries.Tables.scratchDir("graft_walkinds_stream")
+    TsdbWalWriter.write(long, s"$dir")
+    val ex = Seq(
+      (1500L, 9.5, Map("__name__" -> "up", "job" -> "a"),
+        Map("trace_id" -> "t1")),
+      (2500L, 7.0, Map("__name__" -> "lat", "job" -> "a"),
+        Map("trace_id" -> "t2")))
+      .toDF("time", "value", "labels", "exemplar")
+    assert(TsdbWalWriter.writeExemplars(ex, s"$dir") == 2L)
+    assert(TsdbWalWriter.writeMetadata(s"$dir", Map(
+      "up" -> ((1, "", "is it up")),
+      "lat" -> ((2, "seconds", "latency")))) == 3)
+    // exemplars: streamed ≡ batch reader, labels resolved
+    val exStream = spark.readStream.format("tsdb-wal-stream")
+      .option("kind", "exemplars").load(dir)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("wal_ex_tail_test").start()
+    try {
+      exStream.processAllAvailable()
+      val streamed = spark.table("wal_ex_tail_test")
+        .select(col("time"), col("value"),
+          element_at(col("labels"), "__name__").as("n"),
+          element_at(col("exemplar"), "trace_id").as("tid"))
+      val batch = TsdbWalRecords.readExemplars(spark, dir)
+        .select(col("time"), col("value"),
+          element_at(col("labels"), "__name__").as("n"),
+          element_at(col("exemplar"), "trace_id").as("tid"))
+      assert(streamed.count() == 2)
+      assert(streamed.except(batch).isEmpty && batch.except(streamed).isEmpty)
+    } finally exStream.stop()
+    // metadata: streamed raw records; distinct ≡ the batch API view
+    val mdStream = spark.readStream.format("tsdb-wal-stream")
+      .option("kind", "metadata").load(dir)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("wal_md_tail_test").start()
+    try {
+      mdStream.processAllAvailable()
+      val streamed = spark.table("wal_md_tail_test").distinct()
+      val batch = TsdbWalRecords.readMetadata(spark, dir)
+      assert(streamed.count() == 2) // (up, counter), (lat, gauge)
+      assert(streamed.except(batch).isEmpty && batch.except(streamed).isEmpty)
+    } finally mdStream.stop()
+  }
+
   test("stream_q7_wal_tail digest column ≡ batch source per-name digest") {
     // the driver's rows-only check now carries a content commitment:
     // the streaming query's per-name digest must equal the same fold
