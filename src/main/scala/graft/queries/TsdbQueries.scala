@@ -2341,6 +2341,20 @@ object TsdbQueries {
           col("`labels.user`").as("user"), col("t"),
           col("hist").getField("count").cast("long").as("n"),
           round(col("hist").getField("sum"), 4).as("sum_v"))),
+    // Q171: a SUBQUERY over the hist tier — the SLO-dashboard fold
+    // `max_over_time(sum(histogram_count(m))[15d:5d])`: the inner
+    // global count-sum evaluates per absolute-aligned 5d grid step
+    // through the hist tier (latest daily snapshot per series within
+    // lookback, counts summed), then the float tier's max fold
+    // finishes. Grid points (absolute alignment, left-open window):
+    // Jan 8 / Jan 13 / Jan 18 — replayed literally in the oracle.
+    "tsdb_q171_promql_hist_subquery" -> ((s, dir) =>
+      graft.tsdb.PromQLHist.eval(
+        graft.tsdb.PromQL.parse(
+          """max_over_time(sum(histogram_count({name="purchase"}))[15d:5d])"""),
+        histDaily(s, dir), at = RangeEnd, lookbackMs = HistLookbackMs,
+        start = RangeStart, end = RangeEnd, nLes = NhBounds.size + 1)
+        .select(col("value"))),
     // Q169/Q170: the presence primitives over native-histogram series.
     // absent synthesizes `{Eq-matcher labels} 1` exactly when the hist
     // vector is empty (here: a user label no series carries); routing
@@ -4873,6 +4887,26 @@ object TsdbQueries {
          |FROM f0 JOIN ld ON f0."user" = ld."user" AND f0.day = ld.day
          |CROSS JOIN grid g
          |GROUP BY 1, 2, 3""".stripMargin,
+    // Q171 replay: per absolute 5d grid point (Jan 8/13/18), each
+    // user's latest data day within the 3d lookback joined back to its
+    // sample count, summed per point; max across the three points.
+    "tsdb_q171_promql_hist_subquery" ->
+      s"""$duckTsdbCte,
+         |grid AS (SELECT CAST(1704672000000 + unnest(range(0, 3))
+         |    * 432000000 AS BIGINT) AS gt),
+         |f0 AS (SELECT "labels.user" AS "user",
+         |  CAST(floor(time / 86400000.0) AS BIGINT) AS day FROM t
+         |  WHERE "labels.name" = 'purchase'
+         |    AND time > $RangeStart AND time < $RangeEnd),
+         |ld AS (SELECT gt, "user", max(day) AS day
+         |  FROM grid CROSS JOIN (SELECT DISTINCT "user", day FROM f0) dd
+         |  WHERE day * 86400000 > gt - $HistLookbackMs
+         |    AND day * 86400000 <= gt
+         |  GROUP BY 1, 2),
+         |cnt AS (SELECT ld.gt, round(CAST(count(*) AS DOUBLE), 6) AS v
+         |  FROM f0 JOIN ld ON f0."user" = ld."user" AND f0.day = ld.day
+         |  GROUP BY 1)
+         |SELECT max(v) AS value FROM cnt""".stripMargin,
     // Q169 replay: the synthesized labels, one row (no user "zzz"
     // exists). Q170: each (user, 5d window) with ≥ 1 data day → 1.
     "tsdb_q169_promql_hist_absent" ->

@@ -269,6 +269,13 @@ final class PromHttpServer(spark: SparkSession, initial: DataFrame,
       namelessHistOk(l)
     case PromQL.BinOp(_, _, PromQL.ScalarLit(_), r, _, _, _, _) =>
       namelessHistOk(r)
+    // ...and through aggregation/rank wrappers: a nameless
+    // `sum(histogram_count({job="x"}))` bottoms out in a histogram_*
+    // call exactly like the bare call — the float tier has no reading
+    // for it (it rejects the family loudly; routing here evaluates it)
+    case PromQL.AggBy(_, _, a, _) => namelessHistOk(a)
+    case PromQL.AggWithout(_, _, a, _) => namelessHistOk(a)
+    case PromQL.RankK(_, _, a, _, _) => namelessHistOk(a)
     case _ => false
   }
 

@@ -513,7 +513,7 @@ object PromQL {
     * single-value statistics plus the pair/fold family, each evaluated
     * over the subquery's grid points (the grid timestamp `t` is the
     * time axis). */
-  private val SubqueryFns: Set[String] =
+  private[tsdb] val SubqueryFns: Set[String] =
     OverTimeStats.keySet ++ Set("quantile_over_time", "rate", "increase",
       "xrate", "xincrease", "xdelta",
       "irate", "idelta", "changes", "resets", "deriv", "predict_linear",
@@ -1384,10 +1384,16 @@ object PromQL {
     * steps), folded per series by the over-time statistic; the grid
     * column `t` is the time axis for last/first/delta. Returns
     * labels + `value`. */
-  private def subqueryFold(name: String, inner: Expr, rangeMs: Long,
+  private[tsdb] def subqueryFold(name: String, inner: Expr, rangeMs: Long,
                            stepMs: Long, sqEnd: Long, wide: DataFrame,
                            lookbackMs: Long,
-                           params: Seq[Double]): DataFrame = {
+                           params: Seq[Double],
+                           // inner-evaluator hook: the hist tier folds
+                           // subqueries over ITS evalRange (same grid
+                           // machinery, different evaluator)
+                           evalRangeFn: (Expr, DataFrame, Long, Long,
+                             Long, Long) => DataFrame = evalRange)
+      : DataFrame = {
     // first grid point STRICTLY after sqEnd − range (Prometheus 3:
     // subquery windows are left-open like raw-sample windows, so an
     // exactly-aligned point at sqEnd − range is excluded)
@@ -1395,7 +1401,8 @@ object PromQL {
       val floored = Math.floorDiv(sqEnd - rangeMs, stepMs) * stepMs
       if (floored <= sqEnd - rangeMs) floored + stepMs else floored
     }
-    val grid0 = evalRange(inner, wide, gridStart, sqEnd, stepMs, lookbackMs)
+    val grid0 = evalRangeFn(inner, wide, gridStart, sqEnd, stepMs,
+      lookbackMs)
     val grid = innerValueShape(inner, grid0)
     require(grid.columns.contains(TsdbSchema.ValueCol),
       s"$name over a subquery needs per-step instant vectors")
@@ -1435,11 +1442,17 @@ object PromQL {
     *     decomposition, one level up.
     *
     * Never a grid per grid point: cost = inner points × overlap. */
-  private def subqueryFoldRange(name: String, inner: Expr, rangeMs: Long,
+  private[tsdb] def subqueryFoldRange(name: String, inner: Expr,
+                                rangeMs: Long,
                                 sqStep: Long, off: Long, wide: DataFrame,
                                 start: Long, end: Long, stepMs: Long,
                                 lookbackMs: Long,
-                                params: Seq[Double]): DataFrame = {
+                                params: Seq[Double],
+                                // same inner-evaluator hook as
+                                // subqueryFold's
+                                evalRangeFn: (Expr, DataFrame, Long, Long,
+                                  Long, Long) => DataFrame = evalRange)
+      : DataFrame = {
     // earliest inner point any outer step can see: STRICTLY after
     // start − off − range (left-open subquery windows, Prometheus 3)
     val uStart = {
@@ -1447,7 +1460,8 @@ object PromQL {
       if (floored <= start - off - rangeMs) floored + sqStep else floored
     }
     val uEnd = math.floor((end - off).toDouble / sqStep).toLong * sqStep
-    val grid0 = evalRange(inner, wide, uStart, uEnd, sqStep, lookbackMs)
+    val grid0 = evalRangeFn(inner, wide, uStart, uEnd, sqStep,
+      lookbackMs)
     val grid1 = innerValueShape(inner, grid0)
     require(grid1.columns.contains(TsdbSchema.ValueCol),
       s"$name over a subquery needs per-step instant vectors")

@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import PromQL.{AggBy, AggWithout, AtAnchor, AtEnd, AtMs, AtStart, BinOp,
-  Expr, Fn, RankK, ScalarLit, Selector}
+  Expr, Fn, RankK, ScalarLit, Selector, Subquery}
 
 /** PromQL over NATIVE-HISTOGRAM series — the text front end for the
   * [[NativeHistogram]] struct tier, closing the loop the scaladoc of
@@ -59,8 +59,12 @@ import PromQL.{AggBy, AggWithout, AtAnchor, AtEnd, AtMs, AtStart, BinOp,
   *
   * Float RESULTS re-enter the float tier's own kernels: `sum/max/…
   * by|without (…)` and `topk/bottomk/limitk` over any float-evaluable
-  * shape ([[PromQL.aggFrame]]/[[PromQL.rankFrame]]), plus the presence
-  * primitives `absent`/`absent_over_time`/`present_over_time` and
+  * shape ([[PromQL.aggFrame]]/[[PromQL.rankFrame]]), SUBQUERIES over
+  * float-evaluable inner expressions (the float tier's absolute-grid
+  * fold machinery with this tier as the inner evaluator — the SLO
+  * shape `max_over_time(histogram_quantile(0.9, rate(m[5m]))[1h:5m])`),
+  * plus the presence primitives
+  * `absent`/`absent_over_time`/`present_over_time` and
   * `count_over_time`/`delta`.
   *
   * `__name__` flows as in Prometheus: selectors and `last_over_time`
@@ -68,9 +72,10 @@ import PromQL.{AggBy, AggWithout, AtAnchor, AtEnd, AtMs, AtStart, BinOp,
   * aggregation and the histogram_* functions drop it.
   *
   * Unsupported composition (grouped group_left/group_right matching
-  * between histograms, rank over HISTOGRAM vectors, subqueries) raises
-  * a clear error instead of silently treating the struct as a float;
-  * the HTTP router surfaces it as a 422, never an empty 200.
+  * between histograms, rank over HISTOGRAM vectors, subqueries whose
+  * INNER expression is histogram-valued) raises a clear error instead
+  * of silently treating the struct as a float; the HTTP router
+  * surfaces it as a 422, never an empty 200.
   *
   * Scale shape: the selector is a pruned scan; rate is ONE window pass
   * (lag over series-partitioned, time-ordered snapshots) + ONE
@@ -143,6 +148,12 @@ object PromQLHist {
     case Fn("absent", arg, _) => histEvaluable(arg)
     case Fn("absent_over_time" | "present_over_time",
             Selector(_, Some(_), _, _), _) => true
+    // SUBQUERIES over a float-evaluable inner expression — the
+    // canonical SLO fold `max_over_time(histogram_quantile(0.9,
+    // rate(native[5m]))[1h:5m])`: the float tier's subquery grid
+    // machinery with THIS tier as the inner evaluator
+    case Fn(name, Subquery(inner, _, _, _, _), _)
+        if PromQL.SubqueryFns(name) => floatEvaluable(inner)
     // count of a HISTOGRAM vector = series count (a float vector)...
     case AggBy("count", _, arg, None) if histEvaluable(arg) => true
     case AggWithout("count", _, arg, None) if histEvaluable(arg) => true
@@ -224,6 +235,15 @@ object PromQLHist {
     case RankK(op, k, arg, by, w) if floatEvaluable(arg) =>
       PromQL.rankFrame(eval(arg, hists, at, lookbackMs, start, end, nLes),
         op, k, by, w)
+    // subqueries: the inner float-evaluable expression evaluates on
+    // the subquery's absolute-aligned grid through THIS tier, then the
+    // float tier's own fold machinery finishes (one inner pass +
+    // per-series fold — never a loop over steps)
+    case Fn(name, Subquery(inner, rangeMs, sqStep, off, atm), params)
+        if PromQL.SubqueryFns(name) && floatEvaluable(inner) =>
+      PromQL.subqueryFold(name, inner, rangeMs, sqStep,
+        resolveAt(atm, at, start, end) - off, hists, lookbackMs, params,
+        (e, f, s0, e0, st, lb) => evalRange(e, f, s0, e0, st, lb, nLes))
     // absent: one `{<synthesized>} 1` row exactly when the hist-vector
     // argument is EMPTY at the instant (labels from the selector's Eq
     // matchers — the float tier's createLabelsForAbsentFunction shape)
@@ -367,6 +387,19 @@ object PromQLHist {
         PromQL.rankFrame(
           evalRange(arg, hists, start, end, stepMs, lookbackMs, nLes),
           op, k, by, w)
+      // range-mode subqueries: ONE inner pass over the covering grid
+      // through this tier, fan-out to the outer steps (the float
+      // tier's decomposition); an @ anchor pins one fold across the
+      // grid like every other anchored shape
+      case Fn(name, Subquery(inner, rangeMs, sqStep, off, None), params)
+          if PromQL.SubqueryFns(name) && floatEvaluable(inner) =>
+        PromQL.subqueryFoldRange(name, inner, rangeMs, sqStep, off,
+          hists, start, end, stepMs, lookbackMs, params,
+          (e, f, s0, e0, st, lb) => evalRange(e, f, s0, e0, st, lb, nLes))
+      case f @ Fn(name, Subquery(inner, _, _, _, Some(_)), _)
+          if PromQL.SubqueryFns(name) && floatEvaluable(inner) =>
+        pinToGrid(eval(f, hists, end, lookbackMs, start, end, nLes),
+          start, end, stepMs)
       // per-step absent: a `{<synthesized>} 1` row at every grid step
       // where the hist-vector argument is empty — grid anti-join
       // against the present steps (the float tier's kernel shape)

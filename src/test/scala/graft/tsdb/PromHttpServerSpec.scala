@@ -1740,6 +1740,11 @@ class PromHttpServerSpec extends SparkSpec {
       // dashboard composition) routes too: na count 2 + nb count 1
       val (cag, bag) = q("""sum(histogram_count({name=~"n."}))""")
       assert(cag == 200 && bag.contains(""""value":[2.000,"3.0"]"""), bag)
+      // ...and a SUBQUERY over the hist tier (the SLO fold): inner
+      // counts 1 (u=1s) and 2 (u=2s) on the absolute grid, max = 2
+      val (csq, bsq) =
+        q("""max_over_time(histogram_count({name="na"})[4s:1s])""")
+      assert(csq == 200 && bsq.contains(""""value":[2.000,"2.0"]"""), bsq)
       // STILL-unsupported shapes over the hist head answer 422 with the
       // shape named — previously an empty 200 from the float tier
       val (cu, bu) = q("""{name="na"} + on(user) group_left {name="nb"}""")

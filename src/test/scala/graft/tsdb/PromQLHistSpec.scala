@@ -398,6 +398,26 @@ class PromQLHistSpec extends SparkSpec {
     assert(r == Map(3000L -> 1.0), r)
   }
 
+  test("subqueries fold hist-tier float results on the absolute grid") {
+    // the canonical SLO shape: inner histogram_count evaluates on the
+    // subquery's absolute-aligned 1s grid THROUGH this tier (counts 2
+    // at t=1000, 3 at t=2000), then the float tier's fold finishes
+    val got = evalText("""max_over_time(histogram_count({inst="a"})[2s:1s])""")
+      .select(col("`labels.inst`"), col("value")).as[(String, Double)]
+      .collect().toSeq
+    assert(got == Seq(("a", 3.0)), got)
+    // range mode: one inner pass, fan-out to the outer steps
+    val r = evalRangeText(
+        """max_over_time(histogram_count({inst="a"})[2s:1s])""")
+      .select(col("t"), col("value")).as[(Long, Double)].collect().toMap
+    assert(r == Map(1000L -> 2.0, 2000L -> 3.0, 3000L -> 3.0), r)
+    // composition through an aggregation: avg of the global sum series
+    val s = evalText(
+        """avg_over_time(sum(histogram_count({job="api"}))[2s:1s])""")
+      .select(col("value")).as[Double].collect().toSeq
+    assert(s == Seq((3.0 + 5.0) / 2), s) // sums 3 (t1), 5 (t2)
+  }
+
   test("evalRange sliding over-time folds: per-window snapshot sets") {
     // [2s] windows, 1s steps, left-open: t=1000 sees {t1}, t=2000
     // {t1, t2}, t=3000 {t2} only
