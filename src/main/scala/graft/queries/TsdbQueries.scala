@@ -2341,6 +2341,26 @@ object TsdbQueries {
           col("`labels.user`").as("user"), col("t"),
           col("hist").getField("count").cast("long").as("n"),
           round(col("hist").getField("sum"), 4).as("sum_v"))),
+    // Q172/Q173: value maps and set ops re-entering over hist-tier
+    // float results — `clamp(histogram_count(m), lo, hi)` (the
+    // dashboard guard rail) and `and on(user)` membership between two
+    // metrics' scalarized counts (left rows unchanged, Prometheus set
+    // semantics).
+    "tsdb_q172_promql_hist_clamp" -> ((s, dir) =>
+      graft.tsdb.PromQLHist.eval(
+        graft.tsdb.PromQL.parse(
+          """clamp(histogram_count({name="purchase"}), 5, 40)"""),
+        histDaily(s, dir), at = RangeEnd, lookbackMs = HistLookbackMs,
+        start = RangeStart, end = RangeEnd, nLes = NhBounds.size + 1)
+        .select(col("`labels.user`").as("user"), col("value"))),
+    "tsdb_q173_promql_hist_setop" -> ((s, dir) =>
+      graft.tsdb.PromQLHist.eval(
+        graft.tsdb.PromQL.parse(
+          """histogram_count({name="purchase"}) and on(user) histogram_count({name="click"})"""),
+        histDaily(s, dir), at = RangeEnd, lookbackMs = HistLookbackMs,
+        start = RangeStart, end = RangeEnd, nLes = NhBounds.size + 1)
+        .select(col("`labels.name`").as("name"),
+          col("`labels.user`").as("user"), col("value"))),
     // Q171: a SUBQUERY over the hist tier — the SLO-dashboard fold
     // `max_over_time(sum(histogram_count(m))[15d:5d])`: the inner
     // global count-sum evaluates per absolute-aligned 5d grid step
@@ -4887,6 +4907,42 @@ object TsdbQueries {
          |FROM f0 JOIN ld ON f0."user" = ld."user" AND f0.day = ld.day
          |CROSS JOIN grid g
          |GROUP BY 1, 2, 3""".stripMargin,
+    // Q172/Q173 replay: latest-day purchase counts per user, clamped
+    // to [5, 40] / kept only where the user ALSO has click data in
+    // lookback (and-membership; the left side's value survives
+    // unchanged, name label included).
+    "tsdb_q172_promql_hist_clamp" ->
+      s"""$duckTsdbCte,
+         |f0 AS (SELECT "labels.user" AS "user",
+         |  CAST(floor(time / 86400000.0) AS BIGINT) AS day FROM t
+         |  WHERE "labels.name" = 'purchase'
+         |    AND time > $RangeStart AND time < $RangeEnd),
+         |ld AS (SELECT "user", max(day) AS day FROM f0
+         |  WHERE day * 86400000 > ${RangeEnd - HistLookbackMs}
+         |    AND day * 86400000 <= $RangeEnd
+         |  GROUP BY 1)
+         |SELECT f0."user",
+         |  least(greatest(CAST(count(*) AS DOUBLE), 5.0), 40.0) AS value
+         |FROM f0 JOIN ld ON f0."user" = ld."user" AND f0.day = ld.day
+         |GROUP BY 1""".stripMargin,
+    "tsdb_q173_promql_hist_setop" ->
+      s"""$duckTsdbCte,
+         |f0 AS (SELECT "labels.name" AS name, "labels.user" AS "user",
+         |  CAST(floor(time / 86400000.0) AS BIGINT) AS day FROM t
+         |  WHERE time > $RangeStart AND time < $RangeEnd
+         |    AND "labels.name" IN ('purchase', 'click')),
+         |ld AS (SELECT name, "user", max(day) AS day FROM f0
+         |  WHERE day * 86400000 > ${RangeEnd - HistLookbackMs}
+         |    AND day * 86400000 <= $RangeEnd
+         |  GROUP BY 1, 2),
+         |cnt AS (SELECT f0.name, f0."user",
+         |  CAST(count(*) AS DOUBLE) AS value
+         |  FROM f0 JOIN ld ON f0.name = ld.name AND f0."user" = ld."user"
+         |    AND f0.day = ld.day
+         |  GROUP BY 1, 2)
+         |SELECT p.name, p."user", p.value FROM cnt p
+         |WHERE p.name = 'purchase' AND EXISTS (SELECT 1 FROM cnt c
+         |  WHERE c.name = 'click' AND c."user" = p."user")""".stripMargin,
     // Q171 replay: per absolute 5d grid point (Jan 8/13/18), each
     // user's latest data day within the 3d lookback joined back to its
     // sample count, summed per point; max across the three points.

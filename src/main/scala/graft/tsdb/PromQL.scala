@@ -485,7 +485,7 @@ object PromQL {
     * `vector(time())`, as in Prometheus — see [[ClockFns]].)
     * `sort`/`sort_desc` order the instant vector by value
     * (presentation only — row order, not content). */
-  private val InstantFns = Set("abs", "ceil", "floor", "exp", "ln", "sqrt",
+  private[tsdb] val InstantFns = Set("abs", "ceil", "floor", "exp", "ln", "sqrt",
     "sgn", "clamp", "clamp_min", "clamp_max", "absent",
     "log2", "log10", "round", "timestamp", "sort", "sort_desc",
     "hour", "minute", "day_of_week", "day_of_month", "day_of_year",
@@ -1875,7 +1875,8 @@ object PromQL {
     * else the default full shared label set minus `ignoring(keys)`,
     * null-safe; the membership side collapses to distinct keys and
     * broadcasts. */
-  private def vectorSetOp(op: String, on: Seq[String], ign: Seq[String],
+  private[tsdb] def vectorSetOp(op: String, on: Seq[String],
+                          ign: Seq[String],
                           lv0: DataFrame, rv0: DataFrame,
                           extra: Seq[String]): DataFrame = {
     val keys0 = matchKeys(on, ign, lv0, rv0)
@@ -2266,7 +2267,8 @@ object PromQL {
   /** Instant-vector value maps (`abs`, `clamp*`, …) plus `absent`.
     * Transcendentals round(6) — libm last-bit differences between
     * engines are not semantics. */
-  private def instantFn(name: String, iv0: DataFrame, params: Seq[Double],
+  private[tsdb] def instantFn(name: String, iv0: DataFrame,
+                        params: Seq[Double],
                         at: Long): DataFrame = {
     val iv = toValueShape(iv0)
     val v = col(TsdbSchema.ValueCol)

@@ -154,6 +154,17 @@ object PromQLHist {
     // machinery with THIS tier as the inner evaluator
     case Fn(name, Subquery(inner, _, _, _, _), _)
         if PromQL.SubqueryFns(name) => floatEvaluable(inner)
+    // value maps / sort over a float result — `clamp(histogram_quantile
+    // (0.9, m), 0, 10)`, `sort(histogram_count(m))`, the wall-clock
+    // family. absent has its own dispatch above; scalar/vector change
+    // the result TYPE and stay float-tier-only.
+    case Fn(name, arg, _)
+        if PromQL.InstantFns(name) && name != "absent" &&
+          name != "scalar" && name != "vector" => floatEvaluable(arg)
+    // set ops BETWEEN float results: membership by label identity
+    // (`histogram_count(a) and on(user) histogram_count(b)`)
+    case PromQL.SetOp(_, _, l, r, _) =>
+      floatEvaluable(l) && floatEvaluable(r)
     // count of a HISTOGRAM vector = series count (a float vector)...
     case AggBy("count", _, arg, None) if histEvaluable(arg) => true
     case AggWithout("count", _, arg, None) if histEvaluable(arg) => true
@@ -244,6 +255,22 @@ object PromQLHist {
       PromQL.subqueryFold(name, inner, rangeMs, sqStep,
         resolveAt(atm, at, start, end) - off, hists, lookbackMs, params,
         (e, f, s0, e0, st, lb) => evalRange(e, f, s0, e0, st, lb, nLes))
+    // value maps / sort over float results — the float tier's own
+    // per-row kernels on the pre-evaluated frame
+    case Fn(name, arg, params)
+        if PromQL.InstantFns(name) && name != "absent" &&
+          name != "scalar" && name != "vector" && floatEvaluable(arg) =>
+      PromQL.instantFn(name,
+        eval(arg, hists, at, lookbackMs, start, end, nLes), params, at)
+    // set ops between float results: the float tier's membership joins
+    // (surviving side's rows unchanged; only membership consults keys)
+    case PromQL.SetOp(op, on, l, r, ign)
+        if floatEvaluable(l) && floatEvaluable(r) =>
+      val lv = eval(l, hists, at, lookbackMs, start, end, nLes)
+      val rv = eval(r, hists, at, lookbackMs, start, end, nLes)
+      PromQL.vectorSetOp(op, on, ign, lv, rv,
+        extra = Seq("bucket", "t").filter(c =>
+          lv.columns.contains(c) && rv.columns.contains(c)))
     // absent: one `{<synthesized>} 1` row exactly when the hist-vector
     // argument is EMPTY at the instant (labels from the selector's Eq
     // matchers — the float tier's createLabelsForAbsentFunction shape)
@@ -400,6 +427,20 @@ object PromQLHist {
           if PromQL.SubqueryFns(name) && floatEvaluable(inner) =>
         pinToGrid(eval(f, hists, end, lookbackMs, start, end, nLes),
           start, end, stepMs)
+      // value maps don't touch the grid column — per-step for free
+      case Fn(name, arg, params)
+          if PromQL.InstantFns(name) && name != "absent" &&
+            name != "scalar" && name != "vector" && floatEvaluable(arg) =>
+        PromQL.instantFn(name,
+          evalRange(arg, hists, start, end, stepMs, lookbackMs, nLes),
+          params, at = end)
+      // set ops between float results on the shared grid
+      case PromQL.SetOp(op, on, l, r, ign)
+          if floatEvaluable(l) && floatEvaluable(r) =>
+        PromQL.vectorSetOp(op, on, ign,
+          evalRange(l, hists, start, end, stepMs, lookbackMs, nLes),
+          evalRange(r, hists, start, end, stepMs, lookbackMs, nLes),
+          extra = Seq("t"))
       // per-step absent: a `{<synthesized>} 1` row at every grid step
       // where the hist-vector argument is empty — grid anti-join
       // against the present steps (the float tier's kernel shape)

@@ -398,6 +398,30 @@ class PromQLHistSpec extends SparkSpec {
     assert(r == Map(3000L -> 1.0), r)
   }
 
+  test("value maps and set ops re-enter over hist-tier float results") {
+    // clamp over the scalarized counts (a=3, b=2 at the instant)
+    val c = evalText("""clamp(histogram_count({job="api"}), 0, 2.5)""")
+      .select(col("`labels.inst`"), col("value")).as[(String, Double)]
+      .collect().toMap
+    assert(c == Map("a" -> 2.5, "b" -> 2.0), c)
+    // abs∘arithmetic composition
+    val m = evalText("""abs(histogram_count({job="api"}) - 10)""")
+      .select(col("`labels.inst`"), col("value")).as[(String, Double)]
+      .collect().toMap
+    assert(m == Map("a" -> 7.0, "b" -> 8.0), m)
+    // set ops: membership by label identity, left rows unchanged
+    val and = evalText(
+        """histogram_count({job="api"}) and on(inst) histogram_count({inst="b"})""")
+      .select(col("`labels.inst`"), col("value")).as[(String, Double)]
+      .collect().toMap
+    assert(and == Map("b" -> 2.0), and)
+    val unless = evalText(
+        """histogram_count({job="api"}) unless on(inst) histogram_count({inst="b"})""")
+      .select(col("`labels.inst`"), col("value")).as[(String, Double)]
+      .collect().toMap
+    assert(unless == Map("a" -> 3.0), unless)
+  }
+
   test("subqueries fold hist-tier float results on the absolute grid") {
     // the canonical SLO shape: inner histogram_count evaluates on the
     // subquery's absolute-aligned 1s grid THROUGH this tier (counts 2
