@@ -2341,6 +2341,19 @@ object TsdbQueries {
           col("`labels.user`").as("user"), col("t"),
           col("hist").getField("count").cast("long").as("n"),
           round(col("hist").getField("sum"), 4).as("sum_v"))),
+    // Q174: set ops between HISTOGRAM vectors — `unless on(user)`:
+    // purchase users with NO click data in lookback, histogram rows
+    // UNCHANGED (membership never consults values).
+    "tsdb_q174_promql_hist_unless" -> ((s, dir) =>
+      graft.tsdb.PromQLHist.eval(
+        graft.tsdb.PromQL.parse(
+          """{name="purchase"} unless on(user) {name="click"}"""),
+        histDaily(s, dir), at = RangeEnd, lookbackMs = HistLookbackMs,
+        start = RangeStart, end = RangeEnd, nLes = NhBounds.size + 1)
+        .select(col("`labels.name`").as("name"),
+          col("`labels.user`").as("user"),
+          col("hist").getField("count").cast("long").as("n"),
+          round(col("hist").getField("sum"), 4).as("sum_v"))),
     // Q172/Q173: value maps and set ops re-entering over hist-tier
     // float results — `clamp(histogram_count(m), lo, hi)` (the
     // dashboard guard rail) and `and on(user)` membership between two
@@ -4907,6 +4920,26 @@ object TsdbQueries {
          |FROM f0 JOIN ld ON f0."user" = ld."user" AND f0.day = ld.day
          |CROSS JOIN grid g
          |GROUP BY 1, 2, 3""".stripMargin,
+    // Q174 replay: latest-day purchase stats for users with NO
+    // latest-day click snapshot in lookback.
+    "tsdb_q174_promql_hist_unless" ->
+      s"""$duckTsdbCte,
+         |f0 AS (SELECT "labels.name" AS name, "labels.user" AS "user",
+         |  CAST(floor(time / 86400000.0) AS BIGINT) AS day, value FROM t
+         |  WHERE time > $RangeStart AND time < $RangeEnd
+         |    AND "labels.name" IN ('purchase', 'click')),
+         |ld AS (SELECT name, "user", max(day) AS day FROM f0
+         |  WHERE day * 86400000 > ${RangeEnd - HistLookbackMs}
+         |    AND day * 86400000 <= $RangeEnd
+         |  GROUP BY 1, 2)
+         |SELECT 'purchase' AS name, f0."user",
+         |  count(*) AS n, round(sum(value), 4) AS sum_v
+         |FROM f0 JOIN ld ON f0.name = ld.name AND f0."user" = ld."user"
+         |  AND f0.day = ld.day
+         |WHERE f0.name = 'purchase' AND NOT EXISTS (
+         |  SELECT 1 FROM ld c WHERE c.name = 'click'
+         |    AND c."user" = f0."user")
+         |GROUP BY 1, 2""".stripMargin,
     // Q172/Q173 replay: latest-day purchase counts per user, clamped
     // to [5, 40] / kept only where the user ALSO has click data in
     // lookback (and-membership; the left side's value survives

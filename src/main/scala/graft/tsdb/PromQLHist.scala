@@ -132,6 +132,11 @@ object PromQLHist {
     case BinOp("*", _, l, ScalarLit(_), false, _, _, _) => histEvaluable(l)
     case BinOp("*", _, ScalarLit(_), r, false, _, _, _) => histEvaluable(r)
     case BinOp("/", _, l, ScalarLit(_), false, _, _, _) => histEvaluable(l)
+    // set ops BETWEEN histogram vectors: membership by label identity,
+    // value-agnostic — `native_a or native_b` is the metric-rename
+    // migration fallback; `unless` the suppression pattern
+    case PromQL.SetOp(_, _, l, r, _) =>
+      histEvaluable(l) && histEvaluable(r)
     case _ => false
   }
 
@@ -593,6 +598,12 @@ object PromQLHist {
       case BinOp("/", _, l, ScalarLit(s), false, _, _, _) =>
         dropMetric(evalHR(l, hists, start, end, stepMs, lookbackMs, nLes))
           .withColumn(HistCol, histScale(col(HistCol), lit(1.0 / s)))
+      // set ops between histogram vectors on the shared grid
+      case PromQL.SetOp(op, on, l, r, ign)
+          if histEvaluable(l) && histEvaluable(r) =>
+        histSetOp(op,
+          evalHR(l, hists, start, end, stepMs, lookbackMs, nLes),
+          evalHR(r, hists, start, end, stepMs, lookbackMs, nLes), on, ign)
       case other =>
         throw new IllegalArgumentException(
           "unsupported over native histograms: " + PromQL.render(other) +
@@ -753,6 +764,13 @@ object PromQLHist {
     case BinOp("/", _, l, ScalarLit(s), false, _, _, _) =>
       dropMetric(evalH(l, hists, at, lookbackMs, start, end, nLes))
         .withColumn(HistCol, histScale(col(HistCol), lit(1.0 / s)))
+    // set ops between HISTOGRAM vectors: membership joins, rows of the
+    // surviving side unchanged (value-agnostic — Prometheus semantics)
+    case PromQL.SetOp(op, on, l, r, ign)
+        if histEvaluable(l) && histEvaluable(r) =>
+      histSetOp(op,
+        evalH(l, hists, at, lookbackMs, start, end, nLes),
+        evalH(r, hists, at, lookbackMs, start, end, nLes), on, ign)
     case other =>
       throw new IllegalArgumentException(
         "unsupported over native histograms: " + PromQL.render(other) +
@@ -967,6 +985,55 @@ object PromQLHist {
         lg.map(g => col(s"l.`$g`").as(g)) ++
         rg.filterNot(lg.contains).map(g => col(s"r.`$g`").as(g)) :+
         combined.as(HistCol): _*)
+  }
+
+  /** `histA and|or|unless histB` — PromQL set operators between
+    * HISTOGRAM vectors: pure label-identity MEMBERSHIP (values never
+    * consulted), surviving rows UNCHANGED (metric name included, as in
+    * Prometheus). Matching keys follow [[histArith]]'s contract —
+    * default = union of label names minus the metric name, or
+    * `on(keys)`/`ignoring(keys)`. `and` = left-semi join against the
+    * right's distinct key set, `unless` = left-anti, `or` = left plus
+    * the right rows with NO left partner (schemas union by name —
+    * labels one side lacks pad NULL ≡ absent). Scale shape: the joins
+    * carry series-count key tuples, never payloads. */
+  private def histSetOp(op: String, lv: DataFrame, rv: DataFrame,
+                        on: Seq[String],
+                        ignoring: Seq[String]): DataFrame = {
+    val keys =
+      if (on.nonEmpty) on
+      else arithKeys(lv, rv).filterNot(ignoring.contains(_))
+    val grid = Seq("bucket", "t").filter(c =>
+      lv.columns.contains(c) && rv.columns.contains(c))
+    // one side's keys projected BARE + distinct — the membership set
+    def keySet(df: DataFrame): DataFrame =
+      df.select(keys.map { k =>
+        if (df.columns.contains(labelColName(k))) labelCol(k).as(k)
+        else if (df.columns.contains(k)) col(s"`$k`").as(k)
+        else lit(null).cast("string").as(k)
+      } ++ grid.map(c => col(s"`$c`")): _*).distinct()
+    // kept side resolves each key wide/bare/NULL, null-safely equal to
+    // the membership set's bare column (the float tier's keptKeyCond)
+    def cond(kept: DataFrame): Column =
+      (keys.map { k =>
+        val c =
+          if (kept.columns.contains(labelColName(k)))
+            col(s"l.`${labelColName(k)}`")
+          else if (kept.columns.contains(k)) col(s"l.`$k`")
+          else lit(null).cast("string")
+        c <=> col(s"r.`$k`")
+      } ++ grid.map(g => col(s"l.`$g`") <=> col(s"r.`$g`")))
+        .reduceOption(_ && _).getOrElse(lit(true))
+    op match {
+      case "and" =>
+        lv.as("l").join(keySet(rv).as("r"), cond(lv), "left_semi")
+      case "unless" =>
+        lv.as("l").join(keySet(rv).as("r"), cond(lv), "left_anti")
+      case "or" =>
+        val rOnly = rv.as("l")
+          .join(keySet(lv).as("r"), cond(rv), "left_anti")
+        lv.unionByName(rOnly, allowMissingColumns = true)
+    }
   }
 
   /** Default-matching key set between two histogram vectors: the union

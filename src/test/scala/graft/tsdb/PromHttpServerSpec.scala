@@ -1745,6 +1745,12 @@ class PromHttpServerSpec extends SparkSpec {
       val (csq, bsq) =
         q("""max_over_time(histogram_count({name="na"})[4s:1s])""")
       assert(csq == 200 && bsq.contains(""""value":[2.000,"2.0"]"""), bsq)
+      // set ops between HISTOGRAM vectors answer in the native form
+      // (na or nb — same user, so nb is suppressed by default matching)
+      val (cso, bso) = q("""{name="na"} or {name="nb"}""")
+      assert(cso == 200, bso)
+      assert(bso.contains(""""histogram":[2.000,{"count":"2.0""""), bso)
+      assert(!bso.contains(""""count":"1.0""""), bso) // nb suppressed
       // STILL-unsupported shapes over the hist head answer 422 with the
       // shape named — previously an empty 200 from the float tier
       val (cu, bu) = q("""{name="na"} + on(user) group_left {name="nb"}""")

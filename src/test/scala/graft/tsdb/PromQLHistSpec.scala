@@ -335,6 +335,33 @@ class PromQLHistSpec extends SparkSpec {
     assert(e.getMessage.contains("unsupported over native histograms"))
   }
 
+  test("set ops between HISTOGRAM vectors: membership, rows unchanged") {
+    // ha has inst x (count 2) and y (count 1); hb has inst x only
+    def instCounts(q: String): Map[String, Double] =
+      evalText(q, frame = two)
+        .select(col("`labels.inst`"), col("hist.count"))
+        .as[(String, Double)].collect().toMap
+    // and: ha's rows whose inst exists on hb — UNCHANGED (name kept)
+    val and = evalText("""{name="ha"} and {name="hb"}""", frame = two)
+    assert(and.columns.contains("labels.name"))
+    assert(instCounts("""{name="ha"} and {name="hb"}""") ==
+      Map("x" -> 2.0))
+    // unless: the suppression complement
+    assert(instCounts("""{name="ha"} unless {name="hb"}""") ==
+      Map("y" -> 1.0))
+    // or: ha plus hb's rows with no ha partner — default matching
+    // excludes the metric name, so hb/x is suppressed by ha/x
+    assert(instCounts("""{name="ha"} or {name="hb"}""") ==
+      Map("x" -> 2.0, "y" -> 1.0))
+    // or with a DISJOINT key: on(nosuch) makes every row match → the
+    // left side alone survives the right's anti-join entirely
+    val orOn = evalText("""{name="hb"} or on(inst) {name="ha"}""",
+        frame = two)
+      .select(col("`labels.name`"), col("hist.count"))
+      .as[(String, Double)].collect().toSet
+    assert(orOn == Set(("hb", 2.0), ("ha", 1.0)), orOn) // hb/x + ha/y
+  }
+
   test("sum/avg/last_over_time fold whole histograms per tumbling window") {
     // series a: t1 count 2, t2 count 3 — one [3s] bucket covers both
     def fold(fn: String): DataFrame =
