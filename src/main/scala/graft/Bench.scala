@@ -114,7 +114,11 @@ object Bench {
     // round 16: histogram arithmetic (one-to-one matched add — the new
     // join kernel) and the over-time fold family (sum_over_time as the
     // representative; avg/last share its fan-out/groupBy shape)
-    "tsdb_q156_promql_hist_add", "tsdb_q159_promql_hist_sum_over_time")
+    "tsdb_q156_promql_hist_add", "tsdb_q159_promql_hist_sum_over_time",
+    // round 17: the scale-by-float-vector join kernel, the histogram
+    // subquery grid+fold, and the split-tier mixed-or membership join
+    "tsdb_q175_promql_hist_div_vector",
+    "tsdb_q177_promql_hist_subquery_fold", "tsdb_q180_promql_mixed_or")
   // round 15: tsdb_q154_tsdb_dump stays out by the q110 rationale — it
   // re-runs q108's dominant block-write work (plus q130's parse) —
   // and tsdb_q155_api_hist_json re-runs q90's dominant daily-histogram
@@ -123,6 +127,8 @@ object Bench {
   // stream_q18 and tsdb_q163 re-run q117's WAL-write / q108's
   // block-write dominant work — all stay oracle-verified in
   // CORRECTNESS, out of the bench by the same double-count rationale.
+  // Round 17: q176/q178/q179/q181 re-run q175/q180's join/sampling
+  // kernels — oracle-verified in CORRECTNESS, out of the bench.
 
   /** 1/5/15-minute fields of /proc/loadavg (empty off-Linux). */
   private def loadavg(): Seq[Double] =

@@ -254,6 +254,108 @@ final class PromHttpServer(spark: SparkSession, initial: DataFrame,
     synchronized(histMetricNames)
       .filter(m => ms.forall(matchesMetric(_, m)))
 
+  /** Whether `e`'s name-bearing selectors STRADDLE the two stores: at
+    * least one resolves to a pushed-native metric AND at least one to
+    * the float/classic tier. The whole-expression `forall` routing
+    * would evaluate such an expression entirely on the float tier,
+    * where the native side has no series — a silently PARTIAL answer
+    * (`native or float` returned only the float rows, `float unless
+    * native` suppressed nothing). The router instead SPLITS the
+    * well-defined multi-operand shapes per side — set ops (pure label
+    * membership, values never consulted) and × ÷ by a float vector
+    * (the [[PromQLHist.scaleByVector]] join) — and rejects every
+    * other straddling shape with the loud 422 mixed-tier error,
+    * matching Prometheus's own refusal to combine a histogram and a
+    * float sample arithmetically. */
+  private def straddlesTiers(e: PromQL.Expr): Boolean =
+    histHead.nonEmpty && {
+      val tiers = PromQL.selectorsOf(e)
+        .map(_.filter(m => m.name == "__name__" || m.name == "name"))
+        .filter(_.nonEmpty)
+        .map(ms => stored(ms).nonEmpty)
+      tiers.contains(true) && tiers.contains(false)
+    }
+
+  /** Evaluate ONE side of a straddling multi-operand expression on its
+    * own store: the hist head when its selectors resolve there
+    * (float- or histogram-valued, the same gates as whole-expression
+    * routing), the float tier otherwise. None = this side cannot
+    * evaluate on a single tier (it straddles itself, or is an
+    * unsupported hist-head shape) — the caller 422s. */
+  private def sideInstant(e: PromQL.Expr, at: Long): Option[DataFrame] =
+    if (straddlesTiers(e)) None
+    else if (routesToHistHead(e, allowNameless = namelessHistOk(e)) &&
+        PromQLHist.floatEvaluable(e))
+      Some(PromQLHist.evalStrict(e, histHead.get, at, lookbackMs, histNLes))
+    else if (routesToHistHead(e, allowNameless = false) &&
+        PromQLHist.histEvaluable(e))
+      Some(PromQLHist.evalStrict(e, histHead.get, at, lookbackMs, histNLes))
+    else if (routesToHistHead(e, allowNameless = false)) None
+    else Some(PromQL.toValueShape(
+      PromQL.evalStrict(e, wide, at, lookbackMs, start = at, end = at)))
+
+  /** [[sideInstant]]'s query_range twin — each side on its own tier,
+    * the shared grid column `t` joins the match keys downstream. */
+  private def sideRange(e: PromQL.Expr, start: Long, end: Long,
+                        step: Long): Option[DataFrame] =
+    if (straddlesTiers(e)) None
+    else if (routesToHistHead(e, allowNameless = namelessHistOk(e)) &&
+        PromQLHist.floatEvaluable(e))
+      Some(PromQLHist.evalRange(e, histHead.get, start, end, step,
+        lookbackMs, histNLes))
+    else if (routesToHistHead(e, allowNameless = false) &&
+        PromQLHist.histEvaluable(e))
+      Some(PromQLHist.evalRange(e, histHead.get, start, end, step,
+        lookbackMs, histNLes))
+    else if (routesToHistHead(e, allowNameless = false)) None
+    else Some(PromQL.toValueShape(
+      PromQL.evalRange(e, wide, start, end, step, lookbackMs)))
+
+  /** Serialize an instant vector of ANY value shape: histogram rows
+    * via the `histogram` response field, float rows via `value` — a
+    * mixed split-tier `or` carries both kinds side by side (each row
+    * holds exactly one), Prometheus's own vector shape. */
+  private def vectorResponse(ex: HttpExchange, iv0: DataFrame,
+                             at: Long): Unit = {
+    import spark.implicits._
+    val iv = iv0.withColumn(TsdbSchema.TimeCol, lit(at))
+    val hasH = iv.columns.contains(PromQLHist.HistCol)
+    val hasV = iv.columns.contains(TsdbSchema.ValueCol)
+    val rows =
+      if (hasH && hasV) {
+        val h = ApiJson.histVectorJson(
+          iv.where(col(PromQLHist.HistCol).isNotNull)
+            .drop(TsdbSchema.ValueCol)).as[String].collect()
+        val f = ApiJson.vectorJson(
+          iv.where(col(PromQLHist.HistCol).isNull)
+            .drop(PromQLHist.HistCol)).as[String].collect()
+        h ++ f
+      } else if (hasH) ApiJson.histVectorJson(iv).as[String].collect()
+      else ApiJson.vectorJson(iv).as[String].collect()
+    ok(ex, s"""{"resultType":"vector","result":[${rows.mkString(",")}]}""")
+  }
+
+  /** [[vectorResponse]]'s matrix twin for query_range results. */
+  private def matrixResponse(ex: HttpExchange, rv: DataFrame): Unit = {
+    import spark.implicits._
+    val hasH = rv.columns.contains(PromQLHist.HistCol)
+    val hasV = rv.columns.contains(TsdbSchema.ValueCol)
+    val rows =
+      if (hasH && hasV) {
+        val h = ApiJson.histMatrixJson(
+          rv.where(col(PromQLHist.HistCol).isNotNull)
+            .drop(TsdbSchema.ValueCol, TsdbSchema.TimeCol)).as[String].collect()
+        val f = ApiJson.matrixJson(
+          rv.where(col(PromQLHist.HistCol).isNull)
+            .drop(PromQLHist.HistCol)).as[String].collect()
+        h ++ f
+      } else if (hasH)
+        ApiJson.histMatrixJson(rv.drop(TsdbSchema.TimeCol))
+          .as[String].collect()
+      else ApiJson.matrixJson(rv).as[String].collect()
+    ok(ex, s"""{"resultType":"matrix","result":[${rows.mkString(",")}]}""")
+  }
+
   /** Whether a fully NAMELESS expression may still route to the hist
     * head: only when its vector operand bottoms out in a histogram_*
     * call — there is no classic float-tier reading of a nameless
@@ -420,6 +522,8 @@ final class PromHttpServer(spark: SparkSession, initial: DataFrame,
         err(ex, 503, "unavailable", e.getMessage)
       case e: PromHttpServer.UnsupportedHistExpr =>
         err(ex, 422, "execution", e.getMessage)
+      case e: PromHttpServer.UnsupportedMixedTierExpr =>
+        err(ex, 422, "execution", e.getMessage)
       case e: IllegalArgumentException =>
         err(ex, 400, "bad_data", String.valueOf(e.getMessage))
       case NonFatal(e) => err(ex, 422, "execution", String.valueOf(e))
@@ -581,6 +685,44 @@ final class PromHttpServer(spark: SparkSession, initial: DataFrame,
       .getOrElse(System.currentTimeMillis())
     val ast = PromQL.parse(q)
     ast match {
+      // MULTI-OPERAND expressions whose selectors STRADDLE the two
+      // stores (one side pushed-native, one float/classic). Set ops
+      // are value-agnostic and × ÷ by a float vector is well-defined,
+      // so each side evaluates on ITS OWN tier and a label-identity
+      // join finishes — whole-expression routing would answer
+      // silently PARTIAL from the float tier. Any other straddling
+      // shape is rejected loudly below.
+      case PromQL.SetOp(op, onK, l, r, ign) if straddlesTiers(ast) =>
+        (sideInstant(l, at), sideInstant(r, at)) match {
+          case (Some(lf), Some(rf)) =>
+            vectorResponse(ex,
+              PromQLHist.setOpFrames(op, lf, rf, onK, ign), at)
+            return
+          case _ => throw new PromHttpServer.UnsupportedMixedTierExpr(q)
+        }
+      case PromQL.BinOp(op @ ("*" | "/"), onK, l, r, false, "", ign, Seq())
+          if straddlesTiers(ast) =>
+        // hist ÷/× float-vector ACROSS the stores (`native_latency /
+        // on(instance) scrape_count`): the hist side keeps its store,
+        // the float side evaluates on the wide head, scaleByVector
+        // joins them; `*` commutes, `float ÷ hist` stays rejected
+        (sideInstant(l, at), sideInstant(r, at)) match {
+          case (Some(lf), Some(rf))
+              if lf.columns.contains(PromQLHist.HistCol) &&
+                rf.columns.contains(TsdbSchema.ValueCol) =>
+            vectorResponse(ex, PromQLHist.scaleByVector(lf, rf,
+              divide = op == "/", onK, ign), at)
+            return
+          case (Some(lf), Some(rf))
+              if op == "*" && rf.columns.contains(PromQLHist.HistCol) &&
+                lf.columns.contains(TsdbSchema.ValueCol) =>
+            vectorResponse(ex, PromQLHist.scaleByVector(rf, lf,
+              divide = false, onK, ign), at)
+            return
+          case _ => throw new PromHttpServer.UnsupportedMixedTierExpr(q)
+        }
+      case e if straddlesTiers(e) =>
+        throw new PromHttpServer.UnsupportedMixedTierExpr(q)
       // hist-tier float-evaluable shapes (the histogram_* scalar
       // family, count aggregations, and vector-scalar ops over them —
       // every histogram alert's shape) evaluate over the PUSHED
@@ -663,6 +805,38 @@ final class PromHttpServer(spark: SparkSession, initial: DataFrame,
     // the histogram_* scalar family evaluates over the hist head (its
     // range output carries the grid column `t` — matrix-ready)
     val df = ast match {
+      // the instant endpoint's split-tier twins: straddling set ops
+      // and × ÷ by a float vector evaluate per side on the shared
+      // grid; any other straddling shape 422s (see straddlesTiers)
+      case PromQL.SetOp(op, onK, l, r, ign) if straddlesTiers(ast) =>
+        (sideRange(l, start, end, step),
+          sideRange(r, start, end, step)) match {
+          case (Some(lf), Some(rf)) =>
+            matrixResponse(ex,
+              PromQLHist.setOpFrames(op, lf, rf, onK, ign))
+            return
+          case _ => throw new PromHttpServer.UnsupportedMixedTierExpr(q)
+        }
+      case PromQL.BinOp(op @ ("*" | "/"), onK, l, r, false, "", ign, Seq())
+          if straddlesTiers(ast) =>
+        (sideRange(l, start, end, step),
+          sideRange(r, start, end, step)) match {
+          case (Some(lf), Some(rf))
+              if lf.columns.contains(PromQLHist.HistCol) &&
+                rf.columns.contains(TsdbSchema.ValueCol) =>
+            matrixResponse(ex, PromQLHist.scaleByVector(lf, rf,
+              divide = op == "/", onK, ign))
+            return
+          case (Some(lf), Some(rf))
+              if op == "*" && rf.columns.contains(PromQLHist.HistCol) &&
+                lf.columns.contains(TsdbSchema.ValueCol) =>
+            matrixResponse(ex, PromQLHist.scaleByVector(rf, lf,
+              divide = false, onK, ign))
+            return
+          case _ => throw new PromHttpServer.UnsupportedMixedTierExpr(q)
+        }
+      case e if straddlesTiers(e) =>
+        throw new PromHttpServer.UnsupportedMixedTierExpr(q)
       case e if PromQLHist.floatEvaluable(e) && routesToHistHead(e,
           allowNameless = namelessHistOk(e)) =>
         PromQLHist.evalRange(ast, histHead.get, start, end, step,
@@ -930,7 +1104,17 @@ final class PromHttpServer(spark: SparkSession, initial: DataFrame,
   private def ruleHistError(expr: String): Option[String] =
     try {
       val ast = PromQL.parse(expr)
-      if (routesToHistHead(ast, allowNameless = false) &&
+      // TIER-STRADDLING rules (one selector pushed-native, one
+      // float/classic) are the rules tier's silently-partial class:
+      // evaluated whole on the float tier, `float unless native`
+      // suppresses nothing and the rule mis-fires forever. The rules
+      // tier evaluates on ONE store per rule — pinned contract:
+      // straddling rules surface health=err + lastError, loudly.
+      if (straddlesTiers(ast))
+        Some("expression mixes native-histogram and float metrics: " +
+          expr + " — rules evaluate on one store; split the rule " +
+          "per tier")
+      else if (routesToHistHead(ast, allowNameless = false) &&
           !PromQLHist.floatEvaluable(ast))
         Some("unsupported expression over native-histogram series: " +
           expr + " (no float-evaluable hist-tier reading)")
@@ -1548,6 +1732,21 @@ object PromHttpServer {
       "unsupported expression over native-histogram series: " + query +
         " (supported: selector, rate/increase, sum/avg/count " +
         "aggregation, histogram_* functions, +/- between histograms " +
-        "under default matching, * and / by a scalar, " +
-        "sum/avg/last_over_time)")
+        "under default matching, * and / by a scalar or matched " +
+        "float vector, sum/avg/last_over_time incl. over histogram " +
+        "subqueries, limitk/limit_ratio)")
+
+  /** Maps to the API's 422 `execution` error: the expression MIXES
+    * pushed-native-histogram and float/classic metrics in a shape the
+    * router cannot split per tier. Evaluating it whole on either
+    * store silently drops the other side's series (the
+    * silently-PARTIAL class); Prometheus itself refuses to combine a
+    * histogram and a float sample arithmetically. Splittable shapes —
+    * and/or/unless, and × ÷ by a float vector — ARE evaluated
+    * split-tier and never reach this error. */
+  private[tsdb] final class UnsupportedMixedTierExpr(query: String)
+    extends RuntimeException(
+      "expression mixes native-histogram and float metrics: " + query +
+        " (split-tier evaluation covers and/or/unless and " +
+        "histogram × ÷ float-vector; rewrite anything else per tier)")
 }

@@ -1162,9 +1162,9 @@ object PromQLHist {
     * yields rows carrying exactly one of `hist`/`value`, the API's
     * side-by-side vector entries). Scale shape: the joins carry
     * series-count key tuples, never payloads. */
-  private[tsdb] def setOpFrames(op: String, lv: DataFrame, rv: DataFrame,
-                                on: Seq[String],
-                                ignoring: Seq[String]): DataFrame = {
+  def setOpFrames(op: String, lv: DataFrame, rv: DataFrame,
+                  on: Seq[String],
+                  ignoring: Seq[String]): DataFrame = {
     val keys =
       if (on.nonEmpty) on
       else arithKeys(lv, rv).filterNot(ignoring.contains(_))

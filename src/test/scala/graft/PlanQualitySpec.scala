@@ -513,4 +513,22 @@ class PlanQualitySpec extends SparkSpec {
       !plan.contains("CartesianProduct"),
       s"histArith degraded to all-pairs:\n$plan")
   }
+
+  test("hist ÷ float-vector and split-tier set ops: equi-joins, " +
+      "never all-pairs") {
+    // scaleByVector composes the histArith join with histScale; the
+    // split-tier set ops are membership joins on key tuples — BOTH
+    // sides series-count-sized, so any BNLJ/cartesian is a plan
+    // regression that degrades to all-pairs at scale
+    for (q <- Seq("tsdb_q175_promql_hist_div_vector",
+        "tsdb_q180_promql_mixed_or", "tsdb_q181_promql_mixed_unless")) {
+      val plan = planOf(q)
+      assert(plan.contains("BroadcastHashJoin") ||
+        plan.contains("SortMergeJoin") ||
+        plan.contains("ShuffledHashJoin"), s"$q: no equi-join:\n$plan")
+      assert(!plan.contains("BroadcastNestedLoopJoin") &&
+        !plan.contains("CartesianProduct"),
+        s"$q degraded to all-pairs:\n$plan")
+    }
+  }
 }

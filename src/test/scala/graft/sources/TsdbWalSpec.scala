@@ -270,6 +270,92 @@ class TsdbWalSpec extends SparkSpec {
     } finally mdStream.stop()
   }
 
+  test("exemplar/metadata tails: torn final record stays safe; a " +
+      "restarted stream resumes from its checkpoint, no dups") {
+    // the float tail's torn-record and restart guarantees, proven for
+    // the round-16 record kinds: a live head can die mid-write of an
+    // exemplar/metadata record, and a restarted consumer must resume
+    // from its offsets — not re-deliver, not invent, not drop
+    import graft.sources.tsdbblock.{TsdbWalWriter, TsdbWalRecords}
+    import spark.implicits._
+    val src = graft.queries.Tables.scratchDir("graft_walkinds_torn_src")
+    val long = Seq((1000L, 1.0, Map("__name__" -> "up", "job" -> "a")))
+      .toDF("time", "value", "labels")
+    TsdbWalWriter.write(long, src, partitions = 1)
+    val ex1 = Seq((1500L, 9.5, Map("__name__" -> "up", "job" -> "a"),
+      Map("trace_id" -> "t1"))).toDF("time", "value", "labels", "exemplar")
+    assert(TsdbWalWriter.writeExemplars(ex1, src, partitions = 1) == 1L)
+    assert(TsdbWalWriter.writeMetadata(src,
+      Map("up" -> ((1, "", "is it up")))) >= 1)
+    // stage into a live-WAL dir: every segment whole except the LAST
+    // (the metadata one), cut mid-record — the same atomic-replace
+    // discipline as the float tail test
+    val segNames = new java.io.File(src).listFiles()
+      .map(_.getName).filter(_.matches("\\d{8}")).sorted.toSeq
+    val dir = java.nio.file.Files.createTempDirectory("walkinds_torn")
+    def put(name: String, bytes: Array[Byte]): Unit = {
+      val tmp = dir.resolve(name + ".tmp")
+      java.nio.file.Files.write(tmp, bytes)
+      java.nio.file.Files.move(tmp, dir.resolve(name),
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    }
+    def bytesOf(n: String): Array[Byte] = java.nio.file.Files
+      .readAllBytes(java.nio.file.Paths.get(s"$src/$n"))
+    segNames.init.foreach(n => put(n, bytesOf(n)))
+    val lastName = segNames.last
+    val lastBytes = bytesOf(lastName)
+    put(lastName, lastBytes.take(math.max(9, lastBytes.length / 2)))
+    val md = spark.readStream.format("tsdb-wal-stream")
+      .option("kind", "metadata").load(dir.toString)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("walkinds_md_torn").start()
+    try {
+      md.processAllAvailable() // torn tail: no exception, no invention
+      val n1 = spark.table("walkinds_md_torn").count()
+      put(lastName, lastBytes) // the writer completed the record
+      md.processAllAvailable()
+      val streamed = spark.table("walkinds_md_torn").distinct()
+      val batch = TsdbWalRecords.readMetadata(spark, dir.toString)
+      assert(n1 <= spark.table("walkinds_md_torn").count(),
+        "completing the record must only ADD")
+      assert(streamed.except(batch).isEmpty &&
+        batch.except(streamed).isEmpty,
+        "completed tail must equal the batch reader")
+      assert(batch.count() >= 1)
+    } finally md.stop()
+    // restart-from-offset, exemplar kind: consume, STOP, more
+    // exemplars arrive, restart on the SAME checkpoint — the restarted
+    // query delivers exactly the delta (a re-delivery of consumed
+    // offsets would duplicate t1 in the file sink's output)
+    val ckpt = java.nio.file.Files.createTempDirectory("walkinds_ckpt")
+    val out = java.nio.file.Files.createTempDirectory("walkinds_out")
+    def startEx() = spark.readStream.format("tsdb-wal-stream")
+      .option("kind", "exemplars").load(dir.toString)
+      .writeStream.outputMode("append").format("parquet")
+      .option("path", out.toString)
+      .option("checkpointLocation", ckpt.toString)
+      .start()
+    def traceIds(): Seq[String] = spark.read.parquet(out.toString)
+      .select(element_at(col("exemplar"), "trace_id"))
+      .as[String].collect().toSeq.sorted
+    val q1 = startEx()
+    try { q1.processAllAvailable() } finally q1.stop()
+    assert(traceIds() == Seq("t1"), traceIds())
+    val ex2 = Seq((2500L, 7.0, Map("__name__" -> "up", "job" -> "a"),
+      Map("trace_id" -> "t2"))).toDF("time", "value", "labels", "exemplar")
+    assert(TsdbWalWriter.writeExemplars(ex2, src, partitions = 1) == 1L)
+    new java.io.File(src).listFiles().map(_.getName)
+      .filter(_.matches("\\d{8}")).filterNot(segNames.contains)
+      .foreach(n => put(n, bytesOf(n)))
+    val q2 = startEx()
+    try {
+      q2.processAllAvailable()
+      assert(traceIds() == Seq("t1", "t2"),
+        s"restart must deliver exactly the delta, got ${traceIds()}")
+    } finally q2.stop()
+  }
+
   test("stream_q7_wal_tail digest column ≡ batch source per-name digest") {
     // the driver's rows-only check now carries a content commitment:
     // the streaming query's per-name digest must equal the same fold

@@ -212,4 +212,50 @@ class NativeHistConformanceSpec extends SparkSpec {
     // count_over_time: snapshots per window, a float vector
     assert(fold("count_over_time(hs[10m])") === Map("a" -> 2.0))
   }
+
+  test("hist ÷ × float-VECTOR matching (promqltest binop forms)") {
+    // ha / histogram_count(hb): every additive component ÷ 4, matched
+    // per case under default matching (metric name excluded)
+    assert(runOn(pair, "histogram_count(ha / histogram_count(hb))") ===
+      Map("x" -> 1.75))
+    assert(runOn(pair, "histogram_sum(ha / histogram_count(hb))") ===
+      Map("x" -> 3.0))
+    // the commuted product: 4 × 7
+    assert(runOn(pair, "histogram_count(histogram_count(hb) * ha)") ===
+      Map("x" -> 28.0))
+    // scaling preserves the histogram's SHAPE: the quantile of the
+    // scaled histogram equals the original's
+    val q0 = runOn(pair, "histogram_quantile(0.5, ha)")
+    val q1 = runOn(pair,
+      "histogram_quantile(0.5, ha / histogram_count(hb))")
+    assert(near(q1("x"), q0("x")), s"$q1 vs $q0")
+    // float ÷ hist is not a histogram — loud, as in Prometheus
+    intercept[IllegalArgumentException](
+      runOn(pair, "histogram_count(hb) / ha"))
+  }
+
+  test("histogram-valued subquery inners + limitk (literals)") {
+    val series = frame(300000L, Seq(
+      """hq{case="a"} {{schema:0 count:2 sum:2 offset:1 buckets:[2]}} {{schema:0 count:4 sum:5 offset:1 buckets:[4]}}"""))
+    def fold(q: String): Map[String, Double] =
+      PromQLHist.eval(PromQL.parse(q), series, at = 600000L,
+          lookbackMs = 600000L, start = -1L, end = 600000L,
+          nLes = Les.size)
+        .collect().map { r =>
+          val cols = r.schema.fieldNames
+          Option(r.get(cols.indexOf("labels.case"))).map(_.toString)
+            .getOrElse("") -> r.getDouble(cols.indexOf("value"))
+        }.toMap
+    // hq[10m:5m] @ 600000 → absolute grid points 300000, 600000
+    // (left-open); the 10m lookback resolves BOTH to the t=300000
+    // snapshot (count 4) — the merge doubles it, last picks one
+    assert(fold("histogram_count(sum_over_time(hq[10m:5m]))") ===
+      Map("a" -> 8.0))
+    assert(fold("histogram_count(last_over_time(hq[10m:5m]))") ===
+      Map("a" -> 4.0))
+    assert(fold("count_over_time(hq[10m:5m])") === Map("a" -> 2.0))
+    // limitk over the two-case literal load: the k FIRST series in
+    // label order (case=a sorts first); its histogram is untouched
+    assert(run("histogram_count(limitk(1, h))") === Map("a" -> 7.0))
+  }
 }
