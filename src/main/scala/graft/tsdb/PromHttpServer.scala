@@ -276,14 +276,80 @@ final class PromHttpServer(spark: SparkSession, initial: DataFrame,
       tiers.contains(true) && tiers.contains(false)
     }
 
+  /** Metric names the FLOAT head stores — the wide frame's
+    * `labels.name` universe, cached per append version (API-sized: a
+    * distinct over the dictionary-encoded name column, recomputed only
+    * after a write widened the head). Gates the spanning-selector
+    * check; a query with no native-matching selector never computes
+    * it (the callers test the native side first). */
+  private var floatNamesCache: (Int, Set[String]) = (-1, Set.empty)
+  private def floatMetricNames: Set[String] = synchronized {
+    if (floatNamesCache._1 != wideAppends) {
+      val nameCol = TsdbSchema.labelColName("name")
+      val names =
+        if (!wide.columns.contains(nameCol)) Set.empty[String]
+        else wide.select(col(s"`$nameCol`"))
+          .where(col(s"`$nameCol`").isNotNull)
+          .distinct().collect().map(_.getString(0)).toSet
+      floatNamesCache = (wideAppends, names)
+    }
+    floatNamesCache._2
+  }
+
+  /** Float-store names a matcher set selects BEYOND the native head:
+    * wide-store names matching `ms` that the hist head does NOT store
+    * (a name present in BOTH stores keeps the native preference —
+    * Prometheus resolves native-over-classic per series). */
+  private def floatOnlyStored(ms: Seq[graft.model.Matcher]): Set[String] =
+    (floatMetricNames -- synchronized(histMetricNames))
+      .filter(m => ms.forall(matchesMetric(_, m)))
+
+  /** ONE selector SPANNING both stores (`{name=~"native|classic"}`):
+    * its name matchers resolve to ≥ 1 pushed-native metric AND ≥ 1
+    * float-only metric — the straddle class one level DOWN from
+    * multi-operand mixing: whole-expression routing would read only
+    * the hist head and the float metrics silently vanish. A BARE
+    * spanning selector unions both stores' rows (the API carries
+    * `value` and `histogram` entries side by side); any other shape
+    * over a spanning selector 422s loudly. */
+  private def selectorSpansStores(ms: Seq[graft.model.Matcher]): Boolean = {
+    val nameMs = ms.filter(m => m.name == "__name__" || m.name == "name")
+    nameMs.nonEmpty && stored(nameMs).nonEmpty &&
+      floatOnlyStored(nameMs).nonEmpty
+  }
+
+  private def anySelectorSpans(e: PromQL.Expr): Boolean =
+    histHead.nonEmpty && PromQL.selectorsOf(e).exists(selectorSpansStores)
+
+  /** The float store's share of a spanning selector: the selector
+    * evaluated on the wide head MINUS series of native-stored metrics
+    * (those answer from the hist head — per-series native preference). */
+  private def floatShareInstant(s: PromQL.Selector, at: Long): DataFrame =
+    dropNativeNames(PromQL.toValueShape(
+      PromQL.evalStrict(s, wide, at, lookbackMs, start = at, end = at)))
+
+  private def floatShareRange(s: PromQL.Selector, start: Long, end: Long,
+                              step: Long): DataFrame =
+    dropNativeNames(PromQL.toValueShape(
+      PromQL.evalRange(s, wide, start, end, step, lookbackMs)))
+
+  private def dropNativeNames(fv: DataFrame): DataFrame = {
+    val nameCol = TsdbSchema.labelColName("name")
+    val natives = synchronized(histMetricNames)
+    if (!fv.columns.contains(nameCol) || natives.isEmpty) fv
+    else fv.where(col(s"`$nameCol`").isNull ||
+      !col(s"`$nameCol`").isin(natives.toSeq: _*))
+  }
+
   /** Evaluate ONE side of a straddling multi-operand expression on its
     * own store: the hist head when its selectors resolve there
     * (float- or histogram-valued, the same gates as whole-expression
     * routing), the float tier otherwise. None = this side cannot
-    * evaluate on a single tier (it straddles itself, or is an
-    * unsupported hist-head shape) — the caller 422s. */
+    * evaluate on a single tier (it straddles itself, one of its
+    * selectors spans both stores, or it is an unsupported hist-head
+    * shape) — the caller 422s. */
   private def sideInstant(e: PromQL.Expr, at: Long): Option[DataFrame] =
-    if (straddlesTiers(e)) None
+    if (straddlesTiers(e) || anySelectorSpans(e)) None
     else if (routesToHistHead(e, allowNameless = namelessHistOk(e)) &&
         PromQLHist.floatEvaluable(e))
       Some(PromQLHist.evalStrict(e, histHead.get, at, lookbackMs, histNLes))
@@ -298,7 +364,7 @@ final class PromHttpServer(spark: SparkSession, initial: DataFrame,
     * the shared grid column `t` joins the match keys downstream. */
   private def sideRange(e: PromQL.Expr, start: Long, end: Long,
                         step: Long): Option[DataFrame] =
-    if (straddlesTiers(e)) None
+    if (straddlesTiers(e) || anySelectorSpans(e)) None
     else if (routesToHistHead(e, allowNameless = namelessHistOk(e)) &&
         PromQLHist.floatEvaluable(e))
       Some(PromQLHist.evalRange(e, histHead.get, start, end, step,
@@ -685,6 +751,19 @@ final class PromHttpServer(spark: SparkSession, initial: DataFrame,
       .getOrElse(System.currentTimeMillis())
     val ast = PromQL.parse(q)
     ast match {
+      // ONE selector spanning BOTH stores (`{name=~"native|classic"}`):
+      // bare → union of both stores' instant vectors (`value` and
+      // `histogram` entries side by side, native preference for names
+      // in both); any other shape over a spanning selector → loud 422
+      // (whole-expression routing would silently drop the float side)
+      case s @ PromQL.Selector(_, None, _, _) if anySelectorSpans(s) =>
+        val hv = PromQLHist.evalStrict(s, histHead.get, at, lookbackMs,
+          histNLes)
+        vectorResponse(ex, hv.unionByName(floatShareInstant(s, at),
+          allowMissingColumns = true), at)
+        return
+      case e if anySelectorSpans(e) =>
+        throw new PromHttpServer.UnsupportedMixedTierExpr(q)
       // MULTI-OPERAND expressions whose selectors STRADDLE the two
       // stores (one side pushed-native, one float/classic). Set ops
       // are value-agnostic and × ÷ by a float vector is well-defined,
@@ -805,6 +884,17 @@ final class PromHttpServer(spark: SparkSession, initial: DataFrame,
     // the histogram_* scalar family evaluates over the hist head (its
     // range output carries the grid column `t` — matrix-ready)
     val df = ast match {
+      // spanning selector, range mode: bare → both stores' matrices
+      // unioned (`values` + `histograms` entries); shaped → loud 422
+      case s @ PromQL.Selector(_, None, _, _) if anySelectorSpans(s) =>
+        val hv = PromQLHist.evalRange(s, histHead.get, start, end, step,
+          lookbackMs, histNLes)
+        matrixResponse(ex, hv.unionByName(
+          floatShareRange(s, start, end, step),
+          allowMissingColumns = true))
+        return
+      case e if anySelectorSpans(e) =>
+        throw new PromHttpServer.UnsupportedMixedTierExpr(q)
       // the instant endpoint's split-tier twins: straddling set ops
       // and × ÷ by a float vector evaluate per side on the shared
       // grid; any other straddling shape 422s (see straddlesTiers)
@@ -1105,12 +1195,13 @@ final class PromHttpServer(spark: SparkSession, initial: DataFrame,
     try {
       val ast = PromQL.parse(expr)
       // TIER-STRADDLING rules (one selector pushed-native, one
-      // float/classic) are the rules tier's silently-partial class:
-      // evaluated whole on the float tier, `float unless native`
-      // suppresses nothing and the rule mis-fires forever. The rules
-      // tier evaluates on ONE store per rule — pinned contract:
-      // straddling rules surface health=err + lastError, loudly.
-      if (straddlesTiers(ast))
+      // float/classic — or ONE selector spanning both stores) are the
+      // rules tier's silently-partial class: evaluated whole on the
+      // float tier, `float unless native` suppresses nothing and the
+      // rule mis-fires forever. The rules tier evaluates on ONE store
+      // per rule — pinned contract: straddling rules surface
+      // health=err + lastError, loudly.
+      if (straddlesTiers(ast) || anySelectorSpans(ast))
         Some("expression mixes native-histogram and float metrics: " +
           expr + " — rules evaluate on one store; split the rule " +
           "per tier")

@@ -1909,4 +1909,55 @@ class PromHttpServerSpec extends SparkSpec {
         bf)
     } finally srv.stop()
   }
+
+  test("ONE selector spanning both stores: bare unions both stores, " +
+      "shaped expressions 422 — never a silent drop of the float side") {
+    // the straddle class one level DOWN: `{name=~"native|classic"}` is
+    // one selector whose regex matches metrics in BOTH stores — the
+    // whole-expression gate (stored ∩ nonEmpty) routed it to the hist
+    // head and the float metrics silently vanished from the answer
+    val srv = new PromHttpServer(spark, wide)
+    val p = srv.start()
+    try {
+      val h = RemoteWrite.SparseHist(
+        time = 1700L, labels = Map.empty, count = 4.0, sum = 10.0,
+        schema = 0, zeroThreshold = 0.0, zeroCount = 0.0,
+        positive = Seq((1, 2.0), (2, 2.0)), negative = Nil)
+      val wreq = RemoteWrite2.encodeRequest(Seq(RemoteWrite2.Rw2Series(
+        labels = Seq("__name__" -> "hspan", "user" -> "z"),
+        histograms = Seq(h))))
+      val wr = client.send(
+        HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:$p/api/v1/write"))
+          .header("Content-Type",
+            "application/x-protobuf;proto=io.prometheus.write.v2.Request")
+          .POST(HttpRequest.BodyPublishers.ofByteArray(wreq)).build(),
+        HttpResponse.BodyHandlers.ofByteArray())
+      assert(wr.statusCode() == 204)
+      def q(expr: String): (Int, String) = getAt(p, "/api/v1/query?query=" +
+        java.net.URLEncoder.encode(expr, UTF_8) + "&time=6")
+      // bare spanning selector: histogram entry for hspan AND the
+      // up series' float entries, side by side
+      val (c1, b1) = q("""{name=~"hspan|up"}""")
+      assert(c1 == 200, b1)
+      assert(b1.contains(""""histogram":[6.000,{"count":"4.0""""), b1)
+      assert(b1.contains("""[6.000,"3.0"]""") &&
+        b1.contains("""[6.000,"2.0"]"""), b1)
+      // a SHAPED expression over a spanning selector cannot evaluate
+      // on one store — loud 422, never hist-head-only
+      val (c2, b2) = q("""count({name=~"hspan|up"})""")
+      assert(c2 == 422, s"$c2 $b2")
+      assert(b2.contains("mixes native-histogram and float"), b2)
+      // range mode, bare: `histograms` and `values` matrices together
+      val (c3, b3) = getAt(p, "/api/v1/query_range?query=" +
+        java.net.URLEncoder.encode("""{name=~"hspan|up"}""", UTF_8) +
+        "&start=2&end=6&step=2")
+      assert(c3 == 200, b3)
+      assert(b3.contains(""""histograms":[""") &&
+        b3.contains(""""values":["""), b3)
+      // a native-only regex keeps the plain hist-head routing
+      val (c4, b4) = q("""{name=~"hspan"}""")
+      assert(c4 == 200 && b4.contains(""""histogram":[""") &&
+        !b4.contains(""""value":["""), b4)
+    } finally srv.stop()
+  }
 }
