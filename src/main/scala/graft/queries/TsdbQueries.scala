@@ -2456,6 +2456,37 @@ object TsdbQueries {
         .select(col("`labels.user`").as("user"),
           col("`labels.k`").as("k"), round(col("value"), 4).as("value"))
     }),
+    // Q182-Q184: RAW-SAMPLES queries — Prometheus's instant-endpoint
+    // contract for range-vector-typed expressions (resultType matrix,
+    // the shape Grafana Explore / promtool issue when debugging):
+    // `m[5d]` returns the matched samples with their ORIGINAL
+    // timestamps (left-open window, stale markers drop), on the float
+    // store (q182) and the hist head (q183); a bare SUBQUERY returns
+    // the inner evaluated per absolute-aligned grid point (q184 —
+    // the q171 grid, one row per point).
+    "tsdb_q182_promql_raw_matrix" -> ((s, dir) =>
+      graft.tsdb.PromQL.rawRange(
+        graft.tsdb.PromQL.parse("""{name="purchase", user=~"1.*"}[5d]"""),
+        eventsAsTsdbStored(s, dir), at = RangeEnd,
+        start = RangeStart, end = RangeEnd)
+        .select(col("`labels.name`").as("name"),
+          col("`labels.user`").as("user"), col("`labels.k`").as("k"),
+          col("t"), col("value"))),
+    "tsdb_q183_promql_raw_hist_matrix" -> ((s, dir) =>
+      graft.tsdb.PromQLHist.rawRange(
+        graft.tsdb.PromQL.parse("""{name="purchase"}[5d]"""),
+        histDaily(s, dir), at = RangeEnd,
+        start = RangeStart, end = RangeEnd)
+        .select(col("`labels.user`").as("user"), col("t"),
+          col("hist").getField("count").cast("long").as("n"),
+          round(col("hist").getField("sum"), 4).as("sum_v"))),
+    "tsdb_q184_promql_subquery_matrix" -> ((s, dir) =>
+      graft.tsdb.PromQLHist.subqueryMatrix(
+        graft.tsdb.PromQL.parse(
+          """sum(histogram_count({name="purchase"}))[15d:5d]"""),
+        histDaily(s, dir), at = RangeEnd, lookbackMs = HistLookbackMs,
+        nLes = NhBounds.size + 1)
+        .select(col("t"), col("value"))),
     // Q172/Q173: value maps and set ops re-entering over hist-tier
     // float results — `clamp(histogram_count(m), lo, hi)` (the
     // dashboard guard rail) and `and on(user)` membership between two
@@ -5201,6 +5232,46 @@ object TsdbQueries {
          |  GROUP BY 1, 2)
          |SELECT "user", k, round(v, 4) AS value FROM fv
          |WHERE "user" NOT IN (SELECT "user" FROM hv)""".stripMargin,
+    // Q182-Q184 replay: raw samples are a pure window predicate (the
+    // same rows, original timestamps); the hist raw matrix is the
+    // per-day snapshot stats inside the window; the subquery matrix
+    // is the q171 grid's per-point value WITHOUT the outer max fold.
+    "tsdb_q182_promql_raw_matrix" ->
+      s"""$duckTsdbCte
+         |SELECT "labels.name" AS name, "labels.user" AS "user",
+         |  "labels.k" AS k, time AS t, value FROM t
+         |WHERE "labels.name" = 'purchase'
+         |  AND regexp_matches("labels.user", '^(?:1.*)$$')
+         |  AND time > ${RangeEnd - 5L * 86400000L}
+         |  AND time <= $RangeEnd""".stripMargin,
+    "tsdb_q183_promql_raw_hist_matrix" ->
+      s"""$duckTsdbCte,
+         |f0 AS (SELECT "labels.user" AS "user",
+         |  CAST(floor(time / 86400000.0) AS BIGINT) AS day, value FROM t
+         |  WHERE "labels.name" = 'purchase'
+         |    AND time > $RangeStart AND time < $RangeEnd)
+         |SELECT "user", day * 86400000 AS t, count(*) AS n,
+         |  round(sum(value), 4) AS sum_v
+         |FROM f0
+         |WHERE day * 86400000 > ${RangeEnd - 5L * 86400000L}
+         |  AND day * 86400000 <= $RangeEnd
+         |GROUP BY 1, 2""".stripMargin,
+    "tsdb_q184_promql_subquery_matrix" ->
+      s"""$duckTsdbCte,
+         |grid AS (SELECT CAST(1704672000000 + unnest(range(0, 3))
+         |    * 432000000 AS BIGINT) AS gt),
+         |f0 AS (SELECT "labels.user" AS "user",
+         |  CAST(floor(time / 86400000.0) AS BIGINT) AS day FROM t
+         |  WHERE "labels.name" = 'purchase'
+         |    AND time > $RangeStart AND time < $RangeEnd),
+         |ld AS (SELECT gt, "user", max(day) AS day
+         |  FROM grid CROSS JOIN (SELECT DISTINCT "user", day FROM f0) dd
+         |  WHERE day * 86400000 > gt - $HistLookbackMs
+         |    AND day * 86400000 <= gt
+         |  GROUP BY 1, 2)
+         |SELECT ld.gt AS t, round(CAST(count(*) AS DOUBLE), 6) AS value
+         |FROM f0 JOIN ld ON f0."user" = ld."user" AND f0.day = ld.day
+         |GROUP BY 1""".stripMargin,
     // Q172/Q173 replay: latest-day purchase counts per user, clamped
     // to [5, 40] / kept only where the user ALSO has click data in
     // lookback (and-membership; the left side's value survives

@@ -762,6 +762,14 @@ final class PromHttpServer(spark: SparkSession, initial: DataFrame,
         vectorResponse(ex, hv.unionByName(floatShareInstant(s, at),
           allowMissingColumns = true), at)
         return
+      // ...and its RAW-SAMPLES twin: a bare spanning RANGE selector
+      // unions both stores' raw matrices
+      case s @ PromQL.Selector(_, Some(_), _, _) if anySelectorSpans(s) =>
+        matrixResponse(ex,
+          PromQLHist.rawRange(s, histHead.get, at, at, at).unionByName(
+            dropNativeNames(PromQL.rawRange(s, wide, at, at, at)),
+            allowMissingColumns = true))
+        return
       case e if anySelectorSpans(e) =>
         throw new PromHttpServer.UnsupportedMixedTierExpr(q)
       // MULTI-OPERAND expressions whose selectors STRADDLE the two
@@ -802,6 +810,35 @@ final class PromHttpServer(spark: SparkSession, initial: DataFrame,
         }
       case e if straddlesTiers(e) =>
         throw new PromHttpServer.UnsupportedMixedTierExpr(q)
+      // a BARE range selector — Prometheus's RAW-SAMPLES query
+      // (`m[5m]`, resultType `matrix`, what Grafana Explore and
+      // promtool issue when debugging): the matched samples with
+      // their ORIGINAL timestamps. Previously a 400 (float tier's
+      // wrap-it error) / 422 (hist head) — a loud gap, closed.
+      case s @ PromQL.Selector(_, Some(_), _, _) =>
+        if (routesToHistHead(s, allowNameless = false))
+          matrixResponse(ex,
+            PromQLHist.rawRange(s, histHead.get, at, at, at))
+        else
+          matrixResponse(ex, PromQL.rawRange(s, wide, at, at, at))
+        return
+      // a BARE subquery (`expr[1h:5m]`): the inner evaluated on the
+      // subquery's absolute grid — a matrix, Prometheus's instant-
+      // endpoint contract for range-vector-typed expressions
+      case sq: PromQL.Subquery =>
+        val inner = sq.arg
+        if ((PromQLHist.histEvaluable(inner) ||
+            PromQLHist.floatEvaluable(inner)) &&
+            routesToHistHead(inner,
+              allowNameless = namelessHistOk(inner)))
+          matrixResponse(ex, PromQLHist.subqueryMatrix(sq, histHead.get,
+            at, lookbackMs, histNLes))
+        else if (routesToHistHead(inner, allowNameless = false))
+          throw new PromHttpServer.UnsupportedHistExpr(q)
+        else
+          matrixResponse(ex, PromQL.subqueryMatrix(sq, wide, at,
+            lookbackMs, start = at, end = at))
+        return
       // hist-tier float-evaluable shapes (the histogram_* scalar
       // family, count aggregations, and vector-scalar ops over them —
       // every histogram alert's shape) evaluate over the PUSHED

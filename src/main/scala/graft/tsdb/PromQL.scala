@@ -1693,6 +1693,57 @@ object PromQL {
     case Some(AtEnd) => end
   }
 
+  /** A BARE range selector at the instant endpoint — Prometheus's
+    * raw-samples query (`m[5m]`, resultType `matrix`, the shape
+    * Grafana Explore and promtool issue for debugging): the matched
+    * samples with their ORIGINAL timestamps over the left-open window
+    * (t0 − range, t0], t0 = (@ anchor | at) − offset. No lookback
+    * applies; stale markers are not samples and drop. Output carries
+    * the sample time as the grid column `t` — [[ApiJson.matrixJson]]'s
+    * frame shape. One pruned scan, no shuffle. */
+  def rawRange(e: Expr, wide: DataFrame, at: Long,
+               start: Long, end: Long): DataFrame = e match {
+    case Selector(ms0, Some(rangeMs), off, atm) =>
+      val ms = anchorMatchers(ms0)
+      val t0 = resolveAt(atm, at, start, end) - off
+      val known = TsdbSchema.labelColumns(wide)
+        .map(_.stripPrefix(TsdbSchema.LabelPrefix)).toSet
+      val labels = TsdbSchema.dynCols(wide)
+      wide.where(MatcherCompiler.compileAll(ms, known) &&
+          col(TsdbSchema.TimeCol) > t0 - rangeMs &&
+          col(TsdbSchema.TimeCol) <= t0 &&
+          col(TsdbSchema.ValueCol).isNotNull)
+        .select(labels :+ col(TsdbSchema.TimeCol).as("t") :+
+          col(TsdbSchema.ValueCol): _*)
+    case other => throw new IllegalArgumentException(
+      "rawRange needs a bare range selector, got " + render(other))
+  }
+
+  /** A BARE subquery at the instant endpoint (`expr[1h:5m]`,
+    * resultType `matrix`): the inner expression evaluated at the
+    * subquery's absolute-aligned grid points in (t0 − range, t0]
+    * (left-open, Prometheus 3) — ONE evalRange pass over the grid,
+    * rows stamped with their grid timestamp `t`. The `evalRangeFn`
+    * hook lets the hist tier reuse this grid with its own inner
+    * evaluator. */
+  def subqueryMatrix(e: Expr, wide: DataFrame, at: Long,
+                     lookbackMs: Long, start: Long, end: Long,
+                     evalRangeFn: (Expr, DataFrame, Long, Long, Long,
+                       Long) => DataFrame = evalRange): DataFrame =
+    e match {
+      case Subquery(inner, rangeMs, stepMs, off, atm) =>
+        val sqEnd = resolveAt(atm, at, start, end) - off
+        val gridStart = {
+          val floored = Math.floorDiv(sqEnd - rangeMs, stepMs) * stepMs
+          if (floored <= sqEnd - rangeMs) floored + stepMs else floored
+        }
+        val grid = evalRangeFn(inner, wide, gridStart, sqEnd, stepMs,
+          lookbackMs)
+        innerValueShape(inner, grid)
+      case other => throw new IllegalArgumentException(
+        "subqueryMatrix needs a bare subquery, got " + render(other))
+    }
+
   /** One row, one column `_scalar_` = PromQL `scalar()` of the vector:
     * its value iff the vector has exactly one element, NaN otherwise
     * (including empty — a global aggregate always yields the row). */

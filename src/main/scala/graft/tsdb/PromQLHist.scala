@@ -1288,6 +1288,41 @@ object PromQLHist {
         histScale(col(s"l.`$HistCol`"), f).as(HistCol): _*)
   }
 
+  /** The raw-samples query over the NATIVE-HISTOGRAM head — the hist
+    * twin of [[PromQL.rawRange]] (`native[5m]` at the instant
+    * endpoint, resultType `matrix` with `histograms` pair lists): the
+    * matched snapshots with their ORIGINAL timestamps over the
+    * left-open window. Stale (NULL-hist) markers drop. */
+  def rawRange(e: Expr, hists: DataFrame, at: Long,
+               start: Long, end: Long): DataFrame = e match {
+    case Selector(ms0, Some(rangeMs), off, atm) =>
+      val ms = PromQL.anchorMatchers(ms0)
+      val t0 = resolveAt(atm, at, start, end) - off
+      val known = TsdbSchema.labelColumns(hists)
+        .map(_.stripPrefix(TsdbSchema.LabelPrefix)).toSet
+      val labels = TsdbSchema.dynCols(hists)
+      hists.where(MatcherCompiler.compileAll(ms, known) &&
+          col(TimeCol) > t0 - rangeMs && col(TimeCol) <= t0 &&
+          col(HistCol).isNotNull)
+        .select(labels :+ col(TimeCol).as("t") :+ col(HistCol): _*)
+    case other => throw new IllegalArgumentException(
+      "rawRange needs a bare range selector, got " + PromQL.render(other))
+  }
+
+  /** A BARE subquery over the hist head (`rate(native[5m])[1h:5m]` at
+    * the instant endpoint, resultType `matrix`): the float tier's
+    * subquery grid with THIS tier's [[evalRange]] as the inner
+    * evaluator — histogram-valued inners yield the `histograms`
+    * matrix, float-evaluable inners the standard one. */
+  def subqueryMatrix(e: Expr, hists: DataFrame, at: Long,
+                     lookbackMs: Long, nLes: Int): DataFrame = e match {
+    case Subquery(inner, rangeMs, stepMs, off, atm) =>
+      histSubqueryGrid(inner, rangeMs, stepMs,
+        resolveAt(atm, at, at, at) - off, hists, lookbackMs, nLes)
+    case other => throw new IllegalArgumentException(
+      "subqueryMatrix needs a bare subquery, got " + PromQL.render(other))
+  }
+
   /** Instant-mode histogram subquery grid: the inner expression over
     * the absolute-aligned points u ≡ 0 (mod stepMs) in
     * (sqEnd − range, sqEnd] — ONE [[evalRange]] pass (the float

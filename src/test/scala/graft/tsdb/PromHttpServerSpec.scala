@@ -1958,6 +1958,73 @@ class PromHttpServerSpec extends SparkSpec {
       val (c4, b4) = q("""{name=~"hspan"}""")
       assert(c4 == 200 && b4.contains(""""histogram":[""") &&
         !b4.contains(""""value":["""), b4)
+      // a SPANNING RANGE selector: the raw-samples matrices of both
+      // stores together (histograms + values entries)
+      val (c5, b5) = q("""{name=~"hspan|up"}[1h]""")
+      assert(c5 == 200 && b5.contains(""""resultType":"matrix""""), b5)
+      assert(b5.contains(""""histograms":[[1.700,""") &&
+        b5.contains(""""values":["""), b5)
+    } finally srv.stop()
+  }
+
+  test("RAW-SAMPLES queries: a bare range selector / subquery at the " +
+      "instant endpoint answers the matrix of original timestamps") {
+    // Prometheus's instant endpoint returns range-vector-typed
+    // expressions as matrices — `m[5m]` is THE debugging query Grafana
+    // Explore and promtool issue; previously it answered 400 (float)
+    // or 422 (hist head)
+    val (c1, b1) = get("/api/v1/query?query=" +
+      java.net.URLEncoder.encode("""{name="up"}[1h]""", UTF_8) + "&time=6")
+    assert(c1 == 200, b1)
+    assert(b1.contains(""""resultType":"matrix""""), b1)
+    // samples keep their ORIGINAL timestamps (1s and 2s), per series
+    assert(b1.contains("""[1.000,"1.0"],[2.000,"3.0"]"""), b1)
+    assert(b1.contains("""[1.000,"2.0"]"""), b1)
+    // the offset shifts the left-open window: (0, 1500] keeps only
+    // the t=1000 samples
+    val (c2, b2) = get("/api/v1/query?query=" +
+      java.net.URLEncoder.encode("""{name="up"}[1500ms] offset 4500ms""",
+        UTF_8) + "&time=6")
+    assert(c2 == 200, b2)
+    assert(b2.contains("""[1.000,"1.0"]""") && !b2.contains("\"3.0\""), b2)
+    // a bare SUBQUERY: the inner instant vector per absolute-aligned
+    // grid point (4s and 6s — left-open excludes the 2s point)
+    val (c3, b3) = get("/api/v1/query?query=" +
+      java.net.URLEncoder.encode("""{name="up",user="a"}[4s:2s]""",
+        UTF_8) + "&time=6")
+    assert(c3 == 200, b3)
+    assert(b3.contains(""""values":[[4.000,"3.0"],[6.000,"3.0"]]"""), b3)
+    // ...and over the HIST HEAD: native[1h] answers the histograms
+    // matrix with the push's own timestamp
+    val srv = new PromHttpServer(spark, wide)
+    val p = srv.start()
+    try {
+      val h = RemoteWrite.SparseHist(
+        time = 1700L, labels = Map.empty, count = 4.0, sum = 10.0,
+        schema = 0, zeroThreshold = 0.0, zeroCount = 0.0,
+        positive = Seq((1, 2.0), (2, 2.0)), negative = Nil)
+      val wreq = RemoteWrite2.encodeRequest(Seq(RemoteWrite2.Rw2Series(
+        labels = Seq("__name__" -> "hraw", "user" -> "z"),
+        histograms = Seq(h))))
+      val wr = client.send(
+        HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:$p/api/v1/write"))
+          .header("Content-Type",
+            "application/x-protobuf;proto=io.prometheus.write.v2.Request")
+          .POST(HttpRequest.BodyPublishers.ofByteArray(wreq)).build(),
+        HttpResponse.BodyHandlers.ofByteArray())
+      assert(wr.statusCode() == 204)
+      val (c4, b4) = getAt(p, "/api/v1/query?query=" +
+        java.net.URLEncoder.encode("""{name="hraw"}[1h]""", UTF_8) +
+        "&time=6")
+      assert(c4 == 200, b4)
+      assert(b4.contains(""""resultType":"matrix""""), b4)
+      assert(b4.contains(""""histograms":[[1.700,{"count":"4.0""""), b4)
+      // a hist-head subquery: the inner selector per grid point
+      val (c5, b5) = getAt(p, "/api/v1/query?query=" +
+        java.net.URLEncoder.encode("""{name="hraw"}[4s:2s]""", UTF_8) +
+        "&time=6")
+      assert(c5 == 200, b5)
+      assert(b5.contains(""""histograms":[[4.000,{"count":"4.0"""), b5)
     } finally srv.stop()
   }
 }
