@@ -443,7 +443,27 @@ object TsdbProperties extends Properties("tsdb") {
         Gen.lzy(histExpr(depth - 1).map(a =>
           BinOp("*", Nil, a, ScalarLit(2.0)))),
         Gen.lzy(histExpr(depth - 1).map(a =>
-          BinOp("/", Nil, a, ScalarLit(4.0)))))
+          BinOp("/", Nil, a, ScalarLit(4.0)))),
+        // round 17: × ÷ by a float VECTOR, set ops between histogram
+        // vectors, value-agnostic sampling, subquery merge folds
+        Gen.lzy(for {
+          op <- Gen.oneOf("*", "/")
+          a <- histExpr(depth - 1)
+          b <- floatExpr(math.max(0, depth - 1))
+        } yield BinOp(op, Nil, a, b)),
+        Gen.lzy(for {
+          op <- Gen.oneOf("and", "or", "unless")
+          on <- Gen.oneOf(Seq.empty[String], Seq("inst"))
+          a <- histExpr(depth - 1); b <- histExpr(depth - 1)
+        } yield SetOp(op, on, a, b)),
+        Gen.lzy(histExpr(depth - 1).map(a =>
+          RankK("limitk", 2, a, Nil, Nil))),
+        Gen.lzy(histExpr(depth - 1).map(a => LimitRatio(0.5, a))),
+        Gen.lzy(for {
+          n <- Gen.oneOf("sum_over_time", "avg_over_time",
+            "last_over_time")
+          a <- histExpr(depth - 1)
+        } yield Fn(n, Subquery(a, 2000L, 1000L), Nil)))
     def floatExpr(depth: Int): Gen[Expr] = Gen.oneOf[Expr](
       Gen.lzy(histExpr(depth).map(a =>
         Fn("histogram_quantile", a, Seq(0.9)))),
@@ -474,7 +494,22 @@ object TsdbProperties extends Properties("tsdb") {
         bool <- if (Set(">", "<").contains(op)) Gen.oneOf(true, false)
                 else Gen.const(false)
         a <- floatExpr(math.max(0, depth - 1))
-      } yield BinOp(op, Nil, a, ScalarLit(0.5), bool)))
+      } yield BinOp(op, Nil, a, ScalarLit(0.5), bool)),
+      // round 17: float-result set ops / sampling / count over a
+      // histogram-valued subquery inner
+      Gen.lzy(for {
+        op <- Gen.oneOf("and", "or", "unless")
+        a <- floatExpr(math.max(0, depth - 1))
+        b <- floatExpr(math.max(0, depth - 1))
+      } yield SetOp(op, Nil, a, b)),
+      Gen.lzy(floatExpr(math.max(0, depth - 1))
+        .map(a => LimitRatio(0.5, a))),
+      Gen.lzy(histExpr(math.max(0, depth - 1)).map(a =>
+        Fn("count_over_time", Subquery(a, 2000L, 1000L), Nil))),
+      Gen.lzy(for {
+        n <- Gen.oneOf("max_over_time", "avg_over_time")
+        a <- floatExpr(math.max(0, depth - 1))
+      } yield Fn(n, Subquery(a, 2000L, 1000L), Nil)))
   }
 
   property("hist-tier eval analyzes every generated AST or rejects it") = {
