@@ -380,47 +380,72 @@ final class PromHttpServer(spark: SparkSession, initial: DataFrame,
   /** Serialize an instant vector of ANY value shape: histogram rows
     * via the `histogram` response field, float rows via `value` — a
     * mixed split-tier `or` carries both kinds side by side (each row
-    * holds exactly one), Prometheus's own vector shape. */
-  private def vectorResponse(ex: HttpExchange, iv0: DataFrame,
-                             at: Long): Unit = {
+    * holds exactly one), Prometheus's own vector shape. `limit` =
+    * Prometheus 3's query-endpoint series cap: applied INSIDE the
+    * plan (limit n+1, so the collect stays limit-bounded, never
+    * universe-bounded) and surfaced as the truncation warning. */
+  private def vectorResponse(ex: HttpExchange, iv0: DataFrame, at: Long,
+                             limit: Option[Int] = None): Unit = {
     import spark.implicits._
+    def take(df: DataFrame): Array[String] =
+      limit.filter(_ > 0).fold(df)(n => df.limit(n + 1))
+        .as[String].collect()
     val iv = iv0.withColumn(TsdbSchema.TimeCol, lit(at))
     val hasH = iv.columns.contains(PromQLHist.HistCol)
     val hasV = iv.columns.contains(TsdbSchema.ValueCol)
     val rows =
       if (hasH && hasV) {
-        val h = ApiJson.histVectorJson(
+        val h = take(ApiJson.histVectorJson(
           iv.where(col(PromQLHist.HistCol).isNotNull)
-            .drop(TsdbSchema.ValueCol)).as[String].collect()
-        val f = ApiJson.vectorJson(
+            .drop(TsdbSchema.ValueCol)))
+        val f = take(ApiJson.vectorJson(
           iv.where(col(PromQLHist.HistCol).isNull)
-            .drop(PromQLHist.HistCol)).as[String].collect()
+            .drop(PromQLHist.HistCol)))
         h ++ f
-      } else if (hasH) ApiJson.histVectorJson(iv).as[String].collect()
-      else ApiJson.vectorJson(iv).as[String].collect()
-    ok(ex, s"""{"resultType":"vector","result":[${rows.mkString(",")}]}""")
+      } else if (hasH) take(ApiJson.histVectorJson(iv))
+      else take(ApiJson.vectorJson(iv))
+    respondCapped(ex, "vector", rows, limit)
   }
 
   /** [[vectorResponse]]'s matrix twin for query_range results. */
-  private def matrixResponse(ex: HttpExchange, rv: DataFrame): Unit = {
+  private def matrixResponse(ex: HttpExchange, rv: DataFrame,
+                             limit: Option[Int] = None): Unit = {
     import spark.implicits._
+    def take(df: DataFrame): Array[String] =
+      limit.filter(_ > 0).fold(df)(n => df.limit(n + 1))
+        .as[String].collect()
     val hasH = rv.columns.contains(PromQLHist.HistCol)
     val hasV = rv.columns.contains(TsdbSchema.ValueCol)
     val rows =
       if (hasH && hasV) {
-        val h = ApiJson.histMatrixJson(
+        val h = take(ApiJson.histMatrixJson(
           rv.where(col(PromQLHist.HistCol).isNotNull)
-            .drop(TsdbSchema.ValueCol, TsdbSchema.TimeCol)).as[String].collect()
-        val f = ApiJson.matrixJson(
+            .drop(TsdbSchema.ValueCol, TsdbSchema.TimeCol)))
+        val f = take(ApiJson.matrixJson(
           rv.where(col(PromQLHist.HistCol).isNull)
-            .drop(PromQLHist.HistCol)).as[String].collect()
+            .drop(PromQLHist.HistCol)))
         h ++ f
       } else if (hasH)
-        ApiJson.histMatrixJson(rv.drop(TsdbSchema.TimeCol))
-          .as[String].collect()
-      else ApiJson.matrixJson(rv).as[String].collect()
-    ok(ex, s"""{"resultType":"matrix","result":[${rows.mkString(",")}]}""")
+        take(ApiJson.histMatrixJson(rv.drop(TsdbSchema.TimeCol)))
+      else take(ApiJson.matrixJson(rv))
+    respondCapped(ex, "matrix", rows, limit)
   }
+
+  /** Prometheus 3's `limit` contract on the query endpoints: at most
+    * `n` result SERIES, with the truncation surfaced as a warning —
+    * never silently (limit ≤ 0 disables, as there). */
+  private def respondCapped(ex: HttpExchange, resultType: String,
+                            rows: Array[String],
+                            limit: Option[Int]): Unit =
+    limit.filter(_ > 0) match {
+      case Some(n) if rows.length > n =>
+        ok(ex, s"""{"resultType":"$resultType","result":[${
+          rows.take(n).mkString(",")}]}""",
+          warnings = Seq("results truncated due to limit"))
+      case _ =>
+        ok(ex,
+          s"""{"resultType":"$resultType","result":[${rows.mkString(",")}]}""")
+    }
 
   /** Whether a fully NAMELESS expression may still route to the hist
     * head: only when its vector operand bottoms out in a histogram_*
@@ -749,6 +774,9 @@ final class PromHttpServer(spark: SparkSession, initial: DataFrame,
     val q = required(p, "query")
     val at = p.first("time").map(parseTime)
       .getOrElse(System.currentTimeMillis())
+    // Prometheus 3's `limit` parameter: cap the result SERIES count,
+    // in-plan, with the truncation warning (0/absent = unlimited)
+    val limit = p.first("limit").map(_.toInt)
     val ast = PromQL.parse(q)
     ast match {
       // ONE selector spanning BOTH stores (`{name=~"native|classic"}`):
@@ -760,7 +788,7 @@ final class PromHttpServer(spark: SparkSession, initial: DataFrame,
         val hv = PromQLHist.evalStrict(s, histHead.get, at, lookbackMs,
           histNLes)
         vectorResponse(ex, hv.unionByName(floatShareInstant(s, at),
-          allowMissingColumns = true), at)
+          allowMissingColumns = true), at, limit)
         return
       // ...and its RAW-SAMPLES twin: a bare spanning RANGE selector
       // unions both stores' raw matrices
@@ -768,7 +796,7 @@ final class PromHttpServer(spark: SparkSession, initial: DataFrame,
         matrixResponse(ex,
           PromQLHist.rawRange(s, histHead.get, at, at, at).unionByName(
             dropNativeNames(PromQL.rawRange(s, wide, at, at, at)),
-            allowMissingColumns = true))
+            allowMissingColumns = true), limit)
         return
       case e if anySelectorSpans(e) =>
         throw new PromHttpServer.UnsupportedMixedTierExpr(q)
@@ -783,7 +811,7 @@ final class PromHttpServer(spark: SparkSession, initial: DataFrame,
         (sideInstant(l, at), sideInstant(r, at)) match {
           case (Some(lf), Some(rf)) =>
             vectorResponse(ex,
-              PromQLHist.setOpFrames(op, lf, rf, onK, ign), at)
+              PromQLHist.setOpFrames(op, lf, rf, onK, ign), at, limit)
             return
           case _ => throw new PromHttpServer.UnsupportedMixedTierExpr(q)
         }
@@ -798,13 +826,13 @@ final class PromHttpServer(spark: SparkSession, initial: DataFrame,
               if lf.columns.contains(PromQLHist.HistCol) &&
                 rf.columns.contains(TsdbSchema.ValueCol) =>
             vectorResponse(ex, PromQLHist.scaleByVector(lf, rf,
-              divide = op == "/", onK, ign), at)
+              divide = op == "/", onK, ign), at, limit)
             return
           case (Some(lf), Some(rf))
               if op == "*" && rf.columns.contains(PromQLHist.HistCol) &&
                 lf.columns.contains(TsdbSchema.ValueCol) =>
             vectorResponse(ex, PromQLHist.scaleByVector(rf, lf,
-              divide = false, onK, ign), at)
+              divide = false, onK, ign), at, limit)
             return
           case _ => throw new PromHttpServer.UnsupportedMixedTierExpr(q)
         }
@@ -818,9 +846,9 @@ final class PromHttpServer(spark: SparkSession, initial: DataFrame,
       case s @ PromQL.Selector(_, Some(_), _, _) =>
         if (routesToHistHead(s, allowNameless = false))
           matrixResponse(ex,
-            PromQLHist.rawRange(s, histHead.get, at, at, at))
+            PromQLHist.rawRange(s, histHead.get, at, at, at), limit)
         else
-          matrixResponse(ex, PromQL.rawRange(s, wide, at, at, at))
+          matrixResponse(ex, PromQL.rawRange(s, wide, at, at, at), limit)
         return
       // a BARE subquery (`expr[1h:5m]`): the inner evaluated on the
       // subquery's absolute grid — a matrix, Prometheus's instant-
@@ -832,12 +860,12 @@ final class PromHttpServer(spark: SparkSession, initial: DataFrame,
             routesToHistHead(inner,
               allowNameless = namelessHistOk(inner)))
           matrixResponse(ex, PromQLHist.subqueryMatrix(sq, histHead.get,
-            at, lookbackMs, histNLes))
+            at, lookbackMs, histNLes), limit)
         else if (routesToHistHead(inner, allowNameless = false))
           throw new PromHttpServer.UnsupportedHistExpr(q)
         else
           matrixResponse(ex, PromQL.subqueryMatrix(sq, wide, at,
-            lookbackMs, start = at, end = at))
+            lookbackMs, start = at, end = at), limit)
         return
       // hist-tier float-evaluable shapes (the histogram_* scalar
       // family, count aggregations, and vector-scalar ops over them —
@@ -852,16 +880,12 @@ final class PromHttpServer(spark: SparkSession, initial: DataFrame,
       // or bare selector has a float reading and stays there
       case e if PromQLHist.floatEvaluable(e) && routesToHistHead(e,
           allowNameless = namelessHistOk(e)) =>
-        import spark.implicits._
         // evalStrict, not eval: the instant endpoint has no data
         // window, so un-anchored range selectors pin @ at (otherwise
         // rate/…_over_time select over the empty (at, at) range and
         // silently answer nothing — the float tier's evalStrict fix)
-        val hv = PromQLHist.evalStrict(ast, histHead.get, at, lookbackMs,
-          nLes = histNLes)
-          .withColumn(TsdbSchema.TimeCol, lit(at))
-        val rows = ApiJson.vectorJson(hv).as[String].collect()
-        ok(ex, s"""{"resultType":"vector","result":[${rows.mkString(",")}]}""")
+        vectorResponse(ex, PromQLHist.evalStrict(ast, histHead.get, at,
+          lookbackMs, nLes = histNLes), at, limit)
         return
       // HISTOGRAM-valued shapes (bare selector / rate / sum / avg over
       // a pushed-native metric) answer with the API's native-histogram
@@ -872,12 +896,8 @@ final class PromHttpServer(spark: SparkSession, initial: DataFrame,
       // real float-tier reading and stays there).
       case e if PromQLHist.histEvaluable(e) && routesToHistHead(e,
           allowNameless = false) =>
-        import spark.implicits._
-        val hv = PromQLHist.evalStrict(ast, histHead.get, at, lookbackMs,
-          nLes = histNLes)
-          .withColumn(TsdbSchema.TimeCol, lit(at))
-        val rows = ApiJson.histVectorJson(hv).as[String].collect()
-        ok(ex, s"""{"resultType":"vector","result":[${rows.mkString(",")}]}""")
+        vectorResponse(ex, PromQLHist.evalStrict(ast, histHead.get, at,
+          lookbackMs, nLes = histNLes), at, limit)
         return
       // every name-bearing selector resolves to the hist head but
       // NEITHER gate accepts the shape: the float tier has no series
@@ -898,14 +918,11 @@ final class PromHttpServer(spark: SparkSession, initial: DataFrame,
       val r = df.collect()
       val v = if (r.isEmpty) "NaN" else fmt(r.head.getDouble(1))
       ok(ex, s"""{"resultType":"scalar","result":[${sec(at)},"$v"]}""")
-    } else {
-      import spark.implicits._
+    } else
       // an instant vector reports the EVALUATION time, not the sample
-      // time (the API contract) — stamp it over whatever the frame has
-      val iv = df.withColumn(TsdbSchema.TimeCol, lit(at))
-      val rows = ApiJson.vectorJson(iv).as[String].collect()
-      ok(ex, s"""{"resultType":"vector","result":[${rows.mkString(",")}]}""")
-    }
+      // time (the API contract) — vectorResponse stamps it over
+      // whatever the frame has
+      vectorResponse(ex, df, at, limit)
   }
 
   private def queryRange(ex: HttpExchange, p: Params): Unit = {
@@ -916,6 +933,8 @@ final class PromHttpServer(spark: SparkSession, initial: DataFrame,
     val step = parseStep(required(p, "step"))
     require(end >= start, "end must be >= start")
     require(step > 0, "step must be positive")
+    // Prometheus 3's `limit` parameter (series cap + warning)
+    val limit = p.first("limit").map(_.toInt)
     val ast = PromQL.parse(q)
     // pushed-native-histogram routing, same rule as the instant API:
     // the histogram_* scalar family evaluates over the hist head (its
@@ -928,7 +947,7 @@ final class PromHttpServer(spark: SparkSession, initial: DataFrame,
           lookbackMs, histNLes)
         matrixResponse(ex, hv.unionByName(
           floatShareRange(s, start, end, step),
-          allowMissingColumns = true))
+          allowMissingColumns = true), limit)
         return
       case e if anySelectorSpans(e) =>
         throw new PromHttpServer.UnsupportedMixedTierExpr(q)
@@ -940,7 +959,7 @@ final class PromHttpServer(spark: SparkSession, initial: DataFrame,
           sideRange(r, start, end, step)) match {
           case (Some(lf), Some(rf)) =>
             matrixResponse(ex,
-              PromQLHist.setOpFrames(op, lf, rf, onK, ign))
+              PromQLHist.setOpFrames(op, lf, rf, onK, ign), limit)
             return
           case _ => throw new PromHttpServer.UnsupportedMixedTierExpr(q)
         }
@@ -952,13 +971,13 @@ final class PromHttpServer(spark: SparkSession, initial: DataFrame,
               if lf.columns.contains(PromQLHist.HistCol) &&
                 rf.columns.contains(TsdbSchema.ValueCol) =>
             matrixResponse(ex, PromQLHist.scaleByVector(lf, rf,
-              divide = op == "/", onK, ign))
+              divide = op == "/", onK, ign), limit)
             return
           case (Some(lf), Some(rf))
               if op == "*" && rf.columns.contains(PromQLHist.HistCol) &&
                 lf.columns.contains(TsdbSchema.ValueCol) =>
             matrixResponse(ex, PromQLHist.scaleByVector(rf, lf,
-              divide = false, onK, ign))
+              divide = false, onK, ign), limit)
             return
           case _ => throw new PromHttpServer.UnsupportedMixedTierExpr(q)
         }
@@ -972,11 +991,8 @@ final class PromHttpServer(spark: SparkSession, initial: DataFrame,
       // the `histograms` pair list (Prometheus's native form)
       case e if PromQLHist.histEvaluable(e) && routesToHistHead(e,
           allowNameless = false) =>
-        val hm = PromQLHist.evalRange(ast, histHead.get, start, end, step,
-          lookbackMs, nLes = histNLes)
-        val rows = ApiJson.histMatrixJson(hm).as[String].collect()
-        ok(ex,
-          s"""{"resultType":"matrix","result":[${rows.mkString(",")}]}""")
+        matrixResponse(ex, PromQLHist.evalRange(ast, histHead.get, start,
+          end, step, lookbackMs, nLes = histNLes), limit)
         return
       // the instant endpoint's loud-fallthrough twin: a hist-head
       // expression neither gate accepts must never evaluate the empty
@@ -986,8 +1002,7 @@ final class PromHttpServer(spark: SparkSession, initial: DataFrame,
       case _ =>
         PromQL.evalRange(ast, wide, start, end, step, lookbackMs)
     }
-    val rows = ApiJson.matrixJson(df).as[String].collect()
-    ok(ex, s"""{"resultType":"matrix","result":[${rows.mkString(",")}]}""")
+    matrixResponse(ex, df, limit)
   }
 
   /** The SERIES-METADATA view: the float head UNIONED with the pushed
@@ -1824,9 +1839,14 @@ final class PromHttpServer(spark: SparkSession, initial: DataFrame,
       case c => c.toString
     } + "\""
 
-  private def ok(ex: HttpExchange, dataJson: String): Unit =
-    text(ex, 200, s"""{"status":"success","data":$dataJson}""",
+  private def ok(ex: HttpExchange, dataJson: String,
+                 warnings: Seq[String] = Nil): Unit = {
+    val warn =
+      if (warnings.isEmpty) ""
+      else s""","warnings":${warnings.map(jstr).mkString("[", ",", "]")}"""
+    text(ex, 200, s"""{"status":"success","data":$dataJson$warn}""",
       contentType = "application/json")
+  }
 
   private def err(ex: HttpExchange, code: Int, typ: String,
                   msg: String): Unit =

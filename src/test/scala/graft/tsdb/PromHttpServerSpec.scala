@@ -2027,4 +2027,39 @@ class PromHttpServerSpec extends SparkSpec {
       assert(b5.contains(""""histograms":[[4.000,{"count":"4.0"""), b5)
     } finally srv.stop()
   }
+
+  test("Prometheus 3 `limit` caps result series, in-plan, with the " +
+      "truncation warning") {
+    def series(b: String, marker: String): Int =
+      b.split(java.util.regex.Pattern.quote(marker)).length - 1
+    // {name="up"} has two series; limit=1 keeps one and WARNS
+    val (c1, b1) = get("/api/v1/query?query=" +
+      java.net.URLEncoder.encode("""{name="up"}""", UTF_8) +
+      "&time=2&limit=1")
+    assert(c1 == 200, b1)
+    assert(series(b1, """"value":[""") == 1, b1)
+    assert(b1.contains(""""warnings":["results truncated due to limit"]"""),
+      b1)
+    // a limit the result fits under adds NO warning; 0 disables
+    val (c2, b2) = get("/api/v1/query?query=" +
+      java.net.URLEncoder.encode("""{name="up"}""", UTF_8) +
+      "&time=2&limit=10")
+    assert(c2 == 200 && series(b2, """"value":[""") == 2 &&
+      !b2.contains("truncated"), b2)
+    val (c0, b0) = get("/api/v1/query?query=" +
+      java.net.URLEncoder.encode("""{name="up"}""", UTF_8) +
+      "&time=2&limit=0")
+    assert(c0 == 200 && series(b0, """"value":[""") == 2, b0)
+    // query_range: the cap counts SERIES (matrix entries), not points
+    val (c3, b3) = get("/api/v1/query_range?query=" +
+      java.net.URLEncoder.encode("""{name="up"}""", UTF_8) +
+      "&start=1&end=2&step=1s&limit=1")
+    assert(c3 == 200, b3)
+    assert(series(b3, """"values":[""") == 1 &&
+      b3.contains("results truncated due to limit"), b3)
+    // a malformed limit is the client's error
+    assert(get("/api/v1/query?query=" +
+      java.net.URLEncoder.encode("""{name="up"}""", UTF_8) +
+      "&time=2&limit=abc")._1 == 400)
+  }
 }
