@@ -321,6 +321,27 @@ final class PromHttpServer(spark: SparkSession, initial: DataFrame,
   private def anySelectorSpans(e: PromQL.Expr): Boolean =
     histHead.nonEmpty && PromQL.selectorsOf(e).exists(selectorSpansStores)
 
+  /** A rule expression the rules tier CAN evaluate despite straddling
+    * the stores: a top-level set op whose sides each resolve to ONE
+    * store and whose LEFT side is float-valued there — the alert /
+    * recording value must be a float vector, while the MEMBERSHIP
+    * side may be any shape (set ops never consult values). This is
+    * the silencing pattern `histogram_count(native) > 3 unless
+    * on(instance) maintenance_mode`; everything else straddling stays
+    * health=err. */
+  private def splittableRuleSetOp(e: PromQL.Expr): Boolean = e match {
+    case PromQL.SetOp(_, _, l, r, _) if straddlesTiers(e) =>
+      def singleTier(x: PromQL.Expr, needFloat: Boolean): Boolean =
+        !straddlesTiers(x) && !anySelectorSpans(x) && {
+          if (routesToHistHead(x, allowNameless = false))
+            PromQLHist.floatEvaluable(x) ||
+              (!needFloat && PromQLHist.histEvaluable(x))
+          else true // the float tier evaluates (or rejects loudly)
+        }
+      singleTier(l, needFloat = true) && singleTier(r, needFloat = false)
+    case _ => false
+  }
+
   /** The float store's share of a spanning selector: the selector
     * evaluated on the wide head MINUS series of native-stored metrics
     * (those answer from the hist head — per-series native preference). */
@@ -1116,13 +1137,30 @@ final class PromHttpServer(spark: SparkSession, initial: DataFrame,
     // notifier. A shape that passes the gate but still fails hist-tier
     // PLAN BUILD falls back per rule, for the same reason.
     def routedEvalRange(ast: PromQL.Expr, view: DataFrame, s: Long,
-                        e: Long, step: Long, lb: Long): DataFrame =
-      if (PromQLHist.floatEvaluable(ast) &&
-          routesToHistHead(ast, allowNameless = false))
-        try PromQLHist.evalRange(ast, histHead.get, s, e, step, lb, histNLes)
-        catch { case _: IllegalArgumentException =>
-          PromQL.evalRange(ast, view, s, e, step, lb) }
-      else PromQL.evalRange(ast, view, s, e, step, lb)
+                        e: Long, step: Long, lb: Long): DataFrame = ast match {
+      // straddling SILENCING rules evaluate SPLIT-TIER (the
+      // splittableRuleSetOp gate admitted them past ruleHistError):
+      // each side on its own store, the membership join finishes —
+      // NEVER the float fallback, which would be the silently-wrong
+      // whole-expression evaluation this round closed
+      case PromQL.SetOp(op, onK, l, r, ign) if splittableRuleSetOp(ast) =>
+        (sideRange(l, s, e, step), sideRange(r, s, e, step)) match {
+          case (Some(lf), Some(rf))
+              if lf.columns.contains(TsdbSchema.ValueCol) =>
+            PromQLHist.setOpFrames(op, lf, rf, onK, ign)
+          case _ => throw new IllegalStateException(
+            "splittableRuleSetOp admitted a rule its evaluator cannot " +
+              "split: " + PromQL.render(ast))
+        }
+      case _ =>
+        if (PromQLHist.floatEvaluable(ast) &&
+            routesToHistHead(ast, allowNameless = false))
+          try PromQLHist.evalRange(ast, histHead.get, s, e, step, lb,
+            histNLes)
+          catch { case _: IllegalArgumentException =>
+            PromQL.evalRange(ast, view, s, e, step, lb) }
+        else PromQL.evalRange(ast, view, s, e, step, lb)
+    }
     // hist-head rules with NO float-evaluable reading are excluded
     // from evaluation entirely: the float fallback would read a store
     // with no series for the metric and render the rule forever
@@ -1253,10 +1291,12 @@ final class PromHttpServer(spark: SparkSession, initial: DataFrame,
       // rule mis-fires forever. The rules tier evaluates on ONE store
       // per rule — pinned contract: straddling rules surface
       // health=err + lastError, loudly.
-      if (straddlesTiers(ast) || anySelectorSpans(ast))
+      if (splittableRuleSetOp(ast)) None // evaluates split-tier
+      else if (straddlesTiers(ast) || anySelectorSpans(ast))
         Some("expression mixes native-histogram and float metrics: " +
           expr + " — rules evaluate on one store; split the rule " +
-          "per tier")
+          "per tier (top-level and/or/unless with a float-valued " +
+          "left side IS evaluated split-tier)")
       else if (routesToHistHead(ast, allowNameless = false) &&
           !PromQLHist.floatEvaluable(ast))
         Some("unsupported expression over native-histogram series: " +

@@ -1868,7 +1868,7 @@ class PromHttpServerSpec extends SparkSpec {
           |    interval: 1s
           |    rules:
           |      - record: mixed_rule
-          |        expr: '{name="up"} unless {name="hstrad"}'
+          |        expr: '{name="up"} + {name="hstrad"}'
           |      - alert: float_rule
           |        expr: '{name="up"} > 2'
           |""".stripMargin),
@@ -1889,8 +1889,9 @@ class PromHttpServerSpec extends SparkSpec {
           .POST(HttpRequest.BodyPublishers.ofByteArray(wreq)).build(),
         HttpResponse.BodyHandlers.ofByteArray())
       assert(wr.statusCode() == 204)
-      // the straddling rule is err + excluded (evaluated whole on one
-      // store it would answer wrong); the float rule still evaluates
+      // the straddling ARITHMETIC rule is err + excluded (evaluated
+      // whole on one store it would answer wrong — and values combine,
+      // so no split exists); the float rule still evaluates
       val (c, b) = getAt(p, "/api/v1/rules?time=2")
       assert(c == 200, b)
       assert(b.contains("mixed_rule"), b)
@@ -1907,6 +1908,61 @@ class PromHttpServerSpec extends SparkSpec {
       assert(bf.contains("up{user=\"a\"}"), bf)
       assert(bf.contains("hstrad_count") || bf.contains("hstrad_bucket"),
         bf)
+    } finally srv.stop()
+  }
+
+  test("straddling SILENCING rules evaluate split-tier: hist alert " +
+      "unless float maintenance works; straddling arithmetic stays err") {
+    // the alert-silencing pattern every ops team runs: a native-
+    // histogram alert suppressed by a float maintenance metric. The
+    // rules tier evaluates it SPLIT-TIER (left on the hist head,
+    // membership on the float store) instead of health=err — and
+    // instead of the silently-never-suppressed whole-float evaluation
+    // this round's router work closed.
+    val srv = new PromHttpServer(spark, wide,
+      rules = Some(
+        """groups:
+          |  - name: g
+          |    interval: 1s
+          |    rules:
+          |      - alert: silenced
+          |        expr: 'histogram_count({name="hsil"}) > 3 unless on(user) {name="up"}'
+          |      - alert: fires
+          |        expr: 'histogram_count({name="hsil"}) > 3 unless on(user) {name="up",user="b"}'
+          |""".stripMargin),
+      rulesHorizonMs = 5000L)
+    val p = srv.start()
+    try {
+      // native hsil{user="a"}, count 4 (> 3) — the float store has
+      // up{user="a"} and up{user="b"}
+      val h = RemoteWrite.SparseHist(
+        time = 1700L, labels = Map.empty, count = 4.0, sum = 10.0,
+        schema = 0, zeroThreshold = 0.0, zeroCount = 0.0,
+        positive = Seq((1, 2.0), (2, 2.0)), negative = Nil)
+      val wreq = RemoteWrite2.encodeRequest(Seq(RemoteWrite2.Rw2Series(
+        labels = Seq("__name__" -> "hsil", "user" -> "a"),
+        histograms = Seq(h))))
+      val wr = client.send(
+        HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:$p/api/v1/write"))
+          .header("Content-Type",
+            "application/x-protobuf;proto=io.prometheus.write.v2.Request")
+          .POST(HttpRequest.BodyPublishers.ofByteArray(wreq)).build(),
+        HttpResponse.BodyHandlers.ofByteArray())
+      assert(wr.statusCode() == 204)
+      val (c, b) = getAt(p, "/api/v1/rules?time=2")
+      assert(c == 200, b)
+      // both rules are EVALUABLE (health ok, no err)
+      assert(!b.contains(""""health":"err""""), b)
+      // `unless on(user) up` matches user=a → the element is
+      // suppressed and the rule stays inactive
+      assert(b.contains(""""name":"silenced","query""""), b)
+      val silenced = b.substring(b.indexOf(""""name":"silenced""""),
+        b.indexOf(""""name":"fires""""))
+      assert(silenced.contains(""""state":"inactive""""), silenced)
+      // restricted to user=b, nothing matches hsil's user=a → fires
+      val fires = b.substring(b.indexOf(""""name":"fires""""))
+      assert(fires.contains(""""state":"firing"""") ||
+        fires.contains(""""state":"pending""""), fires)
     } finally srv.stop()
   }
 
