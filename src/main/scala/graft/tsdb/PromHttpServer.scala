@@ -330,7 +330,7 @@ final class PromHttpServer(spark: SparkSession, initial: DataFrame,
     * on(instance) maintenance_mode`; everything else straddling stays
     * health=err. */
   private def splittableRuleSetOp(e: PromQL.Expr): Boolean = e match {
-    case PromQL.SetOp(_, _, l, r, _) if straddlesTiers(e) =>
+    case PromQL.SetOp(op, _, l, r, _) if straddlesTiers(e) =>
       def singleTier(x: PromQL.Expr, needFloat: Boolean): Boolean =
         !straddlesTiers(x) && !anySelectorSpans(x) && {
           if (routesToHistHead(x, allowNameless = false))
@@ -338,7 +338,13 @@ final class PromHttpServer(spark: SparkSession, initial: DataFrame,
               (!needFloat && PromQLHist.histEvaluable(x))
           else true // the float tier evaluates (or rejects loudly)
         }
-      singleTier(l, needFloat = true) && singleTier(r, needFloat = false)
+      // `or` APPENDS right-side rows to the result, so for `or` the
+      // right side must be float-valued too — a histogram-valued
+      // right side would leak NULL-value rows + a hist column into
+      // the float-only rules machinery (round-17 review find);
+      // and/unless only consult the right side's KEYS
+      singleTier(l, needFloat = true) &&
+        singleTier(r, needFloat = op == "or")
     case _ => false
   }
 
@@ -382,21 +388,25 @@ final class PromHttpServer(spark: SparkSession, initial: DataFrame,
       PromQL.evalStrict(e, wide, at, lookbackMs, start = at, end = at)))
 
   /** [[sideInstant]]'s query_range twin — each side on its own tier,
-    * the shared grid column `t` joins the match keys downstream. */
+    * the shared grid column `t` joins the match keys downstream.
+    * `floatView`/`lb` let the RULES tier substitute its accumulated
+    * view (wide + earlier recorded samples) and lookback — the
+    * query endpoints use the served head and server lookback. */
   private def sideRange(e: PromQL.Expr, start: Long, end: Long,
-                        step: Long): Option[DataFrame] =
+                        step: Long, floatView: DataFrame = wide,
+                        lb: Long = lookbackMs): Option[DataFrame] =
     if (straddlesTiers(e) || anySelectorSpans(e)) None
     else if (routesToHistHead(e, allowNameless = namelessHistOk(e)) &&
         PromQLHist.floatEvaluable(e))
       Some(PromQLHist.evalRange(e, histHead.get, start, end, step,
-        lookbackMs, histNLes))
+        lb, histNLes))
     else if (routesToHistHead(e, allowNameless = false) &&
         PromQLHist.histEvaluable(e))
       Some(PromQLHist.evalRange(e, histHead.get, start, end, step,
-        lookbackMs, histNLes))
+        lb, histNLes))
     else if (routesToHistHead(e, allowNameless = false)) None
     else Some(PromQL.toValueShape(
-      PromQL.evalRange(e, wide, start, end, step, lookbackMs)))
+      PromQL.evalRange(e, floatView, start, end, step, lb)))
 
   /** Serialize an instant vector of ANY value shape: histogram rows
     * via the `histogram` response field, float rows via `value` — a
@@ -416,13 +426,20 @@ final class PromHttpServer(spark: SparkSession, initial: DataFrame,
     val hasV = iv.columns.contains(TsdbSchema.ValueCol)
     val rows =
       if (hasH && hasV) {
-        val h = take(ApiJson.histVectorJson(
-          iv.where(col(PromQLHist.HistCol).isNotNull)
-            .drop(TsdbSchema.ValueCol)))
-        val f = take(ApiJson.vectorJson(
-          iv.where(col(PromQLHist.HistCol).isNull)
-            .drop(PromQLHist.HistCol)))
-        h ++ f
+        // the two kinds serialize through different renderers, so the
+        // mixed frame is read TWICE — persist the (API-sized) result
+        // so the second collect reuses the first's evaluation instead
+        // of re-running both stores' scans
+        val mat = iv.persist()
+        try {
+          val h = take(ApiJson.histVectorJson(
+            mat.where(col(PromQLHist.HistCol).isNotNull)
+              .drop(TsdbSchema.ValueCol)))
+          val f = take(ApiJson.vectorJson(
+            mat.where(col(PromQLHist.HistCol).isNull)
+              .drop(PromQLHist.HistCol)))
+          h ++ f
+        } finally { mat.unpersist(); () }
       } else if (hasH) take(ApiJson.histVectorJson(iv))
       else take(ApiJson.vectorJson(iv))
     respondCapped(ex, "vector", rows, limit)
@@ -439,13 +456,18 @@ final class PromHttpServer(spark: SparkSession, initial: DataFrame,
     val hasV = rv.columns.contains(TsdbSchema.ValueCol)
     val rows =
       if (hasH && hasV) {
-        val h = take(ApiJson.histMatrixJson(
-          rv.where(col(PromQLHist.HistCol).isNotNull)
-            .drop(TsdbSchema.ValueCol, TsdbSchema.TimeCol)))
-        val f = take(ApiJson.matrixJson(
-          rv.where(col(PromQLHist.HistCol).isNull)
-            .drop(PromQLHist.HistCol)))
-        h ++ f
+        // persist the mixed frame: two renderers, one evaluation
+        // (vectorResponse's rationale)
+        val mat = rv.persist()
+        try {
+          val h = take(ApiJson.histMatrixJson(
+            mat.where(col(PromQLHist.HistCol).isNotNull)
+              .drop(TsdbSchema.ValueCol, TsdbSchema.TimeCol)))
+          val f = take(ApiJson.matrixJson(
+            mat.where(col(PromQLHist.HistCol).isNull)
+              .drop(PromQLHist.HistCol)))
+          h ++ f
+        } finally { mat.unpersist(); () }
       } else if (hasH)
         take(ApiJson.histMatrixJson(rv.drop(TsdbSchema.TimeCol)))
       else take(ApiJson.matrixJson(rv))
@@ -796,8 +818,10 @@ final class PromHttpServer(spark: SparkSession, initial: DataFrame,
     val at = p.first("time").map(parseTime)
       .getOrElse(System.currentTimeMillis())
     // Prometheus 3's `limit` parameter: cap the result SERIES count,
-    // in-plan, with the truncation warning (0/absent = unlimited)
+    // in-plan, with the truncation warning (0/absent = unlimited;
+    // negative is the client's error, as in Prometheus)
     val limit = p.first("limit").map(_.toInt)
+    require(limit.forall(_ >= 0), "limit must be non-negative")
     val ast = PromQL.parse(q)
     ast match {
       // ONE selector spanning BOTH stores (`{name=~"native|classic"}`):
@@ -954,8 +978,10 @@ final class PromHttpServer(spark: SparkSession, initial: DataFrame,
     val step = parseStep(required(p, "step"))
     require(end >= start, "end must be >= start")
     require(step > 0, "step must be positive")
-    // Prometheus 3's `limit` parameter (series cap + warning)
+    // Prometheus 3's `limit` parameter (series cap + warning;
+    // negative = 400, as in Prometheus)
     val limit = p.first("limit").map(_.toInt)
+    require(limit.forall(_ >= 0), "limit must be non-negative")
     val ast = PromQL.parse(q)
     // pushed-native-histogram routing, same rule as the instant API:
     // the histogram_* scalar family evaluates over the hist head (its
@@ -1144,9 +1170,15 @@ final class PromHttpServer(spark: SparkSession, initial: DataFrame,
       // NEVER the float fallback, which would be the silently-wrong
       // whole-expression evaluation this round closed
       case PromQL.SetOp(op, onK, l, r, ign) if splittableRuleSetOp(ast) =>
-        (sideRange(l, s, e, step), sideRange(r, s, e, step)) match {
+        // the FLOAT side evaluates against the group's accumulated
+        // `view` (wide + earlier recorded-rule samples), not the bare
+        // served head — a recorded maintenance series must be able to
+        // silence (round-17 review find)
+        (sideRange(l, s, e, step, floatView = view, lb = lb),
+          sideRange(r, s, e, step, floatView = view, lb = lb)) match {
           case (Some(lf), Some(rf))
-              if lf.columns.contains(TsdbSchema.ValueCol) =>
+              if lf.columns.contains(TsdbSchema.ValueCol) &&
+                (op != "or" || rf.columns.contains(TsdbSchema.ValueCol)) =>
             PromQLHist.setOpFrames(op, lf, rf, onK, ign)
           case _ => throw new IllegalStateException(
             "splittableRuleSetOp admitted a rule its evaluator cannot " +

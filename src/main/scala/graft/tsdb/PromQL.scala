@@ -1378,6 +1378,15 @@ object PromQL {
     if (KeepNameOverTime(name)) r else dropName(r)
   }
 
+  /** First grid point u ≡ 0 (mod step) STRICTLY after `x` — the
+    * left-open subquery window start (Prometheus 3: an exactly-aligned
+    * point at the window's left edge is excluded). THE one copy of the
+    * alignment rule, shared by every subquery grid on both tiers — a
+    * future alignment fix lands once or the tiers' grids silently
+    * diverge. */
+  private[tsdb] def gridStartAfter(x: Long, step: Long): Long =
+    Math.floorDiv(x, step) * step + step
+
   /** One subquery evaluation: the inner expression at every
     * absolute-aligned grid point t ≡ 0 (mod stepMs) in
     * [sqEnd − rangeMs, sqEnd] (ONE evalRange pass — never a loop over
@@ -1397,10 +1406,7 @@ object PromQL {
     // first grid point STRICTLY after sqEnd − range (Prometheus 3:
     // subquery windows are left-open like raw-sample windows, so an
     // exactly-aligned point at sqEnd − range is excluded)
-    val gridStart = {
-      val floored = Math.floorDiv(sqEnd - rangeMs, stepMs) * stepMs
-      if (floored <= sqEnd - rangeMs) floored + stepMs else floored
-    }
+    val gridStart = gridStartAfter(sqEnd - rangeMs, stepMs)
     val grid0 = evalRangeFn(inner, wide, gridStart, sqEnd, stepMs,
       lookbackMs)
     val grid = innerValueShape(inner, grid0)
@@ -1455,10 +1461,7 @@ object PromQL {
       : DataFrame = {
     // earliest inner point any outer step can see: STRICTLY after
     // start − off − range (left-open subquery windows, Prometheus 3)
-    val uStart = {
-      val floored = Math.floorDiv(start - off - rangeMs, sqStep) * sqStep
-      if (floored <= start - off - rangeMs) floored + sqStep else floored
-    }
+    val uStart = gridStartAfter(start - off - rangeMs, sqStep)
     val uEnd = math.floor((end - off).toDouble / sqStep).toLong * sqStep
     val grid0 = evalRangeFn(inner, wide, uStart, uEnd, sqStep,
       lookbackMs)
@@ -1733,10 +1736,7 @@ object PromQL {
     e match {
       case Subquery(inner, rangeMs, stepMs, off, atm) =>
         val sqEnd = resolveAt(atm, at, start, end) - off
-        val gridStart = {
-          val floored = Math.floorDiv(sqEnd - rangeMs, stepMs) * stepMs
-          if (floored <= sqEnd - rangeMs) floored + stepMs else floored
-        }
+        val gridStart = gridStartAfter(sqEnd - rangeMs, stepMs)
         val grid = evalRangeFn(inner, wide, gridStart, sqEnd, stepMs,
           lookbackMs)
         innerValueShape(inner, grid)
@@ -2853,8 +2853,16 @@ object PromQL {
     iv.where(ratioBand(iv, r))
   }
 
-  private def ratioBand(iv: DataFrame, r: Double): Column = {
-    val frac = pmod(graft.functions.Hashing.hash64(seriesKey(iv)),
+  private def ratioBand(iv: DataFrame, r: Double): Column =
+    ratioBandOn(seriesKey(iv), r)
+
+  /** The ONE copy of `limit_ratio`'s band arithmetic, parameterized by
+    * the series-identity column — the float tier and the hist tier
+    * ([[PromQLHist]]) must stay bit-identical for the documented
+    * invariant `limit_ratio(r) ∪ limit_ratio(r − 1) = v` to hold
+    * across tiers. */
+  private[tsdb] def ratioBandOn(key: Column, r: Double): Column = {
+    val frac = pmod(graft.functions.Hashing.hash64(key),
       lit(1000L)).cast("double") / 1000.0
     if (r >= 0) frac < lit(r) else frac >= lit(1.0 + r)
   }

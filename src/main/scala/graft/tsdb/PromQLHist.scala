@@ -182,14 +182,17 @@ object PromQLHist {
     // canonical SLO fold `max_over_time(histogram_quantile(0.9,
     // rate(native[5m]))[1h:5m])`: the float tier's subquery grid
     // machinery with THIS tier as the inner evaluator
-    case Fn(name, Subquery(inner, _, _, _, _), _)
-        if PromQL.SubqueryFns(name) => floatEvaluable(inner)
     // count_over_time over a HISTOGRAM-valued subquery inner counts
     // the inner's grid points per series — a float vector (the same
     // snapshots-not-values contract as count_over_time over a range
-    // selector)
-    case Fn("count_over_time", Subquery(inner, _, _, _, _), _) =>
-      histEvaluable(inner)
+    // selector). MUST precede the generic SubqueryFns case: that one
+    // also matches count_over_time and would answer false for a
+    // histogram-valued inner, shadowing this shape into the router's
+    // 422 (round-17 review find).
+    case Fn("count_over_time", Subquery(inner, _, _, _, _), _)
+        if histEvaluable(inner) => true
+    case Fn(name, Subquery(inner, _, _, _, _), _)
+        if PromQL.SubqueryFns(name) => floatEvaluable(inner)
     // limit_ratio over a FLOAT result re-enters the float tier's
     // hash-band kernel (`limit_ratio(0.5, histogram_count(m))`)
     case LimitRatio(_, arg) => floatEvaluable(arg)
@@ -1331,12 +1334,9 @@ object PromQLHist {
     * carries the grid column `t`. */
   private def histSubqueryGrid(inner: Expr, rangeMs: Long, stepMs: Long,
                                sqEnd: Long, hists: DataFrame,
-                               lookbackMs: Long, nLes: Int): DataFrame = {
-    val floored = Math.floorDiv(sqEnd - rangeMs, stepMs) * stepMs
-    val gridStart =
-      if (floored <= sqEnd - rangeMs) floored + stepMs else floored
-    evalRange(inner, hists, gridStart, sqEnd, stepMs, lookbackMs, nLes)
-  }
+                               lookbackMs: Long, nLes: Int): DataFrame =
+    evalRange(inner, hists, PromQL.gridStartAfter(sqEnd - rangeMs, stepMs),
+      sqEnd, stepMs, lookbackMs, nLes)
 
   /** Range-mode histogram subquery decomposition: the inner evaluates
     * ONCE over the covering absolute-aligned grid (u ≡ 0 mod sqStep,
@@ -1350,10 +1350,7 @@ object PromQLHist {
                                  off: Long, hists: DataFrame, start: Long,
                                  end: Long, stepMs: Long, lookbackMs: Long,
                                  nLes: Int): DataFrame = {
-    val uStart = {
-      val floored = Math.floorDiv(start - off - rangeMs, sqStep) * sqStep
-      if (floored <= start - off - rangeMs) floored + sqStep else floored
-    }
+    val uStart = PromQL.gridStartAfter(start - off - rangeMs, sqStep)
     val uEnd = Math.floorDiv(end - off, sqStep) * sqStep
     val grid = evalRange(inner, hists, uStart, uEnd, sqStep, lookbackMs,
       nLes).withColumnRenamed("t", TimeCol)
@@ -1403,15 +1400,13 @@ object PromQLHist {
   }
 
   /** `limit_ratio(r, v)` over a HISTOGRAM vector: the float tier's
-    * portable hash band on the series identity — keep hash‰/1000 < r
-    * (r ≥ 0) or ≥ 1 + r (the complement band, r < 0), so
-    * `limit_ratio(r, v)` ∪ `limit_ratio(r − 1, v)` = v exactly.
-    * Label-only, hence stable across grid steps. */
-  private def histLimitRatio(hv: DataFrame, r: Double): DataFrame = {
-    val frac = pmod(graft.functions.Hashing.hash64(histSeriesKey(hv)),
-      lit(1000L)).cast("double") / 1000.0
-    hv.where(if (r >= 0) frac < lit(r) else frac >= lit(1.0 + r))
-  }
+    * portable hash band ([[PromQL.ratioBandOn]] — the ONE copy of the
+    * band arithmetic) on this frame's series identity, so
+    * `limit_ratio(r, v)` ∪ `limit_ratio(r − 1, v)` = v exactly and the
+    * two tiers can never diverge. Label-only, hence stable across
+    * grid steps. */
+  private def histLimitRatio(hv: DataFrame, r: Double): DataFrame =
+    hv.where(PromQL.ratioBandOn(histSeriesKey(hv), r))
 
   /** Window PARTITION BY expression (un-aliased — an alias inside a
     * partition spec is not a grouping key) for a `by` label: wide,

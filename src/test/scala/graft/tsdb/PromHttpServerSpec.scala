@@ -1869,6 +1869,8 @@ class PromHttpServerSpec extends SparkSpec {
           |    rules:
           |      - record: mixed_rule
           |        expr: '{name="up"} + {name="hstrad"}'
+          |      - alert: bad_or
+          |        expr: '{name="up"} > 2 or {name="hstrad"}'
           |      - alert: float_rule
           |        expr: '{name="up"} > 2'
           |""".stripMargin),
@@ -1898,6 +1900,11 @@ class PromHttpServerSpec extends SparkSpec {
       assert(b.contains(""""health":"err""""), b)
       assert(b.contains("mixes native-histogram and float"), b)
       assert(b.contains(""""health":"ok""""), b)
+      // a straddling `or` whose RIGHT side is histogram-valued is NOT
+      // splittable either (or APPENDS right rows — NULL values and a
+      // hist column would leak into the float-only rules machinery):
+      // BOTH straddling rules are err, the float rule stays ok
+      assert(b.split("\"health\":\"err\"").length - 1 == 2, b)
       // FEDERATE is store-straddle-safe by construction: one regex
       // match[] spanning a float metric and a native metric serves
       // BOTH — float samples verbatim, native classic-style
@@ -1925,8 +1932,12 @@ class PromHttpServerSpec extends SparkSpec {
           |  - name: g
           |    interval: 1s
           |    rules:
+          |      - record: maint
+          |        expr: '{name="up",user="a"}'
           |      - alert: silenced
           |        expr: 'histogram_count({name="hsil"}) > 3 unless on(user) {name="up"}'
+          |      - alert: silenced_by_recorded
+          |        expr: 'histogram_count({name="hsil"}) > 3 unless on(user) {name="maint"}'
           |      - alert: fires
           |        expr: 'histogram_count({name="hsil"}) > 3 unless on(user) {name="up",user="b"}'
           |""".stripMargin),
@@ -1956,9 +1967,16 @@ class PromHttpServerSpec extends SparkSpec {
       // `unless on(user) up` matches user=a → the element is
       // suppressed and the rule stays inactive
       assert(b.contains(""""name":"silenced","query""""), b)
-      val silenced = b.substring(b.indexOf(""""name":"silenced""""),
-        b.indexOf(""""name":"fires""""))
+      val silenced = b.substring(b.indexOf(""""name":"silenced","""),
+        b.indexOf(""""name":"silenced_by_recorded""""))
       assert(silenced.contains(""""state":"inactive""""), silenced)
+      // the membership side may be a RECORDED series: the split
+      // evaluation reads the group's accumulated view, not the bare
+      // served head (round-17 review fix) — maint{user=a} silences
+      val recorded = b.substring(
+        b.indexOf(""""name":"silenced_by_recorded""""),
+        b.indexOf(""""name":"fires""""))
+      assert(recorded.contains(""""state":"inactive""""), recorded)
       // restricted to user=b, nothing matches hsil's user=a → fires
       val fires = b.substring(b.indexOf(""""name":"fires""""))
       assert(fires.contains(""""state":"firing"""") ||
@@ -2081,6 +2099,14 @@ class PromHttpServerSpec extends SparkSpec {
         "&time=6")
       assert(c5 == 200, b5)
       assert(b5.contains(""""histograms":[[4.000,{"count":"4.0"""), b5)
+      // count_over_time over the histogram-valued subquery routes as a
+      // FLOAT shape (the shadowed-gate review fix: the generic
+      // SubqueryFns case must not eat it into a 422) — 2 grid points
+      val (c6, b6) = getAt(p, "/api/v1/query?query=" +
+        java.net.URLEncoder.encode(
+          """count_over_time({name="hraw"}[4s:2s])""", UTF_8) + "&time=6")
+      assert(c6 == 200, b6)
+      assert(b6.contains(""""value":[6.000,"2.0"]"""), b6)
     } finally srv.stop()
   }
 
@@ -2113,9 +2139,16 @@ class PromHttpServerSpec extends SparkSpec {
     assert(c3 == 200, b3)
     assert(series(b3, """"values":[""") == 1 &&
       b3.contains("results truncated due to limit"), b3)
-    // a malformed limit is the client's error
+    // malformed and NEGATIVE limits are the client's error
+    // (Prometheus rejects negative; silently-unlimited would diverge)
     assert(get("/api/v1/query?query=" +
       java.net.URLEncoder.encode("""{name="up"}""", UTF_8) +
       "&time=2&limit=abc")._1 == 400)
+    assert(get("/api/v1/query?query=" +
+      java.net.URLEncoder.encode("""{name="up"}""", UTF_8) +
+      "&time=2&limit=-1")._1 == 400)
+    assert(get("/api/v1/query_range?query=" +
+      java.net.URLEncoder.encode("""{name="up"}""", UTF_8) +
+      "&start=1&end=2&step=1s&limit=-1")._1 == 400)
   }
 }
