@@ -1796,42 +1796,53 @@ final class PromHttpServer(spark: SparkSession, initial: DataFrame,
     val req = RemoteRead.decodeReadRequest(body)
     val wantsChunks = req.acceptedResponseTypes
       .contains(RemoteRead.ResponseStreamedXorChunks)
-    // per-REQUEST native-vs-float routing, the remote-read analogue of
-    // the query endpoints' per-selector rule: when every query's metric
-    // matcher names a pushed-native metric, the response carries
-    // HISTOGRAMS from the sparse head — in BOTH negotiated forms
-    // (chunked frames AND the SAMPLED prompb `TimeSeries.histograms`
-    // field; a client that does not negotiate STREAMED_XOR_CHUNKS must
-    // not silently see float-less series). Otherwise the float tier
-    // serves as before (a mixed request reads the float tier — the two
-    // streams cannot interleave and stay labels.Compare sorted).
-    val allHist = histSparseHead.nonEmpty && req.queries.nonEmpty &&
-      req.queries.forall { q =>
-        // wire matchers carry raw patterns; the gate (like the serve
-        // path) applies Prometheus's anchored semantics
-        val nameMs = PromQL.anchorMatchers(q.matchers).filter(m =>
-          m.name == "__name__" || m.name == "name")
-        val stored = synchronized(histMetricNames)
-        nameMs.nonEmpty &&
-          stored.exists(m => nameMs.forall(matchesMetric(_, m)))
-      }
+    // per-QUERY native/float routing: each query reads exactly the
+    // store(s) its matchers resolve to — native histograms, float
+    // samples, or BOTH (a nameless query, or a regex spanning the
+    // stores), merged in labels.Compare order by the routed
+    // responders. The old per-REQUEST forall gate silently flipped a
+    // MIXED request whole to the float store (its native queries
+    // answered empty) and nameless queries never saw native series —
+    // the round-17 straddle class, closed on this surface too. The
+    // gates are driver-side name-universe checks (no Spark job); a
+    // skipped store costs nothing. Wire matchers carry raw patterns;
+    // the gates (like the serve paths) apply Prometheus's anchored
+    // semantics.
+    val hsOpt = histSparseHead
+    def nameMs(q: RemoteRead.ReadQuery): Seq[graft.model.Matcher] =
+      PromQL.anchorMatchers(q.matchers).filter(m =>
+        m.name == "__name__" || m.name == "name")
+    def wantsHist(q: RemoteRead.ReadQuery): Boolean = {
+      val ms = nameMs(q)
+      val stored = synchronized(histMetricNames)
+      ms.isEmpty || stored.exists(m => ms.forall(matchesMetric(_, m)))
+    }
+    def wantsFloat(q: RemoteRead.ReadQuery): Boolean = {
+      val ms = nameMs(q)
+      // "" stands in for the ABSENT name (the P3 rule): float series
+      // may be nameless, and a matcher set that matches the empty
+      // name must still read the float store
+      ms.isEmpty ||
+        (floatMetricNames + "").exists(m => ms.forall(matchesMetric(_, m)))
+    }
     if (wantsChunks) {
       ex.getResponseHeaders.set("Content-Type",
         "application/x-streamed-protobuf; proto=prometheus.ChunkedReadResponse")
       ex.sendResponseHeaders(200, 0) // 0 = chunked transfer encoding
       val out = ex.getResponseBody
       val frames =
-        (if (allHist)
-          RemoteRead.serveChunkedHists(histSparseHead.get, body)
-        else RemoteRead.serveChunked(TsdbTable(wide), body))
+        (if (hsOpt.isEmpty) RemoteRead.serveChunked(TsdbTable(wide), body)
+         else RemoteRead.serveChunkedRouted(TsdbTable(wide), hsOpt, body,
+           wantsHist, wantsFloat))
           .toLocalIterator()
       while (frames.hasNext) out.write(frames.next())
       out.flush()
     } else {
       val resp =
-        if (allHist) RemoteRead.serveHists(histSparseHead.get, body,
-          remoteReadSampleLimit)
-        else RemoteRead.serve(TsdbTable(wide), body, remoteReadSampleLimit)
+        if (hsOpt.isEmpty)
+          RemoteRead.serve(TsdbTable(wide), body, remoteReadSampleLimit)
+        else RemoteRead.serveRouted(TsdbTable(wide), hsOpt, body,
+          remoteReadSampleLimit, wantsHist, wantsFloat)
       ex.getResponseHeaders.set("Content-Type", "application/x-protobuf")
       ex.getResponseHeaders.set("Content-Encoding", "snappy")
       ex.sendResponseHeaders(200, resp.length)

@@ -295,22 +295,67 @@ object RemoteRead {
   def serve(t: TsdbTable, requestBytes: Array[Byte],
             sampleLimit: Long = 0L): Array[Byte] = {
     val req = decodeReadRequest(requestBytes)
-    val sp = t.df.sparkSession
-    import sp.implicits._
     val w = new ProtoWriter
     req.queries.foreach { q =>
-      val series: Array[(String, Array[Byte])] = collectLimited(
-        grouped(slice(t, q)).mapPartitions(_.map {
-          case (entries, samples) =>
-            // NULL value → StaleNaN on the wire (Prometheus serves
-            // staleness markers over remote read; the bits are exact
-            // here — no shuffle between this assignment and the encode)
-            (labelSortKey(entries), samples.size.toLong,
-              RemoteWrite.encodeSeries(entries,
-                samples.map { case (ts, v) => (ts, v.getOrElse(StaleNaN)) }))
-        }), sampleLimit, "float samples")
+      val series = floatQuerySeries(t, q, sampleLimit)
       val qw = new ProtoWriter
       series.sortBy(_._1)(utf8ByteOrder).foreach(s => qw.bytes(1, s._2))
+      w.bytes(1, qw.toBytes)
+    }
+    Snappy.compress(w.toBytes)
+  }
+
+  /** One query's FLOAT series for the SAMPLED response:
+    * (labels.Compare sort key, encoded prompb `TimeSeries`) —
+    * [[serve]]'s per-query body, shared with [[serveRouted]]. */
+  private def floatQuerySeries(t: TsdbTable, q: ReadQuery,
+      sampleLimit: Long): Array[(String, Array[Byte])] = {
+    val sp = t.df.sparkSession
+    import sp.implicits._
+    collectLimited(
+      grouped(slice(t, q)).mapPartitions(_.map {
+        case (entries, samples) =>
+          // NULL value → StaleNaN on the wire (Prometheus serves
+          // staleness markers over remote read; the bits are exact
+          // here — no shuffle between this assignment and the encode)
+          (labelSortKey(entries), samples.size.toLong,
+            RemoteWrite.encodeSeries(entries,
+              samples.map { case (ts, v) => (ts, v.getOrElse(StaleNaN)) }))
+      }), sampleLimit, "float samples")
+  }
+
+  /** Per-QUERY routed SAMPLED responder for a server with SPLIT
+    * stores: each query reads exactly the store(s) its matchers
+    * resolve to — native histograms, float samples, or BOTH (a
+    * nameless query, or a regex spanning the stores), merged in
+    * labels.Compare order inside one `QueryResult`. Closes the
+    * mixed-request silent partiality: previously ANY non-native query
+    * flipped the WHOLE request to the float store (native queries in
+    * it answered empty) and nameless queries never saw native series.
+    * The caller supplies the driver-side routing gates (`wantsHist` /
+    * `wantsFloat` — name-universe checks, no Spark job); a skipped
+    * store costs nothing. `sampleLimit` enforces per store side (a
+    * both-stores query may hence return up to 2× the limit — each
+    * side stays limit-bounded). */
+  def serveRouted(t: TsdbTable,
+      hs: Option[Dataset[(Map[String, String],
+        graft.sources.tsdbblock.WalReader.WalHistogram)]],
+      requestBytes: Array[Byte], sampleLimit: Long,
+      wantsHist: ReadQuery => Boolean,
+      wantsFloat: ReadQuery => Boolean): Array[Byte] = {
+    val req = decodeReadRequest(requestBytes)
+    val w = new ProtoWriter
+    req.queries.foreach { q =>
+      val hist =
+        if (hs.nonEmpty && wantsHist(q))
+          histQuerySeries(hs.get, q, sampleLimit)
+        else Array.empty[(String, Array[Byte])]
+      val flt =
+        if (wantsFloat(q)) floatQuerySeries(t, q, sampleLimit)
+        else Array.empty[(String, Array[Byte])]
+      val qw = new ProtoWriter
+      (hist ++ flt).sortBy(_._1)(utf8ByteOrder)
+        .foreach(s => qw.bytes(1, s._2))
       w.bytes(1, qw.toBytes)
     }
     Snappy.compress(w.toBytes)
@@ -412,43 +457,52 @@ object RemoteRead {
       hs: Dataset[(Map[String, String],
         graft.sources.tsdbblock.WalReader.WalHistogram)],
       requestBytes: Array[Byte], sampleLimit: Long = 0L): Array[Byte] = {
-    import graft.sources.tsdbblock.WalReader
-    val sp = hs.sparkSession
-    import sp.implicits._
     val req = decodeReadRequest(requestBytes)
     val w = new ProtoWriter
     req.queries.foreach { q =>
-      val series: Array[(String, Array[Byte])] = collectLimited(
-        histSlice(hs, q)
-          .select(array_sort(map_entries(col("_1"))).as("entries"),
-            col("_2").as("hist"))
-          .groupBy(col("entries"))
-          .agg(collect_list(col("hist")).as("hists"))
-          .as[(Seq[(String, String)], Seq[WalReader.WalHistogram])]
-          .mapPartitions(_.map { case (entries, hists) =>
-            val sw = new ProtoWriter
-            entries.foreach { case (n, v) =>
-              val lw = new ProtoWriter
-              lw.string(1, n); lw.string(2, v)
-              sw.bytes(1, lw.toBytes)
-            }
-            hists.sortBy(_.time).foreach { h =>
-              // customValues/resetHint ride along: an NHCB (schema -53)
-              // histogram served from a WAL frame keeps its bucket
-              // BOUNDS in the sampled form, exactly as the chunked
-              // path's HistChunk payload does
-              sw.bytes(4, RemoteWrite.encodeHistogram(RemoteWrite.SparseHist(
-                h.time, Map.empty, h.count, h.sum, h.schema,
-                h.zeroThreshold, h.zeroCount, h.positive, h.negative,
-                h.customValues, h.counterResetHint)))
-            }
-            (labelSortKey(entries), hists.size.toLong, sw.toBytes)
-          }), sampleLimit, "histogram samples")
+      val series = histQuerySeries(hs, q, sampleLimit)
       val qw = new ProtoWriter
       series.sortBy(_._1)(utf8ByteOrder).foreach(s => qw.bytes(1, s._2))
       w.bytes(1, qw.toBytes)
     }
     Snappy.compress(w.toBytes)
+  }
+
+  /** One query's HISTOGRAM series for the SAMPLED response —
+    * [[serveHists]]'s per-query body, shared with [[serveRouted]]. */
+  private def histQuerySeries(
+      hs: Dataset[(Map[String, String],
+        graft.sources.tsdbblock.WalReader.WalHistogram)],
+      q: ReadQuery, sampleLimit: Long): Array[(String, Array[Byte])] = {
+    import graft.sources.tsdbblock.WalReader
+    val sp = hs.sparkSession
+    import sp.implicits._
+    collectLimited(
+      histSlice(hs, q)
+        .select(array_sort(map_entries(col("_1"))).as("entries"),
+          col("_2").as("hist"))
+        .groupBy(col("entries"))
+        .agg(collect_list(col("hist")).as("hists"))
+        .as[(Seq[(String, String)], Seq[WalReader.WalHistogram])]
+        .mapPartitions(_.map { case (entries, hists) =>
+          val sw = new ProtoWriter
+          entries.foreach { case (n, v) =>
+            val lw = new ProtoWriter
+            lw.string(1, n); lw.string(2, v)
+            sw.bytes(1, lw.toBytes)
+          }
+          hists.sortBy(_.time).foreach { h =>
+            // customValues/resetHint ride along: an NHCB (schema -53)
+            // histogram served from a WAL frame keeps its bucket
+            // BOUNDS in the sampled form, exactly as the chunked
+            // path's HistChunk payload does
+            sw.bytes(4, RemoteWrite.encodeHistogram(RemoteWrite.SparseHist(
+              h.time, Map.empty, h.count, h.sum, h.schema,
+              h.zeroThreshold, h.zeroCount, h.positive, h.negative,
+              h.customValues, h.counterResetHint)))
+          }
+          (labelSortKey(entries), hists.size.toLong, sw.toBytes)
+        }), sampleLimit, "histogram samples")
   }
 
   /** Decode a snappy `ReadResponse`'s HISTOGRAM series — one
@@ -614,27 +668,131 @@ object RemoteRead {
             while (buf.hasNext && buf.head._1 == qi && buf.head._2 == skey) {
               hists += buf.next()._4
             }
-            val sw = new ProtoWriter
-            entries.foreach { case (n, v) =>
-              val lw = new ProtoWriter
-              lw.string(1, n); lw.string(2, v)
-              sw.bytes(1, lw.toBytes)
-            }
-            HistChunk.chunkBatches(hists.result(),
-                maxPerChunk = SamplesPerChunk).foreach { batch =>
-              val cw = new ProtoWriter
-              cw.int64(1, batch.head.time)
-              cw.int64(2, batch.last.time)
-              cw.int64(3,
-                (if (batch.head.isFloat) HistChunk.EncFloatHistogram
-                 else HistChunk.EncHistogram).toLong)
-              cw.bytes(4, HistChunk.encode(batch, batch.head.isFloat))
-              sw.bytes(2, cw.toBytes)
-            }
-            val w = new ProtoWriter
-            w.bytes(1, sw.toBytes)
-            w.int64(2, qi.toLong)
-            frame(w.toBytes)
+            frame(encodeChunkedHistSeries(qi, entries, hists.result()))
+          }
+        }
+      }
+  }
+
+  /** Encode one HISTOGRAM `ChunkedSeries` message (unframed) —
+    * [[serveChunkedHists]]'s per-series body, shared with
+    * [[serveChunkedRouted]]. */
+  private def encodeChunkedHistSeries(qi: Int,
+      entries: Seq[(String, String)],
+      hists: Seq[graft.sources.tsdbblock.WalReader.WalHistogram])
+      : Array[Byte] = {
+    import graft.sources.tsdbblock.HistChunk
+    val sw = new ProtoWriter
+    entries.foreach { case (n, v) =>
+      val lw = new ProtoWriter
+      lw.string(1, n); lw.string(2, v)
+      sw.bytes(1, lw.toBytes)
+    }
+    HistChunk.chunkBatches(hists,
+        maxPerChunk = SamplesPerChunk).foreach { batch =>
+      val cw = new ProtoWriter
+      cw.int64(1, batch.head.time)
+      cw.int64(2, batch.last.time)
+      cw.int64(3,
+        (if (batch.head.isFloat) HistChunk.EncFloatHistogram
+         else HistChunk.EncHistogram).toLong)
+      cw.bytes(4, HistChunk.encode(batch, batch.head.isFloat))
+      sw.bytes(2, cw.toBytes)
+    }
+    val w = new ProtoWriter
+    w.bytes(1, sw.toBytes)
+    w.int64(2, qi.toLong)
+    w.toBytes
+  }
+
+  /** Per-QUERY routed STREAMED responder — [[serveRouted]]'s chunked
+    * twin: float-eligible queries' sample slices and native-eligible
+    * queries' histogram slices union into ONE keyed frame, a single
+    * range exchange on (query, label-set key) globally orders the
+    * stream (Prometheus's sorted-series contract holds across BOTH
+    * kinds), and each series group emits its XOR or HISTOGRAM chunk
+    * frame — one of each when the same label set exists in both
+    * stores. A query eligible for neither store contributes no rows
+    * (its frames are simply absent, like an unmatched query). */
+  def serveChunkedRouted(t: TsdbTable,
+      hs: Option[Dataset[(Map[String, String],
+        graft.sources.tsdbblock.WalReader.WalHistogram)]],
+      requestBytes: Array[Byte],
+      wantsHist: ReadQuery => Boolean,
+      wantsFloat: ReadQuery => Boolean): Dataset[Array[Byte]] = {
+    import graft.sources.tsdbblock.WalReader
+    val sp = t.df.sparkSession
+    import sp.implicits._
+    val req = decodeReadRequest(requestBytes)
+    val histType = hs.map(_.toDF().schema("_2").dataType)
+      .getOrElse(org.apache.spark.sql.types.NullType)
+    val floatSlices = req.queries.zipWithIndex.collect {
+      case (q, qi) if wantsFloat(q) =>
+        slice(t, q).select(
+          lit(qi).as("qi"),
+          array_sort(map_entries(col("labels"))).as("entries"),
+          lit(0).as("kind"),
+          col("time").as("ts"),
+          col("time"), col("value"),
+          lit(null).cast(histType).as("hist"))
+    }
+    val histSlices = hs.toSeq.flatMap { h =>
+      req.queries.zipWithIndex.collect {
+        case (q, qi) if wantsHist(q) =>
+          histSlice(h, q).select(
+            lit(qi).as("qi"),
+            array_sort(map_entries(col("_1"))).as("entries"),
+            lit(1).as("kind"),
+            col("_2.time").as("ts"),
+            lit(null).cast("long").as("time"),
+            lit(null).cast("double").as("value"),
+            col("_2").as("hist"))
+      }
+    }
+    val keyed = (floatSlices ++ histSlices).reduceOption(_ unionByName _)
+      .getOrElse(return sp.emptyDataset[Array[Byte]])
+    keyed
+      .withColumn("skey", array_join(
+        transform(
+          flatten(transform(col("entries"),
+            e => array(e.getField("key"), e.getField("value")))),
+          f => replace(f, lit("\u0000"), lit("\u0000\u0001"))),
+        "\u0000\u0000"))
+      .repartitionByRange(col("qi"), col("skey"))
+      .sortWithinPartitions(col("qi"), col("skey"), col("kind"), col("ts"))
+      .select(col("qi"), col("skey"), col("entries"), col("kind"),
+        col("time"), col("value"), col("hist"))
+      .as[(Int, String, Seq[(String, String)], Int, Option[Long],
+        Option[Double], Option[WalReader.WalHistogram])]
+      .mapPartitions { it =>
+        val buf = it.buffered
+        new Iterator[Array[Byte]] {
+          private var pending: List[Array[Byte]] = Nil
+          def hasNext: Boolean = pending.nonEmpty || buf.hasNext
+          def next(): Array[Byte] = pending match {
+            case h :: t => pending = t; h
+            case Nil =>
+              val (qi, skey, entries, _, _, _, _) = buf.head
+              val samples = Seq.newBuilder[(Long, Double)]
+              val hists = Seq.newBuilder[WalReader.WalHistogram]
+              while (buf.hasNext && buf.head._1 == qi &&
+                  buf.head._2 == skey) {
+                val r = buf.next()
+                if (r._4 == 0)
+                  samples += ((r._5.get, r._6.getOrElse(StaleNaN)))
+                else hists += r._7.get
+              }
+              val frames =
+                (if (samples.result().nonEmpty)
+                   List(frame(encodeChunkedSeries(qi, entries,
+                     samples.result())))
+                 else Nil) ++
+                (if (hists.result().nonEmpty)
+                   List(frame(encodeChunkedHistSeries(qi, entries,
+                     hists.result())))
+                 else Nil)
+              pending = frames.tail
+              frames.head
           }
         }
       }

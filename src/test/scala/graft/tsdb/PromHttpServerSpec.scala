@@ -2110,6 +2110,84 @@ class PromHttpServerSpec extends SparkSpec {
     } finally srv.stop()
   }
 
+  test("MIXED remote-read requests route per QUERY: native and float " +
+      "queries both answer; spanning and nameless reads serve both stores") {
+    // the old per-REQUEST forall gate flipped any request containing a
+    // non-native query whole to the float store — its native queries
+    // silently answered EMPTY, and nameless (label-only) reads never
+    // saw native series at all: the round-17 straddle class on the
+    // remote-read surface
+    val srv = new PromHttpServer(spark, wide)
+    val p = srv.start()
+    try {
+      val h = RemoteWrite.SparseHist(
+        time = 1700L, labels = Map.empty, count = 4.0, sum = 10.0,
+        schema = 0, zeroThreshold = 0.0, zeroCount = 0.0,
+        positive = Seq((1, 2.0), (2, 2.0)), negative = Nil)
+      val wreq = RemoteWrite2.encodeRequest(Seq(RemoteWrite2.Rw2Series(
+        labels = Seq("__name__" -> "hmixr", "user" -> "z"),
+        histograms = Seq(h))))
+      val wr = client.send(
+        HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:$p/api/v1/write"))
+          .header("Content-Type",
+            "application/x-protobuf;proto=io.prometheus.write.v2.Request")
+          .POST(HttpRequest.BodyPublishers.ofByteArray(wreq)).build(),
+        HttpResponse.BodyHandlers.ofByteArray())
+      assert(wr.statusCode() == 204)
+      def postRead(body: Array[Byte]): (Int, Array[Byte]) = {
+        val r = client.send(
+          HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:$p/api/v1/read"))
+            .POST(HttpRequest.BodyPublishers.ofByteArray(body)).build(),
+          HttpResponse.BodyHandlers.ofByteArray())
+        (r.statusCode(), r.body())
+      }
+      // TWO queries, one per store, one request
+      val (c1, r1) = postRead(RemoteRead.encodeReadRequest(
+        RemoteRead.ReadRequest(Seq(
+          RemoteRead.ReadQuery(0L, 10000L,
+            Seq(Matcher.Eq("__name__", "up"))),
+          RemoteRead.ReadQuery(0L, 10000L,
+            Seq(Matcher.Eq("__name__", "hmixr")))))))
+      assert(c1 == 200)
+      val floats1 = RemoteRead.decodeReadResponse(r1)
+      assert(floats1.nonEmpty && floats1.forall(_._1 == 0), floats1)
+      assert(floats1.map(_._3).toSet == Set(1.0, 3.0, 2.0), floats1)
+      val hists1 = RemoteRead.decodeReadResponseHists(r1)
+      assert(hists1.map(_._1) == Seq(1), hists1)
+      assert(hists1.head._2.count == 4.0, hists1)
+      // ONE spanning regex: both kinds inside one QueryResult
+      val (c2, r2) = postRead(RemoteRead.encodeReadRequest(
+        RemoteRead.ReadRequest(Seq(RemoteRead.ReadQuery(0L, 10000L,
+          Seq(Matcher.Re("__name__", "up|hmixr")))))))
+      assert(c2 == 200)
+      assert(RemoteRead.decodeReadResponse(r2).count(_._1 == 0) == 3, "floats")
+      assert(RemoteRead.decodeReadResponseHists(r2).map(_._1) == Seq(0))
+      // NAMELESS (label-only) read: the native series answers too
+      val (c3, r3) = postRead(RemoteRead.encodeReadRequest(
+        RemoteRead.ReadRequest(Seq(RemoteRead.ReadQuery(0L, 10000L,
+          Seq(Matcher.Eq("user", "z")))))))
+      assert(c3 == 200)
+      assert(RemoteRead.decodeReadResponseHists(r3).size == 1, "nameless")
+      // CHUNKED negotiation, spanning query: frames of BOTH kinds
+      val (c4, r4) = postRead(RemoteRead.encodeReadRequest(
+        RemoteRead.ReadRequest(Seq(RemoteRead.ReadQuery(0L, 10000L,
+          Seq(Matcher.Re("__name__", "up|hmixr")))),
+          acceptedResponseTypes =
+            Seq(RemoteRead.ResponseStreamedXorChunks))))
+      assert(c4 == 200)
+      import spark.implicits._
+      val all = RemoteRead.splitFrames(r4)
+      val (hf, ff) = all.partition { f =>
+        scala.util.Try(RemoteRead.decodeChunkedHistFrames(
+          spark.createDataset(Seq(f))).collect()).isSuccess
+      }
+      assert(hf.size == 1 && ff.size == 2, s"${hf.size} hist / ${ff.size} float")
+      val floatRows = RemoteRead.decodeChunkedFrames(
+        spark.createDataset(ff)).collect()
+      assert(floatRows.length == 3, floatRows.toSeq.toString)
+    } finally srv.stop()
+  }
+
   test("Prometheus 3 `limit` caps result series, in-plan, with the " +
       "truncation warning") {
     def series(b: String, marker: String): Int =
