@@ -283,17 +283,30 @@ final class PromHttpServer(spark: SparkSession, initial: DataFrame,
     * check; a query with no native-matching selector never computes
     * it (the callers test the native side first). */
   private var floatNamesCache: (Int, Set[String]) = (-1, Set.empty)
-  private def floatMetricNames: Set[String] = synchronized {
-    if (floatNamesCache._1 != wideAppends) {
+  private def floatMetricNames: Set[String] = {
+    // snapshot under the lock, compute OFF it: the distinct is a
+    // (small) Spark job, and holding the server monitor through it
+    // would block every other synchronized path — appends, routing
+    // gates, notifier state — for its duration
+    val (ver, cached, frame) = synchronized {
+      (wideAppends, floatNamesCache, wide)
+    }
+    if (cached._1 == ver) cached._2
+    else {
       val nameCol = TsdbSchema.labelColName("name")
       val names =
-        if (!wide.columns.contains(nameCol)) Set.empty[String]
-        else wide.select(col(s"`$nameCol`"))
+        if (!frame.columns.contains(nameCol)) Set.empty[String]
+        else frame.select(col(s"`$nameCol`"))
           .where(col(s"`$nameCol`").isNotNull)
           .distinct().collect().map(_.getString(0)).toSet
-      floatNamesCache = (wideAppends, names)
+      synchronized {
+        // only advance the cache (never regress it over a racing
+        // compute for a NEWER append version); a later call sees any
+        // mismatch and recomputes — one-version staleness at worst
+        if (floatNamesCache._1 < ver) floatNamesCache = (ver, names)
+      }
+      names
     }
-    floatNamesCache._2
   }
 
   /** Float-store names a matcher set selects BEYOND the native head:
@@ -1173,16 +1186,36 @@ final class PromHttpServer(spark: SparkSession, initial: DataFrame,
         // the FLOAT side evaluates against the group's accumulated
         // `view` (wide + earlier recorded-rule samples), not the bare
         // served head — a recorded maintenance series must be able to
-        // silence (round-17 review find)
-        (sideRange(l, s, e, step, floatView = view, lb = lb),
-          sideRange(r, s, e, step, floatView = view, lb = lb)) match {
-          case (Some(lf), Some(rf))
-              if lf.columns.contains(TsdbSchema.ValueCol) &&
-                (op != "or" || rf.columns.contains(TsdbSchema.ValueCol)) =>
-            PromQLHist.setOpFrames(op, lf, rf, onK, ign)
-          case _ => throw new IllegalStateException(
-            "splittableRuleSetOp admitted a rule its evaluator cannot " +
-              "split: " + PromQL.render(ast))
+        // silence (round-17 review find). FAILURE CONTAINMENT, per
+        // rule: a split that cannot build (a hist plan-build failure
+        // past the shape gate, or the gate raced by a concurrent
+        // push changing the stored-name sets) must not take down the
+        // WHOLE group's /api/v1/rules//alerts response and the
+        // notifier — but the float fallback would be the
+        // silently-wrong whole-expression evaluation this round
+        // closed, so the contained outcome is an EMPTY vector (rule
+        // inactive) + a stderr log, Prometheus's own per-rule-error
+        // blast radius.
+        try {
+          (sideRange(l, s, e, step, floatView = view, lb = lb),
+            sideRange(r, s, e, step, floatView = view, lb = lb)) match {
+            case (Some(lf), Some(rf))
+                if lf.columns.contains(TsdbSchema.ValueCol) &&
+                  (op != "or" ||
+                    rf.columns.contains(TsdbSchema.ValueCol)) =>
+              PromQLHist.setOpFrames(op, lf, rf, onK, ign)
+            case _ => throw new IllegalStateException(
+              "splittableRuleSetOp admitted a rule its evaluator " +
+                "cannot split: " + PromQL.render(ast))
+          }
+        } catch {
+          case scala.util.control.NonFatal(t) =>
+            System.err.println(
+              s"split-tier rule evaluation failed, rule inactive: " +
+                s"${PromQL.render(ast)}: $t")
+            view.sparkSession.range(0)
+              .select(col("id").as("t"),
+                col("id").cast("double").as(TsdbSchema.ValueCol))
         }
       case _ =>
         if (PromQLHist.floatEvaluable(ast) &&
@@ -1804,18 +1837,21 @@ final class PromHttpServer(spark: SparkSession, initial: DataFrame,
     // MIXED request whole to the float store (its native queries
     // answered empty) and nameless queries never saw native series —
     // the round-17 straddle class, closed on this surface too. The
-    // gates are driver-side name-universe checks (no Spark job); a
-    // skipped store costs nothing. Wire matchers carry raw patterns;
-    // the gates (like the serve paths) apply Prometheus's anchored
-    // semantics.
+    // gates are CACHED name-universe checks (floatMetricNames
+    // recomputes off-lock once per append version; the first read
+    // after a write pays one small distinct job); a skipped store
+    // costs nothing. A name stored in BOTH stores serves its native
+    // form only (the query endpoints' preference — one label set,
+    // one series). Wire matchers carry raw patterns; the gates (like
+    // the serve paths) apply Prometheus's anchored semantics.
     val hsOpt = histSparseHead
+    val natives = synchronized(histMetricNames)
     def nameMs(q: RemoteRead.ReadQuery): Seq[graft.model.Matcher] =
       PromQL.anchorMatchers(q.matchers).filter(m =>
         m.name == "__name__" || m.name == "name")
     def wantsHist(q: RemoteRead.ReadQuery): Boolean = {
       val ms = nameMs(q)
-      val stored = synchronized(histMetricNames)
-      ms.isEmpty || stored.exists(m => ms.forall(matchesMetric(_, m)))
+      ms.isEmpty || natives.exists(m => ms.forall(matchesMetric(_, m)))
     }
     def wantsFloat(q: RemoteRead.ReadQuery): Boolean = {
       val ms = nameMs(q)
@@ -1833,7 +1869,7 @@ final class PromHttpServer(spark: SparkSession, initial: DataFrame,
       val frames =
         (if (hsOpt.isEmpty) RemoteRead.serveChunked(TsdbTable(wide), body)
          else RemoteRead.serveChunkedRouted(TsdbTable(wide), hsOpt, body,
-           wantsHist, wantsFloat))
+           wantsHist, wantsFloat, nativeNames = natives))
           .toLocalIterator()
       while (frames.hasNext) out.write(frames.next())
       out.flush()
@@ -1842,7 +1878,8 @@ final class PromHttpServer(spark: SparkSession, initial: DataFrame,
         if (hsOpt.isEmpty)
           RemoteRead.serve(TsdbTable(wide), body, remoteReadSampleLimit)
         else RemoteRead.serveRouted(TsdbTable(wide), hsOpt, body,
-          remoteReadSampleLimit, wantsHist, wantsFloat)
+          remoteReadSampleLimit, wantsHist, wantsFloat,
+          nativeNames = natives)
       ex.getResponseHeaders.set("Content-Type", "application/x-protobuf")
       ex.getResponseHeaders.set("Content-Encoding", "snappy")
       ex.sendResponseHeaders(200, resp.length)

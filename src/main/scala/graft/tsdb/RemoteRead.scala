@@ -305,15 +305,26 @@ object RemoteRead {
     Snappy.compress(w.toBytes)
   }
 
+  /** Rows of native-stored metrics leave the FLOAT side of a routed
+    * response: a name present in BOTH stores serves its native form
+    * only — the query endpoints' native-over-classic preference, and
+    * the guarantee that one label set never appears as two series in
+    * one QueryResult (a downstream sum() would double-count). */
+  private def dropNamed(sl: DataFrame, names: Set[String]): DataFrame =
+    if (names.isEmpty) sl
+    else sl.where(!coalesce(element_at(col("labels"), "__name__"),
+      lit("")).isin(names.toSeq: _*))
+
   /** One query's FLOAT series for the SAMPLED response:
     * (labels.Compare sort key, encoded prompb `TimeSeries`) —
     * [[serve]]'s per-query body, shared with [[serveRouted]]. */
   private def floatQuerySeries(t: TsdbTable, q: ReadQuery,
-      sampleLimit: Long): Array[(String, Array[Byte])] = {
+      sampleLimit: Long,
+      dropNames: Set[String] = Set.empty): Array[(String, Array[Byte])] = {
     val sp = t.df.sparkSession
     import sp.implicits._
     collectLimited(
-      grouped(slice(t, q)).mapPartitions(_.map {
+      grouped(dropNamed(slice(t, q), dropNames)).mapPartitions(_.map {
         case (entries, samples) =>
           // NULL value → StaleNaN on the wire (Prometheus serves
           // staleness markers over remote read; the bits are exact
@@ -342,7 +353,8 @@ object RemoteRead {
         graft.sources.tsdbblock.WalReader.WalHistogram)]],
       requestBytes: Array[Byte], sampleLimit: Long,
       wantsHist: ReadQuery => Boolean,
-      wantsFloat: ReadQuery => Boolean): Array[Byte] = {
+      wantsFloat: ReadQuery => Boolean,
+      nativeNames: Set[String] = Set.empty): Array[Byte] = {
     val req = decodeReadRequest(requestBytes)
     val w = new ProtoWriter
     req.queries.foreach { q =>
@@ -351,7 +363,8 @@ object RemoteRead {
           histQuerySeries(hs.get, q, sampleLimit)
         else Array.empty[(String, Array[Byte])]
       val flt =
-        if (wantsFloat(q)) floatQuerySeries(t, q, sampleLimit)
+        if (wantsFloat(q))
+          floatQuerySeries(t, q, sampleLimit, dropNames = nativeNames)
         else Array.empty[(String, Array[Byte])]
       val qw = new ProtoWriter
       (hist ++ flt).sortBy(_._1)(utf8ByteOrder)
@@ -555,6 +568,19 @@ object RemoteRead {
 
   // ---- STREAMED_XOR_CHUNKS response (ResponseType 1) ----------------
 
+  /** Attach the NUL-escaped labels.Compare sort key (the in-plan twin
+    * of [[labelSortKey]] — same injective encoding) to a frame
+    * carrying sorted `entries`: THE one copy of the ordering
+    * invariant every chunked responder's range exchange shares. */
+  private def withSortKey(df: DataFrame): DataFrame =
+    df.withColumn("skey", array_join(
+      transform(
+        flatten(transform(col("entries"),
+          e => array(e.getField("key"), e.getField("value")))),
+        f => replace(f, lit("\u0000"), lit("\u0000\u0001"))),
+      "\u0000\u0000"))
+
+
   /** Samples per XOR chunk — Prometheus's chunk fill target, the same
     * split the block writer uses. */
   private val SamplesPerChunk = 120
@@ -586,13 +612,7 @@ object RemoteRead {
         array_sort(map_entries(col("labels"))).as("entries"),
         col("time"), col("value"))
     }.reduce(_ unionByName _)
-    keyed
-      .withColumn("skey", array_join(
-        transform(
-          flatten(transform(col("entries"),
-            e => array(e.getField("key"), e.getField("value")))),
-          f => replace(f, lit("\u0000"), lit("\u0000\u0001"))),
-        "\u0000\u0000"))
+    withSortKey(keyed)
       .repartitionByRange(col("qi"), col("skey"))
       .sortWithinPartitions(col("qi"), col("skey"), col("time"))
       .select(col("qi"), col("skey"), col("entries"),
@@ -647,13 +667,7 @@ object RemoteRead {
           array_sort(map_entries(col("_1"))).as("entries"),
           col("_2").as("hist"))
     }.reduce(_ unionByName _)
-    keyed
-      .withColumn("skey", array_join(
-        transform(
-          flatten(transform(col("entries"),
-            e => array(e.getField("key"), e.getField("value")))),
-          f => replace(f, lit("\u0000"), lit("\u0000\u0001"))),
-        "\u0000\u0000"))
+    withSortKey(keyed)
       .repartitionByRange(col("qi"), col("skey"))
       .sortWithinPartitions(col("qi"), col("skey"), col("hist.time"))
       .select(col("qi"), col("skey"), col("entries"), col("hist"))
@@ -719,7 +733,8 @@ object RemoteRead {
         graft.sources.tsdbblock.WalReader.WalHistogram)]],
       requestBytes: Array[Byte],
       wantsHist: ReadQuery => Boolean,
-      wantsFloat: ReadQuery => Boolean): Dataset[Array[Byte]] = {
+      wantsFloat: ReadQuery => Boolean,
+      nativeNames: Set[String] = Set.empty): Dataset[Array[Byte]] = {
     import graft.sources.tsdbblock.WalReader
     val sp = t.df.sparkSession
     import sp.implicits._
@@ -728,7 +743,7 @@ object RemoteRead {
       .getOrElse(org.apache.spark.sql.types.NullType)
     val floatSlices = req.queries.zipWithIndex.collect {
       case (q, qi) if wantsFloat(q) =>
-        slice(t, q).select(
+        dropNamed(slice(t, q), nativeNames).select(
           lit(qi).as("qi"),
           array_sort(map_entries(col("labels"))).as("entries"),
           lit(0).as("kind"),
@@ -751,13 +766,7 @@ object RemoteRead {
     }
     val keyed = (floatSlices ++ histSlices).reduceOption(_ unionByName _)
       .getOrElse(return sp.emptyDataset[Array[Byte]])
-    keyed
-      .withColumn("skey", array_join(
-        transform(
-          flatten(transform(col("entries"),
-            e => array(e.getField("key"), e.getField("value")))),
-          f => replace(f, lit("\u0000"), lit("\u0000\u0001"))),
-        "\u0000\u0000"))
+    withSortKey(keyed)
       .repartitionByRange(col("qi"), col("skey"))
       .sortWithinPartitions(col("qi"), col("skey"), col("kind"), col("ts"))
       .select(col("qi"), col("skey"), col("entries"), col("kind"),

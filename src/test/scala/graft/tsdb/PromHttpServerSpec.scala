@@ -2185,6 +2185,23 @@ class PromHttpServerSpec extends SparkSpec {
       val floatRows = RemoteRead.decodeChunkedFrames(
         spark.createDataset(ff)).collect()
       assert(floatRows.length == 3, floatRows.toSeq.toString)
+      // a name stored in BOTH stores (the float shadow of a migrated
+      // metric) serves its NATIVE form only — one label set, one
+      // series, never a double-counting duplicate pair
+      val fshadow = RemoteWrite.encodeRequest(Seq(RemoteWrite.encodeSeries(
+        Seq("__name__" -> "hmixr", "user" -> "z"), Seq(1400L -> 9.0))))
+      val fw = client.send(
+        HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:$p/api/v1/write"))
+          .POST(HttpRequest.BodyPublishers.ofByteArray(fshadow)).build(),
+        HttpResponse.BodyHandlers.ofByteArray())
+      assert(fw.statusCode() == 204)
+      val (c5, r5) = postRead(RemoteRead.encodeReadRequest(
+        RemoteRead.ReadRequest(Seq(RemoteRead.ReadQuery(0L, 10000L,
+          Seq(Matcher.Eq("__name__", "hmixr")))))))
+      assert(c5 == 200)
+      assert(RemoteRead.decodeReadResponse(r5).isEmpty,
+        "the float shadow of a native-stored name must not serve")
+      assert(RemoteRead.decodeReadResponseHists(r5).size == 1)
     } finally srv.stop()
   }
 
