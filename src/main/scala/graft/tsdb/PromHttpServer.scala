@@ -283,29 +283,66 @@ final class PromHttpServer(spark: SparkSession, initial: DataFrame,
     * check; a query with no native-matching selector never computes
     * it (the callers test the native side first). */
   private var floatNamesCache: (Int, Set[String]) = (-1, Set.empty)
+  /** Serializes name-universe RECOMPUTES only — concurrent cache
+    * misses after an append run ONE Spark job (the herd waits here,
+    * not on the server monitor, and followers reuse the leader's
+    * result via the double-check). */
+  private val nameCacheLock = new Object
   private def floatMetricNames: Set[String] = {
-    // snapshot under the lock, compute OFF it: the distinct is a
+    // snapshot under the monitor, compute OFF it: the distinct is a
     // (small) Spark job, and holding the server monitor through it
     // would block every other synchronized path — appends, routing
     // gates, notifier state — for its duration
-    val (ver, cached, frame) = synchronized {
-      (wideAppends, floatNamesCache, wide)
-    }
-    if (cached._1 == ver) cached._2
-    else {
-      val nameCol = TsdbSchema.labelColName("name")
-      val names =
-        if (!frame.columns.contains(nameCol)) Set.empty[String]
-        else frame.select(col(s"`$nameCol`"))
-          .where(col(s"`$nameCol`").isNotNull)
-          .distinct().collect().map(_.getString(0)).toSet
-      synchronized {
-        // only advance the cache (never regress it over a racing
-        // compute for a NEWER append version); a later call sees any
-        // mismatch and recomputes — one-version staleness at worst
-        if (floatNamesCache._1 < ver) floatNamesCache = (ver, names)
+    val ver = synchronized(wideAppends)
+    val cached = synchronized(floatNamesCache)
+    if (cached._1 >= ver) cached._2
+    else nameCacheLock.synchronized {
+      val c2 = synchronized(floatNamesCache)
+      if (c2._1 >= ver) c2._2
+      else {
+        val frame = synchronized(wide)
+        val nameCol = TsdbSchema.labelColName("name")
+        val names =
+          if (!frame.columns.contains(nameCol)) Set.empty[String]
+          else frame.select(col(s"`$nameCol`"))
+            .where(col(s"`$nameCol`").isNotNull)
+            .distinct().collect().map(_.getString(0)).toSet
+        synchronized {
+          // advance-only: never regress over a racing newer version
+          if (floatNamesCache._1 < ver) floatNamesCache = (ver, names)
+        }
+        names
       }
-      names
+    }
+  }
+
+  /** Per native metric: the FIRST native sample's time — the
+    * migration point from which the native store owns the series
+    * (remote read's time-aware float shadowing). Name-universe-sized,
+    * cached per hist-append version, recomputed off-lock under the
+    * same herd-safe discipline as [[floatMetricNames]]. */
+  private var histSinceCache: (Int, Map[String, Long]) = (-1, Map.empty)
+  private def histMinTimes: Map[String, Long] = {
+    val ver = synchronized(histAppends)
+    val cached = synchronized(histSinceCache)
+    if (cached._1 >= ver) cached._2
+    else nameCacheLock.synchronized {
+      val c2 = synchronized(histSinceCache)
+      if (c2._1 >= ver) c2._2
+      else {
+        val since = synchronized(histSparseHead) match {
+          case None => Map.empty[String, Long]
+          case Some(hs) => hs.toDF()
+            .select(coalesce(element_at(col("_1"), "__name__"), lit(""))
+              .as("n"), col("_2.time").as("t"))
+            .groupBy(col("n")).agg(min(col("t")).as("t"))
+            .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+        }
+        synchronized {
+          if (histSinceCache._1 < ver) histSinceCache = (ver, since)
+        }
+        since
+      }
     }
   }
 
@@ -1197,7 +1234,7 @@ final class PromHttpServer(spark: SparkSession, initial: DataFrame,
         // inactive) + a stderr log, Prometheus's own per-rule-error
         // blast radius.
         try {
-          (sideRange(l, s, e, step, floatView = view, lb = lb),
+          val out = (sideRange(l, s, e, step, floatView = view, lb = lb),
             sideRange(r, s, e, step, floatView = view, lb = lb)) match {
             case (Some(lf), Some(rf))
                 if lf.columns.contains(TsdbSchema.ValueCol) &&
@@ -1208,11 +1245,19 @@ final class PromHttpServer(spark: SparkSession, initial: DataFrame,
               "splittableRuleSetOp admitted a rule its evaluator " +
                 "cannot split: " + PromQL.render(ast))
           }
+          // a successful build clears any prior dynamic error
+          ruleEvalErrors.remove(PromQL.render(ast))
+          out
         } catch {
           case scala.util.control.NonFatal(t) =>
-            System.err.println(
-              s"split-tier rule evaluation failed, rule inactive: " +
-                s"${PromQL.render(ast)}: $t")
+            // contained to THIS rule (empty vector, the group keeps
+            // evaluating) but NEVER silently "ok": the failure lands
+            // in the dynamic error channel and /api/v1/rules renders
+            // health=err + lastError until a later build succeeds
+            val msg = "split-tier rule evaluation failed " +
+              s"(rule inactive until it builds): $t"
+            ruleEvalErrors.put(PromQL.render(ast), msg)
+            System.err.println(s"$msg — ${PromQL.render(ast)}")
             view.sparkSession.range(0)
               .select(col("id").as("t"),
                 col("id").cast("double").as(TsdbSchema.ValueCol))
@@ -1338,6 +1383,17 @@ final class PromHttpServer(spark: SparkSession, initial: DataFrame,
     case AlertRules.RecordingRule(_, e, _) => e
   }
 
+  /** DYNAMIC rule-evaluation errors, keyed by the rule expression's
+    * canonical rendering: a split-tier rule whose evaluation could
+    * not be BUILT is contained to that rule (empty vector — the rest
+    * of the group keeps evaluating and the notifier keeps running)
+    * AND surfaced as health=err + lastError; a later successful build
+    * clears the entry. Never silently inactive-but-"ok" — the exact
+    * class [[ruleHistError]] pins statically, kept closed for
+    * build-time failures too. */
+  private val ruleEvalErrors =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
   /** The RULES tier's twin of the router's 422 fallthrough: a rule
     * whose every name-bearing selector resolves to the pushed-native
     * head but whose shape has no float-evaluable hist-tier reading
@@ -1399,8 +1455,13 @@ final class PromHttpServer(spark: SparkSession, initial: DataFrame,
       }
       // health per rule: a hist-head rule with no evaluable reading
       // renders err + lastError (excluded from evaluation above) —
-      // Prometheus's rule-error contract, never a silently-inactive ok
-      def health(e: String): String = ruleHistError(e) match {
+      // Prometheus's rule-error contract, never a silently-inactive
+      // ok. DYNAMIC build failures (the contained split-tier class)
+      // surface through the same channel via ruleEvalErrors.
+      def health(e: String): String = ruleHistError(e).orElse {
+        try Option(ruleEvalErrors.get(PromQL.render(PromQL.parse(e))))
+        catch { case scala.util.control.NonFatal(_) => None }
+      } match {
         case Some(msg) => s""""health":"err","lastError":${jstr(msg)}}"""
         case None => """"health":"ok"}"""
       }
@@ -1841,9 +1902,11 @@ final class PromHttpServer(spark: SparkSession, initial: DataFrame,
     // recomputes off-lock once per append version; the first read
     // after a write pays one small distinct job); a skipped store
     // costs nothing. A name stored in BOTH stores serves its native
-    // form only (the query endpoints' preference — one label set,
-    // one series). Wire matchers carry raw patterns; the gates (like
-    // the serve paths) apply Prometheus's anchored semantics.
+    // form from the FIRST native sample on (time-aware shadowing:
+    // pre-migration float history stays readable, the overlapping
+    // float shadow never double-counts). Wire matchers carry raw
+    // patterns; the gates (like the serve paths) apply Prometheus's
+    // anchored semantics.
     val hsOpt = histSparseHead
     val natives = synchronized(histMetricNames)
     def nameMs(q: RemoteRead.ReadQuery): Seq[graft.model.Matcher] =
@@ -1851,7 +1914,10 @@ final class PromHttpServer(spark: SparkSession, initial: DataFrame,
         m.name == "__name__" || m.name == "name")
     def wantsHist(q: RemoteRead.ReadQuery): Boolean = {
       val ms = nameMs(q)
-      ms.isEmpty || natives.exists(m => ms.forall(matchesMetric(_, m)))
+      // "" stands in for the ABSENT name here too: appendHists
+      // tolerates nameless series and histSlice matches absent ≡ ""
+      ms.isEmpty ||
+        (natives + "").exists(m => ms.forall(matchesMetric(_, m)))
     }
     def wantsFloat(q: RemoteRead.ReadQuery): Boolean = {
       val ms = nameMs(q)
@@ -1869,7 +1935,7 @@ final class PromHttpServer(spark: SparkSession, initial: DataFrame,
       val frames =
         (if (hsOpt.isEmpty) RemoteRead.serveChunked(TsdbTable(wide), body)
          else RemoteRead.serveChunkedRouted(TsdbTable(wide), hsOpt, body,
-           wantsHist, wantsFloat, nativeNames = natives))
+           wantsHist, wantsFloat, nativeSince = histMinTimes))
           .toLocalIterator()
       while (frames.hasNext) out.write(frames.next())
       out.flush()
@@ -1879,7 +1945,7 @@ final class PromHttpServer(spark: SparkSession, initial: DataFrame,
           RemoteRead.serve(TsdbTable(wide), body, remoteReadSampleLimit)
         else RemoteRead.serveRouted(TsdbTable(wide), hsOpt, body,
           remoteReadSampleLimit, wantsHist, wantsFloat,
-          nativeNames = natives)
+          nativeSince = histMinTimes)
       ex.getResponseHeaders.set("Content-Type", "application/x-protobuf")
       ex.getResponseHeaders.set("Content-Encoding", "snappy")
       ex.sendResponseHeaders(200, resp.length)

@@ -305,26 +305,35 @@ object RemoteRead {
     Snappy.compress(w.toBytes)
   }
 
-  /** Rows of native-stored metrics leave the FLOAT side of a routed
-    * response: a name present in BOTH stores serves its native form
-    * only — the query endpoints' native-over-classic preference, and
-    * the guarantee that one label set never appears as two series in
-    * one QueryResult (a downstream sum() would double-count). */
-  private def dropNamed(sl: DataFrame, names: Set[String]): DataFrame =
-    if (names.isEmpty) sl
-    else sl.where(!coalesce(element_at(col("labels"), "__name__"),
-      lit("")).isin(names.toSeq: _*))
+  /** TIME-AWARE native shadowing on the FLOAT side of a routed
+    * response: from each native metric's FIRST native sample on
+    * (`nativeSince`: name → min native time), the native store owns
+    * the series — float rows at/after that instant are the migration
+    * shadow and drop (one label set, one series per overlapping
+    * window; a downstream sum() must not double-count). Float history
+    * BEFORE the migration point stays readable — the backfill window
+    * remote read exists to serve. Map-side: one literal-map lookup
+    * per row, no join. */
+  private def dropShadowed(sl: DataFrame,
+                           nativeSince: Map[String, Long]): DataFrame =
+    if (nativeSince.isEmpty) sl
+    else {
+      val since = element_at(typedLit(nativeSince),
+        coalesce(element_at(col("labels"), "__name__"), lit("")))
+      sl.where(since.isNull || col("time") < since)
+    }
 
   /** One query's FLOAT series for the SAMPLED response:
     * (labels.Compare sort key, encoded prompb `TimeSeries`) —
     * [[serve]]'s per-query body, shared with [[serveRouted]]. */
   private def floatQuerySeries(t: TsdbTable, q: ReadQuery,
       sampleLimit: Long,
-      dropNames: Set[String] = Set.empty): Array[(String, Array[Byte])] = {
+      nativeSince: Map[String, Long] = Map.empty)
+      : Array[(String, Array[Byte])] = {
     val sp = t.df.sparkSession
     import sp.implicits._
     collectLimited(
-      grouped(dropNamed(slice(t, q), dropNames)).mapPartitions(_.map {
+      grouped(dropShadowed(slice(t, q), nativeSince)).mapPartitions(_.map {
         case (entries, samples) =>
           // NULL value → StaleNaN on the wire (Prometheus serves
           // staleness markers over remote read; the bits are exact
@@ -354,7 +363,7 @@ object RemoteRead {
       requestBytes: Array[Byte], sampleLimit: Long,
       wantsHist: ReadQuery => Boolean,
       wantsFloat: ReadQuery => Boolean,
-      nativeNames: Set[String] = Set.empty): Array[Byte] = {
+      nativeSince: Map[String, Long] = Map.empty): Array[Byte] = {
     val req = decodeReadRequest(requestBytes)
     val w = new ProtoWriter
     req.queries.foreach { q =>
@@ -364,7 +373,7 @@ object RemoteRead {
         else Array.empty[(String, Array[Byte])]
       val flt =
         if (wantsFloat(q))
-          floatQuerySeries(t, q, sampleLimit, dropNames = nativeNames)
+          floatQuerySeries(t, q, sampleLimit, nativeSince = nativeSince)
         else Array.empty[(String, Array[Byte])]
       val qw = new ProtoWriter
       (hist ++ flt).sortBy(_._1)(utf8ByteOrder)
@@ -734,7 +743,7 @@ object RemoteRead {
       requestBytes: Array[Byte],
       wantsHist: ReadQuery => Boolean,
       wantsFloat: ReadQuery => Boolean,
-      nativeNames: Set[String] = Set.empty): Dataset[Array[Byte]] = {
+      nativeSince: Map[String, Long] = Map.empty): Dataset[Array[Byte]] = {
     import graft.sources.tsdbblock.WalReader
     val sp = t.df.sparkSession
     import sp.implicits._
@@ -743,7 +752,7 @@ object RemoteRead {
       .getOrElse(org.apache.spark.sql.types.NullType)
     val floatSlices = req.queries.zipWithIndex.collect {
       case (q, qi) if wantsFloat(q) =>
-        dropNamed(slice(t, q), nativeNames).select(
+        dropShadowed(slice(t, q), nativeSince).select(
           lit(qi).as("qi"),
           array_sort(map_entries(col("labels"))).as("entries"),
           lit(0).as("kind"),

@@ -2185,11 +2185,14 @@ class PromHttpServerSpec extends SparkSpec {
       val floatRows = RemoteRead.decodeChunkedFrames(
         spark.createDataset(ff)).collect()
       assert(floatRows.length == 3, floatRows.toSeq.toString)
-      // a name stored in BOTH stores (the float shadow of a migrated
-      // metric) serves its NATIVE form only — one label set, one
-      // series, never a double-counting duplicate pair
+      // a name stored in BOTH stores: TIME-AWARE native shadowing —
+      // float history BEFORE the first native sample (t=1700) stays
+      // readable (the backfill window remote read exists for), the
+      // overlapping float shadow at/after it drops (one label set,
+      // one series per window — no downstream double-count)
       val fshadow = RemoteWrite.encodeRequest(Seq(RemoteWrite.encodeSeries(
-        Seq("__name__" -> "hmixr", "user" -> "z"), Seq(1400L -> 9.0))))
+        Seq("__name__" -> "hmixr", "user" -> "z"),
+        Seq(1400L -> 9.0, 1800L -> 11.0))))
       val fw = client.send(
         HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:$p/api/v1/write"))
           .POST(HttpRequest.BodyPublishers.ofByteArray(fshadow)).build(),
@@ -2199,8 +2202,9 @@ class PromHttpServerSpec extends SparkSpec {
         RemoteRead.ReadRequest(Seq(RemoteRead.ReadQuery(0L, 10000L,
           Seq(Matcher.Eq("__name__", "hmixr")))))))
       assert(c5 == 200)
-      assert(RemoteRead.decodeReadResponse(r5).isEmpty,
-        "the float shadow of a native-stored name must not serve")
+      val shadow = RemoteRead.decodeReadResponse(r5)
+      assert(shadow.map(x => (x._2, x._3)) == Seq((1400L, 9.0)),
+        s"pre-migration history serves, the shadow drops: $shadow")
       assert(RemoteRead.decodeReadResponseHists(r5).size == 1)
     } finally srv.stop()
   }
