@@ -118,7 +118,11 @@ object Bench {
     // round 17: the scale-by-float-vector join kernel, the histogram
     // subquery grid+fold, and the split-tier mixed-or membership join
     "tsdb_q175_promql_hist_div_vector",
-    "tsdb_q177_promql_hist_subquery_fold", "tsdb_q180_promql_mixed_or")
+    "tsdb_q177_promql_hist_subquery_fold", "tsdb_q180_promql_mixed_or",
+    // round 18: the per-series migration-stitch broadcast join (the
+    // Shadowing kernel every read surface shares) and the split-tier
+    // float-division keyed join
+    "tsdb_q185_promql_migrated_stitch", "tsdb_q186_promql_split_div")
   // round 15: tsdb_q154_tsdb_dump stays out by the q110 rationale — it
   // re-runs q108's dominant block-write work (plus q130's parse) —
   // and tsdb_q155_api_hist_json re-runs q90's dominant daily-histogram
@@ -129,6 +133,9 @@ object Bench {
   // CORRECTNESS, out of the bench by the same double-count rationale.
   // Round 17: q176/q178/q179/q181 re-run q175/q180's join/sampling
   // kernels — oracle-verified in CORRECTNESS, out of the bench.
+  // Round 18: q187/q188 re-run the mixed-share membership joins that
+  // q185/q186 already time (group-count-sized inputs) — oracle-verified
+  // in CORRECTNESS, out of the bench by the double-count rationale.
 
   /** 1/5/15-minute fields of /proc/loadavg (empty off-Linux). */
   private def loadavg(): Seq[Double] =

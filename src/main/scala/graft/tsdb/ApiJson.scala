@@ -26,10 +26,29 @@ object ApiJson {
       concat(lit("["), tsSec(col("time")), lit(",\""),
         col(TsdbSchema.ValueCol).cast("string"), lit("\"]")))
 
+  /** [[vectorJson]] with the series' `labels.Compare` sort key
+    * alongside (`skey`, `json`) — what the MIXED-shape responses
+    * interleave on, so histogram and float entries render in one
+    * label-ordered stream and a `limit` truncates label-ordered
+    * instead of systematically preferring one kind. */
+  def vectorJsonKeyed(iv: DataFrame): DataFrame =
+    jsonOf(iv, "value",
+      concat(lit("["), tsSec(col("time")), lit(",\""),
+        col(TsdbSchema.ValueCol).cast("string"), lit("\"]")),
+      keyed = true)
+
   /** Range-evaluation frame (labels + `t` + `value`, one row per series
     * per step) → one JSON object per series with its sorted
     * `values` pairs — the matrix response elements. */
-  def matrixJson(rv: DataFrame): DataFrame = {
+  def matrixJson(rv: DataFrame): DataFrame =
+    matrixJson0(rv, keyed = false)
+
+  /** [[matrixJson]]'s keyed twin (`skey`, `json`) — see
+    * [[vectorJsonKeyed]]. */
+  def matrixJsonKeyed(rv: DataFrame): DataFrame =
+    matrixJson0(rv, keyed = true)
+
+  private def matrixJson0(rv: DataFrame, keyed: Boolean): DataFrame = {
     val labels = rv.columns.toSeq
       .filterNot(Set("t", TsdbSchema.TimeCol, TsdbSchema.ValueCol))
     val pair = concat(lit("["), tsSec(col("t")), lit(",\""),
@@ -41,7 +60,7 @@ object ApiJson {
     jsonOf(grouped, "values",
       concat(lit("["),
         concat_ws(",", transform(col("_pairs"), _.getField("p"))),
-        lit("]")))
+        lit("]")), keyed = keyed)
   }
 
   /** One dense engine histogram (`{count,sum,les,counts}` over
@@ -79,9 +98,22 @@ object ApiJson {
       concat(lit("["), tsSec(col("time")), lit(","),
         histJson(col("hist")), lit("]")))
 
+  /** [[histVectorJson]]'s keyed twin — see [[vectorJsonKeyed]]. */
+  def histVectorJsonKeyed(hv: DataFrame): DataFrame =
+    jsonOf(hv, "histogram",
+      concat(lit("["), tsSec(col("time")), lit(","),
+        histJson(col("hist")), lit("]")), keyed = true)
+
   /** Range HISTOGRAM frame (labels + `t` + `hist`, one row per series
     * per step) → matrix elements with the `histograms` pair list. */
-  def histMatrixJson(rv: DataFrame): DataFrame = {
+  def histMatrixJson(rv: DataFrame): DataFrame =
+    histMatrixJson0(rv, keyed = false)
+
+  /** [[histMatrixJson]]'s keyed twin — see [[vectorJsonKeyed]]. */
+  def histMatrixJsonKeyed(rv: DataFrame): DataFrame =
+    histMatrixJson0(rv, keyed = true)
+
+  private def histMatrixJson0(rv: DataFrame, keyed: Boolean): DataFrame = {
     val labels = rv.columns.toSeq.filterNot(Set("t", "hist"))
     val pair = concat(lit("["), tsSec(col("t")), lit(","),
       histJson(col("hist")), lit("]"))
@@ -92,7 +124,7 @@ object ApiJson {
     jsonOf(grouped, "histograms",
       concat(lit("["),
         concat_ws(",", transform(col("_pairs"), _.getField("p"))),
-        lit("]")))
+        lit("]")), keyed = keyed)
   }
 
   private def tsSec(t: Column): Column =
@@ -100,9 +132,13 @@ object ApiJson {
     concat((t / 1000).cast("long").cast("string"), lit("."),
       lpad((t % 1000).cast("string"), 3, "0"))
 
-  /** `{"metric":<sorted label map>,"<field>":<rendered>}` per row. */
+  /** `{"metric":<sorted label map>,"<field>":<rendered>}` per row.
+    * `keyed = true` additionally emits the series' injective
+    * `labels.Compare` sort key as `skey` (the [[Shadowing.escapedKey]]
+    * encoding — binary string order ≡ Prometheus label order) for the
+    * mixed-shape responses' interleave. */
   private def jsonOf(df: DataFrame, field: String,
-                     rendered: Column): DataFrame = {
+                     rendered: Column, keyed: Boolean = false): DataFrame = {
     val labelCols = df.columns.toSeq
       .filterNot(Set("t", TsdbSchema.TimeCol, TsdbSchema.ValueCol,
         "hist", "_pairs", field))
@@ -119,8 +155,16 @@ object ApiJson {
       if (entries.isEmpty) lit("{}")
       else to_json(map_from_entries(filter(array(entries: _*),
         e => e.getField("value").isNotNull)))
-    df.select(concat(
+    val json = concat(
       lit("""{"metric":"""), metric,
-      lit(s""","$field":"""), rendered, lit("}")).as("json"))
+      lit(s""","$field":"""), rendered, lit("}")).as("json")
+    if (!keyed) df.select(json)
+    else {
+      val skey =
+        if (entries.isEmpty) lit("")
+        else Shadowing.escapedKey(array_sort(filter(array(entries: _*),
+          e => e.getField("value").isNotNull)))
+      df.select(skey.as("skey"), json)
+    }
   }
 }

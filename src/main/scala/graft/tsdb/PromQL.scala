@@ -1791,6 +1791,19 @@ object PromQL {
     if (on.nonEmpty) on
     else defaultMatchKeys(lv, rv).filterNot(ignoring.contains(_))
 
+  /** One-to-one vector matching between two ALREADY-EVALUATED float
+    * vector frames — [[vectorBinOp]] exposed for the split-tier HTTP
+    * router (`histogram_count(native) / float_m`, each side evaluated
+    * on its own store) and the library surface: arithmetic/`bool`
+    * joins on the match keys, comparisons keep the LEFT rows unchanged
+    * (PromQL filter semantics). `extra` = shared grid columns (`t` in
+    * range mode). Scale shape: both inputs are series-count-sized
+    * keyed vectors; the join shuffles key tuples + one double. */
+  def binOpFrames(op: String, on: Seq[String], ignoring: Seq[String],
+                  lv: DataFrame, rv: DataFrame, bool: Boolean,
+                  extra: Seq[String]): DataFrame =
+    vectorBinOp(op, on, ignoring, lv, rv, bool, extra)
+
   /** One-to-one vector matching for binary arithmetic/comparison ops —
     * `on(keys)` when given, else PromQL default matching: the full
     * label sets (metric name excluded, `ignoring(...)` removed) must be

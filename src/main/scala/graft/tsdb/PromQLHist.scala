@@ -1204,6 +1204,52 @@ object PromQLHist {
     }
   }
 
+  /** Shared key columns of two aggregation-SHARE frames (the same
+    * aggregation evaluated on the native store and on the float
+    * store): the bare group keys plus the grid column in range mode —
+    * the join axis of the mixed-type aggregation kernels below. */
+  private def shareKeys(h: DataFrame, f: DataFrame): Seq[String] =
+    h.columns.toSeq.intersect(f.columns.toSeq)
+      .filterNot(Set(HistCol, TimeCol, TsdbSchema.ValueCol))
+
+  /** Prometheus 3's sum/avg MIXED-TYPE rule per aggregation group
+    * over a selector spanning both stores: a group whose members are
+    * ALL histograms answers the histogram share's row, a group of ALL
+    * floats the float share's row, and a group with BOTH kinds is
+    * REMOVED (the engine's two stores make the split exact: the same
+    * aggregation evaluates once per store and the groups compose by
+    * key). Returns the composed frame and whether any group was
+    * removed — the caller surfaces that as Prometheus's
+    * mixed-samples warning annotation, never silently. Shares are
+    * group-count-sized; the joins are membership-only. */
+  def exclusiveAggShares(h: DataFrame, f: DataFrame)
+      : (DataFrame, Boolean) = {
+    val keys = shareKeys(h, f)
+    def cond = keys.map(k => col(s"l.`$k`") <=> col(s"r.`$k`"))
+      .reduceOption(_ && _).getOrElse(lit(true))
+    val hKeys = h.select(keys.map(k => col(s"`$k`")): _*).distinct()
+    val fKeys = f.select(keys.map(k => col(s"`$k`")): _*).distinct()
+    val hOnly = h.as("l").join(fKeys.as("r"), cond, "left_anti")
+    val fOnly = f.as("l").join(hKeys.as("r"), cond, "left_anti")
+    val mixed = !h.as("l").join(fKeys.as("r"), cond, "left_semi").isEmpty
+    (hOnly.unionByName(fOnly, allowMissingColumns = true), mixed)
+  }
+
+  /** `count` over a spanning selector: count is sample-type-AGNOSTIC
+    * in Prometheus, so the two shares' per-group counts ADD (full
+    * outer by key — a group present in one store only keeps its own
+    * count). Both shares carry (keys, value). */
+  def combineCountShares(h: DataFrame, f: DataFrame): DataFrame = {
+    val keys = shareKeys(h, f)
+    def norm(df: DataFrame): DataFrame =
+      df.select(keys.map(k => col(s"`$k`")) :+
+        col(TsdbSchema.ValueCol): _*)
+    norm(h).unionByName(norm(f))
+      .groupBy(keys.map(k => col(s"`$k`")): _*)
+      .agg(sum(col(TsdbSchema.ValueCol)).as(TsdbSchema.ValueCol))
+      .where(col(TsdbSchema.ValueCol).isNotNull)
+  }
+
   /** Default-matching key set between two vector frames: the union of
     * both sides' bare label names — metric-name labels and the
     * value/time/grid columns excluded.
@@ -1228,10 +1274,14 @@ object PromQLHist {
           "rvalue", "rank", "t", "bucket").contains(_))
         .map(_.stripPrefix(TsdbSchema.LabelPrefix))
         .filterNot(NameLabels.contains)
-      require(bare.distinct.size == bare.size,
-        "PromQLHist.arithKeys: a match key is spelled both wide " +
-          "(labels.k) and bare (k) in one frame — pre-normalize " +
-          s"before matching (columns: ${df.columns.mkString(", ")})")
+      // an INTERNAL frame-normalization invariant, not a client input
+      // error: IllegalStateException so the HTTP layer maps it to the
+      // execution class, never 400 bad_data (the query was well-formed)
+      if (bare.distinct.size != bare.size)
+        throw new IllegalStateException(
+          "PromQLHist.arithKeys: a match key is spelled both wide " +
+            "(labels.k) and bare (k) in one frame — pre-normalize " +
+            s"before matching (columns: ${df.columns.mkString(", ")})")
       bare
     }
     val ln = names(l)

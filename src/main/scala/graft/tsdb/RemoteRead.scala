@@ -265,26 +265,27 @@ object RemoteRead {
     * response. */
   private def collectLimited(
       series: Dataset[(String, Long, Array[Byte])],
-      sampleLimit: Long, what: String): Array[(String, Array[Byte])] =
-    if (sampleLimit <= 0) {
-      series.collect().map { case (k, _, b) => (k, b) }
-    } else {
-      val buf =
-        scala.collection.mutable.ArrayBuffer.empty[(String, Array[Byte])]
-      var n = 0L
-      val it = series.toLocalIterator()
-      while (it.hasNext) {
-        val (k, cnt, bytes) = it.next()
-        n += cnt
-        if (n > sampleLimit)
-          throw new IllegalArgumentException(
-            s"exceeded sample limit ($sampleLimit) for the SAMPLED " +
-              s"remote-read response ($what); narrow the query's matchers/" +
-              "time range or negotiate STREAMED_XOR_CHUNKS " +
-              "(accepted_response_types), which streams without a limit")
-        buf += ((k, bytes))
-      }
-      buf.toArray
+      sampleLimit: Option[Long], what: String)
+      : Array[(String, Long, Array[Byte])] =
+    sampleLimit match {
+      case None => series.collect()
+      case Some(lim) =>
+        val buf = scala.collection.mutable
+          .ArrayBuffer.empty[(String, Long, Array[Byte])]
+        var n = 0L
+        val it = series.toLocalIterator()
+        while (it.hasNext) {
+          val row = it.next()
+          n += row._2
+          if (n > lim)
+            throw new IllegalArgumentException(
+              s"exceeded sample limit ($lim) for the SAMPLED " +
+                s"remote-read response ($what); narrow the query's matchers/" +
+                "time range or negotiate STREAMED_XOR_CHUNKS " +
+                "(accepted_response_types), which streams without a limit")
+          buf += row
+        }
+        buf.toArray
     }
 
   /** Serve a `ReadRequest` as a snappy `ReadResponse` (SAMPLES type):
@@ -295,41 +296,43 @@ object RemoteRead {
   def serve(t: TsdbTable, requestBytes: Array[Byte],
             sampleLimit: Long = 0L): Array[Byte] = {
     val req = decodeReadRequest(requestBytes)
+    val lim = Some(sampleLimit).filter(_ > 0)
     val w = new ProtoWriter
     req.queries.foreach { q =>
-      val series = floatQuerySeries(t, q, sampleLimit)
+      val series = floatQuerySeries(t, q, lim)
       val qw = new ProtoWriter
-      series.sortBy(_._1)(utf8ByteOrder).foreach(s => qw.bytes(1, s._2))
+      series.sortBy(_._1)(utf8ByteOrder).foreach(s => qw.bytes(1, s._3))
       w.bytes(1, qw.toBytes)
     }
     Snappy.compress(w.toBytes)
   }
 
-  /** TIME-AWARE native shadowing on the FLOAT side of a routed
-    * response: from each native metric's FIRST native sample on
-    * (`nativeSince`: name → min native time), the native store owns
-    * the series — float rows at/after that instant are the migration
-    * shadow and drop (one label set, one series per overlapping
-    * window; a downstream sum() must not double-count). Float history
-    * BEFORE the migration point stays readable — the backfill window
-    * remote read exists to serve. Map-side: one literal-map lookup
-    * per row, no join. */
+  /** TIME-AWARE, PER-SERIES native shadowing on the FLOAT side of a
+    * routed response: from each native SERIES' first native sample on
+    * (`nativeSince`: the [[Shadowing.seriesSince]] frame — one
+    * `(__skey, __since)` row per migrated label set), the native store
+    * owns that series — float rows at/after that instant are the
+    * migration shadow and drop (one label set, one series per
+    * overlapping window; a downstream sum() must not double-count).
+    * Float history BEFORE the migration point stays readable — the
+    * backfill window remote read exists to serve. Keyed by the FULL
+    * label set, not the metric name: a partial fleet migration (some
+    * instances still pushing float under a migrated name) keeps its
+    * unmigrated series serving. One broadcast join against the
+    * series-universe-sized since table — no sample-sized shuffle. */
   private def dropShadowed(sl: DataFrame,
-                           nativeSince: Map[String, Long]): DataFrame =
-    if (nativeSince.isEmpty) sl
-    else {
-      val since = element_at(typedLit(nativeSince),
-        coalesce(element_at(col("labels"), "__name__"), lit("")))
-      sl.where(since.isNull || col("time") < since)
-    }
+                           nativeSince: Option[DataFrame]): DataFrame =
+    Shadowing.dropShadowed(sl,
+      Shadowing.skeyOfLabelMap(col("labels")), col("time"), nativeSince)
 
   /** One query's FLOAT series for the SAMPLED response:
-    * (labels.Compare sort key, encoded prompb `TimeSeries`) —
-    * [[serve]]'s per-query body, shared with [[serveRouted]]. */
+    * (labels.Compare sort key, sample count, encoded prompb
+    * `TimeSeries`) — [[serve]]'s per-query body, shared with
+    * [[serveRouted]]. */
   private def floatQuerySeries(t: TsdbTable, q: ReadQuery,
-      sampleLimit: Long,
-      nativeSince: Map[String, Long] = Map.empty)
-      : Array[(String, Array[Byte])] = {
+      sampleLimit: Option[Long],
+      nativeSince: Option[DataFrame] = None)
+      : Array[(String, Long, Array[Byte])] = {
     val sp = t.df.sparkSession
     import sp.implicits._
     collectLimited(
@@ -354,33 +357,70 @@ object RemoteRead {
     * it answered empty) and nameless queries never saw native series.
     * The caller supplies the driver-side routing gates (`wantsHist` /
     * `wantsFloat` — name-universe checks, no Spark job); a skipped
-    * store costs nothing. `sampleLimit` enforces per store side (a
-    * both-stores query may hence return up to 2× the limit — each
-    * side stays limit-bounded). */
+    * store costs nothing. `sampleLimit` is ONE budget across both
+    * stores (the hist side draws first, the float side gets the
+    * remainder — a both-stores query can never exceed the limit).
+    * A label set present in BOTH stores (pre-migration float history
+    * + native samples) merges into ONE `TimeSeries` carrying both the
+    * `samples` and `histograms` fields — Prometheus's own encoding;
+    * two entries with identical labels would break clients that
+    * assume strictly-sorted unique series. */
   def serveRouted(t: TsdbTable,
       hs: Option[Dataset[(Map[String, String],
         graft.sources.tsdbblock.WalReader.WalHistogram)]],
       requestBytes: Array[Byte], sampleLimit: Long,
       wantsHist: ReadQuery => Boolean,
       wantsFloat: ReadQuery => Boolean,
-      nativeSince: Map[String, Long] = Map.empty): Array[Byte] = {
+      nativeSince: Option[DataFrame] = None): Array[Byte] = {
     val req = decodeReadRequest(requestBytes)
+    val lim = Some(sampleLimit).filter(_ > 0)
     val w = new ProtoWriter
     req.queries.foreach { q =>
       val hist =
         if (hs.nonEmpty && wantsHist(q))
-          histQuerySeries(hs.get, q, sampleLimit)
-        else Array.empty[(String, Array[Byte])]
+          histQuerySeries(hs.get, q, lim)
+        else Array.empty[(String, Long, Array[Byte])]
+      // ONE shared budget: the float side may spend only what the
+      // hist side left (never negative — the hist side enforced ≤ lim)
+      val residual = lim.map(_ - hist.map(_._2).sum)
       val flt =
         if (wantsFloat(q))
-          floatQuerySeries(t, q, sampleLimit, nativeSince = nativeSince)
-        else Array.empty[(String, Array[Byte])]
+          floatQuerySeries(t, q, residual, nativeSince = nativeSince)
+        else Array.empty[(String, Long, Array[Byte])]
+      val histKeys = hist.map(_._1).toSet
+      val fltByKey = flt.map(s => s._1 -> s._3).toMap
+      val merged: Seq[(String, Array[Byte])] =
+        hist.map { case (k, _, hb) =>
+          fltByKey.get(k) match {
+            // dual-store label set: one TimeSeries, labels + samples
+            // from the float encoding, histogram fields spliced in
+            // (field order is wire-irrelevant in protobuf)
+            case Some(fb) => k -> (fb ++ nonLabelFields(hb))
+            case None => k -> hb
+          }
+        }.toSeq ++
+          flt.collect { case (k, _, fb) if !histKeys.contains(k) => (k, fb) }
       val qw = new ProtoWriter
-      (hist ++ flt).sortBy(_._1)(utf8ByteOrder)
-        .foreach(s => qw.bytes(1, s._2))
+      merged.sortBy(_._1)(utf8ByteOrder).foreach(s => qw.bytes(1, s._2))
       w.bytes(1, qw.toBytes)
     }
     Snappy.compress(w.toBytes)
+  }
+
+  /** Every field of an encoded `TimeSeries` EXCEPT the label entries
+    * (field 1) — what [[serveRouted]] splices into a float encoding of
+    * the same label set to form the single merged series message. */
+  private def nonLabelFields(ts: Array[Byte]): Array[Byte] = {
+    val r = new ProtoReader(ts, 0, ts.length)
+    val w = new ProtoWriter
+    while (r.hasMore) r.key() match {
+      case (1, 2) => r.delimited(); ()
+      case (f, 2) =>
+        val (s, e) = r.delimited()
+        w.bytes(f, java.util.Arrays.copyOfRange(ts, s, e))
+      case (_, wt) => r.skip(wt)
+    }
+    w.toBytes
   }
 
   /** Decode a snappy `ReadResponse` to `(query_index, time, value,
@@ -480,11 +520,12 @@ object RemoteRead {
         graft.sources.tsdbblock.WalReader.WalHistogram)],
       requestBytes: Array[Byte], sampleLimit: Long = 0L): Array[Byte] = {
     val req = decodeReadRequest(requestBytes)
+    val lim = Some(sampleLimit).filter(_ > 0)
     val w = new ProtoWriter
     req.queries.foreach { q =>
-      val series = histQuerySeries(hs, q, sampleLimit)
+      val series = histQuerySeries(hs, q, lim)
       val qw = new ProtoWriter
-      series.sortBy(_._1)(utf8ByteOrder).foreach(s => qw.bytes(1, s._2))
+      series.sortBy(_._1)(utf8ByteOrder).foreach(s => qw.bytes(1, s._3))
       w.bytes(1, qw.toBytes)
     }
     Snappy.compress(w.toBytes)
@@ -495,7 +536,8 @@ object RemoteRead {
   private def histQuerySeries(
       hs: Dataset[(Map[String, String],
         graft.sources.tsdbblock.WalReader.WalHistogram)],
-      q: ReadQuery, sampleLimit: Long): Array[(String, Array[Byte])] = {
+      q: ReadQuery, sampleLimit: Option[Long])
+      : Array[(String, Long, Array[Byte])] = {
     import graft.sources.tsdbblock.WalReader
     val sp = hs.sparkSession
     import sp.implicits._
@@ -582,12 +624,7 @@ object RemoteRead {
     * carrying sorted `entries`: THE one copy of the ordering
     * invariant every chunked responder's range exchange shares. */
   private def withSortKey(df: DataFrame): DataFrame =
-    df.withColumn("skey", array_join(
-      transform(
-        flatten(transform(col("entries"),
-          e => array(e.getField("key"), e.getField("value")))),
-        f => replace(f, lit("\u0000"), lit("\u0000\u0001"))),
-      "\u0000\u0000"))
+    df.withColumn("skey", Shadowing.escapedKey(col("entries")))
 
 
   /** Samples per XOR chunk — Prometheus's chunk fill target, the same
@@ -743,7 +780,7 @@ object RemoteRead {
       requestBytes: Array[Byte],
       wantsHist: ReadQuery => Boolean,
       wantsFloat: ReadQuery => Boolean,
-      nativeSince: Map[String, Long] = Map.empty): Dataset[Array[Byte]] = {
+      nativeSince: Option[DataFrame] = None): Dataset[Array[Byte]] = {
     import graft.sources.tsdbblock.WalReader
     val sp = t.df.sparkSession
     import sp.implicits._

@@ -625,9 +625,12 @@ class PromQLHistSpec extends SparkSpec {
     assert(hRows == Map("a" -> 3.0, "b" -> 2.0), hRows)
     assert(fRows == Map("c" -> 9.0), fRows)
     // the detectable bare/wide corruption is rejected, never a
-    // silently widened match group (arithKeys' wide-schema contract)
+    // silently widened match group (arithKeys' wide-schema contract).
+    // IllegalSTATEException: an internal frame-normalization invariant
+    // — the HTTP layer must map it to the execution class, never the
+    // client's 400 bad_data (round-18 advisor item)
     val corrupt = fv.withColumn("inst", col("`labels.inst`"))
-    val t = intercept[IllegalArgumentException](
+    val t = intercept[IllegalStateException](
       PromQLHist.setOpFrames("and", corrupt, hv, Nil, Nil))
     assert(t.getMessage.contains("pre-normalize"), t.getMessage)
   }
