@@ -267,7 +267,7 @@ final class PromHttpServer(spark: SparkSession, initial: DataFrame,
     * other straddling shape with the loud 422 mixed-tier error,
     * matching Prometheus's own refusal to combine a histogram and a
     * float sample arithmetically. */
-  private def straddlesTiers(e: PromQL.Expr): Boolean =
+  private[tsdb] def straddlesTiers(e: PromQL.Expr): Boolean =
     histHead.nonEmpty && {
       val tiers = PromQL.selectorsOf(e)
         .map(_.filter(m => m.name == "__name__" || m.name == "name"))
@@ -368,7 +368,7 @@ final class PromHttpServer(spark: SparkSession, initial: DataFrame,
       floatOnlyStored(nameMs).nonEmpty
   }
 
-  private def anySelectorSpans(e: PromQL.Expr): Boolean =
+  private[tsdb] def anySelectorSpans(e: PromQL.Expr): Boolean =
     histHead.nonEmpty && PromQL.selectorsOf(e).exists(selectorSpansStores)
 
   /** Whether a BARE selector must read BOTH stores — the union gate
@@ -533,7 +533,7 @@ final class PromHttpServer(spark: SparkSession, initial: DataFrame,
     * silencing pattern (`histogram_count(native) > 3 unless
     * on(instance) maintenance_mode`) and the flat split-tier float
     * arithmetic class (`histogram_count(native) / float_m > 0.5`). */
-  private def splitEvaluable(x: PromQL.Expr, needFloat: Boolean): Boolean =
+  private[tsdb] def splitEvaluable(x: PromQL.Expr, needFloat: Boolean): Boolean =
     x match {
       case _ if !straddlesTiers(x) && !anySelectorSpans(x) =>
         if (routesToHistHead(x, allowNameless = false))
@@ -563,7 +563,7 @@ final class PromHttpServer(spark: SparkSession, initial: DataFrame,
 
   /** A straddling rule the rules tier CAN evaluate split-tier to a
     * float vector — everything else straddling stays health=err. */
-  private def splittableRule(e: PromQL.Expr): Boolean =
+  private[tsdb] def splittableRule(e: PromQL.Expr): Boolean =
     straddlesTiers(e) && !anySelectorSpans(e) &&
       splitEvaluable(e, needFloat = true)
 
@@ -678,9 +678,9 @@ final class PromHttpServer(spark: SparkSession, initial: DataFrame,
     * `floatView`/`lb` let the RULES tier substitute its accumulated
     * view (wide + earlier recorded samples) and lookback — the
     * query endpoints use the served head and server lookback. */
-  private def sideRange(e: PromQL.Expr, start: Long, end: Long,
-                        step: Long, floatView: DataFrame = wide,
-                        lb: Long = lookbackMs): Option[DataFrame] =
+  private[tsdb] def sideRange(e: PromQL.Expr, start: Long, end: Long,
+                              step: Long, floatView: DataFrame = wide,
+                              lb: Long = lookbackMs): Option[DataFrame] =
     splitEval(e,
       he => PromQLHist.evalRange(he, histHead.get, start, end, step,
         lb, histNLes),

@@ -1962,9 +1962,13 @@ object PromQL {
           keptKeyCond(lv, keys0, extra), "left_anti")
       case "or" =>
         val rv = toValueShape(rv0)
-        lv.unionByName(
-          rv.as("l").join(keysOf(lv0).as("r"),
-            keptKeyCond(rv, keys0, extra), "left_anti"),
+        val rOnly = rv.as("l").join(keysOf(lv0).as("r"),
+          keptKeyCond(rv, keys0, extra), "left_anti")
+        // unify label spellings before the union (a bare aggregation
+        // key vs the same key wide — two half-NULL columns otherwise;
+        // the round-18 router-lattice property's find)
+        TsdbSchema.alignLabelSpellings(lv, rOnly).unionByName(
+          TsdbSchema.alignLabelSpellings(rOnly, lv),
           allowMissingColumns = true)
     }
   }

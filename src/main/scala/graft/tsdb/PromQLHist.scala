@@ -1200,7 +1200,12 @@ object PromQLHist {
       case "or" =>
         val rOnly = rv.as("l")
           .join(keySet(lv).as("r"), cond(rv), "left_anti")
-        lv.unionByName(rOnly, allowMissingColumns = true)
+        // unify the two sides' label spellings before the union — a
+        // bare aggregation key on one side and the same key wide on
+        // the other must not become two half-NULL columns
+        TsdbSchema.alignLabelSpellings(lv, rOnly).unionByName(
+          TsdbSchema.alignLabelSpellings(rOnly, lv),
+          allowMissingColumns = true)
     }
   }
 

@@ -41,6 +41,31 @@ object TsdbSchema {
   def dynCols(df: DataFrame): Seq[Column] =
     labelColumns(df).map(c => col(s"`$c`"))
 
+  /** Non-label payload/grid columns a vector frame may carry — the
+    * complement of the label universe for [[alignLabelSpellings]]. */
+  private val VectorReserved =
+    Set(TimeCol, ValueCol, "hist", "t", "bucket", "rvalue", "rank")
+
+  /** Unify the label SPELLINGS of two frames about to UNION (`or`
+    * appends the right side's rows to the left's): a key spelled wide
+    * (`labels.k`, a selector output) on one side and bare (`k`, an
+    * aggregation output) on the other would land as TWO columns in one
+    * frame — half the rows NULL in each — which downstream matching
+    * resolves wide-first (silently wrong match groups) and the
+    * arithKeys corruption guard rejects. Renames `df`'s bare spelling
+    * to the wide one wherever `other` spells the same key wide.
+    * (Found by the round-18 router-lattice property: `up or sum
+    * by(user)(up)` fed into a further set op threw the corruption
+    * error.) */
+  def alignLabelSpellings(df: DataFrame, other: DataFrame): DataFrame =
+    df.columns.foldLeft(df) { (acc, c) =>
+      if (!c.startsWith(LabelPrefix) && !VectorReserved(c) &&
+          !df.columns.contains(labelColName(c)) &&
+          other.columns.contains(labelColName(c)))
+        acc.withColumnRenamed(c, labelColName(c))
+      else acc
+    }
+
   /** Prometheus's staleness marker: a NaN with this exact payload
     * (prometheus/model/value StaleNaN). Spark canonicalizes NaN bit
     * patterns inside UnsafeRow, so the marker cannot survive a shuffle
