@@ -2514,7 +2514,7 @@ object TsdbQueries {
     "tsdb_q185_promql_migrated_stitch" -> ((s, dir) => {
       val mig = 1705276800000L // 2024-01-15
       val hh = histDaily(s, dir).where(col("time") >= mig)
-      val since = graft.tsdb.Shadowing.seriesSince(hh)
+      val since = graft.tsdb.Shadowing.seriesSince(hh, HistLookbackMs)
       val sel = """{name="purchase", user=~"1.*"}"""
       val grid = (1704672000000L, 1705536000000L, 432000000L)
       val hv = graft.tsdb.PromQLHist.evalRange(
@@ -5394,7 +5394,8 @@ object TsdbQueries {
          |  GROUP BY 1, 2),
          |grid AS (SELECT CAST(1704672000000 + unnest(range(0, 3))
          |    * 432000000 AS BIGINT) AS gt),
-         |since AS (SELECT "user", min(day) * 86400000 AS ms FROM f0
+         |since AS (SELECT "user", min(day) * 86400000 AS ms,
+         |  max(day) * 86400000 + $HistLookbackMs AS until FROM f0
          |  WHERE day >= 19737 GROUP BY 1),
          |hl AS (SELECT gt, "user", max(day) AS day
          |  FROM grid CROSS JOIN (SELECT DISTINCT "user", day FROM f0
@@ -5413,7 +5414,8 @@ object TsdbQueries {
          |  CAST(f0.cnt AS DOUBLE) AS value
          |FROM fl JOIN f0 ON fl."user" = f0."user" AND fl.day = f0.day
          |LEFT JOIN since ON fl."user" = since."user"
-         |WHERE since.ms IS NULL OR fl.gt < since.ms""".stripMargin,
+         |WHERE since.ms IS NULL OR fl.gt < since.ms
+         |  OR fl.gt >= since.until""".stripMargin,
     // Q186 replay: latest-day purchase count per user (the hist
     // share's histogram_count) ÷ the user's click SERIES count in the
     // 1d float lookback — the split division re-derived exactly

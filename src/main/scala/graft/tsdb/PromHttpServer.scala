@@ -336,7 +336,8 @@ final class PromHttpServer(spark: SparkSession, initial: DataFrame,
       if (c2._1 >= ver) c2._2
       else {
         val since = synchronized(histHead)
-          .map(h => Shadowing.seriesSince(h).localCheckpoint(true))
+          .map(h => Shadowing.seriesSince(h, lookbackMs)
+            .localCheckpoint(true))
         synchronized {
           if (seriesSinceCache._1 < ver) seriesSinceCache = (ver, since)
         }
@@ -392,20 +393,22 @@ final class PromHttpServer(spark: SparkSession, initial: DataFrame,
           stored(nameMs).exists(floatMetricNames))
     }
 
-  /** The float store MINUS native-stored names entirely — the
-    * mixed-type AGGREGATION paths' float share. Aggregated outputs
-    * lose their label columns, so the per-series time-aware carve
-    * cannot apply after the fold; a migrated metric's pre-migration
-    * float history is therefore EXCLUDED from spanning aggregations
-    * and the exclusion surfaces as a warning ([[migrationWarnings]]) —
-    * loud, never silent. */
-  private def floatOnlyView: DataFrame = {
-    val nameCol = TsdbSchema.labelColName("name")
-    val natives = synchronized(histMetricNames)
-    if (natives.isEmpty || !wide.columns.contains(nameCol)) wide
-    else wide.where(col(s"`$nameCol`").isNull ||
-      !col(s"`$nameCol`").isin(natives.toSeq: _*))
-  }
+  /** The float store's UNSHADOWED share at the raw-sample level — the
+    * mixed-type AGGREGATION paths' float input: per-SERIES, samples
+    * inside a native ownership window drop, everything else (float-only
+    * names, unmigrated series of a partially-migrated name, and
+    * pre-migration history) serves. Aggregated outputs lose their
+    * label columns, so the carve applies to the INPUT; the one
+    * residual is the staleness boundary (an aggregation step within
+    * lookback after a series' migration can still see its last
+    * pre-migration sample) — for sum/avg such a step is a MIXED group
+    * and drops with the warning, for count it double-counts for at
+    * most one lookback (documented). A per-NAME carve here would
+    * silently drop LIVE unmigrated series — the partial-fleet
+    * data-loss class (round-18 review find). */
+  private def floatShareView: DataFrame =
+    Shadowing.dropShadowed(wide, Shadowing.skeyOfWide(wide),
+      col(TsdbSchema.TimeCol), seriesSinceFrame)
 
   /** Metric names `e` touches that live in BOTH stores — each one's
     * float share (pre-migration history, or unmigrated series of a
@@ -481,22 +484,21 @@ final class PromHttpServer(spark: SparkSession, initial: DataFrame,
       case _ => false
     }
     def histHasRows(arg: PromQL.Expr): Boolean = !evalHist(arg).isEmpty
-    val migrate = migrationWarnings(e)
     e match {
       case PromQL.AggBy("sum" | "avg", _, arg, None)
           if spanningBare(arg) =>
         val (out, mixedWarn) = exclusiveShares(evalHist(e), evalFloat(e))
-        Some((out, mixedWarn ++ migrate, Nil))
+        Some((out, mixedWarn, Nil))
       case PromQL.AggBy("count", _, arg, None) if spanningBare(arg) =>
         Some((PromQLHist.combineCountShares(evalHist(e), evalFloat(e)),
-          migrate, Nil))
+          Nil, Nil))
       case PromQL.AggBy(op @ ("min" | "max"), _, arg, None)
           if spanningBare(arg) =>
-        Some((evalFloat(e), migrate,
+        Some((evalFloat(e), Nil,
           if (histHasRows(arg)) skippedInfo(op) else Nil))
       case PromQL.RankK(op @ ("topk" | "bottomk"), _, arg, _, _)
           if spanningBare(arg) =>
-        Some((evalFloat(e), migrate,
+        Some((evalFloat(e), Nil,
           if (histHasRows(arg)) skippedInfo(op) else Nil))
       case _ => None
     }
@@ -508,7 +510,7 @@ final class PromHttpServer(spark: SparkSession, initial: DataFrame,
       a => PromQLHist.evalStrict(a, histHead.get, at, lookbackMs,
         histNLes),
       a => PromQL.toValueShape(
-        PromQL.evalStrict(a, floatOnlyView, at, lookbackMs,
+        PromQL.evalStrict(a, floatShareView, at, lookbackMs,
           start = at, end = at)))
 
   private def spanningShapedRange(e: PromQL.Expr, start: Long, end: Long,
@@ -518,7 +520,8 @@ final class PromHttpServer(spark: SparkSession, initial: DataFrame,
       a => PromQLHist.evalRange(a, histHead.get, start, end, step,
         lookbackMs, histNLes),
       a => PromQL.toValueShape(
-        PromQL.evalRange(a, floatOnlyView, start, end, step, lookbackMs)))
+        PromQL.evalRange(a, floatShareView, start, end, step,
+          lookbackMs)))
 
   /** STATIC mirror of the [[splitEval]] lattice: can `x` evaluate
     * through split-tier decomposition, and — when `needFloat` — to a
@@ -747,7 +750,14 @@ final class PromHttpServer(spark: SparkSession, initial: DataFrame,
       if (hasH && hasV) {
         // persist the mixed frame: two renderers, one evaluation; the
         // keyed renderers interleave in label order (vectorResponse's
-        // rationale)
+        // rationale). A series STRADDLING its migration point has
+        // BOTH a float and a histogram share — ONE result object must
+        // carry both `values` and `histograms` (Prometheus's matrix
+        // shape; two entries with identical labels double-draw in
+        // label-keyed clients — the same contract the remote-read
+        // responder's merged TimeSeries honors). Collect up to 2
+        // keyed rows per allowed series, merge same-key neighbors
+        // driver-side (API-sized strings), cap after.
         val mat = rv.persist()
         try {
           val h = ApiJson.histMatrixJsonKeyed(
@@ -756,12 +766,39 @@ final class PromHttpServer(spark: SparkSession, initial: DataFrame,
           val f = ApiJson.matrixJsonKeyed(
             mat.where(col(PromQLHist.HistCol).isNull)
               .drop(PromQLHist.HistCol))
-          take(h.unionByName(f).orderBy(col("skey")).select(col("json")))
+          val keyed = h.unionByName(f)
+            .orderBy(col("skey"), col("json"))
+          val taken = limit.filter(_ > 0)
+            .fold(keyed)(n => keyed.limit(2 * n + 2))
+            .as[(String, String)].collect()
+          mergeSameSeries(taken)
         } finally { mat.unpersist(); () }
       } else if (hasH)
         take(ApiJson.histMatrixJson(rv.drop(TsdbSchema.TimeCol)))
       else take(ApiJson.matrixJson(rv))
     respondCapped(ex, "matrix", rows, limit, warnings, infos)
+  }
+
+  /** Merge consecutive same-series rendered matrix objects (one
+    * `histograms`, one `values` — IDENTICAL `{"metric":…,` prefixes by
+    * construction: both renderers read the same persisted frame's
+    * label columns) into one JSON object carrying both fields. The
+    * `},"` boundary after the metric map is unambiguous: inside a JSON
+    * string every quote is escaped, so the raw three-character
+    * sequence can only occur where the (flat) metric map ends. */
+  private def mergeSameSeries(rows: Array[(String, String)])
+      : Array[String] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    rows.foreach { case (k, j) =>
+      out.lastOption match {
+        case Some((pk, pj)) if pk == k =>
+          val fieldStart = j.indexOf("},\"") + 2
+          out(out.length - 1) =
+            (k, pj.dropRight(1) + "," + j.substring(fieldStart))
+        case _ => out += ((k, j))
+      }
+    }
+    out.map(_._2).toArray
   }
 
   /** Prometheus 3's `limit` contract on the query endpoints: at most
@@ -1171,7 +1208,10 @@ final class PromHttpServer(spark: SparkSession, initial: DataFrame,
       case e if straddlesTiers(e) =>
         sideInstant(e, at) match {
           case Some(df) =>
-            vectorResponse(ex, df, at, limit)
+            // a migrated metric's hist LEAF evaluates native-only —
+            // the excluded float share rides as the warning here too
+            vectorResponse(ex, df, at, limit,
+              warnings = migrationWarnings(e))
             return
           case None =>
             throw new PromHttpServer.UnsupportedMixedTierExpr(q)
@@ -1198,7 +1238,8 @@ final class PromHttpServer(spark: SparkSession, initial: DataFrame,
             routesToHistHead(inner,
               allowNameless = namelessHistOk(inner)))
           matrixResponse(ex, PromQLHist.subqueryMatrix(sq, histHead.get,
-            at, lookbackMs, histNLes), limit)
+            at, lookbackMs, histNLes), limit,
+            warnings = migrationWarnings(inner))
         else if (routesToHistHead(inner, allowNameless = false))
           throw new PromHttpServer.UnsupportedHistExpr(q)
         else
@@ -1324,7 +1365,8 @@ final class PromHttpServer(spark: SparkSession, initial: DataFrame,
       case e if straddlesTiers(e) =>
         sideRange(e, start, end, step) match {
           case Some(sdf) =>
-            matrixResponse(ex, sdf, limit)
+            matrixResponse(ex, sdf, limit,
+              warnings = migrationWarnings(e))
             return
           case None =>
             throw new PromHttpServer.UnsupportedMixedTierExpr(q)
@@ -1529,8 +1571,24 @@ final class PromHttpServer(spark: SparkSession, initial: DataFrame,
             routesToHistHead(ast, allowNameless = false))
           try PromQLHist.evalRange(ast, histHead.get, s, e, step, lb,
             histNLes)
-          catch { case _: IllegalArgumentException =>
-            PromQL.evalRange(ast, view, s, e, step, lb) }
+          catch {
+            case _: IllegalArgumentException =>
+              PromQL.evalRange(ast, view, s, e, step, lb)
+            // an INTERNAL invariant violation (IllegalStateException —
+            // e.g. the arithKeys dual-spelling guard) is NOT an
+            // unsupported-shape signal: the float fallback would be
+            // silently empty, and letting it escape would fail the
+            // WHOLE group's /api/v1/rules response. Contain per rule:
+            // empty vector + health=err via the dynamic error channel
+            case t: IllegalStateException =>
+              val msg = "hist-tier rule evaluation hit an internal " +
+                s"invariant (rule inactive until fixed): $t"
+              ruleEvalErrors.put(PromQL.render(ast), msg)
+              System.err.println(s"$msg — ${PromQL.render(ast)}")
+              view.sparkSession.range(0)
+                .select(col("id").as("t"),
+                  col("id").cast("double").as(TsdbSchema.ValueCol))
+          }
         else PromQL.evalRange(ast, view, s, e, step, lb)
     }
     // hist-head rules with NO float-evaluable reading are excluded

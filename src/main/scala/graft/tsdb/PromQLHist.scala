@@ -1227,8 +1227,15 @@ object PromQLHist {
     * removed — the caller surfaces that as Prometheus's
     * mixed-samples warning annotation, never silently. Shares are
     * group-count-sized; the joins are membership-only. */
-  def exclusiveAggShares(h: DataFrame, f: DataFrame)
+  def exclusiveAggShares(h0: DataFrame, f0: DataFrame)
       : (DataFrame, Boolean) = {
+    // each share feeds THREE consumers (its own anti-join, the other
+    // side's key set, the mixed probe) — materialize the group-count-
+    // sized aggregations once (localCheckpoint: no unpersist
+    // obligation, the ContextCleaner reclaims) instead of re-running
+    // both stores' scans per consumer
+    val h = h0.localCheckpoint(true)
+    val f = f0.localCheckpoint(true)
     val keys = shareKeys(h, f)
     def cond = keys.map(k => col(s"l.`$k`") <=> col(s"r.`$k`"))
       .reduceOption(_ && _).getOrElse(lit(true))

@@ -67,12 +67,18 @@ object Shadowing {
       e => e.getField("value").isNotNull && e.getField("value") =!= ""))
   }
 
-  /** Per-series migration points of a NATIVE-HISTOGRAM head (wide
-    * shape: label columns + `time` + `hist`): one `(__skey, __since)`
-    * row per stored series, `__since` = its first LIVE native sample
-    * (stale NULL-hist markers carry no observation and do not open a
-    * migration window). Series-universe-sized by construction. */
-  def seriesSince(histWide: DataFrame): DataFrame = {
+  /** Per-series migration WINDOWS of a NATIVE-HISTOGRAM head (wide
+    * shape: label columns + `time` + `hist`): one `(__skey, __since,
+    * __until)` row per stored series — `__since` = its first LIVE
+    * native sample (stale NULL-hist markers carry no observation and
+    * do not open a migration window), `__until` = its LAST live native
+    * sample + `staleMs` (the staleness horizon). The native store owns
+    * the series only INSIDE that window: a series that pushed native
+    * once and ROLLED BACK to float-only pushing (aborted migration,
+    * canary) resumes serving float after its native data goes stale —
+    * an open-ended cut-over would blackhole its float samples forever
+    * (round-18 review find). Series-universe-sized by construction. */
+  def seriesSince(histWide: DataFrame, staleMs: Long): DataFrame = {
     val live =
       if (histWide.columns.contains(PromQLHist.HistCol))
         histWide.where(col(PromQLHist.HistCol).isNotNull)
@@ -80,25 +86,30 @@ object Shadowing {
     live
       .select(skeyOfWide(histWide).as("__skey"),
         col(TsdbSchema.TimeCol).as("__t"))
-      .groupBy(col("__skey")).agg(min(col("__t")).as("__since"))
+      .groupBy(col("__skey")).agg(min(col("__t")).as("__since"),
+        (max(col("__t")) + staleMs).as("__until"))
   }
 
   /** Drop the rows a native series SHADOWS: keep a row when its series
     * has no native samples (`__since` null — never migrated) or when
-    * `time` precedes the series' first native sample (pre-migration
-    * history). `key` is the row's series identity ([[skeyOfWide]] /
-    * [[skeyOfLabelMap]]); `time` is the surface's time axis — the raw
-    * sample time for sample-level reads, the evaluation step for
-    * instant-vector frames (ownership is per step: a step at/after the
-    * migration point answers from the native store, so a lookback-held
-    * stale float sample must not leak through beside it). */
+    * `time` falls OUTSIDE the series' native ownership window — before
+    * its first native sample (pre-migration history) or at/after its
+    * last native sample + staleness (rollback: the native series went
+    * stale, float pushes own the series again). `key` is the row's
+    * series identity ([[skeyOfWide]] / [[skeyOfLabelMap]]); `time` is
+    * the surface's time axis — the raw sample time for sample-level
+    * reads, the evaluation step for instant-vector frames (ownership
+    * is per step: a step inside the window answers from the native
+    * store, so a lookback-held stale float sample must not leak
+    * through beside it). */
   def dropShadowed(df: DataFrame, key: Column, time: Column,
                    since: Option[DataFrame]): DataFrame = since match {
     case None => df
     case Some(s) =>
       df.withColumn("__fkey", key)
         .join(broadcast(s), col("__fkey") === col("__skey"), "left")
-        .where(col("__since").isNull || time < col("__since"))
-        .drop("__fkey", "__skey", "__since")
+        .where(col("__since").isNull || time < col("__since") ||
+          time >= col("__until"))
+        .drop("__fkey", "__skey", "__since", "__until")
   }
 }

@@ -531,4 +531,28 @@ class PlanQualitySpec extends SparkSpec {
         s"$q degraded to all-pairs:\n$plan")
     }
   }
+
+  test("migration stitch and split-tier division: the shadow filter is " +
+      "a BROADCAST join, the split division an equi-join — never " +
+      "all-pairs") {
+    // q185's float share filters against the per-series since table —
+    // series-universe-sized by construction, so it must BROADCAST (a
+    // shuffled or nested-loop join there turns every float read into a
+    // sample-sized exchange at 100 TB); q186 composes two
+    // series-count-sized float vectors through the keyed one-to-one
+    // kernel — any BNLJ/cartesian is the all-pairs regression
+    val stitched = planOf("tsdb_q185_promql_migrated_stitch")
+    assert(stitched.contains("BroadcastHashJoin"),
+      s"shadow filter must broadcast the since table:\n$stitched")
+    assert(!stitched.contains("BroadcastNestedLoopJoin") &&
+      !stitched.contains("CartesianProduct"),
+      s"stitch degraded to all-pairs:\n$stitched")
+    for (q <- Seq("tsdb_q186_promql_split_div",
+        "tsdb_q187_promql_mixed_count", "tsdb_q188_promql_mixed_sum")) {
+      val plan = planOf(q)
+      assert(!plan.contains("BroadcastNestedLoopJoin") &&
+        !plan.contains("CartesianProduct"),
+        s"$q degraded to all-pairs:\n$plan")
+    }
+  }
 }

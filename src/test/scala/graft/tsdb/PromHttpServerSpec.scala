@@ -2355,10 +2355,15 @@ class PromHttpServerSpec extends SparkSpec {
         java.net.URLEncoder.encode("""{name="mig"}""", UTF_8) +
         "&start=1&end=9&step=4")
       assert(c3 == 200, b3)
-      assert(b3.contains(""""user":"a"},"values":[[1.000,"1.0"]]"""), b3)
+      // the straddling series a renders as ONE object carrying BOTH
+      // `histograms` and `values` (Prometheus's matrix shape — two
+      // same-label entries would double-draw in label-keyed clients)
+      assert(b3.split(java.util.regex.Pattern.quote(""""user":"a""""))
+        .length - 1 == 1, b3)
       assert(b3.contains(
-        """"histograms":[[5.000,{"count":"4.0""""), b3)
+        """"user":"a"},"histograms":[[5.000,{"count":"4.0""""), b3)
       assert(b3.contains("""[9.000,{"count":"8.0""""), b3)
+      assert(b3.contains(""""values":[[1.000,"1.0"]]}"""), b3)
       assert(b3.contains(
         """"user":"b"},"values":[[1.000,"5.0"],[5.000,"6.0"],[9.000,"7.0"]]"""),
         b3)
@@ -2368,10 +2373,12 @@ class PromHttpServerSpec extends SparkSpec {
       // dual-write drops, b's everything serves
       val (c4, b4) = q("""{name="mig"}[10s]""", 9)
       assert(c4 == 200, b4)
-      assert(b4.contains(
-        """"user":"a"},"values":[[1.000,"1.0"],[2.000,"2.0"]]"""), b4)
+      assert(b4.contains(""""values":[[1.000,"1.0"],[2.000,"2.0"]]"""),
+        b4)
       assert(b4.contains("""[9.000,"7.0"]"""), b4)
       assert(b4.contains(""""histograms":[[5.000,"""), b4)
+      assert(b4.split(java.util.regex.Pattern.quote(""""user":"a""""))
+        .length - 1 == 1, b4)
       assert(!b4.contains("\"99"), b4)
       // FEDERATE pre-migration (t=3s): a exposes its float value;
       // post-migration (t=7s): a exposes classic-style from the hist
@@ -2747,6 +2754,121 @@ class PromHttpServerSpec extends SparkSpec {
       assert(c5 == 200 && b5.contains(""""health":"ok""""), b5)
       assert(b5.contains(""""state":"firing"""") ||
         b5.contains(""""state":"pending""""), b5)
+    } finally srv.stop()
+  }
+
+  test("mixed responses interleave by label order: a limit keeps the " +
+      "label-ordered first series, never histogram-first") {
+    // the round-17 advisor's ordering item: the mixed renderers used
+    // to emit ALL histogram entries before ALL float entries, so a
+    // `limit` systematically truncated float series away. The keyed
+    // renderers now interleave in labels.Compare order — a float
+    // metric sorting BEFORE the native one survives the cap.
+    val srv = new PromHttpServer(spark, wide)
+    val p = srv.start()
+    try {
+      def push(body: Array[Byte], v2: Boolean): Unit = {
+        val rb = HttpRequest.newBuilder(
+            URI.create(s"http://127.0.0.1:$p/api/v1/write"))
+          .POST(HttpRequest.BodyPublishers.ofByteArray(body))
+        if (v2) rb.header("Content-Type",
+          "application/x-protobuf;proto=io.prometheus.write.v2.Request")
+        assert(client.send(rb.build(),
+          HttpResponse.BodyHandlers.ofByteArray()).statusCode() == 204)
+      }
+      push(RemoteWrite.encodeRequest(Seq(RemoteWrite.encodeSeries(
+        Seq("__name__" -> "am", "user" -> "x"),
+        Seq(1000L -> 7.0)))), v2 = false)
+      val h = RemoteWrite.SparseHist(
+        time = 1000L, labels = Map.empty, count = 4.0, sum = 10.0,
+        schema = 0, zeroThreshold = 0.0, zeroCount = 0.0,
+        positive = Seq((1, 2.0), (2, 2.0)), negative = Nil)
+      push(RemoteWrite2.encodeRequest(Seq(RemoteWrite2.Rw2Series(
+        labels = Seq("__name__" -> "hm2", "user" -> "x"),
+        histograms = Seq(h)))), v2 = true)
+      // "am" < "hm2" in label order: limit=1 must keep the FLOAT entry
+      val (c, b) = getAt(p, "/api/v1/query?query=" +
+        java.net.URLEncoder.encode("""{name=~"am|hm2"}""", UTF_8) +
+        "&time=2&limit=1")
+      assert(c == 200, b)
+      assert(b.contains(""""value":[2.000,"7.0"]"""), b)
+      assert(!b.contains(""""histogram":"""), b)
+      assert(b.contains("results truncated due to limit"), b)
+      // ...and uncapped, the float entry SERIALIZES first
+      val (c2, b2) = getAt(p, "/api/v1/query?query=" +
+        java.net.URLEncoder.encode("""{name=~"am|hm2"}""", UTF_8) +
+        "&time=2")
+      assert(c2 == 200, b2)
+      assert(b2.indexOf(""""__name__":"am"""") <
+        b2.indexOf(""""__name__":"hm2""""), b2)
+    } finally srv.stop()
+  }
+
+  test("ABORTED migration: a series whose native data went stale " +
+      "resumes serving float — the ownership window has a closing edge") {
+    // a series that pushed native ONCE (canary, aborted migration) and
+    // rolled back to float-only pushing: an open-ended cut-over would
+    // blackhole its float samples forever. The native store owns the
+    // series only inside [first native, last native + staleness).
+    val srv = new PromHttpServer(spark, wide, lookbackMs = 2000L)
+    val p = srv.start()
+    try {
+      def push(body: Array[Byte], v2: Boolean): Unit = {
+        val rb = HttpRequest.newBuilder(
+            URI.create(s"http://127.0.0.1:$p/api/v1/write"))
+          .POST(HttpRequest.BodyPublishers.ofByteArray(body))
+        if (v2) rb.header("Content-Type",
+          "application/x-protobuf;proto=io.prometheus.write.v2.Request")
+        assert(client.send(rb.build(),
+          HttpResponse.BodyHandlers.ofByteArray()).statusCode() == 204)
+      }
+      // float at 1s (pre), 3.5s (inside the native window — shadowed),
+      // 8s (after the native series went stale — serves again)
+      push(RemoteWrite.encodeRequest(Seq(RemoteWrite.encodeSeries(
+        Seq("__name__" -> "rollm", "user" -> "r"),
+        Seq(1000L -> 1.0, 3500L -> 5.0, 8000L -> 9.0)))), v2 = false)
+      val h = RemoteWrite.SparseHist(
+        time = 3000L, labels = Map.empty, count = 4.0, sum = 10.0,
+        schema = 0, zeroThreshold = 0.0, zeroCount = 0.0,
+        positive = Seq((1, 2.0), (2, 2.0)), negative = Nil)
+      push(RemoteWrite2.encodeRequest(Seq(RemoteWrite2.Rw2Series(
+        labels = Seq("__name__" -> "rollm", "user" -> "r"),
+        histograms = Seq(h)))), v2 = true)
+      def q(expr: String, time: Int): (Int, String) =
+        getAt(p, "/api/v1/query?query=" +
+          java.net.URLEncoder.encode(expr, UTF_8) + s"&time=$time")
+      // ownership window = [3000, 3000 + 2000) = [3s, 5s)
+      // inside the window (t=4s): native serves, the 3.5s float is
+      // the shadow and must NOT appear
+      val (c1, b1) = q("""{name="rollm"}""", 4)
+      assert(c1 == 200, b1)
+      assert(b1.contains(""""histogram":[4.000,{"count":"4.0""""), b1)
+      assert(!b1.contains("\"5.0\""), b1)
+      // after the native series went STALE (t=8s, window closed at
+      // 5s): the rolled-back float pushes own the series again
+      val (c2, b2) = q("""{name="rollm"}""", 8)
+      assert(c2 == 200, b2)
+      assert(b2.contains(""""value":[8.000,"9.0"]"""), b2)
+      assert(!b2.contains(""""histogram":"""), b2)
+      // raw matrix over everything: pre-window and post-window floats
+      // serve, the in-window dual write stays shadowed
+      val (c3, b3) = q("""{name="rollm"}[10s]""", 9)
+      assert(c3 == 200, b3)
+      assert(b3.contains("""[1.000,"1.0"]""") &&
+        b3.contains("""[8.000,"9.0"]"""), b3)
+      assert(!b3.contains("\"5.0\""), b3)
+      // remote read agrees (the same kernel)
+      val rr = RemoteRead.encodeReadRequest(RemoteRead.ReadRequest(Seq(
+        RemoteRead.ReadQuery(0L, 10000L,
+          Seq(Matcher.Eq("__name__", "rollm"))))))
+      val resp = client.send(
+        HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:$p/api/v1/read"))
+          .POST(HttpRequest.BodyPublishers.ofByteArray(rr)).build(),
+        HttpResponse.BodyHandlers.ofByteArray())
+      assert(resp.statusCode() == 200)
+      val floats = RemoteRead.decodeReadResponse(resp.body())
+        .map { case (_, t, v, _) => (t, v) }.toSet
+      assert(floats == Set((1000L, 1.0), (8000L, 9.0)), floats)
     } finally srv.stop()
   }
 }
