@@ -475,12 +475,41 @@ final class PromHttpServer(spark: SparkSession, initial: DataFrame,
     * and skip histograms with an info annotation (emitted only when
     * the hist share actually had rows, as Prometheus annotates). None
     * = not a supported spanning shape — the caller 422s. */
+  /** Mixed-type-aggregation SHAPES over a selector reading BOTH
+    * stores: the spanning name-matcher case, and the NAMELESS bare
+    * selector (`sum({job="x"})` — both stores hold matching series;
+    * float-only evaluation silently dropped the native share, the
+    * same class one axis over). */
+  private def mixedAggShape(e: PromQL.Expr): Boolean = {
+    def bothStores(arg: PromQL.Expr): Boolean = arg match {
+      case PromQL.Selector(ms, None, _, _) =>
+        selectorSpansStores(ms) || {
+          val nameMs =
+            ms.filter(m => m.name == "__name__" || m.name == "name")
+          nameMs.isEmpty && histHead.nonEmpty
+        }
+      case _ => false
+    }
+    e match {
+      case PromQL.AggBy("sum" | "avg" | "count" | "min" | "max",
+          _, arg, None) => bothStores(arg)
+      case PromQL.RankK("topk" | "bottomk", _, arg, _, _) =>
+        bothStores(arg)
+      case _ => false
+    }
+  }
+
   private def spanningShaped(e: PromQL.Expr,
       evalHist: PromQL.Expr => DataFrame,
       evalFloat: PromQL.Expr => DataFrame)
       : Option[(DataFrame, Seq[String], Seq[String])] = {
     def spanningBare(arg: PromQL.Expr): Boolean = arg match {
-      case PromQL.Selector(ms, None, _, _) => selectorSpansStores(ms)
+      case PromQL.Selector(ms, None, _, _) =>
+        selectorSpansStores(ms) || {
+          val nameMs =
+            ms.filter(m => m.name == "__name__" || m.name == "name")
+          nameMs.isEmpty && histHead.nonEmpty
+        }
       case _ => false
     }
     def histHasRows(arg: PromQL.Expr): Boolean = !evalHist(arg).isEmpty
@@ -1216,6 +1245,20 @@ final class PromHttpServer(spark: SparkSession, initial: DataFrame,
           case None =>
             throw new PromHttpServer.UnsupportedMixedTierExpr(q)
         }
+      // NAMELESS shaped aggregations while a hist head exists — the
+      // spanning class one axis over (`sum({job="x"})`): both stores
+      // hold matching series, so the mixed-type semantics apply;
+      // previously the float tier answered alone and the native share
+      // silently vanished
+      case e if mixedAggShape(e) =>
+        spanningShapedInstant(e, at) match {
+          case Some((df, warns, infos)) =>
+            vectorResponse(ex, df, at, limit, warnings = warns,
+              infos = infos)
+            return
+          case None =>
+            throw new PromHttpServer.UnsupportedMixedTierExpr(q)
+        }
       // a BARE range selector — Prometheus's RAW-SAMPLES query
       // (`m[5m]`, resultType `matrix`, what Grafana Explore and
       // promtool issue when debugging): the matched samples with
@@ -1367,6 +1410,16 @@ final class PromHttpServer(spark: SparkSession, initial: DataFrame,
           case Some(sdf) =>
             matrixResponse(ex, sdf, limit,
               warnings = migrationWarnings(e))
+            return
+          case None =>
+            throw new PromHttpServer.UnsupportedMixedTierExpr(q)
+        }
+      // the instant endpoint's nameless-mixed-aggregation twin
+      case e if mixedAggShape(e) =>
+        spanningShapedRange(e, start, end, step) match {
+          case Some((sdf, warns, infos)) =>
+            matrixResponse(ex, sdf, limit, warnings = warns,
+              infos = infos)
             return
           case None =>
             throw new PromHttpServer.UnsupportedMixedTierExpr(q)

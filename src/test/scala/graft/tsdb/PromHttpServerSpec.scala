@@ -2871,4 +2871,50 @@ class PromHttpServerSpec extends SparkSpec {
       assert(floats == Set((1000L, 1.0), (8000L, 9.0)), floats)
     } finally srv.stop()
   }
+
+  test("NAMELESS shaped aggregations read BOTH stores — the spanning " +
+      "class one axis over") {
+    // `sum({job="x"})` with a hist head: both stores hold matching
+    // series; previously the float tier answered alone and the native
+    // share silently vanished. Mixed-type semantics apply: count adds
+    // the shares, sum drops mixed groups with the warning, pure
+    // groups answer their own kind.
+    val srv = new PromHttpServer(spark, wide)
+    val p = srv.start()
+    try {
+      val h = RemoteWrite.SparseHist(
+        time = 1700L, labels = Map.empty, count = 4.0, sum = 10.0,
+        schema = 0, zeroThreshold = 0.0, zeroCount = 0.0,
+        positive = Seq((1, 2.0), (2, 2.0)), negative = Nil)
+      val wreq = RemoteWrite2.encodeRequest(Seq(RemoteWrite2.Rw2Series(
+        labels = Seq("__name__" -> "hnm", "user" -> "a"),
+        histograms = Seq(h))))
+      val wr = client.send(
+        HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:$p/api/v1/write"))
+          .header("Content-Type",
+            "application/x-protobuf;proto=io.prometheus.write.v2.Request")
+          .POST(HttpRequest.BodyPublishers.ofByteArray(wreq)).build(),
+        HttpResponse.BodyHandlers.ofByteArray())
+      assert(wr.statusCode() == 204)
+      def q(expr: String): (Int, String) = getAt(p, "/api/v1/query?query=" +
+        java.net.URLEncoder.encode(expr, UTF_8) + "&time=6")
+      // count{user="a"}: float store has up{a} and lat{a} (2 series),
+      // the hist store hnm{a} (1) — count is type-agnostic: 3
+      val (c1, b1) = q("""count({user="a"})""")
+      assert(c1 == 200, b1)
+      assert(b1.contains(""""value":[6.000,"3"]""") ||
+        b1.contains(""""value":[6.000,"3.0"]"""), b1)
+      // sum by (user): user a mixes kinds → dropped + warning; user b
+      // is float-only → float sum (up{b} = 2)
+      val (c2, b2) = q("""sum by (user) ({user=~"a|b"})""")
+      assert(c2 == 200, b2)
+      assert(b2.contains("mix of float and histogram samples"), b2)
+      assert(b2.contains(""""user":"b"},"value":[6.000,"2.0"]"""), b2)
+      assert(!b2.contains(""""user":"a"""), b2)
+      // topk ranks the float share + info
+      val (c3, b3) = q("""topk(5, {user="a"})""")
+      assert(c3 == 200 && b3.contains("ignored in topk aggregation") &&
+        !b3.contains(""""histogram":"""), b3)
+    } finally srv.stop()
+  }
 }
