@@ -2533,6 +2533,40 @@ object TsdbQueries {
           col("hist").getField("count").cast("long").as("n"),
           col("value"))
     }),
+    // Q189: the ownership window's CLOSING edge — an ABORTED
+    // migration: the native store holds purchase snapshots only for
+    // Jan 10-12 (the series "rolled back" to float pushing after).
+    // Ownership = [first native day, last native day + 3d staleness):
+    // grid Jan 8 (pre-window: float), Jan 13 (inside for users whose
+    // native data extends past Jan 10 — native serves; already PAST
+    // the window for users whose only native day was Jan 10 — float
+    // serves), Jan 18 (window closed for everyone: float serves
+    // again). An open-ended cut-over would blackhole the post-Jan-13
+    // float history forever.
+    "tsdb_q189_promql_rollback_window" -> ((s, dir) => {
+      val lo = 1704844800000L // 2024-01-10
+      val hi = 1705104000000L // 2024-01-13 (exclusive)
+      val hh = histDaily(s, dir)
+        .where(col("time") >= lo && col("time") < hi)
+      val since = graft.tsdb.Shadowing.seriesSince(hh, HistLookbackMs)
+      val sel = """{name="purchase", user=~"1.*"}"""
+      val grid = (1704672000000L, 1705536000000L, 432000000L)
+      val hv = graft.tsdb.PromQLHist.evalRange(
+        graft.tsdb.PromQL.parse(sel), hh,
+        start = grid._1, end = grid._2, stepMs = grid._3,
+        lookbackMs = HistLookbackMs, nLes = NhBounds.size + 1)
+      val fv = graft.tsdb.PromQL.evalRange(
+        graft.tsdb.PromQL.parse(sel), histFloatDaily(s, dir),
+        start = grid._1, end = grid._2, stepMs = grid._3,
+        lookbackMs = HistLookbackMs)
+      hv.unionByName(
+          graft.tsdb.Shadowing.dropShadowed(fv,
+            graft.tsdb.Shadowing.skeyOfWide(fv), col("t"), Some(since)),
+          allowMissingColumns = true)
+        .select(col("`labels.user`").as("user"), col("t"),
+          col("hist").getField("count").cast("long").as("n"),
+          col("value"))
+    }),
     // Q186: split-tier FLOAT-VALUED arithmetic — the round-17 judge's
     // item 2 at the library level: histogram_count over the NATIVE
     // store ÷ a FLOAT-store aggregate, composed by the float tier's
@@ -5400,6 +5434,44 @@ object TsdbQueries {
          |hl AS (SELECT gt, "user", max(day) AS day
          |  FROM grid CROSS JOIN (SELECT DISTINCT "user", day FROM f0
          |    WHERE day >= 19737) d
+         |  WHERE day * 86400000 > gt - $HistLookbackMs
+         |    AND day * 86400000 <= gt GROUP BY 1, 2),
+         |fl AS (SELECT gt, "user", max(day) AS day
+         |  FROM grid CROSS JOIN (SELECT DISTINCT "user", day FROM f0) d
+         |  WHERE day * 86400000 > gt - $HistLookbackMs
+         |    AND day * 86400000 <= gt GROUP BY 1, 2)
+         |SELECT hl."user", hl.gt AS t, f0.cnt AS n,
+         |  CAST(NULL AS DOUBLE) AS value
+         |FROM hl JOIN f0 ON hl."user" = f0."user" AND hl.day = f0.day
+         |UNION ALL
+         |SELECT fl."user", fl.gt AS t, CAST(NULL AS BIGINT) AS n,
+         |  CAST(f0.cnt AS DOUBLE) AS value
+         |FROM fl JOIN f0 ON fl."user" = f0."user" AND fl.day = f0.day
+         |LEFT JOIN since ON fl."user" = since."user"
+         |WHERE since.ms IS NULL OR fl.gt < since.ms
+         |  OR fl.gt >= since.until""".stripMargin,
+    // Q189 replay: the rollback window from raw samples — native
+    // band days 19732-19734 (Jan 10-12); since = first band day,
+    // until = last band day + 3d. Hist rows = latest band day in the
+    // 3d lookback per grid point, only at points INSIDE the window;
+    // float rows = latest ANY day, kept outside [since, until).
+    "tsdb_q189_promql_rollback_window" ->
+      s"""$duckTsdbCte,
+         |f0 AS (SELECT "labels.user" AS "user",
+         |  CAST(floor(time / 86400000.0) AS BIGINT) AS day,
+         |  count(*) AS cnt FROM t
+         |  WHERE "labels.name" = 'purchase'
+         |    AND regexp_matches("labels.user", '^(?:1.*)$$')
+         |    AND time > $RangeStart AND time < $RangeEnd
+         |  GROUP BY 1, 2),
+         |grid AS (SELECT CAST(1704672000000 + unnest(range(0, 3))
+         |    * 432000000 AS BIGINT) AS gt),
+         |since AS (SELECT "user", min(day) * 86400000 AS ms,
+         |  max(day) * 86400000 + $HistLookbackMs AS until FROM f0
+         |  WHERE day BETWEEN 19732 AND 19734 GROUP BY 1),
+         |hl AS (SELECT gt, "user", max(day) AS day
+         |  FROM grid CROSS JOIN (SELECT DISTINCT "user", day FROM f0
+         |    WHERE day BETWEEN 19732 AND 19734) d
          |  WHERE day * 86400000 > gt - $HistLookbackMs
          |    AND day * 86400000 <= gt GROUP BY 1, 2),
          |fl AS (SELECT gt, "user", max(day) AS day

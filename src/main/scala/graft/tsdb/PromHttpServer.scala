@@ -406,8 +406,19 @@ final class PromHttpServer(spark: SparkSession, initial: DataFrame,
     * most one lookback (documented). A per-NAME carve here would
     * silently drop LIVE unmigrated series — the partial-fleet
     * data-loss class (round-18 review find). */
-  private def floatShareView: DataFrame =
-    Shadowing.dropShadowed(wide, Shadowing.skeyOfWide(wide),
+  private def floatShareView: DataFrame = shadowCarved(wide)
+
+  /** EVERY float-tier query evaluation reads through this carve: the
+    * given float view minus the samples native series OWN
+    * ([[Shadowing]], raw-sample axis) — a migrated series' dual-write
+    * float pushes can never leak into any float evaluation path (the
+    * bare-selector union paths additionally output-filter per
+    * evaluation step, the exact per-step form; the raw carve leaves
+    * only the bounded staleness-boundary residual where a
+    * pre-migration sample is still inside lookback of a post-migration
+    * step). No-op while no hist head exists. */
+  private def shadowCarved(view: DataFrame): DataFrame =
+    Shadowing.dropShadowed(view, Shadowing.skeyOfWide(view),
       col(TsdbSchema.TimeCol), seriesSinceFrame)
 
   /** Metric names `e` touches that live in BOTH stores — each one's
@@ -702,7 +713,8 @@ final class PromHttpServer(spark: SparkSession, initial: DataFrame,
       he => PromQLHist.evalStrict(he, histHead.get, at, lookbackMs,
         histNLes),
       fe => PromQL.toValueShape(
-        PromQL.evalStrict(fe, wide, at, lookbackMs, start = at, end = at)),
+        PromQL.evalStrict(fe, floatShareView, at, lookbackMs,
+          start = at, end = at)),
       rec = x => sideInstant(x, at), extra = Nil)
 
   /** [[sideInstant]]'s query_range twin — each side on its own tier,
@@ -717,7 +729,8 @@ final class PromHttpServer(spark: SparkSession, initial: DataFrame,
       he => PromQLHist.evalRange(he, histHead.get, start, end, step,
         lb, histNLes),
       fe => PromQL.toValueShape(
-        PromQL.evalRange(fe, floatView, start, end, step, lb)),
+        PromQL.evalRange(fe, shadowCarved(floatView), start, end, step,
+          lb)),
       rec = x => sideRange(x, start, end, step, floatView, lb),
       extra = Seq("t"))
 
@@ -1269,7 +1282,8 @@ final class PromHttpServer(spark: SparkSession, initial: DataFrame,
           matrixResponse(ex,
             PromQLHist.rawRange(s, histHead.get, at, at, at), limit)
         else
-          matrixResponse(ex, PromQL.rawRange(s, wide, at, at, at), limit)
+          matrixResponse(ex,
+            PromQL.rawRange(s, floatShareView, at, at, at), limit)
         return
       // a BARE subquery (`expr[1h:5m]`): the inner evaluated on the
       // subquery's absolute grid — a matrix, Prometheus's instant-
@@ -1286,8 +1300,8 @@ final class PromHttpServer(spark: SparkSession, initial: DataFrame,
         else if (routesToHistHead(inner, allowNameless = false))
           throw new PromHttpServer.UnsupportedHistExpr(q)
         else
-          matrixResponse(ex, PromQL.subqueryMatrix(sq, wide, at,
-            lookbackMs, start = at, end = at), limit)
+          matrixResponse(ex, PromQL.subqueryMatrix(sq, floatShareView,
+            at, lookbackMs, start = at, end = at), limit)
         return
       // hist-tier float-evaluable shapes (the histogram_* scalar
       // family, count aggregations, and vector-scalar ops over them —
@@ -1343,7 +1357,7 @@ final class PromHttpServer(spark: SparkSession, initial: DataFrame,
         throw new PromHttpServer.UnsupportedHistExpr(q)
       case _ =>
     }
-    val df = PromQL.evalStrict(ast, wide, at, lookbackMs,
+    val df = PromQL.evalStrict(ast, floatShareView, at, lookbackMs,
       start = at, end = at)
     // resultType comes from the AST's STATIC type, not the frame's
     // column shape: a no-label one-element vector (e.g. `vector(1)`)
@@ -1452,7 +1466,8 @@ final class PromHttpServer(spark: SparkSession, initial: DataFrame,
       case e if routesToHistHead(e, allowNameless = false) =>
         throw new PromHttpServer.UnsupportedHistExpr(q)
       case _ =>
-        PromQL.evalRange(ast, wide, start, end, step, lookbackMs)
+        PromQL.evalRange(ast, floatShareView, start, end, step,
+          lookbackMs)
     }
     matrixResponse(ex, df, limit)
   }
@@ -1626,7 +1641,7 @@ final class PromHttpServer(spark: SparkSession, initial: DataFrame,
             histNLes)
           catch {
             case _: IllegalArgumentException =>
-              PromQL.evalRange(ast, view, s, e, step, lb)
+              PromQL.evalRange(ast, shadowCarved(view), s, e, step, lb)
             // an INTERNAL invariant violation (IllegalStateException —
             // e.g. the arithKeys dual-spelling guard) is NOT an
             // unsupported-shape signal: the float fallback would be
@@ -1642,7 +1657,10 @@ final class PromHttpServer(spark: SparkSession, initial: DataFrame,
                 .select(col("id").as("t"),
                   col("id").cast("double").as(TsdbSchema.ValueCol))
           }
-        else PromQL.evalRange(ast, view, s, e, step, lb)
+        // the rules tier's float reads are shadow-carved too: a
+        // migrated series' dual-write float pushes must not fire a
+        // nameless/float rule the query surfaces would never show
+        else PromQL.evalRange(ast, shadowCarved(view), s, e, step, lb)
     }
     // hist-head rules with NO float-evaluable reading are excluded
     // from evaluation entirely: the float fallback would read a store

@@ -2917,4 +2917,60 @@ class PromHttpServerSpec extends SparkSpec {
         !b3.contains(""""histogram":"""), b3)
     } finally srv.stop()
   }
+
+  test("dual-write float pushes never leak into plain float paths: " +
+      "shaped nameless queries and float rules read the carved view") {
+    // a migrated series keeps pushing float (dual write). The union
+    // paths shadow it per evaluation step; the PLAIN float paths
+    // (shaped nameless queries, rules' float view, split-eval float
+    // leaves) read the raw store — without the carve the shadowed
+    // sample leaks into exactly the surfaces that silence depends on.
+    val srv = new PromHttpServer(spark, wide,
+      rules = Some(
+        """groups:
+          |  - name: g
+          |    interval: 1s
+          |    rules:
+          |      - alert: spike
+          |        expr: '{user="dw"} > 50'
+          |""".stripMargin),
+      rulesHorizonMs = 5000L)
+    val p = srv.start()
+    try {
+      def push(body: Array[Byte], v2: Boolean): Unit = {
+        val rb = HttpRequest.newBuilder(
+            URI.create(s"http://127.0.0.1:$p/api/v1/write"))
+          .POST(HttpRequest.BodyPublishers.ofByteArray(body))
+        if (v2) rb.header("Content-Type",
+          "application/x-protobuf;proto=io.prometheus.write.v2.Request")
+        assert(client.send(rb.build(),
+          HttpResponse.BodyHandlers.ofByteArray()).statusCode() == 204)
+      }
+      // float 1.0@1s, native@2s, DUAL-WRITE float 99@2.5s
+      push(RemoteWrite.encodeRequest(Seq(RemoteWrite.encodeSeries(
+        Seq("__name__" -> "dwm", "user" -> "dw"),
+        Seq(1000L -> 1.0, 2500L -> 99.0)))), v2 = false)
+      val h = RemoteWrite.SparseHist(
+        time = 2000L, labels = Map.empty, count = 4.0, sum = 10.0,
+        schema = 0, zeroThreshold = 0.0, zeroCount = 0.0,
+        positive = Seq((1, 2.0), (2, 2.0)), negative = Nil)
+      push(RemoteWrite2.encodeRequest(Seq(RemoteWrite2.Rw2Series(
+        labels = Seq("__name__" -> "dwm", "user" -> "dw"),
+        histograms = Seq(h)))), v2 = true)
+      // a shaped NAMELESS comparison (plain float path): the shadowed
+      // 99 must not answer — the pre-migration 1.0 is the float
+      // tier's view of the series
+      val (c1, b1) = getAt(p, "/api/v1/query?query=" +
+        java.net.URLEncoder.encode("""{user="dw"} > 0""", UTF_8) +
+        "&time=3")
+      assert(c1 == 200, b1)
+      assert(!b1.contains("\"99"), b1)
+      // the RULE over the float view: without the carve the shadowed
+      // 99 fires `> 50` — the carved view keeps the rule inactive
+      val (c2, b2) = getAt(p, "/api/v1/rules?time=3")
+      assert(c2 == 200, b2)
+      assert(b2.contains(""""state":"inactive""""), b2)
+      assert(!b2.contains(""""state":"firing""""), b2)
+    } finally srv.stop()
+  }
 }
