@@ -449,16 +449,25 @@ final class PromHttpServer(spark: SparkSession, initial: DataFrame,
       "stitched series")
   }
 
-  /** Value-ranked shapes over a HISTOGRAM-valued argument — what
-    * Prometheus 3 answers by SKIPPING the histogram samples with an
-    * info annotation rather than erroring: over a pure-native vector
-    * the result is EMPTY + info (previously a 422). */
+  /** Value-ranked/statistic shapes over a HISTOGRAM-valued argument —
+    * what Prometheus 3 answers by SKIPPING the histogram samples with
+    * an info annotation rather than erroring (topk/bottomk, min/max,
+    * stddev/stdvar, quantile, sort/sort_desc): over a pure-native
+    * vector the result is EMPTY + info (previously a 422). */
   private def rankedOverHist(e: PromQL.Expr): Option[String] = e match {
     case PromQL.RankK(op @ ("topk" | "bottomk"), _, arg, _, _)
         if PromQLHist.histEvaluable(arg) => Some(op)
-    case PromQL.AggBy(op @ ("min" | "max"), _, arg, None)
+    case PromQL.AggBy(op @ ("min" | "max" | "stddev" | "stdvar"),
+        _, arg, None)
         if PromQLHist.histEvaluable(arg) => Some(op)
-    case PromQL.AggWithout(op @ ("min" | "max"), _, arg, None)
+    case PromQL.AggWithout(op @ ("min" | "max" | "stddev" | "stdvar"),
+        _, arg, None)
+        if PromQLHist.histEvaluable(arg) => Some(op)
+    case PromQL.AggBy("quantile", _, arg, Some(_))
+        if PromQLHist.histEvaluable(arg) => Some("quantile")
+    case PromQL.AggWithout("quantile", _, arg, Some(_))
+        if PromQLHist.histEvaluable(arg) => Some("quantile")
+    case PromQL.Fn(op @ ("sort" | "sort_desc"), arg, _)
         if PromQLHist.histEvaluable(arg) => Some(op)
     case _ => None
   }
@@ -502,10 +511,13 @@ final class PromHttpServer(spark: SparkSession, initial: DataFrame,
       case _ => false
     }
     e match {
-      case PromQL.AggBy("sum" | "avg" | "count" | "min" | "max",
-          _, arg, None) => bothStores(arg)
+      case PromQL.AggBy("sum" | "avg" | "count" | "min" | "max" |
+          "group" | "stddev" | "stdvar", _, arg, None) =>
+        bothStores(arg)
+      case PromQL.AggBy("quantile", _, arg, Some(_)) => bothStores(arg)
       case PromQL.RankK("topk" | "bottomk", _, arg, _, _) =>
         bothStores(arg)
+      case PromQL.Fn("sort" | "sort_desc", arg, _) => bothStores(arg)
       case _ => false
     }
   }
@@ -532,14 +544,29 @@ final class PromHttpServer(spark: SparkSession, initial: DataFrame,
       case PromQL.AggBy("count", _, arg, None) if spanningBare(arg) =>
         Some((PromQLHist.combineCountShares(evalHist(e), evalFloat(e)),
           Nil, Nil))
-      case PromQL.AggBy(op @ ("min" | "max"), _, arg, None)
-          if spanningBare(arg) =>
+      case PromQL.AggBy(op @ ("min" | "max" | "stddev" | "stdvar"),
+          _, arg, None) if spanningBare(arg) =>
         Some((evalFloat(e), Nil,
           if (histHasRows(arg)) skippedInfo(op) else Nil))
+      case PromQL.AggBy("quantile", _, arg, Some(_))
+          if spanningBare(arg) =>
+        Some((evalFloat(e), Nil,
+          if (histHasRows(arg)) skippedInfo("quantile") else Nil))
       case PromQL.RankK(op @ ("topk" | "bottomk"), _, arg, _, _)
           if spanningBare(arg) =>
         Some((evalFloat(e), Nil,
           if (histHasRows(arg)) skippedInfo(op) else Nil))
+      case PromQL.Fn(op @ ("sort" | "sort_desc"), arg, _)
+          if spanningBare(arg) =>
+        Some((evalFloat(e), Nil,
+          if (histHasRows(arg)) skippedInfo(op) else Nil))
+      // `group` is type-agnostic like count: 1 per group of SERIES
+      // across BOTH shares — the count combine with the value mapped
+      case PromQL.AggBy("group", by, arg, None) if spanningBare(arg) =>
+        Some((PromQLHist.combineCountShares(
+            evalHist(PromQL.AggBy("count", by, arg, None)),
+            evalFloat(PromQL.AggBy("count", by, arg, None)))
+          .withColumn(TsdbSchema.ValueCol, lit(1.0)), Nil, Nil))
       case _ => None
     }
   }
@@ -1338,10 +1365,23 @@ final class PromHttpServer(spark: SparkSession, initial: DataFrame,
           lookbackMs, nLes = histNLes), at, limit,
           warnings = migrationWarnings(e))
         return
-      // topk/bottomk/min/max over a pure-native vector: Prometheus 3
-      // SKIPS histogram samples in value-ranked shapes with an info
-      // annotation — the answer is the empty vector + info, never the
-      // former 422 and never a silent empty
+      // `group` over a pure-native vector is type-AGNOSTIC: one row
+      // per group, value 1 (Prometheus's group semantics) — the hist
+      // count reshaped, never a 422
+      case e @ PromQL.AggBy("group", by, garg, None)
+          if PromQLHist.histEvaluable(garg) &&
+            routesToHistHead(e, allowNameless = false) =>
+        vectorResponse(ex,
+          PromQLHist.evalStrict(PromQL.AggBy("count", by, garg, None),
+              histHead.get, at, lookbackMs, nLes = histNLes)
+            .withColumn(TsdbSchema.ValueCol, lit(1.0)),
+          at, limit, warnings = migrationWarnings(e))
+        return
+      // topk/bottomk/min/max/stddev/stdvar/quantile/sort over a
+      // pure-native vector: Prometheus 3 SKIPS histogram samples in
+      // value-ranked/statistic shapes with an info annotation — the
+      // answer is the empty vector + info, never the former 422 and
+      // never a silent empty
       case e if routesToHistHead(e, allowNameless = false) &&
           rankedOverHist(e).nonEmpty =>
         ok(ex, """{"resultType":"vector","result":[]}""",
@@ -1452,7 +1492,19 @@ final class PromHttpServer(spark: SparkSession, initial: DataFrame,
           end, step, lookbackMs, nLes = histNLes), limit,
           warnings = migrationWarnings(e))
         return
-      // topk/bottomk/min/max over a pure-native vector: empty matrix
+      // `group` over a pure-native vector, range mode: the hist count
+      // grid reshaped to the constant 1
+      case e @ PromQL.AggBy("group", by, garg, None)
+          if PromQLHist.histEvaluable(garg) &&
+            routesToHistHead(e, allowNameless = false) =>
+        matrixResponse(ex,
+          PromQLHist.evalRange(PromQL.AggBy("count", by, garg, None),
+              histHead.get, start, end, step, lookbackMs,
+              nLes = histNLes)
+            .withColumn(TsdbSchema.ValueCol, lit(1.0)),
+          limit, warnings = migrationWarnings(e))
+        return
+      // rank/statistic shapes over a pure-native vector: empty matrix
       // + info (the instant endpoint's skip-with-annotation twin)
       case e if routesToHistHead(e, allowNameless = false) &&
           rankedOverHist(e).nonEmpty =>

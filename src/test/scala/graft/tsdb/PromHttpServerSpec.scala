@@ -1770,6 +1770,22 @@ class PromHttpServerSpec extends SparkSpec {
       val (cmn, bmn) = q("""min({name="na"})""")
       assert(cmn == 200 && bmn.contains(""""result":[]""") &&
         bmn.contains("ignored in min aggregation"), s"$cmn $bmn")
+      // ...and the whole statistic family: stddev/quantile/sort skip
+      // histogram samples with the info annotation too
+      val (csd, bsd) = q("""stddev({name="na"})""")
+      assert(csd == 200 && bsd.contains(""""result":[]""") &&
+        bsd.contains("ignored in stddev aggregation"), s"$csd $bsd")
+      val (cqt, bqt) = q("""quantile(0.9, {name="na"})""")
+      assert(cqt == 200 && bqt.contains(""""result":[]""") &&
+        bqt.contains("ignored in quantile aggregation"), s"$cqt $bqt")
+      val (cst, bst) = q("""sort({name="na"})""")
+      assert(cst == 200 && bst.contains(""""result":[]""") &&
+        bst.contains("ignored in sort aggregation"), s"$cst $bst")
+      // group is type-AGNOSTIC: histogram series count toward the
+      // group, value 1 (na + nb share user h → one group)
+      val (cgr, bgr) = q("""group by (user) ({name=~"n."})""")
+      assert(cgr == 200 &&
+        bgr.contains(""""value":[2.000,"1.0"]"""), s"$cgr $bgr")
       // ...the query_range twin answers the empty matrix + info
       val (ctr, btr) = getAt(p, "/api/v1/query_range?query=" +
         java.net.URLEncoder.encode("""bottomk(2, {name="na"})""", UTF_8) +
@@ -2060,6 +2076,14 @@ class PromHttpServerSpec extends SparkSpec {
       assert(c2d == 200 && b2d.contains(""""value":[6.000,"3.0"]""") &&
         b2d.contains("ignored in topk aggregation") &&
         !b2d.contains(""""histogram":"""), s"$c2d $b2d")
+      // quantile over the spanning selector ranks the float share
+      val (c2f, b2f) = q("""quantile(0.5, {name=~"hspan|up"})""")
+      assert(c2f == 200 && b2f.contains("ignored in quantile") &&
+        !b2f.contains(""""histogram":"""), s"$c2f $b2f")
+      // group is type-agnostic: one row, value 1, no warning
+      val (c2g, b2g) = q("""group({name=~"hspan|up"})""")
+      assert(c2g == 200 && b2g.contains(""""value":[6.000,"1.0"]""") &&
+        !b2g.contains("mix of float"), s"$c2g $b2g")
       // a shape OUTSIDE the mixed-type lattice stays the loud 422
       val (c2e, b2e) = q("""avg_over_time({name=~"hspan|up"}[1m])""")
       assert(c2e == 422, s"$c2e $b2e")
