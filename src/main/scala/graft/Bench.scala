@@ -122,7 +122,10 @@ object Bench {
     // round 18: the per-series migration-stitch broadcast join (the
     // Shadowing kernel every read surface shares) and the split-tier
     // float-division keyed join
-    "tsdb_q185_promql_migrated_stitch", "tsdb_q186_promql_split_div")
+    "tsdb_q185_promql_migrated_stitch", "tsdb_q186_promql_split_div",
+    // round 19: the OFFSET-resolved stitch (q185's kernel plus the
+    // shifted lookup windows and the resolved-axis shadow filter)
+    "tsdb_q190_promql_offset_stitch")
   // round 15: tsdb_q154_tsdb_dump stays out by the q110 rationale — it
   // re-runs q108's dominant block-write work (plus q130's parse) —
   // and tsdb_q155_api_hist_json re-runs q90's dominant daily-histogram
@@ -136,6 +139,9 @@ object Bench {
   // Round 18: q187/q188 re-run the mixed-share membership joins that
   // q185/q186 already time (group-count-sized inputs) — oracle-verified
   // in CORRECTNESS, out of the bench by the double-count rationale.
+  // Round 19: q191 re-runs q188's exclusive-share kernel (without-form
+  // grouping, same group-count-sized joins) — oracle-verified in
+  // CORRECTNESS, out of the bench by the same rationale.
 
   /** 1/5/15-minute fields of /proc/loadavg (empty off-Linux). */
   private def loadavg(): Seq[Double] =

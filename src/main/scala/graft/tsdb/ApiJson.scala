@@ -48,20 +48,36 @@ object ApiJson {
   def matrixJsonKeyed(rv: DataFrame): DataFrame =
     matrixJson0(rv, keyed = true)
 
-  private def matrixJson0(rv: DataFrame, keyed: Boolean): DataFrame = {
+  /** [[matrixJson]]'s PARTS form: `(skey, metric, field, payload)`
+    * with the rendered metric map and the `values` pair list as
+    * SEPARATE columns — the mixed matrix responses assemble and merge
+    * same-series objects driver-side from these. Substring surgery on
+    * assembled JSON was unsound: '}' and ',' are legal unescaped
+    * inside JSON strings, so a label VALUE ending in "}," made the
+    * field-boundary search land inside the metric map (round-18
+    * advisor find). */
+  def matrixJsonParts(rv: DataFrame): DataFrame =
+    partsOf(matrixGrouped(rv), "values", pairsPayload)
+
+  private def matrixGrouped(rv: DataFrame): DataFrame = {
     val labels = rv.columns.toSeq
       .filterNot(Set("t", TsdbSchema.TimeCol, TsdbSchema.ValueCol))
     val pair = concat(lit("["), tsSec(col("t")), lit(",\""),
       col(TsdbSchema.ValueCol).cast("string"), lit("\"]"))
-    val grouped = rv
-      .withColumn("_pair", struct(col("t"), pair.as("p")))
+    rv.withColumn("_pair", struct(col("t"), pair.as("p")))
       .groupBy(labels.map(c => col(s"`$c`")): _*)
       .agg(array_sort(collect_list(col("_pair"))).as("_pairs"))
-    jsonOf(grouped, "values",
-      concat(lit("["),
-        concat_ws(",", transform(col("_pairs"), _.getField("p"))),
-        lit("]")), keyed = keyed)
   }
+
+  /** The time-sorted pair array of a [[matrixGrouped]] frame rendered
+    * as one JSON array. */
+  private def pairsPayload: Column =
+    concat(lit("["),
+      concat_ws(",", transform(col("_pairs"), _.getField("p"))),
+      lit("]"))
+
+  private def matrixJson0(rv: DataFrame, keyed: Boolean): DataFrame =
+    jsonOf(matrixGrouped(rv), "values", pairsPayload, keyed = keyed)
 
   /** One dense engine histogram (`{count,sum,les,counts}` over
     * `les = [0, grid…, +Inf]`) rendered in the API's native-histogram
@@ -113,19 +129,22 @@ object ApiJson {
   def histMatrixJsonKeyed(rv: DataFrame): DataFrame =
     histMatrixJson0(rv, keyed = true)
 
-  private def histMatrixJson0(rv: DataFrame, keyed: Boolean): DataFrame = {
+  /** [[histMatrixJson]]'s PARTS form — see [[matrixJsonParts]]. */
+  def histMatrixJsonParts(rv: DataFrame): DataFrame =
+    partsOf(histMatrixGrouped(rv), "histograms", pairsPayload)
+
+  private def histMatrixGrouped(rv: DataFrame): DataFrame = {
     val labels = rv.columns.toSeq.filterNot(Set("t", "hist"))
     val pair = concat(lit("["), tsSec(col("t")), lit(","),
       histJson(col("hist")), lit("]"))
-    val grouped = rv
-      .withColumn("_pair", struct(col("t"), pair.as("p")))
+    rv.withColumn("_pair", struct(col("t"), pair.as("p")))
       .groupBy(labels.map(c => col(s"`$c`")): _*)
       .agg(array_sort(collect_list(col("_pair"))).as("_pairs"))
-    jsonOf(grouped, "histograms",
-      concat(lit("["),
-        concat_ws(",", transform(col("_pairs"), _.getField("p"))),
-        lit("]")), keyed = keyed)
   }
+
+  private def histMatrixJson0(rv: DataFrame, keyed: Boolean): DataFrame =
+    jsonOf(histMatrixGrouped(rv), "histograms", pairsPayload,
+      keyed = keyed)
 
   private def tsSec(t: Column): Column =
     // epoch seconds with millisecond precision, no scientific notation
@@ -139,32 +158,55 @@ object ApiJson {
     * mixed-shape responses' interleave. */
   private def jsonOf(df: DataFrame, field: String,
                      rendered: Column, keyed: Boolean = false): DataFrame = {
+    val entries = labelEntries(df, field)
+    val json = concat(
+      lit("""{"metric":"""), metricJson(entries),
+      lit(s""","$field":"""), rendered, lit("}")).as("json")
+    if (!keyed) df.select(json)
+    else df.select(seriesKey(entries).as("skey"), json)
+  }
+
+  /** `(skey, metric, field, payload)` per row — the PARTS form the
+    * mixed matrix responses assemble driver-side ([[matrixJsonParts]]'s
+    * rationale). `field` rides as a literal column so the union of the
+    * two kinds orders deterministically by (skey, field) and the
+    * driver knows each payload's field name without parsing. */
+  private def partsOf(df: DataFrame, field: String,
+                      rendered: Column): DataFrame = {
+    val entries = labelEntries(df, field)
+    df.select(seriesKey(entries).as("skey"),
+      metricJson(entries).as("metric"),
+      lit(field).as("field"), rendered.as("payload"))
+  }
+
+  /** The frame's label columns as (wire key, non-empty value) entry
+    * structs — shared by the metric-map renderer and the series sort
+    * key so the two can never disagree on the label set. */
+  private def labelEntries(df: DataFrame, field: String): Seq[Column] = {
     val labelCols = df.columns.toSeq
       .filterNot(Set("t", TsdbSchema.TimeCol, TsdbSchema.ValueCol,
         "hist", "_pairs", field))
-    val entries = labelCols.map { c =>
+    labelCols.map { c =>
       val key = c.stripPrefix(TsdbSchema.LabelPrefix) match {
         case "name" => "__name__"
         case other  => other
       }
       struct(lit(key).as("key"), nullif(col(s"`$c`"), lit("")).as("value"))
     }
-    // zero label columns (e.g. `vector(1)`): `array()` of no args has
-    // no element type for `filter` — emit the empty metric map directly
-    val metric =
-      if (entries.isEmpty) lit("{}")
-      else to_json(map_from_entries(filter(array(entries: _*),
-        e => e.getField("value").isNotNull)))
-    val json = concat(
-      lit("""{"metric":"""), metric,
-      lit(s""","$field":"""), rendered, lit("}")).as("json")
-    if (!keyed) df.select(json)
-    else {
-      val skey =
-        if (entries.isEmpty) lit("")
-        else Shadowing.escapedKey(array_sort(filter(array(entries: _*),
-          e => e.getField("value").isNotNull)))
-      df.select(skey.as("skey"), json)
-    }
   }
+
+  // zero label columns (e.g. `vector(1)`): `array()` of no args has
+  // no element type for `filter` — emit the empty metric map directly
+  private def metricJson(entries: Seq[Column]): Column =
+    if (entries.isEmpty) lit("{}")
+    else to_json(map_from_entries(filter(array(entries: _*),
+      e => e.getField("value").isNotNull)))
+
+  /** The series' injective `labels.Compare` sort key
+    * ([[Shadowing.escapedKey]] — binary string order ≡ Prometheus
+    * label order). */
+  private def seriesKey(entries: Seq[Column]): Column =
+    if (entries.isEmpty) lit("")
+    else Shadowing.escapedKey(array_sort(filter(array(entries: _*),
+      e => e.getField("value").isNotNull)))
 }

@@ -1233,9 +1233,13 @@ object PromQLHist {
     // side's key set, the mixed probe) — materialize the group-count-
     // sized aggregations once (localCheckpoint: no unpersist
     // obligation, the ContextCleaner reclaims) instead of re-running
-    // both stores' scans per consumer
-    val h = h0.localCheckpoint(true)
-    val f = f0.localCheckpoint(true)
+    // both stores' scans per consumer. Label SPELLINGS align first:
+    // the hist tier's without-grouping emits BARE key columns while
+    // the float tier keeps them WIDE — an unaligned intersection
+    // would be empty and both anti-joins silently dropped everything
+    // (the round-18 or-union bug's aggregation-share twin).
+    val h = TsdbSchema.alignLabelSpellings(h0, f0).localCheckpoint(true)
+    val f = TsdbSchema.alignLabelSpellings(f0, h0).localCheckpoint(true)
     val keys = shareKeys(h, f)
     def cond = keys.map(k => col(s"l.`$k`") <=> col(s"r.`$k`"))
       .reduceOption(_ && _).getOrElse(lit(true))
@@ -1251,7 +1255,10 @@ object PromQLHist {
     * in Prometheus, so the two shares' per-group counts ADD (full
     * outer by key — a group present in one store only keeps its own
     * count). Both shares carry (keys, value). */
-  def combineCountShares(h: DataFrame, f: DataFrame): DataFrame = {
+  def combineCountShares(h0: DataFrame, f0: DataFrame): DataFrame = {
+    // spelling alignment: see [[exclusiveAggShares]]
+    val h = TsdbSchema.alignLabelSpellings(h0, f0)
+    val f = TsdbSchema.alignLabelSpellings(f0, h0)
     val keys = shareKeys(h, f)
     def norm(df: DataFrame): DataFrame =
       df.select(keys.map(k => col(s"`$k`")) :+

@@ -265,7 +265,8 @@ object RemoteRead {
     * response. */
   private def collectLimited(
       series: Dataset[(String, Long, Array[Byte])],
-      sampleLimit: Option[Long], what: String)
+      sampleLimit: Option[Long], what: String,
+      alreadyConsumed: Long = 0L)
       : Array[(String, Long, Array[Byte])] =
     sampleLimit match {
       case None => series.collect()
@@ -278,8 +279,16 @@ object RemoteRead {
           val row = it.next()
           n += row._2
           if (n > lim)
+            // report the CONFIGURED limit, not a routed query's
+            // residual: "exceeded sample limit (0)" when the
+            // histogram share consumed the shared budget exactly is
+            // operator-misleading (round-18 advisor find)
             throw new IllegalArgumentException(
-              s"exceeded sample limit ($lim) for the SAMPLED " +
+              s"exceeded sample limit (${lim + alreadyConsumed}" +
+                (if (alreadyConsumed > 0)
+                   s", $alreadyConsumed already consumed by histogram series"
+                 else "") +
+                s") for the SAMPLED " +
                 s"remote-read response ($what); narrow the query's matchers/" +
                 "time range or negotiate STREAMED_XOR_CHUNKS " +
                 "(accepted_response_types), which streams without a limit")
@@ -331,7 +340,8 @@ object RemoteRead {
     * [[serveRouted]]. */
   private def floatQuerySeries(t: TsdbTable, q: ReadQuery,
       sampleLimit: Option[Long],
-      nativeSince: Option[DataFrame] = None)
+      nativeSince: Option[DataFrame] = None,
+      alreadyConsumed: Long = 0L)
       : Array[(String, Long, Array[Byte])] = {
     val sp = t.df.sparkSession
     import sp.implicits._
@@ -344,7 +354,7 @@ object RemoteRead {
           (labelSortKey(entries), samples.size.toLong,
             RemoteWrite.encodeSeries(entries,
               samples.map { case (ts, v) => (ts, v.getOrElse(StaleNaN)) }))
-      }), sampleLimit, "float samples")
+      }), sampleLimit, "float samples", alreadyConsumed)
   }
 
   /** Per-QUERY routed SAMPLED responder for a server with SPLIT
@@ -382,10 +392,12 @@ object RemoteRead {
         else Array.empty[(String, Long, Array[Byte])]
       // ONE shared budget: the float side may spend only what the
       // hist side left (never negative — the hist side enforced ≤ lim)
-      val residual = lim.map(_ - hist.map(_._2).sum)
+      val histConsumed = hist.map(_._2).sum
+      val residual = lim.map(_ - histConsumed)
       val flt =
         if (wantsFloat(q))
-          floatQuerySeries(t, q, residual, nativeSince = nativeSince)
+          floatQuerySeries(t, q, residual, nativeSince = nativeSince,
+            alreadyConsumed = histConsumed)
         else Array.empty[(String, Long, Array[Byte])]
       val histKeys = hist.map(_._1).toSet
       val fltByKey = flt.map(s => s._1 -> s._3).toMap

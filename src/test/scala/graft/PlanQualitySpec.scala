@@ -548,11 +548,49 @@ class PlanQualitySpec extends SparkSpec {
       !stitched.contains("CartesianProduct"),
       s"stitch degraded to all-pairs:\n$stitched")
     for (q <- Seq("tsdb_q186_promql_split_div",
-        "tsdb_q187_promql_mixed_count", "tsdb_q188_promql_mixed_sum")) {
+        "tsdb_q187_promql_mixed_count", "tsdb_q188_promql_mixed_sum",
+        "tsdb_q190_promql_offset_stitch",
+        "tsdb_q191_promql_mixed_sum_without")) {
       val plan = planOf(q)
       assert(!plan.contains("BroadcastNestedLoopJoin") &&
         !plan.contains("CartesianProduct"),
         s"$q degraded to all-pairs:\n$plan")
     }
+  }
+
+  test("shadowing holds its broadcast shape at a 100k migrated-series " +
+      "universe (the 100 TB since-table claim, exercised)") {
+    // the since table is bounded by MIGRATED-series count, not
+    // samples — but the claim deserves a non-toy universe: 100k
+    // migrated series against a 2M-row float head. dropShadowed
+    // FORCES the broadcast (explicit hint), so the shape must hold
+    // regardless of autoBroadcastJoinThreshold; the assertion run
+    // also proves a 100k-key broadcast build completes in-memory.
+    import org.apache.spark.sql.functions._
+    val series = 100000
+    val wide = spark.range(2000000L)
+      .select((col("id") % series).cast("string").as("labels.user"),
+        lit("m").as("labels.name"),
+        (col("id") * 7L % 100000L).as("time"),
+        rand(7).as("value"))
+    // half the series migrated, each owning [25k, 75k)
+    val hist = spark.range(series / 2)
+      .select(col("id").cast("string").as("labels.user"),
+        lit("m").as("labels.name"), lit(25000L).as("time"),
+        lit(1.0).as("hist"))
+    val since = graft.tsdb.Shadowing.seriesSince(hist, 50000L)
+      .localCheckpoint(true)
+    val carved = graft.tsdb.Shadowing.dropShadowed(wide,
+      graft.tsdb.Shadowing.skeyOfWide(wide), col("time"), Some(since))
+    val plan = carved.queryExecution.executedPlan.toString()
+    assert(plan.contains("BroadcastHashJoin"),
+      s"100k-series since table must broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin") &&
+      !plan.contains("CartesianProduct"),
+      s"shadow carve must never shuffle the sample side:\n$plan")
+    // the carve's row count: unmigrated half keeps everything; the
+    // migrated half drops exactly its in-window samples
+    val kept = carved.count()
+    assert(kept > 0 && kept < 2000000L, kept.toString)
   }
 }
