@@ -748,6 +748,38 @@ object ScaleStress {
     spark.conf.set("spark.sql.adaptive.enabled", "true")
     println(s"[scale] salted-join groups=$nSalted")
     skewed.unpersist()
+
+    // ROUND-19 stretch: the migration-stitch kernel at a LARGE
+    // migrated-series universe. EVERY series in the factor×-widened
+    // corpus "migrates" at the range midpoint, so the since table —
+    // one row per migrated series, the broadcast build side — is the
+    // FULL series universe: the worst case the 100 TB claim rests on
+    // (bounded by migrated-series count, never samples; dropShadowed
+    // FORCES the broadcast, so the shape holds past
+    // autoBroadcastJoinThreshold). The carve is ONE broadcast join
+    // over the sample-sized probe side; the mixed-agg composition
+    // joins two group-count-sized share aggregates.
+    val mid = (Tables.RangeStart + Tables.RangeEnd) / 2
+    val histW = t.df.where(col("time") >= mid)
+      .withColumn("hist", col("value"))
+    val since = time(s"seriesSince ${factor}x universe")(
+      graft.tsdb.Shadowing.seriesSince(histW, 86400000L)
+        .localCheckpoint(true))
+    println(s"[scale] migrated series=${since.count()}")
+    time(s"shadow carve ${factor}x") {
+      graft.tsdb.Shadowing.dropShadowed(t.df,
+        graft.tsdb.Shadowing.skeyOfWide(t.df), col("time"),
+        Some(since)).count()
+    }
+    time(s"mixed-agg shares ${factor}x") {
+      val h = t.df.where(col("time") >= mid)
+        .groupBy(col("`labels.user`"))
+        .agg(count(lit(1)).cast("double").as("hist"))
+      val f = t.df.where(col("time") < mid)
+        .groupBy(col("`labels.user`"))
+        .agg(sum(col("value")).as("value"))
+      graft.tsdb.PromQLHist.exclusiveAggShares(h, f)._1.count()
+    }
     spark.stop()
   }
 }

@@ -2629,6 +2629,29 @@ object TsdbQueries {
           col("hist").getField("count").cast("long").as("n"),
           round(col("value"), 4).as("value"))
     }),
+    // Q192: TYPE-AGNOSTIC limitk over a MIXED vector — Prometheus 3's
+    // limitk keeps k series regardless of sample kind, so it runs on
+    // the stitched UNION itself (histogram rows ride unchanged beside
+    // float rows) ordered by the portable series-identity key — the
+    // HTTP router's spanning-limitk path at the library level.
+    "tsdb_q192_promql_mixed_limitk" -> ((s, dir) => {
+      val hv = graft.tsdb.PromQLHist.eval(
+        graft.tsdb.PromQL.parse("""{name="purchase", user=~"1[23]"}"""),
+        histDaily(s, dir), at = RangeEnd, lookbackMs = HistLookbackMs,
+        start = RangeStart, end = RangeEnd, nLes = NhBounds.size + 1)
+      val fv = graft.tsdb.PromQL.eval(
+        graft.tsdb.PromQL.parse("""{name="click", user=~"1[23]"}"""),
+        eventsAsTsdbStored(s, dir), at = RangeEnd,
+        lookbackMs = HistLookbackMs, start = RangeStart, end = RangeEnd)
+      val u = graft.tsdb.TsdbSchema.alignLabelSpellings(hv, fv)
+        .unionByName(graft.tsdb.TsdbSchema.alignLabelSpellings(fv, hv),
+          allowMissingColumns = true)
+      graft.tsdb.PromQLHist.limitKFrame(u, 4)
+        .select(col("`labels.name`").as("name"),
+          col("`labels.user`").as("user"), col("`labels.k`").as("k"),
+          col("hist").getField("count").cast("long").as("n"),
+          col("value"))
+    }),
     // Q186: split-tier FLOAT-VALUED arithmetic — the round-17 judge's
     // item 2 at the library level: histogram_count over the NATIVE
     // store ÷ a FLOAT-store aggregate, composed by the float tier's
@@ -5625,6 +5648,42 @@ object TsdbQueries {
          |  fsh.sv AS value FROM fsh
          |WHERE fsh.name = 'click'
          |  OR fsh."user" NOT IN (SELECT "user" FROM p)""".stripMargin,
+    // Q192 replay: the type-agnostic limitk over the stitched union —
+    // hist rows (NULL k label → empty key component, sorting first)
+    // beside float click series, ordered by the portable
+    // series-identity string over the union's sorted label columns
+    // (labels.k < labels.name < labels.user), first 4 kept — the cut
+    // lands INSIDE the float share, so the k bound is exercised.
+    "tsdb_q192_promql_mixed_limitk" ->
+      s"""$duckTsdbCte,
+         |f0 AS (SELECT "labels.user" AS "user",
+         |  CAST(floor(time / 86400000.0) AS BIGINT) AS day FROM t
+         |  WHERE "labels.name" = 'purchase'
+         |    AND regexp_matches("labels.user", '^(?:1[23])$$')
+         |    AND time > $RangeStart AND time < $RangeEnd),
+         |ld AS (SELECT "user", max(day) AS day FROM f0
+         |  WHERE day * 86400000 > ${RangeEnd - HistLookbackMs}
+         |    AND day * 86400000 <= $RangeEnd
+         |  GROUP BY 1),
+         |hv AS (SELECT 'purchase' AS name, f0."user",
+         |  CAST(NULL AS VARCHAR) AS k, count(*) AS n,
+         |  CAST(NULL AS DOUBLE) AS value
+         |  FROM f0 JOIN ld ON f0."user" = ld."user" AND f0.day = ld.day
+         |  GROUP BY 1, 2, 3),
+         |fv AS (SELECT 'click' AS name, "user", k,
+         |  CAST(NULL AS BIGINT) AS n, v AS value FROM (
+         |  SELECT "labels.user" AS "user", "labels.k" AS k,
+         |    list_extract(max([CAST(time AS DOUBLE), value]), 2) AS v
+         |  FROM t WHERE "labels.name" = 'click'
+         |    AND regexp_matches("labels.user", '^(?:1[23])$$')
+         |    AND time > ${RangeEnd - HistLookbackMs} AND time <= $RangeEnd
+         |  GROUP BY 1, 2)),
+         |u AS (SELECT * FROM hv UNION ALL SELECT * FROM fv)
+         |SELECT name, "user", k, n, value FROM u
+         |ORDER BY 'labels.k=' || coalesce(k, '') ||
+         |  ',labels.name=' || name ||
+         |  ',labels.user=' || coalesce("user", '')
+         |LIMIT 4""".stripMargin,
     // Q186 replay: latest-day purchase count per user (the hist
     // share's histogram_count) ÷ the user's click SERIES count in the
     // 1d float lookback — the split division re-derived exactly

@@ -518,6 +518,10 @@ final class PromHttpServer(spark: SparkSession, initial: DataFrame,
         if PromQLHist.histEvaluable(arg) => Some("quantile")
     case PromQL.Fn(op @ ("sort" | "sort_desc"), arg, _)
         if PromQLHist.histEvaluable(arg) => Some(op)
+    // count_values consumes float values only — over a pure-native
+    // vector every sample is skipped: empty + info, never a 422
+    case PromQL.CountValues(_, arg, _, _)
+        if PromQLHist.histEvaluable(arg) => Some("count_values")
     case _ => None
   }
 
@@ -601,12 +605,24 @@ final class PromHttpServer(spark: SparkSession, initial: DataFrame,
         bothStores(arg)
       case PromQL.AggWithout("quantile", _, arg, Some(_)) =>
         bothStores(arg)
-      case PromQL.RankK("topk" | "bottomk", _, arg, _, _) =>
+      case PromQL.RankK("topk" | "bottomk" | "limitk", _, arg, _, _) =>
         bothStores(arg)
-      case PromQL.Fn("sort" | "sort_desc", arg, _) => bothStores(arg)
+      case PromQL.LimitRatio(_, arg) => bothStores(arg)
+      case PromQL.Fn("sort" | "sort_desc" | "absent", arg, _) =>
+        bothStores(arg)
+      case PromQL.CountValues(_, arg, _, _) => bothStores(arg)
       case _ => false
     }
   }
+
+  /** A spanning bare-selector union with the two shares' label
+    * SPELLINGS unified (the hist tier emits wide columns here too, so
+    * alignment is usually a no-op — kept for the invariant): the
+    * input of the type-agnostic samplers (limitk/limit_ratio) and the
+    * absent emptiness probe. */
+  private def unionShares(hv: DataFrame, fv: DataFrame): DataFrame =
+    TsdbSchema.alignLabelSpellings(hv, fv).unionByName(
+      TsdbSchema.alignLabelSpellings(fv, hv), allowMissingColumns = true)
 
   /** The mixed-type evaluator behind [[mixedAggShape]]. The FLOAT
     * share of every shape re-enters the float tier's pre-evaluated-
@@ -621,7 +637,8 @@ final class PromHttpServer(spark: SparkSession, initial: DataFrame,
     * double-counted `count` (round-18 judge item, closed). */
   private def spanningShaped(e: PromQL.Expr,
       evalHist: PromQL.Expr => DataFrame,
-      floatSel: PromQL.Selector => DataFrame)
+      floatSel: PromQL.Selector => DataFrame,
+      absentFn: PromQL.Selector => DataFrame)
       : Option[(DataFrame, Seq[String], Seq[String])] = {
     def histHasRows(arg: PromQL.Expr): Boolean = !evalHist(arg).isEmpty
     def floatAgg(sel: PromQL.Selector, op: String,
@@ -681,6 +698,34 @@ final class PromHttpServer(spark: SparkSession, initial: DataFrame,
           (PromQL.instantFn(op, floatSel(sel), params, 0L), Nil,
             if (histHasRows(sel)) skippedInfo(op) else Nil)
         }
+      // the TYPE-AGNOSTIC samplers run over the stitched UNION
+      // itself — Prometheus 3's limitk/limit_ratio keep k series
+      // regardless of sample kind (histogram rows ride unchanged,
+      // the mixed response renders both kinds side by side)
+      case PromQL.RankK("limitk", k, arg, by, w) =>
+        shapedBothStores(arg).map { sel =>
+          (PromQLHist.limitKFrame(
+            unionShares(evalHist(sel), floatSel(sel)), k, by, w),
+            Nil, Nil)
+        }
+      case PromQL.LimitRatio(r, arg) =>
+        shapedBothStores(arg).map { sel =>
+          (PromQLHist.limitRatioFrame(
+            unionShares(evalHist(sel), floatSel(sel)), r), Nil, Nil)
+        }
+      // absent over a both-stores selector: 1 exactly when NEITHER
+      // store has a matching sample — the float tier alone answered
+      // absent = 1 for nameless selectors whose native series exist
+      // (silently wrong, the alerting primitive inverted)
+      case PromQL.Fn("absent", arg, _) =>
+        shapedBothStores(arg).map { sel => (absentFn(sel), Nil, Nil) }
+      // count_values consumes float values only — Prometheus 3 skips
+      // the histogram share with the info annotation
+      case PromQL.CountValues(lbl, arg, by, w) =>
+        shapedBothStores(arg).map { sel =>
+          (PromQL.countValuesFrame(floatSel(sel), lbl, by, w), Nil,
+            if (histHasRows(sel)) skippedInfo("count_values") else Nil)
+        }
       case _ => None
     }
   }
@@ -690,7 +735,21 @@ final class PromHttpServer(spark: SparkSession, initial: DataFrame,
     spanningShaped(e,
       a => PromQLHist.evalStrict(a, histHead.get, at, lookbackMs,
         histNLes),
-      s => floatShareInstant(s, at))
+      s => floatShareInstant(s, at),
+      // absent, instant form: the union's emptiness probed IN-PLAN
+      // (count-agg gate, the float tier's own absent shape) — a
+      // single `{<Eq-matcher labels>} 1` row iff both stores match
+      // nothing at the resolved instant
+      s => {
+        val u = unionShares(
+          PromQLHist.evalStrict(s, histHead.get, at, lookbackMs,
+            histNLes),
+          floatShareInstant(s, at))
+        u.agg(count(lit(1)).as("_n")).where(col("_n") === 0)
+          .select(lit(at).as(TsdbSchema.TimeCol) +:
+            PromQL.absentLabelCols(s) :+
+            lit(1.0d).as(TsdbSchema.ValueCol): _*)
+      })
 
   private def spanningShapedRange(e: PromQL.Expr, start: Long, end: Long,
                                   step: Long)
@@ -698,7 +757,21 @@ final class PromHttpServer(spark: SparkSession, initial: DataFrame,
     spanningShaped(e,
       a => PromQLHist.evalRange(a, histHead.get, start, end, step,
         lookbackMs, histNLes),
-      s => floatShareRange(s, start, end, step))
+      s => floatShareRange(s, start, end, step),
+      // absent, range form: grid anti-join against the union's
+      // present steps (the float tier's per-step absent shape)
+      s => {
+        val u = unionShares(
+          PromQLHist.evalRange(s, histHead.get, start, end, step,
+            lookbackMs, histNLes),
+          floatShareRange(s, start, end, step))
+        val nSteps = (end - start) / step
+        spark.range(nSteps + 1)
+          .select((lit(start) + col("id") * step).as("t"))
+          .join(u.select(col("t")).distinct(), Seq("t"), "left_anti")
+          .select(col("t") +: PromQL.absentLabelCols(s) :+
+            lit(1.0d).as(TsdbSchema.ValueCol): _*)
+      })
 
   /** STATIC mirror of the [[splitEval]] lattice: can `x` evaluate
     * through split-tier decomposition, and — when `needFloat` — to a

@@ -2491,6 +2491,22 @@ object PromQL {
     aggVector(iv, keys, op, param)
   }
 
+  /** `count_values` over a PRE-EVALUATED float vector — the
+    * [[aggFrame]] twin for the value-histogram aggregation: the
+    * mixed-type spanning path's float share re-enters here
+    * (Prometheus 3 skips histogram samples in count_values with an
+    * info annotation, so the float share IS the result). */
+  def countValuesFrame(iv0: DataFrame, lbl: String, by: Seq[String],
+                       without: Seq[String]): DataFrame = {
+    val iv = toValueShape(iv0)
+    require(iv.columns.contains(TsdbSchema.ValueCol),
+      "count_values needs an instant-vector argument")
+    val grid = Seq("bucket", "t").filter(iv.columns.contains(_))
+      .map(n => col(n))
+    iv.groupBy(countValuesKeys(iv, lbl, by, without) ++ grid: _*)
+      .agg(count(lit(1)).cast("double").as(TsdbSchema.ValueCol))
+  }
+
   /** Rank a PRE-EVALUATED float vector (`topk`/`bottomk`/`limitk`) —
     * the [[aggFrame]] twin for the rank family: partitioned window
     * under `by`/grid keys, else the global TakeOrdered k-heap shape. */

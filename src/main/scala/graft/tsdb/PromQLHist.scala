@@ -1477,6 +1477,20 @@ object PromQLHist {
   private def histLimitRatio(hv: DataFrame, r: Double): DataFrame =
     hv.where(PromQL.ratioBandOn(histSeriesKey(hv), r))
 
+  /** [[histLimitK]] / [[histLimitRatio]] exposed for ANY vector
+    * frame: the kernels are payload-agnostic (the series key excludes
+    * the value AND histogram columns), so the spanning-selector MIXED
+    * union — float `value` and native `hist` rows side by side —
+    * samples with the same deterministic label order / hash band as
+    * either tier alone. Prometheus 3's limitk/limit_ratio are
+    * type-agnostic: k series regardless of sample kind. */
+  def limitKFrame(v: DataFrame, k: Int, by: Seq[String] = Nil,
+                  without: Seq[String] = Nil): DataFrame =
+    histLimitK(v, k, by, without)
+
+  def limitRatioFrame(v: DataFrame, r: Double): DataFrame =
+    histLimitRatio(v, r)
+
   /** Window PARTITION BY expression (un-aliased — an alias inside a
     * partition spec is not a grouping key) for a `by` label: wide,
     * bare, or NULL when absent. */

@@ -3279,6 +3279,88 @@ class PromHttpServerSpec extends SparkSpec {
     } finally srv.stop()
   }
 
+  test("type-agnostic samplers and presence over both-stores selectors: " +
+      "limitk/limit_ratio on the union, absent probes both stores, " +
+      "count_values skips histograms with info") {
+    val srv = new PromHttpServer(spark, wide)
+    val p = srv.start()
+    try {
+      pushMigFixture(p)
+      val fb = RemoteWrite.encodeRequest(Seq(RemoteWrite.encodeSeries(
+        Seq("__name__" -> "flt", "user" -> "c"),
+        Seq(1000L -> 10.0, 9000L -> 11.0))))
+      assert(client.send(
+        HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:$p/api/v1/write"))
+          .POST(HttpRequest.BodyPublishers.ofByteArray(fb)).build(),
+        HttpResponse.BodyHandlers.ofByteArray()).statusCode() == 204)
+      def q(expr: String, time: Int): (Int, String) =
+        getAt(p, "/api/v1/query?query=" +
+          java.net.URLEncoder.encode(expr, UTF_8) + s"&time=$time")
+      // limitk over the UNION: label order ranks flt{c} ("flt"<"mig")
+      // then mig{a} — the k=2 cut keeps a HISTOGRAM row beside a
+      // float row and never reaches mig{b} (was a 422)
+      val (c1, b1) = q("""limitk(2, {name=~"mig|flt"})""", 9)
+      assert(c1 == 200, b1)
+      assert(b1.contains(""""__name__":"flt","user":"c"},"value":[9.000,"11.0"]"""),
+        b1)
+      assert(b1.contains(""""user":"a"},"histogram":[9.000,{"count":"8.0""""),
+        b1)
+      assert(!b1.contains(""""user":"b""""), b1)
+      // limit_ratio partitions the union exactly: r and r−1 bands
+      // cover the 3 series with no overlap
+      val (c2a, b2a) = q("""limit_ratio(0.5, {name=~"mig|flt"})""", 9)
+      val (c2b, b2b) = q("""limit_ratio(-0.5, {name=~"mig|flt"})""", 9)
+      assert(c2a == 200 && c2b == 200, b2a + b2b)
+      def series(b: String): Int =
+        b.split(java.util.regex.Pattern.quote("""{"metric":{""")).length - 1
+      assert(series(b2a) + series(b2b) == 3, b2a + "\n" + b2b)
+      // absent probes BOTH stores: a label set only the NATIVE store
+      // matches must answer empty (the float tier alone said 1 — the
+      // alerting primitive inverted); an unmatched set answers 1
+      val (c3, b3) = q("""absent({user="a"})""", 9)
+      assert(c3 == 200, b3)
+      assert(b3.contains(""""result":[]"""), b3)
+      val (c4, b4) = q("""absent({user="zz"})""", 9)
+      assert(c4 == 200, b4)
+      assert(b4.contains(
+        """{"metric":{"user":"zz"},"value":[9.000,"1.0"]}"""), b4)
+      // range form: every step of the grid reports the absence
+      val (c5, b5) = getAt(p, "/api/v1/query_range?query=" +
+        java.net.URLEncoder.encode("""absent({user="zz"})""", UTF_8) +
+        "&start=1&end=9&step=4")
+      assert(c5 == 200, b5)
+      assert(b5.contains(
+        """{"metric":{"user":"zz"},"values":[[1.000,"1.0"],[5.000,"1.0"],[9.000,"1.0"]]}"""),
+        b5)
+      // count_values bins the FLOAT share only, info-annotated
+      val (c6, b6) = q("""count_values("v", {name=~"mig|flt"})""", 9)
+      assert(c6 == 200, b6)
+      assert(b6.contains(""""v":"7""""), b6)
+      assert(b6.contains(""""v":"11""""), b6)
+      assert(b6.contains(
+        "histogram samples ignored in count_values aggregation"), b6)
+      // ...and over a PURE-NATIVE vector every sample is skipped:
+      // empty + info, never a 422 (Prometheus 3's annotation contract)
+      val hb = RemoteWrite2.encodeRequest(Seq(RemoteWrite2.Rw2Series(
+        labels = Seq("__name__" -> "nat", "user" -> "n1"),
+        histograms = Seq(RemoteWrite.SparseHist(
+          time = 5000L, labels = Map.empty, count = 3.0, sum = 6.0,
+          schema = 0, zeroThreshold = 0.0, zeroCount = 0.0,
+          positive = Seq((1, 3.0)), negative = Nil)))))
+      assert(client.send(
+        HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:$p/api/v1/write"))
+          .header("Content-Type",
+            "application/x-protobuf;proto=io.prometheus.write.v2.Request")
+          .POST(HttpRequest.BodyPublishers.ofByteArray(hb)).build(),
+        HttpResponse.BodyHandlers.ofByteArray()).statusCode() == 204)
+      val (c7, b7) = q("""count_values("v", {name="nat"})""", 9)
+      assert(c7 == 200, b7)
+      assert(b7.contains(""""result":[]"""), b7)
+      assert(b7.contains(
+        "histogram samples ignored in count_values aggregation"), b7)
+    } finally srv.stop()
+  }
+
   test("TIME-AXIS property: the union path's instant answer equals the " +
       "sample-axis reference model (≡ remote read) under random " +
       "migration windows, offsets and @ anchors") {
