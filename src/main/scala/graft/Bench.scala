@@ -123,6 +123,9 @@ object Bench {
     // Shadowing kernel every read surface shares) and the split-tier
     // float-division keyed join
     "tsdb_q185_promql_migrated_stitch", "tsdb_q186_promql_split_div",
+    // round 19: the over-time window composition (per-series share
+    // add over both stores — the seriesShare kernel family)
+    "tsdb_q193_promql_mixed_count_over_time",
     // round 19: the OFFSET-resolved stitch (q185's kernel plus the
     // shifted lookup windows and the resolved-axis shadow filter)
     "tsdb_q190_promql_offset_stitch")

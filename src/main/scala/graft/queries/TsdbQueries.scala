@@ -2652,6 +2652,112 @@ object TsdbQueries {
           col("hist").getField("count").cast("long").as("n"),
           col("value"))
     }),
+    // Q193: count_over_time over a MIGRATED series' straddling
+    // windows — sample-type-AGNOSTIC (Prometheus counts float and
+    // histogram samples alike): each share's per-(series, step) count
+    // composes through [[graft.tsdb.PromQLHist.combineSeriesShares]]
+    // (the HTTP router's over-time union path at the library level);
+    // the window covering the migration point ADDS the unshadowed
+    // float day to the native snapshots, the post-migration windows
+    // count natives only (the dual-write float days are shadows).
+    "tsdb_q193_promql_mixed_count_over_time" -> ((s, dir) => {
+      val mig = 1705276800000L // 2024-01-15: purchase series migrate
+      val hh = histDaily(s, dir).where(col("time") >= mig)
+      val since = graft.tsdb.Shadowing.seriesSince(hh, HistLookbackMs)
+      val fw = histFloatDaily(s, dir)
+      val carved = graft.tsdb.Shadowing.dropShadowed(fw,
+        graft.tsdb.Shadowing.skeyOfWide(fw), col("time"), Some(since))
+      val q = """count_over_time({name="purchase", user=~"1.*"}[5d])"""
+      val (gs, ge, st) = (1704715200000L, 1706011200000L, 432000000L)
+      val h = graft.tsdb.PromQLHist.evalRange(graft.tsdb.PromQL.parse(q),
+        hh, start = gs, end = ge, stepMs = st,
+        lookbackMs = HistLookbackMs, nLes = NhBounds.size + 1)
+      val f = graft.tsdb.PromQL.evalRange(graft.tsdb.PromQL.parse(q),
+        carved, start = gs, end = ge, stepMs = st,
+        lookbackMs = HistLookbackMs)
+      graft.tsdb.PromQLHist.combineSeriesShares(h, f, how = "sum")
+        .select(col("`labels.user`").as("user"), col("t"),
+          col("value").cast("long").as("n"))
+    }),
+    // Q194: present_over_time over the same two stores — presence
+    // clamps to ONE row per (series, step): the straddling window
+    // (both shares produce the key) dedups instead of double-reporting.
+    "tsdb_q194_promql_mixed_present_over_time" -> ((s, dir) => {
+      val mig = 1705276800000L
+      val hh = histDaily(s, dir).where(col("time") >= mig)
+      val since = graft.tsdb.Shadowing.seriesSince(hh, HistLookbackMs)
+      val fw = histFloatDaily(s, dir)
+      val carved = graft.tsdb.Shadowing.dropShadowed(fw,
+        graft.tsdb.Shadowing.skeyOfWide(fw), col("time"), Some(since))
+      val q = """present_over_time({name="purchase", user=~"2.*"}[5d])"""
+      val (gs, ge, st) = (1704715200000L, 1706011200000L, 432000000L)
+      val h = graft.tsdb.PromQLHist.evalRange(graft.tsdb.PromQL.parse(q),
+        hh, start = gs, end = ge, stepMs = st,
+        lookbackMs = HistLookbackMs, nLes = NhBounds.size + 1)
+      val f = graft.tsdb.PromQL.evalRange(graft.tsdb.PromQL.parse(q),
+        carved, start = gs, end = ge, stepMs = st,
+        lookbackMs = HistLookbackMs)
+      graft.tsdb.PromQLHist.combineSeriesShares(h, f, how = "max")
+        .select(col("`labels.user`").as("user"), col("t"), col("value"))
+    }),
+    // Q195: sum_over_time over the two stores — type-EXCLUSIVE per
+    // (series, window) ([[graft.tsdb.PromQLHist.exclusiveSeriesShares]]):
+    // pre-migration windows answer the float fold, post-migration the
+    // merged-histogram fold, and the straddling Jan-18.5 window (both
+    // kinds inside) is SKIPPED — Prometheus 3's mixed-samples rule
+    // (the HTTP layer surfaces the warning).
+    "tsdb_q195_promql_mixed_sum_over_time" -> ((s, dir) => {
+      val mig = 1705276800000L
+      val hh = histDaily(s, dir).where(col("time") >= mig)
+      val since = graft.tsdb.Shadowing.seriesSince(hh, HistLookbackMs)
+      val fw = histFloatDaily(s, dir)
+      val carved = graft.tsdb.Shadowing.dropShadowed(fw,
+        graft.tsdb.Shadowing.skeyOfWide(fw), col("time"), Some(since))
+      val q = """sum_over_time({name="purchase", user=~"1.*"}[5d])"""
+      val (gs, ge, st) = (1704715200000L, 1706011200000L, 432000000L)
+      val h = graft.tsdb.PromQLHist.evalRange(graft.tsdb.PromQL.parse(q),
+        hh, start = gs, end = ge, stepMs = st,
+        lookbackMs = HistLookbackMs, nLes = NhBounds.size + 1)
+      val f = graft.tsdb.PromQL.evalRange(graft.tsdb.PromQL.parse(q),
+        carved, start = gs, end = ge, stepMs = st,
+        lookbackMs = HistLookbackMs)
+      graft.tsdb.PromQLHist.exclusiveSeriesShares(h, f)._1
+        .select(col("`labels.user`").as("user"), col("t"),
+          col("hist").getField("count").cast("long").as("n"),
+          col("value"))
+    }),
+    // Q196: last_over_time over the two stores — type-PRESERVING
+    // winner by SAMPLE TIME per (series, window)
+    // ([[graft.tsdb.PromQLHist.pickByTimeShares]]): the straddling
+    // Jan-18.5 window keeps the NATIVE row (its latest snapshot
+    // post-dates the unshadowed float day), pre-migration windows the
+    // float row — never both, never a skip.
+    "tsdb_q196_promql_mixed_last_over_time" -> ((s, dir) => {
+      val mig = 1705276800000L
+      val hh = histDaily(s, dir).where(col("time") >= mig)
+      val since = graft.tsdb.Shadowing.seriesSince(hh, HistLookbackMs)
+      val fw = histFloatDaily(s, dir)
+      val carved = graft.tsdb.Shadowing.dropShadowed(fw,
+        graft.tsdb.Shadowing.skeyOfWide(fw), col("time"), Some(since))
+      def ev(q: String): (DataFrame, DataFrame) = {
+        val (gs, ge, st) = (1704715200000L, 1706011200000L, 432000000L)
+        (graft.tsdb.PromQLHist.evalRange(graft.tsdb.PromQL.parse(q),
+          hh, start = gs, end = ge, stepMs = st,
+          lookbackMs = HistLookbackMs, nLes = NhBounds.size + 1),
+          graft.tsdb.PromQL.evalRange(graft.tsdb.PromQL.parse(q),
+            carved, start = gs, end = ge, stepMs = st,
+            lookbackMs = HistLookbackMs))
+      }
+      val (hp, fp) = ev(
+        """last_over_time({name="purchase", user=~"1.*"}[5d])""")
+      val (ht, ft) = ev(
+        """ts_of_last_over_time({name="purchase", user=~"1.*"}[5d])""")
+      graft.tsdb.PromQLHist.pickByTimeShares(hp, ht, fp, ft,
+        latest = true)
+        .select(col("`labels.user`").as("user"), col("t"),
+          col("hist").getField("count").cast("long").as("n"),
+          col("value"))
+    }),
     // Q186: split-tier FLOAT-VALUED arithmetic — the round-17 judge's
     // item 2 at the library level: histogram_count over the NATIVE
     // store ÷ a FLOAT-store aggregate, composed by the float tier's
@@ -5684,6 +5790,149 @@ object TsdbQueries {
          |  ',labels.name=' || name ||
          |  ',labels.user=' || coalesce("user", '')
          |LIMIT 4""".stripMargin,
+    // Q193 replay: per (user, grid step) sample counts in the 5d
+    // window (t − 5d, t] — native snapshot days (≥ the Jan-15
+    // migration day) plus UNSHADOWED float days (before the user's
+    // first native day, or past its ownership window's staleness
+    // close), shares added full-outer. The Jan-18.5 step's window
+    // straddles the migration: one float day + four native days.
+    "tsdb_q193_promql_mixed_count_over_time" ->
+      s"""$duckTsdbCte,
+         |f0 AS (SELECT DISTINCT "labels.user" AS "user",
+         |  CAST(floor(time / 86400000.0) AS BIGINT) AS day FROM t
+         |  WHERE "labels.name" = 'purchase'
+         |    AND regexp_matches("labels.user", '^(?:1.*)$$')
+         |    AND time > $RangeStart AND time < $RangeEnd),
+         |since AS (SELECT "user", min(day) * 86400000 AS ms,
+         |  max(day) * 86400000 + $HistLookbackMs AS until FROM f0
+         |  WHERE day >= 19737 GROUP BY 1),
+         |grid AS (SELECT CAST(1704715200000 + unnest(range(0, 4))
+         |    * 432000000 AS BIGINT) AS gt),
+         |hc AS (SELECT gt, "user", count(*) AS n
+         |  FROM grid CROSS JOIN f0
+         |  WHERE day >= 19737 AND day * 86400000 > gt - 432000000
+         |    AND day * 86400000 <= gt GROUP BY 1, 2),
+         |fc AS (SELECT gt, f0."user", count(*) AS n
+         |  FROM grid CROSS JOIN f0
+         |  LEFT JOIN since ON f0."user" = since."user"
+         |  WHERE day * 86400000 > gt - 432000000
+         |    AND day * 86400000 <= gt
+         |    AND (since.ms IS NULL OR day * 86400000 < since.ms
+         |      OR day * 86400000 >= since.until)
+         |  GROUP BY 1, 2)
+         |SELECT coalesce(hc."user", fc."user") AS "user",
+         |  coalesce(hc.gt, fc.gt) AS t,
+         |  CAST(coalesce(hc.n, 0) + coalesce(fc.n, 0) AS BIGINT) AS n
+         |FROM hc FULL OUTER JOIN fc
+         |  ON hc."user" = fc."user" AND hc.gt = fc.gt""".stripMargin,
+    // Q194 replay: presence = the DISTINCT (user, step) keys either
+    // share produced — the straddling window reports once.
+    "tsdb_q194_promql_mixed_present_over_time" ->
+      s"""$duckTsdbCte,
+         |f0 AS (SELECT DISTINCT "labels.user" AS "user",
+         |  CAST(floor(time / 86400000.0) AS BIGINT) AS day FROM t
+         |  WHERE "labels.name" = 'purchase'
+         |    AND regexp_matches("labels.user", '^(?:2.*)$$')
+         |    AND time > $RangeStart AND time < $RangeEnd),
+         |since AS (SELECT "user", min(day) * 86400000 AS ms,
+         |  max(day) * 86400000 + $HistLookbackMs AS until FROM f0
+         |  WHERE day >= 19737 GROUP BY 1),
+         |grid AS (SELECT CAST(1704715200000 + unnest(range(0, 4))
+         |    * 432000000 AS BIGINT) AS gt),
+         |u AS (SELECT gt, "user" FROM grid CROSS JOIN f0
+         |  WHERE day >= 19737 AND day * 86400000 > gt - 432000000
+         |    AND day * 86400000 <= gt
+         |  UNION
+         |  SELECT gt, f0."user" FROM grid CROSS JOIN f0
+         |  LEFT JOIN since ON f0."user" = since."user"
+         |  WHERE day * 86400000 > gt - 432000000
+         |    AND day * 86400000 <= gt
+         |    AND (since.ms IS NULL OR day * 86400000 < since.ms
+         |      OR day * 86400000 >= since.until))
+         |SELECT "user", gt AS t, 1.0 AS value FROM u""".stripMargin,
+    // Q195 replay: per-(user, step) event-count sums — hist windows
+    // merge daily histogram counts, float windows add unshadowed daily
+    // counts, keys BOTH shares produced (the straddle) drop.
+    "tsdb_q195_promql_mixed_sum_over_time" ->
+      s"""$duckTsdbCte,
+         |f0 AS (SELECT "labels.user" AS "user",
+         |  CAST(floor(time / 86400000.0) AS BIGINT) AS day,
+         |  count(*) AS cnt FROM t
+         |  WHERE "labels.name" = 'purchase'
+         |    AND regexp_matches("labels.user", '^(?:1.*)$$')
+         |    AND time > $RangeStart AND time < $RangeEnd
+         |  GROUP BY 1, 2),
+         |since AS (SELECT "user", min(day) * 86400000 AS ms,
+         |  max(day) * 86400000 + $HistLookbackMs AS until FROM f0
+         |  WHERE day >= 19737 GROUP BY 1),
+         |grid AS (SELECT CAST(1704715200000 + unnest(range(0, 4))
+         |    * 432000000 AS BIGINT) AS gt),
+         |hs AS (SELECT gt, "user", sum(cnt) AS n
+         |  FROM grid CROSS JOIN f0
+         |  WHERE day >= 19737 AND day * 86400000 > gt - 432000000
+         |    AND day * 86400000 <= gt GROUP BY 1, 2),
+         |fs AS (SELECT gt, f0."user", sum(cnt) AS sv
+         |  FROM grid CROSS JOIN f0
+         |  LEFT JOIN since ON f0."user" = since."user"
+         |  WHERE day * 86400000 > gt - 432000000
+         |    AND day * 86400000 <= gt
+         |    AND (since.ms IS NULL OR day * 86400000 < since.ms
+         |      OR day * 86400000 >= since.until)
+         |  GROUP BY 1, 2)
+         |SELECT hs."user", hs.gt AS t, CAST(hs.n AS BIGINT) AS n,
+         |  CAST(NULL AS DOUBLE) AS value FROM hs
+         |WHERE NOT EXISTS (SELECT 1 FROM fs
+         |  WHERE fs."user" = hs."user" AND fs.gt = hs.gt)
+         |UNION ALL
+         |SELECT fs."user", fs.gt AS t, CAST(NULL AS BIGINT) AS n,
+         |  CAST(fs.sv AS DOUBLE) AS value FROM fs
+         |WHERE NOT EXISTS (SELECT 1 FROM hs
+         |  WHERE hs."user" = fs."user" AND hs.gt = fs.gt)""".stripMargin,
+    // Q196 replay: per (user, step) the LATEST serving day in the 5d
+    // window decides the winner — native days post-date unshadowed
+    // float days by construction (a float day inside the ownership
+    // window is a shadow), so no ties; the winner's payload is that
+    // day's event count (hist → n, float → value).
+    "tsdb_q196_promql_mixed_last_over_time" ->
+      s"""$duckTsdbCte,
+         |f0 AS (SELECT "labels.user" AS "user",
+         |  CAST(floor(time / 86400000.0) AS BIGINT) AS day,
+         |  count(*) AS cnt FROM t
+         |  WHERE "labels.name" = 'purchase'
+         |    AND regexp_matches("labels.user", '^(?:1.*)$$')
+         |    AND time > $RangeStart AND time < $RangeEnd
+         |  GROUP BY 1, 2),
+         |since AS (SELECT "user", min(day) * 86400000 AS ms,
+         |  max(day) * 86400000 + $HistLookbackMs AS until FROM f0
+         |  WHERE day >= 19737 GROUP BY 1),
+         |grid AS (SELECT CAST(1704715200000 + unnest(range(0, 4))
+         |    * 432000000 AS BIGINT) AS gt),
+         |hl AS (SELECT gt, "user", max(day) AS day
+         |  FROM grid CROSS JOIN f0
+         |  WHERE day >= 19737 AND day * 86400000 > gt - 432000000
+         |    AND day * 86400000 <= gt GROUP BY 1, 2),
+         |fl AS (SELECT gt, f0."user", max(day) AS day
+         |  FROM grid CROSS JOIN f0
+         |  LEFT JOIN since ON f0."user" = since."user"
+         |  WHERE day * 86400000 > gt - 432000000
+         |    AND day * 86400000 <= gt
+         |    AND (since.ms IS NULL OR day * 86400000 < since.ms
+         |      OR day * 86400000 >= since.until)
+         |  GROUP BY 1, 2),
+         |w AS (SELECT coalesce(hl."user", fl."user") AS "user",
+         |  coalesce(hl.gt, fl.gt) AS gt, hl.day AS hday, fl.day AS fday
+         |  FROM hl FULL OUTER JOIN fl
+         |    ON hl."user" = fl."user" AND hl.gt = fl.gt)
+         |SELECT w."user", w.gt AS t,
+         |  CAST(CASE WHEN w.hday IS NOT NULL
+         |    AND (w.fday IS NULL OR w.hday > w.fday)
+         |    THEN hc.cnt END AS BIGINT) AS n,
+         |  CAST(CASE WHEN w.fday IS NOT NULL
+         |    AND (w.hday IS NULL OR w.fday > w.hday)
+         |    THEN fc.cnt END AS DOUBLE) AS value
+         |FROM w
+         |LEFT JOIN f0 hc ON hc."user" = w."user" AND hc.day = w.hday
+         |LEFT JOIN f0 fc ON fc."user" = w."user" AND fc.day = w.fday""".stripMargin,
     // Q186 replay: latest-day purchase count per user (the hist
     // share's histogram_count) ÷ the user's click SERIES count in the
     // 1d float lookback — the split division re-derived exactly

@@ -528,6 +528,32 @@ final class PromHttpServer(spark: SparkSession, initial: DataFrame,
   private def skippedInfo(op: String): Seq[String] =
     Seq(s"histogram samples ignored in $op aggregation")
 
+  /** Over-time/range functions Prometheus evaluates on FLOAT samples
+    * only, SKIPPING histogram samples with an info annotation — the
+    * float share answers, the hist share's presence only drives the
+    * annotation. */
+  private val FloatOnlyOverTime = Set("min_over_time", "max_over_time",
+    "stddev_over_time", "stdvar_over_time", "mad_over_time",
+    "quantile_over_time", "ts_of_max_over_time", "ts_of_min_over_time",
+    "deriv", "predict_linear", "holt_winters",
+    "double_exponential_smoothing", "xrate", "xincrease", "xdelta")
+
+  /** Range functions Prometheus WOULD evaluate over native histograms
+    * but this engine's hist tier does not support yet: the float share
+    * answers and the excluded native share surfaces as a WARNING —
+    * loud-partial, never silent-partial (pinned). */
+  private val FloatWarnOverTime = Set("changes", "resets", "irate",
+    "idelta")
+
+  private def excludedNativeWarning(op: String): Seq[String] =
+    Seq(s"native-histogram samples excluded from $op: the native " +
+      "store's share of the selector is not supported for this " +
+      "function yet")
+
+  private def mixedRangeWarning: Seq[String] =
+    Seq("encountered a mix of float and histogram samples in range " +
+      "evaluation; the mixed series were skipped")
+
   /** Prometheus 3's sum/avg mixed-type rule per aggregation group
     * ([[PromQLHist.exclusiveAggShares]]), warning attached when any
     * group was removed. */
@@ -569,12 +595,24 @@ final class PromHttpServer(spark: SparkSession, initial: DataFrame,
   private def shapedBothStores(arg: PromQL.Expr): Option[PromQL.Selector] =
     arg match {
       case s @ PromQL.Selector(ms, None, _, _)
-          if selectorSpansStores(ms) || {
-            val nameMs =
-              ms.filter(m => m.name == "__name__" || m.name == "name")
-            nameMs.isEmpty && namelessMayMatchHist(ms)
-          } => Some(s)
+          if bothStoresSelectorMs(ms) => Some(s)
       case _ => None
+    }
+
+  /** RANGE-selector twin of [[shapedBothStores]] — the argument shape
+    * of the over-time window family (`count_over_time({job="x"}[1h])`). */
+  private def shapedBothStoresRange(arg: PromQL.Expr)
+      : Option[PromQL.Selector] = arg match {
+    case s @ PromQL.Selector(ms, Some(_), _, _)
+        if bothStoresSelectorMs(ms) => Some(s)
+    case _ => None
+  }
+
+  private def bothStoresSelectorMs(ms: Seq[graft.model.Matcher]): Boolean =
+    selectorSpansStores(ms) || {
+      val nameMs =
+        ms.filter(m => m.name == "__name__" || m.name == "name")
+      nameMs.isEmpty && namelessMayMatchHist(ms)
     }
 
   /** SHAPED expressions over ONE selector SPANNING both stores —
@@ -611,6 +649,27 @@ final class PromHttpServer(spark: SparkSession, initial: DataFrame,
       case PromQL.Fn("sort" | "sort_desc" | "absent", arg, _) =>
         bothStores(arg)
       case PromQL.CountValues(_, arg, _, _) => bothStores(arg)
+      // the over-time WINDOW family — the same silent class one axis
+      // over (the range window instead of the instant lookback):
+      // `absent_over_time({user="x"}[5m])` evaluated on the float
+      // tier alone answered 1 while native samples filled the window
+      case PromQL.Fn("count_over_time" | "present_over_time" |
+          "absent_over_time", arg, _) =>
+        shapedBothStoresRange(arg).nonEmpty
+      // type-EXCLUSIVE range shapes: each tier evaluates its own
+      // share, a (series, window) with both kinds drops + warning
+      case PromQL.Fn("sum_over_time" | "avg_over_time" | "rate" |
+          "increase" | "delta", arg, _) =>
+        shapedBothStoresRange(arg).nonEmpty
+      // type-PRESERVING raw-sample picks: winner by sample time
+      case PromQL.Fn("last_over_time" | "first_over_time" |
+          "ts_of_last_over_time" | "ts_of_first_over_time", arg, _) =>
+        shapedBothStoresRange(arg).nonEmpty
+      // float-only range shapes: histogram samples skipped + info
+      // (Prometheus's rule) or excluded + warning (engine pin)
+      case PromQL.Fn(op, arg, _)
+          if FloatOnlyOverTime(op) || FloatWarnOverTime(op) =>
+        shapedBothStoresRange(arg).nonEmpty
       case _ => false
     }
   }
@@ -638,7 +697,9 @@ final class PromHttpServer(spark: SparkSession, initial: DataFrame,
   private def spanningShaped(e: PromQL.Expr,
       evalHist: PromQL.Expr => DataFrame,
       floatSel: PromQL.Selector => DataFrame,
-      absentFn: PromQL.Selector => DataFrame)
+      absentFn: PromQL.Selector => DataFrame,
+      floatEval: PromQL.Expr => DataFrame,
+      absentBoth: (DataFrame, DataFrame) => DataFrame)
       : Option[(DataFrame, Seq[String], Seq[String])] = {
     def histHasRows(arg: PromQL.Expr): Boolean = !evalHist(arg).isEmpty
     def floatAgg(sel: PromQL.Selector, op: String,
@@ -726,6 +787,97 @@ final class PromHttpServer(spark: SparkSession, initial: DataFrame,
           (PromQL.countValuesFrame(floatSel(sel), lbl, by, w), Nil,
             if (histHasRows(sel)) skippedInfo("count_values") else Nil)
         }
+      // the sample-type-AGNOSTIC window family over a both-stores
+      // RANGE selector. The float share reads the sample-axis carved
+      // view WITHOUT the per-step reference-time filter: the window
+      // itself is the time question, so a migrated series' window
+      // counts its unshadowed pre-migration floats AND its native
+      // snapshots — exactly the merged store's samples, never a dual
+      // write twice (the dual write is carved at the sample axis).
+      //   - count_over_time: counts ADD per (series, window) —
+      //     Prometheus counts float and histogram samples alike;
+      //   - present_over_time: presence clamps to one row (a series
+      //     straddling its migration inside one window is present
+      //     ONCE, not twice);
+      //   - absent_over_time: absence means absence from BOTH stores
+      //     (the float tier alone answered 1 while native samples
+      //     filled the window — `absent`'s inverted-alerting bug, one
+      //     axis over).
+      case fn @ PromQL.Fn("count_over_time", arg, _) =>
+        shapedBothStoresRange(arg).map { _ =>
+          (PromQLHist.combineSeriesShares(evalHist(fn), floatEval(fn),
+            how = "sum"), Nil, Nil)
+        }
+      case fn @ PromQL.Fn("present_over_time", arg, _) =>
+        shapedBothStoresRange(arg).map { _ =>
+          (PromQLHist.combineSeriesShares(evalHist(fn), floatEval(fn),
+            how = "max"), Nil, Nil)
+        }
+      case fn @ PromQL.Fn("absent_over_time", arg, _) =>
+        shapedBothStoresRange(arg).map { _ =>
+          (absentBoth(evalHist(fn), floatEval(fn)), Nil, Nil)
+        }
+      // type-EXCLUSIVE range shapes (sum/avg_over_time fold whole
+      // histograms, rate/increase apply bucket-level reset detection,
+      // delta the gauge-histogram form): each tier evaluates ITS OWN
+      // share — a (series, window) with BOTH kinds is Prometheus 3's
+      // mixed-samples skip + warning, exactly a key both shares
+      // produced ([[PromQLHist.exclusiveSeriesShares]]); surviving
+      // rows keep their own payload (histogram or float), so the
+      // mixed response renders both kinds side by side
+      case fn @ PromQL.Fn("sum_over_time" | "avg_over_time" | "rate" |
+          "increase" | "delta", arg, _) =>
+        shapedBothStoresRange(arg).map { _ =>
+          val (out, mixed) = PromQLHist.exclusiveSeriesShares(
+            evalHist(fn), floatEval(fn))
+          (out, if (mixed) mixedRangeWarning else Nil, Nil)
+        }
+      // type-PRESERVING raw-sample picks over a both-stores selector:
+      // the winner per (series, window) is the share whose own sample
+      // is later (earlier) — a post-migration native snapshot outranks
+      // the float history, a post-rollback float sample outranks the
+      // stale native band; both tiers' last/first folds KEEP the
+      // metric name, so the composition keys on it (no cross-metric
+      // collisions, no duplicate-labelset class here)
+      case fn @ PromQL.Fn(op @ ("last_over_time" | "first_over_time"),
+          arg, _) =>
+        shapedBothStoresRange(arg).map { _ =>
+          val ts = PromQL.Fn(
+            if (op == "last_over_time") "ts_of_last_over_time"
+            else "ts_of_first_over_time", arg, Nil)
+          (PromQLHist.pickByTimeShares(evalHist(fn), evalHist(ts),
+            floatEval(fn), floatEval(ts),
+            latest = op == "last_over_time"), Nil, Nil)
+        }
+      // the ts_of extractors are sample-type-AGNOSTIC (the timestamp
+      // of the latest/earliest sample, regardless of kind): shares
+      // combine by max/min; the name stays a key (both tiers keep it
+      // on these folds — the engine's pinned ordinary-label model)
+      case fn @ PromQL.Fn(op @ ("ts_of_last_over_time" |
+          "ts_of_first_over_time"), arg, _) =>
+        shapedBothStoresRange(arg).map { _ =>
+          (PromQLHist.combineSeriesShares(evalHist(fn), floatEval(fn),
+            how = if (op == "ts_of_last_over_time") "max" else "min",
+            keepName = true), Nil, Nil)
+        }
+      // float-only range shapes over a both-stores selector: the
+      // float share answers; histogram samples in the window surface
+      // as the info annotation (Prometheus skips them) or the
+      // excluded-native WARNING (shapes Prometheus evaluates over
+      // histograms but the hist tier does not support yet — pinned
+      // loud-partial, never silent)
+      case fn @ PromQL.Fn(op, arg, _)
+          if FloatOnlyOverTime(op) || FloatWarnOverTime(op) =>
+        shapedBothStoresRange(arg).map { sel =>
+          val histHas = !evalHist(
+            PromQL.Fn("count_over_time", sel, Nil)).isEmpty
+          if (FloatWarnOverTime(op))
+            (floatEval(fn),
+              if (histHas) excludedNativeWarning(op) else Nil, Nil)
+          else
+            (floatEval(fn), Nil,
+              if (histHas) skippedInfo(op) else Nil)
+        }
       case _ => None
     }
   }
@@ -749,7 +901,13 @@ final class PromHttpServer(spark: SparkSession, initial: DataFrame,
           .select(lit(at).as(TsdbSchema.TimeCol) +:
             PromQL.absentLabelCols(s) :+
             lit(1.0d).as(TsdbSchema.ValueCol): _*)
-      })
+      },
+      x => PromQL.toValueShape(PromQL.evalStrict(x, floatShareView, at,
+        lookbackMs, start = at, end = at)),
+      // absent_over_time, instant form: each tier's own absent frame
+      // is its store's emptiness probe (≤ 1 row) — the window is
+      // absent overall iff BOTH probes fired
+      (hA, fA) => if (hA.isEmpty) fA.limit(0) else fA)
 
   private def spanningShapedRange(e: PromQL.Expr, start: Long, end: Long,
                                   step: Long)
@@ -771,7 +929,14 @@ final class PromHttpServer(spark: SparkSession, initial: DataFrame,
           .join(u.select(col("t")).distinct(), Seq("t"), "left_anti")
           .select(col("t") +: PromQL.absentLabelCols(s) :+
             lit(1.0d).as(TsdbSchema.ValueCol): _*)
-      })
+      },
+      x => PromQL.toValueShape(PromQL.evalRange(x, floatShareView,
+        start, end, step, lookbackMs)),
+      // absent_over_time, range form: each tier's per-step absent
+      // frame lists ITS store's empty steps — keep the steps BOTH
+      // tiers report (grid-sized semi join)
+      (hA, fA) => fA.join(hA.select(col("t")).distinct(), Seq("t"),
+        "left_semi"))
 
   /** STATIC mirror of the [[splitEval]] lattice: can `x` evaluate
     * through split-tier decomposition, and — when `needFloat` — to a

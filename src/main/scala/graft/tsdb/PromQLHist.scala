@@ -117,7 +117,8 @@ object PromQLHist {
     // merges, avg_over_time merges and scales, last_over_time picks,
     // delta is the GAUGE-histogram form — last − first, no reset fold)
     case Fn("sum_over_time" | "avg_over_time" | "last_over_time" |
-            "delta", Selector(_, Some(_), _, _), _) => true
+            "first_over_time" | "delta",
+            Selector(_, Some(_), _, _), _) => true
     case AggBy("sum" | "avg", _, arg, None) => histEvaluable(arg)
     case AggWithout("sum" | "avg", _, arg, None) => histEvaluable(arg)
     // hist ± hist under one-to-one matching — default, `on(keys)` or
@@ -170,6 +171,11 @@ object PromQLHist {
     // count_over_time over histogram series counts SNAPSHOTS — a float
     // vector (Prometheus's semantics over native-histogram series)
     case Fn("count_over_time", Selector(_, Some(_), _, _), _) => true
+    // the sample-TIMESTAMP extractors are float-valued over histogram
+    // series too (Prometheus: the timestamp of the latest/earliest
+    // sample, regardless of kind)
+    case Fn("ts_of_last_over_time" | "ts_of_first_over_time",
+            Selector(_, Some(_), _, _), _) => true
     // the alerting primitives: absent/absent_over_time synthesize a
     // `{…} 1` row exactly when the hist head matched nothing;
     // present_over_time is per-series window presence. Routing these
@@ -618,7 +624,9 @@ object PromQLHist {
       // constant — one single-point-grid evaluation (evalH's anchored
       // case) exploded to every step, like the anchored bare selector
       case f @ Fn("rate" | "increase" | "sum_over_time" |
-                  "avg_over_time" | "last_over_time" | "delta",
+                  "avg_over_time" | "last_over_time" | "first_over_time" |
+                  "delta" | "ts_of_last_over_time" |
+                  "ts_of_first_over_time",
                   Selector(_, Some(_), _, Some(_)), _) =>
         pinToGrid(evalH(f, hists, end, lookbackMs, start, end, nLes),
           start, end, stepMs)
@@ -644,7 +652,8 @@ object PromQLHist {
       // scales by the window's snapshot count (avg), or picks the
       // latest snapshot (last)
       case Fn(name @ ("sum_over_time" | "avg_over_time" |
-                      "last_over_time" | "delta"),
+                      "last_over_time" | "first_over_time" | "delta" |
+                      "ts_of_last_over_time" | "ts_of_first_over_time"),
               Selector(ms, Some(rangeMs), off, None), _) =>
         val known = TsdbSchema.labelColumns(hists)
           .map(_.stripPrefix(TsdbSchema.LabelPrefix)).toSet
@@ -653,7 +662,7 @@ object PromQLHist {
           col(HistCol).isNotNull) // range selections skip stale markers
         val folded = histSlidingOverTime(sel, rangeMs, stepMs, start, end,
           off, nLes, name)
-        if (name == "last_over_time") folded else dropMetric(folded)
+        if (KeepNameFolds(name)) folded else dropMetric(folded)
       // hist ± hist / hist × scalar / hist ÷ scalar, range mode — each
       // operand evaluates on the shared grid, so `t` joins the match
       // keys (histArith) or simply rides along (scaling)
@@ -818,7 +827,9 @@ object PromQLHist {
     // asAnchoredVector decomposition; a tumbling evaluation would
     // split the pinned window on epoch-aligned bucket edges)
     case Fn(name @ ("rate" | "increase" | "sum_over_time" |
-                    "avg_over_time" | "last_over_time" | "delta"),
+                    "avg_over_time" | "last_over_time" |
+                    "first_over_time" | "delta" | "ts_of_last_over_time" |
+                    "ts_of_first_over_time"),
             Selector(ms, Some(rangeMs), off, atm @ Some(_)), params) =>
       val t0 = resolveAt(atm, at, start, end)
       evalHR(Fn(name, Selector(ms, Some(rangeMs), off, None), params),
@@ -853,7 +864,8 @@ object PromQLHist {
     // the latest snapshot. last_over_time KEEPS the metric name
     // (Prometheus: it returns raw samples); the folds drop it.
     case Fn(name @ ("sum_over_time" | "avg_over_time" | "last_over_time" |
-                    "delta"),
+                    "first_over_time" | "delta" | "ts_of_last_over_time" |
+                    "ts_of_first_over_time"),
             Selector(ms, Some(rangeMs), off, None), _) =>
       val known = TsdbSchema.labelColumns(hists)
         .map(_.stripPrefix(TsdbSchema.LabelPrefix)).toSet
@@ -861,7 +873,7 @@ object PromQLHist {
         col(TimeCol) > start - off && col(TimeCol) < end - off &&
         col(HistCol).isNotNull) // range selections skip stale markers
       val folded = histOverTime(sel, rangeMs, nLes, name)
-      if (name == "last_over_time") folded else dropMetric(folded)
+      if (KeepNameFolds(name)) folded else dropMetric(folded)
     // hist ± hist: one-to-one vector matching — `on(keys)` when given,
     // else the full label sets minus the metric name and any
     // `ignoring(keys)` (Prometheus matching), element-wise bucket
@@ -1055,6 +1067,16 @@ object PromQLHist {
     fn match {
       case "last_over_time" =>
         df.groupBy(keys: _*).agg(max_by(h, col(TimeCol)).as(HistCol))
+      case "first_over_time" =>
+        df.groupBy(keys: _*).agg(min_by(h, col(TimeCol)).as(HistCol))
+      // sample-TIMESTAMP extractors: float-valued (epoch seconds, the
+      // float tier's unit) over histogram series
+      case "ts_of_last_over_time" =>
+        df.groupBy(keys: _*)
+          .agg((max(col(TimeCol)) / 1000.0).as(TsdbSchema.ValueCol))
+      case "ts_of_first_over_time" =>
+        df.groupBy(keys: _*)
+          .agg((min(col(TimeCol)) / 1000.0).as(TsdbSchema.ValueCol))
       case "delta" =>
         // GAUGE-histogram delta: element-wise last − first inside the
         // window — no reset fold, no monotone clamp (Prometheus's
@@ -1267,6 +1289,168 @@ object PromQLHist {
       .groupBy(keys.map(k => col(s"`$k`")): _*)
       .agg(sum(col(TsdbSchema.ValueCol)).as(TsdbSchema.ValueCol))
       .where(col(TsdbSchema.ValueCol).isNotNull)
+  }
+
+  /** Key/frame normalization for the PER-SERIES share composers over
+    * RANGE-function outputs (`count_over_time({job="x"}[1h])` read
+    * from both stores): label spellings align, the key set is the
+    * UNION of both sides' label columns (the aggregation composers'
+    * INTERSECT keys are per-GROUP — here they would merge DISTINCT
+    * series whose extra labels only one store carries), a label
+    * missing on one side pads NULL (null-safe matching keeps such
+    * rows distinct), and a grid column (`t`/`bucket`) is a key only
+    * when BOTH sides carry it — the instant endpoint's constant axis
+    * drops. Shares are series×steps-sized range-function outputs,
+    * never sample-sized. */
+  private def seriesShareFrames(h0: DataFrame, f0: DataFrame,
+                                keepName: Boolean = false)
+      : (DataFrame, DataFrame, Seq[String]) = {
+    // the METRIC-NAME label strips from both shares first: the hist
+    // tier's folds drop it (Prometheus's over-time contract) while
+    // the float tier keeps it as an ordinary label (the engine's
+    // pinned data model) — unaligned, a migrated series' two shares
+    // could never meet on one key. Post-strip, a key BOTH shares
+    // produced reads as ONE series straddling its migration point
+    // (pinned: a native metric and a DIFFERENT float metric sharing
+    // a full non-name label set are indistinguishable post-drop and
+    // compose as one series); ≥ 2 rows on one key WITHIN a share is
+    // Prometheus's duplicate-labelset error — raised in-plan by
+    // [[dupLabelsetGuard]], never a silent merge. `keepName` = the
+    // last/first_over_time composition, whose folds KEEP the name on
+    // both tiers — the name is a key there and metrics never collide.
+    def stripName(df: DataFrame): DataFrame =
+      NameLabels.foldLeft(df)((d, n) => d.drop(labelColName(n)).drop(n))
+    val hN = if (keepName) h0 else stripName(h0)
+    val fN = if (keepName) f0 else stripName(f0)
+    val h1 = TsdbSchema.alignLabelSpellings(hN, fN).drop(TimeCol)
+    val f1 = TsdbSchema.alignLabelSpellings(fN, hN).drop(TimeCol)
+    def stripLonelyGrid(df: DataFrame, other: DataFrame): DataFrame =
+      Seq("t", "bucket").foldLeft(df)((d, g) =>
+        if (d.columns.contains(g) && !other.columns.contains(g)) d.drop(g)
+        else d)
+    val h2 = stripLonelyGrid(h1, f1)
+    val f2 = stripLonelyGrid(f1, h1)
+    val keys = (h2.columns ++ f2.columns).distinct.toSeq
+      .filterNot(Set(HistCol, TsdbSchema.ValueCol).contains)
+    def pad(df: DataFrame, other: DataFrame): DataFrame =
+      keys.foldLeft(df)((d, k) =>
+        if (d.columns.contains(k)) d
+        else d.withColumn(k, lit(null).cast(other.schema(k).dataType)))
+    (dupLabelsetGuard(pad(h2, f2), keys),
+      dupLabelsetGuard(pad(f2, h2), keys), keys)
+  }
+
+  /** Prometheus's "vector cannot contain metrics with the same
+    * labelset" for the composed over-time paths: after the name drop,
+    * two input series of one share landing on one (labels, step) key
+    * are different metrics colliding — Prometheus errors, and so does
+    * the engine, IN-PLAN (a window count poisons the payload with
+    * `raise_error`, so the collect raises and the HTTP layer maps it
+    * to the 422 execution class; a silent merge would mis-add two
+    * unrelated metrics). The window partitions by the same keys the
+    * downstream composition groups/joins on, over series×steps-sized
+    * frames — never samples. */
+  private def dupLabelsetGuard(df: DataFrame, keys: Seq[String])
+      : DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keys.map(k => col(s"`$k`")): _*)
+    val n = count(lit(1)).over(w)
+    val poison = raise_error(lit("vector cannot contain metrics with " +
+      "the same labelset: an over-time function dropped the metric " +
+      "name and two series collided on one label set"))
+    Seq(HistCol, TsdbSchema.ValueCol).filter(df.columns.contains(_))
+      .foldLeft(df)((d, c) =>
+        d.withColumn(c, when(n > 1, poison).otherwise(col(s"`$c`"))))
+  }
+
+  /** `count_over_time`/`present_over_time` (and the `ts_of_*` family)
+    * over a both-stores selector: sample-type-AGNOSTIC per
+    * (series, window) — Prometheus counts float and histogram samples
+    * alike, so a series straddling its migration point inside one
+    * window ADDS its unshadowed float samples to its native ones
+    * (`"sum"`); presence clamps to one row (`"max"`), the earliest
+    * timestamp keeps the minimum (`"min"`). */
+  def combineSeriesShares(h0: DataFrame, f0: DataFrame, how: String,
+                          keepName: Boolean = false): DataFrame = {
+    val (h, f, keys) = seriesShareFrames(h0, f0, keepName)
+    def norm(df: DataFrame): DataFrame =
+      df.select(keys.map(k => col(s"`$k`")) :+
+        col(TsdbSchema.ValueCol).cast("double")
+          .as(TsdbSchema.ValueCol): _*)
+    val agg = how match {
+      case "sum" => sum(col(TsdbSchema.ValueCol))
+      case "min" => min(col(TsdbSchema.ValueCol))
+      case _ => max(col(TsdbSchema.ValueCol))
+    }
+    norm(h).unionByName(norm(f))
+      .groupBy(keys.map(k => col(s"`$k`")): _*)
+      .agg(agg.as(TsdbSchema.ValueCol))
+  }
+
+  /** `sum_over_time`/`avg_over_time`/`rate`/`increase`/`delta` over a
+    * both-stores selector: per (series, window) EXCLUSIVE —
+    * Prometheus 3 skips a series whose range window mixes float and
+    * histogram samples with the mixed-samples warning, and in the
+    * two-store engine that is exactly a key BOTH shares produced.
+    * Type-preserving: each surviving row keeps its own payload (the
+    * histogram column or the float value). Returns the composed frame
+    * and whether any (series, window) was dropped. */
+  def exclusiveSeriesShares(h0: DataFrame, f0: DataFrame)
+      : (DataFrame, Boolean) = {
+    val (h1, f1, keys) = seriesShareFrames(h0, f0)
+    // three consumers per share (own anti-join, other side's key set,
+    // the mixed probe) — materialize once, as [[exclusiveAggShares]]
+    val h = h1.localCheckpoint(true)
+    val f = f1.localCheckpoint(true)
+    def cond = keys.map(k => col(s"l.`$k`") <=> col(s"r.`$k`"))
+      .reduceOption(_ && _).getOrElse(lit(true))
+    val hKeys = h.select(keys.map(k => col(s"`$k`")): _*).distinct()
+    val fKeys = f.select(keys.map(k => col(s"`$k`")): _*).distinct()
+    val hOnly = h.as("l").join(fKeys.as("r"), cond, "left_anti")
+    val fOnly = f.as("l").join(hKeys.as("r"), cond, "left_anti")
+    val mixed = !h.as("l").join(fKeys.as("r"), cond, "left_semi").isEmpty
+    (hOnly.unionByName(fOnly, allowMissingColumns = true), mixed)
+  }
+
+  /** `last_over_time`/`first_over_time` over a both-stores selector:
+    * type-PRESERVING winner by SAMPLE TIME per (series, window) —
+    * Prometheus returns the latest (earliest) sample regardless of
+    * kind, so a straddling window compares the two shares' own
+    * `ts_of_*` folds and keeps exactly one row (never a skip, never
+    * both; a post-rollback float sample outranks the stale native
+    * band, a post-migration native one outranks the float history).
+    * These folds KEEP the metric name on both tiers, so the key set
+    * retains it and different metrics never collide. All four frames
+    * are series×steps-sized fold outputs; the joins are key-sized. */
+  def pickByTimeShares(hPay0: DataFrame, hTs0: DataFrame,
+                       fPay0: DataFrame, fTs0: DataFrame,
+                       latest: Boolean): DataFrame = {
+    val (h, f, keys) = seriesShareFrames(hPay0, fPay0, keepName = true)
+    val (ht, ft, _) = seriesShareFrames(hTs0, fTs0, keepName = true)
+    def cond = keys.map(k => col(s"l.`$k`") <=> col(s"r.`$k`"))
+      .reduceOption(_ && _).getOrElse(lit(true))
+    def withTs(pay: DataFrame, ts: DataFrame): DataFrame = {
+      val payCols = Seq(HistCol, TsdbSchema.ValueCol)
+        .filter(pay.columns.contains(_))
+      pay.as("l").join(ts
+          .select(keys.map(k => col(s"`$k`")) :+
+            col(TsdbSchema.ValueCol).as("_ts"): _*).as("r"),
+        cond, "inner")
+        .select(keys.map(k => col(s"l.`$k`").as(k)) ++
+          payCols.map(c => col(s"l.`$c`").as(c)) :+ col("r.`_ts`"): _*)
+    }
+    val u0 = withTs(h, ht).unionByName(withTs(f, ft),
+      allowMissingColumns = true)
+    val u = Seq(HistCol, TsdbSchema.ValueCol).filterNot(
+        u0.columns.contains(_))
+      .foldLeft(u0)((d, c) => d.withColumn(c, lit(null)))
+    val payload = struct(col(HistCol), col(TsdbSchema.ValueCol))
+    val picked = u.groupBy(keys.map(k => col(s"`$k`")): _*)
+      .agg((if (latest) max_by(payload, col("_ts"))
+            else min_by(payload, col("_ts"))).as("_p"))
+    picked.select(keys.map(k => col(s"`$k`")) ++ Seq(
+      col("_p").getField(HistCol).as(HistCol),
+      col("_p").getField(TsdbSchema.ValueCol).as(TsdbSchema.ValueCol)): _*)
   }
 
   /** Default-matching key set between two vector frames: the union of
@@ -1621,6 +1805,18 @@ object PromQLHist {
     * ([[PromHttpServer.appendHists]]), and the text surface addresses
     * it as `{name="m"}` — both spellings are the metric name here. */
   private val NameLabels: Set[String] = Set("name", "__name__")
+
+  /** Folds returning RAW samples keep the metric name (Prometheus's
+    * last/first_over_time contract). The ts_of extractors keep it too
+    * — a PIN: Prometheus drops it there, but this engine's float tier
+    * keeps `labels.name` through every fold (the ordinary-label data
+    * model), and the cross-tier winner composition
+    * ([[pickByTimeShares]]) joins each tier's payload fold to its ts
+    * fold on the FULL key set, name included — dropping it on one
+    * tier only would cross-wire metrics sharing non-name labels. */
+  private val KeepNameFolds: Set[String] =
+    Set("last_over_time", "first_over_time",
+      "ts_of_last_over_time", "ts_of_first_over_time")
 
   /** Drop the metric-name label (both spellings) — arithmetic and the
     * over-time folds transform the value, so Prometheus drops

@@ -2084,10 +2084,17 @@ class PromHttpServerSpec extends SparkSpec {
       val (c2g, b2g) = q("""group({name=~"hspan|up"})""")
       assert(c2g == 200 && b2g.contains(""""value":[6.000,"1.0"]""") &&
         !b2g.contains("mix of float"), s"$c2g $b2g")
-      // a shape OUTSIDE the mixed-type lattice stays the loud 422
+      // avg_over_time joined the lattice (round 19): type-EXCLUSIVE
+      // per (series, window) — up's series answer float folds, hspan's
+      // the histogram fold, and with no straddling series no warning
       val (c2e, b2e) = q("""avg_over_time({name=~"hspan|up"}[1m])""")
-      assert(c2e == 422, s"$c2e $b2e")
-      assert(b2e.contains("mixes native-histogram and float"), b2e)
+      assert(c2e == 200 && b2e.contains(""""histogram":""") &&
+        b2e.contains(""""value":""") &&
+        !b2e.contains("mix of float"), s"$c2e $b2e")
+      // a shape OUTSIDE the mixed-type lattice stays the loud 422
+      val (c2h, b2h) = q("""histogram_quantile(0.9, {name=~"hspan|up"})""")
+      assert(c2h == 422, s"$c2h $b2h")
+      assert(b2h.contains("mixes native-histogram and float"), b2h)
       // range mode, bare: `histograms` and `values` matrices together
       val (c3, b3) = getAt(p, "/api/v1/query_range?query=" +
         java.net.URLEncoder.encode("""{name=~"hspan|up"}""", UTF_8) +
@@ -3358,6 +3365,286 @@ class PromHttpServerSpec extends SparkSpec {
       assert(b7.contains(""""result":[]"""), b7)
       assert(b7.contains(
         "histogram samples ignored in count_values aggregation"), b7)
+    } finally srv.stop()
+  }
+
+  test("over-time WINDOW family over both-stores selectors: " +
+      "count_over_time adds across a straddling window, " +
+      "present_over_time dedups, absent_over_time probes both stores") {
+    val srv = new PromHttpServer(spark, wide)
+    val p = srv.start()
+    try {
+      // own fixture on UNIQUE label values (the suite's base frame has
+      // user="a" series of several metrics — used below for the
+      // duplicate-labelset case): wmig{wa} migrates (floats 1s→1.0,
+      // 2s→2.0, dual-write 6s→99.0; native hists 5s count 4, 9s count
+      // 8), wmig{wb} never migrates (floats 1s, 2s, 9s), wflt{wc}
+      // float-only (1s, 9s)
+      val fb = RemoteWrite.encodeRequest(Seq(
+        RemoteWrite.encodeSeries(
+          Seq("__name__" -> "wmig", "user" -> "wa"),
+          Seq(1000L -> 1.0, 2000L -> 2.0, 6000L -> 99.0)),
+        RemoteWrite.encodeSeries(
+          Seq("__name__" -> "wmig", "user" -> "wb"),
+          Seq(1000L -> 5.0, 2000L -> 6.0, 9000L -> 7.0)),
+        RemoteWrite.encodeSeries(
+          Seq("__name__" -> "wflt", "user" -> "wc"),
+          Seq(1000L -> 10.0, 9000L -> 11.0))))
+      assert(client.send(
+        HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:$p/api/v1/write"))
+          .POST(HttpRequest.BodyPublishers.ofByteArray(fb)).build(),
+        HttpResponse.BodyHandlers.ofByteArray()).statusCode() == 204)
+      def hist(t: Long, count: Double) = RemoteWrite.SparseHist(
+        time = t, labels = Map.empty, count = count, sum = count * 2,
+        schema = 0, zeroThreshold = 0.0, zeroCount = 0.0,
+        positive = Seq((1, count)), negative = Nil)
+      val hb = RemoteWrite2.encodeRequest(Seq(RemoteWrite2.Rw2Series(
+        labels = Seq("__name__" -> "wmig", "user" -> "wa"),
+        histograms = Seq(hist(5000L, 4.0), hist(9000L, 8.0)))))
+      assert(client.send(
+        HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:$p/api/v1/write"))
+          .header("Content-Type",
+            "application/x-protobuf;proto=io.prometheus.write.v2.Request")
+          .POST(HttpRequest.BodyPublishers.ofByteArray(hb)).build(),
+        HttpResponse.BodyHandlers.ofByteArray()).statusCode() == 204)
+      def q(expr: String, time: Int): (Int, String) =
+        getAt(p, "/api/v1/query?query=" +
+          java.net.URLEncoder.encode(expr, UTF_8) + s"&time=$time")
+      def qr(expr: String): (Int, String) =
+        getAt(p, "/api/v1/query_range?query=" +
+          java.net.URLEncoder.encode(expr, UTF_8) +
+          "&start=1&end=9&step=4")
+      // NAMELESS count_over_time: wmig{wa}'s window (−1s, 9s] holds
+      // its UNSHADOWED floats (1s, 2s — the 6s dual write is a shadow)
+      // AND its native snapshots (5s, 9s): the shares ADD to 4. The
+      // float tier alone answered 2 — a silent undercount. The metric
+      // name drops (Prometheus's over-time contract on the composed
+      // path).
+      val (c1, b1) = q("""count_over_time({user="wa"}[10s])""", 9)
+      assert(c1 == 200, b1)
+      assert(b1.contains("""{"metric":{"user":"wa"},"value":[9.000,"4.0"]}"""),
+        b1)
+      // float-only series pass through the union unchanged
+      val (c2, b2) = q("""count_over_time({user="wb"}[10s])""", 9)
+      assert(c2 == 200, b2)
+      assert(b2.contains("""{"metric":{"user":"wb"},"value":[9.000,"3.0"]}"""),
+        b2)
+      // SPANNING named form: wmig (native+float) beside wflt
+      val (c3, b3) = q("""count_over_time({name=~"wmig|wflt"}[10s])""", 9)
+      assert(c3 == 200, b3)
+      assert(b3.contains("""{"metric":{"user":"wa"},"value":[9.000,"4.0"]}"""),
+        b3)
+      assert(b3.contains("""{"metric":{"user":"wb"},"value":[9.000,"3.0"]}"""),
+        b3)
+      assert(b3.contains("""{"metric":{"user":"wc"},"value":[9.000,"2.0"]}"""),
+        b3)
+      // range mode: wmig{wa}'s 4s windows — (−3,1] float, (1,5] one
+      // float + one native snapshot ADD to 2, (5,9] native only (the
+      // 6s dual write never counts)
+      val (c4, b4) = qr("""count_over_time({user="wa"}[4s])""")
+      assert(c4 == 200, b4)
+      assert(b4.contains(
+        """{"metric":{"user":"wa"},"values":[[1.000,"1.0"],[5.000,"2.0"],[9.000,"1.0"]]}"""),
+        b4)
+      // present_over_time clamps the straddling window to ONE row
+      val (c5, b5) = q("""present_over_time({user="wa"}[10s])""", 9)
+      assert(c5 == 200, b5)
+      assert(b5.contains("""{"metric":{"user":"wa"},"value":[9.000,"1.0"]}"""),
+        b5)
+      // ...and a window only the NATIVE store fills is still present
+      // (the float tier alone answered empty — silent absence)
+      val (c6, b6) = q("""present_over_time({user="wa"}[3s])""", 9)
+      assert(c6 == 200, b6)
+      assert(b6.contains("""{"metric":{"user":"wa"},"value":[9.000,"1.0"]}"""),
+        b6)
+      // absent_over_time probes BOTH stores: the window (6s, 9s] holds
+      // a native snapshot — the float tier alone answered 1 (the
+      // alerting primitive inverted, `absent`'s window twin)
+      val (c7, b7) = q("""absent_over_time({user="wa"}[3s])""", 9)
+      assert(c7 == 200, b7)
+      assert(b7.contains(""""result":[]"""), b7)
+      val (c8, b8) = q("""absent_over_time({user="zz"}[3s])""", 9)
+      assert(c8 == 200, b8)
+      assert(b8.contains(
+        """{"metric":{"user":"zz"},"value":[9.000,"1.0"]}"""), b8)
+      // range form: every step's window is filled by SOME store
+      // (float at 1, native at 5 and 9 — the float tier alone would
+      // report absence at the native-filled steps)
+      val (c9, b9) = qr("""absent_over_time({user="wa"}[4s])""")
+      assert(c9 == 200, b9)
+      assert(b9.contains(""""result":[]"""), b9)
+      val (c10, b10) = qr("""absent_over_time({user="zz"}[4s])""")
+      assert(c10 == 200, b10)
+      assert(b10.contains(
+        """{"metric":{"user":"zz"},"values":[[1.000,"1.0"],[5.000,"1.0"],[9.000,"1.0"]]}"""),
+        b10)
+      // DUPLICATE labelset: the suite's base frame holds ≥ 2 metrics
+      // with user="a" samples in the window — after the name drop they
+      // collide on ONE label set, and Prometheus errors ("vector
+      // cannot contain metrics with the same labelset"); the composed
+      // path raises the same error in-plan instead of silently adding
+      // two unrelated metrics' counts
+      val (c11, b11) = q("""count_over_time({user="a"}[10s])""", 9)
+      assert(c11 == 422, s"$c11 $b11")
+      assert(b11.contains("same labelset"), b11)
+    } finally srv.stop()
+  }
+
+  test("type-EXCLUSIVE and float-only range shapes over both-stores " +
+      "selectors: sum_over_time/rate skip mixed windows with a warning, " +
+      "min_over_time skips histograms with info, changes warns excluded") {
+    val srv = new PromHttpServer(spark, wide)
+    val p = srv.start()
+    try {
+      // same shape as the window-family fixture: wmig{wa} migrates
+      // (floats 1s→1, 2s→2, dual 6s→99; hists 5s count 4, 9s count 8),
+      // wmig{wb} float-only (5, 6, 7), wflt{wc} float-only (10, 11)
+      val fb = RemoteWrite.encodeRequest(Seq(
+        RemoteWrite.encodeSeries(
+          Seq("__name__" -> "wmig", "user" -> "wa"),
+          Seq(1000L -> 1.0, 2000L -> 2.0, 6000L -> 99.0)),
+        RemoteWrite.encodeSeries(
+          Seq("__name__" -> "wmig", "user" -> "wb"),
+          Seq(1000L -> 5.0, 2000L -> 6.0, 9000L -> 7.0)),
+        RemoteWrite.encodeSeries(
+          Seq("__name__" -> "wflt", "user" -> "wc"),
+          Seq(1000L -> 10.0, 9000L -> 11.0))))
+      assert(client.send(
+        HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:$p/api/v1/write"))
+          .POST(HttpRequest.BodyPublishers.ofByteArray(fb)).build(),
+        HttpResponse.BodyHandlers.ofByteArray()).statusCode() == 204)
+      def hist(t: Long, count: Double) = RemoteWrite.SparseHist(
+        time = t, labels = Map.empty, count = count, sum = count * 2,
+        schema = 0, zeroThreshold = 0.0, zeroCount = 0.0,
+        positive = Seq((1, count)), negative = Nil)
+      val hb = RemoteWrite2.encodeRequest(Seq(RemoteWrite2.Rw2Series(
+        labels = Seq("__name__" -> "wmig", "user" -> "wa"),
+        histograms = Seq(hist(5000L, 4.0), hist(9000L, 8.0)))))
+      assert(client.send(
+        HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:$p/api/v1/write"))
+          .header("Content-Type",
+            "application/x-protobuf;proto=io.prometheus.write.v2.Request")
+          .POST(HttpRequest.BodyPublishers.ofByteArray(hb)).build(),
+        HttpResponse.BodyHandlers.ofByteArray()).statusCode() == 204)
+      def q(expr: String, time: Int): (Int, String) =
+        getAt(p, "/api/v1/query?query=" +
+          java.net.URLEncoder.encode(expr, UTF_8) + s"&time=$time")
+      // sum_over_time over the straddling window: wmig{wa}'s (−1s, 9s]
+      // holds unshadowed floats AND native snapshots → the series is
+      // MIXED, skipped with Prometheus 3's warning (never a silent
+      // float-only or hist-only answer)
+      val (c1, b1) = q("""sum_over_time({user="wa"}[10s])""", 9)
+      assert(c1 == 200, b1)
+      assert(b1.contains(""""result":[]"""), b1)
+      assert(b1.contains("mix of float and histogram samples"), b1)
+      // a window only the NATIVE store fills answers the histogram
+      // fold — no warning (nothing was skipped)
+      val (c2, b2) = q("""sum_over_time({user="wa"}[3s])""", 9)
+      assert(c2 == 200, b2)
+      assert(b2.contains(""""histogram":[9.000,{"count":"8.0""""), b2)
+      assert(!b2.contains("warnings"), b2)
+      // float-only series fold on the float tier
+      val (c3, b3) = q("""sum_over_time({user="wb"}[10s])""", 9)
+      assert(c3 == 200, b3)
+      assert(b3.contains(""""value":[9.000,"18.0"]"""), b3)
+      // SPANNING named form: the mixed series drops + warning, the
+      // float-only series answer beside it
+      val (c4, b4) = q("""sum_over_time({name=~"wmig|wflt"}[10s])""", 9)
+      assert(c4 == 200, b4)
+      assert(b4.contains("mix of float and histogram samples"), b4)
+      assert(b4.contains(""""value":[9.000,"18.0"]"""), b4)
+      assert(b4.contains(""""value":[9.000,"21.0"]"""), b4)
+      assert(!b4.contains(""""user":"wa""""), b4)
+      // rate over a pure-native window answers the histogram rate
+      // ((4,9] holds both snapshots; count rate = (8−4)/(9s−5s) = 1)
+      val (c5, b5) = q("""rate({user="wa"}[5s])""", 9)
+      assert(c5 == 200, b5)
+      assert(b5.contains(""""histogram":[9.000,{"count":"1.0""""), b5)
+      // min_over_time: the float share answers, histogram samples in
+      // the window surface as the INFO annotation (Prometheus skips)
+      val (c6, b6) = q("""min_over_time({user="wa"}[10s])""", 9)
+      assert(c6 == 200, b6)
+      assert(b6.contains(""""value":[9.000,"1.0"]"""), b6)
+      assert(b6.contains(
+        "histogram samples ignored in min_over_time"), b6)
+      // ...and with no histogram in the window, no annotation
+      val (c7, b7) = q("""min_over_time({user="wb"}[10s])""", 9)
+      assert(c7 == 200, b7)
+      assert(b7.contains(""""value":[9.000,"5.0"]"""), b7)
+      assert(!b7.contains("ignored"), b7)
+      // changes: the hist tier does not evaluate it yet — the float
+      // share answers LOUD-partial with the excluded-native warning
+      val (c8, b8) = q("""changes({user="wa"}[10s])""", 9)
+      assert(c8 == 200, b8)
+      assert(b8.contains(""""value":[9.000,"1.0"]"""), b8)
+      assert(b8.contains(
+        "native-histogram samples excluded from changes"), b8)
+    } finally srv.stop()
+  }
+
+  test("type-PRESERVING raw-sample picks over both-stores selectors: " +
+      "last/first_over_time pick the winner by sample time, ts_of_* " +
+      "combine type-agnostically") {
+    val srv = new PromHttpServer(spark, wide)
+    val p = srv.start()
+    try {
+      val fb = RemoteWrite.encodeRequest(Seq(
+        RemoteWrite.encodeSeries(
+          Seq("__name__" -> "wmig", "user" -> "wa"),
+          Seq(1000L -> 1.0, 2000L -> 2.0, 6000L -> 99.0))))
+      assert(client.send(
+        HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:$p/api/v1/write"))
+          .POST(HttpRequest.BodyPublishers.ofByteArray(fb)).build(),
+        HttpResponse.BodyHandlers.ofByteArray()).statusCode() == 204)
+      def hist(t: Long, count: Double) = RemoteWrite.SparseHist(
+        time = t, labels = Map.empty, count = count, sum = count * 2,
+        schema = 0, zeroThreshold = 0.0, zeroCount = 0.0,
+        positive = Seq((1, count)), negative = Nil)
+      val hb = RemoteWrite2.encodeRequest(Seq(RemoteWrite2.Rw2Series(
+        labels = Seq("__name__" -> "wmig", "user" -> "wa"),
+        histograms = Seq(hist(5000L, 4.0), hist(9000L, 8.0)))))
+      assert(client.send(
+        HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:$p/api/v1/write"))
+          .header("Content-Type",
+            "application/x-protobuf;proto=io.prometheus.write.v2.Request")
+          .POST(HttpRequest.BodyPublishers.ofByteArray(hb)).build(),
+        HttpResponse.BodyHandlers.ofByteArray()).statusCode() == 204)
+      def q(expr: String, time: Int): (Int, String) =
+        getAt(p, "/api/v1/query?query=" +
+          java.net.URLEncoder.encode(expr, UTF_8) + s"&time=$time")
+      // last_over_time over the straddling window: the native 9s
+      // snapshot is LATER than the unshadowed float 2s (the 6s dual
+      // write is a shadow) — the histogram wins, one row, name kept
+      val (c1, b1) = q("""last_over_time({user="wa"}[10s])""", 9)
+      assert(c1 == 200, b1)
+      assert(b1.contains(""""__name__":"wmig""""), b1)
+      assert(b1.contains(""""histogram":[9.000,{"count":"8.0""""), b1)
+      assert(!b1.contains(""""value":["""), b1)
+      // first_over_time: the float 1s sample is EARLIER than the
+      // first native snapshot — the float value wins
+      val (c2, b2) = q("""first_over_time({user="wa"}[10s])""", 9)
+      assert(c2 == 200, b2)
+      assert(b2.contains(""""value":[9.000,"1.0"]"""), b2)
+      assert(!b2.contains(""""histogram":"""), b2)
+      // ts_of extractors are type-agnostic: latest sample of ANY kind
+      // is the 9s native, earliest the 1s float
+      val (c3, b3) = q("""ts_of_last_over_time({user="wa"}[10s])""", 9)
+      assert(c3 == 200, b3)
+      assert(b3.contains(""""value":[9.000,"9.0"]"""), b3)
+      val (c4, b4) = q("""ts_of_first_over_time({user="wa"}[10s])""", 9)
+      assert(c4 == 200, b4)
+      assert(b4.contains(""""value":[9.000,"1.0"]"""), b4)
+      // range mode: the per-step winners stitch into ONE series object
+      // carrying float values before the migration and histograms
+      // after ((−3,1] float 1.0; (1,5] native 5s beats float 2s;
+      // (5,9] native 9s — the 6s dual write never serves)
+      val (c5, b5) = getAt(p, "/api/v1/query_range?query=" +
+        java.net.URLEncoder.encode("""last_over_time({user="wa"}[4s])""",
+          UTF_8) + "&start=1&end=9&step=4")
+      assert(c5 == 200, b5)
+      assert(b5.contains(""""values":[[1.000,"1.0"]]"""), b5)
+      assert(b5.contains(""""histograms":[[5.000"""), b5)
+      assert(b5.contains("""[9.000,{"count":"8.0""""), b5)
     } finally srv.stop()
   }
 
