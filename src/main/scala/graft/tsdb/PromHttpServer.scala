@@ -670,7 +670,69 @@ final class PromHttpServer(spark: SparkSession, initial: DataFrame,
       case PromQL.Fn(op, arg, _)
           if FloatOnlyOverTime(op) || FloatWarnOverTime(op) =>
         shapedBothStoresRange(arg).nonEmpty
+      // VECTOR-SCALAR wrappers recurse: `count_over_time({user="x"}
+      // [5m]) > 3` — every alert's shape — must read both stores
+      // exactly like its inner shape; the wrapper was the last silent
+      // float-only reading (the float rows take scalarOp, histogram
+      // rows scale under * and /, and skip + info elsewhere). A
+      // wrapped BARE both-stores selector (`{user="x"} > 5`) counts
+      // too — the union frame filters per kind.
+      case PromQL.BinOp(_, _, l, PromQL.ScalarLit(_), _, _, _, _) =>
+        mixedAggShape(l) || shapedBothStores(l).nonEmpty
+      case PromQL.BinOp(_, _, PromQL.ScalarLit(_), r, _, _, _, _) =>
+        mixedAggShape(r) || shapedBothStores(r).nonEmpty
+      // VALUE MAPS (`abs({user="x"})`, `clamp`, the clock/trig
+      // family) recurse too: the float share maps, histogram samples
+      // skip + info (Prometheus's rule; `timestamp` would compute on
+      // histograms — excluded + warning, pinned: the hist selector
+      // frame carries no sample time)
+      case PromQL.Fn(op, arg, _) if ValueMapOverMixed(op) =>
+        mixedAggShape(arg) || shapedBothStores(arg).nonEmpty
+      // LABEL transforms (`label_replace`/`label_join`) and the
+      // sort_by_label pair are payload-AGNOSTIC row transforms: they
+      // apply to the stitched union verbatim
+      case PromQL.StrFn(_, arg, _) =>
+        mixedAggShape(arg) || shapedBothStores(arg).nonEmpty
       case _ => false
+    }
+  }
+
+  /** [[PromQL.InstantFns]] value maps the mixed lattice recurses
+    * through — everything except the shapes handled elsewhere
+    * (`absent`, the sort pair) and the scalar conversions. */
+  private val ValueMapOverMixed: Set[String] =
+    PromQL.InstantFns -- Set("absent", "sort", "sort_desc", "vector",
+      "scalar")
+
+  private val CmpOpSet = Set("==", "!=", ">", "<", ">=", "<=")
+
+  /** Vector-scalar op over a possibly-MIXED frame (float `value` rows
+    * beside native-histogram rows): float rows take the float tier's
+    * scalarOp verbatim; histogram rows SCALE under `*` and `hist / s`
+    * (Prometheus's histogram-scalar arithmetic) and are SKIPPED with
+    * the info annotation under comparisons and the undefined
+    * arithmetic shapes (`hist + s`, `s / hist`, …) — never a silent
+    * null-valued row. */
+  private def scalarWrapMixed(df: DataFrame, op: String, s: Double,
+      flipped: Boolean, bool: Boolean): (DataFrame, Seq[String]) = {
+    if (!df.columns.contains(PromQLHist.HistCol))
+      (PromQL.scalarOp(df, op, lit(s), flipped, bool), Nil)
+    else {
+      val histRows = df.where(col(PromQLHist.HistCol).isNotNull)
+      val floatRows = PromQL.toValueShape(
+          df.where(col(PromQLHist.HistCol).isNull))
+        .drop(PromQLHist.HistCol)
+      val f = PromQL.scalarOp(floatRows, op, lit(s), flipped, bool)
+      if (op == "*" || (op == "/" && !flipped))
+        (f.unionByName(
+          PromQLHist.scaleHistFrame(histRows,
+            if (op == "*") s else 1.0 / s),
+          allowMissingColumns = true), Nil)
+      else
+        (f, if (histRows.isEmpty) Nil
+            else Seq("histogram samples ignored in " +
+              (if (CmpOpSet(op)) "comparison with a scalar"
+               else s"'$op' with a scalar")))
     }
   }
 
@@ -878,6 +940,63 @@ final class PromHttpServer(spark: SparkSession, initial: DataFrame,
             (floatEval(fn), Nil,
               if (histHas) skippedInfo(op) else Nil)
         }
+      // VECTOR-SCALAR wrappers recurse into the lattice —
+      // `count_over_time({user="x"}[5m]) > 3`, `sum({job="x"}) * 2`,
+      // nested wrappers included; the inner shape's warnings/infos
+      // ride out with the wrapper's own skip annotation
+      case PromQL.BinOp(op, _, l, PromQL.ScalarLit(s), bool, _, _, _) =>
+        spanningShaped(l, evalHist, floatSel, absentFn, floatEval,
+          absentBoth).map { case (df, w, i) =>
+          val (out, extraI) = scalarWrapMixed(df, op, s,
+            flipped = false, bool = bool)
+          (out, w, i ++ extraI)
+        }
+      case PromQL.BinOp(op, _, PromQL.ScalarLit(s), r, bool, _, _, _) =>
+        spanningShaped(r, evalHist, floatSel, absentFn, floatEval,
+          absentBoth).map { case (df, w, i) =>
+          val (out, extraI) = scalarWrapMixed(df, op, s,
+            flipped = true, bool = bool)
+          (out, w, i ++ extraI)
+        }
+      // VALUE MAPS recurse into the lattice: the float rows map
+      // through the float tier's instantFn, histogram rows SKIP with
+      // the info annotation (Prometheus applies value maps to float
+      // samples only); `timestamp` is the pinned exception — it would
+      // compute on histograms, but the hist selector frame carries no
+      // sample time, so the native share is EXCLUDED with a warning
+      case PromQL.Fn(op, arg, params) if ValueMapOverMixed(op) =>
+        spanningShaped(arg, evalHist, floatSel, absentFn, floatEval,
+          absentBoth).map { case (df, w, i) =>
+          val hasHist = df.columns.contains(PromQLHist.HistCol)
+          val floatRows =
+            if (hasHist)
+              PromQL.toValueShape(
+                df.where(col(PromQLHist.HistCol).isNull))
+                .drop(PromQLHist.HistCol)
+            else df
+          val skipped = hasHist &&
+            !df.where(col(PromQLHist.HistCol).isNotNull).isEmpty
+          val out = PromQL.instantFn(op, floatRows, params, 0L)
+          if (op == "timestamp")
+            (out, w ++ (if (skipped) excludedNativeWarning(op) else Nil),
+              i)
+          else
+            (out, w, i ++ (if (skipped)
+              Seq(s"histogram samples ignored in $op") else Nil))
+        }
+      // LABEL transforms / sort_by_label: payload-agnostic row
+      // transforms over the stitched union — histogram rows ride
+      // unchanged beside float rows
+      case PromQL.StrFn(name, arg, strs) =>
+        spanningShaped(arg, evalHist, floatSel, absentFn, floatEval,
+          absentBoth).map { case (df, w, i) =>
+          (PromQL.strFn(name, df, strs), w, i)
+        }
+      // a BARE both-stores selector under a wrapper: the stitched
+      // union frame itself (the router's bare case, reachable here
+      // only through the recursion above)
+      case s: PromQL.Selector if shapedBothStores(s).nonEmpty =>
+        Some((unionShares(evalHist(s), floatSel(s)), Nil, Nil))
       case _ => None
     }
   }
@@ -912,17 +1031,31 @@ final class PromHttpServer(spark: SparkSession, initial: DataFrame,
   private def spanningShapedRange(e: PromQL.Expr, start: Long, end: Long,
                                   step: Long)
       : Option[(DataFrame, Seq[String], Seq[String])] =
+    spanningShapedRangeOver(e, start, end, step, floatShareView,
+      lookbackMs)
+
+  /** [[spanningShapedRange]] over an EXPLICIT (already shadow-carved)
+    * float view and lookback — the RULES tier evaluates the same
+    * lattice against the group's accumulated view (wide + earlier
+    * recorded-rule samples), exactly like the split-tier path. */
+  private def spanningShapedRangeOver(e: PromQL.Expr, start: Long,
+      end: Long, step: Long, carvedFloat: DataFrame, lb: Long)
+      : Option[(DataFrame, Seq[String], Seq[String])] =
     spanningShaped(e,
       a => PromQLHist.evalRange(a, histHead.get, start, end, step,
-        lookbackMs, histNLes),
-      s => floatShareRange(s, start, end, step),
+        lb, histNLes),
+      s => dropShadowedFrame(PromQL.toValueShape(
+        PromQL.evalRange(s, carvedFloat, start, end, step, lb)),
+        sampleRefRange(s, start, end)),
       // absent, range form: grid anti-join against the union's
       // present steps (the float tier's per-step absent shape)
       s => {
         val u = unionShares(
           PromQLHist.evalRange(s, histHead.get, start, end, step,
-            lookbackMs, histNLes),
-          floatShareRange(s, start, end, step))
+            lb, histNLes),
+          dropShadowedFrame(PromQL.toValueShape(
+            PromQL.evalRange(s, carvedFloat, start, end, step, lb)),
+            sampleRefRange(s, start, end)))
         val nSteps = (end - start) / step
         spark.range(nSteps + 1)
           .select((lit(start) + col("id") * step).as("t"))
@@ -930,8 +1063,8 @@ final class PromHttpServer(spark: SparkSession, initial: DataFrame,
           .select(col("t") +: PromQL.absentLabelCols(s) :+
             lit(1.0d).as(TsdbSchema.ValueCol): _*)
       },
-      x => PromQL.toValueShape(PromQL.evalRange(x, floatShareView,
-        start, end, step, lookbackMs)),
+      x => PromQL.toValueShape(PromQL.evalRange(x, carvedFloat,
+        start, end, step, lb)),
       // absent_over_time, range form: each tier's per-step absent
       // frame lists ITS store's empty steps — keep the steps BOTH
       // tiers report (grid-sized semi join)
@@ -984,6 +1117,52 @@ final class PromHttpServer(spark: SparkSession, initial: DataFrame,
   private[tsdb] def splittableRule(e: PromQL.Expr): Boolean =
     straddlesTiers(e) && !anySelectorSpans(e) &&
       splitEvaluable(e, needFloat = true)
+
+  /** A rule expression the MIXED lattice evaluates to a FLOAT-ONLY
+    * vector — the rules tier routes these through
+    * [[spanningShapedRangeOver]] instead of the float view alone
+    * (where `absent_over_time({user="x"}[5m])` answered 1 while
+    * native samples filled the window — the alerting primitive
+    * inverted INSIDE an alert, the query endpoints' round-19 class on
+    * the rules axis). Float-only by construction: a COMPARISON
+    * wrapper over any lattice shape (histogram rows skip), or a
+    * directly float-valued mixed shape (count/group/presence/absence/
+    * ts_of/count_values and the float-share+annotation family).
+    * Shapes whose result can carry histogram rows (sum/avg, limitk,
+    * rate, the raw picks) keep their existing routing — the rules
+    * machinery is float-valued. */
+  private[tsdb] def mixedFloatRule(e: PromQL.Expr): Boolean = e match {
+    case PromQL.BinOp(op, _, l, PromQL.ScalarLit(_), _, _, _, _)
+        if CmpOpSet(op) =>
+      mixedAggShape(l) || shapedBothStores(l).nonEmpty
+    case PromQL.BinOp(op, _, PromQL.ScalarLit(_), r, _, _, _, _)
+        if CmpOpSet(op) =>
+      mixedAggShape(r) || shapedBothStores(r).nonEmpty
+    case PromQL.BinOp(_, _, l, PromQL.ScalarLit(_), _, _, _, _) =>
+      mixedFloatRule(l)
+    case PromQL.BinOp(_, _, PromQL.ScalarLit(_), r, _, _, _, _) =>
+      mixedFloatRule(r)
+    case PromQL.AggBy("count" | "group" | "min" | "max" | "stddev" |
+        "stdvar" | "quantile", _, _, _) => mixedAggShape(e)
+    case PromQL.AggWithout("count" | "group" | "min" | "max" |
+        "stddev" | "stdvar" | "quantile", _, _, _) => mixedAggShape(e)
+    case PromQL.RankK("topk" | "bottomk", _, _, _, _) =>
+      mixedAggShape(e)
+    case PromQL.Fn("sort" | "sort_desc" | "absent" | "count_over_time" |
+        "present_over_time" | "absent_over_time" |
+        "ts_of_last_over_time" | "ts_of_first_over_time", _, _) =>
+      mixedAggShape(e)
+    case PromQL.CountValues(_, _, _, _) => mixedAggShape(e)
+    case PromQL.Fn(op, _, _)
+        if FloatOnlyOverTime(op) || FloatWarnOverTime(op) =>
+      mixedAggShape(e)
+    // value maps always emit a FLOAT-only frame (histogram rows skip)
+    case PromQL.Fn(op, _, _) if ValueMapOverMixed(op) =>
+      mixedAggShape(e)
+    // label transforms preserve payloads: float-valued iff the inner is
+    case PromQL.StrFn(_, arg, _) => mixedFloatRule(arg)
+    case _ => false
+  }
 
   /** The float store's share of a both-stores selector: the selector
     * evaluated on the wide head MINUS the rows native series SHADOW —
@@ -2076,6 +2255,40 @@ final class PromHttpServer(spark: SparkSession, initial: DataFrame,
               .select(col("id").as("t"),
                 col("id").cast("double").as(TsdbSchema.ValueCol))
         }
+      // FLOAT-VALUED mixed-lattice rules (`absent_over_time(
+      // {user="x"}[5m])`, `count_over_time({job="x"}[5m]) > 3`, …)
+      // evaluate through the SAME lattice the query endpoints use,
+      // against the group's accumulated view — the float-view
+      // fallback answered the inverted absence / the undercount
+      // INSIDE an alert, silently. Same per-rule containment as the
+      // split path: a build failure yields the empty vector +
+      // health=err, never a silently-wrong float-only evaluation.
+      case _ if mixedFloatRule(ast) =>
+        try {
+          spanningShapedRangeOver(ast, s, e, step, shadowCarved(view),
+            lb) match {
+            case Some((df, _, _)) =>
+              val out =
+                if (df.columns.contains(PromQLHist.HistCol))
+                  df.where(col(PromQLHist.HistCol).isNull)
+                    .drop(PromQLHist.HistCol)
+                else df
+              ruleEvalErrors.remove(PromQL.render(ast))
+              out
+            case None => throw new IllegalStateException(
+              "mixedFloatRule admitted a rule its evaluator " +
+                "cannot compose: " + PromQL.render(ast))
+          }
+        } catch {
+          case scala.util.control.NonFatal(t) =>
+            val msg = "mixed-lattice rule evaluation failed " +
+              s"(rule inactive until it builds): $t"
+            ruleEvalErrors.put(PromQL.render(ast), msg)
+            System.err.println(s"$msg — ${PromQL.render(ast)}")
+            view.sparkSession.range(0)
+              .select(col("id").as("t"),
+                col("id").cast("double").as(TsdbSchema.ValueCol))
+        }
       case _ =>
         if (PromQLHist.floatEvaluable(ast) &&
             routesToHistHead(ast, allowNameless = false))
@@ -2246,6 +2459,7 @@ final class PromHttpServer(spark: SparkSession, initial: DataFrame,
       // per rule — pinned contract: straddling rules surface
       // health=err + lastError, loudly.
       if (splittableRule(ast)) None // evaluates split-tier
+      else if (mixedFloatRule(ast)) None // evaluates mixed-lattice
       else if (straddlesTiers(ast) || anySelectorSpans(ast))
         Some("expression mixes native-histogram and float metrics: " +
           expr + " — rules evaluate on one store; split the rule " +

@@ -2437,8 +2437,8 @@ object PromQL {
   /** String-parameter functions: label manipulation compiles onto
     * [[LabelOps]] (pure map-side column derivations); the sort pair is
     * presentation-only row ordering. */
-  private def strFn(name: String, iv0: DataFrame,
-                    strs: Seq[String]): DataFrame = {
+  private[tsdb] def strFn(name: String, iv0: DataFrame,
+                          strs: Seq[String]): DataFrame = {
     val iv = toValueShape(iv0)
     (name, strs) match {
     case ("label_replace", Seq(dst, repl, src, regex)) =>

@@ -1412,6 +1412,14 @@ object PromQLHist {
     (hOnly.unionByName(fOnly, allowMissingColumns = true), mixed)
   }
 
+  /** Scale every additive component of a HISTOGRAM-row frame by a
+    * constant — `hist * s` / `hist / s` under the mixed lattice's
+    * vector-scalar wrapper (arithmetic drops the metric name, as the
+    * scalar kernels do). */
+  def scaleHistFrame(hv: DataFrame, factor: Double): DataFrame =
+    dropMetric(hv).withColumn(HistCol, histScale(col(HistCol),
+      lit(factor)))
+
   /** `last_over_time`/`first_over_time` over a both-stores selector:
     * type-PRESERVING winner by SAMPLE TIME per (series, window) —
     * Prometheus returns the latest (earliest) sample regardless of
@@ -1729,8 +1737,13 @@ object PromQLHist {
                      nLes: Int, scaleByN: Boolean): DataFrame = {
     val h = col(HistCol)
     val perIndex = (1 to nLes).map(i => sum(element_at(h.getField("counts"), i)))
+    // null-safe (<=>): a GLOBAL aggregation (no grouping keys) over an
+    // EMPTY match still produces one Spark row whose min/max are NULL —
+    // `===` made assert_true raise on `sum({matches-nothing})` instead
+    // of answering the empty vector; the `_n > 0` filter below drops
+    // that empty-global row (Prometheus: sum over nothing is nothing)
     val layoutOk = assert_true(
-      min(size(h.getField("les"))) === max(size(h.getField("les"))),
+      min(size(h.getField("les"))) <=> max(size(h.getField("les"))),
       lit("PromQLHist: incompatible bucket layouts in group"))
     val merged = hv.groupBy(keysOf(hv): _*)
       .agg(count(lit(1)).as("_n"),
@@ -1740,6 +1753,7 @@ object PromQLHist {
           when(layoutOk.isNull, first(h.getField("les"))).as("les"),
           when(layoutOk.isNull, array(perIndex: _*)).as("counts"))
           .as(HistCol))
+      .where(col("_n") > 0)
     (if (scaleByN)
        merged.withColumn(HistCol,
          histScale(col(HistCol), lit(1.0) / col("_n")))
@@ -1751,6 +1765,9 @@ object PromQLHist {
                           keysOf: DataFrame => Seq[Column]): DataFrame =
     hv.groupBy(keysOf(hv): _*)
       .agg(count(lit(1)).cast("double").as(TsdbSchema.ValueCol))
+      // a GLOBAL count over an empty match must answer the empty
+      // vector, not Spark's one empty-global 0-row (Prometheus)
+      .where(col(TsdbSchema.ValueCol) > 0)
 
   /** Project a histogram vector to labels + a scalar of the histogram —
     * the terminal float-vector shape. Drops `__name__` (Prometheus:

@@ -3648,6 +3648,209 @@ class PromHttpServerSpec extends SparkSpec {
     } finally srv.stop()
   }
 
+  test("vector-scalar wrappers recurse into the mixed lattice: " +
+      "count_over_time(...) > k reads both stores, histograms scale " +
+      "under * and skip comparisons with info") {
+    val srv = new PromHttpServer(spark, wide)
+    val p = srv.start()
+    try {
+      val fb = RemoteWrite.encodeRequest(Seq(
+        RemoteWrite.encodeSeries(
+          Seq("__name__" -> "wmig", "user" -> "wa"),
+          Seq(1000L -> 1.0, 2000L -> 2.0, 6000L -> 99.0)),
+        RemoteWrite.encodeSeries(
+          Seq("__name__" -> "wmig", "user" -> "wb"),
+          Seq(1000L -> 5.0, 2000L -> 6.0, 9000L -> 7.0))))
+      assert(client.send(
+        HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:$p/api/v1/write"))
+          .POST(HttpRequest.BodyPublishers.ofByteArray(fb)).build(),
+        HttpResponse.BodyHandlers.ofByteArray()).statusCode() == 204)
+      def hist(t: Long, count: Double) = RemoteWrite.SparseHist(
+        time = t, labels = Map.empty, count = count, sum = count * 2,
+        schema = 0, zeroThreshold = 0.0, zeroCount = 0.0,
+        positive = Seq((1, count)), negative = Nil)
+      val hb = RemoteWrite2.encodeRequest(Seq(RemoteWrite2.Rw2Series(
+        labels = Seq("__name__" -> "wmig", "user" -> "wa"),
+        histograms = Seq(hist(5000L, 4.0), hist(9000L, 8.0)))))
+      assert(client.send(
+        HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:$p/api/v1/write"))
+          .header("Content-Type",
+            "application/x-protobuf;proto=io.prometheus.write.v2.Request")
+          .POST(HttpRequest.BodyPublishers.ofByteArray(hb)).build(),
+        HttpResponse.BodyHandlers.ofByteArray()).statusCode() == 204)
+      def q(expr: String, time: Int): (Int, String) =
+        getAt(p, "/api/v1/query?query=" +
+          java.net.URLEncoder.encode(expr, UTF_8) + s"&time=$time")
+      // the ALERT shape: the wrapped count reads BOTH stores (4
+      // samples in the window — the float tier alone counted 2 and
+      // the alert could never fire)
+      val (c1, b1) = q("""count_over_time({user="wa"}[10s]) > 3""", 9)
+      assert(c1 == 200, b1)
+      assert(b1.contains("""{"metric":{"user":"wa"},"value":[9.000,"4.0"]}"""),
+        b1)
+      val (c2, b2) = q("""count_over_time({user="wa"}[10s]) > 4""", 9)
+      assert(c2 == 200, b2)
+      assert(b2.contains(""""result":[]"""), b2)
+      // bool maps instead of filtering
+      val (c3, b3) = q("""count_over_time({user="wa"}[10s]) > bool 3""", 9)
+      assert(c3 == 200, b3)
+      assert(b3.contains(""""value":[9.000,"1.0"]"""), b3)
+      // arithmetic over a float-only mixed-agg group
+      val (c4, b4) = q("""sum({user="wb"}) * 2""", 9)
+      assert(c4 == 200, b4)
+      assert(b4.contains(""""value":[9.000,"14.0"]"""), b4)
+      // histogram rows SCALE under *: last_over_time picks the native
+      // snapshot (count 8), the wrapper doubles every component
+      val (c5, b5) = q("""last_over_time({user="wa"}[3s]) * 2""", 9)
+      assert(c5 == 200, b5)
+      assert(b5.contains(""""histogram":[9.000,{"count":"16.0""""), b5)
+      // comparison over the stitched UNION: at t=9 the series is
+      // native-owned — the histogram row skips with the info
+      // annotation, never a silent null-valued row
+      val (c6, b6) = q("""{user="wa"} > 1.5""", 9)
+      assert(c6 == 200, b6)
+      assert(b6.contains(""""result":[]"""), b6)
+      assert(b6.contains(
+        "histogram samples ignored in comparison with a scalar"), b6)
+      // ...and a float row in the union passes the filter untouched
+      val (c7, b7) = q("""{user="wb"} > 5.5""", 9)
+      assert(c7 == 200, b7)
+      assert(b7.contains(""""value":[9.000,"7.0"]"""), b7)
+      assert(!b7.contains("ignored"), b7)
+    } finally srv.stop()
+  }
+
+  test("value maps and label transforms recurse into the mixed " +
+      "lattice: abs skips histograms with info, label_replace rides " +
+      "the union payload-agnostically") {
+    val srv = new PromHttpServer(spark, wide)
+    val p = srv.start()
+    try {
+      val fb = RemoteWrite.encodeRequest(Seq(
+        RemoteWrite.encodeSeries(
+          Seq("__name__" -> "wmig", "user" -> "wa"),
+          Seq(1000L -> 1.0, 2000L -> -2.0, 6000L -> 99.0)),
+        RemoteWrite.encodeSeries(
+          Seq("__name__" -> "wmig", "user" -> "wb"),
+          Seq(1000L -> 5.0, 2000L -> 6.0, 9000L -> -7.0))))
+      assert(client.send(
+        HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:$p/api/v1/write"))
+          .POST(HttpRequest.BodyPublishers.ofByteArray(fb)).build(),
+        HttpResponse.BodyHandlers.ofByteArray()).statusCode() == 204)
+      def hist(t: Long, count: Double) = RemoteWrite.SparseHist(
+        time = t, labels = Map.empty, count = count, sum = count * 2,
+        schema = 0, zeroThreshold = 0.0, zeroCount = 0.0,
+        positive = Seq((1, count)), negative = Nil)
+      val hb = RemoteWrite2.encodeRequest(Seq(RemoteWrite2.Rw2Series(
+        labels = Seq("__name__" -> "wmig", "user" -> "wa"),
+        histograms = Seq(hist(5000L, 4.0), hist(9000L, 8.0)))))
+      assert(client.send(
+        HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:$p/api/v1/write"))
+          .header("Content-Type",
+            "application/x-protobuf;proto=io.prometheus.write.v2.Request")
+          .POST(HttpRequest.BodyPublishers.ofByteArray(hb)).build(),
+        HttpResponse.BodyHandlers.ofByteArray()).statusCode() == 204)
+      def q(expr: String, time: Int): (Int, String) =
+        getAt(p, "/api/v1/query?query=" +
+          java.net.URLEncoder.encode(expr, UTF_8) + s"&time=$time")
+      // abs over the union: wb's float −7 maps to 7; wa's histogram
+      // row SKIPS with the info annotation (Prometheus's value-map
+      // rule) — the float tier alone silently had no wa at all
+      val (c1, b1) = q("""abs({user=~"wa|wb"})""", 9)
+      assert(c1 == 200, b1)
+      assert(b1.contains(""""value":[9.000,"7.0"]"""), b1)
+      assert(b1.contains("histogram samples ignored in abs"), b1)
+      assert(!b1.contains(""""histogram":"""), b1)
+      // clamp composes over a mixed-agg inner (count is type-agnostic
+      // — 2 series clamp to 1.5)
+      val (c2, b2) = q("""clamp(count({user=~"wa|wb"}), 0, 1.5)""", 9)
+      assert(c2 == 200, b2)
+      assert(b2.contains(""""value":[9.000,"1.5"]"""), b2)
+      // timestamp would compute on histograms — excluded + WARNING
+      val (c3, b3) = q("""timestamp({user="wa"})""", 9)
+      assert(c3 == 200, b3)
+      assert(b3.contains(
+        "native-histogram samples excluded from timestamp"), b3)
+      // label_replace is payload-AGNOSTIC: the histogram row rides
+      // with the rewritten label beside the float row
+      val (c4, b4) = q(
+        """label_replace({user=~"wa|wb"}, "grp", "g-$1", "user", "w(.)")""",
+        9)
+      assert(c4 == 200, b4)
+      assert(b4.contains(""""grp":"g-a""""), b4)
+      assert(b4.contains(""""grp":"g-b""""), b4)
+      assert(b4.contains(""""histogram":[9.000,{"count":"8.0""""), b4)
+      assert(b4.contains(""""value":[9.000,"-7.0"]"""), b4)
+    } finally srv.stop()
+  }
+
+  test("RULES tier routes float-valued mixed shapes through the " +
+      "lattice: absent_over_time alerts see the native store") {
+    val srv = new PromHttpServer(spark, wide,
+      rules = Some(
+        """groups:
+          |  - name: g
+          |    interval: 1s
+          |    rules:
+          |      - alert: AbsAlert
+          |        expr: 'absent_over_time({user="zz"}[5s])'
+          |      - alert: CountAlert
+          |        expr: 'count_over_time({user="wa"}[10s]) > 3'
+          |      - alert: NeverAlert
+          |        expr: 'absent_over_time({user="wa"}[5s])'
+          |""".stripMargin),
+      rulesHorizonMs = 5000L)
+    val p = srv.start()
+    try {
+      val fb = RemoteWrite.encodeRequest(Seq(
+        RemoteWrite.encodeSeries(
+          Seq("__name__" -> "wmig", "user" -> "wa"),
+          Seq(1000L -> 1.0, 2000L -> 2.0, 6000L -> 99.0))))
+      assert(client.send(
+        HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:$p/api/v1/write"))
+          .POST(HttpRequest.BodyPublishers.ofByteArray(fb)).build(),
+        HttpResponse.BodyHandlers.ofByteArray()).statusCode() == 204)
+      def hist(t: Long, count: Double) = RemoteWrite.SparseHist(
+        time = t, labels = Map.empty, count = count, sum = count * 2,
+        schema = 0, zeroThreshold = 0.0, zeroCount = 0.0,
+        positive = Seq((1, count)), negative = Nil)
+      val hb = RemoteWrite2.encodeRequest(Seq(RemoteWrite2.Rw2Series(
+        labels = Seq("__name__" -> "wmig", "user" -> "wa"),
+        histograms = Seq(hist(5000L, 4.0), hist(9000L, 8.0)))))
+      assert(client.send(
+        HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:$p/api/v1/write"))
+          .header("Content-Type",
+            "application/x-protobuf;proto=io.prometheus.write.v2.Request")
+          .POST(HttpRequest.BodyPublishers.ofByteArray(hb)).build(),
+        HttpResponse.BodyHandlers.ofByteArray()).statusCode() == 204)
+      val (c1, b1) = getAt(p, "/api/v1/rules?time=9")
+      assert(c1 == 200, b1)
+      def ruleOf(name: String): String = {
+        val from = b1.indexOf(s""""name":"$name"""")
+        assert(from >= 0, b1)
+        val next = Seq("AbsAlert", "CountAlert", "NeverAlert")
+          .filterNot(_ == name)
+          .map(n => b1.indexOf(s""""name":"$n"""", from + 1))
+          .filter(_ > from)
+        b1.substring(from, if (next.isEmpty) b1.length else next.min)
+      }
+      // genuinely-absent label set: fires (both stores empty)
+      assert(ruleOf("AbsAlert").contains(""""health":"ok""""), b1)
+      assert(ruleOf("AbsAlert").contains(""""state":"firing"""") ||
+        ruleOf("AbsAlert").contains(""""state":"pending""""), b1)
+      // the wrapped count sees BOTH stores (4 > 3): fires — the float
+      // view alone counted 2 and the alert never fired
+      assert(ruleOf("CountAlert").contains(""""health":"ok""""), b1)
+      assert(ruleOf("CountAlert").contains(""""state":"firing"""") ||
+        ruleOf("CountAlert").contains(""""state":"pending""""), b1)
+      // the native store fills wa's window (the 6s float is a shadow
+      // and the carved float view is empty there): INACTIVE — the
+      // float view alone reported absence and fired wrongly
+      assert(ruleOf("NeverAlert").contains(""""health":"ok""""), b1)
+      assert(ruleOf("NeverAlert").contains(""""state":"inactive""""), b1)
+    } finally srv.stop()
+  }
+
   test("TIME-AXIS property: the union path's instant answer equals the " +
       "sample-axis reference model (≡ remote read) under random " +
       "migration windows, offsets and @ anchors") {
