@@ -759,27 +759,48 @@ object ScaleStress {
     // autoBroadcastJoinThreshold). The carve is ONE broadcast join
     // over the sample-sized probe side; the mixed-agg composition
     // joins two group-count-sized share aggregates.
+    // (xN, not t.df: the compaction swap + retention sweep above
+    // deleted the ingested table's old file listing — the widened
+    // in-memory frame over the immutable testdata is the stable view)
     val mid = (Tables.RangeStart + Tables.RangeEnd) / 2
-    val histW = t.df.where(col("time") >= mid)
+    val histW = xN.where(col("time") >= mid)
       .withColumn("hist", col("value"))
     val since = time(s"seriesSince ${factor}x universe")(
       graft.tsdb.Shadowing.seriesSince(histW, 86400000L)
         .localCheckpoint(true))
     println(s"[scale] migrated series=${since.count()}")
     time(s"shadow carve ${factor}x") {
-      graft.tsdb.Shadowing.dropShadowed(t.df,
-        graft.tsdb.Shadowing.skeyOfWide(t.df), col("time"),
+      graft.tsdb.Shadowing.dropShadowed(xN,
+        graft.tsdb.Shadowing.skeyOfWide(xN), col("time"),
         Some(since)).count()
     }
     time(s"mixed-agg shares ${factor}x") {
-      val h = t.df.where(col("time") >= mid)
+      val h = xN.where(col("time") >= mid)
         .groupBy(col("`labels.user`"))
         .agg(count(lit(1)).cast("double").as("hist"))
-      val f = t.df.where(col("time") < mid)
+      val f = xN.where(col("time") < mid)
         .groupBy(col("`labels.user`"))
         .agg(sum(col("value")).as("value"))
       graft.tsdb.PromQLHist.exclusiveAggShares(h, f)._1.count()
     }
+    // ROUND-19: the over-time share kernels at the widened series
+    // universe — range-function outputs are series×steps-sized by
+    // construction, so both composers join/aggregate series-count
+    // frames (the dup guard's window partitions by the same keys);
+    // one metric keeps the post-name-drop keys collision-free
+    val clicks = xN.where(col("`labels.name`") === "click")
+    val hShare = clicks.where(col("time") >= mid)
+      .groupBy(col("`labels.user`"))
+      .agg(count(lit(1)).cast("double").as("value"))
+    val fShare = clicks.where(col("time") < mid)
+      .groupBy(col("`labels.user`"))
+      .agg(count(lit(1)).cast("double").as("value"))
+    time(s"over-time combine ${factor}x")(
+      graft.tsdb.PromQLHist.combineSeriesShares(hShare, fShare,
+        how = "sum").count())
+    time(s"over-time exclusive ${factor}x")(
+      graft.tsdb.PromQLHist.exclusiveSeriesShares(hShare, fShare)
+        ._1.count())
     spark.stop()
   }
 }
