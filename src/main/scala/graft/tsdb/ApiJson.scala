@@ -41,12 +41,7 @@ object ApiJson {
     * per step) → one JSON object per series with its sorted
     * `values` pairs — the matrix response elements. */
   def matrixJson(rv: DataFrame): DataFrame =
-    matrixJson0(rv, keyed = false)
-
-  /** [[matrixJson]]'s keyed twin (`skey`, `json`) — see
-    * [[vectorJsonKeyed]]. */
-  def matrixJsonKeyed(rv: DataFrame): DataFrame =
-    matrixJson0(rv, keyed = true)
+    jsonOf(matrixGrouped(rv), "values", pairsPayload)
 
   /** [[matrixJson]]'s PARTS form: `(skey, metric, field, payload)`
     * with the rendered metric map and the `values` pair list as
@@ -75,9 +70,6 @@ object ApiJson {
     concat(lit("["),
       concat_ws(",", transform(col("_pairs"), _.getField("p"))),
       lit("]"))
-
-  private def matrixJson0(rv: DataFrame, keyed: Boolean): DataFrame =
-    jsonOf(matrixGrouped(rv), "values", pairsPayload, keyed = keyed)
 
   /** One dense engine histogram (`{count,sum,les,counts}` over
     * `les = [0, grid…, +Inf]`) rendered in the API's native-histogram
@@ -123,11 +115,7 @@ object ApiJson {
   /** Range HISTOGRAM frame (labels + `t` + `hist`, one row per series
     * per step) → matrix elements with the `histograms` pair list. */
   def histMatrixJson(rv: DataFrame): DataFrame =
-    histMatrixJson0(rv, keyed = false)
-
-  /** [[histMatrixJson]]'s keyed twin — see [[vectorJsonKeyed]]. */
-  def histMatrixJsonKeyed(rv: DataFrame): DataFrame =
-    histMatrixJson0(rv, keyed = true)
+    jsonOf(histMatrixGrouped(rv), "histograms", pairsPayload)
 
   /** [[histMatrixJson]]'s PARTS form — see [[matrixJsonParts]]. */
   def histMatrixJsonParts(rv: DataFrame): DataFrame =
@@ -141,10 +129,6 @@ object ApiJson {
       .groupBy(labels.map(c => col(s"`$c`")): _*)
       .agg(array_sort(collect_list(col("_pair"))).as("_pairs"))
   }
-
-  private def histMatrixJson0(rv: DataFrame, keyed: Boolean): DataFrame =
-    jsonOf(histMatrixGrouped(rv), "histograms", pairsPayload,
-      keyed = keyed)
 
   private def tsSec(t: Column): Column =
     // epoch seconds with millisecond precision, no scientific notation

@@ -444,38 +444,49 @@ final class PromHttpServer(spark: SparkSession, initial: DataFrame,
     * append-version pair under the same herd-safe off-monitor
     * discipline as [[floatMetricNames]]; the job is one carved
     * name-distinct, dual-name-count sized output. */
-  private var unshadowedDualCache: ((Int, Int), Set[String]) =
-    ((-1, -1), Set.empty)
-  private def unshadowedDualNames: Set[String] = {
-    val ver = synchronized((wideAppends, histAppends))
-    def fresh(c: ((Int, Int), Set[String])): Boolean =
-      c._1._1 >= ver._1 && c._1._2 >= ver._2
-    val cached = synchronized(unshadowedDualCache)
-    if (fresh(cached)) cached._2
-    else nameCacheLock.synchronized {
-      val c2 = synchronized(unshadowedDualCache)
-      if (fresh(c2)) c2._2
-      else {
-        val dual = floatMetricNames
-          .intersect(synchronized(histMetricNames))
-        val names =
-          if (dual.isEmpty) Set.empty[String]
-          else {
-            val nameCol = TsdbSchema.labelColName("name")
-            shadowCarved(synchronized(wide))
-              .where(col(s"`$nameCol`").isin(dual.toSeq: _*))
-              .select(col(s"`$nameCol`")).distinct()
-              .collect().map(_.getString(0)).toSet
+  private val unshadowedNameCache =
+    new java.util.concurrent.ConcurrentHashMap[String,
+      ((Int, Int), Boolean)]()
+
+  /** Which of `names` still have ≥ 1 UNSHADOWED float row — cached
+    * PER NAME per (float, hist) append-version pair, and the
+    * recompute scan is restricted to the STALE names of THIS query
+    * (`isin` pushes to the metric-partitioned layout, so the job
+    * prunes to the touched names' files). The old whole-store
+    * distinct recomputed on EVERY float append, which under
+    * continuous remote-write ingestion made every hist-routed query
+    * and every /api/v1/rules render pay a store-wide job just to
+    * gate a warning string (review find). */
+  private def unshadowedAmong(names: Seq[String]): Set[String] =
+    if (names.isEmpty) Set.empty
+    else {
+      val ver = synchronized((wideAppends, histAppends))
+      def fresh(v: (Int, Int)): Boolean =
+        v._1 >= ver._1 && v._2 >= ver._2
+      def cachedTrue(n: String): Boolean =
+        Option(unshadowedNameCache.get(n))
+          .exists(c => fresh(c._1) && c._2)
+      val stale = names.filterNot(n =>
+        Option(unshadowedNameCache.get(n)).exists(c => fresh(c._1)))
+      if (stale.isEmpty) names.filter(cachedTrue).toSet
+      else nameCacheLock.synchronized {
+        val stale2 = stale.filterNot(n =>
+          Option(unshadowedNameCache.get(n)).exists(c => fresh(c._1)))
+        if (stale2.nonEmpty) {
+          val nameCol = TsdbSchema.labelColName("name")
+          val found = shadowCarved(synchronized(wide))
+            .where(col(s"`$nameCol`").isin(stale2: _*))
+            .select(col(s"`$nameCol`")).distinct()
+            .collect().map(_.getString(0)).toSet
+          stale2.foreach { n =>
+            unshadowedNameCache.merge(n, (ver, found(n)),
+              // advance-only: keep whichever entry is newer
+              (old, nw) => if (fresh(old._1)) old else nw)
           }
-        synchronized {
-          // advance-only componentwise: both counters only grow
-          if (!fresh(unshadowedDualCache))
-            unshadowedDualCache = (ver, names)
         }
-        names
+        names.filter(cachedTrue).toSet
       }
     }
-  }
 
   /** The loud half of the migrated-metric contract for SHAPED
     * expressions: bare selectors, raw matrices, federate and remote
@@ -483,13 +494,13 @@ final class PromHttpServer(spark: SparkSession, initial: DataFrame,
     * native sample, native after); a shaped expression evaluates on
     * the native store alone, and this warning says so instead of
     * leaving the missing float share silent. Gated on an unshadowed
-    * float row actually existing ([[unshadowedDualNames]]) — a
+    * float row actually existing ([[unshadowedAmong]]) — a
     * cleanly-migrated metric whose only float rows are dual-write
     * shadows has no missing share to warn about. */
   private def migrationWarnings(e: PromQL.Expr): Seq[String] = {
     val dual0 = dualStoreNames(e)
     val dual = if (dual0.isEmpty) dual0
-               else dual0.filter(unshadowedDualNames)
+               else dual0.filter(unshadowedAmong(dual0))
     if (dual.isEmpty) Nil
     else Seq("metric(s) " + dual.mkString(", ") + " also have " +
       "float-store samples (pre-migration history or unmigrated " +
@@ -630,7 +641,7 @@ final class PromHttpServer(spark: SparkSession, initial: DataFrame,
     * same class one axis over). `by` and `without` grouping forms are
     * twins throughout — Prometheus 3 applies the same mixed-type rule
     * to both (the `without` arm used to 422, a pinned gap, closed). */
-  private def mixedAggShape(e: PromQL.Expr): Boolean = {
+  private[tsdb] def mixedAggShape(e: PromQL.Expr): Boolean = {
     def bothStores(arg: PromQL.Expr): Boolean =
       shapedBothStores(arg).nonEmpty
     e match {
@@ -713,16 +724,34 @@ final class PromHttpServer(spark: SparkSession, initial: DataFrame,
     * the info annotation under comparisons and the undefined
     * arithmetic shapes (`hist + s`, `s / hist`, …) — never a silent
     * null-valued row. */
-  private def scalarWrapMixed(df: DataFrame, op: String, s: Double,
+  private def scalarWrapMixed(df0: DataFrame, op: String, s: Double,
       flipped: Boolean, bool: Boolean): (DataFrame, Seq[String]) = {
-    if (!df.columns.contains(PromQLHist.HistCol))
-      (PromQL.scalarOp(df, op, lit(s), flipped, bool), Nil)
-    else {
+    // value-CHANGING ops drop the metric name on the MIXED path from
+    // BOTH kinds: scaleHistFrame drops it from histogram rows and
+    // scalarOp's dropName only knows the `__name__` spelling, so a
+    // straddling series' two halves would otherwise render under two
+    // different metric identities (one with `__name__`, one without —
+    // the merged-series renderer could never reunite them). The
+    // comparison FILTER keeps rows unchanged, name included
+    // (Prometheus), and its histogram rows are skipped, so no split
+    // is reachable there.
+    def stripName(d: DataFrame): DataFrame =
+      d.drop(TsdbSchema.labelColName("name")).drop("name")
+        .drop(TsdbSchema.labelColName("__name__")).drop("__name__")
+    if (!df0.columns.contains(PromQLHist.HistCol)) {
+      val out = PromQL.scalarOp(df0, op, lit(s), flipped, bool)
+      (if (CmpOpSet(op) && !bool) out else stripName(out), Nil)
+    } else {
+      // ONE materialization feeds the probe and the output (the
+      // annotation's isEmpty would otherwise re-run the whole inner
+      // evaluation — these are series-sized result frames)
+      val df = df0.localCheckpoint(true)
       val histRows = df.where(col(PromQLHist.HistCol).isNotNull)
       val floatRows = PromQL.toValueShape(
           df.where(col(PromQLHist.HistCol).isNull))
         .drop(PromQLHist.HistCol)
-      val f = PromQL.scalarOp(floatRows, op, lit(s), flipped, bool)
+      val f0 = PromQL.scalarOp(floatRows, op, lit(s), flipped, bool)
+      val f = if (CmpOpSet(op) && !bool) f0 else stripName(f0)
       if (op == "*" || (op == "/" && !flipped))
         (f.unionByName(
           PromQLHist.scaleHistFrame(histRows,
@@ -778,9 +807,10 @@ final class PromHttpServer(spark: SparkSession, initial: DataFrame,
         shapedBothStores(arg).map(s => (op, None, Some(w), param, s))
       case _ => None
     }
+    val aggShapeE = aggShape(e)
     e match {
-      case _ if aggShape(e).nonEmpty =>
-        val (op, by, without, param, sel) = aggShape(e).get
+      case _ if aggShapeE.nonEmpty =>
+        val (op, by, without, param, sel) = aggShapeE.get
         (op, param) match {
           case ("sum" | "avg", None) =>
             val (out, mixedWarn) = exclusiveShares(evalHist(e),
@@ -966,8 +996,12 @@ final class PromHttpServer(spark: SparkSession, initial: DataFrame,
       // sample time, so the native share is EXCLUDED with a warning
       case PromQL.Fn(op, arg, params) if ValueMapOverMixed(op) =>
         spanningShaped(arg, evalHist, floatSel, absentFn, floatEval,
-          absentBoth).map { case (df, w, i) =>
-          val hasHist = df.columns.contains(PromQLHist.HistCol)
+          absentBoth).map { case (df0, w, i) =>
+          val hasHist = df0.columns.contains(PromQLHist.HistCol)
+          // one materialization feeds the skip probe AND the output
+          // (series-sized result frames — the probe would otherwise
+          // re-run the whole inner evaluation)
+          val df = if (hasHist) df0.localCheckpoint(true) else df0
           val floatRows =
             if (hasHist)
               PromQL.toValueShape(
@@ -1028,8 +1062,8 @@ final class PromHttpServer(spark: SparkSession, initial: DataFrame,
       // absent overall iff BOTH probes fired
       (hA, fA) => if (hA.isEmpty) fA.limit(0) else fA)
 
-  private def spanningShapedRange(e: PromQL.Expr, start: Long, end: Long,
-                                  step: Long)
+  private[tsdb] def spanningShapedRange(e: PromQL.Expr, start: Long,
+                                        end: Long, step: Long)
       : Option[(DataFrame, Seq[String], Seq[String])] =
     spanningShapedRangeOver(e, start, end, step, floatShareView,
       lookbackMs)
@@ -2267,13 +2301,22 @@ final class PromHttpServer(spark: SparkSession, initial: DataFrame,
         try {
           spanningShapedRangeOver(ast, s, e, step, shadowCarved(view),
             lb) match {
-            case Some((df, _, _)) =>
+            case Some((df, warns, infos)) =>
               val out =
                 if (df.columns.contains(PromQLHist.HistCol))
                   df.where(col(PromQLHist.HistCol).isNull)
                     .drop(PromQLHist.HistCol)
                 else df
-              ruleEvalErrors.remove(PromQL.render(ast))
+              val key = PromQL.render(ast)
+              ruleEvalErrors.remove(key)
+              // the lattice's annotations surface per rule (the
+              // `evaluationWarning` extension) instead of vanishing —
+              // an excluded-native share must never make an alert
+              // silently inactive
+              val notes = warns ++ infos
+              if (notes.nonEmpty)
+                ruleEvalWarnings.put(key, notes.distinct.mkString("; "))
+              else ruleEvalWarnings.remove(key)
               out
             case None => throw new IllegalStateException(
               "mixedFloatRule admitted a rule its evaluator " +
@@ -2440,6 +2483,16 @@ final class PromHttpServer(spark: SparkSession, initial: DataFrame,
   private val ruleEvalErrors =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
+  /** Annotations the mixed-lattice rule evaluation produced (the
+    * excluded-native / mixed-samples warnings and skip infos) — a
+    * healthy rule renders them as the `evaluationWarning` extension
+    * field. Discarding them made a FloatWarnOverTime rule over a
+    * native-filled selector a silently-inactive health=ok alert
+    * (review find — the loud-partial pin violated exactly where it
+    * matters most). Keyed by rendered expr, refreshed per build. */
+  private val ruleEvalWarnings =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
   /** The RULES tier's twin of the router's 422 fallthrough: a rule
     * whose every name-bearing selector resolves to the pushed-native
     * head but whose shape has no float-evaluable hist-tier reading
@@ -2523,11 +2576,20 @@ final class PromHttpServer(spark: SparkSession, initial: DataFrame,
         case None =>
           val mw = try migrationWarnings(PromQL.parse(e))
                    catch { case scala.util.control.NonFatal(_) => Nil }
-          if (mw.isEmpty) """"health":"ok"}"""
-          else s""""health":"ok","migrationWarning":${jstr(
-            mw.mkString("; ") + " — rule evaluation reads the native " +
-              "store for these names, so pre-migration ticks inside " +
-              "the rules horizon are not evaluated")}}"""
+          val ew = try Option(
+              ruleEvalWarnings.get(PromQL.render(PromQL.parse(e))))
+            catch { case scala.util.control.NonFatal(_) => None }
+          val mwPart =
+            if (mw.isEmpty) ""
+            else s""","migrationWarning":${jstr(
+              mw.mkString("; ") + " — rule evaluation reads the " +
+                "native store for these names, so pre-migration " +
+                "ticks inside the rules horizon are not evaluated")}"""
+          // the mixed lattice's own annotations (excluded-native /
+          // mixed-samples / skip infos) — never silently dropped
+          val ewPart = ew.fold("")(w =>
+            s""","evaluationWarning":${jstr(w)}""")
+          s""""health":"ok"$mwPart$ewPart}"""
       }
       val rulesJson = g.rules.map {
         case AlertRule(n, e, forMs, kffMs, rl, anns) =>

@@ -3717,6 +3717,21 @@ class PromHttpServerSpec extends SparkSpec {
       assert(c7 == 200, b7)
       assert(b7.contains(""""value":[9.000,"7.0"]"""), b7)
       assert(!b7.contains("ignored"), b7)
+      // a STRADDLING series under a value-changing wrapper stays ONE
+      // series: both kinds drop the metric name (scalarOp's dropName
+      // only knows the __name__ spelling — unstripped, the float half
+      // rendered under a second metric identity and the merged-series
+      // renderer could never reunite the two halves; review find)
+      val (c8, b8) = getAt(p, "/api/v1/query_range?query=" +
+        java.net.URLEncoder.encode(
+          """last_over_time({user="wa"}[4s]) * 2""", UTF_8) +
+        "&start=1&end=9&step=4")
+      assert(c8 == 200, b8)
+      assert(!b8.contains("__name__"), b8)
+      assert(b8.contains(""""values":[[1.000,"2.0"]]"""), b8)
+      assert(b8.contains(""""histograms":[[5.000"""), b8)
+      assert(b8.split(java.util.regex.Pattern.quote(""""metric":"""))
+        .length - 1 == 1, b8)
     } finally srv.stop()
   }
 
@@ -3798,6 +3813,8 @@ class PromHttpServerSpec extends SparkSpec {
           |        expr: 'count_over_time({user="wa"}[10s]) > 3'
           |      - alert: NeverAlert
           |        expr: 'absent_over_time({user="wa"}[5s])'
+          |      - alert: WarnAlert
+          |        expr: 'changes({user="wa"}[10s]) > 0'
           |""".stripMargin),
       rulesHorizonMs = 5000L)
     val p = srv.start()
@@ -3828,7 +3845,8 @@ class PromHttpServerSpec extends SparkSpec {
       def ruleOf(name: String): String = {
         val from = b1.indexOf(s""""name":"$name"""")
         assert(from >= 0, b1)
-        val next = Seq("AbsAlert", "CountAlert", "NeverAlert")
+        val next = Seq("AbsAlert", "CountAlert", "NeverAlert",
+            "WarnAlert")
           .filterNot(_ == name)
           .map(n => b1.indexOf(s""""name":"$n"""", from + 1))
           .filter(_ > from)
@@ -3848,6 +3866,80 @@ class PromHttpServerSpec extends SparkSpec {
       // float view alone reported absence and fired wrongly
       assert(ruleOf("NeverAlert").contains(""""health":"ok""""), b1)
       assert(ruleOf("NeverAlert").contains(""""state":"inactive""""), b1)
+      // a FloatWarnOverTime rule surfaces the lattice's annotation as
+      // the evaluationWarning extension — never a silently-partial
+      // health=ok (review find: the warnings were discarded)
+      assert(ruleOf("WarnAlert").contains(""""health":"ok""""), b1)
+      assert(ruleOf("WarnAlert").contains(""""evaluationWarning":"""),
+        b1)
+      assert(ruleOf("WarnAlert").contains(
+        "native-histogram samples excluded from changes"), b1)
+      assert(!ruleOf("AbsAlert").contains("evaluationWarning"), b1)
+    } finally srv.stop()
+  }
+
+  test("GATE ⇔ EVALUATOR over the mixed lattice: every shape the gates " +
+      "admit composes, and every mixedFloatRule shape is float-valued " +
+      "(the hand-maintained lists cannot drift silently)") {
+    val srv = new PromHttpServer(spark, wide)
+    val p = srv.start()
+    try {
+      pushMigFixture(p) // hist head exists → the nameless gates live
+      val shapes = Seq(
+        """sum({user="a"})""", """avg without (k) ({user="a"})""",
+        """count({user="a"})""", """group({user="a"})""",
+        """min({user="a"})""", """quantile(0.9, {user="a"})""",
+        """topk(2, {user="a"})""", """limitk(2, {user="a"})""",
+        """limit_ratio(0.5, {user="a"})""",
+        """sort({user="a"})""", """absent({user="a"})""",
+        """count_values("v", {user="a"})""",
+        """count_over_time({user="a"}[5s])""",
+        """present_over_time({user="a"}[5s])""",
+        """absent_over_time({user="a"}[5s])""",
+        """sum_over_time({user="a"}[5s])""",
+        """avg_over_time({user="a"}[5s])""",
+        """rate({user="a"}[5s])""", """increase({user="a"}[5s])""",
+        """delta({user="a"}[5s])""",
+        """last_over_time({user="a"}[5s])""",
+        """first_over_time({user="a"}[5s])""",
+        """ts_of_last_over_time({user="a"}[5s])""",
+        """ts_of_first_over_time({user="a"}[5s])""",
+        """min_over_time({user="a"}[5s])""",
+        """stddev_over_time({user="a"}[5s])""",
+        """quantile_over_time(0.5, {user="a"}[5s])""",
+        """mad_over_time({user="a"}[5s])""",
+        """changes({user="a"}[5s])""", """resets({user="a"}[5s])""",
+        """irate({user="a"}[5s])""", """idelta({user="a"}[5s])""",
+        """deriv({user="a"}[5s])""",
+        """predict_linear({user="a"}[5s], 10)""",
+        """holt_winters({user="a"}[5s], 0.5, 0.3)""",
+        """abs({user="a"})""", """clamp({user="a"}, 0, 1)""",
+        """round({user="a"})""", """sgn({user="a"})""",
+        """timestamp({user="a"})""",
+        """label_replace({user="a"}, "d", "$1", "user", "(.*)")""",
+        """label_join({user="a"}, "d", "-", "user")""",
+        """count_over_time({user="a"}[5s]) > 1""",
+        """sum({user="a"}) * 2""",
+        """abs({user="a"}) <= bool 3""",
+        """{user="a"} > 1""", """2 * sum({user="a"})""")
+      for (q <- shapes) {
+        val e = graft.tsdb.PromQL.parse(q)
+        assert(srv.mixedAggShape(e), s"gate rejects: $q")
+        val ev = srv.spanningShapedRange(e, 1, 9, 4)
+        assert(ev.nonEmpty,
+          s"gate admitted but the evaluator cannot compose: $q")
+        if (srv.mixedFloatRule(e)) {
+          // the rules contract: after the hist-row drop the frame is
+          // float-valued
+          val df0 = ev.get._1
+          val df =
+            if (df0.columns.contains("hist"))
+              df0.where(df0("hist").isNull).drop("hist")
+            else df0
+          assert(df.columns.contains("value"),
+            s"mixedFloatRule shape without a float value column: $q")
+        }
+      }
     } finally srv.stop()
   }
 
