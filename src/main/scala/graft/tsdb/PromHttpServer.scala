@@ -704,7 +704,31 @@ final class PromHttpServer(spark: SparkSession, initial: DataFrame,
       // apply to the stitched union verbatim
       case PromQL.StrFn(_, arg, _) =>
         mixedAggShape(arg) || shapedBothStores(arg).nonEmpty
+      // SET OPS between lattice-evaluable and/or PURELY-FLOAT sides:
+      // `{user="x"} or {user="y"}`, `{user="x"} unless float_maint` —
+      // previously the float tier evaluated the whole expression and
+      // the native share vanished from every side (the straddlesTiers
+      // split path only catches NAME-resolved mixing)
+      case PromQL.SetOp(_, _, l, r, _) =>
+        def latticeSide(x: PromQL.Expr): Boolean =
+          mixedAggShape(x) || shapedBothStores(x).nonEmpty
+        (latticeSide(l) || latticeSide(r)) &&
+          (latticeSide(l) || pureFloatSide(l)) &&
+          (latticeSide(r) || pureFloatSide(r))
       case _ => false
+    }
+  }
+
+  /** A side whose FLOAT-TIER evaluation is the complete truth: every
+    * selector is name-bearing and resolves to NO pushed-native metric
+    * (a nameless selector could match native series — it must go
+    * through the lattice, never a bare float evaluation). */
+  private def pureFloatSide(x: PromQL.Expr): Boolean = {
+    val sels = PromQL.selectorsOf(x)
+    sels.nonEmpty && sels.forall { ms =>
+      val nameMs =
+        ms.filter(m => m.name == "__name__" || m.name == "name")
+      nameMs.nonEmpty && stored(nameMs).isEmpty
     }
   }
 
@@ -1026,6 +1050,23 @@ final class PromHttpServer(spark: SparkSession, initial: DataFrame,
           absentBoth).map { case (df, w, i) =>
           (PromQL.strFn(name, df, strs), w, i)
         }
+      // SET OPS: the membership joins are payload-agnostic
+      // ([[PromQLHist.setOpFrames]]), so union frames, float frames
+      // and composed mixed results all compose directly; a side the
+      // lattice cannot evaluate is admitted only when its float-tier
+      // reading is complete ([[pureFloatSide]])
+      case PromQL.SetOp(op, on, l, r, ign) =>
+        def side(x: PromQL.Expr)
+            : Option[(DataFrame, Seq[String], Seq[String])] =
+          spanningShaped(x, evalHist, floatSel, absentFn, floatEval,
+            absentBoth).orElse(
+            if (pureFloatSide(x)) Some((floatEval(x), Nil, Nil))
+            else None)
+        for {
+          (ld, lw, li) <- side(l)
+          (rd, rw, ri) <- side(r)
+        } yield (PromQLHist.setOpFrames(op, ld, rd, on, ign),
+          lw ++ rw, li ++ ri)
       // a BARE both-stores selector under a wrapper: the stitched
       // union frame itself (the router's bare case, reachable here
       // only through the recursion above)
@@ -1195,6 +1236,14 @@ final class PromHttpServer(spark: SparkSession, initial: DataFrame,
       mixedAggShape(e)
     // label transforms preserve payloads: float-valued iff the inner is
     case PromQL.StrFn(_, arg, _) => mixedFloatRule(arg)
+    // set ops keep the LEFT side's rows (`and`/`unless`) or both
+    // (`or`): float-valued when the kept side(s) are
+    case PromQL.SetOp(op, _, l, r, _) =>
+      mixedAggShape(e) && {
+        def fl(x: PromQL.Expr): Boolean =
+          mixedFloatRule(x) || pureFloatSide(x)
+        if (op == "or") fl(l) && fl(r) else fl(l)
+      }
     case _ => false
   }
 

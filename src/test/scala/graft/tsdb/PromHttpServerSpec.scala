@@ -3732,6 +3732,17 @@ class PromHttpServerSpec extends SparkSpec {
       assert(b8.contains(""""histograms":[[5.000"""), b8)
       assert(b8.split(java.util.regex.Pattern.quote(""""metric":"""))
         .length - 1 == 1, b8)
+      // SET OPS over nameless mixed sides read both stores: `or`
+      // answers the native-owned wa row BESIDE wb's float (the float
+      // tier alone had no wa at all), `unless` keeps the union row
+      val (c9, b9) = q("""{user="wa"} or {user="wb"}""", 9)
+      assert(c9 == 200, b9)
+      assert(b9.contains(""""histogram":[9.000,{"count":"8.0""""), b9)
+      assert(b9.contains(""""value":[9.000,"7.0"]"""), b9)
+      val (c10, b10) = q("""{user="wa"} unless {user="wb"}""", 9)
+      assert(c10 == 200, b10)
+      assert(b10.contains(""""histogram":[9.000,{"count":"8.0""""), b10)
+      assert(!b10.contains(""""value":["""), b10)
     } finally srv.stop()
   }
 
@@ -3921,7 +3932,10 @@ class PromHttpServerSpec extends SparkSpec {
         """count_over_time({user="a"}[5s]) > 1""",
         """sum({user="a"}) * 2""",
         """abs({user="a"}) <= bool 3""",
-        """{user="a"} > 1""", """2 * sum({user="a"})""")
+        """{user="a"} > 1""", """2 * sum({user="a"})""",
+        """{user="a"} or {user="b"}""",
+        """count({user="a"}) and {user="a"}""",
+        """{user="a"} unless {user="b"}""")
       for (q <- shapes) {
         val e = graft.tsdb.PromQL.parse(q)
         assert(srv.mixedAggShape(e), s"gate rejects: $q")
