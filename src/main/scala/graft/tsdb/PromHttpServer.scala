@@ -626,6 +626,31 @@ final class PromHttpServer(spark: SparkSession, initial: DataFrame,
       nameMs.isEmpty && namelessMayMatchHist(ms)
     }
 
+  /** SUBQUERY twin of [[shapedBothStoresRange]]: a subquery whose
+    * inner is a BARE both-stores selector (`{user="x"}[30s:5s]`) —
+    * the window-family composition applies on the subquery GRID. */
+  private def subqueryBothStores(arg: PromQL.Expr)
+      : Option[PromQL.Subquery] = arg match {
+    case sq @ PromQL.Subquery(PromQL.Selector(ms, None, _, _),
+        _, _, _, _) if bothStoresSelectorMs(ms) => Some(sq)
+    case _ => None
+  }
+
+  /** Float-consuming subquery folds over a mixed inner: histogram
+    * grid points skip with the info annotation (Prometheus's rule). */
+  private val SubqueryFloatInfoOps = Set("min_over_time",
+    "max_over_time", "stddev_over_time", "stdvar_over_time",
+    "mad_over_time", "quantile_over_time")
+
+  /** Subquery folds Prometheus evaluates over histogram grid points
+    * that this engine's hist tier cannot fold over subqueries yet —
+    * the float share answers with the excluded-native WARNING
+    * (pinned loud-partial). */
+  private val SubqueryFloatWarnOps = Set("rate", "increase", "delta",
+    "irate", "idelta", "changes", "resets", "deriv", "predict_linear",
+    "holt_winters", "double_exponential_smoothing", "last_over_time",
+    "first_over_time", "ts_of_last_over_time", "ts_of_first_over_time")
+
   /** SHAPED expressions over ONE selector SPANNING both stores —
     * Prometheus 3's mixed-type semantics for the well-defined shapes:
     * sum/avg per-group exclusive ([[exclusiveShares]]), count additive
@@ -660,6 +685,14 @@ final class PromHttpServer(spark: SparkSession, initial: DataFrame,
       case PromQL.Fn("sort" | "sort_desc" | "absent", arg, _) =>
         bothStores(arg)
       case PromQL.CountValues(_, arg, _, _) => bothStores(arg)
+      // SUBQUERY inners over a both-stores bare selector — must gate
+      // BEFORE the range-selector arms (those commit on the op name)
+      case PromQL.Fn(op, arg, _)
+          if subqueryBothStores(arg).nonEmpty &&
+            (op == "count_over_time" || op == "present_over_time" ||
+              op == "sum_over_time" || op == "avg_over_time" ||
+              SubqueryFloatInfoOps(op) || SubqueryFloatWarnOps(op)) =>
+        true
       // the over-time WINDOW family — the same silent class one axis
       // over (the range window instead of the instant lookback):
       // `absent_over_time({user="x"}[5m])` evaluated on the float
@@ -715,6 +748,17 @@ final class PromHttpServer(spark: SparkSession, initial: DataFrame,
         (latticeSide(l) || latticeSide(r)) &&
           (latticeSide(l) || pureFloatSide(l)) &&
           (latticeSide(r) || pureFloatSide(r))
+      // VECTOR-VECTOR binops between FLOAT-VALUED sides — the SLO
+      // shape (`count_over_time(a[5m]) / on(k) count_over_time(
+      // b[5m])`): each side composes through the lattice (or a
+      // complete float reading), the keyed one-to-one kernel joins
+      // them. Group modifiers stay out (the split lattice's rule).
+      case PromQL.BinOp(_, _, l, r, _, "", _, Seq())
+          if !l.isInstanceOf[PromQL.ScalarLit] &&
+            !r.isInstanceOf[PromQL.ScalarLit] =>
+        def side(x: PromQL.Expr): Boolean =
+          mixedFloatRule(x) || pureFloatSide(x)
+        (mixedFloatRule(l) || mixedFloatRule(r)) && side(l) && side(r)
       case _ => false
     }
   }
@@ -814,8 +858,11 @@ final class PromHttpServer(spark: SparkSession, initial: DataFrame,
       floatSel: PromQL.Selector => DataFrame,
       absentFn: PromQL.Selector => DataFrame,
       floatEval: PromQL.Expr => DataFrame,
-      absentBoth: (DataFrame, DataFrame) => DataFrame)
+      absentBoth: (DataFrame, DataFrame) => DataFrame,
+      floatSubFold: (String, PromQL.Subquery, Seq[Double]) => DataFrame)
       : Option[(DataFrame, Seq[String], Seq[String])] = {
+    def rec(x: PromQL.Expr) = spanningShaped(x, evalHist, floatSel,
+      absentFn, floatEval, absentBoth, floatSubFold)
     def histHasRows(arg: PromQL.Expr): Boolean = !evalHist(arg).isEmpty
     def floatAgg(sel: PromQL.Selector, op: String,
                  by: Option[Seq[String]], without: Option[Seq[String]],
@@ -919,6 +966,45 @@ final class PromHttpServer(spark: SparkSession, initial: DataFrame,
       //     (the float tier alone answered 1 while native samples
       //     filled the window — `absent`'s inverted-alerting bug, one
       //     axis over).
+      // SUBQUERY inners over a both-stores bare selector — the
+      // window-family composition on the subquery GRID: the float
+      // share's inner evaluates per grid step through the per-step
+      // carved union axis (the evalRangeFn hook behind
+      // `floatSubFold`), so a straddling series contributes each grid
+      // point from exactly ONE store and the boundary step never
+      // double-counts. These cases must precede the range-selector
+      // arms below (those commit on the op name).
+      case fn @ PromQL.Fn("count_over_time", arg, params)
+          if subqueryBothStores(arg).nonEmpty =>
+        Some((PromQLHist.combineSeriesShares(evalHist(fn),
+          floatSubFold("count_over_time", subqueryBothStores(arg).get,
+            params), how = "sum"), Nil, Nil))
+      case PromQL.Fn("present_over_time", arg, params)
+          if subqueryBothStores(arg).nonEmpty =>
+        // the hist tier folds subquery COUNTS — presence is the count
+        // clamped to 1 (its own range-selector rule)
+        val hPresent = evalHist(PromQL.Fn("count_over_time", arg, Nil))
+          .withColumn(TsdbSchema.ValueCol, lit(1.0))
+        Some((PromQLHist.combineSeriesShares(hPresent,
+          floatSubFold("present_over_time", subqueryBothStores(arg).get,
+            params), how = "max"), Nil, Nil))
+      case fn @ PromQL.Fn(op @ ("sum_over_time" | "avg_over_time"),
+          arg, params) if subqueryBothStores(arg).nonEmpty =>
+        val (out, mixed) = PromQLHist.exclusiveSeriesShares(
+          evalHist(fn),
+          floatSubFold(op, subqueryBothStores(arg).get, params))
+        Some((out, if (mixed) mixedRangeWarning else Nil, Nil))
+      case PromQL.Fn(op, arg, params)
+          if subqueryBothStores(arg).nonEmpty &&
+            (SubqueryFloatInfoOps(op) || SubqueryFloatWarnOps(op)) =>
+        val histHas = !evalHist(
+          PromQL.Fn("count_over_time", arg, Nil)).isEmpty
+        val f = floatSubFold(op, subqueryBothStores(arg).get, params)
+        if (SubqueryFloatWarnOps(op))
+          Some((f, if (histHas) excludedNativeWarning(op) else Nil,
+            Nil))
+        else
+          Some((f, Nil, if (histHas) skippedInfo(op) else Nil))
       case fn @ PromQL.Fn("count_over_time", arg, _) =>
         shapedBothStoresRange(arg).map { _ =>
           (PromQLHist.combineSeriesShares(evalHist(fn), floatEval(fn),
@@ -999,15 +1085,13 @@ final class PromHttpServer(spark: SparkSession, initial: DataFrame,
       // nested wrappers included; the inner shape's warnings/infos
       // ride out with the wrapper's own skip annotation
       case PromQL.BinOp(op, _, l, PromQL.ScalarLit(s), bool, _, _, _) =>
-        spanningShaped(l, evalHist, floatSel, absentFn, floatEval,
-          absentBoth).map { case (df, w, i) =>
+        rec(l).map { case (df, w, i) =>
           val (out, extraI) = scalarWrapMixed(df, op, s,
             flipped = false, bool = bool)
           (out, w, i ++ extraI)
         }
       case PromQL.BinOp(op, _, PromQL.ScalarLit(s), r, bool, _, _, _) =>
-        spanningShaped(r, evalHist, floatSel, absentFn, floatEval,
-          absentBoth).map { case (df, w, i) =>
+        rec(r).map { case (df, w, i) =>
           val (out, extraI) = scalarWrapMixed(df, op, s,
             flipped = true, bool = bool)
           (out, w, i ++ extraI)
@@ -1019,8 +1103,7 @@ final class PromHttpServer(spark: SparkSession, initial: DataFrame,
       // compute on histograms, but the hist selector frame carries no
       // sample time, so the native share is EXCLUDED with a warning
       case PromQL.Fn(op, arg, params) if ValueMapOverMixed(op) =>
-        spanningShaped(arg, evalHist, floatSel, absentFn, floatEval,
-          absentBoth).map { case (df0, w, i) =>
+        rec(arg).map { case (df0, w, i) =>
           val hasHist = df0.columns.contains(PromQLHist.HistCol)
           // one materialization feeds the skip probe AND the output
           // (series-sized result frames — the probe would otherwise
@@ -1046,9 +1129,36 @@ final class PromHttpServer(spark: SparkSession, initial: DataFrame,
       // transforms over the stitched union — histogram rows ride
       // unchanged beside float rows
       case PromQL.StrFn(name, arg, strs) =>
-        spanningShaped(arg, evalHist, floatSel, absentFn, floatEval,
-          absentBoth).map { case (df, w, i) =>
+        rec(arg).map { case (df, w, i) =>
           (PromQL.strFn(name, df, strs), w, i)
+        }
+      // VECTOR-VECTOR binops between float-valued sides: compose each
+      // side, strip any (empty-by-contract) histogram column, and
+      // join through the float tier's keyed one-to-one kernel; the
+      // sides' annotations ride out
+      case PromQL.BinOp(op, onK, l, r, bool, "", ign, Seq())
+          if !l.isInstanceOf[PromQL.ScalarLit] &&
+            !r.isInstanceOf[PromQL.ScalarLit] =>
+        def side(x: PromQL.Expr)
+            : Option[(DataFrame, Seq[String], Seq[String])] =
+          rec(x).orElse(
+            if (pureFloatSide(x)) Some((floatEval(x), Nil, Nil))
+            else None)
+        def floatOnly(df: DataFrame): DataFrame =
+          if (df.columns.contains(PromQLHist.HistCol))
+            df.where(col(PromQLHist.HistCol).isNull)
+              .drop(PromQLHist.HistCol)
+          else df
+        for {
+          (ld0, lw, li) <- side(l)
+          (rd0, rw, ri) <- side(r)
+        } yield {
+          val ld = floatOnly(ld0)
+          val rd = floatOnly(rd0)
+          val extra = Seq("bucket", "t").filter(c =>
+            ld.columns.contains(c) && rd.columns.contains(c))
+          (PromQL.binOpFrames(op, onK, ign, ld, rd, bool, extra),
+            lw ++ rw, li ++ ri)
         }
       // SET OPS: the membership joins are payload-agnostic
       // ([[PromQLHist.setOpFrames]]), so union frames, float frames
@@ -1058,8 +1168,7 @@ final class PromHttpServer(spark: SparkSession, initial: DataFrame,
       case PromQL.SetOp(op, on, l, r, ign) =>
         def side(x: PromQL.Expr)
             : Option[(DataFrame, Seq[String], Seq[String])] =
-          spanningShaped(x, evalHist, floatSel, absentFn, floatEval,
-            absentBoth).orElse(
+          rec(x).orElse(
             if (pureFloatSide(x)) Some((floatEval(x), Nil, Nil))
             else None)
         for {
@@ -1101,7 +1210,22 @@ final class PromHttpServer(spark: SparkSession, initial: DataFrame,
       // absent_over_time, instant form: each tier's own absent frame
       // is its store's emptiness probe (≤ 1 row) — the window is
       // absent overall iff BOTH probes fired
-      (hA, fA) => if (hA.isEmpty) fA.limit(0) else fA)
+      (hA, fA) => if (hA.isEmpty) fA.limit(0) else fA,
+      // subquery folds: the float share's inner grid evaluates over
+      // the carved view AND the per-step ownership axis (the same
+      // reference-time rule as floatShareRange — the inner selector's
+      // offset/@ resolve through sampleRefRange)
+      (op, sq, params) => PromQL.subqueryFold(op, sq.arg, sq.rangeMs,
+        sq.stepMs,
+        sqEnd = PromQL.resolveAt(sq.atMod, at, at, at) - sq.offsetMs,
+        floatShareView, lookbackMs, params,
+        evalRangeFn = (x, w, s0, e0, st0, lb0) =>
+          dropShadowedFrame(PromQL.toValueShape(
+            PromQL.evalRange(x, w, s0, e0, st0, lb0)),
+            x match {
+              case s: PromQL.Selector => sampleRefRange(s, s0, e0)
+              case _ => col("t")
+            })))
 
   private[tsdb] def spanningShapedRange(e: PromQL.Expr, start: Long,
                                         end: Long, step: Long)
@@ -1144,7 +1268,32 @@ final class PromHttpServer(spark: SparkSession, initial: DataFrame,
       // frame lists ITS store's empty steps — keep the steps BOTH
       // tiers report (grid-sized semi join)
       (hA, fA) => fA.join(hA.select(col("t")).distinct(), Seq("t"),
-        "left_semi"))
+        "left_semi"),
+      // subquery folds, range mode: an @-anchored subquery pins to ONE
+      // fold exploded across the grid (the float tier's own rule);
+      // un-anchored folds fan inner points to covering outer steps
+      (op, sq, params) => {
+        val hook: (PromQL.Expr, DataFrame, Long, Long, Long, Long) =>
+            DataFrame = (x, w, s0, e0, st0, lb0) =>
+          dropShadowedFrame(PromQL.toValueShape(
+            PromQL.evalRange(x, w, s0, e0, st0, lb0)),
+            x match {
+              case s: PromQL.Selector => sampleRefRange(s, s0, e0)
+              case _ => col("t")
+            })
+        sq.atMod match {
+          case Some(_) =>
+            val t0 = PromQL.resolveAt(sq.atMod, end, start, end)
+            PromQL.subqueryFold(op, sq.arg, sq.rangeMs, sq.stepMs,
+              sqEnd = t0 - sq.offsetMs, carvedFloat, lb, params, hook)
+              .withColumn("t",
+                explode(sequence(lit(start), lit(end), lit(step))))
+          case None =>
+            PromQL.subqueryFoldRange(op, sq.arg, sq.rangeMs, sq.stepMs,
+              sq.offsetMs, carvedFloat, start, end, step, lb, params,
+              hook)
+        }
+      })
 
   /** STATIC mirror of the [[splitEval]] lattice: can `x` evaluate
     * through split-tier decomposition, and — when `needFloat` — to a
@@ -1244,6 +1393,17 @@ final class PromHttpServer(spark: SparkSession, initial: DataFrame,
           mixedFloatRule(x) || pureFloatSide(x)
         if (op == "or") fl(l) && fl(r) else fl(l)
       }
+    // vector-vector binops: the gate only admits float-valued sides
+    case PromQL.BinOp(_, _, l, r, _, "", _, Seq())
+        if !l.isInstanceOf[PromQL.ScalarLit] &&
+          !r.isInstanceOf[PromQL.ScalarLit] =>
+      mixedAggShape(e)
+    // subquery folds in the float-warn bucket are float-valued too
+    // (rate/last/… — the float share answers, annotated)
+    case PromQL.Fn(op, arg, _)
+        if subqueryBothStores(arg).nonEmpty &&
+          SubqueryFloatWarnOps(op) =>
+      mixedAggShape(e)
     case _ => false
   }
 

@@ -3743,6 +3743,36 @@ class PromHttpServerSpec extends SparkSpec {
       assert(c10 == 200, b10)
       assert(b10.contains(""""histogram":[9.000,{"count":"8.0""""), b10)
       assert(!b10.contains(""""value":["""), b10)
+      // VECTOR-VECTOR binop between float-valued mixed shapes — the
+      // SLO shape: both counts read BOTH stores before dividing (the
+      // float tier alone answered 2/… or empty)
+      val (c11, b11) = q(
+        """count_over_time({user="wa"}[10s]) / on(user) """ +
+          """count_over_time({user="wa"}[4s])""", 9)
+      assert(c11 == 200, b11)
+      assert(b11.contains(""""value":[9.000,"4.0"]"""), b11)
+      // SUBQUERY inners compose on the subquery GRID with the
+      // per-step carved union: grid (0s, 4s, 8s] — the 4s point is
+      // float-owned (value 2), the 8s point native-owned (the float
+      // tier alone served the STALE pre-migration 2.0 there).
+      // max_over_time sees the one float point + the info annotation
+      val (c12, b12) = q("""max_over_time({user="wa"}[10s:4s])""", 9)
+      assert(c12 == 200, b12)
+      assert(b12.contains(""""value":[9.000,"2.0"]"""), b12)
+      assert(b12.contains(
+        "histogram samples ignored in max_over_time"), b12)
+      // sum_over_time over the straddling subquery grid: the series'
+      // grid mixes kinds → skipped + warning (the float tier alone
+      // silently answered 4.0 from two float points, one of them the
+      // stale pre-migration value at a native-owned step)
+      val (c13, b13) = q("""sum_over_time({user="wa"}[10s:4s])""", 9)
+      assert(c13 == 200, b13)
+      assert(b13.contains(""""result":[]"""), b13)
+      assert(b13.contains("mix of float and histogram samples"), b13)
+      // count_over_time counts grid points of EITHER kind, once each
+      val (c14, b14) = q("""count_over_time({user="wa"}[10s:4s])""", 9)
+      assert(c14 == 200, b14)
+      assert(b14.contains(""""value":[9.000,"2.0"]"""), b14)
     } finally srv.stop()
   }
 
@@ -3935,7 +3965,15 @@ class PromHttpServerSpec extends SparkSpec {
         """{user="a"} > 1""", """2 * sum({user="a"})""",
         """{user="a"} or {user="b"}""",
         """count({user="a"}) and {user="a"}""",
-        """{user="a"} unless {user="b"}""")
+        """{user="a"} unless {user="b"}""",
+        """count({user="a"}) / count({user="a"})""",
+        """count_over_time({user="a"}[5s]) > bool count({user="a"})""",
+        """count_over_time({user="a"}[10s:5s])""",
+        """present_over_time({user="a"}[10s:5s])""",
+        """max_over_time({user="a"}[10s:5s])""",
+        """sum_over_time({user="a"}[10s:5s])""",
+        """rate({user="a"}[10s:5s])""",
+        """last_over_time({user="a"}[10s:5s])""")
       for (q <- shapes) {
         val e = graft.tsdb.PromQL.parse(q)
         assert(srv.mixedAggShape(e), s"gate rejects: $q")
