@@ -14,7 +14,7 @@ import graft.streaming.EventStreams
   * driver's rows-only check (oracle intentionally omitted).
   */
 object PipelineQueries {
-  import Tables.load
+  import Tables.{fanOut, load}
   import Hashing.{duckHash64, Mod}
 
   private val MinhashK = 8
@@ -57,7 +57,7 @@ object PipelineQueries {
 
     // LSH near-dup pairs (banded minhash → bucket join → jaccard verify)
     "pipe_q7_lsh_pairs" -> ((s, dir) =>
-      Dedup.minhashLshPairs(load(s, dir, "documents"), "doc_id", "text",
+      Dedup.minhashLshPairs(fanOut(load(s, dir, "documents")), "doc_id", "text",
         k = MinhashK, bands = 4, shingleK = ShingleK, threshold = 0.5)),
 
     // simhash signatures
@@ -243,7 +243,7 @@ object PipelineQueries {
     // surviving chunks — dedup_text is compared character-exact
     "pipe_q31_chunk_dedup" -> ((s, dir) =>
       graft.operators.TextPipeline.chunkDedup(
-        load(s, dir, "documents"), "doc_id", "text", chunkWords = 8)),
+        fanOut(load(s, dir, "documents")), "doc_id", "text", chunkWords = 8)),
     // k-means over the embedding corpus (semantic-clustering / IVF
     // training): deterministic hash bootstrap, one Lloyd update, final
     // assignment — centroids broadcast as literals, data never collected
@@ -277,7 +277,7 @@ object PipelineQueries {
     // position-ordered fold ⇒ bit-deterministic across engines
     "pipe_q39_unigram_logprob" -> ((s, dir) =>
       graft.operators.TextPipeline.unigramLogProb(
-        load(s, dir, "documents"), "doc_id", "text")),
+        fanOut(load(s, dir, "documents")), "doc_id", "text")),
     // model-based quality-classifier gate (FineWeb/DCLM curation step):
     // hashed uni+bigram features -> md5-derived weights -> mean-pooled
     // linear score -> sigmoid -> threshold; one map pass, no vocabulary
@@ -291,14 +291,14 @@ object PipelineQueries {
     // gaps-and-islands merge in SQL windows.
     "pipe_q52_dup_spans" -> ((s, dir) =>
       graft.operators.TextPipeline.duplicateSpans(
-        load(s, dir, "documents"), "doc_id", "text",
+        fanOut(load(s, dir, "documents")), "doc_id", "text",
         k = 8, minSpanTokens = 12)),
     // the actionable half: spans cut out, scrubbed text back — docs
     // without spans stay byte-identical, scrubbed docs re-join their
     // surviving tokens
     "pipe_q53_span_scrub" -> ((s, dir) =>
       graft.operators.TextPipeline.removeDuplicateSpans(
-        load(s, dir, "documents"), "doc_id", "text",
+        fanOut(load(s, dir, "documents")), "doc_id", "text",
         k = 8, minSpanTokens = 12)),
     // count-min heavy hitters over the same domain stream: the sketch is
     // depth×width counters built in ONE partial-aggregated pass (a few

@@ -25,6 +25,22 @@ object Tables {
     f.delete(): Unit
   }
 
+  /** Scale-adaptive scan fan-out (optimization guide §2.2/§2.5): a
+    * CPU-heavy per-row pipeline (wire codec, shingle/hash kernel, WAL or
+    * block encode) needs parallelism proportional to CORES, but a small
+    * input — locally, one single-row-group parquet file — plans as ONE
+    * split and serializes the whole map side on one task while the rest
+    * of the box idles. When (and only when) the scan yields fewer
+    * partitions than the session's default parallelism, round-robin it
+    * out; at warehouse scale the input already has ≥ cores splits and
+    * this is a provable no-op, so it is not a local-only tuning. The
+    * shuffled bytes are the small input itself — cheap insurance against
+    * a serialized multi-second codec stage. */
+  def fanOut(df: DataFrame): DataFrame = {
+    val p = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions >= p) df else df.repartition(p)
+  }
+
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     // events.parquet's `ts` encoding has varied across generator runs:
     // TIMESTAMP(NANOS) (Spark reads as LongType nanos behind the legacy

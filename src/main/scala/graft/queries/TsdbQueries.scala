@@ -16,6 +16,17 @@ object TsdbQueries {
   private def table(s: SparkSession, dir: String): TsdbTable =
     TsdbTable(eventsAsTsdbStored(s, dir))
 
+  /** The raw events scan for the wire-codec / storage-writer round
+    * trips, fanned out to core parallelism ([[Tables.fanOut]]): every
+    * consumer feeds CPU-heavy per-row work (wire encode/decode,
+    * exposition render/parse, WAL/block encode), and the raw scan of a
+    * small input plans as ONE split — serializing the whole pipeline on
+    * one task (measured: tsdb_q107's entire OTLP round trip ran as a
+    * single 3 s task at sf0.1 while 31 cores idled). No-op whenever the
+    * scan already yields ≥ cores splits, i.e. at any real scale. */
+  private def eventsScan(s: SparkSession, dir: String): DataFrame =
+    fanOut(load(s, dir, "events"))
+
   private val labelsTimeValue = Seq("`labels.k`", "`labels.name`", "`labels.user`", "time", "value")
 
   // native-histogram bucket upper bounds (Q80-Q83): 50-wide bins to 400,
@@ -199,7 +210,7 @@ object TsdbQueries {
     // parser, and project. The oracle is the IDENTITY over events, so the
     // formatter⇄parser pair is proven lossless (incl. double round-trip)
     "tsdb_q12_openmetrics" -> ((s, dir) => {
-      val long = load(s, dir, "events").select(
+      val long = eventsScan(s, dir).select(
         unix_millis(col("ts")).as("time"), col("value"),
         map(lit("__name__"), col("event_type"),
           lit("user"), col("user_id").cast("string"),
@@ -217,7 +228,7 @@ object TsdbQueries {
     // built-in permissive from_json, projected. Identity oracle ⇒ the
     // exporter⇄parser pair is proven lossless (incl. double round-trip)
     "tsdb_q39_jsonlines" -> ((s, dir) => {
-      val long = load(s, dir, "events").select(
+      val long = eventsScan(s, dir).select(
         unix_millis(col("ts")).as("time"), col("value"),
         map(lit("__name__"), col("event_type"),
           lit("user"), col("user_id").cast("string"),
@@ -237,7 +248,7 @@ object TsdbQueries {
     // Identity oracle ⇒ the exporter⇄parser pair is lossless, including
     // the uint64-as-string timeUnixNano precision contract.
     "tsdb_q107_otlp" -> ((s, dir) => {
-      val long = load(s, dir, "events").select(
+      val long = eventsScan(s, dir).select(
         unix_millis(col("ts")).as("time"), col("value"),
         map(lit("__name__"), col("event_type"),
           lit("user"), col("user_id").cast("string"),
@@ -500,7 +511,7 @@ object TsdbQueries {
     // in DuckDB. Engine matchers carry the reference's raw-substring
     // regex contract, so the oracle regexes are unanchored.
     "tsdb_q153_utf8_names" -> ((s, dir) => {
-      val long = load(s, dir, "events").select(
+      val long = eventsScan(s, dir).select(
         unix_millis(col("ts")).as("time"), col("value"),
         map(lit("__name__"), concat(lit("event."), col("event_type")),
           lit("service.user"), col("user_id").cast("string"))
@@ -528,7 +539,7 @@ object TsdbQueries {
     // engine's meta writer and parser are pinned against an independent
     // JSON reader, field by field.
     "tsdb_q149_block_list" -> ((s, dir) => {
-      val long = load(s, dir, "events").select(
+      val long = eventsScan(s, dir).select(
         unix_millis(col("ts")).as("time"), col("value"),
         map(lit("__name__"), col("event_type"),
           lit("user"), col("user_id").cast("string")).as("labels"))
@@ -552,7 +563,7 @@ object TsdbQueries {
     // Identity oracle ⇒ field numbering, fixed64 nanos and the
     // attribute mapping are lossless.
     "tsdb_q143_otlp_proto" -> ((s, dir) => {
-      val long = load(s, dir, "events").select(
+      val long = eventsScan(s, dir).select(
         unix_millis(col("ts")).as("time"), col("value"),
         map(lit("__name__"), col("event_type"),
           lit("user"), col("user_id").cast("string"),
@@ -609,7 +620,7 @@ object TsdbQueries {
     // on sample lines (Q96's derivation THROUGH the text format, the
     // OpenMetrics twin of Q114's WAL exemplar records).
     "tsdb_q123_openmetrics_exemplars" -> ((s, dir) => {
-      val long = load(s, dir, "events").select(
+      val long = eventsScan(s, dir).select(
         unix_millis(col("ts")).as("time"), col("value"),
         map(lit("__name__"), col("event_type"),
           lit("user"), col("user_id").cast("string"),
@@ -637,7 +648,7 @@ object TsdbQueries {
     // packed uint32 refs, per-request string table. Same one-shuffle
     // encode / map-side decode plan as 1.0, smaller bytes.
     "tsdb_q120_remote_write2" -> ((s, dir) => {
-      val long = load(s, dir, "events").select(
+      val long = eventsScan(s, dir).select(
         unix_millis(col("ts")).as("time"), col("value"),
         map(lit("__name__"), col("event_type"),
           lit("user"), col("user_id").cast("string"),
@@ -659,7 +670,7 @@ object TsdbQueries {
     // BIDIRECTIONAL (the reader is pinned against the reference's own
     // block, and TsdbBlockWriterSpec re-writes that block byte-true).
     "tsdb_q108_block_roundtrip" -> ((s, dir) => {
-      val long = load(s, dir, "events").select(
+      val long = eventsScan(s, dir).select(
         unix_millis(col("ts")).as("time"), col("value"),
         map(lit("__name__"), col("event_type"),
           lit("user"), col("user_id").cast("string"),
@@ -685,7 +696,7 @@ object TsdbQueries {
     // dir for its own reference-pinned reader, with the block/WAL split
     // invisible to queries.
     "tsdb_q109_datadir_roundtrip" -> ((s, dir) => {
-      val long = load(s, dir, "events").select(
+      val long = eventsScan(s, dir).select(
         unix_millis(col("ts")).as("time"), col("value"),
         map(lit("__name__"), col("event_type"),
           lit("user"), col("user_id").cast("string"),
@@ -713,7 +724,7 @@ object TsdbQueries {
     // if the storage merge is seamless; the bare metric name exercises
     // `__name__` selection and the regex gets text-surface anchoring.
     "tsdb_q134_promql_over_datadir" -> ((s, dir) => {
-      val long = load(s, dir, "events").select(
+      val long = eventsScan(s, dir).select(
         unix_millis(col("ts")).as("time"), col("value"),
         map(lit("__name__"), col("event_type"),
           lit("user"), col("user_id").cast("string"),
@@ -739,7 +750,7 @@ object TsdbQueries {
     // head exceeds its window), then read back from the blocks alone.
     // Identity oracle ⇒ compaction is lossless end to end.
     "tsdb_q110_wal_compaction" -> ((s, dir) => {
-      val long = load(s, dir, "events").select(
+      val long = eventsScan(s, dir).select(
         unix_millis(col("ts")).as("time"), col("value"),
         map(lit("__name__"), col("event_type"),
           lit("user"), col("user_id").cast("string"),
@@ -765,7 +776,7 @@ object TsdbQueries {
     // checkpoint-then-segments — the exact layout a long-running
     // Prometheus leaves behind. Oracle: everything at/after the horizon.
     "tsdb_q113_wal_checkpoint" -> ((s, dir) => {
-      val long = load(s, dir, "events").select(
+      val long = eventsScan(s, dir).select(
         unix_millis(col("ts")).as("time"), col("value"),
         map(lit("__name__"), col("event_type"),
           lit("user"), col("user_id").cast("string"),
@@ -791,7 +802,7 @@ object TsdbQueries {
     // re-joined. Same derivation contract as Q96, THROUGH the on-disk
     // wire format.
     "tsdb_q114_wal_exemplars" -> ((s, dir) => {
-      val long = load(s, dir, "events").select(
+      val long = eventsScan(s, dir).select(
         unix_millis(col("ts")).as("time"), col("value"),
         map(lit("__name__"), col("event_type"),
           lit("user"), col("user_id").cast("string"),
@@ -820,7 +831,7 @@ object TsdbQueries {
     // format, read back as the /api/v1/metadata view (distinct per
     // metric). Metadata is label-universe-sized end to end.
     "tsdb_q115_wal_metadata" -> ((s, dir) => {
-      val long = load(s, dir, "events").select(
+      val long = eventsScan(s, dir).select(
         unix_millis(col("ts")).as("time"), col("value"),
         map(lit("__name__"), col("event_type"),
           lit("user"), col("user_id").cast("string"))
@@ -838,7 +849,7 @@ object TsdbQueries {
     // series (the Q111 window), masking replay WITHOUT touching sample
     // records. Same oracle as Q111 ⇒ head deletes ≡ block deletes.
     "tsdb_q116_wal_delete" -> ((s, dir) => {
-      val long = load(s, dir, "events").select(
+      val long = eventsScan(s, dir).select(
         unix_millis(col("ts")).as("time"), col("value"),
         map(lit("__name__"), col("event_type"),
           lit("user"), col("user_id").cast("string"),
@@ -866,7 +877,7 @@ object TsdbQueries {
     // Same oracle as Q111 ⇒ the delete is seamless across the
     // block/head split.
     "tsdb_q119_db_delete" -> ((s, dir) => {
-      val long = load(s, dir, "events").select(
+      val long = eventsScan(s, dir).select(
         unix_millis(col("ts")).as("time"), col("value"),
         map(lit("__name__"), col("event_type"),
           lit("user"), col("user_id").cast("string"),
@@ -896,7 +907,7 @@ object TsdbQueries {
     // blocks back must show exactly the surviving samples; the oracle
     // replays the deletes as SQL predicates.
     "tsdb_q111_delete_series" -> ((s, dir) => {
-      val long = load(s, dir, "events").select(
+      val long = eventsScan(s, dir).select(
         unix_millis(col("ts")).as("time"), col("value"),
         map(lit("__name__"), col("event_type"),
           lit("user"), col("user_id").cast("string"),
@@ -924,7 +935,7 @@ object TsdbQueries {
     // Q111 ⇒ the rewrite drops exactly the stoned samples and nothing
     // else; the new blocks carry empty tombstones (pinned in the spec).
     "tsdb_q112_clean_tombstones" -> ((s, dir) => {
-      val long = load(s, dir, "events").select(
+      val long = eventsScan(s, dir).select(
         unix_millis(col("ts")).as("time"), col("value"),
         map(lit("__name__"), col("event_type"),
           lit("user"), col("user_id").cast("string"),
@@ -959,7 +970,7 @@ object TsdbQueries {
     // read back. Oracle: Q111's delete predicates ⇒ the whole
     // plan→compact loop is lossless modulo exactly the deletes.
     "tsdb_q126_block_compaction" -> ((s, dir) => {
-      val long = load(s, dir, "events").select(
+      val long = eventsScan(s, dir).select(
         unix_millis(col("ts")).as("time"), col("value"),
         map(lit("__name__"), col("event_type"),
           lit("user"), col("user_id").cast("string"),
@@ -990,7 +1001,7 @@ object TsdbQueries {
     // beyondTimeRetention). The horizon is a slice boundary, so the
     // oracle is a clean time predicate over events.
     "tsdb_q127_db_retention" -> ((s, dir) => {
-      val long = load(s, dir, "events").select(
+      val long = eventsScan(s, dir).select(
         unix_millis(col("ts")).as("time"), col("value"),
         map(lit("__name__"), col("event_type"),
           lit("user"), col("user_id").cast("string"),
@@ -1059,7 +1070,7 @@ object TsdbQueries {
     // and assembled into real block directories; identity oracle ⇒
     // text → blocks is lossless, the full promtool round trip.
     "tsdb_q130_backfill_openmetrics" -> ((s, dir) => {
-      val long = load(s, dir, "events").select(
+      val long = eventsScan(s, dir).select(
         unix_millis(col("ts")).as("time"), col("value"),
         map(lit("__name__"), col("event_type"),
           lit("user"), col("user_id").cast("string"),
@@ -1082,7 +1093,7 @@ object TsdbQueries {
     // no wal/ in the result; reading the SNAPSHOT alone reproduces the
     // full dataset. Identity oracle.
     "tsdb_q131_snapshot" -> ((s, dir) => {
-      val long = load(s, dir, "events").select(
+      val long = eventsScan(s, dir).select(
         unix_millis(col("ts")).as("time"), col("value"),
         map(lit("__name__"), col("event_type"),
           lit("user"), col("user_id").cast("string"),
@@ -1110,7 +1121,7 @@ object TsdbQueries {
     // q130's `read(backfill(text)) ≡ events`. Matchers/time flags are
     // spec-covered; the oracle pins the full-dump identity.
     "tsdb_q154_tsdb_dump" -> ((s, dir) => {
-      val long = load(s, dir, "events").select(
+      val long = eventsScan(s, dir).select(
         unix_millis(col("ts")).as("time"), col("value"),
         map(lit("__name__"), col("event_type"),
           lit("user"), col("user_id").cast("string"),
@@ -2976,7 +2987,7 @@ object TsdbQueries {
     // the oracle replays sections metric/label/pair + samples from raw
     // events.
     "tsdb_q163_block_analyze" -> ((s, dir) => {
-      val long = load(s, dir, "events").select(
+      val long = eventsScan(s, dir).select(
         unix_millis(col("ts")).as("time"), col("value"),
         map(lit("__name__"), col("event_type"),
           lit("user"), col("user_id").cast("string")).as("labels"))
@@ -3272,7 +3283,7 @@ object TsdbQueries {
     // binary path (varint/length-delimited framing, fixed64 doubles,
     // snappy, series grouping) is proven lossless against DuckDB.
     "tsdb_q101_remote_write" -> ((s, dir) => {
-      val long = load(s, dir, "events").select(
+      val long = eventsScan(s, dir).select(
         unix_millis(col("ts")).as("time"), col("value"),
         map(lit("__name__"), col("event_type"),
           lit("user"), col("user_id").cast("string"),

@@ -259,15 +259,16 @@ object TsdbDb {
     // maps aren't comparable: dedup on the sorted entry list, then
     // rebuild the map. One shuffle; at scale this is the same
     // merge-dedup Prometheus does per queried chunk, done set-wise.
+    // min(value) ≡ the old row_number-over-(value ASC NULLS LAST)
+    // first-row pick: min ignores NULLs (a real sample beats a
+    // staleness marker) and is NULL only when every duplicate is a
+    // marker — but unlike the window it partial-aggregates map-side
+    // (duplicates collapse BEFORE the exchange) and needs no
+    // per-partition sort.
     union
       .withColumn("_entries", array_sort(map_entries(col("labels"))))
-      .withColumn("_rn", row_number().over(
-        org.apache.spark.sql.expressions.Window
-          .partitionBy(col("_entries"), col("time"))
-          // nulls last: a real sample beats a staleness marker at the
-          // same (series, time) across overlapping sources
-          .orderBy(col("value").asc_nulls_last)))
-      .where(col("_rn") === 1)
+      .groupBy(col("_entries"), col("time"))
+      .agg(min(col("value")).as("value"))
       .select(col("time"), col("value"),
         map_from_entries(col("_entries")).as("labels"))
   }

@@ -317,10 +317,25 @@ object TsdbWalWriter {
     import spark.implicits._
     Files.createDirectories(Paths.get(walDir))
     val base = baseSegment.getOrElse(nextSegmentIndex(walDir))
+    // The series grouping is CPU-heavy (per-series list build + sort)
+    // but byte-light, so AQE's byte-based partition coalescing shrinks
+    // it below core count (measured: the q113 agg stage ran 8-wide on
+    // local[32], ~2.8 s). An explicit repartition on the grouping key
+    // pins the width — the planner reuses the exchange for the groupBy
+    // (hash(labels, width) satisfies the clustering), so this is still
+    // ONE grouping shuffle, just at a width AQE cannot coalesce. The
+    // round-robin repartition below it is the SEGMENT-SIZING knob and
+    // stays: it balances series across exactly `partitions` segments
+    // independent of key skew (a hash-by-labels into `partitions`
+    // buckets would make segment sizes skew-dependent).
+    val width = math.max(spark.sessionState.conf.numShufflePartitions,
+      partitions)
     val grouped = df
-      .groupBy(array_sort(transform(map_entries(col("labels")),
+      .select(array_sort(transform(map_entries(col("labels")),
           e => struct(e.getField("key").as("_1"), e.getField("value").as("_2"))))
-        .as("labels"))
+        .as("labels"), col("time"), col("value"))
+      .repartition(width, col("labels"))
+      .groupBy(col("labels"))
       .agg(array_sort(collect_list(struct(col("time").as("_1"),
         col("value").as("_2")))).as("samples"))
       .repartition(partitions)
@@ -376,10 +391,15 @@ object TsdbWalWriter {
     import spark.implicits._
     Files.createDirectories(Paths.get(walDir))
     val base = nextSegmentIndex(walDir)
+    // same width pin as [[write]]: one grouping shuffle, AQE-proof width
+    val width = math.max(spark.sessionState.conf.numShufflePartitions,
+      partitions)
     val grouped = df
-      .groupBy(array_sort(transform(map_entries(col("labels")),
+      .select(array_sort(transform(map_entries(col("labels")),
           e => struct(e.getField("key").as("_1"), e.getField("value").as("_2"))))
-        .as("labels"))
+        .as("labels"), col("time"), col("hist"))
+      .repartition(width, col("labels"))
+      .groupBy(col("labels"))
       .agg(array_sort(collect_list(struct(
         col("time").as("_1"),
         col("hist.count").as("_2"), col("hist.sum").as("_3"),

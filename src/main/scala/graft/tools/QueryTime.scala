@@ -33,11 +33,20 @@ object QueryTime {
     @volatile var jobs = 0
     @volatile var stages = 0
     @volatile var tasks = 0
+    val stageLog =
+      new java.util.concurrent.ConcurrentLinkedQueue[(String, Long, Int)]()
     spark.sparkContext.addSparkListener(new SparkListener {
       override def onJobStart(js: SparkListenerJobStart): Unit =
         synchronized { jobs += 1 }
       override def onStageCompleted(sc: SparkListenerStageCompleted): Unit =
-        synchronized { stages += 1; tasks += sc.stageInfo.numTasks }
+        synchronized {
+          stages += 1; tasks += sc.stageInfo.numTasks
+          val i = sc.stageInfo
+          val dur = (for (a <- i.completionTime; b <- i.submissionTime)
+            yield a - b).getOrElse(0L)
+          stageLog.add((i.name.takeWhile(_ != '\n').take(90), dur,
+            i.numTasks))
+        }
     })
 
     // mirror Bench's warmups so first-touch costs don't pollute pass 1
@@ -53,6 +62,7 @@ object QueryTime {
         // settle listener counters (listenerBus is private[spark]; a short
         // sleep after the last action is enough for job/stage events to land)
         Thread.sleep(150)
+        stageLog.clear()
         val (j0, s0, t0) = (jobs, stages, tasks)
         val w0 = System.nanoTime()
         val n = try fns(name)(spark, sfDir).count()
@@ -62,6 +72,13 @@ object QueryTime {
         Thread.sleep(150)
         println(f"$name%-40s pass$p: $sec%7.3f s  rows=$n%-8d " +
           f"jobs=${jobs - j0}%-3d stages=${stages - s0}%-4d tasks=${tasks - t0}%-5d")
+        if (p == passes) {
+          import scala.jdk.CollectionConverters._
+          stageLog.asScala.toSeq.sortBy(-_._2).take(8).foreach {
+            case (nm, dur, nt) =>
+              println(f"    stage ${dur}%6d ms  tasks=$nt%-4d $nm")
+          }
+        }
         sec
       }
       println(f"$name%-40s min:   ${times.min}%7.3f s")

@@ -196,10 +196,18 @@ object RemoteWrite {
   def encode(samples: DataFrame, seriesPerRequest: Int = 500): Dataset[Array[Byte]] = {
     val spark = samples.sparkSession
     import spark.implicits._
+    // pinned-width grouping: the packing below is CPU-heavy but
+    // byte-light, so AQE's byte-based coalescing would shrink it below
+    // core count (measured 2-wide on local[32] for q101). The explicit
+    // repartition on the grouping key is REUSED by the groupBy — still
+    // exactly one shuffle, at a width AQE cannot coalesce.
     samples
-      .groupBy(array_sort(transform(map_entries(col("labels")),
+      .select(array_sort(transform(map_entries(col("labels")),
           e => struct(e.getField("key").as("_1"), e.getField("value").as("_2"))))
-        .as("labels"))
+        .as("labels"), col("time"), col("value"))
+      .repartition(spark.sessionState.conf.numShufflePartitions,
+        col("labels"))
+      .groupBy(col("labels"))
       .agg(collect_list(struct(col("time").as("_1"), col("value").as("_2")))
         .as("samples"))
       .as[SeriesRow]
@@ -527,9 +535,13 @@ object RemoteWrite {
                          seriesPerRequest: Int = 500): Dataset[Array[Byte]] = {
     val spark = df.sparkSession
     import spark.implicits._
-    df.groupBy(array_sort(transform(map_entries(col("labels")),
+    // pinned-width grouping — see [[encode]]
+    df.select(array_sort(transform(map_entries(col("labels")),
           e => struct(e.getField("key").as("_1"), e.getField("value").as("_2"))))
-        .as("labels"))
+        .as("labels"), col("time"), col("hist"))
+      .repartition(spark.sessionState.conf.numShufflePartitions,
+        col("labels"))
+      .groupBy(col("labels"))
       .agg(collect_list(struct(
         col("time").as("_1"),
         col("hist.count").as("_2"), col("hist.sum").as("_3"),

@@ -230,10 +230,14 @@ object RemoteWrite2 {
              metricType: Int = 2): Dataset[Array[Byte]] = {
     val spark = samples.sparkSession
     import spark.implicits._
+    // pinned-width grouping — see [[RemoteWrite.encode]]
     samples
-      .groupBy(array_sort(transform(map_entries(col("labels")),
+      .select(array_sort(transform(map_entries(col("labels")),
           e => struct(e.getField("key").as("_1"), e.getField("value").as("_2"))))
-        .as("labels"))
+        .as("labels"), col("time"), col("value"))
+      .repartition(spark.sessionState.conf.numShufflePartitions,
+        col("labels"))
+      .groupBy(col("labels"))
       .agg(collect_list(struct(col("time").as("_1"), col("value").as("_2")))
         .as("samples"))
       .as[SeriesRow]
@@ -263,9 +267,13 @@ object RemoteWrite2 {
                          seriesPerRequest: Int = 500): Dataset[Array[Byte]] = {
     val spark = df.sparkSession
     import spark.implicits._
-    df.groupBy(array_sort(transform(map_entries(col("labels")),
+    // pinned-width grouping — see [[RemoteWrite.encode]]
+    df.select(array_sort(transform(map_entries(col("labels")),
           e => struct(e.getField("key").as("_1"), e.getField("value").as("_2"))))
-        .as("labels"))
+        .as("labels"), col("time"), col("hist"))
+      .repartition(spark.sessionState.conf.numShufflePartitions,
+        col("labels"))
+      .groupBy(col("labels"))
       .agg(collect_list(struct(
         col("time").as("_1"),
         col("hist.count").as("_2"), col("hist.sum").as("_3"),

@@ -43,9 +43,18 @@ object SampleReaders {
     * commas or `=` (the reference's own fixture vocabulary is within
     * this subset). */
   def fromOpenMetricsLines(lines: DataFrame, lineCol: String = "line"): DataFrame = {
-    // an exemplar rides after ` # ` on a sample line (OpenMetrics) —
-    // strip it so the value/timestamp anchors see only the sample part
-    val l = trim(regexp_replace(trim(col(lineCol)), "\\s#\\s.*$", ""))
+    // The normalized line `l` (exemplar tail stripped — an exemplar
+    // rides after ` # ` on a sample line) is consumed by five regex
+    // anchors AND the comment/blank filter. Materialize it as a real
+    // attribute through a filtered single-element-array explode rather
+    // than a `.where`: a plain filter on the derived expression gets
+    // PUSHED BELOW upstream projections/exchanges (measured on q153: the
+    // whole render+trim chain re-ran inside the one-task scan stage as a
+    // pushed filter), and an inlined alias would re-evaluate the
+    // trim/regexp_replace chain once per consumer. The Generate is a
+    // pushdown barrier and gives every anchor the SAME computed `l`.
+    val lraw = trim(regexp_replace(trim(col(lineCol)), "\\s#\\s.*$", ""))
+    val l = col("l")
     // Prometheus 3 UTF-8 names: a non-legacy metric name moves INSIDE
     // the braces as a bare leading quoted string —
     // `{"my.metric",code="200"} 5 1704…` — and quoted label names
@@ -61,7 +70,8 @@ object SampleReaders {
     val value = regexp_extract(l, "[}\\s]\\s*([-+0-9.eE]+)\\s+[0-9]+\\s*$", 1)
     val ts = regexp_extract(l, "([0-9]+)\\s*$", 1)
     lines
-      .where(l =!= "" && !l.startsWith("#"))
+      .select(explode(filter(array(lraw),
+        x => x =!= "" && !x.startsWith("#"))).as("l"))
       .select(
         ts.cast("long").as("time"),
         value.cast("double").as("value"),
@@ -108,18 +118,27 @@ object SampleReaders {
     * `(time, value, labels, exemplar MAP, ex_value, ex_time)`. */
   def fromOpenMetricsExemplars(lines: DataFrame,
                                lineCol: String = "line"): DataFrame = {
-    val l = trim(col(lineCol))
-    val tail = regexp_extract(l, "\\s#\\s(\\{.*)$", 1)
+    // `tail`/`core` materialized as attributes via the filtered-array
+    // explode — same pushdown-barrier + compute-once rationale as
+    // [[fromOpenMetricsLines]] (the annotated-line filter would
+    // otherwise re-run the regex chain below upstream exchanges)
+    val lraw = trim(col(lineCol))
+    val tailRaw = regexp_extract(lraw, "\\s#\\s(\\{.*)$", 1)
+    val coreRaw = trim(regexp_replace(lraw, "\\s#\\s.*$", ""))
+    val tail = col("p").getField("tail")
+    val core = col("p").getField("core")
     val exBlob = regexp_extract(tail, "^\\{(.*)\\}", 1)
     val exValue = regexp_extract(tail, "^\\{.*\\}\\s+([-+0-9.eE]+)", 1)
     val exTs = regexp_extract(tail, "^\\{.*\\}\\s+[-+0-9.eE]+\\s+([0-9]+)", 1)
-    val core = trim(regexp_replace(l, "\\s#\\s.*$", ""))
     val name = regexp_extract(core, "^([a-zA-Z_:][a-zA-Z0-9_:]*)", 1)
     val labelBlob = regexp_extract(core, "\\{(.*)\\}", 1)
     val value = regexp_extract(core, "[}\\s]\\s*([-+0-9.eE]+)\\s+[0-9]+\\s*$", 1)
     val ts = regexp_extract(core, "([0-9]+)\\s*$", 1)
     lines
-      .where(tail =!= "" && !l.startsWith("#"))
+      .select(explode(filter(
+        array(struct(tailRaw.as("tail"), coreRaw.as("core"),
+          lraw.startsWith("#").as("comment"))),
+        x => x.getField("tail") =!= "" && !x.getField("comment"))).as("p"))
       .select(
         ts.cast("long").as("time"),
         value.cast("double").as("value"),
@@ -167,9 +186,15 @@ object SampleReaders {
     val schema = StructType(Seq(
       StructField("time", LongType), StructField("value", DoubleType),
       StructField("labels", MapType(StringType, StringType))))
+    // parse + drop-malformed in ONE pass: wrap the parsed struct in a
+    // single-element array, filter it INSIDE the expression, explode.
+    // A `.where(s.isNotNull)` after the projection would be pushed below
+    // it and re-evaluate from_json per row (the parse is the whole cost
+    // of this operator); the higher-order filter keeps one parse per
+    // row and the Generate drops empties for free.
     lines
-      .select(from_json(col(lineCol), schema).as("s"))
-      .where(col("s").isNotNull && col("s.time").isNotNull)
+      .select(explode(filter(array(from_json(col(lineCol), schema)),
+        s => s.isNotNull && s.getField("time").isNotNull)).as("s"))
       .select(col("s.time").as("time"), col("s.value").as("value"),
         col("s.labels").as("labels"))
   }
@@ -211,9 +236,14 @@ object SampleReaders {
             StructField("dataPoints", dataPointType)))),
           StructField("sum", StructType(Seq(
             StructField("dataPoints", dataPointType))))))))))))))))))
+    // no null-filter on `r`: a malformed line parses to NULL, whose
+    // resourceMetrics array is NULL, and explode (not explode_outer)
+    // drops it — an explicit isNotNull filter here gets PUSHED BELOW the
+    // projection and re-evaluates the whole from_json per row (twice the
+    // parse cost; seen in the q107 physical plan, optimization guide
+    // §4.4's duplication applied to built-in expressions)
     lines
       .select(from_json(col(lineCol), schema).as("r"))
-      .where(col("r").isNotNull)
       .select(explode(col("r.resourceMetrics")).as("rm"))
       .select(explode(col("rm.scopeMetrics")).as("sm"))
       .select(explode(col("sm.metrics")).as("m"))
@@ -281,9 +311,14 @@ object SampleReaders {
           (coalesce(b.getField("offset"), lit(0)) + i + 1).as("_1"),
           c.cast("double").as("_2")))
     }
+    // no null-filter on `r`: a malformed line parses to NULL, whose
+    // resourceMetrics array is NULL, and explode (not explode_outer)
+    // drops it — an explicit isNotNull filter here gets PUSHED BELOW the
+    // projection and re-evaluates the whole from_json per row (twice the
+    // parse cost; seen in the q107 physical plan, optimization guide
+    // §4.4's duplication applied to built-in expressions)
     lines
       .select(from_json(col(lineCol), schema).as("r"))
-      .where(col("r").isNotNull)
       .select(explode(col("r.resourceMetrics")).as("rm"))
       .select(explode(col("rm.scopeMetrics")).as("sm"))
       .select(explode(col("sm.metrics")).as("m"))
@@ -375,9 +410,11 @@ object SampleReaders {
           StructField("name", StringType),
           StructField("histogram", StructType(Seq(
             StructField("dataPoints", dpType))))))))))))))))))
+    // no null-filter on `r` — see fromOtlpJsonLines: explode of the
+    // NULL array drops malformed lines, and the explicit filter would
+    // double the from_json cost via predicate pushdown
     val base = lines
       .select(from_json(col(lineCol), schema).as("r"))
-      .where(col("r").isNotNull)
       .select(explode(col("r.resourceMetrics")).as("rm"))
       .select(explode(col("rm.scopeMetrics")).as("sm"))
       .select(explode(col("sm.metrics")).as("m"))
@@ -482,9 +519,11 @@ object SampleReaders {
           StructField("name", StringType),
           StructField("summary", StructType(Seq(
             StructField("dataPoints", dpType))))))))))))))))))
+    // no null-filter on `r` — see fromOtlpJsonLines: explode of the
+    // NULL array drops malformed lines, and the explicit filter would
+    // double the from_json cost via predicate pushdown
     val base = lines
       .select(from_json(col(lineCol), schema).as("r"))
-      .where(col("r").isNotNull)
       .select(explode(col("r.resourceMetrics")).as("rm"))
       .select(explode(col("rm.scopeMetrics")).as("sm"))
       .select(explode(col("sm.metrics")).as("m"))
