@@ -95,8 +95,11 @@ object Tables {
         val path = scratchDir("graft_tsdb_")
         // 8 time slices: fewer, bigger time-sorted files beat
         // one-per-core here (tighter row-group pruning, fewer footers);
-        // at 100 TB the knob is bytes/partition, ~128-512 MB
-        graft.tsdb.TsdbIngest.write(eventsAsTsdb(spark, sfDir), path)
+        // at 100 TB the knob is bytes/partition, ~128-512 MB.
+        // fanOut: the single-split raw scan otherwise serializes the
+        // regexp/labels map work AND the range-partitioner's sampling
+        // pass on one task (see [[fanOut]] — no-op at real scale)
+        graft.tsdb.TsdbIngest.write(fanOut(eventsAsTsdb(spark, sfDir)), path)
         path
       })
     } match { case path => graft.tsdb.TsdbIngest.read(spark, path) }

@@ -48,9 +48,7 @@ final class TsdbWalScanBuilder(path: String)
   override def build(): Scan = new TsdbWalScan(path, required)
 }
 
-final case class TsdbWalPartition(
-    segment: String, dict: Map[Long, Map[String, String]],
-    stones: Map[Long, Seq[Tombstones.Interval]]) extends InputPartition
+final case class TsdbWalPartition(segment: String) extends InputPartition
 
 final class TsdbWalScan(path: String, required: StructType)
     extends Scan with Batch {
@@ -59,26 +57,34 @@ final class TsdbWalScan(path: String, required: StructType)
   override def description(): String =
     s"tsdb-wal $path, columns [${required.fieldNames.mkString(",")}]"
 
-  override def planInputPartitions(): Array[InputPartition] = {
-    val dict = WalReader.seriesDict(path)
-    // head tombstones (kind-3 records) mask replay — same driver-side
-    // metadata pass as the series dict
-    val stones = WalReader.stoneDict(path)
+  override def planInputPartitions(): Array[InputPartition] =
     WalReader.segments(path)
-      .map(seg => TsdbWalPartition(seg, dict, stones): InputPartition).toArray
-  }
+      .map(seg => TsdbWalPartition(seg): InputPartition).toArray
 
   override def createReaderFactory(): PartitionReaderFactory = {
     val fields = required.fieldNames
+    // ONE fused driver pass builds the global ref→labels dictionary and
+    // the head-tombstone map (samples may reference series defined in
+    // an earlier segment, so both are global), BROADCAST to the tasks.
+    // They were previously embedded in every InputPartition — the full
+    // series universe re-serialized into each task's binary, a per-task
+    // cost that grows with series count instead of a one-per-executor
+    // broadcast.
+    val spark = org.apache.spark.sql.SparkSession.active
+    val (dict, stones) = WalReader.dicts(path)
+    val dictB = spark.sparkContext.broadcast(dict)
+    val stonesB = spark.sparkContext.broadcast(stones)
     (partition: InputPartition) => {
       val p = partition.asInstanceOf[TsdbWalPartition]
       new PartitionReader[InternalRow] {
         private val wantLabels = fields.contains("labels")
         private val mapCache =
           scala.collection.mutable.Map.empty[Long, ArrayBasedMapData]
+        private val dict = dictB.value
+        private val stones = stonesB.value
         private val it = WalReader.samples(p.segment)
-          .filter(s => p.dict.contains(s.ref)) // orphan refs: dropped
-          .filterNot(s => p.stones.get(s.ref)
+          .filter(s => dict.contains(s.ref)) // orphan refs: dropped
+          .filterNot(s => stones.get(s.ref)
             .exists(Tombstones.deleted(_, s.time)))
         private var cur: WalReader.WalSample = _
 
@@ -89,7 +95,7 @@ final class TsdbWalScan(path: String, required: StructType)
         override def get(): InternalRow = {
           val labels = if (!wantLabels) null
           else mapCache.getOrElseUpdate(cur.ref, {
-            val m = p.dict(cur.ref)
+            val m = dict(cur.ref)
             val keys = m.keys.toArray.sorted
             new ArrayBasedMapData(
               ArrayData.toArrayData(keys.map(UTF8String.fromString)),
@@ -165,8 +171,10 @@ object TsdbWalRecords {
       : org.apache.spark.sql.Dataset[(Map[String, String],
           WalReader.WalHistogram)] = {
     import spark.implicits._
-    val dictB = spark.sparkContext.broadcast(WalReader.seriesDict(walDir))
-    val stonesB = spark.sparkContext.broadcast(WalReader.stoneDict(walDir))
+    // fused driver pass: dict + stones from one read of the segments
+    val (dict, stones) = WalReader.dicts(walDir)
+    val dictB = spark.sparkContext.broadcast(dict)
+    val stonesB = spark.sparkContext.broadcast(stones)
     val segs = WalReader.segments(walDir)
     val rdd = spark.sparkContext.parallelize(segs, math.max(1, segs.size))
       .flatMap { seg =>

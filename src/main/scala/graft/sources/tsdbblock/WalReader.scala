@@ -163,6 +163,35 @@ object WalReader {
     out.toMap
   }
 
+  /** [[seriesDict]] and [[stoneDict]] in ONE driver pass over the
+    * segment bytes — planning reads every record anyway to find the
+    * series/stone kinds, so fusing the two passes halves the driver's
+    * pre-scan I/O + CRC work. */
+  def dicts(walDir: String): (Map[Long, Map[String, String]],
+                              Map[Long, Seq[Tombstones.Interval]]) = {
+    val series = mutable.Map.empty[Long, Map[String, String]]
+    val stones = mutable.ArrayBuffer.empty[WalStone]
+    segments(walDir).foreach { seg =>
+      records(seg).foreach { rec =>
+        if (rec.nonEmpty) rec(0) match {
+          case 1 =>
+            val r = new ByteReader(rec, 1)
+            while (r.pos < rec.length) {
+              val ref = r.be64()
+              series(ref) = readLabels(r)
+            }
+          case 3 => stones ++= stonesOfRecord(rec)
+          case _ =>
+        }
+      }
+    }
+    val stoneMap = stones.toSeq.groupBy(_.ref)
+      .view.mapValues(ss =>
+        Tombstones.merge(ss.map(s => Tombstones.Interval(s.mint, s.maxt))))
+      .toMap
+    (series.toMap, stoneMap)
+  }
+
   /** Decode every float sample of one segment. */
   def samples(segmentPath: String): Iterator[WalSample] =
     records(segmentPath).flatMap(samplesOfRecord(_).iterator)
