@@ -96,10 +96,12 @@ object Tables {
         // 8 time slices: fewer, bigger time-sorted files beat
         // one-per-core here (tighter row-group pruning, fewer footers);
         // at 100 TB the knob is bytes/partition, ~128-512 MB.
-        // fanOut: the single-split raw scan otherwise serializes the
-        // regexp/labels map work AND the range-partitioner's sampling
-        // pass on one task (see [[fanOut]] — no-op at real scale)
-        graft.tsdb.TsdbIngest.write(fanOut(eventsAsTsdb(spark, sfDir)), path)
+        // NO fanOut here (round-19 measurement): the range shuffle that
+        // follows redistributes anyway, and the pre-shuffle map work
+        // (regexp/labels projection) is too small to pay for an extra
+        // exchange — three bench runs showed a consistent +0.3 s with
+        // the fan-out and no win
+        graft.tsdb.TsdbIngest.write(eventsAsTsdb(spark, sfDir), path)
         path
       })
     } match { case path => graft.tsdb.TsdbIngest.read(spark, path) }

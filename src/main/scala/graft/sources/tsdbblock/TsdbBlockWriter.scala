@@ -593,6 +593,13 @@ object TsdbBlockWriter {
         array_sort(collect_list(col("hs"))).as("hists"))
       .as[(Long, Seq[(String, String)], Seq[(Long, Double)],
            Seq[WalReader.WalHistogram])]
+    // write-side plan evidence for the optimization rounds: the block
+    // assembly runs via mapPartitions+collect, so its plan never shows
+    // in a returned DataFrame — dump it on demand
+    if (sys.env.contains("SPARK_GRAFT_EXPLAIN_WRITES"))
+      System.err.println("=== TsdbBlockWriter.write grouped plan ===\n" +
+        grouped.queryExecution.explainString(
+          org.apache.spark.sql.execution.FormattedMode))
     val names = grouped.mapPartitions { it =>
       val bySlice = it.toSeq.groupBy(_._1)
       bySlice.iterator.map { case (slice, rows) =>

@@ -340,6 +340,11 @@ object TsdbWalWriter {
         col("value").as("_2")))).as("samples"))
       .repartition(partitions)
       .as[(Seq[(String, String)], Seq[(Long, Double)])]
+    // write-side plan evidence on demand (see TsdbBlockWriter.write)
+    if (sys.env.contains("SPARK_GRAFT_EXPLAIN_WRITES"))
+      System.err.println("=== TsdbWalWriter.write grouped plan ===\n" +
+        grouped.queryExecution.explainString(
+          org.apache.spark.sql.execution.FormattedMode))
     val segs = grouped.mapPartitions { it =>
       val seg = base + org.apache.spark.TaskContext.getPartitionId()
       val series = it.toSeq
