@@ -275,9 +275,13 @@ object PipelineQueries {
     // unigram LM-proxy fluency score (CCNet/Gopher-style quality filter,
     // corpus-as-LM): mean ln(count(token)/N) per doc; sequential
     // position-ordered fold ⇒ bit-deterministic across engines
+    // NO fanOut (round-19 measurement): unigramLogProb executes THREE
+    // jobs over the token frame (corpus frequency, the total-count
+    // scalar, the final per-doc fold), so a fan-out exchange re-runs in
+    // each — four bench runs measured a consistent ~2x loss with it
     "pipe_q39_unigram_logprob" -> ((s, dir) =>
       graft.operators.TextPipeline.unigramLogProb(
-        fanOut(load(s, dir, "documents")), "doc_id", "text")),
+        load(s, dir, "documents"), "doc_id", "text")),
     // model-based quality-classifier gate (FineWeb/DCLM curation step):
     // hashed uni+bigram features -> md5-derived weights -> mean-pooled
     // linear score -> sigmoid -> threshold; one map pass, no vocabulary
