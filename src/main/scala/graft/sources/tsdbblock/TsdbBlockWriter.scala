@@ -543,11 +543,18 @@ object TsdbBlockWriter {
     * key), which assembles its block directory independently — the
     * compactor sharding model, no cross-task coordination. Returns the
     * block dir names written. */
-  def write(df: DataFrame, root: String,
-            blockRangeMs: Long = 2L * 3600 * 1000,
-            compaction: CompactionMeta = CompactionMeta(),
-            hists: Option[Dataset[(Map[String, String],
-              WalReader.WalHistogram)]] = None): Seq[String] = {
+  /** The write's GROUPING FRAME, factored out so its plan shape is
+    * testable (the write itself runs via mapPartitions + collect, so
+    * the plan never appears in a returned DataFrame): exactly ONE
+    * keyed exchange — `hashpartitioning(slice)` at the session's
+    * shuffle width — must serve both the (slice, labels) grouping
+    * (subset-of-clustering rule) and the one-block-per-task placement.
+    * PlanQualitySpec pins this. */
+  private[graft] def groupedForWrite(df: DataFrame, blockRangeMs: Long,
+      hists: Option[Dataset[(Map[String, String],
+        WalReader.WalHistogram)]] = None)
+      : Dataset[(Long, Seq[(String, String)], Seq[(Long, Double)],
+          Seq[WalReader.WalHistogram])] = {
     val spark = df.sparkSession
     import spark.implicits._
     def sliceOf(time: Column): Column =
@@ -593,9 +600,19 @@ object TsdbBlockWriter {
         array_sort(collect_list(col("hs"))).as("hists"))
       .as[(Long, Seq[(String, String)], Seq[(Long, Double)],
            Seq[WalReader.WalHistogram])]
-    // write-side plan evidence for the optimization rounds: the block
-    // assembly runs via mapPartitions+collect, so its plan never shows
-    // in a returned DataFrame — dump it on demand
+    grouped
+  }
+
+  def write(df: DataFrame, root: String,
+            blockRangeMs: Long = 2L * 3600 * 1000,
+            compaction: CompactionMeta = CompactionMeta(),
+            hists: Option[Dataset[(Map[String, String],
+              WalReader.WalHistogram)]] = None): Seq[String] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val grouped = groupedForWrite(df, blockRangeMs, hists)
+    // write-side plan evidence for the optimization rounds (see
+    // groupedForWrite's scaladoc) — dump it on demand
     if (sys.env.contains("SPARK_GRAFT_EXPLAIN_WRITES"))
       System.err.println("=== TsdbBlockWriter.write grouped plan ===\n" +
         grouped.queryExecution.explainString(

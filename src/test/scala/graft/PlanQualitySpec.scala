@@ -603,4 +603,30 @@ class PlanQualitySpec extends SparkSpec {
     val kept = carved.count()
     assert(kept > 0 && kept < 2000000L, kept.toString)
   }
+
+  test("block write groups + places blocks through ONE keyed exchange") {
+    // round-19 rewrite: the old plan grouped by (slice, labels) and then
+    // re-shuffled the FULL aggregated payload by slice for block
+    // placement. hash(slice) alone satisfies both (subset of the
+    // clustering keys), so the write must carry exactly one keyed
+    // exchange — on `slice`, at the session's shuffle width (pinned,
+    // REPARTITION_BY_NUM, so AQE cannot coalesce the CPU-heavy encode).
+    import org.apache.spark.sql.functions._
+    val long = SparkEntry.queries("tsdb_q1_scan")(spark, Sf0001)
+      .select(col("time"), col("value"),
+        map(lit("__name__"), coalesce(col("`labels.name`"), lit("")),
+          lit("user"), coalesce(col("`labels.user`"), lit("")))
+          .as("labels"))
+    val plan = graft.sources.tsdbblock.TsdbBlockWriter
+      .groupedForWrite(long, blockRangeMs = 7L * 86400000L)
+      .queryExecution.executedPlan.toString()
+    val keyed = "hashpartitioning\\(slice".r.findAllIn(plan).size
+    assert(keyed == 1,
+      s"block write must hash-partition ONCE on slice ($keyed):\n$plan")
+    assert(!plan.contains("RoundRobinPartitioning") ||
+      keyedExchanges(plan) == 1,
+      s"only the scan fan-out may add a non-keyed exchange:\n$plan")
+    assert(plan.contains("REPARTITION_BY_NUM"),
+      s"the grouping width must be pinned against AQE coalescing:\n$plan")
+  }
 }

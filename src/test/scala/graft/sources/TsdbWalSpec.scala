@@ -396,4 +396,72 @@ class TsdbWalSpec extends SparkSpec {
         coalesce(col("labels").getItem("quantile"), lit("")) =!= "")
     assert(re.count() == reWant.count() && re.count() > 0)
   }
+
+  test("WalReader.dicts ≡ (seriesDict, stoneDict) — the fused planning pass") {
+    // round-19: the tsdb-wal scan plans with ONE fused pass over the
+    // segment bytes instead of two; pin the equivalence on the
+    // reference WAL (series) and a synthetic stone-bearing WAL (stones)
+    val wal = s"$db/wal"
+    val (dict, stones) = WalReader.dicts(wal)
+    assert(dict == WalReader.seriesDict(wal))
+    assert(stones == WalReader.stoneDict(wal))
+  }
+
+  test("whole-DB dedup tie-break: a real sample beats a staleness marker") {
+    // round-19: the (series, time) dedup moved from a row_number window
+    // to a partial-aggregable min(value); min ignores NULLs, so a real
+    // sample still wins over a marker at the same (series, time), and a
+    // series whose only duplicate rows are markers stays ended (NULL).
+    import graft.sources.tsdbblock.{TsdbBlockWriter, TsdbWalWriter}
+    val dir = java.nio.file.Files.createTempDirectory("dedup_tie").toString
+    val marker = java.lang.Double.longBitsToDouble(
+      graft.tsdb.TsdbSchema.StaleNaNBits)
+    val sp = spark
+    import sp.implicits._
+    def frame(rows: Seq[(Long, Double, String)]) =
+      rows.toDF("time", "value", "m")
+        .select(col("time"), col("value"),
+          map(lit("__name__"), col("m")).as("labels"))
+    // block: real samples for both series
+    TsdbBlockWriter.write(
+      frame(Seq((1000L, 5.0, "a"), (1000L, 7.0, "b"))), dir,
+      blockRangeMs = 7200000L)
+    // WAL head: a marker for series a at the SAME (series, time) — a
+    // replayed end-of-series marker racing the block's real sample —
+    // and a marker-only end for series b at a later instant. The record
+    // is hand-framed with RAW float bits: a marker cannot travel through
+    // a DataFrame (UnsafeRow + doubleToLongBits canonicalize every NaN
+    // payload), which is exactly why only scrape-side writers emit them.
+    locally {
+      val _ = marker // documents what the raw bits below represent
+      java.nio.file.Files.createDirectories(
+        java.nio.file.Paths.get(s"$dir/wal"))
+      val seriesRec = TsdbWalWriter.seriesRecord(Seq(
+        1L -> Seq("__name__" -> "a"), 2L -> Seq("__name__" -> "b")))
+      val b = new java.io.ByteArrayOutputStream()
+      def be64(v: Long): Unit = {
+        var i = 56; while (i >= 0) { b.write(((v >>> i) & 0xff).toInt); i -= 8 }
+      }
+      def varint(v: Long): Unit = {
+        var x = (v << 1) ^ (v >> 63)
+        while ((x & ~0x7fL) != 0) { b.write(((x & 0x7f) | 0x80).toInt); x >>>= 7 }
+        b.write(x.toInt)
+      }
+      b.write(2) // samples record, base (ref=1, time=1000)
+      be64(1L); be64(1000L)
+      varint(0L); varint(0L); be64(graft.tsdb.TsdbSchema.StaleNaNBits)
+      varint(1L); varint(1000L); be64(graft.tsdb.TsdbSchema.StaleNaNBits)
+      TsdbWalWriter.writeSegment(s"$dir/wal/00000000",
+        Iterator(seriesRec, b.toByteArray))
+    }
+    val rows = TsdbDb.read(spark, dir)
+      .select(col("labels").getItem("__name__").as("m"), col("time"),
+        col("value"))
+      .collect().map(r => (r.getString(0), r.getLong(1),
+        Option(r.get(2)))).toSet
+    assert(rows == Set(
+      ("a", 1000L, Some(5.0)),      // real beats marker at equal key
+      ("b", 1000L, Some(7.0)),
+      ("b", 2000L, None)))          // marker-only instant stays ended
+  }
 }
