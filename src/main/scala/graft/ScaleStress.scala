@@ -801,6 +801,22 @@ object ScaleStress {
     time(s"over-time exclusive ${factor}x")(
       graft.tsdb.PromQLHist.exclusiveSeriesShares(hShare, fShare)
         ._1.count())
+    // ROUND-19 (optimization): the block writer's SINGLE payload
+    // shuffle at Nx — the rewrite replaced the groupBy(slice, labels)
+    // exchange + full-payload repartition(slice) with ONE pinned-width
+    // hash(slice) exchange. Write the widened corpus as real 7d blocks:
+    // cost must scale ~linearly in rows (the payload crosses the
+    // network once), and the plan shape is spec-pinned
+    // (PlanQualitySpec "ONE keyed exchange").
+    time(s"block write ${factor}x (1 payload shuffle)") {
+      val long = xN.select(col("time"), col("value"),
+        map(lit("__name__"), coalesce(col("`labels.name`"), lit("")),
+          lit("user"), coalesce(col("`labels.user`"), lit("")),
+          lit("k"), coalesce(col("`labels.k`"), lit(""))).as("labels"))
+      graft.sources.tsdbblock.TsdbBlockWriter.write(
+        long, Tables.scratchDir("graft_scale_blocks"),
+        blockRangeMs = 7L * 86400000L)
+    }
     spark.stop()
   }
 }
