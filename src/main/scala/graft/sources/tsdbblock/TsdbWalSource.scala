@@ -15,11 +15,13 @@ import org.apache.spark.unsafe.types.UTF8String
   * reference's `DBReadOnly.Querier` merges with block data
   * (hello.go:429-447). Same long-form schema as `tsdb-block`.
   *
-  * Planning reads only the tiny Series records to build the global
-  * ref→labels dictionary (samples may reference series defined in an
-  * earlier segment); each task then decodes one whole segment — WAL
-  * segments are bounded (128 MiB), so a segment is a natural, balanced
-  * split.
+  * Planning runs one fused pass over the segments (cached per WAL
+  * signature, see [[WalDictCache]]) that yields the global ref→labels
+  * dictionary (samples may reference series defined in an earlier
+  * segment), the tombstone map and the record-boundary split ladder;
+  * tasks then decode size-balanced record ranges — a segment splits
+  * into multiple tasks when it is large relative to the core count,
+  * and WAL segments are bounded (128 MiB) so no split is ever huge.
   */
 class TsdbWalSource extends TableProvider with DataSourceRegister {
   override def shortName(): String = "tsdb-wal"
@@ -48,7 +50,66 @@ final class TsdbWalScanBuilder(path: String)
   override def build(): Scan = new TsdbWalScan(path, required)
 }
 
-final case class TsdbWalPartition(segment: String) extends InputPartition
+/** One replay split: the records of `segment` whose start offset lies
+  * in `[from, until)` — segments split at record boundaries so the
+  * post-checkpoint tail (one big live segment) is not a single task. */
+final case class TsdbWalPartition(segment: String, from: Long, until: Long)
+    extends InputPartition
+
+/** Per-WAL planning cache: ONE fused driver pass builds the global
+  * ref→labels dictionary, the head-tombstone map and the intra-segment
+  * split ladder, and ONE broadcast ships the dictionaries as a compact
+  * byte blob ([[WalReader.WalDicts]]). Keyed by the segment signature
+  * (name, length, mtime) — the WAL writer only ever creates NEW segment
+  * or checkpoint files, so any mutation changes the signature. Without
+  * this cache every execution of every scan over the same WAL re-read
+  * the segments on the driver and re-broadcast the dictionaries
+  * (measured ~3 s per execution at sf0.1, nearly all of it
+  * SizeEstimator + JavaSerializer walking the nested-Map object graph);
+  * superseded broadcasts were never unpersisted. */
+private[tsdbblock] object WalDictCache {
+  import org.apache.spark.broadcast.Broadcast
+  import org.apache.spark.sql.SparkSession
+
+  final case class Entry(
+      sig: Seq[(String, Long, Long)],
+      dictsB: Broadcast[WalReader.WalDicts],
+      segments: Seq[String],
+      segmentBytes: Map[String, Long],
+      splitCandidates: Map[String, Array[Long]])
+
+  private val MaxEntries = 8
+  private val cache =
+    scala.collection.mutable.LinkedHashMap.empty[String, Entry]
+
+  private def signature(walDir: String): Seq[(String, Long, Long)] =
+    WalReader.segments(walDir).map { p =>
+      val f = new java.io.File(p)
+      (p, f.length(), f.lastModified())
+    }
+
+  def get(spark: SparkSession, walDir: String): Entry = synchronized {
+    val sig = signature(walDir)
+    cache.remove(walDir) match { // re-insert on hit: LRU order
+      case Some(e) if e.sig == sig =>
+        cache(walDir) = e; e
+      case stale =>
+        stale.foreach(_.dictsB.unpersist(false))
+        val meta = WalReader.walMeta(walDir)
+        val dictsB = spark.sparkContext.broadcast(
+          WalReader.WalDicts(meta.series, meta.stones))
+        val e = Entry(sig, dictsB, meta.segments, meta.segmentBytes,
+          meta.splitCandidates)
+        cache(walDir) = e
+        if (cache.size > MaxEntries) {
+          val (k, evicted) = cache.head
+          cache.remove(k)
+          evicted.dictsB.unpersist(false)
+        }
+        e
+    }
+  }
+}
 
 final class TsdbWalScan(path: String, required: StructType)
     extends Scan with Batch {
@@ -57,32 +118,49 @@ final class TsdbWalScan(path: String, required: StructType)
   override def description(): String =
     s"tsdb-wal $path, columns [${required.fieldNames.mkString(",")}]"
 
-  override def planInputPartitions(): Array[InputPartition] =
-    WalReader.segments(path)
-      .map(seg => TsdbWalPartition(seg): InputPartition).toArray
+  override def planInputPartitions(): Array[InputPartition] = {
+    val spark = org.apache.spark.sql.SparkSession.active
+    val e = WalDictCache.get(spark, path)
+    val totalBytes = math.max(1L, e.segmentBytes.values.sum)
+    val parallelism = math.max(1, spark.sparkContext.defaultParallelism)
+    // FilePartition-style sizing, derived from input size and core
+    // count rather than a constant: ceil(total/cores) clamped to
+    // [candidate stride, maxPartitionBytes].
+    val splitBytes = math.min(
+      spark.sessionState.conf.filesMaxPartitionBytes,
+      math.max((totalBytes + parallelism - 1) / parallelism,
+        WalReader.CandidateStrideBytes))
+    e.segments.flatMap { seg =>
+      val bounds = Array.newBuilder[Long]
+      bounds += 0L
+      var last = 0L
+      e.splitCandidates.getOrElse(seg, Array.empty[Long]).foreach { c =>
+        if (c - last >= splitBytes) { bounds += c; last = c }
+      }
+      val bs = bounds.result()
+      bs.indices.map { i =>
+        val until = if (i + 1 < bs.length) bs(i + 1) else Long.MaxValue
+        TsdbWalPartition(seg, bs(i), until): InputPartition
+      }
+    }.toArray
+  }
 
   override def createReaderFactory(): PartitionReaderFactory = {
     val fields = required.fieldNames
-    // ONE fused driver pass builds the global ref→labels dictionary and
-    // the head-tombstone map (samples may reference series defined in
-    // an earlier segment, so both are global), BROADCAST to the tasks.
-    // They were previously embedded in every InputPartition — the full
-    // series universe re-serialized into each task's binary, a per-task
-    // cost that grows with series count instead of a one-per-executor
-    // broadcast.
+    // the cached broadcast: dictionaries are global (samples may
+    // reference series defined in an earlier segment), shipped once as
+    // a compact blob and decoded once per executor
     val spark = org.apache.spark.sql.SparkSession.active
-    val (dict, stones) = WalReader.dicts(path)
-    val dictB = spark.sparkContext.broadcast(dict)
-    val stonesB = spark.sparkContext.broadcast(stones)
+    val dictsB = WalDictCache.get(spark, path).dictsB
     (partition: InputPartition) => {
       val p = partition.asInstanceOf[TsdbWalPartition]
       new PartitionReader[InternalRow] {
         private val wantLabels = fields.contains("labels")
         private val mapCache =
           scala.collection.mutable.Map.empty[Long, ArrayBasedMapData]
-        private val dict = dictB.value
-        private val stones = stonesB.value
-        private val it = WalReader.samples(p.segment)
+        private val dict = dictsB.value.series
+        private val stones = dictsB.value.stones
+        private val it = WalReader.samples(p.segment, p.from, p.until)
           .filter(s => dict.contains(s.ref)) // orphan refs: dropped
           .filterNot(s => stones.get(s.ref)
             .exists(Tombstones.deleted(_, s.time)))
@@ -137,11 +215,12 @@ object TsdbWalRecords {
     * the sample path. */
   def readExemplars(spark: SparkSession, walDir: String): DataFrame = {
     import spark.implicits._
-    val dictB = spark.sparkContext.broadcast(WalReader.seriesDict(walDir))
-    val segs = WalReader.segments(walDir)
+    val entry = WalDictCache.get(spark, walDir)
+    val dictsB = entry.dictsB
+    val segs = entry.segments
     spark.sparkContext.parallelize(segs, math.max(1, segs.size))
       .flatMap { seg =>
-        val d = dictB.value
+        val d = dictsB.value.series
         WalReader.exemplars(seg).flatMap(e =>
           d.get(e.ref).map(lbls => (e.time, e.value, lbls, e.labels)))
       }
@@ -171,15 +250,15 @@ object TsdbWalRecords {
       : org.apache.spark.sql.Dataset[(Map[String, String],
           WalReader.WalHistogram)] = {
     import spark.implicits._
-    // fused driver pass: dict + stones from one read of the segments
-    val (dict, stones) = WalReader.dicts(walDir)
-    val dictB = spark.sparkContext.broadcast(dict)
-    val stonesB = spark.sparkContext.broadcast(stones)
-    val segs = WalReader.segments(walDir)
+    // cached fused pass: dict + stones from one read of the segments,
+    // one compact-blob broadcast shared with every other scan of this WAL
+    val entry = WalDictCache.get(spark, walDir)
+    val dictsB = entry.dictsB
+    val segs = entry.segments
     val rdd = spark.sparkContext.parallelize(segs, math.max(1, segs.size))
       .flatMap { seg =>
-        val d = dictB.value
-        val stones = stonesB.value
+        val d = dictsB.value.series
+        val stones = dictsB.value.stones
         WalReader.histograms(seg)
           .filterNot(h => stones.get(h.ref)
             .exists(Tombstones.deleted(_, h.time)))
@@ -197,11 +276,12 @@ object TsdbWalRecords {
     * work; the distinct is a tiny shuffle. */
   def readMetadata(spark: SparkSession, walDir: String): DataFrame = {
     import spark.implicits._
-    val dictB = spark.sparkContext.broadcast(WalReader.seriesDict(walDir))
-    val segs = WalReader.segments(walDir)
+    val entry = WalDictCache.get(spark, walDir)
+    val dictsB = entry.dictsB
+    val segs = entry.segments
     spark.sparkContext.parallelize(segs, math.max(1, segs.size))
       .flatMap { seg =>
-        val d = dictB.value
+        val d = dictsB.value.series
         WalReader.metadata(seg).flatMap(m =>
           d.get(m.ref).map { lbls =>
             (lbls.getOrElse("__name__", ""),

@@ -74,13 +74,31 @@ object WalReader {
   }
 
   /** Reassembled, decompressed records of one segment. */
-  def records(segmentPath: String): Iterator[Array[Byte]] = {
-    val buf = Files.readAllBytes(Paths.get(segmentPath))
-    new Iterator[Array[Byte]] {
-      private var pos = 0
+  def records(segmentPath: String): Iterator[Array[Byte]] =
+    records(segmentPath, 0L, Long.MaxValue)
+
+  /** Reassembled records whose START offset (the file position of the
+    * record's first frame) lies in `[from, until)` — the intra-segment
+    * SPLIT unit: record starts are frame boundaries, so a task can
+    * begin decoding mid-segment at any offset reported by
+    * [[dictsWithOffsets]] and stop at the next task's offset without
+    * overlap (a record that starts before `until` is consumed whole,
+    * even when its trailing fragments spill past). `from` MUST be a
+    * record-start offset (or 0). */
+  def records(segmentPath: String, from: Long, until: Long)
+      : Iterator[Array[Byte]] =
+    recordsWithPos(Files.readAllBytes(Paths.get(segmentPath)),
+      segmentPath, from, until).map(_._2)
+
+  private[tsdbblock] def recordsWithPos(buf: Array[Byte], what: String,
+      from: Long, until: Long): Iterator[(Long, Array[Byte])] = {
+    new Iterator[(Long, Array[Byte])] {
+      private var pos = math.min(from, buf.length.toLong).toInt
       private var nextRec: Array[Byte] = _
+      private var nextPos = 0L
       private val frag = mutable.ArrayBuilder.make[Byte]
       private var fragSnappy = false
+      private var fragStart = 0L
 
       private def pageRemaining: Int = PageSize - (pos % PageSize)
 
@@ -93,8 +111,15 @@ object WalReader {
           if ((typ & 0x07) == 0) { pos += pageRemaining; advance() } // pad
           else if ((typ & ZstdFlag) != 0) {
             throw new IllegalStateException(
-              s"zstd-compressed WAL record at $segmentPath:$pos not supported")
+              s"zstd-compressed WAL record at $what:$pos not supported")
           } else {
+            val kind = typ & 0x07
+            // a record STARTING at/after the split end belongs to the
+            // next split's task; fragments of a record started inside
+            // the split (kind 3/4) are still consumed
+            if ((kind == 1 || kind == 2) && pos >= until) {
+              nextRec = null; return
+            }
             val len = ((buf(pos + 1) & 0xff) << 8) | (buf(pos + 2) & 0xff)
             if (pos + 7 + len > buf.length) { nextRec = null; return } // torn tail
             val stored = ((buf(pos + 3) & 0xff) << 24) | ((buf(pos + 4) & 0xff) << 16) |
@@ -105,16 +130,20 @@ object WalReader {
             // checksum mismatch ⇒ torn/corrupt write; stop at the last
             // valid record, which is how Prometheus treats a damaged tail
             if (crc.getValue != (stored.toLong & 0xffffffffL)) { nextRec = null; return }
+            val recStart = pos.toLong
             pos += 7 + len
             if ((typ & SnappyFlag) != 0) fragSnappy = true
-            (typ & 0x07) match {
+            kind match {
               case 1 => // full
+                nextPos = recStart
                 nextRec = finishRecord(data, (typ & SnappyFlag) != 0)
               case 2 => frag.clear(); fragSnappy = (typ & SnappyFlag) != 0
+                fragStart = recStart
                 frag ++= data; advance() // first
               case 3 => frag ++= data; advance() // middle
               case 4 => // last
                 frag ++= data
+                nextPos = fragStart
                 nextRec = finishRecord(frag.result(), fragSnappy)
                 frag.clear()
               case _ => advance()
@@ -130,9 +159,9 @@ object WalReader {
         if (nextRec == null) advance()
         nextRec != null
       }
-      override def next(): Array[Byte] = {
+      override def next(): (Long, Array[Byte]) = {
         if (!hasNext) throw new NoSuchElementException
-        val r = nextRec; nextRec = null; r
+        val r = nextRec; nextRec = null; (nextPos, r)
       }
     }
   }
@@ -169,10 +198,41 @@ object WalReader {
     * pre-scan I/O + CRC work. */
   def dicts(walDir: String): (Map[Long, Map[String, String]],
                               Map[Long, Seq[Tombstones.Interval]]) = {
+    val m = walMeta(walDir)
+    (m.series, m.stones)
+  }
+
+  /** Everything the scan planner learns from one fused driver pass:
+    * the global dictionaries plus, per segment, the byte length and a
+    * ~[[CandidateStrideBytes]]-spaced ladder of record-START offsets —
+    * the valid intra-segment split boundaries (see
+    * [[records(segmentPath:String,from:Long,until:Long)*]]). The
+    * offsets ride along for free: the dict pass already CRCs and
+    * reassembles every record. */
+  final case class WalMeta(
+      series: Map[Long, Map[String, String]],
+      stones: Map[Long, Seq[Tombstones.Interval]],
+      segments: Seq[String],
+      segmentBytes: Map[String, Long],
+      splitCandidates: Map[String, Array[Long]])
+
+  private[tsdbblock] val CandidateStrideBytes: Long = 256L * 1024
+
+  def walMeta(walDir: String): WalMeta = {
     val series = mutable.Map.empty[Long, Map[String, String]]
     val stones = mutable.ArrayBuffer.empty[WalStone]
-    segments(walDir).foreach { seg =>
-      records(seg).foreach { rec =>
+    val segs = segments(walDir)
+    val segBytes = mutable.Map.empty[String, Long]
+    val cands = mutable.Map.empty[String, Array[Long]]
+    segs.foreach { seg =>
+      val buf = Files.readAllBytes(Paths.get(seg))
+      segBytes(seg) = buf.length.toLong
+      val offs = mutable.ArrayBuilder.make[Long]
+      var lastMark = 0L
+      recordsWithPos(buf, seg, 0L, Long.MaxValue).foreach { case (pos, rec) =>
+        if (pos - lastMark >= CandidateStrideBytes) {
+          offs += pos; lastMark = pos
+        }
         if (rec.nonEmpty) rec(0) match {
           case 1 =>
             val r = new ByteReader(rec, 1)
@@ -184,17 +244,100 @@ object WalReader {
           case _ =>
         }
       }
+      cands(seg) = offs.result()
     }
     val stoneMap = stones.toSeq.groupBy(_.ref)
       .view.mapValues(ss =>
         Tombstones.merge(ss.map(s => Tombstones.Interval(s.mint, s.maxt))))
       .toMap
-    (series.toMap, stoneMap)
+    WalMeta(series.toMap, stoneMap, segs, segBytes.toMap, cands.toMap)
+  }
+
+  /** The global WAL dictionaries as ONE compact byte blob, decoded
+    * lazily (once per JVM that touches the broadcast — Spark caches the
+    * deserialized broadcast object per executor, so the lazy vals run
+    * once there). Broadcasting the nested `Map[Long, Map[String,
+    * String]]` directly costs seconds per scan execution at ~100k
+    * series: `SizeEstimator` walks the whole object graph to pick a
+    * storage level and the JavaSerializer then walks it again, while a
+    * primitive byte array is sized in O(1) and copied, not traversed. */
+  final class WalDicts private (val bytes: Array[Byte]) extends Serializable {
+    @transient private lazy val decoded
+        : (Map[Long, Map[String, String]],
+           Map[Long, Seq[Tombstones.Interval]]) = WalDicts.decode(bytes)
+    def series: Map[Long, Map[String, String]] = decoded._1
+    def stones: Map[Long, Seq[Tombstones.Interval]] = decoded._2
+  }
+
+  object WalDicts {
+    def apply(series: Map[Long, Map[String, String]],
+              stones: Map[Long, Seq[Tombstones.Interval]]): WalDicts = {
+      val bos = new java.io.ByteArrayOutputStream(1 << 16)
+      val out = new java.io.DataOutputStream(
+        new java.io.BufferedOutputStream(bos, 1 << 16))
+      out.writeInt(series.size)
+      series.foreach { case (ref, labels) =>
+        out.writeLong(ref)
+        out.writeInt(labels.size)
+        labels.foreach { case (k, v) => out.writeUTF(k); out.writeUTF(v) }
+      }
+      out.writeInt(stones.size)
+      stones.foreach { case (ref, ivs) =>
+        out.writeLong(ref)
+        out.writeInt(ivs.size)
+        ivs.foreach { iv => out.writeLong(iv.mint); out.writeLong(iv.maxt) }
+      }
+      out.flush()
+      new WalDicts(bos.toByteArray)
+    }
+
+    private def decode(bytes: Array[Byte])
+        : (Map[Long, Map[String, String]],
+           Map[Long, Seq[Tombstones.Interval]]) = {
+      val in = new java.io.DataInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      val nSeries = in.readInt()
+      val series = Map.newBuilder[Long, Map[String, String]]
+      series.sizeHint(nSeries)
+      var i = 0
+      while (i < nSeries) {
+        val ref = in.readLong()
+        val n = in.readInt()
+        val labels = Map.newBuilder[String, String]
+        labels.sizeHint(n)
+        var j = 0
+        while (j < n) { labels += in.readUTF() -> in.readUTF(); j += 1 }
+        series += ref -> labels.result()
+        i += 1
+      }
+      val nStones = in.readInt()
+      val stones = Map.newBuilder[Long, Seq[Tombstones.Interval]]
+      stones.sizeHint(nStones)
+      i = 0
+      while (i < nStones) {
+        val ref = in.readLong()
+        val n = in.readInt()
+        val ivs = Seq.newBuilder[Tombstones.Interval]
+        var j = 0
+        while (j < n) {
+          ivs += Tombstones.Interval(in.readLong(), in.readLong()); j += 1
+        }
+        stones += ref -> ivs.result()
+        i += 1
+      }
+      (series.result(), stones.result())
+    }
   }
 
   /** Decode every float sample of one segment. */
   def samples(segmentPath: String): Iterator[WalSample] =
     records(segmentPath).flatMap(samplesOfRecord(_).iterator)
+
+  /** Float samples of the records starting in `[from, until)` — the
+    * intra-segment split unit (see the ranged [[records]] overload). */
+  def samples(segmentPath: String, from: Long, until: Long)
+      : Iterator[WalSample] =
+    records(segmentPath, from, until).flatMap(samplesOfRecord(_).iterator)
 
   private def readLabels(r: ByteReader): Map[String, String] = {
     val n = r.uvarint().toInt

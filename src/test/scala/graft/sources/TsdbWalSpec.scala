@@ -407,6 +407,54 @@ class TsdbWalSpec extends SparkSpec {
     assert(stones == WalReader.stoneDict(wal))
   }
 
+  test("WalDicts blob round-trips the dictionaries through serialization") {
+    // round-20: the scan broadcasts the dictionaries as ONE compact
+    // byte blob (SizeEstimator/JavaSerializer no longer walk the nested
+    // Map graph per execution); pin the encode→serialize→decode loop
+    import graft.sources.tsdbblock.Tombstones
+    val (dict, _) = WalReader.dicts(s"$db/wal")
+    val stones = Map(
+      1L -> Seq(Tombstones.Interval(5L, 9L)),
+      42L -> Seq(Tombstones.Interval(0L, 1L), Tombstones.Interval(3L, 4L)))
+    val blob = WalReader.WalDicts(dict, stones)
+    val bos = new java.io.ByteArrayOutputStream()
+    val oos = new java.io.ObjectOutputStream(bos)
+    oos.writeObject(blob); oos.close()
+    val back = new java.io.ObjectInputStream(
+      new java.io.ByteArrayInputStream(bos.toByteArray))
+      .readObject().asInstanceOf[WalReader.WalDicts]
+    assert(back.series == dict)
+    assert(back.stones == stones)
+  }
+
+  test("ranged records: stitched split ranges ≡ the whole segment") {
+    // round-20: intra-segment splits start at the record-boundary
+    // offsets walMeta reports; a task consumes exactly the records
+    // starting in [from, until) — no overlap, no gap, fragments of a
+    // record started inside the range consumed whole
+    val meta = WalReader.walMeta(s"$db/wal")
+    assert(meta.splitCandidates.values.exists(_.nonEmpty)) // multi-MB segs
+    meta.segments.foreach { seg =>
+      val full = WalReader.records(seg).map(_.toSeq).toSeq
+      val bounds = 0L +: meta.splitCandidates(seg).toSeq :+ Long.MaxValue
+      val stitched = bounds.zip(bounds.tail).flatMap { case (f, u) =>
+        WalReader.records(seg, f, u).map(_.toSeq)
+      }
+      assert(stitched == full)
+    }
+  }
+
+  test("the tsdb-wal scan splits large segments into multiple tasks") {
+    // round-20: the replay is no longer one task per segment — a
+    // 2.7 MB segment on local[4] must split (splitBytes = total/cores
+    // clamped to [256 KiB, maxPartitionBytes]) and the split read must
+    // agree with the unsplit ground truth (count pinned above)
+    val df = spark.read.format("tsdb-wal").load(s"$db/wal")
+    val nSegs = WalReader.segments(s"$db/wal").size
+    assert(df.rdd.getNumPartitions > nSegs)
+    assert(df.count() == WalSamples)
+  }
+
   test("whole-DB dedup tie-break: a real sample beats a staleness marker") {
     // round-19: the (series, time) dedup moved from a row_number window
     // to a partial-aggregable min(value); min ignores NULLs, so a real
