@@ -397,30 +397,42 @@ object Similarity {
       .map(_.getSeq[Double](0).toIndexedSeq).toIndexedSeq
     require(boot.size == kCodes, "pq: corpus smaller than the codebook")
     def vSub(j: Int): Column = slice(col("v"), j * sub + 1, sub)
-    val out = (0 until m).map { j =>
-      var cents: IndexedSeq[IndexedSeq[Double]] =
-        boot.map(_.slice(j * sub, (j + 1) * sub))
-      (1 to iters).foreach { _ =>
-        val dists = cents.map(c => sqDistNative(vSub(j),
+    // the m subspaces train independently (cents(j) only ever reads
+    // subspace j), so one iteration's m mean-updates FUSE into a single
+    // job — rows explode into (j, cluster, sub-vector) entries and one
+    // groupBy(j, c, i) computes every subspace's means at once, instead
+    // of m sequential collect jobs per iteration (driver job-submission
+    // overhead dominated the training at bench scale). Each (j, c, i)
+    // group aggregates exactly the rows the per-subspace job aggregated,
+    // in the same per-partition order, so the means are bit-identical.
+    var cents: IndexedSeq[IndexedSeq[IndexedSeq[Double]]] =
+      (0 until m).map(j => boot.map(_.slice(j * sub, (j + 1) * sub)))
+    (1 to iters).foreach { _ =>
+      val entries = (0 until m).map { j =>
+        val dists = cents(j).map(c => sqDistNative(vSub(j),
           array(c.map(lit): _*)))
         val mind = dists.reduce(least(_, _))
         val cl = dists.zipWithIndex.tail.foldLeft(
           when(dists.head === mind, lit(0))) { case (acc, (d, i)) =>
           acc.when(d === mind, lit(i)) }
-        val means = samp.withColumn("c", cl)
-          .select(col("c"), posexplode(vSub(j)).as(Seq("i", "x")))
-          .groupBy(col("c"), col("i"))
-          .agg(round(avg(col("x")), 6).as("mu"))
-          .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getDouble(2))
-          .toMap
-        cents = cents.zipWithIndex.map { case (old, c) =>
-          old.indices.map(i => means.getOrElse((c, i), old(i)))
+        struct(lit(j).as("j"), cl.as("c"), vSub(j).as("vj"))
+      }
+      val means = samp
+        .select(explode(array(entries: _*)).as("e"))
+        .select(col("e.j"), col("e.c"), posexplode(col("e.vj")).as(Seq("i", "x")))
+        .groupBy(col("j"), col("c"), col("i"))
+        .agg(round(avg(col("x")), 6).as("mu"))
+        .collect()
+        .map(r => (r.getInt(0), r.getInt(1), r.getInt(2)) -> r.getDouble(3))
+        .toMap
+      cents = cents.zipWithIndex.map { case (cj, j) =>
+        cj.zipWithIndex.map { case (old, c) =>
+          old.indices.map(i => means.getOrElse((j, c, i), old(i)))
         }
       }
-      cents
     }
     samp.unpersist()
-    out
+    cents
   }
 
   /** The m argmin-code columns over `col("v")` (map pass, first-match

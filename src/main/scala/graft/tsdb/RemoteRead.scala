@@ -1,6 +1,6 @@
 package graft.tsdb
 
-import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.{Column, DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 import org.xerial.snappy.Snappy
 import graft.model.Matcher
@@ -501,7 +501,14 @@ object RemoteRead {
   private def histSlice(
       hs: Dataset[(Map[String, String],
         graft.sources.tsdbblock.WalReader.WalHistogram)],
-      q: ReadQuery): DataFrame = {
+      q: ReadQuery): DataFrame =
+    hs.toDF().where(histPred(q))
+
+  /** [[histSlice]]'s selection as a bare predicate over the
+    * `(_1 labels, _2 hist)` frame — reused by the fused multi-query
+    * path, which tags each row with every query it matches instead of
+    * re-scanning the frame per query. */
+  private def histPred(q: ReadQuery): Column = {
     val lo = if (q.startMs == Long.MinValue) Long.MinValue else q.startMs - 1
     val hi = if (q.endMs == Long.MaxValue) Long.MaxValue else q.endMs + 1
     def lcol(n: String) =
@@ -512,8 +519,7 @@ object RemoteRead {
       case Matcher.Re(n, p)    => lcol(n).rlike(p)
       case Matcher.NotRe(n, p) => !lcol(n).rlike(p)
     }.foldLeft(lit(true))(_ && _)
-    hs.toDF()
-      .where(residual && col("_2.time") > lo && col("_2.time") < hi)
+    residual && col("_2.time") > lo && col("_2.time") < hi
   }
 
   /** SAMPLED responses for NATIVE-HISTOGRAM series: the snappy
@@ -534,13 +540,53 @@ object RemoteRead {
     val req = decodeReadRequest(requestBytes)
     val lim = Some(sampleLimit).filter(_ > 0)
     val w = new ProtoWriter
-    req.queries.foreach { q =>
+    if (lim.isEmpty && req.queries.lengthCompare(1) > 0) {
+      // unlimited multi-query request: ONE job answers every query —
+      // each row is tagged with the indices of the queries it matches,
+      // grouped by (query, series) and encoded distributed, then
+      // collected once. The per-query loop below re-scans the input
+      // frame (a WAL decode or block read) and re-shuffles per query;
+      // the limited path keeps it because the sample limit is enforced
+      // incrementally per query (collectLimited drains partitions until
+      // the budget trips).
+      val byQuery = histQueriesSeries(hs, req.queries)
+      req.queries.indices.foreach { qi =>
+        val qw = new ProtoWriter
+        byQuery.getOrElse(qi, Array.empty)
+          .sortBy(_._1)(utf8ByteOrder).foreach(s => qw.bytes(1, s._2))
+        w.bytes(1, qw.toBytes)
+      }
+    } else req.queries.foreach { q =>
       val series = histQuerySeries(hs, q, lim)
       val qw = new ProtoWriter
       series.sortBy(_._1)(utf8ByteOrder).foreach(s => qw.bytes(1, s._3))
       w.bytes(1, qw.toBytes)
     }
     Snappy.compress(w.toBytes)
+  }
+
+  /** One series' prompb `TimeSeries` bytes for the SAMPLED histogram
+    * response — the shared encode of the per-query and fused paths. */
+  private def encodeHistSeries(entries: Seq[(String, String)],
+      hists: Seq[graft.sources.tsdbblock.WalReader.WalHistogram])
+      : Array[Byte] = {
+    val sw = new ProtoWriter
+    entries.foreach { case (n, v) =>
+      val lw = new ProtoWriter
+      lw.string(1, n); lw.string(2, v)
+      sw.bytes(1, lw.toBytes)
+    }
+    hists.sortBy(_.time).foreach { h =>
+      // customValues/resetHint ride along: an NHCB (schema -53)
+      // histogram served from a WAL frame keeps its bucket
+      // BOUNDS in the sampled form, exactly as the chunked
+      // path's HistChunk payload does
+      sw.bytes(4, RemoteWrite.encodeHistogram(RemoteWrite.SparseHist(
+        h.time, Map.empty, h.count, h.sum, h.schema,
+        h.zeroThreshold, h.zeroCount, h.positive, h.negative,
+        h.customValues, h.counterResetHint)))
+    }
+    sw.toBytes
   }
 
   /** One query's HISTOGRAM series for the SAMPLED response —
@@ -561,24 +607,42 @@ object RemoteRead {
         .agg(collect_list(col("hist")).as("hists"))
         .as[(Seq[(String, String)], Seq[WalReader.WalHistogram])]
         .mapPartitions(_.map { case (entries, hists) =>
-          val sw = new ProtoWriter
-          entries.foreach { case (n, v) =>
-            val lw = new ProtoWriter
-            lw.string(1, n); lw.string(2, v)
-            sw.bytes(1, lw.toBytes)
-          }
-          hists.sortBy(_.time).foreach { h =>
-            // customValues/resetHint ride along: an NHCB (schema -53)
-            // histogram served from a WAL frame keeps its bucket
-            // BOUNDS in the sampled form, exactly as the chunked
-            // path's HistChunk payload does
-            sw.bytes(4, RemoteWrite.encodeHistogram(RemoteWrite.SparseHist(
-              h.time, Map.empty, h.count, h.sum, h.schema,
-              h.zeroThreshold, h.zeroCount, h.positive, h.negative,
-              h.customValues, h.counterResetHint)))
-          }
-          (labelSortKey(entries), hists.size.toLong, sw.toBytes)
+          (labelSortKey(entries), hists.size.toLong,
+            encodeHistSeries(entries, hists))
         }), sampleLimit, "histogram samples")
+  }
+
+  /** EVERY query's histogram series in ONE distributed pass: rows
+    * explode over the (usually one) query indices whose slice they fall
+    * in, group by (query, series), encode per group. Same per-query
+    * result set as [[histQuerySeries]] — the tag-then-group is just the
+    * per-query filter applied once per row instead of once per scan. */
+  private def histQueriesSeries(
+      hs: Dataset[(Map[String, String],
+        graft.sources.tsdbblock.WalReader.WalHistogram)],
+      queries: Seq[ReadQuery])
+      : Map[Int, Array[(String, Array[Byte])]] = {
+    import graft.sources.tsdbblock.WalReader
+    val sp = hs.sparkSession
+    import sp.implicits._
+    val qidxs = filter(
+      array(queries.zipWithIndex.map { case (q, i) =>
+        when(histPred(q), lit(i)).otherwise(lit(null).cast("int"))
+      }: _*),
+      x => x.isNotNull)
+    hs.toDF()
+      .select(explode(qidxs).as("qidx"),
+        array_sort(map_entries(col("_1"))).as("entries"),
+        col("_2").as("hist"))
+      .groupBy(col("qidx"), col("entries"))
+      .agg(collect_list(col("hist")).as("hists"))
+      .as[(Int, Seq[(String, String)], Seq[WalReader.WalHistogram])]
+      .mapPartitions(_.map { case (qi, entries, hists) =>
+        (qi, labelSortKey(entries), encodeHistSeries(entries, hists))
+      })
+      .collect()
+      .groupBy(_._1)
+      .view.mapValues(_.map(s => (s._2, s._3))).toMap
   }
 
   /** Decode a snappy `ReadResponse`'s HISTOGRAM series — one

@@ -115,6 +115,19 @@ class TsdbBlockSourceSpec extends SparkSpec {
     assert(p4.rdd.getNumPartitions == 4)
     assert(p4.count() == NumSamples)
   }
+
+  test("default partitioning is chunk-adaptive, not a fixed constant") {
+    // round-20: without an explicit `partitions` option the split count
+    // derives from pruned chunks / cores — the reference block (767
+    // series, ~1.3k chunks) on local[4] must plan a handful of tasks
+    // (the old default manufactured 16 near-empty tasks), and the
+    // adaptive read must still see every sample exactly once
+    val df = spark.read.format("tsdb-block").load(block)
+    val n = df.rdd.getNumPartitions
+    assert(n >= 1 && n <= spark.sparkContext.defaultParallelism,
+      s"expected <= cores partitions, got $n")
+    assert(df.count() == NumSamples)
+  }
 }
 
 class TsdbBlockPruningSpec extends graft.SparkSpec {

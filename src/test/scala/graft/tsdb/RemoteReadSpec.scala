@@ -306,6 +306,30 @@ class RemoteReadSpec extends SparkSpec {
     assert(q1.forall(_.labels("job") == "db"))
   }
 
+  test("fused multi-query histogram serve ≡ the per-query path, byte-exact") {
+    // round-20: an unlimited multi-query request is answered by ONE
+    // job (rows tagged with the query indices they match, one shuffle,
+    // one collect) instead of one scan+shuffle+collect per query; a
+    // huge-but-set sample limit forces the old per-query path, so the
+    // two responses must be identical bytes — including a query whose
+    // slice is empty and rows matched by BOTH queries
+    import graft.sources.tsdbblock.WalReader.WalHistogram
+    val s = spark; import s.implicits._
+    def mk(time: Long, cnt: Double) =
+      WalHistogram(0L, time, 0, 0, 0.0, 0.0, cnt, cnt / 2,
+        Seq((0, cnt)), Nil, Nil, isFloat = false)
+    val hs = s.createDataset(
+      (0 until 6).map(i => (Map("name" -> "rpc", "job" -> s"j${i % 3}"),
+        mk(1000L + i * 500L, 1.0 + i))))
+    val req = encodeReadRequest(ReadRequest(Seq(
+      ReadQuery(0L, Long.MaxValue - 1, Seq(Matcher.Eq("name", "rpc"))),
+      ReadQuery(1000L, 2000L, Seq(Matcher.Re("job", "j[01]"))),
+      ReadQuery(0L, 10L, Seq(Matcher.Eq("name", "rpc"))))))
+    val fused = serveHists(hs, req)
+    val perQuery = serveHists(hs, req, sampleLimit = Long.MaxValue - 1)
+    assert(java.util.Arrays.equals(fused, perQuery))
+  }
+
   test("sampled responses enforce the sample limit; streamed path exempt") {
     // Prometheus's remote_read_sample_limit: the SAMPLED response
     // collects on the driver, so an over-limit request must fail
