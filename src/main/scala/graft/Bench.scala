@@ -153,6 +153,20 @@ object Bench {
           .trim.split("\\s+").take(3).toSeq.map(_.toDouble)
     catch { case NonFatal(_) => Seq.empty }
 
+  /** Cumulative steal ticks (aggregate `cpu` line of /proc/stat, field
+    * 8 after the label; USER_HZ=100). On a shared host, steal moving
+    * DURING the run is the direct signature of co-tenant contention —
+    * the round-19 record's loadavg gate missed a 43%-preloaded box, and
+    * a later in-session burst measured 4-5 ticks/s while inflating
+    * query times 2-4x. -1 off-Linux / unreadable. */
+  private def stealTicks(): Long =
+    try {
+      val cpu = scala.io.Source.fromFile("/proc/stat").getLines()
+        .find(_.startsWith("cpu ")).getOrElse("")
+      val f = cpu.trim.split("\\s+")
+      if (f.length > 8) f(8).toLong else -1L
+    } catch { case NonFatal(_) => -1L }
+
   /** Wait (bounded) for the BOX to go idle before any work starts:
     * poll the 1-minute loadavg until it drops below `threshold` or
     * `maxWaitSec` elapses. Returns (seconds waited, went idle?).
@@ -199,8 +213,15 @@ object Bench {
     // (idle box measures ~0.2; the round-14 contaminated record started
     // at 3.2). Bounded wait — a box that never goes idle still runs,
     // but the record marks its headline unusable if the flag trips.
+    // The AMBIENT threshold scales with core count: a fixed 1.0 is the
+    // wait target, but the flag condition uses max(1.0, 0.15 x cores)
+    // — round 19's record started at loadavg 13.86 on 32 cores (43%
+    // pre-loaded), inflated 40 untouched sub-second queries ~15%, and
+    // still passed because only the common-set TOTAL was gated.
     val idleLoad =
       sys.env.getOrElse("SPARK_GRAFT_BENCH_IDLE_LOAD", "1.0").toDouble
+    val ambientLoadMax = sys.env.get("SPARK_GRAFT_BENCH_AMBIENT_LOAD")
+      .map(_.toDouble).getOrElse(math.max(1.0, 0.15 * cpus.toInt))
     val idleWaitMax =
       sys.env.getOrElse("SPARK_GRAFT_BENCH_IDLE_WAIT_SEC", "300").toInt
     val (idleWaitedSec, idleAtStart) = waitForIdle(idleLoad, idleWaitMax)
@@ -267,8 +288,11 @@ object Bench {
 
     // one timed attempt = two passes per query; min-of-2 absorbs
     // transient scheduler/GC noise, and BOTH raw pass times go into the
-    // artifact so sustained load is visible after the fact
-    def timedAttempt(): Seq[(String, Seq[Double], Long)] =
+    // artifact so sustained load is visible after the fact. The 1-min
+    // loadavg read after each query rides along so a mid-run ambient
+    // burst is attributable to the stretch of queries it inflated
+    // (round 19's q150–q175 stretch needed exactly this forensics).
+    def timedAttempt(): Seq[(String, Seq[Double], Long, Double)] =
       names.map { name =>
         val passes = (1 to 2).map { _ =>
           val t0 = System.nanoTime()
@@ -278,18 +302,21 @@ object Bench {
                     -1L }
           ((System.nanoTime() - t0) / 1e9, n)
         }
-        (name, passes.map(_._1), passes.head._2)
+        (name, passes.map(_._1), passes.head._2,
+          loadavg().headOption.getOrElse(-1.0))
       }
-    def totalOf(a: Seq[(String, Seq[Double], Long)]): Double =
+    def totalOf(a: Seq[(String, Seq[Double], Long, Double)]): Double =
       ingestSec + a.map(_._2.min).sum
     // the load flag compares against BENCHNOISE's floor, which was
     // measured for the rounds-7–9 COMMON set — so it must be computed
     // over that same set, or every round that ADDS queries would trip it
     val commonSet = headline.take(CommonPrefix).toSet
-    def commonOf(a: Seq[(String, Seq[Double], Long)]): Double =
+    def commonOf(a: Seq[(String, Seq[Double], Long, Double)]): Double =
       ingestSec + a.filter(r => commonSet(r._1)).map(_._2.min).sum
 
     val loadBefore = loadavg()
+    val stealBefore = stealTicks()
+    val tTimed0 = System.nanoTime()
     var attempts = Vector((timedAttempt(), loadavg()))
     if (commonOf(attempts.head._1) > flagTriggerSec) {
       System.err.println(
@@ -308,13 +335,36 @@ object Bench {
     // pure load artifacts (idle rerun: 32.9 s → 16.0 s common-set with
     // zero code change). Per-query passes stay in the artifact for
     // diagnosis; the headline does not pretend to be a measurement.
-    val loadFlagged = commonTotal > flagTriggerSec
-    val headlineUnusable = loadFlagged
+    val totalBreach = commonTotal > flagTriggerSec
+    // AMBIENT gate (round-20, after the round-19 record passed a
+    // loadavg-13.86 box unflagged): the pre-run load must sit under the
+    // core-scaled threshold, and steal ticks must not move during the
+    // timed section beyond ~2% of one core (observed contamination
+    // bursts run 4-5 ticks/s and inflate queries 2-4x; an idle
+    // dedicated box reads 0). Either condition self-flags the record
+    // even when the common-set total stays under its trigger — the
+    // round-19 failure mode was exactly a sub-trigger total with 40
+    // spuriously "regressed" per-query numbers.
+    val stealAfter = stealTicks()
+    val timedSec = (System.nanoTime() - tTimed0) / 1e9
+    val stealDelta =
+      if (stealBefore >= 0 && stealAfter >= 0) stealAfter - stealBefore
+      else -1L
+    // threshold 3 ticks/s: a contamination burst measured 4.5/s on an
+    // otherwise-idle box (and competition amplifies it under load),
+    // while this bench's own sf0.001 run self-induces ~1.7/s
+    val stealFlagged = stealDelta > math.max(100.0, 3.0 * timedSec)
+    val ambientFlagged =
+      loadBefore.headOption.exists(_ > ambientLoadMax) || stealFlagged
+    val loadFlagged = totalBreach || ambientFlagged
+    val headlineUnusable = totalBreach
 
-    val results = ("tsdb_ingest", Seq(ingestSec), 0L) +: best
-    val qs = results.map { case (k, ps, _) => s""""$k":${ps.min}""" }
+    val results = ("tsdb_ingest", Seq(ingestSec), 0L, -1.0) +: best
+    val qs = results.map { case (k, ps, _, _) => s""""$k":${ps.min}""" }
       .mkString("{", ",", "}")
-    val passes = results.map { case (k, ps, _) => s""""$k":${jsonArr(ps)}""" }
+    val passes = results.map { case (k, ps, _, _) =>
+      s""""$k":${jsonArr(ps)}""" }.mkString("{", ",", "}")
+    val qLoads = results.map { case (k, _, _, la) => s""""$k":$la""" }
       .mkString("{", ",", "}")
     val total = totalOf(best)
     // The FULL record — per-pass times, loadavg triples, attempt totals —
@@ -331,6 +381,10 @@ object Bench {
       s""","total_r7_common":$commonTotal""" +
       s""","idle_anchor_sec":$anchorSec,"flag_trigger_sec":$flagTriggerSec""" +
       s""","idle_wait_sec":$idleWaitedSec,"idle_at_start":$idleAtStart""" +
+      s""","loadavg_per_query":$qLoads""" +
+      s""","ambient_load_max":$ambientLoadMax""" +
+      s""","ambient_load_flagged":$ambientFlagged""" +
+      s""","steal_ticks_delta":$stealDelta,"timed_sec":$timedSec""" +
       s""","load_flagged":$loadFlagged""" +
       s""","headline_unusable":$headlineUnusable}"""
     java.nio.file.Files.write(java.nio.file.Paths.get("bench_out.json"),
@@ -344,8 +398,8 @@ object Bench {
     val qsCompact = {
       val keys = results.map(_._1)
       val short = Bench.abbrevAll(keys)
-      results.map { case (k, ps, _) => s""""${short(k)}":${f3(ps.min)}""" }
-        .mkString("{", ",", "}")
+      results.map { case (k, ps, _, _) =>
+        s""""${short(k)}":${f3(ps.min)}""" }.mkString("{", ",", "}")
     }
     val la1 = (xs: Seq[Double]) => if (xs.isEmpty) "null" else f3(xs.head)
     val compact = s"""{"metric":"total","value":${f3(total)},""" +
@@ -354,6 +408,7 @@ object Bench {
       s""","loadavg_before":${la1(loadBefore)}""" +
       s""","loadavg_after":${la1(attempts.last._2)}""" +
       s""","load_flagged":$loadFlagged""" +
+      s""","ambient_load_flagged":$ambientFlagged""" +
       s""","headline_unusable":$headlineUnusable,"detail":"bench_out.json"}"""
     println(compact)
     spark.stop()
