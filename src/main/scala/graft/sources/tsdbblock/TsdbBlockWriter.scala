@@ -178,11 +178,6 @@ object TsdbBlockWriter {
   def writeBlock(dir: String, seriesIn: Seq[SeriesData],
                  compaction: CompactionMeta = CompactionMeta(),
                  maxTimeCeil: Option[Long] = None): (Long, Long, Long) = {
-    // INDEXED: the series and per-series chunk-meta sequences are
-    // random-accessed by position below (`chunkMetas(si)`); a
-    // List-backed Seq (what `Iterator.toSeq` hands the Spark path)
-    // turns that into O(series²) list hops — at 67k series that was
-    // ~100 s of pure `List.drop` before this toIndexedSeq
     // series order = Prometheus labels.Compare (pairwise name/value in
     // UTF-8 BYTE order, fewer labels first): the injective NUL-escaped
     // key under unsigned-byte ordering — a bare-NUL join is ambiguous
@@ -192,24 +187,60 @@ object TsdbBlockWriter {
       .map(s => s.copy(labels = s.labels.sortBy(_._1)))
       .sortBy(s => graft.tsdb.RemoteRead.labelSortKey(s.labels))(
         graft.tsdb.RemoteRead.utf8ByteOrder)
+    writeBlockPresorted(dir, series.iterator, compaction, maxTimeCeil)
+  }
+
+  /** [[writeBlock]]'s streaming core: `seriesIt` must arrive already in
+    * index order ([[graft.tsdb.RemoteRead.labelSortKey]] under
+    * [[graft.tsdb.RemoteRead.utf8ByteOrder]], each series' labels
+    * name-sorted). Chunk bytes stream to `chunks/000001` AS EACH SERIES
+    * IS CONSUMED; only the per-series skeleton (labels + chunk metas —
+    * a few dozen bytes) is retained for the index sections. Per-task
+    * heap is therefore O(series metadata), NOT O(samples): the Spark
+    * write path used to materialize every (slice, series, samples) row
+    * hashed to the task before assembling blocks, an OOM at a 100 TB
+    * slice; now the sample payload exists only row-by-row. */
+  private[tsdbblock] def writeBlockPresorted(dir: String,
+      seriesIt: Iterator[SeriesData],
+      compaction: CompactionMeta = CompactionMeta(),
+      maxTimeCeil: Option[Long] = None): (Long, Long, Long) = {
     Files.createDirectories(Paths.get(dir, "chunks"))
 
     // ---- chunks segment 000001 (chunk refs carry segment INDEX 0:
-    // ref>>>32 is zero-based, file names are one-based) ----
-    val cw = new ByteWriter
-    cw.be32(0x85bd40ddL); cw.u8(1); cw.u8(0); cw.u8(0); cw.u8(0)
+    // ref>>>32 is zero-based, file names are one-based), streamed ----
+    val chunksOut = new java.io.BufferedOutputStream(
+      Files.newOutputStream(Paths.get(dir, "chunks", "000001")), 1 << 20)
+    var chunksOff = 0L
+    def putBytes(bs: Array[Byte]): Unit = {
+      chunksOut.write(bs); chunksOff += bs.length
+    }
+    run { // header — same bytes the buffered writer produced
+      val h = new ByteWriter
+      h.be32(0x85bd40ddL); h.u8(1); h.u8(0); h.u8(0); h.u8(0)
+      putBytes(h.toBytes)
+    }
     def putChunk(encoding: Int, data: Array[Byte]): Long = {
-      val ref = cw.size.toLong // segment 0 in the high 32 bits
+      val ref = chunksOff // segment 0 in the high 32 bits
       // CRC (Castagnoli) covers encoding byte + data
       val body = new Array[Byte](1 + data.length)
       body(0) = encoding.toByte
       System.arraycopy(data, 0, body, 1, data.length)
-      cw.uvarint(data.length.toLong)
-      cw.bytes(body)
-      cw.be32(crc32c(body, 0, body.length))
+      val w = new ByteWriter
+      w.uvarint(data.length.toLong)
+      w.bytes(body)
+      w.be32(crc32c(body, 0, body.length))
+      putBytes(w.toBytes)
       ref
     }
-    val chunkMetas = series.map { s =>
+    // the skeletons: INDEXED — random-accessed by position below
+    // (`chunkMetas(si)`); a List-backed Seq here turned that into
+    // O(series²) list hops (~100 s of pure List.drop at 67k series)
+    val labelsBuf =
+      scala.collection.mutable.ArrayBuffer.empty[Seq[(String, String)]]
+    val metasBuf =
+      scala.collection.mutable.ArrayBuffer.empty[Seq[ChunkMeta]]
+    var numSamples = 0L
+    seriesIt.foreach { s =>
       val metas = Seq.newBuilder[ChunkMeta]
       var off = 0
       while (off < s.ts.length) {
@@ -238,16 +269,20 @@ object TsdbBlockWriter {
             s"time (chunk [${a.minT},${a.maxT}] overlaps [${b.minT},${b.maxT}])" +
             " — Prometheus series change sample type only across chunks")
       }
-      sorted
+      labelsBuf += s.labels
+      metasBuf += sorted
+      numSamples += s.ts.length.toLong + s.hists.size
     }
-    Files.write(Paths.get(dir, "chunks", "000001"), cw.toBytes)
+    chunksOut.close()
+    val series = labelsBuf // skeleton view: labels by series position
+    val chunkMetas = metasBuf
 
     // ---- index ----
     val iw = new ByteWriter
     iw.be32(0xbaaad700L); iw.u8(2)
 
     // symbol table: sorted unique strings; series entries refer by index
-    val symbols = series.flatMap(_.labels.flatMap(p => Seq(p._1, p._2)))
+    val symbols = series.flatMap(_.flatMap(p => Seq(p._1, p._2)))
       .distinct.sorted
     val symIdx = symbols.zipWithIndex.toMap
     val symbolsStart = iw.size
@@ -272,8 +307,8 @@ object TsdbBlockWriter {
       pad16()
       seriesRefs(si) = iw.size.toLong / 16
       val e = new ByteWriter
-      e.uvarint(s.labels.size.toLong)
-      s.labels.foreach { case (k, v) =>
+      e.uvarint(s.size.toLong)
+      s.foreach { case (k, v) =>
         e.uvarint(symIdx(k).toLong); e.uvarint(symIdx(v).toLong)
       }
       val metas = chunkMetas(si)
@@ -307,7 +342,7 @@ object TsdbBlockWriter {
     val postingsByPair = scala.collection.mutable.Map[(String, String),
       scala.collection.mutable.ArrayBuffer[Long]]()
     series.zipWithIndex.foreach { case (s, si) =>
-      s.labels.foreach { kv =>
+      s.foreach { kv =>
         valueSets.getOrElseUpdate(kv._1,
           scala.collection.mutable.Set[String]()) += kv._2
         postingsByPair.getOrElseUpdate(kv,
@@ -415,7 +450,6 @@ object TsdbBlockWriter {
       Files.write(Paths.get(dir, "tombstones"), out.toBytes)
     }
 
-    val numSamples = series.map(s => s.ts.length.toLong + s.hists.size).sum
     val numChunks = chunkMetas.map(_.size.toLong).sum
     // min/max over the CHUNK metas — covers float and histogram samples
     val allMetas = chunkMetas.flatten
@@ -610,7 +644,24 @@ object TsdbBlockWriter {
               WalReader.WalHistogram)]] = None): Seq[String] = {
     val spark = df.sparkSession
     import spark.implicits._
+    // within each task, order rows by (slice, index order): the
+    // per-slice runs then STREAM into [[writeBlockPresorted]] one
+    // series at a time — per-task heap is O(one series + skeletons),
+    // not O(every slice hashed to the task) as the old
+    // `it.toSeq.groupBy` materialization was (a §5 OOM at a 100 TB
+    // slice, and the single-shuffle rewrite had made each task's pile
+    // BIGGER). Spark's external sort spills; the sample payload never
+    // piles up on the heap. The key is EXACTLY writeBlock's in-memory
+    // sort — labelSortKey over name-sorted labels, compared as UTF-8
+    // bytes (UTF8String binary order) — so the streamed block is
+    // byte-identical to the materialized one (pinned by spec).
+    val keyOf = udf((labels: Seq[(String, String)]) =>
+      graft.tsdb.RemoteRead.labelSortKey(labels.sortBy(_._1)))
     val grouped = groupedForWrite(df, blockRangeMs, hists)
+      .toDF("slice", "labels", "samples", "hists")
+      .sortWithinPartitions(col("slice"), keyOf(col("labels")))
+      .as[(Long, Seq[(String, String)], Seq[(Long, Double)],
+           Seq[WalReader.WalHistogram])]
     // write-side plan evidence for the optimization rounds (see
     // groupedForWrite's scaladoc) — dump it on demand
     if (sys.env.contains("SPARK_GRAFT_EXPLAIN_WRITES"))
@@ -618,29 +669,38 @@ object TsdbBlockWriter {
         grouped.queryExecution.explainString(
           org.apache.spark.sql.execution.FormattedMode))
     val names = grouped.mapPartitions { it =>
-      val bySlice = it.toSeq.groupBy(_._1)
-      bySlice.iterator.map { case (slice, rows) =>
-        val series = rows.map { case (_, labels, samples, hs) =>
-          SeriesData(labels, samples.map(_._1).toArray,
-            samples.map(_._2).toArray, hs)
+      val buf = it.buffered
+      new Iterator[String] {
+        override def hasNext: Boolean = buf.hasNext
+        override def next(): String = {
+          val sliceId = buf.head._1
+          // name = ULID from (root, slice); if that dir already exists
+          // (same-root recompaction — e.g. leveling 5×2h blocks into the
+          // 10h block whose slice index collides with parent slice 0),
+          // salt deterministically until fresh so an existing block is
+          // never overwritten in place
+          var name = deterministicUlid(s"$root/$sliceId")
+          var salt = 0
+          while (new java.io.File(root, name).exists()) {
+            salt += 1
+            name = deterministicUlid(s"$root/$sliceId#$salt")
+          }
+          val run: Iterator[SeriesData] = new Iterator[SeriesData] {
+            override def hasNext: Boolean =
+              buf.hasNext && buf.head._1 == sliceId
+            override def next(): SeriesData = {
+              val (_, labels, samples, hs) = buf.next()
+              SeriesData(labels.sortBy(_._1), samples.map(_._1).toArray,
+                samples.map(_._2).toArray, hs)
+            }
+          }
+          // maxTime ceiling = the slice window end, as Prometheus's head
+          // compaction stamps it — range-aligned so the planner's
+          // full-window test works on our own blocks
+          writeBlockPresorted(s"$root/$name", run, compaction,
+            maxTimeCeil = Some((sliceId + 1) * blockRangeMs))
+          name
         }
-        // name = ULID from (root, slice); if that dir already exists
-        // (same-root recompaction — e.g. leveling 5×2h blocks into the
-        // 10h block whose slice index collides with parent slice 0),
-        // salt deterministically until fresh so an existing block is
-        // never overwritten in place
-        var name = deterministicUlid(s"$root/$slice")
-        var salt = 0
-        while (new java.io.File(root, name).exists()) {
-          salt += 1
-          name = deterministicUlid(s"$root/$slice#$salt")
-        }
-        // maxTime ceiling = the slice window end, as Prometheus's head
-        // compaction stamps it — range-aligned so the planner's
-        // full-window test works on our own blocks
-        writeBlock(s"$root/$name", series, compaction,
-          maxTimeCeil = Some((slice + 1) * blockRangeMs))
-        name
       }
     }.collect().toSeq
     names

@@ -171,6 +171,56 @@ class TsdbBlockWriterSpec extends SparkSpec {
     assert(back === rows.map(r => (r._1, r._2, r._3("k"))).toSet)
   }
 
+  test("streamed Spark write is byte-identical to the in-memory writeBlock") {
+    // round-20: write() no longer materializes every slice hashed to a
+    // task (`it.toSeq.groupBy`) — rows arrive (slice, labelSortKey)-
+    // sorted and STREAM into writeBlockPresorted one series at a time.
+    // The block bytes must not change: the Spark-side sort key must
+    // reproduce writeBlock's exact in-memory ordering. Label names and
+    // values ABOVE THE BMP make this adversarial — U+1F600 sorts after
+    // U+FFFD in UTF-8 bytes but before it in UTF-16, so a Java-ordered
+    // key would swap series and break byte identity.
+    val s = spark; import s.implicits._
+    val exotic1 = "😀emoji" // U+1F600…
+    val exotic2 = "�repl"        // U+FFFD…
+    val hour = 3600 * 1000L
+    val rows = (0 until 600).map { i =>
+      (i.toLong * 60000L, i / 3.0,
+        Map("__name__" -> "m", "k" -> (i % 5).toString,
+          "x" -> (if (i % 2 == 0) exotic1 else exotic2),
+          exotic1 -> "v1", exotic2 -> "v2"))
+    }
+    val root1 = tmpDir("graft_bytesA_")
+    val names = TsdbBlockWriter.write(
+      rows.toDF("time", "value", "labels"), root1, blockRangeMs = 2 * hour)
+    assert(names.size === 5) // 600 min / 2 h
+    // the same grouping by hand, through the materialized writeBlock
+    val root2 = tmpDir("graft_bytesB_")
+    val bySlice = rows.groupBy(r => r._1 / (2 * hour))
+    val names2 = bySlice.toSeq.sortBy(_._1).map { case (slice, rs) =>
+      val series = rs.groupBy(_._3).map { case (labels, srs) =>
+        val samples = srs.map(r => (r._1, r._2)).sortBy(identity)
+        TsdbBlockWriter.SeriesData(labels.toSeq,
+          samples.map(_._1).toArray, samples.map(_._2).toArray)
+      }.toSeq
+      val name = TsdbBlockWriter.deterministicUlid(s"$root1/$slice")
+      TsdbBlockWriter.writeBlock(s"$root2/$name", series,
+        maxTimeCeil = Some((slice + 1) * 2 * hour))
+      name
+    }
+    assert(names.sorted === names2.sorted)
+    names.foreach { n =>
+      Seq("chunks/000001", "index", "tombstones", "meta.json").foreach { f =>
+        val a = java.nio.file.Files.readAllBytes(
+          java.nio.file.Paths.get(root1, n, f))
+        val b = java.nio.file.Files.readAllBytes(
+          java.nio.file.Paths.get(root2, n, f))
+        assert(java.util.Arrays.equals(a, b),
+          s"$n/$f differs between streamed and materialized writers")
+      }
+    }
+  }
+
   test("compactBlocks merges parents, applies tombstones, records lineage") {
     val s = spark; import s.implicits._
     val hour = 3600 * 1000L
