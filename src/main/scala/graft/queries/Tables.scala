@@ -38,7 +38,12 @@ object Tables {
     * a serialized multi-second codec stage. */
   def fanOut(df: DataFrame): DataFrame = {
     val p = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions >= p) df else df.repartition(p)
+    // partition count read off THIS dataset's own execution: df.rdd
+    // builds a SECOND QueryExecution (deserializer lineage) per query
+    // construction just to count splits; toRdd reuses the one already
+    // attached to the frame
+    if (df.queryExecution.toRdd.getNumPartitions >= p) df
+    else df.repartition(p)
   }
 
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {

@@ -1592,9 +1592,16 @@ object TsdbQueries {
     "tsdb_q141_otlp_exp_hist" -> ((s, dir) => {
       import graft.tsdb.NativeHistogram._
       val h = col("hist")
+      // post-agg fan-out BEFORE the codec: AQE byte-coalesces the agg
+      // output to 1 task (it is byte-light), but the OTLP JSON encode +
+      // parse downstream is CPU-heavy per SERIES — round-robin the
+      // group-count-sized frame across cores. The partial aggregation
+      // is untouched (the exchange sits above the agg), so the 100 TB
+      // property survives; the shuffled bytes are the codec's own input.
       val dense = buildExp(table(s, dir).select(RangeStart, RangeEnd, Nil).toDF(),
         Seq(col("`labels.name`").as("name"), col("`labels.user`").as("user")),
         col("value"), schema = 0, minExp = 0, maxExp = 9)
+        .repartition(s.sparkContext.defaultParallelism)
         .select(lit(RangeEnd).as("time"),
           map(lit("__name__"), col("name"), lit("user"), col("user"))
             .as("labels"),
@@ -1621,9 +1628,14 @@ object TsdbQueries {
     // the bucket arithmetic replayed directly over events.
     "tsdb_q142_otlp_classic_hist" -> ((s, dir) => {
       import graft.tsdb.NativeHistogram._
+      // post-agg fan-out before the codec — see q141: the heaviest
+      // stage here (to_json + from_json + per-bound prefix-sum explode)
+      // ran 4-wide under AQE's byte-based coalescing, 449 ms of the
+      // query's 1.25 s
       val dense = buildExp(table(s, dir).select(RangeStart, RangeEnd, Nil).toDF(),
         Seq(col("`labels.name`").as("name"), col("`labels.user`").as("user")),
         col("value"), schema = 0, minExp = 0, maxExp = 9)
+        .repartition(s.sparkContext.defaultParallelism)
       val c = col("hist.counts")
       // dense grid → OTLP per-interval buckets: (-inf,1] folds the zero
       // bucket into the first bound, the +Inf overflow is the extra

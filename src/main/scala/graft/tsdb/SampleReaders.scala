@@ -437,33 +437,39 @@ object SampleReaders {
             a.getField("value").getField("stringValue")))).as("attrs"))
     def withName(suffix: org.apache.spark.sql.Column) = map_concat(
       map(lit("__name__"), concat(col("name"), suffix)), col("attrs"))
-    // cumulative finite buckets: one row per explicit bound. Bound-less
-    // points (legal OTLP: only count/sum observed) are filtered out here —
-    // without the guard, sequence() needs a ≥1 upper bound and zip_with
-    // null-pads the empty bounds array, emitting a spurious `le=null` row;
-    // such points still produce their +Inf/_count/_sum rows below.
-    val buckets = base.where(size(col("bounds")) > 0).select(col("time"),
-      // aggregate folds left-to-right — the running total per bound
-      explode(zip_with(col("bounds"),
-        transform(sequence(lit(1), size(col("bounds"))),
-          i => aggregate(slice(col("bc"), lit(1), i), lit(0.0), (a, x) => a + x)),
-        (le, cum) => struct(le.as("le"), cum.as("cum")))).as("b"),
-      col("name"), col("attrs"))
-      .select(col("time"), col("b.cum").as("value"),
+    // ONE pass emits every classic series kind per data point — the old
+    // 4-way union (finite buckets ∪ +Inf ∪ _count ∪ _sum) re-evaluated
+    // the ENTIRE from_json parse chain once per branch (its exec stage
+    // ran 4x the scan's tasks); each data point now explodes a single
+    // (value, labels) element array built in place.
+    // Finite cumulative buckets: one element per explicit bound, the
+    // running `aggregate` fold left-to-right. Bound-less points (legal
+    // OTLP: only count/sum observed) get the empty-array guard —
+    // sequence() needs a ≥1 upper bound and zip_with null-pads the
+    // empty bounds array into a spurious `le=null` element otherwise;
+    // such points still emit their +Inf/_count/_sum elements.
+    val elType = "array<struct<value:double,labels:map<string,string>>>"
+    val finite = zip_with(col("bounds"),
+      transform(sequence(lit(1), size(col("bounds"))),
+        i => aggregate(slice(col("bc"), lit(1), i), lit(0.0), (a, x) => a + x)),
+      (le, cum) => struct(cum.as("value"),
         map_concat(
           map(lit("__name__"), concat(col("name"), lit("_bucket")),
-            lit("le"), col("b.le").cast("string")),
-          col("attrs")).as("labels"))
-    val infBucket = base.select(col("time"), col("count").as("value"),
-      map_concat(
-        map(lit("__name__"), concat(col("name"), lit("_bucket")),
-          lit("le"), lit("+Inf")),
-        col("attrs")).as("labels"))
-    val countRow = base.select(col("time"), col("count").as("value"),
-      withName(lit("_count")).as("labels"))
-    val sumRow = base.select(col("time"), col("sum").as("value"),
-      withName(lit("_sum")).as("labels"))
-    buckets.unionByName(infBucket).unionByName(countRow).unionByName(sumRow)
+            lit("le"), le.cast("string")),
+          col("attrs")).as("labels")))
+    val els = concat(
+      when(size(col("bounds")) > 0, finite).otherwise(array().cast(elType)),
+      array(
+        struct(col("count").as("value"),
+          map_concat(
+            map(lit("__name__"), concat(col("name"), lit("_bucket")),
+              lit("le"), lit("+Inf")),
+            col("attrs")).as("labels")),
+        struct(col("count").as("value"), withName(lit("_count")).as("labels")),
+        struct(col("sum").as("value"), withName(lit("_sum")).as("labels"))))
+    base.select(col("time"), explode(els).as("e"))
+      .select(col("time"), col("e.value").as("value"),
+        col("e.labels").as("labels"))
   }
 
   /** The explicit-bounds exporter — classic `(time, labels with
@@ -547,18 +553,21 @@ object SampleReaders {
     def qstr(q: org.apache.spark.sql.Column) =
       when(q === q.cast("long").cast("double"),
         q.cast("long").cast("string")).otherwise(q.cast("string"))
-    val quantiles = base.select(col("time"),
-      explode(col("qv")).as("q"), col("name"), col("attrs"))
-      .select(col("time"), col("q.value").as("value"),
+    // ONE pass per data point — see fromOtlpHistogramJsonLines: the old
+    // 3-way union (quantiles ∪ _count ∪ _sum) re-ran the from_json
+    // parse chain once per branch
+    val els = concat(
+      transform(col("qv"), q => struct(q.getField("value").as("value"),
         map_concat(
           map(lit("__name__"), col("name"),
-            lit("quantile"), qstr(col("q.quantile"))),
-          col("attrs")).as("labels"))
-    val countRow = base.select(col("time"), col("count").as("value"),
-      withName(lit("_count")).as("labels"))
-    val sumRow = base.select(col("time"), col("sum").as("value"),
-      withName(lit("_sum")).as("labels"))
-    quantiles.unionByName(countRow).unionByName(sumRow)
+            lit("quantile"), qstr(q.getField("quantile"))),
+          col("attrs")).as("labels"))),
+      array(
+        struct(col("count").as("value"), withName(lit("_count")).as("labels")),
+        struct(col("sum").as("value"), withName(lit("_sum")).as("labels"))))
+    base.select(col("time"), explode(els).as("e"))
+      .select(col("time"), col("e.value").as("value"),
+        col("e.labels").as("labels"))
   }
 
   /** The summary exporter — `(time, labels with `__name__`, count,
