@@ -43,6 +43,13 @@ object BlockWriteProbe {
       val names = graft.sources.tsdbblock.TsdbBlockWriter.write(long, dir)
       val sec = (System.nanoTime() - t0) / 1e9
       println(f"[probe] block write ${factor}x pass$p: $sec%7.2f s blocks=${names.size}")
+      // the blocks are never read back — drop the scratch corpus so a
+      // multi-pass A/B run doesn't leak factor-scaled directories
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+        f.delete(): Unit
+      }
+      rm(new java.io.File(dir))
     }
     spark.stop()
   }

@@ -184,9 +184,16 @@ class PlanQualitySpec extends SparkSpec {
     * present only when the input scan yields fewer splits than cores
     * (the degenerate small-file case), a no-op at any real scale, so
     * plan contracts must not count it. */
-  private def keyedExchanges(plan: String): Int =
-    shuffleExchanges(plan) -
-      "RoundRobinPartitioning".r.findAllIn(plan).size
+  private def keyedExchanges(plan: String): Int = {
+    val rr = "RoundRobinPartitioning".r.findAllIn(plan).size
+    // the exemption is bounded: ONE round-robin (the scan fan-out) may
+    // ride along. A reintroduced post-agg full-payload repartition(n) —
+    // the exact shuffle round 19 removed — would be a SECOND round-robin
+    // and must fail the contract, not hide under the exemption.
+    assert(rr <= 1,
+      s"at most one round-robin exchange (the scan fan-out) is exempt:\n$plan")
+    shuffleExchanges(plan) - rr
+  }
 
   test("fact-fact join keeps the shuffled SMJ shape at scale") {
     // at sf0.001 the 36 KB orders side broadcasts (correct locally);
