@@ -225,6 +225,11 @@ object Bench {
     val idleWaitMax =
       sys.env.getOrElse("SPARK_GRAFT_BENCH_IDLE_WAIT_SEC", "300").toInt
     val (idleWaitedSec, idleAtStart) = waitForIdle(idleLoad, idleWaitMax)
+    // the AMBIENT gate's loadavg must be read HERE — before the
+    // SparkSession exists: warmup + ingest alone drive the 1-min load
+    // to ~6 on a 32-core box, so a post-warmup reading always exceeds
+    // the threshold and the flag would be self-induced noise
+    val loadAtStart = loadavg()
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -355,7 +360,7 @@ object Bench {
     // while this bench's own sf0.001 run self-induces ~1.7/s
     val stealFlagged = stealDelta > math.max(100.0, 3.0 * timedSec)
     val ambientFlagged =
-      loadBefore.headOption.exists(_ > ambientLoadMax) || stealFlagged
+      loadAtStart.headOption.exists(_ > ambientLoadMax) || stealFlagged
     val loadFlagged = totalBreach || ambientFlagged
     val headlineUnusable = totalBreach
 
@@ -382,6 +387,7 @@ object Bench {
       s""","idle_anchor_sec":$anchorSec,"flag_trigger_sec":$flagTriggerSec""" +
       s""","idle_wait_sec":$idleWaitedSec,"idle_at_start":$idleAtStart""" +
       s""","loadavg_per_query":$qLoads""" +
+      s""","loadavg_at_start":${jsonArr(loadAtStart)}""" +
       s""","ambient_load_max":$ambientLoadMax""" +
       s""","ambient_load_flagged":$ambientFlagged""" +
       s""","steal_ticks_delta":$stealDelta,"timed_sec":$timedSec""" +
